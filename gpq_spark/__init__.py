@@ -1,0 +1,16 @@
+"""gpq_spark — a PySpark-native GeoParquet + large-scale data-pipeline engine.
+
+A from-scratch re-expression of the capabilities of planetlabs/gpq
+(GeoParquet convert/validate/describe/extract) on top of the Spark
+DataFrame API, extended with the operators a 100 TB training-data
+pipeline needs (dedup, similarity search, text analysis, multimodal
+column plumbing, streaming).
+
+Design stance: declare plans with DataFrame/SQL and let Catalyst pick
+the physical strategy; geometry work happens in Arrow-batched pandas
+UDFs over WKB bytes; spatial filtering prefers bbox covering columns
+expressed as plain struct comparisons so Parquet row-group statistics
+pushdown applies.
+"""
+
+__version__ = "0.1.0"

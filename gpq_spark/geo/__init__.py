@@ -1,0 +1,4 @@
+from .bbox import Bbox, bbox_from_string
+from . import wkb, wkt
+
+__all__ = ["Bbox", "bbox_from_string", "wkb", "wkt"]

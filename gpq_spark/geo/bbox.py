@@ -1,0 +1,71 @@
+"""Axis-aligned bounding boxes with antimeridian-aware intersection.
+
+Behavioral parity with the reference implementation
+(/root/reference/internal/geo/geo.go:341-411): touching edges count as
+intersecting, and a box whose ``xmin > 0 and xmax < 0`` is interpreted as
+crossing the antimeridian — its xmin is remapped to ``-180 - (180 - xmin)``
+before the standard overlap test.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class Bbox:
+    xmin: float
+    ymin: float
+    xmax: float
+    ymax: float
+
+    def intersects(self, other: "Bbox") -> bool:
+        # latitude overlap (touching edges intersect)
+        if self.ymax < other.ymin or other.ymax < self.ymin:
+            return False
+
+        xmin1, xmax1 = self.xmin, self.xmax
+        xmin2, xmax2 = other.xmin, other.xmax
+        # antimeridian-crossing boxes: represent e.g. xmin 170 as -190
+        if xmin1 > 0 and xmax1 < 0:
+            xmin1 = -180 - (180 - xmin1)
+        if xmin2 > 0 and xmax2 < 0:
+            xmin2 = -180 - (180 - xmin2)
+
+        if xmax1 < xmin2 or xmax2 < xmin1:
+            return False
+        return True
+
+    def union(self, other: "Bbox") -> "Bbox":
+        return Bbox(
+            min(self.xmin, other.xmin),
+            min(self.ymin, other.ymin),
+            max(self.xmax, other.xmax),
+            max(self.ymax, other.ymax),
+        )
+
+    def as_list(self) -> list[float]:
+        return [self.xmin, self.ymin, self.xmax, self.ymax]
+
+
+def bbox_from_string(bounds: str) -> Bbox | None:
+    """Parse ``"xmin,ymin,xmax,ymax"``; empty string → None.
+
+    Mirrors reference NewBboxFromString (geo.go:375-411) including its
+    error messages.
+    """
+    if bounds == "":
+        return None
+    values = bounds.split(",")
+    if len(values) != 4:
+        raise ValueError(
+            "please provide 4 comma-separated values (xmin,ymin,xmax,ymax) as a bbox"
+        )
+    names = ("xmin", "ymin", "xmax", "ymax")
+    parsed = []
+    for name, raw in zip(names, values):
+        try:
+            parsed.append(float(raw))
+        except ValueError as exc:
+            raise ValueError(f"trouble parsing {name} input as float64: {exc}") from exc
+    return Bbox(*parsed)

@@ -1,0 +1,48 @@
+"""Geometry value decode/encode helpers shared by the engine.
+
+Mirrors reference DecodeGeometry's encoding sniffing
+(/root/reference/internal/geo/geo.go:107-144): bytes → WKB,
+str → WKT when no encoding declared; nil/empty → None.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from . import wkb, wkt
+
+ENCODING_WKB = "WKB"
+ENCODING_WKT = "WKT"
+
+
+def decode_geometry(value: Any, encoding: str = "") -> dict | None:
+    if value is None:
+        return None
+    if encoding == "":
+        if isinstance(value, (bytes, bytearray, memoryview)):
+            encoding = ENCODING_WKB
+        elif isinstance(value, str):
+            encoding = ENCODING_WKT
+    if encoding == ENCODING_WKB:
+        if not isinstance(value, (bytes, bytearray, memoryview)):
+            raise TypeError(f"expected bytes for wkb geometry, got {type(value).__name__}")
+        if len(value) == 0:
+            return None
+        return wkb.loads(bytes(value))
+    if encoding == ENCODING_WKT:
+        if not isinstance(value, str):
+            raise TypeError(f"expected string for wkt geometry, got {type(value).__name__}")
+        return wkt.loads(value)
+    raise ValueError(f"unsupported encoding: {encoding}")
+
+
+def stats_type_name(geom: dict | None) -> str | None:
+    """Geometry type name for ``geometry_types`` metadata: GeoJSON type
+    plus a ``" Z"`` suffix for 3D coordinates (the spec's 14-value
+    enum)."""
+    if geom is None:
+        return None
+    name = geom["type"]
+    if wkb.has_z(geom):
+        return name + " Z"
+    return name

@@ -1,0 +1,316 @@
+"""Pure-Python WKB (Well-Known Binary) codec.
+
+The engine's canonical geometry representation is WKB bytes in a
+``BinaryType`` column (matching the reference's default encoding,
+/root/reference/internal/geoparquet/metadata.go:19). No native geometry
+library (shapely/GEOS) is assumed in the runtime image, so this module
+implements the subset of ISO WKB the GeoParquet spec requires:
+
+- 7 geometry types (Point..GeometryCollection), 2D and Z variants
+- both byte orders on read; little-endian on write
+- tolerance for EWKB flag bits (Z=0x80000000, SRID=0x20000000) on read
+
+Geometries are represented as GeoJSON-style dicts:
+``{"type": "Point", "coordinates": [x, y]}`` and
+``{"type": "GeometryCollection", "geometries": [...]}``.
+
+Per-row decoding is the *slow path*; at scale the engine relies on the
+bbox covering column + Parquet statistics pushdown and only decodes WKB
+inside Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Any
+
+_TYPE_NAMES = {
+    1: "Point",
+    2: "LineString",
+    3: "Polygon",
+    4: "MultiPoint",
+    5: "MultiLineString",
+    6: "MultiPolygon",
+    7: "GeometryCollection",
+}
+_TYPE_CODES = {v: k for k, v in _TYPE_NAMES.items()}
+
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+
+class WKBError(ValueError):
+    pass
+
+
+class _Reader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        end = self.pos + n
+        if end > len(self.data):
+            raise WKBError("unexpected end of WKB data")
+        chunk = self.data[self.pos : end]
+        self.pos = end
+        return chunk
+
+
+def _read_header(r: _Reader) -> tuple[str, str, bool]:
+    """Returns (endian_char, type_name, has_z)."""
+    order = r.take(1)[0]
+    if order == 0:
+        endian = ">"
+    elif order == 1:
+        endian = "<"
+    else:
+        raise WKBError(f"invalid byte order: {order}")
+    (raw_type,) = struct.unpack(endian + "I", r.take(4))
+    has_z = False
+    type_code = raw_type
+    if raw_type & _EWKB_SRID:
+        type_code &= ~_EWKB_SRID
+        r.take(4)  # skip SRID
+    if type_code & _EWKB_Z:
+        has_z = True
+        type_code &= ~_EWKB_Z
+    if type_code & _EWKB_M:
+        raise WKBError("WKB with M coordinates is not supported")
+    # ISO WKB: 1000-range is Z, 2000-range is M, 3000-range is ZM
+    if 1000 < type_code < 2000:
+        has_z = True
+        type_code -= 1000
+    elif type_code > 2000:
+        raise WKBError("WKB with M coordinates is not supported")
+    name = _TYPE_NAMES.get(type_code)
+    if name is None:
+        raise WKBError(f"unsupported WKB geometry type: {raw_type}")
+    return endian, name, has_z
+
+
+def _read_coords(r: _Reader, endian: str, has_z: bool, n: int) -> list[list[float]]:
+    dim = 3 if has_z else 2
+    flat = struct.unpack(endian + "d" * (dim * n), r.take(8 * dim * n))
+    return [list(flat[i * dim : (i + 1) * dim]) for i in range(n)]
+
+
+def _read_uint(r: _Reader, endian: str) -> int:
+    (v,) = struct.unpack(endian + "I", r.take(4))
+    return v
+
+
+def _read_geometry(r: _Reader) -> dict[str, Any]:
+    endian, name, has_z = _read_header(r)
+    if name == "Point":
+        coords = _read_coords(r, endian, has_z, 1)[0]
+        return {"type": name, "coordinates": coords}
+    if name == "LineString":
+        n = _read_uint(r, endian)
+        return {"type": name, "coordinates": _read_coords(r, endian, has_z, n)}
+    if name == "Polygon":
+        nrings = _read_uint(r, endian)
+        rings = []
+        for _ in range(nrings):
+            n = _read_uint(r, endian)
+            rings.append(_read_coords(r, endian, has_z, n))
+        return {"type": name, "coordinates": rings}
+    if name in ("MultiPoint", "MultiLineString", "MultiPolygon"):
+        n = _read_uint(r, endian)
+        parts = [_read_geometry(r) for _ in range(n)]
+        expected = name[5:]  # Point / LineString / Polygon
+        for part in parts:
+            if part["type"] != expected:
+                raise WKBError(f"{name} contains non-{expected} member {part['type']}")
+        return {"type": name, "coordinates": [p["coordinates"] for p in parts]}
+    # GeometryCollection
+    n = _read_uint(r, endian)
+    return {"type": name, "geometries": [_read_geometry(r) for _ in range(n)]}
+
+
+def loads(data: bytes) -> dict[str, Any] | None:
+    """Decode WKB bytes into a GeoJSON-style geometry dict.
+
+    Empty/None input → None (reference DecodeGeometry, geo.go:107-121).
+    """
+    if data is None or len(data) == 0:
+        return None
+    r = _Reader(bytes(data))
+    geom = _read_geometry(r)
+    return geom
+
+
+def dumps(geom: dict[str, Any] | None) -> bytes | None:
+    """Encode a GeoJSON-style geometry dict as little-endian ISO WKB."""
+    if geom is None:
+        return None
+    out = bytearray()
+    _write_geometry(geom, out)
+    return bytes(out)
+
+
+def _coords_have_z(geom: dict[str, Any]) -> bool:
+    t = geom["type"]
+    if t == "GeometryCollection":
+        return any(_coords_have_z(g) for g in geom.get("geometries", []))
+    c = geom.get("coordinates")
+    depth = {"Point": 0, "LineString": 1, "Polygon": 2, "MultiPoint": 1,
+             "MultiLineString": 2, "MultiPolygon": 3}[t]
+    probe = c
+    for _ in range(depth):
+        if not probe:
+            return False
+        probe = probe[0]
+    return probe is not None and len(probe) >= 3
+
+
+def _write_coord(coord, has_z: bool, out: bytearray) -> None:
+    if has_z:
+        z = coord[2] if len(coord) >= 3 else 0.0
+        out += struct.pack("<ddd", coord[0], coord[1], z)
+    else:
+        out += struct.pack("<dd", coord[0], coord[1])
+
+
+def _write_geometry(geom: dict[str, Any], out: bytearray) -> None:
+    t = geom["type"]
+    code = _TYPE_CODES.get(t)
+    if code is None:
+        raise WKBError(f"unsupported geometry type: {t}")
+    has_z = _coords_have_z(geom)
+    out += struct.pack("<BI", 1, code + (1000 if has_z else 0))
+    if t == "Point":
+        _write_coord(geom["coordinates"], has_z, out)
+        return
+    if t == "LineString":
+        coords = geom["coordinates"]
+        out += struct.pack("<I", len(coords))
+        for c in coords:
+            _write_coord(c, has_z, out)
+        return
+    if t == "Polygon":
+        rings = geom["coordinates"]
+        out += struct.pack("<I", len(rings))
+        for ring in rings:
+            out += struct.pack("<I", len(ring))
+            for c in ring:
+                _write_coord(c, has_z, out)
+        return
+    if t in ("MultiPoint", "MultiLineString", "MultiPolygon"):
+        member = t[5:]
+        parts = geom["coordinates"]
+        out += struct.pack("<I", len(parts))
+        for part in parts:
+            _write_geometry({"type": member, "coordinates": part}, out)
+        return
+    # GeometryCollection
+    geoms = geom.get("geometries", [])
+    out += struct.pack("<I", len(geoms))
+    for g in geoms:
+        _write_geometry(g, out)
+
+
+def geometry_type(geom: dict[str, Any] | None) -> str | None:
+    """GeoJSON type name (no Z suffix), e.g. ``"MultiPolygon"``."""
+    if geom is None:
+        return None
+    return geom["type"]
+
+
+def has_z(geom: dict[str, Any] | None) -> bool:
+    if geom is None:
+        return False
+    return _coords_have_z(geom)
+
+
+def _iter_positions(geom: dict[str, Any]):
+    t = geom["type"]
+    if t == "GeometryCollection":
+        for g in geom.get("geometries", []):
+            yield from _iter_positions(g)
+        return
+    c = geom.get("coordinates")
+    if c is None:
+        return
+    if t == "Point":
+        if c:
+            yield c
+        return
+    depth = {"LineString": 1, "MultiPoint": 1, "Polygon": 2,
+             "MultiLineString": 2, "MultiPolygon": 3}[t]
+    stack = [(c, depth)]
+    while stack:
+        node, d = stack.pop()
+        if d == 0:
+            if node:
+                yield node
+        else:
+            for child in node:
+                stack.append((child, d - 1))
+
+
+def bounds(geom: dict[str, Any] | None) -> tuple[float, float, float, float] | None:
+    """(xmin, ymin, xmax, ymax) envelope, or None for empty geometry."""
+    if geom is None:
+        return None
+    xmin = ymin = math.inf
+    xmax = ymax = -math.inf
+    seen = False
+    for pos in _iter_positions(geom):
+        seen = True
+        x, y = pos[0], pos[1]
+        if x < xmin:
+            xmin = x
+        if x > xmax:
+            xmax = x
+        if y < ymin:
+            ymin = y
+        if y > ymax:
+            ymax = y
+    if not seen:
+        return None
+    return (xmin, ymin, xmax, ymax)
+
+
+def _ring_area2(ring) -> float:
+    """Twice the signed shoelace area; > 0 means counterclockwise."""
+    area = 0.0
+    n = len(ring)
+    for i in range(n - 1):
+        x1, y1 = ring[i][0], ring[i][1]
+        x2, y2 = ring[i + 1][0], ring[i + 1][1]
+        area += x1 * y2 - x2 * y1
+    return area
+
+
+def polygon_orientation_ok(geom: dict[str, Any] | None) -> bool:
+    """True iff every polygon has a CCW exterior ring and CW interior rings.
+
+    Non-polygonal geometries pass (reference GeometryOrientation rule,
+    /root/reference/internal/validator/rules.go:583-603 only inspects
+    polygons).
+    """
+    if geom is None:
+        return True
+    t = geom["type"]
+    if t == "GeometryCollection":
+        return all(polygon_orientation_ok(g) for g in geom.get("geometries", []))
+    if t == "Polygon":
+        polys = [geom["coordinates"]]
+    elif t == "MultiPolygon":
+        polys = geom["coordinates"]
+    else:
+        return True
+    for rings in polys:
+        for i, ring in enumerate(rings):
+            area2 = _ring_area2(ring)
+            if i == 0:
+                if area2 < 0:
+                    return False
+            elif area2 > 0:
+                return False
+    return True

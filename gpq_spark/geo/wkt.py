@@ -1,0 +1,216 @@
+"""Pure-Python WKT (Well-Known Text) parser and writer.
+
+Covers the same 7 geometry types as :mod:`gpq_spark.geo.wkb`, with
+``Z`` variants and ``EMPTY`` geometries. Used for the reference's
+WKT→WKB column rewrite (/root/reference/internal/geoparquet/
+geoparquet.go:65-156) and for WKT-encoded GeoParquet input columns.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from . import wkb as _wkb
+
+
+class WKTError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(r"\s*([A-Za-z]+|[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?|\(|\)|,)")
+
+_TYPES = {
+    "POINT": "Point",
+    "LINESTRING": "LineString",
+    "POLYGON": "Polygon",
+    "MULTIPOINT": "MultiPoint",
+    "MULTILINESTRING": "MultiLineString",
+    "MULTIPOLYGON": "MultiPolygon",
+    "GEOMETRYCOLLECTION": "GeometryCollection",
+}
+
+
+class _Tokens:
+    def __init__(self, text: str):
+        self.tokens: list[str] = []
+        pos = 0
+        while pos < len(text):
+            m = _TOKEN_RE.match(text, pos)
+            if m is None:
+                if text[pos:].strip() == "":
+                    break
+                raise WKTError(f"invalid WKT at position {pos}: {text[pos:pos+20]!r}")
+            self.tokens.append(m.group(1))
+            pos = m.end()
+        self.pos = 0
+
+    def peek(self) -> str | None:
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else None
+
+    def next(self) -> str:
+        tok = self.peek()
+        if tok is None:
+            raise WKTError("unexpected end of WKT input")
+        self.pos += 1
+        return tok
+
+    def expect(self, tok: str) -> None:
+        got = self.next()
+        if got != tok:
+            raise WKTError(f"expected {tok!r}, got {got!r}")
+
+
+def _parse_coord(t: _Tokens, dim: int) -> list[float]:
+    coord = []
+    while True:
+        tok = t.peek()
+        if tok in (",", ")", None):
+            break
+        coord.append(float(t.next()))
+    if len(coord) < 2:
+        raise WKTError("coordinate must have at least 2 values")
+    if dim and len(coord) != dim:
+        raise WKTError(f"expected {dim}-dimensional coordinate, got {len(coord)}")
+    return coord
+
+
+def _parse_coord_seq(t: _Tokens, dim: int) -> list[list[float]]:
+    t.expect("(")
+    coords = [_parse_coord(t, dim)]
+    while t.peek() == ",":
+        t.next()
+        coords.append(_parse_coord(t, dim))
+    t.expect(")")
+    return coords
+
+
+def _parse_ring_seq(t: _Tokens, dim: int) -> list[list[list[float]]]:
+    t.expect("(")
+    rings = [_parse_coord_seq(t, dim)]
+    while t.peek() == ",":
+        t.next()
+        rings.append(_parse_coord_seq(t, dim))
+    t.expect(")")
+    return rings
+
+
+def _parse_geometry(t: _Tokens) -> dict[str, Any]:
+    tag = t.next().upper()
+    gtype = _TYPES.get(tag)
+    if gtype is None:
+        raise WKTError(f"unsupported WKT type: {tag}")
+    dim = 2
+    nxt = t.peek()
+    if nxt is not None and nxt.upper() in ("Z", "ZM", "M"):
+        mark = t.next().upper()
+        if mark != "Z":
+            raise WKTError("WKT with M coordinates is not supported")
+        dim = 3
+    if t.peek() is not None and t.peek().upper() == "EMPTY":
+        t.next()
+        if gtype == "GeometryCollection":
+            return {"type": gtype, "geometries": []}
+        return {"type": gtype, "coordinates": [] if gtype != "Point" else []}
+    if gtype == "Point":
+        t.expect("(")
+        coord = _parse_coord(t, dim if dim == 3 else 0)
+        t.expect(")")
+        return {"type": gtype, "coordinates": coord}
+    if gtype == "LineString":
+        return {"type": gtype, "coordinates": _parse_coord_seq(t, dim if dim == 3 else 0)}
+    if gtype == "Polygon":
+        return {"type": gtype, "coordinates": _parse_ring_seq(t, dim if dim == 3 else 0)}
+    if gtype == "MultiPoint":
+        # both MULTIPOINT ((1 2), (3 4)) and MULTIPOINT (1 2, 3 4)
+        t.expect("(")
+        coords = []
+        while True:
+            if t.peek() == "(":
+                t.next()
+                coords.append(_parse_coord(t, 0))
+                t.expect(")")
+            else:
+                coords.append(_parse_coord(t, 0))
+            if t.peek() == ",":
+                t.next()
+                continue
+            break
+        t.expect(")")
+        return {"type": gtype, "coordinates": coords}
+    if gtype == "MultiLineString":
+        return {"type": gtype, "coordinates": _parse_ring_seq(t, dim if dim == 3 else 0)}
+    if gtype == "MultiPolygon":
+        t.expect("(")
+        polys = [_parse_ring_seq(t, 0)]
+        while t.peek() == ",":
+            t.next()
+            polys.append(_parse_ring_seq(t, 0))
+        t.expect(")")
+        return {"type": gtype, "coordinates": polys}
+    # GeometryCollection
+    t.expect("(")
+    geoms = [_parse_geometry(t)]
+    while t.peek() == ",":
+        t.next()
+        geoms.append(_parse_geometry(t))
+    t.expect(")")
+    return {"type": gtype, "geometries": geoms}
+
+
+def loads(text: str) -> dict[str, Any] | None:
+    """Parse WKT into a GeoJSON-style geometry dict; ''/None → None."""
+    if text is None or text.strip() == "":
+        return None
+    t = _Tokens(text)
+    geom = _parse_geometry(t)
+    if t.peek() is not None:
+        raise WKTError(f"trailing content in WKT: {t.peek()!r}")
+    return geom
+
+
+def _fmt_num(v: float) -> str:
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(float(v))
+
+
+def _fmt_coord(c) -> str:
+    return " ".join(_fmt_num(v) for v in c)
+
+
+def dumps(geom: dict[str, Any] | None) -> str | None:
+    """Serialize a geometry dict to WKT (Z marker when 3D)."""
+    if geom is None:
+        return None
+    t = geom["type"]
+    tag = t.upper()
+    z = " Z" if _wkb.has_z(geom) else ""
+
+    def seq(coords):
+        return "(" + ", ".join(_fmt_coord(c) for c in coords) + ")"
+
+    def rings(rs):
+        return "(" + ", ".join(seq(r) for r in rs) + ")"
+
+    if t == "GeometryCollection":
+        geoms = geom.get("geometries", [])
+        if not geoms:
+            return f"{tag}{z} EMPTY"
+        return f"{tag}{z} (" + ", ".join(dumps(g) for g in geoms) + ")"
+    c = geom.get("coordinates")
+    if c is None or len(c) == 0:
+        return f"{tag}{z} EMPTY"
+    if t == "Point":
+        return f"{tag}{z} ({_fmt_coord(c)})"
+    if t == "LineString":
+        return f"{tag}{z} {seq(c)}"
+    if t == "Polygon":
+        return f"{tag}{z} {rings(c)}"
+    if t == "MultiPoint":
+        return f"{tag}{z} (" + ", ".join(f"({_fmt_coord(p)})" for p in c) + ")"
+    if t == "MultiLineString":
+        return f"{tag}{z} {rings(c)}"
+    if t == "MultiPolygon":
+        return f"{tag}{z} (" + ", ".join(rings(p) for p in c) + ")"
+    raise WKTError(f"unsupported geometry type: {t}")

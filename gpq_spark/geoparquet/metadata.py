@@ -1,0 +1,219 @@
+"""GeoParquet ``"geo"`` footer metadata model.
+
+Mirrors the reference's metadata structures
+(/root/reference/internal/geoparquet/metadata.go:12-199): the metadata
+travels beside the DataFrame as plain Python dataclasses and is
+persisted into the Parquet footer key-value metadata on write (Spark
+cannot write arbitrary footer KV pairs, so the engine patches footers
+with pyarrow after the distributed write — O(footer), not O(data)).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+VERSION = "1.0.0"
+METADATA_KEY = "geo"
+EDGES_PLANAR = "planar"
+EDGES_SPHERICAL = "spherical"
+ORIENTATION_COUNTERCLOCKWISE = "counterclockwise"
+DEFAULT_GEOMETRY_COLUMN = "geometry"
+ENCODING_WKB = "WKB"
+ENCODING_WKT = "WKT"
+DEFAULT_GEOMETRY_ENCODING = ENCODING_WKB
+
+# The 14 declared geometry type names (metadata.go:22-37).
+GEOMETRY_TYPES = [
+    "Point",
+    "LineString",
+    "Polygon",
+    "MultiPoint",
+    "MultiLineString",
+    "MultiPolygon",
+    "GeometryCollection",
+    "Point Z",
+    "LineString Z",
+    "Polygon Z",
+    "MultiPoint Z",
+    "MultiLineString Z",
+    "MultiPolygon Z",
+    "GeometryCollection Z",
+]
+
+
+class NoMetadataError(KeyError):
+    """Raised when a Parquet file has no "geo" footer metadata."""
+
+    def __init__(self, source: str = ""):
+        super().__init__(f'missing "geo" metadata key{f" in {source}" if source else ""}')
+
+
+@dataclass
+class GeometryColumn:
+    """Per-column geometry metadata (metadata.go:94-112)."""
+
+    encoding: str | None = None
+    geometry_types: list[str] | None = None
+    crs: Any = None  # PROJJSON object (dict) or None
+    edges: str | None = None
+    orientation: str | None = None
+    bbox: list[float] | None = None
+    epoch: float | None = None
+    covering: dict[str, Any] | None = None
+    # legacy single-string "geometry_type" from pre-1.0 files
+    legacy_geometry_type: Any = None
+
+    def get_geometry_types(self) -> list[str]:
+        """Normalized geometry types: prefers ``geometry_types``, falls
+        back to legacy ``geometry_type`` string or list
+        (metadata.go:114-146)."""
+        if self.geometry_types is not None:
+            return list(self.geometry_types)
+        legacy = self.legacy_geometry_type
+        if legacy is None:
+            return []
+        if isinstance(legacy, str):
+            return [legacy]
+        if isinstance(legacy, list):
+            return [str(v) for v in legacy]
+        return []
+
+    def to_dict(self) -> dict[str, Any]:
+        out: dict[str, Any] = {
+            "encoding": self.encoding or DEFAULT_GEOMETRY_ENCODING,
+            "geometry_types": self.geometry_types if self.geometry_types is not None else [],
+        }
+        if self.crs is not None:
+            out["crs"] = self.crs
+        if self.edges:
+            out["edges"] = self.edges
+        if self.orientation:
+            out["orientation"] = self.orientation
+        if self.bbox is not None:
+            out["bbox"] = self.bbox
+        if self.epoch is not None:
+            out["epoch"] = self.epoch
+        if self.covering is not None:
+            out["covering"] = self.covering
+        return out
+
+    @classmethod
+    def from_dict(cls, data: dict[str, Any]) -> "GeometryColumn":
+        return cls(
+            encoding=data.get("encoding"),
+            geometry_types=data.get("geometry_types"),
+            crs=data.get("crs"),
+            edges=data.get("edges"),
+            orientation=data.get("orientation"),
+            bbox=data.get("bbox"),
+            epoch=data.get("epoch"),
+            covering=data.get("covering"),
+            legacy_geometry_type=data.get("geometry_type"),
+        )
+
+    def clone(self) -> "GeometryColumn":
+        return GeometryColumn.from_dict(json.loads(json.dumps(self._raw_dict())))
+
+    def _raw_dict(self) -> dict[str, Any]:
+        d = self.to_dict()
+        if self.legacy_geometry_type is not None:
+            d["geometry_type"] = self.legacy_geometry_type
+        return d
+
+
+@dataclass
+class GeoMetadata:
+    """Top-level "geo" metadata (metadata.go:39-43)."""
+
+    version: str = VERSION
+    primary_column: str = DEFAULT_GEOMETRY_COLUMN
+    columns: dict[str, GeometryColumn] = field(default_factory=dict)
+
+    def primary(self) -> GeometryColumn | None:
+        return self.columns.get(self.primary_column)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "version": self.version,
+            "primary_column": self.primary_column,
+            "columns": {name: col.to_dict() for name, col in self.columns.items()},
+        }
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict())
+
+    @classmethod
+    def from_dict(cls, data: dict[str, Any]) -> "GeoMetadata":
+        columns = {
+            name: GeometryColumn.from_dict(col or {})
+            for name, col in (data.get("columns") or {}).items()
+        }
+        return cls(
+            version=data.get("version", ""),
+            primary_column=data.get("primary_column", ""),
+            columns=columns,
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> "GeoMetadata":
+        return cls.from_dict(json.loads(text))
+
+    def clone(self) -> "GeoMetadata":
+        return GeoMetadata.from_dict(json.loads(self.to_json()))
+
+
+def default_metadata(geometry_column: str = DEFAULT_GEOMETRY_COLUMN) -> GeoMetadata:
+    """DefaultMetadata() equivalent (metadata.go:148-163)."""
+    return GeoMetadata(
+        version=VERSION,
+        primary_column=geometry_column,
+        columns={
+            geometry_column: GeometryColumn(
+                encoding=DEFAULT_GEOMETRY_ENCODING, geometry_types=[]
+            )
+        },
+    )
+
+
+@dataclass
+class BboxColumn:
+    """A bbox covering column resolved from schema + metadata
+    (geoparquet.go:193-226)."""
+
+    name: str
+    base_name: str  # the geometry column this bbox covers
+    xmin: str = "xmin"
+    ymin: str = "ymin"
+    xmax: str = "xmax"
+    ymax: str = "ymax"
+
+
+def get_bbox_column(field_names: list[str], meta: GeoMetadata | None) -> BboxColumn | None:
+    """Find the bbox struct column for the primary geometry column.
+
+    Precedence (reference GetBboxColumn, geoparquet.go:233-254): a root
+    field literally named "bbox" wins; otherwise the column named by
+    ``covering.bbox.xmin[0]``. Field names default to
+    xmin/ymin/xmax/ymax, else come from the covering metadata paths.
+    """
+    primary = meta.primary_column if meta else DEFAULT_GEOMETRY_COLUMN
+    names = dict(xmin="xmin", ymin="ymin", xmax="xmax", ymax="ymax")
+    covering_col = None
+    if meta is not None:
+        col = meta.primary()
+        if col is not None and col.covering:
+            bbox_cov = col.covering.get("bbox") or {}
+            paths = {k: bbox_cov.get(k) for k in ("xmin", "ymin", "xmax", "ymax")}
+            if all(isinstance(p, list) and len(p) == 2 for p in paths.values()):
+                covering_col = paths["xmin"][0]
+                # field names come from the covering paths whenever the
+                # covering exists (getBboxColumnFieldNames)
+                names = {k: p[1] for k, p in paths.items()}
+    # a root field literally named "bbox" wins; else the covering's column
+    if "bbox" in field_names:
+        return BboxColumn(name="bbox", base_name=primary, **names)
+    if covering_col is not None and covering_col in field_names:
+        return BboxColumn(name=covering_col, base_name=primary, **names)
+    return None

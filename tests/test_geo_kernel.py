@@ -1,0 +1,211 @@
+"""Unit tests for the pure-Python geometry kernel.
+
+Behavioral cases ported from the reference test suites
+(/root/reference/internal/geo/geo_test.go, internal/geojson tests).
+"""
+
+import math
+
+import pytest
+
+from gpq_spark.geo import Bbox, bbox_from_string, wkb, wkt
+from gpq_spark.geo.geojson_geom import decode_geometry, stats_type_name
+
+
+class TestBbox:
+    def test_basic_intersects(self):
+        a = Bbox(0, 0, 10, 10)
+        assert a.intersects(Bbox(5, 5, 15, 15))
+        assert not a.intersects(Bbox(11, 11, 20, 20))
+        assert not a.intersects(Bbox(0, 11, 10, 20))
+
+    def test_touching_edges_intersect(self):
+        a = Bbox(0, 0, 10, 10)
+        assert a.intersects(Bbox(10, 10, 20, 20))
+        assert a.intersects(Bbox(-5, 10, 0, 20))
+
+    def test_antimeridian(self):
+        # Reference parity (geo_test.go:100-133): a crossing box is
+        # remapped to the western hemisphere only — xmin 170 becomes
+        # -190 — so overlap is tested against [-190, xmax].
+        assert Bbox(170, -10, -165, 10).intersects(Bbox(-180, -5, -170, 15))
+        assert not Bbox(170, -10, 180, 10).intersects(Bbox(-160, -5, -150, 15))
+        fiji = Bbox(170, -20, -170, -10)
+        assert fiji.intersects(Bbox(-179, -15, -175, -12))
+        assert not fiji.intersects(Bbox(0, -15, 10, -12))
+        # NOTE: with the reference algorithm, a crossing box does NOT
+        # match a plain box on the positive side of the antimeridian —
+        # parity over geographic correctness.
+        assert not fiji.intersects(Bbox(175, -15, 179, -12))
+
+    def test_both_crossing(self):
+        assert Bbox(170, -10, -170, 10).intersects(Bbox(175, -5, -179, 5))
+
+    def test_parse(self):
+        b = bbox_from_string("34,-7,36,-6")
+        assert b == Bbox(34, -7, 36, -6)
+        assert bbox_from_string("") is None
+        with pytest.raises(ValueError, match="4 comma-separated"):
+            bbox_from_string("1,2,3")
+        with pytest.raises(ValueError, match="xmin"):
+            bbox_from_string("a,2,3,4")
+
+
+POINT = {"type": "Point", "coordinates": [1.0, 2.0]}
+LINE = {"type": "LineString", "coordinates": [[30.0, 10.0], [10.0, 30.0], [40.0, 40.0]]}
+POLY = {
+    "type": "Polygon",
+    "coordinates": [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]]],
+}
+MPOLY = {
+    "type": "MultiPolygon",
+    "coordinates": [
+        [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 0.0]]],
+        [[[5.0, 5.0], [7.0, 5.0], [7.0, 7.0], [5.0, 5.0]]],
+    ],
+}
+GC = {"type": "GeometryCollection", "geometries": [POINT, LINE]}
+
+
+class TestWkb:
+    @pytest.mark.parametrize("geom", [POINT, LINE, POLY, MPOLY, GC])
+    def test_roundtrip(self, geom):
+        assert wkb.loads(wkb.dumps(geom)) == geom
+
+    def test_point_z_roundtrip(self):
+        g = {"type": "Point", "coordinates": [1.0, 2.0, 3.0]}
+        data = wkb.dumps(g)
+        assert wkb.loads(data) == g
+        assert wkb.has_z(g)
+
+    def test_big_endian(self):
+        import struct
+
+        data = struct.pack(">BIdd", 0, 1, 1.5, 2.5)
+        assert wkb.loads(data) == {"type": "Point", "coordinates": [1.5, 2.5]}
+
+    def test_ewkb_flags(self):
+        import struct
+
+        # EWKB point with SRID + Z flag
+        data = struct.pack("<BIIddd", 1, (0x80000000 | 0x20000000 | 1), 4326, 1.0, 2.0, 3.0)
+        assert wkb.loads(data) == {"type": "Point", "coordinates": [1.0, 2.0, 3.0]}
+
+    def test_empty_input(self):
+        assert wkb.loads(b"") is None
+        assert wkb.loads(None) is None
+
+    def test_bounds(self):
+        assert wkb.bounds(LINE) == (10.0, 10.0, 40.0, 40.0)
+        assert wkb.bounds(POINT) == (1.0, 2.0, 1.0, 2.0)
+        assert wkb.bounds(MPOLY) == (0.0, 0.0, 7.0, 7.0)
+        assert wkb.bounds(GC) == (1.0, 2.0, 40.0, 40.0)
+
+    def test_orientation(self):
+        ccw = {
+            "type": "Polygon",
+            "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]],
+        }
+        cw = {
+            "type": "Polygon",
+            "coordinates": [[[0, 0], [0, 4], [4, 4], [4, 0], [0, 0]]],
+        }
+        assert wkb.polygon_orientation_ok(ccw)
+        assert not wkb.polygon_orientation_ok(cw)
+        # interior ring must be clockwise
+        donut_ok = {
+            "type": "Polygon",
+            "coordinates": [
+                [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                [[2, 2], [2, 4], [4, 4], [4, 2], [2, 2]],
+            ],
+        }
+        donut_bad = {
+            "type": "Polygon",
+            "coordinates": [
+                [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                [[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]],
+            ],
+        }
+        assert wkb.polygon_orientation_ok(donut_ok)
+        assert not wkb.polygon_orientation_ok(donut_bad)
+        assert wkb.polygon_orientation_ok(POINT)
+
+    def test_invalid(self):
+        with pytest.raises(wkb.WKBError):
+            wkb.loads(b"\x05\x01\x00\x00\x00")
+        with pytest.raises(wkb.WKBError):
+            wkb.loads(b"\x01\x63\x00\x00\x00")
+
+
+class TestWkt:
+    def test_point(self):
+        assert wkt.loads("POINT (1 2)") == {"type": "Point", "coordinates": [1.0, 2.0]}
+
+    def test_linestring(self):
+        assert wkt.loads("LINESTRING (30 10, 10 30, 40 40)") == LINE
+
+    def test_polygon_with_hole(self):
+        g = wkt.loads("POLYGON ((35 10, 45 45, 15 40, 10 20, 35 10), (20 30, 35 35, 30 20, 20 30))")
+        assert g["type"] == "Polygon"
+        assert len(g["coordinates"]) == 2
+
+    def test_multipoint_both_syntaxes(self):
+        a = wkt.loads("MULTIPOINT ((10 40), (40 30))")
+        b = wkt.loads("MULTIPOINT (10 40, 40 30)")
+        assert a == b == {"type": "MultiPoint", "coordinates": [[10.0, 40.0], [40.0, 30.0]]}
+
+    def test_multipolygon(self):
+        g = wkt.loads(
+            "MULTIPOLYGON (((30 20, 45 40, 10 40, 30 20)), ((15 5, 40 10, 10 20, 5 10, 15 5)))"
+        )
+        assert g["type"] == "MultiPolygon"
+        assert len(g["coordinates"]) == 2
+
+    def test_collection(self):
+        g = wkt.loads("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (30 10, 10 30, 40 40))")
+        assert g == {"type": "GeometryCollection", "geometries": [POINT, LINE]}
+
+    def test_z(self):
+        g = wkt.loads("POINT Z (1 2 3)")
+        assert g == {"type": "Point", "coordinates": [1.0, 2.0, 3.0]}
+
+    def test_empty(self):
+        assert wkt.loads("POINT EMPTY")["coordinates"] == []
+        assert wkt.loads("GEOMETRYCOLLECTION EMPTY")["geometries"] == []
+        assert wkt.loads("") is None
+
+    def test_scientific_and_negative(self):
+        g = wkt.loads("POINT (-1.5e2 2.25)")
+        assert g["coordinates"] == [-150.0, 2.25]
+
+    @pytest.mark.parametrize("geom", [POINT, LINE, POLY, MPOLY, GC])
+    def test_roundtrip(self, geom):
+        assert wkt.loads(wkt.dumps(geom)) == geom
+
+    def test_invalid(self):
+        with pytest.raises(wkt.WKTError):
+            wkt.loads("CIRCLE (0 0, 5)")
+        with pytest.raises(wkt.WKTError):
+            wkt.loads("POINT (1 2")
+
+
+class TestDecodeGeometry:
+    def test_sniffing(self):
+        assert decode_geometry(wkb.dumps(POINT)) == POINT
+        assert decode_geometry("POINT (1 2)") == POINT
+        assert decode_geometry(None) is None
+        assert decode_geometry(b"") is None
+
+    def test_declared_encoding_mismatch(self):
+        with pytest.raises(TypeError, match="expected bytes"):
+            decode_geometry("POINT (1 2)", "WKB")
+        with pytest.raises(TypeError, match="expected string"):
+            decode_geometry(b"\x01", "WKT")
+        with pytest.raises(ValueError, match="unsupported encoding"):
+            decode_geometry(b"\x01", "HEX")
+
+    def test_stats_type_name(self):
+        assert stats_type_name(POINT) == "Point"
+        assert stats_type_name({"type": "Point", "coordinates": [1, 2, 3]}) == "Point Z"
+        assert stats_type_name(None) is None
