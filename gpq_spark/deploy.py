@@ -1,0 +1,60 @@
+"""Ship the gpq_spark package to executor Python workers.
+
+Executors do not inherit the driver's ``sys.path`` mutations, so any
+plan containing a pandas UDF / mapInArrow closure defined in this
+package would fail with ModuleNotFoundError unless the package is
+distributed. ``ensure_deployed`` zips the package once per application
+and registers it with ``SparkContext.addPyFile`` — the same mechanism
+used to ship dependencies to a real multi-node cluster.
+
+Every public entry point that submits Python workers calls this lazily;
+it is a no-op after the first call per application.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_added_apps: set[str] = set()
+
+
+def _package_dir() -> str:
+    return os.path.dirname(os.path.abspath(__file__))
+
+
+def _build_zip() -> str:
+    pkg = _package_dir()
+    out = os.path.join(tempfile.gettempdir(), "gpq_spark_pyfiles.zip")
+    newest = 0.0
+    sources = []
+    for root, _dirs, files in os.walk(pkg):
+        for name in files:
+            if name.endswith(".py"):
+                path = os.path.join(root, name)
+                sources.append(path)
+                newest = max(newest, os.path.getmtime(path))
+    if os.path.exists(out) and os.path.getmtime(out) >= newest:
+        return out
+    tmp = out + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as zf:
+        for path in sources:
+            arcname = os.path.join("gpq_spark", os.path.relpath(path, pkg))
+            zf.write(path, arcname)
+    os.replace(tmp, out)
+    return out
+
+
+def ensure_deployed(spark: SparkSession | None = None) -> None:
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        return
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _added_apps:
+        return
+    sc.addPyFile(_build_zip())
+    _added_apps.add(app_id)

@@ -1,0 +1,29 @@
+from .geometry import (
+    st_geometry_type,
+    st_stats_type,
+    st_envelope,
+    st_wkt_to_wkb,
+    st_wkb_to_wkt,
+    st_asgeojson,
+    st_geojson_to_wkb,
+    st_orientation_ok,
+    st_is_valid_wkb,
+    bbox_intersects,
+    bbox_struct_intersects,
+    envelope_intersects,
+)
+
+__all__ = [
+    "st_geometry_type",
+    "st_stats_type",
+    "st_envelope",
+    "st_wkt_to_wkb",
+    "st_wkb_to_wkt",
+    "st_asgeojson",
+    "st_geojson_to_wkb",
+    "st_orientation_ok",
+    "st_is_valid_wkb",
+    "bbox_intersects",
+    "bbox_struct_intersects",
+    "envelope_intersects",
+]

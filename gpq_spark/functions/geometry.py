@@ -1,0 +1,222 @@
+"""Spark-facing geometry functions.
+
+Two tiers, chosen for the Spark execution model:
+
+1. **Pure Column expressions** (`bbox_intersects`, `bbox_struct_intersects`)
+   — the hot path. Spatial filtering against a bbox covering column is
+   expressed as plain comparisons on struct fields (with the reference's
+   antimeridian branch as a disjunction of comparisons), so Catalyst
+   pushes the whole predicate to the Parquet scan and row-group
+   statistics prune row groups — the distributed analogue of the
+   reference's GetRowGroupsByBbox
+   (/root/reference/internal/geoparquet/filter.go:115-212).
+
+2. **Arrow-batched pandas UDFs** over WKB bytes — the slow path, used
+   only when no covering column exists or a real geometry computation
+   is required (type, envelope, orientation, encode/decode). These are
+   vectorized at the transfer layer (Arrow) with per-value Python
+   decoding, mirroring the reference's per-row decode fallback
+   (filter.go:271-293).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geo import wkb as _wkb
+from ..geo import wkt as _wkt
+from ..geo.bbox import Bbox
+from ..geo.geojson_geom import stats_type_name
+
+ENVELOPE_TYPE = T.StructType(
+    [
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Tier 1: pure Column expressions (pushdown-friendly)
+# ---------------------------------------------------------------------------
+
+def bbox_intersects(
+    xmin: Column, ymin: Column, xmax: Column, ymax: Column, query: Bbox
+) -> Column:
+    """Reference-parity bbox intersection as a pushdown-friendly predicate.
+
+    Every conjunct/disjunct is a plain comparison between a column and a
+    literal, so Parquet row-group statistics pruning applies to the
+    whole expression. Semantics match Bbox.Intersects
+    (/root/reference/internal/geo/geo.go:349-372): touching edges
+    intersect; a box with ``xmin > 0 and xmax < 0`` crosses the
+    antimeridian and its xmin is remapped by -360.
+    """
+    qxmin, qxmax = query.xmin, query.xmax
+    if qxmin > 0 and qxmax < 0:  # query crosses the antimeridian
+        qxmin = qxmin - 360.0
+
+    lat_ok = (ymax >= F.lit(query.ymin)) & (F.lit(query.ymax) >= ymin)
+
+    crossing = (xmin > F.lit(0.0)) & (xmax < F.lit(0.0))
+    # non-crossing data box: standard overlap against (possibly remapped) query
+    lon_plain = (~crossing) & (xmax >= F.lit(qxmin)) & (F.lit(qxmax) >= xmin)
+    # crossing data box: its xmin is remapped by -360
+    lon_cross = crossing & (xmax >= F.lit(qxmin)) & (F.lit(qxmax) >= xmin - F.lit(360.0))
+
+    return lat_ok & (lon_plain | lon_cross)
+
+
+def bbox_struct_intersects(bbox_col: Column | str, query: Bbox,
+                           field_names: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax")) -> Column:
+    """`bbox_intersects` over a struct column (the GeoParquet covering
+    column shape: struct<xmin,ymin,xmax,ymax>)."""
+    c = F.col(bbox_col) if isinstance(bbox_col, str) else bbox_col
+    fx0, fy0, fx1, fy1 = field_names
+    return bbox_intersects(c[fx0], c[fy0], c[fx1], c[fy1], query)
+
+
+def envelope_intersects(geometry_col: Column | str, query: Bbox, encoding: str = "") -> Column:
+    """Bbox filter with no covering column: decode the geometry, compute
+    its envelope in a pandas UDF, then apply the Tier-1 predicate."""
+    env = st_envelope(geometry_col, encoding)
+    return bbox_intersects(env["xmin"], env["ymin"], env["xmax"], env["ymax"], query)
+
+
+# ---------------------------------------------------------------------------
+# Tier 2: Arrow-batched pandas UDFs over WKB / WKT values
+# ---------------------------------------------------------------------------
+
+def _decode_any(value):
+    if value is None:
+        return None
+    if isinstance(value, str):
+        return _wkt.loads(value)
+    if len(value) == 0:
+        return None
+    return _wkb.loads(bytes(value))
+
+
+@F.pandas_udf(T.StringType())
+def _geometry_type_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else (_decode_any(v) or {}).get("type"))
+
+
+@F.pandas_udf(T.StringType())
+def _stats_type_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: stats_type_name(_decode_any(v)))
+
+
+@F.pandas_udf(ENVELOPE_TYPE)
+def _envelope_udf(s: pd.Series) -> pd.DataFrame:
+    def env(v):
+        g = _decode_any(v)
+        b = _wkb.bounds(g) if g is not None else None
+        if b is None:
+            return (None, None, None, None)
+        return b
+
+    rows = s.map(env)
+    return pd.DataFrame(rows.tolist(), columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+@F.pandas_udf(T.BinaryType())
+def _wkt_to_wkb_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else _wkb.dumps(_wkt.loads(v)))
+
+
+@F.pandas_udf(T.StringType())
+def _wkb_to_wkt_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else _wkt.dumps(_wkb.loads(bytes(v))))
+
+
+@F.pandas_udf(T.StringType())
+def _asgeojson_udf(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda v: None if v is None else json.dumps(_decode_any(v), separators=(",", ":"))
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _geojson_to_wkb_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else _wkb.dumps(json.loads(v)))
+
+
+@F.pandas_udf(T.BooleanType())
+def _orientation_ok_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: _wkb.polygon_orientation_ok(_decode_any(v)))
+
+
+@F.pandas_udf(T.BooleanType())
+def _is_valid_wkb_udf(s: pd.Series) -> pd.Series:
+    def ok(v):
+        if v is None:
+            return True
+        try:
+            _decode_any(v)
+            return True
+        except Exception:
+            return False
+
+    return s.map(ok)
+
+
+def _c(col: Column | str) -> Column:
+    from ..deploy import ensure_deployed
+
+    ensure_deployed()  # UDF closures need gpq_spark importable on executors
+    return F.col(col) if isinstance(col, str) else col
+
+
+def st_geometry_type(col: Column | str, encoding: str = "") -> Column:
+    """GeoJSON type name of a WKB/WKT geometry value (reference
+    GeoJSONType call sites, geoparquet.go:145)."""
+    return _geometry_type_udf(_c(col))
+
+
+def st_stats_type(col: Column | str, encoding: str = "") -> Column:
+    """Type name with " Z" suffix for 3D — feeds geometry_types stats."""
+    return _stats_type_udf(_c(col))
+
+
+def st_envelope(col: Column | str, encoding: str = "") -> Column:
+    """Per-geometry envelope struct<xmin,ymin,xmax,ymax> (reference
+    geometry.Bound() call sites, featurewriter.go:255-259)."""
+    return _envelope_udf(_c(col))
+
+
+def st_wkt_to_wkb(col: Column | str) -> Column:
+    """WKT string → WKB bytes (reference T1 rewrite, geoparquet.go:116-156)."""
+    return _wkt_to_wkb_udf(_c(col))
+
+
+def st_wkb_to_wkt(col: Column | str) -> Column:
+    return _wkb_to_wkt_udf(_c(col))
+
+
+def st_asgeojson(col: Column | str) -> Column:
+    """Geometry value → GeoJSON geometry JSON string (reference T3)."""
+    return _asgeojson_udf(_c(col))
+
+
+def st_geojson_to_wkb(col: Column | str) -> Column:
+    return _geojson_to_wkb_udf(_c(col))
+
+
+def st_orientation_ok(col: Column | str) -> Column:
+    """CCW-exterior/CW-interior polygon check (validator rule
+    GeometryOrientation, rules.go:568-607)."""
+    return _orientation_ok_udf(_c(col))
+
+
+def st_is_valid_wkb(col: Column | str) -> Column:
+    """True when the value decodes under encoding sniffing (validator
+    rule GeometryEncoding, rules.go:520-536)."""
+    return _is_valid_wkb_udf(_c(col))

@@ -1,0 +1,34 @@
+from .metadata import (
+    GeoMetadata,
+    GeometryColumn,
+    BboxColumn,
+    NoMetadataError,
+    default_metadata,
+    get_bbox_column,
+    GEOMETRY_TYPES,
+    METADATA_KEY,
+    VERSION,
+)
+from .reader import read_geoparquet, read_geo_metadata, try_read_geo_metadata, parquet_files
+from .writer import write_geoparquet, get_compression
+from .extract import extract, extract_df
+
+__all__ = [
+    "GeoMetadata",
+    "GeometryColumn",
+    "BboxColumn",
+    "NoMetadataError",
+    "default_metadata",
+    "get_bbox_column",
+    "GEOMETRY_TYPES",
+    "METADATA_KEY",
+    "VERSION",
+    "read_geoparquet",
+    "read_geo_metadata",
+    "try_read_geo_metadata",
+    "parquet_files",
+    "write_geoparquet",
+    "get_compression",
+    "extract",
+    "extract_df",
+]

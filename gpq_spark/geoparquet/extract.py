@@ -1,0 +1,104 @@
+"""The extract operator: projection + spatial bbox filtering.
+
+Spark-first re-expression of ``gpq extract``
+(/root/reference/cmd/gpq/command/extract.go): projection is
+``df.select``/``df.drop`` (Catalyst prunes columns at the scan), and the
+bbox filter is a pure-comparison predicate over the bbox covering
+column when one exists — which Catalyst pushes into the Parquet scan so
+row-group statistics prune row groups, the distributed equivalent of
+the reference's GetRowGroupsByBbox goroutines (filter.go:115-141).
+Only when no covering column exists does the filter fall back to
+decoding WKB in a pandas UDF (filter.go:271-293).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.geometry import bbox_struct_intersects, envelope_intersects
+from ..geo.bbox import Bbox, bbox_from_string
+from .metadata import GeoMetadata, get_bbox_column
+from .reader import read_geoparquet
+from .writer import DEFAULT_COMPRESSION, write_geoparquet
+
+
+def extract_df(
+    df: DataFrame,
+    meta: GeoMetadata,
+    *,
+    bbox: Bbox | str | None = None,
+    keep_only_columns: list[str] | None = None,
+    drop_columns: list[str] | None = None,
+) -> DataFrame:
+    """Apply extract semantics to an open (DataFrame, metadata) pair."""
+    if keep_only_columns and drop_columns:
+        raise ValueError("please pass only one of DropColumns/KeepOnlyColumns")
+
+    if isinstance(bbox, str):
+        bbox = bbox_from_string(bbox)
+
+    if keep_only_columns:
+        if meta.primary_column not in keep_only_columns:
+            raise ValueError(
+                f"columns must include primary geometry column '{meta.primary_column}'"
+            )
+        df = df.select(*[c for c in df.columns if c in set(keep_only_columns)])
+    elif drop_columns:
+        if meta.primary_column in drop_columns:
+            raise ValueError(
+                f"columns must include primary geometry column '{meta.primary_column}'"
+            )
+        df = df.drop(*drop_columns)
+
+    if bbox is not None:
+        bbox_col = get_bbox_column(df.columns, meta)
+        if bbox_col is not None:
+            predicate = bbox_struct_intersects(
+                bbox_col.name,
+                bbox,
+                (bbox_col.xmin, bbox_col.ymin, bbox_col.xmax, bbox_col.ymax),
+            )
+        else:
+            col = meta.primary()
+            encoding = (col.encoding if col else "") or ""
+            predicate = envelope_intersects(meta.primary_column, bbox, encoding)
+        df = df.filter(predicate)
+
+    return df
+
+
+def extract(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str | None = None,
+    *,
+    bbox: str | Bbox | None = None,
+    keep_only_columns: list[str] | None = None,
+    drop_columns: list[str] | None = None,
+    compression: str = DEFAULT_COMPRESSION,
+    single_file: bool = False,
+):
+    """File-level extract. With ``output_path`` writes GeoParquet and
+    returns the file list; without, returns the filtered DataFrame.
+
+    Note: like the reference (extract.go:144-148), the original geo
+    metadata travels to the output unchanged except for recomputed
+    per-file stats.
+    """
+    df, meta = read_geoparquet(spark, input_path)
+    out = extract_df(
+        df,
+        meta,
+        bbox=bbox,
+        keep_only_columns=keep_only_columns,
+        drop_columns=drop_columns,
+    )
+    if output_path is None:
+        return out
+    return write_geoparquet(
+        out,
+        output_path,
+        meta,
+        compression=compression,
+        single_file=single_file,
+    )

@@ -1,0 +1,80 @@
+"""GeoParquet reading: Spark scan + driver-side footer metadata.
+
+The data path is just ``spark.read.parquet`` — Catalyst owns column
+pruning, predicate pushdown, and row-group skipping (the distributed
+equivalents of the reference's column-index projection and
+row-group-statistics pruning, /root/reference/internal/geoparquet/
+recordreader.go + filter.go). The only extra work is reading the
+``"geo"`` footer key-value metadata, which Spark does not surface:
+pyarrow reads one footer on the driver (O(footer), not O(data)).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+from .metadata import METADATA_KEY, GeoMetadata, NoMetadataError
+
+
+def _first_parquet_file(path: str) -> str:
+    if os.path.isfile(path):
+        return path
+    parts = sorted(
+        p
+        for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(p)
+    )
+    if not parts:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    return parts[0]
+
+
+def parquet_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        p
+        for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(p)
+    )
+
+
+def read_geo_metadata(path: str) -> GeoMetadata:
+    """Parse the "geo" footer value (reference GetMetadata,
+    metadata.go:165-199). Raises NoMetadataError when absent."""
+    target = _first_parquet_file(path)
+    kv = pq.read_schema(target).metadata or {}
+    raw = kv.get(METADATA_KEY.encode())
+    if raw is None:
+        raise NoMetadataError(target)
+    return GeoMetadata.from_json(raw.decode())
+
+
+def try_read_geo_metadata(path: str) -> GeoMetadata | None:
+    try:
+        return read_geo_metadata(path)
+    except (NoMetadataError, FileNotFoundError):
+        return None
+
+
+def read_geoparquet(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> tuple[DataFrame, GeoMetadata]:
+    """Open a GeoParquet file/directory as (DataFrame, GeoMetadata).
+
+    ``columns`` mirrors the reference's projected scan: when given, it
+    must include the primary geometry column
+    (recordreader.go:81-87)."""
+    meta = read_geo_metadata(path)
+    df = spark.read.parquet(path)
+    if columns is not None:
+        if meta.primary_column not in columns:
+            raise ValueError(
+                f"columns must include primary geometry column '{meta.primary_column}'"
+            )
+        df = df.select(*columns)
+    return df, meta

@@ -1,0 +1,245 @@
+"""GeoParquet writing: single-pass distributed write with per-file footer
+metadata.
+
+Spark's Parquet sink cannot write custom footer key-value metadata, so
+instead of a write-then-patch-every-footer second pass, the engine
+writes part files *from the executors* via ``mapInArrow``: each task
+streams its Arrow batches through a pyarrow ``ParquetWriter``,
+accumulates that file's geometry statistics (bounds union + distinct
+geometry types — the distributed analogue of the reference's
+GeometryStats accumulators, /root/reference/internal/geo/geo.go:146-339),
+and appends a per-file ``"geo"`` footer. Every part file is therefore a
+standalone, spec-valid GeoParquet file with tight per-file bbox metadata
+— which later enables *file-level* spatial pruning on read, one level
+above Parquet's row-group pruning.
+
+Scale posture: one pass over the data, no driver collection, no global
+barrier — stats are per-file, as the GeoParquet spec allows
+(file metadata describes that file). Memory is bounded by
+``row_group_length`` rows per task.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any, Iterator
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+
+from ..geo import wkb as _wkb
+from ..geo.geojson_geom import decode_geometry, stats_type_name
+from .metadata import (
+    DEFAULT_GEOMETRY_ENCODING,
+    METADATA_KEY,
+    GeoMetadata,
+    default_metadata,
+)
+
+DEFAULT_ROW_GROUP_LENGTH = 65536
+DEFAULT_COMPRESSION = "zstd"  # reference CLI default (convert.go:36)
+
+_CODECS = {"uncompressed", "snappy", "gzip", "brotli", "zstd", "lz4"}
+
+
+def get_compression(codec: str) -> str:
+    """Codec-name validation (reference GetCompression,
+    /root/reference/internal/pqutil/compression.go:9-26)."""
+    c = (codec or DEFAULT_COMPRESSION).lower()
+    if c not in _CODECS:
+        raise ValueError(f"invalid compression codec {codec}")
+    return "none" if c == "uncompressed" else c
+
+
+class _GeomStats:
+    """Running bounds union + geometry-type set for one column."""
+
+    __slots__ = ("xmin", "ymin", "xmax", "ymax", "types", "seen")
+
+    def __init__(self):
+        self.xmin = self.ymin = float("inf")
+        self.xmax = self.ymax = float("-inf")
+        self.types: set[str] = set()
+        self.seen = False
+
+    def add(self, value, encoding: str) -> None:
+        geom = decode_geometry(value, encoding or "")
+        if geom is None:
+            return
+        tname = stats_type_name(geom)
+        if tname:
+            self.types.add(tname)
+        b = _wkb.bounds(geom)
+        if b is None:
+            return
+        self.seen = True
+        self.xmin = min(self.xmin, b[0])
+        self.ymin = min(self.ymin, b[1])
+        self.xmax = max(self.xmax, b[2])
+        self.ymax = max(self.ymax, b[3])
+
+    def bbox(self) -> list[float] | None:
+        if not self.seen:
+            return None
+        return [self.xmin, self.ymin, self.xmax, self.ymax]
+
+
+def _finalize_metadata(meta: GeoMetadata, stats: dict[str, _GeomStats]) -> str:
+    out = meta.clone()
+    for name, st in stats.items():
+        col = out.columns.get(name)
+        if col is None:
+            continue
+        col.bbox = st.bbox()
+        col.geometry_types = sorted(st.types)
+        if not col.encoding:
+            col.encoding = DEFAULT_GEOMETRY_ENCODING
+    return json.dumps(out.to_dict())
+
+
+def _write_task(
+    batches: Iterator[pa.RecordBatch],
+    out_dir: str,
+    salt: str,
+    meta_dict: dict[str, Any],
+    compression: str,
+    row_group_length: int,
+    compute_stats: bool,
+) -> Iterator[pa.RecordBatch]:
+    """Stream one partition to a GeoParquet part file.
+
+    The "geo" footer value (with this file's stats) must be known when
+    the Parquet writer opens (pyarrow < 18 cannot append KV metadata at
+    close), so batches are first spilled to a local Arrow IPC file
+    while stats accumulate, then streamed into the Parquet writer —
+    memory stays bounded by one batch.
+    """
+    import tempfile
+
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else 0
+    meta = GeoMetadata.from_dict(meta_dict)
+    encodings = {name: (col.encoding or "") for name, col in meta.columns.items()}
+    stats: dict[str, _GeomStats] = {name: _GeomStats() for name in meta.columns}
+
+    path = os.path.join(out_dir, f"part-{pid:05d}-{salt}.parquet")
+    total_rows = 0
+    schema: pa.Schema | None = None
+
+    with tempfile.NamedTemporaryFile(suffix=".arrow", delete=True) as spill:
+        ipc_writer: pa.RecordBatchFileWriter | None = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if ipc_writer is None:
+                schema = batch.schema
+                ipc_writer = pa.ipc.new_file(spill.name, schema)
+            if compute_stats:
+                for name, st in stats.items():
+                    if name in batch.schema.names:
+                        for value in batch.column(name).to_pylist():
+                            st.add(value, encodings.get(name, ""))
+            ipc_writer.write_batch(batch)
+            total_rows += batch.num_rows
+        if ipc_writer is None:
+            return  # empty partition → no file
+        ipc_writer.close()
+
+        geo_json = _finalize_metadata(meta, stats)
+        out_schema = schema.with_metadata(
+            {**(schema.metadata or {}), METADATA_KEY.encode(): geo_json.encode()}
+        )
+        reader = pa.ipc.open_file(spill.name)
+        with pq.ParquetWriter(path, out_schema, compression=compression) as writer:
+            buffered: list[pa.RecordBatch] = []
+            buffered_rows = 0
+            for i in range(reader.num_record_batches):
+                b = reader.get_batch(i)
+                buffered.append(b)
+                buffered_rows += b.num_rows
+                if buffered_rows >= row_group_length:
+                    writer.write_table(
+                        pa.Table.from_batches(buffered, schema=out_schema),
+                        row_group_size=row_group_length,
+                    )
+                    buffered, buffered_rows = [], 0
+            if buffered:
+                writer.write_table(
+                    pa.Table.from_batches(buffered, schema=out_schema),
+                    row_group_size=row_group_length,
+                )
+
+    yield pa.RecordBatch.from_pydict(
+        {"file": [path], "rows": [total_rows]},
+        schema=pa.schema([("file", pa.string()), ("rows", pa.int64())]),
+    )
+
+
+def write_geoparquet(
+    df: DataFrame,
+    path: str,
+    meta: GeoMetadata | None = None,
+    *,
+    compression: str = DEFAULT_COMPRESSION,
+    row_group_length: int = DEFAULT_ROW_GROUP_LENGTH,
+    mode: str = "overwrite",
+    single_file: bool = False,
+    compute_stats: bool = True,
+) -> list[dict[str, Any]]:
+    """Write ``df`` as a GeoParquet dataset directory.
+
+    Returns per-file {file, rows} records. ``single_file=True``
+    coalesces to one part file for CLI-parity outputs; leave False for
+    scale. When ``meta`` is None a default metadata for a column named
+    "geometry" is used (reference DefaultMetadata, recordwriter.go:53-60).
+    """
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(df.sparkSession)
+
+    codec = get_compression(compression)
+    if meta is None:
+        meta = default_metadata()
+    for name in meta.columns:
+        if name not in df.columns:
+            raise ValueError(f"geometry column '{name}' not in DataFrame columns {df.columns}")
+
+    if os.path.exists(path):
+        if mode == "overwrite":
+            shutil.rmtree(path)
+        elif mode == "error":
+            raise FileExistsError(path)
+    os.makedirs(path, exist_ok=True)
+
+    if single_file:
+        df = df.coalesce(1)
+
+    salt = uuid.uuid4().hex[:8]
+    meta_dict = meta.to_dict()
+
+    def task(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        yield from _write_task(
+            it, path, salt, meta_dict, codec, row_group_length, compute_stats
+        )
+
+    results = df.mapInArrow(task, schema="file string, rows long").collect()
+    files = [{"file": r["file"], "rows": r["rows"]} for r in results]
+
+    if not files:
+        # all partitions empty: emit one empty-but-valid GeoParquet file
+        empty = df.limit(0).toArrow()
+        target = os.path.join(path, f"part-00000-{salt}.parquet")
+        geo_json = _finalize_metadata(meta, {name: _GeomStats() for name in meta.columns})
+        schema = empty.schema.with_metadata(
+            {**(empty.schema.metadata or {}), METADATA_KEY.encode(): geo_json.encode()}
+        )
+        with pq.ParquetWriter(target, schema, compression=codec) as writer:
+            writer.write_table(empty.cast(schema))
+        files = [{"file": target, "rows": 0}]
+    return files

@@ -1,0 +1,195 @@
+"""GeoParquet read / write / extract against the reference fixture files.
+
+The fixture expectations mirror the reference test suite
+(/root/reference/cmd/gpq/command/extract_test.go,
+internal/geoparquet/geoparquet_test.go): bbox (34,-7,36,-6) over the
+5-country example selects exactly Tanzania.
+"""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from gpq_spark.geoparquet import (
+    GeoMetadata,
+    NoMetadataError,
+    extract_df,
+    get_bbox_column,
+    read_geo_metadata,
+    read_geoparquet,
+    write_geoparquet,
+)
+from gpq_spark.geo.bbox import Bbox
+
+from conftest import REFERENCE_CASES
+
+V1 = os.path.join(REFERENCE_CASES, "example-v1.0.0.parquet")
+V11 = os.path.join(REFERENCE_CASES, "example-v1.1.0.parquet")
+V11_PART = os.path.join(REFERENCE_CASES, "example-v1.1.0-partitioned.parquet")
+V11_COV = os.path.join(REFERENCE_CASES, "example-v1.1.0-covering.parquet")
+
+TANZANIA_BBOX = "34,-7,36,-6"
+
+
+class TestReader:
+    def test_metadata(self):
+        meta = read_geo_metadata(V1)
+        assert meta.version == "1.0.0"
+        assert meta.primary_column == "geometry"
+        assert meta.primary().encoding == "WKB"
+
+    def test_missing_metadata(self, tmp_path, spark):
+        plain = str(tmp_path / "plain.parquet")
+        spark.range(3).toPandas().to_parquet(plain)
+        with pytest.raises(NoMetadataError):
+            read_geo_metadata(plain)
+
+    def test_read(self, spark):
+        df, meta = read_geoparquet(spark, V1)
+        assert df.count() == 5
+        assert "geometry" in df.columns
+
+    def test_projection_requires_primary(self, spark):
+        with pytest.raises(ValueError, match="primary geometry column"):
+            read_geoparquet(spark, V1, columns=["name", "continent"])
+
+
+class TestExtract:
+    @pytest.mark.parametrize("path", [V1, V11, V11_PART, V11_COV])
+    def test_tanzania(self, spark, path):
+        df, meta = read_geoparquet(spark, path)
+        out = extract_df(df, meta, bbox=TANZANIA_BBOX)
+        names = [r["name"] for r in out.select("name").collect()]
+        assert names == ["Tanzania"], path
+
+    def test_covering_filter_is_pushdown_friendly(self, spark):
+        """The bbox covering filter must reach the Parquet scan as
+        pushed filters (no UDF in the plan)."""
+        df, meta = read_geoparquet(spark, V11)
+        out = extract_df(df, meta, bbox=TANZANIA_BBOX)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "pythonUDF" not in plan.lower()
+        formatted = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "PushedFilters: [" in formatted
+        # the struct-field comparisons make it into the pushed filters
+        assert "bbox.xmin" in formatted or "xmin" in formatted
+
+    def test_no_bbox_column_fallback(self, spark):
+        # v1.0.0 has no bbox column: geometry decode path
+        df, meta = read_geoparquet(spark, V1)
+        assert get_bbox_column(df.columns, meta) is None
+        out = extract_df(df, meta, bbox=TANZANIA_BBOX)
+        assert [r["name"] for r in out.collect()] == ["Tanzania"]
+
+    def test_keep_only_columns(self, spark):
+        df, meta = read_geoparquet(spark, V11)
+        out = extract_df(df, meta, keep_only_columns=["name", "geometry"])
+        assert set(out.columns) == {"name", "geometry"}
+
+    def test_drop_columns(self, spark):
+        df, meta = read_geoparquet(spark, V11)
+        out = extract_df(df, meta, drop_columns=["pop_est"])
+        assert "pop_est" not in out.columns
+
+    def test_mutual_exclusion(self, spark):
+        df, meta = read_geoparquet(spark, V11)
+        with pytest.raises(ValueError, match="only one of DropColumns/KeepOnlyColumns"):
+            extract_df(df, meta, keep_only_columns=["geometry"], drop_columns=["name"])
+
+    def test_keep_must_include_primary(self, spark):
+        df, meta = read_geoparquet(spark, V11)
+        with pytest.raises(ValueError, match="primary geometry column"):
+            extract_df(df, meta, keep_only_columns=["name"])
+        with pytest.raises(ValueError, match="primary geometry column"):
+            extract_df(df, meta, drop_columns=["geometry"])
+
+    def test_antimeridian_query(self, spark):
+        # Fiji's geometry spans the antimeridian; a query box touching
+        # the -180 edge must find it (reference semantics: crossing data
+        # boxes are remapped westward).
+        df, meta = read_geoparquet(spark, V1)
+        out = extract_df(df, meta, bbox="-180,-20,-175,-15")
+        names = {r["name"] for r in out.collect()}
+        assert "Fiji" in names
+
+
+class TestWriter:
+    def test_roundtrip_with_stats(self, spark, tmp_path):
+        df, meta = read_geoparquet(spark, V1)
+        out_dir = str(tmp_path / "out")
+        files = write_geoparquet(df, out_dir, meta, single_file=True)
+        assert len(files) == 1
+        assert sum(f["rows"] for f in files) == 5
+
+        # the written file is standalone-valid GeoParquet
+        meta2 = read_geo_metadata(out_dir)
+        col = meta2.primary()
+        assert col.encoding == "WKB"
+        assert sorted(col.geometry_types) == ["MultiPolygon", "Polygon"]
+        # bbox covers the world-ish extent of the 5 countries
+        assert col.bbox is not None
+        assert col.bbox[0] == pytest.approx(-180.0)
+        assert col.bbox[3] == pytest.approx(83.23324, abs=0.01)
+
+        # and reads back identically
+        df2, _ = read_geoparquet(spark, out_dir)
+        assert df2.count() == 5
+        assert {r["name"] for r in df2.collect()} == {
+            r["name"] for r in df.collect()
+        }
+
+    def test_multi_part_write(self, spark, tmp_path):
+        df, meta = read_geoparquet(spark, V1)
+        out_dir = str(tmp_path / "multi")
+        files = write_geoparquet(df.repartition(3), out_dir, meta)
+        assert sum(f["rows"] for f in files) == 5
+        # every part file carries its own geo footer
+        for f in files:
+            kv = pq.read_schema(f["file"]).metadata
+            assert b"geo" in kv
+            file_meta = json.loads(kv[b"geo"])
+            assert file_meta["primary_column"] == "geometry"
+
+    def test_row_group_length(self, spark, tmp_path):
+        df, meta = read_geoparquet(spark, V1)
+        out_dir = str(tmp_path / "rg")
+        write_geoparquet(df, out_dir, meta, single_file=True, row_group_length=2)
+        f = pq.ParquetFile(
+            [os.path.join(out_dir, p) for p in os.listdir(out_dir)][0]
+        )
+        assert f.metadata.num_row_groups == 3  # 5 rows → 2+2+1
+
+    def test_empty_write(self, spark, tmp_path):
+        df, meta = read_geoparquet(spark, V1)
+        out_dir = str(tmp_path / "empty")
+        files = write_geoparquet(df.filter("name = 'Nowhere'"), out_dir, meta)
+        assert len(files) == 1 and files[0]["rows"] == 0
+        meta2 = read_geo_metadata(out_dir)
+        assert meta2.primary().geometry_types == []
+        assert meta2.primary().bbox is None
+
+    def test_invalid_codec(self, spark):
+        df, meta = read_geoparquet(spark, V1)
+        with pytest.raises(ValueError, match="invalid compression codec"):
+            write_geoparquet(df, "/tmp/never", meta, compression="bogus")
+
+
+class TestExtractEndToEnd:
+    def test_extract_partitioned_with_bbox_and_write(self, spark, tmp_path):
+        """Mirror of the reference's partitioned extract e2e
+        (extract_test.go:99-152)."""
+        df, meta = read_geoparquet(spark, V11_PART)
+        out = extract_df(df, meta, bbox=TANZANIA_BBOX, drop_columns=["hemisphere"])
+        out_dir = str(tmp_path / "tanzania")
+        files = write_geoparquet(out, out_dir, meta, single_file=True)
+        assert sum(f["rows"] for f in files) == 1
+        df2, meta2 = read_geoparquet(spark, out_dir)
+        row = df2.collect()[0]
+        assert row["name"] == "Tanzania"
+        assert "hemisphere" not in df2.columns
+        # per-file stats recomputed for the filtered output
+        assert meta2.primary().geometry_types == ["Polygon"]
