@@ -1,0 +1,1126 @@
+"""Declared queries + DuckDB oracles for the driver's correctness gate.
+
+Every entry pairs a Spark DataFrame builder (spark, sf_dir) -> DataFrame
+with an equivalent ANSI-SQL oracle DuckDB runs on the same parquet
+tables. Determinism rules used throughout:
+
+- money/measure sums use exact integer cents
+  (``CAST(round(x * 100) AS BIGINT)``) — float sums depend on
+  reduction order, integer sums don't;
+- embedding math uses sequential left folds from 0.0 in float64
+  (Spark ``aggregate`` ≡ DuckDB ``list_reduce`` with a prepended 0) —
+  bit-identical across engines;
+- timestamps are emitted as formatted strings, never raw;
+- every computed column is aliased identically on both sides.
+
+Geo operators are exercised over geometry synthesized deterministically
+from the driver tables (the driver's oracle can only see those tables),
+with the oracle computing the equivalent arithmetic directly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet timestamp[ns], which Spark's vectorized
+    reader rejects; read nanos as long and floor-convert to micros
+    (matching DuckDB's epoch_us truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+@dataclass
+class QueryDef:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → rows-only check (non-SQL-expressible)
+
+
+QUERIES: list[QueryDef] = []
+
+
+def register(name: str, oracle: str | None):
+    def wrap(fn):
+        QUERIES.append(QueryDef(name, fn, oracle))
+        return fn
+
+    return wrap
+
+
+def queries_dict() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.spark_fn for q in QUERIES}
+
+
+def oracles_dict() -> dict[str, str]:
+    return {q.name: q.oracle for q in QUERIES if q.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scan, filter, project, agg, join, window, set ops)
+# ---------------------------------------------------------------------------
+
+_CENTS = "CAST(round({col} * 100) AS BIGINT)"
+
+
+def cents(col: str) -> str:
+    return _CENTS.format(col=col)
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM({cents('l_quantity')}) AS sum_qty_cents,
+           SUM({cents('l_extendedprice')}) AS sum_base_cents,
+           SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')})) AS sum_disc_e4,
+           SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')}) * (100 + {cents('l_tax')})) AS sum_charge_e6,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → group-by agg. Exact-integer sums.
+
+    Scale: partial (map-side) aggregation on 6 grouping values → the
+    shuffle moves a handful of rows per partition.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr(cents("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(F.expr(cents("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(
+                F.expr(f"{cents('l_extendedprice')} * (100 - {cents('l_discount')})")
+            ).alias("sum_disc_e4"),
+            F.sum(
+                F.expr(
+                    f"{cents('l_extendedprice')} * (100 - {cents('l_discount')})"
+                    f" * (100 + {cents('l_tax')})"
+                )
+            ).alias("sum_charge_e6"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')})) AS revenue_e4,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_e4 DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join → agg → deterministic top-10.
+
+    customer is small → broadcast to lineitem-orders join; the big join
+    (orders ⋈ lineitem) shuffles on the order key.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-03-15 00:00:00"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-03-15 00:00:00"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.expr(f"{cents('l_extendedprice')} * (100 - {cents('l_discount')})")
+            ).alias("revenue_e4")
+        )
+        .select(
+            "l_orderkey",
+            "revenue_e4",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_volume",
+    f"""
+    SELECT n_name,
+           SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')})) AS revenue_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_nationkey = c_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join with small dims broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.expr(f"{cents('l_extendedprice')} * (100 - {cents('l_discount')})")
+            ).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_topk_suppliers_per_nation",
+    """
+    SELECT n_name, s_name, s_acctbal, rk
+    FROM (
+        SELECT n_name, s_name, s_acctbal,
+               CAST(row_number() OVER (
+                   PARTITION BY n_name
+                   ORDER BY s_acctbal DESC, s_suppkey ASC
+               ) AS INT) AS rk
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    WHERE rk <= 3
+    """,
+)
+def q_topk_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "s_name", "s_acctbal", "rk")
+    )
+
+
+@register(
+    "q_pivot_returnflag",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O,
+           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus values become columns."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+    )
+
+
+@register(
+    "q_rollup_orders",
+    f"""
+    SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+           COALESCE(o_orderstatus, '(all)') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM({cents('o_totalprice')}) AS total_cents
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping-sets aggregation (rollup)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr(cents("o_totalprice"))).alias("total_cents"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "n_orders",
+            "total_cents",
+        )
+    )
+
+
+@register(
+    "q_semi_anti_customers",
+    """
+    SELECT c_mktsegment, kind, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT c_mktsegment, 'with_orders' AS kind
+        FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        UNION ALL
+        SELECT c_mktsegment, 'without_orders' AS kind
+        FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    )
+    GROUP BY c_mktsegment, kind
+    """,
+)
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) and anti-join (NOT EXISTS) counts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    with_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_mktsegment")
+        .withColumn("kind", F.lit("with_orders"))
+    )
+    without = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_mktsegment")
+        .withColumn("kind", F.lit("without_orders"))
+    )
+    return (
+        with_orders.unionByName(without)
+        .groupBy("c_mktsegment", "kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_setops_brands",
+    """
+    SELECT p_brand FROM part WHERE p_size <= 10
+    EXCEPT
+    SELECT p_brand FROM part WHERE p_size >= 45
+    """,
+)
+def q_setops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference of two projections."""
+    p = load(spark, sf_dir, "part")
+    small = p.filter(F.col("p_size") <= 10).select("p_brand")
+    big = p.filter(F.col("p_size") >= 45).select("p_brand")
+    return small.distinct().exceptAll(big.distinct())
+
+
+@register(
+    "q_agg_basic",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           SUM({cents('l_quantity')}) AS qty_cents,
+           strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+           strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+    FROM lineitem
+    """,
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregation: counts, distinct counts, exact sums, extrema."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.expr(cents("l_quantity"))).alias("qty_cents"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization, tumbling windows, as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sessionize_events",
+    """
+    WITH numbered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM numbered
+    )
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) via lag + running sum."""
+    from .relational import sessionize
+
+    ev = load_events(spark, sf_dir)
+    sessions = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_tumble_events",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM({cents('value')}) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(cents("value"))).alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "q_asof_join_events_orders",
+    """
+    WITH odedup AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, o.o_orderkey
+    FROM events e
+    ASOF LEFT JOIN odedup o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def q_asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at-or-before each event, per user."""
+    from .relational import asof_join
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey"],
+    )
+    return joined.select("event_id", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication / similarity (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_DUCK = """
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN len(words) >= 3
+               THEN list_distinct([words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+                                   FOR i IN range(0, len(words) - 2)])
+               ELSE [trim(text)] END AS shingles
+        FROM (SELECT doc_id, lang, n_chars, text,
+                     regexp_split_to_array(trim(text), '\\s+') AS words
+              FROM documents)
+"""
+
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT lang, source, MIN(doc_id) AS keep_id
+          FROM documents GROUP BY lang, source) k
+      ON d.lang = k.lang AND d.source = k.source AND d.doc_id = k.keep_id
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a column subset, keeping the smallest doc_id."""
+    from .pipeline.dedup import dedup_exact
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_exact(docs, subset=["lang", "source"], order_col="doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "dedup_minhash_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    sigs AS (
+        SELECT doc_id,
+               [list_min([md5(CAST(h AS VARCHAR) || ':' || s) FOR s IN shingles])
+                FOR h IN range(0, 8)] AS sig
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, b AS band_id,
+               md5(CAST(b AS VARCHAR) || '|' || sig[b*2+1] || '|' || sig[b*2+2]) AS band_hash
+        FROM sigs, range(0, 4) t(b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (8 hashes, 4 bands)."""
+    from .pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+
+
+@register(
+    "dedup_simhash_docs",
+    None,  # placeholder replaced below after _simhash_oracle()
+)
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash signatures."""
+    from .pipeline.dedup import simhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_signatures(
+        docs, "doc_id", "text", bits=16,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        hex_pos = b // 4 + 1
+        shift = 3 - (b % 4)
+        bit = (
+            f"((instr('0123456789abcdef', substr(md5(w), {hex_pos}, 1)) - 1) "
+            f"// {2 ** shift}) % 2"
+        )
+        hits = f"len(list_filter(words, w -> {bit} = 1))"
+        terms.append(
+            f"(CASE WHEN 2 * ({hits}) > len(words) THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        )
+    total = " + ".join(terms)
+    return f"""
+    SELECT doc_id, CAST({total} AS BIGINT) AS simhash
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+          FROM documents)
+    """
+
+
+for _q in QUERIES:
+    if _q.name == "dedup_simhash_docs":
+        _q.oracle = _simhash_oracle(16)
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+           AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.n_chars // 20 = b.n_chars // 20
+     AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+          >= 0.05
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over blocked candidate pairs."""
+    from .pipeline.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "size_bucket", F.expr("n_chars div 20")
+    )
+    return ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        block_cols=["lang", "size_bucket"],
+        shingle_size=3,
+        threshold=0.05,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+def _cos_duck(a: str, b: str) -> str:
+    dot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+    na = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, x -> x * x)), (x, y) -> x + y)"
+    )
+    nb = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({b}, x -> x * x)), (x, y) -> x + y)"
+    )
+    return f"(({dot}) / (sqrt({na}) * sqrt({nb})))"
+
+
+@register(
+    "dedup_embedding_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_duck('a.v', 'b.v')} AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos_duck('a.v', 'b.v')} >= 0.3
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a label block."""
+    from .pipeline.dedup import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", block_col="label", threshold=0.3
+    )
+
+
+@register(
+    "ann_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, vec_id, {_cos_duck('cv', 'qv')} AS cosine
+        FROM c, q WHERE vec_id != query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors."""
+    from .pipeline.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, "vec_id", "embedding", "query_id", k=10)
+
+
+@register(
+    "ann_topk_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                      ({' + '.join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(8))}) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT query_id, e.vec_id, {_cos_duck('e.v', 'qv')} AS cosine
+        FROM e JOIN q ON e.bucket = q.qbucket
+        WHERE e.vec_id != q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket LSH-pruned approximate top-10 (8 bits)."""
+    from .pipeline.similarity import lsh_bucketed_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(emb, queries, "vec_id", "embedding", "query_id", k=10, bits=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+'))
+              + len(regexp_extract_all(text, '[0-9]+'))
+              + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting."""
+    from .pipeline.text import with_token_counts
+
+    docs = load(spark, sf_dir, "documents")
+    return with_token_counts(docs, "text").select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+@register(
+    "text_quality",
+    r"""
+    SELECT doc_id,
+           0.4 * least(CAST(1.0 AS DOUBLE), CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0)
+         + 0.3 * (CAST(1.0 AS DOUBLE) - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
+         + 0.3 * least(CAST(1.0 AS DOUBLE), 10.0 * CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE))
+           AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score."""
+    from .pipeline.text import with_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    return with_quality_score(docs, "text").select("doc_id", "quality")
+
+
+def _langid_oracle() -> str:
+    from .pipeline.text import LANG_MARKERS
+
+    words = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    best = "CAST(0 AS INT)"
+    pred = "'und'"
+    for lang, markers in LANG_MARKERS.items():
+        score = (
+            f"len(list_filter({words}, "
+            f"w -> w IN ({', '.join(repr(m) for m in markers)})))"
+        )
+        pred = f"CASE WHEN ({score}) > ({best}) THEN '{lang}' ELSE ({pred}) END"
+        best = f"greatest({best}, {score})"
+    return f"""
+    SELECT lang, {pred} AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+    """
+
+
+@register("text_langid", None)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID vs. the labeled lang column."""
+    from .pipeline.text import with_language_id
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        with_language_id(docs, "text")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+for _q in QUERIES:
+    if _q.name == "text_langid":
+        _q.oracle = _langid_oracle()
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(text) + 1),
+                                  i -> ascii(substr(text, CAST(i AS INT), 1)))),
+               (acc, c) -> (acc * 131 + c) % 1000000007
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint."""
+    from .pipeline.text import with_fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    return with_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + metadata extraction)
+# ---------------------------------------------------------------------------
+
+
+def _hexval(src: str, k: int) -> str:
+    return f"(instr('0123456789abcdef', substr({src}, {k}, 1)) - 1)"
+
+
+@register(
+    "multimodal_meta",
+    f"""
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           CAST((({_hexval('md5(text)', 1)} * 4096 + {_hexval('md5(text)', 2)} * 256
+                + {_hexval('md5(text)', 3)} * 16 + {_hexval('md5(text)', 4)}) % 4096) AS INT) AS width,
+           CAST((({_hexval('md5(text)', 5)} * 4096 + {_hexval('md5(text)', 6)} * 256
+                + {_hexval('md5(text)', 7)} * 16 + {_hexval('md5(text)', 8)}) % 4096) AS INT) AS height,
+           'RGB' AS mode
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode plumbing: documents' text bytes stand in
+    for an opaque media payload; decode runs in Arrow-batched
+    mapInPandas with a deterministic stub codec."""
+    from .pipeline.multimodal import decode_stub
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return decode_stub(docs, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Validation reduction (A4): per-rule pass/fail over a full scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "validate_rules_docs",
+    """
+    SELECT 'n_chars_matches' AS rule,
+           CAST(SUM(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           MIN(CASE WHEN n_chars != length(text) THEN doc_id END) AS first_bad
+    FROM documents
+    UNION ALL
+    SELECT 'non_empty_text' AS rule,
+           CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           MIN(CASE WHEN length(trim(text)) = 0 THEN doc_id END) AS first_bad
+    FROM documents
+    UNION ALL
+    SELECT 'known_lang' AS rule,
+           CAST(SUM(CASE WHEN lang NOT IN ('en', 'es', 'fr', 'de', 'zh') THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           MIN(CASE WHEN lang NOT IN ('en', 'es', 'fr', 'de', 'zh') THEN doc_id END) AS first_bad
+    FROM documents
+    """,
+)
+def validate_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation rule engine reduction: one scan, per-rule violation
+    count + first offending row (reference A4 / ColumnValueRule,
+    /root/reference/internal/validator/rules.go:86-112)."""
+    docs = load(spark, sf_dir, "documents")
+    rules = {
+        "n_chars_matches": "n_chars != length(text)",
+        "non_empty_text": "length(trim(text)) = 0",
+        "known_lang": "lang NOT IN ('en', 'es', 'fr', 'de', 'zh')",
+    }
+    parts = [
+        docs.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.when(F.expr(bad), 1).otherwise(0)).alias("violations"),
+            F.min(F.when(F.expr(bad), F.col("doc_id"))).alias("first_bad"),
+        )
+        for name, bad in rules.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Geo operators over synthesized geometry (driver tables only)
+# ---------------------------------------------------------------------------
+
+_BOX_XMIN = "CAST(CASE WHEN c_custkey % 13 = 0 THEN 170 + c_custkey % 9 ELSE (c_custkey % 340) - 170 END AS DOUBLE)"
+_BOX_XMAX = "CAST(CASE WHEN c_custkey % 13 = 0 THEN -175 + c_custkey % 4 ELSE (c_custkey % 340) - 170 + 1 + c_custkey % 7 END AS DOUBLE)"
+_BOX_YMIN = "CAST((c_custkey % 160) - 80 AS DOUBLE)"
+_BOX_YMAX = "CAST((c_custkey % 160) - 80 + 1 + c_custkey % 5 AS DOUBLE)"
+
+
+def _geo_filter_oracle(qxmin: float, qymin: float, qxmax: float, qymax: float) -> str:
+    qxmin_adj = qxmin - 360.0 if (qxmin > 0 and qxmax < 0) else qxmin
+    return f"""
+    WITH boxes AS (
+        SELECT c_custkey, {_BOX_XMIN} AS xmin, {_BOX_YMIN} AS ymin,
+               {_BOX_XMAX} AS xmax, {_BOX_YMAX} AS ymax
+        FROM customer
+    )
+    SELECT c_custkey FROM boxes
+    WHERE ymax >= {qymin} AND {qymax} >= ymin
+      AND xmax >= {qxmin_adj}
+      AND {qxmax} >= (CASE WHEN xmin > 0 AND xmax < 0 THEN xmin - 360 ELSE xmin END)
+    """
+
+
+def _geo_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_BOX_XMIN} AS xmin",
+        f"{_BOX_YMIN} AS ymin",
+        f"{_BOX_XMAX} AS xmax",
+        f"{_BOX_YMAX} AS ymax",
+    )
+
+
+@register("geo_bbox_filter", _geo_filter_oracle(35.0, -10.0, 40.0, 5.0))
+def geo_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity bbox intersection (F1) as a pushdown-friendly
+    column predicate, over boxes synthesized from customer keys."""
+    from .functions.geometry import bbox_intersects
+    from .geo.bbox import Bbox
+
+    boxes = _geo_boxes(spark, sf_dir)
+    pred = bbox_intersects(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        Bbox(35.0, -10.0, 40.0, 5.0),
+    )
+    return boxes.filter(pred).select("c_custkey")
+
+
+@register("geo_bbox_filter_antimeridian", _geo_filter_oracle(170.0, -90.0, -170.0, 90.0))
+def geo_bbox_filter_antimeridian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as geo_bbox_filter with an antimeridian-crossing query box."""
+    from .functions.geometry import bbox_intersects
+    from .geo.bbox import Bbox
+
+    boxes = _geo_boxes(spark, sf_dir)
+    pred = bbox_intersects(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        Bbox(170.0, -90.0, -170.0, 90.0),
+    )
+    return boxes.filter(pred).select("c_custkey")
+
+
+_PX = "CAST((c_custkey % 360) - 180 AS DOUBLE) + 0.5"
+_PY = "CAST((c_custkey % 170) - 85 AS DOUBLE) + 0.25"
+
+_GEO_ENV_ORACLE_FIELDS = f"""
+           CASE c_custkey % 3 WHEN 0 THEN 'Point' WHEN 1 THEN 'LineString' ELSE 'Polygon' END AS gtype,
+           {_PX} AS xmin,
+           {_PY} AS ymin,
+           CASE c_custkey % 3 WHEN 0 THEN {_PX} WHEN 1 THEN {_PX} + 2 ELSE {_PX} + 4 END AS xmax,
+           CASE c_custkey % 3 WHEN 0 THEN {_PY} ELSE {_PY} + 3 END AS ymax
+"""
+
+
+def _geo_wkt_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sx = f"CAST({_PX} AS STRING)"
+    sy = f"CAST({_PY} AS STRING)"
+    sx2 = f"CAST({_PX} + 2 AS STRING)"
+    sy3 = f"CAST({_PY} + 3 AS STRING)"
+    sx4 = f"CAST({_PX} + 4 AS STRING)"
+    wkt = f"""
+        CASE c_custkey % 3
+        WHEN 0 THEN concat('POINT (', {sx}, ' ', {sy}, ')')
+        WHEN 1 THEN concat('LINESTRING (', {sx}, ' ', {sy}, ', ', {sx2}, ' ', {sy3}, ')')
+        ELSE concat('POLYGON ((', {sx}, ' ', {sy}, ', ', {sx4}, ' ', {sy}, ', ',
+                    {sx}, ' ', {sy3}, ', ', {sx}, ' ', {sy}, '))')
+        END
+    """
+    return load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{wkt} AS wkt"
+    )
+
+
+@register(
+    "geo_roundtrip",
+    f"""
+    SELECT c_custkey, {_GEO_ENV_ORACLE_FIELDS}
+    FROM customer
+    """,
+)
+def geo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry kernel end-to-end on executors: WKT parse → WKB encode
+    → decode → type + envelope (reference T1/T2/T4/T5), with the oracle
+    computing the equivalent arithmetic directly."""
+    from .functions.geometry import st_envelope, st_geometry_type, st_wkt_to_wkb
+
+    wkt_df = _geo_wkt_df(spark, sf_dir)
+    wkb_df = wkt_df.withColumn("wkb", st_wkt_to_wkb("wkt"))
+    return wkb_df.select(
+        "c_custkey",
+        st_geometry_type("wkb").alias("gtype"),
+        st_envelope("wkb").alias("env"),
+    ).select(
+        "c_custkey",
+        "gtype",
+        F.col("env.xmin").alias("xmin"),
+        F.col("env.ymin").alias("ymin"),
+        F.col("env.xmax").alias("xmax"),
+        F.col("env.ymax").alias("ymax"),
+    )
+
+
+@register(
+    "geo_bounds_agg",
+    f"""
+    WITH env AS (SELECT {_GEO_ENV_ORACLE_FIELDS} FROM customer)
+    SELECT MIN(xmin) AS xmin, MIN(ymin) AS ymin,
+           MAX(xmax) AS xmax, MAX(ymax) AS ymax
+    FROM env
+    """,
+)
+def geo_bounds_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset bounds union (reference A1 GeometryStats) as df.agg."""
+    from .functions.geometry import st_envelope, st_wkt_to_wkb
+
+    wkt_df = _geo_wkt_df(spark, sf_dir)
+    env = wkt_df.select(st_envelope(st_wkt_to_wkb("wkt")).alias("env"))
+    return env.agg(
+        F.min("env.xmin").alias("xmin"),
+        F.min("env.ymin").alias("ymin"),
+        F.max("env.xmax").alias("xmax"),
+        F.max("env.ymax").alias("ymax"),
+    )
+
+
+@register(
+    "geo_type_counts",
+    f"""
+    WITH env AS (SELECT {_GEO_ENV_ORACLE_FIELDS} FROM customer)
+    SELECT gtype, CAST(COUNT(*) AS BIGINT) AS n FROM env GROUP BY gtype
+    """,
+)
+def geo_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct geometry types (reference A2) as a group-by count."""
+    from .functions.geometry import st_geometry_type, st_wkt_to_wkb
+
+    wkt_df = _geo_wkt_df(spark, sf_dir)
+    return (
+        wkt_df.select(st_geometry_type(st_wkt_to_wkb("wkt")).alias("gtype"))
+        .groupBy("gtype")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_tumble_events",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window count as a real Structured Streaming query
+    (file source → window agg → memory sink, complete mode), drained
+    synchronously; result matches the batch oracle."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source needs a directory: expose the single
+    # events file through a symlink dir (testdata is read-only)
+    src_dir = _os.path.join(
+        _tempfile.gettempdir(), f"stream_src_{abs(hash(sf_dir)) % 10 ** 8}"
+    )
+    _os.makedirs(src_dir, exist_ok=True)
+    link = _os.path.join(src_dir, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            F.col("count").alias("n"),
+        )
+    )
+    name = f"stream_tumble_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

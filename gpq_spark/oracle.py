@@ -1,0 +1,94 @@
+"""Local DuckDB-oracle parity harness — mirrors the driver's t2 gate.
+
+Runs a declared Spark query and its oracle SQL on the same parquet
+tables and compares row count, column names, and an order-insensitive
+value multiset (exact — no float tolerance, by design: the queries are
+written to be bit-deterministic).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duckdb_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_value(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_value(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return v.hex()
+    # Decimal, datetime, numpy scalars → string canonical form
+    return str(v)
+
+
+def _canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        tuple(_canon_value(row[i]) for i in order) for row in rows
+    )
+
+
+def compare(spark_df, con, oracle_sql: str) -> dict[str, Any]:
+    """Returns {match, detail} comparing the Spark result to the oracle."""
+    spark_cols = list(spark_df.columns)
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    duck = con.sql(oracle_sql)
+    duck_cols = list(duck.columns)
+    duck_rows = duck.fetchall()
+
+    result: dict[str, Any] = {
+        "spark_rows": len(spark_rows),
+        "oracle_rows": len(duck_rows),
+        "spark_cols": sorted(spark_cols),
+        "oracle_cols": sorted(duck_cols),
+    }
+    if sorted(spark_cols) != sorted(duck_cols):
+        result["match"] = False
+        result["detail"] = "column mismatch"
+        return result
+    if len(spark_rows) != len(duck_rows):
+        result["match"] = False
+        result["detail"] = "row count mismatch"
+        return result
+    a = _canon_rows(spark_cols, spark_rows)
+    b = _canon_rows(duck_cols, duck_rows)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        result["match"] = False
+        result["detail"] = f"value mismatch; first diffs: {diffs}"
+        return result
+    result["match"] = True
+    return result

@@ -1,0 +1,51 @@
+"""Large-scale training-data pipeline operators.
+
+These extend the reference's GeoParquet surface with the operations a
+100 TB LLM-data pipeline needs: deduplication (exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding cosine), similarity search, text
+analysis, and multimodal column plumbing.
+
+Design rules:
+- Everything is declarative DataFrame/SQL expressions (JVM-side,
+  whole-stage codegen) unless Python is genuinely required.
+- Hash functions are md5-based and engine-portable, so every operator
+  has an exact DuckDB oracle.
+- Floating-point reductions are sequential left-folds from 0.0 in
+  float64 (``F.aggregate``) so results are bit-identical across
+  engines and across partitionings.
+"""
+
+from .dedup import (
+    dedup_exact,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    simhash_signatures,
+    ngram_jaccard_pairs,
+    embedding_near_dup_pairs,
+)
+from .similarity import brute_force_topk, lsh_bucketed_topk, cosine_expr
+from .text import (
+    with_token_counts,
+    with_quality_score,
+    with_language_id,
+    with_fingerprint,
+)
+from .multimodal import binary_metadata, decode_stub
+
+__all__ = [
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash_signatures",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup_pairs",
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+    "cosine_expr",
+    "with_token_counts",
+    "with_quality_score",
+    "with_language_id",
+    "with_fingerprint",
+    "binary_metadata",
+    "decode_stub",
+]

@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All operators are pure DataFrame expressions (no Python UDFs in the hot
+path) built on engine-portable md5 hashing, so each has an exact SQL
+oracle. Scale notes per operator:
+
+- exact dedup: one shuffle on a narrow hash key (not the full payload).
+- MinHash-LSH: signatures are computed map-side (per-row expressions);
+  the only shuffle is the band-bucket self-join, whose key count is
+  ``bands × docs``. Bucket skew is bounded because identical band
+  hashes imply near-identical shingle sets.
+- n-gram Jaccard: restricted to candidate pairs from a blocking key —
+  never all-pairs.
+- embedding near-dup: blocked on a partition key, cosine as a
+  sequential fold (deterministic across engines and partitionings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import cosine_expr
+
+
+def dedup_exact(
+    df: DataFrame,
+    subset: list[str] | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keep one row per distinct ``subset`` (default: all columns).
+
+    The kept row is the one with the smallest ``order_col`` (required
+    for deterministic output; without it, ``dropDuplicates``
+    semantics apply). Scale: shuffle on md5 of the subset columns —
+    a narrow key even for megabyte documents.
+    """
+    if subset is None:
+        subset = df.columns
+    key = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in subset]))
+    if order_col is None:
+        return df.dropDuplicates(subset)
+    w = Window.partitionBy(key).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _with_shingles(
+    df: DataFrame, text_col: str, shingle_size: int, keep: list[str]
+) -> DataFrame:
+    """Projects ``keep`` + a ``__sh`` distinct-shingle array column.
+
+    The words array is materialized as its own projected column — if
+    the ``split()`` were inlined into the shingle lambda (one textual
+    expression), it would be re-evaluated per lambda element (measured
+    6-7× slowdown). As separate multi-referenced non-cheap aliases,
+    CollapseProject keeps the projections apart.
+
+    Documents with fewer than ``shingle_size`` words contribute one
+    shingle: the whole (trimmed) text.
+    """
+    words = df.select(*keep, F.col(text_col).alias("__text")).withColumn(
+        "__w", F.expr("split(trim(__text), '\\\\s+')")
+    )
+    parts = ", ".join(
+        f"element_at(__w, CAST(i + {k + 1} AS INT))" for k in range(shingle_size)
+    )
+    shingles = f"""
+        CASE WHEN size(__w) >= {shingle_size}
+        THEN array_distinct(transform(
+            sequence(0, size(__w) - {shingle_size}),
+            i -> concat_ws(' ', {parts})))
+        ELSE array(trim(__text))
+        END
+    """
+    return words.select(*keep, F.expr(shingles).alias("__sh"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Per-document MinHash signature.
+
+    Hash family: ``H_i(s) = md5(i || ':' || s)`` compared
+    lexicographically (hex strings) — engine-portable and
+    deterministic, no seeded RNG. Output: ``id_col``,
+    ``sig array<string>`` of length ``num_hashes``.
+
+    ``parallelism``: repartition before the (CPU-heavy) signature
+    computation — a small parquet input often arrives as one split,
+    which would serialize the whole computation on one core.
+    """
+    if parallelism:
+        df = df.repartition(parallelism)
+    shingled = _with_shingles(df, text_col, shingle_size, keep=[id_col])
+    mins = ", ".join(
+        f"array_min(transform(__sh, s -> md5(concat('{i}', ':', s))))"
+        for i in range(num_hashes)
+    )
+    return shingled.select(F.col(id_col), F.expr(f"array({mins})").alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = 4, num_hashes: int | None = None
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs.
+
+    Output columns: ``id_a``, ``id_b`` (id_a < id_b), distinct.
+
+    Implementation: ONE shuffle — explode per-band hashes, groupBy the
+    (band, hash) bucket collecting ids, expand pairs inside the bucket
+    with array expressions. A self-join formulation would shuffle (and
+    recompute the signature pipeline for) both sides; the groupBy
+    computes signatures once and moves each doc id ``bands`` times.
+    Bucket sizes are bounded by LSH itself (same hash ⇒ near-identical
+    shingle sets), so collect_list skew is bounded.
+    """
+    if num_hashes is None:
+        num_hashes = sig_df.select(F.size("sig")).first()[0]
+    rows_per_band = num_hashes // bands
+    # NOTE: explode a constant sequence and derive the band hash AFTER
+    # the explode. Exploding an array-of-band-hashes instead makes
+    # InferFiltersFromGenerate synthesize a `size(bands)>0` filter that
+    # predicate-pushdown then inlines (with the whole upstream
+    # signature expression!) below the scan — measured 50s of a 52s
+    # runtime. A constant-sequence generator infers only a foldable
+    # filter.
+    band_members = ", ".join(
+        f"element_at(sig, band_id * {rows_per_band} + {r + 1})"
+        for r in range(rows_per_band)
+    )
+    banded = (
+        sig_df.select(
+            F.col(id_col).alias("__id"),
+            F.col("sig"),
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+        )
+        .select(
+            "__id",
+            "band_id",
+            F.expr(
+                f"md5(concat_ws('|', CAST(band_id AS STRING), {band_members}))"
+            ).alias("band_hash"),
+        )
+    )
+    buckets = banded.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_list("__id")).alias("__ids")
+    ).filter(F.size("__ids") >= 2)
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ids, (x, i) -> "
+                "transform(slice(__ids, i + 2, size(__ids) - i - 1), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("__p")
+    )
+    return pairs.select("__p.id_a", "__p.id_b").distinct()
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """SimHash over whitespace tokens.
+
+    For each bit position b, sums +1/-1 votes of every token's md5 bit
+    b; the signature bit is 1 when the vote is positive. Output:
+    ``id_col``, ``simhash`` (bigint). Fully expression-based: bit b of
+    token t = nibble lookup in the md5 hex string.
+    """
+    if parallelism:
+        df = df.repartition(parallelism)
+    tokened = df.select(
+        F.col(id_col), F.expr(f"split(trim({text_col}), '\\\\s+')").alias("__w")
+    )
+    bit_exprs = []
+    for b in range(bits):
+        hex_pos = b // 4 + 1
+        shift = 3 - (b % 4)
+        bit_of_word = (
+            f"((instr('0123456789abcdef', substr(md5(w), {hex_pos}, 1)) - 1) "
+            f"div {2 ** shift}) % 2"
+        )
+        # bit is set when more than half the tokens vote 1
+        hits = f"size(filter(__w, w -> {bit_of_word} = 1))"
+        bit_exprs.append(
+            f"(CASE WHEN 2 * ({hits}) > size(__w) THEN {2 ** b}L ELSE 0L END)"
+        )
+    total = " + ".join(bit_exprs)
+    return tokened.select(F.col(id_col), F.expr(total).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing a
+    blocking key. Output: id_a, id_b, jaccard (double).
+
+    Jaccard = |A∩B| / |A∪B| over distinct shingle sets — an exact
+    integer ratio, so the double division is engine-deterministic.
+    """
+    if parallelism:
+        df = df.repartition(parallelism)
+    shingled = _with_shingles(
+        df, text_col, shingle_size, keep=[id_col, *block_cols]
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    union = F.size(F.array_union(F.col("a.__sh"), F.col("b.__sh")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine similarity within a blocking key.
+
+    Output: id_a, id_b, cosine (double, sequential-fold deterministic).
+    """
+    slim = df.select(F.col(id_col), F.col(block_col), F.col(vec_col))
+    a = slim.alias("a")
+    b = slim.alias("b")
+    cos = cosine_expr(f"a.{vec_col}", f"b.{vec_col}")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,79 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The pattern mirrors the engine's geometry design: payloads are opaque
+``binary`` columns, metadata travels in sibling typed columns, and any
+real decoding happens in Arrow-batched ``mapInPandas`` so payload bytes
+stream through in bounded batches and never land on the driver.
+
+The actual image/audio/video codecs are NOT available in this runtime
+(no PIL/ffmpeg/torchvision), so ``decode_stub`` implements the
+Spark-side plumbing for real — schema, batching, partition behavior —
+with a deterministic fake "decode" (byte-length + md5 + fake
+dimensions). Swap ``_decode_payload`` for a real codec to productionize.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "id long, n_bytes long, digest string, width int, height int, mode string"
+)
+
+
+def binary_metadata(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Cheap metadata over a binary payload column — pure expressions,
+    no decode: byte length and md5 digest."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        F.md5(F.col(payload_col)).alias("digest"),
+    )
+
+
+def _decode_payload(payload: bytes) -> dict:
+    """STUB: a real implementation would decode the image/audio bytes
+    (PIL/libvips/ffmpeg). Deterministic fake keeps tests meaningful."""
+    digest = hashlib.md5(payload).hexdigest()
+    return {
+        "n_bytes": len(payload),
+        "digest": digest,
+        # fake dimensions derived from the digest — stable per payload
+        "width": int(digest[:4], 16) % 4096,
+        "height": int(digest[4:8], 16) % 4096,
+        "mode": "RGB",
+    }
+
+
+def decode_stub(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Arrow-batched 'decode' of a binary payload column.
+
+    Real plumbing (mapInPandas, bounded batches, executor-side), stub
+    codec. Output schema: id, n_bytes, digest, width, height, mode.
+    """
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(df.sparkSession)
+
+    slim = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["payload"].map(
+                lambda p: _decode_payload(bytes(p)) if p is not None else None
+            )
+            out = pd.DataFrame(
+                [
+                    m if m is not None else dict(n_bytes=None, digest=None, width=None, height=None, mode=None)
+                    for m in meta
+                ]
+            )
+            out.insert(0, "id", pdf["id"].values)
+            yield out
+
+    return slim.mapInPandas(decode, schema=DECODED_SCHEMA)

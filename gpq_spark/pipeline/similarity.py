@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+``cosine_expr`` computes cosine similarity as a *sequential left fold
+from 0.0 in float64* (``aggregate`` over ``zip_with``), which makes the
+result bit-identical across engines (DuckDB ``list_reduce`` folds the
+same way) and across partitionings — no reliance on reduction order.
+
+Scale design:
+- ``brute_force_topk``: broadcast the (small) query set, score every
+  corpus row map-side, take per-query top-k with a window. One shuffle
+  of ``num_queries × corpus_partitions × k`` pre-aggregated rows would
+  be ideal; Spark's window top-k shuffles scored rows on query_id — at
+  very large corpus sizes, prefer the ``lsh_bucketed_topk`` variant or
+  raise ``prefilter`` to cut candidates map-side.
+- ``lsh_bucketed_topk``: deterministic hyperplane-free LSH — buckets by
+  the sign pattern of selected coordinates — probing only matching
+  buckets; recall/latency trade-off controlled by ``bits``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _fold_sum(products: str) -> str:
+    return f"aggregate({products}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+
+def _dot(a: str, b: str) -> str:
+    return _fold_sum(
+        f"zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y)"
+    )
+
+
+def _norm2(a: str) -> str:
+    return _fold_sum(
+        f"transform(CAST({a} AS ARRAY<DOUBLE>), x -> x * x)"
+    )
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Cosine similarity of two array<float>/array<double> columns."""
+    return F.expr(f"({_dot(a, b)}) / (sqrt({_norm2(a)}) * sqrt({_norm2(b)}))")
+
+
+def dot_expr(a: str, b: str) -> Column:
+    return F.expr(_dot(a, b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k nearest neighbors by cosine for each query vector.
+
+    ``queries`` must have columns (query_id_col, vec_col) and be small
+    (it is broadcast). Output: query_id, rank (1..k), id_col, cosine.
+    Ties broken by ascending id for determinism.
+    """
+    q = F.broadcast(queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ))
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q)
+    if not include_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    scored = scored.select(
+        query_id_col,
+        id_col,
+        cosine_expr(vec_col, "__qvec").alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
+def sign_bucket_expr(vec_col: str, bits: int) -> Column:
+    """Deterministic LSH bucket id: sign bits of the first ``bits``
+    coordinates (a fixed axis-aligned hyperplane family — no RNG, so
+    engines and runs agree)."""
+    terms = " + ".join(
+        f"(CASE WHEN element_at({vec_col}, {i + 1}) >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return F.expr(f"({terms})").cast("int")
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    bits: int = 8,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k: only corpus rows whose sign-bucket matches the
+    query's bucket are scored. At 100 TB this turns a full scan per
+    query into a bucket-pruned scan (write the corpus partitioned by
+    bucket to get partition pruning on disk)."""
+    bucketed = corpus.select(
+        F.col(id_col), F.col(vec_col), sign_bucket_expr(vec_col, bits).alias("__bucket")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            sign_bucket_expr(vec_col, bits).alias("__qbucket"),
+        )
+    )
+    scored = bucketed.join(q, F.col("__bucket") == F.col("__qbucket"))
+    if not include_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    scored = scored.select(
+        query_id_col,
+        id_col,
+        cosine_expr(vec_col, "__qvec").alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )

@@ -1,0 +1,92 @@
+"""Text analysis operators: token counting, quality scoring, language
+identification, document fingerprinting.
+
+All pure SQL expressions (whole-stage codegen, no Python), each with an
+exact DuckDB-oracle formulation. Integer-ratio arithmetic keeps the
+derived doubles engine-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 131
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``ws_tokens`` (whitespace tokens) and ``bpe_tokens`` (a
+    BPE-ish proxy: alpha runs + digit runs + isolated symbols)."""
+    return df.withColumn(
+        "ws_tokens",
+        F.expr(f"size(split(trim({text_col}), '\\\\s+'))").cast("long"),
+    ).withColumn(
+        "bpe_tokens",
+        (
+            F.expr(f"size(regexp_extract_all({text_col}, '[a-zA-Z]+', 0))")
+            + F.expr(f"size(regexp_extract_all({text_col}, '[0-9]+', 0))")
+            + F.expr(f"size(regexp_extract_all({text_col}, '[^a-zA-Z0-9\\\\s]', 0))")
+        ).cast("long"),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: rewards mid-length documents,
+    low punctuation density, and presence of stopwords.
+
+    score = 0.4 * min(1, n_words/100)
+          + 0.3 * (1 - punct_chars/n_chars)
+          + 0.3 * min(1, 10 * stopword_hits/n_words)
+    """
+    n_words = f"size(split(trim({text_col}), '\\\\s+'))"
+    n_chars = f"length({text_col})"
+    punct = f"size(regexp_extract_all({text_col}, '[^a-zA-Z0-9\\\\s]', 0))"
+    stop = (
+        f"size(filter(split(trim({text_col}), '\\\\s+'), "
+        f"w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))"
+    )
+    expr = (
+        f"0.4 * least(CAST(1.0 AS DOUBLE), CAST({n_words} AS DOUBLE) / 100.0)"
+        f" + 0.3 * (CAST(1.0 AS DOUBLE) - CAST({punct} AS DOUBLE) / CAST({n_chars} AS DOUBLE))"
+        f" + 0.3 * least(CAST(1.0 AS DOUBLE), 10.0 * CAST({stop} AS DOUBLE) / CAST({n_words} AS DOUBLE))"
+    )
+    return df.withColumn("quality", F.expr(expr).cast("double"))
+
+
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-free heuristic language ID: counts marker-token hits per
+    language; argmax with a fixed language order for tie-breaks;
+    ``und`` when no marker hits at all."""
+    words = f"split(trim(lower({text_col})), '\\\\s+')"
+    scores = {
+        lang: f"size(filter({words}, w -> w IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # argmax with deterministic tie-break = iteration order of LANG_MARKERS
+    best = "CAST(0 AS INT)"
+    pred = "'und'"
+    for lang, score in scores.items():
+        pred = f"CASE WHEN ({score}) > ({best}) THEN '{lang}' ELSE ({pred}) END"
+        best = f"greatest({best}, {score})"
+    return df.withColumn("pred_lang", F.expr(pred))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Polynomial rolling-hash fingerprint of the document bytes:
+    ``h = fold(chars, 0, (h, c) -> (h*131 + ascii(c)) mod 1e9+7)``.
+    Sequential fold → engine- and partitioning-deterministic."""
+    expr = (
+        f"aggregate(sequence(1, length({text_col})), CAST(0 AS BIGINT), "
+        f"(acc, i) -> (acc * {FINGERPRINT_BASE} + ascii(substr({text_col}, i, 1))) % {FINGERPRINT_MOD})"
+    )
+    return df.withColumn("fingerprint", F.expr(expr))

@@ -1,0 +1,115 @@
+"""Relational operators Spark lacks natively, composed from built-ins.
+
+Each is a declarative composition (shuffle-aware, no Python UDFs):
+
+- ``asof_join``: merge-asof via union + partitioned sort + running
+  last_value. One shuffle on the join key; no range-explosion. This is
+  the classic scalable formulation (vs. an inequality join which
+  Catalyst would execute as a broadcast-nested-loop).
+- ``sessionize``: gap-based session assignment with lag + running sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_time <= left_time`` on the same key (direction
+    'backward'; 'forward' = the next right row at/after left_time).
+
+    ``right`` must be unique per (right_key, right_time) — pre-dedupe
+    for deterministic results. Output: all left columns + value_cols.
+
+    Scale: one shuffle of (|left| + |right|) rows on the key, then a
+    per-key sort — the same cost profile as a sort-merge join, with no
+    inequality-join blowup.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    l_tagged = left.select(
+        F.col(left_key).alias("__key"),
+        F.col(left_time).alias("__time"),
+        F.lit(0).alias("__is_right"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__v_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(right_key).alias("__key"),
+        F.col(right_time).alias("__time"),
+        F.lit(1).alias("__is_right"),
+        F.lit(None).cast(
+            l_tagged.schema["__left"].dataType.simpleString()
+        ).alias("__left"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal time → a right row
+        # at exactly left_time matches
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__time").asc(), F.col("__is_right").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = unioned.select(
+            "*",
+            *[
+                F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+                for c in value_cols
+            ],
+        )
+    else:
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__time").asc(), F.col("__is_right").asc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        filled = unioned.select(
+            "*",
+            *[
+                F.first(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+                for c in value_cols
+            ],
+        )
+
+    return filled.filter(F.col("__is_right") == 0).select(
+        *[F.col(f"__left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the time since the previous event exceeds ``gap_seconds``.
+
+    Adds ``session_id`` (1-based per key). One shuffle on the key.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(time_col).asc())
+    # exact integer microseconds — a double-seconds cast is inexact and
+    # could flip a gap==threshold boundary
+    t = F.unix_micros(F.col(time_col))
+    gap = t - F.lag(t).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )

@@ -1,0 +1,35 @@
+"""Mirror of the driver's t2 gate: every declared query must match its
+DuckDB oracle exactly (row count + columns + order-insensitive values)
+at sf0.001."""
+
+import pytest
+
+from gpq_spark.entry_queries import QUERIES
+from gpq_spark.oracle import compare, duckdb_connection
+
+from conftest import TESTDATA
+
+SF_DIR = f"{TESTDATA}/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb_connection(SF_DIR)
+
+
+@pytest.mark.parametrize("qdef", QUERIES, ids=[q.name for q in QUERIES])
+def test_oracle_parity(spark, con, qdef):
+    assert qdef.oracle is not None, f"{qdef.name} has no oracle"
+    result = compare(qdef.spark_fn(spark, SF_DIR), con, qdef.oracle)
+    assert result["match"], f"{qdef.name}: {result}"
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30

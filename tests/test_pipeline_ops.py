@@ -1,0 +1,190 @@
+"""Operator-level tests for the pipeline + relational modules."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestDedupExact:
+    def test_keeps_min_order_col(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "y")], ["id", "val"]
+        )
+        from gpq_spark.pipeline.dedup import dedup_exact
+
+        out = dedup_exact(df, subset=["val"], order_col="id")
+        assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+    def test_full_row_dedup(self, spark):
+        df = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], ["id", "val"])
+        from gpq_spark.pipeline.dedup import dedup_exact
+
+        assert dedup_exact(df).count() == 2
+
+
+class TestMinHash:
+    def test_identical_docs_collide(self, spark):
+        from gpq_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely unrelated content here"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        sigs = minhash_signatures(df, "doc_id", "text", num_hashes=8)
+        pairs = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_signature_shape(self, spark):
+        from gpq_spark.pipeline.dedup import minhash_signatures
+
+        df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+        sig = minhash_signatures(df, "doc_id", "text", num_hashes=6).first()["sig"]
+        assert len(sig) == 6
+        assert all(len(s) == 32 for s in sig)
+
+    def test_short_doc_single_shingle(self, spark):
+        from gpq_spark.pipeline.dedup import minhash_signatures
+
+        df = spark.createDataFrame([(1, "ab"), (2, "ab")], ["doc_id", "text"])
+        sigs = minhash_signatures(df, "doc_id", "text", num_hashes=4).collect()
+        assert sigs[0]["sig"] == sigs[1]["sig"]
+
+
+class TestJaccard:
+    def test_exact_value(self, spark):
+        from gpq_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        rows = [(1, "a b c d", 0), (2, "a b c e", 0)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "blk"])
+        out = ngram_jaccard_pairs(
+            df, "doc_id", "text", block_cols=["blk"], shingle_size=3, threshold=0.0
+        ).collect()
+        # shingles: {a b c, b c d} vs {a b c, b c e} → 1/3
+        assert len(out) == 1
+        assert out[0]["jaccard"] == pytest.approx(1 / 3)
+
+
+class TestSimilarity:
+    def test_topk_self_excluded_and_ranked(self, spark):
+        from gpq_spark.pipeline.similarity import brute_force_topk
+
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.01]),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = df.filter("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = brute_force_topk(df, q, k=2).collect()
+        assert [r["vec_id"] for r in out] == [3, 1]
+        assert out[0]["rank"] == 1
+
+    def test_lsh_bucket_pruning(self, spark):
+        from gpq_spark.pipeline.similarity import lsh_bucketed_topk
+
+        rows = [
+            (0, [1.0, 1.0, 1.0, 1.0]),
+            (1, [1.0, 1.0, 1.0, 0.5]),
+            (2, [-1.0, -1.0, -1.0, -1.0]),  # different bucket
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = df.filter("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = lsh_bucketed_topk(df, q, k=5, bits=4).collect()
+        assert [r["vec_id"] for r in out] == [1]  # 2 pruned by bucket
+
+
+class TestAsofJoin:
+    def test_backward(self, spark):
+        from gpq_spark.relational import asof_join
+
+        trades = spark.createDataFrame(
+            [("A", 10, "t1"), ("A", 20, "t2"), ("B", 15, "t3")],
+            ["sym", "t", "trade"],
+        )
+        quotes = spark.createDataFrame(
+            [("A", 5, 100.0), ("A", 15, 101.0), ("B", 20, 50.0)],
+            ["qsym", "qt", "px"],
+        )
+        out = asof_join(
+            trades, quotes, "sym", "qsym", "t", "qt", value_cols=["px"]
+        )
+        got = {r["trade"]: r["px"] for r in out.collect()}
+        assert got == {"t1": 100.0, "t2": 101.0, "t3": None}
+
+    def test_exact_time_matches(self, spark):
+        from gpq_spark.relational import asof_join
+
+        left = spark.createDataFrame([("A", 10, "x")], ["k", "t", "tag"])
+        right = spark.createDataFrame([("A", 10, 1.5)], ["rk", "rt", "v"])
+        out = asof_join(left, right, "k", "rk", "t", "rt", value_cols=["v"])
+        assert out.first()["v"] == 1.5
+
+
+class TestSessionize:
+    def test_gap_splits(self, spark):
+        from gpq_spark.relational import sessionize
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("u1", base),
+            ("u1", base + dt.timedelta(minutes=10)),
+            ("u1", base + dt.timedelta(minutes=60)),  # > 30min gap → new session
+            ("u2", base),
+        ]
+        df = spark.createDataFrame(rows, ["user", "ts"])
+        out = sessionize(df, "user", "ts", gap_seconds=1800)
+        sessions = {
+            (r["user"], str(r["ts"])): r["session_id"] for r in out.collect()
+        }
+        assert sessions[("u1", "2024-01-01 00:00:00")] == 1
+        assert sessions[("u1", "2024-01-01 00:10:00")] == 1
+        assert sessions[("u1", "2024-01-01 01:00:00")] == 2
+        assert sessions[("u2", "2024-01-01 00:00:00")] == 1
+
+
+class TestMultimodal:
+    def test_decode_stub_plumbing(self, spark):
+        from gpq_spark.pipeline.multimodal import decode_stub
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"hello")), (2, None)], "id long, payload binary"
+        )
+        out = {r["id"]: r for r in decode_stub(df, "payload", "id").collect()}
+        assert out[1]["n_bytes"] == 5
+        assert out[1]["digest"] == "5d41402abc4b2a76b9719d911017c592"
+        assert 0 <= out[1]["width"] < 4096
+        assert out[2]["n_bytes"] is None
+
+
+class TestTextOps:
+    def test_fingerprint_deterministic_across_partitions(self, spark):
+        from gpq_spark.pipeline.text import with_fingerprint
+
+        df = spark.createDataFrame([(1, "hello world")], ["id", "text"])
+        a = with_fingerprint(df, "text").first()["fingerprint"]
+        b = with_fingerprint(df.repartition(4), "text").first()["fingerprint"]
+        assert a == b
+        # hand-computed: fold of 'hello world'
+        h = 0
+        for ch in "hello world":
+            h = (h * 131 + ord(ch)) % 1_000_000_007
+        assert a == h
+
+    def test_langid_markers(self, spark):
+        from gpq_spark.pipeline.text import with_language_id
+
+        df = spark.createDataFrame(
+            [(1, "the cat is on the mat"), (2, "el gato y la casa"), (3, "xyz qqq")],
+            ["id", "text"],
+        )
+        got = {r["id"]: r["pred_lang"] for r in with_language_id(df).collect()}
+        assert got == {1: "en", 2: "es", 3: "und"}
