@@ -184,7 +184,12 @@ def _write_geometry(geom: dict[str, Any], out: bytearray) -> None:
     has_z = _coords_have_z(geom)
     out += struct.pack("<BI", 1, code + (1000 if has_z else 0))
     if t == "Point":
-        _write_coord(geom["coordinates"], has_z, out)
+        coords = geom["coordinates"]
+        if not coords:
+            # empty point: NaN coordinates (the common WKB convention)
+            out += struct.pack("<dd", math.nan, math.nan)
+            return
+        _write_coord(coords, has_z, out)
         return
     if t == "LineString":
         coords = geom["coordinates"]
@@ -261,8 +266,10 @@ def bounds(geom: dict[str, Any] | None) -> tuple[float, float, float, float] | N
     xmax = ymax = -math.inf
     seen = False
     for pos in _iter_positions(geom):
-        seen = True
         x, y = pos[0], pos[1]
+        if math.isnan(x) or math.isnan(y):
+            continue  # empty-point markers don't contribute bounds
+        seen = True
         if x < xmin:
             xmin = x
         if x > xmax:

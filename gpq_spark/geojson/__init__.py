@@ -1,0 +1,22 @@
+from .parser import iter_features, parse_feature
+from .schema import SchemaBuilder
+from .reader import read_geojson
+from .writer import write_geojson, write_ndjson, feature_json_df
+from .convert import (
+    geojson_to_geoparquet,
+    geoparquet_to_geojson,
+    parquet_to_geoparquet,
+)
+
+__all__ = [
+    "iter_features",
+    "parse_feature",
+    "SchemaBuilder",
+    "read_geojson",
+    "write_geojson",
+    "write_ndjson",
+    "feature_json_df",
+    "geojson_to_geoparquet",
+    "geoparquet_to_geojson",
+    "parquet_to_geoparquet",
+]

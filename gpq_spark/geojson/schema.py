@@ -1,0 +1,103 @@
+"""Schema inference for GeoJSON properties → Spark StructType.
+
+Ports the reference's deferral semantics
+(/root/reference/internal/pqutil/arrow.go:42-188): the first non-null
+value fixes a field's type; nulls, empty lists, and empty maps defer;
+list elements must be uniform ("slices must be of all the same type");
+struct keys are sorted alphabetically; the overall schema is sorted by
+field name; the builder is Ready only when every seen field has a
+concrete type.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import types as T
+
+
+class SchemaError(ValueError):
+    pass
+
+
+def _type_from_value(value: Any) -> T.DataType | None:
+    """None → deferred (unknown)."""
+    if isinstance(value, bool):
+        return T.BooleanType()
+    if isinstance(value, (int, float)):
+        # JSON numbers are all float64 in the reference (Go json),
+        # so every numeric property infers as double (arrow.go:77-78)
+        return T.DoubleType()
+    if isinstance(value, bytes):
+        return T.BinaryType()
+    if isinstance(value, str):
+        return T.StringType()
+    if isinstance(value, list):
+        if len(value) == 0:
+            return None
+        _assert_uniform(value)
+        elem = _type_from_value(value[0])
+        if elem is None:
+            return None
+        return T.ArrayType(elem, containsNull=True)
+    if isinstance(value, dict):
+        if len(value) == 0:
+            return None
+        fields = []
+        for key in sorted(value.keys()):
+            ftype = _type_from_value(value[key])
+            if ftype is None:
+                return None
+            fields.append(T.StructField(key, ftype, nullable=True))
+        return T.StructType(fields)
+    raise SchemaError(f"cannot convert value: {value}")
+
+
+def _kind(v: Any) -> type:
+    if isinstance(v, bool):
+        return bool
+    if isinstance(v, (int, float)):
+        return float  # all JSON numbers are one type
+    return type(v)
+
+
+def _assert_uniform(values: list) -> None:
+    first = _kind(values[0])
+    for v in values[1:]:
+        if _kind(v) is not first:
+            raise SchemaError("slices must be of all the same type")
+
+
+class SchemaBuilder:
+    def __init__(self) -> None:
+        self._fields: dict[str, T.DataType | None] = {}
+
+    def add(self, properties: dict[str, Any]) -> None:
+        for name, value in properties.items():
+            if self._fields.get(name) is not None:
+                continue
+            if value is None:
+                self._fields.setdefault(name, None)
+                self._fields[name] = self._fields[name]  # keep deferred
+                continue
+            dtype = _type_from_value(value)
+            if dtype is None and name not in self._fields:
+                self._fields[name] = None
+            elif dtype is not None:
+                self._fields[name] = dtype
+            else:
+                self._fields.setdefault(name, None)
+
+    def ready(self) -> bool:
+        return all(v is not None for v in self._fields.values())
+
+    def schema(self, geometry_column: str = "geometry") -> T.StructType:
+        if not self.ready():
+            missing = [k for k, v in self._fields.items() if v is None]
+            raise SchemaError(f"could not resolve types for fields: {missing}")
+        fields = [
+            T.StructField(name, dtype, nullable=True)
+            for name, dtype in sorted(self._fields.items())
+        ]
+        fields.append(T.StructField(geometry_column, T.BinaryType(), nullable=True))
+        return T.StructType(fields)

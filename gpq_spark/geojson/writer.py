@@ -1,0 +1,136 @@
+"""DataFrame → GeoJSON writing.
+
+Feature shape parity with the reference record writer
+(/root/reference/internal/geojson/recordwriter.go:31-104): each feature
+has exactly ``type``/``properties``/``geometry`` keys; the primary
+geometry column becomes ``geometry`` (decoded WKB/WKT → GeoJSON
+geometry object); other geometry columns land in ``properties`` as
+geometry objects; all remaining columns are properties.
+
+Two sinks:
+- ``feature_json_df`` / ``write_ndjson``: distributed — one GeoJSON
+  feature per line, computed in Arrow-batched ``mapInPandas`` on the
+  executors. The scale path.
+- ``write_geojson``: a single ``FeatureCollection`` document streamed
+  on the driver via ``toLocalIterator`` (bounded driver memory) — the
+  CLI-parity path.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import math
+import os
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+
+from ..geo.geojson_geom import decode_geometry
+from ..geoparquet.metadata import GeoMetadata
+
+
+def _jsonable(value: Any) -> Any:
+    import numpy as np
+
+    if isinstance(value, np.ndarray):
+        return [_jsonable(v) for v in value.tolist()]
+    if isinstance(value, np.generic):
+        return _jsonable(value.item())
+    if isinstance(value, (bytes, bytearray)):
+        import base64
+
+        return base64.b64encode(bytes(value)).decode()  # Go []byte JSON encoding
+    if isinstance(value, _dt.datetime):
+        return value.isoformat()
+    if isinstance(value, _dt.date):
+        return value.isoformat()
+    if isinstance(value, float) and (math.isnan(value) or math.isinf(value)):
+        return None
+    if isinstance(value, dict):
+        return {k: _jsonable(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [_jsonable(v) for v in value]
+    return value
+
+
+def _format_floats(obj: Any) -> Any:
+    """Render float whole numbers without a trailing .0 (Go json
+    marshals float64(5) as "5") so round-trip comparisons match."""
+    if isinstance(obj, float) and obj.is_integer() and abs(obj) < 1e15:
+        return int(obj)
+    if isinstance(obj, dict):
+        return {k: _format_floats(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_format_floats(v) for v in obj]
+    return obj
+
+
+def feature_to_json(
+    row: dict[str, Any], meta: GeoMetadata, go_numbers: bool = True
+) -> str:
+    geometry = None
+    properties: dict[str, Any] = {}
+    for name, value in row.items():
+        col = meta.columns.get(name)
+        if col is not None:
+            geom = decode_geometry(value, col.encoding or "")
+            if name == meta.primary_column:
+                geometry = geom
+            else:
+                properties[name] = geom
+            continue
+        properties[name] = _jsonable(value)
+    feature = {"type": "Feature", "properties": properties, "geometry": geometry}
+    if go_numbers:
+        feature = _format_floats(feature)
+    return json.dumps(feature, separators=(",", ":"), ensure_ascii=False)
+
+
+def feature_json_df(df: DataFrame, meta: GeoMetadata) -> DataFrame:
+    """DataFrame of single-column ``value: string`` — one GeoJSON
+    feature JSON per input row (distributed)."""
+    import pandas as pd
+
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(df.sparkSession)
+    meta_dict = meta.to_dict()
+    columns = df.columns
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = GeoMetadata.from_dict(meta_dict)
+        for pdf in batches:
+            out = [
+                feature_to_json(dict(zip(columns, rec)), m)
+                for rec in pdf.itertuples(index=False, name=None)
+            ]
+            yield pd.DataFrame({"value": out})
+
+    return df.mapInPandas(emit, schema="value string")
+
+
+def write_ndjson(df: DataFrame, meta: GeoMetadata, path: str, mode: str = "overwrite") -> None:
+    """Distributed newline-delimited GeoJSON output (part files)."""
+    feature_json_df(df, meta).write.mode(mode).text(path)
+
+
+def write_geojson(df: DataFrame, meta: GeoMetadata, path: str) -> int:
+    """Single FeatureCollection document, streamed on the driver.
+
+    Returns the number of features written. Exact container shape:
+    ``{"type":"FeatureCollection","features":[...]}``
+    (recordwriter.go:25-29).
+    """
+    count = 0
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write('{"type":"FeatureCollection","features":[')
+        for row in feature_json_df(df, meta).toLocalIterator():
+            if count > 0:
+                fh.write(",")
+            fh.write(row["value"])
+            count += 1
+        fh.write("]}")
+    os.replace(tmp, path)
+    return count

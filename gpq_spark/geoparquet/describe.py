@@ -1,0 +1,161 @@
+"""The describe report: schema + geo metadata + counts + issues.
+
+Reproduces the reference's JSON report shape
+(/root/reference/cmd/gpq/command/describe.go:248-345): fields carry
+name, optional/repeated, physical type name, lowercased logical-type
+annotation, row-group-0 compression, and nested fields; top level adds
+geo metadata, row/row-group counts, and issues for missing/invalid geo
+metadata. Everything is footer-only — no data scan.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any
+
+import pyarrow.parquet as pq
+
+from .metadata import METADATA_KEY
+from .reader import _first_parquet_file
+
+_NODE_RE = re.compile(
+    r"^(required|optional|repeated)\s+"
+    r"(group|boolean|int32|int64|int96|float|double|binary|fixed_len_byte_array\(\d+\))\s+"
+    r"field_id=-?\d+\s+"
+    r"([^\s({]+)"
+    r"(?:\s+\(([^)]*(?:\([^)]*\))?[^)]*)\))?"
+    r"\s*([{;])\s*$"
+)
+
+
+def _parse_schema_dump(dump: str) -> dict[str, Any]:
+    """Parse pyarrow's parquet schema tree dump into nested node dicts."""
+    lines = [ln.strip() for ln in dump.strip().splitlines() if ln.strip()]
+    # pyarrow prefixes the dump with an object repr line — skip to the tree
+    lines = [
+        ln
+        for ln in lines
+        if ln == "}" or ln.startswith(("required ", "optional ", "repeated "))
+    ]
+    pos = 0
+
+    def parse_node(line: str) -> tuple[dict[str, Any], bool]:
+        m = _NODE_RE.match(line)
+        if m is None:
+            raise ValueError(f"unparseable parquet schema line: {line!r}")
+        repetition, ptype, name, annotation, delim = m.groups()
+        node = {
+            "repetition": repetition,
+            "ptype": ptype,
+            "name": name,
+            "annotation": annotation or "",
+            "children": [],
+        }
+        return node, delim == "{"
+
+    def parse_block(parent: dict[str, Any]) -> None:
+        nonlocal pos
+        while pos < len(lines):
+            line = lines[pos]
+            if line == "}":
+                pos += 1
+                return
+            pos += 1
+            node, has_children = parse_node(line)
+            parent["children"].append(node)
+            if has_children:
+                parse_block(node)
+
+    root, has_children = parse_node(lines[0])
+    pos = 1
+    if has_children:
+        parse_block(root)
+    root["name"] = ""
+    return root
+
+
+def _build_field(
+    node: dict[str, Any],
+    path: tuple[str, ...],
+    compression_by_path: dict[str, str],
+    is_root: bool = False,
+) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    if node["name"]:
+        out["name"] = node["name"]
+    if node["repetition"] == "optional":
+        out["optional"] = True
+    elif node["repetition"] == "repeated":
+        out["repeated"] = True
+    is_group = node["ptype"] == "group"
+    if not is_group:
+        out["type"] = node["ptype"]
+    annotation = node["annotation"].lower()
+    if annotation:
+        out["annotation"] = annotation
+    elif is_group:
+        out["annotation"] = "group"
+    if not is_group:
+        leaf_path = ".".join(path)
+        out["compression"] = compression_by_path.get(leaf_path, "unknown")
+    children = [
+        _build_field(child, path + (child["name"],), compression_by_path)
+        for child in node["children"]
+    ]
+    if children:
+        out["fields"] = children
+    return out
+
+
+def describe(path: str) -> dict[str, Any]:
+    """Build the describe report dict for a (Geo)Parquet file."""
+    target = _first_parquet_file(path)
+    pf = pq.ParquetFile(target)
+    meta = pf.metadata
+
+    compression_by_path: dict[str, str] = {}
+    if meta.num_row_groups > 0:
+        rg = meta.row_group(0)
+        for i in range(rg.num_columns):
+            col = rg.column(i)
+            compression_by_path[col.path_in_schema] = col.compression.lower()
+
+    root = _parse_schema_dump(str(meta.schema))
+    schema_field = _build_field(root, (), compression_by_path, is_root=True)
+
+    info: dict[str, Any] = {
+        "schema": schema_field,
+        "metadata": None,
+        "rows": meta.num_rows,
+        "groups": meta.num_row_groups,
+        "issues": None,
+    }
+
+    kv = pf.schema_arrow.metadata or {}
+    raw = kv.get(METADATA_KEY.encode())
+    if raw is None:
+        info["issues"] = [
+            f'Not a valid GeoParquet file (missing the "{METADATA_KEY}" metadata key).'
+            " Run convert to try to convert it to GeoParquet."
+        ]
+    else:
+        try:
+            info["metadata"] = json.loads(raw.decode())
+        except ValueError:
+            info["issues"] = [
+                f'Not a valid GeoParquet file (invalid "{METADATA_KEY}" metadata).'
+                f' Run describe with the --metadata-only flag to see the "{METADATA_KEY}"'
+                " metadata value. Run validate for more detail on validation issues."
+            ]
+    return info
+
+
+def describe_metadata_only(path: str) -> str:
+    """The raw "geo" footer value (``describe --metadata-only``)."""
+    target = _first_parquet_file(path)
+    kv = pq.read_schema(target).metadata or {}
+    raw = kv.get(METADATA_KEY.encode())
+    if raw is None:
+        raise KeyError(f'missing "{METADATA_KEY}" metadata key')
+    return raw.decode()

@@ -1,0 +1,3 @@
+from .validator import Validator, validate, validate_df
+
+__all__ = ["Validator", "validate", "validate_df"]

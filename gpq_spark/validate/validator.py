@@ -1,0 +1,725 @@
+"""GeoParquet spec validator: 16 metadata rules + 4 data-scanning rules.
+
+Behavioral spec ported from /root/reference/internal/validator/
+(rules.go + validator.go): staged dispatch over four data shapes, fatal
+errors short-circuit remaining stages (their checks report run=false),
+non-fatal failures record a message and continue, data-scanning rules
+latch the first offending value. Report shape:
+``{"checks": [{"title", "run", "passed", "message"?}], "metadataOnly"}``.
+
+Two execution paths:
+- ``validate(path)``: exact reference semantics (footer + streamed
+  scan via pyarrow) — row-order-faithful "first error" messages, used
+  for spec-report parity.
+- ``validate_df(spark, path)``: the scan rules as one distributed
+  Spark pass (per-rule violation counts + min offending row), the
+  100 TB path; metadata rules are footer-only either way.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import pyarrow.parquet as pq
+
+from ..geo import wkb as _wkb
+from ..geo.geojson_geom import decode_geometry
+from ..geoparquet.metadata import (
+    GEOMETRY_TYPES,
+    METADATA_KEY,
+    GeoMetadata,
+)
+from ..geoparquet.reader import _first_parquet_file
+
+
+class FatalError(Exception):
+    pass
+
+
+def _fatal(msg: str) -> FatalError:
+    return FatalError(msg)
+
+
+def _as_json(value: Any) -> str:
+    return json.dumps(value, separators=(",", ":"))
+
+
+def _json_type(value: Any) -> str:
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, (int, float)):
+        return "number"
+    if isinstance(value, str):
+        return "string"
+    if isinstance(value, dict):
+        return "object"
+    if isinstance(value, list):
+        return "list"
+    if value is None:
+        return "null"
+    return type(value).__name__
+
+
+@dataclass
+class Check:
+    title: str
+    run: bool = False
+    passed: bool = False
+    message: str | None = None
+
+    def to_dict(self) -> dict[str, Any]:
+        out: dict[str, Any] = {"title": self.title, "run": self.run, "passed": self.passed}
+        if self.message:
+            out["message"] = self.message
+        return out
+
+
+@dataclass
+class Rule:
+    title: str
+    stage: str  # file | metadata | column_metadata | file_info | scan_encoded | scan_decoded
+    fn: Callable[..., None]  # raises FatalError / ValueError on failure
+
+
+def _default_schema_loader(url: str) -> dict:
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=10) as resp:  # pragma: no cover
+        return json.loads(resp.read().decode())
+
+
+def _projjson_schema_url(version: str) -> str:
+    return f"https://proj.org/schemas/v{version}/projjson.schema.json"
+
+
+def _simplified_validation_message(error) -> str:
+    """Descend to the first leaf cause, mirroring the reference's
+    simplifiedValidationMessage (rules.go:293-303). Message wording
+    comes from the Python jsonschema library and may differ from the
+    reference's Go library."""
+    leaf = error
+    while getattr(leaf, "context", None):
+        leaf = leaf.context[0]
+    location = "/".join(str(p) for p in leaf.absolute_path)
+    if location == "":
+        location = "input"
+    return f"{location} is invalid: {leaf.message}"
+
+
+def build_rules(schema_loader: Callable[[str], dict] | None = None) -> list[Rule]:
+    loader = schema_loader or _default_schema_loader
+    rules: list[Rule] = []
+
+    # --- file stage -------------------------------------------------------
+    def required_geo_key(kv: dict[bytes, bytes]) -> None:
+        if METADATA_KEY.encode() not in kv:
+            raise _fatal(f'missing "{METADATA_KEY}" metadata key')
+
+    rules.append(Rule(f'file must include a "{METADATA_KEY}" metadata key', "file", required_geo_key))
+
+    def required_metadata_type(kv: dict[bytes, bytes]) -> None:
+        raw = kv.get(METADATA_KEY.encode())
+        try:
+            value = json.loads(raw.decode())
+        except Exception:
+            raise _fatal("failed to parse file metadata as a JSON object")
+        if not isinstance(value, dict):
+            raise _fatal("failed to parse file metadata as a JSON object")
+
+    rules.append(Rule("metadata must be a JSON object", "file", required_metadata_type))
+
+    # --- metadata stage ---------------------------------------------------
+    def required_version(meta: dict) -> None:
+        if "version" not in meta:
+            raise ValueError('missing "version" in metadata')
+        version = meta["version"]
+        if not isinstance(version, str):
+            raise ValueError(f'expected "version" to be a string, got {_as_json(version)}')
+        if version == "":
+            raise ValueError('expected "version" to be a non-empty string')
+
+    rules.append(Rule('metadata must include a "version" string', "metadata", required_version))
+
+    def required_primary_column(meta: dict) -> None:
+        if "primary_column" not in meta:
+            raise ValueError('missing "primary_column" in metadata')
+        if not isinstance(meta["primary_column"], str):
+            raise ValueError(
+                f'expected "primary_column" to be a string, got {_as_json(meta["primary_column"])}'
+            )
+
+    rules.append(
+        Rule('metadata must include a "primary_column" string', "metadata", required_primary_column)
+    )
+
+    def required_columns(meta: dict) -> None:
+        if "columns" not in meta:
+            raise _fatal('missing "columns" in metadata')
+        columns = meta["columns"]
+        if not isinstance(columns, dict):
+            raise _fatal(f'expected "columns" to be an object, got {_as_json(columns)}')
+        for name, col in columns.items():
+            if not isinstance(col, dict):
+                raise _fatal(f'expected column "{name}" to be an object, got {_as_json(col)}')
+
+    rules.append(Rule('metadata must include a "columns" object', "metadata", required_columns))
+
+    # --- file_info stage (needs parsed metadata + schema) ----------------
+    def primary_in_lookup(info: "FileInfo") -> None:
+        name = info.metadata.primary_column
+        if name not in info.metadata.columns:
+            raise ValueError(f'the "{name}" column is not included in the column metadata')
+
+    rules.append(
+        Rule('column metadata must include the "primary_column" name', "file_info", primary_in_lookup)
+    )
+
+    # --- column metadata stage -------------------------------------------
+    def required_encoding(cols: dict[str, dict]) -> None:
+        for name, meta in cols.items():
+            if "encoding" not in meta:
+                raise ValueError(f'missing "encoding" for column "{name}"')
+            encoding = meta["encoding"]
+            if not isinstance(encoding, str):
+                raise ValueError(
+                    f'expected "encoding" for column "{name}" to be a string, got {_as_json(encoding)}'
+                )
+            if encoding != "WKB":
+                raise ValueError(f'unsupported encoding "{encoding}" for column "{name}"')
+
+    rules.append(
+        Rule('column metadata must include a valid "encoding" string', "column_metadata", required_encoding)
+    )
+
+    def required_geometry_types(cols: dict[str, dict]) -> None:
+        for name, meta in cols.items():
+            if "geometry_types" not in meta:
+                raise ValueError(f'missing "geometry_types" for column "{name}"')
+            gts = meta["geometry_types"]
+            if not isinstance(gts, list):
+                raise ValueError(
+                    f'expected "geometry_types" for column "{name}" to be a list, got {_as_json(gts)}'
+                )
+            for value in gts:
+                if not isinstance(value, str):
+                    raise ValueError(
+                        f'expected "geometry_types" for column "{name}" to be a list of strings,'
+                        f" got {_as_json(gts)}"
+                    )
+                if value not in GEOMETRY_TYPES:
+                    raise ValueError(f'unsupported geometry type "{value}" for column "{name}"')
+
+    rules.append(
+        Rule(
+            'column metadata must include a "geometry_types" list',
+            "column_metadata",
+            required_geometry_types,
+        )
+    )
+
+    def optional_crs(cols: dict[str, dict]) -> None:
+        for name, meta in cols.items():
+            if meta.get("crs") is None:
+                return
+            crs = meta["crs"]
+            if not isinstance(crs, dict):
+                raise _fatal(
+                    f'expected "crs" for column "{name}" to be an object,'
+                    f" got a {_json_type(crs)}: {_as_json(crs)}"
+                )
+            schema_url = crs.get("$schema")
+            if not isinstance(schema_url, str):
+                schema_url = _projjson_schema_url("0.6")
+            try:
+                schema = loader(schema_url)
+            except Exception as exc:
+                raise ValueError(f"failed to compile PROJJSON schema: {exc}")
+            try:
+                import jsonschema
+            except ImportError as exc:  # pragma: no cover
+                raise ValueError(f"failed to compile PROJJSON schema: {exc}")
+            validator_cls = jsonschema.validators.validator_for(schema)
+            validator = validator_cls(schema)
+            errors = sorted(validator.iter_errors(crs), key=lambda e: list(e.absolute_path))
+            if errors:
+                raise ValueError(
+                    f"validation failed against {schema_url}: "
+                    f"{_simplified_validation_message(errors[0])}"
+                )
+
+    rules.append(
+        Rule('optional "crs" must be null or a PROJJSON object', "column_metadata", optional_crs)
+    )
+
+    def optional_orientation(cols: dict[str, dict]) -> None:
+        for name, meta in cols.items():
+            if "orientation" not in meta:
+                return
+            orientation = meta["orientation"]
+            if not isinstance(orientation, str):
+                raise _fatal(
+                    f'expected "orientation" for column "{name}" to be a string,'
+                    f" got a {_json_type(orientation)}: {_as_json(orientation)}"
+                )
+            if orientation != "counterclockwise":
+                raise ValueError(
+                    f'unsupported orientation "{orientation}" for column "{name}",'
+                    f' expected "counterclockwise"'
+                )
+
+    rules.append(
+        Rule('optional "orientation" must be a valid string', "column_metadata", optional_orientation)
+    )
+
+    def optional_edges(cols: dict[str, dict]) -> None:
+        for name, meta in cols.items():
+            if "edges" not in meta:
+                return
+            edges = meta["edges"]
+            if not isinstance(edges, str):
+                raise _fatal(
+                    f'expected "edges" for column "{name}" to be a string,'
+                    f" got a {_json_type(edges)}: {_as_json(edges)}"
+                )
+            if edges not in ("planar", "spherical"):
+                raise ValueError(
+                    f'unsupported edges "{edges}" for column "{name}", expected "planar" or "spherical"'
+                )
+
+    rules.append(Rule('optional "edges" must be a valid string', "column_metadata", optional_edges))
+
+    def optional_bbox(cols: dict[str, dict]) -> None:
+        for name, meta in cols.items():
+            if "bbox" not in meta:
+                return
+            bbox = meta["bbox"]
+            if not isinstance(bbox, list):
+                raise _fatal(
+                    f'expected "bbox" for column "{name}" to be a list,'
+                    f" got a {_json_type(bbox)}: {_as_json(bbox)}"
+                )
+            if len(bbox) not in (4, 6):
+                raise ValueError(
+                    f'expected "bbox" for column "{name}" to be a list of 4 or 6 numbers,'
+                    f" got {_as_json(bbox)}"
+                )
+            for value in bbox:
+                if isinstance(value, bool) or not isinstance(value, (int, float)):
+                    raise _fatal(
+                        f'expected "bbox" for column "{name}" to be a list of numbers,'
+                        f" got {_as_json(bbox)}"
+                    )
+
+    rules.append(
+        Rule('optional "bbox" must be an array of 4 or 6 numbers', "column_metadata", optional_bbox)
+    )
+
+    def optional_epoch(cols: dict[str, dict]) -> None:
+        for name, meta in cols.items():
+            if "epoch" not in meta:
+                return
+            epoch = meta["epoch"]
+            if isinstance(epoch, bool) or not isinstance(epoch, (int, float)):
+                raise _fatal(
+                    f'expected "epoch" for column "{name}" to be a number,'
+                    f" got a {_json_type(epoch)}: {_as_json(epoch)}"
+                )
+
+    rules.append(Rule('optional "epoch" must be a number', "column_metadata", optional_epoch))
+
+    # --- schema rules (file_info stage) ----------------------------------
+    def geometry_ungrouped(info: "FileInfo") -> None:
+        for name in info.metadata.columns:
+            idx = info.arrow_schema.get_field_index(name)
+            if idx < 0:
+                raise _fatal(f'missing geometry column "{name}"')
+            import pyarrow as pa
+
+            t = info.arrow_schema.field(idx).type
+            if pa.types.is_nested(t):
+                raise ValueError(f'column "{name}" must not be a group')
+
+    rules.append(Rule("geometry columns must not be grouped", "file_info", geometry_ungrouped))
+
+    def geometry_data_type(info: "FileInfo") -> None:
+        import pyarrow as pa
+
+        for name in info.metadata.columns:
+            idx = info.arrow_schema.get_field_index(name)
+            if idx < 0:
+                raise _fatal(f'missing geometry column "{name}"')
+            t = info.arrow_schema.field(idx).type
+            if pa.types.is_nested(t):
+                raise _fatal(f'expected primitive column for "{name}"')
+            # BYTE_ARRAY physical: binary or string logical
+            if not (
+                pa.types.is_binary(t)
+                or pa.types.is_large_binary(t)
+                or pa.types.is_string(t)
+                or pa.types.is_large_string(t)
+            ):
+                ptype = info.physical_types.get(name, str(t).upper())
+                raise _fatal(f'unexpected type for column "{name}", got {ptype}')
+
+    rules.append(
+        Rule(
+            "geometry columns must be stored using the BYTE_ARRAY parquet type",
+            "file_info",
+            geometry_data_type,
+        )
+    )
+
+    def geometry_repetition(info: "FileInfo") -> None:
+        import pyarrow as pa
+
+        for name in info.metadata.columns:
+            idx = info.arrow_schema.get_field_index(name)
+            if idx < 0:
+                raise _fatal(f'missing geometry column "{name}"')
+            if pa.types.is_list(info.arrow_schema.field(idx).type):
+                raise ValueError(f'column "{name}" must not be repeated')
+
+    rules.append(
+        Rule(
+            "geometry columns must be required or optional, not repeated",
+            "file_info",
+            geometry_repetition,
+        )
+    )
+
+    # --- data-scanning rules ---------------------------------------------
+    def scan_encoding(info: "FileInfo", name: str, value: Any) -> None:
+        col = info.metadata.columns.get(name)
+        if col is None:
+            raise _fatal(f'missing geometry column "{name}"')
+        try:
+            decode_geometry(value, col.encoding or "")
+        except Exception as exc:
+            raise _fatal(f'invalid geometry in column "{name}": {exc}')
+
+    rules.append(
+        Rule('all geometry values match the "encoding" metadata', "scan_encoded", scan_encoding)
+    )
+
+    def scan_types(info: "FileInfo", name: str, geom: dict) -> None:
+        col = info.metadata.columns.get(name)
+        if col is None:
+            raise _fatal(f'missing geometry column "{name}"')
+        declared = col.get_geometry_types()
+        if not declared:
+            return
+        actual = geom["type"]
+        if actual not in declared and (actual + " Z") not in declared:
+            raise ValueError(f'unexpected geometry type "{actual}" for column "{name}"')
+
+    rules.append(
+        Rule(
+            'all geometry types must be included in the "geometry_types" metadata (if not empty)',
+            "scan_decoded",
+            scan_types,
+        )
+    )
+
+    def scan_orientation(info: "FileInfo", name: str, geom: dict) -> None:
+        col = info.metadata.columns.get(name)
+        if col is None:
+            raise _fatal(f'missing geometry column "{name}"')
+        if not col.orientation:
+            return
+        if col.orientation != "counterclockwise":
+            raise ValueError(f'unsupported orientation "{col.orientation}" for column "{name}"')
+        if geom["type"] != "Polygon":
+            return
+        for i, ring in enumerate(geom["coordinates"]):
+            area2 = _wkb._ring_area2(ring)
+            if i == 0:
+                if area2 < 0:
+                    raise ValueError(f'invalid orientation for exterior ring in column "{name}"')
+            elif area2 > 0:
+                raise ValueError(f'invalid orientation for interior ring in column "{name}"')
+
+    rules.append(
+        Rule(
+            'all polygon geometries must follow the "orientation" metadata (if present)',
+            "scan_decoded",
+            scan_orientation,
+        )
+    )
+
+    def scan_bounds(info: "FileInfo", name: str, geom: dict) -> None:
+        col = info.metadata.columns.get(name)
+        if col is None:
+            raise _fatal(f'missing geometry column "{name}"')
+        bbox = col.bbox
+        if not bbox:
+            return
+        if len(bbox) == 4:
+            x0, y0, x1, y1 = bbox
+        elif len(bbox) == 6:
+            x0, y0, x1, y1 = bbox[0], bbox[1], bbox[3], bbox[4]
+        else:
+            raise ValueError(f'invalid bbox length for column "{name}"')
+        b = _wkb.bounds(geom)
+        if b is None:
+            return
+        minx, miny, maxx, maxy = b
+        if x0 <= x1:
+            if minx < x0:
+                raise ValueError(
+                    f'geometry in column "{name}" extends to {minx:.6f}, west of the bbox'
+                )
+            if maxx > x1:
+                raise ValueError(
+                    f'geometry in column "{name}" extends to {maxx:.6f}, east of the bbox'
+                )
+        else:
+            # bbox crosses the antimeridian
+            if maxx > x1 and maxx < x0:
+                raise ValueError(
+                    f'geometry in column "{name}" extends to {maxx:.6f}, outside of the bbox'
+                )
+            if minx < x0 and minx > x1:
+                raise ValueError(
+                    f'geometry in column "{name}" extends to {minx:.6f}, outside of the bbox'
+                )
+        if miny < y0:
+            raise ValueError(
+                f'geometry in column "{name}" extends to {miny:.6f}, south of the bbox'
+            )
+        if maxy > y1:
+            raise ValueError(
+                f'geometry in column "{name}" extends to {maxy:.6f}, north of the bbox'
+            )
+
+    rules.append(
+        Rule(
+            'all geometries must fall within the "bbox" metadata (if present)',
+            "scan_decoded",
+            scan_bounds,
+        )
+    )
+
+    return rules
+
+
+@dataclass
+class FileInfo:
+    metadata: GeoMetadata
+    arrow_schema: Any
+    physical_types: dict[str, str] = field(default_factory=dict)
+
+
+class Validator:
+    def __init__(
+        self,
+        metadata_only: bool = False,
+        schema_loader: Callable[[str], dict] | None = None,
+    ):
+        self.metadata_only = metadata_only
+        all_rules = build_rules(schema_loader)
+        if metadata_only:
+            all_rules = [r for r in all_rules if not r.stage.startswith("scan_")]
+        self.rules = all_rules
+
+    def report(self, path: str) -> dict[str, Any]:
+        checks = [Check(title=r.title) for r in self.rules]
+        report = {"checks": checks, "metadataOnly": self.metadata_only}
+
+        def done() -> dict[str, Any]:
+            return {
+                "checks": [c.to_dict() for c in checks],
+                "metadataOnly": self.metadata_only,
+            }
+
+        target = _first_parquet_file(path)
+        pf = pq.ParquetFile(target)
+        arrow_schema = pf.schema_arrow
+        kv = arrow_schema.metadata or {}
+
+        def run_stage(stage: str, data: Any) -> bool:
+            """Returns False when a fatal error short-circuits."""
+            for rule, check in zip(self.rules, checks):
+                if rule.stage != stage:
+                    continue
+                check.run = True
+                try:
+                    rule.fn(data)
+                except FatalError as exc:
+                    check.message = str(exc)
+                    return False
+                except Exception as exc:
+                    check.message = str(exc)
+                    continue
+                check.passed = True
+            return True
+
+        if not run_stage("file", kv):
+            return done()
+
+        metadata_map = json.loads(kv[METADATA_KEY.encode()].decode())
+        if not run_stage("metadata", metadata_map):
+            return done()
+
+        columns_map = metadata_map.get("columns")
+        if not isinstance(columns_map, dict):
+            raise ValueError("columns metadata is not an object")
+        if not run_stage("column_metadata", columns_map):
+            return done()
+
+        physical = {}
+        pqschema = pf.metadata.schema
+        for i in range(len(pqschema)):
+            col = pqschema.column(i)
+            physical[col.path.split(".")[0]] = col.physical_type
+        info = FileInfo(
+            metadata=GeoMetadata.from_dict(metadata_map),
+            arrow_schema=arrow_schema,
+            physical_types=physical,
+        )
+        if not run_stage("file_info", info):
+            return done()
+
+        if self.metadata_only:
+            return done()
+
+        # data scan: latch first error per rule; fatal aborts the scan
+        scan_rules = [
+            (rule, check)
+            for rule, check in zip(self.rules, checks)
+            if rule.stage.startswith("scan_")
+        ]
+        latched: dict[str, Exception | None] = {r.title: None for r, _ in scan_rules}
+        geom_columns = [
+            name for name in info.metadata.columns if name in arrow_schema.names
+        ]
+        try:
+            for batch in pf.iter_batches():
+                for name in geom_columns:
+                    if name not in batch.schema.names:
+                        continue
+                    encoding = (info.metadata.columns[name].encoding or "")
+                    for value in batch.column(name).to_pylist():
+                        for rule, check in scan_rules:
+                            if rule.stage != "scan_encoded" or latched[rule.title]:
+                                continue
+                            try:
+                                rule.fn(info, name, value)
+                            except FatalError as exc:
+                                check.message = str(exc)
+                                check.run = True
+                                return done()
+                            except Exception as exc:
+                                latched[rule.title] = exc
+                        geom = decode_geometry(value, encoding)
+                        if geom is None:
+                            continue
+                        for rule, check in scan_rules:
+                            if rule.stage != "scan_decoded" or latched[rule.title]:
+                                continue
+                            try:
+                                rule.fn(info, name, geom)
+                            except FatalError as exc:
+                                check.message = str(exc)
+                                check.run = True
+                                return done()
+                            except Exception as exc:
+                                latched[rule.title] = exc
+        except FatalError:
+            raise
+
+        for rule, check in scan_rules:
+            check.run = True
+            err = latched[rule.title]
+            if err is not None:
+                check.message = str(err)
+            else:
+                check.passed = True
+        return done()
+
+
+def validate(
+    path: str,
+    metadata_only: bool = False,
+    schema_loader: Callable[[str], dict] | None = None,
+) -> dict[str, Any]:
+    return Validator(metadata_only, schema_loader).report(path)
+
+
+def validate_df(spark, path: str, schema_loader: Callable[[str], dict] | None = None):
+    """Distributed variant: metadata rules on the driver (footer-only),
+    scan rules as ONE Spark pass returning per-rule violation counts.
+
+    Returns (report_dict, scan_df) where scan_df has columns
+    (rule string, violations long) — the 100 TB path for the 4
+    data-scanning rules (reference A4 reduction).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.geometry import (
+        st_envelope,
+        st_geometry_type,
+        st_is_valid_wkb,
+        st_orientation_ok,
+    )
+
+    report = Validator(metadata_only=True, schema_loader=schema_loader).report(path)
+    meta = GeoMetadata.from_dict(
+        json.loads(
+            (pq.read_schema(_first_parquet_file(path)).metadata or {})[
+                METADATA_KEY.encode()
+            ].decode()
+        )
+    )
+    df = spark.read.parquet(path)
+    name = meta.primary_column
+    col = meta.primary()
+    aggs = [
+        F.sum(F.when(~st_is_valid_wkb(name), 1).otherwise(0)).alias("bad_encoding"),
+    ]
+    declared = col.get_geometry_types() if col else []
+    if declared:
+        base_types = {t.removesuffix(" Z") for t in declared} | set(declared)
+        aggs.append(
+            F.sum(
+                F.when(
+                    st_geometry_type(name).isNotNull()
+                    & ~st_geometry_type(name).isin(*base_types),
+                    1,
+                ).otherwise(0)
+            ).alias("bad_type")
+        )
+    else:
+        aggs.append(F.lit(0).alias("bad_type"))
+    if col is not None and col.orientation == "counterclockwise":
+        aggs.append(
+            F.sum(F.when(~st_orientation_ok(name), 1).otherwise(0)).alias("bad_orientation")
+        )
+    else:
+        aggs.append(F.lit(0).alias("bad_orientation"))
+    if col is not None and col.bbox and len(col.bbox) in (4, 6):
+        bbox = col.bbox
+        x0, y0, x1, y1 = (
+            (bbox[0], bbox[1], bbox[2], bbox[3])
+            if len(bbox) == 4
+            else (bbox[0], bbox[1], bbox[3], bbox[4])
+        )
+        env = st_envelope(name)
+        if x0 <= x1:
+            out_of_bounds = (
+                (env["xmin"] < x0) | (env["xmax"] > x1) | (env["ymin"] < y0) | (env["ymax"] > y1)
+            )
+        else:
+            out_of_bounds = (
+                ((env["xmax"] > x1) & (env["xmax"] < x0))
+                | ((env["xmin"] < x0) & (env["xmin"] > x1))
+                | (env["ymin"] < y0)
+                | (env["ymax"] > y1)
+            )
+        aggs.append(F.sum(F.when(out_of_bounds, 1).otherwise(0)).alias("bad_bounds"))
+    else:
+        aggs.append(F.lit(0).alias("bad_bounds"))
+    scan_df = df.agg(*aggs)
+    return report, scan_df

@@ -1,0 +1,267 @@
+"""GeoJSON reader/writer/converter tests against the reference's
+geojson fixture corpus (/root/reference/internal/geojson/testdata/)."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+GJ = "/root/reference/internal/geojson/testdata"
+
+
+def _read(name):
+    with open(os.path.join(GJ, name)) as fh:
+        return fh.read()
+
+
+class TestParser:
+    def test_feature_collection(self):
+        from gpq_spark.geojson.parser import iter_features
+
+        feats = list(iter_features(_read("example.geojson")))
+        assert len(feats) == 5
+        assert feats[0]["properties"]["name"] == "Fiji"
+
+    def test_single_feature(self):
+        from gpq_spark.geojson.parser import iter_features
+
+        feats = list(iter_features(_read("feature.geojson")))
+        assert len(feats) == 1
+
+    def test_bare_geometry(self):
+        from gpq_spark.geojson.parser import iter_features
+
+        feats = list(iter_features(_read("point-geometry.geojson")))
+        assert len(feats) == 1
+        assert feats[0]["geometry"]["type"] == "Point"
+        assert feats[0]["properties"] == {}
+
+    def test_ndjson(self):
+        from gpq_spark.geojson.parser import iter_features
+
+        feats = list(iter_features(_read("new-line-delimited.ndgeojson")))
+        assert len(feats) > 1
+
+    def test_bad_ndjson(self):
+        from gpq_spark.geojson.parser import iter_features
+
+        with pytest.raises(ValueError):
+            list(iter_features(_read("bad-new-line-delimited.ndgeojson")))
+
+    def test_empty_collection(self):
+        from gpq_spark.geojson.parser import iter_features
+
+        assert list(iter_features(_read("empty-collection.geojson"))) == []
+
+    def test_not_geojson(self):
+        from gpq_spark.geojson.parser import iter_features
+
+        with pytest.raises(ValueError, match="FeatureCollection, a Feature, or a Geometry"):
+            list(iter_features(_read("not-geojson.json")))
+
+    @pytest.mark.parametrize("name", ["boolean-id.geojson", "array-id.geojson", "object-id.geojson"])
+    def test_invalid_ids(self, name):
+        from gpq_spark.geojson.parser import iter_features
+
+        with pytest.raises(ValueError, match="expected id to be a string or number"):
+            list(iter_features(_read(name)))
+
+    @pytest.mark.parametrize("name", ["string-id.geojson", "number-id.geojson"])
+    def test_valid_ids_dropped(self, name):
+        from gpq_spark.geojson.parser import iter_features
+
+        feats = list(iter_features(_read(name)))
+        assert len(feats) == 1
+        assert "id" not in feats[0]["properties"]
+
+
+class TestInference:
+    def test_mismatched_types_error(self, spark, tmp_path):
+        """Exact error parity (geojson_test.go:144-151)."""
+        from gpq_spark.geojson import read_geojson
+
+        src = os.path.join(GJ, "mismatched-types.geojson")
+        with pytest.raises(ValueError) as err:
+            df, _ = read_geojson(spark, src)
+            df.collect()
+        assert 'expected "stringProperty" to be a string, got 42' in str(err.value)
+
+    def test_sparse_deferral(self, spark):
+        from gpq_spark.geojson import read_geojson
+
+        df, meta = read_geojson(spark, os.path.join(GJ, "sparse-properties.geojson"))
+        assert sorted(df.columns) == ["first", "geometry", "second", "third"]
+        assert df.count() == 3
+
+    def test_inference_failure_after_max(self, spark, tmp_path):
+        from gpq_spark.geojson import read_geojson
+
+        src = tmp_path / "all_null.geojson"
+        features = ",".join(
+            '{"type":"Feature","properties":{"x":null},"geometry":null}'
+            for _ in range(5)
+        )
+        src.write_text('{"type":"FeatureCollection","features":[' + features + "]}")
+        with pytest.raises(ValueError, match="failed to create parquet schema after reading 3 features"):
+            read_geojson(spark, str(src), max_features=3)
+        with pytest.raises(ValueError, match="failed to create schema after reading 5 features"):
+            read_geojson(spark, str(src), max_features=50)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "example.geojson",
+            "repeated-props.geojson",
+            "nested-props.geojson",
+            "sparse-properties.geojson",
+            "null-geom.geojson",
+            "all-null-geom.geojson",
+        ],
+    )
+    def test_geojson_parquet_geojson(self, spark, tmp_path, name):
+        """GeoJSON → GeoParquet → GeoJSON compares equal to the input
+        (geojson_test.go:384-458)."""
+        from gpq_spark.geojson import geojson_to_geoparquet, geoparquet_to_geojson
+
+        src = os.path.join(GJ, name)
+        pq_dir = str(tmp_path / "out_pq")
+        out = str(tmp_path / "out.geojson")
+        geojson_to_geoparquet(spark, src, pq_dir)
+        geoparquet_to_geojson(spark, pq_dir, out)
+
+        with open(src) as fh:
+            original = json.load(fh)
+        with open(out) as fh:
+            produced = json.load(fh)
+
+        def norm_features(doc):
+            feats = []
+            for f in doc["features"]:
+                props = {
+                    k: v for k, v in (f.get("properties") or {}).items()
+                }
+                feats.append({"geometry": f.get("geometry"), "properties": props})
+            return sorted(feats, key=lambda f: json.dumps(f, sort_keys=True))
+
+        assert norm_features(produced) == norm_features(original)
+
+    def test_row_group_length(self, spark, tmp_path):
+        """ten-points: RowGroupLength 3 → 4 groups, 5 → 2 groups
+        (geojson_test.go:108-142)."""
+        from gpq_spark.geojson import geojson_to_geoparquet
+        from gpq_spark.geoparquet import parquet_files
+
+        src = os.path.join(GJ, "ten-points.geojson")
+        for rgl, expected_groups in ((3, 4), (5, 2)):
+            out = str(tmp_path / f"rg{rgl}")
+            geojson_to_geoparquet(spark, src, out, row_group_length=rgl)
+            f = pq.ParquetFile(parquet_files(out)[0])
+            assert f.metadata.num_row_groups == expected_groups
+
+    def test_stats_written(self, spark, tmp_path):
+        from gpq_spark.geojson import geojson_to_geoparquet
+        from gpq_spark.geoparquet import read_geo_metadata
+
+        out = str(tmp_path / "example_pq")
+        geojson_to_geoparquet(spark, os.path.join(GJ, "example.geojson"), out)
+        meta = read_geo_metadata(out)
+        col = meta.primary()
+        assert col.encoding == "WKB"
+        assert sorted(col.geometry_types) == ["MultiPolygon", "Polygon"]
+        assert col.bbox is not None
+
+    def test_ndjson_distributed(self, spark, tmp_path):
+        from gpq_spark.geojson import read_geojson
+
+        path = os.path.join(GJ, "new-line-delimited.ndgeojson")
+        n_lines = sum(1 for ln in open(path) if ln.strip())
+        df, meta = read_geojson(spark, path)
+        assert df.count() == n_lines
+
+
+class TestParquetConvert:
+    def test_wkt_to_wkb(self, spark, tmp_path):
+        """Reference T1: string geometry columns parsed as WKT →
+        BYTE_ARRAY WKB (geoparquet_test.go:300-345)."""
+        import pandas as pd
+
+        from gpq_spark.geoparquet import read_geoparquet
+        from gpq_spark.geojson import parquet_to_geoparquet
+
+        src = str(tmp_path / "wkt.parquet")
+        pd.DataFrame(
+            {
+                "name": ["point", "line"],
+                "geometry": ["POINT (1 2)", "LINESTRING (30 10, 10 30, 40 40)"],
+            }
+        ).to_parquet(src)
+        out = str(tmp_path / "wkb_out")
+        parquet_to_geoparquet(spark, src, out, single_file=True)
+        df, meta = read_geoparquet(spark, out)
+        assert dict(df.dtypes)["geometry"] == "binary"
+        assert meta.primary().encoding == "WKB"
+        assert sorted(meta.primary().geometry_types) == ["LineString", "Point"]
+        assert meta.primary().bbox == [1.0, 2.0, 40.0, 40.0]
+
+    def test_missing_geometry_column(self, spark, tmp_path):
+        import pandas as pd
+
+        from gpq_spark.geojson import parquet_to_geoparquet
+
+        src = str(tmp_path / "plain.parquet")
+        pd.DataFrame({"x": [1, 2]}).to_parquet(src)
+        with pytest.raises(ValueError, match='expected a geometry column named "geometry"'):
+            parquet_to_geoparquet(spark, src, str(tmp_path / "nope"))
+
+    def test_custom_primary_column(self, spark, tmp_path):
+        import pandas as pd
+
+        from gpq_spark.geojson import parquet_to_geoparquet
+        from gpq_spark.geoparquet import read_geo_metadata
+
+        src = str(tmp_path / "geo_col.parquet")
+        pd.DataFrame({"name": ["a"], "geo": ["POINT (5 6)"]}).to_parquet(src)
+        out = str(tmp_path / "geo_out")
+        parquet_to_geoparquet(spark, src, out, input_primary_column="geo", single_file=True)
+        meta = read_geo_metadata(out)
+        assert meta.primary_column == "geo"
+
+
+class TestDescribe:
+    def test_describe_fixture(self):
+        from gpq_spark.geoparquet.describe import describe
+
+        info = describe("/root/reference/internal/testdata/cases/example-v1.1.0.parquet")
+        assert info["rows"] == 5
+        assert info["groups"] == 1
+        assert info["issues"] is None
+        assert info["metadata"]["primary_column"] == "geometry"
+        fields = {f["name"]: f for f in info["schema"]["fields"]}
+        assert fields["geometry"]["type"] == "binary"
+        assert fields["pop_est"]["type"] == "double"
+        assert fields["name"]["annotation"] == "string"
+        assert fields["bbox"]["annotation"] == "group"
+        assert {f["name"] for f in fields["bbox"]["fields"]} == {"xmin", "ymin", "xmax", "ymax"}
+        assert fields["geometry"]["compression"] in ("zstd", "snappy", "gzip", "uncompressed")
+
+    def test_describe_plain_parquet_issue(self, tmp_path):
+        import pandas as pd
+
+        from gpq_spark.geoparquet.describe import describe
+
+        src = str(tmp_path / "plain.parquet")
+        pd.DataFrame({"x": [1]}).to_parquet(src)
+        info = describe(src)
+        assert info["metadata"] is None
+        assert "Not a valid GeoParquet file" in info["issues"][0]
+
+    def test_metadata_only(self):
+        from gpq_spark.geoparquet.describe import describe_metadata_only
+
+        raw = describe_metadata_only(
+            "/root/reference/internal/testdata/cases/example-v1.0.0.parquet"
+        )
+        assert json.loads(raw)["primary_column"] == "geometry"

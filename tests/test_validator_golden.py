@@ -1,0 +1,100 @@
+"""Golden-corpus validator tests.
+
+Replays the reference's 29-case suite
+(/root/reference/internal/validator/testdata/<case>/{input.json,
+expected.json}): build a GeoParquet file from the case's GeoJSON data
+with the case's LITERAL metadata injected into the footer (even when
+invalid), validate, compare to the expected report.
+
+The PROJJSON schema loader is stubbed to the reference's vendored
+schema files, mirroring the reference test setup
+(validator_test.go:44-55). Known deviation: CRS validation failure
+MESSAGES come from Python's jsonschema (wording differs from the Go
+library), so for failed CRS checks only title/run/passed are compared.
+"""
+
+import json
+import os
+from urllib.parse import urlparse
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+CASES_DIR = "/root/reference/internal/validator/testdata"
+SCHEMA_DIR = "/root/reference/internal/testdata/schema"
+
+CASES = sorted(
+    d for d in os.listdir(CASES_DIR) if os.path.isdir(os.path.join(CASES_DIR, d))
+)
+
+CRS_TITLE = 'optional "crs" must be null or a PROJJSON object'
+
+
+def local_schema_loader(url: str) -> dict:
+    u = urlparse(url)
+    path = os.path.join(SCHEMA_DIR, u.netloc, u.path.lstrip("/"))
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def build_case_file(spark, case: str, tmp_path) -> str:
+    with open(os.path.join(CASES_DIR, case, "input.json")) as fh:
+        case_input = json.load(fh)
+    metadata = case_input["metadata"]
+    data = case_input["data"]
+
+    from gpq_spark.geo import wkb as _wkb
+    from gpq_spark.geojson.parser import iter_features
+    from gpq_spark.geojson.reader import _feature_to_row, infer_schema
+
+    text = json.dumps(data)
+    schema = infer_schema(iter_features(text), 1, 50, "geometry")
+    rows = [_feature_to_row(f, schema, "geometry") for f in iter_features(text)]
+    df = spark.createDataFrame(rows, schema)
+    table = df.toArrow()
+    # inject the LITERAL metadata (validator_test.go:87-116)
+    arrow_schema = table.schema.with_metadata(
+        {b"geo": json.dumps(metadata).encode()}
+    )
+    out = str(tmp_path / f"{case}.parquet")
+    pq.write_table(table.cast(arrow_schema), out)
+    return out
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_golden_case(spark, tmp_path, case):
+    from gpq_spark.validate import validate
+
+    path = build_case_file(spark, case, tmp_path)
+    with open(os.path.join(CASES_DIR, case, "expected.json")) as fh:
+        expected = json.load(fh)
+
+    # cases suffixed "-meta" run metadata-only validation
+    # (validator_test.go:430)
+    report = validate(
+        path,
+        metadata_only=case.endswith("-meta"),
+        schema_loader=local_schema_loader,
+    )
+
+    assert report["metadataOnly"] == expected["metadataOnly"]
+    exp_checks = expected["checks"]
+    got_checks = report["checks"]
+    assert [c["title"] for c in got_checks] == [c["title"] for c in exp_checks]
+    for got, exp in zip(got_checks, exp_checks):
+        ctx = f"{case}: {exp['title']}"
+        assert got["run"] == exp["run"], f"{ctx}: run {got} != {exp}"
+        assert got["passed"] == exp["passed"], f"{ctx}: passed {got} != {exp}"
+        if (
+            exp["title"] == CRS_TITLE
+            and exp["run"]
+            and not exp["passed"]
+            and str(exp.get("message", "")).startswith("validation failed against")
+        ):
+            # jsonschema wording differs from the Go library
+            assert got.get("message", "").startswith("validation failed against")
+            continue
+        assert got.get("message") == exp.get("message"), (
+            f"{ctx}: message {got.get('message')!r} != {exp.get('message')!r}"
+        )
