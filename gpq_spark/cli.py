@@ -1,0 +1,207 @@
+"""CLI parity shim: the ``gpq`` command surface on the Spark engine.
+
+Subcommands and flags mirror the reference CLI
+(/root/reference/cmd/gpq/command/): convert, validate, describe,
+extract, version. A user of ``gpq`` can run the same invocations
+against this engine:
+
+    python -m gpq_spark convert in.geojson out.parquet
+    python -m gpq_spark validate in.parquet [--metadata-only] [--format json]
+    python -m gpq_spark describe in.parquet [--format json] [--metadata-only]
+    python -m gpq_spark extract in.parquet out.parquet --bbox=-180,-90,180,90
+
+Outputs that are files on the reference CLI are files here too; the
+Spark-native difference is that Parquet outputs may be directories of
+part files unless ``--single-file`` (default for CLI parity).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from . import __version__
+
+
+def _spark(cpus: str = "*"):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gpq_spark-cli")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _sniff_format(path: str, declared: str) -> str:
+    if declared != "auto":
+        return declared
+    lower = path.lower()
+    if lower.endswith((".geojson", ".json", ".ndgeojson", ".geojsonl", ".ndjson")):
+        return "geojson"
+    if lower.endswith((".parquet", ".pq", ".geoparquet")):
+        return "parquet"
+    raise SystemExit(f"could not infer format from {path}; pass --from/--to")
+
+
+def cmd_convert(args) -> int:
+    spark = _spark()
+    src_format = _sniff_format(args.input, args.from_)
+    dst_format = _sniff_format(args.output, args.to)
+    from .geojson import (
+        geojson_to_geoparquet,
+        geoparquet_to_geojson,
+        parquet_to_geoparquet,
+    )
+
+    if src_format == "geojson":
+        geojson_to_geoparquet(
+            spark,
+            args.input,
+            args.output,
+            min_features=args.min,
+            max_features=args.max,
+            compression=args.compression,
+            row_group_length=args.row_group_length or None,
+            single_file=True,
+        )
+    elif dst_format == "geojson":
+        geoparquet_to_geojson(spark, args.input, args.output)
+    else:
+        parquet_to_geoparquet(
+            spark,
+            args.input,
+            args.output,
+            input_primary_column=args.input_primary_column,
+            compression=args.compression,
+            single_file=True,
+        )
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from .validate import validate
+
+    report = validate(args.input, metadata_only=args.metadata_only)
+    if args.format == "json":
+        indent = None if args.unpretty else 2
+        print(json.dumps(report, indent=indent))
+    else:
+        checks = report["checks"]
+        passed = sum(1 for c in checks if c["run"] and c["passed"])
+        failed = sum(1 for c in checks if c["run"] and not c["passed"])
+        unrun = sum(1 for c in checks if not c["run"])
+
+        def maybe_s(n):
+            return "" if n == 1 else "s"
+
+        summary = [f"Passed {passed} check{maybe_s(passed)}"]
+        if failed:
+            summary.append(f"failed {failed} check{maybe_s(failed)}")
+        if unrun:
+            summary.append(f"{unrun} check{maybe_s(unrun)} not run")
+        print(f"\nSummary: {', '.join(summary)}.\n")
+        if report["metadataOnly"]:
+            print("Metadata and schema checks only.  Skipped 4 data scanning checks.\n")
+        for c in checks:
+            if not c["run"]:
+                print(f" ! {c['title']}\n   ↳ not checked")
+            elif c["passed"]:
+                print(f" ✓ {c['title']}")
+            else:
+                print(f" ✗ {c['title']}\n   ↳ {c.get('message', '')}")
+        print()
+    return 1 if any(not c["passed"] for c in report["checks"]) else 0
+
+
+def cmd_describe(args) -> int:
+    from .geoparquet.describe import describe, describe_metadata_only
+
+    if args.metadata_only:
+        try:
+            print(describe_metadata_only(args.input))
+        except KeyError as exc:
+            print(str(exc), file=sys.stderr)
+            return 1
+        return 0
+    info = describe(args.input)
+    indent = None if args.unpretty else 2
+    print(json.dumps(info, indent=indent))
+    return 0
+
+
+def cmd_extract(args) -> int:
+    spark = _spark()
+    from .geoparquet import extract
+
+    keep = args.keep_only_cols.split(",") if args.keep_only_cols else None
+    drop = args.drop_cols.split(",") if args.drop_cols else None
+    extract(
+        spark,
+        args.input,
+        args.output,
+        bbox=args.bbox or None,
+        keep_only_columns=keep,
+        drop_columns=drop,
+        single_file=True,
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="gpq_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("convert", help="Convert between GeoJSON, GeoParquet, and Parquet")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--from", dest="from_", default="auto",
+                   choices=["auto", "geojson", "geoparquet", "parquet"])
+    p.add_argument("--to", default="auto", choices=["auto", "geojson", "geoparquet"])
+    p.add_argument("--min", type=int, default=10,
+                   help="Minimum number of features to consider when building a schema.")
+    p.add_argument("--max", type=int, default=100,
+                   help="Maximum number of features to consider when building a schema.")
+    p.add_argument("--input-primary-column", default="geometry")
+    p.add_argument("--compression", default="zstd",
+                   choices=["uncompressed", "snappy", "gzip", "brotli", "zstd"])
+    p.add_argument("--row-group-length", type=int, default=0)
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("validate", help="Validate a GeoParquet file")
+    p.add_argument("input")
+    p.add_argument("--metadata-only", action="store_true")
+    p.add_argument("--unpretty", action="store_true")
+    p.add_argument("--format", default="text", choices=["text", "json"])
+    p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser("describe", help="Describe a GeoParquet file")
+    p.add_argument("input")
+    p.add_argument("--format", default="json", choices=["text", "json"])
+    p.add_argument("--metadata-only", action="store_true")
+    p.add_argument("--unpretty", action="store_true")
+    p.set_defaults(fn=cmd_describe)
+
+    p = sub.add_parser("extract", help="Extract columns/rows from GeoParquet")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--bbox", default="")
+    p.add_argument("--drop-cols", default="")
+    p.add_argument("--keep-only-cols", default="")
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("version", help="Print version")
+    p.set_defaults(fn=lambda a: print(__version__) or 0)
+
+    args = parser.parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,7 @@
+from .windows import (
+    stream_events,
+    windowed_counts,
+    stateful_sessionize,
+)
+
+__all__ = ["stream_events", "windowed_counts", "stateful_sessionize"]

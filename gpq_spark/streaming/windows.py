@@ -1,0 +1,150 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY §2.12); these are the
+beyond-reference stream operators a training-data pipeline needs,
+expressed with the standard Structured Streaming toolbox:
+
+- ``windowed_counts``: watermarked tumbling-window aggregation — the
+  engine-managed-state path, scales to any key cardinality because the
+  state store holds only open windows.
+- ``stateful_sessionize``: gap-based sessions via
+  ``applyInPandasWithState`` — the custom-state path for semantics the
+  built-in operators can't express (emit one row per *closed* session).
+
+Tests drive both with the file source + memory sink and
+``processAllAvailable`` so a bounded parquet input runs the stream to
+completion deterministically.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_events(spark: SparkSession, events_dir: str, schema) -> DataFrame:
+    """File-source stream of the events table (ts converted from the
+    raw nanos-as-long read to a timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts + exact-integer value sums
+    per event_type. Append-mode-compatible (closed windows only)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("value_cents"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _session_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit one row per closed session; keep the open session in state.
+
+    Gap: 30 minutes (micros). State survives across micro-batches; an
+    event-time timeout closes idle sessions.
+    """
+    gap_us = 30 * 60 * 1_000_000
+
+    if state.hasTimedOut:
+        (start, last, n) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(last, unit="us")],
+                "n_events": [n],
+            }
+        )
+        return
+
+    times: list[int] = []
+    for pdf in pdfs:
+        times.extend(
+            int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+        )
+    times.sort()
+
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start = last = None
+        n = 0
+
+    closed = []
+    for t in times:
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > gap_us:
+            closed.append((start, last, n))
+            start, last, n = t, t, 1
+        else:
+            last = t
+            n += 1
+
+    if start is not None:
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last // 1000 + 30 * 60 * 1000)
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n_events": [n for _, _, n in closed],
+            }
+        )
+
+
+def stateful_sessionize(stream: DataFrame) -> DataFrame:
+    """Custom stateful sessionization: one output row per CLOSED
+    session (gap 30 min), state carried across micro-batches with
+    event-time timeouts."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,81 @@
+"""CLI shim tests (subprocess-free: call main() in-process)."""
+
+import json
+
+import pytest
+
+GJ = "/root/reference/internal/geojson/testdata"
+CASES = "/root/reference/internal/testdata/cases"
+
+
+def run_cli(argv, capsys):
+    from gpq_spark.cli import main
+
+    code = main(argv)
+    out = capsys.readouterr().out
+    return code, out
+
+
+def test_version(capsys):
+    code, out = run_cli(["version"], capsys)
+    assert code == 0 and out.strip()
+
+
+def test_convert_extract_describe_validate(tmp_path, capsys, spark):
+    pq_out = str(tmp_path / "out.parquet")
+    code, _ = run_cli(["convert", f"{GJ}/example.geojson", pq_out], capsys)
+    assert code == 0
+
+    tz = str(tmp_path / "tz.parquet")
+    code, _ = run_cli(["extract", pq_out, tz, "--bbox=34,-7,36,-6"], capsys)
+    assert code == 0
+
+    code, out = run_cli(["describe", tz], capsys)
+    assert code == 0
+    info = json.loads(out)
+    assert info["rows"] == 1
+
+    code, out = run_cli(["validate", pq_out, "--format", "json"], capsys)
+    assert code == 0
+    report = json.loads(out)
+    assert all(c["passed"] for c in report["checks"])
+
+
+def test_validate_failure_exit_code(tmp_path, capsys):
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    src = str(tmp_path / "bad.parquet")
+    table = pa.table({"geometry": [b"\x00bogus"]})
+    schema = table.schema.with_metadata(
+        {b"geo": json.dumps({"version": "1.0.0", "primary_column": "geometry",
+                             "columns": {"geometry": {"encoding": "WKB",
+                                                      "geometry_types": []}}}).encode()}
+    )
+    pq.write_table(table.cast(schema), src)
+    code, out = run_cli(["validate", src], capsys)
+    assert code == 1
+    assert "✗" in out
+
+
+def test_extract_mutual_exclusion(tmp_path, capsys):
+    with pytest.raises(ValueError, match="only one of"):
+        run_cli(
+            [
+                "extract",
+                f"{CASES}/example-v1.0.0.parquet",
+                str(tmp_path / "x.parquet"),
+                "--drop-cols=name",
+                "--keep-only-cols=geometry",
+            ],
+            capsys,
+        )
+
+
+def test_describe_metadata_only(capsys):
+    code, out = run_cli(
+        ["describe", f"{CASES}/example-v1.0.0.parquet", "--metadata-only"], capsys
+    )
+    assert code == 0
+    assert json.loads(out)["primary_column"] == "geometry"
