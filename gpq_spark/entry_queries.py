@@ -1125,3 +1125,229 @@ def stream_tumble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Additional relational coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cube_lineitem",
+    f"""
+    SELECT COALESCE(l_returnflag, '(all)') AS flag,
+           COALESCE(l_linestatus, '(all)') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM({cents('l_quantity')}) AS qty_cents
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube over two grouping columns (all grouping sets)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(cents("l_quantity"))).alias("qty_cents"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("status"),
+            "n",
+            "qty_cents",
+        )
+    )
+
+
+@register(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    quantile_cont)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+    )
+
+
+@register(
+    "q_running_window",
+    f"""
+    SELECT * FROM (
+        SELECT l_suppkey,
+               CAST(row_number() OVER w AS INT) AS rn,
+               SUM({cents('l_quantity')}) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING
+               ) AS running_qty_cents
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    ) WHERE rn <= 3
+    """,
+)
+def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregation window with a deterministic total order."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = Window.partitionBy("l_suppkey").orderBy(*order)
+    return (
+        li.select(
+            "l_suppkey",
+            F.row_number().over(w).alias("rn"),
+            F.sum(F.expr(cents("l_quantity")))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("running_qty_cents"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_unpivot_measures",
+    f"""
+    SELECT measure, SUM(value_cents) AS total_cents FROM (
+        SELECT 'quantity' AS measure, {cents('l_quantity')} AS value_cents FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice' AS measure, {cents('l_extendedprice')} AS value_cents FROM lineitem
+        UNION ALL
+        SELECT 'discount' AS measure, {cents('l_discount')} AS value_cents FROM lineitem
+    )
+    GROUP BY measure
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack) three measures into rows, then aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    stacked = li.selectExpr(
+        f"stack(3, 'quantity', {cents('l_quantity')},"
+        f" 'extendedprice', {cents('l_extendedprice')},"
+        f" 'discount', {cents('l_discount')}) AS (measure, value_cents)"
+    )
+    return stacked.groupBy("measure").agg(F.sum("value_cents").alias("total_cents"))
+
+
+@register(
+    "q_full_outer_nations",
+    """
+    WITH cust AS (
+        SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ), supp AS (
+        SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+        FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cust.nk, supp.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+)
+def q_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two filtered aggregates."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    joined = c.join(s, "nk", "full_outer")
+    return joined.select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "q_string_funcs",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           substr(c_name, 1, 8) AS prefix,
+           length(c_name) AS name_len,
+           replace(c_mktsegment, 'A', '@') AS seg_repl,
+           reverse(c_mktsegment) AS seg_rev,
+           concat(c_name, '#', c_mktsegment) AS tagged
+    FROM customer WHERE c_custkey < 50
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string function battery."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.replace(F.col("c_mktsegment"), F.lit("A"), F.lit("@")).alias("seg_repl"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.concat_ws("", F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("tagged"),
+    )
+
+
+@register(
+    "q_conditional_funcs",
+    f"""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           GREATEST({cents('o_totalprice')}, 0) AS price_cents
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / NULLIF / COALESCE / GREATEST battery."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.greatest(F.expr(cents("o_totalprice")), F.lit(0)).alias("price_cents"),
+    )
+
+
+@register(
+    "q_events_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction from a string column."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

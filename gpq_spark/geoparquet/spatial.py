@@ -1,0 +1,143 @@
+"""Spatial partitioning and file-level pruning.
+
+The distributed writer already stamps every part file with its own
+``"geo"`` footer carrying that file's bbox (writer.py). These helpers
+exploit that:
+
+- ``partition_by_grid``: repartition a GeoParquet DataFrame so rows in
+  the same grid cell land in the same output files. Spatially-clustered
+  files have *tight* per-file bboxes, which makes both Parquet
+  row-group pruning and file-level pruning effective — the distributed
+  analogue of the reference's advice to spatially order rows for
+  row-group statistics pruning (readme.md:95).
+- ``read_geoparquet_bbox``: open a GeoParquet dataset restricted to a
+  query bbox. File footers are read on the driver (O(files), footer
+  bytes only); files whose bbox doesn't intersect are never given to
+  Spark at all — pruning one level above row groups. The residual
+  row filter is applied on top.
+
+At 100 TB: a grid-partitioned dataset with per-file bboxes turns a
+spatial query into (a) an O(files) driver-side metadata scan, (b) a
+Spark scan over only the intersecting files, (c) row-group pruning
+inside those files via the pushed bbox predicate, and (d) a vectorized
+residual filter. No full-data pass anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geometry import bbox_struct_intersects, envelope_intersects, st_envelope
+from ..geo.bbox import Bbox, bbox_from_string
+from .metadata import GeoMetadata, get_bbox_column
+from .reader import parquet_files, read_geo_metadata
+from .writer import write_geoparquet
+
+
+def grid_cell_expr(x: F.Column, y: F.Column, cell_deg: float) -> F.Column:
+    """Stable grid cell id for a lon/lat point at ``cell_deg``
+    resolution."""
+    nx = int(math.ceil(360.0 / cell_deg))
+    col = F.floor((x + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+    row = F.floor((y + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
+    return (row * F.lit(nx) + col).alias("grid_cell")
+
+
+def partition_by_grid(
+    df: DataFrame,
+    meta: GeoMetadata,
+    cell_deg: float = 10.0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Cluster rows by the grid cell of their envelope center so output
+    files are spatially tight. Uses the bbox covering column when
+    present (pure expressions), else decodes geometry envelopes."""
+    bbox_col = get_bbox_column(df.columns, meta)
+    if bbox_col is not None:
+        cx = (F.col(f"{bbox_col.name}.{bbox_col.xmin}") + F.col(f"{bbox_col.name}.{bbox_col.xmax}")) / 2
+        cy = (F.col(f"{bbox_col.name}.{bbox_col.ymin}") + F.col(f"{bbox_col.name}.{bbox_col.ymax}")) / 2
+    else:
+        col = meta.primary()
+        env = st_envelope(meta.primary_column, (col.encoding if col else "") or "")
+        cx = (env["xmin"] + env["xmax"]) / 2
+        cy = (env["ymin"] + env["ymax"]) / 2
+    cell = grid_cell_expr(cx, cy, cell_deg)
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, cell)
+
+
+def write_geoparquet_partitioned(
+    df: DataFrame,
+    path: str,
+    meta: GeoMetadata,
+    cell_deg: float = 10.0,
+    partitions: int | None = None,
+    **kwargs,
+):
+    """Spatially-clustered GeoParquet write: grid-repartition, then the
+    standard distributed write (per-file footers get tight bboxes)."""
+    clustered = partition_by_grid(df, meta, cell_deg, partitions)
+    return write_geoparquet(clustered, path, meta, **kwargs)
+
+
+def prune_files_by_bbox(path: str, bbox: Bbox) -> tuple[list[str], int]:
+    """Driver-side file pruning: returns (intersecting files, total).
+
+    Reads only footers. Files without a per-file bbox are kept
+    (conservative)."""
+    files = parquet_files(path)
+    kept = []
+    for f in files:
+        try:
+            meta = read_geo_metadata(f)
+            col = meta.primary()
+            fb = col.bbox if col else None
+        except Exception:
+            fb = None
+        if fb is None or len(fb) not in (4, 6):
+            kept.append(f)
+            continue
+        if len(fb) == 6:
+            fb = [fb[0], fb[1], fb[3], fb[4]]
+        if Bbox(*fb).intersects(bbox):
+            kept.append(f)
+    return kept, len(files)
+
+
+def read_geoparquet_bbox(
+    spark: SparkSession,
+    path: str,
+    bbox: Bbox | str,
+    columns: list[str] | None = None,
+) -> tuple[DataFrame, GeoMetadata, dict]:
+    """Spatial read with three pruning levels: files (per-file footer
+    bbox, driver-side) → row groups (pushed covering-column filter) →
+    rows (residual predicate). Returns (df, meta, prune_info)."""
+    if isinstance(bbox, str):
+        bbox = bbox_from_string(bbox)
+    meta = read_geo_metadata(path)
+    kept, total = prune_files_by_bbox(path, bbox)
+    info = {"files_total": total, "files_read": len(kept)}
+    if not kept:
+        # empty result with the right schema
+        df = spark.read.parquet(path).limit(0)
+    else:
+        df = spark.read.parquet(*kept)
+    if columns is not None:
+        if meta.primary_column not in columns:
+            raise ValueError(
+                f"columns must include primary geometry column '{meta.primary_column}'"
+            )
+        df = df.select(*columns)
+    bbox_col = get_bbox_column(df.columns, meta)
+    if bbox_col is not None:
+        pred = bbox_struct_intersects(
+            bbox_col.name, bbox, (bbox_col.xmin, bbox_col.ymin, bbox_col.xmax, bbox_col.ymax)
+        )
+    else:
+        col = meta.primary()
+        pred = envelope_intersects(meta.primary_column, bbox, (col.encoding if col else "") or "")
+    return df.filter(pred), meta, info

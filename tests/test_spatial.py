@@ -1,0 +1,91 @@
+"""Spatial partitioning + file-level pruning tests."""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from gpq_spark.geo.bbox import Bbox
+from gpq_spark.geoparquet import read_geo_metadata
+from gpq_spark.geoparquet.spatial import (
+    prune_files_by_bbox,
+    read_geoparquet_bbox,
+    write_geoparquet_partitioned,
+)
+from gpq_spark.geoparquet.metadata import default_metadata
+from gpq_spark.geo import wkb
+
+
+def _points_df(spark, n=400):
+    """Points on a grid spanning the globe, with an id column."""
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 20 * 18 - 180 + 0.5).cast("double").alias("x"),
+        ((F.col("id") / 20).cast("long") % 20 * 9 - 90 + 0.5).cast("double").alias("y"),
+    )
+
+    @F.pandas_udf("binary")
+    def point_wkb(x, y):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                wkb.dumps({"type": "Point", "coordinates": [float(a), float(b)]})
+                for a, b in zip(x, y)
+            ]
+        )
+
+    return df.select("id", point_wkb("x", "y").alias("geometry"))
+
+
+class TestPartitionedWrite:
+    def test_tight_per_file_bboxes_and_pruning(self, spark, tmp_path):
+        df = _points_df(spark)
+        meta = default_metadata()
+        out = str(tmp_path / "grid")
+        files = write_geoparquet_partitioned(
+            df, out, meta, cell_deg=45.0, partitions=8
+        )
+        assert len(files) > 1
+
+        # per-file bboxes exist and are not all global
+        extents = []
+        for f in files:
+            m = read_geo_metadata(f["file"])
+            assert m.primary().bbox is not None
+            b = m.primary().bbox
+            extents.append((b[2] - b[0]) * (b[3] - b[1]))
+        assert min(extents) < 360 * 180  # at least one tight file
+
+        # file pruning: a small query box must not read every file
+        kept, total = prune_files_by_bbox(out, Bbox(0, 0, 10, 10))
+        assert total == len(files)
+        assert len(kept) < total
+
+    def test_read_geoparquet_bbox_three_levels(self, spark, tmp_path):
+        df = _points_df(spark)
+        out = str(tmp_path / "grid2")
+        write_geoparquet_partitioned(
+            df, out, default_metadata(), cell_deg=45.0, partitions=8
+        )
+        result, meta, info = read_geoparquet_bbox(spark, out, "0,0,18,9")
+        rows = result.collect()
+        assert info["files_read"] < info["files_total"]
+        # correctness: every returned point is inside the box,
+        # and matches a full-scan filter
+        full, fmeta = None, None
+        from gpq_spark.geoparquet import read_geoparquet, extract_df
+
+        full, fmeta = read_geoparquet(spark, out)
+        expected = sorted(
+            r["id"] for r in extract_df(full, fmeta, bbox="0,0,18,9").collect()
+        )
+        assert sorted(r["id"] for r in rows) == expected
+        assert len(expected) > 0
+
+    def test_no_intersecting_files(self, spark, tmp_path):
+        df = _points_df(spark, n=20)  # only a band of the globe
+        out = str(tmp_path / "grid3")
+        write_geoparquet_partitioned(df, out, default_metadata(), partitions=2)
+        # query box far away from all data
+        result, meta, info = read_geoparquet_bbox(spark, out, "0,80,1,81")
+        assert result.count() == 0
