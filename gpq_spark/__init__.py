@@ -14,3 +14,21 @@ pushdown applies.
 """
 
 __version__ = "0.1.0"
+
+
+def _opportunistic_deploy() -> None:
+    """If a SparkSession is already active at import time, ship the
+    package to executors now. A Python UDF column snapshots its
+    ``pythonIncludes`` when it is CONSTRUCTED, so user-defined UDFs
+    that import gpq_spark must be created after the package is
+    deployed — importing gpq_spark first (the natural order) makes
+    that automatic. Engine-provided functions deploy themselves."""
+    try:
+        from .deploy import ensure_deployed
+
+        ensure_deployed()
+    except Exception:
+        pass
+
+
+_opportunistic_deploy()

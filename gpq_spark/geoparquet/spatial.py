@@ -66,7 +66,10 @@ def partition_by_grid(
         cy = (env["ymin"] + env["ymax"]) / 2
     cell = grid_cell_expr(cx, cy, cell_deg)
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, cell)
+    # range-partition (not hash): hash scatters unrelated cells into the
+    # same file, making per-file bboxes nearly global; contiguous cell-id
+    # ranges keep files spatially tight so file/row-group pruning bites
+    return df.repartitionByRange(n, cell)
 
 
 def write_geoparquet_partitioned(
