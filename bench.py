@@ -57,6 +57,9 @@ def main() -> None:
 
     from gpq_spark.entry_queries import queries_dict
 
+    # JVM/codegen warmup only — touches no benchmark data
+    spark.range(1000).selectExpr("sum(id)").collect()
+
     qdict = queries_dict()
     timings: dict[str, float] = {}
     for name in HEADLINE:

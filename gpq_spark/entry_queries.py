@@ -1351,3 +1351,92 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "ann_topk_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    ca AS (SELECT e.vec_id, e.v, cent.cid, {_cos_duck('e.v', 'cent.cv')} AS ccos FROM e, cent),
+    assigned AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+            FROM ca
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    qa AS (SELECT q.query_id, q.qv, cent.cid, {_cos_duck('q.qv', 'cent.cv')} AS ccos FROM q, cent),
+    probes AS (
+        SELECT query_id, qv, cid AS cluster FROM (
+            SELECT query_id, qv, cid,
+                   row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cid ASC) AS rn
+            FROM qa
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id, {_cos_duck('a.v', 'p.qv')} AS cosine
+        FROM assigned a JOIN probes p ON a.cluster = p.cluster
+        WHERE a.vec_id != p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM cand
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned approximate top-10 (8 cells, nprobe=2)."""
+    from .pipeline.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", "query_id",
+        k=10, n_centroids=8, nprobe=2,
+    )
+
+
+@register("stream_stateful_sessions", None)  # custom stateful streaming: rows-only check
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    closed gap-sessions over the events stream. Not SQL-expressible —
+    the driver records a rows-only check."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from .streaming import stateful_sessionize, stream_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = _os.path.join(
+        _tempfile.gettempdir(), f"stream_src_{abs(hash(sf_dir)) % 10 ** 8}"
+    )
+    _os.makedirs(src_dir, exist_ok=True)
+    link = _os.path.join(src_dir, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = stream_events(spark, src_dir, raw_schema)
+    sessions = stateful_sessionize(stream).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("end"),
+        "n_events",
+    )
+    name = f"sessions_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

@@ -135,3 +135,77 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "cosine")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus rows are assigned to their
+    nearest centroid; each query probes only its ``nprobe`` nearest
+    centroid cells.
+
+    Centroids here are the ``n_centroids`` lowest-id corpus vectors —
+    a deterministic placeholder for offline-trained k-means centroids
+    (the Spark-side plumbing is identical). At scale the corpus is
+    written partitioned by ``cluster`` so probing is partition pruning
+    on disk; the per-query work drops from O(corpus) to
+    O(nprobe × corpus / n_centroids).
+    """
+    from pyspark.sql import Window
+
+    centroids = F.broadcast(
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+        )
+    )
+
+    def nearest(df: DataFrame, in_id: str, in_vec: str, out: str, top: int) -> DataFrame:
+        scored = df.crossJoin(centroids).select(
+            "*",
+            cosine_expr(in_vec, "__cvec").alias("__ccos"),
+        )
+        w = Window.partitionBy(in_id).orderBy(
+            F.col("__ccos").desc(), F.col("__cid").asc()
+        )
+        return (
+            scored.withColumn("__crank", F.row_number().over(w))
+            .filter(F.col("__crank") <= top)
+            .select(df.columns + [F.col("__cid").alias(out)])
+        )
+
+    assigned = nearest(
+        corpus.select(F.col(id_col), F.col(vec_col)), id_col, vec_col, "cluster", 1
+    )
+    probes = nearest(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        query_id_col,
+        "__qvec",
+        "cluster",
+        nprobe,
+    )
+    candidates = assigned.join(F.broadcast(probes), "cluster")
+    if not include_self:
+        candidates = candidates.filter(F.col(id_col) != F.col(query_id_col))
+    scored = candidates.select(
+        query_id_col,
+        id_col,
+        cosine_expr(vec_col, "__qvec").alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
