@@ -1440,3 +1440,114 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@register(
+    "dedup_normalized_docs",
+    """
+    SELECT d.doc_id, md5(lower(trim(regexp_replace(d.text, '\\s+', ' ')))) AS norm_hash
+    FROM documents d
+    JOIN (
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ')))) AS h,
+               MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1
+    ) k ON d.doc_id = k.keep_id
+    """,
+)
+def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup: normalize (lowercase, collapse whitespace)
+    then hash-group — the standard first pass of a training-data
+    pipeline."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    norm = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    w = Window.partitionBy(norm).orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("norm_hash", norm)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "norm_hash")
+    )
+
+
+@register(
+    "geo_measures",
+    f"""
+    SELECT c_custkey,
+           CASE c_custkey % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 0.0 ELSE 6.0 END AS area,
+           CASE c_custkey % 3
+               WHEN 0 THEN 0.0
+               WHEN 1 THEN sqrt(13.0)
+               ELSE 12.0
+           END AS length,
+           {_PX} + (CASE c_custkey % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 ELSE 2.0 END) AS cx,
+           {_PY} + (CASE c_custkey % 3 WHEN 0 THEN 0.0 ELSE 1.5 END) AS cy
+    FROM customer WHERE c_custkey < 300
+    """,
+)
+def geo_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry measures (area/length/centroid) over synthesized
+    geometry; oracle computes the equivalent arithmetic.
+
+    Shapes: point (area 0, len 0); 2-vertex line dx=2,dy=3
+    (len sqrt(13)); right triangle legs 4 and 3 (area 6, perimeter 12,
+    envelope center at +2,+1.5)."""
+    from .functions.geometry import st_wkt_to_wkb
+    from .functions.measures import st_area, st_centroid_env, st_length
+
+    wkt_df = _geo_wkt_df(spark, sf_dir).filter(F.col("c_custkey") < 300)
+    g = wkt_df.withColumn("wkb", st_wkt_to_wkb("wkt"))
+    c = st_centroid_env("wkb")
+    return g.select(
+        "c_custkey",
+        st_area("wkb").alias("area"),
+        st_length("wkb").alias("length"),
+        c["x"].alias("cx"),
+        c["y"].alias("cy"),
+    )
+
+
+@register(
+    "multimodal_frames",
+    """
+    WITH payload AS (SELECT doc_id AS id, to_hex(encode(text)) AS hex,
+                            octet_length(encode(text)) AS nbytes
+                     FROM documents WHERE doc_id < 100),
+    frames AS (
+        SELECT id, CAST(i AS INT) AS frame_idx,
+               substr(hex, 1 + CAST(i AS INT) * 128, 128) AS frame_hex
+        FROM payload, LATERAL (
+            SELECT unnest(range(0, CAST(ceil(nbytes / 64.0) AS BIGINT))) AS i
+        )
+    )
+    SELECT id, frame_idx, md5(frame_hex) AS frame_digest,
+           CAST(length(frame_hex) // 2 AS BIGINT) AS frame_bytes
+    FROM frames
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: binary payloads exploded into per-frame
+    rows (stub codec: 64-byte windows)."""
+    from .pipeline.multimodal import frame_sample_stub
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return frame_sample_stub(docs, "payload", "doc_id", every_n_bytes=64)
+
+
+@register("ann_topk_fast", None)  # numpy matmul reduction order → rows-only check
+def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy fast-path exact top-k (map-side per-partition top-k,
+    then global). Same results as ann_topk modulo last-ulp float
+    ordering (matmul vs sequential fold), so declared rows-only."""
+    from .pipeline.similarity import brute_force_topk_arrow
+
+    emb = load(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
+        .toPandas()
+    )
+    return brute_force_topk_arrow(emb, qpdf, "vec_id", "embedding", k=10)

@@ -1,0 +1,112 @@
+"""Geometry measure functions: area, length, centroid, perimeter.
+
+Planar (Euclidean) measures over WKB geometries, computed in
+Arrow-batched pandas UDFs with the pure-Python kernel. The reference
+has no measure functions — these extend the spatial UDF surface the
+north star asks for ("GeoSpatial UDFs"), with exact-arithmetic oracles
+over synthesized geometry.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geo import wkb as _wkb
+from .geometry import _c, _decode_any
+
+
+def _poly_area(rings) -> float:
+    area = 0.0
+    for i, ring in enumerate(rings):
+        a = _wkb._ring_area2(ring) / 2.0
+        area += abs(a) if i == 0 else -abs(a)
+    return area
+
+
+def _area(geom) -> float:
+    if geom is None:
+        return None
+    t = geom["type"]
+    if t == "Polygon":
+        return _poly_area(geom["coordinates"])
+    if t == "MultiPolygon":
+        return sum(_poly_area(p) for p in geom["coordinates"])
+    if t == "GeometryCollection":
+        return sum(_area(g) or 0.0 for g in geom.get("geometries", []))
+    return 0.0
+
+
+def _line_length(coords) -> float:
+    total = 0.0
+    for i in range(len(coords) - 1):
+        dx = coords[i + 1][0] - coords[i][0]
+        dy = coords[i + 1][1] - coords[i][1]
+        total += math.hypot(dx, dy)
+    return total
+
+
+def _length(geom) -> float:
+    if geom is None:
+        return None
+    t = geom["type"]
+    if t == "LineString":
+        return _line_length(geom["coordinates"])
+    if t == "MultiLineString":
+        return sum(_line_length(c) for c in geom["coordinates"])
+    if t == "Polygon":
+        return sum(_line_length(r) for r in geom["coordinates"])
+    if t == "MultiPolygon":
+        return sum(
+            sum(_line_length(r) for r in rings) for rings in geom["coordinates"]
+        )
+    if t == "GeometryCollection":
+        return sum(_length(g) or 0.0 for g in geom.get("geometries", []))
+    return 0.0
+
+
+def _centroid(geom):
+    """Envelope-center centroid (cheap, deterministic); None for empty."""
+    b = _wkb.bounds(geom) if geom is not None else None
+    if b is None:
+        return (None, None)
+    return ((b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0)
+
+
+@F.pandas_udf(T.DoubleType())
+def _area_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: _area(_decode_any(v)))
+
+
+@F.pandas_udf(T.DoubleType())
+def _length_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: _length(_decode_any(v)))
+
+
+@F.pandas_udf(
+    T.StructType(
+        [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+    )
+)
+def _centroid_udf(s: pd.Series) -> pd.DataFrame:
+    pairs = s.map(lambda v: _centroid(_decode_any(v)))
+    return pd.DataFrame(pairs.tolist(), columns=["x", "y"])
+
+
+def st_area(col: Column | str) -> Column:
+    """Planar area (holes subtracted)."""
+    return _area_udf(_c(col))
+
+
+def st_length(col: Column | str) -> Column:
+    """Planar length / perimeter."""
+    return _length_udf(_c(col))
+
+
+def st_centroid_env(col: Column | str) -> Column:
+    """Envelope-center point as struct<x, y>."""
+    return _centroid_udf(_c(col))

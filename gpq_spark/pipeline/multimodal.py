@@ -77,3 +77,53 @@ def decode_stub(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
             yield out
 
     return slim.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = "id long, frame_idx int, frame_digest string, frame_bytes long"
+
+
+def frame_sample_stub(
+    df: DataFrame, payload_col: str, id_col: str, every_n_bytes: int = 64
+) -> DataFrame:
+    """Video-style frame sampling plumbing: explode each binary payload
+    into one row per sampled "frame".
+
+    STUB codec: frames are fixed-size byte windows (a real
+    implementation would ffmpeg-demux keyframes). The Spark mechanics —
+    mapInPandas with a row-expanding iterator, bounded batches,
+    per-frame metadata — are real and are what matters at 100 TB:
+    payload bytes stream executor-side and each task emits its own
+    frame rows without materializing whole videos.
+    """
+    import hashlib
+
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(df.sparkSession)
+    slim = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                for idx, off in enumerate(range(0, len(data), every_n_bytes)):
+                    frame = data[off : off + every_n_bytes]
+                    # digest over the UPPERCASE hex rendering so the
+                    # stub is reproducible in any SQL engine (DuckDB
+                    # md5 cannot hash raw blobs)
+                    rows.append(
+                        (
+                            rid,
+                            idx,
+                            hashlib.md5(frame.hex().upper().encode()).hexdigest(),
+                            len(frame),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["id", "frame_idx", "frame_digest", "frame_bytes"]
+            )
+
+    return slim.mapInPandas(sample, schema=FRAME_SCHEMA)
