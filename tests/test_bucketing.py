@@ -1,0 +1,65 @@
+"""Shuffle-avoidance via bucketing: co-located joins.
+
+At 100 TB the orders ⋈ lineitem join dominates; bucketing both tables
+by the join key at write time removes the per-query shuffle entirely.
+This test proves the plan property (no Exchange above the scans).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import TESTDATA
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    return spark
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    li = spark.read.parquet(f"{TESTDATA}/sf0.001/lineitem.parquet")
+    o = spark.read.parquet(f"{TESTDATA}/sf0.001/orders.parquet")
+
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("li_bucketed")
+    )
+    (
+        o.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("o_bucketed")
+    )
+
+    joined = (
+        spark.table("li_bucketed")
+        .join(
+            spark.table("o_bucketed").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("HashAggregate")[-1]
+    # the join itself reads bucketed scans directly — no Exchange
+    # between the join and the file scans
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+    # and it computes the right thing
+    expected = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
