@@ -113,3 +113,37 @@ def sessionize(
         "session_id",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (skewed) left side's key and
+    replicate the right side ``salt`` times so one hot key spreads over
+    ``salt`` reducers instead of one straggler task.
+
+    Use when a few keys dominate and the right side is too big to
+    broadcast but small enough to replicate ``salt``×. (AQE's skew-join
+    handles sort-merge skew automatically; salting also covers
+    aggregations-after-join and engines/paths AQE doesn't reach.)
+    Output columns: all left + all right columns (minus internals).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed=7) * salt).cast("int")
+    )
+    replicated_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    joined = salted_left.join(
+        replicated_right,
+        (F.col(left_key) == F.col(right_key)) & (salted_left["__salt"] == replicated_right["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")

@@ -188,3 +188,36 @@ class TestTextOps:
         )
         got = {r["id"]: r["pred_lang"] for r in with_language_id(df).collect()}
         assert got == {1: "en", 2: "es", 3: "und"}
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark):
+        from gpq_spark.relational import salted_join
+
+        # heavily skewed left: 90% of rows share one key
+        left = spark.range(1000).selectExpr(
+            "id", "CASE WHEN id % 10 = 0 THEN id ELSE 1 END AS k"
+        )
+        right = spark.createDataFrame(
+            [(1, "hot"), (10, "a"), (20, "b")], ["rk", "label"]
+        )
+        got = (
+            salted_join(left, right, "k", "rk", salt=8)
+            .groupBy("label")
+            .count()
+            .collect()
+        )
+        expected = (
+            left.join(right, left.k == right.rk).groupBy("label").count().collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+    def test_left_join_keeps_unmatched(self, spark):
+        from gpq_spark.relational import salted_join
+
+        left = spark.createDataFrame([(1, "x"), (99, "y")], ["k", "v"])
+        right = spark.createDataFrame([(1, "m")], ["rk", "label"])
+        got = salted_join(left, right, "k", "rk", salt=4, how="left").collect()
+        assert len(got) == 2
+        labels = {r["v"]: r["label"] for r in got}
+        assert labels == {"x": "m", "y": None}
