@@ -70,6 +70,7 @@ def cmd_convert(args) -> int:
             compression=args.compression,
             row_group_length=args.row_group_length or None,
             single_file=True,
+            as_file=True,
         )
     elif dst_format == "geojson":
         geoparquet_to_geojson(spark, args.input, args.output)
@@ -81,6 +82,7 @@ def cmd_convert(args) -> int:
             input_primary_column=args.input_primary_column,
             compression=args.compression,
             single_file=True,
+            as_file=True,
         )
     return 0
 
@@ -150,6 +152,7 @@ def cmd_extract(args) -> int:
         keep_only_columns=keep,
         drop_columns=drop,
         single_file=True,
+        as_file=True,
     )
     return 0
 

@@ -37,6 +37,7 @@ def geojson_to_geoparquet(
     compression: str = DEFAULT_COMPRESSION,
     row_group_length: int | None = None,
     single_file: bool = True,
+    as_file: bool = False,
 ):
     df, meta = read_geojson(
         spark, input_path, min_features=min_features, max_features=max_features
@@ -50,6 +51,7 @@ def geojson_to_geoparquet(
         meta,
         compression=compression,
         single_file=single_file,
+        as_file=as_file,
         **kwargs,
     )
 
@@ -62,6 +64,7 @@ def parquet_to_geoparquet(
     input_primary_column: str = DEFAULT_GEOMETRY_COLUMN,
     compression: str = DEFAULT_COMPRESSION,
     single_file: bool = False,
+    as_file: bool = False,
 ):
     """Convert plain Parquet (or fix up GeoParquet) — reference
     FromParquet/T1."""
@@ -85,7 +88,8 @@ def parquet_to_geoparquet(
             df = df.withColumn(name, st_wkt_to_wkb(name))
             col_meta.encoding = "WKB"
     return write_geoparquet(
-        df, output_path, meta, compression=compression, single_file=single_file
+        df, output_path, meta, compression=compression,
+        single_file=single_file, as_file=as_file,
     )
 
 

@@ -66,6 +66,26 @@ def _format_floats(obj: Any) -> Any:
     return obj
 
 
+def _sanitize_geom(geom: Any) -> Any:
+    """Empty points round-trip through WKB as NaN coordinates; render
+    them as empty coordinate arrays — `NaN` is not legal JSON."""
+    if geom is None:
+        return None
+    if geom.get("type") == "GeometryCollection":
+        return {
+            "type": "GeometryCollection",
+            "geometries": [_sanitize_geom(g) for g in geom.get("geometries", [])],
+        }
+    coords = geom.get("coordinates")
+    if (
+        geom.get("type") == "Point"
+        and isinstance(coords, list)
+        and any(isinstance(v, float) and math.isnan(v) for v in coords)
+    ):
+        return {"type": "Point", "coordinates": []}
+    return geom
+
+
 def feature_to_json(
     row: dict[str, Any], meta: GeoMetadata, go_numbers: bool = True
 ) -> str:
@@ -74,7 +94,7 @@ def feature_to_json(
     for name, value in row.items():
         col = meta.columns.get(name)
         if col is not None:
-            geom = decode_geometry(value, col.encoding or "")
+            geom = _sanitize_geom(decode_geometry(value, col.encoding or ""))
             if name == meta.primary_column:
                 geometry = geom
             else:

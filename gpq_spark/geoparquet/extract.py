@@ -77,6 +77,7 @@ def extract(
     drop_columns: list[str] | None = None,
     compression: str = DEFAULT_COMPRESSION,
     single_file: bool = False,
+    as_file: bool = False,
 ):
     """File-level extract. With ``output_path`` writes GeoParquet and
     returns the file list; without, returns the filtered DataFrame.
@@ -101,4 +102,5 @@ def extract(
         meta,
         compression=compression,
         single_file=single_file,
+        as_file=as_file,
     )

@@ -191,14 +191,38 @@ def write_geoparquet(
     mode: str = "overwrite",
     single_file: bool = False,
     compute_stats: bool = True,
+    as_file: bool = False,
 ) -> list[dict[str, Any]]:
     """Write ``df`` as a GeoParquet dataset directory.
 
     Returns per-file {file, rows} records. ``single_file=True``
     coalesces to one part file for CLI-parity outputs; leave False for
-    scale. When ``meta`` is None a default metadata for a column named
-    "geometry" is used (reference DefaultMetadata, recordwriter.go:53-60).
+    scale. ``as_file=True`` (implies single_file) makes ``path`` a
+    plain parquet FILE like the reference CLI produces, not a
+    directory. When ``meta`` is None a default metadata for a column
+    named "geometry" is used (reference DefaultMetadata,
+    recordwriter.go:53-60).
     """
+    if as_file:
+        import tempfile
+
+        tmp_dir = tempfile.mkdtemp(prefix="gpq_spark_write_")
+        files = write_geoparquet(
+            df,
+            tmp_dir,
+            meta,
+            compression=compression,
+            row_group_length=row_group_length,
+            mode="overwrite",
+            single_file=True,
+            compute_stats=compute_stats,
+        )
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        os.replace(files[0]["file"], path)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return [{"file": path, "rows": files[0]["rows"]}]
     from ..deploy import ensure_deployed
 
     ensure_deployed(df.sparkSession)

@@ -1,0 +1,129 @@
+"""Property-based tests for the geometry kernel (hypothesis).
+
+Random geometries must round-trip bit-exactly through both codecs,
+and derived quantities (bounds, type, orientation) must agree between
+representations.
+"""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from gpq_spark.geo import wkb, wkt
+from gpq_spark.geo.bbox import Bbox
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+def coord(dim):
+    return st.lists(finite, min_size=dim, max_size=dim)
+
+
+def coords2(n_min=2, n_max=6):
+    return st.lists(coord(2), min_size=n_min, max_size=n_max)
+
+
+def ring():
+    # a closed ring: 3 distinct points + repeat of the first
+    return st.lists(coord(2), min_size=3, max_size=6).map(
+        lambda pts: pts + [pts[0]]
+    )
+
+
+points = st.builds(lambda c: {"type": "Point", "coordinates": c}, coord(2))
+points_z = st.builds(lambda c: {"type": "Point", "coordinates": c}, coord(3))
+lines = st.builds(lambda c: {"type": "LineString", "coordinates": c}, coords2())
+polys = st.builds(
+    lambda rs: {"type": "Polygon", "coordinates": rs},
+    st.lists(ring(), min_size=1, max_size=3),
+)
+multipoints = st.builds(
+    lambda c: {"type": "MultiPoint", "coordinates": c}, coords2(1, 4)
+)
+multilines = st.builds(
+    lambda cs: {"type": "MultiLineString", "coordinates": cs},
+    st.lists(coords2(), min_size=1, max_size=3),
+)
+multipolys = st.builds(
+    lambda ps: {"type": "MultiPolygon", "coordinates": ps},
+    st.lists(st.lists(ring(), min_size=1, max_size=2), min_size=1, max_size=2),
+)
+simple_geoms = st.one_of(points, points_z, lines, polys, multipoints, multilines, multipolys)
+collections = st.builds(
+    lambda gs: {"type": "GeometryCollection", "geometries": gs},
+    st.lists(st.one_of(points, lines, polys), min_size=0, max_size=3),
+)
+geoms = st.one_of(simple_geoms, collections)
+
+
+@settings(max_examples=200, deadline=None)
+@given(geoms)
+def test_wkb_roundtrip(geom):
+    assert wkb.loads(wkb.dumps(geom)) == geom
+
+
+@settings(max_examples=200, deadline=None)
+@given(geoms)
+def test_wkt_roundtrip(geom):
+    assert wkt.loads(wkt.dumps(geom)) == geom
+
+
+@settings(max_examples=100, deadline=None)
+@given(geoms)
+def test_bounds_cover_all_positions(geom):
+    b = wkb.bounds(geom)
+    positions = list(wkb._iter_positions(geom))
+    if not positions:
+        assert b is None
+        return
+    assert b is not None
+    xmin, ymin, xmax, ymax = b
+    for p in positions:
+        assert xmin <= p[0] <= xmax
+        assert ymin <= p[1] <= ymax
+
+
+@settings(max_examples=100, deadline=None)
+@given(geoms)
+def test_bounds_same_via_wkb_and_wkt(geom):
+    assert wkb.bounds(geom) == wkb.bounds(wkt.loads(wkt.dumps(geom)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.tuples(finite, finite, finite, finite),
+    st.tuples(finite, finite, finite, finite),
+)
+def test_bbox_intersects_symmetric(a, b):
+    b1 = Bbox(min(a[0], a[2]), min(a[1], a[3]), max(a[0], a[2]), max(a[1], a[3]))
+    b2 = Bbox(min(b[0], b[2]), min(b[1], b[3]), max(b[0], b[2]), max(b[1], b[3]))
+    # non-crossing boxes: intersection is symmetric and matches the
+    # interval-overlap definition
+    expected = not (
+        b1.ymax < b2.ymin
+        or b2.ymax < b1.ymin
+        or b1.xmax < b2.xmin
+        or b2.xmax < b1.xmin
+    )
+    assert b1.intersects(b2) == expected
+    assert b2.intersects(b1) == expected
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(min_size=0, max_size=40))
+def test_wkt_garbage_never_crashes_unhandled(text):
+    try:
+        wkt.loads(text)
+    except (wkt.WKTError, ValueError):
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=60))
+def test_wkb_garbage_never_crashes_unhandled(data):
+    try:
+        wkb.loads(data)
+    except (wkb.WKBError, ValueError):
+        pass
