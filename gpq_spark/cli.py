@@ -51,7 +51,10 @@ def _sniff_format(path: str, declared: str) -> str:
 
 
 def cmd_convert(args) -> int:
+    from .storage import resolve_input
+
     spark = _spark()
+    args.input = resolve_input(args.input, suffix=".geojson" if args.from_ == "geojson" else "")
     src_format = _sniff_format(args.input, args.from_)
     dst_format = _sniff_format(args.output, args.to)
     from .geojson import (
@@ -88,7 +91,10 @@ def cmd_convert(args) -> int:
 
 
 def cmd_validate(args) -> int:
+    from .storage import resolve_input
     from .validate import validate
+
+    args.input = resolve_input(args.input)
 
     report = validate(args.input, metadata_only=args.metadata_only)
     if args.format == "json":
@@ -124,6 +130,9 @@ def cmd_validate(args) -> int:
 
 def cmd_describe(args) -> int:
     from .geoparquet.describe import describe, describe_metadata_only
+    from .storage import resolve_input
+
+    args.input = resolve_input(args.input)
 
     if args.metadata_only:
         try:
@@ -141,6 +150,9 @@ def cmd_describe(args) -> int:
 def cmd_extract(args) -> int:
     spark = _spark()
     from .geoparquet import extract
+    from .storage import resolve_input
+
+    args.input = resolve_input(args.input)
 
     keep = args.keep_only_cols.split(",") if args.keep_only_cols else None
     drop = args.drop_cols.split(",") if args.drop_cols else None
@@ -162,7 +174,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("convert", help="Convert between GeoJSON, GeoParquet, and Parquet")
-    p.add_argument("input")
+    p.add_argument("input", help="File path, URL, or '-' for stdin.")
     p.add_argument("output")
     p.add_argument("--from", dest="from_", default="auto",
                    choices=["auto", "geojson", "geoparquet", "parquet"])

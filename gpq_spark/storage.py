@@ -1,0 +1,43 @@
+"""Input resolution: local paths, URLs, and stdin.
+
+The reference reads inputs from file paths, HTTP(S) URLs (lazy range
+reader, /root/reference/internal/storage/http.go), cloud blobs
+(storage/blob.go), or stdin (command.go:38-52). The Spark engine's
+distributed scans get remote data through Hadoop FS connectors
+(``spark.read.parquet("s3a://...")``); this module covers the
+*driver-side* single-file surfaces (CLI convert/describe/validate
+inputs): ``http(s)://`` and ``file://`` URLs are fetched to a local
+temp file, ``-`` reads stdin.
+
+Note: a production HTTP Parquet path would use ranged reads
+(footer-first) like the reference; fetching whole files is acceptable
+for the CLI-size surface this covers.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+from urllib.parse import urlparse
+from urllib.request import urlopen
+
+
+def resolve_input(path_or_url: str, suffix: str = "") -> str:
+    """Return a local filesystem path for any supported input form."""
+    if path_or_url == "-":
+        fd, tmp = tempfile.mkstemp(suffix=suffix or ".stdin")
+        with os.fdopen(fd, "wb") as out:
+            shutil.copyfileobj(sys.stdin.buffer, out)
+        return tmp
+    scheme = urlparse(path_or_url).scheme
+    if scheme in ("http", "https", "file"):
+        name = os.path.basename(urlparse(path_or_url).path) or "download"
+        tmp = os.path.join(
+            tempfile.mkdtemp(prefix="gpq_spark_fetch_"), name
+        )
+        with urlopen(path_or_url) as resp, open(tmp, "wb") as out:
+            shutil.copyfileobj(resp, out)
+        return tmp
+    return path_or_url

@@ -79,3 +79,33 @@ def test_describe_metadata_only(capsys):
     )
     assert code == 0
     assert json.loads(out)["primary_column"] == "geometry"
+
+
+def test_url_input_file_scheme(tmp_path, capsys):
+    """URL inputs (S5 parity) — file:// scheme exercises the fetch path."""
+    code, out = run_cli(
+        ["describe", f"file://{CASES}/example-v1.0.0.parquet", "--metadata-only"],
+        capsys,
+    )
+    assert code == 0
+    assert json.loads(out)["primary_column"] == "geometry"
+
+
+def test_stdin_input(tmp_path, capsys, monkeypatch):
+    """'-' reads stdin (S4 parity)."""
+    import io
+
+    class FakeStdin:
+        buffer = io.BytesIO(
+            open(f"{GJ}/example.geojson", "rb").read()
+        )
+
+    import sys as _sys
+
+    monkeypatch.setattr(_sys, "stdin", FakeStdin())
+    out_pq = str(tmp_path / "stdin_out.parquet")
+    code, _ = run_cli(["convert", "-", out_pq, "--from", "geojson"], capsys)
+    assert code == 0
+    import pyarrow.parquet as pq
+
+    assert pq.ParquetFile(out_pq).metadata.num_rows == 5
