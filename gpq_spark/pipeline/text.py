@@ -39,19 +39,17 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
           + 0.3 * (1 - punct_chars/n_chars)
           + 0.3 * min(1, 10 * stopword_hits/n_words)
     """
-    n_words = f"size(split(trim({text_col}), '\\\\s+'))"
+    tokened = df.withColumn("__qw", F.expr(f"split(trim({text_col}), '\\\\s+')"))
+    n_words = "size(__qw)"
     n_chars = f"length({text_col})"
     punct = f"size(regexp_extract_all({text_col}, '[^a-zA-Z0-9\\\\s]', 0))"
-    stop = (
-        f"size(filter(split(trim({text_col}), '\\\\s+'), "
-        f"w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))"
-    )
+    stop = "size(filter(__qw, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))"
     expr = (
         f"0.4 * least(CAST(1.0 AS DOUBLE), CAST({n_words} AS DOUBLE) / 100.0)"
         f" + 0.3 * (CAST(1.0 AS DOUBLE) - CAST({punct} AS DOUBLE) / CAST({n_chars} AS DOUBLE))"
         f" + 0.3 * least(CAST(1.0 AS DOUBLE), 10.0 * CAST({stop} AS DOUBLE) / CAST({n_words} AS DOUBLE))"
     )
-    return df.withColumn("quality", F.expr(expr).cast("double"))
+    return tokened.withColumn("quality", F.expr(expr).cast("double")).drop("__qw")
 
 
 LANG_MARKERS = {
@@ -67,9 +65,14 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram-free heuristic language ID: counts marker-token hits per
     language; argmax with a fixed language order for tie-breaks;
     ``und`` when no marker hits at all."""
-    words = f"split(trim(lower({text_col})), '\\\\s+')"
+    # materialize the words array once — inlined into every score
+    # expression the split() would re-evaluate per reference
+    # (see BASELINE.md perf notes)
+    tokened = df.withColumn(
+        "__lw", F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
+    )
     scores = {
-        lang: f"size(filter({words}, w -> w IN ({', '.join(repr(m) for m in markers)})))"
+        lang: f"size(filter(__lw, w -> w IN ({', '.join(repr(m) for m in markers)})))"
         for lang, markers in LANG_MARKERS.items()
     }
     # argmax with deterministic tie-break = iteration order of LANG_MARKERS
@@ -78,7 +81,7 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     for lang, score in scores.items():
         pred = f"CASE WHEN ({score}) > ({best}) THEN '{lang}' ELSE ({pred}) END"
         best = f"greatest({best}, {score})"
-    return df.withColumn("pred_lang", F.expr(pred))
+    return tokened.withColumn("pred_lang", F.expr(pred)).drop("__lw")
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

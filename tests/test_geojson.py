@@ -265,3 +265,28 @@ class TestDescribe:
             "/root/reference/internal/testdata/cases/example-v1.0.0.parquet"
         )
         assert json.loads(raw)["primary_column"] == "geometry"
+
+
+class TestNdjsonSink:
+    def test_write_ndjson_distributed(self, spark, tmp_path):
+        from gpq_spark.geojson import read_geojson, write_ndjson
+        from gpq_spark.geojson.parser import iter_features
+
+        df, meta = read_geojson(spark, os.path.join(GJ, "example.geojson"))
+        out = str(tmp_path / "nd_out")
+        write_ndjson(df, meta, out)
+        # read all part files back as ndjson text
+        texts = []
+        for p in sorted(os.listdir(out)):
+            if p.startswith("part-"):
+                with open(os.path.join(out, p)) as fh:
+                    texts.extend(ln for ln in fh if ln.strip())
+        assert len(texts) == 5
+        feats = [json.loads(t) for t in texts]
+        assert {f["properties"]["name"] for f in feats} == {
+            "Fiji", "Tanzania", "W. Sahara", "Canada", "United States of America"
+        }
+        # every line independently parseable as a Feature
+        for t in texts:
+            parsed = list(iter_features(t))
+            assert len(parsed) == 1

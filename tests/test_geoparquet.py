@@ -193,3 +193,37 @@ class TestExtractEndToEnd:
         assert "hemisphere" not in df2.columns
         # per-file stats recomputed for the filtered output
         assert meta2.primary().geometry_types == ["Polygon"]
+
+
+class TestWktEncodedGeoParquet:
+    def test_extract_on_wkt_encoding(self, spark, tmp_path):
+        """A GeoParquet file with declared WKT (string) encoding is
+        filterable — the envelope fallback decodes per the declared
+        encoding (reference DecodeGeometry dispatch)."""
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        table = pa.table(
+            {
+                "name": ["inside", "outside"],
+                "geometry": ["POINT (35 -6.5)", "POINT (100 50)"],
+            }
+        )
+        meta = {
+            "version": "1.0.0",
+            "primary_column": "geometry",
+            "columns": {"geometry": {"encoding": "WKT", "geometry_types": ["Point"]}},
+        }
+        path = str(tmp_path / "wkt_enc.parquet")
+        pq_.write_table(
+            table.cast(table.schema.with_metadata({b"geo": _json.dumps(meta).encode()})),
+            path,
+        )
+        from gpq_spark.geoparquet import extract_df, read_geoparquet
+
+        df, m = read_geoparquet(spark, path)
+        assert m.primary().encoding == "WKT"
+        out = extract_df(df, m, bbox="34,-7,36,-6")
+        assert [r["name"] for r in out.collect()] == ["inside"]
