@@ -269,3 +269,59 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def simhash_near_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance.
+
+    Pigeonhole blocking: the signature is split into ``max_hamming+1``
+    bit chunks — any pair within ``max_hamming`` must match at least
+    one chunk exactly, so candidates come from chunk-bucket groupBys
+    (one shuffle, like MinHash banding) and only candidates pay the
+    popcount. Output: id_a, id_b, hamming (≤ max_hamming), distinct.
+    """
+    n_chunks = max_hamming + 1
+    chunk_size = (bits + n_chunks - 1) // n_chunks
+    banded = sig_df.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk_id"),
+    ).select(
+        "__id",
+        "simhash",
+        "chunk_id",
+        F.expr(
+            f"(simhash div shiftleft(1L, chunk_id * {chunk_size})) % "
+            f"shiftleft(1L, {chunk_size})"
+        ).alias("chunk_val"),
+    )
+    buckets = (
+        banded.groupBy("chunk_id", "chunk_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__id"), F.col("simhash")))
+            ).alias("__members")
+        )
+        .filter(F.size("__members") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__members, (x, i) -> "
+                "transform(slice(__members, i + 2, size(__members) - i - 1), "
+                "y -> struct(x.__id AS id_a, y.__id AS id_b, "
+                "x.simhash AS sh_a, y.simhash AS sh_b))))"
+            )
+        ).alias("__p")
+    ).select("__p.id_a", "__p.id_b", "__p.sh_a", "__p.sh_b").distinct()
+    hamming = F.expr("bit_count(sh_a ^ sh_b)")
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -221,3 +221,29 @@ class TestSaltedJoin:
         assert len(got) == 2
         labels = {r["v"]: r["label"] for r in got}
         assert labels == {"x": "m", "y": None}
+
+
+class TestSimhashPairs:
+    def test_near_identical_docs_found(self, spark):
+        from gpq_spark.pipeline.dedup import simhash_near_pairs, simhash_signatures
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "the quick brown fox jumps over the lazy dog near the ocean"),
+            (3, "entirely different content about spark query planning engines"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        sigs = simhash_signatures(df, "doc_id", "text", bits=16)
+        pairs = simhash_near_pairs(sigs, "doc_id", max_hamming=6, bits=16)
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+        assert (1, 2) in got
+        assert got[(1, 2)] <= 6
+
+    def test_identical_docs_distance_zero(self, spark):
+        from gpq_spark.pipeline.dedup import simhash_near_pairs, simhash_signatures
+
+        rows = [(1, "same text here"), (2, "same text here")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        sigs = simhash_signatures(df, "doc_id", "text", bits=16)
+        pairs = simhash_near_pairs(sigs, "doc_id", max_hamming=0, bits=16).collect()
+        assert len(pairs) == 1 and pairs[0]["hamming"] == 0
