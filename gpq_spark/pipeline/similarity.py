@@ -6,15 +6,16 @@ result bit-identical across engines (DuckDB ``list_reduce`` folds the
 same way) and across partitionings — no reliance on reduction order.
 
 Scale design:
-- ``brute_force_topk``: broadcast the (small) query set, score every
-  corpus row map-side, take per-query top-k with a window. One shuffle
-  of ``num_queries × corpus_partitions × k`` pre-aggregated rows would
-  be ideal; Spark's window top-k shuffles scored rows on query_id — at
-  very large corpus sizes, prefer the ``lsh_bucketed_topk`` variant or
-  raise ``prefilter`` to cut candidates map-side.
+- every variant broadcasts the (small) query set, scores map-side, and
+  uses a TWO-PHASE top-k (``_topk_per_query``): per-input-partition
+  top-k first, then a global rank over ``partitions × k`` candidates —
+  no per-query reducer ever sees the full corpus.
 - ``lsh_bucketed_topk``: deterministic hyperplane-free LSH — buckets by
   the sign pattern of selected coordinates — probing only matching
   buckets; recall/latency trade-off controlled by ``bits``.
+- ``ivf_topk``: centroid-cell pruning (offline-trained centroids slot
+  in directly); write the corpus partitioned by cell for disk pruning.
+- ``brute_force_topk_arrow``: numpy matmul fast path.
 """
 
 from __future__ import annotations
@@ -48,6 +49,34 @@ def dot_expr(a: str, b: str) -> Column:
     return F.expr(_dot(a, b))
 
 
+def _topk_per_query(scored: DataFrame, query_id_col: str, id_col: str, k: int) -> DataFrame:
+    """Exact per-query top-k in two phases.
+
+    A single ``Window.partitionBy(query_id)`` would shuffle EVERY scored
+    row into one reducer per query — with few queries and a 100 TB
+    corpus that's a straggler. Phase 1 takes top-k within each
+    (query, input-partition) group, so the global phase only ranks
+    ``partitions × k`` candidate rows per query. Results identical
+    (per-group top-k is a superset of the global top-k)."""
+    pre = scored.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy(query_id_col, "__pid").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    candidates = (
+        pre.withColumn("__lrank", F.row_number().over(w_local))
+        .filter(F.col("__lrank") <= k)
+        .drop("__pid", "__lrank")
+    )
+    w_global = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -74,14 +103,7 @@ def brute_force_topk(
         id_col,
         cosine_expr(vec_col, "__qvec").alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, "cosine")
-    )
+    return _topk_per_query(scored, query_id_col, id_col, k)
 
 
 def sign_bucket_expr(vec_col: str, bits: int) -> Column:
@@ -127,14 +149,7 @@ def lsh_bucketed_topk(
         id_col,
         cosine_expr(vec_col, "__qvec").alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, "cosine")
-    )
+    return _topk_per_query(scored, query_id_col, id_col, k)
 
 
 def ivf_topk(
@@ -201,14 +216,7 @@ def ivf_topk(
         id_col,
         cosine_expr(vec_col, "__qvec").alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, "cosine")
-    )
+    return _topk_per_query(scored, query_id_col, id_col, k)
 
 
 def brute_force_topk_arrow(
@@ -275,11 +283,4 @@ def brute_force_topk_arrow(
     )
     if not include_self:
         partial = partial.filter(F.col(id_col) != F.col("query_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", id_col, "cosine")
-    )
+    return _topk_per_query(partial, "query_id", id_col, k)
