@@ -37,6 +37,35 @@ from .reader import parquet_files, read_geo_metadata
 from .writer import write_geoparquet
 
 
+def add_bbox_column(
+    df: DataFrame, meta: GeoMetadata, column_name: str = "bbox"
+) -> tuple[DataFrame, GeoMetadata]:
+    """Add a bbox covering column + covering metadata for the primary
+    geometry column — the upgrade path from UDF-filtered datasets to
+    statistics-pushdown spatial filtering.
+
+    One decode pass at write time buys every future query plain
+    struct-comparison filtering (row-group pruning + per-file pruning).
+    Returns (df with struct<xmin,ymin,xmax,ymax>, updated metadata).
+    """
+    col = meta.primary()
+    encoding = (col.encoding if col else "") or ""
+    env = st_envelope(meta.primary_column, encoding)
+    out_df = df.withColumn(column_name, env)
+    out_meta = meta.clone()
+    out_col = out_meta.primary()
+    if out_col is not None:
+        out_col.covering = {
+            "bbox": {
+                "xmin": [column_name, "xmin"],
+                "ymin": [column_name, "ymin"],
+                "xmax": [column_name, "xmax"],
+                "ymax": [column_name, "ymax"],
+            }
+        }
+    return out_df, out_meta
+
+
 def grid_cell_expr(x: F.Column, y: F.Column, cell_deg: float) -> F.Column:
     """Stable grid cell id for a lon/lat point at ``cell_deg``
     resolution."""

@@ -89,3 +89,33 @@ class TestPartitionedWrite:
         # query box far away from all data
         result, meta, info = read_geoparquet_bbox(spark, out, "0,80,1,81")
         assert result.count() == 0
+
+
+class TestAddBboxColumn:
+    def test_upgrade_to_pushdown(self, spark, tmp_path):
+        """A dataset without a covering column gains one + covering
+        metadata; subsequent bbox filters are pure pushed comparisons."""
+        from gpq_spark.geoparquet import (
+            extract_df,
+            get_bbox_column,
+            read_geoparquet,
+            write_geoparquet,
+        )
+        from gpq_spark.geoparquet.spatial import add_bbox_column
+
+        src = "/root/reference/internal/testdata/cases/example-v1.0.0.parquet"
+        df, meta = read_geoparquet(spark, src)
+        assert get_bbox_column(df.columns, meta) is None
+
+        up_df, up_meta = add_bbox_column(df, meta)
+        out = str(tmp_path / "covered")
+        write_geoparquet(up_df, out, up_meta, single_file=True)
+
+        df2, meta2 = read_geoparquet(spark, out)
+        bc = get_bbox_column(df2.columns, meta2)
+        assert bc is not None and bc.name == "bbox"
+
+        filtered = extract_df(df2, meta2, bbox="34,-7,36,-6")
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "pythonUDF" not in plan.lower()  # no decode in the filter
+        assert [r["name"] for r in filtered.collect()] == ["Tanzania"]
