@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the plans we verified once must not
+silently degrade (broadcast choices, pushdown, no cartesian blowups,
+no Python in JVM-only paths)."""
+
+import pytest
+
+from gpq_spark.entry_queries import queries_dict
+
+from conftest import TESTDATA
+
+SF = f"{TESTDATA}/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    q = queries_dict()
+
+    def plan(name):
+        return q[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+    return plan
+
+
+def test_q1_pushdown_and_partial_agg(plans):
+    p = plans("q1_pricing_summary")
+    assert "PushedFilters" in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q3_no_cartesian(plans):
+    p = plans("q3_shipping_priority")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_q5_fixed_dims_broadcast(plans):
+    p = plans("q5_nation_volume")
+    assert "BroadcastHashJoin" in p  # nation/region at minimum
+
+
+def test_asof_no_inequality_join(plans):
+    p = plans("q_asof_join_events_orders")
+    assert "BroadcastNestedLoop" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_minhash_no_python_and_bounded_exchanges(plans):
+    p = plans("dedup_minhash_pairs")
+    assert "pythonUDF" not in p.lower()
+    assert p.count("Exchange") <= 4
+
+
+def test_geo_bbox_filter_is_jvm_only(plans):
+    p = plans("geo_bbox_filter")
+    assert "pythonUDF" not in p.lower()
+    # whole-stage codegen (tree form uses '*(n)' markers)
+    assert "*(1)" in p
+
+
+def test_exact_dedup_single_shuffle(plans):
+    p = plans("dedup_exact_docs")
+    assert p.count("Exchange") == 1
+
+
+def test_text_ops_are_jvm_only(plans):
+    for name in ("text_tokens", "text_quality", "text_langid", "text_fingerprint"):
+        assert "pythonUDF" not in plans(name).lower(), name
+
+
+def test_ann_two_phase_topk(plans):
+    p = plans("ann_topk")
+    # two ranking windows: per-partition then global
+    assert p.count("RunningWindowFunction") + p.count("Window") >= 2
