@@ -62,12 +62,20 @@ def parquet_to_geoparquet(
     output_path: str,
     *,
     input_primary_column: str = DEFAULT_GEOMETRY_COLUMN,
-    compression: str = DEFAULT_COMPRESSION,
+    compression: str | None = None,
     single_file: bool = False,
     as_file: bool = False,
 ):
     """Convert plain Parquet (or fix up GeoParquet) — reference
-    FromParquet/T1."""
+    FromParquet/T1.
+
+    ``compression=None`` retains each input column's existing codec
+    (reference K5, transform.go:32-59); pass a codec name to recompress
+    uniformly."""
+    if compression is None:
+        from ..geoparquet.writer import read_column_codecs
+
+        compression = read_column_codecs(input_path) or DEFAULT_COMPRESSION
     existing = try_read_geo_metadata(input_path)
     df = spark.read.parquet(input_path)
     if existing is not None:

@@ -46,13 +46,33 @@ DEFAULT_COMPRESSION = "zstd"  # reference CLI default (convert.go:36)
 _CODECS = {"uncompressed", "snappy", "gzip", "brotli", "zstd", "lz4"}
 
 
-def get_compression(codec: str) -> str:
+def get_compression(codec) -> str | dict[str, str]:
     """Codec-name validation (reference GetCompression,
-    /root/reference/internal/pqutil/compression.go:9-26)."""
+    /root/reference/internal/pqutil/compression.go:9-26). A dict maps
+    column paths to codecs (per-column preservation, reference K5)."""
+    if isinstance(codec, dict):
+        return {path: get_compression(c) for path, c in codec.items()}
     c = (codec or DEFAULT_COMPRESSION).lower()
     if c not in _CODECS:
         raise ValueError(f"invalid compression codec {codec}")
     return "none" if c == "uncompressed" else c
+
+
+def read_column_codecs(path: str) -> dict[str, str]:
+    """Per-column codecs of a parquet file's row group 0 (reference
+    getWriterProperties, /root/reference/internal/pqutil/
+    transform.go:32-59) — used to retain existing codecs when
+    transforming Parquet without an explicit codec choice."""
+    from .reader import _first_parquet_file
+
+    pf = pq.ParquetFile(_first_parquet_file(path))
+    if pf.metadata.num_row_groups == 0:
+        return {}
+    rg = pf.metadata.row_group(0)
+    return {
+        rg.column(i).path_in_schema: rg.column(i).compression.lower()
+        for i in range(rg.num_columns)
+    }
 
 
 class _GeomStats:

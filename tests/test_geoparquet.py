@@ -227,3 +227,45 @@ class TestWktEncodedGeoParquet:
         assert m.primary().encoding == "WKT"
         out = extract_df(df, m, bbox="34,-7,36,-6")
         assert [r["name"] for r in out.collect()] == ["inside"]
+
+
+class TestPerColumnCodecs:
+    def test_preserved_on_convert(self, spark, tmp_path):
+        """K5: converting Parquet without an explicit codec retains each
+        column's codec (reference transform.go:32-59)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        src = str(tmp_path / "mixed.parquet")
+        table = pa.table(
+            {"name": ["a", "b"], "geometry": ["POINT (1 2)", "POINT (3 4)"]}
+        )
+        pq_.write_table(
+            src_table := table, src,
+            compression={"name": "gzip", "geometry": "snappy"},
+        )
+        from gpq_spark.geojson import parquet_to_geoparquet
+        from gpq_spark.geoparquet.writer import read_column_codecs
+
+        out = str(tmp_path / "preserved")
+        parquet_to_geoparquet(spark, src, out, single_file=True)
+        codecs = read_column_codecs(out)
+        assert codecs["name"] == "gzip"
+        assert codecs["geometry"] == "snappy"
+
+    def test_explicit_codec_overrides(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        src = str(tmp_path / "gz.parquet")
+        pq_.write_table(
+            pa.table({"name": ["a"], "geometry": ["POINT (1 2)"]}),
+            src,
+            compression="gzip",
+        )
+        from gpq_spark.geojson import parquet_to_geoparquet
+        from gpq_spark.geoparquet.writer import read_column_codecs
+
+        out = str(tmp_path / "rezstd")
+        parquet_to_geoparquet(spark, src, out, compression="zstd", single_file=True)
+        assert set(read_column_codecs(out).values()) == {"zstd"}
