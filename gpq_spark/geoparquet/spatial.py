@@ -68,11 +68,36 @@ def add_bbox_column(
 
 def grid_cell_expr(x: F.Column, y: F.Column, cell_deg: float) -> F.Column:
     """Stable grid cell id for a lon/lat point at ``cell_deg``
-    resolution."""
+    resolution (row-major)."""
     nx = int(math.ceil(360.0 / cell_deg))
     col = F.floor((x + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
     row = F.floor((y + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
     return (row * F.lit(nx) + col).alias("grid_cell")
+
+
+def zorder_cell_expr(x: F.Column, y: F.Column, cell_deg: float) -> F.Column:
+    """Z-order (Morton) cell id: interleaved bits of the grid col/row.
+
+    Range-partitioning on Z-order values keeps each output file's
+    cells CONTIGUOUS IN 2-D (quadrant blocks), unlike row-major ids
+    whose ranges are 1-cell-tall horizontal strips spanning all
+    longitudes — tighter per-file bboxes, better file pruning.
+    Pure integer expressions (shifts and masks), no UDF.
+    """
+    n_cells = max(
+        int(math.ceil(360.0 / cell_deg)), int(math.ceil(180.0 / cell_deg))
+    )
+    bits = max(1, (n_cells - 1).bit_length())
+    col = F.floor((x + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+    row = F.floor((y + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(col, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(row, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return z.alias("zorder_cell")
 
 
 def partition_by_grid(
@@ -80,10 +105,14 @@ def partition_by_grid(
     meta: GeoMetadata,
     cell_deg: float = 10.0,
     partitions: int | None = None,
+    curve: str = "zorder",
 ) -> DataFrame:
     """Cluster rows by the grid cell of their envelope center so output
     files are spatially tight. Uses the bbox covering column when
-    present (pure expressions), else decodes geometry envelopes."""
+    present (pure expressions), else decodes geometry envelopes.
+
+    ``curve``: "zorder" (default — 2-D-contiguous quadrant blocks per
+    file) or "rowmajor"."""
     bbox_col = get_bbox_column(df.columns, meta)
     if bbox_col is not None:
         cx = (F.col(f"{bbox_col.name}.{bbox_col.xmin}") + F.col(f"{bbox_col.name}.{bbox_col.xmax}")) / 2
@@ -93,7 +122,12 @@ def partition_by_grid(
         env = st_envelope(meta.primary_column, (col.encoding if col else "") or "")
         cx = (env["xmin"] + env["xmax"]) / 2
         cy = (env["ymin"] + env["ymax"]) / 2
-    cell = grid_cell_expr(cx, cy, cell_deg)
+    if curve == "zorder":
+        cell = zorder_cell_expr(cx, cy, cell_deg)
+    elif curve == "rowmajor":
+        cell = grid_cell_expr(cx, cy, cell_deg)
+    else:
+        raise ValueError("curve must be 'zorder' or 'rowmajor'")
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     # range-partition (not hash): hash scatters unrelated cells into the
     # same file, making per-file bboxes nearly global; contiguous cell-id
@@ -107,11 +141,12 @@ def write_geoparquet_partitioned(
     meta: GeoMetadata,
     cell_deg: float = 10.0,
     partitions: int | None = None,
+    curve: str = "zorder",
     **kwargs,
 ):
     """Spatially-clustered GeoParquet write: grid-repartition, then the
     standard distributed write (per-file footers get tight bboxes)."""
-    clustered = partition_by_grid(df, meta, cell_deg, partitions)
+    clustered = partition_by_grid(df, meta, cell_deg, partitions, curve)
     return write_geoparquet(clustered, path, meta, **kwargs)
 
 

@@ -119,3 +119,45 @@ class TestAddBboxColumn:
         plan = filtered._jdf.queryExecution().executedPlan().toString()
         assert "pythonUDF" not in plan.lower()  # no decode in the filter
         assert [r["name"] for r in filtered.collect()] == ["Tanzania"]
+
+
+class TestZorder:
+    def test_zorder_interleave_correct(self, spark):
+        from gpq_spark.geoparquet.spatial import zorder_cell_expr
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(-180.0, -90.0), (-170.0, -90.0), (-180.0, -80.0), (170.0, 80.0)],
+            ["x", "y"],
+        )
+        got = [
+            r[0]
+            for r in df.select(
+                zorder_cell_expr(F.col("x"), F.col("y"), 10.0)
+            ).collect()
+        ]
+
+        def morton(cx, cy):
+            z = 0
+            for b in range(8):
+                z |= ((cx >> b) & 1) << (2 * b)
+                z |= ((cy >> b) & 1) << (2 * b + 1)
+            return z
+
+        assert got == [morton(0, 0), morton(1, 0), morton(0, 1), morton(35, 17)]
+
+    def test_zorder_files_prune_at_least_as_well(self, spark, tmp_path):
+        from gpq_spark.geoparquet.spatial import (
+            prune_files_by_bbox,
+            write_geoparquet_partitioned,
+        )
+        from gpq_spark.geoparquet.metadata import default_metadata
+        from gpq_spark.geo.bbox import Bbox
+
+        df = _points_df(spark)
+        out = str(tmp_path / "zorder")
+        write_geoparquet_partitioned(
+            df, out, default_metadata(), cell_deg=18.0, partitions=8, curve="zorder"
+        )
+        kept, total = prune_files_by_bbox(out, Bbox(0, 0, 20, 20))
+        assert total >= 8 and len(kept) < total
