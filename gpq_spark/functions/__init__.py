@@ -1,3 +1,4 @@
+from .measures import st_area, st_centroid_env, st_length
 from .geometry import (
     st_geometry_type,
     st_stats_type,
@@ -26,4 +27,7 @@ __all__ = [
     "bbox_intersects",
     "bbox_struct_intersects",
     "envelope_intersects",
+    "st_area",
+    "st_length",
+    "st_centroid_env",
 ]

@@ -10,8 +10,16 @@ from .metadata import (
     VERSION,
 )
 from .reader import read_geoparquet, read_geo_metadata, try_read_geo_metadata, parquet_files
-from .writer import write_geoparquet, get_compression
+from .writer import write_geoparquet, get_compression, read_column_codecs
 from .extract import extract, extract_df
+from .describe import describe, describe_metadata_only
+from .spatial import (
+    add_bbox_column,
+    partition_by_grid,
+    prune_files_by_bbox,
+    read_geoparquet_bbox,
+    write_geoparquet_partitioned,
+)
 
 __all__ = [
     "GeoMetadata",
@@ -31,4 +39,12 @@ __all__ = [
     "get_compression",
     "extract",
     "extract_df",
+    "read_column_codecs",
+    "describe",
+    "describe_metadata_only",
+    "add_bbox_column",
+    "partition_by_grid",
+    "prune_files_by_bbox",
+    "read_geoparquet_bbox",
+    "write_geoparquet_partitioned",
 ]

@@ -17,20 +17,27 @@ Design rules:
 
 from .dedup import (
     dedup_exact,
+    simhash_near_pairs,
     minhash_signatures,
     lsh_candidate_pairs,
     simhash_signatures,
     ngram_jaccard_pairs,
     embedding_near_dup_pairs,
 )
-from .similarity import brute_force_topk, lsh_bucketed_topk, cosine_expr
+from .similarity import (
+    brute_force_topk,
+    brute_force_topk_arrow,
+    cosine_expr,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from .text import (
     with_token_counts,
     with_quality_score,
     with_language_id,
     with_fingerprint,
 )
-from .multimodal import binary_metadata, decode_stub
+from .multimodal import binary_metadata, decode_stub, frame_sample_stub
 
 __all__ = [
     "dedup_exact",
@@ -40,12 +47,16 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
     "brute_force_topk",
+    "brute_force_topk_arrow",
+    "ivf_topk",
     "lsh_bucketed_topk",
     "cosine_expr",
+    "simhash_near_pairs",
     "with_token_counts",
     "with_quality_score",
     "with_language_id",
     "with_fingerprint",
     "binary_metadata",
     "decode_stub",
+    "frame_sample_stub",
 ]
