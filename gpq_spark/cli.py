@@ -142,6 +142,11 @@ def cmd_describe(args) -> int:
             return 1
         return 0
     info = describe(args.input)
+    if args.format == "text":
+        from .geoparquet.describe import format_describe_text
+
+        print(format_describe_text(info))
+        return 0
     indent = None if args.unpretty else 2
     print(json.dumps(info, indent=indent))
     return 0

@@ -151,6 +151,62 @@ def describe(path: str) -> dict[str, Any]:
     return info
 
 
+def format_describe_text(info: dict[str, Any]) -> str:
+    """Plain-text rendering of the describe report: a column table plus
+    geo metadata summary (the reference's text formatter shape)."""
+    lines: list[str] = []
+    rows: list[tuple[str, str, str, str, str]] = []
+
+    def walk(field: dict[str, Any], prefix: str = "") -> None:
+        name = prefix + field.get("name", "")
+        if field.get("name"):
+            repetition = (
+                "optional"
+                if field.get("optional")
+                else "repeated"
+                if field.get("repeated")
+                else "required"
+            )
+            rows.append(
+                (
+                    name,
+                    field.get("type", ""),
+                    field.get("annotation", ""),
+                    repetition,
+                    field.get("compression", ""),
+                )
+            )
+        for child in field.get("fields", []) or []:
+            walk(child, name + "." if field.get("name") else "")
+
+    walk(info["schema"])
+    headers = ("column", "type", "annotation", "repetition", "compression")
+    widths = [
+        max(len(headers[i]), *(len(r[i]) for r in rows)) if rows else len(headers[i])
+        for i in range(5)
+    ]
+    fmt = "  ".join(f"{{:<{w}}}" for w in widths)
+    lines.append(fmt.format(*headers))
+    lines.append(fmt.format(*("-" * w for w in widths)))
+    for r in rows:
+        lines.append(fmt.format(*r))
+    lines.append("")
+    lines.append(f"rows: {info['rows']}")
+    lines.append(f"row groups: {info['groups']}")
+    meta = info.get("metadata")
+    if meta:
+        lines.append(f"geo version: {meta.get('version')}")
+        lines.append(f"primary geometry column: {meta.get('primary_column')}")
+        for name, col in (meta.get("columns") or {}).items():
+            gts = ", ".join(col.get("geometry_types") or []) or "(none)"
+            lines.append(f'  column "{name}": encoding={col.get("encoding")} types=[{gts}]')
+            if col.get("bbox"):
+                lines.append(f"    bbox: {col['bbox']}")
+    for issue in info.get("issues") or []:
+        lines.append(f"issue: {issue}")
+    return "\n".join(lines)
+
+
 def describe_metadata_only(path: str) -> str:
     """The raw "geo" footer value (``describe --metadata-only``)."""
     target = _first_parquet_file(path)

@@ -2,6 +2,12 @@ from .windows import (
     stream_events,
     windowed_counts,
     stateful_sessionize,
+    stream_to_geoparquet,
 )
 
-__all__ = ["stream_events", "windowed_counts", "stateful_sessionize"]
+__all__ = [
+    "stream_events",
+    "windowed_counts",
+    "stateful_sessionize",
+    "stream_to_geoparquet",
+]

@@ -148,3 +148,34 @@ def stateful_sessionize(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_to_geoparquet(
+    stream: DataFrame,
+    path: str,
+    meta=None,
+    checkpoint: str | None = None,
+    **writer_kwargs,
+):
+    """Streaming GeoParquet sink: every micro-batch is written through
+    the engine's distributed writer, so each epoch's part files carry
+    their own spec-valid ``"geo"`` footers (bounds + type stats) just
+    like batch output. Returns the StreamingQuery.
+
+    Epoch replays overwrite by deterministic naming only per epoch dir;
+    exactly-once comes from the checkpoint + idempotent epoch dirs.
+    """
+    import os
+
+    from ..geoparquet.writer import write_geoparquet
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        epoch_dir = os.path.join(path, f"epoch={epoch_id}")
+        write_geoparquet(batch_df, epoch_dir, meta, mode="overwrite", **writer_kwargs)
+
+    writer = stream.writeStream.foreachBatch(write_epoch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -109,3 +109,13 @@ def test_stdin_input(tmp_path, capsys, monkeypatch):
     import pyarrow.parquet as pq
 
     assert pq.ParquetFile(out_pq).metadata.num_rows == 5
+
+
+def test_describe_text_format(capsys):
+    code, out = run_cli(
+        ["describe", f"{CASES}/example-v1.1.0.parquet", "--format", "text"], capsys
+    )
+    assert code == 0
+    assert "primary geometry column: geometry" in out
+    assert "bbox.xmin" in out
+    assert "rows: 5" in out

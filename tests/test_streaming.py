@@ -107,3 +107,59 @@ class TestStatefulSessionize:
         )
         batch_total = batch_sessions.agg(F.sum("n_sessions")).first()[0]
         assert got.count() <= batch_total
+
+
+class TestStreamToGeoParquet:
+    def test_epoch_files_have_geo_footers(self, spark, tmp_path):
+        """A geometry-bearing stream lands as standalone-valid
+        GeoParquet per epoch."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from gpq_spark.geo import wkb
+        from gpq_spark.geoparquet import parquet_files, read_geo_metadata
+        from gpq_spark.geoparquet.metadata import default_metadata
+        from gpq_spark.streaming import stream_to_geoparquet
+
+        # build a small geometry parquet to stream from
+        src_dir = tmp_path / "geo_stream_src"
+        src_dir.mkdir()
+
+        @F.pandas_udf("binary")
+        def pt(x):
+            import pandas as pd
+
+            return pd.Series(
+                [
+                    wkb.dumps({"type": "Point", "coordinates": [float(v) % 180, 10.0]})
+                    for v in x
+                ]
+            )
+
+        batch = spark.range(50).select(
+            "id", pt(F.col("id").cast("double")).alias("geometry")
+        )
+        batch.write.parquet(str(src_dir / "seed"))
+
+        stream = spark.readStream.schema(batch.schema).parquet(str(src_dir / "seed"))
+        out = str(tmp_path / "geo_stream_out")
+        q = stream_to_geoparquet(
+            stream,
+            out,
+            default_metadata(),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        files = parquet_files(out)
+        assert files, "no epoch output written"
+        meta = read_geo_metadata(files[0])
+        assert meta.primary().encoding == "WKB"
+        assert meta.primary().bbox is not None
+        assert meta.primary().geometry_types == ["Point"]
+        total = sum(
+            spark.read.parquet(f).count() for f in files
+        )
+        assert total == 50
