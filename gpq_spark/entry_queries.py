@@ -83,10 +83,10 @@ def cents(col: str) -> str:
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           SUM({cents('l_quantity')}) AS sum_qty_cents,
-           SUM({cents('l_extendedprice')}) AS sum_base_cents,
-           SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')})) AS sum_disc_e4,
-           SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')}) * (100 + {cents('l_tax')})) AS sum_charge_e6,
+           CAST(SUM({cents('l_quantity')}) AS BIGINT) AS sum_qty_cents,
+           CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+           CAST(SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')})) AS BIGINT) AS sum_disc_e4,
+           CAST(SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')}) * (100 + {cents('l_tax')})) AS BIGINT) AS sum_charge_e6,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -124,7 +124,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     f"""
     SELECT l_orderkey,
-           SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')})) AS revenue_e4,
+           CAST(SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')})) AS BIGINT) AS revenue_e4,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -174,7 +174,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_volume",
     f"""
     SELECT n_name,
-           SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')})) AS revenue_e4,
+           CAST(SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')})) AS BIGINT) AS revenue_e4,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -253,8 +253,8 @@ def q_topk_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot_returnflag",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O,
-           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -280,7 +280,7 @@ def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderpriority, '(all)') AS priority,
            COALESCE(o_orderstatus, '(all)') AS status,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           SUM({cents('o_totalprice')}) AS total_cents
+           CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS total_cents
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
@@ -358,7 +358,7 @@ def q_setops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-           SUM({cents('l_quantity')}) AS qty_cents,
+           CAST(SUM({cents('l_quantity')}) AS BIGINT) AS qty_cents,
            strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
            strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
     FROM lineitem
@@ -420,7 +420,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM({cents('value')}) AS value_cents
+           CAST(SUM({cents('value')}) AS BIGINT) AS value_cents
     FROM events
     GROUP BY 1, 2
     """,
@@ -1138,7 +1138,7 @@ def stream_tumble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(l_returnflag, '(all)') AS flag,
            COALESCE(l_linestatus, '(all)') AS status,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM({cents('l_quantity')}) AS qty_cents
+           CAST(SUM({cents('l_quantity')}) AS BIGINT) AS qty_cents
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -1188,11 +1188,11 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM (
         SELECT l_suppkey,
                CAST(row_number() OVER w AS INT) AS rn,
-               SUM({cents('l_quantity')}) OVER (
+               CAST(SUM({cents('l_quantity')}) OVER (
                    PARTITION BY l_suppkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber
                    ROWS UNBOUNDED PRECEDING
-               ) AS running_qty_cents
+               ) AS BIGINT) AS running_qty_cents
         FROM lineitem
         WINDOW w AS (PARTITION BY l_suppkey
                      ORDER BY l_shipdate, l_orderkey, l_linenumber)
@@ -1221,7 +1221,7 @@ def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_unpivot_measures",
     f"""
-    SELECT measure, SUM(value_cents) AS total_cents FROM (
+    SELECT measure, CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM (
         SELECT 'quantity' AS measure, {cents('l_quantity')} AS value_cents FROM lineitem
         UNION ALL
         SELECT 'extendedprice' AS measure, {cents('l_extendedprice')} AS value_cents FROM lineitem
@@ -1475,12 +1475,13 @@ def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "geo_measures",
     f"""
     SELECT c_custkey,
-           CASE c_custkey % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 0.0 ELSE 6.0 END AS area,
-           CASE c_custkey % 3
+           CAST(CASE c_custkey % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 0.0 ELSE 6.0 END
+                AS DOUBLE) AS area,
+           CAST(CASE c_custkey % 3
                WHEN 0 THEN 0.0
                WHEN 1 THEN sqrt(13.0)
                ELSE 12.0
-           END AS length,
+           END AS DOUBLE) AS length,
            {_PX} + (CASE c_custkey % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 ELSE 2.0 END) AS cx,
            {_PY} + (CASE c_custkey % 3 WHEN 0 THEN 0.0 ELSE 1.5 END) AS cy
     FROM customer WHERE c_custkey < 300

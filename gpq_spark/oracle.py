@@ -36,6 +36,35 @@ def duckdb_connection(sf_dir: str):
     return con
 
 
+def _canon_type(t) -> str:
+    """Canonical name for an Arrow type.
+
+    Strict on integer width and decimal-vs-integer (this is exactly how a
+    DuckDB HUGEINT — arrow decimal128(38,0) — differs from a Spark BIGINT
+    — arrow int64 — even though Python sees plain `int` for both).
+    Lenient only where the engines' Arrow exports differ in representation,
+    not in value semantics (string vs large_string, list vs large_list,
+    timestamp timezone annotation).
+    """
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        fields = ",".join(
+            f"{t.field(i).name}:{_canon_type(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{fields}>"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    return str(t)
+
+
 def _canon_value(v: Any) -> Any:
     if v is None:
         return None
@@ -53,40 +82,72 @@ def _canon_value(v: Any) -> Any:
     return str(v)
 
 
-def _canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    return sorted(
-        tuple(_canon_value(row[i]) for i in order) for row in rows
+def _arrow_canon(tbl) -> tuple[list[str], list[str], list[tuple]]:
+    """(sorted col names, canonical types in that order, canonical rows)."""
+    names = list(tbl.schema.names)
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols = [names[i] for i in order]
+    types = [_canon_type(tbl.schema.field(names[i]).type) for i in order]
+    pylists = [tbl.column(names[i]).to_pylist() for i in order]
+    rows = sorted(
+        tuple(_canon_value(col[r]) for col in pylists)
+        for r in range(tbl.num_rows)
     )
+    return cols, types, rows
+
+
+def _spark_to_arrow(spark_df):
+    """Spark DataFrame → pyarrow Table preserving Spark result types."""
+    try:
+        return spark_df.toArrow()
+    except AttributeError:  # pre-4.0 fallback
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(spark_df.toPandas())
 
 
 def compare(spark_df, con, oracle_sql: str) -> dict[str, Any]:
-    """Returns {match, detail} comparing the Spark result to the oracle."""
-    spark_cols = list(spark_df.columns)
-    spark_rows = [tuple(r) for r in spark_df.collect()]
+    """Returns {match, detail} comparing the Spark result to the oracle.
 
-    duck = con.sql(oracle_sql)
-    duck_cols = list(duck.columns)
-    duck_rows = duck.fetchall()
+    Typed comparison at the Arrow level — a DuckDB HUGEINT result (from a
+    bare SUM over BIGINT) mismatches a Spark BIGINT even though the Python
+    values compare equal, mirroring the driver's strict value-hash gate.
+    """
+    spark_tbl = _spark_to_arrow(spark_df)
+    duck_tbl = con.sql(oracle_sql).arrow()
+
+    s_cols, s_types, s_rows = _arrow_canon(spark_tbl)
+    d_cols, d_types, d_rows = _arrow_canon(duck_tbl)
 
     result: dict[str, Any] = {
-        "spark_rows": len(spark_rows),
-        "oracle_rows": len(duck_rows),
-        "spark_cols": sorted(spark_cols),
-        "oracle_cols": sorted(duck_cols),
+        "spark_rows": len(s_rows),
+        "oracle_rows": len(d_rows),
+        "spark_cols": s_cols,
+        "oracle_cols": d_cols,
+        "spark_types": s_types,
+        "oracle_types": d_types,
     }
-    if sorted(spark_cols) != sorted(duck_cols):
+    if s_cols != d_cols:
         result["match"] = False
         result["detail"] = "column mismatch"
         return result
-    if len(spark_rows) != len(duck_rows):
+    if s_types != d_types:
+        result["match"] = False
+        result["detail"] = (
+            "type mismatch: "
+            + "; ".join(
+                f"{c}: spark={a} oracle={b}"
+                for c, a, b in zip(s_cols, s_types, d_types)
+                if a != b
+            )
+        )
+        return result
+    if len(s_rows) != len(d_rows):
         result["match"] = False
         result["detail"] = "row count mismatch"
         return result
-    a = _canon_rows(spark_cols, spark_rows)
-    b = _canon_rows(duck_cols, duck_rows)
-    if a != b:
-        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+    if s_rows != d_rows:
+        diffs = [(x, y) for x, y in zip(s_rows, d_rows) if x != y][:5]
         result["match"] = False
         result["detail"] = f"value mismatch; first diffs: {diffs}"
         return result
