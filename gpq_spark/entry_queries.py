@@ -1403,11 +1403,44 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_stateful_sessions", None)  # custom stateful streaming: rows-only check
+@register(
+    "stream_stateful_sessions",
+    """
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+    numbered AS (
+        SELECT user_id, tus,
+               CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ), sess AS (
+        SELECT user_id, tus,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM numbered
+    ), agg AS (
+        SELECT user_id, sid, MIN(tus) AS s_start, MAX(tus) AS s_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           strftime(make_timestamp(s_start), '%Y-%m-%d %H:%M:%S') AS start,
+           strftime(make_timestamp(s_end), '%Y-%m-%d %H:%M:%S') AS "end",
+           n_events
+    FROM agg, (SELECT MAX(tus) AS max_tus FROM ev)
+    WHERE sid < max_sid
+       OR (s_end // 1000 + 1800000) < (max_tus // 1000 - 7200000)
+    """,
+)
 def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
-    closed gap-sessions over the events stream. Not SQL-expressible —
-    the driver records a rows-only check."""
+    closed gap-sessions (30 min) over the events stream.
+
+    The oracle is the batch sessionize SQL restricted to sessions the
+    stream actually CLOSES on a bounded single-batch input: closed by a
+    later event (sid < max_sid) or by event-time timeout — Spark fires
+    a timeout when the final watermark (max event time - 2 h delay,
+    millisecond-floored) advances beyond session_end + 30 min."""
     import os as _os
     import tempfile as _tempfile
     import uuid as _uuid
@@ -1538,11 +1571,31 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_stub(docs, "payload", "doc_id", every_n_bytes=64)
 
 
-@register("ann_topk_fast", None)  # numpy matmul reduction order → rows-only check
+@register(
+    "ann_topk_fast",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, vec_id,
+               round({_cos_duck('cv', 'qv')}, 9) + 0.0 AS cosine
+        FROM c, q WHERE vec_id != query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
 def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy fast-path exact top-k (map-side per-partition top-k,
-    then global). Same results as ann_topk modulo last-ulp float
-    ordering (matmul vs sequential fold), so declared rows-only."""
+    then global). Matmul reduction order differs from a sequential fold
+    in the last ulp, so the cosine is rounded to 9 decimals BEFORE
+    ranking — matmul and the oracle's fold agree at that precision, so
+    selection, ranks, and values hash-match the fold-based oracle."""
     from .pipeline.similarity import brute_force_topk_arrow
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1551,4 +1604,4 @@ def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
         .toPandas()
     )
-    return brute_force_topk_arrow(emb, qpdf, "vec_id", "embedding", k=10)
+    return brute_force_topk_arrow(emb, qpdf, "vec_id", "embedding", k=10, round_digits=9)

@@ -226,6 +226,7 @@ def brute_force_topk_arrow(
     vec_col: str = "embedding",
     k: int = 10,
     include_self: bool = False,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Numpy/Arrow fast path for exact cosine top-k.
 
@@ -233,9 +234,11 @@ def brute_force_topk_arrow(
     Arrow batch computes a (batch × queries) cosine matrix with one
     float64 matmul — typically 10-100× the expression-fold path. Note:
     matmul reduction order differs from a sequential fold, so results
-    can differ in the last ulp (rank ties break by id either way); use
-    the fold-based ``brute_force_topk`` when bit-exact cross-engine
-    parity is required.
+    can differ in the last ulp. Pass ``round_digits`` (e.g. 9) to round
+    the cosine BEFORE top-k selection: matmul and fold agree to ~1e-13
+    relative error, so the rounded scores — and therefore the selected
+    set and ranks (ties broken by ascending id) — match the fold-based
+    ``brute_force_topk`` and a cross-engine oracle exactly.
 
     Scale: map-side per-partition top-k first, then a global top-k over
     ``partitions × k`` candidates — the shuffle carries only candidate
@@ -263,15 +266,21 @@ def brute_force_topk_arrow(
             )
             cnorm = np.linalg.norm(cmat, axis=1)
             cos = (cmat @ qmat_.T) / np.outer(cnorm, qnorm_)
+            if round_digits is not None:
+                # + 0.0 normalizes -0.0 → +0.0 (repr-visible otherwise)
+                cos = np.round(cos, round_digits) + 0.0
+            ids = pdf[id_col].values
             out_frames = []
             for j, qid in enumerate(qids_):
                 col = cos[:, j]
-                order = np.argsort(-col, kind="stable")[: k + (0 if include_self else 1)]
+                # lexsort: primary -cosine, secondary ascending id, so a
+                # tie at the local cut keeps the globally-ranked rows
+                order = np.lexsort((ids, -col))[: k + (0 if include_self else 1)]
                 out_frames.append(
                     pd.DataFrame(
                         {
                             "query_id": qid,
-                            id_col: pdf[id_col].values[order],
+                            id_col: ids[order],
                             "cosine": col[order],
                         }
                     )
