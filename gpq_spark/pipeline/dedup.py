@@ -217,24 +217,47 @@ def ngram_jaccard_pairs(
 
     Jaccard = |A∩B| / |A∪B| over distinct shingle sets — an exact
     integer ratio, so the double division is engine-deterministic.
+
+    Scale shape (same as ``lsh_candidate_pairs``): ONE shuffle — groupBy
+    the blocking key collecting (id, shingles) structs, expand pairs
+    inside the bucket. A self-join formulation would scan the input and
+    recompute the shingle pipeline on BOTH sides and shuffle both.
+    Bucket payload is the block's shingle arrays; blocking keys are
+    chosen to keep blocks small, and a quadratic block is equally
+    quadratic under either formulation.
     """
     if parallelism:
         df = df.repartition(parallelism)
     shingled = _with_shingles(
         df, text_col, shingle_size, keep=[id_col, *block_cols]
     )
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
-    union = F.size(F.array_union(F.col("a.__sh"), F.col("b.__sh")))
+    # struct puts the id first → array_sort orders members by id, so
+    # pair expansion yields id_a < id_b deterministically
+    buckets = (
+        shingled.groupBy(*block_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("__id"), F.col("__sh")))
+            ).alias("__members")
+        )
+        .filter(F.size("__members") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__members, (x, i) -> "
+                "transform(slice(__members, i + 2, size(__members) - i - 1), "
+                "y -> struct(x.__id AS id_a, y.__id AS id_b, "
+                "x.__sh AS sh_a, y.__sh AS sh_b))))"
+            )
+        ).alias("__p")
+    )
+    inter = F.size(F.array_intersect(F.col("__p.sh_a"), F.col("__p.sh_b")))
+    union = F.size(F.array_union(F.col("__p.sh_a"), F.col("__p.sh_b")))
     return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        pairs.select(
+            F.col("__p.id_a").alias("id_a"),
+            F.col("__p.id_b").alias("id_b"),
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

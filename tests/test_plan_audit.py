@@ -68,6 +68,16 @@ def test_text_ops_are_jvm_only(plans):
         assert "pythonUDF" not in plans(name).lower(), name
 
 
+def test_ngram_jaccard_single_shuffle_single_scan(plans):
+    p = plans("dedup_ngram_jaccard_pairs")
+    assert "pythonUDF" not in p.lower()
+    # bucket-expand shape: one groupBy shuffle, no self-join (the only
+    # other Exchange is the deliberate round-robin repartition that
+    # parallelizes the CPU-heavy shingle computation)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+
 def test_ann_two_phase_topk(plans):
     p = plans("ann_topk")
     # two ranking windows: per-partition then global
