@@ -1,0 +1,473 @@
+"""Vectorized per-batch geometry statistics for the distributed writer.
+
+The writer's footer stats (bounds union + distinct geometry types —
+reference GeometryStats, /root/reference/internal/geo/geo.go:146-339)
+were originally accumulated with a per-row Python WKB decode; at 100 TB
+that loop IS the write bottleneck. This module replaces it with three
+tiers, fastest first:
+
+1. **Covering column** (bbox struct present): bounds come straight from
+   numpy min/max over the struct's xmin/ymin/xmax/ymax arrays — zero
+   geometry decode. Types still come from tier 2's header scan.
+2. **Vectorized WKB scan** (binary column): one numpy pass over the
+   Arrow buffers decodes every value's byte order, type code, and
+   Z/SRID flags (no per-value Python). Point envelopes are gathered
+   fully vectorized; LineString/Polygon/Multi* walk structure per value
+   but read each coordinate run with a single ``np.frombuffer`` — O(rings)
+   Python ops instead of O(vertices).
+3. **Per-value fallback** for GeometryCollection (Z-ness requires member
+   inspection), non-WKB encodings (WKT strings), and malformed headers
+   (which must raise the same ``WKBError`` the scalar path raises).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+_TYPE_NAMES = {
+    1: "Point",
+    2: "LineString",
+    3: "Polygon",
+    4: "MultiPoint",
+    5: "MultiLineString",
+    6: "MultiPolygon",
+    7: "GeometryCollection",
+}
+
+_EWKB_Z = np.uint32(0x80000000)
+_EWKB_M = np.uint32(0x40000000)
+_EWKB_SRID = np.uint32(0x20000000)
+
+
+def _binary_parts(arr: pa.Array):
+    """(starts, ends, valid_mask, data_bytes) for a (Large)Binary array,
+    slice-offset aware."""
+    n = len(arr)
+    validity, offsets_buf, data_buf = arr.buffers()
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(offsets_buf, dtype=off_dtype)[arr.offset : arr.offset + n + 1]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    if validity is None:
+        valid = np.ones(n, dtype=bool)
+    else:
+        bits = np.unpackbits(np.frombuffer(validity, dtype=np.uint8), bitorder="little")
+        valid = bits[arr.offset : arr.offset + n].astype(bool)
+    return offs[:-1].astype(np.int64), offs[1:].astype(np.int64), valid, data
+
+
+def _gather_doubles(data: np.ndarray, starts: np.ndarray, little: bool) -> np.ndarray:
+    """Vectorized gather of one float64 per ``starts`` offset."""
+    if starts.size == 0:
+        return np.empty(0, dtype=np.float64)
+    raw = data[starts[:, None] + np.arange(8)]
+    return raw.view("<f8" if little else ">f8").astype(np.float64).ravel()
+
+
+def _merge_xy(st, xs: np.ndarray, ys: np.ndarray) -> None:
+    """Union (x, y) pairs into the running envelope, skipping pairs where
+    either coordinate is NaN (empty-point markers)."""
+    if xs.size == 0:
+        return
+    bad = np.isnan(xs) | np.isnan(ys)
+    if bad.all():
+        return
+    xs = np.where(bad, np.nan, xs)
+    ys = np.where(bad, np.nan, ys)
+    st.seen = True
+    st.xmin = min(st.xmin, float(np.nanmin(xs)))
+    st.xmax = max(st.xmax, float(np.nanmax(xs)))
+    st.ymin = min(st.ymin, float(np.nanmin(ys)))
+    st.ymax = max(st.ymax, float(np.nanmax(ys)))
+
+
+def _merge_run_arrays(
+    st, data: np.ndarray, starts: np.ndarray, counts: np.ndarray, dim: int, little: bool
+) -> None:
+    """One vectorized envelope reduce over MANY coordinate runs.
+
+    A per-run numpy reduce would pay ~10 numpy-call overheads per
+    geometry (measured slower than the pure-Python decode on 10-vertex
+    lines); instead the positions of every run's every vertex are built
+    with repeat/cumsum and gathered in a single pass."""
+    total = int(counts.sum())
+    if total == 0:
+        return
+    base = np.repeat(starts, counts)
+    run_first = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(run_first, counts)
+    pos = base + (8 * dim) * within
+    xs = _gather_doubles(data, pos, little)
+    ys = _gather_doubles(data, pos + 8, little)
+    _merge_xy(st, xs, ys)
+
+
+def _merge_runs(st, data: np.ndarray, runs: list, dim: int, little: bool) -> None:
+    if not runs:
+        return
+    starts = np.fromiter((r[0] for r in runs), np.int64, len(runs))
+    counts = np.fromiter((r[1] for r in runs), np.int64, len(runs))
+    _merge_run_arrays(st, data, starts, counts, dim, little)
+
+
+def _u32le(data: np.ndarray, p: np.ndarray) -> np.ndarray:
+    return (
+        data[p].astype(np.int64)
+        | (data[p + 1].astype(np.int64) << 8)
+        | (data[p + 2].astype(np.int64) << 16)
+        | (data[p + 3].astype(np.int64) << 24)
+    )
+
+
+class _VecRuns:
+    """Accumulates (start, count) coordinate runs for the common shape
+    (little-endian, 2D) and merges them in ONE vectorized reduce."""
+
+    def __init__(self):
+        self.starts: list[np.ndarray] = []
+        self.counts: list[np.ndarray] = []
+
+    def add(self, starts: np.ndarray, counts: np.ndarray) -> None:
+        if starts.size:
+            self.starts.append(starts)
+            self.counts.append(counts)
+
+    def merge(self, st, data: np.ndarray) -> None:
+        if self.starts:
+            _merge_run_arrays(
+                st,
+                data,
+                np.concatenate(self.starts),
+                np.concatenate(self.counts),
+                2,
+                True,
+            )
+
+
+def _rings_lockstep(
+    data: np.ndarray, pos: np.ndarray, end: np.ndarray, nrings: np.ndarray, vec: _VecRuns
+):
+    """Collect ``nrings[i]`` rings (u32 count + vertices each) starting
+    at ``pos[i]``, advancing ALL entries one ring per round. End-bound
+    violations flip ``ok`` off (the caller demotes those to the scalar
+    walk, which raises the proper WKBError). Bogus counts fail the
+    extent check in their first round, so rounds are bounded by real
+    structure. Returns (new_pos, ok)."""
+    ok = np.ones(len(pos), dtype=bool)
+    left = nrings.astype(np.int64).copy()
+    pos = pos.astype(np.int64).copy()
+    while True:
+        active = ok & (left > 0)
+        if not active.any():
+            break
+        idx = np.nonzero(active)[0]
+        q = pos[idx]
+        readable = q + 4 <= end[idx]
+        n = np.zeros(len(q), dtype=np.int64)
+        if readable.any():
+            n[readable] = _u32le(data, q[readable])
+        fin = q + 4 + 16 * n
+        good = readable & (fin <= end[idx])
+        ok[idx[~good]] = False
+        vec.add(q[good] + 4, n[good])
+        g = idx[good]
+        pos[g] = fin[good]
+        left[g] -= 1
+    return pos, ok
+
+
+def _vec_collect(
+    data: np.ndarray,
+    g_starts: np.ndarray,
+    g_ends: np.ndarray,
+    b: int,
+    mcode: int,
+    vec: _VecRuns,
+):
+    """Vectorized coordinate-run collection for one geometry base type
+    in the common shape. ``mcode`` is the expected Multi* member type
+    code (0 for non-multi). Returns (starts, ends) of geometries that
+    need the scalar walk (truncation, or members outside the common
+    shape). Partially-collected runs of demoted geometries are safe to
+    merge: the envelope is a pure union."""
+    s = g_starts.astype(np.int64)
+    e = g_ends.astype(np.int64)
+    ok = s + 9 <= e  # header + first count readable
+    bad = [(s[~ok], e[~ok])]
+    s_, e_ = s[ok], e[ok]
+    if b == 2:  # LineString: one run at a fixed offset
+        n = _u32le(data, s_ + 5)
+        good = s_ + 9 + 16 * n <= e_
+        vec.add(s_[good] + 9, n[good])
+        bad.append((s_[~good], e_[~good]))
+    elif b == 3:  # Polygon: ring rounds
+        nr = _u32le(data, s_ + 5)
+        _, okr = _rings_lockstep(data, s_ + 9, e_, nr, vec)
+        bad.append((s_[~okr], e_[~okr]))
+    else:  # Multi*: member rounds (each member re-checked for shape)
+        nmem = _u32le(data, s_ + 5)
+        pos = (s_ + 9).copy()
+        ok2 = np.ones(len(s_), dtype=bool)
+        left = nmem.astype(np.int64)
+        while True:
+            active = ok2 & (left > 0)
+            if not active.any():
+                break
+            idx = np.nonzero(active)[0]
+            q = pos[idx]
+            readable = q + 9 <= e_[idx]
+            hdr = np.zeros(len(q), dtype=np.int64)
+            border = np.zeros(len(q), dtype=np.uint8)
+            if readable.any():
+                hdr[readable] = _u32le(data, q[readable] + 1)
+                border[readable] = data[q[readable]]
+            good_hdr = readable & (border == 1) & (hdr == mcode)
+            ok2[idx[~good_hdr]] = False
+            g = idx[good_hdr]
+            q = pos[g]
+            if mcode == 1:  # Point members
+                fin = q + 5 + 16
+                fit = fin <= e_[g]
+                ok2[g[~fit]] = False
+                vec.add(q[fit] + 5, np.ones(int(fit.sum()), dtype=np.int64))
+                gg = g[fit]
+                pos[gg] = fin[fit]
+            elif mcode == 2:  # LineString members
+                n = _u32le(data, q + 5)
+                fin = q + 9 + 16 * n
+                fit = fin <= e_[g]
+                ok2[g[~fit]] = False
+                vec.add(q[fit] + 9, n[fit])
+                gg = g[fit]
+                pos[gg] = fin[fit]
+            else:  # Polygon members
+                nr = _u32le(data, q + 5)
+                newpos, okr = _rings_lockstep(data, q + 9, e_[g], nr, vec)
+                ok2[g[~okr]] = False
+                gg = g[okr]
+                pos[gg] = newpos[okr]
+            left[g] -= 1
+        bad.append((s_[~ok2], e_[~ok2]))
+    return (
+        np.concatenate([p[0] for p in bad]),
+        np.concatenate([p[1] for p in bad]),
+    )
+
+
+def _walk_runs(data: np.ndarray, pos: int, end: int, runs: dict) -> int:
+    """Structural walk of one WKB geometry in ``data[pos:end]``;
+    appends its coordinate runs to ``runs[(dim, little)]`` and returns
+    the end position. Only ring counts are read here (O(rings) Python);
+    coordinates are gathered later in one vectorized pass. Reads past
+    ``end`` raise WKBError like the scalar decoder (values are
+    contiguous in the Arrow buffer — an unchecked read would silently
+    take the NEXT value's bytes)."""
+    from ..geo.wkb import WKBError
+
+    def need(upto: int) -> None:
+        if upto > end:
+            raise WKBError("unexpected end of WKB data")
+
+    need(pos + 5)
+    order = data[pos]
+    if order == 1:
+        little, u32 = True, "<I"
+    elif order == 0:
+        little, u32 = False, ">I"
+    else:
+        raise WKBError(f"invalid byte order: {order}")
+    (raw,) = struct.unpack_from(u32, data, pos + 1)
+    pos += 5
+    code = raw
+    if code & int(_EWKB_SRID):
+        code &= ~int(_EWKB_SRID)
+        need(pos + 4)
+        pos += 4
+    has_z = False
+    if code & int(_EWKB_Z):
+        has_z = True
+        code &= ~int(_EWKB_Z)
+    if code & int(_EWKB_M):
+        raise WKBError("WKB with M coordinates is not supported")
+    if 1000 < code < 2000:
+        has_z = True
+        code -= 1000
+    elif code > 2000:
+        raise WKBError("WKB with M coordinates is not supported")
+    dim = 3 if has_z else 2
+    name = _TYPE_NAMES.get(code)
+    if name is None:
+        raise WKBError(f"unsupported WKB geometry type: {raw}")
+    key = (dim, little)
+    step = 8 * dim
+    if name == "Point":
+        need(pos + step)
+        runs[key].append((pos, 1))
+        return pos + step
+    if name == "LineString":
+        need(pos + 4)
+        (n,) = struct.unpack_from(u32, data, pos)
+        need(pos + 4 + step * n)
+        runs[key].append((pos + 4, n))
+        return pos + 4 + step * n
+    if name == "Polygon":
+        need(pos + 4)
+        (nrings,) = struct.unpack_from(u32, data, pos)
+        pos += 4
+        for _ in range(nrings):
+            need(pos + 4)
+            (n,) = struct.unpack_from(u32, data, pos)
+            need(pos + 4 + step * n)
+            runs[key].append((pos + 4, n))
+            pos += 4 + step * n
+        return pos
+    # Multi* / GeometryCollection: recurse into member geometries
+    need(pos + 4)
+    (n,) = struct.unpack_from(u32, data, pos)
+    pos += 4
+    for _ in range(n):
+        pos = _walk_runs(data, pos, end, runs)
+    return pos
+
+
+def update_stats_wkb(st, arr: pa.Array, skip_bounds: bool = False) -> None:
+    """Accumulate stats for one Arrow binary column of WKB values.
+
+    ``skip_bounds=True`` when bounds come from a covering column — only
+    the (vectorized) type scan runs. Falls back to the scalar
+    ``st.add`` for GeometryCollections (member Z-ness) and malformed
+    values (same errors as the scalar path).
+    """
+    starts, ends, valid, data = _binary_parts(arr)
+    sel = np.nonzero(valid & (ends > starts))[0]
+    if sel.size == 0:
+        return
+    s = starts[sel]
+    b0 = data[s]
+    little = b0 == 1
+    b1, b2, b3, b4 = (data[s + k].astype(np.uint32) for k in (1, 2, 3, 4))
+    le_val = b1 | (b2 << 8) | (b3 << 16) | (b4 << 24)
+    be_val = b4 | (b3 << 8) | (b2 << 16) | (b1 << 24)
+    raw = np.where(little, le_val, be_val)
+    srid = (raw & _EWKB_SRID) != 0
+    z = (raw & _EWKB_Z) != 0
+    m = (raw & _EWKB_M) != 0
+    code = raw & ~np.uint32(0xE0000000)
+    iso_z = (code > 1000) & (code < 2000)
+    has_z = z | iso_z
+    base = np.where(iso_z, code - 1000, code)
+    ok = (
+        (b0 <= 1)
+        & ~m
+        & (code <= 2000)
+        & (base >= 1)
+        & (base <= 7)
+        & (ends[sel] - s >= 5)
+    )
+    # GeometryCollection Z-ness depends on members → scalar fallback
+    fallback = ~ok | (base == 7)
+
+    scanned = ok & (base != 7)
+    for b, hz in {
+        (int(b), bool(hz))
+        for b, hz in zip(base[scanned], has_z[scanned])
+    }:
+        st.types.add(_TYPE_NAMES[b] + (" Z" if hz else ""))
+
+    if not skip_bounds:
+        e = ends[sel]
+        # Points: fully vectorized envelope gather (split by endianness).
+        # Truncated values demote to the scalar path (same WKBError).
+        pts = scanned & (base == 1)
+        fits = s + 5 + 4 * srid + 16 <= e
+        fallback |= pts & ~fits
+        pts &= fits
+        for mask, is_le in ((pts & little, True), (pts & ~little, False)):
+            coord_off = s[mask] + 5 + 4 * srid[mask]
+            xs = _gather_doubles(data, coord_off, is_le)
+            ys = _gather_doubles(data, coord_off + 8, is_le)
+            _merge_xy(st, xs, ys)
+        # LineString / Polygon / Multi* in the common shape
+        # (little-endian, 2D, no SRID) vectorize without per-value
+        # Python: vertex counts sit at computable offsets, and nested
+        # structure advances in lockstep rounds (#rounds = max members ×
+        # max rings). Geometries that leave the common shape mid-walk
+        # (odd member headers, truncation) demote to the scalar walk —
+        # re-merging their already-collected runs is safe because the
+        # envelope is a pure union.
+        vec = _VecRuns()
+        common = scanned & little & ~srid & ~has_z
+        demoted: list[tuple[np.ndarray, np.ndarray]] = []
+        for b, mcode in ((2, 0), (3, 0), (4, 1), (5, 2), (6, 3)):
+            mask = common & (base == b)
+            if mask.any():
+                bad = _vec_collect(data, s[mask], e[mask], b, mcode, vec)
+                if bad[0].size:
+                    demoted.append(bad)
+        vec.merge(st, data)
+        # Everything else (Z, big-endian, SRID, demoted): structural
+        # walk collects runs, then one vectorized gather+reduce per
+        # (dim, endianness) combination
+        runs: dict = {(2, True): [], (2, False): [], (3, True): [], (3, False): []}
+        handled = (base >= 2) & (base <= 6) & common
+        for i in np.nonzero(scanned & (base != 1) & ~handled)[0]:
+            _walk_runs(data, int(s[i]), int(e[i]), runs)
+        for d_starts, d_ends in demoted:
+            for off, dend in zip(d_starts, d_ends):
+                _walk_runs(data, int(off), int(dend), runs)
+        for (dim, is_le), run_list in runs.items():
+            _merge_runs(st, data, run_list, dim, is_le)
+
+    for i in np.nonzero(fallback)[0]:
+        st.add(arr[int(sel[i])].as_py(), "WKB")
+
+
+def update_stats_covering(st, bbox_arr: pa.Array, fields) -> None:
+    """Bounds union from a bbox covering struct column — zero decode.
+
+    ``fields`` carries the struct field names (xmin/ymin/xmax/ymax).
+    NaN entries (empty geometries) are skipped, matching the decode
+    path's empty-point handling.
+    """
+    if len(bbox_arr) == 0:
+        return
+    vals = {}
+    for key in ("xmin", "ymin", "xmax", "ymax"):
+        child = bbox_arr.field(getattr(fields, key))
+        vals[key] = np.asarray(child.to_numpy(zero_copy_only=False), dtype=np.float64)
+        if bbox_arr.null_count:
+            mask = np.asarray(bbox_arr.is_null())
+            vals[key] = np.where(mask, np.nan, vals[key])
+    _merge_xy(st, vals["xmin"], vals["ymin"])
+    _merge_xy(st, vals["xmax"], vals["ymax"])
+
+
+def update_stats_batch(st, batch: pa.RecordBatch, name: str, encoding: str, bbox_col) -> None:
+    """Accumulate one batch's stats for geometry column ``name``.
+
+    ``bbox_col`` is the resolved covering (metadata.BboxColumn) for the
+    primary geometry column, or None. Dispatch: covering → tier 1,
+    WKB binary → tier 2, anything else (WKT strings) → scalar loop.
+    """
+    col = batch.column(name)
+    use_covering = (
+        bbox_col is not None
+        and bbox_col.base_name == name
+        and bbox_col.name in batch.schema.names
+        and pa.types.is_struct(batch.column(bbox_col.name).type)
+    )
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        if use_covering:
+            update_stats_covering(st, batch.column(bbox_col.name), bbox_col)
+            update_stats_wkb(st, col, skip_bounds=True)
+        else:
+            update_stats_wkb(st, col)
+        return
+    for value in col.to_pylist():
+        st.add(value, encoding)

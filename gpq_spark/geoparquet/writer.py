@@ -142,11 +142,15 @@ def _write_task(
 
     from pyspark import TaskContext
 
+    from .metadata import get_bbox_column
+    from .stats import update_stats_batch
+
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else 0
     meta = GeoMetadata.from_dict(meta_dict)
     encodings = {name: (col.encoding or "") for name, col in meta.columns.items()}
     stats: dict[str, _GeomStats] = {name: _GeomStats() for name in meta.columns}
+    bbox_col = None
 
     path = os.path.join(out_dir, f"part-{pid:05d}-{salt}.parquet")
     total_rows = 0
@@ -160,11 +164,13 @@ def _write_task(
             if ipc_writer is None:
                 schema = batch.schema
                 ipc_writer = pa.ipc.new_file(spill.name, schema)
+                bbox_col = get_bbox_column(list(schema.names), meta)
             if compute_stats:
                 for name, st in stats.items():
                     if name in batch.schema.names:
-                        for value in batch.column(name).to_pylist():
-                            st.add(value, encodings.get(name, ""))
+                        update_stats_batch(
+                            st, batch, name, encodings.get(name, ""), bbox_col
+                        )
             ipc_writer.write_batch(batch)
             total_rows += batch.num_rows
         if ipc_writer is None:

@@ -1,0 +1,219 @@
+"""The vectorized writer-stats path must produce byte-identical footer
+stats to the scalar per-value decode path, and must not run per-value
+Python when a covering column exists."""
+
+import glob
+import math
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from gpq_spark.geo import wkb
+from gpq_spark.geoparquet.metadata import BboxColumn
+from gpq_spark.geoparquet.stats import update_stats_batch, update_stats_wkb
+from gpq_spark.geoparquet.writer import _GeomStats
+
+CASES = sorted(glob.glob("/root/reference/internal/testdata/cases/*.parquet"))
+
+
+def scalar_stats(values, encoding=""):
+    st = _GeomStats()
+    for v in values:
+        st.add(v, encoding)
+    return st
+
+
+def assert_same(a: _GeomStats, b: _GeomStats):
+    assert a.types == b.types
+    assert a.seen == b.seen
+    if a.seen:
+        assert a.bbox() == pytest.approx(b.bbox(), abs=0.0)
+
+
+def batch_stats_for(arr: pa.Array) -> _GeomStats:
+    st = _GeomStats()
+    update_stats_wkb(st, arr)
+    return st
+
+
+@pytest.mark.parametrize("path", CASES, ids=[p.rsplit("/", 1)[1] for p in CASES])
+def test_reference_fixture_parity(path):
+    tbl = pq.read_table(path)
+    if "geometry" not in tbl.schema.names:
+        pytest.skip("no geometry column")
+    col = tbl.column("geometry").combine_chunks()
+    if not (pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type)):
+        pytest.skip("non-WKB geometry")
+    arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+    assert_same(batch_stats_for(arr), scalar_stats(arr.to_pylist(), "WKB"))
+
+
+def _geoms():
+    return [
+        None,
+        b"",
+        {"type": "Point", "coordinates": [1.5, -2.5]},
+        {"type": "Point", "coordinates": [10.0, 20.0, 30.0]},
+        {"type": "Point", "coordinates": []},  # empty point → NaN marker
+        {"type": "LineString", "coordinates": [[0.0, 0.0], [3.0, 4.0]]},
+        {
+            "type": "Polygon",
+            "coordinates": [[[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 0.0]]],
+        },
+        {"type": "MultiPoint", "coordinates": [[-5.0, 7.0], [6.0, -8.0]]},
+        {
+            "type": "MultiLineString",
+            "coordinates": [[[0.0, 1.0], [2.0, 1.0]], [[9.0, 9.0], [9.5, 9.5]]],
+        },
+        {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]],
+                [[[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 5.0]]],
+            ],
+        },
+        {
+            "type": "GeometryCollection",
+            "geometries": [
+                {"type": "Point", "coordinates": [100.0, -100.0, 1.0]},
+                {"type": "LineString", "coordinates": [[1.0, 2.0], [3.0, 4.0]]},
+            ],
+        },
+    ]
+
+
+def test_synthetic_mixed_types_parity():
+    values = [None if g is None or g == b"" else wkb.dumps(g) for g in _geoms()]
+    arr = pa.array(values, type=pa.binary())
+    assert_same(batch_stats_for(arr), scalar_stats(values, "WKB"))
+
+
+def test_large_binary_and_slice_offsets():
+    values = [wkb.dumps(g) for g in _geoms() if isinstance(g, dict)]
+    for typ in (pa.binary(), pa.large_binary()):
+        arr = pa.array(values, type=typ)
+        sliced = arr.slice(2, len(values) - 3)
+        assert_same(
+            batch_stats_for(sliced), scalar_stats(sliced.to_pylist(), "WKB")
+        )
+
+
+def test_big_endian_point_parity():
+    # big-endian ISO WKB point (byte order 0)
+    be_point = struct.pack(">BIdd", 0, 1, 12.25, -3.75)
+    arr = pa.array([be_point], type=pa.binary())
+    st = batch_stats_for(arr)
+    assert st.bbox() == [12.25, -3.75, 12.25, -3.75]
+    assert st.types == {"Point"}
+
+
+def test_ewkb_srid_point_parity():
+    # EWKB little-endian point with SRID flag (+4 srid bytes)
+    ewkb = struct.pack("<BIIdd", 1, 1 | 0x20000000, 4326, 5.0, 6.0)
+    arr = pa.array([ewkb], type=pa.binary())
+    assert_same(batch_stats_for(arr), scalar_stats([ewkb], "WKB"))
+
+
+def test_invalid_wkb_raises_like_scalar_path():
+    bad = b"\x02\x01\x00\x00\x00"  # invalid byte order
+    with pytest.raises(wkb.WKBError):
+        batch_stats_for(pa.array([bad], type=pa.binary()))
+
+
+def test_covering_skips_scalar_add_and_decode(monkeypatch):
+    """With a covering bbox struct present, bounds must come from the
+    covering (no per-value decode); the scalar .add must not run."""
+    geoms = [
+        {"type": "Point", "coordinates": [1.0, 2.0]},
+        {"type": "Point", "coordinates": [-3.0, 4.0]},
+    ]
+    wkbs = [wkb.dumps(g) for g in geoms]
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "geometry": pa.array(wkbs, type=pa.binary()),
+            "bbox": pa.array(
+                [
+                    {"xmin": 1.0, "ymin": 2.0, "xmax": 1.0, "ymax": 2.0},
+                    {"xmin": -3.0, "ymin": 4.0, "xmax": -3.0, "ymax": 4.0},
+                ]
+            ),
+        }
+    )
+    calls = []
+    monkeypatch.setattr(
+        _GeomStats, "add", lambda self, v, e: calls.append(v), raising=True
+    )
+    st = _GeomStats()
+    bbox_col = BboxColumn(name="bbox", base_name="geometry")
+    update_stats_batch(st, batch, "geometry", "WKB", bbox_col)
+    assert calls == []
+    assert st.bbox() == [-3.0, 2.0, 1.0, 4.0]
+    assert st.types == {"Point"}
+
+
+def test_covering_with_nulls_and_nan():
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "geometry": pa.array(
+                [wkb.dumps({"type": "Point", "coordinates": [1.0, 1.0]}), None],
+                type=pa.binary(),
+            ),
+            "bbox": pa.array(
+                [
+                    {"xmin": 1.0, "ymin": 1.0, "xmax": 1.0, "ymax": 1.0},
+                    None,
+                ]
+            ),
+        }
+    )
+    st = _GeomStats()
+    update_stats_batch(
+        st, batch, "geometry", "WKB", BboxColumn(name="bbox", base_name="geometry")
+    )
+    assert st.bbox() == [1.0, 1.0, 1.0, 1.0]
+
+
+def test_wkt_column_falls_back_to_scalar():
+    values = ["POINT (3 4)", None, "LINESTRING (0 0, 1 1)"]
+    batch = pa.RecordBatch.from_pydict({"geometry": pa.array(values)})
+    st = _GeomStats()
+    update_stats_batch(st, batch, "geometry", "WKT", None)
+    assert st.bbox() == [0.0, 0.0, 3.0, 4.0]
+    assert st.types == {"Point", "LineString"}
+
+
+def test_multi_with_z_member_demotes_to_walk():
+    # outer header says MultiPolygon (2D code), member is a Z polygon →
+    # the vectorized member scan demotes; bounds must still be exact
+    g = {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [[[0.0, 0.0, 9.0], [4.0, 0.0, 9.0], [4.0, 3.0, 9.0], [0.0, 0.0, 9.0]]],
+            [[[7.0, 7.0], [8.0, 7.0], [8.0, 8.0], [7.0, 7.0]]],
+        ],
+    }
+    v = wkb.dumps(g)
+    assert_same(batch_stats_for(pa.array([v], type=pa.binary())), scalar_stats([v], "WKB"))
+
+
+def test_truncated_multipolygon_raises_like_scalar():
+    v = wkb.dumps(
+        {
+            "type": "MultiPolygon",
+            "coordinates": [[[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]],
+        }
+    )[:-8]
+    with pytest.raises(wkb.WKBError):
+        batch_stats_for(pa.array([v], type=pa.binary()))
+    with pytest.raises(wkb.WKBError):
+        scalar_stats([v], "WKB")
+
+
+def test_empty_point_only_has_type_but_no_bounds():
+    v = wkb.dumps({"type": "Point", "coordinates": []})
+    st = batch_stats_for(pa.array([v], type=pa.binary()))
+    assert st.types == {"Point"}
+    assert st.bbox() is None
+    assert not math.isfinite(st.xmin)
