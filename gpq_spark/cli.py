@@ -91,10 +91,13 @@ def cmd_convert(args) -> int:
 
 
 def cmd_validate(args) -> int:
-    from .storage import resolve_input
+    from .storage import is_remote_url, resolve_input
     from .validate import validate
 
-    args.input = resolve_input(args.input)
+    # http(s) inputs flow through the lazy Range reader inside validate
+    # (footer-first; metadata-only touches O(footer) bytes)
+    if not is_remote_url(args.input):
+        args.input = resolve_input(args.input)
 
     report = validate(args.input, metadata_only=args.metadata_only)
     if args.format == "json":
@@ -130,9 +133,11 @@ def cmd_validate(args) -> int:
 
 def cmd_describe(args) -> int:
     from .geoparquet.describe import describe, describe_metadata_only
-    from .storage import resolve_input
+    from .storage import is_remote_url, resolve_input
 
-    args.input = resolve_input(args.input)
+    # http(s) inputs flow through the lazy Range reader inside describe
+    if not is_remote_url(args.input):
+        args.input = resolve_input(args.input)
 
     if args.metadata_only:
         try:

@@ -17,7 +17,7 @@ from typing import Any
 import pyarrow.parquet as pq
 
 from .metadata import METADATA_KEY
-from .reader import _first_parquet_file
+from .reader import open_parquet_source
 
 _NODE_RE = re.compile(
     r"^(required|optional|repeated)\s+"
@@ -110,7 +110,7 @@ def _build_field(
 
 def describe(path: str) -> dict[str, Any]:
     """Build the describe report dict for a (Geo)Parquet file."""
-    target = _first_parquet_file(path)
+    target = open_parquet_source(path)
     pf = pq.ParquetFile(target)
     meta = pf.metadata
 
@@ -209,7 +209,7 @@ def format_describe_text(info: dict[str, Any]) -> str:
 
 def describe_metadata_only(path: str) -> str:
     """The raw "geo" footer value (``describe --metadata-only``)."""
-    target = _first_parquet_file(path)
+    target = open_parquet_source(path)
     kv = pq.read_schema(target).metadata or {}
     raw = kv.get(METADATA_KEY.encode())
     if raw is None:

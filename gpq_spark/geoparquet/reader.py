@@ -33,6 +33,20 @@ def _first_parquet_file(path: str) -> str:
     return parts[0]
 
 
+def open_parquet_source(path: str):
+    """A pyarrow-acceptable source for a parquet path or URL.
+
+    ``http(s)://`` URLs get a lazy Range reader (reference HttpReader,
+    internal/storage/http.go:28-173) so footer-first access patterns
+    (metadata read, describe, metadata-only validate) fetch O(footer)
+    bytes of a multi-GB remote file instead of downloading it."""
+    from ..storage import HttpRangeReader, is_remote_url
+
+    if is_remote_url(path):
+        return HttpRangeReader(path)
+    return _first_parquet_file(path)
+
+
 def parquet_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
@@ -46,11 +60,11 @@ def parquet_files(path: str) -> list[str]:
 def read_geo_metadata(path: str) -> GeoMetadata:
     """Parse the "geo" footer value (reference GetMetadata,
     metadata.go:165-199). Raises NoMetadataError when absent."""
-    target = _first_parquet_file(path)
+    target = open_parquet_source(path)
     kv = pq.read_schema(target).metadata or {}
     raw = kv.get(METADATA_KEY.encode())
     if raw is None:
-        raise NoMetadataError(target)
+        raise NoMetadataError(path)
     return GeoMetadata.from_json(raw.decode())
 
 

@@ -32,7 +32,7 @@ from ..geoparquet.metadata import (
     METADATA_KEY,
     GeoMetadata,
 )
-from ..geoparquet.reader import _first_parquet_file
+from ..geoparquet.reader import open_parquet_source
 
 
 class FatalError(Exception):
@@ -534,7 +534,7 @@ class Validator:
                 "metadataOnly": self.metadata_only,
             }
 
-        target = _first_parquet_file(path)
+        target = open_parquet_source(path)
         pf = pq.ParquetFile(target)
         arrow_schema = pf.schema_arrow
         kv = arrow_schema.metadata or {}
@@ -668,7 +668,7 @@ def validate_df(spark, path: str, schema_loader: Callable[[str], dict] | None = 
     report = Validator(metadata_only=True, schema_loader=schema_loader).report(path)
     meta = GeoMetadata.from_dict(
         json.loads(
-            (pq.read_schema(_first_parquet_file(path)).metadata or {})[
+            (pq.read_schema(open_parquet_source(path)).metadata or {})[
                 METADATA_KEY.encode()
             ].decode()
         )

@@ -1,0 +1,172 @@
+"""Ranged HTTP reads (S5 parity): footer-first access over HTTP must
+fetch O(footer) bytes, mirror reference HttpReader semantics
+(initial probe, Content-Range size, ETag If-Range validator, graceful
+no-range-support fallback), and plug into describe/validate/metadata."""
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from gpq_spark.geoparquet.describe import describe
+from gpq_spark.geoparquet.metadata import METADATA_KEY
+from gpq_spark.geoparquet.reader import read_geo_metadata
+from gpq_spark.storage import HttpRangeReader
+from gpq_spark.validate import validate
+
+
+class _RangeHandler(BaseHTTPRequestHandler):
+    def do_GET(self):
+        data = self.server.payload
+        self.server.stats["requests"] += 1
+        self.server.stats["headers"].append(dict(self.headers))
+        rng = self.headers.get("Range")
+        m = re.match(r"bytes=(\d+)-(\d+)", rng or "")
+        if m and self.server.support_range:
+            start = int(m.group(1))
+            end = min(int(m.group(2)), len(data) - 1)
+            chunk = data[start : end + 1]
+            self.send_response(206)
+            self.send_header("Content-Range", f"bytes {start}-{end}/{len(data)}")
+            self.send_header("ETag", '"fixture-v1"')
+        else:
+            chunk = data
+            self.send_response(200)
+        self.send_header("Content-Length", str(len(chunk)))
+        self.end_headers()
+        self.wfile.write(chunk)
+        self.server.stats["bytes_served"] += len(chunk)
+
+    def log_message(self, *args):
+        pass
+
+
+@pytest.fixture()
+def big_geoparquet(tmp_path):
+    """A ~4 MB GeoParquet file: footer-first reads must not need the
+    data pages."""
+    import numpy as np
+
+    from gpq_spark.geo import wkb
+
+    rng = np.random.default_rng(3)
+    n = 40_000
+    geoms = [
+        wkb.dumps({"type": "Point", "coordinates": [float(x), float(y)]})
+        for x, y in rng.uniform(-180, 90, (n, 2))
+    ]
+    payload = [rng.bytes(64) for _ in range(n)]
+    geo = {
+        "version": "1.1.0",
+        "primary_column": "geometry",
+        "columns": {"geometry": {"encoding": "WKB", "geometry_types": ["Point"]}},
+    }
+    schema = pa.schema(
+        [("geometry", pa.binary()), ("blob", pa.binary())],
+        metadata={METADATA_KEY: json.dumps(geo)},
+    )
+    path = tmp_path / "big.parquet"
+    pq.write_table(
+        pa.table({"geometry": geoms, "blob": payload}, schema=schema),
+        path,
+        compression="none",
+    )
+    return path
+
+
+@pytest.fixture()
+def serve(big_geoparquet):
+    payload = big_geoparquet.read_bytes()
+    server = HTTPServer(("127.0.0.1", 0), _RangeHandler)
+    server.payload = payload
+    server.support_range = True
+    server.stats = {"requests": 0, "bytes_served": 0, "headers": []}
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield server, f"http://127.0.0.1:{server.server_port}/big.parquet", len(payload)
+    finally:
+        server.shutdown()
+
+
+def test_probe_learns_size_and_validator(serve):
+    server, url, size = serve
+    r = HttpRangeReader(url)
+    assert r.size == size
+    assert r._validator == '"fixture-v1"'
+    # initial probe is a 512-byte range request
+    assert server.stats["headers"][0]["Range"] == "bytes=0-511"
+
+
+def test_if_range_sent_after_probe(serve):
+    server, url, size = serve
+    r = HttpRangeReader(url)
+    r.seek(size - 8)
+    r.read(8)
+    assert server.stats["headers"][-1].get("If-Range") == '"fixture-v1"'
+
+
+def test_metadata_read_is_footer_sized(serve):
+    server, url, size = serve
+    meta = read_geo_metadata(url)
+    assert meta.primary_column == "geometry"
+    # O(footer), not O(file): a 4 MB file must not be downloaded
+    assert server.stats["bytes_served"] < size // 10
+
+
+def test_describe_over_http_is_footer_sized(serve):
+    server, url, size = serve
+    info = describe(url)
+    assert info["rows"] == 40_000
+    assert info["metadata"]["primary_column"] == "geometry"
+    assert server.stats["bytes_served"] < size // 10
+
+
+def test_validate_metadata_only_over_http_is_footer_sized(serve):
+    server, url, size = serve
+    report = validate(url, metadata_only=True)
+    run = [c for c in report["checks"] if c["run"]]
+    assert run and all(c["passed"] for c in run)
+    assert server.stats["bytes_served"] < size // 10
+
+
+def test_full_validate_over_http_reads_data(serve):
+    server, url, size = serve
+    report = validate(url, metadata_only=False)
+    run = [c for c in report["checks"] if c["run"]]
+    assert run and all(c["passed"] for c in run)
+
+
+def test_no_range_support_fallback(serve):
+    server, url, size = serve
+    server.support_range = False
+    r = HttpRangeReader(url)
+    assert r.size == size  # whole body returned by the probe
+    r.seek(size - 8)
+    tail = r.read(8)
+    assert tail == server.payload[-8:]
+    info = describe(url)
+    assert info["rows"] == 40_000
+
+
+def test_sequential_and_random_reads_match_file(serve):
+    server, url, size = serve
+    r = HttpRangeReader(url)
+    assert r.read(100) == server.payload[:100]
+    r.seek(1_000_000)
+    assert r.read(64) == server.payload[1_000_000:1_000_064]
+    r.seek(-16, 2)
+    assert r.read() == server.payload[-16:]
+
+
+def test_cli_describe_url(serve, capsys):
+    server, url, size = serve
+    from gpq_spark.cli import main
+
+    assert main(["describe", url]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["rows"] == 40_000
