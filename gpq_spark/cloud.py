@@ -1,0 +1,134 @@
+"""Cloud blob access (S6 parity): gpq-style URLs on the Spark engine.
+
+The reference opens ``s3://``, ``gs://``, ``azblob://``, and
+``file://`` blobs through one ranged-read interface
+(/root/reference/internal/storage/blob.go:25-107). The Spark-native
+split is two-fold:
+
+- **Distributed scans** (the data path) go through Hadoop FS
+  connectors: ``spark.read.parquet(translate_url(url))``. The URL
+  translation below maps gpq-style names to the connector scheme, and
+  ``hadoop_conf_for`` spells out the session configs each connector
+  needs (credentials resolve through each provider's standard chain —
+  env vars, instance profiles, workload identity — exactly like the
+  reference's gocloud drivers).
+- **Driver-side footer reads** (metadata/describe/validate) use
+  pyarrow's native filesystems via ``open_blob_source`` — true ranged
+  reads against S3/GCS/local, the lateral of the reference BlobReader.
+
+No cloud credentials exist in CI, so the network-facing paths are
+exercised through ``file://`` (pyarrow LocalFileSystem resolves it via
+the same ``FileSystem.from_uri`` dispatch) plus translation-table unit
+tests.
+"""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import urlparse
+
+BLOB_SCHEMES = ("s3", "s3a", "gs", "gcs", "az", "azblob", "abfs", "abfss", "wasbs", "hdfs")
+
+
+def is_blob_url(path_or_url: str) -> bool:
+    return urlparse(path_or_url).scheme in BLOB_SCHEMES
+
+
+def translate_url(url: str) -> str:
+    """gpq-style blob URL → the scheme Spark's Hadoop connectors expect.
+
+    s3://bucket/key      → s3a://bucket/key   (hadoop-aws S3AFileSystem)
+    gs://bucket/key      → gs://bucket/key    (gcs-connector)
+    gcs://bucket/key     → gs://bucket/key
+    azblob://cont/key    → wasbs://cont@$AZURE_STORAGE_ACCOUNT.blob.core.windows.net/key
+    az://cont/key        → same as azblob
+    file:///path         → /path
+    everything else      → unchanged (s3a/abfss/wasbs/hdfs pass through)
+    """
+    parsed = urlparse(url)
+    scheme = parsed.scheme
+    if scheme == "s3":
+        return "s3a://" + url[len("s3://"):]
+    if scheme == "gcs":
+        return "gs://" + url[len("gcs://"):]
+    if scheme in ("az", "azblob"):
+        account = os.environ.get("AZURE_STORAGE_ACCOUNT", "")
+        if not account:
+            raise ValueError(
+                f"translating {url} needs AZURE_STORAGE_ACCOUNT set "
+                "(the wasbs:// scheme embeds the storage account name)"
+            )
+        container = parsed.netloc
+        key = parsed.path.lstrip("/")
+        return f"wasbs://{container}@{account}.blob.core.windows.net/{key}"
+    if scheme == "file":
+        return parsed.path
+    return url
+
+
+def hadoop_conf_for(url: str) -> dict[str, str]:
+    """The Hadoop configs a Spark session needs for this URL's scheme,
+    resolved from the standard environment variables. Apply with::
+
+        for k, v in hadoop_conf_for(url).items():
+            spark.sparkContext._jsc.hadoopConfiguration().set(k, v)
+
+    Only explicitly-provided env values are returned — when empty, the
+    connector's own default provider chain (instance profile, workload
+    identity, gcloud ADC) applies, matching gocloud's behavior.
+    """
+    scheme = urlparse(translate_url(url)).scheme
+    conf: dict[str, str] = {}
+    if scheme == "s3a":
+        env = {
+            "fs.s3a.access.key": os.environ.get("AWS_ACCESS_KEY_ID"),
+            "fs.s3a.secret.key": os.environ.get("AWS_SECRET_ACCESS_KEY"),
+            "fs.s3a.session.token": os.environ.get("AWS_SESSION_TOKEN"),
+            "fs.s3a.endpoint": os.environ.get("AWS_ENDPOINT_URL"),
+            "fs.s3a.endpoint.region": os.environ.get("AWS_REGION"),
+        }
+        conf.update({k: v for k, v in env.items() if v})
+    elif scheme == "gs":
+        keyfile = os.environ.get("GOOGLE_APPLICATION_CREDENTIALS")
+        if keyfile:
+            conf["google.cloud.auth.service.account.json.keyfile"] = keyfile
+    elif scheme == "wasbs":
+        account = os.environ.get("AZURE_STORAGE_ACCOUNT")
+        key = os.environ.get("AZURE_STORAGE_KEY")
+        if account and key:
+            conf[f"fs.azure.account.key.{account}.blob.core.windows.net"] = key
+    return conf
+
+
+def configure_session(spark, url: str) -> None:
+    """Apply ``hadoop_conf_for(url)`` to a live session."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in hadoop_conf_for(url).items():
+        hconf.set(k, v)
+
+
+def read_blob_parquet(spark, url: str, **options):
+    """Distributed parquet scan of a gpq-style blob URL."""
+    configure_session(spark, url)
+    return spark.read.options(**options).parquet(translate_url(url))
+
+
+def open_blob_source(url: str):
+    """Driver-side ranged reader for a blob URL (reference BlobReader
+    lateral): pyarrow's native filesystems do true ranged reads, so
+    footer-first operations touch O(footer) bytes of a remote object.
+
+    ``file://`` dispatches to LocalFileSystem through the identical
+    ``FileSystem.from_uri`` path, which is how tests exercise this
+    without cloud credentials.
+    """
+    from pyarrow.fs import FileSystem
+
+    # pyarrow speaks s3:// and gs:// natively; normalize hadoop-isms
+    parsed = urlparse(url)
+    if parsed.scheme == "s3a":
+        url = "s3://" + url[len("s3a://"):]
+    elif parsed.scheme == "gcs":
+        url = "gs://" + url[len("gcs://"):]
+    fs, path = FileSystem.from_uri(url)
+    return fs.open_input_file(path)

@@ -23,7 +23,7 @@ _NODE_RE = re.compile(
     r"^(required|optional|repeated)\s+"
     r"(group|boolean|int32|int64|int96|float|double|binary|fixed_len_byte_array\(\d+\))\s+"
     r"field_id=-?\d+\s+"
-    r"([^\s({]+)"
+    r"([^\s({]*)"  # may be empty: some writers leave the root group unnamed
     r"(?:\s+\(([^)]*(?:\([^)]*\))?[^)]*)\))?"
     r"\s*([{;])\s*$"
 )

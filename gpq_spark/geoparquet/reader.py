@@ -37,13 +37,18 @@ def open_parquet_source(path: str):
     """A pyarrow-acceptable source for a parquet path or URL.
 
     ``http(s)://`` URLs get a lazy Range reader (reference HttpReader,
-    internal/storage/http.go:28-173) so footer-first access patterns
+    internal/storage/http.go:28-173) and blob URLs (s3/gs/az/file)
+    get pyarrow's native ranged filesystems (reference BlobReader,
+    internal/storage/blob.go:25-107), so footer-first access patterns
     (metadata read, describe, metadata-only validate) fetch O(footer)
     bytes of a multi-GB remote file instead of downloading it."""
+    from ..cloud import is_blob_url, open_blob_source
     from ..storage import HttpRangeReader, is_remote_url
 
     if is_remote_url(path):
         return HttpRangeReader(path)
+    if is_blob_url(path) or path.startswith("file://"):
+        return open_blob_source(path)
     return _first_parquet_file(path)
 
 

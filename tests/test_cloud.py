@@ -1,0 +1,100 @@
+"""S6 cloud-blob plumbing: URL translation, Hadoop config mapping, and
+the driver-side ranged reader exercised through file:// (the identical
+pyarrow FileSystem.from_uri dispatch the cloud schemes use)."""
+
+import pytest
+
+from gpq_spark.cloud import (
+    hadoop_conf_for,
+    is_blob_url,
+    open_blob_source,
+    read_blob_parquet,
+    translate_url,
+)
+
+FIXTURE = "/root/reference/internal/testdata/cases/example-v1.0.0.parquet"
+
+
+def test_translate_url_table(monkeypatch):
+    monkeypatch.setenv("AZURE_STORAGE_ACCOUNT", "acct")
+    cases = {
+        "s3://bucket/path/key.parquet": "s3a://bucket/path/key.parquet",
+        "s3a://bucket/key.parquet": "s3a://bucket/key.parquet",
+        "gs://bucket/key.parquet": "gs://bucket/key.parquet",
+        "gcs://bucket/key.parquet": "gs://bucket/key.parquet",
+        "azblob://cont/key.parquet": "wasbs://cont@acct.blob.core.windows.net/key.parquet",
+        "az://cont/deep/key.parquet": "wasbs://cont@acct.blob.core.windows.net/deep/key.parquet",
+        "file:///tmp/x.parquet": "/tmp/x.parquet",
+        "hdfs://nn/path.parquet": "hdfs://nn/path.parquet",
+        "/local/path.parquet": "/local/path.parquet",
+    }
+    for src, want in cases.items():
+        assert translate_url(src) == want, src
+
+
+def test_translate_azblob_requires_account(monkeypatch):
+    monkeypatch.delenv("AZURE_STORAGE_ACCOUNT", raising=False)
+    with pytest.raises(ValueError, match="AZURE_STORAGE_ACCOUNT"):
+        translate_url("azblob://cont/key.parquet")
+
+
+def test_is_blob_url():
+    assert is_blob_url("s3://b/k")
+    assert is_blob_url("gs://b/k")
+    assert is_blob_url("azblob://c/k")
+    assert not is_blob_url("https://host/k")
+    assert not is_blob_url("/local/path")
+
+
+def test_hadoop_conf_s3(monkeypatch):
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKIA")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "secret")
+    monkeypatch.setenv("AWS_ENDPOINT_URL", "http://minio:9000")
+    monkeypatch.delenv("AWS_SESSION_TOKEN", raising=False)
+    monkeypatch.delenv("AWS_REGION", raising=False)
+    conf = hadoop_conf_for("s3://bucket/key.parquet")
+    assert conf == {
+        "fs.s3a.access.key": "AKIA",
+        "fs.s3a.secret.key": "secret",
+        "fs.s3a.endpoint": "http://minio:9000",
+    }
+
+
+def test_hadoop_conf_empty_means_provider_chain(monkeypatch):
+    for var in ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY",
+                "AWS_SESSION_TOKEN", "AWS_ENDPOINT_URL", "AWS_REGION"):
+        monkeypatch.delenv(var, raising=False)
+    assert hadoop_conf_for("s3://bucket/key.parquet") == {}
+
+
+def test_hadoop_conf_azure(monkeypatch):
+    monkeypatch.setenv("AZURE_STORAGE_ACCOUNT", "acct")
+    monkeypatch.setenv("AZURE_STORAGE_KEY", "sekrit")
+    conf = hadoop_conf_for("azblob://cont/key.parquet")
+    assert conf == {
+        "fs.azure.account.key.acct.blob.core.windows.net": "sekrit"
+    }
+
+
+def test_open_blob_source_file_scheme_ranged_reads():
+    f = open_blob_source(f"file://{FIXTURE}")
+    # pyarrow NativeFile: ranged access identical to the cloud schemes
+    f.seek(-8, 2)
+    tail = f.read(8)
+    assert tail.endswith(b"PAR1")
+
+
+def test_metadata_and_describe_through_blob_dispatch():
+    from gpq_spark.geoparquet.describe import describe
+    from gpq_spark.geoparquet.reader import read_geo_metadata
+
+    url = f"file://{FIXTURE}"
+    meta = read_geo_metadata(url)
+    assert meta.primary_column == "geometry"
+    info = describe(url)
+    assert info["rows"] == 5
+
+
+def test_read_blob_parquet_distributed(spark):
+    df = read_blob_parquet(spark, f"file://{FIXTURE}")
+    assert df.count() == 5
