@@ -150,14 +150,21 @@ def write_geoparquet_partitioned(
     return write_geoparquet(clustered, path, meta, **kwargs)
 
 
-def prune_files_by_bbox(path: str, bbox: Bbox) -> tuple[list[str], int]:
+def prune_files_by_bbox(
+    path: str, bbox: Bbox, max_workers: int = 32
+) -> tuple[list[str], int]:
     """Driver-side file pruning: returns (intersecting files, total).
 
-    Reads only footers. Files without a per-file bbox are kept
-    (conservative)."""
+    Reads only footers, concurrently — footer reads are I/O-bound
+    (local fs page cache misses, or object-store GETs), so a thread
+    pool keeps wall-clock sublinear in file count up to ~10⁵ files.
+    Files without a per-file bbox are kept (conservative). Output order
+    is deterministic (input order), independent of completion order."""
+    from concurrent.futures import ThreadPoolExecutor
+
     files = parquet_files(path)
-    kept = []
-    for f in files:
+
+    def keep(f: str) -> bool:
         try:
             meta = read_geo_metadata(f)
             col = meta.primary()
@@ -165,12 +172,17 @@ def prune_files_by_bbox(path: str, bbox: Bbox) -> tuple[list[str], int]:
         except Exception:
             fb = None
         if fb is None or len(fb) not in (4, 6):
-            kept.append(f)
-            continue
+            return True
         if len(fb) == 6:
             fb = [fb[0], fb[1], fb[3], fb[4]]
-        if Bbox(*fb).intersects(bbox):
-            kept.append(f)
+        return Bbox(*fb).intersects(bbox)
+
+    if len(files) <= 1:
+        flags = [keep(f) for f in files]
+    else:
+        with ThreadPoolExecutor(max_workers=min(max_workers, len(files))) as pool:
+            flags = list(pool.map(keep, files))
+    kept = [f for f, ok in zip(files, flags) if ok]
     return kept, len(files)
 
 

@@ -161,3 +161,54 @@ class TestZorder:
         )
         kept, total = prune_files_by_bbox(out, Bbox(0, 0, 20, 20))
         assert total >= 8 and len(kept) < total
+
+
+class TestParallelPrune:
+    def test_many_files_parallel_matches_serial(self, tmp_path):
+        """Thread-pooled footer pruning must return the same files, in
+        the same (input) order, as a serial scan — over many files."""
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gpq_spark.geo import wkb as _wkb
+        from gpq_spark.geoparquet.metadata import METADATA_KEY
+
+        n_files = 60
+        for i in range(n_files):
+            x = (i % 12) * 30.0 - 180.0
+            y = (i // 12) * 30.0 - 90.0
+            geo = {
+                "version": "1.1.0",
+                "primary_column": "geometry",
+                "columns": {
+                    "geometry": {
+                        "encoding": "WKB",
+                        "bbox": [x, y, x + 30.0, y + 30.0],
+                        "geometry_types": ["Point"],
+                    }
+                },
+            }
+            schema = pa.schema(
+                [("geometry", pa.binary())],
+                metadata={METADATA_KEY: json.dumps(geo)},
+            )
+            tbl = pa.table(
+                {
+                    "geometry": [
+                        _wkb.dumps({"type": "Point", "coordinates": [x + 1, y + 1]})
+                    ]
+                },
+                schema=schema,
+            )
+            pq.write_table(tbl, tmp_path / f"part-{i:05d}.parquet")
+
+        box = Bbox(-10, -10, 40, 40)
+        kept_serial, total_serial = prune_files_by_bbox(
+            str(tmp_path), box, max_workers=1
+        )
+        kept_par, total_par = prune_files_by_bbox(str(tmp_path), box, max_workers=16)
+        assert total_serial == total_par == n_files
+        assert kept_par == kept_serial
+        assert 0 < len(kept_par) < n_files
