@@ -17,6 +17,13 @@ Scale posture: one pass over the data, no driver collection, no global
 barrier — stats are per-file, as the GeoParquet spec allows
 (file metadata describes that file). Memory is bounded by
 ``row_group_length`` rows per task.
+
+Filesystem contract: executors open part files with plain OS paths, so
+``path`` must be on a filesystem shared by driver and executors (local
+mode, NFS, or a fuse-mounted object store). Remote URI schemes
+(s3a://, hdfs://, gs://) are rejected with guidance — routing those
+through the footer-writing path would need an fsspec/pyarrow-FS handle
+per executor, which is the documented extension point.
 """
 
 from __future__ import annotations
@@ -249,6 +256,17 @@ def write_geoparquet(
         os.replace(files[0]["file"], path)
         shutil.rmtree(tmp_dir, ignore_errors=True)
         return [{"file": path, "rows": files[0]["rows"]}]
+    from urllib.parse import urlparse
+
+    scheme = urlparse(str(path)).scheme
+    if scheme and len(scheme) > 1:  # len>1 keeps Windows drive letters out
+        raise ValueError(
+            f"write_geoparquet writes through executor-local OS paths; "
+            f"'{path}' has scheme '{scheme}://'. Write to a shared "
+            f"filesystem path, or write plain parquet via "
+            f"df.write.parquet(cloud.translate_url(url)) and accept "
+            f"Spark-managed footers (no per-file geo stats)."
+        )
     from ..deploy import ensure_deployed
 
     ensure_deployed(df.sparkSession)

@@ -34,11 +34,15 @@ def dedup_exact(
     The kept row is the one with the smallest ``order_col`` (required
     for deterministic output; without it, ``dropDuplicates``
     semantics apply). Scale: shuffle on md5 of the subset columns —
-    a narrow key even for megabyte documents.
+    a narrow key even for megabyte documents. The key hashes the JSON
+    encoding of a struct (field names fixed per row), so values
+    containing separator bytes cannot collide the way a delimiter-join
+    can ('a\\x1fb','c' vs 'a','b\\x1fc'), and null vs literal sentinel
+    strings stay distinct.
     """
     if subset is None:
         subset = df.columns
-    key = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in subset]))
+    key = F.md5(F.to_json(F.struct(*[F.col(c) for c in subset])))
     if order_col is None:
         return df.dropDuplicates(subset)
     w = Window.partitionBy(key).orderBy(F.col(order_col).asc())

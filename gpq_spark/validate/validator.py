@@ -97,16 +97,49 @@ def _projjson_schema_url(version: str) -> str:
 
 def _simplified_validation_message(error) -> str:
     """Descend to the first leaf cause, mirroring the reference's
-    simplifiedValidationMessage (rules.go:293-303). Message wording
-    comes from the Python jsonschema library and may differ from the
-    reference's Go library."""
+    simplifiedValidationMessage (rules.go:293-303): first cause in
+    schema order, instance location as a JSON pointer ("input" at the
+    root). The leaf wording matches the reference's Go jsonschema
+    library (santhosh-tekuri v5) for the common keywords (required,
+    type); other keywords fall back to the Python jsonschema message —
+    the one remaining wording deviation."""
     leaf = error
     while getattr(leaf, "context", None):
-        leaf = leaf.context[0]
-    location = "/".join(str(p) for p in leaf.absolute_path)
-    if location == "":
-        location = "input"
-    return f"{location} is invalid: {leaf.message}"
+        ctx = leaf.context
+        # first failing oneOf/anyOf branch, like the Go library's
+        # Causes[0]; within the branch, mirror santhosh-tekuri's object
+        # evaluation order (type, then required, then the rest) — the
+        # Python library yields per-property errors first instead
+        def branch(e):
+            sp = list(e.schema_path)
+            return sp[0] if sp else -1
+
+        b0 = min(branch(e) for e in ctx)
+        in_branch = [e for e in ctx if branch(e) == b0]
+        prio = {"type": 0, "required": 1}
+        leaf = min(
+            enumerate(in_branch),
+            key=lambda ie: (prio.get(ie[1].validator, 2), ie[0]),
+        )[1]
+    path = list(leaf.absolute_path)
+    location = "/" + "/".join(str(p) for p in path) if path else "input"
+    return f"{location} is invalid: {_go_style_leaf_message(leaf)}"
+
+
+def _go_style_leaf_message(leaf) -> str:
+    kw = getattr(leaf, "validator", None)
+    if kw == "required":
+        missing = [p for p in leaf.validator_value if p not in leaf.instance]
+        return "missing properties: " + ", ".join(f"'{p}'" for p in missing)
+    if kw == "type":
+        want = leaf.validator_value
+        if isinstance(want, str):
+            want = [want]
+        got = _json_type(leaf.instance)
+        if got == "list":
+            got = "array"
+        return f"expected {' or '.join(want)}, but got {got}"
+    return leaf.message
 
 
 def build_rules(schema_loader: Callable[[str], dict] | None = None) -> list[Rule]:

@@ -269,3 +269,11 @@ class TestPerColumnCodecs:
         out = str(tmp_path / "rezstd")
         parquet_to_geoparquet(spark, src, out, compression="zstd", single_file=True)
         assert set(read_column_codecs(out).values()) == {"zstd"}
+
+
+def test_writer_rejects_remote_uri_schemes(spark):
+    from gpq_spark.geoparquet.writer import write_geoparquet
+
+    df = spark.range(1).selectExpr("CAST(NULL AS BINARY) AS geometry")
+    with pytest.raises(ValueError, match="shared"):
+        write_geoparquet(df, "s3a://bucket/out")

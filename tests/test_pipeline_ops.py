@@ -20,6 +20,19 @@ class TestDedupExact:
 
         assert dedup_exact(df).count() == 2
 
+    def test_separator_bytes_do_not_collide(self, spark):
+        """('a\\x1fb','c') vs ('a','b\\x1fc') are distinct rows — a
+        delimiter-joined hash key would merge them; ('\\x00',) vs
+        (None,) likewise."""
+        from gpq_spark.pipeline.dedup import dedup_exact
+
+        df = spark.createDataFrame(
+            [(1, "a\x1fb", "c"), (2, "a", "b\x1fc"), (3, "\x00", None), (4, None, None)],
+            ["id", "u", "v"],
+        )
+        out = dedup_exact(df, subset=["u", "v"], order_col="id")
+        assert sorted(r["id"] for r in out.collect()) == [1, 2, 3, 4]
+
 
 class TestMinHash:
     def test_identical_docs_collide(self, spark):

@@ -8,9 +8,9 @@ invalid), validate, compare to the expected report.
 
 The PROJJSON schema loader is stubbed to the reference's vendored
 schema files, mirroring the reference test setup
-(validator_test.go:44-55). Known deviation: CRS validation failure
-MESSAGES come from Python's jsonschema (wording differs from the Go
-library), so for failed CRS checks only title/run/passed are compared.
+(validator_test.go:44-55). Messages are compared EXACTLY, including
+CRS schema-validation failures (the engine mirrors the Go jsonschema
+library's leaf selection and wording for the common keywords).
 """
 
 import json
@@ -86,15 +86,6 @@ def test_golden_case(spark, tmp_path, case):
         ctx = f"{case}: {exp['title']}"
         assert got["run"] == exp["run"], f"{ctx}: run {got} != {exp}"
         assert got["passed"] == exp["passed"], f"{ctx}: passed {got} != {exp}"
-        if (
-            exp["title"] == CRS_TITLE
-            and exp["run"]
-            and not exp["passed"]
-            and str(exp.get("message", "")).startswith("validation failed against")
-        ):
-            # jsonschema wording differs from the Go library
-            assert got.get("message", "").startswith("validation failed against")
-            continue
         assert got.get("message") == exp.get("message"), (
             f"{ctx}: message {got.get('message')!r} != {exp.get('message')!r}"
         )
