@@ -517,15 +517,23 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_pairs",
     f"""
     WITH sh AS ({_SHINGLES_DUCK}),
+    ab AS (
+        SELECT doc_id,
+               [{{'a': CAST('0x' || substr(md5(s), 1, 12) AS BIGINT),
+                  'b': CAST('0x' || substr(md5(s), 17, 12) AS BIGINT) | 1}}
+                FOR s IN shingles] AS hv
+        FROM sh
+    ),
     sigs AS (
         SELECT doc_id,
-               [list_min([md5(CAST(h AS VARCHAR) || ':' || s) FOR s IN shingles])
+               [list_min([(x.a + h * x.b) % 281474976710656 FOR x IN hv])
                 FOR h IN range(0, 8)] AS sig
-        FROM sh
+        FROM ab
     ),
     bands AS (
         SELECT doc_id, b AS band_id,
-               md5(CAST(b AS VARCHAR) || '|' || sig[b*2+1] || '|' || sig[b*2+2]) AS band_hash
+               md5(CAST(b AS VARCHAR) || '|' || CAST(sig[b*2+1] AS VARCHAR)
+                   || '|' || CAST(sig[b*2+2] AS VARCHAR)) AS band_hash
         FROM sigs, range(0, 4) t(b)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
