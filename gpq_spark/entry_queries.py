@@ -513,9 +513,9 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_pairs",
-    f"""
+# Full MinHash-LSH candidate-pair query (8 hashes / 4 bands), shared by
+# dedup_minhash_pairs and the cluster assignment oracle.
+_MINHASH_PAIRS_DUCK = f"""
     WITH sh AS ({_SHINGLES_DUCK}),
     ab AS (
         SELECT doc_id,
@@ -540,8 +540,10 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
-    """,
-)
+"""
+
+
+@register("dedup_minhash_pairs", _MINHASH_PAIRS_DUCK)
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (8 hashes, 4 bands)."""
     from .pipeline.dedup import lsh_candidate_pairs, minhash_signatures
@@ -552,6 +554,63 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelism=spark.sparkContext.defaultParallelism,
     )
     return lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+
+
+@register(
+    "dedup_cluster_docs",
+    f"""
+    WITH RECURSIVE
+    pairs AS ({_MINHASH_PAIRS_DUCK}),
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    -- transitive closure of "comp reaches node"; propagating only
+    -- comp < d is safe for MIN (the base case already supplies comp=d)
+    walk(node, comp) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT e.d, w.comp
+        FROM walk w JOIN edges e ON e.s = w.node
+        WHERE w.comp < e.d
+    ),
+    comp AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(c.component, d.doc_id) AS is_keeper
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup cluster assignment: MinHash-LSH candidate pairs →
+    connected components (large-star/small-star) → every document
+    labeled with its cluster id (min doc_id of the component; singleton
+    docs are their own cluster) and the canonical-keeper flag.
+
+    Reference parity: the reference has no fuzzy-dedup clustering; this
+    is part of the training-data-pipeline extension (SURVEY §2 "beyond
+    reference"). The oracle checks the component structure against a
+    DuckDB recursive-CTE transitive closure over the SAME pair graph.
+    """
+    from .pipeline.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+    clustered = duplicate_clusters(docs, "doc_id", pairs)
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
 
 
 @register(

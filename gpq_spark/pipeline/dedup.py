@@ -318,6 +318,130 @@ def embedding_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs_df: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph.
+
+    Returns ``(node bigint, component bigint)`` for every node that
+    appears in ``pairs_df``; ``component`` is the minimum node id of the
+    node's component. This is the clustering step of fuzzy dedup:
+    candidate pairs (MinHash-LSH, SimHash, …) → duplicate clusters →
+    one kept document per cluster.
+
+    Algorithm: alternating large-star / small-star contraction
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC'14) — converges in O(log² n) rounds on adversarial graphs and
+    2-3 rounds on dedup graphs (near-cliques). Each round is two
+    groupBy shuffles over the EDGE set only (≪ corpus size); the
+    corpus itself is never shuffled. Per-round lineage is truncated
+    with ``localCheckpoint`` so the plan does not grow with the
+    iteration count (on a real cluster with unreliable executors,
+    prefer ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``
+    — localCheckpoint is executor-local and not fault-tolerant).
+
+    Convergence is detected by exact set-equality of the normalized
+    edge set (count + one-sided ``exceptAll``), not a heuristic.
+    """
+    edges = (
+        pairs_df.select(
+            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+        )
+        .filter("s IS NOT NULL AND d IS NOT NULL AND s <> d")
+        .select(
+            F.greatest("s", "d").alias("big"), F.least("s", "d").alias("small")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    if not edges.take(1):
+        return edges.select(
+            F.col("big").alias("node"), F.col("small").alias("component")
+        )
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        # -- large-star: symmetric neighbor lists; hook every neighbor
+        #    LARGER than u to the minimum of u's neighborhood.
+        sym = edges.select(F.col("big").alias("a"), F.col("small").alias("b")).union(
+            edges.select(F.col("small").alias("a"), F.col("big").alias("b"))
+        )
+        lg = (
+            sym.groupBy("a")
+            .agg(F.collect_set("b").alias("__nbrs"))
+            .select(
+                F.explode(F.expr("filter(__nbrs, x -> x > a)")).alias("big"),
+                F.least(F.col("a"), F.expr("array_min(__nbrs)")).alias("small"),
+            )
+        )
+        # -- small-star: per max-side node, hook all smaller neighbors
+        #    (and the node itself) to the minimum neighbor.
+        new_edges = (
+            lg.groupBy("big")
+            .agg(F.expr("collect_set(small)").alias("__nbrs"))
+            .select(
+                F.col("big"),
+                F.expr("array_min(__nbrs)").alias("__m"),
+                F.col("__nbrs"),
+            )
+            .select(
+                F.explode(
+                    F.expr("array_union(filter(__nbrs, x -> x != __m), array(big))")
+                ).alias("big"),
+                F.col("__m").alias("small"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        n_new = new_edges.count()
+        if n_new == n_edges and not new_edges.exceptAll(edges).take(1):
+            edges = new_edges
+            break
+        edges, n_edges = new_edges, n_new
+    # At the fixed point the edge set is a star forest: every edge is
+    # (member, root). Roots appear only on the small side.
+    members = edges.groupBy("big").agg(F.min("small").alias("component")).select(
+        F.col("big").alias("node"), "component"
+    )
+    roots = edges.select(F.col("small").alias("node")).distinct().join(
+        members.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return members.union(roots)
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs_df: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Assign every row of ``df`` a duplicate-cluster id.
+
+    ``cluster_id`` = min ``id_col`` of the row's near-duplicate
+    component (from ``pairs_df`` candidate pairs); rows in no pair are
+    their own singleton cluster. Keeping ``cluster_id = id_col`` rows
+    (see ``dedup_cluster_docs``) yields one canonical document per
+    cluster — the standard fuzzy-dedup keeper rule.
+
+    Scale: the component map is sized by the PAIR graph, not the
+    corpus; the final join is left to AQE (it will broadcast the map
+    when small, shuffle-join when a 100 TB corpus produces a huge pair
+    set — both correct).
+    """
+    comp = connected_components(pairs_df, src=src, dst=dst, max_iter=max_iter)
+    return (
+        df.join(comp, df[id_col] == comp["node"], "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("component"), F.col(id_col).cast("long"))
+        )
+        .drop("node", "component")
+    )
+
+
 def simhash_near_pairs(
     sig_df: DataFrame,
     id_col: str,

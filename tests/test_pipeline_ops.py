@@ -261,3 +261,46 @@ class TestSimhashPairs:
         sigs = simhash_signatures(df, "doc_id", "text", bits=16)
         pairs = simhash_near_pairs(sigs, "doc_id", max_hamming=0, bits=16).collect()
         assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+class TestConnectedComponents:
+    def _cc(self, spark, edges):
+        from gpq_spark.pipeline.dedup import connected_components
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    def test_two_components(self, spark):
+        got = self._cc(spark, [(2, 1), (2, 3), (3, 4), (10, 11)])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_long_chain_converges(self, spark):
+        # a 40-node path is the adversarial case for naive label
+        # propagation; star contraction must still reach min id 1
+        got = self._cc(spark, [(i, i + 1) for i in range(1, 40)])
+        assert len(got) == 40 and set(got.values()) == {1}
+
+    def test_duplicate_and_reversed_edges(self, spark):
+        got = self._cc(spark, [(1, 2), (2, 1), (1, 2), (3, 2)])
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_empty_pairs(self, spark):
+        assert self._cc(spark, []) == {}
+
+    def test_self_loops_ignored(self, spark):
+        got = self._cc(spark, [(5, 5), (6, 7)])
+        assert got == {6: 6, 7: 6}
+
+    def test_duplicate_clusters_assignment(self, spark):
+        from gpq_spark.pipeline.dedup import duplicate_clusters
+
+        docs = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (9, "z")], ["doc_id", "text"]
+        )
+        pairs = spark.createDataFrame([(3, 1)], "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in duplicate_clusters(docs, "doc_id", pairs).collect()
+        }
+        # 1 and 3 share a cluster rooted at 1; 2 and 9 are singletons
+        assert got == {1: 1, 3: 1, 2: 2, 9: 9}
