@@ -614,6 +614,56 @@ def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontam_docs",
+    """
+    WITH w AS (
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(words) >= 5
+               THEN list_distinct([words[i+1] || ' ' || words[i+2] || ' '
+                                   || words[i+3] || ' ' || words[i+4] || ' '
+                                   || words[i+5]
+                                   FOR i IN range(0, len(words) - 4)])
+               ELSE [trim(text)] END AS grams
+        FROM w
+    ),
+    ev AS (
+        SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 97 = 0
+    ),
+    tr AS (
+        SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 97 <> 0
+    ),
+    m AS (
+        SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+        FROM tr JOIN ev USING (g) GROUP BY tr.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+           COALESCE(m.n_matched, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN m ON d.doc_id = m.doc_id
+    """,
+)
+def decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing any 5-gram with
+    the "eval" subset (doc_id % 97 = 0 stands in for a benchmark set)
+    are flagged with their collision count. Eval n-grams broadcast;
+    zero train-side text shuffle (training-data-pipeline extension;
+    no reference equivalent)."""
+    from .pipeline.decontam import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter("doc_id % 97 = 0")
+    tr = docs.filter("doc_id % 97 <> 0")
+    return decontaminate(
+        tr, "doc_id", "text", ev, ngram=5, min_overlaps=1, mode="flag"
+    ).select("doc_id", "n_matched", "contaminated")
+
+
+@register(
     "dedup_simhash_docs",
     None,  # placeholder replaced below after _simhash_oracle()
 )

@@ -23,7 +23,10 @@ from .dedup import (
     simhash_signatures,
     ngram_jaccard_pairs,
     embedding_near_dup_pairs,
+    connected_components,
+    duplicate_clusters,
 )
+from .decontam import decontaminate, ngram_overlap_counts
 from .similarity import (
     brute_force_topk,
     brute_force_topk_arrow,
@@ -41,6 +44,10 @@ from .multimodal import binary_metadata, decode_stub, frame_sample_stub
 
 __all__ = [
     "dedup_exact",
+    "connected_components",
+    "duplicate_clusters",
+    "decontaminate",
+    "ngram_overlap_counts",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash_signatures",

@@ -1,0 +1,101 @@
+"""Benchmark decontamination: flag or drop training documents that
+share word n-grams with an evaluation set.
+
+This is the standard train/eval-overlap removal step of an LLM data
+pipeline (n-gram collision against benchmark text). The reference
+engine has no equivalent — it belongs to the training-data-pipeline
+extension surface.
+
+Scale shape: the EVAL side is small by nature (benchmarks are
+thousands of documents, not terabytes) — its distinct hashed n-grams
+are broadcast, so the terabyte-scale train side is matched map-side
+with no train-side shuffle except the per-doc count aggregation over
+MATCHED rows only (rare by construction). The train text itself is
+never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _with_shingles
+
+
+def ngram_overlap_counts(
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_df: DataFrame,
+    eval_text_col: str | None = None,
+    ngram: int = 13,
+) -> DataFrame:
+    """Per-train-document count of distinct n-grams shared with the
+    eval set. Output: ``id_col``, ``n_matched`` (bigint ≥ 1) — only
+    documents with at least one collision appear.
+
+    N-grams are whitespace word n-grams (documents shorter than
+    ``ngram`` words contribute their whole trimmed text, so short
+    eval items still match exact copies). Both sides hash the n-gram
+    to md5 so the join key is narrow regardless of n-gram width.
+
+    The eval n-gram set is broadcast (small by nature; Spark's 8 GB
+    broadcast ceiling ≈ hundreds of millions of n-grams — far beyond
+    any benchmark suite). The broadcast hash join runs map-side: zero
+    shuffle of the train corpus.
+    """
+    eval_text_col = eval_text_col or text_col
+    ev = (
+        _with_shingles(eval_df, eval_text_col, ngram, keep=[])
+        .select(F.explode("__sh").alias("__g"))
+        .select(F.md5("__g").alias("__gh"))
+        .distinct()
+    )
+    tr = (
+        _with_shingles(train_df, text_col, ngram, keep=[id_col])
+        .select(F.col(id_col), F.explode("__sh").alias("__g"))
+        .select(F.col(id_col), F.md5("__g").alias("__gh"))
+    )
+    # __sh is already distinct per document, so count(*) counts
+    # distinct matched n-grams
+    return (
+        tr.join(F.broadcast(ev), "__gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"))
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_df: DataFrame,
+    eval_text_col: str | None = None,
+    ngram: int = 13,
+    min_overlaps: int = 1,
+    mode: str = "flag",
+) -> DataFrame:
+    """Flag (``mode="flag"``) or drop (``mode="drop"``) train documents
+    overlapping the eval set.
+
+    ``flag`` appends ``n_matched`` (bigint, 0 when clean) and
+    ``contaminated`` (boolean) to ``train_df``; ``drop`` returns the
+    clean rows with the original schema. The overlap map is keyed by
+    ``id_col`` and sized by the CONTAMINATED subset, so the final join
+    is AQE-broadcastable in the common case.
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    counts = ngram_overlap_counts(
+        train_df, id_col, text_col, eval_df, eval_text_col, ngram
+    )
+    flagged = (
+        train_df.join(counts, id_col, "left")
+        .withColumn("n_matched", F.coalesce(F.col("n_matched"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_matched") >= min_overlaps)
+    )
+    if mode == "drop":
+        return flagged.filter(~F.col("contaminated")).drop(
+            "n_matched", "contaminated"
+        )
+    return flagged

@@ -304,3 +304,44 @@ class TestConnectedComponents:
         }
         # 1 and 3 share a cluster rooted at 1; 2 and 9 are singletons
         assert got == {1: 1, 3: 1, 2: 2, 9: 9}
+
+
+class TestDecontaminate:
+    def test_decontaminate_flag_and_drop(self, spark):
+        from gpq_spark.pipeline.decontam import decontaminate
+
+        train = spark.createDataFrame(
+            [
+                (1, "the capital of france is paris and it is large"),
+                (2, "completely unrelated text about spark physical plans"),
+                (3, "short"),
+            ],
+            ["doc_id", "text"],
+        )
+        ev = spark.createDataFrame(
+            [(100, "quiz: the capital of france is paris"), (101, "short")],
+            ["doc_id", "text"],
+        )
+        flagged = {
+            r["doc_id"]: (r["n_matched"], r["contaminated"])
+            for r in decontaminate(
+                train, "doc_id", "text", ev, ngram=5, mode="flag"
+            ).collect()
+        }
+        # doc 1 shares the 5-gram "the capital of france is" (+1 more);
+        # doc 3 (< 5 words) matches eval doc 101 whole-text
+        assert flagged[1][1] is True and flagged[1][0] >= 1
+        assert flagged[2] == (0, False)
+        assert flagged[3][1] is True
+        kept = decontaminate(
+            train, "doc_id", "text", ev, ngram=5, mode="drop"
+        )
+        assert [r["doc_id"] for r in kept.collect()] == [2]
+        assert kept.columns == train.columns
+
+    def test_decontaminate_bad_mode(self, spark):
+        from gpq_spark.pipeline.decontam import decontaminate
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            decontaminate(df, "doc_id", "text", df, mode="nope")
