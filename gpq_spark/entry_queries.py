@@ -663,6 +663,97 @@ def decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_matched", "contaminated")
 
 
+# shared by the sampling queries and their oracles: uniform [0, 2^48)
+# value from md5('<seed>|<doc_id>'), exact BIGINT on both engines
+_UHASH_DUCK = (
+    "CAST('0x' || substr(md5('r2|' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)"
+)
+_SAMPLE_FRACTION = 0.2
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_bounds() -> list[tuple[str, int]]:
+    """The exact cumulative-bound computation hash_split performs —
+    duplicated here so the oracle uses bit-identical thresholds."""
+    total = float(sum(_SPLIT_WEIGHTS.values()))
+    acc, bounds = 0.0, []
+    for name, w in _SPLIT_WEIGHTS.items():
+        acc += w / total
+        bounds.append((name, int(acc * (1 << 48))))
+    bounds[-1] = (bounds[-1][0], 1 << 48)
+    return bounds
+
+
+@register(
+    "sample_hash_docs",
+    f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_UHASH_DUCK} < {int(_SAMPLE_FRACTION * (1 << 48))}
+    """,
+)
+def sample_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample (20%) by content hash — a row's
+    fate is a pure function of (seed, doc_id): stable across re-runs,
+    engines, and partitionings, unlike df.sample(). Map-side only."""
+    from .pipeline.sampling import hash_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return hash_sample(docs, ["doc_id"], _SAMPLE_FRACTION, seed="r2").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _split_case_duck() -> str:
+    clauses = " ".join(
+        f"WHEN {_UHASH_DUCK} < {upper} THEN '{name}'"
+        for name, upper in _split_bounds()[:-1]
+    )
+    last = _split_bounds()[-1][0]
+    return f"CASE {clauses} ELSE '{last}' END"
+
+
+@register(
+    "sample_split_docs",
+    f"""
+    SELECT doc_id, {_split_case_duck()} AS split
+    FROM documents
+    """,
+)
+def sample_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by content
+    hash — documents never migrate between splits across runs, the
+    property decontamination and eval integrity depend on."""
+    from .pipeline.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    return hash_split(docs, ["doc_id"], _SPLIT_WEIGHTS, seed="r2").select(
+        "doc_id", "split"
+    )
+
+
+@register(
+    "sample_stratified_docs",
+    f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {_UHASH_DUCK}, doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k stratified sample: 5 docs per language, drawn uniformly
+    without replacement by hash order. One shuffle on the strata key."""
+    from .pipeline.sampling import stratified_sample_exact
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample_exact(
+        docs, ["lang"], 5, ["doc_id"], seed="r2"
+    ).select("doc_id", "lang")
+
+
 @register(
     "dedup_simhash_docs",
     None,  # placeholder replaced below after _simhash_oracle()

@@ -27,6 +27,7 @@ from .dedup import (
     duplicate_clusters,
 )
 from .decontam import decontaminate, ngram_overlap_counts
+from .sampling import hash_sample, hash_split, stratified_sample_exact
 from .similarity import (
     brute_force_topk,
     brute_force_topk_arrow,
@@ -48,6 +49,9 @@ __all__ = [
     "duplicate_clusters",
     "decontaminate",
     "ngram_overlap_counts",
+    "hash_sample",
+    "hash_split",
+    "stratified_sample_exact",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash_signatures",

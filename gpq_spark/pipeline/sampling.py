@@ -1,0 +1,109 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+``df.sample()`` is seed-dependent on partitioning and Spark version —
+useless for reproducible corpus construction. These operators derive
+every decision from a content hash, so a row's fate is a pure function
+of its key: stable across re-runs, engines, partitionings, and
+cluster sizes, and exactly reproducible by the DuckDB oracles.
+
+Scale shape: hash sampling and split assignment are pure map-side
+row expressions (no shuffle, no RNG state); stratified exact-k is one
+window shuffle on the strata key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^48: md5-derived uniform values fit in exact BIGINT arithmetic on
+# every engine (and well under 2^53 for float-free thresholds)
+_HASH_SPACE = 1 << 48
+
+
+def _uniform_hash(key_cols: list[str], seed: str) -> Column:
+    """Uniform value in [0, 2^48) from md5 of the seed + key columns.
+
+    Key collisions merely co-sample identical keys — harmless for
+    sampling (and desirable for sharded duplicates of the same key).
+    """
+    parts = [F.lit(seed), *[F.col(c).cast("string") for c in key_cols]]
+    hx = F.substring(F.md5(F.concat_ws("|", *parts)), 1, 12)
+    return F.conv(hx, 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    fraction: float,
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key hashes below
+    ``fraction`` of the hash space. Same key + seed ⇒ same decision,
+    forever, on any cluster.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * _HASH_SPACE)
+    return df.filter(_uniform_hash(key_cols, seed) < F.lit(threshold))
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str],
+    weights: dict[str, float],
+    seed: str = "0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment.
+
+    Adds ``split_col`` with the name of the bucket whose cumulative
+    weight interval contains the row's uniform hash. Weights are
+    normalized; assignment is map-side and reproducible (a document
+    never migrates between train and eval across runs — the property
+    decontamination depends on).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    h = _uniform_hash(key_cols, seed)
+    expr: Column = F.lit(None).cast("string")
+    acc = 0.0
+    # build CASE from the last interval backwards; final bucket catches
+    # the full remainder so rounding never leaves a row unassigned
+    bounds = []
+    for name, w in weights.items():
+        acc += w / total
+        bounds.append((name, int(acc * _HASH_SPACE)))
+    bounds[-1] = (bounds[-1][0], _HASH_SPACE)
+    for name, upper in reversed(bounds):
+        expr = F.when(h < F.lit(upper), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_cols: list[str],
+    seed: str = "0",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum
+    is smaller), chosen by hash order — a deterministic uniform draw
+    without replacement.
+
+    Rows are ranked inside each stratum by (uniform hash, key) — the
+    key tiebreak makes the rank total, so the selected set is unique
+    even under hash collisions. One shuffle on the strata key; rank
+    is computed per-partition after the shuffle (no global sort).
+    """
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    h = _uniform_hash(key_cols, seed)
+    order = [h.asc(), *[F.col(c).asc() for c in key_cols]]
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(*order)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n_per_stratum)
+        .drop("__rank")
+    )

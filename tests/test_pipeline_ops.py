@@ -345,3 +345,63 @@ class TestDecontaminate:
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             decontaminate(df, "doc_id", "text", df, mode="nope")
+
+
+class TestSampling:
+    def _docs(self, spark, n=400):
+        return spark.createDataFrame(
+            [(i, "ab"[i % 2]) for i in range(n)], ["doc_id", "lang"]
+        )
+
+    def test_hash_sample_deterministic_and_calibrated(self, spark):
+        from gpq_spark.pipeline.sampling import hash_sample
+
+        df = self._docs(spark)
+        a = sorted(r["doc_id"] for r in hash_sample(df, ["doc_id"], 0.25).collect())
+        b = sorted(r["doc_id"] for r in hash_sample(df, ["doc_id"], 0.25).collect())
+        assert a == b  # pure function of the key
+        assert 0.15 * 400 < len(a) < 0.35 * 400  # calibrated-ish
+        # repartitioning must not change the selected set
+        c = sorted(
+            r["doc_id"]
+            for r in hash_sample(df.repartition(7), ["doc_id"], 0.25).collect()
+        )
+        assert a == c
+        # a different seed selects a different set
+        d = sorted(
+            r["doc_id"] for r in hash_sample(df, ["doc_id"], 0.25, seed="x").collect()
+        )
+        assert a != d
+
+    def test_hash_sample_bounds(self, spark):
+        from gpq_spark.pipeline.sampling import hash_sample
+
+        df = self._docs(spark, 50)
+        assert hash_sample(df, ["doc_id"], 0.0).count() == 0
+        assert hash_sample(df, ["doc_id"], 1.0).count() == 50
+        with pytest.raises(ValueError):
+            hash_sample(df, ["doc_id"], 1.5)
+
+    def test_hash_split_partitions_everything(self, spark):
+        from gpq_spark.pipeline.sampling import hash_split
+
+        df = self._docs(spark)
+        out = hash_split(df, ["doc_id"], {"train": 8, "val": 1, "test": 1})
+        counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+        assert sum(counts.values()) == 400  # every row assigned
+        assert set(counts) == {"train", "val", "test"}
+        assert counts["train"] > counts["val"]
+        # stable across runs
+        again = hash_split(df, ["doc_id"], {"train": 8, "val": 1, "test": 1})
+        assert out.exceptAll(again).count() == 0
+
+    def test_stratified_exact_k(self, spark):
+        from gpq_spark.pipeline.sampling import stratified_sample_exact
+
+        df = self._docs(spark)
+        out = stratified_sample_exact(df, ["lang"], 7, ["doc_id"])
+        counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+        assert counts == {"a": 7, "b": 7}
+        # small stratum yields all its rows
+        tiny = spark.createDataFrame([(1, "z"), (2, "z")], ["doc_id", "lang"])
+        assert stratified_sample_exact(tiny, ["lang"], 7, ["doc_id"]).count() == 2
