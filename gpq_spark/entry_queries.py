@@ -754,6 +754,92 @@ def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+_TOKENS_DUCK = """
+    SELECT lang, doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tokens
+    FROM documents
+"""
+
+
+@register(
+    "pack_chunks_docs",
+    f"""
+    WITH toks AS ({_TOKENS_DUCK}),
+    offs AS (
+        SELECT lang, doc_id, tokens,
+               CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - tokens
+                    AS BIGINT) AS start_off,
+               CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+        FROM toks
+    )
+    SELECT lang, doc_id, tokens, start_off,
+           CAST(start_off // 512 AS BIGINT) AS first_bin,
+           CAST(greatest(start_off // 512, (end_off - 1) // 512) AS BIGINT)
+               AS last_bin
+    FROM offs
+    """,
+)
+def pack_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (budget 512 tokens, sharded by
+    language): per-document stream offset and the chunk span it covers.
+    Pure window arithmetic, one shuffle on the shard key (training-data
+    pipeline extension; no reference equivalent)."""
+    from .pipeline.packing import pack_concat_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").alias("tokens"),
+    )
+    return pack_concat_chunks(
+        toks, "doc_id", "tokens", budget=512, shard_cols=["lang"]
+    ).select("lang", "doc_id", "tokens", "start_off", "first_bin", "last_bin")
+
+
+@register(
+    "pack_greedy_docs",
+    f"""
+    WITH RECURSIVE toks AS ({_TOKENS_DUCK}),
+    ordered AS (
+        SELECT lang, doc_id, tokens,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM toks
+    ),
+    walk(lang, rn, doc_id, tokens, bin_id, fill) AS (
+        SELECT lang, rn, doc_id, tokens, CAST(0 AS BIGINT), tokens
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.lang, o.rn, o.doc_id, o.tokens,
+               CASE WHEN w.fill + o.tokens > 512
+                    THEN w.bin_id + 1 ELSE w.bin_id END,
+               CASE WHEN w.fill + o.tokens > 512
+                    THEN o.tokens ELSE w.fill + o.tokens END
+        FROM walk w JOIN ordered o ON o.lang = w.lang AND o.rn = w.rn + 1
+    )
+    SELECT lang, doc_id, tokens, CAST(bin_id AS BIGINT) AS bin_id FROM walk
+    """,
+)
+def pack_greedy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy no-split bin packing (budget 512, sharded by language):
+    sequential walk per shard inside applyInPandas — shards run in
+    parallel, documents never split across bins. The oracle replays
+    the identical walk with a DuckDB recursive CTE."""
+    from .pipeline.packing import pack_greedy
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").alias("tokens"),
+    )
+    return pack_greedy(
+        toks, "doc_id", "tokens", budget=512, shard_cols=["lang"]
+    ).select("lang", "doc_id", "tokens", "bin_id")
+
+
 @register(
     "dedup_simhash_docs",
     None,  # placeholder replaced below after _simhash_oracle()

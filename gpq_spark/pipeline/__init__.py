@@ -28,6 +28,7 @@ from .dedup import (
 )
 from .decontam import decontaminate, ngram_overlap_counts
 from .sampling import hash_sample, hash_split, stratified_sample_exact
+from .packing import pack_concat_chunks, pack_greedy
 from .similarity import (
     brute_force_topk,
     brute_force_topk_arrow,
@@ -52,6 +53,8 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "stratified_sample_exact",
+    "pack_concat_chunks",
+    "pack_greedy",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash_signatures",

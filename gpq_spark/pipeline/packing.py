@@ -1,0 +1,124 @@
+"""Sequence packing: arrange documents into fixed token-budget bins
+for training-batch construction.
+
+Two standard semantics, both deterministic:
+
+- **concat-and-chunk** (``pack_concat_chunks``): concatenate documents
+  in a deterministic order and slice the token stream at exact budget
+  boundaries; documents may straddle a boundary (they are split at
+  training time). This is the TPU-style packed-dataset layout; it is
+  pure window arithmetic — one shuffle on the shard key, exact integer
+  cumulative sums, no Python.
+
+- **greedy bin packing** (``pack_greedy``): documents are never split;
+  walking the shard in order, a document opens a new bin when it does
+  not fit. The walk is inherently sequential per shard, so it runs as
+  an Arrow-batched ``applyInPandas`` over shards — shards execute in
+  parallel; the per-shard walk is a linear numpy loop.
+
+Sharding is the scale lever: packing 100 TB happens per shard (e.g.
+language × hash bucket), never globally — a global greedy walk would
+serialize the corpus. Shard assignment is deterministic, so packed
+layouts are reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shard_cols: list[str],
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing offsets.
+
+    Adds per-document ``start_off`` (token offset of the document in
+    its shard's concatenated stream), ``first_bin`` and ``last_bin``
+    (the budget-sized chunks the document spans; ``last_bin >
+    first_bin`` means the document straddles a chunk boundary).
+    Empty documents (0 tokens) occupy no span: ``last_bin =
+    first_bin``. One window shuffle on the shard key; all arithmetic
+    is exact BIGINT.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    order_cols = order_cols or [id_col]
+    w = (
+        Window.partitionBy(*[F.col(c) for c in shard_cols])
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.col(token_col).cast("long")
+    end_off = F.sum(t).over(w)
+    return (
+        df.withColumn("start_off", end_off - t)
+        .withColumn("first_bin", (F.col("start_off") / budget).cast("long"))
+        .withColumn(
+            "last_bin",
+            F.greatest(
+                F.col("first_bin"),
+                ((end_off - F.lit(1)) / budget).cast("long"),
+            ),
+        )
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shard_cols: list[str],
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Greedy no-split bin packing per shard.
+
+    Walking the shard ordered by ``order_cols`` (default: ``id_col``),
+    each document joins the current bin unless it would overflow
+    ``budget``, in which case it opens the next bin. A document larger
+    than the budget occupies a bin alone (overfull singleton). Output:
+    ``shard_cols`` + ``id_col`` + ``token_col`` + ``bin_id`` (bigint,
+    0-based per shard).
+
+    The per-shard walk is sequential by definition, so it runs inside
+    ``applyInPandas`` — one shuffle on the shard key, then a linear
+    pass per shard. Choose shards (language × hash bucket) so each
+    holds millions, not billions, of rows.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    order_cols = order_cols or [id_col]
+    slim = df.select(*shard_cols, id_col, token_col, *[
+        c for c in order_cols if c not in (*shard_cols, id_col, token_col)
+    ])
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in slim.schema.fields)
+    out_schema = f"{fields}, bin_id bigint"
+    sort_cols = list(order_cols)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        tokens = pdf[token_col].to_numpy()
+        bins = [0] * len(tokens)
+        bin_id, fill = 0, 0
+        for i, t in enumerate(tokens):
+            t = int(t)
+            if i > 0 and fill + t > budget:
+                bin_id, fill = bin_id + 1, t
+            else:
+                fill += t
+            bins[i] = bin_id
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return slim.groupBy(*[F.col(c) for c in shard_cols]).applyInPandas(
+        walk, schema=out_schema
+    )

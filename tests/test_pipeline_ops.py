@@ -347,6 +347,82 @@ class TestDecontaminate:
             decontaminate(df, "doc_id", "text", df, mode="nope")
 
 
+class TestPacking:
+    def test_concat_chunks_offsets(self, spark):
+        from gpq_spark.pipeline.packing import pack_concat_chunks
+
+        df = spark.createDataFrame(
+            [(1, "s", 60), (2, "s", 50), (3, "s", 10), (4, "s", 200)],
+            ["doc_id", "shard", "tokens"],
+        )
+        got = {
+            r["doc_id"]: (r["start_off"], r["first_bin"], r["last_bin"])
+            for r in pack_concat_chunks(
+                df, "doc_id", "tokens", budget=100, shard_cols=["shard"]
+            ).collect()
+        }
+        # stream: [0,60) [60,110) [110,120) [120,320)
+        assert got[1] == (0, 0, 0)
+        assert got[2] == (60, 0, 1)  # straddles the 100 boundary
+        assert got[3] == (110, 1, 1)
+        assert got[4] == (120, 1, 3)  # spans bins 1..3
+
+    def test_concat_chunks_zero_token_doc(self, spark):
+        from gpq_spark.pipeline.packing import pack_concat_chunks
+
+        df = spark.createDataFrame(
+            [(1, "s", 100), (2, "s", 0)], ["doc_id", "shard", "tokens"]
+        )
+        got = {
+            r["doc_id"]: (r["first_bin"], r["last_bin"])
+            for r in pack_concat_chunks(
+                df, "doc_id", "tokens", budget=100, shard_cols=["shard"]
+            ).collect()
+        }
+        # empty doc at offset 100 occupies no span
+        assert got[2] == (1, 1)
+
+    def test_greedy_no_split(self, spark):
+        from gpq_spark.pipeline.packing import pack_greedy
+
+        df = spark.createDataFrame(
+            [(1, "s", 60), (2, "s", 50), (3, "s", 40), (4, "s", 300), (5, "s", 10)],
+            ["doc_id", "shard", "tokens"],
+        )
+        got = {
+            r["doc_id"]: r["bin_id"]
+            for r in pack_greedy(
+                df, "doc_id", "tokens", budget=100, shard_cols=["shard"]
+            ).collect()
+        }
+        # 60 | 50+40 | 300 (overfull singleton) | 10
+        assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+    def test_greedy_per_shard_independent(self, spark):
+        from gpq_spark.pipeline.packing import pack_greedy
+
+        df = spark.createDataFrame(
+            [(1, "a", 80), (2, "a", 80), (3, "b", 80)],
+            ["doc_id", "shard", "tokens"],
+        )
+        got = {
+            (r["shard"], r["doc_id"]): r["bin_id"]
+            for r in pack_greedy(
+                df, "doc_id", "tokens", budget=100, shard_cols=["shard"]
+            ).collect()
+        }
+        assert got == {("a", 1): 0, ("a", 2): 1, ("b", 3): 0}
+
+    def test_bad_budget(self, spark):
+        from gpq_spark.pipeline.packing import pack_concat_chunks, pack_greedy
+
+        df = spark.createDataFrame([(1, "s", 5)], ["doc_id", "shard", "tokens"])
+        with pytest.raises(ValueError):
+            pack_concat_chunks(df, "doc_id", "tokens", 0, ["shard"])
+        with pytest.raises(ValueError):
+            pack_greedy(df, "doc_id", "tokens", 0, ["shard"])
+
+
 class TestSampling:
     def _docs(self, spark, n=400):
         return spark.createDataFrame(
