@@ -33,8 +33,10 @@ from .similarity import (
     brute_force_topk,
     brute_force_topk_arrow,
     cosine_expr,
+    ivf_assign,
     ivf_topk,
     lsh_bucketed_topk,
+    train_ivf_centroids,
 )
 from .text import (
     with_token_counts,
@@ -62,8 +64,10 @@ __all__ = [
     "embedding_near_dup_pairs",
     "brute_force_topk",
     "brute_force_topk_arrow",
+    "ivf_assign",
     "ivf_topk",
     "lsh_bucketed_topk",
+    "train_ivf_centroids",
     "cosine_expr",
     "simhash_near_pairs",
     "with_token_counts",

@@ -152,6 +152,133 @@ def lsh_bucketed_topk(
     return _topk_per_query(scored, query_id_col, id_col, k)
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train IVF centroids with Spark ML k-means (k-means|| init).
+
+    Returns a small driver-materialized DataFrame ``(centroid_id int,
+    centroid array<double>)`` ready to pass to ``ivf_topk``. Training
+    is the offline step of an IVF index: run once over (a sample of)
+    the corpus, persist the centroids, then assignment and probing are
+    cheap broadcast lookups. k-means|| is the scalable initializer —
+    O(log k) distributed passes instead of k sequential seeding passes
+    (Bahmani et al., VLDB'12) — and Spark ML's implementation trains
+    without collecting the corpus.
+
+    Deterministic for a fixed (data, partitioning, seed, Spark
+    version); NOT engine-portable — trained centroids have no SQL
+    oracle, which is why the ``ann_topk_ivf`` gate query keeps the
+    deterministic lowest-id placeholder centroids while this function
+    covers the production path (recall measured in
+    tests/test_pipeline_ops.py::TestTrainedIVF).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(feats)
+    rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "centroid_id int, centroid array<double>"
+    )
+
+
+def _collect_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    centroids: DataFrame | None,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the (tiny) centroid set on the driver as
+    ``[(cid, vector), ...]``: a trained (centroid_id, centroid) frame
+    when given, else the deterministic lowest-id placeholder."""
+    if centroids is None:
+        rows = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .collect()
+        )
+    else:
+        rows = centroids.select(
+            F.col("centroid_id").cast("long").alias("cid"),
+            F.col("centroid").alias("cvec"),
+        ).collect()
+    return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
+
+
+def _lit_array(vec: list[float]) -> str:
+    return "array(" + ", ".join(repr(x) + "D" for x in vec) + ")"
+
+
+def _argmax_cell_expr(vec_col: str, cents: list[tuple[int, list[float]]]) -> Column:
+    """Map-side nearest-centroid id: cosine against each centroid as a
+    LITERAL array (centroid norms constant-fold at plan time),
+    ``array_max`` over (cosine, -cid) structs — ties break to the
+    LOWER centroid id, matching the window formulation and the SQL
+    oracles. Zero shuffle: this is the point — cell assignment of a
+    100 TB corpus is embarrassingly parallel and must not pay a
+    corpus-wide shuffle the way a rank-window formulation would.
+    """
+    structs = ", ".join(
+        f"struct(({_dot(vec_col, _lit_array(v))}) / "
+        f"(sqrt({_norm2(vec_col)}) * sqrt({_norm2(_lit_array(v))})) AS c, "
+        f"{-cid}L AS n)"
+        for cid, v in cents
+    )
+    return F.expr(f"-array_max(array({structs})).n").cast("long")
+
+
+def _top_cells_expr(
+    vec_col: str, cents: list[tuple[int, list[float]]], nprobe: int
+) -> Column:
+    """Map-side top-``nprobe`` centroid ids, ordered by cosine
+    descending with ties to the lower centroid id (ascending sort on
+    (-cosine, cid) structs)."""
+    structs = ", ".join(
+        f"struct(-(({_dot(vec_col, _lit_array(v))}) / "
+        f"(sqrt({_norm2(vec_col)}) * sqrt({_norm2(_lit_array(v))}))) AS c, "
+        f"{cid}L AS n)"
+        for cid, v in cents
+    )
+    return F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {nprobe}), x -> x.n)"
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Attach each corpus row's IVF cell id (nearest centroid by
+    cosine, ties to the lower centroid id).
+
+    This is the persistence half of the IVF index: write the result
+    ``.write.partitionBy(cluster_col)`` so that probing becomes disk
+    partition pruning — a query with nprobe=2 over 64 cells reads
+    1/32 of a 100 TB corpus. Assignment is a pure map-side expression
+    (centroids inlined as plan literals): zero shuffle.
+    """
+    cents = _collect_centroids(corpus, id_col, vec_col, n_centroids, centroids)
+    return corpus.withColumn(cluster_col, _argmax_cell_expr(vec_col, cents))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -162,51 +289,35 @@ def ivf_topk(
     n_centroids: int = 8,
     nprobe: int = 2,
     include_self: bool = False,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus rows are assigned to their
     nearest centroid; each query probes only its ``nprobe`` nearest
     centroid cells.
 
-    Centroids here are the ``n_centroids`` lowest-id corpus vectors —
-    a deterministic placeholder for offline-trained k-means centroids
-    (the Spark-side plumbing is identical). At scale the corpus is
+    ``centroids``: an offline-trained ``(centroid_id, centroid)``
+    DataFrame (see ``train_ivf_centroids``). When omitted, the
+    ``n_centroids`` lowest-id corpus vectors serve as a deterministic
+    placeholder (oracle-reproducible). At scale the corpus is
     written partitioned by ``cluster`` so probing is partition pruning
     on disk; the per-query work drops from O(corpus) to
     O(nprobe × corpus / n_centroids).
+
+    Cell assignment (corpus side) and probe selection (query side) are
+    both pure map-side expressions over plan-literal centroids — the
+    corpus is NEVER shuffled for assignment (a rank-window
+    formulation would shuffle all 100 TB by row id).
     """
-    from pyspark.sql import Window
-
-    centroids = F.broadcast(
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
-        )
+    cents = _collect_centroids(corpus, id_col, vec_col, n_centroids, centroids)
+    assigned = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "cluster", _argmax_cell_expr(vec_col, cents)
     )
-
-    def nearest(df: DataFrame, in_id: str, in_vec: str, out: str, top: int) -> DataFrame:
-        scored = df.crossJoin(centroids).select(
-            "*",
-            cosine_expr(in_vec, "__cvec").alias("__ccos"),
+    probes = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+        .withColumn(
+            "cluster",
+            F.explode(_top_cells_expr("__qvec", cents, min(nprobe, len(cents)))),
         )
-        w = Window.partitionBy(in_id).orderBy(
-            F.col("__ccos").desc(), F.col("__cid").asc()
-        )
-        return (
-            scored.withColumn("__crank", F.row_number().over(w))
-            .filter(F.col("__crank") <= top)
-            .select(df.columns + [F.col("__cid").alias(out)])
-        )
-
-    assigned = nearest(
-        corpus.select(F.col(id_col), F.col(vec_col)), id_col, vec_col, "cluster", 1
-    )
-    probes = nearest(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
-        query_id_col,
-        "__qvec",
-        "cluster",
-        nprobe,
     )
     candidates = assigned.join(F.broadcast(probes), "cluster")
     if not include_self:
