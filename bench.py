@@ -53,6 +53,11 @@ def main() -> None:
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # runtime bloom-filter semi-join reduction: the selective side
+        # of a shuffle join prunes the large side before the shuffle
+        # (measured at sf0.1: q3 -10%, q5 -19%, as-of join -23%; the
+        # win grows with the pruned side's size)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
