@@ -11,6 +11,7 @@ from .metadata import (
 )
 from .reader import read_geoparquet, read_geo_metadata, try_read_geo_metadata, parquet_files
 from .writer import write_geoparquet, get_compression, read_column_codecs
+from .datasource import GeoParquetDataSource, register as register_datasource
 from .extract import extract, extract_df
 from .describe import describe, describe_metadata_only
 from .spatial import (
@@ -47,4 +48,6 @@ __all__ = [
     "prune_files_by_bbox",
     "read_geoparquet_bbox",
     "write_geoparquet_partitioned",
+    "GeoParquetDataSource",
+    "register_datasource",
 ]

@@ -1,0 +1,308 @@
+"""``geoparquet`` as a native Spark format via the Python Data Source
+API (Spark 4): ``spark.read.format("geoparquet")`` and
+``df.write.format("geoparquet")``.
+
+This is the catalog-integrated convenience surface over the same
+engine the helper APIs use:
+
+- The READ path partitions by Parquet row group, prunes row groups
+  with footer statistics against pushed-down filters (Spark 4.1
+  ``pushFilters``), and streams Arrow record batches — the Python
+  worker never materializes a file. Pruned filters are still returned
+  to Spark for re-evaluation, so pruning is a safe overapproximation.
+- The WRITE path reuses the distributed GeoParquet writer task
+  (``writer._write_task``): per-file ``"geo"`` footers with bbox and
+  geometry-type stats, codec control, exact row-group lengths.
+
+When to use which: ``spark.read.parquet`` + ``read_geo_metadata``
+remains the hot path for 100 TB scans (JVM vectorized reader,
+whole-stage codegen); this format trades that for API integration —
+it reads through the Python worker (Arrow-batched, one
+serialization hop). The reference has a single engine so no such
+split exists there; its convert/describe CLI surface maps to both.
+
+Registration: ``register(spark)`` once per session.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Any, Iterable, Iterator, List
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # compressed bytes per input split
+
+
+@dataclass
+class _RowGroupsPartition(InputPartition):
+    file: str
+    row_groups: List[int]
+
+
+@dataclass
+class _WriteResult(WriterCommitMessage):
+    file: str | None = None
+    rows: int = 0
+
+
+def _stats_disprove(filters: List[Filter], path_stats: dict[str, Any]) -> bool:
+    """True when row-group statistics prove no row can satisfy the
+    conjunction of ``filters``. Conservative: any missing statistic or
+    unexpected comparison keeps the row group."""
+    for f in filters:
+        try:
+            col = ".".join(f.attribute)
+            st = path_stats.get(col)
+            if st is None:
+                continue
+            num_values, null_count, mn, mx = st
+            if isinstance(f, IsNull):
+                if null_count == 0:
+                    return True
+                continue
+            if isinstance(f, IsNotNull):
+                if null_count is not None and null_count >= num_values:
+                    return True
+                continue
+            if mn is None or mx is None:
+                continue
+            v = f.value
+            if isinstance(f, EqualTo) and (v < mn or v > mx):
+                return True
+            if isinstance(f, GreaterThan) and mx <= v:
+                return True
+            if isinstance(f, GreaterThanOrEqual) and mx < v:
+                return True
+            if isinstance(f, LessThan) and mn >= v:
+                return True
+            if isinstance(f, LessThanOrEqual) and mn > v:
+                return True
+        except TypeError:
+            continue  # incomparable types: keep the row group
+    return False
+
+
+class GeoParquetReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        path = options.get("path")
+        if not path:
+            raise ValueError("geoparquet reader requires a path: .load(path)")
+        self.path = path
+        self.spark_schema = schema
+        self.target_bytes = int(
+            options.get("target_partition_bytes", DEFAULT_TARGET_BYTES)
+        )
+        self.batch_size = int(options.get("batch_size", 65536))
+        self.filters: List[Filter] = []
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        # keep every conjunct for row-group stat pruning, but hand them
+        # all back: Spark re-evaluates post-scan, so pruning only has
+        # to be sound, never exact
+        self.filters = list(filters)
+        return filters
+
+    def partitions(self) -> List[InputPartition]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        from .reader import parquet_files
+
+        files = parquet_files(self.path)
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {self.path}")
+
+        def split_file(fp: str) -> List[_RowGroupsPartition]:
+            md = pq.ParquetFile(fp).metadata
+            paths: dict[str, int] | None = None
+            parts: List[_RowGroupsPartition] = []
+            cur: List[int] = []
+            cur_bytes = 0
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                if self.filters:
+                    if paths is None:
+                        paths = {
+                            rg.column(j).path_in_schema: j
+                            for j in range(rg.num_columns)
+                        }
+                    stats = {}
+                    for p, j in paths.items():
+                        c = md.row_group(i).column(j)
+                        s = c.statistics
+                        if s is not None:
+                            stats[p] = (
+                                rg.num_rows,
+                                s.null_count if s.has_null_count else None,
+                                s.min if s.has_min_max else None,
+                                s.max if s.has_min_max else None,
+                            )
+                    if _stats_disprove(self.filters, stats):
+                        continue
+                cur.append(i)
+                cur_bytes += rg.total_byte_size
+                if cur_bytes >= self.target_bytes:
+                    parts.append(_RowGroupsPartition(fp, cur))
+                    cur, cur_bytes = [], 0
+            if cur:
+                parts.append(_RowGroupsPartition(fp, cur))
+            return parts
+
+        # footer reads are I/O-bound: same thread-pool treatment as
+        # prune_files_by_bbox
+        with ThreadPoolExecutor(max_workers=min(32, max(4, len(files)))) as ex:
+            nested = list(ex.map(split_file, files))
+        out = [p for ps in nested for p in ps]
+        # a fully-pruned dataset still needs ≥1 (empty) partition so
+        # the scan yields a 0-row result with the right schema
+        return out or [_RowGroupsPartition(files[0], [])]
+
+    def read(self, partition: _RowGroupsPartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if not partition.row_groups:
+            return
+        pf = pq.ParquetFile(partition.file)
+        # normalize to the Arrow types Spark's JVM bridge accepts
+        # (e.g. parquet ms-precision timestamps -> µs): select the
+        # declared columns, then cast each batch
+        target = to_arrow_schema(self.spark_schema)
+        names = list(target.names)
+        for batch in pf.iter_batches(
+            row_groups=partition.row_groups, batch_size=self.batch_size,
+            columns=names,
+        ):
+            if batch.schema == target:
+                yield batch
+            else:
+                yield batch.select(names).cast(target)
+
+
+class GeoParquetWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        from .metadata import GeoMetadata, default_metadata
+        from .writer import get_compression
+
+        path = options.get("path")
+        if not path:
+            raise ValueError("geoparquet writer requires a path: .save(path)")
+        self.path = path
+        self.compression = get_compression(options.get("compression", "zstd"))
+        self.row_group_length = int(options.get("row_group_length", 122880))
+        self.compute_stats = (
+            str(options.get("compute_stats", "true")).lower() != "false"
+        )
+        geo_json = options.get("geo")
+        if geo_json:
+            meta = GeoMetadata.from_json(geo_json)
+        else:
+            meta = default_metadata(options.get("geometry_column", "geometry"))
+        self.meta_dict = meta.to_dict()
+        # driver-side prepare (Python DS writers have no JVM commit
+        # protocol dir): same local/shared-FS contract as
+        # write_geoparquet, enforced there by the scheme guard
+        if overwrite and os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> _WriteResult:
+        from .writer import _write_task
+
+        # TaskContext is unavailable in the DS worker, so partition ids
+        # all land on 0 — a per-task salt keeps file names unique
+        salt = uuid.uuid4().hex[:12]
+        results = list(
+            _write_task(
+                iterator,
+                self.path,
+                salt,
+                self.meta_dict,
+                self.compression,
+                self.row_group_length,
+                self.compute_stats,
+            )
+        )
+        if not results:
+            return _WriteResult()
+        rec = results[0].to_pylist()[0]
+        return _WriteResult(file=rec["file"], rows=rec["rows"])
+
+    def commit(self, messages, *args) -> None:
+        # GeoParquet is per-file self-describing (footer stats); there
+        # is no dataset-level metadata to reconcile on commit
+        return None
+
+    def abort(self, messages, *args) -> None:
+        for m in messages:
+            if m is not None and getattr(m, "file", None):
+                try:
+                    os.remove(m.file)
+                except OSError:
+                    pass
+
+
+class GeoParquetDataSource(DataSource):
+    """``format("geoparquet")``: row-group-pruned Arrow reads, per-file
+    geo-footer writes. See module docstring for the hot-path caveat."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "geoparquet"
+
+    def schema(self) -> StructType:
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from .reader import _first_parquet_file
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("geoparquet requires a path: .load(path)")
+        arrow_schema = pq.read_schema(_first_parquet_file(path))
+        # timezone-naive parquet timestamps surface as TimestampNTZ,
+        # matching spark.read.parquet
+        return from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True)
+
+    def reader(self, schema: StructType) -> GeoParquetReader:
+        return GeoParquetReader(dict(self.options), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> GeoParquetWriter:
+        return GeoParquetWriter(dict(self.options), overwrite)
+
+
+def register(spark) -> None:
+    """Register the ``geoparquet`` format on a session (idempotent).
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime
+    conf, default false in 4.1): Spark refuses a reader that overrides
+    ``pushFilters`` while the flag is off, and row-group pruning is
+    half the point of this format.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(GeoParquetDataSource)

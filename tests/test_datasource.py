@@ -1,0 +1,146 @@
+"""The ``geoparquet`` Python Data Source: catalog-integrated read
+(row-group pruning via pushFilters) and write (per-file geo footers).
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql.datasource import EqualTo, GreaterThan, IsNull, LessThan
+
+FIXTURE = "/root/reference/internal/testdata/cases/example-v1.0.0.parquet"
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from gpq_spark.geoparquet.datasource import register
+
+    register(spark)
+    return spark
+
+
+class TestRead:
+    def test_fixture_roundtrip_vs_native(self, registered):
+        spark = registered
+        ds = spark.read.format("geoparquet").load(FIXTURE)
+        native = spark.read.parquet(FIXTURE)
+        assert ds.schema == native.schema
+        assert sorted(map(tuple, ds.collect())) == sorted(map(tuple, native.collect()))
+
+    def test_orders_with_filter_matches_native(self, registered):
+        spark = registered
+        path = "/root/testdata/sf0.01/orders.parquet"
+        ds = spark.read.format("geoparquet").load(path)
+        native = spark.read.parquet(path)
+        assert ds.schema == native.schema  # incl. TimestampNTZ
+        got = ds.filter("o_orderkey < 500").select("o_orderkey").collect()
+        want = native.filter("o_orderkey < 500").select("o_orderkey").collect()
+        assert sorted(r[0] for r in got) == sorted(r[0] for r in want)
+
+    def test_missing_path(self, registered):
+        with pytest.raises(Exception):
+            registered.read.format("geoparquet").load("/nonexistent/nope").count()
+
+
+class TestRowGroupPruning:
+    @pytest.fixture()
+    def chunked_file(self, tmp_path):
+        # 10 row groups, x ranges [0,100), [100,200), ...
+        path = str(tmp_path / "chunked.parquet")
+        tbl = pa.table({"x": list(range(1000)), "y": ["v"] * 1000})
+        pq.write_table(tbl, path, row_group_size=100)
+        assert pq.ParquetFile(path).metadata.num_row_groups == 10
+        return path
+
+    def _reader(self, path, filters):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from gpq_spark.geoparquet.datasource import GeoParquetReader
+
+        schema = StructType(
+            [StructField("x", LongType()), StructField("y", StringType())]
+        )
+        r = GeoParquetReader({"path": path}, schema)
+        r.pushFilters(filters)
+        return r
+
+    def _row_groups(self, reader):
+        return [rg for p in reader.partitions() for rg in p.row_groups]
+
+    def test_no_filters_keeps_all(self, chunked_file):
+        assert len(self._row_groups(self._reader(chunked_file, []))) == 10
+
+    def test_range_filter_prunes(self, chunked_file):
+        # x > 899: row group 8 tops out at exactly 899 -> pruned
+        r = self._reader(chunked_file, [GreaterThan(("x",), 899)])
+        assert self._row_groups(r) == [9]
+        r = self._reader(chunked_file, [LessThan(("x",), 100)])
+        assert self._row_groups(r) == [0]
+        r = self._reader(
+            chunked_file, [GreaterThan(("x",), 250), LessThan(("x",), 350)]
+        )
+        assert self._row_groups(r) == [2, 3]
+
+    def test_equality_filter_prunes(self, chunked_file):
+        r = self._reader(chunked_file, [EqualTo(("x",), 555)])
+        assert self._row_groups(r) == [5]
+
+    def test_disproven_everywhere_keeps_one_empty_partition(self, chunked_file):
+        r = self._reader(chunked_file, [GreaterThan(("x",), 10_000)])
+        parts = r.partitions()
+        assert len(parts) == 1 and parts[0].row_groups == []
+        assert list(r.read(parts[0])) == []
+
+    def test_isnull_prunes_non_null_column(self, chunked_file):
+        r = self._reader(chunked_file, [IsNull(("x",))])
+        assert self._row_groups(r) == []
+
+    def test_incomparable_value_is_kept(self, chunked_file):
+        # string value against int stats must not prune (nor throw)
+        r = self._reader(chunked_file, [GreaterThan(("x",), "zzz")])
+        assert len(self._row_groups(r)) == 10
+
+    def test_pruned_scan_is_still_correct(self, registered, chunked_file):
+        df = registered.read.format("geoparquet").load(chunked_file)
+        assert df.filter("x >= 950").count() == 50
+        assert df.filter("x = 555").collect()[0]["x"] == 555
+
+
+class TestWrite:
+    def test_write_geo_footer_and_stats(self, registered, tmp_path):
+        from gpq_spark.geoparquet.reader import read_geo_metadata
+
+        spark = registered
+        out = str(tmp_path / "ds_out")
+        spark.read.parquet(FIXTURE).write.format("geoparquet").mode(
+            "overwrite"
+        ).save(out)
+        meta = read_geo_metadata(out)
+        col = meta.columns[meta.primary_column]
+        assert meta.primary_column == "geometry"
+        assert sorted(col.geometry_types) == ["MultiPolygon", "Polygon"]
+        assert col.bbox is not None and col.bbox[0] == -180.0
+        back = spark.read.format("geoparquet").load(out)
+        assert back.count() == 5
+
+    def test_overwrite_replaces(self, registered, tmp_path):
+        spark = registered
+        out = str(tmp_path / "ds_out2")
+        df = spark.read.parquet(FIXTURE)
+        df.write.format("geoparquet").mode("overwrite").save(out)
+        first = set(os.listdir(out))
+        df.limit(2).write.format("geoparquet").mode("overwrite").save(out)
+        assert set(os.listdir(out)) != first
+        assert spark.read.format("geoparquet").load(out).count() == 2
+
+    def test_write_codec_option(self, registered, tmp_path):
+        spark = registered
+        out = str(tmp_path / "ds_gzip")
+        spark.read.parquet(FIXTURE).write.format("geoparquet").option(
+            "compression", "gzip"
+        ).mode("overwrite").save(out)
+        f = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        assert md.row_group(0).column(0).compression.lower() == "gzip"
