@@ -23,7 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -752,6 +752,105 @@ def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_exact(
         docs, ["lang"], 5, ["doc_id"], seed="r2"
     ).select("doc_id", "lang")
+
+
+# whitespace tokens, lowercased, empties dropped — matches
+# pipeline.ranking tokenization
+_TF_DUCK = """
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+          FROM documents)
+    WHERE term <> ''
+    GROUP BY doc_id, term
+"""
+
+
+@register(
+    "rank_tfidf_docs",
+    f"""
+    WITH tf AS ({_TF_DUCK}),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1.0), 9) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term ASC) AS rn
+        FROM scored WHERE doc_id < 10
+    ) WHERE rn <= 5
+    """,
+)
+def rank_tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms for the first 10 documents (smoothed sklearn
+    idf; score rounded to 9 decimals for engine portability). The
+    doc_id filter applies AFTER corpus-wide document frequencies, as
+    tf-idf requires."""
+    from .pipeline.ranking import tfidf_scores
+
+    docs = load(spark, sf_dir, "documents")
+    scored = tfidf_scores(docs, "doc_id", "text").filter(F.col("doc_id") < 10)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "score")
+    )
+
+
+@register(
+    "rank_bm25_docs",
+    f"""
+    WITH tf AS ({_TF_DUCK}),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    dl AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
+    scored AS (
+        SELECT tf.doc_id,
+               round(SUM(
+                   ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+               ), 9) AS score
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN n CROSS JOIN avgdl
+        WHERE tf.term IN ('customer', 'window', 'merge')
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score FROM (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 20
+    """,
+)
+def rank_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for the query {customer, window, merge}
+    (k1=1.2, b=0.75, score rounded to 9 decimals)."""
+    from .pipeline.ranking import bm25_scores
+
+    docs = load(spark, sf_dir, "documents")
+    scored = bm25_scores(
+        docs, "doc_id", "text", ["customer", "window", "merge"]
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "score")
+    )
 
 
 _TOKENS_DUCK = """

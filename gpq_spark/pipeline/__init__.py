@@ -29,6 +29,7 @@ from .dedup import (
 from .decontam import decontaminate, ngram_overlap_counts
 from .sampling import hash_sample, hash_split, stratified_sample_exact
 from .packing import pack_concat_chunks, pack_greedy
+from .ranking import bm25_scores, term_frequencies, tfidf_scores
 from .similarity import (
     brute_force_topk,
     brute_force_topk_arrow,
@@ -57,6 +58,9 @@ __all__ = [
     "stratified_sample_exact",
     "pack_concat_chunks",
     "pack_greedy",
+    "bm25_scores",
+    "term_frequencies",
+    "tfidf_scores",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash_signatures",

@@ -1,0 +1,128 @@
+"""Document ranking: TF-IDF term weights and BM25 retrieval scores.
+
+Classic lexical relevance over the `documents` table — the scoring
+half of a data-pipeline quality/retrieval stage (the reference engine
+has no text ranking; training-data-pipeline extension).
+
+Scale shape:
+- term frequencies: explode + one groupBy shuffle on (doc, term);
+- document frequencies: one groupBy on the narrow term key;
+- the tf→idf join is keyed by term and left to AQE — the vocabulary
+  of a 100 TB corpus does NOT fit a broadcast, so no broadcast hint;
+- corpus-level scalars (N, avgdl) are 1-row aggregates crossJoined in
+  (Catalyst broadcasts a single row for free).
+
+Determinism: counts are exact BIGINTs; the only floats are ln() and
+divisions, and every exported score is rounded to 9 decimals (the
+repo-standard portability trick: JVM and DuckDB libm may differ in
+the last ulp, ~1e-16 relative, invisible at 1e-9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def term_frequencies(
+    df: DataFrame, id_col: str, text_col: str, lowercase: bool = True
+) -> DataFrame:
+    """Whitespace-token term frequencies: (``id_col``, term, tf)."""
+    text = F.trim(F.col(text_col))
+    if lowercase:
+        text = F.lower(text)
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(text, r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    return toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+
+
+def doc_frequencies(tf_df: DataFrame, id_col: str) -> DataFrame:
+    """(term, df) from a term-frequency frame — each (doc, term) row is
+    already distinct, so this is a plain count per term."""
+    return tf_df.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def tfidf_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF with smoothed idf (sklearn convention):
+    ``idf = ln((N + 1) / (df + 1)) + 1``; score = tf · idf, rounded.
+    Output: ``id_col``, term, tf (bigint), score (double).
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    dfreq = doc_frequencies(tf, id_col)
+    n = df.agg(F.count("*").alias("__n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 9,
+) -> DataFrame:
+    """BM25 relevance of every document for a bag-of-terms query.
+
+    ``score(D) = Σ_t idf(t) · tf(t,D)·(k1+1) /
+    (tf(t,D) + k1·(1 − b + b·|D|/avgdl))`` with the standard
+    non-negative idf ``ln(1 + (N − df + 0.5)/(df + 0.5))``. Documents
+    matching no query term are omitted. Output: ``id_col``, score.
+
+    The query-term filter lands directly on the exploded token stream
+    (an IN over literals — map-side); document frequencies still come
+    from the full corpus, as BM25 requires.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    tf = term_frequencies(df, id_col, text_col)
+    dfreq = doc_frequencies(tf, id_col)
+    n = df.agg(F.count("*").alias("__n"))
+    # document length is map-side (no second pass over the tf table);
+    # the empty-token filter matches term_frequencies' tokenization
+    dl = df.select(
+        F.col(id_col),
+        F.size(
+            F.expr(f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')")
+        ).cast("long").alias("__dl"),
+    )
+    avgdl = dl.agg(F.avg("__dl").alias("__avgdl"))
+    qt = [t.lower() for t in query_terms]
+    matched = (
+        tf.filter(F.col("term").isin(qt))
+        .join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avgdl))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    return (
+        matched.groupBy(id_col)
+        .agg(F.round(F.sum(contrib), round_digits).alias("score"))
+    )

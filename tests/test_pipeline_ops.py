@@ -347,6 +347,64 @@ class TestDecontaminate:
             decontaminate(df, "doc_id", "text", df, mode="nope")
 
 
+class TestRanking:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "apple banana apple"),
+                (2, "banana cherry"),
+                (3, "apple apple apple durian"),
+                (4, ""),
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_term_frequencies(self, spark):
+        from gpq_spark.pipeline.ranking import term_frequencies
+
+        tf = {
+            (r["doc_id"], r["term"]): r["tf"]
+            for r in term_frequencies(self._docs(spark), "doc_id", "text").collect()
+        }
+        assert tf[(1, "apple")] == 2 and tf[(3, "apple")] == 3
+        assert (4, "") not in tf  # empty doc contributes nothing
+        assert not any(d == 4 for d, _ in tf)
+
+    def test_tfidf_rare_term_outweighs_common(self, spark):
+        from gpq_spark.pipeline.ranking import tfidf_scores
+
+        scores = {
+            (r["doc_id"], r["term"]): r["score"]
+            for r in tfidf_scores(self._docs(spark), "doc_id", "text").collect()
+        }
+        # durian appears in 1 doc, apple in 2: idf(durian) > idf(apple),
+        # so tf=1 durian beats tf=1 cherry-vs... compare within doc 3
+        assert scores[(3, "durian")] > scores[(3, "apple")] / 3  # per-occurrence
+        import math
+
+        n, df_apple = 4, 2
+        expected = round(2 * (math.log((n + 1) / (df_apple + 1)) + 1.0), 9)
+        assert scores[(1, "apple")] == expected
+
+    def test_bm25_ranks_matching_docs(self, spark):
+        from gpq_spark.pipeline.ranking import bm25_scores
+
+        got = {
+            r["doc_id"]: r["score"]
+            for r in bm25_scores(
+                self._docs(spark), "doc_id", "text", ["durian"]
+            ).collect()
+        }
+        assert set(got) == {3}  # only doc 3 matches
+        assert got[3] > 0
+
+    def test_bm25_empty_query(self, spark):
+        from gpq_spark.pipeline.ranking import bm25_scores
+
+        with pytest.raises(ValueError):
+            bm25_scores(self._docs(spark), "doc_id", "text", [])
+
+
 class TestTrainedIVF:
     def test_kmeans_centroids_shape(self, spark):
         from gpq_spark.pipeline.similarity import train_ivf_centroids
