@@ -1050,6 +1050,69 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANT_DUCK_AMAX = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x))"
+)
+# int8 symmetric quantization: floor(x*127/amax + 0.5); zero vector -> zeros
+_QUANT_DUCK = f"""
+    SELECT vec_id,
+           CASE WHEN {_QUANT_DUCK_AMAX} = 0.0
+           THEN list_transform(v, x -> CAST(0 AS BIGINT))
+           ELSE list_transform(v, x -> CAST(floor(x * (127.0 / ({_QUANT_DUCK_AMAX})) + 0.5) AS BIGINT))
+           END AS q
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+"""
+
+
+def _qcos_duck(a: str, b: str) -> str:
+    dot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] * {b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    na = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, x -> CAST(x * x AS DOUBLE))), (x, y) -> x + y)"
+    )
+    nb = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({b}, x -> CAST(x * x AS DOUBLE))), (x, y) -> x + y)"
+    )
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "ann_topk_quantized",
+    f"""
+    WITH qz AS ({_QUANT_DUCK}),
+    q AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 5),
+    c AS (SELECT vec_id, q AS cq FROM qz),
+    scored AS (
+        SELECT query_id, vec_id, {_qcos_duck('cq', 'qq')} AS cosine
+        FROM c, q WHERE vec_id != query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine over int8-quantized embeddings (4x smaller scan
+    at 100 TB). Quantization and the dot/norm folds are exact integer
+    arithmetic, so the scores hash across engines without rounding."""
+    from .pipeline.similarity import quantized_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_topk(emb, queries, k=10)
+
+
 @register(
     "ann_topk",
     f"""

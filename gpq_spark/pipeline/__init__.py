@@ -37,6 +37,8 @@ from .similarity import (
     ivf_assign,
     ivf_topk,
     lsh_bucketed_topk,
+    quantize_expr,
+    quantized_topk,
     train_ivf_centroids,
 )
 from .text import (
@@ -71,6 +73,8 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "lsh_bucketed_topk",
+    "quantize_expr",
+    "quantized_topk",
     "train_ivf_centroids",
     "cosine_expr",
     "simhash_near_pairs",

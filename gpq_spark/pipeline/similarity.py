@@ -330,6 +330,82 @@ def ivf_topk(
     return _topk_per_query(scored, query_id_col, id_col, k)
 
 
+def quantize_expr(vec_col: str) -> Column:
+    """Symmetric int8 scalar quantization of one vector, as a pure
+    expression: ``q_i = floor(x_i · 127/max|x| + 0.5)`` (⇒ values in
+    [-127, 127], stored as ``array<tinyint>`` — 4× smaller than
+    float32 on disk and over the network). ``floor(x + 0.5)`` instead
+    of ``round`` because floor is exactly portable across engines
+    while round's half-away/half-even convention is not. A zero
+    vector quantizes to zeros. The max|x| scan is a sequential fold
+    (engine- and partitioning-deterministic).
+    """
+    amax = (
+        f"aggregate(transform(CAST({vec_col} AS ARRAY<DOUBLE>), x -> abs(x)), "
+        f"CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, x))"
+    )
+    return F.expr(
+        f"CASE WHEN {amax} = 0.0 THEN "
+        f"transform({vec_col}, x -> CAST(0 AS TINYINT)) "
+        f"ELSE transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
+        f"x -> CAST(floor(x * (127.0 / ({amax})) + 0.5) AS TINYINT)) END"
+    )
+
+
+def quantized_cosine_expr(a: str, b: str) -> Column:
+    """Cosine of two int8-quantized vectors. Dot product and norms are
+    EXACT integer folds (≤ 64·127² per term — no overflow, no float
+    reduction order); only the final sqrt/divide is float, computed
+    identically everywhere."""
+    dot = _fold_sum(
+        f"zip_with(CAST({a} AS ARRAY<LONG>), CAST({b} AS ARRAY<LONG>), "
+        f"(x, y) -> CAST(x * y AS DOUBLE))"
+    )
+    na = _fold_sum(f"transform(CAST({a} AS ARRAY<LONG>), x -> CAST(x * x AS DOUBLE))")
+    nb = _fold_sum(f"transform(CAST({b} AS ARRAY<LONG>), x -> CAST(x * x AS DOUBLE))")
+    return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k over int8-quantized vectors.
+
+    Same plan shape as ``brute_force_topk`` (broadcast queries,
+    map-side scoring, two-phase rank) but the corpus is scored in its
+    4×-smaller quantized form — at 100 TB of embeddings that is the
+    difference between scanning 100 TB and 25 TB (quantize once with
+    ``quantize_expr`` and persist). Scores deviate from float cosine
+    by the quantization error (~1e-2 at 64 dims), which is what the
+    recall study in tests measures; ranking inside a query is exact
+    integer arithmetic, so results are engine-reproducible without
+    rounding tricks.
+    """
+    cq = corpus.select(
+        F.col(id_col), quantize_expr(vec_col).alias("__cq")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), quantize_expr(vec_col).alias("__qq")
+        )
+    )
+    scored = cq.crossJoin(q)
+    if not include_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    scored = scored.select(
+        query_id_col,
+        id_col,
+        quantized_cosine_expr("__cq", "__qq").alias("cosine"),
+    )
+    return _topk_per_query(scored, query_id_col, id_col, k)
+
+
 def brute_force_topk_arrow(
     corpus: DataFrame,
     queries_pdf,

@@ -347,6 +347,36 @@ class TestDecontaminate:
             decontaminate(df, "doc_id", "text", df, mode="nope")
 
 
+class TestQuantizedANN:
+    def test_quantize_range_and_zero_vector(self, spark):
+        from gpq_spark.pipeline.similarity import quantize_expr
+
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r["vec_id"]: r["q"] for r in
+               df.select("vec_id", quantize_expr("embedding").alias("q")).collect()}
+        # max|x|=1.0 -> scale 127: [64, -127, 32] (floor(x*127+0.5))
+        assert out[1] == [64, -127, 32]
+        assert out[2] == [0, 0, 0]
+        qtype = df.select(quantize_expr("embedding").alias("q")).schema["q"].dataType
+        assert qtype.simpleString() == "array<tinyint>"
+
+    def test_quantized_recall_vs_float(self, spark):
+        from gpq_spark.pipeline.similarity import brute_force_topk, quantized_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        t = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, queries, k=10).collect()}
+        g = {(r["query_id"], r["vec_id"])
+             for r in quantized_topk(emb, queries, k=10).collect()}
+        assert len(g & t) / len(t) >= 0.9  # measured 0.985 at sf0.01
+
+
 class TestRanking:
     def _docs(self, spark):
         return spark.createDataFrame(
