@@ -1173,6 +1173,47 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, "vec_id", "embedding", "query_id", k=10, bits=8)
 
 
+@register(
+    "ann_topk_lsh_multiprobe",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      ({' + '.join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(8))}) AS bucket
+               FROM embeddings),
+    q0 AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 5),
+    probes AS (
+        SELECT query_id, qv, unnest([qbucket,
+               {', '.join(f'xor(qbucket, {1 << i})' for i in range(8))}]) AS qbucket
+        FROM q0
+    ),
+    scored AS (
+        SELECT query_id, e.vec_id, {_cos_duck('e.v', 'qv')} AS cosine
+        FROM e JOIN probes p ON e.bucket = p.qbucket
+        WHERE e.vec_id != p.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-10: the query's sign bucket plus all 8
+    Hamming-distance-1 buckets — recall recovery without re-bucketing
+    the corpus."""
+    from .pipeline.similarity import lsh_bucketed_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(
+        emb, queries, "vec_id", "embedding", "query_id",
+        k=10, bits=8, multi_probe=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -126,21 +126,36 @@ def lsh_bucketed_topk(
     k: int = 10,
     bits: int = 8,
     include_self: bool = False,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: only corpus rows whose sign-bucket matches the
     query's bucket are scored. At 100 TB this turns a full scan per
     query into a bucket-pruned scan (write the corpus partitioned by
-    bucket to get partition pruning on disk)."""
+    bucket to get partition pruning on disk).
+
+    ``multi_probe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket (the near-boundary buckets a
+    sign flip lands in): ``bits + 1`` probes per query instead of 1,
+    trading a proportional candidate-set increase for recall — without
+    touching the corpus layout or re-bucketing anything. Each corpus
+    row lives in exactly one bucket, so probes never duplicate a
+    candidate pair."""
     bucketed = corpus.select(
         F.col(id_col), F.col(vec_col), sign_bucket_expr(vec_col, bits).alias("__bucket")
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-            sign_bucket_expr(vec_col, bits).alias("__qbucket"),
-        )
+    qcols = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        sign_bucket_expr(vec_col, bits).alias("__qbucket"),
     )
+    if multi_probe:
+        flips = ", ".join(f"__qbucket ^ {1 << i}" for i in range(bits))
+        qcols = qcols.select(
+            query_id_col,
+            "__qvec",
+            F.explode(F.expr(f"array(__qbucket, {flips})")).alias("__qbucket"),
+        )
+    q = F.broadcast(qcols)
     scored = bucketed.join(q, F.col("__bucket") == F.col("__qbucket"))
     if not include_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))

@@ -347,6 +347,26 @@ class TestDecontaminate:
             decontaminate(df, "doc_id", "text", df, mode="nope")
 
 
+class TestMultiProbeLSH:
+    def test_multiprobe_supersets_single_probe(self, spark):
+        from gpq_spark.pipeline.similarity import lsh_bucketed_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        single = {(r["query_id"], r["vec_id"]) for r in
+                  lsh_bucketed_topk(emb, queries, k=50, bits=8).collect()}
+        multi = {(r["query_id"], r["vec_id"]) for r in
+                 lsh_bucketed_topk(
+                     emb, queries, k=50, bits=8, multi_probe=True
+                 ).collect()}
+        # distance-1 probes only ADD candidate buckets; with k large
+        # enough to keep everything, single-probe results survive
+        assert single <= multi
+        assert len(multi) > len(single)
+
+
 class TestQuantizedANN:
     def test_quantize_range_and_zero_vector(self, spark):
         from gpq_spark.pipeline.similarity import quantize_expr
