@@ -1624,6 +1624,61 @@ def stream_tumble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "stream_dedup_events",
+    """
+    SELECT DISTINCT user_id, event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start
+    FROM events
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) on
+    (user_id, event_type, hour): bounded-state dedup as a real
+    Structured Streaming query drained synchronously. Duplicates of a
+    key land in the same hour, so they are always within the 2h
+    watermark of each other and the bounded replay equals DISTINCT —
+    which is what the oracle checks."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from .streaming.windows import stream_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = _os.path.join(
+        _tempfile.gettempdir(), f"stream_src_{abs(hash(sf_dir)) % 10 ** 8}"
+    )
+    _os.makedirs(src_dir, exist_ok=True)
+    link = _os.path.join(src_dir, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
+    )
+    deduped = stream_dedup(
+        stream, ["user_id", "event_type", "hour_ts"], watermark_col="ts"
+    ).select(
+        "user_id",
+        "event_type",
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+    )
+    name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Additional relational coverage
 # ---------------------------------------------------------------------------

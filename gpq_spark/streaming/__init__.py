@@ -2,6 +2,7 @@ from .windows import (
     stream_events,
     windowed_counts,
     stateful_sessionize,
+    stream_dedup,
     stream_to_geoparquet,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "stream_events",
     "windowed_counts",
     "stateful_sessionize",
+    "stream_dedup",
     "stream_to_geoparquet",
 ]

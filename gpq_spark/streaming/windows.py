@@ -150,6 +150,29 @@ def stateful_sessionize(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until
+    the watermark passes it, so the state store is sized by the
+    watermark horizon's key arrival rate — a plain streaming
+    ``dropDuplicates`` accumulates every key ever seen and is a state
+    leak on an unbounded 100 TB/day stream.
+
+    Semantics: duplicates of a key arriving within the watermark delay
+    of each other are guaranteed deduplicated; re-arrivals farther
+    apart may re-emit (that is the bounded-state trade-off, and the
+    right one for event streams).
+    """
+    return stream.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def stream_to_geoparquet(
     stream: DataFrame,
     path: str,

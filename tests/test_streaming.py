@@ -109,6 +109,40 @@ class TestStatefulSessionize:
         assert got.count() <= batch_total
 
 
+class TestStreamDedup:
+    def test_dedup_matches_batch_distinct(self, spark, events_dir):
+        from gpq_spark.streaming import stream_dedup, stream_events
+
+        stream = stream_events(spark, events_dir, _raw_schema(spark)).withColumn(
+            "hour_ts", F.date_trunc("hour", F.col("ts"))
+        )
+        deduped = stream_dedup(
+            stream, ["user_id", "event_type", "hour_ts"]
+        ).select("user_id", "event_type", "hour_ts")
+        name = f"sd_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.table(name)
+
+        from gpq_spark.entry_queries import load_events
+
+        batch = (
+            load_events(spark, f"{TESTDATA}/sf0.001")
+            .select(
+                "user_id", "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+            )
+            .distinct()
+        )
+        assert got.count() == batch.count()
+        assert got.exceptAll(batch).count() == 0
+
+
 class TestStreamToGeoParquet:
     def test_epoch_files_have_geo_footers(self, spark, tmp_path):
         """A geometry-bearing stream lands as standalone-valid
