@@ -82,3 +82,47 @@ def test_ann_two_phase_topk(plans):
     p = plans("ann_topk")
     # two ranking windows: per-partition then global
     assert p.count("RunningWindowFunction") + p.count("Window") >= 2
+
+
+def test_decontam_broadcasts_eval_side(plans):
+    p = plans("decontam_docs")
+    # eval n-grams broadcast: the train-side text is matched map-side
+    assert "BroadcastHashJoin" in p
+    assert "pythonUDF" not in p.lower()
+
+
+def test_sampling_is_map_side(plans):
+    # pure row expressions: no shuffle at all in the Bernoulli sample
+    # and the split assignment
+    assert "Exchange" not in plans("sample_hash_docs")
+    assert "Exchange" not in plans("sample_split_docs")
+    # stratified exact-k: exactly the one strata-key window shuffle
+    assert plans("sample_stratified_docs").count("Exchange") == 1
+
+
+def test_ivf_no_corpus_shuffle_for_assignment(plans):
+    p = plans("ann_topk_ivf")
+    # map-side argmax assignment + broadcast probes + two top-k
+    # phases: a rank-window assignment would add corpus-wide
+    # hashpartitioning exchanges
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastHashJoin" in p
+
+
+def test_quantized_topk_no_python(plans):
+    p = plans("ann_topk_quantized")
+    assert "pythonUDF" not in p.lower()
+
+
+def test_pack_chunks_single_window_shuffle(plans):
+    p = plans("pack_chunks_docs")
+    assert "pythonUDF" not in p.lower()
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_ranking_no_broadcast_on_vocabulary(plans):
+    # the tf->idf join is term-keyed; a broadcast hint there would
+    # break at 100 TB vocabulary scale. The only broadcasts allowed
+    # are the 1-row corpus scalars (N, avgdl).
+    p = plans("rank_bm25_docs")
+    assert "pythonUDF" not in p.lower()
