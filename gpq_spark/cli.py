@@ -112,6 +112,18 @@ def cmd_validate(args) -> int:
         def maybe_s(n):
             return "" if n == 1 else "s"
 
+        # reference colors (fatih/color, validate.go:111-137): green
+        # pass, red fail, yellow unrun/skip-banner; disabled by
+        # --unpretty or a non-TTY stdout (color.NoColor semantics)
+        use_color = not args.unpretty and sys.stdout.isatty()
+
+        def paint(code: int, s: str) -> str:
+            return f"\x1b[{code}m{s}\x1b[0m" if use_color else s
+
+        green = lambda s: paint(32, s)  # noqa: E731
+        red = lambda s: paint(31, s)  # noqa: E731
+        yellow = lambda s: paint(33, s)  # noqa: E731
+
         summary = [f"Passed {passed} check{maybe_s(passed)}"]
         if failed:
             summary.append(f"failed {failed} check{maybe_s(failed)}")
@@ -119,14 +131,22 @@ def cmd_validate(args) -> int:
             summary.append(f"{unrun} check{maybe_s(unrun)} not run")
         print(f"\nSummary: {', '.join(summary)}.\n")
         if report["metadataOnly"]:
-            print("Metadata and schema checks only.  Skipped 4 data scanning checks.\n")
+            print(
+                yellow(
+                    "Metadata and schema checks only.  "
+                    "Skipped 4 data scanning checks."
+                )
+                + "\n"
+            )
         for c in checks:
             if not c["run"]:
-                print(f" ! {c['title']}\n   ↳ not checked")
+                print(yellow(f" ! {c['title']}"))
+                print(yellow("   ↳ not checked"))
             elif c["passed"]:
-                print(f" ✓ {c['title']}")
+                print(green(f" ✓ {c['title']}"))
             else:
-                print(f" ✗ {c['title']}\n   ↳ {c.get('message', '')}")
+                print(red(f" ✗ {c['title']}"))
+                print(red(f"   ↳ {c.get('message', '')}"))
         print()
     return 1 if any(not c["passed"] for c in report["checks"]) else 0
 
