@@ -13,6 +13,10 @@ engine the helper APIs use:
 - The WRITE path reuses the distributed GeoParquet writer task
   (``writer._write_task``): per-file ``"geo"`` footers with bbox and
   geometry-type stats, codec control, exact row-group lengths.
+- The STREAM READ path (``spark.readStream.format("geoparquet")``)
+  ingests a growing dataset directory: offsets carry the processed
+  file set, micro-batches are the set difference, and executors read
+  the new files through the same row-group partitioning.
 
 When to use which: ``spark.read.parquet`` + ``read_geo_metadata``
 remains the hot path for 100 TB scans (JVM vectorized reader,
@@ -36,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -203,6 +208,63 @@ class GeoParquetReader(DataSourceReader):
                 yield batch.select(names).cast(target)
 
 
+class GeoParquetStreamReader(DataSourceStreamReader):
+    """Streaming read of a growing GeoParquet dataset directory.
+
+    Offsets carry the exact set of processed file names (JSON), so a
+    micro-batch is the set difference — append-only directories need
+    no name-ordering assumption, and failure recovery re-reads a batch
+    deterministically from its offset pair. Partition planning and the
+    Arrow-batch read path are shared with the batch reader: executors
+    do the reading; the driver only lists files. Offset size grows
+    with the file count — compact ingest directories (or partition by
+    arrival date) beyond ~10⁵ files.
+    """
+
+    def __init__(self, options: dict, schema: StructType):
+        self._batch = GeoParquetReader(dict(options), schema)
+
+    def initialOffset(self) -> dict:
+        import json
+
+        return {"files": json.dumps([])}
+
+    def latestOffset(self) -> dict:
+        import json
+
+        from .reader import parquet_files
+
+        try:
+            files = parquet_files(self._batch.path)
+        except FileNotFoundError:
+            files = []
+        return {"files": json.dumps(sorted(files))}
+
+    def partitions(self, start: dict, end: dict):
+        import json
+
+        import pyarrow.parquet as pq
+
+        new = sorted(
+            set(json.loads(end["files"])) - set(json.loads(start["files"]))
+        )
+        parts: List[_RowGroupsPartition] = []
+        for fp in new:
+            n = pq.ParquetFile(fp).metadata.num_row_groups
+            parts.append(_RowGroupsPartition(fp, list(range(n))))
+        if parts:
+            return parts
+        # no new files: one empty partition (Spark requires >= 1; an
+        # empty row-group list never opens the file)
+        return [_RowGroupsPartition(self._batch.path, [])]
+
+    def read(self, partition: _RowGroupsPartition):
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        return None
+
+
 class GeoParquetWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, overwrite: bool):
         from .metadata import GeoMetadata, default_metadata
@@ -291,6 +353,9 @@ class GeoParquetDataSource(DataSource):
 
     def reader(self, schema: StructType) -> GeoParquetReader:
         return GeoParquetReader(dict(self.options), schema)
+
+    def streamReader(self, schema: StructType) -> GeoParquetStreamReader:
+        return GeoParquetStreamReader(dict(self.options), schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> GeoParquetWriter:
         return GeoParquetWriter(dict(self.options), overwrite)

@@ -108,6 +108,36 @@ class TestRowGroupPruning:
         assert df.filter("x = 555").collect()[0]["x"] == 555
 
 
+class TestStreamRead:
+    def test_incremental_micro_batches(self, registered, tmp_path):
+        spark = registered
+        src = str(tmp_path / "grow")
+        os.makedirs(src)
+        fix = spark.read.parquet(FIXTURE)
+        fix.limit(2).write.format("geoparquet").mode("overwrite").save(src + "/f1")
+        batches = []
+        q = (
+            spark.readStream.format("geoparquet")
+            .load(src)
+            .writeStream.foreachBatch(
+                lambda df, eid: batches.append((eid, df.count()))
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert batches == [(0, 2)]
+            # a second file arrives: the next micro-batch reads ONLY it
+            fix.limit(4).write.format("geoparquet").mode("overwrite").save(
+                src + "/f2"
+            )
+            q.processAllAvailable()
+            assert batches == [(0, 2), (1, 4)]
+        finally:
+            q.stop()
+
+
 class TestWrite:
     def test_write_geo_footer_and_stats(self, registered, tmp_path):
         from gpq_spark.geoparquet.reader import read_geo_metadata

@@ -1,0 +1,53 @@
+"""Property-based test: distributed connected components (large-star /
+small-star) must agree with a driver-side union-find on arbitrary
+graphs — random edge lists, self-loops, duplicates, reversed edges.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for u, v in edges:
+        if u != v:
+            union(u, v)
+    # min id of each component
+    return {
+        n: min(m for m in parent if find(m) == find(n))
+        for n in parent
+        if any(u != v for u, v in edges if n in (u, v))
+    }
+
+
+edge = st.tuples(
+    st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(edge, min_size=0, max_size=40))
+def test_cc_matches_union_find(spark, edges):
+    from gpq_spark.pipeline.dedup import connected_components
+
+    expected = _union_find(edges)
+    df = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in edges] or [(None, None)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == expected
