@@ -37,7 +37,14 @@ def ngram_overlap_counts(
     N-grams are whitespace word n-grams (documents shorter than
     ``ngram`` words contribute their whole trimmed text, so short
     eval items still match exact copies). Both sides hash the n-gram
-    to md5 so the join key is narrow regardless of n-gram width.
+    to xxhash64 so the join key is narrow regardless of n-gram width.
+    xxhash64 stays in whole-stage codegen (~2× the throughput of md5's
+    MessageDigest hex path on the 10× stress corpus) and the hash is
+    join-internal — the match set, not the hash, is the output, so
+    engine portability doesn't constrain it. A 64-bit collision
+    (≈ n_train·n_eval/2⁶⁴ — reaches ~1 only at a 10¹² × 10⁷ n-gram
+    scale) flags one extra doc as contaminated: the conservative
+    direction.
 
     The eval n-gram set is broadcast (small by nature; Spark's 8 GB
     broadcast ceiling ≈ hundreds of millions of n-grams — far beyond
@@ -48,13 +55,13 @@ def ngram_overlap_counts(
     ev = (
         _with_shingles(eval_df, eval_text_col, ngram, keep=[])
         .select(F.explode("__sh").alias("__g"))
-        .select(F.md5("__g").alias("__gh"))
+        .select(F.xxhash64("__g").alias("__gh"))
         .distinct()
     )
     tr = (
         _with_shingles(train_df, text_col, ngram, keep=[id_col])
         .select(F.col(id_col), F.explode("__sh").alias("__g"))
-        .select(F.col(id_col), F.md5("__g").alias("__gh"))
+        .select(F.col(id_col), F.xxhash64("__g").alias("__gh"))
     )
     # __sh is already distinct per document, so count(*) counts
     # distinct matched n-grams
