@@ -250,6 +250,17 @@ def ngram_jaccard_pairs(
     shingled = _with_shingles(
         df, text_col, shingle_size, keep=[id_col, *block_cols]
     )
+    # shingles as 8-byte xxhash64 ints, not strings: the quadratic
+    # per-pair cost is the set intersect/union, and comparing longs is
+    # ~2× cheaper than ~20-byte strings. Join-internal only — jaccard
+    # counts the MATCH structure (the oracle intersects raw shingles),
+    # and a 64-bit collision inside one pair's ~10³-element union
+    # (P ≈ 10⁶/2⁶⁴) is negligible.
+    shingled = shingled.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.expr("transform(__sh, s -> xxhash64(s))").alias("__sh"),
+    )
     # struct puts the id first → array_sort orders members by id, so
     # pair expansion yields id_a < id_b deterministically
     buckets = (
