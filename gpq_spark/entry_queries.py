@@ -981,6 +981,35 @@ for _q in QUERIES:
 
 
 @register(
+    "dedup_simhash_pairs",
+    None,  # placeholder replaced below (shares _simhash_oracle)
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs within Hamming distance 3
+    (pigeonhole chunk blocking: one groupBy shuffle, candidates only
+    pay the popcount)."""
+    from .pipeline.dedup import simhash_near_pairs, simhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = simhash_signatures(
+        docs, "doc_id", "text", bits=16,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return simhash_near_pairs(sigs, "doc_id", max_hamming=3, bits=16)
+
+
+for _q in QUERIES:
+    if _q.name == "dedup_simhash_pairs":
+        _q.oracle = f"""
+        WITH sh AS ({_simhash_oracle(16)})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """
+
+
+@register(
     "dedup_ngram_jaccard_pairs",
     f"""
     WITH sh AS ({_SHINGLES_DUCK})

@@ -347,6 +347,43 @@ class TestDecontaminate:
             decontaminate(df, "doc_id", "text", df, mode="nope")
 
 
+class TestIvfAssign:
+    def test_assignment_enables_partition_pruned_probe(self, spark, tmp_path):
+        from gpq_spark.pipeline.similarity import ivf_assign, train_ivf_centroids
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = train_ivf_centroids(emb, n_centroids=4, seed=7)
+        assigned = ivf_assign(emb, centroids=cents)
+        # every row gets exactly one cell; all cells valid centroid ids
+        assert assigned.count() == emb.count()
+        cells = {r["cluster"] for r in assigned.select("cluster").distinct().collect()}
+        assert cells <= {0, 1, 2, 3}
+        # persistence half: partitionBy(cluster) → probing one cell
+        # reads only that directory (disk partition pruning)
+        out = str(tmp_path / "ivf")
+        assigned.write.partitionBy("cluster").parquet(out)
+        one_cell = spark.read.parquet(out).filter(F.col("cluster") == min(cells))
+        plan = one_cell._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(cluster" in plan
+        n_cell = one_cell.count()
+        assert 0 < n_cell < emb.count()
+        # the written assignment agrees with a fresh map-side assignment
+        again = ivf_assign(emb, centroids=cents).filter(
+            F.col("cluster") == min(cells)
+        )
+        assert n_cell == again.count()
+
+    def test_assignment_is_map_side(self, spark):
+        from gpq_spark.pipeline.similarity import ivf_assign
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = (
+            ivf_assign(emb, n_centroids=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
 class TestMultiProbeLSH:
     def test_multiprobe_supersets_single_probe(self, spark):
         from gpq_spark.pipeline.similarity import lsh_bucketed_topk
