@@ -853,6 +853,49 @@ def rank_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_scrub_docs",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' reach user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or 555-123-4567 ssn 123-45-6789 ip 10.0.0.'
+                    || CAST(doc_id % 255 AS VARCHAR) AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[email]', 'g'),
+                 '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[ssn]', 'g'),
+               '(\\+?[0-9]{1,3}[-. ])?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}', '[phone]', 'g'),
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[ipv4]', 'g') AS clean
+    FROM aug
+    """,
+)
+def text_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: documents augmented with deterministic synthetic
+    PII (email, phone, SSN, IPv4 derived from doc_id — the driver
+    corpus itself contains none), then redacted via chained
+    regexp_replace. The oracle reproduces the scrub byte-for-byte,
+    proving the patterns behave identically under Java regex and
+    RE2."""
+    from .pipeline.text import scrub_pii
+
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.expr(
+            "text || ' reach user' || CAST(doc_id AS STRING)"
+            " || '@mail.example.com or 555-123-4567 ssn 123-45-6789 ip 10.0.0.'"
+            " || CAST(doc_id % 255 AS STRING)"
+        ).alias("raw"),
+    )
+    return scrub_pii(aug, "raw", out_col="clean").select("doc_id", "clean")
+
+
 _TOKENS_DUCK = """
     SELECT lang, doc_id,
            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tokens

@@ -46,6 +46,7 @@ from .text import (
     with_quality_score,
     with_language_id,
     with_fingerprint,
+    scrub_pii,
 )
 from .multimodal import binary_metadata, decode_stub, frame_sample_stub
 
@@ -82,6 +83,7 @@ __all__ = [
     "with_quality_score",
     "with_language_id",
     "with_fingerprint",
+    "scrub_pii",
     "binary_metadata",
     "decode_stub",
     "frame_sample_stub",

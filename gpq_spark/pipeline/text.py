@@ -14,6 +14,45 @@ from pyspark.sql import functions as F
 FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_BASE = 131
 
+# PII patterns restricted to syntax RE2 (DuckDB) and Java regex agree
+# on: literal classes, bounded repetition, no backrefs/lookaround
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    kinds: list[str] | None = None,
+    token: str = "[{kind}]",
+) -> DataFrame:
+    """Redact PII spans (email, phone, SSN, IPv4) from a text column —
+    the scrubbing stage of a training-data pipeline. Each matched span
+    becomes ``token`` with ``{kind}`` substituted (``[email]`` …).
+
+    Pure chained ``regexp_replace`` — map-side, whole-stage codegen,
+    zero shuffle. Patterns deliberately use only regex syntax with
+    identical semantics in Java regex and RE2 so the DuckDB oracle
+    reproduces the scrub byte-for-byte. Order matters (SSNs would
+    otherwise half-match the phone pattern): kinds apply in the order
+    given, default email → ssn → phone → ipv4.
+    """
+    kinds = kinds or ["email", "ssn", "phone", "ipv4"]
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    col = F.col(text_col)
+    for kind in kinds:
+        col = F.regexp_replace(
+            col, PII_PATTERNS[kind], token.format(kind=kind)
+        )
+    return df.withColumn(out_col or text_col, col)
+
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds ``ws_tokens`` (whitespace tokens) and ``bpe_tokens`` (a

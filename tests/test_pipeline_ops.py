@@ -347,6 +347,40 @@ class TestDecontaminate:
             decontaminate(df, "doc_id", "text", df, mode="nope")
 
 
+class TestScrubPII:
+    def test_all_kinds_redacted(self, spark):
+        from gpq_spark.pipeline.text import scrub_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@x.co.uk call (555) 123-4567 or +1-555-123-4567"),
+                (2, "ssn 123-45-6789 server 192.168.1.10 clean text"),
+                (3, "nothing sensitive here"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r["text"] for r in scrub_pii(df, "text").collect()}
+        assert got[1] == "mail [email] call [phone] or [phone]"
+        assert got[2] == "ssn [ssn] server [ipv4] clean text"
+        assert got[3] == "nothing sensitive here"
+
+    def test_out_col_and_custom_token(self, spark):
+        from gpq_spark.pipeline.text import scrub_pii
+
+        df = spark.createDataFrame([(1, "x@y.io")], ["doc_id", "text"])
+        out = scrub_pii(
+            df, "text", out_col="clean", kinds=["email"], token="<PII:{kind}>"
+        ).first()
+        assert out["text"] == "x@y.io" and out["clean"] == "<PII:email>"
+
+    def test_unknown_kind(self, spark):
+        from gpq_spark.pipeline.text import scrub_pii
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            scrub_pii(df, "text", kinds=["email", "dna"])
+
+
 class TestIvfAssign:
     def test_assignment_enables_partition_pruned_probe(self, spark, tmp_path):
         from gpq_spark.pipeline.similarity import ivf_assign, train_ivf_centroids
