@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -328,6 +329,42 @@ class GeoParquetWriter(DataSourceArrowWriter):
                     pass
 
 
+class GeoParquetStreamWriter(GeoParquetWriter, DataSourceStreamArrowWriter):
+    """``writeStream.format("geoparquet")``: every micro-batch's part
+    files carry their own spec-valid ``"geo"`` footers, exactly like
+    batch output (same executor-side write task).
+
+    Delivery is at-least-once: a batch that fails mid-write is
+    cleaned up by ``abort``, but a driver crash in the window between
+    task writes and the checkpoint commit can replay a batch into
+    duplicate part files. ``commit`` records a ``_batches/<id>.json``
+    manifest (files + row counts) per epoch for auditing and
+    downstream reconciliation. For exactly-once epoch-directory
+    semantics use ``streaming.stream_to_geoparquet`` (foreachBatch
+    with idempotent ``epoch=N`` dirs) instead.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        # streaming never clears the target directory
+        super().__init__(options, overwrite=False)
+
+    def commit(self, messages, batchId: int = 0, *args) -> None:
+        import json
+
+        manifest_dir = os.path.join(self.path, "_batches")
+        os.makedirs(manifest_dir, exist_ok=True)
+        files = [
+            {"file": m.file, "rows": m.rows}
+            for m in messages
+            if m is not None and getattr(m, "file", None)
+        ]
+        with open(os.path.join(manifest_dir, f"{batchId}.json"), "w") as f:
+            json.dump({"batchId": batchId, "files": files}, f)
+
+    def abort(self, messages, batchId: int = 0, *args) -> None:
+        super().abort(messages)
+
+
 class GeoParquetDataSource(DataSource):
     """``format("geoparquet")``: row-group-pruned Arrow reads, per-file
     geo-footer writes. See module docstring for the hot-path caveat."""
@@ -359,6 +396,9 @@ class GeoParquetDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> GeoParquetWriter:
         return GeoParquetWriter(dict(self.options), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> GeoParquetStreamWriter:
+        return GeoParquetStreamWriter(dict(self.options), overwrite)
 
 
 def register(spark) -> None:

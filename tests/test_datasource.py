@@ -138,6 +138,51 @@ class TestStreamRead:
             q.stop()
 
 
+class TestStreamWrite:
+    def test_stream_sink_writes_geo_footers_and_manifests(
+        self, registered, tmp_path
+    ):
+        from gpq_spark.geoparquet.reader import read_geo_metadata
+
+        spark = registered
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        os.makedirs(src)
+        fix = spark.read.parquet(FIXTURE)
+        fix.limit(3).write.format("geoparquet").mode("overwrite").save(src + "/f1")
+        q = (
+            spark.readStream.format("geoparquet")
+            .load(src)
+            .writeStream.format("geoparquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            fix.limit(5).write.format("geoparquet").mode("overwrite").save(
+                src + "/f2"
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert spark.read.parquet(out).count() == 8
+        # every part file is standalone spec-valid GeoParquet
+        meta = read_geo_metadata(out)
+        assert meta.primary_column == "geometry"
+        # one manifest per committed micro-batch
+        import json
+
+        manifests = sorted(os.listdir(os.path.join(out, "_batches")))
+        assert manifests == ["0.json", "1.json"]
+        recorded = sum(
+            f["rows"]
+            for m in manifests
+            for f in json.load(open(os.path.join(out, "_batches", m)))["files"]
+        )
+        assert recorded == 8
+
+
 class TestWrite:
     def test_write_geo_footer_and_stats(self, registered, tmp_path):
         from gpq_spark.geoparquet.reader import read_geo_metadata
