@@ -128,6 +128,47 @@ def minhash_signatures(
     return with_ab.select(F.col(id_col), F.expr(f"array({mins})").alias("sig"))
 
 
+def lsh_band_table(
+    sig_df: DataFrame, id_col: str, bands: int = 4, num_hashes: int | None = None
+) -> DataFrame:
+    """Per-document LSH band hashes: (``id_col``, band_id, band_hash).
+
+    The persistent half of an incremental dedup index: compute once
+    for the existing corpus, write partitioned by band, and each new
+    document only joins its ``bands`` hashes against it (see
+    ``streaming.stream_near_dup_candidates``). Entirely map-side.
+
+    NOTE: explode a constant sequence and derive the band hash AFTER
+    the explode. Exploding an array-of-band-hashes instead makes
+    InferFiltersFromGenerate synthesize a ``size(bands)>0`` filter
+    that predicate-pushdown then inlines (with the whole upstream
+    signature expression!) below the scan — measured 50s of a 52s
+    runtime. A constant-sequence generator infers only a foldable
+    filter.
+    """
+    if num_hashes is None:
+        num_hashes = sig_df.select(F.size("sig")).first()[0]
+    rows_per_band = num_hashes // bands
+    band_members = ", ".join(
+        f"CAST(element_at(sig, band_id * {rows_per_band} + {r + 1}) AS STRING)"
+        for r in range(rows_per_band)
+    )
+    return (
+        sig_df.select(
+            F.col(id_col),
+            F.col("sig"),
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+        )
+        .select(
+            id_col,
+            "band_id",
+            F.expr(
+                f"md5(concat_ws('|', CAST(band_id AS STRING), {band_members}))"
+            ).alias("band_hash"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame, id_col: str, bands: int = 4, num_hashes: int | None = None
 ) -> DataFrame:
@@ -143,33 +184,8 @@ def lsh_candidate_pairs(
     Bucket sizes are bounded by LSH itself (same hash ⇒ near-identical
     shingle sets), so collect_list skew is bounded.
     """
-    if num_hashes is None:
-        num_hashes = sig_df.select(F.size("sig")).first()[0]
-    rows_per_band = num_hashes // bands
-    # NOTE: explode a constant sequence and derive the band hash AFTER
-    # the explode. Exploding an array-of-band-hashes instead makes
-    # InferFiltersFromGenerate synthesize a `size(bands)>0` filter that
-    # predicate-pushdown then inlines (with the whole upstream
-    # signature expression!) below the scan — measured 50s of a 52s
-    # runtime. A constant-sequence generator infers only a foldable
-    # filter.
-    band_members = ", ".join(
-        f"CAST(element_at(sig, band_id * {rows_per_band} + {r + 1}) AS STRING)"
-        for r in range(rows_per_band)
-    )
-    banded = (
-        sig_df.select(
-            F.col(id_col).alias("__id"),
-            F.col("sig"),
-            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
-        )
-        .select(
-            "__id",
-            "band_id",
-            F.expr(
-                f"md5(concat_ws('|', CAST(band_id AS STRING), {band_members}))"
-            ).alias("band_hash"),
-        )
+    banded = lsh_band_table(sig_df, id_col, bands, num_hashes).select(
+        F.col(id_col).alias("__id"), "band_id", "band_hash"
     )
     buckets = banded.groupBy("band_id", "band_hash").agg(
         F.array_sort(F.collect_list("__id")).alias("__ids")

@@ -3,6 +3,7 @@ from .windows import (
     windowed_counts,
     stateful_sessionize,
     stream_dedup,
+    stream_near_dup_candidates,
     stream_to_geoparquet,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "windowed_counts",
     "stateful_sessionize",
     "stream_dedup",
+    "stream_near_dup_candidates",
     "stream_to_geoparquet",
 ]

@@ -173,6 +173,46 @@ def stream_dedup(
     )
 
 
+def stream_near_dup_candidates(
+    stream_docs: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Incremental near-duplicate detection: each INCOMING document is
+    MinHash-signed and banded map-side (pure expressions — streaming-
+    safe), then stream-static joined against the existing corpus's
+    band table (``dedup.lsh_band_table``, computed once offline and
+    reloaded per micro-batch). Output: (``id_col``, corpus_id,
+    band_id) candidate rows — a new document only ever touches the
+    ``bands`` buckets it hashes into, never the corpus.
+
+    A pair sharing several bands appears once per shared band; dedup
+    downstream if exact-once pairs matter (``dropDuplicates`` needs
+    state in streaming — keeping the operator stateless is the point).
+    At scale, write the corpus band table partitioned by ``band_id``
+    so each micro-batch's join prunes to the touched partitions.
+    """
+    from ..pipeline.dedup import lsh_band_table, minhash_signatures
+
+    sigs = minhash_signatures(
+        stream_docs, id_col, text_col,
+        num_hashes=num_hashes, shingle_size=shingle_size,
+    )
+    new_bands = lsh_band_table(sigs, id_col, bands=bands, num_hashes=num_hashes)
+    corpus = corpus_bands.select(
+        F.col(id_col).alias("corpus_id"), "band_id", "band_hash"
+    )
+    return (
+        new_bands.join(corpus, ["band_id", "band_hash"])
+        .filter(F.col(id_col) != F.col("corpus_id"))
+        .select(id_col, "corpus_id", "band_id")
+    )
+
+
 def stream_to_geoparquet(
     stream: DataFrame,
     path: str,

@@ -143,6 +143,49 @@ class TestStreamDedup:
         assert got.exceptAll(batch).count() == 0
 
 
+class TestStreamNearDup:
+    def test_incoming_near_dup_found_against_static_corpus(
+        self, spark, tmp_path
+    ):
+        from gpq_spark.pipeline.dedup import lsh_band_table, minhash_signatures
+        from gpq_spark.streaming import stream_near_dup_candidates
+
+        docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+        corpus_sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+        corpus_bands = lsh_band_table(corpus_sigs, "doc_id", bands=4, num_hashes=8)
+
+        # incoming batch: an exact copy of corpus doc 0 (new id) and a
+        # fresh unrelated document
+        src_text = docs.filter("doc_id = 0").first()["text"]
+        incoming_dir = str(tmp_path / "incoming")
+        spark.createDataFrame(
+            [(1_000_000, src_text), (1_000_001, "zzz qqq completely novel words")],
+            "doc_id long, text string",
+        ).write.parquet(incoming_dir)
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            incoming_dir
+        )
+        cands = stream_near_dup_candidates(
+            stream, corpus_bands, num_hashes=8, bands=4
+        )
+        name = f"snd_{uuid.uuid4().hex[:8]}"
+        q = (
+            cands.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.table(name).collect()
+        pairs = {(r["doc_id"], r["corpus_id"]) for r in got}
+        # the exact copy collides with its source in every band
+        assert (1_000_000, 0) in pairs
+        # the novel doc matches nothing
+        assert not any(d == 1_000_001 for d, _ in pairs)
+
+
 class TestStreamToGeoParquet:
     def test_epoch_files_have_geo_footers(self, spark, tmp_path):
         """A geometry-bearing stream lands as standalone-valid
