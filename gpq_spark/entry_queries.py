@@ -80,6 +80,40 @@ def cents(col: str) -> str:
 
 
 @register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT CAST(SUM({cents('l_extendedprice')} * {cents('l_discount')}) AS BIGINT)
+               AS revenue_e4,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND {cents('l_discount')} BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global agg — every predicate
+    reaches the parquet scan; the shuffle moves one partial row per
+    partition. Exact integer cents (revenue scaled by 1e4)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+            & F.expr(f"{cents('l_discount')} BETWEEN 5 AND 7")
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.expr(f"{cents('l_extendedprice')} * {cents('l_discount')}")
+            ).cast("long").alias("revenue_e4"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
