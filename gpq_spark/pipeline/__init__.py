@@ -37,9 +37,12 @@ from .similarity import (
     ivf_assign,
     ivf_topk,
     lsh_bucketed_topk,
+    pq_encode,
+    pq_topk,
     quantize_expr,
     quantized_topk,
     train_ivf_centroids,
+    train_pq_codebooks,
 )
 from .text import (
     with_token_counts,
@@ -74,9 +77,12 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "lsh_bucketed_topk",
+    "pq_encode",
+    "pq_topk",
     "quantize_expr",
     "quantized_topk",
     "train_ivf_centroids",
+    "train_pq_codebooks",
     "cosine_expr",
     "simhash_near_pairs",
     "with_token_counts",

@@ -421,6 +421,167 @@ def quantized_topk(
     return _topk_per_query(scored, query_id_col, id_col, k)
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    sample_size: int = 100_000,
+    iters: int = 20,
+):
+    """Train product-quantization codebooks: the vector is split into
+    ``m`` sub-vectors and each subspace gets a ``k``-word codebook
+    (k-means on an L2-normalized sample). Returns a nested list
+    ``[m][k][d/m]`` (plain floats — picklable, broadcastable).
+
+    Training runs driver-side numpy on a bounded sample (the FAISS
+    convention — codebooks need ~k·1000 training points, not the
+    corpus): one ``limit(sample_size)`` collect, never the full data.
+    Deterministic for fixed (data order, seed).
+    """
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(sample_size).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=min(k, len(sub)), replace=False)]
+        if len(cent) < k:  # degenerate tiny corpus: pad by repetition
+            cent = np.vstack([cent] * ((k // len(cent)) + 1))[:k]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(0)
+        books.append([[float(v) for v in row] for row in cent])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` codeword ids (``array<tinyint>`` for
+    k ≤ 128 — a 64-dim float32 vector compresses 32× at m=8). Arrow-
+    batched numpy: per batch, one matmul per subspace against the
+    broadcast codebooks. Map-side, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(corpus.sparkSession)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        [np.asarray(b, dtype=np.float64) for b in codebooks]
+    )
+
+    def encode(batches):
+        books = bc.value
+        m = len(books)
+        dsub = books[0].shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(x), m), dtype=np.int8)
+            for j in range(m):
+                sub = x[:, j * dsub : (j + 1) * dsub]
+                d2 = (sub**2).sum(1, keepdims=True) - 2 * sub @ books[j].T
+                codes[:, j] = d2.argmin(1).astype(np.int8)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, codes array<tinyint>"
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries_pdf,
+    codebooks,
+    id_col: str = "vec_id",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus.
+
+    Per query, a ``[m][k]`` table of sub-vector dot products against
+    the codebooks is computed once; scoring a corpus row is then ``m``
+    table lookups — the full-precision corpus is never read. Combined
+    with ``pq_encode`` persisted as the index, a 100 TB float corpus
+    becomes ~3 TB of codes to scan. Scores approximate the cosine of
+    the normalized vectors (quantization error bounded by codebook
+    resolution); two-phase top-k as everywhere else.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..deploy import ensure_deployed
+
+    spark = codes_df.sparkSession
+    ensure_deployed(spark)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    qids = list(queries_pdf["query_id"])
+    qmat = np.asarray(
+        [np.asarray(v, np.float64) for v in queries_pdf["vector"]]
+    )
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # tables[q][j][c] = dot(q_sub_j, codebook_j[c]) — shape (nq, m, k)
+    tables = np.stack(
+        [qmat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )
+    bq = spark.sparkContext.broadcast((qids, tables))
+
+    def score(batches):
+        qids_, tables_ = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            ids = pdf[id_col].values
+            out = []
+            for qi, qid in enumerate(qids_):
+                t = tables_[qi]  # (m, k)
+                scores = t[np.arange(codes.shape[1])[None, :], codes].sum(1)
+                order = np.lexsort((ids, -scores))[: k + 1]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            id_col: ids[order],
+                            "cosine": scores[order],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = codes_df.mapInPandas(
+        score, schema=f"query_id long, {id_col} long, cosine double"
+    )
+    if not include_self:
+        partial = partial.filter(F.col(id_col) != F.col("query_id"))
+    return _topk_per_query(partial, "query_id", id_col, k)
+
+
 def brute_force_topk_arrow(
     corpus: DataFrame,
     queries_pdf,

@@ -347,6 +347,83 @@ class TestDecontaminate:
             decontaminate(df, "doc_id", "text", df, mode="nope")
 
 
+class TestProductQuantization:
+    def test_encode_shape_and_self_retrieval(self, spark):
+        import pandas as pd
+
+        from gpq_spark.pipeline.similarity import (
+            pq_encode,
+            pq_topk,
+            train_pq_codebooks,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        books = train_pq_codebooks(emb, m=8, k=16, seed=42)
+        assert len(books) == 8 and len(books[0]) == 16
+        codes = pq_encode(emb, books)
+        row = codes.first()
+        assert len(row["codes"]) == 8
+        assert all(0 <= c < 16 for c in row["codes"])
+        qrows = emb.filter("vec_id < 10").collect()
+        qpdf = pd.DataFrame(
+            {
+                "query_id": [r["vec_id"] for r in qrows],
+                "vector": [list(r["embedding"]) for r in qrows],
+            }
+        )
+        # a vector's own code is its best match under ADC
+        top1 = pq_topk(codes, qpdf, books, k=1, include_self=True).filter(
+            "rank = 1"
+        )
+        assert all(r["query_id"] == r["vec_id"] for r in top1.collect())
+
+    def test_recall_floor_vs_brute_force(self, spark):
+        import pandas as pd
+
+        from gpq_spark.pipeline.similarity import (
+            brute_force_topk,
+            pq_encode,
+            pq_topk,
+            train_pq_codebooks,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        books = train_pq_codebooks(emb, m=8, k=16, seed=42)
+        codes = pq_encode(emb, books)
+        queries = emb.filter("vec_id < 10").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        truth = {
+            (r["query_id"], r["vec_id"])
+            for r in brute_force_topk(emb, queries, k=10).collect()
+        }
+        qrows = emb.filter("vec_id < 10").collect()
+        qpdf = pd.DataFrame(
+            {
+                "query_id": [r["vec_id"] for r in qrows],
+                "vector": [list(r["embedding"]) for r in qrows],
+            }
+        )
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in pq_topk(codes, qpdf, books, k=10).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        # unstructured random 64-dim noise is PQ's worst case; at 32x
+        # compression the measured recall is ~0.29 (sf0.01) — the
+        # floor guards against regression, not state of the art
+        assert recall >= 0.1
+
+    def test_dim_not_divisible(self, spark):
+        from gpq_spark.pipeline.similarity import train_pq_codebooks
+
+        df = spark.createDataFrame(
+            [(1, [0.1] * 10)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError):
+            train_pq_codebooks(df, m=3)
+
+
 class TestScrubPII:
     def test_all_kinds_redacted(self, spark):
         from gpq_spark.pipeline.text import scrub_pii
