@@ -252,6 +252,224 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')})) AS BIGINT) AS revenue_e4
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_e4 DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue — 4-way join,
+    group by customer, deterministic top-20.
+
+    Scale: the returnflag filter prunes lineitem at the scan; the
+    orders date filter prunes before the join; nation is the only
+    hinted broadcast (fixed 25 rows — customer/orders scale with SF
+    and are left to AQE)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1996-07-01 00:00:00")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.expr(f"{cents('l_extendedprice')} * (100 - {cents('l_discount')})")
+            ).alias("revenue_e4")
+        )
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    WITH agg AS (
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN {cents('l_extendedprice')} * (100 - {cents('l_discount')})
+                   ELSE 0 END) AS BIGINT) AS promo_e4,
+               CAST(SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')})) AS BIGINT) AS total_e4
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00')
+    SELECT promo_e4, total_e4,
+           100.0 * CAST(promo_e4 AS DOUBLE) / CAST(total_e4 AS DOUBLE) AS promo_pct
+    FROM agg
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a month of
+    shipments. Exact integer sums; the percentage is a single division
+    of the two BIGINTs so the double is engine-exact.
+
+    Scale: the date filter reaches the lineitem scan; part scales with
+    SF so the join hint is left to AQE."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01 00:00:00")
+        & (F.col("l_shipdate") < "1996-04-01 00:00:00")
+    )
+    p = load(spark, sf_dir, "part")
+    disc = f"{cents('l_extendedprice')} * (100 - {cents('l_discount')})"
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.expr(f"CASE WHEN p_type = 'PROMO' THEN {disc} ELSE 0 END")
+            ).cast("long").alias("promo_e4"),
+            F.sum(F.expr(disc)).cast("long").alias("total_e4"),
+        )
+        .select(
+            "promo_e4",
+            "total_e4",
+            (
+                F.lit(100.0)
+                * F.col("promo_e4").cast("double")
+                / F.col("total_e4").cast("double")
+            ).alias("promo_pct"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand != 'Brand#9'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count aggregation under negated and
+    set-membership predicates.
+
+    Scale: all three part predicates push to the scan; Spark plans
+    COUNT(DISTINCT) as a two-phase partial-distinct aggregation, so
+    the shuffle carries (group, suppkey) pairs, not raw lineitem."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (~F.col("p_type").like("PROMO%"))
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    f"""
+    WITH big AS (
+        SELECT l_orderkey, CAST(SUM({cents('l_quantity')}) AS BIGINT) AS qty_cents
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM({cents('l_quantity')}) > 25000)
+    SELECT c_custkey, l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           {cents('o_totalprice')} AS totalprice_cents, qty_cents
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate (orders with total
+    quantity > 250) joined back to its dimensions.
+
+    Scale: the groupBy(l_orderkey) aggregation runs FIRST and its
+    HAVING prunes ~98% of orders before any join — the join inputs are
+    the small surviving side, which AQE can then broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.expr(cents("l_quantity"))).cast("long").alias("qty_cents"))
+        .filter(F.col("qty_cents") > 25000)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.expr(cents("o_totalprice")).alias("totalprice_cents"),
+            "qty_cents",
+        )
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    f"""
+    WITH thr AS (
+        SELECT CAST(SUM({cents('c_acctbal')}) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer WHERE c_acctbal > 0),
+    urgent AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '1-URGENT')
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM({cents('c_acctbal')}) AS BIGINT) AS totacctbal_cents
+    FROM customer, thr
+    WHERE {cents('c_acctbal')} * thr.n > thr.s
+      AND c_custkey NOT IN (SELECT o_custkey FROM urgent)
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average account balance (scalar subquery)
+    + anti join against urgent orders + final aggregate.
+
+    Determinism: the average test is the integer cross-multiply
+    ``cents(bal) * n > sum_cents`` — no float average anywhere.
+    Scale: the 1-row threshold aggregate is a broadcast cross join; the
+    anti join shuffles only (custkey) pairs."""
+    c = load(spark, sf_dir, "customer")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.expr(cents("c_acctbal"))).cast("long").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.expr(f"{cents('c_acctbal')} * n > s"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.expr(cents("c_acctbal"))).cast("long").alias("totacctbal_cents"),
+        )
+    )
+
+
+@register(
     "q_topk_suppliers_per_nation",
     """
     SELECT n_name, s_name, s_acctbal, rk
@@ -1398,6 +1616,74 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 for _q in QUERIES:
     if _q.name == "text_langid":
         _q.oracle = _langid_oracle()
+
+
+@register(
+    "text_repetition",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                           l -> l != '') AS lines,
+               regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CASE WHEN len(lines) > 0
+                THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                     / CAST(len(lines) AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_line_frac,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CASE WHEN len(words) > 0
+                THEN CAST(len(words) - len(list_distinct(words)) AS DOUBLE)
+                     / CAST(len(words) AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_word_frac
+    FROM t
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition quality metrics
+    (duplicate-line / duplicate-word fractions), map-side only."""
+    from .pipeline.text import with_repetition_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return with_repetition_stats(docs, "text").select(
+        "doc_id", "n_lines", "dup_line_frac", "n_words", "dup_word_frac"
+    )
+
+
+@register(
+    "text_top_ngram",
+    r"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+               FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(words) >= 2
+                      THEN list_transform(range(1, len(words)),
+                                          i -> words[i] || ' ' || words[i + 1])
+                      ELSE CAST([] AS VARCHAR[]) END) AS gram
+        FROM w),
+    counts AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    ranked AS (
+        SELECT doc_id, gram, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, gram ASC) AS rn,
+               SUM(c) OVER (PARTITION BY doc_id) AS total
+        FROM counts)
+    SELECT doc_id AS id, gram AS top_gram, CAST(c AS BIGINT) AS top_gram_count,
+           CAST(total AS BIGINT) AS n_grams,
+           CAST(c AS DOUBLE) / CAST(total AS DOUBLE) AS top_gram_frac
+    FROM ranked WHERE rn = 1
+    """,
+)
+def text_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent word bigram per document (Gopher top-n-gram
+    repetition filter): explode → one groupBy shuffle → one window."""
+    from .pipeline.text import top_ngram_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return top_ngram_stats(docs, "doc_id", "text", n=2)
 
 
 @register(

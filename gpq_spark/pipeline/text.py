@@ -8,7 +8,7 @@ derived doubles engine-deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 FINGERPRINT_MOD = 1_000_000_007
@@ -121,6 +121,84 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         pred = f"CASE WHEN ({score}) > ({best}) THEN '{lang}' ELSE ({pred}) END"
         best = f"greatest({best}, {score})"
     return tokened.withColumn("pred_lang", F.expr(pred)).drop("__lw")
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition metrics (quality filters
+    for training-data pipelines): fraction of repeated lines and
+    repeated words within each document.
+
+    Adds ``n_lines``, ``dup_line_frac``, ``n_words``, ``dup_word_frac``.
+    Pure array expressions (O(n log n) per row via ``array_distinct``),
+    map-side only — no shuffle, whole-stage codegen. Fractions are a
+    single BIGINT/BIGINT division so the doubles are engine-exact.
+    """
+    lines = (
+        f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), l -> l != '')"
+    )
+    words = f"split(trim({text_col}), '\\\\s+')"
+    out = df
+    for prefix, arr in (("line", lines), ("word", words)):
+        n = f"size({arr})"
+        dup = f"({n} - size(array_distinct({arr})))"
+        out = out.withColumn(
+            f"n_{prefix}s", F.expr(n).cast("long")
+        ).withColumn(
+            f"dup_{prefix}_frac",
+            F.expr(
+                f"CASE WHEN {n} > 0 THEN CAST({dup} AS DOUBLE) / CAST({n} AS DOUBLE) "
+                f"ELSE CAST(0.0 AS DOUBLE) END"
+            ),
+        )
+    return out
+
+
+def top_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Most-frequent word n-gram per document (the Gopher
+    ``top-n-gram fraction`` repetition filter).
+
+    Returns ``(id, top_gram, top_gram_count, n_grams, top_gram_frac)``
+    — one row per document that has at least one n-gram.
+
+    Scale shape: n-grams are built map-side with array expressions and
+    exploded; the count is a single ``groupBy(id, gram)`` shuffle
+    (map-side partial aggregation applies), and the per-document argmax
+    + total come from one window over ``id`` — two narrow shuffles
+    total, never an all-pairs expansion. Ties break to the
+    lexicographically smallest gram so results are deterministic.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    words = f"split(trim({text_col}), '\\\\s+')"
+    grams = (
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"transform(sequence(1, size({words}) - {n} + 1), "
+        f"i -> array_join(slice({words}, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(F.expr(grams)).alias("gram")
+    )
+    counts = exploded.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("id")
+    ranked = counts.withColumn(
+        "rn",
+        F.row_number().over(w.orderBy(F.col("c").desc(), F.col("gram").asc())),
+    ).withColumn("total", F.sum("c").over(w))
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("id"),
+        F.col("gram").alias("top_gram"),
+        F.col("c").cast("long").alias("top_gram_count"),
+        F.col("total").cast("long").alias("n_grams"),
+        (F.col("c").cast("double") / F.col("total").cast("double")).alias(
+            "top_gram_frac"
+        ),
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
