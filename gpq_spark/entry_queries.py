@@ -1742,6 +1742,211 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stub(docs, "payload", "doc_id")
 
 
+_SNIFF_MAGICS = [
+    "89504E470D0A1A0A",          # png
+    "FFD8FF",                    # jpeg
+    "474946383961",              # gif
+    "25504446",                  # pdf
+    "1F8B",                      # gzip
+    "28B52FFD",                  # zstd
+    "52494646AAAAAAAA57415645",  # riff/wav
+    "52494646AAAAAAAA57454250",  # riff/webp
+]
+
+
+def _sniff_payload_spark() -> str:
+    """payload := magic(doc_id % 9) || utf8(text); case 8 = no magic."""
+    cases = " ".join(
+        f"WHEN doc_id % 9 = {i} THEN unhex('{m}')" for i, m in enumerate(_SNIFF_MAGICS)
+    )
+    return f"concat(CASE {cases} ELSE unhex('') END, encode(text, 'utf-8'))"
+
+
+def _sniff_oracle() -> str:
+    # DuckDB has no blob substring: sniff on the hex rendering instead
+    cases = " ".join(
+        f"WHEN doc_id % 9 = {i} THEN '{m}'" for i, m in enumerate(_SNIFF_MAGICS)
+    )
+    hexpay = f"(CASE {cases} ELSE '' END || upper(hex(encode(text))))"
+    from .pipeline.multimodal import MAGIC_PREFIXES, _RIFF, _RIFF_INNER
+
+    branches = " ".join(
+        f"WHEN substr(h, 1, {len(magic)}) = '{magic}' THEN '{fmt}'"
+        for fmt, magic in MAGIC_PREFIXES
+    )
+    riff_inner = " ".join(
+        f"WHEN substr(h, 17, 8) = '{ih}' THEN '{fmt}'"
+        for ih, fmt in _RIFF_INNER.items()
+    )
+    return f"""
+    WITH p AS (SELECT doc_id, {hexpay} AS h FROM documents),
+    sniffed AS (
+        SELECT doc_id,
+               CASE {branches}
+                    WHEN substr(h, 1, 8) = '{_RIFF}' THEN
+                        (CASE {riff_inner} ELSE 'riff' END)
+                    ELSE 'unknown' END AS format
+        FROM p)
+    SELECT format, CAST(COUNT(*) AS BIGINT) AS n
+    FROM sniffed GROUP BY format
+    """
+
+
+@register("multimodal_sniff", None)
+def multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte container-format sniffing (png/jpeg/gif/pdf/gzip/
+    zstd/RIFF-wav/RIFF-webp) — REAL byte-prefix detection as pure
+    JVM expressions over synthesized payloads."""
+    from .pipeline.multimodal import with_sniffed_format
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_sniff_payload_spark()).alias("payload")
+    )
+    return (
+        with_sniffed_format(docs, "payload")
+        .groupBy("format")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+for _q in QUERIES:
+    if _q.name == "multimodal_sniff":
+        _q.oracle = _sniff_oracle()
+
+
+_PNG_W = "(doc_id % 1000 + 16)"
+_PNG_H = "(doc_id % 777 + 16)"
+
+
+def _png_payload_spark() -> str:
+    """Every 10th doc gets a JPEG payload (exercises the non-PNG NULL
+    path); the rest get a structurally-real PNG signature + IHDR with
+    dims derived from doc_id."""
+    ihdr = (
+        "concat('89504E470D0A1A0A', '0000000D', '49484452', "
+        f"lpad(hex({_PNG_W}), 8, '0'), lpad(hex({_PNG_H}), 8, '0'), "
+        "'08', CASE WHEN doc_id % 2 = 0 THEN '02' ELSE '06' END, '000000')"
+    )
+    return (
+        f"CASE WHEN doc_id % 10 = 0 THEN unhex('FFD8FFE000104A464946') "
+        f"ELSE unhex({ihdr}) END"
+    )
+
+
+@register(
+    "multimodal_png_header",
+    f"""
+    SELECT doc_id AS id,
+           CAST({_PNG_W} AS INT) AS width,
+           CAST({_PNG_H} AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 6 END AS INT) AS color_type
+    FROM documents
+    WHERE doc_id % 10 != 0
+    """,
+)
+def multimodal_png_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG IHDR field extraction (width/height/bit depth/color type at
+    their fixed byte offsets) — REAL big-endian header parsing via
+    expressions; the oracle supplies the ground-truth dims the payload
+    was built from, so the gate checks parse(build(x)) == x. Every
+    10th payload is a JPEG: the parser yields NULLs for it (unit-
+    tested) and the gate filters those rows on both sides."""
+    from .pipeline.multimodal import parse_png_header
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_png_payload_spark()).alias("payload")
+    )
+    return parse_png_header(docs, "payload", "doc_id").filter(
+        F.col("width").isNotNull()
+    )
+
+
+def _resize_oracle() -> str:
+    w = (
+        f"({_hexval('md5(text)', 1)} * 4096 + {_hexval('md5(text)', 2)} * 256"
+        f" + {_hexval('md5(text)', 3)} * 16 + {_hexval('md5(text)', 4)}) % 4096"
+    )
+    h = (
+        f"({_hexval('md5(text)', 5)} * 4096 + {_hexval('md5(text)', 6)} * 256"
+        f" + {_hexval('md5(text)', 7)} * 16 + {_hexval('md5(text)', 8)}) % 4096"
+    )
+    return f"""
+    WITH dims AS (SELECT doc_id, {w} AS w, {h} AS h FROM documents),
+    fit AS (
+        SELECT doc_id, w, h,
+               CASE WHEN w <= 256 AND h <= 256 THEN w
+                    WHEN w * 256 >= h * 256 THEN 256
+                    ELSE (w * 256) // h END AS ow,
+               CASE WHEN w <= 256 AND h <= 256 THEN h
+                    WHEN w * 256 >= h * 256 THEN (h * 256) // w
+                    ELSE 256 END AS oh
+        FROM dims)
+    SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+           CAST(ow * oh * 3 AS BIGINT) AS out_bytes
+    FROM fit
+    """
+
+
+@register("multimodal_resize", None)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized aspect-preserving resize plumbing (256×256 box,
+    exact integer fit arithmetic; pixel resample stubbed — no PIL in
+    this runtime)."""
+    from .pipeline.multimodal import resize_stub
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return resize_stub(docs, "payload", "doc_id", 256, 256)
+
+
+for _q in QUERIES:
+    if _q.name == "multimodal_resize":
+        _q.oracle = _resize_oracle()
+
+
+_AUDIO_BLOCKS = 4
+
+
+def _audio_oracle() -> str:
+    md5 = "md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR))"
+    byte = (
+        f"({_hexval(md5, '2 * j + 1')} * 16 + {_hexval(md5, '2 * j + 2')})"
+    )
+    return f"""
+    WITH frames AS (
+        SELECT doc_id, unnest(range(0, {_AUDIO_BLOCKS})) AS i FROM documents)
+    SELECT doc_id AS id, CAST(i AS INT) AS frame_idx, CAST(16 AS INT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, 16), j -> {byte} * {byte})) AS BIGINT) AS sumsq,
+           CAST(list_max(list_transform(range(0, 16), j -> {byte})) AS INT) AS peak
+    FROM frames
+    """
+
+
+@register("multimodal_audio_rms", None)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform frame statistics (per-frame RMS numerator + peak as
+    exact integers) over synthesized 64-byte u8-PCM payloads — numpy-
+    vectorized mapInPandas, one row per 16-byte frame."""
+    from .pipeline.multimodal import audio_frame_stats
+
+    blocks = ", ".join(
+        f"md5(concat(cast(doc_id as string), '-', '{i}'))"
+        for i in range(_AUDIO_BLOCKS)
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"unhex(concat({blocks}))").alias("payload")
+    )
+    return audio_frame_stats(docs, "payload", "doc_id", frame_bytes=16)
+
+
+for _q in QUERIES:
+    if _q.name == "multimodal_audio_rms":
+        _q.oracle = _audio_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Validation reduction (A4): per-rule pass/fail over a full scan
 # ---------------------------------------------------------------------------

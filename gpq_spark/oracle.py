@@ -89,9 +89,14 @@ def _arrow_canon(tbl) -> tuple[list[str], list[str], list[tuple]]:
     cols = [names[i] for i in order]
     types = [_canon_type(tbl.schema.field(names[i]).type) for i in order]
     pylists = [tbl.column(names[i]).to_pylist() for i in order]
+    # sort by repr: total order even when a column mixes None with
+    # values (plain tuple sort would raise on None < str)
     rows = sorted(
-        tuple(_canon_value(col[r]) for col in pylists)
-        for r in range(tbl.num_rows)
+        (
+            tuple(_canon_value(col[r]) for col in pylists)
+            for r in range(tbl.num_rows)
+        ),
+        key=repr,
     )
     return cols, types, rows
 

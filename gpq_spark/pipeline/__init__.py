@@ -49,9 +49,20 @@ from .text import (
     with_quality_score,
     with_language_id,
     with_fingerprint,
+    with_repetition_stats,
+    top_ngram_stats,
     scrub_pii,
 )
-from .multimodal import binary_metadata, decode_stub, frame_sample_stub
+from .multimodal import (
+    audio_frame_stats,
+    binary_metadata,
+    decode_stub,
+    frame_sample_stub,
+    parse_png_header,
+    resize_stub,
+    sniff_format_expr,
+    with_sniffed_format,
+)
 
 __all__ = [
     "dedup_exact",
@@ -90,7 +101,14 @@ __all__ = [
     "with_language_id",
     "with_fingerprint",
     "scrub_pii",
+    "with_repetition_stats",
+    "top_ngram_stats",
     "binary_metadata",
     "decode_stub",
     "frame_sample_stub",
+    "audio_frame_stats",
+    "parse_png_header",
+    "resize_stub",
+    "sniff_format_expr",
+    "with_sniffed_format",
 ]

@@ -17,8 +17,9 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DECODED_SCHEMA = (
@@ -77,6 +78,202 @@ def decode_stub(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
             yield out
 
     return slim.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Container-format sniffing + header parsing — REAL (no stub): magic-byte
+# detection and fixed-offset header field extraction are pure byte
+# arithmetic, implemented as JVM-side expressions (whole-stage codegen,
+# no Python, no shuffle). This mirrors how a production pipeline routes
+# payloads to per-codec decoders without decoding anything.
+# ---------------------------------------------------------------------------
+
+# (format, hex prefix at byte 1). Longest-prefix-first so e.g. png's
+# 8-byte signature wins over shorter patterns.
+MAGIC_PREFIXES: list[tuple[str, str]] = [
+    ("png", "89504E470D0A1A0A"),
+    ("gif", "474946383961"),
+    ("zstd", "28B52FFD"),
+    ("pdf", "25504446"),
+    ("jpeg", "FFD8FF"),
+    ("gzip", "1F8B"),
+]
+
+# RIFF containers: bytes 1-4 'RIFF', bytes 9-12 name the inner format.
+_RIFF = "52494646"
+_RIFF_INNER = {"57415645": "wav", "57454250": "webp", "41564920": "avi"}
+
+
+def sniff_format_expr(payload_col: str) -> Column:
+    """Container-format sniff from magic bytes, as a single CASE
+    expression over hex'd binary prefixes — codegen'd, zero Python.
+
+    Recognizes png/gif/zstd/pdf/jpeg/gzip plus RIFF containers
+    (wav/webp/avi); anything else is ``unknown``.
+    """
+    prefix16 = f"upper(hex(substring({payload_col}, 1, 8)))"
+    inner = f"upper(hex(substring({payload_col}, 9, 4)))"
+    branches = []
+    for fmt, magic in MAGIC_PREFIXES:
+        branches.append(
+            f"WHEN substring({prefix16}, 1, {len(magic)}) = '{magic}' THEN '{fmt}'"
+        )
+    riff_inner = " ".join(
+        f"WHEN {inner} = '{ih}' THEN '{fmt}'" for ih, fmt in _RIFF_INNER.items()
+    )
+    branches.append(
+        f"WHEN substring({prefix16}, 1, 8) = '{_RIFF}' THEN "
+        f"(CASE {riff_inner} ELSE 'riff' END)"
+    )
+    return F.expr(f"CASE {' '.join(branches)} ELSE 'unknown' END")
+
+
+def with_sniffed_format(
+    df: DataFrame, payload_col: str, out_col: str = "format"
+) -> DataFrame:
+    return df.withColumn(out_col, sniff_format_expr(payload_col))
+
+
+def _be_u32(payload_col: str, offset: int) -> str:
+    """Big-endian u32 at 1-based byte ``offset`` — fixed-offset header
+    field extraction as a pure expression."""
+    return f"CAST(conv(hex(substring({payload_col}, {offset}, 4)), 16, 10) AS INT)"
+
+
+def _u8(payload_col: str, offset: int) -> str:
+    return f"CAST(conv(hex(substring({payload_col}, {offset}, 1)), 16, 10) AS INT)"
+
+
+def parse_png_header(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Parse the PNG IHDR chunk (always the first chunk, fixed layout:
+    8-byte signature, 4-byte length, 'IHDR', then width/height as
+    big-endian u32 at bytes 17/21, bit depth at 25, color type at 26).
+
+    REAL parsing — byte-offset arithmetic on the binary column, all
+    JVM-side expressions. Non-PNG payloads yield NULL fields.
+    """
+    is_png = (
+        f"upper(hex(substring({payload_col}, 1, 8))) = '{MAGIC_PREFIXES[0][1]}'"
+    )
+
+    def guarded(expr: str, typ: str) -> Column:
+        return F.expr(f"CASE WHEN {is_png} THEN {expr} ELSE NULL END").cast(typ)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        guarded(_be_u32(payload_col, 17), "int").alias("width"),
+        guarded(_be_u32(payload_col, 21), "int").alias("height"),
+        guarded(_u8(payload_col, 25), "int").alias("bit_depth"),
+        guarded(_u8(payload_col, 26), "int").alias("color_type"),
+    )
+
+
+RESIZED_SCHEMA = (
+    "id long, width int, height int, out_width int, out_height int, out_bytes long"
+)
+
+
+def resize_stub(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    max_width: int = 256,
+    max_height: int = 256,
+) -> DataFrame:
+    """Aspect-preserving resize plumbing with parameterized target box.
+
+    The fit arithmetic is exact integer math (``out_w = w*s_num //
+    s_den`` with the scale chosen from the binding dimension), so the
+    output dims are engine-deterministic; only the pixel resample is a
+    stub (the runtime has no PIL). Payloads that already fit pass
+    through unscaled. Arrow-batched mapInPandas; ``out_bytes`` models
+    an RGB888 buffer (w*h*3).
+    """
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(df.sparkSession)
+    slim = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                meta = _decode_payload(bytes(payload))
+                w, h = meta["width"], meta["height"]
+                if w <= max_width and h <= max_height:
+                    ow, oh = w, h
+                elif w * max_height >= h * max_width:
+                    # width binds: scale = max_width / w
+                    ow = max_width
+                    oh = h * max_width // w
+                else:
+                    oh = max_height
+                    ow = w * max_height // h
+                rows.append((rid, w, h, ow, oh, ow * oh * 3))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "out_width", "out_height", "out_bytes"],
+            )
+
+    return slim.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = "id long, frame_idx int, n_samples int, sumsq long, peak int"
+
+
+def audio_frame_stats(
+    df: DataFrame, payload_col: str, id_col: str, frame_bytes: int = 16
+) -> DataFrame:
+    """Waveform-style frame statistics over a binary payload treated as
+    unsigned 8-bit PCM samples: per-frame sum of squares (the RMS
+    numerator, kept as an exact BIGINT) and peak amplitude.
+
+    REAL DSP plumbing: numpy ``frombuffer`` + reshape per Arrow batch —
+    vectorized, executor-side, no per-sample Python. A trailing partial
+    frame keeps its own (shorter) ``n_samples``.
+    """
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(df.sparkSession)
+    slim = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_n, out_sq, out_peak = [], [], [], [], []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_full = len(samples) // frame_bytes
+                if n_full:
+                    full = samples[: n_full * frame_bytes].reshape(n_full, frame_bytes)
+                    sq = (full.astype(np.int64) ** 2).sum(axis=1)
+                    pk = full.max(axis=1)
+                    out_id.extend([rid] * n_full)
+                    out_idx.extend(range(n_full))
+                    out_n.extend([frame_bytes] * n_full)
+                    out_sq.extend(sq.tolist())
+                    out_peak.extend(pk.tolist())
+                tail = samples[n_full * frame_bytes :]
+                if len(tail):
+                    out_id.append(rid)
+                    out_idx.append(n_full)
+                    out_n.append(len(tail))
+                    out_sq.append(int((tail.astype(np.int64) ** 2).sum()))
+                    out_peak.append(int(tail.max()))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out_id, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "n_samples": pd.Series(out_n, dtype="int32"),
+                    "sumsq": pd.Series(out_sq, dtype="int64"),
+                    "peak": pd.Series(out_peak, dtype="int32"),
+                }
+            )
+
+    return slim.mapInPandas(stats, schema=AUDIO_FRAME_SCHEMA)
 
 
 FRAME_SCHEMA = "id long, frame_idx int, frame_digest string, frame_bytes long"

@@ -179,6 +179,153 @@ class TestMultimodal:
         assert out[2]["n_bytes"] is None
 
 
+class TestSniffFormat:
+    CASES = [
+        (1, bytes.fromhex("89504E470D0A1A0A") + b"rest", "png"),
+        (2, b"\xff\xd8\xff\xe0junk", "jpeg"),
+        (3, b"GIF89a;;;", "gif"),
+        (4, b"%PDF-1.7 x", "pdf"),
+        (5, b"\x1f\x8b\x08data", "gzip"),
+        (6, bytes.fromhex("28B52FFD") + b"z", "zstd"),
+        (7, b"RIFF\x00\x00\x00\x00WAVEfmt ", "wav"),
+        (8, b"RIFF\x00\x00\x00\x00WEBPVP8 ", "webp"),
+        (9, b"RIFF\x00\x00\x00\x00AVI LIST", "avi"),
+        (10, b"RIFF\x00\x00\x00\x00XXXX", "riff"),
+        (11, b"plain text here", "unknown"),
+        (12, b"", "unknown"),
+    ]
+
+    def test_real_magic_bytes(self, spark):
+        from gpq_spark.pipeline.multimodal import with_sniffed_format
+
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b, _ in self.CASES],
+            "id long, payload binary",
+        )
+        got = {
+            r["id"]: r["format"]
+            for r in with_sniffed_format(df, "payload").collect()
+        }
+        assert got == {i: fmt for i, _, fmt in self.CASES}
+
+
+class TestPngHeader:
+    @staticmethod
+    def _png(width: int, height: int, depth: int = 8, color: int = 6) -> bytes:
+        import struct
+
+        return (
+            bytes.fromhex("89504E470D0A1A0A")
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", width, height)
+            + bytes([depth, color, 0, 0, 0])
+        )
+
+    def test_parse_roundtrip_and_null_for_non_png(self, spark):
+        from gpq_spark.pipeline.multimodal import parse_png_header
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(self._png(640, 480, 8, 2))),
+                (2, bytearray(self._png(70000, 3, 16, 6))),
+                (3, bytearray(b"\xff\xd8\xffnot png")),
+            ],
+            "id long, payload binary",
+        )
+        rows = {r["id"]: r for r in parse_png_header(df, "payload", "id").collect()}
+        assert (rows[1]["width"], rows[1]["height"]) == (640, 480)
+        assert (rows[1]["bit_depth"], rows[1]["color_type"]) == (8, 2)
+        # >16-bit dims exercise the full 4-byte big-endian read
+        assert (rows[2]["width"], rows[2]["height"]) == (70000, 3)
+        assert rows[2]["bit_depth"] == 16
+        assert all(rows[3][f] is None for f in ("width", "height", "bit_depth", "color_type"))
+
+
+class TestResizeStub:
+    def test_fit_arithmetic(self, spark):
+        from gpq_spark.pipeline.multimodal import resize_stub
+        from gpq_spark.pipeline.multimodal import _decode_payload
+
+        payloads = [(i, f"payload-{i}".encode()) for i in range(20)]
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in payloads], "id long, payload binary"
+        )
+        got = {r["id"]: r for r in resize_stub(df, "payload", "id", 100, 50).collect()}
+        for i, p in payloads:
+            meta = _decode_payload(p)
+            w, h = meta["width"], meta["height"]
+            r = got[i]
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["out_width"] <= max(100, w) and r["out_height"] <= 50 or (
+                w <= 100 and h <= 50
+            )
+            if w <= 100 and h <= 50:
+                assert (r["out_width"], r["out_height"]) == (w, h)
+            elif w * 50 >= h * 100:
+                assert r["out_width"] == 100
+                assert r["out_height"] == h * 100 // w
+            else:
+                assert r["out_height"] == 50
+                assert r["out_width"] == w * 50 // h
+            assert r["out_bytes"] == r["out_width"] * r["out_height"] * 3
+
+
+class TestAudioFrameStats:
+    def test_frames_and_tail(self, spark):
+        from gpq_spark.pipeline.multimodal import audio_frame_stats
+
+        payload = bytes(range(40))  # 2 full 16-byte frames + 8-byte tail
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "id long, payload binary"
+        )
+        rows = sorted(
+            audio_frame_stats(df, "payload", "id", frame_bytes=16).collect(),
+            key=lambda r: r["frame_idx"],
+        )
+        assert [r["n_samples"] for r in rows] == [16, 16, 8]
+        assert rows[0]["sumsq"] == sum(b * b for b in payload[:16])
+        assert rows[1]["peak"] == 31
+        assert rows[2]["sumsq"] == sum(b * b for b in payload[32:])
+        assert rows[2]["peak"] == 39
+
+
+class TestRepetitionStats:
+    def test_dup_fractions(self, spark):
+        from gpq_spark.pipeline.text import with_repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b\na b\nc d\n\n"),        # 3 non-empty lines, one repeat
+                (2, "x x x y"),                   # 4 words, 2 dup instances of x
+                (3, ""),
+            ],
+            ["id", "text"],
+        )
+        got = {r["id"]: r for r in with_repetition_stats(df, "text").collect()}
+        assert got[1]["n_lines"] == 3
+        assert got[1]["dup_line_frac"] == pytest.approx(1 / 3)
+        assert got[2]["dup_word_frac"] == pytest.approx(2 / 4)
+        assert got[3]["dup_line_frac"] == 0.0
+
+    def test_top_ngram(self, spark):
+        from gpq_spark.pipeline.text import top_ngram_stats
+
+        df = spark.createDataFrame(
+            [(1, "to be or not to be"), (2, "one"), (3, "a a a a")],
+            ["id", "text"],
+        )
+        got = {r["id"]: r for r in top_ngram_stats(df, "id", "text", n=2).collect()}
+        # doc 1: bigrams [to be, be or, or not, not to, to be] → 'to be' ×2 of 5
+        assert got[1]["top_gram"] == "to be"
+        assert got[1]["top_gram_count"] == 2
+        assert got[1]["n_grams"] == 5
+        # doc 2 has no bigrams → absent
+        assert 2 not in got
+        # doc 3: 'a a' ×3
+        assert (got[3]["top_gram"], got[3]["top_gram_count"]) == ("a a", 3)
+
+
 class TestTextOps:
     def test_fingerprint_deterministic_across_partitions(self, spark):
         from gpq_spark.pipeline.text import with_fingerprint
