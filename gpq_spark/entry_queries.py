@@ -1006,6 +1006,111 @@ def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+_MIX_HASH_DUCK = (
+    "CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)"
+)
+
+
+def _mix_threshold_duck() -> str:
+    clauses = " ".join(
+        f"WHEN source = '{g}' THEN {int(frac * (1 << 48))}"
+        for g, frac in _MIX_FRACTIONS.items()
+    )
+    return f"CASE {clauses} ELSE {int(_MIX_DEFAULT * (1 << 48))} END"
+
+
+@register(
+    "sample_weighted_docs",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_MIX_HASH_DUCK} < {_mix_threshold_duck()}
+    """,
+)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sample: per-source keep rates (100% src0, 50%
+    src1, 25% src2, 10% everything else), each decision a pure
+    function of (seed, doc_id). Map-side only — no shuffle."""
+    from .pipeline.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, "source", _MIX_FRACTIONS, ["doc_id"],
+        default_fraction=_MIX_DEFAULT, seed="mix",
+    ).select("doc_id", "source")
+
+
+_PROFILE_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_PROFILE_STR_COLS = ["l_returnflag", "l_linestatus"]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE) AS min_num, CAST(MAX({c}) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM lineitem""")
+    for c in _PROFILE_STR_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+               MIN({c}) AS min_str, MAX({c}) AS max_str
+        FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_lineitem", None)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler over lineitem: one scan computes
+    every column's row/null/distinct counts and native-typed min/max,
+    then stack() unpivots to one row per column."""
+    from .pipeline.profile import profile_columns
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_columns(li, _PROFILE_NUM_COLS + _PROFILE_STR_COLS)
+
+
+for _q in QUERIES:
+    if _q.name == "profile_lineitem":
+        _q.oracle = _profile_oracle()
+
+
+@register(
+    "q_lag_events",
+    f"""
+    SELECT event_id, user_id,
+           CAST(COALESCE({cents('value')} - lag({cents('value')}) OVER w, 0) AS BIGINT)
+               AS delta_cents,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag + ntile analytics: per-user value deltas in event-time
+    order and quartile assignment — one window shuffle on user_id,
+    total order via the (ts, event_id) tiebreak."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val = F.expr(cents("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(val - F.lag(val).over(w), F.lit(0)).cast("long").alias("delta_cents"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 # whitespace tokens, lowercased, empties dropped — matches
 # pipeline.ranking tokenization
 _TF_DUCK = """

@@ -27,7 +27,7 @@ from .dedup import (
     duplicate_clusters,
 )
 from .decontam import decontaminate, ngram_overlap_counts
-from .sampling import hash_sample, hash_split, stratified_sample_exact
+from .sampling import hash_sample, hash_split, stratified_sample_exact, weighted_sample
 from .packing import pack_concat_chunks, pack_greedy
 from .ranking import bm25_scores, term_frequencies, tfidf_scores
 from .similarity import (
@@ -44,6 +44,7 @@ from .similarity import (
     train_ivf_centroids,
     train_pq_codebooks,
 )
+from .profile import profile_columns
 from .text import (
     with_token_counts,
     with_quality_score,
@@ -73,6 +74,7 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "stratified_sample_exact",
+    "weighted_sample",
     "pack_concat_chunks",
     "pack_greedy",
     "bm25_scores",
@@ -101,6 +103,7 @@ __all__ = [
     "with_language_id",
     "with_fingerprint",
     "scrub_pii",
+    "profile_columns",
     "with_repetition_stats",
     "top_ngram_stats",
     "binary_metadata",

@@ -1,0 +1,96 @@
+"""Single-pass column profiler — the dataset-statistics operator a
+pipeline runs before deciding partitioning, skew handling, and filter
+strategies (the table-level analogue of the reference's per-file
+``describe`` report, cf. cmd/gpq/command/describe.go:79-83).
+
+One aggregation computes every column's stats simultaneously (one scan,
+one 1-row shuffle), then a ``stack`` unpivots to one row per column.
+Distinct counts are exact (``count_distinct``) so the result is
+oracle-checkable; at 100 TB swap ``approx_count_distinct`` in via
+``exact_distinct=False`` — same plan shape, sketch-merge instead of
+expand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+PROFILE_COLUMNS = [
+    "column",
+    "n_rows",
+    "n_nulls",
+    "n_distinct",
+    "min_num",
+    "max_num",
+    "min_str",
+    "max_str",
+]
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Profile ``cols`` (default: all numeric + string columns):
+    row/null/distinct counts plus native-typed min/max — numerics in
+    ``min_num``/``max_num`` (exact DOUBLE comparisons, no arithmetic),
+    strings in ``min_str``/``max_str``.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if cols is None:
+        cols = [
+            n
+            for n, t in fields.items()
+            if isinstance(t, (NumericType, StringType))
+        ]
+    unknown = [c for c in cols if c not in fields]
+    if unknown:
+        raise ValueError(f"unknown columns: {unknown}")
+
+    aggs = []
+    for c in cols:
+        numeric = isinstance(fields[c], NumericType)
+        aggs.append(F.count(F.lit(1)).alias(f"__n_{c}"))
+        aggs.append(F.count_if(F.col(c).isNull()).alias(f"__nulls_{c}"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__dist_{c}"))
+        if numeric:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
+        else:
+            aggs.append(F.min(F.col(c)).cast("string").alias(f"__smin_{c}"))
+            aggs.append(F.max(F.col(c)).cast("string").alias(f"__smax_{c}"))
+
+    wide = df.agg(*aggs)
+
+    def quoted(c: str) -> tuple[str, str, str, str, str, str]:
+        numeric = isinstance(fields[c], NumericType)
+        mn = f"`__min_{c}`" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"`__max_{c}`" if numeric else "CAST(NULL AS DOUBLE)"
+        smn = "CAST(NULL AS STRING)" if numeric else f"`__smin_{c}`"
+        smx = "CAST(NULL AS STRING)" if numeric else f"`__smax_{c}`"
+        return (f"`__n_{c}`", f"`__nulls_{c}`", f"`__dist_{c}`", mn, mx, f"{smn}, {smx}")
+
+    rows = ", ".join(
+        f"'{c}', {n}, {nulls}, {dist}, {mn}, {mx}, {s}"
+        for c, (n, nulls, dist, mn, mx, s) in ((c, quoted(c)) for c in cols)
+    )
+    stacked = wide.selectExpr(
+        f"stack({len(cols)}, {rows}) AS "
+        "(column, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+    return stacked.select(
+        F.col("column"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )

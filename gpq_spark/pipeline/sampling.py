@@ -81,6 +81,36 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str],
+    default_fraction: float = 0.0,
+    seed: str = "0",
+) -> DataFrame:
+    """Per-group Bernoulli rates — the domain-mixing step of corpus
+    construction (e.g. keep 100% of wiki, 25% of web crawl).
+
+    Each group value gets its own keep-fraction; unlisted groups use
+    ``default_fraction``. Decisions are pure functions of
+    (seed, key), so re-runs and cluster changes never reshuffle the
+    sampled corpus. Map-side only — no shuffle, no RNG state.
+    """
+    for g, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    h = _uniform_hash(key_cols, seed)
+    thr: Column = F.lit(int(default_fraction * _HASH_SPACE))
+    for g, frac in fractions.items():
+        thr = F.when(F.col(group_col) == g, F.lit(int(frac * _HASH_SPACE))).otherwise(
+            thr
+        )
+    return df.filter(h < thr)
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_cols: list[str],

@@ -326,6 +326,80 @@ class TestRepetitionStats:
         assert (got[3]["top_gram"], got[3]["top_gram_count"]) == ("a a", 3)
 
 
+class TestWeightedSample:
+    def test_rates_and_determinism(self, spark):
+        from gpq_spark.pipeline.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(2000)], ["id", "grp"]
+        )
+        out = weighted_sample(
+            df, "grp", {"a": 1.0, "b": 0.2}, ["id"], seed="t"
+        )
+        counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert counts["a"] == 1000  # fraction 1.0 keeps everything
+        assert 120 <= counts.get("b", 0) <= 280  # ~200 expected
+        # repartitioning must not change the sampled set
+        ids1 = sorted(r["id"] for r in out.collect())
+        ids2 = sorted(
+            r["id"]
+            for r in weighted_sample(
+                df.repartition(7), "grp", {"a": 1.0, "b": 0.2}, ["id"], seed="t"
+            ).collect()
+        )
+        assert ids1 == ids2
+
+    def test_default_fraction_zero_drops_unlisted(self, spark):
+        from gpq_spark.pipeline.sampling import weighted_sample
+
+        df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "grp"])
+        out = weighted_sample(df, "grp", {"x": 1.0}, ["id"])
+        assert [r["grp"] for r in out.collect()] == ["x"]
+
+    def test_bad_fraction(self, spark):
+        from gpq_spark.pipeline.sampling import weighted_sample
+
+        df = spark.createDataFrame([(1, "x")], ["id", "grp"])
+        with pytest.raises(ValueError):
+            weighted_sample(df, "grp", {"x": 1.5}, ["id"])
+
+
+class TestProfileColumns:
+    def test_stats_per_column(self, spark):
+        from gpq_spark.pipeline.profile import profile_columns
+
+        df = spark.createDataFrame(
+            [(1, 2.5, "a"), (2, None, "b"), (3, 7.5, "b"), (4, 1.0, None)],
+            "id long, x double, s string",
+        )
+        rows = {r["column"]: r for r in profile_columns(df).collect()}
+        assert set(rows) == {"id", "x", "s"}
+        assert rows["x"]["n_rows"] == 4 and rows["x"]["n_nulls"] == 1
+        assert rows["x"]["n_distinct"] == 3
+        assert (rows["x"]["min_num"], rows["x"]["max_num"]) == (1.0, 7.5)
+        assert rows["x"]["min_str"] is None
+        assert (rows["s"]["min_str"], rows["s"]["max_str"]) == ("a", "b")
+        assert rows["s"]["min_num"] is None
+        assert rows["s"]["n_nulls"] == 1
+
+    def test_unknown_column(self, spark):
+        from gpq_spark.pipeline.profile import profile_columns
+
+        df = spark.createDataFrame([(1,)], ["id"])
+        with pytest.raises(ValueError):
+            profile_columns(df, ["nope"])
+
+    def test_single_scan_plan(self, spark):
+        """The whole profile is ONE aggregation over ONE scan — no
+        per-column scan fan-out."""
+        from gpq_spark.pipeline.profile import profile_columns
+
+        df = spark.range(100).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS x")
+        plan = profile_columns(df, ["id", "x"])._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Range (0, 100") == 1
+
+
 class TestTextOps:
     def test_fingerprint_deterministic_across_partitions(self, spark):
         from gpq_spark.pipeline.text import with_fingerprint
