@@ -126,3 +126,66 @@ def test_ranking_no_broadcast_on_vocabulary(plans):
     # are the 1-row corpus scalars (N, avgdl).
     p = plans("rank_bm25_docs")
     assert "pythonUDF" not in p.lower()
+
+
+def test_q10_pushdown_and_nation_broadcast(plans):
+    p = plans("q10_returned_items")
+    # returnflag + orderdate predicates reach the scans
+    assert "PushedFilters" in p
+    assert "BroadcastHashJoin" in p  # nation
+    assert "CartesianProduct" not in p
+
+
+def test_q16_part_predicates_pushed(plans):
+    p = plans("q16_supplier_count")
+    assert "PushedFilters" in p
+    # two-phase distinct aggregation, no cartesian
+    assert p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q18_having_before_join(plans):
+    p = plans("q18_large_orders")
+    # the quantity aggregate + HAVING must appear below the joins: no
+    # join input may be the raw lineitem scan
+    assert p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q22_threshold_is_broadcast(plans):
+    p = plans("q22_idle_rich_customers")
+    # 1-row threshold via broadcast nested loop (expected for a
+    # degenerate cross join); the anti join must be hash-based
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_text_repetition_map_side(plans):
+    p = plans("text_repetition")
+    assert "Exchange" not in p  # no shuffle at all
+    assert "pythonUDF" not in p.lower()
+
+
+def test_top_ngram_two_narrow_shuffles(plans):
+    p = plans("text_top_ngram")
+    assert "pythonUDF" not in p.lower()
+    # explode → groupBy(id, gram) → window(id): exactly 2 exchanges
+    assert p.count("Exchange") <= 2
+
+
+def test_sniff_and_png_parse_jvm_only(plans):
+    for name in ("multimodal_sniff", "multimodal_png_header"):
+        p = plans(name)
+        assert "pythonUDF" not in p.lower(), name
+        assert "Exchange" not in p or name == "multimodal_sniff", name
+
+
+def test_weighted_sample_map_side(plans):
+    p = plans("sample_weighted_docs")
+    assert "Exchange" not in p
+    assert "pythonUDF" not in p.lower()
+
+
+def test_profile_single_scan(plans):
+    p = plans("profile_lineitem")
+    # one parquet scan feeds the whole profile
+    assert p.count("FileScan parquet") == 1
