@@ -1111,6 +1111,56 @@ def q_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embed_centroids",
+    """
+    WITH e AS (
+        SELECT label, unnest(range(0, len(embedding))) AS pos, embedding
+        FROM embeddings)
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(SUM(CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY label, pos
+    """,
+)
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids with order-independent exact
+    arithmetic: components quantized to BIGINT micro-units, summed
+    exactly, divided once — bit-identical on any partitioning."""
+    from .pipeline.similarity import embedding_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_centroids(emb, "label", "embedding", scale=1_000_000)
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 110000.0, 22
+
+
+@register(
+    "q_histogram_prices",
+    f"""
+    WITH b AS (
+        SELECT greatest(CAST(0 AS BIGINT), least(CAST({_HIST_BINS - 1} AS BIGINT),
+               CAST(floor((CAST(l_extendedprice AS DOUBLE) - {_HIST_LO!r}) * {_HIST_BINS}
+                          / ({_HIST_HI!r} - {_HIST_LO!r})) AS BIGINT))) AS bucket
+        FROM lineitem WHERE l_extendedprice IS NOT NULL)
+    SELECT bucket,
+           {_HIST_LO!r} + CAST(bucket AS DOUBLE) * ({_HIST_HI!r} - {_HIST_LO!r}) / {_HIST_BINS} AS lo_edge,
+           {_HIST_LO!r} + CAST(bucket + 1 AS DOUBLE) * ({_HIST_HI!r} - {_HIST_LO!r}) / {_HIST_BINS} AS hi_edge,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-width price histogram (22 bins over [0, 110k)) —
+    deterministic bucket expressions, one narrow groupBy shuffle."""
+    from .pipeline.profile import histogram_fixed
+
+    li = load(spark, sf_dir, "lineitem")
+    return histogram_fixed(li, "l_extendedprice", _HIST_LO, _HIST_HI, _HIST_BINS)
+
+
 # whitespace tokens, lowercased, empties dropped — matches
 # pipeline.ranking tokenization
 _TF_DUCK = """
@@ -2315,6 +2365,56 @@ def stream_tumble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_tumble_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+@register(
+    "stream_slide_events",
+    """
+    WITH w AS (
+        SELECT make_timestamp(epoch_us(ts) // 1800000000 * 1800000000) AS s0,
+               event_type
+        FROM events),
+    expanded AS (
+        SELECT s0 AS s, event_type FROM w
+        UNION ALL
+        SELECT s0 - INTERVAL 30 MINUTE AS s, event_type FROM w)
+    SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def stream_slide_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (1h window, 30min slide) as a real
+    Structured Streaming query drained synchronously — every event
+    lands in exactly two overlapping windows, which the oracle
+    reproduces by unioning the two aligned window starts."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from .streaming.windows import sliding_counts, stream_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = _os.path.join(
+        _tempfile.gettempdir(), f"stream_src_{abs(hash(sf_dir)) % 10 ** 8}"
+    )
+    _os.makedirs(src_dir, exist_ok=True)
+    link = _os.path.join(src_dir, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = stream_events(spark, src_dir, raw_schema)
+    agg = sliding_counts(stream, "1 hour", "30 minutes")
+    name = f"stream_slide_{_uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")

@@ -43,8 +43,9 @@ from .similarity import (
     quantized_topk,
     train_ivf_centroids,
     train_pq_codebooks,
+    embedding_centroids,
 )
-from .profile import profile_columns
+from .profile import histogram_fixed, profile_columns
 from .text import (
     with_token_counts,
     with_quality_score,
@@ -96,6 +97,7 @@ __all__ = [
     "quantized_topk",
     "train_ivf_centroids",
     "train_pq_codebooks",
+    "embedding_centroids",
     "cosine_expr",
     "simhash_near_pairs",
     "with_token_counts",
@@ -104,6 +106,7 @@ __all__ = [
     "with_fingerprint",
     "scrub_pii",
     "profile_columns",
+    "histogram_fixed",
     "with_repetition_stats",
     "top_ngram_stats",
     "binary_metadata",

@@ -94,3 +94,47 @@ def profile_columns(
         "min_str",
         "max_str",
     )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    clamp: bool = True,
+) -> DataFrame:
+    """Exact fixed-width histogram: ``(bucket, lo_edge, hi_edge, n)``.
+
+    Unlike ``histogram_numeric`` (an approximate sketch), bucket
+    assignment here is a deterministic expression —
+    ``floor((v - lo) * nbins / (hi - lo))`` — so counts are exact and
+    oracle-reproducible. With ``clamp`` out-of-range values land in the
+    edge buckets; otherwise they are dropped. One groupBy shuffle on at
+    most ``nbins`` keys (map-side partials make it one row per bucket
+    per partition). Empty buckets are not emitted.
+    """
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    raw = f"CAST(floor((CAST({col} AS DOUBLE) - {lo!r}) * {nbins} / ({hi!r} - {lo!r})) AS BIGINT)"
+    if clamp:
+        bucket = f"greatest(CAST(0 AS BIGINT), least(CAST({nbins - 1} AS BIGINT), {raw}))"
+        base = df
+    else:
+        bucket = raw
+        base = df.filter(f"{col} >= {lo!r} AND {col} < {hi!r}")
+    width_num = f"({hi!r} - {lo!r})"
+    return (
+        base.filter(F.col(col).isNotNull())
+        .select(F.expr(bucket).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.expr(f"{lo!r} + CAST(bucket AS DOUBLE) * {width_num} / {nbins}").alias("lo_edge"),
+            F.expr(f"{lo!r} + CAST(bucket + 1 AS DOUBLE) * {width_num} / {nbins}").alias("hi_edge"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

@@ -656,3 +656,42 @@ def brute_force_topk_arrow(
     if not include_self:
         partial = partial.filter(F.col(id_col) != F.col("query_id"))
     return _topk_per_query(partial, "query_id", id_col, k)
+
+
+def embedding_centroids(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label centroid of an embedding column, one row per
+    (label, dimension): ``(label, pos, mean, n)``.
+
+    Determinism at scale: float sums depend on reduction order, so each
+    component is quantized to an exact BIGINT (``round(v * scale)``),
+    summed exactly, and divided ONCE at the end — the result is
+    bit-identical across partitionings, engines, and cluster sizes.
+
+    Scale shape: posexplode is map-side; the only shuffle is the
+    ``groupBy(label, pos)`` with map-side partial aggregation, carrying
+    one (label, pos, sum, count) row per partition per group — never
+    raw vectors. Emitting (label, pos) rows instead of re-assembled
+    arrays keeps the output order-independent (collect_list is not).
+    """
+    q = F.expr(f"CAST(round(CAST(__v AS DOUBLE) * {scale}) AS BIGINT)")
+    return (
+        df.select(F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "__v"))
+        .select("label", "pos", q.alias("__q"))
+        .groupBy("label", "pos")
+        .agg(F.sum("__q").alias("__sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos",
+            (
+                F.col("__sq").cast("double")
+                / F.lit(float(scale))
+                / F.col("n").cast("double")
+            ).alias("mean"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

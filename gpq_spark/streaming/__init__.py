@@ -1,6 +1,7 @@
 from .windows import (
     stream_events,
     windowed_counts,
+    sliding_counts,
     stateful_sessionize,
     stream_dedup,
     stream_near_dup_candidates,
@@ -10,6 +11,7 @@ from .windows import (
 __all__ = [
     "stream_events",
     "windowed_counts",
+    "sliding_counts",
     "stateful_sessionize",
     "stream_dedup",
     "stream_near_dup_candidates",

@@ -60,6 +60,28 @@ def windowed_counts(
     )
 
 
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window counts per event_type: each event
+    contributes to ``window/slide`` overlapping windows (Spark expands
+    the assignment map-side; state is one aggregate row per open
+    window — no event duplication in the shuffle)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )

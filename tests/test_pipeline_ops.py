@@ -400,6 +400,68 @@ class TestProfileColumns:
         assert plan.count("Range (0, 100") == 1
 
 
+class TestEmbeddingCentroids:
+    def test_exact_means_and_partition_independence(self, spark):
+        from gpq_spark.pipeline.similarity import embedding_centroids
+
+        df = spark.createDataFrame(
+            [
+                (0, [1.0, 2.0]),
+                (0, [3.0, 6.0]),
+                (1, [-1.5, 0.5]),
+            ],
+            "label int, embedding array<float>",
+        )
+        got = {
+            (r["label"], r["pos"]): (r["mean"], r["n"])
+            for r in embedding_centroids(df, "label", "embedding").collect()
+        }
+        assert got[(0, 0)] == (2.0, 2)
+        assert got[(0, 1)] == (4.0, 2)
+        assert got[(1, 0)] == (-1.5, 1)
+        got2 = {
+            (r["label"], r["pos"]): (r["mean"], r["n"])
+            for r in embedding_centroids(
+                df.repartition(5), "label", "embedding"
+            ).collect()
+        }
+        assert got == got2
+
+
+class TestHistogramFixed:
+    def test_buckets_and_clamp(self, spark):
+        from gpq_spark.pipeline.profile import histogram_fixed
+
+        df = spark.createDataFrame(
+            [(v,) for v in [-5.0, 0.0, 1.0, 9.9, 10.0, 55.0, 99.9, 150.0, None]],
+            "x double",
+        )
+        rows = {r["bucket"]: r for r in histogram_fixed(df, "x", 0.0, 100.0, 10).collect()}
+        # -5 clamps into bucket 0; 150 clamps into bucket 9
+        assert rows[0]["n"] == 4  # -5.0, 0.0, 1.0, 9.9
+        assert rows[1]["n"] == 1  # 10.0
+        assert rows[5]["n"] == 1  # 55.0
+        assert rows[9]["n"] == 2  # 99.9, 150.0
+        assert rows[0]["lo_edge"] == 0.0 and rows[0]["hi_edge"] == 10.0
+        assert sum(r["n"] for r in rows.values()) == 8  # NULL dropped
+
+    def test_no_clamp_drops_out_of_range(self, spark):
+        from gpq_spark.pipeline.profile import histogram_fixed
+
+        df = spark.createDataFrame([(-5.0,), (5.0,), (150.0,)], "x double")
+        rows = histogram_fixed(df, "x", 0.0, 100.0, 10, clamp=False).collect()
+        assert len(rows) == 1 and rows[0]["bucket"] == 0 and rows[0]["n"] == 1
+
+    def test_bad_args(self, spark):
+        from gpq_spark.pipeline.profile import histogram_fixed
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError):
+            histogram_fixed(df, "x", 0.0, 100.0, 0)
+        with pytest.raises(ValueError):
+            histogram_fixed(df, "x", 5.0, 5.0, 3)
+
+
 class TestTextOps:
     def test_fingerprint_deterministic_across_partitions(self, spark):
         from gpq_spark.pipeline.text import with_fingerprint
