@@ -293,18 +293,26 @@ def ngram_jaccard_pairs(
         # in-bucket pair expansion is QUADRATIC CPU per bucket — spread
         # buckets across cores (cheap: one bucket row per block key)
         buckets = buckets.repartition(parallelism)
+    # intersection sizes are computed INSIDE the bucket row: the pair
+    # structs carry only (id_a, id_b, inter, total) — never copies of
+    # the shingle arrays. (The previous formulation materialized both
+    # arrays per pair struct: a 100-member bucket with ~300-element
+    # arrays expanded to ~25 MB before explode; this one expands to
+    # ~160 KB.) Shingle arrays are distinct, so |A∪B| = |A|+|B|−|A∩B|
+    # and the union call is dropped entirely.
     pairs = buckets.select(
         F.explode(
             F.expr(
                 "flatten(transform(__members, (x, i) -> "
                 "transform(slice(__members, i + 2, size(__members) - i - 1), "
                 "y -> struct(x.__id AS id_a, y.__id AS id_b, "
-                "x.__sh AS sh_a, y.__sh AS sh_b))))"
+                "size(array_intersect(x.__sh, y.__sh)) AS inter, "
+                "size(x.__sh) + size(y.__sh) AS total))))"
             )
         ).alias("__p")
     )
-    inter = F.size(F.array_intersect(F.col("__p.sh_a"), F.col("__p.sh_b")))
-    union = F.size(F.array_union(F.col("__p.sh_a"), F.col("__p.sh_b")))
+    inter = F.col("__p.inter")
+    union = F.col("__p.total") - F.col("__p.inter")
     return (
         pairs.select(
             F.col("__p.id_a").alias("id_a"),
