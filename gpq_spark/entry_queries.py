@@ -1842,6 +1842,68 @@ def text_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_boilerplate",
+    r"""
+    WITH doc_lines AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(list_filter(
+                   list_transform(string_split(text, chr(10)), l -> trim(l)),
+                   l -> l != ''))) AS line
+        FROM documents),
+    line_docs AS (SELECT line, COUNT(*) AS n_docs FROM doc_lines GROUP BY line)
+    SELECT id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS boiler_frac
+    FROM doc_lines JOIN line_docs USING (line)
+    GROUP BY id
+    """,
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate-line detection (CCNet-style): lines
+    shared by ≥2 documents flagged corpus-wide, per-doc fraction."""
+    from .pipeline.text import boilerplate_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return boilerplate_stats(docs, "doc_id", "text", min_docs=2)
+
+
+_QF_RULES = {
+    "too_short": "n_chars < 60",
+    "too_long": "n_chars > 2000",
+    "unknown_lang": "lang NOT IN ('en', 'es', 'fr', 'de', 'zh')",
+    "low_alpha": "length(regexp_replace(text, '[^a-zA-Z]', '')) * 2 < length(text)",
+}
+
+
+@register(
+    "text_quality_filter",
+    f"""
+    WITH flagged AS (
+        SELECT doc_id,
+               list_sort(flatten([
+                   {', '.join(f"CASE WHEN ({expr}) THEN ['{name}'] ELSE [] END"
+                              for name, expr in _QF_RULES.items())}
+               ])) AS fail_reasons
+        FROM documents)
+    SELECT doc_id, fail_reasons, len(fail_reasons) = 0 AS passed
+    FROM flagged
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composable quality gate with auditable fail reasons: four
+    Gopher-style rules (length bounds, language whitelist, alpha
+    ratio), pure map-side expressions."""
+    from .pipeline.text import quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    return quality_filter(docs, _QF_RULES).select(
+        "doc_id", "fail_reasons", "passed"
+    )
+
+
+@register(
     "text_fingerprint",
     r"""
     SELECT doc_id,

@@ -53,6 +53,8 @@ from .text import (
     with_fingerprint,
     with_repetition_stats,
     top_ngram_stats,
+    boilerplate_stats,
+    quality_filter,
     scrub_pii,
 )
 from .multimodal import (
@@ -109,6 +111,8 @@ __all__ = [
     "histogram_fixed",
     "with_repetition_stats",
     "top_ngram_stats",
+    "boilerplate_stats",
+    "quality_filter",
     "binary_metadata",
     "decode_stub",
     "frame_sample_stub",

@@ -201,6 +201,77 @@ def top_ngram_stats(
     )
 
 
+def boilerplate_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate detection (CCNet-style): a line is
+    boilerplate when it appears in ≥ ``min_docs`` distinct documents
+    (headers, footers, nav text). Returns per-document
+    ``(id, n_lines, n_boiler, boiler_frac)`` over distinct lines.
+
+    Scale shape: per-doc DISTINCT lines are built map-side (array
+    expressions), so the corpus-wide line count is a plain ``COUNT(*)``
+    after one ``groupBy(line)`` — no count-distinct expansion. Then one
+    join back on the line key and one ``groupBy(id)``: three narrow
+    shuffles, all keyed by line/id — never all-pairs. At 100 TB, swap
+    the raw line string for ``xxhash64(line)`` as the shuffle key to
+    cut shuffle bytes (collision odds ~n²/2⁶⁴; kept exact here for
+    oracle parity).
+    """
+    lines_expr = (
+        f"array_distinct(filter(transform(split({text_col}, '\\n'), "
+        f"l -> trim(l)), l -> l != ''))"
+    )
+    doc_lines = df.select(
+        F.col(id_col).alias("id"), F.explode(F.expr(lines_expr)).alias("line")
+    )
+    line_docs = doc_lines.groupBy("line").agg(
+        F.count(F.lit(1)).alias("__docs")
+    )
+    flagged = doc_lines.join(line_docs, "line").select(
+        "id", (F.col("__docs") >= min_docs).cast("int").alias("__is_boiler")
+    )
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("__is_boiler").alias("n_boiler"),
+    ).select(
+        "id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        (
+            F.col("n_boiler").cast("double") / F.col("n_lines").cast("double")
+        ).alias("boiler_frac"),
+    )
+
+
+def quality_filter(
+    df: DataFrame, rules: dict[str, str], out_prefix: str = ""
+) -> DataFrame:
+    """Composable quality gate: each rule is a SQL boolean expression
+    that is TRUE when the document VIOLATES it. Adds
+    ``{prefix}passed`` and ``{prefix}fail_reasons`` (sorted array of
+    violated rule names; empty when passed).
+
+    Pure map-side expression composition — no shuffle, codegen'd; the
+    reasons array makes filter decisions auditable (why was this
+    document dropped?), which matters when tuning a corpus.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    arrays = " , ".join(
+        f"CASE WHEN ({expr}) THEN array('{name}') ELSE array() END"
+        for name, expr in rules.items()
+    )
+    reasons = f"array_sort(flatten(array({arrays})))"
+    out = df.withColumn(f"{out_prefix}fail_reasons", F.expr(reasons))
+    return out.withColumn(
+        f"{out_prefix}passed", F.size(f"{out_prefix}fail_reasons") == 0
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Polynomial rolling-hash fingerprint of the document bytes:
     ``h = fold(chars, 0, (h, c) -> (h*131 + ascii(c)) mod 1e9+7)``.

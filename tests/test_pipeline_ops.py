@@ -462,6 +462,58 @@ class TestHistogramFixed:
             histogram_fixed(df, "x", 5.0, 5.0, 3)
 
 
+class TestBoilerplate:
+    def test_cross_doc_lines(self, spark):
+        from gpq_spark.pipeline.text import boilerplate_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "COPYRIGHT\nunique one\nfooter"),
+                (2, "COPYRIGHT\nunique two\nfooter"),
+                (3, "totally original"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["id"]: r for r in boilerplate_stats(df, "doc_id", "text").collect()}
+        # COPYRIGHT + footer appear in 2 docs → boilerplate
+        assert got[1]["n_lines"] == 3 and got[1]["n_boiler"] == 2
+        assert got[2]["boiler_frac"] == pytest.approx(2 / 3)
+        assert got[3]["n_boiler"] == 0
+
+    def test_duplicate_lines_within_one_doc_not_boiler(self, spark):
+        from gpq_spark.pipeline.text import boilerplate_stats
+
+        # 'x' twice in the SAME doc only → distinct-per-doc, 1 doc → not boilerplate
+        df = spark.createDataFrame([(1, "x\nx\ny")], ["doc_id", "text"])
+        r = boilerplate_stats(df, "doc_id", "text").first()
+        assert r["n_lines"] == 2 and r["n_boiler"] == 0
+
+
+class TestQualityFilter:
+    def test_reasons_sorted_and_passed(self, spark):
+        from gpq_spark.pipeline.text import quality_filter
+
+        df = spark.createDataFrame(
+            [(1, "ok text", 10), (2, "", 0), (3, "fine", 4)],
+            ["id", "text", "n"],
+        )
+        out = quality_filter(
+            df, {"empty": "length(text) = 0", "small_n": "n < 5"}
+        )
+        got = {r["id"]: r for r in out.collect()}
+        assert got[1]["passed"] and got[1]["fail_reasons"] == []
+        assert not got[2]["passed"]
+        assert got[2]["fail_reasons"] == ["empty", "small_n"]
+        assert got[3]["fail_reasons"] == ["small_n"]
+
+    def test_empty_rules(self, spark):
+        from gpq_spark.pipeline.text import quality_filter
+
+        df = spark.createDataFrame([(1,)], ["id"])
+        with pytest.raises(ValueError):
+            quality_filter(df, {})
+
+
 class TestTextOps:
     def test_fingerprint_deterministic_across_partitions(self, spark):
         from gpq_spark.pipeline.text import with_fingerprint
