@@ -1493,6 +1493,52 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_range_join_events",
+    """
+    WITH spikes AS (
+        SELECT user_id AS s_user, event_id AS anchor_id, ts AS t0,
+               ts + INTERVAL 30 MINUTE AS t1
+        FROM events WHERE value > 9)
+    SELECT anchor_id, event_id, user_id,
+           CAST(epoch_us(ts) - epoch_us(t0) AS BIGINT) AS offset_us
+    FROM events e JOIN spikes s
+      ON e.user_id = s.s_user AND e.ts >= s.t0 AND e.ts <= s.t1
+    """,
+)
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (events within 30 min after a same-user value
+    spike) via the bucketized equi-join — a pure BETWEEN join would be
+    a broadcast-nested-loop, O(n×m); this shuffles on (bucket, user)
+    and re-applies the exact range as a residual filter."""
+    from .relational import range_join_bucketed
+
+    ev = load_events(spark, sf_dir)
+    spikes = ev.filter(F.col("value") > 9).select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("anchor_id"),
+        F.col("ts").alias("t0"),
+        F.expr("ts + INTERVAL 30 MINUTES").alias("t1"),
+    )
+    joined = range_join_bucketed(
+        ev.select("event_id", "user_id", "ts"),
+        spikes,
+        "ts",
+        "t0",
+        "t1",
+        keys=[("user_id", "s_user")],
+        bucket_seconds=1800,
+    )
+    return joined.select(
+        "anchor_id",
+        "event_id",
+        "user_id",
+        (
+            F.expr("unix_micros(ts)") - F.expr("unix_micros(t0)")
+        ).cast("long").alias("offset_us"),
+    )
+
+
 def _cos_duck(a: str, b: str) -> str:
     dot = (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "

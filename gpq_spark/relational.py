@@ -147,3 +147,55 @@ def salted_join(
         how,
     )
     return joined.drop("__salt")
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    keys: list[tuple[str, str]] | None = None,
+    bucket_seconds: int = 86400,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join (`left.ts BETWEEN right.start AND right.end`)
+    as an EQUI-join: without this, Catalyst executes a pure range
+    predicate as a broadcast-nested-loop / cartesian — O(n×m) and a
+    non-starter at scale.
+
+    Each right interval is exploded into the time buckets it covers
+    (``bucket_seconds`` wide); the left row joins its single bucket;
+    the exact BETWEEN predicate is re-applied as a residual filter.
+    The join is then a plain hash/sort-merge equi-join on
+    (bucket [, keys...]), shuffling on a bounded key space. Choose
+    ``bucket_seconds`` ≈ median interval length: cost is
+    O(n + m × avg_buckets_per_interval).
+
+    ``keys`` adds equality conjuncts (left_col, right_col) to the join
+    — the usual case (join events to the same user's intervals).
+    Timestamps are compared at microsecond precision.
+    """
+    if how not in ("inner",):
+        raise ValueError("range_join_bucketed supports inner joins")
+    bucket_us = bucket_seconds * 1_000_000
+    lb = F.expr(
+        f"CAST(floor(unix_micros({left_ts}) / {bucket_us}) AS BIGINT)"
+    ).alias("__bucket")
+    left_b = left.withColumn("__bucket", lb)
+    right_b = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST(floor(unix_micros({right_start}) / {bucket_us}) AS BIGINT)"),
+                F.expr(f"CAST(floor(unix_micros({right_end}) / {bucket_us}) AS BIGINT)"),
+            )
+        ),
+    )
+    cond = left_b["__bucket"] == right_b["__bucket"]
+    for lk, rk in keys or []:
+        cond = cond & (left_b[lk] == right_b[rk])
+    joined = left_b.join(right_b, cond, how).drop("__bucket")
+    return joined.filter(
+        (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) <= F.col(right_end))
+    )

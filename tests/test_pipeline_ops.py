@@ -1160,3 +1160,47 @@ class TestSampling:
         # small stratum yields all its rows
         tiny = spark.createDataFrame([(1, "z"), (2, "z")], ["doc_id", "lang"])
         assert stratified_sample_exact(tiny, ["lang"], 7, ["doc_id"]).count() == 2
+
+
+class TestRangeJoinBucketed:
+    def test_matches_plain_between_join(self, spark):
+        import datetime as dt
+
+        from gpq_spark.relational import range_join_bucketed
+
+        base = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(i, 1 + i % 2, base + dt.timedelta(minutes=7 * i)) for i in range(200)],
+            "lid long, k int, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (j, 1 + j % 2,
+                 base + dt.timedelta(minutes=50 * j),
+                 base + dt.timedelta(minutes=50 * j + 33))
+                for j in range(20)
+            ],
+            "rid long, rk int, t0 timestamp, t1 timestamp",
+        )
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in range_join_bucketed(
+                left, right, "ts", "t0", "t1", keys=[("k", "rk")],
+                bucket_seconds=600,
+            ).collect()
+        )
+        want = sorted(
+            (r["lid"], r["rid"])
+            for r in left.join(
+                right,
+                (left.k == right.rk) & (left.ts >= right.t0) & (left.ts <= right.t1),
+            ).collect()
+        )
+        assert got == want and len(want) > 0
+
+    def test_rejects_outer(self, spark):
+        from gpq_spark.relational import range_join_bucketed
+
+        df = spark.createDataFrame([], "ts timestamp")
+        with pytest.raises(ValueError):
+            range_join_bucketed(df, df, "ts", "ts", "ts", how="left")

@@ -189,3 +189,23 @@ def test_profile_single_scan(plans):
     p = plans("profile_lineitem")
     # one parquet scan feeds the whole profile
     assert p.count("FileScan parquet") == 1
+
+
+def test_range_join_is_equi_join(plans):
+    p = plans("q_range_join_events")
+    # the bucketized formulation must plan as a hash/sort-merge
+    # equi-join, never a nested loop over the range predicate
+    assert "BroadcastNestedLoop" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_boilerplate_three_narrow_shuffles(plans):
+    p = plans("text_boilerplate")
+    assert "pythonUDF" not in p.lower()
+    assert p.count("Exchange") <= 4  # line-count, join-back, per-doc agg (+AQE reads)
+
+
+def test_quality_filter_map_side(plans):
+    p = plans("text_quality_filter")
+    assert "Exchange" not in p
+    assert "pythonUDF" not in p.lower()
