@@ -174,15 +174,25 @@ def top_ngram_stats(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    words = f"split(trim({text_col}), '\\\\s+')"
-    grams = (
-        f"CASE WHEN size({words}) >= {n} THEN "
-        f"transform(sequence(1, size({words}) - {n} + 1), "
-        f"i -> array_join(slice({words}, i, {n}), ' ')) "
+    # Two landmines here (cf. BASELINE.md perf notes, measured 20×):
+    # 1. the words array must be its OWN projection — inlined into a
+    #    lambda it re-evaluates split() per element;
+    # 2. never explode an expensive computed array —
+    #    InferFiltersFromGenerate synthesizes size()>0 and pushdown
+    #    re-inlines the whole expression below the scan. Explode the
+    #    cheap index sequence instead and derive the gram AFTER.
+    words_df = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"split(trim({text_col}), '\\\\s+')").alias("__w"),
+    )
+    idx = (
+        f"CASE WHEN size(__w) >= {n} THEN sequence(1, size(__w) - {n} + 1) "
         f"ELSE array() END"
     )
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(F.expr(grams)).alias("gram")
+    exploded = words_df.select(
+        "id", "__w", F.explode(F.expr(idx)).alias("__i")
+    ).select(
+        "id", F.expr(f"array_join(slice(__w, __i, {n}), ' ')").alias("gram")
     )
     counts = exploded.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("id")
