@@ -1083,6 +1083,47 @@ for _q in QUERIES:
         _q.oracle = _profile_oracle()
 
 
+_SKEW_COLS = ["o_orderpriority", "o_orderstatus", "o_custkey"]
+
+
+def _skew_oracle() -> str:
+    per_col = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS "column", coalesce(CAST({c} AS VARCHAR), 'NULL') AS key,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1, 2"""
+        for c in _SKEW_COLS
+    )
+    return f"""
+    WITH counts AS ({per_col}),
+    ranked AS (
+        SELECT "column", key, n,
+               row_number() OVER (PARTITION BY "column"
+                                  ORDER BY n DESC, key ASC) AS rank,
+               SUM(n) OVER (PARTITION BY "column") AS total
+        FROM counts)
+    SELECT "column", key, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("skew_report_orders", None)
+def skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter shuffle-key diagnostics over three orders columns
+    in one pass (explode → one groupBy → one window)."""
+    from .pipeline.profile import skew_report
+
+    o = load(spark, sf_dir, "orders")
+    return skew_report(o, _SKEW_COLS, k=5)
+
+
+for _q in QUERIES:
+    if _q.name == "skew_report_orders":
+        _q.oracle = _skew_oracle()
+
+
 @register(
     "q_lag_events",
     f"""

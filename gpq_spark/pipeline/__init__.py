@@ -45,7 +45,7 @@ from .similarity import (
     train_pq_codebooks,
     embedding_centroids,
 )
-from .profile import histogram_fixed, profile_columns
+from .profile import histogram_fixed, profile_columns, skew_report
 from .text import (
     with_token_counts,
     with_quality_score,
@@ -109,6 +109,7 @@ __all__ = [
     "scrub_pii",
     "profile_columns",
     "histogram_fixed",
+    "skew_report",
     "with_repetition_stats",
     "top_ngram_stats",
     "boilerplate_stats",

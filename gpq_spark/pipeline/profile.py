@@ -13,7 +13,7 @@ expand.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
 
@@ -137,4 +137,51 @@ def histogram_fixed(
             F.expr(f"{lo!r} + CAST(bucket + 1 AS DOUBLE) * {width_num} / {nbins}").alias("hi_edge"),
             F.col("n").cast("long").alias("n"),
         )
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Heavy-hitter report for shuffle-key planning: for each column,
+    the top-``k`` most frequent values with exact counts and corpus
+    share — the numbers that decide whether a join needs salting or
+    AQE skew handling.
+
+    Single pass: every row explodes into (column, value) pairs
+    map-side, one ``groupBy(column, key)`` counts them, and one window
+    per column ranks + totals — two narrow shuffles for ALL columns
+    together, not one scan per column. Counts are exact (gate-scale);
+    at 100 TB substitute a count-min/approx top-k sketch feeding the
+    same output schema.
+
+    Output: ``(column, key, n, share, rank)``; values rendered as
+    strings (NULL → literal 'NULL') so mixed-type columns coexist.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    pairs = ", ".join(
+        f"named_struct('column', '{c}', 'key', coalesce(CAST(`{c}` AS STRING), 'NULL'))"
+        for c in cols
+    )
+    exploded = df.select(F.explode(F.expr(f"array({pairs})")).alias("__p")).select(
+        F.col("__p.column").alias("column"), F.col("__p.key").alias("key")
+    )
+    counts = exploded.groupBy("column", "key").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("column")
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(w.orderBy(F.col("n").desc(), F.col("key").asc())),
+    ).withColumn("total", F.sum("n").over(w))
+    return ranked.filter(F.col("rank") <= k).select(
+        "column",
+        "key",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+        F.col("rank").cast("int").alias("rank"),
     )

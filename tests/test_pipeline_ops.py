@@ -1204,3 +1204,40 @@ class TestRangeJoinBucketed:
         df = spark.createDataFrame([], "ts timestamp")
         with pytest.raises(ValueError):
             range_join_bucketed(df, df, "ts", "ts", "ts", how="left")
+
+
+class TestSkewReport:
+    def test_heavy_hitters_and_share(self, spark):
+        from gpq_spark.pipeline.profile import skew_report
+
+        df = spark.createDataFrame(
+            [(1, "hot"), (2, "hot"), (3, "hot"), (4, "warm"), (5, None)],
+            "id long, k string",
+        )
+        rows = {
+            (r["column"], r["rank"]): r
+            for r in skew_report(df, ["k"], k=2).collect()
+        }
+        top = rows[("k", 1)]
+        assert top["key"] == "hot" and top["n"] == 3
+        assert top["share"] == pytest.approx(0.6)
+        # NULL renders as the literal string and ties break by key asc
+        assert rows[("k", 2)]["key"] in ("NULL", "warm")
+        assert ("k", 3) not in rows
+
+    def test_multi_column_single_pass(self, spark):
+        from gpq_spark.pipeline.profile import skew_report
+
+        df = spark.range(100).selectExpr("id % 3 AS a", "id % 5 AS b")
+        out = skew_report(df, ["a", "b"], k=10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Range (0, 100") == 1  # one scan for both columns
+        assert out.filter("column = 'a'").count() == 3
+        assert out.filter("column = 'b'").count() == 5
+
+    def test_unknown_column(self, spark):
+        from gpq_spark.pipeline.profile import skew_report
+
+        df = spark.createDataFrame([(1,)], ["id"])
+        with pytest.raises(ValueError):
+            skew_report(df, ["nope"])
