@@ -423,6 +423,44 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH per_part AS (
+        SELECT l_partkey AS pk, CAST(SUM({cents('l_quantity')}) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN per_part ON l_partkey = pk
+    WHERE {cents('l_quantity')} * 5 * n < s
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below 20% of their group's average — the
+    correlated scalar subquery decorrelated into a per-key aggregate
+    joined back.
+
+    Determinism: ``qty < 0.2 * avg`` is the integer cross-multiply
+    ``qty_cents * 5 * n < sum_cents`` — no float average. Scale: the
+    per-part aggregate shuffles once on partkey, and the join-back
+    reuses that same key (co-partitioned exchange, no extra shuffle
+    of the aggregate side)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.expr(cents("l_quantity"))).cast("long").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.pk)
+        .filter(F.expr(f"{cents('l_quantity')} * 5 * n < s"))
+        .agg(
+            F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
     "q22_idle_rich_customers",
     f"""
     WITH thr AS (

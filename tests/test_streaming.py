@@ -240,3 +240,54 @@ class TestStreamToGeoParquet:
             spark.read.parquet(f).count() for f in files
         )
         assert total == 50
+
+
+class TestCheckpointRestart:
+    def test_dedup_state_survives_restart(self, spark, tmp_path):
+        """Exactly-once recovery: stop the query, add data, restart
+        from the same checkpoint. The restarted query must (a) not
+        reprocess the first file and (b) recover the dedup state
+        store, so cross-restart duplicates are still suppressed."""
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_dedup
+
+        src = tmp_path / "src"
+        out = tmp_path / "out"
+        ck = tmp_path / "ck"
+        src.mkdir()
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def write_file(name, rows):
+            spark.createDataFrame(
+                rows, "k long, ts timestamp"
+            ).coalesce(1).write.mode("append").parquet(str(src))
+
+        write_file("f1", [(1, base), (2, base), (1, base)])  # 1 dup in-file
+
+        schema = "k long, ts timestamp"
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            q = (
+                stream_dedup(stream, ["k"], watermark_col="ts")
+                .writeStream.format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(ck))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run_once()
+        first = sorted(r["k"] for r in spark.read.parquet(str(out)).collect())
+        assert first == [1, 2]
+
+        # second file: k=1/2 are cross-restart duplicates (same ts
+        # horizon), k=3 is new
+        write_file("f2", [(1, base + dt.timedelta(minutes=1)),
+                          (2, base + dt.timedelta(minutes=1)),
+                          (3, base + dt.timedelta(minutes=1))])
+        run_once()
+        final = sorted(r["k"] for r in spark.read.parquet(str(out)).collect())
+        assert final == [1, 2, 3]  # dups suppressed ACROSS the restart
