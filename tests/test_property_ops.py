@@ -1,0 +1,151 @@
+"""Property-based tests: the r2 third-pass operators must agree with
+straightforward driver-side Python references on arbitrary inputs —
+random texts (incl. unicode, repeated lines, empty docs), random
+intervals, random byte payloads.
+"""
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+word = st.text(alphabet="abc λ", min_size=1, max_size=3).map(
+    lambda s: s.replace(" ", "x")
+)
+doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+
+def _py_top_bigram(text):
+    # mirror split('\s+') on a trimmed string: splitting "" yields [""]
+    words = text.strip().split() if text.strip() else [""]
+    grams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+    if not grams:
+        return None
+    counts: dict[str, int] = {}
+    for g in grams:
+        counts[g] = counts.get(g, 0) + 1
+    top = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return top[0], top[1], len(grams)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(doc, min_size=1, max_size=8))
+def test_top_ngram_matches_python(spark, docs):
+    from gpq_spark.pipeline.text import top_ngram_stats
+
+    df = spark.createDataFrame(list(enumerate(docs)), "id long, text string")
+    got = {
+        r["id"]: (r["top_gram"], r["top_gram_count"], r["n_grams"])
+        for r in top_ngram_stats(df, "id", "text", n=2).collect()
+    }
+    want = {
+        i: expect
+        for i, d in enumerate(docs)
+        if (expect := _py_top_bigram(d)) is not None
+    }
+    assert got == want
+
+
+interval = st.tuples(
+    st.integers(min_value=0, max_value=500),
+    st.integers(min_value=0, max_value=120),
+    st.integers(min_value=0, max_value=2),
+)
+point = st.tuples(
+    st.integers(min_value=0, max_value=600),
+    st.integers(min_value=0, max_value=2),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(point, min_size=0, max_size=30),
+    st.lists(interval, min_size=0, max_size=10),
+)
+def test_range_join_matches_python(spark, points, intervals):
+    from gpq_spark.relational import range_join_bucketed
+
+    base = dt.datetime(2024, 1, 1)
+
+    left = spark.createDataFrame(
+        [
+            (i, k, base + dt.timedelta(minutes=m))
+            for i, (m, k) in enumerate(points)
+        ]
+        or [(None, None, None)],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (j, k, base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=s + d))
+            for j, (s, d, k) in enumerate(intervals)
+        ]
+        or [(None, None, None, None)],
+        "rid long, rk long, t0 timestamp, t1 timestamp",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join_bucketed(
+            left, right, "ts", "t0", "t1", keys=[("k", "rk")],
+            bucket_seconds=600,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (m, k) in enumerate(points)
+        for j, (s, d, rk) in enumerate(intervals)
+        if k == rk and s <= m <= s + d
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=80), min_size=1, max_size=6))
+def test_audio_frames_match_python(spark, payloads):
+    from gpq_spark.pipeline.multimodal import audio_frame_stats
+
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "id long, payload binary",
+    )
+    got = sorted(
+        (r["id"], r["frame_idx"], r["n_samples"], r["sumsq"], r["peak"])
+        for r in audio_frame_stats(df, "payload", "id", frame_bytes=16).collect()
+    )
+    want = []
+    for i, p in enumerate(payloads):
+        for fi in range(0, (len(p) + 15) // 16):
+            frame = p[fi * 16 : fi * 16 + 16]
+            want.append(
+                (i, fi, len(frame), sum(b * b for b in frame), max(frame))
+            )
+    assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["dup line", "x", "yy", "z z"]), max_size=6),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_boilerplate_matches_python(spark, line_lists):
+    from gpq_spark.pipeline.text import boilerplate_stats
+
+    texts = ["\n".join(lines) for lines in line_lists]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_lines"], r["n_boiler"])
+        for r in boilerplate_stats(df, "doc_id", "text").collect()
+    }
+    doc_lines = {i: set(l for l in lines if l.strip()) for i, lines in enumerate(line_lists)}
+    line_docs: dict[str, int] = {}
+    for lines in doc_lines.values():
+        for l in lines:
+            line_docs[l] = line_docs.get(l, 0) + 1
+    want = {
+        i: (len(lines), sum(1 for l in lines if line_docs[l] >= 2))
+        for i, lines in doc_lines.items()
+        if lines
+    }
+    assert got == want
