@@ -461,6 +461,40 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q9_nation_year_profit",
+    f"""
+    SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM({cents('l_extendedprice')} * (100 - {cents('l_discount')})) AS BIGINT)
+               AS profit_e4
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year — wide
+    join tree grouped on derived time attributes. Nation broadcast
+    (fixed 25 rows); supplier/orders left to AQE."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.expr(f"{cents('l_extendedprice')} * (100 - {cents('l_discount')})")
+            ).alias("profit_e4")
+        )
+    )
+
+
+@register(
     "q22_idle_rich_customers",
     f"""
     WITH thr AS (
@@ -1187,6 +1221,33 @@ def q_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.coalesce(val - F.lag(val).over(w), F.lit(0)).cast("long").alias("delta_cents"),
         F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "pack_curriculum_docs",
+    """
+    SELECT doc_id, lang,
+           CAST(ntile(4) OVER (PARTITION BY lang
+                ORDER BY n_chars DESC, doc_id ASC) AS INT) AS stage,
+           CAST(row_number() OVER (PARTITION BY lang,
+                ntile4 ORDER BY n_chars DESC, doc_id ASC) AS INT) AS stage_rank
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               ntile(4) OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id ASC) AS ntile4
+        FROM documents)
+    """,
+)
+def pack_curriculum_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum layout: per-language quality stages (n_chars as the
+    stand-in score) + deterministic emission rank — one window shuffle
+    on the shard key, no global sort."""
+    from .pipeline.packing import curriculum_order
+
+    docs = load(spark, sf_dir, "documents")
+    return curriculum_order(docs, "lang", "n_chars", "doc_id", stages=4).select(
+        "doc_id", "lang", "stage", "stage_rank"
     )
 
 

@@ -122,3 +122,35 @@ def pack_greedy(
     return slim.groupBy(*[F.col(c) for c in shard_cols]).applyInPandas(
         walk, schema=out_schema
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    shard_col: str,
+    score_col: str,
+    id_col: str,
+    stages: int = 4,
+) -> DataFrame:
+    """Curriculum layout: assign each document a training ``stage``
+    (score quantile — easy/high-quality first) and a deterministic
+    emission rank inside (shard, stage).
+
+    Stage boundaries are per-shard ``ntile`` over (score, id) — the id
+    tiebreak makes the order total, so the curriculum is byte-stable
+    across runs, and sharding keeps the sort distributed (one window
+    shuffle on the shard key; no global sort). Downstream, packing
+    consumes shards stage-by-stage.
+    """
+    if stages < 1:
+        raise ValueError(f"stages must be >= 1, got {stages}")
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return df.withColumn("stage", F.ntile(stages).over(w)).withColumn(
+        "stage_rank",
+        F.row_number().over(
+            Window.partitionBy(shard_col, "stage").orderBy(
+                F.col(score_col).desc(), F.col(id_col).asc()
+            )
+        ),
+    )
