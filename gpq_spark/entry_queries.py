@@ -3006,6 +3006,83 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_upsert_cells",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    existing AS (SELECT * FROM e WHERE vec_id % 10 != 0),
+    batch AS (SELECT * FROM e WHERE vec_id % 7 = 0),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM existing ORDER BY vec_id LIMIT 8),
+    merged AS (
+        SELECT vec_id, v FROM existing
+        WHERE vec_id NOT IN (SELECT vec_id FROM batch)
+        UNION ALL SELECT vec_id, v FROM batch),
+    ca AS (SELECT m.vec_id, m.v, cent.cid, {_cos_duck('m.v', 'cent.cv')} AS ccos
+           FROM merged m, cent)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        FROM ca
+    ) WHERE rn = 1
+    """,
+)
+def ivf_upsert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance: fold an updated-vector batch
+    (vec_id % 7 == 0, overlapping the existing set to exercise the
+    upsert anti-join) into an existing assignment table (vec_id % 10
+    != 0) against fixed placeholder centroids — the new batch is
+    assigned map-side, the corpus-side table is never shuffled."""
+    from .pipeline.similarity import ivf_assign, ivf_upsert_assignments
+
+    emb = load(spark, sf_dir, "embeddings")
+    existing = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    assigned = ivf_assign(existing, "vec_id", "embedding", n_centroids=8)
+    merged = ivf_upsert_assignments(
+        assigned.select("vec_id", "embedding", "cluster"),
+        batch.select("vec_id", "embedding"),
+        centroids=None,
+        n_centroids=8,
+    )
+    return merged.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+@register(
+    "ivf_refresh_cells",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    ca AS (SELECT e.vec_id, e.v, cent.cid, {_cos_duck('e.v', 'cent.cv')} AS ccos
+           FROM e, cent),
+    assigned AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+            FROM ca
+        ) WHERE rn = 1
+    ),
+    expl AS (
+        SELECT cluster, unnest(range(0, len(v))) AS pos, v FROM assigned)
+    SELECT CAST(cluster AS BIGINT) AS cluster, CAST(pos AS INT) AS pos,
+           CAST(SUM(CAST(round(v[pos + 1] * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM expl GROUP BY cluster, pos
+    """,
+)
+def ivf_refresh_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodic IVF centroid refresh: one exact Lloyd step over the
+    assignment table — quantized BIGINT sums make the per-cell means
+    bit-identical across partitionings; shuffle is O(cells x dims)."""
+    from .pipeline.similarity import ivf_assign, ivf_refresh_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, "vec_id", "embedding", n_centroids=8)
+    return ivf_refresh_centroids(assigned, "embedding", "cluster").select(
+        F.col("cluster").cast("long").alias("cluster"), "pos", "mean", "n"
+    )
+
+
+@register(
     "stream_stateful_sessions",
     """
     WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),

@@ -695,3 +695,84 @@ def embedding_centroids(
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+def ivf_upsert_assignments(
+    assigned: DataFrame,
+    new_batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental IVF index maintenance: fold a (small) batch of new
+    or updated vectors into an existing assignment table WITHOUT
+    touching the rest of the corpus.
+
+    - The new batch is assigned map-side against the PERSISTED
+      centroids (plan-literal argmax, zero shuffle) — centroids must
+      stay fixed between refreshes or cell pruning would be
+      inconsistent with earlier assignments.
+    - Superseded rows (same id as a new-batch row) are dropped with a
+      broadcast anti-join on the batch's ids — the batch is the small
+      side by construction, so the 100 TB assignment table is never
+      shuffled; with the table stored partitioned by ``cluster_col``,
+      dynamic partition overwrite rewrites only the touched cells.
+
+    When ``centroids`` is None the deterministic lowest-id placeholder
+    over ``assigned`` is used (oracle-reproducible; production passes
+    the trained table from ``train_ivf_centroids``).
+    """
+    cents = _collect_centroids(assigned, id_col, vec_col, n_centroids, centroids)
+    new_assigned = new_batch.select(
+        F.col(id_col), F.col(vec_col)
+    ).withColumn(cluster_col, _argmax_cell_expr(vec_col, cents))
+    survivors = assigned.select(F.col(id_col), F.col(vec_col), F.col(cluster_col)).join(
+        F.broadcast(new_batch.select(F.col(id_col))), on=id_col, how="left_anti"
+    )
+    return survivors.select(id_col, vec_col, cluster_col).unionByName(
+        new_assigned.select(id_col, vec_col, cluster_col)
+    )
+
+
+def ivf_refresh_centroids(
+    assigned: DataFrame,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Periodic IVF centroid refresh: one exact Lloyd step over the
+    current assignment table, emitted as flat ``(cluster, pos, mean,
+    n)`` rows.
+
+    Same determinism contract as ``embedding_centroids``: components
+    are quantized to BIGINT micro-units, summed exactly (order- and
+    partitioning-independent), divided once. The only shuffle is the
+    ``groupBy(cluster, pos)`` with map-side partial aggregation —
+    partials are one row per (cluster, pos) per partition, never raw
+    vectors, so the refresh reads the corpus once and shuffles
+    O(cells × dims) bytes. Re-assemble arrays downstream with
+    ``array_sort(collect_list(struct(pos, mean)))`` if the
+    ``train_ivf_centroids`` schema is needed.
+    """
+    q = F.expr(f"CAST(round(CAST(__v AS DOUBLE) * {scale}) AS BIGINT)")
+    return (
+        assigned.select(
+            F.col(cluster_col).alias("cluster"),
+            F.posexplode(F.col(vec_col)).alias("pos", "__v"),
+        )
+        .select("cluster", "pos", q.alias("__q"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("__q").alias("__sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cluster",
+            F.col("pos").cast("int").alias("pos"),
+            (
+                F.col("__sq").cast("double")
+                / F.lit(float(scale))
+                / F.col("n").cast("double")
+            ).alias("mean"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

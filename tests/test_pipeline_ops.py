@@ -1241,3 +1241,90 @@ class TestSkewReport:
         df = spark.createDataFrame([(1,)], ["id"])
         with pytest.raises(ValueError):
             skew_report(df, ["nope"])
+
+
+class TestIVFIncremental:
+    def test_upsert_replaces_and_appends(self, spark):
+        from gpq_spark.pipeline.similarity import (
+            ivf_assign,
+            ivf_upsert_assignments,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        existing = emb.filter("vec_id % 10 != 0")
+        batch = emb.filter("vec_id % 7 = 0")
+        cents = (
+            existing.orderBy("vec_id")
+            .limit(4)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("centroid"),
+            )
+        )
+        assigned = ivf_assign(existing, n_centroids=4, centroids=cents)
+        merged = ivf_upsert_assignments(
+            assigned.select("vec_id", "embedding", "cluster"),
+            batch.select("vec_id", "embedding"),
+            n_centroids=4,
+            centroids=cents,
+        )
+        n_exist = existing.count()
+        n_batch = batch.count()
+        n_overlap = existing.join(batch, "vec_id", "left_semi").count()
+        assert merged.count() == n_exist - n_overlap + n_batch
+        # every id appears exactly once after the upsert
+        assert merged.select("vec_id").distinct().count() == merged.count()
+        # centroids fixed → re-assigned overlap rows land in the same cell
+        full = ivf_assign(
+            existing.unionByName(
+                batch.join(existing, "vec_id", "left_anti")
+            ),
+            n_centroids=4,
+            centroids=cents,
+        )
+        a = {(r["vec_id"], r["cluster"]) for r in merged.collect()}
+        b = {(r["vec_id"], r["cluster"]) for r in full.collect()}
+        assert a == b
+
+    def test_upsert_broadcasts_batch_not_corpus(self, spark):
+        from gpq_spark.pipeline.similarity import (
+            ivf_assign,
+            ivf_upsert_assignments,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        assigned = ivf_assign(emb.filter("vec_id % 2 = 0"), n_centroids=4)
+        merged = ivf_upsert_assignments(
+            assigned.select("vec_id", "embedding", "cluster"),
+            emb.filter("vec_id % 2 = 1").select("vec_id", "embedding"),
+            n_centroids=4,
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        # anti-join must be a broadcast (batch side), never a sort-merge
+        # shuffle of the assignment table
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_refresh_is_one_lloyd_step(self, spark):
+        from gpq_spark.pipeline.similarity import (
+            ivf_assign,
+            ivf_refresh_centroids,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        assigned = ivf_assign(emb, n_centroids=4)
+        refreshed = ivf_refresh_centroids(assigned).collect()
+        # driver-side reference: exact quantized mean per (cluster, pos)
+        rows = assigned.select("cluster", "embedding").collect()
+        import collections
+
+        sums: dict = collections.defaultdict(lambda: [0, 0])
+        for r in rows:
+            for pos, v in enumerate(r["embedding"]):
+                cell = sums[(r["cluster"], pos)]
+                cell[0] += round(float(v) * 1_000_000)
+                cell[1] += 1
+        for r in refreshed:
+            sq, n = sums[(r["cluster"], r["pos"])]
+            assert r["n"] == n
+            assert abs(r["mean"] - sq / 1_000_000 / n) < 1e-12
