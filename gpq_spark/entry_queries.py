@@ -2462,6 +2462,60 @@ def geo_bbox_filter_antimeridian(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boxes.filter(pred).select("c_custkey")
 
 
+_SBOX_XMIN = "CAST((s_suppkey % 347) - 173 AS DOUBLE) + 0.25"
+_SBOX_XMAX = f"{_SBOX_XMIN} + 0.5 + CAST(s_suppkey % 5 AS DOUBLE)"
+_SBOX_YMIN = "CAST((s_suppkey % 165) - 82 AS DOUBLE) + 0.25"
+_SBOX_YMAX = f"{_SBOX_YMIN} + 0.5 + CAST(s_suppkey % 4 AS DOUBLE)"
+
+
+@register(
+    "geo_spatial_join",
+    f"""
+    WITH cb AS (
+        SELECT c_custkey, {_BOX_XMIN} AS cxmin, {_BOX_YMIN} AS cymin,
+               {_BOX_XMAX} AS cxmax, {_BOX_YMAX} AS cymax
+        FROM customer),
+    planar AS (SELECT * FROM cb WHERE NOT (cxmin > 0 AND cxmax < 0)),
+    sb AS (
+        SELECT s_suppkey, {_SBOX_XMIN} AS sxmin, {_SBOX_YMIN} AS symin,
+               {_SBOX_XMAX} AS sxmax, {_SBOX_YMAX} AS symax
+        FROM supplier)
+    SELECT c_custkey, s_suppkey
+    FROM planar, sb
+    WHERE cxmax >= sxmin AND sxmax >= cxmin
+      AND cymax >= symin AND symax >= cymin
+    """,
+)
+def geo_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial join (PBSM shape): bbox-overlap pairs via
+    a cell-id EQUI-join with reference-point dedup — the oracle's
+    cross join is what the operator must never do at scale."""
+    from .geoparquet.spatial import spatial_join_bboxes
+
+    cust = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_BOX_XMIN} AS cxmin",
+        f"{_BOX_YMIN} AS cymin",
+        f"{_BOX_XMAX} AS cxmax",
+        f"{_BOX_YMAX} AS cymax",
+    ).filter("NOT (cxmin > 0 AND cxmax < 0)")
+    supp = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"{_SBOX_XMIN} AS sxmin",
+        f"{_SBOX_YMIN} AS symin",
+        f"{_SBOX_XMAX} AS sxmax",
+        f"{_SBOX_YMAX} AS symax",
+    )
+    pairs = spatial_join_bboxes(
+        cust,
+        supp,
+        left_cols=("cxmin", "cymin", "cxmax", "cymax"),
+        right_cols=("sxmin", "symin", "sxmax", "symax"),
+        cell_deg=10.0,
+    )
+    return pairs.select("c_custkey", "s_suppkey")
+
+
 _PX = "CAST((c_custkey % 360) - 180 AS DOUBLE) + 0.5"
 _PY = "CAST((c_custkey % 170) - 85 AS DOUBLE) + 0.25"
 

@@ -220,3 +220,75 @@ def read_geoparquet_bbox(
         col = meta.primary()
         pred = envelope_intersects(meta.primary_column, bbox, (col.encoding if col else "") or "")
     return df.filter(pred), meta, info
+
+
+def spatial_join_bboxes(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+    right_cols: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+    cell_deg: float = 10.0,
+) -> DataFrame:
+    """Distributed spatial join on axis-aligned bbox intersection
+    (touching edges count, matching ``Bbox.intersects`` semantics for
+    non-antimeridian boxes; reference F1 at
+    internal/geo/geo.go:349-372 — the antimeridian remap is
+    intentionally out of scope here, as in the reference's row-group
+    pruning).
+
+    Scale shape (PBSM-style): each side expands its bbox to the grid
+    cells it overlaps (two map-side ``explode(sequence(...))``), the
+    candidate set is a plain EQUI-JOIN on the cell id — never a cross
+    join — and the exact predicate filters residually. A pair whose
+    boxes span multiple shared cells would surface once per cell, so
+    duplicates are eliminated with the REFERENCE-POINT rule: the
+    intersection box's (xmin, ymin) corner lies in exactly one cell,
+    and the pair is kept only where the join cell IS that cell — no
+    global ``distinct`` shuffle. Shuffle volume is O(rows x cells per
+    box); pick ``cell_deg`` so typical boxes span ~1-4 cells.
+
+    Column names of the two inputs must be disjoint (pre-select /
+    alias before calling); output is left columns + right columns,
+    one row per intersecting pair.
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint; shared: {sorted(overlap)}")
+    nx = int(math.ceil(360.0 / cell_deg))
+
+    def cells(df: DataFrame, cols: tuple[str, str, str, str], tag: str) -> DataFrame:
+        xmin, ymin, xmax, ymax = cols
+        cx0 = F.floor((F.col(xmin) + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+        cx1 = F.floor((F.col(xmax) + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+        cy0 = F.floor((F.col(ymin) + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
+        cy1 = F.floor((F.col(ymax) + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
+        return (
+            df.withColumn(f"__row_{tag}", F.explode(F.sequence(cy0, cy1)))
+            .withColumn(f"__col_{tag}", F.explode(F.sequence(cx0, cx1)))
+            .withColumn(
+                "__cell", F.col(f"__row_{tag}") * F.lit(nx) + F.col(f"__col_{tag}")
+            )
+        )
+
+    lc = cells(left, left_cols, "l")
+    rc = cells(right, right_cols, "r").withColumnRenamed("__cell", "__cell_r")
+    lx0, ly0, lx1, ly1 = left_cols
+    rx0, ry0, rx1, ry1 = right_cols
+    intersects = (
+        (F.col(lx1) >= F.col(rx0))
+        & (F.col(rx1) >= F.col(lx0))
+        & (F.col(ly1) >= F.col(ry0))
+        & (F.col(ry1) >= F.col(ly0))
+    )
+    ref_col = F.floor(
+        (F.greatest(F.col(lx0), F.col(rx0)) + F.lit(180.0)) / F.lit(cell_deg)
+    ).cast("long")
+    ref_row = F.floor(
+        (F.greatest(F.col(ly0), F.col(ry0)) + F.lit(90.0)) / F.lit(cell_deg)
+    ).cast("long")
+    joined = lc.join(rc, lc["__cell"] == rc["__cell_r"], "inner").filter(
+        intersects
+        & (F.col("__col_l") == ref_col)
+        & (F.col("__row_l") == ref_row)
+    )
+    return joined.select(*left.columns, *right.columns)

@@ -212,3 +212,91 @@ class TestParallelPrune:
         assert total_serial == total_par == n_files
         assert kept_par == kept_serial
         assert 0 < len(kept_par) < n_files
+
+
+class TestSpatialJoin:
+    def _sides(self, spark):
+        from pyspark.sql import functions as F
+
+        cust = (
+            spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+            .selectExpr(
+                "c_custkey",
+                "CAST((c_custkey % 340) - 170 AS DOUBLE) AS cxmin",
+                "CAST((c_custkey % 160) - 80 AS DOUBLE) AS cymin",
+                "CAST((c_custkey % 340) - 170 + 1 + c_custkey % 7 AS DOUBLE) AS cxmax",
+                "CAST((c_custkey % 160) - 80 + 1 + c_custkey % 5 AS DOUBLE) AS cymax",
+            )
+        )
+        supp = spark.read.parquet(
+            "/root/testdata/sf0.001/supplier.parquet"
+        ).selectExpr(
+            "s_suppkey",
+            "CAST((s_suppkey % 347) - 173 AS DOUBLE) + 0.25 AS sxmin",
+            "CAST((s_suppkey % 165) - 82 AS DOUBLE) + 0.25 AS symin",
+            "CAST((s_suppkey % 347) - 173 AS DOUBLE) + 0.75 + CAST(s_suppkey % 5 AS DOUBLE) AS sxmax",
+            "CAST((s_suppkey % 165) - 82 AS DOUBLE) + 0.75 + CAST(s_suppkey % 4 AS DOUBLE) AS symax",
+        )
+        return cust, supp
+
+    def test_matches_brute_force_at_any_cell_size(self, spark):
+        from gpq_spark.geoparquet.spatial import spatial_join_bboxes
+
+        cust, supp = self._sides(spark)
+        truth = {
+            (r["c_custkey"], r["s_suppkey"])
+            for r in cust.crossJoin(supp)
+            .filter(
+                "cxmax >= sxmin AND sxmax >= cxmin AND "
+                "cymax >= symin AND symax >= cymin"
+            )
+            .collect()
+        }
+        assert truth  # non-degenerate fixture
+        for cell in (3.0, 10.0, 45.0):
+            got = {
+                (r["c_custkey"], r["s_suppkey"])
+                for r in spatial_join_bboxes(
+                    cust,
+                    supp,
+                    left_cols=("cxmin", "cymin", "cxmax", "cymax"),
+                    right_cols=("sxmin", "symin", "sxmax", "symax"),
+                    cell_deg=cell,
+                ).collect()
+            }
+            assert got == truth, f"cell_deg={cell}"
+
+    def test_no_duplicate_pairs(self, spark):
+        from gpq_spark.geoparquet.spatial import spatial_join_bboxes
+
+        cust, supp = self._sides(spark)
+        out = spatial_join_bboxes(
+            cust,
+            supp,
+            left_cols=("cxmin", "cymin", "cxmax", "cymax"),
+            right_cols=("sxmin", "symin", "sxmax", "symax"),
+            cell_deg=3.0,  # small cells → boxes span many cells
+        ).select("c_custkey", "s_suppkey")
+        assert out.count() == out.distinct().count()
+
+    def test_equi_join_plan_never_cartesian(self, spark):
+        from gpq_spark.geoparquet.spatial import spatial_join_bboxes
+
+        cust, supp = self._sides(spark)
+        out = spatial_join_bboxes(
+            cust,
+            supp,
+            left_cols=("cxmin", "cymin", "cxmax", "cymax"),
+            right_cols=("sxmin", "symin", "sxmax", "symax"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
+    def test_rejects_shared_column_names(self, spark):
+        import pytest
+        from gpq_spark.geoparquet.spatial import spatial_join_bboxes
+
+        cust, _ = self._sides(spark)
+        with pytest.raises(ValueError, match="disjoint"):
+            spatial_join_bboxes(cust, cust)
