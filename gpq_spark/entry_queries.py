@@ -2055,6 +2055,81 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_stats(docs, "doc_id", "text", min_docs=2)
 
 
+@register(
+    "text_vocabulary",
+    r"""
+    WITH terms AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+    counts AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM terms WHERE term != '' GROUP BY term),
+    ranked AS (
+        SELECT term, n, n_docs,
+               CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INTEGER)
+                   AS rank
+        FROM counts)
+    SELECT term, n, n_docs, rank FROM ranked WHERE rank <= 50
+    """,
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build (top-50 terms by count with document
+    frequency): one groupBy(term) shuffle with map-side partials, then
+    TakeOrdered top-k — shuffle volume O(vocab), never O(tokens)."""
+    from .pipeline.text import vocabulary
+
+    docs = load(spark, sf_dir, "documents")
+    return vocabulary(docs, "text", "doc_id", top_k=50)
+
+
+@register(
+    "text_bigram_pmi",
+    r"""
+    WITH w AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS words
+               FROM documents),
+    uni AS (SELECT unnest(words) AS term FROM w),
+    uc AS (SELECT term, COUNT(*) AS n_uni FROM uni
+           WHERE term != '' GROUP BY term),
+    tu AS (SELECT CAST(SUM(n_uni) AS BIGINT) AS t_uni FROM uc),
+    raw AS (
+        SELECT unnest(CASE WHEN len(words) >= 2
+                   THEN list_transform(range(1, len(words)), i -> words[i])
+                   ELSE CAST([] AS VARCHAR[]) END) AS term_a,
+               unnest(CASE WHEN len(words) >= 2
+                   THEN list_transform(range(1, len(words)), i -> words[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS term_b
+        FROM w),
+    pc AS (
+        SELECT term_a, term_b, COUNT(*) AS n_pair
+        FROM raw WHERE term_a != '' AND term_b != ''
+        GROUP BY term_a, term_b
+        HAVING COUNT(*) >= 2),
+    tp AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS t_pair FROM pc)
+    SELECT term_a, term_b, CAST(n_pair AS BIGINT) AS n_pair,
+           round(ln((CAST(n_pair AS DOUBLE) / CAST(t_pair AS DOUBLE))
+                    / ((CAST(ua.n_uni AS DOUBLE) / CAST(t_uni AS DOUBLE))
+                       * (CAST(ub.n_uni AS DOUBLE) / CAST(t_uni AS DOUBLE)))),
+                 9) AS pmi
+    FROM pc
+    JOIN uc ua ON pc.term_a = ua.term
+    JOIN uc ub ON pc.term_b = ub.term
+    CROSS JOIN tu CROSS JOIN tp
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram pointwise mutual information (phrase-mining /
+    vocab-merge collocation score): two narrow term-keyed shuffles, two
+    equi-joins back to unigram counts (AQE broadcasts small vocabs),
+    totals attached as broadcast single-row cross joins. All counts are
+    exact BIGINTs; the single ln() is rounded to 9 digits."""
+    from .pipeline.text import bigram_pmi
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_pmi(docs, "text", min_count=2)
+
+
 _QF_RULES = {
     "too_short": "n_chars < 60",
     "too_long": "n_chars > 2000",

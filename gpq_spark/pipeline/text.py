@@ -291,3 +291,129 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         f"(acc, i) -> (acc * {FINGERPRINT_BASE} + ascii(substr({text_col}, i, 1))) % {FINGERPRINT_MOD})"
     )
     return df.withColumn("fingerprint", F.expr(expr))
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: per-term total occurrences and document
+    frequency, ``(term, n, n_docs, rank)`` ranked by count descending
+    with lexicographic tie-break.
+
+    Scale shape: terms are exploded map-side (lowercased whitespace
+    tokens), the corpus-wide counts are ONE ``groupBy(term)`` with
+    map-side partial aggregation — per-partition partials are one row
+    per distinct term, so shuffle volume is O(vocab), not O(tokens).
+    Document frequency rides the same shuffle: the map side emits
+    distinct (term, doc) once per partition and the reduce side counts
+    distinct docs exactly. ``top_k`` uses ``orderBy().limit()`` —
+    Spark's TakeOrdered is per-partition top-k + driver merge of
+    partitions x k rows, never a global sort.
+    """
+    terms = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.expr(f"split(trim(lower({text_col})), '\\\\s+')")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("__doc").alias("n_docs"),
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("term").asc())
+        ).cast("int"),
+    )
+    if top_k is not None:
+        # rank's single-partition window only ever sees the survivors
+        # of the pre-limit: restrict FIRST with TakeOrdered semantics
+        counts = counts.orderBy(
+            F.col("n").desc(), F.col("term").asc()
+        ).limit(top_k)
+        ranked = counts.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("term").asc())
+            ).cast("int"),
+        )
+    return ranked.select("term", F.col("n").cast("long"), F.col("n_docs").cast("long"), "rank")
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs:
+    ``PMI(a,b) = ln( P(a,b) / (P(a) P(b)) )`` over lowercased
+    whitespace tokens — the collocation score used for vocabulary
+    merging and phrase mining. Returns ``(term_a, term_b, n_pair,
+    pmi)`` for pairs seen ≥ ``min_count`` times.
+
+    Determinism: every probability is a ratio of exact BIGINT counts
+    and the single ``ln`` is applied to one rational number, rounded
+    to ``round_digits`` — no float aggregation anywhere, so results
+    are partition- and engine-independent.
+
+    Scale shape: bigrams explode from the cheap index sequence (never
+    a computed-array explode — see top_ngram_stats); unigram and
+    bigram counts are two narrow ``groupBy`` shuffles keyed by term;
+    the pair table joins the unigram table twice on term equi-keys
+    (AQE picks broadcast when the vocab fits); corpus totals attach
+    as a broadcast single-row cross join.
+    """
+    words_df = df.select(
+        F.expr(f"split(trim(lower({text_col})), '\\\\s+')").alias("__w")
+    )
+    uni = (
+        words_df.select(F.explode("__w").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    idx = "CASE WHEN size(__w) >= 2 THEN sequence(1, size(__w) - 1) ELSE array() END"
+    pairs = (
+        words_df.select("__w", F.explode(F.expr(idx)).alias("__i"))
+        .select(
+            F.expr("__w[__i - 1]").alias("term_a"),
+            F.expr("__w[__i]").alias("term_b"),
+        )
+        .filter((F.col("term_a") != "") & (F.col("term_b") != ""))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    if min_count > 1:
+        pairs = pairs.filter(F.col("n_pair") >= min_count)
+    t_uni = uni.agg(F.sum("n_uni").alias("t_uni"))
+    t_pair = pairs.agg(F.sum("n_pair").alias("t_pair"))
+    ua = uni.select(F.col("term").alias("term_a"), F.col("n_uni").alias("n_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("n_uni").alias("n_b"))
+    out = (
+        pairs.join(ua, "term_a")
+        .join(ub, "term_b")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_pair))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.col("t_pair").cast("double"))
+                    / (
+                        (F.col("n_a").cast("double") / F.col("t_uni").cast("double"))
+                        * (F.col("n_b").cast("double") / F.col("t_uni").cast("double"))
+                    )
+                ),
+                round_digits,
+            ).alias("pmi"),
+        )
+    )
+    return out

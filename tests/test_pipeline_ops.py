@@ -325,6 +325,61 @@ class TestRepetitionStats:
         # doc 3: 'a a' ×3
         assert (got[3]["top_gram"], got[3]["top_gram_count"]) == ("a a", 3)
 
+    def test_vocabulary(self, spark):
+        from gpq_spark.pipeline.text import vocabulary
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the dog"), (3, "the cat")],
+            ["doc_id", "text"],
+        )
+        rows = vocabulary(df, "text", "doc_id", top_k=3).collect()
+        got = [(r["term"], r["n"], r["n_docs"], r["rank"]) for r in rows]
+        # tie at n=1: 'dog' < 'sat' lexicographically
+        assert sorted(got, key=lambda t: t[3]) == [
+            ("the", 3, 3, 1),
+            ("cat", 2, 2, 2),
+            ("dog", 1, 1, 3),
+        ]
+
+    def test_vocabulary_min_count(self, spark):
+        from gpq_spark.pipeline.text import vocabulary
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the dog"), (3, "the cat")],
+            ["doc_id", "text"],
+        )
+        terms = {
+            r["term"] for r in vocabulary(df, "text", "doc_id", min_count=2).collect()
+        }
+        assert terms == {"the", "cat"}
+
+    def test_bigram_pmi(self, spark):
+        import math
+
+        from gpq_spark.pipeline.text import bigram_pmi
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+        )
+        # unigrams: a×3 b×3 c×1 (t_uni=7); pairs ≥2: only (a,b)×3 (t_pair=3)
+        rows = bigram_pmi(df, "text", min_count=2).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["term_a"], r["term_b"], r["n_pair"]) == ("a", "b", 3)
+        assert r["pmi"] == pytest.approx(math.log(49 / 9), abs=1e-8)
+
+    def test_bigram_pmi_all_pairs(self, spark):
+        from gpq_spark.pipeline.text import bigram_pmi
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+        )
+        got = {
+            (r["term_a"], r["term_b"]): r["n_pair"]
+            for r in bigram_pmi(df, "text", min_count=1).collect()
+        }
+        assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+
 
 class TestWeightedSample:
     def test_rates_and_determinism(self, spark):
