@@ -1673,9 +1673,11 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_id",
         "event_id",
         "user_id",
-        (
-            F.expr("unix_micros(ts)") - F.expr("unix_micros(t0)")
-        ).cast("long").alias("offset_us"),
+        # timestamp_diff is wall-clock arithmetic — valid for both
+        # TIMESTAMP and TIMESTAMP_NTZ (unix_micros rejects NTZ)
+        F.timestamp_diff("MICROSECOND", F.col("t0"), F.col("ts"))
+        .cast("long")
+        .alias("offset_us"),
     )
 
 
@@ -2727,11 +2729,9 @@ def stream_tumble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = _os.path.join(src_dir, "events.parquet")
     if not _os.path.exists(link):
         _os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from .streaming.windows import stream_events
+
+    stream = stream_events(spark, src_dir, raw_schema)
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), "event_type")
         .count()
@@ -2833,11 +2833,10 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = _os.path.join(src_dir, "events.parquet")
     if not _os.path.exists(link):
         _os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
+    from .streaming.windows import stream_events
+
+    stream = stream_events(spark, src_dir, raw_schema).withColumn(
+        "hour_ts", F.date_trunc("hour", F.col("ts"))
     )
     deduped = stream_dedup(
         stream, ["user_id", "event_type", "hour_ts"], watermark_col="ts"

@@ -13,6 +13,25 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def epoch_micros(df: DataFrame, col: str) -> Column:
+    """Exact integer microseconds since the epoch for a timestamp column,
+    correct for both TIMESTAMP and TIMESTAMP_NTZ inputs.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ (the type Spark 4 infers for
+    parquet ``timestamp[us]`` columns without UTC adjustment), and the
+    obvious ``cast(ts AS TIMESTAMP)`` workaround shifts the value by the
+    session timezone. ``timestampdiff`` against an NTZ epoch literal is
+    pure wall-clock arithmetic — it matches DuckDB's ``epoch_us(ts)``
+    under any session timezone.
+    """
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    return F.unix_micros(F.col(col))
 
 
 def asof_join(
@@ -106,7 +125,7 @@ def sessionize(
     w = Window.partitionBy(key_col).orderBy(F.col(time_col).asc())
     # exact integer microseconds — a double-seconds cast is inexact and
     # could flip a gap==threshold boundary
-    t = F.unix_micros(F.col(time_col))
+    t = epoch_micros(df, time_col)
     gap = t - F.lag(t).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.withColumn(
@@ -179,17 +198,15 @@ def range_join_bucketed(
     if how not in ("inner",):
         raise ValueError("range_join_bucketed supports inner joins")
     bucket_us = bucket_seconds * 1_000_000
-    lb = F.expr(
-        f"CAST(floor(unix_micros({left_ts}) / {bucket_us}) AS BIGINT)"
-    ).alias("__bucket")
-    left_b = left.withColumn("__bucket", lb)
+
+    def _bucket(df: DataFrame, col: str) -> Column:
+        return F.floor(epoch_micros(df, col) / bucket_us).cast("long")
+
+    left_b = left.withColumn("__bucket", _bucket(left, left_ts))
     right_b = right.withColumn(
         "__bucket",
         F.explode(
-            F.sequence(
-                F.expr(f"CAST(floor(unix_micros({right_start}) / {bucket_us}) AS BIGINT)"),
-                F.expr(f"CAST(floor(unix_micros({right_end}) / {bucket_us}) AS BIGINT)"),
-            )
+            F.sequence(_bucket(right, right_start), _bucket(right, right_end))
         ),
     )
     cond = left_b["__bucket"] == right_b["__bucket"]

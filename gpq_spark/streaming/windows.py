@@ -27,12 +27,30 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def stream_events(spark: SparkSession, events_dir: str, schema) -> DataFrame:
-    """File-source stream of the events table (ts converted from the
-    raw nanos-as-long read to a timestamp)."""
+    """File-source stream of the events table with ``ts`` normalized to
+    TIMESTAMP (the only event-time type watermarks accept), whatever the
+    parquet physically stores:
+
+    - nanos-as-long (legacy read): ``ts div 1000`` micros → timestamp
+    - TIMESTAMP_NTZ (Spark 4 infers this for ``timestamp[us]`` without
+      UTC adjustment): wall clock re-anchored as a UTC instant via
+      exact microsecond arithmetic — ``cast(ts AS TIMESTAMP)`` would
+      shift the value by the session timezone instead
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = spark.readStream.schema(schema).parquet(events_dir)
-    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return stream
 
 
