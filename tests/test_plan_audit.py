@@ -209,3 +209,45 @@ def test_quality_filter_map_side(plans):
     p = plans("text_quality_filter")
     assert "Exchange" not in p
     assert "pythonUDF" not in p.lower()
+
+
+def test_q4_exists_is_semi_join(plans):
+    p = plans("q4_priority_lateness")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_q2_window_min_not_correlated_subquery(plans):
+    p = plans("q2_min_cost_supplier")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_q11_scalar_total_broadcast(plans):
+    # the 1-row total must broadcast, not shuffle the pv side again
+    p = plans("q11_important_parts")
+    assert "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p
+
+
+def test_q19_disjunction_no_cartesian(plans):
+    p = plans("q19_disjunctive_revenue")
+    assert "CartesianProduct" not in p
+    # brand/size predicates partially pushed to the part scan
+    assert "PushedFilters" in p
+
+
+def test_q21_no_self_join_blowup(plans):
+    # the EXISTS/NOT-EXISTS pair must be one per-order agg, not two
+    # extra lineitem self-joins: lineitem is scanned at most twice
+    # (base + stats), never four times
+    p = plans("q21_only_late_supplier")
+    assert p.count("lineitem.parquet") <= 2 or p.count("FileScan") <= 3
+    assert "CartesianProduct" not in p
+
+
+def test_q20_heavy_set_broadcast_semi(plans):
+    p = plans("q20_heavy_suppliers")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
