@@ -3956,3 +3956,136 @@ def q21_only_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: substring-level dedup, keyed-latest dedup, range
+# frames, grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_substring_pairs",
+    """
+    WITH w AS (
+        SELECT doc_id, md5(substr(text, CAST(p AS INT), 48)) AS h
+        FROM documents,
+             unnest(range(1, GREATEST(len(text) - 47, 0) + 1, 8)) AS t(p)
+    ), d AS (SELECT DISTINCT doc_id, h FROM w)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring duplication (suffix-array relaxation): document
+    pairs sharing a 48-char span sampled at stride 8. The oracle's
+    self-join formulation and the engine's one-shuffle bucket-expand
+    produce the same pair set; the engine never self-joins."""
+    from .pipeline.dedup import substring_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return substring_dup_pairs(docs, "doc_id", "text", window=48, stride=8)
+
+
+@register(
+    "q_latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM (
+        SELECT user_id, event_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-latest dedup (the mutable-table compaction primitive):
+    row_number over (key ORDER BY time DESC, id DESC) = 1. One shuffle
+    on the key; ties broken totally by event_id for determinism."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
+@register(
+    "q_rolling_hour_value",
+    f"""
+    SELECT event_id, user_id,
+           CAST(SUM({cents('value')}) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS hour_value_cents
+    FROM events
+    """,
+)
+def q_rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user rolling sum over the trailing
+    hour (inclusive). Ordered by exact epoch microseconds so the frame
+    boundary is integer-exact in both engines. One shuffle on user_id."""
+    from .relational import epoch_micros
+
+    ev = load_events(spark, sf_dir)
+    ev = ev.withColumn("__us", epoch_micros(ev, "ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("__us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.expr(cents("value"))).over(w).cast("long").alias("hour_value_cents"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than cube/rollup): (flag, status),
+    (flag), and grand total in ONE pass — Spark expands the sets into a
+    single Expand + aggregate, one shuffle, no union of three scans."""
+    li = load(spark, sf_dir, "lineitem")
+    gs = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(cents("l_quantity"))).cast("long").alias("qty_cents"),
+    )
+    return gs.select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+        "g_flag",
+        "g_status",
+        "n",
+        "qty_cents",
+    )

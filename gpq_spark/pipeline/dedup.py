@@ -531,3 +531,66 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 48,
+    stride: int = 8,
+) -> DataFrame:
+    """Cross-document exact substring duplication: pairs of documents
+    sharing at least one identical ``window``-char span (sampled every
+    ``stride`` chars), with the count of distinct shared span hashes.
+
+    This is the partition-parallel relaxation of suffix-array substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): a shared span of length ≥ window + stride - 1 is
+    guaranteed to produce at least one aligned sampled window on both
+    sides, so recall is complete for spans ≥ that length.
+
+    Output: ``id_a``, ``id_b`` (id_a < id_b), ``n_windows`` (distinct
+    shared window hashes).
+
+    Scale: window hashes are map-side (one md5 per sampled position);
+    the ONE wide shuffle is the groupBy on the span hash, which moves
+    narrow (hash, id) rows — never document text. Pairs expand
+    in-bucket (the ``lsh_candidate_pairs`` shape); the final per-pair
+    count shuffles only the pair keys. Bucket skew = a span shared by
+    many docs (boilerplate); cap it upstream with the boilerplate
+    filter if the corpus needs it.
+    """
+    spans = df.filter(F.length(F.col(text_col)) >= window).select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.length(F.col(text_col)) - (window - 1),
+                F.lit(stride),
+            )
+        ).alias("__p"),
+        F.col(text_col).alias("__t"),
+    )
+    hashed = spans.select(
+        "__id", F.expr(f"md5(substr(__t, __p, {window}))").alias("__h")
+    )
+    buckets = (
+        hashed.groupBy("__h")
+        .agg(F.array_sort(F.collect_set("__id")).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ids, (x, i) -> "
+                "transform(slice(__ids, i + 2, size(__ids) - i - 1), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("__pair")
+    )
+    return (
+        pairs.select("__pair.id_a", "__pair.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+    )

@@ -251,3 +251,30 @@ def test_q20_heavy_set_broadcast_semi(plans):
     p = plans("q20_heavy_suppliers")
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
+
+
+def test_substring_pairs_no_self_join(plans):
+    # one scan of documents, bucket-expand — never a hash-join of the
+    # span table against itself
+    p = plans("dedup_substring_pairs")
+    assert p.count("documents.parquet") <= 1 or p.count("FileScan") <= 1
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_grouping_sets_single_expand(plans):
+    # one Expand + one agg pass, not a union of three scans
+    p = plans("q_grouping_sets")
+    assert p.count("Expand") == 1
+    assert p.count("FileScan") == 1
+
+
+def test_latest_per_user_single_shuffle(plans):
+    p = plans("q_latest_event_per_user")
+    assert p.count("Exchange") <= 1
+    assert "Window" in p
+
+
+def test_rolling_hour_range_frame(plans):
+    p = plans("q_rolling_hour_value")
+    assert "RANGE BETWEEN" in p.upper() or "specifiedwindowframe(RangeFrame".lower() in p.lower() or "Window" in p
+    assert p.count("Exchange") <= 1
