@@ -4089,3 +4089,49 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "qty_cents",
     )
+
+
+@register(
+    "stream_join_events",
+    """
+    SELECT a.user_id, a.event_id AS l_event_id, b.event_id AS r_event_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1800 SECOND
+    """,
+)
+def stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (view → purchase within
+    30 min, same user) as a real Structured Streaming query drained
+    synchronously. Inner-join matches emit as both rows arrive, so the
+    bounded replay equals the batch self-join oracle exactly."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from .streaming import stream_events, stream_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = _os.path.join(
+        _tempfile.gettempdir(), f"stream_src_{abs(hash(sf_dir)) % 10 ** 8}"
+    )
+    _os.makedirs(src_dir, exist_ok=True)
+    link = _os.path.join(src_dir, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = stream_events(spark, src_dir, raw_schema)
+    joined = stream_interval_join(
+        stream, "view", "purchase", interval_seconds=1800
+    )
+    name = f"stream_join_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

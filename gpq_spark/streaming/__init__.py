@@ -6,6 +6,7 @@ from .windows import (
     stream_dedup,
     stream_near_dup_candidates,
     stream_to_geoparquet,
+    stream_interval_join,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "stream_dedup",
     "stream_near_dup_candidates",
     "stream_to_geoparquet",
+    "stream_interval_join",
 ]

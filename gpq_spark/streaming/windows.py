@@ -282,3 +282,53 @@ def stream_to_geoparquet(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_interval_join(
+    stream: DataFrame,
+    left_type: str,
+    right_type: str,
+    interval_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: for every ``left_type``
+    event, the ``right_type`` events of the same user within
+    ``interval_seconds`` AFTER it (inclusive bounds) — the funnel /
+    attribution join (view → purchase).
+
+    Both sides carry a watermark and the join condition bounds
+    right.ts to [left.ts, left.ts + interval], so Spark derives state
+    watermarks for BOTH buffers: each side's state is evicted once the
+    other side's watermark passes the last possible match — bounded
+    state at any input rate, the only formulation that survives an
+    unbounded stream. Inner-join matches emit as soon as both rows
+    arrive (no result-finalization wait).
+
+    Output: ``user_id``, ``l_event_id``, ``r_event_id``.
+    """
+    left = (
+        stream.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        stream.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval_seconds} SECONDS"))
+    )
+    return left.join(right, cond).select(
+        F.col("l_user").alias("user_id"), "l_event_id", "r_event_id"
+    )

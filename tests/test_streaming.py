@@ -291,3 +291,55 @@ class TestCheckpointRestart:
         run_once()
         final = sorted(r["k"] for r in spark.read.parquet(str(out)).collect())
         assert final == [1, 2, 3]  # dups suppressed ACROSS the restart
+
+
+class TestStreamIntervalJoin:
+    def test_matches_batch_self_join(self, spark, events_dir):
+        from gpq_spark.streaming import stream_events, stream_interval_join
+
+        stream = stream_events(spark, events_dir, _raw_schema(spark))
+        joined = stream_interval_join(stream, "view", "purchase", 1800)
+        name = f"sj_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.user_id, r.l_event_id, r.r_event_id)
+            for r in spark.table(name).collect()
+        }
+
+        batch = spark.read.parquet(f"{TESTDATA}/sf0.001/events.parquet")
+        a = batch.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("u"), F.col("event_id").alias("a_id"),
+            F.col("ts").alias("a_ts"),
+        )
+        b = batch.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("bu"), F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        want = {
+            (r.u, r.a_id, r.b_id)
+            for r in a.join(
+                b,
+                (F.col("u") == F.col("bu"))
+                & (F.col("b_ts") >= F.col("a_ts"))
+                & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1800 SECONDS")),
+            ).collect()
+        }
+        assert got == want
+
+    def test_both_sides_watermarked_bounded_state(self, spark, events_dir):
+        # the analyzed plan must carry an EventTimeWatermark on EACH
+        # join input — without both, stream-stream join state is
+        # unbounded and Spark would reject or leak
+        from gpq_spark.streaming import stream_events, stream_interval_join
+
+        stream = stream_events(spark, events_dir, _raw_schema(spark))
+        joined = stream_interval_join(stream, "view", "purchase", 1800)
+        plan = joined._jdf.queryExecution().analyzed().toString()
+        assert plan.count("EventTimeWatermark") == 2
