@@ -14,6 +14,7 @@ from .writer import write_geoparquet, get_compression, read_column_codecs
 from .datasource import GeoParquetDataSource, register as register_datasource
 from .extract import extract, extract_df
 from .describe import describe, describe_metadata_only
+from .compact import compact_geoparquet, plan_compaction
 from .spatial import (
     add_bbox_column,
     partition_by_grid,
@@ -38,6 +39,8 @@ __all__ = [
     "parquet_files",
     "write_geoparquet",
     "get_compression",
+    "compact_geoparquet",
+    "plan_compaction",
     "extract",
     "extract_df",
     "read_column_codecs",

@@ -1,0 +1,117 @@
+"""Small-file compaction for GeoParquet datasets.
+
+Streaming sinks (one file per micro-batch per partition) and
+fine-grained spatial partitioning both produce file sprawl; at scan
+time every file costs a task + a footer read, so a 100 TB dataset
+accumulated from small epochs can spend more time scheduling than
+scanning. ``compact_geoparquet`` rewrites the small part files of a
+dataset directory into ~target-size files through the engine's own
+distributed writer, so the output keeps per-file spec-valid ``"geo"``
+footers (bounds + geometry-type stats) and stays prunable by
+``prune_files_by_bbox``.
+
+The reference has no compaction (it is a single-file CLI —
+``cmd/gpq/command/convert.go`` writes one output); this is
+beyond-reference ops tooling a long-lived dataset needs.
+
+Crash safety: new files are written (with a fresh uuid salt) BEFORE
+the originals are removed — a crash mid-compaction leaves duplicate
+rows rather than lost rows, and re-running compaction converges.
+Readers concurrent with a compaction may see duplicates; compact in a
+maintenance window or on a snapshot, as with any in-place rewrite.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .reader import parquet_files, read_geo_metadata
+from .writer import DEFAULT_ROW_GROUP_LENGTH, write_geoparquet
+
+
+def plan_compaction(
+    path: str,
+    target_bytes: int = 128 << 20,
+    small_fraction: float = 0.5,
+) -> dict[str, Any]:
+    """Decide which part files to rewrite.
+
+    A file participates when its size is below ``small_fraction ×
+    target_bytes`` — files already near target are left untouched (no
+    write amplification). Returns {small, keep, groups, total_bytes}
+    where ``groups`` is the output file count ceil(total/target).
+    """
+    files = sorted(parquet_files(path))
+    sizes = {f: os.path.getsize(f) for f in files}
+    threshold = small_fraction * target_bytes
+    small = [f for f in files if sizes[f] < threshold]
+    keep = [f for f in files if sizes[f] >= threshold]
+    total = sum(sizes[f] for f in small)
+    groups = max(1, math.ceil(total / target_bytes)) if small else 0
+    return {"small": small, "keep": keep, "groups": groups, "total_bytes": total}
+
+
+def compact_geoparquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    small_fraction: float = 0.5,
+    compression: str | None = None,
+    row_group_length: int = DEFAULT_ROW_GROUP_LENGTH,
+    compute_stats: bool = True,
+) -> dict[str, Any]:
+    """Rewrite the small part files of ``path`` into ≈``target_bytes``
+    files, preserving rows, schema, and geo footer metadata.
+
+    Scale: the rewrite is one distributed job — a parquet scan of only
+    the small files, a round-robin ``repartition`` to the planned
+    output count (size-uniform outputs without any driver-side row
+    movement), and the standard executor-side footer-stamping write.
+    The driver touches only file names and sizes, never data. With the
+    default ``small_fraction``, repeated compactions are idempotent:
+    output files ≥ target/2 are never rewritten again.
+
+    Returns {in_files, out_files, kept_files, bytes_compacted}.
+    """
+    plan = plan_compaction(path, target_bytes, small_fraction)
+    small = plan["small"]
+    if len(small) <= 1:
+        return {
+            "in_files": len(small),
+            "out_files": len(small),
+            "kept_files": len(plan["keep"]),
+            "bytes_compacted": 0,
+        }
+
+    meta = read_geo_metadata(path)
+    if compression is None:
+        from .writer import read_column_codecs
+
+        codecs = read_column_codecs(small[0])
+        # one codec for all columns when uniform, else pyarrow accepts
+        # the per-column dict as-is
+        uniq = set(codecs.values())
+        compression = uniq.pop().lower() if len(uniq) == 1 else codecs
+
+    df = spark.read.parquet(*small)
+    results = write_geoparquet(
+        df.repartition(plan["groups"]),
+        path,
+        meta,
+        compression=compression,
+        row_group_length=row_group_length,
+        mode="append",
+        compute_stats=compute_stats,
+    )
+    for f in small:
+        os.remove(f)
+    return {
+        "in_files": len(small),
+        "out_files": len(results),
+        "kept_files": len(plan["keep"]),
+        "bytes_compacted": plan["total_bytes"],
+    }

@@ -278,11 +278,15 @@ def write_geoparquet(
         if name not in df.columns:
             raise ValueError(f"geometry column '{name}' not in DataFrame columns {df.columns}")
 
+    if mode not in ("overwrite", "error", "append"):
+        raise ValueError(f"unknown write mode '{mode}'")
     if os.path.exists(path):
         if mode == "overwrite":
             shutil.rmtree(path)
         elif mode == "error":
             raise FileExistsError(path)
+        # "append": new part files land next to existing ones — the
+        # per-write uuid salt in the file names prevents collisions
     os.makedirs(path, exist_ok=True)
 
     if single_file:

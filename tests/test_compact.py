@@ -1,0 +1,90 @@
+"""Compaction: small part files rewritten to ~target-size files with
+footers preserved, rows intact, big files untouched."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpq_spark.geoparquet import (
+    compact_geoparquet,
+    parquet_files,
+    plan_compaction,
+    read_geo_metadata,
+    try_read_geo_metadata,
+    write_geoparquet,
+)
+
+from conftest import TESTDATA
+
+
+@pytest.fixture()
+def sprawl_dir(spark, tmp_path):
+    """A dataset of 16 deliberately tiny part files."""
+    df = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    out = str(tmp_path / "sprawl")
+    # the writer emits one file per partition
+    from gpq_spark.geo.wkb import dumps
+
+    pt = dumps({"type": "Point", "coordinates": [1.0, 2.0]})
+    gdf = df.withColumn("geometry", F.lit(bytearray(pt)))
+    write_geoparquet(gdf.repartition(16), out)
+    return out
+
+
+def test_compact_reduces_files_preserves_rows(spark, sprawl_dir):
+    before_files = parquet_files(sprawl_dir)
+    before_rows = spark.read.parquet(sprawl_dir).count()
+    assert len(before_files) == 16
+
+    # pick a target a bit larger than the whole dataset → 1 output file
+    total = sum(os.path.getsize(f) for f in before_files)
+    res = compact_geoparquet(spark, sprawl_dir, target_bytes=total * 2)
+
+    after_files = parquet_files(sprawl_dir)
+    assert res["in_files"] == 16
+    assert res["out_files"] == len(after_files) == 1
+    assert spark.read.parquet(sprawl_dir).count() == before_rows
+    # every remaining file carries valid geo footer metadata
+    for f in after_files:
+        assert try_read_geo_metadata(f) is not None
+
+
+def test_compact_respects_target_groups(spark, sprawl_dir):
+    files = parquet_files(sprawl_dir)
+    total = sum(os.path.getsize(f) for f in files)
+    # target of ~1/3 total → 3-4 output files
+    res = compact_geoparquet(spark, sprawl_dir, target_bytes=total // 3 + 1)
+    assert 3 <= res["out_files"] <= 4
+    assert spark.read.parquet(sprawl_dir).count() == 500
+
+
+def test_compact_leaves_big_files_alone(spark, sprawl_dir, tmp_path):
+    # compact fully once, then recompact: nothing small remains
+    files = parquet_files(sprawl_dir)
+    total = sum(os.path.getsize(f) for f in files)
+    compact_geoparquet(spark, sprawl_dir, target_bytes=total * 2)
+    after_once = sorted(parquet_files(sprawl_dir))
+    res2 = compact_geoparquet(spark, sprawl_dir, target_bytes=total * 2)
+    assert res2["bytes_compacted"] == 0
+    assert sorted(parquet_files(sprawl_dir)) == after_once  # untouched
+
+
+def test_plan_partitions_small_vs_keep(sprawl_dir):
+    files = parquet_files(sprawl_dir)
+    biggest = max(os.path.getsize(f) for f in files)
+    plan = plan_compaction(sprawl_dir, target_bytes=biggest, small_fraction=0.99)
+    assert set(plan["small"]) | set(plan["keep"]) == set(files)
+    assert plan["groups"] >= 1
+
+
+def test_compact_preserves_metadata_and_bounds(spark, sprawl_dir):
+    meta_before = read_geo_metadata(sprawl_dir)
+    files = parquet_files(sprawl_dir)
+    total = sum(os.path.getsize(f) for f in files)
+    compact_geoparquet(spark, sprawl_dir, target_bytes=total * 2)
+    meta_after = read_geo_metadata(sprawl_dir)
+    assert meta_after.primary_column == meta_before.primary_column
+    col = meta_after.columns[meta_after.primary_column]
+    # all rows share the same point → exact bounds
+    assert col.bbox == [1.0, 2.0, 1.0, 2.0]
