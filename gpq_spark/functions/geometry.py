@@ -220,3 +220,42 @@ def st_is_valid_wkb(col: Column | str) -> Column:
     """True when the value decodes under encoding sniffing (validator
     rule GeometryEncoding, rules.go:520-536)."""
     return _is_valid_wkb_udf(_c(col))
+
+
+@F.pandas_udf(T.BooleanType())
+def _contains_point_udf(
+    geom: pd.Series, x: pd.Series, y: pd.Series
+) -> pd.Series:
+    """Even-odd point-in-geometry per row, with a per-batch decode
+    cache: after a bbox candidate join, one polygon appears on many
+    rows — decode each distinct WKB once per Arrow batch."""
+    from ..geo.pip import point_in_geometry
+
+    cache: dict[bytes, object] = {}
+
+    def decode(v):
+        if v is None:
+            return None
+        b = bytes(v)
+        if b not in cache:
+            cache[b] = _decode_any(b)
+        return cache[b]
+
+    return pd.Series(
+        [
+            point_in_geometry(decode(g), float(px), float(py))
+            if g is not None and px == px and py == py
+            else False
+            for g, px, py in zip(geom, x, y)
+        ]
+    )
+
+
+def st_contains_point(
+    geom_col: Column | str, x: Column | str, y: Column | str
+) -> Column:
+    """True when point (x, y) lies inside the polygon/multipolygon
+    geometry (even-odd rule; see ``geo.pip``). Beyond-reference: the
+    reference's spatial filter is bbox-only. Arrow-batched; use AFTER
+    a bbox prune so the slow path sees candidates, not the corpus."""
+    return _contains_point_udf(_c(geom_col), _c(x), _c(y))

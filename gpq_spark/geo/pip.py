@@ -1,0 +1,67 @@
+"""Point-in-polygon containment over decoded WKB geometries.
+
+The reference's spatial surface is bbox-only (extract --bbox,
+internal/geo/geo.go:341-372); exact containment is beyond-reference
+capability for refining bbox candidate joins into true hits.
+
+Rule: even-odd (ray casting toward +x). For a Polygon, a point is
+inside when a ray crosses the union of all rings an odd number of
+times — which is exactly "inside the outer ring and not inside a
+hole". MultiPolygon: inside any member. Points exactly on a boundary
+edge follow the half-open crossing convention (deterministic, but a
+boundary point may count as either side depending on edge direction —
+match the tolerance expectations of even-odd implementations
+everywhere; exact-boundary semantics need rational arithmetic no
+float-based engine provides).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def _ray_crossings(x: float, y: float, ring) -> int:
+    """Number of times a +x ray from (x, y) crosses ring edges,
+    using the half-open rule (y1 > y) != (y2 > y) so a vertex exactly
+    at the ray height is counted once, not twice."""
+    n = 0
+    m = len(ring)
+    for i in range(m - 1):
+        x1, y1 = ring[i][0], ring[i][1]
+        x2, y2 = ring[i + 1][0], ring[i + 1][1]
+        if (y1 > y) != (y2 > y):
+            x_at = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            if x < x_at:
+                n += 1
+    # open rings (first != last): close implicitly
+    if m >= 2 and (ring[0][0] != ring[-1][0] or ring[0][1] != ring[-1][1]):
+        x1, y1 = ring[-1][0], ring[-1][1]
+        x2, y2 = ring[0][0], ring[0][1]
+        if (y1 > y) != (y2 > y):
+            x_at = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            if x < x_at:
+                n += 1
+    return n
+
+
+def point_in_geometry(geom: dict[str, Any] | None, x: float, y: float) -> bool:
+    """Even-odd containment of (x, y) in a decoded geometry dict
+    (the ``geo.wkb.loads`` representation)."""
+    if geom is None:
+        return False
+    t = geom["type"]
+    if t == "Polygon":
+        crossings = sum(_ray_crossings(x, y, ring) for ring in geom["coordinates"])
+        return crossings % 2 == 1
+    if t == "MultiPolygon":
+        for poly in geom["coordinates"]:
+            crossings = sum(_ray_crossings(x, y, ring) for ring in poly)
+            if crossings % 2 == 1:
+                return True
+        return False
+    if t == "GeometryCollection":
+        return any(
+            point_in_geometry(g, x, y) for g in geom.get("geometries", [])
+        )
+    # points / lines have zero area: nothing is "inside"
+    return False

@@ -20,6 +20,7 @@ from .spatial import (
     partition_by_grid,
     prune_files_by_bbox,
     read_geoparquet_bbox,
+    spatial_join_points_in_polygons,
     write_geoparquet_partitioned,
 )
 
@@ -49,6 +50,7 @@ __all__ = [
     "add_bbox_column",
     "partition_by_grid",
     "prune_files_by_bbox",
+    "spatial_join_points_in_polygons",
     "read_geoparquet_bbox",
     "write_geoparquet_partitioned",
     "GeoParquetDataSource",

@@ -292,3 +292,88 @@ def spatial_join_bboxes(
         & (F.col("__row_l") == ref_row)
     )
     return joined.select(*left.columns, *right.columns)
+
+
+def spatial_join_points_in_polygons(
+    points: DataFrame,
+    polygons: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    geom_col: str = "geometry",
+    cell_deg: float = 10.0,
+    bbox_cols: tuple[str, str, str, str] | None = None,
+) -> DataFrame:
+    """Exact point-in-polygon join: grid-cell bbox candidates refined
+    by even-odd containment.
+
+    Two phases, both partition-parallel:
+
+    1. CANDIDATES — the PBSM grid equi-join of ``spatial_join_bboxes``
+       (a point is a zero-area box: exactly one cell, no explode
+       fan-out on the points side). JVM-only comparisons.
+    2. REFINE — ``st_contains_point`` (Arrow-batched pandas UDF with a
+       per-batch polygon decode cache) filters candidates to true
+       hits. The UDF sees only bbox-surviving pairs, so the Python
+       cost is proportional to the candidate set, not |points|×|polys|.
+
+    ``polygons`` needs bbox columns (``bbox_cols``; computed from the
+    geometry via ``st_envelope`` when absent). Column names of the two
+    inputs must be disjoint. Output: point columns + polygon columns.
+    """
+    from ..functions.geometry import st_contains_point, st_envelope
+
+    overlap = set(points.columns) & set(polygons.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint; shared: {sorted(overlap)}")
+
+    if bbox_cols is None:
+        # any struct column carrying xmin/ymin/xmax/ymax is a bbox
+        # covering column (GeoParquet names it per covering metadata,
+        # e.g. "bbox" or "geometry_bbox")
+        bbox_field = next(
+            (
+                f.name
+                for f in polygons.schema.fields
+                if hasattr(f.dataType, "fieldNames")
+                and set(f.dataType.fieldNames()) >= {"xmin", "ymin", "xmax", "ymax"}
+            ),
+            None,
+        )
+        if bbox_field is not None:
+            # GeoParquet covering column: bbox is free, zero Python
+            polygons = (
+                polygons.withColumn("__pxmin", F.col(f"{bbox_field}.xmin"))
+                .withColumn("__pymin", F.col(f"{bbox_field}.ymin"))
+                .withColumn("__pxmax", F.col(f"{bbox_field}.xmax"))
+                .withColumn("__pymax", F.col(f"{bbox_field}.ymax"))
+            )
+        else:
+            # decode-based envelope. inline(array(udf)) puts the UDF
+            # under a Generate node — a CollapseProject barrier — so
+            # the envelope is computed ONCE per polygon; four plain
+            # struct-field projections would each re-evaluate the UDF
+            # after projection collapse (4× the decode cost)
+            polygons = polygons.select(
+                "*", F.inline(F.array(st_envelope(geom_col)))
+            ).select(
+                *polygons.columns,
+                F.col("xmin").alias("__pxmin"),
+                F.col("ymin").alias("__pymin"),
+                F.col("xmax").alias("__pxmax"),
+                F.col("ymax").alias("__pymax"),
+            )
+        bbox_cols = ("__pxmin", "__pymin", "__pxmax", "__pymax")
+
+    pts = points.withColumn("__qx", F.col(x_col)).withColumn("__qy", F.col(y_col))
+    candidates = spatial_join_bboxes(
+        pts,
+        polygons,
+        left_cols=("__qx", "__qy", "__qx", "__qy"),
+        right_cols=bbox_cols,
+        cell_deg=cell_deg,
+    )
+    refined = candidates.filter(
+        st_contains_point(geom_col, "__qx", "__qy")
+    )
+    drop = ["__qx", "__qy"] + [c for c in bbox_cols if c.startswith("__p")]
+    return refined.drop(*drop)

@@ -1,0 +1,139 @@
+"""Point-in-polygon: even-odd kernel + refined spatial join over the
+reference Natural-Earth fixture polygons."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpq_spark.geo.pip import point_in_geometry
+from gpq_spark.geo import wkb as _wkb
+
+FIXTURE = "/root/reference/internal/testdata/cases/example-v1.0.0.parquet"
+
+
+class TestKernel:
+    def test_square(self):
+        sq = {"type": "Polygon", "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]]}
+        assert point_in_geometry(sq, 2, 2)
+        assert not point_in_geometry(sq, 5, 2)
+        assert not point_in_geometry(sq, -1, -1)
+
+    def test_concave_l_shape(self):
+        # L-shape: the notch (3,3) is OUTSIDE despite being in the bbox
+        l = {
+            "type": "Polygon",
+            "coordinates": [[[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4], [0, 0]]],
+        }
+        assert point_in_geometry(l, 1, 3)
+        assert point_in_geometry(l, 3, 1)
+        assert not point_in_geometry(l, 3, 3)
+
+    def test_polygon_with_hole(self):
+        donut = {
+            "type": "Polygon",
+            "coordinates": [
+                [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]],
+            ],
+        }
+        assert point_in_geometry(donut, 2, 2)
+        assert not point_in_geometry(donut, 5, 5)  # in the hole
+        assert point_in_geometry(donut, 7, 5)
+
+    def test_multipolygon(self):
+        mp = {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]],
+                [[[10, 10], [11, 10], [11, 11], [10, 11], [10, 10]]],
+            ],
+        }
+        assert point_in_geometry(mp, 0.5, 0.5)
+        assert point_in_geometry(mp, 10.5, 10.5)
+        assert not point_in_geometry(mp, 5, 5)
+
+    def test_open_ring_closed_implicitly(self):
+        sq = {"type": "Polygon", "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4]]]}
+        assert point_in_geometry(sq, 2, 2)
+        assert not point_in_geometry(sq, 5, 2)
+
+    def test_non_areal_types(self):
+        assert not point_in_geometry({"type": "Point", "coordinates": [1, 1]}, 1, 1)
+        assert not point_in_geometry(None, 0, 0)
+
+    def test_fixture_countries(self):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(FIXTURE)
+        geoms = {
+            n: _wkb.loads(g)
+            for n, g in zip(t.column("name").to_pylist(), t.column("geometry").to_pylist())
+        }
+        interior = {
+            "Tanzania": (35.0, -6.5),
+            "W. Sahara": (-13.0, 24.0),
+            "Canada": (-110.0, 60.0),
+            "United States of America": (-100.0, 40.0),
+        }
+        for name, (x, y) in interior.items():
+            assert point_in_geometry(geoms[name], x, y), name
+            # and in no other country
+            for other, g in geoms.items():
+                if other != name:
+                    assert not point_in_geometry(g, x, y), (name, other)
+
+
+class TestRefinedJoin:
+    def test_points_in_countries(self, spark):
+        from gpq_spark.geoparquet import spatial_join_points_in_polygons
+
+        polys = spark.read.parquet(FIXTURE).select("geometry", "name")
+        pts = spark.createDataFrame(
+            [
+                (1, 35.0, -6.5),          # Tanzania
+                (2, -110.0, 60.0),        # Canada
+                (3, -100.0, 40.0),        # USA
+                (4, 0.0, 0.0),            # ocean
+                (5, 33.0, -11.0),         # inside Tanzania bbox, outside polygon
+            ],
+            "pid long, x double, y double",
+        )
+        got = {
+            (r.pid, r.name)
+            for r in spatial_join_points_in_polygons(
+                pts, polys, "x", "y", "geometry", cell_deg=10.0
+            ).collect()
+        }
+        assert got == {(1, "Tanzania"), (2, "Canada"), (3, "United States of America")}
+
+    def test_bbox_candidate_is_refined_away(self, spark):
+        # point 5 above: inside Tanzania's bbox -> bbox join keeps it,
+        # PIP must reject it
+        from gpq_spark.geoparquet import spatial_join_points_in_polygons
+
+        polys = spark.read.parquet(FIXTURE).select("geometry", "name")
+        pts = spark.createDataFrame([(5, 33.0, -11.0)], "pid long, x double, y double")
+        out = spatial_join_points_in_polygons(pts, polys, "x", "y", "geometry").collect()
+        assert out == []
+
+    def test_envelope_udf_evaluated_once(self, spark):
+        # the inline(array(udf)) Generate barrier keeps the envelope
+        # UDF from being re-evaluated per bbox field (was 4x + refine)
+        from gpq_spark.geoparquet import spatial_join_points_in_polygons
+
+        polys = spark.read.parquet(FIXTURE).select("geometry", "name")
+        pts = spark.createDataFrame([(1, 35.0, -6.5)], "pid long, x double, y double")
+        out = spatial_join_points_in_polygons(pts, polys, "x", "y", "geometry")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") <= 2
+
+    def test_covering_bbox_column_used_when_present(self, spark):
+        covering = "/root/reference/internal/testdata/cases/example-v1.1.0-covering.parquet"
+        from gpq_spark.geoparquet import spatial_join_points_in_polygons
+
+        polys = spark.read.parquet(covering).select("geometry", "geometry_bbox", "name")
+        pts = spark.createDataFrame([(1, 35.0, -6.5)], "pid long, x double, y double")
+        out = spatial_join_points_in_polygons(pts, polys, "x", "y", "geometry")
+        assert [r.name for r in out.select("name").collect()] == ["Tanzania"]
+        # covering path: only ONE python stage (the containment refine)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") <= 1
