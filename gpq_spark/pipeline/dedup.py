@@ -170,7 +170,11 @@ def lsh_band_table(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, bands: int = 4, num_hashes: int | None = None
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    num_hashes: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs.
 
@@ -182,7 +186,14 @@ def lsh_candidate_pairs(
     recompute the signature pipeline for) both sides; the groupBy
     computes signatures once and moves each doc id ``bands`` times.
     Bucket sizes are bounded by LSH itself (same hash ⇒ near-identical
-    shingle sets), so collect_list skew is bounded.
+    shingle sets), so collect_list skew is bounded — EXCEPT when the
+    corpus holds M near-copies of one template (licence pages, SEO
+    spam): that bucket costs O(M²) pairs in one task.
+    ``max_bucket_size`` drops buckets above the cap (Broder's
+    too-frequent-shingle cutoff applied at the bucket level): such
+    cliques are better handled by exact/normalized dedup on the
+    template, and every within-cap pair is still found. None = exact
+    (oracle parity).
     """
     banded = lsh_band_table(sig_df, id_col, bands, num_hashes).select(
         F.col(id_col).alias("__id"), "band_id", "band_hash"
@@ -190,6 +201,8 @@ def lsh_candidate_pairs(
     buckets = banded.groupBy("band_id", "band_hash").agg(
         F.array_sort(F.collect_list("__id")).alias("__ids")
     ).filter(F.size("__ids") >= 2)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
     pairs = buckets.select(
         F.explode(
             F.expr(
@@ -539,6 +552,7 @@ def substring_dup_pairs(
     text_col: str,
     window: int = 48,
     stride: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Cross-document exact substring duplication: pairs of documents
     sharing at least one identical ``window``-char span (sampled every
@@ -580,6 +594,11 @@ def substring_dup_pairs(
         .agg(F.array_sort(F.collect_set("__id")).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
+    if max_bucket_size is not None:
+        # a span shared by M docs is boilerplate, not duplication: its
+        # O(M^2) in-bucket pairs would dominate one task. Cap mirrors
+        # the too-frequent-span cutoff of suffix-array dedup pipelines.
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
     pairs = buckets.select(
         F.explode(
             F.expr(

@@ -1383,3 +1383,39 @@ class TestIVFIncremental:
             sq, n = sums[(r["cluster"], r["pos"])]
             assert r["n"] == n
             assert abs(r["mean"] - sq / 1_000_000 / n) < 1e-12
+
+
+class TestBucketSkewCaps:
+    def test_substring_cap_drops_boilerplate_bucket(self, spark):
+        from gpq_spark.pipeline.dedup import substring_dup_pairs
+
+        shared = "x" * 60  # one span shared by every doc
+        docs = spark.createDataFrame(
+            [(i, shared + f" unique tail {i} " + "y" * 40) for i in range(5)],
+            "doc_id long, text string",
+        )
+        uncapped = substring_dup_pairs(docs, "doc_id", "text", 48, 8)
+        assert uncapped.count() == 10  # C(5,2): all pairs via the shared span
+        capped = substring_dup_pairs(
+            docs, "doc_id", "text", 48, 8, max_bucket_size=3
+        )
+        assert capped.count() == 0  # the 5-doc bucket exceeds the cap
+
+    def test_lsh_cap_drops_clique_bucket(self, spark):
+        from gpq_spark.pipeline.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        same = "the same exact document text repeated verbatim for all"
+        docs = spark.createDataFrame(
+            [(i, same) for i in range(6)] + [(10, "a totally different text here")],
+            "doc_id long, text string",
+        )
+        sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+        uncapped = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+        assert uncapped.count() == 15  # C(6,2)
+        capped = lsh_candidate_pairs(
+            sigs, "doc_id", bands=4, num_hashes=8, max_bucket_size=4
+        )
+        assert capped.count() == 0
