@@ -191,6 +191,7 @@ def cmd_extract(args) -> int:
         args.input,
         args.output,
         bbox=args.bbox or None,
+        point=args.point or None,
         keep_only_columns=keep,
         drop_columns=drop,
         single_file=True,
@@ -237,6 +238,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--bbox", default="")
+    p.add_argument("--point", default="",
+                   help="'x,y': keep only features whose geometry contains the point (exact even-odd containment; beyond-reference)")
     p.add_argument("--drop-cols", default="")
     p.add_argument("--keep-only-cols", default="")
     p.set_defaults(fn=cmd_extract)

@@ -226,29 +226,30 @@ def st_is_valid_wkb(col: Column | str) -> Column:
 def _contains_point_udf(
     geom: pd.Series, x: pd.Series, y: pd.Series
 ) -> pd.Series:
-    """Even-odd point-in-geometry per row, with a per-batch decode
-    cache: after a bbox candidate join, one polygon appears on many
-    rows — decode each distinct WKB once per Arrow batch."""
-    from ..geo.pip import point_in_geometry
+    """Even-odd point-in-geometry, vectorized per distinct geometry:
+    after a bbox candidate join one polygon appears on many rows, so
+    the batch is grouped by WKB bytes, each geometry decoded ONCE, and
+    all its candidate points tested in a single numpy pass
+    (``points_in_geometry_np``) — no per-row Python dispatch. NaN
+    coordinates compare false throughout and yield False."""
+    import numpy as np
 
-    cache: dict[bytes, object] = {}
+    from ..geo.pip import points_in_geometry_np
 
-    def decode(v):
-        if v is None:
-            return None
-        b = bytes(v)
-        if b not in cache:
-            cache[b] = _decode_any(b)
-        return cache[b]
-
-    return pd.Series(
-        [
-            point_in_geometry(decode(g), float(px), float(py))
-            if g is not None and px == px and py == py
-            else False
-            for g, px, py in zip(geom, x, y)
-        ]
-    )
+    xv = x.to_numpy(dtype="float64", na_value=float("nan"))
+    yv = y.to_numpy(dtype="float64", na_value=float("nan"))
+    out = np.zeros(len(geom), dtype=bool)
+    groups: dict[bytes, list[int]] = {}
+    for i, g in enumerate(geom):
+        if g is not None:
+            groups.setdefault(bytes(g), []).append(i)
+    for raw, idxs in groups.items():
+        decoded = _decode_any(raw)
+        if decoded is None:
+            continue
+        idx = np.asarray(idxs)
+        out[idx] = points_in_geometry_np(decoded, xv[idx], yv[idx])
+    return pd.Series(out)
 
 
 def st_contains_point(
@@ -259,3 +260,40 @@ def st_contains_point(
     reference's spatial filter is bbox-only. Arrow-batched; use AFTER
     a bbox prune so the slow path sees candidates, not the corpus."""
     return _contains_point_udf(_c(geom_col), _c(x), _c(y))
+
+
+def make_contains_point_broadcast_udf(bc_geoms):
+    """Containment UDF over a BROADCAST polygon set: rows carry only a
+    polygon id (xxhash64 of the WKB) — the geometry bytes never travel
+    through Arrow per candidate row, which otherwise dominates the
+    refine cost when one country outline appears on 10⁴-10⁶ candidate
+    rows. Decoded geometries are cached per executor process across
+    batches (keyed by id)."""
+    _decoded: dict[int, object] = {}
+
+    @F.pandas_udf(T.BooleanType())
+    def _contains_by_id(gid: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..geo.pip import points_in_geometry_np
+
+        raw = bc_geoms.value
+        xv = x.to_numpy(dtype="float64", na_value=float("nan"))
+        yv = y.to_numpy(dtype="float64", na_value=float("nan"))
+        out = np.zeros(len(gid), dtype=bool)
+        groups: dict[int, list[int]] = {}
+        for i, g in enumerate(gid):
+            if g is not None:
+                groups.setdefault(int(g), []).append(i)
+        for key, idxs in groups.items():
+            if key not in _decoded:
+                b = raw.get(key)
+                _decoded[key] = None if b is None else _decode_any(b)
+            decoded = _decoded[key]
+            if decoded is None:
+                continue
+            idx = np.asarray(idxs)
+            out[idx] = points_in_geometry_np(decoded, xv[idx], yv[idx])
+        return pd.Series(out)
+
+    return _contains_by_id

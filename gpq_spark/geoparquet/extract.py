@@ -1,4 +1,4 @@
-"""The extract operator: projection + spatial bbox filtering.
+"""The extract operator: projection + spatial bbox/point filtering.
 
 Spark-first re-expression of ``gpq extract``
 (/root/reference/cmd/gpq/command/extract.go): projection is
@@ -9,6 +9,11 @@ row-group statistics prune row groups, the distributed equivalent of
 the reference's GetRowGroupsByBbox goroutines (filter.go:115-141).
 Only when no covering column exists does the filter fall back to
 decoding WKB in a pandas UDF (filter.go:271-293).
+
+``point=(x, y)`` is beyond-reference: exact even-odd containment
+(``geo.pip``) — rows whose geometry CONTAINS the point. The bbox
+covering column (when present) prunes candidates before the decode
+UDF sees a row.
 """
 
 from __future__ import annotations
@@ -27,6 +32,7 @@ def extract_df(
     meta: GeoMetadata,
     *,
     bbox: Bbox | str | None = None,
+    point: tuple[float, float] | str | None = None,
     keep_only_columns: list[str] | None = None,
     drop_columns: list[str] | None = None,
 ) -> DataFrame:
@@ -64,6 +70,31 @@ def extract_df(
             predicate = envelope_intersects(meta.primary_column, bbox, encoding)
         df = df.filter(predicate)
 
+    if point is not None:
+        from pyspark.sql import functions as F
+
+        from ..functions.geometry import st_contains_point
+
+        if isinstance(point, str):
+            parts = [p.strip() for p in point.split(",")]
+            if len(parts) != 2:
+                raise ValueError(f"point must be 'x,y', got {point!r}")
+            point = (float(parts[0]), float(parts[1]))
+        px, py = float(point[0]), float(point[1])
+        bbox_col = get_bbox_column(df.columns, meta)
+        if bbox_col is not None:
+            # covering-column prune: only candidates whose bbox holds
+            # the point reach the decode UDF (JVM-side, pushdown-able)
+            df = df.filter(
+                (F.col(f"{bbox_col.name}.{bbox_col.xmin}") <= px)
+                & (F.col(f"{bbox_col.name}.{bbox_col.xmax}") >= px)
+                & (F.col(f"{bbox_col.name}.{bbox_col.ymin}") <= py)
+                & (F.col(f"{bbox_col.name}.{bbox_col.ymax}") >= py)
+            )
+        df = df.filter(
+            st_contains_point(meta.primary_column, F.lit(px), F.lit(py))
+        )
+
     return df
 
 
@@ -73,6 +104,7 @@ def extract(
     output_path: str | None = None,
     *,
     bbox: str | Bbox | None = None,
+    point: tuple[float, float] | str | None = None,
     keep_only_columns: list[str] | None = None,
     drop_columns: list[str] | None = None,
     compression: str = DEFAULT_COMPRESSION,
@@ -91,6 +123,7 @@ def extract(
         df,
         meta,
         bbox=bbox,
+        point=point,
         keep_only_columns=keep_only_columns,
         drop_columns=drop_columns,
     )

@@ -302,6 +302,7 @@ def spatial_join_points_in_polygons(
     geom_col: str = "geometry",
     cell_deg: float = 10.0,
     bbox_cols: tuple[str, str, str, str] | None = None,
+    broadcast_geoms: bool = True,
 ) -> DataFrame:
     """Exact point-in-polygon join: grid-cell bbox candidates refined
     by even-odd containment.
@@ -372,8 +373,34 @@ def spatial_join_points_in_polygons(
         right_cols=bbox_cols,
         cell_deg=cell_deg,
     )
-    refined = candidates.filter(
-        st_contains_point(geom_col, "__qx", "__qy")
-    )
+    if broadcast_geoms:
+        # ship each polygon ONCE (broadcast) instead of once per
+        # candidate row through Arrow: rows carry only an 8-byte id.
+        # For a country-outline dim joined against millions of points
+        # this is the difference between MBs and GBs of Arrow traffic.
+        # Requires the polygon set to fit in executor memory (the
+        # usual admin-boundary case); pass broadcast_geoms=False to
+        # stream geometry bytes per row instead.
+        from ..functions.geometry import make_contains_point_broadcast_udf
+
+        spark = points.sparkSession
+        geoms = {
+            r["__gid"]: bytes(r["__g"])
+            for r in polygons.select(
+                F.xxhash64(F.col(geom_col)).alias("__gid"),
+                F.col(geom_col).alias("__g"),
+            )
+            .distinct()
+            .collect()
+        }
+        bc = spark.sparkContext.broadcast(geoms)
+        contains = make_contains_point_broadcast_udf(bc)
+        refined = candidates.withColumn(
+            "__gid", F.xxhash64(F.col(geom_col))
+        ).filter(contains(F.col("__gid"), F.col("__qx"), F.col("__qy"))).drop("__gid")
+    else:
+        refined = candidates.filter(
+            st_contains_point(geom_col, "__qx", "__qy")
+        )
     drop = ["__qx", "__qy"] + [c for c in bbox_cols if c.startswith("__p")]
     return refined.drop(*drop)

@@ -137,3 +137,29 @@ class TestRefinedJoin:
         # covering path: only ONE python stage (the containment refine)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("ArrowEvalPython") <= 1
+
+
+class TestExtractPoint:
+    def test_extract_point_filters_to_containing_country(self, spark, tmp_path):
+        from gpq_spark.geoparquet import extract
+
+        out = extract(spark, FIXTURE, point="35,-6.5")
+        assert [r[0] for r in out.select("name").collect()] == ["Tanzania"]
+
+    def test_extract_point_in_bbox_but_outside_polygon(self, spark):
+        from gpq_spark.geoparquet import extract
+
+        # inside Tanzania's bbox, outside its polygon; in no other country
+        out = extract(spark, FIXTURE, point=(33.0, -11.0))
+        assert out.count() == 0
+
+    def test_cli_extract_point(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from gpq_spark.cli import main
+
+        dst = str(tmp_path / "tz.parquet")
+        rc = main(["extract", FIXTURE, dst, "--point", "35,-6.5"])
+        assert rc == 0
+        t = pq.read_table(dst)
+        assert t.column("name").to_pylist() == ["Tanzania"]
