@@ -4135,3 +4135,47 @@ def stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@register(
+    "q_asof_forward_next_purchase",
+    """
+    WITH pur AS (
+        SELECT user_id, ts, MAX(event_id) AS p_event_id
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT v.event_id, p.p_event_id
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view') v
+    ASOF LEFT JOIN pur p ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+)
+def q_asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each view event attaches the user's next
+    purchase at-or-after it (NULL when none follows) — the attribution
+    dual of the backward as-of. Same scalable shape: union + one
+    partitioned sort + running first_value, no inequality-join blowup;
+    the oracle is DuckDB's native forward ASOF JOIN."""
+    from .relational import asof_join
+
+    ev = load_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event_id"))
+        .select(F.col("user_id").alias("p_user"), "ts", "p_event_id")
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        left_key="user_id",
+        right_key="p_user",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["p_event_id"],
+        direction="forward",
+    )
+    return joined.select("event_id", "p_event_id")

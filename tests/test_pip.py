@@ -163,3 +163,41 @@ class TestExtractPoint:
         assert rc == 0
         t = pq.read_table(dst)
         assert t.column("name").to_pylist() == ["Tanzania"]
+
+
+class TestVectorizedKernelEquality:
+    def test_vectorized_matches_scalar_on_fixtures_and_synthetic(self):
+        import random
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from gpq_spark.geo.pip import point_in_geometry, points_in_geometry_np
+
+        t = pq.read_table(FIXTURE)
+        random.seed(7)
+        xs = np.array([random.uniform(-180, 180) for _ in range(2000)])
+        ys = np.array([random.uniform(-90, 90) for _ in range(2000)])
+        for name, g in zip(
+            t.column("name").to_pylist(), t.column("geometry").to_pylist()
+        ):
+            d = _wkb.loads(g)
+            v = points_in_geometry_np(d, xs, ys)
+            s = np.array(
+                [point_in_geometry(d, float(x), float(y)) for x, y in zip(xs, ys)]
+            )
+            assert (v == s).all(), name
+        donut = {
+            "type": "Polygon",
+            "coordinates": [
+                [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]],
+            ],
+        }
+        xs2 = np.random.RandomState(3).uniform(-2, 12, 3000)
+        ys2 = np.random.RandomState(4).uniform(-2, 12, 3000)
+        v = points_in_geometry_np(donut, xs2, ys2)
+        s = np.array(
+            [point_in_geometry(donut, float(x), float(y)) for x, y in zip(xs2, ys2)]
+        )
+        assert (v == s).all()
