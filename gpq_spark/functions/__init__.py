@@ -15,6 +15,7 @@ from .geometry import (
 )
 
 __all__ = [
+    "register_sql_functions",
     "st_geometry_type",
     "st_stats_type",
     "st_envelope",
@@ -31,3 +32,37 @@ __all__ = [
     "st_length",
     "st_centroid_env",
 ]
+
+
+def register_sql_functions(spark) -> list[str]:
+    """Register every geometry function as a Spark SQL function, so
+    ``spark.sql("SELECT st_geometry_type(geometry) FROM ...")`` works —
+    the SQL-facing surface of the engine (Sedona-style usability,
+    built only on the public ``spark.udf.register`` API).
+
+    Returns the sorted list of registered names. Safe to call more
+    than once (re-registration replaces)."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(spark)
+    from . import geometry as G
+    from . import measures as M
+
+    udfs = {
+        "st_geometry_type": G._geometry_type_udf,
+        "st_stats_type": G._stats_type_udf,
+        "st_envelope": G._envelope_udf,
+        "st_wkt_to_wkb": G._wkt_to_wkb_udf,
+        "st_wkb_to_wkt": G._wkb_to_wkt_udf,
+        "st_asgeojson": G._asgeojson_udf,
+        "st_geojson_to_wkb": G._geojson_to_wkb_udf,
+        "st_orientation_ok": G._orientation_ok_udf,
+        "st_is_valid_wkb": G._is_valid_wkb_udf,
+        "st_contains_point": G._contains_point_udf,
+        "st_area": M._area_udf,
+        "st_length": M._length_udf,
+        "st_centroid_env": M._centroid_udf,
+    }
+    for name, udf in udfs.items():
+        spark.udf.register(name, udf)
+    return sorted(udfs)

@@ -209,3 +209,28 @@ class TestDecodeGeometry:
         assert stats_type_name(POINT) == "Point"
         assert stats_type_name({"type": "Point", "coordinates": [1, 2, 3]}) == "Point Z"
         assert stats_type_name(None) is None
+
+
+class TestSqlFunctionRegistration:
+    def test_sql_surface(self, spark):
+        from gpq_spark.functions import register_sql_functions
+
+        names = register_sql_functions(spark)
+        assert "st_geometry_type" in names and "st_contains_point" in names
+
+        path = "/root/reference/internal/testdata/cases/example-v1.0.0.parquet"
+        spark.read.parquet(path).createOrReplaceTempView("countries_sql_test")
+        rows = spark.sql(
+            """
+            SELECT name,
+                   st_geometry_type(geometry) AS gtype,
+                   st_contains_point(geometry, 35.0D, -6.5D) AS has_pt,
+                   st_envelope(geometry).xmin AS xmin
+            FROM countries_sql_test ORDER BY name
+            """
+        ).collect()
+        by_name = {r.name: r for r in rows}
+        assert by_name["Tanzania"].gtype == "Polygon"
+        assert by_name["Tanzania"].has_pt is True
+        assert by_name["Canada"].has_pt is False
+        assert abs(by_name["Tanzania"].xmin - 29.34) < 0.01
