@@ -2700,6 +2700,41 @@ def geo_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table as a file-source stream: the file source needs a
+    DIRECTORY, so the single read-only events.parquet is exposed
+    through a per-process symlink dir; ``stream_events`` normalizes
+    ``ts`` to TIMESTAMP for watermarks."""
+    import os
+    import tempfile
+
+    from .streaming.windows import stream_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = os.path.join(
+        tempfile.gettempdir(), f"stream_src_{abs(hash(sf_dir)) % 10 ** 8}"
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return stream_events(spark, src_dir, raw_schema)
+
+
+def _drain_to_table(df: DataFrame, prefix: str, mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the materialized table (deterministic on bounded input)."""
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.table(name)
+
+
+
 @register(
     "stream_tumble_events",
     f"""
@@ -2714,24 +2749,7 @@ def stream_tumble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window count as a real Structured Streaming query
     (file source → window agg → memory sink, complete mode), drained
     synchronously; result matches the batch oracle."""
-    import os as _os
-    import tempfile as _tempfile
-    import uuid as _uuid
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file stream source needs a directory: expose the single
-    # events file through a symlink dir (testdata is read-only)
-    src_dir = _os.path.join(
-        _tempfile.gettempdir(), f"stream_src_{abs(hash(sf_dir)) % 10 ** 8}"
-    )
-    _os.makedirs(src_dir, exist_ok=True)
-    link = _os.path.join(src_dir, "events.parquet")
-    if not _os.path.exists(link):
-        _os.symlink(f"{sf_dir}/events.parquet", link)
-    from .streaming.windows import stream_events
-
-    stream = stream_events(spark, src_dir, raw_schema)
+    stream = _events_file_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), "event_type")
         .count()
@@ -2741,16 +2759,7 @@ def stream_tumble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("count").alias("n"),
         )
     )
-    name = f"stream_tumble_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(name)
+    return _drain_to_table(agg, "stream_tumble", "complete")
 
 
 @register(
@@ -2774,33 +2783,11 @@ def stream_slide_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured Streaming query drained synchronously — every event
     lands in exactly two overlapping windows, which the oracle
     reproduces by unioning the two aligned window starts."""
-    import os as _os
-    import tempfile as _tempfile
-    import uuid as _uuid
+    from .streaming.windows import sliding_counts
 
-    from .streaming.windows import sliding_counts, stream_events
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src_dir = _os.path.join(
-        _tempfile.gettempdir(), f"stream_src_{abs(hash(sf_dir)) % 10 ** 8}"
-    )
-    _os.makedirs(src_dir, exist_ok=True)
-    link = _os.path.join(src_dir, "events.parquet")
-    if not _os.path.exists(link):
-        _os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = stream_events(spark, src_dir, raw_schema)
+    stream = _events_file_stream(spark, sf_dir)
     agg = sliding_counts(stream, "1 hour", "30 minutes")
-    name = f"stream_slide_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(name)
+    return _drain_to_table(agg, "stream_slide", "complete")
 
 
 @register(
@@ -2818,24 +2805,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     key land in the same hour, so they are always within the 2h
     watermark of each other and the bounded replay equals DISTINCT —
     which is what the oracle checks."""
-    import os as _os
-    import tempfile as _tempfile
-    import uuid as _uuid
-
     from .streaming.windows import stream_dedup
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src_dir = _os.path.join(
-        _tempfile.gettempdir(), f"stream_src_{abs(hash(sf_dir)) % 10 ** 8}"
-    )
-    _os.makedirs(src_dir, exist_ok=True)
-    link = _os.path.join(src_dir, "events.parquet")
-    if not _os.path.exists(link):
-        _os.symlink(f"{sf_dir}/events.parquet", link)
-    from .streaming.windows import stream_events
-
-    stream = stream_events(spark, src_dir, raw_schema).withColumn(
+    stream = _events_file_stream(spark, sf_dir).withColumn(
         "hour_ts", F.date_trunc("hour", F.col("ts"))
     )
     deduped = stream_dedup(
@@ -2845,16 +2817,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
     )
-    name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(name)
+    return _drain_to_table(deduped, "stream_dedup", "append")
 
 
 # ---------------------------------------------------------------------------
@@ -3248,38 +3211,16 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     later event (sid < max_sid) or by event-time timeout — Spark fires
     a timeout when the final watermark (max event time - 2 h delay,
     millisecond-floored) advances beyond session_end + 30 min."""
-    import os as _os
-    import tempfile as _tempfile
-    import uuid as _uuid
+    from .streaming import stateful_sessionize
 
-    from .streaming import stateful_sessionize, stream_events
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src_dir = _os.path.join(
-        _tempfile.gettempdir(), f"stream_src_{abs(hash(sf_dir)) % 10 ** 8}"
-    )
-    _os.makedirs(src_dir, exist_ok=True)
-    link = _os.path.join(src_dir, "events.parquet")
-    if not _os.path.exists(link):
-        _os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = stream_events(spark, src_dir, raw_schema)
+    stream = _events_file_stream(spark, sf_dir)
     sessions = stateful_sessionize(stream).select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start"),
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("end"),
         "n_events",
     )
-    name = f"sessions_{_uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(name)
+    return _drain_to_table(sessions, "sessions", "append")
 
 
 @register(
@@ -3543,9 +3484,11 @@ def q4_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
-    The nation dimension joins twice under different roles; both are
-    broadcast (fixed 25 rows at any SF), so the only shuffles are the
-    SF-scaled lineitem⋈orders⋈customer chain."""
+    The nation dimension joins twice under different roles, each
+    pre-filtered to the two queried nations and broadcast, so supplier
+    and customer shrink to the pair's members BEFORE the SF-scaled
+    lineitem⋈orders⋈customer chain; the cross-table pair disjunction
+    runs last as a residual filter."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01 00:00:00")
         & (F.col("l_shipdate") < "1998-01-01 00:00:00")
@@ -4122,35 +4065,13 @@ def stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     30 min, same user) as a real Structured Streaming query drained
     synchronously. Inner-join matches emit as both rows arrive, so the
     bounded replay equals the batch self-join oracle exactly."""
-    import os as _os
-    import tempfile as _tempfile
-    import uuid as _uuid
+    from .streaming import stream_interval_join
 
-    from .streaming import stream_events, stream_interval_join
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src_dir = _os.path.join(
-        _tempfile.gettempdir(), f"stream_src_{abs(hash(sf_dir)) % 10 ** 8}"
-    )
-    _os.makedirs(src_dir, exist_ok=True)
-    link = _os.path.join(src_dir, "events.parquet")
-    if not _os.path.exists(link):
-        _os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = stream_events(spark, src_dir, raw_schema)
+    stream = _events_file_stream(spark, sf_dir)
     joined = stream_interval_join(
         stream, "view", "purchase", interval_seconds=1800
     )
-    name = f"stream_join_{_uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(name)
+    return _drain_to_table(joined, "stream_join", "append")
 
 
 @register(

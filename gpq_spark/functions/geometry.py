@@ -222,14 +222,11 @@ def st_is_valid_wkb(col: Column | str) -> Column:
     return _is_valid_wkb_udf(_c(col))
 
 
-@F.pandas_udf(T.BooleanType())
-def _contains_point_udf(
-    geom: pd.Series, x: pd.Series, y: pd.Series
-) -> pd.Series:
-    """Even-odd point-in-geometry, vectorized per distinct geometry:
-    after a bbox candidate join one polygon appears on many rows, so
-    the batch is grouped by WKB bytes, each geometry decoded ONCE, and
-    all its candidate points tested in a single numpy pass
+def _contains_grouped(keys: pd.Series, x: pd.Series, y: pd.Series, decode) -> pd.Series:
+    """Shared body of the containment UDFs: group the batch rows by
+    geometry key (WKB bytes, or a broadcast id), resolve each distinct
+    key to a decoded geometry ONCE via ``decode``, and test all that
+    key's candidate points in a single numpy pass
     (``points_in_geometry_np``) — no per-row Python dispatch. NaN
     coordinates compare false throughout and yield False."""
     import numpy as np
@@ -238,18 +235,33 @@ def _contains_point_udf(
 
     xv = x.to_numpy(dtype="float64", na_value=float("nan"))
     yv = y.to_numpy(dtype="float64", na_value=float("nan"))
-    out = np.zeros(len(geom), dtype=bool)
-    groups: dict[bytes, list[int]] = {}
-    for i, g in enumerate(geom):
-        if g is not None:
-            groups.setdefault(bytes(g), []).append(i)
-    for raw, idxs in groups.items():
-        decoded = _decode_any(raw)
+    out = np.zeros(len(keys), dtype=bool)
+    groups: dict = {}
+    for i, k in enumerate(keys):
+        if k is not None:
+            groups.setdefault(k, []).append(i)
+    for key, idxs in groups.items():
+        decoded = decode(key)
         if decoded is None:
             continue
         idx = np.asarray(idxs)
         out[idx] = points_in_geometry_np(decoded, xv[idx], yv[idx])
     return pd.Series(out)
+
+
+@F.pandas_udf(T.BooleanType())
+def _contains_point_udf(
+    geom: pd.Series, x: pd.Series, y: pd.Series
+) -> pd.Series:
+    """Even-odd point-in-geometry keyed by the row's own WKB bytes:
+    after a bbox candidate join one polygon appears on many rows, so
+    each distinct WKB is decoded once per batch."""
+    return _contains_grouped(
+        geom.map(lambda g: None if g is None else bytes(g)),
+        x,
+        y,
+        _decode_any,
+    )
 
 
 def st_contains_point(
@@ -271,29 +283,15 @@ def make_contains_point_broadcast_udf(bc_geoms):
     batches (keyed by id)."""
     _decoded: dict[int, object] = {}
 
+    def _decode_by_id(key):
+        key = int(key)
+        if key not in _decoded:
+            b = bc_geoms.value.get(key)
+            _decoded[key] = None if b is None else _decode_any(b)
+        return _decoded[key]
+
     @F.pandas_udf(T.BooleanType())
     def _contains_by_id(gid: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
-        import numpy as np
-
-        from ..geo.pip import points_in_geometry_np
-
-        raw = bc_geoms.value
-        xv = x.to_numpy(dtype="float64", na_value=float("nan"))
-        yv = y.to_numpy(dtype="float64", na_value=float("nan"))
-        out = np.zeros(len(gid), dtype=bool)
-        groups: dict[int, list[int]] = {}
-        for i, g in enumerate(gid):
-            if g is not None:
-                groups.setdefault(int(g), []).append(i)
-        for key, idxs in groups.items():
-            if key not in _decoded:
-                b = raw.get(key)
-                _decoded[key] = None if b is None else _decode_any(b)
-            decoded = _decoded[key]
-            if decoded is None:
-                continue
-            idx = np.asarray(idxs)
-            out[idx] = points_in_geometry_np(decoded, xv[idx], yv[idx])
-        return pd.Series(out)
+        return _contains_grouped(gid, x, y, _decode_by_id)
 
     return _contains_by_id

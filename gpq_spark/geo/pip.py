@@ -23,20 +23,17 @@ from typing import Any
 def _ray_crossings(x: float, y: float, ring) -> int:
     """Number of times a +x ray from (x, y) crosses ring edges,
     using the half-open rule (y1 > y) != (y2 > y) so a vertex exactly
-    at the ray height is counted once, not twice."""
+    at the ray height is counted once, not twice. Open rings
+    (first != last) are closed implicitly by a final wraparound edge."""
     n = 0
     m = len(ring)
-    for i in range(m - 1):
+    if m < 2:
+        return 0
+    edges = range(m - 1)
+    closed = ring[0][0] == ring[-1][0] and ring[0][1] == ring[-1][1]
+    for i in edges if closed else range(m):
         x1, y1 = ring[i][0], ring[i][1]
-        x2, y2 = ring[i + 1][0], ring[i + 1][1]
-        if (y1 > y) != (y2 > y):
-            x_at = (x2 - x1) * (y - y1) / (y2 - y1) + x1
-            if x < x_at:
-                n += 1
-    # open rings (first != last): close implicitly
-    if m >= 2 and (ring[0][0] != ring[-1][0] or ring[0][1] != ring[-1][1]):
-        x1, y1 = ring[-1][0], ring[-1][1]
-        x2, y2 = ring[0][0], ring[0][1]
+        x2, y2 = ring[(i + 1) % m][0], ring[(i + 1) % m][1]
         if (y1 > y) != (y2 > y):
             x_at = (x2 - x1) * (y - y1) / (y2 - y1) + x1
             if x < x_at:
