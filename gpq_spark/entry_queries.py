@@ -4116,3 +4116,72 @@ def q_asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
     )
     return joined.select("event_id", "p_event_id")
+
+
+@register(
+    "q_gapfill_locf",
+    f"""
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, g AS hour_ts
+        FROM b, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t(g)
+    ), hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id,
+           strftime(g.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           CAST(COALESCE(last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_ts
+               ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS v_filled
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+    """,
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (TimescaleDB-style): a dense hourly grid
+    per user between that user's first and last event, with missing
+    hours filled by last-observation-carried-forward (0 before the
+    first observation).
+
+    Scale: the grid is generated by a map-side sequence+explode per
+    user (never a driver loop or a cross join against a calendar
+    table), the hourly rollup is one partial agg, and LOCF is one
+    window pass — everything shuffles on user_id only."""
+    ev = load_events(spark, sf_dir)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.sum(F.expr(cents("value"))).cast("long").alias("v"))
+        .select(F.col("user_id").alias("h_user"), "hour_ts", "v")
+    )
+    joined = grid.join(
+        hourly,
+        (grid.user_id == hourly.h_user) & (grid.hour_ts == hourly.hour_ts),
+        "left",
+    ).select(grid.user_id, grid.hour_ts, hourly.v)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("hour_ts"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0))
+        .cast("long")
+        .alias("v_filled"),
+    )
