@@ -4185,3 +4185,54 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v_filled"),
     )
+
+
+@register(
+    "q_session_window_builtin",
+    f"""
+    WITH numbered AS (
+        SELECT user_id, ts, {cents('value')} AS v,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts, v,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM numbered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS BIGINT) AS value_cents
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via Spark's BUILT-IN session_window aggregation —
+    the engine-managed counterpart of the custom
+    applyInPandasWithState sessionizer (same 30-min gap semantics;
+    window end = last event + gap). One shuffle; session merging
+    happens inside the aggregation operator, no window-function pass.
+
+    The oracle derives identical sessions with the lag/running-sum
+    formulation and reproduces session_window's end = max(ts) + gap."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr(cents("value"))).cast("long").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "s_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
