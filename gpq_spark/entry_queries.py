@@ -4236,3 +4236,110 @@ def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
+
+
+@register(
+    "q_gapfill_interp",
+    f"""
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, g AS hour_ts
+        FROM b, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t(g)
+    ), hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), joined AS (
+        SELECT g.user_id, g.hour_ts, epoch_us(g.hour_ts) AS us, h.v
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+    ), edged AS (
+        SELECT user_id, hour_ts, us, v,
+               last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                   OVER wp AS p_us,
+               last_value(v IGNORE NULLS) OVER wp AS p_v,
+               first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                   OVER wf AS n_us,
+               first_value(v IGNORE NULLS) OVER wf AS n_v
+        FROM joined
+        WINDOW wp AS (PARTITION BY user_id ORDER BY us
+                      ROWS UNBOUNDED PRECEDING),
+               wf AS (PARTITION BY user_id ORDER BY us
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           CAST(CASE WHEN v IS NOT NULL THEN v
+                ELSE (p_v * (n_us - us) + n_v * (us - p_us)) // (n_us - p_us)
+                END AS BIGINT) AS v_interp
+    FROM edged
+    """,
+)
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill: missing hours get the exact
+    integer lerp between the surrounding observations —
+    ``(v0·(t1−t) + v1·(t−t0)) div (t1−t0)`` in BIGINT microsecond
+    arithmetic, engine-identical (both DuckDB ``//`` and Spark ``div``
+    floor for the non-negative operands here; no float slope, so no
+    last-ulp drift). Grid endpoints are observation hours by
+    construction, so every gap is interior and both neighbors exist.
+
+    Same scale shape as LOCF: map-side grid explode, one partial agg,
+    two window passes over user_id partitions."""
+    ev = load_events(spark, sf_dir)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.sum(F.expr(cents("value"))).cast("long").alias("v"))
+        .select(F.col("user_id").alias("h_user"), "hour_ts", "v")
+    )
+    from .relational import epoch_micros
+
+    joined = grid.join(
+        hourly,
+        (grid.user_id == hourly.h_user) & (grid.hour_ts == hourly.hour_ts),
+        "left",
+    ).select(grid.user_id, grid.hour_ts, hourly.v)
+    joined = joined.withColumn("us", epoch_micros(joined, "hour_ts"))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_us = F.when(F.col("v").isNotNull(), F.col("us"))
+    edged = joined.select(
+        "user_id",
+        "hour_ts",
+        "us",
+        "v",
+        F.last(obs_us, ignorenulls=True).over(wp).alias("p_us"),
+        F.last("v", ignorenulls=True).over(wp).alias("p_v"),
+        F.first(obs_us, ignorenulls=True).over(wf).alias("n_us"),
+        F.first("v", ignorenulls=True).over(wf).alias("n_v"),
+    )
+    lerp = F.expr("(p_v * (n_us - us) + n_v * (us - p_us)) div (n_us - p_us)")
+    return edged.select(
+        "user_id",
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(lerp)
+        .cast("long")
+        .alias("v_interp"),
+    )
