@@ -2754,7 +2754,11 @@ def stream_tumble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.groupBy(F.window("ts", "1 hour"), "event_type")
         .count()
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            # UTC wall clock, independent of the session timezone
+            F.date_format(
+                F.expr("convert_timezone('UTC', window.start)"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("hour_start"),
             "event_type",
             F.col("count").alias("n"),
         )
@@ -2815,7 +2819,11 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         "event_type",
-        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        # hour_ts was truncated from the UTC-anchored stream instant;
+        # render its UTC wall clock, independent of the session tz
+        F.date_format(
+            F.expr("convert_timezone('UTC', hour_ts)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_start"),
     )
     return _drain_to_table(deduped, "stream_dedup", "append")
 
@@ -3216,8 +3224,13 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_file_stream(spark, sf_dir)
     sessions = stateful_sessionize(stream).select(
         "user_id",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start"),
-        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("end"),
+        # UTC wall clock, independent of the session timezone
+        F.date_format(
+            F.expr("convert_timezone('UTC', session_start)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("start"),
+        F.date_format(
+            F.expr("convert_timezone('UTC', session_end)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("end"),
         "n_events",
     )
     return _drain_to_table(sessions, "sessions", "append")

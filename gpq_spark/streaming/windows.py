@@ -69,8 +69,18 @@ def windowed_counts(
             F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("value_cents"),
         )
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            # convert_timezone('UTC', ...) → NTZ wall clock: the window
+            # boundaries are UTC-anchored instants (stream_events), and
+            # a bare date_format would render them in the session
+            # timezone — correct only when that happens to be UTC
+            F.date_format(
+                F.expr("convert_timezone('UTC', window.start)"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+            F.date_format(
+                F.expr("convert_timezone('UTC', window.end)"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_end"),
             "event_type",
             "n",
             "value_cents",
@@ -93,13 +103,25 @@ def sliding_counts(
         .groupBy(F.window("ts", window, slide), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            # see windowed_counts: render the UTC wall clock, not the
+            # session-timezone one
+            F.date_format(
+                F.expr("convert_timezone('UTC', window.start)"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("win_start"),
             "event_type",
             F.col("n").cast("long").alias("n"),
         )
     )
 
 
+# the state fn emits exact epoch micros (longs); stateful_sessionize
+# converts them to timestamps JVM-side. Timestamps never round-trip
+# through pandas: applyInPandasWithState delivers TIMESTAMP columns as
+# SESSION-LOCAL naive wall clocks, so parsing them as epochs would
+# shift by the session offset — wrong timeout timestamps (sessions
+# never time out under a non-UTC session) and shifted output.
+SESSION_RAW_SCHEMA = "user_id long, start_us long, end_us long, n_events long"
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )
@@ -124,8 +146,8 @@ def _session_fn(
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
-                "session_start": [pd.Timestamp(start, unit="us")],
-                "session_end": [pd.Timestamp(last, unit="us")],
+                "start_us": [start],
+                "end_us": [last],
                 "n_events": [n],
             }
         )
@@ -133,9 +155,7 @@ def _session_fn(
 
     times: list[int] = []
     for pdf in pdfs:
-        times.extend(
-            int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
-        )
+        times.extend(int(v) for v in pdf["ts_us"])
     times.sort()
 
     if state.exists:
@@ -163,8 +183,8 @@ def _session_fn(
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(closed),
-                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
-                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "start_us": [s for s, _, _ in closed],
+                "end_us": [e for _, e, _ in closed],
                 "n_events": [n for _, _, n in closed],
             }
         )
@@ -177,16 +197,23 @@ def stateful_sessionize(stream: DataFrame) -> DataFrame:
     from ..deploy import ensure_deployed
 
     ensure_deployed(stream.sparkSession)
-    return (
-        stream.withWatermark("ts", "2 hours")
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", "2 hours")
         .groupBy("user_id")
         .applyInPandasWithState(
             _session_fn,
-            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputStructType=SESSION_RAW_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+    return raw.select(
+        "user_id",
+        F.timestamp_micros("start_us").alias("session_start"),
+        F.timestamp_micros("end_us").alias("session_end"),
+        "n_events",
     )
 
 

@@ -343,3 +343,24 @@ class TestStreamIntervalJoin:
         joined = stream_interval_join(stream, "view", "purchase", 1800)
         plan = joined._jdf.queryExecution().analyzed().toString()
         assert plan.count("EventTimeWatermark") == 2
+
+
+class TestTimezoneIndependence:
+    def test_stream_tumble_matches_oracle_under_non_utc_session(self, spark):
+        """The driver's session timezone is not under our control: the
+        streaming window queries must hash-match their oracles even
+        when the session tz is not UTC (window instants are rendered
+        as UTC wall clock explicitly)."""
+        import __spark_entry__ as e
+        from gpq_spark.oracle import duckdb_connection, compare
+
+        ses2 = spark.newSession()
+        ses2.conf.set("spark.sql.session.timeZone", "America/New_York")
+        con = duckdb_connection(f"{TESTDATA}/sf0.01")
+        for name in ["stream_tumble_events", "stream_dedup_events", "stream_stateful_sessions"]:
+            r = compare(
+                e.queries()[name](ses2, f"{TESTDATA}/sf0.01"),
+                con,
+                e.oracle_sql()[name],
+            )
+            assert r["match"], (name, r.get("detail"))
