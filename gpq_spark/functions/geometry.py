@@ -295,3 +295,41 @@ def make_contains_point_broadcast_udf(bc_geoms):
         return _contains_grouped(gid, x, y, _decode_by_id)
 
     return _contains_by_id
+
+
+def make_polygons_overlap_broadcast_udf(bc_geoms):
+    """Interior-overlap UDF for polygon-polygon joins: the right-side
+    polygon set is broadcast (rows carry an 8-byte id), left geometries
+    arrive as WKB and are decoded once per distinct value per batch.
+    Distinct (left, right) pairs are evaluated once per batch —
+    ``polygons_overlap`` is numpy-vectorized internally, and bbox
+    pruning upstream keeps the candidate pair count small."""
+    _right: dict[int, object] = {}
+
+    @F.pandas_udf(T.BooleanType())
+    def _overlaps(lgeom: pd.Series, rid: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..geo.pip import polygons_overlap
+
+        left_cache: dict[bytes, object] = {}
+        pair_cache: dict[tuple, bool] = {}
+        out = np.zeros(len(lgeom), dtype=bool)
+        for i, (g, r) in enumerate(zip(lgeom, rid)):
+            if g is None or r is None:
+                continue
+            b = bytes(g)
+            key = (b, int(r))
+            hit = pair_cache.get(key)
+            if hit is None:
+                if b not in left_cache:
+                    left_cache[b] = _decode_any(b)
+                rk = int(r)
+                if rk not in _right:
+                    raw = bc_geoms.value.get(rk)
+                    _right[rk] = None if raw is None else _decode_any(raw)
+                hit = pair_cache[key] = polygons_overlap(left_cache[b], _right[rk])
+            out[i] = hit
+        return pd.Series(out)
+
+    return _overlaps

@@ -133,3 +133,164 @@ def points_in_geometry_np(geom: dict[str, Any] | None, xs, ys):
                 odd ^= (cnt & 1).astype(bool)
         result |= odd
     return result
+
+
+def _all_vertices(geom: dict[str, Any]):
+    """All ring vertices of the areal parts as flat (xs, ys) arrays."""
+    import numpy as np
+
+    xs: list[float] = []
+    ys: list[float] = []
+    for _, ring in _rings_of(geom):
+        for c in ring:
+            xs.append(c[0])
+            ys.append(c[1])
+    return np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)
+
+
+def _all_edges(geom: dict[str, Any]):
+    """All ring edges of the areal parts as (x1, y1, x2, y2) arrays,
+    with open rings closed implicitly."""
+    import numpy as np
+
+    segs = []
+    for _, ring in _rings_of(geom):
+        pts = np.asarray(ring, dtype=np.float64)
+        if len(pts) < 2:
+            continue
+        if pts[0][0] != pts[-1][0] or pts[0][1] != pts[-1][1]:
+            pts = np.vstack([pts, pts[:1]])
+        segs.append(
+            np.column_stack([pts[:-1, 0], pts[:-1, 1], pts[1:, 0], pts[1:, 1]])
+        )
+    if not segs:
+        return np.zeros((0, 4))
+    return np.vstack(segs)
+
+
+def _on_boundary_mask(geom: dict[str, Any], xs, ys):
+    """Boolean mask: point i lies ON some boundary edge of ``geom``
+    (exact collinearity + within the segment's bbox). Shared borders in
+    real datasets repeat vertices bitwise, so the exact-zero cross
+    product is the right test — no epsilon."""
+    import numpy as np
+
+    edges = _all_edges(geom)
+    out = np.zeros(len(xs), dtype=bool)
+    if len(edges) == 0:
+        return out
+    x1, y1, x2, y2 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
+    chunk = max(1, (1 << 20) // max(1, len(xs)))
+    for i in range(0, len(x1), chunk):
+        e1x, e1y = x1[i : i + chunk, None], y1[i : i + chunk, None]
+        e2x, e2y = x2[i : i + chunk, None], y2[i : i + chunk, None]
+        cross = (e2x - e1x) * (ys[None, :] - e1y) - (e2y - e1y) * (
+            xs[None, :] - e1x
+        )
+        within = (
+            (np.minimum(e1x, e2x) <= xs[None, :])
+            & (xs[None, :] <= np.maximum(e1x, e2x))
+            & (np.minimum(e1y, e2y) <= ys[None, :])
+            & (ys[None, :] <= np.maximum(e1y, e2y))
+        )
+        out |= ((cross == 0.0) & within).any(axis=0)
+    return out
+
+
+def representative_point(geom: dict[str, Any] | None):
+    """A point GUARANTEED strictly interior to the geometry (the
+    'point on surface' primitive): scan a horizontal line through the
+    first polygon at a height that avoids every vertex y, and take the
+    midpoint of the first crossing interval. Centroids can fall outside
+    concave shapes or inside holes; this cannot."""
+    if geom is None:
+        return None
+    by_poly: dict[int, list] = {}
+    for pi, ring in _rings_of(geom):
+        by_poly.setdefault(pi, []).append(ring)
+    for rings in by_poly.values():
+        outer = rings[0]
+        vys = sorted({c[1] for c in outer})
+        if len(vys) < 2:
+            continue
+        # midpoints between consecutive distinct vertex heights avoid
+        # every vertex y, so crossings are unambiguous
+        for k in range(len(vys) - 1):
+            y0 = (vys[k] + vys[k + 1]) / 2.0
+            xs: list[float] = []
+            for ring in rings:
+                m = len(ring)
+                closed = m >= 2 and ring[0][0] == ring[-1][0] and ring[0][1] == ring[-1][1]
+                rng = range(m - 1) if closed else range(m)
+                for i in rng:
+                    x1, y1 = ring[i][0], ring[i][1]
+                    x2, y2 = ring[(i + 1) % m][0], ring[(i + 1) % m][1]
+                    if (y1 > y0) != (y2 > y0):
+                        xs.append((x2 - x1) * (y0 - y1) / (y2 - y1) + x1)
+            xs.sort()
+            if len(xs) >= 2 and xs[1] > xs[0]:
+                return ((xs[0] + xs[1]) / 2.0, y0)
+    return None
+
+
+def polygons_overlap(ga: dict[str, Any] | None, gb: dict[str, Any] | None) -> bool:
+    """True when the INTERIORS of two areal geometries intersect:
+    a guaranteed-interior representative point of one lies in the
+    other, a vertex of one lies strictly inside the other (on-boundary
+    vertices excluded by exact collinearity), or some pair of boundary
+    edges properly crosses (strict orientation signs). Pure boundary
+    contact — shared borders, touching corners, collinear edge overlap
+    — is NOT overlap: the semantics adjacent-country datasets need.
+
+    Vectorized: containment reuses ``points_in_geometry_np``; boundary
+    and crossing tests are chunked numpy broadcasts over edge pairs.
+    """
+    import numpy as np
+
+    if ga is None or gb is None:
+        return False
+
+    # representative interior points catch identical/contained shapes
+    # whose vertices all sit on the other's boundary
+    rp = representative_point(ga)
+    if rp is not None and point_in_geometry(gb, rp[0], rp[1]):
+        return True
+    rp = representative_point(gb)
+    if rp is not None and point_in_geometry(ga, rp[0], rp[1]):
+        return True
+
+    ax, ay = _all_vertices(ga)
+    if len(ax):
+        inside = points_in_geometry_np(gb, ax, ay)
+        if inside.any() and (inside & ~_on_boundary_mask(gb, ax, ay)).any():
+            return True
+    bx, by = _all_vertices(gb)
+    if len(bx):
+        inside = points_in_geometry_np(ga, bx, by)
+        if inside.any() and (inside & ~_on_boundary_mask(ga, bx, by)).any():
+            return True
+
+    ea = _all_edges(ga)
+    eb = _all_edges(gb)
+    if len(ea) == 0 or len(eb) == 0:
+        return False
+
+    def ccw(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    chunk = max(1, (1 << 20) // max(1, len(eb)))  # ~1M pair cells per chunk
+    b1x, b1y, b2x, b2y = eb[:, 0], eb[:, 1], eb[:, 2], eb[:, 3]
+    for i in range(0, len(ea), chunk):
+        a = ea[i : i + chunk]
+        a1x, a1y = a[:, 0, None], a[:, 1, None]
+        a2x, a2y = a[:, 2, None], a[:, 3, None]
+        d1 = ccw(b1x[None, :], b1y[None, :], b2x[None, :], b2y[None, :], a1x, a1y)
+        d2 = ccw(b1x[None, :], b1y[None, :], b2x[None, :], b2y[None, :], a2x, a2y)
+        d3 = ccw(a1x, a1y, a2x, a2y, b1x[None, :], b1y[None, :])
+        d4 = ccw(a1x, a1y, a2x, a2y, b2x[None, :], b2y[None, :])
+        # strict signs on all four: PROPER crossing only (collinear
+        # touching excluded by design)
+        if (((d1 > 0) != (d2 > 0)) & (d1 != 0) & (d2 != 0)
+                & ((d3 > 0) != (d4 > 0)) & (d3 != 0) & (d4 != 0)).any():
+            return True
+    return False

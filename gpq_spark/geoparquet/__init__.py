@@ -21,6 +21,7 @@ from .spatial import (
     prune_files_by_bbox,
     read_geoparquet_bbox,
     spatial_join_points_in_polygons,
+    spatial_join_polygons_overlap,
     write_geoparquet_partitioned,
 )
 
@@ -51,6 +52,7 @@ __all__ = [
     "partition_by_grid",
     "prune_files_by_bbox",
     "spatial_join_points_in_polygons",
+    "spatial_join_polygons_overlap",
     "read_geoparquet_bbox",
     "write_geoparquet_partitioned",
     "GeoParquetDataSource",

@@ -294,6 +294,41 @@ def spatial_join_bboxes(
     return joined.select(*left.columns, *right.columns)
 
 
+def _ensure_bbox_cols(
+    df: DataFrame, geom_col: str, prefix: str
+) -> tuple[DataFrame, tuple[str, str, str, str]]:
+    """Attach per-row bbox columns for a geometry side of a spatial
+    join: a GeoParquet covering struct (any struct column carrying
+    xmin/ymin/xmax/ymax) is used for free; otherwise the envelope UDF
+    runs ONCE per row under an inline(array(...)) Generate barrier —
+    four plain struct-field projections would each re-evaluate the UDF
+    after projection collapse (4× the decode cost)."""
+    from ..functions.geometry import st_envelope
+
+    names = (f"__{prefix}xmin", f"__{prefix}ymin", f"__{prefix}xmax", f"__{prefix}ymax")
+    bbox_field = next(
+        (
+            f.name
+            for f in df.schema.fields
+            if hasattr(f.dataType, "fieldNames")
+            and set(f.dataType.fieldNames()) >= {"xmin", "ymin", "xmax", "ymax"}
+        ),
+        None,
+    )
+    if bbox_field is not None:
+        for n, part in zip(names, ("xmin", "ymin", "xmax", "ymax")):
+            df = df.withColumn(n, F.col(f"{bbox_field}.{part}"))
+    else:
+        df = df.select("*", F.inline(F.array(st_envelope(geom_col)))).select(
+            *df.columns,
+            F.col("xmin").alias(names[0]),
+            F.col("ymin").alias(names[1]),
+            F.col("xmax").alias(names[2]),
+            F.col("ymax").alias(names[3]),
+        )
+    return df, names
+
+
 def spatial_join_points_in_polygons(
     points: DataFrame,
     polygons: DataFrame,
@@ -321,49 +356,14 @@ def spatial_join_points_in_polygons(
     geometry via ``st_envelope`` when absent). Column names of the two
     inputs must be disjoint. Output: point columns + polygon columns.
     """
-    from ..functions.geometry import st_contains_point, st_envelope
+    from ..functions.geometry import st_contains_point
 
     overlap = set(points.columns) & set(polygons.columns)
     if overlap:
         raise ValueError(f"column names must be disjoint; shared: {sorted(overlap)}")
 
     if bbox_cols is None:
-        # any struct column carrying xmin/ymin/xmax/ymax is a bbox
-        # covering column (GeoParquet names it per covering metadata,
-        # e.g. "bbox" or "geometry_bbox")
-        bbox_field = next(
-            (
-                f.name
-                for f in polygons.schema.fields
-                if hasattr(f.dataType, "fieldNames")
-                and set(f.dataType.fieldNames()) >= {"xmin", "ymin", "xmax", "ymax"}
-            ),
-            None,
-        )
-        if bbox_field is not None:
-            # GeoParquet covering column: bbox is free, zero Python
-            polygons = (
-                polygons.withColumn("__pxmin", F.col(f"{bbox_field}.xmin"))
-                .withColumn("__pymin", F.col(f"{bbox_field}.ymin"))
-                .withColumn("__pxmax", F.col(f"{bbox_field}.xmax"))
-                .withColumn("__pymax", F.col(f"{bbox_field}.ymax"))
-            )
-        else:
-            # decode-based envelope. inline(array(udf)) puts the UDF
-            # under a Generate node — a CollapseProject barrier — so
-            # the envelope is computed ONCE per polygon; four plain
-            # struct-field projections would each re-evaluate the UDF
-            # after projection collapse (4× the decode cost)
-            polygons = polygons.select(
-                "*", F.inline(F.array(st_envelope(geom_col)))
-            ).select(
-                *polygons.columns,
-                F.col("xmin").alias("__pxmin"),
-                F.col("ymin").alias("__pymin"),
-                F.col("xmax").alias("__pxmax"),
-                F.col("ymax").alias("__pymax"),
-            )
-        bbox_cols = ("__pxmin", "__pymin", "__pxmax", "__pymax")
+        polygons, bbox_cols = _ensure_bbox_cols(polygons, geom_col, "p")
 
     pts = points.withColumn("__qx", F.col(x_col)).withColumn("__qy", F.col(y_col))
     candidates = spatial_join_bboxes(
@@ -404,3 +404,52 @@ def spatial_join_points_in_polygons(
         )
     drop = ["__qx", "__qy"] + [c for c in bbox_cols if c.startswith("__p")]
     return refined.drop(*drop)
+
+
+def spatial_join_polygons_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    left_geom: str = "geometry",
+    right_geom: str = "r_geometry",
+    cell_deg: float = 10.0,
+) -> DataFrame:
+    """Exact polygon-polygon join on INTERIOR overlap: grid-cell bbox
+    candidates (the PBSM equi-join, never a cross join) refined by the
+    ``polygons_overlap`` kernel — proper edge crossing, strict vertex
+    containment, or a guaranteed-interior representative point in the
+    other. Pure boundary contact (shared borders) does NOT match.
+
+    The right side is broadcast as a geometry dictionary (candidate
+    rows carry only an 8-byte id — polygon WKB never travels per pair),
+    so size the right side like any broadcast dim. Column names must be
+    disjoint. Output: left columns + right columns, one row per
+    overlapping pair.
+    """
+    from ..functions.geometry import make_polygons_overlap_broadcast_udf
+
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint; shared: {sorted(overlap)}")
+
+    left_b, lcols = _ensure_bbox_cols(left, left_geom, "la")
+    right_b, rcols = _ensure_bbox_cols(right, right_geom, "rb")
+    candidates = spatial_join_bboxes(left_b, right_b, lcols, rcols, cell_deg)
+
+    spark = left.sparkSession
+    geoms = {
+        r["__gid"]: bytes(r["__g"])
+        for r in right.select(
+            F.xxhash64(F.col(right_geom)).alias("__gid"),
+            F.col(right_geom).alias("__g"),
+        )
+        .distinct()
+        .collect()
+    }
+    bc = spark.sparkContext.broadcast(geoms)
+    overlaps = make_polygons_overlap_broadcast_udf(bc)
+    refined = (
+        candidates.withColumn("__rgid", F.xxhash64(F.col(right_geom)))
+        .filter(overlaps(F.col(left_geom), F.col("__rgid")))
+        .drop("__rgid", *lcols, *rcols)
+    )
+    return refined

@@ -201,3 +201,108 @@ class TestVectorizedKernelEquality:
             [point_in_geometry(donut, float(x), float(y)) for x, y in zip(xs2, ys2)]
         )
         assert (v == s).all()
+
+
+def _sq(x0, y0, x1, y1):
+    return {
+        "type": "Polygon",
+        "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]],
+    }
+
+
+class TestPolygonOverlapKernel:
+    def test_semantics_matrix(self):
+        from gpq_spark.geo.pip import polygons_overlap
+
+        cases = [
+            (_sq(0, 0, 4, 4), _sq(2, 2, 6, 6), True),     # partial overlap
+            (_sq(0, 0, 10, 10), _sq(3, 3, 5, 5), True),   # containment
+            (_sq(0, 0, 4, 4), _sq(0, 0, 4, 4), True),     # identical
+            (_sq(0, 0, 4, 4), _sq(4, 0, 8, 4), False),    # shared edge
+            (_sq(0, 0, 4, 4), _sq(4, 4, 8, 8), False),    # corner touch
+            (_sq(0, 0, 1, 1), _sq(5, 5, 6, 6), False),    # disjoint
+            (_sq(-1, 2, 5, 3), _sq(2, -1, 3, 5), True),   # cross, no vertex inside
+            (_sq(0, 0, 4, 4), _sq(4, 1, 8, 3), False),    # collinear partial edge
+        ]
+        for a, b, want in cases:
+            assert polygons_overlap(a, b) is want
+            assert polygons_overlap(b, a) is want  # symmetric
+
+    def test_hole_semantics(self):
+        from gpq_spark.geo.pip import polygons_overlap
+
+        donut = {
+            "type": "Polygon",
+            "coordinates": [
+                [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]],
+            ],
+        }
+        assert not polygons_overlap(donut, _sq(4.5, 4.5, 5.5, 5.5))  # in the hole
+        assert polygons_overlap(donut, _sq(1, 1, 2, 2))              # in the ring
+
+    def test_fixture_countries(self):
+        import pyarrow.parquet as pq
+
+        from gpq_spark.geo.pip import polygons_overlap
+
+        t = pq.read_table(FIXTURE)
+        g = {
+            n: _wkb.loads(v)
+            for n, v in zip(t.column("name").to_pylist(), t.column("geometry").to_pylist())
+        }
+        for name, geom in g.items():
+            assert polygons_overlap(geom, geom), name  # self-overlap
+        # neighbors share a border but interiors don't intersect
+        assert not polygons_overlap(g["Canada"], g["United States of America"])
+        assert not polygons_overlap(g["Canada"], g["Tanzania"])
+
+    def test_representative_point_is_interior(self):
+        from gpq_spark.geo.pip import point_in_geometry, representative_point
+
+        l_shape = {
+            "type": "Polygon",
+            "coordinates": [[[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4], [0, 0]]],
+        }
+        donut = {
+            "type": "Polygon",
+            "coordinates": [
+                [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]],
+            ],
+        }
+        for g in (l_shape, donut, _sq(0, 0, 1, 1)):
+            x, y = representative_point(g)
+            assert point_in_geometry(g, x, y)
+
+
+class TestPolygonOverlapJoin:
+    def test_join_countries_vs_boxes(self, spark):
+        from gpq_spark.geo import wkb as wkbmod
+        from gpq_spark.geoparquet import spatial_join_polygons_overlap
+
+        right = spark.read.parquet(FIXTURE).select(
+            F.col("geometry").alias("r_geometry"), F.col("name").alias("r_name")
+        )
+        boxes = [
+            (1, _sq(30, -10, 36, -2)),    # overlaps Tanzania
+            (2, _sq(-120, 50, -100, 70)), # overlaps Canada
+            (3, _sq(0, 0, 1, 1)),         # ocean
+            (4, _sq(-115, 30, -95, 65)),  # overlaps both USA and Canada
+        ]
+        left = spark.createDataFrame(
+            [(i, bytearray(wkbmod.dumps(g))) for i, g in boxes],
+            "box_id long, geometry binary",
+        )
+        got = {
+            (r.box_id, r.r_name)
+            for r in spatial_join_polygons_overlap(left, right).select(
+                "box_id", "r_name"
+            ).collect()
+        }
+        assert got == {
+            (1, "Tanzania"),
+            (2, "Canada"),
+            (4, "Canada"),
+            (4, "United States of America"),
+        }
