@@ -306,3 +306,52 @@ class TestPolygonOverlapJoin:
             (4, "Canada"),
             (4, "United States of America"),
         }
+
+
+class TestOverlapPropertySAT:
+    def test_random_convex_pairs_match_separating_axis_reference(self):
+        """polygons_overlap vs an INDEPENDENT separating-axis-theorem
+        oracle on random convex polygons: interiors intersect iff no
+        edge normal separates the projections (strict — touching
+        projections count as separated). Random float vertices never
+        produce exact boundary contact, so the two formulations must
+        agree exactly."""
+        import math
+        import random
+
+        from gpq_spark.geo.pip import polygons_overlap
+
+        def convex(cx, cy, r, n, rng):
+            # points on a circle at sorted angles: guaranteed convex
+            # (random radii would give star shapes, where SAT is not
+            # a valid oracle)
+            angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+            pts = [
+                [cx + r * math.cos(a), cy + r * math.sin(a)] for a in angles
+            ]
+            return {"type": "Polygon", "coordinates": [pts + [pts[0]]]}
+
+        def sat(pa, pb):
+            A = pa["coordinates"][0][:-1]
+            B = pb["coordinates"][0][:-1]
+            for poly in (A, B):
+                for i in range(len(poly)):
+                    x1, y1 = poly[i]
+                    x2, y2 = poly[(i + 1) % len(poly)]
+                    nx, ny = y2 - y1, x1 - x2
+                    pa_min = min(nx * x + ny * y for x, y in A)
+                    pa_max = max(nx * x + ny * y for x, y in A)
+                    pb_min = min(nx * x + ny * y for x, y in B)
+                    pb_max = max(nx * x + ny * y for x, y in B)
+                    if pa_max <= pb_min or pb_max <= pa_min:
+                        return False
+            return True
+
+        rng = random.Random(42)
+        mismatches = []
+        for trial in range(300):
+            a = convex(rng.uniform(-5, 5), rng.uniform(-5, 5), rng.uniform(1, 4), rng.randint(3, 8), rng)
+            b = convex(rng.uniform(-5, 5), rng.uniform(-5, 5), rng.uniform(1, 4), rng.randint(3, 8), rng)
+            if polygons_overlap(a, b) != sat(a, b):
+                mismatches.append(trial)
+        assert not mismatches, mismatches
