@@ -4356,3 +4356,47 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v_interp"),
     )
+
+
+@register(
+    "q_sketch_kmv_distinct",
+    """
+    WITH h AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS hv
+        FROM events
+    ), d AS (SELECT DISTINCT event_type, hv FROM h)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                ELSE 63 * 281474976710656 // list_sort(list(hv))[64]
+                END AS BIGINT) AS n_kmv
+    FROM d GROUP BY event_type
+    """,
+)
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=64 — the
+    mergeable sketch family (KMV/theta) with a DETERMINISTIC,
+    engine-portable construction: the hash is md5 (both engines parse
+    the same 48-bit hex window) and the estimator (k−1)·2⁴⁸ div kth_min
+    is exact integer arithmetic, so the sketch estimate itself
+    hash-matches the oracle bit-for-bit — unlike opaque HLL registers.
+
+    Scale: per group the state is the k smallest hashes (collect_set
+    then sort — at 100 TB swap for a size-capped aggregator or
+    approx_count_distinct; the portable construction is the gate's
+    deterministic stand-in with identical merge semantics)."""
+    ev = load_events(spark, sf_dir)
+    hv = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    d = ev.select("event_type", hv.alias("hv")).distinct()
+    kth = F.element_at(F.array_sort(F.collect_list("hv")), 64)
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.when(F.count(F.lit(1)) < 64, F.count(F.lit(1)))
+        .otherwise(F.expr("63 * 281474976710656L div element_at(array_sort(collect_list(hv)), 64)"))
+        .cast("long")
+        .alias("n_kmv"),
+    )
