@@ -4400,3 +4400,68 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_kmv"),
     )
+
+
+@register(
+    "q_sketch_cms_heavy",
+    """
+    WITH rows4 AS (SELECT unnest(range(0, 4)) AS r),
+    cells AS (
+        SELECT r,
+               CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                    || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events, rows4
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM events GROUP BY user_id
+        ORDER BY n_exact DESC, user_id LIMIT 10
+    ), probes AS (
+        SELECT t.user_id, t.n_exact, r.r,
+               CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|'
+                    || CAST(t.user_id AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS c
+        FROM truth t, rows4 r
+    )
+    SELECT p.user_id, p.n_exact, CAST(MIN(cells.n) AS BIGINT) AS n_cms
+    FROM probes p JOIN cells ON p.r = cells.r AND p.c = cells.c
+    GROUP BY p.user_id, p.n_exact
+    """,
+)
+def q_sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 × width 64), probed at the true top-10
+    heavy hitters — deterministic md5 row hashes, so the CMS estimate
+    (min over the 4 counters; an upper bound on the exact count)
+    matches the oracle bit-for-bit.
+
+    Scale: the sketch build is ONE groupBy over (row, col) — 256 cells
+    regardless of key cardinality (the point of CMS); the probe side is
+    a broadcast of the 10 keys × 4 rows. This is the deterministic gate
+    stand-in for streaming heavy-hitter detection at 100 TB where the
+    key space cannot be grouped exactly."""
+    ev = load_events(spark, sf_dir)
+    rows4 = spark.range(4).select(F.col("id").cast("int").alias("r"))
+    hash_cell = (
+        "CAST(conv(substr(md5(CAST(r AS STRING) || '|' || "
+        "CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT) % 64"
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(rows4))
+        .withColumn("c", F.expr(hash_cell))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("user_id"))
+        .limit(10)
+    )
+    probes = truth.crossJoin(F.broadcast(rows4)).withColumn(
+        "c", F.expr(hash_cell)
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("n").cast("long").alias("n_cms"))
+    )
