@@ -200,6 +200,24 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    spark = _spark()
+    from .geoparquet import compact_geoparquet
+
+    res = compact_geoparquet(
+        spark,
+        args.path,
+        target_bytes=int(args.target_mb * (1 << 20)),
+        small_fraction=args.small_fraction,
+    )
+    print(
+        f"compacted {res['in_files']} files -> {res['out_files']} "
+        f"({res['bytes_compacted']} bytes rewritten, "
+        f"{res['kept_files']} kept)"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="gpq_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -243,6 +261,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drop-cols", default="")
     p.add_argument("--keep-only-cols", default="")
     p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser(
+        "compact",
+        help="Rewrite small part files of a GeoParquet dataset into "
+        "~target-size files (footers preserved; beyond-reference)",
+    )
+    p.add_argument("path")
+    p.add_argument("--target-mb", type=float, default=128.0)
+    p.add_argument("--small-fraction", type=float, default=0.5,
+                   help="files below small-fraction x target are rewritten")
+    p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("version", help="Print version")
     p.set_defaults(fn=lambda a: print(__version__) or 0)

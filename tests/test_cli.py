@@ -119,3 +119,24 @@ def test_describe_text_format(capsys):
     assert "primary geometry column: geometry" in out
     assert "bbox.xmin" in out
     assert "rows: 5" in out
+
+
+def test_cli_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from conftest import TESTDATA
+    from gpq_spark.cli import main
+    from gpq_spark.geo.wkb import dumps
+    from gpq_spark.geoparquet import parquet_files, write_geoparquet
+
+    out = str(tmp_path / "sprawl")
+    df = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    pt = dumps({"type": "Point", "coordinates": [1.0, 2.0]})
+    write_geoparquet(
+        df.withColumn("geometry", F.lit(bytearray(pt))).repartition(8), out
+    )
+    assert len(parquet_files(out)) == 8
+    rc = main(["compact", out, "--target-mb", "64"])
+    assert rc == 0
+    assert len(parquet_files(out)) == 1
+    assert spark.read.parquet(out).count() == 500
