@@ -18,12 +18,13 @@ barrier — stats are per-file, as the GeoParquet spec allows
 (file metadata describes that file). Memory is bounded by
 ``row_group_length`` rows per task.
 
-Filesystem contract: executors open part files with plain OS paths, so
-``path`` must be on a filesystem shared by driver and executors (local
-mode, NFS, or a fuse-mounted object store). Remote URI schemes
-(s3a://, hdfs://, gs://) are rejected with guidance — routing those
-through the footer-writing path would need an fsspec/pyarrow-FS handle
-per executor, which is the documented extension point.
+Filesystem contract: every open goes through pyarrow filesystem
+dispatch (``resolve_filesystem``). Plain OS paths use LocalFileSystem
+— they must be on a filesystem shared by driver and executors (local
+mode, NFS, fuse mount). URI destinations (file://, s3://, gs://,
+hdfs://) resolve to the matching pyarrow filesystem ON EACH EXECUTOR,
+so per-file geo footers survive on object stores too; unknown schemes
+raise at dispatch instead of silently writing executor-local files.
 """
 
 from __future__ import annotations
@@ -80,6 +81,21 @@ def read_column_codecs(path: str) -> dict[str, str]:
         rg.column(i).path_in_schema: rg.column(i).compression.lower()
         for i in range(rg.num_columns)
     }
+
+
+def resolve_filesystem(path: str):
+    """(pyarrow FileSystem, fs-local path) for a plain OS path or a
+    URI the installed pyarrow filesystems understand (file://, s3://,
+    gs://, hdfs://, ...). Plain paths use LocalFileSystem — identical
+    behavior to before the abstraction existed."""
+    from urllib.parse import urlparse
+
+    from pyarrow import fs as pafs
+
+    scheme = urlparse(str(path)).scheme
+    if scheme and len(scheme) > 1:  # len>1 keeps Windows drive letters out
+        return pafs.FileSystem.from_uri(str(path))
+    return pafs.LocalFileSystem(), str(path)
 
 
 class _GeomStats:
@@ -159,7 +175,10 @@ def _write_task(
     stats: dict[str, _GeomStats] = {name: _GeomStats() for name in meta.columns}
     bbox_col = None
 
-    path = os.path.join(out_dir, f"part-{pid:05d}-{salt}.parquet")
+    fs, base = resolve_filesystem(out_dir)
+    fname = f"part-{pid:05d}-{salt}.parquet"
+    path = f"{out_dir.rstrip('/')}/{fname}"  # reported (URI-preserving)
+    fs_path = f"{base.rstrip('/')}/{fname}"  # opened through fs
     total_rows = 0
     schema: pa.Schema | None = None
 
@@ -189,7 +208,9 @@ def _write_task(
             {**(schema.metadata or {}), METADATA_KEY.encode(): geo_json.encode()}
         )
         reader = pa.ipc.open_file(spill.name)
-        with pq.ParquetWriter(path, out_schema, compression=compression) as writer:
+        with pq.ParquetWriter(
+            fs_path, out_schema, compression=compression, filesystem=fs
+        ) as writer:
             buffered: list[pa.RecordBatch] = []
             buffered_rows = 0
             for i in range(reader.num_record_batches):
@@ -256,17 +277,6 @@ def write_geoparquet(
         os.replace(files[0]["file"], path)
         shutil.rmtree(tmp_dir, ignore_errors=True)
         return [{"file": path, "rows": files[0]["rows"]}]
-    from urllib.parse import urlparse
-
-    scheme = urlparse(str(path)).scheme
-    if scheme and len(scheme) > 1:  # len>1 keeps Windows drive letters out
-        raise ValueError(
-            f"write_geoparquet writes through executor-local OS paths; "
-            f"'{path}' has scheme '{scheme}://'. Write to a shared "
-            f"filesystem path, or write plain parquet via "
-            f"df.write.parquet(cloud.translate_url(url)) and accept "
-            f"Spark-managed footers (no per-file geo stats)."
-        )
     from ..deploy import ensure_deployed
 
     ensure_deployed(df.sparkSession)
@@ -280,14 +290,21 @@ def write_geoparquet(
 
     if mode not in ("overwrite", "error", "append"):
         raise ValueError(f"unknown write mode '{mode}'")
-    if os.path.exists(path):
+    # all directory management goes through the pyarrow filesystem, so
+    # URI destinations (file://, s3://, ...) behave like local paths;
+    # executors open their part files through the same dispatch
+    out_fs, out_base = resolve_filesystem(str(path))
+    from pyarrow import fs as pafs
+
+    info = out_fs.get_file_info(out_base)
+    if info.type != pafs.FileType.NotFound:
         if mode == "overwrite":
-            shutil.rmtree(path)
+            out_fs.delete_dir(out_base)
         elif mode == "error":
             raise FileExistsError(path)
         # "append": new part files land next to existing ones — the
         # per-write uuid salt in the file names prevents collisions
-    os.makedirs(path, exist_ok=True)
+    out_fs.create_dir(out_base, recursive=True)
 
     if single_file:
         df = df.coalesce(1)
@@ -306,12 +323,16 @@ def write_geoparquet(
     if not files:
         # all partitions empty: emit one empty-but-valid GeoParquet file
         empty = df.limit(0).toArrow()
-        target = os.path.join(path, f"part-00000-{salt}.parquet")
+        fname = f"part-00000-{salt}.parquet"
+        target = f"{str(path).rstrip('/')}/{fname}"
         geo_json = _finalize_metadata(meta, {name: _GeomStats() for name in meta.columns})
         schema = empty.schema.with_metadata(
             {**(empty.schema.metadata or {}), METADATA_KEY.encode(): geo_json.encode()}
         )
-        with pq.ParquetWriter(target, schema, compression=codec) as writer:
+        with pq.ParquetWriter(
+            f"{out_base.rstrip('/')}/{fname}", schema,
+            compression=codec, filesystem=out_fs,
+        ) as writer:
             writer.write_table(empty.cast(schema))
         files = [{"file": target, "rows": 0}]
     return files

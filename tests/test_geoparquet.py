@@ -271,9 +271,24 @@ class TestPerColumnCodecs:
         assert set(read_column_codecs(out).values()) == {"zstd"}
 
 
-def test_writer_rejects_remote_uri_schemes(spark):
+def test_writer_accepts_file_uri_and_rejects_unknown_scheme(spark, tmp_path):
+    """URI destinations go through pyarrow filesystem dispatch: file://
+    works end-to-end (footers included); an unrecognized scheme raises
+    at dispatch rather than silently writing executor-local files."""
+    import pyarrow as pa
+
+    from gpq_spark.geoparquet import parquet_files, read_geo_metadata
     from gpq_spark.geoparquet.writer import write_geoparquet
 
-    df = spark.range(1).selectExpr("CAST(NULL AS BINARY) AS geometry")
-    with pytest.raises(ValueError, match="shared"):
-        write_geoparquet(df, "s3a://bucket/out")
+    df = spark.range(3).selectExpr(
+        "id", "CAST(NULL AS BINARY) AS geometry"
+    )
+    out = f"file://{tmp_path}/uri_out"
+    files = write_geoparquet(df.coalesce(1), out)
+    local = str(tmp_path / "uri_out")
+    assert spark.read.parquet(local).count() == 3
+    assert read_geo_metadata(local) is not None
+    assert files and files[0]["file"].startswith("file://")
+
+    with pytest.raises(pa.lib.ArrowInvalid):
+        write_geoparquet(df, "notafs://bucket/out")
