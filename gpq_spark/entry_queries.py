@@ -4465,3 +4465,45 @@ def q_sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "n_exact")
         .agg(F.min("n").cast("long").alias("n_cms"))
     )
+
+@register(
+    "stream_gapfill_locf",
+    f"""
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, g AS hour_ts
+        FROM b, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t(g)
+    ), hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id,
+           strftime(g.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           CAST(COALESCE(last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_ts
+               ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS v_filled
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+    """,
+)
+def stream_gapfill_locf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LOCF gap fill as a real stateful streaming query
+    (applyInPandasWithState, epoch-long exchange, no timeouts): gaps
+    close when a later observation arrives, so the bounded replay
+    equals the batch dense-grid LOCF oracle exactly."""
+    from .streaming import stream_gapfill_locf
+
+    stream = _events_file_stream(spark, sf_dir)
+    filled = stream_gapfill_locf(stream).select(
+        "user_id",
+        # UTC wall clock, independent of the session timezone
+        F.date_format(
+            F.expr("convert_timezone('UTC', hour_ts)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_s"),
+        F.col("v_filled").cast("long").alias("v_filled"),
+    )
+    return _drain_to_table(filled, "stream_gapfill", "append")

@@ -7,6 +7,7 @@ from .windows import (
     stream_near_dup_candidates,
     stream_to_geoparquet,
     stream_interval_join,
+    stream_gapfill_locf,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "stream_near_dup_candidates",
     "stream_to_geoparquet",
     "stream_interval_join",
+    "stream_gapfill_locf",
 ]

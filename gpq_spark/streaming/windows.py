@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def stream_events(spark: SparkSession, events_dir: str, schema) -> DataFrame:
+def stream_events(
+    spark: SparkSession, events_dir: str, schema, options: dict | None = None
+) -> DataFrame:
     """File-source stream of the events table with ``ts`` normalized to
     TIMESTAMP (the only event-time type watermarks accept), whatever the
     parquet physically stores:
@@ -38,7 +40,10 @@ def stream_events(spark: SparkSession, events_dir: str, schema) -> DataFrame:
       shift the value by the session timezone instead
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = spark.readStream.schema(schema).parquet(events_dir)
+    reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(events_dir)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type in ("bigint", "long"):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -358,4 +363,91 @@ def stream_interval_join(
     )
     return left.join(right, cond).select(
         F.col("l_user").alias("user_id"), "l_event_id", "r_event_id"
+    )
+
+
+GAPFILL_RAW_SCHEMA = "user_id long, hour_us long, v_filled long"
+GAPFILL_STATE_SCHEMA = "last_hour long, last_v long"
+_HOUR_US = 3600 * 1_000_000
+
+
+def _gapfill_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming LOCF: when an observation arrives, emit every missing
+    hour since the previous observation carrying the previous value,
+    then the new hour. Gaps are closed by LATER observations — no
+    event-time timeouts — so on a bounded replay the output is exactly
+    the batch dense-grid LOCF (first..last observation hour). All
+    timestamps are exact epoch micros (longs); see the sessionizer for
+    why naive timestamps must never round-trip through pandas.
+
+    Contract: per-key arrival must be in event-time order ACROSS
+    micro-batches (an append log per key). An observation older than
+    the carried state re-emits its hour and rewinds the fill point —
+    buffering until the watermark passes (timeout-flush) is the
+    extension for out-of-order sources."""
+    hours: dict[int, int] = {}
+    for pdf in pdfs:
+        for ts_us, cents in zip(pdf["ts_us"], pdf["cents"]):
+            h = int(ts_us) - int(ts_us) % _HOUR_US
+            hours[h] = hours.get(h, 0) + int(cents)
+
+    if not hours:
+        return
+
+    if state.exists:
+        last_hour, last_v = state.get
+    else:
+        last_hour = last_v = None
+
+    out_hours: list[int] = []
+    out_vals: list[int] = []
+    for h in sorted(hours):
+        v = hours[h]
+        if last_hour is not None:
+            fill = last_hour + _HOUR_US
+            while fill < h:
+                out_hours.append(fill)
+                out_vals.append(last_v)
+                fill += _HOUR_US
+        out_hours.append(h)
+        out_vals.append(v)
+        last_hour, last_v = h, v
+
+    state.update((last_hour, last_v))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_hours),
+            "hour_us": out_hours,
+            "v_filled": out_vals,
+        }
+    )
+
+
+def stream_gapfill_locf(stream: DataFrame, value_col: str = "value") -> DataFrame:
+    """Stateful streaming LOCF gap fill per user (see ``_gapfill_fn``).
+    Output: user_id, hour_ts (TIMESTAMP), v_filled (exact cents)."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)"))
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _gapfill_fn,
+            outputStructType=GAPFILL_RAW_SCHEMA,
+            stateStructType=GAPFILL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return raw.select(
+        "user_id",
+        F.timestamp_micros("hour_us").alias("hour_ts"),
+        "v_filled",
     )

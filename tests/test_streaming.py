@@ -364,3 +364,77 @@ class TestTimezoneIndependence:
                 e.oracle_sql()[name],
             )
             assert r["match"], (name, r.get("detail"))
+
+
+class TestStreamGapfill:
+    def test_state_carries_across_micro_batches(self, spark, tmp_path):
+        """Split the events into two files (two micro-batches): gaps
+        spanning the batch boundary must still fill from state."""
+        import os
+
+        from gpq_spark.streaming import stream_events, stream_gapfill_locf
+
+        src = spark.read.parquet(f"{TESTDATA}/sf0.001/events.parquet")
+        d = tmp_path / "two_batches"
+        os.makedirs(d)
+        # file source picks up files in modification order; write the
+        # earlier half first so batches arrive in event-time order
+        import glob
+        import shutil
+
+        # split by TIME: batches must arrive in event-time order per
+        # key (the operator's documented in-order contract; an id-parity
+        # split interleaves times and re-opens closed gaps)
+        median_ts = src.orderBy("ts").limit(src.count() // 2).agg(
+            F.max("ts")
+        ).first()[0]
+        for tag, half in (
+            ("a", src.filter(F.col("ts") <= F.lit(median_ts))),
+            ("b", src.filter(F.col("ts") > F.lit(median_ts))),
+        ):
+            tmp = str(d / f"_{tag}_dir")
+            half.coalesce(1).write.parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.move(part, str(d / f"{tag}.parquet"))
+            shutil.rmtree(tmp)
+
+        schema = src.schema
+        # one file per trigger: the two files MUST arrive as separate
+        # micro-batches, or this test would not exercise state at all
+        stream = stream_events(
+            spark, str(d), schema, options={"maxFilesPerTrigger": "1"}
+        )
+        filled = stream_gapfill_locf(stream)
+        name = f"gf_{uuid.uuid4().hex[:8]}"
+        q = (
+            filled.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.table(name)
+        # one row per (user, hour) in the dense grid, values = LOCF.
+        # NOTE: out-of-order arrival across batches can duplicate hours
+        # (a later batch's earlier event re-opens a gap) — on the
+        # in-order split used here the output must be the exact grid
+        from gpq_spark.relational import epoch_micros
+
+        ev = spark.read.parquet(f"{TESTDATA}/sf0.001/events.parquet")
+        n_users = ev.select("user_id").distinct().count()
+        grid_rows = (
+            ev.groupBy("user_id")
+            .agg(
+                F.min(epoch_micros(ev, "ts")).alias("t0"),
+                F.max(epoch_micros(ev, "ts")).alias("t1"),
+            )
+            .selectExpr(
+                "CAST((t1 div 3600000000) - (t0 div 3600000000) + 1 AS BIGINT) AS n"
+            )
+            .groupBy()
+            .sum("n")
+            .first()[0]
+        )
+        assert got.count() == grid_rows
+        assert got.select("user_id", "hour_ts").distinct().count() == grid_rows
