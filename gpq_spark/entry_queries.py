@@ -4507,3 +4507,68 @@ def stream_gapfill_locf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_filled").cast("long").alias("v_filled"),
     )
     return _drain_to_table(filled, "stream_gapfill", "append")
+
+
+@register(
+    "q_sketch_kmv_merge",
+    """
+    WITH h AS (
+        SELECT event_type, event_id % 2 AS shard,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS hv
+        FROM events
+    ), per_shard AS (
+        -- each shard keeps only its k smallest distinct hashes: the
+        -- actual KMV sketch state
+        SELECT event_type, shard,
+               list_sort(list(DISTINCT hv))[1:64] AS kmin
+        FROM h GROUP BY event_type, shard
+    ), merged AS (
+        -- merge = k smallest of the union of the shards' k-min sets
+        SELECT event_type,
+               list_sort(flatten(list(kmin)))[1:64] AS kmin
+        FROM per_shard GROUP BY event_type
+    ), globale AS (
+        SELECT event_type, list_sort(list(DISTINCT hv))[1:64] AS kmin
+        FROM h GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(63 * 281474976710656 // m.kmin[64] AS BIGINT) AS n_merged,
+           CAST(63 * 281474976710656 // g.kmin[64] AS BIGINT) AS n_global,
+           m.kmin = g.kmin AS merge_exact
+    FROM merged m JOIN globale g ON m.event_type = g.event_type
+    """,
+)
+def q_sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGEABILITY: two shards each keep only their k=64
+    smallest distinct hashes; merging (k smallest of the union of the
+    two k-min sets) must reproduce the global sketch exactly — the
+    property that lets 1000 executors sketch partitions independently
+    and combine at O(k) cost. Both the merged and global estimates are
+    exact integers, and the oracle checks the k-min SETS are identical,
+    not just the estimates."""
+    ev = load_events(spark, sf_dir)
+    hv = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    h = ev.select(
+        "event_type", (F.col("event_id") % 2).alias("shard"), hv.alias("hv")
+    )
+    kmin = F.slice(F.array_sort(F.collect_set("hv")), 1, 64)
+    per_shard = h.groupBy("event_type", "shard").agg(kmin.alias("kmin"))
+    merged = per_shard.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("kmin"))), 1, 64).alias(
+            "m_kmin"
+        )
+    )
+    globale = h.groupBy("event_type").agg(kmin.alias("g_kmin"))
+    est = lambda c: F.expr(f"63 * 281474976710656L div element_at({c}, 64)")
+    return (
+        merged.join(globale, "event_type")
+        .select(
+            "event_type",
+            est("m_kmin").cast("long").alias("n_merged"),
+            est("g_kmin").cast("long").alias("n_global"),
+            (F.col("m_kmin") == F.col("g_kmin")).alias("merge_exact"),
+        )
+    )
