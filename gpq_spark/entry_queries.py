@@ -4533,8 +4533,10 @@ def stream_gapfill_locf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM h GROUP BY event_type
     )
     SELECT m.event_type,
-           CAST(63 * 281474976710656 // m.kmin[64] AS BIGINT) AS n_merged,
-           CAST(63 * 281474976710656 // g.kmin[64] AS BIGINT) AS n_global,
+           CAST(CASE WHEN len(m.kmin) < 64 THEN len(m.kmin)
+                ELSE 63 * 281474976710656 // m.kmin[64] END AS BIGINT) AS n_merged,
+           CAST(CASE WHEN len(g.kmin) < 64 THEN len(g.kmin)
+                ELSE 63 * 281474976710656 // g.kmin[64] END AS BIGINT) AS n_global,
            m.kmin = g.kmin AS merge_exact
     FROM merged m JOIN globale g ON m.event_type = g.event_type
     """,
@@ -4562,7 +4564,12 @@ def q_sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     globale = h.groupBy("event_type").agg(kmin.alias("g_kmin"))
-    est = lambda c: F.expr(f"63 * 281474976710656L div element_at({c}, 64)")
+    # fewer than k distinct values → the sketch IS the exact set
+    # (standard KMV small-set rule; also avoids element_at past the end)
+    est = lambda c: F.expr(
+        f"CASE WHEN size({c}) < 64 THEN size({c}) "
+        f"ELSE 63 * 281474976710656L div element_at({c}, 64) END"
+    )
     return (
         merged.join(globale, "event_type")
         .select(
