@@ -4294,10 +4294,13 @@ def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation gap fill: missing hours get the exact
     integer lerp between the surrounding observations —
-    ``(v0·(t1−t) + v1·(t−t0)) div (t1−t0)`` in BIGINT microsecond
-    arithmetic, engine-identical (both DuckDB ``//`` and Spark ``div``
-    floor for the non-negative operands here; no float slope, so no
-    last-ulp drift). Grid endpoints are observation hours by
+    ``floor((v0·(t1−t) + v1·(t−t0)) / (t1−t0))`` in BIGINT microsecond
+    arithmetic, engine-identical (no float slope, so no last-ulp
+    drift). DuckDB ``//`` floors while Spark ``div`` truncates toward
+    zero — they diverge when the numerator is negative (negative
+    measures) — so the Spark side computes an explicit floor via
+    ``(num - pmod(num, den)) div den`` (den > 0 always: grid hours are
+    strictly increasing). Grid endpoints are observation hours by
     construction, so every gap is interior and both neighbors exist.
 
     Same scale shape as LOCF: map-side grid explode, one partial agg,
@@ -4347,7 +4350,9 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(obs_us, ignorenulls=True).over(wf).alias("n_us"),
         F.first("v", ignorenulls=True).over(wf).alias("n_v"),
     )
-    lerp = F.expr("(p_v * (n_us - us) + n_v * (us - p_us)) div (n_us - p_us)")
+    _num = "(p_v * (n_us - us) + n_v * (us - p_us))"
+    _den = "(n_us - p_us)"
+    lerp = F.expr(f"({_num} - pmod({_num}, {_den})) div {_den}")
     return edged.select(
         "user_id",
         F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),

@@ -1,0 +1,74 @@
+"""Negative-measure linear interpolation: DuckDB `//` floors while
+Spark `div` truncates toward zero, so a naive lerp diverges whenever
+the integer numerator is negative. q_gapfill_interp computes an
+explicit floor on the Spark side; this test drives both engines over a
+fixture whose gaps interpolate across negative values and non-divisible
+negative numerators.
+"""
+
+import datetime
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from gpq_spark.entry_queries import QUERIES
+from gpq_spark.oracle import compare
+
+QDEF = next(q for q in QUERIES if q.name == "q_gapfill_interp")
+
+
+def _write_events(path):
+    # user 1: v drops from +5.00 to -7.00 over a 3-hour gap: interior
+    # lerp numerators are negative and not divisible by the span.
+    # user 2: entirely negative, non-divisible slope.
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def hours(h):
+        return base + datetime.timedelta(hours=h)
+
+    rows = [
+        (1, hours(0), 1, "a", 5.00, "{}"),
+        (2, hours(3), 1, "a", -7.00, "{}"),
+        (3, hours(0), 2, "a", -1.23, "{}"),
+        (4, hours(4), 2, "a", -9.99, "{}"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(path / "events.parquet"))
+
+
+def test_interp_floors_negative_numerators(spark, tmp_path):
+    _write_events(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    result = compare(QDEF.spark_fn(spark, str(tmp_path)), con, QDEF.oracle)
+    assert result["match"], result
+
+    # sanity: the engine-agnostic expected values, hand-computed.
+    # user 1: 500 → -700 over 3 h: floor lerps at h1/h2 are
+    # floor(100/3)=33... in cents: floor((500*2 + -700*1)/3)=100,
+    # floor((500*1 + -700*2)/3)=floor(-300)= -300.
+    rows = {
+        (r["user_id"], r["hour_s"]): r["v_interp"]
+        for r in QDEF.spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert rows[(1, "2024-01-01 01:00:00")] == 100
+    assert rows[(1, "2024-01-01 02:00:00")] == -300
+    # user 2: -123 → -999 over 4 h, step -219 exactly... (-123*3 + -999*1)/4
+    # = (-369-999)/4 = -1368/4 = -342; next: (-123*2-999*2)/4 = -561;
+    # next: (-123-999*3)/4 = floor(-3120/4) = -780
+    assert rows[(2, "2024-01-01 01:00:00")] == -342
+    assert rows[(2, "2024-01-01 02:00:00")] == -561
+    assert rows[(2, "2024-01-01 03:00:00")] == -780
