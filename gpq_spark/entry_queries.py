@@ -4584,3 +4584,245 @@ def q_sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m_kmin") == F.col("g_kmin")).alias("merge_exact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch (deterministic, engine-portable construction)
+# ---------------------------------------------------------------------------
+# m=64 registers over the same 48-bit md5 hash window as the KMV
+# sketch: bucket = hv % 64, the remaining 42-bit quotient supplies
+# rho = leading-zero count + 1 (via bit length: both engines' bin()
+# renders an integer without leading zeros, so rho = 43 - len(bin(q)),
+# and the all-zero quotient is rho = 43).  The harmonic mean is exact
+# integer arithmetic — each register contributes 2^(44-M_j), summed in
+# BIGINT — and the alpha correction uses the rational 7/10 (~0.70 for
+# m=64) so the raw estimate is a single integer division:
+#     E = (7 · 64² · 2^44) div (10 · S),  7·64²·2^44 = 504403158265495552.
+# The standard small-range linear-counting correction (E ≤ 2.5m and
+# empty registers present → m·ln(m/V)) involves a logarithm, which is
+# NOT guaranteed bit-identical across libm implementations — so it is
+# pre-tabulated: V ∈ {1..64} has only 64 possible corrections, embedded
+# as the same integer literal array in both engines' SQL.
+_HLL_NUMER = 7 * 64 * 64 * (1 << 44)  # alpha(7/10) · m² · 2^44
+_HLL_LC = [round(64 * __import__("math").log(64 / v)) for v in range(1, 65)]
+_HLL_RHO_DUCK = (
+    "CASE WHEN hv // 64 = 0 THEN 43 ELSE 43 - length(bin(hv // 64)) END"
+)
+_HLL_RHO_SPARK = (
+    "CAST(CASE WHEN hv div 64 = 0 THEN 43"
+    " ELSE 43 - length(bin(hv div 64)) END AS BIGINT)"
+)
+
+
+def _hll_estimate_duck(s: str, v: str) -> str:
+    lut = ", ".join(str(x) for x in _HLL_LC)
+    return (
+        f"CAST(CASE WHEN {_HLL_NUMER} // (10 * {s}) <= 160 AND {v} > 0"
+        f" THEN ([{lut}])[CAST({v} AS INT)]"
+        f" ELSE {_HLL_NUMER} // (10 * {s}) END AS BIGINT)"
+    )
+
+
+def _hll_estimate_spark(s: str, v: str) -> str:
+    lut = ", ".join(str(x) for x in _HLL_LC)
+    return (
+        f"CAST(CASE WHEN {_HLL_NUMER}L div (10 * {s}) <= 160 AND {v} > 0"
+        f" THEN element_at(array({lut}), CAST({v} AS INT))"
+        f" ELSE {_HLL_NUMER}L div (10 * {s}) END AS BIGINT)"
+    )
+
+
+@register(
+    "q_sketch_hll_distinct",
+    f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS hv,
+               user_id
+        FROM events
+    ), reg AS (
+        SELECT event_type, hv % 64 AS b, MAX({_HLL_RHO_DUCK}) AS m
+        FROM h GROUP BY 1, 2
+    ), grid AS (
+        SELECT DISTINCT event_type, r AS b
+        FROM reg, (SELECT unnest(range(0, 64)) AS r)
+    ), dense AS (
+        SELECT g.event_type, COALESCE(reg.m, 0) AS m
+        FROM grid g LEFT JOIN reg
+          ON g.event_type = reg.event_type AND g.b = reg.b
+    ), st AS (
+        SELECT event_type,
+               CAST(SUM(CAST(1 AS BIGINT) << (44 - m)) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM dense GROUP BY 1
+    ), ex AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM h GROUP BY 1
+    )
+    SELECT st.event_type, ex.n_exact,
+           {_hll_estimate_duck('st.s', 'st.v')} AS n_hll
+    FROM st JOIN ex ON st.event_type = ex.event_type
+    """,
+)
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch, m=64 registers, with a fully
+    DETERMINISTIC engine-portable spec (see the block comment above):
+    md5-derived bucket/rho, exact-integer harmonic mean (2^(44-M_j)
+    summed in BIGINT), rational alpha=7/10, and a pre-tabulated
+    linear-counting correction — so the HLL estimate itself
+    hash-matches the DuckDB oracle bit-for-bit.
+
+    Scale: register build is ONE groupBy producing ≤ 64·|types| rows
+    (map-side partial max — the sketch state is 64 counters regardless
+    of key cardinality, the point of HLL); the dense grid is a
+    broadcast of 64 bucket ids. This is the deterministic gate twin of
+    approx_count_distinct, which runs the same shape JVM-side."""
+    ev = load_events(spark, sf_dir)
+    hv = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    h = ev.select("event_type", hv.alias("hv"), "user_id")
+    reg = h.groupBy("event_type", (F.col("hv") % 64).alias("b")).agg(
+        F.max(F.expr(_HLL_RHO_SPARK)).alias("m")
+    )
+    grid = reg.select("event_type").distinct().crossJoin(
+        F.broadcast(spark.range(64).select(F.col("id").alias("b")))
+    )
+    dense = grid.join(reg, ["event_type", "b"], "left").select(
+        "event_type", F.coalesce("m", F.lit(0).cast("long")).alias("m")
+    )
+    st = dense.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(44 - m AS INT))"))
+        .cast("long")
+        .alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("v"),
+    )
+    ex = h.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return st.join(ex, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.expr(_hll_estimate_spark("s", "v")).alias("n_hll"),
+    )
+
+
+@register(
+    "q_sketch_hll_merge",
+    f"""
+    WITH h AS (
+        SELECT event_type, event_id % 2 AS shard,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS hv,
+               user_id
+        FROM events
+    ), per_shard AS (
+        -- each shard's 64 registers: the actual HLL sketch state
+        SELECT event_type, shard, hv % 64 AS b, MAX({_HLL_RHO_DUCK}) AS m
+        FROM h GROUP BY 1, 2, 3
+    ), merged AS (
+        -- HLL merge = register-wise MAX across shard sketches
+        SELECT event_type, b, MAX(m) AS m
+        FROM per_shard GROUP BY 1, 2
+    ), globale AS (
+        SELECT event_type, hv % 64 AS b, MAX({_HLL_RHO_DUCK}) AS m
+        FROM h GROUP BY 1, 2
+    ), regcmp AS (
+        SELECT m.event_type,
+               CAST(SUM(CASE WHEN m.m IS DISTINCT FROM g.m
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_diff
+        FROM merged m FULL OUTER JOIN globale g
+          ON m.event_type = g.event_type AND m.b = g.b
+        GROUP BY 1
+    ), grid AS (
+        SELECT DISTINCT event_type, r AS b
+        FROM merged, (SELECT unnest(range(0, 64)) AS r)
+    ), dense AS (
+        SELECT g.event_type, COALESCE(merged.m, 0) AS m
+        FROM grid g LEFT JOIN merged
+          ON g.event_type = merged.event_type AND g.b = merged.b
+    ), st AS (
+        SELECT event_type,
+               CAST(SUM(CAST(1 AS BIGINT) << (44 - m)) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM dense GROUP BY 1
+    ), ex AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM h GROUP BY 1
+    )
+    SELECT st.event_type, ex.n_exact,
+           {_hll_estimate_duck('st.s', 'st.v')} AS n_hll_merged,
+           regcmp.n_diff = 0 AS merge_exact
+    FROM st JOIN ex ON st.event_type = ex.event_type
+    JOIN regcmp ON st.event_type = regcmp.event_type
+    """,
+)
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGEABILITY: two shards build 64-register sketches
+    independently; merging (register-wise MAX) must reproduce the
+    global sketch register-for-register — the lossless-merge property
+    that lets 1000 executors sketch partitions independently and
+    combine at O(m) cost with no accuracy loss (unlike quantile or
+    top-k sketches, HLL merge is exact). The oracle compares the full
+    register maps via a full outer join (zero mismatches), not just
+    the estimates, and the merged-sketch estimate is the same
+    deterministic integer spec as q_sketch_hll_distinct."""
+    ev = load_events(spark, sf_dir)
+    hv = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    h = ev.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("shard"),
+        hv.alias("hv"),
+        "user_id",
+    )
+    rho = F.expr(_HLL_RHO_SPARK)
+    per_shard = h.groupBy(
+        "event_type", "shard", (F.col("hv") % 64).alias("b")
+    ).agg(F.max(rho).alias("m"))
+    merged = per_shard.groupBy("event_type", "b").agg(F.max("m").alias("m"))
+    globale = (
+        h.groupBy("event_type", (F.col("hv") % 64).alias("b"))
+        .agg(F.max(rho).alias("m"))
+        .select("event_type", "b", F.col("m").alias("g_m"))
+    )
+    regcmp = (
+        merged.join(globale, ["event_type", "b"], "full_outer")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    ~F.col("m").eqNullSafe(F.col("g_m")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_diff")
+        )
+    )
+    grid = merged.select("event_type").distinct().crossJoin(
+        F.broadcast(spark.range(64).select(F.col("id").alias("b")))
+    )
+    dense = grid.join(merged, ["event_type", "b"], "left").select(
+        "event_type", F.coalesce("m", F.lit(0).cast("long")).alias("m")
+    )
+    st = dense.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(44 - m AS INT))"))
+        .cast("long")
+        .alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("v"),
+    )
+    ex = h.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        st.join(ex, "event_type")
+        .join(regcmp, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.expr(_hll_estimate_spark("s", "v")).alias("n_hll_merged"),
+            (F.col("n_diff") == 0).alias("merge_exact"),
+        )
+    )
