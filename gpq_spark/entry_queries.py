@@ -2593,6 +2593,171 @@ def geo_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("c_custkey", "s_suppkey")
 
 
+# --- exact polygon overlay (intersection area) ------------------------------
+# Integer-coordinate shapes: the clip kernel's float64 vertices sit
+# within an ulp of exact, so rounding the area recovers the exact
+# integer the oracle computes in pure BIGINT arithmetic.
+_OVA_XMIN = "c_custkey % 181 - 90"
+_OVA_YMIN = "(c_custkey * 3) % 89 - 44"
+_OVA_XMAX = f"{_OVA_XMIN} + 2 + c_custkey % 7"
+_OVA_YMAX = f"{_OVA_YMIN} + 2 + c_custkey % 5"
+_OVB_XMIN = "(s_suppkey * 13) % 181 - 90"
+_OVB_YMIN = "(s_suppkey * 7) % 89 - 44"
+_OVB_XMAX = f"{_OVB_XMIN} + 2 + s_suppkey % 6"
+_OVB_YMAX = f"{_OVB_YMIN} + 2 + s_suppkey % 4"
+
+
+@register(
+    "geo_overlay_boxes",
+    f"""
+    WITH a AS (
+        SELECT c_custkey, {_OVA_XMIN} AS axmin, {_OVA_YMIN} AS aymin,
+               {_OVA_XMAX} AS axmax, {_OVA_YMAX} AS aymax
+        FROM customer),
+    b AS (
+        SELECT s_suppkey, {_OVB_XMIN} AS bxmin, {_OVB_YMIN} AS bymin,
+               {_OVB_XMAX} AS bxmax, {_OVB_YMAX} AS bymax
+        FROM supplier)
+    SELECT c_custkey, s_suppkey,
+           CAST((LEAST(axmax, bxmax) - GREATEST(axmin, bxmin))
+              * (LEAST(aymax, bymax) - GREATEST(aymin, bymin)) AS BIGINT)
+               AS area
+    FROM a, b
+    WHERE LEAST(axmax, bxmax) > GREATEST(axmin, bxmin)
+      AND LEAST(aymax, bymax) > GREATEST(aymin, bymin)
+    """,
+)
+def geo_overlay_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact polygon-overlay area over bbox-join candidates: the
+    clipping kernel (geo/clip.py — Green's-theorem triangle
+    decomposition + Sutherland–Hodgman) computes intersection areas for
+    customer×supplier rectangles; integer coordinates make the kernel
+    area exactly the oracle's closed-form BIGINT overlap product.
+
+    Scale: grid-cell EQUI-join candidates (never cross join), Arrow-
+    batched kernel refine on candidates only — the exact-overlay
+    analogue of the PIP join's candidates→refine shape."""
+    from .geoparquet.spatial import spatial_join_bboxes
+
+    a = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"CAST({_OVA_XMIN} AS DOUBLE) AS axmin",
+        f"CAST({_OVA_YMIN} AS DOUBLE) AS aymin",
+        f"CAST({_OVA_XMAX} AS DOUBLE) AS axmax",
+        f"CAST({_OVA_YMAX} AS DOUBLE) AS aymax",
+    )
+    b = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"CAST({_OVB_XMIN} AS DOUBLE) AS bxmin",
+        f"CAST({_OVB_YMIN} AS DOUBLE) AS bymin",
+        f"CAST({_OVB_XMAX} AS DOUBLE) AS bxmax",
+        f"CAST({_OVB_YMAX} AS DOUBLE) AS bymax",
+    )
+    cands = spatial_join_bboxes(
+        a,
+        b,
+        left_cols=("axmin", "aymin", "axmax", "aymax"),
+        right_cols=("bxmin", "bymin", "bxmax", "bymax"),
+        cell_deg=16.0,
+    )
+
+    from .functions.overlay import box_overlay_area
+
+    return (
+        cands.withColumn(
+            "area",
+            box_overlay_area(
+                "axmin", "aymin", "axmax", "aymax",
+                "bxmin", "bymin", "bxmax", "bymax",
+            ),
+        )
+        .filter(F.col("area") > 0)
+        .select("c_custkey", "s_suppkey", "area")
+    )
+
+
+# Diamonds (45°-rotated squares): non-axis-aligned clipping with an
+# exact oracle via the rotation u=x+y, v=x−y — a diamond is the uv-box
+# [u0−r, u0+r]×[v0−r, v0+r] and |det|=2, so 2·area_xy = uv overlap.
+_DVA_CX = "c_custkey % 141 - 70"
+_DVA_CY = "(c_custkey * 7) % 89 - 44"
+_DVA_R = "1 + c_custkey % 4"
+_DVB_CX = "(s_suppkey * 11) % 141 - 70"
+_DVB_CY = "(s_suppkey * 5) % 89 - 44"
+_DVB_R = "1 + s_suppkey % 5"
+
+
+@register(
+    "geo_overlay_diamonds",
+    f"""
+    WITH a AS (
+        SELECT c_custkey, ({_DVA_CX}) + ({_DVA_CY}) AS ua,
+               ({_DVA_CX}) - ({_DVA_CY}) AS va, {_DVA_R} AS ra
+        FROM customer),
+    b AS (
+        SELECT s_suppkey, ({_DVB_CX}) + ({_DVB_CY}) AS ub,
+               ({_DVB_CX}) - ({_DVB_CY}) AS vb, {_DVB_R} AS rb
+        FROM supplier)
+    SELECT c_custkey, s_suppkey,
+           CAST((LEAST(ua + ra, ub + rb) - GREATEST(ua - ra, ub - rb))
+              * (LEAST(va + ra, vb + rb) - GREATEST(va - ra, vb - rb))
+               AS BIGINT) AS area_x2
+    FROM a, b
+    WHERE LEAST(ua + ra, ub + rb) > GREATEST(ua - ra, ub - rb)
+      AND LEAST(va + ra, vb + rb) > GREATEST(va - ra, vb - rb)
+    """,
+)
+def geo_overlay_diamonds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact overlay area between NON-axis-aligned convex polygons
+    (45°-rotated squares): every Sutherland–Hodgman half-plane here has
+    a sloped boundary, so this exercises the true line-intersection
+    path the box query cannot. The oracle rotates to u=x+y, v=x−y where
+    diamonds become boxes (|det| = 2 ⇒ 2·area_xy is an exact BIGINT).
+
+    Same scale shape as geo_overlay_boxes: bbox-grid candidates, Arrow-
+    batched kernel refine."""
+    from .geoparquet.spatial import spatial_join_bboxes
+
+    a = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"CAST({_DVA_CX} AS DOUBLE) AS acx",
+        f"CAST({_DVA_CY} AS DOUBLE) AS acy",
+        f"CAST({_DVA_R} AS DOUBLE) AS ar",
+    ).selectExpr(
+        "c_custkey", "acx", "acy", "ar",
+        "acx - ar AS axmin", "acy - ar AS aymin",
+        "acx + ar AS axmax", "acy + ar AS aymax",
+    )
+    b = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"CAST({_DVB_CX} AS DOUBLE) AS bcx",
+        f"CAST({_DVB_CY} AS DOUBLE) AS bcy",
+        f"CAST({_DVB_R} AS DOUBLE) AS br",
+    ).selectExpr(
+        "s_suppkey", "bcx", "bcy", "br",
+        "bcx - br AS bxmin", "bcy - br AS bymin",
+        "bcx + br AS bxmax", "bcy + br AS bymax",
+    )
+    cands = spatial_join_bboxes(
+        a,
+        b,
+        left_cols=("axmin", "aymin", "axmax", "aymax"),
+        right_cols=("bxmin", "bymin", "bxmax", "bymax"),
+        cell_deg=16.0,
+    )
+
+    from .functions.overlay import diamond_overlay_area_x2
+
+    return (
+        cands.withColumn(
+            "area_x2",
+            diamond_overlay_area_x2("acx", "acy", "ar", "bcx", "bcy", "br"),
+        )
+        .filter(F.col("area_x2") > 0)
+        .select("c_custkey", "s_suppkey", "area_x2")
+    )
+
+
 _PX = "CAST((c_custkey % 360) - 180 AS DOUBLE) + 0.5"
 _PY = "CAST((c_custkey % 170) - 85 AS DOUBLE) + 0.25"
 

@@ -1,0 +1,45 @@
+"""Pandas-UDF wrappers for the exact overlay-area kernel (geo/clip.py).
+
+NOTE: no ``from __future__ import annotations`` here — pyspark infers
+the pandas-UDF eval type from the (non-stringified) signature hints.
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+@F.pandas_udf("long")
+def box_overlay_area(
+    axmin: pd.Series, aymin: pd.Series, axmax: pd.Series, aymax: pd.Series,
+    bxmin: pd.Series, bymin: pd.Series, bxmax: pd.Series, bymax: pd.Series,
+) -> pd.Series:
+    """Exact integer intersection area of two integer-coordinate
+    rectangles via the clipping kernel (driven through the same code
+    path as arbitrary convex shapes)."""
+    from gpq_spark.geo.clip import box_ring, ring_clip_area
+
+    out = [
+        int(round(ring_clip_area(box_ring(a0, a1, a2, a3),
+                                 box_ring(b0, b1, b2, b3))))
+        for a0, a1, a2, a3, b0, b1, b2, b3 in zip(
+            axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax
+        )
+    ]
+    return pd.Series(out, dtype="int64")
+
+
+@F.pandas_udf("long")
+def diamond_overlay_area_x2(
+    acx: pd.Series, acy: pd.Series, ar: pd.Series,
+    bcx: pd.Series, bcy: pd.Series, br: pd.Series,
+) -> pd.Series:
+    """2× the exact intersection area of two integer diamonds
+    (45°-rotated squares) — doubled so the result is an exact BIGINT."""
+    from gpq_spark.geo.clip import diamond_ring, ring_clip_area
+
+    out = [
+        int(round(2.0 * ring_clip_area(diamond_ring(x1, y1, r1),
+                                       diamond_ring(x2, y2, r2))))
+        for x1, y1, r1, x2, y2, r2 in zip(acx, acy, ar, bcx, bcy, br)
+    ]
+    return pd.Series(out, dtype="int64")

@@ -1,0 +1,165 @@
+"""Exact overlay-area kernel (gpq_spark/geo/clip.py).
+
+Verification strategy: hand-computed fixtures (incl. concave subjects
+and holes), a closed-form oracle for random integer boxes/diamonds,
+convex-convex symmetry, and a split-additivity property — for ANY
+subject ring, area(R ∩ C) must equal area(R ∩ C_left) + area(R ∩
+C_right) when a chord splits the convex clip C — which independently
+checks concave subjects without a second clipping implementation.
+"""
+
+import math
+import random
+
+from gpq_spark.geo.clip import (
+    box_ring,
+    convex_clip,
+    diamond_ring,
+    intersection_area,
+    is_convex_ring,
+    ring_clip_area,
+    ring_signed_area,
+)
+
+U_SHAPE = [(0, 0), (3, 0), (3, 3), (2, 3), (2, 1), (1, 1), (1, 3), (0, 3)]
+
+
+class TestFixtures:
+    def test_box_box(self):
+        assert math.isclose(
+            ring_clip_area(box_ring(0, 0, 2, 2), box_ring(1, 1, 3, 3)), 1.0
+        )
+
+    def test_disjoint_and_touching(self):
+        assert ring_clip_area(box_ring(0, 0, 1, 1), box_ring(2, 2, 3, 3)) == 0.0
+        assert abs(ring_clip_area(box_ring(0, 0, 1, 1), box_ring(1, 0, 2, 1))) < 1e-12
+
+    def test_containment(self):
+        assert math.isclose(
+            ring_clip_area(box_ring(0, 0, 10, 10), box_ring(2, 2, 4, 5)), 6.0
+        )
+
+    def test_concave_u_shape_both_windings(self):
+        clip = box_ring(-1, 2, 4, 3)  # spans the notch: two 1x1 prongs
+        assert math.isclose(ring_clip_area(U_SHAPE, clip), 2.0)
+        assert math.isclose(ring_clip_area(U_SHAPE[::-1], clip), 2.0)
+
+    def test_polygon_with_hole(self):
+        g = {
+            "type": "Polygon",
+            "coordinates": [
+                [(0, 0), (4, 0), (4, 4), (0, 4)],
+                [(1, 1), (3, 1), (3, 3), (1, 3)],
+            ],
+        }
+        # right half: 8 outer minus 2 of hole
+        assert math.isclose(intersection_area(g, box_ring(2, 0, 4, 4)), 6.0)
+
+    def test_multipolygon_sums(self):
+        g = {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[(0, 0), (1, 0), (1, 1), (0, 1)]],
+                [[(5, 5), (7, 5), (7, 7), (5, 7)]],
+            ],
+        }
+        assert math.isclose(intersection_area(g, box_ring(-10, -10, 10, 10)), 5.0)
+
+    def test_diamond_pair(self):
+        # unit diamonds 1 apart: intersection is a half-size diamond
+        assert math.isclose(
+            ring_clip_area(diamond_ring(0, 0, 1), diamond_ring(1, 0, 1)), 0.5
+        )
+
+    def test_non_convex_clip_rejected(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            ring_clip_area(box_ring(0, 0, 1, 1), U_SHAPE)
+
+    def test_convexity_detector(self):
+        assert is_convex_ring(box_ring(0, 0, 1, 1))
+        assert is_convex_ring(diamond_ring(0, 0, 2))
+        assert not is_convex_ring(U_SHAPE)
+
+    def test_convex_clip_polygon_vertices(self):
+        out = convex_clip(box_ring(0, 0, 2, 2), box_ring(1, 1, 3, 3))
+        assert math.isclose(abs(ring_signed_area(out)), 1.0)
+
+
+class TestProperties:
+    def test_random_integer_boxes_match_closed_form(self):
+        rng = random.Random(7)
+        for _ in range(300):
+            ax0, ay0 = rng.randint(-20, 20), rng.randint(-20, 20)
+            bx0, by0 = rng.randint(-20, 20), rng.randint(-20, 20)
+            a = box_ring(ax0, ay0, ax0 + rng.randint(1, 9), ay0 + rng.randint(1, 9))
+            b = box_ring(bx0, by0, bx0 + rng.randint(1, 9), by0 + rng.randint(1, 9))
+            w = min(a[2][0], b[2][0]) - max(a[0][0], b[0][0])
+            h = min(a[2][1], b[2][1]) - max(a[0][1], b[0][1])
+            expect = max(w, 0) * max(h, 0)
+            assert round(ring_clip_area(a, b)) == expect
+
+    def test_random_integer_diamonds_match_rotated_form(self):
+        rng = random.Random(11)
+        for _ in range(300):
+            c1 = (rng.randint(-15, 15), rng.randint(-15, 15), rng.randint(1, 6))
+            c2 = (rng.randint(-15, 15), rng.randint(-15, 15), rng.randint(1, 6))
+            u1, v1 = c1[0] + c1[1], c1[0] - c1[1]
+            u2, v2 = c2[0] + c2[1], c2[0] - c2[1]
+            ou = min(u1 + c1[2], u2 + c2[2]) - max(u1 - c1[2], u2 - c2[2])
+            ov = min(v1 + c1[2], v2 + c2[2]) - max(v1 - c1[2], v2 - c2[2])
+            expect = max(ou, 0) * max(ov, 0)  # = 2 x xy-area
+            got = round(2.0 * ring_clip_area(diamond_ring(*c1), diamond_ring(*c2)))
+            assert got == expect, (c1, c2, got, expect)
+
+    def test_convex_convex_symmetry(self):
+        rng = random.Random(13)
+        for _ in range(100):
+            a = box_ring(
+                rng.uniform(-5, 5), rng.uniform(-5, 5),
+                rng.uniform(5, 9), rng.uniform(5, 9),
+            )
+            b = diamond_ring(rng.uniform(-4, 8), rng.uniform(-4, 8), rng.uniform(1, 5))
+            assert math.isclose(
+                ring_clip_area(a, b), ring_clip_area(b, a), abs_tol=1e-9
+            )
+
+    def _random_simple_ring(self, rng):
+        """Star-shaped (hence simple) ring around a random center with
+        random radii — usually concave."""
+        cx, cy = rng.uniform(-3, 3), rng.uniform(-3, 3)
+        n = rng.randint(4, 12)
+        pts = []
+        for i in range(n):
+            ang = 2 * math.pi * i / n
+            r = rng.uniform(0.5, 6.0)
+            pts.append((cx + r * math.cos(ang), cy + r * math.sin(ang)))
+        return pts
+
+    def test_split_additivity_on_concave_subjects(self):
+        """area(R ∩ C) == area(R ∩ C_left) + area(R ∩ C_right) for a
+        chord split of the clip box — an independent consistency oracle
+        that a bridged/incorrect concave handling would violate."""
+        rng = random.Random(17)
+        for _ in range(100):
+            ring = self._random_simple_ring(rng)
+            x0, x1 = -7.0, 7.0
+            xm = rng.uniform(-4, 4)
+            full = box_ring(x0, -7, x1, 7)
+            left = box_ring(x0, -7, xm, 7)
+            right = box_ring(xm, -7, x1, 7)
+            whole = ring_clip_area(ring, full)
+            parts = ring_clip_area(ring, left) + ring_clip_area(ring, right)
+            assert math.isclose(whole, parts, rel_tol=1e-9, abs_tol=1e-9)
+
+    def test_full_cover_equals_shoelace(self):
+        rng = random.Random(19)
+        for _ in range(100):
+            ring = self._random_simple_ring(rng)
+            clip = box_ring(-50, -50, 50, 50)
+            assert math.isclose(
+                ring_clip_area(ring, clip),
+                abs(ring_signed_area(ring)),
+                rel_tol=1e-9,
+            )
