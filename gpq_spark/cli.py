@@ -209,11 +209,29 @@ def cmd_compact(args) -> int:
         args.path,
         target_bytes=int(args.target_mb * (1 << 20)),
         small_fraction=args.small_fraction,
+        atomic=args.atomic,
+    )
+    committed = (
+        f", committed v{res['committed_version']}"
+        if "committed_version" in res
+        else ""
     )
     print(
         f"compacted {res['in_files']} files -> {res['out_files']} "
         f"({res['bytes_compacted']} bytes rewritten, "
-        f"{res['kept_files']} kept)"
+        f"{res['kept_files']} kept{committed})"
+    )
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    from .geoparquet.manifest import vacuum
+
+    res = vacuum(args.path, keep_versions=args.keep_versions)
+    print(
+        f"removed {res['removed_files']} unreferenced files and "
+        f"{res['removed_manifests']} old manifests "
+        f"({res['live_files']} live)"
     )
     return 0
 
@@ -271,7 +289,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target-mb", type=float, default=128.0)
     p.add_argument("--small-fraction", type=float, default=0.5,
                    help="files below small-fraction x target are rewritten")
+    p.add_argument("--atomic", action="store_true",
+                   help="snapshot-isolated rewrite: one manifest commit "
+                   "flips readers to the compacted files; originals stay "
+                   "until 'vacuum'")
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser(
+        "vacuum",
+        help="Delete part files unreferenced by the retained manifest "
+        "snapshots (after 'compact --atomic')",
+    )
+    p.add_argument("path")
+    p.add_argument("--keep-versions", type=int, default=1)
+    p.set_defaults(fn=cmd_vacuum)
 
     p = sub.add_parser("version", help="Print version")
     p.set_defaults(fn=lambda a: print(__version__) or 0)

@@ -15,6 +15,13 @@ from .datasource import GeoParquetDataSource, register as register_datasource
 from .extract import extract, extract_df
 from .describe import describe, describe_metadata_only
 from .compact import compact_geoparquet, plan_compaction
+from .manifest import (
+    commit_manifest,
+    current_manifest,
+    init_manifest,
+    snapshot_files,
+    vacuum,
+)
 from .spatial import (
     add_bbox_column,
     partition_by_grid,
@@ -43,6 +50,11 @@ __all__ = [
     "get_compression",
     "compact_geoparquet",
     "plan_compaction",
+    "commit_manifest",
+    "current_manifest",
+    "init_manifest",
+    "snapshot_files",
+    "vacuum",
     "extract",
     "extract_df",
     "read_column_codecs",

@@ -14,11 +14,21 @@ The reference has no compaction (it is a single-file CLI —
 ``cmd/gpq/command/convert.go`` writes one output); this is
 beyond-reference ops tooling a long-lived dataset needs.
 
-Crash safety: new files are written (with a fresh uuid salt) BEFORE
-the originals are removed — a crash mid-compaction leaves duplicate
-rows rather than lost rows, and re-running compaction converges.
-Readers concurrent with a compaction may see duplicates; compact in a
-maintenance window or on a snapshot, as with any in-place rewrite.
+Crash safety (unmanaged directories): new files are written (with a
+fresh uuid salt) BEFORE the originals are removed — a crash
+mid-compaction leaves duplicate rows rather than lost rows, and
+re-running compaction converges. Readers concurrent with a compaction
+may see duplicates; compact in a maintenance window or on a snapshot.
+
+Snapshot isolation (``atomic=True``, or any dataset already under
+``manifest.py`` management): the rewrite becomes invisible-then-atomic
+— new files are written while readers resolve the current manifest
+(which doesn't list them), then ONE manifest commit flips the dataset
+to keep+new, and the replaced originals stay on disk for in-flight
+readers until ``manifest.vacuum``. Concurrent compactions are safe:
+the optimistic commit fails for the loser (ConcurrentCommitError)
+leaving only invisible orphan files, and no reader ever observes
+duplicates or partial state.
 """
 
 from __future__ import annotations
@@ -63,6 +73,7 @@ def compact_geoparquet(
     compression: str | None = None,
     row_group_length: int = DEFAULT_ROW_GROUP_LENGTH,
     compute_stats: bool = True,
+    atomic: bool = False,
 ) -> dict[str, Any]:
     """Rewrite the small part files of ``path`` into ≈``target_bytes``
     files, preserving rows, schema, and geo footer metadata.
@@ -75,8 +86,19 @@ def compact_geoparquet(
     default ``small_fraction``, repeated compactions are idempotent:
     output files ≥ target/2 are never rewritten again.
 
-    Returns {in_files, out_files, kept_files, bytes_compacted}.
+    ``atomic=True`` brings an unmanaged dataset under snapshot
+    management first (manifest v1 = current files); datasets already
+    managed always commit atomically, whatever ``atomic`` says.
+
+    Returns {in_files, out_files, kept_files, bytes_compacted} plus
+    ``committed_version`` when a manifest commit happened.
     """
+    from .manifest import commit_manifest, current_manifest, init_manifest
+
+    if atomic and current_manifest(path) is None:
+        init_manifest(path)
+    snapshot = current_manifest(path)
+
     plan = plan_compaction(path, target_bytes, small_fraction)
     small = plan["small"]
     if len(small) <= 1:
@@ -107,11 +129,22 @@ def compact_geoparquet(
         mode="append",
         compute_stats=compute_stats,
     )
-    for f in small:
-        os.remove(f)
-    return {
+    out: dict[str, Any] = {
         "in_files": len(small),
         "out_files": len(results),
         "kept_files": len(plan["keep"]),
         "bytes_compacted": plan["total_bytes"],
     }
+    if snapshot is not None:
+        # atomic flip: keep + new committed in one version bump; the
+        # replaced originals stay for in-flight readers until vacuum
+        new_rel = [
+            os.path.relpath(r["file"], path) for r in results
+        ] + [os.path.relpath(f, path) for f in plan["keep"]]
+        out["committed_version"] = commit_manifest(
+            path, new_rel, expect_version=snapshot[0]
+        )
+    else:
+        for f in small:
+            os.remove(f)
+    return out

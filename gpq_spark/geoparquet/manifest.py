@@ -1,0 +1,151 @@
+"""Snapshot isolation for GeoParquet dataset directories.
+
+An Iceberg/Delta-style (heavily simplified) commit scheme so that
+rewrites — compaction above all — are ATOMIC for concurrent readers:
+
+- ``_manifest/v00000042.json`` lists the dataset's live part files
+  (paths relative to the dataset root). The CURRENT snapshot is the
+  highest version present.
+- Commits are exclusive-create: the manifest is written to a temp
+  file, fsynced, then ``os.link``-ed to its final versioned name —
+  ``link`` fails (EEXIST) if another writer committed that version
+  first, so two concurrent compactions cannot both "win" version N+1
+  (the loser raises ``ConcurrentCommitError`` and must re-plan from
+  the new snapshot). ``rename`` is NOT used for the final step because
+  POSIX rename silently replaces an existing target.
+- Readers resolve the file list once (``snapshot_files``) and keep a
+  consistent view for the whole scan; a compaction commits keep+new
+  files in one version bump, and the replaced originals stay on disk
+  until ``vacuum`` — so in-flight readers of the previous snapshot
+  never lose files mid-scan, and a crash between write and commit
+  leaves only invisible orphans (re-vacuumable), never duplicates.
+
+The reference has no multi-file dataset concept at all (single-file
+CLI); this is beyond-reference ops tooling. A production multi-writer
+deployment would swap this for a real table format (Iceberg/Delta);
+the commit protocol here is the same shape at local-filesystem scope.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+
+MANIFEST_DIR = "_manifest"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the next manifest version first."""
+
+
+def _mdir(path: str) -> str:
+    return os.path.join(path, MANIFEST_DIR)
+
+
+def _version_of(name: str) -> int:
+    return int(os.path.basename(name)[1:-5])
+
+
+def current_manifest(path: str) -> tuple[int, list[str]] | None:
+    """(version, relative file list) of the current snapshot, or None
+    when the dataset has no manifest (plain directory listing rules)."""
+    d = _mdir(path)
+    if not os.path.isdir(d):
+        return None
+    versions = sorted(glob.glob(os.path.join(d, "v*.json")))
+    if not versions:
+        return None
+    latest = versions[-1]
+    with open(latest) as f:
+        doc = json.load(f)
+    return _version_of(latest), list(doc["files"])
+
+
+def snapshot_files(path: str) -> list[str] | None:
+    """Absolute paths of the current snapshot's part files, or None
+    when unmanaged."""
+    cur = current_manifest(path)
+    if cur is None:
+        return None
+    return [os.path.join(path, rel) for rel in sorted(cur[1])]
+
+
+def commit_manifest(
+    path: str, files: list[str], expect_version: int | None = None
+) -> int:
+    """Atomically commit a new snapshot listing ``files`` (relative
+    paths). ``expect_version`` is optimistic-concurrency: the commit
+    only proceeds if the current version still matches (None = expect
+    unmanaged dataset). Returns the committed version."""
+    d = _mdir(path)
+    os.makedirs(d, exist_ok=True)
+    cur = current_manifest(path)
+    cur_version = cur[0] if cur is not None else 0
+    if expect_version is not None and cur_version != expect_version:
+        raise ConcurrentCommitError(
+            f"snapshot moved: expected v{expect_version}, found v{cur_version}"
+        )
+    version = cur_version + 1
+    doc = {"version": version, "files": sorted(files)}
+    fd, tmp = tempfile.mkstemp(prefix=".commit-", suffix=".json", dir=d)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        target = os.path.join(d, f"v{version:08d}.json")
+        try:
+            os.link(tmp, target)  # exclusive: EEXIST on commit race
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"version v{version} was committed concurrently"
+            ) from e
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def init_manifest(path: str) -> int:
+    """Bring an unmanaged dataset under snapshot management: commit v1
+    listing the current directory contents."""
+    if current_manifest(path) is not None:
+        raise ValueError(f"{path} already has a manifest")
+    parts = sorted(
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(p)
+    )
+    return commit_manifest(path, parts, expect_version=None)
+
+
+def vacuum(path: str, keep_versions: int = 1) -> dict:
+    """Delete part files unreferenced by the ``keep_versions`` most
+    recent snapshots, plus manifests older than those. Run only when no
+    reader is older than the retained snapshots (same contract as
+    Iceberg ``expire_snapshots``). Returns {removed_files,
+    removed_manifests, live_files}."""
+    d = _mdir(path)
+    versions = sorted(glob.glob(os.path.join(d, "v*.json")))
+    if not versions:
+        return {"removed_files": 0, "removed_manifests": 0, "live_files": 0}
+    retained = versions[-max(1, keep_versions):]
+    live: set[str] = set()
+    for m in retained:
+        with open(m) as f:
+            live.update(json.load(f)["files"])
+    removed = 0
+    for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        if os.path.isfile(p) and os.path.relpath(p, path) not in live:
+            os.remove(p)
+            removed += 1
+    removed_manifests = 0
+    for m in versions[: -max(1, keep_versions)]:
+        os.remove(m)
+        removed_manifests += 1
+    return {
+        "removed_files": removed,
+        "removed_manifests": removed_manifests,
+        "live_files": len(live),
+    }

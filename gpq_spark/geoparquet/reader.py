@@ -23,11 +23,7 @@ from .metadata import METADATA_KEY, GeoMetadata, NoMetadataError
 def _first_parquet_file(path: str) -> str:
     if os.path.isfile(path):
         return path
-    parts = sorted(
-        p
-        for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if os.path.isfile(p)
-    )
+    parts = parquet_files(path)
     if not parts:
         raise FileNotFoundError(f"no parquet files under {path}")
     return parts[0]
@@ -53,8 +49,18 @@ def open_parquet_source(path: str):
 
 
 def parquet_files(path: str) -> list[str]:
+    """Part files of a dataset. Snapshot-managed directories (a
+    ``_manifest/`` commit log, see manifest.py) resolve to the CURRENT
+    snapshot's committed list — uncommitted writer output and
+    vacuum-pending originals are invisible; unmanaged directories fall
+    back to a recursive glob."""
     if os.path.isfile(path):
         return [path]
+    from .manifest import snapshot_files
+
+    snap = snapshot_files(path)
+    if snap is not None:
+        return snap
     return sorted(
         p
         for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
@@ -89,7 +95,14 @@ def read_geoparquet(
     must include the primary geometry column
     (recordreader.go:81-87)."""
     meta = read_geo_metadata(path)
-    df = spark.read.parquet(path)
+    if os.path.isdir(path):
+        from .manifest import snapshot_files
+
+        snap = snapshot_files(path)
+        # snapshot-managed dataset: scan exactly the committed files
+        df = spark.read.parquet(*snap) if snap else spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
     if columns is not None:
         if meta.primary_column not in columns:
             raise ValueError(

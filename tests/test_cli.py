@@ -140,3 +140,33 @@ def test_cli_compact(spark, tmp_path):
     assert rc == 0
     assert len(parquet_files(out)) == 1
     assert spark.read.parquet(out).count() == 500
+
+
+def test_cli_compact_atomic_and_vacuum(spark, tmp_path, capsys):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from conftest import TESTDATA
+    from gpq_spark.cli import main
+    from gpq_spark.geo.wkb import dumps
+    from gpq_spark.geoparquet import parquet_files, write_geoparquet
+
+    out = str(tmp_path / "sprawl")
+    df = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    pt = dumps({"type": "Point", "coordinates": [1.0, 2.0]})
+    write_geoparquet(
+        df.withColumn("geometry", F.lit(bytearray(pt))).repartition(8), out
+    )
+    rc = main(["compact", out, "--target-mb", "64", "--atomic"])
+    assert rc == 0
+    assert "committed v2" in capsys.readouterr().out
+    # snapshot shows 1 file; 8 originals retained on disk until vacuum
+    assert len(parquet_files(out)) == 1
+    assert len(glob.glob(os.path.join(out, "*.parquet"))) == 9
+    rc = main(["vacuum", out])
+    assert rc == 0
+    assert "removed 8 unreferenced files" in capsys.readouterr().out
+    assert len(glob.glob(os.path.join(out, "*.parquet"))) == 1
+    assert spark.read.parquet(*parquet_files(out)).count() == 500

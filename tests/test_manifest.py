@@ -1,0 +1,116 @@
+"""Snapshot isolation (manifest.py): atomic compaction commits, reader
+snapshot stability mid-rewrite, optimistic-concurrency conflicts, and
+vacuum of unreferenced files."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpq_spark.geoparquet import (
+    compact_geoparquet,
+    parquet_files,
+    write_geoparquet,
+)
+from gpq_spark.geoparquet.manifest import (
+    ConcurrentCommitError,
+    commit_manifest,
+    current_manifest,
+    init_manifest,
+    snapshot_files,
+    vacuum,
+)
+
+from conftest import TESTDATA
+
+
+@pytest.fixture()
+def sprawl_dir(spark, tmp_path):
+    df = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    out = str(tmp_path / "sprawl")
+    from gpq_spark.geo.wkb import dumps
+
+    pt = dumps({"type": "Point", "coordinates": [1.0, 2.0]})
+    gdf = df.withColumn("geometry", F.lit(bytearray(pt)))
+    write_geoparquet(gdf.repartition(16), out)
+    return out
+
+
+def test_init_and_snapshot_listing(sprawl_dir):
+    assert current_manifest(sprawl_dir) is None
+    assert init_manifest(sprawl_dir) == 1
+    version, rels = current_manifest(sprawl_dir)
+    assert version == 1 and len(rels) == 16
+    assert sorted(snapshot_files(sprawl_dir)) == sorted(parquet_files(sprawl_dir))
+
+
+def test_atomic_compact_commits_and_retains_originals(spark, sprawl_dir):
+    before_rows = spark.read.parquet(sprawl_dir).count()
+    files = sorted(
+        p for p in parquet_files(sprawl_dir)
+    )
+    total = sum(os.path.getsize(f) for f in files)
+
+    res = compact_geoparquet(spark, sprawl_dir, target_bytes=total * 2, atomic=True)
+    assert res["committed_version"] == 2
+    assert res["in_files"] == 16 and res["out_files"] == 1
+
+    # snapshot readers now see ONE file; the 16 originals are still on
+    # disk for in-flight readers of v1
+    assert len(parquet_files(sprawl_dir)) == 1
+    on_disk = [
+        p
+        for p in __import__("glob").glob(os.path.join(sprawl_dir, "*.parquet"))
+    ]
+    assert len(on_disk) == 17
+    assert spark.read.parquet(*parquet_files(sprawl_dir)).count() == before_rows
+
+    # an old-snapshot reader pinned to v1 can still scan its files
+    with open(os.path.join(sprawl_dir, "_manifest", "v00000001.json")) as f:
+        v1 = json.load(f)["files"]
+    assert all(os.path.exists(os.path.join(sprawl_dir, r)) for r in v1)
+
+    # vacuum drops the 16 replaced originals and the v1 manifest
+    report = vacuum(sprawl_dir)
+    assert report["removed_files"] == 16
+    assert report["removed_manifests"] == 1
+    assert spark.read.parquet(*parquet_files(sprawl_dir)).count() == before_rows
+
+
+def test_mid_rewrite_readers_see_old_snapshot(spark, sprawl_dir):
+    """New part files written but not committed are invisible."""
+    init_manifest(sprawl_dir)
+    before = parquet_files(sprawl_dir)
+    # simulate a writer mid-compaction: extra uncommitted file appears
+    df = spark.read.parquet(*before).limit(10)
+    from gpq_spark.geoparquet.reader import read_geo_metadata
+
+    write_geoparquet(df, sprawl_dir, read_geo_metadata(sprawl_dir), mode="append")
+    assert parquet_files(sprawl_dir) == before  # snapshot unchanged
+    # and an uncommitted crash leaves orphans that vacuum removes
+    report = vacuum(sprawl_dir)
+    assert report["removed_files"] >= 1
+    assert parquet_files(sprawl_dir) == before
+
+
+def test_concurrent_commit_conflict(sprawl_dir):
+    init_manifest(sprawl_dir)
+    v, rels = current_manifest(sprawl_dir)
+    commit_manifest(sprawl_dir, rels[:8], expect_version=v)
+    with pytest.raises(ConcurrentCommitError):
+        commit_manifest(sprawl_dir, rels[8:], expect_version=v)
+    # the winner's snapshot stands
+    assert current_manifest(sprawl_dir) == (v + 1, sorted(rels[:8]))
+
+
+def test_managed_dataset_always_commits(spark, sprawl_dir):
+    """atomic=False on an already-managed dataset still goes through
+    the manifest (never deletes out from under snapshot readers)."""
+    init_manifest(sprawl_dir)
+    files = parquet_files(sprawl_dir)
+    total = sum(os.path.getsize(f) for f in files)
+    res = compact_geoparquet(spark, sprawl_dir, target_bytes=total * 2)
+    assert res["committed_version"] == 2
+    # originals retained until vacuum
+    assert all(os.path.exists(f) for f in files)
