@@ -4680,6 +4680,65 @@ def stream_gapfill_locf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_gapfill_interp",
+    f"""
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, g AS hour_ts
+        FROM b, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t(g)
+    ), hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), joined AS (
+        SELECT g.user_id, g.hour_ts, epoch_us(g.hour_ts) AS us, h.v
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+    ), edged AS (
+        SELECT user_id, hour_ts, us, v,
+               last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                   OVER wp AS p_us,
+               last_value(v IGNORE NULLS) OVER wp AS p_v,
+               first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                   OVER wf AS n_us,
+               first_value(v IGNORE NULLS) OVER wf AS n_v
+        FROM joined
+        WINDOW wp AS (PARTITION BY user_id ORDER BY us
+                      ROWS UNBOUNDED PRECEDING),
+               wf AS (PARTITION BY user_id ORDER BY us
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           CAST(CASE WHEN v IS NOT NULL THEN v
+                ELSE (p_v * (n_us - us) + n_v * (us - p_us)) // (n_us - p_us)
+                END AS BIGINT) AS v_interp
+    FROM edged
+    """,
+)
+def stream_gapfill_interp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming linear-interpolation gap fill as a real stateful
+    streaming query: a gap's fills need BOTH neighbors, so the operator
+    emits them when the closing observation arrives (floor lerp in
+    exact integer micros — Python ``//`` ≡ DuckDB ``//``), making the
+    bounded replay equal the batch dense-grid interp oracle exactly."""
+    from .streaming import stream_gapfill_interp
+
+    stream = _events_file_stream(spark, sf_dir)
+    filled = stream_gapfill_interp(stream).select(
+        "user_id",
+        F.date_format(
+            F.expr("convert_timezone('UTC', hour_ts)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_s"),
+        F.col("v_interp").cast("long").alias("v_interp"),
+    )
+    return _drain_to_table(filled, "stream_gapfill_interp", "append")
+
+
+@register(
     "q_sketch_kmv_merge",
     """
     WITH h AS (

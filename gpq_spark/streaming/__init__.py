@@ -7,6 +7,7 @@ from .windows import (
     stream_near_dup_candidates,
     stream_to_geoparquet,
     stream_interval_join,
+    stream_gapfill_interp,
     stream_gapfill_locf,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "stream_near_dup_candidates",
     "stream_to_geoparquet",
     "stream_interval_join",
+    "stream_gapfill_interp",
     "stream_gapfill_locf",
 ]

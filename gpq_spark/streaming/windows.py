@@ -451,3 +451,86 @@ def stream_gapfill_locf(stream: DataFrame, value_col: str = "value") -> DataFram
         F.timestamp_micros("hour_us").alias("hour_ts"),
         "v_filled",
     )
+
+
+def _gapfill_interp_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming linear-interpolation gap fill: a gap's fills need BOTH
+    neighbors, so missing hours are emitted when the CLOSING observation
+    arrives — each gap hour t between observations (p, pv) and (h, v)
+    gets the exact integer floor lerp
+
+        floor((pv·(h−t) + v·(t−p)) / (h−p))
+
+    in BIGINT microsecond arithmetic, matching the batch
+    q_gapfill_interp floor-division spec bit-for-bit (Python ``//``
+    floors like DuckDB ``//``). Same per-key ordered-arrival contract
+    and state shape as the LOCF variant."""
+    hours: dict[int, int] = {}
+    for pdf in pdfs:
+        for ts_us, cents in zip(pdf["ts_us"], pdf["cents"]):
+            h = int(ts_us) - int(ts_us) % _HOUR_US
+            hours[h] = hours.get(h, 0) + int(cents)
+
+    if not hours:
+        return
+
+    if state.exists:
+        last_hour, last_v = state.get
+    else:
+        last_hour = last_v = None
+
+    out_hours: list[int] = []
+    out_vals: list[int] = []
+    for h in sorted(hours):
+        v = hours[h]
+        if last_hour is not None:
+            span = h - last_hour
+            fill = last_hour + _HOUR_US
+            while fill < h:
+                num = last_v * (h - fill) + v * (fill - last_hour)
+                out_hours.append(fill)
+                out_vals.append(num // span)
+                fill += _HOUR_US
+        out_hours.append(h)
+        out_vals.append(v)
+        last_hour, last_v = h, v
+
+    state.update((last_hour, last_v))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_hours),
+            "hour_us": out_hours,
+            "v_filled": out_vals,
+        }
+    )
+
+
+def stream_gapfill_interp(stream: DataFrame, value_col: str = "value") -> DataFrame:
+    """Stateful streaming linear-interpolation gap fill per user (see
+    ``_gapfill_interp_fn``). Output: user_id, hour_ts (TIMESTAMP),
+    v_interp (exact cents)."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)"))
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _gapfill_interp_fn,
+            outputStructType=GAPFILL_RAW_SCHEMA,
+            stateStructType=GAPFILL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return raw.select(
+        "user_id",
+        F.timestamp_micros("hour_us").alias("hour_ts"),
+        F.col("v_filled").alias("v_interp"),
+    )

@@ -438,3 +438,79 @@ class TestStreamGapfill:
         )
         assert got.count() == grid_rows
         assert got.select("user_id", "hour_ts").distinct().count() == grid_rows
+
+
+class TestStreamGapfillInterp:
+    class _FakeState:
+        """Minimal GroupState stand-in for driving the kernel directly."""
+
+        def __init__(self, value=None):
+            self._v = value
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def _run(self, batches):
+        import pandas as pd
+
+        from gpq_spark.streaming.windows import _gapfill_interp_fn
+
+        state = self._FakeState()
+        rows = []
+        for batch in batches:
+            out = list(
+                _gapfill_interp_fn(
+                    (1,), iter([pd.DataFrame(batch)]), state
+                )
+            )
+            for pdf in out:
+                rows.extend(zip(pdf["hour_us"], pdf["v_filled"]))
+        return rows
+
+    HOUR = 3600 * 1_000_000
+
+    def test_interior_gap_floor_lerp_negative(self):
+        # 500 cents at h0, -700 at h3: fills floor(100/3)=100? No:
+        # h1: floor((500*2 - 700*1)/3) = floor(300/3) = 100
+        # h2: floor((500*1 - 700*2)/3) = floor(-900/3) = -300
+        H = self.HOUR
+        rows = self._run(
+            [{"ts_us": [0, 3 * H], "cents": [500, -700]}]
+        )
+        assert rows == [(0, 500), (H, 100), (2 * H, -300), (3 * H, -700)]
+
+    def test_floor_not_truncate(self):
+        # -123 -> -999 over 4h: -342, -561, floor(-3120/4) = -780
+        H = self.HOUR
+        rows = self._run([{"ts_us": [0, 4 * H], "cents": [-123, -999]}])
+        assert [v for _, v in rows] == [-123, -342, -561, -780, -999]
+
+    def test_gap_closes_across_micro_batches(self):
+        H = self.HOUR
+        rows = self._run(
+            [
+                {"ts_us": [0], "cents": [100]},
+                {"ts_us": [2 * H], "cents": [400]},
+            ]
+        )
+        # second batch closes the gap using carried state
+        assert rows == [(0, 100), (H, 250), (2 * H, 400)]
+
+    def test_matches_batch_spec_formula(self):
+        H = self.HOUR
+        p_v, n_v, span = 777, -1234, 7
+        rows = self._run(
+            [{"ts_us": [0, span * H], "cents": [p_v, n_v]}]
+        )
+        for t, v in rows[1:-1]:
+            h = t // H
+            num = p_v * (span - h) + n_v * h
+            assert v == num // span  # python floor == duckdb //
