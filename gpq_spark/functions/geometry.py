@@ -333,3 +333,54 @@ def make_polygons_overlap_broadcast_udf(bc_geoms):
         return pd.Series(out)
 
     return _overlaps
+
+
+def make_overlay_area_broadcast_udf(bc_geoms):
+    """Exact intersection-AREA UDF for zonal overlay joins: the
+    broadcast right side holds the (arbitrary, usually concave)
+    subject polygons keyed by 8-byte id; the per-row left geometry is
+    the CONVEX zone — a grid tile, bbox, or hex cell, the standard
+    zonal-statistics shape. Area comes from the triangle-decomposition
+    clipping kernel (geo/clip.py), exact for concave subjects and
+    holes. Decoded subjects are cached per executor; distinct (zone,
+    subject) pairs are computed once per batch."""
+    _right: dict[int, object] = {}
+
+    @F.pandas_udf(T.DoubleType())
+    def _area(lgeom: pd.Series, rid: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..geo.clip import intersection_area
+
+        ring_cache: dict[bytes, object] = {}
+        pair_cache: dict[tuple, float] = {}
+        out = np.zeros(len(lgeom), dtype=np.float64)
+        for i, (g, r) in enumerate(zip(lgeom, rid)):
+            if g is None or r is None:
+                continue
+            b = bytes(g)
+            key = (b, int(r))
+            hit = pair_cache.get(key)
+            if hit is None:
+                if b not in ring_cache:
+                    zone = _decode_any(b)
+                    # convex zone: outer ring of the first polygon
+                    if zone is None or zone.get("type") != "Polygon":
+                        ring_cache[b] = None
+                    else:
+                        ring_cache[b] = zone["coordinates"][0]
+                rk = int(r)
+                if rk not in _right:
+                    raw = bc_geoms.value.get(rk)
+                    _right[rk] = None if raw is None else _decode_any(raw)
+                ring = ring_cache[b]
+                subj = _right[rk]
+                hit = pair_cache[key] = (
+                    0.0
+                    if ring is None or subj is None
+                    else intersection_area(subj, ring)
+                )
+            out[i] = hit
+        return pd.Series(out)
+
+    return _area

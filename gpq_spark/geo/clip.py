@@ -5,23 +5,34 @@ internal/geo/geo.go:341-372); exact overlay area is beyond-reference
 capability completing the spatial join family (bbox candidates →
 interior-overlap boolean → intersection area).
 
-Method: Green's-theorem triangle decomposition. For any simple ring R
-(convex, concave, or a hole) and a CONVEX clip polygon C,
+Two methods, equal to ~1e-12 relative (property-tested against each
+other):
 
-    signed_area(R ∩ C) = Σ_edges sign(t_i) · area(t_i ∩ C)
+1. FAST (``ring_clip_area``): direct Sutherland–Hodgman of the subject
+   ring against the convex clip, numpy-vectorized per half-plane pass.
+   S-H on a CONCAVE subject produces topologically degenerate output
+   (bridge edges connecting pieces), but every bridge lies exactly ON
+   a clip boundary line, enclosing zero signed area — so the shoelace
+   of the bridged output still equals the true intersection area. Area
+   is all this module promises; the output polygon itself is not
+   exposed for concave subjects.
+2. REFERENCE (``ring_clip_area_tri``): Green's-theorem triangle
+   decomposition — signed_area(R ∩ C) = Σ_edges sign(t_i)·area(t_i ∩
+   C) over triangles t_i = (O, v_i, v_{i+1}). Each t_i is convex, so
+   every S-H run is convex-convex. O(edges) S-H runs instead of one:
+   the independent (and ~edge-count× slower) cross-check the property
+   tests verify the fast path against.
 
-where t_i is the triangle (O, v_i, v_{i+1}) over R's directed edges
-and O is an arbitrary origin. Each t_i is convex, so t_i ∩ C is a
-convex-convex clip — Sutherland–Hodgman is exact there (its known
-failure mode, bridged output on concave subjects, never arises).
 Holes subtract set-wise: area(P ∩ C) = |outer ∩ C| − Σ |hole_j ∩ C|
 (every hole lies inside its outer ring, so the subtraction is exact
 regardless of ring winding).
 
-Numerics: pure float64. Clip vertices computed by S-H sit within one
-ulp of the true intersection points, so areas carry ~1e-12 relative
-error — callers that construct integer-coordinate inputs (the gate
-queries) recover exact integer areas by rounding.
+Numerics: pure float64. Clipped vertices sit within one ulp of the
+true intersection points, so areas carry ~1e-12 relative error —
+callers that construct integer-coordinate inputs (the gate queries)
+recover exact integers by rounding, and a zone that truly misses a
+large subject can return ~1e-13 instead of 0 (signed cancellation) —
+join callers apply a noise floor.
 """
 
 from __future__ import annotations
@@ -126,10 +137,78 @@ def convex_clip(subject: Sequence[Point], clip: Sequence[Point]) -> list[Point]:
     return out
 
 
+def _sh_pass_np(xs, ys, ex1, ey1, ex2, ey2):
+    """One numpy-vectorized Sutherland–Hodgman half-plane pass: keep
+    the part of the (closed-implicitly) polygon left of (e1→e2).
+    Returns new (xs, ys). Per input edge j→k the output is: v_j if
+    inside, plus the boundary intersection if the edge crosses —
+    scattered into position with repeat/cumsum (no Python loop)."""
+    import numpy as np
+
+    d = (ex2 - ex1) * (ys - ey1) - (ey2 - ey1) * (xs - ex1)
+    inside = d >= 0.0
+    if inside.all():
+        return xs, ys
+    if not inside.any():
+        return xs[:0], ys[:0]
+    nxt = np.roll(np.arange(len(xs)), -1)
+    dk = d[nxt]
+    crosses = (d >= 0.0) != (dk >= 0.0)
+    # emit v_j (when inside) then the crossing point (when crossing)
+    counts = inside.astype(np.int64) + crosses.astype(np.int64)
+    total = int(counts.sum())
+    out_x = np.empty(total, dtype=np.float64)
+    out_y = np.empty(total, dtype=np.float64)
+    pos = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    # vertices that are kept
+    vsel = inside
+    out_x[pos[vsel]] = xs[vsel]
+    out_y[pos[vsel]] = ys[vsel]
+    # crossing points (after the kept vertex when both emitted)
+    csel = crosses
+    t = d[csel] / (d[csel] - dk[csel])
+    cx = xs[csel] + t * (xs[nxt][csel] - xs[csel])
+    cy = ys[csel] + t * (ys[nxt][csel] - ys[csel])
+    cpos = pos[csel] + inside[csel].astype(np.int64)
+    out_x[cpos] = cx
+    out_y[cpos] = cy
+    return out_x, out_y
+
+
 def ring_clip_area(ring: Sequence[Point], clip: Sequence[Point]) -> float:
     """UNSIGNED area of (simple ring ∩ convex clip), exact for concave
-    rings via the triangle decomposition described in the module
-    docstring. ``clip`` must be convex (ValueError otherwise)."""
+    rings (fast S-H path; see module docstring for why bridged output
+    is area-safe). ``clip`` must be convex (ValueError otherwise)."""
+    import numpy as np
+
+    pts = _dedup_closed(ring)
+    clip_pts = _dedup_closed(clip)
+    if len(pts) < 3 or len(clip_pts) < 3:
+        return 0.0
+    if not is_convex_ring(clip_pts):
+        raise ValueError("clip ring must be convex")
+    if ring_signed_area(clip_pts) < 0:
+        clip_pts = clip_pts[::-1]
+    xs = np.fromiter((p[0] for p in pts), dtype=np.float64, count=len(pts))
+    ys = np.fromiter((p[1] for p in pts), dtype=np.float64, count=len(pts))
+    m = len(clip_pts)
+    for i in range(m):
+        if len(xs) < 3:
+            return 0.0
+        ex1, ey1 = clip_pts[i]
+        ex2, ey2 = clip_pts[(i + 1) % m]
+        xs, ys = _sh_pass_np(xs, ys, ex1, ey1, ex2, ey2)
+    if len(xs) < 3:
+        return 0.0
+    return abs(
+        float(np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1)))
+    ) / 2.0
+
+
+def ring_clip_area_tri(ring: Sequence[Point], clip: Sequence[Point]) -> float:
+    """Triangle-decomposition reference implementation of
+    ``ring_clip_area`` (see module docstring): O(edges) convex-convex
+    S-H runs — the independent cross-check for the fast path."""
     pts = _dedup_closed(ring)
     clip_pts = _dedup_closed(clip)
     if len(pts) < 3 or len(clip_pts) < 3:

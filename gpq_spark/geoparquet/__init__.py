@@ -28,6 +28,7 @@ from .spatial import (
     prune_files_by_bbox,
     read_geoparquet_bbox,
     spatial_join_points_in_polygons,
+    spatial_join_overlay_area,
     spatial_join_polygons_overlap,
     write_geoparquet_partitioned,
 )
@@ -64,6 +65,7 @@ __all__ = [
     "partition_by_grid",
     "prune_files_by_bbox",
     "spatial_join_points_in_polygons",
+    "spatial_join_overlay_area",
     "spatial_join_polygons_overlap",
     "read_geoparquet_bbox",
     "write_geoparquet_partitioned",

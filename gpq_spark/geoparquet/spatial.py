@@ -453,3 +453,59 @@ def spatial_join_polygons_overlap(
         .drop("__rgid", *lcols, *rcols)
     )
     return refined
+
+
+def spatial_join_overlay_area(
+    left: DataFrame,
+    right: DataFrame,
+    left_geom: str = "geometry",
+    right_geom: str = "r_geometry",
+    cell_deg: float = 10.0,
+    area_col: str = "overlay_area",
+    min_area: float = 1e-9,
+) -> DataFrame:
+    """Zonal overlay join: for every (zone, subject) pair whose bboxes
+    intersect, the EXACT intersection area — 'how much of each grid
+    tile is covered by each country'. Left geometries must be CONVEX
+    polygons (tiles, bboxes, hex cells); subjects may be arbitrary
+    polygons/multipolygons with holes (triangle-decomposition clipping
+    kernel, geo/clip.py). Pairs with area ≤ ``min_area`` are dropped:
+    a zone that truly misses the subject can come back ~1e-13 instead
+    of exactly 0 (the signed triangle sum cancels to within float64 on
+    country-sized terms), so the default floor removes that residue
+    while keeping any overlap a float64 can meaningfully represent.
+
+    Scale shape: grid-cell equi-join candidates (never a cross join);
+    the subject set is broadcast as a geometry dictionary, so candidate
+    rows carry only an 8-byte id and each executor decodes each subject
+    once — polygon WKB never travels per pair. Size the right side
+    like any broadcast dim. Output: left + right columns + area_col.
+    """
+    from ..functions.geometry import make_overlay_area_broadcast_udf
+
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint; shared: {sorted(overlap)}")
+
+    left_b, lcols = _ensure_bbox_cols(left, left_geom, "la")
+    right_b, rcols = _ensure_bbox_cols(right, right_geom, "rb")
+    candidates = spatial_join_bboxes(left_b, right_b, lcols, rcols, cell_deg)
+
+    spark = left.sparkSession
+    geoms = {
+        r["__gid"]: bytes(r["__g"])
+        for r in right.select(
+            F.xxhash64(F.col(right_geom)).alias("__gid"),
+            F.col(right_geom).alias("__g"),
+        )
+        .distinct()
+        .collect()
+    }
+    bc = spark.sparkContext.broadcast(geoms)
+    area = make_overlay_area_broadcast_udf(bc)
+    return (
+        candidates.withColumn("__rgid", F.xxhash64(F.col(right_geom)))
+        .withColumn(area_col, area(F.col(left_geom), F.col("__rgid")))
+        .filter(F.col(area_col) > min_area)
+        .drop("__rgid", *lcols, *rcols)
+    )

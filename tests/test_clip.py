@@ -163,3 +163,33 @@ class TestProperties:
                 abs(ring_signed_area(ring)),
                 rel_tol=1e-9,
             )
+
+
+class TestFastVsReference:
+    def test_fast_sh_equals_triangle_reference(self):
+        """The numpy S-H fast path must match the triangle-decomposition
+        reference on random concave rings against boxes and diamonds."""
+        import random
+
+        from gpq_spark.geo.clip import ring_clip_area_tri
+
+        rng = random.Random(23)
+        mk = TestProperties()
+        for _ in range(200):
+            ring = mk._random_simple_ring(rng)
+            for clip in (
+                box_ring(rng.uniform(-6, 0), rng.uniform(-6, 0),
+                         rng.uniform(0.5, 7), rng.uniform(0.5, 7)),
+                diamond_ring(rng.uniform(-2, 2), rng.uniform(-2, 2),
+                             rng.uniform(1, 5)),
+            ):
+                a = ring_clip_area(ring, clip)
+                b = ring_clip_area_tri(ring, clip)
+                assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9), (ring, clip)
+
+    def test_fast_sh_u_shape(self):
+        from gpq_spark.geo.clip import ring_clip_area_tri
+
+        clip = box_ring(-1, 2, 4, 3)
+        assert math.isclose(ring_clip_area(U_SHAPE, clip), 2.0)
+        assert math.isclose(ring_clip_area_tri(U_SHAPE, clip), 2.0)

@@ -355,3 +355,98 @@ class TestOverlapPropertySAT:
             if polygons_overlap(a, b) != sat(a, b):
                 mismatches.append(trial)
         assert not mismatches, mismatches
+
+
+class TestOverlayAreaJoin:
+    def _countries(self, spark):
+        return spark.read.parquet(FIXTURE).select(
+            F.col("geometry").alias("r_geometry"), F.col("name").alias("r_name")
+        )
+
+    def _boxes(self, spark, boxes):
+        from gpq_spark.geo import wkb as wkbmod
+
+        return spark.createDataFrame(
+            [(i, bytearray(wkbmod.dumps(g))) for i, g in boxes],
+            "box_id long, geometry binary",
+        )
+
+    def test_zonal_areas_over_countries(self, spark):
+        from gpq_spark.geoparquet import spatial_join_overlay_area
+
+        boxes = [
+            (1, _sq(30, -10, 36, -2)),     # overlaps Tanzania
+            (2, _sq(3, 3, 4, 4)),          # ocean: no rows
+            (3, _sq(-115, 30, -95, 65)),   # overlaps USA and Canada
+        ]
+        rows = spatial_join_overlay_area(
+            self._boxes(spark, boxes), self._countries(spark)
+        ).select("box_id", "r_name", "overlay_area").collect()
+        got = {(r.box_id, r.r_name): r.overlay_area for r in rows}
+        assert set(got) == {
+            (1, "Tanzania"),
+            (3, "Canada"),
+            (3, "United States of America"),
+        }
+        # areas positive and bounded by the zone area
+        assert 0 < got[(1, "Tanzania")] < 6 * 8
+        assert 0 < got[(3, "Canada")] < 20 * 35
+        assert 0 < got[(3, "United States of America")] < 20 * 35
+
+    def test_area_positive_iff_interior_overlap(self, spark):
+        """The area join and the boolean overlap join must agree on
+        which pairs match (area > 0 ⇔ interiors intersect) for generic
+        boxes."""
+        from gpq_spark.geoparquet import (
+            spatial_join_overlay_area,
+            spatial_join_polygons_overlap,
+        )
+
+        boxes = [
+            (0, _sq(30, -8, 40, -2)),      # Tanzania
+            (1, _sq(-14, 22, -9, 26)),     # W. Sahara
+            (2, _sq(-120, 55, -110, 65)),  # Canada
+            (3, _sq(-100, 35, -90, 45)),   # USA
+            (4, _sq(0, 0, 10, 10)),        # ocean
+            (5, _sq(-110, 45, -100, 53)),  # straddles the US/Canada border
+            (6, _sq(176, -19, 180, -16)),  # Fiji
+            (7, _sq(-40, 0, -30, 10)),     # ocean
+        ]
+        left = self._boxes(spark, boxes)
+        right = self._countries(spark)
+        area_pairs = {
+            (r.box_id, r.r_name)
+            for r in spatial_join_overlay_area(left, right).collect()
+        }
+        bool_pairs = {
+            (r.box_id, r.r_name)
+            for r in spatial_join_polygons_overlap(left, right).collect()
+        }
+        assert area_pairs == bool_pairs
+        assert area_pairs  # non-trivial
+
+    def test_split_additivity_against_fixture(self, spark):
+        """Splitting a zone in half must split its country overlay area
+        exactly — the same independent consistency property the kernel
+        tests use, here through the full join path."""
+        import math
+
+        from gpq_spark.geoparquet import spatial_join_overlay_area
+
+        whole = [(1, _sq(30, -10, 36, -2))]
+        halves = [(2, _sq(30, -10, 33, -2)), (3, _sq(33, -10, 36, -2))]
+        right = self._countries(spark)
+        a_whole = {
+            r.r_name: r.overlay_area
+            for r in spatial_join_overlay_area(
+                self._boxes(spark, whole), right
+            ).collect()
+        }
+        a_halves: dict = {}
+        for r in spatial_join_overlay_area(
+            self._boxes(spark, halves), right
+        ).collect():
+            a_halves[r.r_name] = a_halves.get(r.r_name, 0.0) + r.overlay_area
+        assert set(a_whole) == set(a_halves)
+        for name in a_whole:
+            assert math.isclose(a_whole[name], a_halves[name], rel_tol=1e-9)
