@@ -5050,3 +5050,456 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_diff") == 0).alias("merge_exact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+#
+# A Bloom filter compresses a key set into m bits so a huge fact table
+# can be pruned MAP-SIDE — no shuffle of the fact, no broadcast of the
+# full key set — before an expensive join. Spark's own
+# spark.sql.optimizer.runtime.bloomFilter does this JVM-side with a
+# nondeterministic hash; this is the deterministic gate twin proving
+# the semantics (zero false negatives; false-positive rate bounded by
+# the usual (1-e^{-kn/m})^k).
+#
+# Spec (engine-portable, exact integers only):
+#   m = 6144 bits stored as 128 words x 48 bits (48 keeps every
+#       shifted bit inside a positive BIGINT in both engines — DuckDB
+#       raises on 1<<63);
+#   k = 4 probes via Kirsch–Mitzenmacher double hashing:
+#       h1 = first 12 md5 hex chars of 'bf|'||key  (48-bit uint)
+#       h2 = next 12 md5 hex chars
+#       pos_i = (h1 + i*h2) mod 6144, i in 0..3.
+
+_BF_BITS = 6144
+_BF_WORD = 48
+_BF_K = 4
+_BF_H1_DUCK = (
+    "CAST('0x' || substr(md5('bf|' || CAST({key} AS VARCHAR)), 1, 12) AS BIGINT)"
+)
+_BF_H2_DUCK = (
+    "CAST('0x' || substr(md5('bf|' || CAST({key} AS VARCHAR)), 13, 12) AS BIGINT)"
+)
+_BF_H1_SPARK = (
+    "CAST(conv(substr(md5(concat('bf|', CAST({key} AS STRING))), 1, 12), 16, 10)"
+    " AS BIGINT)"
+)
+_BF_H2_SPARK = (
+    "CAST(conv(substr(md5(concat('bf|', CAST({key} AS STRING))), 13, 12), 16, 10)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "q_bloom_prune_orders",
+    f"""
+    WITH keys AS (
+        SELECT DISTINCT c_custkey AS k FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    ), kpos AS (
+        SELECT ({_BF_H1_DUCK.format(key='k')}
+                + i * {_BF_H2_DUCK.format(key='k')}) % {_BF_BITS} AS p
+        FROM keys, (SELECT unnest(range(0, {_BF_K})) AS i)
+    ), bloom AS (
+        SELECT p // {_BF_WORD} AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % {_BF_WORD} AS INT)) AS bits
+        FROM kpos GROUP BY 1
+    ), opos AS (
+        SELECT o_orderkey, o_custkey,
+               ({_BF_H1_DUCK.format(key='o_custkey')}
+                + i * {_BF_H2_DUCK.format(key='o_custkey')}) % {_BF_BITS} AS p
+        FROM orders, (SELECT unnest(range(0, {_BF_K})) AS i)
+    ), probe AS (
+        SELECT o_orderkey, o_custkey,
+               SUM(CASE WHEN (b.bits >> CAST(p % {_BF_WORD} AS INT)) & 1 = 1
+                        THEN 1 ELSE 0 END) AS nhit
+        FROM opos LEFT JOIN bloom b ON opos.p // {_BF_WORD} = b.word
+        GROUP BY 1, 2
+    ), flags AS (
+        SELECT nhit = {_BF_K} AS bp,
+               o_custkey IN (SELECT k FROM keys) AS tm
+        FROM probe
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN tm THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN bp AND NOT tm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_pos,
+           CAST(SUM(CASE WHEN tm AND NOT bp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_neg
+    FROM flags
+    """,
+)
+def q_bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter semi-join pruning: 6144-bit filter
+    over the BUILDING-segment customer keys, probed map-side against
+    every order.
+
+    Scale design: the filter is built with ONE narrow shuffle over
+    ≤ m/48 = 128 words (bit_or partial-aggregates map-side), collapsed
+    to a single-row word→bits map and broadcast via crossJoin — the
+    orders fact table is NEVER shuffled and never sees the key set;
+    each probe is 4 md5-derived bit tests in whole-stage codegen. The
+    true-membership join below exists only to verify the zero-false-
+    negative guarantee in the same result row; production pruning
+    drops it (that's the point of the filter). Reference analogue:
+    this generalizes the row-group bbox pruning idea (SURVEY §2 F2) to
+    arbitrary key sets."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+
+    keys = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    h1k = F.expr(_BF_H1_SPARK.format(key="k"))
+    h2k = F.expr(_BF_H2_SPARK.format(key="k"))
+    kpos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    ((h1k + F.lit(i) * h2k) % _BF_BITS).alias(f"p{i}")
+                    for i in range(_BF_K)
+                ]
+            )
+        ).alias("p")
+    )
+    bloom = kpos.groupBy(F.expr(f"p div {_BF_WORD}").alias("word")).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % {_BF_WORD} AS INT)))"
+        ).alias("bits")
+    )
+    # single-row dense map: word -> bits (order-insensitive, so the
+    # nondeterministic collect_list order cannot leak into results)
+    bmap = bloom.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
+    )
+
+    h1o = F.expr(_BF_H1_SPARK.format(key="o_custkey"))
+    h2o = F.expr(_BF_H2_SPARK.format(key="o_custkey"))
+    probed = (
+        orders.select("o_orderkey", "o_custkey")
+        .crossJoin(F.broadcast(bmap))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "bm",
+            *[
+                ((h1o + F.lit(i) * h2o) % _BF_BITS).alias(f"p{i}")
+                for i in range(_BF_K)
+            ],
+        )
+    )
+    bp = F.lit(True)
+    for i in range(_BF_K):
+        bp = bp & F.expr(
+            f"(shiftright(coalesce(element_at(bm, CAST(p{i} div {_BF_WORD}"
+            f" AS BIGINT)), CAST(0 AS BIGINT)),"
+            f" CAST(p{i} % {_BF_WORD} AS INT)) & 1) = 1"
+        )
+    probed = probed.withColumn("bp", bp)
+
+    flags = probed.join(
+        F.broadcast(keys.withColumn("tm", F.lit(True))),
+        probed.o_custkey == F.col("k"),
+        "left",
+    ).select("bp", F.coalesce("tm", F.lit(False)).alias("tm"))
+    return flags.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("bp"), 1).otherwise(0)).cast("long").alias("n_bloom_pass"),
+        F.sum(F.when(F.col("tm"), 1).otherwise(0)).cast("long").alias("n_true"),
+        F.sum(F.when(F.col("bp") & ~F.col("tm"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(F.when(F.col("tm") & ~F.col("bp"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV set-similarity (Jaccard) estimation
+# ---------------------------------------------------------------------------
+#
+# k-minimum-values sketches support SET OPERATIONS, not just distinct
+# counts: the k smallest hashes of A ∪ B are computable from the two
+# k-row sketches alone (merge = union, re-take k smallest), and the
+# fraction of those union minima that lie in BOTH sets is an unbiased
+# Jaccard estimate — the same estimator MinHash-LSH dedup relies on,
+# here at corpus granularity ("how similar are these two shards /
+# snapshots / sources?") for O(k) state per set instead of O(|set|).
+
+_KMVJ_K = 64
+_KMVJ_H_DUCK = (
+    "CAST('0x' || substr(md5('kmvj|' || CAST(p AS VARCHAR)), 1, 12) AS BIGINT)"
+)
+_KMVJ_H_SPARK = (
+    "CAST(conv(substr(md5(concat('kmvj|', CAST(p AS STRING))), 1, 12), 16, 10)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "q_sketch_kmv_jaccard",
+    f"""
+    WITH a AS (
+        SELECT DISTINCT l_partkey AS p FROM lineitem
+        WHERE year(l_shipdate) = 1995
+    ), b AS (
+        SELECT DISTINCT l_partkey AS p FROM lineitem
+        WHERE year(l_shipdate) = 1996
+    ), u AS (
+        SELECT p FROM a UNION SELECT p FROM b
+    ), topk AS (
+        SELECT p FROM (
+            SELECT p, row_number() OVER (ORDER BY {_KMVJ_H_DUCK}, p) AS rn
+            FROM u
+        ) WHERE rn <= {_KMVJ_K}
+    ), m AS (
+        SELECT CAST(SUM(CASE WHEN a.p IS NOT NULL AND b.p IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS kmv_matched
+        FROM topk LEFT JOIN a ON topk.p = a.p LEFT JOIN b ON topk.p = b.p
+    ), ex AS (
+        SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+               CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+               CAST((SELECT COUNT(*) FROM a JOIN b ON a.p = b.p) AS BIGINT)
+                   AS n_inter,
+               CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_union
+    )
+    SELECT n_a, n_b, n_inter, n_union,
+           CAST(1000000 * n_inter // n_union AS BIGINT) AS jaccard_exact_e6,
+           CAST({_KMVJ_K} AS BIGINT) AS kmv_k,
+           kmv_matched,
+           CAST(1000000 * kmv_matched // {_KMVJ_K} AS BIGINT)
+               AS jaccard_kmv_e6
+    FROM ex, m
+    """,
+)
+def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV Jaccard estimate between the part sets shipped in 1995 vs
+    1996, checked against the exact Jaccard in the same row.
+
+    Scale design: each set's sketch is a TakeOrderedAndProject — every
+    partition emits only its k smallest (hash, key) pairs, the driver
+    merges k·partitions candidates — so sketch state is O(k) no matter
+    the set size, and the union sketch is computed from sketches, never
+    from the full sets. The exact inter/union joins exist only for the
+    gate comparison (at 100 TB you'd keep ONLY the sketch path — that
+    is the point). Hash/tie order is fully specified (48-bit md5
+    prefix, then key) so both engines pick identical minima."""
+    li = load(spark, sf_dir, "lineitem")
+    a = (
+        li.filter(F.year("l_shipdate") == 1995)
+        .select(F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .select(F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    u = a.unionByName(b).distinct()
+    topk = (
+        u.withColumn("h", F.expr(_KMVJ_H_SPARK))
+        .orderBy("h", "p")
+        .limit(_KMVJ_K)
+        .select("p")
+    )
+    m = (
+        topk.join(a.withColumn("in_a", F.lit(1)), "p", "left")
+        .join(b.withColumn("in_b", F.lit(1)), "p", "left")
+        .agg(
+            F.sum(
+                F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("kmv_matched")
+        )
+    )
+    ex = (
+        a.agg(F.count("*").cast("long").alias("n_a"))
+        .crossJoin(b.agg(F.count("*").cast("long").alias("n_b")))
+        .crossJoin(
+            a.join(b, "p").agg(F.count("*").cast("long").alias("n_inter"))
+        )
+        .crossJoin(u.agg(F.count("*").cast("long").alias("n_union")))
+    )
+    return ex.crossJoin(m).select(
+        "n_a",
+        "n_b",
+        "n_inter",
+        "n_union",
+        F.expr("CAST(1000000 * n_inter div n_union AS BIGINT)").alias(
+            "jaccard_exact_e6"
+        ),
+        F.lit(_KMVJ_K).cast("long").alias("kmv_k"),
+        "kmv_matched",
+        F.expr(f"CAST(1000000 * kmv_matched div {_KMVJ_K} AS BIGINT)").alias(
+            "jaccard_kmv_e6"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal (exact integer spec)
+# ---------------------------------------------------------------------------
+#
+# Shannon char entropy is a standard cheap quality filter (gibberish
+# and boilerplate skew low; encrypted/base64 blobs skew high), but
+# log2 is NOT bit-identical across libm implementations, so the spec
+# quantizes it: log2 values come from a 256-entry integer LUT
+# (micro-bits, round(log2(n)·1e6) computed once in Python and embedded
+# in BOTH engines' SQL), and the entropy over the first 256 characters
+#     H = log2(n) - (Σ c_i·log2(c_i)) / n
+# becomes pure BIGINT arithmetic: H_e6 = LUT[n] - (Σ c_i·LUT[c_i]) div n.
+# Bounding the window at 256 chars bounds the LUT domain AND the
+# per-document cost — at 100 TB you don't want quality scoring to
+# re-scan entire documents when a prefix window has the same predictive
+# power.
+
+_ENT_WINDOW = 256
+_ENT_LUT = [
+    round(__import__("math").log2(n) * 1_000_000)
+    for n in range(1, _ENT_WINDOW + 1)
+]
+
+
+@register(
+    "text_entropy",
+    f"""
+    WITH c AS (
+        SELECT doc_id,
+               list_filter(string_split(substr(text, 1, {_ENT_WINDOW}), ''),
+                           x -> x <> '') AS cs,
+               [{", ".join(str(x) for x in _ENT_LUT)}] AS lut
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(cs) AS BIGINT) AS n_window,
+           CASE WHEN len(cs) = 0 THEN NULL
+                ELSE CAST(lut[len(cs)]
+                     - CAST(list_sum(list_transform(list_distinct(cs),
+                           ch -> len(list_filter(cs, x -> x = ch))
+                                 * lut[len(list_filter(cs, x -> x = ch))]))
+                       AS BIGINT) // len(cs)
+                     AS BIGINT)
+           END AS h_e6
+    FROM c
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy in micro-bits over a 256-char
+    prefix window, as a single whole-stage-codegen expression.
+
+    Scale design: map-side only — no explode, no shuffle, no Python.
+    Counting is transform(distinct chars, c -> count) over the bounded
+    window (≤ 256·|alphabet| comparisons per doc), and the entropy
+    arithmetic is exact BIGINT via the embedded LUT, so results are
+    bit-identical across engines, partitionings, and re-runs."""
+    docs = load(spark, sf_dir, "documents")
+    lut = f"array({', '.join(str(x) for x in _ENT_LUT)})"
+    cs = f"filter(split(substring(text, 1, {_ENT_WINDOW}), ''), x -> x != '')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({cs}) AS BIGINT)").alias("n_window"),
+        F.expr(
+            f"CASE WHEN size({cs}) = 0 THEN NULL ELSE "
+            f"CAST(element_at({lut}, size({cs})) - "
+            f"aggregate(transform(array_distinct({cs}),"
+            f" ch -> size(filter({cs}, x -> x = ch))),"
+            f" CAST(0 AS BIGINT),"
+            f" (acc, n) -> acc + n * element_at({lut}, n))"
+            f" div size({cs}) AS BIGINT) END"
+        ).alias("h_e6"),
+    )
+
+
+@register(
+    "stream_hll_distinct",
+    f"""
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS hs, event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS hv
+        FROM events
+    ), reg AS (
+        SELECT hs, event_type, hv % 64 AS b, MAX({_HLL_RHO_DUCK}) AS m
+        FROM h GROUP BY 1, 2, 3
+    ), grid AS (
+        SELECT DISTINCT hs, event_type, r AS b
+        FROM reg, (SELECT unnest(range(0, 64)) AS r)
+    ), dense AS (
+        SELECT g.hs, g.event_type, COALESCE(reg.m, 0) AS m
+        FROM grid g LEFT JOIN reg
+          ON g.hs = reg.hs AND g.event_type = reg.event_type AND g.b = reg.b
+    ), st AS (
+        SELECT hs, event_type,
+               CAST(SUM(CAST(1 AS BIGINT) << (44 - m)) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM dense GROUP BY 1, 2
+    )
+    SELECT strftime(hs, '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+           {_hll_estimate_duck('st.s', 'st.v')} AS n_hll
+    FROM st
+    """,
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour distinct-user HLL as a REAL Structured Streaming query:
+    the stream maintains only the 64 sketch registers per (window,
+    event_type) group — groupBy(window, type, bucket).max(rho) is the
+    single streaming aggregation — and the estimate is finalized in
+    batch from the drained register table.
+
+    Scale design: streaming state is O(windows · types · 64) counters
+    regardless of user cardinality (the reason to sketch a stream at
+    all — exact streaming countDistinct state grows with cardinality
+    and cannot be evicted). Register max is associative+commutative,
+    so partial aggregation happens map-side per micro-batch, and the
+    same registers merge losslessly across shards/restarts
+    (q_sketch_hll_merge proves that property in batch)."""
+    stream = _events_file_stream(spark, sf_dir)
+    hv = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    reg_stream = (
+        stream.select(
+            F.window("ts", "1 hour").alias("win"), "event_type", hv.alias("hv")
+        )
+        .groupBy("win", "event_type", (F.col("hv") % 64).alias("b"))
+        .agg(F.max(F.expr(_HLL_RHO_SPARK)).alias("m"))
+    )
+    reg = _drain_to_table(reg_stream, "stream_hll", "complete").select(
+        F.date_format(
+            F.expr("convert_timezone('UTC', win.start)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_start"),
+        "event_type",
+        "b",
+        "m",
+    )
+    # closed-form harmonic sum over SPARSE registers (absent buckets
+    # are m=0 and contribute 2^44 each) — no dense-grid self-join,
+    # which also dodges Spark's conflicting-attribute bug on memory
+    # sink self-joins
+    st = reg.groupBy("hour_start", "event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(44 - m AS INT))"))
+            + (F.lit(64) - F.count("*")) * F.lit(1 << 44)
+        )
+        .cast("long")
+        .alias("s"),
+        (
+            (F.lit(64) - F.count("*"))
+            + F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    return st.select(
+        "hour_start",
+        "event_type",
+        F.expr(_hll_estimate_spark("s", "v")).alias("n_hll"),
+    )

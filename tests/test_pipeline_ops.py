@@ -3,6 +3,8 @@
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import TESTDATA
+
 
 class TestDedupExact:
     def test_keeps_min_order_col(self, spark):
@@ -1419,3 +1421,56 @@ class TestBucketSkewCaps:
             sigs, "doc_id", bands=4, num_hashes=8, max_bucket_size=4
         )
         assert capped.count() == 0
+
+
+def test_text_entropy_matches_python_spec(spark):
+    """The quantized-entropy spec recomputed in pure Python must agree
+    with the Spark expression for every document."""
+    import math
+    from collections import Counter
+
+    from gpq_spark.entry_queries import _ENT_LUT, _ENT_WINDOW, text_entropy
+
+    sf = f"{TESTDATA}/sf0.001"
+    rows = {
+        r["doc_id"]: (r["n_window"], r["h_e6"])
+        for r in text_entropy(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        window = d["text"][:_ENT_WINDOW]
+        n = len(window)
+        exp_h = None
+        if n > 0:
+            counts = Counter(window)
+            s = sum(c * _ENT_LUT[c - 1] for c in counts.values())
+            exp_h = _ENT_LUT[n - 1] - s // n
+        got_n, got_h = rows[d["doc_id"]]
+        assert got_n == n
+        assert got_h == exp_h
+        if n > 0:
+            # quantized value tracks true entropy to ~1e-4 bits
+            true_h = math.log2(n) - sum(
+                c * math.log2(c) for c in Counter(window).values()
+            ) / n
+            assert abs(got_h / 1e6 - true_h) < 1e-3
+
+
+def test_bloom_has_no_false_negatives(spark):
+    from gpq_spark.entry_queries import q_bloom_prune_orders
+
+    row = q_bloom_prune_orders(spark, f"{TESTDATA}/sf0.001").collect()[0]
+    assert row["n_false_neg"] == 0
+    assert row["n_bloom_pass"] >= row["n_true"]
+    # the filter must actually prune (not pass everything)
+    assert row["n_bloom_pass"] < row["n_orders"]
+
+
+def test_kmv_jaccard_estimate_is_sane(spark):
+    from gpq_spark.entry_queries import _KMVJ_K, q_sketch_kmv_jaccard
+
+    row = q_sketch_kmv_jaccard(spark, f"{TESTDATA}/sf0.001").collect()[0]
+    assert 0 <= row["kmv_matched"] <= _KMVJ_K
+    # KMV with k=64 has σ ≈ J(1-J)/√k; allow a generous 4σ ≈ 0.25 band
+    assert abs(row["jaccard_kmv_e6"] - row["jaccard_exact_e6"]) <= 250_000

@@ -278,3 +278,30 @@ def test_rolling_hour_range_frame(plans):
     p = plans("q_rolling_hour_value")
     assert "RANGE BETWEEN" in p.upper() or "specifiedwindowframe(RangeFrame".lower() in p.lower() or "Window" in p
     assert p.count("Exchange") <= 1
+
+
+def test_bloom_probe_is_map_side(plans):
+    # the orders fact branch must reach the probe via broadcast
+    # (BroadcastNestedLoopJoin on the single-row bloom map), never a
+    # shuffle of the fact table; the only exchanges are the 128-word
+    # filter build and the final single-row aggregate
+    p = plans("q_bloom_prune_orders")
+    assert "pythonUDF" not in p.lower()
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_entropy_is_single_scan_no_shuffle(plans):
+    # entropy is one projection over one scan: no explode of chars,
+    # no exchange, no Python
+    p = plans("text_entropy")
+    assert "pythonUDF" not in p.lower()
+    assert "Exchange" not in p
+    assert "Generate" not in p  # no explode
+
+
+def test_kmv_jaccard_sketch_is_partial_topk(plans):
+    # the k-minimum-values sketch must be TakeOrderedAndProject
+    # (per-partition top-k then merge), not a global sort
+    p = plans("q_sketch_kmv_jaccard")
+    assert "TakeOrderedAndProject" in p
