@@ -5503,3 +5503,212 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr(_hll_estimate_spark("s", "v")).alias("n_hll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: funnels and retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_funnel_steps",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT v.user_id,
+           CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                     WHEN c.t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS step_reached,
+           strftime(v.t1, '%Y-%m-%d %H:%M:%S') AS t_view,
+           strftime(c.t2, '%Y-%m-%d %H:%M:%S') AS t_click,
+           strftime(p.t3, '%Y-%m-%d %H:%M:%S') AS t_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): for each
+    user, the first view, the first click strictly after it, and the
+    first purchase strictly after that — the standard product-analytics
+    funnel with strict event ordering, not mere co-occurrence.
+
+    Scale design: ONE shuffle. The oracle's three self-joins collapse
+    into three window aggregates over the same user_id partitioning —
+    Catalyst plans a single exchange and chains the window operators
+    on the sorted partition, so the events table is scanned and
+    shuffled exactly once regardless of funnel depth (each added step
+    is another window pass, not another join)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    per_ev = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = per_ev.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return per_user.filter(F.col("t1").isNotNull()).select(
+        "user_id",
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("step_reached"),
+        F.date_format("t1", fmt).alias("t_view"),
+        F.date_format("t2", fmt).alias("t_click"),
+        F.date_format("t3", fmt).alias("t_purchase"),
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ), c AS (
+        SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_d
+        FROM ud
+    )
+    SELECT strftime(DATE '1970-01-01' + INTERVAL (cohort_d) DAY,
+                    '%Y-%m-%d') AS cohort_day,
+           CAST(d - cohort_d AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity day,
+    counted in each later day they were active (daily grain because the
+    driver's events table spans one month).
+
+    Scale design: activity is first reduced to distinct (user, day)
+    pairs (the only full-data shuffle, with map-side partial distinct),
+    the cohort day is a window MIN over the already-narrow pairs, and
+    the final matrix is days² rows. No join anywhere — the classic
+    first-event-join formulation is replaced by a window over the same
+    shuffle. COUNT(*) over (user,day) pairs equals COUNT(DISTINCT user)
+    per cell by construction, avoiding a second expand."""
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+    ).distinct()
+    c = ud.withColumn(
+        "cohort_d", F.min("d").over(Window.partitionBy("user_id"))
+    )
+    return c.groupBy(
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("cohort_d")),
+            "yyyy-MM-dd",
+        ).alias("cohort_day"),
+        (F.col("d") - F.col("cohort_d")).cast("long").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@register(
+    "stream_cms_heavy",
+    """
+    WITH rows4 AS (SELECT unnest(range(0, 4)) AS r),
+    cells AS (
+        SELECT r,
+               CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                    || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events, rows4
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM events GROUP BY user_id
+        ORDER BY n_exact DESC, user_id LIMIT 10
+    ), probes AS (
+        SELECT t.user_id, t.n_exact, r.r,
+               CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|'
+                    || CAST(t.user_id AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS c
+        FROM truth t, rows4 r
+    )
+    SELECT p.user_id, p.n_exact, CAST(MIN(cells.n) AS BIGINT) AS n_cms
+    FROM probes p JOIN cells ON p.r = cells.r AND p.c = cells.c
+    GROUP BY p.user_id, p.n_exact
+    """,
+)
+def stream_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained BY A STREAM: each event fans out to
+    its 4 (row, col) cells map-side (explode of a 4-literal array — no
+    stream-static join needed) and the single streaming aggregation
+    keeps the 256 cell counters; heavy-hitter estimates are probed in
+    batch from the drained cells.
+
+    Scale design: streaming state is the 4×64 counter grid regardless
+    of key cardinality or stream length — the standard answer to
+    "top talkers over an unbounded stream" where exact per-key state
+    cannot be evicted. Counter increments are associative, so map-side
+    partial aggregation applies per micro-batch, and grids from
+    independent shards merge by cell-wise addition. The probe set here
+    is the batch-computed true top-10 so the oracle can verify the
+    estimates exactly (in production the candidate set comes from a
+    space-saving list beside the sketch)."""
+    stream = _events_file_stream(spark, sf_dir)
+    hash_cell = (
+        "CAST(conv(substr(md5(CAST(r AS STRING) || '|' || "
+        "CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT) % 64"
+    )
+    cells_stream = (
+        stream.select(
+            "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
+        )
+        .withColumn("c", F.expr(hash_cell))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = _drain_to_table(cells_stream, "stream_cms", "complete")
+
+    ev = load_events(spark, sf_dir)
+    rows4 = spark.range(4).select(F.col("id").cast("int").alias("r"))
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("user_id"))
+        .limit(10)
+    )
+    probes = truth.crossJoin(F.broadcast(rows4)).withColumn(
+        "c", F.expr(hash_cell)
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("n").cast("long").alias("n_cms"))
+    )

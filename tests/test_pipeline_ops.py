@@ -1474,3 +1474,40 @@ def test_kmv_jaccard_estimate_is_sane(spark):
     assert 0 <= row["kmv_matched"] <= _KMVJ_K
     # KMV with k=64 has σ ≈ J(1-J)/√k; allow a generous 4σ ≈ 0.25 band
     assert abs(row["jaccard_kmv_e6"] - row["jaccard_exact_e6"]) <= 250_000
+
+
+def test_funnel_requires_strict_event_order(spark):
+    """A user whose click precedes every view must not count as
+    converted past step 1, and equal timestamps do not chain."""
+    import datetime as dt
+
+    from gpq_spark.entry_queries import q_funnel_steps
+    import os
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # u1: proper view -> click -> purchase
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase", 0.0, "{}"),
+        # u2: click BEFORE any view -> stuck at step 1
+        (4, t0, 2, "click", 0.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=1), 2, "view", 0.0, "{}"),
+        # u3: click at the SAME instant as view -> not strictly after
+        (6, t0, 3, "view", 0.0, "{}"),
+        (7, t0, 3, "click", 0.0, "{}"),
+        # u4: never views -> absent from the funnel entirely
+        (8, t0, 4, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["user_id"]: r["step_reached"]
+            for r in q_funnel_steps(spark, d).collect()
+        }
+    assert got == {1: 3, 2: 1, 3: 1}

@@ -305,3 +305,16 @@ def test_kmv_jaccard_sketch_is_partial_topk(plans):
     # (per-partition top-k then merge), not a global sort
     p = plans("q_sketch_kmv_jaccard")
     assert "TakeOrderedAndProject" in p
+
+
+def test_funnel_single_shuffle_no_joins(plans):
+    # three window passes over one user_id partitioning: exactly one
+    # exchange for the event data, and no join operators at all
+    p = plans("q_funnel_steps")
+    assert "Join" not in p
+    assert p.count("Exchange") <= 2  # data shuffle (+AQE reuse markers)
+
+
+def test_retention_window_replaces_join(plans):
+    p = plans("q_retention_cohorts")
+    assert "Join" not in p
