@@ -5712,3 +5712,98 @@ def stream_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "n_exact")
         .agg(F.min("n").cast("long").alias("n_cms"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile estimation from a mergeable hash-sample sketch
+# ---------------------------------------------------------------------------
+#
+# The missing member of the sketch family (HLL/KMV/CMS/Bloom are
+# above): quantiles. True streaming quantile sketches (KLL, t-digest,
+# GK) are merge-order-sensitive, so none can hash-match a SQL oracle;
+# the deterministic, engine-portable construction is a fixed-rate HASH
+# sample — keep a row iff uhash48(row key) < p·2^48 — which IS a
+# mergeable sketch (union of shard samples = sample of the union,
+# trivially, because membership is a pure function of the row key) and
+# gives quantile estimates with error O(1/√(p·n)) per group.
+
+_QSK_RATE_NUM = 1 << 44  # p = 1/16 of the 48-bit hash space
+_QSK_HASH_DUCK = (
+    "CAST('0x' || substr(md5('qs|' || CAST(l_orderkey AS VARCHAR) || '|' ||"
+    " CAST(l_linenumber AS VARCHAR)), 1, 12) AS BIGINT)"
+)
+_QSK_HASH_SPARK = (
+    "CAST(conv(substr(md5(concat('qs|', CAST(l_orderkey AS STRING), '|',"
+    " CAST(l_linenumber AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+)
+
+
+@register(
+    "q_sketch_sample_quantiles",
+    f"""
+    WITH v AS (
+        SELECT l_returnflag, {cents('l_quantity')} AS qc,
+               {_QSK_HASH_DUCK} < {_QSK_RATE_NUM} AS sampled
+        FROM lineitem
+    ), ex AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY qc) AS BIGINT) AS p25,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY qc) AS BIGINT) AS p50,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY qc) AS BIGINT) AS p75
+        FROM v GROUP BY 1
+    ), sk AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_sample,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY qc) AS BIGINT) AS p25_est,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY qc) AS BIGINT) AS p50_est,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY qc) AS BIGINT) AS p75_est
+        FROM v WHERE sampled GROUP BY 1
+    )
+    SELECT ex.l_returnflag, ex.n, ex.p25, ex.p50, ex.p75,
+           sk.n_sample, sk.p25_est, sk.p50_est, sk.p75_est
+    FROM ex JOIN sk ON ex.l_returnflag = sk.l_returnflag
+    """,
+)
+def q_sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles estimated from a 1/16 hash-sample sketch,
+    with the exact quantiles alongside.
+
+    Scale design: the sample predicate is a pure map-side function of
+    the row key, so the sketch build reads each row once, keeps ~6%,
+    and shuffles only the survivors — and shard samples union into the
+    sample of the union with no rescan (the mergeability that
+    order-sensitive quantile sketches lack). percentile_disc picks an
+    actual data value (integer cents), so both the estimate and the
+    exact side are hash-exact across engines. The exact side is the
+    gate's ground truth; at 100 TB you run only the sketch side."""
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        F.expr(cents("l_quantity")).alias("qc"),
+        (F.expr(_QSK_HASH_SPARK) < F.lit(_QSK_RATE_NUM)).alias("sampled"),
+    )
+
+    def _qs(df, prefix, ncol):
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("long").alias(ncol),
+            *[
+                F.expr(
+                    f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY qc)"
+                    f" AS BIGINT)"
+                ).alias(f"p{int(q * 100)}{prefix}")
+                for q in (0.25, 0.50, 0.75)
+            ],
+        )
+
+    ex = _qs(v, "", "n")
+    sk = _qs(v.filter("sampled"), "_est", "n_sample")
+    return ex.join(sk, "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        F.col("p25").alias("p25"),
+        "p50",
+        "p75",
+        "n_sample",
+        F.col("p25_est"),
+        "p50_est",
+        "p75_est",
+    )

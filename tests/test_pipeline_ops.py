@@ -1511,3 +1511,17 @@ def test_funnel_requires_strict_event_order(spark):
             for r in q_funnel_steps(spark, d).collect()
         }
     assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_sample_quantile_sketch_tracks_exact(spark):
+    from gpq_spark.entry_queries import q_sketch_sample_quantiles
+
+    rows = q_sketch_sample_quantiles(spark, f"{TESTDATA}/sf0.001").collect()
+    assert len(rows) == 3
+    for r in rows:
+        # ~1/16 sample rate, binomial bounds (very loose)
+        assert 0.01 < r["n_sample"] / r["n"] < 0.25
+        # quantity is 1..50 in 100-cent steps; a 1/16 sample of ~2k rows
+        # should land within a few steps of the exact quantile
+        for q in ("p25", "p50", "p75"):
+            assert abs(r[f"{q}_est"] - r[q]) <= 500
