@@ -5082,14 +5082,6 @@ _BF_H1_DUCK = (
 _BF_H2_DUCK = (
     "CAST('0x' || substr(md5('bf|' || CAST({key} AS VARCHAR)), 13, 12) AS BIGINT)"
 )
-_BF_H1_SPARK = (
-    "CAST(conv(substr(md5(concat('bf|', CAST({key} AS STRING))), 1, 12), 16, 10)"
-    " AS BIGINT)"
-)
-_BF_H2_SPARK = (
-    "CAST(conv(substr(md5(concat('bf|', CAST({key} AS STRING))), 13, 12), 16, 10)"
-    " AS BIGINT)"
-)
 
 
 @register(
@@ -5147,6 +5139,8 @@ def q_bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops it (that's the point of the filter). Reference analogue:
     this generalizes the row-group bbox pruning idea (SURVEY §2 F2) to
     arbitrary key sets."""
+    from .pipeline.sketch import bloom_build, bloom_probe
+
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
 
@@ -5155,52 +5149,14 @@ def q_bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("k"))
         .distinct()
     )
-    h1k = F.expr(_BF_H1_SPARK.format(key="k"))
-    h2k = F.expr(_BF_H2_SPARK.format(key="k"))
-    kpos = keys.select(
-        F.explode(
-            F.array(
-                *[
-                    ((h1k + F.lit(i) * h2k) % _BF_BITS).alias(f"p{i}")
-                    for i in range(_BF_K)
-                ]
-            )
-        ).alias("p")
+    bmap = bloom_build(keys, "k", bits=_BF_BITS, k=_BF_K)
+    probed = bloom_probe(
+        orders.select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        bmap,
+        bits=_BF_BITS,
+        k=_BF_K,
     )
-    bloom = kpos.groupBy(F.expr(f"p div {_BF_WORD}").alias("word")).agg(
-        F.expr(
-            f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % {_BF_WORD} AS INT)))"
-        ).alias("bits")
-    )
-    # single-row dense map: word -> bits (order-insensitive, so the
-    # nondeterministic collect_list order cannot leak into results)
-    bmap = bloom.groupBy().agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
-    )
-
-    h1o = F.expr(_BF_H1_SPARK.format(key="o_custkey"))
-    h2o = F.expr(_BF_H2_SPARK.format(key="o_custkey"))
-    probed = (
-        orders.select("o_orderkey", "o_custkey")
-        .crossJoin(F.broadcast(bmap))
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            "bm",
-            *[
-                ((h1o + F.lit(i) * h2o) % _BF_BITS).alias(f"p{i}")
-                for i in range(_BF_K)
-            ],
-        )
-    )
-    bp = F.lit(True)
-    for i in range(_BF_K):
-        bp = bp & F.expr(
-            f"(shiftright(coalesce(element_at(bm, CAST(p{i} div {_BF_WORD}"
-            f" AS BIGINT)), CAST(0 AS BIGINT)),"
-            f" CAST(p{i} % {_BF_WORD} AS INT)) & 1) = 1"
-        )
-    probed = probed.withColumn("bp", bp)
 
     flags = probed.join(
         F.broadcast(keys.withColumn("tm", F.lit(True))),
@@ -5361,11 +5317,10 @@ def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-scan entire documents when a prefix window has the same predictive
 # power.
 
-_ENT_WINDOW = 256
-_ENT_LUT = [
-    round(__import__("math").log2(n) * 1_000_000)
-    for n in range(1, _ENT_WINDOW + 1)
-]
+from .pipeline.text import (  # noqa: E402  (constants feed the oracle SQL)
+    ENTROPY_LUT as _ENT_LUT,
+    ENTROPY_WINDOW as _ENT_WINDOW,
+)
 
 
 @register(
@@ -5400,22 +5355,10 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (≤ 256·|alphabet| comparisons per doc), and the entropy
     arithmetic is exact BIGINT via the embedded LUT, so results are
     bit-identical across engines, partitionings, and re-runs."""
+    from .pipeline.text import with_char_entropy
+
     docs = load(spark, sf_dir, "documents")
-    lut = f"array({', '.join(str(x) for x in _ENT_LUT)})"
-    cs = f"filter(split(substring(text, 1, {_ENT_WINDOW}), ''), x -> x != '')"
-    return docs.select(
-        "doc_id",
-        F.expr(f"CAST(size({cs}) AS BIGINT)").alias("n_window"),
-        F.expr(
-            f"CASE WHEN size({cs}) = 0 THEN NULL ELSE "
-            f"CAST(element_at({lut}, size({cs})) - "
-            f"aggregate(transform(array_distinct({cs}),"
-            f" ch -> size(filter({cs}, x -> x = ch))),"
-            f" CAST(0 AS BIGINT),"
-            f" (acc, n) -> acc + n * element_at({lut}, n))"
-            f" div size({cs}) AS BIGINT) END"
-        ).alias("h_e6"),
-    )
+    return with_char_entropy(docs).select("doc_id", "n_window", "h_e6")
 
 
 @register(

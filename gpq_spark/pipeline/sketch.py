@@ -1,0 +1,91 @@
+"""Deterministic Bloom-filter build/probe as reusable operators.
+
+The gate query (entry_queries.q_bloom_prune_orders) uses these; they
+are also the library surface for pruning any fact table by any key
+set. Spec: m-bit filter in 48-bit BIGINT words (1<<63 overflows
+DuckDB, and 48 bits keeps the md5-derived hashes exact on both
+engines), k probes via Kirsch–Mitzenmacher double hashing of the two
+12-hex-char md5 windows. Every bit position is a pure function of
+(salt, key), so filters built on different shards/engines are
+bit-identical and merge by word-wise OR.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WORD_BITS = 48
+
+
+def _h1(key: str, salt: str) -> str:
+    return (
+        f"CAST(conv(substr(md5(concat('{salt}|', CAST({key} AS STRING))),"
+        f" 1, 12), 16, 10) AS BIGINT)"
+    )
+
+
+def _h2(key: str, salt: str) -> str:
+    return (
+        f"CAST(conv(substr(md5(concat('{salt}|', CAST({key} AS STRING))),"
+        f" 13, 12), 16, 10) AS BIGINT)"
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    bits: int = 6144,
+    k: int = 4,
+    salt: str = "bf",
+) -> DataFrame:
+    """Single-row DataFrame with a ``bm`` map column (word → 48-bit
+    word) — the whole filter, broadcastable at O(bits) cost.
+
+    One narrow shuffle over ≤ bits/48 words (bit_or partial-aggregates
+    map-side); the key set itself never leaves the build."""
+    h1, h2 = F.expr(_h1(key_col, salt)), F.expr(_h2(key_col, salt))
+    pos = keys.select(
+        F.explode(
+            F.array(*[((h1 + F.lit(i) * h2) % bits) for i in range(k)])
+        ).alias("p")
+    )
+    words = pos.groupBy(F.expr(f"p div {WORD_BITS}").alias("word")).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % {WORD_BITS} AS INT)))"
+        ).alias("bits")
+    )
+    return words.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    bits: int = 6144,
+    k: int = 4,
+    salt: str = "bf",
+    flag_col: str = "bp",
+) -> DataFrame:
+    """Adds ``flag_col``: True iff the key may be in the filter's set
+    (never False for a true member). Map-side: the single-row filter is
+    broadcast; each probe is k bit tests in whole-stage codegen — the
+    probed table is not shuffled."""
+    h1, h2 = F.expr(_h1(key_col, salt)), F.expr(_h2(key_col, salt))
+    out = df.crossJoin(F.broadcast(bloom)).select(
+        df["*"],
+        "bm",
+        *[((h1 + F.lit(i) * h2) % bits).alias(f"_bfp{i}") for i in range(k)],
+    )
+    hit = F.lit(True)
+    for i in range(k):
+        hit = hit & F.expr(
+            f"(shiftright(coalesce(element_at(bm, CAST(_bfp{i} div {WORD_BITS}"
+            f" AS BIGINT)), CAST(0 AS BIGINT)),"
+            f" CAST(_bfp{i} % {WORD_BITS} AS INT)) & 1) = 1"
+        )
+    return out.withColumn(flag_col, hit).drop(
+        "bm", *[f"_bfp{i}" for i in range(k)]
+    )

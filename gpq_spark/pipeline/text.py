@@ -417,3 +417,44 @@ def bigram_pmi(
         )
     )
     return out
+
+
+# -- character entropy (integer-exact spec; see entry_queries oracle) -------
+
+ENTROPY_WINDOW = 256
+ENTROPY_LUT = [
+    round(__import__("math").log2(n) * 1_000_000)
+    for n in range(1, ENTROPY_WINDOW + 1)
+]
+
+
+def with_char_entropy(
+    df: DataFrame, text_col: str = "text", window: int = ENTROPY_WINDOW
+) -> DataFrame:
+    """Adds ``n_window`` (chars considered) and ``h_e6`` (Shannon char
+    entropy in micro-bits) over the first ``window`` characters.
+
+    Engine-portable exact-integer spec: log2 is quantized through the
+    ENTROPY_LUT (micro-bits), so H_e6 = LUT[n] − (Σ cᵢ·LUT[cᵢ]) div n
+    involves no floats. Map-side only — one codegen projection, no
+    explode, no shuffle, no Python; bounding the window bounds both the
+    LUT domain and the per-document cost (quality scoring should not
+    re-scan entire documents at 100 TB)."""
+    if window > ENTROPY_WINDOW:
+        raise ValueError(f"window must be <= {ENTROPY_WINDOW}")
+    lut = f"array({', '.join(str(x) for x in ENTROPY_LUT)})"
+    cs = f"filter(split(substring({text_col}, 1, {window}), ''), x -> x != '')"
+    return df.withColumn(
+        "n_window", F.expr(f"CAST(size({cs}) AS BIGINT)")
+    ).withColumn(
+        "h_e6",
+        F.expr(
+            f"CASE WHEN size({cs}) = 0 THEN NULL ELSE "
+            f"CAST(element_at({lut}, size({cs})) - "
+            f"aggregate(transform(array_distinct({cs}),"
+            f" ch -> size(filter({cs}, x -> x = ch))),"
+            f" CAST(0 AS BIGINT),"
+            f" (acc, n) -> acc + n * element_at({lut}, n))"
+            f" div size({cs}) AS BIGINT) END"
+        ),
+    )

@@ -149,3 +149,49 @@ def test_boilerplate_matches_python(spark, line_lists):
         if lines
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab λ\n😀", min_size=0, max_size=40),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_char_entropy_matches_python(spark, texts):
+    from collections import Counter
+
+    from gpq_spark.pipeline.text import ENTROPY_LUT, ENTROPY_WINDOW, with_char_entropy
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    got = {
+        r["id"]: (r["n_window"], r["h_e6"])
+        for r in with_char_entropy(df).select("id", "n_window", "h_e6").collect()
+    }
+    for i, t in enumerate(texts):
+        window = t[:ENTROPY_WINDOW]
+        n = len(window)
+        if n == 0:
+            assert got[i] == (0, None)
+            continue
+        s = sum(c * ENTROPY_LUT[c - 1] for c in Counter(window).values())
+        assert got[i] == (n, ENTROPY_LUT[n - 1] - s // n)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.sets(st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=60),
+    st.sets(st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=60),
+)
+def test_bloom_never_false_negative(spark, members, probes):
+    from gpq_spark.pipeline.sketch import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([(k,) for k in members], "k long")
+    bloom = bloom_build(keys, "k")
+    probe_df = spark.createDataFrame([(p,) for p in probes | members], "x long")
+    got = {
+        r["x"]: r["bp"] for r in bloom_probe(probe_df, "x", bloom).collect()
+    }
+    for m in members:
+        assert got[m] is True
