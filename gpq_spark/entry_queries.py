@@ -5750,3 +5750,118 @@ def q_sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_est",
         "p75_est",
     )
+
+
+@register(
+    "q_incremental_agg",
+    f"""
+    WITH base AS (
+        SELECT o_orderpriority, CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+    ), delta AS (
+        SELECT o_orderpriority, CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+    ), merged AS (
+        SELECT o_orderpriority, CAST(SUM(s) AS BIGINT) AS revenue_cents,
+               CAST(SUM(c) AS BIGINT) AS n_orders
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        GROUP BY 1
+    ), full_agg AS (
+        SELECT o_orderpriority, CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    )
+    SELECT m.o_orderpriority, m.revenue_cents, m.n_orders,
+           CAST(m.revenue_cents // m.n_orders AS BIGINT) AS avg_cents,
+           (m.revenue_cents = f.s AND m.n_orders = f.c) AS merge_exact
+    FROM merged m JOIN full_agg f ON m.o_orderpriority = f.o_orderpriority
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: a pre-1997 base
+    aggregate plus a 1997+ delta aggregate recombine by key-wise
+    addition into exactly the full recompute (verified in-row), and
+    derived algebraic measures (avg) come from the merged partials.
+
+    Scale design: this is the update path for a 100 TB aggregate table
+    — ingest aggregates ONLY the new partition (the delta scan prunes
+    on the partition predicate, visible as PushedFilters) and merges
+    O(|keys|) partial rows with the stored base; history is never
+    rescanned. Works for any commutative-monoid aggregate (sum, count,
+    min/max, HLL registers, CMS cells — the sketch queries above prove
+    the sketch cases)."""
+    orders = load(spark, sf_dir, "orders")
+    split = "1997-01-01 00:00:00"
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < split))
+    delta = partial(orders.filter(F.col("o_orderdate") >= split))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("s").cast("long").alias("revenue_cents"),
+            F.sum("c").cast("long").alias("n_orders"),
+        )
+    )
+    full = partial(orders)
+    return merged.join(full, "o_orderpriority").select(
+        "o_orderpriority",
+        "revenue_cents",
+        "n_orders",
+        F.expr("CAST(revenue_cents div n_orders AS BIGINT)").alias("avg_cents"),
+        (
+            (F.col("revenue_cents") == F.col("s"))
+            & (F.col("n_orders") == F.col("c"))
+        ).alias("merge_exact"),
+    )
+
+
+@register(
+    "text_inverted_index",
+    """
+    WITH w AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM documents
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           list_sort(list(doc_id)) AS postings
+    FROM w WHERE term <> '' GROUP BY term
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: term → document frequency + sorted
+    postings list — the materialization step behind BM25/TF-IDF search
+    and the n-gram decontamination join.
+
+    Scale design: ONE shuffle on the term key. Duplicate (doc, term)
+    pairs can only arise within a single document, so the dedup is
+    array_distinct on the per-doc term array BEFORE the explode —
+    map-side, eliminating the (doc_id, term) distinct exchange a naive
+    formulation pays. Postings are sorted inside the aggregate
+    (array_sort of collect_list), so results are partition-order
+    independent. At 100 TB the only change is bucketing the output by
+    term so lookups and postings-merge joins are exchange-free
+    (tests/test_bucketing.py proves that join shape)."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower("text"), r"\s+"))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    return w.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.array_sort(F.collect_list("doc_id")).alias("postings"),
+    )

@@ -318,3 +318,18 @@ def test_funnel_single_shuffle_no_joins(plans):
 def test_retention_window_replaces_join(plans):
     p = plans("q_retention_cohorts")
     assert "Join" not in p
+
+
+def test_inverted_index_single_shuffle(plans):
+    # per-doc dedup happens map-side (array_distinct before explode),
+    # so the only exchange is the term groupBy
+    p = plans("text_inverted_index")
+    assert p.count("Exchange") <= 1
+    assert "pythonUDF" not in p.lower()
+
+
+def test_incremental_agg_delta_pushdown(plans):
+    # the delta side must prune on the date predicate at the scan
+    p = plans("q_incremental_agg")
+    assert "PushedFilters" in p
+    assert "CartesianProduct" not in p
