@@ -1,0 +1,74 @@
+"""Training-data export: deterministic sharded JSONL.
+
+LLM training pipelines consume corpora as fixed-size JSONL shards
+whose membership must be REPRODUCIBLE (restarts, incremental appends,
+and cross-site copies all depend on doc→shard assignment being a pure
+function of the data, not of Spark's partitioning). Shard id is a
+48-bit md5 hash of the id column modulo the shard count — the same
+engine-portable hash family the dedup/sampling operators use — so two
+runs, or two engines, produce byte-identical shard membership.
+
+Scale: one repartition on the shard id (the only shuffle), then
+``to_json`` per row JVM-side and a text write — no Python, no driver
+materialization. Shard sizing is by count of shards, not target bytes:
+deterministic sizing by bytes would need a global scan-and-carry pass;
+hash sharding gives balanced shards (±√n) with zero coordination,
+which is what distributed writers can actually guarantee.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shard_id(id_col: str, n_shards: int, seed: str = "shard") -> F.Column:
+    """Deterministic shard assignment: uhash48(seed|id) % n_shards."""
+    return F.expr(
+        f"CAST(conv(substr(md5(concat('{seed}|', CAST({id_col} AS STRING))),"
+        f" 1, 12), 16, 10) AS BIGINT) % {n_shards}"
+    )
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shard",
+) -> list[dict]:
+    """Writes ``df`` as ``shard=K/part-*.txt`` JSONL under ``path``.
+
+    Rows are serialized with ``to_json(struct(*))`` (JVM-side, stable
+    field order = input column order). Returns per-shard row counts.
+    Exactly one output file per shard (a shard is the atomic unit
+    downstream loaders consume); shards are written in parallel, one
+    task each after the hash repartition."""
+    sid = shard_id(id_col, n_shards, seed).alias("__shard")
+    out = (
+        df.select(F.to_json(F.struct(*df.columns)).alias("value"), sid)
+        .repartition(n_shards, "__shard")
+        .withColumnRenamed("__shard", "shard")
+    )
+    out.write.mode("overwrite").partitionBy("shard").text(path)
+    counts = (
+        df.select(sid)
+        .groupBy("__shard")
+        .count()
+        .collect()
+    )
+    return sorted(
+        ({"shard": int(r["__shard"]), "rows": int(r["count"])} for r in counts),
+        key=lambda d: d["shard"],
+    )
+
+
+def read_jsonl_shards(spark, path: str, schema: str) -> DataFrame:
+    """Reads shards back with the shard id as a column (partition
+    discovery gives ``shard``; the JSON payload is parsed JVM-side)."""
+    raw = spark.read.text(os.path.join(path))
+    return raw.select(
+        F.from_json("value", schema).alias("__r"), "shard"
+    ).select("__r.*", "shard")

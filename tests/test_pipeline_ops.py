@@ -1525,3 +1525,48 @@ def test_sample_quantile_sketch_tracks_exact(spark):
         # should land within a few steps of the exact quantile
         for q in ("p25", "p50", "p75"):
             assert abs(r[f"{q}_est"] - r[q]) <= 500
+
+
+class TestJsonlExport:
+    def test_roundtrip_and_deterministic_sharding(self, spark, tmp_path):
+        from gpq_spark.pipeline.export import (
+            read_jsonl_shards,
+            shard_id,
+            write_jsonl_shards,
+        )
+
+        docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+        out = str(tmp_path / "shards")
+        counts = write_jsonl_shards(docs, out, "doc_id", n_shards=4)
+        assert sum(c["rows"] for c in counts) == docs.count()
+        assert {c["shard"] for c in counts} <= set(range(4))
+
+        back = read_jsonl_shards(
+            spark, out,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        assert back.count() == docs.count()
+        # same rows (order-insensitive)
+        a = {tuple(r) for r in docs.collect()}
+        b = {tuple(r)[:-1] for r in back.collect()}
+        assert a == b
+        # shard membership is a pure function of doc_id: the column in
+        # the files equals a recomputation from scratch
+        recomputed = docs.select(
+            "doc_id", shard_id("doc_id", 4).alias("expect")
+        )
+        got = back.select("doc_id", F.col("shard").cast("long").alias("got"))
+        diff = got.join(recomputed, "doc_id").filter("got != expect").count()
+        assert diff == 0
+
+    def test_one_file_per_shard(self, spark, tmp_path):
+        import glob
+
+        from gpq_spark.pipeline.export import write_jsonl_shards
+
+        docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+        out = str(tmp_path / "shards2")
+        write_jsonl_shards(docs, out, "doc_id", n_shards=3)
+        for d in glob.glob(f"{out}/shard=*"):
+            files = [f for f in glob.glob(f"{d}/*") if not f.endswith(".crc")]
+            assert len(files) == 1, files
