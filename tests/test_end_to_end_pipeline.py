@@ -1,0 +1,133 @@
+"""End-to-end LLM-data-pipeline integration: the full operator chain a
+corpus actually flows through, with row accounting at every stage.
+
+quality gate → exact dedup → near-dup (MinHash-LSH clusters) →
+train/eval split → decontamination against the eval split → token
+counting → packing offsets → sharded JSONL export → reload.
+
+Each operator is oracle- or unit-tested on its own elsewhere; this
+test guards their COMPOSITION (column contracts, determinism across
+the chain, no stage silently dropping or duplicating rows).
+"""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from conftest import TESTDATA
+
+
+def _dedup_fuzzy(exact):
+    from gpq_spark.pipeline.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(exact, "doc_id", "text", num_hashes=8, shingle_size=3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+    clustered = duplicate_clusters(exact, "doc_id", pairs)
+    return clustered.filter("cluster_id = doc_id").drop("cluster_id")
+
+
+def test_full_corpus_pipeline(spark, tmp_path):
+    from gpq_spark.pipeline.decontam import decontaminate
+    from gpq_spark.pipeline.dedup import dedup_exact
+    from gpq_spark.pipeline.export import read_jsonl_shards, write_jsonl_shards
+    from gpq_spark.pipeline.packing import pack_concat_chunks
+    from gpq_spark.pipeline.sampling import hash_split
+    from gpq_spark.pipeline.text import quality_filter, with_token_counts
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    n0 = docs.count()
+
+    # 1. quality gate (auditable reasons)
+    gated = quality_filter(
+        docs,
+        {
+            "too_short": "n_chars < 8",
+            "no_letters": "text NOT RLIKE '[a-zA-Z]'",
+        },
+    )
+    kept = gated.filter("passed").drop("passed", "fail_reasons")
+    n1 = kept.count()
+    assert 0 < n1 <= n0
+
+    # 2. exact dedup on normalized text (deterministic keeper)
+    exact = dedup_exact(
+        kept.withColumn("__norm", F.lower(F.trim("text"))),
+        subset=["__norm"],
+        order_col="doc_id",
+    ).drop("__norm")
+    n2 = exact.count()
+    assert 0 < n2 <= n1
+
+    # 3. near-dup clusters; keep the canonical doc per cluster
+    fuzzy = _dedup_fuzzy(exact)
+    n3 = fuzzy.count()
+    assert 0 < n3 <= n2
+
+    # 4. split FIRST (membership is a pure hash of doc_id), then
+    #    decontaminate train against the held-out eval text
+    split = hash_split(
+        fuzzy, ["doc_id"], {"train": 0.8, "eval": 0.2}, seed="e2e"
+    )
+    train = split.filter("split = 'train'").drop("split")
+    evald = split.filter("split = 'eval'").drop("split")
+    clean = decontaminate(train, "doc_id", "text", evald, ngram=13, mode="drop")
+    n_train, n_eval, n_clean = train.count(), evald.count(), clean.count()
+    assert n_train + n_eval == n3
+    assert 0 <= n_clean <= n_train
+    assert n_clean > 0
+
+    # 5. token counts + packing offsets per language shard
+    toks = with_token_counts(clean, "text")
+    packed = pack_concat_chunks(
+        toks, "doc_id", "ws_tokens", budget=256, shard_cols=["lang"]
+    )
+    assert packed.count() == n_clean
+    # offsets are consistent: within a shard, start_off equals the
+    # running sum of earlier docs' tokens
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bad = packed.withColumn(
+        "expect", F.coalesce(F.sum("ws_tokens").over(w), F.lit(0))
+    ).filter("start_off != expect")
+    assert bad.count() == 0
+
+    # 6. export → reload roundtrip preserves every surviving row
+    out = str(tmp_path / "corpus")
+    counts = write_jsonl_shards(
+        packed.select("doc_id", "text", "lang", "ws_tokens", "start_off"),
+        out,
+        "doc_id",
+        n_shards=4,
+    )
+    assert sum(c["rows"] for c in counts) == n_clean
+    back = read_jsonl_shards(
+        spark,
+        out,
+        "doc_id long, text string, lang string, ws_tokens long, start_off long",
+    )
+    assert back.count() == n_clean
+
+    # 7. the whole chain is deterministic: rebuild from stage 3 and
+    #    compare surviving ids
+    clean2 = decontaminate(
+        hash_split(
+            _dedup_fuzzy(exact), ["doc_id"], {"train": 0.8, "eval": 0.2},
+            seed="e2e",
+        )
+        .filter("split = 'train'")
+        .drop("split"),
+        "doc_id",
+        "text",
+        evald,
+        ngram=13,
+        mode="drop",
+    )
+    ids_a = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in clean2.select("doc_id").collect()}
+    assert ids_a == ids_b
