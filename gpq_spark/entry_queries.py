@@ -5865,3 +5865,127 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("df"),
         F.array_sort(F.collect_list("doc_id")).alias("postings"),
     )
+
+
+@register(
+    "q_anomaly_zscore",
+    f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT user_id, h, v,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(v) OVER w AS BIGINT) AS s,
+               CAST(SUM(v * v) OVER w AS BIGINT) AS q
+        FROM hourly
+        WINDOW w AS (PARTITION BY user_id ORDER BY h
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s, v, n,
+           (n >= 12 AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s))
+               AS is_anomaly
+    FROM stats
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on per-user hourly revenue:
+    flag hours more than 3 sigma from the trailing-24h mean, with at
+    least 12 hours of history.
+
+    The z-score test |x−μ| > 3σ is rearranged into the all-integer
+    inequality (n·x − s)² > 9(n·q − s²) over exact cent sums — no
+    float mean/stddev anywhere, so the flags are bit-deterministic
+    across engines and partitionings (a float formulation can flip a
+    boundary case per libm). Scale: one shuffle to the hourly grain,
+    then one window pass per user — the same single-exchange shape as
+    the funnel; the trailing frame is O(1) amortized per row
+    (sliding-sum, not recompute)."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.expr(cents("value"))).cast("long").alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "user_id",
+        "h",
+        "v",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("v").over(w).cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast("long").alias("q"),
+    )
+    return stats.select(
+        "user_id",
+        F.date_format(
+            F.expr("convert_timezone('UTC', h)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_s"),
+        "v",
+        "n",
+        (
+            (F.col("n") >= 12)
+            & (
+                (F.col("n") * F.col("v") - F.col("s"))
+                * (F.col("n") * F.col("v") - F.col("s"))
+                > 9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+            )
+        ).alias("is_anomaly"),
+    )
+
+
+@register(
+    "q_crosstab_chisq",
+    """
+    WITH o AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ), r AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rn FROM o GROUP BY 1),
+    c AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cn FROM o GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM o)
+    SELECT o.lang, o.source, o.n,
+           CAST(r.rn * c.cn // t.tot AS BIGINT) AS expected,
+           CAST(1000000 * (o.n * t.tot - r.rn * c.cn)
+                        * (o.n * t.tot - r.rn * c.cn)
+                // (r.rn * c.cn * t.tot) AS BIGINT) AS chi2_term_e6
+    FROM o JOIN r ON o.lang = r.lang
+           JOIN c ON o.source = c.source
+           CROSS JOIN t
+    """,
+)
+def q_crosstab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-balance profiling: the lang × source contingency table
+    with each cell's chi-square independence contribution — the check
+    that tells you a training mix is skewed (one source dominating one
+    language) before you train on it.
+
+    The per-cell term (o − e)²/e is scaled to avoid float division:
+    1e6·(o·N − r·c)² div (r·c·N) in exact BIGINT (o ≤ 5e2, N ≤ 5e4 at
+    gate scale keeps every product under 2^63; at larger N switch the
+    scale factor down accordingly). Scale: one groupBy to cells, then
+    broadcast-sized margin joins (rows = |langs|, |sources|)."""
+    docs = load(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    r = o.groupBy("lang").agg(F.sum("n").cast("long").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("n").cast("long").alias("cn"))
+    t = o.agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "source",
+            "n",
+            F.expr("CAST(rn * cn div tot AS BIGINT)").alias("expected"),
+            F.expr(
+                "CAST(1000000 * (n * tot - rn * cn) * (n * tot - rn * cn)"
+                " div (rn * cn * tot) AS BIGINT)"
+            ).alias("chi2_term_e6"),
+        )
+    )

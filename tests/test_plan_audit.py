@@ -333,3 +333,18 @@ def test_incremental_agg_delta_pushdown(plans):
     p = plans("q_incremental_agg")
     assert "PushedFilters" in p
     assert "CartesianProduct" not in p
+
+
+def test_anomaly_two_narrow_shuffles(plans):
+    # hourly groupBy + per-user window on the already-reduced grain;
+    # no joins, no Python
+    p = plans("q_anomaly_zscore")
+    assert "Join" not in p
+    assert "pythonUDF" not in p.lower()
+    assert p.count("Exchange") <= 2
+
+
+def test_chisq_margins_broadcast(plans):
+    p = plans("q_crosstab_chisq")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
