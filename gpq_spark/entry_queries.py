@@ -5989,3 +5989,53 @@ def q_crosstab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term_e6"),
         )
     )
+
+
+@register(
+    "stream_anomaly_zscore",
+    f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT user_id, h, v,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(v) OVER w AS BIGINT) AS s,
+               CAST(SUM(v * v) OVER w AS BIGINT) AS q,
+               MAX(h) OVER (PARTITION BY user_id) AS last_h
+        FROM hourly
+        WINDOW w AS (PARTITION BY user_id ORDER BY h
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s, v, n,
+           (n >= 12 AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s))
+               AS is_anomaly
+    FROM stats WHERE h < last_h
+    """,
+)
+def stream_anomaly_zscore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_anomaly_zscore as a REAL stateful streaming
+    query (applyInPandasWithState): each user-hour is scored against a
+    24-hour ring buffer of finalized hours and emitted the moment a
+    later hour arrives. On the bounded replay the output equals the
+    batch query minus each user's final hour (which never finalizes) —
+    which is exactly what the oracle computes.
+
+    Scale: state per user is one in-progress (hour, sum) pair plus ≤24
+    longs — bounded regardless of stream length; scoring is O(window)
+    integer arithmetic at finalization time only."""
+    from .streaming.windows import stream_anomaly_zscore
+
+    stream = _events_file_stream(spark, sf_dir)
+    out = stream_anomaly_zscore(stream)
+    drained = _drain_to_table(out, "stream_anom", "append")
+    return drained.select(
+        "user_id",
+        F.date_format(
+            F.expr("convert_timezone('UTC', hour_ts)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_s"),
+        "v",
+        "n",
+        "is_anomaly",
+    )

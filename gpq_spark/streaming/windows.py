@@ -534,3 +534,107 @@ def stream_gapfill_interp(stream: DataFrame, value_col: str = "value") -> DataFr
         F.timestamp_micros("hour_us").alias("hour_ts"),
         F.col("v_filled").alias("v_interp"),
     )
+
+
+# -- streaming z-score anomaly detection ------------------------------------
+
+ANOMALY_RAW_SCHEMA = "user_id long, hour_us long, v long, n long, is_anomaly boolean"
+ANOMALY_STATE_SCHEMA = "cur_hour long, cur_v long, hist array<long>"
+_ANOMALY_WINDOW = 24
+_ANOMALY_MIN_N = 12
+
+
+def _score(v: int, hist: list) -> tuple:
+    """The same all-integer 3-sigma test as the batch q_anomaly_zscore:
+    (n·v − s)² > 9(n·q − s²) over the trailing finalized hours."""
+    n = len(hist)
+    s = sum(int(x) for x in hist)
+    q = sum(int(x) * int(x) for x in hist)
+    flag = n >= _ANOMALY_MIN_N and (n * v - s) ** 2 > 9 * (n * q - s * s)
+    return n, flag
+
+
+def _anomaly_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming anomaly scoring: an hour is FINALIZED (scored +
+    emitted) when a later hour for the same user arrives; state is the
+    in-progress hour's running sum plus a ring buffer of the last 24
+    finalized hourly values. Same per-key event-time-order contract as
+    the gap fillers; on a bounded replay the output equals the batch
+    q_anomaly_zscore minus each user's final (never-finalized) hour."""
+    hours: dict[int, int] = {}
+    for pdf in pdfs:
+        for ts_us, cents in zip(pdf["ts_us"], pdf["cents"]):
+            h = int(ts_us) - int(ts_us) % _HOUR_US
+            hours[h] = hours.get(h, 0) + int(cents)
+
+    if not hours:
+        return
+
+    if state.exists:
+        cur_hour, cur_v, hist = state.get
+        hist = list(hist)
+    else:
+        cur_hour = cur_v = None
+        hist = []
+
+    out = {"hour_us": [], "v": [], "n": [], "flag": []}
+    for h in sorted(hours):
+        v = hours[h]
+        if cur_hour is None or h == cur_hour:
+            cur_v = v if cur_hour is None else cur_v + v
+            cur_hour = h
+            continue
+        # h > cur_hour: finalize the in-progress hour
+        n, flag = _score(cur_v, hist)
+        out["hour_us"].append(cur_hour)
+        out["v"].append(cur_v)
+        out["n"].append(n)
+        out["flag"].append(flag)
+        hist.append(cur_v)
+        if len(hist) > _ANOMALY_WINDOW:
+            hist = hist[-_ANOMALY_WINDOW:]
+        cur_hour, cur_v = h, v
+
+    state.update((cur_hour, cur_v, hist))
+    if out["hour_us"]:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out["hour_us"]),
+                "hour_us": out["hour_us"],
+                "v": out["v"],
+                "n": out["n"],
+                "is_anomaly": out["flag"],
+            }
+        )
+
+
+def stream_anomaly_zscore(stream: DataFrame, value_col: str = "value") -> DataFrame:
+    """Stateful streaming anomaly detection per user (see
+    ``_anomaly_fn``). Output: user_id, hour_ts, v, n, is_anomaly."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)"))
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _anomaly_fn,
+            outputStructType=ANOMALY_RAW_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return raw.select(
+        "user_id",
+        F.timestamp_micros("hour_us").alias("hour_ts"),
+        "v",
+        "n",
+        "is_anomaly",
+    )

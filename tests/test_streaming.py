@@ -514,3 +514,69 @@ class TestStreamGapfillInterp:
             h = t // H
             num = p_v * (span - h) + n_v * h
             assert v == num // span  # python floor == duckdb //
+
+
+class TestStreamAnomaly:
+    def test_two_batch_output_equals_batch_minus_final_hours(self, spark, tmp_path):
+        """Two micro-batches split by time: the ring-buffer state must
+        carry across the boundary so scoring matches the batch query
+        (minus each user's never-finalized last hour)."""
+        import glob
+        import os
+        import shutil
+
+        from gpq_spark.entry_queries import q_anomaly_zscore
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_anomaly_zscore
+
+        src = spark.read.parquet(f"{TESTDATA}/sf0.001/events.parquet")
+        d = tmp_path / "two_batches_anom"
+        os.makedirs(d)
+        median_ts = src.orderBy("ts").limit(src.count() // 2).agg(
+            F.max("ts")
+        ).first()[0]
+        for tag, half in (
+            ("a", src.filter(F.col("ts") <= F.lit(median_ts))),
+            ("b", src.filter(F.col("ts") > F.lit(median_ts))),
+        ):
+            tmp = str(d / f"_{tag}_dir")
+            half.coalesce(1).write.parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.move(part, str(d / f"{tag}.parquet"))
+            shutil.rmtree(tmp)
+
+        stream = stream_events(
+            spark, str(d), src.schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_anomaly_zscore(stream)
+        name = f"anom_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["user_id"], r["hour_ts"], r["v"], r["n"], r["is_anomaly"])
+            for r in spark.table(name).collect()
+        }
+
+        batch = q_anomaly_zscore(spark, f"{TESTDATA}/sf0.001")
+        last = batch.groupBy("user_id").agg(F.max("hour_s").alias("mx"))
+        import datetime as dt
+
+        want = {
+            (
+                r["user_id"],
+                dt.datetime.strptime(r["hour_s"], "%Y-%m-%d %H:%M:%S"),
+                r["v"],
+                r["n"],
+                r["is_anomaly"],
+            )
+            for r in batch.join(last, "user_id")
+            .filter("hour_s < mx")
+            .collect()
+        }
+        assert got == want
