@@ -6039,3 +6039,53 @@ def stream_anomaly_zscore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "is_anomaly",
     )
+
+
+@register(
+    "stream_funnel_steps",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT user_id, CAST(1 AS BIGINT) AS step,
+           strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM v
+    UNION ALL
+    SELECT user_id, CAST(2 AS BIGINT), strftime(t2, '%Y-%m-%d %H:%M:%S.%f')
+    FROM c
+    UNION ALL
+    SELECT user_id, CAST(3 AS BIGINT), strftime(t3, '%Y-%m-%d %H:%M:%S.%f')
+    FROM p
+    """,
+)
+def stream_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time funnel progression as a stateful streaming query: one
+    row the moment each user first reaches view, then click (strictly
+    after), then purchase (strictly after) — the streaming twin of
+    q_funnel_steps, whose per-step first timestamps the bounded replay
+    must reproduce exactly.
+
+    Scale: state per user is three longs; each micro-batch sorts only
+    its own per-key rows. Emission is append-mode (a transition is
+    immutable once emitted) — the property that lets a dashboard
+    consume the funnel incrementally instead of recomputing it."""
+    from .streaming.windows import stream_funnel
+
+    stream = _events_file_stream(spark, sf_dir)
+    out = stream_funnel(stream)
+    drained = _drain_to_table(out, "stream_funnel", "append")
+    return drained.select(
+        "user_id",
+        F.col("step").cast("long").alias("step"),
+        F.date_format(
+            F.expr("convert_timezone('UTC', ts)"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("ts_s"),
+    )

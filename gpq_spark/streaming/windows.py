@@ -638,3 +638,85 @@ def stream_anomaly_zscore(stream: DataFrame, value_col: str = "value") -> DataFr
         "n",
         "is_anomaly",
     )
+
+
+# -- streaming funnel progression -------------------------------------------
+
+FUNNEL_RAW_SCHEMA = "user_id long, step long, ts_us long"
+FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long"
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming funnel progression: emit (step, ts) the moment a user
+    first reaches each step — first view, first click strictly after
+    it, first purchase strictly after that. State is the three
+    timestamps; rows arrive per key in event-time order within a batch
+    after the sort below (same cross-batch contract as the other
+    stateful operators). On a bounded replay the emitted transitions
+    equal the batch q_funnel_steps timestamps exactly."""
+    if state.exists:
+        t1, t2, t3 = state.get
+    else:
+        t1 = t2 = t3 = None
+
+    out_steps: list[int] = []
+    out_ts: list[int] = []
+    rows = []
+    for pdf in pdfs:
+        rows.extend(zip(pdf["ts_us"], pdf["event_type"]))
+    rows.sort(key=lambda r: int(r[0]))
+    for ts_us, etype in rows:
+        ts_us = int(ts_us)
+        if t1 is None:
+            if etype == _FUNNEL_STEPS[0]:
+                t1 = ts_us
+                out_steps.append(1)
+                out_ts.append(ts_us)
+        elif t2 is None:
+            if etype == _FUNNEL_STEPS[1] and ts_us > t1:
+                t2 = ts_us
+                out_steps.append(2)
+                out_ts.append(ts_us)
+        elif t3 is None:
+            if etype == _FUNNEL_STEPS[2] and ts_us > t2:
+                t3 = ts_us
+                out_steps.append(3)
+                out_ts.append(ts_us)
+
+    state.update((t1, t2, t3))
+    if out_steps:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_steps),
+                "step": out_steps,
+                "ts_us": out_ts,
+            }
+        )
+
+
+def stream_funnel(stream: DataFrame) -> DataFrame:
+    """Stateful streaming funnel (see ``_funnel_fn``). Output: one row
+    per newly-reached step: user_id, step (1..3), ts."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn,
+            outputStructType=FUNNEL_RAW_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return raw.select(
+        "user_id", "step", F.timestamp_micros("ts_us").alias("ts")
+    )

@@ -580,3 +580,65 @@ class TestStreamAnomaly:
             .collect()
         }
         assert got == want
+
+
+class TestStreamFunnel:
+    def test_transitions_across_micro_batches(self, spark, tmp_path):
+        """Time-split two-batch replay: a step whose qualifying event
+        arrives in batch 2 must still anchor to state from batch 1."""
+        import glob
+        import os
+        import shutil
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_funnel
+
+        src = spark.read.parquet(f"{TESTDATA}/sf0.001/events.parquet")
+        d = tmp_path / "two_batches_funnel"
+        os.makedirs(d)
+        median_ts = src.orderBy("ts").limit(src.count() // 2).agg(
+            F.max("ts")
+        ).first()[0]
+        for tag, half in (
+            ("a", src.filter(F.col("ts") <= F.lit(median_ts))),
+            ("b", src.filter(F.col("ts") > F.lit(median_ts))),
+        ):
+            tmp = str(d / f"_{tag}_dir")
+            half.coalesce(1).write.parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.move(part, str(d / f"{tag}.parquet"))
+            shutil.rmtree(tmp)
+
+        stream = stream_events(
+            spark, str(d), src.schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_funnel(stream)
+        name = f"fun_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["user_id"], r["step"], r["ts"])
+            for r in spark.table(name).collect()
+        }
+
+        from gpq_spark.entry_queries import q_funnel_steps
+        import datetime as dt
+
+        def parse(s):
+            return dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S") if s else None
+
+        want = set()
+        for r in q_funnel_steps(spark, f"{TESTDATA}/sf0.001").collect():
+            # batch funnel emits second-truncated strings; compare at
+            # (user, step) granularity plus truncated timestamps
+            for step, col in ((1, "t_view"), (2, "t_click"), (3, "t_purchase")):
+                if r[col] is not None:
+                    want.add((r["user_id"], step, parse(r[col])))
+        got_trunc = {(u, s, ts.replace(microsecond=0)) for u, s, ts in got}
+        assert got_trunc == want
