@@ -5921,9 +5921,13 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stats.select(
         "user_id",
-        F.date_format(
-            F.expr("convert_timezone('UTC', h)"), "yyyy-MM-dd HH:mm:ss"
-        ).alias("hour_s"),
+        # ts is TIMESTAMP_NTZ (driver parquet): date_format renders the
+        # wall clock directly, independent of the session timezone (a
+        # convert_timezone wrapper here would double-shift under a
+        # non-UTC session — the streaming twin needs it because
+        # stream_events re-anchors to LTZ instants, this batch path
+        # must not)
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
         "v",
         "n",
         (
