@@ -1570,3 +1570,33 @@ class TestJsonlExport:
         for d in glob.glob(f"{out}/shard=*"):
             files = [f for f in glob.glob(f"{d}/*") if not f.endswith(".crc")]
             assert len(files) == 1, files
+
+
+class TestBloomEdges:
+    def test_empty_key_set_rejects_everything(self, spark):
+        from gpq_spark.pipeline.sketch import bloom_build, bloom_probe
+
+        empty = spark.createDataFrame([], "k long")
+        bf = bloom_build(empty, "k")
+        assert all(w == 0 for w in bf)
+        probe = spark.createDataFrame([(i,) for i in range(20)], "x long")
+        assert bloom_probe(probe, "x", bf).filter("bp").count() == 0
+
+    def test_merge_equals_union_build(self, spark):
+        from gpq_spark.pipeline.sketch import bloom_build, bloom_merge
+
+        a = spark.createDataFrame([(i,) for i in range(50)], "k long")
+        b = spark.createDataFrame([(i,) for i in range(30, 90)], "k long")
+        u = a.unionByName(b).distinct()
+        merged = bloom_merge(bloom_build(a, "k"), bloom_build(b, "k"))
+        assert merged == bloom_build(u, "k")
+
+    def test_xxhash_and_md5_filters_differ_but_both_sound(self, spark):
+        from gpq_spark.pipeline.sketch import bloom_build, bloom_probe
+
+        keys = spark.createDataFrame([(i,) for i in range(40)], "k long")
+        probe = spark.createDataFrame([(i,) for i in range(40)], "x long")
+        for h in ("md5", "xxhash64"):
+            bf = bloom_build(keys, "k", hash=h)
+            got = bloom_probe(probe, "x", bf, hash=h).filter("bp").count()
+            assert got == 40  # all members pass under either hash

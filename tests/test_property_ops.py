@@ -195,3 +195,126 @@ def test_bloom_never_false_negative(spark, members, probes):
     }
     for m in members:
         assert got[m] is True
+
+
+_event_seq = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.integers(min_value=0, max_value=10**6),  # ts offset (us)
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_event_seq)
+def test_funnel_matches_python(spark, events):
+    """Batch funnel vs a straight-line Python replay: first view, first
+    click strictly after it, first purchase strictly after that."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from gpq_spark.entry_queries import q_funnel_steps
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(microseconds=off), u, et, 0.0, "{}")
+        for i, (u, off, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["user_id"]: (r["step_reached"], r["t_view"], r["t_click"], r["t_purchase"])
+            for r in q_funnel_steps(spark, d).collect()
+        }
+
+    # python reference
+    per_user: dict[int, list] = {}
+    for u, off, et in events:
+        per_user.setdefault(u, []).append((off, et))
+    fmt = lambda off: (base + dt.timedelta(microseconds=off)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        t1 = min((o for o, e in evs if e == "view"), default=None)
+        if t1 is None:
+            continue
+        t2 = min((o for o, e in evs if e == "click" and o > t1), default=None)
+        t3 = (
+            min((o for o, e in evs if e == "purchase" and o > t2), default=None)
+            if t2 is not None
+            else None
+        )
+        step = 3 if t3 is not None else (2 if t2 is not None else 1)
+        want[u] = (
+            step,
+            fmt(t1),
+            fmt(t2) if t2 is not None else None,
+            fmt(t3) if t3 is not None else None,
+        )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=40),  # day
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_retention_matches_python(spark, activity):
+    import datetime as dt
+    import os
+    import tempfile
+    from collections import Counter
+
+    from gpq_spark.entry_queries import q_retention_cohorts
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (
+            i,
+            dt.datetime.combine(base + dt.timedelta(days=day), dt.time(12)),
+            u,
+            "view",
+            0.0,
+            "{}",
+        )
+        for i, (u, day) in enumerate(activity)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["cohort_day"], r["month_offset"] if "month_offset" in r else r["day_offset"]): r["n_users"]
+            for r in q_retention_cohorts(spark, d).collect()
+        }
+
+    per_user: dict[int, set] = {}
+    for u, day in activity:
+        per_user.setdefault(u, set()).add(day)
+    want: Counter = Counter()
+    for u, days in per_user.items():
+        c = min(days)
+        cohort = (base + dt.timedelta(days=c)).strftime("%Y-%m-%d")
+        for day in days:
+            want[(cohort, day - c)] += 1
+    assert got == dict(want)
