@@ -6093,3 +6093,48 @@ def stream_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("convert_timezone('UTC', ts)"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
         ).alias("ts_s"),
     )
+
+
+@register(
+    "stream_retention_cohorts",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ), c AS (
+        SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_d
+        FROM ud
+    )
+    SELECT strftime(DATE '1970-01-01' + INTERVAL (cohort_d) DAY,
+                    '%Y-%m-%d') AS cohort_day,
+           CAST(d - cohort_d AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM c GROUP BY 1, 2
+    """,
+)
+def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention triangle maintained BY A STREAM: a stateful
+    operator emits one append-mode transition the first time each
+    (user, active-day) pair appears — cohort anchored to the user's
+    true first day via state — and the triangle is a batch aggregation
+    of the drained transitions. On bounded replay this equals the
+    batch q_retention_cohorts exactly (appearance needs no
+    finalization, so no rows are withheld).
+
+    Scale: state per user is one long plus ≤366 offsets; transitions
+    are idempotent distinct facts, so the downstream count is correct
+    under replay and the triangle can also be updated incrementally
+    (q_incremental_agg's merge law applies to the counts)."""
+    from .streaming.windows import stream_retention
+
+    stream = _events_file_stream(spark, sf_dir)
+    out = stream_retention(stream)
+    drained = _drain_to_table(out, "stream_ret", "append")
+    return drained.groupBy(
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("cohort_day").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))

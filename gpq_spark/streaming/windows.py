@@ -720,3 +720,81 @@ def stream_funnel(stream: DataFrame) -> DataFrame:
     return raw.select(
         "user_id", "step", F.timestamp_micros("ts_us").alias("ts")
     )
+
+
+# -- streaming retention transitions ----------------------------------------
+
+RETENTION_RAW_SCHEMA = "user_id long, cohort_day long, day_offset long"
+RETENTION_STATE_SCHEMA = "cohort_day long, seen array<long>"
+_DAY_US = 24 * 3600 * 1_000_000
+_RETENTION_HORIZON = 366
+
+
+def _retention_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming retention: emit (cohort_day, day_offset) the FIRST
+    time each (user, active-day) pair appears. State is the user's
+    cohort day plus the set of offsets already emitted, capped at a
+    366-day horizon (offsets beyond it are emitted but not remembered —
+    acceptable because re-emission needs the same day to reappear after
+    the horizon, and downstream aggregation is idempotent on distinct
+    transitions). Unlike the finalization-based operators this one has
+    no ordering requirement WITHIN a day — only the usual per-key
+    cross-batch event-time order so the cohort day is the true first
+    day."""
+    days = set()
+    for pdf in pdfs:
+        for ts_us in pdf["ts_us"]:
+            days.add(int(ts_us) - int(ts_us) % _DAY_US)
+
+    if not days:
+        return
+
+    if state.exists:
+        cohort, seen = state.get
+        seen = set(int(x) for x in seen)
+    else:
+        cohort, seen = None, set()
+
+    out: list[int] = []
+    for d in sorted(days):
+        if cohort is None:
+            cohort = d
+        off = (d - cohort) // _DAY_US
+        if off not in seen:
+            out.append(off)
+            if off <= _RETENTION_HORIZON:
+                seen.add(off)
+
+    state.update((cohort, sorted(seen)))
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "cohort_day": [cohort // _DAY_US] * len(out),
+                "day_offset": out,
+            }
+        )
+
+
+def stream_retention(stream: DataFrame) -> DataFrame:
+    """Stateful streaming retention transitions (see ``_retention_fn``).
+    Output: user_id, cohort_day (epoch days), day_offset."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    return (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _retention_fn,
+            outputStructType=RETENTION_RAW_SCHEMA,
+            stateStructType=RETENTION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

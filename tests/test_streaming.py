@@ -642,3 +642,71 @@ class TestStreamFunnel:
                     want.add((r["user_id"], step, parse(r[col])))
         got_trunc = {(u, s, ts.replace(microsecond=0)) for u, s, ts in got}
         assert got_trunc == want
+
+
+class TestStreamRetention:
+    def test_cohort_anchors_across_micro_batches(self, spark, tmp_path):
+        """Time-split replay: days arriving in batch 2 must offset
+        against the cohort day learned in batch 1, and no (user, day)
+        transition may duplicate."""
+        import glob
+        import os
+        import shutil
+
+        from gpq_spark.entry_queries import q_retention_cohorts
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_retention
+
+        src = spark.read.parquet(f"{TESTDATA}/sf0.001/events.parquet")
+        d = tmp_path / "two_batches_ret"
+        os.makedirs(d)
+        median_ts = src.orderBy("ts").limit(src.count() // 2).agg(
+            F.max("ts")
+        ).first()[0]
+        for tag, half in (
+            ("a", src.filter(F.col("ts") <= F.lit(median_ts))),
+            ("b", src.filter(F.col("ts") > F.lit(median_ts))),
+        ):
+            tmp = str(d / f"_{tag}_dir")
+            half.coalesce(1).write.parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.move(part, str(d / f"{tag}.parquet"))
+            shutil.rmtree(tmp)
+
+        stream = stream_events(
+            spark, str(d), src.schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_retention(stream)
+        name = f"ret_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        trans = spark.table(name)
+        # transitions are distinct facts
+        assert trans.count() == trans.distinct().count()
+
+        got = {
+            (r["cohort_day"], r["day_offset"]): r["n"]
+            for r in trans.groupBy(
+                F.date_format(
+                    F.date_add(
+                        F.to_date(F.lit("1970-01-01")),
+                        F.col("cohort_day").cast("int"),
+                    ),
+                    "yyyy-MM-dd",
+                ).alias("cohort_day"),
+                "day_offset",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        want = {
+            (r["cohort_day"], r["day_offset"]): r["n_users"]
+            for r in q_retention_cohorts(spark, f"{TESTDATA}/sf0.001").collect()
+        }
+        assert got == want
