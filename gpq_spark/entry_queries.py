@@ -6138,3 +6138,55 @@ def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cohort_day"),
         F.col("day_offset").cast("long").alias("day_offset"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@register(
+    "q_table_checksum",
+    f"""
+    WITH canon AS (
+        SELECT CAST('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   CAST({cents('o_totalprice')} AS VARCHAR) || '|' ||
+                   strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+                   o_orderstatus), 1, 12) AS BIGINT) AS h
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) % 281474976710656 AS BIGINT) AS checksum48,
+           CAST(bit_xor(h) AS BIGINT) AS xorsum48
+    FROM canon
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum: per-row 48-bit md5 over an
+    EXPLICIT canonical encoding (integer cents, formatted dates —
+    never engine-native casts of floats/timestamps, which differ in
+    text form across engines), combined with both a modular SUM and a
+    XOR. The pair detects what either alone misses: XOR is blind to
+    duplicated pairs of rows, SUM to certain compensating edits.
+
+    This is the cross-system migration check: run the same checksum on
+    the source warehouse and the Spark copy and compare one row.
+    Scale: map-side hash, one partial-aggregated scalar reduction —
+    no shuffle beyond the single-row combine; commutative, so
+    partitioning never changes the answer."""
+    orders = load(spark, sf_dir, "orders")
+    h = F.expr(
+        "CAST(conv(substr(md5(concat("
+        "CAST(o_orderkey AS STRING), '|', "
+        "CAST(o_custkey AS STRING), '|', "
+        f"CAST({cents('o_totalprice')} AS STRING), '|', "
+        "date_format(o_orderdate, 'yyyy-MM-dd'), '|', "
+        "o_orderstatus)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    return orders.select(h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        # accumulate in DECIMAL(38,0): a BIGINT sum of 48-bit values
+        # overflows past ~32k rows (2^63/2^48) — decimal holds 10^38,
+        # good for ~10^23 rows, and DuckDB's HUGEINT sum is exact too
+        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(1 << 48))
+        .cast("long")
+        .alias("checksum48"),
+        F.expr("bit_xor(h)").cast("long").alias("xorsum48"),
+    )
