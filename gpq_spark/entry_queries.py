@@ -6190,3 +6190,86 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("checksum48"),
         F.expr("bit_xor(h)").cast("long").alias("xorsum48"),
     )
+
+
+@register(
+    "q_basket_pairs",
+    """
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY 1
+    ), pairs AS (
+        SELECT p1.part AS part_a, p2.part AS part_b
+        FROM baskets,
+             unnest(parts) AS p1(part),
+             unnest(parts) AS p2(part)
+        WHERE p1.part < p2.part
+    ), pc AS (
+        SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM pairs GROUP BY 1, 2
+    ), item AS (
+        SELECT part, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT l_orderkey, unnest(list(DISTINCT l_partkey)) AS part
+              FROM lineitem GROUP BY l_orderkey)
+        GROUP BY 1
+    ), tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+               FROM lineitem)
+    SELECT pc.part_a, pc.part_b, pc.n_ab,
+           CAST(tot.n_orders * pc.n_ab * 1000000
+                // (ia.n * ib.n) AS BIGINT) AS lift_e6
+    FROM pc JOIN item ia ON pc.part_a = ia.part
+            JOIN item ib ON pc.part_b = ib.part
+            CROSS JOIN tot
+    WHERE pc.n_ab >= 2
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: part pairs appearing
+    together in ≥2 orders, with integer-scaled lift
+    (N·n_ab·1e6 div (n_a·n_b)) — the association signal behind
+    "frequently bought together".
+
+    Scale design: the same in-bucket pair-expansion shape as LSH dedup
+    — ONE shuffle groups each order's distinct parts, pairs expand
+    inside the basket array (baskets are small; never an item-level
+    self-join across the corpus, which at 100 TB would shuffle the
+    full item-order incidence twice), and the n_ab >= 2 support prune
+    runs before the margin joins so the join input is the frequent
+    tail, not every singleton pair."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("__p")
+    ).select("__p.part_a", "__p.part_b")
+    pc = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    item = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    return (
+        pc.join(item.select(F.col("part").alias("part_a"), F.col("n").alias("na")), "part_a")
+        .join(item.select(F.col("part").alias("part_b"), F.col("n").alias("nb")), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr(
+                "CAST(n_orders * n_ab * 1000000 div (na * nb) AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+    )
