@@ -6273,3 +6273,100 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_e6"),
         )
     )
+
+
+@register(
+    "q_ab_test",
+    """
+    WITH assign AS (
+        SELECT user_id,
+               CASE WHEN CAST('0x' || substr(md5('ab|' ||
+                    CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS grp,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) > 13
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY 1
+    ), g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS k
+        FROM assign GROUP BY 1
+    ), w AS (
+        SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b
+        FROM (SELECT n, k FROM g WHERE grp = 'A') a,
+             (SELECT n, k FROM g WHERE grp = 'B') b
+    )
+    SELECT n_a, k_a, n_b, k_b,
+           CAST(1000000 * k_a // n_a AS BIGINT) AS p_a_e6,
+           CAST(1000000 * k_b // n_b AS BIGINT) AS p_b_e6,
+           625 * (n_a + n_b) * (k_a * n_b - k_b * n_a) * (k_a * n_b - k_b * n_a)
+             > 2401 * (k_a + k_b) * (n_a + n_b - k_a - k_b) * n_a * n_b
+               AS significant_95
+    FROM w
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance test on purchase conversion
+    between hash-assigned user groups, with the pooled z-test decided
+    in EXACT integer arithmetic: z=1.96 is the exact rational 49/25,
+    so |p̂_a−p̂_b| > z·SE becomes
+    625·N·(k_a·n_b − k_b·n_a)² > 2401·K·(N−K)·n_a·n_b — no sqrt, no
+    float, no libm boundary flips. Intermediates exceed int64 at
+    ~10^5 users, so Spark multiplies in DECIMAL(38,0) (good to ~10^9
+    users) while DuckDB's HUGEINT is exact natively; only the boolean
+    and the BIGINT summary columns are output, so engine-internal
+    width never leaks into the schema.
+
+    Scale: group assignment is a map-side hash; the whole test reduces
+    to one groupBy over users and a 2-row combine."""
+    ev = load_events(spark, sf_dir)
+    # metric: heavy purchaser (>13 purchase events) — the driver's
+    # synthetic users ALL purchase at least once, so plain conversion
+    # is degenerate (p=1 in both arms); the thresholded metric splits
+    # the population and gives the test real variance
+    assign = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > 13
+        )
+        .cast("int")
+        .alias("converted")
+    ).withColumn(
+        "grp",
+        F.when(
+            F.expr(
+                "CAST(conv(substr(md5(concat('ab|', CAST(user_id AS STRING))),"
+                " 1, 12), 16, 10) AS BIGINT) % 2"
+            )
+            == 0,
+            "A",
+        ).otherwise("B"),
+    )
+    g = assign.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("k"),
+    )
+    a = g.filter("grp = 'A'").select(
+        F.col("n").alias("n_a"), F.col("k").alias("k_a")
+    )
+    b = g.filter("grp = 'B'").select(
+        F.col("n").alias("n_b"), F.col("k").alias("k_b")
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    lhs = (
+        f"625 * {d.format('n_a + n_b')} * {d.format('k_a * n_b - k_b * n_a')}"
+        f" * {d.format('k_a * n_b - k_b * n_a')}"
+    )
+    rhs = (
+        f"2401 * {d.format('k_a + k_b')}"
+        f" * {d.format('n_a + n_b - k_a - k_b')} * {d.format('n_a * n_b')}"
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        F.expr("CAST(1000000 * k_a div n_a AS BIGINT)").alias("p_a_e6"),
+        F.expr("CAST(1000000 * k_b div n_b AS BIGINT)").alias("p_b_e6"),
+        F.expr(f"({lhs}) > ({rhs})").alias("significant_95"),
+    )
