@@ -6370,3 +6370,151 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(1000000 * k_b div n_b AS BIGINT)").alias("p_b_e6"),
         F.expr(f"({lhs}) > ({rhs})").alias("significant_95"),
     )
+
+
+@register(
+    "q_trend_slope",
+    f"""
+    WITH m AS (
+        SELECT n_name,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+                   AS x,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ), base AS (SELECT CAST(MIN(x) AS BIGINT) AS x0 FROM m),
+    s AS (
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x - x0) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM((x - x0) * y) AS BIGINT) AS sxy,
+               CAST(SUM((x - x0) * (x - x0)) AS BIGINT) AS sxx
+        FROM m CROSS JOIN base GROUP BY 1
+    )
+    SELECT n_name, n,
+           CAST(1000000 * (n * sxy - sx * sy)
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_e6_cents_per_month
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: the OLS slope over monthly totals via
+    the normal equations, computed entirely in BIGINT —
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), scaled 1e6 and floor-divided.
+    Months are re-based to the corpus minimum so the x products stay
+    tiny; flat-history groups (zero x-variance) are excluded rather
+    than divided by zero.
+
+    Scale: one join-reduced monthly aggregate (nation is a broadcast
+    dim), then a per-group combine of five sums — the classic
+    "regression as aggregation" shape that needs no ML library and no
+    driver-side math."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    m = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("y"))
+    )
+    base = m.agg(F.min("x").cast("long").alias("x0"))
+    s = (
+        m.crossJoin(F.broadcast(base))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("x") - F.col("x0")).cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum((F.col("x") - F.col("x0")) * F.col("y"))
+            .cast("long")
+            .alias("sxy"),
+            F.sum((F.col("x") - F.col("x0")) * (F.col("x") - F.col("x0")))
+            .cast("long")
+            .alias("sxx"),
+        )
+    )
+    return s.filter("n * sxx - sx * sx > 0").select(
+        "n_name",
+        "n",
+        F.expr(
+            "CAST(1000000 * (n * sxy - sx * sy) div (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("slope_e6_cents_per_month"),
+    )
+
+
+def _pagerank_iter_duck(prev: str, out: str) -> str:
+    """One unrolled integer-PageRank iteration as DuckDB CTE text."""
+    return f"""
+    {out} AS (
+        SELECT n.node,
+               CAST(150000000000 + 85 * COALESCE(m.msum, 0) // 100 AS BIGINT)
+                   AS rank
+        FROM pr_nodes n LEFT JOIN (
+            SELECT e.d AS node, CAST(SUM(p.rank // dg.deg) AS BIGINT) AS msum
+            FROM pr_edges e
+            JOIN {prev} p ON e.s = p.node
+            JOIN pr_deg dg ON e.s = dg.s
+            GROUP BY 1
+        ) m ON n.node = m.node
+    )"""
+
+
+@register(
+    "q_pagerank_copurchase",
+    f"""
+    WITH raw AS (
+        SELECT DISTINCT l_suppkey AS s0, l_partkey + 1000000 AS d0
+        FROM lineitem
+    ), pr_edges AS (
+        SELECT s0 AS s, d0 AS d FROM raw
+        UNION
+        SELECT d0, s0 FROM raw
+    ), pr_deg AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM pr_edges GROUP BY 1
+    ), pr_nodes AS (
+        SELECT DISTINCT s AS node FROM pr_edges
+    ), r0 AS (
+        SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM pr_nodes
+    ),{_pagerank_iter_duck('r0', 'r1')},{_pagerank_iter_duck('r1', 'r2')},{_pagerank_iter_duck('r2', 'r3')}
+    SELECT node, rank FROM (
+        SELECT node, rank,
+               row_number() OVER (ORDER BY rank DESC, node) AS rn
+        FROM r3
+    ) WHERE rn <= 20
+    """,
+)
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (3 iterations, damping 85/100 exact) over the
+    supplier–part supply graph, top-20 nodes. Parts are offset into a
+    disjoint id space; the oracle unrolls the same three iterations as
+    CTEs, and because the spec is all-integer the ranks hash-match
+    bit-for-bit — a floating PageRank could not (per-node sums depend
+    on reduction order).
+
+    Scale: see pipeline.graph.pagerank — per iteration one edge⋈rank
+    join + groupBy, rank vector as the only state; the fixed iteration
+    count is the standard production choice (power iteration converges
+    geometrically; 3-5 rounds rank stably for pruning/weighting)."""
+    from .pipeline.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).distinct()
+    ranks = pagerank(edges, iterations=3, directed=False)
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+        .select("node", "rank")
+    )

@@ -1,0 +1,72 @@
+"""Iterative graph algorithms as deterministic DataFrame loops.
+
+Connected components (star contraction) lives in pipeline.dedup where
+fuzzy-dedup clustering uses it; this module holds the rank-propagation
+family. Everything is EXACT integer arithmetic with fixed iteration
+counts — floating PageRank depends on summation order, an integer
+spec doesn't, so results hash-match a SQL oracle and never drift
+between runs or engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_SCALE = 10**12
+_DAMP_NUM, _DAMP_DEN = 85, 100  # 0.85 as the exact rational
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """Integer PageRank: rank(v) = 0.15·S + 0.85·Σ rank(u) div deg(u),
+    iterated a FIXED number of times from the uniform start S = 10¹²,
+    with every division an integer floor — bit-deterministic under any
+    partitioning. Returns (node, rank) with rank on the 10¹² scale.
+
+    Scale: each iteration is one join of the rank vector (|V| rows)
+    against the edge list plus a groupBy — the standard message-passing
+    shape; the rank vector is the only state. Undirected inputs are
+    symmetrized once up front."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.distinct()
+
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    nodes = e.select(F.col("s").alias("node")).distinct()
+    ranks = nodes.withColumn("rank", F.lit(PAGERANK_SCALE).cast("long"))
+
+    base = (_DAMP_DEN - _DAMP_NUM) * PAGERANK_SCALE // _DAMP_DEN
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.s == ranks.node)
+            .join(deg, "s")
+            .select(
+                F.col("d").alias("node"),
+                F.expr("rank div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("msum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{_DAMP_NUM} * coalesce(msum, CAST(0 AS BIGINT))"
+                        f" div {_DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return ranks
