@@ -348,3 +348,30 @@ def test_chisq_margins_broadcast(plans):
     p = plans("q_crosstab_chisq")
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_basket_pairs_no_item_self_join(plans):
+    # pairs expand inside basket arrays; the only joins are the
+    # margin/lift joins on the already-reduced pair and item tables
+    p = plans("q_basket_pairs")
+    assert "CartesianProduct" not in p
+    assert "pythonUDF" not in p.lower()
+
+
+def test_checksum_single_scan_no_shuffle_of_rows(plans):
+    # map-side hash, single-row combine: exactly one exchange (the
+    # scalar aggregate's partial->final)
+    p = plans("q_table_checksum")
+    assert "Join" not in p
+    assert p.count("Exchange") <= 1
+
+
+def test_trend_slope_nation_broadcast(plans):
+    p = plans("q_trend_slope")
+    assert "BroadcastHashJoin" in p
+
+
+def test_pagerank_no_cartesian_three_iterations(plans):
+    p = plans("q_pagerank_copurchase")
+    assert "CartesianProduct" not in p
+    assert "pythonUDF" not in p.lower()
