@@ -6518,3 +6518,67 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("node", "rank")
     )
+
+
+@register(
+    "q_rank_functions",
+    f"""
+    WITH s AS (
+        SELECT l_suppkey, CAST(SUM({cents('l_quantity')}) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1
+    ), r AS (
+        SELECT l_suppkey, qty,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(COUNT(*) OVER (ORDER BY qty DESC, l_suppkey
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_le
+        FROM s WINDOW w AS (ORDER BY qty DESC, l_suppkey)
+    )
+    SELECT l_suppkey, qty, rnk, drnk, quartile,
+           CAST(1000000 * (rnk - 1) // (n - 1) AS BIGINT) AS percent_rank_e6,
+           CAST(1000000 * n_le // n AS BIGINT) AS cume_dist_e6
+    FROM r
+    """,
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over per-supplier quantity:
+    rank, dense_rank, ntile quartiles, and integer-scaled
+    percent_rank/cume_dist ((rank−1)·1e6 div (n−1), cum-count·1e6
+    div n) — the float built-ins are re-derived from their integer
+    definitions so the values hash across engines.
+
+    Scale: one aggregation shuffle then one global-order window. A
+    single total order over suppliers is the one legitimately global
+    sort in the family; at 100 TB you'd rank within partitions (nation,
+    category) exactly like q_topk_suppliers_per_nation does."""
+    li = load(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.sum(F.expr(cents("l_quantity"))).cast("long").alias("qty")
+    )
+    w = Window.orderBy(F.col("qty").desc(), "l_suppkey")
+    r = s.select(
+        "l_suppkey",
+        "qty",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+        F.count(F.lit(1))
+        .over(w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("n_le"),
+    )
+    return r.select(
+        "l_suppkey",
+        "qty",
+        "rnk",
+        "drnk",
+        "quartile",
+        F.expr("CAST(1000000 * (rnk - 1) div (n - 1) AS BIGINT)").alias(
+            "percent_rank_e6"
+        ),
+        F.expr("CAST(1000000 * n_le div n AS BIGINT)").alias("cume_dist_e6"),
+    )
