@@ -236,6 +236,54 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_checksum(args) -> int:
+    """Order-insensitive content checksum of a parquet table — run the
+    same command against the source system's copy and diff one line."""
+    spark = _spark()
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(args.path)
+    cols = args.columns.split(",") if args.columns else df.columns
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    out = df.select(h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(1 << 48))
+        .cast("long")
+        .alias("checksum48"),
+        F.expr("bit_xor(h)").cast("long").alias("xorsum48"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "path": args.path,
+                "columns": cols,
+                "n_rows": out["n_rows"],
+                "checksum48": out["checksum48"],
+                "xorsum48": out["xorsum48"],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_export_jsonl(args) -> int:
+    spark = _spark()
+    from .pipeline.export import write_jsonl_shards
+
+    df = spark.read.parquet(args.input)
+    counts = write_jsonl_shards(
+        df, args.output, args.id_col, n_shards=args.shards
+    )
+    print(
+        f"wrote {sum(c['rows'] for c in counts)} rows into "
+        f"{len(counts)} shards under {args.output}"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="gpq_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -303,6 +351,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("path")
     p.add_argument("--keep-versions", type=int, default=1)
     p.set_defaults(fn=cmd_vacuum)
+
+    p = sub.add_parser(
+        "checksum",
+        help="Order-insensitive content checksum of a parquet table",
+    )
+    p.add_argument("path")
+    p.add_argument(
+        "--columns",
+        default="",
+        help="Comma-separated columns to include (default: all).",
+    )
+    p.set_defaults(fn=cmd_checksum)
+
+    p = sub.add_parser(
+        "export-jsonl",
+        help="Export a parquet table as deterministic sharded JSONL",
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--id-col", required=True, dest="id_col")
+    p.add_argument("--shards", type=int, default=16)
+    p.set_defaults(fn=cmd_export_jsonl)
 
     p = sub.add_parser("version", help="Print version")
     p.set_defaults(fn=lambda a: print(__version__) or 0)

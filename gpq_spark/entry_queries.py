@@ -6582,3 +6582,127 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("CAST(1000000 * n_le div n AS BIGINT)").alias("cume_dist_e6"),
     )
+
+
+@register(
+    "q_event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ), t AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ), m AS (
+        SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM t GROUP BY 1
+    )
+    SELECT t.src, t.dst, t.n,
+           CAST(1000000 * t.n // m.n_src AS BIGINT) AS p_e6
+    FROM t JOIN m ON t.src = m.src
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and integer-scaled transition probabilities for
+    every (event_type → next event_type) pair — the user-journey map
+    behind drop-off analysis.
+
+    Scale: one shuffle on user_id for the lead() window (the order is
+    fully specified with event_id as tiebreak), then a tiny |types|²
+    aggregate and a broadcast-sized margin join."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    t = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    m = t.groupBy("src").agg(F.sum("n").cast("long").alias("n_src"))
+    return t.join(F.broadcast(m), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.expr("CAST(1000000 * n div n_src AS BIGINT)").alias("p_e6"),
+    )
+
+
+@register(
+    "q_time_to_conversion",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    ), d AS (
+        SELECT v.user_id,
+               CAST(epoch_us(p.tp) - epoch_us(v.t1) AS BIGINT) AS us
+        FROM v JOIN p ON v.user_id = p.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(us) AS BIGINT) AS min_us,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY us) AS BIGINT)
+               AS p50_us,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY us) AS BIGINT)
+               AS p90_us,
+           CAST(MAX(us) AS BIGINT) AS max_us
+    FROM d
+    """,
+)
+def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event distribution: microseconds from a user's first
+    view to their first purchase after it, summarized as exact
+    discrete percentiles (survival-analysis shape without censoring —
+    the never-converted are excluded, which the funnel query reports).
+
+    Scale: the same single-shuffle window trick as the funnel gets the
+    two anchor timestamps; deltas are exact epoch-microsecond integers
+    (relational.epoch_micros handles NTZ vs LTZ)."""
+    from .relational import epoch_micros
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    per = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    anchors = per.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("tp").alias("tp")
+    ).filter("t1 IS NOT NULL AND tp IS NOT NULL")
+    d = anchors.select(
+        (
+            epoch_micros(anchors, "tp") - epoch_micros(anchors, "t1")
+        ).alias("us")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.min("us").cast("long").alias("min_us"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY us) AS BIGINT)"
+        ).alias("p50_us"),
+        F.expr(
+            "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY us) AS BIGINT)"
+        ).alias("p90_us"),
+        F.max("us").cast("long").alias("max_us"),
+    )

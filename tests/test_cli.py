@@ -170,3 +170,42 @@ def test_cli_compact_atomic_and_vacuum(spark, tmp_path, capsys):
     assert "removed 8 unreferenced files" in capsys.readouterr().out
     assert len(glob.glob(os.path.join(out, "*.parquet"))) == 1
     assert spark.read.parquet(*parquet_files(out)).count() == 500
+
+
+def test_cli_checksum_stable(capsys):
+    import json
+
+    from conftest import TESTDATA
+
+    from gpq_spark.cli import main
+
+    rc = main(["checksum", f"{TESTDATA}/sf0.001/nation.parquet"])
+    assert rc == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rc = main(["checksum", f"{TESTDATA}/sf0.001/nation.parquet"])
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1 == out2
+    assert out1["n_rows"] == 25
+    assert out1["checksum48"] > 0
+
+
+def test_cli_export_jsonl(tmp_path, capsys):
+    from conftest import TESTDATA
+    from gpq_spark.cli import main
+
+    out = str(tmp_path / "jsonl")
+    rc = main([
+        "export-jsonl",
+        f"{TESTDATA}/sf0.001/documents.parquet",
+        out,
+        "--id-col",
+        "doc_id",
+        "--shards",
+        "3",
+    ])
+    assert rc == 0
+    assert "500 rows into" in capsys.readouterr().out
+    import glob
+
+    assert len(glob.glob(f"{out}/shard=*")) >= 2
