@@ -6706,3 +6706,91 @@ def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_us"),
         F.max("us").cast("long").alias("max_us"),
     )
+
+
+@register(
+    "q_attribution_last_touch",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+                   AS touch
+        FROM events
+    ), attr AS (
+        SELECT user_id, ts, event_type,
+               last_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS attributed
+        FROM marked
+    )
+    SELECT COALESCE(attributed, '(none)') AS attributed_channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM attr WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    strictly-earlier non-purchase event of the same user — the
+    marketing-analytics shape (which channel gets the sale).
+
+    Scale: one user_id window over a fully specified order; the
+    IGNORE NULLS running last_value is the same O(1)-per-row frame the
+    as-of join uses — no self-join against the purchase set."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "touch",
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+    )
+    attr = marked.withColumn(
+        "attributed", F.last("touch", ignorenulls=True).over(w)
+    )
+    return (
+        attr.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("attributed", F.lit("(none)")).alias(
+                "attributed_channel"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    )
+
+
+@register(
+    "stream_event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    )
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Markov transition counts maintained BY A STREAM: a stateful
+    operator holds each user's previous event and emits one (src, dst)
+    pair per arriving event; the matrix is a batch aggregation of the
+    drained pairs and equals the batch lead()-window formulation
+    exactly on bounded replay (every consecutive pair is emitted
+    exactly once — transitions need no finalization).
+
+    Scale: state per user is one (ts, id, type) triple; emission is
+    append-mode so a dashboard can keep running counts incrementally
+    (the q_incremental_agg merge law applies)."""
+    from .streaming.windows import stream_transitions
+
+    stream = _events_file_stream(spark, sf_dir)
+    out = stream_transitions(stream)
+    drained = _drain_to_table(out, "stream_trans", "append")
+    return drained.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

@@ -798,3 +798,70 @@ def stream_retention(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# -- streaming Markov transitions -------------------------------------------
+
+TRANSITION_RAW_SCHEMA = "user_id long, src string, dst string"
+TRANSITION_STATE_SCHEMA = "last_ts long, last_id long, last_type string"
+
+
+def _transition_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming first-order transitions: emit (src, dst) per event
+    using the previous event held in state (ordered by (ts, event_id)
+    within a batch; the usual cross-batch per-key order contract). On
+    bounded replay the multiset of emitted pairs equals the batch
+    lead()-window transition counts exactly."""
+    rows = []
+    for pdf in pdfs:
+        rows.extend(zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]))
+    if not rows:
+        return
+    rows.sort(key=lambda r: (int(r[0]), int(r[1])))
+
+    if state.exists:
+        last_ts, last_id, last_type = state.get
+    else:
+        last_ts = last_id = last_type = None
+
+    src_out: list[str] = []
+    dst_out: list[str] = []
+    for ts_us, eid, etype in rows:
+        if last_type is not None:
+            src_out.append(last_type)
+            dst_out.append(str(etype))
+        last_ts, last_id, last_type = int(ts_us), int(eid), str(etype)
+
+    state.update((last_ts, last_id, last_type))
+    if src_out:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(src_out),
+                "src": src_out,
+                "dst": dst_out,
+            }
+        )
+
+
+def stream_transitions(stream: DataFrame) -> DataFrame:
+    """Stateful streaming transition emitter (see ``_transition_fn``).
+    Output: user_id, src, dst — one row per consecutive event pair."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    return (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transition_fn,
+            outputStructType=TRANSITION_RAW_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

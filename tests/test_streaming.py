@@ -710,3 +710,56 @@ class TestStreamRetention:
             for r in q_retention_cohorts(spark, f"{TESTDATA}/sf0.001").collect()
         }
         assert got == want
+
+
+class TestStreamTransitions:
+    def test_pairs_across_micro_batches(self, spark, tmp_path):
+        """The pair spanning the batch boundary (last event of batch 1
+        -> first event of batch 2 per user) must still be emitted."""
+        import glob
+        import os
+        import shutil
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_transitions
+
+        src = spark.read.parquet(f"{TESTDATA}/sf0.001/events.parquet")
+        d = tmp_path / "two_batches_trans"
+        os.makedirs(d)
+        median_ts = src.orderBy("ts").limit(src.count() // 2).agg(
+            F.max("ts")
+        ).first()[0]
+        for tag, half in (
+            ("a", src.filter(F.col("ts") <= F.lit(median_ts))),
+            ("b", src.filter(F.col("ts") > F.lit(median_ts))),
+        ):
+            tmp = str(d / f"_{tag}_dir")
+            half.coalesce(1).write.parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.move(part, str(d / f"{tag}.parquet"))
+            shutil.rmtree(tmp)
+
+        stream = stream_events(
+            spark, str(d), src.schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_transitions(stream)
+        name = f"tr_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["src"], r["dst"]): r["n"]
+            for r in spark.table(name)
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # total pairs per user = events - 1
+        ev = spark.read.parquet(f"{TESTDATA}/sf0.001/events.parquet")
+        n_users = ev.select("user_id").distinct().count()
+        assert sum(got.values()) == ev.count() - n_users
