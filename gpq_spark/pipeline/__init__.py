@@ -57,6 +57,10 @@ from .text import (
     quality_filter,
     scrub_pii,
 )
+from .export import read_jsonl_shards, shard_id, write_jsonl_shards
+from .graph import pagerank
+from .sketch import bloom_build, bloom_merge, bloom_probe
+from .text import ENTROPY_LUT, ENTROPY_WINDOW, with_char_entropy
 from .multimodal import (
     audio_frame_stats,
     binary_metadata,
@@ -106,7 +110,17 @@ __all__ = [
     "with_quality_score",
     "with_language_id",
     "with_fingerprint",
+    "with_char_entropy",
+    "ENTROPY_LUT",
+    "ENTROPY_WINDOW",
     "scrub_pii",
+    "bloom_build",
+    "bloom_probe",
+    "bloom_merge",
+    "pagerank",
+    "write_jsonl_shards",
+    "read_jsonl_shards",
+    "shard_id",
     "profile_columns",
     "histogram_fixed",
     "skew_report",
