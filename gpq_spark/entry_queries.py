@@ -6794,3 +6794,116 @@ def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+@register(
+    "q_drift_chisq",
+    f"""
+    WITH b AS (
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+               CAST({cents('l_quantity')} // 1000 AS BIGINT) AS bucket
+        FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+    ), o AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        FROM b GROUP BY 1
+    ), t AS (
+        SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+               CAST(SUM(n_cur) AS BIGINT) AS t_cur
+        FROM o
+    )
+    SELECT o.bucket, o.n_ref, o.n_cur,
+           CAST(1000000
+                * (o.n_cur * t.t_ref - o.n_ref * t.t_cur)
+                * (o.n_cur * t.t_ref - o.n_ref * t.t_cur)
+                // (t.t_ref * t.t_cur * (o.n_ref + o.n_cur))
+                AS BIGINT) AS drift_term_e6
+    FROM o CROSS JOIN t
+    WHERE o.n_ref + o.n_cur > 0
+    """,
+)
+def q_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between two time periods: the
+    quantity distribution of 1995 vs 1996 shipments, bucketed to
+    10-unit bins, with each bucket's two-sample chi-square
+    contribution in exact scaled integers —
+    1e6·(n_cur·T_ref − n_ref·T_cur)² div (T_ref·T_cur·(n_ref+n_cur)).
+    Monitoring jobs sum the terms and alert on the statistic; the
+    per-bucket terms localize WHICH part of the distribution moved
+    (the question PSI answers with logs, answered here without any).
+
+    Scale: one scan with the year predicate pushed down, one bucket
+    aggregate (map-side partial), one broadcast of the two totals."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.filter(F.year("l_shipdate").isin(1995, 1996)).select(
+        F.year("l_shipdate").cast("long").alias("yr"),
+        F.expr(f"CAST({cents('l_quantity')} div 1000 AS BIGINT)").alias(
+            "bucket"
+        ),
+    )
+    o = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("yr") == 1995, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    t = o.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    return (
+        o.crossJoin(F.broadcast(t))
+        .filter("n_ref + n_cur > 0")
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.expr(
+                "CAST(1000000 * (n_cur * t_ref - n_ref * t_cur)"
+                " * (n_cur * t_ref - n_ref * t_cur)"
+                " div (t_ref * t_cur * (n_ref + n_cur)) AS BIGINT)"
+            ).alias("drift_term_e6"),
+        )
+    )
+
+
+@register(
+    "stream_attribution_last_touch",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+                   AS touch
+        FROM events
+    ), attr AS (
+        SELECT user_id, event_type,
+               last_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS attributed
+        FROM marked
+    )
+    SELECT COALESCE(attributed, '(none)') AS attributed_channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM attr WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution maintained BY A STREAM: one string of
+    state per user (the latest non-purchase event type), one credit
+    row emitted per purchase the moment it arrives — the real-time
+    channel dashboard. The drained credits aggregate to exactly the
+    batch q_attribution_last_touch (credits are immutable facts, no
+    finalization)."""
+    from .streaming.windows import stream_attribution
+
+    stream = _events_file_stream(spark, sf_dir)
+    out = stream_attribution(stream)
+    drained = _drain_to_table(out, "stream_attr", "append")
+    return drained.groupBy(
+        F.col("attributed").alias("attributed_channel")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))

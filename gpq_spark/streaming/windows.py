@@ -865,3 +865,65 @@ def stream_transitions(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# -- streaming last-touch attribution ---------------------------------------
+
+ATTRIB_RAW_SCHEMA = "user_id long, attributed string"
+ATTRIB_STATE_SCHEMA = "last_touch string"
+
+
+def _attribution_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming last-touch attribution: each purchase emits the most
+    recent strictly-earlier non-purchase event type carried in state
+    ('(none)' when the purchase is the user's first event). Same
+    per-key (ts, event_id) order contract as the other stateful
+    operators; on bounded replay the multiset of credits equals the
+    batch running-last_value formulation exactly."""
+    rows = []
+    for pdf in pdfs:
+        rows.extend(zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]))
+    if not rows:
+        return
+    rows.sort(key=lambda r: (int(r[0]), int(r[1])))
+
+    last_touch = state.get[0] if state.exists else None
+
+    out: list[str] = []
+    for _, _, etype in rows:
+        etype = str(etype)
+        if etype == "purchase":
+            out.append(last_touch if last_touch is not None else "(none)")
+        else:
+            last_touch = etype
+
+    state.update((last_touch,))
+    if out:
+        yield pd.DataFrame(
+            {"user_id": [key[0]] * len(out), "attributed": out}
+        )
+
+
+def stream_attribution(stream: DataFrame) -> DataFrame:
+    """Stateful streaming last-touch attribution (see
+    ``_attribution_fn``). Output: user_id, attributed — one row per
+    purchase."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    return (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _attribution_fn,
+            outputStructType=ATTRIB_RAW_SCHEMA,
+            stateStructType=ATTRIB_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

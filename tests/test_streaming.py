@@ -763,3 +763,60 @@ class TestStreamTransitions:
         ev = spark.read.parquet(f"{TESTDATA}/sf0.001/events.parquet")
         n_users = ev.select("user_id").distinct().count()
         assert sum(got.values()) == ev.count() - n_users
+
+
+class TestStreamAttribution:
+    def test_state_spans_micro_batches(self, spark, tmp_path):
+        """A purchase in batch 2 whose latest touch happened in batch 1
+        must credit that carried-over channel."""
+        import glob
+        import os
+        import shutil
+
+        from gpq_spark.entry_queries import q_attribution_last_touch
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_attribution
+
+        src = spark.read.parquet(f"{TESTDATA}/sf0.001/events.parquet")
+        d = tmp_path / "two_batches_attr"
+        os.makedirs(d)
+        median_ts = src.orderBy("ts").limit(src.count() // 2).agg(
+            F.max("ts")
+        ).first()[0]
+        for tag, half in (
+            ("a", src.filter(F.col("ts") <= F.lit(median_ts))),
+            ("b", src.filter(F.col("ts") > F.lit(median_ts))),
+        ):
+            tmp = str(d / f"_{tag}_dir")
+            half.coalesce(1).write.parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.move(part, str(d / f"{tag}.parquet"))
+            shutil.rmtree(tmp)
+
+        stream = stream_events(
+            spark, str(d), src.schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_attribution(stream)
+        name = f"at_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["attributed"],): r["n"]
+            for r in spark.table(name)
+            .groupBy("attributed")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        want = {
+            (r["attributed_channel"],): r["n_purchases"]
+            for r in q_attribution_last_touch(
+                spark, f"{TESTDATA}/sf0.001"
+            ).collect()
+        }
+        assert got == want
