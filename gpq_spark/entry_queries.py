@@ -6907,3 +6907,111 @@ def stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     return drained.groupBy(
         F.col("attributed").alias("attributed_channel")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+
+
+@register(
+    "q_division_full_year",
+    """
+    WITH q AS (
+        SELECT DISTINCT o_custkey, quarter(o_orderdate) AS qt
+        FROM orders WHERE year(o_orderdate) = 1995
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_quarters
+    FROM q GROUP BY 1 HAVING COUNT(*) = 4
+    """,
+)
+def q_division_full_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (universal quantification): customers who
+    ordered in EVERY quarter of 1995 — the "for all" query shape that
+    doesn't reduce to a join, expressed as the standard
+    count-of-distinct-equals-divisor rewrite.
+
+    Scale: one distinct + one count per customer, both with map-side
+    partials; the divisor (4) is a constant, so no second scan of the
+    dividend — the textbook double-NOT-EXISTS formulation would plan
+    two correlated anti-joins for the same answer."""
+    orders = load(spark, sf_dir, "orders")
+    q = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey", F.quarter("o_orderdate").alias("qt"))
+        .distinct()
+    )
+    return (
+        q.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_quarters"))
+        .filter("n_quarters = 4")
+    )
+
+
+@register(
+    "embed_triplets",
+    f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), anchors AS (
+        SELECT * FROM e WHERE vec_id % 40 = 0
+    ), scored AS (
+        SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+               c.vec_id AS cand_id, c.label = a.label AS same,
+               {_cos_duck('a.v', 'c.v')} AS cos
+        FROM anchors a JOIN e c ON c.vec_id <> a.vec_id
+    ), ranked AS (
+        SELECT anchor_id, cand_id, same, cos,
+               row_number() OVER (PARTITION BY anchor_id, same
+                                  ORDER BY cos DESC, cand_id) AS rn
+        FROM scored
+    )
+    SELECT p.anchor_id,
+           p.cand_id AS pos_id, p.cos AS pos_cos,
+           n.cand_id AS neg_id, n.cos AS neg_cos
+    FROM (SELECT * FROM ranked WHERE same AND rn = 1) p
+    JOIN (SELECT * FROM ranked WHERE NOT same AND rn = 1) n
+      ON p.anchor_id = n.anchor_id
+    """,
+)
+def embed_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for contrastive training: for each anchor,
+    the hardest positive (most similar same-label vector) and the
+    hardest negative (most similar different-label vector) — the
+    (anchor, positive, negative) batches metric-learning losses
+    consume. Cosines are the deterministic sequential fold, so both
+    choices and values are engine-exact; ranks tie-break on id.
+
+    Scale: anchors broadcast against the corpus; per (anchor, class)
+    top-1 is a partial-rank, not a sort of the corpus. At 100 TB you
+    mine within IVF cells or LSH buckets (the ann_topk_ivf machinery)
+    instead of the exact sweep — the selection logic is unchanged."""
+    from .pipeline.similarity import cosine_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter("vec_id % 40 = 0").select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter("vec_id <> anchor_id")
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("cand_id"),
+            (F.col("label") == F.col("anchor_label")).alias("same"),
+            cosine_expr("embedding", "anchor_vec").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.col("cos").desc(), "cand_id"
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    p = ranked.filter("same").select(
+        "anchor_id",
+        F.col("cand_id").alias("pos_id"),
+        F.col("cos").alias("pos_cos"),
+    )
+    n = ranked.filter("NOT same").select(
+        "anchor_id",
+        F.col("cand_id").alias("neg_id"),
+        F.col("cos").alias("neg_cos"),
+    )
+    return p.join(n, "anchor_id")
