@@ -7015,3 +7015,90 @@ def embed_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos").alias("neg_cos"),
     )
     return p.join(n, "anchor_id")
+
+
+# planar integer point/site synthesis for the distance join (kept away
+# from the antimeridian on purpose; wraparound distance is a different
+# operator)
+_DJ_PX = "c_custkey % 300 - 150"
+_DJ_PY = "(c_custkey * 7) % 160 - 80"
+_DJ_SX = "(s_suppkey * 11) % 300 - 150"
+_DJ_SY = "(s_suppkey * 3) % 160 - 80"
+_DJ_RADIUS = 5
+
+
+@register(
+    "geo_distance_join",
+    f"""
+    WITH p AS (
+        SELECT c_custkey, CAST({_DJ_PX} AS BIGINT) AS px,
+               CAST({_DJ_PY} AS BIGINT) AS py
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey, CAST({_DJ_SX} AS BIGINT) AS sx,
+               CAST({_DJ_SY} AS BIGINT) AS sy
+        FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           CAST((px - sx) * (px - sx) + (py - sy) * (py - sy) AS BIGINT)
+               AS d2
+    FROM p, s
+    WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy)
+          <= {_DJ_RADIUS * _DJ_RADIUS}
+    """,
+)
+def geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance spatial join (ST_DWithin shape): customer points
+    within {_DJ_RADIUS} units of supplier sites, exact integer squared
+    distance. Completes the spatial-join family (bbox overlap, point-
+    in-polygon, polygon overlay, zonal area — and now distance).
+
+    Scale design: a distance join IS an expanded-bbox join plus an
+    exact refine — each site's box grows by the radius, candidates
+    come from the SAME grid-bucketed cell equi-join the bbox join uses
+    (never the oracle's cross join), and the integer distance test
+    prunes the corners. Grid cell ≥ 2·radius keeps the candidate set
+    near-minimal."""
+    from .geoparquet.spatial import spatial_join_bboxes
+
+    pts = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"CAST({_DJ_PX} AS BIGINT) AS px",
+        f"CAST({_DJ_PY} AS BIGINT) AS py",
+    )
+    sites = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"CAST({_DJ_SX} AS BIGINT) AS sx",
+        f"CAST({_DJ_SY} AS BIGINT) AS sy",
+    )
+    p_boxes = pts.selectExpr(
+        "c_custkey", "px", "py",
+        "CAST(px AS DOUBLE) AS pxmin", "CAST(py AS DOUBLE) AS pymin",
+        "CAST(px AS DOUBLE) AS pxmax", "CAST(py AS DOUBLE) AS pymax",
+    )
+    s_boxes = sites.selectExpr(
+        "s_suppkey", "sx", "sy",
+        f"CAST(sx - {_DJ_RADIUS} AS DOUBLE) AS sxmin",
+        f"CAST(sy - {_DJ_RADIUS} AS DOUBLE) AS symin",
+        f"CAST(sx + {_DJ_RADIUS} AS DOUBLE) AS sxmax",
+        f"CAST(sy + {_DJ_RADIUS} AS DOUBLE) AS symax",
+    )
+    cand = spatial_join_bboxes(
+        p_boxes,
+        s_boxes,
+        left_cols=("pxmin", "pymin", "pxmax", "pymax"),
+        right_cols=("sxmin", "symin", "sxmax", "symax"),
+        cell_deg=float(2 * _DJ_RADIUS),
+    )
+    return cand.filter(
+        F.expr(
+            f"(px - sx) * (px - sx) + (py - sy) * (py - sy)"
+            f" <= {_DJ_RADIUS * _DJ_RADIUS}"
+        )
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        F.expr(
+            "CAST((px - sx) * (px - sx) + (py - sy) * (py - sy) AS BIGINT)"
+        ).alias("d2"),
+    )
