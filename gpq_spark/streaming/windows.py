@@ -10,6 +10,14 @@ expressed with the standard Structured Streaming toolbox:
 - ``stateful_sessionize``: gap-based sessions via
   ``applyInPandasWithState`` — the custom-state path for semantics the
   built-in operators can't express (emit one row per *closed* session).
+- An analytics family of custom-state operators, each the streaming
+  twin of an oracle-checked batch query with BOUNDED per-key state:
+  gap fill (LOCF + exact-integer interpolation), z-score anomaly
+  scoring (24-value ring buffer), funnel progression (3 timestamps),
+  retention transitions (cohort day + seen offsets), Markov
+  transitions (previous event), last-touch attribution (one string).
+  All share the per-key cross-batch event-time-order contract and are
+  proven against their batch twins by two-micro-batch boundary tests.
 
 Tests drive both with the file source + memory sink and
 ``processAllAvailable`` so a bounded parquet input runs the stream to

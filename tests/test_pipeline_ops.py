@@ -1600,3 +1600,40 @@ class TestBloomEdges:
             bf = bloom_build(keys, "k", hash=h)
             got = bloom_probe(probe, "x", bf, hash=h).filter("bp").count()
             assert got == 40  # all members pass under either hash
+
+
+class TestOperatorErrorPaths:
+    def test_bloom_probe_rejects_mismatched_filter(self, spark):
+        import pytest as _pytest
+
+        from gpq_spark.pipeline.sketch import bloom_probe
+
+        df = spark.createDataFrame([(1,)], "x long")
+        with _pytest.raises(ValueError, match="words"):
+            bloom_probe(df, "x", [0] * 7, bits=6144)
+
+    def test_bloom_unknown_hash_rejected(self, spark):
+        import pytest as _pytest
+
+        from gpq_spark.pipeline.sketch import bloom_build
+
+        keys = spark.createDataFrame([(1,)], "k long")
+        with _pytest.raises(ValueError, match="hash"):
+            bloom_build(keys, "k", hash="sha9000")
+
+    def test_bloom_merge_rejects_size_mismatch(self):
+        import pytest as _pytest
+
+        from gpq_spark.pipeline.sketch import bloom_merge
+
+        with _pytest.raises(ValueError, match="size"):
+            bloom_merge([0, 1], [0, 1, 2])
+
+    def test_entropy_window_cap(self, spark):
+        import pytest as _pytest
+
+        from gpq_spark.pipeline.text import with_char_entropy
+
+        df = spark.createDataFrame([("abc",)], "text string")
+        with _pytest.raises(ValueError, match="window"):
+            with_char_entropy(df, window=100000)
