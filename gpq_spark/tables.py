@@ -1,0 +1,36 @@
+"""Persisted bucketed tables for reusable pipeline artifacts.
+
+Dedup signatures, LSH band tables, and inverted indexes are computed
+once and joined many times (every incremental dedup pass, every
+decontamination run). Persisting them BUCKETED by their join key makes
+every later join exchange-free: both sides scan pre-hashed buckets and
+sort-merge locally, so a 100 TB index join moves zero bytes over the
+network (tests/test_bucketing.py proves the plan property for the
+fact tables; test_pipeline_ops proves it for the index workflow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Saves ``df`` as a bucketed (and bucket-sorted) managed table,
+    replacing any previous version."""
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    w = df.write.bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        w = w.sortBy(*bucket_cols)
+    w.mode("overwrite").saveAsTable(table)
+
+
+def load_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Reads a bucketed table back with its bucketing metadata intact
+    (a plain ``spark.read.parquet`` of the files would lose it)."""
+    return spark.table(table)

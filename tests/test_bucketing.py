@@ -63,3 +63,38 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
     )
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_persisted_inverted_index_joins_without_exchange(spark):
+    """The index workflow: build the inverted index once, persist it
+    bucketed by term, and every later postings lookup joins with no
+    exchange on the index side."""
+    from gpq_spark.tables import load_bucketed, save_bucketed
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    w = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), r"\s+"))
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    idx = w.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_sort(F.collect_list("doc_id")).alias("postings"),
+    )
+    save_bucketed(idx, "inv_index_bucketed", ["term"], n_buckets=8)
+
+    probe_terms = (
+        w.select("term").distinct().limit(5)
+    )
+    save_bucketed(probe_terms, "probe_terms_bucketed", ["term"], n_buckets=8)
+
+    joined = load_bucketed(spark, "inv_index_bucketed").join(
+        load_bucketed(spark, "probe_terms_bucketed").hint("merge"), "term"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(term" not in plan
+    assert joined.count() == 5
