@@ -935,3 +935,96 @@ def stream_attribution(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# -- out-of-order tolerant transitions (watermark-buffered) -----------------
+
+TRANSITION_OOO_STATE_SCHEMA = (
+    "pend_ts array<long>, pend_id array<long>, pend_type array<string>,"
+    " last_ts long, last_id long, last_type string"
+)
+
+
+def _transition_ooo_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Out-of-order tolerant transitions: events buffer in state until
+    the watermark passes them, then process in (ts, event_id) order —
+    so per-key arrival order across micro-batches no longer matters
+    (the relaxation the strict-order operators document as their
+    extension). Events below the watermark flush this batch; the rest
+    wait. Late data BELOW the watermark is dropped by the engine
+    before reaching this function (standard watermark semantics)."""
+    wm_ms = state.getCurrentWatermarkMs()
+
+    if state.exists:
+        p_ts, p_id, p_ty, last_ts, last_id, last_type = state.get
+        pend = list(zip(p_ts, p_id, p_ty))
+    else:
+        pend, last_ts, last_id, last_type = [], None, None, None
+
+    for pdf in pdfs:
+        pend.extend(
+            (int(t), int(i), str(e))
+            for t, i, e in zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"])
+        )
+
+    ready = sorted(
+        (r for r in pend if r[0] < wm_ms * 1000), key=lambda r: (r[0], r[1])
+    )
+    pend = [r for r in pend if r[0] >= wm_ms * 1000]
+
+    src_out: list[str] = []
+    dst_out: list[str] = []
+    for ts_us, eid, etype in ready:
+        if last_type is not None:
+            src_out.append(last_type)
+            dst_out.append(etype)
+        last_ts, last_id, last_type = ts_us, eid, etype
+
+    state.update(
+        (
+            [r[0] for r in pend],
+            [r[1] for r in pend],
+            [r[2] for r in pend],
+            last_ts,
+            last_id,
+            last_type,
+        )
+    )
+    if src_out:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(src_out),
+                "src": src_out,
+                "dst": dst_out,
+            }
+        )
+
+
+def stream_transitions_ooo(
+    stream: DataFrame, watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Order-tolerant variant of ``stream_transitions`` (see
+    ``_transition_ooo_fn``): correct under ANY per-key arrival order,
+    at the cost of buffering up to one watermark-delay of events per
+    key in state, and of emitting nothing until the watermark advances
+    (a single-batch bounded replay therefore emits nothing — use the
+    strict-order variant when replaying ordered logs)."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    return (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transition_ooo_fn,
+            outputStructType=TRANSITION_RAW_SCHEMA,
+            stateStructType=TRANSITION_OOO_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

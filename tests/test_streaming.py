@@ -820,3 +820,80 @@ class TestStreamAttribution:
             ).collect()
         }
         assert got == want
+
+
+class TestStreamTransitionsOutOfOrder:
+    def test_buffered_variant_corrects_cross_batch_disorder(
+        self, spark, tmp_path
+    ):
+        """Events arrive hours 4-7 BEFORE hours 0-3 (cross-batch
+        disorder within the 12h watermark delay); the buffered variant
+        must emit the true time-ordered transition chain once later
+        batches advance the watermark past them."""
+        import datetime as dt
+        import os
+        import time
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_transitions_ooo
+
+        base = dt.datetime(2024, 3, 1)
+        types = ["view", "click", "view", "purchase", "error", "view",
+                 "click", "view"]
+
+        def rows(hours):
+            return [
+                (
+                    h,
+                    base + dt.timedelta(hours=h),
+                    1,
+                    types[h] if h < len(types) else "view",
+                    0.0,
+                    "{}",
+                )
+                for h in hours
+            ]
+
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string"
+        )
+        d = tmp_path / "ooo"
+        os.makedirs(d)
+        # file source picks up files in modification order
+        for i, hours in enumerate([[4, 5, 6, 7], [0, 1, 2, 3], [40], [41]]):
+            import glob
+            import shutil
+
+            tmpdir = str(d / f"_t{i}")
+            spark.createDataFrame(rows(hours), schema).coalesce(1).write.parquet(
+                tmpdir
+            )
+            part = glob.glob(f"{tmpdir}/part-*.parquet")[0]
+            dest = str(d / f"{i}.parquet")
+            shutil.move(part, dest)
+            shutil.rmtree(tmpdir)
+            os.utime(dest, (time.time() + i, time.time() + i))
+
+        src_schema = spark.read.parquet(str(d / "0.parquet")).schema
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_transitions_ooo(stream, watermark_delay="12 hours")
+        name = f"ooo_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = [
+            (r["src"], r["dst"])
+            for r in spark.table(name).orderBy("src", "dst").collect()
+        ]
+        # the true chain over hours 0..7 (hours 40/41 stay buffered —
+        # the watermark never passes them before the stream ends)
+        want = sorted(zip(types, types[1:]))
+        assert sorted(got) == want
