@@ -375,3 +375,19 @@ def test_pagerank_no_cartesian_three_iterations(plans):
     p = plans("q_pagerank_copurchase")
     assert "CartesianProduct" not in p
     assert "pythonUDF" not in p.lower()
+
+
+def test_triplets_broadcast_anchors(plans):
+    # anchors are broadcast against the corpus; ranks are partial
+    # (window over anchor/class partitions), never a corpus sort
+    p = plans("embed_triplets")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "pythonUDF" not in p.lower()
+
+
+def test_distance_join_grid_equi_not_cross(plans):
+    # candidates come from the grid-cell equi-join; the oracle's
+    # cross join must never appear in the physical plan
+    p = plans("geo_distance_join")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
