@@ -22,8 +22,17 @@ def save_bucketed(
     sort: bool = True,
 ) -> None:
     """Saves ``df`` as a bucketed (and bucket-sorted) managed table,
-    replacing any previous version."""
-    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    replacing any previous version — including a stale on-disk
+    location left by a previous session (DROP TABLE only clears the
+    catalog entry the current session knows about; saveAsTable then
+    fails with LOCATION_ALREADY_EXISTS on the orphaned directory)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
     w = df.write.bucketBy(n_buckets, *bucket_cols)
     if sort:
         w = w.sortBy(*bucket_cols)
