@@ -318,3 +318,57 @@ def test_retention_matches_python(spark, activity):
         for day in days:
             want[(cohort, day - c)] += 1
     assert got == dict(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user
+            st.integers(min_value=0, max_value=10**7),  # ts offset us
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_transitions_match_python(spark, events):
+    import datetime as dt
+    import os
+    import tempfile
+    from collections import Counter
+
+    from gpq_spark.entry_queries import q_event_transitions
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(microseconds=off), u, et, 0.0, "{}")
+        for i, (u, off, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["src"], r["dst"]): (r["n"], r["p_e6"])
+            for r in q_event_transitions(spark, d).collect()
+        }
+
+    per_user: dict[int, list] = {}
+    for i, (u, off, et) in enumerate(events):
+        per_user.setdefault(u, []).append((off, i, et))
+    counts: Counter = Counter()
+    for evs in per_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] += 1
+    margins: Counter = Counter()
+    for (a, _), n in counts.items():
+        margins[a] += n
+    want = {
+        k: (n, 1_000_000 * n // margins[k[0]]) for k, n in counts.items()
+    }
+    assert got == want
