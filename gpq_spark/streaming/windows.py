@@ -1028,3 +1028,101 @@ def stream_transitions_ooo(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# -- out-of-order tolerant LOCF gap fill ------------------------------------
+
+GAPFILL_OOO_STATE_SCHEMA = (
+    "pend_hour array<long>, pend_v array<long>, last_hour long, last_v long"
+)
+
+
+def _gapfill_ooo_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Out-of-order tolerant LOCF: hourly sums buffer in state until
+    the watermark passes the END of their hour (only then can no more
+    events for that hour arrive), then flush through the same
+    fill-forward logic as the strict-order operator — so arrival order
+    never affects either the hourly sums or the filled grid."""
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    if state.exists:
+        p_h, p_v, last_hour, last_v = state.get
+        pending = dict(zip((int(h) for h in p_h), (int(v) for v in p_v)))
+    else:
+        pending, last_hour, last_v = {}, None, None
+
+    for pdf in pdfs:
+        for ts_us, cents in zip(pdf["ts_us"], pdf["cents"]):
+            h = int(ts_us) - int(ts_us) % _HOUR_US
+            pending[h] = pending.get(h, 0) + int(cents)
+
+    ready = sorted(h for h in pending if h + _HOUR_US <= wm_us)
+
+    out_hours: list[int] = []
+    out_vals: list[int] = []
+    for h in ready:
+        v = pending.pop(h)
+        if last_hour is not None:
+            fill = last_hour + _HOUR_US
+            while fill < h:
+                out_hours.append(fill)
+                out_vals.append(last_v)
+                fill += _HOUR_US
+        out_hours.append(h)
+        out_vals.append(v)
+        last_hour, last_v = h, v
+
+    keys_sorted = sorted(pending)
+    state.update(
+        (
+            keys_sorted,
+            [pending[k] for k in keys_sorted],
+            last_hour,
+            last_v,
+        )
+    )
+    if out_hours:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_hours),
+                "hour_us": out_hours,
+                "v_filled": out_vals,
+            }
+        )
+
+
+def stream_gapfill_locf_ooo(
+    stream: DataFrame,
+    value_col: str = "value",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Order-tolerant variant of ``stream_gapfill_locf`` (see
+    ``_gapfill_ooo_fn``): correct under ANY per-key arrival order
+    within the watermark delay; emits an hour only once the watermark
+    has passed its end, so a single-batch bounded replay emits
+    nothing — use the strict-order variant for ordered logs."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _gapfill_ooo_fn,
+            outputStructType=GAPFILL_RAW_SCHEMA,
+            stateStructType=GAPFILL_OOO_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return raw.select(
+        "user_id",
+        F.timestamp_micros("hour_us").alias("hour_ts"),
+        "v_filled",
+    )

@@ -897,3 +897,76 @@ class TestStreamTransitionsOutOfOrder:
         # the watermark never passes them before the stream ends)
         want = sorted(zip(types, types[1:]))
         assert sorted(got) == want
+
+
+class TestStreamGapfillOutOfOrder:
+    def test_disorder_within_delay_yields_exact_grid(self, spark, tmp_path):
+        """Hours 4-7 arrive before hours 0-3 (with an hour-2 gap in
+        the data); once later batches advance the watermark the filled
+        grid must equal the in-order LOCF result."""
+        import datetime as dt
+        import glob
+        import os
+        import shutil
+        import time
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_gapfill_locf_ooo
+
+        base = dt.datetime(2024, 3, 1)
+
+        def rows(hours):
+            return [
+                (
+                    h,
+                    base + dt.timedelta(hours=h, minutes=7),
+                    1,
+                    "view",
+                    float(h + 1),
+                    "{}",
+                )
+                for h in hours
+            ]
+
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string"
+        )
+        d = tmp_path / "ooo_gf"
+        os.makedirs(d)
+        # hour 2 is missing on purpose: LOCF must fill it with hour 1's value
+        for i, hours in enumerate([[4, 5, 6, 7], [0, 1, 3], [40], [41]]):
+            tmpdir = str(d / f"_t{i}")
+            spark.createDataFrame(rows(hours), schema).coalesce(1).write.parquet(
+                tmpdir
+            )
+            part = glob.glob(f"{tmpdir}/part-*.parquet")[0]
+            dest = str(d / f"{i}.parquet")
+            shutil.move(part, dest)
+            shutil.rmtree(tmpdir)
+            os.utime(dest, (time.time() + i, time.time() + i))
+
+        src_schema = spark.read.parquet(str(d / "0.parquet")).schema
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_gapfill_locf_ooo(stream, watermark_delay="12 hours")
+        name = f"gfo_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["hour_ts"].hour, r["v_filled"])
+            for r in spark.table(name).collect()
+        }
+        # hours 0..7 dense; hour 2 carries hour 1's value (200 cents)
+        want = {
+            (0, 100), (1, 200), (2, 200), (3, 400), (4, 500),
+            (5, 600), (6, 700), (7, 800),
+        }
+        assert got == want
