@@ -7102,3 +7102,94 @@ def geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((px - sx) * (px - sx) + (py - sy) * (py - sy) AS BIGINT)"
         ).alias("d2"),
     )
+
+
+@register(
+    "q_session_quality",
+    """
+    WITH numbered AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM numbered
+    ), per_session AS (
+        SELECT user_id, session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(1000000 * SUM(converted) // COUNT(*) AS BIGINT)
+               AS conversion_e6,
+           CAST(1000000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS bounce_e6
+    FROM per_session
+    """,
+)
+def q_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality rollup over 30-minute-gap sessions: conversion
+    rate (sessions containing a purchase) and bounce rate
+    (single-event sessions) as integer-scaled ratios — the two
+    product-health numbers session analytics exists to produce.
+
+    Scale: the standard gaps-and-islands sessionization (one user
+    shuffle, two window passes), a per-session aggregate on the same
+    partitioning, then a single-row combine."""
+    from .relational import epoch_micros
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = epoch_micros(ev, "ts")
+    numbered = ev.select(
+        "user_id", "ts", "event_type",
+        F.when(
+            F.lag(us).over(w).isNull()
+            | (us - F.lag(us).over(w) > 1800 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = numbered.select(
+        "user_id",
+        "event_type",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_id"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.expr(
+            "CAST(1000000 * CAST(SUM(converted) AS BIGINT) div COUNT(*) AS BIGINT)"
+        ).alias("conversion_e6"),
+        F.expr(
+            "CAST(1000000 * CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+            " AS BIGINT) div COUNT(*) AS BIGINT)"
+        ).alias("bounce_e6"),
+    )
