@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Regenerates docs/QUERY_CATALOG.md from the declared query registry.
+
+Run from the repo root: python scripts/gen_catalog.py
+"""
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from gpq_spark.entry_queries import QUERIES  # noqa: E402
+
+GROUPS = [
+    ("TPC-H relational shapes",
+     r"^q([0-9]|_agg|_pivot|_rollup|_cube|_grouping|_semi|_setops|_full_outer"
+     r"|_string|_conditional|_unpivot|_percentiles|_running|_rank|_histogram"
+     r"|_topk|_division)"),
+    ("Windows, sessions, time series",
+     r"^q_(sessionize|session_window|session_quality|tumble|asof|lag|latest"
+     r"|range_join|rolling|gapfill|events_json)"),
+    ("Event analytics",
+     r"^q_(funnel|retention|anomaly|event_transitions|time_to|attribution"
+     r"|ab_test|trend|crosstab|drift|basket|incremental|table_checksum"
+     r"|pagerank)"),
+    ("Deduplication & decontamination", r"^(dedup_|decontam)"),
+    ("Similarity search & embeddings", r"^(ann_|ivf_|embed_)"),
+    ("Text analysis & corpus ops", r"^(text_|rank_|sample_|pack_|profile_|skew_)"),
+    ("Sketches", r"^q_(sketch|bloom)"),
+    ("Geospatial", r"^geo_"),
+    ("Structured Streaming", r"^stream_"),
+    ("Validation & multimodal", r"^(validate_|multimodal_)"),
+]
+
+
+def main() -> None:
+    lines = [
+        "# Gate-query catalog",
+        "",
+        "One row per declared query (regenerate: python scripts/gen_catalog.py",
+        "— name + first docstring sentence; every query has an exact DuckDB",
+        "oracle and is swept at sf0.01 under a non-UTC session timezone).",
+        "",
+    ]
+    used: set[str] = set()
+    for title, pat in GROUPS:
+        rows = [q for q in QUERIES if re.match(pat, q.name) and q.name not in used]
+        if not rows:
+            continue
+        used.update(q.name for q in rows)
+        lines.append(f"## {title} ({len(rows)})")
+        lines.append("")
+        for q in sorted(rows, key=lambda x: x.name):
+            doc = " ".join((q.spark_fn.__doc__ or "").strip().split("\n\n")[0].split())
+            first = doc.split(". ")[0].rstrip(".") + "." if doc else ""
+            if len(first) > 180:
+                first = first[:177] + "..."
+            lines.append(f"- **{q.name}** — {first}")
+        lines.append("")
+    rest = [q.name for q in QUERIES if q.name not in used]
+    if rest:
+        raise SystemExit(f"uncategorized queries (add a group): {rest}")
+    lines.append(f"Total: {len(QUERIES)} queries, {len(QUERIES)} oracles.")
+    Path("docs/QUERY_CATALOG.md").write_text("\n".join(lines) + "\n")
+    print(f"wrote docs/QUERY_CATALOG.md ({len(QUERIES)} queries)")
+
+
+if __name__ == "__main__":
+    main()
