@@ -372,3 +372,120 @@ def test_transitions_match_python(spark, events):
         k: (n, 1_000_000 * n // margins[k[0]]) for k, n in counts.items()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=10**7),
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_attribution_matches_python(spark, events):
+    import datetime as dt
+    import os
+    import tempfile
+    from collections import Counter
+
+    from gpq_spark.entry_queries import q_attribution_last_touch
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(microseconds=off), u, et, 0.0, "{}")
+        for i, (u, off, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["attributed_channel"]: r["n_purchases"]
+            for r in q_attribution_last_touch(spark, d).collect()
+        }
+
+    per_user: dict[int, list] = {}
+    for i, (u, off, et) in enumerate(events):
+        per_user.setdefault(u, []).append((off, i, et))
+    want: Counter = Counter()
+    for evs in per_user.values():
+        evs.sort()
+        last = None
+        for _, _, et in evs:
+            if et == "purchase":
+                want[last if last is not None else "(none)"] += 1
+            else:
+                last = et
+    assert got == dict(want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # user
+            st.integers(min_value=0, max_value=40),  # hour
+            st.integers(min_value=-500, max_value=500),  # value*100
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_anomaly_zscore_matches_python(spark, events):
+    import datetime as dt
+    import os
+    import tempfile
+
+    from gpq_spark.entry_queries import q_anomaly_zscore
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(hours=h, minutes=i % 60),
+            u,
+            "view",
+            c / 100.0,
+            "{}",
+        )
+        for i, (u, h, c) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["user_id"], r["hour_s"]): (r["v"], r["n"], r["is_anomaly"])
+            for r in q_anomaly_zscore(spark, d).collect()
+        }
+
+    hourly: dict[tuple, int] = {}
+    for i, (u, h, c) in enumerate(events):
+        hourly[(u, h)] = hourly.get((u, h), 0) + round((c / 100.0) * 100)
+    per_user: dict[int, list] = {}
+    for (u, h), v in hourly.items():
+        per_user.setdefault(u, []).append((h, v))
+    want = {}
+    for u, hv in per_user.items():
+        hv.sort()
+        for idx, (h, v) in enumerate(hv):
+            trail = hv[max(0, idx - 24):idx]
+            n = len(trail)
+            s = sum(x for _, x in trail)
+            q = sum(x * x for _, x in trail)
+            flag = n >= 12 and (n * v - s) ** 2 > 9 * (n * q - s * s)
+            hour_s = (base + dt.timedelta(hours=h)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+            want[(u, hour_s)] = (v, n, flag)
+    assert got == want
