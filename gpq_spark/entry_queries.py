@@ -7193,3 +7193,74 @@ def q_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) div COUNT(*) AS BIGINT)"
         ).alias("bounce_e6"),
     )
+
+
+@register(
+    "q_recommend_copurchase",
+    """
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY 1
+    ), pairs AS (
+        SELECT p1.part AS part_a, p2.part AS part_b
+        FROM baskets,
+             unnest(parts) AS p1(part),
+             unnest(parts) AS p2(part)
+        WHERE p1.part < p2.part
+    ), pc AS (
+        SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), sym AS (
+        SELECT part_a AS item, part_b AS rec, n_ab FROM pc
+        UNION ALL
+        SELECT part_b, part_a, n_ab FROM pc
+    )
+    SELECT item, rec, n_ab, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT item, rec, n_ab,
+               row_number() OVER (PARTITION BY item
+                                  ORDER BY n_ab DESC, rec) AS rn
+        FROM sym
+    ) WHERE rn <= 3
+    """,
+)
+def q_recommend_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequently-bought-together recommendations: each part's top-3
+    co-purchased parts by support count — the product surface the
+    basket-pair mining feeds.
+
+    Scale: the pair table (support-pruned) is symmetrized and ranked
+    per item with a partial top-k — the recommendation table is
+    O(items·k) however large the catalog, and at serving time it is a
+    broadcast or bucketed lookup, never a join against baskets."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("__p")
+    ).select("__p.part_a", "__p.part_b")
+    pc = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter("n_ab >= 2")
+    )
+    sym = pc.select(
+        F.col("part_a").alias("item"), F.col("part_b").alias("rec"), "n_ab"
+    ).unionByName(
+        pc.select(
+            F.col("part_b").alias("item"), F.col("part_a").alias("rec"), "n_ab"
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("n_ab").desc(), "rec")
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter("rank <= 3")
+        .select("item", "rec", "n_ab", "rank")
+    )
