@@ -22,7 +22,7 @@ GROUPS = [
      r"|range_join|rolling|gapfill|events_json)"),
     ("Event analytics",
      r"^q_(funnel|retention|anomaly|event_transitions|time_to|attribution"
-     r"|ab_test|trend|crosstab|drift|basket|incremental|table_checksum"
+     r"|ab_test|trend|crosstab|drift|basket|recommend|incremental|table_checksum"
      r"|pagerank)"),
     ("Deduplication & decontamination", r"^(dedup_|decontam)"),
     ("Similarity search & embeddings", r"^(ann_|ivf_|embed_)"),
