@@ -7264,3 +7264,296 @@ def q_recommend_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rank <= 3")
         .select("item", "rec", "n_ab", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order streaming replays (watermark-buffered operators)
+# ---------------------------------------------------------------------------
+
+
+def _events_ooo_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events table as a DISORDERED multi-batch replay:
+    file 0 = the later half of the time span, file 1 = the earlier half
+    (cross-batch disorder spanning ~15 days), files 2-3 = one far-future
+    sentinel row per user whose only job is to advance the watermark
+    past every real event (two files because the watermark computed at
+    the end of batch N only applies to batch N+1), so the
+    watermark-buffered operators flush every real event. Sentinels sit
+    above the final watermark and are never emitted. Built once per
+    process per sf_dir; mtimes are pinned so the file source replays
+    the files in this exact order."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    src_dir = os.path.join(
+        tempfile.gettempdir(), f"stream_ooo_src_{abs(hash(sf_dir)) % 10 ** 8}"
+    )
+    marker = os.path.join(src_dir, "_READY")
+    if os.path.exists(marker):
+        return src_dir
+
+    ev = load_events(spark, sf_dir)
+    ts_type = dict(ev.dtypes)["ts"]
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+
+    def sentinel(ts_far):
+        cols = []
+        for name, dtype in ev.dtypes:
+            if name == "user_id":
+                cols.append(F.col("user_id"))
+            elif name == "ts":
+                cols.append(F.lit(ts_far).cast(ts_type).alias("ts"))
+            elif name == "event_id":
+                cols.append(F.lit(-1).cast(dtype).alias("event_id"))
+            elif name == "event_type":
+                cols.append(F.lit("view").alias("event_type"))
+            elif name == "value":
+                cols.append(F.lit(0.0).cast(dtype).alias("value"))
+            else:
+                cols.append(F.lit(None).cast(dtype).alias(name))
+        return ev.select("user_id").distinct().select(*cols)
+
+    batches = [
+        ev.filter(F.col("ts") >= F.lit(mid).cast(ts_type)),
+        ev.filter(F.col("ts") < F.lit(mid).cast(ts_type)),
+        sentinel(hi + dt.timedelta(days=80)),
+        sentinel(hi + dt.timedelta(days=81)),
+    ]
+    os.makedirs(src_dir, exist_ok=True)
+    for i, df in enumerate(batches):
+        tmp = os.path.join(src_dir, f"_t{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = os.path.join(src_dir, f"{i:02d}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+    open(marker, "w").close()
+    return src_dir
+
+
+# watermark delay for the disordered replay: must exceed the ~30-day
+# disorder span so the earlier-half events are not dropped as late, and
+# the sentinels (+80 days) must clear it so the final watermark passes
+# every real event. 35 days satisfies both.
+_OOO_DELAY = "840 hours"
+
+
+def _events_ooo_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .streaming.windows import stream_events
+
+    src_dir = _events_ooo_dir(spark, sf_dir)
+    raw_schema = spark.read.parquet(os.path.join(src_dir, "00.parquet")).schema
+    return stream_events(
+        spark, src_dir, raw_schema, options={"maxFilesPerTrigger": "1"}
+    )
+
+
+@register(
+    "stream_transitions_ooo",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    )
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def stream_transitions_ooo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transition matrix maintained by the ORDER-TOLERANT streaming
+    operator over a genuinely disordered replay: the later half of the
+    30-day event history arrives a whole micro-batch BEFORE the earlier
+    half, events buffer in state until the watermark passes them, and
+    the drained pairs still aggregate to exactly the batch lead()-window
+    matrix — the correctness property the strict-order operator only
+    has under ordered arrival.
+
+    Scale: state per key is bounded by one watermark-delay of events;
+    flushes are incremental (each batch emits only newly-passed
+    events), so state drains as the watermark advances."""
+    from .streaming.windows import stream_transitions_ooo
+
+    stream = _events_ooo_file_stream(spark, sf_dir)
+    out = stream_transitions_ooo(stream, watermark_delay=_OOO_DELAY)
+    drained = _drain_to_table(out, "stream_trans_ooo", "append")
+    return drained.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@register(
+    "stream_funnel_ooo",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT user_id, CAST(1 AS BIGINT) AS step,
+           strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM v
+    UNION ALL
+    SELECT user_id, CAST(2 AS BIGINT), strftime(t2, '%Y-%m-%d %H:%M:%S.%f')
+    FROM c
+    UNION ALL
+    SELECT user_id, CAST(3 AS BIGINT), strftime(t3, '%Y-%m-%d %H:%M:%S.%f')
+    FROM p
+    """,
+)
+def stream_funnel_ooo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel progression under the disordered replay: even with the
+    later half of history arriving first, the buffered operator emits
+    the true (first view, first later click, first later purchase)
+    timestamps — identical to the batch funnel. A strict-order operator
+    replaying the same files would anchor funnels at the wrong events."""
+    from .streaming.windows import stream_funnel_ooo
+
+    stream = _events_ooo_file_stream(spark, sf_dir)
+    out = stream_funnel_ooo(stream, watermark_delay=_OOO_DELAY)
+    drained = _drain_to_table(out, "stream_funnel_ooo", "append")
+    return drained.select(
+        "user_id",
+        F.col("step").cast("long").alias("step"),
+        F.date_format(
+            F.expr("convert_timezone('UTC', ts)"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("ts_s"),
+    )
+
+
+@register(
+    "stream_attribution_ooo",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+                   AS touch
+        FROM events
+    ), attr AS (
+        SELECT user_id, event_type,
+               last_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS attributed
+        FROM marked
+    )
+    SELECT COALESCE(attributed, '(none)') AS attributed_channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM attr WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def stream_attribution_ooo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution under the disordered replay: purchases
+    and the touches that precede them arrive in different micro-batches
+    in the wrong order; the buffered operator still credits each
+    purchase's true most-recent prior touch, matching the batch
+    last_value() formulation exactly."""
+    from .streaming.windows import stream_attribution_ooo
+
+    stream = _events_ooo_file_stream(spark, sf_dir)
+    out = stream_attribution_ooo(stream, watermark_delay=_OOO_DELAY)
+    drained = _drain_to_table(out, "stream_attr_ooo", "append")
+    return drained.groupBy(
+        F.col("attributed").alias("attributed_channel")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+
+
+@register(
+    "stream_retention_ooo",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ), c AS (
+        SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_d
+        FROM ud
+    )
+    SELECT strftime(DATE '1970-01-01' + INTERVAL (cohort_d) DAY,
+                    '%Y-%m-%d') AS cohort_day,
+           CAST(d - cohort_d AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM c GROUP BY 1, 2
+    """,
+)
+def stream_retention_ooo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention triangle under the disordered replay: a user's
+    LATER active days arrive before their first day, so the operator
+    must hold the cohort open until the watermark proves no earlier day
+    can arrive — then the drained transitions aggregate to exactly the
+    batch triangle. A strict-order operator would anchor cohorts at the
+    wrong (later) day for every user."""
+    from .streaming.windows import stream_retention_ooo
+
+    stream = _events_ooo_file_stream(spark, sf_dir)
+    out = stream_retention_ooo(stream, watermark_delay=_OOO_DELAY)
+    drained = _drain_to_table(out, "stream_ret_ooo", "append")
+    return drained.groupBy(
+        F.date_format(
+            F.date_add(
+                F.to_date(F.lit("1970-01-01")), F.col("cohort_day").cast("int")
+            ),
+            "yyyy-MM-dd",
+        ).alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@register(
+    "stream_anomaly_ooo",
+    f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT user_id, h, v,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(v) OVER w AS BIGINT) AS s,
+               CAST(SUM(v * v) OVER w AS BIGINT) AS q
+        FROM hourly
+        WINDOW w AS (PARTITION BY user_id ORDER BY h
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s, v, n,
+           (n >= 12 AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s))
+               AS is_anomaly
+    FROM stats
+    """,
+)
+def stream_anomaly_ooo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly scoring under the disordered replay: hourly sums buffer
+    until the watermark completes their hour, then score in true hour
+    order. Because completeness comes from the watermark rather than
+    from a later hour's arrival, this variant also scores each user's
+    chronologically LAST hour — so the oracle is the full batch scoring
+    with no final-hour exclusion (compare stream_anomaly_zscore)."""
+    from .streaming.windows import stream_anomaly_ooo
+
+    stream = _events_ooo_file_stream(spark, sf_dir)
+    out = stream_anomaly_ooo(stream, watermark_delay=_OOO_DELAY)
+    drained = _drain_to_table(out, "stream_anom_ooo", "append")
+    return drained.select(
+        "user_id",
+        F.date_format(
+            F.expr("convert_timezone('UTC', hour_ts)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_s"),
+        "v",
+        "n",
+        "is_anomaly",
+    )

@@ -1126,3 +1126,357 @@ def stream_gapfill_locf_ooo(
         F.timestamp_micros("hour_us").alias("hour_ts"),
         "v_filled",
     )
+
+
+# -- out-of-order tolerant funnel (watermark-buffered) -----------------------
+
+FUNNEL_OOO_STATE_SCHEMA = (
+    "pend_ts array<long>, pend_id array<long>, pend_type array<string>,"
+    " t1 long, t2 long, t3 long"
+)
+
+
+def _funnel_ooo_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Out-of-order tolerant funnel: events buffer in state until the
+    watermark passes them, then run through the strict funnel logic in
+    (ts, event_id) order — so per-key arrival order across micro-batches
+    never changes which (step, ts) rows are emitted. Events at or above
+    the watermark stay buffered for a later batch."""
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    if state.exists:
+        p_ts, p_id, p_ty, t1, t2, t3 = state.get
+        pend = [(int(t), int(i), str(e)) for t, i, e in zip(p_ts, p_id, p_ty)]
+    else:
+        pend, t1, t2, t3 = [], None, None, None
+
+    for pdf in pdfs:
+        pend.extend(
+            (int(t), int(i), str(e))
+            for t, i, e in zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"])
+        )
+
+    ready = sorted((r for r in pend if r[0] < wm_us), key=lambda r: (r[0], r[1]))
+    pend = [r for r in pend if r[0] >= wm_us]
+
+    out_steps: list[int] = []
+    out_ts: list[int] = []
+    for ts_us, _eid, etype in ready:
+        if t1 is None:
+            if etype == _FUNNEL_STEPS[0]:
+                t1 = ts_us
+                out_steps.append(1)
+                out_ts.append(ts_us)
+        elif t2 is None:
+            if etype == _FUNNEL_STEPS[1] and ts_us > t1:
+                t2 = ts_us
+                out_steps.append(2)
+                out_ts.append(ts_us)
+        elif t3 is None:
+            if etype == _FUNNEL_STEPS[2] and ts_us > t2:
+                t3 = ts_us
+                out_steps.append(3)
+                out_ts.append(ts_us)
+
+    state.update(
+        (
+            [r[0] for r in pend],
+            [r[1] for r in pend],
+            [r[2] for r in pend],
+            t1,
+            t2,
+            t3,
+        )
+    )
+    if out_steps:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_steps),
+                "step": out_steps,
+                "ts_us": out_ts,
+            }
+        )
+
+
+def stream_funnel_ooo(
+    stream: DataFrame, watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Order-tolerant variant of ``stream_funnel`` (see
+    ``_funnel_ooo_fn``): correct under ANY per-key arrival order within
+    the watermark delay; buffers up to one delay of events per key and
+    emits only once the watermark passes them, so a single-batch bounded
+    replay emits nothing — use the strict-order variant for ordered
+    logs."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_ooo_fn,
+            outputStructType=FUNNEL_RAW_SCHEMA,
+            stateStructType=FUNNEL_OOO_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return raw.select(
+        "user_id", "step", F.timestamp_micros("ts_us").alias("ts")
+    )
+
+
+# -- out-of-order tolerant last-touch attribution ----------------------------
+
+ATTRIB_OOO_STATE_SCHEMA = (
+    "pend_ts array<long>, pend_id array<long>, pend_type array<string>,"
+    " last_touch string"
+)
+
+
+def _attribution_ooo_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Out-of-order tolerant last-touch attribution: buffer until the
+    watermark passes, then credit purchases in true (ts, event_id)
+    order — a late-arriving touch that precedes a buffered purchase is
+    credited correctly, which the strict-order operator cannot do."""
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    if state.exists:
+        p_ts, p_id, p_ty, last_touch = state.get
+        pend = [(int(t), int(i), str(e)) for t, i, e in zip(p_ts, p_id, p_ty)]
+    else:
+        pend, last_touch = [], None
+
+    for pdf in pdfs:
+        pend.extend(
+            (int(t), int(i), str(e))
+            for t, i, e in zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"])
+        )
+
+    ready = sorted((r for r in pend if r[0] < wm_us), key=lambda r: (r[0], r[1]))
+    pend = [r for r in pend if r[0] >= wm_us]
+
+    out: list[str] = []
+    for _ts, _eid, etype in ready:
+        if etype == "purchase":
+            out.append(last_touch if last_touch is not None else "(none)")
+        else:
+            last_touch = etype
+
+    state.update(
+        (
+            [r[0] for r in pend],
+            [r[1] for r in pend],
+            [r[2] for r in pend],
+            last_touch,
+        )
+    )
+    if out:
+        yield pd.DataFrame({"user_id": [key[0]] * len(out), "attributed": out})
+
+
+def stream_attribution_ooo(
+    stream: DataFrame, watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Order-tolerant variant of ``stream_attribution`` (see
+    ``_attribution_ooo_fn``)."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    return (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _attribution_ooo_fn,
+            outputStructType=ATTRIB_RAW_SCHEMA,
+            stateStructType=ATTRIB_OOO_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# -- out-of-order tolerant retention transitions -----------------------------
+
+RETENTION_OOO_STATE_SCHEMA = (
+    "pend_day array<long>, cohort_day long, seen array<long>"
+)
+
+
+def _retention_ooo_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Out-of-order tolerant retention: active days buffer in state
+    until the cohort day is FINAL — the watermark has passed the
+    earliest pending day's start, at which point no earlier event can
+    ever arrive (anything below the watermark is dropped by the
+    engine). Once the cohort is committed, any pending or new day below
+    the watermark emits its offset immediately (offsets depend only on
+    the cohort; re-emission is suppressed by the seen-set exactly as in
+    the strict operator)."""
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    if state.exists:
+        p_d, cohort, seen = state.get
+        pendd = set(int(d) for d in p_d)
+        seen = set(int(x) for x in seen)
+    else:
+        pendd, cohort, seen = set(), None, set()
+
+    for pdf in pdfs:
+        for ts_us in pdf["ts_us"]:
+            pendd.add(int(ts_us) - int(ts_us) % _DAY_US)
+
+    if cohort is None and pendd and wm_us > min(pendd):
+        cohort = min(pendd)
+
+    out: list[int] = []
+    if cohort is not None:
+        for d in sorted(d for d in pendd if d < wm_us):
+            pendd.discard(d)
+            off = (d - cohort) // _DAY_US
+            if off not in seen:
+                out.append(off)
+                if off <= _RETENTION_HORIZON:
+                    seen.add(off)
+
+    state.update((sorted(pendd), cohort, sorted(seen)))
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "cohort_day": [cohort // _DAY_US] * len(out),
+                "day_offset": out,
+            }
+        )
+
+
+def stream_retention_ooo(
+    stream: DataFrame, watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Order-tolerant variant of ``stream_retention`` (see
+    ``_retention_ooo_fn``)."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    return (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _retention_ooo_fn,
+            outputStructType=RETENTION_RAW_SCHEMA,
+            stateStructType=RETENTION_OOO_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# -- out-of-order tolerant anomaly scoring -----------------------------------
+
+ANOMALY_OOO_STATE_SCHEMA = (
+    "pend_hour array<long>, pend_v array<long>, hist array<long>"
+)
+
+
+def _anomaly_ooo_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Out-of-order tolerant anomaly scoring: hourly sums buffer in
+    state until the watermark passes the END of their hour (only then
+    is the sum complete), then score in hour order against the trailing
+    ring buffer. Unlike the strict-order operator — which finalizes an
+    hour only when a LATER hour arrives and so can never score a user's
+    chronologically last hour — this variant scores every hour the
+    watermark completes, including the last one."""
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    if state.exists:
+        p_h, p_v, hist = state.get
+        pending = dict(zip((int(h) for h in p_h), (int(v) for v in p_v)))
+        hist = [int(x) for x in hist]
+    else:
+        pending, hist = {}, []
+
+    for pdf in pdfs:
+        for ts_us, cents in zip(pdf["ts_us"], pdf["cents"]):
+            if pd.isna(cents):  # null value rows don't contribute (SUM law)
+                continue
+            h = int(ts_us) - int(ts_us) % _HOUR_US
+            pending[h] = pending.get(h, 0) + int(cents)
+
+    ready = sorted(h for h in pending if h + _HOUR_US <= wm_us)
+
+    out = {"hour_us": [], "v": [], "n": [], "flag": []}
+    for h in ready:
+        v = pending.pop(h)
+        n, flag = _score(v, hist)
+        out["hour_us"].append(h)
+        out["v"].append(v)
+        out["n"].append(n)
+        out["flag"].append(flag)
+        hist.append(v)
+        if len(hist) > _ANOMALY_WINDOW:
+            hist = hist[-_ANOMALY_WINDOW:]
+
+    keys_sorted = sorted(pending)
+    state.update(
+        (keys_sorted, [pending[k] for k in keys_sorted], hist)
+    )
+    if out["hour_us"]:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out["hour_us"]),
+                "hour_us": out["hour_us"],
+                "v": out["v"],
+                "n": out["n"],
+                "is_anomaly": out["flag"],
+            }
+        )
+
+
+def stream_anomaly_ooo(
+    stream: DataFrame,
+    value_col: str = "value",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Order-tolerant variant of ``stream_anomaly_zscore`` (see
+    ``_anomaly_ooo_fn``). Output: user_id, hour_ts, v, n, is_anomaly."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _anomaly_ooo_fn,
+            outputStructType=ANOMALY_RAW_SCHEMA,
+            stateStructType=ANOMALY_OOO_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return raw.select(
+        "user_id",
+        F.timestamp_micros("hour_us").alias("hour_ts"),
+        "v",
+        "n",
+        "is_anomaly",
+    )

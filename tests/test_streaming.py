@@ -970,3 +970,211 @@ class TestStreamGapfillOutOfOrder:
             (5, 600), (6, 700), (7, 800),
         }
         assert got == want
+
+
+def _write_ooo_files(spark, d, batches, schema=None):
+    """Write one parquet file per batch under ``d`` with increasing
+    mtimes so the file source replays them in the given order; returns
+    the source schema."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    schema = schema or (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(batches):
+        tmpdir = str(d / f"_t{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmpdir)
+        part = glob.glob(f"{tmpdir}/part-*.parquet")[0]
+        dest = str(d / f"{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmpdir)
+        os.utime(dest, (time.time() + i, time.time() + i))
+    return spark.read.parquet(str(d / "0.parquet")).schema
+
+
+def _drain_ooo(spark, out, prefix):
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+class TestStreamFunnelOutOfOrder:
+    def test_disorder_yields_true_first_steps(self, spark, tmp_path):
+        """The purchase and click arrive in an EARLIER batch than the
+        views that precede them in event time; the buffered variant
+        must still emit the true (first view, first later click, first
+        later purchase) chain."""
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_funnel_ooo
+
+        base = dt.datetime(2024, 3, 1)
+
+        def ev(h, etype):
+            return (h, base + dt.timedelta(hours=h), 1, etype, 0.0, "{}")
+
+        # true time order: view@0 click@1 view@2 purchase@3
+        batches = [
+            [ev(1, "click"), ev(3, "purchase")],
+            [ev(0, "view"), ev(2, "view")],
+            [ev(40, "view")],
+            [ev(41, "view")],
+        ]
+        d = tmp_path / "ooo_funnel"
+        src_schema = _write_ooo_files(spark, d, batches)
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_funnel_ooo(stream, watermark_delay="12 hours")
+        got = sorted(
+            (r["step"], r["ts"].hour)
+            for r in _drain_ooo(spark, out, "fun_ooo").collect()
+        )
+        # strict-order processing of the ARRIVAL order would claim the
+        # click@1 cannot follow a view (none seen yet) and wrongly pick
+        # a later chain; the true chain is view@0 -> click@1 -> purchase@3
+        assert got == [(1, 0), (2, 1), (3, 3)]
+
+
+class TestStreamAttributionOutOfOrder:
+    def test_late_touch_credits_buffered_purchase(self, spark, tmp_path):
+        """A click that precedes the purchase in event time arrives one
+        batch AFTER it; the buffered variant credits the click, where
+        the strict-order operator would credit the stale earlier view."""
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_attribution_ooo
+
+        base = dt.datetime(2024, 3, 1)
+
+        def ev(h, etype):
+            return (h, base + dt.timedelta(hours=h), 1, etype, 0.0, "{}")
+
+        # true time order: view@0 click@2 purchase@3 purchase@5
+        batches = [
+            [ev(0, "view"), ev(3, "purchase")],
+            [ev(2, "click"), ev(5, "purchase")],
+            [ev(40, "view")],
+            [ev(41, "view")],
+        ]
+        d = tmp_path / "ooo_attr"
+        src_schema = _write_ooo_files(spark, d, batches)
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_attribution_ooo(stream, watermark_delay="12 hours")
+        got = sorted(
+            r["attributed"]
+            for r in _drain_ooo(spark, out, "attr_ooo").collect()
+        )
+        assert got == ["click", "click"]
+
+
+class TestStreamRetentionOutOfOrder:
+    def test_cohort_waits_for_watermark(self, spark, tmp_path):
+        """Day 3 arrives before day 0; the buffered variant must anchor
+        the cohort at day 0 (the true first day) and emit offsets 0, 3,
+        5 — the strict-order operator would wrongly anchor at day 3."""
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_retention_ooo
+
+        base = dt.datetime(2024, 3, 1)
+
+        def ev(day, hour=5):
+            return (
+                day,
+                base + dt.timedelta(days=day, hours=hour),
+                1,
+                "view",
+                0.0,
+                "{}",
+            )
+
+        batches = [
+            [ev(3)],
+            [ev(0), ev(5)],
+            [ev(40)],
+            [ev(41)],
+        ]
+        d = tmp_path / "ooo_ret"
+        src_schema = _write_ooo_files(spark, d, batches)
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_retention_ooo(stream, watermark_delay="96 hours")
+        rows = _drain_ooo(spark, out, "ret_ooo").collect()
+        cohorts = {r["cohort_day"] for r in rows}
+        offsets = sorted(r["day_offset"] for r in rows)
+        base_day = int(base.timestamp()) // 86400
+        assert cohorts == {base_day}
+        assert offsets == [0, 3, 5]
+
+
+class TestStreamAnomalyOutOfOrder:
+    def test_hours_score_in_true_order(self, spark, tmp_path):
+        """Hours 12-23 arrive before hours 0-11; once the watermark
+        completes them the scored output must equal a single ordered
+        replay — including the chronologically last hour, which the
+        strict-order operator can never score."""
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_anomaly_ooo
+        from gpq_spark.streaming.windows import _ANOMALY_MIN_N, _score
+
+        base = dt.datetime(2024, 3, 1)
+
+        def ev(h, cents):
+            return (
+                h,
+                base + dt.timedelta(hours=h, minutes=30),
+                1,
+                "view",
+                cents / 100.0,
+                "{}",
+            )
+
+        vals = [100] * 23 + [5000]  # flat day with a spike in the last hour
+        batches = [
+            [ev(h, vals[h]) for h in range(12, 24)],
+            [ev(h, vals[h]) for h in range(0, 12)],
+            [ev(60, 1)],
+            [ev(61, 1)],
+        ]
+        d = tmp_path / "ooo_anom"
+        src_schema = _write_ooo_files(spark, d, batches)
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_anomaly_ooo(stream, watermark_delay="30 hours")
+        rows = _drain_ooo(spark, out, "anom_ooo").collect()
+        got = {
+            r["hour_ts"].hour: (r["v"], r["n"], r["is_anomaly"]) for r in rows
+        }
+        # replay the same integers through the scoring spec in order
+        hist: list = []
+        want = {}
+        for h, v in enumerate(vals):
+            n, flag = _score(v, hist)
+            want[h] = (v, n, flag)
+            hist.append(v)
+        assert got == want
+        # the spike hour was both scored (unlike the strict operator's
+        # never-finalized last hour) and flagged
+        assert got[23][2] is True
