@@ -7557,3 +7557,123 @@ def stream_anomaly_ooo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "is_anomaly",
     )
+
+
+@register(
+    "text_pair_cosine",
+    f"""
+    WITH tf AS ({_TF_DUCK}),
+    norms AS (
+        SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS norm2
+        FROM tf GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, dot,
+           CAST(1000000 * dot * dot // (na.norm2 * nb.norm2) AS BIGINT)
+               AS cos2_e6
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE 1000000 * dot * dot // (na.norm2 * nb.norm2) >= 600000
+    """,
+)
+def text_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with term-count cosine² ≥ 0.6, via a POSTINGS
+    JOIN over the inverted index — the sparse-similarity formulation
+    whose cost follows posting-list sizes instead of |docs|² (the dense
+    alternative the embedding ANN family already covers). Similarity is
+    the exact-integer cos2_e6 = 1e6·dot² div (‖a‖²·‖b‖²) — a monotone
+    transform of cosine² with no float reduction anywhere.
+
+    Scale: see pipeline.ranking.pairwise_doc_similarity — one postings
+    shuffle on term (exchange-reused for both join sides), one pair
+    aggregation; the max_df lever caps stopword-level terms that would
+    make the join quadratic (unused here: the gate corpus has a 31-term
+    vocabulary, so pruning would empty it)."""
+    from .pipeline.ranking import pairwise_doc_similarity
+
+    docs = load(spark, sf_dir, "documents")
+    return pairwise_doc_similarity(
+        docs, "doc_id", "text", min_cos2_e6=600000
+    )
+
+
+@register(
+    "q_triangle_suppliers",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    shared AS (
+        SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(shared) AS BIGINT) AS sum_shared
+        FROM shared
+    ),
+    e AS (
+        SELECT u, v FROM shared CROSS JOIN tot
+        WHERE shared * n_pairs >= sum_shared
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node AS supp, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM nodes GROUP BY 1
+    """,
+)
+def q_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts in the co-sourcing graph: suppliers
+    are adjacent when they ship at-least-mean-many common distinct
+    parts (an exact integer threshold — shared·|pairs| ≥ Σshared — so
+    both engines draw the same graph at every scale), and each node's
+    triangle count measures how clustered its sourcing neighborhood is
+    (the local clustering numerator, the canonical community-structure
+    signal).
+
+    Scale: pipeline.graph.triangle_counts uses the degree-ordered
+    orientation, so wedge fan-out is bounded by oriented out-degree
+    (O(√m) for any graph) — hub nodes don't blow up the self-join the
+    way the naive a<b<c enumeration the ORACLE uses would; the oracle
+    shape is fine at oracle scale and orientation-invariant, which is
+    the cross-check."""
+    from .pipeline.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    e = (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v")
+    )
+    return triangle_counts(e, "u", "v").select(
+        F.col("node").alias("supp"), "n_tri"
+    )

@@ -29,7 +29,12 @@ from .dedup import (
 from .decontam import decontaminate, ngram_overlap_counts
 from .sampling import hash_sample, hash_split, stratified_sample_exact, weighted_sample
 from .packing import pack_concat_chunks, pack_greedy
-from .ranking import bm25_scores, term_frequencies, tfidf_scores
+from .ranking import (
+    bm25_scores,
+    pairwise_doc_similarity,
+    term_frequencies,
+    tfidf_scores,
+)
 from .similarity import (
     brute_force_topk,
     brute_force_topk_arrow,
@@ -58,7 +63,7 @@ from .text import (
     scrub_pii,
 )
 from .export import read_jsonl_shards, shard_id, write_jsonl_shards
-from .graph import pagerank
+from .graph import pagerank, triangle_counts
 from .sketch import bloom_build, bloom_merge, bloom_probe
 from .text import ENTROPY_LUT, ENTROPY_WINDOW, with_char_entropy
 from .multimodal import (
@@ -87,6 +92,7 @@ __all__ = [
     "bm25_scores",
     "term_frequencies",
     "tfidf_scores",
+    "pairwise_doc_similarity",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash_signatures",
@@ -118,6 +124,7 @@ __all__ = [
     "bloom_probe",
     "bloom_merge",
     "pagerank",
+    "triangle_counts",
     "write_jsonl_shards",
     "read_jsonl_shards",
     "shard_id",

@@ -126,3 +126,80 @@ def bm25_scores(
         matched.groupBy(id_col)
         .agg(F.round(F.sum(contrib), round_digits).alias("score"))
     )
+
+
+def pairwise_doc_similarity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_cos2_e6: int = 0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Sparse pairwise document cosine similarity via a POSTINGS JOIN —
+    the inverted-index formulation: documents meet only on terms they
+    share, so the work is proportional to the posting-list sizes, not
+    to |docs|² (the dense-pairs formulation that cannot scale).
+
+    Exact-integer output per unordered pair (id_a < id_b):
+    ``dot`` = Σ tf_a·tf_b over shared terms, and
+    ``cos2_e6`` = 1e6·dot² div (‖a‖²·‖b‖²) — a monotone transform of
+    cosine² that stays in BIGINT arithmetic end-to-end (floats would
+    make the result reduction-order dependent).
+
+    Scale levers:
+    - ``max_df``: drop terms appearing in more than ``max_df`` documents
+      before the join. High-df terms are what makes a postings join
+      quadratic (a term in k docs yields k² candidate pairs); stopword-
+      level terms carry almost no cosine signal, so production pipelines
+      always cap them. Exact results for the kept vocabulary.
+    - ``min_cos2_e6``: post-aggregation similarity floor, applied before
+      the norm join output is materialized.
+
+    The self-join shuffles the postings table once on ``term``; both
+    sides are the SAME aggregated frame, so Spark reuses the shuffle
+    (exchange reuse), and the pair aggregation shuffles on the (id_a,
+    id_b) key. Norms join is a narrow key join left to AQE.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    if max_df is not None:
+        keep = (
+            doc_frequencies(tf, id_col)
+            .filter(F.col("df") <= max_df)
+            .select("term")
+        )
+        tf = tf.join(keep, "term")
+    # no persist: the tf subplan is IDENTICAL under all three consumers
+    # (a, b, norms), so Spark's ReuseExchange computes the postings
+    # aggregation once and reuses the shuffle output — verified
+    # ReusedExchange in the executed plan (cache would cost memory and
+    # leak past this call for the same effect)
+    a = tf.select(
+        F.col(id_col).alias("id_a"), "term", F.col("tf").alias("tf_a")
+    )
+    b = tf.select(
+        F.col(id_col).alias("id_b"), "term", F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("long").alias("dot"))
+    )
+    norms = tf.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm2")
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("norm2").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm2").alias("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            F.expr("CAST(1000000 * dot * dot div (__na * __nb) AS BIGINT)").alias(
+                "cos2_e6"
+            ),
+        )
+        .filter(F.col("cos2_e6") >= F.lit(int(min_cos2_e6)))
+    )

@@ -1637,3 +1637,108 @@ class TestOperatorErrorPaths:
         df = spark.createDataFrame([("abc",)], "text string")
         with _pytest.raises(ValueError, match="window"):
             with_char_entropy(df, window=100000)
+
+
+class TestTriangleCounts:
+    def test_known_graph(self, spark):
+        """Graph: triangle (1,2,3) + triangle (2,3,4) sharing edge
+        (2,3), plus a pendant node 5. Per-node counts: 1→1, 2→2, 3→2,
+        4→1; node 5 closes no triangle so it is absent."""
+        from gpq_spark.pipeline.graph import triangle_counts
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (4, 5)],
+            "src long, dst long",
+        )
+        got = {
+            r["node"]: r["n_tri"] for r in triangle_counts(edges).collect()
+        }
+        assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+    def test_duplicate_reversed_and_self_edges_ignored(self, spark):
+        from gpq_spark.pipeline.graph import triangle_counts
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)],
+            "src long, dst long",
+        )
+        got = {
+            r["node"]: r["n_tri"] for r in triangle_counts(edges).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_complete_k5(self, spark):
+        """K5: every node sits in C(4,2) = 6 triangles."""
+        from gpq_spark.pipeline.graph import triangle_counts
+
+        edges = spark.createDataFrame(
+            [(i, j) for i in range(5) for j in range(i + 1, 5)],
+            "src long, dst long",
+        )
+        got = {
+            r["node"]: r["n_tri"] for r in triangle_counts(edges).collect()
+        }
+        assert got == {i: 6 for i in range(5)}
+
+    def test_hub_star_has_no_triangles(self, spark):
+        """A star (hub + 50 leaves) has no triangles; the oriented
+        formulation also enumerates ZERO wedges at the hub because
+        every star edge orients leaf→hub (leaves have lower degree)."""
+        from gpq_spark.pipeline.graph import triangle_counts
+
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 51)], "src long, dst long"
+        )
+        assert triangle_counts(edges).count() == 0
+
+
+class TestPairwiseDocSimilarity:
+    def test_exact_values_tiny_corpus(self, spark):
+        from gpq_spark.pipeline.ranking import pairwise_doc_similarity
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a"),      # {a:2, b:1}  norm2=5
+                (2, "a b"),        # {a:1, b:1}  norm2=2
+                (3, "c c c"),      # {c:3}       norm2=9
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): (r["dot"], r["cos2_e6"])
+            for r in pairwise_doc_similarity(docs, "doc_id", "text").collect()
+        }
+        # pair (1,2): dot=2*1+1*1=3, cos2_e6 = 1e6*9 // (5*2) = 900000
+        assert got == {(1, 2): (3, 900000)}
+
+    def test_min_cos2_floor(self, spark):
+        from gpq_spark.pipeline.ranking import pairwise_doc_similarity
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a c"), (3, "a b")],
+            "doc_id long, text string",
+        )
+        # (1,3) identical → 1e6; (1,2)/(2,3) share only 'a' → 250000
+        got = pairwise_doc_similarity(
+            docs, "doc_id", "text", min_cos2_e6=500000
+        ).collect()
+        assert [(r["id_a"], r["id_b"], r["cos2_e6"]) for r in got] == [
+            (1, 3, 1000000)
+        ]
+
+    def test_max_df_prunes_stopword_terms(self, spark):
+        from gpq_spark.pipeline.ranking import pairwise_doc_similarity
+
+        docs = spark.createDataFrame(
+            [(1, "the x"), (2, "the y"), (3, "the x")],
+            "doc_id long, text string",
+        )
+        # 'the' is in all 3 docs; with max_df=2 only x/y survive, so
+        # the sole surviving pair is the x-sharing (1,3)
+        got = {
+            (r["id_a"], r["id_b"]): r["cos2_e6"]
+            for r in pairwise_doc_similarity(
+                docs, "doc_id", "text", max_df=2
+            ).collect()
+        }
+        assert got == {(1, 3): 1000000}
