@@ -7677,3 +7677,50 @@ def q_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(e, "u", "v").select(
         F.col("node").alias("supp"), "n_tri"
     )
+
+
+@register(
+    "stream_topk_users",
+    """
+    WITH c AS (
+        SELECT CAST(user_id AS VARCHAR) AS item,
+               CAST(COUNT(*) AS BIGINT) AS est
+        FROM events GROUP BY 1
+    )
+    SELECT item, est, CAST(0 AS BIGINT) AS err,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT item, est,
+               row_number() OVER (ORDER BY est DESC, item ASC) AS rn
+        FROM c
+    ) WHERE rn <= 20
+    """,
+)
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-20 heaviest users via sharded space-saving: items
+    hash-shard so each item's occurrences meet one summary, each shard
+    keeps a ≤256-entry deterministic space-saving sketch, and the
+    merged top-k is a plain union of the per-shard summaries (disjoint
+    key spaces — no sketch merge). At gate scale capacity exceeds the
+    per-shard key count, so the summary is provably EXACT (err = 0,
+    est = true count) and the oracle is the plain batch top-20; the
+    eviction/error regime is covered by property tests replaying the
+    same deterministic update rule at small capacity.
+
+    Scale: state is O(shards · capacity) regardless of stream length or
+    user cardinality — the operator a dashboard needs when exact
+    windowed counts' key space won't fit state."""
+    from .streaming.windows import stream_topk_spacesaving
+
+    stream = _events_file_stream(spark, sf_dir)
+    out = stream_topk_spacesaving(stream, "user_id", capacity=256, n_shards=8)
+    drained = _drain_to_table(out, "stream_topk", "append")
+    last = drained.withColumn(
+        "__mx", F.max("seq").over(Window.partitionBy("shard"))
+    ).filter(F.col("seq") == F.col("__mx"))
+    w = Window.orderBy(F.col("est").desc(), F.col("item").asc())
+    return (
+        last.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("item", "est", "err", "rank")
+    )

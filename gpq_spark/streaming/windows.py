@@ -1480,3 +1480,119 @@ def stream_anomaly_ooo(
         "n",
         "is_anomaly",
     )
+
+
+# -- streaming top-k (sharded space-saving) ----------------------------------
+
+TOPK_RAW_SCHEMA = "shard long, seq long, item string, est long, err long"
+TOPK_STATE_SCHEMA = (
+    "seq long, items array<string>, counts array<long>, errs array<long>"
+)
+
+
+def spacesaving_step(state: dict, item: str, capacity: int) -> None:
+    """One space-saving update on ``state`` (item → [count, err]):
+    tracked items increment; untracked items take a free slot, else
+    evict the minimum-count entry (ties broken by item string — the
+    determinism the classic arrival-order-sensitive sketch lacks) and
+    inherit its count as the new entry's error bound. Invariants:
+    est ≥ true ≥ est − err, and any item with true count > n/capacity
+    is guaranteed tracked."""
+    if item in state:
+        state[item][0] += 1
+    elif len(state) < capacity:
+        state[item] = [1, 0]
+    else:
+        evict_item, (m, _e) = min(
+            state.items(), key=lambda kv: (kv[1][0], kv[0])
+        )
+        del state[evict_item]
+        state[item] = [m + 1, m]
+
+
+def stream_topk_spacesaving(
+    stream: DataFrame,
+    item_col,
+    capacity: int = 256,
+    n_shards: int = 8,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: items hash-shard by
+    value (every occurrence of an item lands in the same shard), each
+    shard maintains a deterministic space-saving summary of at most
+    ``capacity`` entries, and each micro-batch emits the shard's full
+    summary stamped with a batch sequence number (take each shard's
+    max-seq rows and merge top-k across shards — exact-per-shard
+    disjoint key spaces make the merge a plain union, no sketch
+    merge needed).
+
+    Determinism: within a batch rows apply in (ts, event_id) order and
+    eviction ties break on the item string, so a bounded replay yields
+    the same summary regardless of partitioning — the property that
+    makes the op gate-checkable (classic space-saving is arrival-order
+    sensitive). Error law: per shard, est ≥ true ≥ est − err and any
+    item with true count > shard_n/capacity is present; with capacity ≥
+    distinct items per shard the summary IS the exact count table.
+
+    Scale: state is O(n_shards · capacity) total regardless of stream
+    length or key cardinality; per-event work is O(1) dict ops (the
+    eviction min-scan amortizes — it only runs when the summary is
+    full)."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+
+    def _topk_fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            seq, items, counts, errs = state.get
+            summ = {
+                str(i): [int(c), int(e)]
+                for i, c, e in zip(items, counts, errs)
+            }
+        else:
+            seq, summ = 0, {}
+
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["ts_us"], pdf["event_id"], pdf["__item"]))
+        if not rows:
+            return
+        rows.sort(key=lambda r: (int(r[0]), int(r[1])))
+        for _ts, _eid, item in rows:
+            spacesaving_step(summ, str(item), capacity)
+
+        seq += 1
+        its = sorted(summ)
+        state.update(
+            (seq, its, [summ[i][0] for i in its], [summ[i][1] for i in its])
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(its),
+                "seq": [seq] * len(its),
+                "item": its,
+                "est": [summ[i][0] for i in its],
+                "err": [summ[i][1] for i in its],
+            }
+        )
+
+    return (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("__item", F.col(item_col).cast("string"))
+        .withColumn(
+            "__shard", F.pmod(F.xxhash64("__item"), F.lit(n_shards)).cast("long")
+        )
+        .withWatermark("ts", watermark_delay)
+        .groupBy("__shard")
+        .applyInPandasWithState(
+            _topk_fn,
+            outputStructType=TOPK_RAW_SCHEMA,
+            stateStructType=TOPK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -489,3 +489,43 @@ def test_anomaly_zscore_matches_python(spark, events):
             )
             want[(u, hour_s)] = (v, n, flag)
     assert got == want
+
+
+class TestSpaceSavingProperties:
+    def test_bounds_hold_on_random_sequences(self):
+        """Space-saving guarantees on adversarial-ish random replays:
+        est ≥ true ≥ est − err for every tracked item, err ≤ n/capacity,
+        and every item with true count > n/capacity is tracked."""
+        import collections
+        import random
+
+        from gpq_spark.streaming.windows import spacesaving_step
+
+        rng = random.Random(7)
+        for trial in range(25):
+            cap = rng.choice([2, 3, 5, 8])
+            n = rng.randrange(20, 400)
+            zipf = [str(min(int(rng.paretovariate(1.2)), 40)) for _ in range(n)]
+            summ: dict = {}
+            for it in zipf:
+                spacesaving_step(summ, it, cap)
+            true = collections.Counter(zipf)
+            assert len(summ) <= cap
+            for item, (est, err) in summ.items():
+                assert est >= true[item] >= est - err
+                assert err <= n // cap + (1 if n % cap else 0)
+            for item, cnt in true.items():
+                if cnt > n / cap:
+                    assert item in summ, (trial, item, cnt, n, cap)
+
+    def test_deterministic_under_tie_eviction(self):
+        from gpq_spark.streaming.windows import spacesaving_step
+
+        a: dict = {}
+        b: dict = {}
+        seq = ["x", "y", "z", "w", "x", "v", "u"]
+        for it in seq:
+            spacesaving_step(a, it, 2)
+        for it in seq:
+            spacesaving_step(b, it, 2)
+        assert a == b

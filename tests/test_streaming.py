@@ -1178,3 +1178,57 @@ class TestStreamAnomalyOutOfOrder:
         # the spike hour was both scored (unlike the strict operator's
         # never-finalized last hour) and flagged
         assert got[23][2] is True
+
+
+class TestStreamTopkSpacesaving:
+    def test_cross_batch_state_matches_ordered_replay(self, spark, tmp_path):
+        """Two micro-batches with capacity 3 over 5 distinct items per
+        shard (eviction regime): the drained final summaries must equal
+        a pure-Python replay of the same (ts, event_id)-ordered
+        sequence through spacesaving_step."""
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import (
+            spacesaving_step,
+            stream_topk_spacesaving,
+        )
+
+        base = dt.datetime(2024, 3, 1)
+        # one shard (n_shards=1); items a..e with skewed frequencies
+        seq = (["a"] * 6 + ["b"] * 4 + ["c"] * 3 + ["d"] * 2 + ["e"] * 2
+               + ["a"] * 3)
+        rows = [
+            (i, base + dt.timedelta(minutes=i), 1, "view", 0.0, it)
+            for i, it in enumerate(seq)
+        ]
+        batches = [rows[:10], rows[10:]]
+        d = tmp_path / "topk"
+        src_schema = _write_ooo_files(spark, d, batches)
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_topk_spacesaving(
+            stream, "props", capacity=3, n_shards=1, watermark_delay="1 hour"
+        )
+        drained = _drain_ooo(spark, out, "topk")
+        last_seq = max(r["seq"] for r in drained.collect())
+        got = {
+            r["item"]: (r["est"], r["err"])
+            for r in drained.collect()
+            if r["seq"] == last_seq
+        }
+
+        summ: dict = {}
+        for it in seq:
+            spacesaving_step(summ, it, 3)
+        want = {k: tuple(v) for k, v in summ.items()}
+        assert got == want
+        # invariants vs true counts
+        import collections
+
+        true = collections.Counter(seq)
+        for item, (est, err) in got.items():
+            assert est >= true[item] >= est - err
+        # guaranteed heavy hitter: 'a' (9 > 20/3)
+        assert "a" in got
