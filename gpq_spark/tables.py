@@ -12,6 +12,7 @@ fact tables; test_pipeline_ops proves it for the index workflow).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def save_bucketed(
@@ -43,3 +44,105 @@ def load_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Reads a bucketed table back with its bucketing metadata intact
     (a plain ``spark.read.parquet`` of the files would lose it)."""
     return spark.table(table)
+
+
+def save_lsh_index(
+    sig_df: DataFrame,
+    id_col: str,
+    table: str,
+    bands: int = 4,
+    n_buckets: int = 32,
+) -> None:
+    """Persist a corpus's LSH band table BUCKETED by the band join key,
+    so every later near-dup probe (incremental batch, stream backfill)
+    sort-merge-joins against it with NO exchange on the index side —
+    the corpus-sized relation never reshuffles; only the (small) probe
+    batch is hashed into the index's bucketing. ``sig_df`` is a
+    (id, sig) MinHash signature frame (pipeline.dedup.minhash_signatures).
+    """
+    from .pipeline.dedup import lsh_band_table
+
+    bt = lsh_band_table(sig_df, id_col, bands=bands).select(
+        id_col, "band_id", "band_hash"
+    )
+    save_bucketed(bt, table, ["band_id", "band_hash"], n_buckets=n_buckets)
+
+
+def probe_lsh_index(
+    spark: SparkSession,
+    table: str,
+    probe_sigs: DataFrame,
+    id_col: str,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs between a persisted LSH index and a new
+    batch: (``index_id``, ``probe_id``) for every pair sharing at least
+    one band hash. The index side scans its buckets in place (plan
+    shows a single Exchange — the probe side being re-hashed into the
+    index's bucketing); same-id self-matches are dropped so re-probing
+    an already-indexed document reports only its true neighbors."""
+    from .pipeline.dedup import lsh_band_table
+
+    probe = lsh_band_table(probe_sigs, id_col, bands=bands).select(
+        F.col(id_col).alias("probe_id"), "band_id", "band_hash"
+    )
+    idx = load_bucketed(spark, table).select(
+        F.col(id_col).alias("index_id"), "band_id", "band_hash"
+    )
+    return (
+        idx.join(probe, ["band_id", "band_hash"])
+        .filter(F.col("index_id") != F.col("probe_id"))
+        .select("index_id", "probe_id")
+        .distinct()
+    )
+
+
+def save_ngram_index(
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    ngram: int = 13,
+    n_buckets: int = 32,
+) -> None:
+    """Persist the TRAIN side of decontamination — the (id, n-gram
+    xxhash64) table — so re-checking the corpus against every NEW eval
+    set skips re-shingling the multi-TB text entirely (the expensive
+    half; the eval side is broadcast-sized by nature). Bucketed by the
+    hash for the rare huge-eval sort-merge case."""
+    from .pipeline.dedup import _with_shingles
+
+    tr = (
+        _with_shingles(train_df, text_col, ngram, keep=[id_col])
+        .select(F.col(id_col), F.explode("__sh").alias("__g"))
+        .select(F.col(id_col), F.xxhash64("__g").alias("__gh"))
+    )
+    save_bucketed(tr, table, ["__gh"], n_buckets=n_buckets)
+
+
+def probe_ngram_index(
+    spark: SparkSession,
+    table: str,
+    eval_df: DataFrame,
+    eval_text_col: str,
+    ngram: int = 13,
+) -> DataFrame:
+    """Decontamination overlap counts against a persisted n-gram index:
+    same result as pipeline.decontam.ngram_overlap_counts, but the
+    train corpus is read pre-shingled from the index table — a scan
+    plus a map-side broadcast join, no text processing."""
+    from .pipeline.dedup import _with_shingles
+
+    ev = (
+        _with_shingles(eval_df, eval_text_col, ngram, keep=[])
+        .select(F.explode("__sh").alias("__g"))
+        .select(F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    idx = load_bucketed(spark, table)
+    id_col = [c for c in idx.columns if c != "__gh"][0]
+    return (
+        idx.join(F.broadcast(ev), "__gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"))
+    )

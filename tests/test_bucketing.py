@@ -98,3 +98,65 @@ def test_persisted_inverted_index_joins_without_exchange(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(term" not in plan
     assert joined.count() == 5
+
+
+def test_persisted_lsh_index_probe(spark):
+    """Incremental near-dup: persist the corpus band table bucketed by
+    the band key; a new-batch probe joins with NO exchange on the index
+    side (exactly one hashpartitioning exchange in the join — the probe
+    being re-hashed into the index's bucketing) and returns the same
+    candidates as a from-scratch band join."""
+    from pyspark.sql import functions as F
+
+    from gpq_spark.pipeline.dedup import lsh_band_table, minhash_signatures
+    from gpq_spark.tables import probe_lsh_index, save_lsh_index
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    save_lsh_index(sigs, "doc_id", "lsh_idx_test", bands=4, n_buckets=8)
+
+    probe_docs = docs.filter("doc_id < 25")
+    probe_sigs = minhash_signatures(probe_docs, "doc_id", "text")
+    got = probe_lsh_index(spark, "lsh_idx_test", probe_sigs, "doc_id", bands=4)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the index side never reshuffles: at most ONE band-key exchange in
+    # the join (the probe side; zero when AQE broadcasts the small
+    # probe), and the index scan reads its buckets in place
+    assert plan.count("Exchange hashpartitioning(band_id") <= 1
+    assert "Bucketed: true" in plan
+
+    # same candidates as joining two freshly computed band tables
+    bt = lsh_band_table(sigs, "doc_id", bands=4)
+    pt = lsh_band_table(probe_sigs, "doc_id", bands=4).select(
+        F.col("doc_id").alias("probe_id"), "band_id", "band_hash"
+    )
+    want = (
+        bt.select(F.col("doc_id").alias("index_id"), "band_id", "band_hash")
+        .join(pt, ["band_id", "band_hash"])
+        .filter("index_id != probe_id")
+        .select("index_id", "probe_id")
+        .distinct()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
+
+
+def test_persisted_ngram_index_matches_direct_decontam(spark):
+    """Persist the train n-gram table once; probing it with an eval set
+    yields exactly pipeline.decontam.ngram_overlap_counts — without
+    re-shingling the train text."""
+    from gpq_spark.pipeline.decontam import ngram_overlap_counts
+    from gpq_spark.tables import probe_ngram_index, save_ngram_index
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    ev = docs.filter("doc_id % 10 = 3").select("text")
+    save_ngram_index(docs, "doc_id", "text", "ngram_idx_test", ngram=13)
+    got = probe_ngram_index(spark, "ngram_idx_test", ev, "text", ngram=13)
+    want = ngram_overlap_counts(docs, "doc_id", "text", ev, "text", ngram=13)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    spark.sql("DROP TABLE IF EXISTS ngram_idx_test")
