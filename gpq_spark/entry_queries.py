@@ -7724,3 +7724,127 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("item", "est", "err", "rank")
     )
+
+
+@register(
+    "dedup_fuzzy_names",
+    """
+    SELECT a.c_name AS s_a, b.c_name AS s_b
+    FROM customer a JOIN customer b
+      ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical name pairs (Levenshtein ≤ 1) over the customer
+    table — the entity-resolution primitive for catching typo'd
+    duplicate records. The engine uses deletion-neighborhood blocking
+    (pipeline.dedup.fuzzy_pairs_edit1): linear variant generation plus
+    a narrow equi-join, never the |corpus|² distance matrix the ORACLE
+    runs (fine at oracle scale; the cross-check is that blocking plus
+    the exact confirm filter loses nothing against brute force)."""
+    from .pipeline.dedup import fuzzy_pairs_edit1
+
+    cust = load(spark, sf_dir, "customer")
+    return fuzzy_pairs_edit1(cust, "c_name", "c_name").select("s_a", "s_b")
+
+
+@register(
+    "q_attribution_linear",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS journey
+        FROM events
+    ),
+    tc AS (
+        SELECT user_id, journey, event_type AS channel,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM seq WHERE event_type <> 'purchase'
+        GROUP BY 1, 2, 3
+    ),
+    jn AS (
+        SELECT user_id, journey, CAST(SUM(cnt) AS BIGINT) AS n_touches
+        FROM tc GROUP BY 1, 2
+    ),
+    pj AS (
+        SELECT user_id, journey FROM seq WHERE event_type = 'purchase'
+    ),
+    credited AS (
+        SELECT tc.channel,
+               CAST(tc.cnt * (1000000 // jn.n_touches) AS BIGINT) AS credit_e6
+        FROM pj
+        JOIN jn USING (user_id, journey)
+        JOIN tc USING (user_id, journey)
+        UNION ALL
+        SELECT '(none)', CAST(1000000 AS BIGINT)
+        FROM pj LEFT JOIN jn USING (user_id, journey)
+        WHERE jn.n_touches IS NULL
+    )
+    SELECT channel, CAST(SUM(credit_e6) AS BIGINT) AS credit_e6
+    FROM credited GROUP BY 1
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits 1e6 credit
+    micro-units equally across EVERY touch in its journey (the events
+    since the user's previous purchase), in exact integer arithmetic —
+    cnt·(1e6 div n) per channel, truncation identical in both engines —
+    with purchases that follow no touch crediting '(none)'. The
+    multi-touch counterpart of q_attribution_last_touch: campaigns that
+    only open journeys stop being invisible.
+
+    Scale: one window pass assigns journey ids (same sort the
+    sessionizer uses), then two narrow groupBys on (user, journey) and
+    one broadcast-sized channel rollup — no self-joins over the event
+    log."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1)
+            ).over(w),
+            F.lit(0),
+        ).cast("long"),
+    )
+    tc = (
+        seq.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "journey", F.col("event_type").alias("channel"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    jn = tc.groupBy("user_id", "journey").agg(
+        F.sum("cnt").cast("long").alias("n_touches")
+    )
+    pj = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", "journey"
+    )
+    touched = (
+        pj.join(jn, ["user_id", "journey"])
+        .join(tc, ["user_id", "journey"])
+        .select(
+            "channel",
+            F.expr("CAST(cnt * (1000000 div n_touches) AS BIGINT)").alias(
+                "credit_e6"
+            ),
+        )
+    )
+    untouched = (
+        pj.join(jn, ["user_id", "journey"], "left_anti")
+        .select(
+            F.lit("(none)").alias("channel"),
+            F.lit(1000000).cast("long").alias("credit_e6"),
+        )
+    )
+    return (
+        touched.unionByName(untouched)
+        .groupBy("channel")
+        .agg(F.sum("credit_e6").cast("long").alias("credit_e6"))
+    )

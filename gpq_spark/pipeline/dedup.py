@@ -613,3 +613,56 @@ def substring_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_windows"))
     )
+
+
+def fuzzy_pairs_edit1(
+    df: DataFrame, id_col: str, str_col: str
+) -> DataFrame:
+    """All id pairs whose strings are within Levenshtein distance 1,
+    via DELETION-NEIGHBORHOOD blocking — the linear-work alternative to
+    the quadratic all-pairs distance matrix: every string generates its
+    single-character-deletion variants plus itself, and two strings at
+    distance ≤ 1 provably share a variant (substitution ⇒ same deletion
+    at the edited position; insertion/deletion ⇒ the shorter string IS
+    a deletion of the longer; equality ⇒ the strings themselves).
+    Candidates sharing a variant are then confirmed with an exact
+    ``levenshtein`` check, so blocking can never produce a false
+    positive. Output: (id_a, id_b, s_a, s_b) with id_a < id_b.
+
+    Scale: variant generation is map-side (L+1 variants per string of
+    length L); the join shuffles the narrow (variant, id, string)
+    triples; candidate multiplicity (pairs sharing several variants) is
+    deduplicated before the distance check. A name with k distance-1
+    neighbors costs k candidate rows — never |corpus|."""
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(str_col).alias("__s")
+    )
+    v = base.select(
+        "__id",
+        "__s",
+        F.explode(F.expr("sequence(0, length(__s))")).alias("__i"),
+    ).select(
+        "__id",
+        "__s",
+        F.when(F.col("__i") == 0, F.col("__s"))
+        .otherwise(
+            F.expr(
+                "concat(substring(__s, 1, __i - 1),"
+                " substring(__s, __i + 1, length(__s)))"
+            )
+        )
+        .alias("__v"),
+    )
+    a = v.select(
+        F.col("__id").alias("id_a"), F.col("__s").alias("s_a"), "__v"
+    )
+    b = v.select(
+        F.col("__id").alias("id_b"), F.col("__s").alias("s_b"), "__v"
+    )
+    return (
+        a.join(b, "__v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "s_a", "s_b")
+        .distinct()
+        .filter(F.levenshtein("s_a", "s_b") <= 1)
+    )

@@ -1742,3 +1742,48 @@ class TestPairwiseDocSimilarity:
             ).collect()
         }
         assert got == {(1, 3): 1000000}
+
+
+class TestFuzzyPairsEdit1:
+    def test_all_edit_kinds_found_distance2_excluded(self, spark):
+        from gpq_spark.pipeline.dedup import fuzzy_pairs_edit1
+
+        rows = [
+            (1, "spark"),
+            (2, "spork"),   # substitution of 1
+            (3, "sparks"),  # insertion on 1
+            (4, "spak"),    # deletion from 1
+            (5, "sprok"),   # distance 2 from 1
+            (6, "zzzzz"),   # unrelated
+        ]
+        df = spark.createDataFrame(rows, "id long, s string")
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_pairs_edit1(df, "id", "s").collect()
+        )
+        # spork→sprok (transposition) and spak→sprok are levenshtein 2:
+        # excluded even though blocking may propose them
+        assert got == [(1, 2), (1, 3), (1, 4)]
+
+    def test_identical_strings_pair_once(self, spark):
+        from gpq_spark.pipeline.dedup import fuzzy_pairs_edit1
+
+        df = spark.createDataFrame(
+            [(1, "abc"), (2, "abc")], "id long, s string"
+        )
+        got = fuzzy_pairs_edit1(df, "id", "s").collect()
+        # distance 0 ≤ 1, and sharing every variant still yields ONE row
+        assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+
+    def test_empty_and_single_char(self, spark):
+        from gpq_spark.pipeline.dedup import fuzzy_pairs_edit1
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "a"), (3, "b")], "id long, s string"
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_pairs_edit1(df, "id", "s").collect()
+        )
+        # ""~"a" (insertion), ""~"b" (insertion), "a"~"b" (substitution)
+        assert got == [(1, 2), (1, 3), (2, 3)]
