@@ -7848,3 +7848,194 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(F.sum("credit_e6").cast("long").alias("credit_e6"))
     )
+
+
+def _kcore_oracle(rounds: int = 5) -> str:
+    """Unrolled peel rounds for the k-core oracle: the Spark operator
+    loops to fixpoint; the oracle unrolls a fixed number of MATERIALIZED rounds (inlined
+    CTEs would expand the chain exponentially) that provably covers
+    convergence at gate scale (observed ≤3 rounds at every SF; 5 gives
+    margin — extra rounds past the fixpoint are
+    no-ops because the peel is monotone)."""
+    parts = [
+        """sym0 AS MATERIALIZED (
+        WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                    FROM lineitem),
+        shared AS (
+            SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(shared) AS BIGINT) AS sum_shared
+            FROM shared
+        ),
+        e AS (SELECT u, v FROM shared CROSS JOIN tot
+              WHERE shared * n_pairs >= sum_shared)
+        SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e
+    )""",
+        """kk AS MATERIALIZED (
+        SELECT CAST(7 * (SELECT COUNT(*) FROM sym0)
+                    // (10 * (SELECT COUNT(DISTINCT s) FROM sym0))
+               AS BIGINT) AS k
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""bad{i} AS MATERIALIZED (
+        SELECT s FROM sym{p} GROUP BY s
+        HAVING COUNT(*) < (SELECT k FROM kk)
+    )"""
+        )
+        parts.append(
+            f"""sym{i} AS MATERIALIZED (
+        SELECT s, d FROM sym{p}
+        WHERE s NOT IN (SELECT s FROM bad{i})
+          AND d NOT IN (SELECT s FROM bad{i})
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT s AS supp, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM sym{rounds} GROUP BY 1
+    """
+    )
+
+
+@register("q_kcore_suppliers", _kcore_oracle())
+def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-core of the supplier co-sourcing graph (same
+    mean-thresholded edges as q_triangle_suppliers) at k = 70% of mean
+    degree — the dense backbone that survives iterative peeling of
+    weakly-connected suppliers. The engine peels to FIXPOINT with a
+    driver loop (pipeline.graph.k_core, lineage flattened per round);
+    the oracle unrolls 5 monotone materialized peel rounds, which covers the
+    observed ≤3-round convergence at every gate scale with margin.
+
+    k is derived in exact integer arithmetic (7·|sym-edges| div
+    (10·|nodes|)) so both engines peel at the identical threshold at
+    any SF."""
+    from .pipeline.graph import k_core
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    e = (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v")
+    )
+    stats = (
+        e.select(F.col("u").alias("n")).unionAll(e.select("v"))
+        .agg(
+            F.count(F.lit(1)).alias("sym_edges"),
+            F.countDistinct("n").alias("n_nodes"),
+        )
+        .first()
+    )
+    k = 7 * stats["sym_edges"] // (10 * stats["n_nodes"])
+    return k_core(e, "u", "v", k=int(k)).select(
+        F.col("node").alias("supp"), "core_deg"
+    )
+
+
+@register(
+    "q_changepoint_revenue",
+    f"""
+    WITH daily AS (
+        SELECT l_suppkey AS supp, l_shipdate AS day,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT supp, day, v,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+               CAST(SUM(v) OVER (PARTITION BY supp ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS prefix,
+               CAST(COUNT(*) OVER (PARTITION BY supp) AS BIGINT) AS n,
+               CAST(SUM(v) OVER (PARTITION BY supp) AS BIGINT) AS total
+        FROM daily
+        WINDOW w AS (PARTITION BY supp ORDER BY day)
+    ),
+    dev AS (
+        SELECT supp, day, t, n,
+               abs(n * prefix - t * total) AS score
+        FROM cum WHERE t < n
+    )
+    SELECT supp, strftime(day, '%Y-%m-%d') AS cp_day,
+           CAST(score AS BIGINT) AS score
+    FROM (
+        SELECT supp, day, score,
+               ROW_NUMBER() OVER (PARTITION BY supp
+                                  ORDER BY score DESC, day ASC) AS rn
+        FROM dev
+    ) WHERE rn = 1
+    """,
+)
+def q_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint estimation per supplier over daily shipped
+    revenue: the split day t maximizing the scaled cumulative deviation
+    |n·prefix_t − t·total| — the exact-integer CUSUM statistic (the
+    float form prefix_t − (t/n)·total times n), whose argmax is the
+    max-likelihood mean-shift location. Ties break to the earliest day;
+    the final day is excluded (a split there is no split). Completes
+    the monitoring family: drift says the distribution moved,
+    anomaly says an hour is wild, changepoint says WHEN the level
+    shifted.
+
+    Scale: one groupBy to daily sums, one window pass per supplier
+    (the same sort serves row_number, prefix and totals), one top-1
+    rank — no self-joins."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("supp"), F.col("l_shipdate").alias("day")
+    ).agg(
+        F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("v")
+    )
+    wo = Window.partitionBy("supp").orderBy("day")
+    wall = Window.partitionBy("supp")
+    cum = daily.select(
+        "supp",
+        "day",
+        F.row_number().over(wo).cast("long").alias("t"),
+        F.sum("v")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("prefix"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("v").over(wall).cast("long").alias("total"),
+    )
+    dev = cum.filter(F.col("t") < F.col("n")).select(
+        "supp",
+        "day",
+        F.abs(F.col("n") * F.col("prefix") - F.col("t") * F.col("total")).alias(
+            "score"
+        ),
+    )
+    wr = Window.partitionBy("supp").orderBy(F.col("score").desc(), F.col("day").asc())
+    return (
+        dev.withColumn("rn", F.row_number().over(wr))
+        .filter("rn = 1")
+        .select(
+            "supp",
+            F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )

@@ -136,3 +136,55 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """The k-core of an undirected graph — the maximal subgraph where
+    every node keeps degree ≥ k — by iterative peeling: drop all nodes
+    with degree < k, recompute degrees in what remains, repeat to
+    FIXPOINT (unlike the fixed-iteration PageRank, the stopping rule
+    here is exact — the peel is monotone, so the fixpoint is the
+    unique k-core regardless of drop order). Output: (node, core_deg)
+    for surviving nodes, core_deg ≥ k by construction.
+
+    Scale: each round is one narrow degree groupBy plus two anti-joins
+    against the dropped-node set (AQE broadcasts it when small — the
+    usual case — without risking an OOM when a collapsing graph drops
+    O(n) nodes in one round); the edge frame
+    is localCheckpoint()ed per round so lineage stays flat across
+    iterations (the standard guard for driver-loop algorithms — an
+    unbounded plan tree re-derives every prior round at each action).
+    Rounds are bounded by the peel depth (the graph's degeneracy
+    ordering length), typically O(log n) for real graphs."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    sym = sym.localCheckpoint()
+
+    for _ in range(max_iterations):
+        deg = sym.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        bad = deg.filter(F.col("deg") < k).select("s")
+        if bad.isEmpty():
+            break
+        # no broadcast hint: the dropped set is usually small (AQE will
+        # broadcast it) but can be O(n) on a collapsing graph — forcing
+        # a broadcast there would OOM exactly when the peel is heaviest
+        sym = (
+            sym.join(bad, "s", "left_anti")
+            .join(bad.select(F.col("s").alias("d")), "d", "left_anti")
+            .localCheckpoint()
+        )
+    return sym.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )

@@ -1787,3 +1787,35 @@ class TestFuzzyPairsEdit1:
         )
         # ""~"a" (insertion), ""~"b" (insertion), "a"~"b" (substitution)
         assert got == [(1, 2), (1, 3), (2, 3)]
+
+
+class TestKCore:
+    def test_known_graph_peels_cascade(self, spark):
+        """Triangle {1,2,3} + a path 3-4-5 hanging off it: the 2-core
+        is exactly the triangle — node 5 (deg 1) peels first, THEN node
+        4 (deg drops to 1): the cascade a single-pass degree filter
+        would miss."""
+        from gpq_spark.pipeline.graph import k_core
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+        )
+        got = {r["node"]: r["core_deg"] for r in k_core(edges, k=2).collect()}
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_k_above_max_degree_empties(self, spark):
+        from gpq_spark.pipeline.graph import k_core
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+        )
+        assert k_core(edges, k=3).count() == 0
+
+    def test_whole_graph_survives_small_k(self, spark):
+        from gpq_spark.pipeline.graph import k_core
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+        got = {r["node"]: r["core_deg"] for r in k_core(edges, k=1).collect()}
+        assert got == {1: 1, 2: 2, 3: 2, 4: 1}
