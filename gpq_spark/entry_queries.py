@@ -8039,3 +8039,54 @@ def q_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").cast("long").alias("score"),
         )
     )
+
+
+@register(
+    "stream_sessionize_ooo",
+    """
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+    numbered AS (
+        SELECT user_id, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ), sess AS (
+        SELECT user_id, tus,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM numbered
+    )
+    SELECT user_id,
+           strftime(make_timestamp(MIN(tus)), '%Y-%m-%d %H:%M:%S') AS start,
+           strftime(make_timestamp(MAX(tus)), '%Y-%m-%d %H:%M:%S') AS "end",
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize_ooo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-sessionization under the disordered replay: the buffered
+    sessionizer reconstructs the true time-ordered gap sessions even
+    though the later half of history arrives first — including MERGING
+    sessions a strict-order scan would have split (a buffered late
+    event can bridge two bursts). Because the final watermark passes
+    every real event plus the gap, every session closes, so the oracle
+    is the FULL batch sessionization with no closed-only restriction
+    (compare stream_stateful_sessions)."""
+    from .streaming.windows import stateful_sessionize_ooo
+
+    stream = _events_ooo_file_stream(spark, sf_dir)
+    out = stateful_sessionize_ooo(stream, watermark_delay=_OOO_DELAY)
+    sessions = out.select(
+        "user_id",
+        F.date_format(
+            F.expr("convert_timezone('UTC', session_start)"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("start"),
+        F.date_format(
+            F.expr("convert_timezone('UTC', session_end)"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("end"),
+        "n_events",
+    )
+    return _drain_to_table(sessions, "sessions_ooo", "append")

@@ -1596,3 +1596,105 @@ def stream_topk_spacesaving(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# -- out-of-order tolerant sessionization ------------------------------------
+
+SESSION_OOO_STATE_SCHEMA = "pend array<long>, start long, last long, n long"
+
+
+def _session_ooo_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Out-of-order tolerant gap-sessionization: event times buffer in
+    state until the watermark passes them, then run through the gap
+    scan in true time order — so a late event can still bridge (merge)
+    what arrival order would have split into two sessions, the failure
+    mode the strict-order sessionizer documents. The open session
+    closes only when the watermark exceeds last + gap: at that point no
+    admissible event can extend it (anything below the watermark is
+    dropped, anything above starts a new session). Event-time timeouts
+    re-invoke the function as the watermark advances so buffered events
+    flush and idle sessions close without new data arriving."""
+    gap_us = 30 * 60 * 1_000_000
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_us = wm_ms * 1000
+
+    if state.exists:
+        pend, start, last, n = state.get
+        pend = [int(x) for x in pend]
+    else:
+        pend, start, last, n = [], None, None, 0
+
+    for pdf in pdfs:
+        pend.extend(int(v) for v in pdf["ts_us"])
+
+    ready = sorted(t for t in pend if t < wm_us)
+    pend = [t for t in pend if t >= wm_us]
+
+    closed = []
+    for t in ready:
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > gap_us:
+            closed.append((start, last, n))
+            start, last, n = t, t, 1
+        else:
+            last = t
+            n += 1
+
+    if start is not None and wm_us > last + gap_us:
+        closed.append((start, last, n))
+        start, last, n = None, None, 0
+
+    if start is None and not pend:
+        if state.exists:
+            state.remove()
+    else:
+        state.update((sorted(pend), start, last, n))
+        wake_us = last + gap_us if start is not None else None
+        if pend:
+            mp = min(pend)
+            wake_us = mp if wake_us is None else min(wake_us, mp)
+        state.setTimeoutTimestamp(max(wake_us // 1000 + 1, wm_ms + 1))
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "start_us": [s for s, _, _ in closed],
+                "end_us": [e for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+            }
+        )
+
+
+def stateful_sessionize_ooo(
+    stream: DataFrame, watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Order-tolerant variant of ``stateful_sessionize`` (see
+    ``_session_ooo_fn``). Output: one row per closed session —
+    user_id, session_start, session_end, n_events."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_ooo_fn,
+            outputStructType=SESSION_RAW_SCHEMA,
+            stateStructType=SESSION_OOO_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw.select(
+        "user_id",
+        F.timestamp_micros("start_us").alias("session_start"),
+        F.timestamp_micros("end_us").alias("session_end"),
+        "n_events",
+    )

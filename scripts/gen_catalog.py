@@ -23,7 +23,8 @@ GROUPS = [
     ("Event analytics",
      r"^q_(funnel|retention|anomaly|event_transitions|time_to|attribution"
      r"|ab_test|trend|crosstab|drift|basket|recommend|incremental|table_checksum"
-     r"|pagerank)"),
+     r"|changepoint)"),
+    ("Graph analytics", r"^q_(pagerank|triangle|kcore)"),
     ("Deduplication & decontamination", r"^(dedup_|decontam)"),
     ("Similarity search & embeddings", r"^(ann_|ivf_|embed_)"),
     ("Text analysis & corpus ops", r"^(text_|rank_|sample_|pack_|profile_|skew_)"),

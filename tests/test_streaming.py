@@ -1232,3 +1232,46 @@ class TestStreamTopkSpacesaving:
             assert est >= true[item] >= est - err
         # guaranteed heavy hitter: 'a' (9 > 20/3)
         assert "a" in got
+
+
+class TestStreamSessionizeOutOfOrder:
+    def test_late_event_merges_sessions(self, spark, tmp_path):
+        """Events at minutes 0 and 50 arrive first (gap 50 > 30 — a
+        strict-order scan would close two one-event sessions); the
+        bridging minute-25 event arrives one batch later. The buffered
+        sessionizer must emit ONE session spanning 0-50 with 3 events."""
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stateful_sessionize_ooo
+
+        base = dt.datetime(2024, 3, 1)
+
+        def ev(minute):
+            return (
+                minute,
+                base + dt.timedelta(minutes=minute),
+                1,
+                "view",
+                0.0,
+                "{}",
+            )
+
+        batches = [
+            [ev(0), ev(50)],
+            [ev(25)],
+            [ev(24 * 60)],
+            [ev(25 * 60)],
+        ]
+        d = tmp_path / "ooo_sess"
+        src_schema = _write_ooo_files(spark, d, batches)
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stateful_sessionize_ooo(stream, watermark_delay="12 hours")
+        rows = _drain_ooo(spark, out, "sess_ooo").collect()
+        got = [
+            (r["session_start"].minute, r["session_end"].minute, r["n_events"])
+            for r in rows
+        ]
+        assert got == [(0, 50, 3)]
