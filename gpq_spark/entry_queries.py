@@ -7850,7 +7850,7 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kcore_oracle(rounds: int = 5) -> str:
+def _kcore_oracle(rounds: int = 5, mode: str = "core") -> str:
     """Unrolled peel rounds for the k-core oracle: the Spark operator
     loops to fixpoint; the oracle unrolls a fixed number of MATERIALIZED rounds (inlined
     CTEs would expand the chain exponentially) that provably covers
@@ -7895,14 +7895,20 @@ def _kcore_oracle(rounds: int = 5) -> str:
           AND d NOT IN (SELECT s FROM bad{i})
     )"""
         )
-    return (
-        "WITH "
-        + ",\n    ".join(parts)
-        + f"""
+    tail = f"""
     SELECT s AS supp, CAST(COUNT(*) AS BIGINT) AS core_deg
     FROM sym{rounds} GROUP BY 1
     """
-    )
+    if mode == "rounds":
+        layers = "\n        UNION ALL ".join(
+            f"SELECT s AS supp, CAST({i} AS BIGINT) AS peel_round FROM bad{i}"
+            for i in range(1, rounds + 1)
+        )
+        tail = f"""
+    SELECT DISTINCT s AS supp, CAST(0 AS BIGINT) AS peel_round FROM sym{rounds}
+    UNION ALL {layers}
+    """
+    return "WITH " + ",\n    ".join(parts) + tail
 
 
 @register("q_kcore_suppliers", _kcore_oracle())
@@ -8090,3 +8096,103 @@ def stream_sessionize_ooo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
     )
     return _drain_to_table(sessions, "sessions_ooo", "append")
+
+
+@register(
+    "sample_balanced_docs",
+    f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {_UHASH_DUCK}, doc_id) AS rn
+        FROM documents
+    ),
+    m AS (
+        SELECT CAST(MIN(c) AS BIGINT) AS mn
+        FROM (SELECT COUNT(*) AS c FROM documents GROUP BY lang)
+    )
+    SELECT doc_id, lang FROM r CROSS JOIN m WHERE rn <= mn
+    """,
+)
+def sample_balanced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced corpus: every language downsampled to the rarest
+    language's count by deterministic hash order (the training-mix
+    guard against a dominant class). Distributed end-to-end — the min
+    class size rides in as a broadcast 1-row aggregate, never a driver
+    collect."""
+    from .pipeline.sampling import balanced_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return balanced_sample(docs, "lang", ["doc_id"], seed="r2").select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "dedup_fuzzy_names_damerau",
+    """
+    SELECT a.c_name AS s_a, b.c_name AS s_b
+    FROM customer a JOIN customer b
+      ON a.c_name < b.c_name
+     AND damerau_levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_fuzzy_names_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damerau variant of dedup_fuzzy_names: adjacent transpositions
+    (the single most common human typo class — '...01' vs '...10')
+    count as distance 1. Same deletion-neighborhood blocking — a
+    transposed pair always shares a deletion variant — with the
+    transposition confirm expression standing in for the
+    damerau_levenshtein builtin Spark lacks."""
+    from .pipeline.dedup import fuzzy_pairs_edit1
+
+    cust = load(spark, sf_dir, "customer")
+    return fuzzy_pairs_edit1(
+        cust, "c_name", "c_name", transpositions=True
+    ).select("s_a", "s_b")
+
+
+@register("q_kcore_rounds", _kcore_oracle(mode="rounds"))
+def q_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion layers of the supplier co-sourcing graph: the peel round
+    (1-based) in which each supplier falls out of the k-core loop, 0
+    for core survivors — a coreness ordering the same fixpoint loop
+    yields for free (peripheral suppliers peel early, structurally
+    embedded ones late or never). Same edges and integer k as
+    q_kcore_suppliers; the oracle tags each unrolled round's dropped
+    set with its round number."""
+    from .pipeline.graph import k_core
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    e = (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v")
+    )
+    stats = (
+        e.select(F.col("u").alias("n")).unionAll(e.select("v"))
+        .agg(
+            F.count(F.lit(1)).alias("sym_edges"),
+            F.countDistinct("n").alias("n_nodes"),
+        )
+        .first()
+    )
+    k = 7 * stats["sym_edges"] // (10 * stats["n_nodes"])
+    return k_core(e, "u", "v", k=int(k), emit_rounds=True).select(
+        F.col("node").alias("supp"), "peel_round"
+    )

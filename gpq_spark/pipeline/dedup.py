@@ -616,18 +616,25 @@ def substring_dup_pairs(
 
 
 def fuzzy_pairs_edit1(
-    df: DataFrame, id_col: str, str_col: str
+    df: DataFrame, id_col: str, str_col: str, transpositions: bool = False
 ) -> DataFrame:
-    """All id pairs whose strings are within Levenshtein distance 1,
+    """All id pairs whose strings are within Levenshtein distance 1 —
+    or Damerau-Levenshtein distance 1 with ``transpositions=True`` —
     via DELETION-NEIGHBORHOOD blocking — the linear-work alternative to
     the quadratic all-pairs distance matrix: every string generates its
     single-character-deletion variants plus itself, and two strings at
     distance ≤ 1 provably share a variant (substitution ⇒ same deletion
     at the edited position; insertion/deletion ⇒ the shorter string IS
-    a deletion of the longer; equality ⇒ the strings themselves).
-    Candidates sharing a variant are then confirmed with an exact
-    ``levenshtein`` check, so blocking can never produce a false
-    positive. Output: (id_a, id_b, s_a, s_b) with id_a < id_b.
+    a deletion of the longer; equality ⇒ the strings themselves; an
+    adjacent transposition of x,y ⇒ deleting the x from both sides
+    leaves the same string — so the SAME blocking is complete for
+    Damerau too). Candidates sharing a variant are then confirmed with
+    an exact check, so blocking can never produce a false positive:
+    ``levenshtein`` for the plain metric, plus — Spark has no
+    damerau_levenshtein builtin — an expression that extracts the
+    mismatch positions of equal-length candidates and accepts exactly
+    two ADJACENT, CROSSED mismatches as a transposition.
+    Output: (id_a, id_b, s_a, s_b) with id_a < id_b.
 
     Scale: variant generation is map-side (L+1 variants per string of
     length L); the join shuffles the narrow (variant, id, string)
@@ -659,10 +666,25 @@ def fuzzy_pairs_edit1(
     b = v.select(
         F.col("__id").alias("id_b"), F.col("__s").alias("s_b"), "__v"
     )
+    accept = F.levenshtein("s_a", "s_b") <= 1
+    if transpositions:
+        mm = (
+            "filter(sequence(1, length(s_a)),"
+            " i -> substring(s_a, i, 1) != substring(s_b, i, 1))"
+        )
+        swap = F.expr(
+            f"length(s_a) = length(s_b) AND size({mm}) = 2"
+            f" AND try_element_at({mm}, 2) = try_element_at({mm}, 1) + 1"
+            f" AND substring(s_a, try_element_at({mm}, 1), 1)"
+            f"       = substring(s_b, try_element_at({mm}, 2), 1)"
+            f" AND substring(s_a, try_element_at({mm}, 2), 1)"
+            f"       = substring(s_b, try_element_at({mm}, 1), 1)"
+        )
+        accept = accept | swap
     return (
         a.join(b, "__v")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "s_a", "s_b")
         .distinct()
-        .filter(F.levenshtein("s_a", "s_b") <= 1)
+        .filter(accept)
     )

@@ -144,6 +144,7 @@ def k_core(
     dst: str = "dst",
     k: int = 3,
     max_iterations: int = 100,
+    emit_rounds: bool = False,
 ) -> DataFrame:
     """The k-core of an undirected graph — the maximal subgraph where
     every node keeps degree ≥ k — by iterative peeling: drop all nodes
@@ -161,7 +162,12 @@ def k_core(
     iterations (the standard guard for driver-loop algorithms — an
     unbounded plan tree re-derives every prior round at each action).
     Rounds are bounded by the peel depth (the graph's degeneracy
-    ordering length), typically O(log n) for real graphs."""
+    ordering length), typically O(log n) for real graphs.
+
+    With ``emit_rounds=True`` the output is instead (node, peel_round):
+    the round (1-based) in which each node was peeled — the onion-layer
+    index, a coreness-ordering signal for free from the same loop —
+    with survivors tagged round 0."""
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .filter(F.col("s") != F.col("d"))
@@ -172,11 +178,20 @@ def k_core(
     ).distinct()
     sym = sym.localCheckpoint()
 
-    for _ in range(max_iterations):
+    dropped = None
+    for i in range(1, max_iterations + 1):
         deg = sym.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
         bad = deg.filter(F.col("deg") < k).select("s")
         if bad.isEmpty():
             break
+        if emit_rounds:
+            tagged = bad.select(
+                F.col("s").alias("node"),
+                F.lit(i).cast("long").alias("peel_round"),
+            )
+            dropped = (
+                tagged if dropped is None else dropped.unionByName(tagged)
+            )
         # no broadcast hint: the dropped set is usually small (AQE will
         # broadcast it) but can be O(n) on a collapsing graph — forcing
         # a broadcast there would OOM exactly when the peel is heaviest
@@ -185,6 +200,11 @@ def k_core(
             .join(bad.select(F.col("s").alias("d")), "d", "left_anti")
             .localCheckpoint()
         )
+    if emit_rounds:
+        survivors = sym.select(F.col("s").alias("node")).distinct().select(
+            "node", F.lit(0).cast("long").alias("peel_round")
+        )
+        return survivors if dropped is None else dropped.unionByName(survivors)
     return sym.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_deg")
     )

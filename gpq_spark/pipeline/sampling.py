@@ -137,3 +137,35 @@ def stratified_sample_exact(
         .filter(F.col("__rank") <= n_per_stratum)
         .drop("__rank")
     )
+
+
+def balanced_sample(
+    df: DataFrame,
+    class_col: str,
+    key_cols: list[str],
+    seed: str = "0",
+) -> DataFrame:
+    """Downsample every class to the SMALLEST class's row count — the
+    deterministic class-balancing pass a training mix needs before a
+    skewed label (or language, or source) dominates the gradient. Rows
+    are kept by the same (uniform hash, key) rank as
+    ``stratified_sample_exact``, so the draw is uniform without
+    replacement and reproducible from the seed alone.
+
+    Fully distributed: the per-class rank is one shuffle on the class
+    key; the min class size is a broadcast 1-row aggregate joined in —
+    no driver-side collect, so the plan stays lazy and composable."""
+    h = _uniform_hash(key_cols, seed)
+    order = [h.asc(), *[F.col(c).asc() for c in key_cols]]
+    w = Window.partitionBy(F.col(class_col)).orderBy(*order)
+    mn = (
+        df.groupBy(class_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.min("__c").cast("long").alias("__min_n"))
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(mn))
+        .filter(F.col("__rank") <= F.col("__min_n"))
+        .drop("__rank", "__min_n")
+    )

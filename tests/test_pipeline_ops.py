@@ -1819,3 +1819,66 @@ class TestKCore:
         )
         got = {r["node"]: r["core_deg"] for r in k_core(edges, k=1).collect()}
         assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+class TestFuzzyPairsDamerau:
+    def test_transpositions_accepted_only_when_enabled(self, spark):
+        from gpq_spark.pipeline.dedup import fuzzy_pairs_edit1
+
+        rows = [
+            (1, "spark"),
+            (2, "sprak"),   # adjacent transposition of 1
+            (3, "sarpk"),   # non-adjacent rearrangement: damerau 2
+        ]
+        df = spark.createDataFrame(rows, "id long, s string")
+        plain = sorted(
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_pairs_edit1(df, "id", "s").collect()
+        )
+        damerau = sorted(
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_pairs_edit1(
+                df, "id", "s", transpositions=True
+            ).collect()
+        )
+        assert plain == []
+        assert damerau == [(1, 2)]
+
+    def test_substitutions_still_found_with_transpositions(self, spark):
+        from gpq_spark.pipeline.dedup import fuzzy_pairs_edit1
+
+        df = spark.createDataFrame(
+            [(1, "abcd"), (2, "abed"), (3, "bacd")], "id long, s string"
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_pairs_edit1(
+                df, "id", "s", transpositions=True
+            ).collect()
+        )
+        # 1-2 substitution; 1-3 transposition; 2-3 is distance 3
+        assert got == [(1, 2), (1, 3)]
+
+
+class TestBalancedSample:
+    def test_every_class_at_min_count(self, spark):
+        from gpq_spark.pipeline.sampling import balanced_sample
+
+        rows = [(i, "big") for i in range(10)] + [
+            (100 + i, "small") for i in range(3)
+        ]
+        df = spark.createDataFrame(rows, "id long, cls string")
+        got = balanced_sample(df, "cls", ["id"], seed="t").collect()
+        import collections
+
+        by_cls = collections.Counter(r["cls"] for r in got)
+        assert by_cls == {"big": 3, "small": 3}
+
+    def test_deterministic(self, spark):
+        from gpq_spark.pipeline.sampling import balanced_sample
+
+        rows = [(i, "a" if i % 3 else "b") for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, cls string")
+        r1 = sorted(r["id"] for r in balanced_sample(df, "cls", ["id"]).collect())
+        r2 = sorted(r["id"] for r in balanced_sample(df, "cls", ["id"]).collect())
+        assert r1 == r2
