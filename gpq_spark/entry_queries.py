@@ -839,7 +839,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Full MinHash-LSH candidate-pair query (8 hashes / 4 bands), shared by
 # dedup_minhash_pairs and the cluster assignment oracle.
-_MINHASH_PAIRS_DUCK = f"""
+_MINHASH_BANDS_DUCK = f"""
     WITH sh AS ({_SHINGLES_DUCK}),
     ab AS (
         SELECT doc_id,
@@ -860,8 +860,13 @@ _MINHASH_PAIRS_DUCK = f"""
                    || '|' || CAST(sig[b*2+2] AS VARCHAR)) AS band_hash
         FROM sigs, range(0, 4) t(b)
     )
+    SELECT doc_id, band_id, band_hash FROM bands
+"""
+
+_MINHASH_PAIRS_DUCK = f"""
+    WITH bt AS ({_MINHASH_BANDS_DUCK})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
+    FROM bt a JOIN bt b
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
 """
@@ -8196,3 +8201,46 @@ def q_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(e, "u", "v", k=int(k), emit_rounds=True).select(
         F.col("node").alias("supp"), "peel_round"
     )
+
+
+@register(
+    "dedup_incremental_minhash",
+    f"""
+    WITH bt AS ({_MINHASH_BANDS_DUCK})
+    SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS probe_id
+    FROM bt a JOIN bt b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+    WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection THROUGH the persisted index: the
+    corpus (doc_id % 10 != 0) band table is saved as a bucketed table
+    (tables.save_lsh_index) and the new batch (doc_id % 10 == 0) probes
+    it (tables.probe_lsh_index) — the log-structured workflow where
+    each arriving batch checks against everything already ingested
+    without reshuffling, or even re-reading, the corpus text. The
+    oracle recomputes both sides' band tables from scratch and joins
+    them directly, so the gate proves the persisted round-trip loses
+    (and invents) nothing.
+
+    Scale: the save is one-time; every probe joins the corpus's
+    pre-bucketed band files in place — the index side of the join moves
+    zero bytes over the network regardless of corpus size."""
+    from .pipeline.dedup import minhash_signatures
+    from .tables import probe_lsh_index, save_lsh_index
+
+    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    corpus = docs.filter("doc_id % 10 != 0")
+    probe = docs.filter("doc_id % 10 = 0")
+    sigs_c = minhash_signatures(
+        corpus, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=par,
+    )
+    save_lsh_index(sigs_c, "doc_id", "lsh_idx_gate", bands=4, n_buckets=8)
+    sigs_p = minhash_signatures(
+        probe, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=par,
+    )
+    return probe_lsh_index(spark, "lsh_idx_gate", sigs_p, "doc_id", bands=4)
