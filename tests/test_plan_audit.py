@@ -391,3 +391,66 @@ def test_distance_join_grid_equi_not_cross(plans):
     p = plans("geo_distance_join")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_pair_cosine_reuses_postings_exchange(spark):
+    """The postings self-join must compute the tf aggregation ONCE
+    (ReusedExchange), never as two independent scans-and-shuffles of
+    the token stream, and stay a pure equi-join. Asserted with AQE off:
+    adaptive execution hides the reuse marker in the static plan string
+    (it reuses shuffle stages at runtime instead)."""
+    q = queries_dict()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = (
+            q["text_pair_cosine"](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in p
+    assert "CartesianProduct" not in p
+    assert "pythonUDF" not in p.lower()
+
+
+def test_triangle_counts_equi_joins_only(plans):
+    """Wedge enumeration and closure are equi-joins on integer keys —
+    any cartesian/nested-loop here would be quadratic in hub degree."""
+    p = plans("q_triangle_suppliers")
+    assert "CartesianProduct" not in p
+    assert "pythonUDF" not in p.lower()
+
+
+def test_fuzzy_pairs_blocked_equi_join(plans):
+    """Deletion-neighborhood candidates come from an equi-join on the
+    variant string — the all-pairs distance matrix (nested loop) must
+    never appear."""
+    p = plans("dedup_fuzzy_names")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "pythonUDF" not in p.lower()
+
+
+def test_attribution_linear_single_window_sort(plans):
+    """Journey assignment is one window pass over the event log; the
+    credit math is narrow groupBys — no event-log self-join."""
+    p = plans("q_attribution_linear")
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_changepoint_one_window_no_self_join(plans):
+    p = plans("q_changepoint_revenue")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "Window" in p
+
+
+def test_balanced_sample_min_count_broadcast(plans):
+    """The min class size must ride in as a broadcast single-row
+    aggregate, not a shuffle join."""
+    p = plans("sample_balanced_docs")
+    assert "BroadcastNestedLoop" in p or "BroadcastExchange" in p
+    assert "Window" in p
