@@ -8244,3 +8244,132 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelism=par,
     )
     return probe_lsh_index(spark, "lsh_idx_gate", sigs_p, "doc_id", bands=4)
+
+
+@register(
+    "text_vocab_stats",
+    f"""
+    WITH tf AS ({_TF_DUCK}),
+    terms AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(1000000 * COUNT(*) // SUM(c) AS BIGINT) AS ttr_e6
+    FROM terms
+    """,
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: type count, token count, hapax
+    legomena (terms occurring exactly once — the noise/novelty tail a
+    quality pipeline watches), and the scaled type-token ratio — the
+    one-row corpus health check run before and after every filtering
+    stage.
+
+    Scale: one explode + two narrow term-keyed aggregations (map-side
+    partials); the output is a single row."""
+    from .pipeline.ranking import term_frequencies
+
+    docs = load(spark, sf_dir, "documents")
+    tf = term_frequencies(docs, "doc_id", "text")
+    terms = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.expr("CAST(1000000 * count(1) div sum(c) AS BIGINT)").alias(
+            "ttr_e6"
+        ),
+    )
+
+
+@register(
+    "q_incremental_join",
+    f"""
+    SELECT o_orderkey, c_name,
+           CAST({cents('o_totalprice')} AS BIGINT) AS price_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance: the orders⋈customer result is
+    maintained as base ∪ (Δorders ⋈ customer) — the delta-join identity
+    a materialized join view refreshes with (only the arriving batch
+    joins; the base result is reused untouched). The oracle recomputes
+    the full join from scratch, so the gate proves the identity holds
+    exactly. Companion to q_incremental_agg (aggregates) — together
+    they cover the two algebraic refresh laws incremental pipelines
+    rely on.
+
+    Scale: the delta side is batch-sized, so AQE broadcasts it against
+    the dimension; the base result never reshuffles (in a real
+    deployment it's a persisted bucketed table — see tables.py)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def j(orders_part):
+        return orders_part.join(
+            c, orders_part["o_custkey"] == c["c_custkey"]
+        ).select(
+            "o_orderkey",
+            "c_name",
+            F.expr(f"CAST({cents('o_totalprice')} AS BIGINT)").alias(
+                "price_cents"
+            ),
+        )
+
+    base = j(o.filter("o_orderkey % 10 != 0"))
+    delta = j(o.filter("o_orderkey % 10 = 0"))
+    return base.unionByName(delta)
+
+
+@register(
+    "dedup_minhash_verified",
+    f"""
+    WITH bt AS ({_MINHASH_BANDS_DUCK}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bt a JOIN bt b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sh AS ({_SHINGLES_DUCK})
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                  AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                 AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production near-dup pipeline in one query:
+    MinHash-LSH proposes candidate pairs (cheap, probabilistic), then
+    each candidate is VERIFIED with the exact shingle Jaccard and kept
+    only at ≥ 0.5 — so downstream deletion decisions never act on an
+    LSH false positive. Candidates that fail verification are the
+    measured LSH noise floor.
+
+    Scale: verification joins the (small) candidate pair list back to
+    the per-doc shingle sets — work proportional to candidates, never
+    to the corpus; the sets travel once per side."""
+    from .pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_pairs_jaccard,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    cand = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+    return verify_pairs_jaccard(
+        docs, cand, "doc_id", "text", shingle_size=3, threshold=0.5
+    )

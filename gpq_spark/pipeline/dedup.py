@@ -688,3 +688,36 @@ def fuzzy_pairs_edit1(
         .distinct()
         .filter(accept)
     )
+
+
+def verify_pairs_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: joins a (id_a,
+    id_b) pair list back to each document's distinct-shingle set and
+    keeps pairs with Jaccard ≥ ``threshold`` — the confirm stage that
+    makes LSH candidates safe to act on (deletion never follows a
+    probabilistic match alone). Output: id_a, id_b, jaccard.
+
+    Scale: work is proportional to the CANDIDATE list, never the
+    corpus — each side's shingle set ships once per candidate via two
+    narrow id-keyed joins; the Jaccard itself is a JVM array
+    intersect/union, no Python."""
+    sh = _with_shingles(df, text_col, shingle_size, keep=[id_col])
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    jac = (
+        F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+        / F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
