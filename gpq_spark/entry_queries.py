@@ -8373,3 +8373,60 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_pairs_jaccard(
         docs, cand, "doc_id", "text", shingle_size=3, threshold=0.5
     )
+
+
+_JPEG_W = "(doc_id % 2000 + 8)"
+_JPEG_H = "(doc_id % 999 + 8)"
+
+
+def _jpeg_payload_spark() -> str:
+    """Every 10th doc gets a PNG payload (exercising the non-JPEG NULL
+    path); the rest get a structurally-real JPEG: SOI, an APP0 whose
+    length VARIES with doc_id (so the marker walk must actually read
+    lengths, not assume offsets), a COM segment (a second hop), then
+    SOF0 — or SOF2 for every 3rd doc — carrying the dims."""
+    app0_len = "(10 + doc_id % 5)"
+    app0 = (
+        f"concat('FFE0', lpad(hex({app0_len}), 4, '0'),"
+        f" repeat('00', {app0_len} - 2))"
+    )
+    sof = (
+        "concat(CASE WHEN doc_id % 3 = 0 THEN 'FFC2' ELSE 'FFC0' END,"
+        f" '0011', '08', lpad(hex({_JPEG_H}), 4, '0'),"
+        f" lpad(hex({_JPEG_W}), 4, '0'), '03', repeat('00', 9))"
+    )
+    return (
+        "CASE WHEN doc_id % 10 = 0 THEN unhex('89504E470D0A1A0A') "
+        f"ELSE unhex(concat('FFD8', {app0}, 'FFFE000400AB', {sof})) END"
+    )
+
+
+@register(
+    "multimodal_jpeg_header",
+    f"""
+    SELECT doc_id AS id,
+           CAST({_JPEG_W} AS INT) AS width,
+           CAST({_JPEG_H} AS INT) AS height,
+           CAST(8 AS INT) AS precision,
+           CAST(3 AS INT) AS n_components,
+           (doc_id % 3 = 0) AS progressive
+    FROM documents
+    WHERE doc_id % 10 != 0
+    """,
+)
+def multimodal_jpeg_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG SOF dimension extraction via the bounded marker walk
+    (pipeline.multimodal.parse_jpeg_header): the payload's APP0 length
+    varies per document and a COM segment adds a second hop, so the
+    gate proves the walker genuinely follows segment lengths to find
+    SOF0/SOF2 — the variable-layout counterpart of the fixed-offset
+    PNG IHDR query. The oracle supplies the ground-truth dims the
+    payload was built from (parse(build(x)) == x)."""
+    from .pipeline.multimodal import parse_jpeg_header
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_jpeg_payload_spark()).alias("payload")
+    )
+    return parse_jpeg_header(docs, "payload", "doc_id").filter(
+        F.col("width").isNotNull()
+    )

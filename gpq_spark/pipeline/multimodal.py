@@ -324,3 +324,69 @@ def frame_sample_stub(
             )
 
     return slim.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def parse_jpeg_header(
+    df: DataFrame, payload_col: str, id_col: str, max_segments: int = 8
+) -> DataFrame:
+    """JPEG SOF dimension extraction via a bounded MARKER WALK — unlike
+    PNG's fixed-offset IHDR, a JPEG's SOF frame sits behind a variable
+    number of variable-length segments (APP0, COM, ...), so the parser
+    hops marker to marker (each segment's 2-byte big-endian length
+    names the next offset) until it hits SOF0/SOF2, all as ONE
+    whole-stage-codegen `aggregate` expression over a constant
+    sequence — no Python, no UDF. State is the 1-based offset of the
+    next marker's 0xFF byte; negative = SOF found at |state|; 0 =
+    structurally invalid (NULL fields). ``max_segments`` bounds the
+    walk (real encoders emit < 8 pre-frame segments; raise for exotic
+    files).
+
+    Output: id, width, height, precision, n_components, progressive
+    (SOF2) — NULLs for non-JPEG or walk-exhausted payloads."""
+
+    def u8(off: str) -> str:
+        return (
+            f"CAST(conv(hex(substring({payload_col},"
+            f" CAST({off} AS INT), 1)), 16, 10) AS BIGINT)"
+        )
+
+    def u16(off: str) -> str:
+        return (
+            f"CAST(conv(hex(substring({payload_col},"
+            f" CAST({off} AS INT), 2)), 16, 10) AS BIGINT)"
+        )
+
+    walk = f"""
+        aggregate(
+            sequence(1, {max_segments}),
+            CAST(3 AS BIGINT),
+            (off, i) -> CASE
+                WHEN off <= 0 THEN off
+                WHEN {u8('off')} != 255 THEN CAST(0 AS BIGINT)
+                WHEN {u8('off + 1')} IN (192, 194) THEN -off
+                ELSE off + 2 + {u16('off + 2')}
+            END)
+    """
+    is_jpeg = f"upper(hex(substring({payload_col}, 1, 2))) = 'FFD8'"
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(payload_col),
+        F.expr(
+            f"CASE WHEN {is_jpeg} THEN {walk} ELSE CAST(0 AS BIGINT) END"
+        ).alias("__sof"),
+    )
+
+    def field(expr: str, typ: str) -> Column:
+        return F.expr(
+            f"CASE WHEN __sof < 0 THEN {expr} ELSE NULL END"
+        ).cast(typ)
+
+    p = "(-__sof)"
+    return base.select(
+        "id",
+        field(u16(f"{p} + 7"), "int").alias("width"),
+        field(u16(f"{p} + 5"), "int").alias("height"),
+        field(u8(f"{p} + 4"), "int").alias("precision"),
+        field(u8(f"{p} + 9"), "int").alias("n_components"),
+        field(f"{u8(f'{p} + 1')} = 194", "boolean").alias("progressive"),
+    )

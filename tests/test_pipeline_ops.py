@@ -1882,3 +1882,50 @@ class TestBalancedSample:
         r1 = sorted(r["id"] for r in balanced_sample(df, "cls", ["id"]).collect())
         r2 = sorted(r["id"] for r in balanced_sample(df, "cls", ["id"]).collect())
         assert r1 == r2
+
+
+class TestJpegHeader:
+    @staticmethod
+    def _jpeg(width, height, n_app=1, progressive=False, app_len=8):
+        """Minimal structurally-valid JPEG prefix: SOI, n_app APP0
+        segments of app_len content bytes each, then SOF0/SOF2."""
+        out = b"\xff\xd8"
+        for _ in range(n_app):
+            out += b"\xff\xe0" + (app_len + 2).to_bytes(2, "big") + b"\x00" * app_len
+        marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+        out += marker + (17).to_bytes(2, "big") + b"\x08"
+        out += height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        out += b"\x03" + b"\x00" * 9
+        return out
+
+    def test_walks_variable_segments(self, spark):
+        from gpq_spark.pipeline.multimodal import parse_jpeg_header
+
+        rows = [
+            (1, self._jpeg(640, 480, n_app=1)),
+            (2, self._jpeg(1920, 1080, n_app=3, app_len=31)),
+            (3, self._jpeg(12, 34, n_app=0, progressive=True)),
+            (4, b"\x89PNG\r\n\x1a\n"),  # not a JPEG
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        got = {
+            r["id"]: (r["width"], r["height"], r["precision"],
+                      r["n_components"], r["progressive"])
+            for r in parse_jpeg_header(df, "payload", "id").collect()
+        }
+        assert got[1] == (640, 480, 8, 3, False)
+        assert got[2] == (1920, 1080, 8, 3, False)
+        assert got[3] == (12, 34, 8, 3, True)
+        assert got[4] == (None, None, None, None, None)
+
+    def test_walk_exhaustion_yields_null(self, spark):
+        from gpq_spark.pipeline.multimodal import parse_jpeg_header
+
+        df = spark.createDataFrame(
+            [(1, self._jpeg(100, 100, n_app=12))], "id long, payload binary"
+        )
+        got = parse_jpeg_header(df, "payload", "id", max_segments=8).collect()
+        assert got[0]["width"] is None
+        # but a longer walk budget finds it
+        got2 = parse_jpeg_header(df, "payload", "id", max_segments=16).collect()
+        assert got2[0]["width"] == 100

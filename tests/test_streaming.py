@@ -1275,3 +1275,68 @@ class TestStreamSessionizeOutOfOrder:
             for r in rows
         ]
         assert got == [(0, 50, 3)]
+
+
+class TestOooCheckpointRestart:
+    def test_buffered_state_survives_restarts(self, spark, tmp_path):
+        """The OOO buffer must survive query restarts: disordered
+        events arrive across FOUR separate runs sharing one checkpoint
+        (each run stops before the watermark passes them); only the
+        final run's watermark flushes, and the emitted chain must be
+        the true time order — proving both the pending buffer and the
+        last-event state recover from the state store."""
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_transitions_ooo
+
+        base = dt.datetime(2024, 3, 1)
+        types = ["view", "click", "view", "purchase", "error", "view",
+                 "click", "view"]
+        src = tmp_path / "src"
+        out = tmp_path / "out"
+        ck = tmp_path / "ck"
+        src.mkdir()
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string"
+        )
+
+        def add(hours):
+            rows = [
+                (h, base + dt.timedelta(hours=h), 1,
+                 types[h] if h < len(types) else "view", 0.0, "{}")
+                for h in hours
+            ]
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+        def run_once():
+            src_schema = spark.read.parquet(str(src)).schema
+            stream = stream_events(spark, str(src), src_schema)
+            q = (
+                stream_transitions_ooo(stream, watermark_delay="12 hours")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(ck))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        add([4, 5, 6, 7])
+        run_once()
+        add([0, 1, 2, 3])
+        run_once()
+        add([40])
+        run_once()
+        add([41])
+        run_once()
+
+        got = sorted(
+            (r["src"], r["dst"])
+            for r in spark.read.parquet(str(out)).collect()
+        )
+        assert got == sorted(zip(types, types[1:]))
