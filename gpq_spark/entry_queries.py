@@ -8430,3 +8430,146 @@ def multimodal_jpeg_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_jpeg_header(docs, "payload", "doc_id").filter(
         F.col("width").isNotNull()
     )
+
+
+@register(
+    "geo_knn_join",
+    f"""
+    WITH p AS (
+        SELECT c_custkey, CAST({_DJ_PX} AS BIGINT) AS px,
+               CAST({_DJ_PY} AS BIGINT) AS py
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey, CAST({_DJ_SX} AS BIGINT) AS sx,
+               CAST({_DJ_SY} AS BIGINT) AS sy
+        FROM supplier
+    )
+    SELECT c_custkey, s_suppkey, d2, rank FROM (
+        SELECT c_custkey, s_suppkey,
+               CAST((px - sx) * (px - sx) + (py - sy) * (py - sy) AS BIGINT)
+                   AS d2,
+               CAST(row_number() OVER (
+                   PARTITION BY c_custkey
+                   ORDER BY (px - sx) * (px - sx) + (py - sy) * (py - sy),
+                            s_suppkey) AS BIGINT) AS rank
+        FROM p, s
+    ) WHERE rank <= 3
+    """,
+)
+def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's 3 nearest supplier sites — EXACT k-NN by ring
+    expansion (geoparquet.spatial.knn_join): grid-bucketed candidate
+    joins at doubling radii, a point resolving only once its k-th
+    candidate distance fits inside the ring (the geometric guarantee
+    brute force gets for free and the ORACLE's cross join uses). Most
+    points resolve in the first ring; the wide rings run on the
+    residue — the two-phase shape that makes k-NN joins feasible when
+    |points| × |sites| cross products aren't."""
+    from .geoparquet.spatial import knn_join
+
+    pts = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"CAST({_DJ_PX} AS BIGINT) AS px",
+        f"CAST({_DJ_PY} AS BIGINT) AS py",
+    )
+    sites = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"CAST({_DJ_SX} AS BIGINT) AS sx",
+        f"CAST({_DJ_SY} AS BIGINT) AS sy",
+    )
+    return knn_join(
+        pts,
+        sites,
+        k=3,
+        point_cols=("c_custkey", "px", "py"),
+        site_cols=("s_suppkey", "sx", "sy"),
+        initial_radius=8.0,
+        max_radius=512.0,
+    )
+
+
+@register(
+    "q_kanon_violations",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size
+    FROM customer
+    GROUP BY 1, 2
+    HAVING COUNT(*) < 5
+    """,
+)
+def q_kanon_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier pair: equivalence classes smaller than k = 5 —
+    the rows whose attribute combination makes them re-identifiable,
+    the release-gate check that pairs with PII scrubbing
+    (text_scrub_docs) in a privacy pipeline.
+
+    Scale: one groupBy with map-side partials; the violating classes
+    are by definition the SMALL groups, so the output is tiny."""
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .filter(F.col("class_size") < 5)
+    )
+
+
+@register(
+    "q_corpus_diff",
+    """
+    WITH a AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 13 != 0
+    ),
+    b AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]'
+                        ELSE text END) AS h
+        FROM documents WHERE doc_id % 11 != 0
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h != b.h
+    """,
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (synthesized: snapshot
+    B edits every 7th document, drops multiples of 11, and restores
+    multiples of 13 that A lacks): one full outer join on the id with a
+    content-hash comparison classifies every divergence as
+    added / removed / changed — the audit that tells you WHAT moved
+    between two training-corpus versions, where q_table_checksum only
+    tells you THAT something moved.
+
+    Scale: ids and 128-bit hashes shuffle, never document payloads;
+    unchanged rows (the overwhelming majority) are filtered before the
+    output materializes."""
+    docs = load(spark, sf_dir, "documents")
+    a = docs.filter("doc_id % 13 != 0").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    b = docs.filter("doc_id % 11 != 0").select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.expr("doc_id % 7 = 0"), F.concat("text", F.lit(" [edited]"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    a = a.select(F.col("doc_id").alias("a_id"), F.col("h").alias("a_h"))
+    b = b.select(F.col("doc_id").alias("b_id"), F.col("h").alias("b_h"))
+    j = a.join(b, a["a_id"] == b["b_id"], "full_outer")
+    return j.filter(
+        F.col("a_id").isNull()
+        | F.col("b_id").isNull()
+        | (F.col("a_h") != F.col("b_h"))
+    ).select(
+        F.coalesce("a_id", "b_id").alias("doc_id"),
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+    )

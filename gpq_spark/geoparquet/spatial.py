@@ -509,3 +509,86 @@ def spatial_join_overlay_area(
         .filter(F.col(area_col) > min_area)
         .drop("__rgid", *lcols, *rcols)
     )
+
+
+def knn_join(
+    points: DataFrame,
+    sites: DataFrame,
+    k: int,
+    point_cols: tuple[str, str, str] = ("pid", "px", "py"),
+    site_cols: tuple[str, str, str] = ("sid", "sx", "sy"),
+    initial_radius: float = 8.0,
+    max_radius: float = 1e9,
+) -> DataFrame:
+    """EXACT k-nearest-neighbor join by ring expansion: each round runs
+    the grid-bucketed expanded-bbox candidate join at radius r, and a
+    point is RESOLVED once its k-th candidate distance is ≤ r — the
+    geometric guarantee that no site outside the ring can be closer —
+    otherwise it carries to the next round at 2r. Unresolved points at
+    ``max_radius`` accept their candidates as-is (the all-sites ring).
+    Output: point id, site id, d2 (exact integer squared distance),
+    rank (1..k, ties broken by site id — fully deterministic).
+
+    Scale: every round is the SAME cell equi-join the distance join
+    uses (never a cross join); most points resolve in the first ring
+    sized to the expected k-NN distance, so the expensive wide rings
+    run on a vanishing residue (classic two-phase kNN). The residue
+    frame is localCheckpoint()ed per round to keep lineage flat."""
+    from pyspark.sql import Window
+
+    pid, px, py = point_cols
+    sid, sx, sy = site_cols
+    remaining = points.select(pid, px, py).localCheckpoint()
+    out = None
+    r = float(initial_radius)
+    while not remaining.isEmpty():
+        p_boxes = remaining.selectExpr(
+            pid, px, py,
+            f"CAST({px} AS DOUBLE) AS pxmin",
+            f"CAST({py} AS DOUBLE) AS pymin",
+            f"CAST({px} AS DOUBLE) AS pxmax",
+            f"CAST({py} AS DOUBLE) AS pymax",
+        )
+        s_boxes = sites.selectExpr(
+            sid, sx, sy,
+            f"CAST({sx} - {r} AS DOUBLE) AS sxmin",
+            f"CAST({sy} - {r} AS DOUBLE) AS symin",
+            f"CAST({sx} + {r} AS DOUBLE) AS sxmax",
+            f"CAST({sy} + {r} AS DOUBLE) AS symax",
+        )
+        cand = spatial_join_bboxes(
+            p_boxes,
+            s_boxes,
+            left_cols=("pxmin", "pymin", "pxmax", "pymax"),
+            right_cols=("sxmin", "symin", "sxmax", "symax"),
+            cell_deg=float(2 * r),
+        ).withColumn(
+            "d2",
+            F.expr(
+                f"CAST(({px} - {sx}) * ({px} - {sx})"
+                f" + ({py} - {sy}) * ({py} - {sy}) AS BIGINT)"
+            ),
+        )
+        w = Window.partitionBy(pid).orderBy(F.col("d2").asc(), F.col(sid).asc())
+        wp = Window.partitionBy(pid)
+        ranked = (
+            cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .withColumn("__n", F.count(F.lit(1)).over(wp))
+            .withColumn("__kth", F.max("d2").over(wp))
+        )
+        done = (r >= max_radius)
+        resolved = ranked.filter(
+            F.lit(done)
+            | ((F.col("__n") >= k) & (F.col("__kth") <= F.lit(r * r)))
+        ).select(pid, sid, "d2", "rank")
+        out = resolved if out is None else out.unionByName(resolved)
+        remaining = remaining.join(
+            resolved.select(pid).distinct(), pid, "left_anti"
+        ).localCheckpoint()
+        if done:
+            break
+        r = min(r * 2, float(max_radius))
+    return out if out is not None else points.sparkSession.createDataFrame(
+        [], f"{pid} long, {sid} long, d2 long, rank long"
+    )

@@ -300,3 +300,45 @@ class TestSpatialJoin:
         cust, _ = self._sides(spark)
         with pytest.raises(ValueError, match="disjoint"):
             spatial_join_bboxes(cust, cust)
+
+
+class TestKnnJoin:
+    def test_exact_vs_bruteforce_random(self, spark):
+        """Ring-expansion kNN must equal brute force on random points —
+        including ties broken by site id."""
+        import random
+
+        from gpq_spark.geoparquet.spatial import knn_join
+
+        rng = random.Random(11)
+        pts = [(i, rng.randrange(-100, 100), rng.randrange(-100, 100))
+               for i in range(60)]
+        sites = [(j, rng.randrange(-100, 100), rng.randrange(-100, 100))
+                 for j in range(25)]
+        pdf = spark.createDataFrame(pts, "pid long, px long, py long")
+        sdf = spark.createDataFrame(sites, "sid long, sx long, sy long")
+        got = sorted(
+            map(tuple, knn_join(pdf, sdf, 4, initial_radius=5.0).collect())
+        )
+        want = []
+        for i, x, y in pts:
+            ds = sorted(
+                ((x - sx) ** 2 + (y - sy) ** 2, j) for j, sx, sy in sites
+            )
+            want.extend(
+                (i, j, d2, r + 1) for r, (d2, j) in enumerate(ds[:4])
+            )
+        assert got == sorted(want)
+
+    def test_fewer_sites_than_k(self, spark):
+        from gpq_spark.geoparquet.spatial import knn_join
+
+        pdf = spark.createDataFrame([(1, 0, 0)], "pid long, px long, py long")
+        sdf = spark.createDataFrame(
+            [(7, 3, 4), (8, 6, 8)], "sid long, sx long, sy long"
+        )
+        got = sorted(
+            map(tuple, knn_join(pdf, sdf, 5, initial_radius=2.0,
+                                max_radius=64.0).collect())
+        )
+        assert got == [(1, 7, 25, 1), (1, 8, 100, 2)]
