@@ -8573,3 +8573,64 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("changed")
         .alias("status"),
     )
+
+
+@register(
+    "q_data_constraints",
+    f"""
+    WITH rowchecks AS (
+        SELECT CAST(SUM(CASE WHEN NOT COALESCE(l_quantity >= 1
+                                           AND l_quantity <= 50, FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS qty_in_range,
+               CAST(SUM(CASE WHEN NOT COALESCE(l_orderkey IS NOT NULL, FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_not_null,
+               CAST(SUM(CASE WHEN NOT COALESCE(l_discount >= 0
+                                           AND l_discount <= 1, FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS discount_unit,
+               CAST(SUM(CASE WHEN NOT COALESCE(
+                        l_returnflag IN ('A', 'N', 'R'), FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_enum,
+               CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice >= l_quantity,
+                                               FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS price_covers_qty
+        FROM lineitem
+    ),
+    rules AS (
+        SELECT 'qty_in_range' AS rule, qty_in_range AS n_violations
+        FROM rowchecks
+        UNION ALL SELECT 'orderkey_not_null', orderkey_not_null FROM rowchecks
+        UNION ALL SELECT 'discount_unit', discount_unit FROM rowchecks
+        UNION ALL SELECT 'returnflag_enum', returnflag_enum FROM rowchecks
+        UNION ALL SELECT 'price_covers_qty', price_covers_qty FROM rowchecks
+        UNION ALL
+        SELECT 'pk_order_line', CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+        FROM (SELECT COUNT(*) AS c FROM lineitem
+              GROUP BY l_orderkey, l_linenumber) g
+        WHERE c > 1
+    )
+    SELECT rule, n_violations, n_violations = 0 AS passed FROM rules
+    """,
+)
+def q_data_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over lineitem
+    (pipeline.profile.check_constraints): range, non-null, enum, and
+    cross-column predicates fold into ONE conditional-
+    aggregation scan, plus a composite-key uniqueness rule — the
+    tabular counterpart of the GeoParquet spec validator, emitting the
+    per-rule (violations, passed) report a release pipeline asserts
+    on. NULL predicate results count as violations (unknown is not
+    proof of validity)."""
+    from .pipeline.profile import check_constraints
+
+    li = load(spark, sf_dir, "lineitem")
+    return check_constraints(
+        li,
+        checks=[
+            ("qty_in_range", "l_quantity >= 1 AND l_quantity <= 50"),
+            ("orderkey_not_null", "l_orderkey IS NOT NULL"),
+            ("discount_unit", "l_discount >= 0 AND l_discount <= 1"),
+            ("returnflag_enum", "l_returnflag IN ('A', 'N', 'R')"),
+            ("price_covers_qty", "l_extendedprice >= l_quantity"),
+        ],
+        unique=[("pk_order_line", ["l_orderkey", "l_linenumber"])],
+    )

@@ -185,3 +185,50 @@ def skew_report(
         (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def check_constraints(
+    df: DataFrame,
+    checks: list[tuple[str, str]],
+    unique: list[tuple[str, list[str]]] | None = None,
+) -> DataFrame:
+    """Declarative data-quality constraint suite (the tabular
+    counterpart of the GeoParquet spec validator): ``checks`` is a list
+    of (rule_name, boolean SQL predicate) evaluated per row — a
+    violation is a row where the predicate is FALSE or NULL (unknown is
+    not proof of validity) — and ``unique`` declares key-uniqueness
+    rules as (rule_name, key columns). Output: one row per rule —
+    (rule, n_violations, passed) — the shape a release gate asserts on.
+
+    Scale: all row predicates fold into ONE conditional-aggregation
+    scan (a single pass over the table, map-side partials); each
+    uniqueness rule is one groupBy on its key counting groups with
+    duplicates. Nothing is collected; a violating-sample fetch is a
+    follow-up filter the caller runs only on failure."""
+    aggs = [
+        F.sum(
+            F.when(F.expr(pred).isNull() | ~F.expr(pred), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias(name)
+        for name, pred in checks
+    ]
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{name}', {name}" for name, _ in checks)
+    out = row.selectExpr(
+        f"stack({len(checks)}, {stack}) AS (rule, n_violations)"
+    )
+    for name, keys in unique or []:
+        dup = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1)
+            .agg(
+                F.lit(name).alias("rule"),
+                F.coalesce(F.sum(F.col("__c") - 1), F.lit(0))
+                .cast("long")
+                .alias("n_violations"),
+            )
+        )
+        out = out.unionByName(dup)
+    return out.withColumn("passed", F.col("n_violations") == 0)

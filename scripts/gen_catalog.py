@@ -25,7 +25,7 @@ GROUPS = [
      r"|ab_test|trend|crosstab|drift|basket|recommend|incremental|table_checksum"
      r"|changepoint)"),
     ("Graph analytics", r"^q_(pagerank|triangle|kcore)"),
-    ("Governance & auditing", r"^q_(kanon|corpus_diff)"),
+    ("Governance & auditing", r"^q_(kanon|corpus_diff|data_constraints)"),
     ("Deduplication & decontamination", r"^(dedup_|decontam)"),
     ("Similarity search & embeddings", r"^(ann_|ivf_|embed_)"),
     ("Text analysis & corpus ops", r"^(text_|rank_|sample_|pack_|profile_|skew_)"),

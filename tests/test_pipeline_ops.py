@@ -1929,3 +1929,37 @@ class TestJpegHeader:
         # but a longer walk budget finds it
         got2 = parse_jpeg_header(df, "payload", "id", max_segments=16).collect()
         assert got2[0]["width"] == 100
+
+
+class TestCheckConstraints:
+    def test_null_predicates_count_as_violations(self, spark):
+        from gpq_spark.pipeline.profile import check_constraints
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 60), (3, 5)], "id long, v long"
+        )
+        got = {
+            r["rule"]: (r["n_violations"], r["passed"])
+            for r in check_constraints(
+                df,
+                checks=[
+                    ("v_in_range", "v >= 1 AND v <= 50"),  # null + 60 violate
+                    ("id_not_null", "id IS NOT NULL"),
+                ],
+                unique=[("id_unique", ["id"])],
+            ).collect()
+        }
+        assert got == {
+            "v_in_range": (2, False),
+            "id_not_null": (0, True),
+            "id_unique": (1, False),  # one extra row beyond the first
+        }
+
+    def test_all_pass_on_clean_table(self, spark):
+        from gpq_spark.pipeline.profile import check_constraints
+
+        df = spark.createDataFrame([(1, 2), (2, 3)], "id long, v long")
+        got = check_constraints(
+            df, checks=[("v_pos", "v > 0")], unique=[("pk", ["id"])]
+        ).collect()
+        assert all(r["passed"] for r in got)
