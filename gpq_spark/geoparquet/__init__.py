@@ -23,6 +23,7 @@ from .manifest import (
     vacuum,
 )
 from .spatial import (
+    knn_join,
     add_bbox_column,
     partition_by_grid,
     prune_files_by_bbox,
@@ -65,6 +66,7 @@ __all__ = [
     "partition_by_grid",
     "prune_files_by_bbox",
     "spatial_join_points_in_polygons",
+    "knn_join",
     "spatial_join_overlay_area",
     "spatial_join_polygons_overlap",
     "read_geoparquet_bbox",

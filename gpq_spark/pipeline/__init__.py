@@ -17,6 +17,8 @@ Design rules:
 
 from .dedup import (
     dedup_exact,
+    fuzzy_pairs_edit1,
+    verify_pairs_jaccard,
     simhash_near_pairs,
     minhash_signatures,
     lsh_candidate_pairs,
@@ -27,7 +29,13 @@ from .dedup import (
     duplicate_clusters,
 )
 from .decontam import decontaminate, ngram_overlap_counts
-from .sampling import hash_sample, hash_split, stratified_sample_exact, weighted_sample
+from .sampling import (
+    balanced_sample,
+    hash_sample,
+    hash_split,
+    stratified_sample_exact,
+    weighted_sample,
+)
 from .packing import pack_concat_chunks, pack_greedy
 from .ranking import (
     bm25_scores,
@@ -50,7 +58,7 @@ from .similarity import (
     train_pq_codebooks,
     embedding_centroids,
 )
-from .profile import histogram_fixed, profile_columns, skew_report
+from .profile import check_constraints, histogram_fixed, profile_columns, skew_report
 from .text import (
     with_token_counts,
     with_quality_score,
@@ -63,7 +71,7 @@ from .text import (
     scrub_pii,
 )
 from .export import read_jsonl_shards, shard_id, write_jsonl_shards
-from .graph import pagerank, triangle_counts
+from .graph import k_core, pagerank, triangle_counts
 from .sketch import bloom_build, bloom_merge, bloom_probe
 from .text import ENTROPY_LUT, ENTROPY_WINDOW, with_char_entropy
 from .multimodal import (
@@ -93,6 +101,11 @@ __all__ = [
     "term_frequencies",
     "tfidf_scores",
     "pairwise_doc_similarity",
+    "k_core",
+    "check_constraints",
+    "balanced_sample",
+    "verify_pairs_jaccard",
+    "fuzzy_pairs_edit1",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash_signatures",
