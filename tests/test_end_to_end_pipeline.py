@@ -131,3 +131,80 @@ def test_full_corpus_pipeline(spark, tmp_path):
     ids_a = {r["doc_id"] for r in clean.select("doc_id").collect()}
     ids_b = {r["doc_id"] for r in clean2.select("doc_id").collect()}
     assert ids_a == ids_b
+
+
+class TestStreamingCorpusPipeline:
+    def test_ingest_dedup_quality_to_parquet(self, spark, tmp_path):
+        """The corpus pipeline AS A STREAM: document files arrive in
+        micro-batches, exact-dup payloads (including cross-batch
+        duplicates) are suppressed with bounded state, quality signals
+        are computed as the same stateless expressions the batch
+        pipeline uses, and clean rows land in a parquet sink — the
+        continuous-ingest twin of the batch end-to-end test."""
+        import datetime as dt
+        import glob
+        import os
+        import shutil
+        import time
+
+        from pyspark.sql import functions as F
+
+        import gpq_spark  # deploy before any UDF construction
+        from gpq_spark.pipeline.text import (
+            with_language_id,
+            with_token_counts,
+        )
+        from gpq_spark.streaming import stream_dedup
+
+        base = dt.datetime(2024, 5, 1)
+        texts = {
+            "good_en": "the quick brown fox jumps over the lazy dog and "
+                       "keeps running through the field with steady pace",
+            "dup": "duplicate payload that arrives in both batches with "
+                   "enough words to pass the minimum length gate here",
+            "short": "too short",
+        }
+        schema = "doc_id long, ts timestamp, text string"
+        batches = [
+            [(1, base, texts["good_en"]), (2, base, texts["dup"])],
+            [(3, base + dt.timedelta(minutes=5), texts["dup"]),  # cross-batch dup
+             (4, base + dt.timedelta(minutes=5), texts["short"]),
+             (5, base + dt.timedelta(minutes=5), texts["good_en"] + " again")],
+        ]
+        src = tmp_path / "src"
+        os.makedirs(src)
+        for i, rows in enumerate(batches):
+            tmpdir = str(src / f"_t{i}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmpdir)
+            part = glob.glob(f"{tmpdir}/part-*.parquet")[0]
+            shutil.move(part, str(src / f"{i}.parquet"))
+            shutil.rmtree(tmpdir)
+            os.utime(str(src / f"{i}.parquet"),
+                     (time.time() + i, time.time() + i))
+
+        out = tmp_path / "out"
+        ck = tmp_path / "ck"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        deduped = stream_dedup(
+            stream.withColumn("__h", F.md5("text")), ["__h"]
+        ).drop("__h")
+        enriched = with_language_id(with_token_counts(deduped))
+        clean = enriched.filter(F.col("ws_tokens") >= 10)
+        q = (
+            clean.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        rows = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
+        # doc 3 (cross-batch dup of 2) and doc 4 (too short) are gone
+        assert set(rows) == {1, 2, 5}
+        assert rows[1]["pred_lang"] == "en"
+        assert all(r["ws_tokens"] >= 10 for r in rows.values())

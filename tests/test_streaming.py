@@ -1340,3 +1340,53 @@ class TestOooCheckpointRestart:
             for r in spark.read.parquet(str(out)).collect()
         )
         assert got == sorted(zip(types, types[1:]))
+
+
+class TestWindowedCountsOutOfOrder:
+    def test_engine_managed_windows_are_order_tolerant(self, spark, tmp_path):
+        """The ENGINE-managed windowed aggregation is already
+        out-of-order tolerant by construction (open windows accept any
+        in-watermark event regardless of arrival order): a disordered
+        replay must emit exactly the ordered replay's closed windows —
+        the baseline the custom-state _ooo operators replicate."""
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_events, windowed_counts
+
+        base = dt.datetime(2024, 3, 1)
+
+        def ev(h, minute, etype, v):
+            return (
+                h * 100 + minute,
+                base + dt.timedelta(hours=h, minutes=minute),
+                1,
+                etype,
+                v,
+                "{}",
+            )
+
+        # hours 2-3 arrive before hours 0-1; in-hour disorder too
+        batches = [
+            [ev(2, 30, "view", 1.0), ev(3, 10, "click", 2.0)],
+            [ev(0, 45, "view", 3.0), ev(1, 5, "view", 4.0),
+             ev(0, 10, "view", 0.5)],
+            [ev(40, 0, "view", 0.0)],
+            [ev(41, 0, "view", 0.0)],
+        ]
+        d = tmp_path / "ooo_wc"
+        src_schema = _write_ooo_files(spark, d, batches)
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = windowed_counts(stream, window="1 hour", watermark="12 hours")
+        got = {
+            (r["window_start"], r["event_type"]): (r["n"], r["value_cents"])
+            for r in _drain_ooo(spark, out, "wc_ooo").collect()
+        }
+        want = {
+            ("2024-03-01 00:00:00", "view"): (2, 350),
+            ("2024-03-01 01:00:00", "view"): (1, 400),
+            ("2024-03-01 02:00:00", "view"): (1, 100),
+            ("2024-03-01 03:00:00", "click"): (1, 200),
+        }
+        assert got == want
