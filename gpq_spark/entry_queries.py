@@ -8634,3 +8634,70 @@ def q_data_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         unique=[("pk_order_line", ["l_orderkey", "l_linenumber"])],
     )
+
+
+@register(
+    "q_session_window_dynamic",
+    f"""
+    WITH g AS (
+        SELECT user_id, ts, {cents('value')} AS v, epoch_us(ts) AS tus,
+               epoch_us(ts) + CASE WHEN event_type = 'error'
+                                   THEN 300000000 ELSE 1800000000 END AS eus
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, v, tus, eus,
+               CASE WHEN MAX(eus) OVER w IS NULL OR tus > MAX(eus) OVER w
+                    THEN 1 ELSE 0 END AS is_new
+        FROM g
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sess AS (
+        SELECT user_id, ts, v, eus,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM numbered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+           strftime(make_timestamp(MAX(eus)), '%Y-%m-%d %H:%M:%S') AS s_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS BIGINT) AS value_cents
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions with a PER-EVENT gap — error events hold the session
+    open only 5 minutes, everything else 30 — via the built-in
+    session_window's dynamic-gap form (each event contributes the
+    interval [ts, ts+gap]; overlapping-or-touching intervals merge:
+    verified empirically, an event exactly AT the running max end
+    joins the session). The oracle replays the same interval-union
+    with a running MAX(ts+gap) over preceding events: a new session
+    starts strictly after it.
+
+    Scale: same one-shuffle engine-managed aggregation as the fixed-gap
+    form; the gap CASE is a map-side expression."""
+    ev = load_events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr(cents("value"))).cast("long").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format(
+                F.expr("convert_timezone('UTC', session_window.start)"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("s_start"),
+            F.date_format(
+                F.expr("convert_timezone('UTC', session_window.end)"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("s_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
