@@ -8701,3 +8701,103 @@ def q_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
+
+
+@register(
+    "q_attribution_position",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS journey
+        FROM events
+    ),
+    touches AS (
+        SELECT user_id, journey, event_type AS channel,
+               row_number() OVER (PARTITION BY user_id, journey
+                                  ORDER BY ts, event_id) AS pos,
+               COUNT(*) OVER (PARTITION BY user_id, journey) AS n
+        FROM seq WHERE event_type <> 'purchase'
+    ),
+    pj AS (
+        SELECT user_id, journey FROM seq WHERE event_type = 'purchase'
+    ),
+    credited AS (
+        SELECT t.channel,
+               CAST(CASE
+                   WHEN t.n = 1 THEN 1000000
+                   WHEN t.n = 2 THEN 500000
+                   WHEN t.pos = 1 OR t.pos = t.n THEN 400000
+                   ELSE 200000 // (t.n - 2)
+               END AS BIGINT) AS credit_e6
+        FROM pj JOIN touches t USING (user_id, journey)
+        UNION ALL
+        SELECT '(none)', CAST(1000000 AS BIGINT)
+        FROM pj LEFT JOIN (SELECT DISTINCT user_id, journey FROM touches) t
+            USING (user_id, journey)
+        WHERE t.journey IS NULL
+    )
+    SELECT channel, CAST(SUM(credit_e6) AS BIGINT) AS credit_e6
+    FROM credited GROUP BY 1
+    """,
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution: each purchase gives 40%
+    credit to its journey's FIRST touch, 40% to the LAST, and splits
+    the remaining 20% across the middle touches — exact integer
+    micro-units with the same truncation in both engines (1-touch
+    journeys take the full 1e6, 2-touch split 50/50). Completes the
+    attribution trio: last-touch (who closed), linear (who
+    participated), position (who opened AND closed).
+
+    Scale: same one-window journey assignment as the linear variant;
+    position and journey size come from the SAME partition sort — no
+    extra shuffle."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1)).over(w),
+            F.lit(0),
+        ).cast("long"),
+    )
+    wj = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id", "journey")
+    touches = (
+        seq.filter(F.col("event_type") != "purchase")
+        .withColumn("pos", F.row_number().over(wj))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .select("user_id", "journey", F.col("event_type").alias("channel"), "pos", "n")
+    )
+    pj = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", "journey"
+    )
+    credited = pj.join(touches, ["user_id", "journey"]).select(
+        "channel",
+        F.expr(
+            "CAST(CASE WHEN n = 1 THEN 1000000"
+            " WHEN n = 2 THEN 500000"
+            " WHEN pos = 1 OR pos = n THEN 400000"
+            " ELSE 200000 div (n - 2) END AS BIGINT)"
+        ).alias("credit_e6"),
+    )
+    untouched = pj.join(
+        touches.select("user_id", "journey").distinct(),
+        ["user_id", "journey"],
+        "left_anti",
+    ).select(
+        F.lit("(none)").alias("channel"),
+        F.lit(1000000).cast("long").alias("credit_e6"),
+    )
+    return (
+        credited.unionByName(untouched)
+        .groupBy("channel")
+        .agg(F.sum("credit_e6").cast("long").alias("credit_e6"))
+    )
