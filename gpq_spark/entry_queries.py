@@ -8801,3 +8801,106 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(F.sum("credit_e6").cast("long").alias("credit_e6"))
     )
+
+
+@register(
+    "q_attribution_time_decay",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS journey
+        FROM events
+    ),
+    pj AS (
+        SELECT user_id, journey, epoch_us(ts) AS p_tus
+        FROM seq WHERE event_type = 'purchase'
+    ),
+    weighted AS (
+        SELECT t.user_id, t.journey, t.event_type AS channel,
+               (CAST(1 AS BIGINT) << (40 - LEAST(
+                   CAST((p.p_tus - epoch_us(t.ts)) // 21600000000 AS BIGINT),
+                   40))) AS w
+        FROM seq t JOIN pj p USING (user_id, journey)
+        WHERE t.event_type <> 'purchase'
+    ),
+    tot AS (
+        SELECT user_id, journey, CAST(SUM(w) AS BIGINT) AS sw
+        FROM weighted GROUP BY 1, 2
+    ),
+    credited AS (
+        SELECT w.channel,
+               CAST(w.w * 1000000 // t.sw AS BIGINT) AS credit_e6
+        FROM weighted w JOIN tot t USING (user_id, journey)
+        UNION ALL
+        SELECT '(none)', CAST(1000000 AS BIGINT)
+        FROM pj LEFT JOIN tot USING (user_id, journey)
+        WHERE tot.sw IS NULL
+    )
+    SELECT channel, CAST(SUM(credit_e6) AS BIGINT) AS credit_e6
+    FROM credited GROUP BY 1
+    """,
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution with a 6-hour half-life in EXACT integer
+    arithmetic: each touch's weight is 2^(40 − floor(age/6h)) — a left
+    shift, never a float pow — capped at exponent 0, and each
+    purchase's 1e6 credit splits proportionally (w·1e6 div Σw). The
+    fourth and final standard attribution model (last-touch, linear,
+    position, decay): recency-weighted participation.
+
+    Scale: the only addition over the linear variant is one join of
+    touches to their journey's purchase timestamp — keyed by the same
+    (user, journey) the family already groups on."""
+    from .relational import epoch_micros
+
+    ev = load_events(spark, sf_dir)
+    ev = ev.withColumn("__tus", epoch_micros(ev, "ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1)).over(w),
+            F.lit(0),
+        ).cast("long"),
+    )
+    pj = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", "journey", F.col("__tus").alias("p_tus")
+    )
+    weighted = (
+        seq.filter(F.col("event_type") != "purchase")
+        .join(pj, ["user_id", "journey"])
+        .select(
+            "user_id",
+            "journey",
+            F.col("event_type").alias("channel"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(40 - least("
+                "(p_tus - __tus) div 21600000000, 40) AS INT))"
+            ).alias("w"),
+        )
+    )
+    tot = weighted.groupBy("user_id", "journey").agg(
+        F.sum("w").cast("long").alias("sw")
+    )
+    credited = weighted.join(tot, ["user_id", "journey"]).select(
+        "channel",
+        F.expr("CAST(w * 1000000 div sw AS BIGINT)").alias("credit_e6"),
+    )
+    untouched = pj.join(
+        tot.select("user_id", "journey"), ["user_id", "journey"], "left_anti"
+    ).select(
+        F.lit("(none)").alias("channel"),
+        F.lit(1000000).cast("long").alias("credit_e6"),
+    )
+    return (
+        credited.unionByName(untouched)
+        .groupBy("channel")
+        .agg(F.sum("credit_e6").cast("long").alias("credit_e6"))
+    )
