@@ -8689,14 +8689,16 @@ def q_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.date_format(
-                F.expr("convert_timezone('UTC', session_window.start)"),
-                "yyyy-MM-dd HH:mm:ss",
-            ).alias("s_start"),
-            F.date_format(
-                F.expr("convert_timezone('UTC', session_window.end)"),
-                "yyyy-MM-dd HH:mm:ss",
-            ).alias("s_end"),
+            # ts is TIMESTAMP_NTZ here, so the window bounds are NTZ
+            # wall clocks: render directly — convert_timezone would
+            # re-interpret them in the session zone and shift (the
+            # double-shift bug the Tokyo sweep exists to catch)
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "s_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "s_end"
+            ),
             "n_events",
             "value_cents",
         )
