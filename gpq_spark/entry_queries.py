@@ -8906,3 +8906,205 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(F.sum("credit_e6").cast("long").alias("credit_e6"))
     )
+
+
+@register(
+    "q_clustering_coeff",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    shared AS (
+        SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(shared) AS BIGINT) AS sum_shared
+        FROM shared
+    ),
+    e AS (SELECT u, v FROM shared CROSS JOIN tot
+          WHERE shared * n_pairs >= sum_shared),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1
+    ),
+    tt AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tri AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM (
+            SELECT a AS node FROM tt
+            UNION ALL SELECT b FROM tt
+            UNION ALL SELECT c FROM tt
+        ) GROUP BY 1
+    )
+    SELECT d.node AS supp, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+           CAST(CASE WHEN d.deg >= 2
+                THEN 2000000 * COALESCE(t.n_tri, 0) // (d.deg * (d.deg - 1))
+                ELSE 0 END AS BIGINT) AS lcc_e6
+    FROM deg d LEFT JOIN tri t ON t.node = d.node
+    """,
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per supplier — 2·triangles(v) div
+    (deg(v)·(deg(v)−1)) in exact 1e-6 units — composing the
+    degree-oriented triangle counter with the degree table: the
+    per-node community-tightness signal (1e6 = my neighbors all know
+    each other). Nodes of degree < 2 report 0 (no possible wedge).
+
+    Scale: everything reuses the triangle query's plan (orientation
+    bounds the wedge join) plus one narrow left join on node id."""
+    from .pipeline.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    e = (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_counts(e, "u", "v")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            F.col("node").alias("supp"),
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.expr(
+                "CAST(CASE WHEN deg >= 2"
+                " THEN 2000000 * coalesce(n_tri, 0) div (deg * (deg - 1))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("lcc_e6"),
+        )
+    )
+
+
+@register(
+    "q_modularity_nations",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    shared AS (
+        SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(shared) AS BIGINT) AS sum_shared
+        FROM shared
+    ),
+    e AS (SELECT u, v FROM shared CROSS JOIN tot
+          WHERE shared * n_pairs >= sum_shared),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    comm AS (SELECT s_suppkey AS node, CAST(s_nationkey AS BIGINT) AS c
+             FROM supplier),
+    e_in AS (
+        SELECT cu.c, CAST(COUNT(*) AS BIGINT) AS e_c
+        FROM e JOIN comm cu ON cu.node = e.u
+               JOIN comm cv ON cv.node = e.v
+        WHERE cu.c = cv.c GROUP BY 1
+    ),
+    a_deg AS (
+        SELECT cm.c, CAST(COUNT(*) AS BIGINT) AS a_c
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) d
+        JOIN comm cm ON cm.node = d.node
+        GROUP BY 1
+    )
+    SELECT a.c AS nation, COALESCE(ei.e_c, 0) AS e_in, a.a_c,
+           CAST((CAST(4000000000 AS BIGINT) * m.m * COALESCE(ei.e_c, 0)
+                 - CAST(1000000000 AS BIGINT) * a.a_c * a.a_c)
+                // (4 * m.m * m.m) AS BIGINT) AS q_term_e9
+    FROM a_deg a LEFT JOIN e_in ei ON ei.c = a.c CROSS JOIN m
+    """,
+)
+def q_modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity terms of the nation partition over the
+    co-sourcing graph: per nation c, Q_c = e_c/m − (a_c/2m)² in exact
+    1e-9 units — (1e9·4m·e_c − 1e9·a_c²) div (4m²) — summing to the
+    partition's modularity. Positive terms mean suppliers source
+    within their nation more than a random graph with these degrees
+    would; the gate value is near zero by construction (the synthetic
+    graph ignores nations), which is itself the correct reading.
+
+    Scale: two narrow joins of the edge list against the broadcast
+    node→community map, one degree union — no quadratic step."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    e = (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v")
+    )
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    comm = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node"),
+        F.col("s_nationkey").cast("long").alias("c"),
+    )
+    cu = comm.select(F.col("node").alias("u"), F.col("c").alias("cu"))
+    cv = comm.select(F.col("node").alias("v"), F.col("c").alias("cv"))
+    e_in = (
+        e.join(F.broadcast(cu), "u")
+        .join(F.broadcast(cv), "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    a_deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .join(F.broadcast(comm), "node")
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("a_c"))
+    )
+    return (
+        a_deg.join(e_in, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("c").alias("nation"),
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("e_in"),
+            "a_c",
+            F.expr(
+                "CAST((CAST(4000000000 AS BIGINT) * m * coalesce(e_c, 0)"
+                " - CAST(1000000000 AS BIGINT) * a_c * a_c)"
+                " div (4 * m * m) AS BIGINT)"
+            ).alias("q_term_e9"),
+        )
+    )
