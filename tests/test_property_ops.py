@@ -529,3 +529,65 @@ class TestSpaceSavingProperties:
         for it in seq:
             spacesaving_step(b, it, 2)
         assert a == b
+
+
+edge = st.tuples(
+    st.integers(min_value=0, max_value=12),
+    st.integers(min_value=0, max_value=12),
+)
+
+
+def _py_triangles(edges):
+    import itertools
+
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(edge, min_size=1, max_size=30))
+def test_triangle_counts_match_python(spark, edges):
+    from gpq_spark.pipeline.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got == _py_triangles(edges)
+
+
+def _py_kcore(edges, k):
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {n: len(adj[n] & alive) for n in alive}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(edge, min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=4),
+)
+def test_k_core_matches_python(spark, edges, k):
+    from gpq_spark.pipeline.graph import k_core
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["core_deg"] for r in k_core(df, k=k).collect()}
+    assert got == _py_kcore(edges, k)
