@@ -591,3 +591,71 @@ def test_k_core_matches_python(spark, edges, k):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["core_deg"] for r in k_core(df, k=k).collect()}
     assert got == _py_kcore(edges, k)
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="abc", max_size=5), min_size=1, max_size=8))
+def test_fuzzy_pairs_match_bruteforce(spark, strings):
+    """Deletion-neighborhood blocking + confirm must equal the full
+    quadratic distance matrix at threshold 1 — including empty strings
+    and duplicates."""
+    from gpq_spark.pipeline.dedup import fuzzy_pairs_edit1
+
+    rows = list(enumerate(strings))
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs_edit1(df, "id", "s").collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, a in rows
+        for j, b in rows
+        if i < j and _py_lev(a, b) <= 1
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=6),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_pairwise_cosine_matches_python(spark, docs):
+    from gpq_spark.pipeline.ranking import pairwise_doc_similarity
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["dot"], r["cos2_e6"])
+        for r in pairwise_doc_similarity(df, "doc_id", "text").collect()
+    }
+    import collections
+
+    tfs = [collections.Counter(d) for d in docs]
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            dot = sum(tfs[i][t] * tfs[j][t] for t in tfs[i])
+            if dot == 0:
+                continue  # no shared term → no postings-join row
+            na = sum(v * v for v in tfs[i].values())
+            nb = sum(v * v for v in tfs[j].values())
+            want[(i, j)] = (dot, 1000000 * dot * dot // (na * nb))
+    assert got == want
