@@ -9108,3 +9108,111 @@ def q_modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_term_e9"),
         )
     )
+
+
+def _bfs_oracle(rounds: int = 4) -> str:
+    """Unrolled min-distance relaxation (materialized per round — see
+    _kcore_oracle on why inlined CTE chains explode): landmark BFS
+    distances over the co-sourcing graph, then harmonic centrality.
+    Observed landmark eccentricity ≤ 2 at every gate SF; 4 rounds give
+    margin, and extra rounds past the fixpoint are no-ops (min is
+    monotone)."""
+    parts = [
+        """sym0 AS MATERIALIZED (
+        WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                    FROM lineitem),
+        shared AS (
+            SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(shared) AS BIGINT) AS sum_shared
+            FROM shared
+        ),
+        e AS (SELECT u, v FROM shared CROSS JOIN tot
+              WHERE shared * n_pairs >= sum_shared)
+        SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e
+    )""",
+        """dist0 AS MATERIALIZED (
+        SELECT DISTINCT s AS source, s AS node, CAST(0 AS BIGINT) AS dist
+        FROM sym0 WHERE s % 10 = 0
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""dist{i} AS MATERIALIZED (
+        SELECT source, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+            SELECT source, node, dist FROM dist{p}
+            UNION ALL
+            SELECT p.source, e.d AS node, p.dist + 1
+            FROM dist{p} p JOIN sym0 e ON e.s = p.node
+        ) GROUP BY 1, 2
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node AS supp,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_e6
+    FROM dist{rounds}
+    WHERE dist > 0
+    GROUP BY 1
+    """
+    )
+
+
+@register("q_harmonic_centrality", _bfs_oracle())
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark harmonic centrality over the co-sourcing graph:
+    distributed BFS (pipeline.graph.bfs_distances — iterated
+    min-distance relaxation to fixpoint) from the supplier landmarks
+    (s % 10 = 0), then per node Σ 1e6 div d(landmark, node) — the
+    closeness-family centrality that works on disconnected graphs.
+    Landmarks, not all-pairs, is the scale shape: tens of sources keep
+    the distance frame O(landmarks · reachable).
+
+    The oracle unrolls 4 materialized min-relaxation rounds (landmark
+    eccentricity ≤ 2 at gate scale, margin 2); the Spark loop stops at
+    the same fixpoint by row-count convergence."""
+    from .pipeline.graph import bfs_distances
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    e = (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v")
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .distinct()
+    )
+    landmarks = nodes.filter("node % 10 = 0")
+    dist = bfs_distances(e, landmarks, "u", "v")
+    return (
+        dist.filter("dist > 0")
+        .groupBy(F.col("node").alias("supp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum(F.expr("1000000 div dist")).cast("long").alias("harmonic_e6"),
+        )
+    )

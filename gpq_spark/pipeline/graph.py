@@ -208,3 +208,64 @@ def k_core(
     return sym.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_deg")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+    max_depth: int = 30,
+) -> DataFrame:
+    """Unweighted shortest-path distances from a set of SOURCE nodes —
+    distributed BFS as iterated min-distance relaxation: each round
+    extends every known (source, node, d) by one hop and keeps the
+    minimum d per pair; the frame is monotone (distances only appear,
+    never grow), so the fixpoint is exact BFS. Stops when a round adds
+    no new pair or at ``max_depth``. Output: (source, node, d) with
+    d = 0 for the sources themselves.
+
+    Scale: state is O(|sources| · reachable) — which is why the public
+    shape is LANDMARK distances (pick tens of sources) rather than
+    all-pairs; each round is one join of the current frame against the
+    edge list plus a min groupBy, localCheckpoint()ed to keep lineage
+    flat. Frontier-only optimization (joining just the newest layer)
+    is a constant-factor win the min-relaxation form trades for
+    simplicity and an exactly-matching SQL unrolling."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+
+    dist = sources.select(
+        F.col(source_col).alias("source"),
+        F.col(source_col).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint()
+    n_prev = dist.count()
+
+    for _ in range(max_depth):
+        grown = (
+            dist.unionByName(
+                dist.join(sym, dist["node"] == sym["s"])
+                .select(
+                    "source",
+                    F.col("d").alias("node"),
+                    (F.col("dist") + 1).alias("dist"),
+                )
+            )
+            .groupBy("source", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        n_now = grown.count()
+        dist = grown
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return dist

@@ -1963,3 +1963,46 @@ class TestCheckConstraints:
             df, checks=[("v_pos", "v > 0")], unique=[("pk", ["id"])]
         ).collect()
         assert all(r["passed"] for r in got)
+
+
+class TestBfsDistances:
+    def test_path_graph_distances(self, spark):
+        from gpq_spark.pipeline.graph import bfs_distances
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+        sources = spark.createDataFrame([(1,)], "node long")
+        got = {
+            (r["source"], r["node"]): r["dist"]
+            for r in bfs_distances(edges, sources).collect()
+        }
+        assert got == {(1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3}
+
+    def test_disconnected_unreachable_absent(self, spark):
+        from gpq_spark.pipeline.graph import bfs_distances
+
+        edges = spark.createDataFrame(
+            [(1, 2), (8, 9)], "src long, dst long"
+        )
+        sources = spark.createDataFrame([(1,)], "node long")
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_distances(edges, sources).collect()
+        }
+        assert got == {1: 0, 2: 1}
+
+    def test_multi_source_takes_min(self, spark):
+        from gpq_spark.pipeline.graph import bfs_distances
+
+        # path 1-2-3-4-5 with sources at both ends
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+        )
+        sources = spark.createDataFrame([(1,), (5,)], "node long")
+        got = {
+            (r["source"], r["node"]): r["dist"]
+            for r in bfs_distances(edges, sources).collect()
+        }
+        assert got[(1, 3)] == 2 and got[(5, 3)] == 2
+        assert got[(1, 5)] == 4 and got[(5, 1)] == 4
