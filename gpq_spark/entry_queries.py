@@ -9216,3 +9216,118 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("1000000 div dist")).cast("long").alias("harmonic_e6"),
         )
     )
+
+
+@register(
+    "ann_topk_rerank",
+    f"""
+    WITH qz AS ({_QUANT_DUCK}),
+    q8 AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 5),
+    c8 AS (SELECT vec_id, q AS cq FROM qz),
+    coarse AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_qcos_duck('cq', 'qq')} DESC, vec_id ASC)
+                       AS crank
+            FROM c8, q8 WHERE vec_id != query_id
+        ) WHERE crank <= 100
+    ),
+    qf AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+    cf AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    rescored AS (
+        SELECT coarse.query_id, coarse.vec_id,
+               {_cos_duck('cv', 'qv')} AS cosine
+        FROM coarse
+        JOIN cf ON cf.vec_id = coarse.vec_id
+        JOIN qf ON qf.query_id = coarse.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM rescored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (pipeline.similarity.rerank_topk): int8
+    coarse scan proposes 100 candidates per query, full-precision
+    cosine re-ranks only those, exact top-10 of the candidate set
+    returned — the production serving shape that scans the corpus at
+    quantized bandwidth and touches full vectors for 100 rows per
+    query. The oracle replays both stages with the same integer
+    quantization and fold arithmetic, so the gate pins the ENTIRE
+    pipeline including the coarse tie-breaks."""
+    from .pipeline.similarity import rerank_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return rerank_topk(emb, queries, coarse_k=100, k=10)
+
+
+@register(
+    "text_zipf_slope",
+    f"""
+    WITH tf AS ({_TF_DUCK}),
+    terms AS (
+        SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term
+    ),
+    ranked AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, term ASC)
+                   AS DOUBLE)) AS x,
+               ln(CAST(c AS DOUBLE)) AS y
+        FROM terms
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM ranked
+    )
+    SELECT n AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS zipf_slope
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fit of the corpus rank-frequency curve: OLS slope of
+    ln(freq) against ln(rank) (ranks tie-broken by term for identical
+    ranks in both engines; slope rounded to 9 decimals — the repo's
+    float-portability convention). Natural text sits near −1; the
+    driver's synthetic corpus reads much flatter, which is exactly
+    what the diagnostic is for (a training mix whose slope drifts from
+    −1 has lost naturalness).
+
+    Scale: one term aggregation, one rank sort over the vocabulary
+    (≪ corpus), one scalar OLS — all far below corpus size."""
+    from .pipeline.ranking import term_frequencies
+
+    docs = load(spark, sf_dir, "documents")
+    terms = (
+        term_frequencies(docs, "doc_id", "text")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    ranked = terms.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        F.col("n").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            9,
+        ).alias("zipf_slope"),
+    )

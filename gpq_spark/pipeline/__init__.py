@@ -54,6 +54,7 @@ from .similarity import (
     pq_topk,
     quantize_expr,
     quantized_topk,
+    rerank_topk,
     train_ivf_centroids,
     train_pq_codebooks,
     embedding_centroids,
@@ -121,6 +122,7 @@ __all__ = [
     "pq_topk",
     "quantize_expr",
     "quantized_topk",
+    "rerank_topk",
     "train_ivf_centroids",
     "train_pq_codebooks",
     "embedding_centroids",

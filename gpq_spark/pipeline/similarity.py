@@ -776,3 +776,41 @@ def ivf_refresh_centroids(
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+def rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    coarse_k: int = 100,
+    k: int = 10,
+) -> DataFrame:
+    """Two-stage retrieval — the production ANN serving shape: a cheap
+    int8-quantized scan proposes ``coarse_k`` candidates per query (4×
+    less memory bandwidth than full precision over the whole corpus),
+    then ONLY those candidates are re-scored at full precision and the
+    exact top-``k`` of the candidate set is returned. Recall loss is
+    confined to candidates the quantized scan misranks out of the
+    coarse set — made deterministic here because both stages use exact
+    integer/fold arithmetic with (score desc, id asc) tie-breaks.
+
+    Scale: stage 1 is the quantized_topk broadcast scan; stage 2 joins
+    the (queries × coarse_k)-row candidate list back to the corpus by
+    id — work proportional to the candidate set, never the corpus."""
+    cand = quantized_topk(
+        corpus, queries, id_col, vec_col, query_id_col, k=coarse_k
+    ).select(query_id_col, id_col)
+    cv = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    scored = (
+        cand.join(cv, id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine_expr("__cvec", "__qvec").alias("cosine"),
+        )
+    )
+    return _topk_per_query(scored, query_id_col, id_col, k)
