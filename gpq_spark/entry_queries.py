@@ -9331,3 +9331,87 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("zipf_slope"),
     )
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Unrolled synchronous LPA rounds (materialized; see
+    _kcore_oracle) over the co-sourcing graph — each round every node
+    simultaneously takes its neighbors' most frequent label, ties to
+    the smallest."""
+    parts = [
+        """sym0 AS MATERIALIZED (
+        WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                    FROM lineitem),
+        shared AS (
+            SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(shared) AS BIGINT) AS sum_shared
+            FROM shared
+        ),
+        e AS (SELECT u, v FROM shared CROSS JOIN tot
+              WHERE shared * n_pairs >= sum_shared)
+        SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e
+    )""",
+        """lbl0 AS MATERIALIZED (
+        SELECT DISTINCT s AS node, CAST(s AS BIGINT) AS lbl FROM sym0
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""lbl{i} AS MATERIALIZED (
+        SELECT node, lbl FROM (
+            SELECT e.s AS node, l.lbl, COUNT(*) AS c,
+                   row_number() OVER (PARTITION BY e.s
+                       ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+            FROM sym0 e JOIN lbl{p} l ON l.node = e.d
+            GROUP BY e.s, l.lbl
+        ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node AS supp, CAST(lbl AS BIGINT) AS community FROM lbl{rounds}
+    """
+    )
+
+
+@register("q_lpa_communities", _lpa_oracle())
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community DETECTION on the co-sourcing graph via deterministic
+    synchronous label propagation (pipeline.graph.label_propagation, 3
+    rounds): where q_modularity_nations scores a GIVEN partition, LPA
+    finds one — with smallest-label tie-breaks and fixed synchronous
+    rounds replacing classic LPA's random visit order so both engines
+    compute the identical labeling."""
+    from .pipeline.graph import label_propagation
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    e = (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v")
+    )
+    return label_propagation(e, "u", "v", iterations=3).select(
+        F.col("node").alias("supp"), F.col("community").cast("long").alias("community")
+    )

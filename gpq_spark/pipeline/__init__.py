@@ -72,7 +72,13 @@ from .text import (
     scrub_pii,
 )
 from .export import read_jsonl_shards, shard_id, write_jsonl_shards
-from .graph import bfs_distances, k_core, pagerank, triangle_counts
+from .graph import (
+    bfs_distances,
+    k_core,
+    label_propagation,
+    pagerank,
+    triangle_counts,
+)
 from .sketch import bloom_build, bloom_merge, bloom_probe
 from .text import ENTROPY_LUT, ENTROPY_WINDOW, with_char_entropy
 from .multimodal import (
@@ -104,6 +110,7 @@ __all__ = [
     "pairwise_doc_similarity",
     "k_core",
     "bfs_distances",
+    "label_propagation",
     "check_constraints",
     "balanced_sample",
     "verify_pairs_jaccard",

@@ -269,3 +269,57 @@ def bfs_distances(
             break
         n_prev = n_now
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation: every node starts
+    as its own community, and each round simultaneously adopts the
+    most frequent label among its neighbors — ties broken by the
+    SMALLEST label, the determinism classic async LPA (random visit
+    order, random ties) lacks, which is what lets the result
+    hash-match a SQL oracle. A fixed iteration count (like the integer
+    PageRank) rather than convergence: synchronous LPA can oscillate
+    on bipartite-ish structures, so bounded rounds are the spec, not a
+    shortcut. Output: (node, community).
+
+    Scale: each round is one join of the label vector against the edge
+    list, a (node, label) count, and a per-node argmax window over the
+    handful of distinct neighbor labels — message-passing shape, label
+    vector is the only state."""
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    sym = sym.localCheckpoint()
+
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(iterations):
+        labels = (
+            sym.join(labels.select(F.col("node").alias("d"), "lbl"), "d")
+            .groupBy(F.col("s").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

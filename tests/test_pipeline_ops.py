@@ -2006,3 +2006,32 @@ class TestBfsDistances:
         }
         assert got[(1, 3)] == 2 and got[(5, 3)] == 2
         assert got[(1, 5)] == 4 and got[(5, 1)] == 4
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        """Two triangles joined by one bridge edge: after 3 synchronous
+        min-tie rounds each triangle converges to its smallest member's
+        label."""
+        from gpq_spark.pipeline.graph import label_propagation
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+            "src long, dst long",
+        )
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(edges).collect()
+        }
+        assert got[1] == got[2] == got[3] == 1
+        assert got[5] == got[6]
+
+    def test_deterministic_across_runs(self, spark):
+        from gpq_spark.pipeline.graph import label_propagation
+
+        edges = spark.createDataFrame(
+            [(i, (i * 7) % 20) for i in range(20)], "src long, dst long"
+        )
+        r1 = sorted(map(tuple, label_propagation(edges).collect()))
+        r2 = sorted(map(tuple, label_propagation(edges).collect()))
+        assert r1 == r2
