@@ -9415,3 +9415,48 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(e, "u", "v", iterations=3).select(
         F.col("node").alias("supp"), F.col("community").cast("long").alias("community")
     )
+
+
+@register(
+    "q_pattern_error_recovery",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_patterns
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'error' AND t2 = 'view'
+    GROUP BY 1
+    """,
+)
+def q_pattern_error_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-motif matching over event streams: per user, how often
+    the exact consecutive triple view → error → view occurs (the
+    error-recovery motif — a user hitting an error and immediately
+    retrying). The MATCH_RECOGNIZE-lite shape: fixed-length motifs
+    compile to lead() chains over ONE window sort, no self-joins —
+    the same sort the sessionizer and transitions already pay for.
+
+    Scale: one window pass; the motif test is a map-side predicate on
+    the lead columns."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "error")
+            & (F.col("t2") == "view")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_patterns"))
+    )
