@@ -9460,3 +9460,84 @@ def q_pattern_error_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_patterns"))
     )
+
+
+@register(
+    "q_outliers_mad",
+    f"""
+    WITH daily AS (
+        SELECT l_suppkey AS supp, l_shipdate AS day,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT supp,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+                    AS BIGINT) AS med
+        FROM daily GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.supp, d.day, d.v, m.med, abs(d.v - m.med) AS adev
+        FROM daily d JOIN med m USING (supp)
+    ),
+    mad AS (
+        SELECT supp,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)
+                    AS BIGINT) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT dev.supp,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN dev.adev * 1000 > 4448 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON mad.supp = dev.supp
+    GROUP BY 1
+    """,
+)
+def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per supplier's daily revenue via the
+    MEDIAN absolute deviation: a day is an outlier when
+    |v − median| · 1000 > 4448 · MAD (the 3·1.4826σ-equivalent rule as
+    an exact integer cross-multiplication — no float scaling
+    constant). Unlike the z-score family, one wild day cannot inflate
+    its own threshold (median and MAD have a 50% breakdown point) —
+    the robust companion to q_anomaly_zscore and q_changepoint.
+
+    Scale: two percentile_disc aggregations per group (sort-based,
+    deterministic — disc picks an actual value, unlike interpolating
+    percentile_cont) and one counting pass."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("supp"), F.col("l_shipdate").alias("day")
+    ).agg(F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("v"))
+
+    def disc_median(df, col, out):
+        # percentile_disc(0.5): the value at sorted position ceil(n/2)
+        # — Spark's percentile()/median() INTERPOLATE, which is a
+        # different (and non-value-preserving) statistic
+        wv = Window.partitionBy("supp").orderBy(F.col(col).asc())
+        wn = Window.partitionBy("supp")
+        return (
+            df.withColumn("__rn", F.row_number().over(wv))
+            .withColumn("__n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("__rn") == F.ceil(F.col("__n") / 2))
+            .select("supp", F.col(col).cast("long").alias(out))
+        )
+
+    med = disc_median(daily, "v", "med")
+    dev = daily.join(med, "supp").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = disc_median(dev, "adev", "mad")
+    return (
+        dev.join(mad, "supp")
+        .groupBy("supp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(
+                F.when(F.col("adev") * 1000 > 4448 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
