@@ -9541,3 +9541,134 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q_cohort_ltv",
+    f"""
+    WITH ud AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, {cents('value')} AS v
+        FROM events
+    ),
+    cohorted AS (
+        SELECT user_id, d, v,
+               MIN(d) OVER (PARTITION BY user_id) AS cohort_d
+        FROM ud
+    ),
+    daily AS (
+        SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+               datediff('day', cohort_d, d) AS day_offset,
+               CAST(SUM(v) AS BIGINT) AS rev_cents
+        FROM cohorted GROUP BY 1, 2
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           rev_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY cohort_day
+                ORDER BY day_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_rev_cents
+    FROM daily
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: per signup-day cohort, the
+    cumulative revenue at each day offset — the retention triangle's
+    revenue-weighted twin (retention asks WHO came back, LTV asks what
+    they were WORTH by day k), in exact cents.
+
+    Scale: one window pass for cohort anchoring (same per-user sort
+    retention uses), one groupBy to the (cohort, offset) grid — tiny —
+    and a running sum over each cohort's ≤ horizon offsets."""
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.expr(cents("value")).alias("v"),
+    )
+    cohorted = ud.withColumn(
+        "cohort_d", F.min("d").over(Window.partitionBy("user_id"))
+    )
+    daily = cohorted.groupBy(
+        F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff("d", "cohort_d").cast("long").alias("day_offset"),
+    ).agg(F.sum("v").cast("long").alias("rev_cents"))
+    wc = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "cohort_day",
+        "day_offset",
+        "rev_cents",
+        F.sum("rev_cents").over(wc).cast("long").alias("cum_rev_cents"),
+    )
+
+
+@register(
+    "q_rfm_segments",
+    f"""
+    WITH rfm AS (
+        SELECT user_id,
+               CAST(date_diff('day', MAX(CAST(ts AS DATE)), DATE '2024-02-01')
+                    AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM({cents('value')}) AS BIGINT) AS monetary_cents
+        FROM events GROUP BY 1
+    ),
+    scored AS (
+        SELECT user_id,
+               CAST(ntile(3) OVER (ORDER BY recency_days ASC, user_id ASC)
+                    AS BIGINT) AS r,
+               CAST(ntile(3) OVER (ORDER BY frequency DESC, user_id ASC)
+                    AS BIGINT) AS f,
+               CAST(ntile(3) OVER (ORDER BY monetary_cents DESC, user_id ASC)
+                    AS BIGINT) AS m
+        FROM rfm
+    )
+    SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every user scored into recency / frequency /
+    monetary terciles (ntile over a TOTAL order — user_id tie-breaks
+    make the bucket boundaries deterministic in both engines; 1 = most
+    recent / most frequent / highest spend) and the 27-cell segment
+    census. The classic value-segmentation census downstream marketing
+    mixes consume.
+
+    Scale: one per-user aggregation; the three ntile windows rank the
+    USER table (≪ events). NOTE the unpartitioned ntile is a global
+    sort — fine for user-cardinality frames; for billions of users
+    switch to percent_rank over range-partitioned sort output."""
+    ev = load_events(spark, sf_dir)
+    rfm = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit("2024-02-01").cast("date"), F.max(F.to_date("ts"))
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.expr(cents("value"))).cast("long").alias("monetary_cents"),
+    )
+    scored = rfm.select(
+        "user_id",
+        F.ntile(3)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc()))
+        .cast("long")
+        .alias("r"),
+        F.ntile(3)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc()))
+        .cast("long")
+        .alias("f"),
+        F.ntile(3)
+        .over(
+            Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id").asc())
+        )
+        .cast("long")
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
