@@ -269,6 +269,37 @@ def cmd_checksum(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    """Run every declared gate query (or a --query subset) on Spark AND
+    its DuckDB oracle over the same parquet directory, comparing rows,
+    schema, and order-insensitive values — the local mirror of the
+    correctness gate, as operational tooling."""
+    import time
+
+    from .entry_queries import QUERIES
+    from .oracle import compare, duckdb_connection
+
+    spark = _spark()
+    con = duckdb_connection(args.sf_dir)
+    names = set(args.query) if args.query else None
+    n_ok = n_bad = 0
+    t0 = time.time()
+    for q in QUERIES:
+        if names is not None and q.name not in names:
+            continue
+        try:
+            r = compare(q.spark_fn(spark, args.sf_dir), con, q.oracle)
+            ok = r["match"]
+            detail = "" if ok else str(r)[:160]
+        except Exception as ex:  # surface, keep sweeping
+            ok, detail = False, f"error: {ex}"[:160]
+        print(f"{'ok  ' if ok else 'FAIL'} {q.name} {detail}".rstrip())
+        n_ok += ok
+        n_bad += not ok
+    print(f"{n_ok}/{n_ok + n_bad} matched in {time.time() - t0:.0f}s")
+    return 0 if n_bad == 0 else 1
+
+
 def cmd_export_jsonl(args) -> int:
     spark = _spark()
     from .pipeline.export import write_jsonl_shards
@@ -373,6 +404,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", required=True, dest="id_col")
     p.add_argument("--shards", type=int, default=16)
     p.set_defaults(fn=cmd_export_jsonl)
+
+    p = sub.add_parser(
+        "parity",
+        help="Run declared gate queries against their DuckDB oracles",
+    )
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir")
+    p.add_argument(
+        "--query", action="append", default=None,
+        help="restrict to specific query names (repeatable)",
+    )
+    p.set_defaults(fn=cmd_parity)
 
     p = sub.add_parser("version", help="Print version")
     p.set_defaults(fn=lambda a: print(__version__) or 0)

@@ -209,3 +209,19 @@ def test_cli_export_jsonl(tmp_path, capsys):
     import glob
 
     assert len(glob.glob(f"{out}/shard=*")) >= 2
+
+
+class TestParityCommand:
+    def test_subset_runs_and_reports(self, capsys):
+        from gpq_spark.cli import main
+
+        rc = main(
+            [
+                "parity",
+                "--sf-dir", "/root/testdata/sf0.001",
+                "--query", "q_agg_basic",
+            ]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "1/1 matched" in out
