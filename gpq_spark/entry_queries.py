@@ -9672,3 +9672,151 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+@register(
+    "q_nation_part_overlap",
+    """
+    WITH np AS (
+        SELECT DISTINCT s.s_nationkey AS nation, l.l_partkey AS p
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ),
+    sizes AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM np GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.nation AS nation_a, b.nation AS nation_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM np a JOIN np b ON a.p = b.p AND a.nation < b.nation
+        GROUP BY 1, 2
+    )
+    SELECT i.nation_a, i.nation_b, i.n_common,
+           CAST(1000000 * i.n_common
+                // (sa.n_parts + sb.n_parts - i.n_common) AS BIGINT)
+               AS jaccard_e6
+    FROM inter i
+    JOIN sizes sa ON sa.nation = i.nation_a
+    JOIN sizes sb ON sb.nation = i.nation_b
+    """,
+)
+def q_nation_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment overlap between nations: pairwise exact Jaccard of
+    each nation's sourced part set — |A∩B|·1e6 div (|A|+|B|−|A∩B|) —
+    via the postings-style join on the part key (sets meet only on
+    shared members, |A∪B| derived from sizes, never materialized).
+    The supply-chain view of the same sparse set-similarity shape the
+    document pipeline uses for text.
+
+    Scale: one distinct projection, one narrow equi-join on the part
+    key, two broadcast-sized size joins."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    np_ = (
+        li.join(F.broadcast(sup), "l_suppkey")
+        .select("nation", F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sizes = np_.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    a = np_.select(F.col("nation").alias("nation_a"), "p")
+    b = np_.select(F.col("nation").alias("nation_b"), "p")
+    inter = (
+        a.join(b, "p")
+        .filter(F.col("nation_a") < F.col("nation_b"))
+        .groupBy("nation_a", "nation_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("nation").alias("nation_a"), F.col("n_parts").alias("__na")
+    )
+    sb = sizes.select(
+        F.col("nation").alias("nation_b"), F.col("n_parts").alias("__nb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "nation_a")
+        .join(F.broadcast(sb), "nation_b")
+        .select(
+            "nation_a",
+            "nation_b",
+            "n_common",
+            F.expr(
+                "CAST(1000000 * n_common div (__na + __nb - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_e6"),
+        )
+    )
+
+
+def _wpagerank_iter_duck(prev: str, out: str) -> str:
+    """One unrolled WEIGHTED integer-PageRank iteration: mass splits
+    proportionally to edge weight (rank·w // W(u))."""
+    return f"""
+    {out} AS (
+        SELECT n.node,
+               CAST(150000000000 + 85 * COALESCE(m.msum, 0) // 100 AS BIGINT)
+                   AS rank
+        FROM wpr_nodes n LEFT JOIN (
+            SELECT e.d AS node,
+                   CAST(SUM(p.rank * e.w // dg.wsum) AS BIGINT) AS msum
+            FROM wpr_edges e
+            JOIN {prev} p ON e.s = p.node
+            JOIN wpr_deg dg ON e.s = dg.s
+            GROUP BY 1
+        ) m ON n.node = m.node
+    )"""
+
+
+@register(
+    "q_pagerank_weighted",
+    f"""
+    WITH raw AS (
+        SELECT l_suppkey AS s0, l_partkey + 1000000 AS d0,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ), wpr_edges AS (
+        SELECT s0 AS s, d0 AS d, w FROM raw
+        UNION
+        SELECT d0, s0, w FROM raw
+    ), wpr_deg AS (
+        SELECT s, CAST(SUM(w) AS BIGINT) AS wsum FROM wpr_edges GROUP BY 1
+    ), wpr_nodes AS (
+        SELECT DISTINCT s AS node FROM wpr_edges
+    ), w0 AS (
+        SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM wpr_nodes
+    ),{_wpagerank_iter_duck('w0', 'w1')},{_wpagerank_iter_duck('w1', 'w2')},{_wpagerank_iter_duck('w2', 'w3')}
+    SELECT node, rank FROM (
+        SELECT node, rank,
+               row_number() OVER (ORDER BY rank DESC, node) AS rn
+        FROM w3
+    ) WHERE rn <= 20
+    """,
+)
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED integer PageRank over the supplier-part graph: each
+    edge carries its lineitem frequency, so a supplier shipping a part
+    500 times passes proportionally more rank along that edge than a
+    one-off — rank·w div W(u), multiply-before-divide keeping the
+    split exact. Same 3-iteration 85/100 spec as the unweighted query;
+    the top-20 differs because mass now follows volume, not mere
+    adjacency.
+
+    Scale: identical message-passing shape; the only extra state is
+    one weight long per edge."""
+    from .pipeline.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.groupBy(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    ranks = pagerank(edges, iterations=3, directed=False, weight="w")
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+        .select("node", "rank")
+    )

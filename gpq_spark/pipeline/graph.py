@@ -23,6 +23,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     directed: bool = False,
+    weight: str | None = None,
 ) -> DataFrame:
     """Integer PageRank: rank(v) = 0.15·S + 0.85·Σ rank(u) div deg(u),
     iterated a FIXED number of times from the uniform start S = 10¹²,
@@ -32,13 +33,27 @@ def pagerank(
     Scale: each iteration is one join of the rank vector (|V| rows)
     against the edge list plus a groupBy — the standard message-passing
     shape; the rank vector is the only state. Undirected inputs are
-    symmetrized once up front."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    symmetrized once up front.
+
+    With ``weight`` (an integer column), mass splits proportionally to
+    edge weight — rank·w div W(u) per edge with W(u) the node's total
+    outgoing weight — still exact integer arithmetic (multiply before
+    the floor division, so precision is w/W(u), not 1/deg)."""
+    cols = [F.col(src).alias("s"), F.col(dst).alias("d")]
+    if weight is not None:
+        cols.append(F.col(weight).cast("long").alias("w"))
+    e = edges.select(*cols)
     if not directed:
-        e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        rev = [F.col("d").alias("s"), F.col("s").alias("d")]
+        if weight is not None:
+            rev.append(F.col("w"))
+        e = e.unionByName(e.select(*rev))
     e = e.distinct()
 
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    if weight is not None:
+        deg = e.groupBy("s").agg(F.sum("w").cast("long").alias("deg"))
+    else:
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     nodes = e.select(F.col("s").alias("node")).distinct()
     ranks = nodes.withColumn("rank", F.lit(PAGERANK_SCALE).cast("long"))
 
@@ -49,7 +64,7 @@ def pagerank(
             .join(deg, "s")
             .select(
                 F.col("d").alias("node"),
-                F.expr("rank div deg").alias("c"),
+                F.expr("rank * w div deg" if weight is not None else "rank div deg").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("msum"))
