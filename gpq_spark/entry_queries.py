@@ -9820,3 +9820,72 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("node", "rank")
     )
+
+
+@register(
+    "q_latency_percentiles",
+    """
+    WITH lat AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                    AS BIGINT) AS days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ranked AS (
+        SELECT priority, days,
+               row_number() OVER (PARTITION BY priority
+                                  ORDER BY days ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY priority) AS n
+        FROM lat
+    )
+    SELECT priority,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT)
+                         THEN days END) AS BIGINT) AS p50_days,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.90) AS BIGINT)
+                         THEN days END) AS BIGINT) AS p90_days,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+                         THEN days END) AS BIGINT) AS p99_days
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA percentiles per order priority — the
+    EXACT discrete p50/p90/p99 (the value at rank ceil(q·n), the
+    percentile_disc convention), not an interpolation and not a
+    sketch: one rank window per priority and three positional picks.
+    The sketch-free companion to q_sketch_sample_quantiles for when
+    the group cardinality supports an exact sort.
+
+    Scale: one join (orders broadcast-ineligible at real SF — AQE
+    decides), one window per priority partition; the positional pick
+    is a conditional aggregate, no second pass."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
+    )
+    wv = Window.partitionBy("priority").orderBy(F.col("days").asc())
+    wn = Window.partitionBy("priority")
+    ranked = lat.select(
+        "priority",
+        "days",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q, name):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * q).cast("long"),
+                F.col("days"),
+            )
+        ).cast("long").alias(name)
+
+    return ranked.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(0.50, "p50_days"),
+        pick(0.90, "p90_days"),
+        pick(0.99, "p99_days"),
+    )
