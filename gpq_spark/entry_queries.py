@@ -9889,3 +9889,58 @@ def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.90, "p90_days"),
         pick(0.99, "p99_days"),
     )
+
+
+@register(
+    "q_split_leakage",
+    f"""
+    WITH bt AS ({_MINHASH_BANDS_DUCK}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bt a JOIN bt b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sp AS (SELECT doc_id, {_split_case_duck()} AS split FROM documents)
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs
+    FROM cand c
+    JOIN sp sa ON sa.doc_id = c.id_a
+    JOIN sp sb ON sb.doc_id = c.id_b
+    WHERE sa.split != sb.split
+    GROUP BY 1, 2
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: near-duplicate pairs (MinHash
+    LSH candidates, same 8-hash/4-band spec as the dedup family) whose
+    members landed in DIFFERENT train/val/test splits — the leak that
+    silently inflates eval scores, counted per split-pair direction.
+    Clean pipelines run exactly this check between splitting and
+    training; a non-empty result means dedup must run BEFORE the split
+    (or the split key must be the near-dup cluster id, not the doc).
+
+    Scale: the candidate pair list (≪ corpus) joins twice against the
+    map-side split assignment — the audit costs no more than the dedup
+    pass it composes."""
+    from .pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+    from .pipeline.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    cand = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+    sp = hash_split(docs, ["doc_id"], _SPLIT_WEIGHTS, seed="r2").select(
+        "doc_id", "split"
+    )
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaky_pairs"))
+    )

@@ -25,7 +25,7 @@ GROUPS = [
      r"|ab_test|trend|crosstab|drift|basket|recommend|incremental|table_checksum"
      r"|changepoint|pattern|outliers|cohort|rfm|nation_part|latency)"),
     ("Graph analytics", r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa)"),
-    ("Governance & auditing", r"^q_(kanon|corpus_diff|data_constraints)"),
+    ("Governance & auditing", r"^q_(kanon|corpus_diff|data_constraints|split_leakage)"),
     ("Deduplication & decontamination", r"^(dedup_|decontam)"),
     ("Similarity search & embeddings", r"^(ann_|ivf_|embed_)"),
     ("Text analysis & corpus ops", r"^(text_|rank_|sample_|pack_|profile_|skew_)"),
