@@ -9944,3 +9944,73 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_leaky_pairs"))
     )
+
+
+def _quadkey_expr(cx: str, cy: str, levels: int = 4) -> str:
+    """Morton/quadkey interleave of two ``levels``-bit cell coords as
+    pure engine-portable arithmetic (div/mod/multiply — no bitwise
+    operators, which differ in type behavior across engines):
+    qk = Σ_i [ bit_i(cx) + 2·bit_i(cy) ] · 4^i."""
+    terms = [
+        f"((({cx}) // {1 << i}) % 2 + 2 * ((({cy}) // {1 << i}) % 2))"
+        f" * {4 ** i}"
+        for i in range(levels)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "geo_quadkey_tiles",
+    f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST({_DJ_PX} AS BIGINT) AS px,
+               CAST({_DJ_PY} AS BIGINT) AS py
+        FROM customer
+    ),
+    cells AS (
+        SELECT c_custkey, px, py,
+               (px + 150) * 16 // 300 AS cx,
+               (py + 80) * 16 // 160 AS cy
+        FROM pts
+    )
+    SELECT CAST({_quadkey_expr('cx', 'cy')} AS BIGINT) AS quadkey,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(px) AS BIGINT) AS sum_x,
+           CAST(SUM(py) AS BIGINT) AS sum_y
+    FROM cells GROUP BY 1
+    """,
+)
+def geo_quadkey_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-4 quadkey tile aggregation of the synthetic customer
+    points — the map-serving primitive: Morton-interleave the 4-bit
+    cell coordinates into one tile id (pure div/mod arithmetic, no
+    bitwise ops, so both engines and any storage format agree) and
+    aggregate per tile. The quadkey's defining property — a tile's
+    children share its prefix in base 4 — makes coarser zoom levels a
+    ``quadkey div 4`` re-aggregation, no re-binning of the points.
+
+    Scale: entirely map-side expression work plus one groupBy on the
+    ≤ 4^levels tile key; the same keys z-order the spatial writer's
+    file layout, so tile scans prune."""
+    cust = load(spark, sf_dir, "customer")
+    pts = cust.selectExpr(
+        "c_custkey",
+        f"CAST({_DJ_PX} AS BIGINT) AS px",
+        f"CAST({_DJ_PY} AS BIGINT) AS py",
+    )
+    cells = pts.selectExpr(
+        "c_custkey",
+        "px",
+        "py",
+        "(px + 150) * 16 div 300 AS cx",
+        "(py + 80) * 16 div 160 AS cy",
+    )
+    qk = _quadkey_expr("cx", "cy").replace("//", "div")
+    return cells.groupBy(
+        F.expr(f"CAST({qk} AS BIGINT)").alias("quadkey")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("px").cast("long").alias("sum_x"),
+        F.sum("py").cast("long").alias("sum_y"),
+    )
