@@ -10014,3 +10014,46 @@ def geo_quadkey_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("px").cast("long").alias("sum_x"),
         F.sum("py").cast("long").alias("sum_y"),
     )
+
+
+@register(
+    "geo_quadkey_rollup",
+    f"""
+    WITH pts AS (
+        SELECT CAST({_DJ_PX} AS BIGINT) AS px,
+               CAST({_DJ_PY} AS BIGINT) AS py
+        FROM customer
+    ),
+    cells AS (
+        SELECT px, py,
+               (px + 150) * 8 // 300 AS cx,
+               (py + 80) * 8 // 160 AS cy
+        FROM pts
+    )
+    SELECT CAST({_quadkey_expr('cx', 'cy', 3)} AS BIGINT) AS quadkey,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(px) AS BIGINT) AS sum_x,
+           CAST(SUM(py) AS BIGINT) AS sum_y
+    FROM cells GROUP BY 1
+    """,
+)
+def geo_quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quadkey ZOOM-OUT law, gated: level-3 tiles are computed by
+    re-aggregating the level-4 tile table on ``quadkey div 4`` —
+    touching 4^4 rows, not the points — while the ORACLE bins the raw
+    points directly at level 3. They hash-match because Morton
+    interleaving makes a parent's key exactly its children's base-4
+    prefix AND the level-L cell coords are the level-(L+1) coords
+    div 2 (both gridings floor the same affine map). This is the
+    materialized-pyramid refresh law every tile server relies on."""
+    lvl4 = geo_quadkey_tiles(spark, sf_dir)
+    return (
+        lvl4.groupBy(
+            F.expr("CAST(quadkey div 4 AS BIGINT)").alias("quadkey")
+        )
+        .agg(
+            F.sum("n_points").cast("long").alias("n_points"),
+            F.sum("sum_x").cast("long").alias("sum_x"),
+            F.sum("sum_y").cast("long").alias("sum_y"),
+        )
+    )
