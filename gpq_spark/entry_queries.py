@@ -10057,3 +10057,143 @@ def geo_quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_y").cast("long").alias("sum_y"),
         )
     )
+
+
+@register(
+    "stream_quadkey_tiles",
+    f"""
+    WITH pts AS (
+        SELECT (event_id % 300) - 150 AS px,
+               ((event_id * 7) % 160) - 80 AS py
+        FROM events
+    ),
+    cells AS (
+        SELECT px, py,
+               (px + 150) * 16 // 300 AS cx,
+               (py + 80) * 16 // 160 AS cy
+        FROM pts
+    )
+    SELECT CAST({{qk}} AS BIGINT) AS quadkey,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM cells GROUP BY 1
+    """.format(qk=_quadkey_expr('cx', 'cy')),
+)
+def stream_quadkey_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tile table maintained BY A STREAM: each event carries a
+    synthesized point, tiles aggregate in complete mode (the
+    engine-managed running groupBy — tile cardinality is bounded at
+    4^levels, so complete-mode state is tiny no matter the stream
+    length), and the drained table equals the batch binning. The
+    live-map-layer pattern: the dashboard reads the in-progress tile
+    counts at any time.
+
+    Scale: state is one row per tile (≤ 256 here); events never
+    accumulate."""
+    stream = _events_file_stream(spark, sf_dir)
+    cells = stream.selectExpr(
+        "(event_id % 300) - 150 AS px",
+        "((event_id * 7) % 160) - 80 AS py",
+    ).selectExpr(
+        "px", "py",
+        "(px + 150) * 16 div 300 AS cx",
+        "(py + 80) * 16 div 160 AS cy",
+    )
+    qk = _quadkey_expr("cx", "cy").replace("//", "div")
+    agg = cells.groupBy(
+        F.expr(f"CAST({qk} AS BIGINT)").alias("quadkey")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    return _drain_to_table(agg, "stream_tiles", "complete")
+
+
+@register(
+    "dedup_report",
+    f"""
+    WITH norm AS (
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ')))) AS h
+        FROM documents
+    ),
+    bt AS ({_MINHASH_BANDS_DUCK}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bt a JOIN bt b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM documents)
+                - (SELECT COUNT(DISTINCT (lang, source)) FROM documents)
+                AS BIGINT) AS n_exact_extra,
+           CAST((SELECT COUNT(*) FROM norm)
+                - (SELECT COUNT(DISTINCT h) FROM norm)
+                AS BIGINT) AS n_norm_extra,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_near_pairs
+    """,
+)
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dedup audit across the pipeline's methods: corpus size,
+    rows beyond the first per exact (lang, source) key, rows beyond
+    the first per normalized content hash, and MinHash near-dup
+    candidate pairs — the before/after summary a dedup run logs so a
+    regression in any single method is visible at a glance.
+
+    Scale: three independent aggregations (each the head of its
+    method's existing plan), unioned driver-side into one row."""
+    docs = load(spark, sf_dir, "documents")
+    from .pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    exact = docs.agg(
+        (
+            F.count(F.lit(1))
+            - F.countDistinct("lang", "source")
+        ).cast("long").alias("n_exact_extra")
+    )
+    norm = docs.select(
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("h")
+    ).agg(
+        (F.count(F.lit(1)) - F.countDistinct("h")).cast("long").alias(
+            "n_norm_extra"
+        )
+    )
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8).agg(
+        F.count(F.lit(1)).cast("long").alias("n_near_pairs")
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(norm))
+        .crossJoin(F.broadcast(pairs))
+    )
+
+
+@register(
+    "q_histogram2d",
+    f"""
+    SELECT CAST({cents('l_quantity')} // 1000 AS BIGINT) AS qty_bucket,
+           CAST({cents('l_discount')} // 2 AS BIGINT) AS disc_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS rev_cents
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-D histogram of the quantity × discount plane with
+    per-cell revenue — the joint-distribution heat map q_histogram's
+    1-D buckets can't show (e.g. whether discounts concentrate on
+    large orders). Deterministic integer bucket edges; one map-side
+    groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.expr(f"CAST({cents('l_quantity')} div 1000 AS BIGINT)").alias(
+            "qty_bucket"
+        ),
+        F.expr(f"CAST({cents('l_discount')} div 2 AS BIGINT)").alias(
+            "disc_bucket"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("rev_cents"),
+    )

@@ -16,7 +16,7 @@ GROUPS = [
     ("TPC-H relational shapes",
      r"^q([0-9]|_agg|_pivot|_rollup|_cube|_grouping|_semi|_setops|_full_outer"
      r"|_string|_conditional|_unpivot|_percentiles|_running|_rank|_histogram"
-     r"|_topk|_division)"),
+     r"|_topk|_division|_histogram2d)"),
     ("Windows, sessions, time series",
      r"^q_(sessionize|session_window|session_quality|tumble|asof|lag|latest"
      r"|range_join|rolling|gapfill|events_json)"),
