@@ -10197,3 +10197,172 @@ def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("rev_cents"),
     )
+
+
+@register(
+    "q_growth_streaks",
+    f"""
+    WITH monthly AS (
+        SELECT l_suppkey AS supp, date_trunc('month', l_shipdate) AS mon,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT supp, mon, rev,
+               CASE WHEN rev > lag(rev) OVER w THEN 1 ELSE 0 END AS grew,
+               row_number() OVER w AS rn
+        FROM monthly WINDOW w AS (PARTITION BY supp ORDER BY mon)
+    ),
+    islands AS (
+        SELECT supp, mon, grew,
+               rn - SUM(grew) OVER (PARTITION BY supp ORDER BY mon
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+        FROM flagged
+    )
+    SELECT supp, CAST(MAX(streak) AS BIGINT) AS longest_growth_streak
+    FROM (
+        SELECT supp, isl, CAST(SUM(grew) AS BIGINT) AS streak
+        FROM islands GROUP BY supp, isl
+    ) GROUP BY 1
+    """,
+)
+def q_growth_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest month-over-month revenue GROWTH streak per supplier —
+    the gaps-and-islands shape: flag growth months, subtract the
+    running flag-sum from the row number so each unbroken run shares
+    an island id, and take the longest island. Two window passes over
+    the (supplier, month) grid (≪ rows), no self-joins.
+
+    Scale: the monthly aggregation is the only pass over lineitem;
+    everything after operates on suppliers × months."""
+    li = load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_suppkey").alias("supp"),
+        F.date_trunc("month", "l_shipdate").alias("mon"),
+    ).agg(F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("rev"))
+    w = Window.partitionBy("supp").orderBy("mon")
+    flagged = monthly.select(
+        "supp",
+        "mon",
+        F.when(F.col("rev") > F.lag("rev").over(w), 1).otherwise(0).alias("grew"),
+        F.row_number().over(w).alias("rn"),
+    )
+    islands = flagged.withColumn(
+        "isl",
+        F.col("rn")
+        - F.sum("grew").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("supp", "isl")
+        .agg(F.sum("grew").cast("long").alias("streak"))
+        .groupBy("supp")
+        .agg(F.max("streak").cast("long").alias("longest_growth_streak"))
+    )
+
+
+@register(
+    "q_top_paths",
+    """
+    WITH seq AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT e1 || '>' || e2 || '>' || e3 AS path,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, n FROM (
+        SELECT path, n,
+               row_number() OVER (ORDER BY n DESC, path ASC) AS rn
+        FROM paths
+    ) WHERE rn <= 10
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-event user paths — the Sankey-diagram feed: every
+    consecutive event triple (per-user time order), counted and
+    ranked. Generalizes the transition matrix (2-paths) and the fixed
+    motif query (one specific triple) to the full path census.
+
+    Scale: the same single per-user window sort the transition family
+    rides; the path census is bounded by |event_types|³ rows."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        paths.withColumn("rn", F.row_number().over(wr))
+        .filter("rn <= 10")
+        .select("path", "n")
+    )
+
+
+@register(
+    "q_market_share_delta",
+    f"""
+    WITH monthly AS (
+        SELECT s.s_nationkey AS nation,
+               date_trunc('month', l.l_shipdate) AS mon,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS rev
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ),
+    shared AS (
+        SELECT nation, mon, rev,
+               CAST(SUM(rev) OVER (PARTITION BY mon) AS BIGINT) AS tot,
+               CAST(1000000 * rev // SUM(rev) OVER (PARTITION BY mon)
+                    AS BIGINT) AS share_e6
+        FROM monthly
+    )
+    SELECT nation, strftime(mon, '%Y-%m') AS month, share_e6,
+           CAST(share_e6 - lag(share_e6) OVER (PARTITION BY nation
+                ORDER BY mon) AS BIGINT) AS share_delta_e6
+    FROM shared
+    """,
+)
+def q_market_share_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue market share per supplier nation, with the
+    month-over-month share delta — share as exact 1e-6 units
+    (rev·1e6 div month total) so shifts are integer-comparable; the
+    competitive-dynamics view layered on the same monthly grid the
+    growth-streak query uses.
+
+    Scale: one join + one monthly aggregation over lineitem; the share
+    and delta windows run on the nations × months grid."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    monthly = (
+        li.join(F.broadcast(sup), "l_suppkey")
+        .groupBy("nation", F.date_trunc("month", "l_shipdate").alias("mon"))
+        .agg(F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("rev"))
+    )
+    wn = Window.partitionBy("nation").orderBy("mon")
+    shared = monthly.select(
+        "nation",
+        "mon",
+        F.expr("CAST(1000000 * rev div sum(rev) OVER "
+               "(PARTITION BY mon) AS BIGINT)").alias("share_e6"),
+    )
+    return shared.select(
+        "nation",
+        F.date_format("mon", "yyyy-MM").alias("month"),
+        "share_e6",
+        (F.col("share_e6") - F.lag("share_e6").over(wn))
+        .cast("long")
+        .alias("share_delta_e6"),
+    )
