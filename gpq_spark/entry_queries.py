@@ -10366,3 +10366,110 @@ def q_market_share_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_delta_e6"),
     )
+
+
+@register(
+    "text_readability",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
+                    '\\s+'), x -> x <> '')) AS BIGINT) AS words,
+               CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS sents,
+               CAST(GREATEST(len(regexp_extract_all(lower(text),
+                    '[aeiouy]+')), 1) AS BIGINT) AS sylls
+        FROM documents
+    )
+    SELECT doc_id, words, sents, sylls,
+           CAST(206835
+                - 1015 * (words * 1000 // sents) // 1000
+                - 84600 * (sylls * 1000 // words) // 1000
+                AS BIGINT) AS flesch_e3
+    FROM m WHERE words > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease as exact scaled integers: 206.835 −
+    1.015·(words/sentence) − 84.6·(syllables/word), with sentences
+    counted as terminal-punctuation groups and syllables as vowel
+    groups (the standard cheap heuristic), every division an integer
+    floor at 1e-3 scale so both engines agree bit-for-bit. The
+    readability axis of the quality-signal family (length, entropy,
+    repetition, Zipf already cover volume/diversity/redundancy/shape).
+
+    Scale: three regexp counts plus integer arithmetic — map-side
+    only."""
+    docs = load(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(split(lower(trim(text)), '\\\\s+'),"
+            " x -> x != '')) AS BIGINT)"
+        ).alias("words"),
+        F.expr(
+            "CAST(GREATEST(size(regexp_extract_all(text, '[.!?]+', 0)), 1)"
+            " AS BIGINT)"
+        ).alias("sents"),
+        F.expr(
+            "CAST(GREATEST(size(regexp_extract_all(lower(text),"
+            " '[aeiouy]+', 0)), 1) AS BIGINT)"
+        ).alias("sylls"),
+    ).filter("words > 0")
+    return m.select(
+        "doc_id",
+        "words",
+        "sents",
+        "sylls",
+        F.expr(
+            "CAST(206835 - 1015 * (words * 1000 div sents) div 1000"
+            " - 84600 * (sylls * 1000 div words) div 1000 AS BIGINT)"
+        ).alias("flesch_e3"),
+    )
+
+
+@register(
+    "embed_norm_profile",
+    f"""
+    WITH qz AS ({_QUANT_DUCK}),
+    norms AS (
+        SELECT vec_id,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(q, x -> x * x)), (a, x) -> a + x)
+                    AS BIGINT) AS norm2
+        FROM qz
+    )
+    SELECT CAST(norm2 // 50000 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+           CAST(MAX(norm2) AS BIGINT) AS max_norm2
+    FROM norms GROUP BY 1
+    """,
+)
+def embed_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm distribution over the int8-quantized vectors —
+    norm² is an exact integer there, so the histogram hashes with no
+    float laundering. Collapsed or exploded norms are the first sign
+    of a broken encoder (or a missing normalization step) before any
+    similarity search runs; this is the one-scan check.
+
+    Scale: map-side fold per vector plus one bounded-cardinality
+    groupBy."""
+    from .pipeline.similarity import quantize_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    norms = emb.withColumn(
+        "__q", quantize_expr("embedding")
+    ).select(
+        F.expr(
+            "aggregate(transform(__q, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("norm2")
+    )
+    return norms.groupBy(
+        F.expr("CAST(norm2 div 50000 AS BIGINT)").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("norm2").cast("long").alias("min_norm2"),
+        F.max("norm2").cast("long").alias("max_norm2"),
+    )
