@@ -10473,3 +10473,170 @@ def embed_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("norm2").cast("long").alias("min_norm2"),
         F.max("norm2").cast("long").alias("max_norm2"),
     )
+
+
+@register(
+    "dedup_lsh_recall",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    truth AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                     AS DOUBLE) >= 0.5
+    ),
+    bt AS ({_MINHASH_BANDS_DUCK}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bt a JOIN bt b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    hit AS (
+        SELECT t.id_a FROM truth t JOIN cand c
+          ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_found,
+           CAST((SELECT COUNT(*) FROM truth)
+                - (SELECT COUNT(*) FROM hit) AS BIGINT) AS n_missed,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1000000
+                ELSE 1000000 * (SELECT COUNT(*) FROM hit)
+                     // (SELECT COUNT(*) FROM truth) END AS BIGINT)
+               AS recall_e6
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED LSH recall against exact ground truth: every document
+    pair with true shingle Jaccard ≥ 0.5, versus the MinHash-LSH
+    candidate set (8 hashes / 4 bands — the dedup family's spec), as
+    one audit row (found / missed / recall in 1e-6 units). This is the
+    number the band/hash configuration trades against cost, pinned by
+    the gate instead of quoted from the S-curve formula. The ground
+    truth is an all-pairs scan — affordable at audit scale; production
+    runs this on a sample, which is the documented deviation.
+
+    Scale: the truth side is O(n²) BY DESIGN (it is the audit, not the
+    pipeline); the candidate side is the production one-shuffle plan."""
+    from .pipeline.dedup import (
+        _with_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sh = _with_shingles(docs, "text", 3, keep=["doc_id"])
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    cand = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_found = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_found")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_found))
+        .select(
+            "n_true",
+            "n_found",
+            (F.col("n_true") - F.col("n_found")).cast("long").alias("n_missed"),
+            F.expr(
+                "CAST(CASE WHEN n_true = 0 THEN 1000000"
+                " ELSE 1000000 * n_found div n_true END AS BIGINT)"
+            ).alias("recall_e6"),
+        )
+    )
+
+
+@register(
+    "q_funnel_dropoff",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    counts AS (
+        SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n1,
+               CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n2,
+               CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n3
+    )
+    SELECT CAST(1 AS BIGINT) AS step, n1 AS n_users,
+           CAST(1000000 AS BIGINT) AS conv_from_prev_e6 FROM counts
+    UNION ALL
+    SELECT 2, n2, CAST(1000000 * n2 // n1 AS BIGINT) FROM counts
+    UNION ALL
+    SELECT 3, n3, CAST(1000000 * n3 // n2 AS BIGINT) FROM counts
+    """,
+)
+def q_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel drop-off summary: users reaching each ordered step
+    (first view, first later click, first later purchase — the same
+    spec as q_funnel_steps) with the step-to-step conversion rate in
+    exact 1e-6 units — the three-row dashboard the per-user funnel
+    rows roll up to."""
+    ev = load_events(spark, sf_dir)
+    v = (
+        ev.filter("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = v.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = c.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    n3 = p.agg(F.count(F.lit(1)).cast("long").alias("n3"))
+    counts = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+    s1 = counts.select(
+        F.lit(1).cast("long").alias("step"),
+        F.col("n1").alias("n_users"),
+        F.lit(1000000).cast("long").alias("conv_from_prev_e6"),
+    )
+    s2 = counts.select(
+        F.lit(2).cast("long").alias("step"),
+        F.col("n2").alias("n_users"),
+        F.expr("CAST(1000000 * n2 div n1 AS BIGINT)").alias(
+            "conv_from_prev_e6"
+        ),
+    )
+    s3 = counts.select(
+        F.lit(3).cast("long").alias("step"),
+        F.col("n3").alias("n_users"),
+        F.expr("CAST(1000000 * n3 div n2 AS BIGINT)").alias(
+            "conv_from_prev_e6"
+        ),
+    )
+    return s1.unionByName(s2).unionByName(s3)
