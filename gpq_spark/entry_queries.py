@@ -10640,3 +10640,185 @@ def q_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return s1.unionByName(s2).unionByName(s3)
+
+
+@register(
+    "q_hhi_concentration",
+    f"""
+    WITH rev AS (
+        SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS r
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT nation, CAST(SUM(r) AS BIGINT) AS t FROM rev GROUP BY 1
+    )
+    SELECT rev.nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM((1000000 * rev.r // tot.t)
+                    * (1000000 * rev.r // tot.t)) // 1000000 AS BIGINT)
+               AS hhi_e6
+    FROM rev JOIN tot ON tot.nation = rev.nation
+    GROUP BY 1
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier concentration per nation: the sum
+    of squared revenue shares, shares floored at 1e-6 before squaring
+    so both engines square the identical integers (1e6 = monopoly,
+    1e6/n = perfectly even). The antitrust-style concentration lens on
+    the same revenue grid the market-share query reads.
+
+    Scale: one join + two narrow aggregations; squares run on the
+    nation×supplier grid."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    rev = (
+        li.join(F.broadcast(sup), "l_suppkey")
+        .groupBy("nation", F.col("l_suppkey").alias("supp"))
+        .agg(F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("r"))
+    )
+    tot = rev.groupBy("nation").agg(F.sum("r").cast("long").alias("t"))
+    return (
+        rev.join(tot, "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.expr(
+                "CAST(SUM((1000000 * r div t) * (1000000 * r div t))"
+                " div 1000000 AS BIGINT)"
+            ).alias("hhi_e6"),
+        )
+    )
+
+
+@register(
+    "q_gini_revenue",
+    f"""
+    WITH rev AS (
+        SELECT o_custkey AS cust,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS r
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT r,
+               CAST(row_number() OVER (ORDER BY r ASC, cust ASC)
+                    AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(SUM(r) OVER () AS BIGINT) AS s
+        FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           round(2.0 * CAST(SUM(i * r) AS DOUBLE)
+                 / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(s) AS DOUBLE))
+                 - (CAST(MAX(n) AS DOUBLE) + 1.0) / CAST(MAX(n) AS DOUBLE),
+                 9) AS gini
+    FROM ranked
+    """,
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the rank formula
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending-sorted revenues —
+    with customer-id tie-breaks making the rank total (0 = everyone
+    equal, →1 = one whale). The sums are exact int64; only the final
+    ratio is a double (rounded to 9), which is engine-portable because
+    both sides convert the SAME integers. The inequality
+    metric a training-mix audit applies to source contributions for
+    the same reason economists apply it to income.
+
+    Scale: the global rank window sorts the CUSTOMER aggregate (≪
+    orders); the Gini reduction is one pass over it."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("r")
+    )
+    wv = Window.orderBy(F.col("r").asc(), F.col("cust").asc())
+    ranked = rev.select(
+        "r", F.row_number().over(wv).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s"),
+        F.sum(F.col("i") * F.col("r")).cast("long").alias("sir"),
+    ).select(
+        F.col("n").alias("n_customers"),
+        # the ratio is computed in DOUBLE from EXACT int64 sums: both
+        # engines convert the same integers, so the IEEE result is
+        # bit-identical even past 2^53 — unlike a scaled-integer form,
+        # whose 2e6·Σ(i·x) product overflows int64 at gate scale
+        F.round(
+            F.lit(2.0) * F.col("sir").cast("double")
+            / (F.col("n").cast("double") * F.col("s").cast("double"))
+            - (F.col("n").cast("double") + F.lit(1.0))
+            / F.col("n").cast("double"),
+            9,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q_pareto_revenue",
+    f"""
+    WITH rev AS (
+        SELECT o_custkey AS cust,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS r
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT r,
+               CAST(row_number() OVER (ORDER BY r DESC, cust ASC)
+                    AS BIGINT) AS i,
+               CAST(SUM(r) OVER (ORDER BY r DESC, cust ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(SUM(r) OVER () AS BIGINT) AS s
+        FROM rev
+    )
+    SELECT CAST(MIN(i) AS BIGINT) AS k_customers,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(1000000 * MIN(i) // MAX(n) AS BIGINT) AS k_share_e6
+    FROM ranked WHERE cum * 100 >= s * 80
+    """,
+)
+def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto point: the smallest number of top customers whose
+    cumulative revenue reaches 80% of the total (ties to the smaller
+    id, cumulative compared by integer cross-multiplication) and what
+    fraction of the customer base that is — the 80/20 check, one
+    number beside Gini's full-curve summary.
+
+    Scale: same sorted customer aggregate as the Gini query; the
+    answer is the min rank crossing the threshold."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("r")
+    )
+    wv = Window.orderBy(F.col("r").desc(), F.col("cust").asc())
+    ranked = rev.select(
+        "r",
+        F.row_number().over(wv).cast("long").alias("i"),
+        F.sum("r")
+        .over(wv.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 100 >= F.col("s") * 80)
+        .agg(
+            F.min("i").cast("long").alias("k_customers"),
+            F.max("n").cast("long").alias("n_customers"),
+            F.expr("CAST(1000000 * MIN(i) div MAX(n) AS BIGINT)").alias(
+                "k_share_e6"
+            ),
+        )
+    )

@@ -23,7 +23,7 @@ GROUPS = [
     ("Event analytics",
      r"^q_(funnel|funnel_dropoff|retention|anomaly|event_transitions|time_to|attribution"
      r"|ab_test|trend|crosstab|drift|basket|recommend|incremental|table_checksum"
-     r"|changepoint|pattern|outliers|cohort|rfm|nation_part|latency|growth|top_paths|market_share)"),
+     r"|changepoint|pattern|outliers|cohort|rfm|nation_part|latency|growth|top_paths|market_share|hhi|gini|pareto)"),
     ("Graph analytics", r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa)"),
     ("Governance & auditing", r"^q_(kanon|corpus_diff|data_constraints|split_leakage)"),
     ("Deduplication & decontamination", r"^(dedup_|decontam)"),
