@@ -659,3 +659,76 @@ def test_pairwise_cosine_matches_python(spark, docs):
             nb = sum(v * v for v in tfs[j].values())
             want[(i, j)] = (dot, 1000000 * dot * dot // (na * nb))
     assert got == want
+
+
+def _py_longest_growth_streak(vals):
+    best = cur = 0
+    for prev, nxt in zip(vals, vals[1:]):
+        cur = cur + 1 if nxt > prev else 0
+        best = max(best, cur)
+    return best
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=12))
+def test_growth_streak_islands_match_python(spark, vals):
+    """The gaps-and-islands longest-streak derivation must equal a
+    linear scan — including plateaus (equal months break streaks) and
+    all-decreasing series."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(1, m, v) for m, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "supp long, mon long, rev long")
+    w = Window.partitionBy("supp").orderBy("mon")
+    flagged = df.select(
+        "supp",
+        "mon",
+        F.when(F.col("rev") > F.lag("rev").over(w), 1).otherwise(0).alias("grew"),
+        F.row_number().over(w).alias("rn"),
+    )
+    islands = flagged.withColumn(
+        "isl",
+        F.col("rn") - F.sum("grew").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    got = (
+        islands.groupBy("supp", "isl")
+        .agg(F.sum("grew").alias("streak"))
+        .agg(F.max("streak").alias("m"))
+        .first()["m"]
+    )
+    assert got == _py_longest_growth_streak(vals)
+
+
+def _py_quadkey(cx, cy, levels=4):
+    qk = 0
+    for i in range(levels):
+        qk += (((cx >> i) & 1) + 2 * ((cy >> i) & 1)) * (4 ** i)
+    return qk
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=1, max_size=20))
+def test_quadkey_expr_matches_python_and_prefix_law(spark, cells):
+    """The div/mod Morton interleave must equal the bit-twiddling
+    reference, be injective over the grid, and satisfy the zoom-out
+    law: quadkey(cx, cy) div 4 == quadkey(cx div 2, cy div 2) at the
+    coarser level."""
+    from pyspark.sql import functions as F
+
+    from gpq_spark.entry_queries import _quadkey_expr
+
+    df = spark.createDataFrame(cells, "cx long, cy long")
+    qk4 = _quadkey_expr("cx", "cy", 4).replace("//", "div")
+    qk3 = _quadkey_expr("cx div 2", "cy div 2", 3).replace("//", "div")
+    got = df.select(
+        "cx", "cy",
+        F.expr(f"CAST({qk4} AS BIGINT)").alias("qk"),
+        F.expr(f"CAST({qk3} AS BIGINT)").alias("qk_parent"),
+    ).collect()
+    for r in got:
+        assert r["qk"] == _py_quadkey(r["cx"], r["cy"])
+        assert r["qk"] // 4 == r["qk_parent"]
