@@ -2035,3 +2035,59 @@ class TestLabelPropagation:
         r1 = sorted(map(tuple, label_propagation(edges).collect()))
         r2 = sorted(map(tuple, label_propagation(edges).collect()))
         assert r1 == r2
+
+
+class TestNewOpEdgeCases:
+    def test_rerank_coarse_smaller_than_k_caps_results(self, spark):
+        """coarse_k < k: the rerank can only return what the coarse
+        stage proposed — k is capped by the candidate set, not padded."""
+        from gpq_spark.pipeline.similarity import rerank_topk
+
+        rows = [(i, [float(i), 1.0]) for i in range(10)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = emb.filter("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = rerank_topk(emb, queries, coarse_k=3, k=10).collect()
+        assert len(got) == 3
+        assert sorted(r["rank"] for r in got) == [1, 2, 3]
+
+    def test_fuzzy_pairs_null_strings_dropped(self, spark):
+        """NULL strings generate no variants (sequence over NULL length
+        is NULL) and therefore never pair — documented behavior, not a
+        crash."""
+        from gpq_spark.pipeline.dedup import fuzzy_pairs_edit1
+
+        df = spark.createDataFrame(
+            [(1, "ab"), (2, None), (3, "ab")], "id long, s string"
+        )
+        got = [(r["id_a"], r["id_b"])
+               for r in fuzzy_pairs_edit1(df, "id", "s").collect()]
+        assert got == [(1, 3)]
+
+    def test_bfs_source_not_in_graph(self, spark):
+        """A source with no edges reaches only itself."""
+        from gpq_spark.pipeline.graph import bfs_distances
+
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        sources = spark.createDataFrame([(99,)], "node long")
+        got = bfs_distances(edges, sources).collect()
+        assert [(r["source"], r["node"], r["dist"]) for r in got] == [
+            (99, 99, 0)
+        ]
+
+    def test_label_propagation_isolated_edgeless_graph(self, spark):
+        from gpq_spark.pipeline.graph import label_propagation
+
+        # only self-loops → no edges survive → empty result
+        edges = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+        assert label_propagation(edges).count() == 0
+
+    def test_verify_pairs_jaccard_empty_candidates(self, spark):
+        from gpq_spark.pipeline.dedup import verify_pairs_jaccard
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "x y z")], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert verify_pairs_jaccard(docs, pairs, "doc_id", "text").count() == 0
