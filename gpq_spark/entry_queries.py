@@ -10822,3 +10822,63 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_GIF_W = "(doc_id % 1500 + 1)"
+_GIF_H = "(doc_id % 888 + 1)"
+
+
+def _gif_payload_spark() -> str:
+    """Every 10th doc gets a PNG payload (the non-GIF NULL path); the
+    rest get a real GIF header: signature (89a for every 3rd doc, 87a
+    otherwise), LITTLE-endian dims, and a packed byte with the
+    global-color-table flag set for even docs (size field = doc_id % 8)."""
+    le = (
+        lambda v: f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+        f" lpad(hex(({v}) div 256), 2, '0'))"
+    )
+    sig = (
+        "CASE WHEN doc_id % 3 = 0 THEN '474946383961'"
+        " ELSE '474946383761' END"
+    )
+    packed = (
+        "lpad(hex(CASE WHEN doc_id % 2 = 0"
+        " THEN 128 + doc_id % 8 ELSE doc_id % 8 END), 2, '0')"
+    )
+    return (
+        f"CASE WHEN doc_id % 10 = 0 THEN unhex('89504E470D0A1A0A') "
+        f"ELSE unhex(concat({sig}, {le(_GIF_W)}, {le(_GIF_H)}, {packed},"
+        f" '0000')) END"
+    )
+
+
+@register(
+    "multimodal_gif_header",
+    f"""
+    SELECT doc_id AS id,
+           CASE WHEN doc_id % 3 = 0 THEN '89a' ELSE '87a' END AS version,
+           CAST({_GIF_W} AS INT) AS width,
+           CAST({_GIF_H} AS INT) AS height,
+           (doc_id % 2 = 0) AS has_gct,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN CAST(pow(2, doc_id % 8 + 1) AS INT)
+                ELSE 0 END AS INT) AS gct_colors
+    FROM documents
+    WHERE doc_id % 10 != 0
+    """,
+)
+def multimodal_gif_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF logical-screen-descriptor extraction — LITTLE-endian u16
+    dims plus the packed global-color-table byte — completing the
+    header-parser trio: PNG (big-endian fixed offsets), JPEG
+    (variable-length marker walk), GIF (little-endian + bit-packed
+    flags), each a pure-expression parser with parse(build(x)) == x
+    gated against the ground truth the payload was built from."""
+    from .pipeline.multimodal import parse_gif_header
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_gif_payload_spark()).alias("payload")
+    )
+    return parse_gif_header(docs, "payload", "doc_id").filter(
+        F.col("width").isNotNull()
+    )

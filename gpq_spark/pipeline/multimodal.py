@@ -390,3 +390,46 @@ def parse_jpeg_header(
         field(u8(f"{p} + 9"), "int").alias("n_components"),
         field(f"{u8(f'{p} + 1')} = 194", "boolean").alias("progressive"),
     )
+
+
+def _le_u16(payload_col: str, offset: int) -> str:
+    """LITTLE-endian u16 at 1-based byte ``offset``: the two bytes are
+    read individually and recombined low-byte-first — reversing the
+    hex string would reverse nibbles, not bytes."""
+    lo = f"conv(hex(substring({payload_col}, {offset}, 1)), 16, 10)"
+    hi = f"conv(hex(substring({payload_col}, {offset + 1}, 1)), 16, 10)"
+    return f"CAST({lo} + 256 * {hi} AS INT)"
+
+
+def parse_gif_header(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Parse the GIF logical screen descriptor: 6-byte signature
+    (GIF87a / GIF89a), then width and height as LITTLE-endian u16 at
+    bytes 7 and 9 — the byte-order counterpart of the big-endian PNG
+    IHDR (and the marker-walking JPEG SOF): one format per endianness
+    and layout style, all pure JVM expressions. The packed byte at 11
+    contributes the global-color-table flag (bit 7) and its size
+    (2^(N+1) from the low 3 bits). Non-GIF payloads yield NULLs."""
+    is_gif = (
+        f"substring(CAST({payload_col} AS STRING), 1, 3) = 'GIF'"
+        f" AND substring(CAST({payload_col} AS STRING), 4, 3)"
+        f" IN ('87a', '89a')"
+    )
+
+    def guarded(expr: str, typ: str) -> Column:
+        return F.expr(f"CASE WHEN {is_gif} THEN {expr} ELSE NULL END").cast(typ)
+
+    packed = _u8(payload_col, 11)
+    return df.select(
+        F.col(id_col).alias("id"),
+        guarded(f"substring(CAST({payload_col} AS STRING), 4, 3)", "string").alias(
+            "version"
+        ),
+        guarded(_le_u16(payload_col, 7), "int").alias("width"),
+        guarded(_le_u16(payload_col, 9), "int").alias("height"),
+        guarded(f"({packed}) >= 128", "boolean").alias("has_gct"),
+        guarded(
+            f"CASE WHEN ({packed}) >= 128"
+            f" THEN CAST(pow(2, ({packed}) % 8 + 1) AS INT) ELSE 0 END",
+            "int",
+        ).alias("gct_colors"),
+    )

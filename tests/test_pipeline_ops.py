@@ -2091,3 +2091,39 @@ class TestNewOpEdgeCases:
         )
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         assert verify_pairs_jaccard(docs, pairs, "doc_id", "text").count() == 0
+
+
+class TestGifHeader:
+    def test_real_gif_bytes(self, spark):
+        from gpq_spark.pipeline.multimodal import parse_gif_header
+
+        def gif(w, h, version=b"89a", gct=True, gct_bits=2):
+            packed = (0x80 | gct_bits) if gct else gct_bits
+            return (b"GIF" + version + w.to_bytes(2, "little")
+                    + h.to_bytes(2, "little") + bytes([packed, 0, 0]))
+
+        rows = [
+            (1, gif(640, 480)),
+            (2, gif(300, 200, version=b"87a", gct=False)),
+            (3, b"\x89PNG\r\n\x1a\n"),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        got = {
+            r["id"]: (r["version"], r["width"], r["height"], r["has_gct"],
+                      r["gct_colors"])
+            for r in parse_gif_header(df, "payload", "id").collect()
+        }
+        assert got[1] == ("89a", 640, 480, True, 8)  # 2^(2+1)
+        assert got[2] == ("87a", 300, 200, False, 0)
+        assert got[3] == (None, None, None, None, None)
+
+    def test_little_endian_not_nibble_reversed(self, spark):
+        """Width 0x0102 stores as bytes 02 01; a nibble-reversing
+        implementation would read 0x1020 = 4128, not 258."""
+        from gpq_spark.pipeline.multimodal import parse_gif_header
+
+        payload = (b"GIF89a" + (0x0102).to_bytes(2, "little")
+                   + (0x0304).to_bytes(2, "little") + bytes([0, 0, 0]))
+        df = spark.createDataFrame([(1, payload)], "id long, payload binary")
+        r = parse_gif_header(df, "payload", "id").first()
+        assert (r["width"], r["height"]) == (258, 772)
