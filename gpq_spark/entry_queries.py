@@ -10882,3 +10882,58 @@ def multimodal_gif_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_gif_header(docs, "payload", "doc_id").filter(
         F.col("width").isNotNull()
     )
+
+
+@register(
+    "sample_mix_gini",
+    """
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c,
+               CAST(row_number() OVER (ORDER BY c ASC, lang ASC, source ASC)
+                    AS BIGINT) AS i
+        FROM cells
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           round(2.0 * CAST(SUM(i * c) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+                 - (CAST(COUNT(*) AS DOUBLE) + 1.0)
+                   / CAST(COUNT(*) AS DOUBLE),
+                 9) AS gini
+    FROM ranked
+    """,
+)
+def sample_mix_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix inequality: the Gini coefficient over the corpus's
+    (language, source) cell sizes — 0 means every slice contributes
+    equally, high values mean a few slices dominate the mix (the
+    condition balanced_sample exists to correct, now measurable as one
+    number before and after). Same rank-formula spec as
+    q_gini_revenue: exact integer rank sums, one double ratio."""
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = Window.orderBy(
+        F.col("c").asc(), F.col("lang").asc(), F.col("source").asc()
+    )
+    ranked = cells.select(
+        "c", F.row_number().over(wv).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("i") * F.col("c")).cast("long").alias("sic"),
+    ).select(
+        F.col("n").alias("n_cells"),
+        F.round(
+            F.lit(2.0) * F.col("sic").cast("double")
+            / (F.col("n").cast("double") * F.col("s").cast("double"))
+            - (F.col("n").cast("double") + F.lit(1.0))
+            / F.col("n").cast("double"),
+            9,
+        ).alias("gini"),
+    )
