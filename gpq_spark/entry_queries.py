@@ -10937,3 +10937,114 @@ def sample_mix_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("gini"),
     )
+
+
+@register(
+    "dedup_lsh_recall_sampled",
+    f"""
+    WITH sampled AS (
+        SELECT * FROM documents
+        WHERE CAST('0x' || substr(md5('recall|' || CAST(doc_id AS VARCHAR)),
+                   1, 12) AS BIGINT) < {int(0.4 * (1 << 48))}
+    ),
+    sh AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN len(words) >= 3
+               THEN list_distinct([words[i+1] || ' ' || words[i+2] || ' '
+                                   || words[i+3]
+                                   FOR i IN range(0, len(words) - 2)])
+               ELSE [trim(text)] END AS shingles
+        FROM (SELECT doc_id, lang, n_chars, text,
+                     regexp_split_to_array(trim(text), '\\s+') AS words
+              FROM sampled)
+    ),
+    truth AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                     AS DOUBLE) >= 0.5
+    ),
+    bt AS ({_MINHASH_BANDS_DUCK}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bt a JOIN bt b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    hit AS (
+        SELECT t.id_a FROM truth t JOIN cand c
+          ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM sampled) AS BIGINT) AS n_sampled,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_found,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1000000
+                ELSE 1000000 * (SELECT COUNT(*) FROM hit)
+                     // (SELECT COUNT(*) FROM truth) END AS BIGINT)
+               AS recall_e6
+    """,
+)
+def dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED LSH recall audit — the scale-safe variant of
+    dedup_lsh_recall: the exact ground truth runs only over a
+    deterministic 40% hash sample of documents (seeded md5, so the
+    sample — and therefore the estimate — is reproducible and
+    hash-checkable), cutting the all-pairs cost ~6× here and
+    quadratically in general (s² of the full audit). The candidate
+    side stays the full-corpus production plan, so the estimate is
+    recall over sampled-pair ground truth — an unbiased estimator of
+    pair recall when the sample is uniform over documents."""
+    from .pipeline.dedup import (
+        _with_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    thresh = int(0.4 * (1 << 48))
+    sampled = docs.filter(
+        F.expr(
+            "CAST(conv(substring(md5(concat('recall|',"
+            " CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+            f" < {thresh}"
+        )
+    )
+    sh = _with_shingles(sampled, "text", 3, keep=["doc_id"])
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    cand = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+    n_sampled = sampled.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled")
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_found = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_found")
+    )
+    return (
+        n_sampled.crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_found))
+        .select(
+            "n_sampled",
+            "n_true",
+            "n_found",
+            F.expr(
+                "CAST(CASE WHEN n_true = 0 THEN 1000000"
+                " ELSE 1000000 * n_found div n_true END AS BIGINT)"
+            ).alias("recall_e6"),
+        )
+    )
