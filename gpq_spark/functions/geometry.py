@@ -11,11 +11,15 @@ Two tiers, chosen for the Spark execution model:
    reference's GetRowGroupsByBbox
    (/root/reference/internal/geoparquet/filter.go:115-212).
 
-2. **Arrow-batched pandas UDFs** over WKB bytes — the slow path, used
-   only when no covering column exists or a real geometry computation
-   is required (type, envelope, orientation, encode/decode). These are
-   vectorized at the transfer layer (Arrow) with per-value Python
-   decoding, mirroring the reference's per-row decode fallback
+2. **Arrow-batched pandas UDFs** over WKB bytes — used only when no
+   covering column exists or a real geometry computation is required
+   (type, envelope, orientation, encode/decode). Envelope and type
+   extraction run through the per-value numpy WKB kernel
+   (geoparquet/stats.py ``wkb_scan_values``; zero per-row Python,
+   measured 11-14× the per-value decode on 1M-geometry batches —
+   BASELINE.md round 3), with per-value decoding kept only for WKT
+   strings and the structural codecs (orientation, GeoJSON encode),
+   mirroring the reference's per-row decode fallback
    (filter.go:271-293).
 """
 
@@ -104,27 +108,60 @@ def _decode_any(value):
     return _wkb.loads(bytes(value))
 
 
+def _kernel_scan(s: pd.Series, want_bounds: bool, stats_types: bool):
+    """Run the vectorized per-value WKB kernel (geoparquet/stats.py
+    wkb_scan_values) over a pandas batch. Returns None when the batch
+    holds WKT strings — the caller falls back to the per-value text
+    codec (WKT is the rare legacy encoding; WKB is the hot path)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..geoparquet.stats import wkb_scan_values
+
+    arr = pa.array(s, from_pandas=True)
+    if isinstance(arr, pa.ChunkedArray):  # >2 GiB batch: promote offsets
+        arr = pa.concat_arrays(arr.cast(pa.large_binary()).chunks)
+    if pa.types.is_null(arr.type):
+        n = len(s)
+        return (np.full(n, None, dtype=object),) + tuple(
+            np.full(n, np.nan) for _ in range(4)
+        )
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return None
+    return wkb_scan_values(arr, want_bounds=want_bounds, stats_types=stats_types)
+
+
 @F.pandas_udf(T.StringType())
 def _geometry_type_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: None if v is None else (_decode_any(v) or {}).get("type"))
+    r = _kernel_scan(s, want_bounds=False, stats_types=False)
+    if r is None:  # WKT strings
+        return s.map(lambda v: None if v is None else (_decode_any(v) or {}).get("type"))
+    return pd.Series(r[0])
 
 
 @F.pandas_udf(T.StringType())
 def _stats_type_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: stats_type_name(_decode_any(v)))
+    r = _kernel_scan(s, want_bounds=False, stats_types=True)
+    if r is None:  # WKT strings
+        return s.map(lambda v: stats_type_name(_decode_any(v)))
+    return pd.Series(r[0])
 
 
 @F.pandas_udf(ENVELOPE_TYPE)
 def _envelope_udf(s: pd.Series) -> pd.DataFrame:
-    def env(v):
-        g = _decode_any(v)
-        b = _wkb.bounds(g) if g is not None else None
-        if b is None:
-            return (None, None, None, None)
-        return b
+    r = _kernel_scan(s, want_bounds=True, stats_types=False)
+    if r is None:  # WKT strings: per-value text parse
+        def env(v):
+            g = _decode_any(v)
+            b = _wkb.bounds(g) if g is not None else None
+            if b is None:
+                return (None, None, None, None)
+            return b
 
-    rows = s.map(env)
-    return pd.DataFrame(rows.tolist(), columns=["xmin", "ymin", "xmax", "ymax"])
+        rows = s.map(env)
+        return pd.DataFrame(rows.tolist(), columns=["xmin", "ymin", "xmax", "ymax"])
+    _, x0, y0, x1, y1 = r
+    return pd.DataFrame({"xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1})
 
 
 @F.pandas_udf(T.BinaryType())

@@ -70,6 +70,26 @@ def _gather_doubles(data: np.ndarray, starts: np.ndarray, little: bool) -> np.nd
     return raw.view("<f8" if little else ">f8").astype(np.float64).ravel()
 
 
+def _gather_xy(data: np.ndarray, pos: np.ndarray, little: bool):
+    """Vectorized gather of an (x, y) float64 pair at each ``pos``.
+
+    One row-gather of 16 contiguous bytes per vertex via a
+    sliding-window view — ~8× faster than per-byte fancy indexing
+    (each row is a single memcpy instead of 16 scalar gathers). WKB
+    guarantees y immediately follows x, and any vertex's 16 bytes lie
+    inside its value, so the window never reads past the buffer."""
+    if pos.size == 0:
+        z = np.empty(0, dtype=np.float64)
+        return z, z
+    if data.size < 16:  # defensive: window smaller than one pair
+        data = np.concatenate([data, np.zeros(16, dtype=np.uint8)])
+    pair = np.lib.stride_tricks.sliding_window_view(data, 16)[pos]
+    xy = pair.view("<f8" if little else ">f8")
+    if not little:
+        xy = xy.astype(np.float64)
+    return xy[:, 0], xy[:, 1]
+
+
 def _merge_xy(st, xs: np.ndarray, ys: np.ndarray) -> None:
     """Union (x, y) pairs into the running envelope, skipping pairs where
     either coordinate is NaN (empty-point markers)."""
@@ -103,8 +123,7 @@ def _merge_run_arrays(
     run_first = np.concatenate(([0], np.cumsum(counts)[:-1]))
     within = np.arange(total, dtype=np.int64) - np.repeat(run_first, counts)
     pos = base + (8 * dim) * within
-    xs = _gather_doubles(data, pos, little)
-    ys = _gather_doubles(data, pos + 8, little)
+    xs, ys = _gather_xy(data, pos, little)
     _merge_xy(st, xs, ys)
 
 
@@ -126,17 +145,35 @@ def _u32le(data: np.ndarray, p: np.ndarray) -> np.ndarray:
 
 
 class _VecRuns:
-    """Accumulates (start, count) coordinate runs for the common shape
-    (little-endian, 2D) and merges them in ONE vectorized reduce."""
+    """Accumulates (start, count, owner) coordinate runs for the common
+    shape (little-endian, 2D) and merges them in ONE vectorized reduce.
+    ``owner`` is the originating value's row index — the batch-union
+    writer path ignores it; the per-value kernel (``wkb_scan_values``)
+    reduces per owner."""
 
     def __init__(self):
         self.starts: list[np.ndarray] = []
         self.counts: list[np.ndarray] = []
+        self.owners: list[np.ndarray] = []
 
-    def add(self, starts: np.ndarray, counts: np.ndarray) -> None:
+    def add(self, starts: np.ndarray, counts: np.ndarray, owners: np.ndarray) -> None:
         if starts.size:
             self.starts.append(starts)
             self.counts.append(counts)
+            self.owners.append(owners)
+
+    def collect(self):
+        if not self.starts:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+            )
+        return (
+            np.concatenate(self.starts),
+            np.concatenate(self.counts),
+            np.concatenate(self.owners),
+        )
 
     def merge(self, st, data: np.ndarray) -> None:
         if self.starts:
@@ -151,7 +188,12 @@ class _VecRuns:
 
 
 def _rings_lockstep(
-    data: np.ndarray, pos: np.ndarray, end: np.ndarray, nrings: np.ndarray, vec: _VecRuns
+    data: np.ndarray,
+    pos: np.ndarray,
+    end: np.ndarray,
+    nrings: np.ndarray,
+    vec: _VecRuns,
+    owners: np.ndarray,
 ):
     """Collect ``nrings[i]`` rings (u32 count + vertices each) starting
     at ``pos[i]``, advancing ALL entries one ring per round. End-bound
@@ -175,7 +217,7 @@ def _rings_lockstep(
         fin = q + 4 + 16 * n
         good = readable & (fin <= end[idx])
         ok[idx[~good]] = False
-        vec.add(q[good] + 4, n[good])
+        vec.add(q[good] + 4, n[good], owners[idx[good]])
         g = idx[good]
         pos[g] = fin[good]
         left[g] -= 1
@@ -186,30 +228,32 @@ def _vec_collect(
     data: np.ndarray,
     g_starts: np.ndarray,
     g_ends: np.ndarray,
+    g_owners: np.ndarray,
     b: int,
     mcode: int,
     vec: _VecRuns,
 ):
     """Vectorized coordinate-run collection for one geometry base type
     in the common shape. ``mcode`` is the expected Multi* member type
-    code (0 for non-multi). Returns (starts, ends) of geometries that
-    need the scalar walk (truncation, or members outside the common
+    code (0 for non-multi). Returns (starts, ends, owners) of geometries
+    that need the scalar walk (truncation, or members outside the common
     shape). Partially-collected runs of demoted geometries are safe to
     merge: the envelope is a pure union."""
     s = g_starts.astype(np.int64)
     e = g_ends.astype(np.int64)
+    o = g_owners.astype(np.int64)
     ok = s + 9 <= e  # header + first count readable
-    bad = [(s[~ok], e[~ok])]
-    s_, e_ = s[ok], e[ok]
+    bad = [(s[~ok], e[~ok], o[~ok])]
+    s_, e_, o_ = s[ok], e[ok], o[ok]
     if b == 2:  # LineString: one run at a fixed offset
         n = _u32le(data, s_ + 5)
         good = s_ + 9 + 16 * n <= e_
-        vec.add(s_[good] + 9, n[good])
-        bad.append((s_[~good], e_[~good]))
+        vec.add(s_[good] + 9, n[good], o_[good])
+        bad.append((s_[~good], e_[~good], o_[~good]))
     elif b == 3:  # Polygon: ring rounds
         nr = _u32le(data, s_ + 5)
-        _, okr = _rings_lockstep(data, s_ + 9, e_, nr, vec)
-        bad.append((s_[~okr], e_[~okr]))
+        _, okr = _rings_lockstep(data, s_ + 9, e_, nr, vec, o_)
+        bad.append((s_[~okr], e_[~okr], o_[~okr]))
     else:  # Multi*: member rounds (each member re-checked for shape)
         nmem = _u32le(data, s_ + 5)
         pos = (s_ + 9).copy()
@@ -235,7 +279,7 @@ def _vec_collect(
                 fin = q + 5 + 16
                 fit = fin <= e_[g]
                 ok2[g[~fit]] = False
-                vec.add(q[fit] + 5, np.ones(int(fit.sum()), dtype=np.int64))
+                vec.add(q[fit] + 5, np.ones(int(fit.sum()), dtype=np.int64), o_[g[fit]])
                 gg = g[fit]
                 pos[gg] = fin[fit]
             elif mcode == 2:  # LineString members
@@ -243,31 +287,34 @@ def _vec_collect(
                 fin = q + 9 + 16 * n
                 fit = fin <= e_[g]
                 ok2[g[~fit]] = False
-                vec.add(q[fit] + 9, n[fit])
+                vec.add(q[fit] + 9, n[fit], o_[g[fit]])
                 gg = g[fit]
                 pos[gg] = fin[fit]
             else:  # Polygon members
                 nr = _u32le(data, q + 5)
-                newpos, okr = _rings_lockstep(data, q + 9, e_[g], nr, vec)
+                newpos, okr = _rings_lockstep(data, q + 9, e_[g], nr, vec, o_[g])
                 ok2[g[~okr]] = False
                 gg = g[okr]
                 pos[gg] = newpos[okr]
             left[g] -= 1
-        bad.append((s_[~ok2], e_[~ok2]))
+        bad.append((s_[~ok2], e_[~ok2], o_[~ok2]))
     return (
         np.concatenate([p[0] for p in bad]),
         np.concatenate([p[1] for p in bad]),
+        np.concatenate([p[2] for p in bad]),
     )
 
 
-def _walk_runs(data: np.ndarray, pos: int, end: int, runs: dict) -> int:
+def _walk_runs(data: np.ndarray, pos: int, end: int, runs: dict, expect=None) -> int:
     """Structural walk of one WKB geometry in ``data[pos:end]``;
     appends its coordinate runs to ``runs[(dim, little)]`` and returns
     the end position. Only ring counts are read here (O(rings) Python);
     coordinates are gathered later in one vectorized pass. Reads past
     ``end`` raise WKBError like the scalar decoder (values are
     contiguous in the Arrow buffer — an unchecked read would silently
-    take the NEXT value's bytes)."""
+    take the NEXT value's bytes). ``expect`` is a (parent, member)
+    name pair enforcing Multi* member types exactly like the scalar
+    decoder (geo/wkb.py _read_geometry)."""
     from ..geo.wkb import WKBError
 
     def need(upto: int) -> None:
@@ -304,6 +351,8 @@ def _walk_runs(data: np.ndarray, pos: int, end: int, runs: dict) -> int:
     name = _TYPE_NAMES.get(code)
     if name is None:
         raise WKBError(f"unsupported WKB geometry type: {raw}")
+    if expect is not None and name != expect[1]:
+        raise WKBError(f"{expect[0]} contains non-{expect[1]} member {name}")
     key = (dim, little)
     step = 8 * dim
     if name == "Point":
@@ -328,12 +377,43 @@ def _walk_runs(data: np.ndarray, pos: int, end: int, runs: dict) -> int:
             pos += 4 + step * n
         return pos
     # Multi* / GeometryCollection: recurse into member geometries
+    member = {
+        "MultiPoint": "Point",
+        "MultiLineString": "LineString",
+        "MultiPolygon": "Polygon",
+    }.get(name)
     need(pos + 4)
     (n,) = struct.unpack_from(u32, data, pos)
     pos += 4
     for _ in range(n):
-        pos = _walk_runs(data, pos, end, runs)
+        pos = _walk_runs(
+            data, pos, end, runs, expect=(name, member) if member else None
+        )
     return pos
+
+
+def _scan_headers(data: np.ndarray, s: np.ndarray, e: np.ndarray):
+    """Vectorized WKB header decode at value offsets ``s`` (ends ``e``).
+
+    Returns ``(little, srid, has_z, base, ok)``: byte order, EWKB SRID
+    flag, 3D-ness (EWKB Z bit or ISO +1000 codes), base type code, and
+    whether the header is well-formed (valid order byte, no M, known
+    type, ≥5 readable bytes)."""
+    b0 = data[s]
+    little = b0 == 1
+    b1, b2, b3, b4 = (data[s + k].astype(np.uint32) for k in (1, 2, 3, 4))
+    le_val = b1 | (b2 << 8) | (b3 << 16) | (b4 << 24)
+    be_val = b4 | (b3 << 8) | (b2 << 16) | (b1 << 24)
+    raw = np.where(little, le_val, be_val)
+    srid = (raw & _EWKB_SRID) != 0
+    z = (raw & _EWKB_Z) != 0
+    m = (raw & _EWKB_M) != 0
+    code = raw & ~np.uint32(0xE0000000)
+    iso_z = (code > 1000) & (code < 2000)
+    has_z = z | iso_z
+    base = np.where(iso_z, code - 1000, code)
+    ok = (b0 <= 1) & ~m & (code <= 2000) & (base >= 1) & (base <= 7) & (e - s >= 5)
+    return little, srid, has_z, base, ok
 
 
 def update_stats_wkb(st, arr: pa.Array, skip_bounds: bool = False) -> None:
@@ -349,27 +429,8 @@ def update_stats_wkb(st, arr: pa.Array, skip_bounds: bool = False) -> None:
     if sel.size == 0:
         return
     s = starts[sel]
-    b0 = data[s]
-    little = b0 == 1
-    b1, b2, b3, b4 = (data[s + k].astype(np.uint32) for k in (1, 2, 3, 4))
-    le_val = b1 | (b2 << 8) | (b3 << 16) | (b4 << 24)
-    be_val = b4 | (b3 << 8) | (b2 << 16) | (b1 << 24)
-    raw = np.where(little, le_val, be_val)
-    srid = (raw & _EWKB_SRID) != 0
-    z = (raw & _EWKB_Z) != 0
-    m = (raw & _EWKB_M) != 0
-    code = raw & ~np.uint32(0xE0000000)
-    iso_z = (code > 1000) & (code < 2000)
-    has_z = z | iso_z
-    base = np.where(iso_z, code - 1000, code)
-    ok = (
-        (b0 <= 1)
-        & ~m
-        & (code <= 2000)
-        & (base >= 1)
-        & (base <= 7)
-        & (ends[sel] - s >= 5)
-    )
+    e = ends[sel]
+    little, srid, has_z, base, ok = _scan_headers(data, s, e)
     # GeometryCollection Z-ness depends on members → scalar fallback
     fallback = ~ok | (base == 7)
 
@@ -381,17 +442,15 @@ def update_stats_wkb(st, arr: pa.Array, skip_bounds: bool = False) -> None:
         st.types.add(_TYPE_NAMES[b] + (" Z" if hz else ""))
 
     if not skip_bounds:
-        e = ends[sel]
         # Points: fully vectorized envelope gather (split by endianness).
         # Truncated values demote to the scalar path (same WKBError).
         pts = scanned & (base == 1)
-        fits = s + 5 + 4 * srid + 16 <= e
+        fits = s + 5 + 4 * srid + 8 * np.where(has_z, 3, 2) <= e
         fallback |= pts & ~fits
         pts &= fits
         for mask, is_le in ((pts & little, True), (pts & ~little, False)):
             coord_off = s[mask] + 5 + 4 * srid[mask]
-            xs = _gather_doubles(data, coord_off, is_le)
-            ys = _gather_doubles(data, coord_off + 8, is_le)
+            xs, ys = _gather_xy(data, coord_off, is_le)
             _merge_xy(st, xs, ys)
         # LineString / Polygon / Multi* in the common shape
         # (little-endian, 2D, no SRID) vectorize without per-value
@@ -407,9 +466,11 @@ def update_stats_wkb(st, arr: pa.Array, skip_bounds: bool = False) -> None:
         for b, mcode in ((2, 0), (3, 0), (4, 1), (5, 2), (6, 3)):
             mask = common & (base == b)
             if mask.any():
-                bad = _vec_collect(data, s[mask], e[mask], b, mcode, vec)
-                if bad[0].size:
-                    demoted.append(bad)
+                bad_s, bad_e, _bad_o = _vec_collect(
+                    data, s[mask], e[mask], sel[mask], b, mcode, vec
+                )
+                if bad_s.size:
+                    demoted.append((bad_s, bad_e))
         vec.merge(st, data)
         # Everything else (Z, big-endian, SRID, demoted): structural
         # walk collects runs, then one vectorized gather+reduce per
@@ -471,3 +532,216 @@ def update_stats_batch(st, batch: pa.RecordBatch, name: str, encoding: str, bbox
         return
     for value in col.to_pylist():
         st.add(value, encoding)
+
+
+# ---------------------------------------------------------------------------
+# Per-value kernel: envelopes + type names for the geometry UDFs
+# ---------------------------------------------------------------------------
+
+def _seg_env_update(
+    xmin: np.ndarray,
+    ymin: np.ndarray,
+    xmax: np.ndarray,
+    ymax: np.ndarray,
+    data: np.ndarray,
+    rstarts: np.ndarray,
+    rcounts: np.ndarray,
+    rowners: np.ndarray,
+    dim: int,
+    little: bool,
+) -> None:
+    """Segmented per-owner envelope union over many coordinate runs.
+
+    One vectorized gather of every run's every vertex (same
+    repeat/cumsum construction as the batch-union path), then a
+    stable-sort by owning row and ``minimum.reduceat`` per segment —
+    no per-geometry Python. NaN vertices (empty-point markers) are
+    masked out before the reduce, matching ``wkb.bounds``."""
+    total = int(rcounts.sum())
+    if total == 0:
+        return
+    step = 8 * dim
+    nz = rcounts > 0
+    rstarts, rcounts, rowners = rstarts[nz], rcounts[nz], rowners[nz]
+    run_first = np.concatenate(([0], np.cumsum(rcounts)[:-1]))
+    # one repeat + one arange builds every vertex position
+    pos = np.repeat(rstarts - step * run_first, rcounts) + step * np.arange(
+        total, dtype=np.int64
+    )
+    xs, ys = _gather_xy(data, pos, little)
+    if np.isnan(xs.min()) or np.isnan(ys.min()):  # min propagates NaN
+        # Rare path: empty-point markers / NaN vertices must be skipped
+        # per vertex (wkb.bounds semantics) — mask, sort by owner,
+        # segment-reduce at vertex granularity.
+        own = np.repeat(rowners, rcounts)
+        good = ~(np.isnan(xs) | np.isnan(ys))
+        if not good.any():
+            return
+        xs, ys, own = xs[good], ys[good], own[good]
+        order = np.argsort(own, kind="stable")
+        xs, ys, own = xs[order], ys[order], own[order]
+        segs = np.nonzero(np.r_[True, own[1:] != own[:-1]])[0]
+        rows = own[segs]
+        xmin[rows] = np.fmin(xmin[rows], np.minimum.reduceat(xs, segs))
+        xmax[rows] = np.fmax(xmax[rows], np.maximum.reduceat(xs, segs))
+        ymin[rows] = np.fmin(ymin[rows], np.minimum.reduceat(ys, segs))
+        ymax[rows] = np.fmax(ymax[rows], np.maximum.reduceat(ys, segs))
+        return
+    # Fast path: reduce each run over its (contiguous) vertices first —
+    # run boundaries come straight from counts, no sort at vertex
+    # granularity — then combine runs per owner (~#rings elements, not
+    # #vertices). Sorting is skipped when owners already arrive grouped
+    # (single-ring batches).
+    rx_min = np.minimum.reduceat(xs, run_first)
+    rx_max = np.maximum.reduceat(xs, run_first)
+    ry_min = np.minimum.reduceat(ys, run_first)
+    ry_max = np.maximum.reduceat(ys, run_first)
+    if np.any(rowners[1:] < rowners[:-1]):
+        order = np.argsort(rowners, kind="stable")
+        rowners = rowners[order]
+        rx_min, rx_max = rx_min[order], rx_max[order]
+        ry_min, ry_max = ry_min[order], ry_max[order]
+    segs = np.nonzero(np.r_[True, rowners[1:] != rowners[:-1]])[0]
+    rows = rowners[segs]
+    xmin[rows] = np.fmin(xmin[rows], np.minimum.reduceat(rx_min, segs))
+    xmax[rows] = np.fmax(xmax[rows], np.maximum.reduceat(rx_max, segs))
+    ymin[rows] = np.fmin(ymin[rows], np.minimum.reduceat(ry_min, segs))
+    ymax[rows] = np.fmax(ymax[rows], np.maximum.reduceat(ry_max, segs))
+
+
+def wkb_scan_values(arr: pa.Array, want_bounds: bool = True, stats_types: bool = False):
+    """Per-value vectorized WKB scan: type names and envelopes.
+
+    Returns ``(names, xmin, ymin, xmax, ymax)``: ``names`` is an object
+    ndarray of GeoJSON type names (with the ``" Z"`` 3D suffix when
+    ``stats_types`` — the geometry_types stats enum), None for
+    null/empty values; envelope arrays are float64 with NaN marking
+    null/empty envelopes. Structure is validated for every value even
+    when ``want_bounds`` is False, and malformed values raise the same
+    WKBError as the scalar decoder (geo/wkb.py). This is the batched
+    analogue of the reference's per-feature decode
+    (internal/pqutil/transform.go:61-197); it backs st_envelope /
+    st_geometry_type / st_stats_type.
+    """
+    from ..geo import wkb as _wkb
+
+    n = len(arr)
+    names = np.full(n, None, dtype=object)
+    xmin = np.full(n, np.nan)
+    ymin = np.full(n, np.nan)
+    xmax = np.full(n, np.nan)
+    ymax = np.full(n, np.nan)
+    out = (names, xmin, ymin, xmax, ymax)
+    if n == 0:
+        return out
+    starts, ends, valid, data = _binary_parts(arr)
+    sel = np.nonzero(valid & (ends > starts))[0]
+    if sel.size == 0:
+        return out
+    s, e = starts[sel], ends[sel]
+    little, srid, has_z, base, ok = _scan_headers(data, s, e)
+
+    def scalar_row(row: int) -> None:
+        g = _wkb.loads(arr[row].as_py())  # raises the canonical WKBError
+        if g is None:
+            return
+        t = g["type"]
+        names[row] = t + " Z" if stats_types and _wkb.has_z(g) else t
+        b = _wkb.bounds(g)
+        if b is not None:
+            xmin[row], ymin[row], xmax[row], ymax[row] = b
+
+    # Malformed headers: canonical scalar error
+    for i in np.nonzero(~ok)[0]:
+        scalar_row(int(sel[i]))
+
+    gc = ok & (base == 7)
+    plain = ok & (base != 7)
+    # Vectorized type names per (base, Z) combination
+    for b in range(1, 7):
+        for hz in (False, True):
+            m = plain & (base == b) & (has_z == hz)
+            if m.any():
+                names[sel[m]] = _TYPE_NAMES[b] + (" Z" if (stats_types and hz) else "")
+    # GeometryCollection Z-ness depends on members: scalar when the
+    # stats enum needs the suffix, walk-validated otherwise.
+    if gc.any():
+        if stats_types:
+            for i in np.nonzero(gc)[0]:
+                scalar_row(int(sel[i]))
+        else:
+            names[sel[gc]] = "GeometryCollection"
+
+    # Points: vectorized gather, unique owner per value
+    pts = plain & (base == 1)
+    fits = s + 5 + 4 * srid + 8 * np.where(has_z, 3, 2) <= e
+    for i in np.nonzero(pts & ~fits)[0]:
+        scalar_row(int(sel[i]))  # raises (truncated point)
+    pts &= fits
+    if want_bounds:
+        for mask, is_le in ((pts & little, True), (pts & ~little, False)):
+            if not mask.any():
+                continue
+            off = s[mask] + 5 + 4 * srid[mask]
+            xs, ys = _gather_xy(data, off, is_le)
+            good = ~(np.isnan(xs) | np.isnan(ys))
+            rows = sel[mask][good]
+            xmin[rows] = xs[good]
+            xmax[rows] = xs[good]
+            ymin[rows] = ys[good]
+            ymax[rows] = ys[good]
+
+    # LineString/Polygon/Multi* in the common shape (LE, 2D, no SRID):
+    # lockstep vectorized collection; values that leave the shape
+    # mid-walk demote to the scalar decoder (full member validation —
+    # their partial runs are safe to union afterwards).
+    vec = _VecRuns()
+    common = plain & little & ~srid & ~has_z
+    for b, mcode in ((2, 0), (3, 0), (4, 1), (5, 2), (6, 3)):
+        m = common & (base == b)
+        if m.any():
+            _bs, _be, bo = _vec_collect(data, s[m], e[m], sel[m], b, mcode, vec)
+            for o in bo:
+                scalar_row(int(o))
+
+    # Non-common shapes (Z / big-endian / SRID) + GeometryCollection:
+    # per-value structural walk (O(rings) Python), one vectorized
+    # gather+reduce per (dim, endianness) afterwards.
+    acc: dict = {k: ([], [], []) for k in ((2, True), (2, False), (3, True), (3, False))}
+    rest = (plain & (base != 1) & ~common) | (gc if not stats_types else np.zeros_like(gc))
+    for i in np.nonzero(rest)[0]:
+        runs: dict = {k: [] for k in acc}
+        _walk_runs(data, int(s[i]), int(e[i]), runs)  # raises on malformed
+        if want_bounds:
+            row = int(sel[i])
+            for key, run_list in runs.items():
+                if run_list:
+                    acc[key][0].append(
+                        np.fromiter((r[0] for r in run_list), np.int64, len(run_list))
+                    )
+                    acc[key][1].append(
+                        np.fromiter((r[1] for r in run_list), np.int64, len(run_list))
+                    )
+                    acc[key][2].append(np.full(len(run_list), row, np.int64))
+
+    if want_bounds:
+        vs, vc, vo = vec.collect()
+        if vs.size:
+            acc[(2, True)][0].append(vs)
+            acc[(2, True)][1].append(vc)
+            acc[(2, True)][2].append(vo)
+        for (dim, is_le), (sl, cl, ol) in acc.items():
+            if sl:
+                _seg_env_update(
+                    xmin,
+                    ymin,
+                    xmax,
+                    ymax,
+                    data,
+                    np.concatenate(sl),
+                    np.concatenate(cl),
+                    np.concatenate(ol),
+                    dim,
+                    is_le,
+                )
+    return out

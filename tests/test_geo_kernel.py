@@ -234,3 +234,125 @@ class TestSqlFunctionRegistration:
         assert by_name["Tanzania"].has_pt is True
         assert by_name["Canada"].has_pt is False
         assert abs(by_name["Tanzania"].xmin - 29.34) < 0.01
+
+
+class TestWkbScanValues:
+    """Per-value vectorized kernel (geoparquet/stats.py wkb_scan_values)
+    — exact parity with the scalar codec on names, envelopes, errors."""
+
+    GEOMS = [
+        {"type": "Point", "coordinates": [1.0, 2.0]},
+        {"type": "Point", "coordinates": [1.0, 2.0, 3.0]},
+        {"type": "Point", "coordinates": [float("nan"), float("nan")]},
+        {"type": "LineString", "coordinates": [[0, 0], [5, -3], [2, 8]]},
+        {"type": "LineString", "coordinates": []},
+        {"type": "LineString", "coordinates": [[0, 0, 1], [5, -3, 2]]},
+        {
+            "type": "Polygon",
+            "coordinates": [
+                [[0, 0], [4, 0], [4, 4], [0, 0]],
+                [[1, 1], [2, 1], [1, 2], [1, 1]],
+            ],
+        },
+        {"type": "MultiPoint", "coordinates": [[1, 1], [2, -2]]},
+        {
+            "type": "MultiPoint",
+            "coordinates": [[float("nan"), float("nan")], [2, 3]],
+        },
+        {"type": "MultiLineString", "coordinates": [[[0, 0], [1, 1]], [[5, 5], [6, 7]]]},
+        {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[[0, 0], [1, 0], [1, 1], [0, 0]]],
+                [[[10, 10], [11, 10], [11, 11], [10, 10]]],
+            ],
+        },
+        {
+            "type": "GeometryCollection",
+            "geometries": [
+                {"type": "Point", "coordinates": [3, 4]},
+                {"type": "LineString", "coordinates": [[-1, -1], [0, 0]]},
+            ],
+        },
+        {"type": "GeometryCollection", "geometries": []},
+        {
+            "type": "GeometryCollection",
+            "geometries": [{"type": "Point", "coordinates": [3, 4, 5]}],
+        },
+        None,
+    ]
+
+    def _arr(self):
+        import pyarrow as pa
+
+        vals = [None if g is None else wkb.dumps(g) for g in self.GEOMS]
+        vals.append(b"")  # empty value decodes to None
+        return pa.array(vals, type=pa.binary())
+
+    def test_scalar_parity(self):
+        import numpy as np
+
+        from gpq_spark.geo.geojson_geom import stats_type_name
+        from gpq_spark.geoparquet.stats import wkb_scan_values
+
+        arr = self._arr()
+        names, x0, y0, x1, y1 = wkb_scan_values(arr)
+        snames, *_ = wkb_scan_values(arr, want_bounds=False, stats_types=True)
+        geoms = self.GEOMS + [None]
+        for i, g in enumerate(geoms):
+            assert names[i] == (None if g is None else g["type"])
+            assert snames[i] == stats_type_name(g)
+            exp = wkb.bounds(g) if g is not None else None
+            if exp is None:
+                assert np.isnan(x0[i]) and np.isnan(y1[i])
+            else:
+                got = (x0[i], y0[i], x1[i], y1[i])
+                assert all(abs(a - b) < 1e-12 for a, b in zip(exp, got))
+
+    def test_slice_offsets(self):
+        import pyarrow as pa
+
+        from gpq_spark.geoparquet.stats import wkb_scan_values
+
+        vals = [wkb.dumps(g) if g else None for g in self.GEOMS] * 3
+        arr = pa.array(vals, type=pa.binary()).slice(7, 12)
+        names, *_ = wkb_scan_values(arr)
+        exp = [(g or {}).get("type") for g in (self.GEOMS * 3)[7:19]]
+        assert list(names) == exp
+
+    def test_error_parity(self):
+        import struct
+
+        import pyarrow as pa
+        import pytest
+
+        from gpq_spark.geoparquet.stats import wkb_scan_values
+
+        truncated = wkb.dumps({"type": "LineString", "coordinates": [[0, 0], [1, 1]]})[:-4]
+        with pytest.raises(wkb.WKBError, match="unexpected end"):
+            wkb_scan_values(pa.array([truncated], type=pa.binary()))
+        # Multi* member type mismatch raises like the scalar decoder
+        bad = bytearray(struct.pack("<BII", 1, 4, 1))
+        bad += wkb.dumps({"type": "LineString", "coordinates": [[0, 0], [1, 1]]})
+        with pytest.raises(wkb.WKBError, match="non-Point member"):
+            wkb_scan_values(pa.array([bytes(bad)], type=pa.binary()))
+        # and even when want_bounds is off, structure is still validated
+        with pytest.raises(wkb.WKBError):
+            wkb_scan_values(pa.array([truncated], type=pa.binary()), want_bounds=False)
+
+    def test_big_endian_and_ewkb(self):
+        import struct
+
+        import pyarrow as pa
+
+        from gpq_spark.geoparquet.stats import wkb_scan_values
+
+        be_point = struct.pack(">BI2d", 0, 1, 7.5, -2.5)
+        # EWKB: SRID flag + 4-byte srid before coordinates
+        ewkb = struct.pack("<BII2d", 1, 1 | 0x20000000, 4326, 3.0, 4.0)
+        names, x0, y0, x1, y1 = wkb_scan_values(
+            pa.array([be_point, ewkb], type=pa.binary())
+        )
+        assert list(names) == ["Point", "Point"]
+        assert (x0[0], y0[0]) == (7.5, -2.5)
+        assert (x0[1], y1[1]) == (3.0, 4.0)
