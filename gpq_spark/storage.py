@@ -42,10 +42,15 @@ class HttpRangeReader(io.RawIOBase):
       ``Content-Range`` and captures a validator (quoted ETag, else
       Last-Modified).
     - Subsequent reads fetch ranged windows (>= 1 KiB) and send
-      ``If-Range`` with the validator so a changed remote object returns
-      the full body rather than torn ranges.
-    - Servers without Range support return 200 + full body; the reader
-      degrades to a whole-file buffer, like the reference.
+      ``If-Range`` with the validator. If the remote object changes
+      mid-read the validator misses and the server answers 200 + new
+      full body — the reader RAISES rather than mixing the new object's
+      bytes with ranges already served from the old one (torn reads).
+      Non-probe responses must be 206 with a Content-Range matching the
+      requested start.
+    - Servers without Range support return 200 + full body on the
+      initial probe; the reader degrades to a whole-file buffer, like
+      the reference.
 
     ``bytes_fetched``/``requests`` counters exist so tests can assert
     footer-first access patterns. pyarrow accepts this object anywhere
@@ -61,7 +66,7 @@ class HttpRangeReader(io.RawIOBase):
         self._validator: str | None = None
         self._buffer = b""
         self._buffer_offset = 0
-        data, headers = self._fetch(0, _INITIAL_REQUEST_SIZE)
+        data, headers = self._fetch(0, _INITIAL_REQUEST_SIZE, probe=True)
         content_range = headers.get("Content-Range", "")
         if "/" in content_range:
             self._size = int(content_range.split("/")[1])
@@ -76,7 +81,7 @@ class HttpRangeReader(io.RawIOBase):
         self._buffer = data
         self._buffer_offset = 0
 
-    def _fetch(self, offset: int, length: int) -> tuple[bytes, dict]:
+    def _fetch(self, offset: int, length: int, probe: bool = False) -> tuple[bytes, dict]:
         headers = {"Range": f"bytes={offset}-{offset + length - 1}"}
         if self._validator:
             headers["If-Range"] = self._validator
@@ -85,7 +90,31 @@ class HttpRangeReader(io.RawIOBase):
             data = resp.read()
             self.requests += 1
             self.bytes_fetched += len(data)
-            return data, dict(resp.headers)
+            status = resp.status
+            hdrs = dict(resp.headers)
+        if not probe:
+            # The probe established that the server honors Range (else the
+            # whole body is buffered and no further fetch happens), so a
+            # non-206 answer here means the If-Range validator missed: the
+            # remote object CHANGED mid-read and the server sent the new
+            # full body. Storing it at ``offset`` would silently serve
+            # bytes from offset 0 as offset ``offset`` — torn reads.
+            # Ranges of the new object can't be mixed with bytes already
+            # returned from the old one, so the only sound move is to fail.
+            if status != 206:
+                raise OSError(
+                    f"remote object changed during read (If-Range validator "
+                    f"{self._validator!r} missed; got HTTP {status} for "
+                    f"range {offset}-{offset + length - 1} of {self.url})"
+                )
+            content_range = hdrs.get("Content-Range", "")
+            got_start = content_range.removeprefix("bytes ").split("-")[0]
+            if not got_start.isdigit() or int(got_start) != offset:
+                raise OSError(
+                    f"server returned range {content_range!r}, "
+                    f"expected start {offset} ({self.url})"
+                )
+        return data, hdrs
 
     # -- io.RawIOBase interface -------------------------------------
     @property

@@ -26,13 +26,16 @@ class _RangeHandler(BaseHTTPRequestHandler):
         self.server.stats["headers"].append(dict(self.headers))
         rng = self.headers.get("Range")
         m = re.match(r"bytes=(\d+)-(\d+)", rng or "")
-        if m and self.server.support_range:
+        etag = getattr(self.server, "etag", '"fixture-v1"')
+        if_range = self.headers.get("If-Range")
+        validator_ok = if_range is None or if_range == etag
+        if m and self.server.support_range and validator_ok:
             start = int(m.group(1))
             end = min(int(m.group(2)), len(data) - 1)
             chunk = data[start : end + 1]
             self.send_response(206)
             self.send_header("Content-Range", f"bytes {start}-{end}/{len(data)}")
-            self.send_header("ETag", '"fixture-v1"')
+            self.send_header("ETag", etag)
         else:
             chunk = data
             self.send_response(200)
@@ -170,3 +173,45 @@ def test_cli_describe_url(serve, capsys):
     assert main(["describe", url]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["rows"] == 40_000
+
+
+def test_midread_object_change_raises_not_torn(serve):
+    """If-Range miss mid-read (remote object replaced): the server
+    answers 200 + the NEW full body. Serving those bytes at the
+    requested offset would silently hand out offset-0 bytes as
+    offset-N — the reader must raise instead."""
+    server, url, size = serve
+    r = HttpRangeReader(url)
+    head = r.read(100)
+    assert head == server.payload[:100]
+    # remote object is replaced after the probe
+    server.payload = bytes(reversed(server.payload))
+    server.etag = '"fixture-v2"'
+    r.seek(size - 2000)
+    with pytest.raises(OSError, match="changed during read"):
+        r.read(1000)
+
+
+def test_misaligned_content_range_raises(serve):
+    """A 206 whose Content-Range start disagrees with the requested
+    offset must not be buffered at the requested position."""
+    server, url, size = serve
+    r = HttpRangeReader(url)
+
+    class _Misaligned(_RangeHandler):
+        def do_GET(self):
+            data = self.server.payload
+            self.server.stats["requests"] += 1
+            self.server.stats["headers"].append(dict(self.headers))
+            chunk = data[0:1024]  # always serves offset 0
+            self.send_response(206)
+            self.send_header("Content-Range", f"bytes 0-1023/{len(data)}")
+            self.send_header("ETag", getattr(self.server, "etag", '"fixture-v1"'))
+            self.send_header("Content-Length", str(len(chunk)))
+            self.end_headers()
+            self.wfile.write(chunk)
+
+    server.RequestHandlerClass = _Misaligned
+    r.seek(size - 2000)
+    with pytest.raises(OSError, match="expected start"):
+        r.read(1000)
