@@ -7597,14 +7597,17 @@ def text_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: see pipeline.ranking.pairwise_doc_similarity — one postings
     shuffle on term (exchange-reused for both join sides), one pair
-    aggregation; the max_df lever caps stopword-level terms that would
-    make the join quadratic (unused here: the gate corpus has a 31-term
-    vocabulary, so pruning would empty it)."""
+    aggregation; the max_df lever (default 0.5) caps stopword-level
+    terms that would make the join quadratic. The gate corpus has a
+    31-term vocabulary where every term IS a stop-term, so the default
+    would (correctly) refuse to run; this query opts out explicitly
+    with ``max_df=None`` — acceptable only because the gate corpus is
+    bounded, exactly the degenerate case the default now rejects."""
     from .pipeline.ranking import pairwise_doc_similarity
 
     docs = load(spark, sf_dir, "documents")
     return pairwise_doc_similarity(
-        docs, "doc_id", "text", min_cos2_e6=600000
+        docs, "doc_id", "text", min_cos2_e6=600000, max_df=None
     )
 
 

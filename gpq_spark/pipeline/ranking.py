@@ -133,7 +133,8 @@ def pairwise_doc_similarity(
     id_col: str,
     text_col: str,
     min_cos2_e6: int = 0,
-    max_df: int | None = None,
+    max_df: int | float | None = 0.5,
+    validate_bounds: bool = True,
 ) -> DataFrame:
     """Sparse pairwise document cosine similarity via a POSTINGS JOIN —
     the inverted-index formulation: documents meet only on terms they
@@ -148,12 +149,23 @@ def pairwise_doc_similarity(
 
     Scale levers:
     - ``max_df``: drop terms appearing in more than ``max_df`` documents
-      before the join. High-df terms are what makes a postings join
-      quadratic (a term in k docs yields k² candidate pairs); stopword-
-      level terms carry almost no cosine signal, so production pipelines
-      always cap them. Exact results for the kept vocabulary.
+      before the join (an int is an absolute document count; a float in
+      (0, 1] is a fraction of the corpus). High-df terms are what makes
+      a postings join quadratic (a term in k docs yields k² candidate
+      pairs); stopword-level terms carry almost no cosine signal, so
+      production pipelines always cap them. Exact results for the kept
+      vocabulary. The DEFAULT is 0.5 — a corpus whose every term is a
+      stop-term (low-cardinality vocabulary) degenerates the join to
+      all-pairs, so that case now raises instead of silently running
+      O(|docs|²); pass ``max_df=None`` to explicitly opt into the
+      unbounded join.
     - ``min_cos2_e6``: post-aggregation similarity floor, applied before
       the norm join output is materialized.
+    - ``validate_bounds``: guard the BIGINT arithmetic — ``cos2_e6``
+      is exact only while ``1e6·dot²`` fits int64, which holds whenever
+      every per-doc ``norm² ≤ 3_036_999`` (dot ≤ max norm² and
+      1e6·(3.037e6)² ≈ int64 max). The guard is one tiny aggregate over
+      the norms; on violation it raises instead of silently wrapping.
 
     The self-join shuffles the postings table once on ``term``; both
     sides are the SAME aggregated frame, so Spark reuses the shuffle
@@ -162,11 +174,25 @@ def pairwise_doc_similarity(
     """
     tf = term_frequencies(df, id_col, text_col)
     if max_df is not None:
+        if isinstance(max_df, float):
+            if not 0.0 < max_df <= 1.0:
+                raise ValueError(f"fractional max_df must be in (0, 1]: {max_df}")
+            n_docs = df.select(id_col).distinct().count()
+            cap = max(1, int(max_df * n_docs))
+        else:
+            cap = int(max_df)
         keep = (
             doc_frequencies(tf, id_col)
-            .filter(F.col("df") <= max_df)
+            .filter(F.col("df") <= cap)
             .select("term")
         )
+        if keep.limit(1).count() == 0:
+            raise ValueError(
+                f"max_df={max_df!r} (cap {cap} docs) empties the vocabulary: "
+                "every term is a stop-term, so the postings join would "
+                "degenerate to an all-pairs O(|docs|^2) join. Raise max_df, "
+                "or pass max_df=None to explicitly run the unbounded join."
+            )
         tf = tf.join(keep, "term")
     # no persist: the tf subplan is IDENTICAL under all three consumers
     # (a, b, norms), so Spark's ReuseExchange computes the postings
@@ -188,6 +214,15 @@ def pairwise_doc_similarity(
     norms = tf.groupBy(id_col).agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm2")
     )
+    if validate_bounds:
+        top = norms.agg(F.max("norm2").alias("m")).collect()[0]["m"]
+        if top is not None and top > 3_036_999:
+            raise ValueError(
+                f"max per-doc norm2 {top} exceeds 3036999: 1e6*dot^2 would "
+                "overflow BIGINT and silently corrupt cos2_e6. Shorten or "
+                "pre-truncate documents, or pass validate_bounds=False after "
+                "verifying dot stays below 3.03e6 for your corpus."
+            )
     na = norms.select(F.col(id_col).alias("id_a"), F.col("norm2").alias("__na"))
     nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm2").alias("__nb"))
     return (

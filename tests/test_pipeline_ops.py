@@ -1706,7 +1706,7 @@ class TestPairwiseDocSimilarity:
         )
         got = {
             (r["id_a"], r["id_b"]): (r["dot"], r["cos2_e6"])
-            for r in pairwise_doc_similarity(docs, "doc_id", "text").collect()
+            for r in pairwise_doc_similarity(docs, "doc_id", "text", max_df=None).collect()
         }
         # pair (1,2): dot=2*1+1*1=3, cos2_e6 = 1e6*9 // (5*2) = 900000
         assert got == {(1, 2): (3, 900000)}
@@ -1720,7 +1720,7 @@ class TestPairwiseDocSimilarity:
         )
         # (1,3) identical → 1e6; (1,2)/(2,3) share only 'a' → 250000
         got = pairwise_doc_similarity(
-            docs, "doc_id", "text", min_cos2_e6=500000
+            docs, "doc_id", "text", min_cos2_e6=500000, max_df=None
         ).collect()
         assert [(r["id_a"], r["id_b"], r["cos2_e6"]) for r in got] == [
             (1, 3, 1000000)
@@ -2127,3 +2127,65 @@ class TestGifHeader:
         df = spark.createDataFrame([(1, payload)], "id long, payload binary")
         r = parse_gif_header(df, "payload", "id").first()
         assert (r["width"], r["height"]) == (258, 772)
+
+
+class TestPairwiseSimilarityGuards:
+    def test_degenerate_vocabulary_raises(self, spark):
+        """Every term a stop-term → the default max_df=0.5 must refuse
+        the all-pairs join loudly instead of running O(n^2)."""
+        import pytest
+
+        from gpq_spark.pipeline.ranking import pairwise_doc_similarity
+
+        docs = spark.createDataFrame(
+            [(i, "the and of") for i in range(10)],
+            "doc_id long, text string",
+        )
+        with pytest.raises(ValueError, match="empties the vocabulary"):
+            pairwise_doc_similarity(docs, "doc_id", "text").collect()
+        # explicit opt-out still runs the unbounded join
+        got = pairwise_doc_similarity(
+            docs, "doc_id", "text", max_df=None
+        ).count()
+        assert got == 45  # all pairs, identical docs
+
+    def test_fractional_max_df_cap(self, spark):
+        from gpq_spark.pipeline.ranking import pairwise_doc_similarity
+
+        docs = spark.createDataFrame(
+            [(1, "the x"), (2, "the y"), (3, "the x"), (4, "the z")],
+            "doc_id long, text string",
+        )
+        # cap = 0.5 * 4 docs = 2: 'the' (df=4) pruned, x (df=2) kept
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in pairwise_doc_similarity(
+                docs, "doc_id", "text", max_df=0.5
+            ).collect()
+        }
+        assert got == {(1, 3)}
+
+    def test_bad_fraction_raises(self, spark):
+        import pytest
+
+        from gpq_spark.pipeline.ranking import pairwise_doc_similarity
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="must be in"):
+            pairwise_doc_similarity(docs, "doc_id", "text", max_df=1.5)
+
+    def test_norm_overflow_guard(self, spark):
+        """A doc whose norm2 exceeds the int64-safe bound must raise
+        (1e6*dot^2 would silently wrap) unless validation is waived."""
+        import pytest
+
+        from gpq_spark.pipeline.ranking import pairwise_doc_similarity
+
+        long_doc = " ".join(["tok"] * 1800)  # tf=1800 → norm2=3.24e6
+        docs = spark.createDataFrame(
+            [(1, long_doc), (2, long_doc)], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="overflow BIGINT"):
+            pairwise_doc_similarity(
+                docs, "doc_id", "text", max_df=None
+            ).collect()

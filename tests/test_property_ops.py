@@ -644,7 +644,7 @@ def test_pairwise_cosine_matches_python(spark, docs):
     )
     got = {
         (r["id_a"], r["id_b"]): (r["dot"], r["cos2_e6"])
-        for r in pairwise_doc_similarity(df, "doc_id", "text").collect()
+        for r in pairwise_doc_similarity(df, "doc_id", "text", max_df=None).collect()
     }
     import collections
 
