@@ -994,6 +994,12 @@ def _transition_ooo_fn(
             last_type,
         )
     )
+    if pend:
+        # wake when the watermark passes the earliest buffered event so
+        # the flush does NOT depend on this key receiving new data
+        state.setTimeoutTimestamp(
+            max(min(r[0] for r in pend) // 1000 + 1, wm_ms + 1)
+        )
     if src_out:
         yield pd.DataFrame(
             {
@@ -1025,7 +1031,7 @@ def stream_transitions_ooo(
             outputStructType=TRANSITION_RAW_SCHEMA,
             stateStructType=TRANSITION_OOO_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -1085,6 +1091,10 @@ def _gapfill_ooo_fn(
             last_v,
         )
     )
+    if pending:
+        state.setTimeoutTimestamp(
+            max((min(pending) + _HOUR_US) // 1000, wm_us // 1000 + 1)
+        )
     if out_hours:
         yield pd.DataFrame(
             {
@@ -1118,7 +1128,7 @@ def stream_gapfill_locf_ooo(
             outputStructType=GAPFILL_RAW_SCHEMA,
             stateStructType=GAPFILL_OOO_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     return raw.select(
@@ -1192,6 +1202,12 @@ def _funnel_ooo_fn(
             t3,
         )
     )
+    if pend:
+        # event-time wake-up: buffered rows flush as the watermark
+        # advances, not only when this key receives more data
+        state.setTimeoutTimestamp(
+            max(min(r[0] for r in pend) // 1000 + 1, wm_us // 1000 + 1)
+        )
     if out_steps:
         yield pd.DataFrame(
             {
@@ -1223,7 +1239,7 @@ def stream_funnel_ooo(
             outputStructType=FUNNEL_RAW_SCHEMA,
             stateStructType=FUNNEL_OOO_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     return raw.select(
@@ -1280,6 +1296,10 @@ def _attribution_ooo_fn(
             last_touch,
         )
     )
+    if pend:
+        state.setTimeoutTimestamp(
+            max(min(r[0] for r in pend) // 1000 + 1, wm_us // 1000 + 1)
+        )
     if out:
         yield pd.DataFrame({"user_id": [key[0]] * len(out), "attributed": out})
 
@@ -1301,7 +1321,7 @@ def stream_attribution_ooo(
             outputStructType=ATTRIB_RAW_SCHEMA,
             stateStructType=ATTRIB_OOO_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -1353,6 +1373,10 @@ def _retention_ooo_fn(
                     seen.add(off)
 
     state.update((sorted(pendd), cohort, sorted(seen)))
+    if pendd:
+        state.setTimeoutTimestamp(
+            max(min(pendd) // 1000 + 1, wm_us // 1000 + 1)
+        )
     if out:
         yield pd.DataFrame(
             {
@@ -1380,7 +1404,7 @@ def stream_retention_ooo(
             outputStructType=RETENTION_RAW_SCHEMA,
             stateStructType=RETENTION_OOO_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -1438,6 +1462,10 @@ def _anomaly_ooo_fn(
     state.update(
         (keys_sorted, [pending[k] for k in keys_sorted], hist)
     )
+    if pending:
+        state.setTimeoutTimestamp(
+            max((min(pending) + _HOUR_US) // 1000, wm_us // 1000 + 1)
+        )
     if out["hour_us"]:
         yield pd.DataFrame(
             {
@@ -1470,7 +1498,7 @@ def stream_anomaly_ooo(
             outputStructType=ANOMALY_RAW_SCHEMA,
             stateStructType=ANOMALY_OOO_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     return raw.select(

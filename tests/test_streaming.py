@@ -1390,3 +1390,88 @@ class TestWindowedCountsOutOfOrder:
             ("2024-03-01 03:00:00", "click"): (1, 200),
         }
         assert got == want
+
+
+class TestOooWatermarkFlush:
+    """The OOO operators must flush a key's buffered events when the
+    WATERMARK passes them — driven by other keys' data — without that
+    key receiving any new rows (EventTimeTimeout wake-ups; previously
+    NoTimeout withheld a user's final events until their next event)."""
+
+    def _two_batches(self, spark, tmp_path, rows_a, rows_b):
+        import shutil
+        import glob
+
+        d = tmp_path / "ooo_flush"
+        os.makedirs(d)
+        schema = "ts timestamp, user_id long, event_id long, event_type string, value double"
+        for tag, rows in (("a", rows_a), ("b", rows_b)):
+            tmp = str(d / f"_{tag}_dir")
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.move(part, str(d / f"{tag}.parquet"))
+            shutil.rmtree(tmp)
+        from gpq_spark.streaming import stream_events
+
+        return stream_events(
+            spark,
+            str(d),
+            spark.createDataFrame([], schema).schema,
+            options={"maxFilesPerTrigger": "1"},
+        )
+
+    def test_funnel_flushes_without_new_key_data(self, spark, tmp_path):
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_funnel_ooo
+
+        t0 = dt.datetime(2025, 3, 1, 12, 0, 0)
+        m = dt.timedelta(minutes=10)
+        # user 1 completes the funnel in batch A; batch B carries ONLY
+        # user 2, a day later — its event time advances the watermark
+        rows_a = [
+            (t0, 1, 1, "view", 0.0),
+            (t0 + m, 1, 2, "click", 0.0),
+            (t0 + 2 * m, 1, 3, "purchase", 0.0),
+        ]
+        rows_b = [(t0 + dt.timedelta(days=1), 2, 4, "view", 0.0)]
+        stream = self._two_batches(spark, tmp_path, rows_a, rows_b)
+        name = f"ooo_funnel_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream_funnel_ooo(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = sorted(
+            (r["user_id"], r["step"]) for r in spark.table(name).collect()
+        )
+        assert got == [(1, 1), (1, 2), (1, 3)], got
+
+    def test_anomaly_scores_final_hour_without_new_key_data(self, spark, tmp_path):
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_anomaly_ooo
+
+        t0 = dt.datetime(2025, 3, 1, 12, 30, 0)
+        rows_a = [(t0, 1, 1, "view", 5.0), (t0 + dt.timedelta(minutes=5), 1, 2, "view", 7.0)]
+        rows_b = [(t0 + dt.timedelta(days=1), 2, 3, "view", 1.0)]
+        stream = self._two_batches(spark, tmp_path, rows_a, rows_b)
+        name = f"ooo_anom_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream_anomaly_ooo(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["user_id"], r["v"]) for r in spark.table(name).collect()
+        }
+        # user 1's only (and therefore final) hour: 500 + 700 cents
+        assert (1, 1200) in got, got
