@@ -526,8 +526,11 @@ def knn_join(
     geometric guarantee that no site outside the ring can be closer —
     otherwise it carries to the next round at 2r. Unresolved points at
     ``max_radius`` accept their candidates as-is (the all-sites ring).
-    Output: point id, site id, d2 (exact integer squared distance),
-    rank (1..k, ties broken by site id — fully deterministic).
+    Output: point id, site id, d2 (squared distance — exact BIGINT when
+    BOTH inputs' coordinate columns are integral types, DOUBLE
+    otherwise: casting a fractional distance to BIGINT would truncate,
+    misrank neighbors, and break the __kth <= r*r resolution
+    guarantee), rank (1..k, ties broken by site id — deterministic).
 
     Scale: every round is the SAME cell equi-join the distance join
     uses (never a cross join); most points resolve in the first ring
@@ -538,6 +541,17 @@ def knn_join(
 
     pid, px, py = point_cols
     sid, sx, sy = site_cols
+
+    def _integral(df, cols):
+        kinds = {"byte", "short", "integer", "long"}
+        fields = {f.name: f.dataType.typeName() for f in df.schema.fields}
+        return all(fields.get(c) in kinds for c in cols)
+
+    d2_sql = (
+        "BIGINT"
+        if _integral(points, [px, py]) and _integral(sites, [sx, sy])
+        else "DOUBLE"
+    )
     remaining = points.select(pid, px, py).localCheckpoint()
     out = None
     r = float(initial_radius)
@@ -566,7 +580,7 @@ def knn_join(
             "d2",
             F.expr(
                 f"CAST(({px} - {sx}) * ({px} - {sx})"
-                f" + ({py} - {sy}) * ({py} - {sy}) AS BIGINT)"
+                f" + ({py} - {sy}) * ({py} - {sy}) AS {d2_sql})"
             ),
         )
         w = Window.partitionBy(pid).orderBy(F.col("d2").asc(), F.col(sid).asc())
@@ -590,5 +604,5 @@ def knn_join(
             break
         r = min(r * 2, float(max_radius))
     return out if out is not None else points.sparkSession.createDataFrame(
-        [], f"{pid} long, {sid} long, d2 long, rank long"
+        [], f"{pid} long, {sid} long, d2 {d2_sql.lower()}, rank long"
     )

@@ -38,7 +38,12 @@ def pagerank(
     With ``weight`` (an integer column), mass splits proportionally to
     edge weight — rank·w div W(u) per edge with W(u) the node's total
     outgoing weight — still exact integer arithmetic (multiply before
-    the floor division, so precision is w/W(u), not 1/deg)."""
+    the floor division, so precision is w/W(u), not 1/deg). The
+    per-edge message multiplies a rank (≤ n·10¹² by mass conservation)
+    by the raw weight BEFORE dividing, so exactness requires
+    ``max(w) · n · 10¹² < 2⁶³`` — validated up front with a loud error
+    (pre-normalize large weights, e.g. revenue cents → per-mille
+    shares, rather than silently corrupting ranks)."""
     cols = [F.col(src).alias("s"), F.col(dst).alias("d")]
     if weight is not None:
         cols.append(F.col(weight).cast("long").alias("w"))
@@ -55,6 +60,21 @@ def pagerank(
     else:
         deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     nodes = e.select(F.col("s").alias("node")).distinct()
+    if weight is not None:
+        lim = e.agg(
+            F.min("w").alias("lo"), F.max("w").alias("hi")
+        ).collect()[0]
+        n_nodes = nodes.count()
+        if lim["lo"] is not None and lim["lo"] <= 0:
+            raise ValueError(
+                f"edge weights must be positive integers (min {lim['lo']})"
+            )
+        if lim["hi"] is not None and lim["hi"] * n_nodes >= 2**63 // PAGERANK_SCALE:
+            raise ValueError(
+                f"max edge weight {lim['hi']} with {n_nodes} nodes can "
+                "overflow the rank*w message (needs max_w * n * 1e12 < 2^63): "
+                "pre-normalize weights to a smaller integer scale"
+            )
     ranks = nodes.withColumn("rank", F.lit(PAGERANK_SCALE).cast("long"))
 
     base = (_DAMP_DEN - _DAMP_NUM) * PAGERANK_SCALE // _DAMP_DEN

@@ -205,18 +205,29 @@ def check_constraints(
     uniqueness rule is one groupBy on its key counting groups with
     duplicates. Nothing is collected; a violating-sample fetch is a
     follow-up filter the caller runs only on failure."""
+    # rule names become LITERALS only (never SQL identifiers/aliases),
+    # so any name — quotes, spaces, hyphens — is safe; counters use
+    # positional internal aliases
     aggs = [
         F.sum(
             F.when(F.expr(pred).isNull() | ~F.expr(pred), 1).otherwise(0)
         )
         .cast("long")
-        .alias(name)
-        for name, pred in checks
+        .alias(f"__chk{i}")
+        for i, (_name, pred) in enumerate(checks)
     ]
     row = df.agg(*aggs)
-    stack = ", ".join(f"'{name}', {name}" for name, _ in checks)
-    out = row.selectExpr(
-        f"stack({len(checks)}, {stack}) AS (rule, n_violations)"
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__chk{i}").alias("n_violations"),
+            )
+            for i, (name, _pred) in enumerate(checks)
+        ]
+    )
+    out = row.select(F.explode(pairs).alias("kv")).select(
+        "kv.rule", "kv.n_violations"
     )
     for name, keys in unique or []:
         dup = (

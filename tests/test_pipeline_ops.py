@@ -2189,3 +2189,60 @@ class TestPairwiseSimilarityGuards:
             pairwise_doc_similarity(
                 docs, "doc_id", "text", max_df=None
             ).collect()
+
+
+class TestAdviceGuards:
+    def test_pagerank_weight_overflow_raises(self, spark):
+        import pytest
+
+        from gpq_spark.pipeline.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2, 10**7), (2, 3, 5)], "src long, dst long, w long"
+        )
+        with pytest.raises(ValueError, match="overflow the rank"):
+            pagerank(edges, weight="w").collect()
+
+    def test_pagerank_nonpositive_weight_raises(self, spark):
+        import pytest
+
+        from gpq_spark.pipeline.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2, 0), (2, 3, 5)], "src long, dst long, w long"
+        )
+        with pytest.raises(ValueError, match="positive"):
+            pagerank(edges, weight="w").collect()
+
+    def test_check_constraints_hostile_rule_names(self, spark):
+        from gpq_spark.pipeline.profile import check_constraints
+
+        df = spark.createDataFrame([(1,), (None,)], "x long")
+        got = {
+            r["rule"]: (r["n_violations"], r["passed"])
+            for r in check_constraints(
+                df,
+                checks=[
+                    ("it's got-quotes and spaces", "x IS NOT NULL"),
+                    ("plain", "x > 0"),
+                ],
+            ).collect()
+        }
+        assert got["it's got-quotes and spaces"] == (1, False)
+        assert got["plain"] == (1, False)
+
+    def test_knn_join_fractional_coords_exact_ranks(self, spark):
+        """d2 must stay DOUBLE for float coords: truncation to BIGINT
+        would rank the 1.21-away site tied with the 1.69-away one."""
+        from gpq_spark.geoparquet.spatial import knn_join
+
+        pts = spark.createDataFrame([(1, 0.0, 0.0)], "pid long, x double, y double")
+        sites = spark.createDataFrame(
+            [(10, 1.3, 0.0), (11, 1.1, 0.0)], "sid long, sx double, sy double"
+        )
+        rows = knn_join(
+            pts, sites, 2, ("pid", "x", "y"), ("sid", "sx", "sy")
+        ).collect()
+        by_rank = {r["rank"]: (r["sid"], r["d2"]) for r in rows}
+        assert by_rank[1][0] == 11 and abs(by_rank[1][1] - 1.21) < 1e-9
+        assert by_rank[2][0] == 10 and abs(by_rank[2][1] - 1.69) < 1e-9
