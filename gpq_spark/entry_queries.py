@@ -11051,3 +11051,214 @@ def dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained-ANN gate queries: seeded training artifacts persisted as repo
+# fixtures (gpq_spark/fixtures/), so the oracle can embed the SAME
+# centroid/codebook values as SQL literals — closing the "trained paths
+# are tests-only" gap. The artifact is the fixture; training determinism
+# is irrelevant to the gate (the production train functions remain
+# covered by tests/test_pipeline_ops.py).
+# ---------------------------------------------------------------------------
+
+def _fixture(name: str):
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", name)
+    with open(path) as f:
+        return json.load(f)
+
+
+def _duck_list(vec) -> str:
+    return "CAST([" + ", ".join(repr(float(x)) for x in vec) + "] AS DOUBLE[])"
+
+
+_IVF_FIX = _fixture("ivf_centroids_k8.json")
+_PQ_FIX = _fixture("pq_codebooks_m8k16.json")
+
+_IVF_CENT_VALUES = ", ".join(
+    f"({cid}, {_duck_list(vec)})" for cid, vec in _IVF_FIX["centroids"]
+)
+
+_PQ_BOOK_VALUES = ", ".join(
+    f"({j}, {c}, {_duck_list(w)})"
+    for j, book in enumerate(_PQ_FIX["codebooks"])
+    for c, w in enumerate(book)
+)
+
+# DuckDB helpers mirroring the normalized-subvector arithmetic: full-
+# vector L2 normalization (guarded like the numpy kernel), 1-based
+# 8-element slices, sequential left folds from 0.0
+_DUCK_NORM2_V = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(v, x -> x * x)), (x, y) -> x + y)"
+)
+_DUCK_SUB_L2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 9), i -> (s.sub[i] - b.w[i]) * (s.sub[i] - b.w[i]))), "
+    "(x, y) -> x + y)"
+)
+_DUCK_SUB_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 9), i -> (qs.qsub[i] * b.w[i]))), "
+    "(x, y) -> x + y)"
+)
+
+_PQ_CODES_CTE = f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / greatest(sqrt({_DUCK_NORM2_V}), 1e-12)) AS vn
+          FROM e),
+    books(j, c, w) AS (VALUES {_PQ_BOOK_VALUES}),
+    subs AS (SELECT vec_id, CAST(t.j AS INT) AS j,
+                    vn[(t.j * 8 + 1):(t.j * 8 + 8)] AS sub
+             FROM n, range(0, 8) t(j)),
+    d AS (SELECT s.vec_id, s.j, b.c, {_DUCK_SUB_L2} AS d2
+          FROM subs s JOIN books b ON b.j = s.j),
+    codes AS (
+        SELECT vec_id, j, CAST(c AS INT) AS code FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j
+                        ORDER BY d2 ASC, c ASC) AS rn
+            FROM d
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "ann_topk_ivf_trained",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT * FROM (VALUES {_IVF_CENT_VALUES}) AS t(cid, cv)),
+    ca AS (SELECT e.vec_id, e.v, cent.cid, {_cos_duck('e.v', 'cent.cv')} AS ccos FROM e, cent),
+    assigned AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+            FROM ca
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    qa AS (SELECT q.query_id, q.qv, cent.cid, {_cos_duck('q.qv', 'cent.cv')} AS ccos FROM q, cent),
+    probes AS (
+        SELECT query_id, qv, cid AS cluster FROM (
+            SELECT query_id, qv, cid,
+                   row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cid ASC) AS rn
+            FROM qa
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id, {_cos_duck('a.v', 'p.qv')} AS cosine
+        FROM assigned a JOIN probes p ON a.cluster = p.cluster
+        WHERE a.vec_id != p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM cand
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 over OFFLINE-TRAINED centroids (the production IVF
+    workflow): the k-means centroids trained once on the sf0.01 corpus
+    (seed 42, k-means||) are a committed fixture; assignment and probe
+    selection inline them as plan literals exactly like the placeholder
+    path, so the corpus is never shuffled for assignment. The oracle
+    embeds the identical centroid values as SQL literals — the trained
+    artifact itself is what both engines consume."""
+    from .pipeline.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in _IVF_FIX["centroids"]],
+        "centroid_id int, centroid array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", "query_id",
+        k=10, nprobe=2, centroids=cents,
+    )
+
+
+@register(
+    "pq_codes_trained",
+    f"""
+    WITH {_PQ_CODES_CTE}
+    SELECT vec_id, j, code FROM codes
+    """,
+)
+def pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding against OFFLINE-TRAINED codebooks
+    (committed fixture, m=8 subspaces x k=16 codewords over the
+    L2-normalized vectors): each 64-dim float vector compresses to 8
+    codeword ids (32x). Output long-form (vec_id, j, code) — integer
+    columns only, so the gate is immune to float-fold differences; the
+    oracle recomputes every codeword argmin from the same fixture
+    literals. Encoding is mapInPandas, map-side, no shuffle."""
+    from .pipeline.similarity import pq_encode
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, _PQ_FIX["codebooks"])
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("j", "code")
+    ).select(
+        "vec_id",
+        F.col("j").cast("int").alias("j"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
+@register(
+    "pq_topk_trained",
+    f"""
+    WITH {_PQ_CODES_CTE},
+    q AS (SELECT vec_id AS query_id, vn AS qn FROM n WHERE vec_id < 5),
+    qsubs AS (SELECT query_id, CAST(t.j AS INT) AS j,
+                     qn[(t.j * 8 + 1):(t.j * 8 + 8)] AS qsub
+              FROM q, range(0, 8) t(j)),
+    tbl AS (SELECT qs.query_id, qs.j, b.c, {_DUCK_SUB_DOT} AS dp
+            FROM qsubs qs JOIN books b ON b.j = qs.j),
+    scored AS (
+        SELECT t.query_id, c2.vec_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(t.dp ORDER BY t.j)), (x, y) -> x + y) AS score
+        FROM codes c2 JOIN tbl t ON t.j = c2.j AND t.c = c2.code
+        GROUP BY t.query_id, c2.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        FROM scored WHERE vec_id != query_id
+    )
+    SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+    """,
+)
+def pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-10 over the PQ-encoded corpus with
+    the TRAINED fixture codebooks: per query an [m][k] dot-product
+    table is built once and each corpus row costs m lookups — the
+    full-precision corpus is never read at query time. Output is
+    (query_id, rank, vec_id) — integers only: ADC scores are numpy
+    float64 sums whose pairwise/BLAS rounding need not be bit-identical
+    to a SQL fold, so the gate compares the RANKING (well-separated on
+    this corpus), not the float scores."""
+    from .pipeline.similarity import pq_encode, pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = _PQ_FIX["codebooks"]
+    codes = pq_encode(emb, books)
+    qpdf = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
+        .toPandas()
+    )
+    return pq_topk(codes, qpdf, books, k=10).select("query_id", "rank", "vec_id")

@@ -500,7 +500,14 @@ def pq_encode(
             codes = np.empty((len(x), m), dtype=np.int8)
             for j in range(m):
                 sub = x[:, j * dsub : (j + 1) * dsub]
-                d2 = (sub**2).sum(1, keepdims=True) - 2 * sub @ books[j].T
+                # full ||s - w||^2: the ||w||^2 term varies per codeword,
+                # so omitting it would assign by dot product, not by L2 —
+                # disagreeing with the k-means training objective
+                d2 = (
+                    (sub**2).sum(1, keepdims=True)
+                    - 2 * sub @ books[j].T
+                    + (books[j] ** 2).sum(1)[None, :]
+                )
                 codes[:, j] = d2.argmin(1).astype(np.int8)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].values, "codes": list(codes)}
