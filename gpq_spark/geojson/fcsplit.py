@@ -1,0 +1,237 @@
+"""Splittable single-FeatureCollection scanning.
+
+A JSON document is not line-splittable, so a multi-GB FeatureCollection
+previously had to be parsed entirely on the driver. This module makes
+the parse distributable in two phases:
+
+1. **Driver byte scan** (`scan_feature_chunks`): one streaming pass
+   over the raw bytes with a numpy structural-index kernel (the
+   simdjson "stage 1" idea): per 4 MiB block it computes, fully
+   vectorized, which quotes are escaped, which bytes are inside
+   strings, and the bracket-depth at every structural character. From
+   those events the scanner locates the top-level ``"features": [`` array and
+   records the byte offset of every feature's opening ``{`` (depth 3,
+   inside the array), emitting one (start, end) byte range per
+   ``features_per_chunk`` features. Memory is O(block), time is one
+   sequential read at numpy speed — the driver never materializes the
+   document, mirroring the reference's bounded-memory streaming decode
+   (internal/geojson/featurereader.go:25-205) while doing only byte
+   arithmetic, no JSON parsing.
+
+2. **Executor parse**: each task reads its byte range (whole features
+   by construction), wraps it in ``[...]`` and ``json.loads`` it —
+   the expensive JSON + WKB work runs distributed.
+
+The scanner is exact, not heuristic: string/escape tracking means
+braces, brackets, or even ``"features": [`` inside string values
+cannot confuse it. If the document has no top-level features array
+(bare Feature / bare geometry), the caller falls back to the driver
+parse.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_FEATURES_RE = re.compile(rb'"features"\s*:\s*\[')
+# how many trailing bytes are re-searched across block boundaries while
+# looking for the features key (bounds the whitespace allowed between
+# '"features"', ':' and '[')
+_TAIL = 4096
+
+
+class _ScanState:
+    __slots__ = (
+        "in_string",
+        "bs_run",
+        "depth",
+        "mode",
+        "feature_starts_done",
+        "chunk_start",
+        "in_chunk",
+        "n_features",
+        "chunks",
+        "close_pos",
+    )
+
+    def __init__(self) -> None:
+        self.in_string = 0  # 0/1: inside a JSON string at block start
+        self.bs_run = 0  # trailing backslash run length at block end
+        self.depth = 0  # bracket depth at block start
+        self.mode = 0  # 0 = searching features array, 1 = in it, 2 = done
+        self.chunk_start = -1
+        self.in_chunk = 0  # features in the currently-open chunk
+        self.n_features = 0
+        self.chunks: list[tuple[int, int]] = []
+        self.close_pos = -1
+
+
+def _block_events(arr: np.ndarray, st: _ScanState):
+    """Structural analysis of one block: returns (ev_pos, ev_char,
+    ev_depth) arrays for the block's out-of-string structural
+    characters, and updates the string/escape/depth carries.
+
+    Full-array work is limited to a handful of uint8 comparisons; all
+    bookkeeping (escape parity, in-string parity, depth) happens on the
+    much smaller quote/bracket position arrays — this is what keeps the
+    driver scan at memory-bandwidth speed on multi-GB documents."""
+    n = len(arr)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.astype(np.uint8), z
+
+    qpos = np.nonzero(arr == 0x22)[0]
+    bpos = np.nonzero(arr == 0x5C)[0]
+
+    # backslash runs (rare): start offset of each run, for escape parity
+    if len(bpos):
+        new_run = np.ones(len(bpos), dtype=bool)
+        new_run[1:] = bpos[1:] != bpos[:-1] + 1
+        run_id = np.cumsum(new_run) - 1
+        run_start = bpos[new_run][run_id]  # per bs-position: its run's start
+    if len(qpos):
+        esc_len = np.zeros(len(qpos), dtype=np.int64)
+        if len(bpos):
+            prev = qpos - 1
+            cand = np.nonzero((qpos > 0))[0]
+            if len(cand):
+                # quotes whose previous byte is a backslash
+                isbs = arr[prev[cand]] == 0x5C
+                cand = cand[isbs]
+            if len(cand):
+                bi = np.searchsorted(bpos, prev[cand])
+                rs = run_start[bi]
+                lengths = prev[cand] - rs + 1
+                lengths = lengths + np.where(rs == 0, st.bs_run, 0)
+                esc_len[cand] = lengths
+        if qpos[0] == 0:
+            esc_len[0] = st.bs_run
+        eff_q = qpos[esc_len % 2 == 0]
+    else:
+        eff_q = qpos
+
+    sp = np.nonzero(
+        (arr == 0x7B) | (arr == 0x7D) | (arr == 0x5B) | (arr == 0x5D)
+    )[0]
+    nq_before = np.searchsorted(eff_q, sp)
+    outside = (st.in_string + nq_before) % 2 == 0
+    ev_pos = sp[outside]
+    ev_char = arr[ev_pos]
+    ev_delta = np.where((ev_char == 0x7B) | (ev_char == 0x5B), 1, -1)
+    ev_depth = st.depth + np.cumsum(ev_delta)
+
+    # carries
+    st.in_string = int((st.in_string + len(eff_q)) % 2)
+    if len(bpos) and bpos[-1] == n - 1:
+        t = int(run_start[-1])
+        st.bs_run = (st.bs_run + n) if t == 0 else (n - t)
+    else:
+        st.bs_run = 0
+    if len(ev_depth):
+        st.depth = int(ev_depth[-1])
+    return ev_pos, ev_char, ev_depth
+
+
+def scan_feature_chunks(
+    path: str,
+    features_per_chunk: int = 4096,
+    block_bytes: int = 1 << 22,
+):
+    """Scan a FeatureCollection file into feature-aligned byte ranges.
+
+    Returns ``(chunks, n_features)`` where ``chunks`` is a list of
+    (start, end) byte offsets, each covering ``features_per_chunk``
+    whole features (the last chunk ends at the array-closing ``]``),
+    or ``None`` when no top-level ``"features"`` array exists (bare
+    Feature / geometry documents — not splittable, caller falls back).
+    """
+    st = _ScanState()
+    offset = 0
+    tail = b""
+    with open(path, "rb") as fh:
+        while st.mode != 2:
+            buf = fh.read(block_bytes)
+            if not buf:
+                break
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            block_global = offset
+
+            ev_pos, ev_char, ev_depth = _block_events(arr, st)
+
+            k = 0
+            if st.mode == 0:
+                # validate candidate '[' openings within this block:
+                # structural, at depth 2 after opening (top-level key)
+                hay = tail + buf
+                hay_global = block_global - len(tail)
+                st_mode_set = False
+                for m in _FEATURES_RE.finditer(hay):
+                    bracket_local = hay_global + m.end() - 1 - block_global
+                    if bracket_local < 0 or bracket_local >= len(arr):
+                        continue
+                    j = np.searchsorted(ev_pos, bracket_local)
+                    if (
+                        j < len(ev_pos)
+                        and ev_pos[j] == bracket_local
+                        and ev_char[j] == 0x5B
+                        and ev_depth[j] == 2
+                    ):
+                        st.mode = 1
+                        k = j + 1  # process array content after the '['
+                        st_mode_set = True
+                        break
+                if not st_mode_set:
+                    tail = buf[-_TAIL:]
+                    offset += len(buf)
+                    continue
+
+            # mode 1: walk events from k
+            opens = np.nonzero(
+                (ev_char[k:] == 0x7B) & (ev_depth[k:] == 3)
+            )[0]
+            closes = np.nonzero(
+                (ev_char[k:] == 0x5D) & (ev_depth[k:] == 1)
+            )[0]
+            close_i = closes[0] if len(closes) else None
+            for oi in opens:
+                if close_i is not None and oi > close_i:
+                    break
+                pos = int(ev_pos[k + oi]) + block_global
+                if st.in_chunk == 0:
+                    st.chunk_start = pos
+                st.in_chunk += 1
+                st.n_features += 1
+                if st.in_chunk > features_per_chunk:
+                    # this feature starts the NEXT chunk
+                    st.chunks.append((st.chunk_start, pos))
+                    st.chunk_start = pos
+                    st.in_chunk = 1
+            if close_i is not None:
+                st.close_pos = int(ev_pos[k + close_i]) + block_global
+                if st.in_chunk:
+                    st.chunks.append((st.chunk_start, st.close_pos))
+                st.mode = 2
+
+            tail = b""
+            offset += len(buf)
+
+    if st.mode == 0:
+        return None
+    if st.mode == 1:
+        raise ValueError("unterminated features array in FeatureCollection")
+    return st.chunks, st.n_features
+
+
+def parse_chunk_bytes(data: bytes):
+    """Parse one feature-aligned byte range into a list of raw JSON
+    objects (the features). The range starts at a feature's ``{`` and
+    ends before the next feature's ``{`` (or at the closing ``]``), so
+    stripping trailing whitespace/comma yields a valid JSON array body.
+    """
+    import json
+
+    txt = data.decode("utf-8").strip()
+    txt = txt.rstrip().rstrip(",")
+    return json.loads("[" + txt + "]")

