@@ -11262,3 +11262,58 @@ def pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toPandas()
     )
     return pq_topk(codes, qpdf, books, k=10).select("query_id", "rank", "vec_id")
+
+
+@register(
+    "png_roundtrip_stats",
+    """
+    WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+               FROM documents),
+    px AS (SELECT d.doc_id, d.w, d.h,
+                  (d.doc_id * 7 + y.y * 31 + x.x * 13) % 256 AS v
+           FROM d, range(0, 33) y(y), range(0, 33) x(x)
+           WHERE y.y < d.h AND x.x < d.w)
+    SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS INT) AS px_min,
+           CAST(max(v) AS INT) AS px_max
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec round-trip, oracle-checked end to end: per
+    document, deterministic pixels (v = (doc_id*7 + y*31 + x*13) mod
+    256, w = 16 + id%17, h = 16 + id%13) are encoded with the stdlib
+    zlib encoder — the scanline filter CYCLES through all five types
+    (id mod 5) — decoded back through the vectorized unfilter, and
+    reduced to exact integer stats. The DuckDB oracle computes the same
+    stats from the closed-form pixel definition, so any defect anywhere
+    in the codec chain (chunk walk, inflate, Sub/Up/Average/Paeth
+    unfilter) breaks the hash. Everything runs executor-side in
+    Arrow-batched mapInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    from .deploy import ensure_deployed
+    from .pipeline.multimodal import png_pixel_stats
+
+    ensure_deployed(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from .pipeline.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 + did % 17
+                h = 16 + did % 13
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                px = ((did * 7 + y * 31 + x * 13) % 256).astype(np.uint8)
+                rows.append((did, encode_png(px, filter_type=did % 5)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return png_pixel_stats(payloads, "payload", "doc_id")

@@ -5,11 +5,15 @@ The pattern mirrors the engine's geometry design: payloads are opaque
 real decoding happens in Arrow-batched ``mapInPandas`` so payload bytes
 stream through in bounded batches and never land on the driver.
 
-The actual image/audio/video codecs are NOT available in this runtime
-(no PIL/ffmpeg/torchvision), so ``decode_stub`` implements the
-Spark-side plumbing for real — schema, batching, partition behavior —
-with a deterministic fake "decode" (byte-length + md5 + fake
-dimensions). Swap ``_decode_payload`` for a real codec to productionize.
+PNG payloads are decoded for REAL (pipeline/png.py: stdlib zlib +
+numpy unfilter — no new dependencies), so dimensions, mode, pixel
+stats, and the resize resample are true pixel operations for that
+format. Other codecs (JPEG/audio/video) are NOT available in this
+runtime (no PIL/ffmpeg/torchvision), so ``decode_stub`` keeps the
+Spark-side plumbing real — schema, batching, partition behavior —
+with a deterministic fake "decode" for them (byte-length + md5 + fake
+dimensions). Swap ``_decode_payload`` branches for real codecs to
+productionize further.
 """
 
 from __future__ import annotations
@@ -38,12 +42,29 @@ def binary_metadata(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
 
 
 def _decode_payload(payload: bytes) -> dict:
-    """STUB: a real implementation would decode the image/audio bytes
-    (PIL/libvips/ffmpeg). Deterministic fake keeps tests meaningful."""
+    """Decode payload metadata. PNG payloads get a REAL decode (stdlib
+    zlib + numpy, pipeline/png.py): true dimensions and mode from the
+    pixels. Other formats (no codec in this runtime — no PIL/ffmpeg)
+    keep the deterministic fake, which is what the decode plumbing
+    tests and oracles pin. A corrupt PNG reports mode ``png:error``
+    with null dimensions instead of failing the whole job."""
     digest = hashlib.md5(payload).hexdigest()
+    base = {"n_bytes": len(payload), "digest": digest}
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        from .png import PngError, decode_png
+
+        try:
+            px, mode = decode_png(payload)
+            return {
+                **base,
+                "width": int(px.shape[1]),
+                "height": int(px.shape[0]),
+                "mode": mode,
+            }
+        except PngError:
+            return {**base, "width": None, "height": None, "mode": "png:error"}
     return {
-        "n_bytes": len(payload),
-        "digest": digest,
+        **base,
         # fake dimensions derived from the digest — stable per payload
         "width": int(digest[:4], 16) % 4096,
         "height": int(digest[4:8], 16) % 4096,
@@ -180,7 +201,10 @@ def resize_stub(
     max_width: int = 256,
     max_height: int = 256,
 ) -> DataFrame:
-    """Aspect-preserving resize plumbing with parameterized target box.
+    """Aspect-preserving resize with parameterized target box. PNG
+    payloads resample REAL pixels (decode → nearest-neighbor sample →
+    re-encode; ``out_bytes`` is the actual encoded size); other formats
+    keep the dimension-only plumbing with a modeled RGB888 buffer size.
 
     The fit arithmetic is exact integer math (``out_w = w*s_num //
     s_den`` with the scale chosen from the binding dimension), so the
@@ -200,8 +224,11 @@ def resize_stub(
             for rid, payload in zip(pdf["id"], pdf["payload"]):
                 if payload is None:
                     continue
-                meta = _decode_payload(bytes(payload))
+                payload = bytes(payload)
+                meta = _decode_payload(payload)
                 w, h = meta["width"], meta["height"]
+                if w is None:
+                    continue  # undecodable (corrupt PNG)
                 if w <= max_width and h <= max_height:
                     ow, oh = w, h
                 elif w * max_height >= h * max_width:
@@ -211,7 +238,17 @@ def resize_stub(
                 else:
                     oh = max_height
                     ow = w * max_height // h
-                rows.append((rid, w, h, ow, oh, ow * oh * 3))
+                if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+                    # PNG: REAL pixels flow through the resample —
+                    # decode, nearest-neighbor sample, re-encode;
+                    # out_bytes is the actual encoded size
+                    from .png import decode_png, encode_png, resize_nearest
+
+                    px, _ = decode_png(payload)
+                    out_px = resize_nearest(px, ow, oh)
+                    rows.append((rid, w, h, ow, oh, len(encode_png(out_px))))
+                else:
+                    rows.append((rid, w, h, ow, oh, ow * oh * 3))
             yield pd.DataFrame(
                 rows,
                 columns=["id", "width", "height", "out_width", "out_height", "out_bytes"],
@@ -433,3 +470,42 @@ def parse_gif_header(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
             "int",
         ).alias("gct_colors"),
     )
+
+
+PNG_STATS_SCHEMA = (
+    "id long, width int, height int, px_sum long, px_min int, px_max int"
+)
+
+
+def png_pixel_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Exact integer statistics over REAL-decoded PNG pixels
+    (pipeline/png.py: stdlib zlib inflate + vectorized unfilter): sum,
+    min, max of all samples — integers, so reduction-order independent
+    and oracle-reproducible from a closed-form pixel definition. Arrow-
+    batched mapInPandas; undecodable payloads are dropped."""
+    from ..deploy import ensure_deployed
+    from .png import PngError, decode_png, pixel_stats
+
+    ensure_deployed(df.sparkSession)
+    slim = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    px, _mode = decode_png(bytes(payload))
+                except PngError:
+                    continue
+                s = pixel_stats(px)
+                rows.append(
+                    (rid, px.shape[1], px.shape[0], s["px_sum"], s["px_min"], s["px_max"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "px_sum", "px_min", "px_max"],
+            )
+
+    return slim.mapInPandas(stats, schema=PNG_STATS_SCHEMA)
