@@ -86,13 +86,17 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Two measured runs per query, keep the min. This VM sees heavy
-    # intermittent CPU steal from co-tenants (observed: identical
-    # queries swinging 1.3s → 16s run-to-run); min-of-2 filters
-    # scheduler-noise windows while still measuring full plan
-    # execution (count() materializes without serializing results to
-    # the driver).
+    # Two measured runs per query: the FIRST run at the target sf is
+    # the cold series (first execution against this data after only
+    # the tiny-sf codegen warm-up), the min of both is the warm
+    # series. This VM sees heavy intermittent CPU steal from
+    # co-tenants (observed: identical queries swinging 1.3s → 16s
+    # run-to-run); min-of-2 filters scheduler-noise windows while
+    # still measuring full plan execution (count() materializes
+    # without serializing results to the driver). Emitting BOTH series
+    # keeps cross-round comparisons auditable (VERDICT r2 item 8).
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = qdict[name]
         runs = []
@@ -101,6 +105,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()
             runs.append(time.perf_counter() - start)
+        timings_cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
         print(
             f"# {name}: {timings[name]:.3f}s ({n} rows; runs "
@@ -109,6 +114,7 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    total_cold = round(sum(timings_cold.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -121,6 +127,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": timings_cold,
+                "cold_wall": total_cold,
+                "warm_wall": total,
                 "sf": sf_val,
             }
         )

@@ -119,8 +119,12 @@ def open_blob_source(url: str):
     footer-first operations touch O(footer) bytes of a remote object.
 
     ``file://`` dispatches to LocalFileSystem through the identical
-    ``FileSystem.from_uri`` path, which is how tests exercise this
-    without cloud credentials.
+    ``FileSystem.from_uri`` path. For S3, ``GPQ_S3_ENDPOINT`` (plus the
+    standard ``AWS_ACCESS_KEY_ID``/``AWS_SECRET_ACCESS_KEY``) routes
+    the SAME code path to any S3-compatible endpoint — MinIO,
+    localstack, or the in-repo stdlib stub server
+    (tests/test_cloud.py) — which is how the s3 path stays EXECUTABLE
+    in an environment with no cloud credentials.
     """
     from pyarrow.fs import FileSystem
 
@@ -130,5 +134,19 @@ def open_blob_source(url: str):
         url = "s3://" + url[len("s3a://"):]
     elif parsed.scheme == "gcs":
         url = "gs://" + url[len("gcs://"):]
+    endpoint = os.environ.get("GPQ_S3_ENDPOINT")
+    if endpoint and urlparse(url).scheme == "s3":
+        from pyarrow.fs import S3FileSystem
+
+        ep = urlparse(endpoint)
+        fs = S3FileSystem(
+            access_key=os.environ.get("AWS_ACCESS_KEY_ID", "test"),
+            secret_key=os.environ.get("AWS_SECRET_ACCESS_KEY", "test"),
+            endpoint_override=ep.netloc or endpoint,
+            scheme=ep.scheme or "http",
+            region=os.environ.get("AWS_REGION", "us-east-1"),
+        )
+        p = urlparse(url)
+        return fs.open_input_file(p.netloc + p.path)
     fs, path = FileSystem.from_uri(url)
     return fs.open_input_file(path)

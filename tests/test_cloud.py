@@ -98,3 +98,147 @@ def test_metadata_and_describe_through_blob_dispatch():
 def test_read_blob_parquet_distributed(spark):
     df = read_blob_parquet(spark, f"file://{FIXTURE}")
     assert df.count() == 5
+
+
+class TestS3ExecutablePath:
+    """The s3:// driver path is EXECUTABLE, not just a translation
+    table: pyarrow's real S3 client (AWS SDK) talks to a stdlib
+    S3-compatible stub via GPQ_S3_ENDPOINT — the same env switch that
+    points it at MinIO/localstack in the runbook
+    (docs/CLOUD_RUNBOOK.md)."""
+
+    @staticmethod
+    def _serve(objects):
+        import re
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import urlparse
+
+        stats = {"ranged_bytes": 0, "requests": []}
+
+        class S3Stub(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def _obj(self):
+                return objects.get(urlparse(self.path).path)
+
+            def _common(self, n):
+                self.send_header("Content-Length", str(n))
+                self.send_header("ETag", '"stub-1"')
+                self.send_header("Last-Modified", "Thu, 01 Jan 2026 00:00:00 GMT")
+                self.send_header("Accept-Ranges", "bytes")
+
+            def do_HEAD(self):
+                data = self._obj()
+                stats["requests"].append(("HEAD", self.path))
+                if data is None:
+                    self.send_response(404)
+                    self._common(0)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self._common(len(data))
+                self.end_headers()
+
+            def do_GET(self):
+                data = self._obj()
+                rng = self.headers.get("Range")
+                stats["requests"].append(("GET", self.path, rng))
+                if data is None:
+                    self.send_response(404)
+                    self._common(0)
+                    self.end_headers()
+                    return
+                m = re.match(r"bytes=(\d+)-(\d+)?", rng or "")
+                if m:
+                    s = int(m.group(1))
+                    e = min(
+                        int(m.group(2)) if m.group(2) else len(data) - 1,
+                        len(data) - 1,
+                    )
+                    chunk = data[s : e + 1]
+                    stats["ranged_bytes"] += len(chunk)
+                    self.send_response(206)
+                    self.send_header(
+                        "Content-Range", f"bytes {s}-{e}/{len(data)}"
+                    )
+                else:
+                    chunk = data
+                    self.send_response(200)
+                self._common(len(chunk))
+                self.end_headers()
+                self.wfile.write(chunk)
+
+            def log_message(self, *a):
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), S3Stub)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, stats
+
+    def test_footer_first_over_s3(self, tmp_path, monkeypatch):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import json as _json
+
+        from gpq_spark.geoparquet.metadata import METADATA_KEY
+        from gpq_spark.geo import wkb
+
+        pytest.importorskip("pyarrow.fs").S3FileSystem  # noqa: B018
+
+        rng = np.random.default_rng(5)
+        n = 30_000
+        geoms = [
+            wkb.dumps({"type": "Point", "coordinates": [float(x), float(y)]})
+            for x, y in rng.uniform(-90, 90, (n, 2))
+        ]
+        geo = {
+            "version": "1.1.0",
+            "primary_column": "geometry",
+            "columns": {"geometry": {"encoding": "WKB", "geometry_types": ["Point"]}},
+        }
+        schema = pa.schema(
+            [("geometry", pa.binary()), ("blob", pa.binary())],
+            metadata={METADATA_KEY: _json.dumps(geo)},
+        )
+        path = tmp_path / "s3obj.parquet"
+        pq.write_table(
+            pa.table(
+                {"geometry": geoms, "blob": [rng.bytes(64) for _ in range(n)]},
+                schema=schema,
+            ),
+            path,
+            compression="none",
+        )
+        payload = path.read_bytes()
+        srv, stats = self._serve({"/bkt/data/s3obj.parquet": payload})
+        try:
+            monkeypatch.setenv(
+                "GPQ_S3_ENDPOINT", f"http://127.0.0.1:{srv.server_port}"
+            )
+            monkeypatch.setenv("AWS_EC2_METADATA_DISABLED", "true")
+            from gpq_spark.geoparquet.reader import read_geo_metadata
+
+            meta = read_geo_metadata("s3://bkt/data/s3obj.parquet")
+            assert meta.primary_column == "geometry"
+            # footer-first: the ~4 MB object must not be downloaded
+            assert stats["ranged_bytes"] < len(payload) // 10, stats
+            assert any(r[0] == "GET" and r[2] for r in stats["requests"])
+        finally:
+            srv.shutdown()
+
+    def test_missing_object_raises(self, monkeypatch):
+        pytest.importorskip("pyarrow.fs")
+        srv, _stats = self._serve({})
+        try:
+            monkeypatch.setenv(
+                "GPQ_S3_ENDPOINT", f"http://127.0.0.1:{srv.server_port}"
+            )
+            monkeypatch.setenv("AWS_EC2_METADATA_DISABLED", "true")
+            from gpq_spark.cloud import open_blob_source
+
+            with pytest.raises(Exception):
+                open_blob_source("s3://bkt/missing.parquet")
+        finally:
+            srv.shutdown()
