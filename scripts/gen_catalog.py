@@ -27,12 +27,12 @@ GROUPS = [
     ("Graph analytics", r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa)"),
     ("Governance & auditing", r"^q_(kanon|corpus_diff|data_constraints|split_leakage)"),
     ("Deduplication & decontamination", r"^(dedup_|decontam)"),
-    ("Similarity search & embeddings", r"^(ann_|ivf_|embed_)"),
+    ("Similarity search & embeddings", r"^(ann_|ivf_|embed_|pq_)"),
     ("Text analysis & corpus ops", r"^(text_|rank_|sample_|pack_|profile_|skew_)"),
     ("Sketches", r"^q_(sketch|bloom)"),
     ("Geospatial", r"^geo_"),
     ("Structured Streaming", r"^stream_"),
-    ("Validation & multimodal", r"^(validate_|multimodal_)"),
+    ("Validation & multimodal", r"^(validate_|multimodal_|png_)"),
 ]
 
 
