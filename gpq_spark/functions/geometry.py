@@ -421,3 +421,61 @@ def make_overlay_area_broadcast_udf(bc_geoms):
         return pd.Series(out)
 
     return _area
+
+
+MEASURES_TYPE = T.StructType(
+    [
+        T.StructField("n_points", T.LongType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("length", T.DoubleType()),
+    ]
+)
+
+
+def _kernel_scan_measures(s: pd.Series):
+    """Per-value (n_points, area, length) via the vectorized WKB kernel;
+    None for WKT-string batches (callers fall back to the scalar codec)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..geoparquet.stats import wkb_scan_values
+
+    arr = pa.array(s, from_pandas=True)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = pa.concat_arrays(arr.cast(pa.large_binary()).chunks)
+    if pa.types.is_null(arr.type):
+        n = len(s)
+        return (
+            np.zeros(n, dtype=np.int64),
+            np.zeros(n, dtype=np.float64),
+            np.zeros(n, dtype=np.float64),
+        )
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return None
+    out = wkb_scan_values(arr, want_bounds=False, want_measures=True)
+    return out[5], out[6], out[7]
+
+
+@F.pandas_udf(MEASURES_TYPE)
+def _measures_udf(s: pd.Series) -> pd.DataFrame:
+    r = _kernel_scan_measures(s)
+    if r is None:  # WKT strings: scalar codec
+        from ..geoparquet.stats import _scalar_measures
+
+        def m(v):
+            g = _decode_any(v)
+            if g is None:
+                return (0, 0.0, 0.0)
+            return _scalar_measures(g)
+
+        rows = s.map(m)
+        return pd.DataFrame(rows.tolist(), columns=["n_points", "area", "length"])
+    npts, a, ln = r
+    return pd.DataFrame({"n_points": npts, "area": a, "length": ln})
+
+
+def st_num_points(col: Column | str) -> Column:
+    """Stored vertex count of a geometry value (all rings/members),
+    vectorized through the per-value WKB kernel — zero per-row Python
+    on the WKB path. Beyond-reference measure."""
+    return _measures_udf(_c(col))["n_points"]

@@ -1,7 +1,11 @@
 """Geometry measure functions: area, length, centroid, perimeter.
 
-Planar (Euclidean) measures over WKB geometries, computed in
-Arrow-batched pandas UDFs with the pure-Python kernel. The reference
+Planar (Euclidean) measures over WKB geometries. The WKB path runs
+through the vectorized per-value kernel (geoparquet/stats.py
+``wkb_scan_values`` with ``want_measures`` — ring kinds recorded during
+structural collection give |exterior| − |holes| area; reduceat's
+sequential fold matches the scalar summation order bit-for-bit); the
+scalar functions below remain the WKT fallback and the parity twin. The reference
 has no measure functions — these extend the spatial UDF surface the
 north star asks for ("GeoSpatial UDFs"), with exact-arithmetic oracles
 over synthesized geometry.
@@ -79,12 +83,24 @@ def _centroid(geom):
 
 @F.pandas_udf(T.DoubleType())
 def _area_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: _area(_decode_any(v)))
+    from .geometry import _kernel_scan_measures
+
+    r = _kernel_scan_measures(s)
+    if r is None:  # WKT strings
+        return s.map(lambda v: _area(_decode_any(v)))
+    out = pd.Series(r[1])
+    # null inputs report null area (scalar parity), not 0
+    return out.mask(s.isna())
 
 
 @F.pandas_udf(T.DoubleType())
 def _length_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: _length(_decode_any(v)))
+    from .geometry import _kernel_scan_measures
+
+    r = _kernel_scan_measures(s)
+    if r is None:  # WKT strings
+        return s.map(lambda v: _length(_decode_any(v)))
+    return pd.Series(r[2]).mask(s.isna())
 
 
 @F.pandas_udf(

@@ -155,12 +155,23 @@ class _VecRuns:
         self.starts: list[np.ndarray] = []
         self.counts: list[np.ndarray] = []
         self.owners: list[np.ndarray] = []
+        self.kinds: list[np.ndarray] = []  # 0 line/point, 1 exterior ring, 2 hole
 
-    def add(self, starts: np.ndarray, counts: np.ndarray, owners: np.ndarray) -> None:
+    def add(
+        self,
+        starts: np.ndarray,
+        counts: np.ndarray,
+        owners: np.ndarray,
+        kind=0,
+    ) -> None:
         if starts.size:
             self.starts.append(starts)
             self.counts.append(counts)
             self.owners.append(owners)
+            if isinstance(kind, np.ndarray):
+                self.kinds.append(kind.astype(np.int8))
+            else:
+                self.kinds.append(np.full(len(starts), kind, np.int8))
 
     def collect(self):
         if not self.starts:
@@ -168,11 +179,13 @@ class _VecRuns:
                 np.empty(0, np.int64),
                 np.empty(0, np.int64),
                 np.empty(0, np.int64),
+                np.empty(0, np.int8),
             )
         return (
             np.concatenate(self.starts),
             np.concatenate(self.counts),
             np.concatenate(self.owners),
+            np.concatenate(self.kinds),
         )
 
     def merge(self, st, data: np.ndarray) -> None:
@@ -204,6 +217,8 @@ def _rings_lockstep(
     ok = np.ones(len(pos), dtype=bool)
     left = nrings.astype(np.int64).copy()
     pos = pos.astype(np.int64).copy()
+    rnd = 0  # every active entry does exactly one ring per round, so
+    # the round number IS the ring ordinal: round 0 = exterior ring
     while True:
         active = ok & (left > 0)
         if not active.any():
@@ -217,10 +232,11 @@ def _rings_lockstep(
         fin = q + 4 + 16 * n
         good = readable & (fin <= end[idx])
         ok[idx[~good]] = False
-        vec.add(q[good] + 4, n[good], owners[idx[good]])
+        vec.add(q[good] + 4, n[good], owners[idx[good]], kind=1 if rnd == 0 else 2)
         g = idx[good]
         pos[g] = fin[good]
         left[g] -= 1
+        rnd += 1
     return pos, ok
 
 
@@ -357,23 +373,23 @@ def _walk_runs(data: np.ndarray, pos: int, end: int, runs: dict, expect=None) ->
     step = 8 * dim
     if name == "Point":
         need(pos + step)
-        runs[key].append((pos, 1))
+        runs[key].append((pos, 1, 0))
         return pos + step
     if name == "LineString":
         need(pos + 4)
         (n,) = struct.unpack_from(u32, data, pos)
         need(pos + 4 + step * n)
-        runs[key].append((pos + 4, n))
+        runs[key].append((pos + 4, n, 0))
         return pos + 4 + step * n
     if name == "Polygon":
         need(pos + 4)
         (nrings,) = struct.unpack_from(u32, data, pos)
         pos += 4
-        for _ in range(nrings):
+        for ri in range(nrings):
             need(pos + 4)
             (n,) = struct.unpack_from(u32, data, pos)
             need(pos + 4 + step * n)
-            runs[key].append((pos + 4, n))
+            runs[key].append((pos + 4, n, 1 if ri == 0 else 2))
             pos += 4 + step * n
         return pos
     # Multi* / GeometryCollection: recurse into member geometries
@@ -609,7 +625,12 @@ def _seg_env_update(
     ymax[rows] = np.fmax(ymax[rows], np.maximum.reduceat(ry_max, segs))
 
 
-def wkb_scan_values(arr: pa.Array, want_bounds: bool = True, stats_types: bool = False):
+def wkb_scan_values(
+    arr: pa.Array,
+    want_bounds: bool = True,
+    stats_types: bool = False,
+    want_measures: bool = False,
+):
     """Per-value vectorized WKB scan: type names and envelopes.
 
     Returns ``(names, xmin, ymin, xmax, ymax)``: ``names`` is an object
@@ -631,7 +652,12 @@ def wkb_scan_values(arr: pa.Array, want_bounds: bool = True, stats_types: bool =
     ymin = np.full(n, np.nan)
     xmax = np.full(n, np.nan)
     ymax = np.full(n, np.nan)
+    n_points = np.zeros(n, dtype=np.int64)
+    area = np.zeros(n, dtype=np.float64)
+    length = np.zeros(n, dtype=np.float64)
     out = (names, xmin, ymin, xmax, ymax)
+    if want_measures:
+        out = out + (n_points, area, length)
     if n == 0:
         return out
     starts, ends, valid, data = _binary_parts(arr)
@@ -650,6 +676,11 @@ def wkb_scan_values(arr: pa.Array, want_bounds: bool = True, stats_types: bool =
         b = _wkb.bounds(g)
         if b is not None:
             xmin[row], ymin[row], xmax[row], ymax[row] = b
+        if want_measures:
+            np_, a_, l_ = _scalar_measures(g)
+            n_points[row] = np_
+            area[row] = a_
+            length[row] = l_
 
     # Malformed headers: canonical scalar error
     for i in np.nonzero(~ok)[0]:
@@ -678,6 +709,8 @@ def wkb_scan_values(arr: pa.Array, want_bounds: bool = True, stats_types: bool =
     for i in np.nonzero(pts & ~fits)[0]:
         scalar_row(int(sel[i]))  # raises (truncated point)
     pts &= fits
+    if want_measures and pts.any():
+        n_points[sel[pts]] += 1
     if want_bounds:
         for mask, is_le in ((pts & little, True), (pts & ~little, False)):
             if not mask.any():
@@ -707,12 +740,15 @@ def wkb_scan_values(arr: pa.Array, want_bounds: bool = True, stats_types: bool =
     # Non-common shapes (Z / big-endian / SRID) + GeometryCollection:
     # per-value structural walk (O(rings) Python), one vectorized
     # gather+reduce per (dim, endianness) afterwards.
-    acc: dict = {k: ([], [], []) for k in ((2, True), (2, False), (3, True), (3, False))}
+    acc: dict = {
+        k: ([], [], [], [])
+        for k in ((2, True), (2, False), (3, True), (3, False))
+    }
     rest = (plain & (base != 1) & ~common) | (gc if not stats_types else np.zeros_like(gc))
     for i in np.nonzero(rest)[0]:
         runs: dict = {k: [] for k in acc}
         _walk_runs(data, int(s[i]), int(e[i]), runs)  # raises on malformed
-        if want_bounds:
+        if want_bounds or want_measures:
             row = int(sel[i])
             for key, run_list in runs.items():
                 if run_list:
@@ -723,25 +759,158 @@ def wkb_scan_values(arr: pa.Array, want_bounds: bool = True, stats_types: bool =
                         np.fromiter((r[1] for r in run_list), np.int64, len(run_list))
                     )
                     acc[key][2].append(np.full(len(run_list), row, np.int64))
+                    acc[key][3].append(
+                        np.fromiter((r[2] for r in run_list), np.int8, len(run_list))
+                    )
 
-    if want_bounds:
-        vs, vc, vo = vec.collect()
+    if want_bounds or want_measures:
+        vs, vc, vo, vr = vec.collect()
         if vs.size:
             acc[(2, True)][0].append(vs)
             acc[(2, True)][1].append(vc)
             acc[(2, True)][2].append(vo)
-        for (dim, is_le), (sl, cl, ol) in acc.items():
-            if sl:
+            acc[(2, True)][3].append(vr)
+        for (dim, is_le), (sl, cl, ol, rl) in acc.items():
+            if not sl:
+                continue
+            rstarts = np.concatenate(sl)
+            rcounts = np.concatenate(cl)
+            rowners = np.concatenate(ol)
+            rrings = np.concatenate(rl)
+            if want_bounds:
                 _seg_env_update(
-                    xmin,
-                    ymin,
-                    xmax,
-                    ymax,
-                    data,
-                    np.concatenate(sl),
-                    np.concatenate(cl),
-                    np.concatenate(ol),
-                    dim,
-                    is_le,
+                    xmin, ymin, xmax, ymax, data,
+                    rstarts, rcounts, rowners, dim, is_le,
+                )
+            if want_measures:
+                _seg_measures_update(
+                    n_points, area, length, data,
+                    rstarts, rcounts, rowners, rrings, dim, is_le,
                 )
     return out
+
+
+def _scalar_measures(g) -> tuple[int, float, float]:
+    """(n_points, area, length) of a decoded geometry — the scalar twin
+    of ``_seg_measures_update`` for fallback values, with EXACTLY the
+    semantics of functions/measures.py: area = |exterior| − Σ|holes|
+    per polygon; length sums every polyline/ring's planar segment
+    lengths; points contribute count only."""
+    import math
+
+    def ring_area2(ring) -> float:
+        a = 0.0
+        for i in range(len(ring) - 1):
+            a += ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+        return a
+
+    def line_len(coords) -> float:
+        t = 0.0
+        for i in range(len(coords) - 1):
+            dx = coords[i + 1][0] - coords[i][0]
+            dy = coords[i + 1][1] - coords[i][1]
+            t += math.sqrt(dx * dx + dy * dy)
+        return t
+
+    t = g["type"]
+    if t == "GeometryCollection":
+        np_ = 0
+        a_ = l_ = 0.0
+        for m in g.get("geometries", []):
+            p, a, ln = _scalar_measures(m)
+            np_ += p
+            a_ += a
+            l_ += ln
+        return np_, a_, l_
+    c = g.get("coordinates")
+    if t == "Point":
+        return 1, 0.0, 0.0
+    if t == "MultiPoint":
+        return len(c), 0.0, 0.0
+    if t == "LineString":
+        return len(c), 0.0, line_len(c)
+    if t == "MultiLineString":
+        return sum(len(x) for x in c), 0.0, sum(line_len(x) for x in c)
+    if t == "Polygon":
+        a_ = sum(
+            (abs(ring_area2(r)) if i == 0 else -abs(ring_area2(r))) / 2.0
+            for i, r in enumerate(c)
+        )
+        return sum(len(r) for r in c), a_, sum(line_len(r) for r in c)
+    # MultiPolygon
+    np_ = sum(len(r) for poly in c for r in poly)
+    a_ = sum(
+        (abs(ring_area2(r)) if i == 0 else -abs(ring_area2(r))) / 2.0
+        for poly in c
+        for i, r in enumerate(poly)
+    )
+    l_ = sum(line_len(r) for poly in c for r in poly)
+    return np_, a_, l_
+
+
+def _seg_measures_update(
+    n_points: np.ndarray,
+    area: np.ndarray,
+    length: np.ndarray,
+    data: np.ndarray,
+    rstarts: np.ndarray,
+    rcounts: np.ndarray,
+    rowners: np.ndarray,
+    rkinds: np.ndarray,
+    dim: int,
+    little: bool,
+) -> None:
+    """Per-owner vertex counts, planar area, and planar length over
+    owner-attributed coordinate runs, fully vectorized.
+
+    - counts reduce at RUN granularity (no gather);
+    - length: per-segment sqrt(dx²+dy²) summed per run then per owner
+      — ``np.add.reduceat`` is a sequential in-order fold, matching the
+      scalar loop's summation order bit-for-bit;
+    - area: per-ring shoelace (rings are closed, so the linear edge sum
+      is the cyclic sum), then |exterior| − |holes| halved — the ring
+      kind (exterior/hole) was recorded during structural collection.
+    Cross-run garbage at run boundaries is zeroed before each reduceat.
+    """
+    nz = rcounts > 0
+    rstarts, rcounts, rowners, rkinds = (
+        rstarts[nz], rcounts[nz], rowners[nz], rkinds[nz]
+    )
+    if not len(rcounts):
+        return
+    order = np.argsort(rowners, kind="stable")
+    so, sc = rowners[order], rcounts[order]
+    segs = np.nonzero(np.r_[True, so[1:] != so[:-1]])[0]
+    n_points[so[segs]] += np.add.reduceat(sc, segs)
+
+    mask = rcounts >= 2  # runs with at least one segment
+    if not mask.any():
+        return
+    rs, rc, ro, rk = rstarts[mask], rcounts[mask], rowners[mask], rkinds[mask]
+    total = int(rc.sum())
+    step = 8 * dim
+    run_first = np.concatenate(([0], np.cumsum(rc)[:-1]))
+    pos = np.repeat(rs - step * run_first, rc) + step * np.arange(
+        total, dtype=np.int64
+    )
+    xs, ys = _gather_xy(data, pos, little)
+    dx = xs[1:] - xs[:-1]
+    dy = ys[1:] - ys[:-1]
+    seg_len = np.sqrt(dx * dx + dy * dy)
+    prod = xs[:-1] * ys[1:] - xs[1:] * ys[:-1]
+    ends = run_first + rc
+    cut = ends[:-1] - 1  # garbage pair (last vertex of run i, first of i+1)
+    if cut.size:
+        seg_len[cut] = 0.0
+        prod[cut] = 0.0
+    run_len = np.add.reduceat(seg_len, run_first)
+    ring_a2 = np.add.reduceat(prod, run_first)
+    ring_area = np.where(
+        rk == 1, np.abs(ring_a2), np.where(rk == 2, -np.abs(ring_a2), 0.0)
+    ) / 2.0
+    order = np.argsort(ro, kind="stable")
+    so = ro[order]
+    segs = np.nonzero(np.r_[True, so[1:] != so[:-1]])[0]
+    rows = so[segs]
+    length[rows] += np.add.reduceat(run_len[order], segs)
+    area[rows] += np.add.reduceat(ring_area[order], segs)

@@ -356,3 +356,77 @@ class TestWkbScanValues:
         assert list(names) == ["Point", "Point"]
         assert (x0[0], y0[0]) == (7.5, -2.5)
         assert (x0[1], y1[1]) == (3.0, 4.0)
+
+
+class TestWkbMeasuresKernel:
+    """Vectorized (n_points, area, length) — exact parity with the
+    scalar measures (functions/measures.py) across every shape, incl.
+    holes, Multi*, GeometryCollection, and Z."""
+
+    GEOMS = [
+        {"type": "Point", "coordinates": [1.0, 2.0]},
+        {"type": "LineString", "coordinates": [[0, 0], [3, 4], [3, 10]]},
+        {
+            "type": "Polygon",
+            "coordinates": [
+                [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+                [[1, 1], [1, 2], [2, 2], [2, 1], [1, 1]],
+            ],
+        },
+        {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[[0, 0], [1, 0], [1, 1], [0, 0]]],
+                [[[10, 10], [12, 10], [12, 12], [10, 12], [10, 10]]],
+            ],
+        },
+        {"type": "MultiLineString", "coordinates": [[[0, 0], [6, 8]], [[0, 0], [5, 12]]]},
+        {"type": "MultiPoint", "coordinates": [[1, 1], [2, -2]]},
+        {
+            "type": "GeometryCollection",
+            "geometries": [
+                {"type": "Point", "coordinates": [3, 4]},
+                {"type": "Polygon", "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 0]]]},
+            ],
+        },
+        {"type": "Polygon", "coordinates": [[[0, 0, 5], [4, 0, 5], [4, 4, 5], [0, 0, 5]]]},
+    ]
+
+    def test_scalar_parity(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from gpq_spark.functions.measures import _area, _length
+        from gpq_spark.geoparquet.stats import wkb_scan_values
+
+        vals = [wkb.dumps(g) for g in self.GEOMS] + [None]
+        arr = pa.array(vals, type=pa.binary())
+        *_rest, npts, area, length = wkb_scan_values(arr, want_measures=True)
+        for i, g in enumerate(self.GEOMS):
+            assert area[i] == _area(g), (i, area[i], _area(g))
+            assert abs(length[i] - _length(g)) < 1e-12, (i, length[i], _length(g))
+        assert npts[2] == 10 and area[2] == 15.0 and length[2] == 20.0
+        assert npts[len(self.GEOMS)] == 0  # null value
+
+    def test_spark_udfs_use_kernel(self, spark):
+        from pyspark.sql import functions as F
+
+        from gpq_spark.functions.geometry import st_num_points
+        from gpq_spark.functions.measures import st_area, st_length
+
+        df = spark.createDataFrame(
+            [(i, bytearray(wkb.dumps(g))) for i, g in enumerate(self.GEOMS)],
+            "id long, geom binary",
+        )
+        rows = {
+            r["id"]: r
+            for r in df.select(
+                "id",
+                st_area("geom").alias("a"),
+                st_length("geom").alias("l"),
+                st_num_points("geom").alias("n"),
+            ).collect()
+        }
+        assert rows[2]["a"] == 15.0 and rows[2]["l"] == 20.0 and rows[2]["n"] == 10
+        assert rows[3]["a"] == 4.5
+        assert rows[0]["a"] == 0.0 and rows[0]["n"] == 1
