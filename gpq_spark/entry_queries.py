@@ -11317,3 +11317,104 @@ def png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
     return png_pixel_stats(payloads, "payload", "doc_id")
+
+
+@register(
+    "semantic_dedup_docs",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT * FROM (VALUES {_IVF_CENT_VALUES}) AS t(cid, cv)),
+    ca AS (SELECT e.vec_id, e.v, cent.cid, {_cos_duck('e.v', 'cent.cv')} AS ccos
+           FROM e, cent),
+    assigned AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                        ORDER BY ccos DESC, cid ASC) AS rn
+            FROM ca
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {_cos_duck('a.v', 'b.v')} >= 0.2
+    )
+    SELECT s.vec_id AS id, CAST(s.cluster AS BIGINT) AS cluster,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+    """,
+)
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the trained-centroid fixture:
+    map-side cluster assignment (centroid literals, zero shuffle for
+    assignment), within-cluster cosine >= 0.2 marks duplicates, lowest
+    id survives. The pairwise cost is per-cluster, not corpus-wide —
+    the scalable semantic-dedup shape (raise k to bound cluster
+    sizes at 100 TB)."""
+    from .pipeline.dedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in _IVF_FIX["centroids"]],
+        "centroid_id int, centroid array<double>",
+    )
+    return semantic_dedup(emb, "vec_id", "embedding", cents, threshold=0.2)
+
+
+@register(
+    "shuffle_positions_docs",
+    """
+    SELECT CAST(row_number() OVER (
+               ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS pos,
+           doc_id AS id
+    FROM documents
+    """,
+)
+def shuffle_positions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global permutation (training-order
+    shuffle): dense positions in md5('42:'||id) order. The Spark plan
+    avoids the single-reducer global window: range-repartition on the
+    shuffle key, per-partition local ranks, plus broadcast cumulative
+    partition offsets (pipeline.sampling.seeded_shuffle)."""
+    from .pipeline.sampling import seeded_shuffle
+
+    docs = load(spark, sf_dir, "documents")
+    return seeded_shuffle(docs, "doc_id", seed=42)
+
+
+@register(
+    "sample_match_length_docs",
+    """
+    WITH d AS (SELECT doc_id AS id,
+        CASE WHEN length(text) < 0 THEN -1
+             WHEN length(text) < 200 THEN 0
+             WHEN length(text) < 400 THEN 1
+             WHEN length(text) < 800 THEN 2
+             ELSE 3 END AS bucket FROM documents),
+    c AS (SELECT bucket, count(*) AS n FROM d WHERE bucket >= 0 GROUP BY bucket),
+    t(bucket, p) AS (VALUES (0, 0.1), (1, 0.4), (2, 0.4), (3, 0.1)),
+    s AS (SELECT min(n / p) AS s FROM c JOIN t USING (bucket) WHERE p > 0),
+    q AS (SELECT t.bucket, CAST(floor(s.s * t.p) AS BIGINT) AS k
+          FROM t JOIN c ON c.bucket = t.bucket CROSS JOIN s),
+    r AS (SELECT id, bucket,
+                 row_number() OVER (PARTITION BY bucket
+                      ORDER BY md5('42:' || CAST(id AS VARCHAR)), id) AS rn
+          FROM d WHERE bucket >= 0)
+    SELECT id, CAST(r.bucket AS INT) AS bucket
+    FROM r JOIN q ON q.bucket = r.bucket WHERE rn <= k
+    """,
+)
+def sample_match_length_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matched downsampling: keep the largest sample whose
+    length-bucket proportions hit the target (10/40/40/10 over char
+    lengths [0,200), [200,400), [400,800), [800,inf)) exactly —
+    floor(s*p_b) per bucket with s = min(n_b/p_b), rows chosen by
+    deterministic md5 rank (pipeline.sampling.match_distribution)."""
+    from .pipeline.sampling import match_distribution
+
+    docs = load(spark, sf_dir, "documents")
+    return match_distribution(
+        docs, "doc_id", F.length("text"), [0, 200, 400, 800],
+        [0.1, 0.4, 0.4, 0.1], seed=42,
+    )

@@ -721,3 +721,54 @@ def verify_pairs_jaccard(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embeddings cluster to
+    their nearest (offline-trained) centroid map-side — centroids are
+    inlined as plan literals, so the corpus is never shuffled for
+    assignment — then near-duplicates are detected ONLY within a
+    cluster (cosine ≥ threshold), and each duplicate group keeps its
+    lowest id. Output: (id, cluster, is_dup) for every input row.
+
+    Scale: the pairwise work is Σ per-cluster size², not corpus² —
+    at 100 TB you raise k (finer cells) to bound cluster sizes; both
+    self-join sides are the SAME assigned frame, so Spark reuses the
+    one cluster-keyed shuffle (ReusedExchange). Cosine is the
+    sequential-fold float64 used across the embedding family —
+    bit-deterministic, SQL-oracle-reproducible.
+    """
+    from .similarity import _argmax_cell_expr, _collect_centroids, cosine_expr
+
+    cents = _collect_centroids(df, id_col, vec_col, 0, centroids)
+    assigned = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "cluster", _argmax_cell_expr(vec_col, cents)
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cosine_expr(f"a.{vec_col}", f"b.{vec_col}") >= F.lit(threshold))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_ids.withColumn("__dup", F.lit(True)), id_col, "left"
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            "cluster",
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

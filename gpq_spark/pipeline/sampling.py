@@ -169,3 +169,119 @@ def balanced_sample(
         .filter(F.col("__rank") <= F.col("__min_n"))
         .drop("__rank", "__min_n")
     )
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global permutation for training-data ordering:
+    every row gets a dense position 0..n-1 in the order of
+    ``md5(seed ':' id)`` (ties broken by id) — the same shuffle on any
+    engine, any partitioning, any run.
+
+    Scale: a bare ``row_number() OVER (ORDER BY …)`` collapses into ONE
+    reducer. Instead: range-repartition on the shuffle key, sort within
+    partitions, compute per-partition counts (a tiny aggregate), and
+    add each partition's cumulative offset to its local rank — total
+    order without a global window. Output: (pos, id).
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.select(F.col(id_col).alias("id"))
+        .withColumn(
+            "__k", F.md5(F.concat(F.lit(f"{seed}:"), F.col("id").cast("string")))
+        )
+        .repartitionByRange(n, F.col("__k"), F.col("id"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = (
+        d.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    w = Window.partitionBy("__pid").orderBy("__k", "id")
+    return (
+        d.withColumn("__local", F.row_number().over(w))
+        .join(F.broadcast(sizes), "__pid")
+        .select(
+            (F.col("__offset") + F.col("__local") - 1).cast("long").alias("pos"),
+            "id",
+        )
+    )
+
+
+def match_distribution(
+    df: DataFrame,
+    id_col: str,
+    size_col: Column | str,
+    edges: list[float],
+    target: list[float],
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample to MATCH a target size distribution exactly: bucket
+    rows by ``size_col`` against ``edges`` (bucket i is [edges[i],
+    edges[i+1]), last bucket open-ended), find the largest total
+    sample the actual data can support at the target proportions
+    (s = min over buckets of n_b / p_b), and keep exactly
+    floor(s·p_b) rows per bucket — chosen deterministically by
+    md5-hash rank, so the kept set is engine- and run-independent.
+    Output: the kept (id, bucket) rows.
+
+    Scale: bucket counts are a tiny aggregate (broadcast back); the
+    per-bucket rank is a window keyed on ~|edges| buckets — at 100 TB
+    replace it with the two-phase top-k pattern (per-partition rank
+    first) exactly as _topk_per_query does, since few-bucket windows
+    skew.
+    """
+    if len(target) != len(edges):
+        raise ValueError("target must have one weight per bucket")
+    if any(t < 0 for t in target) or sum(target) <= 0:
+        raise ValueError("target weights must be non-negative, not all zero")
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    bucket = F.lit(len(edges) - 1)
+    for i in range(len(edges) - 1, 0, -1):
+        bucket = F.when(size < F.lit(edges[i]), F.lit(i - 1)).otherwise(bucket)
+    bucket = F.when(size < F.lit(edges[0]), F.lit(-1)).otherwise(bucket)
+    d = df.select(
+        F.col(id_col).alias("id"), bucket.cast("int").alias("bucket")
+    ).filter(F.col("bucket") >= 0)
+    counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+    tgt = [(i, float(t)) for i, t in enumerate(target)]
+    tgt_df = df.sparkSession.createDataFrame(tgt, "bucket int, __p double")
+    scale = (
+        counts.join(tgt_df, "bucket")
+        .filter(F.col("__p") > 0)
+        .agg(F.min(F.col("__n") / F.col("__p")).alias("__s"))
+    )
+    quota = (
+        counts.join(tgt_df, "bucket")
+        .crossJoin(F.broadcast(scale))
+        .select(
+            "bucket",
+            F.floor(F.col("__s") * F.col("__p")).cast("long").alias("__k"),
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col("id").cast("string"))), "id"
+    )
+    return (
+        d.withColumn("__r", F.row_number().over(w))
+        .join(F.broadcast(quota), "bucket")
+        .filter(F.col("__r") <= F.col("__k"))
+        .select("id", "bucket")
+    )

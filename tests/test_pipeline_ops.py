@@ -2246,3 +2246,67 @@ class TestAdviceGuards:
         by_rank = {r["rank"]: (r["sid"], r["d2"]) for r in rows}
         assert by_rank[1][0] == 11 and abs(by_rank[1][1] - 1.21) < 1e-9
         assert by_rank[2][0] == 10 and abs(by_rank[2][1] - 1.69) < 1e-9
+
+
+class TestSemanticDedupShuffleResample:
+    def test_semantic_dedup_lowest_id_survives(self, spark):
+        from gpq_spark.pipeline.dedup import semantic_dedup
+
+        # two clusters of obviously-near vectors + one outlier
+        rows = [
+            (1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [0.98, -0.01]),
+            (10, [0.0, 1.0]), (11, [0.01, 0.99]),
+            (20, [-1.0, -1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, -1.0])],
+            "centroid_id int, centroid array<double>",
+        )
+        got = {
+            r["id"]: (r["cluster"], r["is_dup"])
+            for r in semantic_dedup(df, "vec_id", "embedding", cents, 0.9).collect()
+        }
+        assert got[1] == (0, False) and got[2] == (0, True) and got[3] == (0, True)
+        assert got[10] == (1, False) and got[11] == (1, True)
+        assert got[20] == (2, False)
+
+    def test_seeded_shuffle_dense_and_deterministic(self, spark):
+        import hashlib
+
+        from gpq_spark.pipeline.sampling import seeded_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+        got = {
+            r["id"]: r["pos"]
+            for r in seeded_shuffle(df, "doc_id", seed=7, partitions=5).collect()
+        }
+        order = sorted(range(97), key=lambda i: (hashlib.md5(f"7:{i}".encode()).hexdigest(), i))
+        assert got == {i: p for p, i in enumerate(order)}
+        # positions dense 0..n-1
+        assert sorted(got.values()) == list(range(97))
+
+    def test_match_distribution_exact_proportions(self, spark):
+        from pyspark.sql import functions as F
+
+        from gpq_spark.pipeline.sampling import match_distribution
+
+        # 100 small, 50 large: target 50/50 -> s = min(100/.5, 50/.5) = 100
+        rows = [(i, 10) for i in range(100)] + [(100 + i, 500) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, sz long")
+        out = match_distribution(
+            df, "doc_id", F.col("sz"), [0, 100], [0.5, 0.5], seed=1
+        )
+        counts = {r["bucket"]: r["n"] for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+        assert counts == {0: 50, 1: 50}
+
+    def test_match_distribution_validates(self, spark):
+        import pytest
+
+        from gpq_spark.pipeline.sampling import match_distribution
+
+        df = spark.createDataFrame([(1, 5)], "doc_id long, sz long")
+        with pytest.raises(ValueError, match="one weight per bucket"):
+            match_distribution(df, "doc_id", "sz", [0, 10], [1.0])
+        with pytest.raises(ValueError, match="non-negative"):
+            match_distribution(df, "doc_id", "sz", [0], [-1.0])
