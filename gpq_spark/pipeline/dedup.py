@@ -729,6 +729,7 @@ def semantic_dedup(
     vec_col: str,
     centroids: DataFrame,
     threshold: float = 0.95,
+    persist: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: embeddings cluster to
     their nearest (offline-trained) centroid map-side — centroids are
@@ -738,11 +739,14 @@ def semantic_dedup(
     lowest id. Output: (id, cluster, is_dup) for every input row.
 
     Scale: the pairwise work is Σ per-cluster size², not corpus² —
-    at 100 TB you raise k (finer cells) to bound cluster sizes; both
-    self-join sides are the SAME assigned frame, so Spark reuses the
-    one cluster-keyed shuffle (ReusedExchange). Cosine is the
-    sequential-fold float64 used across the embedding family —
-    bit-deterministic, SQL-oracle-reproducible.
+    at 100 TB you raise k (finer cells) to bound cluster sizes. The
+    assigned frame feeds three consumers; the literal-heavy
+    higher-order assignment expression defeats exchange-reuse
+    canonicalization (verified: no ReusedExchange in the adaptive
+    plan), so pass ``persist=True`` at scale to compute the assignment
+    once instead of per consumer. Cosine is the sequential-fold
+    float64 used across the embedding family — bit-deterministic,
+    SQL-oracle-reproducible.
     """
     from .similarity import _argmax_cell_expr, _collect_centroids, cosine_expr
 
@@ -750,6 +754,8 @@ def semantic_dedup(
     assigned = df.select(F.col(id_col), F.col(vec_col)).withColumn(
         "cluster", _argmax_cell_expr(vec_col, cents)
     )
+    if persist:
+        assigned = assigned.persist()
     a = assigned.alias("a")
     b = assigned.alias("b")
     dup_ids = (

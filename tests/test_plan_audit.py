@@ -454,3 +454,43 @@ def test_balanced_sample_min_count_broadcast(plans):
     p = plans("sample_balanced_docs")
     assert "BroadcastNestedLoop" in p or "BroadcastExchange" in p
     assert "Window" in p
+
+
+def test_semantic_dedup_expression_only_no_cartesian(plans):
+    """Cluster assignment must be pure expressions (no Python UDF)
+    and the pair join must key on cluster, never a cartesian."""
+    p = plans("semantic_dedup_docs")
+    assert "pythonUDF" not in p.lower()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_seeded_shuffle_no_global_window(plans):
+    """Positions come from per-partition windows + broadcast offsets —
+    a bare global row_number would show a Window over a SinglePartition
+    exchange feeding the full data."""
+    p = plans("shuffle_positions_docs")
+    assert "BroadcastExchange" in p  # tiny offsets table
+    assert "rangepartitioning" in p.lower()  # data split by range, not 1 reducer
+
+
+def test_match_distribution_quota_broadcast(plans):
+    p = plans("sample_match_length_docs")
+    assert "BroadcastHashJoin" in p  # per-bucket quota join
+    assert "pythonUDF" not in p.lower()
+
+
+def test_png_roundtrip_all_python_stays_arrow(plans):
+    """The codec round-trip is necessarily Python — but it must be
+    Arrow-batched mapInPandas, never row-at-a-time BatchEvalPython."""
+    p = plans("png_roundtrip_stats")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_trained_ivf_no_corpus_shuffle(plans):
+    p = plans("ann_topk_ivf_trained")
+    assert "pythonUDF" not in p.lower()
+    # corpus side reaches its cluster assignment without an exchange
+    # before the probe join; probes are broadcast
+    assert "BroadcastExchange" in p
