@@ -7,8 +7,8 @@ format the standard library can actually decode, making the multimodal
 resize/stats path consume REAL pixels (VERDICT round 2, missing #3).
 
 Scope (raised as errors, not silently wrong): 8-bit depth only,
-color types 0/2/3/4/6, no interlacing (Adam7 is a scatter-gather of
-seven sub-images — out of scope for the pipeline's thumbnails).
+color types 0/2/3/4/6; both progressive layouts (Adam7 interlaced and
+linear) decode.
 
 Decode speed notes: None/Up/Sub filters unfilter fully vectorized
 (Sub is a per-lane uint8 prefix sum — wraparound IS the mod-256);
@@ -59,38 +59,18 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(data: bytes):
-    """Decode a PNG into ``(pixels, mode)``: pixels is (H, W, C) uint8
-    (palette images are expanded through PLTE to RGB), mode one of
-    L / LA / RGB / RGBA / P→RGB."""
-    if not data.startswith(PNG_MAGIC):
-        raise PngError("not a PNG (bad signature)")
-    width = height = None
-    bit_depth = color_type = interlace = None
-    palette = None
-    idat = bytearray()
-    for ctype, body in _chunks(bytes(data)):
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", body)
-            )
-        elif ctype == b"PLTE":
-            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += body
-    if width is None:
-        raise PngError("missing IHDR chunk")
-    if bit_depth != 8:
-        raise PngError(f"unsupported bit depth {bit_depth} (only 8)")
-    if color_type not in _CHANNELS:
-        raise PngError(f"unsupported color type {color_type}")
-    if interlace:
-        raise PngError("interlaced (Adam7) PNG is not supported")
-    ch = _CHANNELS[color_type]
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+# Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: np.ndarray, width: int, height: int, ch: int) -> np.ndarray:
+    """Reverse the five scanline filters over ``height`` rows of
+    ``width*ch`` samples each (one filter byte per row). Returns the
+    (height, width*ch) reconstructed array."""
     stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise PngError("IDAT size does not match dimensions")
     rows = raw.reshape(height, stride + 1)
     filters = rows[:, 0]
     scan = rows[:, 1:]
@@ -123,7 +103,77 @@ def decode_png(data: bytes):
             raise PngError(f"invalid filter type {f}")
         out[y] = rec
         prev = rec
-    px = out.reshape(height, width, ch)
+    return out
+
+
+def _pass_dims(width: int, height: int):
+    """Adam7 sub-image dimensions per pass (zero-sized passes included,
+    emitted nowhere)."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        yield x0, y0, dx, dy, max(pw, 0), max(ph, 0)
+
+
+def _deinterlace_adam7(
+    raw: np.ndarray, width: int, height: int, ch: int
+) -> np.ndarray:
+    """Reassemble the seven Adam7 passes: each non-empty pass is an
+    independently-filtered sub-image scattered into the output on its
+    (start, step) grid — a strided numpy assignment per pass."""
+    px = np.empty((height, width, ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in _pass_dims(width, height):
+        if pw == 0 or ph == 0:
+            continue
+        need = ph * (pw * ch + 1)
+        chunk = raw[pos : pos + need]
+        if len(chunk) != need:
+            raise PngError("IDAT size does not match dimensions")
+        sub = _unfilter(chunk, pw, ph, ch).reshape(ph, pw, ch)
+        px[y0::dy, x0::dx] = sub
+        pos += need
+    if pos != len(raw):
+        raise PngError("IDAT size does not match dimensions")
+    return px
+
+
+def decode_png(data: bytes):
+    """Decode a PNG into ``(pixels, mode)``: pixels is (H, W, C) uint8
+    (palette images are expanded through PLTE to RGB), mode one of
+    L / LA / RGB / RGBA / P→RGB. Adam7-interlaced images are
+    deinterlaced (seven independently-filtered passes scattered on
+    their strided grids)."""
+    if not data.startswith(PNG_MAGIC):
+        raise PngError("not a PNG (bad signature)")
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    for ctype, body in _chunks(bytes(data)):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+    if width is None:
+        raise PngError("missing IHDR chunk")
+    if bit_depth != 8:
+        raise PngError(f"unsupported bit depth {bit_depth} (only 8)")
+    if color_type not in _CHANNELS:
+        raise PngError(f"unsupported color type {color_type}")
+    ch = _CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if interlace:
+        px = _deinterlace_adam7(raw, width, height, ch)
+    else:
+        stride = width * ch
+        if len(raw) != height * (stride + 1):
+            raise PngError("IDAT size does not match dimensions")
+        px = _unfilter(raw, width, height, ch).reshape(height, width, ch)
     mode = _MODES[color_type]
     if color_type == 3:
         if palette is None:
@@ -133,7 +183,12 @@ def decode_png(data: bytes):
     return px, mode
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0, mode: str | None = None) -> bytes:
+def encode_png(
+    pixels: np.ndarray,
+    filter_type: int = 0,
+    mode: str | None = None,
+    interlace: bool = False,
+) -> bytes:
     """Encode an (H, W) or (H, W, C) uint8 array as a PNG, applying one
     scanline filter type (0/1/2/3/4) to every row — exercising each
     unfilter path in round-trip tests is the point; real encoders pick
@@ -144,35 +199,49 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0, mode: str | None = None
         px = px[:, :, None]
     h, w, ch = px.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    stride = w * ch
-    flat = px.reshape(h, stride)
-    lines = bytearray()
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        rec = flat[y]
-        if filter_type == 0:
-            filt = rec
-        elif filter_type == 1:
-            left = np.concatenate([np.zeros(ch, np.uint8), rec[:-ch]])
-            filt = rec - left
-        elif filter_type == 2:
-            filt = rec - prev
-        elif filter_type == 3:
-            left = np.concatenate([np.zeros(ch, np.uint8), rec[:-ch]])
-            filt = rec - ((left.astype(np.int32) + prev.astype(np.int32)) >> 1).astype(np.uint8)
-        elif filter_type == 4:
-            filt = np.empty(stride, dtype=np.uint8)
-            for i in range(stride):
-                left = int(rec[i - ch]) if i >= ch else 0
-                up = int(prev[i])
-                ul = int(prev[i - ch]) if i >= ch else 0
-                filt[i] = (int(rec[i]) - _paeth(left, up, ul)) & 0xFF
-        else:
-            raise PngError(f"invalid filter type {filter_type}")
-        lines.append(filter_type)
-        lines += filt.tobytes()
-        prev = rec
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+
+    def filter_image(img: np.ndarray) -> bytearray:
+        ih, iw = img.shape[:2]
+        stride = iw * ch
+        flat = img.reshape(ih, stride)
+        out = bytearray()
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(ih):
+            rec = flat[y]
+            if filter_type == 0:
+                filt = rec
+            elif filter_type == 1:
+                left = np.concatenate([np.zeros(ch, np.uint8), rec[:-ch]])
+                filt = rec - left
+            elif filter_type == 2:
+                filt = rec - prev
+            elif filter_type == 3:
+                left = np.concatenate([np.zeros(ch, np.uint8), rec[:-ch]])
+                filt = rec - (
+                    (left.astype(np.int32) + prev.astype(np.int32)) >> 1
+                ).astype(np.uint8)
+            elif filter_type == 4:
+                filt = np.empty(stride, dtype=np.uint8)
+                for i in range(stride):
+                    left = int(rec[i - ch]) if i >= ch else 0
+                    up = int(prev[i])
+                    ul = int(prev[i - ch]) if i >= ch else 0
+                    filt[i] = (int(rec[i]) - _paeth(left, up, ul)) & 0xFF
+            else:
+                raise PngError(f"invalid filter type {filter_type}")
+            out.append(filter_type)
+            out += filt.tobytes()
+            prev = rec
+        return out
+
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy, pw, ph in _pass_dims(w, h):
+            if pw and ph:
+                lines += filter_image(np.ascontiguousarray(px[y0::dy, x0::dx]))
+    else:
+        lines = filter_image(px)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         crc = zlib.crc32(ctype + body) & 0xFFFFFFFF

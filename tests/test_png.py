@@ -66,10 +66,11 @@ class TestCodec:
         bad_depth[24] = 16  # IHDR bit-depth byte
         with pytest.raises(PngError, match="bit depth"):
             decode_png(bytes(bad_depth))
-        # interlaced rejected honestly
+        # flipping the interlace byte without re-laying-out the
+        # passes makes the IDAT length wrong -> loud error, not garbage
         bad_il = bytearray(good)
         bad_il[28] = 1  # IHDR interlace byte
-        with pytest.raises(PngError, match="Adam7"):
+        with pytest.raises(PngError, match="IDAT size"):
             decode_png(bytes(bad_il))
 
     def test_resize_nearest_and_stats(self):
@@ -123,3 +124,27 @@ class TestSparkIntegration:
         assert len(rows) == 1  # junk dropped
         r = rows[0]
         assert (r["px_sum"], r["px_min"], r["px_max"]) == (271, 5, 250)
+
+
+class TestAdam7:
+    def test_interlaced_roundtrip_all_filters(self):
+        rng = np.random.default_rng(11)
+        for hw in [(1, 1), (7, 7), (8, 8), (9, 13), (31, 33)]:
+            for ch in (1, 3, 4):
+                for ft in range(5):
+                    px = rng.integers(0, 256, size=(*hw, ch), dtype=np.uint8)
+                    out, _ = decode_png(encode_png(px, filter_type=ft, interlace=True))
+                    assert np.array_equal(out, px), (hw, ch, ft)
+
+    def test_interlaced_matches_linear(self):
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, size=(20, 17, 3), dtype=np.uint8)
+        a, _ = decode_png(encode_png(px, 2, interlace=False))
+        b, _ = decode_png(encode_png(px, 2, interlace=True))
+        assert np.array_equal(a, b)
+
+    def test_truncated_interlaced_raises(self):
+        px = np.zeros((9, 9, 1), dtype=np.uint8)
+        data = encode_png(px, interlace=True)
+        with pytest.raises(PngError):
+            decode_png(data[:60])
