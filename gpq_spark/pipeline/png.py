@@ -6,7 +6,8 @@ arithmetic. This replaces the honest ``decode_stub`` fake for the one
 format the standard library can actually decode, making the multimodal
 resize/stats path consume REAL pixels (VERDICT round 2, missing #3).
 
-Scope (raised as errors, not silently wrong): 8-bit depth only,
+Scope (raised as errors, not silently wrong): 8- and 16-bit depths
+(16-bit filters run on byte lanes, samples view as big-endian u16),
 color types 0/2/3/4/6; both progressive layouts (Adam7 interlaced and
 linear) decode.
 
@@ -161,20 +162,33 @@ def decode_png(data: bytes):
             idat += body
     if width is None:
         raise PngError("missing IHDR chunk")
-    if bit_depth != 8:
-        raise PngError(f"unsupported bit depth {bit_depth} (only 8)")
+    if bit_depth not in (8, 16):
+        raise PngError(f"unsupported bit depth {bit_depth} (only 8/16)")
     if color_type not in _CHANNELS:
         raise PngError(f"unsupported color type {color_type}")
+    if bit_depth == 16 and color_type == 3:
+        raise PngError("palette images cannot be 16-bit")
     ch = _CHANNELS[color_type]
+    # the five filters operate on BYTES with bpp = ch * depth/8 —
+    # 16-bit just doubles the byte lanes, then the recovered bytes
+    # view as big-endian u16 samples
+    bch = ch * (bit_depth // 8)
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if interlace:
-        px = _deinterlace_adam7(raw, width, height, ch)
+        px = _deinterlace_adam7(raw, width, height, bch)
     else:
-        stride = width * ch
+        stride = width * bch
         if len(raw) != height * (stride + 1):
             raise PngError("IDAT size does not match dimensions")
-        px = _unfilter(raw, width, height, ch).reshape(height, width, ch)
-    mode = _MODES[color_type]
+        px = _unfilter(raw, width, height, bch).reshape(height, width, bch)
+    if bit_depth == 16:
+        px = (
+            np.ascontiguousarray(px)
+            .view(">u2")
+            .astype(np.uint16)
+            .reshape(height, width, ch)
+        )
+    mode = _MODES[color_type] + (";16" if bit_depth == 16 else "")
     if color_type == 3:
         if palette is None:
             raise PngError("palette image without PLTE chunk")
@@ -194,11 +208,16 @@ def encode_png(
     unfilter path in round-trip tests is the point; real encoders pick
     per-row filters for compression only, the decoded pixels are
     identical."""
-    px = np.asarray(pixels, dtype=np.uint8)
+    arr_in = np.asarray(pixels)
+    deep = arr_in.dtype == np.uint16
+    px = arr_in if deep else arr_in.astype(np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if deep:  # 16-bit: big-endian byte lanes, filters run bytewise
+        px = np.ascontiguousarray(px.astype(">u2")).view(np.uint8).reshape(h, w, ch * 2)
+        ch = ch * 2
 
     def filter_image(img: np.ndarray) -> bytearray:
         ih, iw = img.shape[:2]
@@ -241,7 +260,7 @@ def encode_png(
                 lines += filter_image(np.ascontiguousarray(px[y0::dy, x0::dx]))
     else:
         lines = filter_image(px)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16 if deep else 8, color_type, 0, 0, 1 if interlace else 0)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         crc = zlib.crc32(ctype + body) & 0xFFFFFFFF

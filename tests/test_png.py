@@ -61,9 +61,13 @@ class TestCodec:
         good = encode_png(px)
         with pytest.raises(PngError):
             decode_png(good[:20])  # truncated
-        # 16-bit depth rejected honestly
+        # flipping the depth byte without re-laying-out samples makes
+        # the IDAT length wrong -> loud error, not garbage
         bad_depth = bytearray(good)
         bad_depth[24] = 16  # IHDR bit-depth byte
+        with pytest.raises(PngError, match="IDAT size"):
+            decode_png(bytes(bad_depth))
+        bad_depth[24] = 4  # genuinely unsupported depth
         with pytest.raises(PngError, match="bit depth"):
             decode_png(bytes(bad_depth))
         # flipping the interlace byte without re-laying-out the
@@ -148,3 +152,19 @@ class TestAdam7:
         data = encode_png(px, interlace=True)
         with pytest.raises(PngError):
             decode_png(data[:60])
+
+
+class TestSixteenBit:
+    def test_roundtrip_16bit_all_filters_both_layouts(self):
+        rng = np.random.default_rng(13)
+        for ch, mode in ((1, "L;16"), (3, "RGB;16"), (4, "RGBA;16")):
+            for ft in range(5):
+                for il in (False, True):
+                    px = rng.integers(0, 65536, size=(9, 13, ch), dtype=np.uint16)
+                    out, m = decode_png(encode_png(px, filter_type=ft, interlace=il))
+                    assert m == mode and out.dtype == np.uint16
+                    assert np.array_equal(out, px), (ch, ft, il)
+
+    def test_16bit_pixel_stats_exact(self):
+        s = pixel_stats(np.array([[1, 65535]], dtype=np.uint16))
+        assert s["px_sum"] == 65536 and s["px_max"] == 65535
