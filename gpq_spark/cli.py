@@ -7,6 +7,7 @@ against this engine:
 
     python -m gpq_spark convert in.geojson out.parquet
     python -m gpq_spark validate in.parquet [--metadata-only] [--format json]
+    python -m gpq_spark validate-many 'lake/*.parquet' [--format json]
     python -m gpq_spark describe in.parquet [--format json] [--metadata-only]
     python -m gpq_spark extract in.parquet out.parquet --bbox=-180,-90,180,90
 
@@ -88,6 +89,40 @@ def cmd_convert(args) -> int:
             as_file=True,
         )
     return 0
+
+
+def cmd_validate_many(args) -> int:
+    """Fleet validation: every input file validated distributed, one
+    summary row per file (validate.validate_many). Exit 0 only when
+    every file passes every run check."""
+    from pyspark.sql import SparkSession
+
+    from .validate import validate_many
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("gpq-validate-many")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    targets = (
+        args.inputs[0]
+        if len(args.inputs) == 1 and any(c in args.inputs[0] for c in "*?[")
+        else args.inputs
+    )
+    rows = [r.asDict() for r in validate_many(
+        spark, targets, metadata_only=args.metadata_only
+    ).collect()]
+    if args.format == "json":
+        print(json.dumps(rows, indent=None if args.unpretty else 2))
+    else:
+        for r in rows:
+            mark = "ok" if r["all_passed"] else "FAIL"
+            extra = f" ({r['first_failure']})" if r["first_failure"] else ""
+            print(f"{mark:4} {r['path']}: {r['n_passed']}/{r['n_run']}{extra}")
+        n_bad = sum(1 for r in rows if not r["all_passed"])
+        print(f"{len(rows) - n_bad}/{len(rows)} files passed")
+    return 0 if all(r["all_passed"] for r in rows) else 1
 
 
 def cmd_validate(args) -> int:
@@ -341,6 +376,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--unpretty", action="store_true")
     p.add_argument("--format", default="text", choices=["text", "json"])
     p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser(
+        "validate-many", help="Validate many GeoParquet files (distributed)"
+    )
+    p.add_argument("inputs", nargs="+", help="File paths or one glob pattern")
+    p.add_argument("--metadata-only", action="store_true")
+    p.add_argument("--unpretty", action="store_true")
+    p.add_argument("--format", default="text", choices=["text", "json"])
+    p.add_argument("--master", default="local[*]")
+    p.set_defaults(fn=cmd_validate_many)
 
     p = sub.add_parser("describe", help="Describe a GeoParquet file")
     p.add_argument("input")

@@ -33,7 +33,9 @@ def _build_zip() -> str:
     sources = []
     for root, _dirs, files in os.walk(pkg):
         for name in files:
-            if name.endswith(".py"):
+            # .py modules plus package data executors need (vendored
+            # schemas, trained-ANN fixtures)
+            if name.endswith((".py", ".json")):
                 path = os.path.join(root, name)
                 sources.append(path)
                 newest = max(newest, os.path.getmtime(path))

@@ -1,3 +1,3 @@
-from .validator import Validator, validate, validate_df
+from .validator import Validator, validate, validate_df, validate_many
 
-__all__ = ["Validator", "validate", "validate_df"]
+__all__ = ["Validator", "validate", "validate_df", "validate_many"]

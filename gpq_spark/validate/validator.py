@@ -85,8 +85,24 @@ class Rule:
 
 
 def _default_schema_loader(url: str) -> dict:
+    """Resolve known proj.org PROJJSON schema URLs to the VENDORED
+    public copies (gpq_spark/validate/schemas/ — standards data, see
+    its README) so crs validation works offline; anything else fetches
+    over the network. A custom ``schema_loader`` overrides both."""
+    import os
+    import re
     import urllib.request
 
+    m = re.fullmatch(
+        r"https?://proj\.org/schemas/(v\d+\.\d+)/projjson\.schema\.json", url
+    )
+    if m:
+        path = os.path.join(
+            os.path.dirname(__file__), "schemas", "projjson", f"{m.group(1)}.json"
+        )
+        if os.path.exists(path):
+            with open(path) as fh:
+                return json.load(fh)
     with urllib.request.urlopen(url, timeout=10) as resp:  # pragma: no cover
         return json.loads(resp.read().decode())
 
@@ -756,3 +772,67 @@ def validate_df(spark, path: str, schema_loader: Callable[[str], dict] | None = 
         aggs.append(F.lit(0).alias("bad_bounds"))
     scan_df = df.agg(*aggs)
     return report, scan_df
+
+
+def validate_many(spark, paths, metadata_only: bool = False):
+    """Fleet validation: run the 20-rule validator over MANY GeoParquet
+    files distributed — one task per file batch, the whole report
+    reduced to one row per file. The reference validates one file per
+    process invocation (cmd/gpq/command/validate.go); a 100 TB lake is
+    thousands of files, so the fleet shape is a DataFrame of paths fed
+    through mapInPandas, each executor validating its files locally
+    (bounded memory per task: the validator reads footer + row groups
+    streaming). Output: (path, n_run, n_passed, all_passed,
+    first_failure) — the aggregate a data-lake gate asserts on.
+
+    ``paths``: a list of file paths, or a glob string.
+    """
+    import glob as _glob
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(spark)
+    if isinstance(paths, str):
+        paths = sorted(_glob.glob(paths))
+    if not paths:
+        raise ValueError("validate_many: no input files")
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    n_part = max(1, min(len(paths), spark.sparkContext.defaultParallelism * 2))
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for p in b["path"]:
+                try:
+                    rep = validate(p, metadata_only=metadata_only)
+                    run_checks = [c for c in rep["checks"] if c["run"]]
+                    failed = [c for c in run_checks if not c["passed"]]
+                    rows.append(
+                        (
+                            p,
+                            len(run_checks),
+                            len(run_checks) - len(failed),
+                            not failed,
+                            failed[0]["title"] if failed else None,
+                        )
+                    )
+                except Exception as exc:  # unreadable/corrupt file
+                    rows.append((p, 0, 0, False, f"error: {exc}"[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "n_run", "n_passed", "all_passed", "first_failure"],
+            )
+
+    return (
+        pdf.repartition(n_part)
+        .mapInPandas(
+            run,
+            schema="path string, n_run int, n_passed int, "
+            "all_passed boolean, first_failure string",
+        )
+        .orderBy(F.col("path"))
+    )

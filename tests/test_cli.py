@@ -225,3 +225,31 @@ class TestParityCommand:
         out = capsys.readouterr().out
         assert rc == 0
         assert "1/1 matched" in out
+
+
+def test_cli_validate_many(spark, capsys):
+    """Fleet subcommand drives the distributed validator end to end;
+    exit code reflects the aggregate verdict."""
+    import json as _json
+
+    from gpq_spark.cli import main
+
+    rc = main([
+        "validate-many",
+        "/root/reference/internal/testdata/cases/example-v1.0.0.parquet",
+        "/root/reference/internal/testdata/cases/example-v1.1.0.parquet",
+        "--format", "json",
+    ])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert len(out) == 2 and all(r["all_passed"] for r in out)
+
+
+def test_cli_validate_many_bad_file(spark, tmp_path, capsys):
+    from gpq_spark.cli import main
+
+    bad = tmp_path / "junk.parquet"
+    bad.write_bytes(b"nope")
+    rc = main(["validate-many", str(bad)])
+    capsys.readouterr()
+    assert rc == 1

@@ -89,3 +89,48 @@ def test_golden_case(spark, tmp_path, case):
         assert got.get("message") == exp.get("message"), (
             f"{ctx}: message {got.get('message')!r} != {exp.get('message')!r}"
         )
+
+
+class TestValidateMany:
+    """Fleet validation: the 20-rule validator distributed over many
+    files via mapInPandas — one row per file, errors latched per file."""
+
+    def test_reference_case_corpus(self, spark):
+        import glob
+
+        from gpq_spark.validate import validate, validate_many
+
+        pattern = "/root/reference/internal/testdata/cases/example-v*.parquet"
+        paths = sorted(glob.glob(pattern))
+        assert len(paths) >= 5
+        rows = {r["path"]: r for r in validate_many(spark, pattern).collect()}
+        assert sorted(rows) == paths
+        # every per-file row agrees with the single-file validator
+        for p in paths:
+            rep = validate(p)
+            run = [c for c in rep["checks"] if c["run"]]
+            ok = all(c["passed"] for c in run)
+            assert rows[p]["all_passed"] == ok, p
+            assert rows[p]["n_run"] == len(run)
+
+    def test_bad_file_is_latched_not_fatal(self, spark, tmp_path):
+        from gpq_spark.validate import validate_many
+
+        good = "/root/reference/internal/testdata/cases/example-v1.0.0.parquet"
+        bad = tmp_path / "junk.parquet"
+        bad.write_bytes(b"not parquet at all")
+        rows = {
+            r["path"]: r
+            for r in validate_many(spark, [good, str(bad)]).collect()
+        }
+        assert rows[good]["all_passed"] is True
+        assert rows[str(bad)]["all_passed"] is False
+        assert rows[str(bad)]["first_failure"]
+
+    def test_empty_input_raises(self, spark):
+        import pytest
+
+        from gpq_spark.validate import validate_many
+
+        with pytest.raises(ValueError, match="no input files"):
+            validate_many(spark, [])
