@@ -11418,3 +11418,60 @@ def sample_match_length_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", F.length("text"), [0, 200, 400, 800],
         [0.1, 0.4, 0.4, 0.1], seed=42,
     )
+
+
+# centroid oracle: replicate the kernel's EXACT op sequence per shape —
+# all intermediate products are dyadic-rational (exact in float64), and
+# the line case multiplies then divides by the same sqrt(13) so both
+# engines round identically
+_CTR_PX = _PX
+_CTR_PY = _PY
+_CTR_CROSS1 = f"(({_CTR_PX}) * ({_CTR_PY}) - (({_CTR_PX}) + 4) * ({_CTR_PY}))"
+_CTR_CROSS2 = (
+    f"((({_CTR_PX}) + 4) * (({_CTR_PY}) + 3) - ({_CTR_PX}) * ({_CTR_PY}))"
+)
+_CTR_CROSS3 = f"(({_CTR_PX}) * ({_CTR_PY}) - ({_CTR_PX}) * (({_CTR_PY}) + 3))"
+_CTR_AX = (
+    f"((2 * ({_CTR_PX}) + 4) * {_CTR_CROSS1}"
+    f" + (2 * ({_CTR_PX}) + 4) * {_CTR_CROSS2}"
+    f" + (2 * ({_CTR_PX})) * {_CTR_CROSS3})"
+)
+_CTR_AY = (
+    f"((2 * ({_CTR_PY})) * {_CTR_CROSS1}"
+    f" + (2 * ({_CTR_PY}) + 3) * {_CTR_CROSS2}"
+    f" + (2 * ({_CTR_PY}) + 3) * {_CTR_CROSS3})"
+)
+
+
+@register(
+    "geo_centroid",
+    f"""
+    SELECT c_custkey,
+           CASE c_custkey % 3
+             WHEN 0 THEN {_CTR_PX}
+             WHEN 1 THEN (0.5 * (({_CTR_PX}) + (({_CTR_PX}) + 2)) * sqrt(13.0)) / sqrt(13.0)
+             ELSE {_CTR_AX} / (3.0 * 12.0)
+           END AS cx,
+           CASE c_custkey % 3
+             WHEN 0 THEN {_CTR_PY}
+             WHEN 1 THEN (0.5 * (({_CTR_PY}) + (({_CTR_PY}) + 3)) * sqrt(13.0)) / sqrt(13.0)
+             ELSE {_CTR_AY} / (3.0 * 12.0)
+           END AS cy
+    FROM customer
+    """,
+)
+def geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE mass centroid (st_centroid) over synthesized geometry —
+    point identity, length-weighted line midpoint, area-weighted
+    polygon centroid — computed through the vectorized measures kernel
+    and matched bit-for-bit by an oracle that replicates the kernel's
+    exact op sequence (dyadic-rational coordinates keep every product
+    exact; the line case multiplies and divides by the same sqrt)."""
+    from .functions.geometry import st_wkt_to_wkb
+    from .functions.measures import st_centroid
+
+    wkt_df = _geo_wkt_df(spark, sf_dir)
+    c = st_centroid(st_wkt_to_wkb("wkt"))
+    return wkt_df.select(
+        "c_custkey", c["x"].alias("cx"), c["y"].alias("cy")
+    )

@@ -62,6 +62,7 @@ def register_sql_functions(spark) -> list[str]:
         "st_area": M._area_udf,
         "st_length": M._length_udf,
         "st_centroid_env": M._centroid_udf,
+        "st_measures": __import__("gpq_spark.functions.geometry", fromlist=["x"])._measures_udf,
     }
     for name, udf in udfs.items():
         spark.udf.register(name, udf)

@@ -428,6 +428,8 @@ MEASURES_TYPE = T.StructType(
         T.StructField("n_points", T.LongType()),
         T.StructField("area", T.DoubleType()),
         T.StructField("length", T.DoubleType()),
+        T.StructField("cx", T.DoubleType()),
+        T.StructField("cy", T.DoubleType()),
     ]
 )
 
@@ -449,29 +451,35 @@ def _kernel_scan_measures(s: pd.Series):
             np.zeros(n, dtype=np.int64),
             np.zeros(n, dtype=np.float64),
             np.zeros(n, dtype=np.float64),
+            np.full(n, np.nan),
+            np.full(n, np.nan),
         )
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
         return None
     out = wkb_scan_values(arr, want_bounds=False, want_measures=True)
-    return out[5], out[6], out[7]
+    return out[5], out[6], out[7], out[8], out[9]
 
 
 @F.pandas_udf(MEASURES_TYPE)
 def _measures_udf(s: pd.Series) -> pd.DataFrame:
     r = _kernel_scan_measures(s)
     if r is None:  # WKT strings: scalar codec
-        from ..geoparquet.stats import _scalar_measures
+        from ..geoparquet.stats import _scalar_centroid, _scalar_measures
 
         def m(v):
             g = _decode_any(v)
             if g is None:
-                return (0, 0.0, 0.0)
-            return _scalar_measures(g)
+                return (0, 0.0, 0.0, float("nan"), float("nan"))
+            return _scalar_measures(g) + _scalar_centroid(g)
 
         rows = s.map(m)
-        return pd.DataFrame(rows.tolist(), columns=["n_points", "area", "length"])
-    npts, a, ln = r
-    return pd.DataFrame({"n_points": npts, "area": a, "length": ln})
+        return pd.DataFrame(
+            rows.tolist(), columns=["n_points", "area", "length", "cx", "cy"]
+        )
+    npts, a, ln, cx, cy = r
+    return pd.DataFrame(
+        {"n_points": npts, "area": a, "length": ln, "cx": cx, "cy": cy}
+    )
 
 
 def st_num_points(col: Column | str) -> Column:

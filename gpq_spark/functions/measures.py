@@ -126,3 +126,16 @@ def st_length(col: Column | str) -> Column:
 def st_centroid_env(col: Column | str) -> Column:
     """Envelope-center point as struct<x, y>."""
     return _centroid_udf(_c(col))
+
+
+def st_centroid(col: Column | str) -> Column:
+    """TRUE mass centroid as struct<x, y> (PostGIS-style dimension
+    precedence): area-weighted for areal geometries
+    (orientation-corrected ring signs, holes subtract), length-weighted
+    segment midpoints for linear ones, vertex mean for point masses.
+    WKB path is fully vectorized through the measures kernel; null for
+    empty geometries."""
+    from .geometry import _measures_udf
+
+    m = _measures_udf(_c(col))
+    return F.struct(m["cx"].alias("x"), m["cy"].alias("y"))

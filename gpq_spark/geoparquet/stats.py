@@ -655,9 +655,12 @@ def wkb_scan_values(
     n_points = np.zeros(n, dtype=np.int64)
     area = np.zeros(n, dtype=np.float64)
     length = np.zeros(n, dtype=np.float64)
+    macc = _MeasureAcc(n) if want_measures else None
+    cx = np.full(n, np.nan)
+    cy = np.full(n, np.nan)
     out = (names, xmin, ymin, xmax, ymax)
     if want_measures:
-        out = out + (n_points, area, length)
+        out = out + (n_points, area, length, cx, cy)
     if n == 0:
         return out
     starts, ends, valid, data = _binary_parts(arr)
@@ -681,6 +684,7 @@ def wkb_scan_values(
             n_points[row] = np_
             area[row] = a_
             length[row] = l_
+            cx[row], cy[row] = _scalar_centroid(g)
 
     # Malformed headers: canonical scalar error
     for i in np.nonzero(~ok)[0]:
@@ -711,7 +715,7 @@ def wkb_scan_values(
     pts &= fits
     if want_measures and pts.any():
         n_points[sel[pts]] += 1
-    if want_bounds:
+    if want_bounds or want_measures:
         for mask, is_le in ((pts & little, True), (pts & ~little, False)):
             if not mask.any():
                 continue
@@ -719,10 +723,15 @@ def wkb_scan_values(
             xs, ys = _gather_xy(data, off, is_le)
             good = ~(np.isnan(xs) | np.isnan(ys))
             rows = sel[mask][good]
-            xmin[rows] = xs[good]
-            xmax[rows] = xs[good]
-            ymin[rows] = ys[good]
-            ymax[rows] = ys[good]
+            if want_bounds:
+                xmin[rows] = xs[good]
+                xmax[rows] = xs[good]
+                ymin[rows] = ys[good]
+                ymax[rows] = ys[good]
+            if want_measures:
+                macc.px[rows] += xs[good]
+                macc.py[rows] += ys[good]
+                macc.pn[rows] += 1.0
 
     # LineString/Polygon/Multi* in the common shape (LE, 2D, no SRID):
     # lockstep vectorized collection; values that leave the shape
@@ -730,12 +739,14 @@ def wkb_scan_values(
     # their partial runs are safe to union afterwards).
     vec = _VecRuns()
     common = plain & little & ~srid & ~has_z
+    demoted_rows: list[int] = []
     for b, mcode in ((2, 0), (3, 0), (4, 1), (5, 2), (6, 3)):
         m = common & (base == b)
         if m.any():
             _bs, _be, bo = _vec_collect(data, s[m], e[m], sel[m], b, mcode, vec)
             for o in bo:
                 scalar_row(int(o))
+                demoted_rows.append(int(o))
 
     # Non-common shapes (Z / big-endian / SRID) + GeometryCollection:
     # per-value structural walk (O(rings) Python), one vectorized
@@ -783,10 +794,26 @@ def wkb_scan_values(
                     rstarts, rcounts, rowners, dim, is_le,
                 )
             if want_measures:
+                # demoted values (e.g. a valid big-endian Multi* member)
+                # were finalized by the scalar twin — their PARTIAL runs
+                # are safe in the envelope union but would double-count
+                # in the measure sums
+                if demoted_rows:
+                    keep = ~np.isin(rowners, np.asarray(demoted_rows))
+                    m_starts, m_counts = rstarts[keep], rcounts[keep]
+                    m_owners, m_rings = rowners[keep], rrings[keep]
+                else:
+                    m_starts, m_counts = rstarts, rcounts
+                    m_owners, m_rings = rowners, rrings
                 _seg_measures_update(
-                    n_points, area, length, data,
-                    rstarts, rcounts, rowners, rrings, dim, is_le,
+                    n_points, area, length, macc, data,
+                    m_starts, m_counts, m_owners, m_rings, dim, is_le,
                 )
+    if want_measures:
+        kcx, kcy = macc.centroid()
+        done = ~np.isnan(cx)  # scalar-fallback rows already final
+        cx[~done] = kcx[~done]
+        cy[~done] = kcy[~done]
     return out
 
 
@@ -848,10 +875,41 @@ def _scalar_measures(g) -> tuple[int, float, float]:
     return np_, a_, l_
 
 
+class _MeasureAcc:
+    """Per-owner accumulators for measures + centroid selection:
+    area-weighted centroid numerators (orientation-corrected ring
+    signs), length-weighted segment midpoints, and point masses — the
+    highest-dimension mass present decides the centroid, PostGIS-style.
+    """
+
+    def __init__(self, n: int):
+        z = lambda: np.zeros(n, dtype=np.float64)  # noqa: E731
+        self.ax, self.ay, self.a2 = z(), z(), z()
+        self.lx, self.ly, self.ll = z(), z(), z()
+        self.px, self.py, self.pn = z(), z(), z()
+        self.has_ring = np.zeros(n, dtype=bool)
+
+    def centroid(self):
+        """(cx, cy) per owner, NaN where undefined."""
+        cx = np.full(len(self.ax), np.nan)
+        cy = np.full(len(self.ax), np.nan)
+        use_a = self.has_ring & (self.a2 != 0.0)
+        cx[use_a] = self.ax[use_a] / (3.0 * self.a2[use_a])
+        cy[use_a] = self.ay[use_a] / (3.0 * self.a2[use_a])
+        use_l = ~use_a & (self.ll > 0.0)
+        cx[use_l] = self.lx[use_l] / self.ll[use_l]
+        cy[use_l] = self.ly[use_l] / self.ll[use_l]
+        use_p = ~use_a & ~use_l & (self.pn > 0.0)
+        cx[use_p] = self.px[use_p] / self.pn[use_p]
+        cy[use_p] = self.py[use_p] / self.pn[use_p]
+        return cx, cy
+
+
 def _seg_measures_update(
     n_points: np.ndarray,
     area: np.ndarray,
     length: np.ndarray,
+    acc,
     data: np.ndarray,
     rstarts: np.ndarray,
     rcounts: np.ndarray,
@@ -884,6 +942,19 @@ def _seg_measures_update(
     n_points[so[segs]] += np.add.reduceat(sc, segs)
 
     mask = rcounts >= 2  # runs with at least one segment
+    if acc is not None:
+        # point-mass vertices: single-vertex runs (Point / MultiPoint
+        # members); NaN empty markers skipped
+        single = ~mask
+        if single.any():
+            sp = rstarts[single]
+            sxs, sys_ = _gather_xy(data, sp, little)
+            good = ~(np.isnan(sxs) | np.isnan(sys_))
+            if good.any():
+                sow = rowners[single][good]
+                np.add.at(acc.px, sow, sxs[good])
+                np.add.at(acc.py, sow, sys_[good])
+                np.add.at(acc.pn, sow, 1.0)
     if not mask.any():
         return
     rs, rc, ro, rk = rstarts[mask], rcounts[mask], rowners[mask], rkinds[mask]
@@ -908,9 +979,122 @@ def _seg_measures_update(
     ring_area = np.where(
         rk == 1, np.abs(ring_a2), np.where(rk == 2, -np.abs(ring_a2), 0.0)
     ) / 2.0
+    # centroid numerators: area term per ring edge (x_i + x_{i+1})*cross,
+    # orientation-corrected so exteriors weigh +, holes − regardless of
+    # stored winding; length term per segment midpoint * seglen
+    nx_e = (xs[:-1] + xs[1:]) * prod
+    ny_e = (ys[:-1] + ys[1:]) * prod
+    mx_e = 0.5 * (xs[:-1] + xs[1:]) * seg_len
+    my_e = 0.5 * (ys[:-1] + ys[1:]) * seg_len
+    if cut.size:
+        nx_e[cut] = 0.0
+        ny_e[cut] = 0.0
+        mx_e[cut] = 0.0
+        my_e[cut] = 0.0
+    ring_nx = np.add.reduceat(nx_e, run_first)
+    ring_ny = np.add.reduceat(ny_e, run_first)
+    run_mx = np.add.reduceat(mx_e, run_first)
+    run_my = np.add.reduceat(my_e, run_first)
+    sign = np.sign(ring_a2)
+    s_r = np.where(rk == 1, sign, np.where(rk == 2, -sign, 0.0))
     order = np.argsort(ro, kind="stable")
     so = ro[order]
     segs = np.nonzero(np.r_[True, so[1:] != so[:-1]])[0]
     rows = so[segs]
     length[rows] += np.add.reduceat(run_len[order], segs)
     area[rows] += np.add.reduceat(ring_area[order], segs)
+    if acc is not None:
+        acc.ax[rows] += np.add.reduceat((s_r * ring_nx)[order], segs)
+        acc.ay[rows] += np.add.reduceat((s_r * ring_ny)[order], segs)
+        acc.a2[rows] += np.add.reduceat((s_r * ring_a2)[order], segs)
+        acc.lx[rows] += np.add.reduceat(run_mx[order], segs)
+        acc.ly[rows] += np.add.reduceat(run_my[order], segs)
+        acc.ll[rows] += np.add.reduceat(run_len[order], segs)
+        is_ring = rk >= 1
+        if is_ring.any():
+            acc.has_ring[np.unique(ro[is_ring])] = True
+
+
+def _scalar_centroid(g) -> tuple[float, float]:
+    """Scalar twin of the kernel centroid: area-weighted for areal
+    geometries (orientation-corrected ring signs), length-weighted
+    segment midpoints for linear ones, vertex mean for point masses;
+    (nan, nan) when undefined."""
+    import math
+
+    ax = ay = a2 = 0.0
+    lx = ly = ll = 0.0
+    px = py = pn = 0.0
+    has_ring = False
+
+    def add_line(coords) -> None:
+        nonlocal lx, ly, ll
+        for i in range(len(coords) - 1):
+            x0, y0 = coords[i][0], coords[i][1]
+            x1, y1 = coords[i + 1][0], coords[i + 1][1]
+            w = math.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2)
+            lx += 0.5 * (x0 + x1) * w
+            ly += 0.5 * (y0 + y1) * w
+            ll += w
+
+    def add_ring(ring, exterior: bool) -> None:
+        nonlocal ax, ay, a2, has_ring
+        has_ring = True
+        r_a2 = r_nx = r_ny = 0.0
+        for i in range(len(ring) - 1):
+            x0, y0 = ring[i][0], ring[i][1]
+            x1, y1 = ring[i + 1][0], ring[i + 1][1]
+            cross = x0 * y1 - x1 * y0
+            r_a2 += cross
+            r_nx += (x0 + x1) * cross
+            r_ny += (y0 + y1) * cross
+        s = math.copysign(1.0, r_a2) if r_a2 != 0 else 0.0
+        if not exterior:
+            s = -s
+        ax += s * r_nx
+        ay += s * r_ny
+        a2 += s * r_a2
+        add_line(ring)
+
+    def add_point(p) -> None:
+        nonlocal px, py, pn
+        if math.isnan(p[0]) or math.isnan(p[1]):
+            return
+        px += p[0]
+        py += p[1]
+        pn += 1.0
+
+    def walk(geom) -> None:
+        t = geom["type"]
+        if t == "GeometryCollection":
+            for m in geom.get("geometries", []):
+                walk(m)
+            return
+        c = geom.get("coordinates")
+        if t == "Point":
+            add_point(c)
+        elif t == "MultiPoint":
+            for p in c:
+                add_point(p)
+        elif t == "LineString":
+            add_line(c)
+        elif t == "MultiLineString":
+            for line in c:
+                add_line(line)
+        elif t == "Polygon":
+            for i, r in enumerate(c):
+                add_ring(r, i == 0)
+        elif t == "MultiPolygon":
+            for poly in c:
+                for i, r in enumerate(poly):
+                    add_ring(r, i == 0)
+
+    if g is not None:
+        walk(g)
+    if has_ring and a2 != 0.0:
+        return ax / (3.0 * a2), ay / (3.0 * a2)
+    if ll > 0.0:
+        return lx / ll, ly / ll
+    if pn > 0.0:
+        return px / pn, py / pn
+    return float("nan"), float("nan")

@@ -401,7 +401,8 @@ class TestWkbMeasuresKernel:
 
         vals = [wkb.dumps(g) for g in self.GEOMS] + [None]
         arr = pa.array(vals, type=pa.binary())
-        *_rest, npts, area, length = wkb_scan_values(arr, want_measures=True)
+        out = wkb_scan_values(arr, want_measures=True)
+        npts, area, length = out[5], out[6], out[7]
         for i, g in enumerate(self.GEOMS):
             assert area[i] == _area(g), (i, area[i], _area(g))
             assert abs(length[i] - _length(g)) < 1e-12, (i, length[i], _length(g))
@@ -430,3 +431,86 @@ class TestWkbMeasuresKernel:
         assert rows[2]["a"] == 15.0 and rows[2]["l"] == 20.0 and rows[2]["n"] == 10
         assert rows[3]["a"] == 4.5
         assert rows[0]["a"] == 0.0 and rows[0]["n"] == 1
+
+
+class TestCentroidKernel:
+    def test_dimension_precedence_and_values(self, spark):
+        from gpq_spark.functions.measures import st_centroid
+
+        geoms = [
+            (0, {"type": "Point", "coordinates": [1.0, 2.0]}, (1, 2)),
+            (1, {"type": "LineString", "coordinates": [[0, 0], [4, 0]]}, (2, 0)),
+            (
+                2,
+                {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+                        [[1, 1], [1, 3], [3, 3], [3, 1], [1, 1]],
+                    ],
+                },
+                (2, 2),  # symmetric hole keeps the center
+            ),
+            (
+                3,
+                {
+                    "type": "GeometryCollection",
+                    "geometries": [
+                        {"type": "Point", "coordinates": [100, 100]},
+                        {
+                            "type": "Polygon",
+                            "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]],
+                        },
+                    ],
+                },
+                (1, 1),  # areal mass wins over the far point
+            ),
+        ]
+        df = spark.createDataFrame(
+            [(i, bytearray(wkb.dumps(g))) for i, g, _ in geoms],
+            "id long, geom binary",
+        )
+        c = st_centroid("geom")
+        rows = {r["id"]: r for r in df.select("id", c["x"].alias("x"), c["y"].alias("y")).collect()}
+        for i, _g, (ex, ey) in geoms:
+            assert abs(rows[i]["x"] - ex) < 1e-12 and abs(rows[i]["y"] - ey) < 1e-12, i
+
+    def test_big_endian_member_no_double_count(self):
+        """A Multi* with a valid big-endian member demotes to the
+        scalar twin — its PARTIAL collected runs must not also feed the
+        measure sums (regression: area/length double-counted)."""
+        import struct
+
+        import pyarrow as pa
+
+        from gpq_spark.geoparquet.stats import (
+            _scalar_centroid,
+            _scalar_measures,
+            wkb_scan_values,
+        )
+
+        def be_polygon(rings):
+            out = struct.pack(">BI", 0, 3) + struct.pack(">I", len(rings))
+            for r_ in rings:
+                out += struct.pack(">I", len(r_))
+                for x, y in r_:
+                    out += struct.pack(">2d", x, y)
+            return out
+
+        mp = struct.pack("<BII", 1, 6, 2)
+        mp += wkb.dumps(
+            {"type": "Polygon", "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]]}
+        )
+        mp += be_polygon([[[10, 0], [12, 0], [12, 2], [10, 2], [10, 0]]])
+        g_eq = {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]],
+                [[[10, 0], [12, 0], [12, 2], [10, 2], [10, 0]]],
+            ],
+        }
+        out = wkb_scan_values(pa.array([bytes(mp)], type=pa.binary()), want_measures=True)
+        en, ea, el = _scalar_measures(g_eq)
+        assert (out[5][0], out[6][0], out[7][0]) == (en, ea, el)
+        ecx, ecy = _scalar_centroid(g_eq)
+        assert (out[8][0], out[9][0]) == (ecx, ecy)
