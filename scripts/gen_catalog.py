@@ -26,9 +26,9 @@ GROUPS = [
      r"|changepoint|pattern|outliers|cohort|rfm|nation_part|latency|growth|top_paths|market_share|hhi|gini|pareto)"),
     ("Graph analytics", r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa)"),
     ("Governance & auditing", r"^q_(kanon|corpus_diff|data_constraints|split_leakage)"),
-    ("Deduplication & decontamination", r"^(dedup_|decontam)"),
+    ("Deduplication & decontamination", r"^(dedup_|decontam|semantic_)"),
     ("Similarity search & embeddings", r"^(ann_|ivf_|embed_|pq_)"),
-    ("Text analysis & corpus ops", r"^(text_|rank_|sample_|pack_|profile_|skew_)"),
+    ("Text analysis & corpus ops", r"^(text_|rank_|sample_|pack_|profile_|skew_|shuffle_)"),
     ("Sketches", r"^q_(sketch|bloom)"),
     ("Geospatial", r"^geo_"),
     ("Structured Streaming", r"^stream_"),
