@@ -11475,3 +11475,57 @@ def geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wkt_df.select(
         "c_custkey", c["x"].alias("cx"), c["y"].alias("cy")
     )
+
+
+def _zorder_duck_interleave(norm_cols: list[str], bits: int) -> str:
+    n = len(norm_cols)
+    terms = []
+    for j, c in enumerate(norm_cols):
+        for i in range(bits):
+            pos = i * n + (n - 1 - j)
+            terms.append(f"((({c} >> {i}) & 1) << {pos})")
+    return " + ".join(terms)
+
+
+def _zorder_duck_norm(col: str, mn: str, mx: str, bits: int) -> str:
+    top = float((1 << bits) - 1)
+    return (
+        f"CAST(floor((CAST({col} AS DOUBLE) - CAST({mn} AS DOUBLE)) * {top} / "
+        f"(CAST({mx} AS DOUBLE) - CAST({mn} AS DOUBLE))) AS BIGINT)"
+    )
+
+
+@register(
+    "zorder_orders",
+    f"""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    mm AS (SELECT min(o_custkey) AS k0, max(o_custkey) AS k1,
+                  min(cents) AS c0, max(cents) AS c1 FROM o),
+    nrm AS (SELECT o_orderkey,
+                   {_zorder_duck_norm('o_custkey', 'k0', 'k1', 16)} AS za,
+                   {_zorder_duck_norm('cents', 'c0', 'c1', 16)} AS zb
+            FROM o, mm)
+    SELECT o_orderkey, CAST({_zorder_duck_interleave(['za', 'zb'], 16)} AS BIGINT) AS zkey
+    FROM nrm
+    """,
+)
+def zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (customer, price-cents): linear
+    min/max bucketing to 16 bits per column, bits interleaved — the
+    lakehouse OPTIMIZE ZORDER BY layout as pure Spark expressions
+    (pipeline.layout). Writing range-partitioned and sorted by this key
+    gives files narrow min/max ranges on BOTH columns, so predicate
+    data skipping prunes on either. The key is fully deterministic
+    (exact min/max, no sampled quantiles), hence the exact oracle."""
+    from .pipeline.layout import with_zorder_key
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return with_zorder_key(o, ["o_custkey", "cents"], bits=16).select(
+        "o_orderkey", "zkey"
+    )

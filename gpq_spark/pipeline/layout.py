@@ -1,0 +1,86 @@
+"""Multi-column data layout: Z-order clustering for scan pruning.
+
+Parquet data skipping works off per-file (and per-row-group) min/max
+statistics: a scan with predicates on ``custkey`` AND ``price`` prunes
+a file only if the file's value RANGES are narrow on those columns.
+Sorting by one column narrows one range; Z-ORDERING interleaves the
+bits of several normalized columns so files are narrow on ALL of them
+— the standard lakehouse layout optimization (Delta/Iceberg
+``OPTIMIZE ZORDER BY``), here as plain Spark expressions.
+
+Shape: one tiny min/max aggregate per call (broadcast back), then the
+z-key is a pure per-row expression — map-side, codegen'd, no Python —
+followed by a range repartition + within-partition sort on the key,
+which is exactly one shuffle. Deterministic: linear min/max bucketing
+(not sampled quantiles), so the key — and the oracle — never depends
+on partitioning or sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key_expr(norm_cols: list[str], bits: int) -> Column:
+    """Bit-interleave expression over already-normalized integer
+    columns (each in [0, 2^bits)): column j contributes its bit i at
+    output position ``i * n + (n - 1 - j)`` — the classic Morton
+    layout generalized to n columns. Pure integer arithmetic, also
+    valid ANSI SQL (the oracle runs the same formula)."""
+    n = len(norm_cols)
+    terms = []
+    for j, c in enumerate(norm_cols):
+        for i in range(bits):
+            out_pos = i * n + (n - 1 - j)
+            terms.append(f"(shiftleft(shiftright({c}, {i}) & 1, {out_pos}))")
+    return F.expr(" + ".join(terms)).cast("long")
+
+
+def normalize_minmax_expr(col: str, vmin, vmax, bits: int) -> Column:
+    """Linear min/max bucketing of a value into [0, 2^bits): floor of
+    one float64 division — deterministic, identical in any SQL engine.
+    Degenerate (constant) columns map to bucket 0."""
+    top = (1 << bits) - 1
+    if vmax <= vmin:
+        return F.lit(0).cast("long")
+    return F.expr(
+        f"CAST(floor((CAST({col} AS DOUBLE) - CAST({vmin} AS DOUBLE)) * "
+        f"{float(top)} / (CAST({vmax} AS DOUBLE) - CAST({vmin} AS DOUBLE))) AS BIGINT)"
+    )
+
+
+def with_zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16, key_col: str = "zkey"
+) -> DataFrame:
+    """Attach the Z-order key for ``cols`` (numeric). One tiny min/max
+    aggregate (collected — 2·|cols| scalars), then a pure expression."""
+    if not cols or bits * len(cols) > 63:
+        raise ValueError(f"need 1..{63 // max(1, bits)} columns at {bits} bits")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    out = df
+    norm_names = []
+    for c in cols:
+        nc = f"__z_{c}"
+        out = out.withColumn(
+            nc,
+            normalize_minmax_expr(c, stats[f"__min_{c}"], stats[f"__max_{c}"], bits),
+        )
+        norm_names.append(nc)
+    return out.withColumn(key_col, zorder_key_expr(norm_names, bits)).drop(
+        *norm_names
+    )
+
+
+def zorder_repartition(
+    df: DataFrame, cols: list[str], n_files: int, bits: int = 16
+) -> DataFrame:
+    """Cluster rows for writing: z-key + range repartition + sort
+    within partitions. ``.write.parquet`` on the result yields
+    ``n_files`` files whose per-file min/max ranges are narrow on
+    EVERY z-ordered column — the write-side half of data skipping."""
+    keyed = with_zorder_key(df, cols, bits)
+    return keyed.repartitionByRange(n_files, "zkey").sortWithinPartitions("zkey")

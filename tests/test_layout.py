@@ -1,0 +1,89 @@
+"""Z-order layout (pipeline/layout.py): key correctness and the actual
+data-skipping benefit on written parquet files."""
+
+import glob
+
+import pytest
+
+
+class TestZorderKey:
+    def test_interleave_known_values(self, spark):
+        from gpq_spark.pipeline.layout import zorder_key_expr
+
+        df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+        # 3 bits, 2 cols: a bits at odd positions, b at even
+        # a=101, b=011 -> key = b0 + a0<<1 + b1<<2 + a1<<3 + b2<<4 + a2<<5
+        #              = 1 + 2 + 4 + 0 + 0 + 32 = 39
+        k = df.select(zorder_key_expr(["a", "b"], 3).alias("k")).first()["k"]
+        assert k == 39
+
+    def test_locality(self, spark):
+        """Morton property: nearby (x, y) pairs get nearby keys more
+        often than a single-column sort on x would give for y."""
+        from gpq_spark.pipeline.layout import with_zorder_key
+
+        rows = [(i, i % 100, (i * 37) % 100) for i in range(2000)]
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        keyed = with_zorder_key(df, ["x", "y"], bits=8).collect()
+        by_key = sorted(keyed, key=lambda r: r["zkey"])
+        # consecutive-in-key rows should be close in BOTH dims on average
+        dx = dy = 0
+        for a, b in zip(by_key, by_key[1:]):
+            dx += abs(a["x"] - b["x"])
+            dy += abs(a["y"] - b["y"])
+        n = len(by_key) - 1
+        assert dx / n < 12 and dy / n < 12, (dx / n, dy / n)
+
+    def test_validation(self, spark):
+        from gpq_spark.pipeline.layout import with_zorder_key
+
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        with pytest.raises(ValueError):
+            with_zorder_key(df, [], bits=16)
+        with pytest.raises(ValueError):
+            with_zorder_key(df, ["a", "b", "c", "d"], bits=16)  # 64 bits
+
+    def test_constant_column_degenerates_to_zero(self, spark):
+        from gpq_spark.pipeline.layout import with_zorder_key
+
+        df = spark.createDataFrame([(i, 7) for i in range(10)], "a long, c long")
+        rows = with_zorder_key(df, ["c"], bits=8).collect()
+        assert all(r["zkey"] == 0 for r in rows)
+
+
+class TestZorderSkipping:
+    def test_written_files_have_narrow_ranges_on_both_columns(self, spark, tmp_path):
+        """The point of z-ordering: per-file min/max ranges shrink on
+        BOTH columns vs an unclustered write, so predicate pushdown
+        prunes files for either column."""
+        import pyarrow.parquet as pq
+
+        from gpq_spark.pipeline.layout import zorder_repartition
+
+        rows = [(i, (i * 7919) % 1000, (i * 104729) % 1000) for i in range(20000)]
+        df = spark.createDataFrame(rows, "id long, a long, b long")
+
+        def total_range(path, col):
+            tot = 0
+            for f in glob.glob(f"{path}/part-*.parquet"):
+                md = pq.read_metadata(f)
+                lo = min(
+                    md.row_group(i).column(col).statistics.min
+                    for i in range(md.num_row_groups)
+                )
+                hi = max(
+                    md.row_group(i).column(col).statistics.max
+                    for i in range(md.num_row_groups)
+                )
+                tot += hi - lo
+            return tot
+
+        base = str(tmp_path / "plain")
+        df.repartition(8).write.parquet(base)
+        zpath = str(tmp_path / "zordered")
+        zorder_repartition(df, ["a", "b"], n_files=8).write.parquet(zpath)
+        # columns a (idx 1) and b (idx 2)
+        for col in (1, 2):
+            plain = total_range(base, col)
+            z = total_range(zpath, col)
+            assert z < plain * 0.7, (col, z, plain)
