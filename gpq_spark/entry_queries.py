@@ -11529,3 +11529,122 @@ def zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_zorder_key(o, ["o_custkey", "cents"], bits=16).select(
         "o_orderkey", "zkey"
     )
+
+
+@register(
+    "cdc_orders_diff",
+    """
+    WITH old AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders WHERE o_orderkey % 3 != 0),
+    new AS (SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+                     * (CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END) AS cents
+            FROM orders WHERE o_orderkey % 5 != 0)
+    SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                WHEN old.cents IS DISTINCT FROM new.cents THEN 'update'
+           END AS change
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+               WHEN new.o_orderkey IS NULL THEN 'delete'
+               WHEN old.cents IS DISTINCT FROM new.cents THEN 'update'
+          END IS NOT NULL
+    """,
+)
+def cdc_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two synthesized snapshots of orders
+    (keys %3 removed from old, %5 from new, even keys repriced):
+    inserts/deletes/updates from ONE full-outer key join with null-safe
+    comparisons (relational.snapshot_diff) — bucket both snapshots by
+    the key at scale and the join is shuffle-free."""
+    from .relational import snapshot_diff
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    old = o.filter("o_orderkey % 3 != 0")
+    new = o.filter("o_orderkey % 5 != 0").withColumn(
+        "cents",
+        F.expr("cents * (CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END)"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["cents"])
+
+
+@register(
+    "drift_price_buckets",
+    """
+    WITH buckets(bucket) AS (SELECT unnest([0, 1, 2, 3, 4])),
+    side_a AS (
+        SELECT CASE WHEN o_totalprice < 0 THEN -1
+                    WHEN o_totalprice < 50000 THEN 0
+                    WHEN o_totalprice < 100000 THEN 1
+                    WHEN o_totalprice < 200000 THEN 2
+                    WHEN o_totalprice < 400000 THEN 3
+                    ELSE 4 END AS bucket, count(*) AS n_a
+        FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1 HAVING bucket >= 0),
+    side_b AS (
+        SELECT CASE WHEN o_totalprice < 0 THEN -1
+                    WHEN o_totalprice < 50000 THEN 0
+                    WHEN o_totalprice < 100000 THEN 1
+                    WHEN o_totalprice < 200000 THEN 2
+                    WHEN o_totalprice < 400000 THEN 3
+                    ELSE 4 END AS bucket, count(*) AS n_b
+        FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1 HAVING bucket >= 0),
+    j AS (SELECT b.bucket,
+                 CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+                 CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+          FROM buckets b LEFT JOIN side_a USING (bucket) LEFT JOIN side_b USING (bucket)),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+    SELECT CAST(bucket AS INT) AS bucket, n_a, n_b,
+           CAST(CASE WHEN ta = 0 THEN 0 ELSE 1000000 * n_a // ta END AS BIGINT) AS pa_e6,
+           CAST(CASE WHEN tb = 0 THEN 0 ELSE 1000000 * n_b // tb END AS BIGINT) AS pb_e6,
+           CAST(abs((CASE WHEN ta = 0 THEN 0 ELSE 1000000 * n_a // ta END)
+                  - (CASE WHEN tb = 0 THEN 0 ELSE 1000000 * n_b // tb END)) AS BIGINT) AS gap_e6
+    FROM j, t
+    """,
+)
+def drift_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between the even- and odd-key halves
+    of orders over fixed price buckets: counts + e6 proportions +
+    per-bucket gap, all exact integers (Σ gap / 2 = total variation
+    distance; TVD instead of PSI/KL because log is the one op whose
+    last bit depends on the platform's libm — pipeline.profile.drift_report)."""
+    from .pipeline.profile import drift_report
+
+    o = load(spark, sf_dir, "orders")
+    return drift_report(
+        o.filter("o_orderkey % 2 = 0"),
+        o.filter("o_orderkey % 2 = 1"),
+        "o_totalprice",
+        [0, 50000, 100000, 200000, 400000],
+    )
+
+
+@register(
+    "sample_token_mix",
+    """
+    WITH b(source, budget) AS (VALUES ('src0', 3000), ('src1', 5000), ('src2', 100000)),
+    r AS (SELECT doc_id AS id, source, CAST(n_chars AS BIGINT) AS tokens,
+                 CAST(sum(n_chars) OVER (PARTITION BY source
+                      ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                 budget
+          FROM documents JOIN b USING (source))
+    SELECT id, source, tokens, cum_tokens FROM r WHERE cum_tokens <= budget
+    """,
+)
+def sample_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly under per-source TOKEN budgets (n_chars
+    standing in for tokens): the largest deterministic md5-ordered
+    sample per source whose running token total fits the budget —
+    src2's oversized budget keeps everything, src0/src1 truncate
+    (pipeline.sampling.sample_token_budget)."""
+    from .pipeline.sampling import sample_token_budget
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_token_budget(
+        docs, "doc_id", "source", "n_chars",
+        {"src0": 3000, "src1": 5000, "src2": 100000}, seed=42,
+    )

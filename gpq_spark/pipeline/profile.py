@@ -243,3 +243,67 @@ def check_constraints(
         )
         out = out.unionByName(dup)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col,
+    edges: list[float],
+) -> DataFrame:
+    """Distribution drift between two snapshots over fixed buckets:
+    per bucket the two counts and e6-scaled proportions, plus the
+    bucket's absolute proportion gap — Σ gap / 2 is the total
+    variation distance, all EXACT integers (log-based divergences
+    like PSI/KL depend on the platform's libm; TVD doesn't, so the
+    report hash-matches any engine). Buckets follow ``edges`` as in
+    histogram_fixed (last bucket open-ended; below-range rows are
+    dropped). Shape: one tiny groupBy per side, broadcast totals.
+    """
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        b = F.lit(len(edges) - 1)
+        for i in range(len(edges) - 1, 0, -1):
+            b = F.when(value < F.lit(edges[i]), F.lit(i - 1)).otherwise(b)
+        b = F.when(value < F.lit(edges[0]), F.lit(-1)).otherwise(b)
+        return (
+            df.select(b.cast("int").alias("bucket"))
+            .filter(F.col("bucket") >= 0)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    spark = df_a.sparkSession
+    buckets = spark.createDataFrame(
+        [(i,) for i in range(len(edges))], "bucket int"
+    )
+    a = bucketed(df_a).withColumnRenamed("n", "n_a")
+    b = bucketed(df_b).withColumnRenamed("n", "n_b")
+    joined = (
+        buckets.join(a, "bucket", "left")
+        .join(b, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(CASE WHEN __ta = 0 THEN 0 ELSE 1000000 * n_a div __ta END AS BIGINT)"
+            ).alias("pa_e6"),
+            F.expr(
+                "CAST(CASE WHEN __tb = 0 THEN 0 ELSE 1000000 * n_b div __tb END AS BIGINT)"
+            ).alias("pb_e6"),
+        )
+        .withColumn("gap_e6", F.abs(F.col("pa_e6") - F.col("pb_e6")).cast("long"))
+    )

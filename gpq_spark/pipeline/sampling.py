@@ -285,3 +285,50 @@ def match_distribution(
         .filter(F.col("__r") <= F.col("__k"))
         .select("id", "bucket")
     )
+
+
+def sample_token_budget(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    tokens_col,
+    budgets: dict[str, int],
+    seed: int = 42,
+) -> DataFrame:
+    """Training-mix assembly under PER-SOURCE TOKEN budgets: within
+    each source, documents rank by deterministic md5 hash and are kept
+    while the running token total (inclusive) stays within that
+    source's budget — the largest deterministic sample per source that
+    fits. Sources absent from ``budgets`` are dropped. Output:
+    (id, source, tokens, cum_tokens).
+
+    Shape: one window per source partition (cumulative sum over the
+    hash order). Few-source skew at 100 TB: pre-aggregate per
+    (source, salt) then stitch budgets across salt ranges — or simply
+    accept that each source is one task of a SORT, which parquet-size
+    sources tolerate.
+    """
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    b_df = df.sparkSession.createDataFrame(
+        [(k, int(v)) for k, v in budgets.items()],
+        f"{source_col} string, __budget long",
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("id").cast("string"))),
+            F.col("id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(source_col),
+            toks.cast("long").alias("tokens"),
+        )
+        .join(F.broadcast(b_df), source_col)
+        .withColumn("cum_tokens", F.sum("tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= F.col("__budget"))
+        .select("id", F.col(source_col).alias("source"), "tokens", "cum_tokens")
+    )

@@ -216,3 +216,57 @@ def range_join_bucketed(
     return joined.filter(
         (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) <= F.col(right_end))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two snapshots of the same table:
+    one row per changed key — ``change`` ∈ insert (key only in new),
+    delete (only in old), update (present in both, any compared column
+    differs null-safely). Unchanged keys are dropped.
+
+    Shape: ONE full-outer join on the key (the minimum possible — both
+    snapshots must meet), comparisons as codegen'd expressions. At
+    100 TB, bucket both snapshots by the key so the join is
+    shuffle-free; compare_cols defaults to every non-key column shared
+    by both sides.
+    """
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in new.columns]
+        compare_cols = [c for c in shared if c not in key_cols]
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__ov_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__nv_{c}") for c in compare_cols],
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"__o_{c}") == F.col(f"__n_{c}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__o_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"__n_{key_cols[0]}").isNotNull()
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    keys = [
+        F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c)
+        for c in key_cols
+    ]
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )

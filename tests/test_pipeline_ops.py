@@ -2310,3 +2310,53 @@ class TestSemanticDedupShuffleResample:
             match_distribution(df, "doc_id", "sz", [0, 10], [1.0])
         with pytest.raises(ValueError, match="non-negative"):
             match_distribution(df, "doc_id", "sz", [0], [-1.0])
+
+
+class TestCdcDriftTokenBudget:
+    def test_snapshot_diff_all_change_kinds(self, spark):
+        from gpq_spark.relational import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, None), (4, 40)], "k long, v long"
+        )
+        new = spark.createDataFrame(
+            [(2, 21), (3, None), (4, 40), (5, 50)], "k long, v long"
+        )
+        got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+        # 1 deleted, 2 updated, 3 unchanged (null==null is NOT a change),
+        # 4 unchanged, 5 inserted
+        assert got == {1: "delete", 2: "update", 5: "insert"}
+
+    def test_snapshot_diff_null_transitions_are_updates(self, spark):
+        from gpq_spark.relational import snapshot_diff
+
+        old = spark.createDataFrame([(1, None), (2, 5)], "k long, v long")
+        new = spark.createDataFrame([(1, 7), (2, None)], "k long, v long")
+        got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert got == {1: "update", 2: "update"}
+
+    def test_drift_report_tvd_integers(self, spark):
+        from pyspark.sql import functions as F
+
+        from gpq_spark.pipeline.profile import drift_report
+
+        a = spark.createDataFrame([(float(v),) for v in [1] * 80 + [11] * 20], "x double")
+        b = spark.createDataFrame([(float(v),) for v in [1] * 50 + [11] * 50], "x double")
+        rows = {r["bucket"]: r for r in drift_report(a, b, "x", [0, 10]).collect()}
+        assert rows[0]["pa_e6"] == 800000 and rows[0]["pb_e6"] == 500000
+        assert rows[0]["gap_e6"] == 300000 and rows[1]["gap_e6"] == 300000
+        # TVD = sum(gap)/2 = 0.3
+
+    def test_sample_token_budget_cumulative_cut(self, spark):
+        import hashlib
+
+        from gpq_spark.pipeline.sampling import sample_token_budget
+
+        rows = [(i, "s", 10) for i in range(10)]  # 100 tokens available
+        df = spark.createDataFrame(rows, "doc_id long, src string, tok long")
+        out = sample_token_budget(df, "doc_id", "src", "tok", {"s": 35}, seed=1)
+        got = sorted(r["id"] for r in out.collect())
+        order = sorted(range(10), key=lambda i: (hashlib.md5(f"1:{i}".encode()).hexdigest(), i))
+        assert got == sorted(order[:3])  # 3 * 10 <= 35 < 4 * 10
+        # unknown source dropped entirely
+        assert sample_token_budget(df, "doc_id", "src", "tok", {"other": 99}).count() == 0
