@@ -11648,3 +11648,82 @@ def sample_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "source", "n_chars",
         {"src0": 3000, "src1": 5000, "src2": 100000}, seed=42,
     )
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH m AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER w AS prev,
+                      lag(ts) OVER w AS prev_ts
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    k AS (SELECT user_id, event_type, ts, event_id FROM m
+          WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type)
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS vf_us,
+           CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS vt_us
+    FROM k
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the event change log: per user,
+    consecutive repeats of event_type collapse and each surviving
+    change carries [valid_from, valid_to) — the open version's
+    valid_to NULL. Two windows on ONE (user, time) shuffle
+    (relational.scd2_from_changelog); validity bounds exported as
+    epoch micros."""
+    from .relational import epoch_micros, scd2_from_changelog
+
+    ev = load_events(spark, sf_dir)
+    d = scd2_from_changelog(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    )
+    return d.select(
+        "user_id",
+        "event_type",
+        epoch_micros(d, "valid_from").cast("long").alias("vf_us"),
+        epoch_micros(d, "valid_to").cast("long").alias("vt_us"),
+    )
+
+
+@register(
+    "q_concurrency_profile",
+    """
+    WITH iv AS (SELECT user_id,
+                       CAST(epoch_us(min(ts)) AS BIGINT) AS s,
+                       CAST(epoch_us(max(ts)) AS BIGINT) AS e
+                FROM events GROUP BY user_id),
+    ev AS (SELECT s AS t, CAST(1 AS INT) AS delta FROM iv
+           UNION ALL
+           SELECT e AS t, CAST(-1 AS INT) AS delta FROM iv)
+    SELECT t, delta,
+           CAST(sum(delta) OVER (ORDER BY t, delta
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+    FROM ev
+    """,
+)
+def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency over each user's activity interval
+    ([first event, last event]): +1/-1 boundary events with a GLOBAL
+    running sum — computed WITHOUT a single-reducer window via the
+    range-partition + broadcast-prefix-offset pattern
+    (relational.running_total_by / interval_concurrency). Ends sort
+    before starts at the same instant, so touching intervals never
+    count as overlapping; max(concurrent) is peak concurrency."""
+    from .relational import interval_concurrency
+
+    from .relational import epoch_micros
+
+    ev = load_events(spark, sf_dir)
+    ev_us = ev.select("user_id", epoch_micros(ev, "ts").alias("ts_us"))
+    iv = ev_us.groupBy("user_id").agg(
+        F.min("ts_us").cast("long").alias("s"),
+        F.max("ts_us").cast("long").alias("e"),
+    )
+    out = interval_concurrency(iv, "s", "e")
+    return out.select(
+        F.col("t").cast("long").alias("t"),
+        F.col("delta").cast("int").alias("delta"),
+        F.col("concurrent").cast("long").alias("concurrent"),
+    )

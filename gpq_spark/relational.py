@@ -270,3 +270,108 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(*keys, "change")
     )
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension (SCD type 2) table from a
+    change log: per key, consecutive rows whose attributes repeat are
+    collapsed, and each surviving change gets a validity interval
+    [valid_from, valid_to) with the open (current) version's valid_to
+    NULL. Deterministic under ties via ``tiebreak_cols``.
+
+    Shape: two windows on the SAME (key, order) partitioning — lag for
+    change detection, lead for interval close — so the plan pays ONE
+    shuffle on the key and reuses its sort. The classic groupBy-free
+    SCD2 build.
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.lag(ts_col).over(w).isNull()
+    kept = df.withColumn("__chg", first | changed).filter(F.col("__chg"))
+    w2 = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    return (
+        kept.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .select(*key_cols, *attr_cols, "valid_from", "valid_to")
+    )
+
+
+def running_total_by(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic GLOBAL running sum in total ``order_cols`` order —
+    without the single-reducer global window: range-repartition on the
+    order key, per-partition cumulative windows, plus each partition's
+    broadcast prefix total (the same offset pattern as
+    sampling.seeded_shuffle). ``order_cols`` must be a total order
+    (add a tiebreaker column if not).
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    prefix = (
+        d.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__s"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__s").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("__local", F.sum(value_col).over(w))
+        .join(F.broadcast(prefix), "__pid")
+        .withColumn(out_col, (F.col("__offset") + F.col("__local")).cast("long"))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line concurrency profile: for each boundary instant, how
+    many intervals are active just after it. Ends apply BEFORE starts
+    at the same instant (delta −1 sorts first), so touching intervals
+    do not overlap. Output: (t, delta, concurrent), one row per
+    boundary event in (t, delta) order — ``max(concurrent)`` is peak
+    concurrency. Built on ``running_total_by``: no single-reducer
+    window at any scale.
+    """
+    starts = df.select(F.col(start_col).alias("t"), F.lit(1).alias("delta"))
+    ends = df.select(F.col(end_col).alias("t"), F.lit(-1).alias("delta"))
+    events = starts.unionByName(ends).filter(F.col("t").isNotNull())
+    return running_total_by(
+        events, ["t", "delta"], "delta", out_col="concurrent"
+    )

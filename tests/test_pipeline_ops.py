@@ -2360,3 +2360,63 @@ class TestCdcDriftTokenBudget:
         assert got == sorted(order[:3])  # 3 * 10 <= 35 < 4 * 10
         # unknown source dropped entirely
         assert sample_token_budget(df, "doc_id", "src", "tok", {"other": 99}).count() == 0
+
+
+class TestScd2AndConcurrency:
+    def test_scd2_collapses_repeats_and_closes_intervals(self, spark):
+        import datetime as dt
+
+        from gpq_spark.relational import scd2_from_changelog
+
+        t = lambda m: dt.datetime(2025, 1, 1, 0, m)  # noqa: E731
+        rows = [
+            (1, t(0), "a"), (1, t(1), "a"), (1, t(2), "b"), (1, t(3), "b"),
+            (1, t(4), "a"),
+            (2, t(0), "x"),
+        ]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, v string")
+        got = sorted(
+            (r["k"], r["v"], r["valid_from"].minute,
+             r["valid_to"].minute if r["valid_to"] else None)
+            for r in scd2_from_changelog(df, ["k"], "ts", ["v"]).collect()
+        )
+        assert got == [
+            (1, "a", 0, 2), (1, "a", 4, None), (1, "b", 2, 4), (2, "x", 0, None)
+        ]
+
+    def test_running_total_matches_global_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from gpq_spark.relational import running_total_by
+
+        rows = [(i, (i * 37) % 100, (-1) ** i * (i % 7)) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, k long, v long")
+        got = {
+            (r["id"],): r["running_total"]
+            for r in running_total_by(df, ["k", "id"], "v", partitions=7).collect()
+        }
+        w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            (r["id"],): r["rt"]
+            for r in df.withColumn("rt", F.sum("v").over(w)).collect()
+        }
+        assert got == want
+
+    def test_interval_concurrency_peak(self, spark):
+        from pyspark.sql import functions as F
+
+        from gpq_spark.relational import interval_concurrency
+
+        iv = spark.createDataFrame(
+            [(0, 10), (5, 15), (10, 20), (100, 110)], "s long, e long"
+        )
+        out = interval_concurrency(iv, "s", "e").collect()
+        peak = max(r["concurrent"] for r in out)
+        # [5,10) has two active; at t=10 the first END applies before
+        # the third START, so touching intervals never overlap
+        assert peak == 2
+        at10 = sorted(
+            (r["delta"], r["concurrent"]) for r in out if r["t"] == 10
+        )
+        assert at10 == [(-1, 1), (1, 2)]
