@@ -246,6 +246,7 @@ def write_geoparquet(
     single_file: bool = False,
     compute_stats: bool = True,
     as_file: bool = False,
+    add_covering: bool = False,
 ) -> list[dict[str, Any]]:
     """Write ``df`` as a GeoParquet dataset directory.
 
@@ -256,6 +257,14 @@ def write_geoparquet(
     directory. When ``meta`` is None a default metadata for a column
     named "geometry" is used (reference DefaultMetadata,
     recordwriter.go:53-60).
+
+    ``add_covering=True`` materializes the GeoParquet 1.1 bbox COVERING
+    column for the primary geometry (per-row struct<xmin,ymin,xmax,
+    ymax> via the vectorized WKB kernel) and registers it in the
+    metadata — scans of the written data then bbox-filter with plain
+    struct comparisons pushed to parquet row-group statistics, never
+    decoding WKB, and the writer's own footer stats take the zero-decode
+    tier-1 path. The write-side half of spatial data skipping.
     """
     if as_file:
         import tempfile
@@ -287,6 +296,30 @@ def write_geoparquet(
     for name in meta.columns:
         if name not in df.columns:
             raise ValueError(f"geometry column '{name}' not in DataFrame columns {df.columns}")
+
+    if add_covering:
+        import copy
+
+        from pyspark.sql import functions as F
+
+        from ..functions.geometry import st_envelope
+
+        primary = meta.primary_column
+        if "bbox" in df.columns:
+            raise ValueError(
+                "add_covering needs the column name 'bbox' free, "
+                "but the DataFrame already has one"
+            )
+        df = df.withColumn("bbox", st_envelope(F.col(primary)))
+        meta = copy.deepcopy(meta)
+        meta.columns[primary].covering = {
+            "bbox": {
+                "xmin": ["bbox", "xmin"],
+                "ymin": ["bbox", "ymin"],
+                "xmax": ["bbox", "xmax"],
+                "ymax": ["bbox", "ymax"],
+            }
+        }
 
     if mode not in ("overwrite", "error", "append"):
         raise ValueError(f"unknown write mode '{mode}'")

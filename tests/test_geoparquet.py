@@ -292,3 +292,55 @@ def test_writer_accepts_file_uri_and_rejects_unknown_scheme(spark, tmp_path):
 
     with pytest.raises(pa.lib.ArrowInvalid):
         write_geoparquet(df, "notafs://bucket/out")
+
+
+class TestWriterCovering:
+    def test_covering_written_and_pushdown_filterable(self, spark, tmp_path):
+        """add_covering writes the GeoParquet 1.1 bbox struct + covering
+        metadata; a bbox filter on the result is pure struct
+        comparisons pushed to parquet stats (no WKB decode)."""
+        from pyspark.sql import functions as F
+
+        from gpq_spark.functions.geometry import bbox_struct_intersects
+        from gpq_spark.geo import wkb
+        from gpq_spark.geo.bbox import Bbox
+        from gpq_spark.geoparquet.reader import read_geo_metadata
+        from gpq_spark.geoparquet.writer import write_geoparquet
+
+        rows = [
+            (i, bytearray(wkb.dumps({"type": "Point", "coordinates": [float(i), float(-i)]})))
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "id long, geometry binary")
+        out = str(tmp_path / "covered")
+        write_geoparquet(df, out, add_covering=True)
+        import glob
+
+        part = sorted(glob.glob(out + "/part-*.parquet"))[0]
+        meta = read_geo_metadata(part)
+        cov = meta.columns["geometry"].covering
+        assert cov and cov["bbox"]["xmin"] == ["bbox", "xmin"]
+        back = spark.read.parquet(out)
+        assert "bbox" in back.columns
+        hits = back.filter(
+            bbox_struct_intersects("bbox", Bbox(10, -20, 20, 0))
+        )
+        got = sorted(r["id"] for r in hits.collect())
+        assert got == list(range(10, 21))
+        # the filter is plain struct comparisons -> pushed to the scan
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "pythonUDF" not in plan.lower()
+        assert "PushedFilters" in plan
+
+    def test_covering_name_collision_raises(self, spark, tmp_path):
+        import pytest
+
+        from gpq_spark.geo import wkb
+        from gpq_spark.geoparquet.writer import write_geoparquet
+
+        df = spark.createDataFrame(
+            [(1, bytearray(wkb.dumps({"type": "Point", "coordinates": [0.0, 0.0]})), "x")],
+            "id long, geometry binary, bbox string",
+        )
+        with pytest.raises(ValueError, match="bbox"):
+            write_geoparquet(df, str(tmp_path / "c"), add_covering=True)
