@@ -3,8 +3,9 @@
 Planar (Euclidean) measures over WKB geometries. The WKB path runs
 through the vectorized per-value kernel (geoparquet/stats.py
 ``wkb_scan_values`` with ``want_measures`` — ring kinds recorded during
-structural collection give |exterior| − |holes| area; reduceat's
-sequential fold matches the scalar summation order bit-for-bit); the
+structural collection give |exterior| − |holes| area; exact on
+integer/dyadic-coordinate data, last-ulp accumulation-order tolerance
+on arbitrary floats — see the kernel's float accumulation note); the
 scalar functions below remain the WKT fallback and the parity twin. The reference
 has no measure functions — these extend the spatial UDF surface the
 north star asks for ("GeoSpatial UDFs"), with exact-arithmetic oracles

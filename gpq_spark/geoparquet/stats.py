@@ -922,13 +922,21 @@ def _seg_measures_update(
     owner-attributed coordinate runs, fully vectorized.
 
     - counts reduce at RUN granularity (no gather);
-    - length: per-segment sqrt(dx²+dy²) summed per run then per owner
-      — ``np.add.reduceat`` is a sequential in-order fold, matching the
-      scalar loop's summation order bit-for-bit;
+    - length: per-segment sqrt(dx²+dy²) summed per run then per owner;
     - area: per-ring shoelace (rings are closed, so the linear edge sum
       is the cyclic sum), then |exterior| − |holes| halved — the ring
       kind (exterior/hole) was recorded during structural collection.
     Cross-run garbage at run boundaries is zeroed before each reduceat.
+
+    Float accumulation note: ``np.add.reduceat`` sums in pairwise
+    blocks, which can differ from the scalar twin's strict left fold in
+    the last ulp when intermediate values ROUND (irrational segment
+    lengths, catastrophic cancellation). On data whose products and
+    sums are exactly representable — integer or dyadic-rational
+    coordinates, the shapes every gate oracle synthesizes — any
+    association yields the identical float, so the oracles stay
+    bit-exact. Property tests compare with 1e-9 relative tolerance on
+    arbitrary floats and exactly on exact-valued data.
     """
     nz = rcounts > 0
     rstarts, rcounts, rowners, rkinds = (

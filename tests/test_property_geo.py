@@ -127,3 +127,136 @@ def test_wkb_garbage_never_crashes_unhandled(data):
         wkb.loads(data)
     except (wkb.WKBError, ValueError):
         pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.one_of(geoms, st.none()), min_size=1, max_size=12))
+def test_kernel_scan_matches_scalar_per_value(geom_list):
+    """Per-value vectorized kernel == scalar codec on names, envelopes,
+    measures, and centroid, for ANY batch mix including nulls."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from gpq_spark.geo.geojson_geom import stats_type_name
+    from gpq_spark.geoparquet.stats import (
+        _scalar_centroid,
+        _scalar_measures,
+        wkb_scan_values,
+    )
+
+    vals = [None if g is None else wkb.dumps(g) for g in geom_list]
+    arr = pa.array(vals, type=pa.binary())
+    names, x0, y0, x1, y1, npts, area, length, cx, cy = wkb_scan_values(
+        arr, want_measures=True
+    )
+    snames, *_ = wkb_scan_values(arr, want_bounds=False, stats_types=True)
+    for i, g in enumerate(geom_list):
+        if g is None:
+            assert names[i] is None and npts[i] == 0
+            continue
+        assert names[i] == g["type"]
+        assert snames[i] == stats_type_name(g)
+        b = wkb.bounds(g)
+        if b is None:
+            assert math.isnan(x0[i])
+        else:
+            got = (x0[i], y0[i], x1[i], y1[i])
+            assert all(gv == bv for gv, bv in zip(got, b)), (i, got, b)
+        sn, sa, sl = _scalar_measures(g)
+        assert npts[i] == sn
+        # float accumulations: reduceat sums pairwise, the scalar twin
+        # left-folds — identical on exact-valued data (what the gate
+        # oracles synthesize), but on arbitrary floats the shoelace is
+        # ill-conditioned relative to its RESULT, so tolerances scale
+        # with ulp(max_coord^2) * n_terms
+        def _maxc(geom) -> float:
+            t = geom["type"]
+            if t == "GeometryCollection":
+                return max(
+                    (_maxc(m) for m in geom.get("geometries", [])), default=1.0
+                )
+            flat = []
+            stack = [geom.get("coordinates")]
+            while stack:
+                v = stack.pop()
+                if isinstance(v, (int, float)):
+                    flat.append(abs(float(v)))
+                elif v:
+                    stack.extend(v)
+            return max(flat, default=1.0)
+
+        scale = max(1.0, _maxc(g))
+        n_terms = max(1, sn)
+        area_tol = 2e-14 * scale * scale * n_terms
+        assert math.isclose(area[i], sa, rel_tol=1e-9, abs_tol=area_tol), (
+            i, area[i], sa,
+        )
+        assert math.isclose(
+            length[i], sl, rel_tol=1e-9, abs_tol=1e-12 * scale * n_terms
+        ), (i, length[i], sl)
+        # the area-weighted centroid divides by the SIGNED ring-area
+        # sum; skip when that sum is within conditioning noise (the
+        # dimension-precedence branch itself becomes float-dependent)
+        areal = g["type"] in ("Polygon", "MultiPolygon", "GeometryCollection")
+        if areal and abs(sa) < 1e6 * area_tol:
+            continue
+        ex, ey = _scalar_centroid(g)
+        for got_v, exp_v in ((cx[i], ex), (cy[i], ey)):
+            if math.isnan(exp_v):
+                assert math.isnan(got_v), (i, got_v, exp_v)
+            else:
+                assert math.isclose(
+                    got_v, exp_v, rel_tol=1e-6, abs_tol=1e-6 * scale
+                ), (i, got_v, exp_v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "name": st.text(min_size=0, max_size=12),
+                "x": st.integers(-1000, 1000),
+            }
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    st.text(max_size=30),
+    st.integers(1, 4),
+)
+def test_fcsplit_scanner_matches_json_parse(props_list, title, fpc):
+    """The byte scanner's feature partition == json.loads of the whole
+    document, under arbitrary (hostile) string content."""
+    import json
+    import os
+    import tempfile
+
+    from gpq_spark.geojson.fcsplit import parse_chunk_bytes, scan_feature_chunks
+
+    feats = [
+        {
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [p["x"], -p["x"]]},
+            "properties": {"name": p["name"], "brace": "}{][" + p["name"]},
+        }
+        for p in props_list
+    ]
+    doc = {"type": "FeatureCollection", "title": title, "features": feats}
+    fd, path = tempfile.mkstemp(suffix=".json")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f)
+        r = scan_feature_chunks(path, features_per_chunk=fpc, block_bytes=64)
+        assert r is not None
+        chunks, n = r
+        assert n == len(feats)
+        objs = []
+        data = open(path, "rb").read()
+        for s, e in chunks:
+            objs.extend(parse_chunk_bytes(data[s:e]))
+        assert objs == feats
+    finally:
+        os.unlink(path)
