@@ -13,13 +13,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from gpq_spark.entry_queries import QUERIES  # noqa: E402
 
 GROUPS = [
+    ("Lakehouse layout & CDC", r"^(zorder_|cdc_|scd2_)"),
     ("TPC-H relational shapes",
      r"^q([0-9]|_agg|_pivot|_rollup|_cube|_grouping|_semi|_setops|_full_outer"
      r"|_string|_conditional|_unpivot|_percentiles|_running|_rank|_histogram"
      r"|_topk|_division|_histogram2d)"),
     ("Windows, sessions, time series",
      r"^q_(sessionize|session_window|session_quality|tumble|asof|lag|latest"
-     r"|range_join|rolling|gapfill|events_json)"),
+     r"|range_join|rolling|gapfill|events_json|concurrency)"),
     ("Event analytics",
      r"^q_(funnel|funnel_dropoff|retention|anomaly|event_transitions|time_to|attribution"
      r"|ab_test|trend|crosstab|drift|basket|recommend|incremental|table_checksum"
@@ -28,7 +29,7 @@ GROUPS = [
     ("Governance & auditing", r"^q_(kanon|corpus_diff|data_constraints|split_leakage)"),
     ("Deduplication & decontamination", r"^(dedup_|decontam|semantic_)"),
     ("Similarity search & embeddings", r"^(ann_|ivf_|embed_|pq_)"),
-    ("Text analysis & corpus ops", r"^(text_|rank_|sample_|pack_|profile_|skew_|shuffle_)"),
+    ("Text analysis & corpus ops", r"^(text_|rank_|sample_|pack_|profile_|skew_|shuffle_|drift_)"),
     ("Sketches", r"^q_(sketch|bloom)"),
     ("Geospatial", r"^geo_"),
     ("Structured Streaming", r"^stream_"),
