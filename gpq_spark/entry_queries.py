@@ -11727,3 +11727,42 @@ def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("delta").cast("int").alias("delta"),
         F.col("concurrent").cast("long").alias("concurrent"),
     )
+
+
+@register(
+    "q_linear_attribution",
+    """
+    WITH base AS (
+        SELECT user_id AS "user", ts, event_type, event_id,
+               CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS seg
+        FROM events
+    ),
+    touches AS (
+        SELECT "user", seg, event_id,
+               row_number() OVER (PARTITION BY "user", seg ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY "user", seg) AS n
+        FROM base WHERE event_type != 'purchase'
+    ),
+    purchases AS (
+        SELECT "user", seg, event_id AS purchase_id
+        FROM base WHERE event_type = 'purchase'
+    )
+    SELECT t."user", p.purchase_id, t.event_id AS touch_id,
+           CAST((1000000 // n) + CASE WHEN rn = n
+                THEN 1000000 - (1000000 // n) * n ELSE 0 END AS BIGINT) AS credit_e6
+    FROM touches t JOIN purchases p ON t."user" = p."user" AND t.seg = p.seg
+    """,
+)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution with EXACT integer credits: each
+    purchase's 1,000,000 credit units split equally over the touches in
+    its segment, remainder to the last touch — credits re-add to
+    exactly 1e6 per purchase on any engine
+    (relational.linear_attribution; the streaming family covers
+    last-touch)."""
+    from .relational import linear_attribution
+
+    ev = load_events(spark, sf_dir)
+    return linear_attribution(ev, "user_id", "ts", "event_type", "event_id")

@@ -375,3 +375,72 @@ def interval_concurrency(
     return running_total_by(
         events, ["t", "delta"], "delta", out_col="concurrent"
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col,
+    type_col: str,
+    id_col: str,
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """Multi-touch LINEAR attribution with exact integer credits: each
+    purchase splits its user's history into segments; every touch in
+    the segment before a purchase shares that purchase's credit
+    equally — ``credit_e6 = 1_000_000 div n`` — with the division
+    remainder assigned to the LAST touch, so credits per purchase sum
+    to exactly 1,000,000 (float credit splits never re-add exactly;
+    these do, on any engine). Purchases with no preceding touch in
+    their segment get no rows (nothing to credit).
+
+    Output: (user, purchase_id, touch_id, credit_e6). Shape: two
+    windows + one aggregate + one join, ALL keyed on (user, segment) —
+    a single logical shuffle key, no self-join over raw events.
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    renamed = df.select(
+        F.col(user_col).alias("user"),
+        ts.alias("__ts"),
+        F.col(type_col).alias("__type"),
+        F.col(id_col).alias("__id"),
+    )
+    w = Window.partitionBy("user").orderBy(
+        F.col("__ts").asc(), F.col("__id").asc()
+    )
+    is_p = (F.col("__type") == purchase_type).cast("int")
+    seg = F.coalesce(
+        F.sum(is_p).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    base = renamed.withColumn("__seg", seg)
+    touches = base.filter(F.col("__type") != purchase_type)
+    purchases = base.filter(F.col("__type") == purchase_type).select(
+        "user", F.col("__seg").alias("__seg"), F.col("__id").alias("purchase_id")
+    )
+    wt = Window.partitionBy("user", "__seg").orderBy(
+        F.col("__ts").asc(), F.col("__id").asc()
+    )
+    wn = Window.partitionBy("user", "__seg")
+    t = (
+        touches.withColumn("__rn", F.row_number().over(wt))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+    )
+    credit = F.expr("CAST(1000000 div __n AS BIGINT)")
+    last_extra = F.expr("CAST(1000000 - (1000000 div __n) * __n AS BIGINT)")
+    return (
+        t.join(purchases, ["user", "__seg"])
+        .select(
+            "user",
+            "purchase_id",
+            F.col("__id").alias("touch_id"),
+            (
+                credit
+                + F.when(F.col("__rn") == F.col("__n"), last_extra).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("credit_e6"),
+        )
+    )

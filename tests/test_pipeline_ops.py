@@ -2420,3 +2420,34 @@ class TestScd2AndConcurrency:
             (r["delta"], r["concurrent"]) for r in out if r["t"] == 10
         )
         assert at10 == [(-1, 1), (1, 2)]
+
+
+class TestLinearAttribution:
+    def test_credits_sum_to_e6_and_remainder_to_last(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from gpq_spark.relational import linear_attribution
+
+        t = lambda m: dt.datetime(2025, 1, 1, 0, m)  # noqa: E731
+        rows = [
+            (1, t(0), "view", 1), (1, t(1), "click", 2), (1, t(2), "view", 3),
+            (1, t(3), "purchase", 4),
+            (1, t(4), "view", 5), (1, t(5), "purchase", 6),
+            (2, t(0), "purchase", 7),  # no preceding touch -> no rows
+        ]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, et string, eid long")
+        out = linear_attribution(df, "u", "ts", "et", "eid").collect()
+        by_purchase = {}
+        for r in out:
+            by_purchase.setdefault(r["purchase_id"], {})[r["touch_id"]] = r["credit_e6"]
+        # purchase 4: 3 touches, 333333 each + remainder 1 to LAST touch (3)
+        assert by_purchase[4] == {1: 333333, 2: 333333, 3: 333334}
+        assert by_purchase[6] == {5: 1000000}
+        assert 7 not in by_purchase
+        sums = (
+            linear_attribution(df, "u", "ts", "et", "eid")
+            .groupBy("purchase_id").agg(F.sum("credit_e6").alias("s")).collect()
+        )
+        assert all(r["s"] == 1000000 for r in sums)
