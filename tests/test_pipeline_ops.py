@@ -2451,3 +2451,27 @@ class TestLinearAttribution:
             .groupBy("purchase_id").agg(F.sum("credit_e6").alias("s")).collect()
         )
         assert all(r["s"] == 1000000 for r in sums)
+
+
+def test_semantic_dedup_persist_path(spark):
+    """persist=True computes the assignment once for the three
+    consumers and yields the identical result."""
+    from gpq_spark.pipeline.dedup import semantic_dedup
+
+    rows = [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (10, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    a = sorted(
+        tuple(r) for r in semantic_dedup(df, "vec_id", "embedding", cents, 0.9).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", cents, 0.9, persist=True
+        ).collect()
+    )
+    assert a == b
+    spark.catalog.clearCache()
