@@ -11766,3 +11766,349 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     return linear_attribution(ev, "user_id", "ts", "event_type", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: containment dedup, hybrid-retrieval fusion, diversity
+# sampling, distribution forensics, privacy, and seasonality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / CAST(least(len(a.shingles), len(b.shingles)) AS DOUBLE)
+           AS containment
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.n_chars // 20 = b.n_chars // 20
+     AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(least(len(a.shingles), len(b.shingles)) AS DOUBLE)
+          >= 0.1
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram CONTAINMENT over blocked candidate pairs —
+    |A∩B| / min(|A|,|B|), the sub-document duplication signal a
+    symmetric Jaccard misses (a paragraph pasted into a 100× longer
+    doc scores ≈1 here, ≈0 on Jaccard). Same single-shuffle
+    bucket-expand shape as dedup_ngram_jaccard_pairs
+    (pipeline.dedup.ngram_containment_pairs)."""
+    from .pipeline.dedup import ngram_containment_pairs
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "size_bucket", F.expr("n_chars div 20")
+    )
+    return ngram_containment_pairs(
+        docs,
+        "doc_id",
+        "text",
+        block_cols=["lang", "size_bucket"],
+        shingle_size=3,
+        threshold=0.1,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+_BM25_SCORED_DUCK = """
+    SELECT tf.doc_id,
+           round(SUM(
+               ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+           ), 9) AS score
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN n CROSS JOIN avgdl
+    WHERE tf.term IN ({terms})
+    GROUP BY tf.doc_id
+"""
+
+
+@register(
+    "rank_rrf_docs",
+    f"""
+    WITH tf AS ({_TF_DUCK}),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    dl AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
+    s1 AS ({_BM25_SCORED_DUCK.format(terms="'customer', 'window', 'merge'")}),
+    s2 AS ({_BM25_SCORED_DUCK.format(terms="'stream', 'hash', 'scan'")}),
+    r1 AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+           FROM s1),
+    r2 AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+           FROM s2),
+    u AS (
+        SELECT doc_id, CAST(1000000000 // (60 + rnk) AS BIGINT) AS c FROM r1
+        UNION ALL
+        SELECT doc_id, CAST(1000000000 // (60 + rnk) AS BIGINT) AS c FROM r2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+           CAST(SUM(c) AS BIGINT) AS rrf_e9
+    FROM u GROUP BY doc_id
+    """,
+)
+def rank_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two BM25 retrievers (different query
+    term sets) — the standard hybrid-retrieval combiner, with exact
+    integer contributions 1e9 div (60 + rank) so the fused score is
+    reduction-order independent (pipeline.ranking.rrf_fuse). Scores
+    are rounded to 9 decimals BEFORE ranking on both engines, so rank
+    ties resolve identically (then by doc_id)."""
+    from .pipeline.ranking import bm25_scores, rrf_fuse
+
+    docs = load(spark, sf_dir, "documents")
+    s1 = bm25_scores(docs, "doc_id", "text", ["customer", "window", "merge"])
+    s2 = bm25_scores(docs, "doc_id", "text", ["stream", "hash", "scan"])
+    return rrf_fuse([s1, s2], "doc_id", "score", k=60)
+
+
+def _kcenter_duck(k: int) -> str:
+    """Unrolled greedy k-center oracle: k−1 chained (distance, argmax)
+    CTE stages over e6-quantized integer vectors."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+        )
+
+    parts = [
+        """q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        FROM embeddings)""",
+        """s1 AS (
+        SELECT CAST(1 AS INT) AS sel_rank, vec_id, CAST(0 AS BIGINT) AS dist2, v
+        FROM (SELECT * FROM q ORDER BY vec_id LIMIT 1))""",
+    ]
+    for r in range(2, k + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"""d{r} AS (
+        SELECT q.vec_id, MIN({d2("q.v", "s.v")}) AS d
+        FROM q, {prev} s
+        WHERE q.vec_id NOT IN (SELECT vec_id FROM {prev})
+        GROUP BY q.vec_id)"""
+        )
+        parts.append(
+            f"""s{r} AS (
+        SELECT * FROM {prev}
+        UNION ALL
+        SELECT CAST({r} AS INT), w.vec_id, w.d, q.v
+        FROM (SELECT vec_id, d FROM d{r} ORDER BY d DESC, vec_id ASC LIMIT 1) w
+        JOIN q ON q.vec_id = w.vec_id)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT sel_rank, vec_id, dist2 FROM s{k}"
+    )
+
+
+@register("sample_kcenter_docs", _kcenter_duck(6))
+def sample_kcenter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity selection of 6
+    embeddings — integer squared-L2 over e6-quantized vectors, ties by
+    smallest id, seed = smallest id (pipeline.sampling.kcenter_sample).
+    The oracle unrolls the 5 greedy rounds as chained CTEs. Each Spark
+    round is one scan with centers inlined as literals + a
+    TakeOrdered(1) reduce — no join, no shuffle."""
+    from .pipeline.sampling import kcenter_sample
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kcenter_sample(emb, "vec_id", "embedding", k=6)
+
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9, computed once in Python and
+# embedded as literals in BOTH engines' plans — identical by construction
+_BENFORD_E6 = [
+    round(__import__("math").log10(1.0 + 1.0 / d) * 1_000_000) for d in range(1, 10)
+]
+
+
+@register(
+    "q_benford_profile",
+    f"""
+    WITH c AS (
+        SELECT CAST(substr(CAST({cents('o_totalprice')} AS VARCHAR), 1, 1) AS INT)
+               AS digit
+        FROM orders
+    ),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS obs FROM c GROUP BY digit),
+    tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS total FROM obs),
+    bf (digit, benford_e6) AS (VALUES
+        {", ".join(f"({d + 1}, CAST({v} AS BIGINT))" for d, v in enumerate(_BENFORD_E6))})
+    SELECT obs.digit, obs.obs,
+           CAST(1000000 * obs.obs // tot.total AS BIGINT) AS share_e6,
+           bf.benford_e6,
+           CAST(abs(1000000 * obs.obs // tot.total - bf.benford_e6) AS BIGINT)
+               AS dev_e6
+    FROM obs JOIN bf USING (digit) CROSS JOIN tot
+    """,
+)
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensics on order totals: leading-digit counts of
+    the exact cents value vs the expected log10(1+1/d) distribution
+    (embedded as identical e6 literals in both plans), deviation in
+    exact integer parts-per-million. The fraud/data-quality screen a
+    profiling stage runs over every money column. One tiny groupBy on a
+    9-value key; the expected table is a 9-row broadcast."""
+    orders = load(spark, sf_dir, "orders")
+    spark_bf = spark.createDataFrame(
+        [(d + 1, v) for d, v in enumerate(_BENFORD_E6)],
+        "digit int, benford_e6 long",
+    )
+    obs = (
+        orders.select(
+            F.expr(
+                f"CAST(substring(CAST({cents('o_totalprice')} AS STRING), 1, 1) AS INT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    tot = obs.agg(F.sum("obs").cast("long").alias("total"))
+    return (
+        obs.join(F.broadcast(spark_bf), "digit")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "obs",
+            F.expr("CAST(1000000 * obs div total AS BIGINT)").alias("share_e6"),
+            "benford_e6",
+            F.expr(
+                "CAST(abs(1000000 * obs div total - benford_e6) AS BIGINT)"
+            ).alias("dev_e6"),
+        )
+    )
+
+
+@register(
+    "q_ldiversity",
+    f"""
+    WITH g AS (
+        SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT {cents('c_acctbal')} // 100000 ) AS BIGINT)
+                   AS l_distinct
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT seg, nat, n_rows, l_distinct FROM g WHERE l_distinct < 8
+    """,
+)
+def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the companion to q_kanon_violations: for each
+    quasi-identifier group (market segment × nation) count the DISTINCT
+    sensitive values ($1000 account-balance buckets, exact cents
+    arithmetic; both engines' integer division truncates toward zero)
+    and emit groups whose l < 8 — a k-anonymous group with one distinct
+    sensitive value still leaks it. One groupBy with a distinct agg."""
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").cast("long").alias("nat"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(
+                F.expr(f"{cents('c_acctbal')} div 100000")
+            ).cast("long").alias("l_distinct"),
+        )
+        .filter("l_distinct < 8")
+    )
+
+
+@register(
+    "q_acf_order_volume",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    lags (lag) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+    j AS (
+        SELECT CAST(l.lag AS BIGINT) AS lag, a.y AS x, b.y AS yv
+        FROM lags l
+        JOIN d a ON TRUE
+        JOIN d b ON b.t = a.t - l.lag
+    ),
+    s AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(yv) AS BIGINT) AS sy,
+               CAST(SUM(x * yv) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(yv * yv) AS BIGINT) AS syy
+        FROM j GROUP BY lag
+    )
+    SELECT lag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS acf
+    FROM s
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def q_acf_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order volume at lags 1–7 (weekly
+    seasonality detector): Pearson correlation between the daily-count
+    series and its lag, all five sums exact BIGINTs (counts are small,
+    products ≪ 2^53), the final ratio one double division + an
+    IEEE-exact sqrt, rounded to 9. Shape: one date groupBy, a 7-row
+    broadcast of lags, a self-equi-join on the day key, one combine."""
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    lags = orders.sparkSession.createDataFrame([(i,) for i in range(1, 8)], "lag long")
+    a = d.select(F.col("t"), F.col("y").alias("x"))
+    b = d.select(F.col("t").alias("bt"), F.col("y").alias("yv"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bt") == F.col("t") - F.col("lag"))
+    )
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+    )
+    return s.filter("n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0").select(
+        "lag",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            ),
+            9,
+        ).alias("acf"),
+    )

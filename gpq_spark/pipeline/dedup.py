@@ -336,6 +336,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment for candidate pairs sharing a
+    blocking key. Output: id_a, id_b, containment (double).
+
+    Containment = |A∩B| / min(|A|, |B|) over distinct shingle sets —
+    the sub-document duplication signal Jaccard misses: a paragraph
+    copied verbatim into a 100× longer document has near-zero Jaccard
+    but containment ≈ 1. An exact integer ratio, so the double division
+    is engine-deterministic.
+
+    Scale shape identical to ``ngram_jaccard_pairs``: ONE shuffle —
+    groupBy the blocking key collecting (id, hashed shingles), expand
+    pairs inside the bucket carrying only (id_a, id_b, inter, smaller)
+    counts, never array copies.
+    """
+    if parallelism:
+        df = df.repartition(parallelism)
+    shingled = _with_shingles(
+        df, text_col, shingle_size, keep=[id_col, *block_cols]
+    )
+    shingled = shingled.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.expr("transform(__sh, s -> xxhash64(s))").alias("__sh"),
+    )
+    buckets = (
+        shingled.groupBy(*block_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("__id"), F.col("__sh")))
+            ).alias("__members")
+        )
+        .filter(F.size("__members") >= 2)
+    )
+    if parallelism:
+        buckets = buckets.repartition(parallelism)
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__members, (x, i) -> "
+                "transform(slice(__members, i + 2, size(__members) - i - 1), "
+                "y -> struct(x.__id AS id_a, y.__id AS id_b, "
+                "size(array_intersect(x.__sh, y.__sh)) AS inter, "
+                "least(size(x.__sh), size(y.__sh)) AS smaller))))"
+            )
+        ).alias("__p")
+    )
+    return (
+        pairs.select(
+            F.col("__p.id_a").alias("id_a"),
+            F.col("__p.id_b").alias("id_b"),
+            (F.col("__p.inter").cast("double") / F.col("__p.smaller").cast("double"))
+            .alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -20,7 +20,7 @@ the last ulp, ~1e-16 relative, invisible at 1e-9).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -125,6 +125,62 @@ def bm25_scores(
     return (
         matched.groupBy(id_col)
         .agg(F.round(F.sum(contrib), round_digits).alias("score"))
+    )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    id_col: str,
+    score_col: str = "score",
+    k: int = 60,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retriever outputs (the standard
+    hybrid-retrieval combiner: lexical BM25 + dense cosine + ...).
+
+    Each input frame carries (``partition_cols``?, ``id_col``,
+    ``score_col``); within each list (and partition) documents are
+    ranked by score DESC (ties broken by id ASC for determinism), and
+    the fused score is ``Σ_lists 1/(k + rank)``. Emitted exactly as
+    ``rrf_e9 = Σ 1_000_000_000 div (k + rank)`` — integer division per
+    list keeps the sum reduction-order independent — plus ``n_lists``
+    (how many retrievers surfaced the doc).
+
+    Scale: ranking uses a window per list. With ``partition_cols``
+    (e.g. a query id) the sort is per-partition — the intended shape:
+    RRF fuses per-query candidate lists that are already top-k bounded,
+    so no global sort ever sees the full corpus. Without partitions the
+    window is a single global sort; only use that for corpus-level
+    scoring lists that are pre-bounded.
+    """
+    if not ranked_lists:
+        raise ValueError("ranked_lists must be non-empty")
+    parts = list(partition_cols or [])
+    fused = None
+    for df in ranked_lists:
+        w = Window.partitionBy(*[F.col(c) for c in parts]).orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        ) if parts else Window.orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        contrib = (
+            df.select(*parts, F.col(id_col), F.col(score_col))
+            .withColumn("__rank", F.row_number().over(w))
+            .select(
+                *parts,
+                F.col(id_col),
+                F.expr(
+                    f"CAST(1000000000 div ({int(k)} + __rank) AS BIGINT)"
+                ).alias("__c"),
+            )
+        )
+        fused = contrib if fused is None else fused.unionAll(contrib)
+    return (
+        fused.groupBy(*parts, id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.sum("__c").cast("long").alias("rrf_e9"),
+        )
     )
 
 

@@ -332,3 +332,85 @@ def sample_token_budget(
         .filter(F.col("cum_tokens") <= F.col("__budget"))
         .select("id", F.col(source_col).alias("source"), "tokens", "cum_tokens")
     )
+
+
+def kcenter_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity selection over an
+    embedding column — the classic coverage sampler for training-data
+    curation: each round adds the point FARTHEST from everything
+    already selected, so the k picks spread across the embedding space
+    instead of clustering in its densest mode.
+
+    Determinism: vectors are quantized to exact BIGINTs
+    (``round(x * scale)``) and all distances are integer squared-L2,
+    so the argmax (ties broken by smallest id) is a pure function of
+    the data — engine- and partitioning-independent, reproducible by
+    an unrolled SQL oracle. The seed point is the smallest id; its
+    ``dist2`` is emitted as 0. Output: (sel_rank int, id, dist2
+    bigint) — dist2 is the min squared distance to the previously
+    selected set at selection time (a monotone non-increasing coverage
+    radius, useful as a stopping diagnostic).
+
+    Scale shape: k−1 rounds, each ONE scan of the quantized frame with
+    the current centers inlined as literals (no join, no shuffle) and
+    a TakeOrdered(1) max-reduce — partition-local top-1 then a k-way
+    driver merge. Total cost k·scan; the quantized frame is cached
+    across rounds. Driver state is k vectors (bounded). For k beyond
+    ~100 on 100 TB, switch to k-means||-style oversampling (sample
+    O(k) candidates per round with probability ∝ dist², then reduce) —
+    this exact-greedy form is the audit/oracle baseline.
+
+    Overflow bound: |round(x·scale)| ≤ S per coordinate gives
+    dist2 ≤ dim·(2S)². For S = 1e6 (unit-norm embeddings, scale 1e6)
+    and dim ≤ 2048: 8.2e15 < 2^63.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    q = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) * {int(scale)}) AS BIGINT))"
+        ).alias("__v"),
+    ).persist()
+    try:
+        seed_row = q.orderBy("__id").limit(1).collect()
+        if not seed_row:
+            raise ValueError("input frame is empty")
+        selected = [(1, seed_row[0]["__id"], 0, list(seed_row[0]["__v"]))]
+        for rank in range(2, k + 1):
+            centers = ", ".join(
+                "array(" + ", ".join(f"{int(c)}L" for c in vec) + ")"
+                for (_, _, _, vec) in selected
+            )
+            dist = (
+                f"aggregate(array({centers}), CAST(NULL AS BIGINT), (acc, c) -> "
+                f"least(coalesce(acc, 9223372036854775807L), "
+                f"aggregate(zip_with(__v, c, (a, b) -> (a - b) * (a - b)), "
+                f"0L, (s, d) -> s + d)))"
+            )
+            nxt = (
+                q.filter(~F.col("__id").isin([i for (_, i, _, _) in selected]))
+                .select("__id", "__v", F.expr(dist).alias("__d"))
+                .orderBy(F.col("__d").desc(), F.col("__id").asc())
+                .limit(1)
+                .collect()
+            )
+            if not nxt:
+                break  # fewer than k distinct rows
+            r = nxt[0]
+            selected.append((rank, r["__id"], int(r["__d"]), list(r["__v"])))
+        spark = df.sparkSession
+        out = spark.createDataFrame(
+            [(rk, i, d) for (rk, i, d, _) in selected],
+            f"sel_rank int, {id_col} long, dist2 long",
+        )
+        return out
+    finally:
+        q.unpersist()

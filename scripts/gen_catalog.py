@@ -24,9 +24,10 @@ GROUPS = [
     ("Event analytics",
      r"^q_(funnel|funnel_dropoff|retention|anomaly|event_transitions|time_to|attribution|linear_attribution"
      r"|ab_test|trend|crosstab|drift|basket|recommend|incremental|table_checksum"
-     r"|changepoint|pattern|outliers|cohort|rfm|nation_part|latency|growth|top_paths|market_share|hhi|gini|pareto)"),
+     r"|changepoint|pattern|outliers|cohort|rfm|nation_part|latency|growth|top_paths|market_share|hhi|gini|pareto|acf)"),
     ("Graph analytics", r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa)"),
-    ("Governance & auditing", r"^q_(kanon|corpus_diff|data_constraints|split_leakage)"),
+    ("Governance & auditing",
+     r"^q_(kanon|ldiversity|benford|corpus_diff|data_constraints|split_leakage)"),
     ("Deduplication & decontamination", r"^(dedup_|decontam|semantic_)"),
     ("Similarity search & embeddings", r"^(ann_|ivf_|embed_|pq_)"),
     ("Text analysis & corpus ops", r"^(text_|rank_|sample_|pack_|profile_|skew_|shuffle_|drift_)"),

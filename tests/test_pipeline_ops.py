@@ -2475,3 +2475,132 @@ def test_semantic_dedup_persist_path(spark):
     )
     assert a == b
     spark.catalog.clearCache()
+
+
+class TestContainment:
+    def test_subdocument_scores_high_jaccard_low(self, spark):
+        """A short doc fully contained in a long doc: containment == 1
+        while Jaccard is small — the asymmetric signal."""
+        from gpq_spark.pipeline.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        para = "the quick brown fox jumps over the lazy dog again and again"
+        filler = " ".join(f"tok{i} unique{i} word{i}" for i in range(30))
+        df = spark.createDataFrame(
+            [(1, para, "en"), (2, para + " " + filler, "en")],
+            ["doc_id", "text", "lang"],
+        )
+        cont = ngram_containment_pairs(
+            df, "doc_id", "text", ["lang"], shingle_size=3, threshold=0.0
+        ).collect()
+        assert len(cont) == 1
+        assert cont[0]["containment"] == 1.0
+        jac = ngram_jaccard_pairs(
+            df, "doc_id", "text", ["lang"], shingle_size=3, threshold=0.0
+        ).collect()
+        assert jac[0]["jaccard"] < 0.2
+
+    def test_threshold_filters(self, spark):
+        from gpq_spark.pipeline.dedup import ngram_containment_pairs
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta", "en"), (2, "epsilon zeta eta theta", "en")],
+            ["doc_id", "text", "lang"],
+        )
+        out = ngram_containment_pairs(
+            df, "doc_id", "text", ["lang"], shingle_size=3, threshold=0.5
+        )
+        assert out.count() == 0
+
+
+class TestRrfFuse:
+    def test_two_list_fusion_exact(self, spark):
+        from gpq_spark.pipeline.ranking import rrf_fuse
+
+        l1 = spark.createDataFrame(
+            [(10, 3.0), (20, 2.0), (30, 1.0)], ["id", "score"]
+        )
+        l2 = spark.createDataFrame([(20, 9.0), (30, 8.0)], ["id", "score"])
+        out = {r["id"]: r for r in rrf_fuse([l1, l2], "id", k=60).collect()}
+        # l1 ranks: 10->1, 20->2, 30->3 ; l2 ranks: 20->1, 30->2
+        assert out[10]["rrf_e9"] == 1_000_000_000 // 61
+        assert out[20]["rrf_e9"] == 1_000_000_000 // 62 + 1_000_000_000 // 61
+        assert out[30]["rrf_e9"] == 1_000_000_000 // 63 + 1_000_000_000 // 62
+        assert out[20]["n_lists"] == 2 and out[10]["n_lists"] == 1
+
+    def test_tie_breaks_by_id(self, spark):
+        from gpq_spark.pipeline.ranking import rrf_fuse
+
+        l1 = spark.createDataFrame([(5, 1.0), (3, 1.0)], ["id", "score"])
+        out = {r["id"]: r["rrf_e9"] for r in rrf_fuse([l1], "id").collect()}
+        assert out[3] > out[5]  # equal score -> smaller id ranks first
+
+    def test_partitioned_fusion(self, spark):
+        from gpq_spark.pipeline.ranking import rrf_fuse
+
+        l1 = spark.createDataFrame(
+            [("q1", 1, 5.0), ("q1", 2, 4.0), ("q2", 1, 4.0)],
+            ["query", "id", "score"],
+        )
+        out = {
+            (r["query"], r["id"]): r["rrf_e9"]
+            for r in rrf_fuse([l1], "id", partition_cols=["query"]).collect()
+        }
+        # rank resets per query partition
+        assert out[("q1", 1)] == out[("q2", 1)] == 1_000_000_000 // 61
+
+    def test_empty_list_raises(self, spark):
+        from gpq_spark.pipeline.ranking import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse([], "id")
+
+
+class TestKCenterSample:
+    def test_picks_spread_points(self, spark):
+        """1-D embeddings at 0, 0.01, 0.02, 1.0: k=2 must pick the seed
+        (min id, at 0) then the far point at 1.0."""
+        from gpq_spark.pipeline.sampling import kcenter_sample
+
+        df = spark.createDataFrame(
+            [(1, [0.0]), (2, [0.01]), (3, [0.02]), (4, [1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = sorted(
+            kcenter_sample(df, "vec_id", "embedding", k=2).collect(),
+            key=lambda r: r["sel_rank"],
+        )
+        assert [r["vec_id"] for r in out] == [1, 4]
+        assert out[0]["dist2"] == 0
+        assert out[1]["dist2"] == 1_000_000_000_000  # (1e6)^2
+
+    def test_k_exceeding_rows_truncates(self, spark):
+        from gpq_spark.pipeline.sampling import kcenter_sample
+
+        df = spark.createDataFrame(
+            [(1, [0.0]), (2, [1.0])], "vec_id long, embedding array<double>"
+        )
+        assert kcenter_sample(df, "vec_id", "embedding", k=5).count() == 2
+
+    def test_deterministic_ties(self, spark):
+        """Two equidistant candidates: smaller id wins round 2."""
+        from gpq_spark.pipeline.sampling import kcenter_sample
+
+        df = spark.createDataFrame(
+            [(1, [0.0]), (7, [1.0]), (9, [-1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = sorted(
+            kcenter_sample(df, "vec_id", "embedding", k=2).collect(),
+            key=lambda r: r["sel_rank"],
+        )
+        assert [r["vec_id"] for r in out] == [1, 7]
+
+    def test_invalid_k_raises(self, spark):
+        from gpq_spark.pipeline.sampling import kcenter_sample
+
+        df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError):
+            kcenter_sample(df, "vec_id", "embedding", k=0)
