@@ -494,3 +494,43 @@ def test_trained_ivf_no_corpus_shuffle(plans):
     # corpus side reaches its cluster assignment without an exchange
     # before the probe join; probes are broadcast
     assert "BroadcastExchange" in p
+
+
+def test_containment_single_shuffle_single_scan(plans):
+    # same bucket-expand contract as the Jaccard twin
+    p = plans("dedup_containment_pairs")
+    assert "pythonUDF" not in p.lower()
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+
+def test_rrf_fusion_jvm_only(plans):
+    p = plans("rank_rrf_docs")
+    assert "pythonUDF" not in p.lower()
+    # two ranked lists fused by one final groupBy — no join of the
+    # ranked lists against each other (union + aggregate instead)
+    assert "SortMergeJoin" not in p
+
+
+def test_benford_broadcasts_expected_table(plans):
+    p = plans("q_benford_profile")
+    assert "pythonUDF" not in p.lower()
+    # the 9-row Benford table and the 1-row total are both broadcast
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ldiversity_single_group_shuffle(plans):
+    p = plans("q_ldiversity")
+    assert "pythonUDF" not in p.lower()
+    # one groupBy on the quasi-identifier key (distinct-agg may add an
+    # expand but not extra wide shuffles beyond the two-phase distinct)
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_acf_lags_broadcast(plans):
+    p = plans("q_acf_order_volume")
+    assert "pythonUDF" not in p.lower()
+    # the 7-row lag table joins broadcast; the self-join on the day key
+    # must not be a cartesian product
+    assert "CartesianProduct" not in p
