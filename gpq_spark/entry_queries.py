@@ -12112,3 +12112,290 @@ def q_acf_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("acf"),
     )
+
+
+def _sssp_oracle(rounds: int = 4) -> str:
+    """Unrolled weighted Bellman-Ford (bounded-hop contract: the result
+    is EXACTLY min-cost over ≤ rounds hops, so Spark and SQL agree by
+    construction when both run the same round count — no convergence
+    assumption needed, unlike BFS). Edge weight = 1e6 div shared-parts
+    (stronger co-sourcing ⇒ cheaper edge)."""
+    parts = [
+        """wsym0 AS MATERIALIZED (
+        WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                    FROM lineitem),
+        shared AS (
+            SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(shared) AS BIGINT) AS sum_shared
+            FROM shared
+        ),
+        e AS (SELECT u, v, CAST(1000000 // shared AS BIGINT) AS w
+              FROM shared CROSS JOIN tot
+              WHERE shared * n_pairs >= sum_shared)
+        SELECT u AS s, v AS d, w FROM e UNION ALL SELECT v, u, w FROM e
+    )""",
+        """wdist0 AS MATERIALIZED (
+        SELECT DISTINCT s AS source, s AS node, CAST(0 AS BIGINT) AS dist
+        FROM wsym0 WHERE s % 10 = 0
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""wdist{i} AS MATERIALIZED (
+        SELECT source, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+            SELECT source, node, dist FROM wdist{p}
+            UNION ALL
+            SELECT p.source, e.d AS node, p.dist + e.w
+            FROM wdist{p} p JOIN wsym0 e ON e.s = p.node
+        ) GROUP BY 1, 2
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(MIN(dist) AS BIGINT) AS min_dist,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist
+    FROM wdist{rounds}
+    GROUP BY 1
+    """
+    )
+
+
+@register("q_sssp_suppliers", _sssp_oracle(4))
+def q_sssp_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted shortest paths (Bellman-Ford, 4 synchronous
+    relaxations — pipeline.graph.sssp_bounded) from the supplier
+    landmarks over the co-sourcing graph, edge cost 1e6 div
+    shared-part-count. The ≤4-hop min-cost contract makes Spark and
+    the unrolled oracle agree by construction (no convergence
+    assumption, unlike BFS). Per node: landmark count, min and sum of
+    distances — all exact BIGINTs."""
+    from .pipeline.graph import sssp_bounded
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    e = (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v", F.expr("1000000 div shared").alias("w"))
+    )
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    landmarks = nodes.filter("node % 10 = 0")
+    dist = sssp_bounded(
+        e, landmarks, src="u", dst="v", weight="w", rounds=4, directed=False
+    )
+    return dist.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.min("dist").cast("long").alias("min_dist"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+    )
+
+
+# a fixed diversity-query vector of exact binary fractions: ×1e6 is
+# integer-exact, so Python/Spark/DuckDB quantization trivially agrees
+_MMR_QUERY = [(0.25, -0.125, 0.5)[i % 3] for i in range(64)]
+
+
+def _mmr_oracle(k: int, lam: int) -> str:
+    """Unrolled greedy MMR: seed = pure-relevance argmax, then k−1
+    rounds of argmax(lam·rel − (100−lam)·max-dot-to-selected)."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+        )
+
+    qlit = "[" + ", ".join(
+        f"CAST({round(x * 1_000_000)} AS BIGINT)" for x in _MMR_QUERY
+    ) + "]"
+    parts = [
+        f"""mq AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v,
+               {dot("list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))", qlit)}
+                   AS rel
+        FROM embeddings)""",
+        """m1 AS (
+        SELECT CAST(1 AS INT) AS sel_rank, vec_id, rel AS rel_dot,
+               CAST(0 AS BIGINT) AS max_sim, v
+        FROM (SELECT * FROM mq ORDER BY rel DESC, vec_id ASC LIMIT 1))""",
+    ]
+    for r in range(2, k + 1):
+        prev = f"m{r - 1}"
+        parts.append(
+            f"""c{r} AS (
+        SELECT q.vec_id, q.rel, MAX({dot("q.v", "s.v")}) AS ms
+        FROM mq q, {prev} s
+        WHERE q.vec_id NOT IN (SELECT vec_id FROM {prev})
+        GROUP BY q.vec_id, q.rel)"""
+        )
+        parts.append(
+            f"""m{r} AS (
+        SELECT * FROM {prev}
+        UNION ALL
+        SELECT CAST({r} AS INT), w.vec_id, w.rel, w.ms, q.v
+        FROM (SELECT vec_id, rel, ms FROM c{r}
+              ORDER BY {lam} * rel - {100 - lam} * ms DESC, vec_id ASC
+              LIMIT 1) w
+        JOIN mq q ON q.vec_id = w.vec_id)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT sel_rank, vec_id, rel_dot, max_sim FROM m{k}"
+    )
+
+
+@register("sample_mmr_docs", _mmr_oracle(6, 50))
+def sample_mmr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection of 6 embeddings for a fixed
+    binary-fraction query vector, λ=50% — greedy argmax of
+    50·relevance − 50·max-inner-product-to-selected in exact BIGINT
+    arithmetic (pipeline.sampling.mmr_sample). The oracle unrolls the
+    5 greedy rounds; each Spark round is one scan with the selected
+    vectors as literals + a TakeOrdered(1) reduce."""
+    from .pipeline.sampling import mmr_sample
+
+    emb = load(spark, sf_dir, "embeddings")
+    return mmr_sample(
+        emb, "vec_id", "embedding", _MMR_QUERY, k=6, lambda_pct=50
+    )
+
+
+@register(
+    "q_weekday_profile",
+    f"""
+    WITH base AS (
+        SELECT CAST((CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 7 AS BIGINT)
+                   AS dow,
+               {cents('o_totalprice')} AS cents
+        FROM orders
+    ),
+    per AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM base GROUP BY dow
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_orders) AS BIGINT) AS tn,
+               CAST(SUM(revenue_cents) AS BIGINT) AS tr
+        FROM per
+    )
+    SELECT dow, n_orders, revenue_cents,
+           CAST(1000000 * n_orders // tn AS BIGINT) AS order_share_e6,
+           CAST(1000000 * revenue_cents // tr AS BIGINT) AS revenue_share_e6
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of orders: counts, exact-cents
+    revenue, and ppm shares per weekday. The weekday is computed as
+    (days since 1995-01-01) mod 7 — Sunday = 0 — the same arithmetic
+    on both engines (builtin dayofweek() numbering differs between
+    engines, so neither is used). One 7-key groupBy + a 1-row
+    broadcast total."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') % 7 "
+            "AS BIGINT)"
+        ).alias("dow"),
+        F.expr(cents("o_totalprice")).alias("cents"),
+    )
+    per = base.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    tot = per.agg(
+        F.sum("n_orders").cast("long").alias("tn"),
+        F.sum("revenue_cents").cast("long").alias("tr"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_orders",
+        "revenue_cents",
+        F.expr("CAST(1000000 * n_orders div tn AS BIGINT)").alias(
+            "order_share_e6"
+        ),
+        F.expr("CAST(1000000 * revenue_cents div tr AS BIGINT)").alias(
+            "revenue_share_e6"
+        ),
+    )
+
+
+@register(
+    "q_weighted_median",
+    f"""
+    WITH x AS (
+        SELECT l_returnflag AS rf, {cents('l_extendedprice')} AS v,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    c AS (
+        SELECT rf, v,
+               SUM(w) OVER (PARTITION BY rf ORDER BY v) AS cum,
+               SUM(w) OVER (PARTITION BY rf) AS tot
+        FROM x
+    )
+    SELECT rf, CAST(MIN(v) AS BIGINT) AS wmedian_cents,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cum >= tot GROUP BY rf
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative weight reaches half the group total. The
+    cumulative window uses the default RANGE frame, so tied prices
+    share one cumulative value on both engines and the selected PRICE
+    is order-independent — exact cents in, exact cents out. One window
+    shuffle on the 3-value group key (per-group sort; a skewed group is
+    one sort task — acceptable for low-cardinality profile keys)."""
+    li = load(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.expr(cents("l_extendedprice")).alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wcum = Window.partitionBy("rf").orderBy("v")
+    wtot = Window.partitionBy("rf")
+    c = x.select(
+        "rf",
+        "v",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    return (
+        c.filter(F.expr("2 * cum >= tot"))
+        .groupBy("rf")
+        .agg(
+            F.min("v").cast("long").alias("wmedian_cents"),
+            F.max("tot").cast("long").alias("total_weight"),
+        )
+    )

@@ -358,3 +358,72 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    source_col: str = "node",
+    rounds: int = 4,
+    directed: bool = False,
+) -> DataFrame:
+    """Bounded-hop single-source shortest paths over NON-NEGATIVE
+    integer edge weights — Bellman-Ford as ``rounds`` synchronous
+    relaxations: each round extends every known (source, node, d) along
+    every incident edge and keeps the minimum per pair. After r rounds
+    the result is EXACTLY the shortest distance using ≤ r hops (the
+    textbook Bellman-Ford invariant), which is the well-defined,
+    oracle-matchable contract — full convergence needs
+    rounds ≥ longest-shortest-path hop count, and a caller who wants a
+    fixpoint should track the per-round sum(dist) (row counts alone
+    can stay stable while distances still improve — unlike BFS, where
+    first discovery is minimal).
+
+    Output: (source, node, dist) with dist = 0 for the sources.
+
+    Scale: state is O(|sources| · reachable) — landmark shape, same as
+    ``bfs_distances``; each round is one join against the edge list +
+    a min combine (map-side partial min first), localCheckpoint()ed to
+    keep lineage flat. Weights must be non-negative (Bellman-Ford with
+    negative edges needs |V|−1 rounds and a cycle check) — enforced
+    with a one-scan assertion.
+    """
+    e = edges.select(
+        F.col(src).alias("s"),
+        F.col(dst).alias("d"),
+        F.col(weight).cast("long").alias("w"),
+    ).filter(F.col("s") != F.col("d"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")
+        )
+    # parallel edges: keep the cheapest (also bounds the per-round join)
+    e = e.groupBy("s", "d").agg(F.min("w").alias("w"))
+    neg = e.filter(F.col("w") < 0).limit(1).count()
+    if neg:
+        raise ValueError("sssp_bounded requires non-negative weights")
+
+    dist = sources.select(
+        F.col(source_col).alias("source"),
+        F.col(source_col).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint()
+
+    for _ in range(max(0, int(rounds))):
+        dist = (
+            dist.unionByName(
+                dist.join(e, dist["node"] == e["s"])
+                .select(
+                    "source",
+                    F.col("d").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"),
+                )
+            )
+            .groupBy("source", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

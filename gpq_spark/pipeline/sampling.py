@@ -414,3 +414,102 @@ def kcenter_sample(
         return out
     finally:
         q.unpersist()
+
+
+def mmr_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int,
+    lambda_pct: int = 50,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection: greedily pick the k items
+    maximizing ``λ·relevance − (1−λ)·max-similarity-to-selected`` — the
+    retrieval-diversity tradeoff (λ=1 is pure top-k, λ=0 degenerates to
+    anti-similarity). Relevance and similarity are INNER PRODUCTS of
+    e6-quantized integer vectors (for unit-norm embeddings dot ≡ scaled
+    cosine), λ is an integer percentage, so every greedy argmax is
+    exact BIGINT arithmetic — deterministic across engines and
+    reproducible by an unrolled SQL oracle. Ties break on smallest id.
+
+    Output: (sel_rank int, id, rel_dot bigint, max_sim bigint) —
+    max_sim is the max inner product against the previously selected
+    set at selection time (0 for the seed, which is the pure-relevance
+    argmax).
+
+    Scale shape: identical to ``kcenter_sample`` — k rounds, each ONE
+    scan with the selected vectors inlined as literals + a
+    TakeOrdered(1) reduce; no join, no shuffle; driver state is k
+    vectors. Overflow bound: |dot| ≤ dim·S² (6.4e13 for dim 64,
+    S = 1e6); ×100 for the λ weighting stays ≪ 2^63.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if not 0 <= int(lambda_pct) <= 100:
+        raise ValueError(f"lambda_pct must be in [0, 100]: {lambda_pct}")
+    lam = int(lambda_pct)
+    qlit = "array(" + ", ".join(
+        f"{round(float(x) * scale)}L" for x in query_vec
+    ) + ")"
+    q = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) * {int(scale)}) AS BIGINT))"
+        ).alias("__v"),
+    ).withColumn(
+        "__rel",
+        F.expr(
+            f"aggregate(zip_with(__v, {qlit}, (a, b) -> a * b), 0L, (s, d) -> s + d)"
+        ),
+    ).persist()
+    try:
+        seed = (
+            q.orderBy(F.col("__rel").desc(), F.col("__id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not seed:
+            raise ValueError("input frame is empty")
+        r0 = seed[0]
+        selected = [(1, r0["__id"], int(r0["__rel"]), 0, list(r0["__v"]))]
+        for rank in range(2, k + 1):
+            centers = ", ".join(
+                "array(" + ", ".join(f"{int(c)}L" for c in vec) + ")"
+                for (_, _, _, _, vec) in selected
+            )
+            max_sim = (
+                f"aggregate(array({centers}), CAST(NULL AS BIGINT), (acc, c) -> "
+                f"greatest(coalesce(acc, -9223372036854775808L), "
+                f"aggregate(zip_with(__v, c, (a, b) -> a * b), 0L, (s, d) -> s + d)))"
+            )
+            nxt = (
+                q.filter(~F.col("__id").isin([i for (_, i, _, _, _) in selected]))
+                .select(
+                    "__id",
+                    "__v",
+                    "__rel",
+                    F.expr(max_sim).alias("__ms"),
+                    F.expr(f"{lam} * __rel - {100 - lam} * ({max_sim})").alias(
+                        "__score"
+                    ),
+                )
+                .orderBy(F.col("__score").desc(), F.col("__id").asc())
+                .limit(1)
+                .collect()
+            )
+            if not nxt:
+                break
+            r = nxt[0]
+            selected.append(
+                (rank, r["__id"], int(r["__rel"]), int(r["__ms"]), list(r["__v"]))
+            )
+        out = df.sparkSession.createDataFrame(
+            [(rk, i, rel, ms) for (rk, i, rel, ms, _) in selected],
+            f"sel_rank int, {id_col} long, rel_dot long, max_sim long",
+        )
+        return out
+    finally:
+        q.unpersist()

@@ -17,15 +17,16 @@ GROUPS = [
     ("TPC-H relational shapes",
      r"^q([0-9]|_agg|_pivot|_rollup|_cube|_grouping|_semi|_setops|_full_outer"
      r"|_string|_conditional|_unpivot|_percentiles|_running|_rank|_histogram"
-     r"|_topk|_division|_histogram2d)"),
+     r"|_topk|_division|_histogram2d|_weighted_median)"),
     ("Windows, sessions, time series",
      r"^q_(sessionize|session_window|session_quality|tumble|asof|lag|latest"
      r"|range_join|rolling|gapfill|events_json|concurrency)"),
     ("Event analytics",
      r"^q_(funnel|funnel_dropoff|retention|anomaly|event_transitions|time_to|attribution|linear_attribution"
      r"|ab_test|trend|crosstab|drift|basket|recommend|incremental|table_checksum"
-     r"|changepoint|pattern|outliers|cohort|rfm|nation_part|latency|growth|top_paths|market_share|hhi|gini|pareto|acf)"),
-    ("Graph analytics", r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa)"),
+     r"|changepoint|pattern|outliers|cohort|rfm|nation_part|latency|growth|top_paths|market_share|hhi|gini|pareto|acf|weekday)"),
+    ("Graph analytics",
+     r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa|sssp)"),
     ("Governance & auditing",
      r"^q_(kanon|ldiversity|benford|corpus_diff|data_constraints|split_leakage)"),
     ("Deduplication & decontamination", r"^(dedup_|decontam|semantic_)"),

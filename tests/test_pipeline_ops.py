@@ -2604,3 +2604,92 @@ class TestKCenterSample:
         df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>")
         with pytest.raises(ValueError):
             kcenter_sample(df, "vec_id", "embedding", k=0)
+
+
+class TestSsspBounded:
+    def test_weighted_path_beats_direct_edge(self, spark):
+        """1->3 direct costs 10; 1->2->3 costs 2+2=4: after 2 rounds the
+        two-hop path wins."""
+        from gpq_spark.pipeline.graph import sssp_bounded
+
+        e = spark.createDataFrame(
+            [(1, 3, 10), (1, 2, 2), (2, 3, 2)], ["src", "dst", "w"]
+        )
+        s = spark.createDataFrame([(1,)], ["node"])
+        out = {r["node"]: r["dist"] for r in sssp_bounded(e, s, rounds=2).collect()}
+        assert out == {1: 0, 2: 2, 3: 4}
+
+    def test_bounded_hops_contract(self, spark):
+        """With rounds=1 the cheaper 2-hop path is NOT yet found."""
+        from gpq_spark.pipeline.graph import sssp_bounded
+
+        e = spark.createDataFrame(
+            [(1, 3, 10), (1, 2, 2), (2, 3, 2)], ["src", "dst", "w"]
+        )
+        s = spark.createDataFrame([(1,)], ["node"])
+        out = {r["node"]: r["dist"] for r in sssp_bounded(e, s, rounds=1).collect()}
+        assert out[3] == 10
+
+    def test_undirected_symmetrizes(self, spark):
+        from gpq_spark.pipeline.graph import sssp_bounded
+
+        e = spark.createDataFrame([(2, 1, 5)], ["src", "dst", "w"])
+        s = spark.createDataFrame([(1,)], ["node"])
+        out = {r["node"]: r["dist"] for r in sssp_bounded(e, s, rounds=1).collect()}
+        assert out[2] == 5
+
+    def test_parallel_edges_keep_cheapest(self, spark):
+        from gpq_spark.pipeline.graph import sssp_bounded
+
+        e = spark.createDataFrame([(1, 2, 9), (1, 2, 3)], ["src", "dst", "w"])
+        s = spark.createDataFrame([(1,)], ["node"])
+        out = {r["node"]: r["dist"] for r in sssp_bounded(e, s, rounds=1).collect()}
+        assert out[2] == 3
+
+    def test_negative_weight_raises(self, spark):
+        from gpq_spark.pipeline.graph import sssp_bounded
+
+        e = spark.createDataFrame([(1, 2, -1)], ["src", "dst", "w"])
+        s = spark.createDataFrame([(1,)], ["node"])
+        with pytest.raises(ValueError):
+            sssp_bounded(e, s, rounds=1)
+
+
+class TestMmrSample:
+    def test_lambda_100_is_pure_topk_by_relevance(self, spark):
+        from gpq_spark.pipeline.sampling import mmr_sample
+
+        df = spark.createDataFrame(
+            [(1, [1.0]), (2, [0.9]), (3, [0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        out = sorted(
+            mmr_sample(df, "vec_id", "embedding", [1.0], k=2, lambda_pct=100).collect(),
+            key=lambda r: r["sel_rank"],
+        )
+        assert [r["vec_id"] for r in out] == [1, 2]
+
+    def test_diversity_term_rejects_near_duplicate(self, spark):
+        """Seed at [1, 0]; near-duplicate [0.99, 0] loses round 2 to the
+        orthogonal [0, 0.8] under λ=50 despite higher relevance."""
+        from gpq_spark.pipeline.sampling import mmr_sample
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.99, 0.0]), (3, [0.0, 0.8])],
+            "vec_id long, embedding array<double>",
+        )
+        out = sorted(
+            mmr_sample(
+                df, "vec_id", "embedding", [1.0, 0.1], k=2, lambda_pct=50
+            ).collect(),
+            key=lambda r: r["sel_rank"],
+        )
+        assert [r["vec_id"] for r in out] == [1, 3]
+        assert out[0]["max_sim"] == 0
+
+    def test_invalid_lambda_raises(self, spark):
+        from gpq_spark.pipeline.sampling import mmr_sample
+
+        df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError):
+            mmr_sample(df, "vec_id", "embedding", [1.0], k=1, lambda_pct=101)
