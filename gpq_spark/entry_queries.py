@@ -12399,3 +12399,36 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot").cast("long").alias("total_weight"),
         )
     )
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    """
+    WITH p AS (
+        SELECT c_custkey AS id,
+               CAST(row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS BIGINT)
+                   AS pos
+        FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b, CAST(b.pos - a.pos AS BIGINT) AS gap
+    FROM p a JOIN p b ON b.pos - a.pos BETWEEN 1 AND 4
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking over customer names, window 5:
+    every pair within 4 positions of the (name, id) total order
+    (pipeline.dedup.sorted_neighborhood_pairs). The global order is
+    built scale-honestly — range repartition + local ranks + offset
+    broadcast, then two bucket equi-joins — never a single-reducer
+    row_number or an inequality join (the oracle may use one; the
+    engine may not)."""
+    from .pipeline.dedup import sorted_neighborhood_pairs
+
+    cust = load(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        cust,
+        "c_custkey",
+        "c_name",
+        window=5,
+        partitions=spark.sparkContext.defaultParallelism,
+    )

@@ -844,3 +844,93 @@ def semantic_dedup(
             F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 5,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking: order the corpus
+    by a sort key (e.g. a normalized name) and emit every pair of rows
+    whose positions are within ``window`` of each other — the classic
+    SNM candidate generator that catches near-duplicates sharing a
+    prefix-similar key without any O(n²) comparison.
+
+    Output: (id_a, id_b, gap) with gap = pos_b − pos_a ∈ [1, window−1];
+    the order is total (key, then id), so positions — and therefore the
+    pair set — are deterministic on any engine or partitioning.
+
+    Scale shape (the hard part of SNM is the GLOBAL order):
+    - positions come from a range repartition on the key + local ranks
+      + per-partition cumulative offsets (a tiny broadcast) — the same
+      no-single-reducer technique as ``sampling.seeded_shuffle``; a
+      bare row_number() over a global ORDER BY would collapse to one
+      task;
+    - neighbor pairs come from TWO equi-joins on a position bucket of
+      width window−1 (same-bucket + adjacent-bucket; any pair within
+      window−1 positions spans at most two consecutive buckets),
+      unioned and filtered to the exact gap range — hash-partitioned
+      joins, never an inequality/cartesian join.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2: {window}")
+    b = int(window) - 1
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.select(F.col(id_col).alias("id"), F.col(key_col).alias("k"))
+        .repartitionByRange(n, F.col("k"), F.col("id"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        sizes = (
+            d.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .withColumn(
+                "__offset",
+                F.coalesce(
+                    F.sum("__n").over(
+                        Window.orderBy("__pid").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("__pid", "__offset")
+        )
+        w = Window.partitionBy("__pid").orderBy("k", "id")
+        pos = (
+            d.withColumn("__local", F.row_number().over(w))
+            .join(F.broadcast(sizes), "__pid")
+            .select(
+                "id",
+                "k",
+                (F.col("__offset") + F.col("__local") - 1)
+                .cast("long")
+                .alias("pos"),
+            )
+            .withColumn("blk", F.expr(f"pos div {b}"))
+        )
+        a = pos.select(
+            F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "blk"
+        )
+        bb = pos.select(
+            F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "blk"
+        )
+        same = a.join(bb, "blk")
+        nxt = a.withColumn("blk", F.col("blk") + 1).join(bb, "blk")
+        pairs = same.unionByName(nxt).filter(
+            (F.col("pos_b") - F.col("pos_a") >= 1)
+            & (F.col("pos_b") - F.col("pos_a") <= b)
+        )
+        out = pairs.select(
+            "id_a", "id_b", (F.col("pos_b") - F.col("pos_a")).alias("gap")
+        )
+        # materialize before unpersisting the position frame
+        return out.localCheckpoint()
+    finally:
+        d.unpersist()

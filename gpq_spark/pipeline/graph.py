@@ -427,3 +427,89 @@ def sssp_bounded(
             .localCheckpoint()
         )
     return dist
+
+
+def coreness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_k: int | None = None,
+    max_iterations: int = 1000,
+) -> DataFrame:
+    """Full coreness (degeneracy) per node: the maximum k such that the
+    node survives in the k-core — the global density ranking k_core
+    gives only one slice of. Batched peeling: each STAGE sets the
+    current level to the remaining graph's minimum degree, then peels
+    to fixpoint every node whose degree falls to ≤ that level (all
+    tagged with that coreness — the textbook batched variant of the
+    sequential min-degree peel, exact by the same monotonicity
+    argument). Stages advance k by JUMPING to the observed min degree,
+    so sparse levels cost nothing. Output: (node, coreness) for every
+    node incident to an edge.
+
+    Not SQL-expressible without iteration-to-fixpoint (the peel depth
+    is data-dependent), so this operator is gated by tests against an
+    exact driver-side reference peel rather than a DuckDB oracle.
+
+    Scale: per round one degree groupBy + two anti-joins (AQE
+    broadcasts the usually-small dropped set), localCheckpoint() keeps
+    lineage flat; driver state is one scalar (min degree) per stage.
+    Total rounds = Σ per-level peel depths ≈ degeneracy-ordering
+    length, typically O(log n) stages for real graphs. ``max_k`` caps
+    the level: surviving nodes are tagged coreness = max_k (a
+    "coreness ≥ cap" bucket), bounding rounds for adversarial graphs.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    sym = sym.localCheckpoint()
+
+    spark = edges.sparkSession
+    out: DataFrame | None = None
+    rounds = 0
+    while rounds < max_iterations:
+        head = (
+            sym.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .agg(F.min("deg").alias("m"))
+            .collect()
+        )
+        mind = head[0]["m"]
+        if mind is None:
+            break  # graph empty
+        level = int(mind)
+        if max_k is not None and level >= max_k:
+            # cap: everything left is "coreness >= max_k"
+            rest = sym.select(F.col("s").alias("node")).distinct().select(
+                "node", F.lit(int(max_k)).cast("long").alias("coreness")
+            )
+            out = rest if out is None else out.unionByName(rest)
+            return out
+        # inner fixpoint at this level
+        while rounds < max_iterations:
+            rounds += 1
+            deg = sym.groupBy("s").agg(
+                F.count(F.lit(1)).cast("long").alias("deg")
+            )
+            bad = deg.filter(F.col("deg") <= level).select("s")
+            if bad.isEmpty():
+                break
+            tagged = bad.select(
+                F.col("s").alias("node"),
+                F.lit(level).cast("long").alias("coreness"),
+            )
+            out = tagged if out is None else out.unionByName(tagged)
+            sym = (
+                sym.join(bad, "s", "left_anti")
+                .join(bad.select(F.col("s").alias("d")), "d", "left_anti")
+                .localCheckpoint()
+            )
+    if out is None:
+        # no edges at all: empty frame with the right schema
+        return spark.createDataFrame([], "node long, coreness long")
+    return out

@@ -2693,3 +2693,120 @@ class TestMmrSample:
         df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>")
         with pytest.raises(ValueError):
             mmr_sample(df, "vec_id", "embedding", [1.0], k=1, lambda_pct=101)
+
+
+class TestSortedNeighborhood:
+    def test_window_pairs_exact(self, spark):
+        """Keys sort as b1 < b2 < b9 < z9: window 3 yields gaps 1-2."""
+        from gpq_spark.pipeline.dedup import sorted_neighborhood_pairs
+
+        df = spark.createDataFrame(
+            [(1, "b2"), (2, "z9"), (3, "b1"), (4, "b9")], ["id", "name"]
+        )
+        out = {
+            (r["id_a"], r["id_b"]): r["gap"]
+            for r in sorted_neighborhood_pairs(
+                df, "id", "name", window=3, partitions=3
+            ).collect()
+        }
+        # order: (b1,3)=0 (b2,1)=1 (b9,4)=2 (z9,2)=3
+        assert out == {(3, 1): 1, (3, 4): 2, (1, 4): 1, (1, 2): 2, (4, 2): 1}
+
+    def test_duplicate_keys_total_order(self, spark):
+        """Equal keys fall back to id order — pair set stays defined."""
+        from gpq_spark.pipeline.dedup import sorted_neighborhood_pairs
+
+        df = spark.createDataFrame([(5, "x"), (1, "x"), (9, "x")], ["id", "name"])
+        out = {
+            (r["id_a"], r["id_b"])
+            for r in sorted_neighborhood_pairs(
+                df, "id", "name", window=2, partitions=2
+            ).collect()
+        }
+        assert out == {(1, 5), (5, 9)}
+
+    def test_window_below_two_raises(self, spark):
+        from gpq_spark.pipeline.dedup import sorted_neighborhood_pairs
+
+        df = spark.createDataFrame([(1, "a")], ["id", "name"])
+        with pytest.raises(ValueError):
+            sorted_neighborhood_pairs(df, "id", "name", window=1)
+
+
+def _exact_coreness_py(edge_list):
+    """Sequential min-degree peel (textbook exact coreness)."""
+    from collections import defaultdict
+    import heapq
+
+    adj = defaultdict(set)
+    for u, v in edge_list:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    deg = {n: len(a) for n, a in adj.items()}
+    h = [(d, n) for n, d in deg.items()]
+    heapq.heapify(h)
+    removed, core, cur = set(), {}, 0
+    while h:
+        d, n = heapq.heappop(h)
+        if n in removed or d != deg[n]:
+            continue
+        cur = max(cur, deg[n])
+        core[n] = cur
+        removed.add(n)
+        for m in adj[n]:
+            if m not in removed:
+                deg[m] -= 1
+                heapq.heappush(h, (deg[m], m))
+    return core
+
+
+class TestCoreness:
+    def _check(self, spark, edge_list):
+        from gpq_spark.pipeline.graph import coreness
+
+        df = spark.createDataFrame(edge_list, ["src", "dst"])
+        got = {r["node"]: r["coreness"] for r in coreness(df).collect()}
+        assert got == _exact_coreness_py(edge_list)
+
+    def test_triangle_plus_tail(self, spark):
+        # triangle {1,2,3} (coreness 2) with a pendant 4 (coreness 1)
+        self._check(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+
+    def test_two_cliques_bridged(self, spark):
+        k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+        k3 = [(10, 11), (11, 12), (10, 12)]
+        self._check(spark, k4 + k3 + [(4, 10)])
+
+    def test_path_graph_all_ones(self, spark):
+        self._check(spark, [(i, i + 1) for i in range(1, 8)])
+
+    def test_seeded_random_graphs(self, spark):
+        import random
+
+        for seed in (7, 23):
+            rng = random.Random(seed)
+            n = 24
+            edges = [
+                (a, b)
+                for a in range(n)
+                for b in range(a + 1, n)
+                if rng.random() < 0.2
+            ]
+            self._check(spark, edges)
+
+    def test_max_k_caps_levels(self, spark):
+        from gpq_spark.pipeline.graph import coreness
+
+        k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        df = spark.createDataFrame(k5 + [(0, 99)], ["src", "dst"])
+        got = {r["node"]: r["coreness"] for r in coreness(df, max_k=2).collect()}
+        # pendant peels at level 1; the K5 members all cap at 2
+        assert got[99] == 1
+        assert all(got[i] == 2 for i in range(5))
+
+    def test_empty_graph(self, spark):
+        from gpq_spark.pipeline.graph import coreness
+
+        df = spark.createDataFrame([], "src long, dst long")
+        assert coreness(df).count() == 0
