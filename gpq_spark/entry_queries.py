@@ -12432,3 +12432,137 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=5,
         partitions=spark.sparkContext.defaultParallelism,
     )
+
+
+def _stress_oracle(rounds: int = 3) -> str:
+    """Unrolled bounded-horizon stress centrality: forward BFS levels
+    with path counts, one successor-DAG join, backward suffix counts
+    per level — the same ≤rounds-hop contract as the Spark operator,
+    so both agree by construction."""
+    parts = [
+        """stsym AS MATERIALIZED (
+        WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                    FROM lineitem),
+        shared AS (
+            SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(shared) AS BIGINT) AS sum_shared
+            FROM shared
+        ),
+        e AS (SELECT u, v FROM shared CROSS JOIN tot
+              WHERE shared * n_pairs >= sum_shared)
+        SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e
+    )""",
+        """fr0 AS MATERIALIZED (
+        SELECT DISTINCT s AS source, s AS node, CAST(0 AS BIGINT) AS dist,
+               CAST(1 AS BIGINT) AS sigma
+        FROM stsym WHERE s % 10 = 0
+    )""",
+    ]
+    for lvl in range(1, rounds + 1):
+        p = lvl - 1
+        parts.append(
+            f"""fr{lvl} AS MATERIALIZED (
+        SELECT source, node, dist, sigma FROM fr{p}
+        UNION ALL
+        SELECT m.source, m.node, CAST({lvl} AS BIGINT), m.sigma FROM (
+            SELECT f.source, e.d AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+            FROM fr{p} f JOIN stsym e ON e.s = f.node
+            WHERE f.dist = {p}
+            GROUP BY f.source, e.d
+        ) m
+        WHERE NOT EXISTS (SELECT 1 FROM fr{p} x
+                          WHERE x.source = m.source AND x.node = m.node)
+    )"""
+        )
+    parts.append(
+        f"""stsucc AS MATERIALIZED (
+        SELECT f1.source, f1.node AS v, f1.dist AS dv, f2.node AS w
+        FROM fr{rounds} f1
+        JOIN stsym e ON e.s = f1.node
+        JOIN fr{rounds} f2 ON f2.source = f1.source AND f2.node = e.d
+                          AND f2.dist = f1.dist + 1
+    )"""
+    )
+    prev_tau = None
+    for lvl in range(rounds - 1, 0, -1):
+        if prev_tau is None:
+            parts.append(
+                f"""tau{lvl} AS MATERIALIZED (
+        SELECT source, v AS node, CAST(COUNT(*) AS BIGINT) AS tau
+        FROM stsucc WHERE dv = {lvl} GROUP BY source, v
+    )"""
+            )
+        else:
+            parts.append(
+                f"""tau{lvl} AS MATERIALIZED (
+        SELECT s2.source, s2.v AS node,
+               CAST(SUM(1 + COALESCE(t.tau, 0)) AS BIGINT) AS tau
+        FROM stsucc s2
+        LEFT JOIN {prev_tau} t ON t.source = s2.source AND t.node = s2.w
+        WHERE s2.dv = {lvl}
+        GROUP BY s2.source, s2.v
+    )"""
+            )
+        prev_tau = f"tau{lvl}"
+    taus = " UNION ALL ".join(
+        f"SELECT source, node, tau FROM tau{lvl}"
+        for lvl in range(rounds - 1, 0, -1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    alltau AS ({taus})
+    SELECT f.node, CAST(SUM(f.sigma * t.tau) AS BIGINT) AS stress
+    FROM fr{rounds} f
+    JOIN alltau t ON t.source = f.source AND t.node = f.node
+    WHERE f.dist >= 1 AND f.node <> f.source
+    GROUP BY f.node
+    HAVING SUM(f.sigma * t.tau) > 0
+    """
+    )
+
+
+@register("q_stress_suppliers", _stress_oracle(3))
+def q_stress_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon stress centrality (≤3 hops) from the supplier
+    landmarks over the co-sourcing graph — the integer-exact member of
+    the betweenness family: forward BFS with path counts σ, backward
+    suffix counts τ, stress = Σ σ·τ over landmarks
+    (pipeline.graph.stress_centrality). Betweenness proper sums
+    σ-ratio fractions that no cross-engine oracle can reproduce
+    exactly; stress counts PATHS, so every value is a BIGINT and the
+    ≤3-hop contract makes Spark and the unrolled oracle agree by
+    construction."""
+    from .pipeline.graph import stress_centrality
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    e = (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v")
+    )
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    landmarks = nodes.filter("node % 10 = 0")
+    return stress_centrality(e, landmarks, src="u", dst="v", rounds=3)

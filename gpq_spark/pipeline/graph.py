@@ -513,3 +513,132 @@ def coreness(
         # no edges at all: empty frame with the right schema
         return spark.createDataFrame([], "node long, coreness long")
     return out
+
+
+def stress_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+    rounds: int = 3,
+) -> DataFrame:
+    """Bounded-horizon STRESS centrality from a landmark set: for every
+    node v, the number of shortest s→t paths (s a landmark, t any
+    node, path length ≤ ``rounds``) passing through v as an interior
+    node. Stress is the member of the betweenness family whose Brandes
+    decomposition stays in INTEGER arithmetic — betweenness proper
+    sums σ_sv/σ_sw fractions, which no exact cross-engine oracle can
+    reproduce; stress sums path COUNTS:
+
+        forward:  BFS levels with σ(v) = Σ_preds σ(u)  (path counts)
+        backward: τ(v) = Σ_{w ∈ succ(v)} (1 + τ(w))    (suffix counts)
+        stress(v) = Σ_landmarks σ(v) · τ(v)   for v ≠ s, d(v) ≥ 1
+
+    The ≤rounds-hop horizon makes the result EXACT by construction on
+    any engine running the same round count (the SSSP bounded-hop
+    contract — no convergence assumption); with rounds ≥ the landmark
+    eccentricity it equals full stress centrality.
+
+    Output: (node, stress) for nodes with stress > 0 — all BIGINT.
+
+    Scale: forward is ``rounds`` frontier-join + groupBy steps on an
+    O(|landmarks|·reachable) frame; the successor DAG is ONE join of
+    that frame with the edge list; backward is ``rounds−1`` level
+    joins. Everything localCheckpoint()ed; no driver-side state beyond
+    the loop counter. σ can grow combinatorially on dense graphs —
+    int64 overflows past ~9.2e18 paths; bounded horizons keep counts
+    small, and a production run on a pathological graph should cap
+    ``rounds`` accordingly.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct().localCheckpoint()
+
+    fr = sources.select(
+        F.col(source_col).alias("source"),
+        F.col(source_col).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+
+    r = max(1, int(rounds))
+    for lvl in range(1, r + 1):
+        frontier = fr.filter(F.col("dist") == lvl - 1)
+        msgs = (
+            frontier.join(sym, frontier["node"] == sym["s"])
+            .groupBy("source", F.col("d").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+        )
+        new = msgs.join(
+            fr.select("source", "node"), ["source", "node"], "left_anti"
+        ).select(
+            "source", "node", F.lit(lvl).cast("long").alias("dist"), "sigma"
+        )
+        fr = fr.unionByName(new).localCheckpoint()
+
+    # successor DAG: (source, v, w) with d(w) = d(v) + 1 and edge v—w
+    a = fr.select(
+        "source", F.col("node").alias("v"), F.col("dist").alias("dv")
+    )
+    b = fr.select(
+        F.col("source").alias("source_b"),
+        F.col("node").alias("w"),
+        F.col("dist").alias("dw"),
+    )
+    succ = (
+        a.join(sym, a["v"] == sym["s"])
+        .join(
+            b,
+            (F.col("d") == b["w"])
+            & (a["source"] == b["source_b"])
+            & (b["dw"] == a["dv"] + 1),
+        )
+        .select("source", "v", "dv", "w")
+        .localCheckpoint()
+    )
+
+    # backward: τ finalized level by level, deepest first
+    tau = None  # (source, node, tau) for finalized levels
+    for lvl in range(r - 1, 0, -1):
+        lv = succ.filter(F.col("dv") == lvl)
+        if tau is not None:
+            lv = lv.join(
+                tau.select(
+                    F.col("source").alias("source_t"),
+                    F.col("node").alias("w_t"),
+                    F.col("tau").alias("tau_w"),
+                ),
+                (lv["w"] == F.col("w_t")) & (lv["source"] == F.col("source_t")),
+                "left",
+            )
+        else:
+            lv = lv.withColumn("tau_w", F.lit(None).cast("long"))
+        t = (
+            lv.groupBy("source", F.col("v").alias("node"))
+            .agg(
+                F.sum(F.lit(1) + F.coalesce(F.col("tau_w"), F.lit(0)))
+                .cast("long")
+                .alias("tau")
+            )
+        )
+        tau = t if tau is None else tau.unionByName(t)
+        tau = tau.localCheckpoint()
+
+    if tau is None:
+        return edges.sparkSession.createDataFrame([], "node long, stress long")
+    contrib = (
+        fr.filter((F.col("dist") >= 1) & (F.col("node") != F.col("source")))
+        .join(tau, ["source", "node"])
+        .select("node", (F.col("sigma") * F.col("tau")).alias("c"))
+    )
+    return (
+        contrib.groupBy("node")
+        .agg(F.sum("c").cast("long").alias("stress"))
+        .filter(F.col("stress") > 0)
+    )

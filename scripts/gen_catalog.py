@@ -26,7 +26,7 @@ GROUPS = [
      r"|ab_test|trend|crosstab|drift|basket|recommend|incremental|table_checksum"
      r"|changepoint|pattern|outliers|cohort|rfm|nation_part|latency|growth|top_paths|market_share|hhi|gini|pareto|acf|weekday)"),
     ("Graph analytics",
-     r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa|sssp)"),
+     r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa|sssp|stress)"),
     ("Governance & auditing",
      r"^q_(kanon|ldiversity|benford|corpus_diff|data_constraints|split_leakage)"),
     ("Deduplication & decontamination", r"^(dedup_|decontam|semantic_)"),

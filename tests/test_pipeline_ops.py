@@ -2810,3 +2810,90 @@ class TestCoreness:
 
         df = spark.createDataFrame([], "src long, dst long")
         assert coreness(df).count() == 0
+
+
+def _exact_stress_py(edge_list, sources, rounds):
+    """Brute-force bounded-horizon stress: enumerate every shortest
+    path (length <= rounds) from each source via BFS + DAG recursion."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for u, v in edge_list:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    stress = defaultdict(int)
+    for s in sources:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= rounds:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+
+        def paths(t):
+            # all shortest s->t node sequences
+            if t == s:
+                return [[s]]
+            out = []
+            for u in adj[t]:
+                if u in dist and dist[u] == dist[t] - 1:
+                    out.extend(p + [t] for p in paths(u))
+            return out
+
+        for t, d in dist.items():
+            if t == s or d > rounds:
+                continue
+            for p in paths(t):
+                for v in p[1:-1]:
+                    stress[v] += 1
+    return {n: c for n, c in stress.items() if c > 0}
+
+
+class TestStressCentrality:
+    def _check(self, spark, edge_list, sources, rounds):
+        from gpq_spark.pipeline.graph import stress_centrality
+
+        e = spark.createDataFrame(edge_list, ["src", "dst"])
+        s = spark.createDataFrame([(x,) for x in sources], ["node"])
+        got = {
+            r["node"]: r["stress"]
+            for r in stress_centrality(e, s, rounds=rounds).collect()
+        }
+        assert got == _exact_stress_py(edge_list, sources, rounds)
+
+    def test_path_graph_interior_counts(self, spark):
+        # 1-2-3-4: from source 1 within 3 hops, node 2 is interior to
+        # paths 1-2-3 and 1-2-3-4; node 3 to 1-2-3-4
+        self._check(spark, [(1, 2), (2, 3), (3, 4)], [1], 3)
+
+    def test_diamond_multiplicity(self, spark):
+        # two shortest 1->4 paths through 2 and 3 (sigma = 2 at 4)
+        self._check(spark, [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], [1], 3)
+
+    def test_star_center_dominates(self, spark):
+        edges = [(0, i) for i in range(1, 6)]
+        self._check(spark, edges, [1, 2], 2)
+
+    def test_seeded_random_graphs(self, spark):
+        import random
+
+        for seed in (3, 11):
+            rng = random.Random(seed)
+            n = 14
+            edges = [
+                (a, b)
+                for a in range(n)
+                for b in range(a + 1, n)
+                if rng.random() < 0.25
+            ]
+            self._check(spark, edges, [0, 7], 3)
+
+    def test_horizon_bounds_counted_paths(self, spark):
+        # 1-2-3-4-5 with rounds=2: only 1-2-3 is countable; node 3 and
+        # beyond contribute nothing as interiors of longer paths
+        self._check(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1], 2)
