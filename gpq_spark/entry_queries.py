@@ -12566,3 +12566,54 @@ def q_stress_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     landmarks = nodes.filter("node % 10 = 0")
     return stress_centrality(e, landmarks, src="u", dst="v", rounds=3)
+
+
+@register(
+    "stream_upsert_state",
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    mx AS (SELECT MAX(tus) AS max_tus FROM ev),
+    ranked AS (
+        SELECT user_id, tus, event_id, event_type, vc,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY tus DESC, event_id DESC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+               MAX(tus) OVER (PARTITION BY user_id) AS last_tus
+        FROM ev
+    )
+    SELECT user_id,
+           strftime(make_timestamp(tus), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_id AS last_event_id, event_type AS last_type,
+           vc AS last_value_cents, n AS n_upserts
+    FROM ranked, mx
+    WHERE rn = 1
+      AND (last_tus // 1000 + 1800000) < (max_tus // 1000 - 7200000)
+    """,
+)
+def stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC snapshot (applyInPandasWithState): last-write-wins
+    state per user — max (event time, event id) with exact-cents value
+    — emitted once per key on event-time timeout (30 min idle past the
+    2 h watermark). The oracle is the batch latest-row query restricted
+    to keys whose timeout actually fires on the bounded replay (same
+    watermark arithmetic as stream_stateful_sessions). The max-merge is
+    commutative, so out-of-order arrival cannot change the snapshot
+    (streaming.windows.stream_upsert_state)."""
+    from .streaming.windows import stream_upsert_state as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    snap = _op(stream).select(
+        "user_id",
+        F.date_format(
+            F.expr("convert_timezone('UTC', last_ts)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("last_ts"),
+        "last_event_id",
+        "last_type",
+        "last_value_cents",
+        "n_upserts",
+    )
+    return _drain_to_table(snap, "upserts", "append")

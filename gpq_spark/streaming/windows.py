@@ -1726,3 +1726,96 @@ def stateful_sessionize_ooo(
         F.timestamp_micros("end_us").alias("session_end"),
         "n_events",
     )
+
+
+UPSERT_RAW_SCHEMA = (
+    "user_id long, last_us long, last_event_id long, last_type string, "
+    "last_value_cents long, n_upserts long"
+)
+UPSERT_STATE_SCHEMA = "last_us long, last_eid long, last_type string, last_vc long, n long"
+
+
+def _upsert_fn(key, pdfs, state):
+    """Last-write-wins CDC state per user: keep the row with the
+    maximum (event time, event id), count total upserts, emit ONCE on
+    event-time timeout (30 min idle past the watermark) — the
+    streaming materialization of a keyed snapshot. Merging by max is
+    commutative and associative, so arrival order (and out-of-order
+    replays) cannot change the result."""
+    if state.hasTimedOut:
+        (last_us, last_eid, last_type, last_vc, n) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_us": [last_us],
+                "last_event_id": [last_eid],
+                "last_type": [last_type],
+                "last_value_cents": [last_vc],
+                "n_upserts": [n],
+            }
+        )
+        return
+
+    best = None
+    n_new = 0
+    for pdf in pdfs:
+        for t, eid, et, vc in zip(
+            pdf["ts_us"], pdf["event_id"], pdf["event_type"], pdf["vc"]
+        ):
+            n_new += 1
+            cand = (int(t), int(eid), str(et), int(vc))
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+
+    if state.exists:
+        (last_us, last_eid, last_type, last_vc, n) = state.get
+    else:
+        last_us = last_eid = last_vc = None
+        last_type = ""
+        n = 0
+    if best is not None and (
+        last_us is None or (best[0], best[1]) > (last_us, last_eid)
+    ):
+        last_us, last_eid, last_type, last_vc = best
+    n += n_new
+
+    state.update((last_us, last_eid, last_type, last_vc, n))
+    state.setTimeoutTimestamp(last_us // 1000 + 30 * 60 * 1000)
+
+
+def stream_upsert_state(stream: DataFrame) -> DataFrame:
+    """Streaming CDC snapshot: treat every event as an upsert of its
+    user's row and maintain last-write-wins state (max event time, id
+    tiebreak), emitted once per key when the key falls idle past the
+    watermark — the streaming half of the batch `cdc_orders_diff` /
+    `scd2_user_state` family. Money is converted to exact cents BEFORE
+    entering state, so emitted values are engine-exact.
+
+    Scale: state is ONE row per key (five scalars), strictly bounded;
+    the merge is commutative/associative max, so out-of-order and
+    re-partitioned replays converge to the same snapshot."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("vc", F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _upsert_fn,
+            outputStructType=UPSERT_RAW_SCHEMA,
+            stateStructType=UPSERT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw.select(
+        "user_id",
+        F.timestamp_micros("last_us").alias("last_ts"),
+        "last_event_id",
+        "last_type",
+        "last_value_cents",
+        "n_upserts",
+    )

@@ -1475,3 +1475,71 @@ class TestOooWatermarkFlush:
         }
         # user 1's only (and therefore final) hour: 500 + 700 cents
         assert (1, 1200) in got, got
+
+
+class TestStreamUpsertState:
+    def test_out_of_order_upserts_converge_to_latest(self, spark, tmp_path):
+        """The newest write (minute 40) arrives BEFORE an older one
+        (minute 20): last-write-wins must still report minute 40's
+        value, and the late arrival only bumps the count."""
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_upsert_state
+
+        base = dt.datetime(2024, 3, 1)
+
+        def ev(eid, minute, val):
+            return (
+                eid,
+                base + dt.timedelta(minutes=minute),
+                7,
+                "purchase",
+                val,
+                "{}",
+            )
+
+        batches = [
+            [ev(1, 0, 1.0), ev(3, 40, 9.5)],
+            [ev(2, 20, 5.0)],  # stale write arrives late
+            # watermark advancer on a DIFFERENT user (an advancer on
+            # user 7 would push its own timeout past the final watermark)
+            [(99, base + dt.timedelta(hours=48), 99, "x", 0.0, "{}")],
+        ]
+        d = tmp_path / "ups_ooo"
+        src_schema = _write_ooo_files(spark, d, batches)
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_upsert_state(stream)
+        rows = {r["user_id"]: r for r in _drain_ooo(spark, out, "ups").collect()}
+        assert 7 in rows
+        r = rows[7]
+        assert r["last_event_id"] == 3
+        assert r["last_value_cents"] == 950
+        assert r["n_upserts"] == 3
+
+    def test_event_id_breaks_timestamp_ties(self, spark, tmp_path):
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_upsert_state
+
+        base = dt.datetime(2024, 3, 1)
+        batches = [
+            [
+                (5, base, 1, "a", 1.0, "{}"),
+                (9, base, 1, "b", 2.0, "{}"),
+                (7, base, 1, "c", 3.0, "{}"),
+            ],
+            [(99, base + dt.timedelta(hours=48), 2, "x", 0.0, "{}")],
+        ]
+        d = tmp_path / "ups_tie"
+        src_schema = _write_ooo_files(spark, d, batches)
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_upsert_state(stream)
+        rows = {r["user_id"]: r for r in _drain_ooo(spark, out, "tie").collect()}
+        assert rows[1]["last_event_id"] == 9
+        assert rows[1]["last_type"] == "b"
