@@ -12617,3 +12617,241 @@ def stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_upserts",
     )
     return _drain_to_table(snap, "upserts", "append")
+
+
+@register(
+    "q_mann_whitney",
+    f"""
+    WITH x AS (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'a' ELSE 'b' END AS grp,
+               {cents('o_totalprice')} AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    per_v AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+               CAST(COUNT(*) AS BIGINT) AS n_v
+        FROM x GROUP BY v
+    ),
+    c AS (
+        SELECT v, na_v, n_v,
+               CAST(COALESCE(SUM(n_v) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cnt_less
+        FROM per_v
+    ),
+    tots AS (
+        SELECT CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM x
+    )
+    SELECT n_a, n_b,
+           CAST(SUM(na_v * (2 * cnt_less + n_v + 1)) AS BIGINT) AS two_r_a,
+           CAST(SUM(na_v * (2 * cnt_less + n_v + 1)) - n_a * (n_a + 1)
+                AS BIGINT) AS two_u_a
+    FROM c CROSS JOIN tots
+    GROUP BY n_a, n_b
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney rank-sum comparison of order totals between two
+    customer segments, entirely in integers: tie-averaged ranks are
+    kept DOUBLED (2·avgrank = 2·cnt_less + cnt_eq + 1 — always an
+    integer), so 2R and 2U are exact BIGINTs with textbook tie
+    handling and no float ranks. Shape: one value-grouped frame, a
+    cumulative window over distinct values (not rows), one combine.
+    The cumulative window is a global order over DISTINCT values —
+    already reduced (cents of a bounded price domain); if the distinct
+    count ever rivals the row count, apply the range-partition +
+    offset technique from sampling.seeded_shuffle instead of a bare
+    global window."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    x = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("grp"),
+            F.expr(cents("o_totalprice")).alias("v"),
+        )
+    )
+    per_v = x.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("na_v"),
+        F.count(F.lit(1)).cast("long").alias("n_v"),
+    )
+    wcum = (
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = per_v.withColumn(
+        "cnt_less", F.coalesce(F.sum("n_v").over(wcum), F.lit(0)).cast("long")
+    )
+    tots = x.agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tots))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.sum(
+                F.col("na_v") * (2 * F.col("cnt_less") + F.col("n_v") + 1)
+            )
+            .cast("long")
+            .alias("two_r_a"),
+            (
+                F.sum(
+                    F.col("na_v") * (2 * F.col("cnt_less") + F.col("n_v") + 1)
+                )
+                - F.col("n_a") * (F.col("n_a") + 1)
+            )
+            .cast("long")
+            .alias("two_u_a"),
+        )
+    )
+
+
+@register(
+    "q_runs_test",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    med AS (
+        SELECT CAST(MIN(y) AS BIGINT) AS m FROM (
+            SELECT y, row_number() OVER (ORDER BY y, t) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM d
+        ) WHERE 2 * rn >= n + 1
+    ),
+    s AS (
+        SELECT t, CASE WHEN y > m THEN 1 ELSE -1 END AS sgn
+        FROM d CROSS JOIN med WHERE y <> m
+    ),
+    runs AS (
+        SELECT sgn,
+               CASE WHEN lag(sgn) OVER (ORDER BY t) IS NULL
+                    OR lag(sgn) OVER (ORDER BY t) <> sgn
+                    THEN 1 ELSE 0 END AS is_new
+        FROM s
+    )
+    SELECT CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(SUM(is_new) AS BIGINT) AS n_runs
+    FROM runs
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on daily order volume: days above vs
+    below the (exact lower) median, runs counted by sign changes in
+    day order, median-equal days excluded — the classic randomness
+    screen for a time series, all integer. One date groupBy + two
+    narrow windows."""
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') AS BIGINT)"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    ranked = d.select(
+        "t",
+        "y",
+        F.row_number().over(Window.orderBy("y", "t")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.filter("2 * rn >= n + 1").agg(
+        F.min("y").cast("long").alias("m")
+    )
+    s = (
+        d.crossJoin(F.broadcast(med))
+        .filter("y <> m")
+        .select(
+            "t",
+            F.when(F.col("y") > F.col("m"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+    )
+    lag = F.lag("sgn").over(Window.orderBy("t"))
+    runs = s.select(
+        "sgn",
+        F.when(lag.isNull() | (lag != F.col("sgn")), 1).otherwise(0).alias(
+            "is_new"
+        ),
+    )
+    return runs.agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_above"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below"),
+        F.sum("is_new").cast("long").alias("n_runs"),
+    )
+
+
+@register(
+    "q_trimmed_mean",
+    f"""
+    WITH x AS (
+        SELECT l_returnflag AS rf, {cents('l_extendedprice')} AS v
+        FROM lineitem
+    ),
+    r AS (
+        SELECT rf, v,
+               row_number() OVER (PARTITION BY rf ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY rf) AS n
+        FROM x
+    )
+    SELECT rf, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS trimmed_n,
+           CAST(SUM(v) AS BIGINT) AS trimmed_sum_cents,
+           CAST(SUM(v) // COUNT(*) AS BIGINT) AS trimmed_mean_cents
+    FROM r
+    WHERE rn > n // 20 AND rn <= n - n // 20
+    GROUP BY rf
+    """,
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean price per return flag: drop the lowest and
+    highest n div 20 observations by rank and average the middle in
+    exact cents (integer floor mean). Ties at the cut boundary cannot
+    change the SUM (equal values are interchangeable), so value-only
+    ranking is deterministic. One window shuffle per group key."""
+    li = load(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.expr(cents("l_extendedprice")).alias("v"),
+    )
+    r = x.select(
+        "rf",
+        "v",
+        F.row_number().over(Window.partitionBy("rf").orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("rf")).alias("n"),
+    )
+    return (
+        r.filter("rn > n div 20 AND rn <= n - n div 20")
+        .groupBy("rf")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("trimmed_n"),
+            F.sum("v").cast("long").alias("trimmed_sum_cents"),
+            F.expr("CAST(SUM(v) div COUNT(*) AS BIGINT)").alias(
+                "trimmed_mean_cents"
+            ),
+        )
+    )

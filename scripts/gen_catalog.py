@@ -28,7 +28,8 @@ GROUPS = [
     ("Graph analytics",
      r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa|sssp|stress)"),
     ("Governance & auditing",
-     r"^q_(kanon|ldiversity|benford|corpus_diff|data_constraints|split_leakage)"),
+     r"^q_(kanon|ldiversity|benford|corpus_diff|data_constraints|split_leakage"
+     r"|mann_whitney|runs_test|trimmed_mean)"),
     ("Deduplication & decontamination", r"^(dedup_|decontam|semantic_)"),
     ("Similarity search & embeddings", r"^(ann_|ivf_|embed_|pq_)"),
     ("Text analysis & corpus ops", r"^(text_|rank_|sample_|pack_|profile_|skew_|shuffle_|drift_)"),
