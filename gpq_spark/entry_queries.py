@@ -12855,3 +12855,117 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_RAKE_STOPS = ("the", "a", "and", "of", "to", "is", "in", "on")
+
+
+@register(
+    "text_rake_keyphrases",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS words
+              FROM documents)
+    ),
+    content AS (
+        SELECT doc_id, pos, w,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM toks
+        WHERE w NOT IN {str(tuple(_RAKE_STOPS))}
+    ),
+    ptok AS (
+        SELECT doc_id, grp, pos, w,
+               CAST(COUNT(*) OVER (PARTITION BY doc_id, grp) AS BIGINT) AS plen
+        FROM content
+    ),
+    wstat AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS deg,
+               CAST(1000000 * SUM(plen) // COUNT(*) AS BIGINT) AS score_e6
+        FROM ptok GROUP BY w
+    ),
+    phrases AS (
+        SELECT p.doc_id, p.grp,
+               string_agg(p.w, ' ' ORDER BY p.pos) AS phrase,
+               CAST(SUM(s.score_e6) AS BIGINT) AS phrase_score_e6
+        FROM ptok p JOIN wstat s ON s.w = p.w
+        GROUP BY p.doc_id, p.grp
+    ),
+    corpus AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MAX(phrase_score_e6) AS BIGINT) AS score_e6
+        FROM phrases GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences, score_e6 FROM (
+        SELECT phrase, n_occurrences, score_e6,
+               row_number() OVER (ORDER BY score_e6 DESC, phrase ASC) AS rn
+        FROM corpus
+    ) WHERE rn <= 20
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction over the corpus: phrases are maximal
+    stopword-free token runs (the island trick: pos − row_number),
+    each word scores degree/frequency — degree = Σ phrase length over
+    its occurrences — floored at e6 scale so the phrase score
+    (Σ word scores) stays an exact BIGINT on both engines; top 20
+    phrases by (score, phrase). All occurrences of an identical phrase
+    share one corpus-level score (word stats are corpus-level), so the
+    MAX in the dedup is a no-op formality.
+
+    Shape: explode + two windowed groupBys + one word-stat join (AQE
+    handles the vocabulary join; no broadcast hint — a 100 TB corpus
+    vocabulary doesn't broadcast)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+                )
+            ).alias("pos0", "w"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    content = toks.filter(~F.col("w").isin(*_RAKE_STOPS)).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    ptok = content.withColumn(
+        "plen",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "grp")).cast("long"),
+    )
+    wstat = ptok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+        F.expr("CAST(1000000 * SUM(plen) div COUNT(*) AS BIGINT)").alias(
+            "score_e6"
+        ),
+    )
+    phrases = (
+        ptok.join(wstat.select("w", "score_e6"), "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list("
+                "struct(pos, w))), x -> x.w))"
+            ).alias("phrase"),
+            F.sum("score_e6").cast("long").alias("phrase_score_e6"),
+        )
+    )
+    corpus = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("phrase_score_e6").cast("long").alias("score_e6"),
+    )
+    ranked = corpus.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("score_e6").desc(), F.col("phrase").asc())
+        ),
+    )
+    return ranked.filter("rn <= 20").select("phrase", "n_occurrences", "score_e6")
