@@ -534,3 +534,31 @@ def test_acf_lags_broadcast(plans):
     # the 7-row lag table joins broadcast; the self-join on the day key
     # must not be a cartesian product
     assert "CartesianProduct" not in p
+
+
+def test_mann_whitney_no_python_no_cartesian(plans):
+    p = plans("q_mann_whitney")
+    assert "pythonUDF" not in p.lower()
+    assert "CartesianProduct" not in p
+
+
+def test_trimmed_mean_single_window_shuffle(plans):
+    p = plans("q_trimmed_mean")
+    assert "pythonUDF" not in p.lower()
+    # one window shuffle on the 3-value group key, one final groupBy
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_rake_vocabulary_join_not_broadcast_hinted(plans):
+    p = plans("text_rake_keyphrases")
+    assert "pythonUDF" not in p.lower()
+    assert "CartesianProduct" not in p
+
+
+def test_sorted_neighborhood_equi_joins_only(plans):
+    p = plans("dedup_sorted_neighborhood")
+    assert "pythonUDF" not in p.lower()
+    # the neighbor join must be hash equi-joins on the position bucket,
+    # never BroadcastNestedLoop/cartesian from an inequality condition
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

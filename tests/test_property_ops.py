@@ -732,3 +732,110 @@ def test_quadkey_expr_matches_python_and_prefix_law(spark, cells):
     for r in got:
         assert r["qk"] == _py_quadkey(r["cx"], r["cy"])
         assert r["qk"] // 4 == r["qk_parent"]
+
+
+def _py_rrf(lists, k=60):
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for rows in lists:
+        ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+        for rank, (i, _) in enumerate(ranked, start=1):
+            agg[i][0] += 1
+            agg[i][1] += 1_000_000_000 // (k + rank)
+    return {i: (n, s) for i, (n, s) in agg.items()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=20),
+                st.integers(min_value=-5, max_value=5),
+            ),
+            min_size=1,
+            max_size=12,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_rrf_fuse_matches_python(spark, lists):
+    from gpq_spark.pipeline.ranking import rrf_fuse
+
+    dfs = [
+        spark.createDataFrame(
+            [(i, float(s)) for i, s in rows], "id long, score double"
+        )
+        for rows in lists
+    ]
+    got = {
+        r["id"]: (r["n_lists"], r["rrf_e9"])
+        for r in rrf_fuse(dfs, "id", k=60).collect()
+    }
+    assert got == _py_rrf(lists)
+
+
+def _py_kcenter(vecs, k, scale=1_000_000):
+    q = {i: [round(x * scale) for x in v] for i, v in vecs}
+    if not q:
+        return []
+    sel = [min(q)]
+    out = [(1, sel[0], 0)]
+    for rank in range(2, k + 1):
+        best = None
+        for i, v in q.items():
+            if i in sel:
+                continue
+            d = min(
+                sum((a - b) * (a - b) for a, b in zip(v, q[s]))
+                for s in sel
+            )
+            cand = (d, -i)
+            if best is None or cand > best[0]:
+                best = (cand, i, d)
+        if best is None:
+            break
+        out.append((rank, best[1], best[2]))
+        sel.append(best[1])
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.lists(
+                # tenths: x*1e6 is an exact integer, so the reference's
+                # Python round() and the engines' SQL round() can never
+                # disagree on a .5 boundary
+                st.integers(min_value=-10, max_value=10).map(
+                    lambda n: n / 10.0
+                ),
+                min_size=3,
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_kcenter_matches_python_and_radius_monotone(spark, vecs):
+    from gpq_spark.pipeline.sampling import kcenter_sample
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs], "vec_id long, embedding array<double>"
+    )
+    rows = sorted(
+        kcenter_sample(df, "vec_id", "embedding", k=4).collect(),
+        key=lambda r: r["sel_rank"],
+    )
+    got = [(r["sel_rank"], r["vec_id"], r["dist2"]) for r in rows]
+    assert got == _py_kcenter(vecs, 4)
+    # the selection radius is non-increasing after the seed
+    radii = [d for _, _, d in got[1:]]
+    assert radii == sorted(radii, reverse=True)
