@@ -12969,3 +12969,76 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.filter("rn <= 20").select("phrase", "n_occurrences", "score_e6")
+
+
+_WAV_CH = "(doc_id % 2 + 1)"
+_WAV_BITS = "(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END)"
+_WAV_RATE = (
+    "(CASE WHEN doc_id % 3 = 0 THEN 8000"
+    " WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END)"
+)
+_WAV_FRAMES = "(doc_id % 1000)"
+
+
+def _wav_payload_spark() -> str:
+    """Every 10th doc gets a GIF payload (the non-WAV NULL path); the
+    rest get a canonical 44-byte PCM WAV header with doc_id-derived
+    channels / sample rate / bit depth / frame count."""
+    le16 = (
+        lambda v: f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+        f" lpad(hex(({v}) div 256), 2, '0'))"
+    )
+    le32 = (
+        lambda v: f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+        f" lpad(hex(({v}) div 256 % 256), 2, '0'),"
+        f" lpad(hex(({v}) div 65536 % 256), 2, '0'),"
+        f" lpad(hex(({v}) div 16777216 % 256), 2, '0'))"
+    )
+    block = f"({_WAV_CH} * {_WAV_BITS} div 8)"
+    byte_rate = f"({_WAV_RATE} * {block})"
+    data = f"({_WAV_FRAMES} * {block})"
+    chunk = f"(36 + {data})"
+    return (
+        f"CASE WHEN doc_id % 10 = 0 THEN unhex('474946383761010001000000')"
+        f" ELSE unhex(concat('52494646', {le32(chunk)}, '57415645',"
+        f" '666d7420', '10000000', '0100', {le16(_WAV_CH)},"
+        f" {le32(_WAV_RATE)}, {le32(byte_rate)}, {le16(block)},"
+        f" {le16(_WAV_BITS)}, '64617461', {le32(data)})) END"
+    )
+
+
+@register(
+    "multimodal_wav_header",
+    f"""
+    SELECT doc_id AS id,
+           CAST(1 AS INT) AS format_tag,
+           CAST({_WAV_CH} AS INT) AS n_channels,
+           CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+           CAST({_WAV_RATE} * ({_WAV_CH} * {_WAV_BITS} // 8) AS BIGINT)
+               AS byte_rate,
+           CAST({_WAV_CH} * {_WAV_BITS} // 8 AS INT) AS block_align,
+           CAST({_WAV_BITS} AS INT) AS bits_per_sample,
+           CAST({_WAV_FRAMES} * ({_WAV_CH} * {_WAV_BITS} // 8) AS BIGINT)
+               AS data_bytes,
+           CAST({_WAV_FRAMES} * ({_WAV_CH} * {_WAV_BITS} // 8) * 1000000
+                // ({_WAV_RATE} * ({_WAV_CH} * {_WAV_BITS} // 8)) AS BIGINT)
+               AS duration_us
+    FROM documents
+    WHERE doc_id % 10 != 0
+    """,
+)
+def multimodal_wav_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV/RIFF header extraction — little-endian u32 chunk sizes, the
+    full PCM fmt block, and exact integer duration micros — completing
+    the header-parser QUARTET: PNG (big-endian fixed offsets), JPEG
+    (marker walk), GIF (LE u16 + bit-packing), WAV (LE u32 RIFF
+    chunking). parse(build(x)) == x gated against the arithmetic the
+    payload was built from (pipeline.multimodal.parse_wav_header)."""
+    from .pipeline.multimodal import parse_wav_header
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_wav_payload_spark()).alias("payload")
+    )
+    return parse_wav_header(docs, "payload", "doc_id").filter(
+        F.col("sample_rate").isNotNull()
+    )

@@ -2897,3 +2897,65 @@ class TestStressCentrality:
         # 1-2-3-4-5 with rounds=2: only 1-2-3 is countable; node 3 and
         # beyond contribute nothing as interiors of longer paths
         self._check(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1], 2)
+
+
+class TestWavHeader:
+    def _wav_bytes(self, ch, rate, bits, frames):
+        import struct
+
+        block = ch * bits // 8
+        data = frames * block
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + data)
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * block, block, bits)
+            + b"data"
+            + struct.pack("<I", data)
+        )
+
+    def test_parse_build_roundtrip(self, spark):
+        from gpq_spark.pipeline.multimodal import parse_wav_header
+
+        df = spark.createDataFrame(
+            [
+                (1, self._wav_bytes(2, 44100, 16, 1000)),
+                (2, self._wav_bytes(1, 8000, 8, 123)),
+            ],
+            "id long, payload binary",
+        )
+        out = {r["id"]: r for r in parse_wav_header(df, "payload", "id").collect()}
+        r = out[1]
+        assert (r["n_channels"], r["sample_rate"], r["bits_per_sample"]) == (
+            2,
+            44100,
+            16,
+        )
+        assert r["byte_rate"] == 44100 * 4 and r["block_align"] == 4
+        assert r["data_bytes"] == 4000
+        assert r["duration_us"] == 4000 * 1_000_000 // (44100 * 4)
+        assert out[2]["duration_us"] == 123 * 1_000_000 // 8000
+
+    def test_high_bytes_in_sizes_do_not_break_signatures(self, spark):
+        """Chunk sizes with bytes >= 0x80 (invalid UTF-8) must still
+        parse — the signature check is hex-positional, not string."""
+        from gpq_spark.pipeline.multimodal import parse_wav_header
+
+        # 0x0001FF80 data size: contains 0xFF and 0x80
+        df = spark.createDataFrame(
+            [(1, self._wav_bytes(2, 48000, 16, 0x0001FF80 // 4))],
+            "id long, payload binary",
+        )
+        out = parse_wav_header(df, "payload", "id").collect()
+        assert out[0]["data_bytes"] == 0x0001FF80
+
+    def test_non_wav_yields_nulls(self, spark):
+        from gpq_spark.pipeline.multimodal import parse_wav_header
+
+        df = spark.createDataFrame(
+            [(1, b"GIF87a" + b"\x01\x00\x01\x00\x00\x00")],
+            "id long, payload binary",
+        )
+        out = parse_wav_header(df, "payload", "id").collect()
+        assert out[0]["sample_rate"] is None
