@@ -12962,13 +12962,14 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         F.max("phrase_score_e6").cast("long").alias("score_e6"),
     )
-    ranked = corpus.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.col("score_e6").desc(), F.col("phrase").asc())
-        ),
+    # orderBy().limit() compiles to TakeOrderedAndProject — a
+    # distributed partition-local top-20 + driver merge, not the
+    # single-reducer sort a global row_number window would be
+    return (
+        corpus.orderBy(F.col("score_e6").desc(), F.col("phrase").asc())
+        .limit(20)
+        .select("phrase", "n_occurrences", "score_e6")
     )
-    return ranked.filter("rn <= 20").select("phrase", "n_occurrences", "score_e6")
 
 
 _WAV_CH = "(doc_id % 2 + 1)"

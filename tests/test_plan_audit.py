@@ -562,3 +562,10 @@ def test_sorted_neighborhood_equi_joins_only(plans):
     # never BroadcastNestedLoop/cartesian from an inequality condition
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rake_topk_is_take_ordered(plans):
+    # the corpus-level top-20 must be TakeOrderedAndProject (two-phase
+    # distributed top-k), not a single-reducer global window sort
+    p = plans("text_rake_keyphrases")
+    assert "TakeOrderedAndProject" in p
