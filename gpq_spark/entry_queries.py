@@ -13043,3 +13043,116 @@ def multimodal_wav_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_wav_header(docs, "payload", "doc_id").filter(
         F.col("sample_rate").isNotNull()
     )
+
+
+@register(
+    "q_theil_sen",
+    f"""
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+                   AS x,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CAST(1000000 * (b.y - a.y) // (b.x - a.x) AS BIGINT) AS slope_e6
+        FROM m a JOIN m b ON b.x > a.x
+    ),
+    ranked AS (
+        SELECT slope_e6,
+               row_number() OVER (ORDER BY slope_e6) AS rn,
+               COUNT(*) OVER () AS n
+        FROM pairs
+    )
+    SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_months,
+           CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(MIN(slope_e6) AS BIGINT) AS median_slope_e6
+    FROM ranked WHERE 2 * rn >= n + 1
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the exact lower MEDIAN of all pairwise
+    monthly-revenue slopes (each floored at e6 scale — integer end to
+    end), the outlier-resistant counterpart of q_trend_slope's OLS.
+    The pair join and the median rank run over the MONTH domain
+    (n months → n² div 2 pairs — bounded by the calendar, not the fact
+    table), so the quadratic stays trivially small at any corpus
+    size; the revenue aggregation is the only scan."""
+    orders = load(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("x")
+        )
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("y"))
+    )
+    a = m.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = m.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("xb") > F.col("xa")).select(
+        F.expr("CAST(1000000 * (yb - ya) div (xb - xa) AS BIGINT)").alias(
+            "slope_e6"
+        )
+    )
+    ranked = pairs.select(
+        "slope_e6",
+        F.row_number().over(Window.orderBy("slope_e6")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    n_months = m.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    return (
+        ranked.filter("2 * rn >= n + 1")
+        .agg(
+            F.max("n").cast("long").alias("n_pairs"),
+            F.min("slope_e6").cast("long").alias("median_slope_e6"),
+        )
+        .crossJoin(F.broadcast(n_months))
+        .select("n_months", "n_pairs", "median_slope_e6")
+    )
+
+
+def _soundex_blocks_oracle() -> str:
+    from .pipeline.dedup import soundex_duck
+
+    first = "regexp_split_to_array(trim(p_name), '\\s+')[1]"
+    return f"""
+    WITH w AS (SELECT DISTINCT {first} AS word FROM part),
+    coded AS (SELECT word, {soundex_duck('word')} AS code FROM w),
+    joined AS (
+        SELECT c.code, c.word
+        FROM part p
+        JOIN coded c ON c.word = {first.replace('p_name', 'p.p_name')}
+    )
+    SELECT code,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words
+    FROM joined
+    GROUP BY code
+    HAVING COUNT(DISTINCT word) >= 2
+    """
+
+
+@register("dedup_soundex_blocks", _soundex_blocks_oracle())
+def dedup_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic ER blocking: portable-Soundex codes (pinned spec,
+    pipeline.dedup.soundex_expr — engine builtins differ on the H/W
+    rule, so the spec is implemented identically on both sides) over
+    the first word of part names; emit blocks that merge ≥2 distinct
+    words — the candidate clusters a phonetic matcher would compare.
+    Map-side code derivation + one groupBy; the distinct-word count
+    rides the same shuffle."""
+    from .pipeline.dedup import soundex_expr
+
+    part = load(spark, sf_dir, "part")
+    first = F.expr("element_at(split(trim(p_name), '\\\\s+'), 1)")
+    coded = part.select(first.alias("__w")).select(
+        F.col("__w"), soundex_expr("__w").alias("code")
+    )
+    return (
+        coded.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.countDistinct("__w").cast("long").alias("n_distinct_words"),
+        )
+        .filter("n_distinct_words >= 2")
+    )

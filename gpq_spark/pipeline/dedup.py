@@ -934,3 +934,57 @@ def sorted_neighborhood_pairs(
         return out.localCheckpoint()
     finally:
         d.unpersist()
+
+
+def soundex_expr(col: str) -> Column:
+    """Portable Soundex variant of ``col`` as a pure Column expression
+    — phonetic ER blocking (names that sound alike share a code).
+
+    Spec (deliberately pinned so ANY engine can reproduce it exactly;
+    classic Soundex with ONE documented simplification — the H/W
+    adjacency-bridging rule is omitted):
+      1. uppercase, keep A–Z only;
+      2. map letters to digits (BFPV→1 CGJKQSXZ→2 DT→3 L→4 MN→5 R→6,
+         vowels + HWY → 0);
+      3. collapse adjacent equal digits (first letter included);
+      4. drop zeros after the first position;
+      5. code = first LETTER + first 3 remaining digits, zero-padded.
+    Empty/non-alphabetic input yields NULL. Built-in soundex()
+    functions differ between engines on exactly the H/W rule and
+    padding edge cases — pinning the spec keeps blocks reproducible.
+    """
+    w = f"upper({col})"
+    ch = f"filter(split({w}, ''), c -> c rlike '^[A-Z]$')"
+    dig = (
+        f"transform({ch}, c -> translate(c,"
+        f" 'BFPVCGJKQSXZDTLMNRAEIOUYHW', '11112222222233455600000000'))"
+    )
+    collapsed = f"filter({dig}, (d, i) -> i = 0 OR d != element_at({dig}, i))"
+    tail = f"filter(slice({collapsed}, 2, size({collapsed})), d -> d != '0')"
+    return F.expr(
+        f"CASE WHEN size({ch}) = 0 THEN NULL ELSE "
+        f"concat(element_at({ch}, 1),"
+        f" rpad(substring(concat_ws('', {tail}), 1, 3), 3, '0')) END"
+    )
+
+
+def soundex_duck(col: str) -> str:
+    """The identical portable-Soundex spec as DuckDB SQL (1-based
+    lambda indexes; same mapping, collapse, and padding rules)."""
+    w = f"upper({col})"
+    ch = f"list_filter(string_split({w}, ''), c -> regexp_matches(c, '^[A-Z]$'))"
+    dig = (
+        f"list_transform({ch}, c -> translate(c,"
+        f" 'BFPVCGJKQSXZDTLMNRAEIOUYHW', '11112222222233455600000000'))"
+    )
+    collapsed = f"list_filter({dig}, (d, i) -> i = 1 OR d <> ({dig})[i - 1])"
+    tail = (
+        f"list_filter(list_slice({collapsed}, 2, len({collapsed})),"
+        f" d -> d <> '0')"
+    )
+    return (
+        f"CASE WHEN len({ch}) = 0 THEN NULL ELSE "
+        f"({ch})[1] || rpad(substring(coalesce("
+        f"list_aggregate({tail}, 'string_agg', ''), ''),"
+        f" 1, 3), 3, '0') END"
+    )

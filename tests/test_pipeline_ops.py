@@ -2959,3 +2959,41 @@ class TestWavHeader:
         )
         out = parse_wav_header(df, "payload", "id").collect()
         assert out[0]["sample_rate"] is None
+
+
+class TestSoundex:
+    def test_classic_codes(self, spark):
+        from gpq_spark.pipeline.dedup import soundex_expr
+
+        df = spark.createDataFrame(
+            [("Robert",), ("Rupert",), ("Ashcraft",), ("Tymczak",), ("Pfister",), ("",)],
+            ["name"],
+        )
+        got = dict(
+            df.select("name", soundex_expr("name").alias("c")).collect()
+        )
+        # the pinned no-H/W-bridging spec (documented variant)
+        assert got["Robert"] == got["Rupert"] == "R163"
+        assert got["Ashcraft"] == "A226"
+        assert got["Tymczak"] == "T522"
+        assert got["Pfister"] == "P236"
+        assert got[""] is None
+
+    def test_spark_matches_duck_spec_on_fuzz(self, spark):
+        import duckdb
+
+        from gpq_spark.pipeline.dedup import soundex_duck, soundex_expr
+
+        words = [
+            "goldenrod", "lavender", "LAvender", "x", "Honeywell",
+            "WWhite", "aeiou", "bcdf", "Schwartz", "Czech", "Llyod",
+        ]
+        df = spark.createDataFrame([(w,) for w in words], ["name"])
+        got = dict(df.select("name", soundex_expr("name").alias("c")).collect())
+        vals = ", ".join(f"('{w}')" for w in words)
+        duck = dict(
+            duckdb.sql(
+                f"SELECT name, {soundex_duck('name')} FROM (VALUES {vals}) t(name)"
+            ).fetchall()
+        )
+        assert got == duck
