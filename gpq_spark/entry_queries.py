@@ -13156,3 +13156,105 @@ def dedup_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter("n_distinct_words >= 2")
     )
+
+
+@register(
+    "text_winnowing_matches",
+    """
+    WITH fp AS (
+        SELECT doc_id, unnest(list_distinct(mins)) AS fp
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(h) >= 4 THEN
+                       list_transform(range(1, len(h) - 4 + 2),
+                                      i -> list_aggregate(list_slice(h, i, i + 3),
+                                                          'min'))
+                   ELSE [list_aggregate(h, 'min')] END AS mins
+            FROM (
+                SELECT doc_id,
+                       list_transform(grams,
+                           g -> CAST('0x' || substr(md5(g), 1, 12) AS BIGINT))
+                           AS h
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN length(trim(text)) >= 8 THEN
+                               list_transform(
+                                   range(1, length(trim(text)) - 8 + 2),
+                                   i -> substring(trim(text), CAST(i AS INT), 8))
+                           ELSE [trim(text)] END AS grams
+                    FROM documents
+                )
+            )
+        )
+    )
+    SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM fp GROUP BY fp HAVING COUNT(*) >= 2
+    """,
+)
+def text_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint matches across the corpus: 8-char
+    gram hashes, window-4 minima selected with pure array expressions
+    (pipeline.text.winnowing_fingerprints — any shared substring of
+    ≥ 11 chars is guaranteed a common fingerprint), then one groupBy
+    for hashes selected by ≥2 documents. The gram stream never
+    explodes before selection — each doc contributes only its ~2/(w+1)
+    selected hashes to the shuffle."""
+    from .pipeline.text import winnowing_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    fp = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    return (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter("n_docs >= 2")
+    )
+
+
+@register(
+    "q_basket_triples",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    freq AS (
+        SELECT p FROM items GROUP BY p HAVING COUNT(*) >= 3
+    ),
+    fi AS (SELECT o, p FROM items WHERE p IN (SELECT p FROM freq)),
+    triples AS (
+        SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM fi a
+        JOIN fi b ON b.o = a.o AND b.p > a.p
+        JOIN fi c ON c.o = a.o AND c.p > b.p
+        GROUP BY 1, 2, 3
+    )
+    SELECT part_a, part_b, part_c, support
+    FROM triples WHERE support >= 2
+    """,
+)
+def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets with A-priori pruning: items are first
+    restricted to frequent SINGLETONS (support ≥ 3 — the monotonicity
+    guarantee: no triple can beat its items), then triples expand via
+    two equi-joins on the basket key with ordered parts, one count.
+    The pruning join is the 100 TB lever — candidate volume scales
+    with the pruned basket width cubed, and raising the singleton
+    threshold tames it before any expansion happens."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    freq = items.groupBy("p").agg(F.count(F.lit(1)).alias("__n")).filter(
+        "__n >= 3"
+    ).select("p")
+    fi = items.join(freq, "p").select("o", "p")
+    a = fi.select("o", F.col("p").alias("part_a"))
+    b = fi.select(F.col("o").alias("ob"), F.col("p").alias("part_b"))
+    c = fi.select(F.col("o").alias("oc"), F.col("p").alias("part_c"))
+    triples = (
+        a.join(b, (F.col("ob") == F.col("o")) & (F.col("part_b") > F.col("part_a")))
+        .join(c, (F.col("oc") == F.col("o")) & (F.col("part_c") > F.col("part_b")))
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return triples.filter("support >= 2")

@@ -458,3 +458,51 @@ def with_char_entropy(
             f" div size({cs}) AS BIGINT) END"
         ),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS plagiarism-detection
+    selection rule): hash every ``k``-char gram, slide a ``window`` of
+    consecutive gram hashes, keep the MINIMUM of each window, emit the
+    distinct selected hashes per document. Winnowing guarantees any
+    shared substring of length ≥ k + window − 1 contributes at least
+    one IDENTICAL selected fingerprint to both documents, while
+    keeping ~2/(window+1) of the grams — the density/recall tradeoff
+    exact dedup fingerprints can't offer.
+
+    Hashes are md5-derived 48-bit ints (engine-portable, the repo's
+    standard); window minima are computed with pure ARRAY expressions
+    (no explode of the gram stream — a doc row never leaves its
+    executor until the final distinct fingerprints). Documents shorter
+    than k chars contribute the hash of the whole text.
+
+    Output: (``id_col``, fp) — one row per distinct selected hash.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1: k={k}, window={window}")
+    grams = (
+        f"CASE WHEN length(trim({text_col})) >= {k} THEN "
+        f"transform(sequence(1, length(trim({text_col})) - {k} + 1), "
+        f"i -> substring(trim({text_col}), i, {k})) "
+        f"ELSE array(trim({text_col})) END"
+    )
+    hashes = (
+        f"transform({grams}, g -> "
+        f"CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT))"
+    )
+    mins = (
+        f"CASE WHEN size(__h) >= {window} THEN "
+        f"transform(sequence(1, size(__h) - {window} + 1), "
+        f"i -> array_min(slice(__h, i, {window}))) "
+        f"ELSE array(array_min(__h)) END"
+    )
+    return (
+        df.select(F.col(id_col), F.expr(hashes).alias("__h"))
+        .select(F.col(id_col), F.explode(F.expr(f"array_distinct({mins})")).alias("fp"))
+    )

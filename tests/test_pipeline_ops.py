@@ -2997,3 +2997,43 @@ class TestSoundex:
             ).fetchall()
         )
         assert got == duck
+
+
+class TestWinnowing:
+    def test_guarantee_shared_substring_match(self, spark):
+        """Two docs sharing a >= k+w-1 = 11-char substring must share a
+        fingerprint (the winnowing guarantee)."""
+        from gpq_spark.pipeline.text import winnowing_fingerprints
+
+        shared = "ABCDEFGHIJKLMNOP"  # 16 chars
+        df = spark.createDataFrame(
+            [(1, "xxx " + shared + " yyy"), (2, "qqq " + shared + " rrr")],
+            ["doc_id", "text"],
+        )
+        fp = winnowing_fingerprints(df, "doc_id", "text", k=8, window=4)
+        a = {r["fp"] for r in fp.filter("doc_id = 1").collect()}
+        b = {r["fp"] for r in fp.filter("doc_id = 2").collect()}
+        assert a & b
+
+    def test_density_reduction(self, spark):
+        """Selected fingerprints are far fewer than the gram count."""
+        from gpq_spark.pipeline.text import winnowing_fingerprints
+
+        text = "the quick brown fox jumps over the lazy dog " * 10
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        n_fp = winnowing_fingerprints(df, "doc_id", "text", k=8, window=4).count()
+        n_grams = len(text.strip()) - 8 + 1
+        assert n_fp < n_grams / 2
+
+    def test_short_doc_single_hash(self, spark):
+        from gpq_spark.pipeline.text import winnowing_fingerprints
+
+        df = spark.createDataFrame([(1, "short")], ["doc_id", "text"])
+        assert winnowing_fingerprints(df, "doc_id", "text", k=8, window=4).count() == 1
+
+    def test_invalid_params_raise(self, spark):
+        from gpq_spark.pipeline.text import winnowing_fingerprints
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            winnowing_fingerprints(df, "doc_id", "text", k=0)
