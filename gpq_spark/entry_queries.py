@@ -13258,3 +13258,197 @@ def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
     )
     return triples.filter("support >= 2")
+
+
+@register(
+    "rank_retrieval_eval",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, qlabel, vec_id, label,
+               {_cos_duck('cv', 'qv')} AS cosine
+        FROM c, q WHERE vec_id != query_id
+    ),
+    ranked AS (
+        SELECT query_id, qlabel, vec_id, label,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    ),
+    nrel AS (
+        SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM q JOIN c ON c.label = q.qlabel AND c.vec_id != q.query_id
+        GROUP BY q.query_id
+    ),
+    per AS (
+        SELECT query_id,
+               CAST(SUM(CASE WHEN rank <= 10 AND label = qlabel
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(COALESCE(MIN(CASE WHEN label = qlabel THEN rank END), 0)
+                    AS BIGINT) AS first_hit_rank
+        FROM ranked GROUP BY query_id
+    )
+    SELECT per.query_id, per.n_hits,
+           CAST(1000000 * per.n_hits // 10 AS BIGINT) AS precision_e6,
+           nrel.n_rel,
+           CAST(1000000 * per.n_hits // nrel.n_rel AS BIGINT) AS recall_e6,
+           CAST(CASE WHEN per.first_hit_rank > 0
+                THEN 1000000 // per.first_hit_rank ELSE 0 END AS BIGINT)
+               AS mrr_e6
+    FROM per JOIN nrel ON nrel.query_id = per.query_id
+    """,
+)
+def rank_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness: precision@10, recall@10, and
+    reciprocal rank per query, treating label agreement as relevance
+    over the exact cosine ranking — the metric layer every retrieval
+    pipeline needs next to its ANN index, in exact integer ppm (no
+    float metric drift between engines). MRR's reciprocal is floored
+    at e6; the corpus relevant-set size is a broadcast per-label
+    count. Built on the same two-phase exact top-k as ann_topk; the
+    FULL ranking (not just top-10) feeds first-hit rank, matching the
+    textbook MRR definition."""
+    from .pipeline.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # full ranking (k = corpus) so MRR sees the first hit wherever it is
+    n_corpus = emb.count()
+    topk = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "query_id", k=n_corpus
+    )
+    labels = emb.select("vec_id", "label")
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    j = topk.join(labels, "vec_id").join(F.broadcast(qlab), "query_id")
+    per = j.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                (F.col("rank") <= 10) & (F.col("label") == F.col("qlabel")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hits"),
+        F.coalesce(
+            F.min(
+                F.when(F.col("label") == F.col("qlabel"), F.col("rank"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("first_hit_rank"),
+    )
+    nrel = (
+        qlab.join(
+            labels.select(F.col("vec_id").alias("cid"), "label"),
+            F.col("label") == F.col("qlabel"),
+        )
+        .filter(F.col("cid") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    return (
+        per.join(nrel, "query_id")
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr("CAST(1000000 * n_hits div 10 AS BIGINT)").alias(
+                "precision_e6"
+            ),
+            "n_rel",
+            F.expr("CAST(1000000 * n_hits div n_rel AS BIGINT)").alias(
+                "recall_e6"
+            ),
+            F.expr(
+                "CAST(CASE WHEN first_hit_rank > 0"
+                " THEN 1000000 div first_hit_rank ELSE 0 END AS BIGINT)"
+            ).alias("mrr_e6"),
+        )
+    )
+
+
+@register(
+    "embed_cluster_purity",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    cent AS (SELECT * FROM (VALUES {_IVF_CENT_VALUES}) AS t(cid, cv)),
+    ca AS (SELECT e.vec_id, e.label, cent.cid,
+                  {_cos_duck('e.v', 'cent.cv')} AS ccos
+           FROM e, cent),
+    assigned AS (
+        SELECT vec_id, label, cid AS cluster FROM (
+            SELECT vec_id, label, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                        ORDER BY ccos DESC, cid ASC) AS rn
+            FROM ca
+        ) WHERE rn = 1
+    ),
+    cell_label AS (
+        SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM assigned GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_vecs,
+               CAST(MAX(n) AS BIGINT) AS n_majority,
+               CAST(MIN(label) FILTER (WHERE n = mx) AS BIGINT)
+                   AS majority_label
+        FROM (SELECT cluster, label, n,
+                     MAX(n) OVER (PARTITION BY cluster) AS mx
+              FROM cell_label)
+        GROUP BY cluster
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster, n_vecs, majority_label,
+           n_majority,
+           CAST(1000000 * n_majority // n_vecs AS BIGINT) AS purity_e6
+    FROM best
+    """,
+)
+def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit over the committed trained IVF centroids:
+    per cell, the size, the majority label (smallest label on count
+    ties), and purity in exact ppm — the label-agreement metric that
+    tells a curation pipeline whether its semantic clusters mean
+    anything before it dedups or samples by them. Assignment is the
+    same map-side literal-centroid argmax as the trained ANN path
+    (zero corpus shuffle); purity is one narrow (cluster, label)
+    groupBy."""
+    from .pipeline.similarity import ivf_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in _IVF_FIX["centroids"]],
+        "centroid_id int, centroid array<double>",
+    )
+    assigned = ivf_assign(emb, "vec_id", "embedding", centroids=cents)
+    cell_label = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mx = F.max("n").over(Window.partitionBy("cluster"))
+    best = (
+        cell_label.withColumn("mx", mx)
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.max("n").cast("long").alias("n_majority"),
+            F.min(F.when(F.col("n") == F.col("mx"), F.col("label")))
+            .cast("long")
+            .alias("majority_label"),
+        )
+    )
+    return best.select(
+        "cluster",
+        "n_vecs",
+        "majority_label",
+        "n_majority",
+        F.expr("CAST(1000000 * n_majority div n_vecs AS BIGINT)").alias(
+            "purity_e6"
+        ),
+    )
