@@ -13452,3 +13452,66 @@ def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purity_e6"
         ),
     )
+
+
+_HAV_DUCK = (
+    "2 * 6371000.0 * asin(sqrt(pow(sin(radians(({latb}) - ({lata})) / 2), 2)"
+    " + cos(radians({lata})) * cos(radians({latb}))"
+    " * pow(sin(radians(({lonb}) - ({lona})) / 2), 2)))"
+)
+
+
+@register(
+    "geo_haversine_pairs",
+    f"""
+    WITH a AS (
+        SELECT c_custkey AS id_a,
+               CAST(c_custkey % 120 - 60 AS DOUBLE) AS lat,
+               CAST(c_custkey % 360 - 180 AS DOUBLE) AS lon
+        FROM customer WHERE c_custkey < 50
+    ),
+    b AS (
+        SELECT s_suppkey AS id_b,
+               CAST(s_suppkey % 100 - 50 AS DOUBLE) AS lat,
+               CAST(s_suppkey % 340 - 170 AS DOUBLE) AS lon
+        FROM supplier
+    )
+    SELECT id_a, id_b,
+           CAST(floor({_HAV_DUCK.format(lata='a.lat', lona='a.lon',
+                                        latb='b.lat', lonb='b.lon')})
+                AS BIGINT) AS dist_m
+    FROM a, b
+    WHERE {_HAV_DUCK.format(lata='a.lat', lona='a.lon',
+                            latb='b.lat', lonb='b.lon')} < 2000000.0
+    """,
+)
+def geo_haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle within-distance pairs (haversine, floor meters):
+    50 query customers × the supplier fleet, keep pairs under 2,000 km
+    (geoparquet.spatial.haversine_expr). The bounded query side is the
+    broadcast; at corpus×corpus scale the blocking is a lat/lon grid
+    join (spatial_join_bboxes) with the haversine as the refine step —
+    this query pins the spherical-distance semantics themselves."""
+    from .geoparquet.spatial import haversine_expr
+
+    cust = load(spark, sf_dir, "customer").filter("c_custkey < 50").select(
+        F.col("c_custkey").alias("id_a"),
+        F.expr("CAST(c_custkey % 120 - 60 AS DOUBLE)").alias("lat_a"),
+        F.expr("CAST(c_custkey % 360 - 180 AS DOUBLE)").alias("lon_a"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id_b"),
+        F.expr("CAST(s_suppkey % 100 - 50 AS DOUBLE)").alias("lat_b"),
+        F.expr("CAST(s_suppkey % 340 - 170 AS DOUBLE)").alias("lon_b"),
+    )
+    d = haversine_expr("lat_a", "lon_a", "lat_b", "lon_b")
+    return (
+        F.broadcast(cust)
+        .crossJoin(supp)
+        .filter(d < 2_000_000.0)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(d).cast("long").alias("dist_m"),
+        )
+    )

@@ -606,3 +606,24 @@ def knn_join(
     return out if out is not None else points.sparkSession.createDataFrame(
         [], f"{pid} long, {sid} long, d2 {d2_sql.lower()}, rank long"
     )
+
+
+def haversine_expr(lat_a: str, lon_a: str, lat_b: str, lon_b: str) -> F.Column:
+    """Great-circle distance in METERS between two lat/lon pairs
+    (haversine formula, sphere radius 6,371,000 m) as a pure Column
+    expression — radians/sin/cos/asin/sqrt are built-ins on every SQL
+    engine, so the same formula text serves as its own oracle.
+
+    Determinism note: transcendental libm calls differ across engines
+    by ≤1 ulp (~1e-16 relative), i.e. nanometers at Earth scale —
+    callers that need cross-engine exactness should floor to whole
+    meters (boundary-collision probability ~1e-9 per value), the same
+    posture as the repo's ln-based scores."""
+    phi1, phi2 = f"radians({lat_a})", f"radians({lat_b})"
+    dphi = f"radians(({lat_b}) - ({lat_a}))"
+    dlam = f"radians(({lon_b}) - ({lon_a}))"
+    h = (
+        f"pow(sin(({dphi}) / 2), 2)"
+        f" + cos({phi1}) * cos({phi2}) * pow(sin(({dlam}) / 2), 2)"
+    )
+    return F.expr(f"2 * 6371000.0 * asin(sqrt({h}))")
