@@ -13515,3 +13515,116 @@ def geo_haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(d).cast("long").alias("dist_m"),
         )
     )
+
+
+# round(1e6 / log2(i + 1)) for ranks i = 1..10, computed once in Python
+# and embedded as identical literals in both engines (the Benford trick)
+_NDCG_DISC = [
+    round(1_000_000 / __import__("math").log2(i + 1)) for i in range(1, 11)
+]
+_NDCG_CUM = [sum(_NDCG_DISC[: i + 1]) for i in range(10)]
+
+
+@register(
+    "rank_ndcg_eval",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, qlabel, vec_id, label,
+               {_cos_duck('cv', 'qv')} AS cosine
+        FROM c, q WHERE vec_id != query_id
+    ),
+    ranked AS (
+        SELECT query_id, qlabel, label,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    ),
+    disc (rank, d) AS (VALUES
+        {", ".join(f"({i + 1}, CAST({d} AS BIGINT))" for i, d in enumerate(_NDCG_DISC))}),
+    dcg AS (
+        SELECT r.query_id,
+               CAST(SUM(CASE WHEN r.label = r.qlabel THEN disc.d ELSE 0 END)
+                    AS BIGINT) AS dcg_e6
+        FROM ranked r JOIN disc ON disc.rank = r.rank
+        WHERE r.rank <= 10
+        GROUP BY r.query_id
+    ),
+    nrel AS (
+        SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM q JOIN c ON c.label = q.qlabel AND c.vec_id != q.query_id
+        GROUP BY q.query_id
+    )
+    SELECT dcg.query_id, dcg.dcg_e6,
+           CAST([{", ".join(str(v) for v in _NDCG_CUM)}]
+                [least(10, nrel.n_rel)] AS BIGINT) AS idcg_e6,
+           CAST(1000000 * dcg.dcg_e6
+                // ([{", ".join(str(v) for v in _NDCG_CUM)}]
+                    [least(10, nrel.n_rel)]) AS BIGINT) AS ndcg_ppm
+    FROM dcg JOIN nrel ON nrel.query_id = dcg.query_id
+    """,
+)
+def rank_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query in exact integers: the 1/log2(i+1) discounts
+    are floored at e6 in Python once and embedded as identical
+    literals in both plans (the Benford trick), so DCG, ideal DCG
+    (the cumulative discount prefix at min(10, n_relevant)), and the
+    final ppm ratio never touch a float. Same ranking and relevance
+    convention as rank_retrieval_eval."""
+    from .pipeline.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "query_id", k=10
+    )
+    labels = emb.select("vec_id", "label")
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    disc = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(_NDCG_DISC)], "rank int, d long"
+    )
+    j = (
+        topk.join(labels, "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+        .join(F.broadcast(disc), "rank")
+    )
+    dcg = j.groupBy("query_id").agg(
+        F.sum(
+            F.when(F.col("label") == F.col("qlabel"), F.col("d")).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_e6")
+    )
+    nrel = (
+        qlab.join(
+            labels.select(F.col("vec_id").alias("cid"), "label"),
+            F.col("label") == F.col("qlabel"),
+        )
+        .filter(F.col("cid") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    cum = "array(" + ", ".join(f"{v}L" for v in _NDCG_CUM) + ")"
+    return (
+        dcg.join(nrel, "query_id")
+        .select(
+            "query_id",
+            "dcg_e6",
+            F.expr(
+                f"CAST(element_at({cum}, CAST(least(10, n_rel) AS INT))"
+                " AS BIGINT)"
+            ).alias("idcg_e6"),
+            F.expr(
+                f"CAST(1000000 * dcg_e6 div element_at({cum},"
+                " CAST(least(10, n_rel) AS INT)) AS BIGINT)"
+            ).alias("ndcg_ppm"),
+        )
+    )
