@@ -13628,3 +13628,93 @@ def rank_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_ppm"),
         )
     )
+
+
+@register(
+    "q_event_seq_pairs",
+    """
+    WITH ut AS (
+        SELECT user_id, event_type,
+               MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        WHERE a.tmin < b.tmax
+        GROUP BY 1, 2
+    ),
+    have AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ut GROUP BY 1
+    )
+    SELECT p.type_a, p.type_b, p.support,
+           ha.n_users AS n_a, hb.n_users AS n_b,
+           CAST(1000000 * p.support // ha.n_users AS BIGINT) AS conf_e6
+    FROM pairs p
+    JOIN have ha ON ha.event_type = p.type_a
+    JOIN have hb ON hb.event_type = p.type_b
+    """,
+)
+def q_event_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, level 2 (PrefixSpan's first
+    expansion): for every ordered type pair (a → b), the number of
+    users with SOME a-event before SOME b-event — the subsequence
+    relation, strictly weaker than q_event_transitions' adjacency —
+    plus per-type user counts and exact ppm confidence. The
+    existence test reduces to min/max event times per (user, type),
+    so the heavy table collapses to one narrow groupBy before the
+    tiny type-domain self-join."""
+    ev = load_events(spark, sf_dir)
+    # wall-clock micros since a fixed epoch: valid for TIMESTAMP and
+    # TIMESTAMP_NTZ alike (unix_micros rejects NTZ)
+    us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01").cast("timestamp_ntz"), F.col("ts")
+    )
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.min(us).alias("tmin"),
+        F.max(us).alias("tmax"),
+    )
+    a = ut.select(
+        "user_id", F.col("event_type").alias("type_a"), "tmin"
+    )
+    b = ut.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("type_b"),
+        "tmax",
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ub") == F.col("user_id"))
+            & (F.col("type_a") != F.col("type_b"))
+            & (F.col("tmin") < F.col("tmax")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    have = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    ha = have.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    hb = have.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ha), "type_a")
+        .join(F.broadcast(hb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "support",
+            "n_a",
+            "n_b",
+            F.expr("CAST(1000000 * support div n_a AS BIGINT)").alias(
+                "conf_e6"
+            ),
+        )
+    )

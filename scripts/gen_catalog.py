@@ -22,7 +22,7 @@ GROUPS = [
      r"^q_(sessionize|session_window|session_quality|tumble|asof|lag|latest"
      r"|range_join|rolling|gapfill|events_json|concurrency)"),
     ("Event analytics",
-     r"^q_(funnel|funnel_dropoff|retention|anomaly|event_transitions|time_to|attribution|linear_attribution"
+     r"^q_(funnel|funnel_dropoff|retention|anomaly|event_transitions|event_seq|time_to|attribution|linear_attribution"
      r"|ab_test|trend|crosstab|drift|basket|recommend|incremental|table_checksum"
      r"|changepoint|pattern|outliers|cohort|rfm|nation_part|latency|growth|top_paths|market_share|hhi|gini|pareto|acf|weekday|theil_sen)"),
     ("Graph analytics",
