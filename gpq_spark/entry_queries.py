@@ -13718,3 +13718,89 @@ def q_event_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_event_seq_triples",
+    """
+    WITH ut AS (
+        SELECT user_id, event_type,
+               MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax
+        FROM events GROUP BY 1, 2
+    ),
+    bt AS (
+        SELECT user_id, event_type, list(epoch_us(ts)) AS ts_arr
+        FROM events GROUP BY 1, 2
+    ),
+    triples AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               c.event_type AS type_c,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM ut a
+        JOIN ut c ON c.user_id = a.user_id AND c.event_type <> a.event_type
+        JOIN bt b ON b.user_id = a.user_id
+               AND b.event_type <> a.event_type
+               AND b.event_type <> c.event_type
+        WHERE a.tmin < c.tmax
+          AND len(list_filter(b.ts_arr,
+                              t -> t > a.tmin AND t < c.tmax)) > 0
+        GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, type_c, support
+    FROM triples WHERE support >= 5
+    """,
+)
+def q_event_seq_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, level 3: ordered type triples
+    (a → b → c) supported by users with SOME a-event, then SOME
+    b-event strictly between it and SOME later c-event. The witness
+    reduction: a valid (t_a < t_b < t_c) exists iff some b-time lies
+    in (min a-time, max c-time) — so the fact table collapses to
+    per-(user, type) min/max plus the b-occurrence time array (bounded
+    by per-user activity), and the expansion is the tiny type-domain
+    triple join, never the event stream itself."""
+    ev = load_events(spark, sf_dir)
+    us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01").cast("timestamp_ntz"), F.col("ts")
+    )
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.min(us).alias("tmin"), F.max(us).alias("tmax")
+    )
+    bt = ev.groupBy("user_id", "event_type").agg(
+        F.collect_list(us).alias("ts_arr")
+    )
+    a = ut.select(
+        "user_id", F.col("event_type").alias("type_a"), "tmin"
+    )
+    c = ut.select(
+        F.col("user_id").alias("uc"),
+        F.col("event_type").alias("type_c"),
+        "tmax",
+    )
+    b = bt.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("type_b"),
+        "ts_arr",
+    )
+    j = (
+        a.join(
+            c,
+            (F.col("uc") == F.col("user_id"))
+            & (F.col("type_c") != F.col("type_a"))
+            & (F.col("tmin") < F.col("tmax")),
+        )
+        .join(
+            b,
+            (F.col("ub") == F.col("user_id"))
+            & (F.col("type_b") != F.col("type_a"))
+            & (F.col("type_b") != F.col("type_c")),
+        )
+        .filter(
+            F.expr("exists(ts_arr, t -> t > tmin AND t < tmax)")
+        )
+    )
+    return (
+        j.groupBy("type_a", "type_b", "type_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter("support >= 5")
+    )
