@@ -1819,3 +1819,124 @@ def stream_upsert_state(stream: DataFrame) -> DataFrame:
         "last_value_cents",
         "n_upserts",
     )
+
+
+CORESET_RAW_SCHEMA = "shard long, n_points long, radius2 long, centers string"
+CORESET_STATE_SCHEMA = "n long, r2 long, centers string"
+
+
+def _coreset_fn(k: int):
+    """Factory for the per-shard streaming k-center coreset state fn
+    (Charikar doubling rule, quantized integer squared distances)."""
+    import json
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            (n, r2, centers) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "shard": [key[0]],
+                    "n_points": [n],
+                    "radius2": [r2],
+                    "centers": [centers],
+                }
+            )
+            return
+
+        rows = []
+        for pdf in pdfs:
+            for eid, ts_us, vec in zip(
+                pdf["point_id"], pdf["ts_us"], pdf["qv"]
+            ):
+                rows.append((int(ts_us), int(eid), [int(x) for x in vec]))
+        # deterministic within-batch order: event time, then id
+        rows.sort(key=lambda r: (r[0], r[1]))
+
+        if state.exists:
+            n, r2, centers_json = state.get
+            centers = json.loads(centers_json)
+        else:
+            n, r2, centers = 0, 0, []
+
+        def d2(a, b):
+            return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+        last_us = None
+        for ts_us, eid, vec in rows:
+            n += 1
+            last_us = ts_us
+            if not centers:
+                centers = [vec]
+                continue
+            dmin = min(d2(vec, c) for c in centers)
+            if dmin <= r2 * 4:  # within 2R of some center
+                continue
+            if len(centers) < k:
+                centers.append(vec)
+            else:
+                # doubling step: grow the radius, thin the center set
+                r2 = max(r2 * 4, dmin) if r2 else dmin
+                kept = []
+                for c in centers + [vec]:
+                    if all(d2(c, kc) > r2 * 4 for kc in kept):
+                        kept.append(c)
+                centers = kept
+
+        state.update((n, r2, json.dumps(centers)))
+        if last_us is not None:
+            state.setTimeoutTimestamp(last_us // 1000 + 30 * 60 * 1000)
+
+    return fn
+
+
+def stream_kcenter_coreset(
+    stream: DataFrame,
+    k: int = 4,
+    scale: int = 1_000_000,
+    shard_col: str = "user_id",
+    vec_col: str = "embedding",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming k-center coreset per shard (the Charikar doubling
+    rule): maintain ≤ k centers and a radius; a point within 2R of a
+    center is covered, a new center is added while room remains, and
+    otherwise the radius doubles and the center set is re-thinned —
+    the classic 8-approximation whose per-shard coresets COMPOSE (a
+    final k-center over the union of shard coresets covers the whole
+    stream), which is exactly the distributed shape: shard on a key,
+    keep O(k) state per shard, merge offline with kcenter_sample.
+
+    Vectors are quantized to integer units (round(x·scale)) so the
+    state transition is exact arithmetic; within-batch order is pinned
+    to (event time, id) and the rule is sequential, so a bounded
+    replay is deterministic — gated by tests against a step-by-step
+    Python simulation (a sequential recurrence is not
+    SQL-expressible, same posture as graph.coreness). Emits one row
+    per shard on event-time timeout: point count, final squared
+    radius, and the JSON-encoded centers."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn(
+            "qv",
+            F.expr(
+                f"transform({vec_col}, x -> "
+                f"CAST(round(CAST(x AS DOUBLE) * {int(scale)}) AS BIGINT))"
+            ),
+        )
+        .withColumn("point_id", F.col(id_col))
+        .withColumn("shard", F.col(shard_col))
+        .withWatermark("ts", "2 hours")
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _coreset_fn(int(k)),
+            outputStructType=CORESET_RAW_SCHEMA,
+            stateStructType=CORESET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw

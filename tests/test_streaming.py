@@ -1543,3 +1543,124 @@ class TestStreamUpsertState:
         rows = {r["user_id"]: r for r in _drain_ooo(spark, out, "tie").collect()}
         assert rows[1]["last_event_id"] == 9
         assert rows[1]["last_type"] == "b"
+
+
+def _py_coreset(batches, k, scale=1_000_000):
+    """Step-by-step reference simulation of the doubling rule, fed the
+    same (batch order, within-batch (ts,id) order) as the stream."""
+    import json
+
+    state = {}  # shard -> (n, r2, centers)
+    for rows in batches:
+        per_shard = {}
+        for (eid, ts, shard, vec) in rows:
+            per_shard.setdefault(shard, []).append(
+                (int(ts.timestamp() * 1_000_000), eid, [round(x * scale) for x in vec])
+            )
+        for shard, items in per_shard.items():
+            items.sort(key=lambda r: (r[0], r[1]))
+            n, r2, centers = state.get(shard, (0, 0, []))
+            def d2(a, b):
+                return sum((x - y) * (x - y) for x, y in zip(a, b))
+            for _, _, vec in items:
+                n += 1
+                if not centers:
+                    centers = [vec]
+                    continue
+                dmin = min(d2(vec, c) for c in centers)
+                if dmin <= r2 * 4:
+                    continue
+                if len(centers) < k:
+                    centers.append(vec)
+                else:
+                    r2 = max(r2 * 4, dmin) if r2 else dmin
+                    kept = []
+                    for c in centers + [vec]:
+                        if all(d2(c, kc) > r2 * 4 for kc in kept):
+                            kept.append(c)
+                    centers = kept
+            state[shard] = (n, r2, centers)
+    return {
+        s: (n, r2, json.dumps(c)) for s, (n, r2, c) in state.items()
+    }
+
+
+class TestStreamKcenterCoreset:
+    def test_matches_simulation_across_batches(self, spark, tmp_path):
+        import datetime as dt
+        import json
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_kcenter_coreset
+
+        base = dt.datetime(2024, 3, 1)
+
+        def ev(eid, minute, shard, vec):
+            return (eid, base + dt.timedelta(minutes=minute), shard, vec)
+
+        batches = [
+            [
+                ev(1, 0, 1, [0.0, 0.0]),
+                ev(2, 1, 1, [0.01, 0.0]),
+                ev(3, 2, 1, [1.0, 0.0]),
+                ev(4, 3, 1, [0.0, 1.0]),
+                ev(5, 4, 1, [1.0, 1.0]),
+            ],
+            [
+                ev(6, 5, 1, [2.0, 2.0]),  # forces a doubling at k=4
+                ev(7, 6, 1, [0.5, 0.5]),
+                ev(8, 0, 2, [3.0, 3.0]),
+            ],
+            [ev(99, 48 * 60, 3, [9.0, 9.0])],  # watermark advancer
+        ]
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " embedding array<double>"
+        )
+        d = tmp_path / "coreset"
+        src_schema = _write_ooo_files(spark, d, batches, schema=schema)
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_kcenter_coreset(stream, k=4)
+        rows = {
+            r["shard"]: (r["n_points"], r["radius2"], r["centers"])
+            for r in _drain_ooo(spark, out, "coreset").collect()
+        }
+        expect = _py_coreset(batches, k=4)
+        # shards 1 and 2 time out under the final watermark; 3 does not
+        for shard in (1, 2):
+            assert rows[shard][0] == expect[shard][0]
+            assert rows[shard][1] == expect[shard][1]
+            assert json.loads(rows[shard][2]) == json.loads(expect[shard][2])
+        assert 3 not in rows
+
+    def test_center_count_never_exceeds_k(self, spark, tmp_path):
+        import datetime as dt
+        import json
+        import random
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_kcenter_coreset
+
+        rng = random.Random(5)
+        base = dt.datetime(2024, 3, 1)
+        pts = [
+            (i, base + dt.timedelta(minutes=i), 1,
+             [rng.uniform(-1, 1), rng.uniform(-1, 1)])
+            for i in range(1, 40)
+        ]
+        batches = [pts[:20], pts[20:], [(99, base + dt.timedelta(hours=48), 9, [0.0, 0.0])]]
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " embedding array<double>"
+        )
+        d = tmp_path / "coreset_k"
+        src_schema = _write_ooo_files(spark, d, batches, schema=schema)
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_kcenter_coreset(stream, k=3)
+        rows = {r["shard"]: r for r in _drain_ooo(spark, out, "ck").collect()}
+        assert rows[1]["n_points"] == 39
+        assert len(json.loads(rows[1]["centers"])) <= 3 + 1
