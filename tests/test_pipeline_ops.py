@@ -3037,3 +3037,43 @@ class TestWinnowing:
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             winnowing_fingerprints(df, "doc_id", "text", k=0)
+
+
+class TestCompressibility:
+    def test_repetitive_beats_random(self, spark):
+        import random
+        import string
+
+        from gpq_spark.pipeline.text import compressibility_stats
+
+        rng = random.Random(7)
+        noise = "".join(rng.choice(string.ascii_letters + string.digits) for _ in range(2000))
+        rep = "spam link click here " * 100
+        df = spark.createDataFrame(
+            [(1, noise), (2, rep)], ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: r
+            for r in compressibility_stats(df, "doc_id", "text").collect()
+        }
+        assert got[1]["ratio_e6"] > 600_000  # noise barely compresses
+        assert got[2]["ratio_e6"] < 100_000  # repetition collapses
+        assert got[2]["n_bytes"] == len(rep.encode())
+
+    def test_exact_zlib_sizes(self, spark):
+        import zlib
+
+        from gpq_spark.pipeline.text import compressibility_stats
+
+        text = "the quick brown fox jumps over the lazy dog"
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        r = compressibility_stats(df, "doc_id", "text").collect()[0]
+        assert r["n_compressed"] == len(zlib.compress(text.encode(), 6))
+        assert r["ratio_e6"] == 1_000_000 * r["n_compressed"] // r["n_bytes"]
+
+    def test_invalid_level_raises(self, spark):
+        from gpq_spark.pipeline.text import compressibility_stats
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            compressibility_stats(df, "doc_id", "text", level=11)

@@ -569,3 +569,25 @@ def test_rake_topk_is_take_ordered(plans):
     # distributed top-k), not a single-reducer global window sort
     p = plans("text_rake_keyphrases")
     assert "TakeOrderedAndProject" in p
+
+
+def test_retrieval_eval_broadcasts_bounded_sides(plans):
+    p = plans("rank_retrieval_eval")
+    assert "pythonUDF" not in p.lower()
+    assert "CartesianProduct" not in p
+
+
+def test_haversine_is_jvm_expression(plans):
+    p = plans("geo_haversine_pairs")
+    assert "pythonUDF" not in p.lower()
+    # bounded query side must broadcast
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_event_seq_collapses_before_joining(plans):
+    # the type-domain joins must run on the aggregated per-(user,type)
+    # frame, not the raw event stream
+    for name in ("q_event_seq_pairs", "q_event_seq_triples"):
+        p = plans(name)
+        assert "pythonUDF" not in p.lower()
+        assert "CartesianProduct" not in p
