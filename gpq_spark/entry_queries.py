@@ -13804,3 +13804,160 @@ def q_event_seq_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter("support >= 5")
     )
+
+
+@register(
+    "q_spearman",
+    f"""
+    WITH x AS (
+        SELECT c.c_custkey AS id,
+               {cents('c.c_acctbal')} AS bal,
+               CAST(SUM({cents('o.o_totalprice')}) AS BIGINT) AS spend
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT id,
+               CAST(row_number() OVER (ORDER BY bal, id) AS BIGINT) AS rx,
+               CAST(row_number() OVER (ORDER BY spend, id) AS BIGINT) AS ry
+        FROM x
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+           round(1.0 - 6.0 * CAST(SUM((rx - ry) * (rx - ry)) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE)
+                    * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                       - 1.0)), 9) AS rho
+    FROM r
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer account balance and
+    total spend: both variables ranked with a total order (value, then
+    id — a pragmatic tie policy, stated rather than hidden), Σd² exact
+    BIGINT, ρ = 1 − 6Σd²/(n(n²−1)) as one double expression rounded
+    to 9. The two ranking windows are global sorts over the CUSTOMER
+    aggregate (already reduced); at larger key cardinalities use the
+    range-partition + offset ranking from sampling.seeded_shuffle."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    x = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            F.col("c_custkey").alias("id"),
+            F.expr(cents("c_acctbal")).alias("bal"),
+        )
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("spend"))
+    )
+    r = x.select(
+        "id",
+        F.row_number().over(Window.orderBy("bal", "id")).cast("long").alias("rx"),
+        F.row_number().over(Window.orderBy("spend", "id")).cast("long").alias("ry"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        .cast("long")
+        .alias("sum_d2"),
+    ).select(
+        "n",
+        "sum_d2",
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.col("sum_d2").cast("double")
+            / (
+                F.col("n").cast("double")
+                * (F.col("n").cast("double") * F.col("n").cast("double") - F.lit(1.0))
+            ),
+            9,
+        ).alias("rho"),
+    )
+
+
+def _holt_duck(n: int) -> str:
+    """Chained-CTE integer Holt recursion (α = β = 1/2 as floor
+    halves): one small step per CTE, so the expression never explodes
+    (a closed-form textual unroll triples per step — 3^n terms)."""
+    parts = [
+        """hm AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+                   AS x,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    )""",
+        """hl AS (
+        SELECT x, y, row_number() OVER (ORDER BY x DESC) AS rn FROM hm
+    )""",
+        "hw AS (SELECT "
+        + ", ".join(
+            f"MAX(CASE WHEN rn = {n + 1 - t} THEN y END) AS y{t}"
+            for t in range(1, n + 1)
+        )
+        + f" FROM hl WHERE rn <= {n})",
+        "h1 AS (SELECT *, y1 AS l1, CAST(0 AS BIGINT) AS b1 FROM hw)",
+    ]
+    for t in range(2, n + 1):
+        lt = f"(y{t} + l{t - 1} + b{t - 1}) // 2"
+        parts.append(
+            f"h{t} AS (SELECT *, {lt} AS l{t},"
+            f" (b{t - 1} + (({lt}) - l{t - 1})) // 2 AS b{t} FROM h{t - 1})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(l{n} AS BIGINT) AS level_cents,
+           CAST(b{n} AS BIGINT) AS trend_cents,
+           CAST(l{n} + b{n} AS BIGINT) AS forecast_next_cents
+    FROM h{n}
+    """
+    )
+
+
+@register("q_holt_forecast", _holt_duck(8))
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Holt double-exponential smoothing over the last 8
+    monthly revenue totals, α = β = 1/2 realized as floor-halving so
+    the whole recursion is exact integer arithmetic — level + trend
+    forecasting without a single float (the deterministic counterpart
+    of an EWMA, which is irreducibly order-sensitive in floats). Each
+    step is its own named column, because a closed-form unroll triples
+    textually per step; the month pivot is a tiny conditional
+    aggregate and everything after it is single-row arithmetic."""
+    orders = load(spark, sf_dir, "orders")
+    n = 8
+    m = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("x")
+        )
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("y"))
+    )
+    last = m.select(
+        "x", "y", F.row_number().over(Window.orderBy(F.col("x").desc())).alias("rn")
+    ).filter(f"rn <= {n}")
+    df = last.agg(
+        *[
+            F.max(F.when(F.col("rn") == n + 1 - t, F.col("y"))).alias(f"y{t}")
+            for t in range(1, n + 1)
+        ]
+    )
+    df = df.withColumn("l1", F.col("y1")).withColumn(
+        "b1", F.lit(0).cast("long")
+    )
+    for t in range(2, n + 1):
+        df = df.withColumn(
+            f"l{t}", F.expr(f"(y{t} + l{t - 1} + b{t - 1}) div 2")
+        ).withColumn(
+            f"b{t}", F.expr(f"(b{t - 1} + (l{t} - l{t - 1})) div 2")
+        )
+    return df.select(
+        F.col(f"l{n}").cast("long").alias("level_cents"),
+        F.col(f"b{n}").cast("long").alias("trend_cents"),
+        (F.col(f"l{n}") + F.col(f"b{n}")).cast("long").alias(
+            "forecast_next_cents"
+        ),
+    )
