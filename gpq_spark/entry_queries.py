@@ -13961,3 +13961,74 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next_cents"
         ),
     )
+
+
+@register(
+    "q_lorenz_deciles",
+    f"""
+    WITH s AS (
+        SELECT o_custkey AS id,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS spend
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT spend,
+               CAST(row_number() OVER (ORDER BY spend, id) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM s
+    ),
+    d AS (
+        SELECT CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS decile,
+               CAST(SUM(spend) AS BIGINT) AS spend
+        FROM r GROUP BY 1
+    ),
+    c AS (
+        SELECT decile, spend,
+               CAST(SUM(spend) OVER (ORDER BY decile) AS BIGINT) AS cum_spend,
+               CAST(SUM(spend) OVER () AS BIGINT) AS total
+        FROM d
+    )
+    SELECT decile, spend AS decile_spend_cents,
+           cum_spend AS cum_spend_cents,
+           CAST(1000000 * cum_spend // total AS BIGINT) AS cum_share_e6
+    FROM c
+    """,
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve points for customer spend: rank customers by total
+    spend (total order: value, then id), assign exact integer deciles
+    by rank arithmetic (no ntile — its tie behavior is
+    engine-ambiguous), and emit per-decile and cumulative spend plus
+    the exact ppm cumulative share — the curve q_gini_revenue
+    summarizes as one number. The global rank runs over the customer
+    AGGREGATE; at larger cardinalities use the range-partition ranking
+    from sampling.seeded_shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    s = orders.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("spend")
+    )
+    r = s.select(
+        "spend",
+        F.row_number().over(Window.orderBy("spend", "id")).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    d = r.groupBy(
+        F.expr("CAST((rn - 1) * 10 div n + 1 AS BIGINT)").alias("decile")
+    ).agg(F.sum("spend").cast("long").alias("spend"))
+    c = d.select(
+        "decile",
+        "spend",
+        F.sum("spend")
+        .over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_spend"),
+        F.sum("spend").over(Window.partitionBy()).cast("long").alias("total"),
+    )
+    return c.select(
+        "decile",
+        F.col("spend").alias("decile_spend_cents"),
+        F.col("cum_spend").alias("cum_spend_cents"),
+        F.expr("CAST(1000000 * cum_spend div total AS BIGINT)").alias(
+            "cum_share_e6"
+        ),
+    )
