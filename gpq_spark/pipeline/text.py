@@ -506,6 +506,8 @@ def winnowing_fingerprints(
     return (
         df.select(F.col(id_col), F.expr(hashes).alias("__h"))
         .select(F.col(id_col), F.explode(F.expr(f"array_distinct({mins})")).alias("fp"))
+        # a NULL text propagates to a NULL hash — no content, no print
+        .filter(F.col("fp").isNotNull())
     )
 
 

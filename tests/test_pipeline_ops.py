@@ -3077,3 +3077,60 @@ class TestCompressibility:
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             compressibility_stats(df, "doc_id", "text", level=11)
+
+
+class TestRound3EdgeCases:
+    def test_winnowing_empty_and_whitespace_text(self, spark):
+        from gpq_spark.pipeline.text import winnowing_fingerprints
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, None)], "doc_id long, text string"
+        )
+        out = winnowing_fingerprints(df, "doc_id", "text", k=8, window=4)
+        # empty/whitespace docs collapse to the single whole-text gram;
+        # a NULL text yields no fingerprints rather than a crash
+        got = {r["doc_id"] for r in out.collect()}
+        assert 1 in got and 2 in got and 3 not in got
+
+    def test_sorted_neighborhood_single_row_no_pairs(self, spark):
+        from gpq_spark.pipeline.dedup import sorted_neighborhood_pairs
+
+        df = spark.createDataFrame([(1, "only")], ["id", "name"])
+        assert sorted_neighborhood_pairs(df, "id", "name", window=3).count() == 0
+
+    def test_containment_empty_frame(self, spark):
+        from gpq_spark.pipeline.dedup import ngram_containment_pairs
+
+        df = spark.createDataFrame([], "doc_id long, text string, lang string")
+        assert (
+            ngram_containment_pairs(df, "doc_id", "text", ["lang"]).count() == 0
+        )
+
+    def test_soundex_non_alpha_and_null(self, spark):
+        from gpq_spark.pipeline.dedup import soundex_expr
+
+        df = spark.createDataFrame(
+            [(1, "12345"), (2, None), (3, "O'Brien")], ["id", "name"]
+        )
+        got = {
+            r["id"]: r["c"]
+            for r in df.select("id", soundex_expr("name").alias("c")).collect()
+        }
+        assert got[1] is None  # digits only -> no letters
+        assert got[2] is None
+        assert got[3] == "O165"  # apostrophe dropped
+
+    def test_rrf_single_row_lists(self, spark):
+        from gpq_spark.pipeline.ranking import rrf_fuse
+
+        l1 = spark.createDataFrame([(1, 1.0)], ["id", "score"])
+        out = rrf_fuse([l1], "id").collect()
+        assert out[0]["rrf_e9"] == 1_000_000_000 // 61
+
+    def test_sssp_unreachable_nodes_absent(self, spark):
+        from gpq_spark.pipeline.graph import sssp_bounded
+
+        e = spark.createDataFrame([(1, 2, 1), (3, 4, 1)], ["src", "dst", "w"])
+        s = spark.createDataFrame([(1,)], ["node"])
+        got = {r["node"] for r in sssp_bounded(e, s, rounds=3).collect()}
+        assert got == {1, 2}  # the 3-4 component is absent, not inf
