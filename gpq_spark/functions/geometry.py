@@ -487,3 +487,20 @@ def st_num_points(col: Column | str) -> Column:
     vectorized through the per-value WKB kernel — zero per-row Python
     on the WKB path. Beyond-reference measure."""
     return _measures_udf(_c(col))["n_points"]
+
+
+def st_simplify(col: Column | str, tolerance: float) -> Column:
+    """Douglas–Peucker simplification of a WKB geometry column
+    (geo.simplify — endpoints kept, dropped-vertex deviation ≤
+    tolerance, polygon rings never collapse below 4 positions).
+    Arrow-batched pandas UDF; per-geometry numpy with an explicit
+    stack, embarrassingly parallel over the scan."""
+    tol = float(tolerance)
+
+    @F.pandas_udf(T.BinaryType())
+    def _simplify_udf(s: pd.Series) -> pd.Series:
+        from ..geo.simplify import simplify_wkb
+
+        return s.map(lambda v: simplify_wkb(None if v is None else bytes(v), tol))
+
+    return _simplify_udf(_c(col))

@@ -514,3 +514,104 @@ class TestCentroidKernel:
         assert (out[5][0], out[6][0], out[7][0]) == (en, ea, el)
         ecx, ecy = _scalar_centroid(g_eq)
         assert (out[8][0], out[9][0]) == (ecx, ecy)
+
+
+def _dp_reference(coords, tol):
+    """Textbook recursive Douglas-Peucker for parity checks."""
+    import math
+
+    def pseg(p, a, b):
+        ax, ay = a; bx, by = b; px, py = p
+        dx, dy = bx - ax, by - ay
+        if dx == dy == 0:
+            return math.hypot(px - ax, py - ay)
+        t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)))
+        return math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+    def rec(lo, hi):
+        if hi - lo < 2:
+            return []
+        dmax, imax = -1.0, None
+        for i in range(lo + 1, hi):
+            d = pseg(coords[i], coords[lo], coords[hi])
+            if d > dmax:
+                dmax, imax = d, i
+        if dmax > tol:
+            return rec(lo, imax) + [imax] + rec(imax, hi)
+        return []
+
+    keep = sorted([0, len(coords) - 1] + rec(0, len(coords) - 1))
+    return [coords[i] for i in keep]
+
+
+class TestSimplify:
+    def test_matches_recursive_reference(self):
+        import random
+
+        from gpq_spark.geo.simplify import _simplify_line
+
+        rng = random.Random(11)
+        for _ in range(20):
+            coords = [
+                [rng.uniform(0, 10), rng.uniform(0, 10)] for _ in range(30)
+            ]
+            tol = rng.uniform(0.1, 3.0)
+            assert _simplify_line(coords, tol) == _dp_reference(coords, tol)
+
+    def test_collinear_collapses_to_endpoints(self):
+        from gpq_spark.geo.simplify import _simplify_line
+
+        line = [[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [3.0, 0.0]]
+        assert _simplify_line(line, 0.01) == [[0.0, 0.0], [3.0, 0.0]]
+
+    def test_deviation_bound_holds(self):
+        import math
+        import random
+
+        from gpq_spark.geo.simplify import _simplify_line
+
+        rng = random.Random(3)
+        coords = [[float(i), rng.uniform(-1, 1)] for i in range(50)]
+        tol = 0.5
+        out = _simplify_line(coords, tol)
+        # every dropped point is within tol of the simplified polyline
+        def dist_to_polyline(p):
+            best = math.inf
+            for a, b in zip(out, out[1:]):
+                dx, dy = b[0] - a[0], b[1] - a[1]
+                den = dx * dx + dy * dy
+                t = 0.0 if den == 0 else max(
+                    0.0, min(1.0, ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / den)
+                )
+                best = min(
+                    best,
+                    math.hypot(p[0] - (a[0] + t * dx), p[1] - (a[1] + t * dy)),
+                )
+            return best
+
+        for p in coords:
+            assert dist_to_polyline(p) <= tol + 1e-9
+
+    def test_ring_never_collapses(self):
+        from gpq_spark.geo.simplify import simplify_geom
+
+        tri = {
+            "type": "Polygon",
+            "coordinates": [
+                [[0.0, 0.0], [1.0, 0.001], [2.0, 0.0], [0.0, 0.0]]
+            ],
+        }
+        out = simplify_geom(tri, 10.0)
+        assert len(out["coordinates"][0]) == 4
+        assert out["coordinates"][0][0] == out["coordinates"][0][-1]
+
+    def test_udf_roundtrip(self, spark):
+        from gpq_spark.functions.geometry import st_simplify, st_wkt_to_wkb, st_wkb_to_wkt
+
+        df = spark.createDataFrame(
+            [(1, "LINESTRING (0 0, 1 0, 2 0, 3 5)")], ["id", "wkt"]
+        )
+        out = df.select(
+            st_wkb_to_wkt(st_simplify(st_wkt_to_wkb("wkt"), 0.1)).alias("w")
+        ).collect()
+        assert out[0]["w"] == "LINESTRING (0 0, 2 0, 3 5)"
