@@ -14032,3 +14032,46 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share_e6"
         ),
     )
+
+
+@register(
+    "geo_simplify_zigzag",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS id,
+           CAST(c_custkey % 3 + 4 AS BIGINT) AS n_before,
+           CAST(4 AS BIGINT) AS n_after
+    FROM customer WHERE c_custkey < 300
+    """,
+)
+def geo_simplify_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas–Peucker gate on CONSTRUCTED redundancy: each customer
+    gets an L-shaped polyline with c_custkey % 3 exactly-collinear
+    midpoints inserted on its first leg. DP at any tolerance below the
+    corner height must remove exactly the collinear midpoints and keep
+    the 4 corners — so the simplified vertex count is a closed-form
+    function of the key, which IS the oracle (st_simplify +
+    st_num_points; the simplification itself runs distributed)."""
+    from .functions.geometry import st_num_points, st_simplify, st_wkt_to_wkb
+
+    cust = load(spark, sf_dir, "customer").filter("c_custkey < 300")
+    # leg 1: y = key%7 along x (length 6, k collinear midpoints), then
+    # corner up 5, then right 4: corners = start, (x+6,y), (x+6,y+5),
+    # (x+10,y+5)
+    pts = (
+        "concat_ws(', ', "
+        " concat(CAST(c_custkey % 11 AS STRING), ' ', CAST(c_custkey % 7 AS STRING)),"
+        " CASE WHEN c_custkey % 3 >= 1 THEN concat(CAST(c_custkey % 11 + 2 AS STRING), ' ', CAST(c_custkey % 7 AS STRING)) END,"
+        " CASE WHEN c_custkey % 3 >= 2 THEN concat(CAST(c_custkey % 11 + 4 AS STRING), ' ', CAST(c_custkey % 7 AS STRING)) END,"
+        " concat(CAST(c_custkey % 11 + 6 AS STRING), ' ', CAST(c_custkey % 7 AS STRING)),"
+        " concat(CAST(c_custkey % 11 + 6 AS STRING), ' ', CAST(c_custkey % 7 + 5 AS STRING)),"
+        " concat(CAST(c_custkey % 11 + 10 AS STRING), ' ', CAST(c_custkey % 7 + 5 AS STRING)))"
+    )
+    g = cust.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.expr(f"concat('LINESTRING (', {pts}, ')')").alias("wkt"),
+    ).withColumn("wkb", st_wkt_to_wkb("wkt"))
+    return g.select(
+        "id",
+        st_num_points("wkb").cast("long").alias("n_before"),
+        st_num_points(st_simplify("wkb", 0.5)).cast("long").alias("n_after"),
+    )
