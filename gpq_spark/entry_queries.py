@@ -14075,3 +14075,63 @@ def geo_simplify_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_num_points("wkb").cast("long").alias("n_before"),
         st_num_points(st_simplify("wkb", 0.5)).cast("long").alias("n_after"),
     )
+
+
+@register(
+    "dedup_winnowing_pairs",
+    """
+    WITH fp AS (
+        SELECT doc_id, unnest(list_distinct(mins)) AS fp
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(h) >= 4 THEN
+                       list_transform(range(1, len(h) - 4 + 2),
+                                      i -> list_aggregate(list_slice(h, i, i + 3),
+                                                          'min'))
+                   ELSE [list_aggregate(h, 'min')] END AS mins
+            FROM (
+                SELECT doc_id,
+                       list_transform(grams,
+                           g -> CAST('0x' || substr(md5(g), 1, 12) AS BIGINT))
+                           AS h
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN length(trim(text)) >= 8 THEN
+                               list_transform(
+                                   range(1, length(trim(text)) - 8 + 2),
+                                   i -> substring(trim(text), CAST(i AS INT), 8))
+                           ELSE [trim(text)] END AS grams
+                    FROM documents
+                )
+            )
+        )
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair view of winnowing (what a plagiarism detector reports):
+    document pairs sharing ≥2 selected fingerprints, with the shared
+    count as the match strength. One equi-join on the fingerprint key —
+    each doc contributes only its ~2/(w+1)-density selected hashes, so
+    the join input is a small fraction of the gram stream; a hot
+    fingerprint (boilerplate shared by k docs) costs k², the same
+    bucket-skew profile as LSH, and the same max-bucket capping
+    applies if a corpus needs it."""
+    from .pipeline.text import winnowing_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    fp = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter("shared_fps >= 2")
+    )
