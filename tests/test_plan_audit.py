@@ -591,3 +591,23 @@ def test_event_seq_collapses_before_joining(plans):
         p = plans(name)
         assert "pythonUDF" not in p.lower()
         assert "CartesianProduct" not in p
+
+
+def test_holt_is_single_row_arithmetic(plans):
+    p = plans("q_holt_forecast")
+    assert "pythonUDF" not in p.lower()
+    # after the month pivot everything is scalar arithmetic — no joins
+    assert "Join" not in p
+
+
+def test_winnowing_pairs_join_on_selected_hashes(plans):
+    p = plans("dedup_winnowing_pairs")
+    assert "pythonUDF" not in p.lower()
+    assert "CartesianProduct" not in p
+
+
+def test_simplify_zigzag_single_scan(plans):
+    # construction + simplify + count: no joins, no shuffle
+    p = plans("geo_simplify_zigzag")
+    assert "Join" not in p
+    assert "Exchange hashpartitioning" not in p
