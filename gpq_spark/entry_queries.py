@@ -14106,31 +14106,49 @@ def geo_simplify_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    , rare AS (
+        SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 20
+    ),
+    kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(COUNT(*) AS BIGINT) AS shared_fps
-    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING COUNT(*) >= 2
     """,
 )
 def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pair view of winnowing (what a plagiarism detector reports):
-    document pairs sharing ≥2 selected fingerprints, with the shared
-    count as the match strength. One equi-join on the fingerprint key —
-    each doc contributes only its ~2/(w+1)-density selected hashes, so
-    the join input is a small fraction of the gram stream; a hot
-    fingerprint (boilerplate shared by k docs) costs k², the same
-    bucket-skew profile as LSH, and the same max-bucket capping
-    applies if a corpus needs it."""
+    document pairs sharing ≥2 RARE selected fingerprints, with the
+    shared count as the match strength. A hot fingerprint (boilerplate
+    shared by k docs) would cost k² in any pair formulation and carries
+    no dedup signal, so fingerprints in more than 20 documents are
+    dropped BEFORE expansion (the max_df/max-bucket discipline every
+    pair family in this repo applies — the uncapped join measured a
+    GC-thrashing blowup at 5000 docs on this boilerplate-heavy
+    synthetic corpus). Shape: groupBy the fingerprint collecting doc
+    ids, expand pairs inside the ≤20-member bucket — one shuffle,
+    skew-capped by construction."""
     from .pipeline.text import winnowing_fingerprints
 
     docs = load(spark, sf_dir, "documents")
     fp = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
-    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
-    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    buckets = (
+        fp.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("__docs"))
+        .filter("size(__docs) BETWEEN 2 AND 20")
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__docs, (x, i) -> "
+                "transform(slice(__docs, i + 2, size(__docs) - i - 1), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("__p")
+    )
     return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter("shared_fps >= 2")
