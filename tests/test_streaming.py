@@ -1664,3 +1664,59 @@ class TestStreamKcenterCoreset:
         rows = {r["shard"]: r for r in _drain_ooo(spark, out, "ck").collect()}
         assert rows[1]["n_points"] == 39
         assert len(json.loads(rows[1]["centers"])) <= 3 + 1
+
+
+class TestUpsertCheckpointRestart:
+    def test_snapshot_state_survives_restarts(self, spark, tmp_path):
+        """Last-write-wins state must recover from the state store: a
+        newer write lands in run 1, a STALE write for the same key in
+        run 2, and the watermark advancer in run 3 — the final
+        snapshot must still report run 1's value, with the count
+        reflecting all three writes."""
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_upsert_state
+
+        base = dt.datetime(2024, 3, 1)
+        src = tmp_path / "src"
+        out = tmp_path / "out"
+        ck = tmp_path / "ck"
+        src.mkdir()
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string"
+        )
+
+        def add(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+        def run_once():
+            src_schema = spark.read.parquet(str(src)).schema
+            stream = stream_events(spark, str(src), src_schema)
+            q = (
+                stream_upsert_state(stream)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(ck))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        add([(3, base + dt.timedelta(minutes=40), 7, "new", 9.5, "{}"),
+             (1, base, 7, "old", 1.0, "{}")])
+        run_once()
+        add([(2, base + dt.timedelta(minutes=20), 7, "stale", 5.0, "{}")])
+        run_once()
+        add([(99, base + dt.timedelta(hours=48), 99, "x", 0.0, "{}")])
+        run_once()
+
+        rows = {r["user_id"]: r for r in spark.read.parquet(str(out)).collect()}
+        assert rows[7]["last_event_id"] == 3
+        assert rows[7]["last_type"] == "new"
+        assert rows[7]["last_value_cents"] == 950
+        assert rows[7]["n_upserts"] == 3
