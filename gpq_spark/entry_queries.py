@@ -14153,3 +14153,188 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter("shared_fps >= 2")
     )
+
+
+@register(
+    "q_kendall_binned",
+    f"""
+    WITH s AS (
+        SELECT c.c_custkey AS id,
+               {cents('c.c_acctbal')} AS bal,
+               CAST(SUM({cents('o.o_totalprice')}) AS BIGINT) AS spend
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT id, bal, spend,
+               CAST((row_number() OVER (ORDER BY bal, id) - 1) * 10
+                    // (COUNT(*) OVER ()) + 1 AS BIGINT) AS dx,
+               CAST((row_number() OVER (ORDER BY spend, id) - 1) * 10
+                    // (COUNT(*) OVER ()) + 1 AS BIGINT) AS dy
+        FROM s
+    ),
+    cells AS (
+        SELECT dx, dy, CAST(COUNT(*) AS BIGINT) AS n
+        FROM r GROUP BY dx, dy
+    )
+    SELECT CAST(SUM(CASE WHEN b.dx > a.dx AND b.dy > a.dy
+                    THEN a.n * b.n ELSE 0 END) AS BIGINT) AS concordant,
+           CAST(SUM(CASE WHEN b.dx > a.dx AND b.dy < a.dy
+                    THEN a.n * b.n ELSE 0 END) AS BIGINT) AS discordant,
+           CAST(SUM(CASE WHEN b.dx > a.dx AND b.dy > a.dy
+                    THEN a.n * b.n ELSE 0 END)
+                - SUM(CASE WHEN b.dx > a.dx AND b.dy < a.dy
+                      THEN a.n * b.n ELSE 0 END) AS BIGINT) AS tau_num
+    FROM cells a CROSS JOIN cells b
+    """,
+)
+def q_kendall_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall concordance on DECILE-binned variables (balance decile
+    vs spend decile): concordant and discordant pair counts computed
+    over the 10×10 CELL table, so the quadratic runs over ≤100 cells
+    regardless of corpus size — the binned tau that scales where exact
+    tau's per-row inversion count cannot (exact pairwise Kendall is a
+    sequential merge-sort reduction). All integers; rank-arithmetic
+    deciles match q_lorenz_deciles' tie policy."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    s = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            F.col("c_custkey").alias("id"),
+            F.expr(cents("c_acctbal")).alias("bal"),
+        )
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("spend"))
+    )
+    nw = F.count(F.lit(1)).over(Window.partitionBy())
+    r = s.select(
+        F.expr(
+            "CAST((row_number() OVER (ORDER BY bal, id) - 1) * 10"
+            " div (COUNT(*) OVER ()) + 1 AS BIGINT)"
+        ).alias("dx"),
+        F.expr(
+            "CAST((row_number() OVER (ORDER BY spend, id) - 1) * 10"
+            " div (COUNT(*) OVER ()) + 1 AS BIGINT)"
+        ).alias("dy"),
+    )
+    cells = r.groupBy("dx", "dy").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = cells.select(
+        F.col("dx").alias("ax"), F.col("dy").alias("ay"), F.col("n").alias("an")
+    )
+    b = cells.select(
+        F.col("dx").alias("bx"), F.col("dy").alias("by"), F.col("n").alias("bn")
+    )
+    j = a.crossJoin(b)
+    conc = F.sum(
+        F.when((F.col("bx") > F.col("ax")) & (F.col("by") > F.col("ay")),
+               F.col("an") * F.col("bn")).otherwise(0)
+    ).cast("long")
+    disc = F.sum(
+        F.when((F.col("bx") > F.col("ax")) & (F.col("by") < F.col("ay")),
+               F.col("an") * F.col("bn")).otherwise(0)
+    ).cast("long")
+    return j.agg(
+        conc.alias("concordant"),
+        disc.alias("discordant"),
+        (conc - disc).alias("tau_num"),
+    )
+
+
+def _markov_stationary_duck(iters: int = 4) -> str:
+    """Unrolled integer power iteration toward the stationary
+    distribution of the event-type transition chain: v'(b) =
+    Σ_a v(a)·n(a→b) div n(a) with v at 1e12 scale — floor per term,
+    identical arithmetic on both engines (the PageRank discipline)."""
+    parts = [
+        """mseq AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    )""",
+        """mt AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM mseq WHERE dst IS NOT NULL GROUP BY 1, 2
+    )""",
+        """mm AS (
+        SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM mt GROUP BY 1
+    )""",
+        """mtypes AS (SELECT DISTINCT src AS t FROM mt
+                      UNION SELECT DISTINCT dst FROM mt)""",
+        """mv0 AS (SELECT t, CAST(1000000000000 AS BIGINT) AS v FROM mtypes)""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"""mv{i} AS (
+        SELECT ty.t, CAST(COALESCE(SUM(v.v * mt.n // mm.n_src), 0) AS BIGINT)
+                   AS v
+        FROM mtypes ty
+        LEFT JOIN mt ON mt.dst = ty.t
+        LEFT JOIN mm ON mm.src = mt.src
+        LEFT JOIN mv{p} v ON v.t = mt.src
+        GROUP BY ty.t
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT t AS event_type, v AS stationary_e12 FROM mv{iters}"
+    )
+
+
+@register("q_markov_stationary", _markov_stationary_duck(4))
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by FOUR
+    unrolled integer power iterations (v at 1e12 scale, per-term floor
+    — the PageRank discipline, so Spark and the chained-CTE oracle
+    agree exactly at every iteration regardless of convergence). The
+    chain matrix is the tiny type-domain transition table; each
+    iteration is one broadcast-size join, and the heavy work is the
+    single transition count over the event stream."""
+    ev = load_events(spark, sf_dir)
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    )
+    t = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    m = t.groupBy("src").agg(F.sum("n").cast("long").alias("n_src"))
+    types = (
+        t.select(F.col("src").alias("t"))
+        .union(t.select(F.col("dst").alias("t")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        t.join(m, "src")
+        .select(
+            F.col("src"), F.col("dst"), F.col("n"), F.col("n_src")
+        )
+        .localCheckpoint()
+    )
+    v = types.select("t", F.lit(1_000_000_000_000).cast("long").alias("v"))
+    for _ in range(4):
+        msgs = (
+            v.join(edges, v["t"] == edges["src"])
+            .select(
+                F.col("dst"),
+                F.expr("v * n div n_src").alias("__m"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("__m").cast("long").alias("__v"))
+        )
+        v = (
+            types.join(msgs, types["t"] == msgs["dst"], "left")
+            .select(
+                "t", F.coalesce(F.col("__v"), F.lit(0)).cast("long").alias("v")
+            )
+            .localCheckpoint()
+        )
+    return v.select(F.col("t").alias("event_type"), F.col("v").alias("stationary_e12"))
