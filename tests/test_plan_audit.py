@@ -611,3 +611,19 @@ def test_simplify_zigzag_single_scan(plans):
     p = plans("geo_simplify_zigzag")
     assert "Join" not in p
     assert "Exchange hashpartitioning" not in p
+
+
+def test_kendall_quadratic_is_cell_bounded(plans):
+    # the cross join must be over the tiny cell table (post-aggregate),
+    # never the customer rows — scan feeds a groupBy before any join
+    p = plans("q_kendall_binned")
+    assert "pythonUDF" not in p.lower()
+    assert "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p
+    # both join inputs are HashAggregates (cells), not raw scans
+    assert p.count("HashAggregate") >= 2
+
+
+def test_markov_iterations_join_type_domain(plans):
+    p = plans("q_markov_stationary")
+    assert "pythonUDF" not in p.lower()
+    assert "CartesianProduct" not in p
