@@ -14338,3 +14338,91 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return v.select(F.col("t").alias("event_type"), F.col("v").alias("stationary_e12"))
+
+
+@register(
+    "q_cramers_v",
+    """
+    WITH o AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ), r AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rn FROM o GROUP BY 1),
+    c AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cn FROM o GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM o),
+    terms AS (
+        SELECT CAST(1000000 * (o.n * t.tot - r.rn * c.cn)
+                            * (o.n * t.tot - r.rn * c.cn)
+                    // (r.rn * c.cn * t.tot) AS BIGINT) AS term_e6
+        FROM o JOIN r ON o.lang = r.lang
+               JOIN c ON o.source = c.source
+               CROSS JOIN t
+    ),
+    dims AS (
+        SELECT CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS nr,
+               CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS nc,
+               (SELECT tot FROM t) AS tot
+    )
+    SELECT CAST(SUM(term_e6) AS BIGINT) AS chi2_e6,
+           d.tot AS n,
+           CAST(least(d.nr - 1, d.nc - 1) AS BIGINT) AS df_min,
+           CAST(SUM(term_e6) // (d.tot * least(d.nr - 1, d.nc - 1))
+                AS BIGINT) AS v2_e6,
+           round(sqrt(CAST(SUM(term_e6)
+                           // (d.tot * least(d.nr - 1, d.nc - 1)) AS DOUBLE)
+                      / 1000000.0), 9) AS v
+    FROM terms CROSS JOIN dims d
+    GROUP BY d.tot, d.nr, d.nc
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the (language × source) association:
+    aggregates the SAME exact-integer chi-square cell terms as
+    q_crosstab_chisq (e6-floored per cell, so the sum is
+    reduction-order independent), then one integer division by
+    n·min(r−1, c−1) and a single IEEE-exact sqrt rounded to 9 — the
+    chi-square tells you the association exists, V tells you whether
+    it matters."""
+    docs = load(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    r = o.groupBy("lang").agg(F.sum("n").cast("long").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("n").cast("long").alias("cn"))
+    t = o.agg(F.sum("n").cast("long").alias("tot"))
+    nr = r.agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    terms = (
+        o.join(r, "lang")
+        .join(c, "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.expr(
+                "CAST(1000000 * (n * tot - rn * cn) * (n * tot - rn * cn)"
+                " div (rn * cn * tot) AS BIGINT)"
+            ).alias("term_e6")
+        )
+    )
+    return (
+        terms.agg(F.sum("term_e6").cast("long").alias("chi2_e6"))
+        .crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "chi2_e6",
+            F.col("tot").alias("n"),
+            F.expr("CAST(least(nr - 1, nc - 1) AS BIGINT)").alias("df_min"),
+            F.expr(
+                "CAST(chi2_e6 div (tot * least(nr - 1, nc - 1)) AS BIGINT)"
+            ).alias("v2_e6"),
+            F.round(
+                F.sqrt(
+                    F.expr(
+                        "CAST(chi2_e6 div (tot * least(nr - 1, nc - 1))"
+                        " AS DOUBLE)"
+                    )
+                    / F.lit(1_000_000.0)
+                ),
+                9,
+            ).alias("v"),
+        )
+    )
