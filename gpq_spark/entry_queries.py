@@ -14426,3 +14426,127 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
     )
+
+
+@register(
+    "q_survival_km",
+    """
+    WITH starts AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events GROUP BY 1
+    ),
+    conv AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS tc
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+    durs AS (
+        SELECT s.user_id,
+               CASE WHEN c.tc IS NOT NULL AND c.tc >= s.t0
+                    THEN (c.tc - s.t0) // 3600000000
+                    ELSE (h.tmax - s.t0) // 3600000000 END AS t_hours,
+               CASE WHEN c.tc IS NOT NULL AND c.tc >= s.t0
+                    THEN 1 ELSE 0 END AS converted
+        FROM starts s LEFT JOIN conv c ON c.user_id = s.user_id
+        CROSS JOIN horizon h
+    ),
+    ev_times AS (
+        SELECT t_hours AS t, CAST(SUM(converted) AS BIGINT) AS d
+        FROM durs GROUP BY 1 HAVING SUM(converted) > 0
+    ),
+    at_risk AS (
+        SELECT e.t, e.d,
+               CAST((SELECT COUNT(*) FROM durs WHERE t_hours >= e.t)
+                    AS BIGINT) AS n
+        FROM ev_times e
+    ),
+    steps AS (
+        SELECT t, d, n,
+               CAST(1000000 * d // n AS BIGINT) AS hazard_e6,
+               CAST(floor(1000000 * ln(CAST(n - d AS DOUBLE)
+                                       / CAST(n AS DOUBLE))) AS BIGINT)
+                   AS logstep_e6
+        FROM at_risk WHERE n > d
+    )
+    SELECT t AS t_hours, n AS n_at_risk, d AS d_events, hazard_e6,
+           CAST(floor(1000000 * exp(
+                CAST(SUM(logstep_e6) OVER (ORDER BY t) AS DOUBLE)
+                / 1000000.0)) AS BIGINT) AS survival_e6
+    FROM steps
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of time-to-conversion WITH right
+    censoring: every user enters at their first event; converters
+    contribute an event at their purchase delay (hours), everyone else
+    is censored at the corpus horizon. Per event time: at-risk count,
+    events, the discrete hazard in exact ppm, and the KM survival
+    curve computed as an e6-floored log-sum (Π(1−d/n) →
+    exp(Σ floor(1e6·ln((n−d)/n)))) — the floors make the cumulative
+    sum reduction-order independent; the single ln/exp per row rides
+    the repo's 1-ulp tolerance like every ln-based score. Shape: three
+    narrow per-user aggregates, an event-time groupBy, and ONE ordered
+    cumulative window over the (small) distinct event-time table."""
+    ev = load_events(spark, sf_dir)
+    us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01").cast("timestamp_ntz"), F.col("ts")
+    )
+    starts = ev.groupBy("user_id").agg(F.min(us).alias("t0"))
+    conv = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("tc"))
+    )
+    horizon = ev.agg(F.max(us).alias("tmax"))
+    durs = (
+        starts.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr(
+                "CASE WHEN tc IS NOT NULL AND tc >= t0"
+                " THEN (tc - t0) div 3600000000"
+                " ELSE (tmax - t0) div 3600000000 END"
+            ).alias("t_hours"),
+            F.expr(
+                "CASE WHEN tc IS NOT NULL AND tc >= t0 THEN 1 ELSE 0 END"
+            ).alias("converted"),
+        )
+        .localCheckpoint()
+    )
+    ev_times = (
+        durs.groupBy(F.col("t_hours").alias("t"))
+        .agg(F.sum("converted").cast("long").alias("d"))
+        .filter("d > 0")
+    )
+    # at-risk via a non-equi aggregation: count durs with t_hours >= t.
+    # The event-time table is SMALL (distinct conversion delays), so
+    # broadcast it and aggregate the user table once.
+    at_risk = (
+        durs.join(F.broadcast(ev_times), F.col("t_hours") >= F.col("t"))
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    steps = at_risk.filter("n > d").select(
+        "t",
+        "d",
+        "n",
+        F.expr("CAST(1000000 * d div n AS BIGINT)").alias("hazard_e6"),
+        F.expr(
+            "CAST(floor(1000000 * ln(CAST(n - d AS DOUBLE)"
+            " / CAST(n AS DOUBLE))) AS BIGINT)"
+        ).alias("logstep_e6"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return steps.select(
+        F.col("t").alias("t_hours"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        "hazard_e6",
+        F.floor(
+            F.lit(1_000_000)
+            * F.exp(
+                F.sum("logstep_e6").over(w).cast("double") / F.lit(1_000_000.0)
+            )
+        )
+        .cast("long")
+        .alias("survival_e6"),
+    )
