@@ -1720,3 +1720,74 @@ class TestUpsertCheckpointRestart:
         assert rows[7]["last_type"] == "new"
         assert rows[7]["last_value_cents"] == 950
         assert rows[7]["n_upserts"] == 3
+
+
+class TestCoresetComposition:
+    def test_shard_coresets_cover_and_merge(self, spark, tmp_path):
+        """The scale claim, executed: every streamed point lies within
+        the doubling rule's coverage radius of its shard's coreset, and
+        the batch k-center merge over the UNION of shard centers picks
+        a spread-out global summary — shard coresets compose."""
+        import datetime as dt
+        import json
+        import random
+
+        from gpq_spark.pipeline.sampling import kcenter_sample
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_kcenter_coreset
+
+        rng = random.Random(13)
+        base = dt.datetime(2024, 3, 1)
+        pts = []
+        for i in range(1, 61):
+            shard = 1 + (i % 2)
+            # two clusters per shard, plus noise
+            cx = 0.0 if i % 3 else 5.0
+            pts.append(
+                (i, base + dt.timedelta(minutes=i), shard,
+                 [cx + rng.uniform(-0.5, 0.5), rng.uniform(-0.5, 0.5)])
+            )
+        batches = [pts[:30], pts[30:],
+                   [(999, base + dt.timedelta(hours=48), 9, [0.0, 0.0])]]
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " embedding array<double>"
+        )
+        d = tmp_path / "compose"
+        src_schema = _write_ooo_files(spark, d, batches, schema=schema)
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_kcenter_coreset(stream, k=4)
+        rows = {r["shard"]: r for r in _drain_ooo(spark, out, "comp").collect()}
+
+        # 1) per-shard coverage: every point within 2R of a center
+        #    (dist^2 <= 4*r2), the doubling-rule invariant
+        for shard in (1, 2):
+            centers = json.loads(rows[shard]["centers"])
+            r2 = rows[shard]["radius2"]
+            for (_, _, s, vec) in pts:
+                if s != shard:
+                    continue
+                q = [round(x * 1_000_000) for x in vec]
+                d2 = min(
+                    sum((a - b) * (a - b) for a, b in zip(q, c))
+                    for c in centers
+                )
+                assert d2 <= max(4 * r2, 1), (shard, d2, r2)
+
+        # 2) the union of shard centers merges with the batch k-center
+        union = [
+            (100 * s + i, [c / 1_000_000 for c in cen])
+            for s in (1, 2)
+            for i, cen in enumerate(json.loads(rows[s]["centers"]))
+        ]
+        udf = spark.createDataFrame(
+            union, "vec_id long, embedding array<double>"
+        )
+        merged = kcenter_sample(udf, "vec_id", "embedding", k=2).collect()
+        # the two picked summary centers land in DIFFERENT clusters
+        xs = sorted(
+            next(v[0] for i, v in union if i == r["vec_id"]) for r in merged
+        )
+        assert xs[0] < 2.5 < xs[1]
