@@ -14550,3 +14550,86 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("survival_e6"),
     )
+
+
+@register(
+    "q_price_elasticity",
+    f"""
+    WITH cells AS (
+        SELECT l_partkey,
+               CAST(SUM({cents('l_extendedprice')}) // SUM(CAST(l_quantity AS BIGINT))
+                    AS BIGINT) AS unit_cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1
+    ),
+    pts AS (
+        SELECT CAST(floor(1000000 * ln(CAST(unit_cents AS DOUBLE))) AS BIGINT)
+                   AS lx,
+               CAST(floor(1000000 * ln(CAST(qty AS DOUBLE))) AS BIGINT) AS ly
+        FROM cells WHERE unit_cents > 0 AND qty > 0
+    ),
+    base AS (SELECT CAST(MIN(lx) AS BIGINT) AS x0,
+                    CAST(MIN(ly) AS BIGINT) AS y0 FROM pts),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((lx - x0) // 1000) AS BIGINT) AS sx,
+               CAST(SUM((ly - y0) // 1000) AS BIGINT) AS sy,
+               CAST(SUM(((lx - x0) // 1000) * ((ly - y0) // 1000)) AS BIGINT)
+                   AS sxy,
+               CAST(SUM(((lx - x0) // 1000) * ((lx - x0) // 1000)) AS BIGINT)
+                   AS sxx
+        FROM pts CROSS JOIN base
+    )
+    SELECT n,
+           CAST(1000000 * (n * sxy - sx * sy) // (n * sxx - sx * sx)
+                AS BIGINT) AS elasticity_e6
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand: per part, average unit price
+    vs total quantity; both axes become e6-floored natural logs
+    re-based to the corpus minimum and COARSENED to e3 (floor-divide by
+    1000) so the OLS normal-equation products of ~60k parts stay well
+    inside int64 — then slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²) in exact
+    integers (the q_trend_slope machinery on log axes). The floors
+    make every sum reduction-order independent; the per-value ln rides
+    the repo's 1-ulp tolerance. One aggregate over lineitem, then
+    single-row math."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_partkey").agg(
+        F.expr(
+            f"CAST(SUM({cents('l_extendedprice')})"
+            " div SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+        ).alias("unit_cents"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+    pts = cells.filter("unit_cents > 0 AND qty > 0").select(
+        F.expr(
+            "CAST(floor(1000000 * ln(CAST(unit_cents AS DOUBLE))) AS BIGINT)"
+        ).alias("lx"),
+        F.expr(
+            "CAST(floor(1000000 * ln(CAST(qty AS DOUBLE))) AS BIGINT)"
+        ).alias("ly"),
+    )
+    base = pts.agg(
+        F.min("lx").cast("long").alias("x0"), F.min("ly").cast("long").alias("y0")
+    )
+    s = pts.crossJoin(F.broadcast(base)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("(lx - x0) div 1000")).cast("long").alias("sx"),
+        F.sum(F.expr("(ly - y0) div 1000")).cast("long").alias("sy"),
+        F.sum(F.expr("((lx - x0) div 1000) * ((ly - y0) div 1000)"))
+        .cast("long")
+        .alias("sxy"),
+        F.sum(F.expr("((lx - x0) div 1000) * ((lx - x0) div 1000)"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    return s.filter("n * sxx - sx * sx > 0").select(
+        "n",
+        F.expr(
+            "CAST(1000000 * (n * sxy - sx * sy) div (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("elasticity_e6"),
+    )

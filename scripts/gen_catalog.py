@@ -25,7 +25,7 @@ GROUPS = [
      r"^q_(funnel|funnel_dropoff|retention|anomaly|event_transitions|event_seq|time_to|attribution|linear_attribution"
      r"|ab_test|trend|crosstab|drift|basket|recommend|incremental|table_checksum"
      r"|changepoint|pattern|outliers|cohort|rfm|nation_part|latency|growth|top_paths|market_share|hhi|gini|pareto|acf|weekday|theil_sen"
-     r"|spearman|holt|lorenz|kendall|markov|cramers|survival)"),
+     r"|spearman|holt|lorenz|kendall|markov|cramers|survival|price_elasticity)"),
     ("Graph analytics",
      r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa|sssp|stress)"),
     ("Governance & auditing",
