@@ -12805,6 +12805,98 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ks_test",
+    f"""
+    WITH x AS (
+        SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'a' ELSE 'b' END AS grp,
+               {cents('o_totalprice')} AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+    ),
+    per_v AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+               CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+        FROM x GROUP BY v
+    ),
+    c AS (
+        SELECT v,
+               CAST(SUM(na_v) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+               CAST(SUM(nb_v) OVER (ORDER BY v) AS BIGINT) AS cum_b
+        FROM per_v
+    ),
+    tots AS (
+        SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+               CAST(SUM(nb_v) AS BIGINT) AS n_b
+        FROM per_v
+    )
+    SELECT n_a, n_b,
+           CAST(MAX(ABS(n_b * cum_a - n_a * cum_b)) AS BIGINT) AS d_num
+    FROM c CROSS JOIN tots
+    GROUP BY n_a, n_b
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between order-total
+    distributions of two customer segments, entirely in integers: the
+    statistic D = max_v |F_a(v) - F_b(v)| is kept as the cross-
+    multiplied numerator max|n_b*cumA(v) - n_a*cumB(v)| over the
+    common denominator n_a*n_b — no float ECDFs, no reduction-order
+    dependence. Checking the sup only at observed values is exact
+    (ECDFs are step functions that jump there). Shape: one
+    value-grouped frame, one cumulative window over DISTINCT values
+    (bounded cents domain — see q_mann_whitney for the
+    range-partition fallback if distinct ≈ rows), one max-combine.
+    Complements q_mann_whitney (location shift) with a
+    whole-distribution-shape test."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    x = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+        .select(
+            F.when(F.col("c_mktsegment") == "AUTOMOBILE", F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("grp"),
+            F.expr(cents("o_totalprice")).alias("v"),
+        )
+    )
+    per_v = x.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("na_v"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("nb_v"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = per_v.select(
+        F.sum("na_v").over(wcum).cast("long").alias("cum_a"),
+        F.sum("nb_v").over(wcum).cast("long").alias("cum_b"),
+    )
+    tots = per_v.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tots))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("n_b") * F.col("cum_a")
+                    - F.col("n_a") * F.col("cum_b")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+
+
+@register(
     "q_trimmed_mean",
     f"""
     WITH x AS (
@@ -13964,6 +14056,80 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_forecast_eval",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    j AS (
+        SELECT a.t AS t, a.y AS y, b.y AS yhat
+        FROM d a JOIN d b ON b.t = a.t - 7
+    )
+    SELECT
+        CAST(SUM(CASE WHEN t >= 2100 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        CAST(SUM(CASE WHEN t >= 2100 THEN ABS(y - yhat) ELSE 0 END) AS BIGINT)
+            AS mase_num,
+        CAST(SUM(CASE WHEN t < 2100 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        CAST(SUM(CASE WHEN t < 2100 THEN ABS(y - yhat) ELSE 0 END) AS BIGINT)
+            AS mase_den,
+        CAST(SUM(CASE WHEN t >= 2100
+                 THEN (2000000 * ABS(y - yhat)) // (y + yhat) ELSE 0 END)
+             AS BIGINT) AS smape_e6_sum
+    FROM j
+    """,
+)
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy evaluation for the seasonal-naive baseline
+    (y_hat_t = y_{t-7}, rolling one-origin) on daily order volume,
+    split at day 2100: emits the exact integer MASE components
+    (holdout absolute-error sum over the in-sample seasonal-naive
+    error sum, with term counts — MASE = (mase_num/n_test) /
+    (mase_den/n_train), computed by the caller so no float division
+    enters the gate) and a per-term-floored sMAPE sum
+    (floor(2e6·|y-ŷ|/(y+ŷ)) summed — floor-then-sum is
+    order-independent, unlike summing float ratios). The season lag
+    is a self-equi-join on t-7 rather than a row-offset window, so
+    calendar gaps cannot silently misalign the season. The daily
+    aggregate is tiny (one row per day) — the join broadcasts.
+    Completes the forecasting family (q6 trend, q_holt_forecast)
+    with its evaluation metric."""
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01') AS BIGINT)"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    b = d.select(F.col("t").alias("bt"), F.col("y").alias("yhat"))
+    j = d.join(F.broadcast(b), F.col("bt") == F.col("t") - 7).select(
+        "t", "y", "yhat"
+    )
+    test = F.col("t") >= 2100
+    err = F.abs(F.col("y") - F.col("yhat"))
+    return j.agg(
+        F.sum(F.when(test, 1).otherwise(0)).cast("long").alias("n_test"),
+        F.sum(F.when(test, err).otherwise(0)).cast("long").alias("mase_num"),
+        F.sum(F.when(~test, 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(~test, err).otherwise(0)).cast("long").alias("mase_den"),
+        F.sum(
+            F.when(
+                test,
+                F.expr(
+                    "(2000000 * ABS(y - yhat)) div (y + yhat)"
+                ),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("smape_e6_sum"),
+    )
+
+
+@register(
     "q_lorenz_deciles",
     f"""
     WITH s AS (
@@ -14549,6 +14715,70 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("survival_e6"),
+    )
+
+
+@register(
+    "q_mutual_info",
+    """
+    WITH cell AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (SELECT rf, CAST(SUM(c) AS BIGINT) AS rc FROM cell GROUP BY 1),
+    co AS (SELECT ls, CAST(SUM(c) AS BIGINT) AS cc FROM cell GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell)
+    SELECT rf, ls, c, rc, cc, n,
+           CAST(c * CAST(floor(1000000 * ln(
+                    CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE))))
+                AS BIGINT) AS BIGINT) AS mi_term_e6
+    FROM cell JOIN r USING (rf) JOIN co USING (ls) CROSS JOIN tot
+    """,
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between return flag and line status, one
+    exact row per contingency cell: MI = Σ_ij p_ij·ln(p_ij/(p_i·p_j))
+    is emitted as integer terms c_ij·floor(1e6·ln(c_ij·N/(r_i·c_j)))
+    — the pointwise-MI machinery of text_bigram_pmi lifted to a
+    column-pair dependence measure (MI = Σ mi_term_e6 / (1e6·N), by
+    the caller). floor-then-multiply-then-sum is reduction-order
+    independent; the per-cell ln rides the repo's 1-ulp tolerance.
+    Complements q_crosstab_chisq / q_cramers_v (which measure the
+    same dependence on a χ² scale) with the information-theoretic
+    scale. One cell aggregate, then broadcast joins of the tiny
+    marginal frames."""
+    li = load(spark, sf_dir, "lineitem")
+    cell = (
+        li.select(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_linestatus").alias("ls"),
+        )
+        .groupBy("rf", "ls")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    r = cell.groupBy("rf").agg(F.sum("c").cast("long").alias("rc"))
+    co = cell.groupBy("ls").agg(F.sum("c").cast("long").alias("cc"))
+    tot = cell.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        cell.join(F.broadcast(r), "rf")
+        .join(F.broadcast(co), "ls")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rf",
+            "ls",
+            "c",
+            "rc",
+            "cc",
+            "n",
+            F.expr(
+                "CAST(c * CAST(floor(1000000 * ln("
+                "CAST(c AS DOUBLE) * CAST(n AS DOUBLE)"
+                " / (CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE))))"
+                " AS BIGINT) AS BIGINT)"
+            ).alias("mi_term_e6"),
+        )
     )
 
 
