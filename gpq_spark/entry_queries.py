@@ -12036,6 +12036,147 @@ def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tcloseness",
+    f"""
+    WITH x AS (
+        SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+               CAST(({cents('c_acctbal')} + 100000) // 200000 AS BIGINT) AS b
+        FROM customer
+    ),
+    cell AS (
+        SELECT seg, nat, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM x GROUP BY 1, 2, 3
+    ),
+    gb AS (
+        SELECT b, CAST(SUM(c) AS BIGINT) AS g FROM cell GROUP BY 1
+    ),
+    gcum AS (
+        SELECT b, CAST(SUM(g) OVER (ORDER BY b) AS BIGINT) AS cum_g FROM gb
+    ),
+    classes AS (
+        SELECT seg, nat, CAST(SUM(c) AS BIGINT) AS n_c FROM cell GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(SUM(g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS m
+        FROM gb
+    ),
+    grid AS (
+        SELECT cl.seg, cl.nat, cl.n_c, gc.b, gc.cum_g,
+               COALESCE(ce.c, 0) AS cnt
+        FROM classes cl CROSS JOIN gcum gc
+        LEFT JOIN cell ce
+          ON ce.seg = cl.seg AND ce.nat = cl.nat AND ce.b = gc.b
+    ),
+    cum AS (
+        SELECT seg, nat, n_c, b, cum_g,
+               CAST(SUM(cnt) OVER (PARTITION BY seg, nat ORDER BY b)
+                    AS BIGINT) AS cum_c
+        FROM grid
+    )
+    SELECT seg, nat, n_c,
+           CAST(SUM(ABS(n * cum_c - n_c * cum_g)) AS BIGINT) AS emd_num,
+           n, m
+    FROM cum CROSS JOIN tot
+    GROUP BY seg, nat, n_c, n, m
+    """,
+)
+def q_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — completes the privacy trio begun by
+    q_kanon_violations (group size) and q_ldiversity (distinct
+    sensitive values): for each quasi-identifier class (market
+    segment × nation), the ordinal earth-mover's distance between the
+    class's sensitive distribution ($2000 account-balance buckets,
+    shifted nonnegative so floor-vs-truncate division semantics never
+    differ between engines) and the global distribution. Ordinal EMD
+    = (1/(m-1))·Σ_i |P_cum(i) - Q_cum(i)| is kept as the exact
+    integer numerator Σ|N·cum_c - n_c·cum_g| over the common
+    denominator n_c·N·(m-1) — callers compare emd_num against
+    t·n_c·N·(m-1) to flag classes, no floats anywhere. Shape: one
+    cell aggregate, zero-filled class×bucket grid via a crossJoin
+    with the TINY bucket list (m≈6), per-class cumulative windows
+    (partitioned — no global window), one combine."""
+    cust = load(spark, sf_dir, "customer")
+    x = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.expr(f"CAST(({cents('c_acctbal')} + 100000) div 200000 AS BIGINT)")
+        .alias("b"),
+    )
+    cell = x.groupBy("seg", "nat", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    gb = cell.groupBy("b").agg(F.sum("c").cast("long").alias("g"))
+    gcum = gb.select(
+        "b",
+        F.sum("g")
+        .over(
+            Window.orderBy("b").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("cum_g"),
+    )
+    classes = cell.groupBy("seg", "nat").agg(
+        F.sum("c").cast("long").alias("n_c")
+    )
+    tot = gb.agg(
+        F.sum("g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    ce = cell.select(
+        F.col("seg").alias("ce_seg"),
+        F.col("nat").alias("ce_nat"),
+        F.col("b").alias("ce_b"),
+        "c",
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(gcum))
+        .join(
+            ce,
+            (F.col("ce_seg") == F.col("seg"))
+            & (F.col("ce_nat") == F.col("nat"))
+            & (F.col("ce_b") == F.col("b")),
+            "left",
+        )
+        .select(
+            "seg",
+            "nat",
+            "n_c",
+            "b",
+            "cum_g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("cnt"),
+        )
+    )
+    wc = (
+        Window.partitionBy("seg", "nat")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "seg",
+        "nat",
+        "n_c",
+        "cum_g",
+        F.sum("cnt").over(wc).cast("long").alias("cum_c"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("seg", "nat", "n_c", "n", "m")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n") * F.col("cum_c") - F.col("n_c") * F.col("cum_g")
+                )
+            )
+            .cast("long")
+            .alias("emd_num")
+        )
+        .select("seg", "nat", "n_c", "emd_num", "n", "m")
+    )
+
+
+@register(
     "q_acf_order_volume",
     """
     WITH d AS (
@@ -13222,6 +13363,126 @@ def _soundex_blocks_oracle() -> str:
     GROUP BY code
     HAVING COUNT(DISTINCT word) >= 2
     """
+
+
+@register(
+    "dedup_blocking_eval",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               concat(string_split_regex(lower(trim(text)), '\\s+')[1], '|',
+                      CAST(length(text) // 64 AS VARCHAR)) AS blk
+        FROM documents
+    ),
+    sh AS ({_SHINGLES_DUCK}),
+    tp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.n_chars // 20 = b.n_chars // 20
+         AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                     AS DOUBLE) >= 0.05
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
+    ca AS (
+        SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_cand
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY blk)
+    ),
+    tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tp),
+    fo AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+        FROM tp
+        JOIN d da ON tp.id_a = da.doc_id
+        JOIN d db ON tp.id_b = db.doc_id
+        WHERE da.blk = db.blk
+    )
+    SELECT n_docs,
+           CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_total_pairs,
+           n_cand, n_true, n_found,
+           CAST(1000000 * n_cand // (n_docs * (n_docs - 1) // 2) AS BIGINT)
+               AS cand_ppm,
+           CAST(CASE WHEN n_true = 0 THEN -1
+                ELSE 1000000 * n_found // n_true END AS BIGINT) AS pc_e6
+    FROM t CROSS JOIN ca CROSS JOIN tr CROSS JOIN fo
+    """,
+)
+def dedup_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit for entity resolution — the governance
+    metric every blocking scheme (soundex, sorted-neighborhood, LSH
+    bands) should report before committing to it at scale: REDUCTION
+    RATIO (candidate pairs as ppm of all C(n,2) pairs — how much work
+    blocking saves) and PAIRS COMPLETENESS (fraction of reference
+    duplicate pairs whose members share a block — how much recall it
+    costs). Reference pairs = the verified near-dup set of
+    dedup_ngram_jaccard_pairs (exact 3-gram Jaccard ≥ 0.05 inside
+    its verification blocks); evaluated scheme = a deliberately crude
+    (first-token | raw-length-div-64) key, so pc_e6 measures a real
+    trade-off. Candidate count is Σ C(g,2) over block SIZES — never
+    materialized; only the (small, already-verified) reference pair
+    set is joined row-wise. pc_e6 = -1 guards the no-true-pairs
+    case."""
+    from .pipeline.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.concat(
+            F.element_at(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1),
+            F.lit("|"),
+            F.expr("CAST(length(text) div 64 AS STRING)"),
+        ).alias("blk"),
+    )
+    tp = ngram_jaccard_pairs(
+        docs.withColumn("size_bucket", F.expr("n_chars div 20")),
+        "doc_id",
+        "text",
+        block_cols=["lang", "size_bucket"],
+        shingle_size=3,
+        threshold=0.05,
+        parallelism=spark.sparkContext.defaultParallelism,
+    ).select("id_a", "id_b")
+    t = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ca = (
+        d.groupBy("blk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.expr("c * (c - 1) div 2")), F.lit(0))
+            .cast("long")
+            .alias("n_cand")
+        )
+    )
+    tr = tp.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    da = d.select(F.col("doc_id").alias("id_a"), F.col("blk").alias("blk_a"))
+    db = d.select(F.col("doc_id").alias("id_b"), F.col("blk").alias("blk_b"))
+    fo = (
+        tp.join(da, "id_a")
+        .join(db, "id_b")
+        .filter(F.col("blk_a") == F.col("blk_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    )
+    return (
+        t.crossJoin(F.broadcast(ca))
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(fo))
+        .select(
+            "n_docs",
+            F.expr("CAST(n_docs * (n_docs - 1) div 2 AS BIGINT)").alias(
+                "n_total_pairs"
+            ),
+            "n_cand",
+            "n_true",
+            "n_found",
+            F.expr(
+                "CAST(1000000 * n_cand div (n_docs * (n_docs - 1) div 2)"
+                " AS BIGINT)"
+            ).alias("cand_ppm"),
+            F.expr(
+                "CAST(CASE WHEN n_true = 0 THEN -1"
+                " ELSE 1000000 * n_found div n_true END AS BIGINT)"
+            ).alias("pc_e6"),
+        )
+    )
 
 
 @register("dedup_soundex_blocks", _soundex_blocks_oracle())
