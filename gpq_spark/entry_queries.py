@@ -1639,6 +1639,46 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_prefix_filter_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                  AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE 5 * len(list_intersect(a.shingles, b.shingles))
+          >= 4 * len(list_distinct(list_concat(a.shingles, b.shingles)))
+    """,
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-free Jaccard ≥ 4/5 similarity join via prefix
+    filtering (pipeline.dedup.prefix_filter_pairs — the
+    AllPairs/PPJoin scheme: rarest-first global token order, prefix
+    length L − ceil(tL) + 1, candidates only from prefix-token
+    buckets, exact in-bucket verification with integer
+    cross-multiplied threshold tests). The ORACLE is the genuinely
+    all-pairs join — its equality with the Spark result at every
+    sweep IS the prefix-filter completeness guarantee exercised on
+    real data. Unlike dedup_ngram_jaccard_pairs this needs no domain
+    blocking key, so it is the shape to reach for when no natural
+    key exists; buckets stay small because prefixes hold each
+    document's rarest tokens."""
+    from .pipeline.dedup import prefix_filter_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return prefix_filter_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_size=3,
+        threshold_num=4,
+        threshold_den=5,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+@register(
     "q_range_join_events",
     """
     WITH spikes AS (

@@ -336,6 +336,124 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Blocking-free exact Jaccard similarity join via PREFIX
+    FILTERING (the AllPairs/PPJoin candidate scheme — Bayardo et al.
+    WWW'07, Xiao et al. WWW'08): order every document's shingle set
+    by ascending global document frequency (rarest first, frequency
+    ties broken by token value), keep only the first
+    L − ceil(t·L) + 1 tokens as the PROBING PREFIX, and generate
+    candidates from prefix-token buckets. Lemma 1 of the PPJoin paper
+    guarantees any pair with Jaccard ≥ t shares at least one token in
+    both prefixes, so bucket-join candidates are a SUPERSET of the
+    answer; exact in-bucket verification then makes the output equal
+    to the all-pairs join. Output: id_a, id_b, jaccard (double).
+
+    Where the blocked ``ngram_jaccard_pairs`` needs a domain blocking
+    key, this needs none — the data supplies its own: prefix tokens
+    are each document's RAREST tokens, so buckets are small by
+    construction and the frequent-token buckets that would go
+    quadratic are exactly the ones the prefix never emits. The
+    threshold is a RATIONAL num/den and every filter is integer
+    cross-multiplication: ceil(t·L) = (num·L + den − 1) div den for
+    the prefix length, den·min(La,Lb) ≥ num·max(La,Lb) for the
+    length filter, den·inter ≥ num·union for the verification — a
+    float ``ceil(0.8·5)`` would round to 5 and silently shrink the
+    prefix, breaking the completeness guarantee.
+
+    Shape: token-frequency groupBy, frequency join-back + per-doc
+    re-group, ONE prefix-bucket groupBy with in-bucket verification
+    (the established bucket-expand kernel — pairs carry only ids and
+    counts), and a final pair-dedup groupBy (a pair sharing k prefix
+    tokens is verified k times; at high thresholds k is small). All
+    shuffles are narrow; nothing is ever all-pairs.
+    """
+    if parallelism:
+        df = df.repartition(parallelism)
+    shingled = _with_shingles(df, text_col, shingle_size, keep=[id_col])
+    # hashed tokens (join-internal; see ngram_jaccard_pairs note)
+    shingled = shingled.select(
+        F.col(id_col),
+        F.expr("transform(__sh, s -> xxhash64(s))").alias("__sh"),
+    )
+    tok_df = (
+        shingled.select(F.explode("__sh").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    ordered = (
+        shingled.select(F.col(id_col), F.explode("__sh").alias("__t"))
+        .join(tok_df, "__t")
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__df, __t))),"
+                " x -> x.__t)"
+            ).alias("__toks")
+        )
+    )
+    plen = (
+        f"size(__toks) - (({threshold_num} * size(__toks) + {threshold_den}"
+        f" - 1) div {threshold_den}) + 1"
+    )
+    expl = ordered.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(F.expr(f"slice(__toks, 1, {plen})")).alias("__pt"),
+    )
+    buckets = (
+        expl.groupBy("__pt")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("__id"), F.col("__toks"))
+                )
+            ).alias("__members")
+        )
+        .filter(F.size("__members") >= 2)
+    )
+    if parallelism:
+        buckets = buckets.repartition(parallelism)
+    n, d = threshold_num, threshold_den
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__members, (x, i) -> "
+                "transform(filter("
+                "slice(__members, i + 2, size(__members) - i - 1), "
+                f"y -> {d} * size(x.__toks) >= {n} * size(y.__toks)"
+                f" AND {d} * size(y.__toks) >= {n} * size(x.__toks)), "
+                "y -> struct(x.__id AS id_a, y.__id AS id_b, "
+                "size(array_intersect(x.__toks, y.__toks)) AS inter, "
+                "size(x.__toks) + size(y.__toks) AS total))))"
+            )
+        ).alias("__p")
+    )
+    verified = pairs.select(
+        F.col("__p.id_a").alias("id_a"),
+        F.col("__p.id_b").alias("id_b"),
+        F.col("__p.inter").alias("__i"),
+        (F.col("__p.total") - F.col("__p.inter")).alias("__u"),
+    ).filter(F.expr(f"{d} * __i >= {n} * __u"))
+    return (
+        verified.groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.col("__i").cast("double") / F.col("__u").cast("double")
+            ).alias("jaccard")
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -627,3 +627,13 @@ def test_markov_iterations_join_type_domain(plans):
     p = plans("q_markov_stationary")
     assert "pythonUDF" not in p.lower()
     assert "CartesianProduct" not in p
+
+
+def test_prefix_filter_no_cartesian_no_python(plans):
+    # blocking-free similarity join must still never be all-pairs:
+    # candidates come from prefix-token bucket expansion, so the plan
+    # has only hash joins/aggregates — no cartesian, no Python.
+    p = plans("dedup_prefix_filter_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "pythonUDF" not in p.lower()

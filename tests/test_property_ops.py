@@ -839,3 +839,55 @@ def test_kcenter_matches_python_and_radius_monotone(spark, vecs):
     # the selection radius is non-increasing after the seed
     radii = [d for _, _, d in got[1:]]
     assert radii == sorted(radii, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# prefix_filter_pairs: completeness + exactness vs brute force
+# ---------------------------------------------------------------------------
+
+def _py_shingles(text, k=3):
+    words = text.strip().split()
+    if len(words) >= k:
+        return frozenset(
+            " ".join(words[i : i + k]) for i in range(len(words) - k + 1)
+        )
+    return frozenset([text.strip()])
+
+
+def _py_jaccard_pairs(docs, num, den, k=3):
+    out = {}
+    sh = {i: _py_shingles(d, k) for i, d in enumerate(docs)}
+    ids = sorted(sh)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and den * inter >= num * union:
+                out[(a, b)] = inter / union
+    return out
+
+
+# skewed vocabulary: few hot words + rare words → frequency ties and
+# hot-token prefixes, the adversarial cases for the prefix lemma
+_pf_word = st.sampled_from(["a", "b", "c", "q1", "q2", "zz", "yy", "xx"])
+_pf_doc = st.lists(_pf_word, min_size=1, max_size=10).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_pf_doc, min_size=2, max_size=10))
+def test_prefix_filter_matches_brute_force(spark, docs):
+    from gpq_spark.pipeline.dedup import prefix_filter_pairs
+
+    for num, den in [(4, 5), (1, 2), (1, 4)]:
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in prefix_filter_pairs(
+                df, "doc_id", "text", threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        want = _py_jaccard_pairs(docs, num, den)
+        assert got == want, (num, den)
