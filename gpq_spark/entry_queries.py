@@ -8476,6 +8476,64 @@ def multimodal_jpeg_header(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geo_convex_hull",
+    """
+    WITH pts AS (
+        SELECT DISTINCT CAST(c_custkey % 97 - 48 AS BIGINT) AS x,
+                        CAST((c_custkey * 31) % 89 - 44 AS BIGINT) AS y
+        FROM customer WHERE c_custkey % 29 = 1
+    ),
+    tri AS (
+        SELECT DISTINCT p.x, p.y
+        FROM pts p, pts a, pts b, pts c
+        WHERE NOT (a.x = p.x AND a.y = p.y)
+          AND NOT (b.x = p.x AND b.y = p.y)
+          AND NOT (c.x = p.x AND c.y = p.y)
+          AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) <> 0
+          AND sign((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+              * sign((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)) >= 0
+          AND sign((c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x))
+              * sign((c.x - b.x) * (a.y - b.y) - (c.y - b.y) * (a.x - b.x)) >= 0
+          AND sign((a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x))
+              * sign((a.x - c.x) * (b.y - c.y) - (a.y - c.y) * (b.x - c.x)) >= 0
+    ),
+    seg AS (
+        SELECT DISTINCT p.x, p.y
+        FROM pts p, pts a, pts b
+        WHERE NOT (a.x = p.x AND a.y = p.y)
+          AND NOT (b.x = p.x AND b.y = p.y)
+          AND (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) = 0
+          AND (p.x - a.x) * (b.x - p.x) + (p.y - a.y) * (b.y - p.y) >= 0
+    )
+    SELECT x, y FROM pts
+    EXCEPT SELECT x, y FROM tri
+    EXCEPT SELECT x, y FROM seg
+    """,
+)
+def geo_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict convex-hull vertices of a synthesized integer point set
+    (geoparquet.spatial.convex_hull): distributed hull-of-hulls —
+    per-partition vectorized Akl–Toussaint prune + monotone chain,
+    then one merge pass over the tiny union of local hulls (hull is
+    associative, so two levels are exact; any tree depth would be).
+    The ORACLE is the Carathéodory characterization: a point is a
+    strict vertex iff it lies in no proper triangle and on no segment
+    of other points — O(n⁴) in SQL, which is why the gate restricts
+    to ~50 points while the Spark side is the O(n)-scan + tiny-merge
+    shape that runs at any scale."""
+    from .geoparquet.spatial import convex_hull
+
+    cust = load(spark, sf_dir, "customer").filter("c_custkey % 29 = 1")
+    pts = cust.select(
+        F.expr("CAST(c_custkey % 97 - 48 AS BIGINT)").alias("x"),
+        F.expr("CAST((c_custkey * 31) % 89 - 44 AS BIGINT)").alias("y"),
+    )
+    return convex_hull(
+        pts, "x", "y", partitions=spark.sparkContext.defaultParallelism
+    )
+
+
+@register(
     "geo_knn_join",
     f"""
     WITH p AS (

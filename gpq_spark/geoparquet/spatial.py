@@ -627,3 +627,118 @@ def haversine_expr(lat_a: str, lon_a: str, lat_b: str, lon_b: str) -> F.Column:
         f" + cos({phi1}) * cos({phi2}) * pow(sin(({dlam}) / 2), 2)"
     )
     return F.expr(f"2 * 6371000.0 * asin(sqrt({h}))")
+
+
+def convex_hull(
+    df: DataFrame, x_col: str, y_col: str, partitions: int | None = None
+) -> DataFrame:
+    """Exact strict convex hull of an integer point set, distributed
+    by hull-merge: the hull operator is ASSOCIATIVE (the hull of a
+    union is the hull of the partial hulls), so stage 1 computes a
+    per-partition local hull with a vectorized Akl–Toussaint prune
+    (drop everything strictly inside the ≤8-extreme-point quad — one
+    numpy pass, no per-row Python) followed by a monotone chain over
+    the few survivors, and stage 2 re-runs the same kernel once over
+    the union of local hulls (one task; input is O(partitions ×
+    per-partition hull size), for scattered data ~O(p·log n), never
+    the corpus). Output: the strict hull VERTICES (collinear boundary
+    points excluded) as distinct (x, y) rows.
+
+    Exactness: coordinates must be integers with |v| < 2^30 so every
+    cross product stays inside int64 (validated — raises on
+    violation); the chain uses strict-turn tests, so the vertex set
+    is unique regardless of partitioning or arrival order. The
+    scalar chain loop touches only prune survivors, which is the
+    standard convex-hull engineering trade (cf. the reference's
+    per-feature orb decode being columnarized the same way in
+    geoparquet/stats.py).
+
+    At 100 TB: stage 1 is a full scan with ~zero shuffle output
+    (local hulls are tiny); if partitions × hull size ever rivals a
+    single task, insert another intermediate merge pass — the
+    associativity that makes two levels exact makes any tree depth
+    exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    BOUND = 1 << 30
+
+    def _chain(pts: "np.ndarray") -> "np.ndarray":
+        # pts: unique, lex-sorted (n, 2) int64. Strict monotone chain.
+        n = len(pts)
+        if n <= 2:
+            return pts
+
+        def half(seq):
+            out: list[np.ndarray] = []
+            for p in seq:
+                while len(out) >= 2:
+                    o, a = out[-2], out[-1]
+                    cross = (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (
+                        p[0] - o[0]
+                    )
+                    if cross <= 0:  # right turn or collinear: pop
+                        out.pop()
+                    else:
+                        break
+                out.append(p)
+            return out
+
+        lower = half(pts)
+        upper = half(pts[::-1])
+        return np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+
+    def _at_prune(pts: "np.ndarray") -> "np.ndarray":
+        # Akl–Toussaint: strict-inside the extreme-point polygon → drop.
+        if len(pts) <= 8:
+            return pts
+        x, y = pts[:, 0], pts[:, 1]
+        keys = [x, -x, y, -y, x + y, x - y, -x + y, -x - y]
+        extremes = np.unique(
+            np.array([pts[np.argmax(k)] for k in keys]), axis=0
+        )
+        order = np.lexsort((extremes[:, 1], extremes[:, 0]))
+        poly = _chain(extremes[order])
+        if len(poly) < 3:
+            return pts
+        inside = np.ones(len(pts), dtype=bool)
+        for i in range(len(poly)):
+            a, b = poly[i], poly[(i + 1) % len(poly)]
+            cross = (b[0] - a[0]) * (y - a[1]) - (b[1] - a[1]) * (x - a[0])
+            inside &= cross > 0
+        return pts[~inside]
+
+    def _hull_kernel(batches):
+        chunks = []
+        for b in batches:
+            if len(b):
+                chunks.append(
+                    np.stack(
+                        [
+                            b["x"].to_numpy(np.int64),
+                            b["y"].to_numpy(np.int64),
+                        ],
+                        axis=1,
+                    )
+                )
+        if not chunks:
+            return
+        pts = np.concatenate(chunks)
+        if np.abs(pts).max() >= BOUND:
+            raise ValueError(
+                "convex_hull: |coordinate| must be < 2^30 for exact "
+                "int64 cross products"
+            )
+        pts = np.unique(pts, axis=0)  # also lex-sorts
+        hull = _chain(_at_prune(pts))
+        yield pd.DataFrame({"x": hull[:, 0], "y": hull[:, 1]})
+
+    pts = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).dropDuplicates(["x", "y"])
+    if partitions:
+        pts = pts.repartition(partitions)
+    local = pts.mapInPandas(_hull_kernel, "x long, y long")
+    return local.repartition(1).mapInPandas(_hull_kernel, "x long, y long")

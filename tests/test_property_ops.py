@@ -891,3 +891,83 @@ def test_prefix_filter_matches_brute_force(spark, docs):
         }
         want = _py_jaccard_pairs(docs, num, den)
         assert got == want, (num, den)
+
+
+# ---------------------------------------------------------------------------
+# convex_hull: strict vertices vs brute-force reference on lattices,
+# collinear sets, duplicates, and circles (everything-on-hull)
+# ---------------------------------------------------------------------------
+
+def _py_strict_hull(points):
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        return set(pts)
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2:
+                (ox, oy), (ax, ay) = out[-2], out[-1]
+                if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower, upper = half(pts), half(pts[::-1])
+    return set(lower[:-1] + upper[:-1])
+
+
+_xy = st.tuples(
+    st.integers(min_value=-12, max_value=12),
+    st.integers(min_value=-12, max_value=12),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_xy, min_size=1, max_size=40))
+def test_convex_hull_matches_python(spark, points):
+    from gpq_spark.geoparquet.spatial import convex_hull
+
+    df = spark.createDataFrame(points, "x long, y long")
+    got = {
+        (r["x"], r["y"])
+        for r in convex_hull(df, "x", "y", partitions=4).collect()
+    }
+    assert got == _py_strict_hull(points)
+
+
+def test_convex_hull_collinear_and_circle(spark):
+    from gpq_spark.geoparquet.spatial import convex_hull
+
+    # all-collinear: exactly the two endpoints survive
+    line = [(i, 2 * i) for i in range(10)]
+    df = spark.createDataFrame(line, "x long, y long")
+    got = {(r["x"], r["y"]) for r in convex_hull(df, "x", "y").collect()}
+    assert got == {(0, 0), (9, 18)}
+
+    # integer circle: every point is a strict vertex (worst case —
+    # the prune keeps everything and the merge still gets it right)
+    import math
+
+    circle = sorted(
+        {
+            (round(1000 * math.cos(t / 50.0 * math.pi)),
+             round(1000 * math.sin(t / 50.0 * math.pi)))
+            for t in range(100)
+        }
+    )
+    df = spark.createDataFrame(circle, "x long, y long")
+    got = {(r["x"], r["y"]) for r in convex_hull(df, "x", "y", partitions=8).collect()}
+    assert got == _py_strict_hull(circle)
+
+
+def test_convex_hull_rejects_unsafe_coordinates(spark):
+    import pytest as _pytest
+
+    from gpq_spark.geoparquet.spatial import convex_hull
+
+    df = spark.createDataFrame([(1 << 30, 0), (0, 1)], "x long, y long")
+    with _pytest.raises(Exception, match="2\\^30"):
+        convex_hull(df, "x", "y").collect()
