@@ -5097,6 +5097,233 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_sketch_cms_joinsize",
+    """
+    WITH rows4 AS (SELECT unnest(range(0, 4)) AS r),
+    ca AS (
+        SELECT r,
+               CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                    || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events, rows4 GROUP BY 1, 2
+    ),
+    cb AS (
+        SELECT r,
+               CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                    || CAST(o_custkey AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders, rows4 GROUP BY 1, 2
+    ),
+    dots AS (
+        SELECT a.r, CAST(SUM(a.n * b.n) AS BIGINT) AS dot
+        FROM ca a JOIN cb b ON a.r = b.r AND a.c = b.c GROUP BY a.r
+    ),
+    truth AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS true_size
+        FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    )
+    SELECT true_size, CAST(MIN(dot) AS BIGINT) AS cms_est
+    FROM dots CROSS JOIN truth GROUP BY true_size
+    """,
+)
+def q_sketch_cms_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from count-min sketches — the classic
+    optimizer statistic: |R ⋈_k S| = Σ_k c_R(k)·c_S(k) is
+    upper-bounded by min over CMS rows of the row-wise inner product
+    Σ_c cmsR[r][c]·cmsS[r][c] (Cormode & Muthukrishnan §4.2). Both
+    sides sketch INDEPENDENTLY into depth-4 × width-64 counters with
+    the shared deterministic md5 row-hash family (the
+    q_sketch_cms_heavy spec), so two 256-cell summaries — not the
+    tables — meet to price the join. The oracle carries the exact
+    join size beside the estimate; the estimate is never below it by
+    construction (min of upper bounds). At 100 TB the sketches are
+    one groupBy each to 256 cells regardless of key cardinality, and
+    the dot product joins 256-row frames — this is how you'd size a
+    shuffle before committing to it."""
+    ev = load_events(spark, sf_dir)
+    orders = load(spark, sf_dir, "orders")
+    rows4 = spark.range(4).select(F.col("id").cast("int").alias("r"))
+
+    def cms(df, key):
+        cell = (
+            "CAST(conv(substr(md5(CAST(r AS STRING) || '|' || "
+            f"CAST({key} AS STRING)), 1, 12), 16, 10) AS BIGINT) % 64"
+        )
+        return (
+            df.crossJoin(F.broadcast(rows4))
+            .withColumn("c", F.expr(cell))
+            .groupBy("r", "c")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    ca = cms(ev, "user_id")
+    cb = cms(orders, "o_custkey").select(
+        F.col("r").alias("br"), F.col("c").alias("bc"), F.col("n").alias("bn")
+    )
+    dots = (
+        ca.join(
+            F.broadcast(cb),
+            (F.col("r") == F.col("br")) & (F.col("c") == F.col("bc")),
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("n") * F.col("bn")).cast("long").alias("dot"))
+    )
+    truth = ev.join(
+        orders, ev.user_id == orders.o_custkey
+    ).agg(F.count(F.lit(1)).cast("long").alias("true_size"))
+    return (
+        dots.crossJoin(F.broadcast(truth))
+        .groupBy("true_size")
+        .agg(F.min("dot").cast("long").alias("cms_est"))
+        .select("true_size", "cms_est")
+    )
+
+
+@register(
+    "q_sketch_hll_intersect",
+    f"""
+    WITH a AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'click' AND value > 8
+    ),
+    b AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 8
+    ),
+    tagged AS (
+        SELECT 'a' AS s, user_id FROM a
+        UNION ALL SELECT 'b' AS s, user_id FROM b
+    ),
+    h AS (
+        SELECT s,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS hv
+        FROM tagged
+    ),
+    reg AS (
+        SELECT s, hv % 64 AS b, MAX({_HLL_RHO_DUCK}) AS m FROM h GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT g.s, g.r AS b, COALESCE(reg.m, 0) AS m
+        FROM (SELECT s, r FROM (SELECT DISTINCT s FROM reg),
+                              (SELECT unnest(range(0, 64)) AS r)) g
+        LEFT JOIN reg ON g.s = reg.s AND g.r = reg.b
+    ),
+    st AS (
+        SELECT s,
+               CAST(SUM(CAST(1 AS BIGINT) << (44 - m)) AS BIGINT) AS sm,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM dense GROUP BY 1
+    ),
+    udense AS (
+        SELECT b, MAX(m) AS m FROM dense GROUP BY b
+    ),
+    ust AS (
+        SELECT CAST(SUM(CAST(1 AS BIGINT) << (44 - m)) AS BIGINT) AS sm,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM udense
+    ),
+    est AS (
+        SELECT
+            (SELECT {_hll_estimate_duck('sm', 'v')} FROM st WHERE s = 'a')
+                AS n_a_hll,
+            (SELECT {_hll_estimate_duck('sm', 'v')} FROM st WHERE s = 'b')
+                AS n_b_hll,
+            (SELECT {_hll_estimate_duck('sm', 'v')} FROM ust) AS n_union_hll
+    ),
+    ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_intersect_exact
+        FROM a JOIN b USING (user_id)
+    )
+    SELECT n_a_hll, n_b_hll, n_union_hll,
+           CAST(n_a_hll + n_b_hll - n_union_hll AS BIGINT) AS n_intersect_est,
+           n_intersect_exact
+    FROM est CROSS JOIN ex
+    """,
+)
+def q_sketch_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set-INTERSECTION estimate by inclusion–exclusion:
+    |A∩B| ≈ E(A) + E(B) − E(A∪B), where the union sketch is the
+    register-wise MAX of the two sketches (the same lossless merge
+    q_sketch_hll_merge proves) — three 64-register summaries answer
+    an intersection question the sketches were never explicitly built
+    for. Uses the repo's fully deterministic HLL spec (md5
+    bucket/rho, exact-integer harmonic mean, tabulated
+    linear-counting correction), so the estimate — including the
+    possibly-negative small-intersection case the estimator is known
+    for — hash-matches the oracle exactly; the exact intersection
+    rides beside it for error inspection. Audience sets A/B are
+    high-value clickers vs purchasers; everything is groupBys to ≤64
+    rows after two pushdown-friendly filters."""
+    ev = load_events(spark, sf_dir)
+    a = (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > 8))
+        .select("user_id")
+        .distinct()
+    )
+    b = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 8))
+        .select("user_id")
+        .distinct()
+    )
+    tagged = a.select(F.lit("a").alias("s"), "user_id").unionAll(
+        b.select(F.lit("b").alias("s"), "user_id")
+    )
+    hv = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    h = tagged.select("s", hv.alias("hv"))
+    reg = h.groupBy("s", (F.col("hv") % 64).alias("b")).agg(
+        F.max(F.expr(_HLL_RHO_SPARK)).alias("m")
+    )
+    grid = reg.select("s").distinct().crossJoin(
+        F.broadcast(spark.range(64).select(F.col("id").alias("b")))
+    )
+    dense = grid.join(reg, ["s", "b"], "left").select(
+        "s", "b", F.coalesce("m", F.lit(0).cast("long")).alias("m")
+    )
+    st = dense.groupBy("s").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(44 - m AS INT))"))
+        .cast("long")
+        .alias("sm"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("v"),
+    )
+    udense = dense.groupBy("b").agg(F.max("m").alias("m"))
+    ust = udense.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(44 - m AS INT))"))
+        .cast("long")
+        .alias("sm"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("v"),
+    )
+    ea = st.filter("s = 'a'").select(
+        F.expr(_hll_estimate_spark("sm", "v")).alias("n_a_hll")
+    )
+    eb = st.filter("s = 'b'").select(
+        F.expr(_hll_estimate_spark("sm", "v")).alias("n_b_hll")
+    )
+    eu = ust.select(
+        F.expr(_hll_estimate_spark("sm", "v")).alias("n_union_hll")
+    )
+    ex = a.join(b, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intersect_exact")
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "n_a_hll",
+            "n_b_hll",
+            "n_union_hll",
+            F.expr("CAST(n_a_hll + n_b_hll - n_union_hll AS BIGINT)").alias(
+                "n_intersect_est"
+            ),
+            "n_intersect_exact",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter semi-join pruning
 # ---------------------------------------------------------------------------
