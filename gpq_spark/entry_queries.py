@@ -5184,12 +5184,12 @@ def q_sketch_cms_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sketch_hll_intersect",
     f"""
     WITH a AS (
-        SELECT DISTINCT user_id FROM events
-        WHERE event_type = 'click' AND value > 8
+        SELECT user_id FROM events WHERE event_type = 'click'
+        GROUP BY user_id HAVING COUNT(*) >= 15
     ),
     b AS (
-        SELECT DISTINCT user_id FROM events
-        WHERE event_type = 'purchase' AND value > 8
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id HAVING COUNT(*) >= 15
     ),
     tagged AS (
         SELECT 'a' AS s, user_id FROM a
@@ -5254,18 +5254,23 @@ def q_sketch_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     possibly-negative small-intersection case the estimator is known
     for — hash-matches the oracle exactly; the exact intersection
     rides beside it for error inspection. Audience sets A/B are
-    high-value clickers vs purchasers; everything is groupBys to ≤64
-    rows after two pushdown-friendly filters."""
+    heavy clickers vs heavy purchasers (≥15 events; genuinely
+    partial overlap at every SF); everything is groupBys to ≤64
+    rows after pushdown-friendly filters."""
     ev = load_events(spark, sf_dir)
     a = (
-        ev.filter((F.col("event_type") == "click") & (F.col("value") > 8))
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter("__n >= 15")
         .select("user_id")
-        .distinct()
     )
     b = (
-        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 8))
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter("__n >= 15")
         .select("user_id")
-        .distinct()
     )
     tagged = a.select(F.lit("a").alias("s"), "user_id").unionAll(
         b.select(F.lit("b").alias("s"), "user_id")
