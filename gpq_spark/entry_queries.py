@@ -4298,6 +4298,59 @@ def stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_join_left",
+    """
+    WITH l AS (
+        SELECT user_id, event_id AS l_event_id, ts AS l_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    r AS (
+        SELECT user_id, event_id AS r_event_id, ts AS r_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT least((SELECT MAX(l_ts) FROM l), (SELECT MAX(r_ts) FROM r))
+               - INTERVAL 2 HOUR AS w
+    )
+    SELECT l.user_id, l_event_id, r_event_id
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 1800 SECOND
+    UNION ALL
+    SELECT l.user_id, l_event_id, CAST(NULL AS BIGINT) AS r_event_id
+    FROM l CROSS JOIN wm
+    WHERE l_ts + INTERVAL 1800 SECOND < w
+      AND NOT EXISTS (
+          SELECT 1 FROM r
+          WHERE r.user_id = l.user_id
+            AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 1800 SECOND
+      )
+    """,
+)
+def stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT-OUTER stream-stream interval join (every view,
+    with its same-user purchase within 30 min OR an explicit NULL) —
+    the Structured Streaming feature the inner stream_join_events
+    cannot express: proving absence. A NULL can only emit once the
+    watermark passes l_ts + interval (nothing earlier can prove no
+    match will arrive), and Spark's global watermark is the MIN of
+    the two sides' source watermarks — so the oracle emits matches
+    unconditionally and NULL rows exactly for unmatched views with
+    l_ts + 30 min < min(max view ts, max purchase ts) − 2 h, the
+    precise bounded-replay flush boundary. The flush rides the
+    no-data microbatch after the final watermark advance, not on
+    per-key new data (the NoTimeout pitfall this gate guards
+    against)."""
+    from .streaming.windows import stream_interval_join
+
+    stream = _events_file_stream(spark, sf_dir)
+    joined = stream_interval_join(
+        stream, "view", "purchase", interval_seconds=1800, how="leftOuter"
+    )
+    return _drain_to_table(joined, "stream_join_left", "append")
+
+
+@register(
     "q_asof_forward_next_purchase",
     """
     WITH pur AS (

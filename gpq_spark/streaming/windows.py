@@ -330,6 +330,7 @@ def stream_interval_join(
     right_type: str,
     interval_seconds: int = 1800,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream inner join: for every ``left_type``
     event, the ``right_type`` events of the same user within
@@ -343,6 +344,17 @@ def stream_interval_join(
     state at any input rate, the only formulation that survives an
     unbounded stream. Inner-join matches emit as soon as both rows
     arrive (no result-finalization wait).
+
+    ``how="leftOuter"`` additionally emits (left, NULL) for every
+    unmatched left row — but only once the watermark passes
+    ``l_ts + interval`` (no earlier moment can prove "no match will
+    arrive"). On a bounded replay that means unmatched left rows in
+    the final watermark window never emit their NULL; oracles must
+    restrict the NULL side to ``l_ts + interval < min(max l_ts,
+    max r_ts) - watermark`` (Spark's global watermark is the MIN
+    across both sides' per-source watermarks). The flush itself rides
+    the no-data microbatch Spark runs after the watermark advances —
+    no per-key new data is required (unlike NoTimeout state flushes).
 
     Output: ``user_id``, ``l_event_id``, ``r_event_id``.
     """
@@ -369,7 +381,7 @@ def stream_interval_join(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval_seconds} SECONDS"))
     )
-    return left.join(right, cond).select(
+    return left.join(right, cond, how).select(
         F.col("l_user").alias("user_id"), "l_event_id", "r_event_id"
     )
 
