@@ -14774,6 +14774,87 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_seasonal_decompose",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    off AS (SELECT unnest(range(-3, 4)) AS k),
+    tr AS (
+        SELECT a.t AS t, CAST(SUM(b.y) // 7 AS BIGINT) AS trend
+        FROM d a CROSS JOIN off o JOIN d b ON b.t = a.t + o.k
+        GROUP BY a.t HAVING COUNT(*) = 7
+    ),
+    dt AS (
+        SELECT d.t, d.y, tr.trend, d.y - tr.trend AS detr, d.t % 7 AS w
+        FROM d JOIN tr ON d.t = tr.t
+    ),
+    se AS (
+        SELECT w, CAST(SUM(detr) // COUNT(*) AS BIGINT) AS seasonal
+        FROM dt GROUP BY w
+    )
+    SELECT dt.t, dt.y, dt.trend, se.seasonal,
+           CAST(dt.detr - se.seasonal AS BIGINT) AS resid
+    FROM dt JOIN se USING (w)
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily order volume
+    — STL-lite, entirely in integers: TREND = centered 7-day moving
+    average (floor), computed via an offset EQUI-JOIN requiring all 7
+    neighbors present (a row-offset window would silently span
+    calendar gaps — the q_forecast_eval lesson); SEASONAL = per-
+    weekday floor-mean of the detrended series (both engines'
+    integer division truncates toward zero, verified, so negative
+    detrended sums divide identically); RESIDUAL = the exact integer
+    remainder, so y = trend + seasonal + resid reconstructs by
+    construction. The daily aggregate is one row per day — every
+    join after the first groupBy broadcasts."""
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01') AS BIGINT)"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    off = spark.range(-3, 4).select(F.col("id").alias("k"))
+    b = d.select(F.col("t").alias("bt"), F.col("y").alias("by"))
+    tr = (
+        d.crossJoin(F.broadcast(off))
+        .join(F.broadcast(b), F.col("bt") == F.col("t") + F.col("k"))
+        .groupBy("t")
+        .agg(
+            F.expr("CAST(SUM(by) div 7 AS BIGINT)").alias("trend"),
+            F.count(F.lit(1)).alias("__n7"),
+        )
+        .filter("__n7 = 7")
+        .drop("__n7")
+    )
+    dt = d.join(F.broadcast(tr), "t").select(
+        "t",
+        "y",
+        "trend",
+        (F.col("y") - F.col("trend")).alias("detr"),
+        (F.col("t") % 7).alias("w"),
+    )
+    se = dt.groupBy("w").agg(
+        F.expr("CAST(SUM(detr) div COUNT(*) AS BIGINT)").alias("seasonal")
+    )
+    return dt.join(F.broadcast(se), "w").select(
+        "t",
+        "y",
+        "trend",
+        "seasonal",
+        F.expr("CAST(detr - seasonal AS BIGINT)").alias("resid"),
+    )
+
+
+@register(
     "q_lorenz_deciles",
     f"""
     WITH s AS (
