@@ -14774,6 +14774,137 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_twa_value",
+    f"""
+    WITH e AS (
+        SELECT user_id, ts, {cents('value')} AS v,
+               epoch_us(ts) AS t_us, event_id
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, v,
+               (lead(t_us) OVER (PARTITION BY user_id
+                                 ORDER BY t_us, event_id) - t_us)
+               // 1000000 AS dt_s
+        FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(v * dt_s) AS BIGINT) AS twa_num,
+           CAST(SUM(dt_s) AS BIGINT) AS span_s
+    FROM seg WHERE dt_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_twa_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average of a sampled value per user (LOCF
+    weighting — each observation holds until the next, the standard
+    semantics for irregularly-sampled sensors/prices): exact integer
+    numerator Σ v_cents·dt_s and span Σ dt_s per user (TWA =
+    twa_num/span_s by the caller; a plain AVG would overweight
+    bursts). Segment lengths come from one lead() window per user
+    ordered by (ts, event_id) — fully partitioned, no global order —
+    floored to whole seconds so both engines' integer division
+    agrees. The open last observation carries no weight (dt NULL,
+    excluded on both sides)."""
+    from .relational import epoch_micros
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select(
+        "user_id",
+        F.expr(cents("value")).alias("v"),
+        epoch_micros(ev, "ts").alias("t_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seg = e.select(
+        "user_id",
+        "v",
+        (F.lead("t_us").over(w) - F.col("t_us")).alias("__dt_us"),
+    ).select(
+        "user_id",
+        "v",
+        F.expr("CAST(__dt_us div 1000000 AS BIGINT)").alias("dt_s"),
+    )
+    return (
+        seg.filter(F.col("dt_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.col("v") * F.col("dt_s")).cast("long").alias("twa_num"),
+            F.sum("dt_s").cast("long").alias("span_s"),
+        )
+    )
+
+
+@register(
+    "q_max_drawdown",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    m AS (SELECT CAST(SUM(y) // COUNT(*) AS BIGINT) AS mu FROM d),
+    eq AS (
+        SELECT t,
+               CAST(SUM(y - mu) OVER (ORDER BY t) AS BIGINT) AS e
+        FROM d CROSS JOIN m
+    ),
+    dd AS (
+        SELECT t, CAST(MAX(e) OVER (ORDER BY t) - e AS BIGINT) AS drawdown
+        FROM eq
+    )
+    SELECT CAST(MAX(drawdown) AS BIGINT) AS max_drawdown,
+           CAST(MIN(CASE WHEN drawdown = md THEN t END) AS BIGINT) AS at_t
+    FROM dd CROSS JOIN (SELECT MAX(drawdown) AS md FROM dd) x
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the demeaned cumulative daily-order-volume
+    curve (equity-curve risk metric): e(t) = Σ_{s≤t}(y(s) − ⌊mean⌋),
+    drawdown(t) = running-max(e) − e(t), reported with the earliest
+    day it is attained — all exact integers, deterministic ties. Two
+    cumulative windows over the DAILY AGGREGATE (one row per day;
+    the global order runs over ~10³ rows, not the fact table — the
+    q_mann_whitney aggregate-level-window posture)."""
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01') AS BIGINT)"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    m = d.agg(F.expr("CAST(SUM(y) div COUNT(*) AS BIGINT)").alias("mu"))
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    eq = d.crossJoin(F.broadcast(m)).select(
+        "t",
+        F.sum(F.col("y") - F.col("mu")).over(wcum).cast("long").alias("e"),
+    )
+    dd = eq.select(
+        "t",
+        (F.max("e").over(wcum) - F.col("e")).cast("long").alias("drawdown"),
+    )
+    md = dd.agg(F.max("drawdown").alias("md"))
+    return (
+        dd.crossJoin(F.broadcast(md))
+        .agg(
+            F.max("drawdown").cast("long").alias("max_drawdown"),
+            F.min(
+                F.when(F.col("drawdown") == F.col("md"), F.col("t"))
+            )
+            .cast("long")
+            .alias("at_t"),
+        )
+    )
+
+
+@register(
     "q_seasonal_decompose",
     """
     WITH d AS (
