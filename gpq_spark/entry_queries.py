@@ -2212,6 +2212,38 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_feature_hash",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS hv
+        FROM tok WHERE w <> ''
+    )
+    SELECT doc_id, CAST(hv % 64 AS BIGINT) AS dim,
+           CAST(SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
+                AS BIGINT) AS weight
+    FROM h GROUP BY 1, 2
+    HAVING SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+    """,
+)
+def text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (pipeline.text.hashed_features): 64-dim signed-
+    hash featurization of every document with no vocabulary pass —
+    the text→vector scheme whose only state is the hash function, so
+    it runs identically on 500 documents and 100 TB. Sparse
+    (doc, dim, weight) triples; exact sign-cancelled zeros dropped on
+    both sides."""
+    from .pipeline.text import hashed_features
+
+    docs = load(spark, sf_dir, "documents")
+    return hashed_features(docs, "doc_id", "text", dims=64)
+
+
+@register(
     "text_fingerprint",
     r"""
     SELECT doc_id,
@@ -13473,6 +13505,159 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_quantile_normalize",
+    f"""
+    WITH x AS (
+        SELECT c_custkey AS id, c_mktsegment AS seg,
+               {cents('c_acctbal')} AS v
+        FROM customer
+    ),
+    w AS (
+        SELECT id, seg, v,
+               CAST(row_number() OVER (PARTITION BY seg ORDER BY v, id)
+                    AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS ng
+        FROM x
+    ),
+    g AS (
+        SELECT v AS gv,
+               CAST(row_number() OVER (ORDER BY v, id) AS BIGINT) AS gi
+        FROM x
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x)
+    SELECT id, seg, v AS v_cents, gv AS mapped_cents
+    FROM w CROSS JOIN t
+    JOIN g ON gi = (r * n + ng - 1) // ng
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION of account balances across customer
+    segments — the feature-engineering transform that forces every
+    group onto the pooled distribution (rank r of n_g maps to the
+    global value at rank ceil(r·N/n_g), exact integer arithmetic,
+    (value, id) total order so ties are deterministic). One
+    partitioned rank window, one pooled rank, one equi-join on the
+    computed global index — no floats, no interpolation. The pooled
+    rank runs over the customer-level frame; at larger cardinalities
+    substitute the range-partition ranking from
+    sampling.seeded_shuffle (the q_mann_whitney posture)."""
+    cust = load(spark, sf_dir, "customer")
+    x = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(cents("c_acctbal")).alias("v"),
+    )
+    w = x.select(
+        "id",
+        "seg",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("seg").orderBy("v", "id"))
+        .cast("long")
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("seg"))
+        .cast("long")
+        .alias("ng"),
+    )
+    g = x.select(
+        F.col("v").alias("gv"),
+        F.row_number().over(Window.orderBy("v", "id")).cast("long").alias("gi"),
+    )
+    t = x.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        w.crossJoin(F.broadcast(t))
+        .join(g, F.col("gi") == F.expr("(r * n + ng - 1) div ng"))
+        .select(
+            "id", "seg", F.col("v").alias("v_cents"),
+            F.col("gv").alias("mapped_cents"),
+        )
+    )
+
+
+@register(
+    "q_winsorized_mean",
+    f"""
+    WITH x AS (
+        SELECT l_returnflag AS rf, {cents('l_extendedprice')} AS v
+        FROM lineitem
+    ),
+    r AS (
+        SELECT rf, v,
+               row_number() OVER (PARTITION BY rf ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY rf) AS n
+        FROM x
+    ),
+    bounds AS (
+        SELECT rf, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(n) // 20 AS BIGINT) AS k,
+               CAST(MIN(CASE WHEN rn > n // 20 THEN v END) AS BIGINT) AS lo,
+               CAST(MAX(CASE WHEN rn <= n - n // 20 THEN v END) AS BIGINT)
+                   AS hi,
+               CAST(SUM(CASE WHEN rn > n // 20 AND rn <= n - n // 20
+                        THEN v ELSE 0 END) AS BIGINT) AS mid_sum
+        FROM r GROUP BY rf
+    )
+    SELECT rf, n, k, lo AS lo_cents, hi AS hi_cents,
+           CAST(mid_sum + k * lo + k * hi AS BIGINT) AS winsorized_sum_cents,
+           CAST((mid_sum + k * lo + k * hi) // n AS BIGINT)
+               AS winsorized_mean_cents
+    FROM bounds
+    """,
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean price per return flag — the clamping robust
+    estimator beside q_trimmed_mean's dropping one: the lowest and
+    highest n div 20 observations are REPLACED by the cut-boundary
+    values (lo = (k+1)-th smallest, hi = (n−k)-th), so the winsorized
+    sum is mid_sum + k·lo + k·hi in exact cents with no row ever
+    rewritten — clamping by rank arithmetic, one partitioned window +
+    one groupBy. Value-ranked ties are interchangeable for every
+    aggregate emitted, so the result is deterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.expr(cents("l_extendedprice")).alias("v"),
+    )
+    r = x.select(
+        "rf",
+        "v",
+        F.row_number().over(Window.partitionBy("rf").orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("rf")).alias("n"),
+    )
+    bounds = r.groupBy("rf").agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr("CAST(MAX(n) div 20 AS BIGINT)").alias("k"),
+        F.min(F.when(F.expr("rn > n div 20"), F.col("v")))
+        .cast("long")
+        .alias("lo"),
+        F.max(F.when(F.expr("rn <= n - n div 20"), F.col("v")))
+        .cast("long")
+        .alias("hi"),
+        F.sum(
+            F.when(
+                F.expr("rn > n div 20 AND rn <= n - n div 20"), F.col("v")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("mid_sum"),
+    )
+    return bounds.select(
+        "rf",
+        "n",
+        "k",
+        F.col("lo").alias("lo_cents"),
+        F.col("hi").alias("hi_cents"),
+        F.expr("CAST(mid_sum + k * lo + k * hi AS BIGINT)").alias(
+            "winsorized_sum_cents"
+        ),
+        F.expr("CAST((mid_sum + k * lo + k * hi) div n AS BIGINT)").alias(
+            "winsorized_mean_cents"
+        ),
+    )
+
+
 _RAKE_STOPS = ("the", "a", "and", "of", "to", "is", "in", "on")
 
 
@@ -14901,6 +15086,75 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("at_t"),
         )
+    )
+
+
+@register(
+    "q_bollinger_breakouts",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    off AS (SELECT unnest(range(1, 8)) AS k),
+    r AS (
+        SELECT a.t AS t, a.y AS y, CAST(SUM(b.y) AS BIGINT) AS s7,
+               CAST(SUM(b.y * b.y) AS BIGINT) AS ss7
+        FROM d a CROSS JOIN off o JOIN d b ON b.t = a.t - o.k
+        GROUP BY a.t, a.y HAVING COUNT(*) = 7
+    )
+    SELECT t, y, s7, ss7,
+           CAST(CASE WHEN 7 * y - s7 > 0 THEN 1 ELSE -1 END AS BIGINT)
+               AS direction
+    FROM r
+    WHERE (7 * y - s7) * (7 * y - s7) > 4 * (7 * ss7 - s7 * s7)
+    """,
+)
+def q_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window volatility breakouts (Bollinger-band style,
+    2σ) on daily order volume WITHOUT computing a single σ: the test
+    |y − mean₇| > 2σ₇ over the trailing 7 days cross-multiplies to
+    the pure-integer (7y − S)² > 4(7·SS − S²) — no sqrt, no floats,
+    no tolerance. Complements q_anomaly_zscore (global, float z) with
+    the LOCAL regime-change flavor, exact. Trailing window via the
+    gap-safe offset equi-join (all 7 prior days required); the daily
+    aggregate is one row per day so every join after the first
+    groupBy broadcasts."""
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01') AS BIGINT)"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    off = spark.range(1, 8).select(F.col("id").alias("k"))
+    b = d.select(F.col("t").alias("bt"), F.col("y").alias("by"))
+    r = (
+        d.crossJoin(F.broadcast(off))
+        .join(F.broadcast(b), F.col("bt") == F.col("t") - F.col("k"))
+        .groupBy("t", "y")
+        .agg(
+            F.sum("by").cast("long").alias("s7"),
+            F.sum(F.col("by") * F.col("by")).cast("long").alias("ss7"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter("__n = 7")
+        .drop("__n")
+    )
+    return r.filter(
+        "(7 * y - s7) * (7 * y - s7) > 4 * (7 * ss7 - s7 * s7)"
+    ).select(
+        "t",
+        "y",
+        "s7",
+        "ss7",
+        F.expr(
+            "CAST(CASE WHEN 7 * y - s7 > 0 THEN 1 ELSE -1 END AS BIGINT)"
+        ).alias("direction"),
     )
 
 

@@ -565,3 +565,50 @@ def compressibility_stats(
             yield out
 
     return slim.mapInPandas(run, COMPRESS_SCHEMA)
+
+
+def hashed_features(
+    df: DataFrame, id_col: str, text_col: str, dims: int = 64
+) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al.
+    ICML'09): map every whitespace token to one of ``dims`` buckets
+    with a signed deterministic hash and sum the signs — fixed-width
+    text featurization with NO vocabulary pass, no vocab join, no
+    out-of-vocabulary problem. Where ``vocabulary``/``tfidf`` need a
+    corpus-wide term table (a shuffle plus a join that grows with the
+    corpus), the hashing trick's only state is the hash function —
+    the featurizer that survives 100 TB unchanged, at the price of
+    unresolvable (but sign-cancelling, Rademacher-style) collisions.
+
+    Spec (engine-portable): h = first 48 md5 bits of the token;
+    dim = h mod dims; sign = +1 if (h div dims) is even else −1;
+    weight(doc, dim) = Σ sign over token OCCURRENCES (counts matter —
+    tokens are not de-duplicated). Exact zero weights (sign
+    cancellation) are dropped, so the output is a sparse
+    (id, dim, weight) triple set. One explode + one groupBy.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__w"),
+    ).filter("__w <> ''")
+    h = tok.select(
+        F.col(id_col),
+        F.expr(
+            "CAST(conv(substr(md5(__w), 1, 12), 16, 10) AS BIGINT)"
+        ).alias("__hv"),
+    )
+    return (
+        h.groupBy(
+            F.col(id_col), (F.col("__hv") % dims).cast("long").alias("dim")
+        )
+        .agg(
+            F.sum(
+                F.when(F.expr(f"(__hv div {dims}) % 2 = 0"), 1).otherwise(-1)
+            )
+            .cast("long")
+            .alias("weight")
+        )
+        .filter("weight <> 0")
+    )
