@@ -15090,6 +15090,155 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_active_users_7d",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '1995-01-01' AS BIGINT)
+                   AS t, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT t FROM du),
+    off AS (SELECT unnest(range(0, 7)) AS k),
+    wau AS (
+        SELECT d.t AS t, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+        FROM days d CROSS JOIN off o JOIN du ON du.t = d.t - o.k
+        GROUP BY d.t
+    ),
+    dau AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY t),
+    mn AS (SELECT CAST(MIN(t) AS BIGINT) AS t0 FROM du)
+    SELECT days.t, dau.dau, wau.wau,
+           CAST(1000000 * dau.dau // wau.wau AS BIGINT) AS stickiness_e6
+    FROM days JOIN dau ON dau.t = days.t JOIN wau ON wau.t = days.t
+    CROSS JOIN mn WHERE days.t >= t0 + 6
+    """,
+)
+def q_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness — the engagement triple: per day, the
+    distinct users that day, the distinct users over the trailing
+    7 days (computed by duplicating the PRE-REDUCED (day, user)
+    frame across 7 offsets, never the raw events — rolling DISTINCT
+    cannot ride a window function, so the offset join IS the scale
+    shape), and stickiness = floor(1e6·DAU/WAU). Days without a full
+    lookback are excluded (t ≥ min+6). Calendar days via NTZ
+    date-cast, timezone-independent."""
+    ev = load_events(spark, sf_dir)
+    du = ev.select(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE'1995-01-01') AS BIGINT)"
+        ).alias("t"),
+        "user_id",
+    ).distinct()
+    days = du.select("t").distinct()
+    off = spark.range(0, 7).select(F.col("id").alias("k"))
+    dub = du.select(F.col("t").alias("ut"), F.col("user_id").alias("uu"))
+    wau = (
+        days.crossJoin(F.broadcast(off))
+        .join(dub, F.col("ut") == F.col("t") - F.col("k"))
+        .groupBy("t")
+        .agg(F.countDistinct("uu").cast("long").alias("wau"))
+    )
+    dau = du.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    mn = du.agg(F.min("t").cast("long").alias("t0"))
+    return (
+        days.join(dau, "t")
+        .join(wau, "t")
+        .crossJoin(F.broadcast(mn))
+        .filter("t >= t0 + 6")
+        .select(
+            "t",
+            "dau",
+            "wau",
+            F.expr("CAST(1000000 * dau div wau AS BIGINT)").alias(
+                "stickiness_e6"
+            ),
+        )
+    )
+
+
+@register(
+    "q_degree_assortativity",
+    """
+    WITH raw AS (
+        SELECT DISTINCT l_suppkey AS s0, l_partkey + 1000000 AS d0
+        FROM lineitem
+    ),
+    e AS (
+        SELECT s0 AS s, d0 AS d FROM raw UNION SELECT d0, s0 FROM raw
+    ),
+    deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    j AS (
+        SELECT da.deg AS dx, db.deg AS dy
+        FROM e JOIN deg da ON e.s = da.node JOIN deg db ON e.d = db.node
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(dx) AS BIGINT) AS sx,
+               CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+               CAST(SUM(dx * dx) AS BIGINT) AS sxx
+        FROM j
+    )
+    SELECT m, sx, sxy, sxx,
+           CAST(floor(1000000.0
+                * (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                AS BIGINT) AS assortativity_e6
+    FROM st WHERE m * sxx - sx * sx <> 0
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier–part graph (Newman's r):
+    Pearson correlation of endpoint degrees over the DIRECTED edge
+    list, where the symmetric marginals collapse the usual formula to
+    r = (m·Σdxdy − (Σdx)²)/(m·Σdx² − (Σdx)²) — a single rational.
+    The sufficient statistics are exact BIGINTs (each ≤ m·maxdeg²);
+    only the final single-row ratio is formed in float64, where every
+    operand is an exact integer cast and both engines execute the
+    identical IEEE expression, floored to e6 (the hazard_e6 posture —
+    the cross-multiplied numerator would need ~1e21 > int64).
+    Bipartite supply graphs are disassortative by construction
+    (hub suppliers bond to leaf parts), so the sign itself is a
+    sanity check. One edge groupBy + two degree joins."""
+    li = load(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_suppkey").alias("s0"),
+        (F.col("l_partkey") + 1000000).alias("d0"),
+    ).distinct()
+    e = raw.select(F.col("s0").alias("s"), F.col("d0").alias("d")).union(
+        raw.select(F.col("d0").alias("s"), F.col("s0").alias("d"))
+    ).distinct()
+    deg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("node").alias("nb"), F.col("deg").alias("dy"))
+    j = e.join(da, F.col("s") == F.col("na")).join(
+        db, F.col("d") == F.col("nb")
+    )
+    st = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+    )
+    return st.filter("m * sxx - sx * sx <> 0").select(
+        "m",
+        "sx",
+        "sxy",
+        "sxx",
+        F.expr(
+            "CAST(floor(1000000.0"
+            " * (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("assortativity_e6"),
+    )
+
+
+@register(
     "q_bollinger_breakouts",
     """
     WITH d AS (
