@@ -2244,6 +2244,98 @@ def text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_charlm_score",
+    """
+    WITH t AS (
+        SELECT doc_id, lower(trim(text)) AS s
+        FROM documents WHERE length(trim(text)) >= 2
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest([substr(s, i, 2) FOR i IN range(1, length(s))]) AS b
+        FROM t
+    ),
+    m2 AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+    m1 AS (
+        SELECT substr(b, 1, 1) AS c1, CAST(SUM(c2) AS BIGINT) AS c1n
+        FROM m2 GROUP BY 1
+    ),
+    v AS (
+        SELECT CAST(COUNT(DISTINCT substr(b, 2, 1)) AS BIGINT) AS vs FROM m2
+    ),
+    db AS (
+        SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS k FROM bg GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(k * CAST(floor(1000000 * ln(
+                (CAST(c2 AS DOUBLE) + 1.0)
+                / (CAST(c1n AS DOUBLE) + CAST(vs AS DOUBLE))))
+              AS BIGINT)) AS BIGINT) AS lp_e6,
+           CAST(SUM(k * CAST(floor(1000000 * ln(
+                (CAST(c2 AS DOUBLE) + 1.0)
+                / (CAST(c1n AS DOUBLE) + CAST(vs AS DOUBLE))))
+              AS BIGINT)) // SUM(k) AS BIGINT) AS avg_lp_e6
+    FROM db JOIN m2 USING (b)
+    JOIN m1 ON m1.c1 = substr(b, 1, 1)
+    CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language-model scoring — the CCNet-style
+    PERPLEXITY FILTER of LLM data pipelines, self-trained on the
+    corpus it scores: P(c₂|c₁) with add-1 smoothing from the global
+    bigram table, each document's log-probability emitted as the
+    exact integer Σ k·floor(1e6·ln((c₂+1)/(c₁·+V))) plus its
+    per-bigram average (both engines' integer division truncates
+    identically on negatives). Low avg_lp_e6 = improbable character
+    sequences = boilerplate/garbled text — the score that
+    quality-filters at corpus scale with a model whose only state is
+    one (bigram → count) table. Shape: one explode, two model
+    groupBys (alphabet-bounded), one scoring join, one per-doc
+    combine — the model table is tiny and broadcastable; the
+    corpus-side bigram stream is never shuffled twice."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.filter("length(trim(text)) >= 2").select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("s")
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")
+        ).alias("b"),
+    )
+    m2 = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    m1 = m2.groupBy(F.expr("substr(b, 1, 1)").alias("c1")).agg(
+        F.sum("c2").cast("long").alias("c1n")
+    )
+    v = m2.agg(
+        F.countDistinct(F.expr("substr(b, 2, 1)")).cast("long").alias("vs")
+    )
+    db = bg.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    term = (
+        "k * CAST(floor(1000000 * ln("
+        "(CAST(c2 AS DOUBLE) + 1.0)"
+        " / (CAST(c1n AS DOUBLE) + CAST(vs AS DOUBLE)))) AS BIGINT)"
+    )
+    return (
+        db.join(F.broadcast(m2), "b")
+        .join(F.broadcast(m1), F.expr("c1 = substr(b, 1, 1)"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.expr(term)).cast("long").alias("lp_e6"),
+            F.expr(f"CAST(SUM({term}) div SUM(k) AS BIGINT)").alias(
+                "avg_lp_e6"
+            ),
+        )
+    )
+
+
+@register(
     "text_fingerprint",
     r"""
     SELECT doc_id,
