@@ -637,3 +637,27 @@ def test_prefix_filter_no_cartesian_no_python(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
     assert "pythonUDF" not in p.lower()
+
+
+def test_session3_stats_queries_jvm_only(plans):
+    # the new statistical operators are pure expression pipelines —
+    # no Python anywhere, no cartesian blowups
+    for name in (
+        "q_ks_test",
+        "q_tcloseness",
+        "q_seasonal_decompose",
+        "q_bollinger_breakouts",
+        "q_active_users_7d",
+        "text_charlm_score",
+        "text_feature_hash",
+    ):
+        p = plans(name)
+        assert "pythonUDF" not in p.lower(), name
+        assert "CartesianProductExec" not in p, name
+
+
+def test_active_users_broadcasts_offsets(plans):
+    # the 7-offset frame and the min-day scalar must broadcast; the
+    # only exchanges shuffle the pre-reduced (day, user) frame
+    p = plans("q_active_users_7d")
+    assert "BroadcastExchange" in p
