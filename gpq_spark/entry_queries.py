@@ -4859,6 +4859,56 @@ def q_sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @register(
+    "stream_twa",
+    f"""
+    WITH wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 AS w FROM events
+    ),
+    lim AS (SELECT w - w % 3600000000 AS lim FROM wm),
+    s AS (
+        SELECT user_id, epoch_us(ts) AS t, {cents('value')} AS v,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS nt
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, t, v,
+               CASE WHEN nt IS NULL THEN lim ELSE LEAST(nt, lim) END AS e
+        FROM s CROSS JOIN lim WHERE t < lim
+    ),
+    hrs AS (
+        SELECT user_id, v, t, e,
+               unnest(range(t - t % 3600000000, e, 3600000000)) AS h
+        FROM seg WHERE e > t
+    )
+    SELECT user_id, CAST(h AS BIGINT) AS hour_us,
+           CAST(SUM(v * (LEAST(e, h + 3600000000) - GREATEST(t, h)))
+                AS BIGINT) AS area_cents_us
+    FROM hrs
+    WHERE LEAST(e, h + 3600000000) > GREATEST(t, h)
+    GROUP BY 1, 2
+    """,
+)
+def stream_twa_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming time-weighted integrals (streaming.stream_twa — the
+    stateful twin of q_twa_value): per (user, hour), the exact LOCF
+    integral in cents·microseconds, each hour emitted once the
+    watermark passes its end. The oracle replays the same contract in
+    batch: segments from consecutive samples (ties broken by
+    event_id, exactly as the state machine sorts), clipped to the
+    final watermark (ms-truncated, the engine's own arithmetic),
+    intersected with the hour grid — so the bounded replay matches
+    bit-for-bit including partial first hours and sample-free LOCF
+    hours. Zero-length segments (duplicate timestamps) drop out of
+    both sides identically."""
+    from .streaming.windows import stream_twa as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream), "twa", "append")
+
+
+@register(
     "stream_gapfill_locf",
     f"""
     WITH b AS (

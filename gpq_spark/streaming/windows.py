@@ -1952,3 +1952,137 @@ def stream_kcenter_coreset(
         )
     )
     return raw
+
+
+# -- streaming time-weighted average (LOCF integrals per hour) ---------------
+
+TWA_RAW_SCHEMA = "user_id long, hour_us long, area_cents_us long"
+TWA_STATE_SCHEMA = (
+    "p_ts array<long>, p_v array<long>, p_id array<long>,"
+    " a_ts long, a_v long, next_h long"
+)
+
+
+def _twa_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming LOCF time-weighted integrals (see ``stream_twa``):
+    samples buffer in state until the watermark passes the end of an
+    hour (then no sample that could affect that hour can still
+    arrive — late rows beyond the watermark are dropped upstream), at
+    which point every closed hour's integral Σ v·overlap_us is exact
+    regardless of arrival order. The last consumed sample becomes the
+    LOCF anchor, so hours BETWEEN samples emit full-coverage areas
+    and the walk resumes exactly where it stopped. The per-flush walk
+    is O(hours × segments) over only the newly closed span."""
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    if state.exists:
+        p_ts, p_v, p_id, a_ts, a_v, next_h = state.get
+        pending = list(zip(p_ts, p_v, p_id))
+    else:
+        pending, a_ts, a_v, next_h = [], None, None, None
+
+    for pdf in pdfs:
+        pending.extend(
+            zip(
+                (int(t) for t in pdf["ts_us"]),
+                (int(v) for v in pdf["cents"]),
+                (int(e) for e in pdf["event_id"]),
+            )
+        )
+
+    emit_limit = wm_us - wm_us % _HOUR_US if wm_us > 0 else 0
+    out_hours: list[int] = []
+    out_areas: list[int] = []
+    if emit_limit > 0:
+        pending.sort(key=lambda x: (x[0], x[2]))
+        consume = [p for p in pending if p[0] < emit_limit]
+        pending = [p for p in pending if p[0] >= emit_limit]
+        samples = ([(a_ts, a_v)] if a_ts is not None else []) + [
+            (t, v) for t, v, _ in consume
+        ]
+        if samples:
+            if next_h is None:
+                next_h = samples[0][0] - samples[0][0] % _HOUR_US
+            segs = []
+            for i, (t, v) in enumerate(samples):
+                end = (
+                    samples[i + 1][0] if i + 1 < len(samples) else emit_limit
+                )
+                if min(end, emit_limit) > t:
+                    segs.append((t, min(end, emit_limit), v))
+            h = next_h
+            while h + _HOUR_US <= emit_limit:
+                area = 0
+                for t0, t1, v in segs:
+                    lo, hi = max(t0, h), min(t1, h + _HOUR_US)
+                    if hi > lo:
+                        area += v * (hi - lo)
+                out_hours.append(h)
+                out_areas.append(area)
+                h += _HOUR_US
+            next_h = h
+            a_ts, a_v = samples[-1]
+
+    state.update(
+        (
+            [t for t, _, _ in pending],
+            [v for _, v, _ in pending],
+            [e for _, _, e in pending],
+            a_ts,
+            a_v,
+            next_h,
+        )
+    )
+    if a_ts is not None or pending:
+        want = next_h + _HOUR_US if next_h is not None else 0
+        state.setTimeoutTimestamp(max(want // 1000, wm_us // 1000 + 1))
+    if out_hours:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_hours),
+                "hour_us": out_hours,
+                "area_cents_us": out_areas,
+            }
+        )
+
+
+def stream_twa(
+    stream: DataFrame,
+    value_col: str = "value",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming TIME-WEIGHTED integrals — the stateful twin of
+    q_twa_value and the billing/sensor shape: per (user, hour), the
+    exact integral of the last-observation-carried-forward value over
+    that hour, in cents·microseconds (no floor loss anywhere), emitted
+    once the watermark passes the hour's end. A user's first hour
+    starts at their first sample (partial coverage); every subsequent
+    hour through the watermark emits exactly once, including
+    sample-free hours covered by the LOCF anchor. Out-of-order
+    tolerant by construction: samples only buffer until their hour
+    closes, so arrival order cannot change any emitted area. Bounded
+    state: the buffer holds at most one watermark-delay of samples
+    plus a 3-long anchor."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn(
+            "cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
+        )
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _twa_fn,
+            outputStructType=TWA_RAW_SCHEMA,
+            stateStructType=TWA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw.select("user_id", "hour_us", "area_cents_us")

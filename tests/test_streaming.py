@@ -1791,3 +1791,72 @@ class TestCoresetComposition:
             next(v[0] for i, v in union if i == r["vec_id"]) for r in merged
         )
         assert xs[0] < 2.5 < xs[1]
+
+
+class TestStreamTwaOOO:
+    def test_disorder_yields_exact_integrals(self, spark, tmp_path):
+        """A late mid-hour sample arrives a batch after a later one;
+        every closed hour's LOCF integral must match an independent
+        segment × hour-grid reference, including the partial first
+        hour and sample-free LOCF hours."""
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_twa
+
+        base = dt.datetime(2024, 3, 1)
+        HOUR = 3600 * 1_000_000
+
+        def ev(eid, minutes, value):
+            return (
+                eid,
+                base + dt.timedelta(minutes=minutes),
+                1,
+                "view",
+                float(value),
+                "{}",
+            )
+
+        # batch 1: 10:30 v=2, 13:00 v=4; batch 2 (LATE): 11:45 v=3;
+        # batch 3: next-day sample pushes the watermark so hours close
+        batches = [
+            [ev(1, 10 * 60 + 30, 2.0), ev(2, 13 * 60, 4.0)],
+            [ev(3, 11 * 60 + 45, 3.0)],
+            [ev(4, 40 * 60, 1.0)],
+        ]
+        d = tmp_path / "ooo_twa"
+        src_schema = _write_ooo_files(spark, d, batches)
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_twa(stream, watermark_delay="12 hours")
+        got = {
+            (r["hour_us"], r["area_cents_us"])
+            for r in _drain_ooo(spark, out, "twa_ooo").collect()
+        }
+
+        # independent reference: segments -> hour grid
+        epoch = dt.datetime(1970, 1, 1)
+        us = lambda m: int(
+            (base + dt.timedelta(minutes=m) - epoch).total_seconds() * 1e6
+        )
+        samples = sorted(
+            [(us(630), 200), (us(705), 300), (us(780), 400), (us(2400), 100)]
+        )
+        wm_us = (samples[-1][0] // 1000 - 12 * 3600 * 1000) * 1000
+        lim = wm_us - wm_us % HOUR
+        want = {}
+        for i, (t, v) in enumerate(samples):
+            e = samples[i + 1][0] if i + 1 < len(samples) else lim
+            e = min(e, lim)
+            h = t - t % HOUR
+            while h < e:
+                lo, hi = max(t, h), min(e, h + HOUR)
+                if hi > lo:
+                    want[h] = want.get(h, 0) + v * (hi - lo)
+                h += HOUR
+        want = {(h, a) for h, a in want.items()}
+        assert got == want
+        # sanity: the partial first hour and a sample-free LOCF hour
+        assert (us(600), 200 * 30 * 60 * 1_000_000) in got
+        assert (us(14 * 60), 400 * HOUR) in got
