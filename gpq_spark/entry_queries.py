@@ -2244,6 +2244,65 @@ def text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_oov_rate",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ),
+    tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+    df AS (
+        SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfreq
+        FROM tk GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(1000000 * SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS hapax_ppm
+    FROM tk JOIN df USING (w)
+    GROUP BY doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax/out-of-vocabulary rate per document: the fraction of a
+    document's token OCCURRENCES whose type appears in no other
+    document (corpus document-frequency 1) — a high rate flags
+    garbled or machine-generated text whose vocabulary the corpus has
+    never seen, the quality signal that complements text_charlm_score
+    (improbable character sequences) at the token level. One explode,
+    one document-frequency groupBy, one scoring join — the df table
+    is the corpus vocabulary, the same asset text_vocabulary already
+    materializes."""
+    docs = load(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    ).filter("w <> ''")
+    df_t = tk.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("long").alias("dfreq")
+    )
+    return (
+        tk.join(df_t, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("dfreq") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END)"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("hapax_ppm"),
+        )
+    )
+
+
+@register(
     "text_charlm_score",
     """
     WITH t AS (
@@ -16116,6 +16175,91 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("survival_e6"),
+    )
+
+
+@register(
+    "q_psi_price",
+    f"""
+    WITH x AS (
+        SELECT {cents('o_totalprice')} // 2000000 AS b,
+               CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+                    THEN 'e' ELSE 'a' END AS p
+        FROM orders
+    ),
+    cell AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN p = 'e' THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+               CAST(SUM(CASE WHEN p = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca
+        FROM x GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(ce) AS BIGINT) AS ne, CAST(SUM(ca) AS BIGINT) AS na
+        FROM cell
+    )
+    SELECT b, ce, ca, ne, na,
+           CAST(floor(1000000000.0
+                * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                   - CAST(ce AS DOUBLE) / CAST(ne AS DOUBLE))
+                * ln((CAST(ca AS DOUBLE) * CAST(ne AS DOUBLE))
+                     / (CAST(ce AS DOUBLE) * CAST(na AS DOUBLE))))
+                AS BIGINT) AS psi_term_e9
+    FROM cell CROSS JOIN tot
+    WHERE ce > 0 AND ca > 0
+    """,
+)
+def q_psi_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX between pre- and post-1995 order-
+    total distributions ($20k buckets) — the standard production-ML
+    drift monitor (PSI = Σ (p_a − p_e)·ln(p_a/p_e); > 0.2 is the
+    conventional retrain trigger), emitted as per-bucket e9-floored
+    terms beside the exact integer counts: floor-then-sum is
+    reduction-order independent, every double operand is an exact
+    integer cast, and both engines execute the identical IEEE
+    expression. Buckets missing from either period are excluded (the
+    standard zero-cell convention — their counts still appear in the
+    totals). Complements q_drift_chisq (significance) with the
+    magnitude-scaled industry metric. One bucket groupBy + a
+    broadcast totals join."""
+    orders = load(spark, sf_dir, "orders")
+    x = orders.select(
+        F.expr(f"{cents('o_totalprice')} div 2000000").alias("b"),
+        F.when(
+            F.col("o_orderdate") < "1995-01-01 00:00:00", F.lit("e")
+        )
+        .otherwise(F.lit("a"))
+        .alias("p"),
+    )
+    cell = x.groupBy("b").agg(
+        F.sum(F.when(F.col("p") == "e", 1).otherwise(0))
+        .cast("long")
+        .alias("ce"),
+        F.sum(F.when(F.col("p") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+    )
+    tot = cell.agg(
+        F.sum("ce").cast("long").alias("ne"),
+        F.sum("ca").cast("long").alias("na"),
+    )
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .filter("ce > 0 AND ca > 0")
+        .select(
+            "b",
+            "ce",
+            "ca",
+            "ne",
+            "na",
+            F.expr(
+                "CAST(floor(1000000000.0"
+                " * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"
+                "    - CAST(ce AS DOUBLE) / CAST(ne AS DOUBLE))"
+                " * ln((CAST(ca AS DOUBLE) * CAST(ne AS DOUBLE))"
+                "      / (CAST(ce AS DOUBLE) * CAST(na AS DOUBLE))))"
+                " AS BIGINT)"
+            ).alias("psi_term_e9"),
+        )
     )
 
 
