@@ -16179,6 +16179,147 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_audience_matrix",
+    """
+    WITH du AS (
+        SELECT DISTINCT event_type AS et, user_id FROM events
+    )
+    SELECT a.et AS type_a, b.et AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM du a JOIN du b
+      ON a.user_id = b.user_id AND a.et < b.et
+    GROUP BY 1, 2
+    """,
+)
+def q_audience_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap matrix: distinct users shared by
+    every pair of event types — the exact counterpart of the
+    q_sketch_hll_intersect estimate, for all C(5,2) pairs at once.
+    The self-join runs on the PRE-REDUCED (type, user) frame (5
+    rows/user max), never the event stream; at 100 TB the reduce is
+    the only full pass and the join input is |users|·|types|."""
+    ev = load_events(spark, sf_dir)
+    du = ev.select(F.col("event_type").alias("et"), "user_id").distinct()
+    a = du.select(F.col("et").alias("type_a"), "user_id")
+    b = du.select(F.col("et").alias("type_b"), F.col("user_id").alias("u2"))
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+
+
+@register(
+    "q_rendezvous_shards",
+    """
+    WITH s AS (SELECT unnest(range(0, 8)) AS shard),
+    score AS (
+        SELECT c_custkey, shard,
+               CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|'
+                    || CAST(shard AS VARCHAR)), 1, 12) AS BIGINT) AS w
+        FROM customer, s
+    ),
+    assign AS (
+        SELECT c_custkey, shard
+        FROM (SELECT c_custkey, shard,
+                     row_number() OVER (PARTITION BY c_custkey
+                                        ORDER BY w DESC, shard) AS rn
+              FROM score)
+        WHERE rn = 1
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_checksum
+    FROM assign GROUP BY shard
+    """,
+)
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) hashing of customers onto 8
+    shards — the assignment scheme whose defining property is minimal
+    disruption: removing one shard remaps ONLY that shard's keys
+    (each key's other 7 scores are untouched), unlike mod-N hashing
+    which remaps nearly everything. Deterministic md5 weights, ties
+    broken by shard id; per-shard counts plus a key checksum so the
+    oracle pins the exact assignment, not just the sizes. Map-side
+    scoring (8 hashes per key — no shuffle until the final 8-row
+    aggregate); the scale shape for stable routing of 100 TB key
+    spaces."""
+    cust = load(spark, sf_dir, "customer")
+    s = spark.range(8).select(F.col("id").cast("int").alias("shard"))
+    score = cust.crossJoin(F.broadcast(s)).select(
+        "c_custkey",
+        "shard",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(c_custkey AS STRING) || '|' ||"
+            " CAST(shard AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+        ).alias("w"),
+    )
+    assign = (
+        score.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("c_custkey").orderBy(
+                    F.col("w").desc(), F.col("shard")
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .select("c_custkey", "shard")
+    )
+    return assign.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c_custkey").cast("long").alias("key_checksum"),
+    )
+
+
+@register(
+    "q_fd_check",
+    """
+    WITH l AS (
+        SELECT c_mktsegment AS lhs,
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_rhs,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM customer GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_lhs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+               AS n_rows_in_violations,
+           CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_per_lhs
+    FROM l
+    """,
+)
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (does c_mktsegment determine
+    c_nationkey? — it should NOT, and the numbers prove how badly):
+    per-LHS distinct-RHS counts reduced to the violation summary a
+    data-quality suite reports — violating LHS values, rows inside
+    them, worst fan-out. The profiling primitive behind schema
+    normalization and silent-corruption checks (a TRUE dependency
+    that starts violating signals an upstream join bug). One groupBy
+    with a distinct agg, one 5-row combine."""
+    cust = load(spark, sf_dir, "customer")
+    l = cust.groupBy(F.col("c_mktsegment").alias("lhs")).agg(
+        F.countDistinct("c_nationkey").cast("long").alias("n_rhs"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return l.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lhs"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_lhs"),
+        F.sum(F.when(F.col("n_rhs") > 1, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_in_violations"),
+        F.max("n_rhs").cast("long").alias("max_rhs_per_lhs"),
+    )
+
+
+@register(
     "q_psi_price",
     f"""
     WITH x AS (
