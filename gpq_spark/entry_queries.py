@@ -8994,6 +8994,114 @@ def multimodal_jpeg_header(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geo_grid_clusters",
+    """
+    WITH RECURSIVE
+    cells AS (
+        SELECT CAST((c_custkey % 300) // 10 AS BIGINT) AS cx,
+               CAST(((c_custkey * 7) % 160) // 10 AS BIGINT) AS cy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT cx, cy, n, CAST(cx * 100 + cy AS BIGINT) AS id
+        FROM cells WHERE n >= 2
+    ),
+    off AS (
+        SELECT dx, dy
+        FROM (SELECT unnest(range(-1, 2)) AS dx),
+             (SELECT unnest(range(-1, 2)) AS dy)
+        WHERE NOT (dx = 0 AND dy = 0)
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM dense a CROSS JOIN off o
+        JOIN dense b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        WHERE a.id < b.id
+    ),
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, comp) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+        WHERE w.comp < e.d
+    ),
+    comp AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node)
+    SELECT d.cx AS cell_x, d.cy AS cell_y, d.n AS n_points,
+           CAST(COALESCE(c.component, d.id) AS BIGINT) AS cluster_id
+    FROM dense d LEFT JOIN comp c ON d.id = c.node
+    """,
+)
+def geo_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (DBSCAN-lite): bucket points into 10×10
+    cells, keep cells with ≥ minpts points, 8-connect adjacent dense
+    cells, and label components — the density-based spatial
+    clustering that, unlike k-means/IVF, needs no k and finds
+    arbitrary-shape clusters, built ENTIRELY from operators the repo
+    already proves: one cell groupBy, a 9-offset broadcast equi-join
+    (never a distance join), and the large-star/small-star connected
+    components whose only shuffles are over the DENSE-CELL edge set
+    (data-bounded, ≪ points). Labels are the component's min cell id;
+    singleton dense cells are their own cluster. The oracle replays
+    the identical graph through a recursive-CTE transitive closure
+    (the dedup_cluster_docs pattern). This is the 100 TB shape for
+    density clustering: the full pass is one groupBy; everything
+    after runs on cells."""
+    from .pipeline.dedup import connected_components
+
+    cust = load(spark, sf_dir, "customer")
+    cells = (
+        cust.select(
+            F.expr("CAST((c_custkey % 300) div 10 AS BIGINT)").alias("cx"),
+            F.expr("CAST(((c_custkey * 7) % 160) div 10 AS BIGINT)").alias(
+                "cy"
+            ),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    dense = cells.filter("n >= 2").withColumn(
+        "id", F.expr("CAST(cx * 100 + cy AS BIGINT)")
+    )
+    off = (
+        spark.range(-1, 2)
+        .select(F.col("id").alias("dx"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
+        .filter("NOT (dx = 0 AND dy = 0)")
+    )
+    b = dense.select(
+        F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+        F.col("id").alias("id_b"),
+    )
+    pairs = (
+        dense.crossJoin(F.broadcast(off))
+        .join(
+            b,
+            (F.col("bcx") == F.col("cx") + F.col("dx"))
+            & (F.col("bcy") == F.col("cy") + F.col("dy")),
+        )
+        .filter("id < id_b")
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        dense.join(comp, dense.id == comp.node, "left")
+        .select(
+            F.col("cx").alias("cell_x"),
+            F.col("cy").alias("cell_y"),
+            F.col("n").alias("n_points"),
+            F.coalesce(F.col("component"), F.col("id"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+
+
+@register(
     "geo_convex_hull",
     """
     WITH pts AS (
