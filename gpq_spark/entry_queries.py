@@ -13762,6 +13762,180 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cvm_test",
+    f"""
+    WITH x AS (
+        SELECT CASE WHEN c_mktsegment = 'FURNITURE' THEN 'a' ELSE 'b' END AS grp,
+               {cents('o_totalprice')} AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('FURNITURE', 'MACHINERY')
+    ),
+    per_v AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+               CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+        FROM x GROUP BY v
+    ),
+    c AS (
+        SELECT v, na_v + nb_v AS w,
+               CAST(SUM(na_v) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+               CAST(SUM(nb_v) OVER (ORDER BY v) AS BIGINT) AS cum_b
+        FROM per_v
+    ),
+    tots AS (
+        SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+               CAST(SUM(nb_v) AS BIGINT) AS n_b
+        FROM per_v
+    )
+    SELECT n_a, n_b,
+           CAST(SUM(w * CAST(floor(1000000.0
+                * ((CAST(n_b AS DOUBLE) * CAST(cum_a AS DOUBLE)
+                    - CAST(n_a AS DOUBLE) * CAST(cum_b AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                * ((CAST(n_b AS DOUBLE) * CAST(cum_a AS DOUBLE)
+                    - CAST(n_a AS DOUBLE) * CAST(cum_b AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))))
+              AS BIGINT)) AS BIGINT) AS cvm_e6_sum
+    FROM c CROSS JOIN tots
+    GROUP BY n_a, n_b
+    """,
+)
+def q_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér–von Mises two-sample statistic — the whole-curve
+    companion to q_ks_test's supremum: Σ over pooled observations of
+    (F_a − F_b)², each squared ECDF gap computed from exact integer
+    cumulative counts (cast to double, identical IEEE expression both
+    engines), e6-floored PER VALUE and then integer-summed with its
+    pooled multiplicity — floor-then-sum keeps the statistic
+    reduction-order independent at ANY scale, where summing raw float
+    squares would not be. T = cvm_e6_sum·n_a·n_b/(1e6·(n_a+n_b)²) by
+    the caller. Same one-groupBy + distinct-value-window shape as
+    KS/Mann-Whitney."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    x = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment").isin("FURNITURE", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "FURNITURE", F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("grp"),
+            F.expr(cents("o_totalprice")).alias("v"),
+        )
+    )
+    per_v = x.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("na_v"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("nb_v"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = per_v.select(
+        (F.col("na_v") + F.col("nb_v")).alias("w"),
+        F.sum("na_v").over(wcum).cast("long").alias("cum_a"),
+        F.sum("nb_v").over(wcum).cast("long").alias("cum_b"),
+    )
+    tots = per_v.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    gap = (
+        "((CAST(n_b AS DOUBLE) * CAST(cum_a AS DOUBLE)"
+        " - CAST(n_a AS DOUBLE) * CAST(cum_b AS DOUBLE))"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+    )
+    return (
+        c.crossJoin(F.broadcast(tots))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"w * CAST(floor(1000000.0 * {gap} * {gap}) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cvm_e6_sum")
+        )
+    )
+
+
+@register(
+    "q_hill_tail_index",
+    f"""
+    WITH s AS (
+        SELECT o_custkey AS id,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS spend
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT spend,
+               row_number() OVER (ORDER BY spend DESC, id) AS rn
+        FROM s
+    ),
+    k AS (SELECT CAST(COUNT(*) // 10 AS BIGINT) AS kk FROM s),
+    lnv AS (
+        SELECT CAST(floor(1000000 * ln(CAST(spend AS DOUBLE))) AS BIGINT)
+                   AS l, rn
+        FROM r CROSS JOIN k WHERE rn <= kk
+    ),
+    ref AS (SELECT l AS lk FROM lnv CROSS JOIN k WHERE rn = kk)
+    SELECT CAST(MAX(kk) AS BIGINT) AS k_top,
+           CAST(SUM(l - lk) AS BIGINT) AS hill_num_e6,
+           CAST(SUM(l - lk) // MAX(kk) AS BIGINT) AS hill_inv_alpha_e6
+    FROM lnv CROSS JOIN ref CROSS JOIN k
+    """,
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the spend distribution's tail index — the
+    heavy-tail diagnostic behind skew-aware partitioning decisions
+    (1/α ≈ mean of ln(x_(i)/x_(k)) over the top k = n/10 order
+    statistics; larger ⇒ fatter tail ⇒ worse hot keys): e6-floored
+    per-value logs (the corpus ln posture), exact integer differences
+    against the k-th order statistic, integer mean. One aggregate,
+    one DESC rank over the customer-level frame (the q_mann_whitney
+    window posture), then single-row math."""
+    orders = load(spark, sf_dir, "orders")
+    s = orders.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("spend")
+    )
+    r = s.select(
+        "spend",
+        F.row_number()
+        .over(Window.orderBy(F.col("spend").desc(), F.col("id")))
+        .alias("rn"),
+    )
+    k = s.agg(F.expr("CAST(COUNT(*) div 10 AS BIGINT)").alias("kk"))
+    lnv = (
+        r.crossJoin(F.broadcast(k))
+        .filter("rn <= kk")
+        .select(
+            F.expr(
+                "CAST(floor(1000000 * ln(CAST(spend AS DOUBLE))) AS BIGINT)"
+            ).alias("l"),
+            "rn",
+        )
+    )
+    ref = lnv.crossJoin(F.broadcast(k)).filter("rn = kk").select(
+        F.col("l").alias("lk")
+    )
+    return (
+        lnv.crossJoin(F.broadcast(ref))
+        .crossJoin(F.broadcast(k))
+        .agg(
+            F.max("kk").cast("long").alias("k_top"),
+            F.sum(F.col("l") - F.col("lk")).cast("long").alias("hill_num_e6"),
+            F.expr("CAST(SUM(l - lk) div MAX(kk) AS BIGINT)").alias(
+                "hill_inv_alpha_e6"
+            ),
+        )
+    )
+
+
+@register(
     "q_trimmed_mean",
     f"""
     WITH x AS (
