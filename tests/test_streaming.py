@@ -1860,3 +1860,83 @@ class TestStreamTwaOOO:
         # sanity: the partial first hour and a sample-free LOCF hour
         assert (us(600), 200 * 30 * 60 * 1_000_000) in got
         assert (us(14 * 60), 400 * HOUR) in got
+
+
+class TestTwaCheckpointRestart:
+    def test_twa_state_survives_restarts(self, spark, tmp_path):
+        """stream_twa's anchor + pending buffer + emission cursor must
+        all recover from the state store: samples arrive across three
+        runs sharing a checkpoint (disordered in run 2), and the union
+        of the runs' emissions must equal the single-run contract —
+        each closed hour exactly once, areas exact."""
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_twa
+
+        base = dt.datetime(2024, 3, 1)
+        HOUR = 3600 * 1_000_000
+        src = tmp_path / "src"
+        out = tmp_path / "out"
+        ck = tmp_path / "ck"
+        src.mkdir()
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string"
+        )
+
+        def add(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+        def run_once():
+            src_schema = spark.read.parquet(str(src)).schema
+            stream = stream_events(spark, str(src), src_schema)
+            q = (
+                stream_twa(stream, watermark_delay="2 hours")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(ck))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        mins = lambda m: base + dt.timedelta(minutes=m)
+        add([(1, mins(630), 1, "view", 2.0, "{}")])          # 10:30 v=2
+        run_once()
+        # run 2: a LATER sample plus a LATE mid-hour one (disordered)
+        add([(2, mins(780), 1, "view", 4.0, "{}"),           # 13:00 v=4
+             (3, mins(705), 1, "view", 3.0, "{}")])          # 11:45 v=3
+        run_once()
+        add([(4, mins(1500), 1, "view", 1.0, "{}")])         # 25:00 v=1
+        run_once()
+
+        epoch = dt.datetime(1970, 1, 1)
+        us = lambda m: int(
+            (mins(m) - epoch).total_seconds() * 1e6
+        )
+        got = {
+            (r["hour_us"], r["area_cents_us"])
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        # reference: segments clipped at final watermark 23:00 (25:00-2h)
+        samples = [(us(630), 200), (us(705), 300), (us(780), 400),
+                   (us(1500), 100)]
+        wm_us = (samples[-1][0] // 1000 - 2 * 3600 * 1000) * 1000
+        lim = wm_us - wm_us % HOUR
+        want = {}
+        for i, (t, v) in enumerate(samples):
+            e = min(samples[i + 1][0] if i + 1 < len(samples) else lim, lim)
+            h = t - t % HOUR
+            while h < e:
+                lo, hi = max(t, h), min(e, h + HOUR)
+                if hi > lo:
+                    want[h] = want.get(h, 0) + v * (hi - lo)
+                h += HOUR
+        assert got == {(h, a) for h, a in want.items()}
+        # no hour emitted twice across restarts
+        hours = [r["hour_us"] for r in spark.read.parquet(str(out)).collect()]
+        assert len(hours) == len(set(hours))
