@@ -2244,6 +2244,68 @@ def text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_windows",
+    r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''
+    ),
+    n AS (
+        SELECT doc_id, w, len(w) AS nw,
+               CASE WHEN len(w) > 50
+                    THEN 1 + (len(w) - 50 + 39) // 40 ELSE 1 END AS nc
+        FROM t
+    ),
+    ch AS (
+        SELECT doc_id, nw, unnest(range(0, nc)) AS k, w FROM n
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           CAST(LEAST(50, nw - k * 40) AS BIGINT) AS n_words,
+           md5(array_to_string(w[k * 40 + 1 : k * 40 + 50], ' '))
+               AS chunk_hash
+    FROM ch
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: overlapping 50-word windows with
+    stride 40 (20% overlap — retrieval context never loses a sentence
+    to a hard boundary), every document covered to its last word by
+    construction (chunk count = 1 + ceil((n−50)/40), all integer).
+    Emits (doc, chunk_idx, word count, md5 of the chunk text) — the
+    hash pins the exact chunk CONTENT cross-engine without shipping
+    it twice. Pure expressions: one split, one sequence explode, one
+    slice-and-hash per chunk; the downstream embedding/indexing fan-
+    out (ann_topk, rank_*) consumes exactly this shape."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.filter("trim(text) <> ''").select(
+        "doc_id", F.expr("split(trim(text), '\\\\s+')").alias("w")
+    )
+    n = t.select(
+        "doc_id",
+        "w",
+        F.expr("size(w)").alias("nw"),
+        F.expr(
+            "CASE WHEN size(w) > 50"
+            " THEN 1 + (size(w) - 50 + 39) div 40 ELSE 1 END"
+        ).alias("nc"),
+    )
+    ch = n.select(
+        "doc_id",
+        "nw",
+        F.explode(F.expr("sequence(0, nc - 1)")).alias("k"),
+        "w",
+    )
+    return ch.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_idx"),
+        F.expr("CAST(LEAST(50, nw - k * 40) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "md5(concat_ws(' ', slice(w, CAST(k * 40 + 1 AS INT), 50)))"
+        ).alias("chunk_hash"),
+    )
+
+
+@register(
     "text_oov_rate",
     r"""
     WITH tok AS (
