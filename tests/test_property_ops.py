@@ -971,3 +971,22 @@ def test_convex_hull_rejects_unsafe_coordinates(spark):
     df = spark.createDataFrame([(1 << 30, 0), (0, 1)], "x long, y long")
     with _pytest.raises(Exception, match="2\\^30"):
         convex_hull(df, "x", "y").collect()
+
+
+def test_new_ops_empty_inputs(spark):
+    from gpq_spark.geoparquet.spatial import convex_hull
+    from gpq_spark.pipeline.dedup import prefix_filter_pairs
+    from gpq_spark.pipeline.text import hashed_features
+
+    empty_pts = spark.createDataFrame([], "x long, y long")
+    assert convex_hull(empty_pts, "x", "y").count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert prefix_filter_pairs(empty_docs, "doc_id", "text").count() == 0
+    assert hashed_features(empty_docs, "doc_id", "text").count() == 0
+
+    # single point / single doc: hull is the point, no pairs
+    one_pt = spark.createDataFrame([(3, 4)], "x long, y long")
+    assert [(r["x"], r["y"]) for r in convex_hull(one_pt, "x", "y").collect()] == [(3, 4)]
+    one_doc = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    assert prefix_filter_pairs(one_doc, "doc_id", "text").count() == 0
