@@ -12409,6 +12409,107 @@ def drift_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_temperature_mix",
+    """
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT lang, n,
+               CAST(floor(1000000.0 * sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+                   AS w_e6
+        FROM c
+    ),
+    t AS (SELECT CAST(SUM(w_e6) AS BIGINT) AS tw,
+                 CAST(SUM(n) AS BIGINT) AS tn FROM w)
+    SELECT lang, n, w_e6,
+           CAST(1000000 * n // tn AS BIGINT) AS natural_ppm,
+           CAST(1000000 * w_e6 // tw AS BIGINT) AS sampled_ppm
+    FROM w CROSS JOIN t
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED corpus mixing weights (T = 2, the
+    multilingual-pretraining standard: sample each source ∝ p^(1/T)
+    so low-resource languages are upsampled without drowning the
+    head): per-language natural share vs the √n-scaled share, both as
+    exact ppm integers — the per-source sqrt is one IEEE op floored
+    to e6 BEFORE the integer normalization, so no float ever crosses
+    a reduction. Feed sampled_ppm to sample_weighted_docs /
+    sample_token_mix to materialize the mix. One groupBy + one
+    single-row combine."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = c.select(
+        "lang",
+        "n",
+        F.expr(
+            "CAST(floor(1000000.0 * sqrt(CAST(n AS DOUBLE))) AS BIGINT)"
+        ).alias("w_e6"),
+    )
+    t = w.agg(
+        F.sum("w_e6").cast("long").alias("tw"),
+        F.sum("n").cast("long").alias("tn"),
+    )
+    return w.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n",
+        "w_e6",
+        F.expr("CAST(1000000 * n div tn AS BIGINT)").alias("natural_ppm"),
+        F.expr("CAST(1000000 * w_e6 div tw AS BIGINT)").alias("sampled_ppm"),
+    )
+
+
+@register(
+    "dedup_keep_best",
+    r"""
+    WITH scored AS (
+        SELECT doc_id, lang, source,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ')))) AS h,
+               CAST(n_chars AS BIGINT) AS q
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, h, q,
+               row_number() OVER (PARTITION BY lang, source
+                                  ORDER BY q DESC, doc_id) AS rn
+        FROM scored
+    )
+    SELECT doc_id, h AS norm_hash, q AS quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup: where dedup_exact_docs keeps the minimum
+    doc_id per (lang, source) group, production pipelines keep the
+    highest-QUALITY member (here: longest normalized text, doc_id
+    tie-break) — survivorship should be a curation decision, not an
+    id accident. Same single window shuffle as the keep-first
+    variant; swap any quality score (text_quality, text_charlm_score)
+    into the ORDER BY without changing the shape."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("h"),
+        F.col("n_chars").cast("long").alias("q"),
+    )
+    wv = Window.partitionBy("lang", "source").orderBy(
+        F.col("q").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter("rn = 1")
+        .select(
+            "doc_id", F.col("h").alias("norm_hash"), F.col("q").alias("quality")
+        )
+    )
+
+
+@register(
     "sample_token_mix",
     """
     WITH b(source, budget) AS (VALUES ('src0', 3000), ('src1', 5000), ('src2', 100000)),
