@@ -16769,7 +16769,7 @@ def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH x AS (
         SELECT {cents('o_totalprice')} // 2000000 AS b,
-               CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
                     THEN 'e' ELSE 'a' END AS p
         FROM orders
     ),
@@ -16795,7 +16795,7 @@ def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_psi_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """POPULATION STABILITY INDEX between pre- and post-1995 order-
+    """POPULATION STABILITY INDEX between pre- and post-1998 order-
     total distributions ($20k buckets) — the standard production-ML
     drift monitor (PSI = Σ (p_a − p_e)·ln(p_a/p_e); > 0.2 is the
     conventional retrain trigger), emitted as per-bucket e9-floored
@@ -16811,7 +16811,7 @@ def q_psi_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = orders.select(
         F.expr(f"{cents('o_totalprice')} div 2000000").alias("b"),
         F.when(
-            F.col("o_orderdate") < "1995-01-01 00:00:00", F.lit("e")
+            F.col("o_orderdate") < "1998-01-01 00:00:00", F.lit("e")
         )
         .otherwise(F.lit("a"))
         .alias("p"),
