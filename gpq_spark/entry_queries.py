@@ -16994,3 +16994,325 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("elasticity_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph: edge support / k-truss / link prediction / directed reachability
+# ---------------------------------------------------------------------------
+
+_COSOURCE_EDGE_CTES = """
+    ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    shared AS (
+        SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(shared) AS BIGINT) AS sum_shared
+        FROM shared
+    ),
+    e AS (
+        SELECT u, v FROM shared CROSS JOIN tot
+        WHERE shared * n_pairs >= sum_shared
+    )"""
+
+
+def _cosource_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mean-thresholded supplier co-sourcing edge set shared by the
+    graph-family queries (identical integer threshold to
+    q_triangle_suppliers, so every engine draws the same graph)."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    return (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v")
+    )
+
+
+@register(
+    "q_truss_support",
+    f"""
+    WITH {_COSOURCE_EDGE_CTES},
+    sym AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+    sup AS (
+        SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS support
+        FROM sym a JOIN sym b ON a.d = b.d AND a.s < b.s
+        GROUP BY 1, 2
+    )
+    SELECT e.u, e.v,
+           CAST(COALESCE(sup.support, 0) AS BIGINT) AS support
+    FROM e LEFT JOIN sup ON sup.u = e.u AND sup.v = e.v
+    """,
+)
+def q_truss_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE triangle support over the co-sourcing graph — the
+    quantity k-truss peels on and the standard tie-strength signal
+    (support 0 marks a local bridge no triangle reinforces). The
+    engine enumerates each triangle once via the degree-ordered
+    orientation (wedge fan-out bounded by oriented out-degree, O(sqrt m))
+    and explodes its three edges into one groupBy; the oracle counts
+    common neighbors per adjacent pair directly, an orientation-free
+    cross-check."""
+    from .pipeline.graph import truss_support
+
+    e = _cosource_edges_spark(spark, sf_dir)
+    return truss_support(e, "u", "v")
+
+
+def _ktruss_oracle(k: int = 4, rounds: int = 6) -> str:
+    """Unrolled monotone peel: each round keeps edges whose support
+    within the SURVIVING subgraph is >= k-2. Extra rounds past the
+    fixpoint are no-ops, so ``rounds`` only needs to be an upper bound
+    on convergence at gate scale (observed <=3, margin 2x)."""
+    parts = [
+        _COSOURCE_EDGE_CTES.strip(),
+        "e0 AS MATERIALIZED (SELECT u, v FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""sym{p} AS MATERIALIZED (
+        SELECT u AS s, v AS d FROM e{p} UNION ALL SELECT v, u FROM e{p}
+    )"""
+        )
+        parts.append(
+            f"""sup{i} AS MATERIALIZED (
+        SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS support
+        FROM sym{p} a JOIN sym{p} b ON a.d = b.d AND a.s < b.s
+        GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{p} e
+        JOIN sup{i} s ON s.u = e.u AND s.v = e.v AND s.support >= {k - 2}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    symF AS (SELECT u AS s, v AS d FROM e{rounds}
+             UNION ALL SELECT v, u FROM e{rounds}),
+    supF AS (
+        SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS support
+        FROM symF a JOIN symF b ON a.d = b.d AND a.s < b.s
+        GROUP BY 1, 2
+    )
+    SELECT e.u, e.v, CAST(COALESCE(supF.support, 0) AS BIGINT) AS support
+    FROM e{rounds} e LEFT JOIN supF ON supF.u = e.u AND supF.v = e.v
+    """
+    )
+
+
+@register("q_ktruss_edges", _ktruss_oracle())
+def q_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-truss of the co-sourcing graph: the maximal subgraph whose
+    every edge sits in >= 2 triangles after iterative peeling — the
+    community-core extraction one notch stronger than k-core (truss
+    membership requires mutual reinforcement, not mere degree). The
+    engine peels to fixpoint with a driver loop over the single-shuffle
+    support computation (lineage flattened per round); the oracle
+    unrolls 6 monotone materialized rounds, covering the observed
+    <=3-round convergence with margin. Output: surviving edges with
+    their final in-truss support."""
+    from .pipeline.graph import k_truss
+
+    e = _cosource_edges_spark(spark, sf_dir)
+    return k_truss(e, k=4, src="u", dst="v")
+
+
+@register(
+    "q_link_prediction",
+    f"""
+    WITH {_COSOURCE_EDGE_CTES},
+    sym AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY 1),
+    pairs AS (
+        SELECT a.s AS u, b.s AS v,
+               CAST(COUNT(*) AS BIGINT) AS common,
+               CAST(SUM(1000000 // dz.deg) AS BIGINT) AS ra_e6
+        FROM sym a
+        JOIN sym b ON a.d = b.d AND a.s < b.s
+        JOIN deg dz ON dz.node = a.d
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT p.u, p.v, p.common, p.ra_e6
+        FROM pairs p LEFT JOIN e ON e.u = p.u AND e.v = p.v
+        WHERE e.u IS NULL
+    ),
+    scored AS (
+        SELECT c.u, c.v, c.common,
+               CAST(1000000 * c.common // (du.deg + dv.deg - c.common)
+                    AS BIGINT) AS jaccard_e6,
+               c.ra_e6
+        FROM cand c
+        JOIN deg du ON du.node = c.u
+        JOIN deg dv ON dv.node = c.v
+    )
+    SELECT u, v, common, jaccard_e6, ra_e6 FROM (
+        SELECT *, row_number()
+               OVER (ORDER BY jaccard_e6 DESC, u, v) AS rn
+        FROM scored
+    ) WHERE rn <= 100
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted missing edges in the co-sourcing graph by
+    Jaccard neighborhood overlap, with common-neighbor and
+    resource-allocation scores alongside — the classic link-prediction
+    triple in exact integers (RA uses a PER-TERM 1e6 div deg floor so
+    the sum is order-independent and hash-exact on any engine).
+    Candidates are enumerated through shared-neighbor witnesses (one
+    adjacency self-join keyed on the witness + one pair groupBy), never
+    an all-pairs product; existing edges removed with one left-anti
+    join. Deterministic full tie-break (score, u, v)."""
+    from .pipeline.graph import link_prediction
+
+    e = _cosource_edges_spark(spark, sf_dir)
+    scored = link_prediction(e, "u", "v")
+    w = Window.orderBy(F.desc("jaccard_e6"), F.asc("u"), F.asc("v"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("u", "v", "common", "jaccard_e6", "ra_e6")
+    )
+
+
+_NATION_TRADE_CTES = """
+    flows AS (
+        SELECT c.c_nationkey AS s, su.s_nationkey AS d,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier su ON su.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> su.s_nationkey
+        GROUP BY 1, 2
+    ),
+    ftot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_flows,
+               CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+        FROM flows
+    ),
+    e AS (
+        SELECT s, d FROM flows CROSS JOIN ftot
+        WHERE cnt * n_flows >= 2 * sum_cnt
+    )"""
+
+
+def _nation_trade_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED nation-level trade edges: customer nation -> supplier
+    nation per lineitem, kept only when the flow is at least 2x the
+    mean flow (exact integer threshold: cnt * n_flows >= 2 * sum_cnt),
+    so the graph is sparse and both engines draw it identically at any
+    SF. Nation/region-scale dims are broadcast; the one big join is
+    lineitem-orders, which AQE plans."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    flows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("s"), F.col("s_nationkey").alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ftot = flows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_flows"),
+        F.sum("cnt").cast("long").alias("sum_cnt"),
+    )
+    return (
+        flows.crossJoin(F.broadcast(ftot))
+        .filter(F.col("cnt") * F.col("n_flows") >= 2 * F.col("sum_cnt"))
+        .select("s", "d")
+    )
+
+
+@register(
+    "q_closure_nations",
+    f"""
+    WITH RECURSIVE {_NATION_TRADE_CTES},
+    reach AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.s, e2.d FROM reach r JOIN e e2 ON e2.s = r.d
+    )
+    SELECT s, d FROM reach WHERE s <> d
+    """,
+)
+def q_closure_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reachability closure of the directed nation trade graph — every
+    ordered nation pair (s, d) with a heavy-flow path, computed with
+    path DOUBLING (after round i the pair set covers paths of length
+    <= 2^i, so 16 rounds cover diameter 65536) vs the oracle's
+    recursive one-hop expansion. Closure materialization is the
+    entity-graph shape (nations/catalogs/org charts); billion-node
+    reachability uses the bounded-hop frontier ops instead."""
+    from .pipeline.graph import transitive_closure
+
+    e = _nation_trade_edges_spark(spark, sf_dir)
+    return transitive_closure(e, "s", "d")
+
+
+@register(
+    "q_scc_nations",
+    f"""
+    WITH RECURSIVE {_NATION_TRADE_CTES},
+    reach AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.s, e2.d FROM reach r JOIN e e2 ON e2.s = r.d
+    ),
+    mutual AS (
+        SELECT r1.s, r1.d FROM reach r1
+        JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s
+        WHERE r1.s <> r1.d
+    ),
+    nodes AS (
+        SELECT DISTINCT s AS node FROM e
+        UNION SELECT DISTINCT d FROM e
+    )
+    SELECT n.node,
+           CAST(LEAST(n.node, COALESCE(MIN(m.d), n.node)) AS BIGINT)
+               AS scc_id
+    FROM nodes n LEFT JOIN mutual m ON m.s = n.node
+    GROUP BY n.node
+    """,
+)
+def q_scc_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed nation trade
+    graph: label = MIN node id in the SCC (canonical, deterministic,
+    hash-exact). u = v iff mutual reachability in the closure; nations
+    in no cycle label themselves. Nations that trade heavily in both
+    directions (directly or transitively) collapse into one component
+    — the 'trading bloc' extraction."""
+    from .pipeline.graph import scc_labels
+
+    e = _nation_trade_edges_spark(spark, sf_dir)
+    return scc_labels(e, "s", "d")

@@ -646,3 +646,289 @@ def stress_centrality(
         .agg(F.sum("c").cast("long").alias("stress"))
         .filter(F.col("stress") > 0)
     )
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set, canonicalized u < v, self-loops dropped."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def truss_support(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-EDGE triangle support over an undirected graph: for each
+    canonical edge (u < v), the number of triangles containing it —
+    the quantity the k-truss decomposition peels on, and on its own
+    the standard tie-strength / bridge-detection signal (support 0 =
+    a local bridge no triangle reinforces).
+
+    Same degree-ordered orientation as ``triangle_counts`` (each
+    triangle enumerated exactly once, wedge fan-out bounded by
+    oriented out-degree ~O(sqrt(m))), but instead of exploding nodes
+    the closure explodes the three EDGES of each triangle. Edges in no
+    triangle are kept with support 0 via a left join against the
+    canonical edge set. Output: (u, v, support), all BIGINT.
+
+    Shuffle shape: identical to triangle_counts (edge distinct, degree
+    groupBy, wedge join, closure join) plus one final groupBy on the
+    canonical edge key and one left join — no new scale risk beyond
+    the triangle enumeration itself.
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    rk = deg.select("node", F.expr("deg * 2147483648 + node").alias("rk"))
+    oriented = (
+        e.join(rk.select(F.col("node").alias("u"), F.col("rk").alias("rku")), "u")
+        .join(rk.select(F.col("node").alias("v"), F.col("rk").alias("rkv")), "v")
+        .select(
+            F.when(F.col("rku") < F.col("rkv"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("lo"),
+            F.when(F.col("rku") < F.col("rkv"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("hi"),
+            F.greatest("rku", "rkv").alias("hi_rk"),
+        )
+    )
+    w1 = oriented.select("lo", F.col("hi").alias("b"), F.col("hi_rk").alias("rk_b"))
+    w2 = oriented.select("lo", F.col("hi").alias("c"), F.col("hi_rk").alias("rk_c"))
+    wedges = w1.join(w2, "lo").filter(F.col("rk_b") < F.col("rk_c"))
+    closed = wedges.join(
+        oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+        ["b", "c"],
+    ).select(F.col("lo").alias("a"), "b", "c")
+    tri_edges = closed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+                ),
+                F.struct(
+                    F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+                ),
+                F.struct(
+                    F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
+                ),
+            )
+        ).alias("edge")
+    ).select("edge.u", "edge.v")
+    sup = tri_edges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    return e.join(sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support")
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 100,
+) -> DataFrame:
+    """The k-truss of an undirected graph — the maximal subgraph where
+    every EDGE sits in at least k−2 triangles — by iterative peeling:
+    recompute per-edge support, drop edges below k−2, repeat to
+    FIXPOINT. Like ``k_core`` the peel is monotone, so the fixpoint is
+    the unique k-truss regardless of drop order; unlike k-core it is
+    the edge-level cohesion measure (a k-truss is always inside the
+    (k−1)-core, and communities detected by truss survive the
+    hub-dominated cases where cores don't). Output: surviving edges
+    (u, v, support) with support ≥ k−2 against the final subgraph.
+
+    Scale: each round is one ``truss_support`` pass (degree-ordered
+    triangle enumeration, O(sqrt(m)) wedge bound) over a shrinking
+    edge frame, localCheckpoint()ed per round to keep lineage flat.
+    Round count is bounded by the peel depth, typically small; the
+    data-dependent stopping rule means this is a driver LOOP, not a
+    SQL expression — correctness is gated by tests against an exact
+    reference peel (a data-dependent-iteration oracle is not
+    expressible in the DuckDB gate; same posture as ``coreness``).
+    """
+    if k < 2:
+        raise ValueError(f"k-truss requires k >= 2, got {k}")
+    cur = _canonical_edges(edges, src, dst).localCheckpoint()
+    thr = k - 2
+    for _ in range(max_iterations):
+        sup = truss_support(cur, "u", "v").localCheckpoint()
+        bad = sup.filter(F.col("support") < thr)
+        if bad.isEmpty():
+            return sup
+        cur = (
+            sup.filter(F.col("support") >= thr).select("u", "v").localCheckpoint()
+        )
+        if cur.isEmpty():
+            return sup.filter(F.lit(False))
+    return truss_support(cur, "u", "v")
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction over an undirected graph:
+    for every NON-adjacent pair (u < v) sharing at least one common
+    neighbor, three classic scores in exact integers —
+
+      - ``common``: |N(u) ∩ N(v)| (common-neighbors score),
+      - ``jaccard_e6``: floor(1e6 · common / |N(u) ∪ N(v)|),
+      - ``ra_e6``: Σ_{z ∈ N(u)∩N(v)} floor(1e6 / deg(z)) — the
+        resource-allocation index with a PER-TERM floor, so the sum is
+        order-independent and hash-exact on any engine (Adamic-Adar's
+        1/ln deg has no such integer form; RA is its stronger cousin
+        on the standard benchmarks).
+
+    Candidate pairs are enumerated through their witnesses: one
+    self-join of the adjacency list keyed on the shared neighbor z,
+    then one groupBy on the (u, v) pair — never an all-pairs product.
+    The per-witness fan-out is deg(z)², the inherent cost of
+    common-neighbor enumeration; ``max_degree`` excludes hub witnesses
+    above the cap (their per-pair evidence contribution is weakest —
+    the standard truncation, stated loudly rather than applied
+    silently: pairs whose ONLY witnesses are excluded hubs disappear
+    from the output). Existing edges are removed with one left-anti
+    join. Output: (u, v, common, jaccard_e6, ra_e6).
+    """
+    e = _canonical_edges(edges, src, dst)
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    wit = adj.select(F.col("nbr").alias("z"), F.col("node").alias("m")).join(
+        deg.select(F.col("node").alias("z"), F.col("deg").alias("deg_z")), "z"
+    )
+    if max_degree is not None:
+        wit = wit.filter(F.col("deg_z") <= int(max_degree))
+    a = wit.select("z", F.col("m").alias("cu"), "deg_z")
+    b = wit.select(F.col("z").alias("z2"), F.col("m").alias("cv"))
+    pairs = (
+        a.join(b, a["z"] == b["z2"])
+        .filter(F.col("cu") < F.col("cv"))
+        .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum(F.expr("1000000 div deg_z")).cast("long").alias("ra_e6"),
+        )
+    )
+    cand = pairs.join(e, ["u", "v"], "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.expr("1000000 * common div (deg_u + deg_v - common)")
+            .cast("long")
+            .alias("jaccard_e6"),
+            "ra_e6",
+        )
+    )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Reachability closure of a DIRECTED graph via path doubling:
+    after round i the pair set holds every (s, d) with a path of
+    length ≤ 2^i, so ``max_rounds`` = 16 covers any diameter ≤ 65536
+    in at most 16 self-join rounds (vs diameter-many rounds for the
+    naive frontier expansion). Stops early at fixpoint (count stable).
+    Output: (s, d) with s ≠ d, one row per reachable ordered pair.
+
+    Scale: the closure is Θ(n²) rows on a dense reachability relation
+    — an INHERENT output cost, not a plan defect; this operator is for
+    entity-level graphs (dimensions, catalogs, org charts — up to
+    ~10^5 nodes), where n² pairs fit comfortably in a shuffle. Each
+    round is one equi-join of the pair set with itself plus a distinct
+    — two shuffles on single-integer keys — and the frame is
+    localCheckpoint()ed so lineage stays flat. For billion-node
+    reachability use the bounded-hop frontier ops (bfs_distances /
+    sssp_bounded) instead; closure materialization is the wrong shape
+    there, and this docstring says so rather than pretending.
+    """
+    cur = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = cur.count()
+    for _ in range(max_rounds):
+        hop = (
+            cur.join(
+                cur.select(F.col("s").alias("m"), F.col("d").alias("d2")),
+                cur["d"] == F.col("m"),
+            )
+            .select("s", F.col("d2").alias("d"))
+            .filter(F.col("s") != F.col("d"))
+        )
+        cur = cur.unionByName(hop).distinct().localCheckpoint()
+        n = cur.count()
+        if n == n_prev:
+            break
+        n_prev = n
+    return cur
+
+
+def scc_labels(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Strongly connected components of a directed graph: each node's
+    label is the MINIMUM node id in its SCC — the canonical choice, so
+    labels are deterministic and hash-exact across engines. Computed
+    from the transitive closure: u ≡ v iff u reaches v AND v reaches
+    u; scc(v) = min({v} ∪ {u : mutual reach}). Isolated nodes (no
+    in/out edges inside the frame) label themselves. Output:
+    (node, scc_id).
+
+    Scale: inherits ``transitive_closure``'s Θ(n²)-output contract —
+    right for entity-level graphs where SCCs answer "which catalog
+    entries mutually depend on each other"; the mutual-reach join is
+    one self-join of the closure on the flipped key. For huge sparse
+    graphs a FW-BW decomposition would replace this; at the dimension
+    scale this engine targets, closure + min-label is both exact and
+    the fewest moving parts.
+    """
+    reach = transitive_closure(edges, src, dst, max_rounds)
+    mutual = reach.join(
+        reach.select(F.col("s").alias("d"), F.col("d").alias("s")),
+        ["s", "d"],
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(mutual.select(F.col("s").alias("node"), F.col("d").alias("peer")), "node", "left")
+        .groupBy("node")
+        .agg(
+            F.min(F.least(F.coalesce(F.col("peer"), F.col("node")), F.col("node")))
+            .cast("long")
+            .alias("scc_id")
+        )
+    )

@@ -3134,3 +3134,163 @@ class TestRound3EdgeCases:
         s = spark.createDataFrame([(1,)], ["node"])
         got = {r["node"] for r in sssp_bounded(e, s, rounds=3).collect()}
         assert got == {1, 2}  # the 3-4 component is absent, not inf
+
+
+class TestTrussAndLinkPrediction:
+    def test_truss_support_known_graph(self, spark):
+        """Triangles (1,2,3) and (2,3,4) share edge (2,3): that edge's
+        support is 2, the other four triangle edges have support 1,
+        and the pendant edge (4,5) is kept with support 0."""
+        from gpq_spark.pipeline.graph import truss_support
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (4, 5)],
+            "src long, dst long",
+        )
+        got = {
+            (r["u"], r["v"]): r["support"]
+            for r in truss_support(edges).collect()
+        }
+        assert got == {
+            (1, 2): 1, (1, 3): 1, (2, 3): 2,
+            (2, 4): 1, (3, 4): 1, (4, 5): 0,
+        }
+
+    def test_truss_support_reversed_and_self_edges(self, spark):
+        from gpq_spark.pipeline.graph import truss_support
+
+        edges = spark.createDataFrame(
+            [(2, 1), (3, 2), (1, 3), (1, 1), (3, 2)],
+            "src long, dst long",
+        )
+        got = {
+            (r["u"], r["v"]): r["support"]
+            for r in truss_support(edges).collect()
+        }
+        assert got == {(1, 2): 1, (2, 3): 1, (1, 3): 1}
+
+    def test_k_truss_peels_cascade(self, spark):
+        """K4 on {1,2,3,4} plus a triangle (4,5,6) hanging off node 4:
+        in the 4-truss (support >= 2) the K4 survives but the hanging
+        triangle's edges have support 1 and peel — including the
+        cascade where removing (4,5)/(4,6)/(5,6) happens in one round
+        here, and the K4's supports remain 2 after peeling."""
+        from gpq_spark.pipeline.graph import k_truss
+
+        k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+        edges = spark.createDataFrame(
+            k4 + [(4, 5), (4, 6), (5, 6)], "src long, dst long"
+        )
+        got = {
+            (r["u"], r["v"]): r["support"]
+            for r in k_truss(edges, k=4).collect()
+        }
+        assert got == {(u, v): 2 for (u, v) in k4}
+
+    def test_k_truss_chain_cascade_multiround(self, spark):
+        """Two triangles sharing edge (2,3) — a 4-truss peel needs TWO
+        rounds: round 1 removes the four support-1 outer edges, which
+        drops (2,3)'s support from 2 to 0, so round 2 removes it too.
+        The 4-truss is empty."""
+        from gpq_spark.pipeline.graph import k_truss
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)],
+            "src long, dst long",
+        )
+        assert k_truss(edges, k=4).count() == 0
+
+    def test_link_prediction_known_scores(self, spark):
+        """Path graph 1-2-3 plus edge 2-4: non-adjacent pairs through
+        witness 2 (deg 3) are (1,3), (1,4), (3,4), each with common=1,
+        ra_e6 = 1000000 div 3 = 333333, jaccard = 1/(deg_u+deg_v-1)."""
+        from gpq_spark.pipeline.graph import link_prediction
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (2, 4)], "src long, dst long"
+        )
+        got = {
+            (r["u"], r["v"]): (r["common"], r["jaccard_e6"], r["ra_e6"])
+            for r in link_prediction(edges).collect()
+        }
+        assert got == {
+            (1, 3): (1, 1000000, 333333),
+            (1, 4): (1, 1000000, 333333),
+            (3, 4): (1, 1000000, 333333),
+        }
+
+    def test_link_prediction_excludes_existing_edges(self, spark):
+        """Triangle (1,2,3): every pair is already adjacent, so no
+        candidates."""
+        from gpq_spark.pipeline.graph import link_prediction
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+        )
+        assert link_prediction(edges).count() == 0
+
+    def test_link_prediction_max_degree_drops_hub_witnesses(self, spark):
+        """Star hub 0 with leaves 1..4: every leaf pair's only witness
+        is the hub (deg 4); max_degree=3 excludes it, leaving no
+        candidates."""
+        from gpq_spark.pipeline.graph import link_prediction
+
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 5)], "src long, dst long"
+        )
+        assert link_prediction(edges).count() == 6  # C(4,2) pairs
+        assert link_prediction(edges, max_degree=3).count() == 0
+
+
+class TestClosureAndScc:
+    def test_transitive_closure_chain(self, spark):
+        """Directed chain 1→2→3→4: closure is all 6 forward pairs."""
+        from gpq_spark.pipeline.graph import transitive_closure
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+        got = {(r["s"], r["d"]) for r in transitive_closure(edges).collect()}
+        assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+    def test_transitive_closure_cycle_no_self_pairs(self, spark):
+        """3-cycle: every ordered pair except self-pairs."""
+        from gpq_spark.pipeline.graph import transitive_closure
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        )
+        got = {(r["s"], r["d"]) for r in transitive_closure(edges).collect()}
+        assert got == {(1, 2), (1, 3), (2, 1), (2, 3), (3, 1), (3, 2)}
+
+    def test_transitive_closure_doubling_covers_long_chain(self, spark):
+        """A 20-node chain needs 5 doubling rounds (2^5 = 32 >= 19);
+        closure has C(20,2) = 190 pairs."""
+        from gpq_spark.pipeline.graph import transitive_closure
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 20)], "src long, dst long"
+        )
+        assert transitive_closure(edges).count() == 190
+
+    def test_scc_two_cycles_and_bridge(self, spark):
+        """Cycles {1,2,3} and {4,5} joined by a one-way bridge 3→4:
+        two SCCs labeled by their minimum ids; the bridge does not
+        merge them."""
+        from gpq_spark.pipeline.graph import scc_labels
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4)],
+            "src long, dst long",
+        )
+        got = {r["node"]: r["scc_id"] for r in scc_labels(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+    def test_scc_dag_all_singletons(self, spark):
+        from gpq_spark.pipeline.graph import scc_labels
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+        )
+        got = {r["node"]: r["scc_id"] for r in scc_labels(edges).collect()}
+        assert got == {1: 1, 2: 2, 3: 3, 4: 4}
