@@ -661,3 +661,33 @@ def test_active_users_broadcasts_offsets(plans):
     # only exchanges shuffle the pre-reduced (day, user) frame
     p = plans("q_active_users_7d")
     assert "BroadcastExchange" in p
+
+
+def test_truss_support_equi_joins_only(plans):
+    """Edge-support enumeration is the oriented wedge/closure shape plus
+    one edge groupBy and one left equi-join — no cartesian, no Python.
+    (The single-row mean-threshold crossJoin plans as a broadcast
+    nested loop over ONE row, same as q_triangle_suppliers — benign,
+    so only the quadratic shapes are banned.)"""
+    p = plans("q_truss_support")
+    assert "CartesianProduct" not in p
+    assert "pythonUDF" not in p.lower()
+
+
+def test_link_prediction_witness_join_bounded(plans):
+    """Candidates come from ONE adjacency self-join keyed on the shared
+    witness plus one pair groupBy; existing edges leave via a left-anti
+    equi-join. All-pairs shapes must never appear (the one-row
+    threshold crossJoin's broadcast nested loop is benign)."""
+    p = plans("q_link_prediction")
+    assert "CartesianProduct" not in p
+    assert "pythonUDF" not in p.lower()
+
+
+def test_closure_nations_equi_joins_only(plans):
+    """Each doubling round is an equi-join of the pair set with itself;
+    the nation dims are broadcast; no quadratic join shape."""
+    p = plans("q_closure_nations")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "pythonUDF" not in p.lower()
