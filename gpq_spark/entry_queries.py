@@ -17316,3 +17316,111 @@ def q_scc_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _nation_trade_edges_spark(spark, sf_dir)
     return scc_labels(e, "s", "d")
+
+
+_HITS_SCALE = 10**12
+
+
+def _hits_iter_duck(i: int) -> str:
+    """One unrolled HITS iteration: auth update + rescale, then hub
+    update + rescale. The multiply is widened to HUGEINT before the
+    floor-divide, mirroring the engine's DECIMAL(38,0) widening."""
+    p = i - 1
+    return f"""rawA{i} AS MATERIALIZED (
+        SELECT e.d AS node, CAST(SUM(h.score) AS BIGINT) AS raw
+        FROM e JOIN hub{p} h ON h.node = e.s GROUP BY 1
+    ),
+    totA{i} AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM rawA{i}),
+    auth{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(COALESCE(
+                   CASE WHEN t.tot > 0
+                        THEN CAST(CAST(r.raw AS HUGEINT) * {_HITS_SCALE}
+                                  // t.tot AS BIGINT)
+                        ELSE 0 END, 0) AS BIGINT) AS score
+        FROM hnodes n CROSS JOIN totA{i} t
+        LEFT JOIN rawA{i} r ON r.node = n.node
+    ),
+    rawH{i} AS MATERIALIZED (
+        SELECT e.s AS node, CAST(SUM(a.score) AS BIGINT) AS raw
+        FROM e JOIN auth{i} a ON a.node = e.d GROUP BY 1
+    ),
+    totH{i} AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM rawH{i}),
+    hub{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(COALESCE(
+                   CASE WHEN t.tot > 0
+                        THEN CAST(CAST(r.raw AS HUGEINT) * {_HITS_SCALE}
+                                  // t.tot AS BIGINT)
+                        ELSE 0 END, 0) AS BIGINT) AS score
+        FROM hnodes n CROSS JOIN totH{i} t
+        LEFT JOIN rawH{i} r ON r.node = n.node
+    )"""
+
+
+@register(
+    "q_hits_suppliers",
+    f"""
+    WITH raw0 AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS d
+        FROM lineitem
+    ),
+    e AS (SELECT s, d FROM raw0 WHERE s <> d),
+    hnodes AS (
+        SELECT DISTINCT s AS node FROM e
+        UNION SELECT DISTINCT d FROM e
+    ),
+    hub0 AS (
+        SELECT node, CAST({_HITS_SCALE} AS BIGINT) AS score FROM hnodes
+    ),
+    {_hits_iter_duck(1)},
+    {_hits_iter_duck(2)},
+    {_hits_iter_duck(3)},
+    final AS (
+        SELECT h.node, h.score AS hub, a.score AS auth
+        FROM hub3 h JOIN auth3 a ON a.node = h.node
+    )
+    SELECT role, node, score FROM (
+        SELECT 'hub' AS role, node, hub AS score,
+               row_number() OVER (ORDER BY hub DESC, node) AS rn
+        FROM final
+    ) WHERE rn <= 10
+    UNION ALL
+    SELECT role, node, score FROM (
+        SELECT 'auth' AS role, node, auth AS score,
+               row_number() OVER (ORDER BY auth DESC, node) AS rn
+        FROM final
+    ) WHERE rn <= 10
+    """,
+)
+def q_hits_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the directed supplier→part shipping graph: suppliers
+    are hubs (they point at many parts), parts are authorities (many
+    suppliers point at them) — the bipartite prestige decomposition
+    PageRank's single score conflates. 3 iterations of exact integer
+    mutual reinforcement, each vector L1-rescaled to 1e12 via
+    widened-multiply floor division so both engines match bit-for-bit.
+    Output: top-10 hubs and top-10 authorities with full tie-break."""
+    from .pipeline.graph import hits
+
+    li = load(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("l_partkey") + 1000000).alias("d"),
+    ).distinct()
+    scores = hits(e, "s", "d", iterations=3, scale=_HITS_SCALE)
+    wh = Window.orderBy(F.desc("hub"), F.asc("node"))
+    wa = Window.orderBy(F.desc("auth"), F.asc("node"))
+    hubs = (
+        scores.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") <= 10)
+        .select(F.lit("hub").alias("role"), "node", F.col("hub").alias("score"))
+    )
+    auths = (
+        scores.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.lit("auth").alias("role"), "node", F.col("auth").alias("score")
+        )
+    )
+    return hubs.unionAll(auths)

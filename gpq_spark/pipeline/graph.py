@@ -932,3 +932,88 @@ def scc_labels(
             .alias("scc_id")
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a DIRECTED graph in exact integer
+    arithmetic: auth(d) = Σ hub(s) over in-edges, hub(s) = Σ auth(d)
+    over out-edges, each vector rescaled after its update to sum ~= 
+    ``scale`` via x·scale div Σx — the integer analogue of L1
+    normalization, so both engines produce bit-identical scores (the
+    float power-iteration's reduction-order sensitivity never enters).
+    Nodes with no in-edges get auth 0; no out-edges, hub 0.
+
+    Scale shape: each half-iteration is one equi-join of the edge set
+    with a (node, score) frame plus one groupBy — the same
+    message-passing cost as PageRank; the rescale is a single-row
+    aggregate broadcast back. Overflow bound: in_deg(max) · scale must
+    stay below 2^63 (scale 1e12 → max degree ~9·10^6); callers with
+    hub-ier graphs pass a smaller scale.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("score"))
+    auth = None
+    for _ in range(iterations):
+        raw_a = (
+            e.join(hub.select(F.col("node").alias("s"), "score"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("score").cast("long").alias("raw"))
+        )
+        auth = _rescale_scores(nodes, raw_a, scale).localCheckpoint()
+        raw_h = (
+            e.join(auth.select(F.col("node").alias("d"), "score"), "d")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("score").cast("long").alias("raw"))
+        )
+        hub = _rescale_scores(nodes, raw_h, scale).localCheckpoint()
+    return (
+        nodes.join(hub.withColumnRenamed("score", "hub"), "node", "left")
+        .join(auth.withColumnRenamed("score", "auth"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+        )
+    )
+
+
+def _rescale_scores(nodes: DataFrame, raw: DataFrame, scale: int) -> DataFrame:
+    """(node, raw) -> (node, score) with score = raw·scale div Σraw,
+    zero-filled over the full node set; Σraw = 0 (edgeless graph)
+    yields all-zero scores rather than a division error. The multiply
+    is widened to DECIMAL(38,0) before the floor-divide (raw·scale can
+    reach scale²·max_outdeg, far past int64); the result is ≤ scale,
+    so the final BIGINT cast is always safe. DuckDB mirrors this with
+    HUGEINT — identical exact floor division."""
+    tot = raw.agg(F.sum("raw").cast("long").alias("tot"))
+    scored = raw.crossJoin(F.broadcast(tot)).select(
+        "node",
+        F.when(
+            F.col("tot") > 0,
+            F.expr(
+                f"CAST(CAST(raw AS DECIMAL(38,0)) * {scale} div tot AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("score"),
+    )
+    return nodes.join(scored, "node", "left").select(
+        "node", F.coalesce("score", F.lit(0)).cast("long").alias("score")
+    )

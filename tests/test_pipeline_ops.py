@@ -3294,3 +3294,60 @@ class TestClosureAndScc:
         )
         got = {r["node"]: r["scc_id"] for r in scc_labels(edges).collect()}
         assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+class TestHits:
+    @staticmethod
+    def _ref_hits(edges, iterations=3, scale=10**12):
+        """Plain-int reference of the same spec: update, then L1
+        rescale via floor division."""
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        hub = {n: scale for n in nodes}
+        auth = {n: 0 for n in nodes}
+        for _ in range(iterations):
+            raw_a = {n: 0 for n in nodes}
+            for u, v in edges:
+                raw_a[v] += hub[u]
+            tot = sum(raw_a.values())
+            auth = {
+                n: (raw_a[n] * scale // tot if tot else 0) for n in nodes
+            }
+            raw_h = {n: 0 for n in nodes}
+            for u, v in edges:
+                raw_h[u] += auth[v]
+            tot = sum(raw_h.values())
+            hub = {
+                n: (raw_h[n] * scale // tot if tot else 0) for n in nodes
+            }
+        return {n: (hub[n], auth[n]) for n in nodes}
+
+    def test_bipartite_known_graph(self, spark):
+        """Suppliers 1,2 -> parts 11,12: supplier 1 ships both parts so
+        it is the stronger hub; part 11 has both suppliers so it is the
+        stronger authority. Exact integer parity with the plain-int
+        reference."""
+        from gpq_spark.pipeline.graph import hits
+
+        e = [(1, 11), (1, 12), (2, 11)]
+        edges = spark.createDataFrame(e, "src long, dst long")
+        got = {
+            r["node"]: (r["hub"], r["auth"])
+            for r in hits(edges, iterations=3).collect()
+        }
+        assert got == self._ref_hits(e)
+        assert got[1][0] > got[2][0]       # supplier 1 hub-dominates
+        assert got[11][1] > got[12][1]     # part 11 auth-dominates
+        assert got[11][0] == 0 and got[1][1] == 0  # bipartite zeros
+
+    def test_cycle_symmetry(self, spark):
+        """A directed 3-cycle is vertex-transitive: every node gets the
+        identical hub and auth score."""
+        from gpq_spark.pipeline.graph import hits
+
+        e = [(1, 2), (2, 3), (3, 1)]
+        edges = spark.createDataFrame(e, "src long, dst long")
+        rows = hits(edges, iterations=2).collect()
+        assert len({(r["hub"], r["auth"]) for r in rows}) == 1
+        assert rows[0]["hub"] > 0
+        assert {r["node"]: (r["hub"], r["auth"]) for r in rows} == \
+            self._ref_hits(e, iterations=2)
