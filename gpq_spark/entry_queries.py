@@ -17424,3 +17424,163 @@ def q_hits_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hubs.unionAll(auths)
+
+
+def _ewma_terms(prefix: str) -> str:
+    """Σ_{i=0..11} 3^i · 4^(11-i) · lag_i(v): the α=1/4 EWMA recursion
+    e_t = (v_t + 3·e_{t-1})/4 unrolled to 12 present-day lags and
+    scaled by 4^12 so it stays in exact integers."""
+    return " + ".join(
+        f"{3**i * 4**(11 - i)} * COALESCE({prefix}lag{i}, 0)"
+        for i in range(12)
+    )
+
+
+@register(
+    "q_ewma_revenue",
+    f"""
+    WITH daily AS (
+        SELECT l_suppkey AS supp, l_shipdate AS day,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT supp, day,
+               {', '.join(f'lag(v, {i}) OVER w AS lag{i}' for i in range(12))},
+               row_number() OVER (PARTITION BY supp ORDER BY day DESC)
+                   AS rn_last
+        FROM daily
+        WINDOW w AS (PARTITION BY supp ORDER BY day)
+    ),
+    final AS (
+        SELECT supp, CAST(day AS VARCHAR) AS day,
+               CAST(({_ewma_terms('')}) // 16777216 AS BIGINT)
+                   AS ewma_cents
+        FROM lagged WHERE rn_last = 1
+    )
+    SELECT supp, day, ewma_cents FROM (
+        SELECT *, row_number() OVER (ORDER BY ewma_cents DESC, supp) AS rn
+        FROM final
+    ) WHERE rn <= 20
+    """,
+)
+def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of per-supplier daily
+    revenue (α = 1/4) at each supplier's LATEST shipping day, top-20.
+    The recursion is unrolled to the 12 most recent present days
+    (trading-day semantics — gaps don't decay) with integer weights
+    3^i·4^(11-i) and one floor-divide by 4^12, so the result is exact
+    on any engine: no float accumulation, no reduction-order
+    sensitivity. Truncation error vs the infinite recursion is
+    < (3/4)^12 ≈ 3% of the oldest mass, documented rather than hidden.
+
+    Scale: one groupBy to daily grain, one window per supplier
+    partition (12 lag expressions, single sort), one global top-20 —
+    no joins, no Python."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("supp"), F.col("l_shipdate").alias("day")
+    ).agg(F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("v"))
+    w = Window.partitionBy("supp").orderBy("day")
+    wd = Window.partitionBy("supp").orderBy(F.desc("day"))
+    lagged = daily.select(
+        "supp",
+        "day",
+        *[F.lag("v", i).over(w).alias(f"lag{i}") for i in range(12)],
+        F.row_number().over(wd).alias("rn_last"),
+    ).filter(F.col("rn_last") == 1)
+    final = lagged.select(
+        "supp",
+        F.col("day").cast("string").alias("day"),
+        F.expr(f"CAST(({_ewma_terms('')}) div 16777216 AS BIGINT)").alias(
+            "ewma_cents"
+        ),
+    )
+    wtop = Window.orderBy(F.desc("ewma_cents"), F.asc("supp"))
+    return (
+        final.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 20)
+        .select("supp", "day", "ewma_cents")
+    )
+
+
+@register(
+    "q_interval_overlap",
+    """
+    WITH li AS (
+        SELECT l.l_orderkey AS lkey, l.l_linenumber AS lline,
+               l.l_shipdate AS ls,
+               l.l_shipdate
+                   + (1 + l.l_orderkey % 14) * INTERVAL 1 DAY AS le
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_shipdate <= TIMESTAMP '1995-07-07 23:59:59'
+          AND l.l_shipdate
+                  + (1 + l.l_orderkey % 14) * INTERVAL 1 DAY
+              >= TIMESTAMP '1995-01-01 00:00:00'
+    ),
+    ord AS (
+        SELECT o_orderkey AS okey, o_orderdate AS os,
+               o_orderdate + INTERVAL 7 DAY AS oe
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1995-06-30 23:59:59'
+    )
+    SELECT o.okey, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM ord o JOIN li l ON l.ls <= o.oe AND o.os <= l.le
+    GROUP BY 1
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join: urgent H1-1995 order windows
+    (orderdate + 7 days) against Brand#23 shipping windows (shipdate
+    .. shipdate + a deterministic 1-14 day transit synthesized from
+    the orderkey — the slimmed test schema has no receiptdate),
+    counting overlapping shipments per order.
+    The engine buckets BOTH interval sets into days and meets them in
+    a hash equi-join, deduping multi-bucket pairs by emitting each
+    pair only in its first shared bucket (relational.
+    interval_overlap_join) — the oracle states the same overlap as a
+    raw inequality join, fine at oracle scale, quadratic at engine
+    scale. Both sides carry scan-pushed date pre-filters bounding the
+    exploded bucket count."""
+    from .relational import interval_overlap_join
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    orders = load(spark, sf_dir, "orders")
+    le = "timestampadd(DAY, CAST(1 + l_orderkey % 14 AS INT), l_shipdate)"
+    left = (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+            ),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .filter(
+            (F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1995-07-07 23:59:59'"))
+            & (F.expr(le) >= F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'"))
+        )
+        .select(
+            F.col("l_orderkey").alias("lkey"),
+            F.col("l_linenumber").alias("lline"),
+            F.col("l_shipdate").alias("ls"),
+            F.expr(le).alias("le"),
+        )
+    )
+    right = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'"))
+        & (F.col("o_orderdate") <= F.expr("TIMESTAMP_NTZ '1995-06-30 23:59:59'"))
+    ).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").alias("os"),
+        F.expr("timestampadd(DAY, 7, o_orderdate)").alias("oe"),
+    )
+    pairs = interval_overlap_join(
+        left, right, "ls", "le", "os", "oe", bucket_seconds=7 * 86400
+    )
+    return pairs.groupBy("okey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps")
+    )

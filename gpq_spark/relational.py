@@ -444,3 +444,57 @@ def linear_attribution(
             .alias("credit_e6"),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    keys: list[tuple[str, str]] | None = None,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join (closed intervals:
+    ``l.start <= r.end AND r.start <= l.end``) as an equi-join —
+    the two-sided sibling of ``range_join_bucketed``. A raw pairwise
+    overlap predicate plans as a broadcast-nested-loop; here BOTH
+    sides explode into the time buckets they cover and meet in a
+    plain hash join on (bucket [, keys...]).
+
+    A pair of intervals can share many buckets; instead of a distinct
+    (an extra shuffle over the full pair set), each pair is emitted
+    only in its FIRST shared bucket — ``bucket ==
+    greatest(first_bucket(l), first_bucket(r))`` — the standard
+    spatial-join dedup: that bucket exists whenever the intervals
+    overlap, and the predicate is droppable map-side. Cost is
+    O((n + m) × avg_buckets_per_interval); pick ``bucket_seconds`` ≈
+    median interval length. Malformed intervals (end < start) are
+    dropped on both sides rather than silently exploding backwards.
+    """
+    bucket_us = bucket_seconds * 1_000_000
+
+    def _buckets(df: DataFrame, start: str, end: str, tag: str) -> DataFrame:
+        b0 = F.floor(epoch_micros(df, start) / bucket_us).cast("long")
+        b1 = F.floor(epoch_micros(df, end) / bucket_us).cast("long")
+        return (
+            df.filter(F.col(end) >= F.col(start))
+            .withColumn(f"__b0_{tag}", b0)
+            .withColumn(f"__bucket_{tag}", F.explode(F.sequence(b0, b1)))
+        )
+
+    lb = _buckets(left, left_start, left_end, "l")
+    rb = _buckets(right, right_start, right_end, "r")
+    cond = lb["__bucket_l"] == rb["__bucket_r"]
+    for lk, rk in keys or []:
+        cond = cond & (lb[lk] == rb[rk])
+    joined = lb.join(rb, cond)
+    return (
+        joined.filter(
+            (F.col("__bucket_l") == F.greatest("__b0_l", "__b0_r"))
+            & (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+        )
+        .drop("__bucket_l", "__bucket_r", "__b0_l", "__b0_r")
+    )

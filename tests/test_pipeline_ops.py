@@ -3351,3 +3351,87 @@ class TestHits:
         assert rows[0]["hub"] > 0
         assert {r["node"]: (r["hub"], r["auth"]) for r in rows} == \
             self._ref_hits(e, iterations=2)
+
+
+class TestIntervalOverlapJoin:
+    def _mk(self, spark, rows, prefix):
+        return spark.createDataFrame(
+            [(i, s, e) for i, (s, e) in enumerate(rows)],
+            f"{prefix}_id int, {prefix}_s string, {prefix}_e string",
+        ).selectExpr(
+            f"{prefix}_id",
+            f"CAST({prefix}_s AS TIMESTAMP_NTZ) AS {prefix}_s",
+            f"CAST({prefix}_e AS TIMESTAMP_NTZ) AS {prefix}_e",
+        )
+
+    def test_overlap_pairs_exact_and_deduped(self, spark):
+        """Left interval spans 10 days (many buckets with 1-day
+        buckets); it must pair with each overlapping right interval
+        exactly ONCE despite sharing several buckets."""
+        from gpq_spark.relational import interval_overlap_join
+
+        left = self._mk(
+            spark,
+            [("2024-01-01", "2024-01-10"), ("2024-02-01", "2024-02-02")],
+            "l",
+        )
+        right = self._mk(
+            spark,
+            [
+                ("2024-01-05", "2024-01-20"),  # overlaps l0
+                ("2024-01-10", "2024-01-11"),  # touches l0's end day
+                ("2024-01-11", "2024-01-12"),  # just past l0
+                ("2024-02-02", "2024-02-03"),  # touches l1's end
+            ],
+            "r",
+        )
+        got = sorted(
+            (r["l_id"], r["r_id"])
+            for r in interval_overlap_join(
+                left, right, "l_s", "l_e", "r_s", "r_e",
+                bucket_seconds=86400,
+            ).collect()
+        )
+        assert got == [(0, 0), (0, 1), (1, 3)]
+
+    def test_keys_restrict_pairs(self, spark):
+        from gpq_spark.relational import interval_overlap_join
+
+        left = self._mk(
+            spark, [("2024-01-01", "2024-01-05")], "l"
+        ).withColumn("lu", F.lit(1))
+        right = self._mk(
+            spark,
+            [("2024-01-02", "2024-01-03"), ("2024-01-02", "2024-01-03")],
+            "r",
+        ).withColumn("ru", F.col("r_id"))  # user 0 and 1
+        got = interval_overlap_join(
+            left, right, "l_s", "l_e", "r_s", "r_e",
+            keys=[("lu", "ru")], bucket_seconds=86400,
+        ).collect()
+        assert [(r["l_id"], r["r_id"]) for r in got] == [(0, 1)]
+
+    def test_malformed_intervals_dropped(self, spark):
+        from gpq_spark.relational import interval_overlap_join
+
+        left = self._mk(spark, [("2024-01-05", "2024-01-01")], "l")
+        right = self._mk(spark, [("2024-01-01", "2024-01-09")], "r")
+        assert (
+            interval_overlap_join(
+                left, right, "l_s", "l_e", "r_s", "r_e"
+            ).count()
+            == 0
+        )
+
+    def test_wide_buckets_single_bucket_pair(self, spark):
+        """With buckets wider than every interval, pairs meet in one
+        bucket and the first-shared-bucket predicate keeps them."""
+        from gpq_spark.relational import interval_overlap_join
+
+        left = self._mk(spark, [("2024-01-01", "2024-01-02")], "l")
+        right = self._mk(spark, [("2024-01-02", "2024-01-03")], "r")
+        got = interval_overlap_join(
+            left, right, "l_s", "l_e", "r_s", "r_e",
+            bucket_seconds=30 * 86400,
+        ).collect()
+        assert [(r["l_id"], r["r_id"]) for r in got] == [(0, 0)]

@@ -691,3 +691,12 @@ def test_closure_nations_equi_joins_only(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
     assert "pythonUDF" not in p.lower()
+
+
+def test_interval_overlap_is_hash_equi_join(plans):
+    """Both interval sets meet in a hash join on the day bucket; the
+    raw pairwise overlap predicate (BNLJ/cartesian) must never plan."""
+    p = plans("q_interval_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "pythonUDF" not in p.lower()
