@@ -17584,3 +17584,67 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("okey").agg(
         F.count(F.lit(1)).cast("long").alias("n_overlaps")
     )
+
+
+def _bpe_oracle(rounds: int = 3) -> str:
+    """Unrolled BPE merge training: per round, count adjacent symbol
+    pairs by indexing the split symbol list, pick the (count desc,
+    pair asc) argmax, and apply it with the same literal '|x||y|' ->
+    '|xy|' replace the engine uses (per-symbol delimiter wrapping =
+    canonical greedy BPE, see pipeline.text.bpe_merges)."""
+    parts = [
+        """d0 AS MATERIALIZED (
+        SELECT regexp_replace(
+            replace(regexp_replace(substring(lower(text), 1, 200),
+                                   '[^a-z ]', '', 'g'), ' ', '_'),
+            '(.)', '|\\1|', 'g') AS sym
+        FROM documents
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+        SELECT l[i] AS x, l[i + 1] AS y, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT list_filter(string_split(sym, '|'), s -> s <> '') AS l
+              FROM d{p}),
+             UNNEST(range(1, len(l))) AS t(i)
+        GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+        SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x, y LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT replace(sym, '|' || b.x || '||' || b.y || '|',
+                       '|' || b.x || b.y || '|') AS sym
+        FROM d{p} CROSS JOIN b{i} b
+    )"""
+        )
+    tail = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, x, y, cnt FROM b{i}"
+        for i in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + tail
+
+
+@register("text_bpe_merges", _bpe_oracle())
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 3 byte-pair-encoding merges learned over the document
+    corpus (lowercased, [a-z ]-only, first 200 chars, '_' for space) —
+    the tokenizer-training primitive every LLM data pipeline runs
+    before packing. Each round counts adjacent symbol pairs with one
+    explode + groupBy, takes the (count desc, pair asc) argmax as a
+    one-row driver scalar, and applies the merge corpus-wide as a
+    literal delimiter-string replace whose greedy left-to-right
+    semantics both engines share exactly."""
+    from .pipeline.text import bpe_merges
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_merges(docs, "text", rounds=3, max_chars=200)
+    return spark.createDataFrame(
+        merges, "rank long, x string, y string, cnt long"
+    )

@@ -612,3 +612,71 @@ def hashed_features(
         )
         .filter("weight <> 0")
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+    max_chars: int = 200,
+) -> list[tuple[int, str, str, int]]:
+    """Learn the first ``rounds`` byte-pair-encoding merges over a
+    corpus — the tokenizer-training primitive — entirely with JVM
+    string expressions. Returns [(rank, x, y, count), ...]: at each
+    round the most frequent ADJACENT symbol pair (count desc, then
+    lexicographic pair — a total tie-break) is merged corpus-wide and
+    counting repeats on the merged text.
+
+    Representation: text is normalized (lowercase, [a-z ] only, first
+    ``max_chars`` chars, spaces as '_') with every symbol wrapped in
+    its OWN delimiter pair — ``|s1||s2||s3|`` — so a merge of (x, y)
+    is one literal ``replace('|x||y|' -> '|xy|')``: each symbol's
+    boundaries are fully inside the pattern (no prefix of a longer
+    symbol can match), the replacement restores the invariant, and the
+    left-to-right non-overlapping semantics IS canonical greedy BPE
+    ('aaaa' -> ('aa','aa'), 'aaa' -> ('aa','a')) — identical in every
+    engine. Pair counts come from exploding adjacent slices of the
+    split symbol array — one groupBy shuffle per round.
+
+    Scale: each round is one full-corpus map (split + zip) plus a
+    groupBy on pair keys whose cardinality is at most vocab²
+    (bounded, symbols grow only by merging); the argmax is a driver
+    scalar (ONE row), the same bounded-collect pattern as the k-core
+    threshold. Rounds are sequential by nature of the algorithm.
+    """
+    clean = F.expr(
+        f"replace(regexp_replace(substring(lower({text_col}), 1, {max_chars}),"
+        " '[^a-z ]', ''), ' ', '_')"
+    )
+    cur = docs.select(
+        F.regexp_replace(clean, "(.)", "|$1|").alias("sym")
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        arr = F.expr("filter(split(sym, '\\\\|'), x -> x <> '')")
+        pairs = (
+            cur.select(arr.alias("a"))
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(a, 1, size(a) - 1)").alias("x"),
+                        F.expr("slice(a, 2, size(a) - 1)").alias("y"),
+                    )
+                ).alias("p")
+            )
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.desc("cnt"), F.asc("x"), F.asc("y")
+        ).first()
+        if best is None:
+            break
+        x, y, cnt = best["x"], best["y"], int(best["cnt"])
+        merges.append((r, x, y, cnt))
+        cur = cur.select(
+            F.expr(
+                "replace(sym, '|" + x + "||" + y + "|', '|" + x + y + "|')"
+            ).alias("sym")
+        ).localCheckpoint()
+    return merges

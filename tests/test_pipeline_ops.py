@@ -3435,3 +3435,48 @@ class TestIntervalOverlapJoin:
             bucket_seconds=30 * 86400,
         ).collect()
         assert [(r["l_id"], r["r_id"]) for r in got] == [(0, 0)]
+
+
+class TestBpeMerges:
+    def test_known_corpus(self, spark):
+        """Corpus 'aaab' ×2 + 'ab': round 1 counts (a,a)=4, (a,b)=3 →
+        merge (a,a) giving 'aa|a|b','aa|a|b','a|b'; round 2 counts
+        (aa,a)=2, (a,b)=3 → merge (a,b); round 3: (aa,ab)=2 wins over
+        nothing else tied."""
+        from gpq_spark.pipeline.text import bpe_merges
+
+        docs = spark.createDataFrame(
+            [("aaab",), ("aaab",), ("ab",)], "text string"
+        )
+        got = bpe_merges(docs, "text", rounds=3)
+        assert got[0] == (1, "a", "a", 4)
+        assert got[1] == (2, "a", "b", 3)
+        assert got[2] == (3, "aa", "ab", 2)
+
+    def test_greedy_left_to_right_on_runs(self, spark):
+        """'aaaa': (a,a) counted 3 times adjacent; after merging, greedy
+        non-overlapping application yields 'aa|aa', so round 2's top
+        pair is (aa,aa)."""
+        from gpq_spark.pipeline.text import bpe_merges
+
+        docs = spark.createDataFrame([("aaaa",)], "text string")
+        got = bpe_merges(docs, "text", rounds=2)
+        assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+
+    def test_normalization_and_space_symbol(self, spark):
+        """Punctuation/digits are stripped, case folded, spaces become
+        '_': 'A b! A b?' → 'a_b_a_b' (trailing space stripped by the
+        regex cleanup), so (_,a) and more frequent pairs dominate."""
+        from gpq_spark.pipeline.text import bpe_merges
+
+        docs = spark.createDataFrame([("A b! A b?",)], "text string")
+        got = bpe_merges(docs, "text", rounds=1)
+        # 'a_b_a_b': pairs (a,_)x2, (_,b)x2, (b,_)x1 → tie between
+        # (_,b) and (a,_) broken lexicographically: '_' < 'a'
+        assert got == [(1, "_", "b", 2)]
+
+    def test_empty_corpus(self, spark):
+        from gpq_spark.pipeline.text import bpe_merges
+
+        docs = spark.createDataFrame([], "text string")
+        assert bpe_merges(docs, "text", rounds=2) == []
