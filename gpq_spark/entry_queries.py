@@ -17648,3 +17648,86 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank long, x string, y string, cnt long"
     )
+
+
+@register(
+    "q_hash_walks",
+    f"""
+    WITH {_COSOURCE_EDGE_CTES},
+    sym AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+    adjr AS (
+        SELECT s AS node, d AS nbr,
+               CAST(row_number() OVER (PARTITION BY s ORDER BY d)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY s) AS BIGINT) AS deg
+        FROM sym
+    ),
+    w0 AS (SELECT DISTINCT s AS walker, s AS node FROM sym
+           WHERE s % 10 = 0),
+    w1 AS (SELECT w.walker, a.nbr AS node FROM w0 w
+           JOIN adjr a ON a.node = w.node
+            AND a.rn = (w.node * 2654435761 + 1 * 40503) % a.deg + 1),
+    w2 AS (SELECT w.walker, a.nbr AS node FROM w1 w
+           JOIN adjr a ON a.node = w.node
+            AND a.rn = (w.node * 2654435761 + 2 * 40503) % a.deg + 1),
+    w3 AS (SELECT w.walker, a.nbr AS node FROM w2 w
+           JOIN adjr a ON a.node = w.node
+            AND a.rn = (w.node * 2654435761 + 3 * 40503) % a.deg + 1)
+    SELECT walker, CAST(0 AS BIGINT) AS step, node FROM w0
+    UNION ALL SELECT walker, CAST(1 AS BIGINT), node FROM w1
+    UNION ALL SELECT walker, CAST(2 AS BIGINT), node FROM w2
+    UNION ALL SELECT walker, CAST(3 AS BIGINT), node FROM w3
+    """,
+)
+def q_hash_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-step walks over the co-sourcing graph from every
+    10th supplier — the node2vec/DeepWalk corpus-sampling primitive
+    with the RNG replaced by exact integer arithmetic (next hop =
+    neighbor ranked (node·2654435761 + step·40503) mod degree), so the
+    walk corpus is reproducible across engines and cacheable. Each
+    step is one equi-join of the walker frontier against the ranked
+    adjacency table."""
+    from .pipeline.graph import hash_walks
+
+    e = _cosource_edges_spark(spark, sf_dir)
+    return hash_walks(e, "u", "v", steps=3, start_mod=10)
+
+
+def _bpe_tokenize_oracle(rounds: int = 3) -> str:
+    """Same unrolled merge learning as ``_bpe_oracle``, but the final
+    select re-applies the merges per document and counts symbols."""
+    learn = _bpe_oracle(rounds)
+    head, _tail = learn.rsplit("\n    SELECT CAST(1", 1)
+    apply_expr = (
+        "regexp_replace(replace(regexp_replace(substring(lower(text), 1, 200),"
+        " '[^a-z ]', '', 'g'), ' ', '_'), '(.)', '|\\1|', 'g')"
+    )
+    for i in range(1, rounds + 1):
+        apply_expr = (
+            f"replace({apply_expr}, '|' || b{i}.x || '||' || b{i}.y || '|',"
+            f" '|' || b{i}.x || b{i}.y || '|')"
+        )
+    crosses = " ".join(f"CROSS JOIN b{i}" for i in range(1, rounds + 1))
+    return (
+        head
+        + f"""
+    SELECT d.doc_id,
+           CAST(len(list_filter(string_split({apply_expr}, '|'),
+                                s -> s <> '')) AS BIGINT) AS n_tokens
+    FROM documents d {crosses}
+    """
+    )
+
+
+@register("text_bpe_tokenize", _bpe_tokenize_oracle())
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts after applying the 3 learned BPE
+    merges back to the corpus — the segmentation half of tokenizer
+    training and the token-budget signal sequence packing consumes.
+    The merge table is 3 driver-side literals; the application is one
+    map over the corpus (chained literal replaces + split/size), no
+    joins, no shuffle. Documents that normalize to empty count 0."""
+    from .pipeline.text import bpe_tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_tokenize(docs, "doc_id", "text", rounds=3, max_chars=200)

@@ -10,7 +10,7 @@ between runs or engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PAGERANK_SCALE = 10**12
@@ -1017,3 +1017,68 @@ def _rescale_scores(nodes: DataFrame, raw: DataFrame, scale: int) -> DataFrame:
     return nodes.join(scored, "node", "left").select(
         "node", F.coalesce("score", F.lit(0)).cast("long").alias("score")
     )
+
+
+def hash_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    steps: int = 3,
+    start_mod: int = 10,
+    mult: int = 2654435761,
+    step_mult: int = 40503,
+) -> DataFrame:
+    """Deterministic 'random' walks over an undirected graph — the
+    node2vec/DeepWalk sampling primitive made engine-exact: at step t
+    a walker at node u moves to the neighbor ranked
+    ``(u·mult + t·step_mult) mod deg(u)`` in sorted-neighbor order.
+    Pure integer arithmetic replaces the RNG, so walks are
+    reproducible across engines AND runs — the property a training
+    pipeline needs for cacheable walk corpora. One walker starts at
+    every node with ``node % start_mod == 0``. Output:
+    (walker, step, node), steps 0..``steps``.
+
+    Scale: the neighbor table carries (rank, degree) from one window
+    over the adjacency list; each step is ONE equi-join of the walker
+    frontier with it (rank selected by the arithmetic above) — no
+    per-walker Python, no RNG state, frontier size constant at the
+    number of walkers. Overflow bound: max node id · mult < 2^63
+    (node ids below ~3.4e9).
+    """
+    e = _canonical_edges(edges, src, dst)
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    w = Window.partitionBy("node").orderBy("nbr")
+    wd = Window.partitionBy("node")
+    adjr = adj.select(
+        "node",
+        "nbr",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("deg"),
+    ).localCheckpoint()
+    cur = (
+        adjr.select("node")
+        .distinct()
+        .filter(F.col("node") % start_mod == 0)
+        .select(F.col("node").alias("walker"), F.col("node"))
+    )
+    out = cur.select(
+        "walker", F.lit(0).cast("long").alias("step"), "node"
+    )
+    for t in range(1, steps + 1):
+        nxt = (
+            cur.join(adjr, "node")
+            .filter(
+                F.col("rn")
+                == (F.col("node") * mult + t * step_mult) % F.col("deg") + 1
+            )
+            .select("walker", F.col("nbr").alias("node"))
+        )
+        out = out.unionByName(
+            nxt.select(
+                "walker", F.lit(t).cast("long").alias("step"), "node"
+            )
+        )
+        cur = nxt
+    return out

@@ -659,8 +659,12 @@ def bpe_merges(
             .select(
                 F.explode(
                     F.arrays_zip(
-                        F.expr("slice(a, 1, size(a) - 1)").alias("x"),
-                        F.expr("slice(a, 2, size(a) - 1)").alias("y"),
+                        F.expr("slice(a, 1, greatest(size(a) - 1, 0))").alias(
+                            "x"
+                        ),
+                        F.expr("slice(a, 2, greatest(size(a) - 1, 0))").alias(
+                            "y"
+                        ),
                     )
                 ).alias("p")
             )
@@ -680,3 +684,41 @@ def bpe_merges(
             ).alias("sym")
         ).localCheckpoint()
     return merges
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = 3,
+    max_chars: int = 200,
+) -> DataFrame:
+    """Apply ``rounds`` learned BPE merges back to the corpus and count
+    tokens per document — the segmentation half of tokenizer training,
+    and the token-budget signal a packing pipeline consumes. Learns
+    the merges with :func:`bpe_merges` (same normalization), applies
+    them as the same sequence of literal delimiter replaces, and
+    returns (doc_col, n_tokens) with n_tokens the post-merge symbol
+    count (0 for text that normalizes to empty).
+
+    Scale: the merge list is ``rounds`` driver-side literals; the
+    application is a single map over the corpus (``rounds`` chained
+    replaces + one split/filter/size) — no joins, no shuffle."""
+    merges = bpe_merges(docs, text_col, rounds=rounds, max_chars=max_chars)
+    clean = F.expr(
+        f"replace(regexp_replace(substring(lower({text_col}), 1, {max_chars}),"
+        " '[^a-z ]', ''), ' ', '_')"
+    )
+    sym = "regexp_replace(__clean, '(.)', '|$1|')"
+    expr = sym
+    for _, x, y, _cnt in merges:
+        expr = f"replace({expr}, '|{x}||{y}|', '|{x}{y}|')"
+    return docs.select(
+        F.col(doc_col), clean.alias("__clean")
+    ).select(
+        doc_col,
+        F.expr(
+            f"CAST(size(filter(split({expr}, '\\\\|'), s -> s <> ''))"
+            " AS BIGINT)"
+        ).alias("n_tokens"),
+    )

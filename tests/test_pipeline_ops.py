@@ -3480,3 +3480,75 @@ class TestBpeMerges:
 
         docs = spark.createDataFrame([], "text string")
         assert bpe_merges(docs, "text", rounds=2) == []
+
+
+class TestHashWalks:
+    def test_walk_follows_arithmetic(self, spark):
+        """Triangle 10-11-12 (start_mod 10 → one walker at node 10):
+        every hop is (node·2654435761 + t·40503) % 2 selecting among
+        the 2 sorted neighbors — verified against the same arithmetic
+        computed in plain Python."""
+        from gpq_spark.pipeline.graph import hash_walks
+
+        edges = [(10, 11), (11, 12), (10, 12)]
+        adj = {10: [11, 12], 11: [10, 12], 12: [10, 11]}
+        got = {
+            r["step"]: r["node"]
+            for r in hash_walks(
+                spark.createDataFrame(edges, "src long, dst long"),
+                steps=3,
+                start_mod=10,
+            ).collect()
+        }
+        node = 10
+        want = {0: 10}
+        for t in (1, 2, 3):
+            node = adj[node][(node * 2654435761 + t * 40503) % len(adj[node])]
+            want[t] = node
+        assert got == want
+
+    def test_one_walker_per_matching_node(self, spark):
+        """start_mod=1 starts a walker at EVERY node; each step keeps
+        exactly one row per walker (the frontier never forks)."""
+        from gpq_spark.pipeline.graph import hash_walks
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+        )
+        out = hash_walks(edges, steps=2, start_mod=1)
+        counts = (
+            out.groupBy("walker", "step").count().groupBy().max("count")
+        ).first()[0]
+        assert counts == 1
+        assert out.count() == 4 * 3  # 4 walkers × steps 0..2
+
+
+class TestBpeTokenize:
+    def test_counts_after_merges(self, spark):
+        """Corpus 'aaab','aaab','ab': merges are (a,a),(a,b),(aa,ab)
+        (see TestBpeMerges), after which 'aaab' is the single symbol
+        'aaab' and 'ab' the single symbol 'ab'."""
+        from gpq_spark.pipeline.text import bpe_tokenize
+
+        docs = spark.createDataFrame(
+            [(1, "aaab"), (2, "aaab"), (3, "ab")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["n_tokens"]
+            for r in bpe_tokenize(docs, rounds=3).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_empty_and_nonalpha_docs_count_zero(self, spark):
+        from gpq_spark.pipeline.text import bpe_tokenize
+
+        docs = spark.createDataFrame(
+            [(1, "abab"), (2, ""), (3, "123!?")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["n_tokens"]
+            for r in bpe_tokenize(docs, rounds=1).collect()
+        }
+        assert got[2] == 0 and got[3] == 0
+        # round 1 merges (a,b): 'abab' -> (ab, ab)
+        assert got[1] == 2
