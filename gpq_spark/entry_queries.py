@@ -17731,3 +17731,135 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bpe_tokenize(docs, "doc_id", "text", rounds=3, max_chars=200)
+
+
+_UHASH_R3_DUCK = (
+    "CAST('0x' || substr(md5('r3|' || CAST(doc_id AS VARCHAR)), 1, 12)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "sample_priority_docs",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE n_chars > 0
+    ORDER BY CAST(n_chars AS HUGEINT) * 281474976710656
+             // ({_UHASH_R3_DUCK} + 1) DESC,
+             doc_id
+    LIMIT 50
+    """,
+)
+def sample_priority_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50 weighted sample of documents by length — priority
+    sampling: priority = n_chars · 2^48 div (content_hash + 1), top-50
+    win. The cardinality-controlled counterpart of the Bernoulli
+    domain mixer: heavier docs are proportionally likelier, output
+    size is fixed, and the draw is a pure function of (seed, doc_id)
+    so engines and re-runs agree exactly. Plans as
+    TakeOrderedAndProject — partition-local top-k, no global sort."""
+    from .pipeline.sampling import priority_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return priority_sample(
+        docs, "n_chars", k=50, key_cols=["doc_id"], seed="r3"
+    ).select("doc_id", "lang", "n_chars")
+
+
+_NATION_TEMPORAL_CTES = """
+    tflows AS (
+        SELECT c.c_nationkey AS s, su.s_nationkey AS d,
+               CAST(year(o.o_orderdate) * 4 + quarter(o.o_orderdate)
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier su ON su.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> su.s_nationkey
+        GROUP BY 1, 2, 3
+    ),
+    ttot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_flows,
+               CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+        FROM tflows
+    ),
+    e AS (
+        SELECT s, d, t FROM tflows CROSS JOIN ttot
+        WHERE cnt * n_flows >= 2 * sum_cnt
+    )"""
+
+
+def _temporal_arrival_oracle(rounds: int = 4) -> str:
+    parts = [
+        _NATION_TEMPORAL_CTES.strip(),
+        """nodes AS (SELECT DISTINCT s AS node FROM e
+                 UNION SELECT DISTINCT d FROM e)""",
+        """arr0 AS MATERIALIZED (
+        SELECT node AS source, node, CAST(0 AS BIGINT) AS arrival
+        FROM nodes WHERE node % 5 = 0
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""arr{i} AS MATERIALIZED (
+        SELECT source, node, CAST(MIN(arrival) AS BIGINT) AS arrival
+        FROM (
+            SELECT source, node, arrival FROM arr{p}
+            UNION ALL
+            SELECT a.source, e.d AS node, e.t AS arrival
+            FROM arr{p} a JOIN e ON e.s = a.node AND e.t >= a.arrival
+        ) GROUP BY 1, 2
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT source, node, arrival FROM arr{rounds}"
+    )
+
+
+@register("q_temporal_reach", _temporal_arrival_oracle())
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival temporal reachability over the QUARTERLY nation
+    trade graph (heavy flows only, 2x-mean integer threshold): nation
+    v is reachable from landmark s only along paths whose trade
+    quarters never decrease — the time-respecting semantics static
+    closure gets wrong — and arrival is the earliest such final
+    quarter. Fixed 4 min-relaxation rounds on both engines (paths of
+    <= 4 edges), landmarks = every 5th nation. Output: (source, node,
+    arrival-quarter index)."""
+    from .pipeline.graph import temporal_earliest_arrival
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    flows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("s"),
+            F.col("s_nationkey").alias("d"),
+            F.expr(
+                "CAST(year(o_orderdate) * 4 + quarter(o_orderdate) AS BIGINT)"
+            ).alias("t"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ttot = flows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_flows"),
+        F.sum("cnt").cast("long").alias("sum_cnt"),
+    )
+    e = (
+        flows.crossJoin(F.broadcast(ttot))
+        .filter(F.col("cnt") * F.col("n_flows") >= 2 * F.col("sum_cnt"))
+        .select("s", "d", "t")
+    )
+    return temporal_earliest_arrival(e, "s", "d", "t", start_mod=5, rounds=4)

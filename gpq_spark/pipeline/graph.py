@@ -1082,3 +1082,64 @@ def hash_walks(
         )
         cur = nxt
     return out
+
+
+def temporal_earliest_arrival(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ts: str = "ts",
+    start_mod: int = 5,
+    rounds: int = 4,
+) -> DataFrame:
+    """Earliest-arrival TEMPORAL reachability over a directed graph
+    whose edges carry integer timestamps: node v is reachable from
+    source s only along paths whose edge times never decrease, and
+    arrival(s, v) is the minimum final edge time over such paths —
+    the temporal-graph primitive static closure gets wrong (a path
+    through an edge that happened BEFORE you arrived is not a path).
+    One source starts at every node with ``node % start_mod == 0``,
+    with arrival 0 (before all timestamps, assumed positive).
+
+    Runs a FIXED number of min-relaxation rounds (round i covers
+    time-respecting paths of ≤ i edges), matching the unrolled oracle
+    exactly regardless of convergence; each round is one equi-join of
+    the arrival frame with the edge list (time constraint as a
+    residual filter) plus a min-groupBy. The arrival frame is
+    O(sources × reachable) — landmarks, not all-pairs, is the scale
+    shape. Output: (source, node, arrival).
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("s"),
+            F.col(dst).alias("d"),
+            F.col(ts).cast("long").alias("t"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    arr = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct()
+        .filter(F.col("node") % start_mod == 0)
+        .select(
+            F.col("node").alias("source"),
+            F.col("node"),
+            F.lit(0).cast("long").alias("arrival"),
+        )
+    )
+    for _ in range(rounds):
+        hop = (
+            arr.join(e, arr["node"] == e["s"])
+            .filter(F.col("t") >= F.col("arrival"))
+            .select("source", F.col("d").alias("node"), F.col("t").alias("arrival"))
+        )
+        arr = (
+            arr.unionByName(hop)
+            .groupBy("source", "node")
+            .agg(F.min("arrival").cast("long").alias("arrival"))
+            .localCheckpoint()
+        )
+    return arr

@@ -513,3 +513,44 @@ def mmr_sample(
         return out
     finally:
         q.unpersist()
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_cols: list[str],
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of exactly
+    ``k`` rows — priority sampling: each row gets priority
+    ``w · 2^48 div (h + 1)`` (h = the same md5 content hash every
+    sampler here uses), and the k largest priorities win. This is the
+    cardinality-CONTROLLED counterpart of ``weighted_sample``'s
+    Bernoulli rates: heavier rows are proportionally likelier to make
+    the cut, re-runs and engines agree exactly, and the output size is
+    fixed — what a token-budgeted corpus draw actually needs.
+
+    The multiply is widened to DECIMAL(38,0) so arbitrary integer
+    weights cannot overflow; ties break on the key columns. Weights
+    must be positive integers (validated via filter: non-positive rows
+    simply never win, stated here rather than silently).
+
+    Scale: priorities are map-side expressions; orderBy + limit plans
+    as TakeOrderedAndProject — partition-local top-k then a driver
+    merge of partition heads, never a global sort.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = _uniform_hash(key_cols, seed)
+    prio = F.expr(
+        f"CAST({weight_col} AS DECIMAL(38,0)) * {_HASH_SPACE} div (__h + 1)"
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__h", h)
+        .withColumn("__prio", prio)
+        .orderBy(F.desc("__prio"), *[F.asc(c) for c in key_cols])
+        .limit(k)
+        .drop("__h", "__prio")
+    )

@@ -3552,3 +3552,87 @@ class TestBpeTokenize:
         assert got[2] == 0 and got[3] == 0
         # round 1 merges (a,b): 'abab' -> (ab, ab)
         assert got[1] == 2
+
+
+class TestPrioritySample:
+    def test_exactly_k_and_deterministic(self, spark):
+        from gpq_spark.pipeline.sampling import priority_sample
+
+        df = spark.createDataFrame(
+            [(i, (i % 7) + 1) for i in range(100)], "id long, w long"
+        )
+        a = sorted(r["id"] for r in priority_sample(df, "w", 10, ["id"]).collect())
+        b = sorted(r["id"] for r in priority_sample(df, "w", 10, ["id"]).collect())
+        assert len(a) == 10 and a == b
+
+    def test_weight_dominance(self, spark):
+        """A weight 2^48 times any competitor always wins: priority
+        w·2^48 div (h+1) with h < 2^48 means prio(heavy) >= 2^48·w_max
+        > prio(light)."""
+        from gpq_spark.pipeline.sampling import priority_sample
+
+        rows = [(i, 1) for i in range(50)] + [(999, 1 << 48)]
+        df = spark.createDataFrame(rows, "id long, w long")
+        got = priority_sample(df, "w", 1, ["id"]).collect()
+        assert [r["id"] for r in got] == [999]
+
+    def test_nonpositive_weights_never_win(self, spark):
+        from gpq_spark.pipeline.sampling import priority_sample
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, -5), (3, 7)], "id long, w long"
+        )
+        got = priority_sample(df, "w", 3, ["id"]).collect()
+        assert [r["id"] for r in got] == [3]
+
+    def test_k_validation(self, spark):
+        import pytest as _pytest
+
+        from gpq_spark.pipeline.sampling import priority_sample
+
+        df = spark.createDataFrame([(1, 1)], "id long, w long")
+        with _pytest.raises(ValueError, match="k must be positive"):
+            priority_sample(df, "w", 0, ["id"])
+
+
+class TestTemporalEarliestArrival:
+    def test_time_respecting_only(self, spark):
+        """Edges 10→2 at t=5 and 2→3 at t=3: static closure says 10
+        reaches 3, but the 2→3 trade happened BEFORE mass from 10
+        arrived at 2, so temporally 10 must NOT reach 3. Adding
+        2→3 at t=9 makes it reachable with arrival 9."""
+        from gpq_spark.pipeline.graph import temporal_earliest_arrival
+
+        e1 = spark.createDataFrame(
+            [(10, 2, 5), (2, 3, 3)], "src long, dst long, ts long"
+        )
+        got = {
+            (r["source"], r["node"]): r["arrival"]
+            for r in temporal_earliest_arrival(e1, start_mod=10).collect()
+        }
+        assert got == {(10, 10): 0, (10, 2): 5}
+
+        e2 = spark.createDataFrame(
+            [(10, 2, 5), (2, 3, 3), (2, 3, 9)],
+            "src long, dst long, ts long",
+        )
+        got2 = {
+            (r["source"], r["node"]): r["arrival"]
+            for r in temporal_earliest_arrival(e2, start_mod=10).collect()
+        }
+        assert got2 == {(10, 10): 0, (10, 2): 5, (10, 3): 9}
+
+    def test_earliest_among_alternatives(self, spark):
+        """Two time-respecting routes to node 4 (arrive t=7 via 2,
+        t=6 via 3): arrival is the minimum, 6."""
+        from gpq_spark.pipeline.graph import temporal_earliest_arrival
+
+        e = spark.createDataFrame(
+            [(10, 2, 1), (2, 4, 7), (10, 3, 2), (3, 4, 6)],
+            "src long, dst long, ts long",
+        )
+        got = {
+            r["node"]: r["arrival"]
+            for r in temporal_earliest_arrival(e, start_mod=10).collect()
+        }
+        assert got[4] == 6
