@@ -17863,3 +17863,86 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s", "d", "t")
     )
     return temporal_earliest_arrival(e, "s", "d", "t", start_mod=5, rounds=4)
+
+
+@register(
+    "pipeline_corpus_build",
+    r"""
+    WITH norm AS (
+        SELECT doc_id, text,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        FROM documents
+    ),
+    keep AS (SELECT h, MIN(doc_id) AS keep_id FROM norm GROUP BY 1),
+    kept AS (
+        SELECT n.doc_id, n.text FROM norm n
+        JOIN keep k ON k.h = n.h AND k.keep_id = n.doc_id
+    ),
+    qual AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS toks
+        FROM kept
+        WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5
+          AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   AS BIGINT) * 10
+              >= CAST(length(text) AS BIGINT) * 4
+    ),
+    packed AS (
+        SELECT doc_id % 4 AS shard, toks,
+               SUM(toks) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS end_off
+        FROM qual
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST((end_off - toks) // 256 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS tok_sum
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus construction in one declared pipeline — the
+    composition a training-data user actually runs: normalized exact
+    dedup (keep lowest doc_id per whitespace-collapsed lower hash) →
+    quality gate (≥5 whitespace tokens AND ≥40% alpha characters,
+    both as integer cross-multiplies) → token counting → concat-chunk
+    packing into 256-token bins across 4 shards → per-bin stats.
+    Every stage is the same operator the standalone queries exercise;
+    this query proves they compose into one Catalyst plan: one dedup
+    shuffle, one packing window shuffle, one final aggregate — no
+    materialization barriers between stages."""
+    from .pipeline.packing import pack_concat_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        "text",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("h"),
+    )
+    keep = norm.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    kept = norm.join(
+        keep,
+        (norm["h"] == keep["h"]) & (norm["doc_id"] == keep["keep_id"]),
+    ).select(norm["doc_id"], norm["text"])
+    toks = "size(split(trim(text), '\\\\s+'))"
+    alpha = "size(regexp_extract_all(text, '[A-Za-z]', 0))"
+    qual = kept.filter(
+        F.expr(f"{toks} >= 5")
+        & F.expr(f"CAST({alpha} AS BIGINT) * 10 >= CAST(length(text) AS BIGINT) * 4")
+    ).select(
+        "doc_id",
+        F.expr(toks).cast("long").alias("toks"),
+        (F.col("doc_id") % 4).cast("long").alias("shard"),
+    )
+    packed = pack_concat_chunks(
+        qual, "doc_id", "toks", budget=256, shard_cols=["shard"]
+    )
+    return packed.groupBy(
+        "shard", F.col("first_bin").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("tok_sum"),
+    )

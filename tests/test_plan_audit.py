@@ -700,3 +700,13 @@ def test_interval_overlap_is_hash_equi_join(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
     assert "pythonUDF" not in p.lower()
+
+
+def test_corpus_build_composes_without_barriers(plans):
+    """Dedup → quality gate → packing → aggregate must fuse into one
+    plan: no Python, no cartesian, and a bounded exchange count (dedup
+    groupBy + keep-join + packing window + final agg)."""
+    p = plans("pipeline_corpus_build")
+    assert "pythonUDF" not in p.lower()
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") <= 5
