@@ -17946,3 +17946,47 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("toks").cast("long").alias("tok_sum"),
     )
+
+
+@register(
+    "q_skyline_suppliers",
+    f"""
+    WITH sup AS (
+        SELECT l_suppkey AS supp,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS cost_cents,
+               CAST(1000000 - COUNT(DISTINCT l_partkey) AS BIGINT)
+                   AS neg_parts
+        FROM lineitem GROUP BY 1
+    )
+    SELECT s.supp, s.cost_cents, s.neg_parts
+    FROM sup s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sup o
+        WHERE o.cost_cents <= s.cost_cents
+          AND o.neg_parts <= s.neg_parts
+          AND (o.cost_cents < s.cost_cents OR o.neg_parts < s.neg_parts)
+    )
+    """,
+)
+def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier Pareto frontier: minimize total billed cost while
+    maximizing part-catalog breadth (encoded as 1e6 - distinct parts,
+    minimized) — the suppliers no other supplier beats on both axes.
+    The engine runs the two-phase distributed skyline
+    (relational.skyline_2d: bucket-staircase prune map-side, exact
+    RANGE-window pass on the tiny survivor set — no self-join); the
+    oracle is the textbook quadratic NOT EXISTS, fine at oracle scale."""
+    from .relational import skyline_2d
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = li.groupBy(F.col("l_suppkey").alias("supp")).agg(
+        F.sum(F.expr(cents("l_extendedprice")))
+        .cast("long")
+        .alias("cost_cents"),
+        (F.lit(1000000) - F.countDistinct("l_partkey"))
+        .cast("long")
+        .alias("neg_parts"),
+    )
+    return skyline_2d(sup, "cost_cents", "neg_parts").select(
+        "supp", "cost_cents", "neg_parts"
+    )

@@ -498,3 +498,81 @@ def interval_overlap_join(
         )
         .drop("__bucket_l", "__bucket_r", "__b0_l", "__b0_r")
     )
+
+
+def skyline_2d(
+    df: DataFrame, x_col: str, y_col: str, n_buckets: int = 1024
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, both dimensions MINIMIZED): keep
+    the rows no other row dominates, where j dominates i iff
+    ``x_j <= x_i AND y_j <= y_i`` with strict inequality somewhere.
+    Duplicate (x, y) points do not dominate each other — all copies
+    survive together. Integer dimensions required (exact RANGE window
+    arithmetic).
+
+    Two-phase, join-light formulation (the textbook skyline is a
+    quadratic NOT EXISTS):
+
+    1. PRUNE — bucket x into ``n_buckets`` cells, compute each cell's
+       min y, take the running min over strictly-earlier cells
+       (a ~n_buckets-row frame), and broadcast it back: any row with
+       ``earlier_cells_min_y <= y`` is dominated by a strictly-smaller-x
+       row and drops map-side. Survivors number O(n_buckets + skyline).
+    2. EXACT — on the survivors, a row is dominated iff (a) some row
+       with STRICTLY smaller x has y <= its y — one RANGE window min
+       (``RANGE .. 1 PRECEDING``) — or (b) a same-x row has strictly
+       smaller y — the x-partition min. The global window sort here is
+       fine because phase 1 already shrank the frame.
+
+    This is the classic local-then-global distributed skyline with
+    Catalyst doing the merge; no self-join anywhere.
+    """
+    for c in (x_col, y_col):
+        t = dict(df.dtypes)[c]
+        if t not in ("int", "bigint", "smallint", "tinyint"):
+            raise ValueError(
+                f"skyline_2d needs integer dimensions (RANGE window), "
+                f"{c} is {t}"
+            )
+    lim = df.agg(
+        F.min(F.col(x_col).cast("long")).alias("lo"),
+        F.max(F.col(x_col).cast("long")).alias("hi"),
+    ).first()
+    if lim["lo"] is None:
+        return df
+    width = max(1, (int(lim["hi"]) - int(lim["lo"]) + 1) // n_buckets)
+    cell = ((F.col(x_col).cast("long") - int(lim["lo"])) / width).cast("long")
+    cell_mins = (
+        df.select(cell.alias("__cell"), F.col(y_col).alias("__y"))
+        .groupBy("__cell")
+        .agg(F.min("__y").alias("__cmin"))
+        .select(
+            "__cell",
+            F.min("__cmin")
+            .over(
+                Window.orderBy("__cell").rangeBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("__pmin"),
+        )
+    )
+    pruned = (
+        df.withColumn("__cell", cell)
+        .join(F.broadcast(cell_mins), "__cell")
+        .filter(F.col("__pmin").isNull() | (F.col("__pmin") > F.col(y_col)))
+        .drop("__pmin")
+    )
+    w_range = Window.orderBy(F.col(x_col).cast("long")).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_part = Window.partitionBy(x_col)
+    return (
+        pruned.withColumn("__pm", F.min(F.col(y_col)).over(w_range))
+        .withColumn("__sm", F.min(F.col(y_col)).over(w_part))
+        .filter(
+            (F.col("__pm").isNull() | (F.col("__pm") > F.col(y_col)))
+            & (F.col(y_col) == F.col("__sm"))
+        )
+        .drop("__pm", "__sm", "__cell")
+    )

@@ -3636,3 +3636,53 @@ class TestTemporalEarliestArrival:
             for r in temporal_earliest_arrival(e, start_mod=10).collect()
         }
         assert got[4] == 6
+
+
+class TestSkyline2d:
+    def _sky(self, spark, rows, **kw):
+        from gpq_spark.relational import skyline_2d
+
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        return sorted(
+            (r["id"], r["x"], r["y"])
+            for r in skyline_2d(df, "x", "y", **kw).collect()
+        )
+
+    def test_known_frontier(self, spark):
+        """(1,5), (3,3), (5,1) form the frontier; (4,4) is dominated
+        by (3,3); (1,6) by (1,5); (6,1) by (5,1)."""
+        rows = [
+            (1, 1, 5), (2, 3, 3), (3, 5, 1),
+            (4, 4, 4), (5, 1, 6), (6, 6, 1),
+        ]
+        assert self._sky(spark, rows) == [(1, 1, 5), (2, 3, 3), (3, 5, 1)]
+
+    def test_duplicates_survive_together(self, spark):
+        rows = [(1, 2, 2), (2, 2, 2), (3, 3, 3)]
+        assert self._sky(spark, rows) == [(1, 2, 2), (2, 2, 2)]
+
+    def test_prune_phase_agrees_with_tiny_buckets(self, spark):
+        """n_buckets=2 forces heavy pruning; result must equal the
+        n_buckets=1024 (no-op prune) answer on a bigger random-ish
+        deterministic set."""
+        rows = [
+            (i, (i * 37) % 101, (i * 61) % 103) for i in range(200)
+        ]
+        assert self._sky(spark, rows, n_buckets=2) == self._sky(
+            spark, rows, n_buckets=1024
+        )
+
+    def test_non_integer_dimension_rejected(self, spark):
+        import pytest as _pytest
+
+        from gpq_spark.relational import skyline_2d
+
+        df = spark.createDataFrame([(1, 1.0, 2)], "id long, x double, y long")
+        with _pytest.raises(ValueError, match="integer dimensions"):
+            skyline_2d(df, "x", "y")
+
+    def test_empty_input(self, spark):
+        from gpq_spark.relational import skyline_2d
+
+        df = spark.createDataFrame([], "id long, x long, y long")
+        assert skyline_2d(df, "x", "y").count() == 0
