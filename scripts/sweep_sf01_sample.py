@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Scale-parity spot check: run a deterministic sample of the gate at
+sf0.1 (10× the driver's correctness scale) against DuckDB and write
+SWEEP_SF01_SAMPLE.json. The driver gates at sf0.01; this artifact
+shows the oracles are not tuned to one scale. Queries whose ORACLE is
+deliberately quadratic (all-pairs audits) are excluded — the Spark
+side scales, the DuckDB ground truth does not.
+
+Usage: python scripts/sweep_sf01_sample.py [n_sample]
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+# oracle cost is the bottleneck, not Spark: exclude audits whose
+# DuckDB side is all-pairs / recursive-closure at 5000 docs
+EXPENSIVE_ORACLES = {
+    "dedup_lsh_recall",           # all-pairs exact truth (288 s at 5k)
+    "dedup_prefix_filter_pairs",  # all-pairs oracle by design
+    "dedup_blocking_eval",        # contains the blocked pair join
+    "dedup_lsh_recall_sampled",   # 40% of all-pairs
+    "geo_convex_hull",            # O(n^4) Caratheodory oracle
+    "q_kendall_binned",           # cell-bounded quadratic oracle
+}
+
+
+def main() -> None:
+    n_sample = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    sf_dir = "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("gpq_spark-sweep-sf01")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from gpq_spark.entry_queries import QUERIES
+    from gpq_spark.oracle import compare, duckdb_connection
+
+    eligible = [
+        q for q in QUERIES
+        if q.oracle is not None and q.name not in EXPENSIVE_ORACLES
+    ]
+    # deterministic sample: md5 of the name, smallest first
+    ranked = sorted(
+        eligible, key=lambda q: hashlib.md5(q.name.encode()).hexdigest()
+    )[:n_sample]
+
+    con = duckdb_connection(sf_dir)
+    out: dict[str, dict] = {}
+    t0 = time.perf_counter()
+    n_green = 0
+    for q in ranked:
+        try:
+            res = compare(q.spark_fn(spark, sf_dir), con, q.oracle)
+            out[q.name] = {
+                "rows_match": bool(res.get("rows_match")),
+                "schema_match": bool(res.get("schema_match")),
+                "hash_match": bool(res.get("hash_match")),
+                "spark_rows": res.get("spark_rows"),
+                "oracle_rows": res.get("oracle_rows"),
+                "err": None,
+            }
+            ok = res.get("match")
+        except Exception as e:  # noqa: BLE001
+            out[q.name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": str(e)[:300],
+            }
+            ok = False
+        n_green += bool(ok)
+        print(f"# {q.name}: {'ok' if ok else 'FAIL'}", flush=True)
+    dur = time.perf_counter() - t0
+    path = os.path.join(ROOT, "SWEEP_SF01_SAMPLE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"{path}: {n_green}/{len(ranked)} green at sf0.1 in {dur:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
