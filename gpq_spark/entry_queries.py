@@ -17990,3 +17990,91 @@ def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(sup, "cost_cents", "neg_parts").select(
         "supp", "cost_cents", "neg_parts"
     )
+
+
+def _principal_oracle(iterations: int = 2) -> str:
+    """Unrolled integer power iteration; every rescale widens to
+    HUGEINT and handles negatives with the sign-safe floor divide the
+    engine uses (engines disagree on negative integer division)."""
+
+    def resc(col: str, tot: str) -> str:
+        return (
+            f"CASE WHEN {tot} <= 0 THEN CAST(0 AS BIGINT) "
+            f"WHEN {col} < 0 THEN "
+            f"-CAST(CAST(-{col} AS HUGEINT) * 1000000 // {tot} AS BIGINT) "
+            f"ELSE CAST(CAST({col} AS HUGEINT) * 1000000 // {tot} AS BIGINT)"
+            f" END"
+        )
+
+    parts = [
+        """qv AS MATERIALIZED (
+        SELECT vec_id, t.i,
+               CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000 + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )""",
+        """gm AS MATERIALIZED (
+        SELECT a.i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+        FROM qv a JOIN qv b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2
+    )""",
+        "gmax AS (SELECT CAST(MAX(ABS(g)) AS BIGINT) AS m FROM gm)",
+        f"""gn AS MATERIALIZED (
+        SELECT i, j, {resc('g', 'm')} AS gn
+        FROM gm CROSS JOIN gmax
+    )""",
+        """v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM gn)""",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+        SELECT gn.i, CAST(SUM(gn.gn * v.v) AS BIGINT) AS w
+        FROM gn JOIN v{p} v ON v.i = gn.j GROUP BY 1
+    )"""
+        )
+        parts.append(
+            f"t{k} AS (SELECT CAST(SUM(ABS(w)) AS BIGINT) AS t FROM w{k})"
+        )
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+        SELECT i, {resc('w', 't')} AS v FROM w{k} CROSS JOIN t{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    score AS (
+        SELECT qv.vec_id, CAST(SUM(qv.q * v.v) AS BIGINT) AS score
+        FROM qv JOIN v{iterations} v ON v.i = qv.i GROUP BY 1
+    )
+    SELECT vec_id, score FROM (
+        SELECT vec_id, score,
+               row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+        FROM score
+    ) WHERE rn <= 10
+    """
+    )
+
+
+@register("embed_principal_scores", _principal_oracle())
+def embed_principal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 vectors by projection onto the corpus's dominant
+    covariance direction — integer-exact PCA-lite
+    (pipeline.similarity.principal_direction): portable floor
+    quantization, one Gram-matrix groupBy (the only corpus-sized
+    stage), two declarative power-iteration steps with sign-safe
+    L1 rescales. The direction itself never leaves the cluster; the
+    oracle unrolls the identical arithmetic in HUGEINT."""
+    from .pipeline.similarity import principal_direction
+
+    emb = load(spark, sf_dir, "embeddings")
+    scores = principal_direction(emb, "vec_id", "embedding")
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("vec_id", "score")
+    )

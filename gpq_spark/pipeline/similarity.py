@@ -821,3 +821,79 @@ def rerank_topk(
         )
     )
     return _topk_per_query(scored, query_id_col, id_col, k)
+
+
+def principal_direction(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_scale: int = 1000,
+    v_scale: int = 10**6,
+    iterations: int = 2,
+) -> DataFrame:
+    """Dominant direction of the (uncentered) covariance of an
+    embedding column — PCA-lite — in EXACT integer arithmetic, fully
+    declarative (no driver-side linear algebra): quantize each vector
+    with the portable floor rule (q = floor(x·q_scale + 0.5)), build
+    the d×d Gram matrix G = Σ q qᵀ with one groupBy, L∞-rescale G to
+    ``v_scale``, run ``iterations`` integer power-iteration steps
+    (w = G·v, then L1-rescale with a SIGN-SAFE floor divide —
+    -((-w)·s div t) for negatives, since engines disagree on whether
+    negative integer division floors or truncates), and return each
+    vector's projection score onto the final direction:
+    (id_col, score), score = Σ q_i·v_i.
+
+    Scale shape: the Gram build is the only corpus-sized stage — a
+    double explode whose d² per-row products partial-aggregate
+    map-side into ≤ d² keys (the inherent n·d² multiply-adds of a Gram
+    matrix; an Arrow-batched numpy outer-product partial sum is the
+    constant-factor upgrade if d² row materialization ever dominates).
+    Everything after operates on d² ≤ O(10⁴) rows. All rescales widen
+    to DECIMAL(38,0) before the multiply so no intermediate can
+    overflow int64; outputs are ≤ v_scale by construction.
+    """
+    q = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
+            f"x -> CAST(floor(x * {q_scale} + 0.5d) AS BIGINT))"
+        ).alias("q"),
+    )
+    qi = q.select(id_col, F.posexplode("q").alias("i", "qi"))
+    pairs = q.select(F.posexplode("q").alias("i", "qi"), "q").select(
+        "i", "qi", F.posexplode("q").alias("j", "qj")
+    )
+    gram = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("qi") * F.col("qj")).cast("long").alias("g")
+    )
+    gmax = gram.agg(F.max(F.abs(F.col("g"))).alias("m"))
+
+    def _sign_safe_rescale(col: str, scale: int, tot: str) -> str:
+        return (
+            f"CASE WHEN {tot} <= 0 THEN CAST(0 AS BIGINT) "
+            f"WHEN {col} < 0 THEN "
+            f"-CAST(CAST(-{col} AS DECIMAL(38,0)) * {scale} div {tot} AS BIGINT) "
+            f"ELSE CAST(CAST({col} AS DECIMAL(38,0)) * {scale} div {tot} AS BIGINT) END"
+        )
+
+    gn = gram.crossJoin(F.broadcast(gmax)).select(
+        "i", "j", F.expr(_sign_safe_rescale("g", v_scale, "m")).alias("gn")
+    ).localCheckpoint()
+    v = gn.select("i").distinct().select(
+        "i", F.lit(v_scale).cast("long").alias("v")
+    )
+    for _ in range(iterations):
+        w = (
+            gn.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("gn") * F.col("v")).cast("long").alias("w"))
+        )
+        tot = w.agg(F.sum(F.abs(F.col("w"))).alias("t"))
+        v = w.crossJoin(F.broadcast(tot)).select(
+            "i", F.expr(_sign_safe_rescale("w", v_scale, "t")).alias("v")
+        )
+    return (
+        qi.join(F.broadcast(v), "i")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("qi") * F.col("v")).cast("long").alias("score"))
+    )

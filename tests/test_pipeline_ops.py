@@ -3686,3 +3686,60 @@ class TestSkyline2d:
 
         df = spark.createDataFrame([], "id long, x long, y long")
         assert skyline_2d(df, "x", "y").count() == 0
+
+
+class TestPrincipalDirection:
+    def test_axis_aligned_corpus(self, spark):
+        """Vectors concentrated on axis 0 (values ±10 on dim 0, tiny
+        noise ±0.001 on dim 1): the dominant direction is axis 0, so
+        |score| ranks by |x0| and the top scorer is the largest-|x0|
+        vector whose x0 sign matches the converged direction."""
+        from gpq_spark.pipeline.similarity import principal_direction
+
+        rows = [
+            (1, [10.0, 0.001]),
+            (2, [-9.0, 0.001]),
+            (3, [5.0, -0.001]),
+            (4, [0.5, 0.001]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: r["score"] for r in principal_direction(df).collect()}
+        # direction is ±axis0: scores proportional to ±x0·1000·1e6-ish
+        mags = {k: abs(v) for k, v in got.items()}
+        assert mags[1] > mags[2] > mags[3] > mags[4]
+        # projection scores on opposite sides of the axis have opposite signs
+        assert got[1] * got[2] < 0
+
+    def test_matches_plain_int_reference(self, spark):
+        """Full parity with a plain-Python integer replay of the same
+        spec on a small deterministic corpus."""
+        import math
+
+        from gpq_spark.pipeline.similarity import principal_direction
+
+        vecs = {
+            i: [math.sin(i * 1.7 + d) for d in range(4)] for i in range(6)
+        }
+        rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: r["score"] for r in principal_direction(df).collect()}
+
+        import struct
+        def f32(x):  # replicate the float32 storage round-trip
+            return struct.unpack("f", struct.pack("f", x))[0]
+        q = {i: [math.floor(f32(x) * 1000 + 0.5) for x in v] for i, v in vecs.items()}
+        d = 4
+        G = [[sum(q[i][a] * q[i][b] for i in q) for b in range(d)] for a in range(d)]
+        m = max(abs(G[a][b]) for a in range(d) for b in range(d))
+        def resc(x, tot):
+            if tot <= 0:
+                return 0
+            return -((-x) * 10**6 // tot) if x < 0 else x * 10**6 // tot
+        gn = [[resc(G[a][b], m) for b in range(d)] for a in range(d)]
+        v = [10**6] * d
+        for _ in range(2):
+            w = [sum(gn[a][b] * v[b] for b in range(d)) for a in range(d)]
+            t = sum(abs(x) for x in w)
+            v = [resc(x, t) for x in w]
+        want = {i: sum(q[i][a] * v[a] for a in range(d)) for i in q}
+        assert got == want
