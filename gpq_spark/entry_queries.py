@@ -18078,3 +18078,53 @@ def embed_principal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("vec_id", "score")
     )
+
+
+@register(
+    "stream_ewma",
+    f"""
+    WITH RECURSIVE wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 AS w FROM events
+    ),
+    lim AS (SELECT w - w % 3600000000 AS lim FROM wm),
+    hourly AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(ts) % 3600000000 AS h,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events CROSS JOIN lim
+        WHERE epoch_us(ts) - epoch_us(ts) % 3600000000 < lim
+        GROUP BY 1, 2
+    ),
+    numbered AS (
+        SELECT user_id, h, v,
+               row_number() OVER (PARTITION BY user_id ORDER BY h) AS rn
+        FROM hourly
+    ),
+    rec AS (
+        SELECT user_id, h, v, rn, CAST(v // 4 AS BIGINT) AS e
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT n.user_id, n.h, n.v, n.rn,
+               CAST((n.v + 3 * r.e) // 4 AS BIGINT)
+        FROM rec r JOIN numbered n
+          ON n.user_id = r.user_id AND n.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(h AS BIGINT) AS hour_us,
+           v AS v_cents, e AS ewma_cents
+    FROM rec
+    """,
+)
+def stream_ewma_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-hour EWMA (streaming.stream_ewma — the stateful,
+    UNtruncated twin of q_ewma_revenue): per user, hourly cents sums
+    feed e = (v + 3·e_prev) div 4 over present hours in order, each
+    closed hour emitted once as the watermark passes its end. The
+    oracle replays the full-depth recursion with a recursive CTE over
+    row-numbered present hours, closed at the engine's own
+    ms-truncated watermark arithmetic. Values are non-negative in
+    this table, so engine floor vs DuckDB truncate on `div` never
+    diverges."""
+    from .streaming.windows import stream_ewma as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream), "ewma", "append")

@@ -2086,3 +2086,113 @@ def stream_twa(
         )
     )
     return raw.select("user_id", "hour_us", "area_cents_us")
+
+
+EWMA_RAW_SCHEMA = "user_id long, hour_us long, v_cents long, ewma_cents long"
+EWMA_STATE_SCHEMA = (
+    "p_ts array<long>, p_v array<long>, prev_e long, has_prev boolean"
+)
+
+
+def _ewma_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming per-hour EWMA (see ``stream_ewma``): raw samples
+    buffer in state until the watermark passes their hour's end; at
+    each flush the newly CLOSED hours aggregate to hourly sums, and
+    the α=1/4 recursion e = (v + 3·e_prev) div 4 advances over the
+    user's PRESENT hours in order (trading-hour semantics — gaps
+    don't decay), emitting one row per closed hour. Arrival order
+    cannot change any emitted value: an hour's sum is complete before
+    it closes, and the recursion consumes hours in timestamp order.
+    Bounded state: one watermark-delay of samples + one 64-bit e."""
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    if state.exists:
+        p_ts, p_v, prev_e, has_prev = state.get
+        pending = list(zip(p_ts, p_v))
+    else:
+        pending, prev_e, has_prev = [], 0, False
+
+    for pdf in pdfs:
+        pending.extend(
+            zip(
+                (int(t) for t in pdf["ts_us"]),
+                (int(v) for v in pdf["cents"]),
+            )
+        )
+
+    emit_limit = wm_us - wm_us % _HOUR_US if wm_us > 0 else 0
+    rows: list[tuple[int, int, int]] = []
+    if emit_limit > 0:
+        closed = [(t, v) for t, v in pending if t - t % _HOUR_US < emit_limit]
+        pending = [
+            (t, v) for t, v in pending if t - t % _HOUR_US >= emit_limit
+        ]
+        sums: dict[int, int] = {}
+        for t, v in closed:
+            h = t - t % _HOUR_US
+            sums[h] = sums.get(h, 0) + v
+        for h in sorted(sums):
+            e_prev = prev_e if has_prev else 0
+            e = (sums[h] + 3 * e_prev) // 4
+            rows.append((h, sums[h], e))
+            prev_e, has_prev = e, True
+
+    state.update(
+        (
+            [t for t, _ in pending],
+            [v for _, v in pending],
+            prev_e,
+            has_prev,
+        )
+    )
+    if pending:
+        next_close = min(t - t % _HOUR_US for t, _ in pending) + _HOUR_US
+        state.setTimeoutTimestamp(max(next_close // 1000, wm_us // 1000 + 1))
+    if rows:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(rows),
+                "hour_us": [h for h, _, _ in rows],
+                "v_cents": [v for _, v, _ in rows],
+                "ewma_cents": [e for _, _, e in rows],
+            }
+        )
+
+
+def stream_ewma(
+    stream: DataFrame,
+    value_col: str = "value",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-hour EWMA — the stateful twin of q_ewma_revenue's
+    recursion, at full (untruncated) depth: per user, hourly revenue
+    sums feed e = (v + 3·e_prev) div 4 over the user's present hours
+    in order, each closed hour emitted exactly once as the watermark
+    passes its end. Exact integer arithmetic end to end, so the
+    emitted sequence is independent of arrival order, partitioning,
+    and batch boundaries (proven by the batch recursive-CTE oracle).
+    State is one watermark-delay of raw samples plus a single 64-bit
+    accumulator per user."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn(
+            "cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
+        )
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_fn,
+            outputStructType=EWMA_RAW_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw.select("user_id", "hour_us", "v_cents", "ewma_cents")

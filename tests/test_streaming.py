@@ -1940,3 +1940,103 @@ class TestTwaCheckpointRestart:
         # no hour emitted twice across restarts
         hours = [r["hour_us"] for r in spark.read.parquet(str(out)).collect()]
         assert len(hours) == len(set(hours))
+
+
+class TestStreamEwma:
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+            self.wm_ms = 0
+            self.timeout = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout = ms
+
+    HOUR = 3600 * 1_000_000
+
+    def _run(self, batches_with_wm):
+        import pandas as pd
+
+        from gpq_spark.streaming.windows import _ewma_fn
+
+        state = self._FakeState()
+        rows = []
+        for batch, wm_ms in batches_with_wm:
+            state.wm_ms = wm_ms
+            out = list(_ewma_fn((7,), iter([pd.DataFrame(batch)]), state))
+            for pdf in out:
+                rows.extend(
+                    zip(pdf["hour_us"], pdf["v_cents"], pdf["ewma_cents"])
+                )
+        return rows
+
+    def test_recursion_over_present_hours(self):
+        """Hours with sums 400, 100 (gap), 800: e1 = 400//4 = 100,
+        e2 = (100 + 300)//4 = 100, e3 = (800 + 300)//4 = 275 — the
+        empty hour between 1 and 3 does not decay (trading-hour
+        semantics)."""
+        H = self.HOUR
+        rows = self._run(
+            [
+                (
+                    {
+                        "ts_us": [10, H + 5, 3 * H + 1, 3 * H + 2],
+                        "cents": [400, 100, 500, 300],
+                    },
+                    (4 * H) // 1000,  # watermark closes hours 0..3
+                )
+            ]
+        )
+        assert rows == [
+            (0, 400, 100),
+            (H, 100, 100),
+            (3 * H, 800, 275),
+        ]
+
+    def test_disorder_across_batches_cannot_change_output(self):
+        """Batch 1 delivers hour-2 events EARLY (watermark still in
+        hour 1, so nothing for hour 2 emits); batch 2 delivers the
+        hour-1 stragglers and advances the watermark: emitted sums and
+        EWMAs equal the in-order replay."""
+        H = self.HOUR
+        ordered = self._run(
+            [
+                (
+                    {"ts_us": [H + 1, H + 2, 2 * H + 1], "cents": [60, 40, 200]},
+                    (3 * H) // 1000,
+                )
+            ]
+        )
+        disordered = self._run(
+            [
+                ({"ts_us": [2 * H + 1], "cents": [200]}, (H) // 1000),
+                ({"ts_us": [H + 1, H + 2], "cents": [60, 40]}, (3 * H) // 1000),
+            ]
+        )
+        assert ordered == disordered == [(H, 100, 25), (2 * H, 200, 68)]
+
+    def test_state_carries_recursion_across_flushes(self):
+        """Hour 0 emits in batch 1 (e=25); hour 1 emits in batch 2 and
+        must chain off the carried e: (400 + 75)//4 = 118."""
+        H = self.HOUR
+        rows = self._run(
+            [
+                ({"ts_us": [5], "cents": [100]}, H // 1000),
+                ({"ts_us": [H + 5], "cents": [400]}, (2 * H) // 1000),
+            ]
+        )
+        assert rows == [(0, 100, 25), (H, 400, 118)]
