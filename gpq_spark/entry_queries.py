@@ -17021,7 +17021,13 @@ _COSOURCE_EDGE_CTES = """
 def _cosource_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mean-thresholded supplier co-sourcing edge set shared by the
     graph-family queries (identical integer threshold to
-    q_triangle_suppliers, so every engine draws the same graph)."""
+    q_triangle_suppliers, so every engine draws the same graph).
+
+    localCheckpoint()ed: the consumers (truss support, link
+    prediction, walks) reference the edge frame 3-4 times, and without
+    materialization each reference re-runs the lineitem scan + the
+    co-sourcing self-join — measured 3.6x slower for truss_support and
+    1.5x for link_prediction at sf0.1 (BASELINE.md)."""
     li = load(spark, sf_dir, "lineitem")
     ps = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
@@ -17042,6 +17048,7 @@ def _cosource_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.crossJoin(F.broadcast(tot))
         .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
         .select("u", "v")
+        .localCheckpoint()
     )
 
 
