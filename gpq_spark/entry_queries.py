@@ -18135,3 +18135,122 @@ def stream_ewma_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _events_file_stream(spark, sf_dir)
     return _drain_to_table(_op(stream), "ewma", "append")
+
+
+_GOLDEN_SOURCES_SQL = """
+    srcs AS (
+        -- three deterministic source systems with field-level gaps:
+        -- crm always has name, billing always has balance, web always
+        -- has segment; the other fields appear on arithmetic subsets
+        SELECT c_custkey AS k, 'crm' AS src,
+               c_name AS name,
+               CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END AS seg,
+               CAST(NULL AS BIGINT) AS bal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'billing',
+               CASE WHEN c_custkey % 3 = 0 THEN c_name END,
+               CAST(NULL AS VARCHAR),
+               CAST(round(c_acctbal * 100) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'web',
+               CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) END,
+               c_mktsegment,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN CAST(round(c_acctbal * 100) AS BIGINT) END
+        FROM customer
+    ),
+    enc AS (
+        -- field-level priorities: name crm(3) > billing(2) > web(1);
+        -- seg web(2) > crm(1); bal billing(2) > web(1). Text fields
+        -- pack as '<prio>|<value>' (single ASCII digit, so string max
+        -- = priority max); numeric packs as prio*1e12 + (bal + 1e9)
+        SELECT k,
+               CASE WHEN name IS NOT NULL THEN
+                    (CASE src WHEN 'crm' THEN '3' WHEN 'billing' THEN '2'
+                              ELSE '1' END) || '|' || name END AS name_e,
+               CASE WHEN seg IS NOT NULL THEN
+                    (CASE src WHEN 'web' THEN '2' ELSE '1' END)
+                    || '|' || seg END AS seg_e,
+               CASE WHEN bal IS NOT NULL THEN
+                    (CASE src WHEN 'billing' THEN 2 ELSE 1 END)
+                    * 1000000000000 + bal + 1000000000 END AS bal_e
+        FROM srcs
+    ),
+    g AS (
+        SELECT k, MAX(name_e) AS ne, MAX(seg_e) AS se,
+               CAST(MAX(bal_e) AS BIGINT) AS be
+        FROM enc GROUP BY k
+    )
+    SELECT k AS custkey,
+           substr(ne, 3) AS name,
+           CASE substr(ne, 1, 1) WHEN '3' THEN 'crm' WHEN '2' THEN 'billing'
+                ELSE 'web' END AS name_src,
+           substr(se, 3) AS seg,
+           CASE substr(se, 1, 1) WHEN '2' THEN 'web' ELSE 'crm' END AS seg_src,
+           CAST(be % 1000000000000 - 1000000000 AS BIGINT) AS bal_cents,
+           CASE CAST(be // 1000000000000 AS BIGINT) WHEN 2 THEN 'billing'
+                ELSE 'web' END AS bal_src
+    FROM g
+"""
+
+
+@register("er_golden_record", "WITH " + _GOLDEN_SOURCES_SQL)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship merge — the field-level consolidation
+    step after entity resolution: three deterministic source systems
+    (CRM, billing, web) each hold a partial view of every customer,
+    and each FIELD survives from its highest-priority non-null source
+    (name: crm > billing > web; segment: web > crm; balance:
+    billing > web), with per-field provenance columns. Priorities pack
+    into order-preserving encodings (single-digit string prefix for
+    text, prio·1e12 + offset for the signed balance) so the whole
+    merge is one groupBy MAX per field — a single shuffle, no joins,
+    no per-field subqueries, portable to any engine."""
+    cust = load(spark, sf_dir, "customer")
+    bal = "CAST(round(c_acctbal * 100) AS BIGINT)"
+    crm = cust.selectExpr(
+        "c_custkey AS k", "'crm' AS src", "c_name AS name",
+        "CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END AS seg",
+        "CAST(NULL AS BIGINT) AS bal",
+    )
+    billing = cust.selectExpr(
+        "c_custkey AS k", "'billing' AS src",
+        "CASE WHEN c_custkey % 3 = 0 THEN c_name END AS name",
+        "CAST(NULL AS STRING) AS seg", f"{bal} AS bal",
+    )
+    web = cust.selectExpr(
+        "c_custkey AS k", "'web' AS src",
+        "CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) END AS name",
+        "c_mktsegment AS seg",
+        f"CASE WHEN c_custkey % 7 = 0 THEN {bal} END AS bal",
+    )
+    enc = crm.unionByName(billing).unionByName(web).selectExpr(
+        "k",
+        "CASE WHEN name IS NOT NULL THEN"
+        " (CASE src WHEN 'crm' THEN '3' WHEN 'billing' THEN '2'"
+        " ELSE '1' END) || '|' || name END AS name_e",
+        "CASE WHEN seg IS NOT NULL THEN"
+        " (CASE src WHEN 'web' THEN '2' ELSE '1' END) || '|' || seg END"
+        " AS seg_e",
+        "CASE WHEN bal IS NOT NULL THEN"
+        " (CASE src WHEN 'billing' THEN 2 ELSE 1 END)"
+        " * 1000000000000 + bal + 1000000000 END AS bal_e",
+    )
+    g = enc.groupBy("k").agg(
+        F.max("name_e").alias("ne"),
+        F.max("seg_e").alias("se"),
+        F.max("bal_e").cast("long").alias("be"),
+    )
+    return g.selectExpr(
+        "k AS custkey",
+        "substr(ne, 3) AS name",
+        "CASE substr(ne, 1, 1) WHEN '3' THEN 'crm' WHEN '2' THEN 'billing'"
+        " ELSE 'web' END AS name_src",
+        "substr(se, 3) AS seg",
+        "CASE substr(se, 1, 1) WHEN '2' THEN 'web' ELSE 'crm' END AS seg_src",
+        "CAST(be % 1000000000000 - 1000000000 AS BIGINT) AS bal_cents",
+        "CASE CAST(be div 1000000000000 AS BIGINT) WHEN 2 THEN 'billing'"
+        " ELSE 'web' END AS bal_src",
+    )
