@@ -18254,3 +18254,61 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE CAST(be div 1000000000000 AS BIGINT) WHEN 2 THEN 'billing'"
         " ELSE 'web' END AS bal_src",
     )
+
+
+def _waterfill_oracle(rounds: int = 6) -> str:
+    parts = [
+        """wf0 AS MATERIALIZED (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS cap,
+               CAST(0 AS BIGINT) AS alloc
+        FROM documents GROUP BY 1
+    )""",
+        """wfb AS (
+        SELECT CAST(SUM(n_chars) * 2 // 5 AS BIGINT) AS b FROM documents
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""wfs{i} AS (
+        SELECT CAST(SUM(alloc) AS BIGINT) AS spent,
+               CAST(COUNT(CASE WHEN alloc < cap THEN 1 END) AS BIGINT) AS na
+        FROM wf{p}
+    )"""
+        )
+        parts.append(
+            f"""wf{i} AS MATERIALIZED (
+        SELECT source, cap,
+               CAST(alloc + CASE WHEN na > 0 AND alloc < cap
+                    THEN LEAST(cap - alloc, (b - spent) // na)
+                    ELSE 0 END AS BIGINT) AS alloc
+        FROM wf{p} CROSS JOIN wfs{i} CROSS JOIN wfb
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT source, cap, alloc FROM wf{rounds}"
+    )
+
+
+@register("sample_waterfill_mix", _waterfill_oracle())
+def sample_waterfill_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling character-budget allocation across document
+    sources (40% of total corpus chars): equal shares capped at each
+    source's capacity, surplus redistributed to unsaturated sources
+    over 6 fixed unrolled rounds — the mixture-planning solver a
+    token-budgeted corpus build runs before the per-source samplers
+    (pipeline.sampling.waterfill_allocation). Floor arithmetic
+    throughout; leftover units below n_active per round stay
+    unallocated by spec."""
+    from .pipeline.sampling import waterfill_allocation
+
+    docs = load(spark, sf_dir, "documents")
+    caps = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("cap")
+    )
+    total = int(docs.agg(F.sum("n_chars")).first()[0])
+    return waterfill_allocation(
+        caps, "source", "cap", budget=total * 2 // 5, rounds=6
+    )

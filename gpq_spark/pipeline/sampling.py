@@ -554,3 +554,63 @@ def priority_sample(
         .limit(k)
         .drop("__h", "__prio")
     )
+
+
+def waterfill_allocation(
+    caps: DataFrame,
+    group_col: str,
+    cap_col: str,
+    budget: int,
+    rounds: int = 6,
+) -> DataFrame:
+    """Water-filling token-budget allocation across sources — the
+    mixture-planning step of corpus construction: split ``budget``
+    equally across sources, cap each at its capacity, and redistribute
+    the surplus to unsaturated sources, for a FIXED number of unrolled
+    rounds (each round either exhausts the budget or saturates at
+    least one source; extra rounds are no-ops, and the fixed count
+    makes the result bit-identical to the unrolled SQL oracle). All
+    floor divisions — up to ``n_active - 1`` units per round can stay
+    unallocated, stated rather than hidden. Output: (group_col,
+    cap_col, alloc), alloc <= cap, Σ alloc <= budget.
+
+    Scale: the frame is one row per SOURCE (tens of rows); each round
+    is one 1-row aggregate broadcast back — driver-free, O(rounds)
+    tiny jobs via per-round localCheckpoint.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    alloc = caps.select(
+        F.col(group_col),
+        F.col(cap_col).cast("long").alias("cap"),
+        F.lit(0).cast("long").alias("alloc"),
+    ).localCheckpoint()
+    for _ in range(rounds):
+        stats = alloc.agg(
+            F.sum("alloc").cast("long").alias("spent"),
+            F.count(F.when(F.col("alloc") < F.col("cap"), 1))
+            .cast("long")
+            .alias("na"),
+        )
+        alloc = (
+            alloc.crossJoin(F.broadcast(stats))
+            .select(
+                group_col,
+                "cap",
+                (
+                    F.col("alloc")
+                    + F.when(
+                        (F.col("na") > 0)
+                        & (F.col("alloc") < F.col("cap")),
+                        F.least(
+                            F.col("cap") - F.col("alloc"),
+                            F.expr(f"({budget} - spent) div na"),
+                        ),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("alloc"),
+            )
+            .localCheckpoint()
+        )
+    return alloc

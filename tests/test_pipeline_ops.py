@@ -3743,3 +3743,56 @@ class TestPrincipalDirection:
             v = [resc(x, t) for x in w]
         want = {i: sum(q[i][a] * v[a] for a in range(d)) for i in q}
         assert got == want
+
+
+class TestWaterfillAllocation:
+    def _alloc(self, spark, caps, budget, rounds=6):
+        from gpq_spark.pipeline.sampling import waterfill_allocation
+
+        df = spark.createDataFrame(caps, "src string, cap long")
+        return {
+            r["src"]: r["alloc"]
+            for r in waterfill_allocation(
+                df, "src", "cap", budget, rounds=rounds
+            ).collect()
+        }
+
+    def test_saturation_and_redistribution(self, spark):
+        """Budget 100 over caps (10, 50, 200): round 1 gives 33 each
+        capped — a gets 10, b gets 33, c gets 33 (24 left); round 2
+        splits 24 over {b, c}: b 12→45, c 12→45; round 3: 4 left over
+        {b, c} → 2 each, b capped at 47... walk the spec: totals stay
+        <= budget and a is saturated."""
+        got = self._alloc(
+            spark, [("a", 10), ("b", 50), ("c", 200)], budget=100
+        )
+        assert got["a"] == 10
+        assert sum(got.values()) <= 100
+        # b and c split the remainder equally until b saturates or
+        # the budget runs dry; with budget 100 neither needs to cap
+        assert got["b"] == got["c"]
+        assert sum(got.values()) >= 98  # floor loss < n_active per round
+
+    def test_budget_exceeds_capacity(self, spark):
+        got = self._alloc(spark, [("a", 5), ("b", 7)], budget=1000)
+        assert got == {"a": 5, "b": 7}
+
+    def test_zero_budget(self, spark):
+        got = self._alloc(spark, [("a", 5)], budget=0)
+        assert got == {"a": 0}
+
+    def test_matches_plain_python_replay(self, spark):
+        caps = [("s%d" % i, (i * 13) % 40 + 1) for i in range(8)]
+        budget, rounds = 97, 6
+        got = self._alloc(spark, caps, budget, rounds)
+        alloc = {s: 0 for s, _ in caps}
+        cap = dict(caps)
+        for _ in range(rounds):
+            spent = sum(alloc.values())
+            active = [s for s in alloc if alloc[s] < cap[s]]
+            if not active:
+                break
+            share = (budget - spent) // len(active)
+            for s in active:
+                alloc[s] += min(cap[s] - alloc[s], share)
+        assert got == alloc
