@@ -18312,3 +18312,66 @@ def sample_waterfill_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_allocation(
         caps, "source", "cap", budget=total * 2 // 5, rounds=6
     )
+
+
+@register(
+    "q_hierarchy_rollup",
+    f"""
+    WITH rev AS (
+        SELECT l_partkey AS k,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1
+    ),
+    anc AS (
+        -- divisors as BIGINT literals: power() returns DOUBLE, and
+        -- DuckDB's // on doubles is plain division (CAST then rounds)
+        SELECT CAST(k // t.p AS BIGINT) AS node, v
+        FROM rev, UNNEST([1, 10, 100, 1000, 10000, 100000, 1000000])
+             AS t(p)
+        WHERE k // t.p > 0
+    ),
+    agg AS (
+        SELECT node, CAST(SUM(v) AS BIGINT) AS subtree_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM anc GROUP BY 1
+    )
+    SELECT node, subtree_cents, n_parts FROM (
+        SELECT *, row_number()
+               OVER (ORDER BY subtree_cents DESC, node) AS rn
+        FROM agg
+    ) WHERE rn <= 20
+    """,
+)
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup over the implicit decimal part tree
+    (parent = key div 10, the BOM/category-tree shape): each node's
+    total revenue and leaf count across ALL descendants, top-20. The
+    ancestor closure of a digit-tree is pure arithmetic — explode
+    j in 0..6 and take key div 10^j — so the rollup needs ZERO joins
+    and zero recursion: one explode + one groupBy, the pattern that
+    also serves URL-path and taxonomy rollups at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("v")
+    )
+    anc = (
+        rev.select(
+            F.explode(
+                F.expr("array(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)")
+            ).alias("p"),
+            "k",
+            "v",
+        )
+        .select(F.expr("CAST(k div p AS BIGINT)").alias("node"), "v")
+        .filter(F.col("node") > 0)
+    )
+    agg = anc.groupBy("node").agg(
+        F.sum("v").cast("long").alias("subtree_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    w = Window.orderBy(F.desc("subtree_cents"), F.asc("node"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("node", "subtree_cents", "n_parts")
+    )
