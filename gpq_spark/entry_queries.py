@@ -18375,3 +18375,175 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("node", "subtree_cents", "n_parts")
     )
+
+
+@register(
+    "q_allen_relations",
+    """
+    WITH li AS (
+        SELECT l.l_shipdate AS ls,
+               l.l_shipdate
+                   + (1 + l.l_orderkey % 14) * INTERVAL 1 DAY AS le
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_shipdate <= TIMESTAMP '1995-07-07 23:59:59'
+          AND l.l_shipdate
+                  + (1 + l.l_orderkey % 14) * INTERVAL 1 DAY
+              >= TIMESTAMP '1995-01-01 00:00:00'
+    ),
+    ord AS (
+        SELECT o_orderdate AS os,
+               o_orderdate + INTERVAL 7 DAY AS oe
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1995-06-30 23:59:59'
+    ),
+    pairs AS (
+        SELECT CASE
+            WHEN ls = os AND le = oe THEN 'equals'
+            WHEN le = os THEN 'meets'
+            WHEN oe = ls THEN 'met_by'
+            WHEN ls = os THEN
+                CASE WHEN le < oe THEN 'starts' ELSE 'started_by' END
+            WHEN le = oe THEN
+                CASE WHEN ls > os THEN 'finishes' ELSE 'finished_by' END
+            WHEN ls > os AND le < oe THEN 'during'
+            WHEN os > ls AND oe < le THEN 'contains'
+            WHEN ls < os THEN 'overlaps'
+            ELSE 'overlapped_by' END AS rel
+        FROM li JOIN ord ON li.ls <= ord.oe AND ord.os <= li.le
+    )
+    SELECT rel, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1
+    """,
+)
+def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra classification of every overlapping
+    (shipping-window, order-window) pair — the temporal-reasoning
+    refinement of the overlap join: equals / meets / starts / finishes
+    / during / contains / overlaps and their inverses, counted per
+    relation. Runs on the SAME bucketed equi-join as
+    q_interval_overlap (the pair enumeration is the scale problem; the
+    relation label is a free CASE on endpoints afterward); the oracle
+    classifies from the raw inequality join. Disjoint relations
+    (before/after) are excluded by construction — enumerating
+    non-overlapping pairs is O(n·m) by definition and never the
+    distributed shape."""
+    from .relational import interval_overlap_join
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    orders = load(spark, sf_dir, "orders")
+    le = "timestampadd(DAY, CAST(1 + l_orderkey % 14 AS INT), l_shipdate)"
+    left = (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+            ),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .filter(
+            (F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1995-07-07 23:59:59'"))
+            & (F.expr(le) >= F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'"))
+        )
+        .select(F.col("l_shipdate").alias("ls"), F.expr(le).alias("le"))
+    )
+    right = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'"))
+        & (F.col("o_orderdate") <= F.expr("TIMESTAMP_NTZ '1995-06-30 23:59:59'"))
+    ).select(
+        F.col("o_orderdate").alias("os"),
+        F.expr("timestampadd(DAY, 7, o_orderdate)").alias("oe"),
+    )
+    pairs = interval_overlap_join(
+        left, right, "ls", "le", "os", "oe", bucket_seconds=7 * 86400
+    )
+    rel = F.expr(
+        "CASE "
+        "WHEN ls = os AND le = oe THEN 'equals' "
+        "WHEN le = os THEN 'meets' "
+        "WHEN oe = ls THEN 'met_by' "
+        "WHEN ls = os THEN CASE WHEN le < oe THEN 'starts'"
+        " ELSE 'started_by' END "
+        "WHEN le = oe THEN CASE WHEN ls > os THEN 'finishes'"
+        " ELSE 'finished_by' END "
+        "WHEN ls > os AND le < oe THEN 'during' "
+        "WHEN os > ls AND oe < le THEN 'contains' "
+        "WHEN ls < os THEN 'overlaps' "
+        "ELSE 'overlapped_by' END"
+    )
+    return pairs.groupBy(rel.alias("rel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+_BDAY_PARTIAL = "CASE x % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 \
+WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END"
+
+
+def _bday_g(x_expr: str) -> str:
+    """Business days in [epoch, epoch + x): 5 per full week plus a
+    partial-week lookup. Epoch day 0 = 1970-01-01 = Thursday, so the
+    partial week visits weekdays (3,4,5,6,0,1,2) — cumulative
+    workday counts (0,1,2,2,2,3,4)."""
+    return (
+        f"(5 * (({x_expr}) // 7) + "
+        + _BDAY_PARTIAL.replace("x", f"({x_expr})")
+        + ")"
+    )
+
+
+@register(
+    "q_business_days",
+    f"""
+    WITH t AS (
+        SELECT o.o_orderpriority AS priority,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         l.l_shipdate) AS e0,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         l.l_shipdate) + 1 + l.l_orderkey % 14 AS e1
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority,
+           CAST({_bday_g('e1')} - {_bday_g('e0')} AS BIGINT) AS bdays,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day transit-time histogram per order priority (the
+    synthesized 1-14-day shipping windows, weekends excluded) — the
+    calendar arithmetic every SLA metric needs, computed with a CLOSED
+    FORM instead of a calendar explode: business days in [0, x) =
+    5·(x div 7) + a 7-entry partial-week lookup anchored on the epoch
+    weekday, so the whole histogram is one map + one groupBy, no
+    calendar table, no per-day explosion, and no reliance on the
+    engines' (incompatible) dayofweek numbering conventions."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    e0 = (
+        "CAST(timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " l_shipdate) AS BIGINT)"
+    )
+
+    def g(x: str) -> str:
+        partial = (
+            f"CASE ({x}) % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2"
+            f" WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END"
+        )
+        return f"(5 * (({x}) div 7) + {partial})"
+
+    t = li.join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(e0).alias("e0"),
+        F.expr(f"{e0} + 1 + l_orderkey % 14").alias("e1"),
+    )
+    return t.groupBy(
+        "priority",
+        F.expr(f"CAST({g('e1')} - {g('e0')} AS BIGINT)").alias("bdays"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
