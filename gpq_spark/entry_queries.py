@@ -18547,3 +18547,76 @@ def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         F.expr(f"CAST({g('e1')} - {g('e0')} AS BIGINT)").alias("bdays"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@register(
+    "q_interval_schedule",
+    f"""
+    WITH RECURSIVE base AS (
+        SELECT l_suppkey AS k,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         l_shipdate) AS s,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         l_shipdate) + 1 + l_orderkey % 14 AS e,
+               {cents('l_extendedprice')} AS w
+        FROM lineitem WHERE l_suppkey % 10 = 0
+    ),
+    numbered AS (
+        SELECT k, s, e, w,
+               row_number() OVER (PARTITION BY k ORDER BY e, s, w) AS rn
+        FROM base
+    ),
+    withp AS (
+        SELECT n1.k, n1.w, n1.rn,
+               (SELECT COUNT(*) FROM numbered n2
+                WHERE n2.k = n1.k AND n2.e < n1.s) AS p
+        FROM numbered n1
+    ),
+    nmax AS (SELECT k, MAX(rn) AS top FROM numbered GROUP BY 1),
+    rec AS (
+        SELECT k, CAST(0 AS BIGINT) AS rn,
+               CAST([0] AS BIGINT[]) AS dp, CAST([0] AS BIGINT[]) AS ct
+        FROM nmax
+        UNION ALL
+        SELECT r.k, r.rn + 1,
+               list_append(r.dp,
+                   CASE WHEN wp.w + r.dp[CAST(wp.p AS INT) + 1]
+                             > r.dp[CAST(r.rn AS INT) + 1]
+                        THEN wp.w + r.dp[CAST(wp.p AS INT) + 1]
+                        ELSE r.dp[CAST(r.rn AS INT) + 1] END),
+               list_append(r.ct,
+                   CASE WHEN wp.w + r.dp[CAST(wp.p AS INT) + 1]
+                             > r.dp[CAST(r.rn AS INT) + 1]
+                        THEN r.ct[CAST(wp.p AS INT) + 1] + 1
+                        ELSE r.ct[CAST(r.rn AS INT) + 1] END)
+        FROM rec r JOIN withp wp ON wp.k = r.k AND wp.rn = r.rn + 1
+    )
+    SELECT r.k AS supp,
+           CAST(r.dp[CAST(m.top AS INT) + 1] AS BIGINT) AS best_weight,
+           CAST(r.ct[CAST(m.top AS INT) + 1] AS BIGINT) AS n_selected
+    FROM rec r JOIN nmax m ON m.k = r.k AND r.rn = m.top
+    """,
+)
+def q_interval_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-revenue non-overlapping shipment schedule per supplier
+    (every 10th supplier; closed day intervals, disjoint means
+    prev.end < next.start): the weighted-interval-scheduling dynamic
+    program (relational.weighted_interval_schedule — one shuffle on
+    the key, O(n log n) searchsorted DP per key inside applyInPandas,
+    skip-on-tie so the selected COUNT is deterministic too). The
+    oracle replays the identical DP with a recursive CTE that carries
+    the dp and count tables as growing lists."""
+    from .relational import weighted_interval_schedule
+
+    li = load(spark, sf_dir, "lineitem")
+    e0 = (
+        "CAST(timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " l_shipdate) AS BIGINT)"
+    )
+    base = li.filter(F.col("l_suppkey") % 10 == 0).select(
+        F.col("l_suppkey").alias("supp"),
+        F.expr(e0).alias("s"),
+        F.expr(f"{e0} + 1 + l_orderkey % 14").alias("e"),
+        F.expr(cents("l_extendedprice")).alias("w"),
+    )
+    return weighted_interval_schedule(base, "supp", "s", "e", "w")

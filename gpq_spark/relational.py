@@ -576,3 +576,74 @@ def skyline_2d(
         )
         .drop("__pm", "__sm", "__cell")
     )
+
+
+def weighted_interval_schedule(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Max-weight NON-OVERLAPPING interval subset per key — weighted
+    interval scheduling, the resource/booking optimization: among each
+    key's closed integer intervals [start, end] with positive integer
+    weights, the classic O(n log n) dynamic program picks the subset
+    of pairwise-disjoint intervals (prev.end < next.start) maximizing
+    total weight. Output: (key, best_weight, n_selected).
+
+    Deterministic spec (mirrored exactly by the recursive-CTE oracle):
+    intervals sort by (end, start, weight); p(i) = number of intervals
+    ordered before i whose end < start(i) (a searchsorted on the
+    sorted ends); dp(i) = max(dp(i-1), w(i) + dp(p(i))), with ties
+    resolved by SKIPPING (the subset count follows the same rule, so
+    n_selected is well-defined, not just the weight).
+
+    Scale: the DP is sequential PER KEY by nature, so it runs inside
+    ``applyInPandas`` after one shuffle on the key — the pack_greedy
+    shape; numpy searchsorted keeps the per-key pass O(n log n).
+    """
+    import numpy as np
+    import pandas as pd
+
+    slim = df.select(
+        F.col(key_col).alias("k"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+
+    def solve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["e", "s", "w"], kind="mergesort")
+        s = pdf["s"].to_numpy()
+        e = pdf["e"].to_numpy()
+        w = pdf["w"].to_numpy()
+        n = len(s)
+        # p[i] = count of sorted intervals with end < s[i]
+        p = np.searchsorted(e, s, side="left")
+        dp = [0] * (n + 1)
+        cnt = [0] * (n + 1)
+        for i in range(1, n + 1):
+            take = int(w[i - 1]) + dp[p[i - 1]]
+            if take > dp[i - 1]:
+                dp[i] = take
+                cnt[i] = cnt[p[i - 1]] + 1
+            else:
+                dp[i] = dp[i - 1]
+                cnt[i] = cnt[i - 1]
+        return pd.DataFrame(
+            {
+                "k": [pdf["k"].iloc[0]] if n else [],
+                "best_weight": [dp[n]] if n else [],
+                "n_selected": [cnt[n]] if n else [],
+            }
+        )
+
+    out = slim.groupBy("k").applyInPandas(
+        solve, schema="k long, best_weight long, n_selected long"
+    )
+    return out.select(
+        F.col("k").alias(key_col),
+        F.col("best_weight"),
+        F.col("n_selected"),
+    )

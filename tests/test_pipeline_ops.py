@@ -3796,3 +3796,69 @@ class TestWaterfillAllocation:
             for s in active:
                 alloc[s] += min(cap[s] - alloc[s], share)
         assert got == alloc
+
+
+class TestWeightedIntervalSchedule:
+    def _solve(self, spark, rows):
+        from gpq_spark.relational import weighted_interval_schedule
+
+        df = spark.createDataFrame(
+            rows, "k long, s long, e long, w long"
+        )
+        return {
+            r["k"]: (r["best_weight"], r["n_selected"])
+            for r in weighted_interval_schedule(
+                df, "k", "s", "e", "w"
+            ).collect()
+        }
+
+    def test_classic_example(self, spark):
+        """Intervals (1,3,w5), (2,5,w6), (4,7,w5), (6,9,w4): best is
+        (1,3)+(4,7) = 10 with 2 picks — the greedy-by-weight answer
+        (2,5,w6 alone blocks both) is beaten by the DP."""
+        got = self._solve(
+            spark,
+            [(1, 1, 3, 5), (1, 2, 5, 6), (1, 4, 7, 5), (1, 6, 9, 4)],
+        )
+        assert got == {1: (10, 2)}
+
+    def test_closed_interval_touching_conflicts(self, spark):
+        """[1,3] and [3,5] share day 3 (closed intervals): they
+        conflict, so only the heavier one is taken."""
+        got = self._solve(spark, [(1, 1, 3, 5), (1, 3, 5, 7)])
+        assert got == {1: (7, 1)}
+        # [1,3] and [4,5] are disjoint (4 > 3)
+        got2 = self._solve(spark, [(1, 1, 3, 5), (1, 4, 5, 7)])
+        assert got2 == {1: (12, 2)}
+
+    def test_skip_on_tie_count(self, spark):
+        """Two identical conflicting intervals: ties resolve by
+        skipping, so exactly one is selected."""
+        got = self._solve(spark, [(1, 1, 5, 9), (1, 2, 6, 9)])
+        assert got == {1: (9, 1)}
+
+    def test_per_key_independence(self, spark):
+        got = self._solve(
+            spark, [(1, 1, 2, 3), (2, 1, 2, 4), (2, 5, 6, 4)]
+        )
+        assert got == {1: (3, 1), 2: (8, 2)}
+
+    def test_matches_bruteforce(self, spark):
+        """Exhaustive check against all 2^n subsets on a deterministic
+        12-interval instance."""
+        from itertools import combinations
+
+        rows = [
+            (1, (i * 7) % 20, (i * 7) % 20 + 1 + (i * 3) % 6, 1 + (i * 5) % 9)
+            for i in range(12)
+        ]
+        best = 0
+        for r in range(1, 13):
+            for sub in combinations(rows, r):
+                ivs = sorted((s, e, w) for _, s, e, w in sub)
+                if all(
+                    ivs[i][1] < ivs[i + 1][0] for i in range(len(ivs) - 1)
+                ):
+                    best = max(best, sum(w for _, _, w in ivs))
+        got = self._solve(spark, rows)
+        assert got[1][0] == best
