@@ -18620,3 +18620,62 @@ def q_interval_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(cents("l_extendedprice")).alias("w"),
     )
     return weighted_interval_schedule(base, "supp", "s", "e", "w")
+
+
+@register(
+    "q_wilson_lb",
+    """
+    WITH seg AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    SELECT segment, n, s,
+           CAST(1000000 * ((s + 2) * n
+                - 2 * CAST(floor(sqrt(CAST(s * (n - s) * n + n * n
+                                            AS DOUBLE))) AS BIGINT))
+                // (n * (n + 4)) AS BIGINT) AS wilson_lb_e6
+    FROM seg
+    """,
+)
+def q_wilson_lb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score LOWER bound (z = 2) on each market segment's
+    urgent-order rate — the statistically sound way to rank segments
+    by conversion when sample sizes differ (a 3/4 segment must not
+    outrank a 900/1200 one). Integer-exact: the only irrational is
+    one isqrt, taken as floor(sqrt(·)) of an exact int64 (IEEE sqrt is
+    correctly rounded, so both engines floor identically); everything
+    else is integer cross-multiplication. Overflow bound: s·(n−s)·n
+    needs n < ~2M per group, loudly documented rather than silently
+    wrapped."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    seg = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    return seg.select(
+        "segment",
+        "n",
+        "s",
+        F.expr(
+            "CAST(1000000 * ((s + 2) * n"
+            " - 2 * CAST(floor(sqrt(CAST(s * (n - s) * n + n * n"
+            " AS DOUBLE))) AS BIGINT))"
+            " div (n * (n + 4)) AS BIGINT)"
+        ).alias("wilson_lb_e6"),
+    )
