@@ -18679,3 +18679,153 @@ def q_wilson_lb(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * (n + 4)) AS BIGINT)"
         ).alias("wilson_lb_e6"),
     )
+
+
+@register(
+    "text_vocab_coverage",
+    r"""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    counts AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words
+        WHERE w <> '' GROUP BY 1
+    ),
+    ranked AS (
+        SELECT c,
+               row_number() OVER (ORDER BY c DESC, w) AS rk,
+               SUM(c) OVER (ORDER BY c DESC, w
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS total
+        FROM counts
+    )
+    SELECT CAST(rk AS BIGINT) AS k,
+           CAST(cum AS BIGINT) AS covered,
+           CAST(1000000 * cum // total AS BIGINT) AS coverage_e6
+    FROM ranked WHERE rk IN (10, 100, 1000, 10000)
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-budget planning
+    metric: what fraction of all corpus word occurrences the top-k
+    vocabulary entries cover, sampled at k ∈ {10, 100, 1000, 10000}.
+    One explode + one groupBy + one ordered-window cumsum over the
+    (small) vocabulary frame; deterministic full tie-break
+    (count desc, word asc). coverage_e6 is an exact integer ratio."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.filter(F.expr("length(trim(text)) > 0"))
+        .select(
+            F.explode(F.expr(r"split(trim(lower(text)), '\\s+')")).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_rank = Window.orderBy(F.desc("c"), F.asc("w"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = counts.select(
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    return ranked.filter(F.col("rk").isin(10, 100, 1000, 10000)).select(
+        F.col("rk").cast("long").alias("k"),
+        F.col("cum").cast("long").alias("covered"),
+        F.expr("CAST(1000000 * cum div total AS BIGINT)").alias(
+            "coverage_e6"
+        ),
+    )
+
+
+@register(
+    "embed_negative_samples",
+    """
+    WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    pos AS (
+        SELECT vec_id AS anchor, label,
+               COALESCE(
+                   lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id),
+                   MIN(vec_id) OVER (PARTITION BY label)
+               ) AS pos_id
+        FROM embeddings
+    ),
+    anchors AS (SELECT * FROM pos WHERE pos_id <> anchor),
+    cand AS (
+        SELECT a.anchor, a.label, a.pos_id, t.slot,
+               (a.anchor * 2654435761 + t.slot * 97) % nn.n AS neg_id
+        FROM anchors a CROSS JOIN nn,
+             UNNEST([0, 1, 2, 3, 4, 5]) AS t(slot)
+    ),
+    valid AS (
+        SELECT c.anchor, c.pos_id, c.neg_id, c.slot
+        FROM cand c JOIN embeddings e ON e.vec_id = c.neg_id
+        WHERE e.label <> c.label AND c.neg_id <> c.anchor
+    )
+    SELECT anchor, pos_id, neg_id, CAST(rk AS BIGINT) AS slot_rank
+    FROM (
+        SELECT anchor, pos_id, neg_id,
+               row_number() OVER (PARTITION BY anchor ORDER BY slot) AS rk
+        FROM valid
+    ) WHERE rk <= 2
+    """,
+)
+def embed_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic triplet mining for contrastive training: every
+    vector anchors a triplet with its label-cyclic next neighbor as
+    the positive and 2 hash-probed negatives (first valid of 6 slots
+    — candidate = (anchor·2654435761 + slot·97) mod N, rejected when
+    it collides with the anchor or shares its label). Replaces the
+    usual RNG negative sampler with pure arithmetic, so epochs are
+    reproducible and resumable — one window for positives, one
+    bounded 6-slot explode + equi-join for the label check, no RNG
+    state anywhere."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    w_lbl = Window.partitionBy("label").orderBy("vec_id")
+    pos = emb.select(
+        F.col("vec_id").alias("anchor"),
+        "label",
+        F.coalesce(
+            F.lead("vec_id").over(w_lbl),
+            F.min("vec_id").over(
+                Window.partitionBy("label").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        ).alias("pos_id"),
+    ).filter(F.col("pos_id") != F.col("anchor"))
+    cand = pos.select(
+        "anchor",
+        "label",
+        "pos_id",
+        F.explode(F.expr("sequence(0, 5)")).alias("slot"),
+    ).withColumn(
+        "neg_id", F.expr(f"(anchor * 2654435761 + slot * 97) % {n}")
+    )
+    valid = (
+        cand.join(
+            emb.select(
+                F.col("vec_id").alias("neg_id"),
+                F.col("label").alias("neg_label"),
+            ),
+            "neg_id",
+        )
+        .filter(
+            (F.col("neg_label") != F.col("label"))
+            & (F.col("neg_id") != F.col("anchor"))
+        )
+    )
+    w_slot = Window.partitionBy("anchor").orderBy("slot")
+    return (
+        valid.withColumn("rk", F.row_number().over(w_slot))
+        .filter(F.col("rk") <= 2)
+        .select(
+            "anchor", "pos_id", "neg_id", F.col("rk").cast("long").alias("slot_rank")
+        )
+    )
