@@ -18829,3 +18829,137 @@ def embed_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor", "pos_id", "neg_id", F.col("rk").cast("long").alias("slot_rank")
         )
     )
+
+
+@register(
+    "q_diff_in_diff",
+    f"""
+    WITH cells AS (
+        SELECT CASE WHEN c.c_nationkey % 2 = 1 THEN 1 ELSE 0 END AS treated,
+               CASE WHEN o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS rev,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT treated, post,
+               CAST(1000000 * rev // n AS BIGINT) AS mean_e6, n
+        FROM cells
+    )
+    SELECT
+        CAST((MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_e6 END)
+            - MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_e6 END))
+           - (MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_e6 END)
+            - MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_e6 END))
+           AS BIGINT) AS did_e6,
+        CAST(SUM(n) AS BIGINT) AS n_orders
+    FROM means
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the 1997+ order-value
+    shift for odd-nation customers (treated) vs even-nation (control)
+    — the panel-causal primitive: (post−pre) for treated minus
+    (post−pre) for control, with every cell mean floored to an exact
+    e6 integer so the estimate is engine-exact. One join + one 4-cell
+    aggregate; means are BIGINT·1e6 div counts, never float."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cells = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.expr(
+                "CASE WHEN c_nationkey % 2 = 1 THEN 1 ELSE 0 END"
+            ).alias("treated"),
+            F.expr(
+                "CASE WHEN o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'"
+                " THEN 1 ELSE 0 END"
+            ).alias("post"),
+        )
+        .agg(
+            F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "treated",
+            "post",
+            F.expr("CAST(1000000 * rev div n AS BIGINT)").alias("mean_e6"),
+            "n",
+        )
+    )
+    m = (
+        "MAX(CASE WHEN treated = {t} AND post = {p} THEN mean_e6 END)"
+    )
+    return cells.agg(
+        F.expr(
+            f"CAST(({m.format(t=1, p=1)} - {m.format(t=1, p=0)})"
+            f" - ({m.format(t=0, p=1)} - {m.format(t=0, p=0)}) AS BIGINT)"
+        ).alias("did_e6"),
+        F.sum("n").cast("long").alias("n_orders"),
+    )
+
+
+@register(
+    "q_rich_club",
+    f"""
+    WITH {_COSOURCE_EDGE_CTES},
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    club AS (
+        SELECT node FROM (
+            SELECT node, row_number() OVER (ORDER BY d DESC, node) AS rk
+            FROM deg
+        ) CROSS JOIN nn WHERE rk * 10 <= n
+    ),
+    inside AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m
+        FROM e JOIN club a ON a.node = e.u JOIN club b ON b.node = e.v
+    ),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM club)
+    SELECT k.k AS club_size, inside.m AS club_edges,
+           CASE WHEN k.k >= 2
+                THEN CAST(2000000 * inside.m // (k.k * (k.k - 1)) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS density_e6
+    FROM inside CROSS JOIN k
+    """,
+)
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the co-sourcing graph: the edge
+    density among the top-decile-degree suppliers (hub-to-hub
+    interconnection, the 'elite cohesion' signal) as an exact e6
+    integer — 2m div k(k−1). Two semi-joins of the edge set against
+    the broadcast club, no quadratic work."""
+    e = _cosource_edges_spark(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    n = deg.count()
+    w = Window.orderBy(F.desc("d"), F.asc("node"))
+    club = (
+        deg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") * 10 <= n)
+        .select("node")
+    )
+    k = club.count()
+    m = (
+        e.join(F.broadcast(club.withColumnRenamed("node", "u")), "u")
+        .join(F.broadcast(club.withColumnRenamed("node", "v")), "v")
+        .count()
+    )
+    density = 2000000 * m // (k * (k - 1)) if k >= 2 else 0
+    return spark.createDataFrame(
+        [(k, m, density)],
+        "club_size long, club_edges long, density_e6 long",
+    )
