@@ -18963,3 +18963,88 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, m, density)],
         "club_size long, club_edges long, density_e6 long",
     )
+
+
+@register(
+    "q_merkle_diff",
+    f"""
+    WITH a AS (
+        SELECT o_orderkey AS k, {cents('o_totalprice')} AS v FROM orders
+    ),
+    b AS (
+        SELECT k, CASE WHEN k % 997 = 0 THEN v + 1 ELSE v END AS v FROM a
+    ),
+    ha AS (
+        SELECT k // 1000 AS bucket,
+               CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
+                    || CAST(v AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        FROM a
+    ),
+    hb AS (
+        SELECT k // 1000 AS bucket,
+               CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
+                    || CAST(v AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        FROM b
+    ),
+    ca AS (SELECT bucket, CAST(SUM(h) % 281474976710656 AS BIGINT) AS cs,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM ha GROUP BY 1),
+    cb AS (SELECT bucket, CAST(SUM(h) % 281474976710656 AS BIGINT) AS cs,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM hb GROUP BY 1)
+    SELECT CAST(ca.bucket AS BIGINT) AS bucket, ca.n AS n_rows
+    FROM ca JOIN cb ON cb.bucket = ca.bucket
+    WHERE ca.cs <> cb.cs OR ca.n <> cb.n
+    """,
+)
+def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style replica divergence localization: two copies of the
+    orders table (replica B carries a deterministic 1-cent corruption
+    on every 997th key) checksum per 1000-key range bucket, and only
+    buckets whose (checksum, count) disagree surface — the
+    anti-entropy primitive that narrows a 100 TB replica comparison to
+    the few ranges worth re-reading, at the cost of one map-side hash
+    + one bucket aggregate per replica + one tiny bucket join (never
+    a row-level full-table diff)."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(cents("o_totalprice")).alias("v"),
+    )
+    b = a.select(
+        "k",
+        F.expr("CASE WHEN k % 997 = 0 THEN v + 1 ELSE v END").alias("v"),
+    )
+
+    def sums(df):
+        h = F.expr(
+            "CAST(conv(substr(md5(concat(CAST(k AS STRING), '|',"
+            " CAST(v AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+        )
+        return (
+            df.select(F.expr("k div 1000").alias("bucket"), h.alias("h"))
+            .groupBy("bucket")
+            .agg(
+                (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(1 << 48))
+                .cast("long")
+                .alias("cs"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+
+    ca, cb = sums(a), sums(b)
+    return (
+        ca.join(
+            cb.select(
+                F.col("bucket"),
+                F.col("cs").alias("cs_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "bucket",
+        )
+        .filter((F.col("cs") != F.col("cs_b")) | (F.col("n") != F.col("n_b")))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n").alias("n_rows"),
+        )
+    )
