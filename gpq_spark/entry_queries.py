@@ -19048,3 +19048,149 @@ def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_rows"),
         )
     )
+
+
+@register(
+    "text_log_templates",
+    r"""
+    WITH t AS (
+        SELECT regexp_replace(
+                   regexp_replace(trim(text), '[0-9]+', '<N>', 'g'),
+                   '\s+', ' ', 'g') AS template
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    c AS (
+        SELECT substr(template, 1, 80) AS template,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM t GROUP BY 1
+    )
+    SELECT template, n FROM (
+        SELECT template, n,
+               row_number() OVER (ORDER BY n DESC, template) AS rn
+        FROM c
+    ) WHERE rn <= 20
+    """,
+)
+def text_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-template extraction (Drain-lite): mask numeric runs to
+    <N>, collapse whitespace, truncate to a canonical 80-char prefix,
+    and count occurrences — the template mining that turns raw log
+    streams into a bounded event vocabulary. Pure regexp expressions
+    (identical Java-regex/RE2 semantics: literal classes only), one
+    groupBy, deterministic tie-break."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.filter(F.expr("length(trim(text)) > 0")).select(
+        F.expr(
+            r"substr(regexp_replace(regexp_replace(trim(text),"
+            r" '[0-9]+', '<N>'), '\\s+', ' '), 1, 80)"
+        ).alias("template")
+    )
+    c = t.groupBy("template").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("template"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("template", "n")
+    )
+
+
+@register(
+    "q_pruning_audit",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         o_orderdate) AS d
+        FROM orders
+    ),
+    layouts AS (
+        SELECT 'natural' AS layout,
+               (row_number() OVER (ORDER BY k) - 1) // 1000 AS chunk, d
+        FROM base
+        UNION ALL
+        SELECT 'time_sorted',
+               (row_number() OVER (ORDER BY d, k) - 1) // 1000, d
+        FROM base
+        UNION ALL
+        SELECT 'hash_scattered',
+               (row_number() OVER (
+                   ORDER BY CAST('0x' || substr(md5(CAST(k AS VARCHAR)),
+                                 1, 12) AS BIGINT), k) - 1) // 1000, d
+        FROM base
+    ),
+    chunks AS (
+        SELECT layout, chunk, MIN(d) AS lo, MAX(d) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM layouts GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         TIMESTAMP '1995-03-01 00:00:00') AS p0,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         TIMESTAMP '1995-03-31 00:00:00') AS p1
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN hi < p0 OR lo > p1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS prunable,
+           CAST(1000000 * SUM(CASE WHEN hi < p0 OR lo > p1
+                                   THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS prune_frac_e6
+    FROM chunks CROSS JOIN pred
+    GROUP BY 1
+    """,
+)
+def q_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout pruning audit: simulate 1000-row row-groups under
+    three physical layouts (natural key order, time-sorted,
+    hash-scattered) and measure what fraction of chunks a March-1995
+    predicate could skip from min/max stats alone — the planning
+    number that justifies a sort or Z-order rewrite BEFORE paying for
+    it. Pure windows + one chunk aggregate; the ordering inside each
+    layout is fully tie-broken so both engines chunk identically."""
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        "CAST(timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " o_orderdate) AS BIGINT)"
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("k"), F.expr(d).alias("d")
+    )
+    h = (
+        "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT)"
+    )
+    layouts = None
+    for name, order in (
+        ("natural", [F.col("k")]),
+        ("time_sorted", [F.col("d"), F.col("k")]),
+        ("hash_scattered", [F.expr(h), F.col("k")]),
+    ):
+        w = Window.orderBy(*order)
+        part = base.select(
+            F.lit(name).alias("layout"),
+            ((F.row_number().over(w) - 1) / 1000).cast("long").alias("chunk"),
+            "d",
+        )
+        layouts = part if layouts is None else layouts.unionByName(part)
+    chunks = layouts.groupBy("layout", "chunk").agg(
+        F.min("d").alias("lo"),
+        F.max("d").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    p0 = "CAST(timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00', TIMESTAMP_NTZ '1995-03-01 00:00:00') AS BIGINT)"
+    p1 = "CAST(timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00', TIMESTAMP_NTZ '1995-03-31 00:00:00') AS BIGINT)"
+    return chunks.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(
+            F.expr(f"CASE WHEN hi < {p0} OR lo > {p1} THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("prunable"),
+        F.expr(
+            f"CAST(1000000 * SUM(CASE WHEN hi < {p0} OR lo > {p1}"
+            f" THEN 1 ELSE 0 END) div COUNT(*) AS BIGINT)"
+        ).alias("prune_frac_e6"),
+    )
