@@ -19194,3 +19194,67 @@ def q_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN 1 ELSE 0 END) div COUNT(*) AS BIGINT)"
         ).alias("prune_frac_e6"),
     )
+
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_expr(px: str, py: str, chars: int = 4) -> str:
+    """Geohash of integer-degree (lon, lat) as engine-portable
+    arithmetic: 5·chars bits, lon on even interleave positions from
+    the MSB, both cell coords scaled to their half of the bit budget;
+    base32 chars picked from the standard alphabet with substr. Only
+    div/mod/multiply/substr — no bitwise ops, no library calls."""
+    nbits = 5 * chars
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    cx = f"(({px}) + 180) * {1 << lon_bits} // 360"
+    cy = f"(({py}) + 90) * {1 << lat_bits} // 180"
+    terms = []
+    for i in range(lon_bits):
+        terms.append(f"((({cx}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    for i in range(lat_bits):
+        terms.append(f"((({cy}) // {1 << i}) % 2) * {1 << (2 * i)}")
+    gh = "(" + " + ".join(terms) + ")"
+    parts = [
+        f"substr('{_GH32}', CAST(({gh} // {32 ** (chars - 1 - j)}) % 32"
+        f" AS INT) + 1, 1)"
+        for j in range(chars)
+    ]
+    return " || ".join(parts)
+
+
+@register(
+    "geo_geohash_tiles",
+    f"""
+    WITH pts AS (
+        SELECT CAST({_DJ_PX} AS BIGINT) AS px,
+               CAST({_DJ_PY} AS BIGINT) AS py
+        FROM customer
+    )
+    SELECT {_geohash_expr('px', 'py')} AS geohash,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(px) AS BIGINT) AS sum_x,
+           CAST(SUM(py) AS BIGINT) AS sum_y
+    FROM pts GROUP BY 1
+    """,
+)
+def geo_geohash_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-character geohash tiling of the synthesized customer points —
+    the OTHER ubiquitous spatial key (quadkey's base-32 sibling, used
+    by every geo index from Redis to Elasticsearch), computed as pure
+    div/mod bit interleaving + substr over the standard alphabet so
+    both engines derive identical strings with no bitwise operators or
+    geo libraries. Map-side key + one groupBy."""
+    cust = load(spark, sf_dir, "customer")
+    # Spark div is `div`; rewrite the // of the shared builder
+    expr = _geohash_expr("px", "py").replace("//", "div")
+    pts = cust.select(
+        F.expr(f"CAST({_DJ_PX} AS BIGINT)").alias("px"),
+        F.expr(f"CAST({_DJ_PY} AS BIGINT)").alias("py"),
+    )
+    return pts.groupBy(F.expr(expr).alias("geohash")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("px").cast("long").alias("sum_x"),
+        F.sum("py").cast("long").alias("sum_y"),
+    )
