@@ -19258,3 +19258,156 @@ def geo_geohash_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("px").cast("long").alias("sum_x"),
         F.sum("py").cast("long").alias("sum_y"),
     )
+
+
+@register(
+    "text_prefix_index",
+    r"""
+    WITH words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                   AS w
+            FROM documents WHERE length(trim(text)) > 0
+        ) WHERE w <> '' AND regexp_matches(w, '^[a-z]+$')
+        GROUP BY 1
+    ),
+    prefixes AS (
+        SELECT substr(w, 1, p) AS prefix, w, c
+        FROM words, UNNEST([1, 2, 3]) AS t(p)
+        WHERE length(w) >= p
+    )
+    SELECT prefix, w AS word, c AS cnt, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT prefix, w, c,
+               row_number() OVER (PARTITION BY prefix
+                                  ORDER BY c DESC, w) AS rn
+        FROM prefixes
+    ) WHERE rn <= 3
+    """,
+)
+def text_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete prefix index: for every 1-3 character prefix, the
+    top-3 corpus words by frequency (full tie-break) — the
+    search-suggestion structure, built with one vocab groupBy, one
+    bounded 3-way prefix explode, and one per-prefix window. Prefix
+    cardinality is bounded by 26+26²+26³, so the window shuffle is
+    tiny regardless of corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.filter(F.expr("length(trim(text)) > 0"))
+        .select(
+            F.explode(F.expr(r"split(trim(lower(text)), '\\s+')")).alias("w")
+        )
+        .filter(F.expr("w <> '' AND w RLIKE '^[a-z]+$'"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    prefixes = words.select(
+        F.explode(F.expr("sequence(1, 3)")).alias("p"), "w", "c"
+    ).filter(F.expr("length(w) >= p")).select(
+        F.expr("substr(w, 1, p)").alias("prefix"), "w", "c"
+    )
+    wnd = Window.partitionBy("prefix").orderBy(F.desc("c"), F.asc("w"))
+    return (
+        prefixes.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "prefix",
+            F.col("w").alias("word"),
+            F.col("c").alias("cnt"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
+@register(
+    "q_joinability",
+    """
+    WITH pairs AS (
+        SELECT 'orders.o_custkey->customer.c_custkey' AS pair,
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS na,
+               (SELECT COUNT(*) FROM
+                   (SELECT DISTINCT o_custkey FROM orders) a
+                   JOIN (SELECT DISTINCT c_custkey FROM customer) b
+                   ON b.c_custkey = a.o_custkey) AS ninter
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+               (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+               (SELECT COUNT(*) FROM
+                   (SELECT DISTINCT l_orderkey FROM lineitem) a
+                   JOIN (SELECT DISTINCT o_orderkey FROM orders) b
+                   ON b.o_orderkey = a.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+               (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+               (SELECT COUNT(*) FROM
+                   (SELECT DISTINCT l_suppkey FROM lineitem) a
+                   JOIN (SELECT DISTINCT s_suppkey FROM supplier) b
+                   ON b.s_suppkey = a.l_suppkey)
+        UNION ALL
+        SELECT 'customer.c_custkey->orders.o_custkey',
+               (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+               (SELECT COUNT(*) FROM
+                   (SELECT DISTINCT c_custkey FROM customer) a
+                   JOIN (SELECT DISTINCT o_custkey FROM orders) b
+                   ON b.o_custkey = a.c_custkey)
+        UNION ALL
+        SELECT 'part.p_partkey->lineitem.l_partkey',
+               (SELECT COUNT(DISTINCT p_partkey) FROM part),
+               (SELECT COUNT(*) FROM
+                   (SELECT DISTINCT p_partkey FROM part) a
+                   JOIN (SELECT DISTINCT l_partkey FROM lineitem) b
+                   ON b.l_partkey = a.p_partkey)
+    )
+    SELECT pair, CAST(na AS BIGINT) AS n_distinct,
+           CAST(ninter AS BIGINT) AS n_contained,
+           CAST(1000000 * ninter // na AS BIGINT) AS containment_e6
+    FROM pairs
+    """,
+)
+def q_joinability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joinability discovery — the data-catalog primitive: for each
+    candidate (foreign, primary) column pair, the directed containment
+    |distinct(A) ∩ distinct(B)| div |distinct(A)| as an exact e6
+    integer; containment 1e6 means every A value joins. Each pair is
+    two distinct-aggregations plus one equi-join of the (small)
+    distinct sets — the cheap screen that runs BEFORE anyone pays for
+    a speculative full join at warehouse scale."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+
+    def containment(name, a_df, a_col, b_df, b_col):
+        a = a_df.select(F.col(a_col).alias("k")).distinct()
+        b = b_df.select(F.col(b_col).alias("k")).distinct()
+        return a.join(b, "k", "left_semi").agg(
+            F.lit(name).alias("pair"),
+            F.count(F.lit(1)).cast("long").alias("ninter"),
+        ).crossJoin(
+            F.broadcast(a.agg(F.count(F.lit(1)).cast("long").alias("na")))
+        )
+    rows = [
+        containment("orders.o_custkey->customer.c_custkey",
+                    orders, "o_custkey", cust, "c_custkey"),
+        containment("lineitem.l_orderkey->orders.o_orderkey",
+                    li, "l_orderkey", orders, "o_orderkey"),
+        containment("lineitem.l_suppkey->supplier.s_suppkey",
+                    li, "l_suppkey", supp, "s_suppkey"),
+        containment("customer.c_custkey->orders.o_custkey",
+                    cust, "c_custkey", orders, "o_custkey"),
+        containment("part.p_partkey->lineitem.l_partkey",
+                    part, "p_partkey", li, "l_partkey"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "pair",
+        F.col("na").alias("n_distinct"),
+        F.col("ninter").alias("n_contained"),
+        F.expr("CAST(1000000 * ninter div na AS BIGINT)").alias(
+            "containment_e6"
+        ),
+    )
