@@ -19149,7 +19149,11 @@ def q_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate could skip from min/max stats alone — the planning
     number that justifies a sort or Z-order rewrite BEFORE paying for
     it. Pure windows + one chunk aggregate; the ordering inside each
-    layout is fully tie-broken so both engines chunk identically."""
+    layout is fully tie-broken so both engines chunk identically.
+    The global row_number per layout is a single-partition sort —
+    inherent to simulating a total file order; at warehouse scale run
+    this audit on a hash-sampled subset (the prune FRACTIONS converge
+    fast), not the full table."""
     orders = load(spark, sf_dir, "orders")
     d = (
         "CAST(timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
