@@ -19415,3 +19415,66 @@ def q_joinability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment_e6"
         ),
     )
+
+
+@register("dedup_cross_source_matrix", None)  # oracle attached below
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: SimHash near-duplicate pairs
+    (Hamming ≤ 3, the same pigeonhole blocking as dedup_simhash_pairs)
+    rolled up to SOURCE pairs — the corpus-governance view that shows
+    which ingestion feeds copy each other before anyone trains on the
+    union. One broadcast join of the (small) pair set back to the
+    doc→source map, canonical (low, high) source ordering, one
+    groupBy."""
+    from .pipeline.dedup import simhash_near_pairs, simhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = simhash_signatures(
+        docs, "doc_id", "text", bits=16,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    pairs = simhash_near_pairs(sigs, "doc_id", max_hamming=3, bits=16)
+    src = docs.select("doc_id", "source")
+    joined = (
+        pairs.join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("source").alias("sa"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("source").alias("sb"),
+                )
+            ),
+            "id_b",
+        )
+    )
+    return joined.groupBy(
+        F.least("sa", "sb").alias("src_lo"),
+        F.greatest("sa", "sb").alias("src_hi"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+
+
+for _q in QUERIES:
+    if _q.name == "dedup_cross_source_matrix":
+        _q.oracle = f"""
+        WITH sh AS ({_simhash_oracle(16)}),
+        prs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        )
+        SELECT LEAST(da.source, db.source) AS src_lo,
+               GREATEST(da.source, db.source) AS src_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+        FROM prs
+        JOIN documents da ON da.doc_id = prs.id_a
+        JOIN documents db ON db.doc_id = prs.id_b
+        GROUP BY 1, 2
+        """
