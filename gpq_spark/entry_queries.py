@@ -19478,3 +19478,103 @@ for _q in QUERIES:
         JOIN documents db ON db.doc_id = prs.id_b
         GROUP BY 1, 2
         """
+
+
+@register(
+    "embed_silhouette_lite",
+    """
+    WITH qv AS (
+        SELECT vec_id, label, t.i,
+               CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000 + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT label, i,
+               CAST(SUM(q) // COUNT(*) AS BIGINT) AS c
+        FROM qv GROUP BY 1, 2
+    ),
+    own AS (
+        SELECT qv.label,
+               CAST(SUM((qv.q - c.c) * (qv.q - c.c)) AS BIGINT) AS d2sum,
+               CAST(COUNT(DISTINCT qv.vec_id) AS BIGINT) AS n
+        FROM qv JOIN cent c ON c.label = qv.label AND c.i = qv.i
+        GROUP BY 1
+    ),
+    cd AS (
+        SELECT a.label AS la, b.label AS lb,
+               CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2
+        FROM cent a JOIN cent b ON a.i = b.i AND a.label <> b.label
+        GROUP BY 1, 2
+    ),
+    nearest AS (
+        SELECT la AS label, CAST(MIN(d2) AS BIGINT) AS b2 FROM cd GROUP BY 1
+    )
+    SELECT o.label,
+           CAST(o.d2sum // o.n AS BIGINT) AS a2,
+           nearest.b2,
+           CAST(1000000 * (nearest.b2 - o.d2sum // o.n)
+                // GREATEST(nearest.b2, o.d2sum // o.n, 1)
+                AS BIGINT) AS silhouette_e6
+    FROM own o JOIN nearest ON nearest.label = o.label
+    """,
+)
+def embed_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label silhouette-LITE cluster quality over the embedding
+    corpus, in exact integers: a = mean squared distance to the own
+    label's (floored) centroid, b = squared distance to the nearest
+    OTHER centroid, score = (b − a) div max(a, b) on the e6 scale —
+    the standard cohesion-vs-separation diagnostic without the
+    per-pair sqrt that makes true silhouette float-fragile. One
+    explode + two groupBys + a label×label centroid join (labels are
+    few); the corpus is touched exactly twice."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+                " x -> CAST(floor(x * 1000 + 0.5d) AS BIGINT))"
+            )
+        ).alias("i", "q"),
+    )
+    cent = qv.groupBy("label", "i").agg(
+        F.expr("CAST(SUM(q) div COUNT(*) AS BIGINT)").alias("c")
+    )
+    own = (
+        qv.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.expr("(q - c) * (q - c)")).cast("long").alias("d2sum"),
+            F.countDistinct("vec_id").cast("long").alias("n"),
+        )
+    )
+    ca = cent.select(
+        F.col("label").alias("la"), "i", F.col("c").alias("cc_a")
+    )
+    cb = cent.select(
+        F.col("label").alias("lb"), F.col("i").alias("ib"), F.col("c").alias("cc_b")
+    )
+    cd = (
+        ca.join(F.broadcast(cb), (ca["i"] == cb["ib"]) & (ca["la"] != cb["lb"]))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.expr("(cc_a - cc_b) * (cc_a - cc_b)"))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    nearest = cd.groupBy(F.col("la").alias("label")).agg(
+        F.min("d2").cast("long").alias("b2")
+    )
+    return own.join(nearest, "label").select(
+        "label",
+        F.expr("CAST(d2sum div n AS BIGINT)").alias("a2"),
+        "b2",
+        F.expr(
+            "CAST(1000000 * (b2 - d2sum div n)"
+            " div GREATEST(b2, d2sum div n, 1) AS BIGINT)"
+        ).alias("silhouette_e6"),
+    )
