@@ -22,22 +22,25 @@ GROUPS = [
      r"^q_(sessionize|session_window|session_quality|tumble|asof|lag|latest"
      r"|range_join|interval_overlap|rolling|gapfill|events_json|concurrency"
      r"|twa_value|max_drawdown|ewma|seasonal_decompose|bollinger"
-     r"|quantile_normalize|winsorized_mean|forecast_eval|hill_tail)"),
+     r"|quantile_normalize|winsorized_mean|forecast_eval|hill_tail"
+     r"|allen_relations|business_days|interval_schedule)"),
     ("Event analytics",
      r"^q_(funnel|funnel_dropoff|retention|anomaly|event_transitions|event_seq|time_to|attribution|linear_attribution"
      r"|ab_test|trend|crosstab|drift|basket|recommend|incremental|table_checksum"
      r"|changepoint|pattern|outliers|cohort|rfm|nation_part|latency|growth|top_paths|market_share|hhi|gini|pareto|acf|weekday|theil_sen"
      r"|spearman|holt|lorenz|kendall|markov|cramers|survival|price_elasticity"
-     r"|active_users|audience_matrix|skyline)"),
+     r"|active_users|audience_matrix|skyline|wilson|diff_in_diff"
+     r"|hierarchy_rollup)"),
     ("Graph analytics",
      r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa|sssp"
      r"|stress|truss|ktruss|link_prediction|closure|scc|hits|hash_walks"
-     r"|temporal_reach|degree_assortativity)"),
+     r"|temporal_reach|degree_assortativity|rich_club)"),
     ("Governance & auditing",
      r"^q_(kanon|ldiversity|tcloseness|benford|corpus_diff|data_constraints"
      r"|split_leakage|mann_whitney|runs_test|trimmed_mean|ks_test|cvm_test"
-     r"|mutual_info|psi|fd_check|rendezvous)"),
-    ("Deduplication & decontamination", r"^(dedup_|decontam|semantic_)"),
+     r"|mutual_info|psi|fd_check|rendezvous|merkle_diff|pruning_audit"
+     r"|joinability)"),
+    ("Deduplication & decontamination", r"^(dedup_|decontam|semantic_|er_)"),
     ("Similarity search & embeddings", r"^(ann_|ivf_|embed_|pq_)"),
     ("Text analysis & corpus ops",
      r"^(text_|rank_|sample_|pack_|profile_|skew_|shuffle_|drift_|pipeline_)"),
