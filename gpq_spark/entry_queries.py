@@ -19578,3 +19578,113 @@ def embed_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div GREATEST(b2, d2sum div n, 1) AS BIGINT)"
         ).alias("silhouette_e6"),
     )
+
+
+_EV_HASH = (
+    "CAST('0x' || substr(md5('cal|' || CAST(event_id AS VARCHAR)), 1, 12)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "q_conformal_coverage",
+    f"""
+    WITH tagged AS (
+        SELECT user_id, event_id, {cents('value')} AS v,
+               CASE WHEN {_EV_HASH} < {int(0.5 * (1 << 48))}
+                    THEN 'cal' ELSE 'test' END AS split
+        FROM events
+    ),
+    pred AS (
+        SELECT user_id, CAST(SUM(v) // COUNT(*) AS BIGINT) AS mu
+        FROM tagged WHERE split = 'cal' GROUP BY 1
+    ),
+    calres AS (
+        SELECT ABS(t.v - p.mu) AS r
+        FROM tagged t JOIN pred p ON p.user_id = t.user_id
+        WHERE t.split = 'cal'
+    ),
+    ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM calres),
+    qstat AS (
+        SELECT CAST(r AS BIGINT) AS q FROM (
+            SELECT r, row_number() OVER (ORDER BY r) AS rk FROM calres
+        ) CROSS JOIN ncal
+        WHERE rk = LEAST((9 * (n + 1) + 9) // 10, n)
+    ),
+    test AS (
+        SELECT ABS(t.v - p.mu) AS r
+        FROM tagged t JOIN pred p ON p.user_id = t.user_id
+        WHERE t.split = 'test'
+    )
+    SELECT ncal.n AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           qstat.q AS q_resid,
+           CAST(1000000 * SUM(CASE WHEN test.r <= qstat.q
+                                   THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS coverage_e6
+    FROM test CROSS JOIN qstat CROSS JOIN ncal
+    GROUP BY 1, 3
+    """,
+)
+def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration check — the distribution-free
+    prediction-interval primitive: a deterministic hash split carves
+    calibration/test halves, the predictor is the per-user calibration
+    mean (integer cents), the conformal radius is the exact
+    ceil(0.9·(n+1))-th order statistic of calibration residuals (a
+    row_number pick, clamped to n), and the reported number is the
+    TEST coverage of mu ± q as an exact e6 fraction — the 'did 90%
+    nominal hold?' audit. Everything is integer order statistics; no
+    quantile interpolation, no float accumulation."""
+    ev = load_events(spark, sf_dir)
+    h = (
+        "CAST(conv(substr(md5(concat('cal|', CAST(event_id AS STRING))),"
+        " 1, 12), 16, 10) AS BIGINT)"
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(cents("value")).alias("v"),
+        F.expr(
+            f"CASE WHEN {h} < {int(0.5 * (1 << 48))}"
+            " THEN 'cal' ELSE 'test' END"
+        ).alias("split"),
+    )
+    pred = (
+        tagged.filter(F.col("split") == "cal")
+        .groupBy("user_id")
+        .agg(F.expr("CAST(SUM(v) div COUNT(*) AS BIGINT)").alias("mu"))
+    )
+    calres = (
+        tagged.filter(F.col("split") == "cal")
+        .join(pred, "user_id")
+        .select(F.abs(F.col("v") - F.col("mu")).alias("r"))
+    )
+    ncal = calres.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("r")
+    qstat = (
+        calres.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(ncal))
+        .filter(
+            F.expr("rk = LEAST((9 * (n + 1) + 9) div 10, n)")
+        )
+        .select(F.col("r").cast("long").alias("q"))
+    )
+    test = (
+        tagged.filter(F.col("split") == "test")
+        .join(pred, "user_id")
+        .select(F.abs(F.col("v") - F.col("mu")).alias("r"))
+    )
+    return (
+        test.crossJoin(F.broadcast(qstat))
+        .crossJoin(F.broadcast(ncal))
+        .groupBy(F.col("n").alias("n_cal"), F.col("q").alias("q_resid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN r <= q THEN 1 ELSE 0 END)"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("coverage_e6"),
+        )
+        .select("n_cal", "n_test", "q_resid", "coverage_e6")
+    )
