@@ -19688,3 +19688,89 @@ def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_cal", "n_test", "q_resid", "coverage_e6")
     )
+
+
+@register(
+    "q_gains_deciles",
+    f"""
+    WITH scored AS (
+        SELECT c.c_custkey,
+               {cents('c.c_acctbal')} AS score,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '1-URGENT'
+               ) THEN 1 ELSE 0 END AS converted
+        FROM customer c
+    ),
+    deciled AS (
+        SELECT converted,
+               ntile(10) OVER (ORDER BY score DESC, c_custkey) AS decile
+        FROM scored
+    ),
+    per AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS conv
+        FROM deciled GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(conv) AS BIGINT) AS ct
+        FROM per
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n, conv,
+           CAST(1000000 * conv * nt // (n * ct) AS BIGINT) AS lift_e6,
+           CAST(1000000 * SUM(conv) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) // ct AS BIGINT)
+               AS cum_gain_e6
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table for a balance-ranked targeting model: customers
+    decile by account balance (full tie-break), outcome = placed an
+    urgent order; per-decile lift (conv_rate / overall_rate) and
+    cumulative gain, both exact e6 integers. The model-eval artifact
+    every campaign review wants; one semi-join for the outcome flag,
+    one ntile window, one 10-row rollup."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("k")).distinct()
+    scored = cust.join(
+        urgent, cust["c_custkey"] == urgent["k"], "left"
+    ).select(
+        "c_custkey",
+        F.expr(cents("c_acctbal")).alias("score"),
+        F.when(F.col("k").isNotNull(), 1).otherwise(0).alias("converted"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("c_custkey"))
+    per = (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("converted").cast("long").alias("conv"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("conv").cast("long").alias("ct"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n",
+            "conv",
+            F.expr("CAST(1000000 * conv * nt div (n * ct) AS BIGINT)").alias(
+                "lift_e6"
+            ),
+            F.expr(
+                "CAST(1000000 * SUM(conv) OVER (ORDER BY decile"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " div ct AS BIGINT)"
+            ).alias("cum_gain_e6"),
+        )
+    )
