@@ -19774,3 +19774,66 @@ def q_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_gain_e6"),
         )
     )
+
+
+_FSM_ALLOWED = (
+    "('signup|view', 'signup|click', 'signup|error', 'view|view',"
+    " 'view|click', 'view|error', 'click|view', 'click|purchase',"
+    " 'click|error', 'purchase|view', 'error|view', 'error|signup')"
+)
+
+
+@register(
+    "q_transition_conformance",
+    f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+               ) AS prev
+        FROM events
+    ),
+    trans AS (
+        SELECT prev || '|' || event_type AS t
+        FROM seq WHERE prev IS NOT NULL
+    )
+    SELECT t AS transition,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CASE WHEN t IN {_FSM_ALLOWED} THEN 'ok'
+                ELSE 'violation' END AS verdict
+    FROM trans GROUP BY 1
+    """,
+)
+def q_transition_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sourcing state-machine conformance audit: every observed
+    per-user (prev → next) transition counted and labeled against the
+    declared allowed-transition set (e.g. a purchase must follow a
+    click; errors may not follow purchases) — the pipeline-contract
+    check that catches instrumentation regressions before they poison
+    funnels. One lag window with full (ts, event_id) tie-break, one
+    groupBy; the verdict is a literal IN list shared verbatim with
+    the oracle."""
+    ev = load_events(spark, sf_dir)
+    from .relational import epoch_micros
+
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_micros(ev, "ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws("|", "prev", "event_type").alias("transition")
+        )
+        .groupBy("transition")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "verdict",
+            F.expr(
+                f"CASE WHEN transition IN {_FSM_ALLOWED} THEN 'ok'"
+                " ELSE 'violation' END"
+            ),
+        )
+    )
