@@ -990,3 +990,128 @@ def test_new_ops_empty_inputs(spark):
     assert [(r["x"], r["y"]) for r in convex_hull(one_pt, "x", "y").collect()] == [(3, 4)]
     one_doc = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
     assert prefix_filter_pairs(one_doc, "doc_id", "text").count() == 0
+
+
+# --- round-3 third-continuation operators ---------------------------------
+
+edge = st.tuples(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(edge, min_size=1, max_size=16))
+def test_truss_support_matches_bruteforce(spark, edges):
+    from gpq_spark.pipeline.graph import truss_support
+
+    canon = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    adj: dict[int, set] = {}
+    for u, v in canon:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {
+        (u, v): len(adj[u] & adj[v]) for u, v in canon
+    }
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        (r["u"], r["v"]): r["support"]
+        for r in truss_support(df).collect()
+    }
+    assert got == want
+
+
+pt2d = st.tuples(
+    st.integers(min_value=0, max_value=30),
+    st.integers(min_value=0, max_value=30),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(pt2d, min_size=1, max_size=25), st.integers(1, 64))
+def test_skyline_matches_bruteforce(spark, pts, n_buckets):
+    from gpq_spark.relational import skyline_2d
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+
+    def dominated(p, q):  # q dominates p
+        return q[0] <= p[0] and q[1] <= p[1] and q != p
+
+    want = sorted(
+        (i, x, y)
+        for i, x, y in rows
+        if not any(dominated((x, y), (x2, y2)) for _, x2, y2 in rows
+                   if (x2, y2) != (x, y))
+    )
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in skyline_2d(df, "x", "y", n_buckets=n_buckets).collect()
+    )
+    assert got == want
+
+
+iv = st.tuples(
+    st.integers(min_value=0, max_value=40),  # start day
+    st.integers(min_value=0, max_value=6),   # length days
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(iv, min_size=1, max_size=8), st.lists(iv, min_size=1, max_size=8),
+       st.sampled_from([3600, 86400, 7 * 86400]))
+def test_interval_overlap_matches_bruteforce(spark, lefts, rights, bucket_s):
+    from gpq_spark.relational import interval_overlap_join
+
+    def mk(rows, p):
+        import datetime as _dt
+
+        data = [
+            (
+                i,
+                _dt.datetime(2024, 1, 1) + _dt.timedelta(days=s),
+                _dt.datetime(2024, 1, 1) + _dt.timedelta(days=s + ln),
+            )
+            for i, (s, ln) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data, f"{p}_id long, {p}_s timestamp_ntz, {p}_e timestamp_ntz"
+        )
+
+    want = sorted(
+        (i, j)
+        for i, (ls, ll) in enumerate(lefts)
+        for j, (rs, rl) in enumerate(rights)
+        if ls <= rs + rl and rs <= ls + ll
+    )
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            mk(lefts, "l"), mk(rights, "r"),
+            "l_s", "l_e", "r_s", "r_e", bucket_seconds=bucket_s,
+        ).collect()
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(
+    st.integers(min_value=0, max_value=20),
+    st.integers(min_value=0, max_value=5),
+    st.integers(min_value=1, max_value=9),
+), min_size=1, max_size=10))
+def test_interval_schedule_matches_bruteforce(spark, ivs):
+    from itertools import combinations
+
+    from gpq_spark.relational import weighted_interval_schedule
+
+    rows = [(1, s, s + ln, w) for s, ln, w in ivs]
+    best = 0
+    for r in range(1, len(rows) + 1):
+        for sub in combinations(rows, r):
+            srt = sorted((s, e, w) for _, s, e, w in sub)
+            if all(srt[i][1] < srt[i + 1][0] for i in range(len(srt) - 1)):
+                best = max(best, sum(w for _, _, w in srt))
+    df = spark.createDataFrame(rows, "k long, s long, e long, w long")
+    got = weighted_interval_schedule(df, "k", "s", "e", "w").collect()
+    assert got[0]["best_weight"] == best
