@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Automated physical-plan lint across EVERY declared batch query.
+
+For each query, materialize the executed plan at sf0.001 and count the
+shapes that matter at 100 TB: CartesianProduct (always a bug),
+BroadcastNestedLoopJoin (legitimate ONLY for 1-row threshold/scalar
+cross joins — counted so growth is visible), pythonUDF occurrences
+(legitimate only in the declared Arrow/pandas kernels), and Exchange
+counts. Writes PLAN_LINT.json: {query: {cartesian, bnlj, pythonudf,
+exchanges, scans}}, plus a _summary block. Streaming queries are
+skipped (building their plan executes the file-stream drain; their
+state-kernel shapes are covered by the streaming tests instead).
+
+Usage: python scripts/plan_lint.py [sf_dir]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+# queries whose pythonUDF occurrences are declared pandas/Arrow kernels
+PYTHON_ALLOWED_PREFIXES = (
+    "multimodal_", "png_", "pack_greedy", "sample_kcenter", "sample_mmr",
+    "q_interval_schedule", "semantic_dedup", "embed_centroids",
+    "ann_topk",  # numpy-reduction scoring path (Arrow-batched)
+    "geo_",  # numpy-vectorized WKB kernel (geoparquet/stats.py), Arrow-batched
+)
+
+# deliberate bounded quadratics, each with its own plan-audit test
+CARTESIAN_ALLOWED = {
+    "q_kendall_binned",  # cell-bounded concordance pairs (test_plan_audit)
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("gpq_spark-plan-lint")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from gpq_spark.entry_queries import QUERIES
+
+    out: dict[str, dict] = {}
+    t0 = time.perf_counter()
+    for q in QUERIES:
+        if q.name.startswith("stream_"):
+            continue
+        try:
+            p = (
+                q.spark_fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            out[q.name] = {
+                "cartesian": p.count("CartesianProduct"),
+                "bnlj": p.count("BroadcastNestedLoopJoin"),
+                "pythonudf": p.lower().count("pythonudf"),
+                "exchanges": p.count("Exchange"),
+                "scans": p.count("FileScan parquet"),
+            }
+        except Exception as e:  # noqa: BLE001
+            out[q.name] = {"err": str(e)[:200]}
+        print(f"# {q.name}", flush=True)
+    cart = [
+        n
+        for n, v in out.items()
+        if v.get("cartesian") and n not in CARTESIAN_ALLOWED
+    ]
+    pyudf_unexpected = [
+        n
+        for n, v in out.items()
+        if v.get("pythonudf")
+        and not any(n.startswith(p) for p in PYTHON_ALLOWED_PREFIXES)
+    ]
+    out["_summary"] = {
+        "n_queries": len(out),
+        "cartesian_queries": cart,
+        "pythonudf_unexpected": pyudf_unexpected,
+        "bnlj_queries": sorted(
+            n for n, v in out.items() if v.get("bnlj")
+        ),
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+    path = os.path.join(ROOT, "PLAN_LINT.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    s = out["_summary"]
+    print(
+        f"{path}: {s['n_queries']} plans, cartesian={len(cart)}, "
+        f"unexpected pythonUDF={len(pyudf_unexpected)}, "
+        f"bnlj={len(s['bnlj_queries'])} in {s['wall_s']}s"
+    )
+
+
+if __name__ == "__main__":
+    main()
