@@ -19837,3 +19837,55 @@ def q_transition_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_pit_features",
+    f"""
+    WITH seq AS (
+        SELECT event_id, user_id, event_type,
+               {cents('value')} AS v,
+               COUNT(*) OVER w AS n_prior,
+               COALESCE(SUM({cents('value')}) OVER w, 0) AS v_prior
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CAST(n_prior AS BIGINT) AS n_prior,
+           CAST(v_prior AS BIGINT) AS v_prior_cents
+    FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join — the leakage-safe training
+    primitive: every purchase (label) row gets per-user features
+    computed ONLY from events strictly before it in (ts, event_id)
+    order (prior event count, prior value sum in cents). One window
+    with a STRICT 1-PRECEDING upper bound does it without any as-of
+    self-join; features can never peek at or past the label, by
+    construction rather than by review."""
+    ev = load_events(spark, sf_dir)
+    from .relational import epoch_micros
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_micros(ev, "ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.coalesce(
+            F.sum(F.expr(cents("value"))).over(w), F.lit(0)
+        ).alias("v_prior"),
+    )
+    return seq.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("n_prior").cast("long").alias("n_prior"),
+        F.col("v_prior").cast("long").alias("v_prior_cents"),
+    )
