@@ -19889,3 +19889,43 @@ def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_prior").cast("long").alias("n_prior"),
         F.col("v_prior").cast("long").alias("v_prior_cents"),
     )
+
+
+@register(
+    "stream_pit_features",
+    f"""
+    WITH wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 AS w FROM events
+    ),
+    fin AS (
+        SELECT user_id, event_id, event_type, {cents('value')} AS v,
+               epoch_us(ts) AS t
+        FROM events CROSS JOIN wm WHERE epoch_us(ts) < w
+    ),
+    seq AS (
+        SELECT user_id, event_id, event_type,
+               COUNT(*) OVER win AS n_prior,
+               COALESCE(SUM(v) OVER win, 0) AS v_prior
+        FROM fin
+        WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           CAST(n_prior AS BIGINT) AS n_prior,
+           CAST(v_prior AS BIGINT) AS v_prior_cents
+    FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def stream_pit_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leakage-safe features (streaming.stream_pit_features):
+    every watermark-finalized purchase emits the per-user strictly-
+    prior (count, cents sum) — out-of-order arrival cannot leak a
+    later event into an earlier label because events buffer in state
+    until the watermark passes them and then process in (ts, event_id)
+    order. The oracle replays the batch window over the
+    watermark-finalized subset at the engine's own ms-truncated
+    arithmetic."""
+    from .streaming.windows import stream_pit_features as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream), "pitf", "append")

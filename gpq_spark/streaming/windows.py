@@ -2196,3 +2196,112 @@ def stream_ewma(
         )
     )
     return raw.select("user_id", "hour_us", "v_cents", "ewma_cents")
+
+
+PIT_RAW_SCHEMA = (
+    "user_id long, event_id long, n_prior long, v_prior_cents long"
+)
+PIT_STATE_SCHEMA = (
+    "p_ts array<long>, p_id array<long>, p_ty array<string>,"
+    " p_v array<long>, n_prior long, v_prior long"
+)
+
+
+def _pit_features_ooo_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming point-in-time features (see ``stream_pit_features``):
+    events buffer until the watermark passes them, then process in
+    strict (ts, event_id) order, maintaining the per-user running
+    (count, cents-sum) of ALL prior events; each watermark-finalized
+    purchase emits the feature snapshot as of strictly before itself.
+    Arrival order across micro-batches cannot change any emitted
+    feature — the same leakage-safety the batch window provides,
+    carried into the stream."""
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    if state.exists:
+        p_ts, p_id, p_ty, p_v, n_prior, v_prior = state.get
+        pend = list(zip(p_ts, p_id, p_ty, p_v))
+    else:
+        pend, n_prior, v_prior = [], 0, 0
+
+    for pdf in pdfs:
+        pend.extend(
+            (int(t), int(i), str(e), int(v))
+            for t, i, e, v in zip(
+                pdf["ts_us"], pdf["event_id"], pdf["event_type"], pdf["cents"]
+            )
+        )
+
+    ready = sorted(
+        (r for r in pend if r[0] < wm_us), key=lambda r: (r[0], r[1])
+    )
+    pend = [r for r in pend if r[0] >= wm_us]
+
+    out: list[tuple[int, int, int]] = []
+    for _ts, eid, etype, v in ready:
+        if etype == "purchase":
+            out.append((eid, n_prior, v_prior))
+        n_prior += 1
+        v_prior += v
+
+    state.update(
+        (
+            [r[0] for r in pend],
+            [r[1] for r in pend],
+            [r[2] for r in pend],
+            [r[3] for r in pend],
+            n_prior,
+            v_prior,
+        )
+    )
+    if pend:
+        state.setTimeoutTimestamp(
+            max(min(r[0] for r in pend) // 1000 + 1, wm_us // 1000 + 1)
+        )
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "event_id": [e for e, _, _ in out],
+                "n_prior": [n for _, n, _ in out],
+                "v_prior_cents": [v for _, _, v in out],
+            }
+        )
+
+
+def stream_pit_features(
+    stream: DataFrame,
+    value_col: str = "value",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming point-in-time-correct features — the stateful twin of
+    q_pit_features: every watermark-finalized purchase emits the
+    per-user (prior event count, prior cents sum) as of STRICTLY
+    before it in (ts, event_id) order, with events buffered in state
+    until the watermark passes them so out-of-order arrival cannot
+    leak a later event into an earlier label's features. Bounded
+    state: one watermark-delay of raw events plus two 64-bit running
+    aggregates per user."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn(
+            "cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
+        )
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _pit_features_ooo_fn,
+            outputStructType=PIT_RAW_SCHEMA,
+            stateStructType=PIT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw.select("user_id", "event_id", "n_prior", "v_prior_cents")

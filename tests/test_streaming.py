@@ -2040,3 +2040,128 @@ class TestStreamEwma:
             ]
         )
         assert rows == [(0, 100, 25), (H, 400, 118)]
+
+
+class TestStreamPitFeatures:
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+            self.wm_ms = 0
+            self.timeout = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout = ms
+
+    def _run(self, batches_with_wm):
+        import pandas as pd
+
+        from gpq_spark.streaming.windows import _pit_features_ooo_fn
+
+        state = self._FakeState()
+        rows = []
+        for batch, wm_ms in batches_with_wm:
+            state.wm_ms = wm_ms
+            out = list(
+                _pit_features_ooo_fn((9,), iter([pd.DataFrame(batch)]), state)
+            )
+            for pdf in out:
+                rows.extend(
+                    zip(pdf["event_id"], pdf["n_prior"], pdf["v_prior_cents"])
+                )
+        return rows
+
+    def test_features_are_strictly_prior(self):
+        rows = self._run(
+            [
+                (
+                    {
+                        "ts_us": [10, 20, 30],
+                        "event_id": [1, 2, 3],
+                        "event_type": ["view", "purchase", "purchase"],
+                        "cents": [100, 500, 700],
+                    },
+                    1,  # watermark 1 ms = 1000 us, all three finalized
+                )
+            ]
+        )
+        assert rows == [(2, 1, 100), (3, 2, 600)]
+
+    def test_ooo_arrival_cannot_leak(self):
+        """The purchase (ts 20) arrives FIRST; the earlier view
+        (ts 10) arrives in the next batch. Features must still say
+        n_prior=1 (the view) — identical to the in-order replay."""
+        ordered = self._run(
+            [
+                (
+                    {
+                        "ts_us": [10, 20],
+                        "event_id": [1, 2],
+                        "event_type": ["view", "purchase"],
+                        "cents": [100, 500],
+                    },
+                    1,
+                )
+            ]
+        )
+        disordered = self._run(
+            [
+                (
+                    {
+                        "ts_us": [20],
+                        "event_id": [2],
+                        "event_type": ["purchase"],
+                        "cents": [500],
+                    },
+                    0,  # watermark has not passed ts 20 yet: buffer
+                ),
+                (
+                    {
+                        "ts_us": [10],
+                        "event_id": [1],
+                        "event_type": ["view"],
+                        "cents": [100],
+                    },
+                    1,  # both finalized now; processed in ts order
+                ),
+            ]
+        )
+        assert ordered == disordered == [(2, 1, 100)]
+
+    def test_running_totals_survive_flushes(self):
+        rows = self._run(
+            [
+                (
+                    {
+                        "ts_us": [10],
+                        "event_id": [1],
+                        "event_type": ["view"],
+                        "cents": [100],
+                    },
+                    1,
+                ),
+                (
+                    {
+                        "ts_us": [2000],
+                        "event_id": [2],
+                        "event_type": ["purchase"],
+                        "cents": [900],
+                    },
+                    3,
+                ),
+            ]
+        )
+        assert rows == [(2, 1, 100)]
