@@ -19929,3 +19929,61 @@ def stream_pit_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _events_file_stream(spark, sf_dir)
     return _drain_to_table(_op(stream), "pitf", "append")
+
+
+@register(
+    "q_exact_median_twopass",
+    f"""
+    WITH v AS (SELECT {cents('l_extendedprice')} AS x FROM lineitem),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST((COUNT(*) + 1) // 2 AS BIGINT) AS k FROM v)
+    SELECT n.n AS n_rows, n.k AS k,
+           CAST((SELECT x FROM (
+               SELECT x, row_number() OVER (ORDER BY x) AS rk FROM v
+           ) WHERE rk = n.k) AS BIGINT) AS median_cents
+    FROM n
+    """,
+)
+def q_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed median (lower median, the k = (n+1) div 2
+    order statistic) without a global sort — the two-pass counting
+    algorithm that works at any scale: pass 1 histograms values into
+    1024 range buckets and a tiny cumulative window locates the bucket
+    holding the k-th element; pass 2 ranks only WITHIN that one bucket
+    (a pushed filter + a window over ~n/1024 rows). The oracle just
+    sorts — fine at oracle scale, while a global row_number sort is
+    exactly what a 100 TB median must avoid."""
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(F.expr(cents("l_extendedprice")).alias("x"))
+    stats = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    ).first()
+    n, lo, hi = int(stats["n"]), int(stats["lo"]), int(stats["hi"])
+    k = (n + 1) // 2
+    width = max(1, (hi - lo + 1) // 1024)
+    bucketed = v.withColumn(
+        "b", ((F.col("x") - lo) / width).cast("long")
+    )
+    counts = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    target = (
+        counts.withColumn("cum", F.sum("c").over(wc))
+        .withColumn("cum_prev", F.col("cum") - F.col("c"))
+        .filter((F.col("cum") >= k) & (F.col("cum_prev") < k))
+        .select("b", "cum_prev")
+    )
+    win = Window.orderBy("x")
+    inbucket = (
+        bucketed.join(F.broadcast(target), "b")
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == k - F.col("cum_prev"))
+    )
+    return inbucket.select(
+        F.lit(n).cast("long").alias("n_rows"),
+        F.lit(k).cast("long").alias("k"),
+        F.col("x").cast("long").alias("median_cents"),
+    )
