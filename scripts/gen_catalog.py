@@ -30,7 +30,8 @@ GROUPS = [
      r"|changepoint|pattern|outliers|cohort|rfm|nation_part|latency|growth|top_paths|market_share|hhi|gini|pareto|acf|weekday|theil_sen"
      r"|spearman|holt|lorenz|kendall|markov|cramers|survival|price_elasticity"
      r"|active_users|audience_matrix|skyline|wilson|diff_in_diff"
-     r"|hierarchy_rollup)"),
+     r"|hierarchy_rollup|conformal|gains_deciles|transition_conformance"
+     r"|pit_features|exact_median)"),
     ("Graph analytics",
      r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa|sssp"
      r"|stress|truss|ktruss|link_prediction|closure|scc|hits|hash_walks"
