@@ -19987,3 +19987,63 @@ def q_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(k).cast("long").alias("k"),
         F.col("x").cast("long").alias("median_cents"),
     )
+
+
+@register(
+    "ann_topk_filtered",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, vec_id, c.label, {_cos_duck('cv', 'qv')} AS cosine
+        FROM c, q WHERE vec_id != query_id AND c.label = q.qlabel
+    ), ranked AS (
+        SELECT query_id, vec_id, label, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, label, cosine
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-10 cosine neighbors restricted to
+    candidates sharing the query's label (the attribute-constrained
+    retrieval every vector store now exposes, here as a PRE-filter:
+    the predicate lands before scoring, so recall is exact by
+    construction, unlike post-filtering a fixed candidate pool). The
+    label equality rides the broadcast join map-side; the two-phase
+    top-k shape is unchanged."""
+    from .pipeline.similarity import cosine_expr, _topk_per_query
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("__qvec"),
+    )
+    scored = (
+        emb.select("vec_id", "label", "embedding")
+        .join(
+            F.broadcast(queries),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine_expr("embedding", "__qvec").alias("cosine"),
+        )
+    )
+    out = _topk_per_query(
+        scored.drop("label"), "query_id", "vec_id", 10
+    )
+    lbl = emb.select("vec_id", "label")
+    return out.join(F.broadcast(lbl), "vec_id").select(
+        "query_id", "rank", "vec_id", "label", "cosine"
+    )
