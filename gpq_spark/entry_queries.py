@@ -20047,3 +20047,85 @@ def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(F.broadcast(lbl), "vec_id").select(
         "query_id", "rank", "vec_id", "label", "cosine"
     )
+
+
+@register(
+    "q_standardized_rate",
+    """
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment, c.c_nationkey AS nation,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS urgent
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cell AS (
+        SELECT segment, nation,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(urgent) AS BIGINT) AS s
+        FROM base GROUP BY 1, 2
+    ),
+    ref AS (
+        SELECT nation, CAST(SUM(n) AS BIGINT) AS wn FROM cell GROUP BY 1
+    ),
+    reftot AS (SELECT CAST(SUM(wn) AS BIGINT) AS wt FROM ref),
+    crude AS (
+        SELECT segment,
+               CAST(1000000 * SUM(s) // SUM(n) AS BIGINT) AS crude_e6
+        FROM cell GROUP BY 1
+    ),
+    std AS (
+        SELECT c.segment,
+               CAST(SUM((1000000 * c.s // c.n) * r.wn) // reftot.wt
+                    AS BIGINT) AS std_e6
+        FROM cell c JOIN ref r ON r.nation = c.nation CROSS JOIN reftot
+        GROUP BY c.segment, reftot.wt
+    )
+    SELECT crude.segment, crude.crude_e6, std.std_e6
+    FROM crude JOIN std ON std.segment = crude.segment
+    """,
+)
+def q_standardized_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directly standardized urgent-order rates per market segment —
+    the confounder-adjustment primitive: each segment's per-nation
+    rates reweighted to the OVERALL nation distribution, so segments
+    with different national mixes compare on equal footing next to
+    their crude rates. Exact e6 integer arithmetic (per-cell floored
+    rate, reference-weighted floored average); two small aggregates
+    and one cell join."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    base = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment", "c_nationkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("urgent"),
+    )
+    cell = base.groupBy("segment", "nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("urgent").cast("long").alias("s"),
+    )
+    ref = cell.groupBy("nation").agg(F.sum("n").cast("long").alias("wn"))
+    reftot = ref.agg(F.sum("wn").cast("long").alias("wt"))
+    crude = cell.groupBy("segment").agg(
+        F.expr("CAST(1000000 * SUM(s) div SUM(n) AS BIGINT)").alias(
+            "crude_e6"
+        )
+    )
+    std = (
+        cell.join(F.broadcast(ref), "nation")
+        .crossJoin(F.broadcast(reftot))
+        .groupBy("segment", "wt")
+        .agg(
+            F.expr(
+                "CAST(SUM((1000000 * s div n) * wn) div FIRST(wt) AS BIGINT)"
+            ).alias("std_e6")
+        )
+        .select("segment", "std_e6")
+    )
+    return crude.join(std, "segment").select(
+        "segment", "crude_e6", "std_e6"
+    )
