@@ -20129,3 +20129,116 @@ def q_standardized_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crude.join(std, "segment").select(
         "segment", "crude_e6", "std_e6"
     )
+
+
+@register(
+    "q_mix_shift",
+    """
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                    THEN 1 ELSE 2 END AS period,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS urgent
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cell AS (
+        SELECT segment, period, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(urgent) AS BIGINT) AS s
+        FROM base GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT period, CAST(SUM(n) AS BIGINT) AS nt FROM cell GROUP BY 1
+    ),
+    wide AS (
+        SELECT c1.segment,
+               CAST(1000000 * c1.n // t1.nt AS BIGINT) AS w1_e6,
+               CAST(1000000 * c2.n // t2.nt AS BIGINT) AS w2_e6,
+               CAST(1000000 * c1.s // c1.n AS BIGINT) AS r1_e6,
+               CAST(1000000 * c2.s // c2.n AS BIGINT) AS r2_e6
+        FROM cell c1
+        JOIN cell c2 ON c2.segment = c1.segment AND c2.period = 2
+        JOIN tot t1 ON t1.period = 1
+        JOIN tot t2 ON t2.period = 2
+        WHERE c1.period = 1
+    )
+    SELECT segment, w1_e6, w2_e6, r1_e6, r2_e6,
+           CAST(w1_e6 * (r2_e6 - r1_e6) // 1000000 AS BIGINT)
+               AS rate_effect_e6,
+           CAST((w2_e6 - w1_e6) * r2_e6 // 1000000 AS BIGINT)
+               AS mix_effect_e6
+    FROM wide
+    """,
+)
+def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift decomposition of the urgent-order rate change between
+    pre-1997 and 1997+ — the Oaxaca-style attribution every metrics
+    review needs: per segment, the RATE effect (old weight × rate
+    delta: behavior changed) and the MIX effect (weight delta × new
+    rate: composition changed), all exact e6 integers. Negative terms
+    divide identically on both engines (both truncate integer division
+    toward zero). Two small aggregates + one self-join on the 5-row
+    cell frame."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    base = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "CASE WHEN o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'"
+            " THEN 1 ELSE 2 END"
+        ).alias("period"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("urgent"),
+    )
+    cell = base.groupBy("segment", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("urgent").cast("long").alias("s"),
+    )
+    tot = cell.groupBy("period").agg(F.sum("n").cast("long").alias("nt"))
+    c1 = (
+        cell.filter(F.col("period") == 1)
+        .crossJoin(
+            F.broadcast(
+                tot.filter(F.col("period") == 1).select(
+                    F.col("nt").alias("nt1")
+                )
+            )
+        )
+        .select(
+            "segment",
+            F.expr("CAST(1000000 * n div nt1 AS BIGINT)").alias("w1_e6"),
+            F.expr("CAST(1000000 * s div n AS BIGINT)").alias("r1_e6"),
+        )
+    )
+    c2 = (
+        cell.filter(F.col("period") == 2)
+        .crossJoin(
+            F.broadcast(
+                tot.filter(F.col("period") == 2).select(
+                    F.col("nt").alias("nt2")
+                )
+            )
+        )
+        .select(
+            "segment",
+            F.expr("CAST(1000000 * n div nt2 AS BIGINT)").alias("w2_e6"),
+            F.expr("CAST(1000000 * s div n AS BIGINT)").alias("r2_e6"),
+        )
+    )
+    return c1.join(c2, "segment").select(
+        "segment",
+        "w1_e6",
+        "w2_e6",
+        "r1_e6",
+        "r2_e6",
+        F.expr("CAST(w1_e6 * (r2_e6 - r1_e6) div 1000000 AS BIGINT)").alias(
+            "rate_effect_e6"
+        ),
+        F.expr("CAST((w2_e6 - w1_e6) * r2_e6 div 1000000 AS BIGINT)").alias(
+            "mix_effect_e6"
+        ),
+    )
