@@ -2165,3 +2165,125 @@ class TestStreamPitFeatures:
             ]
         )
         assert rows == [(2, 1, 100)]
+
+
+class TestStreamEwmaRestart:
+    def test_ewma_state_survives_restarts(self, spark, tmp_path):
+        """The EWMA accumulator and pending buffer must recover from
+        the state store: hourly samples arrive across three runs
+        sharing a checkpoint (run 2 disordered), and the union of
+        emissions must equal the single-pass recursion — each closed
+        hour exactly once, chained e values exact."""
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_ewma
+
+        base = dt.datetime(2024, 3, 1)
+        src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+        src.mkdir()
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string"
+        )
+
+        def add(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+        def run_once():
+            src_schema = spark.read.parquet(str(src)).schema
+            stream = stream_events(spark, str(src), src_schema)
+            q = (
+                stream_ewma(stream, watermark_delay="2 hours")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(ck))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        mins = lambda m: base + dt.timedelta(minutes=m)
+        add([(1, mins(630), 1, "view", 4.0, "{}")])          # hour 10, 400c
+        run_once()
+        add([(2, mins(780), 1, "view", 8.0, "{}"),           # hour 13, 800c
+             (3, mins(645), 1, "view", 2.0, "{}")])          # hour 10 LATE
+        run_once()
+        add([(4, mins(1500), 1, "view", 1.0, "{}")])         # hour 25
+        run_once()
+
+        got = sorted(
+            (r["hour_us"], r["v_cents"], r["ewma_cents"])
+            for r in spark.read.parquet(str(out)).collect()
+        )
+        HOUR = 3600 * 1_000_000
+        epoch = dt.datetime(1970, 1, 1)
+        h10 = int((mins(600) - epoch).total_seconds() * 1e6)
+        h13 = h10 + 3 * HOUR
+        # final watermark = 25:00 - 2h = 23:00 → hours 10, 13 closed
+        # e(10) = 600 // 4 = 150; e(13) = (800 + 3*150) // 4 = 312
+        assert got == [(h10, 600, 150), (h13, 800, 312)]
+        assert len({h for h, _, _ in got}) == len(got)
+
+
+class TestStreamPitRestart:
+    def test_pit_state_survives_restarts(self, spark, tmp_path):
+        """Running (count, sum) and the pending buffer must recover:
+        the purchase in run 3 chains off features accumulated in runs
+        1-2, and the late view in run 2 lands BEFORE the run-1
+        purchase in event time without changing its already-correct
+        emission (it was not yet finalized then)."""
+        import datetime as dt
+
+        from gpq_spark.streaming import stream_events
+        from gpq_spark.streaming.windows import stream_pit_features
+
+        base = dt.datetime(2024, 3, 1)
+        src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+        src.mkdir()
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string"
+        )
+
+        def add(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+        def run_once():
+            src_schema = spark.read.parquet(str(src)).schema
+            stream = stream_events(spark, str(src), src_schema)
+            q = (
+                stream_pit_features(stream, watermark_delay="2 hours")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(ck))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        mins = lambda m: base + dt.timedelta(minutes=m)
+        add([(1, mins(0), 1, "view", 1.0, "{}"),
+             (2, mins(60), 1, "purchase", 5.0, "{}")])
+        run_once()  # watermark 60-120 < 0: nothing finalized yet
+        add([(3, mins(30), 1, "view", 2.0, "{}"),     # LATE view
+             (4, mins(300), 1, "view", 3.0, "{}")])
+        run_once()  # watermark 300-120=180: events at 0,30,60 finalize
+        add([(5, mins(600), 1, "purchase", 7.0, "{}")])
+        run_once()  # watermark 480: purchase at 300? no - event 4 is a view
+        add([(6, mins(900), 1, "view", 1.0, "{}")])
+        run_once()  # watermark 780: purchase at 600 finalizes
+
+        got = sorted(
+            (r["event_id"], r["n_prior"], r["v_prior_cents"])
+            for r in spark.read.parquet(str(out)).collect()
+        )
+        # purchase 2 (ts 60): priors = views at 0 and 30 → (2, 300)
+        # purchase 5 (ts 600): priors = events 1,3,2,4 → (4, 1100)
+        assert got == [(2, 2, 300), (5, 4, 1100)]
