@@ -20242,3 +20242,40 @@ def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_effect_e6"
         ),
     )
+
+
+@register(
+    "stream_hourly_topk",
+    f"""
+    WITH wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 AS w FROM events
+    ),
+    hourly AS (
+        SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+               user_id,
+               CAST(SUM({cents('value')}) AS BIGINT) AS cents
+        FROM events CROSS JOIN wm
+        WHERE epoch_us(ts) - epoch_us(ts) % 3600000000 + 3600000000 <= w
+        GROUP BY 1, 2
+    )
+    SELECT CAST(hour_us AS BIGINT) AS hour_us, CAST(rk AS BIGINT) AS rank,
+           user_id, cents
+    FROM (
+        SELECT hour_us, user_id, cents,
+               row_number() OVER (PARTITION BY hour_us
+                                  ORDER BY cents DESC, user_id) AS rk
+        FROM hourly
+    ) WHERE rk <= 3
+    """,
+)
+def stream_hourly_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-hour top-3 spender leaderboard
+    (streaming.stream_hourly_topk): state keyed by the hour bucket
+    accumulates per-user sums until the watermark closes the hour,
+    which then emits its final ranking exactly once. The oracle
+    replays the closed hours (hour end <= the engine's ms-truncated
+    final watermark) with a batch window."""
+    from .streaming.windows import stream_hourly_topk as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream), "htopk", "append")

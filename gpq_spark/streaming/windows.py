@@ -2305,3 +2305,92 @@ def stream_pit_features(
         )
     )
     return raw.select("user_id", "event_id", "n_prior", "v_prior_cents")
+
+
+HTOPK_RAW_SCHEMA = "hour_us long, rank long, user_id long, cents long"
+HTOPK_STATE_SCHEMA = "u array<long>, v array<long>, done boolean"
+
+
+def _hourly_topk_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-hour top-k spenders (see ``stream_hourly_topk``): the group
+    key IS the hour bucket; per-user cents accumulate in state until
+    the watermark passes the hour's end, then the hour emits its top-3
+    exactly once (full (cents desc, user asc) tie-break) and marks
+    itself done — late-but-in-watermark rows keep accumulating until
+    the close, so arrival order cannot change the ranking."""
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    hour_us = int(key[0])  # numpy int64 breaks the JSON timeout call
+
+    if state.exists:
+        users, vals, done = state.get
+        sums = dict(zip(users, vals))
+    else:
+        sums, done = {}, False
+
+    for pdf in pdfs:
+        for u, v in zip(pdf["user_id"], pdf["cents"]):
+            sums[int(u)] = sums.get(int(u), 0) + int(v)
+
+    rows = []
+    if not done and wm_us >= hour_us + _HOUR_US:
+        top = sorted(sums.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        rows = [
+            (hour_us, rk + 1, u, v) for rk, (u, v) in enumerate(top)
+        ]
+        done = True
+        sums = {}
+
+    state.update((list(sums.keys()), list(sums.values()), done))
+    if not done:
+        state.setTimeoutTimestamp(
+            max((hour_us + _HOUR_US) // 1000, wm_us // 1000 + 1)
+        )
+    if rows:
+        yield pd.DataFrame(
+            {
+                "hour_us": [r[0] for r in rows],
+                "rank": [r[1] for r in rows],
+                "user_id": [r[2] for r in rows],
+                "cents": [r[3] for r in rows],
+            }
+        )
+
+
+def stream_hourly_topk(
+    stream: DataFrame,
+    value_col: str = "value",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-hour top-3 spenders, each hour emitted EXACTLY
+    once when the watermark closes it — the leaderboard shape where
+    per-window results must be final (no retractions): state is keyed
+    by the hour bucket itself, per-user sums accumulate until the
+    close, and the tie-break is total (cents desc, user asc) so the
+    ranking is engine-exact. State per hour is one entry per active
+    user that hour, freed at emission."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn(
+            "cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
+        )
+        .withColumn(
+            "hour_us", F.expr(f"ts_us - ts_us % {_HOUR_US}")
+        )
+        .withWatermark("ts", watermark_delay)
+        .groupBy("hour_us")
+        .applyInPandasWithState(
+            _hourly_topk_fn,
+            outputStructType=HTOPK_RAW_SCHEMA,
+            stateStructType=HTOPK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw.select("hour_us", "rank", "user_id", "cents")
