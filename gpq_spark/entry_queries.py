@@ -20279,3 +20279,70 @@ def stream_hourly_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _events_file_stream(spark, sf_dir)
     return _drain_to_table(_op(stream), "htopk", "append")
+
+
+_BMP_W = "(doc_id % 1024 + 1)"
+_BMP_H = "(doc_id % 600 + 1)"
+_BMP_BPP = (
+    "CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 8"
+    " WHEN 3 THEN 24 ELSE 32 END"
+)
+
+
+def _bmp_payload_spark() -> str:
+    """Every 7th doc gets a GIF payload (the non-BMP NULL path); the
+    rest get a real BMP+BITMAPINFOHEADER prefix with a SIGNED height:
+    odd docs store the two's-complement negative (top-down)."""
+    def le32(v: str) -> str:
+        return (
+            f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 256 % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 65536 % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 16777216 % 256), 2, '0'))"
+        )
+
+    def le16(v: str) -> str:
+        return (
+            f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 256), 2, '0'))"
+        )
+
+    h_stored = (
+        f"CASE WHEN doc_id % 2 = 1 THEN 4294967296 - {_BMP_H}"
+        f" ELSE {_BMP_H} END"
+    )
+    return (
+        "CASE WHEN doc_id % 7 = 0 THEN unhex('474946383961') "
+        f"ELSE unhex(concat('424D', {le32('54')}, '00000000',"
+        f" {le32('54')}, {le32('40')}, {le32(_BMP_W)},"
+        f" {le32(h_stored)}, {le16('1')}, {le16(_BMP_BPP)})) END"
+    )
+
+
+@register(
+    "multimodal_bmp_header",
+    f"""
+    SELECT doc_id AS id,
+           CAST({_BMP_W} AS INT) AS width,
+           CAST({_BMP_H} AS INT) AS height,
+           (doc_id % 2 = 1) AS top_down,
+           CAST({_BMP_BPP} AS INT) AS bpp
+    FROM documents WHERE doc_id % 7 != 0
+    """,
+)
+def multimodal_bmp_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP header extraction — the fifth header parser, adding the one
+    layout wrinkle the PNG/JPEG/GIF/WAV quartet lacks: a SIGNED
+    little-endian i32 height whose sign is the scanline-order flag
+    (negative = top-down), decoded with pure two's-complement
+    arithmetic. parse(build(x)) == x gated against the ground truth
+    the payload was built from; non-BMP payloads drop via the NULL
+    guard."""
+    from .pipeline.multimodal import parse_bmp_header
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_bmp_payload_spark()).alias("payload")
+    )
+    return parse_bmp_header(docs, "payload", "doc_id").filter(
+        F.col("width").isNotNull()
+    )

@@ -570,3 +570,34 @@ def parse_wav_header(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
             "long",
         ).alias("duration_us"),
     )
+
+
+def parse_bmp_header(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Parse the BMP file + BITMAPINFOHEADER: 'BM' magic, then the
+    format's one genuinely new wrinkle versus the PNG/JPEG/GIF/WAV
+    parsers — a SIGNED little-endian i32 height whose sign encodes
+    scanline order (negative = top-down). Two's complement decodes as
+    pure arithmetic (u32 >= 2^31 ? u32 - 2^32 : u32); width i32 at byte 18,
+    height i32 at 22, bits-per-pixel u16 at 28 (1-based helper
+    offsets 19/23/29). Non-BMP payloads yield
+    NULLs. All JVM expressions, no Python."""
+    is_bmp = f"substring(CAST({payload_col} AS STRING), 1, 2) = 'BM'"
+
+    def i32(offset: int) -> str:
+        u = _le_u32(payload_col, offset)
+        return (
+            f"CASE WHEN ({u}) >= 2147483648"
+            f" THEN ({u}) - 4294967296 ELSE ({u}) END"
+        )
+
+    def guarded(expr: str, typ: str) -> Column:
+        return F.expr(f"CASE WHEN {is_bmp} THEN {expr} ELSE NULL END").cast(typ)
+
+    h = i32(23)
+    return df.select(
+        F.col(id_col).alias("id"),
+        guarded(i32(19), "int").alias("width"),
+        guarded(f"abs({h})", "int").alias("height"),
+        guarded(f"({h}) < 0", "boolean").alias("top_down"),
+        guarded(_le_u16(payload_col, 29), "int").alias("bpp"),
+    )
