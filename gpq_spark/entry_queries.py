@@ -20346,3 +20346,72 @@ def multimodal_bmp_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_bmp_header(docs, "payload", "doc_id").filter(
         F.col("width").isNotNull()
     )
+
+
+@register(
+    "ann_quantization_recall",
+    f"""
+    WITH qf AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 5),
+    cf AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_cos_duck('cv', 'qv')} DESC, vec_id ASC)
+                       AS rk
+            FROM cf, qf WHERE vec_id != query_id
+        ) WHERE rk <= 10
+    ),
+    qz AS ({_QUANT_DUCK}),
+    qq AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 5),
+    cq AS (SELECT vec_id, q AS cq FROM qz),
+    quant AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_qcos_duck('cq', 'qq')} DESC, vec_id ASC)
+                       AS rk
+            FROM cq, qq WHERE vec_id != query_id
+        ) WHERE rk <= 10
+    )
+    SELECT e.query_id,
+           CAST(COUNT(q.vec_id) AS BIGINT) AS n_common,
+           CAST(COUNT(q.vec_id) * 100000 AS BIGINT) AS recall10_e6
+    FROM exact e LEFT JOIN quant q
+      ON q.query_id = e.query_id AND q.vec_id = e.vec_id
+    GROUP BY 1
+    """,
+)
+def ann_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization QA: per query, how many of the exact float top-10
+    neighbors the int8-quantized scan also returns (recall@10 as an
+    exact e6 integer) — the audit that decides whether the 4x-smaller
+    representation is safe to serve. Both rankings use their existing
+    exact machinery; the comparison is one equi-join of two 10-row
+    sets per query."""
+    from .pipeline.similarity import brute_force_topk, quantized_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "query_id", k=10
+    ).select("query_id", "vec_id")
+    quant = quantized_topk(emb, queries, k=10).select(
+        F.col("query_id").alias("qid2"), F.col("vec_id").alias("vid2")
+    )
+    return (
+        exact.join(
+            quant,
+            (F.col("query_id") == F.col("qid2"))
+            & (F.col("vec_id") == F.col("vid2")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("vid2").cast("long").alias("n_common"),
+            (F.count("vid2") * 100000).cast("long").alias("recall10_e6"),
+        )
+    )
