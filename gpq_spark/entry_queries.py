@@ -20415,3 +20415,77 @@ def ann_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("vid2") * 100000).cast("long").alias("recall10_e6"),
         )
     )
+
+
+@register(
+    "q_seasonal_anomaly",
+    f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         o_orderdate) % 7 AS wd,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS v
+        FROM orders GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT wd, CAST(SUM(v) // COUNT(*) AS BIGINT) AS mu,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.wd, CAST(SUM(ABS(d.v - b.mu)) // b.n AS BIGINT) AS mad
+        FROM daily d JOIN base b ON b.wd = d.wd
+        GROUP BY d.wd, b.n
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.wd AS BIGINT) AS weekday,
+           d.v AS v_cents, b.mu AS baseline_cents, dev.mad AS mad_cents
+    FROM daily d
+    JOIN base b ON b.wd = d.wd
+    JOIN dev ON dev.wd = d.wd
+    WHERE d.v > b.mu + 3 * dev.mad
+    """,
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly days: each calendar day's order
+    revenue compared against ITS OWN weekday's baseline (mean + 3x
+    mean absolute deviation, both exact floored integers — the
+    day-of-week seasonality that a global threshold would constantly
+    false-alarm on Mondays). Weekday derives from epoch-day modular
+    arithmetic, not the engines' incompatible dayofweek conventions.
+    Two small aggregates + one join back to the daily frame."""
+    orders = load(spark, sf_dir, "orders")
+    e0 = (
+        "CAST(timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " o_orderdate) AS BIGINT)"
+    )
+    daily = orders.groupBy(
+        F.col("o_orderdate").alias("day"),
+        F.expr(f"{e0} % 7").alias("wd"),
+    ).agg(F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("v"))
+    base = daily.groupBy("wd").agg(
+        F.expr("CAST(SUM(v) div COUNT(*) AS BIGINT)").alias("mu"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dev = (
+        daily.join(F.broadcast(base), "wd")
+        .groupBy("wd", "n")
+        .agg(
+            F.expr("CAST(SUM(ABS(v - mu)) div FIRST(n) AS BIGINT)").alias(
+                "mad"
+            )
+        )
+        .select("wd", "mad")
+    )
+    return (
+        daily.join(F.broadcast(base), "wd")
+        .join(F.broadcast(dev), "wd")
+        .filter(F.col("v") > F.col("mu") + 3 * F.col("mad"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("wd").cast("long").alias("weekday"),
+            F.col("v").alias("v_cents"),
+            F.col("mu").alias("baseline_cents"),
+            F.col("mad").alias("mad_cents"),
+        )
+    )
