@@ -31,7 +31,7 @@ GROUPS = [
      r"|spearman|holt|lorenz|kendall|markov|cramers|survival|price_elasticity"
      r"|active_users|audience_matrix|skyline|wilson|diff_in_diff"
      r"|hierarchy_rollup|conformal|gains_deciles|transition_conformance"
-     r"|pit_features|exact_median|standardized_rate|mix_shift)"),
+     r"|pit_features|exact_median|standardized_rate|mix_shift|seasonal_anomaly)"),
     ("Graph analytics",
      r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa|sssp"
      r"|stress|truss|ktruss|link_prediction|closure|scc|hits|hash_walks"
