@@ -20489,3 +20489,99 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad").alias("mad_cents"),
         )
     )
+
+
+@register(
+    "q_growth_accounting",
+    """
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         date_trunc('day', ts)) AS d
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, d,
+               MIN(d) OVER (PARTITION BY user_id) AS first_d,
+               lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+        FROM activity
+    ),
+    classes AS (
+        SELECT d,
+               CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END)
+                    AS BIGINT) AS new_u,
+               CAST(SUM(CASE WHEN d > first_d AND prev_d = d - 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS retained_u,
+               CAST(SUM(CASE WHEN d > first_d AND prev_d < d - 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS resurrected_u
+        FROM seq GROUP BY 1
+    ),
+    actives AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS au FROM activity GROUP BY 1
+    )
+    SELECT CAST(c.d AS BIGINT) AS day_num,
+           c.new_u, c.retained_u, c.resurrected_u,
+           CAST(COALESCE(ap.au, 0) - c.retained_u AS BIGINT) AS churned_u
+    FROM classes c
+    LEFT JOIN actives ap ON ap.d = c.d - 1
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the DAU decomposition every growth team
+    reports: per day, actives split into NEW (first-ever day),
+    RETAINED (also active yesterday), RESURRECTED (active before, but
+    not yesterday), plus CHURNED (yesterday's actives who did not
+    return) = |active(d−1)| − retained(d). One distinct-activity
+    frame, one per-user window (first day + previous active day), one
+    day aggregate, one self-join on the small day frame — all exact
+    integer day arithmetic."""
+    ev = load_events(spark, sf_dir)
+    activity = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " date_trunc('DAY', ts)) AS BIGINT)"
+        ).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    wp = Window.partitionBy("user_id")
+    seq = activity.select(
+        "user_id",
+        "d",
+        F.min("d").over(wp).alias("first_d"),
+        F.lag("d").over(w).alias("prev_d"),
+    )
+    classes = seq.groupBy("d").agg(
+        F.sum(F.expr("CASE WHEN d = first_d THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("new_u"),
+        F.sum(
+            F.expr("CASE WHEN d > first_d AND prev_d = d - 1 THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("retained_u"),
+        F.sum(
+            F.expr("CASE WHEN d > first_d AND prev_d < d - 1 THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("resurrected_u"),
+    )
+    actives = activity.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("au")
+    )
+    return (
+        classes.join(
+            actives.select((F.col("d") + 1).alias("d"), F.col("au")),
+            "d",
+            "left",
+        )
+        .select(
+            F.col("d").cast("long").alias("day_num"),
+            "new_u",
+            "retained_u",
+            "resurrected_u",
+            (F.coalesce(F.col("au"), F.lit(0)) - F.col("retained_u"))
+            .cast("long")
+            .alias("churned_u"),
+        )
+    )
