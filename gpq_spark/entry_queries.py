@@ -20585,3 +20585,126 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("churned_u"),
         )
     )
+
+
+@register("text_langid_f1", None)  # oracle attached below (shares scorer)
+def text_langid_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision / recall / F1 of the marker-token
+    language identifier against the labeled lang column, all exact e6
+    integers (floored ratios; F1 = 2·p·r div (p+r) on the e6 scale) —
+    the classifier-evaluation arithmetic layered on the confusion
+    matrix, plus a MACRO row averaging per-language F1. Division-free
+    of floats end to end."""
+    from .pipeline.text import with_language_id
+
+    docs = load(spark, sf_dir, "documents")
+    conf = (
+        with_language_id(docs, "text")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tp = (
+        conf.filter(F.col("lang") == F.col("pred_lang"))
+        .select(F.col("lang").alias("lbl"), F.col("n").alias("tp"))
+    )
+    actual = conf.groupBy(F.col("lang").alias("lbl")).agg(
+        F.sum("n").cast("long").alias("n_actual")
+    )
+    pred = conf.groupBy(F.col("pred_lang").alias("lbl")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    per = (
+        actual.join(pred, "lbl", "full")
+        .join(tp, "lbl", "left")
+        .select(
+            "lbl",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("n_actual", F.lit(0)).cast("long").alias("n_actual"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+        )
+        .select(
+            "lbl",
+            "tp",
+            "n_actual",
+            "n_pred",
+            F.expr(
+                "CASE WHEN n_pred > 0 THEN CAST(1000000 * tp div n_pred"
+                " AS BIGINT) ELSE 0 END"
+            ).alias("prec_e6"),
+            F.expr(
+                "CASE WHEN n_actual > 0 THEN CAST(1000000 * tp div n_actual"
+                " AS BIGINT) ELSE 0 END"
+            ).alias("rec_e6"),
+        )
+        .select(
+            "lbl",
+            "tp",
+            "n_actual",
+            "n_pred",
+            "prec_e6",
+            "rec_e6",
+            F.expr(
+                "CASE WHEN prec_e6 + rec_e6 > 0 THEN"
+                " CAST(2 * prec_e6 * rec_e6 div (prec_e6 + rec_e6)"
+                " AS BIGINT) ELSE 0 END"
+            ).alias("f1_e6"),
+        )
+    )
+    macro = per.agg(
+        F.lit("MACRO").alias("lbl"),
+        F.sum("tp").cast("long").alias("tp"),
+        F.sum("n_actual").cast("long").alias("n_actual"),
+        F.sum("n_pred").cast("long").alias("n_pred"),
+        F.expr("CAST(SUM(prec_e6) div COUNT(*) AS BIGINT)").alias("prec_e6"),
+        F.expr("CAST(SUM(rec_e6) div COUNT(*) AS BIGINT)").alias("rec_e6"),
+        F.expr("CAST(SUM(f1_e6) div COUNT(*) AS BIGINT)").alias("f1_e6"),
+    )
+    return per.unionByName(macro)
+
+
+for _q in QUERIES:
+    if _q.name == "text_langid_f1":
+        _conf = _langid_oracle().strip().rstrip()
+        _q.oracle = f"""
+        WITH conf AS ({_conf}),
+        tp AS (SELECT lang AS lbl, n AS tp FROM conf
+               WHERE lang = pred_lang),
+        act AS (SELECT lang AS lbl, CAST(SUM(n) AS BIGINT) AS n_actual
+                FROM conf GROUP BY 1),
+        prd AS (SELECT pred_lang AS lbl, CAST(SUM(n) AS BIGINT) AS n_pred
+                FROM conf GROUP BY 1),
+        per0 AS (
+            SELECT COALESCE(act.lbl, prd.lbl) AS lbl,
+                   CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+                   CAST(COALESCE(act.n_actual, 0) AS BIGINT) AS n_actual,
+                   CAST(COALESCE(prd.n_pred, 0) AS BIGINT) AS n_pred
+            FROM act FULL JOIN prd ON prd.lbl = act.lbl
+            LEFT JOIN tp ON tp.lbl = COALESCE(act.lbl, prd.lbl)
+        ),
+        per AS (
+            SELECT lbl, tp, n_actual, n_pred,
+                   CASE WHEN n_pred > 0
+                        THEN CAST(1000000 * tp // n_pred AS BIGINT)
+                        ELSE 0 END AS prec_e6,
+                   CASE WHEN n_actual > 0
+                        THEN CAST(1000000 * tp // n_actual AS BIGINT)
+                        ELSE 0 END AS rec_e6
+            FROM per0
+        ),
+        perf AS (
+            SELECT lbl, tp, n_actual, n_pred, prec_e6, rec_e6,
+                   CASE WHEN prec_e6 + rec_e6 > 0
+                        THEN CAST(2 * prec_e6 * rec_e6
+                                  // (prec_e6 + rec_e6) AS BIGINT)
+                        ELSE 0 END AS f1_e6
+            FROM per
+        )
+        SELECT lbl, tp, n_actual, n_pred, prec_e6, rec_e6, f1_e6 FROM perf
+        UNION ALL
+        SELECT 'MACRO', CAST(SUM(tp) AS BIGINT),
+               CAST(SUM(n_actual) AS BIGINT), CAST(SUM(n_pred) AS BIGINT),
+               CAST(SUM(prec_e6) // COUNT(*) AS BIGINT),
+               CAST(SUM(rec_e6) // COUNT(*) AS BIGINT),
+               CAST(SUM(f1_e6) // COUNT(*) AS BIGINT)
+        FROM perf
+        """
