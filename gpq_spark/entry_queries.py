@@ -7440,9 +7440,12 @@ def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o.bucket, o.n_ref, o.n_cur,
            CAST(1000000
-                * (o.n_cur * t.t_ref - o.n_ref * t.t_cur)
-                * (o.n_cur * t.t_ref - o.n_ref * t.t_cur)
-                // (t.t_ref * t.t_cur * (o.n_ref + o.n_cur))
+                * (CAST(o.n_cur AS HUGEINT) * t.t_ref
+                   - CAST(o.n_ref AS HUGEINT) * t.t_cur)
+                * (CAST(o.n_cur AS HUGEINT) * t.t_ref
+                   - CAST(o.n_ref AS HUGEINT) * t.t_cur)
+                // (CAST(t.t_ref AS HUGEINT) * t.t_cur
+                    * (o.n_ref + o.n_cur))
                 AS BIGINT) AS drift_term_e6
     FROM o CROSS JOIN t
     WHERE o.n_ref + o.n_cur > 0
@@ -7486,10 +7489,17 @@ def q_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "n_ref",
             "n_cur",
+            # widened to DECIMAL(38,0): the squared cross term reaches
+            # ~1e26·1e6 at sf0.1 and overflows int64 (caught by the
+            # sf0.1 scale-parity sweep); HUGEINT on the oracle side
             F.expr(
-                "CAST(1000000 * (n_cur * t_ref - n_ref * t_cur)"
-                " * (n_cur * t_ref - n_ref * t_cur)"
-                " div (t_ref * t_cur * (n_ref + n_cur)) AS BIGINT)"
+                "CAST(1000000"
+                " * (CAST(n_cur AS DECIMAL(38,0)) * t_ref"
+                "    - CAST(n_ref AS DECIMAL(38,0)) * t_cur)"
+                " * (CAST(n_cur AS DECIMAL(38,0)) * t_ref"
+                "    - CAST(n_ref AS DECIMAL(38,0)) * t_cur)"
+                " div (CAST(t_ref AS DECIMAL(38,0)) * t_cur"
+                "      * (n_ref + n_cur)) AS BIGINT)"
             ).alias("drift_term_e6"),
         )
     )

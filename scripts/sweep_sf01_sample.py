@@ -69,12 +69,13 @@ def main() -> None:
         try:
             res = compare(q.spark_fn(spark, sf_dir), con, q.oracle)
             out[q.name] = {
-                "rows_match": bool(res.get("rows_match")),
-                "schema_match": bool(res.get("schema_match")),
-                "hash_match": bool(res.get("hash_match")),
+                "rows_match": res.get("spark_rows") == res.get("oracle_rows"),
+                "schema_match": res.get("spark_cols") == res.get("oracle_cols")
+                and res.get("spark_types") == res.get("oracle_types"),
+                "hash_match": bool(res.get("match")),
                 "spark_rows": res.get("spark_rows"),
                 "oracle_rows": res.get("oracle_rows"),
-                "err": None,
+                "err": None if res.get("match") else res.get("detail"),
             }
             ok = res.get("match")
         except Exception as e:  # noqa: BLE001
