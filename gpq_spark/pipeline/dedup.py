@@ -1106,3 +1106,118 @@ def soundex_duck(col: str) -> str:
         f"list_aggregate({tail}, 'string_agg', ''), ''),"
         f" 1, 3), 3, '0') END"
     )
+
+
+def jaro_winkler_e6(a: str, b: str) -> int:
+    """Jaro–Winkler similarity as an EXACT scaled integer (floor at
+    1e-6) — the pinned spec both the Spark kernel and the DuckDB
+    oracle implement, so scores are bit-identical across engines:
+
+    - window d = max(|a|,|b|) div 2 − 1 (min 0); greedy matching walks
+      a left-to-right and claims the SMALLEST unused b-position j with
+      b[j] = a[i] and |i − j| ≤ d (the classic Jaro scan order);
+    - T = raw mismatch count between the a-ordered and b-ordered
+      matched character sequences (transpositions t = T/2 — kept raw
+      so the arithmetic stays integral);
+    - Jaro as a rational: J = N/D with
+        N = 2·m²·(|a|+|b|) + (2m − T)·|a|·|b|,  D = 6·m·|a|·|b|;
+    - Winkler boost applied unconditionally with p = 1/10 and the
+      prefix length ℓ defined by the clamped-slice chain
+      (a[:4]=b[:4] → 4, else a[:3]=b[:3] → 3, …) — identical clamping
+      semantics in Python and SQL substr;
+    - JW·1e6 = floor(1e6·(10N + ℓ·(D − N)) / (10·D)); m = 0 → 0;
+      both strings empty → 1e6.
+
+    Everything fits comfortably in int64 for strings up to 63 chars
+    (the b-side "used" set is an int64 bitmask — enforced)."""
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1_000_000
+    if la == 0 or lb == 0:
+        return 0
+    if lb > 63:
+        raise ValueError(f"jaro_winkler_e6: right string > 63 chars: {lb}")
+    d = max(la, lb) // 2 - 1
+    if d < 0:
+        d = 0
+    used = 0
+    ms1: list[str] = []
+    js: list[int] = []
+    for i in range(la):
+        ai = a[i]
+        for j in range(max(0, i - d), min(lb - 1, i + d) + 1):
+            if not (used >> j) & 1 and b[j] == ai:
+                used |= 1 << j
+                ms1.append(ai)
+                js.append(j)
+                break
+    m = len(ms1)
+    if m == 0:
+        return 0
+    js.sort()
+    t_raw = sum(1 for x, j in zip(ms1, js) if x != b[j])
+    num = 2 * m * m * (la + lb) + (2 * m - t_raw) * la * lb
+    den = 6 * m * la * lb
+    if a[:4] == b[:4]:
+        ell = 4
+    elif a[:3] == b[:3]:
+        ell = 3
+    elif a[:2] == b[:2]:
+        ell = 2
+    elif a[:1] == b[:1]:
+        ell = 1
+    else:
+        ell = 0
+    return (1_000_000 * (10 * num + ell * (den - num))) // (10 * den)
+
+
+def jaro_winkler_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    window: int = 3,
+    min_jw_e6: int = 0,
+) -> DataFrame:
+    """Sorted-neighborhood blocking + Jaro–Winkler confirm — the
+    classic name-matching ER pipeline (Winkler 1990): candidates are
+    every pair within ``window`` positions of the global (key, id)
+    order (``sorted_neighborhood_pairs`` — range-partitioned, never a
+    single reducer), strings are joined back by id, and each pair is
+    scored with the exact-integer ``jaro_winkler_e6`` spec inside an
+    Arrow-batched ``mapInPandas`` kernel (per-pair work is O(|s|·d) on
+    a bounded candidate set — cost follows CANDIDATES, never corpus²).
+
+    Output: (id_a, id_b, gap, s_a, s_b, jw_e6) with id_a < id_b in the
+    neighborhood order, filtered to jw_e6 >= ``min_jw_e6``."""
+    import pandas as pd
+
+    cand = sorted_neighborhood_pairs(df, id_col, str_col, window=window)
+    sa = df.select(
+        F.col(id_col).alias("id_a"), F.col(str_col).alias("s_a")
+    )
+    sb = df.select(
+        F.col(id_col).alias("id_b"), F.col(str_col).alias("s_b")
+    )
+    pairs = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", "gap", "s_a", "s_b"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["jw_e6"] = [
+                jaro_winkler_e6(x, y)
+                for x, y in zip(pdf["s_a"], pdf["s_b"])
+            ]
+            yield pdf
+
+    out = pairs.mapInPandas(
+        score,
+        schema=(
+            "id_a long, id_b long, gap long, s_a string, s_b string,"
+            " jw_e6 long"
+        ),
+    )
+    if min_jw_e6 > 0:
+        out = out.filter(F.col("jw_e6") >= min_jw_e6)
+    return out

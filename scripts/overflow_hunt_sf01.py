@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Overflow hunt: execute EVERY declared query's Spark side at sf0.1
+(10x the driver's correctness scale) with ANSI mode ON, so any int64
+overflow, cast failure, or divide-by-zero that only appears at larger
+data volumes raises instead of silently wrapping.
+
+No oracle comparison — this is a robustness gate, not a parity gate
+(the full-parity sweep at sf0.01 is scripts/sweep.py).  Results are
+fully evaluated via the noop sink so every expression executes on
+every row without collecting to the driver.
+
+Usage: python scripts/overflow_hunt_sf01.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        ROOT, "OVERFLOW_HUNT_SF01.json"
+    )
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("gpq_spark-overflow-hunt")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from gpq_spark.entry_queries import queries_dict
+
+    QUERIES = queries_dict()
+    out: dict[str, dict] = {}
+    t_all = time.time()
+    for i, (name, fn) in enumerate(sorted(QUERIES.items())):
+        t0 = time.time()
+        rec: dict = {"err": None, "sec": None}
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            rec["sec"] = round(time.time() - t0, 2)
+        except Exception as e:  # noqa: BLE001 - record and continue
+            rec["err"] = f"{type(e).__name__}: {e}"[:500]
+            rec["sec"] = round(time.time() - t0, 2)
+            traceback.print_exc(limit=3)
+        out[name] = rec
+        status = "OK " if rec["err"] is None else "ERR"
+        print(
+            f"[{i + 1}/{len(QUERIES)}] {status} {name} {rec['sec']}s",
+            flush=True,
+        )
+
+    n_err = sum(1 for v in out.values() if v["err"])
+    payload = {
+        "sf_dir": sf_dir,
+        "ansi": True,
+        "total_sec": round(time.time() - t_all, 1),
+        "queries": len(out),
+        "errors": n_err,
+        "results": out,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(f"WROTE {out_path}: {len(out)} queries, {n_err} errors")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,7 @@ PYTHON_ALLOWED_PREFIXES = (
     "multimodal_", "png_", "pack_greedy", "sample_kcenter", "sample_mmr",
     "q_interval_schedule", "semantic_dedup", "embed_centroids",
     "ann_topk",  # numpy-reduction scoring path (Arrow-batched)
+    "dedup_jaro_winkler",  # Arrow-batched exact-integer JW confirm kernel
     "geo_",  # numpy-vectorized WKB kernel (geoparquet/stats.py), Arrow-batched
 )
 

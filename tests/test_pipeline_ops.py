@@ -3862,3 +3862,78 @@ class TestWeightedIntervalSchedule:
                     best = max(best, sum(w for _, _, w in ivs))
         got = self._solve(spark, rows)
         assert got[1][0] == best
+
+
+class TestJaroWinkler:
+    def test_canonical_values(self):
+        """The textbook Winkler examples, at e6 floor precision."""
+        from gpq_spark.pipeline.dedup import jaro_winkler_e6 as jw
+
+        assert jw("MARTHA", "MARHTA") == 961111  # 0.961111
+        assert jw("DWAYNE", "DUANE") == 840000  # 0.84
+        assert jw("DIXON", "DICKSONX") == 813333  # 0.813333
+        assert jw("abc", "abc") == 1_000_000
+        assert jw("", "") == 1_000_000
+        assert jw("a", "") == 0
+        assert jw("abc", "xyz") == 0
+
+    def test_symmetry_and_bounds(self):
+        """Jaro matching is symmetric; scores stay in [0, 1e6]."""
+        from gpq_spark.pipeline.dedup import jaro_winkler_e6 as jw
+
+        words = [
+            "red bolt", "red widget", "small ring", "small gizmo",
+            "hot gear", "old bolt", "blue bolt", "crate", "create",
+            "abcdef", "fedcba", "aa", "aab", "x",
+        ]
+        for a in words:
+            for b in words:
+                s = jw(a, b)
+                assert 0 <= s <= 1_000_000
+                assert s == jw(b, a)
+                if a == b:
+                    assert s == 1_000_000
+
+    def test_right_string_over_63_raises(self):
+        from gpq_spark.pipeline.dedup import jaro_winkler_e6 as jw
+
+        import pytest
+
+        with pytest.raises(ValueError):
+            jw("ab", "x" * 64)
+
+    def test_pairs_end_to_end(self, spark):
+        """Blocking + confirm over a tiny corpus: pair scores equal the
+        pure-kernel scores on the sorted-neighborhood candidates."""
+        from gpq_spark.pipeline.dedup import (
+            jaro_winkler_e6,
+            jaro_winkler_pairs,
+        )
+
+        rows = [
+            (1, "red bolt"), (2, "red bol"), (3, "red widget"),
+            (4, "blue bolt"), (5, "blue bolt"), (6, "zed"),
+        ]
+        df = spark.createDataFrame(rows, ["id", "name"])
+        got = {
+            (r["id_a"], r["id_b"]): (r["jw_e6"], r["s_a"], r["s_b"])
+            for r in jaro_winkler_pairs(df, "id", "name", window=3).collect()
+        }
+        names = dict(rows)
+        assert got  # non-empty
+        for (ia, ib), (score, s_a, s_b) in got.items():
+            assert s_a == names[ia] and s_b == names[ib]
+            assert score == jaro_winkler_e6(s_a, s_b)
+        # the exact duplicate pair is present with a perfect score
+        assert got[(4, 5)][0] == 1_000_000
+
+    def test_min_threshold_filters(self, spark):
+        from gpq_spark.pipeline.dedup import jaro_winkler_pairs
+
+        df = spark.createDataFrame(
+            [(1, "aaaa"), (2, "aaab"), (3, "zzzz")], ["id", "name"]
+        )
+        out = jaro_winkler_pairs(
+            df, "id", "name", window=3, min_jw_e6=850_000
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
