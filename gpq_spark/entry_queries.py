@@ -7020,7 +7020,8 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m CROSS JOIN base GROUP BY 1
     )
     SELECT n_name, n,
-           CAST(1000000 * (n * sxy - sx * sy)
+           CAST(1000000 * (CAST(n AS HUGEINT) * sxy
+                           - CAST(sx AS HUGEINT) * sy)
                 // (n * sxx - sx * sx) AS BIGINT) AS slope_e6_cents_per_month
     FROM s WHERE n * sxx - sx * sx > 0
     """,
@@ -7070,9 +7071,13 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter("n * sxx - sx * sx > 0").select(
         "n_name",
         "n",
+        # widened to DECIMAL(38,0): 1e6 · (nΣxy − ΣxΣy) reaches ~1e20 at
+        # sf0.1 and overflows int64 (caught by the sf0.1 overflow hunt);
+        # HUGEINT on the oracle side
         F.expr(
-            "CAST(1000000 * (n * sxy - sx * sy) div (n * sxx - sx * sx)"
-            " AS BIGINT)"
+            "CAST(1000000 * (CAST(n AS DECIMAL(38,0)) * sxy"
+            "               - CAST(sx AS DECIMAL(38,0)) * sy)"
+            " div (n * sxx - sx * sx) AS BIGINT)"
         ).alias("slope_e6_cents_per_month"),
     )
 
