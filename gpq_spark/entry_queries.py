@@ -20820,3 +20820,91 @@ def dedup_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_b",
         "jw_e6",
     )
+
+
+@register(
+    "dedup_fellegi_sunter",
+    f"""
+    WITH d AS (
+        SELECT c_custkey AS id, c_nationkey AS blk1, c_mktsegment AS blk2,
+               right(c_name, 2) AS name_suffix,
+               ({cents('c_acctbal')} + 100000) // 100000 AS bal_bucket,
+               CAST(c_custkey % 97 AS BIGINT) AS key_mod
+        FROM customer
+    ),
+    tot AS (SELECT CAST(COUNT(*) * (COUNT(*) - 1) AS BIGINT) AS dd FROM d),
+    u1 AS (SELECT CAST(SUM(n * (n - 1)) AS BIGINT) AS u
+           FROM (SELECT COUNT(*) AS n FROM d GROUP BY name_suffix)),
+    u2 AS (SELECT CAST(SUM(n * (n - 1)) AS BIGINT) AS u
+           FROM (SELECT COUNT(*) AS n FROM d GROUP BY bal_bucket)),
+    u3 AS (SELECT CAST(SUM(n * (n - 1)) AS BIGINT) AS u
+           FROM (SELECT COUNT(*) AS n FROM d GROUP BY key_mod)),
+    w AS (
+        SELECT
+            round(ln(900000.0 * dd / (1000000.0 * u1.u)), 9) AS wa1,
+            round(ln(100000.0 * dd / (1000000.0 * (dd - u1.u))), 9) AS wd1,
+            round(ln(800000.0 * dd / (1000000.0 * u2.u)), 9) AS wa2,
+            round(ln(200000.0 * dd / (1000000.0 * (dd - u2.u))), 9) AS wd2,
+            round(ln(700000.0 * dd / (1000000.0 * u3.u)), 9) AS wa3,
+            round(ln(300000.0 * dd / (1000000.0 * (dd - u3.u))), 9) AS wd3
+        FROM tot, u1, u2, u3
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(CASE WHEN a.name_suffix = b.name_suffix
+                THEN 1 ELSE 0 END AS BIGINT) AS agree_name_suffix,
+           CAST(CASE WHEN a.bal_bucket = b.bal_bucket
+                THEN 1 ELSE 0 END AS BIGINT) AS agree_bal_bucket,
+           CAST(CASE WHEN a.key_mod = b.key_mod
+                THEN 1 ELSE 0 END AS BIGINT) AS agree_key_mod,
+           round((CASE WHEN a.name_suffix = b.name_suffix
+                       THEN w.wa1 ELSE w.wd1 END)
+                 + (CASE WHEN a.bal_bucket = b.bal_bucket
+                         THEN w.wa2 ELSE w.wd2 END)
+                 + (CASE WHEN a.key_mod = b.key_mod
+                         THEN w.wa3 ELSE w.wd3 END), 9) AS fs_weight
+    FROM d a JOIN d b ON a.blk1 = b.blk1 AND a.blk2 = b.blk2
+                      AND a.id < b.id
+    CROSS JOIN w
+    """,
+)
+def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over customers:
+    candidates blocked on (nation, market segment), scored on three
+    comparison fields — the last two name characters, a $1000
+    account-balance bucket (shifted positive so the integer division
+    never sees a negative numerator), and a mod-97 key check — with pinned
+    match priors m = (0.9, 0.8, 0.7) and u-probabilities ESTIMATED
+    FROM THE DATA as exact pair-agreement rationals
+    (pipeline.dedup.fellegi_sunter_pairs).  The oracle recomputes the
+    same agreement tallies and the same per-field ln weights (rounded
+    1e-9 before the fixed-order sum), so scores match bit-for-bit.
+    Scale: u stats are narrow-key groupBys; candidates come from a
+    hash-partitioned blocked self-join, never corpus^2; scoring is
+    CASE arithmetic in whole-stage codegen."""
+    from .pipeline.dedup import fellegi_sunter_pairs
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("right(c_name, 2)").alias("name_suffix"),
+        F.expr(f"({cents('c_acctbal')} + 100000) div 100000").alias(
+            "bal_bucket"
+        ),
+        F.expr("CAST(c_custkey % 97 AS BIGINT)").alias("key_mod"),
+    )
+    pairs = fellegi_sunter_pairs(
+        cust,
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment"],
+        ["name_suffix", "bal_bucket", "key_mod"],
+        [900_000, 800_000, 700_000],
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "agree_name_suffix",
+        "agree_bal_bucket",
+        "agree_key_mod",
+        "fs_weight",
+    )

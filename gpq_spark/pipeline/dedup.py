@@ -1221,3 +1221,138 @@ def jaro_winkler_pairs(
     if min_jw_e6 > 0:
         out = out.filter(F.col("jw_e6") >= min_jw_e6)
     return out
+
+
+def fellegi_sunter_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    compare_cols: list[str],
+    m_e6: list[int],
+    round_digits: int = 9,
+    min_weight: float | None = None,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter
+    1969): blocked candidate pairs scored by the sum of per-field
+    log-likelihood-ratio weights.
+
+    For each comparison field ``c`` with match probability ``m`` (the
+    caller-pinned prior P(agree | same entity), scaled 1e6) and
+    NON-match probability ``u`` ESTIMATED FROM THE DATA — the chance a
+    random ordered pair agrees on ``c``:
+
+        u_c = sum_v n_v * (n_v - 1) / (N * (N - 1))
+
+    the field contributes ``ln(m / u_c)`` on agreement and
+    ``ln((1-m) / (1-u_c))`` on disagreement.  The pair's
+    ``fs_weight`` is the sum of contributions.
+
+    Determinism: the agreement statistics (``n_v`` tallies, N, and
+    the candidate-pair agreement flags) are exact BIGINTs; the only
+    floats are the K per-field ``ln`` evaluations — each rounded to
+    ``round_digits`` (repo convention: JVM and libm agree far beyond
+    1e-9) BEFORE the fixed-order sum, so the score is reproducible
+    bit-for-bit on any engine.  Agreement uses null-safe equality.
+
+    Scale shape:
+    - u estimation: one map-side-combined groupBy per field on a
+      narrow key, reduced to a single scalar row (a bounded 1-row
+      driver artifact, same posture as pairwise_doc_similarity's
+      validate_bounds);
+    - candidates: a hash-partitioned self-equi-join on the blocking
+      key — cost follows block sizes, never corpus^2; choose blocks
+      with bounded frequency (skewed blocking keys are the caller's
+      lever, as in every FS implementation);
+    - scoring: pure column CASE arithmetic over pre-computed literal
+      weights — whole-stage codegen, no UDF.
+
+    Degenerate fields (u = 0: no value repeats; u = 1: constant
+    column) make a weight infinite and raise instead.
+
+    Output: (id_a, id_b, agree_<c> BIGINT per field, fs_weight DOUBLE)
+    with id_a < id_b, optionally filtered to fs_weight >= min_weight.
+    """
+    if len(m_e6) != len(compare_cols):
+        raise ValueError(
+            f"m_e6 must align with compare_cols: {len(m_e6)} vs "
+            f"{len(compare_cols)}"
+        )
+    for m in m_e6:
+        if not 0 < m < 1_000_000:
+            raise ValueError(f"m_e6 entries must be in (0, 1e6): {m}")
+    cols = [F.col(id_col).alias("__id")]
+    cols += [F.col(c) for c in block_cols + compare_cols]
+    d = df.select(*cols)
+
+    # exact agreement statistics, one narrow groupBy per field
+    n_row = d.agg(
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1))
+        .cast("long")
+        .alias("dd")
+    ).collect()[0]
+    dd = int(n_row["dd"])
+    if dd <= 0:
+        raise ValueError("fellegi_sunter_pairs needs >= 2 rows")
+    u_nums: dict[str, int] = {}
+    for c in compare_cols:
+        u = (
+            d.groupBy(c)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.sum(F.col("__n") * (F.col("__n") - 1))
+                .cast("long")
+                .alias("u")
+            )
+            .collect()[0]["u"]
+        )
+        u = int(u or 0)
+        if u == 0 or u == dd:
+            raise ValueError(
+                f"degenerate comparison field {c!r}: u_num={u} of {dd} "
+                "(weight would be infinite) — drop it or bucket coarser"
+            )
+        u_nums[c] = u
+
+    a = d.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
+        *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
+    )
+    b = d.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & F.col(f"__ba_{c}").eqNullSafe(F.col(f"__bb_{c}"))
+    pairs = a.join(b, cond)
+
+    out_cols = [F.col("id_a"), F.col("id_b")]
+    terms = []
+    for c, m in zip(compare_cols, m_e6):
+        u = u_nums[c]
+        agree = F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+        out_cols.append(
+            F.when(agree, F.lit(1)).otherwise(F.lit(0))
+            .cast("long")
+            .alias(f"agree_{c}")
+        )
+        # engine-evaluated logs of exact rationals, pre-rounded so the
+        # fixed-order sum below is bit-identical across engines
+        w_agree = F.expr(
+            f"round(ln({m}.0 * {dd} / (1000000.0 * {u})), {round_digits})"
+        )
+        w_disagree = F.expr(
+            f"round(ln({1_000_000 - m}.0 * {dd} /"
+            f" (1000000.0 * {dd - u})), {round_digits})"
+        )
+        terms.append(F.when(agree, w_agree).otherwise(w_disagree))
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    out_cols.append(F.round(score, round_digits).alias("fs_weight"))
+    out = pairs.select(*out_cols)
+    if min_weight is not None:
+        out = out.filter(F.col("fs_weight") >= F.lit(float(min_weight)))
+    return out

@@ -3937,3 +3937,100 @@ class TestJaroWinkler:
             df, "id", "name", window=3, min_jw_e6=850_000
         ).collect()
         assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
+class TestFellegiSunter:
+    def _tiny(self, spark):
+        # (id, block, f1, f2): two blocks, mixed agreement patterns
+        rows = [
+            (1, "A", "x", 10),
+            (2, "A", "x", 10),
+            (3, "A", "y", 10),
+            (4, "A", "y", 20),
+            (5, "B", "x", 10),
+            (6, "B", "x", 20),
+        ]
+        return spark.createDataFrame(rows, ["id", "blk", "f1", "f2"])
+
+    def test_weights_match_hand_computation(self, spark):
+        """fs_weight equals the hand-derived FS log-likelihood sums:
+        u from exact pair-agreement tallies over ALL rows, per-field
+        ln weights rounded at 1e-9 before the fixed-order sum."""
+        import math
+
+        from gpq_spark.pipeline.dedup import fellegi_sunter_pairs
+
+        df = self._tiny(spark)
+        out = {
+            (r["id_a"], r["id_b"]): r
+            for r in fellegi_sunter_pairs(
+                df, "id", ["blk"], ["f1", "f2"], [900_000, 800_000]
+            ).collect()
+        }
+        # candidate pairs: all in-block ordered pairs
+        assert set(out) == {
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6),
+        }
+        # u tallies over the full 6-row frame (ordered pairs, D = 30):
+        # f1: x->4, y->2 -> u = 4*3 + 2*1 = 14
+        # f2: 10->4, 20->2 -> u = 14
+        dd, u1, u2 = 30, 14, 14
+        wa1 = round(math.log(0.9 * dd / u1), 9)
+        wd1 = round(math.log(0.1 * dd / (dd - u1)), 9)
+        wa2 = round(math.log(0.8 * dd / u2), 9)
+        wd2 = round(math.log(0.2 * dd / (dd - u2)), 9)
+        expect = {
+            (1, 2): (1, 1, round(wa1 + wa2, 9)),
+            (1, 3): (0, 1, round(wd1 + wa2, 9)),
+            (1, 4): (0, 0, round(wd1 + wd2, 9)),
+            (2, 3): (0, 1, round(wd1 + wa2, 9)),
+            (2, 4): (0, 0, round(wd1 + wd2, 9)),
+            (3, 4): (1, 0, round(wa1 + wd2, 9)),
+            (5, 6): (1, 0, round(wa1 + wd2, 9)),
+        }
+        for k, (a1, a2, w) in expect.items():
+            r = out[k]
+            assert (r["agree_f1"], r["agree_f2"]) == (a1, a2)
+            assert abs(r["fs_weight"] - w) < 1e-12
+
+    def test_min_weight_filters(self, spark):
+        from gpq_spark.pipeline.dedup import fellegi_sunter_pairs
+
+        df = self._tiny(spark)
+        full = fellegi_sunter_pairs(
+            df, "id", ["blk"], ["f1", "f2"], [900_000, 800_000]
+        ).collect()
+        hi = max(r["fs_weight"] for r in full)
+        kept = fellegi_sunter_pairs(
+            df, "id", ["blk"], ["f1", "f2"], [900_000, 800_000],
+            min_weight=hi,
+        ).collect()
+        assert kept and all(r["fs_weight"] >= hi for r in kept)
+        assert len(kept) < len(full)
+
+    def test_degenerate_field_raises(self, spark):
+        import pytest
+
+        from gpq_spark.pipeline.dedup import fellegi_sunter_pairs
+
+        # constant column -> u = D; all-distinct column -> u = 0
+        df = self._tiny(spark).withColumn("const", F.lit("k"))
+        with pytest.raises(ValueError, match="degenerate"):
+            fellegi_sunter_pairs(
+                df, "id", ["blk"], ["const"], [900_000]
+            ).collect()
+        with pytest.raises(ValueError, match="degenerate"):
+            fellegi_sunter_pairs(
+                df, "id", ["blk"], ["id"], [900_000]
+            ).collect()
+
+    def test_m_validation(self, spark):
+        import pytest
+
+        from gpq_spark.pipeline.dedup import fellegi_sunter_pairs
+
+        df = self._tiny(spark)
+        with pytest.raises(ValueError, match="align"):
+            fellegi_sunter_pairs(df, "id", ["blk"], ["f1"], [1, 2])
+        with pytest.raises(ValueError, match=r"\(0, 1e6\)"):
+            fellegi_sunter_pairs(df, "id", ["blk"], ["f1"], [1_000_000])
