@@ -20908,3 +20908,103 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agree_key_mod",
         "fs_weight",
     )
+
+
+@register(
+    "q_lttb_downsample",
+    """
+    WITH RECURSIVE
+    pts AS (
+        SELECT event_type AS k,
+               epoch_us(date_trunc('hour', ts)) // 3600000000 AS xh,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT k, MIN(xh) AS x0, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY 1
+    ),
+    d AS (
+        SELECT p.k, CAST(p.xh - b.x0 AS BIGINT) AS x, p.y, b.n,
+               CAST(row_number() OVER (PARTITION BY p.k ORDER BY p.xh) - 1
+                    AS BIGINT) AS r
+        FROM pts p JOIN base b ON p.k = b.k
+    ),
+    small AS (SELECT k, x, y, r AS sel_order FROM d WHERE n <= 12),
+    big AS (
+        SELECT *, (r - 1) * 10 // (n - 2) AS b
+        FROM d WHERE n > 12 AND r BETWEEN 1 AND n - 2
+    ),
+    lastp AS (SELECT k, x, y FROM d WHERE n > 12 AND r = n - 1),
+    bp AS (
+        SELECT k, b, list([x, y] ORDER BY x) AS pts,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+        FROM big GROUP BY 1, 2
+    ),
+    sel AS (
+        SELECT k, CAST(-1 AS BIGINT) AS b, x AS xa, y AS ya
+        FROM d WHERE n > 12 AND r = 0
+        UNION ALL
+        SELECT k, b, pts[i][1], pts[i][2]
+        FROM (
+            SELECT s.k, cur.b, cur.pts,
+                   list_position(
+                       list_transform(cur.pts, p ->
+                           abs((p[1] - s.xa)
+                                   * (coalesce(nx.sy, lp.y) -
+                                      coalesce(nx.c, 1) * s.ya)
+                               - (coalesce(nx.sx, lp.x) -
+                                  coalesce(nx.c, 1) * s.xa)
+                                   * (p[2] - s.ya))),
+                       list_max(list_transform(cur.pts, p ->
+                           abs((p[1] - s.xa)
+                                   * (coalesce(nx.sy, lp.y) -
+                                      coalesce(nx.c, 1) * s.ya)
+                               - (coalesce(nx.sx, lp.x) -
+                                  coalesce(nx.c, 1) * s.xa)
+                                   * (p[2] - s.ya))))) AS i
+            FROM sel s
+            JOIN bp cur ON cur.k = s.k AND cur.b = s.b + 1
+            LEFT JOIN bp nx ON nx.k = s.k AND nx.b = s.b + 2
+            JOIN lastp lp ON lp.k = s.k
+        ) q
+    )
+    SELECT k, x, y, sel_order FROM small
+    UNION ALL
+    SELECT k, xa AS x, ya AS y, b + 1 AS sel_order FROM sel
+    UNION ALL
+    SELECT k, x, y, CAST(11 AS BIGINT) AS sel_order FROM lastp
+    """,
+)
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling of the per-type hourly event-count series to
+    12 points (pipeline.timeseries.lttb_downsample): first/last pinned,
+    10 rank buckets, each pick maximizing the exact doubled-area-
+    times-count triangle score against the next bucket's sum-centroid,
+    min-x tie-break — the pinned integer spec the DuckDB oracle
+    replays with a recursive CTE walking buckets left-to-right (the
+    per-key state is just the previous pick; candidate argmax is
+    list_position/list_max over the bucket's ordered point list).
+    Scale: the raw stream reduces to bounded per-key hourly series in
+    one map-side-combined shuffle; selection is Arrow-batched per key
+    — millions of independent series, never a single reducer."""
+    from .pipeline.timeseries import lttb_downsample
+
+    ev = load_events(spark, sf_dir)
+    pts = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000").alias(
+            "xh"
+        ),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    x0 = pts.groupBy("event_type").agg(F.min("xh").alias("x0"))
+    series = pts.join(F.broadcast(x0), "event_type").select(
+        "event_type",
+        (F.col("xh") - F.col("x0")).cast("long").alias("x"),
+        "y",
+    )
+    out = lttb_downsample(series, "event_type", "x", "y", n_out=12)
+    return out.select(
+        F.col("event_type").alias("k"), "x", "y", "sel_order"
+    )

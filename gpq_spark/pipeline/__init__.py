@@ -17,6 +17,7 @@ Design rules:
 
 from .dedup import (
     dedup_exact,
+    fellegi_sunter_pairs,
     fuzzy_pairs_edit1,
     verify_pairs_jaccard,
     simhash_near_pairs,
@@ -80,6 +81,7 @@ from .graph import (
     triangle_counts,
 )
 from .sketch import bloom_build, bloom_merge, bloom_probe
+from .timeseries import lttb_downsample, lttb_select
 from .text import ENTROPY_LUT, ENTROPY_WINDOW, with_char_entropy
 from .multimodal import (
     audio_frame_stats,

@@ -1,0 +1,119 @@
+"""Time-series downsampling for visualization and telemetry rollups.
+
+LTTB (largest-triangle-three-buckets, Steinarsson 2013) is the
+standard dashboard downsampler: keep the first and last points, split
+the middle into ``n_out - 2`` rank buckets, and from each bucket keep
+the point forming the largest triangle with the previously kept point
+and the NEXT bucket's centroid — preserving visual extremes that
+uniform sampling destroys.
+
+Exact-integer spec (pinned so a DuckDB recursive-CTE oracle can
+reproduce selections bit-for-bit; no float areas anywhere):
+
+- points are (x, y) BIGINT pairs, unique x per series, ordered by x;
+- rank r = 0..n-1; n <= n_out -> every point is kept (sel_order = r);
+- otherwise bucket b of middle rank r in [1, n-2] is
+  ``(r - 1) * (n_out - 2) div (n - 2)`` — every bucket non-empty;
+- walking b = 0..B-1 with anchor (xa, ya) = the previously selected
+  point, the "centroid" of the next bucket is kept as exact sums
+  (c, sx, sy) (the last bucket targets the final point, c = 1), and
+  the doubled-area-times-c score of candidate p is
+
+      ``abs((p.x - xa) * (sy - c*ya) - (sx - c*xa) * (p.y - ya))``
+
+  (multiplying the classic centroid triangle area through by 2c keeps
+  everything integral); ties keep the SMALLEST x;
+- output sel_order: 0 for the first point, b + 1 for bucket b's pick,
+  n_out - 1 for the last point.
+
+Scale shape: LTTB is sequential per series BY DEFINITION (each pick
+anchors the next), so the distributed contract is per-KEY parallelism:
+pre-aggregate the raw stream to a bounded per-key series (e.g. hourly
+rollups — one map-side-combined shuffle), then run the selection in an
+Arrow-batched ``applyInPandas`` whose per-group state is the bounded
+series itself.  A 100 TB event stream downsamples as millions of
+independent series, never a single reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lttb_select(xs: list[int], ys: list[int], n_out: int) -> list[tuple[int, int]]:
+    """Pure-int LTTB over one series already sorted by x.
+
+    Returns [(index, sel_order), ...] per the module spec."""
+    n = len(xs)
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3: {n_out}")
+    if n <= n_out:
+        return [(i, i) for i in range(n)]
+    nb = n_out - 2
+    buckets: list[list[int]] = [[] for _ in range(nb)]
+    for r in range(1, n - 1):
+        buckets[(r - 1) * nb // (n - 2)].append(r)
+    out = [(0, 0)]
+    xa, ya = int(xs[0]), int(ys[0])
+    for b in range(nb):
+        if b < nb - 1:
+            nxt = buckets[b + 1]
+            c = len(nxt)
+            sx = sum(int(xs[i]) for i in nxt)
+            sy = sum(int(ys[i]) for i in nxt)
+        else:
+            c, sx, sy = 1, int(xs[n - 1]), int(ys[n - 1])
+        best, best_area = -1, -1
+        for i in buckets[b]:
+            area = abs(
+                (int(xs[i]) - xa) * (sy - c * ya)
+                - (sx - c * xa) * (int(ys[i]) - ya)
+            )
+            if area > best_area:  # first max in x order = min-x tie-break
+                best, best_area = i, area
+        out.append((best, b + 1))
+        xa, ya = int(xs[best]), int(ys[best])
+    out.append((n - 1, n_out - 1))
+    return out
+
+
+def lttb_downsample(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    n_out: int,
+) -> DataFrame:
+    """Downsample every per-key (x, y) series to at most ``n_out``
+    points with exact-integer LTTB (module spec above).
+
+    ``df`` must already be the BOUNDED pre-aggregated series (one row
+    per (key, x), BIGINT-able x and y) — pre-roll raw events to
+    hour/day grain first; the per-group working set is the series.
+
+    Output: (key_col, x, y, sel_order) — sel_order is the pick's
+    position in the downsampled polyline.
+    """
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3: {n_out}")
+    d = df.select(
+        F.col(key_col).alias("k"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+
+    def pick(pdf):
+        pdf = pdf.sort_values("x").reset_index(drop=True)
+        xs = pdf["x"].tolist()
+        ys = pdf["y"].tolist()
+        rows = lttb_select(xs, ys, n_out)
+        return pdf.iloc[[i for i, _ in rows]].assign(
+            sel_order=[o for _, o in rows]
+        )
+
+    ktype = d.schema["k"].dataType.simpleString()
+    out = d.groupBy("k").applyInPandas(
+        pick, schema=f"k {ktype}, x long, y long, sel_order long"
+    )
+    return out.withColumnRenamed("k", key_col)

@@ -29,6 +29,7 @@ PYTHON_ALLOWED_PREFIXES = (
     "q_interval_schedule", "semantic_dedup", "embed_centroids",
     "ann_topk",  # numpy-reduction scoring path (Arrow-batched)
     "dedup_jaro_winkler",  # Arrow-batched exact-integer JW confirm kernel
+    "q_lttb_downsample",  # Arrow-batched per-series LTTB pick (sequential by definition)
     "geo_",  # numpy-vectorized WKB kernel (geoparquet/stats.py), Arrow-batched
 )
 

@@ -4034,3 +4034,84 @@ class TestFellegiSunter:
             fellegi_sunter_pairs(df, "id", ["blk"], ["f1"], [1, 2])
         with pytest.raises(ValueError, match=r"\(0, 1e6\)"):
             fellegi_sunter_pairs(df, "id", ["blk"], ["f1"], [1_000_000])
+
+
+class TestLttbDownsample:
+    def test_passthrough_when_small(self):
+        from gpq_spark.pipeline.timeseries import lttb_select
+
+        xs = [0, 1, 2, 3]
+        ys = [5, 6, 7, 8]
+        assert lttb_select(xs, ys, 12) == [(i, i) for i in range(4)]
+
+    def test_hand_computed_peak(self):
+        """n_out=3 keeps first/last and the max-triangle middle point:
+        the spike (2, 5) dominates the flat neighbors."""
+        from gpq_spark.pipeline.timeseries import lttb_select
+
+        xs = [0, 1, 2, 3, 4]
+        ys = [0, 0, 5, 0, 0]
+        assert lttb_select(xs, ys, 3) == [(0, 0), (2, 1), (4, 2)]
+
+    def test_tie_breaks_to_smallest_x(self):
+        from gpq_spark.pipeline.timeseries import lttb_select
+
+        # middle candidates (1,3) and (2,3) both give area 4*3 = 12
+        # against anchor (0,0) and last point (3,0): first (min x) wins
+        xs = [0, 1, 2, 3]
+        ys = [0, 3, 3, 0]
+        assert lttb_select(xs, ys, 3) == [(0, 0), (1, 1), (3, 2)]
+
+    def test_invariants_on_longer_series(self):
+        """First/last always kept, one pick per bucket, picks honor
+        bucket boundaries, output size is exactly n_out."""
+        from gpq_spark.pipeline.timeseries import lttb_select
+
+        n, n_out = 137, 12
+        xs = list(range(n))
+        ys = [((i * 2654435761) % 1000) - 500 for i in range(n)]
+        sel = lttb_select(xs, ys, n_out)
+        assert len(sel) == n_out
+        idx = [i for i, _ in sel]
+        assert idx[0] == 0 and idx[-1] == n - 1
+        assert [o for _, o in sel] == list(range(n_out))
+        nb = n_out - 2
+        for pos, (i, o) in enumerate(sel[1:-1], start=0):
+            assert 1 <= i <= n - 2
+            assert (i - 1) * nb // (n - 2) == pos  # pick is in bucket o-1
+
+    def test_distributed_matches_kernel(self, spark):
+        """applyInPandas plumbing returns exactly the driver-side
+        kernel picks, per key, regardless of input order."""
+        from gpq_spark.pipeline.timeseries import (
+            lttb_downsample,
+            lttb_select,
+        )
+
+        rows = []
+        series = {}
+        for k in ("a", "b"):
+            n = 61 if k == "a" else 9
+            xs = list(range(0, 2 * n, 2))
+            ys = [((i * 40503) % 97) * (3 if k == "a" else 7) for i in range(n)]
+            series[k] = (xs, ys)
+            rows += [(k, x, y) for x, y in zip(xs, ys)]
+        rows.reverse()  # arbitrary input order
+        df = spark.createDataFrame(rows, ["k", "x", "y"])
+        got = {
+            (r["k"], r["sel_order"]): (r["x"], r["y"])
+            for r in lttb_downsample(df, "k", "x", "y", 12).collect()
+        }
+        want = {}
+        for k, (xs, ys) in series.items():
+            for i, o in lttb_select(xs, ys, 12):
+                want[(k, o)] = (xs[i], ys[i])
+        assert got == want
+
+    def test_n_out_validation(self, spark):
+        import pytest
+
+        from gpq_spark.pipeline.timeseries import lttb_select
+
+        with pytest.raises(ValueError, match="n_out"):
+            lttb_select([1, 2, 3], [1, 2, 3], 2)
