@@ -21008,3 +21008,90 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("event_type").alias("k"), "x", "y", "sel_order"
     )
+
+
+@register(
+    "q_dbscan_embeddings",
+    """
+    WITH RECURSIVE
+    d AS (
+        SELECT vec_id AS id,
+               CAST(floor(embedding[1] * 10000) AS BIGINT) AS x,
+               CAST(floor(embedding[2] * 10000) AS BIGINT) AS y
+        FROM embeddings
+    ),
+    nb AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM d a JOIN d b
+          ON (a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y) <= 22500
+    ),
+    cnt AS (
+        SELECT id_a AS id, CAST(COUNT(*) AS BIGINT) AS n_nbrs
+        FROM nb GROUP BY 1
+    ),
+    core AS (SELECT id FROM cnt WHERE n_nbrs >= 5),
+    ce AS (
+        SELECT id_a AS s, id_b AS dd FROM nb
+        WHERE id_a IN (SELECT id FROM core)
+          AND id_b IN (SELECT id FROM core)
+          AND id_a <> id_b
+    ),
+    walk(node, comp) AS (
+        SELECT DISTINCT s, s FROM ce
+        UNION
+        SELECT e.dd, w.comp FROM walk w JOIN ce e ON e.s = w.node
+        WHERE w.comp < e.dd
+    ),
+    comp AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+    core_cluster AS (
+        SELECT c.id AS core_id, COALESCE(p.component, c.id) AS cluster_id
+        FROM core c LEFT JOIN comp p ON c.id = p.node
+    ),
+    border AS (
+        SELECT nb.id_a AS id, MIN(cc.cluster_id) AS border_cluster
+        FROM nb JOIN core_cluster cc ON nb.id_b = cc.core_id
+        GROUP BY 1
+    )
+    SELECT d.id, d.x, d.y, cnt.n_nbrs,
+           cc.core_id IS NOT NULL AS is_core,
+           CASE WHEN cc.core_id IS NOT NULL THEN cc.cluster_id
+                ELSE b.border_cluster END AS cluster_id
+    FROM d
+    JOIN cnt ON d.id = cnt.id
+    LEFT JOIN core_cluster cc ON d.id = cc.core_id
+    LEFT JOIN border b ON d.id = b.id
+    """,
+)
+def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering of the embedding corpus projected to
+    a quantized 2-D plane (floor(1e4 * dims 1-2)), eps = 150,
+    min_pts = 5 (pipeline.cluster.dbscan_2d): grid-cell neighbor
+    discovery (9-key hash join, exact integer d2 filter), core test,
+    connected components over core-core edges, min-cluster border
+    pinning, NULL for noise.  The oracle replays the SEMANTICS with an
+    all-pairs distance join + recursive-CTE transitive closure — the
+    completeness proof for the grid path, same posture as the
+    prefix-filter similarity join.  Scale: candidates are ~9n via the
+    cell equi-join (one shuffle), the CC rounds touch core-core edges
+    only, and the corpus is never distance-cross-joined."""
+    from .pipeline.cluster import dbscan_2d
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") * 10000)
+        .cast("long")
+        .alias("px"),
+        F.floor(F.element_at("embedding", 2).cast("double") * 10000)
+        .cast("long")
+        .alias("py"),
+    )
+    out = dbscan_2d(emb, "vec_id", "px", "py", eps=150, min_pts=5)
+    return out.select(
+        F.col("vec_id").cast("long").alias("id"),
+        "x",
+        "y",
+        "n_nbrs",
+        "is_core",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )

@@ -1,0 +1,152 @@
+"""Density clustering over quantized 2-D point sets.
+
+DBSCAN (Ester et al., KDD'96) re-expressed as relational primitives so
+it runs as ordinary shuffles at any scale — no per-node iteration, no
+driver-side geometry:
+
+1. neighbor discovery: grid cells of side ``eps``; each point joins
+   the points of its own and 8 adjacent cells (a 9-key expansion on
+   one side of a hash equi-join — never a distance cross-join), then
+   the exact squared-distance filter ``d2 <= eps^2``;
+2. core test: neighbor count (self included, per the original paper)
+   ``>= min_pts``;
+3. clustering: connected components over CORE-CORE edges only
+   (``dedup.connected_components`` — large-star/small-star over the
+   edge set);
+4. border assignment: a non-core point within ``eps`` of any core
+   joins the MINIMUM cluster id among its in-range cores (the classic
+   DBSCAN border tie is order-dependent; pinning min makes the
+   labeling deterministic on any engine or partitioning — documented
+   deviation);
+5. everything else is noise (NULL cluster).
+
+All coordinates are BIGINT (quantize floats first: the gate uses
+``floor(1e4 * x)``), so distances and the core test are exact and a
+SQL oracle can replay the semantics with an all-pairs distance join
+(the oracle proves SEMANTICS; the grid join is the scale path — the
+same completeness-proof posture as the prefix-filter similarity join).
+
+Scale: with ``eps`` sized so cells hold O(1) points, the candidate
+set is ~9n — one shuffle for the cell join, one for the neighbor
+count, and the CC rounds touch only core-core edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import connected_components
+
+
+def dbscan_2d(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int,
+    min_pts: int,
+) -> DataFrame:
+    """DBSCAN over integer 2-D points (module spec above).
+
+    Output: (``id_col``, x, y, n_nbrs, is_core, cluster_id) —
+    cluster_id is the minimum CORE point id of the cluster, NULL for
+    noise.
+    """
+    if eps <= 0:
+        raise ValueError(f"eps must be a positive integer: {eps}")
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1: {min_pts}")
+    pts = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    # floor-division cells (div truncates toward zero — wrong for
+    # negative coords, so go through double floor: exact below 2^53)
+    cx = F.floor(F.col("x") / F.lit(eps)).cast("long")
+    cy = F.floor(F.col("y") / F.lit(eps)).cast("long")
+    celled = pts.select("id", "x", "y", cx.alias("cx"), cy.alias("cy"))
+    probe = celled.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.expr("transform(sequence(-1, 1), dx -> cx + dx)")
+        ).alias("kx"),
+        "cy",
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        "kx",
+        F.explode(
+            F.expr("transform(sequence(-1, 1), dy -> cy + dy)")
+        ).alias("ky"),
+    )
+    build = celled.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("kx"),
+        F.col("cy").alias("ky"),
+    )
+    nbrs = probe.join(build, ["kx", "ky"]).filter(
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+        <= F.lit(int(eps) * int(eps))
+    )
+    counts = nbrs.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("n_nbrs")
+    )
+    flagged = (
+        pts.join(counts, pts.id == counts.id_a)
+        .select(
+            "id",
+            "x",
+            "y",
+            "n_nbrs",
+            (F.col("n_nbrs") >= F.lit(min_pts)).alias("is_core"),
+        )
+        .localCheckpoint()  # neighbor discovery runs once, reused 3x below
+    )
+    core_ids = flagged.filter("is_core").select(F.col("id").alias("cid"))
+    core_edges = (
+        nbrs.filter(F.col("id_a") < F.col("id_b"))
+        .join(core_ids.withColumnRenamed("cid", "id_a"), "id_a", "left_semi")
+        .join(core_ids.withColumnRenamed("cid", "id_b"), "id_b", "left_semi")
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(core_edges)
+    core_clusters = core_ids.join(
+        comp, core_ids.cid == comp.node, "left"
+    ).select(
+        F.col("cid").alias("core_id"),
+        F.coalesce(F.col("component"), F.col("cid")).alias("cluster_id"),
+    )
+    # border: min cluster among in-range cores (deterministic pin)
+    border = (
+        nbrs.select("id_a", "id_b")
+        .join(
+            core_clusters.withColumnRenamed("core_id", "id_b"), "id_b"
+        )
+        .groupBy("id_a")
+        .agg(F.min("cluster_id").alias("border_cluster"))
+    )
+    out = (
+        flagged.join(
+            core_clusters.withColumnRenamed("core_id", "id"), "id", "left"
+        )
+        .join(border.withColumnRenamed("id_a", "id"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "x",
+            "y",
+            "n_nbrs",
+            "is_core",
+            F.when(F.col("is_core"), F.col("cluster_id"))
+            .otherwise(F.col("border_cluster"))
+            .alias("cluster_id"),
+        )
+    )
+    return out

@@ -4115,3 +4115,99 @@ class TestLttbDownsample:
 
         with pytest.raises(ValueError, match="n_out"):
             lttb_select([1, 2, 3], [1, 2, 3], 2)
+
+
+class TestDbscan2D:
+    def test_two_blobs_border_and_noise(self, spark):
+        """Two dense blobs, one border point in range of a single blob,
+        one noise point far away."""
+        from gpq_spark.pipeline.cluster import dbscan_2d
+
+        rows = [
+            # blob A: 4 points pairwise within eps=5 (min_pts=4)
+            (1, 0, 0), (2, 3, 0), (3, 0, 3), (4, 2, 2),
+            # blob B: 4 points around (100, 100)
+            (5, 100, 100), (6, 103, 100), (7, 100, 103), (8, 102, 102),
+            # border: within eps of blob A's (3, 0) only, too sparse
+            # to be core itself
+            (9, 7, 0),
+            # noise
+            (10, 50, 50),
+        ]
+        df = spark.createDataFrame(rows, ["id", "x", "y"])
+        out = {
+            r["id"]: r
+            for r in dbscan_2d(df, "id", "x", "y", eps=5, min_pts=4).collect()
+        }
+        for i in (1, 2, 3, 4):
+            assert out[i]["is_core"] and out[i]["cluster_id"] == 1
+        for i in (5, 6, 7, 8):
+            assert out[i]["is_core"] and out[i]["cluster_id"] == 5
+        assert not out[9]["is_core"] and out[9]["cluster_id"] == 1
+        assert not out[10]["is_core"] and out[10]["cluster_id"] is None
+        assert out[10]["n_nbrs"] == 1  # self only
+
+    def test_grid_join_matches_all_pairs_replay(self, spark):
+        """The 9-cell candidate join loses no neighbor pair: the full
+        labeling equals a driver-side all-pairs DBSCAN replay, on a
+        point set straddling negative coordinates and cell borders."""
+        from gpq_spark.pipeline.cluster import dbscan_2d
+
+        pts = []
+        for i in range(120):
+            h = (i * 2654435761) % (1 << 32)
+            pts.append((i, (h % 61) - 30, ((h >> 8) % 61) - 30))
+        eps, min_pts = 4, 3
+        df = spark.createDataFrame(pts, ["id", "x", "y"])
+        got = {
+            r["id"]: (r["n_nbrs"], r["is_core"], r["cluster_id"])
+            for r in dbscan_2d(df, "id", "x", "y", eps, min_pts).collect()
+        }
+        # driver replay
+        ids = [p[0] for p in pts]
+        xy = {p[0]: (p[1], p[2]) for p in pts}
+        nb = {
+            i: [
+                j for j in ids
+                if (xy[i][0] - xy[j][0]) ** 2 + (xy[i][1] - xy[j][1]) ** 2
+                <= eps * eps
+            ]
+            for i in ids
+        }
+        core = {i for i in ids if len(nb[i]) >= min_pts}
+        # union-find over core-core edges
+        parent = {i: i for i in core}
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in core:
+            for j in nb[i]:
+                if j in core and j != i:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        cluster = {i: min(j for j in core if find(j) == find(i)) for i in core}
+        for i in ids:
+            in_range_cores = [j for j in nb[i] if j in core]
+            if i in core:
+                want = cluster[i]
+            elif in_range_cores:
+                want = min(cluster[j] for j in in_range_cores)
+            else:
+                want = None
+            assert got[i] == (len(nb[i]), i in core, want), i
+
+    def test_validation(self, spark):
+        import pytest
+
+        from gpq_spark.pipeline.cluster import dbscan_2d
+
+        df = spark.createDataFrame([(1, 0, 0)], ["id", "x", "y"])
+        with pytest.raises(ValueError, match="eps"):
+            dbscan_2d(df, "id", "x", "y", 0, 3)
+        with pytest.raises(ValueError, match="min_pts"):
+            dbscan_2d(df, "id", "x", "y", 5, 0)
