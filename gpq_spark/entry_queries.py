@@ -21095,3 +21095,113 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_core",
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
+
+
+@register(
+    "q_kaplan_meier",
+    """
+    WITH s AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS s_us
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_us
+        GROUP BY 1
+    ),
+    cmax AS (SELECT MAX(epoch_us(ts)) AS m_us FROM events),
+    subj AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST((COALESCE(p.p_us, cmax.m_us) - s.s_us)
+                    // 3600000000 AS BIGINT) AS t,
+               CASE WHEN p.p_us IS NOT NULL THEN 1 ELSE 0 END AS obs
+        FROM s
+        LEFT JOIN p ON s.user_id = p.user_id
+        JOIN customer c ON s.user_id = c.c_custkey
+        CROSS JOIN cmax
+    ),
+    tall AS (
+        SELECT seg, t, CAST(COUNT(*) AS BIGINT) AS c_all,
+               CAST(SUM(obs) AS BIGINT) AS d
+        FROM subj GROUP BY 1, 2
+    ),
+    risks AS (
+        SELECT seg, t, d,
+               CAST(SUM(c_all) OVER (PARTITION BY seg)
+                    - COALESCE(SUM(c_all) OVER (
+                          PARTITION BY seg ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+        FROM tall
+    ),
+    ev AS (SELECT * FROM risks WHERE d > 0)
+    SELECT seg, t, d, n_risk,
+           CASE WHEN MAX(CASE WHEN n_risk = d THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY seg ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE round(exp(SUM(
+                    CASE WHEN n_risk > d
+                         THEN round(ln(CAST(n_risk - d AS DOUBLE)
+                                       / n_risk), 9)
+                         ELSE 0.0 END)
+                    OVER (PARTITION BY seg ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)), 9)
+           END AS surv
+    FROM ev
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier signup-to-purchase survival per market segment
+    (pipeline.survival.kaplan_meier): durations in whole hours from
+    each user's first signup to their first at-or-after purchase,
+    right-censored at the corpus's last event for users who never
+    purchased.  d/n tallies are exact integers; the product-limit
+    curve is exp of an ordered prefix sum of per-term rounded logs
+    (deterministic sequential fold on any engine), with an exact-zero
+    pin when the risk set dies out.  Scale: one groupBy to the
+    distinct-duration axis, then per-group windows — state follows
+    distinct durations, not subjects."""
+    from .pipeline.survival import kaplan_meier
+
+    ev = load_events(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer")
+    # wall-clock micros since a fixed epoch: valid for TIMESTAMP and
+    # TIMESTAMP_NTZ alike (unix_micros rejects NTZ)
+    us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01").cast("timestamp_ntz"), F.col("ts")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("s_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_us_raw"))
+        .join(s, "user_id")
+        .filter(F.col("p_us_raw") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us_raw").alias("p_us"))
+    )
+    cmax = ev.agg(F.max(us).alias("m_us"))
+    subj = (
+        s.join(p, "user_id", "left")
+        .join(cust, s.user_id == cust.c_custkey)
+        .crossJoin(F.broadcast(cmax))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.expr(
+                "CAST((COALESCE(p_us, m_us) - s_us)"
+                " div 3600000000 AS BIGINT)"
+            ).alias("t"),
+            F.when(F.col("p_us").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("obs"),
+        )
+    )
+    return kaplan_meier(subj, "seg", "t", "obs")

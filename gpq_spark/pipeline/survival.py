@@ -1,0 +1,99 @@
+"""Survival analysis: the Kaplan-Meier product-limit estimator.
+
+Time-to-event with right censoring is the canonical frame for
+conversion latency, churn, and retention questions ("how long from
+signup to first purchase, counting the users who never purchased?").
+The Kaplan-Meier estimator is
+
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i)
+
+over distinct OBSERVED event times t_i, with d_i events at t_i and
+n_i the at-risk count (subjects whose duration — event or censor —
+is >= t_i).
+
+Determinism across engines: durations, d_i, and n_i are exact
+BIGINTs; the product is computed as exp of an ORDERED prefix sum of
+per-term ``round(ln((n_i - d_i) / n_i), 9)`` values (a cumulative
+window sum is a sequential fold — the same order on every engine),
+with the final survival rounded again.  A term with n_i = d_i drives
+S to exactly 0 from that time on (tracked by a prefix max flag, never
+ln(0)).
+
+Scale shape: one groupBy to per-(group, duration) tallies, then
+per-group window functions over the DISTINCT duration axis — state is
+proportional to distinct durations per group, not subjects; no UDF,
+no driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    observed_col: str,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Kaplan-Meier survival per group (module spec above).
+
+    ``df``: one row per subject — (group, duration BIGINT-able,
+    observed 0/1).  Output: one row per (group, observed event time):
+    (``group_col``, t, d, n_risk, surv DOUBLE) — surv is S(t) just
+    AFTER the deaths at t.
+    """
+    subj = df.select(
+        F.col(group_col).alias("g"),
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(observed_col).cast("long").alias("obs"),
+    )
+    tall = subj.groupBy("g", "t").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum("obs").alias("d"),
+    )
+    w_order = Window.partitionBy("g").orderBy("t")
+    w_all = Window.partitionBy("g")
+    risks = tall.select(
+        "g",
+        "t",
+        "d",
+        (
+            F.sum("c_all").over(w_all)
+            - F.coalesce(
+                F.sum("c_all").over(
+                    w_order.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+    ).filter(F.col("d") > 0)
+    w_ev = Window.partitionBy("g").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    term = F.when(
+        F.col("n_risk") > F.col("d"),
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk")
+            ),
+            round_digits,
+        ),
+    ).otherwise(F.lit(0.0))
+    dead = F.when(F.col("n_risk") == F.col("d"), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return risks.select(
+        F.col("g").alias(group_col),
+        "t",
+        "d",
+        "n_risk",
+        F.when(F.max(dead).over(w_ev) == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(term).over(w_ev)), round_digits))
+        .alias("surv"),
+    )

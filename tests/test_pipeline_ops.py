@@ -4211,3 +4211,54 @@ class TestDbscan2D:
             dbscan_2d(df, "id", "x", "y", 0, 3)
         with pytest.raises(ValueError, match="min_pts"):
             dbscan_2d(df, "id", "x", "y", 5, 0)
+
+
+class TestKaplanMeier:
+    def test_textbook_curve(self, spark):
+        """The classic small KM example: durations 1, 2+, 3, 4, 4, 5+
+        ('+' censored). S(1)=5/6, S(3)=5/6*3/4, S(4)=5/6*3/4*1/3."""
+        from gpq_spark.pipeline.survival import kaplan_meier
+
+        rows = [
+            ("g", 1, 1), ("g", 2, 0), ("g", 3, 1),
+            ("g", 4, 1), ("g", 4, 1), ("g", 5, 0),
+        ]
+        df = spark.createDataFrame(rows, ["grp", "t", "obs"])
+        out = {
+            r["t"]: r for r in kaplan_meier(df, "grp", "t", "obs").collect()
+        }
+        assert set(out) == {1, 3, 4}
+        assert (out[1]["d"], out[1]["n_risk"]) == (1, 6)
+        assert (out[3]["d"], out[3]["n_risk"]) == (1, 4)
+        assert (out[4]["d"], out[4]["n_risk"]) == (2, 3)
+        assert abs(out[1]["surv"] - 5 / 6) < 1e-8
+        assert abs(out[3]["surv"] - 5 / 6 * 3 / 4) < 1e-8
+        assert abs(out[4]["surv"] - 5 / 6 * 3 / 4 * 1 / 3) < 1e-8
+
+    def test_risk_set_dies_out_pins_zero(self, spark):
+        """When the last at-risk subjects all die, S is exactly 0.0
+        (no ln(0) anywhere)."""
+        from gpq_spark.pipeline.survival import kaplan_meier
+
+        rows = [("g", 1, 1), ("g", 2, 1), ("g", 2, 1)]
+        df = spark.createDataFrame(rows, ["grp", "t", "obs"])
+        out = {
+            r["t"]: r for r in kaplan_meier(df, "grp", "t", "obs").collect()
+        }
+        assert abs(out[1]["surv"] - 2 / 3) < 1e-8
+        assert out[2]["surv"] == 0.0
+
+    def test_groups_independent(self, spark):
+        """Curves are computed within group; a censored-only group
+        emits no rows."""
+        from gpq_spark.pipeline.survival import kaplan_meier
+
+        rows = [
+            ("a", 1, 1), ("a", 2, 1),
+            ("b", 1, 0), ("b", 2, 0),
+        ]
+        df = spark.createDataFrame(rows, ["grp", "t", "obs"])
+        out = kaplan_meier(df, "grp", "t", "obs").collect()
+        assert {r["grp"] for r in out} == {"a"}
+        got = {r["t"]: r["surv"] for r in out}
+        assert abs(got[1] - 0.5) < 1e-8 and got[2] == 0.0
