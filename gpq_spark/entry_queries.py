@@ -21205,3 +21205,103 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kaplan_meier(subj, "seg", "t", "obs")
+
+
+@register(
+    "q_isotonic_fit",
+    f"""
+    WITH RECURSIVE
+    pts AS (
+        SELECT event_type AS k,
+               CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                    AS BIGINT) AS x,
+               CAST(SUM({cents('value')}) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+        SELECT k, list(x ORDER BY x) AS xs, list(y ORDER BY x) AS ys,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY 1
+    ),
+    st AS (
+        SELECT k, xs, ys, n, CAST(0 AS BIGINT) AS i,
+               CAST([] AS BIGINT[]) AS sw,
+               CAST([] AS BIGINT[]) AS swy,
+               CAST([] AS BIGINT[]) AS cnt
+        FROM ser
+        UNION ALL
+        SELECT k, xs, ys, n,
+               CASE WHEN viol THEN i ELSE i + 1 END,
+               CASE WHEN viol
+                    THEN list_append(sw[1:len(sw)-2],
+                                     sw[len(sw)-1] + sw[len(sw)])
+                    ELSE list_append(sw, 1) END,
+               CASE WHEN viol
+                    THEN list_append(swy[1:len(swy)-2],
+                                     swy[len(swy)-1] + swy[len(swy)])
+                    ELSE list_append(swy, ys[i+1]) END,
+               CASE WHEN viol
+                    THEN list_append(cnt[1:len(cnt)-2],
+                                     cnt[len(cnt)-1] + cnt[len(cnt)])
+                    ELSE list_append(cnt, 1) END
+        FROM (
+            SELECT *,
+                   len(sw) >= 2 AND swy[len(sw)-1] * sw[len(sw)]
+                                    > swy[len(sw)] * sw[len(sw)-1] AS viol
+            FROM st
+            WHERE i < n
+               OR (len(sw) >= 2 AND swy[len(sw)-1] * sw[len(sw)]
+                                    > swy[len(sw)] * sw[len(sw)-1])
+        ) q
+    ),
+    fin AS (
+        SELECT k, xs, ys, sw, swy, cnt FROM st
+        WHERE i = n
+          AND NOT (len(sw) >= 2 AND swy[len(sw)-1] * sw[len(sw)]
+                                    > swy[len(sw)] * sw[len(sw)-1])
+    ),
+    blocks AS (
+        SELECT k, xs, ys, cnt, sw, swy,
+               UNNEST(range(1, len(sw) + 1)) AS j
+        FROM fin
+    ),
+    bnd AS (
+        SELECT k, xs, ys, sw[j] AS bsw, swy[j] AS bswy,
+               CAST(list_sum(cnt[1:j]) AS BIGINT) AS hi,
+               CAST(COALESCE(list_sum(cnt[1:j-1]), 0) AS BIGINT) AS lo
+        FROM blocks
+    )
+    SELECT k, UNNEST(xs[lo+1:hi]) AS x, UNNEST(ys[lo+1:hi]) AS y,
+           CAST(1 AS BIGINT) AS w,
+           CAST(1000000 * bswy // bsw AS BIGINT) AS fit_e6
+    FROM bnd
+    """,
+)
+def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (non-decreasing) trend fit of each event type's daily
+    revenue series via exact-integer PAVA
+    (pipeline.regression.isotonic_fit): singleton blocks pool while
+    the previous block's mean exceeds the top's — means compared by
+    cross-multiplication, never division — and each day's fitted value
+    is its block mean truncated at 1e-6.  The oracle replays the same
+    state machine in a recursive CTE whose per-key state is the block
+    stack as BIGINT lists (one merge OR one push per step), then
+    expands blocks back to days with zipped UNNESTs.  Scale: the raw
+    stream reduces to bounded per-key daily series in one shuffle;
+    the inherently sequential pooling runs per key, Arrow-batched."""
+    from .pipeline.regression import isotonic_fit
+
+    ev = load_events(spark, sf_dir)
+    day = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01").cast("timestamp_ntz"),
+        F.date_trunc("day", F.col("ts")),
+    )
+    pts = ev.groupBy(
+        "event_type",
+        (day / F.lit(86400000000)).cast("long").alias("x"),
+    ).agg(F.sum(F.expr(cents("value"))).cast("long").alias("y"))
+    out = isotonic_fit(pts, "event_type", "x", "y")
+    return out.select(
+        F.col("event_type").alias("k"), "x", "y", "w", "fit_e6"
+    )

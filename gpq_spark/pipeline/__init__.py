@@ -82,6 +82,7 @@ from .graph import (
 )
 from .sketch import bloom_build, bloom_merge, bloom_probe
 from .cluster import dbscan_2d
+from .regression import isotonic_fit, pava_fit
 from .survival import kaplan_meier
 from .timeseries import lttb_downsample, lttb_select
 from .text import ENTROPY_LUT, ENTROPY_WINDOW, with_char_entropy

@@ -1,0 +1,106 @@
+"""Shape-constrained and closed-form regression, exact-integer style.
+
+Isotonic regression (pool-adjacent-violators, PAVA) fits the best
+non-decreasing step function to a per-group series under weighted
+least squares — the standard probability-calibration tool (monotone
+score -> rate mapping) and a robust monotone trend fit.
+
+Exact-integer spec (pinned so a DuckDB recursive-CTE oracle replays
+the fit bit-for-bit):
+
+- inputs are (x, y, w) BIGINTs per group, unique x, w > 0;
+- PAVA maintains a stack of blocks (sum_w, sum_wy, end_rank); a new
+  point arrives as a singleton block, then while the previous block's
+  mean EXCEEDS the top's — compared by exact cross-multiplication
+  ``swy[j-1] * sw[j] > swy[j] * sw[j-1]`` (ties do NOT merge) — the
+  top two blocks pool;
+- every point's fitted value is its block mean, exported as
+  ``fit_e6 = trunc(1e6 * sum_wy / sum_w)`` — TRUNCATION toward zero,
+  the shared integer-division semantics of Spark ``div`` and DuckDB
+  ``//``.
+
+Scale shape: PAVA is sequential per series by definition (a merge can
+cascade to the stack bottom), so the distributed contract is per-KEY
+parallelism over BOUNDED series — pre-aggregate the raw stream to the
+grain you calibrate on (score buckets, days), then fit inside an
+Arrow-batched ``applyInPandas``; millions of independent fits, never
+a single reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero (Spark div / DuckDB //)."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def pava_fit(
+    xs: list[int], ys: list[int], ws: list[int]
+) -> list[int]:
+    """Pure-int PAVA over one series sorted by x; returns fit_e6 per
+    point (module spec above)."""
+    if len(set(xs)) != len(xs):
+        raise ValueError("x values must be unique within a series")
+    blocks: list[list[int]] = []  # [sum_w, sum_wy, count]
+    for y, w in zip(ys, ws):
+        if w <= 0:
+            raise ValueError(f"weights must be positive: {w}")
+        blocks.append([int(w), int(w) * int(y), 1])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][1] * blocks[-1][0]
+            > blocks[-1][1] * blocks[-2][0]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+    out: list[int] = []
+    for sw, swy, cnt in blocks:
+        fit = _trunc_div(1_000_000 * swy, sw)
+        out.extend([fit] * cnt)
+    return out
+
+
+def isotonic_fit(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    w_col: str | None = None,
+) -> DataFrame:
+    """Weighted isotonic (non-decreasing in x) fit per key.
+
+    ``df`` must be the BOUNDED pre-aggregated series (one row per
+    (key, x), BIGINT-able x/y/w).  Output: (``key_col``, x, y, w,
+    fit_e6) with fit_e6 the fitted block mean scaled 1e6, truncated
+    toward zero.
+    """
+    cols = [
+        F.col(key_col).alias("k"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        (
+            F.col(w_col).cast("long") if w_col else F.lit(1).cast("long")
+        ).alias("w"),
+    ]
+    d = df.select(*cols)
+
+    def fit(pdf):
+        pdf = pdf.sort_values("x").reset_index(drop=True)
+        return pdf.assign(
+            fit_e6=pava_fit(
+                pdf["x"].tolist(), pdf["y"].tolist(), pdf["w"].tolist()
+            )
+        )
+
+    ktype = d.schema["k"].dataType.simpleString()
+    out = d.groupBy("k").applyInPandas(
+        fit, schema=f"k {ktype}, x long, y long, w long, fit_e6 long"
+    )
+    return out.withColumnRenamed("k", key_col)

@@ -30,6 +30,7 @@ PYTHON_ALLOWED_PREFIXES = (
     "ann_topk",  # numpy-reduction scoring path (Arrow-batched)
     "dedup_jaro_winkler",  # Arrow-batched exact-integer JW confirm kernel
     "q_lttb_downsample",  # Arrow-batched per-series LTTB pick (sequential by definition)
+    "q_isotonic_fit",  # Arrow-batched per-series PAVA (merge cascade is sequential)
     "geo_",  # numpy-vectorized WKB kernel (geoparquet/stats.py), Arrow-batched
 )
 

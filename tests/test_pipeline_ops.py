@@ -4262,3 +4262,95 @@ class TestKaplanMeier:
         assert {r["grp"] for r in out} == {"a"}
         got = {r["t"]: r["surv"] for r in out}
         assert abs(got[1] - 0.5) < 1e-8 and got[2] == 0.0
+
+
+class TestIsotonicFit:
+    def test_textbook_pooling(self):
+        from gpq_spark.pipeline.regression import pava_fit
+
+        # 1, 3, 2 -> 1, 2.5, 2.5
+        assert pava_fit([0, 1, 2], [1, 3, 2], [1, 1, 1]) == [
+            1_000_000, 2_500_000, 2_500_000,
+        ]
+        # already monotone -> unchanged
+        assert pava_fit([0, 1, 2], [1, 2, 3], [1, 1, 1]) == [
+            1_000_000, 2_000_000, 3_000_000,
+        ]
+        # equal means do NOT merge (ties keep their blocks)
+        assert pava_fit([0, 1], [2, 2], [1, 1]) == [2_000_000, 2_000_000]
+        # cascade to the bottom: 3, 2, 1 -> all 2
+        assert pava_fit([0, 1, 2], [3, 2, 1], [1, 1, 1]) == [
+            2_000_000, 2_000_000, 2_000_000,
+        ]
+
+    def test_weights_shift_the_pool(self):
+        from gpq_spark.pipeline.regression import pava_fit
+
+        # (y=4, w=3), (y=0, w=1): pooled mean = 12/4 = 3
+        assert pava_fit([0, 1], [4, 0], [3, 1]) == [3_000_000, 3_000_000]
+
+    def test_negative_means_truncate_toward_zero(self):
+        from gpq_spark.pipeline.regression import pava_fit
+
+        # pooled mean -7/2 = -3.5 -> trunc(1e6 * -7 / 2) = -3500000
+        assert pava_fit([0, 1], [-3, -4], [1, 1]) == [-3_500_000, -3_500_000]
+        # non-representable third: -10/3 -> -3333333 (toward zero)
+        assert pava_fit([0, 1, 2], [-3, -3, -4], [1, 1, 1]) == [
+            -3_333_333, -3_333_333, -3_333_333,
+        ]
+
+    def test_matches_minimax_characterization(self):
+        """The isotonic solution's closed form (unit weights):
+        fit_i = max_{j<=i} min_{k>=i} avg(y[j..k])."""
+        from fractions import Fraction
+
+        from gpq_spark.pipeline.regression import _trunc_div, pava_fit
+
+        ys = [((i * 2654435761) % 41) - 20 for i in range(40)]
+        got = pava_fit(list(range(40)), ys, [1] * 40)
+        for i in range(40):
+            best = None
+            for j in range(i + 1):
+                mn = None
+                for k in range(i, 40):
+                    avg = Fraction(sum(ys[j : k + 1]), k + 1 - j)
+                    mn = avg if mn is None else min(mn, avg)
+                best = mn if best is None else max(best, mn)
+            want = _trunc_div(
+                1_000_000 * best.numerator, best.denominator
+            )
+            assert got[i] == want, i
+
+    def test_distributed_matches_kernel(self, spark):
+        from gpq_spark.pipeline.regression import isotonic_fit, pava_fit
+
+        rows = []
+        series = {}
+        for k in ("a", "b"):
+            ys = [((i * 97 + (7 if k == "a" else 3)) % 23) - 5 for i in range(25)]
+            series[k] = ys
+            rows += [(k, i, y) for i, y in enumerate(ys)]
+        rows.reverse()
+        df = spark.createDataFrame(rows, ["k", "x", "y"])
+        got = {
+            (r["k"], r["x"]): r["fit_e6"]
+            for r in isotonic_fit(df, "k", "x", "y").collect()
+        }
+        for k, ys in series.items():
+            want = pava_fit(list(range(25)), ys, [1] * 25)
+            for i in range(25):
+                assert got[(k, i)] == want[i]
+        # and fits are non-decreasing in x
+        for k in series:
+            f = [got[(k, i)] for i in range(25)]
+            assert all(f[i] <= f[i + 1] for i in range(24))
+
+    def test_validation(self):
+        import pytest
+
+        from gpq_spark.pipeline.regression import pava_fit
+
+        with pytest.raises(ValueError, match="positive"):
+            pava_fit([0, 1], [1, 2], [1, 0])
+        with pytest.raises(ValueError, match="unique"):
+            pava_fit([0, 0], [1, 2], [1, 1])
