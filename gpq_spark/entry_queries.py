@@ -21305,3 +21305,133 @@ def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("event_type").alias("k"), "x", "y", "w", "fit_e6"
     )
+
+
+def _det3(m: list[list[str]], cast_t: str) -> str:
+    """3x3 determinant as SQL text with every factor widened to
+    ``cast_t`` (DECIMAL(38,0) on Spark, HUGEINT on DuckDB) so the
+    triple products never overflow int64."""
+    def w(t: str) -> str:
+        return f"CAST({t} AS {cast_t})"
+
+    (a, b, c), (d, e, f), (g, h, i) = m
+    return (
+        f"({w(a)} * ({w(e)} * {w(i)} - {w(f)} * {w(h)})"
+        f" - {w(b)} * ({w(d)} * {w(i)} - {w(f)} * {w(g)})"
+        f" + {w(c)} * ({w(d)} * {w(h)} - {w(e)} * {w(g)}))"
+    )
+
+
+def _ols2_dets(cast_t: str) -> dict[str, str]:
+    """Cramer determinants for y = b0 + b1 x1 + b2 x2 from the nine
+    exact sums (n, sx1, sx2, sy, s11, s12, s22, s1y, s2y)."""
+    A = [["n", "sx1", "sx2"], ["sx1", "s11", "s12"], ["sx2", "s12", "s22"]]
+    rhs = ["sy", "s1y", "s2y"]
+    out = {"det": _det3(A, cast_t)}
+    for j in range(3):
+        m = [row[:] for row in A]
+        for r in range(3):
+            m[r][j] = rhs[r]
+        out[f"d{j}"] = _det3(m, cast_t)
+    return out
+
+
+_OLS2_SUMS = f"""
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS sx1,
+               CAST(SUM(x2) AS BIGINT) AS sx2,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+               CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+               CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+               CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+               CAST(SUM(x2 * y) AS BIGINT) AS s2y
+        FROM (
+            SELECT n_name,
+                   CAST(l_quantity AS BIGINT) AS x1,
+                   CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                   {cents('l_extendedprice')} AS y
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        ) pts
+        GROUP BY 1
+"""
+
+_OLS2_DUCK = _ols2_dets("HUGEINT")
+
+
+@register(
+    "q_ols2_price_model",
+    f"""
+    WITH sums AS ({_OLS2_SUMS}),
+    dets AS (
+        SELECT n_name, n,
+               {_OLS2_DUCK['det']} AS det,
+               {_OLS2_DUCK['d0']} AS d0,
+               {_OLS2_DUCK['d1']} AS d1,
+               {_OLS2_DUCK['d2']} AS d2
+        FROM sums
+    )
+    SELECT n_name, n,
+           CAST(1000000 * d0 // det AS BIGINT) AS b0_e6,
+           CAST(1000000 * d1 // det AS BIGINT) AS b1_e6,
+           CAST(1000000 * d2 // det AS BIGINT) AS b2_e6
+    FROM dets WHERE det <> 0
+    """,
+)
+def q_ols2_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation two-regressor OLS: line-item price (cents) modeled
+    on quantity and discount percent via the closed-form normal
+    equations — Cramer's rule over nine exact integer sums, every
+    triple product widened to DECIMAL(38,0) (HUGEINT oracle), and the
+    coefficients exported as 1e6-truncated rationals.  Singular
+    design matrices (zero determinant) are excluded, not divided.
+    "Regression as aggregation": one join-reduced groupBy per group
+    computes the sufficient statistics; no ML library, no driver
+    math, no iteration — the same posture as q_trend_slope extended
+    to a multi-feature design."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    pts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.col("l_quantity").cast("long").alias("x1"),
+            F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x2"),
+            F.expr(cents("l_extendedprice")).alias("y"),
+        )
+    )
+    sums = pts.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    d = _ols2_dets("DECIMAL(38,0)")
+    dets = sums.select(
+        "n_name",
+        "n",
+        F.expr(d["det"]).alias("det"),
+        F.expr(d["d0"]).alias("d0"),
+        F.expr(d["d1"]).alias("d1"),
+        F.expr(d["d2"]).alias("d2"),
+    )
+    return dets.filter("det <> 0").select(
+        "n_name",
+        "n",
+        F.expr("CAST(1000000 * d0 div det AS BIGINT)").alias("b0_e6"),
+        F.expr("CAST(1000000 * d1 div det AS BIGINT)").alias("b1_e6"),
+        F.expr("CAST(1000000 * d2 div det AS BIGINT)").alias("b2_e6"),
+    )

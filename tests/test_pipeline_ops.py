@@ -4354,3 +4354,76 @@ class TestIsotonicFit:
             pava_fit([0, 1], [1, 2], [1, 0])
         with pytest.raises(ValueError, match="unique"):
             pava_fit([0, 0], [1, 2], [1, 1])
+
+
+class TestOls2Dets:
+    def test_cramer_matches_numpy_on_exact_design(self, spark):
+        """The Cramer determinant expressions recover a planted linear
+        model exactly: y = 7 + 3*x1 - 2*x2 with no noise."""
+        import numpy as np
+
+        from gpq_spark.entry_queries import _ols2_dets
+
+        from pyspark.sql import functions as F
+
+        rows = []
+        for i in range(20):
+            x1 = (i * 13) % 17
+            x2 = (i * 7) % 11
+            rows.append(("g", x1, x2, 7 + 3 * x1 - 2 * x2))
+        df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+        sums = df.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x1").cast("long").alias("sx1"),
+            F.sum("x2").cast("long").alias("sx2"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+            F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+            F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+            F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+            F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+        )
+        d = _ols2_dets("DECIMAL(38,0)")
+        out = sums.select(
+            F.expr(
+                f"CAST(1000000 * {d['d0']} div {d['det']} AS BIGINT)"
+            ).alias("b0"),
+            F.expr(
+                f"CAST(1000000 * {d['d1']} div {d['det']} AS BIGINT)"
+            ).alias("b1"),
+            F.expr(
+                f"CAST(1000000 * {d['d2']} div {d['det']} AS BIGINT)"
+            ).alias("b2"),
+        ).collect()[0]
+        assert (out["b0"], out["b1"], out["b2"]) == (
+            7_000_000, 3_000_000, -2_000_000,
+        )
+        # cross-check against numpy least squares on the same design
+        X = np.array([[1, r[1], r[2]] for r in rows], dtype=float)
+        yv = np.array([r[3] for r in rows], dtype=float)
+        beta = np.linalg.lstsq(X, yv, rcond=None)[0]
+        assert np.allclose(beta, [7, 3, -2], atol=1e-9)
+
+    def test_singular_design_is_excluded(self, spark):
+        """Collinear regressors (x2 = 2*x1) make det = 0; the query
+        pattern filters them instead of dividing."""
+        from gpq_spark.entry_queries import _ols2_dets
+
+        from pyspark.sql import functions as F
+
+        rows = [("g", i, 2 * i, i * 5) for i in range(10)]
+        df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+        sums = df.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x1").cast("long").alias("sx1"),
+            F.sum("x2").cast("long").alias("sx2"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+            F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+            F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+            F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+            F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+        )
+        d = _ols2_dets("DECIMAL(38,0)")
+        det = sums.select(F.expr(d["det"]).alias("det")).collect()[0]["det"]
+        assert int(det) == 0
