@@ -21435,3 +21435,176 @@ def q_ols2_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(1000000 * d1 div det AS BIGINT)").alias("b1_e6"),
         F.expr("CAST(1000000 * d2 div det AS BIGINT)").alias("b2_e6"),
     )
+
+
+_CUPED_SEED = "cuped"
+_CUPED_HALF = 1 << 47  # 50/50 split of the 2^48 hash space
+
+
+def _cuped_dets(cast_t: str, idiv: str = "div") -> dict[str, str]:
+    """CUPED arithmetic from exact per-arm integer sums, widened to
+    ``cast_t`` with integer division ``idiv`` ("div" on Spark, "//"
+    on DuckDB — both truncate toward zero).  theta is quantized at
+    1e-6 FIRST (pinned spec), then applied to the cross-arm mean
+    difference."""
+    def w(t: str) -> str:
+        return f"CAST({t} AS {cast_t})"
+
+    p = f"({w('n')} * {w('sxy')} - {w('sx')} * {w('sy')})"
+    q = f"({w('n')} * {w('sxx')} - {w('sx')} * {w('sx')})"
+    r = f"({w('sy_b')} * {w('n_a')} - {w('sy_a')} * {w('n_b')})"
+    t = f"({w('sx_b')} * {w('n_a')} - {w('sx_a')} * {w('n_b')})"
+    s = f"({w('n_a')} * {w('n_b')})"
+    theta = f"CAST(1000000 * {p} {idiv} {q} AS BIGINT)"
+    return {
+        "theta_e6": theta,
+        "raw_diff_e6": f"CAST(1000000 * {r} {idiv} {s} AS BIGINT)",
+        "adj_diff_e6": (
+            f"CAST((1000000 * {r} - {w('theta_e6')} * {t})"
+            f" {idiv} {s} AS BIGINT)"
+        ),
+    }
+
+
+@register(
+    "q_cuped_adjusted_lift",
+    f"""
+    WITH units AS (
+        SELECT c_custkey AS uid,
+               CASE WHEN CAST('0x' || substr(md5('{_CUPED_SEED}|'
+                        || CAST(c_custkey AS VARCHAR)), 1, 12) AS BIGINT)
+                         < {_CUPED_HALF}
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM customer
+    ),
+    spend AS (
+        SELECT u.uid, u.arm,
+               CAST(COALESCE(SUM(CASE WHEN o_orderdate
+                        < TIMESTAMP '1996-01-01 00:00:00'
+                    THEN CAST(round(o_totalprice) AS BIGINT) END), 0)
+                    AS BIGINT) AS x,
+               CAST(COALESCE(SUM(CASE WHEN o_orderdate
+                        >= TIMESTAMP '1996-01-01 00:00:00'
+                    THEN CAST(round(o_totalprice) AS BIGINT) END), 0)
+                    AS BIGINT) AS y
+        FROM units u LEFT JOIN orders ON u.uid = o_custkey
+        GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN arm = 'A' THEN x ELSE 0 END)
+                    AS BIGINT) AS sx_a,
+               CAST(SUM(CASE WHEN arm = 'B' THEN x ELSE 0 END)
+                    AS BIGINT) AS sx_b,
+               CAST(SUM(CASE WHEN arm = 'A' THEN y ELSE 0 END)
+                    AS BIGINT) AS sy_a,
+               CAST(SUM(CASE WHEN arm = 'B' THEN y ELSE 0 END)
+                    AS BIGINT) AS sy_b
+        FROM spend
+    ),
+    th AS (
+        SELECT *, {_cuped_dets('HUGEINT', '//')['theta_e6']} AS theta_e6
+        FROM sums
+    )
+    SELECT n_a, n_b, theta_e6,
+           {_cuped_dets('HUGEINT', '//')['raw_diff_e6']} AS raw_diff_e6,
+           {_cuped_dets('HUGEINT', '//')['adj_diff_e6']} AS adj_diff_e6
+    FROM th
+    """,
+)
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B lift (Deng et al., WSDM'13): units
+    are customers hash-split 50/50 (the engine's deterministic md5
+    split), Y = post-1996 spend, X = pre-1996 spend (the
+    pre-experiment covariate), theta = cov(X,Y)/var(X) pooled across
+    arms from exact integer sums (DECIMAL(38,0)-widened products,
+    HUGEINT oracle), quantized at 1e-6, then the adjusted B-A mean
+    difference (1e6 R - theta_e6 T) div (n_a n_b) — every quantity an
+    exact integer, whole dollars so x^2 sums stay in int64 at 100x
+    scale.  Scale: one broadcast-dimension join + a single global
+    aggregate; no per-unit state leaves the map side."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    from .pipeline.sampling import _uniform_hash
+
+    units = cust.select(
+        F.col("c_custkey").alias("uid"),
+        F.when(
+            _uniform_hash(["c_custkey"], _CUPED_SEED) < F.lit(_CUPED_HALF),
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+    )
+    spend = (
+        units.join(orders, units.uid == orders.o_custkey, "left")
+        .groupBy("uid", "arm")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate")
+                        < F.lit("1996-01-01 00:00:00").cast("timestamp"),
+                        F.expr("CAST(round(o_totalprice) AS BIGINT)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate")
+                        >= F.lit("1996-01-01 00:00:00").cast("timestamp"),
+                        F.expr("CAST(round(o_totalprice) AS BIGINT)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    sums = spend.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy_b"),
+    )
+    d = _cuped_dets("DECIMAL(38,0)")
+    th = sums.select("*", F.expr(d["theta_e6"]).alias("theta_e6"))
+    return th.select(
+        "n_a",
+        "n_b",
+        "theta_e6",
+        F.expr(d["raw_diff_e6"]).alias("raw_diff_e6"),
+        F.expr(d["adj_diff_e6"]).alias("adj_diff_e6"),
+    )

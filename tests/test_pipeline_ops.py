@@ -4427,3 +4427,89 @@ class TestOls2Dets:
         d = _ols2_dets("DECIMAL(38,0)")
         det = sums.select(F.expr(d["det"]).alias("det")).collect()[0]["det"]
         assert int(det) == 0
+
+
+class TestCupedDets:
+    def test_planted_covariate_recovers_effect(self, spark):
+        """y = 10x exactly, arm B's x shifted +5, NO true effect:
+        theta = 10 exactly, the raw diff reads the +50 x-contamination,
+        and the adjusted diff is exactly 0."""
+        from pyspark.sql import functions as F
+
+        from gpq_spark.entry_queries import _cuped_dets
+
+        rows = []
+        for i in range(10):
+            rows.append(("A", i, 10 * i))
+        for i in range(10):
+            x = i + 5
+            rows.append(("B", x, 10 * x))
+        df = spark.createDataFrame(rows, ["arm", "x", "y"])
+        sums = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+            F.sum(F.when(F.col("arm") == "A", F.col("x")).otherwise(0)).cast("long").alias("sx_a"),
+            F.sum(F.when(F.col("arm") == "B", F.col("x")).otherwise(0)).cast("long").alias("sx_b"),
+            F.sum(F.when(F.col("arm") == "A", F.col("y")).otherwise(0)).cast("long").alias("sy_a"),
+            F.sum(F.when(F.col("arm") == "B", F.col("y")).otherwise(0)).cast("long").alias("sy_b"),
+        )
+        d = _cuped_dets("DECIMAL(38,0)")
+        th = sums.select("*", F.expr(d["theta_e6"]).alias("theta_e6"))
+        row = th.select(
+            "theta_e6",
+            F.expr(d["raw_diff_e6"]).alias("raw_diff_e6"),
+            F.expr(d["adj_diff_e6"]).alias("adj_diff_e6"),
+        ).collect()[0]
+        assert row["theta_e6"] == 10_000_000
+        assert row["raw_diff_e6"] == 50_000_000
+        assert row["adj_diff_e6"] == 0
+
+    def test_matches_pure_python_replication(self, spark):
+        """The engine-side integer arithmetic equals a literal Python
+        replication of the pinned spec (trunc-toward-zero div)."""
+        from pyspark.sql import functions as F
+
+        from gpq_spark.entry_queries import _cuped_dets
+        from gpq_spark.pipeline.regression import _trunc_div
+
+        rows = [("A", 3, 17), ("A", 8, -2), ("B", 1, 9), ("B", 6, 40),
+                ("A", 5, 25), ("B", 9, 55)]
+        df = spark.createDataFrame(rows, ["arm", "x", "y"])
+        sums_row = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+            F.sum(F.when(F.col("arm") == "A", F.col("x")).otherwise(0)).cast("long").alias("sx_a"),
+            F.sum(F.when(F.col("arm") == "B", F.col("x")).otherwise(0)).cast("long").alias("sx_b"),
+            F.sum(F.when(F.col("arm") == "A", F.col("y")).otherwise(0)).cast("long").alias("sy_a"),
+            F.sum(F.when(F.col("arm") == "B", F.col("y")).otherwise(0)).cast("long").alias("sy_b"),
+        )
+        d = _cuped_dets("DECIMAL(38,0)")
+        got = (
+            sums_row.select("*", F.expr(d["theta_e6"]).alias("theta_e6"))
+            .select(
+                "theta_e6",
+                F.expr(d["raw_diff_e6"]).alias("raw_diff_e6"),
+                F.expr(d["adj_diff_e6"]).alias("adj_diff_e6"),
+            )
+            .collect()[0]
+        )
+        s = sums_row.collect()[0].asDict()
+        p = s["n"] * s["sxy"] - s["sx"] * s["sy"]
+        qd = s["n"] * s["sxx"] - s["sx"] * s["sx"]
+        r = s["sy_b"] * s["n_a"] - s["sy_a"] * s["n_b"]
+        t = s["sx_b"] * s["n_a"] - s["sx_a"] * s["n_b"]
+        ss = s["n_a"] * s["n_b"]
+        theta = _trunc_div(1_000_000 * p, qd)
+        assert got["theta_e6"] == theta
+        assert got["raw_diff_e6"] == _trunc_div(1_000_000 * r, ss)
+        assert got["adj_diff_e6"] == _trunc_div(1_000_000 * r - theta * t, ss)
