@@ -21608,3 +21608,141 @@ def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(d["raw_diff_e6"]).alias("raw_diff_e6"),
         F.expr(d["adj_diff_e6"]).alias("adj_diff_e6"),
     )
+
+
+_SHAPLEY_BITS = "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END"
+# 24 * w(|S|) for n = 4: |S|!(n-1-|S|)!/n! scaled by 4! = 24
+_SHAPLEY_W24 = "CASE cnt WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 END"
+
+
+@register(
+    "q_attribution_shapley",
+    f"""
+    WITH fp AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS p_us
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    touches AS (
+        SELECT e.user_id, {_SHAPLEY_BITS} AS bit
+        FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+        WHERE e.event_type <> 'purchase'
+          AND (fp.p_us IS NULL OR epoch_us(e.ts) < fp.p_us)
+    ),
+    usets AS (
+        SELECT t.user_id, CAST(SUM(DISTINCT t.bit) AS BIGINT) AS set_id
+        FROM touches t GROUP BY 1
+    ),
+    allu AS (
+        SELECT u.user_id, COALESCE(s.set_id, 0) AS set_id,
+               CASE WHEN fp.p_us IS NOT NULL THEN 1 ELSE 0 END AS conv
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN usets s ON u.user_id = s.user_id
+        LEFT JOIN fp ON u.user_id = fp.user_id
+    ),
+    v AS (
+        SELECT g.set_id,
+               CAST(COALESCE(SUM(a.conv), 0) AS BIGINT) AS conv
+        FROM range(0, 16) g(set_id)
+        LEFT JOIN allu a ON a.set_id = g.set_id
+        GROUP BY 1
+    ),
+    chan AS (
+        SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                              ('signup', 4), ('view', 8)) c(name, bit)
+    ),
+    terms AS (
+        SELECT c.name,
+               CAST(s.set_id AS BIGINT) AS set_id,
+               CAST((s.set_id % (2 * c.bit)) // c.bit AS BIGINT) AS has_i,
+               CAST((s.set_id // 1) % 2 + (s.set_id // 2) % 2
+                    + (s.set_id // 4) % 2 + (s.set_id // 8) % 2
+                    AS BIGINT) AS cnt,
+               s.conv AS v_s,
+               w.conv AS v_si
+        FROM chan c
+        JOIN v s ON (s.set_id % (2 * c.bit)) // c.bit = 0
+        JOIN v w ON w.set_id = s.set_id + c.bit
+    )
+    SELECT name AS channel,
+           CAST(SUM(({_SHAPLEY_W24}) * (v_si - v_s)) AS BIGINT)
+               AS phi_x24
+    FROM terms GROUP BY 1
+    """,
+)
+def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution (the game-theoretic member of
+    the attribution family, after last-touch/linear/U-shaped/
+    time-decay): the coalition value v(S) is the converted-user count
+    whose pre-purchase touch set is EXACTLY S over the four
+    non-purchase channels, and each channel's credit is the exact
+    Shapley sum phi_i = sum_(S not containing i) w(|S|)(v(S+i)-v(S))
+    with the n = 4 factorial weights scaled by 4! = 24 so every term
+    is an integer (w24 in {{6, 2, 2, 6}}).  Efficiency
+    (sum phi_i = v(N) - v(empty)) is gated in tests.  Scale: users
+    collapse to a 16-row subset-value table in one groupBy on an
+    int bitmask; the Shapley enumeration is a constant 32-term join —
+    corpus size only touches the first aggregate."""
+    ev = load_events(spark, sf_dir)
+    us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01").cast("timestamp_ntz"), F.col("ts")
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("p_us"))
+    )
+    touches = (
+        ev.select("user_id", us.alias("e_us"), "event_type")
+        .filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id", "left")
+        .filter(F.col("p_us").isNull() | (F.col("e_us") < F.col("p_us")))
+        .select("user_id", F.expr(_SHAPLEY_BITS).alias("bit"))
+    )
+    usets = touches.groupBy("user_id").agg(
+        F.sum_distinct("bit").cast("long").alias("set_id")
+    )
+    allu = (
+        ev.select("user_id")
+        .distinct()
+        .join(usets, "user_id", "left")
+        .join(fp, "user_id", "left")
+        .select(
+            F.coalesce(F.col("set_id"), F.lit(0)).alias("set_id"),
+            F.when(F.col("p_us").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("conv"),
+        )
+    )
+    grid = spark.range(16).select(F.col("id").alias("set_id"))
+    v = (
+        grid.join(allu, "set_id", "left")
+        .groupBy("set_id")
+        .agg(F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("conv"))
+    )
+    chan = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        ["name", "bit"],
+    )
+    s = v.select(F.col("set_id"), F.col("conv").alias("v_s"))
+    w = v.select(
+        F.col("set_id").alias("set_id_i"), F.col("conv").alias("v_si")
+    )
+    terms = (
+        F.broadcast(chan)
+        .join(s, F.expr("(set_id % (2 * bit)) div bit = 0"))
+        .join(w, F.expr("set_id_i = set_id + bit"))
+        .select(
+            "name",
+            F.expr(
+                "CAST((set_id div 1) % 2 + (set_id div 2) % 2"
+                " + (set_id div 4) % 2 + (set_id div 8) % 2 AS BIGINT)"
+            ).alias("cnt"),
+            "v_s",
+            "v_si",
+        )
+    )
+    return terms.groupBy(F.col("name").alias("channel")).agg(
+        F.sum(F.expr(f"({_SHAPLEY_W24}) * (v_si - v_s)"))
+        .cast("long")
+        .alias("phi_x24")
+    )

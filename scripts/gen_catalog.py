@@ -45,6 +45,8 @@ GROUPS = [
     ("Similarity search & embeddings", r"^(ann_|ivf_|embed_|pq_)"),
     ("Text analysis & corpus ops",
      r"^(text_|rank_|sample_|pack_|profile_|skew_|shuffle_|drift_|pipeline_)"),
+    ("Statistical modeling & causal inference",
+     r"^q_(lttb|dbscan|kaplan_meier|isotonic|ols2|cuped)"),
     ("Sketches", r"^q_(sketch|bloom)"),
     ("Geospatial", r"^geo_"),
     ("Structured Streaming", r"^stream_"),

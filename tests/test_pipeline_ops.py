@@ -4513,3 +4513,80 @@ class TestCupedDets:
         assert got["theta_e6"] == theta
         assert got["raw_diff_e6"] == _trunc_div(1_000_000 * r, ss)
         assert got["adj_diff_e6"] == _trunc_div(1_000_000 * r - theta * t, ss)
+
+
+class TestShapleyAttribution:
+    def test_matches_bruteforce_and_efficiency(self, spark, tmp_path):
+        """The 32-term engine enumeration equals a literal
+        itertools-over-subsets Shapley computation, and credits sum to
+        24 * (v(full) - v(empty)) (efficiency)."""
+        import datetime as dt
+        from itertools import combinations
+        from math import factorial
+
+        from gpq_spark.entry_queries import queries_dict
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+
+        def add(u, typ, minutes):
+            nonlocal eid
+            rows.append((eid, base + dt.timedelta(minutes=minutes), u, typ, 1.0, "{}"))
+            eid += 1
+
+        # user 1: click+view then purchase; post-purchase signup ignored
+        add(1, "click", 0); add(1, "view", 1); add(1, "purchase", 2)
+        add(1, "signup", 3)
+        # user 2: click only, no purchase
+        add(2, "click", 0)
+        # user 3: all four then purchase
+        for i, t in enumerate(["click", "error", "signup", "view"]):
+            add(3, t, i)
+        add(3, "purchase", 10)
+        # user 4: converts with NO prior touches (empty coalition)
+        add(4, "purchase", 0)
+        # user 5: view+signup, no purchase
+        add(5, "view", 0); add(5, "signup", 1)
+        # user 6: error then purchase
+        add(6, "error", 0); add(6, "purchase", 1)
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        sf_dir = str(tmp_path)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+        got = {
+            r["channel"]: r["phi_x24"]
+            for r in queries_dict()["q_attribution_shapley"](
+                spark, sf_dir
+            ).collect()
+        }
+        # brute force
+        bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+        user_sets = {1: {"click", "view"}, 2: {"click"},
+                     3: {"click", "error", "signup", "view"}, 4: set(),
+                     5: {"view", "signup"}, 6: {"error"}}
+        conv = {1, 3, 4, 6}
+        v = {}
+        for k in range(5):
+            for S in combinations(sorted(bits), k):
+                v[frozenset(S)] = sum(
+                    1 for u, s in user_sets.items()
+                    if u in conv and s == set(S)
+                )
+        n = 4
+        want = {}
+        for c in bits:
+            others = [x for x in sorted(bits) if x != c]
+            phi = 0
+            for k in range(4):
+                for S in combinations(others, k):
+                    wgt = factorial(k) * factorial(n - 1 - k)  # x24
+                    phi += wgt * (
+                        v[frozenset(S) | {c}] - v[frozenset(S)]
+                    )
+            want[c] = phi
+        assert got == want
+        full = v[frozenset(bits)]
+        empty = v[frozenset()]
+        assert sum(got.values()) == 24 * (full - empty)
