@@ -21746,3 +21746,209 @@ def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("phi_x24")
     )
+
+
+def _fs_em_iter(cast_t: str, idiv: str) -> dict[str, str]:
+    """One EM iteration for the 3-field Fellegi-Sunter mixture over
+    the 8 agreement-pattern counts c0..c7 (bit i of the pattern =
+    agreement on field i), reading current e6-quantized parameters
+    (p, m1..m3, u1..u3) and emitting the next ones.
+
+    Responsibilities are quantized to e9 integers with
+    ``FLOOR(x * 1e9 + 0.5)`` (identical half-up semantics on Spark,
+    DuckDB, and IEEE754 doubles), so every M-step weighted sum is an
+    exact integer and no float ever crosses an aggregation boundary.
+    """
+    def w(t: str) -> str:
+        return f"CAST({t} AS {cast_t})"
+
+    def prod(params: list[str], bits: int) -> str:
+        fs = []
+        for i in range(3):
+            nm = params[i]
+            term = nm if (bits >> i) & 1 else f"(1000000 - {nm})"
+            fs.append(f"CAST({term} AS DOUBLE) / 1000000.0")
+        return " * ".join(fs)
+
+    out: dict[str, str] = {}
+    g_terms = []
+    for g in range(8):
+        a = f"(CAST(p AS DOUBLE) / 1000000.0 * {prod(['m1', 'm2', 'm3'], g)})"
+        b = (
+            f"(CAST(1000000 - p AS DOUBLE) / 1000000.0"
+            f" * {prod(['u1', 'u2', 'u3'], g)})"
+        )
+        out[f"g{g}"] = (
+            f"CAST(FLOOR({a} / ({a} + {b}) * 1000000000.0 + 0.5) AS BIGINT)"
+        )
+        g_terms.append(f"g{g} * c{g}")
+    sg = " + ".join(g_terms)  # sum of gamma_e9 * count
+    nc = " + ".join(f"c{g}" for g in range(8))
+    def clamp(t: str) -> str:
+        # EM boundary guard: probabilities pinned inside (0, 1) so no
+        # pattern's mixture likelihood can collapse to exactly 0/0
+        return f"GREATEST(CAST(1 AS BIGINT), LEAST(CAST(999999 AS BIGINT), {t}))"
+
+    out["p_next"] = clamp(f"CAST(({sg}) {idiv} (1000 * ({nc})) AS BIGINT)")
+    for i in range(3):
+        on = " + ".join(
+            f"g{g} * c{g}" for g in range(8) if (g >> i) & 1
+        )
+        un = " + ".join(
+            f"(1000000000 - g{g}) * c{g}" for g in range(8) if (g >> i) & 1
+        )
+        out[f"m{i + 1}_next"] = clamp(
+            f"CAST(1000000 * {w(f'({on})')} {idiv} {w(f'({sg})')} AS BIGINT)"
+        )
+        out[f"u{i + 1}_next"] = clamp(
+            f"CAST(1000000 * {w(f'({un})')}"
+            f" {idiv} {w(f'(1000000000 * ({nc}) - ({sg}))')} AS BIGINT)"
+        )
+    return out
+
+
+def _fs_em_sql(cast_t: str, idiv: str, counts_cte: str) -> str:
+    """Two unrolled EM iterations as chained CTE selects."""
+    it = _fs_em_iter(cast_t, idiv)
+    gcols = ",\n               ".join(f"{it[f'g{g}']} AS g{g}" for g in range(8))
+    upd = ",\n               ".join(
+        f"{it[k + '_next']} AS {k}"
+        for k in ["p", "m1", "m2", "m3", "u1", "u2", "u3"]
+    )
+    cs = ", ".join(f"c{g}" for g in range(8))
+    return f"""
+    WITH counts AS ({counts_cte}),
+    init AS (
+        SELECT {cs},
+               CAST(100000 AS BIGINT) AS p,
+               CAST(900000 AS BIGINT) AS m1, CAST(900000 AS BIGINT) AS m2,
+               CAST(900000 AS BIGINT) AS m3,
+               CAST(100000 AS BIGINT) AS u1, CAST(100000 AS BIGINT) AS u2,
+               CAST(100000 AS BIGINT) AS u3
+        FROM counts
+    ),
+    e1 AS (SELECT *, {gcols} FROM init),
+    m1s AS (SELECT {cs}, {upd} FROM e1),
+    e2 AS (SELECT *, {gcols} FROM m1s),
+    m2s AS (SELECT {cs}, {upd} FROM e2)
+    SELECT p AS p_e6, m1 AS m1_e6, m2 AS m2_e6, m3 AS m3_e6,
+           u1 AS u1_e6, u2 AS u2_e6, u3 AS u3_e6
+    FROM m2s
+    """
+
+
+_FS_EM_COUNTS_DUCK = f"""
+        SELECT {", ".join(
+            f"CAST(SUM(CASE WHEN pat = {g} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS c{g}" for g in range(8)
+        )}
+        FROM (
+            SELECT CASE WHEN a.name_suffix = b.name_suffix
+                        THEN 1 ELSE 0 END
+                   + 2 * CASE WHEN a.bal_bucket = b.bal_bucket
+                              THEN 1 ELSE 0 END
+                   + 4 * CASE WHEN a.key_mod = b.key_mod
+                              THEN 1 ELSE 0 END AS pat
+            FROM (
+                SELECT c_custkey AS id, c_nationkey AS blk1,
+                       c_mktsegment AS blk2,
+                       right(c_name, 2) AS name_suffix,
+                       ({cents('c_acctbal')} + 100000) // 100000
+                           AS bal_bucket,
+                       CAST(c_custkey % 97 AS BIGINT) AS key_mod
+                FROM customer
+            ) a
+            JOIN (
+                SELECT c_custkey AS id, c_nationkey AS blk1,
+                       c_mktsegment AS blk2,
+                       right(c_name, 2) AS name_suffix,
+                       ({cents('c_acctbal')} + 100000) // 100000
+                           AS bal_bucket,
+                       CAST(c_custkey % 97 AS BIGINT) AS key_mod
+                FROM customer
+            ) b ON a.blk1 = b.blk1 AND a.blk2 = b.blk2 AND a.id < b.id
+        ) pats
+"""
+
+
+@register("dedup_fs_em", _fs_em_sql("HUGEINT", "//", _FS_EM_COUNTS_DUCK))
+def dedup_fs_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised Fellegi-Sunter parameter estimation by EM (Winkler
+    1988): the blocked candidate pairs of dedup_fellegi_sunter reduce
+    to 8 agreement-pattern counts, and two unrolled EM iterations of a
+    two-component product-multinomial mixture re-estimate the match
+    proportion p and per-field m/u probabilities — no labels anywhere.
+    Every probability lives as an e6 integer; E-step responsibilities
+    are quantized to e9 with FLOOR(x*1e9 + 0.5) (identical half-up on
+    both engines), making all M-step weighted sums exact integers:
+    floats never cross an aggregation boundary, so the fixpoint is
+    engine-independent.  Scale: corpus -> 8 counts is one blocked
+    join + one conditional aggregate; the EM math is scalar
+    expressions on a single row."""
+    from .pipeline.dedup import fellegi_sunter_pairs
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("right(c_name, 2)").alias("name_suffix"),
+        F.expr(f"({cents('c_acctbal')} + 100000) div 100000").alias(
+            "bal_bucket"
+        ),
+        F.expr("CAST(c_custkey % 97 AS BIGINT)").alias("key_mod"),
+    )
+    pairs = fellegi_sunter_pairs(
+        cust,
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment"],
+        ["name_suffix", "bal_bucket", "key_mod"],
+        [900_000, 800_000, 700_000],
+    )
+    counts = pairs.select(
+        (
+            F.col("agree_name_suffix")
+            + 2 * F.col("agree_bal_bucket")
+            + 4 * F.col("agree_key_mod")
+        ).alias("pat")
+    ).agg(
+        *[
+            F.sum(F.when(F.col("pat") == g, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{g}")
+            for g in range(8)
+        ]
+    )
+    it = _fs_em_iter("DECIMAL(38,0)", "div")
+    cs = [f"c{g}" for g in range(8)]
+    init = counts.select(
+        *cs,
+        F.lit(100_000).cast("long").alias("p"),
+        *[F.lit(900_000).cast("long").alias(f"m{i}") for i in (1, 2, 3)],
+        *[F.lit(100_000).cast("long").alias(f"u{i}") for i in (1, 2, 3)],
+    )
+    cur = init
+    for _ in range(2):
+        e = cur.select(
+            "*", *[F.expr(it[f"g{g}"]).alias(f"g{g}") for g in range(8)]
+        )
+        cur = e.select(
+            *cs,
+            F.expr(it["p_next"]).alias("p"),
+            *[
+                F.expr(it[f"m{i}_next"]).alias(f"m{i}")
+                for i in (1, 2, 3)
+            ],
+            *[
+                F.expr(it[f"u{i}_next"]).alias(f"u{i}")
+                for i in (1, 2, 3)
+            ],
+        )
+    return cur.select(
+        F.col("p").alias("p_e6"),
+        F.col("m1").alias("m1_e6"),
+        F.col("m2").alias("m2_e6"),
+        F.col("m3").alias("m3_e6"),
+        F.col("u1").alias("u1_e6"),
+        F.col("u2").alias("u2_e6"),
+        F.col("u3").alias("u3_e6"),
+    )

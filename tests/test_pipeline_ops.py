@@ -4590,3 +4590,95 @@ class TestShapleyAttribution:
         full = v[frozenset(bits)]
         empty = v[frozenset()]
         assert sum(got.values()) == 24 * (full - empty)
+
+
+class TestFsEm:
+    @staticmethod
+    def _python_em(counts, iters=2):
+        """Literal replication of the pinned spec: e6 params, e9
+        responsibilities via floor(x*1e9 + 0.5), trunc-div updates,
+        [1, 999999] clamp."""
+        import math
+
+        from gpq_spark.pipeline.regression import _trunc_div
+
+        p, m, u = 100_000, [900_000] * 3, [100_000] * 3
+
+        def clamp(v):
+            return max(1, min(999_999, v))
+
+        for _ in range(iters):
+            g = []
+            for pat in range(8):
+                a = p / 1e6
+                b = (1_000_000 - p) / 1e6
+                for i in range(3):
+                    if (pat >> i) & 1:
+                        a *= m[i] / 1e6
+                        b *= u[i] / 1e6
+                    else:
+                        a *= (1_000_000 - m[i]) / 1e6
+                        b *= (1_000_000 - u[i]) / 1e6
+                g.append(int(math.floor(a / (a + b) * 1e9 + 0.5)))
+            sg = sum(g[pat] * counts[pat] for pat in range(8))
+            nc = sum(counts)
+            p = clamp(_trunc_div(sg, 1000 * nc))
+            for i in range(3):
+                on = sum(
+                    g[pat] * counts[pat]
+                    for pat in range(8) if (pat >> i) & 1
+                )
+                un = sum(
+                    (1_000_000_000 - g[pat]) * counts[pat]
+                    for pat in range(8) if (pat >> i) & 1
+                )
+                m[i] = clamp(_trunc_div(1_000_000 * on, sg))
+                u[i] = clamp(
+                    _trunc_div(1_000_000 * un, 1_000_000_000 * nc - sg)
+                )
+        return p, m, u
+
+    def _run_exprs(self, spark, counts):
+        from pyspark.sql import functions as F
+
+        from gpq_spark.entry_queries import _fs_em_iter
+
+        it = _fs_em_iter("DECIMAL(38,0)", "div")
+        cs = [f"c{g}" for g in range(8)]
+        row = spark.createDataFrame([tuple(counts)], cs).select(
+            *cs,
+            F.lit(100_000).cast("long").alias("p"),
+            *[F.lit(900_000).cast("long").alias(f"m{i}") for i in (1, 2, 3)],
+            *[F.lit(100_000).cast("long").alias(f"u{i}") for i in (1, 2, 3)],
+        )
+        cur = row
+        for _ in range(2):
+            e = cur.select(
+                "*", *[F.expr(it[f"g{g}"]).alias(f"g{g}") for g in range(8)]
+            )
+            cur = e.select(
+                *cs,
+                F.expr(it["p_next"]).alias("p"),
+                *[F.expr(it[f"m{i}_next"]).alias(f"m{i}") for i in (1, 2, 3)],
+                *[F.expr(it[f"u{i}_next"]).alias(f"u{i}") for i in (1, 2, 3)],
+            )
+        return cur.collect()[0]
+
+    def test_engine_matches_python_replication(self, spark):
+        counts = [5000, 400, 350, 900, 300, 850, 700, 120]
+        got = self._run_exprs(spark, counts)
+        p, m, u = self._python_em(counts)
+        assert got["p"] == p
+        assert [got["m1"], got["m2"], got["m3"]] == m
+        assert [got["u1"], got["u2"], got["u3"]] == u
+
+    def test_planted_mixture_separates(self, spark):
+        """Counts drawn from a sharp mixture: 10% matches agreeing on
+        everything (pattern 7), 90% non-matches agreeing on nothing
+        (pattern 0). EM drives m up and u down, p toward 0.1."""
+        counts = [9000, 0, 0, 0, 0, 0, 0, 1000]
+        got = self._run_exprs(spark, counts)
+        assert abs(got["p"] - 100_000) < 10_000
+        for i in (1, 2, 3):
+            assert got[f"m{i}"] > 990_000
+            assert got[f"u{i}"] < 10_000
