@@ -21952,3 +21952,81 @@ def dedup_fs_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u2").alias("u2_e6"),
         F.col("u3").alias("u3_e6"),
     )
+
+
+@register(
+    "multimodal_png_dhash",
+    """
+    WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+               FROM documents),
+    px AS (SELECT d.doc_id, d.w, d.h, y.y, x.x,
+                  (d.doc_id * 7 + y.y * 31 + x.x * 13) % 256 AS v
+           FROM d, range(0, 33) y(y), range(0, 33) x(x)
+           WHERE y.y < d.h AND x.x < d.w),
+    cells AS (
+        SELECT p.doc_id, p.w, p.h, r.r, c.c,
+               CAST(SUM(p.v) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM px p
+        JOIN range(0, 8) r(r)
+          ON p.y >= r.r * p.h // 8 AND p.y < (r.r + 1) * p.h // 8
+        JOIN range(0, 9) c(c)
+          ON p.x >= c.c * p.w // 9 AND p.x < (c.c + 1) * p.w // 9
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    bits AS (
+        SELECT a.doc_id, a.w, a.h, a.r, a.c,
+               CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+        FROM cells a
+        JOIN cells b ON a.doc_id = b.doc_id AND a.r = b.r
+                     AND b.c = a.c + 1
+        WHERE a.c < 8
+    )
+    SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(SUM(CASE WHEN r < 4
+                    THEN bit * (CAST(1 AS BIGINT) << (8 * r + c))
+                    ELSE 0 END) AS BIGINT) AS dhash_hi,
+           CAST(SUM(CASE WHEN r >= 4
+                    THEN bit * (CAST(1 AS BIGINT) << (8 * (r - 4) + c))
+                    ELSE 0 END) AS BIGINT) AS dhash_lo
+    FROM bits GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_png_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash through the REAL PNG codec, oracle-checked end
+    to end: the deterministic pixel corpus of png_roundtrip_stats is
+    encoded with the stdlib zlib encoder (filter type cycling id mod
+    5), decoded back through the vectorized unfilter, and hashed with
+    the exact-integer dhash64 spec (8x9 floor-boundary grid,
+    cross-multiplied block-mean comparisons, two 32-bit halves).  The
+    DuckDB oracle recomputes the hash from the closed-form pixel
+    definition — any defect in the codec chain OR the hash grid
+    arithmetic flips bits.  This is the image-near-dup fingerprint:
+    similar images differ in a few Hamming bits, so dedup becomes a
+    SimHash-style bucketed join on the halves, never pixels^2."""
+    import numpy as np
+    import pandas as pd
+
+    from .deploy import ensure_deployed
+    from .pipeline.multimodal import png_dhash
+
+    ensure_deployed(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from .pipeline.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 + did % 17
+                h = 16 + did % 13
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                px = ((did * 7 + y * 31 + x * 13) % 256).astype(np.uint8)
+                rows.append((did, encode_png(px, filter_type=did % 5)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return png_dhash(payloads, "payload", "doc_id")

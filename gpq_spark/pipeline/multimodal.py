@@ -601,3 +601,94 @@ def parse_bmp_header(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
         guarded(f"({h}) < 0", "boolean").alias("top_down"),
         guarded(_le_u16(payload_col, 29), "int").alias("bpp"),
     )
+
+
+def dhash64(px) -> tuple[int, int]:
+    """Perceptual difference hash of one decoded image, exact-integer
+    spec (no float resampling, so a SQL oracle can reproduce it from a
+    closed-form pixel definition):
+
+    - RGB(A) reduces to integer luma ``(299R + 587G + 114B) div 1000``
+      (alpha ignored); grayscale is used as-is;
+    - the image splits into an 8-row x 9-column grid with floor
+      boundaries (row block r = rows [r*h div 8, (r+1)*h div 8));
+    - bit (r, c) = 1 iff block (r, c)'s mean exceeds block (r, c+1)'s,
+      compared by exact cross-multiplication of (sum, count);
+    - the 64 bits return as two BIGINT-safe 32-bit halves
+      (rows 0-3 -> hi, rows 4-7 -> lo, bit index 8*r + c within each).
+
+    Requires h >= 8 and w >= 9 (every grid cell non-empty).
+    """
+    import numpy as np
+
+    if px.ndim == 3 and px.shape[2] >= 3:
+        r = px[:, :, 0].astype(np.int64)
+        g = px[:, :, 1].astype(np.int64)
+        b = px[:, :, 2].astype(np.int64)
+        px = (299 * r + 587 * g + 114 * b) // 1000
+    elif px.ndim == 3:  # single-channel (or gray+alpha): first plane
+        px = px[:, :, 0]
+    h, w = px.shape
+    if h < 8 or w < 9:
+        raise ValueError(f"dhash64 needs h >= 8 and w >= 9: {h}x{w}")
+    rb = [r * h // 8 for r in range(9)]
+    cb = [c * w // 9 for c in range(10)]
+    hi = lo = 0
+    px64 = px.astype(np.int64)
+    for r in range(8):
+        band = px64[rb[r] : rb[r + 1]]
+        sums = [
+            int(band[:, cb[c] : cb[c + 1]].sum()) for c in range(9)
+        ]
+        cnts = [
+            (rb[r + 1] - rb[r]) * (cb[c + 1] - cb[c]) for c in range(9)
+        ]
+        for c in range(8):
+            if sums[c] * cnts[c + 1] > sums[c + 1] * cnts[c]:
+                if r < 4:
+                    hi |= 1 << (8 * r + c)
+                else:
+                    lo |= 1 << (8 * (r - 4) + c)
+    return hi, lo
+
+
+def png_dhash(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Perceptual dHash over REAL-decoded PNG payloads (pipeline/png.py
+    codec + the exact-integer ``dhash64`` spec) — the image-near-dup
+    fingerprint: visually similar images land within a few Hamming
+    bits, so downstream dedup is a SimHash-style bucketed pigeonhole
+    join on the two 32-bit halves, never pixels x pixels.  Output:
+    (``id_col``, width, height, dhash_hi, dhash_lo).  Arrow-batched
+    mapInPandas; undecodable payloads are dropped."""
+    from ..deploy import ensure_deployed
+    from .png import PngError, decode_png
+
+    ensure_deployed(df.sparkSession)
+    slim = df.select(
+        F.col(id_col).alias("id"), F.col(payload_col).alias("payload")
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    px, _mode = decode_png(bytes(payload))
+                except PngError:
+                    continue
+                try:
+                    hi, lo = dhash64(px)
+                except ValueError:  # image smaller than the 8x9 grid
+                    continue
+                rows.append((rid, px.shape[1], px.shape[0], hi, lo))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "dhash_hi", "dhash_lo"],
+            )
+
+    return slim.mapInPandas(
+        hash_batches,
+        schema="id long, width int, height int, dhash_hi long, dhash_lo long",
+    )

@@ -168,3 +168,77 @@ class TestSixteenBit:
     def test_16bit_pixel_stats_exact(self):
         s = pixel_stats(np.array([[1, 65535]], dtype=np.uint16))
         assert s["px_sum"] == 65536 and s["px_max"] == 65535
+
+
+class TestDhash64:
+    def test_constant_image_hashes_to_zero(self):
+        import numpy as np
+
+        from gpq_spark.pipeline.multimodal import dhash64
+
+        assert dhash64(np.full((16, 18), 128, dtype=np.uint8)) == (0, 0)
+
+    def test_decreasing_gradient_sets_all_bits(self):
+        """Strictly decreasing columns: every left block mean exceeds
+        its right neighbor -> all 64 bits set (two full 32-bit halves)."""
+        import numpy as np
+
+        from gpq_spark.pipeline.multimodal import dhash64
+
+        px = np.tile(np.arange(200, 20, -20, dtype=np.uint8), (16, 1))
+        assert px.shape == (16, 9)
+        assert dhash64(px) == ((1 << 32) - 1, (1 << 32) - 1)
+
+    def test_rgb_luma_matches_gray_equivalent(self):
+        import numpy as np
+
+        from gpq_spark.pipeline.multimodal import dhash64
+
+        rng_vals = ((np.arange(16 * 18) * 37) % 256).reshape(16, 18)
+        gray = rng_vals.astype(np.uint8)
+        rgb = np.stack([gray, gray, gray], axis=2)
+        assert dhash64(rgb) == dhash64(gray)
+
+    def test_similar_images_are_hamming_close(self):
+        """One flipped pixel moves at most a couple of block
+        comparisons; unrelated patterns differ in many bits."""
+        import numpy as np
+
+        from gpq_spark.pipeline.multimodal import dhash64
+
+        base = ((np.arange(24 * 27) * 31) % 256).reshape(24, 27).astype(np.uint8)
+        tweak = base.copy()
+        tweak[3, 5] = 255 - tweak[3, 5]
+        other = ((np.arange(24 * 27) * 113 + 7) % 256).reshape(24, 27).astype(np.uint8)
+
+        def ham(a, b):
+            return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+        assert ham(dhash64(base), dhash64(tweak)) <= 4
+        assert ham(dhash64(base), dhash64(other)) > 10
+
+    def test_roundtrip_through_codec(self):
+        """dhash of decode(encode(px)) equals dhash of px for every
+        scanline filter type."""
+        import numpy as np
+
+        from gpq_spark.pipeline.multimodal import dhash64
+        from gpq_spark.pipeline.png import decode_png, encode_png
+
+        px = ((np.arange(16 * 18) * 53 + 11) % 256).reshape(16, 18).astype(np.uint8)
+        want = dhash64(px)
+        for ft in range(5):
+            decoded, _mode = decode_png(encode_png(px, filter_type=ft))
+            got = dhash64(decoded if decoded.ndim == 2 else decoded[:, :, 0])
+            assert got == want, ft
+
+    def test_too_small_raises(self):
+        import numpy as np
+        import pytest
+
+        from gpq_spark.pipeline.multimodal import dhash64
+
+        with pytest.raises(ValueError, match="dhash64"):
+            dhash64(np.zeros((7, 9), dtype=np.uint8))
+        with pytest.raises(ValueError, match="dhash64"):
+            dhash64(np.zeros((8, 8), dtype=np.uint8))
