@@ -22030,3 +22030,98 @@ def multimodal_png_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
     return png_dhash(payloads, "payload", "doc_id")
+
+
+@register(
+    "multimodal_dhash_pairs",
+    """
+    WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+               FROM documents),
+    imgs AS (SELECT d.doc_id, d.w, d.h, k.k,
+                    CAST(2 * d.doc_id + k.k AS BIGINT) AS img
+             FROM d, range(0, 2) k(k)),
+    px AS (SELECT i.img, i.w, i.h, y.y, x.x,
+                  xor((i.doc_id * 7 + y.y * 31 + x.x * 13) % 256,
+                      CASE WHEN i.k = 1 AND y.y = 0 AND x.x = 0
+                           THEN 128 ELSE 0 END) AS v
+           FROM imgs i, range(0, 33) y(y), range(0, 33) x(x)
+           WHERE y.y < i.h AND x.x < i.w),
+    cells AS (
+        SELECT p.img, r.r, c.c,
+               CAST(SUM(p.v) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM px p
+        JOIN range(0, 8) r(r)
+          ON p.y >= r.r * p.h // 8 AND p.y < (r.r + 1) * p.h // 8
+        JOIN range(0, 9) c(c)
+          ON p.x >= c.c * p.w // 9 AND p.x < (c.c + 1) * p.w // 9
+        GROUP BY 1, 2, 3
+    ),
+    bits AS (
+        SELECT a.img, a.r, a.c,
+               CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+        FROM cells a
+        JOIN cells b ON a.img = b.img AND a.r = b.r AND b.c = a.c + 1
+        WHERE a.c < 8
+    ),
+    hashes AS (
+        SELECT img,
+               CAST(SUM(CASE WHEN r < 4
+                        THEN bit * (CAST(1 AS BIGINT) << (8 * r + c))
+                        ELSE 0 END) AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN r >= 4
+                        THEN bit * (CAST(1 AS BIGINT) << (8 * (r - 4) + c))
+                        ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY 1
+    )
+    SELECT a.img AS id_a, b.img AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi))
+                + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.img < b.img
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+    """,
+)
+def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection end to end: every document gets
+    a base image (the deterministic pixel corpus) and a one-pixel-
+    perturbed variant, both truly PNG-encoded and decoded, hashed with
+    dhash64, and paired by the 8-band Hamming pigeonhole
+    (pipeline.multimodal.dhash_near_pairs — a pair within 7 bits has
+    fewer flips than bands, so one 8-bit band matches exactly; one
+    hash-partitioned join, never hashes^2).  The oracle recomputes
+    both hashes closed-form and runs the COMPLETE all-pairs Hamming
+    join — proving the banded candidates lose nothing.  Base/variant
+    pairs land at Hamming <= ~2; unrelated images almost never within
+    7."""
+    import numpy as np
+    import pandas as pd
+
+    from .deploy import ensure_deployed
+    from .pipeline.multimodal import dhash_near_pairs, png_dhash
+
+    ensure_deployed(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from .pipeline.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 16 + did % 17
+                h = 16 + did % 13
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                base = ((did * 7 + y * 31 + x * 13) % 256).astype(np.uint8)
+                rows.append((2 * did, encode_png(base, filter_type=did % 5)))
+                var = base.copy()
+                var[0, 0] ^= 128
+                rows.append(
+                    (2 * did + 1, encode_png(var, filter_type=(did + 1) % 5))
+                )
+            yield pd.DataFrame(rows, columns=["img", "payload"])
+
+    payloads = docs.mapInPandas(gen, "img long, payload binary")
+    hashes = png_dhash(payloads, "payload", "img")
+    return dhash_near_pairs(hashes, "id", max_hamming=7)

@@ -692,3 +692,83 @@ def png_dhash(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
         hash_batches,
         schema="id long, width int, height int, dhash_hi long, dhash_lo long",
     )
+
+
+def dhash_near_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Image near-duplicate candidate pairs from dHash fingerprints
+    (``png_dhash`` output with columns dhash_hi/dhash_lo).
+
+    Pigeonhole banding, the SimHash argument: the 64-bit hash splits
+    into 8 bands of 8 bits; a pair within total Hamming distance
+    <= 7 has fewer flipped bits than bands, so at least one band is
+    EXACTLY equal — candidates are complete for ``max_hamming <= 7``
+    with plain equality bucketing, one hash-partitioned join on
+    (band index, band value), never hashes^2.  Each candidate is then
+    verified with the exact 64-bit Hamming distance.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, distance <=
+    ``max_hamming``, deduplicated across bands.
+    """
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            f"max_hamming must be in [0, 7] (8-band pigeonhole): {max_hamming}"
+        )
+    d = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col("dhash_hi").cast("long").alias("hi"),
+        F.col("dhash_lo").cast("long").alias("lo"),
+    )
+    bands = d.select(
+        "id",
+        "hi",
+        "lo",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), b -> named_struct("
+                "'b', b,"
+                "'v', CASE WHEN b < 4"
+                "          THEN (hi div CAST(pow(2, 8 * b) AS BIGINT)) % 256"
+                "          ELSE (lo div CAST(pow(2, 8 * (b - 4)) AS BIGINT)) % 256"
+                "     END))"
+            )
+        ).alias("band"),
+    ).select(
+        "id", "hi", "lo", F.col("band.b").alias("b"), F.col("band.v").alias("v")
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+        "b",
+        "v",
+    )
+    bb = bands.select(
+        F.col("id").alias("id_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+        "b",
+        "v",
+    )
+    pairs = (
+        a.join(bb, ["b", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.bit_count(
+                    F.expr("hi_a ^ hi_b").cast("long")
+                )
+                + F.bit_count(F.expr("lo_a ^ lo_b").cast("long"))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .distinct()
+    )
+    return pairs

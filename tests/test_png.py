@@ -242,3 +242,48 @@ class TestDhash64:
             dhash64(np.zeros((7, 9), dtype=np.uint8))
         with pytest.raises(ValueError, match="dhash64"):
             dhash64(np.zeros((8, 8), dtype=np.uint8))
+
+
+class TestDhashNearPairs:
+    def test_complete_vs_bruteforce_and_threshold(self, spark):
+        """Banded candidates find EVERY pair within Hamming 7 (the
+        8-band pigeonhole bound) and none above the threshold."""
+        from gpq_spark.pipeline.multimodal import dhash_near_pairs
+
+        rows = [
+            (1, 0b1010, 0),            # base
+            (2, 0b1010 ^ 0b1, 0),      # 1 bit away from 1
+            (3, 0b1010, 0b1111111),    # 7 bits away from 1 (all in lo)
+            (4, (1 << 32) - 1, (1 << 32) - 1),  # far from everything
+            (5, 0xFF00FF00, 0x00FF00FF),
+            (6, 0xFF00FF00 ^ 0b11, 0x00FF00FF ^ (0b111 << 8)),  # 5 bits from 5
+        ]
+        df = spark.createDataFrame(rows, ["id", "dhash_hi", "dhash_lo"])
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dhash_near_pairs(df, "id", max_hamming=7).collect()
+        }
+
+        def ham(a, b):
+            return bin(a[1] ^ b[1]).count("1") + bin(a[2] ^ b[2]).count("1")
+
+        want = {}
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = ham(rows[i], rows[j])
+                if d <= 7:
+                    want[(rows[i][0], rows[j][0])] = d
+        assert got == want
+        assert (1, 2) in got and got[(1, 2)] == 1
+        assert (1, 3) in got and got[(1, 3)] == 7
+        assert (5, 6) in got and got[(5, 6)] == 5
+        assert not any(4 in k for k in got)
+
+    def test_max_hamming_validation(self, spark):
+        import pytest
+
+        from gpq_spark.pipeline.multimodal import dhash_near_pairs
+
+        df = spark.createDataFrame([(1, 0, 0)], ["id", "dhash_hi", "dhash_lo"])
+        with pytest.raises(ValueError, match="max_hamming"):
+            dhash_near_pairs(df, "id", max_hamming=8)
