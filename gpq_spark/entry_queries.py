@@ -22125,3 +22125,62 @@ def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.mapInPandas(gen, "img long, payload binary")
     hashes = png_dhash(payloads, "payload", "img")
     return dhash_near_pairs(hashes, "id", max_hamming=7)
+
+
+@register(
+    "multimodal_wav_pcm_stats",
+    """
+    WITH d AS (SELECT doc_id, 400 + doc_id % 37 AS n FROM documents),
+    s AS (SELECT d.doc_id, d.n, i.i,
+                 CAST((d.doc_id * 31 + i.i * 17) % 65536 - 32768
+                      AS BIGINT) AS v
+          FROM d, range(0, 437) i(i) WHERE i.i < d.n),
+    sl AS (SELECT doc_id, n, i, v,
+                  lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+           FROM s)
+    SELECT doc_id AS id,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS s_sum,
+           CAST(SUM(v * v) AS BIGINT) AS s_sumsq,
+           CAST(MAX(abs(v)) AS INT) AS peak,
+           CAST(SUM(CASE WHEN nxt IS NOT NULL AND v * nxt < 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+    FROM sl GROUP BY 1
+    """,
+)
+def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV PCM codec round-trip, oracle-checked end to end: per
+    document, deterministic int16 samples (s_i = (doc_id*31 + i*17)
+    mod 65536 - 32768, n = 400 + id%37) are packed into a canonical
+    44-byte-header mono PCM16 WAV (pipeline.multimodal.encode_wav_
+    pcm16), decoded back through the RIFF chunk walk + zero-copy int16
+    view (decode_wav_pcm16 — raw PCM needs no codec, making audio a
+    truly-decoded modality beside PNG), and reduced to exact integer
+    stats incl. strict sign-change zero crossings.  The DuckDB oracle
+    computes the same stats from the closed-form sample definition, so
+    any defect in the header walk, alignment, or endianness breaks the
+    hash.  Arrow-batched mapInPandas throughout."""
+    import numpy as np
+    import pandas as pd
+
+    from .deploy import ensure_deployed
+    from .pipeline.multimodal import wav_sample_stats
+
+    ensure_deployed(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from .pipeline.multimodal import encode_wav_pcm16
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 400 + did % 37
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+                rows.append((did, encode_wav_pcm16(s)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return wav_sample_stats(payloads, "payload", "doc_id")

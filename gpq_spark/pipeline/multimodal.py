@@ -7,11 +7,14 @@ stream through in bounded batches and never land on the driver.
 
 PNG payloads are decoded for REAL (pipeline/png.py: stdlib zlib +
 numpy unfilter — no new dependencies), so dimensions, mode, pixel
-stats, and the resize resample are true pixel operations for that
-format. Other codecs (JPEG/audio/video) are NOT available in this
-runtime (no PIL/ffmpeg/torchvision), so ``decode_stub`` keeps the
-Spark-side plumbing real — schema, batching, partition behavior —
-with a deterministic fake "decode" for them (byte-length + md5 + fake
+stats, the perceptual dHash, and the resize resample are true pixel
+operations for that format; WAV PCM16 is decoded for REAL too
+(``decode_wav_pcm16`` — raw PCM needs only the RIFF chunk walk), so
+audio sample stats are true waveform math. Compressed codecs
+(JPEG pixels / MP3 / video) are NOT available in this runtime (no
+PIL/ffmpeg/torchvision), so ``decode_stub`` keeps the Spark-side
+plumbing real — schema, batching, partition behavior — with a
+deterministic fake "decode" for them (byte-length + md5 + fake
 dimensions). Swap ``_decode_payload`` branches for real codecs to
 productionize further.
 """
@@ -772,3 +775,120 @@ def dhash_near_pairs(
         .distinct()
     )
     return pairs
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:
+    """Canonical 44-byte-header mono PCM16 WAV from an int16 array —
+    stdlib struct only.  The audio twin of pipeline/png.py's encoder:
+    lets gates synthesize REAL payloads executor-side."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        + b"data"
+        + struct.pack("<I", len(pcm))
+    )
+    return hdr + pcm
+
+
+class WavError(ValueError):
+    """Malformed or unsupported WAV payload."""
+
+
+def decode_wav_pcm16(data: bytes):
+    """REAL PCM sample decode for canonical mono 16-bit WAV: RIFF walk
+    to the 'data' chunk, then a zero-copy little-endian int16 view —
+    raw PCM needs no codec, just the header walk (numpy only).
+
+    Returns (samples int16 ndarray, sample_rate).  Raises WavError for
+    non-WAV, compressed, multi-channel, or non-16-bit payloads."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise WavError("not a RIFF/WAVE payload")
+    pos, fmt, sample_rate = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+            sample_rate = fmt[2]
+        elif cid == b"data":
+            if fmt is None:
+                raise WavError("data chunk before fmt")
+            audio_format, channels, _, _, _, bits = fmt
+            if audio_format != 1 or channels != 1 or bits != 16:
+                raise WavError(
+                    f"unsupported format: fmt={audio_format}"
+                    f" ch={channels} bits={bits}"
+                )
+            n = len(body) // 2
+            return np.frombuffer(body[: 2 * n], dtype="<i2"), sample_rate
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
+    raise WavError("no data chunk")
+
+
+WAV_STATS_SCHEMA = (
+    "id long, n_samples long, s_sum long, s_sumsq long, peak int,"
+    " zero_cross long"
+)
+
+
+def wav_sample_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Exact integer statistics over REAL-decoded WAV PCM samples:
+    sum, sum of squares, peak amplitude, and strict sign-change
+    zero-crossing count — all integers, so reduction-order independent
+    and oracle-reproducible from a closed-form sample definition.
+    Arrow-batched mapInPandas; undecodable payloads are dropped."""
+    import numpy as np
+
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(df.sparkSession)
+    slim = df.select(
+        F.col(id_col).alias("id"), F.col(payload_col).alias("payload")
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    s, _rate = decode_wav_pcm16(bytes(payload))
+                except WavError:
+                    continue
+                s64 = s.astype(np.int64)
+                zc = int(((s64[:-1] * s64[1:]) < 0).sum()) if len(s) > 1 else 0
+                rows.append(
+                    (
+                        rid,
+                        len(s),
+                        int(s64.sum()),
+                        int((s64 * s64).sum()),
+                        int(np.abs(s64).max()) if len(s) else 0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "n_samples", "s_sum", "s_sumsq", "peak",
+                    "zero_cross",
+                ],
+            )
+
+    return slim.mapInPandas(stats, schema=WAV_STATS_SCHEMA)

@@ -287,3 +287,78 @@ class TestDhashNearPairs:
         df = spark.createDataFrame([(1, 0, 0)], ["id", "dhash_hi", "dhash_lo"])
         with pytest.raises(ValueError, match="max_hamming"):
             dhash_near_pairs(df, "id", max_hamming=8)
+
+
+class TestWavPcm:
+    def test_roundtrip_exact(self):
+        import numpy as np
+
+        from gpq_spark.pipeline.multimodal import (
+            decode_wav_pcm16,
+            encode_wav_pcm16,
+        )
+
+        s = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int16)
+        out, rate = decode_wav_pcm16(encode_wav_pcm16(s, sample_rate=8000))
+        assert rate == 8000
+        assert np.array_equal(out, s)
+
+    def test_extra_chunks_and_odd_padding(self):
+        """The RIFF walk skips unknown chunks and honors the 2-byte
+        alignment rule for odd-length chunks."""
+        import struct
+
+        import numpy as np
+
+        from gpq_spark.pipeline.multimodal import (
+            decode_wav_pcm16,
+            encode_wav_pcm16,
+        )
+
+        s = np.array([5, -5, 9], dtype=np.int16)
+        base = encode_wav_pcm16(s)
+        # splice an odd-length LIST chunk between fmt and data
+        hdr, rest = base[:36], base[36:]
+        evil = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        spliced = hdr[:12] + hdr[12:36] + evil + rest
+        out, _ = decode_wav_pcm16(spliced)
+        assert np.array_equal(out, s)
+
+    def test_rejects_unsupported(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from gpq_spark.pipeline.multimodal import (
+            WavError,
+            decode_wav_pcm16,
+            encode_wav_pcm16,
+        )
+
+        with pytest.raises(WavError, match="RIFF"):
+            decode_wav_pcm16(b"nope" * 20)
+        # stereo: patch channels to 2
+        b = bytearray(encode_wav_pcm16(np.array([1, 2], dtype=np.int16)))
+        b[22:24] = struct.pack("<H", 2)
+        with pytest.raises(WavError, match="unsupported"):
+            decode_wav_pcm16(bytes(b))
+
+    def test_stats_match_hand_computation(self, spark):
+        import numpy as np
+
+        from gpq_spark.pipeline.multimodal import (
+            encode_wav_pcm16,
+            wav_sample_stats,
+        )
+
+        s = np.array([3, -2, 0, 5, -5], dtype=np.int16)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_wav_pcm16(s)))], ["id", "payload"]
+        )
+        r = wav_sample_stats(df, "payload", "id").collect()[0]
+        # crossings: 3->-2 (yes), -2->0 (no, zero), 0->5 (no), 5->-5 (yes)
+        assert (
+            r["n_samples"], r["s_sum"], r["s_sumsq"], r["peak"],
+            r["zero_cross"],
+        ) == (5, 1, 9 + 4 + 0 + 25 + 25, 5, 2)
