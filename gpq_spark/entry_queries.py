@@ -22184,3 +22184,394 @@ def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
     return wav_sample_stats(payloads, "payload", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 fourth continuation: ops analytics + corpus additions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ccf_view_purchase",
+    """
+    WITH b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events
+    ), grid AS (
+        SELECT CAST(date_diff('hour', b.t0, g) AS BIGINT) AS t
+        FROM b, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gs(g)
+    ), hx AS (
+        SELECT CAST(date_diff('hour',
+                   (SELECT t0 FROM b), date_trunc('hour', ts)) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ), hy AS (
+        SELECT CAST(date_diff('hour',
+                   (SELECT t0 FROM b), date_trunc('hour', ts)) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), d AS (
+        SELECT grid.t,
+               CAST(COALESCE(hx.c, 0) AS BIGINT) AS x,
+               CAST(COALESCE(hy.c, 0) AS BIGINT) AS y
+        FROM grid LEFT JOIN hx ON grid.t = hx.t LEFT JOIN hy ON grid.t = hy.t
+    ),
+    lags (lag) AS (VALUES (-6), (-5), (-4), (-3), (-2), (-1), (0),
+                          (1), (2), (3), (4), (5), (6)),
+    j AS (
+        SELECT CAST(l.lag AS BIGINT) AS lag, a.x AS x, bb.y AS yv
+        FROM lags l
+        JOIN d a ON TRUE
+        JOIN d bb ON bb.t = a.t + l.lag
+    ),
+    s AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(yv) AS BIGINT) AS sy,
+               CAST(SUM(x * yv) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(yv * yv) AS BIGINT) AS syy
+        FROM j GROUP BY lag
+    )
+    SELECT lag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS ccf
+    FROM s
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def q_ccf_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged CROSS-correlation between the hourly 'view' series and
+    the hourly 'purchase' series at lags -6..+6 (does purchase volume
+    follow view volume, and by how many hours?) — the bivariate twin
+    of q_acf_order_volume. Both series are densified onto one shared
+    hourly grid (missing hours count 0 — a sparse inner join would
+    silently bias the correlation toward busy hours); all five Pearson
+    sums are exact BIGINTs over counts, one double division + an
+    IEEE-exact sqrt at the end, rounded to 9. Shape: one events scan
+    feeding two conditional hourly aggs, a sequence-exploded grid
+    (tiny), a 13-row broadcast of lags, one self-equi-join on the hour
+    index, one combine — per-hour cardinality, never per-event."""
+    ev = load_events(spark, sf_dir)
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = b.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        F.col("t0"),
+    ).select(
+        ((F.unix_timestamp("h") - F.unix_timestamp("t0")) / F.lit(3600))
+        .cast("long")
+        .alias("t")
+    )
+    hourly = (
+        ev.crossJoin(F.broadcast(b.select("t0")))
+        .groupBy(
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                    - F.unix_timestamp("t0")
+                )
+                / F.lit(3600)
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("xc"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("yc"),
+        )
+    )
+    d = (
+        grid.join(hourly, "t", "left")
+        .select(
+            "t",
+            F.coalesce("xc", F.lit(0)).cast("long").alias("x"),
+            F.coalesce("yc", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    lags = spark.createDataFrame([(i,) for i in range(-6, 7)], "lag long")
+    a = d.select(F.col("t"), F.col("x"))
+    bb = d.select(F.col("t").alias("bt"), F.col("y").alias("yv"))
+    j = a.crossJoin(F.broadcast(lags)).join(
+        bb, F.col("bt") == F.col("t") + F.col("lag")
+    )
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+    )
+    return s.filter("n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0").select(
+        "lag",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            9,
+        ).alias("ccf"),
+    )
+
+
+@register(
+    "q_slo_burn_alerts",
+    """
+    WITH b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events
+    ), grid AS (
+        SELECT g AS hour_ts
+        FROM b, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gs(g)
+    ), hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_ts,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errors,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM events GROUP BY 1
+    ), d AS (
+        SELECT grid.hour_ts,
+               CAST(COALESCE(h.errors, 0) AS BIGINT) AS errors,
+               CAST(COALESCE(h.total, 0) AS BIGINT) AS total
+        FROM grid LEFT JOIN hourly h ON grid.hour_ts = h.hour_ts
+    ), w AS (
+        SELECT hour_ts, errors, total,
+               CAST(SUM(errors) OVER (ORDER BY hour_ts
+                    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS errors_6h,
+               CAST(SUM(total) OVER (ORDER BY hour_ts
+                    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS total_6h
+        FROM d
+    )
+    SELECT strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           errors AS errors_1h, total AS total_1h,
+           CAST(errors * 1000000 // greatest(total, 1) AS BIGINT) AS burn1_e6,
+           errors_6h, total_6h,
+           CAST(errors_6h * 1000000 // greatest(total_6h, 1) AS BIGINT)
+               AS burn6_e6,
+           CAST(errors * 1000000 // greatest(total, 1) >= 220000
+                AND errors_6h * 1000000 // greatest(total_6h, 1) >= 205000
+                AS BOOLEAN) AS page
+    FROM w
+    """,
+)
+def q_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO error-budget burn-rate alerting (the Google SRE
+    workbook shape): per hour on a DENSE grid, the 1-hour error rate
+    and the trailing 6-hour error rate, both as exact integer e6
+    ratios (floor division — no float drift), with `page` firing only
+    when BOTH windows exceed their burn thresholds — the short window
+    makes the alert fast, the long window makes it ignore blips.
+    Missing hours count as 0/0 (rate 0), not absent rows, so a silent
+    outage that stops traffic entirely cannot hide the preceding burn.
+    Shape: one events scan -> hourly conditional agg, a tiny
+    sequence-exploded grid join, one ordered window over ~hours rows
+    (per-hour cardinality; at 100 TB this window runs over thousands
+    of rows, not billions — the heavy lifting stays in the partial
+    agg)."""
+    ev = load_events(spark, sf_dir)
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = b.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_ts"
+        )
+    )
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errors"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    d = grid.join(hourly, "hour_ts", "left").select(
+        "hour_ts",
+        F.coalesce("errors", F.lit(0)).cast("long").alias("errors"),
+        F.coalesce("total", F.lit(0)).cast("long").alias("total"),
+    )
+    w6 = Window.orderBy("hour_ts").rowsBetween(-5, 0)
+    w = d.select(
+        "hour_ts",
+        "errors",
+        "total",
+        F.sum("errors").over(w6).cast("long").alias("errors_6h"),
+        F.sum("total").over(w6).cast("long").alias("total_6h"),
+    )
+    burn1 = F.expr("errors * 1000000 div greatest(total, 1)")
+    burn6 = F.expr("errors_6h * 1000000 div greatest(total_6h, 1)")
+    return w.select(
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.col("errors").alias("errors_1h"),
+        F.col("total").alias("total_1h"),
+        burn1.cast("long").alias("burn1_e6"),
+        "errors_6h",
+        "total_6h",
+        burn6.cast("long").alias("burn6_e6"),
+        ((burn1 >= 220000) & (burn6 >= 205000)).alias("page"),
+    )
+
+
+@register(
+    "q_window_funnel_timeboxed",
+    """
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    d1 AS (SELECT DISTINCT user_id FROM v),
+    d2 AS (
+        SELECT DISTINCT v.user_id
+        FROM v JOIN c ON v.user_id = c.user_id
+         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+    ),
+    d3 AS (
+        SELECT DISTINCT v.user_id
+        FROM v
+        JOIN c ON v.user_id = c.user_id
+         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+        JOIN p ON v.user_id = p.user_id
+         AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
+    ),
+    depth AS (
+        SELECT d1.user_id,
+               CAST(CASE WHEN d3.user_id IS NOT NULL THEN 3
+                         WHEN d2.user_id IS NOT NULL THEN 2
+                         ELSE 1 END AS BIGINT) AS depth
+        FROM d1
+        LEFT JOIN d2 ON d1.user_id = d2.user_id
+        LEFT JOIN d3 ON d1.user_id = d3.user_id
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM depth GROUP BY depth
+    """,
+)
+def q_window_funnel_timeboxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOXED window funnel (ClickHouse windowFunnel semantics):
+    the deepest strictly-ordered view -> click -> purchase chain that
+    completes within 6 hours of ITS OWN first step — unlike
+    q_funnel_steps' whole-history funnel, the clock starts at the
+    view that anchors the chain, so a purchase 3 days after the view
+    doesn't count. Per-depth distinct-user counts. Shape: three
+    filtered slices of one events scan, per-user equi-joins whose
+    fan-out is bounded by events-per-user-per-window (the 6 h residual
+    lands inside the join condition, never a cross join), then two
+    left joins of tiny distinct-user sets. All equi-joins shuffle on
+    user_id only — co-partitioned at any scale."""
+    ev = load_events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("tv")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("tc")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("tp")
+    )
+    lim = F.col("tv") + F.expr("INTERVAL 6 HOUR")
+    d1 = v.select("user_id").distinct()
+    vc = v.join(
+        c,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("tc") > F.col("tv"))
+        & (F.col("tc") <= lim),
+    )
+    d2 = vc.select("user_id").distinct().withColumnRenamed("user_id", "u2")
+    d3 = (
+        vc.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("tp") > F.col("tc"))
+            & (F.col("tp") <= lim),
+        )
+        .select("user_id")
+        .distinct()
+        .withColumnRenamed("user_id", "u3")
+    )
+    depth = (
+        d1.join(d2, d1.user_id == F.col("u2"), "left")
+        .join(d3, d1.user_id == F.col("u3"), "left")
+        .select(
+            F.when(F.col("u3").isNotNull(), 3)
+            .when(F.col("u2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("long")
+            .alias("depth")
+        )
+    )
+    return depth.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+@register(
+    "text_fertility_by_lang",
+    """
+    WITH tok AS (
+        SELECT lang,
+               CAST(len(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   t -> t <> '')) AS BIGINT) AS n_tokens,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(n_tokens) * 100000000 // SUM(n_chars) AS BIGINT)
+               AS fertility_e6,
+           CAST(SUM(n_chars) * 1000000 // SUM(n_tokens) AS BIGINT)
+               AS chars_per_token_e6
+    FROM tok GROUP BY lang
+    """,
+)
+def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — tokens per 100 chars
+    (fertility_e6) and its reciprocal chars-per-token, the metric that
+    decides how much each language REALLY costs per token budget when
+    building a multilingual training mix. Whitespace tokenization
+    (matches pipeline.ranking), exact integer floor-div ratios over
+    per-language sums. Shape: one documents scan, per-row token count
+    in codegen (split + filter, no UDF), one narrow groupBy."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.expr("CAST(SUM(n_tokens) * 100000000 div SUM(n_chars) AS BIGINT)")
+        .alias("fertility_e6"),
+        F.expr("CAST(SUM(n_chars) * 1000000 div SUM(n_tokens) AS BIGINT)")
+        .alias("chars_per_token_e6"),
+    )
