@@ -22575,3 +22575,431 @@ def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(n_chars) * 1000000 div SUM(n_tokens) AS BIGINT)")
         .alias("chars_per_token_e6"),
     )
+
+
+@register(
+    "q_equidepth_prices",
+    """
+    WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), pc AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY x
+    ), cum AS (
+        SELECT x, c,
+               CAST(SUM(c) OVER (ORDER BY x
+                    ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS cum_prev
+        FROM pc
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    ranked AS (
+        SELECT v.x,
+               cum.cum_prev
+               + CAST(row_number() OVER (PARTITION BY v.x) AS BIGINT) AS rk
+        FROM v JOIN cum ON v.x = cum.x
+    ), bucketed AS (
+        SELECT CAST((rk - 1) * 8 // n.n AS BIGINT) AS bucket, x
+        FROM ranked CROSS JOIN n
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS depth,
+           CAST(MIN(x) AS BIGINT) AS lo_cents,
+           CAST(MAX(x) AS BIGINT) AS hi_cents
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def q_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH (equi-height) price histogram, 8 buckets — the
+    optimizer-statistics twin of the fixed-width q_histogram_prices:
+    every bucket holds (within ±1) the same row count and the bucket
+    EDGES move with the distribution. The global rank that equi-depth
+    needs is computed WITHOUT a global single-partition sort: rank =
+    (cumulative count of strictly-smaller values) + (row_number among
+    the row's own value group). The cumulative window runs over the
+    per-VALUE aggregate (|distinct prices| rows, tiny vs the table);
+    the intra-value window partitions BY value — both scale-safe.
+    Ties split across bucket boundaries deterministically in count
+    (and min/max are values, identical however equal rows order), so
+    the result is exact at any parallelism. Oracle mirrors the same
+    rank construction."""
+    li = load(spark, sf_dir, "lineitem")
+    v = li.filter(F.col("l_extendedprice").isNotNull()).select(
+        F.expr(cents("l_extendedprice")).alias("x")
+    )
+    pc = v.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pc.select(
+        "x",
+        (F.sum("c").over(wcum) - F.col("c")).cast("long").alias("cum_prev"),
+    )
+    n = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    win_val = Window.partitionBy("x").orderBy(F.monotonically_increasing_id())
+    ranked = (
+        v.join(cum, "x")
+        .withColumn(
+            "rk",
+            (F.col("cum_prev") + F.row_number().over(win_val)).cast("long"),
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    bucketed = ranked.select(
+        F.expr("CAST((rk - 1) * 8 div n AS BIGINT)").alias("bucket"), "x"
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("depth"),
+        F.min("x").cast("long").alias("lo_cents"),
+        F.max("x").cast("long").alias("hi_cents"),
+    )
+
+
+@register(
+    "q_matrix_profile_hourly",
+    """
+    WITH b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events
+    ), grid AS (
+        SELECT et.event_type,
+               CAST(date_diff('hour', b.t0, g) AS BIGINT) AS t
+        FROM b, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gs(g),
+             (SELECT DISTINCT event_type FROM events) et
+    ), hourly AS (
+        SELECT event_type,
+               CAST(date_diff('hour',
+                   (SELECT t0 FROM b), date_trunc('hour', ts)) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), d AS (
+        SELECT grid.event_type, grid.t,
+               CAST(COALESCE(h.c, 0) AS BIGINT) AS c
+        FROM grid LEFT JOIN hourly h
+          ON grid.event_type = h.event_type AND grid.t = h.t
+    ), w AS (
+        SELECT event_type, t,
+               c AS c0,
+               lead(c, 1) OVER win AS c1,
+               lead(c, 2) OVER win AS c2,
+               lead(c, 3) OVER win AS c3
+        FROM d WINDOW win AS (PARTITION BY event_type ORDER BY t)
+    ), wins AS (
+        SELECT event_type, t, c0, c1, c2, c3 FROM w WHERE c3 IS NOT NULL
+    ), pairs AS (
+        SELECT a.event_type, a.t AS i, bb.t AS j,
+               CAST((a.c0 - bb.c0) * (a.c0 - bb.c0)
+                  + (a.c1 - bb.c1) * (a.c1 - bb.c1)
+                  + (a.c2 - bb.c2) * (a.c2 - bb.c2)
+                  + (a.c3 - bb.c3) * (a.c3 - bb.c3) AS BIGINT) AS d2
+        FROM wins a JOIN wins bb
+          ON a.event_type = bb.event_type AND abs(a.t - bb.t) >= 4
+    ), prof AS (
+        SELECT event_type, i,
+               CAST(MIN(d2) AS BIGINT) AS nn_d2
+        FROM pairs GROUP BY event_type, i
+    ), withj AS (
+        SELECT p.event_type, p.i, p.nn_d2,
+               CAST(MIN(pr.j) AS BIGINT) AS nn_j
+        FROM prof p JOIN pairs pr
+          ON pr.event_type = p.event_type AND pr.i = p.i AND pr.d2 = p.nn_d2
+        GROUP BY p.event_type, p.i, p.nn_d2
+    )
+    SELECT event_type, i AS win_start, nn_d2, nn_j
+    FROM withj
+    """,
+)
+def q_matrix_profile_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRIX PROFILE (motif/discord discovery) over each event type's
+    hourly-count series: for every length-4 window, the exact squared
+    distance to its nearest NON-TRIVIAL match (|i-j| >= window length,
+    excluding self-overlap) plus that neighbor's index (smallest j on
+    ties). Low profile values = repeated motifs; the maximum = the
+    series' most anomalous shape (discord). All distances are exact
+    integer sums of squares of counts. Shape: per-type dense grid ->
+    4 leads over a PARTITIONed window (per-key sort, never global),
+    then the all-pairs join WITHIN a type — O(len²) per key where len
+    is hours-in-range (bounded by the retention window: 30 d = 720,
+    ~500 k pairs/type), embarrassingly parallel across types/series.
+    At 100 TB the series count grows, not the per-series length, so
+    the per-key quadratic stays constant and the work spreads across
+    executors on the series key."""
+    ev = load_events(spark, sf_dir)
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        b.select(
+            F.explode(
+                F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+            "t0",
+        )
+        .select(
+            ((F.unix_timestamp("h") - F.unix_timestamp("t0")) / F.lit(3600))
+            .cast("long")
+            .alias("t")
+        )
+        .crossJoin(types)
+    )
+    hourly = (
+        ev.crossJoin(F.broadcast(b.select("t0")))
+        .groupBy(
+            "event_type",
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                    - F.unix_timestamp("t0")
+                )
+                / F.lit(3600)
+            )
+            .cast("long")
+            .alias("t"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    d = grid.join(hourly, ["event_type", "t"], "left").select(
+        "event_type", "t", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    win = Window.partitionBy("event_type").orderBy("t")
+    w = d.select(
+        "event_type",
+        "t",
+        F.col("c").alias("c0"),
+        F.lead("c", 1).over(win).alias("c1"),
+        F.lead("c", 2).over(win).alias("c2"),
+        F.lead("c", 3).over(win).alias("c3"),
+    ).filter(F.col("c3").isNotNull())
+    a = w.select(
+        "event_type",
+        F.col("t").alias("i"),
+        F.col("c0").alias("a0"),
+        F.col("c1").alias("a1"),
+        F.col("c2").alias("a2"),
+        F.col("c3").alias("a3"),
+    )
+    bb = w.select(
+        F.col("event_type").alias("bet"),
+        F.col("t").alias("j"),
+        F.col("c0").alias("b0"),
+        F.col("c1").alias("b1"),
+        F.col("c2").alias("b2"),
+        F.col("c3").alias("b3"),
+    )
+    pairs = a.join(
+        bb,
+        (F.col("event_type") == F.col("bet"))
+        & (F.abs(F.col("i") - F.col("j")) >= 4),
+    ).select(
+        "event_type",
+        "i",
+        "j",
+        (
+            (F.col("a0") - F.col("b0")) * (F.col("a0") - F.col("b0"))
+            + (F.col("a1") - F.col("b1")) * (F.col("a1") - F.col("b1"))
+            + (F.col("a2") - F.col("b2")) * (F.col("a2") - F.col("b2"))
+            + (F.col("a3") - F.col("b3")) * (F.col("a3") - F.col("b3"))
+        )
+        .cast("long")
+        .alias("d2"),
+    )
+    best = pairs.groupBy("event_type", "i").agg(
+        F.min(F.struct("d2", "j")).alias("m")
+    )
+    return best.select(
+        "event_type",
+        F.col("i").alias("win_start"),
+        F.col("m.d2").cast("long").alias("nn_d2"),
+        F.col("m.j").cast("long").alias("nn_j"),
+    )
+
+
+@register(
+    "dedup_span_scrub_c4",
+    """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS ws
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, g,
+               array_to_string(ws[g * 10 + 1 : g * 10 + 10], ' ') AS chunk
+        FROM words,
+             unnest(generate_series(0,
+                 CAST((len(ws) + 9) // 10 - 1 AS BIGINT))) AS gs(g)
+        WHERE len(ws) > 0
+    ), winner AS (
+        SELECT md5(chunk) AS h,
+               MIN(ROW(doc_id, g)) AS w
+        FROM chunks GROUP BY md5(chunk)
+    ), kept AS (
+        SELECT c.doc_id, c.g, c.chunk
+        FROM chunks c JOIN winner ON md5(c.chunk) = winner.h
+        WHERE ROW(c.doc_id, c.g) = winner.w
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY g) AS scrubbed,
+           CAST(COUNT(*) AS BIGINT) AS kept_chunks
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_span_scrub_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style SPAN SCRUB — corpus-wide exact span dedup that REMOVES
+    repeated spans instead of dropping whole documents: text splits
+    into 10-word chunks, every chunk that appears anywhere else in the
+    corpus keeps only its FIRST occurrence (min (doc_id, chunk_idx)),
+    and each doc is reassembled from its surviving chunks (docs whose
+    every chunk lost disappear). This is the operator C4 ran with
+    three-sentence spans; word chunks here because the synthetic corpus
+    has no sentence boundaries. Shape: one documents scan, chunking in
+    codegen (slice + array_join over a sequence explode — no UDF), ONE
+    groupBy shuffle on the chunk hash for the global winner, one hash
+    equi-join back, one per-doc regroup. Chunk cardinality ~= token
+    count / 10, so the shuffle moves ~a tenth of the corpus tokens —
+    the same scale class as minhash signatures."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        ).alias("ws"),
+    ).filter(F.size("ws") > 0)
+    chunks = words.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                ((F.size("ws") + 9) / F.lit(10)).cast("long") - 1,
+            )
+        ).alias("g"),
+        F.col("ws"),
+    ).select(
+        "doc_id",
+        F.col("g").cast("long").alias("g"),
+        F.array_join(
+            F.slice(F.col("ws"), F.col("g").cast("int") * 10 + 1, 10), " "
+        ).alias("chunk"),
+    )
+    winner = chunks.groupBy(F.md5("chunk").alias("h")).agg(
+        F.min(F.struct("doc_id", "g")).alias("w")
+    )
+    kept = (
+        chunks.withColumn("h", F.md5("chunk"))
+        .join(winner, "h")
+        .filter(
+            (F.col("doc_id") == F.col("w.doc_id")) & (F.col("g") == F.col("w.g"))
+        )
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("g", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("scrubbed"),
+            F.count(F.lit(1)).cast("long").alias("kept_chunks"),
+        )
+    )
+
+
+@register(
+    "q_decision_stump_returns",
+    """
+    WITH rows_ AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT)
+                   AS y
+        FROM lineitem
+    ), per_val AS (
+        SELECT q, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM rows_ GROUP BY q
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+        FROM per_val
+    ), cum AS (
+        SELECT q,
+               CAST(SUM(c) OVER w AS BIGINT) AS nl,
+               CAST(SUM(pos) OVER w AS BIGINT) AS posl
+        FROM per_val
+        WINDOW w AS (ORDER BY q ROWS UNBOUNDED PRECEDING)
+    ), scored AS (
+        SELECT cum.q AS thr, cum.nl, cum.posl,
+               tot.n - cum.nl AS nr, tot.p - cum.posl AS posr,
+               CAST(cum.posl * (cum.nl - cum.posl) * 1000000 // cum.nl
+                  + (tot.p - cum.posl)
+                    * ((tot.n - cum.nl) - (tot.p - cum.posl))
+                    * 1000000 // (tot.n - cum.nl) AS BIGINT) AS gini_e6
+        FROM cum CROSS JOIN tot
+        WHERE cum.nl < tot.n
+    ), best AS (SELECT MIN(ROW(gini_e6, thr)) AS b FROM scored)
+    SELECT s.thr, s.nl, s.posl, s.nr, s.posr, s.gini_e6
+    FROM scored s CROSS JOIN best
+    WHERE ROW(s.gini_e6, s.thr) = best.b
+    """,
+)
+def q_decision_stump_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D DECISION STUMP: the split threshold on l_quantity
+    (predict l_returnflag = 'R') that minimizes weighted binary Gini
+    impurity — the inner loop of tree training / feature-importance
+    scoring, distributed. Candidate thresholds are the distinct
+    feature values; left/right class counts come from ONE cumulative
+    window over the per-VALUE aggregate (|domain| rows, scale-free);
+    the weighted Gini drops constant factors to the exact integer
+    score posl*negl*1e6 div nl + posr*negr*1e6 div nr (valid while
+    (n/2)^2 * 1e6 < 2^63, i.e. n < 6e6 per stump — larger corpora run
+    per-group stumps or rescale); argmin tie-breaks on the smaller
+    threshold via one struct-min. Shape: one scan, one narrow groupBy
+    on the feature value, window + broadcast of a 1-row total."""
+    li = load(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    per_val = rows_.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot = per_val.agg(
+        F.sum("c").cast("long").alias("n"), F.sum("pos").cast("long").alias("p")
+    )
+    wcum = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        "q",
+        F.sum("c").over(wcum).cast("long").alias("nl"),
+        F.sum("pos").over(wcum).cast("long").alias("posl"),
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("n"))
+        .select(
+            F.col("q").alias("thr"),
+            "nl",
+            "posl",
+            (F.col("n") - F.col("nl")).alias("nr"),
+            (F.col("p") - F.col("posl")).alias("posr"),
+            # greatest(..., 1) guards are inert (the nl < n filter keeps
+            # both side counts >= 1) but stop Spark's ANSI divide-by-zero
+            # check from firing on rows the optimizer evaluates speculatively
+            F.expr(
+                "CAST(posl * (nl - posl) * 1000000 div greatest(nl, 1)"
+                " + (p - posl) * ((n - nl) - (p - posl)) * 1000000"
+                "   div greatest(n - nl, 1) AS BIGINT)"
+            ).alias("gini_e6"),
+        )
+    )
+    best = scored.agg(F.min(F.struct("gini_e6", "thr")).alias("b"))
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .filter(
+            (F.col("gini_e6") == F.col("b.gini_e6"))
+            & (F.col("thr") == F.col("b.thr"))
+        )
+        .select("thr", "nl", "posl", "nr", "posr", "gini_e6")
+    )
