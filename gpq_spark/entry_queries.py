@@ -23003,3 +23003,155 @@ def q_decision_stump_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("thr", "nl", "posl", "nr", "posr", "gini_e6")
     )
+
+
+@register(
+    "ann_mrl_truncation_recall",
+    f"""
+    WITH qf AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 5),
+    cf AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_cos_duck('cv', 'qv')} DESC, vec_id ASC)
+                       AS rk
+            FROM cf, qf WHERE vec_id != query_id
+        ) WHERE rk <= 10
+    ),
+    qt AS (SELECT vec_id AS query_id,
+                  CAST(embedding[1:16] AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+    ct AS (SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS cv
+           FROM embeddings),
+    trunc AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_cos_duck('cv', 'qv')} DESC, vec_id ASC)
+                       AS rk
+            FROM ct, qt WHERE vec_id != query_id
+        ) WHERE rk <= 10
+    )
+    SELECT e.query_id,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_common,
+           CAST(COUNT(t.vec_id) * 100000 AS BIGINT) AS recall10_e6
+    FROM exact e LEFT JOIN trunc t
+      ON t.query_id = e.query_id AND t.vec_id = e.vec_id
+    GROUP BY 1
+    """,
+)
+def ann_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA (MRL) truncation audit: per query, how many of the
+    full-64-dim exact cosine top-10 survive when BOTH sides are
+    truncated to the first 16 dims (recall@10, exact e6 integer) — the
+    measurement that tells you whether the 4x-cheaper prefix embedding
+    is good enough for first-stage retrieval with full-dim rerank.
+    Truncation is an array slice in codegen on both engines; both
+    rankings reuse the broadcast + two-phase top-k shape, so the audit
+    itself scales like any other ANN query."""
+    from .pipeline.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "query_id", k=10
+    ).select("query_id", "vec_id")
+    emb_t = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    queries_t = queries.select(
+        "query_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    trunc = brute_force_topk(
+        emb_t, queries_t, "vec_id", "embedding", "query_id", k=10
+    ).select(F.col("query_id").alias("qid2"), F.col("vec_id").alias("vid2"))
+    return (
+        exact.join(
+            trunc,
+            (F.col("query_id") == F.col("qid2"))
+            & (F.col("vec_id") == F.col("vid2")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("vid2").cast("long").alias("n_common"),
+            (F.count("vid2") * 100000).cast("long").alias("recall10_e6"),
+        )
+    )
+
+
+def _ppr_iter_duck(prev: str, out: str) -> str:
+    """One unrolled integer personalized-PageRank iteration (restart
+    mass concentrated on the seed set ppr_seeds)."""
+    return f"""
+    {out} AS (
+        SELECT n.node,
+               CAST(CASE WHEN n.node IN (SELECT node FROM ppr_seeds)
+                         THEN 150000000000 ELSE 0 END
+                    + 85 * COALESCE(m.msum, 0) // 100 AS BIGINT) AS rank
+        FROM pr_nodes n LEFT JOIN (
+            SELECT e.d AS node, CAST(SUM(p.rank // dg.deg) AS BIGINT) AS msum
+            FROM pr_edges e
+            JOIN {prev} p ON e.s = p.node
+            JOIN pr_deg dg ON e.s = dg.s
+            GROUP BY 1
+        ) m ON n.node = m.node
+    )"""
+
+
+@register(
+    "q_ppr_supplier",
+    f"""
+    WITH raw AS (
+        SELECT DISTINCT l_suppkey AS s0, l_partkey + 1000000 AS d0
+        FROM lineitem
+    ), pr_edges AS (
+        SELECT s0 AS s, d0 AS d FROM raw
+        UNION
+        SELECT d0, s0 FROM raw
+    ), pr_deg AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM pr_edges GROUP BY 1
+    ), pr_nodes AS (
+        SELECT DISTINCT s AS node FROM pr_edges
+    ), ppr_seeds AS (SELECT CAST(1 AS BIGINT) AS node
+                     UNION ALL SELECT CAST(2 AS BIGINT)),
+    r0 AS (
+        SELECT node,
+               CAST(CASE WHEN node IN (SELECT node FROM ppr_seeds)
+                         THEN 1000000000000 ELSE 0 END AS BIGINT) AS rank
+        FROM pr_nodes
+    ),{_ppr_iter_duck('r0', 'r1')},{_ppr_iter_duck('r1', 'r2')},{_ppr_iter_duck('r2', 'r3')}
+    SELECT node, rank FROM (
+        SELECT node, rank,
+               row_number() OVER (ORDER BY rank DESC, node) AS rn
+        FROM r3 WHERE rank > 0
+    ) WHERE rn <= 20
+    """,
+)
+def q_ppr_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank from seed suppliers {1, 2} over the
+    supplier–part supply graph (3 integer iterations, damping 85/100):
+    ranks measure proximity to the seeds, not global importance — the
+    related-item / seed-expansion primitive. Top-20 positive-rank
+    nodes; the zero-rank filter keeps the result the reachable
+    neighborhood (mass can only exist within 3 hops of a seed, which
+    is also why early iterations are CHEAPER than global PageRank:
+    the rank vector is sparse). Oracle unrolls the same three
+    iterations with the seed-restart base — all-integer, so the hash
+    matches bit-for-bit."""
+    from .pipeline.graph import personalized_pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).distinct()
+    ranks = personalized_pagerank(edges, seeds=[1, 2], iterations=3)
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+        .select("node", "rank")
+    )

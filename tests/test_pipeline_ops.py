@@ -4682,3 +4682,46 @@ class TestFsEm:
         for i in (1, 2, 3):
             assert got[f"m{i}"] > 990_000
             assert got[f"u{i}"] < 10_000
+
+
+class TestPersonalizedPagerank:
+    def test_mass_stays_near_seed(self, spark):
+        """On a path graph 1-2-3-4-5 with seed {1}, the seed holds the
+        most mass and nodes beyond `iterations` hops hold zero. (Rank
+        is NOT hop-monotone at finite iterations: node 2 sends its
+        whole iteration-1 allotment onward and keeps only what flows
+        back, so r[3] > r[2] after two rounds — hand-checked.)"""
+        from gpq_spark.pipeline.graph import personalized_pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+        )
+        r = {
+            row["node"]: row["rank"]
+            for row in personalized_pagerank(
+                edges, seeds=[1], iterations=2
+            ).collect()
+        }
+        assert r == {
+            1: 511250000000,
+            2: 127500000000,
+            3: 361250000000,
+            4: 0,
+            5: 0,
+        }
+
+    def test_exact_two_node_values(self, spark):
+        """Hand-computed 1-iteration values on a single undirected edge
+        with seed {1}: r0 = (1e12, 0); contrib to 2 = 1e12 div 1;
+        r1(1) = 0.15e12 + 0.85 * 0 = 150000000000,
+        r1(2) = 0 + 85 * 1e12 div 100 = 850000000000."""
+        from gpq_spark.pipeline.graph import personalized_pagerank
+
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        r = {
+            row["node"]: row["rank"]
+            for row in personalized_pagerank(
+                edges, seeds=[1], iterations=1
+            ).collect()
+        }
+        assert r == {1: 150000000000, 2: 850000000000}
