@@ -23155,3 +23155,282 @@ def q_ppr_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("node", "rank")
     )
+
+
+@register(
+    "q_beta_binomial_ctr",
+    """
+    WITH t AS (
+        SELECT user_id % 2 AS variant,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv,
+               CAST(SUM(CASE WHEN event_type IN ('view', 'purchase')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS expo
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(variant AS BIGINT) AS variant, conv, expo,
+           CAST(conv + 1 AS BIGINT) AS alpha,
+           CAST(expo - conv + 1 AS BIGINT) AS beta,
+           CAST((conv + 1) * 1000000000 // (expo + 2) AS BIGINT)
+               AS post_mean_e9,
+           CAST((conv + 1) * (expo - conv + 1) * 1000000000
+                // ((expo + 2) * (expo + 2) * (expo + 3)) AS BIGINT)
+               AS post_var_e9
+    FROM t
+    """,
+)
+def q_beta_binomial_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian conversion-rate posterior per A/B variant: with a
+    Beta(1,1) prior and (conv successes, expo trials), the posterior
+    is Beta(conv+1, expo-conv+1) whose mean alpha/(alpha+beta) and
+    variance alpha*beta/((a+b)^2 (a+b+1)) are EXACT RATIONALS — so
+    unlike MCMC-flavored stats these floor to deterministic e9
+    integers that hash-match any engine. The posterior mean is the
+    Laplace-smoothed rate a bandit would act on; the variance drives
+    exploration width. Bound: the variance numerator
+    (conv+1)(expo-conv+1)·1e9 ≤ (expo/2+1)²·1e9 stays under 2^63 for
+    expo < 6e4 per variant (the denominator expo³ ~ 2e14 is fine);
+    larger cells drop to e6 scale or stratify. Shape: one scan, one
+    2-group agg; arithmetic in codegen."""
+    ev = load_events(spark, sf_dir)
+    t = ev.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("conv"),
+        F.sum(
+            F.when(F.col("event_type").isin("view", "purchase"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("expo"),
+    )
+    return t.select(
+        F.col("variant").cast("long").alias("variant"),
+        "conv",
+        "expo",
+        (F.col("conv") + 1).cast("long").alias("alpha"),
+        (F.col("expo") - F.col("conv") + 1).cast("long").alias("beta"),
+        F.expr(
+            "CAST((conv + 1) * 1000000000 div (expo + 2) AS BIGINT)"
+        ).alias("post_mean_e9"),
+        F.expr(
+            "CAST((conv + 1) * (expo - conv + 1) * 1000000000"
+            " div ((expo + 2) * (expo + 2) * (expo + 3)) AS BIGINT)"
+        ).alias("post_var_e9"),
+    )
+
+
+@register(
+    "q_merge_into_orders",
+    f"""
+    WITH target AS (
+        SELECT o_orderkey AS k, o_custkey,
+               {cents('o_totalprice')} AS price_cents, o_orderpriority
+        FROM orders
+    ), source AS (
+        -- synthesized change feed: keys %5==0 repriced (+10%),
+        -- keys %7==0 tombstoned, and a shifted id space inserted
+        SELECT k, price_cents * 11 // 10 AS new_price_cents,
+               CAST(k % 7 = 0 AS BOOLEAN) AS is_delete
+        FROM target WHERE k % 5 = 0 OR k % 7 = 0
+        UNION ALL
+        SELECT k + 10000000 AS k, price_cents AS new_price_cents,
+               FALSE AS is_delete
+        FROM target WHERE k % 11 = 0
+    ), merged AS (
+        SELECT COALESCE(t.k, s.k) AS k,
+               CASE WHEN s.k IS NULL THEN t.price_cents
+                    ELSE s.new_price_cents END AS price_cents,
+               CASE
+                   WHEN s.k IS NULL THEN 'unchanged'
+                   WHEN t.k IS NULL THEN 'inserted'
+                   WHEN s.is_delete THEN 'deleted'
+                   ELSE 'updated'
+               END AS action
+        FROM target t FULL OUTER JOIN source s ON t.k = s.k
+    )
+    SELECT action,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM merged WHERE action != 'deleted'
+    GROUP BY action
+    UNION ALL
+    SELECT 'deleted' AS action,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS sum_cents,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM merged WHERE action = 'deleted'
+    """,
+)
+def q_merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (the lakehouse upsert statement) expressed as its
+    scalable physical plan: ONE full-outer equi-join of target and
+    change-feed on the key, with WHEN MATCHED UPDATE / WHEN MATCHED
+    AND is_delete DELETE / WHEN NOT MATCHED INSERT resolved as CASE
+    arms — exactly how Delta/Iceberg execute MERGE (join on key,
+    rewrite matched files), so the gate checks the semantics engines
+    must agree on: per-action row counts, checksums, key ranges.
+    Deletes survive into the audit row (count + key range, zero sum)
+    — a MERGE that misroutes a WHEN arm breaks the hash. One shuffle
+    on the key; the change feed is usually the small side and AQE
+    broadcast-joins it."""
+    orders = load(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(cents("o_totalprice")).alias("price_cents"),
+    )
+    upd = target.filter("k % 5 = 0 OR k % 7 = 0").select(
+        "k",
+        F.expr("price_cents * 11 div 10").alias("new_price_cents"),
+        (F.col("k") % 7 == 0).alias("is_delete"),
+    )
+    ins = target.filter("k % 11 = 0").select(
+        (F.col("k") + 10000000).alias("k"),
+        F.col("price_cents").alias("new_price_cents"),
+        F.lit(False).alias("is_delete"),
+    )
+    source = upd.unionByName(ins)
+    t = target.alias("t")
+    s = source.alias("s")
+    merged = t.join(s, F.col("t.k") == F.col("s.k"), "full_outer").select(
+        F.coalesce(F.col("t.k"), F.col("s.k")).alias("k"),
+        F.when(F.col("s.k").isNull(), F.col("t.price_cents"))
+        .otherwise(F.col("s.new_price_cents"))
+        .alias("price_cents"),
+        F.when(F.col("s.k").isNull(), "unchanged")
+        .when(F.col("t.k").isNull(), "inserted")
+        .when(F.col("s.is_delete"), "deleted")
+        .otherwise("updated")
+        .alias("action"),
+    )
+    alive = (
+        merged.filter(F.col("action") != "deleted")
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("sum_cents"),
+            F.min("k").cast("long").alias("min_key"),
+            F.max("k").cast("long").alias("max_key"),
+        )
+    )
+    dead = (
+        merged.filter(F.col("action") == "deleted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.lit(0).cast("long").alias("sum_cents"),
+            F.min("k").cast("long").alias("min_key"),
+            F.max("k").cast("long").alias("max_key"),
+        )
+        .select(F.lit("deleted").alias("action"), "n_rows", "sum_cents",
+                "min_key", "max_key")
+    )
+    return alive.unionByName(dead)
+
+
+@register(
+    "q_position_delete_apply",
+    f"""
+    WITH filed AS (
+        SELECT o_orderkey % 8 AS file_id,
+               CAST(row_number() OVER (PARTITION BY o_orderkey % 8
+                                       ORDER BY o_orderkey) - 1 AS BIGINT)
+                   AS pos,
+               {cents('o_totalprice')} AS price_cents
+        FROM orders
+    ), deletes AS (
+        SELECT file_id, pos FROM filed WHERE (file_id * 31 + pos) % 7 = 0
+    )
+    SELECT CAST(f.file_id AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS live_rows,
+           CAST(SUM(f.price_cents) AS BIGINT) AS live_sum_cents
+    FROM filed f ANTI JOIN deletes d
+      ON f.file_id = d.file_id AND f.pos = d.pos
+    GROUP BY f.file_id
+    """,
+)
+def q_position_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg/Delta MERGE-ON-READ position deletes: the reader
+    reconstructs the live snapshot by ANTI-joining the data rows
+    against a (file_id, position) delete set — no file rewrite. File
+    ids and in-file positions are synthesized deterministically (the
+    row_number window partitions BY FILE, the exact per-file sort a
+    real reader gets for free from row order); the delete set is a
+    modular sample. The anti join shuffles on (file_id, pos) — in a
+    real table the join is per-file co-located, which is why
+    merge-on-read reads stay cheap until compaction. Per-file live
+    counts + checksums gate the semantics."""
+    orders = load(spark, sf_dir, "orders")
+    wfile = Window.partitionBy(F.col("o_orderkey") % 8).orderBy("o_orderkey")
+    filed = orders.select(
+        (F.col("o_orderkey") % 8).alias("file_id"),
+        (F.row_number().over(wfile) - 1).cast("long").alias("pos"),
+        F.expr(cents("o_totalprice")).alias("price_cents"),
+    )
+    deletes = filed.filter(
+        (F.col("file_id") * 31 + F.col("pos")) % 7 == 0
+    ).select(F.col("file_id").alias("dfid"), F.col("pos").alias("dpos"))
+    live = filed.join(
+        deletes,
+        (F.col("file_id") == F.col("dfid")) & (F.col("pos") == F.col("dpos")),
+        "left_anti",
+    )
+    return live.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("live_rows"),
+        F.sum("price_cents").cast("long").alias("live_sum_cents"),
+    ).select(F.col("file_id").cast("long").alias("file_id"),
+             "live_rows", "live_sum_cents")
+
+
+@register(
+    "stream_slo_burn_monitor",
+    """
+    WITH wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 AS w FROM events
+    ),
+    hourly AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+               CAST(SUM(CASE WHEN value < 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS errors,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM events CROSS JOIN wm
+        WHERE epoch_us(ts) - epoch_us(ts) % 3600000000 + 3600000000 <= w
+        GROUP BY 1, 2
+    ),
+    w6 AS (
+        SELECT event_type, hour_us, errors, total,
+               CAST(SUM(errors) OVER win AS BIGINT) AS errors_6h,
+               CAST(SUM(total) OVER win AS BIGINT) AS total_6h
+        FROM hourly
+        WINDOW win AS (PARTITION BY event_type ORDER BY hour_us
+                       ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(hour_us AS BIGINT) AS hour_us,
+           errors AS errors_1h, total AS total_1h,
+           CAST(errors * 1000000 // greatest(total, 1) AS BIGINT) AS burn1_e6,
+           errors_6h, total_6h,
+           CAST(errors_6h * 1000000 // greatest(total_6h, 1) AS BIGINT)
+               AS burn6_e6,
+           CAST(errors * 1000000 // greatest(total, 1) >= 200000
+                AND errors_6h * 1000000 // greatest(total_6h, 1) >= 50000
+                AS BOOLEAN) AS page
+    FROM w6
+    """,
+)
+def stream_slo_burn_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multi-window SLO burn-rate monitor
+    (streaming.stream_slo_burn): per service, every watermark-closed
+    hour emits once with its 1-hour and trailing-6-observed-hours
+    error rates and the dual-threshold page flag. The oracle replays
+    the watermark-finalized hours (hour end <= the engine's
+    ms-truncated final watermark) as a batch hourly agg + a 6-row
+    trailing window per service — if the stateful ring buffer ever
+    closed hours out of order, double-counted a late row, or leaked
+    an unfinalized hour, counts or trailing sums would break the
+    hash."""
+    from .streaming.windows import stream_slo_burn as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream), "sloburn", "append")

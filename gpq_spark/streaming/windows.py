@@ -2394,3 +2394,141 @@ def stream_hourly_topk(
         )
     )
     return raw.select("hour_us", "rank", "user_id", "cents")
+
+
+SLOBURN_RAW_SCHEMA = (
+    "event_type string, hour_us long, errors_1h long, total_1h long,"
+    " burn1_e6 long, errors_6h long, total_6h long, burn6_e6 long,"
+    " page boolean"
+)
+SLOBURN_STATE_SCHEMA = (
+    "open_h array<long>, open_e array<long>, open_t array<long>,"
+    " closed_h array<long>, closed_e array<long>, closed_t array<long>"
+)
+
+
+def _slo_burn_fn(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-service (event_type) multi-window burn-rate monitor (see
+    ``stream_slo_burn``): open hours accumulate (errors, total) counts
+    in state; when the watermark passes an hour's end the hour closes
+    IN EVENT-TIME ORDER, emits exactly one row carrying its 1-hour
+    burn and the trailing burn over the last <=6 OBSERVED closed
+    hours, and joins the bounded 5-entry closed ring. EventTimeTimeout
+    keeps hours closing as the watermark advances even when the key
+    receives no new data."""
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    service = str(key[0])
+
+    if state.exists:
+        oh, oe, ot, ch, ce, ct = state.get
+        open_hours = {int(h): [int(e), int(t)] for h, e, t in zip(oh, oe, ot)}
+        ring = [(int(h), int(e), int(t)) for h, e, t in zip(ch, ce, ct)]
+    else:
+        open_hours, ring = {}, []
+
+    for pdf in pdfs:
+        for h, err in zip(pdf["hour_us"], pdf["is_err"]):
+            cell = open_hours.setdefault(int(h), [0, 0])
+            cell[0] += int(err)
+            cell[1] += 1
+
+    rows = []
+    for h in sorted(open_hours):
+        if wm_us < h + _HOUR_US:
+            break
+        e1, t1 = open_hours.pop(h)
+        window = (ring + [(h, e1, t1)])[-6:]
+        e6 = sum(x[1] for x in window)
+        t6 = sum(x[2] for x in window)
+        burn1 = e1 * 1_000_000 // max(t1, 1)
+        burn6 = e6 * 1_000_000 // max(t6, 1)
+        rows.append(
+            (
+                service,
+                h,
+                e1,
+                t1,
+                burn1,
+                e6,
+                t6,
+                burn6,
+                burn1 >= 200_000 and burn6 >= 50_000,
+            )
+        )
+        ring = window[-5:] if len(window) > 5 else window
+
+    state.update(
+        (
+            sorted(open_hours),
+            [open_hours[h][0] for h in sorted(open_hours)],
+            [open_hours[h][1] for h in sorted(open_hours)],
+            [r[0] for r in ring],
+            [r[1] for r in ring],
+            [r[2] for r in ring],
+        )
+    )
+    if open_hours:
+        nxt = min(open_hours) + _HOUR_US
+        state.setTimeoutTimestamp(max(nxt // 1000, wm_us // 1000 + 1))
+    if rows:
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "event_type",
+                "hour_us",
+                "errors_1h",
+                "total_1h",
+                "burn1_e6",
+                "errors_6h",
+                "total_6h",
+                "burn6_e6",
+                "page",
+            ],
+        )
+
+
+def stream_slo_burn(
+    stream: DataFrame,
+    error_threshold: float = 5.0,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming MULTI-WINDOW SLO burn-rate alerting — the stateful
+    twin of the batch q_slo_burn_alerts: per service (event_type
+    stands in), each event-time hour emits EXACTLY ONCE when the
+    watermark closes it, carrying its 1-hour error rate and the
+    trailing rate over the last <=6 observed closed hours (exact
+    integer e6 floor ratios), with ``page`` set only when both exceed
+    their thresholds — fast short window, blip-proof long window.
+    "Observed" trailing semantics: hours with zero traffic for a key
+    don't exist in its series (a total outage is caught by the
+    missing-data monitor, not the burn rate). State per key is
+    bounded: open (not-yet-closed) hour counters — at most
+    watermark-delay/1h + 1 of them — plus the 5-entry closed ring;
+    hours close in event-time order on either new data or event-time
+    timeout, so emission is replay-deterministic and arrival order
+    cannot reorder the ring."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("hour_us", F.expr(f"ts_us - ts_us % {_HOUR_US}"))
+        .withColumn(
+            "is_err",
+            (F.col("value") < F.lit(error_threshold)).cast("long"),
+        )
+        .withWatermark("ts", watermark_delay)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _slo_burn_fn,
+            outputStructType=SLOBURN_RAW_SCHEMA,
+            stateStructType=SLOBURN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw

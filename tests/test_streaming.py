@@ -2287,3 +2287,72 @@ class TestStreamPitRestart:
         # purchase 2 (ts 60): priors = views at 0 and 30 → (2, 300)
         # purchase 5 (ts 600): priors = events 1,3,2,4 → (4, 1100)
         assert got == [(2, 2, 300), (5, 4, 1100)]
+
+
+class TestStreamSloBurn:
+    def test_disordered_replay_exact_rows(self, spark, tmp_path):
+        """Hours close in event-time order with exact 1h + trailing
+        burn ratios, under cross-batch AND in-batch disorder (all
+        within the 2h watermark delay), with the final hours closed by
+        another key's sentinel advancing the watermark — no new data
+        on the monitored key."""
+        import datetime as dt
+
+        from gpq_spark.streaming.windows import stream_slo_burn
+
+        base = dt.datetime(2024, 3, 1)
+
+        def ev(eid, h, minute, etype, v):
+            return (
+                eid,
+                base + dt.timedelta(hours=h, minutes=minute),
+                1,
+                etype,
+                v,
+                "{}",
+            )
+
+        batches = [
+            # err at 0:10 and an hour-1 row first
+            [ev(1, 0, 10, "api", 1.0), ev(2, 1, 30, "api", 100.0)],
+            # hour-3 row arrives BEFORE the late hour-0/hour-1 rows
+            [
+                ev(3, 3, 20, "api", 1.0),
+                ev(4, 0, 40, "api", 100.0),
+                ev(5, 1, 10, "api", 100.0),
+            ],
+            # sentinel on a different key pushes the watermark to 38:00,
+            # closing api hours 1 and 3 without new api data
+            [ev(6, 40, 0, "oth", 100.0)],
+        ]
+        d = tmp_path / "slo_ooo"
+        src_schema = _write_ooo_files(spark, d, batches)
+        from gpq_spark.streaming import stream_events
+
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = stream_slo_burn(stream)
+        got = sorted(
+            (
+                r["event_type"],
+                r["hour_us"] // 3_600_000_000,
+                r["errors_1h"],
+                r["total_1h"],
+                r["burn1_e6"],
+                r["errors_6h"],
+                r["total_6h"],
+                r["burn6_e6"],
+                r["page"],
+            )
+            for r in _drain_ooo(spark, out, "slo_ooo").collect()
+            if r["event_type"] == "api"
+        )
+        h0 = int(base.timestamp()) // 3600
+        want = [
+            ("api", h0 + 0, 1, 2, 500000, 1, 2, 500000, True),
+            ("api", h0 + 1, 0, 2, 0, 1, 4, 250000, False),
+            # hour 2 unobserved: trailing window spans observed hours only
+            ("api", h0 + 3, 1, 1, 1000000, 2, 5, 400000, True),
+        ]
+        assert got == want
