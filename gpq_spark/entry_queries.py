@@ -23434,3 +23434,104 @@ def stream_slo_burn_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _events_file_stream(spark, sf_dir)
     return _drain_to_table(_op(stream), "sloburn", "append")
+
+
+@register(
+    "stream_static_enrich",
+    f"""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM({cents('e.value')}) AS BIGINT) AS revenue_cents
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY n.n_name
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC ENRICHMENT — the Kappa-architecture dimension
+    join: a live purchase stream joined against static customer and
+    nation dimension tables inside each micro-batch (Spark plans the
+    static side as a broadcast hash join, re-resolved per batch), then
+    aggregated per nation in complete mode. This is the standard
+    "enrich events with reference data without a shuffle" pattern; at
+    100 TB/day the stream side never re-partitions — only the tiny
+    dim broadcast moves. Oracle: the equivalent batch join over the
+    same bounded input."""
+    stream = _events_file_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(cust.join(F.broadcast(nation),
+                                cust.c_nationkey == nation.n_nationkey))
+    joined = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(dim, F.col("user_id") == F.col("c_custkey"))
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.expr(cents("value"))).cast("long").alias("revenue_cents"),
+    )
+    return _drain_to_table(agg, "enrich", "complete")
+
+
+@register(
+    "gif_roundtrip_stats",
+    """
+    WITH d AS (SELECT doc_id, 8 + doc_id % 13 AS w, 6 + doc_id % 9 AS h
+               FROM documents),
+    px AS (SELECT d.doc_id, d.w, d.h,
+                  (d.doc_id + 3 * x.x + 7 * y.y) % 4 AS i
+           FROM d, range(0, 15) y(y), range(0, 21) x(x)
+           WHERE y.y < d.h AND x.x < d.w)
+    SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(i) AS BIGINT) AS idx_sum,
+           CAST(min(i) AS INT) AS idx_min,
+           CAST(max(i) AS INT) AS idx_max,
+           CAST(sum(CASE i WHEN 0 THEN 21 WHEN 1 THEN 231
+                           WHEN 2 THEN 290 ELSE 750 END) AS BIGINT) AS rgb_sum
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def gif_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF LZW codec round-trip, oracle-checked end to end: per
+    document, deterministic 4-color indices (i = (doc_id + 3x + 7y)
+    mod 4, w = 8 + id%13, h = 6 + id%9) are LZW-compressed into a
+    complete GIF87a by pipeline/gif.py's encoder, decoded back through
+    the full variable-code-width path (sub-block reassembly, LSB-first
+    unpacking, code growth, CLEAR resets, KwKwK), and reduced to exact
+    integer index + palette-RGB stats. The DuckDB oracle computes the
+    same stats from the closed-form index definition, so any defect in
+    EITHER LZW direction breaks the hash. The codec pair is also
+    property-tested against itself across 12-bit growth and dictionary
+    resets (tests/test_gif.py); cross-codec conformance can't run in
+    this container (no PIL/giflib) and is stated as such. All work is
+    executor-side Arrow-batched mapInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    from .deploy import ensure_deployed
+    from .pipeline.multimodal import gif_pixel_stats
+
+    ensure_deployed(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    palette = [(9, 7, 5), (200, 30, 1), (40, 90, 160), (250, 250, 250)]
+
+    def gen(batches):
+        from .pipeline.gif import encode_gif
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 13, 6 + did % 9
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                idx = ((did + 3 * x + 7 * y) % 4).astype(np.uint8)
+                rows.append((did, encode_gif(idx, palette)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return gif_pixel_stats(payloads, "payload", "doc_id")

@@ -1,0 +1,260 @@
+"""REAL GIF87a codec — pure stdlib + numpy, no PIL.
+
+The third truly-decoded modality beside PNG (pipeline/png.py) and WAV
+PCM16 (multimodal.decode_wav_pcm16): a complete variable-code-width
+LZW implementation (the actual compression algorithm GIF mandates),
+not a header parser. Covers the full canonical pipeline: logical
+screen descriptor, global color table, image descriptor, sub-block
+defragmentation, LSB-first bit unpacking, code-size growth at
+next_code == 2^width (up to 12 bits), CLEAR-code dictionary resets,
+and the deferred KwKwK case (code == next_code). The encoder exists
+so tests and gate queries can synthesize payloads deterministically —
+encode→decode round-trips are exact by construction and any defect on
+either side breaks the oracle hash of the decoded pixel stats.
+
+Reference parity note: the reference repo has no media codecs (it is
+a GeoParquet tool); this module serves SURVEY §2's beyond-reference
+multimodal family where pixel decode must be real where the runtime
+allows (no PIL/ffmpeg here — but LZW needs neither).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+GIF_MAGIC = b"GIF87a"
+_MAX_CODE_WIDTH = 12
+
+
+class GifError(ValueError):
+    """Raised on malformed GIF payloads."""
+
+
+def _u16le(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8)
+
+
+def encode_gif(indices: np.ndarray, palette: list[tuple[int, int, int]]) -> bytes:
+    """Encode a 2-D uint8 index matrix + palette as a minimal GIF87a
+    (global color table, single non-interlaced image, real LZW)."""
+    h, w = indices.shape
+    n = len(palette)
+    if n < 2 or n > 256 or (n & (n - 1)) != 0:
+        raise GifError("palette size must be a power of two in [2, 256]")
+    if indices.max(initial=0) >= n:
+        raise GifError("index out of palette range")
+    gct_bits = max(1, (n - 1).bit_length())
+
+    out = bytearray()
+    out += GIF_MAGIC
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | ((gct_bits - 1) & 0x07))  # GCT present, size field
+    out.append(0)  # background color index
+    out.append(0)  # pixel aspect ratio
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    # image descriptor
+    out.append(0x2C)
+    out += (0).to_bytes(2, "little") * 2
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0)  # no local table, not interlaced
+
+    mcs = max(2, gct_bits)  # LZW minimum code size
+    out.append(mcs)
+    out += _lzw_encode(indices.ravel().tolist(), mcs)
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def _lzw_encode(seq: list[int], mcs: int) -> bytes:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bits: list[tuple[int, int]] = []  # (code, width)
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = end + 1
+    width = mcs + 1
+    bits.append((clear, width))
+    cur = -1
+    for k in seq:
+        k = int(k)
+        if cur < 0:
+            cur = k
+            continue
+        if (cur, k) in table:
+            cur = table[(cur, k)]
+            continue
+        bits.append((cur, width))
+        table[(cur, k)] = next_code
+        next_code += 1
+        # GIF widens AFTER emitting the code that made the table grow
+        if next_code > (1 << width) and width < _MAX_CODE_WIDTH:
+            width += 1
+        if next_code == (1 << _MAX_CODE_WIDTH):
+            bits.append((clear, width))
+            table.clear()
+            next_code = end + 1
+            width = mcs + 1
+        cur = k
+    if cur >= 0:
+        bits.append((cur, width))
+    bits.append((end, width))
+
+    # LSB-first bit packing
+    acc = n_acc = 0
+    stream = bytearray()
+    for code, cw in bits:
+        acc |= code << n_acc
+        n_acc += cw
+        while n_acc >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+    if n_acc:
+        stream.append(acc & 0xFF)
+
+    # 255-byte sub-blocks
+    out = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    return bytes(out)
+
+
+def decode_gif(data: bytes):
+    """Decode a GIF87a/89a with a global color table and one
+    non-interlaced image. Returns (indices uint8 [h, w], palette
+    list[(r, g, b)]). Extension blocks are skipped; interlace and
+    local color tables raise (out of scope for the synthetic corpus,
+    stated rather than silently wrong)."""
+    if len(data) < 13 or data[:3] != b"GIF":
+        raise GifError("not a GIF payload")
+    w = _u16le(data, 6)
+    h = _u16le(data, 8)
+    packed = data[10]
+    if not packed & 0x80:
+        raise GifError("no global color table")
+    gct_n = 2 << (packed & 0x07)
+    off = 13
+    if off + 3 * gct_n > len(data):
+        raise GifError("truncated color table")
+    palette = [
+        (data[off + 3 * i], data[off + 3 * i + 1], data[off + 3 * i + 2])
+        for i in range(gct_n)
+    ]
+    off += 3 * gct_n
+
+    while off < len(data):
+        block = data[off]
+        if block == 0x21:  # extension: label + sub-blocks
+            off += 2
+            while off < len(data) and data[off] != 0:
+                off += 1 + data[off]
+            off += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise GifError("no image data before trailer")
+        else:
+            raise GifError(f"unexpected block 0x{block:02x}")
+    else:
+        raise GifError("truncated before image descriptor")
+
+    iw = _u16le(data, off + 5)
+    ih = _u16le(data, off + 7)
+    ipacked = data[off + 9]
+    if ipacked & 0x80:
+        raise GifError("local color tables unsupported")
+    if ipacked & 0x40:
+        raise GifError("interlaced images unsupported")
+    off += 10
+    mcs = data[off]
+    off += 1
+    if not (2 <= mcs <= 8):
+        raise GifError(f"bad LZW min code size {mcs}")
+
+    stream = bytearray()
+    while off < len(data):
+        ln = data[off]
+        off += 1
+        if ln == 0:
+            break
+        stream += data[off : off + ln]
+        off += ln
+
+    seq = _lzw_decode(bytes(stream), mcs, iw * ih)
+    if len(seq) < iw * ih:
+        raise GifError("pixel data underrun")
+    idx = np.asarray(seq[: iw * ih], dtype=np.uint8).reshape(ih, iw)
+    if int(idx.max(initial=0)) >= gct_n:
+        raise GifError("decoded index out of palette range")
+    return idx, palette
+
+
+def _lzw_decode(stream: bytes, mcs: int, limit: int) -> list[int]:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+
+    acc = n_acc = pos = 0
+
+    def next_code() -> int | None:
+        nonlocal acc, n_acc, pos
+        while n_acc < width:
+            if pos >= len(stream):
+                return None
+            acc |= stream[pos] << n_acc
+            n_acc += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_acc -= width
+        return code
+
+    while len(out) < limit:
+        code = next_code()
+        if code is None:
+            break
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table) or not table[code]:
+                raise GifError(f"bad first code {code}")
+            entry = table[code]
+        elif code < len(table) and table[code]:
+            entry = table[code]
+            table.append(prev + [entry[0]])
+        elif code == len(table):  # KwKwK
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            raise GifError(f"bad LZW code {code}")
+        out.extend(entry)
+        # widen when the NEXT append would not fit (mirror of encoder)
+        if len(table) >= (1 << width) and width < _MAX_CODE_WIDTH:
+            width += 1
+        prev = entry
+    return out
+
+
+def gif_stats(idx: np.ndarray, palette: list[tuple[int, int, int]]) -> dict:
+    """Exact integer stats over the decoded image: index sum/min/max
+    plus the RGB sum through the palette (all reduction-order
+    independent)."""
+    flat = idx.astype(np.int64)
+    pal = np.asarray(palette, dtype=np.int64)
+    rgb = pal[idx.ravel()]
+    return {
+        "idx_sum": int(flat.sum()),
+        "idx_min": int(flat.min()),
+        "idx_max": int(flat.max()),
+        "rgb_sum": int(rgb.sum()),
+    }

@@ -892,3 +892,62 @@ def wav_sample_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
             )
 
     return slim.mapInPandas(stats, schema=WAV_STATS_SCHEMA)
+
+
+GIF_STATS_SCHEMA = (
+    "id long, width int, height int, idx_sum long, idx_min int,"
+    " idx_max int, rgb_sum long"
+)
+
+
+def gif_pixel_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Exact integer statistics over REAL-decoded GIF pixels
+    (pipeline/gif.py: complete variable-code-width LZW — sub-block
+    defragmentation, LSB-first unpacking, code growth to 12 bits,
+    CLEAR resets, KwKwK): index sum/min/max plus the RGB sum through
+    the global color table. Arrow-batched mapInPandas; undecodable
+    payloads are dropped."""
+    from ..deploy import ensure_deployed
+    from .gif import GifError, decode_gif, gif_stats
+
+    ensure_deployed(df.sparkSession)
+    slim = df.select(
+        F.col(id_col).alias("id"), F.col(payload_col).alias("payload")
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    idx, pal = decode_gif(bytes(payload))
+                except GifError:
+                    continue
+                s = gif_stats(idx, pal)
+                rows.append(
+                    (
+                        rid,
+                        idx.shape[1],
+                        idx.shape[0],
+                        s["idx_sum"],
+                        s["idx_min"],
+                        s["idx_max"],
+                        s["rgb_sum"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "width",
+                    "height",
+                    "idx_sum",
+                    "idx_min",
+                    "idx_max",
+                    "rgb_sum",
+                ],
+            )
+
+    return slim.mapInPandas(stats, schema=GIF_STATS_SCHEMA)

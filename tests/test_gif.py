@@ -1,0 +1,102 @@
+"""REAL GIF87a LZW codec (gpq_spark/pipeline/gif.py) — round-trip and
+edge-path tests. The codec pair is self-consistent by these sweeps
+(every code-width boundary, dictionary resets, KwKwK); cross-codec
+conformance can't run here (no PIL/giflib in the container)."""
+
+import numpy as np
+import pytest
+
+from gpq_spark.pipeline.gif import (
+    GifError,
+    decode_gif,
+    encode_gif,
+    gif_stats,
+)
+
+PAL4 = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+
+
+class TestRoundTrip:
+    def test_single_pixel(self):
+        img = np.array([[3]], dtype=np.uint8)
+        idx, pal = decode_gif(encode_gif(img, PAL4))
+        assert (idx == img).all() and pal == PAL4
+
+    def test_small_patterned(self):
+        img = (np.arange(12, dtype=np.uint8).reshape(3, 4)) % 4
+        idx, _ = decode_gif(encode_gif(img, PAL4))
+        assert (idx == img).all()
+
+    def test_runs_hit_kwkwk(self):
+        """Long same-index runs make the encoder emit just-added codes,
+        exercising the decoder's code == next_code branch."""
+        img = np.zeros((40, 40), np.uint8)
+        img[20:] = 1
+        idx, _ = decode_gif(encode_gif(img, [(0, 0, 0), (255, 255, 255)]))
+        assert (idx == img).all()
+
+    def test_256_palette_crosses_every_width_and_resets(self):
+        """24k incompressible pixels push codes through every width
+        from 9 to 12 bits and through 4096-entry CLEAR resets."""
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (120, 200)).astype(np.uint8)
+        pal = [(i, (i * 3) % 256, (i * 7) % 256) for i in range(256)]
+        idx, _ = decode_gif(encode_gif(img, pal))
+        assert (idx == img).all()
+
+    def test_width_boundary_sweep(self):
+        """Many shapes/palettes so table growth lands on every side of
+        each 2^w boundary at least once."""
+        rng = np.random.RandomState(3)
+        for n, shape in [
+            (4, (9, 9)),
+            (4, (17, 31)),
+            (16, (23, 23)),
+            (16, (40, 40)),
+            (256, (31, 17)),
+        ]:
+            pal = [(i % 256, (i * 5) % 256, (i * 11) % 256) for i in range(n)]
+            img = rng.randint(0, n, shape).astype(np.uint8)
+            idx, _ = decode_gif(encode_gif(img, pal))
+            assert (idx == img).all(), (n, shape)
+
+
+class TestStatsAndErrors:
+    def test_stats_exact(self):
+        img = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+        pal = [(9, 7, 5), (200, 30, 1), (40, 90, 160), (250, 250, 250)]
+        idx, p = decode_gif(encode_gif(img, pal))
+        s = gif_stats(idx, p)
+        assert s == {
+            "idx_sum": 6,
+            "idx_min": 0,
+            "idx_max": 3,
+            "rgb_sum": 21 + 231 + 290 + 750,
+        }
+
+    def test_not_a_gif(self):
+        with pytest.raises(GifError, match="not a GIF"):
+            decode_gif(b"\x89PNG\r\n\x1a\nxxxxxxxx")
+
+    def test_bad_palette_size(self):
+        with pytest.raises(GifError, match="power of two"):
+            encode_gif(np.zeros((2, 2), np.uint8), [(0, 0, 0)] * 3)
+
+    def test_index_out_of_range(self):
+        with pytest.raises(GifError, match="out of palette range"):
+            encode_gif(np.full((2, 2), 7, np.uint8), PAL4)
+
+    def test_truncated_payload(self):
+        payload = encode_gif(np.arange(4, dtype=np.uint8).reshape(2, 2) % 4, PAL4)
+        with pytest.raises(GifError):
+            decode_gif(payload[:15])
+
+    def test_extension_block_skipped(self):
+        """A graphic-control extension spliced before the image
+        descriptor must be skipped (89a payloads in the wild)."""
+        payload = bytearray(encode_gif(np.ones((3, 3), np.uint8), PAL4))
+        desc = payload.index(0x2C, 13)
+        ext = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+        patched = bytes(payload[:desc]) + ext + bytes(payload[desc:])
+        idx, _ = decode_gif(patched)
+        assert (idx == 1).all()
