@@ -23535,3 +23535,154 @@ def gif_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
     return gif_pixel_stats(payloads, "payload", "doc_id")
+
+
+@register(
+    "gif_frame_sampling",
+    """
+    WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS n_frames,
+                      6 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+               FROM documents),
+    fr AS (SELECT d.doc_id, f.f AS frame, d.n_frames, d.w, d.h
+           FROM d, range(0, 9) f(f)
+           WHERE f.f < d.n_frames AND f.f % 2 = 0),
+    px AS (SELECT fr.doc_id, fr.frame, fr.n_frames,
+                  (fr.doc_id + 5 * fr.frame + 3 * x.x + 7 * y.y) % 4 AS i
+           FROM fr, range(0, 7) y(y), range(0, 11) x(x)
+           WHERE y.y < fr.h AND x.x < fr.w)
+    SELECT doc_id AS id, CAST(frame AS INT) AS frame,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(sum(i) AS BIGINT) AS idx_sum,
+           CAST(min(i) AS INT) AS idx_min,
+           CAST(max(i) AS INT) AS idx_max
+    FROM px GROUP BY doc_id, frame, n_frames
+    """,
+)
+def gif_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling over ANIMATED GIFs, end-to-end: per doc a
+    3-to-8-frame animation with closed-form indices (i = (doc_id + 5f
+    + 3x + 7y) mod 4) is LZW-encoded by pipeline/gif.py, demuxed and
+    decoded back frame by frame, and every 2nd frame (0, 2, 4, …)
+    emits exact integer stats plus the true frame count — upgrading
+    the frame-sample operator from an honest stub to a genuine
+    demux-decode-sample pipeline for one real container format. The
+    oracle recomputes the sampled frames from the closed-form
+    definition, so a defect in multi-image block walking, per-frame
+    LZW state isolation, or the sampling stride breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from .deploy import ensure_deployed
+    from .pipeline.multimodal import gif_frame_sample_stats
+
+    ensure_deployed(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    palette = [(9, 7, 5), (200, 30, 1), (40, 90, 160), (250, 250, 250)]
+
+    def gen(batches):
+        from .pipeline.gif import encode_gif_animation
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf, w, h = 3 + did % 6, 6 + did % 5, 4 + did % 3
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                frames = [
+                    ((did + 5 * f + 3 * x + 7 * y) % 4).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                rows.append((did, encode_gif_animation(frames, palette)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return gif_frame_sample_stats(payloads, "payload", "doc_id", every=2)
+
+
+@register(
+    "q_wasserstein_price_drift",
+    f"""
+    WITH tagged AS (
+        SELECT {cents('o_totalprice')} // 10000 AS v,
+               CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+                    THEN 1 ELSE 0 END AS in_a
+        FROM orders
+    ), pv AS (
+        SELECT v,
+               CAST(SUM(in_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - in_a) AS BIGINT) AS cb
+        FROM tagged GROUP BY v
+    ), tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+        FROM pv
+    ), cum AS (
+        SELECT v,
+               CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+               CAST(SUM(cb) OVER w AS BIGINT) AS cumb,
+               lead(v) OVER (ORDER BY v) AS v_next
+        FROM pv WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT tot.na, tot.nb,
+           CAST(SUM(abs(cuma * tot.nb - cumb * tot.na)
+                    * (v_next - v)) AS BIGINT) AS w1_scaled,
+           CAST(SUM(abs(cuma * tot.nb - cumb * tot.na) * (v_next - v))
+                * 1000000 // (tot.na * tot.nb) AS BIGINT) AS w1_e6
+    FROM cum CROSS JOIN tot
+    WHERE v_next IS NOT NULL
+    GROUP BY tot.na, tot.nb
+    """,
+)
+def q_wasserstein_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WASSERSTEIN-1 (earth mover's) distance between the pre-1996 and
+    post-1996 order-price distributions — the drift metric that, unlike
+    the chi-square and KS gates already in the suite, weighs HOW FAR
+    mass moved, not just whether bins changed. On a 1-D discrete
+    support, W1 = Σ |CDF_a − CDF_b| · Δv exactly; cross-multiplying the
+    cumulative counts by the opposite sample size (cuma·nb − cumb·na)
+    keeps everything integer — no per-row division, no float CDFs —
+    and the final e6 ratio is one floor-div. Shape: one scan, a narrow
+    per-value groupBy ($100 buckets), one cumulative window over the
+    per-VALUE aggregate (support-sized, tiny), one combine. Bound:
+    cum·n ≤ N²  and ×Δv×support — under 2^63 through sf100."""
+    orders = load(spark, sf_dir, "orders")
+    tagged = orders.select(
+        F.expr(f"{cents('o_totalprice')} div 10000").alias("v"),
+        F.when(
+            F.col("o_orderdate") < "1996-01-01 00:00:00", 1
+        ).otherwise(0).alias("in_a"),
+    )
+    pv = tagged.groupBy("v").agg(
+        F.sum("in_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("cb"),
+    )
+    tot = pv.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pv.select(
+        "v",
+        F.sum("ca").over(wcum).cast("long").alias("cuma"),
+        F.sum("cb").over(wcum).cast("long").alias("cumb"),
+        F.lead("v").over(Window.orderBy("v")).alias("v_next"),
+    )
+    return (
+        cum.filter(F.col("v_next").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+                )
+                * (F.col("v_next") - F.col("v"))
+            )
+            .cast("long")
+            .alias("w1_scaled"),
+            F.expr(
+                "CAST(SUM(abs(cuma * nb - cumb * na) * (v_next - v))"
+                " * 1000000 div (na * nb) AS BIGINT)"
+            ).alias("w1_e6"),
+        )
+    )

@@ -258,3 +258,108 @@ def gif_stats(idx: np.ndarray, palette: list[tuple[int, int, int]]) -> dict:
         "idx_max": int(flat.max()),
         "rgb_sum": int(rgb.sum()),
     }
+
+
+def encode_gif_animation(
+    frames: list[np.ndarray], palette: list[tuple[int, int, int]]
+) -> bytes:
+    """Encode a list of equally-sized index matrices as a multi-frame
+    GIF87a (one image descriptor + LZW stream per frame, shared global
+    color table). Real animated-GIF layout minus 89a timing extensions
+    — which carry no pixel data and are skipped by the decoder anyway."""
+    if not frames:
+        raise GifError("need at least one frame")
+    h, w = frames[0].shape
+    n = len(palette)
+    if n < 2 or n > 256 or (n & (n - 1)) != 0:
+        raise GifError("palette size must be a power of two in [2, 256]")
+    gct_bits = max(1, (n - 1).bit_length())
+    mcs = max(2, gct_bits)
+
+    out = bytearray()
+    out += GIF_MAGIC
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | ((gct_bits - 1) & 0x07))
+    out.append(0)
+    out.append(0)
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise GifError("all frames must share the logical screen size")
+        if fr.max(initial=0) >= n:
+            raise GifError("index out of palette range")
+        out.append(0x2C)
+        out += (0).to_bytes(2, "little") * 2
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out.append(0)
+        out.append(mcs)
+        out += _lzw_encode(fr.ravel().tolist(), mcs)
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes):
+    """Decode EVERY frame of a (possibly animated) GIF with a global
+    color table. Returns (list[indices uint8 [h, w]], palette). Same
+    scope contract as :func:`decode_gif` (extensions skipped, local
+    color tables / interlace raise)."""
+    if len(data) < 13 or data[:3] != b"GIF":
+        raise GifError("not a GIF payload")
+    packed = data[10]
+    if not packed & 0x80:
+        raise GifError("no global color table")
+    gct_n = 2 << (packed & 0x07)
+    off = 13
+    if off + 3 * gct_n > len(data):
+        raise GifError("truncated color table")
+    palette = [
+        (data[off + 3 * i], data[off + 3 * i + 1], data[off + 3 * i + 2])
+        for i in range(gct_n)
+    ]
+    off += 3 * gct_n
+
+    frames: list[np.ndarray] = []
+    while off < len(data):
+        block = data[off]
+        if block == 0x21:
+            off += 2
+            while off < len(data) and data[off] != 0:
+                off += 1 + data[off]
+            off += 1
+        elif block == 0x3B:
+            break
+        elif block == 0x2C:
+            iw = _u16le(data, off + 5)
+            ih = _u16le(data, off + 7)
+            ipacked = data[off + 9]
+            if ipacked & 0x80:
+                raise GifError("local color tables unsupported")
+            if ipacked & 0x40:
+                raise GifError("interlaced images unsupported")
+            off += 10
+            mcs = data[off]
+            off += 1
+            if not (2 <= mcs <= 8):
+                raise GifError(f"bad LZW min code size {mcs}")
+            stream = bytearray()
+            while off < len(data):
+                ln = data[off]
+                off += 1
+                if ln == 0:
+                    break
+                stream += data[off : off + ln]
+                off += ln
+            seq = _lzw_decode(bytes(stream), mcs, iw * ih)
+            if len(seq) < iw * ih:
+                raise GifError("pixel data underrun")
+            idx = np.asarray(seq[: iw * ih], dtype=np.uint8).reshape(ih, iw)
+            if int(idx.max(initial=0)) >= gct_n:
+                raise GifError("decoded index out of palette range")
+            frames.append(idx)
+        else:
+            raise GifError(f"unexpected block 0x{block:02x}")
+    if not frames:
+        raise GifError("no image data before trailer")
+    return frames, palette

@@ -951,3 +951,69 @@ def gif_pixel_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
             )
 
     return slim.mapInPandas(stats, schema=GIF_STATS_SCHEMA)
+
+
+GIF_FRAME_SCHEMA = (
+    "id long, frame int, n_frames int, idx_sum long, idx_min int,"
+    " idx_max int"
+)
+
+
+def gif_frame_sample_stats(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    every: int = 2,
+) -> DataFrame:
+    """REAL video-style FRAME SAMPLING over animated GIFs — the
+    formerly-stubbed frame_sample path made genuine for one container
+    format: pipeline/gif.py demuxes every image block and LZW-decodes
+    each frame, then every ``every``-th frame (0, every, 2·every, …)
+    is reduced to exact integer index stats. One output row per
+    SAMPLED frame, each carrying the true total frame count. Arrow-
+    batched mapInPandas; undecodable payloads are dropped."""
+    from ..deploy import ensure_deployed
+    from .gif import GifError, decode_gif_frames
+
+    ensure_deployed(df.sparkSession)
+    slim = df.select(
+        F.col(id_col).alias("id"), F.col(payload_col).alias("payload")
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    frames, _pal = decode_gif_frames(bytes(payload))
+                except GifError:
+                    continue
+                for fi in range(0, len(frames), every):
+                    fr = frames[fi].astype(np.int64)
+                    rows.append(
+                        (
+                            rid,
+                            fi,
+                            len(frames),
+                            int(fr.sum()),
+                            int(fr.min()),
+                            int(fr.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "frame",
+                    "n_frames",
+                    "idx_sum",
+                    "idx_min",
+                    "idx_max",
+                ],
+            )
+
+    return slim.mapInPandas(stats, schema=GIF_FRAME_SCHEMA)

@@ -100,3 +100,52 @@ class TestStatsAndErrors:
         patched = bytes(payload[:desc]) + ext + bytes(payload[desc:])
         idx, _ = decode_gif(patched)
         assert (idx == 1).all()
+
+
+class TestAnimation:
+    def test_multi_frame_round_trip(self):
+        from gpq_spark.pipeline.gif import (
+            decode_gif_frames,
+            encode_gif_animation,
+        )
+
+        rng = np.random.RandomState(5)
+        frames = [rng.randint(0, 4, (13, 17)).astype(np.uint8) for _ in range(9)]
+        fs, pal = decode_gif_frames(encode_gif_animation(frames, PAL4))
+        assert len(fs) == 9 and pal == PAL4
+        assert all((a == b).all() for a, b in zip(fs, frames))
+
+    def test_per_frame_lzw_state_is_isolated(self):
+        """Each frame restarts its own LZW stream: a high-entropy frame
+        followed by a flat one decodes exactly (no dictionary bleed)."""
+        from gpq_spark.pipeline.gif import (
+            decode_gif_frames,
+            encode_gif_animation,
+        )
+
+        rng = np.random.RandomState(9)
+        frames = [
+            rng.randint(0, 4, (25, 25)).astype(np.uint8),
+            np.zeros((25, 25), np.uint8),
+            rng.randint(0, 4, (25, 25)).astype(np.uint8),
+        ]
+        fs, _ = decode_gif_frames(encode_gif_animation(frames, PAL4))
+        assert all((a == b).all() for a, b in zip(fs, frames))
+
+    def test_single_image_reader_takes_first_frame(self):
+        from gpq_spark.pipeline.gif import decode_gif, encode_gif_animation
+
+        frames = [
+            np.full((4, 4), 1, np.uint8),
+            np.full((4, 4), 2, np.uint8),
+        ]
+        idx, _ = decode_gif(encode_gif_animation(frames, PAL4))
+        assert (idx == 1).all()
+
+    def test_mismatched_frame_size_raises(self):
+        from gpq_spark.pipeline.gif import encode_gif_animation
+
+        with pytest.raises(GifError, match="share the logical screen"):
+            encode_gif_animation(
+                [np.zeros((4, 4), np.uint8), np.zeros((3, 4), np.uint8)], PAL4
+            )
