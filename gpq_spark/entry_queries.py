@@ -23686,3 +23686,214 @@ def q_wasserstein_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w1_e6"),
         )
     )
+
+
+@register(
+    "geo_kring_smooth",
+    f"""
+    WITH pts AS (
+        SELECT (({_DJ_PX}) + 150) * 16 // 300 AS cx,
+               (({_DJ_PY}) + 80) * 16 // 160 AS cy
+        FROM customer
+    ), cells AS (
+        SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY cx, cy
+    ), offsets AS (
+        SELECT dx.d AS dx, dy.d AS dy,
+               CAST((2 - abs(dx.d)) * (2 - abs(dy.d)) AS BIGINT) AS w
+        FROM (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+    )
+    SELECT c.cx, c.cy, c.n,
+           CAST(SUM(o.w * COALESCE(nb.n, 0)) AS BIGINT) AS smooth_w16
+    FROM cells c
+    CROSS JOIN offsets o
+    LEFT JOIN cells nb ON nb.cx = c.cx + o.dx AND nb.cy = c.cy + o.dy
+    GROUP BY c.cx, c.cy, c.n
+    """,
+)
+def geo_kring_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-RING NEIGHBORHOOD SMOOTHING on the level-4 tile grid — the
+    hotspot-map primitive: each occupied cell's point count is
+    convolved with an integer 3x3 tent kernel (center 4, edge 2,
+    corner 1; absent neighbors contribute 0), giving the
+    spatially-smoothed density that raw per-cell counts are too noisy
+    to show. Exact integers throughout. Shape: one narrow groupBy onto
+    cells (the heavy step, map-side combinable), then a 9-row
+    broadcast of kernel offsets and ONE equi-join of the cell relation
+    against itself on the shifted key — cells-sized work, independent
+    of point count; the same pattern scales to any k-ring radius or
+    H3-style hex ring by swapping the offset table."""
+    cust = load(spark, sf_dir, "customer")
+    cells = (
+        cust.select(
+            F.expr(f"(({_DJ_PX}) + 150) * 16 div 300").alias("cx"),
+            F.expr(f"(({_DJ_PY}) + 80) * 16 div 160").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    offsets = spark.createDataFrame(
+        [
+            (dx, dy, (2 - abs(dx)) * (2 - abs(dy)))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ],
+        "dx long, dy long, w long",
+    )
+    nb = cells.select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+        F.col("n").alias("nn"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(offsets))
+        .join(
+            nb,
+            (F.col("nx") == F.col("cx") + F.col("dx"))
+            & (F.col("ny") == F.col("cy") + F.col("dy")),
+            "left",
+        )
+        .groupBy("cx", "cy", "n")
+        .agg(
+            F.sum(F.col("w") * F.coalesce(F.col("nn"), F.lit(0)))
+            .cast("long")
+            .alias("smooth_w16")
+        )
+    )
+
+
+@register(
+    "embed_centroid_drift",
+    """
+    WITH q AS (
+        SELECT label, t.j AS dim,
+               CAST(floor(CAST(embedding[t.j] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qv
+        FROM embeddings, range(1, 65) t(j)
+        WHERE t.j <= len(embedding)
+    ), m AS (
+        SELECT label, dim,
+               CAST(SUM(qv) // COUNT(*) AS BIGINT) AS mean_e6
+        FROM q GROUP BY label, dim
+    ), pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM(a.mean_e6 * b.mean_e6) AS BIGINT) AS dot,
+               CAST(SUM(a.mean_e6 * a.mean_e6) AS BIGINT) AS na2,
+               CAST(SUM(b.mean_e6 * b.mean_e6) AS BIGINT) AS nb2
+        FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           round(dot / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))),
+                 9) AS centroid_cos
+    FROM pairs WHERE na2 > 0 AND nb2 > 0
+    """,
+)
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-CENTROID DRIFT monitor: pairwise cosine between the
+    per-label mean vectors — the health check that catches a shifted
+    encoder, a mislabeled batch, or collapsing clusters (centroids
+    drifting together) before retrieval quality decays. Naive float
+    mean vectors are reduction-order-dependent; here every coordinate
+    quantizes to an exact e6 integer FIRST (floor of a float64 product
+    — bit-identical on any engine), per-label sums and the floored
+    mean stay integer, and only the final cosine touches doubles (two
+    IEEE-exact sqrts of ints < 2^53, rounded to 9). Shape: posexplode
+    to (label, dim) — 64 rows per vector, map-side combinable into one
+    narrow groupBy — then an all-pairs join of the tiny centroid
+    relation. Mean (not sum) centroids keep the dot products under
+    2^63 at ANY corpus size: coords ≤ 1e6, so dot ≤ dims · 1e12."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x") * 1000000).cast("long").alias("qv"),
+    )
+    m = q.groupBy("label", "dim").agg(
+        F.expr("CAST(SUM(qv) div COUNT(*) AS BIGINT)").alias("mean_e6")
+    )
+    a = m.select(
+        F.col("label").alias("label_a"), "dim",
+        F.col("mean_e6").alias("ma"),
+    )
+    b = m.select(
+        F.col("label").alias("label_b"), F.col("dim").alias("bdim"),
+        F.col("mean_e6").alias("mb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("dim") == F.col("bdim"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).cast("long").alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).cast("long").alias("na2"),
+            F.sum(F.col("mb") * F.col("mb")).cast("long").alias("nb2"),
+        )
+    )
+    return pairs.filter("na2 > 0 AND nb2 > 0").select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot")
+            / (
+                F.sqrt(F.col("na2").cast("double"))
+                * F.sqrt(F.col("nb2").cast("double"))
+            ),
+            9,
+        ).alias("centroid_cos"),
+    )
+
+
+@register(
+    "q_token_bucket_throttle",
+    """
+    WITH RECURSIVE numbered AS (
+        SELECT user_id AS k, event_id AS eid, epoch_us(ts) AS ts_us,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events
+    ),
+    rec AS (
+        SELECT k, eid, ts_us, rn,
+               CAST(5000000 - 1000000 AS BIGINT) AS balance_e6,
+               TRUE AS accepted
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT n.k, n.eid, n.ts_us, n.rn,
+               CAST(CASE WHEN least(5000000,
+                         r.balance_e6 + (n.ts_us - r.ts_us) // 600)
+                         >= 1000000
+                    THEN least(5000000,
+                         r.balance_e6 + (n.ts_us - r.ts_us) // 600) - 1000000
+                    ELSE least(5000000,
+                         r.balance_e6 + (n.ts_us - r.ts_us) // 600)
+                    END AS BIGINT),
+               least(5000000,
+                     r.balance_e6 + (n.ts_us - r.ts_us) // 600) >= 1000000
+        FROM rec r JOIN numbered n ON n.k = r.k AND n.rn = r.rn + 1
+    )
+    SELECT k AS user_id, eid AS event_id, CAST(ts_us AS BIGINT) AS ts_us,
+           balance_e6, accepted
+    FROM rec
+    """,
+)
+def q_token_bucket_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter replay (pipeline.timeseries.
+    token_bucket_audit): per user, capacity 5 tokens, one token per
+    600 us-units refill, one token per event — the exact
+    accept/throttle decision for every event, a nonlinear running
+    recurrence (min-cap feedback) that no window function expresses.
+    Per-key applyInPandas over (ts, event_id)-sorted events; the
+    oracle unrolls the identical recurrence as a recursive CTE. Exact
+    integers end to end."""
+    from .pipeline.timeseries import token_bucket_audit
+
+    ev = load_events(spark, sf_dir)
+    return token_bucket_audit(ev)

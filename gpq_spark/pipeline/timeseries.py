@@ -117,3 +117,83 @@ def lttb_downsample(
         pick, schema=f"k {ktype}, x long, y long, sel_order long"
     )
     return out.withColumnRenamed("k", key_col)
+
+
+def token_bucket_audit(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    capacity_e6: int = 5_000_000,
+    us_per_token_e6: int = 600,
+) -> DataFrame:
+    """TOKEN-BUCKET rate-limiter replay — per key, the exact
+    accept/throttle decision an API gateway would have made for every
+    event: the bucket starts full (capacity_e6, e6-scaled tokens),
+    refills continuously at 1e6/us_per_token_e6 tokens per microsecond
+    (integer floor — elapsed_us div us_per_token_e6 e6-tokens), caps at
+    capacity, and each accepted event spends 1e6. The recurrence
+    b_i = min(cap, b_{i-1} + refill) - spend is a running min/max
+    chain no window function expresses (state feeds back nonlinearly),
+    so it runs as per-key applyInPandas over (ts, id)-sorted events —
+    bounded by events-per-key, embarrassingly parallel across keys,
+    the same contract as the streaming stateful family. Output: one
+    row per event with the post-decision balance and the accept flag.
+    Exact integers end to end; an unrolled recursive-CTE oracle agrees
+    by construction."""
+    import pandas as pd
+
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(events.sparkSession)
+    # unix_micros rejects TIMESTAMP_NTZ; wall-clock diff from the epoch
+    # works for both timestamp flavors (session TZ pinned by callers)
+    epoch_lit = (
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+        if dict(events.dtypes).get(ts_col) == "timestamp_ntz"
+        else "TIMESTAMP '1970-01-01 00:00:00'"
+    )
+    slim = events.select(
+        F.col(key_col).alias("k"),
+        F.expr(
+            f"timestampdiff(MICROSECOND, {epoch_lit}, {ts_col})"
+        ).cast("long").alias("ts_us"),
+        F.col(id_col).alias("eid"),
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "eid"], kind="mergesort")
+        bal = capacity_e6
+        prev_us = None
+        out_bal, out_acc = [], []
+        for t in pdf.itertuples(index=False):
+            if prev_us is not None:
+                bal = min(
+                    capacity_e6,
+                    bal + (t.ts_us - prev_us) // us_per_token_e6,
+                )
+            prev_us = t.ts_us
+            if bal >= 1_000_000:
+                bal -= 1_000_000
+                out_acc.append(True)
+            else:
+                out_acc.append(False)
+            out_bal.append(bal)
+        pdf = pdf.copy()
+        pdf["balance_e6"] = out_bal
+        pdf["accepted"] = out_acc
+        return pdf
+
+    return (
+        slim.groupBy("k")
+        .applyInPandas(
+            run, "k long, ts_us long, eid long, balance_e6 long, accepted boolean"
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("eid").alias(id_col),
+            "ts_us",
+            "balance_e6",
+            "accepted",
+        )
+    )
