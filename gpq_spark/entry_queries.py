@@ -23897,3 +23897,138 @@ def q_token_bucket_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     return token_bucket_audit(ev)
+
+
+@register(
+    "stream_token_bucket_gate",
+    """
+    WITH RECURSIVE wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 AS w FROM events
+    ),
+    numbered AS (
+        SELECT user_id AS k, event_id AS eid, epoch_us(ts) AS ts_us,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events CROSS JOIN wm WHERE epoch_us(ts) < wm.w
+    ),
+    rec AS (
+        SELECT k, eid, ts_us, rn,
+               CAST(5000000 - 1000000 AS BIGINT) AS balance_e6,
+               TRUE AS accepted
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT n.k, n.eid, n.ts_us, n.rn,
+               CAST(CASE WHEN least(5000000,
+                         r.balance_e6 + (n.ts_us - r.ts_us) // 600)
+                         >= 1000000
+                    THEN least(5000000,
+                         r.balance_e6 + (n.ts_us - r.ts_us) // 600) - 1000000
+                    ELSE least(5000000,
+                         r.balance_e6 + (n.ts_us - r.ts_us) // 600)
+                    END AS BIGINT),
+               least(5000000,
+                     r.balance_e6 + (n.ts_us - r.ts_us) // 600) >= 1000000
+        FROM rec r JOIN numbered n ON n.k = r.k AND n.rn = r.rn + 1
+    )
+    SELECT k AS user_id, eid AS event_id, CAST(ts_us AS BIGINT) AS ts_us,
+           balance_e6, accepted
+    FROM rec
+    """,
+)
+def stream_token_bucket_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-bucket rate limiter
+    (streaming.stream_token_bucket): per-event accept/throttle
+    decisions through the min-cap refill recurrence, each emitted
+    exactly once when the watermark finalizes the event's position in
+    (ts, event_id) order — so disorder within the delay cannot flip a
+    decision. The oracle replays the identical recurrence (recursive
+    CTE) over the watermark-finalized prefix of each user's events."""
+    from .streaming.windows import stream_token_bucket as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream), "tbucket", "append")
+
+
+@register(
+    "ann_ild_diversity",
+    f"""
+    WITH qf AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 5),
+    cf AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    topk AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_cos_duck('cv', 'qv')} DESC, vec_id ASC)
+                       AS rk
+            FROM cf, qf WHERE vec_id != query_id
+        ) WHERE rk <= 10
+    ),
+    pairs AS (
+        SELECT a.query_id,
+               CAST(floor({_cos_duck('ca.cv', 'cb.cv')} * 1000000000)
+                    AS BIGINT) AS cos_e9
+        FROM topk a
+        JOIN topk b ON a.query_id = b.query_id AND a.vec_id < b.vec_id
+        JOIN cf ca ON ca.vec_id = a.vec_id
+        JOIN cf cb ON cb.vec_id = b.vec_id
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(cos_e9) AS BIGINT) AS sum_cos_e9,
+           CAST((COUNT(*) * 1000000000 - SUM(cos_e9)) // COUNT(*) AS BIGINT)
+               AS ild_e9
+    FROM pairs GROUP BY query_id
+    """,
+)
+def ann_ild_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-LIST DIVERSITY of the exact top-10 retrieval lists: mean
+    pairwise cosine DISTANCE among each query's results — the
+    recommender-quality metric that catches a retriever returning ten
+    near-copies of one item (high relevance, useless list; the metric
+    MMR-style re-rankers optimize). Each pairwise cosine is a
+    deterministic per-pair sequential fold floored to an e9 integer,
+    so the 45-pair per-query reduction is an exact integer sum —
+    order-free. Shape: the standard broadcast top-k, then a 45-row
+    per-query self-join of (query, result) pairs re-joined to vectors
+    on the corpus key — candidate-sized, not corpus-sized."""
+    from .pipeline.similarity import brute_force_topk, cosine_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "query_id", k=10
+    ).select("query_id", "vec_id")
+    a = topk.select("query_id", F.col("vec_id").alias("va"))
+    b = topk.select(
+        F.col("query_id").alias("qb"), F.col("vec_id").alias("vb")
+    )
+    ca = emb.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").cast("array<double>").alias("ea"),
+    )
+    cb = emb.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").cast("array<double>").alias("eb"),
+    )
+    pairs = (
+        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("va") < F.col("vb")))
+        .join(ca, "va")
+        .join(cb, "vb")
+        .select(
+            "query_id",
+            F.floor(cosine_expr("ea", "eb") * 1000000000)
+            .cast("long")
+            .alias("cos_e9"),
+        )
+    )
+    return pairs.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("cos_e9").cast("long").alias("sum_cos_e9"),
+        F.expr(
+            "CAST((COUNT(*) * 1000000000 - SUM(cos_e9)) div COUNT(*)"
+            " AS BIGINT)"
+        ).alias("ild_e9"),
+    )

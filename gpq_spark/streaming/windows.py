@@ -2532,3 +2532,99 @@ def stream_slo_burn(
         )
     )
     return raw
+
+
+TBUCKET_RAW_SCHEMA = (
+    "user_id long, event_id long, ts_us long, balance_e6 long,"
+    " accepted boolean"
+)
+TBUCKET_STATE_SCHEMA = (
+    "p_ts array<long>, p_id array<long>, balance_e6 long, last_us long"
+)
+
+
+def _token_bucket_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming token bucket (see ``stream_token_bucket``): events
+    buffer until the watermark passes them, then replay in strict
+    (ts, event_id) order through the min-cap refill recurrence —
+    arrival order across micro-batches cannot flip any accept/throttle
+    decision, because a decision only emits once its position in the
+    event-time order is final."""
+    cap, per_tok = 5_000_000, 600
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    if state.exists:
+        p_ts, p_id, bal, last_us = state.get
+        pend = list(zip(p_ts, p_id))
+        bal, last_us = int(bal), int(last_us)
+    else:
+        pend, bal, last_us = [], cap, -1
+
+    for pdf in pdfs:
+        pend.extend(
+            (int(t), int(i)) for t, i in zip(pdf["ts_us"], pdf["event_id"])
+        )
+
+    ready = sorted(
+        (r for r in pend if r[0] < wm_us), key=lambda r: (r[0], r[1])
+    )
+    pend = [r for r in pend if r[0] >= wm_us]
+
+    out = []
+    for ts_us, eid in ready:
+        if last_us >= 0:
+            bal = min(cap, bal + (ts_us - last_us) // per_tok)
+        last_us = ts_us
+        acc = bal >= 1_000_000
+        if acc:
+            bal -= 1_000_000
+        out.append((key[0], eid, ts_us, bal, acc))
+
+    state.update(
+        ([r[0] for r in pend], [r[1] for r in pend], bal, last_us)
+    )
+    if pend:
+        state.setTimeoutTimestamp(
+            max(min(r[0] for r in pend) // 1000 + 1, wm_us // 1000 + 1)
+        )
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "event_id", "ts_us", "balance_e6", "accepted"],
+        )
+
+
+def stream_token_bucket(
+    stream: DataFrame,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming TOKEN-BUCKET rate limiter — the stateful twin of
+    pipeline.timeseries.token_bucket_audit (capacity 5e6, one e6-token
+    per 600 elapsed microsecond-units, 1e6 per event): every
+    watermark-finalized event emits its exact accept/throttle decision
+    and post-decision balance. The recurrence is nonlinear (min-cap
+    feedback), so decisions are order-critical: in-watermark events
+    buffer in state and replay in (ts, event_id) order once final,
+    making the stream bit-identical to the batch replay on the
+    finalized prefix. Bounded state: one watermark-delay of (ts, id)
+    pairs plus two 64-bit registers per key."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _token_bucket_fn,
+            outputStructType=TBUCKET_RAW_SCHEMA,
+            stateStructType=TBUCKET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw.select("user_id", "event_id", "ts_us", "balance_e6", "accepted")

@@ -2356,3 +2356,55 @@ class TestStreamSloBurn:
             ("api", h0 + 3, 1, 1, 1000000, 2, 5, 400000, True),
         ]
         assert got == want
+
+
+class TestStreamTokenBucket:
+    def test_disorder_cannot_flip_decisions(self, spark, tmp_path):
+        """Six events one second apart drain the bucket so the SIXTH is
+        throttled. The sixth arrives FIRST — naive arrival-order
+        processing would accept it from a full bucket; event-time
+        replay must throttle it. Exact hand-computed balances
+        (cap 5e6, refill 1_000_000 us div 600 = 1666/s, spend 1e6)."""
+        import datetime as dt
+
+        from gpq_spark.streaming.windows import stream_token_bucket
+
+        t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+        def ev(eid, sec, uid=1):
+            return (
+                eid,
+                t0 + dt.timedelta(seconds=sec),
+                uid,
+                "hit",
+                1.0,
+                "{}",
+            )
+
+        batches = [
+            [ev(6, 5), ev(2, 1)],
+            [ev(1, 0), ev(3, 2), ev(4, 3), ev(5, 4)],
+            [ev(99, 40000, uid=2)],  # sentinel advances the watermark
+        ]
+        d = tmp_path / "tb_ooo"
+        src_schema = _write_ooo_files(spark, d, batches)
+        from gpq_spark.streaming import stream_events
+
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        got = sorted(
+            (r["event_id"], r["balance_e6"], r["accepted"])
+            for r in _drain_ooo(
+                spark, stream_token_bucket(stream), "tb_ooo"
+            ).collect()
+            if r["user_id"] == 1
+        )
+        assert got == [
+            (1, 4_000_000, True),
+            (2, 3_001_666, True),
+            (3, 2_003_332, True),
+            (4, 1_004_998, True),
+            (5, 6_664, True),
+            (6, 8_330, False),
+        ]
