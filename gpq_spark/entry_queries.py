@@ -24032,3 +24032,256 @@ def ann_ild_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("ild_e9"),
     )
+
+
+@register(
+    "q_overdispersion_daily",
+    """
+    WITH daily AS (
+        SELECT user_id % 10 AS cohort,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           -- dispersion index D = var/mean as an exact e6 integer:
+           -- (n·Σx² − (Σx)²) · 1e6 div ((n−1) · Σx)
+           CAST((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * 1000000
+                // ((COUNT(*) - 1) * SUM(x)) AS BIGINT) AS dispersion_e6
+    FROM daily GROUP BY cohort
+    HAVING COUNT(*) > 1 AND SUM(x) > 0
+    """,
+)
+def q_overdispersion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERDISPERSION check on daily event counts per cohort — the
+    variance-to-mean (Fano) index that decides Poisson vs negative-
+    binomial modeling (D ~ 1e6 means Poisson-like; D >> 1e6 means
+    burstiness a Poisson alert threshold would false-alarm on). The
+    sample-variance numerator n·Σx² − (Σx)² and the mean stay exact
+    integers; one e6 floor-div at the end. Bound: n·Σx² with daily
+    counts c and d days per cohort is d²·c² ≈ (Σx)² — safe while
+    Σx < 3e6 per cohort (rescale or sub-stratify beyond). Shape: two
+    narrow groupBys (events → per-day counts → per-cohort moments),
+    both map-side combinable."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        (F.col("user_id") % 10).alias("cohort"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return (
+        daily.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.expr(
+                "CAST((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * 1000000"
+                " div ((COUNT(*) - 1) * SUM(x)) AS BIGINT)"
+            ).alias("dispersion_e6"),
+        )
+        .filter("n > 1 AND sx > 0")
+        .select(
+            F.col("cohort").cast("long").alias("cohort"),
+            "n", "sx", "sxx", "dispersion_e6",
+        )
+    )
+
+
+@register(
+    "q_cem_att",
+    f"""
+    WITH units AS (
+        SELECT c.c_custkey,
+               c.c_nationkey AS nat,
+               CAST({cents('c.c_acctbal')} * 5 // 1100001 AS BIGINT) AS baldec,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '1-URGENT'
+               ) THEN 1 ELSE 0 END AS treated,
+               (SELECT CAST(COALESCE(SUM({cents('o2.o_totalprice')}), 0)
+                       AS BIGINT)
+                FROM orders o2 WHERE o2.o_custkey = c.c_custkey) AS y
+        FROM customer c
+    ), strata AS (
+        SELECT nat, baldec,
+               CAST(SUM(treated) AS BIGINT) AS nt,
+               CAST(SUM(1 - treated) AS BIGINT) AS nc,
+               CAST(SUM(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS yt,
+               CAST(SUM(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS yc
+        FROM units GROUP BY nat, baldec
+    ), matched AS (SELECT * FROM strata WHERE nt > 0 AND nc > 0)
+    SELECT CAST(SUM(nt) AS BIGINT) AS n_treated_matched,
+           CAST(COUNT(*) AS BIGINT) AS n_strata,
+           -- ATT = Σ_s nt_s · (ȳt_s − ȳc_s) / Σ_s nt_s, exact e2 cents
+           -- via per-stratum integer means (floor) then one floor-div
+           CAST(SUM(nt * (yt // nt - yc // nc)) // SUM(nt) AS BIGINT)
+               AS att_cents
+    FROM matched
+    """,
+)
+def q_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COARSENED EXACT MATCHING average-treatment-effect-on-treated:
+    does placing an URGENT order (treatment) associate with higher
+    total spend, after matching customers on nation × balance-decile
+    strata and DISCARDING strata without both treated and control
+    units — the model-free causal-adjustment design (no fitted
+    propensity, so it stays exact-integer and oracle-able). Per-stratum
+    floored means keep everything integer; the ATT is the
+    treated-count-weighted mean of stratum effects. Shape: one
+    customers scan, one orders semi-aggregate join (per-customer spend
+    + treatment flag via grouped agg, no correlated subquery at
+    execution — Spark decorrelates to joins), one stratum groupBy, one
+    combine."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("treated"),
+        F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("y"),
+    )
+    units = (
+        cust.join(per_cust, cust.c_custkey == F.col("k"), "left")
+        .select(
+            F.col("c_nationkey").alias("nat"),
+            F.expr(f"CAST({cents('c_acctbal')} * 5 div 1100001 AS BIGINT)")
+            .alias("baldec"),
+            F.coalesce("treated", F.lit(0)).alias("treated"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    strata = units.groupBy("nat", "baldec").agg(
+        F.sum("treated").cast("long").alias("nt"),
+        F.sum(1 - F.col("treated")).cast("long").alias("nc"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("yt"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("yc"),
+    )
+    matched = strata.filter("nt > 0 AND nc > 0")
+    return matched.agg(
+        F.sum("nt").cast("long").alias("n_treated_matched"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.expr(
+            "CAST(SUM(nt * (yt div nt - yc div nc)) div SUM(nt) AS BIGINT)"
+        ).alias("att_cents"),
+    )
+
+
+@register(
+    "q_iv_wald",
+    f"""
+    WITH u AS (
+        SELECT o_custkey % 2 AS z,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(z * x) AS BIGINT) AS szx,
+               CAST(SUM(z * y) AS BIGINT) AS szy
+        FROM u
+    )
+    SELECT n,
+           CAST(n * szy - sz * sy AS BIGINT) AS cov_zy_scaled,
+           CAST(n * szx - sz * sx AS BIGINT) AS cov_zx_scaled,
+           CAST((n * szy - sz * sy) * 100 // (n * szx - sz * sx) AS BIGINT)
+               AS wald_cents_per_order_e2
+    FROM s WHERE n * szx - sz * sx != 0
+    """,
+)
+def q_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSTRUMENTAL-VARIABLE Wald estimator: effect of order count (x,
+    the endogenous exposure) on customer spend (y) using a binary
+    instrument z (customer-key parity stands in for a real encouragement
+    instrument): β_IV = Cov(z,y)/Cov(z,x). Both covariances stay as
+    EXACT scaled integers (n·Σzy − Σz·Σy — never divided by n), and the
+    estimate is one floor-div, so the gate hashes the numerator and
+    denominator separately too (the honest way to report a ratio
+    estimator: a weak instrument shows up as a tiny denominator, not a
+    silently unstable quotient). Shape: one per-customer groupBy, one
+    global combine — two narrow shuffles."""
+    orders = load(spark, sf_dir, "orders")
+    u = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("y"),
+    ).select(
+        (F.col("o_custkey") % 2).alias("z"), "x", "y"
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("z") * F.col("x")).cast("long").alias("szx"),
+        F.sum(F.col("z") * F.col("y")).cast("long").alias("szy"),
+    )
+    return s.filter("n * szx - sz * sx != 0").select(
+        "n",
+        (F.col("n") * F.col("szy") - F.col("sz") * F.col("sy"))
+        .cast("long")
+        .alias("cov_zy_scaled"),
+        (F.col("n") * F.col("szx") - F.col("sz") * F.col("sx"))
+        .cast("long")
+        .alias("cov_zx_scaled"),
+        F.expr(
+            "CAST((n * szy - sz * sy) * 100 div (n * szx - sz * sx)"
+            " AS BIGINT)"
+        ).alias("wald_cents_per_order_e2"),
+    )
+
+
+@register(
+    "q_range_frame_revenue",
+    f"""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+                   AS day,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    )
+    SELECT day, v,
+           CAST(SUM(v) OVER (ORDER BY day
+                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+               AS v_7d_range,
+           CAST(COUNT(*) OVER (ORDER BY day
+                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+               AS n_days_present
+    FROM daily
+    """,
+)
+def q_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed moving revenue: ±3 VALUE-distance days around each
+    day — the frame type that differs from ROWS exactly when the date
+    series has gaps (a ROWS frame would reach across a gap and sum the
+    wrong week; RANGE bounds by the day-key value itself). Engines
+    disagree on RANGE frames surprisingly often, so the gate pins both
+    the windowed sum and the per-frame presence count. Shape: one
+    narrow per-day groupBy, then one ordered window over the per-DAY
+    aggregate — days-sized, not orders-sized."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("day")
+    ).agg(F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("v"))
+    w = Window.orderBy("day").rangeBetween(-3, 3)
+    return daily.select(
+        "day",
+        "v",
+        F.sum("v").over(w).cast("long").alias("v_7d_range"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days_present"),
+    )
