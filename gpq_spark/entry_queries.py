@@ -24285,3 +24285,158 @@ def q_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").over(w).cast("long").alias("v_7d_range"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_days_present"),
     )
+
+
+_BITEMP_DUCK = f"""
+    versions AS (
+        -- bitemporal synthesis: every order's state is VALID for 30
+        -- days from its order date; every 3rd order got a retroactive
+        -- +5% price correction RECORDED 10 days after the order date
+        SELECT o_orderkey AS k,
+               o_orderdate AS valid_from,
+               o_orderdate + INTERVAL 30 DAY AS valid_to,
+               o_orderdate AS tx_from,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN o_orderdate + INTERVAL 10 DAY
+                    ELSE TIMESTAMP '9999-01-01 00:00:00' END AS tx_to,
+               {cents('o_totalprice')} AS price_cents
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey,
+               o_orderdate,
+               o_orderdate + INTERVAL 30 DAY,
+               o_orderdate + INTERVAL 10 DAY,
+               TIMESTAMP '9999-01-01 00:00:00',
+               {cents('o_totalprice')} * 105 // 100
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+"""
+
+
+@register(
+    "q_bitemporal_asof",
+    f"""
+    WITH {_BITEMP_DUCK},
+    snaps AS (
+        SELECT TIMESTAMP '1996-06-15 00:00:00' AS v,
+               TIMESTAMP '1996-06-20 00:00:00' AS t, 'early' AS as_known
+        UNION ALL
+        SELECT TIMESTAMP '1996-06-15 00:00:00',
+               TIMESTAMP '1996-07-20 00:00:00', 'late'
+    )
+    SELECT s.as_known,
+           CAST(COUNT(*) AS BIGINT) AS n_valid,
+           CAST(SUM(ver.price_cents) AS BIGINT) AS sum_cents
+    FROM versions ver JOIN snaps s
+      ON ver.valid_from <= s.v AND s.v < ver.valid_to
+     AND ver.tx_from <= s.t AND s.t < ver.tx_to
+    GROUP BY s.as_known
+    """,
+)
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL AS-OF query — the two-clock lakehouse read: "the
+    state VALID on June 15, as the system KNEW it on June 20 vs July
+    20". Valid time and transaction time are independent axes: the
+    late snapshot sees the retroactive +5% corrections (recorded 10
+    days after each order) applied to the SAME valid-time slice, so
+    the two sums differ while the row counts agree — exactly the audit
+    a regulator or a training-data reproducibility check needs. Pure
+    interval-containment filters against a versions relation (SCD2
+    with a second, transaction-time pair); no window functions, fully
+    pushdown-friendly. The versions are synthesized deterministically
+    from orders on both engines."""
+    orders = load(spark, sf_dir, "orders")
+    far = F.lit("9999-01-01 00:00:00").cast("timestamp_ntz")
+    od = F.col("o_orderdate")
+    base = orders.select(
+        od.alias("valid_from"),
+        (od + F.expr("INTERVAL 30 DAY")).alias("valid_to"),
+        od.alias("tx_from"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, od + F.expr("INTERVAL 10 DAY")
+        ).otherwise(far).alias("tx_to"),
+        F.expr(cents("o_totalprice")).alias("price_cents"),
+    )
+    corrected = orders.filter("o_orderkey % 3 = 0").select(
+        od.alias("valid_from"),
+        (od + F.expr("INTERVAL 30 DAY")).alias("valid_to"),
+        (od + F.expr("INTERVAL 10 DAY")).alias("tx_from"),
+        far.alias("tx_to"),
+        F.expr(f"{cents('o_totalprice')} * 105 div 100").alias("price_cents"),
+    )
+    versions = base.unionByName(corrected)
+    snaps = spark.createDataFrame(
+        [
+            ("1996-06-15 00:00:00", "1996-06-20 00:00:00", "early"),
+            ("1996-06-15 00:00:00", "1996-07-20 00:00:00", "late"),
+        ],
+        "v string, t string, as_known string",
+    ).select(
+        F.col("v").cast("timestamp_ntz").alias("v"),
+        F.col("t").cast("timestamp_ntz").alias("t"),
+        "as_known",
+    )
+    return (
+        versions.crossJoin(F.broadcast(snaps))
+        .filter(
+            (F.col("valid_from") <= F.col("v"))
+            & (F.col("v") < F.col("valid_to"))
+            & (F.col("tx_from") <= F.col("t"))
+            & (F.col("t") < F.col("tx_to"))
+        )
+        .groupBy("as_known")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_valid"),
+            F.sum("price_cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+@register(
+    "er_levenshtein_pairs",
+    """
+    WITH c AS (
+        SELECT c_custkey AS k, c_name AS name,
+               substr(c_name, 1, 15) AS blk
+        FROM customer WHERE c_custkey % 4 = 0
+    )
+    SELECT a.k AS id_a, b.k AS id_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+    FROM c a JOIN c b ON a.blk = b.blk AND a.k < b.k
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def er_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution confirm stage on the engines' NATIVE
+    Levenshtein implementations: blocked candidate pairs (shared
+    15-char prefix — the digits tail is where synthetic names vary)
+    confirmed at full edit distance <= 2. Unlike the suite's existing
+    edit-distance-1 deletion-neighborhood (which sidesteps the DP
+    entirely), this gates that Spark's and DuckDB's built-in DP
+    matrices agree cell-for-cell on real pairs — the cheap confirm
+    path a pipeline takes when candidates are already blocked. Shape:
+    one equi-join on the block key; pair count is sum of block-size
+    squares, the standard blocked-ER cost (the deletion-neighborhood
+    query remains the scale path for unblocked corpora)."""
+    cust = load(spark, sf_dir, "customer")
+    c = cust.filter("c_custkey % 4 = 0").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.substring("c_name", 1, 15).alias("blk"),
+    )
+    a = c.select(
+        F.col("k").alias("id_a"), F.col("name").alias("na"), "blk"
+    )
+    b = c.select(
+        F.col("k").alias("id_b"), F.col("name").alias("nb"),
+        F.col("blk").alias("blk_b"),
+    )
+    return (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("na", "nb").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
