@@ -24440,3 +24440,78 @@ def er_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 2)
     )
+
+
+@register(
+    "text_rag_chunks",
+    """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS ws
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, g AS chunk_id,
+               g * 30 AS tok_start,
+               least(g * 30 + 40, len(ws)) AS tok_end,
+               array_to_string(ws[g * 30 + 1 : g * 30 + 40], ' ') AS chunk
+        FROM words,
+             unnest(generate_series(0,
+                 CAST(greatest((len(ws) - 11) // 30, 0) AS BIGINT))) AS gs(g)
+        WHERE len(ws) > 0
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(tok_end AS BIGINT) AS tok_end,
+           chunk,
+           md5(chunk) AS chunk_hash
+    FROM chunks
+    """,
+)
+def text_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG INGESTION CHUNKER: overlapping token windows (40 tokens,
+    stride 30 — 10-token overlap so no retrieval-relevant span is cut
+    at a boundary) with full provenance (doc_id, chunk ordinal, token
+    offsets) and a content hash for downstream dedup/caching — the
+    exact shape a vector store ingests. Trailing windows shorter than
+    the overlap are merged into their predecessor (the last chunk
+    starts at the final stride whose remainder exceeds 10 tokens),
+    so no token is dropped and no sub-overlap fragment is emitted.
+    Everything is codegen array arithmetic (split, slice, array_join)
+    — one scan, zero shuffles, embarrassingly parallel; chunk count
+    ~= tokens/30, the same output scale class as tokenization
+    itself."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        ).alias("ws"),
+    ).filter(F.size("ws") > 0)
+    chunks = words.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    ((F.size("ws") - 11) / F.lit(30)).cast("long"),
+                    F.lit(0).cast("long"),
+                ),
+            )
+        ).alias("g"),
+        F.col("ws"),
+    )
+    chunk = F.array_join(
+        F.slice(F.col("ws"), F.col("g").cast("int") * 30 + 1, 40), " "
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("g").cast("long").alias("chunk_id"),
+        (F.col("g") * 30).cast("long").alias("tok_start"),
+        F.least(
+            F.col("g").cast("long") * 30 + 40, F.size("ws").cast("long")
+        ).alias("tok_end"),
+        chunk.alias("chunk"),
+        F.md5(chunk).alias("chunk_hash"),
+    )
