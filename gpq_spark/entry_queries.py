@@ -24515,3 +24515,108 @@ def text_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.alias("chunk"),
         F.md5(chunk).alias("chunk_hash"),
     )
+
+
+@register(
+    "stream_session_paths_gate",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, event_id, event_type, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ), sess AS (
+        SELECT user_id, event_id, event_type, tus,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM numbered
+    )
+    SELECT user_id,
+           CAST(MIN(tus) AS BIGINT) AS start_us,
+           CAST(MAX(tus) AS BIGINT) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_paths_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session-path extraction under the DISORDERED replay
+    (streaming.stream_session_paths): each closed gap-session emits
+    its ordered '>'-joined event-type journey — the Sankey/Markov
+    ingestion shape — reconstructed exactly despite the later half of
+    history arriving first. The final watermark passes every event
+    plus the gap, so every session closes and the oracle is the full
+    batch sessionization with an ordered string_agg; a single step out
+    of order anywhere breaks the path hash."""
+    from .streaming.windows import stream_session_paths as _op
+
+    stream = _events_ooo_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream, watermark_delay=_OOO_DELAY), "spath", "append")
+
+
+@register(
+    "q_explode_outer_semantics",
+    """
+    WITH src AS (
+        SELECT n_nationkey AS k, n_nationkey % 4 AS bucket,
+               CASE n_nationkey % 4
+                   WHEN 0 THEN [n_nationkey, n_nationkey + 1]
+                   WHEN 1 THEN []
+                   WHEN 2 THEN NULL
+                   ELSE [n_nationkey, NULL]
+               END AS arr
+        FROM nation
+    ), ex AS (
+        SELECT bucket, u.v
+        FROM src,
+             unnest(CASE WHEN arr IS NULL OR len(arr) = 0
+                         THEN [NULL] ELSE arr END) AS u(v)
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_vals,
+           CAST(COALESCE(SUM(v), 0) AS BIGINT) AS sum_vals
+    FROM ex GROUP BY bucket
+    """,
+)
+def q_explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER-EXPLODE NULL-semantics battery — the lateral-unnest edge
+    cases engines disagree on: a normal array, an EMPTY array, a NULL
+    array, and an array CONTAINING NULL, each outer-exploded. Spark's
+    explode_outer keeps the parent row with a NULL element for
+    empty/NULL arrays (an inner explode silently drops it — the
+    classic lost-rows bug in flattening pipelines); the oracle spells
+    the same semantics with an explicit [NULL] substitution, pinning
+    row counts, NULL-element counts, and sums per case. One tiny scan,
+    codegen only."""
+    nation = load(spark, sf_dir, "nation")
+    src = nation.select(
+        (F.col("n_nationkey") % 4).alias("bucket"),
+        F.when(
+            F.col("n_nationkey") % 4 == 0,
+            F.array(F.col("n_nationkey"), F.col("n_nationkey") + 1),
+        )
+        .when(F.col("n_nationkey") % 4 == 1, F.array().cast("array<long>"))
+        .when(F.col("n_nationkey") % 4 == 2, F.lit(None).cast("array<long>"))
+        .otherwise(
+            F.array(F.col("n_nationkey"), F.lit(None).cast("long"))
+        )
+        .alias("arr"),
+    )
+    ex = src.select("bucket", F.explode_outer("arr").alias("v"))
+    return ex.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_vals"),
+        F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("sum_vals"),
+    ).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_rows", "n_null_vals", "sum_vals",
+    )

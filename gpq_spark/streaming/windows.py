@@ -2628,3 +2628,120 @@ def stream_token_bucket(
         )
     )
     return raw.select("user_id", "event_id", "ts_us", "balance_e6", "accepted")
+
+
+SPATH_RAW_SCHEMA = (
+    "user_id long, start_us long, end_us long, n_events long, path string"
+)
+SPATH_STATE_SCHEMA = (
+    "p_ts array<long>, p_id array<long>, p_ty array<string>,"
+    " start long, last long, seq array<string>"
+)
+
+
+def _session_paths_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap-sessionization that carries the ORDERED EVENT-TYPE PATH (see
+    ``stream_session_paths``): same buffered out-of-order contract as
+    ``_session_ooo_fn``, with the open session's step sequence held in
+    state and emitted as one '>'-joined string when the watermark
+    closes the session."""
+    gap_us = 30 * 60 * 1_000_000
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_us = wm_ms * 1000
+
+    if state.exists:
+        p_ts, p_id, p_ty, start, last, seq = state.get
+        pend = list(zip(p_ts, p_id, p_ty))
+        seq = list(seq)
+    else:
+        pend, start, last, seq = [], None, None, []
+
+    for pdf in pdfs:
+        pend.extend(
+            (int(t), int(i), str(e))
+            for t, i, e in zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"])
+        )
+
+    ready = sorted(
+        (r for r in pend if r[0] < wm_us), key=lambda r: (r[0], r[1])
+    )
+    pend = [r for r in pend if r[0] >= wm_us]
+
+    closed = []
+    for t, _i, ty in ready:
+        if start is None:
+            start, last, seq = t, t, [ty]
+        elif t - last > gap_us:
+            closed.append((start, last, len(seq), ">".join(seq)))
+            start, last, seq = t, t, [ty]
+        else:
+            last = t
+            seq.append(ty)
+
+    if start is not None and wm_us > last + gap_us:
+        closed.append((start, last, len(seq), ">".join(seq)))
+        start, last, seq = None, None, []
+
+    if start is None and not pend:
+        if state.exists:
+            state.remove()
+    else:
+        state.update(
+            (
+                [r[0] for r in pend],
+                [r[1] for r in pend],
+                [r[2] for r in pend],
+                start,
+                last,
+                seq,
+            )
+        )
+        wake_us = last + gap_us if start is not None else None
+        if pend:
+            mp = min(r[0] for r in pend)
+            wake_us = mp if wake_us is None else min(wake_us, mp)
+        state.setTimeoutTimestamp(max(wake_us // 1000 + 1, wm_ms + 1))
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "start_us": [s for s, _, _, _ in closed],
+                "end_us": [e for _, e, _, _ in closed],
+                "n_events": [n for _, _, n, _ in closed],
+                "path": [p for _, _, _, p in closed],
+            }
+        )
+
+
+def stream_session_paths(
+    stream: DataFrame, watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Session PATH extraction — ``stateful_sessionize_ooo`` upgraded
+    to carry each closed session's ordered event-type sequence as a
+    '>'-joined string (the clickstream-journey shape Sankey diagrams
+    and Markov path models ingest). Buffered out-of-order contract:
+    events replay in (ts, event_id) order once the watermark passes
+    them, so arrival order cannot reorder a path's steps. State is the
+    pending in-watermark buffer plus the open session's step list —
+    bounded by events-per-session."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_paths_fn,
+            outputStructType=SPATH_RAW_SCHEMA,
+            stateStructType=SPATH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw.select("user_id", "start_us", "end_us", "n_events", "path")
