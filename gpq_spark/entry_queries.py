@@ -24620,3 +24620,88 @@ def q_explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("bucket"),
         "n_rows", "n_null_vals", "sum_vals",
     )
+
+
+def _dft8_terms() -> tuple[str, str]:
+    """8-point DFT per-bin power as ONE row-level expression pair
+    (re_k, im_k) with literal twiddle factors — identical text on both
+    engines, so the float arithmetic (fixed left-associated order) is
+    bit-identical. s{p} placeholders are the frame's 8 samples."""
+    import math
+
+    res, ims = [], []
+    for k in range(5):  # real input: bins 0..4 carry the full spectrum
+        re = " + ".join(
+            f"s{p} * ({math.cos(2 * math.pi * k * p / 8)!r})"
+            for p in range(8)
+        )
+        im = " + ".join(
+            f"s{p} * ({-math.sin(2 * math.pi * k * p / 8)!r})"
+            for p in range(8)
+        )
+        res.append(re)
+        ims.append(im)
+    return res, ims
+
+
+def _dft8_items(sample: str) -> list[str]:
+    """Per-bin SELECT items computing DFT power from sample expression
+    template ``sample`` (with {p} the in-frame phase)."""
+    res, ims = _dft8_terms()
+    subs = {f"s{p}": f"({sample.format(p=p)})" for p in range(8)}
+    items = []
+    for k in range(5):
+        re, im = res[k], ims[k]
+        for p in range(8):
+            re = re.replace(f"s{p} ", f"{subs[f's{p}']} ")
+            im = im.replace(f"s{p} ", f"{subs[f's{p}']} ")
+        items.append(f"round(({re}) * ({re}) + ({im}) * ({im}), 6) AS power_{k}")
+    return items
+
+
+_DFT_SAMPLE = (
+    "CAST((doc_id * 31 + (frame * 8 + {p}) * 17) % 65536 - 32768 AS DOUBLE)"
+)
+
+
+@register(
+    "q_audio_dft8_spectrum",
+    f"""
+    WITH d AS (
+        SELECT doc_id, (400 + doc_id % 37) // 8 AS n_frames
+        FROM documents WHERE doc_id < 50
+    ), frames AS (
+        SELECT doc_id, f.f AS frame
+        FROM d, range(0, 55) f(f) WHERE f.f < n_frames
+    )
+    SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+           {', '.join(_dft8_items(_DFT_SAMPLE))}
+    FROM frames
+    """,
+)
+def q_audio_dft8_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-point DFT POWER SPECTRUM over the synthetic PCM streams — a
+    real spectral audio feature (per-frame energy in 5 bins, the
+    front-end of VAD / genre / speech-quality heuristics) computed
+    bit-identically on both engines WITHOUT an FFT library: each bin's
+    (re, im) is one fixed, left-associated 8-term expression with
+    literal twiddle factors, so there is no row-order-dependent float
+    reduction anywhere — the only sums are inside a single row's
+    expression tree. Samples come from the same closed form the WAV
+    codec queries encode, frames are a sequence explode (codegen),
+    and the whole thing is scan → explode → project: zero shuffles,
+    zero UDFs, embarrassingly parallel at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.filter("doc_id < 50").select(
+        "doc_id",
+        F.expr("(400 + doc_id % 37) div 8").alias("n_frames"),
+    )
+    frames = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame"),
+    )
+    return frames.selectExpr(
+        "doc_id",
+        "CAST(frame AS BIGINT) AS frame",
+        *_dft8_items(_DFT_SAMPLE),
+    )

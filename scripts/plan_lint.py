@@ -32,6 +32,8 @@ PYTHON_ALLOWED_PREFIXES = (
     "q_lttb_downsample",  # Arrow-batched per-series LTTB pick (sequential by definition)
     "q_isotonic_fit",  # Arrow-batched per-series PAVA (merge cascade is sequential)
     "geo_",  # numpy-vectorized WKB kernel (geoparquet/stats.py), Arrow-batched
+    "gif_",  # REAL GIF LZW codec round-trip/frame kernels (pipeline/gif.py)
+    "q_token_bucket",  # per-key min-cap recurrence (applyInPandas by design)
 )
 
 # deliberate bounded quadratics, each with its own plan-audit test
