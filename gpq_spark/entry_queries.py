@@ -24705,3 +24705,268 @@ def q_audio_dft8_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(frame AS BIGINT) AS frame",
         *_dft8_items(_DFT_SAMPLE),
     )
+
+
+@register(
+    "q_scd2_temporal_join",
+    f"""
+    WITH m AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER w AS prev,
+                      lag(ts) OVER w AS prev_ts
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    k AS (SELECT user_id, event_type, ts, event_id FROM m
+          WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type),
+    dim AS (
+        SELECT user_id, event_type AS state,
+               epoch_us(ts) AS vf_us,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)) AS vt_us
+        FROM k
+    ),
+    facts AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+               {cents('value')} AS cents
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT d.state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(f.cents) AS BIGINT) AS revenue_cents
+    FROM facts f JOIN dim d
+      ON f.user_id = d.user_id
+     AND d.vf_us < f.tus AND (d.vt_us IS NULL OR f.tus <= d.vt_us)
+    GROUP BY d.state
+    """,
+)
+def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME DIMENSION JOIN — facts against an SCD2 dimension
+    AS OF each fact's own event time (the dbt "snapshot join" / Kimball
+    type-2 lookup): every purchase resolves the user-state VERSION
+    that was in force STRICTLY BEFORE the purchase instant — left-open
+    so the purchase's own change-point version doesn't swallow every
+    row, right-CLOSED so a version ending exactly at the purchase (the
+    purchase triggered the change) still resolves to the prior state —
+    then
+    revenue rolls up by that historical state — the query that goes
+    wrong whenever a pipeline joins facts to the CURRENT dimension row
+    and silently rewrites history. The interval predicate rides the
+    user_id equi-join (co-partitioned; the non-equi residual evaluates
+    within the hash match, never a range-scan product). Dim built by
+    relational.scd2_from_changelog on one (user, time) shuffle."""
+    from .relational import epoch_micros, scd2_from_changelog
+
+    ev = load_events(spark, sf_dir)
+    d = scd2_from_changelog(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    )
+    dim = d.select(
+        F.col("user_id").alias("du"),
+        F.col("event_type").alias("state"),
+        epoch_micros(d, "valid_from").cast("long").alias("vf_us"),
+        epoch_micros(d, "valid_to").cast("long").alias("vt_us"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        epoch_micros(ev, "ts").cast("long").alias("tus"),
+        F.expr(cents("value")).alias("cents"),
+    )
+    return (
+        facts.join(
+            dim,
+            (F.col("user_id") == F.col("du"))
+            & (F.col("vf_us") < F.col("tus"))
+            & (F.col("vt_us").isNull() | (F.col("tus") <= F.col("vt_us"))),
+        )
+        .groupBy("state")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+# Poisson(1) CDF at the 48-bit uniform scale: floor(P(X<=k) * 2^48),
+# k = 0..5 (P(X<=5) leaves ~2e-4 mass at w=6, the cap)
+_POIS1_T = [
+    103548857136060,
+    207097714272121,
+    258872142840152,
+    276130285696162,
+    280444821410164,
+    281307728552965,
+]
+
+
+def _pois1_weight(u48: str) -> str:
+    """Inverse-CDF Poisson(1) draw from a 48-bit uniform — identical
+    CASE text on both engines."""
+    branches = " ".join(
+        f"WHEN {u48} < {t} THEN {k}" for k, t in enumerate(_POIS1_T)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+_BOOT_U48_SPARK = (
+    "CAST(conv(substr(md5(concat('boot|', CAST(b AS STRING), '|',"
+    " CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+)
+_BOOT_U48_DUCK = (
+    "CAST('0x' || substr(md5('boot|' || CAST(b AS VARCHAR) || '|'"
+    " || CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT)"
+)
+
+
+@register(
+    "q_bootstrap_ci_mean",
+    f"""
+    WITH reps AS (
+        SELECT o_orderkey, {cents('o_totalprice')} AS x, b.b AS b,
+               {_pois1_weight(_BOOT_U48_DUCK)} AS w
+        FROM orders, range(0, 32) b(b)
+    ), means AS (
+        SELECT b, CAST(SUM(w * x) // SUM(w) AS BIGINT) AS mean_cents
+        FROM reps GROUP BY b HAVING SUM(w) > 0
+    ), ranked AS (
+        SELECT mean_cents,
+               row_number() OVER (ORDER BY mean_cents, b) AS rk,
+               COUNT(*) OVER () AS nb
+        FROM means
+    )
+    SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM({cents('o_totalprice')}) // COUNT(*)
+                 FROM orders) AS BIGINT) AS sample_mean_cents,
+           CAST(MAX(CASE WHEN rk = 2 THEN mean_cents END) AS BIGINT)
+               AS ci_lo_cents,
+           CAST(MAX(CASE WHEN rk = nb - 1 THEN mean_cents END) AS BIGINT)
+               AS ci_hi_cents
+    FROM ranked
+    """,
+)
+def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC POISSON BOOTSTRAP confidence interval for the mean
+    order price — the resampling CI made engine-exact: replica b gives
+    row i the weight Poisson(1)-inverse-CDF(hash48(b, key)) (the
+    standard streaming-bootstrap approximation of multinomial
+    resampling), so replica means are exact floored integers and the
+    2nd/31st of 32 ordered replica means bound a ~94% interval. No
+    RNG state, no float reduction — any engine reproduces the CI
+    bit-for-bit. Shape: one scan fanned x32 by a broadcast range (the
+    per-replica weight is map-side arithmetic), one narrow groupBy on
+    the replica id, a 32-row window. The x32 fan-out is the honest
+    cost; at 100 TB you bootstrap a stratified sample, not the raw
+    table (sampling.hash_sample composes upstream)."""
+    orders = load(spark, sf_dir, "orders")
+    b = spark.range(0, 32).select(F.col("id").alias("b"))
+    reps = (
+        orders.crossJoin(F.broadcast(b))
+        .select(
+            F.col("b"),
+            F.expr(cents("o_totalprice")).alias("x"),
+            F.expr(_pois1_weight(_BOOT_U48_SPARK)).alias("w"),
+        )
+    )
+    means = (
+        reps.groupBy("b")
+        .agg(
+            F.expr("CAST(SUM(w * x) div SUM(w) AS BIGINT)").alias(
+                "mean_cents"
+            ),
+            F.sum("w").alias("sw"),
+        )
+        .filter("sw > 0")
+        .drop("sw")
+    )
+    wr = Window.orderBy("mean_cents", "b")
+    ranked = means.select(
+        "mean_cents",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nb"),
+    )
+    tot = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr(
+            f"CAST(SUM({cents('o_totalprice')}) div COUNT(*) AS BIGINT)"
+        ).alias("sample_mean_cents"),
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_cents")))
+        .cast("long")
+        .alias("ci_lo_cents"),
+        F.max(F.when(F.col("rk") == F.col("nb") - 1, F.col("mean_cents")))
+        .cast("long")
+        .alias("ci_hi_cents"),
+    )
+    return tot.crossJoin(ci)
+
+
+@register(
+    "q_trajectory_legs",
+    """
+    WITH pings AS (
+        SELECT user_id,
+               epoch_us(ts) AS tus, event_id,
+               (user_id * 37 + event_id * 13) % 1000 AS px,
+               (user_id * 53 + event_id * 29) % 1000 AS py
+        FROM events
+    ), legs AS (
+        SELECT user_id,
+               tus - lag(tus) OVER w AS dt_us,
+               px - lag(px) OVER w AS dx,
+               py - lag(py) OVER w AS dy
+        FROM pings WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_legs,
+           CAST(SUM(dt_us) // 1000000 AS BIGINT) AS total_s,
+           CAST(SUM(dx * dx + dy * dy) AS BIGINT) AS sum_d2,
+           CAST(MAX((dx * dx + dy * dy) * 1000000
+                    // greatest((dt_us // 1000000)
+                               * (dt_us // 1000000), 1)) AS BIGINT)
+               AS max_speed2_e6
+    FROM legs WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_trajectory_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAJECTORY LEG analytics over per-user ping sequences (positions
+    synthesized deterministically from the event stream): consecutive-
+    ping legs via one lag window per user, then per-user movement
+    summaries — leg count, elapsed seconds, total squared displacement,
+    and the fastest leg's squared speed (d² · 1e6 div dt² — squared so
+    no sqrt enters the gate; ranking by squared speed ranks by speed).
+    The shape every fleet/mobility pipeline runs: one (user, time)
+    shuffle for the lag, one narrow groupBy — per-key windows, never
+    global."""
+    ev = load_events(spark, sf_dir)
+    pings = ev.select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+               if dict(ev.dtypes).get("ts") == "timestamp_ntz"
+               else "unix_micros(ts)").alias("tus"),
+        "event_id",
+        ((F.col("user_id") * 37 + F.col("event_id") * 13) % 1000).alias("px"),
+        ((F.col("user_id") * 53 + F.col("event_id") * 29) % 1000).alias("py"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    legs = pings.select(
+        "user_id",
+        (F.col("tus") - F.lag("tus").over(w)).alias("dt_us"),
+        (F.col("px") - F.lag("px").over(w)).alias("dx"),
+        (F.col("py") - F.lag("py").over(w)).alias("dy"),
+    ).filter(F.col("dt_us").isNotNull())
+    return legs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_legs"),
+        F.expr("CAST(SUM(dt_us) div 1000000 AS BIGINT)").alias("total_s"),
+        F.sum(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+        .cast("long")
+        .alias("sum_d2"),
+        F.expr(
+            "CAST(MAX((dx * dx + dy * dy) * 1000000"
+            " div greatest((dt_us div 1000000) * (dt_us div 1000000), 1))"
+            " AS BIGINT)"
+        ).alias("max_speed2_e6"),
+    )
