@@ -24970,3 +24970,127 @@ def q_trajectory_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("max_speed2_e6"),
     )
+
+
+_PERM_U48_SPARK = (
+    "CAST(conv(substr(md5(concat('perm|', CAST(b AS STRING), '|',"
+    " CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+)
+_PERM_U48_DUCK = (
+    "CAST('0x' || substr(md5('perm|' || CAST(b AS VARCHAR) || '|'"
+    " || CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT)"
+)
+
+
+@register(
+    "q_permutation_test",
+    f"""
+    WITH u AS (
+        SELECT o_orderkey, {cents('o_totalprice')} AS x,
+               CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE -1 END AS g
+        FROM orders
+    ),
+    obs AS (
+        -- scaled mean-difference statistic: nB·Σ_A x − nA·Σ_B x keeps
+        -- the group-mean difference exact-integer (×nA·nB)
+        SELECT CAST(SUM(CASE WHEN g = 1 THEN 0 ELSE 1 END)
+                    * SUM(CASE WHEN g = 1 THEN x ELSE 0 END)
+                  - SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                    * SUM(CASE WHEN g = 1 THEN 0 ELSE x END) AS BIGINT) AS t
+        FROM u
+    ),
+    reps AS (
+        SELECT b.b AS b,
+               CASE WHEN {_PERM_U48_DUCK} % 2 = 0 THEN u.g ELSE -u.g END
+                   AS gp,
+               u.x
+        FROM u, range(0, 64) b(b)
+    ),
+    stats AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN gp = 1 THEN 0 ELSE 1 END)
+                    * SUM(CASE WHEN gp = 1 THEN x ELSE 0 END)
+                  - SUM(CASE WHEN gp = 1 THEN 1 ELSE 0 END)
+                    * SUM(CASE WHEN gp = 1 THEN 0 ELSE x END) AS BIGINT) AS t
+        FROM reps GROUP BY b
+    )
+    SELECT obs.t AS observed_scaled,
+           CAST(COUNT(*) AS BIGINT) AS n_replicas,
+           CAST(SUM(CASE WHEN abs(stats.t) >= abs(obs.t) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_as_extreme,
+           CAST(SUM(CASE WHEN abs(stats.t) >= abs(obs.t) THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS pvalue_e6
+    FROM stats CROSS JOIN obs
+    GROUP BY obs.t
+    """,
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC PERMUTATION TEST for a group-mean difference
+    (even- vs odd-customer orders): 64 sign-flip replicas drawn from
+    hash bits instead of an RNG, the statistic kept exact-integer by
+    cross-multiplying group sums with opposite group sizes (never a
+    float mean), p-value = share of replicas at least as extreme —
+    the assumption-free significance test next to the suite's CLT
+    z-test, bit-reproducible on any engine. Same honest fan-out note
+    as q_bootstrap_ci_mean: the x64 broadcast-range expansion is
+    map-side; at 100 TB permute a stratified sample."""
+    orders = load(spark, sf_dir, "orders")
+    u = orders.select(
+        "o_orderkey",
+        F.expr(cents("o_totalprice")).alias("x"),
+        F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(-1).alias("g"),
+    )
+
+    def stat(df, gcol):
+        return df.agg(
+            (
+                F.sum(F.when(F.col(gcol) == 1, 0).otherwise(1))
+                * F.sum(F.when(F.col(gcol) == 1, F.col("x")).otherwise(0))
+                - F.sum(F.when(F.col(gcol) == 1, 1).otherwise(0))
+                * F.sum(F.when(F.col(gcol) == 1, 0).otherwise(F.col("x")))
+            )
+            .cast("long")
+            .alias("t")
+        )
+
+    obs = stat(u, "g")
+    b = spark.range(0, 64).select(F.col("id").alias("b"))
+    reps = u.crossJoin(F.broadcast(b)).select(
+        "b",
+        F.when(F.expr(_PERM_U48_SPARK) % 2 == 0, F.col("g"))
+        .otherwise(-F.col("g"))
+        .alias("gp"),
+        "x",
+    )
+    stats = reps.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("gp") == 1, 0).otherwise(1))
+            * F.sum(F.when(F.col("gp") == 1, F.col("x")).otherwise(0))
+            - F.sum(F.when(F.col("gp") == 1, 1).otherwise(0))
+            * F.sum(F.when(F.col("gp") == 1, 0).otherwise(F.col("x")))
+        )
+        .cast("long")
+        .alias("t")
+    )
+    return (
+        stats.crossJoin(F.broadcast(obs.select(F.col("t").alias("obs_t"))))
+        .groupBy("obs_t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_replicas"),
+            F.sum(
+                F.when(F.abs(F.col("t")) >= F.abs(F.col("obs_t")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_as_extreme"),
+            F.expr(
+                "CAST(SUM(CASE WHEN abs(t) >= abs(obs_t) THEN 1 ELSE 0 END)"
+                " * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("pvalue_e6"),
+        )
+        .select(
+            F.col("obs_t").alias("observed_scaled"),
+            "n_replicas",
+            "n_as_extreme",
+            "pvalue_e6",
+        )
+    )
