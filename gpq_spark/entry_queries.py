@@ -25094,3 +25094,152 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pvalue_e6",
         )
     )
+
+
+@register(
+    "q_incident_mtbf",
+    """
+    WITH err AS (
+        SELECT epoch_us(ts) AS tus, event_id
+        FROM events WHERE event_type = 'error'
+    ), marked AS (
+        SELECT tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w > 600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM err WINDOW w AS (ORDER BY tus, event_id)
+    ), incidents AS (
+        SELECT SUM(is_new) OVER (ORDER BY tus
+                                 ROWS UNBOUNDED PRECEDING) AS iid, tus
+        FROM marked
+    ), spans AS (
+        SELECT iid,
+               CAST(MIN(tus) AS BIGINT) AS start_us,
+               CAST(MAX(tus) AS BIGINT) AS end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_errors
+        FROM incidents GROUP BY iid
+    ), gaps AS (
+        SELECT start_us - lag(start_us) OVER (ORDER BY start_us) AS tbf_us,
+               end_us - start_us AS dur_us, n_errors
+        FROM spans
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_incidents,
+           CAST(SUM(n_errors) AS BIGINT) AS total_errors,
+           CAST(SUM(dur_us) // COUNT(*) // 1000000 AS BIGINT) AS mttr_s,
+           CAST(SUM(tbf_us) // greatest(COUNT(tbf_us), 1) // 1000000
+                AS BIGINT) AS mtbf_s
+    FROM gaps
+    """,
+)
+def q_incident_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCIDENT MTTR / MTBF — the reliability metrics next to the SLO
+    burn gates: error events cluster into incidents by a 10-minute gap
+    scan (an incident = a burst of errors separated from the next by
+    quiet), then mean-time-to-recovery = mean incident span and
+    mean-time-between-failures = mean gap between incident STARTS,
+    both exact floored seconds. The global gap scan runs on the ERROR
+    substream only (tiny after the filter pushes to the scan); per-
+    service fleets partition the window by service key, the same shape
+    as every sessionization in the suite."""
+    ev = load_events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+               if dict(ev.dtypes).get("ts") == "timestamp_ntz"
+               else "unix_micros(ts)").alias("tus"),
+        "event_id",
+    )
+    w = Window.orderBy("tus", "event_id")
+    marked = err.select(
+        "tus",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | (F.col("tus") - F.lag("tus").over(w) > 600000000),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    wcum = Window.orderBy("tus").rowsBetween(Window.unboundedPreceding, 0)
+    incidents = marked.select(
+        F.sum("is_new").over(wcum).alias("iid"), "tus"
+    )
+    spans = incidents.groupBy("iid").agg(
+        F.min("tus").cast("long").alias("start_us"),
+        F.max("tus").cast("long").alias("end_us"),
+        F.count(F.lit(1)).cast("long").alias("n_errors"),
+    )
+    wg = Window.orderBy("start_us")
+    gaps = spans.select(
+        (F.col("start_us") - F.lag("start_us").over(wg)).alias("tbf_us"),
+        (F.col("end_us") - F.col("start_us")).alias("dur_us"),
+        "n_errors",
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_incidents"),
+        F.sum("n_errors").cast("long").alias("total_errors"),
+        F.expr(
+            "CAST(SUM(dur_us) div COUNT(*) div 1000000 AS BIGINT)"
+        ).alias("mttr_s"),
+        F.expr(
+            "CAST(SUM(tbf_us) div greatest(COUNT(tbf_us), 1) div 1000000"
+            " AS BIGINT)"
+        ).alias("mtbf_s"),
+    )
+
+
+@register(
+    "q_delta_encoding_audit",
+    """
+    WITH ids AS (
+        SELECT o_orderkey % 16 AS file_id, o_orderkey AS id FROM orders
+    ), gaps AS (
+        SELECT file_id,
+               id - lag(id) OVER (PARTITION BY file_id ORDER BY id) AS g
+        FROM ids
+    ), bits AS (
+        SELECT file_id, CAST(length(bin(g)) AS BIGINT) AS nbits
+        FROM gaps WHERE g IS NOT NULL AND g > 0
+    )
+    SELECT CAST(file_id AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(nbits) AS BIGINT) AS delta_bits,
+           CAST(COUNT(*) * 64 AS BIGINT) AS raw_bits,
+           CAST(COUNT(*) * 64 * 1000000 // SUM(nbits) AS BIGINT)
+               AS compression_x_e6
+    FROM bits GROUP BY file_id
+    """,
+)
+def q_delta_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-ENCODING audit for sorted id columns — the storage-layout
+    question behind every posting list and sorted key column: after
+    per-file sorting, how many bits do the GAPS need vs raw 64-bit
+    ids? Gap bit-width is exact integer arithmetic (length of the
+    binary representation — no float log2 whose boundary rounding
+    could disagree between engines), summed per file into a
+    compression-factor estimate. The per-file lag window partitions on
+    the file key (the sort a real writer already performs), one narrow
+    groupBy after — layout-sized work. An id column that shuffles
+    randomly across files shows ~1x here; clustering it (zorder_orders
+    is the companion query) is what makes the gaps small."""
+    orders = load(spark, sf_dir, "orders")
+    ids = orders.select(
+        (F.col("o_orderkey") % 16).alias("file_id"),
+        F.col("o_orderkey").alias("id"),
+    )
+    w = Window.partitionBy("file_id").orderBy("id")
+    gaps = ids.select(
+        "file_id", (F.col("id") - F.lag("id").over(w)).alias("g")
+    ).filter(F.col("g").isNotNull() & (F.col("g") > 0))
+    bits = gaps.select(
+        "file_id",
+        F.length(F.expr("bin(g)")).cast("long").alias("nbits"),
+    )
+    return bits.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("nbits").cast("long").alias("delta_bits"),
+        (F.count(F.lit(1)) * 64).cast("long").alias("raw_bits"),
+        F.expr(
+            "CAST(COUNT(*) * 64 * 1000000 div SUM(nbits) AS BIGINT)"
+        ).alias("compression_x_e6"),
+    ).select(
+        F.col("file_id").cast("long").alias("file_id"),
+        "n_gaps", "delta_bits", "raw_bits", "compression_x_e6",
+    )
