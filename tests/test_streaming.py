@@ -2408,3 +2408,67 @@ class TestStreamTokenBucket:
             (5, 6_664, True),
             (6, 8_330, False),
         ]
+
+
+class TestStreamTokenBucketRestart:
+    def test_bucket_state_survives_restart(self, spark, tmp_path):
+        """The bucket balance and the in-watermark pending buffer must
+        recover from the checkpoint: run 1 sees the first three events,
+        run 2 (same checkpoint) delivers a LATE event that lands
+        between two already-buffered ones plus the sentinel that
+        finalizes everything — the union of both runs' outputs must
+        equal the single-run event-time replay, with no decision made
+        twice and no balance reset."""
+        import datetime as dt
+
+        from gpq_spark.streaming.windows import stream_token_bucket
+
+        src = tmp_path / "src"
+        out = tmp_path / "out"
+        ck = tmp_path / "ck"
+        src.mkdir()
+        t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+        schema = (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+
+        def write_file(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+        def ev(eid, sec, uid=1):
+            return (eid, t0 + dt.timedelta(seconds=sec), uid, "hit", 1.0, "{}")
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            q = (
+                stream_token_bucket(stream)
+                .writeStream.format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(ck))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        write_file([ev(1, 0), ev(3, 2), ev(5, 4)])
+        run_once()
+        # late event 2 (t=1s) arrives after a restart, before sentinel
+        write_file([ev(2, 1), ev(99, 40000, uid=2)])
+        run_once()
+
+        got = sorted(
+            (r["event_id"], r["balance_e6"], r["accepted"])
+            for r in spark.read.parquet(str(out)).collect()
+            if r["user_id"] == 1
+        )
+        # event-time replay: e1 5e6->4e6; e2 +1666 -> 3_001_666;
+        # e3 +1666 -> 2_003_332; e5 (2s gap) +3333 -> 1_006_665
+        assert got == [
+            (1, 4_000_000, True),
+            (2, 3_001_666, True),
+            (3, 2_003_332, True),
+            (5, 1_006_665, True),
+        ]
