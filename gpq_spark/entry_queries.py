@@ -25243,3 +25243,63 @@ def q_delta_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("file_id").cast("long").alias("file_id"),
         "n_gaps", "delta_bits", "raw_bits", "compression_x_e6",
     )
+
+
+@register(
+    "text_phrase_search",
+    """
+    WITH tok AS (
+        SELECT doc_id, u.term, u.pos
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)),
+                                                     '\\s+'),
+                               t -> t <> '') AS ws
+            FROM documents
+        ), LATERAL (
+            SELECT ws[i] AS term, i AS pos
+            FROM range(1, 2000) r(i) WHERE i <= len(ws)
+        ) u
+    ),
+    a AS (SELECT doc_id, pos FROM tok WHERE term = 'window'),
+    b AS (SELECT doc_id, pos FROM tok WHERE term = 'sort')
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL PHRASE SEARCH — the inverted-index primitive ranking
+    engines build on: find documents containing the exact phrase
+    "window sort" by joining the two terms' positional postings on
+    (doc, pos_b = pos_a + 1). Tokenization is the suite's standard
+    whitespace split with 1-based positions from posexplode; the
+    postings join is an equi-join on the doc key with the adjacency
+    as an arithmetic residual — co-partitioned, candidate-sized (only
+    docs containing BOTH terms ever meet). Extending to k-word
+    phrases chains k-1 such joins; proximity-within-w search relaxes
+    the residual to a band."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    a = tok.filter(F.col("term") == "window").select("doc_id", "pos")
+    b = tok.filter(F.col("term") == "sort").select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, (F.col("doc_id") == F.col("db")) & (F.col("pb") == F.col("pos") + 1))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )
