@@ -25303,3 +25303,67 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos").cast("long").alias("first_pos"),
         )
     )
+
+
+@register(
+    "q_calendar_arithmetic",
+    """
+    WITH ks AS (SELECT k.k FROM range(0, 60) k(k)),
+    d AS (
+        SELECT k, CAST(DATE '1992-01-31' + k * INTERVAL 1 MONTH
+                       AS DATE) AS dt
+        FROM ks
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           strftime(dt, '%Y-%m-%d') AS base_dt,
+           strftime(dt + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_1m,
+           strftime(dt + INTERVAL 12 MONTH, '%Y-%m-%d') AS plus_12m,
+           strftime(dt - INTERVAL 1 MONTH, '%Y-%m-%d') AS minus_1m,
+           strftime(date_trunc('quarter', dt), '%Y-%m-%d') AS quarter_start,
+           strftime(last_day(dt), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', date_trunc('month', dt), last_day(dt)) + 1
+                AS BIGINT) AS days_in_month,
+           CAST(CAST(dt - DATE '1970-01-05' AS BIGINT) % 7 AS BIGINT)
+               AS weekday_mon0
+    FROM d
+    """,
+)
+def q_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR-ARITHMETIC parity battery over 60 consecutive
+    month-ends anchored at 1992-01-31 (every gnarly case: leap
+    Februaries, 30/31-day clamping in both directions, year
+    boundaries): ±1/±12 month shifts, quarter truncation, last-day,
+    days-in-month, and a weekday from EPOCH-DAY MODULAR arithmetic
+    (Monday=0; engines' native dayofweek conventions disagree, modular
+    arithmetic can't). Both engines clamp month-end arithmetic
+    identically (verified: 01-31 +1mo = 02-29 in a leap year, 02-29
+    +12mo = 02-28) — this gate pins that contract so an engine upgrade
+    that changes clamping semantics fails loudly. All row-level date
+    functions; the 60-row frame is a sequence explode."""
+    ks = spark.range(0, 60).select(F.col("id").alias("k"))
+    d = ks.select(
+        "k",
+        F.add_months(F.lit("1992-01-31").cast("date"), F.col("k")).alias("dt"),
+    )
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return d.select(
+        F.col("k").cast("long").alias("k"),
+        fmt(F.col("dt")).alias("base_dt"),
+        fmt(F.add_months(F.col("dt"), 1)).alias("plus_1m"),
+        fmt(F.add_months(F.col("dt"), 12)).alias("plus_12m"),
+        fmt(F.add_months(F.col("dt"), -1)).alias("minus_1m"),
+        fmt(F.date_trunc("quarter", F.col("dt")).cast("date")).alias(
+            "quarter_start"
+        ),
+        fmt(F.last_day(F.col("dt"))).alias("month_end"),
+        (
+            F.datediff(
+                F.last_day(F.col("dt")),
+                F.date_trunc("month", F.col("dt")).cast("date"),
+            )
+            + 1
+        ).cast("long").alias("days_in_month"),
+        (
+            F.datediff(F.col("dt"), F.lit("1970-01-05").cast("date")) % 7
+        ).cast("long").alias("weekday_mon0"),
+    )
