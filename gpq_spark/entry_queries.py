@@ -25367,3 +25367,99 @@ def q_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("dt"), F.lit("1970-01-05").cast("date")) % 7
         ).cast("long").alias("weekday_mon0"),
     )
+
+
+@register(
+    "q_kfold_ols",
+    f"""
+    WITH pts AS (
+        SELECT CAST('0x' || substr(md5('fold|' || CAST(o_orderkey AS VARCHAR)),
+                    1, 12) AS BIGINT) % 5 AS fold,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+                   AS x,
+               {cents('o_totalprice')} AS y
+        FROM orders
+    ), per_fold AS (
+        SELECT fold,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY fold
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+               CAST(SUM(sy) AS BIGINT) AS sy, CAST(SUM(sxy) AS BIGINT) AS sxy,
+               CAST(SUM(sxx) AS BIGINT) AS sxx
+        FROM per_fold
+    )
+    SELECT CAST(f.fold AS BIGINT) AS fold,
+           CAST(t.n - f.n AS BIGINT) AS n_train,
+           CAST(1000000 * (CAST(t.n - f.n AS HUGEINT) * (t.sxy - f.sxy)
+                          - CAST(t.sx - f.sx AS HUGEINT) * (t.sy - f.sy))
+                // (CAST(t.n - f.n AS HUGEINT) * (t.sxx - f.sxx)
+                   - CAST(t.sx - f.sx AS HUGEINT) * (t.sx - f.sx))
+                AS BIGINT) AS slope_e6_cents_per_day
+    FROM per_fold f CROSS JOIN tot t
+    WHERE CAST(t.n - f.n AS HUGEINT) * (t.sxx - f.sxx)
+          - CAST(t.sx - f.sx AS HUGEINT) * (t.sx - f.sx) != 0
+    """,
+)
+def q_kfold_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT K-FOLD cross-validated OLS without retraining: because
+    OLS sufficient statistics are algebraic (n, Σx, Σy, Σxy, Σx²),
+    each fold's TRAIN-set slope is (total sums − fold sums) — one scan
+    computes all five folds' held-out models simultaneously, the trick
+    that makes cross-validation free at 100 TB (no 5× re-read). Folds
+    assigned by a 48-bit md5 hash (deterministic, engine-portable);
+    the slope numerator reaches ~1e20 so the cross-multiplications
+    widen to DECIMAL(38)/HUGEINT before the one floor-div back to an
+    e6 BIGINT. Shape: one scan, one 5-row groupBy, a 1-row broadcast
+    total, arithmetic on 5 rows."""
+    orders = load(spark, sf_dir, "orders")
+    pts = orders.select(
+        (
+            F.expr(
+                "CAST(conv(substr(md5(concat('fold|',"
+                " CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+            )
+            % 5
+        ).alias("fold"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("long").alias("x"),
+        F.expr(cents("o_totalprice")).alias("y"),
+    )
+    per_fold = pts.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    tot = per_fold.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sx").cast("long").alias("tsx"),
+        F.sum("sy").cast("long").alias("tsy"),
+        F.sum("sxy").cast("long").alias("tsxy"),
+        F.sum("sxx").cast("long").alias("tsxx"),
+    )
+    den = (
+        "(CAST(tn - n AS DECIMAL(38,0)) * (tsxx - sxx)"
+        " - CAST(tsx - sx AS DECIMAL(38,0)) * (tsx - sx))"
+    )
+    num = (
+        "(CAST(tn - n AS DECIMAL(38,0)) * (tsxy - sxy)"
+        " - CAST(tsx - sx AS DECIMAL(38,0)) * (tsy - sy))"
+    )
+    return (
+        per_fold.crossJoin(F.broadcast(tot))
+        .filter(F.expr(f"{den} != 0"))
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            (F.col("tn") - F.col("n")).cast("long").alias("n_train"),
+            F.expr(
+                f"CAST(1000000 * {num} div {den} AS BIGINT)"
+            ).alias("slope_e6_cents_per_day"),
+        )
+    )
