@@ -25463,3 +25463,111 @@ def q_kfold_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope_e6_cents_per_day"),
         )
     )
+
+
+_KANON_LEVELS = """
+        SELECT l.bal_lvl, l.nat_lvl, l.cost FROM (VALUES
+            (0, 0, 0), (0, 1, 1), (0, 2, 2),
+            (1, 0, 10), (1, 1, 11), (1, 2, 12),
+            (2, 0, 20), (2, 1, 21), (2, 2, 22),
+            (3, 0, 30), (3, 1, 31), (3, 2, 32)
+        ) l(bal_lvl, nat_lvl, cost)
+"""
+
+
+@register(
+    "q_kanon_lattice",
+    f"""
+    WITH levels AS ({_KANON_LEVELS}),
+    qi AS (
+        SELECT CASE l.bal_lvl
+                   WHEN 0 THEN CAST({cents('c_acctbal')} AS BIGINT)
+                   WHEN 1 THEN {cents('c_acctbal')} * 10 // 1100001
+                   WHEN 2 THEN {cents('c_acctbal')} * 2 // 1100001
+                   ELSE 0 END AS bal_q,
+               CASE l.nat_lvl
+                   WHEN 0 THEN c_nationkey
+                   WHEN 1 THEN c_nationkey % 5
+                   ELSE 0 END AS nat_q,
+               l.bal_lvl, l.nat_lvl, l.cost
+        FROM customer CROSS JOIN levels l
+    ),
+    cells AS (
+        SELECT bal_lvl, nat_lvl, cost, bal_q, nat_q,
+               CAST(COUNT(*) AS BIGINT) AS cell
+        FROM qi GROUP BY bal_lvl, nat_lvl, cost, bal_q, nat_q
+    ),
+    nodes AS (
+        SELECT bal_lvl, nat_lvl, cost,
+               CAST(MIN(cell) AS BIGINT) AS k_min,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM cells GROUP BY bal_lvl, nat_lvl, cost
+    ),
+    best AS (
+        SELECT MIN(ROW(cost, bal_lvl, nat_lvl)) AS b
+        FROM nodes WHERE k_min >= 5
+    )
+    SELECT CAST(n.bal_lvl AS BIGINT) AS bal_lvl,
+           CAST(n.nat_lvl AS BIGINT) AS nat_lvl,
+           n.k_min, n.n_cells,
+           CAST(n.k_min >= 5 AS BOOLEAN) AS satisfies_k5,
+           CAST(ROW(n.cost, n.bal_lvl, n.nat_lvl) = best.b AS BOOLEAN)
+               AS chosen
+    FROM nodes n CROSS JOIN best
+    """,
+)
+def q_kanon_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY GENERALIZATION-LATTICE search (the Samarati/Mondrian
+    decision): evaluate every generalization level of the two
+    quasi-identifiers — balance at cents / deciles / halves / fully
+    suppressed, nation at exact / 5-bucket / suppressed — and report
+    each node's minimum equivalence-class size, flagging the
+    CHEAPEST node meeting k >= 5 (deterministic total order on (cost,
+    levels)). This turns the suite's existing k-anonymity AUDIT into
+    the search that decides how much to generalize before release.
+    Shape: one customers scan fanned x12 by the broadcast lattice (all
+    nodes evaluated in ONE pass — map-side arithmetic, one groupBy on
+    (node, cell), one tiny re-agg), not 12 passes."""
+    cust = load(spark, sf_dir, "customer")
+    levels = spark.createDataFrame(
+        [(b, n, b * 10 + n) for b in range(4) for n in range(3)],
+        "bal_lvl int, nat_lvl int, cost int",
+    )
+    bal_cents = cents("c_acctbal")
+    qi = cust.crossJoin(F.broadcast(levels)).select(
+        "bal_lvl",
+        "nat_lvl",
+        "cost",
+        F.expr(
+            f"CASE bal_lvl WHEN 0 THEN CAST({bal_cents} AS BIGINT)"
+            f" WHEN 1 THEN {bal_cents} * 10 div 1100001"
+            f" WHEN 2 THEN {bal_cents} * 2 div 1100001"
+            " ELSE 0 END"
+        ).alias("bal_q"),
+        F.expr(
+            "CASE nat_lvl WHEN 0 THEN c_nationkey"
+            " WHEN 1 THEN c_nationkey % 5 ELSE 0 END"
+        ).alias("nat_q"),
+    )
+    cells = qi.groupBy("bal_lvl", "nat_lvl", "cost", "bal_q", "nat_q").agg(
+        F.count(F.lit(1)).cast("long").alias("cell")
+    )
+    nodes = cells.groupBy("bal_lvl", "nat_lvl", "cost").agg(
+        F.min("cell").cast("long").alias("k_min"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    best = nodes.filter("k_min >= 5").agg(
+        F.min(F.struct("cost", "bal_lvl", "nat_lvl")).alias("b")
+    )
+    return nodes.crossJoin(F.broadcast(best)).select(
+        F.col("bal_lvl").cast("long").alias("bal_lvl"),
+        F.col("nat_lvl").cast("long").alias("nat_lvl"),
+        "k_min",
+        "n_cells",
+        (F.col("k_min") >= 5).alias("satisfies_k5"),
+        (
+            (F.col("cost") == F.col("b.cost"))
+            & (F.col("bal_lvl") == F.col("b.bal_lvl"))
+            & (F.col("nat_lvl") == F.col("b.nat_lvl"))
+        ).alias("chosen"),
+    )
