@@ -25571,3 +25571,78 @@ def q_kanon_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("nat_lvl") == F.col("b.nat_lvl"))
         ).alias("chosen"),
     )
+
+
+@register(
+    "q_bom_rollup",
+    f"""
+    WITH RECURSIVE comp AS (
+        -- synthetic assembly forest: part k is a component of part
+        -- k div 10 (roots: k < 10); unit cost = retail cents div 100
+        SELECT p_partkey AS k, p_partkey // 10 AS parent,
+               {cents('p_retailprice')} // 100 AS unit_cost
+        FROM part WHERE p_partkey >= 10
+    ), roots AS (
+        SELECT p_partkey AS k, {cents('p_retailprice')} // 100 AS unit_cost
+        FROM part WHERE p_partkey < 10
+    ), walk AS (
+        SELECT k, parent AS anc, unit_cost FROM comp
+        UNION ALL
+        SELECT w.k, c.parent, w.unit_cost
+        FROM walk w JOIN comp c ON w.anc = c.k
+    )
+    SELECT CAST(anc AS BIGINT) AS assembly,
+           CAST(COUNT(*) AS BIGINT) AS n_descendants,
+           CAST(SUM(unit_cost) AS BIGINT) AS rolled_cost
+    FROM walk GROUP BY anc
+    HAVING COUNT(*) >= 10
+    """,
+)
+def q_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BILL-OF-MATERIALS rollup — total descendant count and cost per
+    assembly over a multi-level component forest (part k belongs to
+    assembly k div 10, so depth is log10 of the key space): the
+    manufacturing/package-dependency closure-aggregate. Spark unrolls
+    the ancestor walk as a FIXED number of self-joins (depth bounds at
+    7 for any 64-bit key space — each level divides by 10), keeping
+    every step an equi-join on the child key; the oracle is the true
+    recursive CTE, so the bounded unroll is proven equivalent to the
+    unbounded recursion on this forest. Only assemblies with >= 10
+    descendants survive (the HAVING keeps the gate focused on real
+    assemblies, not leaf chains)."""
+    part = load(spark, sf_dir, "part")
+    comp = part.filter("p_partkey >= 10").select(
+        F.col("p_partkey").alias("k"),
+        F.expr("p_partkey div 10").alias("parent"),
+        F.expr(f"{cents('p_retailprice')} div 100").alias("unit_cost"),
+    )
+    edges = comp.select("k", "parent")
+    walk = comp.select("k", F.col("parent").alias("anc"), "unit_cost")
+    frontier = walk
+    for _ in range(6):  # depth bound: keys < 10^7 at any tested SF
+        nxt = (
+            frontier.join(
+                edges.select(
+                    F.col("k").alias("ek"), F.col("parent").alias("ep")
+                ),
+                frontier.anc == F.col("ek"),
+            )
+            .select("k", F.col("ep").alias("anc"), "unit_cost")
+        )
+        if nxt.isEmpty():
+            break
+        walk = walk.unionByName(nxt)
+        frontier = nxt
+    return (
+        walk.groupBy("anc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_descendants"),
+            F.sum("unit_cost").cast("long").alias("rolled_cost"),
+        )
+        .filter("n_descendants >= 10")
+        .select(
+            F.col("anc").cast("long").alias("assembly"),
+            "n_descendants",
+            "rolled_cost",
+        )
+    )
