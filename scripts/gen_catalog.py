@@ -13,7 +13,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from gpq_spark.entry_queries import QUERIES  # noqa: E402
 
 GROUPS = [
-    ("Lakehouse layout & CDC", r"^(zorder_|cdc_|scd2_)"),
+    ("Lakehouse layout & CDC",
+     r"^(zorder_|cdc_|scd2_|q_merge_into|q_position_delete|q_bitemporal|q_delta_encoding|q_scd2_temporal)"),
     ("TPC-H relational shapes",
      r"^q([0-9]|_agg|_pivot|_rollup|_cube|_grouping|_semi|_setops|_full_outer"
      r"|_string|_conditional|_unpivot|_percentiles|_running|_rank|_histogram"
@@ -23,7 +24,7 @@ GROUPS = [
      r"|range_join|interval_overlap|rolling|gapfill|events_json|concurrency"
      r"|twa_value|max_drawdown|ewma|seasonal_decompose|bollinger"
      r"|quantile_normalize|winsorized_mean|forecast_eval|hill_tail"
-     r"|allen_relations|business_days|interval_schedule)"),
+     r"|allen_relations|business_days|interval_schedule|ccf_|matrix_profile|range_frame|calendar_arithmetic|trajectory)"),
     ("Event analytics",
      r"^q_(funnel|funnel_dropoff|retention|anomaly|event_transitions|event_seq|time_to|attribution|linear_attribution"
      r"|ab_test|trend|crosstab|drift|basket|recommend|incremental|table_checksum"
@@ -31,26 +32,27 @@ GROUPS = [
      r"|spearman|holt|lorenz|kendall|markov|cramers|survival|price_elasticity"
      r"|active_users|audience_matrix|skyline|wilson|diff_in_diff"
      r"|hierarchy_rollup|conformal|gains_deciles|transition_conformance"
-     r"|pit_features|exact_median|standardized_rate|mix_shift|seasonal_anomaly)"),
+     r"|pit_features|exact_median|standardized_rate|mix_shift|seasonal_anomaly|slo_burn|window_funnel|equidepth|token_bucket|incident_mtbf|explode_outer)"),
     ("Graph analytics",
      r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa|sssp"
      r"|stress|truss|ktruss|link_prediction|closure|scc|hits|hash_walks"
-     r"|temporal_reach|degree_assortativity|rich_club)"),
+     r"|temporal_reach|degree_assortativity|rich_club|ppr_|bom_rollup)"),
     ("Governance & auditing",
      r"^q_(kanon|ldiversity|tcloseness|benford|corpus_diff|data_constraints"
      r"|split_leakage|mann_whitney|runs_test|trimmed_mean|ks_test|cvm_test"
      r"|mutual_info|psi|fd_check|rendezvous|merkle_diff|pruning_audit"
-     r"|joinability)"),
+     r"|joinability|kanon_lattice)"),
     ("Deduplication & decontamination", r"^(dedup_|decontam|semantic_|er_)"),
     ("Similarity search & embeddings", r"^(ann_|ivf_|embed_|pq_)"),
     ("Text analysis & corpus ops",
      r"^(text_|rank_|sample_|pack_|profile_|skew_|shuffle_|drift_|pipeline_)"),
     ("Statistical modeling & causal inference",
-     r"^q_(lttb|dbscan|kaplan_meier|isotonic|ols2|cuped)"),
+     r"^q_(lttb|dbscan|kaplan_meier|isotonic|ols2|cuped|decision_stump|beta_binomial|wasserstein|overdispersion|cem_att|iv_wald|bootstrap_ci|permutation_test|kfold_ols)"),
     ("Sketches", r"^q_(sketch|bloom)"),
     ("Geospatial", r"^geo_"),
     ("Structured Streaming", r"^stream_"),
-    ("Validation & multimodal", r"^(validate_|multimodal_|png_)"),
+    ("Validation & multimodal",
+     r"^(validate_|multimodal_|png_|gif_|q_audio_dft8)"),
 ]
 
 
