@@ -25646,3 +25646,45 @@ def q_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolled_cost",
         )
     )
+
+
+@register(
+    "stream_scd2_maintenance",
+    """
+    WITH wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 AS w FROM events
+    ), fin AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        FROM events CROSS JOIN wm WHERE epoch_us(ts) < wm.w
+    ), m AS (
+        SELECT user_id, event_type, tus, event_id,
+               lag(event_type) OVER w AS prev,
+               lag(tus) OVER w AS prev_ts
+        FROM fin WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ), k AS (
+        SELECT user_id, event_type, tus, event_id FROM m
+        WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type
+    ), versions AS (
+        SELECT user_id, event_type AS state,
+               CAST(tus AS BIGINT) AS vf_us,
+               CAST(lead(tus) OVER (PARTITION BY user_id
+                                    ORDER BY tus, event_id) AS BIGINT) AS vt_us
+        FROM k
+    )
+    SELECT user_id, state, vf_us, vt_us
+    FROM versions WHERE vt_us IS NOT NULL
+    """,
+)
+def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance
+    (streaming.stream_scd2_versions): every CLOSED type-2 version
+    emits exactly once when the watermark finalizes the change that
+    closes it, with out-of-order changes buffered so version
+    boundaries follow event time, not arrival time. The oracle is the
+    batch SCD2 build (same collapse of consecutive repeats) over the
+    watermark-finalized prefix, restricted to closed versions — the
+    open version is state, not output."""
+    from .streaming.windows import stream_scd2_versions as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream), "scd2s", "append")

@@ -2745,3 +2745,104 @@ def stream_session_paths(
         )
     )
     return raw.select("user_id", "start_us", "end_us", "n_events", "path")
+
+
+SCD2_RAW_SCHEMA = (
+    "user_id long, state string, vf_us long, vt_us long"
+)
+SCD2_STATE_SCHEMA = (
+    "p_ts array<long>, p_id array<long>, p_ty array<string>,"
+    " cur_state string, cur_vf long"
+)
+
+
+def _scd2_stream_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming SCD2 maintenance (see ``stream_scd2_versions``): the
+    per-key change log buffers until the watermark passes it, replays
+    in (ts, event_id) order, and each finalized CHANGE closes the previous
+    version — emitting [valid_from, valid_to) exactly once. The open
+    version stays in state (it has no valid_to yet)."""
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    if state.exists:
+        p_ts, p_id, p_ty, cur_state, cur_vf = state.get
+        pend = list(zip(p_ts, p_id, p_ty))
+        cur_vf = None if cur_vf is None else int(cur_vf)
+    else:
+        pend, cur_state, cur_vf = [], None, None
+
+    for pdf in pdfs:
+        pend.extend(
+            (int(t), int(i), str(e))
+            for t, i, e in zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"])
+        )
+
+    ready = sorted(
+        (r for r in pend if r[0] < wm_us), key=lambda r: (r[0], r[1])
+    )
+    pend = [r for r in pend if r[0] >= wm_us]
+
+    out = []
+    for t, _i, ty in ready:
+        if cur_state is None:
+            cur_state, cur_vf = ty, t
+        elif ty != cur_state:
+            out.append((key[0], cur_state, cur_vf, t))
+            cur_state, cur_vf = ty, t
+
+    if cur_state is None and not pend:
+        if state.exists:
+            state.remove()
+    else:
+        state.update(
+            (
+                [r[0] for r in pend],
+                [r[1] for r in pend],
+                [r[2] for r in pend],
+                cur_state,
+                cur_vf,
+            )
+        )
+        if pend:
+            state.setTimeoutTimestamp(
+                max(min(r[0] for r in pend) // 1000 + 1, wm_us // 1000 + 1)
+            )
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "state", "vf_us", "vt_us"]
+        )
+
+
+def stream_scd2_versions(
+    stream: DataFrame, watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Streaming SLOWLY-CHANGING-DIMENSION TYPE-2 maintenance — the
+    stateful twin of relational.scd2_from_changelog: each key's change
+    log replays in event-time order once the watermark finalizes it
+    (out-of-order arrivals buffer in state, so a late change cannot
+    mis-order version boundaries), and every CLOSED version emits
+    exactly once as [valid_from, valid_to). The still-open version
+    lives only in state — downstream consumers union the emitted
+    history with the state-store snapshot for point-in-time reads.
+    Bounded state per key: the in-watermark buffer plus one (state,
+    valid_from) register."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_stream_fn,
+            outputStructType=SCD2_RAW_SCHEMA,
+            stateStructType=SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw.select("user_id", "state", "vf_us", "vt_us")
