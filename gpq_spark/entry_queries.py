@@ -25688,3 +25688,197 @@ def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _events_file_stream(spark, sf_dir)
     return _drain_to_table(_op(stream), "scd2s", "append")
+
+
+@register(
+    "q_cv_stump_accuracy",
+    """
+    WITH rows_ AS (
+        SELECT CAST('0x' || substr(md5('fold|' || CAST(l_orderkey AS VARCHAR)
+                    || '|' || CAST(l_linenumber AS VARCHAR)), 1, 12)
+                    AS BIGINT) % 5 AS fold,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT)
+                   AS y
+        FROM lineitem
+    ), pv AS (
+        SELECT fold, q, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM rows_ GROUP BY fold, q
+    ), tot_q AS (
+        SELECT q, CAST(SUM(c) AS BIGINT) AS ct, CAST(SUM(pos) AS BIGINT) AS pt
+        FROM pv GROUP BY q
+    ), grid AS (
+        SELECT f.f AS fold, tot_q.q,
+               tot_q.ct - COALESCE(pv.c, 0) AS trc,
+               tot_q.pt - COALESCE(pv.pos, 0) AS trp
+        FROM tot_q CROSS JOIN range(0, 5) f(f)
+        LEFT JOIN pv ON pv.fold = f.f AND pv.q = tot_q.q
+    ), cum AS (
+        SELECT fold, q,
+               CAST(SUM(trc) OVER w AS BIGINT) AS nl,
+               CAST(SUM(trp) OVER w AS BIGINT) AS posl
+        FROM grid
+        WINDOW w AS (PARTITION BY fold ORDER BY q ROWS UNBOUNDED PRECEDING)
+    ), ftot AS (
+        SELECT fold, CAST(SUM(trc) AS BIGINT) AS n,
+               CAST(SUM(trp) AS BIGINT) AS p
+        FROM grid GROUP BY fold
+    ), scored AS (
+        SELECT c.fold, c.q AS thr, c.nl, c.posl,
+               t.n - c.nl AS nr, t.p - c.posl AS posr,
+               CAST(c.posl * (c.nl - c.posl) * 1000000
+                        // greatest(c.nl, 1)
+                  + (t.p - c.posl) * ((t.n - c.nl) - (t.p - c.posl))
+                        * 1000000 // greatest(t.n - c.nl, 1)
+                    AS BIGINT) AS gini_e6
+        FROM cum c JOIN ftot t ON t.fold = c.fold
+        WHERE c.nl > 0 AND c.nl < t.n
+    ), best AS (
+        SELECT fold, MIN(ROW(gini_e6, thr)) AS b FROM scored GROUP BY fold
+    ), model AS (
+        SELECT s.fold, s.thr,
+               CAST(2 * s.posl > s.nl AS BOOLEAN) AS left_pos,
+               CAST(2 * s.posr > s.nr AS BOOLEAN) AS right_pos
+        FROM scored s JOIN best ON best.fold = s.fold
+         AND ROW(s.gini_e6, s.thr) = best.b
+    ), eval_ AS (
+        SELECT pv.fold,
+               CAST(SUM(pv.c) AS BIGINT) AS n_test,
+               CAST(SUM(CASE
+                   WHEN (pv.q <= m.thr AND m.left_pos)
+                     OR (pv.q > m.thr AND m.right_pos)
+                   THEN pv.pos ELSE pv.c - pv.pos END) AS BIGINT) AS n_correct
+        FROM pv JOIN model m ON m.fold = pv.fold
+        GROUP BY pv.fold
+    )
+    SELECT e.fold, m.thr, e.n_test, e.n_correct,
+           CAST(e.n_correct * 1000000 // e.n_test AS BIGINT) AS acc_e6
+    FROM eval_ e JOIN model m ON m.fold = e.fold
+    """,
+)
+def q_cv_stump_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT CROSS-VALIDATED DECISION STUMP — a complete distributed
+    train/evaluate loop with zero floats: for each of 5 hash-assigned
+    folds, the TRAIN-side class counts come from total-minus-fold
+    aggregate subtraction (one scan trains all five models, the same
+    algebraic trick as q_kfold_ols), the best threshold minimizes the
+    exact integer Gini with majority-class leaves, and held-out
+    accuracy aggregates the fold's own per-value counts against the
+    learned (threshold, left/right class) — so the gate hashes
+    MODEL SELECTION and GENERALIZATION metrics, not just sums.
+    Shape: two narrow groupBys, a 5x|domain| grid join, per-fold
+    windows over the value domain, struct-argmin, one eval join."""
+    li = load(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        (
+            F.expr(
+                "CAST(conv(substr(md5(concat('fold|',"
+                " CAST(l_orderkey AS STRING), '|',"
+                " CAST(l_linenumber AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+            )
+            % 5
+        ).alias("fold"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    pv = rows_.groupBy("fold", "q").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot_q = pv.groupBy("q").agg(
+        F.sum("c").cast("long").alias("ct"),
+        F.sum("pos").cast("long").alias("pt"),
+    )
+    folds = spark.range(0, 5).select(F.col("id").alias("fold"))
+    grid = (
+        tot_q.crossJoin(F.broadcast(folds))
+        .join(
+            pv.select(
+                F.col("fold").alias("pf"), F.col("q").alias("pq"), "c", "pos"
+            ),
+            (F.col("fold") == F.col("pf")) & (F.col("q") == F.col("pq")),
+            "left",
+        )
+        .select(
+            "fold",
+            "q",
+            (F.col("ct") - F.coalesce("c", F.lit(0))).alias("trc"),
+            (F.col("pt") - F.coalesce("pos", F.lit(0))).alias("trp"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("fold")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "fold",
+        "q",
+        F.sum("trc").over(wcum).cast("long").alias("nl"),
+        F.sum("trp").over(wcum).cast("long").alias("posl"),
+    )
+    ftot = grid.groupBy("fold").agg(
+        F.sum("trc").cast("long").alias("n"),
+        F.sum("trp").cast("long").alias("p"),
+    )
+    scored = (
+        cum.join(ftot, "fold")
+        .filter("nl > 0 AND nl < n")
+        .select(
+            "fold",
+            F.col("q").alias("thr"),
+            "nl",
+            "posl",
+            (F.col("n") - F.col("nl")).alias("nr"),
+            (F.col("p") - F.col("posl")).alias("posr"),
+            F.expr(
+                "CAST(posl * (nl - posl) * 1000000 div greatest(nl, 1)"
+                " + (p - posl) * ((n - nl) - (p - posl)) * 1000000"
+                "   div greatest(n - nl, 1) AS BIGINT)"
+            ).alias("gini_e6"),
+        )
+    )
+    best = scored.groupBy("fold").agg(
+        F.min(F.struct("gini_e6", "thr")).alias("b")
+    )
+    model = (
+        scored.join(best, "fold")
+        .filter(
+            (F.col("gini_e6") == F.col("b.gini_e6"))
+            & (F.col("thr") == F.col("b.thr"))
+        )
+        .select(
+            "fold",
+            "thr",
+            (2 * F.col("posl") > F.col("nl")).alias("left_pos"),
+            (2 * F.col("posr") > F.col("nr")).alias("right_pos"),
+        )
+    )
+    eval_ = (
+        pv.join(model, "fold")
+        .groupBy("fold", "thr")
+        .agg(
+            F.sum("c").cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    ((F.col("q") <= F.col("thr")) & F.col("left_pos"))
+                    | ((F.col("q") > F.col("thr")) & F.col("right_pos")),
+                    F.col("pos"),
+                ).otherwise(F.col("c") - F.col("pos"))
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
+    return eval_.select(
+        "fold",
+        "thr",
+        "n_test",
+        "n_correct",
+        F.expr("CAST(n_correct * 1000000 div n_test AS BIGINT)").alias(
+            "acc_e6"
+        ),
+    )
