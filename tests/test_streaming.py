@@ -2472,3 +2472,53 @@ class TestStreamTokenBucketRestart:
             (3, 2_003_332, True),
             (5, 1_006_665, True),
         ]
+
+
+class TestStreamScd2:
+    def test_late_change_keeps_version_order(self, spark, tmp_path):
+        """A late-arriving middle change (within the watermark delay)
+        must land between its neighbors: versions close in event-time
+        order with exact boundaries, and the open tail version never
+        emits."""
+        import datetime as dt
+
+        from gpq_spark.streaming.windows import stream_scd2_versions
+
+        t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+        def ev(eid, minutes, etype, uid=1):
+            return (
+                eid,
+                t0 + dt.timedelta(minutes=minutes),
+                uid,
+                etype,
+                1.0,
+                "{}",
+            )
+
+        batches = [
+            # A at t+0 and C at t+20 arrive first...
+            [ev(1, 0, "a"), ev(3, 20, "c")],
+            # ...then the late B at t+10 and the finalizing sentinel
+            [ev(2, 10, "b"), ev(99, 40000, "z", uid=2)],
+        ]
+        d = tmp_path / "scd2_ooo"
+        src_schema = _write_ooo_files(spark, d, batches)
+        from gpq_spark.streaming import stream_events
+
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        got = sorted(
+            (r["state"], r["vf_us"] // 60_000_000, r["vt_us"] // 60_000_000)
+            for r in _drain_ooo(
+                spark, stream_scd2_versions(stream), "scd2_ooo"
+            ).collect()
+            if r["user_id"] == 1
+        )
+        m0 = int(t0.timestamp()) // 60
+        # a:[0,10) b:[10,20) closed; c open (no emission)
+        assert got == [
+            ("a", m0 + 0, m0 + 10),
+            ("b", m0 + 10, m0 + 20),
+        ]
