@@ -47,7 +47,7 @@ GROUPS = [
     ("Text analysis & corpus ops",
      r"^(text_|rank_|sample_|pack_|profile_|skew_|shuffle_|drift_|pipeline_)"),
     ("Statistical modeling & causal inference",
-     r"^q_(lttb|dbscan|kaplan_meier|isotonic|ols2|cuped|decision_stump|beta_binomial|wasserstein|overdispersion|cem_att|iv_wald|bootstrap_ci|permutation_test|kfold_ols)"),
+     r"^q_(lttb|dbscan|kaplan_meier|isotonic|ols2|cuped|decision_stump|beta_binomial|wasserstein|overdispersion|cem_att|iv_wald|bootstrap_ci|permutation_test|kfold_ols|cv_stump)"),
     ("Sketches", r"^q_(sketch|bloom)"),
     ("Geospatial", r"^geo_"),
     ("Structured Streaming", r"^stream_"),
