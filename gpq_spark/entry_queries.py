@@ -25882,3 +25882,159 @@ def q_cv_stump_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acc_e6"
         ),
     )
+
+
+@register(
+    "q_revenue_recognition",
+    f"""
+    WITH base AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,
+               {cents('o_totalprice')} AS v
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    ), alloc AS (
+        SELECT o_orderkey,
+               d0 + CAST(g.g AS INTEGER) AS day,
+               v // 30 + CASE WHEN g.g < v % 30 THEN 1 ELSE 0 END AS cents
+        FROM base, range(0, 30) g(g)
+    )
+    SELECT strftime(date_trunc('month', day), '%Y-%m-%d') AS month,
+           CAST(SUM(cents) AS BIGINT) AS recognized_cents,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_contracts
+    FROM alloc GROUP BY 1
+    """,
+)
+def q_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRAIGHT-LINE REVENUE RECOGNITION — each 1997+ order's value
+    spread evenly over a 30-day service period, with the integer
+    remainder assigned to the FIRST v mod 30 days so the allocation
+    CONSERVES cents exactly (Σ daily = contract value, no float
+    pennies lost — the invariant accountants actually audit). Monthly
+    recognized revenue plus active-contract counts. Shape: a 30×
+    sequence-explode fan-out (map-side arithmetic, the honest cost of
+    daily granularity), one narrow month groupBy; at 100 TB recognize
+    per month directly via interval intersection instead of day
+    explosion — this query gates the exact-conservation arithmetic
+    both shapes must reproduce."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderdate") >= "1997-01-01 00:00:00"
+    ).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.expr(cents("o_totalprice")).alias("v"),
+    )
+    alloc = base.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("g"),
+        "d0",
+        "v",
+    ).select(
+        "o_orderkey",
+        F.date_add(F.col("d0"), F.col("g")).alias("day"),
+        (
+            F.expr("v div 30")
+            + F.when(F.col("g") < F.col("v") % 30, 1).otherwise(0)
+        ).alias("cents"),
+    )
+    return (
+        alloc.groupBy(
+            F.date_format(
+                F.date_trunc("month", F.col("day")), "yyyy-MM-dd"
+            ).alias("month")
+        )
+        .agg(
+            F.sum("cents").cast("long").alias("recognized_cents"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_contracts"),
+        )
+    )
+
+
+@register(
+    "q_hampel_filter",
+    f"""
+    WITH daily AS (
+        SELECT l_suppkey % 20 AS series,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+                   AS day,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1, 2
+    ), framed AS (
+        SELECT series, day, v,
+               list_sort(list(v) OVER (PARTITION BY series ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS win
+        FROM daily
+    ), med AS (
+        SELECT series, day, v, win,
+               CAST(win[(len(win) + 1) // 2] AS BIGINT) AS med
+        FROM framed WHERE len(win) = 7
+    ), mad AS (
+        SELECT series, day, v, med,
+               CAST((SELECT list_sort(list_transform(win,
+                         x -> abs(x - med)))[(len(win) + 1) // 2])
+                    AS BIGINT) AS madv
+        FROM med
+    )
+    SELECT series, day, v, med, madv,
+           CAST(abs(v - med) > 3 * madv AS BOOLEAN) AS is_outlier
+    FROM mad
+    """,
+)
+def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMPEL FILTER — the robust outlier detector for time series: a
+    point is flagged when it deviates from its rolling-7 window MEDIAN
+    by more than 3 rolling MADs (median absolute deviations). Mean/std
+    filters mask outliers by absorbing them into the statistics; the
+    median/MAD pair has a 50% breakdown point. Both statistics are
+    EXACT lower medians of 7 collected integers (array_sort + index —
+    no percentile interpolation, no floats), computed per (series,
+    day) from one collect_list window over the per-day aggregate —
+    per-key windows over day-granularity rows, the scale-free shape.
+    Interior points only (full 7-windows), so edges never emit
+    half-window verdicts."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        (F.col("l_suppkey") % 20).alias("series"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("long").alias("day"),
+    ).agg(F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("v"))
+    w = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    framed = daily.select(
+        "series",
+        "day",
+        "v",
+        F.array_sort(F.collect_list("v").over(w)).alias("win"),
+    ).filter(F.size("win") == 7)
+    med = framed.select(
+        "series",
+        "day",
+        "v",
+        "win",
+        F.element_at("win", 4).cast("long").alias("med"),
+    )
+    mad = med.select(
+        "series",
+        "day",
+        "v",
+        "med",
+        F.element_at(
+            F.array_sort(
+                F.transform("win", lambda x: F.abs(x - F.col("med")))
+            ),
+            4,
+        ).cast("long").alias("madv"),
+    )
+    return mad.select(
+        "series",
+        "day",
+        "v",
+        "med",
+        "madv",
+        (F.abs(F.col("v") - F.col("med")) > 3 * F.col("madv")).alias(
+            "is_outlier"
+        ),
+    )
