@@ -26038,3 +26038,124 @@ def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+@register(
+    "embed_isotropy_audit",
+    f"""
+    WITH q AS (
+        SELECT vec_id, t.j AS dim,
+               CAST(floor(CAST(embedding[t.j] AS DOUBLE) * 1000) AS BIGINT)
+                   AS qv
+        FROM embeddings, range(1, 65) t(j)
+        WHERE t.j <= len(embedding)
+    ), dimvar AS (
+        SELECT dim,
+               CAST(COUNT(*) * SUM(qv * qv) - SUM(qv) * SUM(qv) AS BIGINT)
+                   AS var_num
+        FROM q GROUP BY dim
+    ), dv AS (
+        SELECT CAST(SUM(var_num) AS BIGINT) AS total_var,
+               CAST(MAX(var_num) AS BIGINT) AS top_var,
+               CAST(MIN(ROW(-var_num, dim)) AS STRUCT(nv BIGINT, d BIGINT)).d
+                   AS top_dim
+        FROM dimvar
+    ), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+    pairs AS (
+        SELECT CAST(floor(abs({_cos_duck('a.v', 'b.v')}) * 1000000000)
+                    AS BIGINT) AS ac_e9
+        FROM e a JOIN e b
+          ON a.vec_id < b.vec_id
+         AND (a.vec_id * 31 + b.vec_id) % 97 = 0
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+           dv.total_var, dv.top_var,
+           CAST(dv.top_dim AS BIGINT) AS top_dim,
+           CAST(dv.top_var // greatest(dv.total_var // 1000000, 1)
+                AS BIGINT) AS top_share_e6,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+           (SELECT CAST(SUM(ac_e9) // COUNT(*) AS BIGINT) FROM pairs)
+               AS mean_abs_cos_e9
+    FROM dv
+    """,
+)
+def embed_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE ISOTROPY audit — the two standard space-health
+    numbers: (1) how much of total variance the single dominant
+    dimension holds (rogue-dimension detection — a collapsed encoder
+    concentrates variance), via exact integer variance numerators
+    n·Σq²−(Σq)² over e3-quantized coordinates (q ≤ 1e3 keeps n·Σq²
+    under 2^63 to n ~ 1e8 vectors; the share divides the total down to
+    e6 first for the same reason); (2) the mean absolute
+    cosine between hash-sampled vector pairs (anisotropic spaces have
+    high mean |cos|; a healthy space sits near 0), each pair's cosine
+    floored to an e9 integer BEFORE averaging so the reduction is
+    order-free. Deterministic pair sampling by key arithmetic — no
+    RNG, ~1% of pairs, never all-pairs. Shape: one posexplode groupBy
+    for variances; one key-filtered self-join for the sample."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "x"
+        ),
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x") * 1000).cast("long").alias("qv"),
+    )
+    dimvar = q.groupBy("dim").agg(
+        (
+            F.count(F.lit(1)) * F.sum(F.col("qv") * F.col("qv"))
+            - F.sum("qv") * F.sum("qv")
+        )
+        .cast("long")
+        .alias("var_num")
+    )
+    dv = dimvar.agg(
+        F.sum("var_num").cast("long").alias("total_var"),
+        F.max("var_num").cast("long").alias("top_var"),
+        F.min(F.struct((-F.col("var_num")).alias("nv"), F.col("dim").alias("d")))
+        .alias("m"),
+    ).select(
+        "total_var",
+        "top_var",
+        F.col("m.d").cast("long").alias("top_dim"),
+    )
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    from .pipeline.similarity import cosine_expr
+
+    pairs = a.join(
+        b,
+        (F.col("ia") < F.col("ib"))
+        & ((F.col("ia") * 31 + F.col("ib")) % 97 == 0),
+    ).select(
+        F.floor(F.abs(cosine_expr("va", "vb")) * 1000000000)
+        .cast("long")
+        .alias("ac_e9")
+    )
+    psum = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(SUM(ac_e9) div COUNT(*) AS BIGINT)").alias(
+            "mean_abs_cos_e9"
+        ),
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    return (
+        n.crossJoin(dv)
+        .crossJoin(psum)
+        .select(
+            "n_vecs",
+            "total_var",
+            "top_var",
+            "top_dim",
+            F.expr(
+                "CAST(top_var div greatest(total_var div 1000000, 1)"
+                " AS BIGINT)"
+            ).alias("top_share_e6"),
+            "n_pairs",
+            "mean_abs_cos_e9",
+        )
+    )
