@@ -26159,3 +26159,156 @@ def embed_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_abs_cos_e9",
         )
     )
+
+
+@register(
+    "q_path_regex_match",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        FROM events
+    ), numbered AS (
+        SELECT user_id, event_type, tus, event_id,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ), sess AS (
+        SELECT user_id, event_type, tus, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM numbered
+    ), paths AS (
+        SELECT user_id, sid,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY tus, event_id) AS path
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(regexp_matches(path, '^v.*p') AS BOOLEAN) AS view_to_purchase,
+           CAST(regexp_matches(path, 'e{2,}') AS BOOLEAN) AS error_burst,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(length(path)) AS BIGINT) AS n_steps
+    FROM paths GROUP BY 1, 2
+    """,
+)
+def q_path_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regular-expression pattern matching over
+    per-session event journeys — each gap-session's steps compress to
+    a one-char-per-event string (v/c/p/s/e) and SQL regexes classify
+    shapes: sessions that open with a view and reach a purchase
+    ('^v.*p'), sessions containing an error burst ('e{2,}'). This is
+    the row-pattern-matching feature (SQL:2016 MATCH_RECOGNIZE)
+    re-expressed as string algebra Spark and DuckDB both already
+    execute, over the same sessionization shuffle every other session
+    query uses. Counts per (pattern x pattern) cell."""
+    ev = load_events(spark, sf_dir)
+    tus = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        if dict(ev.dtypes).get("ts") == "timestamp_ntz"
+        else "unix_micros(ts)"
+    )
+    base = ev.select(
+        "user_id", "event_id", "event_type", F.expr(tus).alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    numbered = base.select(
+        "user_id",
+        "event_type",
+        "tus",
+        "event_id",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | (F.col("tus") - F.lag("tus").over(w) > 1800000000),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = numbered.select(
+        "user_id",
+        "event_type",
+        "tus",
+        "event_id",
+        F.sum("is_new").over(wcum).alias("sid"),
+    )
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("tus", "event_id", "event_type")
+                    )
+                ),
+                lambda s: F.substring(s["event_type"], 1, 1),
+            ),
+            "",
+        ).alias("path")
+    )
+    return paths.groupBy(
+        F.col("path").rlike("^v.*p").alias("view_to_purchase"),
+        F.col("path").rlike("e{2,}").alias("error_burst"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.length("path")).cast("long").alias("n_steps"),
+    )
+
+
+@register(
+    "q_abandoned_views",
+    """
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(CASE WHEN EXISTS (
+               SELECT 1 FROM p WHERE p.user_id = v.user_id
+                AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+           ) THEN 0 ELSE 1 END) AS BIGINT) AS n_abandoned,
+           CAST(SUM(CASE WHEN EXISTS (
+               SELECT 1 FROM p WHERE p.user_id = v.user_id
+                AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+           ) THEN 0 ELSE 1 END) * 1000000 // COUNT(*) AS BIGINT)
+               AS abandonment_e6
+    FROM v
+    """,
+)
+def q_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BANDED ANTI-JOIN — abandonment rate: views with NO purchase
+    by the same user within the following hour (the windowed NOT
+    EXISTS that inverts q_window_funnel_timeboxed's chain). Spark
+    plans the NOT EXISTS as a left-anti join whose equi key is the
+    user and whose time band rides as the join residual — co-
+    partitioned, never a cross product (the semi-join output then
+    left-marks the view set — no driver-side counting anywhere); the
+    abandonment share is one exact e6 floor-div. The single most
+    common retargeting query."""
+    ev = load_events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").alias("tv")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("tp")
+    )
+    converted = v.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("tp") > F.col("tv"))
+        & (F.col("tp") <= F.col("tv") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select(F.col("event_id").alias("cid"))
+    return (
+        v.join(converted, v.event_id == F.col("cid"), "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_views"),
+            F.sum(F.when(F.col("cid").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_abandoned"),
+            F.expr(
+                "CAST(SUM(CASE WHEN cid IS NULL THEN 1 ELSE 0 END)"
+                " * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("abandonment_e6"),
+        )
+    )
