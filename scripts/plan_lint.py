@@ -34,6 +34,7 @@ PYTHON_ALLOWED_PREFIXES = (
     "geo_",  # numpy-vectorized WKB kernel (geoparquet/stats.py), Arrow-batched
     "gif_",  # REAL GIF LZW codec round-trip/frame kernels (pipeline/gif.py)
     "q_token_bucket",  # per-key min-cap recurrence (applyInPandas by design)
+    "q_lis_engagement",  # per-key LIS patience sort (non-windowable DP)
 )
 
 # deliberate bounded quadratics, each with its own plan-audit test
