@@ -2846,3 +2846,118 @@ def stream_scd2_versions(
         )
     )
     return raw.select("user_id", "state", "vf_us", "vt_us")
+
+
+ABANDON_RAW_SCHEMA = (
+    "user_id long, view_id long, view_us long, converted boolean"
+)
+ABANDON_STATE_SCHEMA = (
+    "v_ts array<long>, v_id array<long>, p_ts array<long>"
+)
+
+
+def _abandonment_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-view conversion/abandonment verdicts (see
+    ``stream_abandonment``): views and purchases buffer per user; a
+    view's verdict emits exactly once, when the watermark passes
+    view_ts + 1 h — at that instant every purchase that could convert
+    it is final, so the verdict can never be retracted. Purchases
+    older than any undecided view's window prune from state."""
+    hour_us = 3_600_000_000
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    if state.exists:
+        v_ts, v_id, p_ts = state.get
+        views = sorted(zip((int(t) for t in v_ts), (int(i) for i in v_id)))
+        purch = sorted(int(t) for t in p_ts)
+    else:
+        views, purch = [], []
+
+    for pdf in pdfs:
+        for t, i, ty in zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]):
+            if ty == "view":
+                views.append((int(t), int(i)))
+            elif ty == "purchase":
+                purch.append(int(t))
+    views.sort()
+    purch.sort()
+
+    out = []
+    keep_views = []
+    for vt, vid in views:
+        if wm_us > vt + hour_us:
+            conv = any(vt < pt <= vt + hour_us for pt in purch)
+            out.append((key[0], vid, vt, conv))
+        else:
+            keep_views.append((vt, vid))
+
+    # a purchase stays relevant if an UNDECIDED view's window can use
+    # it (pt > min open view ts) or a view that has NOT ARRIVED yet
+    # could (such a view has vt >= wm, so it needs pt > wm) — dropping
+    # the second class would mis-verdict late views that trail their
+    # own converting purchase
+    min_open = keep_views[0][0] if keep_views else None
+    keep_purch = [
+        pt
+        for pt in purch
+        if (min_open is not None and pt > min_open) or pt > wm_us
+    ]
+
+    if not keep_views and not keep_purch:
+        if state.exists:
+            state.remove()
+    else:
+        state.update(
+            (
+                [v[0] for v in keep_views],
+                [v[1] for v in keep_views],
+                keep_purch,
+            )
+        )
+        if keep_views:
+            state.setTimeoutTimestamp(
+                max(
+                    (keep_views[0][0] + hour_us) // 1000 + 1,
+                    wm_us // 1000 + 1,
+                )
+            )
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "view_id", "view_us", "converted"]
+        )
+
+
+def stream_abandonment(
+    stream: DataFrame, watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Streaming ABANDONMENT detector — the canonical event-time TIMER
+    pattern (emit "no matching event arrived within the window" as a
+    first-class fact): every view gets exactly one verdict when the
+    watermark passes its 1-hour conversion window — `converted` if a
+    same-user purchase landed strictly inside (view, view+1h],
+    abandoned otherwise. Absence-of-event can only be asserted once
+    the watermark guarantees completeness, which is why this can't be
+    a join: the negative case produces a row precisely when NO row
+    matches. State per user: undecided views + the purchases their
+    windows might still need, pruned on every close."""
+    from ..deploy import ensure_deployed
+
+    ensure_deployed(stream.sparkSession)
+    raw = (
+        stream.filter(F.col("event_type").isin("view", "purchase"))
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _abandonment_fn,
+            outputStructType=ABANDON_RAW_SCHEMA,
+            stateStructType=ABANDON_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw.select("user_id", "view_id", "view_us", "converted")

@@ -2522,3 +2522,51 @@ class TestStreamScd2:
             ("a", m0 + 0, m0 + 10),
             ("b", m0 + 10, m0 + 20),
         ]
+
+
+class TestStreamAbandonment:
+    def test_late_view_sees_earlier_arrived_purchase(self, spark, tmp_path):
+        """A purchase ARRIVES before its view (the view is late but
+        within the watermark delay): the view's verdict must still be
+        `converted` — the purchase may not be pruned from state while
+        an in-watermark view could still claim it. Also: a view whose
+        window holds no purchase must emit abandoned exactly once."""
+        import datetime as dt
+
+        from gpq_spark.streaming.windows import stream_abandonment
+
+        t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+        def ev(eid, minutes, etype, uid=1):
+            return (
+                eid,
+                t0 + dt.timedelta(minutes=minutes),
+                uid,
+                etype,
+                1.0,
+                "{}",
+            )
+
+        batches = [
+            # purchase at t+30 arrives FIRST; no views pending yet
+            [ev(2, 30, "purchase")],
+            # its view (t+10) arrives late; another view (t+200) will
+            # find no purchase in (200, 260]
+            [ev(1, 10, "view"), ev(3, 200, "view")],
+            [ev(99, 40000, "view", uid=2)],  # sentinel
+        ]
+        d = tmp_path / "abandon_ooo"
+        src_schema = _write_ooo_files(spark, d, batches)
+        from gpq_spark.streaming import stream_events
+
+        stream = stream_events(
+            spark, str(d), src_schema, options={"maxFilesPerTrigger": "1"}
+        )
+        got = sorted(
+            (r["view_id"], r["converted"])
+            for r in _drain_ooo(
+                spark, stream_abandonment(stream), "abandon_ooo"
+            ).collect()
+            if r["user_id"] == 1
+        )
+        assert got == [(1, True), (3, False)]
