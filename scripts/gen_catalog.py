@@ -24,7 +24,7 @@ GROUPS = [
      r"|range_join|interval_overlap|rolling|gapfill|events_json|concurrency"
      r"|twa_value|max_drawdown|ewma|seasonal_decompose|bollinger"
      r"|quantile_normalize|winsorized_mean|forecast_eval|hill_tail"
-     r"|allen_relations|business_days|interval_schedule|ccf_|matrix_profile|range_frame|calendar_arithmetic|trajectory)"),
+     r"|allen_relations|business_days|interval_schedule|ccf_|matrix_profile|range_frame|calendar_arithmetic|trajectory|hampel|revenue_recognition|semi_additive)"),
     ("Event analytics",
      r"^q_(funnel|funnel_dropoff|retention|anomaly|event_transitions|event_seq|time_to|attribution|linear_attribution"
      r"|ab_test|trend|crosstab|drift|basket|recommend|incremental|table_checksum"
@@ -32,7 +32,7 @@ GROUPS = [
      r"|spearman|holt|lorenz|kendall|markov|cramers|survival|price_elasticity"
      r"|active_users|audience_matrix|skyline|wilson|diff_in_diff"
      r"|hierarchy_rollup|conformal|gains_deciles|transition_conformance"
-     r"|pit_features|exact_median|standardized_rate|mix_shift|seasonal_anomaly|slo_burn|window_funnel|equidepth|token_bucket|incident_mtbf|explode_outer)"),
+     r"|pit_features|exact_median|standardized_rate|mix_shift|seasonal_anomaly|slo_burn|window_funnel|equidepth|token_bucket|incident_mtbf|explode_outer|path_regex|abandoned_views|lis_|effective_dated|price_volume_mix)"),
     ("Graph analytics",
      r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa|sssp"
      r"|stress|truss|ktruss|link_prediction|closure|scc|hits|hash_walks"
@@ -41,7 +41,7 @@ GROUPS = [
      r"^q_(kanon|ldiversity|tcloseness|benford|corpus_diff|data_constraints"
      r"|split_leakage|mann_whitney|runs_test|trimmed_mean|ks_test|cvm_test"
      r"|mutual_info|psi|fd_check|rendezvous|merkle_diff|pruning_audit"
-     r"|joinability|kanon_lattice)"),
+     r"|joinability|kanon_lattice|apportionment)"),
     ("Deduplication & decontamination", r"^(dedup_|decontam|semantic_|er_)"),
     ("Similarity search & embeddings", r"^(ann_|ivf_|embed_|pq_)"),
     ("Text analysis & corpus ops",
