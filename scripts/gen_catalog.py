@@ -32,7 +32,7 @@ GROUPS = [
      r"|spearman|holt|lorenz|kendall|markov|cramers|survival|price_elasticity"
      r"|active_users|audience_matrix|skyline|wilson|diff_in_diff"
      r"|hierarchy_rollup|conformal|gains_deciles|transition_conformance"
-     r"|pit_features|exact_median|standardized_rate|mix_shift|seasonal_anomaly|slo_burn|window_funnel|equidepth|token_bucket|incident_mtbf|explode_outer|path_regex|abandoned_views|lis_|effective_dated|price_volume_mix)"),
+     r"|pit_features|exact_median|standardized_rate|mix_shift|seasonal_anomaly|slo_burn|window_funnel|equidepth|token_bucket|incident_mtbf|explode_outer|path_regex|abandoned_views|lis_|effective_dated|price_volume_mix|od_flow|rolling_distinct)"),
     ("Graph analytics",
      r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa|sssp"
      r"|stress|truss|ktruss|link_prediction|closure|scc|hits|hash_walks"
