@@ -53,7 +53,10 @@ def pagerank(
         if weight is not None:
             rev.append(F.col("w"))
         e = e.unionByName(e.select(*rev))
-    e = e.distinct()
+    # materialize once: every iteration joins the edge set, and an
+    # un-checkpointed frame re-runs the upstream scan + distinct per
+    # iteration (3 iterations -> 3x the scan; measured in BASELINE.md)
+    e = e.distinct().localCheckpoint()
 
     if weight is not None:
         deg = e.groupBy("s").agg(F.sum("w").cast("long").alias("deg"))
@@ -1167,7 +1170,8 @@ def personalized_pagerank(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if not directed:
         e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    e = e.distinct()
+    # materialized for the same per-iteration reuse reason as pagerank
+    e = e.distinct().localCheckpoint()
     deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     nodes = e.select(F.col("s").alias("node")).distinct()
     seed_pred = F.col("node").isin([int(x) for x in seeds])
