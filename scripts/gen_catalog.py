@@ -36,13 +36,14 @@ GROUPS = [
     ("Graph analytics",
      r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa|sssp"
      r"|stress|truss|ktruss|link_prediction|closure|scc|hits|hash_walks"
-     r"|temporal_reach|degree_assortativity|rich_club|ppr_|bom_rollup)"),
+     r"|temporal_reach|degree_assortativity|rich_club|ppr_|bom_rollup|structural_equivalence)"),
     ("Governance & auditing",
      r"^q_(kanon|ldiversity|tcloseness|benford|corpus_diff|data_constraints"
      r"|split_leakage|mann_whitney|runs_test|trimmed_mean|ks_test|cvm_test"
      r"|mutual_info|psi|fd_check|rendezvous|merkle_diff|pruning_audit"
      r"|joinability|kanon_lattice|apportionment)"),
-    ("Deduplication & decontamination", r"^(dedup_|decontam|semantic_|er_)"),
+    ("Deduplication & decontamination",
+     r"^(dedup_|decontam|semantic_|er_|q_minhash_calibration)"),
     ("Similarity search & embeddings", r"^(ann_|ivf_|embed_|pq_)"),
     ("Text analysis & corpus ops",
      r"^(text_|rank_|sample_|pack_|profile_|skew_|shuffle_|drift_|pipeline_)"),
