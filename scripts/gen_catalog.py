@@ -36,7 +36,7 @@ GROUPS = [
     ("Graph analytics",
      r"^q_(pagerank|triangle|kcore|clustering|modularity|harmonic|lpa|sssp"
      r"|stress|truss|ktruss|link_prediction|closure|scc|hits|hash_walks"
-     r"|temporal_reach|degree_assortativity|rich_club|ppr_|bom_rollup|structural_equivalence)"),
+     r"|temporal_reach|degree_assortativity|rich_club|ppr_|bom_rollup|structural_equivalence|degree_distribution)"),
     ("Governance & auditing",
      r"^q_(kanon|ldiversity|tcloseness|benford|corpus_diff|data_constraints"
      r"|split_leakage|mann_whitney|runs_test|trimmed_mean|ks_test|cvm_test"
