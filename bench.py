@@ -18,6 +18,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+def read_cpu_stat() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu line.
+
+    Steal is the time the hypervisor ran OTHER tenants while this VM had
+    runnable work — the ambient noise that made round-over-round bench
+    deltas unattributable (VERDICT r3 task 2). Recording it per query
+    makes a +13% wall drift distinguishable from a plan regression."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except OSError:
+        return 0, 0
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -97,21 +113,36 @@ def main() -> None:
     # keeps cross-round comparisons auditable (VERDICT r2 item 8).
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
+    steal_warm: dict[str, float] = {}
+    steal_cold: dict[str, float] = {}
+    bench_s0, bench_t0 = read_cpu_stat()
     for name in HEADLINE:
         fn = qdict[name]
-        runs = []
+        runs: list[float] = []
+        steals: list[float] = []
         for _ in range(2):
+            s0, t0 = read_cpu_stat()
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             runs.append(time.perf_counter() - start)
+            s1, t1 = read_cpu_stat()
+            steals.append(round(100.0 * (s1 - s0) / max(1, t1 - t0), 2))
+        imin = runs.index(min(runs))
         timings_cold[name] = round(runs[0], 3)
-        timings[name] = round(min(runs), 3)
+        timings[name] = round(runs[imin], 3)
+        steal_cold[name] = steals[0]
+        steal_warm[name] = steals[imin]
         print(
             f"# {name}: {timings[name]:.3f}s ({n} rows; runs "
-            f"{', '.join(f'{r:.2f}' for r in runs)})",
+            f"{', '.join(f'{r:.2f}' for r in runs)}; steal% "
+            f"{', '.join(f'{s:.1f}' for s in steals)})",
             file=sys.stderr,
         )
+    bench_s1, bench_t1 = read_cpu_stat()
+    steal_overall = round(
+        100.0 * (bench_s1 - bench_s0) / max(1, bench_t1 - bench_t0), 2
+    )
 
     total = round(sum(timings.values()), 3)
     total_cold = round(sum(timings_cold.values()), 3)
@@ -130,6 +161,9 @@ def main() -> None:
                 "queries_cold": timings_cold,
                 "cold_wall": total_cold,
                 "warm_wall": total,
+                "steal_pct": steal_warm,
+                "steal_pct_cold": steal_cold,
+                "steal_pct_overall": steal_overall,
                 "sf": sf_val,
             }
         )

@@ -110,9 +110,10 @@ def _decode_any(value):
 
 def _kernel_scan(s: pd.Series, want_bounds: bool, stats_types: bool):
     """Run the vectorized per-value WKB kernel (geoparquet/stats.py
-    wkb_scan_values) over a pandas batch. Returns None when the batch
-    holds WKT strings — the caller falls back to the per-value text
-    codec (WKT is the rare legacy encoding; WKB is the hot path)."""
+    wkb_scan_values) over a pandas batch. WKT string batches are first
+    converted with the vectorized batch parser (geo/wkt_fast.py), so
+    BOTH encodings take the numpy path end-to-end — no per-value
+    Python for either input."""
     import numpy as np
     import pyarrow as pa
 
@@ -127,46 +128,36 @@ def _kernel_scan(s: pd.Series, want_bounds: bool, stats_types: bool):
             np.full(n, np.nan) for _ in range(4)
         )
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-        return None
+        from ..geo.wkt_fast import wkt_to_wkb_batch
+
+        arr = pa.array(wkt_to_wkb_batch(arr.to_pylist()), type=pa.large_binary())
     return wkb_scan_values(arr, want_bounds=want_bounds, stats_types=stats_types)
 
 
 @F.pandas_udf(T.StringType())
 def _geometry_type_udf(s: pd.Series) -> pd.Series:
     r = _kernel_scan(s, want_bounds=False, stats_types=False)
-    if r is None:  # WKT strings
-        return s.map(lambda v: None if v is None else (_decode_any(v) or {}).get("type"))
     return pd.Series(r[0])
 
 
 @F.pandas_udf(T.StringType())
 def _stats_type_udf(s: pd.Series) -> pd.Series:
     r = _kernel_scan(s, want_bounds=False, stats_types=True)
-    if r is None:  # WKT strings
-        return s.map(lambda v: stats_type_name(_decode_any(v)))
     return pd.Series(r[0])
 
 
 @F.pandas_udf(ENVELOPE_TYPE)
 def _envelope_udf(s: pd.Series) -> pd.DataFrame:
     r = _kernel_scan(s, want_bounds=True, stats_types=False)
-    if r is None:  # WKT strings: per-value text parse
-        def env(v):
-            g = _decode_any(v)
-            b = _wkb.bounds(g) if g is not None else None
-            if b is None:
-                return (None, None, None, None)
-            return b
-
-        rows = s.map(env)
-        return pd.DataFrame(rows.tolist(), columns=["xmin", "ymin", "xmax", "ymax"])
     _, x0, y0, x1, y1 = r
     return pd.DataFrame({"xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1})
 
 
 @F.pandas_udf(T.BinaryType())
 def _wkt_to_wkb_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: None if v is None else _wkb.dumps(_wkt.loads(v)))
+    from ..geo.wkt_fast import wkt_to_wkb_batch
+
+    return pd.Series(wkt_to_wkb_batch(s), dtype=object)
 
 
 @F.pandas_udf(T.StringType())

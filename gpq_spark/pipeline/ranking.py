@@ -220,8 +220,11 @@ def pairwise_doc_similarity(
     - ``validate_bounds``: guard the BIGINT arithmetic — ``cos2_e6``
       is exact only while ``1e6·dot²`` fits int64, which holds whenever
       every per-doc ``norm² ≤ 3_036_999`` (dot ≤ max norm² and
-      1e6·(3.037e6)² ≈ int64 max). The guard is one tiny aggregate over
-      the norms; on violation it raises instead of silently wrapping.
+      1e6·(3.037e6)² ≈ int64 max). The guard is an inline
+      ``raise_error`` expression on the norms frame — zero extra scans
+      (it used to be a separate max-norm aggregate pass); on violation
+      the MAIN job fails with the bound message instead of silently
+      wrapping.
 
     The self-join shuffles the postings table once on ``term``; both
     sides are the SAME aggregated frame, so Spark reuses the shuffle
@@ -271,14 +274,27 @@ def pairwise_doc_similarity(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm2")
     )
     if validate_bounds:
-        top = norms.agg(F.max("norm2").alias("m")).collect()[0]["m"]
-        if top is not None and top > 3_036_999:
-            raise ValueError(
-                f"max per-doc norm2 {top} exceeds 3036999: 1e6*dot^2 would "
-                "overflow BIGINT and silently corrupt cos2_e6. Shorten or "
-                "pre-truncate documents, or pass validate_bounds=False after "
-                "verifying dot stays below 3.03e6 for your corpus."
+        norms = norms.select(
+            id_col,
+            F.when(
+                F.col("norm2") > F.lit(3_036_999),
+                F.raise_error(
+                    F.concat(
+                        F.lit("per-doc norm2 "),
+                        F.col("norm2").cast("string"),
+                        F.lit(
+                            " exceeds 3036999: 1e6*dot^2 would overflow "
+                            "BIGINT and silently corrupt cos2_e6. Shorten or "
+                            "pre-truncate documents, or pass "
+                            "validate_bounds=False after verifying dot stays "
+                            "below 3.03e6 for your corpus."
+                        ),
+                    )
+                ).cast("long"),
             )
+            .otherwise(F.col("norm2"))
+            .alias("norm2"),
+        )
     na = norms.select(F.col(id_col).alias("id_a"), F.col("norm2").alias("__na"))
     nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm2").alias("__nb"))
     return (

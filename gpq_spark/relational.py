@@ -356,6 +356,85 @@ def running_total_by(
     )
 
 
+def global_order_stats(
+    df: DataFrame,
+    order_exprs: list[Column],
+    rank_col: str | None = "rn",
+    cum_sums: dict[str, str] | None = None,
+    total_count_col: str | None = None,
+    total_sums: dict[str, str] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Global rank / running sums / totals in ``order_exprs`` order —
+    without the single-reducer global window.
+
+    The scale-safe replacement for ``row_number() OVER (ORDER BY …)``
+    and ``SUM(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)`` over a
+    row-scale frame: range-repartition on the order expressions, rank
+    and accumulate WITHIN each partition, then add each partition's
+    broadcast prefix (count / sum of everything in earlier ranges).
+    The only global window runs over the per-partition aggregate
+    (≤ ``partitions`` rows, bounded by cluster size, never by data).
+
+    ``order_exprs`` must be a TOTAL order (include a tiebreaker) and
+    may carry ``.desc()``; ranks are 1-based. ``cum_sums`` maps value
+    columns to inclusive running-total output names. ``total_count_col``
+    / ``total_sums`` attach grand totals to every row (broadcast 1-row
+    cross join — the frame is persisted, so no second source scan).
+    """
+    cum_sums = cum_sums or {}
+    total_sums = total_sums or {}
+    sum_cols = sorted(set(cum_sums) | set(total_sums))
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(n, *order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    per_pid = d.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__c"),
+        *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
+    )
+    w0 = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = per_pid.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(w0), F.lit(0)).alias("__c_off"),
+        *[
+            F.coalesce(F.sum(f"__s_{c}").over(w0), F.lit(0)).alias(f"__o_{c}")
+            for c in sum_cols
+        ],
+    )
+    wl = Window.partitionBy("__pid").orderBy(*order_exprs)
+    wlc = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = d
+    if rank_col:
+        out = out.withColumn("__lrn", F.row_number().over(wl))
+    for c in cum_sums:
+        out = out.withColumn(f"__lc_{c}", F.sum(c).over(wlc))
+    out = out.join(F.broadcast(prefix), "__pid")
+    if rank_col:
+        out = out.withColumn(
+            rank_col, (F.col("__c_off") + F.col("__lrn")).cast("long")
+        ).drop("__lrn")
+    for c, name in cum_sums.items():
+        out = out.withColumn(
+            name, (F.col(f"__o_{c}") + F.col(f"__lc_{c}")).cast("long")
+        ).drop(f"__lc_{c}")
+    out = out.drop("__pid", "__c_off", *[f"__o_{c}" for c in sum_cols])
+    if total_count_col or total_sums:
+        tot = per_pid.agg(
+            F.sum("__c").cast("long").alias(total_count_col or "__tn"),
+            *[
+                F.sum(f"__s_{c}").cast("long").alias(name)
+                for c, name in total_sums.items()
+            ],
+        )
+        if not total_count_col:
+            tot = tot.drop("__tn")
+        out = out.crossJoin(F.broadcast(tot))
+    return out
+
+
 def interval_concurrency(
     df: DataFrame,
     start_col: str,

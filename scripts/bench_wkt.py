@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Micro-bench: vectorized batch WKT→WKB (geo/wkt_fast.py) vs the legacy
+per-value recursive-descent path, on a 1M-value realistic mix (60%
+points, 25% linestrings, 15% polygons). Prints one JSON line.
+
+Usage: python scripts/bench_wkt.py [n]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def _malloc_reuse() -> None:
+    """Keep large allocations on the heap (glibc mallopt) so numpy
+    temporaries are REUSED across passes. Without this, every ~66 MB
+    temporary of a 1M-value batch is mmap'd fresh, page-faulted, and
+    munmap'd (glibc's default M_MMAP_THRESHOLD is 128 KiB), and the
+    bench measures kernel page-fault churn instead of the kernel's
+    compute (measured 9.1 s → 2.8 s on the same batch). Inside Spark
+    this never arises: Arrow batches are ~10k rows, whose temporaries
+    sit under the mmap threshold and recycle naturally."""
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(ctypes.c_int(-3), ctypes.c_int(1 << 30))  # M_MMAP_THRESHOLD
+        libc.mallopt(ctypes.c_int(-1), ctypes.c_int(1 << 30))  # M_TRIM_THRESHOLD
+    except OSError:
+        pass
+
+
+def main() -> None:
+    _malloc_reuse()
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    from gpq_spark.geo import wkb as _wkb
+    from gpq_spark.geo import wkt as _wkt
+    from gpq_spark.geo.wkt_fast import wkt_to_wkb_batch
+
+    vals = []
+    for i in range(n):
+        m = i % 20
+        x = (i % 360) - 180 + 0.25
+        y = (i % 170) - 85 + 0.5
+        if m < 12:
+            vals.append(f"POINT ({x} {y})")
+        elif m < 17:
+            vals.append(
+                f"LINESTRING ({x} {y}, {x + 1} {y + 1}, {x + 2} {y},"
+                f" {x + 3} {y + 2})"
+            )
+        else:
+            vals.append(
+                f"POLYGON (({x} {y}, {x + 2} {y}, {x + 2} {y + 2},"
+                f" {x} {y + 2}, {x} {y}))"
+            )
+
+    # min-of-3 for both paths: this VM shows heavy ambient memory-
+    # bandwidth contention (identical numpy passes swing 0.2s ↔ 0.9s),
+    # and the vectorized path is bandwidth-bound where the legacy path
+    # is interpreter-bound — min-of-N compares steady-state throughput
+    fast_runs, slow_runs = [], []
+    fast = slow = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fast = wkt_to_wkb_batch(vals)
+        fast_runs.append(time.perf_counter() - t0)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        slow = [_wkb.dumps(_wkt.loads(v)) for v in vals]
+        slow_runs.append(time.perf_counter() - t0)
+    t_fast, t_slow = min(fast_runs), min(slow_runs)
+
+    assert fast == slow, "fast path disagrees with legacy parser"
+    print(
+        json.dumps(
+            {
+                "metric": "wkt_to_wkb_1m_batch",
+                "n": n,
+                "fast_s": round(t_fast, 2),
+                "legacy_s": round(t_slow, 2),
+                "fast_runs": [round(x, 2) for x in fast_runs],
+                "legacy_runs": [round(x, 2) for x in slow_runs],
+                "speedup": round(t_slow / t_fast, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Spot-check named queries against their DuckDB oracles.
+
+Fast iteration tool: runs only the queries named on the command line
+(exact names, or prefixes with a trailing '*') against their oracles at
+the given scale factor and prints one line per query.
+
+Usage: python scripts/check.py [--sf DIR] name [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and args[0] == "--sf":
+        sf_dir = args[1]
+        args = args[2:]
+    if not args:
+        print("usage: check.py [--sf DIR] name [name ...]")
+        sys.exit(2)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("gpq_spark-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from gpq_spark.entry_queries import QUERIES
+    from gpq_spark.oracle import compare, duckdb_connection
+
+    wanted = []
+    for q in QUERIES:
+        for a in args:
+            if (a.endswith("*") and q.name.startswith(a[:-1])) or q.name == a:
+                wanted.append(q)
+                break
+    if not wanted:
+        print(f"no queries match {args}")
+        sys.exit(2)
+
+    con = duckdb_connection(sf_dir)
+    n_ok = 0
+    for q in wanted:
+        t0 = time.perf_counter()
+        try:
+            df = q.spark_fn(spark, sf_dir)
+            if q.oracle is None:
+                n = df.count()
+                print(f"{q.name}: rows-only ({n} rows) "
+                      f"[{time.perf_counter() - t0:.1f}s]")
+                n_ok += 1
+                continue
+            r = compare(df, con, q.oracle)
+            w = time.perf_counter() - t0
+            if r["match"]:
+                print(f"{q.name}: OK ({r['spark_rows']} rows) [{w:.1f}s]")
+                n_ok += 1
+            else:
+                print(f"{q.name}: FAIL [{w:.1f}s]\n  {r.get('detail')}")
+        except Exception as exc:  # noqa: BLE001
+            print(f"{q.name}: ERROR {type(exc).__name__}: {exc}")
+    print(f"{n_ok}/{len(wanted)} green")
+    spark.stop()
+    sys.exit(0 if n_ok == len(wanted) else 1)
+
+
+if __name__ == "__main__":
+    main()

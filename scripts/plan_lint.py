@@ -42,6 +42,87 @@ CARTESIAN_ALLOWED = {
     "q_kendall_binned",  # cell-bounded concordance pairs (test_plan_audit)
 }
 
+# BNLJ contract: every BroadcastNestedLoopJoin in the gate broadcasts a
+# BOUNDED side (1-row aggregate scalars, ≤50-row query sets, decile /
+# threshold tables). That discipline was convention; this allowlist makes
+# it lint-enforced — a NEW query (or an edit to an old one) that picks up
+# a BNLJ lands in _summary.bnlj_unexpected and fails the lint instead of
+# shipping silently. Add a query here ONLY after verifying the broadcast
+# side is bounded by construction (not by SF).
+BNLJ_ALLOWED = {
+    "ann_ild_diversity", "ann_mrl_truncation_recall",
+    "ann_quantization_recall", "ann_topk", "ann_topk_quantized",
+    "ann_topk_rerank", "dedup_blocking_eval", "dedup_lsh_recall",
+    "dedup_lsh_recall_sampled", "dedup_report", "drift_price_buckets",
+    "embed_isotropy_audit", "embed_principal_scores", "embed_triplets",
+    "geo_haversine_pairs", "geo_kring_smooth", "q11_important_parts",
+    "q22_idle_rich_customers", "q_ab_test", "q_acf_order_volume",
+    "q_active_users_7d", "q_apportionment_quota", "q_attribution_shapley",
+    "q_basket_pairs", "q_benford_profile", "q_bitemporal_asof",
+    "q_bollinger_breakouts", "q_bootstrap_ci_mean", "q_ccf_view_purchase",
+    "q_conformal_coverage", "q_cramers_v", "q_crosstab_chisq",
+    "q_cv_stump_accuracy", "q_cvm_test", "q_decision_stump_returns",
+    "q_drift_chisq", "q_effective_dated_rates", "q_equidepth_prices",
+    "q_funnel_dropoff", "q_gains_deciles", "q_hill_tail_index",
+    "q_joinability", "q_kanon_lattice", "q_kaplan_meier", "q_kfold_ols",
+    "q_ks_test", "q_mann_whitney", "q_matrix_profile_hourly",
+    "q_max_drawdown", "q_minhash_calibration", "q_mix_shift",
+    "q_modularity_nations", "q_mutual_info", "q_pareto_revenue",
+    "q_permutation_test", "q_price_elasticity", "q_price_volume_mix",
+    "q_psi_price", "q_quantile_normalize", "q_rendezvous_shards",
+    "q_rolling_distinct_users", "q_runs_test", "q_scc_nations",
+    "q_seasonal_decompose", "q_sketch_cms_heavy", "q_sketch_cms_joinsize",
+    "q_sketch_hll_distinct", "q_sketch_hll_intersect", "q_sketch_hll_merge",
+    "q_sketch_kmv_jaccard", "q_standardized_rate", "q_survival_km",
+    "q_tcloseness", "q_theil_sen", "q_trend_slope",
+    "q_wasserstein_price_drift", "q_weekday_profile", "rank_bm25_docs",
+    "rank_ndcg_eval", "rank_retrieval_eval", "rank_rrf_docs",
+    "rank_tfidf_docs", "sample_balanced_docs", "sample_match_length_docs",
+    "sample_temperature_mix", "text_bigram_pmi", "text_charlm_score",
+    # round-4 additions (broadcast 1-row totals from global_order_stats)
+    "q_gini_revenue", "q_lorenz_deciles", "q_kendall_binned",
+}
+
+# Queries allowed to keep an UNPARTITIONED window over an UNAGGREGATED
+# frame — each must be bounded by a filter/limit by construction, with a
+# justification. (Unpartitioned windows over aggregated frames — per-pid
+# prefix offsets, decile tables, day/month rollups — are always allowed:
+# their input is a groupBy output, bounded by group-key cardinality.)
+GLOBAL_WINDOW_OK: dict[str, str] = {}
+
+
+def global_window_violations(jdf) -> list[str]:
+    """Walk the optimized logical plan; return the simpleStrings of every
+    Window node whose partitionSpec is EMPTY and whose input subtree has
+    no Aggregate — i.e. a single-reducer global sort over a row-scale
+    frame, the one window shape that cannot survive a 100× scale-up.
+    Global windows over an Aggregate output (per-partition prefix
+    offsets, decile tables, calendar rollups) pass: their row count is
+    bounded by group-key cardinality, not by data volume."""
+    bad: list[str] = []
+
+    def has_agg(node) -> bool:
+        if node.getClass().getSimpleName() == "Aggregate":
+            return True
+        ch = node.children()
+        return any(has_agg(ch.apply(i)) for i in range(ch.size()))
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        ch = node.children()
+        if (
+            name == "Window"
+            and node.partitionSpec().isEmpty()
+            and ch.size() > 0
+            and not has_agg(ch.apply(0))
+        ):
+            bad.append(node.simpleString(120))
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(jdf.queryExecution().optimizedPlan())
+    return bad
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -64,18 +145,16 @@ def main() -> None:
         if q.name.startswith("stream_"):
             continue
         try:
-            p = (
-                q.spark_fn(spark, sf_dir)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            jdf = q.spark_fn(spark, sf_dir)._jdf
+            p = jdf.queryExecution().executedPlan().toString()
+            gw = global_window_violations(jdf)
             out[q.name] = {
                 "cartesian": p.count("CartesianProduct"),
                 "bnlj": p.count("BroadcastNestedLoopJoin"),
                 "pythonudf": p.lower().count("pythonudf"),
                 "exchanges": p.count("Exchange"),
                 "scans": p.count("FileScan parquet"),
+                "global_window_unagg": gw,
             }
         except Exception as e:  # noqa: BLE001
             out[q.name] = {"err": str(e)[:200]}
@@ -91,6 +170,14 @@ def main() -> None:
         if v.get("pythonudf")
         and not any(n.startswith(p) for p in PYTHON_ALLOWED_PREFIXES)
     ]
+    bnlj_unexpected = sorted(
+        n for n, v in out.items() if v.get("bnlj") and n not in BNLJ_ALLOWED
+    )
+    gw_unexpected = sorted(
+        n
+        for n, v in out.items()
+        if v.get("global_window_unagg") and n not in GLOBAL_WINDOW_OK
+    )
     out["_summary"] = {
         "n_queries": len(out),
         "cartesian_queries": cart,
@@ -98,6 +185,8 @@ def main() -> None:
         "bnlj_queries": sorted(
             n for n, v in out.items() if v.get("bnlj")
         ),
+        "bnlj_unexpected": bnlj_unexpected,
+        "global_window_unagg_unexpected": gw_unexpected,
         "wall_s": round(time.perf_counter() - t0, 1),
     }
     path = os.path.join(ROOT, "PLAN_LINT.json")
@@ -107,8 +196,12 @@ def main() -> None:
     print(
         f"{path}: {s['n_queries']} plans, cartesian={len(cart)}, "
         f"unexpected pythonUDF={len(pyudf_unexpected)}, "
-        f"bnlj={len(s['bnlj_queries'])} in {s['wall_s']}s"
+        f"bnlj={len(s['bnlj_queries'])} "
+        f"(unexpected={len(bnlj_unexpected)}), "
+        f"global_window_unagg={len(gw_unexpected)} in {s['wall_s']}s"
     )
+    if cart or pyudf_unexpected or bnlj_unexpected or gw_unexpected:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -2176,7 +2176,10 @@ class TestPairwiseSimilarityGuards:
 
     def test_norm_overflow_guard(self, spark):
         """A doc whose norm2 exceeds the int64-safe bound must raise
-        (1e6*dot^2 would silently wrap) unless validation is waived."""
+        (1e6*dot^2 would silently wrap) unless validation is waived.
+        The guard is an inline raise_error expression inside the main
+        job (no separate pre-scan), so it surfaces as a Spark execution
+        exception carrying the bound message."""
         import pytest
 
         from gpq_spark.pipeline.ranking import pairwise_doc_similarity
@@ -2185,7 +2188,7 @@ class TestPairwiseSimilarityGuards:
         docs = spark.createDataFrame(
             [(1, long_doc), (2, long_doc)], "doc_id long, text string"
         )
-        with pytest.raises(ValueError, match="overflow BIGINT"):
+        with pytest.raises(Exception, match="overflow BIGINT"):
             pairwise_doc_similarity(
                 docs, "doc_id", "text", max_df=None
             ).collect()

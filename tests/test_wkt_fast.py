@@ -1,0 +1,167 @@
+"""Parity tests: the vectorized batch WKT parser must agree byte-for-byte
+with the legacy per-value recursive-descent path (wkb.dumps(wkt.loads(v)))
+on every supported form, and raise on everything the legacy path rejects."""
+
+from __future__ import annotations
+
+import pytest
+
+from gpq_spark.geo import wkb as _wkb
+from gpq_spark.geo import wkt as _wkt
+from gpq_spark.geo.wkt_fast import wkt_to_wkb_batch
+
+
+def legacy(v):
+    return _wkb.dumps(_wkt.loads(v))
+
+
+CASES = [
+    None,
+    "POINT (1 2)",
+    "POINT(1 2)",
+    "  point ( -1.5   2.25 )  ",
+    "POINT (1e3 -2.5e-2)",
+    "POINT (0.5 .25)",
+    "POINT Z (1 2 3)",
+    "POINT (1 2 3)",  # Z inferred without marker
+    "POINT EMPTY",
+    "LINESTRING (0 0, 1 1, 2 0)",
+    "LINESTRING(0 0,1 1)",
+    "LINESTRING Z (0 0 1, 2 2 2)",
+    "LINESTRING (0 0 1, 2 2 2)",
+    "LINESTRING EMPTY",
+    "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+    "POLYGON Z ((0 0 0, 1 0 0, 1 1 1, 0 0 0))",
+    "POLYGON EMPTY",
+    "MULTIPOINT ((1 2), (3 4))",
+    "MULTIPOINT (1 2, 3 4)",
+    "MULTIPOINT (1 2)",
+    "MULTIPOINT ((1 2))",
+    "MULTIPOINT EMPTY",
+    "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))",
+    "MULTILINESTRING ((0 0, 1 1))",
+    "MULTILINESTRING EMPTY",
+    "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+    "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 0), (1 1, 2 1, 2 2, 1 1)))",
+    "MULTIPOLYGON EMPTY",
+    "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+    "GEOMETRYCOLLECTION EMPTY",
+    "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (9 8)))",
+    "",  # legacy loads('') -> None
+    "   ",
+    "POINT (-0.0 0.0)",
+    "POINT (123456789.123456789 -0.000001)",
+    "LINESTRING (1 2, 1 2)",  # duplicate coords are legal
+    "POLYGON((0 0,1 0,1 1,0 1,0 0),(0.2 0.2,0.4 0.2,0.4 0.4,0.2 0.2))",
+    "MULTIPOINT (1 2, 3 4, 5 6, 7 8, 9 10)",
+    "MULTIPOINT ((1 2), (3 4), (5 6))",
+]
+
+
+def test_batch_parity_supported_forms():
+    got = wkt_to_wkb_batch(CASES)
+    want = [None if v is None else legacy(v) for v in CASES]
+    for v, g, w in zip(CASES, got, want):
+        assert g == w, f"mismatch for {v!r}: {g!r} != {w!r}"
+
+
+def test_batch_mixed_with_nulls_preserves_positions():
+    vals = [None, "POINT (1 2)", None, "LINESTRING (0 0, 1 1)", None]
+    got = wkt_to_wkb_batch(vals)
+    assert got[0] is None and got[2] is None and got[4] is None
+    assert got[1] == legacy("POINT (1 2)")
+    assert got[3] == legacy("LINESTRING (0 0, 1 1)")
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "POINT (1)",            # <2 coordinate values
+        "POINT (1 2",           # unbalanced parens
+        "CIRCLE (1 2)",         # unknown type
+        "POINT M (1 2 3)",      # M unsupported
+        "POINT (1 2) junk",     # trailing content
+        "POINT (a b)",          # non-numeric
+        "LINESTRING ((0 0, 1 1))",  # nested parens in a coord seq
+        "POLYGON ((1 2, 3 4) 5 6)",   # numbers outside the ring
+        "POLYGON (5 6 (1 2, 3 4))",   # numbers before the ring
+        "POLYGON ((1 2, 3 4)) (5 6)", # trailing paren group
+        "LINESTRING (1 2, 3 4) 9",    # trailing number
+        "POINT (1 2) (",              # trailing open paren
+        "MULTIPOINT ((1 2), 3 4, (5 6)) 7",  # trailing number
+        "POINT Z (1 2)",              # Z marker with 2D coords
+        "LINESTRING Z (0 0, 1 1)",    # Z marker with 2D coords
+    ],
+)
+def test_batch_raises_like_legacy(bad):
+    with pytest.raises(Exception):
+        legacy(bad)
+    with pytest.raises(Exception):
+        wkt_to_wkb_batch([bad])
+
+
+def test_batch_large_roundtrip_mixed():
+    """A 3000-value mixed batch must match the legacy path exactly and
+    round-trip through the WKB reader."""
+    vals = []
+    for i in range(1000):
+        vals.append(f"POINT ({i} {i + 0.5})")
+        vals.append(
+            f"LINESTRING ({i} 0, {i + 1} 1, {i + 2} 0)"
+        )
+        vals.append(
+            f"POLYGON (({i} 0, {i + 4} 0, {i + 4} 4, {i} 4, {i} 0))"
+        )
+    got = wkt_to_wkb_batch(vals)
+    for v, g in zip(vals, got):
+        assert g == legacy(v)
+        assert _wkt.dumps(_wkb.loads(g)) == v
+
+
+def test_hypothesis_style_grid_parity():
+    """Systematic grid over types × dims × part/ring/coord counts."""
+    import itertools
+
+    vals = []
+    for dim, nparts, ncoords in itertools.product(
+        (2, 3), (1, 2, 3), (2, 3, 5)
+    ):
+        def coords(seed, n):
+            return ", ".join(
+                " ".join(
+                    str(seed * 10 + j * 3 + d * 0.25) for d in range(dim)
+                )
+                for j in range(n)
+            )
+
+        z = " Z" if dim == 3 else ""
+        vals.append(f"LINESTRING{z} ({coords(1, ncoords)})")
+        vals.append(
+            f"MULTILINESTRING{z} ("
+            + ", ".join(f"({coords(p, ncoords)})" for p in range(nparts))
+            + ")"
+        )
+        ring = lambda p, n: (  # noqa: E731 — closed ring of n+1 points
+            coords(p, n) + ", " + coords(p, 1).split(", ")[0]
+        )
+        vals.append(
+            f"POLYGON{z} ("
+            + ", ".join(f"({ring(p, ncoords + 2)})" for p in range(nparts))
+            + ")"
+        )
+        if dim == 2:
+            vals.append(
+                "MULTIPOLYGON ("
+                + ", ".join(
+                    "(" + f"({ring(p, ncoords + 2)})" + ")"
+                    for p in range(nparts)
+                )
+                + ")"
+            )
+            vals.append(
+                "MULTIPOINT (" + coords(7, ncoords) + ")"
+            )
+    got = wkt_to_wkb_batch(vals)
+    for v, g in zip(vals, got):
+        assert g == legacy(v), f"mismatch for {v!r}"
