@@ -1,0 +1,630 @@
+"""Real baseline-JPEG (JFIF) codec — stdlib + numpy, zero new deps.
+
+The runtime has no PIL/libjpeg/ffmpeg, but BASELINE JPEG needs none of
+them: the container is length-prefixed marker segments, entropy coding
+is canonical Huffman over (run, size) symbols, and the transform is an
+8×8 DCT — all implementable with ints and one numpy matrix multiply.
+This replaces the deterministic fake in ``_decode_payload`` for the
+most common real-corpus image format (VERDICT r3 task 3), the same
+playbook as the r3 PNG codec (pipeline/png.py).
+
+Scope (errors, never silently wrong):
+- decode: baseline sequential DCT (SOF0) and extended sequential
+  (SOF1), 8-bit samples, 1 or 3 components, any sampling factors
+  (4:4:4 / 4:2:2 / 4:2:0 …), interleaved single scan, restart
+  intervals, 0xFF00 byte destuffing. Progressive (SOF2), arithmetic
+  coding, 12-bit, and hierarchical modes raise ``JpegError`` — those
+  payloads keep the labeled stub path in ``_decode_payload``.
+- encode: SOF0, 8-bit, grayscale (1×) or YCbCr 4:4:4, Annex-K default
+  quantization + Huffman tables (override ``quant_luma`` /
+  ``quant_chroma`` for controlled-loss experiments: a table whose DC
+  step divides 8 round-trips per-block-CONSTANT images exactly, which
+  is what the ``jpeg_roundtrip_stats`` oracle pins).
+
+The IDCT/DCT run BATCHED over all blocks of a component (one einsum),
+so decode cost is dominated by the per-symbol Huffman loop — fine for
+the Arrow-batched executor path where images are thumbnails/test
+fixtures; a production corpus decoder would bind libjpeg-turbo, which
+this runtime doesn't ship.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["JpegError", "decode_jpeg", "encode_jpeg"]
+
+
+class JpegError(ValueError):
+    pass
+
+
+# raster index of each zigzag position
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# ITU-T T.81 Annex K reference tables
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+_DC_L_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_L_VALS = list(range(12))
+_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_C_VALS = list(range(12))
+_AC_L_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_L_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8-point DCT-II basis: row 0 = 1/sqrt(8), row k =
+# 0.5*cos((2n+1)kπ/16); DCT F = T B Tᵀ, IDCT B = Tᵀ F T
+_T = np.zeros((8, 8))
+_T[0, :] = 1.0 / np.sqrt(8.0)
+for _k in range(1, 8):
+    for _n in range(8):
+        _T[_k, _n] = 0.5 * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def _idct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(N, 8, 8) coefficients → (N, 8, 8) spatial samples."""
+    return np.einsum("ki,nkl,lj->nij", _T, blocks, _T, optimize=True)
+
+
+def _dct_blocks(blocks: np.ndarray) -> np.ndarray:
+    return np.einsum("ik,nkl,jl->nij", _T, blocks, _T, optimize=True)
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """(code_length, code) → symbol, canonical Huffman order."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if idx >= len(vals):
+                raise JpegError("malformed DHT: more codes than values")
+            table[(length, code)] = vals[idx]
+            idx += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """symbol → (code, length)."""
+    enc: dict[int, tuple[int, int]] = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[idx]] = (code, length)
+            idx += 1
+            code += 1
+        code <<= 1
+    return enc
+
+
+def _extend(v: int, n: int) -> int:
+    if n == 0:
+        return 0
+    return v - ((1 << n) - 1) if v < (1 << (n - 1)) else v
+
+
+class _Marker(Exception):
+    def __init__(self, code: int):
+        self.code = code
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    destuffing; raises ``_Marker`` when a real marker interrupts."""
+
+    __slots__ = ("data", "pos", "buf", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise JpegError("unexpected end of scan data")
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 >= len(d):
+                raise JpegError("truncated scan at 0xFF")
+            nxt = d[p + 1]
+            if nxt != 0x00:
+                raise _Marker(nxt)
+            self.pos = p + 2
+        else:
+            self.pos = p + 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.buf = 0
+        self.nbits = 0
+
+    def decode(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegError("invalid Huffman code in scan")
+
+
+def decode_jpeg(data: bytes):
+    """Decode baseline JPEG bytes → (pixels, mode): (H, W) uint8 with
+    mode 'L' for 1-component images, (H, W, 3) uint8 with mode 'RGB'
+    (JFIF YCbCr→RGB) for 3-component."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise JpegError("not a JPEG: missing SOI")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (H, W, [(cid, h, v, tq), ...])
+    restart_interval = 0
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            raise JpegError("EOI before SOS")
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # standalone markers
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise JpegError("truncated segment")
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                off += 1
+                if pq == 0:
+                    q = np.frombuffer(body[off : off + 64], dtype=np.uint8)
+                    off += 64
+                elif pq == 1:
+                    q = np.frombuffer(
+                        body[off : off + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    off += 128
+                else:
+                    raise JpegError(f"bad DQT precision {pq}")
+                quant[tq] = q.astype(np.int64)
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential Huffman
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise JpegError(f"{prec}-bit JPEG not supported")
+            comps = []
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise JpegError(
+                "only baseline/extended sequential Huffman JPEG supported "
+                f"(SOF marker 0x{marker:02X})"
+            )
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                table = _build_decode_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                off += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for s in range(ns):
+                cs = body[1 + 2 * s]
+                tables = body[2 + 2 * s]
+                scan.append((cs, tables >> 4, tables & 0x0F))
+            return _decode_scan(
+                data, pos + seglen, frame, scan, quant, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += seglen
+    raise JpegError("no SOS marker found")
+
+
+def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, dri):
+    h_img, w_img, comps = frame
+    if h_img == 0 or w_img == 0:
+        raise JpegError("zero image dimension")
+    byid = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    order = []  # (cid, hs, vs, dq, dc_table, ac_table)
+    for cs, td, ta in scan:
+        if cs not in byid:
+            raise JpegError(f"scan references unknown component {cs}")
+        hs, vs, tq = byid[cs]
+        if tq not in quant or td not in huff_dc or ta not in huff_ac:
+            raise JpegError("scan references missing table")
+        order.append((cs, hs, vs, quant[tq], huff_dc[td], huff_ac[ta]))
+    if len(order) != len(comps):
+        raise JpegError("only single interleaved scan supported")
+
+    blocks = {
+        cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+        for cid, hs, vs, _, _, _ in order
+    }
+    pred = {cid: 0 for cid, *_ in order}
+    r = _BitReader(data, pos)
+    n_mcu = mcux * mcuy
+    rst_expect = 0
+    mcu = 0
+    while mcu < n_mcu:
+        if dri and mcu and mcu % dri == 0:
+            # restart: align, consume RSTn, reset DC predictions
+            r.align()
+            p = r.pos
+            if p + 1 < len(data) and data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
+                if data[p + 1] != 0xD0 + rst_expect:
+                    raise JpegError("restart marker out of sequence")
+                r.pos = p + 2
+                rst_expect = (rst_expect + 1) % 8
+                pred = {cid: 0 for cid, *_ in order}
+            else:
+                raise JpegError("missing restart marker")
+        my, mx = divmod(mcu, mcux)
+        try:
+            for cid, hs, vs, dq, tdc, tac in order:
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = r.decode(tdc)
+                        diff = _extend(r.receive(s), s)
+                        pred[cid] += diff
+                        zz[0] = pred[cid] * dq[0]
+                        k = 1
+                        while k < 64:
+                            rs = r.decode(tac)
+                            rr, ss = rs >> 4, rs & 0x0F
+                            if ss == 0:
+                                if rr == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rr
+                            if k > 63:
+                                raise JpegError("AC run past block end")
+                            zz[k] = _extend(r.receive(ss), ss) * dq[k]
+                            k += 1
+                        blocks[cid][my * vs + by, mx * hs + bx] = zz
+        except _Marker as m:
+            raise JpegError(f"marker 0x{m.code:02X} inside MCU data")
+        mcu += 1
+
+    planes = {}
+    for cid, hs, vs, _, _, _ in order:
+        zz = blocks[cid].reshape(-1, 64)
+        rast = np.zeros_like(zz)
+        rast[:, ZIGZAG] = zz
+        spat = _idct_blocks(rast.reshape(-1, 8, 8).astype(np.float64))
+        by, bx = blocks[cid].shape[:2]
+        plane = (
+            spat.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+        plane = np.clip(np.round(plane + 128.0), 0, 255).astype(np.uint8)
+        # upsample to full resolution, crop to image size
+        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        planes[cid] = plane[:h_img, :w_img]
+
+    if len(order) == 1:
+        return planes[order[0][0]], "L"
+    if len(order) != 3:
+        raise JpegError(f"{len(order)}-component JPEG not supported")
+    y = planes[order[0][0]].astype(np.float64)
+    cb = planes[order[1][0]].astype(np.float64) - 128.0
+    cr = planes[order[2][0]].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), "RGB"
+
+
+class _BitWriter:
+    __slots__ = ("out", "buf", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.buf >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int, enc_dc, enc_ac) -> int:
+    dc = int(zz[0])
+    diff = dc - pred
+    s = _category(diff)
+    code, ln = enc_dc[s]
+    w.write(code, ln)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc_ac[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = enc_ac[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = enc_ac[0x00]  # EOB
+        w.write(code, ln)
+    return dc
+
+
+def _plane_blocks(
+    plane: np.ndarray, quant: np.ndarray, nby: int, nbx: int
+) -> np.ndarray:
+    """(H, W) uint8 → (nby, nbx, 64) quantized zigzag coefficients,
+    edge-padded to exactly (nby*8, nbx*8)."""
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+    blocks = (
+        padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coef = _dct_blocks(blocks.astype(np.float64) - 128.0)
+    q = np.round(coef.reshape(-1, 64) / quant.astype(np.float64)).astype(np.int64)
+    return q[:, ZIGZAG].reshape(nby, nbx, 64)
+
+
+def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as baseline JFIF.
+
+    Quant tables are raster-order length-64 int arrays (Annex K
+    defaults). ``subsampling``: '444' (chroma full-res) or '420'
+    (chroma 2×2 box-averaged; Y gets 2×2 sampling factors).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart resync)."""
+    ql = (QUANT_LUMA if quant_luma is None else np.asarray(quant_luma)).astype(
+        np.int64
+    )
+    if np.any(ql < 1) or np.any(ql > 65535) or ql.size != 64:
+        raise JpegError("quant_luma must be 64 values in [1, 65535]")
+    if subsampling not in ("444", "420"):
+        raise JpegError(f"unsupported subsampling {subsampling!r}")
+    color = pixels.ndim == 3
+    sub = 2 if (color and subsampling == "420") else 1
+    if color:
+        if pixels.shape[2] != 3:
+            raise JpegError("expected (H, W, 3) RGB")
+        qc = (
+            QUANT_CHROMA if quant_chroma is None else np.asarray(quant_chroma)
+        ).astype(np.int64)
+        r = pixels[:, :, 0].astype(np.float64)
+        g = pixels[:, :, 1].astype(np.float64)
+        b = pixels[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if sub == 2:
+            # pad to even, 2×2 box-average the chroma planes
+            hh, ww = y.shape
+            pe = ((0, hh % 2), (0, ww % 2))
+            cb = np.pad(cb, pe, mode="edge")
+            cr = np.pad(cr, pe, mode="edge")
+            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
+            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
+        planes = [
+            np.clip(np.round(y), 0, 255).astype(np.uint8),
+            np.clip(np.round(cb), 0, 255).astype(np.uint8),
+            np.clip(np.round(cr), 0, 255).astype(np.uint8),
+        ]
+        qtabs = [ql, qc, qc]
+        tsel = [0, 1, 1]
+        samp = [(sub, sub), (1, 1), (1, 1)]
+    else:
+        planes = [np.asarray(pixels, dtype=np.uint8)]
+        qtabs = [ql]
+        tsel = [0]
+        samp = [(1, 1)]
+    h, w = planes[0].shape
+
+    out = bytearray(b"\xff\xd8")
+    # JFIF APP0
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT(s): table id 0 (luma) and, for color, id 1 (chroma) — stored in
+    # ZIGZAG order per spec
+    for ti, q in ((0, qtabs[0]),) + (((1, qtabs[1]),) if color else ()):
+        if np.all(q < 256):
+            body = bytes([ti]) + bytes(int(q[z]) for z in ZIGZAG)
+        else:
+            body = bytes([16 | ti]) + b"".join(
+                struct.pack(">H", int(q[z])) for z in ZIGZAG
+            )
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    # SOF0
+    nc = 3 if color else 1
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, nc))
+    for ci in range(nc):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, tsel[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + bytes(sof)
+    # DHTs
+    out += _dht_segment(0, 0, _DC_L_BITS, _DC_L_VALS)
+    out += _dht_segment(1, 0, _AC_L_BITS, _AC_L_VALS)
+    if color:
+        out += _dht_segment(0, 1, _DC_C_BITS, _DC_C_VALS)
+        out += _dht_segment(1, 1, _AC_C_BITS, _AC_C_VALS)
+    # DRI
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytearray([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + bytes(sos)
+
+    enc_dc_l = _build_encode_table(_DC_L_BITS, _DC_L_VALS)
+    enc_ac_l = _build_encode_table(_AC_L_BITS, _AC_L_VALS)
+    enc_dc = [enc_dc_l]
+    enc_ac = [enc_ac_l]
+    if color:
+        enc_dc += [_build_encode_table(_DC_C_BITS, _DC_C_VALS)] * 2
+        enc_ac += [_build_encode_table(_AC_C_BITS, _AC_C_VALS)] * 2
+
+    hmax = max(hs for hs, _ in samp)
+    vmax = max(vs for _, vs in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    allblocks = [
+        _plane_blocks(p, q, mcuy * vs, mcux * hs)
+        for p, q, (hs, vs) in zip(planes, qtabs, samp)
+    ]
+    bw = _BitWriter()
+    preds = [0] * nc
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            preds = [0] * nc
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            hs, vs = samp[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    preds[ci] = _encode_block(
+                        bw,
+                        allblocks[ci][my * vs + by, mx * hs + bx],
+                        preds[ci],
+                        enc_dc[ci],
+                        enc_ac[ci],
+                    )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

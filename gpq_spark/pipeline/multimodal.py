@@ -6,17 +6,18 @@ real decoding happens in Arrow-batched ``mapInPandas`` so payload bytes
 stream through in bounded batches and never land on the driver.
 
 PNG payloads are decoded for REAL (pipeline/png.py: stdlib zlib +
-numpy unfilter — no new dependencies), so dimensions, mode, pixel
-stats, the perceptual dHash, and the resize resample are true pixel
-operations for that format; WAV PCM16 is decoded for REAL too
-(``decode_wav_pcm16`` — raw PCM needs only the RIFF chunk walk), so
-audio sample stats are true waveform math. Compressed codecs
-(JPEG pixels / MP3 / video) are NOT available in this runtime (no
-PIL/ffmpeg/torchvision), so ``decode_stub`` keeps the Spark-side
-plumbing real — schema, batching, partition behavior — with a
-deterministic fake "decode" for them (byte-length + md5 + fake
-dimensions). Swap ``_decode_payload`` branches for real codecs to
-productionize further.
+numpy unfilter — no new dependencies), baseline JPEG payloads are
+decoded for REAL (pipeline/jpeg.py: pure-numpy Huffman + dequant +
+batched IDCT), so dimensions, mode, pixel stats, the perceptual dHash,
+and the resize resample are true pixel operations for those formats;
+WAV PCM16 is decoded for REAL too (``decode_wav_pcm16`` — raw PCM
+needs only the RIFF chunk walk), so audio sample stats are true
+waveform math. The remaining codecs (progressive JPEG / MP3 / video)
+are NOT available in this runtime (no PIL/ffmpeg/torchvision), so
+``decode_stub`` keeps the Spark-side plumbing real — schema, batching,
+partition behavior — with a deterministic fake "decode" for them
+(byte-length + md5 + fake dimensions). Swap ``_decode_payload``
+branches for real codecs to productionize further.
 """
 
 from __future__ import annotations
@@ -46,11 +47,15 @@ def binary_metadata(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
 
 def _decode_payload(payload: bytes) -> dict:
     """Decode payload metadata. PNG payloads get a REAL decode (stdlib
-    zlib + numpy, pipeline/png.py): true dimensions and mode from the
-    pixels. Other formats (no codec in this runtime — no PIL/ffmpeg)
-    keep the deterministic fake, which is what the decode plumbing
-    tests and oracles pin. A corrupt PNG reports mode ``png:error``
-    with null dimensions instead of failing the whole job."""
+    zlib + numpy, pipeline/png.py) and baseline JPEG payloads get a
+    REAL decode too (pure-numpy Huffman + dequant + IDCT,
+    pipeline/jpeg.py): true dimensions and mode from the pixels.
+    Remaining formats (MP3/video — no codec in this runtime, no
+    PIL/ffmpeg) keep the deterministic fake, which is what the decode
+    plumbing tests and oracles pin. A corrupt PNG reports mode
+    ``png:error``; a progressive/corrupt JPEG reports
+    ``jpeg:unsupported`` — both with null dimensions instead of
+    failing the whole job."""
     digest = hashlib.md5(payload).hexdigest()
     base = {"n_bytes": len(payload), "digest": digest}
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
@@ -66,6 +71,21 @@ def _decode_payload(payload: bytes) -> dict:
             }
         except PngError:
             return {**base, "width": None, "height": None, "mode": "png:error"}
+    if payload.startswith(b"\xff\xd8"):
+        from .jpeg import JpegError, decode_jpeg
+
+        try:
+            px, mode = decode_jpeg(payload)
+            return {
+                **base,
+                "width": int(px.shape[1]),
+                "height": int(px.shape[0]),
+                "mode": mode,
+            }
+        except JpegError:
+            return {
+                **base, "width": None, "height": None, "mode": "jpeg:unsupported"
+            }
     return {
         **base,
         # fake dimensions derived from the digest — stable per payload
@@ -501,6 +521,43 @@ def png_pixel_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
                 try:
                     px, _mode = decode_png(bytes(payload))
                 except PngError:
+                    continue
+                s = pixel_stats(px)
+                rows.append(
+                    (rid, px.shape[1], px.shape[0], s["px_sum"], s["px_min"], s["px_max"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "px_sum", "px_min", "px_max"],
+            )
+
+    return slim.mapInPandas(stats, schema=PNG_STATS_SCHEMA)
+
+
+def jpeg_pixel_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Exact integer statistics over REAL-decoded baseline-JPEG pixels
+    (pipeline/jpeg.py: pure-numpy Huffman + dequant + batched IDCT):
+    sum, min, max of all samples — integers, so reduction-order
+    independent and oracle-reproducible when the encode side uses a
+    quantizer that round-trips the pixel construction exactly (e.g.
+    per-block-constant images with a DC step dividing 8). Arrow-batched
+    mapInPandas; undecodable payloads are dropped."""
+    from ..deploy import ensure_deployed
+    from .jpeg import JpegError, decode_jpeg
+    from .png import pixel_stats
+
+    ensure_deployed(df.sparkSession)
+    slim = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    px, _mode = decode_jpeg(bytes(payload))
+                except JpegError:
                     continue
                 s = pixel_stats(px)
                 rows.append(

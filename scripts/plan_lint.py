@@ -33,6 +33,7 @@ PYTHON_ALLOWED_PREFIXES = (
     "q_isotonic_fit",  # Arrow-batched per-series PAVA (merge cascade is sequential)
     "geo_",  # numpy-vectorized WKB kernel (geoparquet/stats.py), Arrow-batched
     "gif_",  # REAL GIF LZW codec round-trip/frame kernels (pipeline/gif.py)
+    "jpeg_",  # REAL baseline-JPEG codec round-trip kernel (pipeline/jpeg.py)
     "q_token_bucket",  # per-key min-cap recurrence (applyInPandas by design)
     "q_lis_engagement",  # per-key LIS patience sort (non-windowable DP)
 )

@@ -2,9 +2,15 @@
 """Full-gate sweep: run EVERY declared query against its DuckDB oracle
 and write SWEEP_r{N}.json in the driver's CORRECTNESS schema
 ({name: {rows_match, schema_match, hash_match, spark_rows,
-oracle_rows, err}}) — a committed artifact covering all queries, not
-just the driver's 50-query sample, so a judge can check the whole gate
-without re-running ~200 s of Spark.
+oracle_rows, err, wall_s}}) — a committed artifact covering all
+queries, not just the driver's 50-query sample, so a judge can check
+the whole gate without re-running ~200 s of Spark.
+
+Each entry carries ``wall_s`` (Spark plan build + execution + oracle
+compare for that query), and ``_summary`` lists the 10 slowest plus
+their delta vs the previous round's sweep — the full gate doubles as a
+round-over-round perf tripwire for the ~400 queries the 13-query
+headline bench never times (VERDICT r3 task 8).
 
 Usage: python scripts/sweep.py [round_number] [sf_dir]
   defaults: round from existing SWEEP_r*/CORRECTNESS_r* files + 1,
@@ -69,6 +75,7 @@ def main() -> None:
             "oracle_rows": None,
             "err": None,
         }
+        tq = time.perf_counter()
         try:
             df = q.spark_fn(spark, sf_dir)
             if q.oracle is None:
@@ -96,15 +103,39 @@ def main() -> None:
                     n_green += 1
         except Exception as exc:  # noqa: BLE001 — artifact must record failures
             entry["err"] = f"{type(exc).__name__}: {exc}"[:400]
+        entry["wall_s"] = round(time.perf_counter() - tq, 2)
         out[q.name] = entry
         flag = "ok" if entry["hash_match"] in (True, None) and entry["err"] is None else "FAIL"
-        print(f"# {q.name}: {flag}", file=sys.stderr)
+        print(f"# {q.name}: {flag} ({entry['wall_s']}s)", file=sys.stderr)
 
+    # perf tripwire: 10 slowest this round, with delta vs previous sweep
+    prev: dict = {}
+    prev_path = os.path.join(ROOT, f"SWEEP_r{rnd - 1:02d}.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
+    slowest = sorted(
+        ((n, v["wall_s"]) for n, v in out.items() if v.get("wall_s")),
+        key=lambda x: -x[1],
+    )[:10]
+    out["_summary"] = {
+        "n_green": n_green,
+        "n_queries": len(out),
+        "total_wall_s": round(time.perf_counter() - t0, 1),
+        "slowest": [
+            {
+                "name": n,
+                "wall_s": w,
+                "prev_wall_s": prev.get(n, {}).get("wall_s"),
+            }
+            for n, w in slowest
+        ],
+    }
     dest = os.path.join(ROOT, f"SWEEP_r{rnd:02d}.json")
     with open(dest, "w") as f:
         json.dump(out, f, indent=1)
     print(
-        f"{dest}: {n_green}/{len(out)} green in {time.perf_counter() - t0:.0f}s"
+        f"{dest}: {n_green}/{len(out) - 1} green in {time.perf_counter() - t0:.0f}s"
     )
     spark.stop()
 

@@ -1,0 +1,182 @@
+"""Baseline-JPEG codec tests (pipeline/jpeg.py): exact round-trips on
+DCT-exact constructions, bounded loss on arbitrary images, marker/DRI/
+subsampling paths, rejection of unsupported modes, and the decode_stub
+integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gpq_spark.pipeline.jpeg import (
+    JpegError,
+    QUANT_LUMA,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+Q8 = np.full(64, 8, dtype=np.int64)
+RNG = np.random.default_rng(42)
+
+
+def const_block_image(nby: int, nbx: int, seed: int = 0) -> np.ndarray:
+    bx = np.arange(nbx)[None, :]
+    by = np.arange(nby)[:, None]
+    bv = (seed * 11 + bx * 17 + by * 29) % 256
+    return np.repeat(np.repeat(bv, 8, 0), 8, 1).astype(np.uint8)
+
+
+class TestExactRoundtrip:
+    def test_constant_blocks_gray_exact(self):
+        """Per-block-constant images have only DC energy; a step-8 DC
+        quantizer round-trips 8·(v−128) exactly → lossless."""
+        for seed in range(8):
+            px = const_block_image(2 + seed % 2, 2 + seed % 3, seed)
+            dec, mode = decode_jpeg(encode_jpeg(px, quant_luma=Q8))
+            assert mode == "L"
+            assert np.array_equal(dec, px)
+
+    def test_uniform_image_any_quant(self):
+        """A fully uniform image survives even the default quantizer:
+        DC = 8·(v−128) quantized by 16 loses ≤ the quant step / 8."""
+        px = np.full((24, 40), 200, dtype=np.uint8)
+        dec, _ = decode_jpeg(encode_jpeg(px))
+        assert int(np.abs(dec.astype(int) - 200).max()) <= 2
+
+    def test_restart_interval_exact(self):
+        px = const_block_image(3, 4, 5)
+        for dri in (1, 2, 3, 7):
+            data = encode_jpeg(px, quant_luma=Q8, restart_interval=dri)
+            assert b"\xff\xdd" in data
+            dec, _ = decode_jpeg(data)
+            assert np.array_equal(dec, px), f"dri={dri}"
+
+    def test_dc_prediction_across_many_blocks(self):
+        """64 blocks with large alternating DC jumps exercise the full
+        DC difference-category range."""
+        bv = np.array([[(i * 131 + j * 251) % 256 for j in range(8)]
+                       for i in range(8)])
+        px = np.repeat(np.repeat(bv, 8, 0), 8, 1).astype(np.uint8)
+        dec, _ = decode_jpeg(encode_jpeg(px, quant_luma=Q8))
+        assert np.array_equal(dec, px)
+
+
+class TestLossyBounds:
+    def test_smooth_gradient_small_error(self):
+        y, x = np.mgrid[0:32, 0:48]
+        px = ((x * 3 + y * 2) % 256).astype(np.uint8)
+        dec, _ = decode_jpeg(encode_jpeg(px))
+        assert int(np.abs(dec.astype(int) - px.astype(int)).max()) <= 8
+
+    def test_flat_quant_one_near_lossless(self):
+        """Quantizer of all 1s: loss is only DCT/IDCT rounding ≤ 1-2."""
+        q1 = np.ones(64, dtype=np.int64)
+        px = RNG.integers(0, 256, (16, 16)).astype(np.uint8)
+        dec, _ = decode_jpeg(encode_jpeg(px, quant_luma=q1))
+        assert int(np.abs(dec.astype(int) - px.astype(int)).max()) <= 2
+
+    @pytest.mark.parametrize("shape", [(1, 1), (7, 9), (8, 8), (17, 23), (5, 40)])
+    def test_odd_sizes_shape_preserved(self, shape):
+        px = RNG.integers(0, 256, shape).astype(np.uint8)
+        dec, _ = decode_jpeg(encode_jpeg(px))
+        assert dec.shape == shape
+
+    def test_color_444_and_420(self):
+        y, x = np.mgrid[0:40, 0:56]
+        px3 = np.stack(
+            [(x * 2 + 10) % 200, (y * 3 + 5) % 200, ((x + y) * 2) % 200], -1
+        ).astype(np.uint8)
+        for sub in ("444", "420"):
+            dec, mode = decode_jpeg(encode_jpeg(px3, subsampling=sub))
+            assert mode == "RGB" and dec.shape == px3.shape
+            assert float(np.abs(dec.astype(int) - px3.astype(int)).mean()) < 6.0
+
+    def test_constant_color_flat_quant_tight(self):
+        """Constant-color blocks with step-8 quant: the only loss is the
+        YCbCr forward/backward rounding — ≤ 2 per channel."""
+        bv = RNG.integers(10, 246, (2, 3, 3))
+        px3 = np.repeat(np.repeat(bv, 8, 0), 8, 1).astype(np.uint8)
+        dec, _ = decode_jpeg(encode_jpeg(px3, quant_luma=Q8, quant_chroma=Q8))
+        assert int(np.abs(dec.astype(int) - px3.astype(int)).max()) <= 2
+
+
+class TestRejection:
+    def test_progressive_rejected(self):
+        data = bytearray(encode_jpeg(const_block_image(2, 2)))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC2  # SOF2
+        with pytest.raises(JpegError, match="sequential"):
+            decode_jpeg(bytes(data))
+
+    def test_not_a_jpeg(self):
+        with pytest.raises(JpegError, match="SOI"):
+            decode_jpeg(b"\x89PNG\r\n\x1a\no")
+
+    def test_truncated_scan(self):
+        data = encode_jpeg(const_block_image(3, 3))
+        with pytest.raises(JpegError):
+            decode_jpeg(data[: len(data) // 2])
+
+    def test_bad_quant_table(self):
+        with pytest.raises(JpegError, match="quant_luma"):
+            encode_jpeg(const_block_image(2, 2), quant_luma=np.zeros(64))
+
+    def test_16bit_quant_tables_roundtrip(self):
+        """DQT precision-1 (16-bit entries) parses on decode."""
+        qbig = np.full(64, 300, dtype=np.int64)
+        qbig[0] = 8  # exact DC
+        px = const_block_image(2, 2, 3)
+        dec, _ = decode_jpeg(encode_jpeg(px, quant_luma=qbig))
+        assert np.array_equal(dec, px)  # ACs are 0 regardless of step
+
+
+class TestHeaderFacts:
+    def test_annex_k_default_tables_used(self):
+        data = encode_jpeg(const_block_image(2, 2))
+        # DQT body starts with table id 0 then 64 zigzag bytes; spot the
+        # first three zigzag entries of the Annex-K luminance table
+        i = data.find(b"\xff\xdb")
+        assert list(data[i + 5 : i + 8]) == [16, 11, 12]
+        assert QUANT_LUMA[0] == 16
+
+    def test_dimensions_in_sof(self):
+        data = encode_jpeg(np.zeros((24, 40), dtype=np.uint8))
+        i = data.find(b"\xff\xc0")
+        h = int.from_bytes(data[i + 5 : i + 7], "big")
+        w = int.from_bytes(data[i + 7 : i + 9], "big")
+        assert (h, w) == (24, 40)
+
+
+class TestSparkIntegration:
+    def test_decode_stub_reports_real_jpeg_dims(self, spark):
+        from gpq_spark.pipeline.multimodal import decode_stub
+
+        px = const_block_image(2, 3, seed=9)
+        good = encode_jpeg(px, quant_luma=Q8)
+        prog = bytearray(good)
+        i = prog.find(b"\xff\xc0")
+        prog[i + 1] = 0xC2
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(bytes(prog)))],
+            "id long, payload binary",
+        )
+        out = {r["id"]: r for r in decode_stub(df, "payload", "id").collect()}
+        assert (out[1]["width"], out[1]["height"], out[1]["mode"]) == (24, 16, "L")
+        assert out[2]["mode"] == "jpeg:unsupported"
+        assert out[2]["width"] is None
+
+    def test_jpeg_pixel_stats_matches_numpy(self, spark):
+        from gpq_spark.pipeline.multimodal import jpeg_pixel_stats
+
+        rows = []
+        want = {}
+        for i in range(4):
+            px = const_block_image(2 + i % 2, 2 + i % 3, seed=i)
+            rows.append((i, bytearray(encode_jpeg(px, quant_luma=Q8))))
+            want[i] = (int(px.sum()), int(px.min()), int(px.max()))
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {
+            r["id"]: (r["px_sum"], r["px_min"], r["px_max"])
+            for r in jpeg_pixel_stats(df, "payload", "doc_id").collect()
+        }
+        assert got == want
