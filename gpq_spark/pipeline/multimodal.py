@@ -754,6 +754,47 @@ def png_dhash(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     )
 
 
+def jpeg_dhash(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Perceptual dHash over REAL-decoded baseline-JPEG payloads
+    (pipeline/jpeg.py codec + the exact-integer ``dhash64`` spec) —
+    the JPEG twin of ``png_dhash``: the image-near-dup fingerprint for
+    the format real corpora are mostly stored in. Output: (``id_col``,
+    width, height, dhash_hi, dhash_lo). Arrow-batched mapInPandas;
+    undecodable/too-small payloads are dropped."""
+    from ..deploy import ensure_deployed
+    from .jpeg import JpegError, decode_jpeg
+
+    ensure_deployed(df.sparkSession)
+    slim = df.select(
+        F.col(id_col).alias("id"), F.col(payload_col).alias("payload")
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    px, _mode = decode_jpeg(bytes(payload))
+                except JpegError:
+                    continue
+                try:
+                    hi, lo = dhash64(px)
+                except ValueError:  # image smaller than the 8x9 grid
+                    continue
+                rows.append((rid, px.shape[1], px.shape[0], hi, lo))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "dhash_hi", "dhash_lo"],
+            )
+
+    return slim.mapInPandas(
+        hash_batches,
+        schema="id long, width int, height int, dhash_hi long, dhash_lo long",
+    )
+
+
 def dhash_near_pairs(
     hashes: DataFrame,
     id_col: str,

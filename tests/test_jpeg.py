@@ -180,3 +180,30 @@ class TestSparkIntegration:
             for r in jpeg_pixel_stats(df, "payload", "doc_id").collect()
         }
         assert got == want
+
+
+class TestJpegDhash:
+    def test_jpeg_dhash_matches_pixel_dhash(self, spark):
+        from gpq_spark.pipeline.multimodal import dhash64, jpeg_dhash
+
+        rows, want = [], {}
+        for i in range(4):
+            px = const_block_image(2 + i % 2, 2 + i % 3, seed=i + 3)
+            rows.append((i, bytearray(encode_jpeg(px, quant_luma=Q8))))
+            want[i] = dhash64(px)
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {
+            r["id"]: (r["dhash_hi"], r["dhash_lo"])
+            for r in jpeg_dhash(df, "payload", "doc_id").collect()
+        }
+        assert got == want
+
+    def test_jpeg_dhash_drops_small_and_bad(self, spark):
+        from gpq_spark.pipeline.multimodal import jpeg_dhash
+
+        tiny = encode_jpeg(np.full((8, 8), 50, dtype=np.uint8))  # w < 9
+        df = spark.createDataFrame(
+            [(1, bytearray(tiny)), (2, bytearray(b"\xff\xd8junk"))],
+            "doc_id long, payload binary",
+        )
+        assert jpeg_dhash(df, "payload", "doc_id").count() == 0
