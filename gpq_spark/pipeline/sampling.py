@@ -614,3 +614,94 @@ def waterfill_allocation(
             .localCheckpoint()
         )
     return alloc
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance scores for data selection (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how target-like its HASHED BIGRAM profile
+    is, so a raw corpus can be resampled toward a small high-quality
+    target domain without training a classifier.
+
+    Exact-integer spec (oracle-reproducible):
+    - features are word bigrams hashed into ``buckets`` cells via the
+      engine-portable md5-prefix hash (first 6 hex digits mod B);
+    - per cell: c_t / c_s = occurrences in target / non-target docs,
+      with totals T = Σc_t, S = Σc_s;
+    - the add-one-smoothed log likelihood ratio is quantized PER CELL:
+      lr_e6(b) = floor(1e6 · ln( ((c_t+1)·(S+B)) / ((c_s+1)·(T+B)) ))
+      — both engines compute the same double ratio from the same exact
+      integers, so the sum of per-term floors is order-independent
+      (the charlm discipline);
+    - doc score = Σ lr_e6 over its bigram occurrences; ``selected`` =
+      score > 0 (more target-like than source-like).
+
+    Scale shape: one explode + one groupBy on the hash cell (≤ B rows),
+    the ≤ B-row cell table broadcast back, one groupBy on the doc id —
+    map-side combine everywhere, no row-scale shuffle beyond the
+    feature explode. Output: (id, is_target, n_feats, dsir_score_e6,
+    selected) for every document (0-feature docs score 0)."""
+    b = int(buckets)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).cast("boolean").alias("is_target"),
+        F.expr(
+            f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
+        ).alias("ws"),
+    )
+    feats = base.select(
+        "id",
+        "is_target",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+                " (w, i) -> CAST(conv(substr(md5(concat(w, ' ',"
+                f" element_at(ws, i + 2))), 1, 6), 16, 10) AS BIGINT) % {b})"
+            )
+        ).alias("cell"),
+    )
+    cells = feats.groupBy("cell").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("cs"),
+    )
+    tot = cells.agg(
+        F.sum("ct").cast("long").alias("tt"), F.sum("cs").cast("long").alias("ss")
+    )
+    lr = cells.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        F.expr(
+            f"CAST(floor(1000000 * ln((CAST(ct + 1 AS DOUBLE) * (ss + {b}))"
+            f" / (CAST(cs + 1 AS DOUBLE) * (tt + {b})))) AS BIGINT)"
+        ).alias("lr_e6"),
+    )
+    scored = (
+        feats.join(F.broadcast(lr), "cell")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lr_e6").cast("long").alias("dsir_score_e6"),
+        )
+    )
+    return (
+        base.select("id", "is_target")
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            "is_target",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(F.col("dsir_score_e6"), F.lit(0))
+            .cast("long")
+            .alias("dsir_score_e6"),
+            (F.coalesce(F.col("dsir_score_e6"), F.lit(0)) > 0).alias("selected"),
+        )
+    )

@@ -4728,3 +4728,70 @@ class TestPersonalizedPagerank:
             ).collect()
         }
         assert r == {1: 150000000000, 2: 850000000000}
+
+
+class TestDsirScores:
+    def test_dsir_spec_small_corpus(self, spark):
+        """Hand-checkable corpus: target docs share bigram 'good text',
+        source docs share 'bad text'. The target-only cell must carry a
+        positive log-ratio, the source-only cell a negative one, and
+        each doc's score must equal the hand-computed per-cell sum."""
+        import hashlib
+        import math
+
+        from gpq_spark.pipeline.sampling import dsir_scores
+
+        rows = [
+            (1, "good text", True),
+            (2, "good text", True),
+            (3, "bad text", False),
+            (4, "bad text", False),
+            (5, "good text", False),   # source doc with target profile
+            (6, "x", False),           # no bigrams → score 0
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+        out = {
+            r["id"]: r
+            for r in dsir_scores(df, "doc_id", "text", "tgt", buckets=4096).collect()
+        }
+
+        def cell(bg):
+            return int(hashlib.md5(bg.encode()).hexdigest()[:6], 16) % 4096
+
+        def lr(ct, cs, tt, ss, b=4096):
+            return math.floor(
+                1_000_000 * math.log(((ct + 1) * (ss + b)) / ((cs + 1) * (tt + b)))
+            )
+
+        # corpus totals: 2 target bigrams, 3 source bigrams
+        g = lr(2, 1, 2, 3)   # 'good text': ct=2, cs=1
+        bdd = lr(0, 2, 2, 3)  # 'bad text': ct=0, cs=2
+        assert cell("good text") != cell("bad text")  # no collision here
+        assert g > 0 and bdd < 0
+        assert out[1]["dsir_score_e6"] == g and out[1]["selected"]
+        assert out[3]["dsir_score_e6"] == bdd and not out[3]["selected"]
+        assert out[5]["dsir_score_e6"] == g and out[5]["selected"]
+        assert out[6]["dsir_score_e6"] == 0 and out[6]["n_feats"] == 0
+        assert not out[6]["selected"]
+
+    def test_dsir_repetition_counts_and_source_spam_penalty(self, spark):
+        """Bigram multiplicity counts per occurrence (doc2 has 5), and a
+        SOURCE doc spamming the same bigram flips its ratio negative for
+        everyone — repetition in the raw corpus penalizes, exactly the
+        DSIR behavior that downweights boilerplate."""
+        from gpq_spark.pipeline.sampling import dsir_scores
+
+        rows = [
+            (1, "alpha beta", True),
+            (2, "alpha beta alpha beta alpha beta", False),
+            (3, "gamma delta", False),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+        out = {
+            r["id"]: r
+            for r in dsir_scores(df, "doc_id", "text", "tgt").collect()
+        }
+        assert out[2]["n_feats"] == 5  # ab, ba, ab, ba, ab
+        # 'alpha beta': ct=1, cs=3 → source-dominated → negative for doc1
+        assert out[1]["dsir_score_e6"] < 0
+        assert not out[1]["selected"]
