@@ -24,6 +24,17 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) — per-query steal% makes a slow hunt
+    entry attributable (ambient co-tenant load vs a real plan change)."""
+    try:
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+        return (v[7] if len(v) > 7 else 0), sum(v)
+    except OSError:
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
@@ -52,6 +63,7 @@ def main() -> None:
     t_all = time.time()
     for i, (name, fn) in enumerate(sorted(QUERIES.items())):
         t0 = time.time()
+        s0, tt0 = _cpu_stat()
         rec: dict = {"err": None, "sec": None}
         try:
             df = fn(spark, sf_dir)
@@ -61,6 +73,8 @@ def main() -> None:
             rec["err"] = f"{type(e).__name__}: {e}"[:500]
             rec["sec"] = round(time.time() - t0, 2)
             traceback.print_exc(limit=3)
+        s1, tt1 = _cpu_stat()
+        rec["steal_pct"] = round(100.0 * (s1 - s0) / max(1, tt1 - tt0), 2)
         out[name] = rec
         status = "OK " if rec["err"] is None else "ERR"
         print(

@@ -82,6 +82,8 @@ BNLJ_ALLOWED = {
     "sample_temperature_mix", "text_bigram_pmi", "text_charlm_score",
     # round-4 additions (broadcast 1-row totals from global_order_stats)
     "q_gini_revenue", "q_lorenz_deciles", "q_kendall_binned",
+    # broadcast 1-row corpus totals (T, S) for the smoothed log-ratios
+    "sample_dsir_scores",
 }
 
 # Queries allowed to keep an UNPARTITIONED window over an UNAGGREGATED
