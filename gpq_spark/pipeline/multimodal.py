@@ -12,12 +12,17 @@ batched IDCT), so dimensions, mode, pixel stats, the perceptual dHash,
 and the resize resample are true pixel operations for those formats;
 WAV PCM16 is decoded for REAL too (``decode_wav_pcm16`` — raw PCM
 needs only the RIFF chunk walk), so audio sample stats are true
-waveform math. The remaining codecs (progressive JPEG / MP3 / video)
-are NOT available in this runtime (no PIL/ffmpeg/torchvision), so
-``decode_stub`` keeps the Spark-side plumbing real — schema, batching,
-partition behavior — with a deterministic fake "decode" for them
-(byte-length + md5 + fake dimensions). Swap ``_decode_payload``
-branches for real codecs to productionize further.
+waveform math. Container METADATA is real for every routed format —
+the header-parser family covers PNG/JPEG/GIF/WAV/BMP plus the MP4
+ftyp/moov/mvhd walk (dynamic offsets) and MP3 frame headers (ID3v2
+synchsafe skip + Layer-III bitrate/sample-rate tables), all pure JVM
+expressions. The remaining sample DECODE paths (progressive JPEG /
+MP3 audio / video) are NOT available in this runtime (no
+PIL/ffmpeg/torchvision), so ``decode_stub`` keeps the Spark-side
+plumbing real — schema, batching, partition behavior — with a
+deterministic fake "decode" for them (byte-length + md5 + fake
+dimensions). Swap ``_decode_payload`` branches for real codecs to
+productionize further.
 """
 
 from __future__ import annotations
@@ -569,6 +574,168 @@ def jpeg_pixel_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
             )
 
     return slim.mapInPandas(stats, schema=PNG_STATS_SCHEMA)
+
+
+def _be_u32_at(payload_col: str, offset_expr: str) -> str:
+    """Big-endian u32 at a DYNAMIC 1-based byte offset expression —
+    needed by container walks whose box sizes are data (MP4's ftyp)."""
+    return (
+        f"CAST(conv(hex(substring({payload_col}, {offset_expr}, 4)), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
+def _fourcc_at(payload_col: str, offset_expr: str) -> str:
+    """ASCII 4CC at a dynamic offset, decoded via hex → unhex so
+    arbitrary preceding bytes can't shift string positions (the same
+    invalid-UTF8 hazard the WAV parser documents)."""
+    return (
+        f"CAST(unhex(hex(substring({payload_col}, {offset_expr}, 4)))"
+        " AS STRING)"
+    )
+
+
+def parse_mp4_header(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Parse the ISO-BMFF (MP4/MOV) top of file: the ``ftyp`` box
+    (big-endian u32 size + 4CC + major brand + minor version +
+    compatible brands), then — at the DATA-DEPENDENT offset its size
+    dictates — the ``moov`` box with ``mvhd`` (version 0) as its first
+    child, yielding the movie timescale and duration. The sixth member
+    of the header-parser family, and the one with a genuinely dynamic
+    walk: every other parser reads fixed offsets; here the moov offset
+    is ``ftyp_size + 1``, so the expressions compose substring() over a
+    computed position (still pure JVM, no Python). Decode of the media
+    itself stays honestly out of scope (no codecs in this runtime);
+    duration_us = duration·1e6 div timescale is exact integer micros.
+    Non-MP4 payloads (or a non-moov second box / non-v0 mvhd) yield
+    NULLs beyond ``is_mp4``."""
+    ftyp_size = _be_u32_at(payload_col, "1")
+    is_ftyp = (
+        f"substring(hex({payload_col}), 9, 8) = '66747970'"  # 'ftyp'
+        f" AND ({ftyp_size}) >= 16 AND ({ftyp_size}) % 4 = 0"
+    )
+    moov_off = f"({ftyp_size}) + 1"
+    is_mp4 = (
+        f"{is_ftyp}"
+        f" AND {_fourcc_at(payload_col, f'{moov_off} + 4')} = 'moov'"
+        f" AND {_fourcc_at(payload_col, f'{moov_off} + 12')} = 'mvhd'"
+        f" AND {_u8_at(payload_col, f'{moov_off} + 16')} = 0"  # mvhd v0
+    )
+
+    def guarded(expr: str, typ: str) -> Column:
+        return F.expr(f"CASE WHEN {is_mp4} THEN {expr} ELSE NULL END").cast(typ)
+
+    timescale = _be_u32_at(payload_col, f"{moov_off} + 28")
+    duration = _be_u32_at(payload_col, f"{moov_off} + 32")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"CASE WHEN {is_ftyp} THEN ({ftyp_size}) ELSE NULL END")
+        .cast("long")
+        .alias("ftyp_size"),
+        F.expr(
+            f"CASE WHEN {is_ftyp}"
+            f" THEN {_fourcc_at(payload_col, '9')} ELSE NULL END"
+        ).alias("major_brand"),
+        F.expr(
+            f"CASE WHEN {is_ftyp}"
+            f" THEN (({ftyp_size}) - 16) div 4 ELSE NULL END"
+        )
+        .cast("int")
+        .alias("n_compatible_brands"),
+        F.expr(f"{is_mp4}").alias("is_mp4"),
+        guarded(timescale, "long").alias("timescale"),
+        guarded(duration, "long").alias("duration_ticks"),
+        guarded(
+            f"CASE WHEN ({timescale}) > 0"
+            f" THEN ({duration}) * 1000000 div ({timescale}) ELSE NULL END",
+            "long",
+        ).alias("duration_us"),
+    )
+
+
+def _u8_at(payload_col: str, offset_expr: str) -> str:
+    return (
+        f"CAST(conv(hex(substring({payload_col}, {offset_expr}, 1)), 16, 10)"
+        " AS INT)"
+    )
+
+
+# MPEG audio tables (Layer III): bitrate kbps by (version-group, index)
+# and sample rate by (version, index) — ISO/IEC 11172-3 / 13818-3.
+_MP3_BR_V1 = "array(0,32,40,48,56,64,80,96,112,128,160,192,224,256,320,0)"
+_MP3_BR_V2 = "array(0,8,16,24,32,40,48,56,64,80,96,112,128,144,160,0)"
+_MP3_SR_V1 = "array(44100,48000,32000,0)"
+
+
+def parse_mp3_header(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Parse the first MPEG audio (MP3) frame header: optional ID3v2
+    tag skip (synchsafe 28-bit size — 7 data bits per byte), then the
+    11-bit frame sync and the packed version/layer/bitrate/samplerate/
+    padding/channel-mode fields, resolved through the Layer-III
+    bitrate and sample-rate TABLES (MPEG-1 vs MPEG-2/2.5 halve/quarter
+    the rates), plus the derived frame_bytes = 144000·bitrate div
+    sample_rate + padding. Pure JVM expressions — the audio DECODE
+    (polyphase filterbank + Huffman) stays honestly stubbed, but every
+    metadata field a corpus router needs is real. Non-MP3 payloads
+    yield NULLs beyond ``is_mp3``."""
+    p = payload_col
+    has_id3 = f"substring(hex({p}), 1, 6) = '494433'"
+    id3_size = (
+        f"({_u8(p, 7)} * 2097152 + {_u8(p, 8)} * 16384"
+        f" + {_u8(p, 9)} * 128 + {_u8(p, 10)})"
+    )
+    off = f"(CASE WHEN {has_id3} THEN 10 + {id3_size} ELSE 0 END)"
+    b0 = _u8_at(p, f"{off} + 1")
+    b1 = _u8_at(p, f"{off} + 2")
+    b2 = _u8_at(p, f"{off} + 3")
+    b3 = _u8_at(p, f"{off} + 4")
+    version_bits = f"(({b1}) div 8 % 4)"   # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer_bits = f"(({b1}) div 2 % 4)"     # 1 = Layer III
+    is_mp3 = (
+        f"({b0}) = 255 AND ({b1}) >= 224"
+        f" AND {version_bits} != 1 AND {layer_bits} = 1"
+    )
+    br_idx = f"(({b2}) div 16)"
+    sr_idx = f"(({b2}) div 4 % 4)"
+    padding = f"(({b2}) div 2 % 2)"
+    mode = f"(({b3}) div 64)"
+    bitrate = (
+        f"(CASE WHEN {version_bits} = 3"
+        f" THEN element_at({_MP3_BR_V1}, CAST({br_idx} + 1 AS INT))"
+        f" ELSE element_at({_MP3_BR_V2}, CAST({br_idx} + 1 AS INT)) END)"
+    )
+    sample_rate = (
+        f"(element_at({_MP3_SR_V1}, CAST({sr_idx} + 1 AS INT))"
+        f" div (CASE WHEN {version_bits} = 3 THEN 1"
+        f" WHEN {version_bits} = 2 THEN 2 ELSE 4 END))"
+    )
+
+    def guarded(expr: str, typ: str) -> Column:
+        return F.expr(f"CASE WHEN {is_mp3} THEN {expr} ELSE NULL END").cast(typ)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"{is_mp3}").alias("is_mp3"),
+        guarded(
+            f"CASE WHEN {version_bits} = 3 THEN 10"
+            f" WHEN {version_bits} = 2 THEN 20 ELSE 25 END",
+            "int",
+        ).alias("mpeg_version_x10"),
+        guarded(f"CASE WHEN {has_id3} THEN 10 + {id3_size} ELSE 0 END", "long")
+        .alias("frame_offset"),
+        guarded(bitrate, "int").alias("bitrate_kbps"),
+        guarded(sample_rate, "int").alias("sample_rate"),
+        guarded(padding, "int").alias("padding"),
+        guarded(
+            f"CASE WHEN {mode} = 3 THEN 1 ELSE 2 END", "int"
+        ).alias("n_channels"),
+        guarded(
+            f"CASE WHEN ({sample_rate}) > 0 AND ({bitrate}) > 0"
+            f" THEN 144000 * ({bitrate}) div ({sample_rate}) + ({padding})"
+            f" ELSE NULL END",
+            "int",
+        ).alias("frame_bytes"),
+    )
 
 
 def _le_u32(payload_col: str, offset: int) -> str:

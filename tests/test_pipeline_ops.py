@@ -4795,3 +4795,84 @@ class TestDsirScores:
         # 'alpha beta': ct=1, cs=3 → source-dominated → negative for doc1
         assert out[1]["dsir_score_e6"] < 0
         assert not out[1]["selected"]
+
+
+class TestMp4Header:
+    @staticmethod
+    def _mp4(ts=600, dur=1234, brands=2, second=b"moov", ver=0):
+        import struct
+
+        ftyp = (
+            struct.pack(">I", 16 + 4 * brands) + b"ftyp" + b"isom"
+            + struct.pack(">I", 0x200) + b"mp41" * brands
+        )
+        mvhd = (
+            struct.pack(">I", 108) + b"mvhd" + bytes([ver]) + b"\x00\x00\x00"
+            + struct.pack(">IIII", 0, 0, ts, dur) + b"\x00" * 80
+        )
+        return ftyp + struct.pack(">I", 116) + second + mvhd
+
+    def test_dynamic_walk_and_null_paths(self, spark):
+        from gpq_spark.pipeline.multimodal import parse_mp4_header
+
+        rows = [
+            (1, bytearray(self._mp4())),
+            (2, bytearray(self._mp4(ts=48000, dur=96000, brands=0))),
+            (3, bytearray(self._mp4(second=b"free"))),
+            (4, bytearray(b"\x89PNG\r\n\x1a\nxx")),
+            (5, bytearray(self._mp4(ver=1))),  # mvhd v1 → conservative
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = {r["id"]: r for r in parse_mp4_header(df, "payload", "id").collect()}
+        assert out[1]["is_mp4"] and out[1]["timescale"] == 600
+        assert out[1]["duration_us"] == 1234 * 1000000 // 600
+        assert out[1]["major_brand"] == "isom" and out[1]["ftyp_size"] == 24
+        assert out[1]["n_compatible_brands"] == 2
+        # brands=0 → moov at a DIFFERENT offset: the walk is really dynamic
+        assert out[2]["is_mp4"] and out[2]["duration_us"] == 2_000_000
+        assert not out[3]["is_mp4"] and out[3]["major_brand"] == "isom"
+        assert out[3]["timescale"] is None
+        assert not out[4]["is_mp4"] and out[4]["ftyp_size"] is None
+        assert not out[5]["is_mp4"]
+
+
+class TestMp3Header:
+    @staticmethod
+    def _mp3(vb=3, br_idx=9, sr_idx=0, pad=1, mode=0, id3=None):
+        hdr = bytes([
+            0xFF,
+            0xE0 | (vb << 3) | (1 << 1) | 1,
+            (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+            mode << 6,
+        ]) + b"\x00" * 100
+        if id3 is None:
+            return hdr
+        tag = (
+            b"ID3" + b"\x03\x00" + b"\x00"
+            + bytes([(id3 >> 21) & 127, (id3 >> 14) & 127,
+                     (id3 >> 7) & 127, id3 & 127])
+            + b"\x00" * id3
+        )
+        return tag + hdr
+
+    def test_tables_id3_and_null_paths(self, spark):
+        from gpq_spark.pipeline.multimodal import parse_mp3_header
+
+        rows = [
+            (1, bytearray(self._mp3())),
+            (2, bytearray(self._mp3(vb=2, br_idx=3, sr_idx=1, pad=0, mode=3))),
+            (3, bytearray(self._mp3(id3=130))),   # synchsafe 130 = 0x01 0x02
+            (4, bytearray(b"notanmp3x")),
+            (5, bytearray(self._mp3(vb=0, br_idx=14, sr_idx=2))),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = {r["id"]: r for r in parse_mp3_header(df, "payload", "id").collect()}
+        assert out[1]["is_mp3"] and out[1]["bitrate_kbps"] == 128
+        assert out[1]["sample_rate"] == 44100 and out[1]["n_channels"] == 2
+        assert out[1]["frame_bytes"] == 144000 * 128 // 44100 + 1
+        assert out[2]["mpeg_version_x10"] == 20 and out[2]["bitrate_kbps"] == 24
+        assert out[2]["sample_rate"] == 24000 and out[2]["n_channels"] == 1
+        assert out[3]["is_mp3"] and out[3]["frame_offset"] == 140
+        assert not out[4]["is_mp3"] and out[4]["bitrate_kbps"] is None
+        assert out[5]["mpeg_version_x10"] == 25 and out[5]["sample_rate"] == 8000
+        assert out[5]["bitrate_kbps"] == 160  # MPEG-2/2.5 table row 14
