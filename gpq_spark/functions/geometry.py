@@ -35,7 +35,6 @@ from pyspark.sql import types as T
 from ..geo import wkb as _wkb
 from ..geo import wkt as _wkt
 from ..geo.bbox import Bbox
-from ..geo.geojson_geom import stats_type_name
 
 ENVELOPE_TYPE = T.StructType(
     [
