@@ -4876,3 +4876,78 @@ class TestMp3Header:
         assert not out[4]["is_mp3"] and out[4]["bitrate_kbps"] is None
         assert out[5]["mpeg_version_x10"] == 25 and out[5]["sample_rate"] == 8000
         assert out[5]["bitrate_kbps"] == 160  # MPEG-2/2.5 table row 14
+
+
+class TestGlobalOrderStats:
+    def test_rank_cumsum_totals_match_window_reference(self, spark):
+        """Ranks, inclusive running sums, and grand totals must equal
+        the single-reducer window reference on a shuffled frame, at a
+        partition count that forces multi-partition prefix offsets."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from gpq_spark.relational import global_order_stats
+
+        rng = random.Random(7)
+        rows = [(i, rng.randrange(0, 50), rng.randrange(1, 100))
+                for i in range(500)]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "id long, k long, v long")
+        got = {
+            r["id"]: r
+            for r in global_order_stats(
+                df,
+                [F.col("k").asc(), F.col("id").asc()],
+                rank_col="rn",
+                cum_sums={"v": "cum"},
+                total_count_col="n",
+                total_sums={"v": "s"},
+                partitions=7,
+            ).collect()
+        }
+        ordered = sorted(rows, key=lambda t: (t[1], t[0]))
+        run = 0
+        total_v = sum(v for _, _, v in rows)
+        for pos, (i, k, v) in enumerate(ordered, 1):
+            run += v
+            g = got[i]
+            assert g["rn"] == pos, (i, g["rn"], pos)
+            assert g["cum"] == run
+            assert g["n"] == 500 and g["s"] == total_v
+
+    def test_descending_order_and_rank_only(self, spark):
+        from pyspark.sql import functions as F
+
+        from gpq_spark.relational import global_order_stats
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 20), (4, 30)], "id long, v long"
+        )
+        got = {
+            r["id"]: r["rn"]
+            for r in global_order_stats(
+                df, [F.col("v").desc(), F.col("id").asc()],
+                rank_col="rn", partitions=3,
+            ).collect()
+        }
+        assert got == {2: 1, 4: 2, 3: 3, 1: 4}
+
+    def test_single_row_and_empty(self, spark):
+        from pyspark.sql import functions as F
+
+        from gpq_spark.relational import global_order_stats
+
+        one = spark.createDataFrame([(9, 5)], "id long, v long")
+        r = global_order_stats(
+            one, [F.col("v").asc()], rank_col="rn",
+            cum_sums={"v": "cum"}, total_count_col="n", partitions=4,
+        ).collect()[0]
+        assert (r["rn"], r["cum"], r["n"]) == (1, 5, 1)
+        empty = spark.createDataFrame([], "id long, v long")
+        assert (
+            global_order_stats(
+                empty, [F.col("v").asc()], rank_col="rn", partitions=4
+            ).count()
+            == 0
+        )
