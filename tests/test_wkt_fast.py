@@ -165,3 +165,65 @@ def test_hypothesis_style_grid_parity():
     got = wkt_to_wkb_batch(vals)
     for v, g in zip(vals, got):
         assert g == legacy(v), f"mismatch for {v!r}"
+
+
+# ---- property-based parity: random geometries through the legacy
+# WRITER, then both parsers must emit identical WKB ----------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+def _coord(dim=2):
+    return st.lists(_finite, min_size=dim, max_size=dim)
+
+
+def _geom():
+    point = st.builds(
+        lambda c: {"type": "Point", "coordinates": c}, _coord()
+    )
+    point3 = st.builds(
+        lambda c: {"type": "Point", "coordinates": c}, _coord(3)
+    )
+    line = st.builds(
+        lambda c: {"type": "LineString", "coordinates": c},
+        st.lists(_coord(), min_size=2, max_size=6),
+    )
+    ring = st.lists(_coord(), min_size=3, max_size=6).map(
+        lambda pts: pts + [pts[0]]
+    )
+    poly = st.builds(
+        lambda rs: {"type": "Polygon", "coordinates": rs},
+        st.lists(ring, min_size=1, max_size=3),
+    )
+    mpoint = st.builds(
+        lambda c: {"type": "MultiPoint", "coordinates": c},
+        st.lists(_coord(), min_size=1, max_size=5),
+    )
+    mline = st.builds(
+        lambda c: {"type": "MultiLineString", "coordinates": c},
+        st.lists(st.lists(_coord(), min_size=2, max_size=5),
+                 min_size=1, max_size=3),
+    )
+    mpoly = st.builds(
+        lambda ps: {"type": "MultiPolygon", "coordinates": ps},
+        st.lists(st.lists(ring, min_size=1, max_size=2),
+                 min_size=1, max_size=3),
+    )
+    gc = st.builds(
+        lambda gs: {"type": "GeometryCollection", "geometries": gs},
+        st.lists(point | line, min_size=0, max_size=3),
+    )
+    return point | point3 | line | poly | mpoint | mline | mpoly | gc
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_geom(), min_size=1, max_size=8))
+def test_property_batch_parity(geoms):
+    texts = [_wkt.dumps(g) for g in geoms]
+    got = wkt_to_wkb_batch(texts)
+    want = [legacy(t) for t in texts]
+    assert got == want
