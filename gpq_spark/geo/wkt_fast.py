@@ -233,6 +233,26 @@ def wkt_to_wkb_batch(values) -> list[bytes | None]:
 
     fbuf = nums.astype("<f8", copy=False)
 
+    # ---- comma-placement uniformity (per value, per candidate dim) ----
+    # In ANY valid WKT of uniform dimension `dim`, every comma — whether
+    # it separates coordinates, rings, or members — sits on a coordinate
+    # boundary: the number of numeric tokens before the value's j-th
+    # comma is exactly dim*(j+1) (structural commas land on multiples of
+    # dim too, since each ring/member holds a whole number of
+    # coordinates).  Ragged grouping like 'LINESTRING (1, 2 3 4)' or
+    # 'MULTIPOINT ((1, 2), (3, 4))' violates this, so it routes to the
+    # legacy parser (which raises WKTError, matching the reference's
+    # wkt.Unmarshal error behavior).
+    _uni = {2: np.ones(nfast, dtype=bool), 3: np.ones(nfast, dtype=bool)}
+    if len(commas):
+        comma_val = np.searchsorted(vstart, commas, side="right") - 1
+        tok_before = np.searchsorted(starts, commas) - n0[comma_val]
+        comma_rank = np.arange(len(commas)) - m0[comma_val]
+        for _dim in (2, 3):
+            ragged = comma_val[tok_before != _dim * (comma_rank + 1)]
+            if len(ragged):
+                _uni[_dim][ragged] = False
+
     # vectorized structural invariants shared by every grouped shape:
     # balanced parens, and NO token after the final close (stray
     # non-token bytes were already screened into `bad`)
@@ -312,7 +332,13 @@ def wkt_to_wkb_batch(values) -> list[bytes | None]:
     is_ls = clean & (tag == 1) & (no == 1)
     ncoords = nm + 1
     for dim in (2, 3):
-        sel = is_ls & (nn == dim * ncoords) & (marker <= (dim == 3)) & (nn > 0)
+        sel = (
+            is_ls
+            & (nn == dim * ncoords)
+            & (marker <= (dim == 3))
+            & (nn > 0)
+            & _uni[dim]
+        )
         ks = np.flatnonzero(sel)
         emit_group(
             ks, _hdr(2, dim), [ncoords[ks]], n0[ks], (nn[ks]).astype(np.int64)
@@ -332,7 +358,13 @@ def wkt_to_wkb_batch(values) -> list[bytes | None]:
         & ((nm == 0) | (last_comma < first_close))
     )
     for dim in (2, 3):
-        sel = is_p1 & (nn == dim * ncoords) & (marker <= (dim == 3)) & (nn > 0)
+        sel = (
+            is_p1
+            & (nn == dim * ncoords)
+            & (marker <= (dim == 3))
+            & (nn > 0)
+            & _uni[dim]
+        )
         ks = np.flatnonzero(sel)
         emit_group(
             ks,
@@ -378,8 +410,26 @@ def wkt_to_wkb_batch(values) -> list[bytes | None]:
                     or dim not in (2, 3)
                     or inner not in (0, ncrd)
                     or marker[k]
+                    or not _uni[dim][k]
                 ):
                     raise _Fallback
+                if inner:
+                    # parenthesized form: each inner pair must hold
+                    # exactly one dim-tuple (no depth-2 commas, no
+                    # tokens straddling member parens)
+                    io = ov[dep_o == 2]
+                    ic = cv[dep_c == 2]
+                    if (
+                        len(io) != ncrd
+                        or len(ic) != ncrd
+                        or np.any(dep_m != 1)
+                        or not np.all(
+                            np.searchsorted(starts[na:nb], ic)
+                            - np.searchsorted(starts[na:nb], io)
+                            == dim
+                        )
+                    ):
+                        raise _Fallback
                 member = np.empty((ncrd, 5 + 8 * dim), dtype=np.uint8)
                 member[:, :5] = np.frombuffer(_hdr(1, dim), dtype=np.uint8)
                 member[:, 5:] = fbuf[na:nb].reshape(ncrd, dim).view(np.uint8)
@@ -409,7 +459,7 @@ def wkt_to_wkb_batch(values) -> list[bytes | None]:
                 ):
                     raise _Fallback
                 dim = int(dims[0])
-                if marker[k] and dim != 3:
+                if (marker[k] and dim != 3) or not _uni[dim][k]:
                     raise _Fallback
                 code = 3 if t == 2 else 5
                 parts = [_hdr(code, dim), _u32(len(ro))]
@@ -454,6 +504,8 @@ def wkt_to_wkb_batch(values) -> list[bytes | None]:
             ):
                 raise _Fallback
             dim = int(dims[0])
+            if not _uni[dim][k] or (marker[k] and dim != 3):
+                raise _Fallback
             ring_poly = np.searchsorted(po, ro, side="right") - 1
             if np.any(ring_poly < 0) or np.any(ro > pc[ring_poly]):
                 raise _Fallback

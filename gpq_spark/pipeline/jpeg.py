@@ -276,6 +276,26 @@ def decode_jpeg(data: bytes):
                 cid = body[6 + 3 * c]
                 hv = body[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
+            # reject corrupt sampling grids up front so a bad payload
+            # surfaces as JpegError (callers' drop/'jpeg:unsupported'
+            # contract), never ZeroDivisionError/ValueError deep in the
+            # scan decode (advisor r4): T.81 B.2.2 bounds factors to
+            # [1,4], and the upsample step needs hmax/vmax divisible by
+            # every component's factors
+            for cid, hs, vs, _tq in comps:
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise JpegError(
+                        f"invalid sampling factors {hs}x{vs} for "
+                        f"component {cid}"
+                    )
+            hmax = max(hs for _, hs, _, _ in comps)
+            vmax = max(vs for _, _, vs, _ in comps)
+            for cid, hs, vs, _tq in comps:
+                if hmax % hs or vmax % vs:
+                    raise JpegError(
+                        f"non-divisible sampling grid {hs}x{vs} vs "
+                        f"max {hmax}x{vmax} for component {cid}"
+                    )
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):

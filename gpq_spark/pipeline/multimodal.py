@@ -673,8 +673,11 @@ def parse_mp3_header(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     11-bit frame sync and the packed version/layer/bitrate/samplerate/
     padding/channel-mode fields, resolved through the Layer-III
     bitrate and sample-rate TABLES (MPEG-1 vs MPEG-2/2.5 halve/quarter
-    the rates), plus the derived frame_bytes = 144000·bitrate div
-    sample_rate + padding. Pure JVM expressions — the audio DECODE
+    the rates), plus the derived frame_bytes = coeff·bitrate div
+    sample_rate + padding where coeff is 144000 for MPEG-1 Layer III
+    (1152 samples/frame) but 72000 for MPEG-2/2.5 Layer III (576
+    samples/frame, ISO/IEC 13818-3 §2.4.3.1). Pure JVM expressions —
+    the audio DECODE
     (polyphase filterbank + Huffman) stays honestly stubbed, but every
     metadata field a corpus router needs is real. Non-MP3 payloads
     yield NULLs beyond ``is_mp3``."""
@@ -731,7 +734,9 @@ def parse_mp3_header(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
         ).alias("n_channels"),
         guarded(
             f"CASE WHEN ({sample_rate}) > 0 AND ({bitrate}) > 0"
-            f" THEN 144000 * ({bitrate}) div ({sample_rate}) + ({padding})"
+            f" THEN (CASE WHEN {version_bits} = 3 THEN 144000"
+            f" ELSE 72000 END)"
+            f" * ({bitrate}) div ({sample_rate}) + ({padding})"
             f" ELSE NULL END",
             "int",
         ).alias("frame_bytes"),

@@ -196,7 +196,10 @@ def seeded_shuffle(
         )
         .repartitionByRange(n, F.col("__k"), F.col("id"))
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        # localCheckpoint, not persist: the caller can never unpersist
+        # the lazy result, so a persist() here would pin executor
+        # storage for the session (see relational.global_order_stats)
+        .localCheckpoint()
     )
     sizes = (
         d.groupBy("__pid")

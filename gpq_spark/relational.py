@@ -320,12 +320,16 @@ def running_total_by(
     broadcast prefix total (the same offset pattern as
     sampling.seeded_shuffle). ``order_cols`` must be a total order
     (add a tiebreaker column if not).
+
+    localCheckpoint, not persist: see global_order_stats — a persist
+    here can never be unpersisted by the caller and leaks executor
+    storage across calls.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     d = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     prefix = (
         d.groupBy("__pid")
@@ -380,7 +384,15 @@ def global_order_stats(
     may carry ``.desc()``; ranks are 1-based. ``cum_sums`` maps value
     columns to inclusive running-total output names. ``total_count_col``
     / ``total_sums`` attach grand totals to every row (broadcast 1-row
-    cross join — the frame is persisted, so no second source scan).
+    cross join — the frame is checkpointed, so no second source scan).
+
+    The shared frame is ``localCheckpoint()``-ed rather than
+    ``persist()``-ed: both serve every downstream consumer from one
+    materialization, but a persist() pins a CacheManager entry until an
+    explicit unpersist — which no caller can issue, since the result is
+    lazy — so repeated calls leak executor storage for the session's
+    lifetime (advisor r4). Checkpoint blocks are released by the
+    ContextCleaner as soon as the plan is unreferenced.
     """
     cum_sums = cum_sums or {}
     total_sums = total_sums or {}
@@ -389,7 +401,7 @@ def global_order_stats(
     d = (
         df.repartitionByRange(n, *order_exprs)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     per_pid = d.groupBy("__pid").agg(
         F.count(F.lit(1)).alias("__c"),

@@ -121,6 +121,42 @@ class TestRejection:
         with pytest.raises(JpegError, match="quant_luma"):
             encode_jpeg(const_block_image(2, 2), quant_luma=np.zeros(64))
 
+    def _patch_sof_sampling(self, color, hv_bytes):
+        """Encode a valid JPEG, then overwrite each component's packed
+        h/v sampling byte in the SOF with the given values."""
+        px = (
+            np.zeros((16, 16, 3), dtype=np.uint8)
+            if color
+            else const_block_image(2, 2)
+        )
+        data = bytearray(encode_jpeg(px))
+        i = data.find(b"\xff\xc0")
+        for c, hv in enumerate(hv_bytes):
+            data[i + 2 + 2 + 5 + 1 + 3 * c + 1] = hv  # SOF comp c h/v byte
+        return bytes(data)
+
+    def test_zero_sampling_factor_is_jpeg_error(self):
+        """A corrupt SOF with a zero h or v factor must raise JpegError
+        (the drop/'jpeg:unsupported' contract), never ZeroDivisionError
+        from the MCU arithmetic (advisor r4)."""
+        for hv in (0x01, 0x10, 0x00):
+            data = self._patch_sof_sampling(False, [hv])
+            with pytest.raises(JpegError, match="sampling"):
+                decode_jpeg(data)
+
+    def test_oversized_sampling_factor_is_jpeg_error(self):
+        data = self._patch_sof_sampling(False, [0x51])  # h=5 > 4
+        with pytest.raises(JpegError, match="sampling"):
+            decode_jpeg(data)
+
+    def test_non_divisible_sampling_grid_is_jpeg_error(self):
+        """3x3 luma vs 2x2 chroma: factors are in-range but hmax/vmax
+        aren't divisible, which previously died in np.repeat with a
+        shape ValueError mid-scan."""
+        data = self._patch_sof_sampling(True, [0x33, 0x22, 0x22])
+        with pytest.raises(JpegError, match="divisible"):
+            decode_jpeg(data)
+
     def test_16bit_quant_tables_roundtrip(self):
         """DQT precision-1 (16-bit entries) parses on decode."""
         qbig = np.full(64, 300, dtype=np.int64)

@@ -4872,10 +4872,14 @@ class TestMp3Header:
         assert out[1]["frame_bytes"] == 144000 * 128 // 44100 + 1
         assert out[2]["mpeg_version_x10"] == 20 and out[2]["bitrate_kbps"] == 24
         assert out[2]["sample_rate"] == 24000 and out[2]["n_channels"] == 1
+        # MPEG-2 Layer III has 576 samples/frame -> 72000 coefficient
+        # (ISO/IEC 13818-3), not MPEG-1's 144000 (advisor r4)
+        assert out[2]["frame_bytes"] == 72000 * 24 // 24000
         assert out[3]["is_mp3"] and out[3]["frame_offset"] == 140
         assert not out[4]["is_mp3"] and out[4]["bitrate_kbps"] is None
         assert out[5]["mpeg_version_x10"] == 25 and out[5]["sample_rate"] == 8000
         assert out[5]["bitrate_kbps"] == 160  # MPEG-2/2.5 table row 14
+        assert out[5]["frame_bytes"] == 72000 * 160 // 8000 + 1  # pad=1
 
 
 class TestGlobalOrderStats:

@@ -66,6 +66,29 @@ def test_batch_parity_supported_forms():
         assert g == w, f"mismatch for {v!r}: {g!r} != {w!r}"
 
 
+def test_batch_ragged_mixed_dim_parity():
+    """The legacy parser ACCEPTS mixed-dimension coordinate lists (each
+    coordinate just needs >=2 values); the batch path must route these to
+    the legacy parser and match it byte-for-byte — crucially it must NOT
+    regroup 'LINESTRING (1 2, 3 4 5 6)' as two 3D coordinates when the
+    aggregate token count happens to divide (advisor r4 HIGH)."""
+    cases = [
+        "LINESTRING (1 2 3, 4 5)",
+        "LINESTRING (1 2, 3 4 5, 6 7)",
+        "LINESTRING (1 2, 3 4 5 6)",  # nn=6 divides as 2x3D — must not
+        "MULTIPOINT (1 2, 3 4 5, 6 7)",
+        "MULTILINESTRING ((1 2, 3 4 5), (6 7 8, 9 10))",
+    ]
+    for v in cases:
+        try:
+            want = legacy(v)
+        except Exception as e:
+            with pytest.raises(type(e)):
+                wkt_to_wkb_batch([v])
+            continue
+        assert wkt_to_wkb_batch([v])[0] == want, v
+
+
 def test_batch_mixed_with_nulls_preserves_positions():
     vals = [None, "POINT (1 2)", None, "LINESTRING (0 0, 1 1)", None]
     got = wkt_to_wkb_batch(vals)
@@ -92,6 +115,18 @@ def test_batch_mixed_with_nulls_preserves_positions():
         "MULTIPOINT ((1 2), 3 4, (5 6)) 7",  # trailing number
         "POINT Z (1 2)",              # Z marker with 2D coords
         "LINESTRING Z (0 0, 1 1)",    # Z marker with 2D coords
+        # ragged comma placement: aggregate token counts match a uniform
+        # shape but the coordinate grouping is wrong — must error, never
+        # emit structurally-valid-but-wrong WKB (advisor r4 HIGH)
+        "LINESTRING (1, 2 3 4)",
+        "LINESTRING (1 2 3, 4)",
+        "MULTIPOINT ((1, 2), (3, 4))",
+        "MULTIPOINT (1, 2 3 4, 5 6)",
+        "POLYGON ((1 2, 3 4 5, 6))",
+        "POLYGON ((1, 2 3 4))",
+        "MULTILINESTRING ((1 2, 3 4 5, 6), (7 8, 9 10))",
+        "MULTIPOLYGON (((1 2, 3 4 5, 6)))",
+        "MULTIPOINT ((1 2, 3 4))",    # comma inside a member point
     ],
 )
 def test_batch_raises_like_legacy(bad):
