@@ -55,6 +55,12 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
+        # codegen lint (VERDICT r4 task 2): a generated method that blows
+        # the JVM 64 KB limit normally falls back to interpreted
+        # execution SILENTLY — a 3-5x per-row slowdown at scale with no
+        # failing signal. Disabling the fallback turns any such plan
+        # into a hard error recorded against the query in the sweep.
+        .config("spark.sql.codegen.fallback", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -118,6 +124,28 @@ def main() -> None:
         ((n, v["wall_s"]) for n, v in out.items() if v.get("wall_s")),
         key=lambda x: -x[1],
     )[:10]
+    # regression tripwire (VERDICT r4 task 6): a query that got >3x
+    # slower round-over-round fails the sweep unless BASELINE.md names
+    # it (i.e. the regression is explained). Sub-2s walls are skipped —
+    # at sf0.01 they are scheduler noise, not plan regressions.
+    baseline_text = ""
+    bl_path = os.path.join(ROOT, "BASELINE.md")
+    if os.path.exists(bl_path):
+        with open(bl_path) as f:
+            baseline_text = f.read()
+    regressions = []
+    for n, v in out.items():
+        pw = prev.get(n, {}).get("wall_s")
+        cw = v.get("wall_s")
+        if (
+            pw is not None
+            and cw is not None
+            and max(pw, cw) >= 2.0
+            and cw > 3.0 * pw
+            and n not in baseline_text
+        ):
+            regressions.append({"name": n, "wall_s": cw, "prev_wall_s": pw})
+
     out["_summary"] = {
         "n_green": n_green,
         "n_queries": len(out),
@@ -130,6 +158,7 @@ def main() -> None:
             }
             for n, w in slowest
         ],
+        "regressions_gt_3x": regressions,
     }
     dest = os.path.join(ROOT, f"SWEEP_r{rnd:02d}.json")
     with open(dest, "w") as f:
@@ -138,6 +167,18 @@ def main() -> None:
         f"{dest}: {n_green}/{len(out) - 1} green in {time.perf_counter() - t0:.0f}s"
     )
     spark.stop()
+    if regressions:
+        print(
+            "SWEEP TRIPWIRE: unexplained >3x regressions (add a BASELINE.md "
+            "entry naming each query to acknowledge):",
+            file=sys.stderr,
+        )
+        for r in regressions:
+            print(
+                f"  {r['name']}: {r['prev_wall_s']}s -> {r['wall_s']}s",
+                file=sys.stderr,
+            )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
