@@ -1313,3 +1313,70 @@ def gif_frame_sample_stats(
             )
 
     return slim.mapInPandas(stats, schema=GIF_FRAME_SCHEMA)
+
+
+PDF_TEXT_SCHEMA = (
+    "id long, is_pdf boolean, n_pages int, n_text_ops long,"
+    " n_chars long, text_md5 string"
+)
+
+
+def pdf_text_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Text extraction over REAL PDFs (pipeline/pdf.py: object scan,
+    zlib FlateDecode, BT…ET Tj/TJ/'/" show operators, full literal- and
+    hex-string syntax) — the document-format member of the multimodal
+    family (VERDICT r4 task 4). Per payload: ``is_pdf`` (magic check),
+    page count, show-operator count, extracted character count, and the
+    md5 of the extracted text (UTF-8), so a closed-form oracle can gate
+    parse(build(x)) == x without shipping the text back through the
+    driver. Arrow-batched mapInPandas, payload bytes never leave the
+    executors; non-PDF payloads yield NULLs beyond ``is_pdf``,
+    unsupported/corrupt PDFs (encrypted, LZW, torn streams) also yield
+    NULLs — the drop contract of the JPEG/PNG decoders."""
+    import hashlib
+
+    from ..deploy import ensure_deployed
+    from .pdf import PDF_MAGIC, PdfError, extract_pdf_text
+
+    ensure_deployed(df.sparkSession)
+    slim = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for rid, payload in zip(pdf_batch["id"], pdf_batch["payload"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                if not data.startswith(PDF_MAGIC):
+                    rows.append((rid, False, None, None, None, None))
+                    continue
+                try:
+                    r = extract_pdf_text(data)
+                except PdfError:
+                    rows.append((rid, True, None, None, None, None))
+                    continue
+                text = r["text"]
+                rows.append(
+                    (
+                        rid,
+                        True,
+                        r["n_pages"],
+                        r["n_text_ops"],
+                        len(text),
+                        hashlib.md5(text.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "is_pdf",
+                    "n_pages",
+                    "n_text_ops",
+                    "n_chars",
+                    "text_md5",
+                ],
+            )
+
+    return slim.mapInPandas(stats, schema=PDF_TEXT_SCHEMA)

@@ -1,0 +1,365 @@
+"""PDF text extraction — stdlib ``zlib`` only, zero new deps.
+
+The highest-frequency real-world document format a training-data
+corpus router meets with no operator until now (VERDICT r4 task 4;
+the reference engine has no document formats at all —
+training-data-pipeline extension). The same playbook as the PNG/JPEG
+codecs (pipeline/png.py, pipeline/jpeg.py): a real, spec-grounded
+pure-Python decoder for the subset the runtime can honestly handle,
+raised errors (never silent garbage) outside it, and an exact
+round-trip builder so the gate query has a closed-form oracle.
+
+Scope — real, not stubbed:
+- object scan (``N G obj … endobj``), stream payload extraction with
+  ``/FlateDecode`` (zlib) and raw streams;
+- content-stream text operators inside BT…ET blocks: ``Tj`` (show
+  string), ``TJ`` (array show with kerning numbers), ``'`` and ``"``
+  (next-line show) — ISO 32000-1 §9.4.3;
+- PDF string syntax: ``(…)`` literal strings with nesting and the
+  full escape table (``\\n \\r \\t \\b \\f \\( \\) \\\\``, 1-3 digit
+  octal, line continuations) and ``<…>`` hex strings — §7.3.4;
+- page counting via ``/Type /Page`` leaf objects.
+
+Out of scope (documented, like MP3 audio decode): CID/composite font
+CMaps (ToUnicode), encrypted documents, object streams
+(``/ObjStm``), LZW/ASCII85 filters. Text is decoded as UTF-8 with
+Latin-1 fallback — correct for the simple-font PDFs the builder
+emits and the overwhelming share of crawler-collected text PDFs.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+
+class PdfError(ValueError):
+    pass
+
+
+PDF_MAGIC = b"%PDF"
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_PAGE_RE = re.compile(rb"/Type\s*/Page(?![0-9A-Za-z])")
+_STREAM_RE = re.compile(rb"stream\r?\n")
+
+_ESCAPES = {
+    ord("n"): b"\n",
+    ord("r"): b"\r",
+    ord("t"): b"\t",
+    ord("b"): b"\b",
+    ord("f"): b"\f",
+    ord("("): b"(",
+    ord(")"): b")",
+    ord("\\"): b"\\",
+}
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+def _parse_literal(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ``(…)`` literal string starting at the open paren;
+    returns (decoded bytes, index just past the closing paren)."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            c2 = data[i]
+            if c2 in _ESCAPES:
+                out += _ESCAPES[c2]
+                i += 1
+            elif 0x30 <= c2 <= 0x37:  # 1-3 octal digits
+                o = 0
+                k = 0
+                while k < 3 and i < n and 0x30 <= data[i] <= 0x37:
+                    o = o * 8 + (data[i] - 0x30)
+                    i += 1
+                    k += 1
+                out.append(o & 0xFF)
+            elif c2 in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if c2 == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:  # "\x" is just "x" per spec
+                out.append(c2)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise PdfError("unterminated literal string")
+
+
+def _parse_hex(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ``<…>`` hex string starting at '<'; returns (bytes,
+    index past '>'). Odd digit counts pad with 0 per spec."""
+    j = data.find(b">", i)
+    if j < 0:
+        raise PdfError("unterminated hex string")
+    digits = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : j])
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")), j + 1
+
+
+def _content_text(stream: bytes) -> tuple[list[bytes], int]:
+    """Walk one decoded content stream; return (shown byte-strings in
+    order, count of text-showing operators inside BT…ET blocks)."""
+    i = 0
+    n = len(stream)
+    shown: list[bytes] = []
+    nops = 0
+    in_bt = False
+    pending: list[bytes] = []  # strings seen since the last operator
+    arr: list[bytes] | None = None  # open [ … ] accumulator
+    while i < n:
+        c = stream[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment to EOL
+            j = stream.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c == 0x28:
+            s, i = _parse_literal(stream, i)
+            (arr if arr is not None else pending).append(s)
+        elif c == 0x3C:
+            if i + 1 < n and stream[i + 1] == 0x3C:  # << dict — skip token
+                i += 2
+            else:
+                s, i = _parse_hex(stream, i)
+                (arr if arr is not None else pending).append(s)
+        elif c == 0x5B:  # [
+            arr = []
+            i += 1
+        elif c == 0x5D:  # ]
+            pending = [b"".join(arr or [])]
+            arr = None
+            i += 1
+        elif c == 0x27:  # ' operator: move to next line and show
+            if in_bt and pending:
+                shown.append(pending[-1])
+                nops += 1
+            pending = []
+            i += 1
+        elif c == 0x22:  # " operator: set spacing, next line, show
+            if in_bt and pending:
+                shown.append(pending[-1])
+                nops += 1
+            pending = []
+            i += 1
+        elif c == 0x2F:  # /Name token
+            i += 1
+            while i < n and stream[i] not in _WS and stream[i] not in _DELIM:
+                i += 1
+        else:
+            j = i
+            while j < n and stream[j] not in _WS and stream[j] not in _DELIM:
+                j += 1
+            tok = stream[i:j]
+            if tok == b"BT":
+                in_bt = True
+            elif tok == b"ET":
+                in_bt = False
+            elif tok in (b"Tj", b"TJ"):
+                if in_bt and pending:
+                    shown.append(pending[-1])
+                    nops += 1
+                pending = []
+            elif tok and tok[0:1].isalpha():
+                pending = []  # any other operator consumes its operands
+            i = max(j, i + 1)
+    return shown, nops
+
+
+def _stream_objects(data: bytes):
+    """Yield (object dict bytes, DECODED stream bytes) for every stream
+    object; FlateDecode is applied when declared."""
+    for m in _OBJ_RE.finditer(data):
+        body = m.group(3)
+        sm = _STREAM_RE.search(body)
+        if sm is None:
+            continue
+        head = body[: sm.start()]
+        payload = body[sm.end() :]
+        # /Length gives the EXACT byte count (§7.3.8) — trusting it is
+        # the only correct way to bound the data: stripping trailing
+        # EOL bytes before 'endstream' corrupts streams whose last DATA
+        # byte is 0x0A/0x0D (1-in-128 odds for zlib output)
+        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+        if lm is not None:
+            payload = payload[: int(lm.group(1))]
+        else:
+            end = payload.rfind(b"endstream")
+            if end >= 0:
+                payload = payload[:end]
+            if payload.endswith(b"\r\n"):
+                payload = payload[:-2]
+            elif payload.endswith((b"\n", b"\r")):
+                payload = payload[:-1]
+        if b"/FlateDecode" in head:
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error as exc:
+                raise PdfError(f"bad FlateDecode stream: {exc}") from exc
+        elif b"/Filter" in head:
+            raise PdfError("unsupported stream filter")
+        yield head, payload
+
+
+def extract_pdf_text(data: bytes) -> dict:
+    """Extract text from one PDF. Returns ``{"n_pages", "n_text_ops",
+    "text"}`` where ``text`` is the concatenation of every string shown
+    by Tj/TJ/'/\" operators, in content-stream order, decoded UTF-8
+    (Latin-1 fallback). Raises PdfError on non-PDF or unsupported
+    constructs — callers decide drop semantics, mirroring the
+    JpegError contract."""
+    if not data.startswith(PDF_MAGIC):
+        raise PdfError("not a PDF: missing %PDF header")
+    n_pages = len(_PAGE_RE.findall(data))
+    parts: list[bytes] = []
+    nops = 0
+    for _head, stream in _stream_objects(data):
+        shown, k = _content_text(stream)
+        parts.extend(shown)
+        nops += k
+    raw = b"".join(parts)
+    try:
+        text = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        text = raw.decode("latin-1")
+    return {"n_pages": n_pages, "n_text_ops": nops, "text": text}
+
+
+def _escape_literal(s: bytes) -> bytes:
+    return (
+        s.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    )
+
+
+def build_pdf(
+    text: str,
+    chars_per_line: int = 40,
+    lines_per_page: int = 5,
+    compress: bool = True,
+) -> bytes:
+    """Build a real, well-formed single-font PDF showing ``text``
+    wrapped into fixed-width lines and fixed-height pages — the
+    deterministic construction the ``multimodal_pdf_text`` gate oracle
+    reproduces in closed form: n_lines = ceil(len/chars_per_line),
+    n_pages = max(1, ceil(n_lines/lines_per_page)), and the extracted
+    text equals ``text`` exactly. Lines alternate Tj literal strings,
+    TJ arrays (with kerning numbers), and hex strings, so the extractor
+    exercises every show-operator path on every document. Emits a
+    correct xref table and trailer."""
+    lines = [
+        text[i : i + chars_per_line]
+        for i in range(0, len(text), chars_per_line)
+    ] or [""]
+    pages = [
+        lines[i : i + lines_per_page]
+        for i in range(0, len(lines), lines_per_page)
+    ]
+
+    objs: list[bytes] = []  # 1-indexed object bodies (without N 0 obj)
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    font = add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    content_ids = []
+    page_ids = []
+    for pg in pages:
+        ops = [b"BT", b"/F1 10 Tf", b"72 720 Td"]
+        for k, ln in enumerate(pg):
+            raw = ln.encode("utf-8")
+            if k % 3 == 0:
+                ops.append(b"(" + _escape_literal(raw) + b") Tj")
+            elif k % 3 == 1:
+                mid = max(1, len(raw) // 2)
+                ops.append(
+                    b"[ ("
+                    + _escape_literal(raw[:mid])
+                    + b") -120 ("
+                    + _escape_literal(raw[mid:])
+                    + b") ] TJ"
+                )
+            else:
+                ops.append(b"<" + raw.hex().encode("ascii") + b"> Tj")
+            ops.append(b"0 -12 Td")
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        if compress:
+            payload = zlib.compress(content)
+            head = (
+                b"<< /Length "
+                + str(len(payload)).encode()
+                + b" /Filter /FlateDecode >>"
+            )
+        else:
+            payload = content
+            head = b"<< /Length " + str(len(payload)).encode() + b" >>"
+        content_ids.append(
+            add(head + b"\nstream\n" + payload + b"\nendstream")
+        )
+    pages_id = len(objs) + len(pages) + 1  # forward reference
+    for cid in content_ids:
+        page_ids.append(
+            add(
+                b"<< /Type /Page /Parent "
+                + str(pages_id).encode()
+                + b" 0 R /MediaBox [0 0 612 792] /Contents "
+                + str(cid).encode()
+                + b" 0 R /Resources << /Font << /F1 "
+                + str(font).encode()
+                + b" 0 R >> >> >>"
+            )
+        )
+    kids = b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
+    assert add(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(len(page_ids)).encode()
+        + b" >>"
+    ) == pages_id
+    catalog = add(
+        b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"
+    )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size "
+        + str(len(objs) + 1).encode()
+        + b" /Root "
+        + str(catalog).encode()
+        + b" 0 R >>\nstartxref\n"
+        + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)

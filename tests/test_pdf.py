@@ -1,0 +1,184 @@
+"""PDF text extraction: builder/extractor round-trips, string-syntax
+edge cases, stream-boundary handling, and the Spark operator."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from gpq_spark.pipeline.pdf import (
+    PdfError,
+    build_pdf,
+    extract_pdf_text,
+)
+
+
+def _wrap_expect(text, cpl=40, lpp=5):
+    n_lines = max(1, -(-len(text) // cpl))
+    return n_lines, -(-n_lines // lpp)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("compress", [True, False])
+    def test_basic_roundtrip(self, compress):
+        t = "the quick brown fox jumps over the lazy dog " * 8
+        r = extract_pdf_text(build_pdf(t, compress=compress))
+        n_ops, n_pages = _wrap_expect(t)
+        assert r["text"] == t
+        assert r["n_text_ops"] == n_ops
+        assert r["n_pages"] == n_pages
+
+    def test_escapes_and_parens(self):
+        t = r"nested (parens (deep)) \backslash\ and )( out of order"
+        r = extract_pdf_text(build_pdf(t, chars_per_line=9))
+        assert r["text"] == t
+
+    def test_every_show_operator_kind(self):
+        # 3+ lines hits Tj literal, TJ array-with-kerning, and hex
+        t = "a" * 40 + "b" * 40 + "c" * 40 + "d" * 10
+        r = extract_pdf_text(build_pdf(t))
+        assert r["text"] == t
+        assert r["n_text_ops"] == 4
+
+    def test_multi_page_counts(self):
+        t = "x" * (40 * 5 * 3 + 1)  # 16 lines -> 4 pages
+        r = extract_pdf_text(build_pdf(t))
+        assert r["n_pages"] == 4
+        assert r["n_text_ops"] == 16
+        assert r["text"] == t
+
+    def test_empty_text_single_page(self):
+        r = extract_pdf_text(build_pdf(""))
+        assert r["text"] == "" and r["n_pages"] == 1
+
+    def test_compressed_stream_ending_in_newline_byte(self):
+        """A zlib stream whose LAST data byte is 0x0A must survive the
+        endstream boundary (the /Length path — an EOL-strip heuristic
+        silently truncates it)."""
+        for pad in range(64):
+            t = "q" * 40 + " " * pad
+            r = extract_pdf_text(build_pdf(t, compress=True))
+            assert r["text"] == t, pad
+
+    def test_unicode_text(self):
+        t = "héllo wörld — ünïcode ¶ text"
+        r = extract_pdf_text(build_pdf(t, chars_per_line=7))
+        assert r["text"] == t
+        assert r["n_chars" in r and "n_chars" or "n_pages"] is not None
+
+
+class TestHandBuilt:
+    """Hand-authored PDFs (not from the builder) pin the extractor's
+    spec behavior independently."""
+
+    @staticmethod
+    def _mini(content: bytes, flate: bool = False) -> bytes:
+        if flate:
+            payload = zlib.compress(content)
+            head = (
+                b"<< /Length " + str(len(payload)).encode()
+                + b" /Filter /FlateDecode >>"
+            )
+        else:
+            payload = content
+            head = b"<< /Length " + str(len(payload)).encode() + b" >>"
+        return (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+            b"endobj\n"
+            b"4 0 obj\n" + head + b"\nstream\n" + payload
+            + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+        )
+
+    def test_octal_and_escape_table(self):
+        c = b"BT (\\110\\151\\41 tab:\\there) Tj ET"
+        r = extract_pdf_text(self._mini(c))
+        assert r["text"] == "Hi! tab:\there"
+
+    def test_line_continuation_in_literal(self):
+        c = b"BT (split\\\nline) Tj ET"
+        assert extract_pdf_text(self._mini(c))["text"] == "splitline"
+
+    def test_hex_string_odd_digits_and_whitespace(self):
+        c = b"BT <48 65 6C 6C 6F2> Tj ET"  # odd count pads with 0
+        assert extract_pdf_text(self._mini(c))["text"] == "Hello "
+
+    def test_tj_array_ignores_kerning_numbers(self):
+        c = b"BT [ (ab) -250 (cd) 12.5 (ef) ] TJ ET"
+        assert extract_pdf_text(self._mini(c))["text"] == "abcdef"
+
+    def test_quote_operators_show(self):
+        c = b"BT (one) ' (two) Tj 2 3 (three) \" ET"
+        r = extract_pdf_text(self._mini(c))
+        assert r["text"] == "onetwothree"
+        assert r["n_text_ops"] == 3
+
+    def test_text_outside_bt_et_not_shown(self):
+        c = b"(ghost) Tj BT (real) Tj ET (ghost2) Tj"
+        assert extract_pdf_text(self._mini(c))["text"] == "real"
+
+    def test_comments_skipped(self):
+        c = b"BT % comment (not text) Tj\n(real) Tj ET"
+        assert extract_pdf_text(self._mini(c))["text"] == "real"
+
+    def test_flate_content(self):
+        c = b"BT (deflated words) Tj ET"
+        assert (
+            extract_pdf_text(self._mini(c, flate=True))["text"]
+            == "deflated words"
+        )
+
+    def test_page_count_ignores_pages_node(self):
+        r = extract_pdf_text(self._mini(b"BT (x) Tj ET"))
+        assert r["n_pages"] == 1  # /Type /Pages must not count
+
+    def test_not_a_pdf_raises(self):
+        with pytest.raises(PdfError, match="%PDF"):
+            extract_pdf_text(b"\x89PNG\r\n\x1a\nxx")
+
+    def test_unsupported_filter_raises(self):
+        bad = self._mini(b"BT (x) Tj ET").replace(
+            b"<< /Length", b"<< /Filter /LZWDecode /Length"
+        )
+        with pytest.raises(PdfError, match="filter"):
+            extract_pdf_text(bad)
+
+    def test_corrupt_flate_raises(self):
+        good = self._mini(b"BT (solid) Tj ET", flate=True)
+        i = good.find(b"stream\n") + 7
+        bad = good[:i] + b"\x00\x00\x00\x00" + good[i + 4 :]
+        with pytest.raises(PdfError, match="FlateDecode"):
+            extract_pdf_text(bad)
+
+
+class TestSparkOperator:
+    def test_pdf_text_stats_paths(self, spark):
+        import hashlib
+
+        from gpq_spark.pipeline.multimodal import pdf_text_stats
+
+        t = "spark reads documents " * 6
+        rows = [
+            (1, bytearray(build_pdf(t))),
+            (2, bytearray(build_pdf(t, compress=False))),
+            (3, bytearray(b"notapdf")),
+            (4, None),
+            (5, bytearray(b"%PDF-1.4\nbroken")),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = {r["id"]: r for r in pdf_text_stats(df, "payload", "id").collect()}
+        md5 = hashlib.md5(t.encode()).hexdigest()
+        n_ops, n_pages = _wrap_expect(t)
+        for i in (1, 2):
+            assert out[i]["is_pdf"] and out[i]["text_md5"] == md5
+            assert out[i]["n_chars"] == len(t)
+            assert out[i]["n_text_ops"] == n_ops
+            assert out[i]["n_pages"] == n_pages
+        assert out[3]["is_pdf"] is False and out[3]["text_md5"] is None
+        assert 4 not in out  # null payloads drop
+        # a broken-but-magic payload: is_pdf true, parse fields null…
+        assert out[5]["is_pdf"] is True

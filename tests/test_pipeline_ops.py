@@ -4955,3 +4955,97 @@ class TestGlobalOrderStats:
             ).count()
             == 0
         )
+
+
+class TestPairwiseCosinePruned:
+    def test_pruned_equals_allpairs_unigram(self, spark):
+        """The weighted prefix filter must be COMPLETE: its output is
+        identical to the unbounded postings join at the same threshold
+        (Cauchy-Schwarz suffix-bound lemma), on a corpus with repeats,
+        shared terms, and singleton docs."""
+        from gpq_spark.pipeline.ranking import (
+            pairwise_doc_similarity,
+            pairwise_doc_similarity_pruned,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(1, 25))))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for t in (300000, 600000, 900000):
+            exact = sorted(
+                tuple(r)
+                for r in pairwise_doc_similarity(
+                    df, "doc_id", "text", min_cos2_e6=t, max_df=None
+                ).collect()
+            )
+            pruned = sorted(
+                tuple(r)
+                for r in pairwise_doc_similarity_pruned(
+                    df, "doc_id", "text", min_cos2_e6=t
+                ).collect()
+            )
+            assert pruned == exact, f"threshold {t}"
+
+    def test_shingle_frequencies(self, spark):
+        from gpq_spark.pipeline.ranking import shingle_frequencies
+
+        rows = [
+            (1, "  A b c b c  "),   # 3 trigrams, case/trim normalized
+            (2, "x y"),             # < n tokens -> no rows
+            (3, "p q r"),           # exactly one shingle
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["term"]): r["tf"]
+            for r in shingle_frequencies(df, "doc_id", "text", 3).collect()
+        }
+        assert got == {
+            (1, "a b c"): 1,
+            (1, "b c b"): 1,
+            (1, "c b c"): 1,
+            (3, "p q r"): 1,
+        }
+
+    def test_shingle_pruned_matches_shingle_allpairs(self, spark):
+        from gpq_spark.pipeline.ranking import (
+            _pair_cosine_tail,
+            pairwise_doc_similarity_pruned,
+            shingle_frequencies,
+        )
+        from pyspark.sql import functions as F
+
+        import random
+
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(9)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(3, 20))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tf = shingle_frequencies(df, "doc_id", "text", 3)
+        a = tf.select(F.col("doc_id").alias("id_a"), "term", F.col("tf").alias("tf_a"))
+        b = tf.select(F.col("doc_id").alias("id_b"), "term", F.col("tf").alias("tf_b"))
+        dots = (
+            a.join(b, "term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("long").alias("dot"))
+        )
+        exact = sorted(
+            tuple(r)
+            for r in _pair_cosine_tail(tf, dots, "doc_id", 500000, True).collect()
+        )
+        pruned = sorted(
+            tuple(r)
+            for r in pairwise_doc_similarity_pruned(
+                df, "doc_id", "text", min_cos2_e6=500000, shingle_size=3
+            ).collect()
+        )
+        assert pruned == exact
