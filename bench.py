@@ -34,6 +34,35 @@ def read_cpu_stat() -> tuple[int, int]:
         return 0, 0
 
 
+def read_pressure_cpu() -> tuple[float, int]:
+    """(some avg10 %, total stall microseconds) from /proc/pressure/cpu.
+
+    PSI counts wall time in which runnable tasks were STALLED waiting
+    for a CPU — it catches co-tenant contention that steal ticks
+    undercount (memory-bandwidth and cache pressure surface as run-queue
+    delay). Recorded per query and overall so a BENCH number carries its
+    own contention evidence (VERDICT r4 task 1)."""
+    try:
+        with open("/proc/pressure/cpu") as f:
+            line = f.readline().split()  # some avg10=.. avg60=.. total=..
+        kv = dict(p.split("=") for p in line[1:])
+        return float(kv.get("avg10", 0.0)), int(kv.get("total", 0))
+    except (OSError, ValueError):
+        return 0.0, 0
+
+
+def read_loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.readline().split()[0])
+    except (OSError, ValueError):
+        return 0.0
+
+
+# The r1 headline 13 plus the five heavies added in r5 (VERDICT r4
+# task 5) so driver rounds time the families the work actually
+# touches: graph peeling, the real JPEG codec, the prefix-filtered
+# shingle cosine, out-of-order streaming state, and lakehouse Z-order.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -48,6 +77,11 @@ HEADLINE = [
     "text_fingerprint",
     "geo_bbox_filter",
     "geo_roundtrip",
+    "q_ktruss_edges",
+    "jpeg_roundtrip_stats",
+    "text_pair_cosine",
+    "stream_sessionize_ooo",
+    "zorder_orders",
 ]
 
 
@@ -115,33 +149,65 @@ def main() -> None:
     timings_cold: dict[str, float] = {}
     steal_warm: dict[str, float] = {}
     steal_cold: dict[str, float] = {}
+    psi_warm: dict[str, float] = {}
+    psi_cold: dict[str, float] = {}
+    load_start = read_loadavg()
     bench_s0, bench_t0 = read_cpu_stat()
+    _, bench_p0 = read_pressure_cpu()
+    bench_w0 = time.perf_counter()
     for name in HEADLINE:
         fn = qdict[name]
         runs: list[float] = []
         steals: list[float] = []
+        psis: list[float] = []
         for _ in range(2):
             s0, t0 = read_cpu_stat()
+            _, p0 = read_pressure_cpu()
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            runs.append(time.perf_counter() - start)
+            wall = time.perf_counter() - start
+            runs.append(wall)
             s1, t1 = read_cpu_stat()
+            _, p1 = read_pressure_cpu()
             steals.append(round(100.0 * (s1 - s0) / max(1, t1 - t0), 2))
+            # stall-% of this query's wall (PSI total is microseconds)
+            psis.append(round(100.0 * (p1 - p0) / max(1.0, wall * 1e6), 2))
         imin = runs.index(min(runs))
         timings_cold[name] = round(runs[0], 3)
         timings[name] = round(runs[imin], 3)
         steal_cold[name] = steals[0]
         steal_warm[name] = steals[imin]
+        psi_cold[name] = psis[0]
+        psi_warm[name] = psis[imin]
         print(
             f"# {name}: {timings[name]:.3f}s ({n} rows; runs "
             f"{', '.join(f'{r:.2f}' for r in runs)}; steal% "
-            f"{', '.join(f'{s:.1f}' for s in steals)})",
+            f"{', '.join(f'{s:.1f}' for s in steals)}; cpu_stall% "
+            f"{', '.join(f'{p:.1f}' for p in psis)})",
             file=sys.stderr,
         )
     bench_s1, bench_t1 = read_cpu_stat()
+    _, bench_p1 = read_pressure_cpu()
+    bench_wall = time.perf_counter() - bench_w0
+    load_end = read_loadavg()
     steal_overall = round(
         100.0 * (bench_s1 - bench_s0) / max(1, bench_t1 - bench_t0), 2
+    )
+    psi_overall = round(
+        100.0 * (bench_p1 - bench_p0) / max(1.0, bench_wall * 1e6), 2
+    )
+    # one-line contention verdict (VERDICT r4 task 1): the run is
+    # CONTENDED when the hypervisor stole a visible share of ticks OR
+    # runnable tasks spent a visible share of wall stalled on CPU.
+    # local[N] keeps its own load ~N while queries run, so loadavg is
+    # recorded as evidence but only flags when it exceeds the core
+    # count (someone ELSE is also saturating the box).
+    ncpu = os.cpu_count() or int(cpus)
+    contended = bool(
+        steal_overall > 2.0
+        or psi_overall > 5.0
+        or max(load_start, load_end) > 1.25 * ncpu
     )
 
     total = round(sum(timings.values()), 3)
@@ -164,6 +230,12 @@ def main() -> None:
                 "steal_pct": steal_warm,
                 "steal_pct_cold": steal_cold,
                 "steal_pct_overall": steal_overall,
+                "cpu_stall_pct": psi_warm,
+                "cpu_stall_pct_cold": psi_cold,
+                "cpu_stall_pct_overall": psi_overall,
+                "loadavg1_start": load_start,
+                "loadavg1_end": load_end,
+                "contended": contended,
                 "sf": sf_val,
             }
         )

@@ -16,16 +16,21 @@ playbook as the numpy WKB kernel (geoparquet/stats.py):
    assembled into one shared byte buffer with ragged-range index
    scatters (headers, u32 counts, and float payloads each written by a
    constant number of numpy ops for the whole group);
-4. the remaining regular shapes (MULTI*, multi-ring POLYGON) take a
-   per-value numpy path driven by paren-depth arithmetic.
+4. MULTI* and multi-ring POLYGON are grouped too (r5): paren depths
+   come from batch-wide searchsorted arithmetic, member/ring/polygon
+   structures are flat arrays across all candidate values, and the
+   nested record layout is written with per-level ragged scatters —
+   the former per-value numpy path survives only as the fallback for
+   values failing a group validation.
 
 Anything outside the regular grammar — GEOMETRYCOLLECTION, EMPTY,
-M-coordinates, explicit Z markers that don't match the inferred
-dimension, ragged coordinates, stray bytes — falls back PER VALUE to
-the legacy parser, so error behavior and edge-case semantics are
-byte-identical to ``wkb.dumps(wkt.loads(v))`` (the behavior spec is the
-reference's WKT rewrite, /root/reference/internal/geoparquet/
-geoparquet.go:65-114).
+M/ZM coordinates (the legacy parser REJECTS them, matching the
+reference whose orb geometries are strictly 2D — error parity, not a
+gap), explicit Z markers that don't match the inferred dimension,
+ragged coordinates, stray bytes — falls back PER VALUE to the legacy
+parser, so error behavior and edge-case semantics are byte-identical
+to ``wkb.dumps(wkt.loads(v))`` (the behavior spec is the reference's
+WKT rewrite, /root/reference/internal/geoparquet/geoparquet.go:65-114).
 """
 
 from __future__ import annotations
@@ -373,6 +378,303 @@ def wkt_to_wkb_batch(values) -> list[bytes | None]:
             n0[ks],
             (nn[ks]).astype(np.int64),
         )
+
+    # ---- grouped MULTI* / multi-ring emits (r5: the per-value numpy
+    # paths below become fallback-only). Paren depths are computed for
+    # the WHOLE batch with searchsorted arithmetic (the global analogue
+    # of the per-value dep_o/dep_c/dep_m), ring and member structures
+    # become flat arrays over all candidate values at once, and the
+    # output is assembled with the same ragged-scatter technique as
+    # emit_group — nested one level deeper. ----------------------------
+    def _assign(ks: np.ndarray, buf: np.ndarray, R: np.ndarray) -> None:
+        flat = buf.tobytes()
+        for r in range(len(ks)):
+            out[fast_idx[ks[r]]] = flat[R[r] : R[r + 1]]
+        handled[ks] = True
+
+    def _seg_exclusive(sizes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Per-segment exclusive prefix sums of ``sizes``, where the
+        flat array is partitioned into consecutive segments of
+        ``counts`` elements (all counts > 0)."""
+        gcs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        firsts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        return gcs - np.repeat(gcs[firsts], counts)
+
+    todo = clean & ~handled & (tag >= 2)
+    if np.any(todo) and len(opens):
+        # restrict the depth pass to parens of candidate values — the
+        # dominant single shapes were already emitted, so this touches
+        # only the MULTI share of the batch. Global positions are kept,
+        # so searchsorteds against the FULL closes/opens arrays still
+        # count this value's parens exactly (other values' parens
+        # cancel against the o0/c0 offsets).
+        val_o_full = np.searchsorted(vstart, opens, side="right") - 1
+        val_c_full = np.searchsorted(vstart, closes, side="right") - 1
+        omask = todo[val_o_full]
+        cmask = todo[val_c_full]
+        opens_t = opens[omask]
+        closes_t = closes[cmask]
+        val_o = val_o_full[omask]
+        val_c = val_c_full[cmask]
+        rank_o = np.flatnonzero(omask)
+        rank_c = np.flatnonzero(cmask)
+        dep_o_all = (rank_o - o0[val_o] + 1) - (
+            np.searchsorted(closes, opens_t) - c0[val_o]
+        )
+        dep_c_all = (np.searchsorted(opens, closes_t) - o0[val_c]) - (
+            rank_c - c0[val_c]
+        )
+        nm1 = np.zeros(nfast, dtype=np.int64)
+        if len(commas):
+            cm = todo[comma_val]
+            commas_t = commas[cm]
+            cval_t = comma_val[cm]
+            dep_m_t = (np.searchsorted(opens, commas_t) - o0[cval_t]) - (
+                np.searchsorted(closes, commas_t) - c0[cval_t]
+            )
+            nm1 += np.bincount(cval_t[dep_m_t == 1], minlength=nfast)
+
+        # ---- MULTIPOINT: bare '(x y, x y)' or member '((x y), (x y))'
+        ncrd_mp = nm1 + 1
+        n2o = np.bincount(val_o[dep_o_all == 2], minlength=nfast)
+        n2c = np.bincount(val_c[dep_c_all == 2], minlength=nfast)
+        cand_mp = (
+            todo
+            & (tag == 3)
+            & ~marker
+            & (nm == nm1)  # every comma separates members (depth 1)
+            & (((no - 1) == 0) | ((no - 1) == ncrd_mp))
+            & (n2o == no - 1)  # inner parens, when present, all depth 2
+            & (n2c == no - 1)
+        )
+        # member form: each depth-2 pair must hold one whole coordinate
+        if np.any(cand_mp & (no > 1)):
+            o2m = (dep_o_all == 2) & cand_mp[val_o]
+            c2m = (dep_c_all == 2) & cand_mp[val_c]
+            io_, ic_ = opens_t[o2m], closes_t[c2m]
+            iv = val_o[o2m]
+            ntok = np.searchsorted(starts, ic_) - np.searchsorted(starts, io_)
+            dim_v = np.where(ncrd_mp > 0, nn // np.maximum(ncrd_mp, 1), 0)
+            badm = iv[ntok != dim_v[iv]]
+            if len(badm):
+                cand_mp[np.unique(badm)] = False
+        for dim in (2, 3):
+            sel = cand_mp & (nn == dim * ncrd_mp) & _uni[dim]
+            ks = np.flatnonzero(sel)
+            if len(ks) == 0:
+                continue
+            ncrd_k = ncrd_mp[ks]
+            rec = 9 + ncrd_k * (5 + 8 * dim)
+            R = np.zeros(len(ks) + 1, dtype=np.int64)
+            np.cumsum(rec, out=R[1:])
+            buf = np.empty(int(R[-1]), dtype=np.uint8)
+            base = R[:-1]
+            hb = np.frombuffer(_hdr(4, dim), dtype=np.uint8)
+            for j in range(5):
+                buf[base + j] = hb[j]
+            cb = ncrd_k.astype("<u4").view(np.uint8).reshape(-1, 4)
+            for j in range(4):
+                buf[base + 5 + j] = cb[:, j]
+            val_rep = np.repeat(np.arange(len(ks)), ncrd_k)
+            within = _ragged_idx(np.zeros(len(ks), dtype=np.int64), ncrd_k)
+            moff = base[val_rep] + 9 + within * (5 + 8 * dim)
+            mh = np.frombuffer(_hdr(1, dim), dtype=np.uint8)
+            for j in range(5):
+                buf[moff + j] = mh[j]
+            payload = (
+                fbuf[_ragged_idx(n0[ks], nn[ks])]
+                .astype("<f8", copy=False)
+                .view(np.uint8)
+            )
+            buf[
+                (moff[:, None] + 5 + np.arange(8 * dim, dtype=np.int64)).ravel()
+            ] = payload
+            _assign(ks, buf, R)
+
+        # ---- MULTILINESTRING / multi-ring POLYGON: members are the
+        # depth-2 paren pairs, coords contiguous per member -------------
+        for t, code, mh_len in ((2, 3, 0), (4, 5, 5)):
+            cand = (
+                todo
+                & ~handled
+                & (tag == t)
+                & (n2o == n2c)
+                & (n2o >= 1)
+                & (no == n2o + 1)
+            )
+            if not np.any(cand):
+                continue
+            # flat ring arrays restricted to candidate values — the
+            # per-value alignment of k-th open with k-th close needs
+            # every included value to have matching counts (guaranteed
+            # by cand's n2o == n2c)
+            o2m = (dep_o_all == 2) & cand[val_o]
+            c2m = (dep_c_all == 2) & cand[val_c]
+            ro, rc = opens_t[o2m], closes_t[c2m]
+            rv = val_o[o2m]
+            rn0f = np.searchsorted(starts, ro)
+            rn1f = np.searchsorted(starts, rc)
+            ring_nums = rn1f - rn0f
+            rmf = (
+                np.searchsorted(commas, rc) - np.searchsorted(commas, ro)
+                if len(commas)
+                else np.zeros(len(ro), dtype=np.int64)
+            )
+            ring_coords = rmf + 1
+            tok_sum = np.bincount(
+                rv, weights=ring_nums, minlength=nfast
+            ).astype(np.int64)
+            cand &= tok_sum == nn
+            for dim in (2, 3):
+                fit_bad = rv[ring_nums != dim * ring_coords]
+                sel = cand & (marker <= (dim == 3)) & _uni[dim]
+                if len(fit_bad):
+                    sel = sel.copy()
+                    sel[np.unique(fit_bad)] = False
+                ks = np.flatnonzero(sel)
+                if len(ks) == 0:
+                    continue
+                rsel = sel[rv]
+                rn0k, rnk, rck = rn0f[rsel], ring_nums[rsel], ring_coords[rsel]
+                counts = n2o[ks]
+                ring_size = (mh_len + 4) + 8 * rnk
+                rec = 9 + np.bincount(
+                    np.repeat(np.arange(len(ks)), counts),
+                    weights=ring_size,
+                    minlength=len(ks),
+                ).astype(np.int64)
+                R = np.zeros(len(ks) + 1, dtype=np.int64)
+                np.cumsum(rec, out=R[1:])
+                buf = np.empty(int(R[-1]), dtype=np.uint8)
+                base = R[:-1]
+                hb = np.frombuffer(_hdr(code, dim), dtype=np.uint8)
+                for j in range(5):
+                    buf[base + j] = hb[j]
+                cb = counts.astype("<u4").view(np.uint8).reshape(-1, 4)
+                for j in range(4):
+                    buf[base + 5 + j] = cb[:, j]
+                val_rep = np.repeat(np.arange(len(ks)), counts)
+                roff = base[val_rep] + 9 + _seg_exclusive(ring_size, counts)
+                if mh_len:
+                    mh = np.frombuffer(_hdr(2, dim), dtype=np.uint8)
+                    for j in range(5):
+                        buf[roff + j] = mh[j]
+                ccb = rck.astype("<u4").view(np.uint8).reshape(-1, 4)
+                for j in range(4):
+                    buf[roff + mh_len + j] = ccb[:, j]
+                payload = (
+                    fbuf[_ragged_idx(rn0k, rnk)]
+                    .astype("<f8", copy=False)
+                    .view(np.uint8)
+                )
+                buf[_ragged_idx(roff + mh_len + 4, 8 * rnk)] = payload
+                _assign(ks, buf, R)
+
+        # ---- MULTIPOLYGON: polygons at depth 2, rings at depth 3 ------
+        n3o = np.bincount(val_o[dep_o_all == 3], minlength=nfast)
+        n3c = np.bincount(val_c[dep_c_all == 3], minlength=nfast)
+        cand = (
+            todo
+            & ~handled
+            & (tag == 5)
+            & (n2o == n2c)
+            & (n2o >= 1)
+            & (n3o == n3c)
+            & (n3o >= 1)
+            & (no == 1 + n2o + n3o)
+        )
+        if np.any(cand):
+            p2m = (dep_o_all == 2) & cand[val_o]
+            pc2m = (dep_c_all == 2) & cand[val_c]
+            po, pc = opens_t[p2m], closes_t[pc2m]
+            pv = val_o[p2m]
+            o3m = (dep_o_all == 3) & cand[val_o]
+            c3m = (dep_c_all == 3) & cand[val_c]
+            ro, rc = opens_t[o3m], closes_t[c3m]
+            rv = val_o[o3m]
+            # ring -> polygon: global searchsorted, then every ring must
+            # open before its polygon's close (and every polygon must
+            # own >= 1 ring)
+            gpoly = np.searchsorted(po, ro, side="right") - 1
+            ok_map = (gpoly >= 0) & (pv[np.clip(gpoly, 0, None)] == rv)
+            ok_map &= ro <= pc[np.clip(gpoly, 0, None)]
+            if not np.all(ok_map):
+                cand = cand.copy()
+                cand[np.unique(rv[~ok_map])] = False
+            rings_per_poly = np.bincount(gpoly[ok_map], minlength=len(po))
+            empty_polys = np.flatnonzero(rings_per_poly == 0)
+            if len(empty_polys):
+                cand[np.unique(pv[empty_polys])] = False
+            rn0f = np.searchsorted(starts, ro)
+            rn1f = np.searchsorted(starts, rc)
+            ring_nums = rn1f - rn0f
+            rmf = (
+                np.searchsorted(commas, rc) - np.searchsorted(commas, ro)
+                if len(commas)
+                else np.zeros(len(ro), dtype=np.int64)
+            )
+            ring_coords = rmf + 1
+            tok_sum = np.bincount(
+                rv, weights=ring_nums, minlength=nfast
+            ).astype(np.int64)
+            cand &= tok_sum == nn
+            for dim in (2, 3):
+                fit_bad = rv[ring_nums != dim * ring_coords]
+                sel = cand & (marker <= (dim == 3)) & _uni[dim]
+                if len(fit_bad):
+                    sel = sel.copy()
+                    sel[np.unique(fit_bad)] = False
+                ks = np.flatnonzero(sel)
+                if len(ks) == 0:
+                    continue
+                psel = sel[pv]
+                rsel = sel[rv]
+                npoly_k = n2o[ks]
+                rpp = rings_per_poly[psel]  # rings per selected polygon
+                rn0k, rnk, rck = rn0f[rsel], ring_nums[rsel], ring_coords[rsel]
+                ring_size = 4 + 8 * rnk
+                # polygon sizes: 9-byte header + its rings
+                poly_payload = np.bincount(
+                    np.repeat(np.arange(int(psel.sum())), rpp),
+                    weights=ring_size,
+                    minlength=int(psel.sum()),
+                ).astype(np.int64)
+                poly_size = 9 + poly_payload
+                rec = 9 + np.bincount(
+                    np.repeat(np.arange(len(ks)), npoly_k),
+                    weights=poly_size,
+                    minlength=len(ks),
+                ).astype(np.int64)
+                R = np.zeros(len(ks) + 1, dtype=np.int64)
+                np.cumsum(rec, out=R[1:])
+                buf = np.empty(int(R[-1]), dtype=np.uint8)
+                base = R[:-1]
+                hb = np.frombuffer(_hdr(6, dim), dtype=np.uint8)
+                for j in range(5):
+                    buf[base + j] = hb[j]
+                cb = npoly_k.astype("<u4").view(np.uint8).reshape(-1, 4)
+                for j in range(4):
+                    buf[base + 5 + j] = cb[:, j]
+                val_rep = np.repeat(np.arange(len(ks)), npoly_k)
+                poff = base[val_rep] + 9 + _seg_exclusive(poly_size, npoly_k)
+                ph = np.frombuffer(_hdr(3, dim), dtype=np.uint8)
+                for j in range(5):
+                    buf[poff + j] = ph[j]
+                pcb = rpp.astype("<u4").view(np.uint8).reshape(-1, 4)
+                for j in range(4):
+                    buf[poff + 5 + j] = pcb[:, j]
+                poly_rep = np.repeat(np.arange(len(rpp)), rpp)
+                roff = poff[poly_rep] + 9 + _seg_exclusive(ring_size, rpp)
+                ccb = rck.astype("<u4").view(np.uint8).reshape(-1, 4)
+                for j in range(4):
+                    buf[roff + j] = ccb[:, j]
+                payload = (
+                    fbuf[_ragged_idx(rn0k, rnk)]
+                    .astype("<f8", copy=False)
+                    .view(np.uint8)
+                )
+                buf[_ragged_idx(roff + 4, 8 * rnk)] = payload
+                _assign(ks, buf, R)
 
     # ---- general per-value path for the remaining regular shapes ------
     for k in np.flatnonzero(~handled):

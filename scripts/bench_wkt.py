@@ -1,7 +1,10 @@
 #!/usr/bin/env python
 """Micro-bench: vectorized batch WKT→WKB (geo/wkt_fast.py) vs the legacy
-per-value recursive-descent path, on a 1M-value realistic mix (60%
-points, 25% linestrings, 15% polygons). Prints one JSON line.
+per-value recursive-descent path. Two measurements in one JSON line:
+the r1-comparable simple mix (60% points, 25% linestrings, 15%
+polygons — `speedup`), and a MULTI*-only mix exercising the r5 grouped
+multi-shape emits (`multi_speedup`, n/5 values of
+MULTIPOINT/MULTILINESTRING/MULTIPOLYGON/multi-ring POLYGON).
 
 Usage: python scripts/bench_wkt.py [n]
 """
@@ -60,6 +63,30 @@ def main() -> None:
                 f"POLYGON (({x} {y}, {x + 2} {y}, {x + 2} {y + 2},"
                 f" {x} {y + 2}, {x} {y}))"
             )
+    mvals = []
+    for i in range(n // 5):
+        m = i % 4
+        x = (i % 360) - 180 + 0.25
+        y = (i % 170) - 85 + 0.5
+        if m == 0:
+            mvals.append(f"MULTIPOINT ({x} {y}, {x + 1} {y + 1})")
+        elif m == 1:
+            mvals.append(
+                f"MULTILINESTRING (({x} {y}, {x + 1} {y + 1}),"
+                f" ({x + 2} {y}, {x + 3} {y + 1}))"
+            )
+        elif m == 2:
+            mvals.append(
+                f"POLYGON (({x} {y}, {x + 9} {y}, {x + 9} {y + 9}, {x} {y}),"
+                f" ({x + 1} {y + 1}, {x + 2} {y + 1}, {x + 2} {y + 2},"
+                f" {x + 1} {y + 1}))"
+            )
+        else:
+            mvals.append(
+                f"MULTIPOLYGON ((({x} {y}, {x + 2} {y}, {x + 2} {y + 2},"
+                f" {x} {y})), (({x + 5} {y}, {x + 6} {y}, {x + 6} {y + 1},"
+                f" {x + 5} {y})))"
+            )
 
     # min-of-3 for both paths: this VM shows heavy ambient memory-
     # bandwidth contention (identical numpy passes swing 0.2s ↔ 0.9s),
@@ -78,6 +105,19 @@ def main() -> None:
     t_fast, t_slow = min(fast_runs), min(slow_runs)
 
     assert fast == slow, "fast path disagrees with legacy parser"
+
+    mfast_runs, mslow_runs = [], []
+    mfast = mslow = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        mfast = wkt_to_wkb_batch(mvals)
+        mfast_runs.append(time.perf_counter() - t0)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        mslow = [_wkb.dumps(_wkt.loads(v)) for v in mvals]
+        mslow_runs.append(time.perf_counter() - t0)
+    mt_fast, mt_slow = min(mfast_runs), min(mslow_runs)
+    assert mfast == mslow, "multi fast path disagrees with legacy parser"
     print(
         json.dumps(
             {
@@ -88,6 +128,10 @@ def main() -> None:
                 "fast_runs": [round(x, 2) for x in fast_runs],
                 "legacy_runs": [round(x, 2) for x in slow_runs],
                 "speedup": round(t_slow / t_fast, 1),
+                "multi_n": len(mvals),
+                "multi_fast_s": round(mt_fast, 2),
+                "multi_legacy_s": round(mt_slow, 2),
+                "multi_speedup": round(mt_slow / mt_fast, 1),
             }
         )
     )

@@ -59,6 +59,24 @@ def main() -> None:
     from gpq_spark.entry_queries import queries_dict
 
     QUERIES = queries_dict()
+    # The intentionally-quadratic FULL recall audits are opt-in here
+    # (VERDICT r4 task 8): their sampled twins run by default and gate
+    # the same recall property, while the full all-pairs versions cost
+    # ~20% of the hunt wall (dedup_lsh_recall alone was 331 s of
+    # 1782 s). Set HUNT_FULL_AUDITS=1 to include them. They stay in the
+    # gate itself — sweep.py and the driver still check them at sf0.01.
+    OPT_IN_FULL_AUDITS = {"dedup_lsh_recall"}
+    skipped_audits: list[str] = []
+    if not os.environ.get("HUNT_FULL_AUDITS"):
+        for n in sorted(OPT_IN_FULL_AUDITS & QUERIES.keys()):
+            skipped_audits.append(n)
+            del QUERIES[n]
+        if skipped_audits:
+            print(
+                "# skipping full all-pairs audits (HUNT_FULL_AUDITS=1 to "
+                f"include): {', '.join(skipped_audits)}",
+                file=sys.stderr,
+            )
     out: dict[str, dict] = {}
     t_all = time.time()
     for i, (name, fn) in enumerate(sorted(QUERIES.items())):
@@ -89,6 +107,7 @@ def main() -> None:
         "total_sec": round(time.time() - t_all, 1),
         "queries": len(out),
         "errors": n_err,
+        "skipped_full_audits": skipped_audits,
         "results": out,
     }
     with open(out_path, "w") as fh:

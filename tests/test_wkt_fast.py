@@ -115,6 +115,12 @@ def test_batch_mixed_with_nulls_preserves_positions():
         "MULTIPOINT ((1 2), 3 4, (5 6)) 7",  # trailing number
         "POINT Z (1 2)",              # Z marker with 2D coords
         "LINESTRING Z (0 0, 1 1)",    # Z marker with 2D coords
+        # M / ZM: the legacy parser rejects measured coordinates (the
+        # reference's orb geometries are strictly 2D) — batch must too
+        "POINT ZM (1 2 3 4)",
+        "LINESTRING ZM (1 2 3 4, 5 6 7 8)",
+        "MULTIPOINT M (1 2 3)",
+        "POLYGON ZM ((1 2 3 4, 5 6 7 8, 9 10 11 12, 1 2 3 4))",
         # ragged comma placement: aggregate token counts match a uniform
         # shape but the coordinate grouping is wrong — must error, never
         # emit structurally-valid-but-wrong WKB (advisor r4 HIGH)
