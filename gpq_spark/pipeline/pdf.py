@@ -20,11 +20,22 @@ Scope — real, not stubbed:
   octal, line continuations) and ``<…>`` hex strings — §7.3.4;
 - page counting via ``/Type /Page`` leaf objects.
 
+Stream filters supported (r5), cascades included
+(``/Filter [/ASCII85Decode /FlateDecode]``): FlateDecode (zlib),
+LZWDecode (the TIFF/PDF variant — MSB-first code packing, 256/257
+clear/EOD, EarlyChange width bump at 2^w−1; distinct from the GIF
+LZW in pipeline/gif.py, which packs LSB-first with a data-dependent
+clear code), ASCIIHexDecode, ASCII85Decode, RunLengthDecode, plus
+``/Predictor`` post-transforms on Flate/LZW (2 = TIFF horizontal
+differencing; 10-15 = the PNG row filters, reusing the PNG unfilter
+kernel in pipeline/png.py — the Predictor-12 form real xref streams
+use). Object streams (``/ObjStm``) are decoded for page counting.
+
 Out of scope (documented, like MP3 audio decode): CID/composite font
-CMaps (ToUnicode), encrypted documents, object streams
-(``/ObjStm``), LZW/ASCII85 filters. Text is decoded as UTF-8 with
-Latin-1 fallback — correct for the simple-font PDFs the builder
-emits and the overwhelming share of crawler-collected text PDFs.
+CMaps (ToUnicode), encrypted documents, non-8-bit predictor
+components. Text is decoded as UTF-8 with Latin-1 fallback — correct
+for the simple-font PDFs the builder emits and the overwhelming
+share of crawler-collected text PDFs.
 """
 
 from __future__ import annotations
@@ -187,6 +198,211 @@ def _content_text(stream: bytes) -> tuple[list[bytes], int]:
     return shown, nops
 
 
+def lzw_decode_pdf(data: bytes, early: int = 1) -> bytes:
+    """PDF/TIFF LZW (ISO 32000-1 §7.4.4): MSB-first code packing over
+    a 256-symbol byte alphabet, code 256 = ClearTable, 257 = EOD,
+    first assigned code 258, width 9→12 with the EarlyChange
+    convention (width grows when the table reaches 2^w − early).
+    The GIF decoder in pipeline/gif.py is NOT reusable here: GIF packs
+    codes LSB-first and sizes its alphabet from the image's color
+    depth."""
+    out = bytearray()
+    dic: dict[int, bytes] = {}
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+    acc = nbits = 0
+    for b in data:
+        acc = (acc << 8) | b
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                dic = {}
+                width = 9
+                next_code = 258
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < 256:
+                entry = bytes([code])
+            elif code in dic:
+                entry = dic[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise PdfError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None:
+                dic[next_code] = prev + entry[:1]
+                next_code += 1
+            if next_code + early - 1 >= (1 << width) and width < 12:
+                width += 1
+            prev = entry
+    return bytes(out)
+
+
+def _lzw_encode_pdf(data: bytes, early: int = 1) -> bytes:
+    """Mirror encoder (tests + builder variety): emits ClearTable
+    first, EOD last, same EarlyChange width schedule as the decoder."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    dic = {bytes([i]): i for i in range(256)}
+    width = 9
+    next_code = 258
+    put(256, width)
+    run = b""
+    for i in range(len(data)):
+        nxt = run + data[i : i + 1]
+        if nxt in dic:
+            run = nxt
+            continue
+        put(dic[run], width)
+        dic[nxt] = next_code
+        next_code += 1
+        if next_code + early - 1 > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096 - 1:
+            put(256, width)
+            dic = {bytes([j]): j for j in range(256)}
+            width = 9
+            next_code = 258
+        run = data[i : i + 1]
+    if run:
+        put(dic[run], width)
+    put(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5, PackBits-style): length byte 0..127
+    copies the next length+1 bytes; 129..255 repeats the next byte
+    257−length times; 128 is EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        l = data[i]
+        if l == 128:
+            break
+        if l < 128:
+            chunk = data[i + 1 : i + 2 + l]
+            if len(chunk) != l + 1:
+                raise PdfError("truncated RunLength literal run")
+            out += chunk
+            i += 2 + l
+        else:
+            if i + 1 >= n:
+                raise PdfError("truncated RunLength repeat run")
+            out += data[i + 1 : i + 2] * (257 - l)
+            i += 2
+    return bytes(out)
+
+
+_FILTER_RE = re.compile(
+    rb"/(FlateDecode|LZWDecode|ASCIIHexDecode|ASCII85Decode|"
+    rb"RunLengthDecode|DCTDecode|JPXDecode|JBIG2Decode|CCITTFaxDecode|"
+    rb"Crypt)"
+)
+
+
+def _int_param(head: bytes, name: bytes, default: int) -> int:
+    m = re.search(rb"/" + name + rb"\s+(\d+)", head)
+    return int(m.group(1)) if m else default
+
+
+def _apply_predictor(head: bytes, data: bytes) -> bytes:
+    """Undo the /Predictor transform on a Flate/LZW stream (§7.4.4.4):
+    2 = TIFF horizontal differencing, 10-15 = the PNG row filters —
+    which reuse the PNG unfilter kernel this repo already owns
+    (pipeline/png.py; one filter byte per row, Sub/Up/Average/Paeth).
+    PNG-predicted Flate is how real PDFs encode xref streams
+    (Predictor 12) and many image streams."""
+    pred = _int_param(head, b"Predictor", 1)
+    if pred <= 1:
+        return data
+    cols = _int_param(head, b"Columns", 1)
+    colors = _int_param(head, b"Colors", 1)
+    bpc = _int_param(head, b"BitsPerComponent", 8)
+    if bpc != 8:
+        raise PdfError(f"unsupported predictor BitsPerComponent {bpc}")
+    import numpy as np
+
+    if pred == 2:  # TIFF horizontal differencing
+        stride = cols * colors
+        if stride == 0 or len(data) % stride:
+            raise PdfError("predictor-2 stream length mismatch")
+        arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, cols, colors)
+        return np.cumsum(arr, axis=1, dtype=np.uint8).tobytes()
+    if 10 <= pred <= 15:
+        from .png import PngError, _unfilter
+
+        rowlen = cols * colors + 1
+        if rowlen <= 1 or len(data) % rowlen:
+            raise PdfError("PNG-predictor stream length mismatch")
+        rows = len(data) // rowlen
+        try:
+            out = _unfilter(
+                np.frombuffer(data, dtype=np.uint8), cols, rows, colors
+            )
+        except PngError as exc:
+            raise PdfError(f"bad PNG predictor row: {exc}") from exc
+        return out.tobytes()
+    raise PdfError(f"unsupported /Predictor {pred}")
+
+
+def _apply_filters(head: bytes, payload: bytes) -> bytes:
+    """Apply the stream's filter cascade in declaration order."""
+    names = _FILTER_RE.findall(head)
+    import base64
+
+    for name in names:
+        if name == b"FlateDecode":
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error as exc:
+                raise PdfError(f"bad FlateDecode stream: {exc}") from exc
+            payload = _apply_predictor(head, payload)
+        elif name == b"LZWDecode":
+            payload = lzw_decode_pdf(
+                payload, early=_int_param(head, b"EarlyChange", 1)
+            )
+            payload = _apply_predictor(head, payload)
+        elif name == b"ASCIIHexDecode":
+            body = payload.split(b">", 1)[0]
+            digits = re.sub(rb"[^0-9A-Fa-f]", b"", body)
+            if len(digits) % 2:
+                digits += b"0"
+            payload = bytes.fromhex(digits.decode("ascii"))
+        elif name == b"ASCII85Decode":
+            body = payload.split(b"~>", 1)[0]
+            body = re.sub(rb"\s", b"", body)
+            try:
+                payload = base64.a85decode(body)
+            except ValueError as exc:
+                raise PdfError(f"bad ASCII85 stream: {exc}") from exc
+        elif name == b"RunLengthDecode":
+            payload = _runlength_decode(payload)
+        else:
+            raise PdfError(
+                f"unsupported stream filter /{name.decode('ascii')}"
+            )
+    return payload
+
+
 def _stream_objects(data: bytes):
     """Yield (object dict bytes, DECODED stream bytes) for every stream
     object; FlateDecode is applied when declared."""
@@ -212,13 +428,8 @@ def _stream_objects(data: bytes):
                 payload = payload[:-2]
             elif payload.endswith((b"\n", b"\r")):
                 payload = payload[:-1]
-        if b"/FlateDecode" in head:
-            try:
-                payload = zlib.decompress(payload)
-            except zlib.error as exc:
-                raise PdfError(f"bad FlateDecode stream: {exc}") from exc
-        elif b"/Filter" in head:
-            raise PdfError("unsupported stream filter")
+        if b"/Filter" in head:
+            payload = _apply_filters(head, payload)
         yield head, payload
 
 
@@ -234,7 +445,15 @@ def extract_pdf_text(data: bytes) -> dict:
     n_pages = len(_PAGE_RE.findall(data))
     parts: list[bytes] = []
     nops = 0
-    for _head, stream in _stream_objects(data):
+    for head, stream in _stream_objects(data):
+        if b"/ObjStm" in head:
+            # PDF 1.5 object streams: page dicts usually live INSIDE
+            # a compressed /ObjStm, invisible to the raw-bytes page
+            # scan — count them in the decoded object payload. Content
+            # streams can never nest in an ObjStm (§7.5.7), so text
+            # extraction is unaffected.
+            n_pages += len(_PAGE_RE.findall(stream))
+            continue
         shown, k = _content_text(stream)
         parts.extend(shown)
         nops += k
@@ -257,6 +476,7 @@ def build_pdf(
     chars_per_line: int = 40,
     lines_per_page: int = 5,
     compress: bool = True,
+    stream_filter: str | None = None,
 ) -> bytes:
     """Build a real, well-formed single-font PDF showing ``text``
     wrapped into fixed-width lines and fixed-height pages — the
@@ -275,6 +495,9 @@ def build_pdf(
         lines[i : i + lines_per_page]
         for i in range(0, len(lines), lines_per_page)
     ]
+    filt = stream_filter if stream_filter is not None else (
+        "flate" if compress else "raw"
+    )
 
     objs: list[bytes] = []  # 1-indexed object bodies (without N 0 obj)
 
@@ -307,16 +530,38 @@ def build_pdf(
             ops.append(b"0 -12 Td")
         ops.append(b"ET")
         content = b"\n".join(ops)
-        if compress:
+        if filt == "flate":
             payload = zlib.compress(content)
-            head = (
-                b"<< /Length "
-                + str(len(payload)).encode()
-                + b" /Filter /FlateDecode >>"
-            )
-        else:
+            fdecl = b" /Filter /FlateDecode"
+        elif filt == "lzw":
+            payload = _lzw_encode_pdf(content)
+            fdecl = b" /Filter /LZWDecode"
+        elif filt == "a85flate":
+            import base64
+
+            payload = base64.a85encode(zlib.compress(content)) + b"~>"
+            fdecl = b" /Filter [/ASCII85Decode /FlateDecode]"
+        elif filt == "hex":
+            payload = content.hex().encode("ascii") + b">"
+            fdecl = b" /Filter /ASCIIHexDecode"
+        elif filt == "rl":
+            # literal runs only (valid, not compressive) + EOD
+            rl = bytearray()
+            for j in range(0, len(content), 128):
+                chunk = content[j : j + 128]
+                rl.append(len(chunk) - 1)
+                rl += chunk
+            rl.append(128)
+            payload = bytes(rl)
+            fdecl = b" /Filter /RunLengthDecode"
+        elif filt == "raw":
             payload = content
-            head = b"<< /Length " + str(len(payload)).encode() + b" >>"
+            fdecl = b""
+        else:
+            raise ValueError(f"unknown stream_filter {filt!r}")
+        head = (
+            b"<< /Length " + str(len(payload)).encode() + fdecl + b" >>"
+        )
         content_ids.append(
             add(head + b"\nstream\n" + payload + b"\nendstream")
         )

@@ -196,11 +196,13 @@ def seeded_shuffle(
         )
         .repartitionByRange(n, F.col("__k"), F.col("id"))
         .withColumn("__pid", F.spark_partition_id())
-        # localCheckpoint, not persist: the caller can never unpersist
-        # the lazy result, so a persist() here would pin executor
-        # storage for the session (see relational.global_order_stats)
-        .localCheckpoint()
     )
+    # bounded persist, not bare persist (leak) and not localCheckpoint
+    # (measured 6-60x slower on the order-stats family): see
+    # relational.global_order_stats
+    from ..relational import _persist_bounded
+
+    d = _persist_bounded(d)
     sizes = (
         d.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__n"))

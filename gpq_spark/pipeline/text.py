@@ -722,3 +722,88 @@ def bpe_tokenize(
             " AS BIGINT)"
         ).alias("n_tokens"),
     )
+
+
+# ordered entity table: &amp; decodes LAST so double-escaped entities
+# ("&amp;lt;") come out as the literal "&lt;" text, never as "<"
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+_HTML_BLOCK_TAGS = (
+    "p|div|br|hr|h1|h2|h3|h4|h5|h6|li|ul|ol|tr|td|th|table|thead|tbody|"
+    "blockquote|pre|section|article|header|footer|nav|form"
+)
+
+
+def html_to_text(
+    df: DataFrame, html_col: str, out_col: str = "text_extracted"
+) -> DataFrame:
+    """HTML → plain text as a pure JVM expression chain — whole-stage
+    codegen, no Python, no shuffle; the extraction step a crawled
+    corpus runs on ~every document, so it must be the cheapest operator
+    in the pipeline:
+
+    1. drop ``<script>``/``<style>`` ELEMENTS wholesale (their content
+       is code, not text) and ``<!-- comments -->``;
+    2. block-level tags become newlines, every other tag a space
+       (inline tags like ``<b>`` must not glue words together);
+    3. decode the named entities that dominate crawled text
+       (``&amp; &lt; &gt; &quot; &#39;/&apos; &nbsp;``) in
+       double-escape-safe order (``&amp;`` last);
+    4. normalize whitespace: collapse space runs, trim around
+       newlines, collapse blank lines, trim.
+
+    Every regex avoids backreferences and lookarounds, so the SAME
+    patterns run under Java's engine (Spark) and RE2 (DuckDB oracle).
+    Out of scope, documented: numeric character references beyond
+    ``&#39;`` (need chr()), CDATA, conditional comments — a corpus
+    pass routes such docs to a real parser; this is the hot-path
+    strip."""
+    e = F.col(html_col)
+    for tag in ("script", "style"):
+        e = F.regexp_replace(
+            e, f"(?is)<{tag}[^>]*>.*?</{tag}[^>]*>", " "
+        )
+    e = F.regexp_replace(e, r"(?s)<!--.*?-->", " ")
+    e = F.regexp_replace(e, f"(?is)</?({_HTML_BLOCK_TAGS})[^>]*>", "\n")
+    e = F.regexp_replace(e, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        e = F.replace(e, F.lit(ent), F.lit(rep))
+    e = F.regexp_replace(e, "[ \t\r]+", " ")
+    e = F.regexp_replace(e, " ?\n ?", "\n")
+    e = F.regexp_replace(e, "\n+", "\n")
+    # trim() strips only spaces in BOTH engines — drop boundary
+    # newlines explicitly
+    e = F.regexp_replace(F.trim(e), "^\n+|\n+$", "")
+    return df.withColumn(out_col, e)
+
+
+def html_to_text_oracle_sql(html_expr: str) -> str:
+    """The DuckDB mirror of :func:`html_to_text` — same patterns, same
+    order, RE2 flags spelled as the options argument."""
+    e = html_expr
+    for tag in ("script", "style"):
+        e = (
+            f"regexp_replace({e}, '<{tag}[^>]*>.*?</{tag}[^>]*>', ' ',"
+            f" 'gis')"
+        )
+    e = f"regexp_replace({e}, '<!--.*?-->', ' ', 'gs')"
+    e = (
+        f"regexp_replace({e}, '</?({_HTML_BLOCK_TAGS})[^>]*>', chr(10),"
+        f" 'gis')"
+    )
+    e = f"regexp_replace({e}, '<[^>]*>', ' ', 'gs')"
+    for ent, rep in _HTML_ENTITIES:
+        lit = rep.replace("'", "''")
+        e = f"replace({e}, '{ent.replace(chr(39), chr(39) * 2)}', '{lit}')"
+    e = f"regexp_replace({e}, '[ \\t\\r]+', ' ', 'g')"
+    e = f"regexp_replace({e}, ' ?\\n ?', chr(10), 'g')"
+    e = f"regexp_replace({e}, '\\n+', chr(10), 'g')"
+    return f"regexp_replace(trim({e}), '^\\n+|\\n+$', '', 'g')"

@@ -11,9 +11,35 @@ Each is a declarative composition (shuffle-aware, no Python UDFs):
 
 from __future__ import annotations
 
+from collections import deque
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampNTZType
+
+# Bounded cache registry for the order-stats helpers: persist() is the
+# right mechanism (lazy, one-pass, fused with the first action — the
+# localCheckpoint alternative measured 6-60x slower, see
+# global_order_stats), but nobody can unpersist the lazy result, so
+# each call evicts the oldest registered cache. _CACHE_KEEP > 1 leaves
+# slack for callers composing several order-stats plans before
+# executing any; an evicted-but-still-referenced cache only recomputes
+# (correctness unaffected — Spark recomputes lost cached blocks from
+# lineage by design).
+_BOUNDED_CACHES: deque = deque()
+_CACHE_KEEP = 4
+
+
+def _persist_bounded(df: DataFrame) -> DataFrame:
+    d = df.persist()
+    _BOUNDED_CACHES.append(d)
+    while len(_BOUNDED_CACHES) > _CACHE_KEEP:
+        old = _BOUNDED_CACHES.popleft()
+        try:
+            old.unpersist(False)
+        except Exception:  # noqa: BLE001 — session may be stopped
+            pass
+    return d
 
 
 def epoch_micros(df: DataFrame, col: str) -> Column:
@@ -321,15 +347,16 @@ def running_total_by(
     sampling.seeded_shuffle). ``order_cols`` must be a total order
     (add a tiebreaker column if not).
 
-    localCheckpoint, not persist: see global_order_stats — a persist
-    here can never be unpersisted by the caller and leaks executor
-    storage across calls.
+    _persist_bounded, not bare persist or localCheckpoint: see
+    global_order_stats for the measured trade-off.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     d = (
-        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        _persist_bounded(
+            df.repartitionByRange(
+                n, *[F.col(c) for c in order_cols]
+            ).withColumn("__pid", F.spark_partition_id())
+        )
     )
     prefix = (
         d.groupBy("__pid")
@@ -384,24 +411,30 @@ def global_order_stats(
     may carry ``.desc()``; ranks are 1-based. ``cum_sums`` maps value
     columns to inclusive running-total output names. ``total_count_col``
     / ``total_sums`` attach grand totals to every row (broadcast 1-row
-    cross join — the frame is checkpointed, so no second source scan).
+    cross join — the frame is persisted, so no second source scan).
 
-    The shared frame is ``localCheckpoint()``-ed rather than
-    ``persist()``-ed: both serve every downstream consumer from one
-    materialization, but a persist() pins a CacheManager entry until an
-    explicit unpersist — which no caller can issue, since the result is
-    lazy — so repeated calls leak executor storage for the session's
-    lifetime (advisor r4). Checkpoint blocks are released by the
-    ContextCleaner as soon as the plan is unreferenced.
+    The shared frame goes through ``_persist_bounded``: a bare
+    persist() pins a CacheManager entry forever (no caller can
+    unpersist the lazy result — the advisor-r4 leak), but the r5
+    attempt to fix that with ``localCheckpoint()`` was MEASURED 6-60x
+    slower on this family (eager materialization runs a separate job
+    per helper call: q_runs_test 5.9 s vs 1.0 s at sf0.01; 20-60x
+    inflation across the order-stats queries in a full sweep) —
+    negative result, reverted. The bounded registry instead unpersists
+    the OLDEST caches as new calls arrive, capping the leak at
+    ``_CACHE_KEEP`` frames while keeping lazy one-pass
+    materialization.
     """
     cum_sums = cum_sums or {}
     total_sums = total_sums or {}
     sum_cols = sorted(set(cum_sums) | set(total_sums))
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     d = (
-        df.repartitionByRange(n, *order_exprs)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        _persist_bounded(
+            df.repartitionByRange(n, *order_exprs).withColumn(
+                "__pid", F.spark_partition_id()
+            )
+        )
     )
     per_pid = d.groupBy("__pid").agg(
         F.count(F.lit(1)).alias("__c"),

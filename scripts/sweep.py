@@ -133,7 +133,7 @@ def main() -> None:
     if os.path.exists(bl_path):
         with open(bl_path) as f:
             baseline_text = f.read()
-    regressions = []
+    suspects = []
     for n, v in out.items():
         pw = prev.get(n, {}).get("wall_s")
         cw = v.get("wall_s")
@@ -144,7 +144,30 @@ def main() -> None:
             and cw > 3.0 * pw
             and n not in baseline_text
         ):
-            regressions.append({"name": n, "wall_s": cw, "prev_wall_s": pw})
+            suspects.append({"name": n, "wall_s": cw, "prev_wall_s": pw})
+    # ambient-burst filter: this box sees co-tenant windows that
+    # inflate a CONTIGUOUS band of the sweep 3-60x (r5: 33 queries,
+    # positions 206-319, every one clean on re-measure). Re-run each
+    # suspect once after the sweep; only a regression that REPRODUCES
+    # is a code regression worth failing on.
+    regressions = []
+    qmap = {q.name: q for q in QUERIES}
+    for s in suspects:
+        tq = time.perf_counter()
+        try:
+            qmap[s["name"]].spark_fn(spark, sf_dir).count()
+            s["rerun_wall_s"] = round(time.perf_counter() - tq, 2)
+        except Exception:  # noqa: BLE001 — the main entry recorded it
+            s["rerun_wall_s"] = None
+        if s["rerun_wall_s"] is None or s["rerun_wall_s"] > 3.0 * s["prev_wall_s"]:
+            regressions.append(s)
+        else:
+            print(
+                f"# tripwire suspect {s['name']} clean on re-measure: "
+                f"{s['wall_s']}s in-sweep vs {s['rerun_wall_s']}s idle "
+                f"(prev {s['prev_wall_s']}s) — ambient burst",
+                file=sys.stderr,
+            )
 
     out["_summary"] = {
         "n_green": n_green,
@@ -159,6 +182,9 @@ def main() -> None:
             for n, w in slowest
         ],
         "regressions_gt_3x": regressions,
+        "ambient_suspects_cleared": [
+            x for x in suspects if x not in regressions
+        ],
     }
     dest = os.path.join(ROOT, f"SWEEP_r{rnd:02d}.json")
     with open(dest, "w") as f:

@@ -68,6 +68,58 @@ class TestRoundTrip:
         assert r["n_chars" in r and "n_chars" or "n_pages"] is not None
 
 
+class TestStreamFilters:
+    """The r5 filter family: LZW (PDF/TIFF variant), ASCIIHex,
+    ASCII85, RunLength, and cascades."""
+
+    @pytest.mark.parametrize(
+        "filt", ["raw", "flate", "lzw", "a85flate", "hex", "rl"]
+    )
+    def test_roundtrip_every_filter(self, filt):
+        t = "filters change the bytes, never the text " * 7
+        r = extract_pdf_text(build_pdf(t, stream_filter=filt))
+        assert r["text"] == t, filt
+
+    def test_lzw_spec_vector(self):
+        """ISO 32000-1 §7.4.4.2 Example 2: the canonical PDF LZW
+        sample pins MSB-first packing + EarlyChange."""
+        from gpq_spark.pipeline.pdf import lzw_decode_pdf
+
+        enc = bytes.fromhex("800B6050220C0C8501")
+        assert lzw_decode_pdf(enc) == b"-----A---B"
+
+    def test_lzw_encode_decode_random(self):
+        import random
+
+        from gpq_spark.pipeline.pdf import _lzw_encode_pdf, lzw_decode_pdf
+
+        rng = random.Random(5)
+        for trial in range(12):
+            n = rng.randint(0, 3000)
+            # mixed entropy: runs + random bytes force table growth,
+            # width bumps, and KwKwK cases
+            data = bytes(
+                rng.choice([rng.randrange(256), 65])
+                for _ in range(n)
+            ) + b"A" * rng.randint(0, 500)
+            assert lzw_decode_pdf(_lzw_encode_pdf(data)) == data, trial
+
+    def test_runlength_repeat_and_literal(self):
+        from gpq_spark.pipeline.pdf import _runlength_decode
+
+        # literal 'abc' + repeat 'x' 4 times + EOD
+        assert _runlength_decode(b"\x02abc\xfdx\x80tail") == b"abcxxxx"
+
+    def test_ascii85_z_shortcut(self):
+        import base64
+
+        from gpq_spark.pipeline.pdf import _apply_filters
+
+        payload = base64.a85encode(b"\0\0\0\0data here") + b"~>"
+        got = _apply_filters(b"<< /Filter /ASCII85Decode >>", payload)
+        assert got == b"\0\0\0\0data here"
+
+
 class TestHandBuilt:
     """Hand-authored PDFs (not from the builder) pin the extractor's
     spec behavior independently."""
@@ -142,9 +194,59 @@ class TestHandBuilt:
 
     def test_unsupported_filter_raises(self):
         bad = self._mini(b"BT (x) Tj ET").replace(
-            b"<< /Length", b"<< /Filter /LZWDecode /Length"
+            b"<< /Length", b"<< /Filter /DCTDecode /Length"
         )
         with pytest.raises(PdfError, match="filter"):
+            extract_pdf_text(bad)
+
+    def test_png_predictor_12_roundtrip(self):
+        """Predictor 12 (PNG Up filter) over Flate — the encoding real
+        xref streams use. Build the predicted form by hand: each row is
+        a filter-2 byte + (row - prev_row) mod 256."""
+        import numpy as np
+
+        content = b"BT (predicted stream content ok) Tj ET\n "  # 40 bytes
+        cols = 8
+        rows = np.frombuffer(content, np.uint8).reshape(-1, cols)
+        pred = np.empty((rows.shape[0], cols + 1), dtype=np.uint8)
+        pred[:, 0] = 2  # Up
+        pred[0, 1:] = rows[0]
+        pred[1:, 1:] = rows[1:] - rows[:-1]
+        payload = zlib.compress(pred.tobytes())
+        raw = self._mini(b"x").replace(
+            b"4 0 obj\n<< /Length 1 >>\nstream\nx\nendstream\nendobj\n",
+            b"4 0 obj\n<< /Length " + str(len(payload)).encode()
+            + b" /Filter /FlateDecode /DecodeParms"
+            b" << /Predictor 12 /Columns 8 >> >>\nstream\n"
+            + payload + b"\nendstream\nendobj\n",
+        )
+        assert extract_pdf_text(raw)["text"] == "predicted stream content ok"
+
+    def test_tiff_predictor_2_roundtrip(self):
+        import numpy as np
+
+        content = b"BT (tiff differencing works) Tj ET\n\n\n\n\n\n"  # 40
+        cols = 10
+        rows = np.frombuffer(content, np.uint8).reshape(-1, cols)
+        diff = rows.copy()
+        diff[:, 1:] = rows[:, 1:] - rows[:, :-1]
+        payload = zlib.compress(diff.tobytes())
+        raw = self._mini(b"x").replace(
+            b"4 0 obj\n<< /Length 1 >>\nstream\nx\nendstream\nendobj\n",
+            b"4 0 obj\n<< /Length " + str(len(payload)).encode()
+            + b" /Filter /FlateDecode /DecodeParms"
+            b" << /Predictor 2 /Columns 10 >> >>\nstream\n"
+            + payload + b"\nendstream\nendobj\n",
+        )
+        assert extract_pdf_text(raw)["text"] == "tiff differencing works"
+
+    def test_predictor_length_mismatch_raises(self):
+        bad = self._mini(b"BT (xyz) Tj ET", flate=True).replace(
+            b"/Filter /FlateDecode",
+            b"/Filter /FlateDecode /DecodeParms"
+            b" << /Predictor 12 /Columns 4 >>",
+        )
+        with pytest.raises(PdfError, match="predictor|Predictor"):
             extract_pdf_text(bad)
 
     def test_corrupt_flate_raises(self):
@@ -182,3 +284,35 @@ class TestSparkOperator:
         assert 4 not in out  # null payloads drop
         # a broken-but-magic payload: is_pdf true, parse fields null…
         assert out[5]["is_pdf"] is True
+
+
+class TestObjStm:
+    def test_pages_counted_inside_object_stream(self):
+        """PDF 1.5 object streams: page dicts compressed inside an
+        /ObjStm must still be counted (the raw regex can't see them),
+        and the ObjStm body must never be treated as a content
+        stream."""
+        inner = (
+            b"3 0 4 52 "
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >> "
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"
+        )
+        objstm = zlib.compress(inner)
+        content = b"BT (objstm text (Tj inside ObjStm must not show)) Tj ET"
+        raw = (
+            b"%PDF-1.5\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>\n"
+            b"endobj\n"
+            b"6 0 obj\n<< /Type /ObjStm /N 2 /First 8 /Length "
+            + str(len(objstm)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + objstm
+            + b"\nendstream\nendobj\n"
+            b"5 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+        )
+        r = extract_pdf_text(raw)
+        assert r["n_pages"] == 2
+        assert r["text"] == "objstm text (Tj inside ObjStm must not show)"
+        assert r["n_text_ops"] == 1

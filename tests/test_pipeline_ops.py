@@ -5049,3 +5049,62 @@ class TestPairwiseCosinePruned:
             ).collect()
         )
         assert pruned == exact
+
+
+class TestHtmlToText:
+    def _extract(self, spark, html):
+        from gpq_spark.pipeline.text import html_to_text
+
+        df = spark.createDataFrame([(1, html)], "id long, html string")
+        return html_to_text(df, "html").collect()[0]["text_extracted"]
+
+    def test_script_style_comments_dropped(self, spark):
+        got = self._extract(
+            spark,
+            '<html><head><script x="1">if (a < b) { alert("hi"); }'
+            "</script><style>.c { x: 1 }</style></head>"
+            "<body><!-- secret -->visible</body></html>",
+        )
+        assert got == "visible"
+
+    def test_block_tags_newline_inline_tags_space(self, spark):
+        got = self._extract(
+            spark,
+            "<h1>Title</h1><p>one <b>two</b> three</p><p>four</p>",
+        )
+        assert got == "Title\none two three\nfour"
+
+    def test_entities_double_escape_safe(self, spark):
+        got = self._extract(
+            spark,
+            "<p>a &lt;tag&gt; &amp; &quot;q&quot; &#39;s&nbsp;end"
+            " literal: &amp;lt;</p>",
+        )
+        assert got == 'a <tag> & "q" \'s end literal: &lt;'
+
+    def test_whitespace_normalized(self, spark):
+        got = self._extract(
+            spark, "<p>  a   b\t c </p>\n\n<p>   d  </p>"
+        )
+        assert got == "a b c\nd"
+
+    def test_oracle_mirror_agrees(self, spark):
+        """The DuckDB mirror chain must produce byte-identical output
+        for a gnarly page (cross-engine regex parity)."""
+        import duckdb
+
+        from gpq_spark.pipeline.text import html_to_text_oracle_sql
+
+        html = (
+            '<html><head><title>T&amp;T</title><script>var s = "</p>";'
+            "</script><style>p { content: '<' }</style></head><body>"
+            "<!-- c1 --><h2>H &lt;2&gt;</h2><ul><li>one</li><li>two"
+            "</li></ul><p>para&nbsp;one <i>it</i></p><div>&#39;q&#39;"
+            "</div></body></html>"
+        )
+        spark_got = self._extract(spark, html)
+        lit = html.replace("'", "''")
+        duck_got = duckdb.sql(
+            "SELECT " + html_to_text_oracle_sql(f"'{lit}'")
+        ).fetchone()[0]
+        assert spark_got == duck_got
