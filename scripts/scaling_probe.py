@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Scaling probe: measure how the heavy operator families scale with
+data volume, as evidence for the 100 TB posture (the partition/shuffle
+arguments in README are design claims; this measures them).
+
+Builds synthetic scale points ABOVE the driver-provided sf0.1 by
+replicating sf0.1 tables with shifted keys into /tmp — documents get a
+deterministic per-copy word PERMUTATION (seeded by the copy index), so
+shingle/minhash near-dup density stays at the corpus's natural level
+instead of exploding quadratically from verbatim copies; events shift
+user ids, lineitem/orders shift order keys. Then runs a representative
+query per family at sf0.01 / sf0.1 / synthetic multiples and reports
+the log-log slope of wall time vs rows (1.0 = linear; the scale-safe
+target for everything except explicitly quadratic audits).
+
+Writes SCALING_r{N}.json and prints one JSON line.
+
+Usage: python scripts/scaling_probe.py [round] [copies ...]
+  default copies: 3 10  (i.e. sf0.3-ish and sf1-ish)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+BASE = "/root/testdata/sf0.1"
+SMALL = "/root/testdata/sf0.01"
+
+# one representative per family; every entry must be linear-ish by
+# design (text_pair_cosine is the prefix-filtered shingle default)
+PROBES = [
+    "q1_pricing_summary",
+    "q_sessionize_events",
+    "dedup_exact_docs",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "ann_topk",
+    "text_fingerprint",
+    "text_pair_cosine",
+    "text_html_extract",
+    "shuffle_positions_docs",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build_scaled(con, copies: int, dest: str) -> None:
+    """Write a copies× replica of sf0.1 into ``dest``. Key columns
+    shift by copy; document text gets a per-copy seeded word shuffle."""
+    os.makedirs(dest, exist_ok=True)
+    n = copies
+
+    def rep(table: str, sql: str) -> None:
+        con.execute(
+            f"COPY ({sql}) TO '{dest}/{table}.parquet' (FORMAT PARQUET)"
+        )
+
+    src = lambda t: f"read_parquet('{BASE}/{t}.parquet')"  # noqa: E731
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        # dimensions stay fixed (like a real warehouse: facts grow,
+        # dims don't)
+        shutil.copyfile(f"{BASE}/{t}.parquet", f"{dest}/{t}.parquet")
+    rep(
+        "orders",
+        f"""
+        SELECT o_orderkey + k.k * 100000000 AS o_orderkey,
+               o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM {src('orders')} CROSS JOIN range({n}) AS k(k)
+        """,
+    )
+    rep(
+        "lineitem",
+        f"""
+        SELECT l_orderkey + k.k * 100000000 AS l_orderkey,
+               l_partkey, l_suppkey, l_linenumber, l_quantity,
+               l_extendedprice, l_discount, l_tax, l_returnflag,
+               l_linestatus, l_shipdate
+        FROM {src('lineitem')} CROSS JOIN range({n}) AS k(k)
+        """,
+    )
+    rep(
+        "events",
+        f"""
+        SELECT event_id + k.k * 1000000000 AS event_id, ts,
+               user_id + k.k * 10000000 AS user_id,
+               event_type, value, props
+        FROM {src('events')} CROSS JOIN range({n}) AS k(k)
+        """,
+    )
+    # documents: per-copy seeded word shuffle keeps near-dup density
+    # natural (verbatim copies would make pair counts quadratic in the
+    # copy factor and measure the corpus, not the operator)
+    rep(
+        "documents",
+        f"""
+        WITH toks AS (
+            SELECT doc_id, k.k,
+                   regexp_split_to_array(text, ' ') AS a,
+                   lang, source, n_chars
+            FROM {src('documents')} CROSS JOIN range({n}) AS k(k)
+        ),
+        shuf AS (
+            SELECT doc_id, k, lang, source, n_chars,
+                   list_aggregate(
+                       list_transform(
+                           list_sort(
+                               list_transform(
+                                   range(1, len(a) + 1),
+                                   i -> struct_pack(
+                                       h := hash(doc_id * 31 + k * 7 + i),
+                                       w := a[i]
+                                   )
+                               )
+                           ),
+                           s -> s.w
+                       ),
+                       'string_agg', ' '
+                   ) AS text
+            FROM toks
+        )
+        SELECT doc_id + k * 100000000 AS doc_id, text, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM shuf
+        """,
+    )
+    rep(
+        "embeddings",
+        f"""
+        SELECT vec_id + k.k * 100000000 AS vec_id,
+               list_transform(
+                   range(len(embedding)),
+                   i -> embedding[i + 1]
+                        + CAST(CAST(hash(vec_id * 13 + k.k * 17 + i)
+                                    % 1000 AS BIGINT) - 500 AS FLOAT)
+                          * 1e-4
+               ) AS embedding,
+               label
+        FROM {src('embeddings')} CROSS JOIN range({n}) AS k(k)
+        """,
+    )
+
+
+def main() -> None:
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    copies = [int(x) for x in sys.argv[2:]] or [3, 10]
+
+    import duckdb
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("gpq_spark-scaling")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    points: list[tuple[float, str]] = [(0.01, SMALL), (0.1, BASE)]
+    for c in copies:
+        dest = f"/tmp/gpq_scaling/sf{c}x"
+        marker = f"{dest}/embeddings.parquet"
+        if not os.path.exists(marker) or os.path.getsize(marker) == 0:
+            t0 = time.time()
+            build_scaled(con, c, dest)
+            print(f"# built {dest} in {time.time() - t0:.0f}s",
+                  file=sys.stderr)
+        points.append((0.1 * c, dest))
+
+    from gpq_spark.entry_queries import queries_dict
+
+    qd = queries_dict()
+    results: dict[str, dict] = {}
+    for name in PROBES:
+        fn = qd[name]
+        walls = []
+        for sf, d in points:
+            # warm codegen on the smallest point first, then min-of-2
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                runs.append(time.perf_counter() - t0)
+            walls.append((sf, round(min(runs), 2)))
+            print(f"# {name} @ sf{sf}: {min(runs):.2f}s", file=sys.stderr)
+        # log-log slope between the two LARGEST points (codegen and
+        # fixed overheads dominate the small ones)
+        import math
+
+        (s1, w1), (s2, w2) = walls[-2], walls[-1]
+        slope = (
+            round(math.log(w2 / w1) / math.log(s2 / s1), 2)
+            if w1 > 0 and s2 > s1
+            else None
+        )
+        results[name] = {"walls": walls, "slope_top": slope}
+
+    payload = {"points": [p[0] for p in points], "results": results}
+    dest = os.path.join(ROOT, f"SCALING_r{rnd:02d}.json")
+    with open(dest, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({"metric": "scaling_probe", **payload}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,9 @@ headline bench never times (VERDICT r3 task 8).
 Usage: python scripts/sweep.py [round_number] [sf_dir]
   defaults: round from existing SWEEP_r*/CORRECTNESS_r* files + 1,
   sf_dir = /root/testdata/sf0.01
+Env: SWEEP_TZ sets the Spark session timezone (the Asia/Tokyo run
+  proves timezone independence of every oracle); SWEEP_OUT overrides
+  the output path so a TZ run doesn't clobber the canonical artifact.
 """
 
 from __future__ import annotations
@@ -51,7 +54,10 @@ def main() -> None:
         SparkSession.builder.master("local[32]")
         .appName("gpq_spark-sweep")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.session.timeZone",
+            os.environ.get("SWEEP_TZ", "UTC"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
@@ -186,7 +192,9 @@ def main() -> None:
             x for x in suspects if x not in regressions
         ],
     }
-    dest = os.path.join(ROOT, f"SWEEP_r{rnd:02d}.json")
+    dest = os.environ.get("SWEEP_OUT") or os.path.join(
+        ROOT, f"SWEEP_r{rnd:02d}.json"
+    )
     with open(dest, "w") as f:
         json.dump(out, f, indent=1)
     print(

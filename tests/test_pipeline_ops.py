@@ -5108,3 +5108,27 @@ class TestHtmlToText:
             "SELECT " + html_to_text_oracle_sql(f"'{lit}'")
         ).fetchone()[0]
         assert spark_got == duck_got
+
+
+class TestPersistBounded:
+    def test_registry_evicts_oldest_and_results_stay_correct(self, spark):
+        """The bounded registry caps live caches at _CACHE_KEEP and an
+        evicted-but-referenced frame recomputes correctly (Spark
+        rebuilds lost cache blocks from lineage)."""
+        import gpq_spark.relational as R
+
+        R._BOUNDED_CACHES.clear()
+        frames = []
+        for i in range(R._CACHE_KEEP + 3):
+            df = spark.range(50).withColumn("v", F.col("id") * (i + 1))
+            frames.append(R._persist_bounded(df))
+        assert len(R._BOUNDED_CACHES) == R._CACHE_KEEP
+        # the first (evicted) frame still computes the right answer
+        assert frames[0].agg(F.sum("v")).collect()[0][0] == sum(
+            range(50)
+        )
+        # and the newest is still cached
+        assert frames[-1].storageLevel.useMemory
+        for f in frames:
+            f.unpersist(False)
+        R._BOUNDED_CACHES.clear()

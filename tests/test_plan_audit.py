@@ -803,3 +803,13 @@ def test_header_family_compiles_without_codegen_fallback(spark):
             assert q[n](spark, SF).count() >= 0, n
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_html_extract_is_jvm_only_single_scan(plans):
+    """html_to_text is the hot-path operator of a web corpus — it must
+    stay one whole-stage-codegen projection: no Python, no join, no
+    shuffle, no cartesian."""
+    p = plans("text_html_extract")
+    assert "pythonUDF" not in p and "MapInPandas" not in p
+    assert "Exchange" not in p
+    assert "CartesianProduct" not in p and "Join" not in p
