@@ -59,10 +59,31 @@ def read_loadavg() -> float:
         return 0.0
 
 
+def read_gc_ms(spark) -> int:
+    """Cumulative JVM GC milliseconds (all collectors). In local mode
+    the driver JVM IS the executor JVM, so a per-query delta directly
+    measures GC drag — the contention class neither steal ticks nor
+    CPU PSI can see (measured r5: a 146 s q_ktruss run at 0.47% steal
+    and 1.07% cpu-stall — the slowdown was allocation/GC-side)."""
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return int(sum(b.getCollectionTime() for b in beans))
+    except Exception:  # noqa: BLE001 — metrics must never fail the bench
+        return 0
+
+
 # The r1 headline 13 plus the five heavies added in r5 (VERDICT r4
 # task 5) so driver rounds time the families the work actually
 # touches: graph peeling, the real JPEG codec, the prefix-filtered
 # shingle cosine, out-of-order streaming state, and lakehouse Z-order.
+# the r1-r4 headline set — its subtotal is emitted separately so the
+# round-over-round comparison stays apples-to-apples after the r5
+# growth to 18 queries
+HEADLINE_R1 = 13
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -151,6 +172,8 @@ def main() -> None:
     steal_cold: dict[str, float] = {}
     psi_warm: dict[str, float] = {}
     psi_cold: dict[str, float] = {}
+    gc_warm: dict[str, float] = {}
+    gc_cold: dict[str, float] = {}
     load_start = read_loadavg()
     bench_s0, bench_t0 = read_cpu_stat()
     _, bench_p0 = read_pressure_cpu()
@@ -160,9 +183,11 @@ def main() -> None:
         runs: list[float] = []
         steals: list[float] = []
         psis: list[float] = []
+        gcs: list[float] = []
         for _ in range(2):
             s0, t0 = read_cpu_stat()
             _, p0 = read_pressure_cpu()
+            g0 = read_gc_ms(spark)
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -170,9 +195,11 @@ def main() -> None:
             runs.append(wall)
             s1, t1 = read_cpu_stat()
             _, p1 = read_pressure_cpu()
+            g1 = read_gc_ms(spark)
             steals.append(round(100.0 * (s1 - s0) / max(1, t1 - t0), 2))
             # stall-% of this query's wall (PSI total is microseconds)
             psis.append(round(100.0 * (p1 - p0) / max(1.0, wall * 1e6), 2))
+            gcs.append(round(100.0 * (g1 - g0) / max(1.0, wall * 1e3), 2))
         imin = runs.index(min(runs))
         timings_cold[name] = round(runs[0], 3)
         timings[name] = round(runs[imin], 3)
@@ -180,11 +207,14 @@ def main() -> None:
         steal_warm[name] = steals[imin]
         psi_cold[name] = psis[0]
         psi_warm[name] = psis[imin]
+        gc_cold[name] = gcs[0]
+        gc_warm[name] = gcs[imin]
         print(
             f"# {name}: {timings[name]:.3f}s ({n} rows; runs "
             f"{', '.join(f'{r:.2f}' for r in runs)}; steal% "
             f"{', '.join(f'{s:.1f}' for s in steals)}; cpu_stall% "
-            f"{', '.join(f'{p:.1f}' for p in psis)})",
+            f"{', '.join(f'{p:.1f}' for p in psis)}; gc% "
+            f"{', '.join(f'{g:.1f}' for g in gcs)})",
             file=sys.stderr,
         )
     bench_s1, bench_t1 = read_cpu_stat()
@@ -212,6 +242,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_cold = round(sum(timings_cold.values()), 3)
+    r1_names = HEADLINE[:HEADLINE_R1]
+    total_13 = round(sum(timings[n] for n in r1_names), 3)
+    total_13_cold = round(sum(timings_cold[n] for n in r1_names), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -227,12 +260,16 @@ def main() -> None:
                 "queries_cold": timings_cold,
                 "cold_wall": total_cold,
                 "warm_wall": total,
+                "warm_wall_13": total_13,
+                "cold_wall_13": total_13_cold,
                 "steal_pct": steal_warm,
                 "steal_pct_cold": steal_cold,
                 "steal_pct_overall": steal_overall,
                 "cpu_stall_pct": psi_warm,
                 "cpu_stall_pct_cold": psi_cold,
                 "cpu_stall_pct_overall": psi_overall,
+                "gc_pct": gc_warm,
+                "gc_pct_cold": gc_cold,
                 "loadavg1_start": load_start,
                 "loadavg1_end": load_end,
                 "contended": contended,
