@@ -250,6 +250,56 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # Full per-query counter payload goes to a COMMITTED file, not
+    # stdout: BENCH_r05.json came back `parsed: null` because the
+    # 18-query × 6-counter-dict line outgrew the driver's tail capture
+    # and was truncated from the front (VERDICT r5 task 1). The driver
+    # only needs the compact summary line; auditors read the file.
+    full_payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold": timings_cold,
+        "cold_wall": total_cold,
+        "warm_wall": total,
+        "warm_wall_13": total_13,
+        "cold_wall_13": total_13_cold,
+        "steal_pct": steal_warm,
+        "steal_pct_cold": steal_cold,
+        "steal_pct_overall": steal_overall,
+        "cpu_stall_pct": psi_warm,
+        "cpu_stall_pct_cold": psi_cold,
+        "cpu_stall_pct_overall": psi_overall,
+        "gc_pct": gc_warm,
+        "gc_pct_cold": gc_cold,
+        "loadavg1_start": load_start,
+        "loadavg1_end": load_end,
+        "contended": contended,
+        "sf": sf_val,
+    }
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        import re as _re
+
+        seen = [
+            int(m.group(1))
+            for f in os.listdir(repo_dir)
+            if (m := _re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        rnd = f"{(max(seen) + 1) if seen else 1:02d}"
+    self_path = os.path.join(repo_dir, f"BENCH_SELF_r{rnd}.json")
+    try:
+        with open(self_path, "w") as f:
+            json.dump(full_payload, f, indent=1)
+            f.write("\n")
+        print(f"# full counter payload: {self_path}", file=sys.stderr)
+    except OSError as e:  # never let the artifact write kill the line
+        print(f"# BENCH_SELF write failed: {e}", file=sys.stderr)
+
+    # Compact line LAST — the only stdout JSON, small enough that any
+    # tail capture keeps it intact (~700 bytes for 18 queries).
     print(
         json.dumps(
             {
@@ -257,22 +307,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_cold": timings_cold,
-                "cold_wall": total_cold,
-                "warm_wall": total,
                 "warm_wall_13": total_13,
                 "cold_wall_13": total_13_cold,
-                "steal_pct": steal_warm,
-                "steal_pct_cold": steal_cold,
-                "steal_pct_overall": steal_overall,
-                "cpu_stall_pct": psi_warm,
-                "cpu_stall_pct_cold": psi_cold,
-                "cpu_stall_pct_overall": psi_overall,
-                "gc_pct": gc_warm,
-                "gc_pct_cold": gc_cold,
-                "loadavg1_start": load_start,
-                "loadavg1_end": load_end,
                 "contended": contended,
+                "steal_pct_overall": steal_overall,
                 "sf": sf_val,
             }
         )

@@ -29,13 +29,25 @@ clear code), ASCIIHexDecode, ASCII85Decode, RunLengthDecode, plus
 ``/Predictor`` post-transforms on Flate/LZW (2 = TIFF horizontal
 differencing; 10-15 = the PNG row filters, reusing the PNG unfilter
 kernel in pipeline/png.py — the Predictor-12 form real xref streams
-use). Object streams (``/ObjStm``) are decoded for page counting.
+use). Object streams (``/ObjStm``) are decoded and their member
+objects hoisted into the object store.
 
-Out of scope (documented, like MP3 audio decode): CID/composite font
-CMaps (ToUnicode), encrypted documents, non-8-bit predictor
-components. Text is decoded as UTF-8 with Latin-1 fallback — correct
-for the simple-font PDFs the builder emits and the overwhelming
-share of crawler-collected text PDFs.
+New in r6 (VERDICT r5 task 6 + ADVICE r5 fixes): cross-reference
+STREAM parsing (§7.5.8 — /W row decode, /Index sections, /Prev
+chains; used as the primary object locator when present, with the
+sequential byte scan as fallback), indirect `/Length N 0 R`
+resolution, payload slicing by /Length so binary bytes that look
+like 'endobj' can't desync the scan, page counting restricted to
+object dict heads, and /ToUnicode CMap mapping for composite
+(Type0/Identity-H) fonts — bfchar, scalar bfrange (incrementing
+destination) and array-form bfrange, fixed-width codes from the
+codespace range.
+
+Out of scope (documented, like MP3 audio decode): encrypted
+documents, non-8-bit predictor components, CID→GID font programs
+(text extraction needs only ToUnicode). Simple-font text decodes as
+UTF-8 with Latin-1 fallback — correct for the builder's PDFs and
+the overwhelming share of crawler-collected text PDFs.
 """
 
 from __future__ import annotations
@@ -129,14 +141,19 @@ def _parse_hex(data: bytes, i: int) -> tuple[bytes, int]:
     return bytes.fromhex(digits.decode("ascii")), j + 1
 
 
-def _content_text(stream: bytes) -> tuple[list[bytes], int]:
-    """Walk one decoded content stream; return (shown byte-strings in
-    order, count of text-showing operators inside BT…ET blocks)."""
+def _content_text(stream: bytes) -> tuple[list, int]:
+    """Walk one decoded content stream; return (list of
+    (active_font_name_or_None, shown bytes) in order, count of
+    text-showing operators inside BT…ET blocks). The active font is
+    whatever /Name the last ``Tf`` operator selected — the key into
+    the page's font resources for ToUnicode CID mapping."""
     i = 0
     n = len(stream)
-    shown: list[bytes] = []
+    shown: list = []
     nops = 0
     in_bt = False
+    cur_font: str | None = None
+    last_name: str | None = None  # most recent /Name token (Tf operand)
     pending: list[bytes] = []  # strings seen since the last operator
     arr: list[bytes] | None = None  # open [ … ] accumulator
     while i < n:
@@ -164,20 +181,23 @@ def _content_text(stream: bytes) -> tuple[list[bytes], int]:
             i += 1
         elif c == 0x27:  # ' operator: move to next line and show
             if in_bt and pending:
-                shown.append(pending[-1])
+                shown.append((cur_font, pending[-1]))
                 nops += 1
             pending = []
             i += 1
         elif c == 0x22:  # " operator: set spacing, next line, show
             if in_bt and pending:
-                shown.append(pending[-1])
+                shown.append((cur_font, pending[-1]))
                 nops += 1
             pending = []
             i += 1
         elif c == 0x2F:  # /Name token
             i += 1
-            while i < n and stream[i] not in _WS and stream[i] not in _DELIM:
-                i += 1
+            j = i
+            while j < n and stream[j] not in _WS and stream[j] not in _DELIM:
+                j += 1
+            last_name = stream[i:j].decode("latin-1")
+            i = j
         else:
             j = i
             while j < n and stream[j] not in _WS and stream[j] not in _DELIM:
@@ -187,9 +207,12 @@ def _content_text(stream: bytes) -> tuple[list[bytes], int]:
                 in_bt = True
             elif tok == b"ET":
                 in_bt = False
+            elif tok == b"Tf":
+                cur_font = last_name
+                pending = []
             elif tok in (b"Tj", b"TJ"):
                 if in_bt and pending:
-                    shown.append(pending[-1])
+                    shown.append((cur_font, pending[-1]))
                     nops += 1
                 pending = []
             elif tok and tok[0:1].isalpha():
@@ -238,7 +261,14 @@ def lzw_decode_pdf(data: bytes, early: int = 1) -> bytes:
             if prev is not None:
                 dic[next_code] = prev + entry[:1]
                 next_code += 1
-            if next_code + early - 1 >= (1 << width) and width < 12:
+            # EarlyChange=1 (the default, pdf.js/TIFF convention): the
+            # width grows when the table reaches 2^w − 1, i.e. one code
+            # EARLIER than the table actually requires. ADVICE r5: the
+            # previous `next_code + early - 1` fired one entry late —
+            # self-consistent with the mirror encoder (so round-trips
+            # passed) but desyncing against spec-convention streams at
+            # the 511-entry boundary.
+            if next_code + early >= (1 << width) and width < 12:
                 width += 1
             prev = entry
     return bytes(out)
@@ -271,7 +301,10 @@ def _lzw_encode_pdf(data: bytes, early: int = 1) -> bytes:
         put(dic[run], width)
         dic[nxt] = next_code
         next_code += 1
-        if next_code + early - 1 > (1 << width) and width < 12:
+        # mirror of the decoder's EarlyChange schedule, offset by one
+        # because the decoder's table lags the encoder's by exactly one
+        # entry at the moment a code is read (ADVICE r5 fix)
+        if next_code + early - 1 >= (1 << width) and width < 12:
             width += 1
         if next_code >= 4096 - 1:
             put(256, width)
@@ -281,6 +314,13 @@ def _lzw_encode_pdf(data: bytes, early: int = 1) -> bytes:
         run = data[i : i + 1]
     if run:
         put(dic[run], width)
+        # the decoder adds one more table entry after this code and
+        # re-checks its width BEFORE reading EOD — mirror it, or an
+        # input whose final code lands exactly on the 2^w−1 boundary
+        # writes EOD one bit narrower than the decoder reads it
+        next_code += 1
+        if next_code + early - 1 >= (1 << width) and width < 12:
+            width += 1
     put(257, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
@@ -403,66 +443,417 @@ def _apply_filters(head: bytes, payload: bytes) -> bytes:
     return payload
 
 
-def _stream_objects(data: bytes):
-    """Yield (object dict bytes, DECODED stream bytes) for every stream
-    object; FlateDecode is applied when declared."""
-    for m in _OBJ_RE.finditer(data):
-        body = m.group(3)
-        sm = _STREAM_RE.search(body)
-        if sm is None:
-            continue
-        head = body[: sm.start()]
-        payload = body[sm.end() :]
-        # /Length gives the EXACT byte count (§7.3.8) — trusting it is
-        # the only correct way to bound the data: stripping trailing
-        # EOL bytes before 'endstream' corrupts streams whose last DATA
-        # byte is 0x0A/0x0D (1-in-128 odds for zlib output)
-        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
-        if lm is not None:
-            payload = payload[: int(lm.group(1))]
-        else:
-            end = payload.rfind(b"endstream")
-            if end >= 0:
-                payload = payload[:end]
+# ---------------------------------------------------------------------
+# Object layer: a num -> (head, raw_payload, file_pos) store, built
+# from the cross-reference STREAM chain when the file has one (PDF
+# 1.5+, ISO 32000-1 S7.5.8 - exact offsets, immune to 'endobj' bytes
+# inside binary payloads) with a sequential byte scan as the fallback.
+# The scan slices every stream payload by its resolved /Length (direct
+# OR indirect `N 0 R`) before resuming, so stray 'endobj'/'endstream'
+# byte sequences inside compressed data can never truncate an object
+# or desync the walk (ADVICE r5 findings 1 and 3).
+# ---------------------------------------------------------------------
+
+_OBJHEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_INTOBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\s+(\d+)\s+endobj")
+# digit lookahead prevents the partial-digit backtrack ADVICE r5 found:
+# '/Length 12 0 R' must NOT match '1' as a direct length
+_LEN_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
+_LEN_INDIRECT_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+
+def _int_objects(data: bytes) -> dict:
+    """num -> value for bare-integer objects (`12 0 obj 838 endobj`),
+    the targets of indirect /Length references."""
+    return {
+        int(m.group(1)): int(m.group(3)) for m in _INTOBJ_RE.finditer(data)
+    }
+
+
+def _resolve_length(head: bytes, ints: dict):
+    m = _LEN_DIRECT_RE.search(head)
+    if m is not None:
+        return int(m.group(1))
+    m = _LEN_INDIRECT_RE.search(head)
+    if m is not None:
+        return ints.get(int(m.group(1)))
+    return None
+
+
+def _next_object(data: bytes, pos: int, ints: dict):
+    """Parse the next `N G obj` at/after ``pos``. Returns
+    (num, head, raw_payload_or_None, end_pos) or None at EOF.
+
+    /Length gives the EXACT payload byte count (S7.3.8) - trusting it
+    is the only correct way to bound the data: stripping trailing EOL
+    bytes before 'endstream' corrupts streams whose last DATA byte is
+    0x0A/0x0D (1-in-128 odds for zlib output), and keyword scanning
+    mis-ends payloads that happen to contain the keyword."""
+    m = _OBJHEAD_RE.search(data, pos)
+    if m is None:
+        return None
+    num = int(m.group(1))
+    body_start = m.end()
+    em = data.find(b"endobj", body_start)
+    sm = _STREAM_RE.search(data, body_start)
+    if sm is not None and (em < 0 or sm.start() < em):
+        head = data[body_start : sm.start()]
+        pstart = sm.end()
+        length = _resolve_length(head, ints)
+        if length is not None:
+            payload = data[pstart : pstart + length]
+            if len(payload) != length:
+                raise PdfError("stream /Length overruns the file")
+            resume = pstart + length
+        else:  # no resolvable /Length: keyword scan, strip one EOL
+            e = data.find(b"endstream", pstart)
+            if e < 0:
+                raise PdfError("stream without endstream")
+            payload = data[pstart:e]
             if payload.endswith(b"\r\n"):
                 payload = payload[:-2]
             elif payload.endswith((b"\n", b"\r")):
                 payload = payload[:-1]
-        if b"/Filter" in head:
-            payload = _apply_filters(head, payload)
-        yield head, payload
+            resume = e
+        after = data.find(b"endobj", resume)
+        return num, head, payload, (after + 6 if after >= 0 else len(data))
+    head = data[body_start : em if em >= 0 else len(data)]
+    return num, head, None, (em + 6 if em >= 0 else len(data))
+
+
+def _decode_xref_stream(head: bytes, payload: bytes):
+    """Decode one /Type /XRef stream (S7.5.8) into
+    [(obj_num, entry_type, field2)] rows. field2 is the byte offset
+    for type 1 and the holding ObjStm's object number for type 2."""
+    if b"/Filter" in head:
+        payload = _apply_filters(head, payload)
+    wm = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)", head)
+    if wm is None:
+        raise PdfError("xref stream missing /W")
+    a, b, c = int(wm.group(1)), int(wm.group(2)), int(wm.group(3))
+    rowlen = a + b + c
+    if rowlen == 0:
+        raise PdfError("xref stream /W all-zero")
+    im = re.search(rb"/Index\s*\[([^\]]*)\]", head)
+    if im is not None:
+        idx = [int(x) for x in im.group(1).split()]
+    else:
+        szm = re.search(rb"/Size\s+(\d+)", head)
+        if szm is None:
+            raise PdfError("xref stream missing /Size")
+        idx = [0, int(szm.group(1))]
+    entries = []
+    p = 0
+    for k in range(0, len(idx) - 1, 2):
+        start, count = idx[k], idx[k + 1]
+        for j in range(count):
+            row = payload[p : p + rowlen]
+            p += rowlen
+            if len(row) < rowlen:
+                raise PdfError("truncated xref stream data")
+            typ = int.from_bytes(row[:a], "big") if a else 1
+            f2 = int.from_bytes(row[a : a + b], "big")
+            entries.append((start + j, typ, f2))
+    return entries
+
+
+def _xref_store(data: bytes, ints: dict):
+    """Build the object store from the startxref -> /XRef stream
+    chain. Returns num -> (head, raw_payload, pos) or None when the
+    file has no usable xref stream (classic tables fall back to the
+    byte scan)."""
+    last = None
+    tail = data[-2048:]
+    base = len(data) - len(tail)
+    for last in re.finditer(rb"startxref\s+(\d+)", tail):
+        pass
+    if last is None:
+        return None
+    offset = int(last.group(1))
+    offsets: dict = {}
+    seen: set = set()
+    while 0 <= offset < len(data) and offset not in seen:
+        seen.add(offset)
+        if data[offset : offset + 4] == b"xref":
+            return None  # classic cross-reference table
+        r = _next_object(data, offset, ints)
+        if r is None or r[2] is None or b"/XRef" not in r[1]:
+            return None
+        head = r[1]
+        for onum, typ, f2 in _decode_xref_stream(head, r[2]):
+            # newest section wins: chains walk newest -> oldest
+            if typ == 1 and onum not in offsets:
+                offsets[onum] = f2
+        pm = re.search(rb"/Prev\s+(\d+)", head)
+        offset = int(pm.group(1)) if pm else -1
+    if not offsets:
+        return None
+    store: dict = {}
+    for onum, off in offsets.items():
+        r = _next_object(data, off, ints)
+        if r is None or r[0] != onum:
+            raise PdfError(f"xref offset for obj {onum} is inconsistent")
+        store[onum] = (r[1], r[2], off)
+    return store
+
+
+def _objstm_members(head: bytes, decoded: bytes) -> dict:
+    """Split a decoded /ObjStm payload (S7.5.7) into num -> dict bytes
+    using its N offset pairs and /First."""
+    n = _int_param(head, b"N", 0)
+    first = _int_param(head, b"First", 0)
+    nums = decoded[:first].split()
+    if len(nums) < 2 * n:
+        raise PdfError("ObjStm header shorter than /N pairs")
+    pairs = [(int(nums[2 * i]), int(nums[2 * i + 1])) for i in range(n)]
+    out = {}
+    for k, (num, off) in enumerate(pairs):
+        end = first + pairs[k + 1][1] if k + 1 < n else len(decoded)
+        out[num] = decoded[first + off : end]
+    return out
+
+
+def _build_store(data: bytes) -> dict:
+    """num -> (head, raw_payload_or_None, file_pos) for every object,
+    including ObjStm members (payload None, the holder's pos). Tries
+    the xref-stream chain first, falls back to the sequential scan."""
+    ints = _int_objects(data)
+    try:
+        store = _xref_store(data, ints)
+    except (PdfError, ValueError, OverflowError):
+        store = None
+    if store is None:
+        store = {}
+        pos = 0
+        while True:
+            r = _next_object(data, pos, ints)
+            if r is None:
+                break
+            num, head, payload, end = r
+            store[num] = (head, payload, pos)  # later (newer) wins
+            pos = max(end, pos + 1)
+    # hoist ObjStm members into the store as dict-only objects
+    for num, (head, payload, pos) in list(store.items()):
+        if payload is None or b"/ObjStm" not in head:
+            continue
+        decoded = (
+            _apply_filters(head, payload) if b"/Filter" in head else payload
+        )
+        for mnum, mbody in _objstm_members(head, decoded).items():
+            if mnum not in store:
+                store[mnum] = (mbody, None, pos)
+    return store
+
+
+# ---------------------------------------------------------------------
+# ToUnicode CMaps (S9.10.3): composite (Type0/Identity-H) fonts show
+# CID byte strings, not character bytes - the CMap maps fixed-width
+# codes to UTF-16BE text. Simple fonts without a CMap keep the raw
+# UTF-8/Latin-1 byte path.
+# ---------------------------------------------------------------------
+
+_BFRANGE_ARRAY_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[((?:\s*<[0-9A-Fa-f]*>)+)\s*\]"
+)
+_BFRANGE_SCALAR_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>"
+)
+
+
+def _utf16be_hex(h: bytes) -> str:
+    return bytes.fromhex(h.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(s: bytes):
+    """Parse a ToUnicode CMap stream -> (code_byte_len, {code: str}).
+    Handles bfchar pairs, scalar bfranges (incrementing destination)
+    and array-form bfranges."""
+    codelen = 2
+    m = re.search(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", s)
+    if m is not None:
+        codelen = max(1, len(m.group(1)) // 2)
+    table: dict = {}
+    for sec in re.finditer(rb"beginbfchar(.*?)endbfchar", s, re.DOTALL):
+        for pm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>", sec.group(1)
+        ):
+            table[int(pm.group(1), 16)] = _utf16be_hex(pm.group(2))
+    for sec in re.finditer(rb"beginbfrange(.*?)endbfrange", s, re.DOTALL):
+        body = sec.group(1)
+        for pm in _BFRANGE_ARRAY_RE.finditer(body):
+            lo, hi = int(pm.group(1), 16), int(pm.group(2), 16)
+            dsts = re.findall(rb"<([0-9A-Fa-f]*)>", pm.group(3))
+            for k in range(min(hi - lo + 1, len(dsts))):
+                table[lo + k] = _utf16be_hex(dsts[k])
+        # strip array matches first so their members can't be re-read
+        # as spurious scalar triples
+        body = _BFRANGE_ARRAY_RE.sub(b"", body)
+        for pm in _BFRANGE_SCALAR_RE.finditer(body):
+            lo, hi = int(pm.group(1), 16), int(pm.group(2), 16)
+            dst = bytes.fromhex(pm.group(3).decode("ascii"))
+            base = int.from_bytes(dst, "big")
+            nb = len(dst)
+            for k in range(hi - lo + 1):
+                table[lo + k] = (base + k).to_bytes(nb, "big").decode(
+                    "utf-16-be", "replace"
+                )
+    return codelen, table
+
+
+def _balanced_dict(data: bytes, i: int) -> bytes:
+    """Return the `<< ... >>` span starting at/after ``i``
+    (nesting-aware; string-blind, fine for resource dicts)."""
+    n = len(data)
+    while i < n and data[i] in _WS:
+        i += 1
+    if data[i : i + 2] != b"<<":
+        return b""
+    depth = 0
+    j = i
+    while j < n - 1:
+        two = data[j : j + 2]
+        if two == b"<<":
+            depth += 1
+            j += 2
+        elif two == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return data[i:j]
+        else:
+            j += 1
+    return data[i:]
+
+
+def _dict_value(container: bytes, key: bytes, store: dict) -> bytes:
+    """Resolve /key in a dict: follow one `N 0 R` indirection through
+    the store, or slice the inline `<< ... >>`."""
+    i = container.find(key)
+    if i < 0:
+        return b""
+    j = i + len(key)
+    m = re.match(rb"\s*(\d+)\s+\d+\s+R", container[j:])
+    if m is not None:
+        obj = store.get(int(m.group(1)))
+        return obj[0] if obj is not None else b""
+    return _balanced_dict(container, j)
+
+
+def _content_font_maps(store: dict) -> dict:
+    """content-stream obj num -> {font resource name: parsed CMap} for
+    every page whose fonts carry /ToUnicode."""
+    out: dict = {}
+    cmap_cache: dict = {}
+    for head, payload, _pos in store.values():
+        if payload is not None or not _PAGE_RE.search(head):
+            continue
+        crefs = []
+        m = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", head)
+        if m is not None:
+            crefs.append(int(m.group(1)))
+        else:
+            m = re.search(rb"/Contents\s*\[([^\]]*)\]", head)
+            if m is not None:
+                crefs += [
+                    int(r.group(1)) for r in _REF_RE.finditer(m.group(1))
+                ]
+        if not crefs:
+            continue
+        fdict = _dict_value(
+            _dict_value(head, b"/Resources", store), b"/Font", store
+        )
+        fmap: dict = {}
+        for nm in re.finditer(
+            rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fdict
+        ):
+            fobj = store.get(int(nm.group(2)))
+            if fobj is None:
+                continue
+            tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fobj[0])
+            if tm is None:
+                continue
+            tnum = int(tm.group(1))
+            if tnum not in cmap_cache:
+                tobj = store.get(tnum)
+                if tobj is None or tobj[1] is None:
+                    cmap_cache[tnum] = None
+                else:
+                    s = tobj[1]
+                    if b"/Filter" in tobj[0]:
+                        s = _apply_filters(tobj[0], s)
+                    cmap_cache[tnum] = _parse_tounicode(s)
+            if cmap_cache[tnum] is not None:
+                fmap[nm.group(1).decode("latin-1")] = cmap_cache[tnum]
+        if fmap:
+            for c in crefs:
+                out[c] = fmap
+    return out
 
 
 def extract_pdf_text(data: bytes) -> dict:
     """Extract text from one PDF. Returns ``{"n_pages", "n_text_ops",
-    "text"}`` where ``text`` is the concatenation of every string shown
-    by Tj/TJ/'/\" operators, in content-stream order, decoded UTF-8
-    (Latin-1 fallback). Raises PdfError on non-PDF or unsupported
-    constructs — callers decide drop semantics, mirroring the
+    "text"}`` where ``text`` is the concatenation of every string
+    shown by Tj/TJ/'/\\" operators, in content-stream order:
+    simple-font bytes decode as UTF-8 (Latin-1 fallback),
+    composite-font CID strings map through the font's /ToUnicode CMap.
+    Pages are counted in object dict heads only (classic objects AND
+    ObjStm members), never across raw file bytes, so '/Type /Page'
+    inside stream data or string values can't inflate the count
+    (ADVICE r5 finding 4). Raises PdfError on non-PDF or unsupported
+    constructs - callers decide drop semantics, mirroring the
     JpegError contract."""
     if not data.startswith(PDF_MAGIC):
         raise PdfError("not a PDF: missing %PDF header")
-    n_pages = len(_PAGE_RE.findall(data))
-    parts: list[bytes] = []
+    store = _build_store(data)
+    n_pages = sum(
+        len(_PAGE_RE.findall(head)) for head, _p, _q in store.values()
+    )
+    fontmaps = _content_font_maps(store)
+    segments = []
+    buf = bytearray()
+
+    def flush():
+        if buf:
+            try:
+                segments.append(bytes(buf).decode("utf-8"))
+            except UnicodeDecodeError:
+                segments.append(bytes(buf).decode("latin-1"))
+            buf.clear()
+
     nops = 0
-    for head, stream in _stream_objects(data):
-        if b"/ObjStm" in head:
-            # PDF 1.5 object streams: page dicts usually live INSIDE
-            # a compressed /ObjStm, invisible to the raw-bytes page
-            # scan — count them in the decoded object payload. Content
-            # streams can never nest in an ObjStm (§7.5.7), so text
-            # extraction is unaffected.
-            n_pages += len(_PAGE_RE.findall(stream))
+    for num in sorted(store, key=lambda k: store[k][2]):
+        head, payload, _pos = store[num]
+        if payload is None or b"/ObjStm" in head or b"/XRef" in head:
             continue
+        stream = (
+            _apply_filters(head, payload) if b"/Filter" in head else payload
+        )
         shown, k = _content_text(stream)
-        parts.extend(shown)
         nops += k
-    raw = b"".join(parts)
-    try:
-        text = raw.decode("utf-8")
-    except UnicodeDecodeError:
-        text = raw.decode("latin-1")
-    return {"n_pages": n_pages, "n_text_ops": nops, "text": text}
+        fmap = fontmaps.get(num, {})
+        for fname, raw in shown:
+            cm = fmap.get(fname) if fname else None
+            if cm is None:
+                buf += raw
+                continue
+            flush()
+            codelen, table = cm
+            segments.append(
+                "".join(
+                    table.get(
+                        int.from_bytes(raw[i : i + codelen], "big"),
+                        "�",
+                    )
+                    for i in range(0, len(raw) - codelen + 1, codelen)
+                )
+            )
+    flush()
+    return {
+        "n_pages": n_pages,
+        "n_text_ops": nops,
+        "text": "".join(segments),
+    }
 
 
 def _escape_literal(s: bytes) -> bytes:
@@ -607,4 +998,219 @@ def build_pdf(
         + str(xref_at).encode()
         + b"\n%%EOF\n"
     )
+    return bytes(out)
+
+
+def _png_predict12(rows: bytes, cols: int) -> bytes:
+    """Apply the PNG Up filter (Predictor 12) to fixed-width rows —
+    the transform real writers use on xref streams."""
+    out = bytearray()
+    prev = bytes(cols)
+    for i in range(0, len(rows), cols):
+        row = rows[i : i + cols]
+        out.append(2)  # Up
+        out += bytes((row[j] - prev[j]) & 0xFF for j in range(cols))
+        prev = row
+    return bytes(out)
+
+
+def build_pdf_unicode(
+    text: str,
+    chars_per_line: int = 40,
+    lines_per_page: int = 5,
+    objstm: bool = True,
+) -> bytes:
+    """Build a PDF 1.5 document showing ``text`` through a composite
+    Type0/Identity-H font: every shown string is a sequence of 2-byte
+    CIDs (assigned 1..n over the text's sorted unique characters) that
+    only a /ToUnicode CMap can map back to text — the construction the
+    ``multimodal_pdf_unicode`` gate parses in closed form (same
+    pagination arithmetic as :func:`build_pdf`). The CMap alternates
+    bfchar entries and scalar bfrange entries so both mapping paths are
+    load-bearing on every document.
+
+    With ``objstm=True`` the page/font/Pages dicts are compressed into
+    an /ObjStm and the file is indexed by a cross-reference STREAM
+    (/W [1 3 2], FlateDecode + Predictor 12) — the modern layout VERDICT
+    r5 task 6 requires the extractor to navigate; ``objstm=False``
+    emits the same objects classically with an xref table, so the gate
+    exercises both locator paths."""
+    lines = [
+        text[i : i + chars_per_line]
+        for i in range(0, len(text), chars_per_line)
+    ] or [""]
+    pages = [
+        lines[i : i + lines_per_page]
+        for i in range(0, len(lines), lines_per_page)
+    ]
+    npages = len(pages)
+
+    chars = sorted(set(text))
+    cid_of = {ch: k + 1 for k, ch in enumerate(chars)}
+
+    # --- object numbering ---------------------------------------------
+    catalog = 1
+    pages_node = 2
+    page_ids = list(range(3, 3 + npages))
+    font_id = 3 + npages
+    desc_id = 4 + npages
+    tounicode_id = 5 + npages
+    content_ids = list(range(6 + npages, 6 + 2 * npages))
+    objstm_id = 6 + 2 * npages
+    xref_id = objstm_id + 1
+
+    # --- ToUnicode CMap stream ----------------------------------------
+    cmap = bytearray(
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin\nbegincmap\n"
+        b"/CMapName /GPQ-UniMap def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    )
+    bfchars = [(cid_of[ch], ch) for ch in chars[0::2]]
+    bfranges = [(cid_of[ch], ch) for ch in chars[1::2]]
+    for i in range(0, len(bfchars), 100):  # <=100 entries per block
+        chunk = bfchars[i : i + 100]
+        cmap += f"{len(chunk)} beginbfchar\n".encode()
+        for cid, ch in chunk:
+            dst = ch.encode("utf-16-be").hex().upper()
+            cmap += f"<{cid:04X}> <{dst}>\n".encode()
+        cmap += b"endbfchar\n"
+    for i in range(0, len(bfranges), 100):
+        chunk = bfranges[i : i + 100]
+        cmap += f"{len(chunk)} beginbfrange\n".encode()
+        for cid, ch in chunk:
+            dst = ch.encode("utf-16-be").hex().upper()
+            cmap += f"<{cid:04X}> <{cid:04X}> <{dst}>\n".encode()
+        cmap += b"endbfrange\n"
+    cmap += b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    cmap_payload = zlib.compress(bytes(cmap))
+
+    # --- per-page content streams (2-byte-CID hex strings) -------------
+    def cidhex(s: str) -> bytes:
+        return ("".join(f"{cid_of[ch]:04X}" for ch in s)).encode()
+
+    content_payloads = []
+    for pg in pages:
+        ops = [b"BT", b"/F1 10 Tf", b"72 720 Td"]
+        for k, ln in enumerate(pg):
+            if k % 2 == 0:
+                ops.append(b"<" + cidhex(ln) + b"> Tj")
+            else:
+                mid = max(1, len(ln) // 2)
+                ops.append(
+                    b"[ <" + cidhex(ln[:mid]) + b"> -120 <"
+                    + cidhex(ln[mid:]) + b"> ] TJ"
+                )
+            ops.append(b"0 -12 Td")
+        ops.append(b"ET")
+        content_payloads.append(zlib.compress(b"\n".join(ops)))
+
+    # --- object bodies -------------------------------------------------
+    bodies: dict[int, bytes] = {}
+    bodies[catalog] = (
+        b"<< /Type /Catalog /Pages " + str(pages_node).encode() + b" 0 R >>"
+    )
+    kids = b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
+    bodies[pages_node] = (
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(npages).encode() + b" >>"
+    )
+    for pid, cid in zip(page_ids, content_ids):
+        bodies[pid] = (
+            b"<< /Type /Page /Parent " + str(pages_node).encode()
+            + b" 0 R /MediaBox [0 0 612 792] /Contents "
+            + str(cid).encode()
+            + b" 0 R /Resources << /Font << /F1 "
+            + str(font_id).encode() + b" 0 R >> >> >>"
+        )
+    bodies[font_id] = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /GPQ-UniFont"
+        b" /Encoding /Identity-H /DescendantFonts ["
+        + str(desc_id).encode() + b" 0 R] /ToUnicode "
+        + str(tounicode_id).encode() + b" 0 R >>"
+    )
+    bodies[desc_id] = (
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GPQ-UniFont"
+        b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+        b" /Supplement 0 >> >>"
+    )
+
+    def stream_obj(head_extra: bytes, payload: bytes) -> bytes:
+        return (
+            b"<< /Length " + str(len(payload)).encode() + head_extra
+            + b" >>\nstream\n" + payload + b"\nendstream"
+        )
+
+    bodies[tounicode_id] = stream_obj(b" /Filter /FlateDecode", cmap_payload)
+    for cid, payload in zip(content_ids, content_payloads):
+        bodies[cid] = stream_obj(b" /Filter /FlateDecode", payload)
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+
+    if not objstm:  # classic layout: every object regular, xref table
+        all_ids = sorted(bodies)
+        offsets = {}
+        for num in all_ids:
+            offsets[num] = len(out)
+            out += str(num).encode() + b" 0 obj\n" + bodies[num] + b"\nendobj\n"
+        xref_at = len(out)
+        out += b"xref\n0 " + str(all_ids[-1] + 1).encode() + b"\n"
+        out += b"0000000000 65535 f \n"
+        for num in all_ids:
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        out += (
+            b"trailer\n<< /Size " + str(all_ids[-1] + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+            + b"\n%%EOF\n"
+        )
+        return bytes(out)
+
+    # modern layout: dict objects into an /ObjStm, xref STREAM index
+    member_ids = [pages_node, *page_ids, font_id, desc_id]
+    member_bodies = [bodies[m] for m in member_ids]
+    offs = []
+    acc = 0
+    for b in member_bodies:
+        offs.append(acc)
+        acc += len(b) + 1
+    header = " ".join(
+        f"{num} {off}" for num, off in zip(member_ids, offs)
+    ).encode() + b" "
+    objstm_payload = zlib.compress(header + b" ".join(member_bodies) + b" ")
+    bodies[objstm_id] = stream_obj(
+        b" /Type /ObjStm /N " + str(len(member_ids)).encode()
+        + b" /First " + str(len(header)).encode()
+        + b" /Filter /FlateDecode",
+        objstm_payload,
+    )
+
+    regular_ids = [catalog, tounicode_id, *content_ids, objstm_id]
+    offsets = {}
+    for num in regular_ids:
+        offsets[num] = len(out)
+        out += str(num).encode() + b" 0 obj\n" + bodies[num] + b"\nendobj\n"
+    xref_off = len(out)
+
+    size = xref_id + 1
+    rows = bytearray()
+    member_index = {m: i for i, m in enumerate(member_ids)}
+    for num in range(size):
+        if num == 0:
+            typ, f2, f3 = 0, 0, 65535
+        elif num in offsets:
+            typ, f2, f3 = 1, offsets[num], 0
+        elif num == xref_id:
+            typ, f2, f3 = 1, xref_off, 0
+        else:
+            typ, f2, f3 = 2, objstm_id, member_index[num]
+        rows += bytes([typ]) + f2.to_bytes(3, "big") + f3.to_bytes(2, "big")
+    xref_payload = zlib.compress(_png_predict12(bytes(rows), 6))
+    bodies[xref_id] = stream_obj(
+        b" /Type /XRef /Size " + str(size).encode()
+        + b" /W [1 3 2] /Root 1 0 R /Filter /FlateDecode"
+        b" /DecodeParms << /Predictor 12 /Columns 6 >>",
+        xref_payload,
+    )
+    out += str(xref_id).encode() + b" 0 obj\n" + bodies[xref_id] + b"\nendobj\n"
+    out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
     return bytes(out)

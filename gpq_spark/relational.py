@@ -771,3 +771,26 @@ def weighted_interval_schedule(
         F.col("best_weight"),
         F.col("n_selected"),
     )
+
+
+def ntile_from_rank(rank: Column, total: Column, k: int) -> Column:
+    """Exact ``ntile(k)`` bucket computed from a global 1-based rank
+    and the total row count — the scale-safe replacement for
+    ``ntile(k) OVER (ORDER BY …)`` when composed with
+    :func:`global_order_stats` (VERDICT r5 task 2: an unpartitioned
+    ntile is a single-reducer global sort at data-scaled cardinality).
+
+    ISO semantics reproduced bit-for-bit: with n rows, q = n div k and
+    r = n mod k, buckets 1..r hold q+1 rows and buckets r+1..k hold q
+    rows. The arithmetic is pure integer Column ops (floor division via
+    subtract-mod), so the result hashes identically to the engines'
+    native ntile for any total order."""
+    kL = F.lit(k).cast("long")
+    q = ((total - total % kL) / kL).cast("long")
+    r = (total % kL).cast("long")
+    big = r * (q + 1)  # rows covered by the q+1-sized buckets
+    in_big = ((rank + q) - (rank + q) % (q + 1)) / (q + 1)
+    in_small = r + ((rank - big + q - 1) - (rank - big + q - 1) % q) / q
+    return (
+        F.when(rank <= big, in_big).otherwise(in_small).cast("long")
+    )
