@@ -17,6 +17,28 @@ PAGERANK_SCALE = 10**12
 _DAMP_NUM, _DAMP_DEN = 85, 100  # 0.85 as the exact rational
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block storage behind a ``localCheckpoint()``ed frame.
+
+    ``Dataset.localCheckpoint`` persists the materialized RDD but
+    exposes no unpersist, so in an iterative peel every dead round's
+    blocks linger until the driver happens to GC the py4j handles —
+    nondeterministic heap pressure that showed up as the 12-53 s wall
+    VARIANCE band on q_ktruss_edges at sf0.1 (r5 verdict task 3: the
+    counters ruled out steal/stall; this is the allocation side). The
+    analyzed plan of a checkpointed frame is a ``LogicalRDD`` whose
+    ``rdd()`` is the persisted RDD — the one handle Spark gives us.
+
+    MUST only be called on frames that are provably DEAD: the
+    checkpoint truncated lineage, so unpersisting discards the only
+    copy and any later action on the frame would recompute nothing.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — freeing is best-effort
+        pass
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -788,7 +810,10 @@ def k_truss(
     sf0.1 on q_ktruss_edges). Dying triangles are canonicalized and
     deduplicated so a triangle losing 2-3 edges in the same round
     decrements each surviving edge exactly once. Frames are
-    localCheckpoint()ed per round to keep lineage flat. Round count is
+    localCheckpoint()ed per round to keep lineage flat, and each DEAD
+    round's blocks are explicitly released (_free_local_checkpoint) —
+    leaked checkpoint blocks across rounds were the r5-measured
+    12-53 s GC-variance band at sf0.1 (verdict task 3). Round count is
     bounded by the peel depth, typically small; the data-dependent
     stopping rule means this is a driver LOOP, not a SQL expression —
     correctness is gated by tests against an exact reference peel (a
@@ -843,7 +868,7 @@ def k_truss(
         dec = _triangle_edges(dying).groupBy("u", "v").agg(
             F.count(F.lit(1)).cast("long").alias("__d")
         )
-        sup = (
+        new_sup = (
             good.join(dec, ["u", "v"], "left")
             .select(
                 "u",
@@ -852,9 +877,15 @@ def k_truss(
                 .cast("long")
                 .alias("support"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # eager: consumes old sup/cur NOW
         )
-        cur = sup.select("u", "v").localCheckpoint()
+        # the dead round's blocks would otherwise pile up across the
+        # peel (GC-pressure variance, r5 task 3); cur is a projection
+        # of sup, so it no longer gets its own duplicate checkpoint
+        _free_local_checkpoint(sup)
+        _free_local_checkpoint(cur)  # no-op once cur is a projection
+        sup = new_sup
+        cur = sup.select("u", "v")
     return sup
 
 

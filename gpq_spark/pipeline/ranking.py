@@ -179,22 +179,28 @@ def rrf_fuse(
     (e.g. a query id) the sort is per-partition — the intended shape:
     RRF fuses per-query candidate lists that are already top-k bounded,
     so no global sort ever sees the full corpus. Without partitions the
-    window is a single global sort; only use that for corpus-level
-    scoring lists that are pre-bounded.
+    global rank comes from relational.global_order_stats (range
+    repartition + broadcast offsets), never a single-reducer window
+    (r5-verdict global-window retirement).
     """
     if not ranked_lists:
         raise ValueError("ranked_lists must be non-empty")
+    from ..relational import global_order_stats
+
     parts = list(partition_cols or [])
     fused = None
     for df in ranked_lists:
-        w = Window.partitionBy(*[F.col(c) for c in parts]).orderBy(
-            F.col(score_col).desc(), F.col(id_col).asc()
-        ) if parts else Window.orderBy(
-            F.col(score_col).desc(), F.col(id_col).asc()
-        )
+        slim = df.select(*parts, F.col(id_col), F.col(score_col))
+        order = [F.col(score_col).desc(), F.col(id_col).asc()]
+        if parts:
+            w = Window.partitionBy(*[F.col(c) for c in parts]).orderBy(
+                *order
+            )
+            ranked = slim.withColumn("__rank", F.row_number().over(w))
+        else:
+            ranked = global_order_stats(slim, order, rank_col="__rank")
         contrib = (
-            df.select(*parts, F.col(id_col), F.col(score_col))
-            .withColumn("__rank", F.row_number().over(w))
+            ranked
             .select(
                 *parts,
                 F.col(id_col),
@@ -361,6 +367,9 @@ def pairwise_doc_similarity_pruned(
     min_cos2_e6: int = 600_000,
     validate_bounds: bool = True,
     shingle_size: int | None = None,
+    lsh_saturation_mean_df: int | None = None,
+    lsh_num_hashes: int = 16,
+    lsh_bands: int = 8,
 ) -> DataFrame:
     """Pairwise document cosine with WEIGHTED PREFIX-FILTER candidate
     pruning (Bayardo et al. WWW'07 AllPairs / Xiao et al. WWW'08
@@ -408,6 +417,26 @@ def pairwise_doc_similarity_pruned(
     pairs). Shingling is the lever that fixes the DATA, not the
     algorithm: 3-gram vocab ≈ |V|³ re-Zipfs the dfs so the same prefix
     filter prunes to near-linear work.
+
+    ``lsh_saturation_mean_df`` (r5-verdict task 5): the prefix filter
+    itself is near-linear only while RARE terms exist to anchor on —
+    the r5 scaling probe measured slope 1.61 (248 s at sf1) once the
+    synthetic corpus SATURATES the trigram vocabulary and candidate
+    volume becomes Σ df² for any prefix ordering. A cheap exact check
+    (mean document frequency = Σdf div |vocab|, two integers from a
+    frame the plan already aggregates) routes saturated corpora
+    through banded MinHash-LSH candidates (dedup.lsh_candidate_pairs
+    — measured FLAT on the probe) followed by the SAME exact-cosine
+    verification. The LSH route is recall-bounded, not exact: a
+    qualifying pair sharing no band is missed (≈3% at J=0.6 with 16
+    hashes × 8 bands), so output ⊆ the exact answer — the documented
+    trade on saturated corpora, while every corpus below the
+    threshold (all oracle-compared gates: mean df 1 at sf0.01, 9 at
+    sf0.1) keeps the exact prefix-filter path and hash-matches the
+    oracle. The default is ``None`` (always exact — the function's
+    documented completeness contract); callers that face saturated
+    corpora opt in with a threshold (the text_pair_cosine gate passes
+    32).
     """
     tf = (
         shingle_frequencies(df, id_col, text_col, shingle_size)
@@ -415,6 +444,28 @@ def pairwise_doc_similarity_pruned(
         else term_frequencies(df, id_col, text_col)
     )
     dfreq = doc_frequencies(tf, id_col)
+    if lsh_saturation_mean_df is not None:
+        stats = dfreq.agg(
+            F.sum("df").cast("long").alias("p"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        ).first()
+        postings, vocab = int(stats["p"] or 0), int(stats["v"] or 1)
+        if postings // max(vocab, 1) > lsh_saturation_mean_df:
+            from .dedup import lsh_candidate_pairs, minhash_signatures
+
+            sig = minhash_signatures(
+                df,
+                id_col,
+                text_col,
+                num_hashes=lsh_num_hashes,
+                shingle_size=shingle_size or 1,
+            )
+            cand = lsh_candidate_pairs(
+                sig, id_col, bands=lsh_bands, num_hashes=lsh_num_hashes
+            )
+            return _verify_pairs_exact(
+                tf, cand, id_col, min_cos2_e6, validate_bounds
+            )
     order = [F.col("df").asc(), F.col("term").asc()]
     wsfx = (
         Window.partitionBy(id_col)
@@ -442,6 +493,22 @@ def pairwise_doc_similarity_pruned(
         .select("id_a", "id_b")
         .distinct()
     )
+    return _verify_pairs_exact(tf, cand, id_col, min_cos2_e6, validate_bounds)
+
+
+def _verify_pairs_exact(
+    tf: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    min_cos2_e6: int,
+    validate_bounds: bool,
+) -> DataFrame:
+    """Exact-cosine verification of candidate pairs: expand each
+    (id_a, id_b) candidate by id_a's postings, match id_b's postings
+    on (doc, term) — work O(|candidates| × avg doc length), linear in
+    the candidate volume, never all-pairs — then the shared integer
+    cos² tail. Used by both candidate generators (prefix filter and
+    saturation-routed LSH)."""
     ta = tf.select(
         F.col(id_col).alias("id_a"), "term", F.col("tf").alias("tf_a")
     )

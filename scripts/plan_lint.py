@@ -84,6 +84,12 @@ BNLJ_ALLOWED = {
     "q_gini_revenue", "q_lorenz_deciles", "q_kendall_binned",
     # broadcast 1-row corpus totals (T, S) for the smoothed log-ratios
     "sample_dsir_scores",
+    # r5 global-window retirement: global_order_stats attaches the 1-row
+    # total count via a broadcast cross join (bounded by construction)
+    "q_rfm_segments",
+    # r6 rewrites onto global_order_stats (same 1-row-total broadcast)
+    "q_rank_functions", "q_exact_median_twopass", "text_vocab_coverage",
+    "text_zipf_slope", "q_wasserstein_price_drift",
 }
 
 # Queries allowed to keep an UNPARTITIONED window over a frame the lint
@@ -92,7 +98,22 @@ BNLJ_ALLOWED = {
 # sufficient — Aggregate output cardinality over user/node/pair keys
 # grows with the data). Calendar/bucket/pid/decile groupings and
 # grouping-free (1-row) aggregates pass automatically.
-GLOBAL_WINDOW_OK: dict[str, str] = {}
+GLOBAL_WINDOW_OK: dict[str, str] = {
+    "q_survival_km": (
+        "KM cumulative window runs over the distinct conversion-delay "
+        "HOURS (events with d>0), bounded by the corpus horizon in hours "
+        "— calendar-bounded (~9e4 for a decade), never row-scaled. The "
+        "lint cannot prove it because durs is localCheckpoint()ed (an "
+        "LogicalRDD leaf hides the ' div 3600000000' hour bucketing)."
+    ),
+    "q_skyline_suppliers": (
+        "skyline_2d phase-2 windows run over phase-1 PRUNED survivors: "
+        "rows not dominated by any strictly-earlier-cell minimum, "
+        "O(n_buckets + skyline size) ≈ 1024 + output rows for any input "
+        "volume (see relational.skyline_2d docstring). The pruning join "
+        "hides the bound from the structural analysis."
+    ),
+}
 
 # Grouping expressions (or attribute names) whose value domain is
 # bounded by CONSTRUCTION, not by data volume: calendar truncations
@@ -101,7 +122,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {}
 # parallelism), booleans, and enum-ish TPC-H dimension attributes with
 # fixed domains (flags, priorities, segments, modes, nations, regions).
 _BOUNDED_GROUP_RE = __import__("re").compile(
-    r"(date_trunc|to_date|unix_date|\byear\b|\bmonth\b|\bquarter\b|\bweek"
+    r"(date_trunc|to_date|unix_date|datediff|date_diff"
+    r"|\byear\b|\bmonth\b|\bquarter\b|\bweek"
     r"|dayof|\bhour\b|\bminute\b|\bday\b|\bdow\b|\bdate\b|_date\b"
     r"|ntile|decile|quantile|percentile|bucket|\bbin\b|\bband\b|\bcell\b"
     r"|\bgrp\b|\bbits\b|\blen\b|\bwidth\b"
@@ -110,49 +132,145 @@ _BOUNDED_GROUP_RE = __import__("re").compile(
     r"|\bflag\b|returnflag|linestatus|orderstatus|priority|segment"
     r"|\bmode\b|shipmode|instruct|nation|region|brand|container|mktsegment"
     r"|\btype\b|p_size|status|source|event_type|\brole\b|\bk\b|\bis_\w+"
-    r"|\btrue\b|\bfalse\b|literal|\bround\b|floor\(|ceil\()",
+    r"|\blang\b|l_quantity|\bquantity\b"
+    r"|\btrue\b|\bfalse\b|literal|floor\(|ceil\("
+    # integer division / float division by a LITERAL is an explicit
+    # bucketing (value div width); division by another column is not.
+    # (`round` was dropped from this list: cents() = round(x*100) is an
+    # exact unit conversion whose domain scales with the data.)
+    r"|(?:\bdiv\b|/) *\d)",
     __import__("re").IGNORECASE,
 )
 
-
-def _grouping_strings(agg) -> list[str]:
-    """SQL-ish strings of an Aggregate node's grouping expressions."""
-    out = []
-    ge = agg.groupingExpressions()
-    for i in range(ge.size()):
-        e = ge.apply(i)
-        try:
-            out.append(e.sql())
-        except Exception:  # noqa: BLE001 — fall back to toString
-            out.append(e.toString())
-    return out
+_ATTR_TOKEN = __import__("re").compile(r"([A-Za-z_][A-Za-z0-9_]*)#(\d+)")
 
 
-def _topmost_aggs(node, acc) -> None:
-    """Collect the SHALLOWEST Aggregate on every path below ``node``
-    (don't descend past one — the window's frame cardinality is set by
-    the nearest aggregation, not by deeper ones)."""
-    if node.getClass().getSimpleName() == "Aggregate":
-        acc.append(node)
-        return
+class _PlanCtx:
+    """Alias definitions + bounded-leaf attribute ids harvested from an
+    optimized logical plan, for resolving what an Aggregate's grouping
+    attributes actually compute."""
+
+    def __init__(self) -> None:
+        self.alias: dict[tuple[str, int], str] = {}
+        self.bounded_attr_ids: set[int] = set()
+
+
+def _estr(e) -> str:
+    try:
+        return e.toString()
+    except Exception:  # noqa: BLE001
+        return str(e)
+
+
+def _collect_ctx(node, ctx: _PlanCtx) -> None:
+    name = node.getClass().getSimpleName()
+    exprs = None
+    if name == "Project":
+        exprs = node.projectList()
+    elif name == "Aggregate":
+        exprs = node.aggregateExpressions()
+    elif name == "Window":
+        exprs = node.windowExpressions()
+    if exprs is not None:
+        for i in range(exprs.size()):
+            e = exprs.apply(i)
+            if e.getClass().getSimpleName() == "Alias":
+                try:
+                    ctx.alias[(e.name(), e.exprId().id())] = _estr(e.child())
+                except Exception:  # noqa: BLE001
+                    pass
+    if name == "Range":
+        # spark.range(lo, hi) with literal bounds — a fixed-size relation
+        out = node.output()
+        for i in range(out.size()):
+            try:
+                ctx.bounded_attr_ids.add(out.apply(i).exprId().id())
+            except Exception:  # noqa: BLE001
+                pass
     ch = node.children()
     for i in range(ch.size()):
-        _topmost_aggs(ch.apply(i), acc)
+        _collect_ctx(ch.apply(i), ctx)
+
+
+def _expand(s: str, ctx: _PlanCtx, depth: int = 8) -> str:
+    """Iteratively substitute attribute references (`name#id`) with the
+    defining alias expression, so a grouping over `_groupingexpression`
+    or a select alias resolves to what it actually computes."""
+    for _ in range(depth):
+        def sub(m):
+            key = (m.group(1), int(m.group(2)))
+            d = ctx.alias.get(key)
+            return "(" + d + ")" if d is not None else m.group(0)
+
+        ns = _ATTR_TOKEN.sub(sub, s)
+        if ns == s:
+            break
+        s = ns
+    return s
+
+
+def _grouping_bounded(expr_str: str, ctx: _PlanCtx) -> bool:
+    s = _expand(expr_str, ctx)
+    if _BOUNDED_GROUP_RE.search(s):
+        return True
+    # a grouping attribute fed by a bounded leaf (spark.range literal)
+    return any(
+        int(m.group(2)) in ctx.bounded_attr_ids
+        for m in _ATTR_TOKEN.finditer(s)
+    )
+
+
+_BOUNDED_LEAVES = {"Range", "OneRowRelation", "LocalRelation"}
+
+
+def _bounded(node, ctx: _PlanCtx) -> bool:
+    """Conservative cardinality-boundedness of a logical subtree:
+    True only when the output row count is bounded by CONSTRUCTION
+    (constants, calendar/bucket/enum domains, explicit limits), never
+    by the data volume.
+
+    Rules: Limit nodes bound; literal-relation leaves bound; an
+    Aggregate bounds when it groups by nothing, by provably
+    bounded-domain expressions (after resolving aliases), or over an
+    already-bounded child; every other node is bounded iff ALL its
+    children are (unary ops preserve cardinality or shrink it; joins/
+    unions of bounded inputs stay bounded; a Generate over a bounded
+    input explodes a bounded row set). Data leaves (file scans,
+    LogicalRDD from checkpoints, InMemoryRelation) are unbounded."""
+    name = node.getClass().getSimpleName()
+    if name in ("GlobalLimit", "LocalLimit"):
+        return True
+    if name in _BOUNDED_LEAVES:
+        return True
+    ch = node.children()
+    kids = [ch.apply(i) for i in range(ch.size())]
+    if name == "Aggregate":
+        ge = node.groupingExpressions()
+        if ge.size() == 0:
+            return True
+        if all(
+            _grouping_bounded(_estr(ge.apply(i)), ctx)
+            for i in range(ge.size())
+        ):
+            return True
+        return all(_bounded(k, ctx) for k in kids)
+    if not kids:
+        return False
+    return all(_bounded(k, ctx) for k in kids)
 
 
 def global_window_violations(jdf) -> list[str]:
     """Walk the optimized logical plan; return a description of every
-    Window node whose partitionSpec is EMPTY and whose frame the lint
-    cannot prove bounded — the single-reducer global sort that cannot
-    survive a 100× scale-up.
-
-    Bounded means: the nearest Aggregate(s) below the window either
-    group by nothing (1-row global aggregate) or group ONLY by
-    bounded-domain expressions (_BOUNDED_GROUP_RE: calendar buckets,
-    ntiles, partition ids, enum attributes). An Aggregate over
-    user/node/document/pair keys does NOT exempt — its output
-    cardinality scales with the data (VERDICT r5 task 2 tightened the
-    earlier any-Aggregate exemption)."""
+    Window node whose partitionSpec is EMPTY and whose frame the
+    boundedness analysis (:func:`_bounded`) cannot prove bounded —
+    the single-reducer global sort that cannot survive a 100×
+    scale-up. VERDICT r5 task 2: the earlier any-Aggregate-below
+    exemption was unsound both ways (user/pair-keyed aggregates scale
+    with the data; raw-row frames behind a broadcast join were
+    attributed to the broadcast side's aggregate)."""
+    ctx = _PlanCtx()
+    plan = jdf.queryExecution().optimizedPlan()
+    _collect_ctx(plan, ctx)
     bad: list[str] = []
 
     def walk(node) -> None:
@@ -162,30 +280,13 @@ def global_window_violations(jdf) -> list[str]:
             name == "Window"
             and node.partitionSpec().isEmpty()
             and ch.size() > 0
+            and not _bounded(ch.apply(0), ctx)
         ):
-            aggs: list = []
-            _topmost_aggs(ch.apply(0), aggs)
-            if not aggs:
-                bad.append("unagg: " + node.simpleString(120))
-            else:
-                for agg in aggs:
-                    unbounded = [
-                        g
-                        for g in _grouping_strings(agg)
-                        if g and not _BOUNDED_GROUP_RE.search(g)
-                    ]
-                    if unbounded:
-                        bad.append(
-                            "data-scaled grouping "
-                            + str(unbounded[:3])
-                            + ": "
-                            + node.simpleString(120)
-                        )
-                        break
+            bad.append("unbounded frame: " + node.simpleString(120))
         for i in range(ch.size()):
             walk(ch.apply(i))
 
-    walk(jdf.queryExecution().optimizedPlan())
+    walk(plan)
     return bad
 
 

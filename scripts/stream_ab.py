@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""A/B the stream_* OOO family against the one sweep-session change of
+round 5 (VERDICT r5 task 4): `spark.sql.codegen.fallback=false`.
+
+Six of the ten slowest r5 sweep queries were streaming at 1.5-2.1x
+their r4 walls with ZERO streaming commits in round 5; the only
+session-level difference between the r4 and r5 sweeps was the codegen
+fallback hard-error setting. This script runs the drifted family in an
+A-B-A design inside ONE JVM (fallback=true → false → true, so JIT/
+warmup drift shows up as A1 vs A2 disagreement), one run per query per
+phase, and prints a JSON verdict.
+
+Usage: python scripts/stream_ab.py [sf_dir]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+FAMILY = [
+    "stream_transitions_ooo",
+    "stream_funnel_ooo",
+    "stream_attribution_ooo",
+    "stream_join_events",
+    "stream_join_left",
+    "stream_retention_ooo",
+    "stream_sessionize_ooo",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("gpq_spark-stream-ab")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from gpq_spark.entry_queries import QUERIES
+
+    qmap = {q.name: q for q in QUERIES if q.name in FAMILY}
+    phases = [("A1", "true"), ("B", "false"), ("A2", "true")]
+    out: dict[str, dict[str, float]] = {n: {} for n in FAMILY}
+    for phase, fb in phases:
+        spark.conf.set("spark.sql.codegen.fallback", fb)
+        for n in FAMILY:
+            t0 = time.perf_counter()
+            qmap[n].spark_fn(spark, sf_dir).count()
+            out[n][phase] = round(time.perf_counter() - t0, 2)
+            print(f"# {phase} fallback={fb} {n}: {out[n][phase]}s",
+                  file=sys.stderr)
+    for n in FAMILY:
+        a = (out[n]["A1"] + out[n]["A2"]) / 2
+        out[n]["b_over_a"] = round(out[n]["B"] / a, 3) if a else None
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -75,6 +75,16 @@ def main() -> None:
     from gpq_spark.oracle import compare, duckdb_connection
 
     con = duckdb_connection(sf_dir)
+
+    # previous round's sweep, loaded up front so EVERY per-query record
+    # carries {wall_s, prev_wall_s} (VERDICT r5 task 7: round-over-round
+    # drift must be diffable for all queries, not just the top 10)
+    prev: dict = {}
+    prev_path = os.path.join(ROOT, f"SWEEP_r{rnd - 1:02d}.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
+
     out: dict[str, dict] = {}
     t0 = time.perf_counter()
     n_green = 0
@@ -116,16 +126,12 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — artifact must record failures
             entry["err"] = f"{type(exc).__name__}: {exc}"[:400]
         entry["wall_s"] = round(time.perf_counter() - tq, 2)
+        entry["prev_wall_s"] = prev.get(q.name, {}).get("wall_s")
         out[q.name] = entry
         flag = "ok" if entry["hash_match"] in (True, None) and entry["err"] is None else "FAIL"
         print(f"# {q.name}: {flag} ({entry['wall_s']}s)", file=sys.stderr)
 
     # perf tripwire: 10 slowest this round, with delta vs previous sweep
-    prev: dict = {}
-    prev_path = os.path.join(ROOT, f"SWEEP_r{rnd - 1:02d}.json")
-    if os.path.exists(prev_path):
-        with open(prev_path) as f:
-            prev = json.load(f)
     slowest = sorted(
         ((n, v["wall_s"]) for n, v in out.items() if v.get("wall_s")),
         key=lambda x: -x[1],

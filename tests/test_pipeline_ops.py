@@ -5050,6 +5050,85 @@ class TestPairwiseCosinePruned:
         )
         assert pruned == exact
 
+    def test_saturation_route_subset_and_finds_near_dups(self, spark):
+        """r5-verdict task 5: on a SATURATED corpus (mean df above the
+        opt-in threshold) the LSH route fires; its output must be a
+        subset of the exact answer (recall-bounded candidates, exact
+        verification) and must still surface verbatim near-duplicate
+        pairs (J = 1 pairs collide in every band, so they are never
+        missed)."""
+        import random
+
+        from gpq_spark.pipeline.ranking import (
+            pairwise_doc_similarity,
+            pairwise_doc_similarity_pruned,
+        )
+
+        rng = random.Random(3)
+        vocab = [f"w{i}" for i in range(8)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(8, 20))))
+            for i in range(40)
+        ]
+        # five exact duplicate pairs on top of the random base
+        rows += [(100 + i, rows[i][1]) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # tiny vocab -> mean unigram df far above 2: the route fires
+        exact = sorted(
+            tuple(r)
+            for r in pairwise_doc_similarity(
+                df, "doc_id", "text", min_cos2_e6=600000, max_df=None
+            ).collect()
+        )
+        routed = sorted(
+            tuple(r)
+            for r in pairwise_doc_similarity_pruned(
+                df,
+                "doc_id",
+                "text",
+                min_cos2_e6=600000,
+                lsh_saturation_mean_df=2,
+            ).collect()
+        )
+        assert set(routed) <= set(exact)
+        routed_pairs = {(r[0], r[1]) for r in routed}
+        for i in range(5):
+            assert (i, 100 + i) in routed_pairs
+
+    def test_saturation_route_inert_below_threshold(self, spark):
+        """Below the threshold the opt-in changes nothing: output is
+        byte-identical to the exact prefix-filter path."""
+        import random
+
+        from gpq_spark.pipeline.ranking import (
+            pairwise_doc_similarity_pruned,
+        )
+
+        rng = random.Random(5)
+        vocab = [f"w{i}" for i in range(200)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(3, 12))))
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        base = sorted(
+            tuple(r)
+            for r in pairwise_doc_similarity_pruned(
+                df, "doc_id", "text", min_cos2_e6=300000
+            ).collect()
+        )
+        opted = sorted(
+            tuple(r)
+            for r in pairwise_doc_similarity_pruned(
+                df,
+                "doc_id",
+                "text",
+                min_cos2_e6=300000,
+                lsh_saturation_mean_df=1000,
+            ).collect()
+        )
+        assert opted == base
+
 
 class TestHtmlToText:
     def _extract(self, spark, html):
