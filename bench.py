@@ -130,6 +130,17 @@ def main() -> None:
         # win grows with the pruned side's size)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # pin + pre-fault the heap floor: the r6 q_ktruss variance hunt
+        # measured slow runs at sys%≈50 with MILLIONS of minor page
+        # faults and near-zero GC — the JVM's lazy heap commit/uncommit
+        # re-faulting pages through the microVM's memory reclaim
+        # (kdamond). -Xms + AlwaysPreTouch collapsed the 5-run warm
+        # spread from 5.5x to 1.2x (pgfaults 3.06M -> ~20k per run);
+        # numbers in BASELINE.md round-6 notes.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms16g -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

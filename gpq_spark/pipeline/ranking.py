@@ -443,6 +443,14 @@ def pairwise_doc_similarity_pruned(
         if shingle_size
         else term_frequencies(df, id_col, text_col)
     )
+    if lsh_saturation_mean_df is not None:
+        # the saturation check is an ACTION over the tf frame; persist
+        # it so the check's scan feeds the main query from cache
+        # instead of re-running the shingle explode (measured 6 -> 15 s
+        # at sf0.1 unpersisted)
+        from ..relational import _persist_bounded
+
+        tf = _persist_bounded(tf)
     dfreq = doc_frequencies(tf, id_col)
     if lsh_saturation_mean_df is not None:
         stats = dfreq.agg(

@@ -55,6 +55,109 @@ def scrub_pii(
     return df.withColumn(out_col or text_col, col)
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping word-window chunking — the RAG/pretraining chunker:
+    each document splits into windows of ``window`` whitespace tokens
+    advancing by ``stride`` (overlap = window − stride), the final
+    window keeping whatever remains. Output one row per chunk:
+    (id, chunk_id 0-based, n_tokens, chunk_hash = md5 of the
+    space-joined tokens — hashable chunk identity without shipping
+    chunk text through the gate compare).
+
+    Chunk count is 1 + ceil(max(n − window, 0) / stride), so every
+    token lands in ≥1 chunk and a short document yields exactly one.
+    Pure expressions (split / sequence-explode / slice), map-side, no
+    shuffle — the explode's fan-out is n/stride per document, linear
+    in corpus size.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    base = (
+        df.filter(F.expr(f"length(trim({text_col})) > 0"))
+        .select(
+            F.col(id_col),
+            F.expr(f"split(trim({text_col}), '\\\\s+')").alias("__a"),
+        )
+        .withColumn(
+            "__nc",
+            F.expr(
+                f"1 + CAST((greatest(size(__a) - {window}, 0)"
+                f" + {stride - 1}) div {stride} AS INT)"
+            ),
+        )
+    )
+    return (
+        base.select(
+            id_col,
+            "__a",
+            F.explode(F.expr("sequence(0, __nc - 1)")).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.expr(f"slice(__a, chunk_id * {stride} + 1, {window})").alias(
+                "__c"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.expr("size(__c)").cast("long").alias("n_tokens"),
+            F.expr("md5(concat_ws(' ', __c))").alias("chunk_hash"),
+        )
+    )
+
+
+def _luhn_valid_expr(cand: str) -> str:
+    """SQL expression: ``cand`` (a digit string) passes the Luhn
+    checksum. Doubling applies to every second digit from the RIGHT,
+    the rightmost (check) digit undoubled — the card-number spec."""
+    d = f"CAST(substr({cand}, i, 1) AS INT)"
+    return (
+        f"aggregate(transform(sequence(1, length({cand})), i -> "
+        f"CASE WHEN (length({cand}) - i) % 2 = 1 "
+        f"THEN IF({d} * 2 > 9, {d} * 2 - 9, {d} * 2) "
+        f"ELSE {d} END), 0, (acc, x) -> acc + x) % 10 = 0"
+    )
+
+
+def luhn_card_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    min_len: int = 13,
+    max_len: int = 19,
+) -> DataFrame:
+    """Redact payment-card-like numbers that PASS the Luhn checksum —
+    the scrub PII_PATTERNS can't express: a bare 13-19-digit regex
+    would also redact order ids, timestamps, and tracking numbers,
+    while Luhn validation (the actual card-number check digit) keeps
+    false positives to ~10% of random digit runs. Candidates are
+    word-bounded digit runs; each VALID candidate is replaced with
+    ``[card]``, invalid ones are left intact.
+
+    Shape: one regexp_extract_all + a higher-order filter/aggregate
+    fold, all JVM expressions (no Python) — map-side, zero shuffle.
+    The checksum arithmetic is exact integer, so the DuckDB oracle
+    reproduces the scrub byte-for-byte.
+    """
+    cands = (
+        f"regexp_extract_all({text_col},"
+        f" '\\\\b[0-9]{{{min_len},{max_len}}}\\\\b', 0)"
+    )
+    scrub = (
+        f"aggregate(filter({cands}, c -> {_luhn_valid_expr('c')}),"
+        f" {text_col}, (acc, c) -> replace(acc, c, '[card]'))"
+    )
+    return df.withColumn(out_col or text_col, F.expr(scrub))
+
+
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds ``ws_tokens`` (whitespace tokens) and ``bpe_tokens`` (a
     BPE-ish proxy: alpha runs + digit runs + isolated symbols)."""

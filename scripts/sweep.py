@@ -60,6 +60,12 @@ def main() -> None:
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "48g")
+        # pinned pre-touched heap floor: kills the microVM page-fault
+        # churn variance (see bench.py session config / BASELINE.md r6)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms16g -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
         # codegen lint (VERDICT r4 task 2): a generated method that blows
         # the JVM 64 KB limit normally falls back to interpreted

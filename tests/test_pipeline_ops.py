@@ -5130,6 +5130,87 @@ class TestPairwiseCosinePruned:
         assert opted == base
 
 
+class TestChunkDocuments:
+    def test_boundaries_and_coverage(self, spark):
+        """window=4, stride=3: n=5 tokens -> 2 chunks (0: t1-t4,
+        1: t4-t5); n<=window -> exactly one chunk; empty text -> no
+        rows; every token covered."""
+        from gpq_spark.pipeline.text import chunk_documents
+
+        rows = [
+            (1, "a b c d e"),
+            (2, "a b"),
+            (3, "a b c d"),
+            (4, "   "),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r["doc_id"], r["chunk_id"]): r["n_tokens"]
+            for r in chunk_documents(
+                df, "doc_id", "text", window=4, stride=3
+            ).collect()
+        }
+        assert out == {(1, 0): 4, (1, 1): 2, (2, 0): 2, (3, 0): 4}
+
+    def test_hash_is_content_hash(self, spark):
+        """Identical chunk token runs hash identically across docs."""
+        from gpq_spark.pipeline.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "x y z"), (2, "x y z")], "doc_id long, text string"
+        )
+        hs = [
+            r["chunk_hash"]
+            for r in chunk_documents(
+                df, "doc_id", "text", window=8, stride=8
+            ).collect()
+        ]
+        assert len(hs) == 2 and hs[0] == hs[1]
+
+    def test_rejects_bad_params(self, spark):
+        from gpq_spark.pipeline.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, "doc_id", "text", window=0)
+
+
+class TestLuhnScrub:
+    def test_valid_redacted_invalid_kept(self, spark):
+        from gpq_spark.pipeline.text import luhn_card_scrub
+
+        rows = [
+            # 4532015112830366 is Luhn-valid; flipping the check digit
+            # (…67) breaks it; 1234 is below the candidate floor
+            (1, "pay 4532015112830366 now"),
+            (2, "pay 4532015112830367 now"),
+            (3, "ref 1234 only"),
+            (4, "two 4532015112830366 and 79927398713 here"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {
+            r["id"]: r["clean"]
+            for r in luhn_card_scrub(df, "text", out_col="clean").collect()
+        }
+        assert got[1] == "pay [card] now"
+        assert got[2] == "pay 4532015112830367 now"
+        assert got[3] == "ref 1234 only"
+        # 79927398713 is the classic 11-digit Luhn test number — below
+        # the 13-digit floor, so it survives even though it checksums
+        assert got[4] == "two [card] and 79927398713 here"
+
+    def test_word_boundary(self, spark):
+        """A digit run embedded in a longer alphanumeric token is not
+        a candidate."""
+        from gpq_spark.pipeline.text import luhn_card_scrub
+
+        df = spark.createDataFrame(
+            [(1, "id x4532015112830366y stays")], "id long, text string"
+        )
+        got = luhn_card_scrub(df, "text", out_col="clean").collect()[0]
+        assert got["clean"] == "id x4532015112830366y stays"
+
+
 class TestHtmlToText:
     def _extract(self, spark, html):
         from gpq_spark.pipeline.text import html_to_text
