@@ -84,3 +84,106 @@ def zorder_repartition(
     EVERY z-ordered column — the write-side half of data skipping."""
     keyed = with_zorder_key(df, cols, bits)
     return keyed.repartitionByRange(n_files, "zkey").sortWithinPartitions("zkey")
+
+
+def hilbert_level_templates(
+    bits: int, dialect: str = "spark"
+) -> list[tuple[str, str, str]]:
+    """One (new_x, new_y, new_d) SQL TEMPLATE triple per level of the
+    classic 2-D Hilbert xy2d bit loop, highest level first, with
+    ``{x}``/``{y}``/``{d}`` placeholders for the CURRENT level's
+    column names — the loop mutates (x, y) per level, so the Spark
+    side must materialize each level's outputs under fresh names
+    before formatting the next level (a textual inline would grow
+    exponentially; materialized multi-referenced aliases also keep
+    CollapseProject from merging the stages — the minhash __ab
+    posture). The DuckDB side re-scopes per CTE, so it formats every
+    level with the same names.
+
+    The per-level quadrant ``(3·rx) XOR ry`` is emitted as the
+    arithmetic identity ``3·rx + ry − 2·rx·ry`` (exact on {0,1}²), so
+    the SAME formula runs on engines where ``^`` means exponentiation
+    (DuckDB). ``dialect`` picks the shift spelling: ``shiftright``
+    (Spark) vs ``>>`` (DuckDB).
+    """
+    out = []
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        if dialect == "spark":
+            rx = f"(shiftright({{x}}, {k}) & 1)"
+            ry = f"(shiftright({{y}}, {k}) & 1)"
+        else:
+            rx = f"(({{x}} >> {k}) & 1)"
+            ry = f"(({{y}} >> {k}) & 1)"
+        quad = f"(3 * {rx} + {ry} - 2 * {rx} * {ry})"
+        nd = f"({{d}} + {s * s} * {quad})"
+        # ry=0, rx=1: flip both then swap; ry=0, rx=0: swap; ry=1: keep
+        nx = (
+            f"(CASE WHEN {ry} = 1 THEN {{x}} "
+            f"WHEN {rx} = 1 THEN {s - 1} - {{y}} ELSE {{y}} END)"
+        )
+        ny = (
+            f"(CASE WHEN {ry} = 1 THEN {{y}} "
+            f"WHEN {rx} = 1 THEN {s - 1} - {{x}} ELSE {{x}} END)"
+        )
+        out.append((nx, ny, nd))
+    return out
+
+
+def with_hilbert_key(
+    df: DataFrame, cols: list[str], bits: int = 8, key_col: str = "hkey"
+) -> DataFrame:
+    """Attach the 2-D HILBERT-curve clustering key for two numeric
+    columns — the locality-better sibling of :func:`with_zorder_key`:
+    consecutive key values are always grid-adjacent (unit Manhattan
+    step), so range-partitioned files have tighter min/max boxes than
+    Z-order's quadrant jumps give (the known layout result; Hilbert is
+    what e.g. scientific array stores pick when they outgrow Morton).
+
+    Same deterministic shape as Z-order: one min/max aggregate, linear
+    bucketing into [0, 2^bits), then ``bits`` chained integer stages
+    (the unrolled xy2d loop) — all map-side expressions, no Python,
+    exact oracle-reproducible arithmetic. 2-D only (n-D Hilbert needs
+    Gray-code state machines; Z-order covers n-D layout here)."""
+    if len(cols) != 2:
+        raise ValueError("with_hilbert_key is 2-D: pass exactly 2 columns")
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError("bits must be in 1..31")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            f"__h_{c}",
+            normalize_minmax_expr(
+                c, stats[f"__min_{c}"], stats[f"__max_{c}"], bits
+            ),
+        )
+    out = out.withColumn("__hd", F.lit(0).cast("long"))
+    xn, yn, dn = f"__h_{cols[0]}", f"__h_{cols[1]}", "__hd"
+    for i, (nx, ny, nd) in enumerate(hilbert_level_templates(bits, "spark")):
+        # format THIS level's templates with the previous level's
+        # materialized (x, y, d) names, then rebind
+        fmt = {"x": xn, "y": yn, "d": dn}
+        out = (
+            out.withColumn(f"__hx{i}", F.expr(nx.format(**fmt)))
+            .withColumn(f"__hy{i}", F.expr(ny.format(**fmt)))
+            .withColumn(f"__hd{i}", F.expr(nd.format(**fmt)))
+            .drop(xn, yn, dn)
+        )
+        xn, yn, dn = f"__hx{i}", f"__hy{i}", f"__hd{i}"
+    return out.withColumn(key_col, F.col(dn).cast("long")).drop(xn, yn, dn)
+
+
+def hilbert_repartition(
+    df: DataFrame, cols: list[str], n_files: int, bits: int = 8
+) -> DataFrame:
+    """Hilbert-clustered write layout: key + range repartition + sort
+    within partitions — :func:`zorder_repartition` with the
+    locality-tighter curve."""
+    keyed = with_hilbert_key(df, cols, bits)
+    return keyed.repartitionByRange(n_files, "hkey").sortWithinPartitions(
+        "hkey"
+    )

@@ -158,6 +158,68 @@ def luhn_card_scrub(
     return df.withColumn(out_col or text_col, F.expr(scrub))
 
 
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str,
+    out_col: str = "canon_url",
+) -> DataFrame:
+    """URL canonicalization for web-corpus dedup: lowercase scheme and
+    host, strip the scheme's default port (:443/:80), default an empty
+    path to '/', drop tracking query parameters (names starting
+    ``utm_`` and the ``ref`` param), and SORT the surviving parameters
+    — so the same resource fetched through different tracking links
+    and parameter orders maps to one key. Fragments are dropped (never
+    sent to the server). Path case is preserved (paths are
+    case-sensitive; hosts are not).
+
+    Pure expressions: regexp part-extraction + a higher-order
+    filter/sort over the split query — map-side, codegen'd, no
+    shuffle, and the same text algebra runs in the DuckDB oracle.
+    """
+    u = url_col
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = (
+        f"lower(regexp_extract({u},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    )
+    path = (
+        f"regexp_extract({u},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+    )
+    query = f"regexp_extract({u}, '\\\\?([^#]*)', 1)"
+    out = (
+        df.withColumn("__scheme", F.expr(scheme))
+        .withColumn("__hostport", F.expr(hostport))
+        .withColumn(
+            "__host",
+            F.expr(
+                "CASE WHEN __scheme = 'https'"
+                " THEN regexp_replace(__hostport, ':443$', '')"
+                " WHEN __scheme = 'http'"
+                " THEN regexp_replace(__hostport, ':80$', '')"
+                " ELSE __hostport END"
+            ),
+        )
+        .withColumn("__path", F.expr(f"IF({path} = '', '/', {path})"))
+        .withColumn(
+            "__params",
+            F.expr(
+                f"array_sort(filter(split({query}, '&'), p -> p != ''"
+                " AND substr(split_part(p, '=', 1), 1, 4) != 'utm_'"
+                " AND split_part(p, '=', 1) != 'ref'))"
+            ),
+        )
+    )
+    return out.withColumn(
+        out_col,
+        F.expr(
+            "concat(__scheme, '://', __host, __path,"
+            " IF(size(__params) > 0,"
+            " concat('?', array_join(__params, '&')), ''))"
+        ),
+    ).drop("__scheme", "__hostport", "__host", "__path", "__params")
+
+
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds ``ws_tokens`` (whitespace tokens) and ``bpe_tokens`` (a
     BPE-ish proxy: alpha runs + digit runs + isolated symbols)."""

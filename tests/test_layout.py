@@ -87,3 +87,49 @@ class TestZorderSkipping:
             plain = total_range(base, col)
             z = total_range(zpath, col)
             assert z < plain * 0.7, (col, z, plain)
+
+
+class TestHilbertKey:
+    def test_exhaustive_bijection_and_adjacency(self, spark):
+        """bits=3 (8x8 grid): the 64 cell keys are a bijection onto
+        0..63 AND consecutive keys are grid-adjacent (unit Manhattan
+        step) — the defining Hilbert property Z-order lacks. Exhaustive
+        enumeration, not samples."""
+        from gpq_spark.pipeline.layout import with_hilbert_key
+
+        rows = [(x, y) for x in range(8) for y in range(8)]
+        df = spark.createDataFrame(rows, "x int, y int")
+        got = {
+            (r["x"], r["y"]): r["hkey"]
+            for r in with_hilbert_key(df, ["x", "y"], bits=3).collect()
+        }
+        assert sorted(got.values()) == list(range(64))
+        by_key = {v: k for k, v in got.items()}
+        for d in range(63):
+            (x0, y0), (x1, y1) = by_key[d], by_key[d + 1]
+            assert abs(x0 - x1) + abs(y0 - y1) == 1, (d, by_key[d], by_key[d + 1])
+
+    def test_known_first_quadrant(self, spark):
+        """Order-1 curve: the canonical d-ordering (0,0)->(0,1)->
+        (1,1)->(1,0)."""
+        from gpq_spark.pipeline.layout import with_hilbert_key
+
+        df = spark.createDataFrame(
+            [(0, 0), (0, 1), (1, 0), (1, 1)], "x int, y int"
+        )
+        got = {
+            (r["x"], r["y"]): r["hkey"]
+            for r in with_hilbert_key(df, ["x", "y"], bits=1).collect()
+        }
+        assert got == {(0, 0): 0, (0, 1): 1, (1, 1): 2, (1, 0): 3}
+
+    def test_rejects_bad_shapes(self, spark):
+        from gpq_spark.pipeline.layout import with_hilbert_key
+
+        df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+        import pytest
+
+        with pytest.raises(ValueError):
+            with_hilbert_key(df, ["a"], bits=8)
+        with pytest.raises(ValueError):
+            with_hilbert_key(df, ["a", "b"], bits=32)

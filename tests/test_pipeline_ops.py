@@ -5211,6 +5211,29 @@ class TestLuhnScrub:
         assert got["clean"] == "id x4532015112830366y stays"
 
 
+class TestCanonicalizeUrls:
+    def test_edges(self, spark):
+        from gpq_spark.pipeline.text import canonicalize_urls
+
+        rows = [
+            (1, "HTTP://Host.COM:80"),                       # default port, empty path
+            (2, "https://a.com/X/Y?b=2&utm_source=s&a=1"),   # sort + strip
+            (3, "https://a.com/p?ref=42&utm_campaign=c"),    # all params stripped
+            (4, "https://a.com:8443/p"),                     # non-default port kept
+            (5, "https://a.com/CaseKept#frag"),              # path case, fragment
+        ]
+        df = spark.createDataFrame(rows, "id long, url string")
+        got = {
+            r["id"]: r["canon_url"]
+            for r in canonicalize_urls(df, "url").collect()
+        }
+        assert got[1] == "http://host.com/"
+        assert got[2] == "https://a.com/X/Y?a=1&b=2"
+        assert got[3] == "https://a.com/p"
+        assert got[4] == "https://a.com:8443/p"
+        assert got[5] == "https://a.com/CaseKept"
+
+
 class TestHtmlToText:
     def _extract(self, spark, html):
         from gpq_spark.pipeline.text import html_to_text
