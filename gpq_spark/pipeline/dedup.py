@@ -259,6 +259,9 @@ def ngram_jaccard_pairs(
     shingle_size: int = 3,
     threshold: float = 0.5,
     parallelism: int | None = None,
+    lsh_block_cap: int | None = None,
+    lsh_num_hashes: int = 16,
+    lsh_bands: int = 8,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing a
     blocking key. Output: id_a, id_b, jaccard (double).
@@ -273,6 +276,17 @@ def ngram_jaccard_pairs(
     Bucket payload is the block's shingle arrays; blocking keys are
     chosen to keep blocks small, and a quadratic block is equally
     quadratic under either formulation.
+
+    ``lsh_block_cap`` (opt-in; the text_pair_cosine saturation-route
+    pattern): block membership grows LINEARLY with the corpus, so the
+    in-block pair expansion is quadratic at scale (the r5/r6 probes
+    measured slope ~1.6). With a cap, blocks larger than it route
+    their members through in-block MinHash banding (signatures derived
+    from the already-hashed shingles) and only banded candidate pairs
+    get the exact intersect — recall-bounded (a qualifying pair
+    sharing no band is missed; output ⊆ exact), while every block at
+    or under the cap keeps the exact expansion. Oracle-compared scales
+    must keep their blocks under the cap.
     """
     if parallelism:
         df = df.repartition(parallelism)
@@ -313,7 +327,92 @@ def ngram_jaccard_pairs(
     # arrays expanded to ~25 MB before explode; this one expands to
     # ~160 KB.) Shingle arrays are distinct, so |A∪B| = |A|+|B|−|A∩B|
     # and the union call is dropped entirely.
-    pairs = buckets.select(
+    exact_buckets = buckets
+    lsh_pairs = None
+    if lsh_block_cap is not None:
+        exact_buckets = buckets.filter(F.size("__members") <= lsh_block_cap)
+        big_docs = (
+            buckets.filter(F.size("__members") > lsh_block_cap)
+            .select(
+                *block_cols, F.explode("__members").alias("__m")
+            )
+            .select(
+                *block_cols,
+                F.col("__m.__id").alias("__id"),
+                F.col("__m.__sh").alias("__sh"),
+            )
+        )
+        # affine MinHash family straight from the 64-bit shingle
+        # hashes: a = low 48 bits, b = (bits 16..63) forced odd —
+        # all arithmetic < 2^53, exact in a long
+        mask = (1 << 48) - 1
+        mod = 1 << 48
+        mins = ", ".join(
+            f"array_min(transform(__sh, h -> ((h & {mask}L)"
+            f" + {i}L * ((shiftright(h, 16) & {mask}L) | 1L))"
+            f" % {mod}L))"
+            for i in range(lsh_num_hashes)
+        )
+        sigs = big_docs.select(
+            *block_cols, "__id", F.expr(f"array({mins})").alias("sig")
+        )
+        rows_per_band = lsh_num_hashes // lsh_bands
+        band_members = ", ".join(
+            f"CAST(element_at(sig, band_id * {rows_per_band} + {r + 1})"
+            " AS STRING)"
+            for r in range(rows_per_band)
+        )
+        banded = sigs.select(
+            *block_cols,
+            "__id",
+            "sig",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(lsh_bands - 1))
+            ).alias("band_id"),
+        ).select(
+            *block_cols,
+            "__id",
+            "band_id",
+            F.expr(
+                f"md5(concat_ws('|', CAST(band_id AS STRING),"
+                f" {band_members}))"
+            ).alias("band_hash"),
+        )
+        bbuckets = (
+            banded.groupBy(*block_cols, "band_id", "band_hash")
+            .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+            .filter(F.size("__ids") >= 2)
+        )
+        cand = (
+            bbuckets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(__ids, (x, i) -> "
+                        "transform(slice(__ids, i + 2, size(__ids) - i - 1),"
+                        " y -> struct(x AS id_a, y AS id_b))))"
+                    )
+                ).alias("__p")
+            )
+            .select("__p.id_a", "__p.id_b")
+            .distinct()
+        )
+        sha = big_docs.select(
+            F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")
+        )
+        shb = big_docs.select(
+            F.col("__id").alias("id_b"), F.col("__sh").alias("__shb")
+        )
+        lsh_pairs = (
+            cand.join(sha, "id_a")
+            .join(shb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.expr("size(array_intersect(__sha, __shb))").alias("inter"),
+                F.expr("size(__sha) + size(__shb)").alias("total"),
+            )
+        )
+    exact_pairs = exact_buckets.select(
         F.explode(
             F.expr(
                 "flatten(transform(__members, (x, i) -> "
@@ -323,13 +422,18 @@ def ngram_jaccard_pairs(
                 "size(x.__sh) + size(y.__sh) AS total))))"
             )
         ).alias("__p")
+    ).select("__p.id_a", "__p.id_b", "__p.inter", "__p.total")
+    pairs = (
+        exact_pairs
+        if lsh_pairs is None
+        else exact_pairs.unionByName(lsh_pairs)
     )
-    inter = F.col("__p.inter")
-    union = F.col("__p.total") - F.col("__p.inter")
+    inter = F.col("inter")
+    union = F.col("total") - F.col("inter")
     return (
         pairs.select(
-            F.col("__p.id_a").alias("id_a"),
-            F.col("__p.id_b").alias("id_b"),
+            "id_a",
+            "id_b",
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -861,6 +861,97 @@ def parse_bmp_header(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     )
 
 
+def parse_tiff_header(
+    df: DataFrame, payload_col: str, id_col: str
+) -> DataFrame:
+    """Parse the TIFF image file header + first IFD (TIFF 6.0 §2):
+    the two wrinkles the other seven header parsers don't have —
+    DATA-DEPENDENT BYTE ORDER ('II' little- vs 'MM' big-endian,
+    dispatched per row: every integer read is a CASE over the same
+    bytes in both orders) and an OFFSET-CHASED DIRECTORY (the u32 at
+    byte 4 points at the IFD; its u16 entry count prefixes 12-byte
+    entries scanned for tag 256 ImageWidth / 257 ImageLength /
+    258 BitsPerSample / 259 Compression). SHORT(3) and LONG(4) entry
+    values decode from the left-justified 4-byte value field per the
+    spec. Non-TIFF payloads (and truncated reads — conv('') is NULL,
+    so short substrings poison the arithmetic instead of raising)
+    yield NULLs. All JVM expressions: one transform over the entry
+    sequence materialized ONCE, tag lookups as filters over it."""
+    p = payload_col
+
+    def u8(off: str) -> str:
+        return _u8_at(p, off)
+
+    def u16(off: str) -> str:
+        return (
+            f"(CASE WHEN __le THEN {u8(off)} + 256 * {u8(f'({off}) + 1')}"
+            f" ELSE 256 * {u8(off)} + {u8(f'({off}) + 1')} END)"
+        )
+
+    def u32(off: str) -> str:
+        lo = (
+            f"{u8(off)} + 256 * {u8(f'({off}) + 1')}"
+            f" + 65536 * {u8(f'({off}) + 2')}"
+            f" + 16777216 * {u8(f'({off}) + 3')}"
+        )
+        hi = (
+            f"16777216 * {u8(off)} + 65536 * {u8(f'({off}) + 1')}"
+            f" + 256 * {u8(f'({off}) + 2')} + {u8(f'({off}) + 3')}"
+        )
+        return f"(CASE WHEN __le THEN {lo} ELSE {hi} END)"
+
+    bo = f"substring(CAST({p} AS STRING), 1, 2)"
+    out = (
+        df.withColumn(
+            "__le",
+            F.expr(
+                f"CASE WHEN {bo} = 'II' THEN true"
+                f" WHEN {bo} = 'MM' THEN false ELSE NULL END"
+            ),
+        )
+        .withColumn(
+            "__ok", F.expr(f"__le IS NOT NULL AND {u16('3')} = 42")
+        )
+        .withColumn("__ifd", F.expr(f"{u32('5')} + 1"))
+        # entry count capped at 64: corrupt counts must not explode the
+        # per-row entry sequence
+        .withColumn(
+            "__n",
+            F.expr(f"CASE WHEN __ok THEN least({u16('__ifd')}, 64) END"),
+        )
+        .withColumn(
+            "__entries",
+            F.expr(
+                "CASE WHEN __ok AND __n >= 1 THEN"
+                " transform(sequence(0, __n - 1), e -> named_struct("
+                f"'tag', {u16('__ifd + 2 + 12 * e')},"
+                f"'val', CASE WHEN {u16('__ifd + 4 + 12 * e')} = 3"
+                f" THEN {u16('__ifd + 10 + 12 * e')}"
+                f" WHEN {u16('__ifd + 4 + 12 * e')} = 4"
+                f" THEN {u32('__ifd + 10 + 12 * e')}"
+                " END)) END"
+            ),
+        )
+    )
+
+    def tagval(tag: int) -> str:
+        flt = f"filter(__entries, s -> s.tag = {tag})"
+        return (
+            f"CASE WHEN __entries IS NOT NULL AND size({flt}) > 0"
+            f" THEN element_at({flt}, 1).val END"
+        )
+
+    return out.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"CASE WHEN __ok THEN {bo} END").alias("byte_order"),
+        F.expr("CASE WHEN __ok THEN __n END").cast("int").alias("n_entries"),
+        F.expr(tagval(256)).cast("int").alias("width"),
+        F.expr(tagval(257)).cast("int").alias("height"),
+        F.expr(tagval(258)).cast("int").alias("bits_per_sample"),
+        F.expr(tagval(259)).cast("int").alias("compression"),
+    )
+
+
 def dhash64(px) -> tuple[int, int]:
     """Perceptual difference hash of one decoded image, exact-integer
     spec (no float resampling, so a SQL oracle can reproduce it from a

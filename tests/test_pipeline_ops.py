@@ -82,6 +82,42 @@ class TestJaccard:
         assert len(out) == 1
         assert out[0]["jaccard"] == pytest.approx(1 / 3)
 
+    def test_lsh_block_cap_subset_and_dup_recall(self, spark):
+        """Blocks above the cap route through in-block MinHash banding:
+        output must be a subset of the exact answer with identical
+        jaccard values, and verbatim duplicates (J=1, collide in every
+        band) must survive; blocks at/under the cap stay exact."""
+        import random
+
+        from gpq_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        rng = random.Random(9)
+        vocab = [f"w{i}" for i in range(6)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(5, 12))), 0)
+            for i in range(30)
+        ]
+        rows += [(100 + i, rows[i][1], 0) for i in range(4)]  # verbatim dups
+        rows += [(200, "p q r s", 1), (201, "p q r t", 1)]  # small block
+        df = spark.createDataFrame(rows, ["doc_id", "text", "blk"])
+        kw = dict(block_cols=["blk"], shingle_size=3, threshold=0.3)
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, "doc_id", "text", **kw).collect()
+        }
+        routed = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", lsh_block_cap=10, **kw
+            ).collect()
+        }
+        assert set(routed) <= set(exact)
+        for k, v in routed.items():
+            assert v == pytest.approx(exact[k])
+        for i in range(4):
+            assert (i, 100 + i) in routed  # J=1 never missed
+        assert (200, 201) in routed  # small block exact
+
 
 class TestSimilarity:
     def test_topk_self_excluded_and_ranked(self, spark):
@@ -2127,6 +2163,66 @@ class TestGifHeader:
         df = spark.createDataFrame([(1, payload)], "id long, payload binary")
         r = parse_gif_header(df, "payload", "id").first()
         assert (r["width"], r["height"]) == (258, 772)
+
+
+class TestTiffHeader:
+    @staticmethod
+    def _tiff(order, entries, ifd_off=8):
+        """Build real TIFF bytes: header + one IFD at ifd_off.
+        entries: list of (tag, type, value) with type 3 (SHORT) or
+        4 (LONG)."""
+        import struct
+
+        e = "<" if order == b"II" else ">"
+        head = order + struct.pack(e + "H", 42) + struct.pack(e + "I", ifd_off)
+        pad = b"\x00" * (ifd_off - len(head))
+        body = struct.pack(e + "H", len(entries))
+        for tag, typ, val in entries:
+            body += struct.pack(e + "HHI", tag, typ, 1)
+            if typ == 3:  # SHORT: left-justified in the 4-byte field
+                body += struct.pack(e + "H", val) + b"\x00\x00"
+            else:  # LONG
+                body += struct.pack(e + "I", val)
+        body += struct.pack(e + "I", 0)
+        return head + pad + body
+
+    def test_both_byte_orders_and_long_type(self, spark):
+        from gpq_spark.pipeline.multimodal import parse_tiff_header
+
+        ent = [(256, 3, 1024), (257, 4, 70000), (258, 3, 8), (259, 3, 1)]
+        rows = [
+            (1, self._tiff(b"II", ent)),
+            (2, self._tiff(b"MM", ent)),
+            (3, b"\x89PNG\r\n\x1a\n"),       # non-TIFF -> NULLs
+            (4, b"II\x2b\x00\x08\x00"),       # BigTIFF magic 43 -> NULLs
+            (5, self._tiff(b"II", ent)[:9]),  # truncated mid-offset
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        got = {
+            r["id"]: (
+                r["byte_order"], r["n_entries"], r["width"], r["height"],
+                r["bits_per_sample"], r["compression"],
+            )
+            for r in parse_tiff_header(df, "payload", "id").collect()
+        }
+        assert got[1] == ("II", 4, 1024, 70000, 8, 1)
+        assert got[2] == ("MM", 4, 1024, 70000, 8, 1)
+        assert got[3] == (None, None, None, None, None, None)
+        assert got[4] == (None, None, None, None, None, None)
+        assert got[5][2] is None  # truncated: no width, no error
+
+    def test_ifd_not_at_eight(self, spark):
+        """The IFD offset is DATA — a parser that assumes offset 8
+        breaks on files whose directory follows the pixel data."""
+        from gpq_spark.pipeline.multimodal import parse_tiff_header
+
+        ent = [(256, 3, 33), (257, 3, 44)]
+        df = spark.createDataFrame(
+            [(1, self._tiff(b"MM", ent, ifd_off=40))],
+            "id long, payload binary",
+        )
+        r = parse_tiff_header(df, "payload", "id").first()
+        assert (r["width"], r["height"], r["n_entries"]) == (33, 44, 2)
 
 
 class TestPairwiseSimilarityGuards:
