@@ -14,7 +14,7 @@ from gpq_spark.entry_queries import QUERIES  # noqa: E402
 
 GROUPS = [
     ("Lakehouse layout & CDC",
-     r"^(zorder_|cdc_|scd2_|q_merge_into|q_position_delete|q_bitemporal|q_delta_encoding|q_scd2_temporal)"),
+     r"^(zorder_|hilbert_|cdc_|scd2_|q_merge_into|q_position_delete|q_bitemporal|q_delta_encoding|q_scd2_temporal)"),
     ("TPC-H relational shapes",
      r"^q([0-9]|_agg|_pivot|_rollup|_cube|_grouping|_semi|_setops|_full_outer"
      r"|_string|_conditional|_unpivot|_percentiles|_running|_rank|_histogram"
@@ -40,7 +40,7 @@ GROUPS = [
     ("Governance & auditing",
      r"^q_(kanon|ldiversity|tcloseness|benford|corpus_diff|data_constraints"
      r"|split_leakage|mann_whitney|runs_test|trimmed_mean|ks_test|cvm_test"
-     r"|mutual_info|psi|fd_check|rendezvous|merkle_diff|pruning_audit"
+     r"|mutual_info|psi|fd_check|rendezvous|merkle_diff|pruning_audit|mad_prices"
      r"|joinability|kanon_lattice|apportionment)"),
     ("Deduplication & decontamination",
      r"^(dedup_|decontam|semantic_|er_|q_minhash_calibration)"),
@@ -53,7 +53,7 @@ GROUPS = [
     ("Geospatial", r"^geo_"),
     ("Structured Streaming", r"^stream_"),
     ("Validation & multimodal",
-     r"^(validate_|multimodal_|png_|gif_|q_audio_dft8)"),
+     r"^(validate_|multimodal_|png_|gif_|jpeg_|q_audio_dft8)"),
 ]
 
 
