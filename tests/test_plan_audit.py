@@ -68,14 +68,18 @@ def test_text_ops_are_jvm_only(plans):
         assert "pythonUDF" not in plans(name).lower(), name
 
 
-def test_ngram_jaccard_single_shuffle_single_scan(plans):
+def test_ngram_jaccard_plan_shape(plans):
     p = plans("dedup_ngram_jaccard_pairs")
     assert "pythonUDF" not in p.lower()
-    # bucket-expand shape: one groupBy shuffle, no self-join (the only
-    # other Exchange is the deliberate round-robin repartition that
-    # parallelizes the CPU-heavy shingle computation)
-    assert p.count("Exchange hashpartitioning") == 1
-    assert "Join" not in p
+    # dual-path shape since the r6 saturation route (lsh_block_cap):
+    # the EXACT branch keeps the one bucket-expand groupBy; the routed
+    # branch adds the in-block banding groupBy, the candidate-pair
+    # distinct, and two id-keyed verification joins. Every join must
+    # stay an equi-join — a nested-loop or cartesian here would be the
+    # all-pairs shape the route exists to avoid.
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 6
 
 
 def test_ann_two_phase_topk(plans):
