@@ -1,0 +1,370 @@
+"""WARC / gzip-multistream ingest — the Common Crawl container family.
+
+Common Crawl (the de-facto LLM pre-training source) ships `.warc.gz`
+files: a stream of gzip MEMBERS, one WARC record per member, so any
+byte range that starts on a member boundary is independently
+decodable — which is exactly why the format distributes well: a 100 TB
+crawl splits into per-member work units with no coordination. This
+module implements that ingest path for real:
+
+- ``parse_gzip_members`` — RFC 1952 member walk: fixed 10-byte header,
+  the four optional FLG fields (FEXTRA / FNAME / FCOMMENT / FHCRC) in
+  spec order, raw-DEFLATE body via ``zlib.decompressobj(-15)``, then
+  the CRC32 + ISIZE trailer, both VALIDATED against the decompressed
+  bytes (never trusted). Multi-member streams loop until the buffer is
+  exhausted; trailing garbage raises.
+- ``parse_warc_records`` — ISO 28500 record walk: ``WARC/1.0|1.1``
+  version line, CRLF header block, then the content block sliced by
+  ``Content-Length`` (the PDF-module discipline: NEVER regex-scan
+  through payload bytes — binary payloads may contain anything,
+  including ``WARC/1.1``), then the mandatory CRLF CRLF record
+  separator.
+- ``parse_warc_gz`` — the composition: gunzip members, parse each
+  member as one WARC record (the Common Crawl layout).
+
+All three run in Arrow-batched ``mapInPandas`` (the multimodal-module
+pattern: payload bytes stream through bounded executor batches and
+never land on the driver). Errors RAISE (the raised-errors-never-
+silent-garbage contract): a malformed member/record poisons its task
+with a named error instead of silently dropping bytes.
+
+Reference framing: the reference engine (planetlabs/gpq) has no
+container-stream ingest — its sources are whole GeoParquet/GeoJSON
+files (internal/storage/). This family extends the engine the same way
+the PDF/PNG/JPEG parsers do: typed metadata out of opaque binary
+columns, per SURVEY §2's multimodal mandate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+class WarcError(ValueError):
+    """Malformed gzip member or WARC record."""
+
+
+# ---------------------------------------------------------------- gzip
+
+_FTEXT, _FHCRC, _FEXTRA, _FNAME, _FCOMMENT = 1, 2, 4, 8, 16
+
+
+def _gunzip_members(buf: bytes) -> list[dict]:
+    """Walk every gzip member in ``buf`` (RFC 1952 §2.3). Returns one
+    dict per member: {offset, compressed_len, isize, crc_ok, fname,
+    data}. CRC32 and ISIZE are validated, not echoed."""
+    out: list[dict] = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        start = pos
+        if n - pos < 10:
+            raise WarcError(f"truncated gzip header at {pos}")
+        if buf[pos] != 0x1F or buf[pos + 1] != 0x8B:
+            raise WarcError(f"bad gzip magic at {pos}")
+        if buf[pos + 2] != 8:
+            raise WarcError(f"unsupported gzip CM={buf[pos + 2]}")
+        flg = buf[pos + 3]
+        pos += 10
+        if flg & _FEXTRA:
+            if n - pos < 2:
+                raise WarcError("truncated FEXTRA length")
+            xlen = buf[pos] | (buf[pos + 1] << 8)
+            pos += 2 + xlen
+        fname = None
+        if flg & _FNAME:
+            end = buf.find(b"\x00", pos)
+            if end < 0:
+                raise WarcError("unterminated FNAME")
+            fname = buf[pos:end].decode("latin-1")
+            pos = end + 1
+        if flg & _FCOMMENT:
+            end = buf.find(b"\x00", pos)
+            if end < 0:
+                raise WarcError("unterminated FCOMMENT")
+            pos = end + 1
+        if flg & _FHCRC:
+            if n - pos < 2:
+                raise WarcError("truncated FHCRC")
+            hcrc = buf[pos] | (buf[pos + 1] << 8)
+            if hcrc != (zlib.crc32(buf[start:pos]) & 0xFFFF):
+                raise WarcError("gzip header CRC16 mismatch")
+            pos += 2
+        d = zlib.decompressobj(-15)
+        try:
+            data = d.decompress(buf[pos:])
+        except zlib.error as e:  # noqa: PERF203 - per-member is the unit
+            raise WarcError(f"bad DEFLATE stream at {pos}: {e}") from e
+        if not d.eof:
+            raise WarcError(f"unterminated DEFLATE stream at {pos}")
+        pos = n - len(d.unused_data)
+        if n - pos < 8:
+            raise WarcError("truncated gzip trailer")
+        crc = int.from_bytes(buf[pos : pos + 4], "little")
+        isize = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        pos += 8
+        crc_ok = crc == (zlib.crc32(data) & 0xFFFFFFFF)
+        if isize != (len(data) & 0xFFFFFFFF):
+            raise WarcError(
+                f"ISIZE mismatch: trailer {isize}, actual {len(data)}"
+            )
+        out.append(
+            {
+                "offset": start,
+                "compressed_len": pos - start,
+                "isize": isize,
+                "crc_ok": crc_ok,
+                "fname": fname,
+                "data": data,
+            }
+        )
+    return out
+
+
+GZIP_MEMBER_SCHEMA = (
+    "id long, member_idx int, offset long, compressed_len long,"
+    " isize long, crc_ok boolean, fname string, content_md5 string"
+)
+
+
+def parse_gzip_members(
+    df: DataFrame, payload_col: str, id_col: str
+) -> DataFrame:
+    """One row per gzip member of each payload: member offset /
+    compressed length (the split-point metadata a distributed reader
+    indexes), validated ISIZE + CRC32, optional FNAME, and the md5 of
+    the decompressed bytes. Malformed members raise ``WarcError``.
+
+    Scale: map-side only (mapInPandas, zero shuffles); each payload is
+    decoded exactly once on whatever executor holds its row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                for i, m in enumerate(_gunzip_members(bytes(payload))):
+                    rows.append(
+                        (
+                            rid,
+                            i,
+                            m["offset"],
+                            m["compressed_len"],
+                            m["isize"],
+                            m["crc_ok"],
+                            m["fname"],
+                            hashlib.md5(m["data"]).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "member_idx",
+                    "offset",
+                    "compressed_len",
+                    "isize",
+                    "crc_ok",
+                    "fname",
+                    "content_md5",
+                ],
+            )
+
+    sel = df.select(
+        df[id_col].alias("id"), df[payload_col].alias("payload")
+    )
+    return sel.mapInPandas(run, schema=GZIP_MEMBER_SCHEMA)
+
+
+# ---------------------------------------------------------------- WARC
+
+WARC_RECORD_SCHEMA = (
+    "id long, rec_idx int, warc_version string, warc_type string,"
+    " record_id string, target_uri string, content_length long,"
+    " n_headers int, content_md5 string"
+)
+
+
+def _parse_warc_buffer(buf: bytes) -> list[dict]:
+    """Walk every WARC record in ``buf`` (ISO 28500 §4). The content
+    block is sliced by Content-Length — header scanning never crosses
+    into payload bytes."""
+    out: list[dict] = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        eol = buf.find(b"\r\n", pos)
+        if eol < 0:
+            raise WarcError(f"missing version line terminator at {pos}")
+        version = buf[pos:eol].decode("latin-1")
+        if version not in ("WARC/1.0", "WARC/1.1"):
+            raise WarcError(f"bad WARC version line {version!r} at {pos}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = buf.find(b"\r\n", pos)
+            if eol < 0:
+                raise WarcError("truncated WARC header block")
+            line = buf[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            if line[:1] in (b" ", b"\t"):  # obs-fold continuation
+                if not headers:
+                    raise WarcError("continuation before first header")
+                headers[last] += " " + line.strip().decode("latin-1")
+                continue
+            sep = line.find(b":")
+            if sep < 0:
+                raise WarcError(f"malformed WARC header {line[:60]!r}")
+            last = line[:sep].decode("latin-1").strip().lower()
+            headers[last] = line[sep + 1 :].decode("latin-1").strip()
+        try:
+            clen = int(headers["content-length"])
+        except KeyError:
+            raise WarcError("record missing Content-Length") from None
+        except ValueError:
+            raise WarcError(
+                f"bad Content-Length {headers['content-length']!r}"
+            ) from None
+        if pos + clen > n:
+            raise WarcError("Content-Length overruns the buffer")
+        content = buf[pos : pos + clen]
+        pos += clen
+        if buf[pos : pos + 4] != b"\r\n\r\n":
+            raise WarcError("missing CRLF CRLF record separator")
+        pos += 4
+        out.append(
+            {
+                "version": version,
+                "type": headers.get("warc-type"),
+                "record_id": headers.get("warc-record-id"),
+                "target_uri": headers.get("warc-target-uri"),
+                "content_length": clen,
+                "n_headers": len(headers),
+                "content": content,
+            }
+        )
+    return out
+
+
+def parse_warc_records(
+    df: DataFrame, payload_col: str, id_col: str
+) -> DataFrame:
+    """One row per WARC record of each (uncompressed) WARC payload:
+    version, WARC-Type, WARC-Record-ID, WARC-Target-URI (NULL where the
+    record carries none, e.g. warcinfo/metadata), Content-Length as
+    declared AND enforced, header count, md5 of the content block.
+
+    Scale: map-side only; no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                for i, r in enumerate(_parse_warc_buffer(bytes(payload))):
+                    rows.append(
+                        (
+                            rid,
+                            i,
+                            r["version"],
+                            r["type"],
+                            r["record_id"],
+                            r["target_uri"],
+                            r["content_length"],
+                            r["n_headers"],
+                            hashlib.md5(r["content"]).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "rec_idx",
+                    "warc_version",
+                    "warc_type",
+                    "record_id",
+                    "target_uri",
+                    "content_length",
+                    "n_headers",
+                    "content_md5",
+                ],
+            )
+
+    sel = df.select(
+        df[id_col].alias("id"), df[payload_col].alias("payload")
+    )
+    return sel.mapInPandas(run, schema=WARC_RECORD_SCHEMA)
+
+
+def parse_warc_gz(
+    df: DataFrame, payload_col: str, id_col: str
+) -> DataFrame:
+    """The Common Crawl composition: each payload is a `.warc.gz`
+    stream (one gzip member per WARC record). Gunzips the members and
+    parses each member's bytes as exactly one WARC record, emitting the
+    WARC fields plus the member's byte offset / compressed length —
+    the (offset, length) index a 1000-executor reader would persist to
+    range-fetch records independently.
+
+    A member whose decompressed bytes hold zero or many records raises:
+    per-record-per-member is the contract that makes byte-range splits
+    safe at crawl scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                for i, m in enumerate(_gunzip_members(bytes(payload))):
+                    recs = _parse_warc_buffer(m["data"])
+                    if len(recs) != 1:
+                        raise WarcError(
+                            f"member {i} holds {len(recs)} records;"
+                            " warc.gz requires exactly one"
+                        )
+                    r = recs[0]
+                    rows.append(
+                        (
+                            rid,
+                            i,
+                            m["offset"],
+                            m["compressed_len"],
+                            r["version"],
+                            r["type"],
+                            r["record_id"],
+                            r["target_uri"],
+                            r["content_length"],
+                            hashlib.md5(r["content"]).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "member_idx",
+                    "offset",
+                    "compressed_len",
+                    "warc_version",
+                    "warc_type",
+                    "record_id",
+                    "target_uri",
+                    "content_length",
+                    "content_md5",
+                ],
+            )
+
+    sel = df.select(
+        df[id_col].alias("id"), df[payload_col].alias("payload")
+    )
+    return sel.mapInPandas(
+        run,
+        schema=(
+            "id long, member_idx int, offset long, compressed_len long,"
+            " warc_version string, warc_type string, record_id string,"
+            " target_uri string, content_length long, content_md5 string"
+        ),
+    )

@@ -1,0 +1,225 @@
+"""WARC / gzip-multistream parser tests (pipeline/warc.py).
+
+Pure-Python units exercise the byte-level walks against REAL zlib
+output (dynamic-Huffman deflate, not just the stored blocks the gate
+query synthesizes), every optional gzip header field, and the failure
+contract (malformed input raises WarcError, never silent garbage).
+One Spark end-to-end per parser pins the mapInPandas plumbing.
+"""
+
+from __future__ import annotations
+
+import gzip as gzip_mod
+import hashlib
+import struct
+import zlib
+
+import pytest
+
+from gpq_spark.pipeline.warc import (
+    WarcError,
+    _gunzip_members,
+    _parse_warc_buffer,
+    parse_gzip_members,
+    parse_warc_gz,
+)
+
+
+def gz(data: bytes, **kw) -> bytes:
+    return gzip_mod.compress(data, **kw)
+
+
+def warc_record(
+    rtype: bytes, content: bytes, uri: bytes | None = None,
+    version: bytes = b"WARC/1.1", extra: list[bytes] = (),
+) -> bytes:
+    lines = [version, b"WARC-Type: " + rtype,
+             b"WARC-Record-ID: <urn:uuid:t>"]
+    if uri is not None:
+        lines.append(b"WARC-Target-URI: " + uri)
+    lines.extend(extra)
+    lines.append(b"Content-Length: " + str(len(content)).encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + content + b"\r\n\r\n"
+
+
+# ------------------------------------------------------------ gzip units
+
+
+def test_gunzip_real_deflate_roundtrip():
+    data = (b"the quick brown fox " * 4096)[:70000]  # > one stored block
+    ms = _gunzip_members(gz(data))
+    assert len(ms) == 1
+    assert ms[0]["data"] == data
+    assert ms[0]["crc_ok"] is True
+    assert ms[0]["isize"] == len(data)
+    assert ms[0]["offset"] == 0
+    assert ms[0]["compressed_len"] == len(gz(data))
+
+
+def test_gunzip_multimember_offsets():
+    a, b, c = gz(b"alpha"), gz(b"beta" * 100), gz(b"")
+    ms = _gunzip_members(a + b + c)
+    assert [m["data"] for m in ms] == [b"alpha", b"beta" * 100, b""]
+    assert [m["offset"] for m in ms] == [0, len(a), len(a) + len(b)]
+    assert [m["compressed_len"] for m in ms] == [len(a), len(b), len(c)]
+
+
+def test_gunzip_fname_fextra_fcomment_fhcrc():
+    # hand-build: FLG = FEXTRA|FNAME|FCOMMENT|FHCRC = 0x1E
+    body = zlib.compress(b"payload")[2:-4]  # raw deflate
+    hdr = b"\x1f\x8b\x08\x1e\x00\x00\x00\x00\x00\xff"
+    hdr += struct.pack("<H", 6) + b"XX\x02\x00ab"  # FEXTRA subfield
+    hdr += b"name.txt\x00"
+    hdr += b"a comment\x00"
+    hdr += struct.pack("<H", zlib.crc32(hdr) & 0xFFFF)
+    raw = hdr + body + struct.pack(
+        "<II", zlib.crc32(b"payload"), len(b"payload")
+    )
+    ms = _gunzip_members(raw)
+    assert ms[0]["data"] == b"payload"
+    assert ms[0]["fname"] == "name.txt"
+    assert ms[0]["crc_ok"] is True
+
+
+def test_gunzip_header_crc_mismatch_raises():
+    body = zlib.compress(b"x")[2:-4]
+    hdr = b"\x1f\x8b\x08\x02\x00\x00\x00\x00\x00\xff"
+    raw = hdr + struct.pack("<H", 0xBEEF) + body + struct.pack(
+        "<II", zlib.crc32(b"x"), 1
+    )
+    with pytest.raises(WarcError, match="CRC16"):
+        _gunzip_members(raw)
+
+
+def test_gunzip_isize_mismatch_raises():
+    raw = bytearray(gz(b"hello"))
+    raw[-4:] = struct.pack("<I", 999)
+    with pytest.raises(WarcError, match="ISIZE"):
+        _gunzip_members(bytes(raw))
+
+
+def test_gunzip_crc_mismatch_reported_not_raised():
+    raw = bytearray(gz(b"hello"))
+    raw[-8:-4] = struct.pack("<I", 0)
+    ms = _gunzip_members(bytes(raw))
+    assert ms[0]["crc_ok"] is False
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda r: r[:5], "truncated gzip header"),
+        (lambda r: b"PK" + r[2:], "bad gzip magic"),
+        (lambda r: r[:2] + b"\x07" + r[3:], "unsupported gzip CM"),
+        (lambda r: r[:-3], "truncated gzip trailer"),
+        (lambda r: r + b"junkjunkjunkjunk", "bad gzip magic"),
+        (lambda r: r + b"junk", "truncated gzip header"),
+        (lambda r: r[:12], "unterminated DEFLATE"),
+    ],
+)
+def test_gunzip_malformed_raises(mutate, msg):
+    with pytest.raises(WarcError, match=msg):
+        _gunzip_members(mutate(gz(b"hello world")))
+
+
+# ------------------------------------------------------------ WARC units
+
+
+def test_warc_two_records_fields():
+    buf = warc_record(b"response", b"<html>hi</html>",
+                      uri=b"https://x.test/") + warc_record(
+        b"metadata", b"k: v"
+    )
+    rs = _parse_warc_buffer(buf)
+    assert [r["type"] for r in rs] == ["response", "metadata"]
+    assert rs[0]["target_uri"] == "https://x.test/"
+    assert rs[1]["target_uri"] is None
+    assert rs[0]["content_length"] == 15
+    assert rs[0]["content"] == b"<html>hi</html>"
+    assert rs[0]["n_headers"] == 4 and rs[1]["n_headers"] == 3
+
+
+def test_warc_content_containing_version_marker():
+    # payload bytes that LOOK like a record start must not desync the
+    # walk: Content-Length slicing is the contract.
+    evil = b"WARC/1.1\r\nWARC-Type: fake\r\n\r\n" * 3
+    buf = warc_record(b"response", evil) + warc_record(b"metadata", b"m")
+    rs = _parse_warc_buffer(buf)
+    assert len(rs) == 2
+    assert rs[0]["content"] == evil
+    assert rs[1]["content"] == b"m"
+
+
+def test_warc_obs_fold_continuation():
+    buf = warc_record(
+        b"response", b"c", extra=[b"X-Long: part one\r\n\tpart two"]
+    )
+    rs = _parse_warc_buffer(buf)
+    # the folded line joins its header: type, id, x-long, content-length
+    assert rs[0]["n_headers"] == 4
+    assert rs[0]["content"] == b"c"
+
+
+def test_warc_1_0_version_accepted():
+    rs = _parse_warc_buffer(warc_record(b"warcinfo", b"", version=b"WARC/1.0"))
+    assert rs[0]["version"] == "WARC/1.0"
+
+
+@pytest.mark.parametrize(
+    "buf, msg",
+    [
+        (b"WARC/2.9\r\n\r\n", "bad WARC version"),
+        (b"WARC/1.1\r\nNoColonHere\r\n\r\n", "malformed WARC header"),
+        (warc_record(b"r", b"abc")[:-5], "Content-Length overruns"),
+        (
+            b"WARC/1.1\r\nWARC-Type: r\r\n\r\n",
+            "missing Content-Length",
+        ),
+        (
+            b"WARC/1.1\r\nContent-Length: 1\r\n\r\nXno-sep",
+            "missing CRLF CRLF",
+        ),
+        (b"WARC/1.1", "missing version line"),
+    ],
+)
+def test_warc_malformed_raises(buf, msg):
+    with pytest.raises(WarcError, match=msg):
+        _parse_warc_buffer(buf)
+
+
+def test_warc_obs_fold_header_count():
+    buf = warc_record(
+        b"response", b"c", extra=[b"X-Long: one\r\n continued"]
+    )
+    rs = _parse_warc_buffer(buf)
+    # type + id + x-long + content-length = 4 distinct headers
+    assert rs[0]["n_headers"] == 4
+
+
+# ------------------------------------------------------------ Spark e2e
+
+
+def test_parse_gzip_members_spark(spark):
+    rows = [(1, gz(b"abc") + gz(b"defg")), (2, gz(b""))]
+    df = spark.createDataFrame(rows, "doc long, payload binary")
+    out = parse_gzip_members(df, "payload", "doc").collect()
+    got = {(r.id, r.member_idx): r for r in out}
+    assert got[(1, 0)].isize == 3
+    assert got[(1, 1)].content_md5 == hashlib.md5(b"defg").hexdigest()
+    assert got[(1, 1)].offset == len(gz(b"abc"))
+    assert got[(2, 0)].isize == 0 and got[(2, 0)].crc_ok
+
+
+def test_parse_warc_gz_spark_one_record_per_member(spark):
+    good = gz(warc_record(b"response", b"hi", uri=b"u:1"))
+    df = spark.createDataFrame([(7, good)], "doc long, payload binary")
+    out = parse_warc_gz(df, "payload", "doc").collect()
+    assert out[0].warc_type == "response"
+    assert out[0].content_length == 2
+
+    two = gz(
+        warc_record(b"response", b"a") + warc_record(b"metadata", b"b")
+    )
+    bad = spark.createDataFrame([(8, two)], "doc long, payload binary")
+    with pytest.raises(Exception, match="exactly one"):
+        parse_warc_gz(bad, "payload", "doc").collect()
