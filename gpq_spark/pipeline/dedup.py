@@ -1460,3 +1460,90 @@ def fellegi_sunter_pairs(
     if min_weight is not None:
         out = out.filter(F.col("fs_weight") >= F.lit(float(min_weight)))
     return out
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """CCNet-style line-level corpus deduplication (Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): hash every LINE of every document across the whole corpus,
+    drop each line that occurs in >= ``min_docs`` distinct documents
+    (boilerplate: navigation bars, cookie banners, license footers
+    repeat across pages; prose doesn't), and reassemble what remains in
+    original order.
+
+    Matching keys are md5 of the normalized line (trim + lowercase +
+    whitespace-collapse when ``normalize``); empty lines are kept
+    verbatim (they carry document structure and would otherwise
+    all match each other). Output: one row per input document —
+    ``id``, ``n_lines``, ``n_dropped``, ``text`` (the deduped
+    reassembly; empty string when every line dropped).
+
+    Scale: the classic two-pass MapReduce shape. Pass 1 shuffles
+    (line-hash -> distinct-doc count) — a 16-byte key, never line text;
+    pass 2 joins the per-line verdicts back on the same hash and
+    re-aggregates per document. Both shuffles are narrow-key; nothing
+    collects. Boilerplate keys are high-frequency but the aggregate is
+    a partial-combine count, so skew cost is map-side.
+    """
+    if normalize:
+        norm = (
+            "lower(trim(regexp_replace(__line, '\\\\s+', ' ')))"
+        )
+    else:
+        norm = "__line"
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn(
+        "__h",
+        F.expr(
+            f"CASE WHEN trim(__line) != '' THEN md5({norm}) END"
+        ),
+    )
+    counts = (
+        lines.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.countDistinct("__id").alias("__ndocs"))
+        .filter(F.col("__ndocs") >= min_docs)
+        .select("__h", F.lit(True).alias("__dup"))
+    )
+    marked = lines.join(counts, "__h", "left")
+    return (
+        marked.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.when(F.col("__dup"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__dup").isNull(),
+                                F.struct(
+                                    F.col("__pos").alias("p"),
+                                    F.col("__line").alias("l"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        .select(
+            F.col("__id").alias("id"), "n_lines", "n_dropped", "text"
+        )
+    )

@@ -5411,3 +5411,61 @@ class TestPersistBounded:
         for f in frames:
             f.unpersist(False)
         R._BOUNDED_CACHES.clear()
+
+
+class TestLineDedup:
+    """CCNet line-level corpus dedup (pipeline.dedup.line_dedup)."""
+
+    def _run(self, spark, rows, **kw):
+        from gpq_spark.pipeline.dedup import line_dedup
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = line_dedup(df, "doc_id", "text", **kw)
+        return {r.id: r for r in out.collect()}
+
+    def test_shared_line_dropped_everywhere(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, "keep me one\ncookie banner\nunique tail"),
+                (2, "cookie banner\nkeep me two"),
+                (3, "solo document"),
+            ],
+        )
+        assert got[1].text == "keep me one\nunique tail"
+        assert got[1].n_lines == 3 and got[1].n_dropped == 1
+        assert got[2].text == "keep me two"
+        assert got[3].text == "solo document"
+        assert got[3].n_dropped == 0
+
+    def test_normalization_matches_case_and_spacing(self, spark):
+        got = self._run(
+            spark,
+            [(1, "Cookie   Banner\nmine"), (2, "cookie banner\nyours")],
+        )
+        assert got[1].text == "mine" and got[2].text == "yours"
+
+    def test_empty_lines_kept_and_not_matched(self, spark):
+        got = self._run(spark, [(1, "a\n\nb"), (2, "\nc")])
+        assert got[1].text == "a\n\nb"
+        assert got[1].n_lines == 3 and got[1].n_dropped == 0
+        assert got[2].text == "\nc"
+
+    def test_all_lines_dropped_yields_empty_text(self, spark):
+        got = self._run(spark, [(1, "same line"), (2, "same line")])
+        assert got[1].text == "" and got[1].n_dropped == 1
+
+    def test_min_docs_threshold(self, spark):
+        rows = [(1, "x\ny"), (2, "x\nz"), (3, "x\nw")]
+        loose = self._run(spark, rows, min_docs=4)
+        assert loose[1].text == "x\ny"
+        tight = self._run(spark, rows, min_docs=3)
+        assert tight[1].text == "y"
+
+    def test_no_normalize_exact_match_only(self, spark):
+        got = self._run(
+            spark,
+            [(1, "Cookie Banner\na"), (2, "cookie banner\nb")],
+            normalize=False,
+        )
+        assert got[1].text == "Cookie Banner\na"
