@@ -972,3 +972,79 @@ def html_to_text_oracle_sql(html_expr: str) -> str:
     e = f"regexp_replace({e}, ' ?\\n ?', chr(10), 'g')"
     e = f"regexp_replace({e}, '\\n+', chr(10), 'g')"
     return f"regexp_replace(trim({e}), '^\\n+|\\n+$', '', 'g')"
+
+
+def chat_turn_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    roles: tuple[str, ...] = ("system", "user", "assistant"),
+) -> DataFrame:
+    """Chat-transcript structural validation — the SFT / RLHF data
+    gate. Transcripts arrive as one turn per line, ``role: content``;
+    a training pipeline must reject transcripts that are structurally
+    broken BEFORE they reach a tokenizer, because a chat template
+    applied to a malformed turn sequence silently trains the model on
+    garbage role boundaries.
+
+    Emits per document: ``n_turns``, per-role counts, ``first_role`` /
+    ``last_role``, ``roles_valid`` (every line parses to a known role),
+    ``alternation_ok`` (after one optional leading ``system`` turn, the
+    sequence is strictly user, assistant, user, … — the shape every
+    chat template assumes), ``ends_with_assistant`` (a training example
+    must end on the supervised side), ``has_empty_content``, and
+    ``content_chars`` (total payload length, the token-budget proxy).
+
+    All pure JVM expressions: one ``split`` + higher-order
+    ``transform`` / ``forall`` / ``aggregate`` over the turn array —
+    map-side only, no shuffle, no Python."""
+    role_set = ", ".join(f"'{r}'" for r in roles)
+    t = text_col
+    turns = (
+        f"transform(split({t}, '\\n'), l -> named_struct("
+        "'role', CASE WHEN locate(': ', l) > 0"
+        " THEN substring(l, 1, locate(': ', l) - 1) END,"
+        "'content', CASE WHEN locate(': ', l) > 0"
+        " THEN substring(l, locate(': ', l) + 2) END))"
+    )
+    out = df.withColumn("__turns", F.expr(turns))
+    start = (
+        "CASE WHEN element_at(__turns, 1).role = 'system' THEN 2"
+        " ELSE 1 END"
+    )
+    alternation = (
+        f"size(__turns) >= {start} AND "
+        "forall(zip_with(__turns, sequence(1, size(__turns)),"
+        " (s, i) -> named_struct('role', s.role, 'i', i)),"
+        f" x -> x.i < {start} OR x.role ="
+        f" (CASE WHEN (x.i - {start}) % 2 = 0 THEN 'user'"
+        " ELSE 'assistant' END))"
+    )
+
+    def role_count(r: str) -> Column:
+        return F.expr(
+            f"size(filter(__turns, s -> s.role = '{r}'))"
+        ).cast("long")
+
+    return out.select(
+        F.col(id_col).alias("id"),
+        F.size("__turns").cast("long").alias("n_turns"),
+        *[role_count(r).alias(f"n_{r}") for r in roles],
+        F.expr("element_at(__turns, 1).role").alias("first_role"),
+        F.expr("element_at(__turns, -1).role").alias("last_role"),
+        F.expr(
+            f"forall(__turns, s -> s.role IN ({role_set}))"
+        ).alias("roles_valid"),
+        F.expr(alternation).alias("alternation_ok"),
+        F.expr("element_at(__turns, -1).role = 'assistant'").alias(
+            "ends_with_assistant"
+        ),
+        F.expr(
+            "exists(__turns, s -> s.content IS NULL"
+            " OR trim(s.content) = '')"
+        ).alias("has_empty_content"),
+        F.expr(
+            "aggregate(__turns, 0L,"
+            " (acc, s) -> acc + coalesce(length(s.content), 0L))"
+        ).alias("content_chars"),
+    )

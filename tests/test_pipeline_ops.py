@@ -5469,3 +5469,56 @@ class TestLineDedup:
             normalize=False,
         )
         assert got[1].text == "Cookie Banner\na"
+
+
+class TestChatTurnStats:
+    """SFT chat-transcript validation (pipeline.text.chat_turn_stats)."""
+
+    def _run(self, spark, chats):
+        from gpq_spark.pipeline.text import chat_turn_stats
+
+        df = spark.createDataFrame(
+            list(enumerate(chats)), "doc_id long, chat string"
+        )
+        out = chat_turn_stats(df, "chat", "doc_id")
+        return {r.id: r for r in out.collect()}
+
+    def test_well_formed_with_system(self, spark):
+        got = self._run(
+            spark,
+            ["system: be kind\nuser: hi there\nassistant: hello"],
+        )[0]
+        assert got.n_turns == 3
+        assert (got.n_system, got.n_user, got.n_assistant) == (1, 1, 1)
+        assert got.first_role == "system" and got.last_role == "assistant"
+        assert got.roles_valid and got.alternation_ok
+        assert got.ends_with_assistant and not got.has_empty_content
+        assert got.content_chars == len("be kind") + len("hi there") + len(
+            "hello"
+        )
+
+    def test_alternation_broken(self, spark):
+        got = self._run(spark, ["user: a\nuser: b\nassistant: c"])[0]
+        assert not got.alternation_ok and got.roles_valid
+
+    def test_assistant_first_fails_alternation(self, spark):
+        got = self._run(spark, ["assistant: hi\nuser: yo"])[0]
+        assert not got.alternation_ok
+
+    def test_unknown_role_and_unparseable_line(self, spark):
+        got = self._run(spark, ["user: q\nrobot: r\nassistant: a"])[0]
+        assert not got.roles_valid
+        got2 = self._run(spark, ["user: q\nno separator line"])[0]
+        assert not got2.roles_valid
+        assert got2.has_empty_content  # unparsed line → NULL content
+
+    def test_empty_content_detected(self, spark):
+        got = self._run(spark, ["user: \nassistant: ok"])[0]
+        assert got.has_empty_content
+        assert got.alternation_ok
+        assert got.content_chars == 2
+
+    def test_colon_inside_content_keeps_first_split(self, spark):
+        got = self._run(spark, ["user: ratio is 3: 1\nassistant: ok"])[0]
+        assert got.roles_valid
+        assert got.content_chars == len("ratio is 3: 1") + 2
