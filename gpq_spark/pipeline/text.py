@@ -1048,3 +1048,122 @@ def chat_turn_stats(
             " (acc, s) -> acc + coalesce(length(s.content), 0L))"
         ).alias("content_chars"),
     )
+
+
+def charlm_xent(
+    df: DataFrame,
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-bigram language-model cross-entropy — the CCNet
+    quality signal (Wenzek et al. train a KenLM on clean text and
+    bucket crawl docs by perplexity; the char-bigram LM is the same
+    mechanism at the smallest footprint that still separates fluent
+    text from junk/boilerplate/wrong-language). Train counts come from
+    ``train_df`` (the trusted slice), every doc in ``df`` is scored.
+
+    Model: add-one-smoothed bigram MLE,
+    ``P(c2 | c1) = (count(c1 c2) + 1) / (count(c1 ·) + V)`` with V =
+    distinct characters in the training corpus. Each scored bigram
+    contributes the exact-integer negative log
+    ``floor(1e6 ln(ctx + V)) − floor(1e6 ln(cnt + 1))`` — two ln calls
+    on exact integers, floored before the sum, so the total is
+    partition- and engine-independent (the suite's PageRank/MI
+    discipline). Output per doc: ``id``, ``n_bigrams``, ``nll_e6``
+    (summed scaled negative log-likelihood; divide by n_bigrams for
+    per-char cross-entropy), NULL nll for docs shorter than 2 chars.
+
+    Scale: the model is a bounded table (≤ alphabet² rows) built with
+    one narrow groupBy over the training corpus and BROADCAST to the
+    scorers; scoring explodes doc bigrams map-side, joins the
+    broadcast model, and re-aggregates per doc — one data-scaled
+    shuffle (the per-doc agg), no collect of anything row-scaled.
+    """
+    def bigrams(frame: DataFrame, *keep: str) -> DataFrame:
+        t = f"lower({text_col})"
+        return frame.select(
+            *keep,
+            F.explode(
+                F.expr(
+                    f"CASE WHEN length({t}) >= 2 THEN"
+                    f" transform(sequence(1, length({t}) - 1),"
+                    f" i -> substring({t}, i, 2)) ELSE array() END"
+                )
+            ).alias("__bg"),
+        )
+
+    counts = bigrams(train_df).groupBy("__bg").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    ctx = (
+        counts.groupBy(F.substring("__bg", 1, 1).alias("__c1"))
+        .agg(F.sum("__cnt").alias("__ctx"))
+    )
+    vocab = (
+        train_df.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(lower({text_col}))),"
+                    f" i -> substring(lower({text_col}), i, 1))"
+                )
+            ).alias("__c")
+        )
+        .agg(F.countDistinct("__c").alias("__v"))
+    )
+    model = (
+        counts.join(
+            ctx, F.substring("__bg", 1, 1) == F.col("__c1"), "inner"
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__bg",
+            (
+                F.floor(1e6 * F.log(F.col("__ctx") + F.col("__v")))
+                - F.floor(1e6 * F.log(F.col("__cnt") + 1))
+            ).alias("__nll"),
+        )
+    )
+    # unseen bigrams: cnt = 0 and an UNSEEN CONTEXT has ctx = 0 →
+    # floor(1e6 ln V) − floor(1e6 ln 1). Seen-context/unseen-bigram
+    # needs the ctx table, so score against ctx ⟕ model.
+    scored = (
+        bigrams(df, F.col(id_col).alias("id"))
+        .join(F.broadcast(model), "__bg", "left")
+        .join(
+            F.broadcast(
+                ctx.crossJoin(vocab).select(
+                    "__c1",
+                    F.floor(
+                        1e6 * F.log(F.col("__ctx") + F.col("__v"))
+                    ).alias("__ctx_nll"),
+                )
+            ),
+            F.substring("__bg", 1, 1) == F.col("__c1"),
+            "left",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__term",
+            F.coalesce(
+                F.col("__nll"),
+                F.col("__ctx_nll"),
+                F.floor(1e6 * F.log(F.col("__v"))),
+            ),
+        )
+    )
+    out = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("__term").cast("long").alias("nll_e6"),
+    )
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_ids.join(out, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.col("nll_e6").cast("long"),
+        )
+    )

@@ -5522,3 +5522,59 @@ class TestChatTurnStats:
         got = self._run(spark, ["user: ratio is 3: 1\nassistant: ok"])[0]
         assert got.roles_valid
         assert got.content_chars == len("ratio is 3: 1") + 2
+
+
+class TestCharlmXent:
+    """CCNet char-bigram LM scoring (pipeline.text.charlm_xent)."""
+
+    def _run(self, spark, train, score):
+        from gpq_spark.pipeline.text import charlm_xent
+
+        tdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+        )
+        sdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(score)], "doc_id long, text string"
+        )
+        out = charlm_xent(sdf, tdf, "text", "doc_id")
+        return {r.id: r for r in out.collect()}
+
+    def test_fluent_scores_lower_than_junk(self, spark):
+        train = ["the cat sat on the mat", "the dog sat on the log"]
+        got = self._run(spark, train, ["the cat sat", "zqxzqxzqxzq"])
+        fluent, junk = got[0], got[1]
+        assert fluent.n_bigrams == 10 and junk.n_bigrams == 10
+        assert fluent.nll_e6 < junk.nll_e6
+
+    def test_short_doc_null_nll(self, spark):
+        got = self._run(spark, ["abcabc"], ["x", ""])
+        assert got[0].n_bigrams == 0 and got[0].nll_e6 is None
+        assert got[1].n_bigrams == 0
+
+    def test_exact_integer_value(self, spark):
+        import math
+
+        # train "abab": bigrams ab,ba,ab → cnt(ab)=2, cnt(ba)=1,
+        # ctx(a)=2, ctx(b)=1, V=2. score "ab": term =
+        # floor(1e6 ln(2+2)) - floor(1e6 ln(2+1))
+        got = self._run(spark, ["abab"], ["ab"])
+        want = math.floor(1e6 * math.log(4)) - math.floor(
+            1e6 * math.log(3)
+        )
+        assert got[0].nll_e6 == want
+
+    def test_unseen_context_uses_vocab_floor(self, spark):
+        import math
+
+        # "zz" over "abab" model: ctx(z) unseen → floor(1e6 ln V) = ln 2
+        got = self._run(spark, ["abab"], ["zz"])
+        assert got[0].nll_e6 == math.floor(1e6 * math.log(2))
+
+    def test_model_broadcast_in_plan(self, spark):
+        from gpq_spark.pipeline.text import charlm_xent
+
+        df = spark.createDataFrame(
+            [(1, "hello world")], "doc_id long, text string"
+        )
+        plan = charlm_xent(df, df)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
