@@ -1,0 +1,190 @@
+"""Zip-archive ingest: EOCD + central-directory walk over opaque
+binary payloads.
+
+Dataset shards very often arrive zipped (image corpora, benchmark
+bundles, Kaggle-style drops). The scalable way to read a zip is the
+way this module does it: locate the End-Of-Central-Directory record by
+scanning BACKWARDS from the tail (the comment field means the EOCD is
+not at a fixed offset), then walk the central directory — the
+authoritative index — and use each entry's recorded local-header
+offset to range-address its data. That (offset, csize) index is
+exactly what a 1000-executor reader persists so entries decode
+independently; local headers are only VALIDATED, never trusted for
+layout.
+
+Supports stored (method 0) and DEFLATE (method 8) entries — the two
+methods the zip ecosystem actually emits — with CRC32 validated
+against the decompressed bytes. Zip64 archives (> 4 GiB or > 65535
+entries) raise a named error rather than mis-parsing; at that size a
+pipeline should be reading the member stream, not a monolithic zip.
+
+Reference framing: the reference engine (planetlabs/gpq) reads whole
+Parquet/GeoJSON files only (internal/storage/); archives extend the
+multimodal container family per SURVEY §2.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+class ZipError(ValueError):
+    """Malformed zip payload."""
+
+
+_EOCD_SIG = b"PK\x05\x06"
+_CDH_SIG = b"PK\x01\x02"
+_LFH_SIG = b"PK\x03\x04"
+
+
+def _find_eocd(buf: bytes) -> int:
+    """Backwards scan for the EOCD signature, accepting it only where
+    the recorded comment length reaches exactly the end of the buffer —
+    the standard defense against PK\\x05\\x06 bytes inside a comment."""
+    n = len(buf)
+    lo = max(0, n - 22 - 65535)
+    pos = buf.rfind(_EOCD_SIG, lo)
+    while pos >= 0:
+        if n - (pos + 22) >= 0:
+            (clen,) = struct.unpack("<H", buf[pos + 20 : pos + 22])
+            if pos + 22 + clen == n:
+                return pos
+        pos = buf.rfind(_EOCD_SIG, lo, pos)
+    raise ZipError("no EOCD record found")
+
+
+def _parse_zip(buf: bytes) -> list[dict]:
+    eocd = _find_eocd(buf)
+    disk, cd_disk, n_disk, n_total, cd_size, cd_off = struct.unpack(
+        "<HHHHII", buf[eocd + 4 : eocd + 20]
+    )
+    if disk != 0 or cd_disk != 0 or n_disk != n_total:
+        raise ZipError("multi-disk archives unsupported")
+    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
+        raise ZipError("zip64 archive unsupported")
+    out: list[dict] = []
+    pos = cd_off
+    for idx in range(n_total):
+        if buf[pos : pos + 4] != _CDH_SIG:
+            raise ZipError(f"bad central-directory signature at {pos}")
+        (
+            _vmade,
+            _vneed,
+            flags,
+            method,
+            _mtime,
+            _mdate,
+            crc,
+            csize,
+            usize,
+            nlen,
+            xlen,
+            clen,
+            _dno,
+            _iattr,
+            _eattr,
+            lfh_off,
+        ) = struct.unpack("<HHHHHHIIIHHHHHII", buf[pos + 4 : pos + 46])
+        name = buf[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        pos += 46 + nlen + xlen + clen
+        if flags & 0x1:
+            raise ZipError(f"encrypted entry {name!r} unsupported")
+        # validate the local header, take data AFTER its own name/extra
+        # (local extra length may differ from the central one)
+        if buf[lfh_off : lfh_off + 4] != _LFH_SIG:
+            raise ZipError(f"bad local-header signature for {name!r}")
+        lnlen, lxlen = struct.unpack(
+            "<HH", buf[lfh_off + 26 : lfh_off + 30]
+        )
+        dstart = lfh_off + 30 + lnlen + lxlen
+        raw = buf[dstart : dstart + csize]
+        if len(raw) != csize:
+            raise ZipError(f"entry {name!r} data overruns the file")
+        if method == 0:
+            data = raw
+        elif method == 8:
+            d = zlib.decompressobj(-15)
+            try:
+                data = d.decompress(raw) + d.flush()
+            except zlib.error as e:
+                raise ZipError(
+                    f"bad DEFLATE stream in {name!r}: {e}"
+                ) from e
+        else:
+            raise ZipError(f"unsupported method {method} for {name!r}")
+        if len(data) != usize:
+            raise ZipError(
+                f"entry {name!r}: usize {usize}, actual {len(data)}"
+            )
+        out.append(
+            {
+                "idx": idx,
+                "name": name,
+                "method": method,
+                "csize": csize,
+                "usize": usize,
+                "crc_ok": crc == (zlib.crc32(data) & 0xFFFFFFFF),
+                "lfh_offset": lfh_off,
+                "data": data,
+            }
+        )
+    return out
+
+
+ZIP_ENTRY_SCHEMA = (
+    "id long, entry_idx int, name string, method int, csize long,"
+    " usize long, crc_ok boolean, lfh_offset long, content_md5 string"
+)
+
+
+def parse_zip_entries(
+    df: DataFrame, payload_col: str, id_col: str
+) -> DataFrame:
+    """One row per central-directory entry of each zip payload: name,
+    method, sizes, validated CRC32, local-header offset (the range
+    index), md5 of the decompressed bytes. Malformed archives raise
+    ``ZipError``. Map-side only (mapInPandas), no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                for e in _parse_zip(bytes(payload)):
+                    rows.append(
+                        (
+                            rid,
+                            e["idx"],
+                            e["name"],
+                            e["method"],
+                            e["csize"],
+                            e["usize"],
+                            e["crc_ok"],
+                            e["lfh_offset"],
+                            hashlib.md5(e["data"]).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "entry_idx",
+                    "name",
+                    "method",
+                    "csize",
+                    "usize",
+                    "crc_ok",
+                    "lfh_offset",
+                    "content_md5",
+                ],
+            )
+
+    sel = df.select(
+        df[id_col].alias("id"), df[payload_col].alias("payload")
+    )
+    return sel.mapInPandas(run, schema=ZIP_ENTRY_SCHEMA)

@@ -1,0 +1,117 @@
+"""Zip-archive parser tests (pipeline/archive.py).
+
+Interop is the point: archives are built with stdlib ``zipfile``
+(real DEFLATE streams, real central directories, comments, nested
+paths), not with the gate query's JVM builder — so the parser is
+checked against an independent writer. Failure paths pin the
+raised-errors-never-silent-garbage contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import struct
+import zipfile
+
+import pytest
+
+from gpq_spark.pipeline.archive import ZipError, _parse_zip, parse_zip_entries
+
+
+def build(entries, comment=b"", compression=zipfile.ZIP_DEFLATED):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=compression) as z:
+        for name, data in entries:
+            z.writestr(name, data)
+        if comment:
+            z.comment = comment
+    return buf.getvalue()
+
+
+def test_stdlib_deflate_roundtrip():
+    data = b"the quick brown fox jumps over the lazy dog " * 200
+    raw = build([("a/b/doc.txt", data), ("empty.bin", b"")])
+    es = _parse_zip(raw)
+    assert [e["name"] for e in es] == ["a/b/doc.txt", "empty.bin"]
+    assert es[0]["data"] == data
+    assert es[0]["method"] == 8  # stdlib deflates compressible data
+    assert es[0]["crc_ok"] and es[1]["crc_ok"]
+    assert es[0]["usize"] == len(data) and es[1]["usize"] == 0
+
+
+def test_stdlib_stored_roundtrip():
+    raw = build([("x.txt", b"abc")], compression=zipfile.ZIP_STORED)
+    es = _parse_zip(raw)
+    assert es[0]["method"] == 0 and es[0]["data"] == b"abc"
+    assert es[0]["csize"] == es[0]["usize"] == 3
+
+
+def test_comment_with_embedded_eocd_signature():
+    # a comment containing PK\x05\x06 must not fool the backwards scan
+    raw = build([("x", b"1")], comment=b"fake PK\x05\x06 inside")
+    es = _parse_zip(raw)
+    assert es[0]["data"] == b"1"
+
+
+def test_lfh_offset_points_at_local_header():
+    raw = build([("a", b"11"), ("b", b"22")])
+    es = _parse_zip(raw)
+    for e in es:
+        assert raw[e["lfh_offset"] : e["lfh_offset"] + 4] == b"PK\x03\x04"
+    assert es[0]["lfh_offset"] < es[1]["lfh_offset"]
+
+
+def test_crc_mismatch_reported():
+    raw = bytearray(build([("x", b"abcd")], compression=zipfile.ZIP_STORED))
+    # stored data sits right before the central directory; flip a byte
+    cd = raw.find(b"PK\x01\x02")
+    raw[cd - 1] = raw[cd - 1] ^ 0xFF
+    es = _parse_zip(bytes(raw))
+    assert es[0]["crc_ok"] is False
+
+
+def test_no_eocd_raises():
+    with pytest.raises(ZipError, match="no EOCD"):
+        _parse_zip(b"not a zip at all")
+
+
+def test_truncated_central_directory_raises():
+    raw = bytearray(build([("x", b"1")]))
+    eocd = raw.rfind(b"PK\x05\x06")
+    # corrupt the cd offset
+    raw[eocd + 16 : eocd + 20] = struct.pack("<I", 1)
+    with pytest.raises(ZipError, match="central-directory signature"):
+        _parse_zip(bytes(raw))
+
+
+def test_encrypted_entry_raises():
+    raw = bytearray(build([("x", b"1")], compression=zipfile.ZIP_STORED))
+    cd = raw.find(b"PK\x01\x02")
+    flags = struct.unpack("<H", raw[cd + 8 : cd + 10])[0]
+    raw[cd + 8 : cd + 10] = struct.pack("<H", flags | 1)
+    with pytest.raises(ZipError, match="encrypted"):
+        _parse_zip(bytes(raw))
+
+
+def test_unsupported_method_raises():
+    raw = bytearray(build([("x", b"1")], compression=zipfile.ZIP_STORED))
+    cd = raw.find(b"PK\x01\x02")
+    raw[cd + 10 : cd + 12] = struct.pack("<H", 14)  # LZMA
+    with pytest.raises(ZipError, match="unsupported method"):
+        _parse_zip(bytes(raw))
+
+
+def test_spark_end_to_end(spark):
+    payloads = [
+        (1, build([("a.txt", b"alpha"), ("b.txt", b"beta" * 50)])),
+        (2, build([("c.txt", b"gamma")], comment=b"hi")),
+    ]
+    df = spark.createDataFrame(payloads, "doc long, payload binary")
+    out = parse_zip_entries(df, "payload", "doc").collect()
+    got = {(r.id, r.name): r for r in out}
+    assert got[(1, "b.txt")].content_md5 == hashlib.md5(
+        b"beta" * 50
+    ).hexdigest()
+    assert got[(2, "c.txt")].usize == 5
+    assert all(r.crc_ok for r in out)
