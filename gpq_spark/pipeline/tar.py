@@ -1,0 +1,185 @@
+"""Tar / WebDataset ingest — the multimodal training-shard format.
+
+WebDataset (Breuel et al.; the shard layout behind most large-scale
+image/audio-text training runs) stores each sample as adjacent tar
+entries sharing a basename key: ``000017.jpg`` + ``000017.json`` +
+``000017.txt``. Shards stream sequentially — which is why tar (no
+central index, 512-byte blocks) is the right container for
+throughput-bound training I/O, and why the parse is a single forward
+walk.
+
+- ``parse_tar_entries`` — POSIX ustar walk: 512-byte headers, octal
+  size/mtime fields, CHECKSUM VALIDATED (sum of header bytes with the
+  chksum field blanked to spaces — the spec's signed/unsigned
+  ambiguity is handled by accepting the unsigned sum, which is what
+  every modern writer emits), data rounded up to block boundary,
+  archive end at two zero blocks. GNU long-name ('L') entries are
+  applied to the following header; pax headers ('x'/'g') are skipped
+  with their payload. Emits the (offset, size) range index.
+- ``webdataset_samples`` — the grouping operator: entries → one row
+  per (shard, sample key) with a map of extension → content digest,
+  the shape a training loader consumes.
+
+Arrow-batched ``mapInPandas`` (the multimodal pattern); malformed
+archives raise ``TarError`` — never silent garbage.
+
+Reference framing: the reference engine has no container ingest; this
+extends the multimodal family per SURVEY §2.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class TarError(ValueError):
+    """Malformed tar payload."""
+
+
+def _octal(field: bytes, what: str) -> int:
+    s = field.split(b"\x00", 1)[0].strip()
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError:
+        raise TarError(f"bad octal {what} field {field!r}") from None
+
+
+def _parse_tar(buf: bytes) -> list[dict]:
+    out: list[dict] = []
+    pos = 0
+    n = len(buf)
+    pending_name: str | None = None
+    while pos + 512 <= n:
+        hdr = buf[pos : pos + 512]
+        if hdr == b"\x00" * 512:
+            # end marker: two zero blocks
+            if buf[pos + 512 : pos + 1024] != b"\x00" * 512:
+                raise TarError("single zero block without terminator")
+            return out
+        stored = _octal(hdr[148:156], "chksum")
+        actual = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if stored != actual:
+            raise TarError(
+                f"header checksum mismatch at {pos}:"
+                f" stored {stored}, actual {actual}"
+            )
+        size = _octal(hdr[124:136], "size")
+        typeflag = hdr[156:157]
+        data_start = pos + 512
+        data_end = data_start + size
+        if data_end > n:
+            raise TarError(f"entry data overruns the archive at {pos}")
+        data = buf[data_start:data_end]
+        pos = data_start + ((size + 511) // 512) * 512
+        if typeflag == b"L":  # GNU long name for the NEXT entry
+            pending_name = data.rstrip(b"\x00").decode("utf-8")
+            continue
+        if typeflag in (b"x", b"g"):  # pax metadata: skip payload
+            continue
+        name = pending_name or hdr[0:100].split(b"\x00", 1)[0].decode(
+            "utf-8"
+        )
+        prefix = hdr[345:500].split(b"\x00", 1)[0].decode("utf-8")
+        if prefix and pending_name is None:
+            name = f"{prefix}/{name}"
+        pending_name = None
+        if typeflag in (b"0", b"\x00"):
+            out.append(
+                {
+                    "name": name,
+                    "size": size,
+                    "offset": data_start,
+                    "data": data,
+                }
+            )
+        # directories ('5'), links ('1','2'): structural, no payload row
+    raise TarError("archive ended without the two-zero-block terminator")
+
+
+TAR_ENTRY_SCHEMA = (
+    "id long, entry_idx int, name string, size long, offset long,"
+    " content_md5 string"
+)
+
+
+def parse_tar_entries(
+    df: DataFrame, payload_col: str, id_col: str
+) -> DataFrame:
+    """One row per regular-file tar entry: name (long-name and
+    prefix-aware), size, byte offset of the data (the range index a
+    streaming loader seeks to), md5 of the bytes. Map-side only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                for i, e in enumerate(_parse_tar(bytes(payload))):
+                    rows.append(
+                        (
+                            rid,
+                            i,
+                            e["name"],
+                            e["size"],
+                            e["offset"],
+                            hashlib.md5(e["data"]).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "entry_idx",
+                    "name",
+                    "size",
+                    "offset",
+                    "content_md5",
+                ],
+            )
+
+    sel = df.select(
+        df[id_col].alias("id"), df[payload_col].alias("payload")
+    )
+    return sel.mapInPandas(run, schema=TAR_ENTRY_SCHEMA)
+
+
+def webdataset_samples(entries: DataFrame) -> DataFrame:
+    """Group parsed tar entries into WebDataset SAMPLES: key = the
+    entry name up to the first dot of its basename (WebDataset's rule:
+    ``dir/000017.seg.png`` → key ``dir/000017``, extension
+    ``seg.png``), one output row per (id, key) carrying ``n_parts``,
+    the sorted extension list, and total payload bytes. A sample
+    missing parts is visible as a short extension list — the
+    training-loader integrity check, done set-wide in one shuffle.
+
+    Input: the ``parse_tar_entries`` output. One groupBy on
+    (id, key) — narrow keys, payload stays as digests."""
+    base = F.expr(
+        "CASE WHEN instr(element_at(split(name, '/'), -1), '.') > 0"
+        " THEN substring(name, 1, length(name) -"
+        "  length(element_at(split(name, '/'), -1)) +"
+        "  instr(element_at(split(name, '/'), -1), '.') - 1)"
+        " ELSE name END"
+    )
+    ext = F.expr(
+        "CASE WHEN instr(element_at(split(name, '/'), -1), '.') > 0"
+        " THEN substring(element_at(split(name, '/'), -1),"
+        "  instr(element_at(split(name, '/'), -1), '.') + 1)"
+        " ELSE '' END"
+    )
+    return (
+        entries.withColumn("__key", base)
+        .withColumn("__ext", ext)
+        .groupBy("id", F.col("__key").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_parts"),
+            F.array_sort(F.collect_list("__ext")).alias("extensions"),
+            F.sum("size").cast("long").alias("total_bytes"),
+        )
+    )

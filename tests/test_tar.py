@@ -1,0 +1,129 @@
+"""Tar / WebDataset parser tests (pipeline/tar.py).
+
+Archives are built with stdlib ``tarfile`` in its three dialects
+(USTAR, GNU with long names, PAX), so the parser is checked against an
+independent writer — the gate query's JVM builder only covers the
+ustar happy path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import tarfile
+
+import pytest
+
+from gpq_spark.pipeline.tar import (
+    TarError,
+    _parse_tar,
+    parse_tar_entries,
+    webdataset_samples,
+)
+
+
+def build(entries, fmt=tarfile.USTAR_FORMAT, dirs=()):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=fmt) as t:
+        for d in dirs:
+            info = tarfile.TarInfo(d)
+            info.type = tarfile.DIRTYPE
+            t.addfile(info)
+        for name, data in entries:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            t.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_ustar_roundtrip_with_offsets():
+    data = b"x" * 1000  # spans 2 blocks
+    raw = build([("a.txt", data), ("b.txt", b"yy")])
+    es = _parse_tar(raw)
+    assert [e["name"] for e in es] == ["a.txt", "b.txt"]
+    assert es[0]["size"] == 1000 and es[0]["offset"] == 512
+    # header(512) + padded data(1024) then next header(512)
+    assert es[1]["offset"] == 512 + 1024 + 512
+    assert raw[es[1]["offset"] : es[1]["offset"] + 2] == b"yy"
+
+
+def test_gnu_long_name():
+    long = "deep/" * 40 + "sample.txt"  # > 100 chars
+    assert len(long) > 100
+    raw = build([(long, b"payload")], fmt=tarfile.GNU_FORMAT)
+    es = _parse_tar(raw)
+    assert es[0]["name"] == long
+    assert es[0]["data"] == b"payload"
+
+
+def test_pax_headers_skipped():
+    raw = build([("x.txt", b"abc")], fmt=tarfile.PAX_FORMAT)
+    es = _parse_tar(raw)
+    assert [e["name"] for e in es] == ["x.txt"]
+    assert es[0]["data"] == b"abc"
+
+
+def test_ustar_prefix_field():
+    # a name just over 100 chars with a split point forces the ustar
+    # prefix field (stdlib splits dir/name across prefix+name)
+    name = "p" * 90 + "/" + "f" * 60
+    raw = build([(name, b"z")], fmt=tarfile.USTAR_FORMAT)
+    es = _parse_tar(raw)
+    assert es[0]["name"] == name
+
+
+def test_directories_emit_no_rows():
+    raw = build([("d/x.bin", b"1")], dirs=["d"])
+    es = _parse_tar(raw)
+    assert [e["name"] for e in es] == ["d/x.bin"]
+
+
+def test_checksum_mismatch_raises():
+    raw = bytearray(build([("x", b"1")]))
+    raw[0] ^= 0xFF
+    with pytest.raises(TarError, match="checksum mismatch"):
+        _parse_tar(bytes(raw))
+
+
+def test_truncated_data_raises():
+    raw = build([("x", b"1" * 600)])
+    with pytest.raises(TarError, match="overruns|terminator"):
+        _parse_tar(raw[:700])
+
+
+def test_missing_terminator_raises():
+    raw = build([("x", b"1")])
+    end = raw.rstrip(b"\x00")
+    # keep one zero block only
+    with pytest.raises(TarError, match="zero block|terminator"):
+        _parse_tar(raw[: len(end) + 512 - (len(end) % 512 or 512) + 512])
+
+
+def test_webdataset_grouping(spark):
+    shard = build(
+        [
+            ("s/0001.jpg", b"JJ"),
+            ("s/0001.json", b"{}"),
+            ("s/0001.seg.png", b"PPP"),
+            ("s/0002.jpg", b"KK"),
+            ("noext", b"n"),
+        ]
+    )
+    df = spark.createDataFrame([(5, shard)], "doc long, payload binary")
+    out = webdataset_samples(
+        parse_tar_entries(df, "payload", "doc")
+    ).collect()
+    got = {r.key: r for r in out}
+    assert got["s/0001"].n_parts == 3
+    assert got["s/0001"].extensions == ["jpg", "json", "seg.png"]
+    assert got["s/0001"].total_bytes == 7
+    assert got["s/0002"].n_parts == 1
+    assert got["noext"].extensions == [""]
+
+
+def test_spark_end_to_end_md5(spark):
+    raw = build([("k.txt", b"hello tar")])
+    df = spark.createDataFrame([(9, raw)], "doc long, payload binary")
+    r = parse_tar_entries(df, "payload", "doc").collect()[0]
+    assert r.content_md5 == hashlib.md5(b"hello tar").hexdigest()
+    assert r.size == 9
