@@ -1,0 +1,183 @@
+"""Crawl governance: robots.txt parsing + URL allow/deny decisions
+(RFC 9309, the Robots Exclusion Protocol).
+
+A lawful large-scale crawl (and any pipeline re-filtering an existing
+crawl like Common Crawl, which ships robots verdicts) needs exactly
+two operators: turn each host's robots.txt into a RULE TABLE, and
+join a URL frontier against it with the RFC's precedence semantics —
+most-specific (longest) matching rule wins, allow wins ties, and a
+crawler obeys only its most specific matching user-agent group.
+
+Both are pure DataFrame expressions. Parsing is per-file windowed
+(robots files are KBs; the window partitions by host, never global);
+decisions are a broadcast-join of the bounded rule table against the
+data-scaled frontier, matched with JVM-side regexps translated from
+the RFC's limited wildcard language ('*' anywhere, '$' end anchor).
+
+Reference framing: the reference engine has no crawl surface; this
+extends the corpus-pipeline family per SURVEY §2's LLM-pipeline
+mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def parse_robots_rules(
+    df: DataFrame, text_col: str, host_col: str
+) -> DataFrame:
+    """robots.txt → one row per (host, agent, rule): ``host``,
+    ``agent`` (lowercased user-agent token), ``allow`` (bool),
+    ``path`` (verbatim pattern), ``specificity`` (pattern length, the
+    RFC tie-breaker). Group semantics per RFC 9309 §2.2.1: a rule
+    belongs to every user-agent line of the contiguous UA-run
+    immediately above it; unknown directives and comments are ignored;
+    an empty Disallow means allow-all and emits no rule.
+
+    Scale: lines explode map-side; the group assignment runs two
+    windows PARTITIONED BY HOST (files are small and independent —
+    no global window), then UA labels fan out over their group's
+    rules with one per-host join."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "pos", "__raw"
+        ),
+    ).select(
+        "host",
+        "pos",
+        # strip comments + whitespace
+        F.trim(F.regexp_replace("__raw", "#.*$", "")).alias("line"),
+    )
+    typed = lines.select(
+        "host",
+        "pos",
+        F.lower(
+            F.trim(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))
+        ).alias("key"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
+            "val"
+        ),
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = typed.withColumn(
+        # a NEW group starts at a user-agent line whose predecessor is
+        # not a user-agent line; group id = running count of starts
+        "grp",
+        F.sum(
+            F.when(
+                (F.col("key") == "user-agent")
+                & (
+                    F.coalesce(F.lag("key").over(w), F.lit(""))
+                    != "user-agent"
+                ),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    agents = (
+        grouped.filter(F.col("key") == "user-agent")
+        .select(
+            "host", "grp", F.lower(F.col("val")).alias("agent")
+        )
+        .distinct()
+    )
+    rules = grouped.filter(
+        F.col("key").isin("allow", "disallow") & (F.col("val") != "")
+    ).select(
+        "host",
+        "grp",
+        (F.col("key") == "allow").alias("allow"),
+        F.col("val").alias("path"),
+        F.length("val").alias("specificity"),
+    )
+    return agents.join(rules, ["host", "grp"]).select(
+        "host", "agent", "allow", "path", "specificity"
+    )
+
+
+def _pattern_regex(path_col: str) -> str:
+    """RFC 9309 pattern → Java/RE2-portable regex: escape everything,
+    then '*' → '.*' and a trailing '$' → end anchor; always anchored
+    at the path start."""
+    return (
+        f"concat('^', CASE WHEN substring({path_col}, -1, 1) = '$'"
+        f" THEN concat(replace(regexp_replace(substring({path_col}, 1,"
+        f" length({path_col}) - 1),"
+        " '([\\\\.\\\\^\\\\$\\\\+\\\\?\\\\(\\\\)\\\\[\\\\]\\\\{\\\\}\\\\|\\\\\\\\])', '\\\\\\\\$1'),"
+        " '*', '.*'), '$')"
+        f" ELSE replace(regexp_replace({path_col},"
+        " '([\\\\.\\\\^\\\\$\\\\+\\\\?\\\\(\\\\)\\\\[\\\\]\\\\{\\\\}\\\\|\\\\\\\\])', '\\\\\\\\$1'),"
+        " '*', '.*') END)"
+    )
+
+
+def robots_decisions(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_host_col: str = "host",
+    url_path_col: str = "path",
+) -> DataFrame:
+    """Per-URL crawl verdicts for one crawler identity: joins the
+    frontier against the rule table, keeps only each host's GOVERNING
+    GROUP (the crawler's own user-agent token if that group exists,
+    else the '*' group — RFC 9309 §2.2.1: exactly one group applies),
+    matches patterns, and resolves precedence: longest specificity
+    wins, allow wins ties. URLs on hosts with no robots rules (or no
+    matching rule in the governing group) are allowed.
+
+    Output: every input column + ``allowed`` (bool) + ``matched_rule``
+    (the winning pattern, NULL when nothing matched).
+
+    Scale: the rule table is bounded (robots files are small) and
+    BROADCAST; matching is a per-row regexp over the broadcast rows;
+    the verdict picks max_by((allow, pattern), (specificity, allow))
+    in the per-URL aggregate — the frontier never sorts globally."""
+    a = agent.lower()
+    gov = rules.withColumn(
+        "__pref",
+        F.when(F.col("agent") == a, 2).when(
+            F.col("agent") == "*", 1
+        ),
+    ).filter(F.col("__pref").isNotNull())
+    best = gov.groupBy("host").agg(F.max("__pref").alias("__best"))
+    gov = (
+        gov.join(best, "host")
+        .filter(F.col("__pref") == F.col("__best"))
+        .select(
+            F.col("host").alias("__rhost"),
+            F.col("allow").alias("__rallow"),
+            F.col("path").alias("__rpath"),
+            F.col("specificity").alias("__rspec"),
+            F.expr(_pattern_regex("path")).alias("__re"),
+        )
+    )
+    joined = urls.join(
+        F.broadcast(gov),
+        (F.col(url_host_col) == F.col("__rhost"))
+        & F.expr(f"{url_path_col} rlike __re"),
+        "left",
+    )
+    url_cols = urls.columns
+    # precedence: longest pattern, allow beats disallow on ties —
+    # encode as (specificity, allow) and take the max struct
+    verdict = joined.groupBy(*url_cols).agg(
+        F.max(
+            F.when(
+                F.col("__rpath").isNotNull(),
+                F.struct(
+                    F.col("__rspec").alias("s"),
+                    F.col("__rallow").cast("int").alias("a"),
+                    F.col("__rpath").alias("p"),
+                ),
+            )
+        ).alias("__win")
+    )
+    return verdict.select(
+        *url_cols,
+        F.coalesce(F.col("__win.a") == 1, F.lit(True)).alias("allowed"),
+        F.col("__win.p").alias("matched_rule"),
+    )

@@ -5578,3 +5578,101 @@ class TestCharlmXent:
         )
         plan = charlm_xent(df, df)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+class TestRobots:
+    """RFC 9309 robots parsing + decisions (pipeline.crawl)."""
+
+    ROBOTS = (
+        "# policy\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok\n"
+        "\n"
+        "User-agent: gpqbot\n"
+        "User-agent: otherbot\n"
+        "Disallow: /docs/*.pdf$\n"
+        "Allow: /docs/\n"
+        "Disallow:\n"
+    )
+
+    def _rules(self, spark):
+        from gpq_spark.pipeline.crawl import parse_robots_rules
+
+        df = spark.createDataFrame(
+            [("h1", self.ROBOTS)], "host string, txt string"
+        )
+        return parse_robots_rules(df, "txt", "host")
+
+    def test_group_parsing(self, spark):
+        rows = self._rules(spark).collect()
+        got = {(r.agent, r.path): r.allow for r in rows}
+        # shared UA run: both bots own both rules; empty Disallow dropped
+        assert got[("gpqbot", "/docs/*.pdf$")] is False
+        assert got[("otherbot", "/docs/")] is True
+        assert got[("*", "/private/ok")] is True
+        assert len(rows) == 6
+
+    def _decide(self, spark, agent, paths):
+        from gpq_spark.pipeline.crawl import robots_decisions
+
+        urls = spark.createDataFrame(
+            [("h1", p) for p in paths], "host string, path string"
+        )
+        out = robots_decisions(urls, self._rules(spark), agent)
+        return {r.path: (r.allowed, r.matched_rule) for r in out.collect()}
+
+    def test_own_group_overrides_star(self, spark):
+        got = self._decide(
+            spark, "gpqbot", ["/private/x", "/docs/a.pdf", "/docs/b.txt"]
+        )
+        # gpqbot's group has no /private rule → allowed (not *'s verdict)
+        assert got["/private/x"] == (True, None)
+        assert got["/docs/a.pdf"] == (False, "/docs/*.pdf$")
+        assert got["/docs/b.txt"] == (True, "/docs/")
+
+    def test_dollar_anchor_exact_end(self, spark):
+        got = self._decide(spark, "gpqbot", ["/docs/a.pdfx"])
+        assert got["/docs/a.pdfx"] == (True, "/docs/")
+
+    def test_star_fallback_and_longest_match(self, spark):
+        got = self._decide(
+            spark, "unknownbot", ["/private/x", "/private/ok/y", "/z"]
+        )
+        assert got["/private/x"] == (False, "/private/")
+        assert got["/private/ok/y"] == (True, "/private/ok")
+        assert got["/z"] == (True, None)
+
+    def test_unknown_host_allowed(self, spark):
+        from gpq_spark.pipeline.crawl import robots_decisions
+
+        urls = spark.createDataFrame(
+            [("nohost", "/x")], "host string, path string"
+        )
+        out = robots_decisions(urls, self._rules(spark), "gpqbot").collect()
+        assert out[0].allowed is True and out[0].matched_rule is None
+
+    def test_regex_metachars_in_paths_are_literal(self, spark):
+        from gpq_spark.pipeline.crawl import (
+            parse_robots_rules,
+            robots_decisions,
+        )
+
+        robots = "User-agent: *\nDisallow: /a+b(c)/\n"
+        rules = parse_robots_rules(
+            spark.createDataFrame(
+                [("h", robots)], "host string, txt string"
+            ),
+            "txt",
+            "host",
+        )
+        urls = spark.createDataFrame(
+            [("h", "/a+b(c)/x"), ("h", "/aab(c)/x")],
+            "host string, path string",
+        )
+        got = {
+            r.path: r.allowed
+            for r in robots_decisions(urls, rules, "any").collect()
+        }
+        assert got["/a+b(c)/x"] is False  # literal match
+        assert got["/aab(c)/x"] is True  # '+' not a quantifier
