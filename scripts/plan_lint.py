@@ -80,6 +80,9 @@ BNLJ_ALLOWED = {
     "rank_ndcg_eval", "rank_retrieval_eval", "rank_rrf_docs",
     "rank_tfidf_docs", "sample_balanced_docs", "sample_match_length_docs",
     "sample_temperature_mix", "text_bigram_pmi", "text_charlm_score",
+    # 1-row vocab-size broadcast cross join (same class as
+    # text_charlm_score): bounded single-row dim, never data-scaled
+    "text_charlm_xent",
     # round-4 additions (broadcast 1-row totals from global_order_stats)
     "q_gini_revenue", "q_lorenz_deciles", "q_kendall_binned",
     # broadcast 1-row corpus totals (T, S) for the smoothed log-ratios
