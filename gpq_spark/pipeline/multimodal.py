@@ -1471,3 +1471,65 @@ def pdf_text_stats(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
             )
 
     return slim.mapInPandas(stats, schema=PDF_TEXT_SCHEMA)
+
+
+def extract_exif_tiff(
+    df: DataFrame, payload_col: str, id_col: str, max_segments: int = 8
+) -> DataFrame:
+    """Slice the EXIF metadata block out of a JPEG: walk the marker
+    chain (the parse_jpeg_header aggregate-walk pattern) until an APP1
+    segment whose first six data bytes are the EXIF signature
+    ``Exif\\0\\0`` (EXIF 2.3 §4.7.2), then return the embedded TIFF
+    blob as a binary column — EXIF *is* a TIFF IFD, so the existing
+    parse_tiff_header consumes the slice unchanged (including its
+    per-row II/MM byte-order dispatch). The walk terminates at SOS/EOI
+    (image data reached: no EXIF) or on structural garbage; both yield
+    a NULL blob.
+
+    Output: ``id`` + ``exif_tiff`` (binary, NULL when absent). All JVM
+    expressions, map-side, zero shuffles."""
+    p = payload_col
+
+    def u8(off: str) -> str:
+        return (
+            f"CAST(conv(hex(substring({p},"
+            f" CAST({off} AS INT), 1)), 16, 10) AS BIGINT)"
+        )
+
+    def u16(off: str) -> str:
+        return (
+            f"CAST(conv(hex(substring({p},"
+            f" CAST({off} AS INT), 2)), 16, 10) AS BIGINT)"
+        )
+
+    exif_sig = f"upper(hex(substring({p}, CAST(off + 4 AS INT), 6)))"
+    walk = f"""
+        aggregate(
+            sequence(1, {max_segments}),
+            CAST(3 AS BIGINT),
+            (off, i) -> CASE
+                WHEN off <= 0 THEN off
+                WHEN {u8('off')} != 255 THEN CAST(0 AS BIGINT)
+                WHEN {u8('off + 1')} = 225
+                     AND {exif_sig} = '457869660000' THEN -off
+                WHEN {u8('off + 1')} IN (216, 217, 218)
+                    THEN CAST(0 AS BIGINT)
+                ELSE off + 2 + {u16('off + 2')}
+            END)
+    """
+    is_jpeg = f"upper(hex(substring({p}, 1, 2))) = 'FFD8'"
+    # materialize the walk once; the blob expression reuses the column
+    based = df.withColumn(
+        "__app1",
+        F.expr(
+            f"CASE WHEN {is_jpeg} THEN {walk} ELSE CAST(0 AS BIGINT) END"
+        ),
+    )
+    return based.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            "CASE WHEN __app1 < 0 THEN"
+            f" substring({p}, CAST(-__app1 + 10 AS INT),"
+            f"  CAST({u16('-__app1 + 2')} - 8 AS INT)) END"
+        ).alias("exif_tiff"),
+    )

@@ -5676,3 +5676,77 @@ class TestRobots:
         }
         assert got["/a+b(c)/x"] is False  # literal match
         assert got["/aab(c)/x"] is True  # '+' not a quantifier
+
+
+class TestExifExtract:
+    """EXIF APP1 slicing out of JPEGs (multimodal.extract_exif_tiff)."""
+
+    @staticmethod
+    def _tiff_le(width, height):
+        import struct
+
+        entries = [(256, width), (257, height)]
+        ifd = struct.pack("<H", len(entries))
+        for tag, val in entries:
+            ifd += struct.pack("<HHIHH", tag, 3, 1, val, 0)
+        ifd += b"\x00" * 4
+        return b"II*\x00" + struct.pack("<I", 8) + ifd
+
+    def _jpeg(self, tiff=None, extra_segments=1):
+        import struct
+
+        out = b"\xff\xd8"
+        for k in range(extra_segments):
+            body = b"J" * (5 + k)
+            out += b"\xff\xe0" + struct.pack(">H", 2 + len(body)) + body
+        if tiff is not None:
+            data = b"Exif\x00\x00" + tiff
+            out += b"\xff\xe1" + struct.pack(">H", 2 + len(data)) + data
+        return out + b"\xff\xd9"
+
+    def _run(self, spark, payloads):
+        from gpq_spark.pipeline.multimodal import extract_exif_tiff
+
+        df = spark.createDataFrame(
+            list(enumerate(payloads)), "doc_id long, payload binary"
+        )
+        out = extract_exif_tiff(df, "payload", "doc_id")
+        return {r.id: r.exif_tiff for r in out.collect()}
+
+    def test_extracts_behind_variable_segments(self, spark):
+        tiff = self._tiff_le(640, 480)
+        got = self._run(
+            spark,
+            [self._jpeg(tiff, 1), self._jpeg(tiff, 3), self._jpeg(None)],
+        )
+        assert bytes(got[0]) == tiff
+        assert bytes(got[1]) == tiff
+        assert got[2] is None  # walk hits EOI, no APP1
+
+    def test_composes_with_tiff_parser(self, spark):
+        from gpq_spark.pipeline.multimodal import parse_tiff_header
+
+        tiff = self._tiff_le(1024, 768)
+        df = spark.createDataFrame(
+            [(7, self._jpeg(tiff, 2))], "doc_id long, payload binary"
+        )
+        from gpq_spark.pipeline.multimodal import extract_exif_tiff
+
+        blobs = extract_exif_tiff(df, "payload", "doc_id").select(
+            "id", "exif_tiff"
+        )
+        r = parse_tiff_header(blobs, "exif_tiff", "id").collect()[0]
+        assert (r.width, r.height, r.byte_order) == (1024, 768, "II")
+
+    def test_non_jpeg_and_app1_without_exif_sig(self, spark):
+        import struct
+
+        data = b"XMP\x00\x00\x00" + b"not exif"
+        app1_only = (
+            b"\xff\xd8\xff\xe1"
+            + struct.pack(">H", 2 + len(data))
+            + data
+            + b"\xff\xd9"
+        )
+        got = self._run(spark, [b"\x89PNG", app1_only])
+        assert got[0] is None and got[1] is None
