@@ -44,6 +44,7 @@ GROUPS = [
      r"|joinability|kanon_lattice|apportionment)"),
     ("Deduplication & decontamination",
      r"^(dedup_|decontam|semantic_|er_|q_minhash_calibration)"),
+    ("Crawl governance", r"^crawl_"),
     ("Similarity search & embeddings", r"^(ann_|ivf_|embed_|pq_)"),
     ("Text analysis & corpus ops",
      r"^(text_|rank_|sample_|pack_|profile_|skew_|shuffle_|drift_|pipeline_)"),
