@@ -1167,3 +1167,51 @@ def charlm_xent(
             F.col("nll_e6").cast("long"),
         )
     )
+
+
+# secret-credential patterns, detect-secrets/truffleHog style: each is
+# (kind, regex) with Java-regex/RE2-identical semantics so the DuckDB
+# oracle reproduces the scan byte-for-byte. Anchored on the vendor
+# prefixes that make these HIGH-PRECISION (a bare 40-hex blob is too
+# noisy to act on; a 'ghp_'-prefixed one is a GitHub PAT, full stop).
+SECRET_PATTERNS: list[tuple[str, str]] = [
+    ("aws_access_key", "(AKIA|ASIA)[0-9A-Z]{16}"),
+    ("github_pat", "ghp_[A-Za-z0-9]{36}"),
+    ("slack_token", "xox[baprs]-[0-9A-Za-z-]{10,48}"),
+    ("private_key_block", "-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    ("bearer_jwt", "eyJ[A-Za-z0-9_-]{10,}[.][A-Za-z0-9_-]{10,}[.][A-Za-z0-9_-]{10,}"),
+]
+
+
+def secrets_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Credential/secret detection — the scrub every pre-training
+    pipeline runs beside PII removal: leaked API keys in a training
+    corpus get MEMORIZED and resurface at inference (the classic
+    training-data-extraction attack surface), so documents carrying
+    them are flagged (and usually dropped or redacted) before
+    tokenization. Patterns are the detect-secrets-style high-precision
+    vendor anchors: AWS access-key IDs, GitHub PATs, Slack tokens, PEM
+    private-key headers, three-part JWTs.
+
+    Output per doc: ``id``, one ``n_<kind>`` count per pattern,
+    ``n_secrets`` (total), ``has_secrets``. Counts come from
+    ``regexp_count`` — pure map-side expressions, zero shuffles, whole-
+    stage codegen."""
+    counts = [
+        F.expr(
+            f"regexp_count({text_col}, '{pat}')"
+        ).cast("long").alias(f"n_{kind}")
+        for kind, pat in SECRET_PATTERNS
+    ]
+    out = df.select(F.col(id_col).alias("id"), *counts)
+    total = None
+    for kind, _ in SECRET_PATTERNS:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else total + c
+    return out.withColumn("n_secrets", total.cast("long")).withColumn(
+        "has_secrets", F.col("n_secrets") > 0
+    )
