@@ -73,6 +73,8 @@ def _parse_zip(buf: bytes) -> list[dict]:
     for idx in range(n_total):
         if buf[pos : pos + 4] != _CDH_SIG:
             raise ZipError(f"bad central-directory signature at {pos}")
+        if pos + 46 > len(buf):
+            raise ZipError(f"truncated central-directory header at {pos}")
         (
             _vmade,
             _vneed,
@@ -91,7 +93,12 @@ def _parse_zip(buf: bytes) -> list[dict]:
             _eattr,
             lfh_off,
         ) = struct.unpack("<HHHHHHIIIHHHHHII", buf[pos + 4 : pos + 46])
-        name = buf[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        try:
+            name = buf[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        except UnicodeDecodeError:
+            raise ZipError(
+                f"entry name at {pos} is not valid UTF-8"
+            ) from None
         pos += 46 + nlen + xlen + clen
         if flags & 0x1:
             raise ZipError(f"encrypted entry {name!r} unsupported")
@@ -99,6 +106,8 @@ def _parse_zip(buf: bytes) -> list[dict]:
         # (local extra length may differ from the central one)
         if buf[lfh_off : lfh_off + 4] != _LFH_SIG:
             raise ZipError(f"bad local-header signature for {name!r}")
+        if lfh_off + 30 > len(buf):
+            raise ZipError(f"truncated local header for {name!r}")
         lnlen, lxlen = struct.unpack(
             "<HH", buf[lfh_off + 26 : lfh_off + 30]
         )

@@ -79,14 +79,20 @@ def _parse_tar(buf: bytes) -> list[dict]:
         data = buf[data_start:data_end]
         pos = data_start + ((size + 511) // 512) * 512
         if typeflag == b"L":  # GNU long name for the NEXT entry
-            pending_name = data.rstrip(b"\x00").decode("utf-8")
+            try:
+                pending_name = data.rstrip(b"\x00").decode("utf-8")
+            except UnicodeDecodeError:
+                raise TarError("long-name entry is not valid UTF-8") from None
             continue
         if typeflag in (b"x", b"g"):  # pax metadata: skip payload
             continue
-        name = pending_name or hdr[0:100].split(b"\x00", 1)[0].decode(
-            "utf-8"
-        )
-        prefix = hdr[345:500].split(b"\x00", 1)[0].decode("utf-8")
+        try:
+            name = pending_name or hdr[0:100].split(b"\x00", 1)[0].decode(
+                "utf-8"
+            )
+            prefix = hdr[345:500].split(b"\x00", 1)[0].decode("utf-8")
+        except UnicodeDecodeError:
+            raise TarError(f"entry name at {pos} is not valid UTF-8") from None
         if prefix and pending_name is None:
             name = f"{prefix}/{name}"
         pending_name = None

@@ -1,0 +1,121 @@
+"""Property fuzz for the container parsers (warc/zip/tar).
+
+Contract under test: for ARBITRARY bytes the parsers either succeed or
+raise their own named error (WarcError/ZipError/TarError) — never an
+IndexError/struct.error/UnicodeDecodeError leaking from the internals,
+because at corpus scale a stray exception class turns one corrupt blob
+into an unclassifiable task failure. Round-trips over random payloads
+pin the decode side against stdlib writers.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+import zipfile
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gpq_spark.pipeline.archive import ZipError, _parse_zip
+from gpq_spark.pipeline.tar import TarError, _parse_tar
+from gpq_spark.pipeline.warc import (
+    WarcError,
+    _gunzip_members,
+    _parse_warc_buffer,
+)
+
+blobs = st.binary(min_size=0, max_size=4096)
+
+
+@settings(max_examples=200, deadline=None)
+@given(blobs)
+def test_gunzip_never_leaks_foreign_exceptions(buf):
+    try:
+        _gunzip_members(buf)
+    except WarcError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(blobs)
+def test_warc_never_leaks_foreign_exceptions(buf):
+    try:
+        _parse_warc_buffer(buf)
+    except WarcError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(blobs)
+def test_zip_never_leaks_foreign_exceptions(buf):
+    try:
+        _parse_zip(buf)
+    except ZipError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(blobs)
+def test_tar_never_leaks_foreign_exceptions(buf):
+    try:
+        _parse_tar(buf)
+    except TarError:
+        pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=2000), min_size=1, max_size=5))
+def test_gunzip_multimember_roundtrip(payloads):
+    stream = b"".join(gzip.compress(p) for p in payloads)
+    ms = _gunzip_members(stream)
+    assert [m["data"] for m in ms] == payloads
+    assert all(m["crc_ok"] for m in ms)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z]{1,12}(/[a-z]{1,12}){0,2}\.[a-z]{1,4}",
+                          fullmatch=True),
+            st.binary(min_size=0, max_size=3000),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_zip_roundtrip_stdlib(entries):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_DEFLATED) as z:
+        for name, data in entries:
+            z.writestr(name, data)
+    es = _parse_zip(buf.getvalue())
+    assert [(e["name"], e["data"]) for e in es] == entries
+    assert all(e["crc_ok"] for e in es)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z]{1,20}\.[a-z]{1,4}", fullmatch=True),
+            st.binary(min_size=0, max_size=3000),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_tar_roundtrip_stdlib(entries):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as t:
+        for name, data in entries:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            t.addfile(info, io.BytesIO(data))
+    es = _parse_tar(buf.getvalue())
+    assert [(e["name"], e["data"]) for e in es] == entries
