@@ -103,6 +103,12 @@ HEADLINE = [
     "text_pair_cosine",
     "stream_sessionize_ooo",
     "zorder_orders",
+    # r6 additions: the container-ingest family (Common Crawl warc.gz,
+    # WebDataset tar) and the broadcast-LM quality scorer — the heavy
+    # new surfaces this round, so driver rounds time them
+    "multimodal_warc_gz",
+    "multimodal_tar_entries",
+    "text_charlm_xent",
 ]
 
 
