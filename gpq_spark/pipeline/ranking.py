@@ -530,3 +530,54 @@ def _verify_pairs_exact(
         .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("long").alias("dot"))
     )
     return _pair_cosine_tail(tf, dots, id_col, min_cos2_e6, validate_bounds)
+
+
+def pass_at_k(
+    df: DataFrame,
+    problem_col: str,
+    n_col: str,
+    c_col: str,
+    ks: tuple[int, ...] = (1, 5, 10),
+) -> DataFrame:
+    """pass@k — the unbiased estimator from the Codex/HumanEval
+    protocol (Chen et al. 2021): given n samples per problem of which
+    c are correct, ``pass@k = 1 − C(n−c, k)/C(n, k)`` is the
+    probability that at least one of k drawn samples is correct. The
+    naive empirical fraction is biased; this combinatorial form is the
+    one every eval harness reports.
+
+    Exact integers: the ratio is the product Π_{i=0}^{k−1}
+    (n−c−i)/(n−i), accumulated as a single numerator/denominator pair
+    of DECIMAL(38,0) (n ≤ 33 keeps k-term falling factorials inside 38
+    digits for k ≤ 10), and emitted as
+    ``floor(1e6·(den − num)/den)`` — no floats anywhere, so Spark and
+    any SQL oracle agree digit-for-digit. c > n raises upstream
+    (filtered, stated here); k > n means every draw is all samples:
+    C(n−c,k) = 0 whenever k > n−c.
+
+    Output: one row per problem, ``pass{k}_e6`` per requested k.
+    Map-side only — per-row arithmetic, zero shuffles."""
+    out = df
+    for k in ks:
+        agg = (
+            f"aggregate(sequence(0, {k} - 1),"
+            " named_struct('nu', CAST(1 AS DECIMAL(38, 0)),"
+            " 'de', CAST(1 AS DECIMAL(38, 0))),"
+            f" (acc, i) -> named_struct("
+            f"'nu', CAST(acc.nu * greatest({n_col} - {c_col} - i, 0)"
+            " AS DECIMAL(38, 0)),"
+            f"'de', CAST(acc.de * ({n_col} - i) AS DECIMAL(38, 0))),"
+            " acc -> CAST((1000000 * (acc.de - acc.nu)) div acc.de"
+            " AS BIGINT))"
+        )
+        out = out.withColumn(
+            f"pass{k}_e6",
+            F.expr(
+                f"CASE WHEN {c_col} <= {n_col} AND {k} <= {n_col}"
+                f" THEN {agg} END"
+            ),
+        )
+    return out.select(
+        F.col(problem_col).alias("problem"),
+        *[F.col(f"pass{k}_e6") for k in ks],
+    )
