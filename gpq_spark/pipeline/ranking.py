@@ -581,3 +581,60 @@ def pass_at_k(
         F.col(problem_col).alias("problem"),
         *[F.col(f"pass{k}_e6") for k in ks],
     )
+
+
+def ece_calibration(
+    df: DataFrame,
+    conf_col: str,
+    correct_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error — the eval-harness metric for
+    whether a model's confidence means anything (Guo et al. 2017):
+    predictions bucket into ``n_bins`` equal-width confidence bins;
+    per bin the gap between mean confidence and empirical accuracy is
+    weighted by bin mass; ECE is the weighted sum. A model whose 90%-
+    confident answers are right 60% of the time ships a 0.30 gap in
+    the [0.9, 1.0] bin — exactly what this surfaces before anyone
+    trusts sampled self-evaluations as training reward.
+
+    Exact integers end-to-end: ``conf_col`` is scaled-e6 confidence
+    (0..1_000_000); bin = ``least(conf*nb div 1e6, nb-1)``; per-bin
+    |Σconf − 1e6·Σcorrect| are BIGINT sums; the output keeps the
+    rational ECE as (numerator, total) plus a floored ppm. One
+    shuffle: the ``n_bins``-key groupBy (bounded domain). Returns one
+    row per non-empty bin + the per-bin fields a report needs, with
+    the global ECE repeated per row (bounded broadcast join).
+
+    Output: ``bin``, ``n``, ``conf_sum_e6``, ``n_correct``,
+    ``gap_e6_abs`` (|Σconf − 1e6·correct|), ``ece_ppm`` (global,
+    floor(1e6 · Σ_b gap_b / (1e6 · N)))."""
+    nb = n_bins
+    binned = df.select(
+        F.expr(
+            f"least(CAST({conf_col} * {nb} div 1000000 AS INT), {nb - 1})"
+        ).alias("bin"),
+        F.col(conf_col).cast("long").alias("__conf"),
+        F.col(correct_col).cast("int").alias("__ok"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__conf").cast("long").alias("conf_sum_e6"),
+        F.sum("__ok").cast("long").alias("n_correct"),
+    ).withColumn(
+        "gap_e6_abs",
+        F.abs(
+            F.col("conf_sum_e6") - F.lit(1000000) * F.col("n_correct")
+        ).cast("long"),
+    )
+    totals = per.agg(
+        F.sum("gap_e6_abs").alias("__g"), F.sum("n").alias("__n")
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n",
+        "conf_sum_e6",
+        "n_correct",
+        "gap_e6_abs",
+        F.expr("CAST(__g div __n AS BIGINT)").alias("ece_ppm"),
+    )

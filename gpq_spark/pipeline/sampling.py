@@ -710,3 +710,81 @@ def dsir_scores(
             (F.coalesce(F.col("dsir_score_e6"), F.lit(0)) > 0).alias("selected"),
         )
     )
+
+
+def threshold_retention(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    n_steps: int = 10,
+) -> DataFrame:
+    """Quality-threshold RETENTION CURVE — the curation instrument
+    behind classifier-filtered corpora (FineWeb-Edu-style): before
+    committing to a quality cutoff, measure how many documents and how
+    much token mass survive EVERY candidate threshold, because the
+    difference between "score ≥ 2" and "score ≥ 3" is routinely a
+    third of the corpus. Input: an integer score 0..``n_steps`` per
+    row plus a weight (token count); output: one row per threshold t
+    with the count/weight retained at ``score >= t`` and their ppm of
+    the total.
+
+    Shape: ONE data-scaled groupBy on the bounded score domain
+    (≤ n_steps+1 keys, partial-aggregated map-side), then a running
+    sum DESC over that bounded frame — the global window is over
+    ≤ n_steps+1 rows, never the data. No per-threshold passes, no
+    explode-by-threshold blowup.
+
+    Output: ``threshold``, ``n_docs``, ``weight``, ``docs_ppm``,
+    ``weight_ppm``."""
+    from pyspark.sql import Window
+
+    per = (
+        df.select(
+            F.least(
+                F.greatest(F.col(score_col).cast("int"), F.lit(0)),
+                F.lit(n_steps),
+            ).alias("__s"),
+            F.col(weight_col).cast("long").alias("__w"),
+        )
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__w").cast("long").alias("__ws"),
+        )
+    )
+    # bounded-domain frame: make every threshold 0..n_steps present
+    # even when no row lands exactly on it
+    spark = df.sparkSession
+    domain = spark.range(0, n_steps + 1).select(
+        F.col("id").cast("int").alias("threshold")
+    )
+    filled = domain.join(
+        per, domain["threshold"] == per["__s"], "left"
+    ).select(
+        "threshold",
+        F.coalesce("__n", F.lit(0)).alias("__n"),
+        F.coalesce("__ws", F.lit(0)).alias("__ws"),
+    )
+    w = (
+        Window.orderBy(F.col("threshold").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = filled.select(
+        "threshold",
+        F.sum("__n").over(w).cast("long").alias("n_docs"),
+        F.sum("__ws").over(w).cast("long").alias("weight"),
+    )
+    tot = cum.filter(F.col("threshold") == 0).select(
+        F.col("n_docs").alias("__tn"), F.col("weight").alias("__tw")
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        "n_docs",
+        "weight",
+        F.expr("CAST(n_docs * 1000000 div __tn AS BIGINT)").alias(
+            "docs_ppm"
+        ),
+        F.expr("CAST(weight * 1000000 div __tw AS BIGINT)").alias(
+            "weight_ppm"
+        ),
+    )

@@ -5836,3 +5836,75 @@ class TestPassAtK:
     def test_c_exceeding_n_is_null(self, spark):
         got = self._run(spark, [(1, 10, 11)], ks=(1,))
         assert got[1].pass1_e6 is None
+
+
+class TestEceCalibration:
+    """ECE (pipeline.ranking.ece_calibration)."""
+
+    def test_perfectly_calibrated_is_zero_gap(self, spark):
+        from gpq_spark.pipeline.ranking import ece_calibration
+
+        # 10 rows at conf 1.0 all correct, 10 at conf 0.0 all wrong
+        rows = [(1_000_000, 1)] * 10 + [(0, 0)] * 10
+        df = spark.createDataFrame(rows, "conf long, ok int")
+        out = {r.bin: r for r in ece_calibration(df, "conf", "ok").collect()}
+        assert out[9].gap_e6_abs == 0 and out[0].gap_e6_abs == 0
+        assert out[9].ece_ppm == 0
+
+    def test_overconfident_gap(self, spark):
+        from gpq_spark.pipeline.ranking import ece_calibration
+
+        # conf 0.9, accuracy 0.5 → gap per bin = |4*0.9e6 - 2e6| = 1.6e6
+        rows = [(900_000, 1), (900_000, 0), (900_000, 1), (900_000, 0)]
+        df = spark.createDataFrame(rows, "conf long, ok int")
+        r = ece_calibration(df, "conf", "ok").collect()[0]
+        assert r.bin == 9 and r.n == 4
+        assert r.gap_e6_abs == abs(4 * 900_000 - 2 * 1_000_000)
+        assert r.ece_ppm == r.gap_e6_abs // 4
+
+    def test_conf_one_lands_in_top_bin(self, spark):
+        from gpq_spark.pipeline.ranking import ece_calibration
+
+        df = spark.createDataFrame([(1_000_000, 1)], "conf long, ok int")
+        assert ece_calibration(df, "conf", "ok").collect()[0].bin == 9
+
+
+class TestThresholdRetention:
+    """Retention curve (pipeline.sampling.threshold_retention)."""
+
+    def test_monotone_and_exact(self, spark):
+        from gpq_spark.pipeline.sampling import threshold_retention
+
+        rows = [(0, 100), (3, 200), (3, 300), (7, 400), (10, 500)]
+        df = spark.createDataFrame(rows, "score int, w long")
+        out = {
+            r.threshold: r
+            for r in threshold_retention(df, "score", "w").collect()
+        }
+        assert out[0].n_docs == 5 and out[0].weight == 1500
+        assert out[0].docs_ppm == 1_000_000
+        assert out[4].n_docs == 2 and out[4].weight == 900
+        assert out[10].n_docs == 1 and out[10].weight == 500
+        assert out[10].weight_ppm == 500 * 1_000_000 // 1500
+        # monotone non-increasing
+        docs = [out[t].n_docs for t in range(11)]
+        assert docs == sorted(docs, reverse=True)
+
+    def test_empty_thresholds_present(self, spark):
+        from gpq_spark.pipeline.sampling import threshold_retention
+
+        df = spark.createDataFrame([(5, 10)], "score int, w long")
+        out = threshold_retention(df, "score", "w").collect()
+        assert len(out) == 11
+
+    def test_scores_clamped(self, spark):
+        from gpq_spark.pipeline.sampling import threshold_retention
+
+        df = spark.createDataFrame(
+            [(-3, 10), (99, 20)], "score int, w long"
+        )
+        out = {
+            r.threshold: r
+            for r in threshold_retention(df, "score", "w").collect()
+        }
+        assert out[0].n_docs == 2 and out[10].n_docs == 1
