@@ -1093,12 +1093,17 @@ def charlm_xent(
             ).alias("__bg"),
         )
 
+    # the model tables are alphabet-bounded; persist() them so the
+    # training corpus is scanned ONCE for bigram counts (without the
+    # barrier, ctx / model / ctx_nll each recompute the full train
+    # explode — measured 8 parquet scans in the un-cached plan)
     counts = bigrams(train_df).groupBy("__bg").agg(
         F.count(F.lit(1)).alias("__cnt")
-    )
+    ).persist()
     ctx = (
         counts.groupBy(F.substring("__bg", 1, 1).alias("__c1"))
         .agg(F.sum("__cnt").alias("__ctx"))
+        .persist()
     )
     vocab = (
         train_df.select(
@@ -1110,6 +1115,7 @@ def charlm_xent(
             ).alias("__c")
         )
         .agg(F.countDistinct("__c").alias("__v"))
+        .persist()
     )
     model = (
         counts.join(

@@ -46,6 +46,13 @@ PROBES = [
     "text_pair_cosine",
     "text_html_extract",
     "shuffle_positions_docs",
+    # r6 families: container ingest (map-side parses — slope ≈ 1 in
+    # rows, flat in wall while cores are idle), line-level dedup (two
+    # narrow-key shuffles), held-out char-LM scoring (broadcast model)
+    "multimodal_warc_gz",
+    "multimodal_tar_entries",
+    "dedup_lines_corpus",
+    "text_charlm_xent",
 ]
 
 TABLES = [
