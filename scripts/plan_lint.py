@@ -83,6 +83,9 @@ BNLJ_ALLOWED = {
     # 1-row vocab-size broadcast cross join (same class as
     # text_charlm_score): bounded single-row dim, never data-scaled
     "text_charlm_xent",
+    # 1-row global-totals broadcast cross joins over a bounded
+    # (n_bins / n_steps+1)-row frame — the denominator attach pattern
+    "rank_ece_calibration", "sample_threshold_retention",
     # round-4 additions (broadcast 1-row totals from global_order_stats)
     "q_gini_revenue", "q_lorenz_deciles", "q_kendall_binned",
     # broadcast 1-row corpus totals (T, S) for the smoothed log-ratios
