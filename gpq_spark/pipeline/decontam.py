@@ -16,7 +16,7 @@ never shuffled.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _with_shingles
@@ -106,3 +106,157 @@ def decontaminate(
             "n_matched", "contaminated"
         )
     return flagged
+
+
+def redact_contaminated_spans(
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_df: DataFrame,
+    eval_text_col: str,
+    ngram: int = 8,
+    margin: int = 2,
+) -> DataFrame:
+    """SPAN-level decontamination — the surgical variant of
+    ``decontaminate``: instead of dropping a whole training document
+    that collides with benchmark text, remove just the contaminated
+    word spans (every matched eval ``ngram`` plus ``margin`` words of
+    context on each side, overlapping hits merged into islands) and
+    keep the rest. This is how production pipelines decontaminate
+    long documents where one quoted benchmark item shouldn't cost a
+    million clean tokens.
+
+    Output: one row per train document — ``id``, ``n_words``,
+    ``n_spans`` (merged islands), ``n_words_removed``, ``text``
+    (survivors joined by single spaces; '' when everything was
+    removed; match-normalized — lowercased, whitespace-collapsed —
+    so redaction decisions and output share one tokenization).
+
+    Scale: eval n-gram hashes broadcast (benchmarks are small); the
+    train side explodes per-position grams map-side and only MATCHED
+    positions shuffle into the island merge, which windows PARTITIONED
+    BY DOCUMENT (never global). The final rebuild joins tokens to each
+    doc's few islands with a doc-key equi-join + range residual."""
+    words = F.expr(
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), w -> w != '')"
+    )
+    tok = train_df.select(
+        F.col(id_col).alias("__id"), words.alias("__w")
+    ).select(
+        "__id",
+        F.posexplode("__w").alias("__pos", "__term"),
+        F.size("__w").alias("__nw"),
+    )
+    train_grams = train_df.select(
+        F.col(id_col).alias("__id"), words.alias("__w")
+    ).select(
+        "__id",
+        F.expr(
+            f"CASE WHEN size(__w) >= {ngram} THEN"
+            f" transform(sequence(0, size(__w) - {ngram}),"
+            f" i -> named_struct('p', i, 'h',"
+            f" xxhash64(array_join(slice(__w, i + 1, {ngram}), ' '))))"
+            " ELSE array() END"
+        ).alias("__gs"),
+    ).select("__id", F.explode("__gs").alias("__g"))
+    eval_grams = (
+        eval_df.select(
+            F.expr(
+                f"filter(split(lower(trim({eval_text_col})), '\\\\s+'),"
+                " w -> w != '')"
+            ).alias("__ew")
+        )
+        .filter(F.size("__ew") >= ngram)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(__ew) - {ngram}),"
+                    f" i -> xxhash64(array_join("
+                    f"slice(__ew, i + 1, {ngram}), ' ')))"
+                )
+            ).alias("__h")
+        )
+        .distinct()
+    )
+    hits = train_grams.join(
+        F.broadcast(eval_grams),
+        train_grams["__g.h"] == eval_grams["__h"],
+    ).select(
+        "__id",
+        F.greatest(F.col("__g.p") - margin, F.lit(0)).alias("__s"),
+        (F.col("__g.p") + ngram - 1 + margin).alias("__e"),
+    )
+    w_doc = Window.partitionBy("__id").orderBy("__s", "__e")
+    islands = (
+        hits.withColumn(
+            "__pmax",
+            F.max("__e").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__pmax").isNull()
+                | (F.col("__s") > F.col("__pmax") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__new").over(w_doc))
+        .groupBy("__id", "__isl")
+        .agg(F.min("__s").alias("s"), F.max("__e").alias("e"))
+    )
+    covered = tok.join(
+        islands,
+        (tok["__id"] == islands["__id"])
+        & (F.col("__pos") >= F.col("s"))
+        & (F.col("__pos") <= F.col("e")),
+        "left_semi",
+    ).select(tok["__id"].alias("__cid"), F.col("__pos").alias("__cpos"))
+    kept = tok.join(
+        covered,
+        (tok["__id"] == covered["__cid"])
+        & (tok["__pos"] == covered["__cpos"]),
+        "left_anti",
+    )
+    per_doc = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__pos").alias("p"),
+                            F.col("__term").alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("__kept"),
+    )
+    stats = (
+        train_df.select(
+            F.col(id_col).alias("id"), F.size(words).alias("__nw")
+        )
+        .join(
+            islands.groupBy("__id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_spans")
+            ),
+            F.col("id") == F.col("__id"),
+            "left",
+        )
+        .drop("__id")
+        .join(per_doc, F.col("id") == per_doc["__id"], "left")
+        .drop("__id")
+    )
+    return stats.select(
+        "id",
+        F.col("__nw").cast("long").alias("n_words"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        (F.col("__nw") - F.coalesce("__kept", F.lit(0)))
+        .cast("long")
+        .alias("n_words_removed"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )

@@ -5908,3 +5908,61 @@ class TestThresholdRetention:
             for r in threshold_retention(df, "score", "w").collect()
         }
         assert out[0].n_docs == 2 and out[10].n_docs == 1
+
+
+class TestSpanRedact:
+    """Span-level decontamination (decontam.redact_contaminated_spans)."""
+
+    def _run(self, spark, train, eval_texts, **kw):
+        from gpq_spark.pipeline.decontam import redact_contaminated_spans
+
+        tdf = spark.createDataFrame(
+            list(enumerate(train)), "doc_id long, text string"
+        )
+        edf = spark.createDataFrame(
+            [(t,) for t in eval_texts], "etext string"
+        )
+        out = redact_contaminated_spans(
+            tdf, "doc_id", "text", edf, "etext", **kw
+        )
+        return {r.id: r for r in out.collect()}
+
+    def test_exact_span_cut_with_margin(self, spark):
+        bench = "alpha beta gamma delta"
+        doc = "w1 w2 w3 w4 alpha beta gamma delta w9 w10 w11 w12 w13"
+        got = self._run(spark, [doc], [bench], ngram=4, margin=1)[0]
+        # span = words 4..7, margin 1 → 3..8 removed (6 words)
+        assert got.n_spans == 1 and got.n_words_removed == 6
+        assert got.text == "w1 w2 w3 w10 w11 w12 w13"
+
+    def test_overlapping_hits_merge(self, spark):
+        bench = "a b c d e"
+        doc = "x a b c d e y z a b c d e q"
+        # two 5-gram hits; margin 1 gives spans [0..6] and [7..13] —
+        # gap-0 adjacency merges into ONE island by design
+        got = self._run(spark, [doc], [bench], ngram=5, margin=1)[0]
+        assert got.n_spans == 1
+        assert got.text == ""
+        assert got.n_words_removed == 14
+
+    def test_clean_doc_untouched(self, spark):
+        got = self._run(
+            spark,
+            ["totally clean words here okay"],
+            ["benchmark question answer pair text"],
+            ngram=4,
+        )[0]
+        assert got.n_spans == 0 and got.n_words_removed == 0
+        assert got.text == "totally clean words here okay"
+
+    def test_adjacent_islands_merge(self, spark):
+        bench = ["a b c", "d e f"]
+        doc = "x a b c d e f y"
+        # hits at 1..3 and 4..6, margin 0: adjacent → ONE island
+        got = self._run(spark, [doc], bench, ngram=3, margin=0)[0]
+        assert got.n_spans == 1
+        assert got.text == "x y"
+
+    def test_short_doc_no_grams(self, spark):
+        got = self._run(spark, ["tiny doc"], ["tiny doc"], ngram=8)[0]
+        assert got.n_spans == 0 and got.text == "tiny doc"

@@ -223,3 +223,21 @@ def test_parse_warc_gz_spark_one_record_per_member(spark):
     bad = spark.createDataFrame([(8, two)], "doc long, payload binary")
     with pytest.raises(Exception, match="exactly one"):
         parse_warc_gz(bad, "payload", "doc").collect()
+
+
+def test_build_warc_gz_roundtrips_through_stdlib(spark):
+    from gpq_spark.pipeline.warc import build_warc_gz
+
+    df = spark.createDataFrame(
+        [(3, "hello crawl"), (4, "")], "doc_id long, text string"
+    )
+    rows = {r.id: r for r in build_warc_gz(df, "text", "doc_id").collect()}
+    # decode with stdlib gzip (independent of our parser)
+    rec = gzip_mod.decompress(bytes(rows[3].payload))
+    assert rec.startswith(b"WARC/1.1\r\n")
+    assert b"WARC-Target-URI: https://example.com/doc/3\r\n" in rec
+    assert rec.endswith(b"hello crawl\r\n\r\n")
+    assert rows[3].n_raw == len(rec)
+    assert rows[4].n_raw == len(gzip_mod.decompress(bytes(rows[4].payload)))
+    # deterministic: mtime pinned to 0
+    assert bytes(rows[3].payload)[4:8] == b"\x00\x00\x00\x00"
