@@ -5966,3 +5966,26 @@ class TestSpanRedact:
     def test_short_doc_no_grams(self, spark):
         got = self._run(spark, ["tiny doc"], ["tiny doc"], ngram=8)[0]
         assert got.n_spans == 0 and got.text == "tiny doc"
+
+
+    def test_crlf_line_endings_and_key_case(self, spark):
+        from gpq_spark.pipeline.crawl import (
+            parse_robots_rules,
+            robots_decisions,
+        )
+
+        robots = "USER-AGENT: *\r\nDisAllow: /private/\r\n"
+        rules = parse_robots_rules(
+            spark.createDataFrame(
+                [("h", robots)], "host string, txt string"
+            ),
+            "txt",
+            "host",
+        )
+        rows = rules.collect()
+        assert rows[0].path == "/private/"  # no trailing \r
+        urls = spark.createDataFrame(
+            [("h", "/private/x")], "host string, path string"
+        )
+        out = robots_decisions(urls, rules, "anybot").collect()[0]
+        assert out.allowed is False
