@@ -638,3 +638,57 @@ def ece_calibration(
         "gap_e6_abs",
         F.expr("CAST(__g div __n AS BIGINT)").alias("ece_ppm"),
     )
+
+
+def majority_vote(
+    df: DataFrame,
+    problem_col: str,
+    answer_col: str,
+) -> DataFrame:
+    """Self-consistency aggregation (Wang et al. 2022: sample k chains,
+    keep the modal answer) — the eval/inference pattern that turns n
+    noisy samples per problem into one vote-backed prediction, and the
+    aggregation every pass@k-style harness runs next. One row per
+    problem: ``modal_answer`` (ties break to the lexicographically
+    smallest answer, so re-runs and engines agree), ``n_samples``,
+    ``n_modal`` (votes for the winner), ``agreement_ppm``
+    (n_modal·1e6 div n_samples), ``tie`` (a second answer matched the
+    modal count).
+
+    Scale: two narrow-key shuffles — (problem, answer) vote counts
+    with map-side partial aggregation, then one per-problem combine of
+    the vote structs (bounded: at most n_samples distinct answers per
+    problem, and n is small by the method's nature). No window, no
+    driver collect."""
+    votes = df.groupBy(
+        F.col(problem_col).alias("problem"),
+        F.col(answer_col).alias("__a"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    per = votes.groupBy("problem").agg(
+        F.collect_list(
+            F.struct(F.col("__c").alias("c"), F.col("__a").alias("a"))
+        ).alias("__vs")
+    )
+    return (
+        per.withColumn(
+            "__maxc", F.expr("array_max(transform(__vs, x -> x.c))")
+        )
+        .select(
+            "problem",
+            F.expr(
+                "array_min(transform(filter(__vs, x -> x.c = __maxc),"
+                " x -> x.a))"
+            ).alias("modal_answer"),
+            F.expr("aggregate(__vs, 0L, (s, x) -> s + x.c)").alias(
+                "n_samples"
+            ),
+            F.col("__maxc").alias("n_modal"),
+            F.expr(
+                "CAST(__maxc * 1000000 div"
+                " aggregate(__vs, 0L, (s, x) -> s + x.c) AS BIGINT)"
+            ).alias("agreement_ppm"),
+            F.expr(
+                "size(filter(__vs, x -> x.c = __maxc)) > 1"
+            ).alias("tie"),
+        )
+    )

@@ -1221,3 +1221,48 @@ def secrets_scan(
     return out.withColumn("n_secrets", total.cast("long")).withColumn(
         "has_secrets", F.col("n_secrets") > 0
     )
+
+
+# mojibake signatures: UTF-8 bytes re-decoded as Latin-1/cp1252 leave
+# these digraph fingerprints (the ftfy heuristic classes); each is a
+# literal-char regex with identical Java-regex/RE2 semantics
+MOJIBAKE_PATTERNS: list[tuple[str, str]] = [
+    ("latin1_digraph", "\u00c3[\u0080-\u00bf]"),   # 'A-tilde' + cont.
+    ("cp1252_quote", "\u00e2\u20ac"),               # 'a-circ' + euro
+    ("replacement", "\ufffd"),                        # U+FFFD
+    ("c1_control", "[\u0080-\u009f]"),               # bare C1 block
+]
+
+
+def encoding_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encoding-damage audit — the ftfy-class QA pass every crawl
+    corpus needs: text that was UTF-8 but got re-decoded as
+    Latin-1/cp1252 somewhere upstream carries unmistakable digraph
+    fingerprints ('\u00c3\u00a9' where '\u00e9' belongs,
+    '\u00e2\u20ac\u2122' where a right quote belongs), decoder
+    failures leave U+FFFD replacement chars, and bare C1 controls mark
+    double-decoding. Documents scoring nonzero here need re-decoding
+    or dropping BEFORE tokenization — mojibake fragments the token
+    distribution and poisons multilingual eval.
+
+    Output per doc: ``id``, one ``n_<class>`` per fingerprint class,
+    ``n_damage`` (total), ``clean`` (boolean). Pure map-side
+    regexp_count — zero shuffles, whole-stage codegen."""
+    counts = [
+        F.expr(f"regexp_count({text_col}, '{pat}')")
+        .cast("long")
+        .alias(f"n_{kind}")
+        for kind, pat in MOJIBAKE_PATTERNS
+    ]
+    out = df.select(F.col(id_col).alias("id"), *counts)
+    total = None
+    for kind, _ in MOJIBAKE_PATTERNS:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else total + c
+    return out.withColumn("n_damage", total.cast("long")).withColumn(
+        "clean", F.col("n_damage") == 0
+    )

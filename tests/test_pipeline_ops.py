@@ -5989,3 +5989,74 @@ class TestSpanRedact:
         )
         out = robots_decisions(urls, rules, "anybot").collect()[0]
         assert out.allowed is False
+
+
+
+class TestMajorityVote:
+    """Self-consistency vote (pipeline.ranking.majority_vote)."""
+
+    def _run(self, spark, rows):
+        from gpq_spark.pipeline.ranking import majority_vote
+
+        df = spark.createDataFrame(rows, "pid long, ans string")
+        return {
+            r.problem: r
+            for r in majority_vote(df, "pid", "ans").collect()
+        }
+
+    def test_clear_majority(self, spark):
+        got = self._run(
+            spark, [(1, "42"), (1, "42"), (1, "41"), (1, "42"), (1, "7")]
+        )[1]
+        assert got.modal_answer == "42"
+        assert got.n_samples == 5 and got.n_modal == 3
+        assert got.agreement_ppm == 600_000
+        assert got.tie is False
+
+    def test_tie_breaks_lexicographically(self, spark):
+        got = self._run(spark, [(1, "b"), (1, "a"), (1, "b"), (1, "a")])[1]
+        assert got.modal_answer == "a" and got.tie is True
+        assert got.agreement_ppm == 500_000
+
+    def test_unanimous(self, spark):
+        got = self._run(spark, [(2, "x"), (2, "x")])[2]
+        assert got.agreement_ppm == 1_000_000 and not got.tie
+
+
+class TestEncodingAudit:
+    """Mojibake/encoding audit (pipeline.text.encoding_audit)."""
+
+    def _run(self, spark, texts):
+        from gpq_spark.pipeline.text import encoding_audit
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        return {r.id: r for r in encoding_audit(df).collect()}
+
+    def test_each_class_detected(self, spark):
+        got = self._run(
+            spark,
+            [
+                "caf\u00c3\u00a9 menu",             # latin1 digraph
+                "it\u00e2\u20ac\u2122s broken",    # cp1252 quote
+                "bad \ufffd byte",
+                "nel\u0085here",
+                "perfectly clean ascii",
+                "real caf\u00e9 stays clean",        # genuine accent
+            ],
+        )
+        assert got[0].n_latin1_digraph == 1 and not got[0].clean
+        assert got[1].n_cp1252_quote == 1
+        assert got[2].n_replacement == 1
+        assert got[3].n_c1_control == 1
+        assert got[4].clean is True
+        assert got[5].clean is True  # U+00E9 alone is NOT damage
+
+    def test_counts_accumulate(self, spark):
+        got = self._run(
+            spark,
+            ["\u00c3\u00a9 and \u00c3\u00a8 and \ufffd"],
+        )[0]
+        assert got.n_latin1_digraph == 2
+        assert got.n_damage == 3
