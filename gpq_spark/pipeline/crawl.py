@@ -130,7 +130,11 @@ def robots_decisions(
     matching rule in the governing group) are allowed.
 
     Output: every input column + ``allowed`` (bool) + ``matched_rule``
-    (the winning pattern, NULL when nothing matched).
+    (the winning pattern, NULL when nothing matched). Input row
+    MULTIPLICITY is preserved: fully duplicate frontier rows (same
+    host+path twice) each get their own verdict row — the per-URL
+    aggregate groups on an internal monotonically_increasing_id, not
+    on the URL columns.
 
     Scale: the rule table is bounded (robots files are small) and
     BROADCAST; matching is a per-row regexp over the broadcast rows;
@@ -155,16 +159,20 @@ def robots_decisions(
             F.expr(_pattern_regex("path")).alias("__re"),
         )
     )
+    url_cols = urls.columns
+    # row-identity key so duplicate frontier rows don't collapse in the
+    # verdict aggregate (grouping by the URL columns alone would merge
+    # them and silently change output multiplicity)
+    urls = urls.withColumn("__uid", F.monotonically_increasing_id())
     joined = urls.join(
         F.broadcast(gov),
         (F.col(url_host_col) == F.col("__rhost"))
         & F.expr(f"{url_path_col} rlike __re"),
         "left",
     )
-    url_cols = urls.columns
     # precedence: longest pattern, allow beats disallow on ties —
     # encode as (specificity, allow) and take the max struct
-    verdict = joined.groupBy(*url_cols).agg(
+    verdict = joined.groupBy("__uid", *url_cols).agg(
         F.max(
             F.when(
                 F.col("__rpath").isNotNull(),

@@ -1043,7 +1043,12 @@ def semantic_dedup(
         "cluster", _argmax_cell_expr(vec_col, cents)
     )
     if persist:
-        assigned = assigned.persist()
+        # bounded registry, not bare persist: the returned frame is lazy
+        # so this cache can't be eagerly unpersisted here — the registry
+        # evicts it after later calls instead of leaking it forever
+        from ..relational import _persist_bounded
+
+        assigned = _persist_bounded(assigned)
     a = assigned.alias("a")
     b = assigned.alias("b")
     dup_ids = (

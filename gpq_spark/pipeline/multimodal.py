@@ -934,13 +934,23 @@ def parse_tiff_header(
         )
     )
 
-    def tagval(tag: int) -> str:
-        flt = f"filter(__entries, s -> s.tag = {tag})"
-        return (
-            f"CASE WHEN __entries IS NOT NULL AND size({flt}) > 0"
-            f" THEN element_at({flt}, 1).val END"
-        )
+    # projection-collapse barrier INSIDE the parser: the __entries
+    # transform (64 iterations of byte-order-dispatched u16/u32 CASE
+    # trees) is referenced by n_entries + four tag lookups below;
+    # without a barrier CollapseProject inlines the whole transform
+    # into every reference (~9 copies), and analysis + codegen of the
+    # product dominated the query wall (~7 s vs the ~2 s family band
+    # at sf0.01). Bounded: <= 64 two-field structs per row.
+    from ..relational import _persist_bounded
 
+    out = _persist_bounded(out.select(id_col, "__le", "__ok", "__n", "__entries"))
+
+    def tagval(tag: int) -> str:
+        # try_element_at is NULL on empty arrays — one filter per tag,
+        # not two (halves the expression refs vs a size() guard)
+        return f"try_element_at(filter(__entries, s -> s.tag = {tag}), 1).val"
+
+    bo = "CASE WHEN __le THEN 'II' ELSE 'MM' END"
     return out.select(
         F.col(id_col).alias("id"),
         F.expr(f"CASE WHEN __ok THEN {bo} END").alias("byte_order"),

@@ -14,8 +14,12 @@ walk.
   ambiguity is handled by accepting the unsigned sum, which is what
   every modern writer emits), data rounded up to block boundary,
   archive end at two zero blocks. GNU long-name ('L') entries are
-  applied to the following header; pax headers ('x'/'g') are skipped
-  with their payload. Emits the (offset, size) range index.
+  applied to the following header; pax extended headers ('x') are
+  PARSED (``LEN key=value\\n`` records) and their ``path``/``size``
+  override the following entry's ustar fields ('g' globals apply to
+  all subsequent entries) — Python tarfile's default format since 3.8
+  is pax, so >100-char names arrive this way. Emits the
+  (offset, size) range index.
 - ``webdataset_samples`` — the grouping operator: entries → one row
   per (shard, sample key) with a map of extension → content digest,
   the shape a training loader consumes.
@@ -51,11 +55,58 @@ def _octal(field: bytes, what: str) -> int:
         raise TarError(f"bad octal {what} field {field!r}") from None
 
 
+def _parse_pax(data: bytes) -> dict[str, str]:
+    """Parse a pax extended-header payload: a sequence of
+    ``"LEN key=value\\n"`` records where LEN is the decimal byte length
+    of the WHOLE record including the length digits, the space, and the
+    trailing newline (POSIX.1-2001 pax(1) Extended Header format).
+    Malformed records raise TarError — never silent garbage."""
+    recs: dict[str, str] = {}
+    pos = 0
+    n = len(data)
+    while pos < n:
+        sp = data.find(b" ", pos)
+        if sp < 0:
+            raise TarError(f"pax record at {pos} missing length delimiter")
+        try:
+            rec_len = int(data[pos:sp])
+        except ValueError:
+            raise TarError(
+                f"bad pax record length {data[pos:sp]!r}"
+            ) from None
+        rec = data[pos : pos + rec_len]
+        # minimum record: "N k=\n" — length digits + space + key + '=' + LF
+        if rec_len < (sp - pos) + 4 or pos + rec_len > n or rec[-1:] != b"\n":
+            raise TarError(f"pax record at {pos} length does not frame it")
+        key, eq, val = rec[sp - pos + 1 : -1].partition(b"=")
+        if not eq:
+            raise TarError(f"pax record at {pos} missing '='")
+        try:
+            recs[key.decode("utf-8")] = val.decode("utf-8")
+        except UnicodeDecodeError:
+            raise TarError(
+                f"pax record at {pos} is not valid UTF-8"
+            ) from None
+        pos += rec_len
+    return recs
+
+
+def _pax_size(recs: dict[str, str]) -> int | None:
+    v = recs.get("size")
+    if v is None:
+        return None
+    if not v.isdigit():
+        raise TarError(f"bad pax size value {v!r}")
+    return int(v)
+
+
 def _parse_tar(buf: bytes) -> list[dict]:
     out: list[dict] = []
     pos = 0
     n = len(buf)
     pending_name: str | None = None
+    pending_pax: dict[str, str] | None = None
+    global_pax: dict[str, str] = {}
     while pos + 512 <= n:
         hdr = buf[pos : pos + 512]
         if hdr == b"\x00" * 512:
@@ -72,6 +123,18 @@ def _parse_tar(buf: bytes) -> list[dict]:
             )
         size = _octal(hdr[124:136], "size")
         typeflag = hdr[156:157]
+        # pax size override: for a non-meta entry, a 'size' record from
+        # the preceding 'x' header (or a 'g' global) REPLACES the ustar
+        # octal field — that field may be zeroed or unrepresentable
+        # (>8 GiB) when the writer emitted the pax record
+        if typeflag not in (b"L", b"x", b"g"):
+            psz = (
+                _pax_size(pending_pax)
+                if pending_pax is not None
+                else _pax_size(global_pax)
+            )
+            if psz is not None:
+                size = psz
         data_start = pos + 512
         data_end = data_start + size
         if data_end > n:
@@ -84,7 +147,11 @@ def _parse_tar(buf: bytes) -> list[dict]:
             except UnicodeDecodeError:
                 raise TarError("long-name entry is not valid UTF-8") from None
             continue
-        if typeflag in (b"x", b"g"):  # pax metadata: skip payload
+        if typeflag == b"x":  # pax extended header: overrides NEXT entry
+            pending_pax = _parse_pax(data)
+            continue
+        if typeflag == b"g":  # pax global header: defaults from here on
+            global_pax.update(_parse_pax(data))
             continue
         try:
             name = pending_name or hdr[0:100].split(b"\x00", 1)[0].decode(
@@ -95,7 +162,19 @@ def _parse_tar(buf: bytes) -> list[dict]:
             raise TarError(f"entry name at {pos} is not valid UTF-8") from None
         if prefix and pending_name is None:
             name = f"{prefix}/{name}"
+        # pax 'path' outranks both the ustar name+prefix and a GNU
+        # long name (POSIX: extended header records override ustar
+        # fields; Python tarfile's DEFAULT format since 3.8 is pax, so
+        # any >100-char name arrives this way)
+        pax_path = (
+            pending_pax.get("path")
+            if pending_pax is not None
+            else global_pax.get("path")
+        )
+        if pax_path is not None:
+            name = pax_path
         pending_name = None
+        pending_pax = None
         if typeflag in (b"0", b"\x00"):
             out.append(
                 {

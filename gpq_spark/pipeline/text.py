@@ -1093,19 +1093,22 @@ def charlm_xent(
             ).alias("__bg"),
         )
 
-    # the model tables are alphabet-bounded; persist() them so the
-    # training corpus is scanned ONCE for bigram counts (without the
-    # barrier, ctx / model / ctx_nll each recompute the full train
+    from ..relational import _persist_bounded
+
+    # the model tables are alphabet-bounded; persist them (through the
+    # bounded registry, so long-lived sessions don't accumulate caches)
+    # so the training corpus is scanned ONCE for bigram counts (without
+    # the barrier, ctx / model / ctx_nll each recompute the full train
     # explode — measured 8 parquet scans in the un-cached plan)
-    counts = bigrams(train_df).groupBy("__bg").agg(
-        F.count(F.lit(1)).alias("__cnt")
-    ).persist()
-    ctx = (
-        counts.groupBy(F.substring("__bg", 1, 1).alias("__c1"))
-        .agg(F.sum("__cnt").alias("__ctx"))
-        .persist()
+    counts = _persist_bounded(
+        bigrams(train_df).groupBy("__bg").agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    vocab = (
+    ctx = _persist_bounded(
+        counts.groupBy(F.substring("__bg", 1, 1).alias("__c1")).agg(
+            F.sum("__cnt").alias("__ctx")
+        )
+    )
+    vocab = _persist_bounded(
         train_df.select(
             F.explode(
                 F.expr(
@@ -1113,9 +1116,7 @@ def charlm_xent(
                     f" i -> substring(lower({text_col}), i, 1))"
                 )
             ).alias("__c")
-        )
-        .agg(F.countDistinct("__c").alias("__v"))
-        .persist()
+        ).agg(F.countDistinct("__c").alias("__v"))
     )
     model = (
         counts.join(

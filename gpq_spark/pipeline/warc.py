@@ -204,7 +204,13 @@ def _parse_warc_buffer(buf: bytes) -> list[dict]:
         if version not in ("WARC/1.0", "WARC/1.1"):
             raise WarcError(f"bad WARC version line {version!r} at {pos}")
         pos = eol + 2
+        # the lookup dict is keyed by lowercased name (last value wins,
+        # which is fine for the singleton headers we extract), but
+        # legally REPEATED headers (e.g. WARC-Concurrent-To) would
+        # collapse in it — count header LINES separately so n_headers
+        # reflects the actual block
         headers: dict[str, str] = {}
+        n_header_lines = 0
         while True:
             eol = buf.find(b"\r\n", pos)
             if eol < 0:
@@ -223,6 +229,7 @@ def _parse_warc_buffer(buf: bytes) -> list[dict]:
                 raise WarcError(f"malformed WARC header {line[:60]!r}")
             last = line[:sep].decode("latin-1").strip().lower()
             headers[last] = line[sep + 1 :].decode("latin-1").strip()
+            n_header_lines += 1
         try:
             clen = int(headers["content-length"])
         except KeyError:
@@ -245,7 +252,7 @@ def _parse_warc_buffer(buf: bytes) -> list[dict]:
                 "record_id": headers.get("warc-record-id"),
                 "target_uri": headers.get("warc-target-uri"),
                 "content_length": clen,
-                "n_headers": len(headers),
+                "n_headers": n_header_lines,
                 "content": content,
             }
         )

@@ -43,6 +43,27 @@ CARTESIAN_ALLOWED = {
     "q_kendall_binned",  # cell-bounded concordance pairs (test_plan_audit)
 }
 
+# Projection-collapse blowup detector (VERDICT r6 task 1, third incident
+# of the class that round): when a big synthesized-payload expression is
+# fed into a multi-read consumer (a header parser's ~60 byte reads, a
+# checksum HOF's hundreds of iterations) without a persist() barrier,
+# CollapseProject inlines the builder into EVERY reference and the
+# optimized plan explodes — measured 446,721 chars for the un-barriered
+# TIFF query vs 7,455 barriered (60x), with minutes of codegen behind
+# it. Any optimized plan above this threshold fails the lint; fix by
+# inserting a _persist_bounded barrier between the builder projection
+# and the byte-walking consumer (see projection-collapse precedents in
+# entry_queries multimodal_exif_header / pipeline.multimodal
+# parse_tiff_header).
+PLAN_CHARS_MAX = 150_000
+PLAN_BLOWUP_ALLOWED: set[str] = {
+    # 145.5k chars of trained-centroid LITERALS (k x 32-dim int arrays
+    # embedded in the plan), not expression inlining — the query runs
+    # 2.1 s, in-band. Whitelisted so the threshold stays tight for
+    # everything else; re-check if its plan_chars ever exceeds ~200k.
+    "semantic_dedup_docs",
+}
+
 # BNLJ contract: every BroadcastNestedLoopJoin in the gate broadcasts a
 # BOUNDED side (1-row aggregate scalars, ≤50-row query sets, decile /
 # threshold tables). That discipline was convention; this allowlist makes
@@ -327,6 +348,9 @@ def main() -> None:
                 "exchanges": p.count("Exchange"),
                 "scans": p.count("FileScan parquet"),
                 "global_window_unagg": gw,
+                "plan_chars": len(
+                    jdf.queryExecution().optimizedPlan().toString()
+                ),
             }
         except Exception as e:  # noqa: BLE001
             out[q.name] = {"err": str(e)[:200]}
@@ -350,6 +374,12 @@ def main() -> None:
         for n, v in out.items()
         if v.get("global_window_unagg") and n not in GLOBAL_WINDOW_OK
     )
+    blowup = sorted(
+        n
+        for n, v in out.items()
+        if v.get("plan_chars", 0) > PLAN_CHARS_MAX
+        and n not in PLAN_BLOWUP_ALLOWED
+    )
     out["_summary"] = {
         "n_queries": len(out),
         "cartesian_queries": cart,
@@ -359,6 +389,10 @@ def main() -> None:
         ),
         "bnlj_unexpected": bnlj_unexpected,
         "global_window_unagg_unexpected": gw_unexpected,
+        "plan_blowup": blowup,
+        "plan_chars_max_seen": max(
+            (v.get("plan_chars", 0) for v in out.values()), default=0
+        ),
         "wall_s": round(time.perf_counter() - t0, 1),
     }
     path = os.path.join(ROOT, "PLAN_LINT.json")
@@ -370,9 +404,11 @@ def main() -> None:
         f"unexpected pythonUDF={len(pyudf_unexpected)}, "
         f"bnlj={len(s['bnlj_queries'])} "
         f"(unexpected={len(bnlj_unexpected)}), "
-        f"global_window_unagg={len(gw_unexpected)} in {s['wall_s']}s"
+        f"global_window_unagg={len(gw_unexpected)}, "
+        f"plan_blowup={len(blowup)} "
+        f"(max_chars={s['plan_chars_max_seen']}) in {s['wall_s']}s"
     )
-    if cart or pyudf_unexpected or bnlj_unexpected or gw_unexpected:
+    if cart or pyudf_unexpected or bnlj_unexpected or gw_unexpected or blowup:
         sys.exit(1)
 
 

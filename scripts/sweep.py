@@ -134,6 +134,12 @@ def main() -> None:
         entry["wall_s"] = round(time.perf_counter() - tq, 2)
         entry["prev_wall_s"] = prev.get(q.name, {}).get("wall_s")
         out[q.name] = entry
+        # flush caches between queries: the gate's projection-collapse
+        # persist barriers otherwise accumulate across ~460 queries and
+        # pollute later walls (VERDICT r6 task 4 / BASELINE.md "third
+        # probe"). The bounded registry caps live caches at 4; this
+        # brings the count back to 0 so every query starts cold.
+        spark.catalog.clearCache()
         flag = "ok" if entry["hash_match"] in (True, None) and entry["err"] is None else "FAIL"
         print(f"# {q.name}: {flag} ({entry['wall_s']}s)", file=sys.stderr)
 
@@ -146,6 +152,13 @@ def main() -> None:
     # slower round-over-round fails the sweep unless BASELINE.md names
     # it (i.e. the regression is explained). Sub-2s walls are skipped —
     # at sf0.01 they are scheduler noise, not plan regressions.
+    # Big-wall queries (prev >= 5s) use a tighter 2x threshold: a 2.9x
+    # drift on a 5s query is real money and is exactly where r6's
+    # stream_stateful_sessions drift hid (VERDICT r6 task 2).
+
+    def trip_factor(pw: float) -> float:
+        return 2.0 if pw >= 5.0 else 3.0
+
     baseline_text = ""
     bl_path = os.path.join(ROOT, "BASELINE.md")
     if os.path.exists(bl_path):
@@ -159,7 +172,7 @@ def main() -> None:
             pw is not None
             and cw is not None
             and max(pw, cw) >= 2.0
-            and cw > 3.0 * pw
+            and cw > trip_factor(pw) * pw
             and n not in baseline_text
         ):
             suspects.append({"name": n, "wall_s": cw, "prev_wall_s": pw})
@@ -171,13 +184,16 @@ def main() -> None:
     regressions = []
     qmap = {q.name: q for q in QUERIES}
     for s in suspects:
+        spark.catalog.clearCache()
         tq = time.perf_counter()
         try:
             qmap[s["name"]].spark_fn(spark, sf_dir).count()
             s["rerun_wall_s"] = round(time.perf_counter() - tq, 2)
         except Exception:  # noqa: BLE001 — the main entry recorded it
             s["rerun_wall_s"] = None
-        if s["rerun_wall_s"] is None or s["rerun_wall_s"] > 3.0 * s["prev_wall_s"]:
+        if s["rerun_wall_s"] is None or s["rerun_wall_s"] > trip_factor(
+            s["prev_wall_s"]
+        ) * s["prev_wall_s"]:
             regressions.append(s)
         else:
             print(

@@ -1,0 +1,111 @@
+"""Byte-vs-character framing of the JVM-side container builders.
+
+The gate's gzip/WARC/zip/tar payload builders (entry_queries helpers)
+frame size fields with octet_length, not length: for multi-byte UTF-8
+content a character count would corrupt LEN/NLEN/ISIZE (gzip),
+Content-Length (WARC), csize/usize/offsets (zip), and the octal size +
+block padding (tar). These tests push non-ASCII content through each
+builder and require the REAL parsers to round-trip it — which only
+works when every size field counts bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+# 'héllo wörld' — 11 chars, 13 UTF-8 bytes; the gap is what breaks
+# char-count framing
+TXT = "héllo wörld"
+TXT_B = TXT.encode("utf-8")
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, TXT, "dé")], "doc_id long, text string, lang string"
+    )
+
+
+def test_gzip_member_bytes(spark, docs):
+    from gpq_spark.entry_queries import _gzip_member_spark
+    from gpq_spark.pipeline.warc import parse_gzip_members
+
+    built = docs.select(
+        "doc_id", F.expr(_gzip_member_spark("text")).alias("payload")
+    )
+    r = parse_gzip_members(built, "payload", "doc_id").collect()[0]
+    assert r.isize == len(TXT_B) != len(TXT)
+    assert r.crc_ok is True
+    assert r.content_md5 == hashlib.md5(TXT_B).hexdigest()
+
+
+def test_gzip_member_oversized_raises(spark):
+    from gpq_spark.entry_queries import _gzip_member_spark
+
+    big = spark.createDataFrame(
+        [(1, "x" * 70000)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="65535"):
+        big.select(
+            F.expr(_gzip_member_spark("text")).alias("p")
+        ).collect()
+
+
+def test_warc_record_bytes(spark, docs):
+    from gpq_spark.entry_queries import _warc_rec_sql
+    from gpq_spark.pipeline.warc import parse_warc_records
+
+    built = docs.select(
+        "doc_id",
+        F.expr(f"CAST({_warc_rec_sql(0)} AS BINARY)").alias("payload"),
+    )
+    r = parse_warc_records(built, "payload", "doc_id").collect()[0]
+    assert r.content_length == len(TXT_B)
+    assert r.content_md5 == hashlib.md5(TXT_B).hexdigest()
+
+
+def test_zip_entry_bytes(spark, docs):
+    from gpq_spark.entry_queries import _zip_cdh_spark, _zip_lfh_spark
+    from gpq_spark.entry_queries import _gz_le16, _gz_le32
+    from gpq_spark.pipeline.archive import parse_zip_entries
+
+    lfh = _zip_lfh_spark("doc.txt", "text")
+    cdh = _zip_cdh_spark("doc.txt", "text", "0")
+    eocd = (
+        "concat(unhex('504B050600000000'),"
+        f" unhex({_gz_le16('1')}), unhex({_gz_le16('1')}),"
+        f" unhex({_gz_le32('53')}),"
+        f" unhex({_gz_le32('37 + octet_length(text)')}),"
+        f" unhex({_gz_le16('0')}))"
+    )
+    built = docs.select(
+        "doc_id", F.expr(f"concat({lfh}, {cdh}, {eocd})").alias("payload")
+    )
+    r = parse_zip_entries(built, "payload", "doc_id").collect()[0]
+    assert r.usize == len(TXT_B)
+    assert r.crc_ok is True
+    assert r.content_md5 == hashlib.md5(TXT_B).hexdigest()
+
+
+def test_tar_shard_bytes(spark, docs, monkeypatch, tmp_path):
+    # route _tar_docs_spark's load() at our non-ASCII frame: write it
+    # as the documents table of a scratch sf dir
+    from gpq_spark import entry_queries as eq
+    from gpq_spark.pipeline.tar import parse_tar_entries
+
+    docs.withColumn("source", F.lit("src1")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    built = eq._tar_docs_spark(spark, str(tmp_path))
+    rows = parse_tar_entries(built, "payload", "doc_id").collect()
+    by_name = {r.name: r for r in rows}
+    txt = by_name["samples/1.txt"]
+    assert txt.size == len(TXT_B)
+    assert txt.content_md5 == hashlib.md5(TXT_B).hexdigest()
+    # offsets are block-aligned byte positions: entry 1's data starts
+    # after header(512) + byte-padded text + header(512)
+    js = by_name["samples/1.json"]
+    assert js.offset == 512 + ((len(TXT_B) + 511) // 512) * 512 + 512

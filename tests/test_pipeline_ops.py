@@ -5643,6 +5643,22 @@ class TestRobots:
         assert got["/private/ok/y"] == (True, "/private/ok")
         assert got["/z"] == (True, None)
 
+    def test_duplicate_frontier_rows_preserved(self, spark):
+        # fully duplicate frontier rows must each get their own verdict
+        # row — the aggregate groups on a row id, not the URL columns
+        from gpq_spark.pipeline.crawl import robots_decisions
+
+        urls = spark.createDataFrame(
+            [("h1", "/docs/a.pdf")] * 3 + [("h1", "/z")],
+            "host string, path string",
+        )
+        out = robots_decisions(urls, self._rules(spark), "gpqbot").collect()
+        assert len(out) == 4
+        assert sum(1 for r in out if r.path == "/docs/a.pdf") == 3
+        assert all(
+            r.allowed is False for r in out if r.path == "/docs/a.pdf"
+        )
+
     def test_unknown_host_allowed(self, spark):
         from gpq_spark.pipeline.crawl import robots_decisions
 

@@ -63,6 +63,68 @@ def test_pax_headers_skipped():
     assert es[0]["data"] == b"abc"
 
 
+def test_pax_long_name_applied():
+    # >100-char name in PAX format (Python tarfile's default since
+    # 3.8): the name travels in an 'x' extended header's 'path' record
+    # and the ustar field holds a truncated fallback — the parser must
+    # emit the full name, not the 100-char truncation
+    long = "deep/" * 40 + "sample.txt"
+    assert len(long) > 100
+    raw = build([(long, b"payload"), ("short.txt", b"s")],
+                fmt=tarfile.PAX_FORMAT)
+    es = _parse_tar(raw)
+    assert [e["name"] for e in es] == [long, "short.txt"]
+    assert es[0]["data"] == b"payload"
+
+
+def test_pax_size_override_applied():
+    # hand-build an 'x' header whose 'size' record overrides the
+    # following entry's zeroed ustar size field
+    def hdr(name: bytes, size: int, typeflag: bytes) -> bytes:
+        h = bytearray(512)
+        h[0 : len(name)] = name
+        h[100:108] = b"0000644\x00"
+        h[108:116] = b"0000000\x00"
+        h[116:124] = b"0000000\x00"
+        h[124:136] = f"{size:011o}".encode() + b"\x00"
+        h[136:148] = b"00000000000\x00"
+        h[148:156] = b" " * 8
+        h[156:157] = typeflag
+        h[257:263] = b"ustar\x00"
+        h[263:265] = b"00"
+        chk = sum(h)
+        h[148:156] = f"{chk:06o}".encode() + b"\x00 "
+        return bytes(h)
+
+    def padded(data: bytes) -> bytes:
+        return data + b"\x00" * (-len(data) % 512)
+
+    rec = b"size=9\n"
+    rec = f"{len(rec) + 3} ".encode() + rec  # "10 size=9\n"
+    assert len(rec) == int(rec.split(b" ")[0])
+    body = b"ninebytes"
+    raw = (
+        hdr(b"./PaxHeaders/f", len(rec), b"x")
+        + padded(rec)
+        + hdr(b"f.bin", 0, b"0")  # ustar size zeroed: pax must win
+        + padded(body)
+        + b"\x00" * 1024
+    )
+    es = _parse_tar(raw)
+    assert [(e["name"], e["size"], e["data"]) for e in es] == [
+        ("f.bin", 9, body)
+    ]
+
+
+def test_pax_malformed_record_raises():
+    raw = bytearray(build([("n" * 120, b"d")], fmt=tarfile.PAX_FORMAT))
+    # corrupt the first pax record's length digits (first 'x' payload
+    # starts right after the first 512-byte header)
+    raw[512:514] = b"zz"
+    with pytest.raises(TarError, match="pax record"):
+        _parse_tar(bytes(raw))
+
+
 def test_ustar_prefix_field():
     # a name just over 100 chars with a split point forces the ustar
     # prefix field (stdlib splits dir/name across prefix+name)

@@ -139,6 +139,22 @@ def test_warc_two_records_fields():
     assert rs[0]["n_headers"] == 4 and rs[1]["n_headers"] == 3
 
 
+def test_warc_repeated_headers_counted():
+    # WARC-Concurrent-To may legally repeat; the lowercased lookup dict
+    # collapses duplicates (last wins) but n_headers must count LINES
+    buf = warc_record(
+        b"response",
+        b"x",
+        uri=b"https://x.test/",
+        extra=[
+            b"WARC-Concurrent-To: <urn:uuid:a>",
+            b"WARC-Concurrent-To: <urn:uuid:b>",
+        ],
+    )
+    rs = _parse_warc_buffer(buf)
+    assert rs[0]["n_headers"] == 6  # type,id,uri,2x concurrent-to,length
+
+
 def test_warc_content_containing_version_marker():
     # payload bytes that LOOK like a record start must not desync the
     # walk: Content-Length slicing is the contract.
