@@ -183,6 +183,39 @@ def main() -> None:
     # still measuring full plan execution (count() materializes
     # without serializing results to the driver). Emitting BOTH series
     # keeps cross-round comparisons auditable (VERDICT r2 item 8).
+    # Per-run contamination thresholds: the window is DIRTY when the
+    # hypervisor stole a visible share of its ticks or runnable tasks
+    # spent a visible share of its wall stalled on CPU.
+    STEAL_DIRTY = 2.0
+    PSI_DIRTY = 5.0
+    # Self-healing bound (VERDICT r6 task 3): a contaminated query is
+    # re-run (short cool-down first) until a clean window is captured
+    # or the budget runs out — BENCH_r06 finalized a 5.22%-steal window
+    # where stream_sessionize_ooo read 31.9 s vs its 7.3 s solo wall.
+    MAX_EXTRA_RUNS = 3
+
+    def measure(fn, name: str) -> tuple[float, float, float, float, int]:
+        s0, t0 = read_cpu_stat()
+        _, p0 = read_pressure_cpu()
+        g0 = read_gc_ms(spark)
+        start = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        wall = time.perf_counter() - start
+        s1, t1 = read_cpu_stat()
+        _, p1 = read_pressure_cpu()
+        g1 = read_gc_ms(spark)
+        return (
+            wall,
+            round(100.0 * (s1 - s0) / max(1, t1 - t0), 2),
+            # stall-% of this query's wall (PSI total is microseconds)
+            round(100.0 * (p1 - p0) / max(1.0, wall * 1e6), 2),
+            round(100.0 * (g1 - g0) / max(1.0, wall * 1e3), 2),
+            n,
+        )
+
+    def dirty(steal: float, psi: float) -> bool:
+        return steal > STEAL_DIRTY or psi > PSI_DIRTY
+
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
     steal_warm: dict[str, float] = {}
@@ -191,47 +224,42 @@ def main() -> None:
     psi_cold: dict[str, float] = {}
     gc_warm: dict[str, float] = {}
     gc_cold: dict[str, float] = {}
+    rerun_counts: dict[str, int] = {}
     load_start = read_loadavg()
     bench_s0, bench_t0 = read_cpu_stat()
     _, bench_p0 = read_pressure_cpu()
     bench_w0 = time.perf_counter()
     for name in HEADLINE:
         fn = qdict[name]
-        runs: list[float] = []
-        steals: list[float] = []
-        psis: list[float] = []
-        gcs: list[float] = []
-        for _ in range(2):
-            s0, t0 = read_cpu_stat()
-            _, p0 = read_pressure_cpu()
-            g0 = read_gc_ms(spark)
-            start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            wall = time.perf_counter() - start
-            runs.append(wall)
-            s1, t1 = read_cpu_stat()
-            _, p1 = read_pressure_cpu()
-            g1 = read_gc_ms(spark)
-            steals.append(round(100.0 * (s1 - s0) / max(1, t1 - t0), 2))
-            # stall-% of this query's wall (PSI total is microseconds)
-            psis.append(round(100.0 * (p1 - p0) / max(1.0, wall * 1e6), 2))
-            gcs.append(round(100.0 * (g1 - g0) / max(1.0, wall * 1e3), 2))
-        imin = runs.index(min(runs))
-        timings_cold[name] = round(runs[0], 3)
-        timings[name] = round(runs[imin], 3)
-        steal_cold[name] = steals[0]
-        steal_warm[name] = steals[imin]
-        psi_cold[name] = psis[0]
-        psi_warm[name] = psis[imin]
-        gc_cold[name] = gcs[0]
-        gc_warm[name] = gcs[imin]
+        rows = [measure(fn, name) for _ in range(2)]
+        # self-heal: while the best CLEAN run is missing (every window
+        # so far was contaminated), cool down briefly and try again
+        extra = 0
+        while (
+            all(dirty(r[1], r[2]) for r in rows) and extra < MAX_EXTRA_RUNS
+        ):
+            time.sleep(5.0)
+            rows.append(measure(fn, name))
+            extra += 1
+        rerun_counts[name] = extra
+        clean = [r for r in rows if not dirty(r[1], r[2])]
+        best = min(clean or rows, key=lambda r: r[0])
+        wall0, st0, ps0, gc0, n = rows[0][0], rows[0][1], rows[0][2], rows[0][3], rows[0][4]
+        timings_cold[name] = round(wall0, 3)
+        timings[name] = round(best[0], 3)
+        steal_cold[name] = st0
+        steal_warm[name] = best[1]
+        psi_cold[name] = ps0
+        psi_warm[name] = best[2]
+        gc_cold[name] = gc0
+        gc_warm[name] = best[3]
+        extra_note = f"; reruns {extra}" if extra else ""
         print(
             f"# {name}: {timings[name]:.3f}s ({n} rows; runs "
-            f"{', '.join(f'{r:.2f}' for r in runs)}; steal% "
-            f"{', '.join(f'{s:.1f}' for s in steals)}; cpu_stall% "
-            f"{', '.join(f'{p:.1f}' for p in psis)}; gc% "
-            f"{', '.join(f'{g:.1f}' for g in gcs)})",
+            f"{', '.join(f'{r[0]:.2f}' for r in rows)}; steal% "
+            f"{', '.join(f'{r[1]:.1f}' for r in rows)}; cpu_stall% "
+            f"{', '.join(f'{r[2]:.1f}' for r in rows)}; gc% "
+            f"{', '.join(f'{r[3]:.1f}' for r in rows)}{extra_note})",
             file=sys.stderr,
         )
     bench_s1, bench_t1 = read_cpu_stat()
@@ -244,17 +272,21 @@ def main() -> None:
     psi_overall = round(
         100.0 * (bench_p1 - bench_p0) / max(1.0, bench_wall * 1e6), 2
     )
-    # one-line contention verdict (VERDICT r4 task 1): the run is
-    # CONTENDED when the hypervisor stole a visible share of ticks OR
-    # runnable tasks spent a visible share of wall stalled on CPU.
-    # local[N] keeps its own load ~N while queries run, so loadavg is
-    # recorded as evidence but only flags when it exceeds the core
-    # count (someone ELSE is also saturating the box).
+    # Contention verdict (VERDICT r4 task 1, self-healing per r6 task
+    # 3): the artifact is CONTENDED only when a number it actually
+    # reports came from a dirty window — i.e. some query never got a
+    # clean run within the rerun budget — or when someone ELSE is
+    # saturating the box (loadavg above the core count; local[N] keeps
+    # its own load ~N). The whole-bench steal/PSI window is recorded
+    # as evidence but no longer flags: a co-tenant burst during one
+    # query's rerun doesn't contaminate the other queries' clean
+    # windows.
     ncpu = os.cpu_count() or int(cpus)
+    queries_dirty = sorted(
+        n for n in HEADLINE if dirty(steal_warm[n], psi_warm[n])
+    )
     contended = bool(
-        steal_overall > 2.0
-        or psi_overall > 5.0
-        or max(load_start, load_end) > 1.25 * ncpu
+        queries_dirty or max(load_start, load_end) > 1.25 * ncpu
     )
 
     total = round(sum(timings.values()), 3)
@@ -293,6 +325,8 @@ def main() -> None:
         "loadavg1_start": load_start,
         "loadavg1_end": load_end,
         "contended": contended,
+        "queries_dirty": queries_dirty,
+        "rerun_counts": {k: v for k, v in rerun_counts.items() if v},
         "sf": sf_val,
     }
     repo_dir = os.path.dirname(os.path.abspath(__file__))

@@ -1,0 +1,1 @@
+"""Gate-query package: importing a module registers its queries."""

@@ -1,0 +1,60 @@
+"""Query registry core: table loaders, the register() decorator,
+and the QUERIES list every gate tool iterates. Split out of the
+former monolithic entry_queries.py (29.7k LoC, VERDICT r6 task 7);
+gpq_spark.entry_queries re-exports everything for compatibility."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..pipeline.text import (  # noqa: E402  (constants feed the oracle SQL)
+    ENTROPY_LUT as _ENT_LUT,
+    ENTROPY_WINDOW as _ENT_WINDOW,
+)
+
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet timestamp[ns], which Spark's vectorized
+    reader rejects; read nanos as long and floor-convert to micros
+    (matching DuckDB's epoch_us truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+@dataclass
+class QueryDef:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → rows-only check (non-SQL-expressible)
+
+
+QUERIES: list[QueryDef] = []
+
+
+def register(name: str, oracle: str | None):
+    def wrap(fn):
+        QUERIES.append(QueryDef(name, fn, oracle))
+        return fn
+
+    return wrap
+
+
+def queries_dict() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.spark_fn for q in QUERIES}
+
+
+def oracles_dict() -> dict[str, str]:
+    return {q.name: q.oracle for q in QUERIES if q.oracle is not None}
+
+
+__all__ = ['QUERIES', 'QueryDef', 'load', 'load_events', 'oracles_dict', 'queries_dict', 'register', 'DataFrame', 'SparkSession', 'Window', 'F']

@@ -1,0 +1,3097 @@
+"""Shared SQL/expression helpers for the gate queries (split out of
+entry_queries.py, original definition order preserved)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..pipeline.text import (  # noqa: E402  (constants feed the oracle SQL)
+    ENTROPY_LUT as _ENT_LUT,
+    ENTROPY_WINDOW as _ENT_WINDOW,
+)
+
+from ._core import *  # noqa: F401,F403
+
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scan, filter, project, agg, join, window, set ops)
+# ---------------------------------------------------------------------------
+
+_CENTS = "CAST(round({col} * 100) AS BIGINT)"
+
+
+def cents(col: str) -> str:
+    return _CENTS.format(col=col)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication / similarity (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_DUCK = """
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN len(words) >= 3
+               THEN list_distinct([words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+                                   FOR i IN range(0, len(words) - 2)])
+               ELSE [trim(text)] END AS shingles
+        FROM (SELECT doc_id, lang, n_chars, text,
+                     regexp_split_to_array(trim(text), '\\s+') AS words
+              FROM documents)
+"""
+
+
+# Full MinHash-LSH candidate-pair query (8 hashes / 4 bands), shared by
+# dedup_minhash_pairs and the cluster assignment oracle.
+_MINHASH_BANDS_DUCK = f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    ab AS (
+        SELECT doc_id,
+               [{{'a': CAST('0x' || substr(md5(s), 1, 12) AS BIGINT),
+                  'b': CAST('0x' || substr(md5(s), 17, 12) AS BIGINT) | 1}}
+                FOR s IN shingles] AS hv
+        FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id,
+               [list_min([(x.a + h * x.b) % 281474976710656 FOR x IN hv])
+                FOR h IN range(0, 8)] AS sig
+        FROM ab
+    ),
+    bands AS (
+        SELECT doc_id, b AS band_id,
+               md5(CAST(b AS VARCHAR) || '|' || CAST(sig[b*2+1] AS VARCHAR)
+                   || '|' || CAST(sig[b*2+2] AS VARCHAR)) AS band_hash
+        FROM sigs, range(0, 4) t(b)
+    )
+    SELECT doc_id, band_id, band_hash FROM bands
+"""
+
+_MINHASH_PAIRS_DUCK = f"""
+    WITH bt AS ({_MINHASH_BANDS_DUCK})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bt a JOIN bt b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+"""
+
+
+# shared by the sampling queries and their oracles: uniform [0, 2^48)
+# value from md5('<seed>|<doc_id>'), exact BIGINT on both engines
+_UHASH_DUCK = (
+    "CAST('0x' || substr(md5('r2|' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)"
+)
+_SAMPLE_FRACTION = 0.2
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_bounds() -> list[tuple[str, int]]:
+    """The exact cumulative-bound computation hash_split performs —
+    duplicated here so the oracle uses bit-identical thresholds."""
+    total = float(sum(_SPLIT_WEIGHTS.values()))
+    acc, bounds = 0.0, []
+    for name, w in _SPLIT_WEIGHTS.items():
+        acc += w / total
+        bounds.append((name, int(acc * (1 << 48))))
+    bounds[-1] = (bounds[-1][0], 1 << 48)
+    return bounds
+
+
+def _split_case_duck() -> str:
+    clauses = " ".join(
+        f"WHEN {_UHASH_DUCK} < {upper} THEN '{name}'"
+        for name, upper in _split_bounds()[:-1]
+    )
+    last = _split_bounds()[-1][0]
+    return f"CASE {clauses} ELSE '{last}' END"
+
+
+_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+_MIX_HASH_DUCK = (
+    "CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)"
+)
+
+
+def _mix_threshold_duck() -> str:
+    clauses = " ".join(
+        f"WHEN source = '{g}' THEN {int(frac * (1 << 48))}"
+        for g, frac in _MIX_FRACTIONS.items()
+    )
+    return f"CASE {clauses} ELSE {int(_MIX_DEFAULT * (1 << 48))} END"
+
+
+_PROFILE_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_PROFILE_STR_COLS = ["l_returnflag", "l_linestatus"]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE) AS min_num, CAST(MAX({c}) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM lineitem""")
+    for c in _PROFILE_STR_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+               MIN({c}) AS min_str, MAX({c}) AS max_str
+        FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+for _q in QUERIES:
+    if _q.name == "profile_lineitem":
+        _q.oracle = _profile_oracle()
+
+
+_SKEW_COLS = ["o_orderpriority", "o_orderstatus", "o_custkey"]
+
+
+def _skew_oracle() -> str:
+    per_col = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS "column", coalesce(CAST({c} AS VARCHAR), 'NULL') AS key,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1, 2"""
+        for c in _SKEW_COLS
+    )
+    return f"""
+    WITH counts AS ({per_col}),
+    ranked AS (
+        SELECT "column", key, n,
+               row_number() OVER (PARTITION BY "column"
+                                  ORDER BY n DESC, key ASC) AS rank,
+               SUM(n) OVER (PARTITION BY "column") AS total
+        FROM counts)
+    SELECT "column", key, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+for _q in QUERIES:
+    if _q.name == "skew_report_orders":
+        _q.oracle = _skew_oracle()
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 110000.0, 22
+
+
+# whitespace tokens, lowercased, empties dropped — matches
+# pipeline.ranking tokenization
+_TF_DUCK = """
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+          FROM documents)
+    WHERE term <> ''
+    GROUP BY doc_id, term
+"""
+
+
+# Deterministic synthetic card numbers for the Luhn gate: a 15-digit
+# base from doc_id, plus a check digit that is Luhn-CORRECT for even
+# doc_ids and off-by-one for odd ones — so the scrub must validate,
+# not just pattern-match. The trailing short digit run stays intact on
+# every row (below the 13-digit candidate floor).
+_LUHN_BASE_SPARK = (
+    "lpad(CAST((doc_id * 7919 + 123) % 1000000000000000 AS STRING),"
+    " 15, '0')"
+)
+_LUHN_BASE_DUCK = (
+    "lpad(CAST((doc_id * 7919 + 123) % 1000000000000000 AS VARCHAR),"
+    " 15, '0')"
+)
+
+
+_TOKENS_DUCK = """
+    SELECT lang, doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tokens
+    FROM documents
+"""
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        hex_pos = b // 4 + 1
+        shift = 3 - (b % 4)
+        bit = (
+            f"((instr('0123456789abcdef', substr(md5(w), {hex_pos}, 1)) - 1) "
+            f"// {2 ** shift}) % 2"
+        )
+        hits = f"len(list_filter(words, w -> {bit} = 1))"
+        terms.append(
+            f"(CASE WHEN 2 * ({hits}) > len(words) THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        )
+    total = " + ".join(terms)
+    return f"""
+    SELECT doc_id, CAST({total} AS BIGINT) AS simhash
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+          FROM documents)
+    """
+
+
+for _q in QUERIES:
+    if _q.name == "dedup_simhash_docs":
+        _q.oracle = _simhash_oracle(16)
+
+
+for _q in QUERIES:
+    if _q.name == "dedup_simhash_pairs":
+        _q.oracle = f"""
+        WITH sh AS ({_simhash_oracle(16)})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """
+
+
+def _cos_duck(a: str, b: str) -> str:
+    dot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+    na = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, x -> x * x)), (x, y) -> x + y)"
+    )
+    nb = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({b}, x -> x * x)), (x, y) -> x + y)"
+    )
+    return f"(({dot}) / (sqrt({na}) * sqrt({nb})))"
+
+
+_QUANT_DUCK_AMAX = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x))"
+)
+# int8 symmetric quantization: floor(x*127/amax + 0.5); zero vector -> zeros
+_QUANT_DUCK = f"""
+    SELECT vec_id,
+           CASE WHEN {_QUANT_DUCK_AMAX} = 0.0
+           THEN list_transform(v, x -> CAST(0 AS BIGINT))
+           ELSE list_transform(v, x -> CAST(floor(x * (127.0 / ({_QUANT_DUCK_AMAX})) + 0.5) AS BIGINT))
+           END AS q
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+"""
+
+
+def _qcos_duck(a: str, b: str) -> str:
+    dot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] * {b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    na = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, x -> CAST(x * x AS DOUBLE))), (x, y) -> x + y)"
+    )
+    nb = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({b}, x -> CAST(x * x AS DOUBLE))), (x, y) -> x + y)"
+    )
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def _langid_oracle() -> str:
+    from ..pipeline.text import LANG_MARKERS
+
+    words = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    best = "CAST(0 AS INT)"
+    pred = "'und'"
+    for lang, markers in LANG_MARKERS.items():
+        score = (
+            f"len(list_filter({words}, "
+            f"w -> w IN ({', '.join(repr(m) for m in markers)})))"
+        )
+        pred = f"CASE WHEN ({score}) > ({best}) THEN '{lang}' ELSE ({pred}) END"
+        best = f"greatest({best}, {score})"
+    return f"""
+    SELECT lang, {pred} AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+    """
+
+
+for _q in QUERIES:
+    if _q.name == "text_langid":
+        _q.oracle = _langid_oracle()
+
+
+_QF_RULES = {
+    "too_short": "n_chars < 60",
+    "too_long": "n_chars > 2000",
+    "unknown_lang": "lang NOT IN ('en', 'es', 'fr', 'de', 'zh')",
+    "low_alpha": "length(regexp_replace(text, '[^a-zA-Z]', '')) * 2 < length(text)",
+}
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + metadata extraction)
+# ---------------------------------------------------------------------------
+
+
+def _hexval(src: str, k: int) -> str:
+    return f"(instr('0123456789abcdef', substr({src}, {k}, 1)) - 1)"
+
+
+_SNIFF_MAGICS = [
+    "89504E470D0A1A0A",          # png
+    "FFD8FF",                    # jpeg
+    "474946383961",              # gif
+    "25504446",                  # pdf
+    "1F8B",                      # gzip
+    "28B52FFD",                  # zstd
+    "52494646AAAAAAAA57415645",  # riff/wav
+    "52494646AAAAAAAA57454250",  # riff/webp
+]
+
+
+def _sniff_payload_spark() -> str:
+    """payload := magic(doc_id % 9) || utf8(text); case 8 = no magic."""
+    cases = " ".join(
+        f"WHEN doc_id % 9 = {i} THEN unhex('{m}')" for i, m in enumerate(_SNIFF_MAGICS)
+    )
+    return f"concat(CASE {cases} ELSE unhex('') END, encode(text, 'utf-8'))"
+
+
+def _sniff_oracle() -> str:
+    # DuckDB has no blob substring: sniff on the hex rendering instead
+    cases = " ".join(
+        f"WHEN doc_id % 9 = {i} THEN '{m}'" for i, m in enumerate(_SNIFF_MAGICS)
+    )
+    hexpay = f"(CASE {cases} ELSE '' END || upper(hex(encode(text))))"
+    from ..pipeline.multimodal import MAGIC_PREFIXES, _RIFF, _RIFF_INNER
+
+    branches = " ".join(
+        f"WHEN substr(h, 1, {len(magic)}) = '{magic}' THEN '{fmt}'"
+        for fmt, magic in MAGIC_PREFIXES
+    )
+    riff_inner = " ".join(
+        f"WHEN substr(h, 17, 8) = '{ih}' THEN '{fmt}'"
+        for ih, fmt in _RIFF_INNER.items()
+    )
+    return f"""
+    WITH p AS (SELECT doc_id, {hexpay} AS h FROM documents),
+    sniffed AS (
+        SELECT doc_id,
+               CASE {branches}
+                    WHEN substr(h, 1, 8) = '{_RIFF}' THEN
+                        (CASE {riff_inner} ELSE 'riff' END)
+                    ELSE 'unknown' END AS format
+        FROM p)
+    SELECT format, CAST(COUNT(*) AS BIGINT) AS n
+    FROM sniffed GROUP BY format
+    """
+
+
+for _q in QUERIES:
+    if _q.name == "multimodal_sniff":
+        _q.oracle = _sniff_oracle()
+
+
+_PNG_W = "(doc_id % 1000 + 16)"
+_PNG_H = "(doc_id % 777 + 16)"
+
+
+def _png_payload_spark() -> str:
+    """Every 10th doc gets a JPEG payload (exercises the non-PNG NULL
+    path); the rest get a structurally-real PNG signature + IHDR with
+    dims derived from doc_id."""
+    ihdr = (
+        "concat('89504E470D0A1A0A', '0000000D', '49484452', "
+        f"lpad(hex({_PNG_W}), 8, '0'), lpad(hex({_PNG_H}), 8, '0'), "
+        "'08', CASE WHEN doc_id % 2 = 0 THEN '02' ELSE '06' END, '000000')"
+    )
+    return (
+        f"CASE WHEN doc_id % 10 = 0 THEN unhex('FFD8FFE000104A464946') "
+        f"ELSE unhex({ihdr}) END"
+    )
+
+
+def _resize_oracle() -> str:
+    w = (
+        f"({_hexval('md5(text)', 1)} * 4096 + {_hexval('md5(text)', 2)} * 256"
+        f" + {_hexval('md5(text)', 3)} * 16 + {_hexval('md5(text)', 4)}) % 4096"
+    )
+    h = (
+        f"({_hexval('md5(text)', 5)} * 4096 + {_hexval('md5(text)', 6)} * 256"
+        f" + {_hexval('md5(text)', 7)} * 16 + {_hexval('md5(text)', 8)}) % 4096"
+    )
+    return f"""
+    WITH dims AS (SELECT doc_id, {w} AS w, {h} AS h FROM documents),
+    fit AS (
+        SELECT doc_id, w, h,
+               CASE WHEN w <= 256 AND h <= 256 THEN w
+                    WHEN w * 256 >= h * 256 THEN 256
+                    ELSE (w * 256) // h END AS ow,
+               CASE WHEN w <= 256 AND h <= 256 THEN h
+                    WHEN w * 256 >= h * 256 THEN (h * 256) // w
+                    ELSE 256 END AS oh
+        FROM dims)
+    SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+           CAST(ow * oh * 3 AS BIGINT) AS out_bytes
+    FROM fit
+    """
+
+
+for _q in QUERIES:
+    if _q.name == "multimodal_resize":
+        _q.oracle = _resize_oracle()
+
+
+_AUDIO_BLOCKS = 4
+
+
+def _audio_oracle() -> str:
+    md5 = "md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR))"
+    byte = (
+        f"({_hexval(md5, '2 * j + 1')} * 16 + {_hexval(md5, '2 * j + 2')})"
+    )
+    return f"""
+    WITH frames AS (
+        SELECT doc_id, unnest(range(0, {_AUDIO_BLOCKS})) AS i FROM documents)
+    SELECT doc_id AS id, CAST(i AS INT) AS frame_idx, CAST(16 AS INT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, 16), j -> {byte} * {byte})) AS BIGINT) AS sumsq,
+           CAST(list_max(list_transform(range(0, 16), j -> {byte})) AS INT) AS peak
+    FROM frames
+    """
+
+
+for _q in QUERIES:
+    if _q.name == "multimodal_audio_rms":
+        _q.oracle = _audio_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Geo operators over synthesized geometry (driver tables only)
+# ---------------------------------------------------------------------------
+
+_BOX_XMIN = "CAST(CASE WHEN c_custkey % 13 = 0 THEN 170 + c_custkey % 9 ELSE (c_custkey % 340) - 170 END AS DOUBLE)"
+_BOX_XMAX = "CAST(CASE WHEN c_custkey % 13 = 0 THEN -175 + c_custkey % 4 ELSE (c_custkey % 340) - 170 + 1 + c_custkey % 7 END AS DOUBLE)"
+_BOX_YMIN = "CAST((c_custkey % 160) - 80 AS DOUBLE)"
+_BOX_YMAX = "CAST((c_custkey % 160) - 80 + 1 + c_custkey % 5 AS DOUBLE)"
+
+
+def _geo_filter_oracle(qxmin: float, qymin: float, qxmax: float, qymax: float) -> str:
+    qxmin_adj = qxmin - 360.0 if (qxmin > 0 and qxmax < 0) else qxmin
+    return f"""
+    WITH boxes AS (
+        SELECT c_custkey, {_BOX_XMIN} AS xmin, {_BOX_YMIN} AS ymin,
+               {_BOX_XMAX} AS xmax, {_BOX_YMAX} AS ymax
+        FROM customer
+    )
+    SELECT c_custkey FROM boxes
+    WHERE ymax >= {qymin} AND {qymax} >= ymin
+      AND xmax >= {qxmin_adj}
+      AND {qxmax} >= (CASE WHEN xmin > 0 AND xmax < 0 THEN xmin - 360 ELSE xmin END)
+    """
+
+
+def _geo_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_BOX_XMIN} AS xmin",
+        f"{_BOX_YMIN} AS ymin",
+        f"{_BOX_XMAX} AS xmax",
+        f"{_BOX_YMAX} AS ymax",
+    )
+
+
+_SBOX_XMIN = "CAST((s_suppkey % 347) - 173 AS DOUBLE) + 0.25"
+_SBOX_XMAX = f"{_SBOX_XMIN} + 0.5 + CAST(s_suppkey % 5 AS DOUBLE)"
+_SBOX_YMIN = "CAST((s_suppkey % 165) - 82 AS DOUBLE) + 0.25"
+_SBOX_YMAX = f"{_SBOX_YMIN} + 0.5 + CAST(s_suppkey % 4 AS DOUBLE)"
+
+
+# --- exact polygon overlay (intersection area) ------------------------------
+# Integer-coordinate shapes: the clip kernel's float64 vertices sit
+# within an ulp of exact, so rounding the area recovers the exact
+# integer the oracle computes in pure BIGINT arithmetic.
+_OVA_XMIN = "c_custkey % 181 - 90"
+_OVA_YMIN = "(c_custkey * 3) % 89 - 44"
+_OVA_XMAX = f"{_OVA_XMIN} + 2 + c_custkey % 7"
+_OVA_YMAX = f"{_OVA_YMIN} + 2 + c_custkey % 5"
+_OVB_XMIN = "(s_suppkey * 13) % 181 - 90"
+_OVB_YMIN = "(s_suppkey * 7) % 89 - 44"
+_OVB_XMAX = f"{_OVB_XMIN} + 2 + s_suppkey % 6"
+_OVB_YMAX = f"{_OVB_YMIN} + 2 + s_suppkey % 4"
+
+
+# Diamonds (45°-rotated squares): non-axis-aligned clipping with an
+# exact oracle via the rotation u=x+y, v=x−y — a diamond is the uv-box
+# [u0−r, u0+r]×[v0−r, v0+r] and |det|=2, so 2·area_xy = uv overlap.
+_DVA_CX = "c_custkey % 141 - 70"
+_DVA_CY = "(c_custkey * 7) % 89 - 44"
+_DVA_R = "1 + c_custkey % 4"
+_DVB_CX = "(s_suppkey * 11) % 141 - 70"
+_DVB_CY = "(s_suppkey * 5) % 89 - 44"
+_DVB_R = "1 + s_suppkey % 5"
+
+
+_PX = "CAST((c_custkey % 360) - 180 AS DOUBLE) + 0.5"
+_PY = "CAST((c_custkey % 170) - 85 AS DOUBLE) + 0.25"
+
+_GEO_ENV_ORACLE_FIELDS = f"""
+           CASE c_custkey % 3 WHEN 0 THEN 'Point' WHEN 1 THEN 'LineString' ELSE 'Polygon' END AS gtype,
+           {_PX} AS xmin,
+           {_PY} AS ymin,
+           CASE c_custkey % 3 WHEN 0 THEN {_PX} WHEN 1 THEN {_PX} + 2 ELSE {_PX} + 4 END AS xmax,
+           CASE c_custkey % 3 WHEN 0 THEN {_PY} ELSE {_PY} + 3 END AS ymax
+"""
+
+
+def _geo_wkt_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sx = f"CAST({_PX} AS STRING)"
+    sy = f"CAST({_PY} AS STRING)"
+    sx2 = f"CAST({_PX} + 2 AS STRING)"
+    sy3 = f"CAST({_PY} + 3 AS STRING)"
+    sx4 = f"CAST({_PX} + 4 AS STRING)"
+    wkt = f"""
+        CASE c_custkey % 3
+        WHEN 0 THEN concat('POINT (', {sx}, ' ', {sy}, ')')
+        WHEN 1 THEN concat('LINESTRING (', {sx}, ' ', {sy}, ', ', {sx2}, ' ', {sy3}, ')')
+        ELSE concat('POLYGON ((', {sx}, ' ', {sy}, ', ', {sx4}, ' ', {sy}, ', ',
+                    {sx}, ' ', {sy3}, ', ', {sx}, ' ', {sy}, '))')
+        END
+    """
+    return load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{wkt} AS wkt"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming
+# ---------------------------------------------------------------------------
+
+
+def _events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table as a file-source stream: the file source needs a
+    DIRECTORY, so the single read-only events.parquet is exposed
+    through a per-process symlink dir; ``stream_events`` normalizes
+    ``ts`` to TIMESTAMP for watermarks."""
+    import os
+    import tempfile
+
+    from ..streaming.windows import stream_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = os.path.join(
+        tempfile.gettempdir(), f"stream_src_{abs(hash(sf_dir)) % 10 ** 8}"
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return stream_events(spark, src_dir, raw_schema)
+
+
+def _drain_to_table(df: DataFrame, prefix: str, mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the materialized table (deterministic on bounded input)."""
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch (deterministic, engine-portable construction)
+# ---------------------------------------------------------------------------
+# m=64 registers over the same 48-bit md5 hash window as the KMV
+# sketch: bucket = hv % 64, the remaining 42-bit quotient supplies
+# rho = leading-zero count + 1 (via bit length: both engines' bin()
+# renders an integer without leading zeros, so rho = 43 - len(bin(q)),
+# and the all-zero quotient is rho = 43).  The harmonic mean is exact
+# integer arithmetic — each register contributes 2^(44-M_j), summed in
+# BIGINT — and the alpha correction uses the rational 7/10 (~0.70 for
+# m=64) so the raw estimate is a single integer division:
+#     E = (7 · 64² · 2^44) div (10 · S),  7·64²·2^44 = 504403158265495552.
+# The standard small-range linear-counting correction (E ≤ 2.5m and
+# empty registers present → m·ln(m/V)) involves a logarithm, which is
+# NOT guaranteed bit-identical across libm implementations — so it is
+# pre-tabulated: V ∈ {1..64} has only 64 possible corrections, embedded
+# as the same integer literal array in both engines' SQL.
+_HLL_NUMER = 7 * 64 * 64 * (1 << 44)  # alpha(7/10) · m² · 2^44
+_HLL_LC = [round(64 * __import__("math").log(64 / v)) for v in range(1, 65)]
+_HLL_RHO_DUCK = (
+    "CASE WHEN hv // 64 = 0 THEN 43 ELSE 43 - length(bin(hv // 64)) END"
+)
+_HLL_RHO_SPARK = (
+    "CAST(CASE WHEN hv div 64 = 0 THEN 43"
+    " ELSE 43 - length(bin(hv div 64)) END AS BIGINT)"
+)
+
+
+def _hll_estimate_duck(s: str, v: str) -> str:
+    lut = ", ".join(str(x) for x in _HLL_LC)
+    return (
+        f"CAST(CASE WHEN {_HLL_NUMER} // (10 * {s}) <= 160 AND {v} > 0"
+        f" THEN ([{lut}])[CAST({v} AS INT)]"
+        f" ELSE {_HLL_NUMER} // (10 * {s}) END AS BIGINT)"
+    )
+
+
+def _hll_estimate_spark(s: str, v: str) -> str:
+    lut = ", ".join(str(x) for x in _HLL_LC)
+    return (
+        f"CAST(CASE WHEN {_HLL_NUMER}L div (10 * {s}) <= 160 AND {v} > 0"
+        f" THEN element_at(array({lut}), CAST({v} AS INT))"
+        f" ELSE {_HLL_NUMER}L div (10 * {s}) END AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+#
+# A Bloom filter compresses a key set into m bits so a huge fact table
+# can be pruned MAP-SIDE — no shuffle of the fact, no broadcast of the
+# full key set — before an expensive join. Spark's own
+# spark.sql.optimizer.runtime.bloomFilter does this JVM-side with a
+# nondeterministic hash; this is the deterministic gate twin proving
+# the semantics (zero false negatives; false-positive rate bounded by
+# the usual (1-e^{-kn/m})^k).
+#
+# Spec (engine-portable, exact integers only):
+#   m = 6144 bits stored as 128 words x 48 bits (48 keeps every
+#       shifted bit inside a positive BIGINT in both engines — DuckDB
+#       raises on 1<<63);
+#   k = 4 probes via Kirsch–Mitzenmacher double hashing:
+#       h1 = first 12 md5 hex chars of 'bf|'||key  (48-bit uint)
+#       h2 = next 12 md5 hex chars
+#       pos_i = (h1 + i*h2) mod 6144, i in 0..3.
+
+_BF_BITS = 6144
+_BF_WORD = 48
+_BF_K = 4
+_BF_H1_DUCK = (
+    "CAST('0x' || substr(md5('bf|' || CAST({key} AS VARCHAR)), 1, 12) AS BIGINT)"
+)
+_BF_H2_DUCK = (
+    "CAST('0x' || substr(md5('bf|' || CAST({key} AS VARCHAR)), 13, 12) AS BIGINT)"
+)
+
+
+# ---------------------------------------------------------------------------
+# KMV set-similarity (Jaccard) estimation
+# ---------------------------------------------------------------------------
+#
+# k-minimum-values sketches support SET OPERATIONS, not just distinct
+# counts: the k smallest hashes of A ∪ B are computable from the two
+# k-row sketches alone (merge = union, re-take k smallest), and the
+# fraction of those union minima that lie in BOTH sets is an unbiased
+# Jaccard estimate — the same estimator MinHash-LSH dedup relies on,
+# here at corpus granularity ("how similar are these two shards /
+# snapshots / sources?") for O(k) state per set instead of O(|set|).
+
+_KMVJ_K = 64
+_KMVJ_H_DUCK = (
+    "CAST('0x' || substr(md5('kmvj|' || CAST(p AS VARCHAR)), 1, 12) AS BIGINT)"
+)
+_KMVJ_H_SPARK = (
+    "CAST(conv(substr(md5(concat('kmvj|', CAST(p AS STRING))), 1, 12), 16, 10)"
+    " AS BIGINT)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Quantile estimation from a mergeable hash-sample sketch
+# ---------------------------------------------------------------------------
+#
+# The missing member of the sketch family (HLL/KMV/CMS/Bloom are
+# above): quantiles. True streaming quantile sketches (KLL, t-digest,
+# GK) are merge-order-sensitive, so none can hash-match a SQL oracle;
+# the deterministic, engine-portable construction is a fixed-rate HASH
+# sample — keep a row iff uhash48(row key) < p·2^48 — which IS a
+# mergeable sketch (union of shard samples = sample of the union,
+# trivially, because membership is a pure function of the row key) and
+# gives quantile estimates with error O(1/√(p·n)) per group.
+
+_QSK_RATE_NUM = 1 << 44  # p = 1/16 of the 48-bit hash space
+_QSK_HASH_DUCK = (
+    "CAST('0x' || substr(md5('qs|' || CAST(l_orderkey AS VARCHAR) || '|' ||"
+    " CAST(l_linenumber AS VARCHAR)), 1, 12) AS BIGINT)"
+)
+_QSK_HASH_SPARK = (
+    "CAST(conv(substr(md5(concat('qs|', CAST(l_orderkey AS STRING), '|',"
+    " CAST(l_linenumber AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+)
+
+
+def _pagerank_iter_duck(prev: str, out: str) -> str:
+    """One unrolled integer-PageRank iteration as DuckDB CTE text."""
+    return f"""
+    {out} AS (
+        SELECT n.node,
+               CAST(150000000000 + 85 * COALESCE(m.msum, 0) // 100 AS BIGINT)
+                   AS rank
+        FROM pr_nodes n LEFT JOIN (
+            SELECT e.d AS node, CAST(SUM(p.rank // dg.deg) AS BIGINT) AS msum
+            FROM pr_edges e
+            JOIN {prev} p ON e.s = p.node
+            JOIN pr_deg dg ON e.s = dg.s
+            GROUP BY 1
+        ) m ON n.node = m.node
+    )"""
+
+
+# planar integer point/site synthesis for the distance join (kept away
+# from the antimeridian on purpose; wraparound distance is a different
+# operator)
+_DJ_PX = "c_custkey % 300 - 150"
+_DJ_PY = "(c_custkey * 7) % 160 - 80"
+_DJ_SX = "(s_suppkey * 11) % 300 - 150"
+_DJ_SY = "(s_suppkey * 3) % 160 - 80"
+_DJ_RADIUS = 5
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order streaming replays (watermark-buffered operators)
+# ---------------------------------------------------------------------------
+
+
+def _events_ooo_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events table as a DISORDERED multi-batch replay:
+    file 0 = the later half of the time span, file 1 = the earlier half
+    (cross-batch disorder spanning ~15 days), files 2-3 = one far-future
+    sentinel row per user whose only job is to advance the watermark
+    past every real event (two files because the watermark computed at
+    the end of batch N only applies to batch N+1), so the
+    watermark-buffered operators flush every real event. Sentinels sit
+    above the final watermark and are never emitted. Built once per
+    process per sf_dir; mtimes are pinned so the file source replays
+    the files in this exact order."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    src_dir = os.path.join(
+        tempfile.gettempdir(), f"stream_ooo_src_{abs(hash(sf_dir)) % 10 ** 8}"
+    )
+    marker = os.path.join(src_dir, "_READY")
+    if os.path.exists(marker):
+        return src_dir
+
+    ev = load_events(spark, sf_dir)
+    ts_type = dict(ev.dtypes)["ts"]
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+
+    def sentinel(ts_far):
+        cols = []
+        for name, dtype in ev.dtypes:
+            if name == "user_id":
+                cols.append(F.col("user_id"))
+            elif name == "ts":
+                cols.append(F.lit(ts_far).cast(ts_type).alias("ts"))
+            elif name == "event_id":
+                cols.append(F.lit(-1).cast(dtype).alias("event_id"))
+            elif name == "event_type":
+                cols.append(F.lit("view").alias("event_type"))
+            elif name == "value":
+                cols.append(F.lit(0.0).cast(dtype).alias("value"))
+            else:
+                cols.append(F.lit(None).cast(dtype).alias(name))
+        return ev.select("user_id").distinct().select(*cols)
+
+    batches = [
+        ev.filter(F.col("ts") >= F.lit(mid).cast(ts_type)),
+        ev.filter(F.col("ts") < F.lit(mid).cast(ts_type)),
+        sentinel(hi + dt.timedelta(days=80)),
+        sentinel(hi + dt.timedelta(days=81)),
+    ]
+    os.makedirs(src_dir, exist_ok=True)
+    for i, df in enumerate(batches):
+        tmp = os.path.join(src_dir, f"_t{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = os.path.join(src_dir, f"{i:02d}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+    open(marker, "w").close()
+    return src_dir
+
+
+# watermark delay for the disordered replay: must exceed the ~30-day
+# disorder span so the earlier-half events are not dropped as late, and
+# the sentinels (+80 days) must clear it so the final watermark passes
+# every real event. 35 days satisfies both.
+_OOO_DELAY = "840 hours"
+
+
+def _events_ooo_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.windows import stream_events
+
+    src_dir = _events_ooo_dir(spark, sf_dir)
+    raw_schema = spark.read.parquet(os.path.join(src_dir, "00.parquet")).schema
+    return stream_events(
+        spark, src_dir, raw_schema, options={"maxFilesPerTrigger": "1"}
+    )
+
+
+def _kcore_oracle(rounds: int = 5, mode: str = "core") -> str:
+    """Unrolled peel rounds for the k-core oracle: the Spark operator
+    loops to fixpoint; the oracle unrolls a fixed number of MATERIALIZED rounds (inlined
+    CTEs would expand the chain exponentially) that provably covers
+    convergence at gate scale (observed ≤3 rounds at every SF; 5 gives
+    margin — extra rounds past the fixpoint are
+    no-ops because the peel is monotone)."""
+    parts = [
+        """sym0 AS MATERIALIZED (
+        WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                    FROM lineitem),
+        shared AS (
+            SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(shared) AS BIGINT) AS sum_shared
+            FROM shared
+        ),
+        e AS (SELECT u, v FROM shared CROSS JOIN tot
+              WHERE shared * n_pairs >= sum_shared)
+        SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e
+    )""",
+        """kk AS MATERIALIZED (
+        SELECT CAST(7 * (SELECT COUNT(*) FROM sym0)
+                    // (10 * (SELECT COUNT(DISTINCT s) FROM sym0))
+               AS BIGINT) AS k
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""bad{i} AS MATERIALIZED (
+        SELECT s FROM sym{p} GROUP BY s
+        HAVING COUNT(*) < (SELECT k FROM kk)
+    )"""
+        )
+        parts.append(
+            f"""sym{i} AS MATERIALIZED (
+        SELECT s, d FROM sym{p}
+        WHERE s NOT IN (SELECT s FROM bad{i})
+          AND d NOT IN (SELECT s FROM bad{i})
+    )"""
+        )
+    tail = f"""
+    SELECT s AS supp, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM sym{rounds} GROUP BY 1
+    """
+    if mode == "rounds":
+        layers = "\n        UNION ALL ".join(
+            f"SELECT s AS supp, CAST({i} AS BIGINT) AS peel_round FROM bad{i}"
+            for i in range(1, rounds + 1)
+        )
+        tail = f"""
+    SELECT DISTINCT s AS supp, CAST(0 AS BIGINT) AS peel_round FROM sym{rounds}
+    UNION ALL {layers}
+    """
+    return "WITH " + ",\n    ".join(parts) + tail
+
+
+_JPEG_W = "(doc_id % 2000 + 8)"
+_JPEG_H = "(doc_id % 999 + 8)"
+
+
+def _jpeg_payload_spark() -> str:
+    """Every 10th doc gets a PNG payload (exercising the non-JPEG NULL
+    path); the rest get a structurally-real JPEG: SOI, an APP0 whose
+    length VARIES with doc_id (so the marker walk must actually read
+    lengths, not assume offsets), a COM segment (a second hop), then
+    SOF0 — or SOF2 for every 3rd doc — carrying the dims."""
+    app0_len = "(10 + doc_id % 5)"
+    app0 = (
+        f"concat('FFE0', lpad(hex({app0_len}), 4, '0'),"
+        f" repeat('00', {app0_len} - 2))"
+    )
+    sof = (
+        "concat(CASE WHEN doc_id % 3 = 0 THEN 'FFC2' ELSE 'FFC0' END,"
+        f" '0011', '08', lpad(hex({_JPEG_H}), 4, '0'),"
+        f" lpad(hex({_JPEG_W}), 4, '0'), '03', repeat('00', 9))"
+    )
+    return (
+        "CASE WHEN doc_id % 10 = 0 THEN unhex('89504E470D0A1A0A') "
+        f"ELSE unhex(concat('FFD8', {app0}, 'FFFE000400AB', {sof})) END"
+    )
+
+
+def _bfs_oracle(rounds: int = 4) -> str:
+    """Unrolled min-distance relaxation (materialized per round — see
+    _kcore_oracle on why inlined CTE chains explode): landmark BFS
+    distances over the co-sourcing graph, then harmonic centrality.
+    Observed landmark eccentricity ≤ 2 at every gate SF; 4 rounds give
+    margin, and extra rounds past the fixpoint are no-ops (min is
+    monotone)."""
+    parts = [
+        """sym0 AS MATERIALIZED (
+        WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                    FROM lineitem),
+        shared AS (
+            SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(shared) AS BIGINT) AS sum_shared
+            FROM shared
+        ),
+        e AS (SELECT u, v FROM shared CROSS JOIN tot
+              WHERE shared * n_pairs >= sum_shared)
+        SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e
+    )""",
+        """dist0 AS MATERIALIZED (
+        SELECT DISTINCT s AS source, s AS node, CAST(0 AS BIGINT) AS dist
+        FROM sym0 WHERE s % 10 = 0
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""dist{i} AS MATERIALIZED (
+        SELECT source, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+            SELECT source, node, dist FROM dist{p}
+            UNION ALL
+            SELECT p.source, e.d AS node, p.dist + 1
+            FROM dist{p} p JOIN sym0 e ON e.s = p.node
+        ) GROUP BY 1, 2
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node AS supp,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_e6
+    FROM dist{rounds}
+    WHERE dist > 0
+    GROUP BY 1
+    """
+    )
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Unrolled synchronous LPA rounds (materialized; see
+    _kcore_oracle) over the co-sourcing graph — each round every node
+    simultaneously takes its neighbors' most frequent label, ties to
+    the smallest."""
+    parts = [
+        """sym0 AS MATERIALIZED (
+        WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                    FROM lineitem),
+        shared AS (
+            SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(shared) AS BIGINT) AS sum_shared
+            FROM shared
+        ),
+        e AS (SELECT u, v FROM shared CROSS JOIN tot
+              WHERE shared * n_pairs >= sum_shared)
+        SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e
+    )""",
+        """lbl0 AS MATERIALIZED (
+        SELECT DISTINCT s AS node, CAST(s AS BIGINT) AS lbl FROM sym0
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""lbl{i} AS MATERIALIZED (
+        SELECT node, lbl FROM (
+            SELECT e.s AS node, l.lbl, COUNT(*) AS c,
+                   row_number() OVER (PARTITION BY e.s
+                       ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+            FROM sym0 e JOIN lbl{p} l ON l.node = e.d
+            GROUP BY e.s, l.lbl
+        ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node AS supp, CAST(lbl AS BIGINT) AS community FROM lbl{rounds}
+    """
+    )
+
+
+def _wpagerank_iter_duck(prev: str, out: str) -> str:
+    """One unrolled WEIGHTED integer-PageRank iteration: mass splits
+    proportionally to edge weight (rank·w // W(u))."""
+    return f"""
+    {out} AS (
+        SELECT n.node,
+               CAST(150000000000 + 85 * COALESCE(m.msum, 0) // 100 AS BIGINT)
+                   AS rank
+        FROM wpr_nodes n LEFT JOIN (
+            SELECT e.d AS node,
+                   CAST(SUM(p.rank * e.w // dg.wsum) AS BIGINT) AS msum
+            FROM wpr_edges e
+            JOIN {prev} p ON e.s = p.node
+            JOIN wpr_deg dg ON e.s = dg.s
+            GROUP BY 1
+        ) m ON n.node = m.node
+    )"""
+
+
+def _quadkey_expr(cx: str, cy: str, levels: int = 4) -> str:
+    """Morton/quadkey interleave of two ``levels``-bit cell coords as
+    pure engine-portable arithmetic (div/mod/multiply — no bitwise
+    operators, which differ in type behavior across engines):
+    qk = Σ_i [ bit_i(cx) + 2·bit_i(cy) ] · 4^i."""
+    terms = [
+        f"((({cx}) // {1 << i}) % 2 + 2 * ((({cy}) // {1 << i}) % 2))"
+        f" * {4 ** i}"
+        for i in range(levels)
+    ]
+    return " + ".join(terms)
+
+
+_GIF_W = "(doc_id % 1500 + 1)"
+_GIF_H = "(doc_id % 888 + 1)"
+
+
+def _gif_payload_spark() -> str:
+    """Every 10th doc gets a PNG payload (the non-GIF NULL path); the
+    rest get a real GIF header: signature (89a for every 3rd doc, 87a
+    otherwise), LITTLE-endian dims, and a packed byte with the
+    global-color-table flag set for even docs (size field = doc_id % 8)."""
+    le = (
+        lambda v: f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+        f" lpad(hex(({v}) div 256), 2, '0'))"
+    )
+    sig = (
+        "CASE WHEN doc_id % 3 = 0 THEN '474946383961'"
+        " ELSE '474946383761' END"
+    )
+    packed = (
+        "lpad(hex(CASE WHEN doc_id % 2 = 0"
+        " THEN 128 + doc_id % 8 ELSE doc_id % 8 END), 2, '0')"
+    )
+    return (
+        f"CASE WHEN doc_id % 10 = 0 THEN unhex('89504E470D0A1A0A') "
+        f"ELSE unhex(concat({sig}, {le(_GIF_W)}, {le(_GIF_H)}, {packed},"
+        f" '0000')) END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained-ANN gate queries: seeded training artifacts persisted as repo
+# fixtures (gpq_spark/fixtures/), so the oracle can embed the SAME
+# centroid/codebook values as SQL literals — closing the "trained paths
+# are tests-only" gap. The artifact is the fixture; training determinism
+# is irrelevant to the gate (the production train functions remain
+# covered by tests/test_pipeline_ops.py).
+# ---------------------------------------------------------------------------
+
+def _fixture(name: str):
+    import json
+    import os
+
+    # fixtures live in the parent package (gpq_spark/fixtures/); this
+    # module moved one level deeper in the entry_queries split
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "fixtures", name
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def _duck_list(vec) -> str:
+    return "CAST([" + ", ".join(repr(float(x)) for x in vec) + "] AS DOUBLE[])"
+
+
+_IVF_FIX = _fixture("ivf_centroids_k8.json")
+_PQ_FIX = _fixture("pq_codebooks_m8k16.json")
+
+_IVF_CENT_VALUES = ", ".join(
+    f"({cid}, {_duck_list(vec)})" for cid, vec in _IVF_FIX["centroids"]
+)
+
+_PQ_BOOK_VALUES = ", ".join(
+    f"({j}, {c}, {_duck_list(w)})"
+    for j, book in enumerate(_PQ_FIX["codebooks"])
+    for c, w in enumerate(book)
+)
+
+# DuckDB helpers mirroring the normalized-subvector arithmetic: full-
+# vector L2 normalization (guarded like the numpy kernel), 1-based
+# 8-element slices, sequential left folds from 0.0
+_DUCK_NORM2_V = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(v, x -> x * x)), (x, y) -> x + y)"
+)
+_DUCK_SUB_L2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 9), i -> (s.sub[i] - b.w[i]) * (s.sub[i] - b.w[i]))), "
+    "(x, y) -> x + y)"
+)
+_DUCK_SUB_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 9), i -> (qs.qsub[i] * b.w[i]))), "
+    "(x, y) -> x + y)"
+)
+
+_PQ_CODES_CTE = f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / greatest(sqrt({_DUCK_NORM2_V}), 1e-12)) AS vn
+          FROM e),
+    books(j, c, w) AS (VALUES {_PQ_BOOK_VALUES}),
+    subs AS (SELECT vec_id, CAST(t.j AS INT) AS j,
+                    vn[(t.j * 8 + 1):(t.j * 8 + 8)] AS sub
+             FROM n, range(0, 8) t(j)),
+    d AS (SELECT s.vec_id, s.j, b.c, {_DUCK_SUB_L2} AS d2
+          FROM subs s JOIN books b ON b.j = s.j),
+    codes AS (
+        SELECT vec_id, j, CAST(c AS INT) AS code FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j
+                        ORDER BY d2 ASC, c ASC) AS rn
+            FROM d
+        ) WHERE rn = 1
+    )
+"""
+
+
+_MP4_TS = "(600 * (1 + doc_id % 4))"
+_MP4_DUR = "(1 + doc_id % 90000)"
+_MP4_K = "(doc_id % 3)"
+
+
+def _mp4_payload_spark() -> str:
+    """Every 7th doc: PNG magic (non-ftyp NULL path). doc_id % 7 = 3:
+    valid ftyp but the second box is 'free' (ftyp fields parse, is_mp4
+    false). Rest: ftyp('isom', k compatible brands) + moov/mvhd-v0
+    carrying timescale and duration — the moov offset is DATA (the
+    ftyp size), so the parser's dynamic walk is actually exercised."""
+    ftyp = (
+        f"concat(lpad(hex(16 + 4 * {_MP4_K}), 8, '0'),"
+        f" '6674797069736F6D00000200', repeat('6D703431', {_MP4_K}))"
+    )
+    mvhd = (
+        "concat('0000006C6D76686400000000', '00000000', '00000000',"
+        f" lpad(hex({_MP4_TS}), 8, '0'), lpad(hex({_MP4_DUR}), 8, '0'),"
+        " repeat('00', 80))"
+    )
+    second = (
+        "CASE WHEN doc_id % 7 = 3 THEN '66726565' ELSE '6D6F6F76' END"
+    )
+    return (
+        "CASE WHEN doc_id % 7 = 0 THEN unhex('89504E470D0A1A0A') "
+        f"ELSE unhex(concat({ftyp}, '00000074', {second}, {mvhd})) END"
+    )
+
+
+_MP3_VB = "(CASE WHEN doc_id % 3 = 0 THEN 3 WHEN doc_id % 3 = 1 THEN 2 ELSE 0 END)"
+_MP3_BR_IDX = "(1 + doc_id % 14)"
+_MP3_SR_IDX = "(doc_id % 3)"
+_MP3_PAD = "(doc_id % 2)"
+_MP3_MODE = "(doc_id % 4)"
+_MP3_TAG = "(doc_id % 200)"
+
+
+def _mp3_payload_spark() -> str:
+    """Every 9th doc: non-MP3 bytes. Every 5th: an ID3v2 tag (synchsafe
+    size doc_id%200) precedes the frame. Frame header fields cycle
+    version (MPEG1/2/2.5), Layer III, all 14 bitrate indexes, 3 sample
+    rates, padding, and channel mode."""
+    # ID3v2 header: 'ID3' + version(03 00) + flags(00) + FOUR synchsafe
+    # size bytes (7 data bits each), then the tag body
+    id3 = (
+        f"concat('4944330300', '00', '0000',"
+        f" lpad(hex({_MP3_TAG} div 128), 2, '0'),"
+        f" lpad(hex({_MP3_TAG} % 128), 2, '0'),"
+        f" repeat('00', {_MP3_TAG}))"
+    )
+    hdr = (
+        f"concat('FF', lpad(hex(227 + 8 * {_MP3_VB}), 2, '0'),"
+        f" lpad(hex({_MP3_BR_IDX} * 16 + {_MP3_SR_IDX} * 4"
+        f" + {_MP3_PAD} * 2), 2, '0'),"
+        f" lpad(hex({_MP3_MODE} * 64), 2, '0'), repeat('00', 8))"
+    )
+    return (
+        "CASE WHEN doc_id % 9 = 0 THEN unhex('414243') "
+        f"WHEN doc_id % 5 = 0 THEN unhex(concat({id3}, {hdr})) "
+        f"ELSE unhex({hdr}) END"
+    )
+
+
+# centroid oracle: replicate the kernel's EXACT op sequence per shape —
+# all intermediate products are dyadic-rational (exact in float64), and
+# the line case multiplies then divides by the same sqrt(13) so both
+# engines round identically
+_CTR_PX = _PX
+_CTR_PY = _PY
+_CTR_CROSS1 = f"(({_CTR_PX}) * ({_CTR_PY}) - (({_CTR_PX}) + 4) * ({_CTR_PY}))"
+_CTR_CROSS2 = (
+    f"((({_CTR_PX}) + 4) * (({_CTR_PY}) + 3) - ({_CTR_PX}) * ({_CTR_PY}))"
+)
+_CTR_CROSS3 = f"(({_CTR_PX}) * ({_CTR_PY}) - ({_CTR_PX}) * (({_CTR_PY}) + 3))"
+_CTR_AX = (
+    f"((2 * ({_CTR_PX}) + 4) * {_CTR_CROSS1}"
+    f" + (2 * ({_CTR_PX}) + 4) * {_CTR_CROSS2}"
+    f" + (2 * ({_CTR_PX})) * {_CTR_CROSS3})"
+)
+_CTR_AY = (
+    f"((2 * ({_CTR_PY})) * {_CTR_CROSS1}"
+    f" + (2 * ({_CTR_PY}) + 3) * {_CTR_CROSS2}"
+    f" + (2 * ({_CTR_PY}) + 3) * {_CTR_CROSS3})"
+)
+
+
+def _zorder_duck_interleave(norm_cols: list[str], bits: int) -> str:
+    n = len(norm_cols)
+    terms = []
+    for j, c in enumerate(norm_cols):
+        for i in range(bits):
+            pos = i * n + (n - 1 - j)
+            terms.append(f"((({c} >> {i}) & 1) << {pos})")
+    return " + ".join(terms)
+
+
+def _zorder_duck_norm(col: str, mn: str, mx: str, bits: int) -> str:
+    top = float((1 << bits) - 1)
+    return (
+        f"CAST(floor((CAST({col} AS DOUBLE) - CAST({mn} AS DOUBLE)) * {top} / "
+        f"(CAST({mx} AS DOUBLE) - CAST({mn} AS DOUBLE))) AS BIGINT)"
+    )
+
+
+def _hilbert_duck_stages(bits: int) -> str:
+    """Chained CTE stages h1..h{bits} mirroring the unrolled Hilbert
+    xy2d loop (pipeline.layout.hilbert_level_templates, duck dialect)
+    — each stage reads the previous stage's (hx, hy, hd); the CTE
+    re-scopes names per stage, so every level formats identically."""
+    from ..pipeline.layout import hilbert_level_templates
+
+    fmt = {"x": "hx", "y": "hy", "d": "hd"}
+    parts = []
+    for i, (nx, ny, nd) in enumerate(hilbert_level_templates(bits, "duck")):
+        prev = "h0" if i == 0 else f"h{i}"
+        parts.append(
+            f"h{i + 1} AS (SELECT o_orderkey, {nx.format(**fmt)} AS hx,"
+            f" {ny.format(**fmt)} AS hy, {nd.format(**fmt)} AS hd"
+            f" FROM {prev})"
+        )
+    return ",\n    ".join(parts)
+
+
+_BM25_SCORED_DUCK = """
+    SELECT tf.doc_id,
+           round(SUM(
+               ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+           ), 9) AS score
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN n CROSS JOIN avgdl
+    WHERE tf.term IN ({terms})
+    GROUP BY tf.doc_id
+"""
+
+
+def _kcenter_duck(k: int) -> str:
+    """Unrolled greedy k-center oracle: k−1 chained (distance, argmax)
+    CTE stages over e6-quantized integer vectors."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+        )
+
+    parts = [
+        """q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        FROM embeddings)""",
+        """s1 AS (
+        SELECT CAST(1 AS INT) AS sel_rank, vec_id, CAST(0 AS BIGINT) AS dist2, v
+        FROM (SELECT * FROM q ORDER BY vec_id LIMIT 1))""",
+    ]
+    for r in range(2, k + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"""d{r} AS (
+        SELECT q.vec_id, MIN({d2("q.v", "s.v")}) AS d
+        FROM q, {prev} s
+        WHERE q.vec_id NOT IN (SELECT vec_id FROM {prev})
+        GROUP BY q.vec_id)"""
+        )
+        parts.append(
+            f"""s{r} AS (
+        SELECT * FROM {prev}
+        UNION ALL
+        SELECT CAST({r} AS INT), w.vec_id, w.d, q.v
+        FROM (SELECT vec_id, d FROM d{r} ORDER BY d DESC, vec_id ASC LIMIT 1) w
+        JOIN q ON q.vec_id = w.vec_id)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT sel_rank, vec_id, dist2 FROM s{k}"
+    )
+
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9, computed once in Python and
+# embedded as literals in BOTH engines' plans — identical by construction
+_BENFORD_E6 = [
+    round(__import__("math").log10(1.0 + 1.0 / d) * 1_000_000) for d in range(1, 10)
+]
+
+
+def _sssp_oracle(rounds: int = 4) -> str:
+    """Unrolled weighted Bellman-Ford (bounded-hop contract: the result
+    is EXACTLY min-cost over ≤ rounds hops, so Spark and SQL agree by
+    construction when both run the same round count — no convergence
+    assumption needed, unlike BFS). Edge weight = 1e6 div shared-parts
+    (stronger co-sourcing ⇒ cheaper edge)."""
+    parts = [
+        """wsym0 AS MATERIALIZED (
+        WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                    FROM lineitem),
+        shared AS (
+            SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(shared) AS BIGINT) AS sum_shared
+            FROM shared
+        ),
+        e AS (SELECT u, v, CAST(1000000 // shared AS BIGINT) AS w
+              FROM shared CROSS JOIN tot
+              WHERE shared * n_pairs >= sum_shared)
+        SELECT u AS s, v AS d, w FROM e UNION ALL SELECT v, u, w FROM e
+    )""",
+        """wdist0 AS MATERIALIZED (
+        SELECT DISTINCT s AS source, s AS node, CAST(0 AS BIGINT) AS dist
+        FROM wsym0 WHERE s % 10 = 0
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""wdist{i} AS MATERIALIZED (
+        SELECT source, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+            SELECT source, node, dist FROM wdist{p}
+            UNION ALL
+            SELECT p.source, e.d AS node, p.dist + e.w
+            FROM wdist{p} p JOIN wsym0 e ON e.s = p.node
+        ) GROUP BY 1, 2
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(MIN(dist) AS BIGINT) AS min_dist,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist
+    FROM wdist{rounds}
+    GROUP BY 1
+    """
+    )
+
+
+# a fixed diversity-query vector of exact binary fractions: ×1e6 is
+# integer-exact, so Python/Spark/DuckDB quantization trivially agrees
+_MMR_QUERY = [(0.25, -0.125, 0.5)[i % 3] for i in range(64)]
+
+
+def _mmr_oracle(k: int, lam: int) -> str:
+    """Unrolled greedy MMR: seed = pure-relevance argmax, then k−1
+    rounds of argmax(lam·rel − (100−lam)·max-dot-to-selected)."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+        )
+
+    qlit = "[" + ", ".join(
+        f"CAST({round(x * 1_000_000)} AS BIGINT)" for x in _MMR_QUERY
+    ) + "]"
+    parts = [
+        f"""mq AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v,
+               {dot("list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))", qlit)}
+                   AS rel
+        FROM embeddings)""",
+        """m1 AS (
+        SELECT CAST(1 AS INT) AS sel_rank, vec_id, rel AS rel_dot,
+               CAST(0 AS BIGINT) AS max_sim, v
+        FROM (SELECT * FROM mq ORDER BY rel DESC, vec_id ASC LIMIT 1))""",
+    ]
+    for r in range(2, k + 1):
+        prev = f"m{r - 1}"
+        parts.append(
+            f"""c{r} AS (
+        SELECT q.vec_id, q.rel, MAX({dot("q.v", "s.v")}) AS ms
+        FROM mq q, {prev} s
+        WHERE q.vec_id NOT IN (SELECT vec_id FROM {prev})
+        GROUP BY q.vec_id, q.rel)"""
+        )
+        parts.append(
+            f"""m{r} AS (
+        SELECT * FROM {prev}
+        UNION ALL
+        SELECT CAST({r} AS INT), w.vec_id, w.rel, w.ms, q.v
+        FROM (SELECT vec_id, rel, ms FROM c{r}
+              ORDER BY {lam} * rel - {100 - lam} * ms DESC, vec_id ASC
+              LIMIT 1) w
+        JOIN mq q ON q.vec_id = w.vec_id)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT sel_rank, vec_id, rel_dot, max_sim FROM m{k}"
+    )
+
+
+def _stress_oracle(rounds: int = 3) -> str:
+    """Unrolled bounded-horizon stress centrality: forward BFS levels
+    with path counts, one successor-DAG join, backward suffix counts
+    per level — the same ≤rounds-hop contract as the Spark operator,
+    so both agree by construction."""
+    parts = [
+        """stsym AS MATERIALIZED (
+        WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                    FROM lineitem),
+        shared AS (
+            SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(shared) AS BIGINT) AS sum_shared
+            FROM shared
+        ),
+        e AS (SELECT u, v FROM shared CROSS JOIN tot
+              WHERE shared * n_pairs >= sum_shared)
+        SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e
+    )""",
+        """fr0 AS MATERIALIZED (
+        SELECT DISTINCT s AS source, s AS node, CAST(0 AS BIGINT) AS dist,
+               CAST(1 AS BIGINT) AS sigma
+        FROM stsym WHERE s % 10 = 0
+    )""",
+    ]
+    for lvl in range(1, rounds + 1):
+        p = lvl - 1
+        parts.append(
+            f"""fr{lvl} AS MATERIALIZED (
+        SELECT source, node, dist, sigma FROM fr{p}
+        UNION ALL
+        SELECT m.source, m.node, CAST({lvl} AS BIGINT), m.sigma FROM (
+            SELECT f.source, e.d AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+            FROM fr{p} f JOIN stsym e ON e.s = f.node
+            WHERE f.dist = {p}
+            GROUP BY f.source, e.d
+        ) m
+        WHERE NOT EXISTS (SELECT 1 FROM fr{p} x
+                          WHERE x.source = m.source AND x.node = m.node)
+    )"""
+        )
+    parts.append(
+        f"""stsucc AS MATERIALIZED (
+        SELECT f1.source, f1.node AS v, f1.dist AS dv, f2.node AS w
+        FROM fr{rounds} f1
+        JOIN stsym e ON e.s = f1.node
+        JOIN fr{rounds} f2 ON f2.source = f1.source AND f2.node = e.d
+                          AND f2.dist = f1.dist + 1
+    )"""
+    )
+    prev_tau = None
+    for lvl in range(rounds - 1, 0, -1):
+        if prev_tau is None:
+            parts.append(
+                f"""tau{lvl} AS MATERIALIZED (
+        SELECT source, v AS node, CAST(COUNT(*) AS BIGINT) AS tau
+        FROM stsucc WHERE dv = {lvl} GROUP BY source, v
+    )"""
+            )
+        else:
+            parts.append(
+                f"""tau{lvl} AS MATERIALIZED (
+        SELECT s2.source, s2.v AS node,
+               CAST(SUM(1 + COALESCE(t.tau, 0)) AS BIGINT) AS tau
+        FROM stsucc s2
+        LEFT JOIN {prev_tau} t ON t.source = s2.source AND t.node = s2.w
+        WHERE s2.dv = {lvl}
+        GROUP BY s2.source, s2.v
+    )"""
+            )
+        prev_tau = f"tau{lvl}"
+    taus = " UNION ALL ".join(
+        f"SELECT source, node, tau FROM tau{lvl}"
+        for lvl in range(rounds - 1, 0, -1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    alltau AS ({taus})
+    SELECT f.node, CAST(SUM(f.sigma * t.tau) AS BIGINT) AS stress
+    FROM fr{rounds} f
+    JOIN alltau t ON t.source = f.source AND t.node = f.node
+    WHERE f.dist >= 1 AND f.node <> f.source
+    GROUP BY f.node
+    HAVING SUM(f.sigma * t.tau) > 0
+    """
+    )
+
+
+_RAKE_STOPS = ("the", "a", "and", "of", "to", "is", "in", "on")
+
+
+_WAV_CH = "(doc_id % 2 + 1)"
+_WAV_BITS = "(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END)"
+_WAV_RATE = (
+    "(CASE WHEN doc_id % 3 = 0 THEN 8000"
+    " WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END)"
+)
+_WAV_FRAMES = "(doc_id % 1000)"
+
+
+def _wav_payload_spark() -> str:
+    """Every 10th doc gets a GIF payload (the non-WAV NULL path); the
+    rest get a canonical 44-byte PCM WAV header with doc_id-derived
+    channels / sample rate / bit depth / frame count."""
+    le16 = (
+        lambda v: f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+        f" lpad(hex(({v}) div 256), 2, '0'))"
+    )
+    le32 = (
+        lambda v: f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+        f" lpad(hex(({v}) div 256 % 256), 2, '0'),"
+        f" lpad(hex(({v}) div 65536 % 256), 2, '0'),"
+        f" lpad(hex(({v}) div 16777216 % 256), 2, '0'))"
+    )
+    block = f"({_WAV_CH} * {_WAV_BITS} div 8)"
+    byte_rate = f"({_WAV_RATE} * {block})"
+    data = f"({_WAV_FRAMES} * {block})"
+    chunk = f"(36 + {data})"
+    return (
+        f"CASE WHEN doc_id % 10 = 0 THEN unhex('474946383761010001000000')"
+        f" ELSE unhex(concat('52494646', {le32(chunk)}, '57415645',"
+        f" '666d7420', '10000000', '0100', {le16(_WAV_CH)},"
+        f" {le32(_WAV_RATE)}, {le32(byte_rate)}, {le16(block)},"
+        f" {le16(_WAV_BITS)}, '64617461', {le32(data)})) END"
+    )
+
+
+_PDF_UNI_MARK = " ¶ü€§"  # forces non-ASCII CIDs through the CMap
+
+
+_HTML_DOC = (
+    "'<html><head><title>' || source || '</title>'"
+    " || '<script type=\"text/javascript\">if (1 < 2) { var s = \"x\"; }"
+    "</script>'"
+    " || '<style>.main { color: #333; }</style></head>'"
+    " || '<body><!-- generated doc --><h1>Doc ' || CAST(doc_id AS STRING)"
+    " || '</h1>'"
+    " || '<p>' || replace(text, 'spark', '<b>spark</b>') || '</p>'"
+    " || CASE WHEN doc_id % 4 = 0 THEN"
+    " '<div>&amp;copy; &lt;' || source || '&gt;&nbsp;legal&#39;s</div>'"
+    " ELSE '' END"
+    " || '</body></html>'"
+)
+
+
+def _text_html_oracle() -> str:
+    from ..pipeline.text import html_to_text_oracle_sql
+
+    html = _HTML_DOC.replace("CAST(doc_id AS STRING)", "CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id AS id,
+           {html_to_text_oracle_sql(f"({html})")} AS text_extracted
+    FROM documents
+    """
+
+
+def _soundex_blocks_oracle() -> str:
+    from ..pipeline.dedup import soundex_duck
+
+    first = "regexp_split_to_array(trim(p_name), '\\s+')[1]"
+    return f"""
+    WITH w AS (SELECT DISTINCT {first} AS word FROM part),
+    coded AS (SELECT word, {soundex_duck('word')} AS code FROM w),
+    joined AS (
+        SELECT c.code, c.word
+        FROM part p
+        JOIN coded c ON c.word = {first.replace('p_name', 'p.p_name')}
+    )
+    SELECT code,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words
+    FROM joined
+    GROUP BY code
+    HAVING COUNT(DISTINCT word) >= 2
+    """
+
+
+_HAV_DUCK = (
+    "2 * 6371000.0 * asin(sqrt(pow(sin(radians(({latb}) - ({lata})) / 2), 2)"
+    " + cos(radians({lata})) * cos(radians({latb}))"
+    " * pow(sin(radians(({lonb}) - ({lona})) / 2), 2)))"
+)
+
+
+# round(1e6 / log2(i + 1)) for ranks i = 1..10, computed once in Python
+# and embedded as identical literals in both engines (the Benford trick)
+_NDCG_DISC = [
+    round(1_000_000 / __import__("math").log2(i + 1)) for i in range(1, 11)
+]
+_NDCG_CUM = [sum(_NDCG_DISC[: i + 1]) for i in range(10)]
+
+
+def _holt_duck(n: int) -> str:
+    """Chained-CTE integer Holt recursion (α = β = 1/2 as floor
+    halves): one small step per CTE, so the expression never explodes
+    (a closed-form textual unroll triples per step — 3^n terms)."""
+    parts = [
+        """hm AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+                   AS x,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    )""",
+        """hl AS (
+        SELECT x, y, row_number() OVER (ORDER BY x DESC) AS rn FROM hm
+    )""",
+        "hw AS (SELECT "
+        + ", ".join(
+            f"MAX(CASE WHEN rn = {n + 1 - t} THEN y END) AS y{t}"
+            for t in range(1, n + 1)
+        )
+        + f" FROM hl WHERE rn <= {n})",
+        "h1 AS (SELECT *, y1 AS l1, CAST(0 AS BIGINT) AS b1 FROM hw)",
+    ]
+    for t in range(2, n + 1):
+        lt = f"(y{t} + l{t - 1} + b{t - 1}) // 2"
+        parts.append(
+            f"h{t} AS (SELECT *, {lt} AS l{t},"
+            f" (b{t - 1} + (({lt}) - l{t - 1})) // 2 AS b{t} FROM h{t - 1})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(l{n} AS BIGINT) AS level_cents,
+           CAST(b{n} AS BIGINT) AS trend_cents,
+           CAST(l{n} + b{n} AS BIGINT) AS forecast_next_cents
+    FROM h{n}
+    """
+    )
+
+
+def _markov_stationary_duck(iters: int = 4) -> str:
+    """Unrolled integer power iteration toward the stationary
+    distribution of the event-type transition chain: v'(b) =
+    Σ_a v(a)·n(a→b) div n(a) with v at 1e12 scale — floor per term,
+    identical arithmetic on both engines (the PageRank discipline)."""
+    parts = [
+        """mseq AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    )""",
+        """mt AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM mseq WHERE dst IS NOT NULL GROUP BY 1, 2
+    )""",
+        """mm AS (
+        SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM mt GROUP BY 1
+    )""",
+        """mtypes AS (SELECT DISTINCT src AS t FROM mt
+                      UNION SELECT DISTINCT dst FROM mt)""",
+        """mv0 AS (SELECT t, CAST(1000000000000 AS BIGINT) AS v FROM mtypes)""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"""mv{i} AS (
+        SELECT ty.t, CAST(COALESCE(SUM(v.v * mt.n // mm.n_src), 0) AS BIGINT)
+                   AS v
+        FROM mtypes ty
+        LEFT JOIN mt ON mt.dst = ty.t
+        LEFT JOIN mm ON mm.src = mt.src
+        LEFT JOIN mv{p} v ON v.t = mt.src
+        GROUP BY ty.t
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT t AS event_type, v AS stationary_e12 FROM mv{iters}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: edge support / k-truss / link prediction / directed reachability
+# ---------------------------------------------------------------------------
+
+_COSOURCE_EDGE_CTES = """
+    ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    shared AS (
+        SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(shared) AS BIGINT) AS sum_shared
+        FROM shared
+    ),
+    e AS (
+        SELECT u, v FROM shared CROSS JOIN tot
+        WHERE shared * n_pairs >= sum_shared
+    )"""
+
+
+def _cosource_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mean-thresholded supplier co-sourcing edge set shared by the
+    graph-family queries (identical integer threshold to
+    q_triangle_suppliers, so every engine draws the same graph).
+
+    localCheckpoint()ed: the consumers (truss support, link
+    prediction, walks) reference the edge frame 3-4 times, and without
+    materialization each reference re-runs the lineitem scan + the
+    co-sourcing self-join — measured 3.6x slower for truss_support and
+    1.5x for link_prediction at sf0.1 (BASELINE.md)."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    return (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v")
+        .localCheckpoint()
+    )
+
+
+def _ktruss_oracle(k: int = 4, rounds: int = 6) -> str:
+    """Unrolled monotone peel: each round keeps edges whose support
+    within the SURVIVING subgraph is >= k-2. Extra rounds past the
+    fixpoint are no-ops, so ``rounds`` only needs to be an upper bound
+    on convergence at gate scale (observed <=3, margin 2x)."""
+    parts = [
+        _COSOURCE_EDGE_CTES.strip(),
+        "e0 AS MATERIALIZED (SELECT u, v FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""sym{p} AS MATERIALIZED (
+        SELECT u AS s, v AS d FROM e{p} UNION ALL SELECT v, u FROM e{p}
+    )"""
+        )
+        parts.append(
+            f"""sup{i} AS MATERIALIZED (
+        SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS support
+        FROM sym{p} a JOIN sym{p} b ON a.d = b.d AND a.s < b.s
+        GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{p} e
+        JOIN sup{i} s ON s.u = e.u AND s.v = e.v AND s.support >= {k - 2}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    symF AS (SELECT u AS s, v AS d FROM e{rounds}
+             UNION ALL SELECT v, u FROM e{rounds}),
+    supF AS (
+        SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS support
+        FROM symF a JOIN symF b ON a.d = b.d AND a.s < b.s
+        GROUP BY 1, 2
+    )
+    SELECT e.u, e.v, CAST(COALESCE(supF.support, 0) AS BIGINT) AS support
+    FROM e{rounds} e LEFT JOIN supF ON supF.u = e.u AND supF.v = e.v
+    """
+    )
+
+
+_NATION_TRADE_CTES = """
+    flows AS (
+        SELECT c.c_nationkey AS s, su.s_nationkey AS d,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier su ON su.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> su.s_nationkey
+        GROUP BY 1, 2
+    ),
+    ftot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_flows,
+               CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+        FROM flows
+    ),
+    e AS (
+        SELECT s, d FROM flows CROSS JOIN ftot
+        WHERE cnt * n_flows >= 2 * sum_cnt
+    )"""
+
+
+def _nation_trade_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED nation-level trade edges: customer nation -> supplier
+    nation per lineitem, kept only when the flow is at least 2x the
+    mean flow (exact integer threshold: cnt * n_flows >= 2 * sum_cnt),
+    so the graph is sparse and both engines draw it identically at any
+    SF. Nation/region-scale dims are broadcast; the one big join is
+    lineitem-orders, which AQE plans."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    flows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("s"), F.col("s_nationkey").alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ftot = flows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_flows"),
+        F.sum("cnt").cast("long").alias("sum_cnt"),
+    )
+    return (
+        flows.crossJoin(F.broadcast(ftot))
+        .filter(F.col("cnt") * F.col("n_flows") >= 2 * F.col("sum_cnt"))
+        .select("s", "d")
+    )
+
+
+_HITS_SCALE = 10**12
+
+
+def _hits_iter_duck(i: int) -> str:
+    """One unrolled HITS iteration: auth update + rescale, then hub
+    update + rescale. The multiply is widened to HUGEINT before the
+    floor-divide, mirroring the engine's DECIMAL(38,0) widening."""
+    p = i - 1
+    return f"""rawA{i} AS MATERIALIZED (
+        SELECT e.d AS node, CAST(SUM(h.score) AS BIGINT) AS raw
+        FROM e JOIN hub{p} h ON h.node = e.s GROUP BY 1
+    ),
+    totA{i} AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM rawA{i}),
+    auth{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(COALESCE(
+                   CASE WHEN t.tot > 0
+                        THEN CAST(CAST(r.raw AS HUGEINT) * {_HITS_SCALE}
+                                  // t.tot AS BIGINT)
+                        ELSE 0 END, 0) AS BIGINT) AS score
+        FROM hnodes n CROSS JOIN totA{i} t
+        LEFT JOIN rawA{i} r ON r.node = n.node
+    ),
+    rawH{i} AS MATERIALIZED (
+        SELECT e.s AS node, CAST(SUM(a.score) AS BIGINT) AS raw
+        FROM e JOIN auth{i} a ON a.node = e.d GROUP BY 1
+    ),
+    totH{i} AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM rawH{i}),
+    hub{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(COALESCE(
+                   CASE WHEN t.tot > 0
+                        THEN CAST(CAST(r.raw AS HUGEINT) * {_HITS_SCALE}
+                                  // t.tot AS BIGINT)
+                        ELSE 0 END, 0) AS BIGINT) AS score
+        FROM hnodes n CROSS JOIN totH{i} t
+        LEFT JOIN rawH{i} r ON r.node = n.node
+    )"""
+
+
+def _ewma_terms(prefix: str) -> str:
+    """Σ_{i=0..11} 3^i · 4^(11-i) · lag_i(v): the α=1/4 EWMA recursion
+    e_t = (v_t + 3·e_{t-1})/4 unrolled to 12 present-day lags and
+    scaled by 4^12 so it stays in exact integers."""
+    return " + ".join(
+        f"{3**i * 4**(11 - i)} * COALESCE({prefix}lag{i}, 0)"
+        for i in range(12)
+    )
+
+
+def _bpe_oracle(rounds: int = 3) -> str:
+    """Unrolled BPE merge training: per round, count adjacent symbol
+    pairs by indexing the split symbol list, pick the (count desc,
+    pair asc) argmax, and apply it with the same literal '|x||y|' ->
+    '|xy|' replace the engine uses (per-symbol delimiter wrapping =
+    canonical greedy BPE, see pipeline.text.bpe_merges)."""
+    parts = [
+        """d0 AS MATERIALIZED (
+        SELECT regexp_replace(
+            replace(regexp_replace(substring(lower(text), 1, 200),
+                                   '[^a-z ]', '', 'g'), ' ', '_'),
+            '(.)', '|\\1|', 'g') AS sym
+        FROM documents
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+        SELECT l[i] AS x, l[i + 1] AS y, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT list_filter(string_split(sym, '|'), s -> s <> '') AS l
+              FROM d{p}),
+             UNNEST(range(1, len(l))) AS t(i)
+        GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+        SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x, y LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT replace(sym, '|' || b.x || '||' || b.y || '|',
+                       '|' || b.x || b.y || '|') AS sym
+        FROM d{p} CROSS JOIN b{i} b
+    )"""
+        )
+    tail = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, x, y, cnt FROM b{i}"
+        for i in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + tail
+
+
+def _bpe_tokenize_oracle(rounds: int = 3) -> str:
+    """Same unrolled merge learning as ``_bpe_oracle``, but the final
+    select re-applies the merges per document and counts symbols."""
+    learn = _bpe_oracle(rounds)
+    head, _tail = learn.rsplit("\n    SELECT CAST(1", 1)
+    apply_expr = (
+        "regexp_replace(replace(regexp_replace(substring(lower(text), 1, 200),"
+        " '[^a-z ]', '', 'g'), ' ', '_'), '(.)', '|\\1|', 'g')"
+    )
+    for i in range(1, rounds + 1):
+        apply_expr = (
+            f"replace({apply_expr}, '|' || b{i}.x || '||' || b{i}.y || '|',"
+            f" '|' || b{i}.x || b{i}.y || '|')"
+        )
+    crosses = " ".join(f"CROSS JOIN b{i}" for i in range(1, rounds + 1))
+    return (
+        head
+        + f"""
+    SELECT d.doc_id,
+           CAST(len(list_filter(string_split({apply_expr}, '|'),
+                                s -> s <> '')) AS BIGINT) AS n_tokens
+    FROM documents d {crosses}
+    """
+    )
+
+
+_UHASH_R3_DUCK = (
+    "CAST('0x' || substr(md5('r3|' || CAST(doc_id AS VARCHAR)), 1, 12)"
+    " AS BIGINT)"
+)
+
+
+_NATION_TEMPORAL_CTES = """
+    tflows AS (
+        SELECT c.c_nationkey AS s, su.s_nationkey AS d,
+               CAST(year(o.o_orderdate) * 4 + quarter(o.o_orderdate)
+                    AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier su ON su.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> su.s_nationkey
+        GROUP BY 1, 2, 3
+    ),
+    ttot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_flows,
+               CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+        FROM tflows
+    ),
+    e AS (
+        SELECT s, d, t FROM tflows CROSS JOIN ttot
+        WHERE cnt * n_flows >= 2 * sum_cnt
+    )"""
+
+
+def _temporal_arrival_oracle(rounds: int = 4) -> str:
+    parts = [
+        _NATION_TEMPORAL_CTES.strip(),
+        """nodes AS (SELECT DISTINCT s AS node FROM e
+                 UNION SELECT DISTINCT d FROM e)""",
+        """arr0 AS MATERIALIZED (
+        SELECT node AS source, node, CAST(0 AS BIGINT) AS arrival
+        FROM nodes WHERE node % 5 = 0
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""arr{i} AS MATERIALIZED (
+        SELECT source, node, CAST(MIN(arrival) AS BIGINT) AS arrival
+        FROM (
+            SELECT source, node, arrival FROM arr{p}
+            UNION ALL
+            SELECT a.source, e.d AS node, e.t AS arrival
+            FROM arr{p} a JOIN e ON e.s = a.node AND e.t >= a.arrival
+        ) GROUP BY 1, 2
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT source, node, arrival FROM arr{rounds}"
+    )
+
+
+def _principal_oracle(iterations: int = 2) -> str:
+    """Unrolled integer power iteration; every rescale widens to
+    HUGEINT and handles negatives with the sign-safe floor divide the
+    engine uses (engines disagree on negative integer division)."""
+
+    def resc(col: str, tot: str) -> str:
+        return (
+            f"CASE WHEN {tot} <= 0 THEN CAST(0 AS BIGINT) "
+            f"WHEN {col} < 0 THEN "
+            f"-CAST(CAST(-{col} AS HUGEINT) * 1000000 // {tot} AS BIGINT) "
+            f"ELSE CAST(CAST({col} AS HUGEINT) * 1000000 // {tot} AS BIGINT)"
+            f" END"
+        )
+
+    parts = [
+        """qv AS MATERIALIZED (
+        SELECT vec_id, t.i,
+               CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000 + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )""",
+        """gm AS MATERIALIZED (
+        SELECT a.i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+        FROM qv a JOIN qv b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2
+    )""",
+        "gmax AS (SELECT CAST(MAX(ABS(g)) AS BIGINT) AS m FROM gm)",
+        f"""gn AS MATERIALIZED (
+        SELECT i, j, {resc('g', 'm')} AS gn
+        FROM gm CROSS JOIN gmax
+    )""",
+        """v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM gn)""",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+        SELECT gn.i, CAST(SUM(gn.gn * v.v) AS BIGINT) AS w
+        FROM gn JOIN v{p} v ON v.i = gn.j GROUP BY 1
+    )"""
+        )
+        parts.append(
+            f"t{k} AS (SELECT CAST(SUM(ABS(w)) AS BIGINT) AS t FROM w{k})"
+        )
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+        SELECT i, {resc('w', 't')} AS v FROM w{k} CROSS JOIN t{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    score AS (
+        SELECT qv.vec_id, CAST(SUM(qv.q * v.v) AS BIGINT) AS score
+        FROM qv JOIN v{iterations} v ON v.i = qv.i GROUP BY 1
+    )
+    SELECT vec_id, score FROM (
+        SELECT vec_id, score,
+               row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+        FROM score
+    ) WHERE rn <= 10
+    """
+    )
+
+
+_GOLDEN_SOURCES_SQL = """
+    srcs AS (
+        -- three deterministic source systems with field-level gaps:
+        -- crm always has name, billing always has balance, web always
+        -- has segment; the other fields appear on arithmetic subsets
+        SELECT c_custkey AS k, 'crm' AS src,
+               c_name AS name,
+               CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END AS seg,
+               CAST(NULL AS BIGINT) AS bal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'billing',
+               CASE WHEN c_custkey % 3 = 0 THEN c_name END,
+               CAST(NULL AS VARCHAR),
+               CAST(round(c_acctbal * 100) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'web',
+               CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) END,
+               c_mktsegment,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN CAST(round(c_acctbal * 100) AS BIGINT) END
+        FROM customer
+    ),
+    enc AS (
+        -- field-level priorities: name crm(3) > billing(2) > web(1);
+        -- seg web(2) > crm(1); bal billing(2) > web(1). Text fields
+        -- pack as '<prio>|<value>' (single ASCII digit, so string max
+        -- = priority max); numeric packs as prio*1e12 + (bal + 1e9)
+        SELECT k,
+               CASE WHEN name IS NOT NULL THEN
+                    (CASE src WHEN 'crm' THEN '3' WHEN 'billing' THEN '2'
+                              ELSE '1' END) || '|' || name END AS name_e,
+               CASE WHEN seg IS NOT NULL THEN
+                    (CASE src WHEN 'web' THEN '2' ELSE '1' END)
+                    || '|' || seg END AS seg_e,
+               CASE WHEN bal IS NOT NULL THEN
+                    (CASE src WHEN 'billing' THEN 2 ELSE 1 END)
+                    * 1000000000000 + bal + 1000000000 END AS bal_e
+        FROM srcs
+    ),
+    g AS (
+        SELECT k, MAX(name_e) AS ne, MAX(seg_e) AS se,
+               CAST(MAX(bal_e) AS BIGINT) AS be
+        FROM enc GROUP BY k
+    )
+    SELECT k AS custkey,
+           substr(ne, 3) AS name,
+           CASE substr(ne, 1, 1) WHEN '3' THEN 'crm' WHEN '2' THEN 'billing'
+                ELSE 'web' END AS name_src,
+           substr(se, 3) AS seg,
+           CASE substr(se, 1, 1) WHEN '2' THEN 'web' ELSE 'crm' END AS seg_src,
+           CAST(be % 1000000000000 - 1000000000 AS BIGINT) AS bal_cents,
+           CASE CAST(be // 1000000000000 AS BIGINT) WHEN 2 THEN 'billing'
+                ELSE 'web' END AS bal_src
+    FROM g
+"""
+
+
+def _waterfill_oracle(rounds: int = 6) -> str:
+    parts = [
+        """wf0 AS MATERIALIZED (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS cap,
+               CAST(0 AS BIGINT) AS alloc
+        FROM documents GROUP BY 1
+    )""",
+        """wfb AS (
+        SELECT CAST(SUM(n_chars) * 2 // 5 AS BIGINT) AS b FROM documents
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""wfs{i} AS (
+        SELECT CAST(SUM(alloc) AS BIGINT) AS spent,
+               CAST(COUNT(CASE WHEN alloc < cap THEN 1 END) AS BIGINT) AS na
+        FROM wf{p}
+    )"""
+        )
+        parts.append(
+            f"""wf{i} AS MATERIALIZED (
+        SELECT source, cap,
+               CAST(alloc + CASE WHEN na > 0 AND alloc < cap
+                    THEN LEAST(cap - alloc, (b - spent) // na)
+                    ELSE 0 END AS BIGINT) AS alloc
+        FROM wf{p} CROSS JOIN wfs{i} CROSS JOIN wfb
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT source, cap, alloc FROM wf{rounds}"
+    )
+
+
+_BDAY_PARTIAL = "CASE x % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 \
+WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END"
+
+
+def _bday_g(x_expr: str) -> str:
+    """Business days in [epoch, epoch + x): 5 per full week plus a
+    partial-week lookup. Epoch day 0 = 1970-01-01 = Thursday, so the
+    partial week visits weekdays (3,4,5,6,0,1,2) — cumulative
+    workday counts (0,1,2,2,2,3,4)."""
+    return (
+        f"(5 * (({x_expr}) // 7) + "
+        + _BDAY_PARTIAL.replace("x", f"({x_expr})")
+        + ")"
+    )
+
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_expr(px: str, py: str, chars: int = 4) -> str:
+    """Geohash of integer-degree (lon, lat) as engine-portable
+    arithmetic: 5·chars bits, lon on even interleave positions from
+    the MSB, both cell coords scaled to their half of the bit budget;
+    base32 chars picked from the standard alphabet with substr. Only
+    div/mod/multiply/substr — no bitwise ops, no library calls."""
+    nbits = 5 * chars
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    cx = f"(({px}) + 180) * {1 << lon_bits} // 360"
+    cy = f"(({py}) + 90) * {1 << lat_bits} // 180"
+    terms = []
+    for i in range(lon_bits):
+        terms.append(f"((({cx}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    for i in range(lat_bits):
+        terms.append(f"((({cy}) // {1 << i}) % 2) * {1 << (2 * i)}")
+    gh = "(" + " + ".join(terms) + ")"
+    parts = [
+        f"substr('{_GH32}', CAST(({gh} // {32 ** (chars - 1 - j)}) % 32"
+        f" AS INT) + 1, 1)"
+        for j in range(chars)
+    ]
+    return " || ".join(parts)
+
+
+for _q in QUERIES:
+    if _q.name == "dedup_cross_source_matrix":
+        _q.oracle = f"""
+        WITH sh AS ({_simhash_oracle(16)}),
+        prs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        )
+        SELECT LEAST(da.source, db.source) AS src_lo,
+               GREATEST(da.source, db.source) AS src_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+        FROM prs
+        JOIN documents da ON da.doc_id = prs.id_a
+        JOIN documents db ON db.doc_id = prs.id_b
+        GROUP BY 1, 2
+        """
+
+
+_EV_HASH = (
+    "CAST('0x' || substr(md5('cal|' || CAST(event_id AS VARCHAR)), 1, 12)"
+    " AS BIGINT)"
+)
+
+
+_FSM_ALLOWED = (
+    "('signup|view', 'signup|click', 'signup|error', 'view|view',"
+    " 'view|click', 'view|error', 'click|view', 'click|purchase',"
+    " 'click|error', 'purchase|view', 'error|view', 'error|signup')"
+)
+
+
+_BMP_W = "(doc_id % 1024 + 1)"
+_BMP_H = "(doc_id % 600 + 1)"
+_BMP_BPP = (
+    "CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 8"
+    " WHEN 3 THEN 24 ELSE 32 END"
+)
+
+
+def _bmp_payload_spark() -> str:
+    """Every 7th doc gets a GIF payload (the non-BMP NULL path); the
+    rest get a real BMP+BITMAPINFOHEADER prefix with a SIGNED height:
+    odd docs store the two's-complement negative (top-down)."""
+    def le32(v: str) -> str:
+        return (
+            f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 256 % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 65536 % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 16777216 % 256), 2, '0'))"
+        )
+
+    def le16(v: str) -> str:
+        return (
+            f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 256), 2, '0'))"
+        )
+
+    h_stored = (
+        f"CASE WHEN doc_id % 2 = 1 THEN 4294967296 - {_BMP_H}"
+        f" ELSE {_BMP_H} END"
+    )
+    return (
+        "CASE WHEN doc_id % 7 = 0 THEN unhex('474946383961') "
+        f"ELSE unhex(concat('424D', {le32('54')}, '00000000',"
+        f" {le32('54')}, {le32('40')}, {le32(_BMP_W)},"
+        f" {le32(h_stored)}, {le16('1')}, {le16(_BMP_BPP)})) END"
+    )
+
+
+_TIFF_W = "(doc_id % 2048 + 1)"
+_TIFF_H = "(doc_id % 1200 + 1)"
+_TIFF_BITS = "CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 8 ELSE 16 END"
+_TIFF_COMP = "CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 1 END"
+
+
+def _tiff_payload_spark() -> str:
+    """Every 7th doc gets a PNG payload (the non-TIFF NULL path); even
+    docs get a little-endian ('II') TIFF, odd docs the SAME logical
+    file in big-endian ('MM') — magic, IFD offset 8, a 4-entry IFD
+    (tags 256/257/258/259, all SHORT), zero next-IFD pointer."""
+
+    def le16(v: str) -> str:
+        return (
+            f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 256), 2, '0'))"
+        )
+
+    def le32(v: str) -> str:
+        return (
+            f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 256 % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 65536 % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 16777216 % 256), 2, '0'))"
+        )
+
+    def be16(v: str) -> str:
+        return f"lpad(hex({v}), 4, '0')"
+
+    def be32(v: str) -> str:
+        return f"lpad(hex({v}), 8, '0')"
+
+    def entry(tag: int, val: str, be: bool) -> str:
+        n16 = be16 if be else le16
+        n32 = be32 if be else le32
+        # SHORT value is LEFT-justified in the 4-byte field: the value
+        # occupies the first two bytes in either byte order
+        return (
+            f"concat({n16(str(tag))}, {n16('3')}, {n32('1')},"
+            f" {n16(val)}, '0000')"
+        )
+
+    def body(be: bool) -> str:
+        n16 = be16 if be else le16
+        n32 = be32 if be else le32
+        magic = "'4D4D002A'" if be else "'49492A00'"
+        return (
+            f"concat({magic}, {n32('8')}, {n16('4')},"
+            f" {entry(256, _TIFF_W, be)}, {entry(257, _TIFF_H, be)},"
+            f" {entry(258, _TIFF_BITS, be)}, {entry(259, _TIFF_COMP, be)},"
+            f" {n32('0')})"
+        )
+
+    return (
+        "CASE WHEN doc_id % 7 = 0 THEN unhex('89504E470D0A1A0A') "
+        f"WHEN doc_id % 2 = 0 THEN unhex({body(False)}) "
+        f"ELSE unhex({body(True)}) END"
+    )
+
+
+for _q in QUERIES:
+    if _q.name == "text_langid_f1":
+        _conf = _langid_oracle().strip().rstrip()
+        _q.oracle = f"""
+        WITH conf AS ({_conf}),
+        tp AS (SELECT lang AS lbl, n AS tp FROM conf
+               WHERE lang = pred_lang),
+        act AS (SELECT lang AS lbl, CAST(SUM(n) AS BIGINT) AS n_actual
+                FROM conf GROUP BY 1),
+        prd AS (SELECT pred_lang AS lbl, CAST(SUM(n) AS BIGINT) AS n_pred
+                FROM conf GROUP BY 1),
+        per0 AS (
+            SELECT COALESCE(act.lbl, prd.lbl) AS lbl,
+                   CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+                   CAST(COALESCE(act.n_actual, 0) AS BIGINT) AS n_actual,
+                   CAST(COALESCE(prd.n_pred, 0) AS BIGINT) AS n_pred
+            FROM act FULL JOIN prd ON prd.lbl = act.lbl
+            LEFT JOIN tp ON tp.lbl = COALESCE(act.lbl, prd.lbl)
+        ),
+        per AS (
+            SELECT lbl, tp, n_actual, n_pred,
+                   CASE WHEN n_pred > 0
+                        THEN CAST(1000000 * tp // n_pred AS BIGINT)
+                        ELSE 0 END AS prec_e6,
+                   CASE WHEN n_actual > 0
+                        THEN CAST(1000000 * tp // n_actual AS BIGINT)
+                        ELSE 0 END AS rec_e6
+            FROM per0
+        ),
+        perf AS (
+            SELECT lbl, tp, n_actual, n_pred, prec_e6, rec_e6,
+                   CASE WHEN prec_e6 + rec_e6 > 0
+                        THEN CAST(2 * prec_e6 * rec_e6
+                                  // (prec_e6 + rec_e6) AS BIGINT)
+                        ELSE 0 END AS f1_e6
+            FROM per
+        )
+        SELECT lbl, tp, n_actual, n_pred, prec_e6, rec_e6, f1_e6 FROM perf
+        UNION ALL
+        SELECT 'MACRO', CAST(SUM(tp) AS BIGINT),
+               CAST(SUM(n_actual) AS BIGINT), CAST(SUM(n_pred) AS BIGINT),
+               CAST(SUM(prec_e6) // COUNT(*) AS BIGINT),
+               CAST(SUM(rec_e6) // COUNT(*) AS BIGINT),
+               CAST(SUM(f1_e6) // COUNT(*) AS BIGINT)
+        FROM perf
+        """
+
+
+def _det3(m: list[list[str]], cast_t: str) -> str:
+    """3x3 determinant as SQL text with every factor widened to
+    ``cast_t`` (DECIMAL(38,0) on Spark, HUGEINT on DuckDB) so the
+    triple products never overflow int64."""
+    def w(t: str) -> str:
+        return f"CAST({t} AS {cast_t})"
+
+    (a, b, c), (d, e, f), (g, h, i) = m
+    return (
+        f"({w(a)} * ({w(e)} * {w(i)} - {w(f)} * {w(h)})"
+        f" - {w(b)} * ({w(d)} * {w(i)} - {w(f)} * {w(g)})"
+        f" + {w(c)} * ({w(d)} * {w(h)} - {w(e)} * {w(g)}))"
+    )
+
+
+def _ols2_dets(cast_t: str) -> dict[str, str]:
+    """Cramer determinants for y = b0 + b1 x1 + b2 x2 from the nine
+    exact sums (n, sx1, sx2, sy, s11, s12, s22, s1y, s2y)."""
+    A = [["n", "sx1", "sx2"], ["sx1", "s11", "s12"], ["sx2", "s12", "s22"]]
+    rhs = ["sy", "s1y", "s2y"]
+    out = {"det": _det3(A, cast_t)}
+    for j in range(3):
+        m = [row[:] for row in A]
+        for r in range(3):
+            m[r][j] = rhs[r]
+        out[f"d{j}"] = _det3(m, cast_t)
+    return out
+
+
+_OLS2_SUMS = f"""
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS sx1,
+               CAST(SUM(x2) AS BIGINT) AS sx2,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+               CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+               CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+               CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+               CAST(SUM(x2 * y) AS BIGINT) AS s2y
+        FROM (
+            SELECT n_name,
+                   CAST(l_quantity AS BIGINT) AS x1,
+                   CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                   {cents('l_extendedprice')} AS y
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        ) pts
+        GROUP BY 1
+"""
+
+_OLS2_DUCK = _ols2_dets("HUGEINT")
+
+
+_CUPED_SEED = "cuped"
+_CUPED_HALF = 1 << 47  # 50/50 split of the 2^48 hash space
+
+
+def _cuped_dets(cast_t: str, idiv: str = "div") -> dict[str, str]:
+    """CUPED arithmetic from exact per-arm integer sums, widened to
+    ``cast_t`` with integer division ``idiv`` ("div" on Spark, "//"
+    on DuckDB — both truncate toward zero).  theta is quantized at
+    1e-6 FIRST (pinned spec), then applied to the cross-arm mean
+    difference."""
+    def w(t: str) -> str:
+        return f"CAST({t} AS {cast_t})"
+
+    p = f"({w('n')} * {w('sxy')} - {w('sx')} * {w('sy')})"
+    q = f"({w('n')} * {w('sxx')} - {w('sx')} * {w('sx')})"
+    r = f"({w('sy_b')} * {w('n_a')} - {w('sy_a')} * {w('n_b')})"
+    t = f"({w('sx_b')} * {w('n_a')} - {w('sx_a')} * {w('n_b')})"
+    s = f"({w('n_a')} * {w('n_b')})"
+    theta = f"CAST(1000000 * {p} {idiv} {q} AS BIGINT)"
+    return {
+        "theta_e6": theta,
+        "raw_diff_e6": f"CAST(1000000 * {r} {idiv} {s} AS BIGINT)",
+        "adj_diff_e6": (
+            f"CAST((1000000 * {r} - {w('theta_e6')} * {t})"
+            f" {idiv} {s} AS BIGINT)"
+        ),
+    }
+
+
+_SHAPLEY_BITS = "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END"
+# 24 * w(|S|) for n = 4: |S|!(n-1-|S|)!/n! scaled by 4! = 24
+_SHAPLEY_W24 = "CASE cnt WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 END"
+
+
+def _fs_em_iter(cast_t: str, idiv: str) -> dict[str, str]:
+    """One EM iteration for the 3-field Fellegi-Sunter mixture over
+    the 8 agreement-pattern counts c0..c7 (bit i of the pattern =
+    agreement on field i), reading current e6-quantized parameters
+    (p, m1..m3, u1..u3) and emitting the next ones.
+
+    Responsibilities are quantized to e9 integers with
+    ``FLOOR(x * 1e9 + 0.5)`` (identical half-up semantics on Spark,
+    DuckDB, and IEEE754 doubles), so every M-step weighted sum is an
+    exact integer and no float ever crosses an aggregation boundary.
+    """
+    def w(t: str) -> str:
+        return f"CAST({t} AS {cast_t})"
+
+    def prod(params: list[str], bits: int) -> str:
+        fs = []
+        for i in range(3):
+            nm = params[i]
+            term = nm if (bits >> i) & 1 else f"(1000000 - {nm})"
+            fs.append(f"CAST({term} AS DOUBLE) / 1000000.0")
+        return " * ".join(fs)
+
+    out: dict[str, str] = {}
+    g_terms = []
+    for g in range(8):
+        a = f"(CAST(p AS DOUBLE) / 1000000.0 * {prod(['m1', 'm2', 'm3'], g)})"
+        b = (
+            f"(CAST(1000000 - p AS DOUBLE) / 1000000.0"
+            f" * {prod(['u1', 'u2', 'u3'], g)})"
+        )
+        out[f"g{g}"] = (
+            f"CAST(FLOOR({a} / ({a} + {b}) * 1000000000.0 + 0.5) AS BIGINT)"
+        )
+        g_terms.append(f"g{g} * c{g}")
+    sg = " + ".join(g_terms)  # sum of gamma_e9 * count
+    nc = " + ".join(f"c{g}" for g in range(8))
+    def clamp(t: str) -> str:
+        # EM boundary guard: probabilities pinned inside (0, 1) so no
+        # pattern's mixture likelihood can collapse to exactly 0/0
+        return f"GREATEST(CAST(1 AS BIGINT), LEAST(CAST(999999 AS BIGINT), {t}))"
+
+    out["p_next"] = clamp(f"CAST(({sg}) {idiv} (1000 * ({nc})) AS BIGINT)")
+    for i in range(3):
+        on = " + ".join(
+            f"g{g} * c{g}" for g in range(8) if (g >> i) & 1
+        )
+        un = " + ".join(
+            f"(1000000000 - g{g}) * c{g}" for g in range(8) if (g >> i) & 1
+        )
+        out[f"m{i + 1}_next"] = clamp(
+            f"CAST(1000000 * {w(f'({on})')} {idiv} {w(f'({sg})')} AS BIGINT)"
+        )
+        out[f"u{i + 1}_next"] = clamp(
+            f"CAST(1000000 * {w(f'({un})')}"
+            f" {idiv} {w(f'(1000000000 * ({nc}) - ({sg}))')} AS BIGINT)"
+        )
+    return out
+
+
+def _fs_em_sql(cast_t: str, idiv: str, counts_cte: str) -> str:
+    """Two unrolled EM iterations as chained CTE selects."""
+    it = _fs_em_iter(cast_t, idiv)
+    gcols = ",\n               ".join(f"{it[f'g{g}']} AS g{g}" for g in range(8))
+    upd = ",\n               ".join(
+        f"{it[k + '_next']} AS {k}"
+        for k in ["p", "m1", "m2", "m3", "u1", "u2", "u3"]
+    )
+    cs = ", ".join(f"c{g}" for g in range(8))
+    return f"""
+    WITH counts AS ({counts_cte}),
+    init AS (
+        SELECT {cs},
+               CAST(100000 AS BIGINT) AS p,
+               CAST(900000 AS BIGINT) AS m1, CAST(900000 AS BIGINT) AS m2,
+               CAST(900000 AS BIGINT) AS m3,
+               CAST(100000 AS BIGINT) AS u1, CAST(100000 AS BIGINT) AS u2,
+               CAST(100000 AS BIGINT) AS u3
+        FROM counts
+    ),
+    e1 AS (SELECT *, {gcols} FROM init),
+    m1s AS (SELECT {cs}, {upd} FROM e1),
+    e2 AS (SELECT *, {gcols} FROM m1s),
+    m2s AS (SELECT {cs}, {upd} FROM e2)
+    SELECT p AS p_e6, m1 AS m1_e6, m2 AS m2_e6, m3 AS m3_e6,
+           u1 AS u1_e6, u2 AS u2_e6, u3 AS u3_e6
+    FROM m2s
+    """
+
+
+_FS_EM_COUNTS_DUCK = f"""
+        SELECT {", ".join(
+            f"CAST(SUM(CASE WHEN pat = {g} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS c{g}" for g in range(8)
+        )}
+        FROM (
+            SELECT CASE WHEN a.name_suffix = b.name_suffix
+                        THEN 1 ELSE 0 END
+                   + 2 * CASE WHEN a.bal_bucket = b.bal_bucket
+                              THEN 1 ELSE 0 END
+                   + 4 * CASE WHEN a.key_mod = b.key_mod
+                              THEN 1 ELSE 0 END AS pat
+            FROM (
+                SELECT c_custkey AS id, c_nationkey AS blk1,
+                       c_mktsegment AS blk2,
+                       right(c_name, 2) AS name_suffix,
+                       ({cents('c_acctbal')} + 100000) // 100000
+                           AS bal_bucket,
+                       CAST(c_custkey % 97 AS BIGINT) AS key_mod
+                FROM customer
+            ) a
+            JOIN (
+                SELECT c_custkey AS id, c_nationkey AS blk1,
+                       c_mktsegment AS blk2,
+                       right(c_name, 2) AS name_suffix,
+                       ({cents('c_acctbal')} + 100000) // 100000
+                           AS bal_bucket,
+                       CAST(c_custkey % 97 AS BIGINT) AS key_mod
+                FROM customer
+            ) b ON a.blk1 = b.blk1 AND a.blk2 = b.blk2 AND a.id < b.id
+        ) pats
+"""
+
+
+def _ppr_iter_duck(prev: str, out: str) -> str:
+    """One unrolled integer personalized-PageRank iteration (restart
+    mass concentrated on the seed set ppr_seeds)."""
+    return f"""
+    {out} AS (
+        SELECT n.node,
+               CAST(CASE WHEN n.node IN (SELECT node FROM ppr_seeds)
+                         THEN 150000000000 ELSE 0 END
+                    + 85 * COALESCE(m.msum, 0) // 100 AS BIGINT) AS rank
+        FROM pr_nodes n LEFT JOIN (
+            SELECT e.d AS node, CAST(SUM(p.rank // dg.deg) AS BIGINT) AS msum
+            FROM pr_edges e
+            JOIN {prev} p ON e.s = p.node
+            JOIN pr_deg dg ON e.s = dg.s
+            GROUP BY 1
+        ) m ON n.node = m.node
+    )"""
+
+
+_BITEMP_DUCK = f"""
+    versions AS (
+        -- bitemporal synthesis: every order's state is VALID for 30
+        -- days from its order date; every 3rd order got a retroactive
+        -- +5% price correction RECORDED 10 days after the order date
+        SELECT o_orderkey AS k,
+               o_orderdate AS valid_from,
+               o_orderdate + INTERVAL 30 DAY AS valid_to,
+               o_orderdate AS tx_from,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN o_orderdate + INTERVAL 10 DAY
+                    ELSE TIMESTAMP '9999-01-01 00:00:00' END AS tx_to,
+               {cents('o_totalprice')} AS price_cents
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey,
+               o_orderdate,
+               o_orderdate + INTERVAL 30 DAY,
+               o_orderdate + INTERVAL 10 DAY,
+               TIMESTAMP '9999-01-01 00:00:00',
+               {cents('o_totalprice')} * 105 // 100
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+"""
+
+
+def _dft8_terms() -> tuple[str, str]:
+    """8-point DFT per-bin power as ONE row-level expression pair
+    (re_k, im_k) with literal twiddle factors — identical text on both
+    engines, so the float arithmetic (fixed left-associated order) is
+    bit-identical. s{p} placeholders are the frame's 8 samples."""
+    import math
+
+    res, ims = [], []
+    for k in range(5):  # real input: bins 0..4 carry the full spectrum
+        re = " + ".join(
+            f"s{p} * ({math.cos(2 * math.pi * k * p / 8)!r})"
+            for p in range(8)
+        )
+        im = " + ".join(
+            f"s{p} * ({-math.sin(2 * math.pi * k * p / 8)!r})"
+            for p in range(8)
+        )
+        res.append(re)
+        ims.append(im)
+    return res, ims
+
+
+def _dft8_items(sample: str) -> list[str]:
+    """Per-bin SELECT items computing DFT power from sample expression
+    template ``sample`` (with {p} the in-frame phase)."""
+    res, ims = _dft8_terms()
+    subs = {f"s{p}": f"({sample.format(p=p)})" for p in range(8)}
+    items = []
+    for k in range(5):
+        re, im = res[k], ims[k]
+        for p in range(8):
+            re = re.replace(f"s{p} ", f"{subs[f's{p}']} ")
+            im = im.replace(f"s{p} ", f"{subs[f's{p}']} ")
+        items.append(f"round(({re}) * ({re}) + ({im}) * ({im}), 6) AS power_{k}")
+    return items
+
+
+_DFT_SAMPLE = (
+    "CAST((doc_id * 31 + (frame * 8 + {p}) * 17) % 65536 - 32768 AS DOUBLE)"
+)
+
+
+# Poisson(1) CDF at the 48-bit uniform scale: floor(P(X<=k) * 2^48),
+# k = 0..5 (P(X<=5) leaves ~2e-4 mass at w=6, the cap)
+_POIS1_T = [
+    103548857136060,
+    207097714272121,
+    258872142840152,
+    276130285696162,
+    280444821410164,
+    281307728552965,
+]
+
+
+def _pois1_weight(u48: str) -> str:
+    """Inverse-CDF Poisson(1) draw from a 48-bit uniform — identical
+    CASE text on both engines."""
+    branches = " ".join(
+        f"WHEN {u48} < {t} THEN {k}" for k, t in enumerate(_POIS1_T)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+_BOOT_U48_SPARK = (
+    "CAST(conv(substr(md5(concat('boot|', CAST(b AS STRING), '|',"
+    " CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+)
+_BOOT_U48_DUCK = (
+    "CAST('0x' || substr(md5('boot|' || CAST(b AS VARCHAR) || '|'"
+    " || CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT)"
+)
+
+
+_PERM_U48_SPARK = (
+    "CAST(conv(substr(md5(concat('perm|', CAST(b AS STRING), '|',"
+    " CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+)
+_PERM_U48_DUCK = (
+    "CAST('0x' || substr(md5('perm|' || CAST(b AS VARCHAR) || '|'"
+    " || CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT)"
+)
+
+
+_KANON_LEVELS = """
+        SELECT l.bal_lvl, l.nat_lvl, l.cost FROM (VALUES
+            (0, 0, 0), (0, 1, 1), (0, 2, 2),
+            (1, 0, 10), (1, 1, 11), (1, 2, 12),
+            (2, 0, 20), (2, 1, 21), (2, 2, 22),
+            (3, 0, 30), (3, 1, 31), (3, 2, 32)
+        ) l(bal_lvl, nat_lvl, cost)
+"""
+
+
+_RATE_TIERS_DUCK = """
+        SELECT * FROM (VALUES
+            (TIMESTAMP '1992-01-01 00:00:00', TIMESTAMP '1995-01-01 00:00:00',
+             CAST(0 AS BIGINT), CAST(10000000 AS BIGINT), CAST(250 AS BIGINT)),
+            (TIMESTAMP '1992-01-01 00:00:00', TIMESTAMP '1995-01-01 00:00:00',
+             CAST(10000000 AS BIGINT), CAST(100000000000 AS BIGINT),
+             CAST(180 AS BIGINT)),
+            (TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '2000-01-01 00:00:00',
+             CAST(0 AS BIGINT), CAST(20000000 AS BIGINT), CAST(210 AS BIGINT)),
+            (TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '2000-01-01 00:00:00',
+             CAST(20000000 AS BIGINT), CAST(100000000000 AS BIGINT),
+             CAST(140 AS BIGINT))
+        ) t(eff_from, eff_to, lo_cents, hi_cents, bps)
+"""
+
+
+# --------------------------------------------------------------------
+# WARC / gzip-multistream container family (Common Crawl's warc.gz):
+# payloads are synthesized as fully VALID containers in pure JVM
+# expressions (stored-DEFLATE blocks + Spark's built-in crc32 make a
+# spec-correct RFC 1952 member without any Python on the build side),
+# then parsed back by the real decoders in pipeline/warc.py. The
+# oracle recomputes every emitted field closed-form from the raw
+# documents columns — parse(build(x)) == x.
+
+_CRLF = "chr(13) || chr(10)"
+
+
+def _warc_rec_sql(which: int, blen: str = "octet_length") -> str:
+    """Dialect-neutral SQL (valid in Spark SQL AND DuckDB) building WARC
+    record 0 (response, text content) / 1 (metadata, lang content) for
+    one documents row.
+
+    ``blen`` is the BYTE-length function of the target dialect —
+    ``octet_length`` (Spark, the default) or ``strlen`` (DuckDB).
+    Content-Length is defined in bytes (ISO 28500); a character count
+    would mis-frame any record whose content carries multi-byte UTF-8."""
+    if which == 0:
+        return (
+            f"('WARC/1.1' || {_CRLF}"
+            f" || 'WARC-Type: response' || {_CRLF}"
+            " || 'WARC-Record-ID: <urn:uuid:'"
+            f" || lpad(CAST(doc_id AS STRING), 8, '0') || '>' || {_CRLF}"
+            " || 'WARC-Target-URI: https://example.com/doc/'"
+            f" || CAST(doc_id AS STRING) || {_CRLF}"
+            " || 'Content-Length: '"
+            f" || CAST({blen}(text) AS STRING) || {_CRLF} || {_CRLF}"
+            f" || text || {_CRLF} || {_CRLF})"
+        )
+    return (
+        f"('WARC/1.1' || {_CRLF}"
+        f" || 'WARC-Type: metadata' || {_CRLF}"
+        " || 'WARC-Record-ID: <urn:uuid:'"
+        f" || lpad(CAST(doc_id AS STRING), 8, '0') || '-meta>' || {_CRLF}"
+        " || 'Content-Length: '"
+        f" || CAST({blen}(lang) AS STRING) || {_CRLF} || {_CRLF}"
+        f" || lang || {_CRLF} || {_CRLF})"
+    )
+
+
+def _gz_le16(v: str) -> str:
+    return (
+        f"lpad(hex(({v}) % 256), 2, '0')"
+        f" || lpad(hex(({v}) div 256 % 256), 2, '0')"
+    )
+
+
+def _gz_le32(v: str) -> str:
+    return (
+        f"lpad(hex(({v}) % 256), 2, '0')"
+        f" || lpad(hex(({v}) div 256 % 256), 2, '0')"
+        f" || lpad(hex(({v}) div 65536 % 256), 2, '0')"
+        f" || lpad(hex(({v}) div 16777216 % 256), 2, '0')"
+    )
+
+
+def _gzip_member_spark(data_sql: str, fname_sql: str | None = None) -> str:
+    """Spark-SQL expression: one spec-valid gzip member wrapping the
+    string `data_sql` in a single stored (uncompressed) DEFLATE block —
+    RFC 1951 §3.2.4: final-bit 1 + type 00 => first byte 0x01, then
+    LEN/NLEN little-endian with NLEN = LEN's ones complement. CRC32 via
+    Spark's built-in (JVM-side). Optional FNAME field (FLG bit 3).
+
+    All size fields (LEN/NLEN/ISIZE) are BYTE counts (octet_length of
+    the UTF-8 encoding, matching the CAST AS BINARY payload), and LEN
+    is range-checked: a stored DEFLATE block caps at 65535 bytes, so
+    oversized data raises instead of silently wrapping the frame."""
+    ln = f"octet_length({data_sql})"
+    guarded_len = (
+        f"CASE WHEN {ln} > 65535 THEN"
+        " raise_error('gzip stored-DEFLATE block: data exceeds 65535 bytes')"
+        f" ELSE {_gz_le16(ln)} END"
+    )
+    hdr = "'1F8B08080000000000FF'" if fname_sql else "'1F8B08000000000000FF'"
+    name_part = (
+        f", CAST(({fname_sql}) AS BINARY), unhex('00')" if fname_sql else ""
+    )
+    return (
+        f"concat(unhex({hdr}){name_part},"
+        f" unhex('01'), unhex({guarded_len}), unhex({_gz_le16(f'65535 - {ln}')}),"
+        f" CAST(({data_sql}) AS BINARY),"
+        f" unhex({_gz_le32(f'crc32(CAST(({data_sql}) AS BINARY))')}),"
+        f" unhex({_gz_le32(ln)}))"
+    )
+
+
+def _zip_lfh_spark(name: str, data_sql: str) -> str:
+    """Spark-SQL expr: one stored-method zip LOCAL FILE HEADER + data
+    (APPNOTE 4.3.7) — version 2.0, zeroed DOS time/date, real CRC32.
+    Size fields are BYTE counts (octet_length), matching the CAST AS
+    BINARY payload bytes for any UTF-8 content."""
+    ln = f"octet_length({data_sql})"
+    crc = f"crc32(CAST(({data_sql}) AS BINARY))"
+    nlen = _gz_le16(str(len(name.encode("utf-8"))))
+    return (
+        "concat(unhex('504B030414000000000000000000'),"
+        f" unhex({_gz_le32(crc)}), unhex({_gz_le32(ln)}),"
+        f" unhex({_gz_le32(ln)}), unhex({nlen}), unhex('0000'),"
+        f" CAST('{name}' AS BINARY), CAST(({data_sql}) AS BINARY))"
+    )
+
+
+def _zip_cdh_spark(name: str, data_sql: str, lfh_off_sql: str) -> str:
+    """Spark-SQL expr: the matching CENTRAL DIRECTORY header
+    (APPNOTE 4.3.12) pointing at ``lfh_off_sql``."""
+    ln = f"octet_length({data_sql})"
+    crc = f"crc32(CAST(({data_sql}) AS BINARY))"
+    nlen = _gz_le16(str(len(name.encode("utf-8"))))
+    return (
+        "concat(unhex('504B0102140014000000000000000000'),"
+        f" unhex({_gz_le32(crc)}), unhex({_gz_le32(ln)}),"
+        f" unhex({_gz_le32(ln)}), unhex({nlen}),"
+        " unhex('000000000000000000000000'),"
+        f" unhex({_gz_le32(lfh_off_sql)}), CAST('{name}' AS BINARY))"
+    )
+
+
+# --------------------------------------------------------------------
+# Tar / WebDataset shards: ustar headers built in pure JVM expressions
+# (octal fields via conv(), the header CHECKSUM via an aggregate() HOF
+# summing all 512 header bytes with the chksum field blanked — the
+# spec's computation, done in SQL), parsed back by pipeline/tar.py.
+
+_TAR_JSON = (
+    "('{\"lang\": \"' || lang || '\", \"source\": \"' || source || '\"}')"
+)
+
+
+def _tar_header_spaces_sql(name_sql: str, data_sql: str) -> str:
+    """Spark-SQL expr: a ustar header STRING with the chksum field as
+    8 spaces (the form the POSIX checksum is computed over).
+
+    The octal size field is a BYTE count (octet_length) so the frame
+    stays valid for multi-byte UTF-8 data. Entry NAMES must be ASCII:
+    the header is built as a string and the checksum HOF sums ascii()
+    per character, which equals the byte sum only for ASCII (the names
+    here are 'samples/<doc_id>.<ext>' by construction)."""
+    ln = f"octet_length({data_sql})"
+    return (
+        f"concat(rpad({name_sql}, 100, chr(0)),"
+        " '0000644', chr(0), '0000000', chr(0), '0000000', chr(0),"
+        f" lpad(conv({ln}, 10, 8), 11, '0'), chr(0),"
+        " '00000000000', chr(0),"
+        " '        ',"
+        " '0',"
+        " repeat(chr(0), 100),"
+        " 'ustar', chr(0), '00',"
+        " repeat(chr(0), 247))"
+    )
+
+
+def _tar_docs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-part WebDataset sample per doc (key samples/<doc_id> with
+    .txt / .json / .cls parts + the two-zero-block terminator), built
+    in two projection stages with a persist() BARRIER between the
+    header strings and the checksum aggregate: the checksum HOF reads
+    each header 512 times, so letting CollapseProject inline the full
+    concat build into every iteration multiplies the build 512x
+    (measured: 47.9 s -> sub-second at sf0.1)."""
+    key = "('samples/' || CAST(doc_id AS STRING))"
+    parts = [
+        (f"({key} || '.txt')", "text"),
+        (f"({key} || '.json')", _TAR_JSON),
+        (f"({key} || '.cls')", "lang"),
+    ]
+    from ..relational import _persist_bounded
+
+    stage1 = _persist_bounded(
+        load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(_TAR_JSON).alias("__js"),
+            "text",
+            "lang",
+            *[
+                F.expr(_tar_header_spaces_sql(n, d)).alias(f"__hs{i}")
+                for i, (n, d) in enumerate(parts)
+            ],
+        )
+    )
+    datas = ["text", "__js", "lang"]
+
+    def entry(i: int) -> str:
+        hs = f"__hs{i}"
+        d = datas[i]
+        # checksum algebra: every fixed field's byte-sum is the
+        # compile-time constant 2509 (mode+uid+gid+mtime+8 spaces+
+        # typeflag+magic+version); NUL padding sums to 0. Only the
+        # name and the 11-digit octal size vary, so the HOF iterates
+        # ~30 chars instead of 512 (11.7 s -> seconds at sf0.1).
+        nm = f"substring({hs}, 1, 100)"
+        oc = f"substring({hs}, 125, 11)"
+        chk = (
+            f"2509 + aggregate(sequence(1, 100), 0,"
+            f" (a, j) -> a + ascii(substring({nm}, j, 1)))"
+            f" + aggregate(sequence(1, 11), 0,"
+            f" (a, j) -> a + ascii(substring({oc}, j, 1)))"
+        )
+        hdr = (
+            f"concat(substring({hs}, 1, 148),"
+            f" lpad(conv({chk}, 10, 8), 6, '0'), chr(0), ' ',"
+            f" substring({hs}, 157, 356))"
+        )
+        # block padding in BYTES: rpad counts characters, which under-
+        # pads multi-byte UTF-8 data — append NUL bytes to the binary
+        # payload instead ((-octet_length) mod 512 of them)
+        pad = f"(512 - octet_length({d}) % 512) % 512"
+        return (
+            f"CAST({hdr} AS BINARY), CAST({d} AS BINARY),"
+            f" CAST(repeat(chr(0), {pad}) AS BINARY)"
+        )
+
+    return stage1.select(
+        "doc_id",
+        F.expr(
+            "concat("
+            + ", ".join(entry(i) for i in range(3))
+            + ", CAST(repeat(chr(0), 1024) AS BINARY))"
+        ).alias("payload"),
+    )
+
+
+_TAR_JSON_DUCK = (
+    "('{\"lang\": \"' || lang || '\", \"source\": \"' || source || '\"}')"
+)
+
+
+def _passk_duck(k: int) -> str:
+    return (
+        f"CAST((1000000 * (de{k} - nu{k})) // de{k} AS BIGINT)"
+    )
+
+
+# runtime-filtered: the splitter's static name scan can over-collect
+# names assigned inside compound statements; export only what exists
+__all__ = [n for n in ['_ENT_LUT', '_ENT_WINDOW', '_AUDIO_BLOCKS', '_BDAY_PARTIAL', '_BENFORD_E6', '_BF_BITS', '_BF_H1_DUCK', '_BF_H2_DUCK', '_BF_K', '_BF_WORD', '_BITEMP_DUCK', '_BM25_SCORED_DUCK', '_BMP_BPP', '_BMP_H', '_BMP_W', '_BOOT_U48_DUCK', '_BOOT_U48_SPARK', '_BOX_XMAX', '_BOX_XMIN', '_BOX_YMAX', '_BOX_YMIN', '_CENTS', '_COSOURCE_EDGE_CTES', '_CRLF', '_CTR_AX', '_CTR_AY', '_CTR_CROSS1', '_CTR_CROSS2', '_CTR_CROSS3', '_CTR_PX', '_CTR_PY', '_CUPED_HALF', '_CUPED_SEED', '_DFT_SAMPLE', '_DJ_PX', '_DJ_PY', '_DJ_RADIUS', '_DJ_SX', '_DJ_SY', '_DUCK_NORM2_V', '_DUCK_SUB_DOT', '_DUCK_SUB_L2', '_DVA_CX', '_DVA_CY', '_DVA_R', '_DVB_CX', '_DVB_CY', '_DVB_R', '_EV_HASH', '_FSM_ALLOWED', '_FS_EM_COUNTS_DUCK', '_GEO_ENV_ORACLE_FIELDS', '_GH32', '_GIF_H', '_GIF_W', '_GOLDEN_SOURCES_SQL', '_HAV_DUCK', '_HIST_BINS', '_HIST_HI', '_HIST_LO', '_HITS_SCALE', '_HLL_LC', '_HLL_NUMER', '_HLL_RHO_DUCK', '_HLL_RHO_SPARK', '_HTML_DOC', '_IVF_CENT_VALUES', '_IVF_FIX', '_JPEG_H', '_JPEG_W', '_KANON_LEVELS', '_KMVJ_H_DUCK', '_KMVJ_H_SPARK', '_KMVJ_K', '_LUHN_BASE_DUCK', '_LUHN_BASE_SPARK', '_MINHASH_BANDS_DUCK', '_MINHASH_PAIRS_DUCK', '_MIX_DEFAULT', '_MIX_FRACTIONS', '_MIX_HASH_DUCK', '_MMR_QUERY', '_MP3_BR_IDX', '_MP3_MODE', '_MP3_PAD', '_MP3_SR_IDX', '_MP3_TAG', '_MP3_VB', '_MP4_DUR', '_MP4_K', '_MP4_TS', '_NATION_TEMPORAL_CTES', '_NATION_TRADE_CTES', '_NDCG_CUM', '_NDCG_DISC', '_OLS2_DUCK', '_OLS2_SUMS', '_OOO_DELAY', '_OVA_XMAX', '_OVA_XMIN', '_OVA_YMAX', '_OVA_YMIN', '_OVB_XMAX', '_OVB_XMIN', '_OVB_YMAX', '_OVB_YMIN', '_PDF_UNI_MARK', '_PERM_U48_DUCK', '_PERM_U48_SPARK', '_PNG_H', '_PNG_W', '_POIS1_T', '_PQ_BOOK_VALUES', '_PQ_CODES_CTE', '_PQ_FIX', '_PROFILE_NUM_COLS', '_PROFILE_STR_COLS', '_PX', '_PY', '_QF_RULES', '_QSK_HASH_DUCK', '_QSK_HASH_SPARK', '_QSK_RATE_NUM', '_QUANT_DUCK', '_QUANT_DUCK_AMAX', '_RAKE_STOPS', '_RATE_TIERS_DUCK', '_SAMPLE_FRACTION', '_SBOX_XMAX', '_SBOX_XMIN', '_SBOX_YMAX', '_SBOX_YMIN', '_SHAPLEY_BITS', '_SHAPLEY_W24', '_SHINGLES_DUCK', '_SKEW_COLS', '_SNIFF_MAGICS', '_SPLIT_WEIGHTS', '_TAR_JSON', '_TAR_JSON_DUCK', '_TF_DUCK', '_TIFF_BITS', '_TIFF_COMP', '_TIFF_H', '_TIFF_W', '_TOKENS_DUCK', '_UHASH_DUCK', '_UHASH_R3_DUCK', '_WAV_BITS', '_WAV_CH', '_WAV_FRAMES', '_WAV_RATE', '_audio_oracle', '_bday_g', '_bfs_oracle', '_bmp_payload_spark', '_bpe_oracle', '_bpe_tokenize_oracle', '_conf', '_cos_duck', '_cosource_edges_spark', '_cuped_dets', '_det3', '_dft8_items', '_dft8_terms', '_drain_to_table', '_duck_list', '_events_file_stream', '_events_ooo_dir', '_events_ooo_file_stream', '_ewma_terms', '_fixture', '_fs_em_iter', '_fs_em_sql', '_geo_boxes', '_geo_filter_oracle', '_geo_wkt_df', '_geohash_expr', '_gif_payload_spark', '_gz_le16', '_gz_le32', '_gzip_member_spark', '_hexval', '_hilbert_duck_stages', '_hits_iter_duck', '_hll_estimate_duck', '_hll_estimate_spark', '_holt_duck', '_jpeg_payload_spark', '_kcenter_duck', '_kcore_oracle', '_ktruss_oracle', '_langid_oracle', '_lpa_oracle', '_markov_stationary_duck', '_mix_threshold_duck', '_mmr_oracle', '_mp3_payload_spark', '_mp4_payload_spark', '_nation_trade_edges_spark', '_ols2_dets', '_pagerank_iter_duck', '_passk_duck', '_png_payload_spark', '_pois1_weight', '_ppr_iter_duck', '_principal_oracle', '_profile_oracle', '_qcos_duck', '_quadkey_expr', '_resize_oracle', '_simhash_oracle', '_skew_oracle', '_sniff_oracle', '_sniff_payload_spark', '_soundex_blocks_oracle', '_split_bounds', '_split_case_duck', '_sssp_oracle', '_stress_oracle', '_tar_docs_spark', '_tar_header_spaces_sql', '_temporal_arrival_oracle', '_text_html_oracle', '_tiff_payload_spark', '_warc_rec_sql', '_waterfill_oracle', '_wav_payload_spark', '_wpagerank_iter_duck', '_zip_cdh_spark', '_zip_lfh_spark', '_zorder_duck_interleave', '_zorder_duck_norm', 'cents'] if n in globals()]

@@ -1,0 +1,1482 @@
+"""Embedding/ANN gate queries (top-k, IVF, PQ, centroids, semantic dedup).
+
+Split out of entry_queries.py; registration happens on import
+(each @register call appends to the shared QUERIES list)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..pipeline.text import (  # noqa: E402  (constants feed the oracle SQL)
+    ENTROPY_LUT as _ENT_LUT,
+    ENTROPY_WINDOW as _ENT_WINDOW,
+)
+
+from ._core import *  # noqa: F401,F403
+from ._helpers import *  # noqa: F401,F403
+
+
+
+@register(
+    "embed_centroids",
+    """
+    WITH e AS (
+        SELECT label, unnest(range(0, len(embedding))) AS pos, embedding
+        FROM embeddings)
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(SUM(CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY label, pos
+    """,
+)
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids with order-independent exact
+    arithmetic: components quantized to BIGINT micro-units, summed
+    exactly, divided once — bit-identical on any partitioning."""
+    from ..pipeline.similarity import embedding_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_centroids(emb, "label", "embedding", scale=1_000_000)
+
+
+@register(
+    "ann_topk_quantized",
+    f"""
+    WITH qz AS ({_QUANT_DUCK}),
+    q AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 5),
+    c AS (SELECT vec_id, q AS cq FROM qz),
+    scored AS (
+        SELECT query_id, vec_id, {_qcos_duck('cq', 'qq')} AS cosine
+        FROM c, q WHERE vec_id != query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine over int8-quantized embeddings (4x smaller scan
+    at 100 TB). Quantization and the dot/norm folds are exact integer
+    arithmetic, so the scores hash across engines without rounding."""
+    from ..pipeline.similarity import quantized_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_topk(emb, queries, k=10)
+
+
+@register(
+    "ann_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, vec_id, {_cos_duck('cv', 'qv')} AS cosine
+        FROM c, q WHERE vec_id != query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors."""
+    from ..pipeline.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, "vec_id", "embedding", "query_id", k=10)
+
+
+@register(
+    "ann_topk_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                      ({' + '.join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(8))}) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT query_id, e.vec_id, {_cos_duck('e.v', 'qv')} AS cosine
+        FROM e JOIN q ON e.bucket = q.qbucket
+        WHERE e.vec_id != q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket LSH-pruned approximate top-10 (8 bits)."""
+    from ..pipeline.similarity import lsh_bucketed_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(emb, queries, "vec_id", "embedding", "query_id", k=10, bits=8)
+
+
+@register(
+    "ann_topk_lsh_multiprobe",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      ({' + '.join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(8))}) AS bucket
+               FROM embeddings),
+    q0 AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < 5),
+    probes AS (
+        SELECT query_id, qv, unnest([qbucket,
+               {', '.join(f'xor(qbucket, {1 << i})' for i in range(8))}]) AS qbucket
+        FROM q0
+    ),
+    scored AS (
+        SELECT query_id, e.vec_id, {_cos_duck('e.v', 'qv')} AS cosine
+        FROM e JOIN probes p ON e.bucket = p.qbucket
+        WHERE e.vec_id != p.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-10: the query's sign bucket plus all 8
+    Hamming-distance-1 buckets — recall recovery without re-bucketing
+    the corpus."""
+    from ..pipeline.similarity import lsh_bucketed_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(
+        emb, queries, "vec_id", "embedding", "query_id",
+        k=10, bits=8, multi_probe=True,
+    )
+
+
+@register(
+    "ann_topk_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    ca AS (SELECT e.vec_id, e.v, cent.cid, {_cos_duck('e.v', 'cent.cv')} AS ccos FROM e, cent),
+    assigned AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+            FROM ca
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    qa AS (SELECT q.query_id, q.qv, cent.cid, {_cos_duck('q.qv', 'cent.cv')} AS ccos FROM q, cent),
+    probes AS (
+        SELECT query_id, qv, cid AS cluster FROM (
+            SELECT query_id, qv, cid,
+                   row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cid ASC) AS rn
+            FROM qa
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id, {_cos_duck('a.v', 'p.qv')} AS cosine
+        FROM assigned a JOIN probes p ON a.cluster = p.cluster
+        WHERE a.vec_id != p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM cand
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned approximate top-10 (8 cells, nprobe=2)."""
+    from ..pipeline.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", "query_id",
+        k=10, n_centroids=8, nprobe=2,
+    )
+
+
+@register(
+    "ivf_upsert_cells",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    existing AS (SELECT * FROM e WHERE vec_id % 10 != 0),
+    batch AS (SELECT * FROM e WHERE vec_id % 7 = 0),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM existing ORDER BY vec_id LIMIT 8),
+    merged AS (
+        SELECT vec_id, v FROM existing
+        WHERE vec_id NOT IN (SELECT vec_id FROM batch)
+        UNION ALL SELECT vec_id, v FROM batch),
+    ca AS (SELECT m.vec_id, m.v, cent.cid, {_cos_duck('m.v', 'cent.cv')} AS ccos
+           FROM merged m, cent)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        FROM ca
+    ) WHERE rn = 1
+    """,
+)
+def ivf_upsert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance: fold an updated-vector batch
+    (vec_id % 7 == 0, overlapping the existing set to exercise the
+    upsert anti-join) into an existing assignment table (vec_id % 10
+    != 0) against fixed placeholder centroids — the new batch is
+    assigned map-side, the corpus-side table is never shuffled."""
+    from ..pipeline.similarity import ivf_assign, ivf_upsert_assignments
+
+    emb = load(spark, sf_dir, "embeddings")
+    existing = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    assigned = ivf_assign(existing, "vec_id", "embedding", n_centroids=8)
+    merged = ivf_upsert_assignments(
+        assigned.select("vec_id", "embedding", "cluster"),
+        batch.select("vec_id", "embedding"),
+        centroids=None,
+        n_centroids=8,
+    )
+    return merged.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+@register(
+    "ivf_refresh_cells",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    ca AS (SELECT e.vec_id, e.v, cent.cid, {_cos_duck('e.v', 'cent.cv')} AS ccos
+           FROM e, cent),
+    assigned AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+            FROM ca
+        ) WHERE rn = 1
+    ),
+    expl AS (
+        SELECT cluster, unnest(range(0, len(v))) AS pos, v FROM assigned)
+    SELECT CAST(cluster AS BIGINT) AS cluster, CAST(pos AS INT) AS pos,
+           CAST(SUM(CAST(round(v[pos + 1] * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM expl GROUP BY cluster, pos
+    """,
+)
+def ivf_refresh_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodic IVF centroid refresh: one exact Lloyd step over the
+    assignment table — quantized BIGINT sums make the per-cell means
+    bit-identical across partitionings; shuffle is O(cells x dims)."""
+    from ..pipeline.similarity import ivf_assign, ivf_refresh_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, "vec_id", "embedding", n_centroids=8)
+    return ivf_refresh_centroids(assigned, "embedding", "cluster").select(
+        F.col("cluster").cast("long").alias("cluster"), "pos", "mean", "n"
+    )
+
+
+@register(
+    "ann_topk_fast",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, vec_id,
+               round({_cos_duck('cv', 'qv')}, 9) + 0.0 AS cosine
+        FROM c, q WHERE vec_id != query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy fast-path exact top-k (map-side per-partition top-k,
+    then global). Matmul reduction order differs from a sequential fold
+    in the last ulp, so the cosine is rounded to 9 decimals BEFORE
+    ranking — matmul and the oracle's fold agree at that precision, so
+    selection, ranks, and values hash-match the fold-based oracle."""
+    from ..pipeline.similarity import brute_force_topk_arrow
+
+    emb = load(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
+        .toPandas()
+    )
+    return brute_force_topk_arrow(emb, qpdf, "vec_id", "embedding", k=10, round_digits=9)
+
+
+@register(
+    "embed_triplets",
+    f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), anchors AS (
+        SELECT * FROM e WHERE vec_id % 40 = 0
+    ), scored AS (
+        SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+               c.vec_id AS cand_id, c.label = a.label AS same,
+               {_cos_duck('a.v', 'c.v')} AS cos
+        FROM anchors a JOIN e c ON c.vec_id <> a.vec_id
+    ), ranked AS (
+        SELECT anchor_id, cand_id, same, cos,
+               row_number() OVER (PARTITION BY anchor_id, same
+                                  ORDER BY cos DESC, cand_id) AS rn
+        FROM scored
+    )
+    SELECT p.anchor_id,
+           p.cand_id AS pos_id, p.cos AS pos_cos,
+           n.cand_id AS neg_id, n.cos AS neg_cos
+    FROM (SELECT * FROM ranked WHERE same AND rn = 1) p
+    JOIN (SELECT * FROM ranked WHERE NOT same AND rn = 1) n
+      ON p.anchor_id = n.anchor_id
+    """,
+)
+def embed_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for contrastive training: for each anchor,
+    the hardest positive (most similar same-label vector) and the
+    hardest negative (most similar different-label vector) — the
+    (anchor, positive, negative) batches metric-learning losses
+    consume. Cosines are the deterministic sequential fold, so both
+    choices and values are engine-exact; ranks tie-break on id.
+
+    Scale: anchors broadcast against the corpus; per (anchor, class)
+    top-1 is a partial-rank, not a sort of the corpus. At 100 TB you
+    mine within IVF cells or LSH buckets (the ann_topk_ivf machinery)
+    instead of the exact sweep — the selection logic is unchanged."""
+    from ..pipeline.similarity import cosine_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter("vec_id % 40 = 0").select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter("vec_id <> anchor_id")
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("cand_id"),
+            (F.col("label") == F.col("anchor_label")).alias("same"),
+            cosine_expr("embedding", "anchor_vec").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.col("cos").desc(), "cand_id"
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    p = ranked.filter("same").select(
+        "anchor_id",
+        F.col("cand_id").alias("pos_id"),
+        F.col("cos").alias("pos_cos"),
+    )
+    n = ranked.filter("NOT same").select(
+        "anchor_id",
+        F.col("cand_id").alias("neg_id"),
+        F.col("cos").alias("neg_cos"),
+    )
+    return p.join(n, "anchor_id")
+
+
+@register(
+    "ann_topk_rerank",
+    f"""
+    WITH qz AS ({_QUANT_DUCK}),
+    q8 AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 5),
+    c8 AS (SELECT vec_id, q AS cq FROM qz),
+    coarse AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_qcos_duck('cq', 'qq')} DESC, vec_id ASC)
+                       AS crank
+            FROM c8, q8 WHERE vec_id != query_id
+        ) WHERE crank <= 100
+    ),
+    qf AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+    cf AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    rescored AS (
+        SELECT coarse.query_id, coarse.vec_id,
+               {_cos_duck('cv', 'qv')} AS cosine
+        FROM coarse
+        JOIN cf ON cf.vec_id = coarse.vec_id
+        JOIN qf ON qf.query_id = coarse.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM rescored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (pipeline.similarity.rerank_topk): int8
+    coarse scan proposes 100 candidates per query, full-precision
+    cosine re-ranks only those, exact top-10 of the candidate set
+    returned — the production serving shape that scans the corpus at
+    quantized bandwidth and touches full vectors for 100 rows per
+    query. The oracle replays both stages with the same integer
+    quantization and fold arithmetic, so the gate pins the ENTIRE
+    pipeline including the coarse tie-breaks."""
+    from ..pipeline.similarity import rerank_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return rerank_topk(emb, queries, coarse_k=100, k=10)
+
+
+@register(
+    "embed_norm_profile",
+    f"""
+    WITH qz AS ({_QUANT_DUCK}),
+    norms AS (
+        SELECT vec_id,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(q, x -> x * x)), (a, x) -> a + x)
+                    AS BIGINT) AS norm2
+        FROM qz
+    )
+    SELECT CAST(norm2 // 50000 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+           CAST(MAX(norm2) AS BIGINT) AS max_norm2
+    FROM norms GROUP BY 1
+    """,
+)
+def embed_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm distribution over the int8-quantized vectors —
+    norm² is an exact integer there, so the histogram hashes with no
+    float laundering. Collapsed or exploded norms are the first sign
+    of a broken encoder (or a missing normalization step) before any
+    similarity search runs; this is the one-scan check.
+
+    Scale: map-side fold per vector plus one bounded-cardinality
+    groupBy."""
+    from ..pipeline.similarity import quantize_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    norms = emb.withColumn(
+        "__q", quantize_expr("embedding")
+    ).select(
+        F.expr(
+            "aggregate(transform(__q, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("norm2")
+    )
+    return norms.groupBy(
+        F.expr("CAST(norm2 div 50000 AS BIGINT)").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("norm2").cast("long").alias("min_norm2"),
+        F.max("norm2").cast("long").alias("max_norm2"),
+    )
+
+
+@register(
+    "ann_topk_ivf_trained",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT * FROM (VALUES {_IVF_CENT_VALUES}) AS t(cid, cv)),
+    ca AS (SELECT e.vec_id, e.v, cent.cid, {_cos_duck('e.v', 'cent.cv')} AS ccos FROM e, cent),
+    assigned AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+            FROM ca
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    qa AS (SELECT q.query_id, q.qv, cent.cid, {_cos_duck('q.qv', 'cent.cv')} AS ccos FROM q, cent),
+    probes AS (
+        SELECT query_id, qv, cid AS cluster FROM (
+            SELECT query_id, qv, cid,
+                   row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cid ASC) AS rn
+            FROM qa
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id, {_cos_duck('a.v', 'p.qv')} AS cosine
+        FROM assigned a JOIN probes p ON a.cluster = p.cluster
+        WHERE a.vec_id != p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM cand
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 over OFFLINE-TRAINED centroids (the production IVF
+    workflow): the k-means centroids trained once on the sf0.01 corpus
+    (seed 42, k-means||) are a committed fixture; assignment and probe
+    selection inline them as plan literals exactly like the placeholder
+    path, so the corpus is never shuffled for assignment. The oracle
+    embeds the identical centroid values as SQL literals — the trained
+    artifact itself is what both engines consume."""
+    from ..pipeline.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in _IVF_FIX["centroids"]],
+        "centroid_id int, centroid array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", "query_id",
+        k=10, nprobe=2, centroids=cents,
+    )
+
+
+@register(
+    "pq_codes_trained",
+    f"""
+    WITH {_PQ_CODES_CTE}
+    SELECT vec_id, j, code FROM codes
+    """,
+)
+def pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding against OFFLINE-TRAINED codebooks
+    (committed fixture, m=8 subspaces x k=16 codewords over the
+    L2-normalized vectors): each 64-dim float vector compresses to 8
+    codeword ids (32x). Output long-form (vec_id, j, code) — integer
+    columns only, so the gate is immune to float-fold differences; the
+    oracle recomputes every codeword argmin from the same fixture
+    literals. Encoding is mapInPandas, map-side, no shuffle."""
+    from ..pipeline.similarity import pq_encode
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, _PQ_FIX["codebooks"])
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("j", "code")
+    ).select(
+        "vec_id",
+        F.col("j").cast("int").alias("j"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
+@register(
+    "pq_topk_trained",
+    f"""
+    WITH {_PQ_CODES_CTE},
+    q AS (SELECT vec_id AS query_id, vn AS qn FROM n WHERE vec_id < 5),
+    qsubs AS (SELECT query_id, CAST(t.j AS INT) AS j,
+                     qn[(t.j * 8 + 1):(t.j * 8 + 8)] AS qsub
+              FROM q, range(0, 8) t(j)),
+    tbl AS (SELECT qs.query_id, qs.j, b.c, {_DUCK_SUB_DOT} AS dp
+            FROM qsubs qs JOIN books b ON b.j = qs.j),
+    scored AS (
+        SELECT t.query_id, c2.vec_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(t.dp ORDER BY t.j)), (x, y) -> x + y) AS score
+        FROM codes c2 JOIN tbl t ON t.j = c2.j AND t.c = c2.code
+        GROUP BY t.query_id, c2.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        FROM scored WHERE vec_id != query_id
+    )
+    SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+    """,
+)
+def pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-10 over the PQ-encoded corpus with
+    the TRAINED fixture codebooks: per query an [m][k] dot-product
+    table is built once and each corpus row costs m lookups — the
+    full-precision corpus is never read at query time. Output is
+    (query_id, rank, vec_id) — integers only: ADC scores are numpy
+    float64 sums whose pairwise/BLAS rounding need not be bit-identical
+    to a SQL fold, so the gate compares the RANKING (well-separated on
+    this corpus), not the float scores."""
+    from ..pipeline.similarity import pq_encode, pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = _PQ_FIX["codebooks"]
+    codes = pq_encode(emb, books)
+    qpdf = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
+        .toPandas()
+    )
+    return pq_topk(codes, qpdf, books, k=10).select("query_id", "rank", "vec_id")
+
+
+@register(
+    "semantic_dedup_docs",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT * FROM (VALUES {_IVF_CENT_VALUES}) AS t(cid, cv)),
+    ca AS (SELECT e.vec_id, e.v, cent.cid, {_cos_duck('e.v', 'cent.cv')} AS ccos
+           FROM e, cent),
+    assigned AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                        ORDER BY ccos DESC, cid ASC) AS rn
+            FROM ca
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {_cos_duck('a.v', 'b.v')} >= 0.2
+    )
+    SELECT s.vec_id AS id, CAST(s.cluster AS BIGINT) AS cluster,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+    """,
+)
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the trained-centroid fixture:
+    map-side cluster assignment (centroid literals, zero shuffle for
+    assignment), within-cluster cosine >= 0.2 marks duplicates, lowest
+    id survives. The pairwise cost is per-cluster, not corpus-wide —
+    the scalable semantic-dedup shape (raise k to bound cluster
+    sizes at 100 TB)."""
+    from ..pipeline.dedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in _IVF_FIX["centroids"]],
+        "centroid_id int, centroid array<double>",
+    )
+    return semantic_dedup(emb, "vec_id", "embedding", cents, threshold=0.2)
+
+
+@register(
+    "embed_cluster_purity",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    cent AS (SELECT * FROM (VALUES {_IVF_CENT_VALUES}) AS t(cid, cv)),
+    ca AS (SELECT e.vec_id, e.label, cent.cid,
+                  {_cos_duck('e.v', 'cent.cv')} AS ccos
+           FROM e, cent),
+    assigned AS (
+        SELECT vec_id, label, cid AS cluster FROM (
+            SELECT vec_id, label, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                        ORDER BY ccos DESC, cid ASC) AS rn
+            FROM ca
+        ) WHERE rn = 1
+    ),
+    cell_label AS (
+        SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM assigned GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_vecs,
+               CAST(MAX(n) AS BIGINT) AS n_majority,
+               CAST(MIN(label) FILTER (WHERE n = mx) AS BIGINT)
+                   AS majority_label
+        FROM (SELECT cluster, label, n,
+                     MAX(n) OVER (PARTITION BY cluster) AS mx
+              FROM cell_label)
+        GROUP BY cluster
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster, n_vecs, majority_label,
+           n_majority,
+           CAST(1000000 * n_majority // n_vecs AS BIGINT) AS purity_e6
+    FROM best
+    """,
+)
+def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit over the committed trained IVF centroids:
+    per cell, the size, the majority label (smallest label on count
+    ties), and purity in exact ppm — the label-agreement metric that
+    tells a curation pipeline whether its semantic clusters mean
+    anything before it dedups or samples by them. Assignment is the
+    same map-side literal-centroid argmax as the trained ANN path
+    (zero corpus shuffle); purity is one narrow (cluster, label)
+    groupBy."""
+    from ..pipeline.similarity import ivf_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in _IVF_FIX["centroids"]],
+        "centroid_id int, centroid array<double>",
+    )
+    assigned = ivf_assign(emb, "vec_id", "embedding", centroids=cents)
+    cell_label = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mx = F.max("n").over(Window.partitionBy("cluster"))
+    best = (
+        cell_label.withColumn("mx", mx)
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.max("n").cast("long").alias("n_majority"),
+            F.min(F.when(F.col("n") == F.col("mx"), F.col("label")))
+            .cast("long")
+            .alias("majority_label"),
+        )
+    )
+    return best.select(
+        "cluster",
+        "n_vecs",
+        "majority_label",
+        "n_majority",
+        F.expr("CAST(1000000 * n_majority div n_vecs AS BIGINT)").alias(
+            "purity_e6"
+        ),
+    )
+
+
+@register("embed_principal_scores", _principal_oracle())
+def embed_principal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 vectors by projection onto the corpus's dominant
+    covariance direction — integer-exact PCA-lite
+    (pipeline.similarity.principal_direction): portable floor
+    quantization, one Gram-matrix groupBy (the only corpus-sized
+    stage), two declarative power-iteration steps with sign-safe
+    L1 rescales. The direction itself never leaves the cluster; the
+    oracle unrolls the identical arithmetic in HUGEINT."""
+    from ..pipeline.similarity import principal_direction
+
+    emb = load(spark, sf_dir, "embeddings")
+    scores = principal_direction(emb, "vec_id", "embedding")
+    # TakeOrdered top-10, not a global row_number window: the score
+    # table is one row per corpus vector (VERDICT r5 task 2)
+    return (
+        scores.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "score")
+    )
+
+
+@register(
+    "embed_negative_samples",
+    """
+    WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    pos AS (
+        SELECT vec_id AS anchor, label,
+               COALESCE(
+                   lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id),
+                   MIN(vec_id) OVER (PARTITION BY label)
+               ) AS pos_id
+        FROM embeddings
+    ),
+    anchors AS (SELECT * FROM pos WHERE pos_id <> anchor),
+    cand AS (
+        SELECT a.anchor, a.label, a.pos_id, t.slot,
+               (a.anchor * 2654435761 + t.slot * 97) % nn.n AS neg_id
+        FROM anchors a CROSS JOIN nn,
+             UNNEST([0, 1, 2, 3, 4, 5]) AS t(slot)
+    ),
+    valid AS (
+        SELECT c.anchor, c.pos_id, c.neg_id, c.slot
+        FROM cand c JOIN embeddings e ON e.vec_id = c.neg_id
+        WHERE e.label <> c.label AND c.neg_id <> c.anchor
+    )
+    SELECT anchor, pos_id, neg_id, CAST(rk AS BIGINT) AS slot_rank
+    FROM (
+        SELECT anchor, pos_id, neg_id,
+               row_number() OVER (PARTITION BY anchor ORDER BY slot) AS rk
+        FROM valid
+    ) WHERE rk <= 2
+    """,
+)
+def embed_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic triplet mining for contrastive training: every
+    vector anchors a triplet with its label-cyclic next neighbor as
+    the positive and 2 hash-probed negatives (first valid of 6 slots
+    — candidate = (anchor·2654435761 + slot·97) mod N, rejected when
+    it collides with the anchor or shares its label). Replaces the
+    usual RNG negative sampler with pure arithmetic, so epochs are
+    reproducible and resumable — one window for positives, one
+    bounded 6-slot explode + equi-join for the label check, no RNG
+    state anywhere."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    w_lbl = Window.partitionBy("label").orderBy("vec_id")
+    pos = emb.select(
+        F.col("vec_id").alias("anchor"),
+        "label",
+        F.coalesce(
+            F.lead("vec_id").over(w_lbl),
+            F.min("vec_id").over(
+                Window.partitionBy("label").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        ).alias("pos_id"),
+    ).filter(F.col("pos_id") != F.col("anchor"))
+    cand = pos.select(
+        "anchor",
+        "label",
+        "pos_id",
+        F.explode(F.expr("sequence(0, 5)")).alias("slot"),
+    ).withColumn(
+        "neg_id", F.expr(f"(anchor * 2654435761 + slot * 97) % {n}")
+    )
+    valid = (
+        cand.join(
+            emb.select(
+                F.col("vec_id").alias("neg_id"),
+                F.col("label").alias("neg_label"),
+            ),
+            "neg_id",
+        )
+        .filter(
+            (F.col("neg_label") != F.col("label"))
+            & (F.col("neg_id") != F.col("anchor"))
+        )
+    )
+    w_slot = Window.partitionBy("anchor").orderBy("slot")
+    return (
+        valid.withColumn("rk", F.row_number().over(w_slot))
+        .filter(F.col("rk") <= 2)
+        .select(
+            "anchor", "pos_id", "neg_id", F.col("rk").cast("long").alias("slot_rank")
+        )
+    )
+
+
+@register(
+    "embed_silhouette_lite",
+    """
+    WITH qv AS (
+        SELECT vec_id, label, t.i,
+               CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000 + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT label, i,
+               CAST(SUM(q) // COUNT(*) AS BIGINT) AS c
+        FROM qv GROUP BY 1, 2
+    ),
+    own AS (
+        SELECT qv.label,
+               CAST(SUM((qv.q - c.c) * (qv.q - c.c)) AS BIGINT) AS d2sum,
+               CAST(COUNT(DISTINCT qv.vec_id) AS BIGINT) AS n
+        FROM qv JOIN cent c ON c.label = qv.label AND c.i = qv.i
+        GROUP BY 1
+    ),
+    cd AS (
+        SELECT a.label AS la, b.label AS lb,
+               CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2
+        FROM cent a JOIN cent b ON a.i = b.i AND a.label <> b.label
+        GROUP BY 1, 2
+    ),
+    nearest AS (
+        SELECT la AS label, CAST(MIN(d2) AS BIGINT) AS b2 FROM cd GROUP BY 1
+    )
+    SELECT o.label,
+           CAST(o.d2sum // o.n AS BIGINT) AS a2,
+           nearest.b2,
+           CAST(1000000 * (nearest.b2 - o.d2sum // o.n)
+                // GREATEST(nearest.b2, o.d2sum // o.n, 1)
+                AS BIGINT) AS silhouette_e6
+    FROM own o JOIN nearest ON nearest.label = o.label
+    """,
+)
+def embed_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label silhouette-LITE cluster quality over the embedding
+    corpus, in exact integers: a = mean squared distance to the own
+    label's (floored) centroid, b = squared distance to the nearest
+    OTHER centroid, score = (b − a) div max(a, b) on the e6 scale —
+    the standard cohesion-vs-separation diagnostic without the
+    per-pair sqrt that makes true silhouette float-fragile. One
+    explode + two groupBys + a label×label centroid join (labels are
+    few); the corpus is touched exactly twice."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+                " x -> CAST(floor(x * 1000 + 0.5d) AS BIGINT))"
+            )
+        ).alias("i", "q"),
+    )
+    cent = qv.groupBy("label", "i").agg(
+        F.expr("CAST(SUM(q) div COUNT(*) AS BIGINT)").alias("c")
+    )
+    own = (
+        qv.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.expr("(q - c) * (q - c)")).cast("long").alias("d2sum"),
+            F.countDistinct("vec_id").cast("long").alias("n"),
+        )
+    )
+    ca = cent.select(
+        F.col("label").alias("la"), "i", F.col("c").alias("cc_a")
+    )
+    cb = cent.select(
+        F.col("label").alias("lb"), F.col("i").alias("ib"), F.col("c").alias("cc_b")
+    )
+    cd = (
+        ca.join(F.broadcast(cb), (ca["i"] == cb["ib"]) & (ca["la"] != cb["lb"]))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.expr("(cc_a - cc_b) * (cc_a - cc_b)"))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    nearest = cd.groupBy(F.col("la").alias("label")).agg(
+        F.min("d2").cast("long").alias("b2")
+    )
+    return own.join(nearest, "label").select(
+        "label",
+        F.expr("CAST(d2sum div n AS BIGINT)").alias("a2"),
+        "b2",
+        F.expr(
+            "CAST(1000000 * (b2 - d2sum div n)"
+            " div GREATEST(b2, d2sum div n, 1) AS BIGINT)"
+        ).alias("silhouette_e6"),
+    )
+
+
+@register(
+    "ann_topk_filtered",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, vec_id, c.label, {_cos_duck('cv', 'qv')} AS cosine
+        FROM c, q WHERE vec_id != query_id AND c.label = q.qlabel
+    ), ranked AS (
+        SELECT query_id, vec_id, label, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id, label, cosine
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-10 cosine neighbors restricted to
+    candidates sharing the query's label (the attribute-constrained
+    retrieval every vector store now exposes, here as a PRE-filter:
+    the predicate lands before scoring, so recall is exact by
+    construction, unlike post-filtering a fixed candidate pool). The
+    label equality rides the broadcast join map-side; the two-phase
+    top-k shape is unchanged."""
+    from ..pipeline.similarity import cosine_expr, _topk_per_query
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("__qvec"),
+    )
+    scored = (
+        emb.select("vec_id", "label", "embedding")
+        .join(
+            F.broadcast(queries),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine_expr("embedding", "__qvec").alias("cosine"),
+        )
+    )
+    out = _topk_per_query(
+        scored.drop("label"), "query_id", "vec_id", 10
+    )
+    lbl = emb.select("vec_id", "label")
+    return out.join(F.broadcast(lbl), "vec_id").select(
+        "query_id", "rank", "vec_id", "label", "cosine"
+    )
+
+
+@register(
+    "ann_quantization_recall",
+    f"""
+    WITH qf AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 5),
+    cf AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_cos_duck('cv', 'qv')} DESC, vec_id ASC)
+                       AS rk
+            FROM cf, qf WHERE vec_id != query_id
+        ) WHERE rk <= 10
+    ),
+    qz AS ({_QUANT_DUCK}),
+    qq AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 5),
+    cq AS (SELECT vec_id, q AS cq FROM qz),
+    quant AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_qcos_duck('cq', 'qq')} DESC, vec_id ASC)
+                       AS rk
+            FROM cq, qq WHERE vec_id != query_id
+        ) WHERE rk <= 10
+    )
+    SELECT e.query_id,
+           CAST(COUNT(q.vec_id) AS BIGINT) AS n_common,
+           CAST(COUNT(q.vec_id) * 100000 AS BIGINT) AS recall10_e6
+    FROM exact e LEFT JOIN quant q
+      ON q.query_id = e.query_id AND q.vec_id = e.vec_id
+    GROUP BY 1
+    """,
+)
+def ann_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization QA: per query, how many of the exact float top-10
+    neighbors the int8-quantized scan also returns (recall@10 as an
+    exact e6 integer) — the audit that decides whether the 4x-smaller
+    representation is safe to serve. Both rankings use their existing
+    exact machinery; the comparison is one equi-join of two 10-row
+    sets per query."""
+    from ..pipeline.similarity import brute_force_topk, quantized_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "query_id", k=10
+    ).select("query_id", "vec_id")
+    quant = quantized_topk(emb, queries, k=10).select(
+        F.col("query_id").alias("qid2"), F.col("vec_id").alias("vid2")
+    )
+    return (
+        exact.join(
+            quant,
+            (F.col("query_id") == F.col("qid2"))
+            & (F.col("vec_id") == F.col("vid2")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("vid2").cast("long").alias("n_common"),
+            (F.count("vid2") * 100000).cast("long").alias("recall10_e6"),
+        )
+    )
+
+
+@register(
+    "ann_mrl_truncation_recall",
+    f"""
+    WITH qf AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 5),
+    cf AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_cos_duck('cv', 'qv')} DESC, vec_id ASC)
+                       AS rk
+            FROM cf, qf WHERE vec_id != query_id
+        ) WHERE rk <= 10
+    ),
+    qt AS (SELECT vec_id AS query_id,
+                  CAST(embedding[1:16] AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+    ct AS (SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS cv
+           FROM embeddings),
+    trunc AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_cos_duck('cv', 'qv')} DESC, vec_id ASC)
+                       AS rk
+            FROM ct, qt WHERE vec_id != query_id
+        ) WHERE rk <= 10
+    )
+    SELECT e.query_id,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_common,
+           CAST(COUNT(t.vec_id) * 100000 AS BIGINT) AS recall10_e6
+    FROM exact e LEFT JOIN trunc t
+      ON t.query_id = e.query_id AND t.vec_id = e.vec_id
+    GROUP BY 1
+    """,
+)
+def ann_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA (MRL) truncation audit: per query, how many of the
+    full-64-dim exact cosine top-10 survive when BOTH sides are
+    truncated to the first 16 dims (recall@10, exact e6 integer) — the
+    measurement that tells you whether the 4x-cheaper prefix embedding
+    is good enough for first-stage retrieval with full-dim rerank.
+    Truncation is an array slice in codegen on both engines; both
+    rankings reuse the broadcast + two-phase top-k shape, so the audit
+    itself scales like any other ANN query."""
+    from ..pipeline.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "query_id", k=10
+    ).select("query_id", "vec_id")
+    emb_t = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    queries_t = queries.select(
+        "query_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    trunc = brute_force_topk(
+        emb_t, queries_t, "vec_id", "embedding", "query_id", k=10
+    ).select(F.col("query_id").alias("qid2"), F.col("vec_id").alias("vid2"))
+    return (
+        exact.join(
+            trunc,
+            (F.col("query_id") == F.col("qid2"))
+            & (F.col("vec_id") == F.col("vid2")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("vid2").cast("long").alias("n_common"),
+            (F.count("vid2") * 100000).cast("long").alias("recall10_e6"),
+        )
+    )
+
+
+@register(
+    "embed_centroid_drift",
+    """
+    WITH q AS (
+        SELECT label, t.j AS dim,
+               CAST(floor(CAST(embedding[t.j] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qv
+        FROM embeddings, range(1, 65) t(j)
+        WHERE t.j <= len(embedding)
+    ), m AS (
+        SELECT label, dim,
+               CAST(SUM(qv) // COUNT(*) AS BIGINT) AS mean_e6
+        FROM q GROUP BY label, dim
+    ), pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM(a.mean_e6 * b.mean_e6) AS BIGINT) AS dot,
+               CAST(SUM(a.mean_e6 * a.mean_e6) AS BIGINT) AS na2,
+               CAST(SUM(b.mean_e6 * b.mean_e6) AS BIGINT) AS nb2
+        FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           round(dot / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))),
+                 9) AS centroid_cos
+    FROM pairs WHERE na2 > 0 AND nb2 > 0
+    """,
+)
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-CENTROID DRIFT monitor: pairwise cosine between the
+    per-label mean vectors — the health check that catches a shifted
+    encoder, a mislabeled batch, or collapsing clusters (centroids
+    drifting together) before retrieval quality decays. Naive float
+    mean vectors are reduction-order-dependent; here every coordinate
+    quantizes to an exact e6 integer FIRST (floor of a float64 product
+    — bit-identical on any engine), per-label sums and the floored
+    mean stay integer, and only the final cosine touches doubles (two
+    IEEE-exact sqrts of ints < 2^53, rounded to 9). Shape: posexplode
+    to (label, dim) — 64 rows per vector, map-side combinable into one
+    narrow groupBy — then an all-pairs join of the tiny centroid
+    relation. Mean (not sum) centroids keep the dot products under
+    2^63 at ANY corpus size: coords ≤ 1e6, so dot ≤ dims · 1e12."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x") * 1000000).cast("long").alias("qv"),
+    )
+    m = q.groupBy("label", "dim").agg(
+        F.expr("CAST(SUM(qv) div COUNT(*) AS BIGINT)").alias("mean_e6")
+    )
+    a = m.select(
+        F.col("label").alias("label_a"), "dim",
+        F.col("mean_e6").alias("ma"),
+    )
+    b = m.select(
+        F.col("label").alias("label_b"), F.col("dim").alias("bdim"),
+        F.col("mean_e6").alias("mb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("dim") == F.col("bdim"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).cast("long").alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).cast("long").alias("na2"),
+            F.sum(F.col("mb") * F.col("mb")).cast("long").alias("nb2"),
+        )
+    )
+    return pairs.filter("na2 > 0 AND nb2 > 0").select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot")
+            / (
+                F.sqrt(F.col("na2").cast("double"))
+                * F.sqrt(F.col("nb2").cast("double"))
+            ),
+            9,
+        ).alias("centroid_cos"),
+    )
+
+
+@register(
+    "ann_ild_diversity",
+    f"""
+    WITH qf AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 5),
+    cf AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    topk AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_cos_duck('cv', 'qv')} DESC, vec_id ASC)
+                       AS rk
+            FROM cf, qf WHERE vec_id != query_id
+        ) WHERE rk <= 10
+    ),
+    pairs AS (
+        SELECT a.query_id,
+               CAST(floor({_cos_duck('ca.cv', 'cb.cv')} * 1000000000)
+                    AS BIGINT) AS cos_e9
+        FROM topk a
+        JOIN topk b ON a.query_id = b.query_id AND a.vec_id < b.vec_id
+        JOIN cf ca ON ca.vec_id = a.vec_id
+        JOIN cf cb ON cb.vec_id = b.vec_id
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(cos_e9) AS BIGINT) AS sum_cos_e9,
+           CAST((COUNT(*) * 1000000000 - SUM(cos_e9)) // COUNT(*) AS BIGINT)
+               AS ild_e9
+    FROM pairs GROUP BY query_id
+    """,
+)
+def ann_ild_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-LIST DIVERSITY of the exact top-10 retrieval lists: mean
+    pairwise cosine DISTANCE among each query's results — the
+    recommender-quality metric that catches a retriever returning ten
+    near-copies of one item (high relevance, useless list; the metric
+    MMR-style re-rankers optimize). Each pairwise cosine is a
+    deterministic per-pair sequential fold floored to an e9 integer,
+    so the 45-pair per-query reduction is an exact integer sum —
+    order-free. Shape: the standard broadcast top-k, then a 45-row
+    per-query self-join of (query, result) pairs re-joined to vectors
+    on the corpus key — candidate-sized, not corpus-sized."""
+    from ..pipeline.similarity import brute_force_topk, cosine_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "query_id", k=10
+    ).select("query_id", "vec_id")
+    a = topk.select("query_id", F.col("vec_id").alias("va"))
+    b = topk.select(
+        F.col("query_id").alias("qb"), F.col("vec_id").alias("vb")
+    )
+    ca = emb.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").cast("array<double>").alias("ea"),
+    )
+    cb = emb.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").cast("array<double>").alias("eb"),
+    )
+    pairs = (
+        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("va") < F.col("vb")))
+        .join(ca, "va")
+        .join(cb, "vb")
+        .select(
+            "query_id",
+            F.floor(cosine_expr("ea", "eb") * 1000000000)
+            .cast("long")
+            .alias("cos_e9"),
+        )
+    )
+    return pairs.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("cos_e9").cast("long").alias("sum_cos_e9"),
+        F.expr(
+            "CAST((COUNT(*) * 1000000000 - SUM(cos_e9)) div COUNT(*)"
+            " AS BIGINT)"
+        ).alias("ild_e9"),
+    )
+
+
+@register(
+    "embed_isotropy_audit",
+    f"""
+    WITH q AS (
+        SELECT vec_id, t.j AS dim,
+               CAST(floor(CAST(embedding[t.j] AS DOUBLE) * 1000) AS BIGINT)
+                   AS qv
+        FROM embeddings, range(1, 65) t(j)
+        WHERE t.j <= len(embedding)
+    ), dimvar AS (
+        SELECT dim,
+               CAST(COUNT(*) * SUM(qv * qv) - SUM(qv) * SUM(qv) AS BIGINT)
+                   AS var_num
+        FROM q GROUP BY dim
+    ), dv AS (
+        SELECT CAST(SUM(var_num) AS BIGINT) AS total_var,
+               CAST(MAX(var_num) AS BIGINT) AS top_var,
+               CAST(MIN(ROW(-var_num, dim)) AS STRUCT(nv BIGINT, d BIGINT)).d
+                   AS top_dim
+        FROM dimvar
+    ), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+    pairs AS (
+        SELECT CAST(floor(abs({_cos_duck('a.v', 'b.v')}) * 1000000000)
+                    AS BIGINT) AS ac_e9
+        FROM e a JOIN e b
+          ON a.vec_id < b.vec_id
+         AND (a.vec_id * 31 + b.vec_id) % 97 = 0
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+           dv.total_var, dv.top_var,
+           CAST(dv.top_dim AS BIGINT) AS top_dim,
+           CAST(dv.top_var // greatest(dv.total_var // 1000000, 1)
+                AS BIGINT) AS top_share_e6,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+           (SELECT CAST(SUM(ac_e9) // COUNT(*) AS BIGINT) FROM pairs)
+               AS mean_abs_cos_e9
+    FROM dv
+    """,
+)
+def embed_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE ISOTROPY audit — the two standard space-health
+    numbers: (1) how much of total variance the single dominant
+    dimension holds (rogue-dimension detection — a collapsed encoder
+    concentrates variance), via exact integer variance numerators
+    n·Σq²−(Σq)² over e3-quantized coordinates (q ≤ 1e3 keeps n·Σq²
+    under 2^63 to n ~ 1e8 vectors; the share divides the total down to
+    e6 first for the same reason); (2) the mean absolute
+    cosine between hash-sampled vector pairs (anisotropic spaces have
+    high mean |cos|; a healthy space sits near 0), each pair's cosine
+    floored to an e9 integer BEFORE averaging so the reduction is
+    order-free. Deterministic pair sampling by key arithmetic — no
+    RNG, ~1% of pairs, never all-pairs. Shape: one posexplode groupBy
+    for variances; one key-filtered self-join for the sample."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "x"
+        ),
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x") * 1000).cast("long").alias("qv"),
+    )
+    dimvar = q.groupBy("dim").agg(
+        (
+            F.count(F.lit(1)) * F.sum(F.col("qv") * F.col("qv"))
+            - F.sum("qv") * F.sum("qv")
+        )
+        .cast("long")
+        .alias("var_num")
+    )
+    dv = dimvar.agg(
+        F.sum("var_num").cast("long").alias("total_var"),
+        F.max("var_num").cast("long").alias("top_var"),
+        F.min(F.struct((-F.col("var_num")).alias("nv"), F.col("dim").alias("d")))
+        .alias("m"),
+    ).select(
+        "total_var",
+        "top_var",
+        F.col("m.d").cast("long").alias("top_dim"),
+    )
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    from ..pipeline.similarity import cosine_expr
+
+    pairs = a.join(
+        b,
+        (F.col("ia") < F.col("ib"))
+        & ((F.col("ia") * 31 + F.col("ib")) % 97 == 0),
+    ).select(
+        F.floor(F.abs(cosine_expr("va", "vb")) * 1000000000)
+        .cast("long")
+        .alias("ac_e9")
+    )
+    psum = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(SUM(ac_e9) div COUNT(*) AS BIGINT)").alias(
+            "mean_abs_cos_e9"
+        ),
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    return (
+        n.crossJoin(dv)
+        .crossJoin(psum)
+        .select(
+            "n_vecs",
+            "total_var",
+            "top_var",
+            "top_dim",
+            F.expr(
+                "CAST(top_var div greatest(total_var div 1000000, 1)"
+                " AS BIGINT)"
+            ).alias("top_share_e6"),
+            "n_pairs",
+            "mean_abs_cos_e9",
+        )
+    )
+
+
+__all__ = ['embed_centroids', 'ann_topk_quantized', 'ann_topk', 'ann_topk_lsh', 'ann_topk_lsh_multiprobe', 'ann_topk_ivf', 'ivf_upsert_cells', 'ivf_refresh_cells', 'ann_topk_fast', 'embed_triplets', 'ann_topk_rerank', 'embed_norm_profile', 'ann_topk_ivf_trained', 'pq_codes_trained', 'pq_topk_trained', 'semantic_dedup_docs', 'embed_cluster_purity', 'embed_principal_scores', 'embed_negative_samples', 'embed_silhouette_lite', 'ann_topk_filtered', 'ann_quantization_recall', 'ann_mrl_truncation_recall', 'embed_centroid_drift', 'ann_ild_diversity', 'embed_isotropy_audit']

@@ -1,0 +1,1609 @@
+"""Deduplication gate queries (exact, MinHash/LSH, SimHash, fuzzy ER ...).
+
+Split out of entry_queries.py; registration happens on import
+(each @register call appends to the shared QUERIES list)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..pipeline.text import (  # noqa: E402  (constants feed the oracle SQL)
+    ENTROPY_LUT as _ENT_LUT,
+    ENTROPY_WINDOW as _ENT_WINDOW,
+)
+
+from ._core import *  # noqa: F401,F403
+from ._helpers import *  # noqa: F401,F403
+
+
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT lang, source, MIN(doc_id) AS keep_id
+          FROM documents GROUP BY lang, source) k
+      ON d.lang = k.lang AND d.source = k.source AND d.doc_id = k.keep_id
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a column subset, keeping the smallest doc_id."""
+    from ..pipeline.dedup import dedup_exact
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_exact(docs, subset=["lang", "source"], order_col="doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register("dedup_minhash_pairs", _MINHASH_PAIRS_DUCK)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (8 hashes, 4 bands)."""
+    from ..pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+
+
+@register(
+    "dedup_cluster_docs",
+    f"""
+    WITH RECURSIVE
+    pairs AS ({_MINHASH_PAIRS_DUCK}),
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    -- transitive closure of "comp reaches node"; propagating only
+    -- comp < d is safe for MIN (the base case already supplies comp=d)
+    walk(node, comp) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT e.d, w.comp
+        FROM walk w JOIN edges e ON e.s = w.node
+        WHERE w.comp < e.d
+    ),
+    comp AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(c.component, d.doc_id) AS is_keeper
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup cluster assignment: MinHash-LSH candidate pairs →
+    connected components (large-star/small-star) → every document
+    labeled with its cluster id (min doc_id of the component; singleton
+    docs are their own cluster) and the canonical-keeper flag.
+
+    Reference parity: the reference has no fuzzy-dedup clustering; this
+    is part of the training-data-pipeline extension (SURVEY §2 "beyond
+    reference"). The oracle checks the component structure against a
+    DuckDB recursive-CTE transitive closure over the SAME pair graph.
+    """
+    from ..pipeline.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+    clustered = duplicate_clusters(docs, "doc_id", pairs)
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    r"""
+    WITH syn AS (
+        SELECT doc_id,
+               'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR)
+               || '.COM:443/Item/' || CAST(doc_id % 50 AS VARCHAR)
+               || '?utm_source=feed&b=2&ref=' || CAST(doc_id AS VARCHAR)
+               || '&a=1#frag' AS url
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url,
+                     '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+               regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p,
+               regexp_extract(url, '\?([^#]*)', 1) AS q
+        FROM syn
+    ),
+    canon AS (
+        SELECT doc_id,
+               scheme || '://' ||
+               (CASE WHEN scheme = 'https'
+                     THEN regexp_replace(hostport, ':443$', '')
+                     WHEN scheme = 'http'
+                     THEN regexp_replace(hostport, ':80$', '')
+                     ELSE hostport END) ||
+               (CASE WHEN p = '' THEN '/' ELSE p END) ||
+               (CASE WHEN len(list_filter(str_split(q, '&'), x -> x != ''
+                         AND substr(split_part(x, '=', 1), 1, 4) != 'utm_'
+                         AND split_part(x, '=', 1) != 'ref')) > 0
+                THEN '?' || array_to_string(
+                         list_sort(list_filter(str_split(q, '&'),
+                             x -> x != ''
+                             AND substr(split_part(x, '=', 1), 1, 4) != 'utm_'
+                             AND split_part(x, '=', 1) != 'ref')), '&')
+                ELSE '' END) AS canon_url
+        FROM parts
+    )
+    SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM canon GROUP BY canon_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the web-corpus dedup stage that
+    exact text hashing misses: documents carry synthetic mixed-case,
+    default-port, tracking-parameter, unordered-query, fragment-bearing
+    URLs (deterministic from doc_id); canonicalization
+    (pipeline.text.canonicalize_urls: lowercase scheme/host, strip
+    :443, drop utm_*/ref params, sort survivors, drop fragment) must
+    collapse them to one key per underlying resource, counted per
+    canonical URL. The oracle reproduces the text algebra exactly."""
+    from ..pipeline.text import canonicalize_urls
+
+    docs = load(spark, sf_dir, "documents")
+    syn = docs.select(
+        "doc_id",
+        F.expr(
+            "'HTTPS://WWW.Example' || CAST(doc_id % 5 AS STRING)"
+            " || '.COM:443/Item/' || CAST(doc_id % 50 AS STRING)"
+            " || '?utm_source=feed&b=2&ref=' || CAST(doc_id AS STRING)"
+            " || '&a=1#frag'"
+        ).alias("url"),
+    )
+    return (
+        canonicalize_urls(syn, "url")
+        .groupBy("canon_url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dups"))
+    )
+
+
+@register(
+    "dedup_simhash_docs",
+    None,  # placeholder replaced below after _simhash_oracle()
+)
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash signatures."""
+    from ..pipeline.dedup import simhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_signatures(
+        docs, "doc_id", "text", bits=16,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    None,  # placeholder replaced below (shares _simhash_oracle)
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs within Hamming distance 3
+    (pigeonhole chunk blocking: one groupBy shuffle, candidates only
+    pay the popcount)."""
+    from ..pipeline.dedup import simhash_near_pairs, simhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = simhash_signatures(
+        docs, "doc_id", "text", bits=16,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return simhash_near_pairs(sigs, "doc_id", max_hamming=3, bits=16)
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+           AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.n_chars // 20 = b.n_chars // 20
+     AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+          >= 0.05
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over blocked candidate pairs.
+
+    Saturation route (the text_pair_cosine pattern): block membership
+    grows linearly with the corpus, so in-block pair expansion is
+    quadratic at 100x — blocks above 256 members route through
+    in-block MinHash banding + exact verification (recall-bounded,
+    output ⊆ exact); the oracle scales' blocks stay far below the cap
+    (≈10 at sf0.01, ≈100 at sf0.1) and keep the exact expansion."""
+    from ..pipeline.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "size_bucket", F.expr("n_chars div 20")
+    )
+    return ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        block_cols=["lang", "size_bucket"],
+        shingle_size=3,
+        threshold=0.05,
+        parallelism=spark.sparkContext.defaultParallelism,
+        lsh_block_cap=256,
+    )
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                  AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE 5 * len(list_intersect(a.shingles, b.shingles))
+          >= 4 * len(list_distinct(list_concat(a.shingles, b.shingles)))
+    """,
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-free Jaccard ≥ 4/5 similarity join via prefix
+    filtering (pipeline.dedup.prefix_filter_pairs — the
+    AllPairs/PPJoin scheme: rarest-first global token order, prefix
+    length L − ceil(tL) + 1, candidates only from prefix-token
+    buckets, exact in-bucket verification with integer
+    cross-multiplied threshold tests). The ORACLE is the genuinely
+    all-pairs join — its equality with the Spark result at every
+    sweep IS the prefix-filter completeness guarantee exercised on
+    real data. Unlike dedup_ngram_jaccard_pairs this needs no domain
+    blocking key, so it is the shape to reach for when no natural
+    key exists; buckets stay small because prefixes hold each
+    document's rarest tokens."""
+    from ..pipeline.dedup import prefix_filter_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return prefix_filter_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_size=3,
+        threshold_num=4,
+        threshold_den=5,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+@register(
+    "dedup_embedding_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_duck('a.v', 'b.v')} AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos_duck('a.v', 'b.v')} >= 0.3
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a label block."""
+    from ..pipeline.dedup import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", block_col="label", threshold=0.3
+    )
+
+
+@register(
+    "dedup_normalized_docs",
+    """
+    SELECT d.doc_id, md5(lower(trim(regexp_replace(d.text, '\\s+', ' ')))) AS norm_hash
+    FROM documents d
+    JOIN (
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ')))) AS h,
+               MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1
+    ) k ON d.doc_id = k.keep_id
+    """,
+)
+def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup: normalize (lowercase, collapse whitespace)
+    then hash-group — the standard first pass of a training-data
+    pipeline."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    norm = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    w = Window.partitionBy(norm).orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("norm_hash", norm)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "norm_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: substring-level dedup, keyed-latest dedup, range
+# frames, grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_substring_pairs",
+    """
+    WITH w AS (
+        SELECT doc_id, md5(substr(text, CAST(p AS INT), 48)) AS h
+        FROM documents,
+             unnest(range(1, GREATEST(len(text) - 47, 0) + 1, 8)) AS t(p)
+    ), d AS (SELECT DISTINCT doc_id, h FROM w)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring duplication (suffix-array relaxation): document
+    pairs sharing a 48-char span sampled at stride 8. The oracle's
+    self-join formulation and the engine's one-shuffle bucket-expand
+    produce the same pair set; the engine never self-joins."""
+    from ..pipeline.dedup import substring_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return substring_dup_pairs(docs, "doc_id", "text", window=48, stride=8)
+
+
+@register(
+    "dedup_fuzzy_names",
+    """
+    SELECT a.c_name AS s_a, b.c_name AS s_b
+    FROM customer a JOIN customer b
+      ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical name pairs (Levenshtein ≤ 1) over the customer
+    table — the entity-resolution primitive for catching typo'd
+    duplicate records. The engine uses deletion-neighborhood blocking
+    (pipeline.dedup.fuzzy_pairs_edit1): linear variant generation plus
+    a narrow equi-join, never the |corpus|² distance matrix the ORACLE
+    runs (fine at oracle scale; the cross-check is that blocking plus
+    the exact confirm filter loses nothing against brute force)."""
+    from ..pipeline.dedup import fuzzy_pairs_edit1
+
+    cust = load(spark, sf_dir, "customer")
+    return fuzzy_pairs_edit1(cust, "c_name", "c_name").select("s_a", "s_b")
+
+
+@register(
+    "dedup_fuzzy_names_damerau",
+    """
+    SELECT a.c_name AS s_a, b.c_name AS s_b
+    FROM customer a JOIN customer b
+      ON a.c_name < b.c_name
+     AND damerau_levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_fuzzy_names_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damerau variant of dedup_fuzzy_names: adjacent transpositions
+    (the single most common human typo class — '...01' vs '...10')
+    count as distance 1. Same deletion-neighborhood blocking — a
+    transposed pair always shares a deletion variant — with the
+    transposition confirm expression standing in for the
+    damerau_levenshtein builtin Spark lacks."""
+    from ..pipeline.dedup import fuzzy_pairs_edit1
+
+    cust = load(spark, sf_dir, "customer")
+    return fuzzy_pairs_edit1(
+        cust, "c_name", "c_name", transpositions=True
+    ).select("s_a", "s_b")
+
+
+@register(
+    "dedup_incremental_minhash",
+    f"""
+    WITH bt AS ({_MINHASH_BANDS_DUCK})
+    SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS probe_id
+    FROM bt a JOIN bt b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+    WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection THROUGH the persisted index: the
+    corpus (doc_id % 10 != 0) band table is saved as a bucketed table
+    (tables.save_lsh_index) and the new batch (doc_id % 10 == 0) probes
+    it (tables.probe_lsh_index) — the log-structured workflow where
+    each arriving batch checks against everything already ingested
+    without reshuffling, or even re-reading, the corpus text. The
+    oracle recomputes both sides' band tables from scratch and joins
+    them directly, so the gate proves the persisted round-trip loses
+    (and invents) nothing.
+
+    Scale: the save is one-time; every probe joins the corpus's
+    pre-bucketed band files in place — the index side of the join moves
+    zero bytes over the network regardless of corpus size."""
+    from ..pipeline.dedup import minhash_signatures
+    from ..tables import probe_lsh_index, save_lsh_index
+
+    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    corpus = docs.filter("doc_id % 10 != 0")
+    probe = docs.filter("doc_id % 10 = 0")
+    sigs_c = minhash_signatures(
+        corpus, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=par,
+    )
+    save_lsh_index(sigs_c, "doc_id", "lsh_idx_gate", bands=4, n_buckets=8)
+    sigs_p = minhash_signatures(
+        probe, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=par,
+    )
+    return probe_lsh_index(spark, "lsh_idx_gate", sigs_p, "doc_id", bands=4)
+
+
+@register(
+    "dedup_minhash_verified",
+    f"""
+    WITH bt AS ({_MINHASH_BANDS_DUCK}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bt a JOIN bt b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sh AS ({_SHINGLES_DUCK})
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                  AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                 AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production near-dup pipeline in one query:
+    MinHash-LSH proposes candidate pairs (cheap, probabilistic), then
+    each candidate is VERIFIED with the exact shingle Jaccard and kept
+    only at ≥ 0.5 — so downstream deletion decisions never act on an
+    LSH false positive. Candidates that fail verification are the
+    measured LSH noise floor.
+
+    Scale: verification joins the (small) candidate pair list back to
+    the per-doc shingle sets — work proportional to candidates, never
+    to the corpus; the sets travel once per side."""
+    from ..pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_pairs_jaccard,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    cand = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+    return verify_pairs_jaccard(
+        docs, cand, "doc_id", "text", shingle_size=3, threshold=0.5
+    )
+
+
+@register(
+    "dedup_report",
+    f"""
+    WITH norm AS (
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ')))) AS h
+        FROM documents
+    ),
+    bt AS ({_MINHASH_BANDS_DUCK}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bt a JOIN bt b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM documents)
+                - (SELECT COUNT(DISTINCT (lang, source)) FROM documents)
+                AS BIGINT) AS n_exact_extra,
+           CAST((SELECT COUNT(*) FROM norm)
+                - (SELECT COUNT(DISTINCT h) FROM norm)
+                AS BIGINT) AS n_norm_extra,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_near_pairs
+    """,
+)
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dedup audit across the pipeline's methods: corpus size,
+    rows beyond the first per exact (lang, source) key, rows beyond
+    the first per normalized content hash, and MinHash near-dup
+    candidate pairs — the before/after summary a dedup run logs so a
+    regression in any single method is visible at a glance.
+
+    Scale: three independent aggregations (each the head of its
+    method's existing plan), unioned driver-side into one row."""
+    docs = load(spark, sf_dir, "documents")
+    from ..pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    exact = docs.agg(
+        (
+            F.count(F.lit(1))
+            - F.countDistinct("lang", "source")
+        ).cast("long").alias("n_exact_extra")
+    )
+    norm = docs.select(
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("h")
+    ).agg(
+        (F.count(F.lit(1)) - F.countDistinct("h")).cast("long").alias(
+            "n_norm_extra"
+        )
+    )
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8).agg(
+        F.count(F.lit(1)).cast("long").alias("n_near_pairs")
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(norm))
+        .crossJoin(F.broadcast(pairs))
+    )
+
+
+@register(
+    "dedup_lsh_recall",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    truth AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                     AS DOUBLE) >= 0.5
+    ),
+    bt AS ({_MINHASH_BANDS_DUCK}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bt a JOIN bt b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    hit AS (
+        SELECT t.id_a FROM truth t JOIN cand c
+          ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_found,
+           CAST((SELECT COUNT(*) FROM truth)
+                - (SELECT COUNT(*) FROM hit) AS BIGINT) AS n_missed,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1000000
+                ELSE 1000000 * (SELECT COUNT(*) FROM hit)
+                     // (SELECT COUNT(*) FROM truth) END AS BIGINT)
+               AS recall_e6
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED LSH recall against exact ground truth: every document
+    pair with true shingle Jaccard ≥ 0.5, versus the MinHash-LSH
+    candidate set (8 hashes / 4 bands — the dedup family's spec), as
+    one audit row (found / missed / recall in 1e-6 units). This is the
+    number the band/hash configuration trades against cost, pinned by
+    the gate instead of quoted from the S-curve formula. The ground
+    truth is an all-pairs scan — affordable at audit scale; production
+    runs this on a sample, which is the documented deviation.
+
+    Scale: the truth side is O(n²) BY DESIGN (it is the audit, not the
+    pipeline); the candidate side is the production one-shuffle plan."""
+    from ..pipeline.dedup import (
+        _with_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sh = _with_shingles(docs, "text", 3, keep=["doc_id"])
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    cand = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_found = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_found")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_found))
+        .select(
+            "n_true",
+            "n_found",
+            (F.col("n_true") - F.col("n_found")).cast("long").alias("n_missed"),
+            F.expr(
+                "CAST(CASE WHEN n_true = 0 THEN 1000000"
+                " ELSE 1000000 * n_found div n_true END AS BIGINT)"
+            ).alias("recall_e6"),
+        )
+    )
+
+
+@register(
+    "dedup_lsh_recall_sampled",
+    f"""
+    WITH sampled AS (
+        SELECT * FROM documents
+        WHERE CAST('0x' || substr(md5('recall|' || CAST(doc_id AS VARCHAR)),
+                   1, 12) AS BIGINT) < {int(0.4 * (1 << 48))}
+    ),
+    sh AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN len(words) >= 3
+               THEN list_distinct([words[i+1] || ' ' || words[i+2] || ' '
+                                   || words[i+3]
+                                   FOR i IN range(0, len(words) - 2)])
+               ELSE [trim(text)] END AS shingles
+        FROM (SELECT doc_id, lang, n_chars, text,
+                     regexp_split_to_array(trim(text), '\\s+') AS words
+              FROM sampled)
+    ),
+    truth AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                     AS DOUBLE) >= 0.5
+    ),
+    bt AS ({_MINHASH_BANDS_DUCK}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bt a JOIN bt b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    hit AS (
+        SELECT t.id_a FROM truth t JOIN cand c
+          ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM sampled) AS BIGINT) AS n_sampled,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_found,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1000000
+                ELSE 1000000 * (SELECT COUNT(*) FROM hit)
+                     // (SELECT COUNT(*) FROM truth) END AS BIGINT)
+               AS recall_e6
+    """,
+)
+def dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED LSH recall audit — the scale-safe variant of
+    dedup_lsh_recall: the exact ground truth runs only over a
+    deterministic 40% hash sample of documents (seeded md5, so the
+    sample — and therefore the estimate — is reproducible and
+    hash-checkable), cutting the all-pairs cost ~6× here and
+    quadratically in general (s² of the full audit). The candidate
+    side stays the full-corpus production plan, so the estimate is
+    recall over sampled-pair ground truth — an unbiased estimator of
+    pair recall when the sample is uniform over documents."""
+    from ..pipeline.dedup import (
+        _with_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    thresh = int(0.4 * (1 << 48))
+    sampled = docs.filter(
+        F.expr(
+            "CAST(conv(substring(md5(concat('recall|',"
+            " CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+            f" < {thresh}"
+        )
+    )
+    sh = _with_shingles(sampled, "text", 3, keep=["doc_id"])
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    cand = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+    n_sampled = sampled.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled")
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_found = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_found")
+    )
+    return (
+        n_sampled.crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_found))
+        .select(
+            "n_sampled",
+            "n_true",
+            "n_found",
+            F.expr(
+                "CAST(CASE WHEN n_true = 0 THEN 1000000"
+                " ELSE 1000000 * n_found div n_true END AS BIGINT)"
+            ).alias("recall_e6"),
+        )
+    )
+
+
+@register(
+    "dedup_keep_best",
+    r"""
+    WITH scored AS (
+        SELECT doc_id, lang, source,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ')))) AS h,
+               CAST(n_chars AS BIGINT) AS q
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, h, q,
+               row_number() OVER (PARTITION BY lang, source
+                                  ORDER BY q DESC, doc_id) AS rn
+        FROM scored
+    )
+    SELECT doc_id, h AS norm_hash, q AS quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup: where dedup_exact_docs keeps the minimum
+    doc_id per (lang, source) group, production pipelines keep the
+    highest-QUALITY member (here: longest normalized text, doc_id
+    tie-break) — survivorship should be a curation decision, not an
+    id accident. Same single window shuffle as the keep-first
+    variant; swap any quality score (text_quality, text_charlm_score)
+    into the ORDER BY without changing the shape."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("h"),
+        F.col("n_chars").cast("long").alias("q"),
+    )
+    wv = Window.partitionBy("lang", "source").orderBy(
+        F.col("q").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter("rn = 1")
+        .select(
+            "doc_id", F.col("h").alias("norm_hash"), F.col("q").alias("quality")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: containment dedup, hybrid-retrieval fusion, diversity
+# sampling, distribution forensics, privacy, and seasonality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / CAST(least(len(a.shingles), len(b.shingles)) AS DOUBLE)
+           AS containment
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.n_chars // 20 = b.n_chars // 20
+     AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(least(len(a.shingles), len(b.shingles)) AS DOUBLE)
+          >= 0.1
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram CONTAINMENT over blocked candidate pairs —
+    |A∩B| / min(|A|,|B|), the sub-document duplication signal a
+    symmetric Jaccard misses (a paragraph pasted into a 100× longer
+    doc scores ≈1 here, ≈0 on Jaccard). Same single-shuffle
+    bucket-expand shape as dedup_ngram_jaccard_pairs
+    (pipeline.dedup.ngram_containment_pairs)."""
+    from ..pipeline.dedup import ngram_containment_pairs
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "size_bucket", F.expr("n_chars div 20")
+    )
+    return ngram_containment_pairs(
+        docs,
+        "doc_id",
+        "text",
+        block_cols=["lang", "size_bucket"],
+        shingle_size=3,
+        threshold=0.1,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    """
+    WITH p AS (
+        SELECT c_custkey AS id,
+               CAST(row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS BIGINT)
+                   AS pos
+        FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b, CAST(b.pos - a.pos AS BIGINT) AS gap
+    FROM p a JOIN p b ON b.pos - a.pos BETWEEN 1 AND 4
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking over customer names, window 5:
+    every pair within 4 positions of the (name, id) total order
+    (pipeline.dedup.sorted_neighborhood_pairs). The global order is
+    built scale-honestly — range repartition + local ranks + offset
+    broadcast, then two bucket equi-joins — never a single-reducer
+    row_number or an inequality join (the oracle may use one; the
+    engine may not)."""
+    from ..pipeline.dedup import sorted_neighborhood_pairs
+
+    cust = load(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        cust,
+        "c_custkey",
+        "c_name",
+        window=5,
+        partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
+@register(
+    "dedup_blocking_eval",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               concat(string_split_regex(lower(trim(text)), '\\s+')[1], '|',
+                      CAST(length(text) // 64 AS VARCHAR)) AS blk
+        FROM documents
+    ),
+    sh AS ({_SHINGLES_DUCK}),
+    tp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.n_chars // 20 = b.n_chars // 20
+         AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                     AS DOUBLE) >= 0.05
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
+    ca AS (
+        SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_cand
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY blk)
+    ),
+    tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tp),
+    fo AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+        FROM tp
+        JOIN d da ON tp.id_a = da.doc_id
+        JOIN d db ON tp.id_b = db.doc_id
+        WHERE da.blk = db.blk
+    )
+    SELECT n_docs,
+           CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_total_pairs,
+           n_cand, n_true, n_found,
+           CAST(1000000 * n_cand // (n_docs * (n_docs - 1) // 2) AS BIGINT)
+               AS cand_ppm,
+           CAST(CASE WHEN n_true = 0 THEN -1
+                ELSE 1000000 * n_found // n_true END AS BIGINT) AS pc_e6
+    FROM t CROSS JOIN ca CROSS JOIN tr CROSS JOIN fo
+    """,
+)
+def dedup_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit for entity resolution — the governance
+    metric every blocking scheme (soundex, sorted-neighborhood, LSH
+    bands) should report before committing to it at scale: REDUCTION
+    RATIO (candidate pairs as ppm of all C(n,2) pairs — how much work
+    blocking saves) and PAIRS COMPLETENESS (fraction of reference
+    duplicate pairs whose members share a block — how much recall it
+    costs). Reference pairs = the verified near-dup set of
+    dedup_ngram_jaccard_pairs (exact 3-gram Jaccard ≥ 0.05 inside
+    its verification blocks); evaluated scheme = a deliberately crude
+    (first-token | raw-length-div-64) key, so pc_e6 measures a real
+    trade-off. Candidate count is Σ C(g,2) over block SIZES — never
+    materialized; only the (small, already-verified) reference pair
+    set is joined row-wise. pc_e6 = -1 guards the no-true-pairs
+    case."""
+    from ..pipeline.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.concat(
+            F.element_at(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1),
+            F.lit("|"),
+            F.expr("CAST(length(text) div 64 AS STRING)"),
+        ).alias("blk"),
+    )
+    tp = ngram_jaccard_pairs(
+        docs.withColumn("size_bucket", F.expr("n_chars div 20")),
+        "doc_id",
+        "text",
+        block_cols=["lang", "size_bucket"],
+        shingle_size=3,
+        threshold=0.05,
+        parallelism=spark.sparkContext.defaultParallelism,
+    ).select("id_a", "id_b")
+    t = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ca = (
+        d.groupBy("blk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.expr("c * (c - 1) div 2")), F.lit(0))
+            .cast("long")
+            .alias("n_cand")
+        )
+    )
+    tr = tp.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    da = d.select(F.col("doc_id").alias("id_a"), F.col("blk").alias("blk_a"))
+    db = d.select(F.col("doc_id").alias("id_b"), F.col("blk").alias("blk_b"))
+    fo = (
+        tp.join(da, "id_a")
+        .join(db, "id_b")
+        .filter(F.col("blk_a") == F.col("blk_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    )
+    return (
+        t.crossJoin(F.broadcast(ca))
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(fo))
+        .select(
+            "n_docs",
+            F.expr("CAST(n_docs * (n_docs - 1) div 2 AS BIGINT)").alias(
+                "n_total_pairs"
+            ),
+            "n_cand",
+            "n_true",
+            "n_found",
+            F.expr(
+                "CAST(1000000 * n_cand div (n_docs * (n_docs - 1) div 2)"
+                " AS BIGINT)"
+            ).alias("cand_ppm"),
+            F.expr(
+                "CAST(CASE WHEN n_true = 0 THEN -1"
+                " ELSE 1000000 * n_found div n_true END AS BIGINT)"
+            ).alias("pc_e6"),
+        )
+    )
+
+
+@register("dedup_soundex_blocks", _soundex_blocks_oracle())
+def dedup_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic ER blocking: portable-Soundex codes (pinned spec,
+    pipeline.dedup.soundex_expr — engine builtins differ on the H/W
+    rule, so the spec is implemented identically on both sides) over
+    the first word of part names; emit blocks that merge ≥2 distinct
+    words — the candidate clusters a phonetic matcher would compare.
+    Map-side code derivation + one groupBy; the distinct-word count
+    rides the same shuffle."""
+    from ..pipeline.dedup import soundex_expr
+
+    part = load(spark, sf_dir, "part")
+    first = F.expr("element_at(split(trim(p_name), '\\\\s+'), 1)")
+    coded = part.select(first.alias("__w")).select(
+        F.col("__w"), soundex_expr("__w").alias("code")
+    )
+    return (
+        coded.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.countDistinct("__w").cast("long").alias("n_distinct_words"),
+        )
+        .filter("n_distinct_words >= 2")
+    )
+
+
+@register(
+    "dedup_winnowing_pairs",
+    """
+    WITH fp AS (
+        SELECT doc_id, unnest(list_distinct(mins)) AS fp
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(h) >= 4 THEN
+                       list_transform(range(1, len(h) - 4 + 2),
+                                      i -> list_aggregate(list_slice(h, i, i + 3),
+                                                          'min'))
+                   ELSE [list_aggregate(h, 'min')] END AS mins
+            FROM (
+                SELECT doc_id,
+                       list_transform(grams,
+                           g -> CAST('0x' || substr(md5(g), 1, 12) AS BIGINT))
+                           AS h
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN length(trim(text)) >= 8 THEN
+                               list_transform(
+                                   range(1, length(trim(text)) - 8 + 2),
+                                   i -> substring(trim(text), CAST(i AS INT), 8))
+                           ELSE [trim(text)] END AS grams
+                    FROM documents
+                )
+            )
+        )
+    )
+    , rare AS (
+        SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 20
+    ),
+    kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair view of winnowing (what a plagiarism detector reports):
+    document pairs sharing ≥2 RARE selected fingerprints, with the
+    shared count as the match strength. A hot fingerprint (boilerplate
+    shared by k docs) would cost k² in any pair formulation and carries
+    no dedup signal, so fingerprints in more than 20 documents are
+    dropped BEFORE expansion (the max_df/max-bucket discipline every
+    pair family in this repo applies — the uncapped join measured a
+    GC-thrashing blowup at 5000 docs on this boilerplate-heavy
+    synthetic corpus). Shape: groupBy the fingerprint collecting doc
+    ids, expand pairs inside the ≤20-member bucket — one shuffle,
+    skew-capped by construction."""
+    from ..pipeline.text import winnowing_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    fp = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    buckets = (
+        fp.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("__docs"))
+        .filter("size(__docs) BETWEEN 2 AND 20")
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__docs, (x, i) -> "
+                "transform(slice(__docs, i + 2, size(__docs) - i - 1), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("__p")
+    )
+    return (
+        pairs.select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter("shared_fps >= 2")
+    )
+
+
+@register("dedup_cross_source_matrix", None)  # oracle attached below
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: SimHash near-duplicate pairs
+    (Hamming ≤ 3, the same pigeonhole blocking as dedup_simhash_pairs)
+    rolled up to SOURCE pairs — the corpus-governance view that shows
+    which ingestion feeds copy each other before anyone trains on the
+    union. One broadcast join of the (small) pair set back to the
+    doc→source map, canonical (low, high) source ordering, one
+    groupBy."""
+    from ..pipeline.dedup import simhash_near_pairs, simhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = simhash_signatures(
+        docs, "doc_id", "text", bits=16,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    pairs = simhash_near_pairs(sigs, "doc_id", max_hamming=3, bits=16)
+    src = docs.select("doc_id", "source")
+    joined = (
+        pairs.join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("source").alias("sa"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("source").alias("sb"),
+                )
+            ),
+            "id_b",
+        )
+    )
+    return joined.groupBy(
+        F.least("sa", "sb").alias("src_lo"),
+        F.greatest("sa", "sb").alias("src_hi"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+
+
+@register(
+    "dedup_jaro_winkler",
+    """
+    WITH RECURSIVE cand AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(b.pos - a.pos AS BIGINT) AS gap,
+               a.nm AS s_a, b.nm AS s_b
+        FROM (SELECT p_partkey AS id, p_name AS nm,
+                     row_number() OVER (ORDER BY p_name, p_partkey) - 1
+                         AS pos
+              FROM part) a
+        JOIN (SELECT p_partkey AS id, p_name AS nm,
+                     row_number() OVER (ORDER BY p_name, p_partkey) - 1
+                         AS pos
+              FROM part) b
+          ON b.pos - a.pos BETWEEN 1 AND 2
+    ),
+    st AS (
+        SELECT id_a, id_b, gap, s_a, s_b,
+               CAST(length(s_a) AS BIGINT) AS la,
+               CAST(length(s_b) AS BIGINT) AS lb,
+               greatest(greatest(length(s_a), length(s_b)) // 2 - 1, 0)
+                   AS d,
+               0 AS i, CAST(0 AS BIGINT) AS used, '' AS ms1
+        FROM cand
+        UNION ALL
+        SELECT id_a, id_b, gap, s_a, s_b, la, lb, d, i + 1,
+               CASE WHEN j IS NULL THEN used
+                    ELSE used | (CAST(1 AS BIGINT) << j) END,
+               CASE WHEN j IS NULL THEN ms1 ELSE ms1 || s_a[i + 1] END
+        FROM (
+            SELECT *,
+                   list_min(list_filter(
+                       range(greatest(0, i - d),
+                             least(CAST(lb AS INTEGER), i + d + 1)),
+                       jj -> s_b[jj + 1] = s_a[i + 1]
+                             AND ((used >> jj) & 1) = 0)) AS j
+            FROM st WHERE i < la
+        ) q
+    ),
+    fin AS (
+        SELECT id_a, id_b, gap, s_a, s_b, la, lb, used, ms1,
+               CAST(length(ms1) AS BIGINT) AS m,
+               array_to_string(list_transform(
+                   list_filter(range(0, CAST(lb AS INTEGER)),
+                               jj -> ((used >> jj) & 1) = 1),
+                   jj -> s_b[jj + 1]), '') AS ms2
+        FROM st WHERE i = la
+    ),
+    sc AS (
+        SELECT id_a, id_b, gap, s_a, s_b, la, lb, m,
+               CAST(coalesce(list_sum(list_transform(
+                   range(1, CAST(m AS INTEGER) + 1),
+                   k -> CASE WHEN ms1[k] != ms2[k] THEN 1 ELSE 0 END)),
+                   0) AS BIGINT) AS t_raw,
+               CASE WHEN substr(s_a, 1, 4) = substr(s_b, 1, 4) THEN 4
+                    WHEN substr(s_a, 1, 3) = substr(s_b, 1, 3) THEN 3
+                    WHEN substr(s_a, 1, 2) = substr(s_b, 1, 2) THEN 2
+                    WHEN substr(s_a, 1, 1) = substr(s_b, 1, 1) THEN 1
+                    ELSE 0 END AS ell
+        FROM fin
+    )
+    SELECT id_a, id_b, gap, s_a, s_b,
+           CAST(CASE WHEN m = 0 THEN 0 ELSE
+               (1000000 * (10 * (2*m*m*(la+lb) + (2*m - t_raw)*la*lb)
+                           + ell * (6*m*la*lb
+                                    - (2*m*m*(la+lb)
+                                       + (2*m - t_raw)*la*lb))))
+               // (10 * 6*m*la*lb) END AS BIGINT) AS jw_e6
+    FROM sc
+    """,
+)
+def dedup_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler entity resolution over part names: sorted-
+    neighborhood blocking (window 3 on the (p_name, p_partkey) total
+    order) then the exact-integer JW score for every candidate pair
+    (pipeline.dedup.jaro_winkler_pairs — Winkler 1990 spec pinned at
+    e6 floor precision, see jaro_winkler_e6). The oracle re-derives
+    the greedy Jaro matching with a recursive CTE whose per-pair state
+    is an int64 bitmask of claimed b-positions — bit-identical scores,
+    no float similarity anywhere. Scale: candidates are O(n·window)
+    from range-partitioned blocking; the scoring kernel is Arrow-
+    batched and touches candidates only, never corpus^2."""
+    from ..pipeline.dedup import jaro_winkler_pairs
+
+    part = load(spark, sf_dir, "part")
+    pairs = jaro_winkler_pairs(part, "p_partkey", "p_name", window=3)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "gap",
+        "s_a",
+        "s_b",
+        "jw_e6",
+    )
+
+
+@register(
+    "dedup_fellegi_sunter",
+    f"""
+    WITH d AS (
+        SELECT c_custkey AS id, c_nationkey AS blk1, c_mktsegment AS blk2,
+               right(c_name, 2) AS name_suffix,
+               ({cents('c_acctbal')} + 100000) // 100000 AS bal_bucket,
+               CAST(c_custkey % 97 AS BIGINT) AS key_mod
+        FROM customer
+    ),
+    tot AS (SELECT CAST(COUNT(*) * (COUNT(*) - 1) AS BIGINT) AS dd FROM d),
+    u1 AS (SELECT CAST(SUM(n * (n - 1)) AS BIGINT) AS u
+           FROM (SELECT COUNT(*) AS n FROM d GROUP BY name_suffix)),
+    u2 AS (SELECT CAST(SUM(n * (n - 1)) AS BIGINT) AS u
+           FROM (SELECT COUNT(*) AS n FROM d GROUP BY bal_bucket)),
+    u3 AS (SELECT CAST(SUM(n * (n - 1)) AS BIGINT) AS u
+           FROM (SELECT COUNT(*) AS n FROM d GROUP BY key_mod)),
+    w AS (
+        SELECT
+            round(ln(900000.0 * dd / (1000000.0 * u1.u)), 9) AS wa1,
+            round(ln(100000.0 * dd / (1000000.0 * (dd - u1.u))), 9) AS wd1,
+            round(ln(800000.0 * dd / (1000000.0 * u2.u)), 9) AS wa2,
+            round(ln(200000.0 * dd / (1000000.0 * (dd - u2.u))), 9) AS wd2,
+            round(ln(700000.0 * dd / (1000000.0 * u3.u)), 9) AS wa3,
+            round(ln(300000.0 * dd / (1000000.0 * (dd - u3.u))), 9) AS wd3
+        FROM tot, u1, u2, u3
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(CASE WHEN a.name_suffix = b.name_suffix
+                THEN 1 ELSE 0 END AS BIGINT) AS agree_name_suffix,
+           CAST(CASE WHEN a.bal_bucket = b.bal_bucket
+                THEN 1 ELSE 0 END AS BIGINT) AS agree_bal_bucket,
+           CAST(CASE WHEN a.key_mod = b.key_mod
+                THEN 1 ELSE 0 END AS BIGINT) AS agree_key_mod,
+           round((CASE WHEN a.name_suffix = b.name_suffix
+                       THEN w.wa1 ELSE w.wd1 END)
+                 + (CASE WHEN a.bal_bucket = b.bal_bucket
+                         THEN w.wa2 ELSE w.wd2 END)
+                 + (CASE WHEN a.key_mod = b.key_mod
+                         THEN w.wa3 ELSE w.wd3 END), 9) AS fs_weight
+    FROM d a JOIN d b ON a.blk1 = b.blk1 AND a.blk2 = b.blk2
+                      AND a.id < b.id
+    CROSS JOIN w
+    """,
+)
+def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over customers:
+    candidates blocked on (nation, market segment), scored on three
+    comparison fields — the last two name characters, a $1000
+    account-balance bucket (shifted positive so the integer division
+    never sees a negative numerator), and a mod-97 key check — with pinned
+    match priors m = (0.9, 0.8, 0.7) and u-probabilities ESTIMATED
+    FROM THE DATA as exact pair-agreement rationals
+    (pipeline.dedup.fellegi_sunter_pairs).  The oracle recomputes the
+    same agreement tallies and the same per-field ln weights (rounded
+    1e-9 before the fixed-order sum), so scores match bit-for-bit.
+    Scale: u stats are narrow-key groupBys; candidates come from a
+    hash-partitioned blocked self-join, never corpus^2; scoring is
+    CASE arithmetic in whole-stage codegen."""
+    from ..pipeline.dedup import fellegi_sunter_pairs
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("right(c_name, 2)").alias("name_suffix"),
+        F.expr(f"({cents('c_acctbal')} + 100000) div 100000").alias(
+            "bal_bucket"
+        ),
+        F.expr("CAST(c_custkey % 97 AS BIGINT)").alias("key_mod"),
+    )
+    pairs = fellegi_sunter_pairs(
+        cust,
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment"],
+        ["name_suffix", "bal_bucket", "key_mod"],
+        [900_000, 800_000, 700_000],
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "agree_name_suffix",
+        "agree_bal_bucket",
+        "agree_key_mod",
+        "fs_weight",
+    )
+
+
+@register("dedup_fs_em", _fs_em_sql("HUGEINT", "//", _FS_EM_COUNTS_DUCK))
+def dedup_fs_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised Fellegi-Sunter parameter estimation by EM (Winkler
+    1988): the blocked candidate pairs of dedup_fellegi_sunter reduce
+    to 8 agreement-pattern counts, and two unrolled EM iterations of a
+    two-component product-multinomial mixture re-estimate the match
+    proportion p and per-field m/u probabilities — no labels anywhere.
+    Every probability lives as an e6 integer; E-step responsibilities
+    are quantized to e9 with FLOOR(x*1e9 + 0.5) (identical half-up on
+    both engines), making all M-step weighted sums exact integers:
+    floats never cross an aggregation boundary, so the fixpoint is
+    engine-independent.  Scale: corpus -> 8 counts is one blocked
+    join + one conditional aggregate; the EM math is scalar
+    expressions on a single row."""
+    from ..pipeline.dedup import fellegi_sunter_pairs
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("right(c_name, 2)").alias("name_suffix"),
+        F.expr(f"({cents('c_acctbal')} + 100000) div 100000").alias(
+            "bal_bucket"
+        ),
+        F.expr("CAST(c_custkey % 97 AS BIGINT)").alias("key_mod"),
+    )
+    pairs = fellegi_sunter_pairs(
+        cust,
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment"],
+        ["name_suffix", "bal_bucket", "key_mod"],
+        [900_000, 800_000, 700_000],
+    )
+    counts = pairs.select(
+        (
+            F.col("agree_name_suffix")
+            + 2 * F.col("agree_bal_bucket")
+            + 4 * F.col("agree_key_mod")
+        ).alias("pat")
+    ).agg(
+        *[
+            F.sum(F.when(F.col("pat") == g, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{g}")
+            for g in range(8)
+        ]
+    )
+    it = _fs_em_iter("DECIMAL(38,0)", "div")
+    cs = [f"c{g}" for g in range(8)]
+    init = counts.select(
+        *cs,
+        F.lit(100_000).cast("long").alias("p"),
+        *[F.lit(900_000).cast("long").alias(f"m{i}") for i in (1, 2, 3)],
+        *[F.lit(100_000).cast("long").alias(f"u{i}") for i in (1, 2, 3)],
+    )
+    cur = init
+    for _ in range(2):
+        e = cur.select(
+            "*", *[F.expr(it[f"g{g}"]).alias(f"g{g}") for g in range(8)]
+        )
+        cur = e.select(
+            *cs,
+            F.expr(it["p_next"]).alias("p"),
+            *[
+                F.expr(it[f"m{i}_next"]).alias(f"m{i}")
+                for i in (1, 2, 3)
+            ],
+            *[
+                F.expr(it[f"u{i}_next"]).alias(f"u{i}")
+                for i in (1, 2, 3)
+            ],
+        )
+    return cur.select(
+        F.col("p").alias("p_e6"),
+        F.col("m1").alias("m1_e6"),
+        F.col("m2").alias("m2_e6"),
+        F.col("m3").alias("m3_e6"),
+        F.col("u1").alias("u1_e6"),
+        F.col("u2").alias("u2_e6"),
+        F.col("u3").alias("u3_e6"),
+    )
+
+
+@register(
+    "dedup_span_scrub_c4",
+    """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS ws
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, g,
+               array_to_string(ws[g * 10 + 1 : g * 10 + 10], ' ') AS chunk
+        FROM words,
+             unnest(generate_series(0,
+                 CAST((len(ws) + 9) // 10 - 1 AS BIGINT))) AS gs(g)
+        WHERE len(ws) > 0
+    ), winner AS (
+        SELECT md5(chunk) AS h,
+               MIN(ROW(doc_id, g)) AS w
+        FROM chunks GROUP BY md5(chunk)
+    ), kept AS (
+        SELECT c.doc_id, c.g, c.chunk
+        FROM chunks c JOIN winner ON md5(c.chunk) = winner.h
+        WHERE ROW(c.doc_id, c.g) = winner.w
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY g) AS scrubbed,
+           CAST(COUNT(*) AS BIGINT) AS kept_chunks
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_span_scrub_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style SPAN SCRUB — corpus-wide exact span dedup that REMOVES
+    repeated spans instead of dropping whole documents: text splits
+    into 10-word chunks, every chunk that appears anywhere else in the
+    corpus keeps only its FIRST occurrence (min (doc_id, chunk_idx)),
+    and each doc is reassembled from its surviving chunks (docs whose
+    every chunk lost disappear). This is the operator C4 ran with
+    three-sentence spans; word chunks here because the synthetic corpus
+    has no sentence boundaries. Shape: one documents scan, chunking in
+    codegen (slice + array_join over a sequence explode — no UDF), ONE
+    groupBy shuffle on the chunk hash for the global winner, one hash
+    equi-join back, one per-doc regroup. Chunk cardinality ~= token
+    count / 10, so the shuffle moves ~a tenth of the corpus tokens —
+    the same scale class as minhash signatures."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        ).alias("ws"),
+    ).filter(F.size("ws") > 0)
+    chunks = words.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                ((F.size("ws") + 9) / F.lit(10)).cast("long") - 1,
+            )
+        ).alias("g"),
+        F.col("ws"),
+    ).select(
+        "doc_id",
+        F.col("g").cast("long").alias("g"),
+        F.array_join(
+            F.slice(F.col("ws"), F.col("g").cast("int") * 10 + 1, 10), " "
+        ).alias("chunk"),
+    )
+    winner = chunks.groupBy(F.md5("chunk").alias("h")).agg(
+        F.min(F.struct("doc_id", "g")).alias("w")
+    )
+    kept = (
+        chunks.withColumn("h", F.md5("chunk"))
+        .join(winner, "h")
+        .filter(
+            (F.col("doc_id") == F.col("w.doc_id")) & (F.col("g") == F.col("w.g"))
+        )
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("g", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("scrubbed"),
+            F.count(F.lit(1)).cast("long").alias("kept_chunks"),
+        )
+    )
+
+
+@register(
+    "dedup_lines_corpus",
+    """
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), tok AS (
+        SELECT doc_id, w[i] AS term, i AS pos
+        FROM ws, range(1, 512) r(i) WHERE i <= len(w)
+    ), body AS (
+        SELECT doc_id, CAST((pos - 1) // 6 AS BIGINT) AS ln,
+               string_agg(term, ' ' ORDER BY pos) AS line
+        FROM tok GROUP BY 1, 2
+    ), lines AS (
+        SELECT doc_id, CAST(-1 AS BIGINT) AS ln,
+               'Subscribe to our newsletter!' AS line
+        FROM documents
+        UNION ALL
+        SELECT doc_id, ln, line FROM body
+    ), h AS (
+        SELECT doc_id, ln, line,
+               CASE WHEN trim(line) != '' THEN md5(lower(trim(
+                   regexp_replace(line, '\\s+', ' ', 'g')))) END AS lh
+        FROM lines
+    ), dup AS (
+        SELECT lh FROM h WHERE lh IS NOT NULL
+        GROUP BY lh HAVING COUNT(DISTINCT doc_id) >= 2
+    ), marked AS (
+        SELECT h.doc_id, h.ln, h.line, (d.lh IS NOT NULL) AS isdup
+        FROM h LEFT JOIN dup d USING (lh)
+    )
+    SELECT doc_id AS id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           md5(coalesce(string_agg(
+               CASE WHEN NOT isdup THEN line END, chr(10)
+               ORDER BY ln), '')) AS text_md5
+    FROM marked GROUP BY 1
+    """,
+)
+def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LINE-level corpus dedup (pipeline.dedup.line_dedup):
+    every line occurring in >= 2 distinct documents is dropped from ALL
+    of them and the survivors reassemble in order — the boilerplate
+    scrub (nav bars, cookie banners, footers) every web-crawl pipeline
+    runs before document-level dedup. The driver corpus has no
+    newlines, so each doc is re-lineated into 6-word lines JVM-side and
+    a constant boilerplate header is prepended to every doc — so the
+    drop path provably fires corpus-wide while organic 6-word
+    collisions exercise the discovery path. Two narrow-key shuffles
+    (line-hash count, hash join-back), the CCNet MapReduce shape."""
+    from ..pipeline.dedup import line_dedup
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat('Subscribe to our newsletter!', chr(10),"
+            " array_join(transform("
+            "   sequence(0, (size(split(text, ' ')) + 5) div 6 - 1),"
+            "   i -> array_join(slice(split(text, ' '), i * 6 + 1, 6),"
+            "                   ' ')),"
+            " chr(10)))"
+        ).alias("text_nl"),
+    )
+    out = line_dedup(docs, "doc_id", "text_nl", min_docs=2)
+    return out.select(
+        "id", "n_lines", "n_dropped", F.md5("text").alias("text_md5")
+    )
+
+
+__all__ = ['dedup_exact_docs', 'dedup_minhash_pairs', 'dedup_cluster_docs', 'dedup_url_canonical', 'dedup_simhash_docs', 'dedup_simhash_pairs', 'dedup_ngram_jaccard_pairs', 'dedup_prefix_filter_pairs', 'dedup_embedding_pairs', 'dedup_normalized_docs', 'dedup_substring_pairs', 'dedup_fuzzy_names', 'dedup_fuzzy_names_damerau', 'dedup_incremental_minhash', 'dedup_minhash_verified', 'dedup_report', 'dedup_lsh_recall', 'dedup_lsh_recall_sampled', 'dedup_keep_best', 'dedup_containment_pairs', 'dedup_sorted_neighborhood', 'dedup_blocking_eval', 'dedup_soundex_blocks', 'dedup_winnowing_pairs', 'dedup_cross_source_matrix', 'dedup_jaro_winkler', 'dedup_fellegi_sunter', 'dedup_fs_em', 'dedup_span_scrub_c4', 'dedup_lines_corpus']

@@ -1,0 +1,1063 @@
+"""Geo gate queries (bbox, WKB round-trips, tiling, spatial joins).
+
+Split out of entry_queries.py; registration happens on import
+(each @register call appends to the shared QUERIES list)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..pipeline.text import (  # noqa: E402  (constants feed the oracle SQL)
+    ENTROPY_LUT as _ENT_LUT,
+    ENTROPY_WINDOW as _ENT_WINDOW,
+)
+
+from ._core import *  # noqa: F401,F403
+from ._helpers import *  # noqa: F401,F403
+
+
+
+@register("geo_bbox_filter", _geo_filter_oracle(35.0, -10.0, 40.0, 5.0))
+def geo_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity bbox intersection (F1) as a pushdown-friendly
+    column predicate, over boxes synthesized from customer keys."""
+    from ..functions.geometry import bbox_intersects
+    from ..geo.bbox import Bbox
+
+    boxes = _geo_boxes(spark, sf_dir)
+    pred = bbox_intersects(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        Bbox(35.0, -10.0, 40.0, 5.0),
+    )
+    return boxes.filter(pred).select("c_custkey")
+
+
+@register("geo_bbox_filter_antimeridian", _geo_filter_oracle(170.0, -90.0, -170.0, 90.0))
+def geo_bbox_filter_antimeridian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as geo_bbox_filter with an antimeridian-crossing query box."""
+    from ..functions.geometry import bbox_intersects
+    from ..geo.bbox import Bbox
+
+    boxes = _geo_boxes(spark, sf_dir)
+    pred = bbox_intersects(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        Bbox(170.0, -90.0, -170.0, 90.0),
+    )
+    return boxes.filter(pred).select("c_custkey")
+
+
+@register(
+    "geo_spatial_join",
+    f"""
+    WITH cb AS (
+        SELECT c_custkey, {_BOX_XMIN} AS cxmin, {_BOX_YMIN} AS cymin,
+               {_BOX_XMAX} AS cxmax, {_BOX_YMAX} AS cymax
+        FROM customer),
+    planar AS (SELECT * FROM cb WHERE NOT (cxmin > 0 AND cxmax < 0)),
+    sb AS (
+        SELECT s_suppkey, {_SBOX_XMIN} AS sxmin, {_SBOX_YMIN} AS symin,
+               {_SBOX_XMAX} AS sxmax, {_SBOX_YMAX} AS symax
+        FROM supplier)
+    SELECT c_custkey, s_suppkey
+    FROM planar, sb
+    WHERE cxmax >= sxmin AND sxmax >= cxmin
+      AND cymax >= symin AND symax >= cymin
+    """,
+)
+def geo_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial join (PBSM shape): bbox-overlap pairs via
+    a cell-id EQUI-join with reference-point dedup — the oracle's
+    cross join is what the operator must never do at scale."""
+    from ..geoparquet.spatial import spatial_join_bboxes
+
+    cust = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_BOX_XMIN} AS cxmin",
+        f"{_BOX_YMIN} AS cymin",
+        f"{_BOX_XMAX} AS cxmax",
+        f"{_BOX_YMAX} AS cymax",
+    ).filter("NOT (cxmin > 0 AND cxmax < 0)")
+    supp = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"{_SBOX_XMIN} AS sxmin",
+        f"{_SBOX_YMIN} AS symin",
+        f"{_SBOX_XMAX} AS sxmax",
+        f"{_SBOX_YMAX} AS symax",
+    )
+    pairs = spatial_join_bboxes(
+        cust,
+        supp,
+        left_cols=("cxmin", "cymin", "cxmax", "cymax"),
+        right_cols=("sxmin", "symin", "sxmax", "symax"),
+        cell_deg=10.0,
+    )
+    return pairs.select("c_custkey", "s_suppkey")
+
+
+@register(
+    "geo_overlay_boxes",
+    f"""
+    WITH a AS (
+        SELECT c_custkey, {_OVA_XMIN} AS axmin, {_OVA_YMIN} AS aymin,
+               {_OVA_XMAX} AS axmax, {_OVA_YMAX} AS aymax
+        FROM customer),
+    b AS (
+        SELECT s_suppkey, {_OVB_XMIN} AS bxmin, {_OVB_YMIN} AS bymin,
+               {_OVB_XMAX} AS bxmax, {_OVB_YMAX} AS bymax
+        FROM supplier)
+    SELECT c_custkey, s_suppkey,
+           CAST((LEAST(axmax, bxmax) - GREATEST(axmin, bxmin))
+              * (LEAST(aymax, bymax) - GREATEST(aymin, bymin)) AS BIGINT)
+               AS area
+    FROM a, b
+    WHERE LEAST(axmax, bxmax) > GREATEST(axmin, bxmin)
+      AND LEAST(aymax, bymax) > GREATEST(aymin, bymin)
+    """,
+)
+def geo_overlay_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact polygon-overlay area over bbox-join candidates: the
+    clipping kernel (geo/clip.py — Green's-theorem triangle
+    decomposition + Sutherland–Hodgman) computes intersection areas for
+    customer×supplier rectangles; integer coordinates make the kernel
+    area exactly the oracle's closed-form BIGINT overlap product.
+
+    Scale: grid-cell EQUI-join candidates (never cross join), Arrow-
+    batched kernel refine on candidates only — the exact-overlay
+    analogue of the PIP join's candidates→refine shape."""
+    from ..geoparquet.spatial import spatial_join_bboxes
+
+    a = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"CAST({_OVA_XMIN} AS DOUBLE) AS axmin",
+        f"CAST({_OVA_YMIN} AS DOUBLE) AS aymin",
+        f"CAST({_OVA_XMAX} AS DOUBLE) AS axmax",
+        f"CAST({_OVA_YMAX} AS DOUBLE) AS aymax",
+    )
+    b = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"CAST({_OVB_XMIN} AS DOUBLE) AS bxmin",
+        f"CAST({_OVB_YMIN} AS DOUBLE) AS bymin",
+        f"CAST({_OVB_XMAX} AS DOUBLE) AS bxmax",
+        f"CAST({_OVB_YMAX} AS DOUBLE) AS bymax",
+    )
+    cands = spatial_join_bboxes(
+        a,
+        b,
+        left_cols=("axmin", "aymin", "axmax", "aymax"),
+        right_cols=("bxmin", "bymin", "bxmax", "bymax"),
+        cell_deg=16.0,
+    )
+
+    from ..functions.overlay import box_overlay_area
+
+    return (
+        cands.withColumn(
+            "area",
+            box_overlay_area(
+                "axmin", "aymin", "axmax", "aymax",
+                "bxmin", "bymin", "bxmax", "bymax",
+            ),
+        )
+        .filter(F.col("area") > 0)
+        .select("c_custkey", "s_suppkey", "area")
+    )
+
+
+@register(
+    "geo_overlay_diamonds",
+    f"""
+    WITH a AS (
+        SELECT c_custkey, ({_DVA_CX}) + ({_DVA_CY}) AS ua,
+               ({_DVA_CX}) - ({_DVA_CY}) AS va, {_DVA_R} AS ra
+        FROM customer),
+    b AS (
+        SELECT s_suppkey, ({_DVB_CX}) + ({_DVB_CY}) AS ub,
+               ({_DVB_CX}) - ({_DVB_CY}) AS vb, {_DVB_R} AS rb
+        FROM supplier)
+    SELECT c_custkey, s_suppkey,
+           CAST((LEAST(ua + ra, ub + rb) - GREATEST(ua - ra, ub - rb))
+              * (LEAST(va + ra, vb + rb) - GREATEST(va - ra, vb - rb))
+               AS BIGINT) AS area_x2
+    FROM a, b
+    WHERE LEAST(ua + ra, ub + rb) > GREATEST(ua - ra, ub - rb)
+      AND LEAST(va + ra, vb + rb) > GREATEST(va - ra, vb - rb)
+    """,
+)
+def geo_overlay_diamonds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact overlay area between NON-axis-aligned convex polygons
+    (45°-rotated squares): every Sutherland–Hodgman half-plane here has
+    a sloped boundary, so this exercises the true line-intersection
+    path the box query cannot. The oracle rotates to u=x+y, v=x−y where
+    diamonds become boxes (|det| = 2 ⇒ 2·area_xy is an exact BIGINT).
+
+    Same scale shape as geo_overlay_boxes: bbox-grid candidates, Arrow-
+    batched kernel refine."""
+    from ..geoparquet.spatial import spatial_join_bboxes
+
+    a = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"CAST({_DVA_CX} AS DOUBLE) AS acx",
+        f"CAST({_DVA_CY} AS DOUBLE) AS acy",
+        f"CAST({_DVA_R} AS DOUBLE) AS ar",
+    ).selectExpr(
+        "c_custkey", "acx", "acy", "ar",
+        "acx - ar AS axmin", "acy - ar AS aymin",
+        "acx + ar AS axmax", "acy + ar AS aymax",
+    )
+    b = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"CAST({_DVB_CX} AS DOUBLE) AS bcx",
+        f"CAST({_DVB_CY} AS DOUBLE) AS bcy",
+        f"CAST({_DVB_R} AS DOUBLE) AS br",
+    ).selectExpr(
+        "s_suppkey", "bcx", "bcy", "br",
+        "bcx - br AS bxmin", "bcy - br AS bymin",
+        "bcx + br AS bxmax", "bcy + br AS bymax",
+    )
+    cands = spatial_join_bboxes(
+        a,
+        b,
+        left_cols=("axmin", "aymin", "axmax", "aymax"),
+        right_cols=("bxmin", "bymin", "bxmax", "bymax"),
+        cell_deg=16.0,
+    )
+
+    from ..functions.overlay import diamond_overlay_area_x2
+
+    return (
+        cands.withColumn(
+            "area_x2",
+            diamond_overlay_area_x2("acx", "acy", "ar", "bcx", "bcy", "br"),
+        )
+        .filter(F.col("area_x2") > 0)
+        .select("c_custkey", "s_suppkey", "area_x2")
+    )
+
+
+@register(
+    "geo_roundtrip",
+    f"""
+    SELECT c_custkey, {_GEO_ENV_ORACLE_FIELDS}
+    FROM customer
+    """,
+)
+def geo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry kernel end-to-end on executors: WKT parse → WKB encode
+    → decode → type + envelope (reference T1/T2/T4/T5), with the oracle
+    computing the equivalent arithmetic directly."""
+    from ..functions.geometry import st_envelope, st_geometry_type, st_wkt_to_wkb
+
+    wkt_df = _geo_wkt_df(spark, sf_dir)
+    wkb_df = wkt_df.withColumn("wkb", st_wkt_to_wkb("wkt"))
+    return wkb_df.select(
+        "c_custkey",
+        st_geometry_type("wkb").alias("gtype"),
+        st_envelope("wkb").alias("env"),
+    ).select(
+        "c_custkey",
+        "gtype",
+        F.col("env.xmin").alias("xmin"),
+        F.col("env.ymin").alias("ymin"),
+        F.col("env.xmax").alias("xmax"),
+        F.col("env.ymax").alias("ymax"),
+    )
+
+
+@register(
+    "geo_bounds_agg",
+    f"""
+    WITH env AS (SELECT {_GEO_ENV_ORACLE_FIELDS} FROM customer)
+    SELECT MIN(xmin) AS xmin, MIN(ymin) AS ymin,
+           MAX(xmax) AS xmax, MAX(ymax) AS ymax
+    FROM env
+    """,
+)
+def geo_bounds_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset bounds union (reference A1 GeometryStats) as df.agg."""
+    from ..functions.geometry import st_envelope, st_wkt_to_wkb
+
+    wkt_df = _geo_wkt_df(spark, sf_dir)
+    env = wkt_df.select(st_envelope(st_wkt_to_wkb("wkt")).alias("env"))
+    return env.agg(
+        F.min("env.xmin").alias("xmin"),
+        F.min("env.ymin").alias("ymin"),
+        F.max("env.xmax").alias("xmax"),
+        F.max("env.ymax").alias("ymax"),
+    )
+
+
+@register(
+    "geo_type_counts",
+    f"""
+    WITH env AS (SELECT {_GEO_ENV_ORACLE_FIELDS} FROM customer)
+    SELECT gtype, CAST(COUNT(*) AS BIGINT) AS n FROM env GROUP BY gtype
+    """,
+)
+def geo_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct geometry types (reference A2) as a group-by count."""
+    from ..functions.geometry import st_geometry_type, st_wkt_to_wkb
+
+    wkt_df = _geo_wkt_df(spark, sf_dir)
+    return (
+        wkt_df.select(st_geometry_type(st_wkt_to_wkb("wkt")).alias("gtype"))
+        .groupBy("gtype")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "geo_measures",
+    f"""
+    SELECT c_custkey,
+           CAST(CASE c_custkey % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 0.0 ELSE 6.0 END
+                AS DOUBLE) AS area,
+           CAST(CASE c_custkey % 3
+               WHEN 0 THEN 0.0
+               WHEN 1 THEN sqrt(13.0)
+               ELSE 12.0
+           END AS DOUBLE) AS length,
+           {_PX} + (CASE c_custkey % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 ELSE 2.0 END) AS cx,
+           {_PY} + (CASE c_custkey % 3 WHEN 0 THEN 0.0 ELSE 1.5 END) AS cy
+    FROM customer WHERE c_custkey < 300
+    """,
+)
+def geo_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry measures (area/length/centroid) over synthesized
+    geometry; oracle computes the equivalent arithmetic.
+
+    Shapes: point (area 0, len 0); 2-vertex line dx=2,dy=3
+    (len sqrt(13)); right triangle legs 4 and 3 (area 6, perimeter 12,
+    envelope center at +2,+1.5)."""
+    from ..functions.geometry import st_wkt_to_wkb
+    from ..functions.measures import st_area, st_centroid_env, st_length
+
+    wkt_df = _geo_wkt_df(spark, sf_dir).filter(F.col("c_custkey") < 300)
+    g = wkt_df.withColumn("wkb", st_wkt_to_wkb("wkt"))
+    c = st_centroid_env("wkb")
+    return g.select(
+        "c_custkey",
+        st_area("wkb").alias("area"),
+        st_length("wkb").alias("length"),
+        c["x"].alias("cx"),
+        c["y"].alias("cy"),
+    )
+
+
+@register(
+    "geo_distance_join",
+    f"""
+    WITH p AS (
+        SELECT c_custkey, CAST({_DJ_PX} AS BIGINT) AS px,
+               CAST({_DJ_PY} AS BIGINT) AS py
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey, CAST({_DJ_SX} AS BIGINT) AS sx,
+               CAST({_DJ_SY} AS BIGINT) AS sy
+        FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           CAST((px - sx) * (px - sx) + (py - sy) * (py - sy) AS BIGINT)
+               AS d2
+    FROM p, s
+    WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy)
+          <= {_DJ_RADIUS * _DJ_RADIUS}
+    """,
+)
+def geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance spatial join (ST_DWithin shape): customer points
+    within {_DJ_RADIUS} units of supplier sites, exact integer squared
+    distance. Completes the spatial-join family (bbox overlap, point-
+    in-polygon, polygon overlay, zonal area — and now distance).
+
+    Scale design: a distance join IS an expanded-bbox join plus an
+    exact refine — each site's box grows by the radius, candidates
+    come from the SAME grid-bucketed cell equi-join the bbox join uses
+    (never the oracle's cross join), and the integer distance test
+    prunes the corners. Grid cell ≥ 2·radius keeps the candidate set
+    near-minimal."""
+    from ..geoparquet.spatial import spatial_join_bboxes
+
+    pts = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"CAST({_DJ_PX} AS BIGINT) AS px",
+        f"CAST({_DJ_PY} AS BIGINT) AS py",
+    )
+    sites = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"CAST({_DJ_SX} AS BIGINT) AS sx",
+        f"CAST({_DJ_SY} AS BIGINT) AS sy",
+    )
+    p_boxes = pts.selectExpr(
+        "c_custkey", "px", "py",
+        "CAST(px AS DOUBLE) AS pxmin", "CAST(py AS DOUBLE) AS pymin",
+        "CAST(px AS DOUBLE) AS pxmax", "CAST(py AS DOUBLE) AS pymax",
+    )
+    s_boxes = sites.selectExpr(
+        "s_suppkey", "sx", "sy",
+        f"CAST(sx - {_DJ_RADIUS} AS DOUBLE) AS sxmin",
+        f"CAST(sy - {_DJ_RADIUS} AS DOUBLE) AS symin",
+        f"CAST(sx + {_DJ_RADIUS} AS DOUBLE) AS sxmax",
+        f"CAST(sy + {_DJ_RADIUS} AS DOUBLE) AS symax",
+    )
+    cand = spatial_join_bboxes(
+        p_boxes,
+        s_boxes,
+        left_cols=("pxmin", "pymin", "pxmax", "pymax"),
+        right_cols=("sxmin", "symin", "sxmax", "symax"),
+        cell_deg=float(2 * _DJ_RADIUS),
+    )
+    return cand.filter(
+        F.expr(
+            f"(px - sx) * (px - sx) + (py - sy) * (py - sy)"
+            f" <= {_DJ_RADIUS * _DJ_RADIUS}"
+        )
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        F.expr(
+            "CAST((px - sx) * (px - sx) + (py - sy) * (py - sy) AS BIGINT)"
+        ).alias("d2"),
+    )
+
+
+@register(
+    "geo_grid_clusters",
+    """
+    WITH RECURSIVE
+    cells AS (
+        SELECT CAST((c_custkey % 300) // 10 AS BIGINT) AS cx,
+               CAST(((c_custkey * 7) % 160) // 10 AS BIGINT) AS cy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT cx, cy, n, CAST(cx * 100 + cy AS BIGINT) AS id
+        FROM cells WHERE n >= 2
+    ),
+    off AS (
+        SELECT dx, dy
+        FROM (SELECT unnest(range(-1, 2)) AS dx),
+             (SELECT unnest(range(-1, 2)) AS dy)
+        WHERE NOT (dx = 0 AND dy = 0)
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM dense a CROSS JOIN off o
+        JOIN dense b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        WHERE a.id < b.id
+    ),
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, comp) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+        WHERE w.comp < e.d
+    ),
+    comp AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node)
+    SELECT d.cx AS cell_x, d.cy AS cell_y, d.n AS n_points,
+           CAST(COALESCE(c.component, d.id) AS BIGINT) AS cluster_id
+    FROM dense d LEFT JOIN comp c ON d.id = c.node
+    """,
+)
+def geo_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (DBSCAN-lite): bucket points into 10×10
+    cells, keep cells with ≥ minpts points, 8-connect adjacent dense
+    cells, and label components — the density-based spatial
+    clustering that, unlike k-means/IVF, needs no k and finds
+    arbitrary-shape clusters, built ENTIRELY from operators the repo
+    already proves: one cell groupBy, a 9-offset broadcast equi-join
+    (never a distance join), and the large-star/small-star connected
+    components whose only shuffles are over the DENSE-CELL edge set
+    (data-bounded, ≪ points). Labels are the component's min cell id;
+    singleton dense cells are their own cluster. The oracle replays
+    the identical graph through a recursive-CTE transitive closure
+    (the dedup_cluster_docs pattern). This is the 100 TB shape for
+    density clustering: the full pass is one groupBy; everything
+    after runs on cells."""
+    from ..pipeline.dedup import connected_components
+
+    cust = load(spark, sf_dir, "customer")
+    cells = (
+        cust.select(
+            F.expr("CAST((c_custkey % 300) div 10 AS BIGINT)").alias("cx"),
+            F.expr("CAST(((c_custkey * 7) % 160) div 10 AS BIGINT)").alias(
+                "cy"
+            ),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    dense = cells.filter("n >= 2").withColumn(
+        "id", F.expr("CAST(cx * 100 + cy AS BIGINT)")
+    )
+    off = (
+        spark.range(-1, 2)
+        .select(F.col("id").alias("dx"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
+        .filter("NOT (dx = 0 AND dy = 0)")
+    )
+    b = dense.select(
+        F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+        F.col("id").alias("id_b"),
+    )
+    pairs = (
+        dense.crossJoin(F.broadcast(off))
+        .join(
+            b,
+            (F.col("bcx") == F.col("cx") + F.col("dx"))
+            & (F.col("bcy") == F.col("cy") + F.col("dy")),
+        )
+        .filter("id < id_b")
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        dense.join(comp, dense.id == comp.node, "left")
+        .select(
+            F.col("cx").alias("cell_x"),
+            F.col("cy").alias("cell_y"),
+            F.col("n").alias("n_points"),
+            F.coalesce(F.col("component"), F.col("id"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+
+
+@register(
+    "geo_convex_hull",
+    """
+    WITH pts AS (
+        SELECT DISTINCT CAST(c_custkey % 97 - 48 AS BIGINT) AS x,
+                        CAST((c_custkey * 31) % 89 - 44 AS BIGINT) AS y
+        FROM customer WHERE c_custkey % 29 = 1
+    ),
+    tri AS (
+        SELECT DISTINCT p.x, p.y
+        FROM pts p, pts a, pts b, pts c
+        WHERE NOT (a.x = p.x AND a.y = p.y)
+          AND NOT (b.x = p.x AND b.y = p.y)
+          AND NOT (c.x = p.x AND c.y = p.y)
+          AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) <> 0
+          AND sign((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+              * sign((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)) >= 0
+          AND sign((c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x))
+              * sign((c.x - b.x) * (a.y - b.y) - (c.y - b.y) * (a.x - b.x)) >= 0
+          AND sign((a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x))
+              * sign((a.x - c.x) * (b.y - c.y) - (a.y - c.y) * (b.x - c.x)) >= 0
+    ),
+    seg AS (
+        SELECT DISTINCT p.x, p.y
+        FROM pts p, pts a, pts b
+        WHERE NOT (a.x = p.x AND a.y = p.y)
+          AND NOT (b.x = p.x AND b.y = p.y)
+          AND (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) = 0
+          AND (p.x - a.x) * (b.x - p.x) + (p.y - a.y) * (b.y - p.y) >= 0
+    )
+    SELECT x, y FROM pts
+    EXCEPT SELECT x, y FROM tri
+    EXCEPT SELECT x, y FROM seg
+    """,
+)
+def geo_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict convex-hull vertices of a synthesized integer point set
+    (geoparquet.spatial.convex_hull): distributed hull-of-hulls —
+    per-partition vectorized Akl–Toussaint prune + monotone chain,
+    then one merge pass over the tiny union of local hulls (hull is
+    associative, so two levels are exact; any tree depth would be).
+    The ORACLE is the Carathéodory characterization: a point is a
+    strict vertex iff it lies in no proper triangle and on no segment
+    of other points — O(n⁴) in SQL, which is why the gate restricts
+    to ~50 points while the Spark side is the O(n)-scan + tiny-merge
+    shape that runs at any scale."""
+    from ..geoparquet.spatial import convex_hull
+
+    cust = load(spark, sf_dir, "customer").filter("c_custkey % 29 = 1")
+    pts = cust.select(
+        F.expr("CAST(c_custkey % 97 - 48 AS BIGINT)").alias("x"),
+        F.expr("CAST((c_custkey * 31) % 89 - 44 AS BIGINT)").alias("y"),
+    )
+    return convex_hull(
+        pts, "x", "y", partitions=spark.sparkContext.defaultParallelism
+    )
+
+
+@register(
+    "geo_knn_join",
+    f"""
+    WITH p AS (
+        SELECT c_custkey, CAST({_DJ_PX} AS BIGINT) AS px,
+               CAST({_DJ_PY} AS BIGINT) AS py
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey, CAST({_DJ_SX} AS BIGINT) AS sx,
+               CAST({_DJ_SY} AS BIGINT) AS sy
+        FROM supplier
+    )
+    SELECT c_custkey, s_suppkey, d2, rank FROM (
+        SELECT c_custkey, s_suppkey,
+               CAST((px - sx) * (px - sx) + (py - sy) * (py - sy) AS BIGINT)
+                   AS d2,
+               CAST(row_number() OVER (
+                   PARTITION BY c_custkey
+                   ORDER BY (px - sx) * (px - sx) + (py - sy) * (py - sy),
+                            s_suppkey) AS BIGINT) AS rank
+        FROM p, s
+    ) WHERE rank <= 3
+    """,
+)
+def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's 3 nearest supplier sites — EXACT k-NN by ring
+    expansion (geoparquet.spatial.knn_join): grid-bucketed candidate
+    joins at doubling radii, a point resolving only once its k-th
+    candidate distance fits inside the ring (the geometric guarantee
+    brute force gets for free and the ORACLE's cross join uses). Most
+    points resolve in the first ring; the wide rings run on the
+    residue — the two-phase shape that makes k-NN joins feasible when
+    |points| × |sites| cross products aren't."""
+    from ..geoparquet.spatial import knn_join
+
+    pts = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"CAST({_DJ_PX} AS BIGINT) AS px",
+        f"CAST({_DJ_PY} AS BIGINT) AS py",
+    )
+    sites = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"CAST({_DJ_SX} AS BIGINT) AS sx",
+        f"CAST({_DJ_SY} AS BIGINT) AS sy",
+    )
+    return knn_join(
+        pts,
+        sites,
+        k=3,
+        point_cols=("c_custkey", "px", "py"),
+        site_cols=("s_suppkey", "sx", "sy"),
+        initial_radius=8.0,
+        max_radius=512.0,
+    )
+
+
+@register(
+    "geo_quadkey_tiles",
+    f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST({_DJ_PX} AS BIGINT) AS px,
+               CAST({_DJ_PY} AS BIGINT) AS py
+        FROM customer
+    ),
+    cells AS (
+        SELECT c_custkey, px, py,
+               (px + 150) * 16 // 300 AS cx,
+               (py + 80) * 16 // 160 AS cy
+        FROM pts
+    )
+    SELECT CAST({_quadkey_expr('cx', 'cy')} AS BIGINT) AS quadkey,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(px) AS BIGINT) AS sum_x,
+           CAST(SUM(py) AS BIGINT) AS sum_y
+    FROM cells GROUP BY 1
+    """,
+)
+def geo_quadkey_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-4 quadkey tile aggregation of the synthetic customer
+    points — the map-serving primitive: Morton-interleave the 4-bit
+    cell coordinates into one tile id (pure div/mod arithmetic, no
+    bitwise ops, so both engines and any storage format agree) and
+    aggregate per tile. The quadkey's defining property — a tile's
+    children share its prefix in base 4 — makes coarser zoom levels a
+    ``quadkey div 4`` re-aggregation, no re-binning of the points.
+
+    Scale: entirely map-side expression work plus one groupBy on the
+    ≤ 4^levels tile key; the same keys z-order the spatial writer's
+    file layout, so tile scans prune."""
+    cust = load(spark, sf_dir, "customer")
+    pts = cust.selectExpr(
+        "c_custkey",
+        f"CAST({_DJ_PX} AS BIGINT) AS px",
+        f"CAST({_DJ_PY} AS BIGINT) AS py",
+    )
+    cells = pts.selectExpr(
+        "c_custkey",
+        "px",
+        "py",
+        "(px + 150) * 16 div 300 AS cx",
+        "(py + 80) * 16 div 160 AS cy",
+    )
+    qk = _quadkey_expr("cx", "cy").replace("//", "div")
+    return cells.groupBy(
+        F.expr(f"CAST({qk} AS BIGINT)").alias("quadkey")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("px").cast("long").alias("sum_x"),
+        F.sum("py").cast("long").alias("sum_y"),
+    )
+
+
+@register(
+    "geo_quadkey_rollup",
+    f"""
+    WITH pts AS (
+        SELECT CAST({_DJ_PX} AS BIGINT) AS px,
+               CAST({_DJ_PY} AS BIGINT) AS py
+        FROM customer
+    ),
+    cells AS (
+        SELECT px, py,
+               (px + 150) * 8 // 300 AS cx,
+               (py + 80) * 8 // 160 AS cy
+        FROM pts
+    )
+    SELECT CAST({_quadkey_expr('cx', 'cy', 3)} AS BIGINT) AS quadkey,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(px) AS BIGINT) AS sum_x,
+           CAST(SUM(py) AS BIGINT) AS sum_y
+    FROM cells GROUP BY 1
+    """,
+)
+def geo_quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quadkey ZOOM-OUT law, gated: level-3 tiles are computed by
+    re-aggregating the level-4 tile table on ``quadkey div 4`` —
+    touching 4^4 rows, not the points — while the ORACLE bins the raw
+    points directly at level 3. They hash-match because Morton
+    interleaving makes a parent's key exactly its children's base-4
+    prefix AND the level-L cell coords are the level-(L+1) coords
+    div 2 (both gridings floor the same affine map). This is the
+    materialized-pyramid refresh law every tile server relies on."""
+    lvl4 = geo_quadkey_tiles(spark, sf_dir)
+    return (
+        lvl4.groupBy(
+            F.expr("CAST(quadkey div 4 AS BIGINT)").alias("quadkey")
+        )
+        .agg(
+            F.sum("n_points").cast("long").alias("n_points"),
+            F.sum("sum_x").cast("long").alias("sum_x"),
+            F.sum("sum_y").cast("long").alias("sum_y"),
+        )
+    )
+
+
+@register(
+    "geo_centroid",
+    f"""
+    SELECT c_custkey,
+           CASE c_custkey % 3
+             WHEN 0 THEN {_CTR_PX}
+             WHEN 1 THEN (0.5 * (({_CTR_PX}) + (({_CTR_PX}) + 2)) * sqrt(13.0)) / sqrt(13.0)
+             ELSE {_CTR_AX} / (3.0 * 12.0)
+           END AS cx,
+           CASE c_custkey % 3
+             WHEN 0 THEN {_CTR_PY}
+             WHEN 1 THEN (0.5 * (({_CTR_PY}) + (({_CTR_PY}) + 3)) * sqrt(13.0)) / sqrt(13.0)
+             ELSE {_CTR_AY} / (3.0 * 12.0)
+           END AS cy
+    FROM customer
+    """,
+)
+def geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE mass centroid (st_centroid) over synthesized geometry —
+    point identity, length-weighted line midpoint, area-weighted
+    polygon centroid — computed through the vectorized measures kernel
+    and matched bit-for-bit by an oracle that replicates the kernel's
+    exact op sequence (dyadic-rational coordinates keep every product
+    exact; the line case multiplies and divides by the same sqrt)."""
+    from ..functions.geometry import st_wkt_to_wkb
+    from ..functions.measures import st_centroid
+
+    wkt_df = _geo_wkt_df(spark, sf_dir)
+    c = st_centroid(st_wkt_to_wkb("wkt"))
+    return wkt_df.select(
+        "c_custkey", c["x"].alias("cx"), c["y"].alias("cy")
+    )
+
+
+@register(
+    "geo_haversine_pairs",
+    f"""
+    WITH a AS (
+        SELECT c_custkey AS id_a,
+               CAST(c_custkey % 120 - 60 AS DOUBLE) AS lat,
+               CAST(c_custkey % 360 - 180 AS DOUBLE) AS lon
+        FROM customer WHERE c_custkey < 50
+    ),
+    b AS (
+        SELECT s_suppkey AS id_b,
+               CAST(s_suppkey % 100 - 50 AS DOUBLE) AS lat,
+               CAST(s_suppkey % 340 - 170 AS DOUBLE) AS lon
+        FROM supplier
+    )
+    SELECT id_a, id_b,
+           CAST(floor({_HAV_DUCK.format(lata='a.lat', lona='a.lon',
+                                        latb='b.lat', lonb='b.lon')})
+                AS BIGINT) AS dist_m
+    FROM a, b
+    WHERE {_HAV_DUCK.format(lata='a.lat', lona='a.lon',
+                            latb='b.lat', lonb='b.lon')} < 2000000.0
+    """,
+)
+def geo_haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle within-distance pairs (haversine, floor meters):
+    50 query customers × the supplier fleet, keep pairs under 2,000 km
+    (geoparquet.spatial.haversine_expr). The bounded query side is the
+    broadcast; at corpus×corpus scale the blocking is a lat/lon grid
+    join (spatial_join_bboxes) with the haversine as the refine step —
+    this query pins the spherical-distance semantics themselves."""
+    from ..geoparquet.spatial import haversine_expr
+
+    cust = load(spark, sf_dir, "customer").filter("c_custkey < 50").select(
+        F.col("c_custkey").alias("id_a"),
+        F.expr("CAST(c_custkey % 120 - 60 AS DOUBLE)").alias("lat_a"),
+        F.expr("CAST(c_custkey % 360 - 180 AS DOUBLE)").alias("lon_a"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id_b"),
+        F.expr("CAST(s_suppkey % 100 - 50 AS DOUBLE)").alias("lat_b"),
+        F.expr("CAST(s_suppkey % 340 - 170 AS DOUBLE)").alias("lon_b"),
+    )
+    d = haversine_expr("lat_a", "lon_a", "lat_b", "lon_b")
+    return (
+        F.broadcast(cust)
+        .crossJoin(supp)
+        .filter(d < 2_000_000.0)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(d).cast("long").alias("dist_m"),
+        )
+    )
+
+
+@register(
+    "geo_simplify_zigzag",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS id,
+           CAST(c_custkey % 3 + 4 AS BIGINT) AS n_before,
+           CAST(4 AS BIGINT) AS n_after
+    FROM customer WHERE c_custkey < 300
+    """,
+)
+def geo_simplify_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas–Peucker gate on CONSTRUCTED redundancy: each customer
+    gets an L-shaped polyline with c_custkey % 3 exactly-collinear
+    midpoints inserted on its first leg. DP at any tolerance below the
+    corner height must remove exactly the collinear midpoints and keep
+    the 4 corners — so the simplified vertex count is a closed-form
+    function of the key, which IS the oracle (st_simplify +
+    st_num_points; the simplification itself runs distributed)."""
+    from ..functions.geometry import st_num_points, st_simplify, st_wkt_to_wkb
+
+    cust = load(spark, sf_dir, "customer").filter("c_custkey < 300")
+    # leg 1: y = key%7 along x (length 6, k collinear midpoints), then
+    # corner up 5, then right 4: corners = start, (x+6,y), (x+6,y+5),
+    # (x+10,y+5)
+    pts = (
+        "concat_ws(', ', "
+        " concat(CAST(c_custkey % 11 AS STRING), ' ', CAST(c_custkey % 7 AS STRING)),"
+        " CASE WHEN c_custkey % 3 >= 1 THEN concat(CAST(c_custkey % 11 + 2 AS STRING), ' ', CAST(c_custkey % 7 AS STRING)) END,"
+        " CASE WHEN c_custkey % 3 >= 2 THEN concat(CAST(c_custkey % 11 + 4 AS STRING), ' ', CAST(c_custkey % 7 AS STRING)) END,"
+        " concat(CAST(c_custkey % 11 + 6 AS STRING), ' ', CAST(c_custkey % 7 AS STRING)),"
+        " concat(CAST(c_custkey % 11 + 6 AS STRING), ' ', CAST(c_custkey % 7 + 5 AS STRING)),"
+        " concat(CAST(c_custkey % 11 + 10 AS STRING), ' ', CAST(c_custkey % 7 + 5 AS STRING)))"
+    )
+    g = cust.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.expr(f"concat('LINESTRING (', {pts}, ')')").alias("wkt"),
+    ).withColumn("wkb", st_wkt_to_wkb("wkt"))
+    return g.select(
+        "id",
+        st_num_points("wkb").cast("long").alias("n_before"),
+        st_num_points(st_simplify("wkb", 0.5)).cast("long").alias("n_after"),
+    )
+
+
+@register(
+    "geo_geohash_tiles",
+    f"""
+    WITH pts AS (
+        SELECT CAST({_DJ_PX} AS BIGINT) AS px,
+               CAST({_DJ_PY} AS BIGINT) AS py
+        FROM customer
+    )
+    SELECT {_geohash_expr('px', 'py')} AS geohash,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(px) AS BIGINT) AS sum_x,
+           CAST(SUM(py) AS BIGINT) AS sum_y
+    FROM pts GROUP BY 1
+    """,
+)
+def geo_geohash_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-character geohash tiling of the synthesized customer points —
+    the OTHER ubiquitous spatial key (quadkey's base-32 sibling, used
+    by every geo index from Redis to Elasticsearch), computed as pure
+    div/mod bit interleaving + substr over the standard alphabet so
+    both engines derive identical strings with no bitwise operators or
+    geo libraries. Map-side key + one groupBy."""
+    cust = load(spark, sf_dir, "customer")
+    # Spark div is `div`; rewrite the // of the shared builder
+    expr = _geohash_expr("px", "py").replace("//", "div")
+    pts = cust.select(
+        F.expr(f"CAST({_DJ_PX} AS BIGINT)").alias("px"),
+        F.expr(f"CAST({_DJ_PY} AS BIGINT)").alias("py"),
+    )
+    return pts.groupBy(F.expr(expr).alias("geohash")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("px").cast("long").alias("sum_x"),
+        F.sum("py").cast("long").alias("sum_y"),
+    )
+
+
+@register(
+    "geo_kring_smooth",
+    f"""
+    WITH pts AS (
+        SELECT (({_DJ_PX}) + 150) * 16 // 300 AS cx,
+               (({_DJ_PY}) + 80) * 16 // 160 AS cy
+        FROM customer
+    ), cells AS (
+        SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY cx, cy
+    ), offsets AS (
+        SELECT dx.d AS dx, dy.d AS dy,
+               CAST((2 - abs(dx.d)) * (2 - abs(dy.d)) AS BIGINT) AS w
+        FROM (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+    )
+    SELECT c.cx, c.cy, c.n,
+           CAST(SUM(o.w * COALESCE(nb.n, 0)) AS BIGINT) AS smooth_w16
+    FROM cells c
+    CROSS JOIN offsets o
+    LEFT JOIN cells nb ON nb.cx = c.cx + o.dx AND nb.cy = c.cy + o.dy
+    GROUP BY c.cx, c.cy, c.n
+    """,
+)
+def geo_kring_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-RING NEIGHBORHOOD SMOOTHING on the level-4 tile grid — the
+    hotspot-map primitive: each occupied cell's point count is
+    convolved with an integer 3x3 tent kernel (center 4, edge 2,
+    corner 1; absent neighbors contribute 0), giving the
+    spatially-smoothed density that raw per-cell counts are too noisy
+    to show. Exact integers throughout. Shape: one narrow groupBy onto
+    cells (the heavy step, map-side combinable), then a 9-row
+    broadcast of kernel offsets and ONE equi-join of the cell relation
+    against itself on the shifted key — cells-sized work, independent
+    of point count; the same pattern scales to any k-ring radius or
+    H3-style hex ring by swapping the offset table."""
+    cust = load(spark, sf_dir, "customer")
+    cells = (
+        cust.select(
+            F.expr(f"(({_DJ_PX}) + 150) * 16 div 300").alias("cx"),
+            F.expr(f"(({_DJ_PY}) + 80) * 16 div 160").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    offsets = spark.createDataFrame(
+        [
+            (dx, dy, (2 - abs(dx)) * (2 - abs(dy)))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ],
+        "dx long, dy long, w long",
+    )
+    nb = cells.select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+        F.col("n").alias("nn"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(offsets))
+        .join(
+            nb,
+            (F.col("nx") == F.col("cx") + F.col("dx"))
+            & (F.col("ny") == F.col("cy") + F.col("dy")),
+            "left",
+        )
+        .groupBy("cx", "cy", "n")
+        .agg(
+            F.sum(F.col("w") * F.coalesce(F.col("nn"), F.lit(0)))
+            .cast("long")
+            .alias("smooth_w16")
+        )
+    )
+
+
+@register(
+    "geo_geofence_dwell",
+    """
+    WITH pings AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_id,
+               (user_id * 37 + event_id * 13) % 1000 AS px,
+               (user_id * 53 + event_id * 29) % 1000 AS py
+        FROM events
+    ), flagged AS (
+        SELECT user_id, tus, event_id,
+               CAST(px BETWEEN 250 AND 600 AND py BETWEEN 300 AND 700
+                    AS BOOLEAN) AS inside
+        FROM pings
+    ), legs AS (
+        SELECT user_id,
+               tus - lag(tus) OVER w AS dt_us,
+               inside AND lag(inside) OVER w AS both_inside
+        FROM flagged WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN both_inside THEN dt_us ELSE 0 END) // 1000000
+                AS BIGINT) AS dwell_s,
+           CAST(SUM(dt_us) // 1000000 AS BIGINT) AS total_s,
+           CAST(SUM(CASE WHEN both_inside THEN dt_us ELSE 0 END) * 1000000
+                // greatest(SUM(dt_us), 1) AS BIGINT) AS dwell_share_e6
+    FROM legs WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def geo_geofence_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOFENCE DWELL TIME — per user, seconds spent inside a fence
+    rectangle, counting a leg's duration only when BOTH endpoints are
+    inside (the conservative convention: a leg that crosses the fence
+    boundary contributes nothing, rather than guessing the crossing
+    instant). The per-user share of tracked time inside the fence is
+    an exact e6 ratio. One lag window per user over the ping sequence
+    + one groupBy — the same two-shuffle shape as every trajectory
+    query; the fence test is a pushable rectangle predicate, so a real
+    deployment prunes row groups on the bbox covering first
+    (extract_df's bbox path is exactly that machinery)."""
+    ev = load_events(spark, sf_dir)
+    tus = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        if dict(ev.dtypes).get("ts") == "timestamp_ntz"
+        else "unix_micros(ts)"
+    )
+    flagged = ev.select(
+        "user_id",
+        F.expr(tus).alias("tus"),
+        "event_id",
+        F.expr(
+            "(user_id * 37 + event_id * 13) % 1000 BETWEEN 250 AND 600"
+            " AND (user_id * 53 + event_id * 29) % 1000 BETWEEN 300 AND 700"
+        ).alias("inside"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    legs = flagged.select(
+        "user_id",
+        (F.col("tus") - F.lag("tus").over(w)).alias("dt_us"),
+        (F.col("inside") & F.lag("inside").over(w)).alias("both_inside"),
+    ).filter(F.col("dt_us").isNotNull())
+    return legs.groupBy("user_id").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN both_inside THEN dt_us ELSE 0 END)"
+            " div 1000000 AS BIGINT)"
+        ).alias("dwell_s"),
+        F.expr("CAST(SUM(dt_us) div 1000000 AS BIGINT)").alias("total_s"),
+        F.expr(
+            "CAST(SUM(CASE WHEN both_inside THEN dt_us ELSE 0 END) * 1000000"
+            " div greatest(SUM(dt_us), 1) AS BIGINT)"
+        ).alias("dwell_share_e6"),
+    )
+
+
+__all__ = ['geo_bbox_filter', 'geo_bbox_filter_antimeridian', 'geo_spatial_join', 'geo_overlay_boxes', 'geo_overlay_diamonds', 'geo_roundtrip', 'geo_bounds_agg', 'geo_type_counts', 'geo_measures', 'geo_distance_join', 'geo_grid_clusters', 'geo_convex_hull', 'geo_knn_join', 'geo_quadkey_tiles', 'geo_quadkey_rollup', 'geo_centroid', 'geo_haversine_pairs', 'geo_simplify_zigzag', 'geo_geohash_tiles', 'geo_kring_smooth', 'geo_geofence_dwell']

@@ -1,0 +1,538 @@
+"""Data-governance gate queries (decontamination, robots, validation, drift).
+
+Split out of entry_queries.py; registration happens on import
+(each @register call appends to the shared QUERIES list)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..pipeline.text import (  # noqa: E402  (constants feed the oracle SQL)
+    ENTROPY_LUT as _ENT_LUT,
+    ENTROPY_WINDOW as _ENT_WINDOW,
+)
+
+from ._core import *  # noqa: F401,F403
+from ._helpers import *  # noqa: F401,F403
+
+
+
+@register(
+    "decontam_docs",
+    """
+    WITH w AS (
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(words) >= 5
+               THEN list_distinct([words[i+1] || ' ' || words[i+2] || ' '
+                                   || words[i+3] || ' ' || words[i+4] || ' '
+                                   || words[i+5]
+                                   FOR i IN range(0, len(words) - 4)])
+               ELSE [trim(text)] END AS grams
+        FROM w
+    ),
+    ev AS (
+        SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 97 = 0
+    ),
+    tr AS (
+        SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 97 <> 0
+    ),
+    m AS (
+        SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+        FROM tr JOIN ev USING (g) GROUP BY tr.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+           COALESCE(m.n_matched, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN m ON d.doc_id = m.doc_id
+    """,
+)
+def decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing any 5-gram with
+    the "eval" subset (doc_id % 97 = 0 stands in for a benchmark set)
+    are flagged with their collision count. Eval n-grams broadcast;
+    zero train-side text shuffle (training-data-pipeline extension;
+    no reference equivalent)."""
+    from ..pipeline.decontam import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter("doc_id % 97 = 0")
+    tr = docs.filter("doc_id % 97 <> 0")
+    return decontaminate(
+        tr, "doc_id", "text", ev, ngram=5, min_overlaps=1, mode="flag"
+    ).select("doc_id", "n_matched", "contaminated")
+
+
+# ---------------------------------------------------------------------------
+# Validation reduction (A4): per-rule pass/fail over a full scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "validate_rules_docs",
+    """
+    SELECT 'n_chars_matches' AS rule,
+           CAST(SUM(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           MIN(CASE WHEN n_chars != length(text) THEN doc_id END) AS first_bad
+    FROM documents
+    UNION ALL
+    SELECT 'non_empty_text' AS rule,
+           CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           MIN(CASE WHEN length(trim(text)) = 0 THEN doc_id END) AS first_bad
+    FROM documents
+    UNION ALL
+    SELECT 'known_lang' AS rule,
+           CAST(SUM(CASE WHEN lang NOT IN ('en', 'es', 'fr', 'de', 'zh') THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           MIN(CASE WHEN lang NOT IN ('en', 'es', 'fr', 'de', 'zh') THEN doc_id END) AS first_bad
+    FROM documents
+    """,
+)
+def validate_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation rule engine reduction: one scan, per-rule violation
+    count + first offending row (reference A4 / ColumnValueRule,
+    /root/reference/internal/validator/rules.go:86-112)."""
+    docs = load(spark, sf_dir, "documents")
+    rules = {
+        "n_chars_matches": "n_chars != length(text)",
+        "non_empty_text": "length(trim(text)) = 0",
+        "known_lang": "lang NOT IN ('en', 'es', 'fr', 'de', 'zh')",
+    }
+    parts = [
+        docs.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.when(F.expr(bad), 1).otherwise(0)).alias("violations"),
+            F.min(F.when(F.expr(bad), F.col("doc_id"))).alias("first_bad"),
+        )
+        for name, bad in rules.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "drift_price_buckets",
+    """
+    WITH buckets(bucket) AS (SELECT unnest([0, 1, 2, 3, 4])),
+    side_a AS (
+        SELECT CASE WHEN o_totalprice < 0 THEN -1
+                    WHEN o_totalprice < 50000 THEN 0
+                    WHEN o_totalprice < 100000 THEN 1
+                    WHEN o_totalprice < 200000 THEN 2
+                    WHEN o_totalprice < 400000 THEN 3
+                    ELSE 4 END AS bucket, count(*) AS n_a
+        FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1 HAVING bucket >= 0),
+    side_b AS (
+        SELECT CASE WHEN o_totalprice < 0 THEN -1
+                    WHEN o_totalprice < 50000 THEN 0
+                    WHEN o_totalprice < 100000 THEN 1
+                    WHEN o_totalprice < 200000 THEN 2
+                    WHEN o_totalprice < 400000 THEN 3
+                    ELSE 4 END AS bucket, count(*) AS n_b
+        FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1 HAVING bucket >= 0),
+    j AS (SELECT b.bucket,
+                 CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+                 CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+          FROM buckets b LEFT JOIN side_a USING (bucket) LEFT JOIN side_b USING (bucket)),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+    SELECT CAST(bucket AS INT) AS bucket, n_a, n_b,
+           CAST(CASE WHEN ta = 0 THEN 0 ELSE 1000000 * n_a // ta END AS BIGINT) AS pa_e6,
+           CAST(CASE WHEN tb = 0 THEN 0 ELSE 1000000 * n_b // tb END AS BIGINT) AS pb_e6,
+           CAST(abs((CASE WHEN ta = 0 THEN 0 ELSE 1000000 * n_a // ta END)
+                  - (CASE WHEN tb = 0 THEN 0 ELSE 1000000 * n_b // tb END)) AS BIGINT) AS gap_e6
+    FROM j, t
+    """,
+)
+def drift_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between the even- and odd-key halves
+    of orders over fixed price buckets: counts + e6 proportions +
+    per-bucket gap, all exact integers (Σ gap / 2 = total variation
+    distance; TVD instead of PSI/KL because log is the one op whose
+    last bit depends on the platform's libm — pipeline.profile.drift_report)."""
+    from ..pipeline.profile import drift_report
+
+    o = load(spark, sf_dir, "orders")
+    return drift_report(
+        o.filter("o_orderkey % 2 = 0"),
+        o.filter("o_orderkey % 2 = 1"),
+        "o_totalprice",
+        [0, 50000, 100000, 200000, 400000],
+    )
+
+
+@register(
+    "pipeline_corpus_build",
+    r"""
+    WITH norm AS (
+        SELECT doc_id, text,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        FROM documents
+    ),
+    keep AS (SELECT h, MIN(doc_id) AS keep_id FROM norm GROUP BY 1),
+    kept AS (
+        SELECT n.doc_id, n.text FROM norm n
+        JOIN keep k ON k.h = n.h AND k.keep_id = n.doc_id
+    ),
+    qual AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS toks
+        FROM kept
+        WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5
+          AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   AS BIGINT) * 10
+              >= CAST(length(text) AS BIGINT) * 4
+    ),
+    packed AS (
+        SELECT doc_id % 4 AS shard, toks,
+               SUM(toks) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS end_off
+        FROM qual
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST((end_off - toks) // 256 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS tok_sum
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus construction in one declared pipeline — the
+    composition a training-data user actually runs: normalized exact
+    dedup (keep lowest doc_id per whitespace-collapsed lower hash) →
+    quality gate (≥5 whitespace tokens AND ≥40% alpha characters,
+    both as integer cross-multiplies) → token counting → concat-chunk
+    packing into 256-token bins across 4 shards → per-bin stats.
+    Every stage is the same operator the standalone queries exercise;
+    this query proves they compose into one Catalyst plan: one dedup
+    shuffle, one packing window shuffle, one final aggregate — no
+    materialization barriers between stages."""
+    from ..pipeline.packing import pack_concat_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        "text",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("h"),
+    )
+    keep = norm.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    kept = norm.join(
+        keep,
+        (norm["h"] == keep["h"]) & (norm["doc_id"] == keep["keep_id"]),
+    ).select(norm["doc_id"], norm["text"])
+    toks = "size(split(trim(text), '\\\\s+'))"
+    alpha = "size(regexp_extract_all(text, '[A-Za-z]', 0))"
+    qual = kept.filter(
+        F.expr(f"{toks} >= 5")
+        & F.expr(f"CAST({alpha} AS BIGINT) * 10 >= CAST(length(text) AS BIGINT) * 4")
+    ).select(
+        "doc_id",
+        F.expr(toks).cast("long").alias("toks"),
+        (F.col("doc_id") % 4).cast("long").alias("shard"),
+    )
+    packed = pack_concat_chunks(
+        qual, "doc_id", "toks", budget=256, shard_cols=["shard"]
+    )
+    return packed.groupBy(
+        "shard", F.col("first_bin").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("tok_sum"),
+    )
+
+
+@register("er_golden_record", "WITH " + _GOLDEN_SOURCES_SQL)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship merge — the field-level consolidation
+    step after entity resolution: three deterministic source systems
+    (CRM, billing, web) each hold a partial view of every customer,
+    and each FIELD survives from its highest-priority non-null source
+    (name: crm > billing > web; segment: web > crm; balance:
+    billing > web), with per-field provenance columns. Priorities pack
+    into order-preserving encodings (single-digit string prefix for
+    text, prio·1e12 + offset for the signed balance) so the whole
+    merge is one groupBy MAX per field — a single shuffle, no joins,
+    no per-field subqueries, portable to any engine."""
+    cust = load(spark, sf_dir, "customer")
+    bal = "CAST(round(c_acctbal * 100) AS BIGINT)"
+    crm = cust.selectExpr(
+        "c_custkey AS k", "'crm' AS src", "c_name AS name",
+        "CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END AS seg",
+        "CAST(NULL AS BIGINT) AS bal",
+    )
+    billing = cust.selectExpr(
+        "c_custkey AS k", "'billing' AS src",
+        "CASE WHEN c_custkey % 3 = 0 THEN c_name END AS name",
+        "CAST(NULL AS STRING) AS seg", f"{bal} AS bal",
+    )
+    web = cust.selectExpr(
+        "c_custkey AS k", "'web' AS src",
+        "CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) END AS name",
+        "c_mktsegment AS seg",
+        f"CASE WHEN c_custkey % 7 = 0 THEN {bal} END AS bal",
+    )
+    enc = crm.unionByName(billing).unionByName(web).selectExpr(
+        "k",
+        "CASE WHEN name IS NOT NULL THEN"
+        " (CASE src WHEN 'crm' THEN '3' WHEN 'billing' THEN '2'"
+        " ELSE '1' END) || '|' || name END AS name_e",
+        "CASE WHEN seg IS NOT NULL THEN"
+        " (CASE src WHEN 'web' THEN '2' ELSE '1' END) || '|' || seg END"
+        " AS seg_e",
+        "CASE WHEN bal IS NOT NULL THEN"
+        " (CASE src WHEN 'billing' THEN 2 ELSE 1 END)"
+        " * 1000000000000 + bal + 1000000000 END AS bal_e",
+    )
+    g = enc.groupBy("k").agg(
+        F.max("name_e").alias("ne"),
+        F.max("seg_e").alias("se"),
+        F.max("bal_e").cast("long").alias("be"),
+    )
+    return g.selectExpr(
+        "k AS custkey",
+        "substr(ne, 3) AS name",
+        "CASE substr(ne, 1, 1) WHEN '3' THEN 'crm' WHEN '2' THEN 'billing'"
+        " ELSE 'web' END AS name_src",
+        "substr(se, 3) AS seg",
+        "CASE substr(se, 1, 1) WHEN '2' THEN 'web' ELSE 'crm' END AS seg_src",
+        "CAST(be % 1000000000000 - 1000000000 AS BIGINT) AS bal_cents",
+        "CASE CAST(be div 1000000000000 AS BIGINT) WHEN 2 THEN 'billing'"
+        " ELSE 'web' END AS bal_src",
+    )
+
+
+@register(
+    "er_levenshtein_pairs",
+    """
+    WITH c AS (
+        SELECT c_custkey AS k, c_name AS name,
+               substr(c_name, 1, 15) AS blk
+        FROM customer WHERE c_custkey % 4 = 0
+    )
+    SELECT a.k AS id_a, b.k AS id_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+    FROM c a JOIN c b ON a.blk = b.blk AND a.k < b.k
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def er_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution confirm stage on the engines' NATIVE
+    Levenshtein implementations: blocked candidate pairs (shared
+    15-char prefix — the digits tail is where synthetic names vary)
+    confirmed at full edit distance <= 2. Unlike the suite's existing
+    edit-distance-1 deletion-neighborhood (which sidesteps the DP
+    entirely), this gates that Spark's and DuckDB's built-in DP
+    matrices agree cell-for-cell on real pairs — the cheap confirm
+    path a pipeline takes when candidates are already blocked. Shape:
+    one equi-join on the block key; pair count is sum of block-size
+    squares, the standard blocked-ER cost (the deletion-neighborhood
+    query remains the scale path for unblocked corpora)."""
+    cust = load(spark, sf_dir, "customer")
+    c = cust.filter("c_custkey % 4 = 0").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.substring("c_name", 1, 15).alias("blk"),
+    )
+    a = c.select(
+        F.col("k").alias("id_a"), F.col("name").alias("na"), "blk"
+    )
+    b = c.select(
+        F.col("k").alias("id_b"), F.col("name").alias("nb"),
+        F.col("blk").alias("blk_b"),
+    )
+    return (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("na", "nb").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
+
+
+@register(
+    "crawl_robots_decisions",
+    """
+    WITH urls AS (
+        SELECT doc_id, source AS host,
+               CAST(substr(source, 4) AS INT) % 2 AS odd,
+               doc_id % 5 AS v,
+               CASE doc_id % 5
+                 WHEN 0 THEN '/raw/item' || CAST(doc_id AS STRING)
+                 WHEN 1 THEN '/raw/public/' || CAST(doc_id AS STRING)
+                 WHEN 2 THEN '/tmp/job' || CAST(doc_id AS STRING)
+                             || '.log'
+                 WHEN 3 THEN '/tmp/job' || CAST(doc_id AS STRING)
+                             || '.log.gz'
+                 ELSE '/page/' || CAST(doc_id AS STRING)
+               END AS path
+        FROM documents
+    )
+    SELECT doc_id AS id, host, path,
+           CASE WHEN odd = 0 AND v = 0 THEN false
+                WHEN odd = 0 AND v = 2 THEN false
+                WHEN odd = 1 AND v = 4 THEN false
+                ELSE true END AS allowed,
+           CASE WHEN odd = 0 AND v = 0 THEN '/raw/'
+                WHEN odd = 0 AND v = 1 THEN '/raw/public'
+                WHEN odd = 0 AND v = 2 THEN '/tmp/*.log$'
+                WHEN odd = 1 AND v = 4 THEN '/page/'
+           END AS matched_rule
+    FROM urls
+    """,
+)
+def crawl_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl governance end-to-end (pipeline.crawl):
+    RFC 9309 parsing — contiguous user-agent runs form groups, comments
+    stripped, empty Disallow dropped — then per-URL verdicts with the
+    spec's precedence: the crawler's OWN group wins over '*' (even
+    hosts carry a decoy '*' group disallowing everything, so wrong
+    group selection flips every verdict), longest-match wins, allow
+    wins ties, '*' wildcards and '$' anchors translate to anchored
+    regexps. Even-numbered hosts publish a gpqbot group; odd hosts
+    only '*' — both paths of the group-fallback rule fire. The rule
+    table is bounded and broadcast; the frontier never sorts."""
+    from ..pipeline.crawl import parse_robots_rules, robots_decisions
+
+    nl = "chr(10)"
+    even = (
+        f"concat('User-agent: *', {nl}, 'Disallow: /', {nl}, {nl},"
+        f" '# gpq crawler policy', {nl},"
+        f" 'User-agent: gpqbot', {nl},"
+        f" 'Disallow: /raw/', {nl},"
+        f" 'Allow: /raw/public', {nl},"
+        f" 'Disallow: /tmp/*.log$', {nl})"
+    )
+    odd = f"concat('User-agent: *', {nl}, 'Disallow: /page/', {nl})"
+    robots = load(spark, sf_dir, "documents").select("source").distinct().select(
+        F.col("source").alias("host"),
+        F.expr(
+            f"CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0"
+            f" THEN {even} ELSE {odd} END"
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots_rules(robots, "robots_txt", "host")
+    urls = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("host"),
+        F.expr(
+            "CASE doc_id % 5"
+            " WHEN 0 THEN '/raw/item' || CAST(doc_id AS STRING)"
+            " WHEN 1 THEN '/raw/public/' || CAST(doc_id AS STRING)"
+            " WHEN 2 THEN '/tmp/job' || CAST(doc_id AS STRING) || '.log'"
+            " WHEN 3 THEN '/tmp/job' || CAST(doc_id AS STRING)"
+            "  || '.log.gz'"
+            " ELSE '/page/' || CAST(doc_id AS STRING) END"
+        ).alias("path"),
+    )
+    return robots_decisions(urls, rules, "gpqbot")
+
+
+@register(
+    "decontam_span_redact",
+    """
+    WITH tw AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w != '') AS w
+        FROM documents
+    ), eg AS (
+        SELECT DISTINCT array_to_string(list_slice(w, i, i + 7), ' ')
+               AS g
+        FROM tw, range(1, 512) r(i)
+        WHERE doc_id % 17 = 0 AND i + 7 <= len(w)
+    ), hits AS (
+        SELECT doc_id, GREATEST(i - 1 - 2, 0) AS s, (i - 1) + 9 AS e
+        FROM tw, range(1, 512) r(i)
+        WHERE i + 7 <= len(w)
+          AND array_to_string(list_slice(w, i, i + 7), ' ')
+              IN (SELECT g FROM eg)
+    ), isl0 AS (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pmax
+        FROM hits
+    ), isl1 AS (
+        SELECT doc_id, s, e,
+               CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END
+                   AS nw
+        FROM isl0
+    ), isl2 AS (
+        SELECT doc_id, s, e,
+               SUM(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS isl
+        FROM isl1
+    ), islands AS (
+        SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e
+        FROM isl2 GROUP BY 1, 2
+    ), tok AS (
+        SELECT doc_id, i - 1 AS pos, w[i] AS term
+        FROM tw, range(1, 512) r(i) WHERE i <= len(w)
+    ), kept AS (
+        SELECT t.doc_id, t.pos, t.term FROM tok t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM islands x
+            WHERE x.doc_id = t.doc_id AND t.pos BETWEEN x.s AND x.e)
+    ), agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_n,
+               string_agg(term, ' ' ORDER BY pos) AS txt
+        FROM kept GROUP BY 1
+    ), nsp AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM islands GROUP BY 1
+    )
+    SELECT tw.doc_id AS id, CAST(len(w) AS BIGINT) AS n_words,
+           coalesce(n_spans, 0) AS n_spans,
+           CAST(len(w) - coalesce(kept_n, 0) AS BIGINT)
+               AS n_words_removed,
+           md5(coalesce(txt, '')) AS text_md5
+    FROM tw LEFT JOIN nsp USING (doc_id) LEFT JOIN agg USING (doc_id)
+    """,
+)
+def decontam_span_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (pipeline.decontam.
+    redact_contaminated_spans): every training span matching an
+    8-gram of the benchmark slice (docs with doc_id % 17 = 0 play the
+    eval set, so contamination provably exists — the eval docs match
+    themselves end-to-end) is cut with a 2-word margin, overlapping
+    hits merged into islands (per-document window, never global), and
+    the survivors reassembled — the surgical alternative to dropping
+    whole documents, which is how long documents keep their clean
+    tokens. Oracle mirrors the full island merge relationally; the
+    engines join on gram STRINGS there while Spark's internal join
+    uses xxhash64 keys, so the hash function itself stays
+    implementation detail."""
+    from ..pipeline.decontam import redact_contaminated_spans
+
+    docs = load(spark, sf_dir, "documents")
+    out = redact_contaminated_spans(
+        docs,
+        "doc_id",
+        "text",
+        docs.filter(F.col("doc_id") % 17 == 0),
+        "text",
+        ngram=8,
+        margin=2,
+    )
+    return out.select(
+        "id",
+        "n_words",
+        "n_spans",
+        "n_words_removed",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+__all__ = ['decontam_docs', 'validate_rules_docs', 'drift_price_buckets', 'pipeline_corpus_build', 'er_golden_record', 'er_levenshtein_pairs', 'crawl_robots_decisions', 'decontam_span_redact']

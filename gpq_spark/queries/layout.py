@@ -1,0 +1,174 @@
+"""Lakehouse layout gate queries (Z-order, Hilbert, CDC, SCD2).
+
+Split out of entry_queries.py; registration happens on import
+(each @register call appends to the shared QUERIES list)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..pipeline.text import (  # noqa: E402  (constants feed the oracle SQL)
+    ENTROPY_LUT as _ENT_LUT,
+    ENTROPY_WINDOW as _ENT_WINDOW,
+)
+
+from ._core import *  # noqa: F401,F403
+from ._helpers import *  # noqa: F401,F403
+
+
+
+@register(
+    "zorder_orders",
+    f"""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    mm AS (SELECT min(o_custkey) AS k0, max(o_custkey) AS k1,
+                  min(cents) AS c0, max(cents) AS c1 FROM o),
+    nrm AS (SELECT o_orderkey,
+                   {_zorder_duck_norm('o_custkey', 'k0', 'k1', 16)} AS za,
+                   {_zorder_duck_norm('cents', 'c0', 'c1', 16)} AS zb
+            FROM o, mm)
+    SELECT o_orderkey, CAST({_zorder_duck_interleave(['za', 'zb'], 16)} AS BIGINT) AS zkey
+    FROM nrm
+    """,
+)
+def zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (customer, price-cents): linear
+    min/max bucketing to 16 bits per column, bits interleaved — the
+    lakehouse OPTIMIZE ZORDER BY layout as pure Spark expressions
+    (pipeline.layout). Writing range-partitioned and sorted by this key
+    gives files narrow min/max ranges on BOTH columns, so predicate
+    data skipping prunes on either. The key is fully deterministic
+    (exact min/max, no sampled quantiles), hence the exact oracle."""
+    from ..pipeline.layout import with_zorder_key
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return with_zorder_key(o, ["o_custkey", "cents"], bits=16).select(
+        "o_orderkey", "zkey"
+    )
+
+
+@register(
+    "hilbert_orders",
+    f"""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    mm AS (SELECT min(o_custkey) AS k0, max(o_custkey) AS k1,
+                  min(cents) AS c0, max(cents) AS c1 FROM o),
+    h0 AS (SELECT o_orderkey,
+                  {_zorder_duck_norm('o_custkey', 'k0', 'k1', 8)} AS hx,
+                  {_zorder_duck_norm('cents', 'c0', 'c1', 8)} AS hy,
+                  CAST(0 AS BIGINT) AS hd
+           FROM o, mm),
+    {_hilbert_duck_stages(8)}
+    SELECT o_orderkey, CAST(hd AS BIGINT) AS hkey FROM h8
+    """,
+)
+def hilbert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D HILBERT clustering key over (customer, price-cents) — the
+    locality-tighter sibling of zorder_orders: consecutive key values
+    are always grid-adjacent, so range-partitioned files get tighter
+    per-file min/max boxes than Morton's quadrant jumps
+    (pipeline.layout.with_hilbert_key; 8 bits/dim, the unrolled xy2d
+    loop as chained integer stages — deterministic, oracle-exact).
+    The full layout family is now Morton + Hilbert + the pruning
+    audit that measures what the layouts buy."""
+    from ..pipeline.layout import with_hilbert_key
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return with_hilbert_key(o, ["o_custkey", "cents"], bits=8).select(
+        "o_orderkey", "hkey"
+    )
+
+
+@register(
+    "cdc_orders_diff",
+    """
+    WITH old AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders WHERE o_orderkey % 3 != 0),
+    new AS (SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+                     * (CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END) AS cents
+            FROM orders WHERE o_orderkey % 5 != 0)
+    SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                WHEN old.cents IS DISTINCT FROM new.cents THEN 'update'
+           END AS change
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+               WHEN new.o_orderkey IS NULL THEN 'delete'
+               WHEN old.cents IS DISTINCT FROM new.cents THEN 'update'
+          END IS NOT NULL
+    """,
+)
+def cdc_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two synthesized snapshots of orders
+    (keys %3 removed from old, %5 from new, even keys repriced):
+    inserts/deletes/updates from ONE full-outer key join with null-safe
+    comparisons (relational.snapshot_diff) — bucket both snapshots by
+    the key at scale and the join is shuffle-free."""
+    from ..relational import snapshot_diff
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    old = o.filter("o_orderkey % 3 != 0")
+    new = o.filter("o_orderkey % 5 != 0").withColumn(
+        "cents",
+        F.expr("cents * (CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END)"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["cents"])
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH m AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER w AS prev,
+                      lag(ts) OVER w AS prev_ts
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    k AS (SELECT user_id, event_type, ts, event_id FROM m
+          WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type)
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS vf_us,
+           CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS vt_us
+    FROM k
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the event change log: per user,
+    consecutive repeats of event_type collapse and each surviving
+    change carries [valid_from, valid_to) — the open version's
+    valid_to NULL. Two windows on ONE (user, time) shuffle
+    (relational.scd2_from_changelog); validity bounds exported as
+    epoch micros."""
+    from ..relational import epoch_micros, scd2_from_changelog
+
+    ev = load_events(spark, sf_dir)
+    d = scd2_from_changelog(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    )
+    return d.select(
+        "user_id",
+        "event_type",
+        epoch_micros(d, "valid_from").cast("long").alias("vf_us"),
+        epoch_micros(d, "valid_to").cast("long").alias("vt_us"),
+    )
+
+
+__all__ = ['zorder_orders', 'hilbert_orders', 'cdc_orders_diff', 'scd2_user_state']

@@ -1,0 +1,4815 @@
+"""General relational/analytical gate queries (part 1, original order).
+
+Split out of entry_queries.py; registration happens on import
+(each @register call appends to the shared QUERIES list)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..pipeline.text import (  # noqa: E402  (constants feed the oracle SQL)
+    ENTROPY_LUT as _ENT_LUT,
+    ENTROPY_WINDOW as _ENT_WINDOW,
+)
+
+from ._core import *  # noqa: F401,F403
+from ._helpers import *  # noqa: F401,F403
+
+
+
+@register(
+    "q_topk_suppliers_per_nation",
+    """
+    SELECT n_name, s_name, s_acctbal, rk
+    FROM (
+        SELECT n_name, s_name, s_acctbal,
+               CAST(row_number() OVER (
+                   PARTITION BY n_name
+                   ORDER BY s_acctbal DESC, s_suppkey ASC
+               ) AS INT) AS rk
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    WHERE rk <= 3
+    """,
+)
+def q_topk_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "s_name", "s_acctbal", "rk")
+    )
+
+
+@register(
+    "q_pivot_returnflag",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus values become columns."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+    )
+
+
+@register(
+    "q_rollup_orders",
+    f"""
+    SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+           COALESCE(o_orderstatus, '(all)') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping-sets aggregation (rollup)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr(cents("o_totalprice"))).alias("total_cents"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "n_orders",
+            "total_cents",
+        )
+    )
+
+
+@register(
+    "q_semi_anti_customers",
+    """
+    SELECT c_mktsegment, kind, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT c_mktsegment, 'with_orders' AS kind
+        FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        UNION ALL
+        SELECT c_mktsegment, 'without_orders' AS kind
+        FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    )
+    GROUP BY c_mktsegment, kind
+    """,
+)
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) and anti-join (NOT EXISTS) counts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    with_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_mktsegment")
+        .withColumn("kind", F.lit("with_orders"))
+    )
+    without = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_mktsegment")
+        .withColumn("kind", F.lit("without_orders"))
+    )
+    return (
+        with_orders.unionByName(without)
+        .groupBy("c_mktsegment", "kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_setops_brands",
+    """
+    SELECT p_brand FROM part WHERE p_size <= 10
+    EXCEPT
+    SELECT p_brand FROM part WHERE p_size >= 45
+    """,
+)
+def q_setops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference of two projections."""
+    p = load(spark, sf_dir, "part")
+    small = p.filter(F.col("p_size") <= 10).select("p_brand")
+    big = p.filter(F.col("p_size") >= 45).select("p_brand")
+    return small.distinct().exceptAll(big.distinct())
+
+
+@register(
+    "q_agg_basic",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM({cents('l_quantity')}) AS BIGINT) AS qty_cents,
+           strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+           strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+    FROM lineitem
+    """,
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregation: counts, distinct counts, exact sums, extrema."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.expr(cents("l_quantity"))).alias("qty_cents"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization, tumbling windows, as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sessionize_events",
+    """
+    WITH numbered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM numbered
+    )
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) via lag + running sum."""
+    from ..relational import sessionize
+
+    ev = load_events(spark, sf_dir)
+    sessions = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_tumble_events",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM({cents('value')}) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(cents("value"))).alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "q_asof_join_events_orders",
+    """
+    WITH odedup AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, o.o_orderkey
+    FROM events e
+    ASOF LEFT JOIN odedup o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def q_asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at-or-before each event, per user."""
+    from ..relational import asof_join
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey"],
+    )
+    return joined.select("event_id", "o_orderkey")
+
+
+@register(
+    "q_lag_events",
+    f"""
+    SELECT event_id, user_id,
+           CAST(COALESCE({cents('value')} - lag({cents('value')}) OVER w, 0) AS BIGINT)
+               AS delta_cents,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag + ntile analytics: per-user value deltas in event-time
+    order and quartile assignment — one window shuffle on user_id,
+    total order via the (ts, event_id) tiebreak."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val = F.expr(cents("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(val - F.lag(val).over(w), F.lit(0)).cast("long").alias("delta_cents"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q_histogram_prices",
+    f"""
+    WITH b AS (
+        SELECT greatest(CAST(0 AS BIGINT), least(CAST({_HIST_BINS - 1} AS BIGINT),
+               CAST(floor((CAST(l_extendedprice AS DOUBLE) - {_HIST_LO!r}) * {_HIST_BINS}
+                          / ({_HIST_HI!r} - {_HIST_LO!r})) AS BIGINT))) AS bucket
+        FROM lineitem WHERE l_extendedprice IS NOT NULL)
+    SELECT bucket,
+           {_HIST_LO!r} + CAST(bucket AS DOUBLE) * ({_HIST_HI!r} - {_HIST_LO!r}) / {_HIST_BINS} AS lo_edge,
+           {_HIST_LO!r} + CAST(bucket + 1 AS DOUBLE) * ({_HIST_HI!r} - {_HIST_LO!r}) / {_HIST_BINS} AS hi_edge,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-width price histogram (22 bins over [0, 110k)) —
+    deterministic bucket expressions, one narrow groupBy shuffle."""
+    from ..pipeline.profile import histogram_fixed
+
+    li = load(spark, sf_dir, "lineitem")
+    return histogram_fixed(li, "l_extendedprice", _HIST_LO, _HIST_HI, _HIST_BINS)
+
+
+@register(
+    "q_range_join_events",
+    """
+    WITH spikes AS (
+        SELECT user_id AS s_user, event_id AS anchor_id, ts AS t0,
+               ts + INTERVAL 30 MINUTE AS t1
+        FROM events WHERE value > 9)
+    SELECT anchor_id, event_id, user_id,
+           CAST(epoch_us(ts) - epoch_us(t0) AS BIGINT) AS offset_us
+    FROM events e JOIN spikes s
+      ON e.user_id = s.s_user AND e.ts >= s.t0 AND e.ts <= s.t1
+    """,
+)
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (events within 30 min after a same-user value
+    spike) via the bucketized equi-join — a pure BETWEEN join would be
+    a broadcast-nested-loop, O(n×m); this shuffles on (bucket, user)
+    and re-applies the exact range as a residual filter."""
+    from ..relational import range_join_bucketed
+
+    ev = load_events(spark, sf_dir)
+    spikes = ev.filter(F.col("value") > 9).select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("anchor_id"),
+        F.col("ts").alias("t0"),
+        F.expr("ts + INTERVAL 30 MINUTES").alias("t1"),
+    )
+    joined = range_join_bucketed(
+        ev.select("event_id", "user_id", "ts"),
+        spikes,
+        "ts",
+        "t0",
+        "t1",
+        keys=[("user_id", "s_user")],
+        bucket_seconds=1800,
+    )
+    return joined.select(
+        "anchor_id",
+        "event_id",
+        "user_id",
+        # timestamp_diff is wall-clock arithmetic — valid for both
+        # TIMESTAMP and TIMESTAMP_NTZ (unix_micros rejects NTZ)
+        F.timestamp_diff("MICROSECOND", F.col("t0"), F.col("ts"))
+        .cast("long")
+        .alias("offset_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additional relational coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cube_lineitem",
+    f"""
+    SELECT COALESCE(l_returnflag, '(all)') AS flag,
+           COALESCE(l_linestatus, '(all)') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM({cents('l_quantity')}) AS BIGINT) AS qty_cents
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube over two grouping columns (all grouping sets)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(cents("l_quantity"))).alias("qty_cents"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("status"),
+            "n",
+            "qty_cents",
+        )
+    )
+
+
+@register(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    quantile_cont)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+    )
+
+
+@register(
+    "q_running_window",
+    f"""
+    SELECT * FROM (
+        SELECT l_suppkey,
+               CAST(row_number() OVER w AS INT) AS rn,
+               CAST(SUM({cents('l_quantity')}) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS running_qty_cents
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    ) WHERE rn <= 3
+    """,
+)
+def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregation window with a deterministic total order."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = Window.partitionBy("l_suppkey").orderBy(*order)
+    return (
+        li.select(
+            "l_suppkey",
+            F.row_number().over(w).alias("rn"),
+            F.sum(F.expr(cents("l_quantity")))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("running_qty_cents"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_unpivot_measures",
+    f"""
+    SELECT measure, CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM (
+        SELECT 'quantity' AS measure, {cents('l_quantity')} AS value_cents FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice' AS measure, {cents('l_extendedprice')} AS value_cents FROM lineitem
+        UNION ALL
+        SELECT 'discount' AS measure, {cents('l_discount')} AS value_cents FROM lineitem
+    )
+    GROUP BY measure
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack) three measures into rows, then aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    stacked = li.selectExpr(
+        f"stack(3, 'quantity', {cents('l_quantity')},"
+        f" 'extendedprice', {cents('l_extendedprice')},"
+        f" 'discount', {cents('l_discount')}) AS (measure, value_cents)"
+    )
+    return stacked.groupBy("measure").agg(F.sum("value_cents").alias("total_cents"))
+
+
+@register(
+    "q_full_outer_nations",
+    """
+    WITH cust AS (
+        SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ), supp AS (
+        SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+        FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cust.nk, supp.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+)
+def q_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two filtered aggregates."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    joined = c.join(s, "nk", "full_outer")
+    return joined.select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "q_string_funcs",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           substr(c_name, 1, 8) AS prefix,
+           length(c_name) AS name_len,
+           replace(c_mktsegment, 'A', '@') AS seg_repl,
+           reverse(c_mktsegment) AS seg_rev,
+           concat(c_name, '#', c_mktsegment) AS tagged
+    FROM customer WHERE c_custkey < 50
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string function battery."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.replace(F.col("c_mktsegment"), F.lit("A"), F.lit("@")).alias("seg_repl"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.concat_ws("", F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("tagged"),
+    )
+
+
+@register(
+    "q_conditional_funcs",
+    f"""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           GREATEST({cents('o_totalprice')}, 0) AS price_cents
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / NULLIF / COALESCE / GREATEST battery."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.greatest(F.expr(cents("o_totalprice")), F.lit(0)).alias("price_cents"),
+    )
+
+
+@register(
+    "q_events_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction from a string column."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM (
+        SELECT user_id, event_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-latest dedup (the mutable-table compaction primitive):
+    row_number over (key ORDER BY time DESC, id DESC) = 1. One shuffle
+    on the key; ties broken totally by event_id for determinism."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
+@register(
+    "q_rolling_hour_value",
+    f"""
+    SELECT event_id, user_id,
+           CAST(SUM({cents('value')}) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS hour_value_cents
+    FROM events
+    """,
+)
+def q_rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user rolling sum over the trailing
+    hour (inclusive). Ordered by exact epoch microseconds so the frame
+    boundary is integer-exact in both engines. One shuffle on user_id."""
+    from ..relational import epoch_micros
+
+    ev = load_events(spark, sf_dir)
+    ev = ev.withColumn("__us", epoch_micros(ev, "ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("__us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.expr(cents("value"))).over(w).cast("long").alias("hour_value_cents"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than cube/rollup): (flag, status),
+    (flag), and grand total in ONE pass — Spark expands the sets into a
+    single Expand + aggregate, one shuffle, no union of three scans."""
+    li = load(spark, sf_dir, "lineitem")
+    gs = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(cents("l_quantity"))).cast("long").alias("qty_cents"),
+    )
+    return gs.select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+        "g_flag",
+        "g_status",
+        "n",
+        "qty_cents",
+    )
+
+
+@register(
+    "q_asof_forward_next_purchase",
+    """
+    WITH pur AS (
+        SELECT user_id, ts, MAX(event_id) AS p_event_id
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT v.event_id, p.p_event_id
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view') v
+    ASOF LEFT JOIN pur p ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+)
+def q_asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each view event attaches the user's next
+    purchase at-or-after it (NULL when none follows) — the attribution
+    dual of the backward as-of. Same scalable shape: union + one
+    partitioned sort + running first_value, no inequality-join blowup;
+    the oracle is DuckDB's native forward ASOF JOIN."""
+    from ..relational import asof_join
+
+    ev = load_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event_id"))
+        .select(F.col("user_id").alias("p_user"), "ts", "p_event_id")
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        left_key="user_id",
+        right_key="p_user",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["p_event_id"],
+        direction="forward",
+    )
+    return joined.select("event_id", "p_event_id")
+
+
+@register(
+    "q_gapfill_locf",
+    f"""
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, g AS hour_ts
+        FROM b, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t(g)
+    ), hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id,
+           strftime(g.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           CAST(COALESCE(last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_ts
+               ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS v_filled
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+    """,
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (TimescaleDB-style): a dense hourly grid
+    per user between that user's first and last event, with missing
+    hours filled by last-observation-carried-forward (0 before the
+    first observation).
+
+    Scale: the grid is generated by a map-side sequence+explode per
+    user (never a driver loop or a cross join against a calendar
+    table), the hourly rollup is one partial agg, and LOCF is one
+    window pass — everything shuffles on user_id only."""
+    ev = load_events(spark, sf_dir)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.sum(F.expr(cents("value"))).cast("long").alias("v"))
+        .select(F.col("user_id").alias("h_user"), "hour_ts", "v")
+    )
+    joined = grid.join(
+        hourly,
+        (grid.user_id == hourly.h_user) & (grid.hour_ts == hourly.hour_ts),
+        "left",
+    ).select(grid.user_id, grid.hour_ts, hourly.v)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("hour_ts"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0))
+        .cast("long")
+        .alias("v_filled"),
+    )
+
+
+@register(
+    "q_session_window_builtin",
+    f"""
+    WITH numbered AS (
+        SELECT user_id, ts, {cents('value')} AS v,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts, v,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM numbered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS BIGINT) AS value_cents
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via Spark's BUILT-IN session_window aggregation —
+    the engine-managed counterpart of the custom
+    applyInPandasWithState sessionizer (same 30-min gap semantics;
+    window end = last event + gap). One shuffle; session merging
+    happens inside the aggregation operator, no window-function pass.
+
+    The oracle derives identical sessions with the lag/running-sum
+    formulation and reproduces session_window's end = max(ts) + gap."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr(cents("value"))).cast("long").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "s_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@register(
+    "q_gapfill_interp",
+    f"""
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, g AS hour_ts
+        FROM b, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t(g)
+    ), hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), joined AS (
+        SELECT g.user_id, g.hour_ts, epoch_us(g.hour_ts) AS us, h.v
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+    ), edged AS (
+        SELECT user_id, hour_ts, us, v,
+               last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                   OVER wp AS p_us,
+               last_value(v IGNORE NULLS) OVER wp AS p_v,
+               first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                   OVER wf AS n_us,
+               first_value(v IGNORE NULLS) OVER wf AS n_v
+        FROM joined
+        WINDOW wp AS (PARTITION BY user_id ORDER BY us
+                      ROWS UNBOUNDED PRECEDING),
+               wf AS (PARTITION BY user_id ORDER BY us
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           CAST(CASE WHEN v IS NOT NULL THEN v
+                ELSE (p_v * (n_us - us) + n_v * (us - p_us)) // (n_us - p_us)
+                END AS BIGINT) AS v_interp
+    FROM edged
+    """,
+)
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill: missing hours get the exact
+    integer lerp between the surrounding observations —
+    ``floor((v0·(t1−t) + v1·(t−t0)) / (t1−t0))`` in BIGINT microsecond
+    arithmetic, engine-identical (no float slope, so no last-ulp
+    drift). DuckDB ``//`` floors while Spark ``div`` truncates toward
+    zero — they diverge when the numerator is negative (negative
+    measures) — so the Spark side computes an explicit floor via
+    ``(num - pmod(num, den)) div den`` (den > 0 always: grid hours are
+    strictly increasing). Grid endpoints are observation hours by
+    construction, so every gap is interior and both neighbors exist.
+
+    Same scale shape as LOCF: map-side grid explode, one partial agg,
+    two window passes over user_id partitions."""
+    ev = load_events(spark, sf_dir)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.sum(F.expr(cents("value"))).cast("long").alias("v"))
+        .select(F.col("user_id").alias("h_user"), "hour_ts", "v")
+    )
+    from ..relational import epoch_micros
+
+    joined = grid.join(
+        hourly,
+        (grid.user_id == hourly.h_user) & (grid.hour_ts == hourly.hour_ts),
+        "left",
+    ).select(grid.user_id, grid.hour_ts, hourly.v)
+    joined = joined.withColumn("us", epoch_micros(joined, "hour_ts"))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_us = F.when(F.col("v").isNotNull(), F.col("us"))
+    edged = joined.select(
+        "user_id",
+        "hour_ts",
+        "us",
+        "v",
+        F.last(obs_us, ignorenulls=True).over(wp).alias("p_us"),
+        F.last("v", ignorenulls=True).over(wp).alias("p_v"),
+        F.first(obs_us, ignorenulls=True).over(wf).alias("n_us"),
+        F.first("v", ignorenulls=True).over(wf).alias("n_v"),
+    )
+    _num = "(p_v * (n_us - us) + n_v * (us - p_us))"
+    _den = "(n_us - p_us)"
+    lerp = F.expr(f"({_num} - pmod({_num}, {_den})) div {_den}")
+    return edged.select(
+        "user_id",
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(lerp)
+        .cast("long")
+        .alias("v_interp"),
+    )
+
+
+@register(
+    "q_sketch_kmv_distinct",
+    """
+    WITH h AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS hv
+        FROM events
+    ), d AS (SELECT DISTINCT event_type, hv FROM h)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                ELSE 63 * 281474976710656 // list_sort(list(hv))[64]
+                END AS BIGINT) AS n_kmv
+    FROM d GROUP BY event_type
+    """,
+)
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=64 — the
+    mergeable sketch family (KMV/theta) with a DETERMINISTIC,
+    engine-portable construction: the hash is md5 (both engines parse
+    the same 48-bit hex window) and the estimator (k−1)·2⁴⁸ div kth_min
+    is exact integer arithmetic, so the sketch estimate itself
+    hash-matches the oracle bit-for-bit — unlike opaque HLL registers.
+
+    Scale: per group the state is the k smallest hashes (collect_set
+    then sort — at 100 TB swap for a size-capped aggregator or
+    approx_count_distinct; the portable construction is the gate's
+    deterministic stand-in with identical merge semantics)."""
+    ev = load_events(spark, sf_dir)
+    hv = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    d = ev.select("event_type", hv.alias("hv")).distinct()
+    kth = F.element_at(F.array_sort(F.collect_list("hv")), 64)
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.when(F.count(F.lit(1)) < 64, F.count(F.lit(1)))
+        .otherwise(F.expr("63 * 281474976710656L div element_at(array_sort(collect_list(hv)), 64)"))
+        .cast("long")
+        .alias("n_kmv"),
+    )
+
+
+@register(
+    "q_sketch_cms_heavy",
+    """
+    WITH rows4 AS (SELECT unnest(range(0, 4)) AS r),
+    cells AS (
+        SELECT r,
+               CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                    || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events, rows4
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM events GROUP BY user_id
+        ORDER BY n_exact DESC, user_id LIMIT 10
+    ), probes AS (
+        SELECT t.user_id, t.n_exact, r.r,
+               CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|'
+                    || CAST(t.user_id AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS c
+        FROM truth t, rows4 r
+    )
+    SELECT p.user_id, p.n_exact, CAST(MIN(cells.n) AS BIGINT) AS n_cms
+    FROM probes p JOIN cells ON p.r = cells.r AND p.c = cells.c
+    GROUP BY p.user_id, p.n_exact
+    """,
+)
+def q_sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 × width 64), probed at the true top-10
+    heavy hitters — deterministic md5 row hashes, so the CMS estimate
+    (min over the 4 counters; an upper bound on the exact count)
+    matches the oracle bit-for-bit.
+
+    Scale: the sketch build is ONE groupBy over (row, col) — 256 cells
+    regardless of key cardinality (the point of CMS); the probe side is
+    a broadcast of the 10 keys × 4 rows. This is the deterministic gate
+    stand-in for streaming heavy-hitter detection at 100 TB where the
+    key space cannot be grouped exactly."""
+    ev = load_events(spark, sf_dir)
+    rows4 = spark.range(4).select(F.col("id").cast("int").alias("r"))
+    hash_cell = (
+        "CAST(conv(substr(md5(CAST(r AS STRING) || '|' || "
+        "CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT) % 64"
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(rows4))
+        .withColumn("c", F.expr(hash_cell))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("user_id"))
+        .limit(10)
+    )
+    probes = truth.crossJoin(F.broadcast(rows4)).withColumn(
+        "c", F.expr(hash_cell)
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("n").cast("long").alias("n_cms"))
+    )
+
+
+@register(
+    "q_sketch_kmv_merge",
+    """
+    WITH h AS (
+        SELECT event_type, event_id % 2 AS shard,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS hv
+        FROM events
+    ), per_shard AS (
+        -- each shard keeps only its k smallest distinct hashes: the
+        -- actual KMV sketch state
+        SELECT event_type, shard,
+               list_sort(list(DISTINCT hv))[1:64] AS kmin
+        FROM h GROUP BY event_type, shard
+    ), merged AS (
+        -- merge = k smallest of the union of the shards' k-min sets
+        SELECT event_type,
+               list_sort(flatten(list(kmin)))[1:64] AS kmin
+        FROM per_shard GROUP BY event_type
+    ), globale AS (
+        SELECT event_type, list_sort(list(DISTINCT hv))[1:64] AS kmin
+        FROM h GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(CASE WHEN len(m.kmin) < 64 THEN len(m.kmin)
+                ELSE 63 * 281474976710656 // m.kmin[64] END AS BIGINT) AS n_merged,
+           CAST(CASE WHEN len(g.kmin) < 64 THEN len(g.kmin)
+                ELSE 63 * 281474976710656 // g.kmin[64] END AS BIGINT) AS n_global,
+           m.kmin = g.kmin AS merge_exact
+    FROM merged m JOIN globale g ON m.event_type = g.event_type
+    """,
+)
+def q_sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGEABILITY: two shards each keep only their k=64
+    smallest distinct hashes; merging (k smallest of the union of the
+    two k-min sets) must reproduce the global sketch exactly — the
+    property that lets 1000 executors sketch partitions independently
+    and combine at O(k) cost. Both the merged and global estimates are
+    exact integers, and the oracle checks the k-min SETS are identical,
+    not just the estimates."""
+    ev = load_events(spark, sf_dir)
+    hv = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    h = ev.select(
+        "event_type", (F.col("event_id") % 2).alias("shard"), hv.alias("hv")
+    )
+    kmin = F.slice(F.array_sort(F.collect_set("hv")), 1, 64)
+    per_shard = h.groupBy("event_type", "shard").agg(kmin.alias("kmin"))
+    merged = per_shard.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("kmin"))), 1, 64).alias(
+            "m_kmin"
+        )
+    )
+    globale = h.groupBy("event_type").agg(kmin.alias("g_kmin"))
+    # fewer than k distinct values → the sketch IS the exact set
+    # (standard KMV small-set rule; also avoids element_at past the end)
+    est = lambda c: F.expr(
+        f"CASE WHEN size({c}) < 64 THEN size({c}) "
+        f"ELSE 63 * 281474976710656L div element_at({c}, 64) END"
+    )
+    return (
+        merged.join(globale, "event_type")
+        .select(
+            "event_type",
+            est("m_kmin").cast("long").alias("n_merged"),
+            est("g_kmin").cast("long").alias("n_global"),
+            (F.col("m_kmin") == F.col("g_kmin")).alias("merge_exact"),
+        )
+    )
+
+
+@register(
+    "q_sketch_hll_distinct",
+    f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS hv,
+               user_id
+        FROM events
+    ), reg AS (
+        SELECT event_type, hv % 64 AS b, MAX({_HLL_RHO_DUCK}) AS m
+        FROM h GROUP BY 1, 2
+    ), grid AS (
+        SELECT DISTINCT event_type, r AS b
+        FROM reg, (SELECT unnest(range(0, 64)) AS r)
+    ), dense AS (
+        SELECT g.event_type, COALESCE(reg.m, 0) AS m
+        FROM grid g LEFT JOIN reg
+          ON g.event_type = reg.event_type AND g.b = reg.b
+    ), st AS (
+        SELECT event_type,
+               CAST(SUM(CAST(1 AS BIGINT) << (44 - m)) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM dense GROUP BY 1
+    ), ex AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM h GROUP BY 1
+    )
+    SELECT st.event_type, ex.n_exact,
+           {_hll_estimate_duck('st.s', 'st.v')} AS n_hll
+    FROM st JOIN ex ON st.event_type = ex.event_type
+    """,
+)
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch, m=64 registers, with a fully
+    DETERMINISTIC engine-portable spec (see the block comment above):
+    md5-derived bucket/rho, exact-integer harmonic mean (2^(44-M_j)
+    summed in BIGINT), rational alpha=7/10, and a pre-tabulated
+    linear-counting correction — so the HLL estimate itself
+    hash-matches the DuckDB oracle bit-for-bit.
+
+    Scale: register build is ONE groupBy producing ≤ 64·|types| rows
+    (map-side partial max — the sketch state is 64 counters regardless
+    of key cardinality, the point of HLL); the dense grid is a
+    broadcast of 64 bucket ids. This is the deterministic gate twin of
+    approx_count_distinct, which runs the same shape JVM-side."""
+    ev = load_events(spark, sf_dir)
+    hv = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    h = ev.select("event_type", hv.alias("hv"), "user_id")
+    reg = h.groupBy("event_type", (F.col("hv") % 64).alias("b")).agg(
+        F.max(F.expr(_HLL_RHO_SPARK)).alias("m")
+    )
+    grid = reg.select("event_type").distinct().crossJoin(
+        F.broadcast(spark.range(64).select(F.col("id").alias("b")))
+    )
+    dense = grid.join(reg, ["event_type", "b"], "left").select(
+        "event_type", F.coalesce("m", F.lit(0).cast("long")).alias("m")
+    )
+    st = dense.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(44 - m AS INT))"))
+        .cast("long")
+        .alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("v"),
+    )
+    ex = h.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return st.join(ex, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.expr(_hll_estimate_spark("s", "v")).alias("n_hll"),
+    )
+
+
+@register(
+    "q_sketch_hll_merge",
+    f"""
+    WITH h AS (
+        SELECT event_type, event_id % 2 AS shard,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS hv,
+               user_id
+        FROM events
+    ), per_shard AS (
+        -- each shard's 64 registers: the actual HLL sketch state
+        SELECT event_type, shard, hv % 64 AS b, MAX({_HLL_RHO_DUCK}) AS m
+        FROM h GROUP BY 1, 2, 3
+    ), merged AS (
+        -- HLL merge = register-wise MAX across shard sketches
+        SELECT event_type, b, MAX(m) AS m
+        FROM per_shard GROUP BY 1, 2
+    ), globale AS (
+        SELECT event_type, hv % 64 AS b, MAX({_HLL_RHO_DUCK}) AS m
+        FROM h GROUP BY 1, 2
+    ), regcmp AS (
+        SELECT m.event_type,
+               CAST(SUM(CASE WHEN m.m IS DISTINCT FROM g.m
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_diff
+        FROM merged m FULL OUTER JOIN globale g
+          ON m.event_type = g.event_type AND m.b = g.b
+        GROUP BY 1
+    ), grid AS (
+        SELECT DISTINCT event_type, r AS b
+        FROM merged, (SELECT unnest(range(0, 64)) AS r)
+    ), dense AS (
+        SELECT g.event_type, COALESCE(merged.m, 0) AS m
+        FROM grid g LEFT JOIN merged
+          ON g.event_type = merged.event_type AND g.b = merged.b
+    ), st AS (
+        SELECT event_type,
+               CAST(SUM(CAST(1 AS BIGINT) << (44 - m)) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM dense GROUP BY 1
+    ), ex AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM h GROUP BY 1
+    )
+    SELECT st.event_type, ex.n_exact,
+           {_hll_estimate_duck('st.s', 'st.v')} AS n_hll_merged,
+           regcmp.n_diff = 0 AS merge_exact
+    FROM st JOIN ex ON st.event_type = ex.event_type
+    JOIN regcmp ON st.event_type = regcmp.event_type
+    """,
+)
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGEABILITY: two shards build 64-register sketches
+    independently; merging (register-wise MAX) must reproduce the
+    global sketch register-for-register — the lossless-merge property
+    that lets 1000 executors sketch partitions independently and
+    combine at O(m) cost with no accuracy loss (unlike quantile or
+    top-k sketches, HLL merge is exact). The oracle compares the full
+    register maps via a full outer join (zero mismatches), not just
+    the estimates, and the merged-sketch estimate is the same
+    deterministic integer spec as q_sketch_hll_distinct."""
+    ev = load_events(spark, sf_dir)
+    hv = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    h = ev.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("shard"),
+        hv.alias("hv"),
+        "user_id",
+    )
+    rho = F.expr(_HLL_RHO_SPARK)
+    per_shard = h.groupBy(
+        "event_type", "shard", (F.col("hv") % 64).alias("b")
+    ).agg(F.max(rho).alias("m"))
+    merged = per_shard.groupBy("event_type", "b").agg(F.max("m").alias("m"))
+    globale = (
+        h.groupBy("event_type", (F.col("hv") % 64).alias("b"))
+        .agg(F.max(rho).alias("m"))
+        .select("event_type", "b", F.col("m").alias("g_m"))
+    )
+    regcmp = (
+        merged.join(globale, ["event_type", "b"], "full_outer")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    ~F.col("m").eqNullSafe(F.col("g_m")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_diff")
+        )
+    )
+    grid = merged.select("event_type").distinct().crossJoin(
+        F.broadcast(spark.range(64).select(F.col("id").alias("b")))
+    )
+    dense = grid.join(merged, ["event_type", "b"], "left").select(
+        "event_type", F.coalesce("m", F.lit(0).cast("long")).alias("m")
+    )
+    st = dense.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(44 - m AS INT))"))
+        .cast("long")
+        .alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("v"),
+    )
+    ex = h.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        st.join(ex, "event_type")
+        .join(regcmp, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.expr(_hll_estimate_spark("s", "v")).alias("n_hll_merged"),
+            (F.col("n_diff") == 0).alias("merge_exact"),
+        )
+    )
+
+
+@register(
+    "q_sketch_cms_joinsize",
+    """
+    WITH rows4 AS (SELECT unnest(range(0, 4)) AS r),
+    ca AS (
+        SELECT r,
+               CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                    || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events, rows4 GROUP BY 1, 2
+    ),
+    cb AS (
+        SELECT r,
+               CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                    || CAST(o_custkey AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders, rows4 GROUP BY 1, 2
+    ),
+    dots AS (
+        SELECT a.r, CAST(SUM(a.n * b.n) AS BIGINT) AS dot
+        FROM ca a JOIN cb b ON a.r = b.r AND a.c = b.c GROUP BY a.r
+    ),
+    truth AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS true_size
+        FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    )
+    SELECT true_size, CAST(MIN(dot) AS BIGINT) AS cms_est
+    FROM dots CROSS JOIN truth GROUP BY true_size
+    """,
+)
+def q_sketch_cms_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from count-min sketches — the classic
+    optimizer statistic: |R ⋈_k S| = Σ_k c_R(k)·c_S(k) is
+    upper-bounded by min over CMS rows of the row-wise inner product
+    Σ_c cmsR[r][c]·cmsS[r][c] (Cormode & Muthukrishnan §4.2). Both
+    sides sketch INDEPENDENTLY into depth-4 × width-64 counters with
+    the shared deterministic md5 row-hash family (the
+    q_sketch_cms_heavy spec), so two 256-cell summaries — not the
+    tables — meet to price the join. The oracle carries the exact
+    join size beside the estimate; the estimate is never below it by
+    construction (min of upper bounds). At 100 TB the sketches are
+    one groupBy each to 256 cells regardless of key cardinality, and
+    the dot product joins 256-row frames — this is how you'd size a
+    shuffle before committing to it."""
+    ev = load_events(spark, sf_dir)
+    orders = load(spark, sf_dir, "orders")
+    rows4 = spark.range(4).select(F.col("id").cast("int").alias("r"))
+
+    def cms(df, key):
+        cell = (
+            "CAST(conv(substr(md5(CAST(r AS STRING) || '|' || "
+            f"CAST({key} AS STRING)), 1, 12), 16, 10) AS BIGINT) % 64"
+        )
+        return (
+            df.crossJoin(F.broadcast(rows4))
+            .withColumn("c", F.expr(cell))
+            .groupBy("r", "c")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    ca = cms(ev, "user_id")
+    cb = cms(orders, "o_custkey").select(
+        F.col("r").alias("br"), F.col("c").alias("bc"), F.col("n").alias("bn")
+    )
+    dots = (
+        ca.join(
+            F.broadcast(cb),
+            (F.col("r") == F.col("br")) & (F.col("c") == F.col("bc")),
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("n") * F.col("bn")).cast("long").alias("dot"))
+    )
+    truth = ev.join(
+        orders, ev.user_id == orders.o_custkey
+    ).agg(F.count(F.lit(1)).cast("long").alias("true_size"))
+    return (
+        dots.crossJoin(F.broadcast(truth))
+        .groupBy("true_size")
+        .agg(F.min("dot").cast("long").alias("cms_est"))
+        .select("true_size", "cms_est")
+    )
+
+
+@register(
+    "q_sketch_hll_intersect",
+    f"""
+    WITH a AS (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        GROUP BY user_id HAVING COUNT(*) >= 15
+    ),
+    b AS (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id HAVING COUNT(*) >= 15
+    ),
+    tagged AS (
+        SELECT 'a' AS s, user_id FROM a
+        UNION ALL SELECT 'b' AS s, user_id FROM b
+    ),
+    h AS (
+        SELECT s,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS hv
+        FROM tagged
+    ),
+    reg AS (
+        SELECT s, hv % 64 AS b, MAX({_HLL_RHO_DUCK}) AS m FROM h GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT g.s, g.r AS b, COALESCE(reg.m, 0) AS m
+        FROM (SELECT s, r FROM (SELECT DISTINCT s FROM reg),
+                              (SELECT unnest(range(0, 64)) AS r)) g
+        LEFT JOIN reg ON g.s = reg.s AND g.r = reg.b
+    ),
+    st AS (
+        SELECT s,
+               CAST(SUM(CAST(1 AS BIGINT) << (44 - m)) AS BIGINT) AS sm,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM dense GROUP BY 1
+    ),
+    udense AS (
+        SELECT b, MAX(m) AS m FROM dense GROUP BY b
+    ),
+    ust AS (
+        SELECT CAST(SUM(CAST(1 AS BIGINT) << (44 - m)) AS BIGINT) AS sm,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM udense
+    ),
+    est AS (
+        SELECT
+            (SELECT {_hll_estimate_duck('sm', 'v')} FROM st WHERE s = 'a')
+                AS n_a_hll,
+            (SELECT {_hll_estimate_duck('sm', 'v')} FROM st WHERE s = 'b')
+                AS n_b_hll,
+            (SELECT {_hll_estimate_duck('sm', 'v')} FROM ust) AS n_union_hll
+    ),
+    ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_intersect_exact
+        FROM a JOIN b USING (user_id)
+    )
+    SELECT n_a_hll, n_b_hll, n_union_hll,
+           CAST(n_a_hll + n_b_hll - n_union_hll AS BIGINT) AS n_intersect_est,
+           n_intersect_exact
+    FROM est CROSS JOIN ex
+    """,
+)
+def q_sketch_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set-INTERSECTION estimate by inclusion–exclusion:
+    |A∩B| ≈ E(A) + E(B) − E(A∪B), where the union sketch is the
+    register-wise MAX of the two sketches (the same lossless merge
+    q_sketch_hll_merge proves) — three 64-register summaries answer
+    an intersection question the sketches were never explicitly built
+    for. Uses the repo's fully deterministic HLL spec (md5
+    bucket/rho, exact-integer harmonic mean, tabulated
+    linear-counting correction), so the estimate — including the
+    possibly-negative small-intersection case the estimator is known
+    for — hash-matches the oracle exactly; the exact intersection
+    rides beside it for error inspection. Audience sets A/B are
+    heavy clickers vs heavy purchasers (≥15 events; genuinely
+    partial overlap at every SF); everything is groupBys to ≤64
+    rows after pushdown-friendly filters."""
+    ev = load_events(spark, sf_dir)
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter("__n >= 15")
+        .select("user_id")
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter("__n >= 15")
+        .select("user_id")
+    )
+    tagged = a.select(F.lit("a").alias("s"), "user_id").unionAll(
+        b.select(F.lit("b").alias("s"), "user_id")
+    )
+    hv = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    h = tagged.select("s", hv.alias("hv"))
+    reg = h.groupBy("s", (F.col("hv") % 64).alias("b")).agg(
+        F.max(F.expr(_HLL_RHO_SPARK)).alias("m")
+    )
+    grid = reg.select("s").distinct().crossJoin(
+        F.broadcast(spark.range(64).select(F.col("id").alias("b")))
+    )
+    dense = grid.join(reg, ["s", "b"], "left").select(
+        "s", "b", F.coalesce("m", F.lit(0).cast("long")).alias("m")
+    )
+    st = dense.groupBy("s").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(44 - m AS INT))"))
+        .cast("long")
+        .alias("sm"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("v"),
+    )
+    udense = dense.groupBy("b").agg(F.max("m").alias("m"))
+    ust = udense.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(44 - m AS INT))"))
+        .cast("long")
+        .alias("sm"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("v"),
+    )
+    ea = st.filter("s = 'a'").select(
+        F.expr(_hll_estimate_spark("sm", "v")).alias("n_a_hll")
+    )
+    eb = st.filter("s = 'b'").select(
+        F.expr(_hll_estimate_spark("sm", "v")).alias("n_b_hll")
+    )
+    eu = ust.select(
+        F.expr(_hll_estimate_spark("sm", "v")).alias("n_union_hll")
+    )
+    ex = a.join(b, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intersect_exact")
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "n_a_hll",
+            "n_b_hll",
+            "n_union_hll",
+            F.expr("CAST(n_a_hll + n_b_hll - n_union_hll AS BIGINT)").alias(
+                "n_intersect_est"
+            ),
+            "n_intersect_exact",
+        )
+    )
+
+
+@register(
+    "q_bloom_prune_orders",
+    f"""
+    WITH keys AS (
+        SELECT DISTINCT c_custkey AS k FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    ), kpos AS (
+        SELECT ({_BF_H1_DUCK.format(key='k')}
+                + i * {_BF_H2_DUCK.format(key='k')}) % {_BF_BITS} AS p
+        FROM keys, (SELECT unnest(range(0, {_BF_K})) AS i)
+    ), bloom AS (
+        SELECT p // {_BF_WORD} AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % {_BF_WORD} AS INT)) AS bits
+        FROM kpos GROUP BY 1
+    ), opos AS (
+        SELECT o_orderkey, o_custkey,
+               ({_BF_H1_DUCK.format(key='o_custkey')}
+                + i * {_BF_H2_DUCK.format(key='o_custkey')}) % {_BF_BITS} AS p
+        FROM orders, (SELECT unnest(range(0, {_BF_K})) AS i)
+    ), probe AS (
+        SELECT o_orderkey, o_custkey,
+               SUM(CASE WHEN (b.bits >> CAST(p % {_BF_WORD} AS INT)) & 1 = 1
+                        THEN 1 ELSE 0 END) AS nhit
+        FROM opos LEFT JOIN bloom b ON opos.p // {_BF_WORD} = b.word
+        GROUP BY 1, 2
+    ), flags AS (
+        SELECT nhit = {_BF_K} AS bp,
+               o_custkey IN (SELECT k FROM keys) AS tm
+        FROM probe
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN tm THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN bp AND NOT tm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_pos,
+           CAST(SUM(CASE WHEN tm AND NOT bp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_neg
+    FROM flags
+    """,
+)
+def q_bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter semi-join pruning: 6144-bit filter
+    over the BUILDING-segment customer keys, probed map-side against
+    every order.
+
+    Scale design: the filter is built with ONE narrow shuffle over
+    ≤ m/48 = 128 words (bit_or partial-aggregates map-side), collapsed
+    to a single-row word→bits map and broadcast via crossJoin — the
+    orders fact table is NEVER shuffled and never sees the key set;
+    each probe is 4 md5-derived bit tests in whole-stage codegen. The
+    true-membership join below exists only to verify the zero-false-
+    negative guarantee in the same result row; production pruning
+    drops it (that's the point of the filter). Reference analogue:
+    this generalizes the row-group bbox pruning idea (SURVEY §2 F2) to
+    arbitrary key sets."""
+    from ..pipeline.sketch import bloom_build, bloom_probe
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+
+    keys = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    bmap = bloom_build(keys, "k", bits=_BF_BITS, k=_BF_K)
+    probed = bloom_probe(
+        orders.select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        bmap,
+        bits=_BF_BITS,
+        k=_BF_K,
+    )
+
+    flags = probed.join(
+        F.broadcast(keys.withColumn("tm", F.lit(True))),
+        probed.o_custkey == F.col("k"),
+        "left",
+    ).select("bp", F.coalesce("tm", F.lit(False)).alias("tm"))
+    return flags.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("bp"), 1).otherwise(0)).cast("long").alias("n_bloom_pass"),
+        F.sum(F.when(F.col("tm"), 1).otherwise(0)).cast("long").alias("n_true"),
+        F.sum(F.when(F.col("bp") & ~F.col("tm"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(F.when(F.col("tm") & ~F.col("bp"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+
+
+@register(
+    "q_sketch_kmv_jaccard",
+    f"""
+    WITH a AS (
+        SELECT DISTINCT l_partkey AS p FROM lineitem
+        WHERE year(l_shipdate) = 1995
+    ), b AS (
+        SELECT DISTINCT l_partkey AS p FROM lineitem
+        WHERE year(l_shipdate) = 1996
+    ), u AS (
+        SELECT p FROM a UNION SELECT p FROM b
+    ), topk AS (
+        SELECT p FROM (
+            SELECT p, row_number() OVER (ORDER BY {_KMVJ_H_DUCK}, p) AS rn
+            FROM u
+        ) WHERE rn <= {_KMVJ_K}
+    ), m AS (
+        SELECT CAST(SUM(CASE WHEN a.p IS NOT NULL AND b.p IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS kmv_matched
+        FROM topk LEFT JOIN a ON topk.p = a.p LEFT JOIN b ON topk.p = b.p
+    ), ex AS (
+        SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+               CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+               CAST((SELECT COUNT(*) FROM a JOIN b ON a.p = b.p) AS BIGINT)
+                   AS n_inter,
+               CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_union
+    )
+    SELECT n_a, n_b, n_inter, n_union,
+           CAST(1000000 * n_inter // n_union AS BIGINT) AS jaccard_exact_e6,
+           CAST({_KMVJ_K} AS BIGINT) AS kmv_k,
+           kmv_matched,
+           CAST(1000000 * kmv_matched // {_KMVJ_K} AS BIGINT)
+               AS jaccard_kmv_e6
+    FROM ex, m
+    """,
+)
+def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV Jaccard estimate between the part sets shipped in 1995 vs
+    1996, checked against the exact Jaccard in the same row.
+
+    Scale design: each set's sketch is a TakeOrderedAndProject — every
+    partition emits only its k smallest (hash, key) pairs, the driver
+    merges k·partitions candidates — so sketch state is O(k) no matter
+    the set size, and the union sketch is computed from sketches, never
+    from the full sets. The exact inter/union joins exist only for the
+    gate comparison (at 100 TB you'd keep ONLY the sketch path — that
+    is the point). Hash/tie order is fully specified (48-bit md5
+    prefix, then key) so both engines pick identical minima."""
+    li = load(spark, sf_dir, "lineitem")
+    a = (
+        li.filter(F.year("l_shipdate") == 1995)
+        .select(F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .select(F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    u = a.unionByName(b).distinct()
+    topk = (
+        u.withColumn("h", F.expr(_KMVJ_H_SPARK))
+        .orderBy("h", "p")
+        .limit(_KMVJ_K)
+        .select("p")
+    )
+    m = (
+        topk.join(a.withColumn("in_a", F.lit(1)), "p", "left")
+        .join(b.withColumn("in_b", F.lit(1)), "p", "left")
+        .agg(
+            F.sum(
+                F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("kmv_matched")
+        )
+    )
+    ex = (
+        a.agg(F.count("*").cast("long").alias("n_a"))
+        .crossJoin(b.agg(F.count("*").cast("long").alias("n_b")))
+        .crossJoin(
+            a.join(b, "p").agg(F.count("*").cast("long").alias("n_inter"))
+        )
+        .crossJoin(u.agg(F.count("*").cast("long").alias("n_union")))
+    )
+    return ex.crossJoin(m).select(
+        "n_a",
+        "n_b",
+        "n_inter",
+        "n_union",
+        F.expr("CAST(1000000 * n_inter div n_union AS BIGINT)").alias(
+            "jaccard_exact_e6"
+        ),
+        F.lit(_KMVJ_K).cast("long").alias("kmv_k"),
+        "kmv_matched",
+        F.expr(f"CAST(1000000 * kmv_matched div {_KMVJ_K} AS BIGINT)").alias(
+            "jaccard_kmv_e6"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: funnels and retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_funnel_steps",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT v.user_id,
+           CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                     WHEN c.t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS step_reached,
+           strftime(v.t1, '%Y-%m-%d %H:%M:%S') AS t_view,
+           strftime(c.t2, '%Y-%m-%d %H:%M:%S') AS t_click,
+           strftime(p.t3, '%Y-%m-%d %H:%M:%S') AS t_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): for each
+    user, the first view, the first click strictly after it, and the
+    first purchase strictly after that — the standard product-analytics
+    funnel with strict event ordering, not mere co-occurrence.
+
+    Scale design: ONE shuffle. The oracle's three self-joins collapse
+    into three window aggregates over the same user_id partitioning —
+    Catalyst plans a single exchange and chains the window operators
+    on the sorted partition, so the events table is scanned and
+    shuffled exactly once regardless of funnel depth (each added step
+    is another window pass, not another join)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    per_ev = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = per_ev.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return per_user.filter(F.col("t1").isNotNull()).select(
+        "user_id",
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("step_reached"),
+        F.date_format("t1", fmt).alias("t_view"),
+        F.date_format("t2", fmt).alias("t_click"),
+        F.date_format("t3", fmt).alias("t_purchase"),
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ), c AS (
+        SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_d
+        FROM ud
+    )
+    SELECT strftime(DATE '1970-01-01' + INTERVAL (cohort_d) DAY,
+                    '%Y-%m-%d') AS cohort_day,
+           CAST(d - cohort_d AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity day,
+    counted in each later day they were active (daily grain because the
+    driver's events table spans one month).
+
+    Scale design: activity is first reduced to distinct (user, day)
+    pairs (the only full-data shuffle, with map-side partial distinct),
+    the cohort day is a window MIN over the already-narrow pairs, and
+    the final matrix is days² rows. No join anywhere — the classic
+    first-event-join formulation is replaced by a window over the same
+    shuffle. COUNT(*) over (user,day) pairs equals COUNT(DISTINCT user)
+    per cell by construction, avoiding a second expand."""
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+    ).distinct()
+    c = ud.withColumn(
+        "cohort_d", F.min("d").over(Window.partitionBy("user_id"))
+    )
+    return c.groupBy(
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("cohort_d")),
+            "yyyy-MM-dd",
+        ).alias("cohort_day"),
+        (F.col("d") - F.col("cohort_d")).cast("long").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@register(
+    "q_sketch_sample_quantiles",
+    f"""
+    WITH v AS (
+        SELECT l_returnflag, {cents('l_quantity')} AS qc,
+               {_QSK_HASH_DUCK} < {_QSK_RATE_NUM} AS sampled
+        FROM lineitem
+    ), ex AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY qc) AS BIGINT) AS p25,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY qc) AS BIGINT) AS p50,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY qc) AS BIGINT) AS p75
+        FROM v GROUP BY 1
+    ), sk AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_sample,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY qc) AS BIGINT) AS p25_est,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY qc) AS BIGINT) AS p50_est,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY qc) AS BIGINT) AS p75_est
+        FROM v WHERE sampled GROUP BY 1
+    )
+    SELECT ex.l_returnflag, ex.n, ex.p25, ex.p50, ex.p75,
+           sk.n_sample, sk.p25_est, sk.p50_est, sk.p75_est
+    FROM ex JOIN sk ON ex.l_returnflag = sk.l_returnflag
+    """,
+)
+def q_sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles estimated from a 1/16 hash-sample sketch,
+    with the exact quantiles alongside.
+
+    Scale design: the sample predicate is a pure map-side function of
+    the row key, so the sketch build reads each row once, keeps ~6%,
+    and shuffles only the survivors — and shard samples union into the
+    sample of the union with no rescan (the mergeability that
+    order-sensitive quantile sketches lack). percentile_disc picks an
+    actual data value (integer cents), so both the estimate and the
+    exact side are hash-exact across engines. The exact side is the
+    gate's ground truth; at 100 TB you run only the sketch side."""
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        F.expr(cents("l_quantity")).alias("qc"),
+        (F.expr(_QSK_HASH_SPARK) < F.lit(_QSK_RATE_NUM)).alias("sampled"),
+    )
+
+    def _qs(df, prefix, ncol):
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("long").alias(ncol),
+            *[
+                F.expr(
+                    f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY qc)"
+                    f" AS BIGINT)"
+                ).alias(f"p{int(q * 100)}{prefix}")
+                for q in (0.25, 0.50, 0.75)
+            ],
+        )
+
+    ex = _qs(v, "", "n")
+    sk = _qs(v.filter("sampled"), "_est", "n_sample")
+    return ex.join(sk, "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        F.col("p25").alias("p25"),
+        "p50",
+        "p75",
+        "n_sample",
+        F.col("p25_est"),
+        "p50_est",
+        "p75_est",
+    )
+
+
+@register(
+    "q_incremental_agg",
+    f"""
+    WITH base AS (
+        SELECT o_orderpriority, CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+    ), delta AS (
+        SELECT o_orderpriority, CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+    ), merged AS (
+        SELECT o_orderpriority, CAST(SUM(s) AS BIGINT) AS revenue_cents,
+               CAST(SUM(c) AS BIGINT) AS n_orders
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        GROUP BY 1
+    ), full_agg AS (
+        SELECT o_orderpriority, CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    )
+    SELECT m.o_orderpriority, m.revenue_cents, m.n_orders,
+           CAST(m.revenue_cents // m.n_orders AS BIGINT) AS avg_cents,
+           (m.revenue_cents = f.s AND m.n_orders = f.c) AS merge_exact
+    FROM merged m JOIN full_agg f ON m.o_orderpriority = f.o_orderpriority
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: a pre-1997 base
+    aggregate plus a 1997+ delta aggregate recombine by key-wise
+    addition into exactly the full recompute (verified in-row), and
+    derived algebraic measures (avg) come from the merged partials.
+
+    Scale design: this is the update path for a 100 TB aggregate table
+    — ingest aggregates ONLY the new partition (the delta scan prunes
+    on the partition predicate, visible as PushedFilters) and merges
+    O(|keys|) partial rows with the stored base; history is never
+    rescanned. Works for any commutative-monoid aggregate (sum, count,
+    min/max, HLL registers, CMS cells — the sketch queries above prove
+    the sketch cases)."""
+    orders = load(spark, sf_dir, "orders")
+    split = "1997-01-01 00:00:00"
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < split))
+    delta = partial(orders.filter(F.col("o_orderdate") >= split))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("s").cast("long").alias("revenue_cents"),
+            F.sum("c").cast("long").alias("n_orders"),
+        )
+    )
+    full = partial(orders)
+    return merged.join(full, "o_orderpriority").select(
+        "o_orderpriority",
+        "revenue_cents",
+        "n_orders",
+        F.expr("CAST(revenue_cents div n_orders AS BIGINT)").alias("avg_cents"),
+        (
+            (F.col("revenue_cents") == F.col("s"))
+            & (F.col("n_orders") == F.col("c"))
+        ).alias("merge_exact"),
+    )
+
+
+@register(
+    "q_anomaly_zscore",
+    f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT user_id, h, v,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(v) OVER w AS BIGINT) AS s,
+               CAST(SUM(v * v) OVER w AS BIGINT) AS q
+        FROM hourly
+        WINDOW w AS (PARTITION BY user_id ORDER BY h
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s, v, n,
+           (n >= 12 AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s))
+               AS is_anomaly
+    FROM stats
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on per-user hourly revenue:
+    flag hours more than 3 sigma from the trailing-24h mean, with at
+    least 12 hours of history.
+
+    The z-score test |x−μ| > 3σ is rearranged into the all-integer
+    inequality (n·x − s)² > 9(n·q − s²) over exact cent sums — no
+    float mean/stddev anywhere, so the flags are bit-deterministic
+    across engines and partitionings (a float formulation can flip a
+    boundary case per libm). Scale: one shuffle to the hourly grain,
+    then one window pass per user — the same single-exchange shape as
+    the funnel; the trailing frame is O(1) amortized per row
+    (sliding-sum, not recompute)."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.expr(cents("value"))).cast("long").alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "user_id",
+        "h",
+        "v",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("v").over(w).cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast("long").alias("q"),
+    )
+    return stats.select(
+        "user_id",
+        # ts is TIMESTAMP_NTZ (driver parquet): date_format renders the
+        # wall clock directly, independent of the session timezone (a
+        # convert_timezone wrapper here would double-shift under a
+        # non-UTC session — the streaming twin needs it because
+        # stream_events re-anchors to LTZ instants, this batch path
+        # must not)
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        "v",
+        "n",
+        (
+            (F.col("n") >= 12)
+            & (
+                (F.col("n") * F.col("v") - F.col("s"))
+                * (F.col("n") * F.col("v") - F.col("s"))
+                > 9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+            )
+        ).alias("is_anomaly"),
+    )
+
+
+@register(
+    "q_crosstab_chisq",
+    """
+    WITH o AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ), r AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rn FROM o GROUP BY 1),
+    c AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cn FROM o GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM o)
+    SELECT o.lang, o.source, o.n,
+           CAST(r.rn * c.cn // t.tot AS BIGINT) AS expected,
+           CAST(1000000 * (o.n * t.tot - r.rn * c.cn)
+                        * (o.n * t.tot - r.rn * c.cn)
+                // (r.rn * c.cn * t.tot) AS BIGINT) AS chi2_term_e6
+    FROM o JOIN r ON o.lang = r.lang
+           JOIN c ON o.source = c.source
+           CROSS JOIN t
+    """,
+)
+def q_crosstab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-balance profiling: the lang × source contingency table
+    with each cell's chi-square independence contribution — the check
+    that tells you a training mix is skewed (one source dominating one
+    language) before you train on it.
+
+    The per-cell term (o − e)²/e is scaled to avoid float division:
+    1e6·(o·N − r·c)² div (r·c·N) in exact BIGINT (o ≤ 5e2, N ≤ 5e4 at
+    gate scale keeps every product under 2^63; at larger N switch the
+    scale factor down accordingly). Scale: one groupBy to cells, then
+    broadcast-sized margin joins (rows = |langs|, |sources|)."""
+    docs = load(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    r = o.groupBy("lang").agg(F.sum("n").cast("long").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("n").cast("long").alias("cn"))
+    t = o.agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "source",
+            "n",
+            F.expr("CAST(rn * cn div tot AS BIGINT)").alias("expected"),
+            F.expr(
+                "CAST(1000000 * (n * tot - rn * cn) * (n * tot - rn * cn)"
+                " div (rn * cn * tot) AS BIGINT)"
+            ).alias("chi2_term_e6"),
+        )
+    )
+
+
+@register(
+    "q_table_checksum",
+    f"""
+    WITH canon AS (
+        SELECT CAST('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   CAST({cents('o_totalprice')} AS VARCHAR) || '|' ||
+                   strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+                   o_orderstatus), 1, 12) AS BIGINT) AS h
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) % 281474976710656 AS BIGINT) AS checksum48,
+           CAST(bit_xor(h) AS BIGINT) AS xorsum48
+    FROM canon
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum: per-row 48-bit md5 over an
+    EXPLICIT canonical encoding (integer cents, formatted dates —
+    never engine-native casts of floats/timestamps, which differ in
+    text form across engines), combined with both a modular SUM and a
+    XOR. The pair detects what either alone misses: XOR is blind to
+    duplicated pairs of rows, SUM to certain compensating edits.
+
+    This is the cross-system migration check: run the same checksum on
+    the source warehouse and the Spark copy and compare one row.
+    Scale: map-side hash, one partial-aggregated scalar reduction —
+    no shuffle beyond the single-row combine; commutative, so
+    partitioning never changes the answer."""
+    orders = load(spark, sf_dir, "orders")
+    h = F.expr(
+        "CAST(conv(substr(md5(concat("
+        "CAST(o_orderkey AS STRING), '|', "
+        "CAST(o_custkey AS STRING), '|', "
+        f"CAST({cents('o_totalprice')} AS STRING), '|', "
+        "date_format(o_orderdate, 'yyyy-MM-dd'), '|', "
+        "o_orderstatus)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    return orders.select(h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        # accumulate in DECIMAL(38,0): a BIGINT sum of 48-bit values
+        # overflows past ~32k rows (2^63/2^48) — decimal holds 10^38,
+        # good for ~10^23 rows, and DuckDB's HUGEINT sum is exact too
+        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(1 << 48))
+        .cast("long")
+        .alias("checksum48"),
+        F.expr("bit_xor(h)").cast("long").alias("xorsum48"),
+    )
+
+
+@register(
+    "q_basket_pairs",
+    """
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY 1
+    ), pairs AS (
+        SELECT p1.part AS part_a, p2.part AS part_b
+        FROM baskets,
+             unnest(parts) AS p1(part),
+             unnest(parts) AS p2(part)
+        WHERE p1.part < p2.part
+    ), pc AS (
+        SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM pairs GROUP BY 1, 2
+    ), item AS (
+        SELECT part, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT l_orderkey, unnest(list(DISTINCT l_partkey)) AS part
+              FROM lineitem GROUP BY l_orderkey)
+        GROUP BY 1
+    ), tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+               FROM lineitem)
+    SELECT pc.part_a, pc.part_b, pc.n_ab,
+           CAST(tot.n_orders * pc.n_ab * 1000000
+                // (ia.n * ib.n) AS BIGINT) AS lift_e6
+    FROM pc JOIN item ia ON pc.part_a = ia.part
+            JOIN item ib ON pc.part_b = ib.part
+            CROSS JOIN tot
+    WHERE pc.n_ab >= 2
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: part pairs appearing
+    together in ≥2 orders, with integer-scaled lift
+    (N·n_ab·1e6 div (n_a·n_b)) — the association signal behind
+    "frequently bought together".
+
+    Scale design: the same in-bucket pair-expansion shape as LSH dedup
+    — ONE shuffle groups each order's distinct parts, pairs expand
+    inside the basket array (baskets are small; never an item-level
+    self-join across the corpus, which at 100 TB would shuffle the
+    full item-order incidence twice), and the n_ab >= 2 support prune
+    runs before the margin joins so the join input is the frequent
+    tail, not every singleton pair."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("__p")
+    ).select("__p.part_a", "__p.part_b")
+    pc = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    item = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    return (
+        pc.join(item.select(F.col("part").alias("part_a"), F.col("n").alias("na")), "part_a")
+        .join(item.select(F.col("part").alias("part_b"), F.col("n").alias("nb")), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr(
+                "CAST(n_orders * n_ab * 1000000 div (na * nb) AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+    )
+
+
+@register(
+    "q_ab_test",
+    """
+    WITH assign AS (
+        SELECT user_id,
+               CASE WHEN CAST('0x' || substr(md5('ab|' ||
+                    CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS grp,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) > 13
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY 1
+    ), g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS k
+        FROM assign GROUP BY 1
+    ), w AS (
+        SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b
+        FROM (SELECT n, k FROM g WHERE grp = 'A') a,
+             (SELECT n, k FROM g WHERE grp = 'B') b
+    )
+    SELECT n_a, k_a, n_b, k_b,
+           CAST(1000000 * k_a // n_a AS BIGINT) AS p_a_e6,
+           CAST(1000000 * k_b // n_b AS BIGINT) AS p_b_e6,
+           625 * (n_a + n_b) * (k_a * n_b - k_b * n_a) * (k_a * n_b - k_b * n_a)
+             > 2401 * (k_a + k_b) * (n_a + n_b - k_a - k_b) * n_a * n_b
+               AS significant_95
+    FROM w
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance test on purchase conversion
+    between hash-assigned user groups, with the pooled z-test decided
+    in EXACT integer arithmetic: z=1.96 is the exact rational 49/25,
+    so |p̂_a−p̂_b| > z·SE becomes
+    625·N·(k_a·n_b − k_b·n_a)² > 2401·K·(N−K)·n_a·n_b — no sqrt, no
+    float, no libm boundary flips. Intermediates exceed int64 at
+    ~10^5 users, so Spark multiplies in DECIMAL(38,0) (good to ~10^9
+    users) while DuckDB's HUGEINT is exact natively; only the boolean
+    and the BIGINT summary columns are output, so engine-internal
+    width never leaks into the schema.
+
+    Scale: group assignment is a map-side hash; the whole test reduces
+    to one groupBy over users and a 2-row combine."""
+    ev = load_events(spark, sf_dir)
+    # metric: heavy purchaser (>13 purchase events) — the driver's
+    # synthetic users ALL purchase at least once, so plain conversion
+    # is degenerate (p=1 in both arms); the thresholded metric splits
+    # the population and gives the test real variance
+    assign = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > 13
+        )
+        .cast("int")
+        .alias("converted")
+    ).withColumn(
+        "grp",
+        F.when(
+            F.expr(
+                "CAST(conv(substr(md5(concat('ab|', CAST(user_id AS STRING))),"
+                " 1, 12), 16, 10) AS BIGINT) % 2"
+            )
+            == 0,
+            "A",
+        ).otherwise("B"),
+    )
+    g = assign.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("k"),
+    )
+    a = g.filter("grp = 'A'").select(
+        F.col("n").alias("n_a"), F.col("k").alias("k_a")
+    )
+    b = g.filter("grp = 'B'").select(
+        F.col("n").alias("n_b"), F.col("k").alias("k_b")
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    lhs = (
+        f"625 * {d.format('n_a + n_b')} * {d.format('k_a * n_b - k_b * n_a')}"
+        f" * {d.format('k_a * n_b - k_b * n_a')}"
+    )
+    rhs = (
+        f"2401 * {d.format('k_a + k_b')}"
+        f" * {d.format('n_a + n_b - k_a - k_b')} * {d.format('n_a * n_b')}"
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        F.expr("CAST(1000000 * k_a div n_a AS BIGINT)").alias("p_a_e6"),
+        F.expr("CAST(1000000 * k_b div n_b AS BIGINT)").alias("p_b_e6"),
+        F.expr(f"({lhs}) > ({rhs})").alias("significant_95"),
+    )
+
+
+@register(
+    "q_trend_slope",
+    f"""
+    WITH m AS (
+        SELECT n_name,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+                   AS x,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ), base AS (SELECT CAST(MIN(x) AS BIGINT) AS x0 FROM m),
+    s AS (
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x - x0) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM((x - x0) * y) AS BIGINT) AS sxy,
+               CAST(SUM((x - x0) * (x - x0)) AS BIGINT) AS sxx
+        FROM m CROSS JOIN base GROUP BY 1
+    )
+    SELECT n_name, n,
+           CAST(1000000 * (CAST(n AS HUGEINT) * sxy
+                           - CAST(sx AS HUGEINT) * sy)
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_e6_cents_per_month
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: the OLS slope over monthly totals via
+    the normal equations, computed entirely in BIGINT —
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), scaled 1e6 and floor-divided.
+    Months are re-based to the corpus minimum so the x products stay
+    tiny; flat-history groups (zero x-variance) are excluded rather
+    than divided by zero.
+
+    Scale: one join-reduced monthly aggregate (nation is a broadcast
+    dim), then a per-group combine of five sums — the classic
+    "regression as aggregation" shape that needs no ML library and no
+    driver-side math."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    m = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("y"))
+    )
+    base = m.agg(F.min("x").cast("long").alias("x0"))
+    s = (
+        m.crossJoin(F.broadcast(base))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("x") - F.col("x0")).cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum((F.col("x") - F.col("x0")) * F.col("y"))
+            .cast("long")
+            .alias("sxy"),
+            F.sum((F.col("x") - F.col("x0")) * (F.col("x") - F.col("x0")))
+            .cast("long")
+            .alias("sxx"),
+        )
+    )
+    return s.filter("n * sxx - sx * sx > 0").select(
+        "n_name",
+        "n",
+        # widened to DECIMAL(38,0): 1e6 · (nΣxy − ΣxΣy) reaches ~1e20 at
+        # sf0.1 and overflows int64 (caught by the sf0.1 overflow hunt);
+        # HUGEINT on the oracle side
+        F.expr(
+            "CAST(1000000 * (CAST(n AS DECIMAL(38,0)) * sxy"
+            "               - CAST(sx AS DECIMAL(38,0)) * sy)"
+            " div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_e6_cents_per_month"),
+    )
+
+
+@register(
+    "q_pagerank_copurchase",
+    f"""
+    WITH raw AS (
+        SELECT DISTINCT l_suppkey AS s0, l_partkey + 1000000 AS d0
+        FROM lineitem
+    ), pr_edges AS (
+        SELECT s0 AS s, d0 AS d FROM raw
+        UNION
+        SELECT d0, s0 FROM raw
+    ), pr_deg AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM pr_edges GROUP BY 1
+    ), pr_nodes AS (
+        SELECT DISTINCT s AS node FROM pr_edges
+    ), r0 AS (
+        SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM pr_nodes
+    ),{_pagerank_iter_duck('r0', 'r1')},{_pagerank_iter_duck('r1', 'r2')},{_pagerank_iter_duck('r2', 'r3')}
+    SELECT node, rank FROM (
+        SELECT node, rank,
+               row_number() OVER (ORDER BY rank DESC, node) AS rn
+        FROM r3
+    ) WHERE rn <= 20
+    """,
+)
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (3 iterations, damping 85/100 exact) over the
+    supplier–part supply graph, top-20 nodes. Parts are offset into a
+    disjoint id space; the oracle unrolls the same three iterations as
+    CTEs, and because the spec is all-integer the ranks hash-match
+    bit-for-bit — a floating PageRank could not (per-node sums depend
+    on reduction order).
+
+    Scale: see pipeline.graph.pagerank — per iteration one edge⋈rank
+    join + groupBy, rank vector as the only state; the fixed iteration
+    count is the standard production choice (power iteration converges
+    geometrically; 3-5 rounds rank stably for pruning/weighting)."""
+    from ..pipeline.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).distinct()
+    ranks = pagerank(edges, iterations=3, directed=False)
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+        .select("node", "rank")
+    )
+
+
+@register(
+    "q_rank_functions",
+    f"""
+    WITH s AS (
+        SELECT l_suppkey, CAST(SUM({cents('l_quantity')}) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1
+    ), r AS (
+        SELECT l_suppkey, qty,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(COUNT(*) OVER (ORDER BY qty DESC, l_suppkey
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_le
+        FROM s WINDOW w AS (ORDER BY qty DESC, l_suppkey)
+    )
+    SELECT l_suppkey, qty, rnk, drnk, quartile,
+           CAST(1000000 * (rnk - 1) // (n - 1) AS BIGINT) AS percent_rank_e6,
+           CAST(1000000 * n_le // n AS BIGINT) AS cume_dist_e6
+    FROM r
+    """,
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over per-supplier quantity:
+    rank, dense_rank, ntile quartiles, and integer-scaled
+    percent_rank/cume_dist ((rank−1)·1e6 div (n−1), cum-count·1e6
+    div n) — the float built-ins are re-derived from their integer
+    definitions so the values hash across engines.
+
+    Scale: one aggregation shuffle then the range-repartition global
+    rank (relational.global_order_stats) — no single-reducer window
+    (r5-verdict retirement). The window ORDER is the unique total
+    order (qty DESC, l_suppkey ASC), under which rank == dense_rank ==
+    row_number and the RANGE-frame cumulative count == row_number
+    (peers are singletons), so every ranking function is exact rank
+    arithmetic: ntile via relational.ntile_from_rank, percent_rank and
+    cume_dist from (rank, n)."""
+    from ..relational import global_order_stats, ntile_from_rank
+
+    li = load(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.sum(F.expr(cents("l_quantity"))).cast("long").alias("qty")
+    )
+    g = global_order_stats(
+        s,
+        [F.col("qty").desc(), F.col("l_suppkey").asc()],
+        rank_col="rn",
+        total_count_col="n",
+    )
+    r = g.select(
+        "l_suppkey",
+        "qty",
+        F.col("rn").cast("long").alias("rnk"),
+        F.col("rn").cast("long").alias("drnk"),
+        ntile_from_rank(F.col("rn"), F.col("n"), 4).alias("quartile"),
+        F.col("n").cast("long").alias("n"),
+        F.col("rn").cast("long").alias("n_le"),
+    )
+    return r.select(
+        "l_suppkey",
+        "qty",
+        "rnk",
+        "drnk",
+        "quartile",
+        F.expr("CAST(1000000 * (rnk - 1) div (n - 1) AS BIGINT)").alias(
+            "percent_rank_e6"
+        ),
+        F.expr("CAST(1000000 * n_le div n AS BIGINT)").alias("cume_dist_e6"),
+    )
+
+
+@register(
+    "q_event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ), t AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ), m AS (
+        SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM t GROUP BY 1
+    )
+    SELECT t.src, t.dst, t.n,
+           CAST(1000000 * t.n // m.n_src AS BIGINT) AS p_e6
+    FROM t JOIN m ON t.src = m.src
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and integer-scaled transition probabilities for
+    every (event_type → next event_type) pair — the user-journey map
+    behind drop-off analysis.
+
+    Scale: one shuffle on user_id for the lead() window (the order is
+    fully specified with event_id as tiebreak), then a tiny |types|²
+    aggregate and a broadcast-sized margin join."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    t = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    m = t.groupBy("src").agg(F.sum("n").cast("long").alias("n_src"))
+    return t.join(F.broadcast(m), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.expr("CAST(1000000 * n div n_src AS BIGINT)").alias("p_e6"),
+    )
+
+
+@register(
+    "q_time_to_conversion",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    ), d AS (
+        SELECT v.user_id,
+               CAST(epoch_us(p.tp) - epoch_us(v.t1) AS BIGINT) AS us
+        FROM v JOIN p ON v.user_id = p.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(us) AS BIGINT) AS min_us,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY us) AS BIGINT)
+               AS p50_us,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY us) AS BIGINT)
+               AS p90_us,
+           CAST(MAX(us) AS BIGINT) AS max_us
+    FROM d
+    """,
+)
+def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event distribution: microseconds from a user's first
+    view to their first purchase after it, summarized as exact
+    discrete percentiles (survival-analysis shape without censoring —
+    the never-converted are excluded, which the funnel query reports).
+
+    Scale: the same single-shuffle window trick as the funnel gets the
+    two anchor timestamps; deltas are exact epoch-microsecond integers
+    (relational.epoch_micros handles NTZ vs LTZ)."""
+    from ..relational import epoch_micros
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    per = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    anchors = per.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("tp").alias("tp")
+    ).filter("t1 IS NOT NULL AND tp IS NOT NULL")
+    d = anchors.select(
+        (
+            epoch_micros(anchors, "tp") - epoch_micros(anchors, "t1")
+        ).alias("us")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.min("us").cast("long").alias("min_us"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY us) AS BIGINT)"
+        ).alias("p50_us"),
+        F.expr(
+            "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY us) AS BIGINT)"
+        ).alias("p90_us"),
+        F.max("us").cast("long").alias("max_us"),
+    )
+
+
+@register(
+    "q_attribution_last_touch",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+                   AS touch
+        FROM events
+    ), attr AS (
+        SELECT user_id, ts, event_type,
+               last_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS attributed
+        FROM marked
+    )
+    SELECT COALESCE(attributed, '(none)') AS attributed_channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM attr WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    strictly-earlier non-purchase event of the same user — the
+    marketing-analytics shape (which channel gets the sale).
+
+    Scale: one user_id window over a fully specified order; the
+    IGNORE NULLS running last_value is the same O(1)-per-row frame the
+    as-of join uses — no self-join against the purchase set."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "touch",
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+    )
+    attr = marked.withColumn(
+        "attributed", F.last("touch", ignorenulls=True).over(w)
+    )
+    return (
+        attr.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("attributed", F.lit("(none)")).alias(
+                "attributed_channel"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    )
+
+
+@register(
+    "q_drift_chisq",
+    f"""
+    WITH b AS (
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+               CAST({cents('l_quantity')} // 1000 AS BIGINT) AS bucket
+        FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+    ), o AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        FROM b GROUP BY 1
+    ), t AS (
+        SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+               CAST(SUM(n_cur) AS BIGINT) AS t_cur
+        FROM o
+    )
+    SELECT o.bucket, o.n_ref, o.n_cur,
+           CAST(1000000
+                * (CAST(o.n_cur AS HUGEINT) * t.t_ref
+                   - CAST(o.n_ref AS HUGEINT) * t.t_cur)
+                * (CAST(o.n_cur AS HUGEINT) * t.t_ref
+                   - CAST(o.n_ref AS HUGEINT) * t.t_cur)
+                // (CAST(t.t_ref AS HUGEINT) * t.t_cur
+                    * (o.n_ref + o.n_cur))
+                AS BIGINT) AS drift_term_e6
+    FROM o CROSS JOIN t
+    WHERE o.n_ref + o.n_cur > 0
+    """,
+)
+def q_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between two time periods: the
+    quantity distribution of 1995 vs 1996 shipments, bucketed to
+    10-unit bins, with each bucket's two-sample chi-square
+    contribution in exact scaled integers —
+    1e6·(n_cur·T_ref − n_ref·T_cur)² div (T_ref·T_cur·(n_ref+n_cur)).
+    Monitoring jobs sum the terms and alert on the statistic; the
+    per-bucket terms localize WHICH part of the distribution moved
+    (the question PSI answers with logs, answered here without any).
+
+    Scale: one scan with the year predicate pushed down, one bucket
+    aggregate (map-side partial), one broadcast of the two totals."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.filter(F.year("l_shipdate").isin(1995, 1996)).select(
+        F.year("l_shipdate").cast("long").alias("yr"),
+        F.expr(f"CAST({cents('l_quantity')} div 1000 AS BIGINT)").alias(
+            "bucket"
+        ),
+    )
+    o = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("yr") == 1995, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    t = o.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    return (
+        o.crossJoin(F.broadcast(t))
+        .filter("n_ref + n_cur > 0")
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            # widened to DECIMAL(38,0): the squared cross term reaches
+            # ~1e26·1e6 at sf0.1 and overflows int64 (caught by the
+            # sf0.1 scale-parity sweep); HUGEINT on the oracle side
+            F.expr(
+                "CAST(1000000"
+                " * (CAST(n_cur AS DECIMAL(38,0)) * t_ref"
+                "    - CAST(n_ref AS DECIMAL(38,0)) * t_cur)"
+                " * (CAST(n_cur AS DECIMAL(38,0)) * t_ref"
+                "    - CAST(n_ref AS DECIMAL(38,0)) * t_cur)"
+                " div (CAST(t_ref AS DECIMAL(38,0)) * t_cur"
+                "      * (n_ref + n_cur)) AS BIGINT)"
+            ).alias("drift_term_e6"),
+        )
+    )
+
+
+@register(
+    "q_division_full_year",
+    """
+    WITH q AS (
+        SELECT DISTINCT o_custkey, quarter(o_orderdate) AS qt
+        FROM orders WHERE year(o_orderdate) = 1995
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_quarters
+    FROM q GROUP BY 1 HAVING COUNT(*) = 4
+    """,
+)
+def q_division_full_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (universal quantification): customers who
+    ordered in EVERY quarter of 1995 — the "for all" query shape that
+    doesn't reduce to a join, expressed as the standard
+    count-of-distinct-equals-divisor rewrite.
+
+    Scale: one distinct + one count per customer, both with map-side
+    partials; the divisor (4) is a constant, so no second scan of the
+    dividend — the textbook double-NOT-EXISTS formulation would plan
+    two correlated anti-joins for the same answer."""
+    orders = load(spark, sf_dir, "orders")
+    q = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey", F.quarter("o_orderdate").alias("qt"))
+        .distinct()
+    )
+    return (
+        q.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_quarters"))
+        .filter("n_quarters = 4")
+    )
+
+
+@register(
+    "q_session_quality",
+    """
+    WITH numbered AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM numbered
+    ), per_session AS (
+        SELECT user_id, session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(1000000 * SUM(converted) // COUNT(*) AS BIGINT)
+               AS conversion_e6,
+           CAST(1000000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS bounce_e6
+    FROM per_session
+    """,
+)
+def q_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality rollup over 30-minute-gap sessions: conversion
+    rate (sessions containing a purchase) and bounce rate
+    (single-event sessions) as integer-scaled ratios — the two
+    product-health numbers session analytics exists to produce.
+
+    Scale: the standard gaps-and-islands sessionization (one user
+    shuffle, two window passes), a per-session aggregate on the same
+    partitioning, then a single-row combine."""
+    from ..relational import epoch_micros
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = epoch_micros(ev, "ts")
+    numbered = ev.select(
+        "user_id", "ts", "event_type",
+        F.when(
+            F.lag(us).over(w).isNull()
+            | (us - F.lag(us).over(w) > 1800 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = numbered.select(
+        "user_id",
+        "event_type",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_id"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.expr(
+            "CAST(1000000 * CAST(SUM(converted) AS BIGINT) div COUNT(*) AS BIGINT)"
+        ).alias("conversion_e6"),
+        F.expr(
+            "CAST(1000000 * CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+            " AS BIGINT) div COUNT(*) AS BIGINT)"
+        ).alias("bounce_e6"),
+    )
+
+
+@register(
+    "q_recommend_copurchase",
+    """
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY 1
+    ), pairs AS (
+        SELECT p1.part AS part_a, p2.part AS part_b
+        FROM baskets,
+             unnest(parts) AS p1(part),
+             unnest(parts) AS p2(part)
+        WHERE p1.part < p2.part
+    ), pc AS (
+        SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), sym AS (
+        SELECT part_a AS item, part_b AS rec, n_ab FROM pc
+        UNION ALL
+        SELECT part_b, part_a, n_ab FROM pc
+    )
+    SELECT item, rec, n_ab, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT item, rec, n_ab,
+               row_number() OVER (PARTITION BY item
+                                  ORDER BY n_ab DESC, rec) AS rn
+        FROM sym
+    ) WHERE rn <= 3
+    """,
+)
+def q_recommend_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequently-bought-together recommendations: each part's top-3
+    co-purchased parts by support count — the product surface the
+    basket-pair mining feeds.
+
+    Scale: the pair table (support-pruned) is symmetrized and ranked
+    per item with a partial top-k — the recommendation table is
+    O(items·k) however large the catalog, and at serving time it is a
+    broadcast or bucketed lookup, never a join against baskets."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("__p")
+    ).select("__p.part_a", "__p.part_b")
+    pc = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter("n_ab >= 2")
+    )
+    sym = pc.select(
+        F.col("part_a").alias("item"), F.col("part_b").alias("rec"), "n_ab"
+    ).unionByName(
+        pc.select(
+            F.col("part_b").alias("item"), F.col("part_a").alias("rec"), "n_ab"
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("n_ab").desc(), "rec")
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter("rank <= 3")
+        .select("item", "rec", "n_ab", "rank")
+    )
+
+
+@register(
+    "q_triangle_suppliers",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    shared AS (
+        SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(shared) AS BIGINT) AS sum_shared
+        FROM shared
+    ),
+    e AS (
+        SELECT u, v FROM shared CROSS JOIN tot
+        WHERE shared * n_pairs >= sum_shared
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node AS supp, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM nodes GROUP BY 1
+    """,
+)
+def q_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts in the co-sourcing graph: suppliers
+    are adjacent when they ship at-least-mean-many common distinct
+    parts (an exact integer threshold — shared·|pairs| ≥ Σshared — so
+    both engines draw the same graph at every scale), and each node's
+    triangle count measures how clustered its sourcing neighborhood is
+    (the local clustering numerator, the canonical community-structure
+    signal).
+
+    Scale: pipeline.graph.triangle_counts uses the degree-ordered
+    orientation, so wedge fan-out is bounded by oriented out-degree
+    (O(√m) for any graph) — hub nodes don't blow up the self-join the
+    way the naive a<b<c enumeration the ORACLE uses would; the oracle
+    shape is fine at oracle scale and orientation-invariant, which is
+    the cross-check."""
+    from ..pipeline.graph import triangle_counts
+
+    # identical edge definition to _cosource_edges_spark — reuse the
+    # localCheckpoint()ed frame so triangle_counts' 3-4 references
+    # don't re-run the lineitem scan + co-sourcing self-join each time
+    e = _cosource_edges_spark(spark, sf_dir)
+    return triangle_counts(e, "u", "v").select(
+        F.col("node").alias("supp"), "n_tri"
+    )
+
+
+@register(
+    "q_attribution_linear",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS journey
+        FROM events
+    ),
+    tc AS (
+        SELECT user_id, journey, event_type AS channel,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM seq WHERE event_type <> 'purchase'
+        GROUP BY 1, 2, 3
+    ),
+    jn AS (
+        SELECT user_id, journey, CAST(SUM(cnt) AS BIGINT) AS n_touches
+        FROM tc GROUP BY 1, 2
+    ),
+    pj AS (
+        SELECT user_id, journey FROM seq WHERE event_type = 'purchase'
+    ),
+    credited AS (
+        SELECT tc.channel,
+               CAST(tc.cnt * (1000000 // jn.n_touches) AS BIGINT) AS credit_e6
+        FROM pj
+        JOIN jn USING (user_id, journey)
+        JOIN tc USING (user_id, journey)
+        UNION ALL
+        SELECT '(none)', CAST(1000000 AS BIGINT)
+        FROM pj LEFT JOIN jn USING (user_id, journey)
+        WHERE jn.n_touches IS NULL
+    )
+    SELECT channel, CAST(SUM(credit_e6) AS BIGINT) AS credit_e6
+    FROM credited GROUP BY 1
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits 1e6 credit
+    micro-units equally across EVERY touch in its journey (the events
+    since the user's previous purchase), in exact integer arithmetic —
+    cnt·(1e6 div n) per channel, truncation identical in both engines —
+    with purchases that follow no touch crediting '(none)'. The
+    multi-touch counterpart of q_attribution_last_touch: campaigns that
+    only open journeys stop being invisible.
+
+    Scale: one window pass assigns journey ids (same sort the
+    sessionizer uses), then two narrow groupBys on (user, journey) and
+    one broadcast-sized channel rollup — no self-joins over the event
+    log."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1)
+            ).over(w),
+            F.lit(0),
+        ).cast("long"),
+    )
+    tc = (
+        seq.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "journey", F.col("event_type").alias("channel"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    jn = tc.groupBy("user_id", "journey").agg(
+        F.sum("cnt").cast("long").alias("n_touches")
+    )
+    pj = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", "journey"
+    )
+    touched = (
+        pj.join(jn, ["user_id", "journey"])
+        .join(tc, ["user_id", "journey"])
+        .select(
+            "channel",
+            F.expr("CAST(cnt * (1000000 div n_touches) AS BIGINT)").alias(
+                "credit_e6"
+            ),
+        )
+    )
+    untouched = (
+        pj.join(jn, ["user_id", "journey"], "left_anti")
+        .select(
+            F.lit("(none)").alias("channel"),
+            F.lit(1000000).cast("long").alias("credit_e6"),
+        )
+    )
+    return (
+        touched.unionByName(untouched)
+        .groupBy("channel")
+        .agg(F.sum("credit_e6").cast("long").alias("credit_e6"))
+    )
+
+
+@register("q_kcore_suppliers", _kcore_oracle())
+def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-core of the supplier co-sourcing graph (same
+    mean-thresholded edges as q_triangle_suppliers) at k = 70% of mean
+    degree — the dense backbone that survives iterative peeling of
+    weakly-connected suppliers. The engine peels to FIXPOINT with a
+    driver loop (pipeline.graph.k_core, lineage flattened per round);
+    the oracle unrolls 5 monotone materialized peel rounds, which covers the
+    observed ≤3-round convergence at every gate scale with margin.
+
+    k is derived in exact integer arithmetic (7·|sym-edges| div
+    (10·|nodes|)) so both engines peel at the identical threshold at
+    any SF."""
+    from ..pipeline.graph import k_core
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    e = (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v")
+    )
+    stats = (
+        e.select(F.col("u").alias("n")).unionAll(e.select("v"))
+        .agg(
+            F.count(F.lit(1)).alias("sym_edges"),
+            F.countDistinct("n").alias("n_nodes"),
+        )
+        .first()
+    )
+    k = 7 * stats["sym_edges"] // (10 * stats["n_nodes"])
+    return k_core(e, "u", "v", k=int(k)).select(
+        F.col("node").alias("supp"), "core_deg"
+    )
+
+
+@register(
+    "q_changepoint_revenue",
+    f"""
+    WITH daily AS (
+        SELECT l_suppkey AS supp, l_shipdate AS day,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT supp, day, v,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+               CAST(SUM(v) OVER (PARTITION BY supp ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS prefix,
+               CAST(COUNT(*) OVER (PARTITION BY supp) AS BIGINT) AS n,
+               CAST(SUM(v) OVER (PARTITION BY supp) AS BIGINT) AS total
+        FROM daily
+        WINDOW w AS (PARTITION BY supp ORDER BY day)
+    ),
+    dev AS (
+        SELECT supp, day, t, n,
+               abs(n * prefix - t * total) AS score
+        FROM cum WHERE t < n
+    )
+    SELECT supp, strftime(day, '%Y-%m-%d') AS cp_day,
+           CAST(score AS BIGINT) AS score
+    FROM (
+        SELECT supp, day, score,
+               ROW_NUMBER() OVER (PARTITION BY supp
+                                  ORDER BY score DESC, day ASC) AS rn
+        FROM dev
+    ) WHERE rn = 1
+    """,
+)
+def q_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint estimation per supplier over daily shipped
+    revenue: the split day t maximizing the scaled cumulative deviation
+    |n·prefix_t − t·total| — the exact-integer CUSUM statistic (the
+    float form prefix_t − (t/n)·total times n), whose argmax is the
+    max-likelihood mean-shift location. Ties break to the earliest day;
+    the final day is excluded (a split there is no split). Completes
+    the monitoring family: drift says the distribution moved,
+    anomaly says an hour is wild, changepoint says WHEN the level
+    shifted.
+
+    Scale: one groupBy to daily sums, one window pass per supplier
+    (the same sort serves row_number, prefix and totals), one top-1
+    rank — no self-joins."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("supp"), F.col("l_shipdate").alias("day")
+    ).agg(
+        F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("v")
+    )
+    wo = Window.partitionBy("supp").orderBy("day")
+    wall = Window.partitionBy("supp")
+    cum = daily.select(
+        "supp",
+        "day",
+        F.row_number().over(wo).cast("long").alias("t"),
+        F.sum("v")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("prefix"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("v").over(wall).cast("long").alias("total"),
+    )
+    dev = cum.filter(F.col("t") < F.col("n")).select(
+        "supp",
+        "day",
+        F.abs(F.col("n") * F.col("prefix") - F.col("t") * F.col("total")).alias(
+            "score"
+        ),
+    )
+    wr = Window.partitionBy("supp").orderBy(F.col("score").desc(), F.col("day").asc())
+    return (
+        dev.withColumn("rn", F.row_number().over(wr))
+        .filter("rn = 1")
+        .select(
+            "supp",
+            F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
+
+
+@register("q_kcore_rounds", _kcore_oracle(mode="rounds"))
+def q_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion layers of the supplier co-sourcing graph: the peel round
+    (1-based) in which each supplier falls out of the k-core loop, 0
+    for core survivors — a coreness ordering the same fixpoint loop
+    yields for free (peripheral suppliers peel early, structurally
+    embedded ones late or never). Same edges and integer k as
+    q_kcore_suppliers; the oracle tags each unrolled round's dropped
+    set with its round number."""
+    from ..pipeline.graph import k_core
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    e = (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v")
+    )
+    stats = (
+        e.select(F.col("u").alias("n")).unionAll(e.select("v"))
+        .agg(
+            F.count(F.lit(1)).alias("sym_edges"),
+            F.countDistinct("n").alias("n_nodes"),
+        )
+        .first()
+    )
+    k = 7 * stats["sym_edges"] // (10 * stats["n_nodes"])
+    return k_core(e, "u", "v", k=int(k), emit_rounds=True).select(
+        F.col("node").alias("supp"), "peel_round"
+    )
+
+
+@register(
+    "q_incremental_join",
+    f"""
+    SELECT o_orderkey, c_name,
+           CAST({cents('o_totalprice')} AS BIGINT) AS price_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance: the orders⋈customer result is
+    maintained as base ∪ (Δorders ⋈ customer) — the delta-join identity
+    a materialized join view refreshes with (only the arriving batch
+    joins; the base result is reused untouched). The oracle recomputes
+    the full join from scratch, so the gate proves the identity holds
+    exactly. Companion to q_incremental_agg (aggregates) — together
+    they cover the two algebraic refresh laws incremental pipelines
+    rely on.
+
+    Scale: the delta side is batch-sized, so AQE broadcasts it against
+    the dimension; the base result never reshuffles (in a real
+    deployment it's a persisted bucketed table — see tables.py)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def j(orders_part):
+        return orders_part.join(
+            c, orders_part["o_custkey"] == c["c_custkey"]
+        ).select(
+            "o_orderkey",
+            "c_name",
+            F.expr(f"CAST({cents('o_totalprice')} AS BIGINT)").alias(
+                "price_cents"
+            ),
+        )
+
+    base = j(o.filter("o_orderkey % 10 != 0"))
+    delta = j(o.filter("o_orderkey % 10 = 0"))
+    return base.unionByName(delta)
+
+
+@register(
+    "q_kanon_violations",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size
+    FROM customer
+    GROUP BY 1, 2
+    HAVING COUNT(*) < 5
+    """,
+)
+def q_kanon_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier pair: equivalence classes smaller than k = 5 —
+    the rows whose attribute combination makes them re-identifiable,
+    the release-gate check that pairs with PII scrubbing
+    (text_scrub_docs) in a privacy pipeline.
+
+    Scale: one groupBy with map-side partials; the violating classes
+    are by definition the SMALL groups, so the output is tiny."""
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .filter(F.col("class_size") < 5)
+    )
+
+
+@register(
+    "q_corpus_diff",
+    """
+    WITH a AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 13 != 0
+    ),
+    b AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]'
+                        ELSE text END) AS h
+        FROM documents WHERE doc_id % 11 != 0
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h != b.h
+    """,
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (synthesized: snapshot
+    B edits every 7th document, drops multiples of 11, and restores
+    multiples of 13 that A lacks): one full outer join on the id with a
+    content-hash comparison classifies every divergence as
+    added / removed / changed — the audit that tells you WHAT moved
+    between two training-corpus versions, where q_table_checksum only
+    tells you THAT something moved.
+
+    Scale: ids and 128-bit hashes shuffle, never document payloads;
+    unchanged rows (the overwhelming majority) are filtered before the
+    output materializes."""
+    docs = load(spark, sf_dir, "documents")
+    a = docs.filter("doc_id % 13 != 0").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    b = docs.filter("doc_id % 11 != 0").select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.expr("doc_id % 7 = 0"), F.concat("text", F.lit(" [edited]"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    a = a.select(F.col("doc_id").alias("a_id"), F.col("h").alias("a_h"))
+    b = b.select(F.col("doc_id").alias("b_id"), F.col("h").alias("b_h"))
+    j = a.join(b, a["a_id"] == b["b_id"], "full_outer")
+    return j.filter(
+        F.col("a_id").isNull()
+        | F.col("b_id").isNull()
+        | (F.col("a_h") != F.col("b_h"))
+    ).select(
+        F.coalesce("a_id", "b_id").alias("doc_id"),
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+    )
+
+
+@register(
+    "q_data_constraints",
+    f"""
+    WITH rowchecks AS (
+        SELECT CAST(SUM(CASE WHEN NOT COALESCE(l_quantity >= 1
+                                           AND l_quantity <= 50, FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS qty_in_range,
+               CAST(SUM(CASE WHEN NOT COALESCE(l_orderkey IS NOT NULL, FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_not_null,
+               CAST(SUM(CASE WHEN NOT COALESCE(l_discount >= 0
+                                           AND l_discount <= 1, FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS discount_unit,
+               CAST(SUM(CASE WHEN NOT COALESCE(
+                        l_returnflag IN ('A', 'N', 'R'), FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_enum,
+               CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice >= l_quantity,
+                                               FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS price_covers_qty
+        FROM lineitem
+    ),
+    rules AS (
+        SELECT 'qty_in_range' AS rule, qty_in_range AS n_violations
+        FROM rowchecks
+        UNION ALL SELECT 'orderkey_not_null', orderkey_not_null FROM rowchecks
+        UNION ALL SELECT 'discount_unit', discount_unit FROM rowchecks
+        UNION ALL SELECT 'returnflag_enum', returnflag_enum FROM rowchecks
+        UNION ALL SELECT 'price_covers_qty', price_covers_qty FROM rowchecks
+        UNION ALL
+        SELECT 'pk_order_line', CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+        FROM (SELECT COUNT(*) AS c FROM lineitem
+              GROUP BY l_orderkey, l_linenumber) g
+        WHERE c > 1
+    )
+    SELECT rule, n_violations, n_violations = 0 AS passed FROM rules
+    """,
+)
+def q_data_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over lineitem
+    (pipeline.profile.check_constraints): range, non-null, enum, and
+    cross-column predicates fold into ONE conditional-
+    aggregation scan, plus a composite-key uniqueness rule — the
+    tabular counterpart of the GeoParquet spec validator, emitting the
+    per-rule (violations, passed) report a release pipeline asserts
+    on. NULL predicate results count as violations (unknown is not
+    proof of validity)."""
+    from ..pipeline.profile import check_constraints
+
+    li = load(spark, sf_dir, "lineitem")
+    return check_constraints(
+        li,
+        checks=[
+            ("qty_in_range", "l_quantity >= 1 AND l_quantity <= 50"),
+            ("orderkey_not_null", "l_orderkey IS NOT NULL"),
+            ("discount_unit", "l_discount >= 0 AND l_discount <= 1"),
+            ("returnflag_enum", "l_returnflag IN ('A', 'N', 'R')"),
+            ("price_covers_qty", "l_extendedprice >= l_quantity"),
+        ],
+        unique=[("pk_order_line", ["l_orderkey", "l_linenumber"])],
+    )
+
+
+@register(
+    "q_session_window_dynamic",
+    f"""
+    WITH g AS (
+        SELECT user_id, ts, {cents('value')} AS v, epoch_us(ts) AS tus,
+               epoch_us(ts) + CASE WHEN event_type = 'error'
+                                   THEN 300000000 ELSE 1800000000 END AS eus
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, v, tus, eus,
+               CASE WHEN MAX(eus) OVER w IS NULL OR tus > MAX(eus) OVER w
+                    THEN 1 ELSE 0 END AS is_new
+        FROM g
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sess AS (
+        SELECT user_id, ts, v, eus,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM numbered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+           strftime(make_timestamp(MAX(eus)), '%Y-%m-%d %H:%M:%S') AS s_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS BIGINT) AS value_cents
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions with a PER-EVENT gap — error events hold the session
+    open only 5 minutes, everything else 30 — via the built-in
+    session_window's dynamic-gap form (each event contributes the
+    interval [ts, ts+gap]; overlapping-or-touching intervals merge:
+    verified empirically, an event exactly AT the running max end
+    joins the session). The oracle replays the same interval-union
+    with a running MAX(ts+gap) over preceding events: a new session
+    starts strictly after it.
+
+    Scale: same one-shuffle engine-managed aggregation as the fixed-gap
+    form; the gap CASE is a map-side expression."""
+    ev = load_events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr(cents("value"))).cast("long").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            # ts is TIMESTAMP_NTZ here, so the window bounds are NTZ
+            # wall clocks: render directly — convert_timezone would
+            # re-interpret them in the session zone and shift (the
+            # double-shift bug the Tokyo sweep exists to catch)
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "s_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "s_end"
+            ),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@register(
+    "q_attribution_position",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS journey
+        FROM events
+    ),
+    touches AS (
+        SELECT user_id, journey, event_type AS channel,
+               row_number() OVER (PARTITION BY user_id, journey
+                                  ORDER BY ts, event_id) AS pos,
+               COUNT(*) OVER (PARTITION BY user_id, journey) AS n
+        FROM seq WHERE event_type <> 'purchase'
+    ),
+    pj AS (
+        SELECT user_id, journey FROM seq WHERE event_type = 'purchase'
+    ),
+    credited AS (
+        SELECT t.channel,
+               CAST(CASE
+                   WHEN t.n = 1 THEN 1000000
+                   WHEN t.n = 2 THEN 500000
+                   WHEN t.pos = 1 OR t.pos = t.n THEN 400000
+                   ELSE 200000 // (t.n - 2)
+               END AS BIGINT) AS credit_e6
+        FROM pj JOIN touches t USING (user_id, journey)
+        UNION ALL
+        SELECT '(none)', CAST(1000000 AS BIGINT)
+        FROM pj LEFT JOIN (SELECT DISTINCT user_id, journey FROM touches) t
+            USING (user_id, journey)
+        WHERE t.journey IS NULL
+    )
+    SELECT channel, CAST(SUM(credit_e6) AS BIGINT) AS credit_e6
+    FROM credited GROUP BY 1
+    """,
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution: each purchase gives 40%
+    credit to its journey's FIRST touch, 40% to the LAST, and splits
+    the remaining 20% across the middle touches — exact integer
+    micro-units with the same truncation in both engines (1-touch
+    journeys take the full 1e6, 2-touch split 50/50). Completes the
+    attribution trio: last-touch (who closed), linear (who
+    participated), position (who opened AND closed).
+
+    Scale: same one-window journey assignment as the linear variant;
+    position and journey size come from the SAME partition sort — no
+    extra shuffle."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1)).over(w),
+            F.lit(0),
+        ).cast("long"),
+    )
+    wj = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id", "journey")
+    touches = (
+        seq.filter(F.col("event_type") != "purchase")
+        .withColumn("pos", F.row_number().over(wj))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .select("user_id", "journey", F.col("event_type").alias("channel"), "pos", "n")
+    )
+    pj = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", "journey"
+    )
+    credited = pj.join(touches, ["user_id", "journey"]).select(
+        "channel",
+        F.expr(
+            "CAST(CASE WHEN n = 1 THEN 1000000"
+            " WHEN n = 2 THEN 500000"
+            " WHEN pos = 1 OR pos = n THEN 400000"
+            " ELSE 200000 div (n - 2) END AS BIGINT)"
+        ).alias("credit_e6"),
+    )
+    untouched = pj.join(
+        touches.select("user_id", "journey").distinct(),
+        ["user_id", "journey"],
+        "left_anti",
+    ).select(
+        F.lit("(none)").alias("channel"),
+        F.lit(1000000).cast("long").alias("credit_e6"),
+    )
+    return (
+        credited.unionByName(untouched)
+        .groupBy("channel")
+        .agg(F.sum("credit_e6").cast("long").alias("credit_e6"))
+    )
+
+
+@register(
+    "q_attribution_time_decay",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS journey
+        FROM events
+    ),
+    pj AS (
+        SELECT user_id, journey, epoch_us(ts) AS p_tus
+        FROM seq WHERE event_type = 'purchase'
+    ),
+    weighted AS (
+        SELECT t.user_id, t.journey, t.event_type AS channel,
+               (CAST(1 AS BIGINT) << (40 - LEAST(
+                   CAST((p.p_tus - epoch_us(t.ts)) // 21600000000 AS BIGINT),
+                   40))) AS w
+        FROM seq t JOIN pj p USING (user_id, journey)
+        WHERE t.event_type <> 'purchase'
+    ),
+    tot AS (
+        SELECT user_id, journey, CAST(SUM(w) AS BIGINT) AS sw
+        FROM weighted GROUP BY 1, 2
+    ),
+    credited AS (
+        SELECT w.channel,
+               CAST(w.w * 1000000 // t.sw AS BIGINT) AS credit_e6
+        FROM weighted w JOIN tot t USING (user_id, journey)
+        UNION ALL
+        SELECT '(none)', CAST(1000000 AS BIGINT)
+        FROM pj LEFT JOIN tot USING (user_id, journey)
+        WHERE tot.sw IS NULL
+    )
+    SELECT channel, CAST(SUM(credit_e6) AS BIGINT) AS credit_e6
+    FROM credited GROUP BY 1
+    """,
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution with a 6-hour half-life in EXACT integer
+    arithmetic: each touch's weight is 2^(40 − floor(age/6h)) — a left
+    shift, never a float pow — capped at exponent 0, and each
+    purchase's 1e6 credit splits proportionally (w·1e6 div Σw). The
+    fourth and final standard attribution model (last-touch, linear,
+    position, decay): recency-weighted participation.
+
+    Scale: the only addition over the linear variant is one join of
+    touches to their journey's purchase timestamp — keyed by the same
+    (user, journey) the family already groups on."""
+    from ..relational import epoch_micros
+
+    ev = load_events(spark, sf_dir)
+    ev = ev.withColumn("__tus", epoch_micros(ev, "ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1)).over(w),
+            F.lit(0),
+        ).cast("long"),
+    )
+    pj = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", "journey", F.col("__tus").alias("p_tus")
+    )
+    weighted = (
+        seq.filter(F.col("event_type") != "purchase")
+        .join(pj, ["user_id", "journey"])
+        .select(
+            "user_id",
+            "journey",
+            F.col("event_type").alias("channel"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(40 - least("
+                "(p_tus - __tus) div 21600000000, 40) AS INT))"
+            ).alias("w"),
+        )
+    )
+    tot = weighted.groupBy("user_id", "journey").agg(
+        F.sum("w").cast("long").alias("sw")
+    )
+    credited = weighted.join(tot, ["user_id", "journey"]).select(
+        "channel",
+        F.expr("CAST(w * 1000000 div sw AS BIGINT)").alias("credit_e6"),
+    )
+    untouched = pj.join(
+        tot.select("user_id", "journey"), ["user_id", "journey"], "left_anti"
+    ).select(
+        F.lit("(none)").alias("channel"),
+        F.lit(1000000).cast("long").alias("credit_e6"),
+    )
+    return (
+        credited.unionByName(untouched)
+        .groupBy("channel")
+        .agg(F.sum("credit_e6").cast("long").alias("credit_e6"))
+    )
+
+
+@register(
+    "q_clustering_coeff",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    shared AS (
+        SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(shared) AS BIGINT) AS sum_shared
+        FROM shared
+    ),
+    e AS (SELECT u, v FROM shared CROSS JOIN tot
+          WHERE shared * n_pairs >= sum_shared),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1
+    ),
+    tt AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tri AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM (
+            SELECT a AS node FROM tt
+            UNION ALL SELECT b FROM tt
+            UNION ALL SELECT c FROM tt
+        ) GROUP BY 1
+    )
+    SELECT d.node AS supp, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+           CAST(CASE WHEN d.deg >= 2
+                THEN 2000000 * COALESCE(t.n_tri, 0) // (d.deg * (d.deg - 1))
+                ELSE 0 END AS BIGINT) AS lcc_e6
+    FROM deg d LEFT JOIN tri t ON t.node = d.node
+    """,
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per supplier — 2·triangles(v) div
+    (deg(v)·(deg(v)−1)) in exact 1e-6 units — composing the
+    degree-oriented triangle counter with the degree table: the
+    per-node community-tightness signal (1e6 = my neighbors all know
+    each other). Nodes of degree < 2 report 0 (no possible wedge).
+
+    Scale: everything reuses the triangle query's plan (orientation
+    bounds the wedge join) plus one narrow left join on node id."""
+    from ..pipeline.graph import triangle_counts
+
+    # same edge reuse as q_triangle_suppliers (see _cosource_edges_spark)
+    e = _cosource_edges_spark(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_counts(e, "u", "v")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            F.col("node").alias("supp"),
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.expr(
+                "CAST(CASE WHEN deg >= 2"
+                " THEN 2000000 * coalesce(n_tri, 0) div (deg * (deg - 1))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("lcc_e6"),
+        )
+    )
+
+
+@register(
+    "q_modularity_nations",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    shared AS (
+        SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(shared) AS BIGINT) AS sum_shared
+        FROM shared
+    ),
+    e AS (SELECT u, v FROM shared CROSS JOIN tot
+          WHERE shared * n_pairs >= sum_shared),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    comm AS (SELECT s_suppkey AS node, CAST(s_nationkey AS BIGINT) AS c
+             FROM supplier),
+    e_in AS (
+        SELECT cu.c, CAST(COUNT(*) AS BIGINT) AS e_c
+        FROM e JOIN comm cu ON cu.node = e.u
+               JOIN comm cv ON cv.node = e.v
+        WHERE cu.c = cv.c GROUP BY 1
+    ),
+    a_deg AS (
+        SELECT cm.c, CAST(COUNT(*) AS BIGINT) AS a_c
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) d
+        JOIN comm cm ON cm.node = d.node
+        GROUP BY 1
+    )
+    SELECT a.c AS nation, COALESCE(ei.e_c, 0) AS e_in, a.a_c,
+           CAST((CAST(4000000000 AS BIGINT) * m.m * COALESCE(ei.e_c, 0)
+                 - CAST(1000000000 AS BIGINT) * a.a_c * a.a_c)
+                // (4 * m.m * m.m) AS BIGINT) AS q_term_e9
+    FROM a_deg a LEFT JOIN e_in ei ON ei.c = a.c CROSS JOIN m
+    """,
+)
+def q_modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity terms of the nation partition over the
+    co-sourcing graph: per nation c, Q_c = e_c/m − (a_c/2m)² in exact
+    1e-9 units — (1e9·4m·e_c − 1e9·a_c²) div (4m²) — summing to the
+    partition's modularity. Positive terms mean suppliers source
+    within their nation more than a random graph with these degrees
+    would; the gate value is near zero by construction (the synthetic
+    graph ignores nations), which is itself the correct reading.
+
+    Scale: two narrow joins of the edge list against the broadcast
+    node→community map, one degree union — no quadratic step."""
+    # shared checkpointed edge frame (see _cosource_edges_spark) —
+    # modularity references the edges for m, e_in, and both degree
+    # unions, which re-ran the co-sourcing self-join four times
+    e = _cosource_edges_spark(spark, sf_dir)
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    comm = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node"),
+        F.col("s_nationkey").cast("long").alias("c"),
+    )
+    cu = comm.select(F.col("node").alias("u"), F.col("c").alias("cu"))
+    cv = comm.select(F.col("node").alias("v"), F.col("c").alias("cv"))
+    e_in = (
+        e.join(F.broadcast(cu), "u")
+        .join(F.broadcast(cv), "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    a_deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .join(F.broadcast(comm), "node")
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("a_c"))
+    )
+    return (
+        a_deg.join(e_in, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("c").alias("nation"),
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("e_in"),
+            "a_c",
+            F.expr(
+                "CAST((CAST(4000000000 AS BIGINT) * m * coalesce(e_c, 0)"
+                " - CAST(1000000000 AS BIGINT) * a_c * a_c)"
+                " div (4 * m * m) AS BIGINT)"
+            ).alias("q_term_e9"),
+        )
+    )
+
+
+@register("q_harmonic_centrality", _bfs_oracle())
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark harmonic centrality over the co-sourcing graph:
+    distributed BFS (pipeline.graph.bfs_distances — iterated
+    min-distance relaxation to fixpoint) from the supplier landmarks
+    (s % 10 = 0), then per node Σ 1e6 div d(landmark, node) — the
+    closeness-family centrality that works on disconnected graphs.
+    Landmarks, not all-pairs, is the scale shape: tens of sources keep
+    the distance frame O(landmarks · reachable).
+
+    The oracle unrolls 4 materialized min-relaxation rounds (landmark
+    eccentricity ≤ 2 at gate scale, margin 2); the Spark loop stops at
+    the same fixpoint by row-count convergence."""
+    from ..pipeline.graph import bfs_distances
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    e = (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v")
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .distinct()
+    )
+    landmarks = nodes.filter("node % 10 = 0")
+    dist = bfs_distances(e, landmarks, "u", "v")
+    return (
+        dist.filter("dist > 0")
+        .groupBy(F.col("node").alias("supp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum(F.expr("1000000 div dist")).cast("long").alias("harmonic_e6"),
+        )
+    )
+
+
+@register("q_lpa_communities", _lpa_oracle())
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community DETECTION on the co-sourcing graph via deterministic
+    synchronous label propagation (pipeline.graph.label_propagation, 3
+    rounds): where q_modularity_nations scores a GIVEN partition, LPA
+    finds one — with smallest-label tie-breaks and fixed synchronous
+    rounds replacing classic LPA's random visit order so both engines
+    compute the identical labeling."""
+    from ..pipeline.graph import label_propagation
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    e = (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v")
+    )
+    return label_propagation(e, "u", "v", iterations=3).select(
+        F.col("node").alias("supp"), F.col("community").cast("long").alias("community")
+    )
+
+
+@register(
+    "q_pattern_error_recovery",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_patterns
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'error' AND t2 = 'view'
+    GROUP BY 1
+    """,
+)
+def q_pattern_error_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-motif matching over event streams: per user, how often
+    the exact consecutive triple view → error → view occurs (the
+    error-recovery motif — a user hitting an error and immediately
+    retrying). The MATCH_RECOGNIZE-lite shape: fixed-length motifs
+    compile to lead() chains over ONE window sort, no self-joins —
+    the same sort the sessionizer and transitions already pay for.
+
+    Scale: one window pass; the motif test is a map-side predicate on
+    the lead columns."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "error")
+            & (F.col("t2") == "view")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_patterns"))
+    )
+
+
+@register(
+    "q_outliers_mad",
+    f"""
+    WITH daily AS (
+        SELECT l_suppkey AS supp, l_shipdate AS day,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT supp,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+                    AS BIGINT) AS med
+        FROM daily GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.supp, d.day, d.v, m.med, abs(d.v - m.med) AS adev
+        FROM daily d JOIN med m USING (supp)
+    ),
+    mad AS (
+        SELECT supp,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)
+                    AS BIGINT) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT dev.supp,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN dev.adev * 1000 > 4448 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON mad.supp = dev.supp
+    GROUP BY 1
+    """,
+)
+def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per supplier's daily revenue via the
+    MEDIAN absolute deviation: a day is an outlier when
+    |v − median| · 1000 > 4448 · MAD (the 3·1.4826σ-equivalent rule as
+    an exact integer cross-multiplication — no float scaling
+    constant). Unlike the z-score family, one wild day cannot inflate
+    its own threshold (median and MAD have a 50% breakdown point) —
+    the robust companion to q_anomaly_zscore and q_changepoint.
+
+    Scale: two percentile_disc aggregations per group (sort-based,
+    deterministic — disc picks an actual value, unlike interpolating
+    percentile_cont) and one counting pass."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("supp"), F.col("l_shipdate").alias("day")
+    ).agg(F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("v"))
+
+    def disc_median(df, col, out):
+        # percentile_disc(0.5): the value at sorted position ceil(n/2)
+        # — Spark's percentile()/median() INTERPOLATE, which is a
+        # different (and non-value-preserving) statistic
+        wv = Window.partitionBy("supp").orderBy(F.col(col).asc())
+        wn = Window.partitionBy("supp")
+        return (
+            df.withColumn("__rn", F.row_number().over(wv))
+            .withColumn("__n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("__rn") == F.ceil(F.col("__n") / 2))
+            .select("supp", F.col(col).cast("long").alias(out))
+        )
+
+    med = disc_median(daily, "v", "med")
+    dev = daily.join(med, "supp").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = disc_median(dev, "adev", "mad")
+    return (
+        dev.join(mad, "supp")
+        .groupBy("supp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(
+                F.when(F.col("adev") * 1000 > 4448 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "q_cohort_ltv",
+    f"""
+    WITH ud AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, {cents('value')} AS v
+        FROM events
+    ),
+    cohorted AS (
+        SELECT user_id, d, v,
+               MIN(d) OVER (PARTITION BY user_id) AS cohort_d
+        FROM ud
+    ),
+    daily AS (
+        SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+               datediff('day', cohort_d, d) AS day_offset,
+               CAST(SUM(v) AS BIGINT) AS rev_cents
+        FROM cohorted GROUP BY 1, 2
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           rev_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY cohort_day
+                ORDER BY day_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_rev_cents
+    FROM daily
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: per signup-day cohort, the
+    cumulative revenue at each day offset — the retention triangle's
+    revenue-weighted twin (retention asks WHO came back, LTV asks what
+    they were WORTH by day k), in exact cents.
+
+    Scale: one window pass for cohort anchoring (same per-user sort
+    retention uses), one groupBy to the (cohort, offset) grid — tiny —
+    and a running sum over each cohort's ≤ horizon offsets."""
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.expr(cents("value")).alias("v"),
+    )
+    cohorted = ud.withColumn(
+        "cohort_d", F.min("d").over(Window.partitionBy("user_id"))
+    )
+    daily = cohorted.groupBy(
+        F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff("d", "cohort_d").cast("long").alias("day_offset"),
+    ).agg(F.sum("v").cast("long").alias("rev_cents"))
+    wc = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "cohort_day",
+        "day_offset",
+        "rev_cents",
+        F.sum("rev_cents").over(wc).cast("long").alias("cum_rev_cents"),
+    )
+
+
+@register(
+    "q_rfm_segments",
+    f"""
+    WITH rfm AS (
+        SELECT user_id,
+               CAST(date_diff('day', MAX(CAST(ts AS DATE)), DATE '2024-02-01')
+                    AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM({cents('value')}) AS BIGINT) AS monetary_cents
+        FROM events GROUP BY 1
+    ),
+    scored AS (
+        SELECT user_id,
+               CAST(ntile(3) OVER (ORDER BY recency_days ASC, user_id ASC)
+                    AS BIGINT) AS r,
+               CAST(ntile(3) OVER (ORDER BY frequency DESC, user_id ASC)
+                    AS BIGINT) AS f,
+               CAST(ntile(3) OVER (ORDER BY monetary_cents DESC, user_id ASC)
+                    AS BIGINT) AS m
+        FROM rfm
+    )
+    SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every user scored into recency / frequency /
+    monetary terciles (ntile over a TOTAL order — user_id tie-breaks
+    make the bucket boundaries deterministic in both engines; 1 = most
+    recent / most frequent / highest spend) and the 27-cell segment
+    census. The classic value-segmentation census downstream marketing
+    mixes consume.
+
+    Scale: one per-user aggregation; the three ntile windows rank the
+    USER table (≪ events). NOTE the unpartitioned ntile is a global
+    sort — fine for user-cardinality frames; for billions of users
+    switch to percent_rank over range-partitioned sort output."""
+    ev = load_events(spark, sf_dir)
+    rfm = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit("2024-02-01").cast("date"), F.max(F.to_date("ts"))
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.expr(cents("value"))).cast("long").alias("monetary_cents"),
+    )
+    from ..relational import global_order_stats, ntile_from_rank
+
+    # three global ranks via range-repartition + broadcast prefix
+    # offsets, then exact ntile arithmetic from (rank, total) — the
+    # unpartitioned ntile windows were single-reducer sorts over the
+    # user table, which scales with the data (VERDICT r5 task 2)
+    g = global_order_stats(
+        rfm,
+        [F.col("recency_days").asc(), F.col("user_id").asc()],
+        rank_col="_rr",
+        total_count_col="_n",
+    )
+    g = global_order_stats(
+        g,
+        [F.col("frequency").desc(), F.col("user_id").asc()],
+        rank_col="_rf",
+    )
+    g = global_order_stats(
+        g,
+        [F.col("monetary_cents").desc(), F.col("user_id").asc()],
+        rank_col="_rm",
+    )
+    scored = g.select(
+        "user_id",
+        ntile_from_rank(F.col("_rr"), F.col("_n"), 3).alias("r"),
+        ntile_from_rank(F.col("_rf"), F.col("_n"), 3).alias("f"),
+        ntile_from_rank(F.col("_rm"), F.col("_n"), 3).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+@register(
+    "q_nation_part_overlap",
+    """
+    WITH np AS (
+        SELECT DISTINCT s.s_nationkey AS nation, l.l_partkey AS p
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ),
+    sizes AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM np GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.nation AS nation_a, b.nation AS nation_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM np a JOIN np b ON a.p = b.p AND a.nation < b.nation
+        GROUP BY 1, 2
+    )
+    SELECT i.nation_a, i.nation_b, i.n_common,
+           CAST(1000000 * i.n_common
+                // (sa.n_parts + sb.n_parts - i.n_common) AS BIGINT)
+               AS jaccard_e6
+    FROM inter i
+    JOIN sizes sa ON sa.nation = i.nation_a
+    JOIN sizes sb ON sb.nation = i.nation_b
+    """,
+)
+def q_nation_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment overlap between nations: pairwise exact Jaccard of
+    each nation's sourced part set — |A∩B|·1e6 div (|A|+|B|−|A∩B|) —
+    via the postings-style join on the part key (sets meet only on
+    shared members, |A∪B| derived from sizes, never materialized).
+    The supply-chain view of the same sparse set-similarity shape the
+    document pipeline uses for text.
+
+    Scale: one distinct projection, one narrow equi-join on the part
+    key, two broadcast-sized size joins."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    np_ = (
+        li.join(F.broadcast(sup), "l_suppkey")
+        .select("nation", F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sizes = np_.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    a = np_.select(F.col("nation").alias("nation_a"), "p")
+    b = np_.select(F.col("nation").alias("nation_b"), "p")
+    inter = (
+        a.join(b, "p")
+        .filter(F.col("nation_a") < F.col("nation_b"))
+        .groupBy("nation_a", "nation_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("nation").alias("nation_a"), F.col("n_parts").alias("__na")
+    )
+    sb = sizes.select(
+        F.col("nation").alias("nation_b"), F.col("n_parts").alias("__nb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "nation_a")
+        .join(F.broadcast(sb), "nation_b")
+        .select(
+            "nation_a",
+            "nation_b",
+            "n_common",
+            F.expr(
+                "CAST(1000000 * n_common div (__na + __nb - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_e6"),
+        )
+    )
+
+
+@register(
+    "q_pagerank_weighted",
+    f"""
+    WITH raw AS (
+        SELECT l_suppkey AS s0, l_partkey + 1000000 AS d0,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ), wpr_edges AS (
+        SELECT s0 AS s, d0 AS d, w FROM raw
+        UNION
+        SELECT d0, s0, w FROM raw
+    ), wpr_deg AS (
+        SELECT s, CAST(SUM(w) AS BIGINT) AS wsum FROM wpr_edges GROUP BY 1
+    ), wpr_nodes AS (
+        SELECT DISTINCT s AS node FROM wpr_edges
+    ), w0 AS (
+        SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM wpr_nodes
+    ),{_wpagerank_iter_duck('w0', 'w1')},{_wpagerank_iter_duck('w1', 'w2')},{_wpagerank_iter_duck('w2', 'w3')}
+    SELECT node, rank FROM (
+        SELECT node, rank,
+               row_number() OVER (ORDER BY rank DESC, node) AS rn
+        FROM w3
+    ) WHERE rn <= 20
+    """,
+)
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED integer PageRank over the supplier-part graph: each
+    edge carries its lineitem frequency, so a supplier shipping a part
+    500 times passes proportionally more rank along that edge than a
+    one-off — rank·w div W(u), multiply-before-divide keeping the
+    split exact. Same 3-iteration 85/100 spec as the unweighted query;
+    the top-20 differs because mass now follows volume, not mere
+    adjacency.
+
+    Scale: identical message-passing shape; the only extra state is
+    one weight long per edge."""
+    from ..pipeline.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.groupBy(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    ranks = pagerank(edges, iterations=3, directed=False, weight="w")
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+        .select("node", "rank")
+    )
+
+
+@register(
+    "q_latency_percentiles",
+    """
+    WITH lat AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                    AS BIGINT) AS days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ranked AS (
+        SELECT priority, days,
+               row_number() OVER (PARTITION BY priority
+                                  ORDER BY days ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY priority) AS n
+        FROM lat
+    )
+    SELECT priority,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT)
+                         THEN days END) AS BIGINT) AS p50_days,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.90) AS BIGINT)
+                         THEN days END) AS BIGINT) AS p90_days,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+                         THEN days END) AS BIGINT) AS p99_days
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA percentiles per order priority — the
+    EXACT discrete p50/p90/p99 (the value at rank ceil(q·n), the
+    percentile_disc convention), not an interpolation and not a
+    sketch: one rank window per priority and three positional picks.
+    The sketch-free companion to q_sketch_sample_quantiles for when
+    the group cardinality supports an exact sort.
+
+    Scale: one join (orders broadcast-ineligible at real SF — AQE
+    decides), one window per priority partition; the positional pick
+    is a conditional aggregate, no second pass."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
+    )
+    wv = Window.partitionBy("priority").orderBy(F.col("days").asc())
+    wn = Window.partitionBy("priority")
+    ranked = lat.select(
+        "priority",
+        "days",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q, name):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * q).cast("long"),
+                F.col("days"),
+            )
+        ).cast("long").alias(name)
+
+    return ranked.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(0.50, "p50_days"),
+        pick(0.90, "p90_days"),
+        pick(0.99, "p99_days"),
+    )
+
+
+@register(
+    "q_split_leakage",
+    f"""
+    WITH bt AS ({_MINHASH_BANDS_DUCK}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bt a JOIN bt b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sp AS (SELECT doc_id, {_split_case_duck()} AS split FROM documents)
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs
+    FROM cand c
+    JOIN sp sa ON sa.doc_id = c.id_a
+    JOIN sp sb ON sb.doc_id = c.id_b
+    WHERE sa.split != sb.split
+    GROUP BY 1, 2
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: near-duplicate pairs (MinHash
+    LSH candidates, same 8-hash/4-band spec as the dedup family) whose
+    members landed in DIFFERENT train/val/test splits — the leak that
+    silently inflates eval scores, counted per split-pair direction.
+    Clean pipelines run exactly this check between splitting and
+    training; a non-empty result means dedup must run BEFORE the split
+    (or the split key must be the near-dup cluster id, not the doc).
+
+    Scale: the candidate pair list (≪ corpus) joins twice against the
+    map-side split assignment — the audit costs no more than the dedup
+    pass it composes."""
+    from ..pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+    from ..pipeline.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingle_size=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    cand = lsh_candidate_pairs(sigs, "doc_id", bands=4, num_hashes=8)
+    sp = hash_split(docs, ["doc_id"], _SPLIT_WEIGHTS, seed="r2").select(
+        "doc_id", "split"
+    )
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaky_pairs"))
+    )
+
+
+@register(
+    "q_histogram2d",
+    f"""
+    SELECT CAST({cents('l_quantity')} // 1000 AS BIGINT) AS qty_bucket,
+           CAST({cents('l_discount')} // 2 AS BIGINT) AS disc_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS rev_cents
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-D histogram of the quantity × discount plane with
+    per-cell revenue — the joint-distribution heat map q_histogram's
+    1-D buckets can't show (e.g. whether discounts concentrate on
+    large orders). Deterministic integer bucket edges; one map-side
+    groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.expr(f"CAST({cents('l_quantity')} div 1000 AS BIGINT)").alias(
+            "qty_bucket"
+        ),
+        F.expr(f"CAST({cents('l_discount')} div 2 AS BIGINT)").alias(
+            "disc_bucket"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("rev_cents"),
+    )
+
+
+@register(
+    "q_growth_streaks",
+    f"""
+    WITH monthly AS (
+        SELECT l_suppkey AS supp, date_trunc('month', l_shipdate) AS mon,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT supp, mon, rev,
+               CASE WHEN rev > lag(rev) OVER w THEN 1 ELSE 0 END AS grew,
+               row_number() OVER w AS rn
+        FROM monthly WINDOW w AS (PARTITION BY supp ORDER BY mon)
+    ),
+    islands AS (
+        SELECT supp, mon, grew,
+               rn - SUM(grew) OVER (PARTITION BY supp ORDER BY mon
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+        FROM flagged
+    )
+    SELECT supp, CAST(MAX(streak) AS BIGINT) AS longest_growth_streak
+    FROM (
+        SELECT supp, isl, CAST(SUM(grew) AS BIGINT) AS streak
+        FROM islands GROUP BY supp, isl
+    ) GROUP BY 1
+    """,
+)
+def q_growth_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest month-over-month revenue GROWTH streak per supplier —
+    the gaps-and-islands shape: flag growth months, subtract the
+    running flag-sum from the row number so each unbroken run shares
+    an island id, and take the longest island. Two window passes over
+    the (supplier, month) grid (≪ rows), no self-joins.
+
+    Scale: the monthly aggregation is the only pass over lineitem;
+    everything after operates on suppliers × months."""
+    li = load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_suppkey").alias("supp"),
+        F.date_trunc("month", "l_shipdate").alias("mon"),
+    ).agg(F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("rev"))
+    w = Window.partitionBy("supp").orderBy("mon")
+    flagged = monthly.select(
+        "supp",
+        "mon",
+        F.when(F.col("rev") > F.lag("rev").over(w), 1).otherwise(0).alias("grew"),
+        F.row_number().over(w).alias("rn"),
+    )
+    islands = flagged.withColumn(
+        "isl",
+        F.col("rn")
+        - F.sum("grew").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("supp", "isl")
+        .agg(F.sum("grew").cast("long").alias("streak"))
+        .groupBy("supp")
+        .agg(F.max("streak").cast("long").alias("longest_growth_streak"))
+    )
+
+
+@register(
+    "q_top_paths",
+    """
+    WITH seq AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT e1 || '>' || e2 || '>' || e3 AS path,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, n FROM (
+        SELECT path, n,
+               row_number() OVER (ORDER BY n DESC, path ASC) AS rn
+        FROM paths
+    ) WHERE rn <= 10
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-event user paths — the Sankey-diagram feed: every
+    consecutive event triple (per-user time order), counted and
+    ranked. Generalizes the transition matrix (2-paths) and the fixed
+    motif query (one specific triple) to the full path census.
+
+    Scale: the same single per-user window sort the transition family
+    rides; the path census is bounded by |event_types|³ rows."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # TakeOrdered (per-partition top-k + driver merge), never a global
+    # window sort — the rank is only a filter, not an output column
+    return (
+        paths.orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+        .select("path", "n")
+    )
+
+
+__all__ = ['q_topk_suppliers_per_nation', 'q_pivot_returnflag', 'q_rollup_orders', 'q_semi_anti_customers', 'q_setops_brands', 'q_agg_basic', 'q_sessionize_events', 'q_tumble_events', 'q_asof_join_events_orders', 'q_lag_events', 'q_histogram_prices', 'q_range_join_events', 'q_cube_lineitem', 'q_percentiles', 'q_running_window', 'q_unpivot_measures', 'q_full_outer_nations', 'q_string_funcs', 'q_conditional_funcs', 'q_events_json_props', 'q_latest_event_per_user', 'q_rolling_hour_value', 'q_grouping_sets', 'q_asof_forward_next_purchase', 'q_gapfill_locf', 'q_session_window_builtin', 'q_gapfill_interp', 'q_sketch_kmv_distinct', 'q_sketch_cms_heavy', 'q_sketch_kmv_merge', 'q_sketch_hll_distinct', 'q_sketch_hll_merge', 'q_sketch_cms_joinsize', 'q_sketch_hll_intersect', 'q_bloom_prune_orders', 'q_sketch_kmv_jaccard', 'q_funnel_steps', 'q_retention_cohorts', 'q_sketch_sample_quantiles', 'q_incremental_agg', 'q_anomaly_zscore', 'q_crosstab_chisq', 'q_table_checksum', 'q_basket_pairs', 'q_ab_test', 'q_trend_slope', 'q_pagerank_copurchase', 'q_rank_functions', 'q_event_transitions', 'q_time_to_conversion', 'q_attribution_last_touch', 'q_drift_chisq', 'q_division_full_year', 'q_session_quality', 'q_recommend_copurchase', 'q_triangle_suppliers', 'q_attribution_linear', 'q_kcore_suppliers', 'q_changepoint_revenue', 'q_kcore_rounds', 'q_incremental_join', 'q_kanon_violations', 'q_corpus_diff', 'q_data_constraints', 'q_session_window_dynamic', 'q_attribution_position', 'q_attribution_time_decay', 'q_clustering_coeff', 'q_modularity_nations', 'q_harmonic_centrality', 'q_lpa_communities', 'q_pattern_error_recovery', 'q_outliers_mad', 'q_cohort_ltv', 'q_rfm_segments', 'q_nation_part_overlap', 'q_pagerank_weighted', 'q_latency_percentiles', 'q_split_leakage', 'q_histogram2d', 'q_growth_streaks', 'q_top_paths']

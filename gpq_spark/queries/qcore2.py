@@ -1,0 +1,4774 @@
+"""General relational/analytical gate queries (part 2, original order).
+
+Split out of entry_queries.py; registration happens on import
+(each @register call appends to the shared QUERIES list)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..pipeline.text import (  # noqa: E402  (constants feed the oracle SQL)
+    ENTROPY_LUT as _ENT_LUT,
+    ENTROPY_WINDOW as _ENT_WINDOW,
+)
+
+from ._core import *  # noqa: F401,F403
+from ._helpers import *  # noqa: F401,F403
+
+
+
+@register(
+    "q_market_share_delta",
+    f"""
+    WITH monthly AS (
+        SELECT s.s_nationkey AS nation,
+               date_trunc('month', l.l_shipdate) AS mon,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS rev
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ),
+    shared AS (
+        SELECT nation, mon, rev,
+               CAST(SUM(rev) OVER (PARTITION BY mon) AS BIGINT) AS tot,
+               CAST(1000000 * rev // SUM(rev) OVER (PARTITION BY mon)
+                    AS BIGINT) AS share_e6
+        FROM monthly
+    )
+    SELECT nation, strftime(mon, '%Y-%m') AS month, share_e6,
+           CAST(share_e6 - lag(share_e6) OVER (PARTITION BY nation
+                ORDER BY mon) AS BIGINT) AS share_delta_e6
+    FROM shared
+    """,
+)
+def q_market_share_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue market share per supplier nation, with the
+    month-over-month share delta — share as exact 1e-6 units
+    (rev·1e6 div month total) so shifts are integer-comparable; the
+    competitive-dynamics view layered on the same monthly grid the
+    growth-streak query uses.
+
+    Scale: one join + one monthly aggregation over lineitem; the share
+    and delta windows run on the nations × months grid."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    monthly = (
+        li.join(F.broadcast(sup), "l_suppkey")
+        .groupBy("nation", F.date_trunc("month", "l_shipdate").alias("mon"))
+        .agg(F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("rev"))
+    )
+    wn = Window.partitionBy("nation").orderBy("mon")
+    shared = monthly.select(
+        "nation",
+        "mon",
+        F.expr("CAST(1000000 * rev div sum(rev) OVER "
+               "(PARTITION BY mon) AS BIGINT)").alias("share_e6"),
+    )
+    return shared.select(
+        "nation",
+        F.date_format("mon", "yyyy-MM").alias("month"),
+        "share_e6",
+        (F.col("share_e6") - F.lag("share_e6").over(wn))
+        .cast("long")
+        .alias("share_delta_e6"),
+    )
+
+
+@register(
+    "q_funnel_dropoff",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    counts AS (
+        SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n1,
+               CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n2,
+               CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n3
+    )
+    SELECT CAST(1 AS BIGINT) AS step, n1 AS n_users,
+           CAST(1000000 AS BIGINT) AS conv_from_prev_e6 FROM counts
+    UNION ALL
+    SELECT 2, n2, CAST(1000000 * n2 // n1 AS BIGINT) FROM counts
+    UNION ALL
+    SELECT 3, n3, CAST(1000000 * n3 // n2 AS BIGINT) FROM counts
+    """,
+)
+def q_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel drop-off summary: users reaching each ordered step
+    (first view, first later click, first later purchase — the same
+    spec as q_funnel_steps) with the step-to-step conversion rate in
+    exact 1e-6 units — the three-row dashboard the per-user funnel
+    rows roll up to."""
+    ev = load_events(spark, sf_dir)
+    # each step frame is referenced twice (next step's filter + its
+    # own count) and chains the previous one — materialize the tiny
+    # per-user frames so the events scan runs once per STEP, not once
+    # per downstream reference (plan lint: 18 scans -> 3)
+    v = (
+        ev.filter("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+        .localCheckpoint()
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = v.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = c.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    n3 = p.agg(F.count(F.lit(1)).cast("long").alias("n3"))
+    counts = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+    s1 = counts.select(
+        F.lit(1).cast("long").alias("step"),
+        F.col("n1").alias("n_users"),
+        F.lit(1000000).cast("long").alias("conv_from_prev_e6"),
+    )
+    s2 = counts.select(
+        F.lit(2).cast("long").alias("step"),
+        F.col("n2").alias("n_users"),
+        F.expr("CAST(1000000 * n2 div n1 AS BIGINT)").alias(
+            "conv_from_prev_e6"
+        ),
+    )
+    s3 = counts.select(
+        F.lit(3).cast("long").alias("step"),
+        F.col("n3").alias("n_users"),
+        F.expr("CAST(1000000 * n3 div n2 AS BIGINT)").alias(
+            "conv_from_prev_e6"
+        ),
+    )
+    return s1.unionByName(s2).unionByName(s3)
+
+
+@register(
+    "q_hhi_concentration",
+    f"""
+    WITH rev AS (
+        SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS r
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT nation, CAST(SUM(r) AS BIGINT) AS t FROM rev GROUP BY 1
+    )
+    SELECT rev.nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM((1000000 * rev.r // tot.t)
+                    * (1000000 * rev.r // tot.t)) // 1000000 AS BIGINT)
+               AS hhi_e6
+    FROM rev JOIN tot ON tot.nation = rev.nation
+    GROUP BY 1
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier concentration per nation: the sum
+    of squared revenue shares, shares floored at 1e-6 before squaring
+    so both engines square the identical integers (1e6 = monopoly,
+    1e6/n = perfectly even). The antitrust-style concentration lens on
+    the same revenue grid the market-share query reads.
+
+    Scale: one join + two narrow aggregations; squares run on the
+    nation×supplier grid."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    rev = (
+        li.join(F.broadcast(sup), "l_suppkey")
+        .groupBy("nation", F.col("l_suppkey").alias("supp"))
+        .agg(F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("r"))
+    )
+    tot = rev.groupBy("nation").agg(F.sum("r").cast("long").alias("t"))
+    return (
+        rev.join(tot, "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.expr(
+                "CAST(SUM((1000000 * r div t) * (1000000 * r div t))"
+                " div 1000000 AS BIGINT)"
+            ).alias("hhi_e6"),
+        )
+    )
+
+
+@register(
+    "q_gini_revenue",
+    f"""
+    WITH rev AS (
+        SELECT o_custkey AS cust,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS r
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT r,
+               CAST(row_number() OVER (ORDER BY r ASC, cust ASC)
+                    AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(SUM(r) OVER () AS BIGINT) AS s
+        FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           round(2.0 * CAST(SUM(i * r) AS DOUBLE)
+                 / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(s) AS DOUBLE))
+                 - (CAST(MAX(n) AS DOUBLE) + 1.0) / CAST(MAX(n) AS DOUBLE),
+                 9) AS gini
+    FROM ranked
+    """,
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the rank formula
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending-sorted revenues —
+    with customer-id tie-breaks making the rank total (0 = everyone
+    equal, →1 = one whale). The sums are exact int64; only the final
+    ratio is a double (rounded to 9), which is engine-portable because
+    both sides convert the SAME integers. The inequality
+    metric a training-mix audit applies to source contributions for
+    the same reason economists apply it to income.
+
+    Scale: the global rank is computed WITHOUT a single-reducer sort —
+    range-repartition on (r, cust) + per-partition ranks + broadcast
+    prefix offsets (relational.global_order_stats); the Gini reduction
+    is one pass over the ranked frame."""
+    from ..relational import global_order_stats
+
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("r")
+    )
+    ranked = global_order_stats(
+        rev, [F.col("r").asc(), F.col("cust").asc()], rank_col="i"
+    ).select("r", "i")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s"),
+        F.sum(F.col("i") * F.col("r")).cast("long").alias("sir"),
+    ).select(
+        F.col("n").alias("n_customers"),
+        # the ratio is computed in DOUBLE from EXACT int64 sums: both
+        # engines convert the same integers, so the IEEE result is
+        # bit-identical even past 2^53 — unlike a scaled-integer form,
+        # whose 2e6·Σ(i·x) product overflows int64 at gate scale
+        F.round(
+            F.lit(2.0) * F.col("sir").cast("double")
+            / (F.col("n").cast("double") * F.col("s").cast("double"))
+            - (F.col("n").cast("double") + F.lit(1.0))
+            / F.col("n").cast("double"),
+            9,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q_pareto_revenue",
+    f"""
+    WITH rev AS (
+        SELECT o_custkey AS cust,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS r
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT r,
+               CAST(row_number() OVER (ORDER BY r DESC, cust ASC)
+                    AS BIGINT) AS i,
+               CAST(SUM(r) OVER (ORDER BY r DESC, cust ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(SUM(r) OVER () AS BIGINT) AS s
+        FROM rev
+    )
+    SELECT CAST(MIN(i) AS BIGINT) AS k_customers,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(1000000 * MIN(i) // MAX(n) AS BIGINT) AS k_share_e6
+    FROM ranked WHERE cum * 100 >= s * 80
+    """,
+)
+def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto point: the smallest number of top customers whose
+    cumulative revenue reaches 80% of the total (ties to the smaller
+    id, cumulative compared by integer cross-multiplication) and what
+    fraction of the customer base that is — the 80/20 check, one
+    number beside Gini's full-curve summary.
+
+    Scale: same customer aggregate as the Gini query, but rank AND
+    running revenue come from ONE range repartition + per-partition
+    windows + broadcast prefix offsets (relational.global_order_stats)
+    — no single-reducer sort; the answer is the min rank crossing the
+    threshold."""
+    from ..relational import global_order_stats
+
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("r")
+    )
+    ranked = global_order_stats(
+        rev,
+        [F.col("r").desc(), F.col("cust").asc()],
+        rank_col="i",
+        cum_sums={"r": "cum"},
+        total_count_col="n",
+        total_sums={"r": "s"},
+    )
+    return (
+        ranked.filter(F.col("cum") * 100 >= F.col("s") * 80)
+        .agg(
+            F.min("i").cast("long").alias("k_customers"),
+            F.max("n").cast("long").alias("n_customers"),
+            F.expr("CAST(1000000 * MIN(i) div MAX(n) AS BIGINT)").alias(
+                "k_share_e6"
+            ),
+        )
+    )
+
+
+@register(
+    "q_concurrency_profile",
+    """
+    WITH iv AS (SELECT user_id,
+                       CAST(epoch_us(min(ts)) AS BIGINT) AS s,
+                       CAST(epoch_us(max(ts)) AS BIGINT) AS e
+                FROM events GROUP BY user_id),
+    ev AS (SELECT s AS t, CAST(1 AS INT) AS delta FROM iv
+           UNION ALL
+           SELECT e AS t, CAST(-1 AS INT) AS delta FROM iv)
+    SELECT t, delta,
+           CAST(sum(delta) OVER (ORDER BY t, delta
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+    FROM ev
+    """,
+)
+def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency over each user's activity interval
+    ([first event, last event]): +1/-1 boundary events with a GLOBAL
+    running sum — computed WITHOUT a single-reducer window via the
+    range-partition + broadcast-prefix-offset pattern
+    (relational.running_total_by / interval_concurrency). Ends sort
+    before starts at the same instant, so touching intervals never
+    count as overlapping; max(concurrent) is peak concurrency."""
+    from ..relational import interval_concurrency
+
+    from ..relational import epoch_micros
+
+    ev = load_events(spark, sf_dir)
+    ev_us = ev.select("user_id", epoch_micros(ev, "ts").alias("ts_us"))
+    iv = ev_us.groupBy("user_id").agg(
+        F.min("ts_us").cast("long").alias("s"),
+        F.max("ts_us").cast("long").alias("e"),
+    )
+    out = interval_concurrency(iv, "s", "e")
+    return out.select(
+        F.col("t").cast("long").alias("t"),
+        F.col("delta").cast("int").alias("delta"),
+        F.col("concurrent").cast("long").alias("concurrent"),
+    )
+
+
+@register(
+    "q_linear_attribution",
+    """
+    WITH base AS (
+        SELECT user_id AS "user", ts, event_type, event_id,
+               CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS seg
+        FROM events
+    ),
+    touches AS (
+        SELECT "user", seg, event_id,
+               row_number() OVER (PARTITION BY "user", seg ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY "user", seg) AS n
+        FROM base WHERE event_type != 'purchase'
+    ),
+    purchases AS (
+        SELECT "user", seg, event_id AS purchase_id
+        FROM base WHERE event_type = 'purchase'
+    )
+    SELECT t."user", p.purchase_id, t.event_id AS touch_id,
+           CAST((1000000 // n) + CASE WHEN rn = n
+                THEN 1000000 - (1000000 // n) * n ELSE 0 END AS BIGINT) AS credit_e6
+    FROM touches t JOIN purchases p ON t."user" = p."user" AND t.seg = p.seg
+    """,
+)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution with EXACT integer credits: each
+    purchase's 1,000,000 credit units split equally over the touches in
+    its segment, remainder to the last touch — credits re-add to
+    exactly 1e6 per purchase on any engine
+    (relational.linear_attribution; the streaming family covers
+    last-touch)."""
+    from ..relational import linear_attribution
+
+    ev = load_events(spark, sf_dir)
+    return linear_attribution(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@register(
+    "q_benford_profile",
+    f"""
+    WITH c AS (
+        SELECT CAST(substr(CAST({cents('o_totalprice')} AS VARCHAR), 1, 1) AS INT)
+               AS digit
+        FROM orders
+    ),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS obs FROM c GROUP BY digit),
+    tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS total FROM obs),
+    bf (digit, benford_e6) AS (VALUES
+        {", ".join(f"({d + 1}, CAST({v} AS BIGINT))" for d, v in enumerate(_BENFORD_E6))})
+    SELECT obs.digit, obs.obs,
+           CAST(1000000 * obs.obs // tot.total AS BIGINT) AS share_e6,
+           bf.benford_e6,
+           CAST(abs(1000000 * obs.obs // tot.total - bf.benford_e6) AS BIGINT)
+               AS dev_e6
+    FROM obs JOIN bf USING (digit) CROSS JOIN tot
+    """,
+)
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensics on order totals: leading-digit counts of
+    the exact cents value vs the expected log10(1+1/d) distribution
+    (embedded as identical e6 literals in both plans), deviation in
+    exact integer parts-per-million. The fraud/data-quality screen a
+    profiling stage runs over every money column. One tiny groupBy on a
+    9-value key; the expected table is a 9-row broadcast."""
+    orders = load(spark, sf_dir, "orders")
+    spark_bf = spark.createDataFrame(
+        [(d + 1, v) for d, v in enumerate(_BENFORD_E6)],
+        "digit int, benford_e6 long",
+    )
+    obs = (
+        orders.select(
+            F.expr(
+                f"CAST(substring(CAST({cents('o_totalprice')} AS STRING), 1, 1) AS INT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    tot = obs.agg(F.sum("obs").cast("long").alias("total"))
+    return (
+        obs.join(F.broadcast(spark_bf), "digit")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "obs",
+            F.expr("CAST(1000000 * obs div total AS BIGINT)").alias("share_e6"),
+            "benford_e6",
+            F.expr(
+                "CAST(abs(1000000 * obs div total - benford_e6) AS BIGINT)"
+            ).alias("dev_e6"),
+        )
+    )
+
+
+@register(
+    "q_ldiversity",
+    f"""
+    WITH g AS (
+        SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT {cents('c_acctbal')} // 100000 ) AS BIGINT)
+                   AS l_distinct
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT seg, nat, n_rows, l_distinct FROM g WHERE l_distinct < 8
+    """,
+)
+def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the companion to q_kanon_violations: for each
+    quasi-identifier group (market segment × nation) count the DISTINCT
+    sensitive values ($1000 account-balance buckets, exact cents
+    arithmetic; both engines' integer division truncates toward zero)
+    and emit groups whose l < 8 — a k-anonymous group with one distinct
+    sensitive value still leaks it. One groupBy with a distinct agg."""
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").cast("long").alias("nat"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(
+                F.expr(f"{cents('c_acctbal')} div 100000")
+            ).cast("long").alias("l_distinct"),
+        )
+        .filter("l_distinct < 8")
+    )
+
+
+@register(
+    "q_tcloseness",
+    f"""
+    WITH x AS (
+        SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+               CAST(({cents('c_acctbal')} + 100000) // 200000 AS BIGINT) AS b
+        FROM customer
+    ),
+    cell AS (
+        SELECT seg, nat, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM x GROUP BY 1, 2, 3
+    ),
+    gb AS (
+        SELECT b, CAST(SUM(c) AS BIGINT) AS g FROM cell GROUP BY 1
+    ),
+    gcum AS (
+        SELECT b, CAST(SUM(g) OVER (ORDER BY b) AS BIGINT) AS cum_g FROM gb
+    ),
+    classes AS (
+        SELECT seg, nat, CAST(SUM(c) AS BIGINT) AS n_c FROM cell GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(SUM(g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS m
+        FROM gb
+    ),
+    grid AS (
+        SELECT cl.seg, cl.nat, cl.n_c, gc.b, gc.cum_g,
+               COALESCE(ce.c, 0) AS cnt
+        FROM classes cl CROSS JOIN gcum gc
+        LEFT JOIN cell ce
+          ON ce.seg = cl.seg AND ce.nat = cl.nat AND ce.b = gc.b
+    ),
+    cum AS (
+        SELECT seg, nat, n_c, b, cum_g,
+               CAST(SUM(cnt) OVER (PARTITION BY seg, nat ORDER BY b)
+                    AS BIGINT) AS cum_c
+        FROM grid
+    )
+    SELECT seg, nat, n_c,
+           CAST(SUM(ABS(n * cum_c - n_c * cum_g)) AS BIGINT) AS emd_num,
+           n, m
+    FROM cum CROSS JOIN tot
+    GROUP BY seg, nat, n_c, n, m
+    """,
+)
+def q_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — completes the privacy trio begun by
+    q_kanon_violations (group size) and q_ldiversity (distinct
+    sensitive values): for each quasi-identifier class (market
+    segment × nation), the ordinal earth-mover's distance between the
+    class's sensitive distribution ($2000 account-balance buckets,
+    shifted nonnegative so floor-vs-truncate division semantics never
+    differ between engines) and the global distribution. Ordinal EMD
+    = (1/(m-1))·Σ_i |P_cum(i) - Q_cum(i)| is kept as the exact
+    integer numerator Σ|N·cum_c - n_c·cum_g| over the common
+    denominator n_c·N·(m-1) — callers compare emd_num against
+    t·n_c·N·(m-1) to flag classes, no floats anywhere. Shape: one
+    cell aggregate, zero-filled class×bucket grid via a crossJoin
+    with the TINY bucket list (m≈6), per-class cumulative windows
+    (partitioned — no global window), one combine."""
+    cust = load(spark, sf_dir, "customer")
+    x = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.expr(f"CAST(({cents('c_acctbal')} + 100000) div 200000 AS BIGINT)")
+        .alias("b"),
+    )
+    cell = x.groupBy("seg", "nat", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    gb = cell.groupBy("b").agg(F.sum("c").cast("long").alias("g"))
+    gcum = gb.select(
+        "b",
+        F.sum("g")
+        .over(
+            Window.orderBy("b").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("cum_g"),
+    )
+    classes = cell.groupBy("seg", "nat").agg(
+        F.sum("c").cast("long").alias("n_c")
+    )
+    tot = gb.agg(
+        F.sum("g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    ce = cell.select(
+        F.col("seg").alias("ce_seg"),
+        F.col("nat").alias("ce_nat"),
+        F.col("b").alias("ce_b"),
+        "c",
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(gcum))
+        .join(
+            ce,
+            (F.col("ce_seg") == F.col("seg"))
+            & (F.col("ce_nat") == F.col("nat"))
+            & (F.col("ce_b") == F.col("b")),
+            "left",
+        )
+        .select(
+            "seg",
+            "nat",
+            "n_c",
+            "b",
+            "cum_g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("cnt"),
+        )
+    )
+    wc = (
+        Window.partitionBy("seg", "nat")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "seg",
+        "nat",
+        "n_c",
+        "cum_g",
+        F.sum("cnt").over(wc).cast("long").alias("cum_c"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("seg", "nat", "n_c", "n", "m")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n") * F.col("cum_c") - F.col("n_c") * F.col("cum_g")
+                )
+            )
+            .cast("long")
+            .alias("emd_num")
+        )
+        .select("seg", "nat", "n_c", "emd_num", "n", "m")
+    )
+
+
+@register(
+    "q_acf_order_volume",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    lags (lag) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+    j AS (
+        SELECT CAST(l.lag AS BIGINT) AS lag, a.y AS x, b.y AS yv
+        FROM lags l
+        JOIN d a ON TRUE
+        JOIN d b ON b.t = a.t - l.lag
+    ),
+    s AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(yv) AS BIGINT) AS sy,
+               CAST(SUM(x * yv) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(yv * yv) AS BIGINT) AS syy
+        FROM j GROUP BY lag
+    )
+    SELECT lag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS acf
+    FROM s
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def q_acf_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order volume at lags 1–7 (weekly
+    seasonality detector): Pearson correlation between the daily-count
+    series and its lag, all five sums exact BIGINTs (counts are small,
+    products ≪ 2^53), the final ratio one double division + an
+    IEEE-exact sqrt, rounded to 9. Shape: one date groupBy, a 7-row
+    broadcast of lags, a self-equi-join on the day key, one combine."""
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    lags = orders.sparkSession.createDataFrame([(i,) for i in range(1, 8)], "lag long")
+    a = d.select(F.col("t"), F.col("y").alias("x"))
+    b = d.select(F.col("t").alias("bt"), F.col("y").alias("yv"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bt") == F.col("t") - F.col("lag"))
+    )
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+    )
+    return s.filter("n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0").select(
+        "lag",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            ),
+            9,
+        ).alias("acf"),
+    )
+
+
+@register("q_sssp_suppliers", _sssp_oracle(4))
+def q_sssp_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted shortest paths (Bellman-Ford, 4 synchronous
+    relaxations — pipeline.graph.sssp_bounded) from the supplier
+    landmarks over the co-sourcing graph, edge cost 1e6 div
+    shared-part-count. The ≤4-hop min-cost contract makes Spark and
+    the unrolled oracle agree by construction (no convergence
+    assumption, unlike BFS). Per node: landmark count, min and sum of
+    distances — all exact BIGINTs."""
+    from ..pipeline.graph import sssp_bounded
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    e = (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v", F.expr("1000000 div shared").alias("w"))
+    )
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    landmarks = nodes.filter("node % 10 = 0")
+    dist = sssp_bounded(
+        e, landmarks, src="u", dst="v", weight="w", rounds=4, directed=False
+    )
+    return dist.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.min("dist").cast("long").alias("min_dist"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+    )
+
+
+@register(
+    "q_weekday_profile",
+    f"""
+    WITH base AS (
+        SELECT CAST((CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 7 AS BIGINT)
+                   AS dow,
+               {cents('o_totalprice')} AS cents
+        FROM orders
+    ),
+    per AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM base GROUP BY dow
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_orders) AS BIGINT) AS tn,
+               CAST(SUM(revenue_cents) AS BIGINT) AS tr
+        FROM per
+    )
+    SELECT dow, n_orders, revenue_cents,
+           CAST(1000000 * n_orders // tn AS BIGINT) AS order_share_e6,
+           CAST(1000000 * revenue_cents // tr AS BIGINT) AS revenue_share_e6
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of orders: counts, exact-cents
+    revenue, and ppm shares per weekday. The weekday is computed as
+    (days since 1995-01-01) mod 7 — Sunday = 0 — the same arithmetic
+    on both engines (builtin dayofweek() numbering differs between
+    engines, so neither is used). One 7-key groupBy + a 1-row
+    broadcast total."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') % 7 "
+            "AS BIGINT)"
+        ).alias("dow"),
+        F.expr(cents("o_totalprice")).alias("cents"),
+    )
+    per = base.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    tot = per.agg(
+        F.sum("n_orders").cast("long").alias("tn"),
+        F.sum("revenue_cents").cast("long").alias("tr"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_orders",
+        "revenue_cents",
+        F.expr("CAST(1000000 * n_orders div tn AS BIGINT)").alias(
+            "order_share_e6"
+        ),
+        F.expr("CAST(1000000 * revenue_cents div tr AS BIGINT)").alias(
+            "revenue_share_e6"
+        ),
+    )
+
+
+@register(
+    "q_weighted_median",
+    f"""
+    WITH x AS (
+        SELECT l_returnflag AS rf, {cents('l_extendedprice')} AS v,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    c AS (
+        SELECT rf, v,
+               SUM(w) OVER (PARTITION BY rf ORDER BY v) AS cum,
+               SUM(w) OVER (PARTITION BY rf) AS tot
+        FROM x
+    )
+    SELECT rf, CAST(MIN(v) AS BIGINT) AS wmedian_cents,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cum >= tot GROUP BY rf
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative weight reaches half the group total. The
+    cumulative window uses the default RANGE frame, so tied prices
+    share one cumulative value on both engines and the selected PRICE
+    is order-independent — exact cents in, exact cents out. Scale
+    shape: weights are FIRST aggregated per (flag, price) — a hash
+    aggregate with map-side combine — so the cumulative window sorts
+    the per-VALUE aggregate (|distinct prices| rows per flag, bounded
+    by the price domain), never the row-scale table; identical cum per
+    value to the oracle's RANGE-frame window over raw rows."""
+    li = load(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.expr(cents("l_extendedprice")).alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    pc = x.groupBy("rf", "v").agg(F.sum("w").alias("wv"))
+    wcum = (
+        Window.partitionBy("rf")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("rf")
+    c = pc.select(
+        "rf",
+        "v",
+        F.sum("wv").over(wcum).alias("cum"),
+        F.sum("wv").over(wtot).alias("tot"),
+    )
+    return (
+        c.filter(F.expr("2 * cum >= tot"))
+        .groupBy("rf")
+        .agg(
+            F.min("v").cast("long").alias("wmedian_cents"),
+            F.max("tot").cast("long").alias("total_weight"),
+        )
+    )
+
+
+@register("q_stress_suppliers", _stress_oracle(3))
+def q_stress_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon stress centrality (≤3 hops) from the supplier
+    landmarks over the co-sourcing graph — the integer-exact member of
+    the betweenness family: forward BFS with path counts σ, backward
+    suffix counts τ, stress = Σ σ·τ over landmarks
+    (pipeline.graph.stress_centrality). Betweenness proper sums
+    σ-ratio fractions that no cross-engine oracle can reproduce
+    exactly; stress counts PATHS, so every value is a BIGINT and the
+    ≤3-hop contract makes Spark and the unrolled oracle agree by
+    construction."""
+    from ..pipeline.graph import stress_centrality
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select(F.col("p"), F.col("s").alias("u"))
+    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    tot = shared.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared").cast("long").alias("sum_shared"),
+    )
+    e = (
+        shared.crossJoin(F.broadcast(tot))
+        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
+        .select("u", "v")
+    )
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    landmarks = nodes.filter("node % 10 = 0")
+    return stress_centrality(e, landmarks, src="u", dst="v", rounds=3)
+
+
+@register(
+    "q_mann_whitney",
+    f"""
+    WITH x AS (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'a' ELSE 'b' END AS grp,
+               {cents('o_totalprice')} AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    per_v AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+               CAST(COUNT(*) AS BIGINT) AS n_v
+        FROM x GROUP BY v
+    ),
+    c AS (
+        SELECT v, na_v, n_v,
+               CAST(COALESCE(SUM(n_v) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cnt_less
+        FROM per_v
+    ),
+    tots AS (
+        SELECT CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM x
+    )
+    SELECT n_a, n_b,
+           CAST(SUM(na_v * (2 * cnt_less + n_v + 1)) AS BIGINT) AS two_r_a,
+           CAST(SUM(na_v * (2 * cnt_less + n_v + 1)) - n_a * (n_a + 1)
+                AS BIGINT) AS two_u_a
+    FROM c CROSS JOIN tots
+    GROUP BY n_a, n_b
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney rank-sum comparison of order totals between two
+    customer segments, entirely in integers: tie-averaged ranks are
+    kept DOUBLED (2·avgrank = 2·cnt_less + cnt_eq + 1 — always an
+    integer), so 2R and 2U are exact BIGINTs with textbook tie
+    handling and no float ranks. Shape: one value-grouped frame, a
+    cumulative window over distinct values (not rows), one combine.
+    The cumulative window is a global order over DISTINCT values —
+    already reduced (cents of a bounded price domain); if the distinct
+    count ever rivals the row count, apply the range-partition +
+    offset technique from sampling.seeded_shuffle instead of a bare
+    global window."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    x = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("grp"),
+            F.expr(cents("o_totalprice")).alias("v"),
+        )
+    )
+    per_v = x.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("na_v"),
+        F.count(F.lit(1)).cast("long").alias("n_v"),
+    )
+    from ..relational import global_order_stats
+
+    # scale-safe exclusive cumulative count over the distinct-value
+    # frame: inclusive running sum minus the row's own count
+    c = global_order_stats(
+        per_v,
+        [F.col("v").asc()],
+        rank_col=None,
+        cum_sums={"n_v": "__cum_n"},
+    ).withColumn(
+        "cnt_less", (F.col("__cum_n") - F.col("n_v")).cast("long")
+    ).drop("__cum_n")
+    tots = x.agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tots))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.sum(
+                F.col("na_v") * (2 * F.col("cnt_less") + F.col("n_v") + 1)
+            )
+            .cast("long")
+            .alias("two_r_a"),
+            (
+                F.sum(
+                    F.col("na_v") * (2 * F.col("cnt_less") + F.col("n_v") + 1)
+                )
+                - F.col("n_a") * (F.col("n_a") + 1)
+            )
+            .cast("long")
+            .alias("two_u_a"),
+        )
+    )
+
+
+@register(
+    "q_runs_test",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    med AS (
+        SELECT CAST(MIN(y) AS BIGINT) AS m FROM (
+            SELECT y, row_number() OVER (ORDER BY y, t) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM d
+        ) WHERE 2 * rn >= n + 1
+    ),
+    s AS (
+        SELECT t, CASE WHEN y > m THEN 1 ELSE -1 END AS sgn
+        FROM d CROSS JOIN med WHERE y <> m
+    ),
+    runs AS (
+        SELECT sgn,
+               CASE WHEN lag(sgn) OVER (ORDER BY t) IS NULL
+                    OR lag(sgn) OVER (ORDER BY t) <> sgn
+                    THEN 1 ELSE 0 END AS is_new
+        FROM s
+    )
+    SELECT CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(SUM(is_new) AS BIGINT) AS n_runs
+    FROM runs
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on daily order volume: days above vs
+    below the (exact lower) median, runs counted by sign changes in
+    day order, median-equal days excluded — the classic randomness
+    screen for a time series, all integer. One date groupBy + two
+    narrow windows."""
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') AS BIGINT)"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    ranked = d.select(
+        "t",
+        "y",
+        F.row_number().over(Window.orderBy("y", "t")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.filter("2 * rn >= n + 1").agg(
+        F.min("y").cast("long").alias("m")
+    )
+    s = (
+        d.crossJoin(F.broadcast(med))
+        .filter("y <> m")
+        .select(
+            "t",
+            F.when(F.col("y") > F.col("m"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+    )
+    lag = F.lag("sgn").over(Window.orderBy("t"))
+    runs = s.select(
+        "sgn",
+        F.when(lag.isNull() | (lag != F.col("sgn")), 1).otherwise(0).alias(
+            "is_new"
+        ),
+    )
+    return runs.agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_above"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below"),
+        F.sum("is_new").cast("long").alias("n_runs"),
+    )
+
+
+@register(
+    "q_ks_test",
+    f"""
+    WITH x AS (
+        SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'a' ELSE 'b' END AS grp,
+               {cents('o_totalprice')} AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+    ),
+    per_v AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+               CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+        FROM x GROUP BY v
+    ),
+    c AS (
+        SELECT v,
+               CAST(SUM(na_v) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+               CAST(SUM(nb_v) OVER (ORDER BY v) AS BIGINT) AS cum_b
+        FROM per_v
+    ),
+    tots AS (
+        SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+               CAST(SUM(nb_v) AS BIGINT) AS n_b
+        FROM per_v
+    )
+    SELECT n_a, n_b,
+           CAST(MAX(ABS(n_b * cum_a - n_a * cum_b)) AS BIGINT) AS d_num
+    FROM c CROSS JOIN tots
+    GROUP BY n_a, n_b
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between order-total
+    distributions of two customer segments, entirely in integers: the
+    statistic D = max_v |F_a(v) - F_b(v)| is kept as the cross-
+    multiplied numerator max|n_b*cumA(v) - n_a*cumB(v)| over the
+    common denominator n_a*n_b — no float ECDFs, no reduction-order
+    dependence. Checking the sup only at observed values is exact
+    (ECDFs are step functions that jump there). Shape: one
+    value-grouped frame, one cumulative window over DISTINCT values
+    (bounded cents domain — see q_mann_whitney for the
+    range-partition fallback if distinct ≈ rows), one max-combine.
+    Complements q_mann_whitney (location shift) with a
+    whole-distribution-shape test."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    x = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+        .select(
+            F.when(F.col("c_mktsegment") == "AUTOMOBILE", F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("grp"),
+            F.expr(cents("o_totalprice")).alias("v"),
+        )
+    )
+    per_v = x.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("na_v"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("nb_v"),
+    )
+    from ..relational import global_order_stats
+
+    # scale-safe ECDFs: range-repartitioned cumulative sums over the
+    # distinct-value frame (the r5-verdict global-window retirement) —
+    # v is a total order (grouped distinct), so no tiebreaker needed
+    c = global_order_stats(
+        per_v,
+        [F.col("v").asc()],
+        rank_col=None,
+        cum_sums={"na_v": "cum_a", "nb_v": "cum_b"},
+    ).select("cum_a", "cum_b")
+    tots = per_v.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tots))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("n_b") * F.col("cum_a")
+                    - F.col("n_a") * F.col("cum_b")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+
+
+@register(
+    "q_cvm_test",
+    f"""
+    WITH x AS (
+        SELECT CASE WHEN c_mktsegment = 'FURNITURE' THEN 'a' ELSE 'b' END AS grp,
+               {cents('o_totalprice')} AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('FURNITURE', 'MACHINERY')
+    ),
+    per_v AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+               CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+        FROM x GROUP BY v
+    ),
+    c AS (
+        SELECT v, na_v + nb_v AS w,
+               CAST(SUM(na_v) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+               CAST(SUM(nb_v) OVER (ORDER BY v) AS BIGINT) AS cum_b
+        FROM per_v
+    ),
+    tots AS (
+        SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+               CAST(SUM(nb_v) AS BIGINT) AS n_b
+        FROM per_v
+    )
+    SELECT n_a, n_b,
+           CAST(SUM(w * CAST(floor(1000000.0
+                * ((CAST(n_b AS DOUBLE) * CAST(cum_a AS DOUBLE)
+                    - CAST(n_a AS DOUBLE) * CAST(cum_b AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                * ((CAST(n_b AS DOUBLE) * CAST(cum_a AS DOUBLE)
+                    - CAST(n_a AS DOUBLE) * CAST(cum_b AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))))
+              AS BIGINT)) AS BIGINT) AS cvm_e6_sum
+    FROM c CROSS JOIN tots
+    GROUP BY n_a, n_b
+    """,
+)
+def q_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér–von Mises two-sample statistic — the whole-curve
+    companion to q_ks_test's supremum: Σ over pooled observations of
+    (F_a − F_b)², each squared ECDF gap computed from exact integer
+    cumulative counts (cast to double, identical IEEE expression both
+    engines), e6-floored PER VALUE and then integer-summed with its
+    pooled multiplicity — floor-then-sum keeps the statistic
+    reduction-order independent at ANY scale, where summing raw float
+    squares would not be. T = cvm_e6_sum·n_a·n_b/(1e6·(n_a+n_b)²) by
+    the caller. Same one-groupBy + distinct-value-window shape as
+    KS/Mann-Whitney."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    x = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment").isin("FURNITURE", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "FURNITURE", F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("grp"),
+            F.expr(cents("o_totalprice")).alias("v"),
+        )
+    )
+    per_v = x.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("na_v"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("nb_v"),
+    )
+    from ..relational import global_order_stats
+
+    # scale-safe ECDFs over the distinct-value frame (see q_ks_test)
+    c = global_order_stats(
+        per_v,
+        [F.col("v").asc()],
+        rank_col=None,
+        cum_sums={"na_v": "cum_a", "nb_v": "cum_b"},
+    ).select(
+        (F.col("na_v") + F.col("nb_v")).alias("w"), "cum_a", "cum_b"
+    )
+    tots = per_v.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    gap = (
+        "((CAST(n_b AS DOUBLE) * CAST(cum_a AS DOUBLE)"
+        " - CAST(n_a AS DOUBLE) * CAST(cum_b AS DOUBLE))"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+    )
+    return (
+        c.crossJoin(F.broadcast(tots))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"w * CAST(floor(1000000.0 * {gap} * {gap}) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cvm_e6_sum")
+        )
+    )
+
+
+@register(
+    "q_hill_tail_index",
+    f"""
+    WITH s AS (
+        SELECT o_custkey AS id,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS spend
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT spend,
+               row_number() OVER (ORDER BY spend DESC, id) AS rn
+        FROM s
+    ),
+    k AS (SELECT CAST(COUNT(*) // 10 AS BIGINT) AS kk FROM s),
+    lnv AS (
+        SELECT CAST(floor(1000000 * ln(CAST(spend AS DOUBLE))) AS BIGINT)
+                   AS l, rn
+        FROM r CROSS JOIN k WHERE rn <= kk
+    ),
+    ref AS (SELECT l AS lk FROM lnv CROSS JOIN k WHERE rn = kk)
+    SELECT CAST(MAX(kk) AS BIGINT) AS k_top,
+           CAST(SUM(l - lk) AS BIGINT) AS hill_num_e6,
+           CAST(SUM(l - lk) // MAX(kk) AS BIGINT) AS hill_inv_alpha_e6
+    FROM lnv CROSS JOIN ref CROSS JOIN k
+    """,
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the spend distribution's tail index — the
+    heavy-tail diagnostic behind skew-aware partitioning decisions
+    (1/α ≈ mean of ln(x_(i)/x_(k)) over the top k = n/10 order
+    statistics; larger ⇒ fatter tail ⇒ worse hot keys): e6-floored
+    per-value logs (the corpus ln posture), exact integer differences
+    against the k-th order statistic, integer mean. One aggregate,
+    one DESC rank over the customer-level frame (the q_mann_whitney
+    window posture), then single-row math."""
+    orders = load(spark, sf_dir, "orders")
+    s = orders.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("spend")
+    )
+    from ..relational import global_order_stats
+
+    # scale-safe global DESC rank over the customer frame (r5-verdict
+    # global-window retirement: k = n/10 is data-scaled, so this is a
+    # true global rank, not a top-k — range repartition + offsets)
+    r = global_order_stats(
+        s,
+        [F.col("spend").desc(), F.col("id").asc()],
+        rank_col="rn",
+    ).select("spend", "rn")
+    k = s.agg(F.expr("CAST(COUNT(*) div 10 AS BIGINT)").alias("kk"))
+    lnv = (
+        r.crossJoin(F.broadcast(k))
+        .filter("rn <= kk")
+        .select(
+            F.expr(
+                "CAST(floor(1000000 * ln(CAST(spend AS DOUBLE))) AS BIGINT)"
+            ).alias("l"),
+            "rn",
+        )
+    )
+    ref = lnv.crossJoin(F.broadcast(k)).filter("rn = kk").select(
+        F.col("l").alias("lk")
+    )
+    return (
+        lnv.crossJoin(F.broadcast(ref))
+        .crossJoin(F.broadcast(k))
+        .agg(
+            F.max("kk").cast("long").alias("k_top"),
+            F.sum(F.col("l") - F.col("lk")).cast("long").alias("hill_num_e6"),
+            F.expr("CAST(SUM(l - lk) div MAX(kk) AS BIGINT)").alias(
+                "hill_inv_alpha_e6"
+            ),
+        )
+    )
+
+
+@register(
+    "q_trimmed_mean",
+    f"""
+    WITH x AS (
+        SELECT l_returnflag AS rf, {cents('l_extendedprice')} AS v
+        FROM lineitem
+    ),
+    r AS (
+        SELECT rf, v,
+               row_number() OVER (PARTITION BY rf ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY rf) AS n
+        FROM x
+    )
+    SELECT rf, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS trimmed_n,
+           CAST(SUM(v) AS BIGINT) AS trimmed_sum_cents,
+           CAST(SUM(v) // COUNT(*) AS BIGINT) AS trimmed_mean_cents
+    FROM r
+    WHERE rn > n // 20 AND rn <= n - n // 20
+    GROUP BY rf
+    """,
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean price per return flag: drop the lowest and
+    highest n div 20 observations by rank and average the middle in
+    exact cents (integer floor mean). Ties at the cut boundary cannot
+    change the SUM (equal values are interchangeable), so value-only
+    ranking is deterministic. Scale shape: counts are FIRST aggregated
+    per (flag, price) and each value's in-range multiplicity is rank
+    arithmetic over the cumulative count — the window sorts the
+    per-VALUE aggregate (bounded by the price domain), never the
+    row-scale table; the 3-value partition key no longer means three
+    table-sized sort tasks."""
+    li = load(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.expr(cents("l_extendedprice")).alias("v"),
+    )
+    pc = x.groupBy("rf", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = (
+        Window.partitionBy("rf")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = pc.select(
+        "rf",
+        "v",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("rf")).alias("n"),
+    ).withColumn("k", F.expr("n div 20"))
+    # in-range multiplicity of value v: ranks in (k, n-k] ∩ (cum-c, cum]
+    w_in = F.expr("greatest(0L, least(cum, n - k) - greatest(cum - c, k))")
+    return (
+        t.groupBy("rf")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum(w_in).cast("long").alias("trimmed_n"),
+            F.sum(F.col("v") * w_in).cast("long").alias("trimmed_sum_cents"),
+        )
+        .select(
+            "rf",
+            "n",
+            "trimmed_n",
+            "trimmed_sum_cents",
+            F.expr(
+                "CAST(trimmed_sum_cents div trimmed_n AS BIGINT)"
+            ).alias("trimmed_mean_cents"),
+        )
+    )
+
+
+@register(
+    "q_mad_prices",
+    f"""
+    WITH x AS (
+        SELECT l_returnflag AS rf, {cents('l_extendedprice')} AS v
+        FROM lineitem
+    ),
+    pc AS (
+        SELECT rf, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM x GROUP BY rf, v
+    ),
+    t AS (
+        SELECT rf, v,
+               SUM(c) OVER (PARTITION BY rf ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(c) OVER (PARTITION BY rf) AS n
+        FROM pc
+    ),
+    med AS (
+        SELECT rf, CAST(MIN(v) AS BIGINT) AS median_cents,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM t WHERE 2 * cum >= n + 1 GROUP BY rf
+    ),
+    dc AS (
+        SELECT pc.rf, abs(pc.v - med.median_cents) AS d,
+               CAST(SUM(pc.c) AS BIGINT) AS c
+        FROM pc JOIN med ON pc.rf = med.rf
+        GROUP BY pc.rf, abs(pc.v - med.median_cents)
+    ),
+    t2 AS (
+        SELECT rf, d,
+               SUM(c) OVER (PARTITION BY rf ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(c) OVER (PARTITION BY rf) AS n
+        FROM dc
+    ),
+    mad AS (
+        SELECT rf, CAST(MIN(d) AS BIGINT) AS mad_cents
+        FROM t2 WHERE 2 * cum >= n + 1 GROUP BY rf
+    )
+    SELECT med.rf, med.n, med.median_cents, mad.mad_cents
+    FROM med JOIN mad ON med.rf = mad.rf
+    """,
+)
+def q_mad_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of price per return flag — the robust
+    dispersion partner of q_trimmed_mean (MAD ignores outliers that
+    inflate a stddev; MAD·1.4826 estimates sigma for the robust z-score
+    gates): exact lower median of v, then exact lower median of
+    |v − median|, both located by rank arithmetic over per-VALUE
+    aggregates (windows sort the value domain, partitioned by the
+    3-value flag — never the row-scale table)."""
+    li = load(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.expr(cents("l_extendedprice")).alias("v"),
+    )
+    pc = x.groupBy("rf", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = (
+        Window.partitionBy("rf")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = pc.select(
+        "rf",
+        "v",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(Window.partitionBy("rf")).alias("n"),
+    )
+    med = (
+        t.filter("2 * cum >= n + 1")
+        .groupBy("rf")
+        .agg(
+            F.min("v").cast("long").alias("median_cents"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+    dc = (
+        pc.join(F.broadcast(med), "rf")
+        .groupBy("rf", F.expr("abs(v - median_cents)").alias("d"))
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    wd = (
+        Window.partitionBy("rf")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t2 = dc.select(
+        "rf",
+        "d",
+        F.sum("c").over(wd).alias("cum"),
+        F.sum("c").over(Window.partitionBy("rf")).alias("n"),
+    )
+    mad = (
+        t2.filter("2 * cum >= n + 1")
+        .groupBy("rf")
+        .agg(F.min("d").cast("long").alias("mad_cents"))
+    )
+    return med.join(mad, "rf").select(
+        "rf", "n", "median_cents", "mad_cents"
+    )
+
+
+@register(
+    "q_quantile_normalize",
+    f"""
+    WITH x AS (
+        SELECT c_custkey AS id, c_mktsegment AS seg,
+               {cents('c_acctbal')} AS v
+        FROM customer
+    ),
+    w AS (
+        SELECT id, seg, v,
+               CAST(row_number() OVER (PARTITION BY seg ORDER BY v, id)
+                    AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS ng
+        FROM x
+    ),
+    g AS (
+        SELECT v AS gv,
+               CAST(row_number() OVER (ORDER BY v, id) AS BIGINT) AS gi
+        FROM x
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x)
+    SELECT id, seg, v AS v_cents, gv AS mapped_cents
+    FROM w CROSS JOIN t
+    JOIN g ON gi = (r * n + ng - 1) // ng
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION of account balances across customer
+    segments — the feature-engineering transform that forces every
+    group onto the pooled distribution (rank r of n_g maps to the
+    global value at rank ceil(r·N/n_g), exact integer arithmetic,
+    (value, id) total order so ties are deterministic). One
+    partitioned rank window, one pooled rank, one equi-join on the
+    computed global index — no floats, no interpolation. The pooled
+    rank is scale-safe: range repartition + per-partition ranks +
+    broadcast prefix offsets (relational.global_order_stats), never a
+    single-reducer window."""
+    from ..relational import global_order_stats
+
+    cust = load(spark, sf_dir, "customer")
+    x = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(cents("c_acctbal")).alias("v"),
+    )
+    w = x.select(
+        "id",
+        "seg",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("seg").orderBy("v", "id"))
+        .cast("long")
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("seg"))
+        .cast("long")
+        .alias("ng"),
+    )
+    g = global_order_stats(
+        x, [F.col("v").asc(), F.col("id").asc()], rank_col="gi"
+    ).select(F.col("v").alias("gv"), "gi")
+    t = x.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        w.crossJoin(F.broadcast(t))
+        .join(g, F.col("gi") == F.expr("(r * n + ng - 1) div ng"))
+        .select(
+            "id", "seg", F.col("v").alias("v_cents"),
+            F.col("gv").alias("mapped_cents"),
+        )
+    )
+
+
+@register(
+    "q_winsorized_mean",
+    f"""
+    WITH x AS (
+        SELECT l_returnflag AS rf, {cents('l_extendedprice')} AS v
+        FROM lineitem
+    ),
+    r AS (
+        SELECT rf, v,
+               row_number() OVER (PARTITION BY rf ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY rf) AS n
+        FROM x
+    ),
+    bounds AS (
+        SELECT rf, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(n) // 20 AS BIGINT) AS k,
+               CAST(MIN(CASE WHEN rn > n // 20 THEN v END) AS BIGINT) AS lo,
+               CAST(MAX(CASE WHEN rn <= n - n // 20 THEN v END) AS BIGINT)
+                   AS hi,
+               CAST(SUM(CASE WHEN rn > n // 20 AND rn <= n - n // 20
+                        THEN v ELSE 0 END) AS BIGINT) AS mid_sum
+        FROM r GROUP BY rf
+    )
+    SELECT rf, n, k, lo AS lo_cents, hi AS hi_cents,
+           CAST(mid_sum + k * lo + k * hi AS BIGINT) AS winsorized_sum_cents,
+           CAST((mid_sum + k * lo + k * hi) // n AS BIGINT)
+               AS winsorized_mean_cents
+    FROM bounds
+    """,
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean price per return flag — the clamping robust
+    estimator beside q_trimmed_mean's dropping one: the lowest and
+    highest n div 20 observations are REPLACED by the cut-boundary
+    values (lo = (k+1)-th smallest, hi = (n−k)-th), so the winsorized
+    sum is mid_sum + k·lo + k·hi in exact cents with no row ever
+    rewritten — clamping by rank arithmetic. Value-ranked ties are
+    interchangeable for every aggregate emitted, so the result is
+    deterministic. Scale shape: per-(flag, price) aggregate first, so
+    the cumulative window sorts the per-VALUE table (bounded by the
+    price domain), never the row-scale table; the cut values are the
+    minimal values whose cumulative count crosses k and n−k."""
+    li = load(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.expr(cents("l_extendedprice")).alias("v"),
+    )
+    pc = x.groupBy("rf", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = (
+        Window.partitionBy("rf")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = pc.select(
+        "rf",
+        "v",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("rf")).alias("n"),
+    ).withColumn("k", F.expr("n div 20"))
+    w_in = F.expr("greatest(0L, least(cum, n - k) - greatest(cum - c, k))")
+    bounds = t.groupBy("rf").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("k").cast("long").alias("k"),
+        F.min(F.when(F.col("cum") > F.col("k"), F.col("v")))
+        .cast("long")
+        .alias("lo"),
+        F.min(
+            F.when(F.col("cum") >= F.col("n") - F.col("k"), F.col("v"))
+        )
+        .cast("long")
+        .alias("hi"),
+        F.sum(F.col("v") * w_in).cast("long").alias("mid_sum"),
+    )
+    return bounds.select(
+        "rf",
+        "n",
+        "k",
+        F.col("lo").alias("lo_cents"),
+        F.col("hi").alias("hi_cents"),
+        F.expr("CAST(mid_sum + k * lo + k * hi AS BIGINT)").alias(
+            "winsorized_sum_cents"
+        ),
+        F.expr("CAST((mid_sum + k * lo + k * hi) div n AS BIGINT)").alias(
+            "winsorized_mean_cents"
+        ),
+    )
+
+
+@register(
+    "q_theil_sen",
+    f"""
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+                   AS x,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CAST(1000000 * (b.y - a.y) // (b.x - a.x) AS BIGINT) AS slope_e6
+        FROM m a JOIN m b ON b.x > a.x
+    ),
+    ranked AS (
+        SELECT slope_e6,
+               row_number() OVER (ORDER BY slope_e6) AS rn,
+               COUNT(*) OVER () AS n
+        FROM pairs
+    )
+    SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_months,
+           CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(MIN(slope_e6) AS BIGINT) AS median_slope_e6
+    FROM ranked WHERE 2 * rn >= n + 1
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the exact lower MEDIAN of all pairwise
+    monthly-revenue slopes (each floored at e6 scale — integer end to
+    end), the outlier-resistant counterpart of q_trend_slope's OLS.
+    The pair join and the median rank run over the MONTH domain
+    (n months → n² div 2 pairs — bounded by the calendar, not the fact
+    table), so the quadratic stays trivially small at any corpus
+    size; the revenue aggregation is the only scan."""
+    orders = load(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("x")
+        )
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("y"))
+    )
+    a = m.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = m.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("xb") > F.col("xa")).select(
+        F.expr("CAST(1000000 * (yb - ya) div (xb - xa) AS BIGINT)").alias(
+            "slope_e6"
+        )
+    )
+    ranked = pairs.select(
+        "slope_e6",
+        F.row_number().over(Window.orderBy("slope_e6")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    n_months = m.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    return (
+        ranked.filter("2 * rn >= n + 1")
+        .agg(
+            F.max("n").cast("long").alias("n_pairs"),
+            F.min("slope_e6").cast("long").alias("median_slope_e6"),
+        )
+        .crossJoin(F.broadcast(n_months))
+        .select("n_months", "n_pairs", "median_slope_e6")
+    )
+
+
+@register(
+    "q_basket_triples",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    freq AS (
+        SELECT p FROM items GROUP BY p HAVING COUNT(*) >= 3
+    ),
+    fi AS (SELECT o, p FROM items WHERE p IN (SELECT p FROM freq)),
+    triples AS (
+        SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM fi a
+        JOIN fi b ON b.o = a.o AND b.p > a.p
+        JOIN fi c ON c.o = a.o AND c.p > b.p
+        GROUP BY 1, 2, 3
+    )
+    SELECT part_a, part_b, part_c, support
+    FROM triples WHERE support >= 2
+    """,
+)
+def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets with A-priori pruning: items are first
+    restricted to frequent SINGLETONS (support ≥ 3 — the monotonicity
+    guarantee: no triple can beat its items), then triples expand via
+    two equi-joins on the basket key with ordered parts, one count.
+    The pruning join is the 100 TB lever — candidate volume scales
+    with the pruned basket width cubed, and raising the singleton
+    threshold tames it before any expansion happens."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    freq = items.groupBy("p").agg(F.count(F.lit(1)).alias("__n")).filter(
+        "__n >= 3"
+    ).select("p")
+    fi = items.join(freq, "p").select("o", "p")
+    a = fi.select("o", F.col("p").alias("part_a"))
+    b = fi.select(F.col("o").alias("ob"), F.col("p").alias("part_b"))
+    c = fi.select(F.col("o").alias("oc"), F.col("p").alias("part_c"))
+    triples = (
+        a.join(b, (F.col("ob") == F.col("o")) & (F.col("part_b") > F.col("part_a")))
+        .join(c, (F.col("oc") == F.col("o")) & (F.col("part_c") > F.col("part_b")))
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return triples.filter("support >= 2")
+
+
+@register(
+    "q_event_seq_pairs",
+    """
+    WITH ut AS (
+        SELECT user_id, event_type,
+               MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        WHERE a.tmin < b.tmax
+        GROUP BY 1, 2
+    ),
+    have AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ut GROUP BY 1
+    )
+    SELECT p.type_a, p.type_b, p.support,
+           ha.n_users AS n_a, hb.n_users AS n_b,
+           CAST(1000000 * p.support // ha.n_users AS BIGINT) AS conf_e6
+    FROM pairs p
+    JOIN have ha ON ha.event_type = p.type_a
+    JOIN have hb ON hb.event_type = p.type_b
+    """,
+)
+def q_event_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, level 2 (PrefixSpan's first
+    expansion): for every ordered type pair (a → b), the number of
+    users with SOME a-event before SOME b-event — the subsequence
+    relation, strictly weaker than q_event_transitions' adjacency —
+    plus per-type user counts and exact ppm confidence. The
+    existence test reduces to min/max event times per (user, type),
+    so the heavy table collapses to one narrow groupBy before the
+    tiny type-domain self-join."""
+    ev = load_events(spark, sf_dir)
+    # wall-clock micros since a fixed epoch: valid for TIMESTAMP and
+    # TIMESTAMP_NTZ alike (unix_micros rejects NTZ)
+    us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01").cast("timestamp_ntz"), F.col("ts")
+    )
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.min(us).alias("tmin"),
+        F.max(us).alias("tmax"),
+    )
+    a = ut.select(
+        "user_id", F.col("event_type").alias("type_a"), "tmin"
+    )
+    b = ut.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("type_b"),
+        "tmax",
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ub") == F.col("user_id"))
+            & (F.col("type_a") != F.col("type_b"))
+            & (F.col("tmin") < F.col("tmax")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    have = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    ha = have.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    hb = have.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ha), "type_a")
+        .join(F.broadcast(hb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "support",
+            "n_a",
+            "n_b",
+            F.expr("CAST(1000000 * support div n_a AS BIGINT)").alias(
+                "conf_e6"
+            ),
+        )
+    )
+
+
+@register(
+    "q_event_seq_triples",
+    """
+    WITH ut AS (
+        SELECT user_id, event_type,
+               MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax
+        FROM events GROUP BY 1, 2
+    ),
+    bt AS (
+        SELECT user_id, event_type, list(epoch_us(ts)) AS ts_arr
+        FROM events GROUP BY 1, 2
+    ),
+    triples AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               c.event_type AS type_c,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM ut a
+        JOIN ut c ON c.user_id = a.user_id AND c.event_type <> a.event_type
+        JOIN bt b ON b.user_id = a.user_id
+               AND b.event_type <> a.event_type
+               AND b.event_type <> c.event_type
+        WHERE a.tmin < c.tmax
+          AND len(list_filter(b.ts_arr,
+                              t -> t > a.tmin AND t < c.tmax)) > 0
+        GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, type_c, support
+    FROM triples WHERE support >= 5
+    """,
+)
+def q_event_seq_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, level 3: ordered type triples
+    (a → b → c) supported by users with SOME a-event, then SOME
+    b-event strictly between it and SOME later c-event. The witness
+    reduction: a valid (t_a < t_b < t_c) exists iff some b-time lies
+    in (min a-time, max c-time) — so the fact table collapses to
+    per-(user, type) min/max plus the b-occurrence time array (bounded
+    by per-user activity), and the expansion is the tiny type-domain
+    triple join, never the event stream itself."""
+    ev = load_events(spark, sf_dir)
+    us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01").cast("timestamp_ntz"), F.col("ts")
+    )
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.min(us).alias("tmin"), F.max(us).alias("tmax")
+    )
+    bt = ev.groupBy("user_id", "event_type").agg(
+        F.collect_list(us).alias("ts_arr")
+    )
+    a = ut.select(
+        "user_id", F.col("event_type").alias("type_a"), "tmin"
+    )
+    c = ut.select(
+        F.col("user_id").alias("uc"),
+        F.col("event_type").alias("type_c"),
+        "tmax",
+    )
+    b = bt.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("type_b"),
+        "ts_arr",
+    )
+    j = (
+        a.join(
+            c,
+            (F.col("uc") == F.col("user_id"))
+            & (F.col("type_c") != F.col("type_a"))
+            & (F.col("tmin") < F.col("tmax")),
+        )
+        .join(
+            b,
+            (F.col("ub") == F.col("user_id"))
+            & (F.col("type_b") != F.col("type_a"))
+            & (F.col("type_b") != F.col("type_c")),
+        )
+        .filter(
+            F.expr("exists(ts_arr, t -> t > tmin AND t < tmax)")
+        )
+    )
+    return (
+        j.groupBy("type_a", "type_b", "type_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter("support >= 5")
+    )
+
+
+@register(
+    "q_spearman",
+    f"""
+    WITH x AS (
+        SELECT c.c_custkey AS id,
+               {cents('c.c_acctbal')} AS bal,
+               CAST(SUM({cents('o.o_totalprice')}) AS BIGINT) AS spend
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT id,
+               CAST(row_number() OVER (ORDER BY bal, id) AS BIGINT) AS rx,
+               CAST(row_number() OVER (ORDER BY spend, id) AS BIGINT) AS ry
+        FROM x
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+           round(1.0 - 6.0 * CAST(SUM((rx - ry) * (rx - ry)) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE)
+                    * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                       - 1.0)), 9) AS rho
+    FROM r
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer account balance and
+    total spend: both variables ranked with a total order (value, then
+    id — a pragmatic tie policy, stated rather than hidden), Σd² exact
+    BIGINT, ρ = 1 − 6Σd²/(n(n²−1)) as one double expression rounded
+    to 9. The two ranking windows are global sorts over the CUSTOMER
+    aggregate (already reduced); at larger key cardinalities use the
+    range-partition + offset ranking from sampling.seeded_shuffle."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    x = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            F.col("c_custkey").alias("id"),
+            F.expr(cents("c_acctbal")).alias("bal"),
+        )
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("spend"))
+    )
+    from ..relational import global_order_stats
+
+    # both ranks via range-repartition + broadcast prefix offsets —
+    # never a single-reducer global window over the account table
+    # (VERDICT r5 task 2; the docstring's own caveat, now retired)
+    r = global_order_stats(
+        x, [F.col("bal").asc(), F.col("id").asc()], rank_col="rx"
+    )
+    r = global_order_stats(
+        r, [F.col("spend").asc(), F.col("id").asc()], rank_col="ry"
+    ).select("id", "rx", "ry")
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        .cast("long")
+        .alias("sum_d2"),
+    ).select(
+        "n",
+        "sum_d2",
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.col("sum_d2").cast("double")
+            / (
+                F.col("n").cast("double")
+                * (F.col("n").cast("double") * F.col("n").cast("double") - F.lit(1.0))
+            ),
+            9,
+        ).alias("rho"),
+    )
+
+
+@register("q_holt_forecast", _holt_duck(8))
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Holt double-exponential smoothing over the last 8
+    monthly revenue totals, α = β = 1/2 realized as floor-halving so
+    the whole recursion is exact integer arithmetic — level + trend
+    forecasting without a single float (the deterministic counterpart
+    of an EWMA, which is irreducibly order-sensitive in floats). Each
+    step is its own named column, because a closed-form unroll triples
+    textually per step; the month pivot is a tiny conditional
+    aggregate and everything after it is single-row arithmetic."""
+    orders = load(spark, sf_dir, "orders")
+    n = 8
+    m = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("x")
+        )
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("y"))
+    )
+    last = m.select(
+        "x", "y", F.row_number().over(Window.orderBy(F.col("x").desc())).alias("rn")
+    ).filter(f"rn <= {n}")
+    df = last.agg(
+        *[
+            F.max(F.when(F.col("rn") == n + 1 - t, F.col("y"))).alias(f"y{t}")
+            for t in range(1, n + 1)
+        ]
+    )
+    df = df.withColumn("l1", F.col("y1")).withColumn(
+        "b1", F.lit(0).cast("long")
+    )
+    for t in range(2, n + 1):
+        df = df.withColumn(
+            f"l{t}", F.expr(f"(y{t} + l{t - 1} + b{t - 1}) div 2")
+        ).withColumn(
+            f"b{t}", F.expr(f"(b{t - 1} + (l{t} - l{t - 1})) div 2")
+        )
+    return df.select(
+        F.col(f"l{n}").cast("long").alias("level_cents"),
+        F.col(f"b{n}").cast("long").alias("trend_cents"),
+        (F.col(f"l{n}") + F.col(f"b{n}")).cast("long").alias(
+            "forecast_next_cents"
+        ),
+    )
+
+
+@register(
+    "q_forecast_eval",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    j AS (
+        SELECT a.t AS t, a.y AS y, b.y AS yhat
+        FROM d a JOIN d b ON b.t = a.t - 7
+    )
+    SELECT
+        CAST(SUM(CASE WHEN t >= 2100 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        CAST(SUM(CASE WHEN t >= 2100 THEN ABS(y - yhat) ELSE 0 END) AS BIGINT)
+            AS mase_num,
+        CAST(SUM(CASE WHEN t < 2100 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        CAST(SUM(CASE WHEN t < 2100 THEN ABS(y - yhat) ELSE 0 END) AS BIGINT)
+            AS mase_den,
+        CAST(SUM(CASE WHEN t >= 2100
+                 THEN (2000000 * ABS(y - yhat)) // (y + yhat) ELSE 0 END)
+             AS BIGINT) AS smape_e6_sum
+    FROM j
+    """,
+)
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy evaluation for the seasonal-naive baseline
+    (y_hat_t = y_{t-7}, rolling one-origin) on daily order volume,
+    split at day 2100: emits the exact integer MASE components
+    (holdout absolute-error sum over the in-sample seasonal-naive
+    error sum, with term counts — MASE = (mase_num/n_test) /
+    (mase_den/n_train), computed by the caller so no float division
+    enters the gate) and a per-term-floored sMAPE sum
+    (floor(2e6·|y-ŷ|/(y+ŷ)) summed — floor-then-sum is
+    order-independent, unlike summing float ratios). The season lag
+    is a self-equi-join on t-7 rather than a row-offset window, so
+    calendar gaps cannot silently misalign the season. The daily
+    aggregate is tiny (one row per day) — the join broadcasts.
+    Completes the forecasting family (q6 trend, q_holt_forecast)
+    with its evaluation metric."""
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01') AS BIGINT)"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    b = d.select(F.col("t").alias("bt"), F.col("y").alias("yhat"))
+    j = d.join(F.broadcast(b), F.col("bt") == F.col("t") - 7).select(
+        "t", "y", "yhat"
+    )
+    test = F.col("t") >= 2100
+    err = F.abs(F.col("y") - F.col("yhat"))
+    return j.agg(
+        F.sum(F.when(test, 1).otherwise(0)).cast("long").alias("n_test"),
+        F.sum(F.when(test, err).otherwise(0)).cast("long").alias("mase_num"),
+        F.sum(F.when(~test, 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(~test, err).otherwise(0)).cast("long").alias("mase_den"),
+        F.sum(
+            F.when(
+                test,
+                F.expr(
+                    "(2000000 * ABS(y - yhat)) div (y + yhat)"
+                ),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("smape_e6_sum"),
+    )
+
+
+@register(
+    "q_twa_value",
+    f"""
+    WITH e AS (
+        SELECT user_id, ts, {cents('value')} AS v,
+               epoch_us(ts) AS t_us, event_id
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, v,
+               (lead(t_us) OVER (PARTITION BY user_id
+                                 ORDER BY t_us, event_id) - t_us)
+               // 1000000 AS dt_s
+        FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(v * dt_s) AS BIGINT) AS twa_num,
+           CAST(SUM(dt_s) AS BIGINT) AS span_s
+    FROM seg WHERE dt_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_twa_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average of a sampled value per user (LOCF
+    weighting — each observation holds until the next, the standard
+    semantics for irregularly-sampled sensors/prices): exact integer
+    numerator Σ v_cents·dt_s and span Σ dt_s per user (TWA =
+    twa_num/span_s by the caller; a plain AVG would overweight
+    bursts). Segment lengths come from one lead() window per user
+    ordered by (ts, event_id) — fully partitioned, no global order —
+    floored to whole seconds so both engines' integer division
+    agrees. The open last observation carries no weight (dt NULL,
+    excluded on both sides)."""
+    from ..relational import epoch_micros
+
+    ev = load_events(spark, sf_dir)
+    e = ev.select(
+        "user_id",
+        F.expr(cents("value")).alias("v"),
+        epoch_micros(ev, "ts").alias("t_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seg = e.select(
+        "user_id",
+        "v",
+        (F.lead("t_us").over(w) - F.col("t_us")).alias("__dt_us"),
+    ).select(
+        "user_id",
+        "v",
+        F.expr("CAST(__dt_us div 1000000 AS BIGINT)").alias("dt_s"),
+    )
+    return (
+        seg.filter(F.col("dt_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.col("v") * F.col("dt_s")).cast("long").alias("twa_num"),
+            F.sum("dt_s").cast("long").alias("span_s"),
+        )
+    )
+
+
+@register(
+    "q_max_drawdown",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    m AS (SELECT CAST(SUM(y) // COUNT(*) AS BIGINT) AS mu FROM d),
+    eq AS (
+        SELECT t,
+               CAST(SUM(y - mu) OVER (ORDER BY t) AS BIGINT) AS e
+        FROM d CROSS JOIN m
+    ),
+    dd AS (
+        SELECT t, CAST(MAX(e) OVER (ORDER BY t) - e AS BIGINT) AS drawdown
+        FROM eq
+    )
+    SELECT CAST(MAX(drawdown) AS BIGINT) AS max_drawdown,
+           CAST(MIN(CASE WHEN drawdown = md THEN t END) AS BIGINT) AS at_t
+    FROM dd CROSS JOIN (SELECT MAX(drawdown) AS md FROM dd) x
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the demeaned cumulative daily-order-volume
+    curve (equity-curve risk metric): e(t) = Σ_{s≤t}(y(s) − ⌊mean⌋),
+    drawdown(t) = running-max(e) − e(t), reported with the earliest
+    day it is attained — all exact integers, deterministic ties. Two
+    cumulative windows over the DAILY AGGREGATE (one row per day;
+    the global order runs over ~10³ rows, not the fact table — the
+    q_mann_whitney aggregate-level-window posture)."""
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01') AS BIGINT)"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    m = d.agg(F.expr("CAST(SUM(y) div COUNT(*) AS BIGINT)").alias("mu"))
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    eq = d.crossJoin(F.broadcast(m)).select(
+        "t",
+        F.sum(F.col("y") - F.col("mu")).over(wcum).cast("long").alias("e"),
+    )
+    dd = eq.select(
+        "t",
+        (F.max("e").over(wcum) - F.col("e")).cast("long").alias("drawdown"),
+    )
+    md = dd.agg(F.max("drawdown").alias("md"))
+    return (
+        dd.crossJoin(F.broadcast(md))
+        .agg(
+            F.max("drawdown").cast("long").alias("max_drawdown"),
+            F.min(
+                F.when(F.col("drawdown") == F.col("md"), F.col("t"))
+            )
+            .cast("long")
+            .alias("at_t"),
+        )
+    )
+
+
+@register(
+    "q_active_users_7d",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '1995-01-01' AS BIGINT)
+                   AS t, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT t FROM du),
+    off AS (SELECT unnest(range(0, 7)) AS k),
+    wau AS (
+        SELECT d.t AS t, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+        FROM days d CROSS JOIN off o JOIN du ON du.t = d.t - o.k
+        GROUP BY d.t
+    ),
+    dau AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY t),
+    mn AS (SELECT CAST(MIN(t) AS BIGINT) AS t0 FROM du)
+    SELECT days.t, dau.dau, wau.wau,
+           CAST(1000000 * dau.dau // wau.wau AS BIGINT) AS stickiness_e6
+    FROM days JOIN dau ON dau.t = days.t JOIN wau ON wau.t = days.t
+    CROSS JOIN mn WHERE days.t >= t0 + 6
+    """,
+)
+def q_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness — the engagement triple: per day, the
+    distinct users that day, the distinct users over the trailing
+    7 days (computed by duplicating the PRE-REDUCED (day, user)
+    frame across 7 offsets, never the raw events — rolling DISTINCT
+    cannot ride a window function, so the offset join IS the scale
+    shape), and stickiness = floor(1e6·DAU/WAU). Days without a full
+    lookback are excluded (t ≥ min+6). Calendar days via NTZ
+    date-cast, timezone-independent."""
+    ev = load_events(spark, sf_dir)
+    du = ev.select(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE'1995-01-01') AS BIGINT)"
+        ).alias("t"),
+        "user_id",
+    ).distinct()
+    days = du.select("t").distinct()
+    off = spark.range(0, 7).select(F.col("id").alias("k"))
+    dub = du.select(F.col("t").alias("ut"), F.col("user_id").alias("uu"))
+    wau = (
+        days.crossJoin(F.broadcast(off))
+        .join(dub, F.col("ut") == F.col("t") - F.col("k"))
+        .groupBy("t")
+        .agg(F.countDistinct("uu").cast("long").alias("wau"))
+    )
+    dau = du.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    mn = du.agg(F.min("t").cast("long").alias("t0"))
+    return (
+        days.join(dau, "t")
+        .join(wau, "t")
+        .crossJoin(F.broadcast(mn))
+        .filter("t >= t0 + 6")
+        .select(
+            "t",
+            "dau",
+            "wau",
+            F.expr("CAST(1000000 * dau div wau AS BIGINT)").alias(
+                "stickiness_e6"
+            ),
+        )
+    )
+
+
+@register(
+    "q_degree_assortativity",
+    """
+    WITH raw AS (
+        SELECT DISTINCT l_suppkey AS s0, l_partkey + 1000000 AS d0
+        FROM lineitem
+    ),
+    e AS (
+        SELECT s0 AS s, d0 AS d FROM raw UNION SELECT d0, s0 FROM raw
+    ),
+    deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    j AS (
+        SELECT da.deg AS dx, db.deg AS dy
+        FROM e JOIN deg da ON e.s = da.node JOIN deg db ON e.d = db.node
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(dx) AS BIGINT) AS sx,
+               CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+               CAST(SUM(dx * dx) AS BIGINT) AS sxx
+        FROM j
+    )
+    SELECT m, sx, sxy, sxx,
+           CAST(floor(1000000.0
+                * (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                AS BIGINT) AS assortativity_e6
+    FROM st WHERE m * sxx - sx * sx <> 0
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier–part graph (Newman's r):
+    Pearson correlation of endpoint degrees over the DIRECTED edge
+    list, where the symmetric marginals collapse the usual formula to
+    r = (m·Σdxdy − (Σdx)²)/(m·Σdx² − (Σdx)²) — a single rational.
+    The sufficient statistics are exact BIGINTs (each ≤ m·maxdeg²);
+    only the final single-row ratio is formed in float64, where every
+    operand is an exact integer cast and both engines execute the
+    identical IEEE expression, floored to e6 (the hazard_e6 posture —
+    the cross-multiplied numerator would need ~1e21 > int64).
+    Bipartite supply graphs are disassortative by construction
+    (hub suppliers bond to leaf parts), so the sign itself is a
+    sanity check. One edge groupBy + two degree joins."""
+    li = load(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_suppkey").alias("s0"),
+        (F.col("l_partkey") + 1000000).alias("d0"),
+    ).distinct()
+    e = raw.select(F.col("s0").alias("s"), F.col("d0").alias("d")).union(
+        raw.select(F.col("d0").alias("s"), F.col("s0").alias("d"))
+    ).distinct()
+    deg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("node").alias("nb"), F.col("deg").alias("dy"))
+    j = e.join(da, F.col("s") == F.col("na")).join(
+        db, F.col("d") == F.col("nb")
+    )
+    st = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+    )
+    return st.filter("m * sxx - sx * sx <> 0").select(
+        "m",
+        "sx",
+        "sxy",
+        "sxx",
+        F.expr(
+            "CAST(floor(1000000.0"
+            " * (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("assortativity_e6"),
+    )
+
+
+@register(
+    "q_bollinger_breakouts",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    off AS (SELECT unnest(range(1, 8)) AS k),
+    r AS (
+        SELECT a.t AS t, a.y AS y, CAST(SUM(b.y) AS BIGINT) AS s7,
+               CAST(SUM(b.y * b.y) AS BIGINT) AS ss7
+        FROM d a CROSS JOIN off o JOIN d b ON b.t = a.t - o.k
+        GROUP BY a.t, a.y HAVING COUNT(*) = 7
+    )
+    SELECT t, y, s7, ss7,
+           CAST(CASE WHEN 7 * y - s7 > 0 THEN 1 ELSE -1 END AS BIGINT)
+               AS direction
+    FROM r
+    WHERE (7 * y - s7) * (7 * y - s7) > 4 * (7 * ss7 - s7 * s7)
+    """,
+)
+def q_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window volatility breakouts (Bollinger-band style,
+    2σ) on daily order volume WITHOUT computing a single σ: the test
+    |y − mean₇| > 2σ₇ over the trailing 7 days cross-multiplies to
+    the pure-integer (7y − S)² > 4(7·SS − S²) — no sqrt, no floats,
+    no tolerance. Complements q_anomaly_zscore (global, float z) with
+    the LOCAL regime-change flavor, exact. Trailing window via the
+    gap-safe offset equi-join (all 7 prior days required); the daily
+    aggregate is one row per day so every join after the first
+    groupBy broadcasts."""
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01') AS BIGINT)"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    off = spark.range(1, 8).select(F.col("id").alias("k"))
+    b = d.select(F.col("t").alias("bt"), F.col("y").alias("by"))
+    r = (
+        d.crossJoin(F.broadcast(off))
+        .join(F.broadcast(b), F.col("bt") == F.col("t") - F.col("k"))
+        .groupBy("t", "y")
+        .agg(
+            F.sum("by").cast("long").alias("s7"),
+            F.sum(F.col("by") * F.col("by")).cast("long").alias("ss7"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter("__n = 7")
+        .drop("__n")
+    )
+    return r.filter(
+        "(7 * y - s7) * (7 * y - s7) > 4 * (7 * ss7 - s7 * s7)"
+    ).select(
+        "t",
+        "y",
+        "s7",
+        "ss7",
+        F.expr(
+            "CAST(CASE WHEN 7 * y - s7 > 0 THEN 1 ELSE -1 END AS BIGINT)"
+        ).alias("direction"),
+    )
+
+
+@register(
+    "q_seasonal_decompose",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    off AS (SELECT unnest(range(-3, 4)) AS k),
+    tr AS (
+        SELECT a.t AS t, CAST(SUM(b.y) // 7 AS BIGINT) AS trend
+        FROM d a CROSS JOIN off o JOIN d b ON b.t = a.t + o.k
+        GROUP BY a.t HAVING COUNT(*) = 7
+    ),
+    dt AS (
+        SELECT d.t, d.y, tr.trend, d.y - tr.trend AS detr, d.t % 7 AS w
+        FROM d JOIN tr ON d.t = tr.t
+    ),
+    se AS (
+        SELECT w, CAST(SUM(detr) // COUNT(*) AS BIGINT) AS seasonal
+        FROM dt GROUP BY w
+    )
+    SELECT dt.t, dt.y, dt.trend, se.seasonal,
+           CAST(dt.detr - se.seasonal AS BIGINT) AS resid
+    FROM dt JOIN se USING (w)
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily order volume
+    — STL-lite, entirely in integers: TREND = centered 7-day moving
+    average (floor), computed via an offset EQUI-JOIN requiring all 7
+    neighbors present (a row-offset window would silently span
+    calendar gaps — the q_forecast_eval lesson); SEASONAL = per-
+    weekday floor-mean of the detrended series (both engines'
+    integer division truncates toward zero, verified, so negative
+    detrended sums divide identically); RESIDUAL = the exact integer
+    remainder, so y = trend + seasonal + resid reconstructs by
+    construction. The daily aggregate is one row per day — every
+    join after the first groupBy broadcasts."""
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        orders.select(
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01') AS BIGINT)"
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    off = spark.range(-3, 4).select(F.col("id").alias("k"))
+    b = d.select(F.col("t").alias("bt"), F.col("y").alias("by"))
+    tr = (
+        d.crossJoin(F.broadcast(off))
+        .join(F.broadcast(b), F.col("bt") == F.col("t") + F.col("k"))
+        .groupBy("t")
+        .agg(
+            F.expr("CAST(SUM(by) div 7 AS BIGINT)").alias("trend"),
+            F.count(F.lit(1)).alias("__n7"),
+        )
+        .filter("__n7 = 7")
+        .drop("__n7")
+    )
+    dt = d.join(F.broadcast(tr), "t").select(
+        "t",
+        "y",
+        "trend",
+        (F.col("y") - F.col("trend")).alias("detr"),
+        (F.col("t") % 7).alias("w"),
+    )
+    se = dt.groupBy("w").agg(
+        F.expr("CAST(SUM(detr) div COUNT(*) AS BIGINT)").alias("seasonal")
+    )
+    return dt.join(F.broadcast(se), "w").select(
+        "t",
+        "y",
+        "trend",
+        "seasonal",
+        F.expr("CAST(detr - seasonal AS BIGINT)").alias("resid"),
+    )
+
+
+@register(
+    "q_lorenz_deciles",
+    f"""
+    WITH s AS (
+        SELECT o_custkey AS id,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS spend
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT spend,
+               CAST(row_number() OVER (ORDER BY spend, id) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM s
+    ),
+    d AS (
+        SELECT CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS decile,
+               CAST(SUM(spend) AS BIGINT) AS spend
+        FROM r GROUP BY 1
+    ),
+    c AS (
+        SELECT decile, spend,
+               CAST(SUM(spend) OVER (ORDER BY decile) AS BIGINT) AS cum_spend,
+               CAST(SUM(spend) OVER () AS BIGINT) AS total
+        FROM d
+    )
+    SELECT decile, spend AS decile_spend_cents,
+           cum_spend AS cum_spend_cents,
+           CAST(1000000 * cum_spend // total AS BIGINT) AS cum_share_e6
+    FROM c
+    """,
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve points for customer spend: rank customers by total
+    spend (total order: value, then id), assign exact integer deciles
+    by rank arithmetic (no ntile — its tie behavior is
+    engine-ambiguous), and emit per-decile and cumulative spend plus
+    the exact ppm cumulative share — the curve q_gini_revenue
+    summarizes as one number. The global rank is scale-safe: range
+    repartition + per-partition ranks + broadcast prefix offsets
+    (relational.global_order_stats), never a single-reducer window;
+    the only remaining global windows run over the 10-row decile
+    table."""
+    from ..relational import global_order_stats
+
+    orders = load(spark, sf_dir, "orders")
+    s = orders.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("spend")
+    )
+    r = global_order_stats(
+        s,
+        [F.col("spend").asc(), F.col("id").asc()],
+        rank_col="rn",
+        total_count_col="n",
+    ).select("spend", "rn", "n")
+    d = r.groupBy(
+        F.expr("CAST((rn - 1) * 10 div n + 1 AS BIGINT)").alias("decile")
+    ).agg(F.sum("spend").cast("long").alias("spend"))
+    c = d.select(
+        "decile",
+        "spend",
+        F.sum("spend")
+        .over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_spend"),
+        F.sum("spend").over(Window.partitionBy()).cast("long").alias("total"),
+    )
+    return c.select(
+        "decile",
+        F.col("spend").alias("decile_spend_cents"),
+        F.col("cum_spend").alias("cum_spend_cents"),
+        F.expr("CAST(1000000 * cum_spend div total AS BIGINT)").alias(
+            "cum_share_e6"
+        ),
+    )
+
+
+@register(
+    "q_kendall_binned",
+    f"""
+    WITH s AS (
+        SELECT c.c_custkey AS id,
+               {cents('c.c_acctbal')} AS bal,
+               CAST(SUM({cents('o.o_totalprice')}) AS BIGINT) AS spend
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT id, bal, spend,
+               CAST((row_number() OVER (ORDER BY bal, id) - 1) * 10
+                    // (COUNT(*) OVER ()) + 1 AS BIGINT) AS dx,
+               CAST((row_number() OVER (ORDER BY spend, id) - 1) * 10
+                    // (COUNT(*) OVER ()) + 1 AS BIGINT) AS dy
+        FROM s
+    ),
+    cells AS (
+        SELECT dx, dy, CAST(COUNT(*) AS BIGINT) AS n
+        FROM r GROUP BY dx, dy
+    )
+    SELECT CAST(SUM(CASE WHEN b.dx > a.dx AND b.dy > a.dy
+                    THEN a.n * b.n ELSE 0 END) AS BIGINT) AS concordant,
+           CAST(SUM(CASE WHEN b.dx > a.dx AND b.dy < a.dy
+                    THEN a.n * b.n ELSE 0 END) AS BIGINT) AS discordant,
+           CAST(SUM(CASE WHEN b.dx > a.dx AND b.dy > a.dy
+                    THEN a.n * b.n ELSE 0 END)
+                - SUM(CASE WHEN b.dx > a.dx AND b.dy < a.dy
+                      THEN a.n * b.n ELSE 0 END) AS BIGINT) AS tau_num
+    FROM cells a CROSS JOIN cells b
+    """,
+)
+def q_kendall_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall concordance on DECILE-binned variables (balance decile
+    vs spend decile): concordant and discordant pair counts computed
+    over the 10×10 CELL table, so the quadratic runs over ≤100 cells
+    regardless of corpus size — the binned tau that scales where exact
+    tau's per-row inversion count cannot (exact pairwise Kendall is a
+    sequential merge-sort reduction). All integers; rank-arithmetic
+    deciles match q_lorenz_deciles' tie policy. Both decile
+    assignments are scale-safe: each global rank is a range
+    repartition + per-partition ranks + broadcast prefix offsets
+    (relational.global_order_stats), never a single-reducer window."""
+    from ..relational import global_order_stats
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    s = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            F.col("c_custkey").alias("id"),
+            F.expr(cents("c_acctbal")).alias("bal"),
+        )
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("spend"))
+    )
+    rx = global_order_stats(
+        s,
+        [F.col("bal").asc(), F.col("id").asc()],
+        rank_col="rnx",
+        total_count_col="n",
+    )
+    ry = global_order_stats(
+        rx, [F.col("spend").asc(), F.col("id").asc()], rank_col="rny"
+    )
+    r = ry.select(
+        F.expr("CAST((rnx - 1) * 10 div n + 1 AS BIGINT)").alias("dx"),
+        F.expr("CAST((rny - 1) * 10 div n + 1 AS BIGINT)").alias("dy"),
+    )
+    cells = r.groupBy("dx", "dy").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = cells.select(
+        F.col("dx").alias("ax"), F.col("dy").alias("ay"), F.col("n").alias("an")
+    )
+    b = cells.select(
+        F.col("dx").alias("bx"), F.col("dy").alias("by"), F.col("n").alias("bn")
+    )
+    j = a.crossJoin(b)
+    conc = F.sum(
+        F.when((F.col("bx") > F.col("ax")) & (F.col("by") > F.col("ay")),
+               F.col("an") * F.col("bn")).otherwise(0)
+    ).cast("long")
+    disc = F.sum(
+        F.when((F.col("bx") > F.col("ax")) & (F.col("by") < F.col("ay")),
+               F.col("an") * F.col("bn")).otherwise(0)
+    ).cast("long")
+    return j.agg(
+        conc.alias("concordant"),
+        disc.alias("discordant"),
+        (conc - disc).alias("tau_num"),
+    )
+
+
+@register("q_markov_stationary", _markov_stationary_duck(4))
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by FOUR
+    unrolled integer power iterations (v at 1e12 scale, per-term floor
+    — the PageRank discipline, so Spark and the chained-CTE oracle
+    agree exactly at every iteration regardless of convergence). The
+    chain matrix is the tiny type-domain transition table; each
+    iteration is one broadcast-size join, and the heavy work is the
+    single transition count over the event stream."""
+    ev = load_events(spark, sf_dir)
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    )
+    t = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    m = t.groupBy("src").agg(F.sum("n").cast("long").alias("n_src"))
+    types = (
+        t.select(F.col("src").alias("t"))
+        .union(t.select(F.col("dst").alias("t")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        t.join(m, "src")
+        .select(
+            F.col("src"), F.col("dst"), F.col("n"), F.col("n_src")
+        )
+        .localCheckpoint()
+    )
+    v = types.select("t", F.lit(1_000_000_000_000).cast("long").alias("v"))
+    for _ in range(4):
+        msgs = (
+            v.join(edges, v["t"] == edges["src"])
+            .select(
+                F.col("dst"),
+                F.expr("v * n div n_src").alias("__m"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("__m").cast("long").alias("__v"))
+        )
+        v = (
+            types.join(msgs, types["t"] == msgs["dst"], "left")
+            .select(
+                "t", F.coalesce(F.col("__v"), F.lit(0)).cast("long").alias("v")
+            )
+            .localCheckpoint()
+        )
+    return v.select(F.col("t").alias("event_type"), F.col("v").alias("stationary_e12"))
+
+
+@register(
+    "q_cramers_v",
+    """
+    WITH o AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ), r AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rn FROM o GROUP BY 1),
+    c AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cn FROM o GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM o),
+    terms AS (
+        SELECT CAST(1000000 * (o.n * t.tot - r.rn * c.cn)
+                            * (o.n * t.tot - r.rn * c.cn)
+                    // (r.rn * c.cn * t.tot) AS BIGINT) AS term_e6
+        FROM o JOIN r ON o.lang = r.lang
+               JOIN c ON o.source = c.source
+               CROSS JOIN t
+    ),
+    dims AS (
+        SELECT CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS nr,
+               CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS nc,
+               (SELECT tot FROM t) AS tot
+    )
+    SELECT CAST(SUM(term_e6) AS BIGINT) AS chi2_e6,
+           d.tot AS n,
+           CAST(least(d.nr - 1, d.nc - 1) AS BIGINT) AS df_min,
+           CAST(SUM(term_e6) // (d.tot * least(d.nr - 1, d.nc - 1))
+                AS BIGINT) AS v2_e6,
+           round(sqrt(CAST(SUM(term_e6)
+                           // (d.tot * least(d.nr - 1, d.nc - 1)) AS DOUBLE)
+                      / 1000000.0), 9) AS v
+    FROM terms CROSS JOIN dims d
+    GROUP BY d.tot, d.nr, d.nc
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the (language × source) association:
+    aggregates the SAME exact-integer chi-square cell terms as
+    q_crosstab_chisq (e6-floored per cell, so the sum is
+    reduction-order independent), then one integer division by
+    n·min(r−1, c−1) and a single IEEE-exact sqrt rounded to 9 — the
+    chi-square tells you the association exists, V tells you whether
+    it matters."""
+    docs = load(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    r = o.groupBy("lang").agg(F.sum("n").cast("long").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("n").cast("long").alias("cn"))
+    t = o.agg(F.sum("n").cast("long").alias("tot"))
+    nr = r.agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    terms = (
+        o.join(r, "lang")
+        .join(c, "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.expr(
+                "CAST(1000000 * (n * tot - rn * cn) * (n * tot - rn * cn)"
+                " div (rn * cn * tot) AS BIGINT)"
+            ).alias("term_e6")
+        )
+    )
+    return (
+        terms.agg(F.sum("term_e6").cast("long").alias("chi2_e6"))
+        .crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "chi2_e6",
+            F.col("tot").alias("n"),
+            F.expr("CAST(least(nr - 1, nc - 1) AS BIGINT)").alias("df_min"),
+            F.expr(
+                "CAST(chi2_e6 div (tot * least(nr - 1, nc - 1)) AS BIGINT)"
+            ).alias("v2_e6"),
+            F.round(
+                F.sqrt(
+                    F.expr(
+                        "CAST(chi2_e6 div (tot * least(nr - 1, nc - 1))"
+                        " AS DOUBLE)"
+                    )
+                    / F.lit(1_000_000.0)
+                ),
+                9,
+            ).alias("v"),
+        )
+    )
+
+
+@register(
+    "q_survival_km",
+    """
+    WITH starts AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events GROUP BY 1
+    ),
+    conv AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS tc
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+    durs AS (
+        SELECT s.user_id,
+               CASE WHEN c.tc IS NOT NULL AND c.tc >= s.t0
+                    THEN (c.tc - s.t0) // 3600000000
+                    ELSE (h.tmax - s.t0) // 3600000000 END AS t_hours,
+               CASE WHEN c.tc IS NOT NULL AND c.tc >= s.t0
+                    THEN 1 ELSE 0 END AS converted
+        FROM starts s LEFT JOIN conv c ON c.user_id = s.user_id
+        CROSS JOIN horizon h
+    ),
+    ev_times AS (
+        SELECT t_hours AS t, CAST(SUM(converted) AS BIGINT) AS d
+        FROM durs GROUP BY 1 HAVING SUM(converted) > 0
+    ),
+    at_risk AS (
+        SELECT e.t, e.d,
+               CAST((SELECT COUNT(*) FROM durs WHERE t_hours >= e.t)
+                    AS BIGINT) AS n
+        FROM ev_times e
+    ),
+    steps AS (
+        SELECT t, d, n,
+               CAST(1000000 * d // n AS BIGINT) AS hazard_e6,
+               CAST(floor(1000000 * ln(CAST(n - d AS DOUBLE)
+                                       / CAST(n AS DOUBLE))) AS BIGINT)
+                   AS logstep_e6
+        FROM at_risk WHERE n > d
+    )
+    SELECT t AS t_hours, n AS n_at_risk, d AS d_events, hazard_e6,
+           CAST(floor(1000000 * exp(
+                CAST(SUM(logstep_e6) OVER (ORDER BY t) AS DOUBLE)
+                / 1000000.0)) AS BIGINT) AS survival_e6
+    FROM steps
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of time-to-conversion WITH right
+    censoring: every user enters at their first event; converters
+    contribute an event at their purchase delay (hours), everyone else
+    is censored at the corpus horizon. Per event time: at-risk count,
+    events, the discrete hazard in exact ppm, and the KM survival
+    curve computed as an e6-floored log-sum (Π(1−d/n) →
+    exp(Σ floor(1e6·ln((n−d)/n)))) — the floors make the cumulative
+    sum reduction-order independent; the single ln/exp per row rides
+    the repo's 1-ulp tolerance like every ln-based score. Shape: three
+    narrow per-user aggregates, an event-time groupBy, and ONE ordered
+    cumulative window over the (small) distinct event-time table."""
+    ev = load_events(spark, sf_dir)
+    us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01").cast("timestamp_ntz"), F.col("ts")
+    )
+    starts = ev.groupBy("user_id").agg(F.min(us).alias("t0"))
+    conv = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("tc"))
+    )
+    horizon = ev.agg(F.max(us).alias("tmax"))
+    durs = (
+        starts.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr(
+                "CASE WHEN tc IS NOT NULL AND tc >= t0"
+                " THEN (tc - t0) div 3600000000"
+                " ELSE (tmax - t0) div 3600000000 END"
+            ).alias("t_hours"),
+            F.expr(
+                "CASE WHEN tc IS NOT NULL AND tc >= t0 THEN 1 ELSE 0 END"
+            ).alias("converted"),
+        )
+        .localCheckpoint()
+    )
+    ev_times = (
+        durs.groupBy(F.col("t_hours").alias("t"))
+        .agg(F.sum("converted").cast("long").alias("d"))
+        .filter("d > 0")
+    )
+    # at-risk via a non-equi aggregation: count durs with t_hours >= t.
+    # The event-time table is SMALL (distinct conversion delays), so
+    # broadcast it and aggregate the user table once.
+    at_risk = (
+        durs.join(F.broadcast(ev_times), F.col("t_hours") >= F.col("t"))
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    steps = at_risk.filter("n > d").select(
+        "t",
+        "d",
+        "n",
+        F.expr("CAST(1000000 * d div n AS BIGINT)").alias("hazard_e6"),
+        F.expr(
+            "CAST(floor(1000000 * ln(CAST(n - d AS DOUBLE)"
+            " / CAST(n AS DOUBLE))) AS BIGINT)"
+        ).alias("logstep_e6"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return steps.select(
+        F.col("t").alias("t_hours"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        "hazard_e6",
+        F.floor(
+            F.lit(1_000_000)
+            * F.exp(
+                F.sum("logstep_e6").over(w).cast("double") / F.lit(1_000_000.0)
+            )
+        )
+        .cast("long")
+        .alias("survival_e6"),
+    )
+
+
+@register(
+    "q_audience_matrix",
+    """
+    WITH du AS (
+        SELECT DISTINCT event_type AS et, user_id FROM events
+    )
+    SELECT a.et AS type_a, b.et AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM du a JOIN du b
+      ON a.user_id = b.user_id AND a.et < b.et
+    GROUP BY 1, 2
+    """,
+)
+def q_audience_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap matrix: distinct users shared by
+    every pair of event types — the exact counterpart of the
+    q_sketch_hll_intersect estimate, for all C(5,2) pairs at once.
+    The self-join runs on the PRE-REDUCED (type, user) frame (5
+    rows/user max), never the event stream; at 100 TB the reduce is
+    the only full pass and the join input is |users|·|types|."""
+    ev = load_events(spark, sf_dir)
+    du = ev.select(F.col("event_type").alias("et"), "user_id").distinct()
+    a = du.select(F.col("et").alias("type_a"), "user_id")
+    b = du.select(F.col("et").alias("type_b"), F.col("user_id").alias("u2"))
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+
+
+@register(
+    "q_rendezvous_shards",
+    """
+    WITH s AS (SELECT unnest(range(0, 8)) AS shard),
+    score AS (
+        SELECT c_custkey, shard,
+               CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|'
+                    || CAST(shard AS VARCHAR)), 1, 12) AS BIGINT) AS w
+        FROM customer, s
+    ),
+    assign AS (
+        SELECT c_custkey, shard
+        FROM (SELECT c_custkey, shard,
+                     row_number() OVER (PARTITION BY c_custkey
+                                        ORDER BY w DESC, shard) AS rn
+              FROM score)
+        WHERE rn = 1
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_checksum
+    FROM assign GROUP BY shard
+    """,
+)
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) hashing of customers onto 8
+    shards — the assignment scheme whose defining property is minimal
+    disruption: removing one shard remaps ONLY that shard's keys
+    (each key's other 7 scores are untouched), unlike mod-N hashing
+    which remaps nearly everything. Deterministic md5 weights, ties
+    broken by shard id; per-shard counts plus a key checksum so the
+    oracle pins the exact assignment, not just the sizes. Map-side
+    scoring (8 hashes per key — no shuffle until the final 8-row
+    aggregate); the scale shape for stable routing of 100 TB key
+    spaces."""
+    cust = load(spark, sf_dir, "customer")
+    s = spark.range(8).select(F.col("id").cast("int").alias("shard"))
+    score = cust.crossJoin(F.broadcast(s)).select(
+        "c_custkey",
+        "shard",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(c_custkey AS STRING) || '|' ||"
+            " CAST(shard AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+        ).alias("w"),
+    )
+    assign = (
+        score.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("c_custkey").orderBy(
+                    F.col("w").desc(), F.col("shard")
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .select("c_custkey", "shard")
+    )
+    return assign.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c_custkey").cast("long").alias("key_checksum"),
+    )
+
+
+@register(
+    "q_fd_check",
+    """
+    WITH l AS (
+        SELECT c_mktsegment AS lhs,
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_rhs,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM customer GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_lhs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+               AS n_rows_in_violations,
+           CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_per_lhs
+    FROM l
+    """,
+)
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (does c_mktsegment determine
+    c_nationkey? — it should NOT, and the numbers prove how badly):
+    per-LHS distinct-RHS counts reduced to the violation summary a
+    data-quality suite reports — violating LHS values, rows inside
+    them, worst fan-out. The profiling primitive behind schema
+    normalization and silent-corruption checks (a TRUE dependency
+    that starts violating signals an upstream join bug). One groupBy
+    with a distinct agg, one 5-row combine."""
+    cust = load(spark, sf_dir, "customer")
+    l = cust.groupBy(F.col("c_mktsegment").alias("lhs")).agg(
+        F.countDistinct("c_nationkey").cast("long").alias("n_rhs"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return l.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lhs"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_lhs"),
+        F.sum(F.when(F.col("n_rhs") > 1, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_in_violations"),
+        F.max("n_rhs").cast("long").alias("max_rhs_per_lhs"),
+    )
+
+
+@register(
+    "q_psi_price",
+    f"""
+    WITH x AS (
+        SELECT {cents('o_totalprice')} // 2000000 AS b,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                    THEN 'e' ELSE 'a' END AS p
+        FROM orders
+    ),
+    cell AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN p = 'e' THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+               CAST(SUM(CASE WHEN p = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca
+        FROM x GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(ce) AS BIGINT) AS ne, CAST(SUM(ca) AS BIGINT) AS na
+        FROM cell
+    )
+    SELECT b, ce, ca, ne, na,
+           CAST(floor(1000000000.0
+                * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                   - CAST(ce AS DOUBLE) / CAST(ne AS DOUBLE))
+                * ln((CAST(ca AS DOUBLE) * CAST(ne AS DOUBLE))
+                     / (CAST(ce AS DOUBLE) * CAST(na AS DOUBLE))))
+                AS BIGINT) AS psi_term_e9
+    FROM cell CROSS JOIN tot
+    WHERE ce > 0 AND ca > 0
+    """,
+)
+def q_psi_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX between pre- and post-1998 order-
+    total distributions ($20k buckets) — the standard production-ML
+    drift monitor (PSI = Σ (p_a − p_e)·ln(p_a/p_e); > 0.2 is the
+    conventional retrain trigger), emitted as per-bucket e9-floored
+    terms beside the exact integer counts: floor-then-sum is
+    reduction-order independent, every double operand is an exact
+    integer cast, and both engines execute the identical IEEE
+    expression. Buckets missing from either period are excluded (the
+    standard zero-cell convention — their counts still appear in the
+    totals). Complements q_drift_chisq (significance) with the
+    magnitude-scaled industry metric. One bucket groupBy + a
+    broadcast totals join."""
+    orders = load(spark, sf_dir, "orders")
+    x = orders.select(
+        F.expr(f"{cents('o_totalprice')} div 2000000").alias("b"),
+        F.when(
+            F.col("o_orderdate") < "1998-01-01 00:00:00", F.lit("e")
+        )
+        .otherwise(F.lit("a"))
+        .alias("p"),
+    )
+    cell = x.groupBy("b").agg(
+        F.sum(F.when(F.col("p") == "e", 1).otherwise(0))
+        .cast("long")
+        .alias("ce"),
+        F.sum(F.when(F.col("p") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+    )
+    tot = cell.agg(
+        F.sum("ce").cast("long").alias("ne"),
+        F.sum("ca").cast("long").alias("na"),
+    )
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .filter("ce > 0 AND ca > 0")
+        .select(
+            "b",
+            "ce",
+            "ca",
+            "ne",
+            "na",
+            F.expr(
+                "CAST(floor(1000000000.0"
+                " * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"
+                "    - CAST(ce AS DOUBLE) / CAST(ne AS DOUBLE))"
+                " * ln((CAST(ca AS DOUBLE) * CAST(ne AS DOUBLE))"
+                "      / (CAST(ce AS DOUBLE) * CAST(na AS DOUBLE))))"
+                " AS BIGINT)"
+            ).alias("psi_term_e9"),
+        )
+    )
+
+
+@register(
+    "q_mutual_info",
+    """
+    WITH cell AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (SELECT rf, CAST(SUM(c) AS BIGINT) AS rc FROM cell GROUP BY 1),
+    co AS (SELECT ls, CAST(SUM(c) AS BIGINT) AS cc FROM cell GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell)
+    SELECT rf, ls, c, rc, cc, n,
+           CAST(c * CAST(floor(1000000 * ln(
+                    CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE))))
+                AS BIGINT) AS BIGINT) AS mi_term_e6
+    FROM cell JOIN r USING (rf) JOIN co USING (ls) CROSS JOIN tot
+    """,
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between return flag and line status, one
+    exact row per contingency cell: MI = Σ_ij p_ij·ln(p_ij/(p_i·p_j))
+    is emitted as integer terms c_ij·floor(1e6·ln(c_ij·N/(r_i·c_j)))
+    — the pointwise-MI machinery of text_bigram_pmi lifted to a
+    column-pair dependence measure (MI = Σ mi_term_e6 / (1e6·N), by
+    the caller). floor-then-multiply-then-sum is reduction-order
+    independent; the per-cell ln rides the repo's 1-ulp tolerance.
+    Complements q_crosstab_chisq / q_cramers_v (which measure the
+    same dependence on a χ² scale) with the information-theoretic
+    scale. One cell aggregate, then broadcast joins of the tiny
+    marginal frames."""
+    li = load(spark, sf_dir, "lineitem")
+    cell = (
+        li.select(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_linestatus").alias("ls"),
+        )
+        .groupBy("rf", "ls")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    r = cell.groupBy("rf").agg(F.sum("c").cast("long").alias("rc"))
+    co = cell.groupBy("ls").agg(F.sum("c").cast("long").alias("cc"))
+    tot = cell.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        cell.join(F.broadcast(r), "rf")
+        .join(F.broadcast(co), "ls")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rf",
+            "ls",
+            "c",
+            "rc",
+            "cc",
+            "n",
+            F.expr(
+                "CAST(c * CAST(floor(1000000 * ln("
+                "CAST(c AS DOUBLE) * CAST(n AS DOUBLE)"
+                " / (CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE))))"
+                " AS BIGINT) AS BIGINT)"
+            ).alias("mi_term_e6"),
+        )
+    )
+
+
+@register(
+    "q_price_elasticity",
+    f"""
+    WITH cells AS (
+        SELECT l_partkey,
+               CAST(SUM({cents('l_extendedprice')}) // SUM(CAST(l_quantity AS BIGINT))
+                    AS BIGINT) AS unit_cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1
+    ),
+    pts AS (
+        SELECT CAST(floor(1000000 * ln(CAST(unit_cents AS DOUBLE))) AS BIGINT)
+                   AS lx,
+               CAST(floor(1000000 * ln(CAST(qty AS DOUBLE))) AS BIGINT) AS ly
+        FROM cells WHERE unit_cents > 0 AND qty > 0
+    ),
+    base AS (SELECT CAST(MIN(lx) AS BIGINT) AS x0,
+                    CAST(MIN(ly) AS BIGINT) AS y0 FROM pts),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((lx - x0) // 1000) AS BIGINT) AS sx,
+               CAST(SUM((ly - y0) // 1000) AS BIGINT) AS sy,
+               CAST(SUM(((lx - x0) // 1000) * ((ly - y0) // 1000)) AS BIGINT)
+                   AS sxy,
+               CAST(SUM(((lx - x0) // 1000) * ((lx - x0) // 1000)) AS BIGINT)
+                   AS sxx
+        FROM pts CROSS JOIN base
+    )
+    SELECT n,
+           CAST(1000000 * (n * sxy - sx * sy) // (n * sxx - sx * sx)
+                AS BIGINT) AS elasticity_e6
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand: per part, average unit price
+    vs total quantity; both axes become e6-floored natural logs
+    re-based to the corpus minimum and COARSENED to e3 (floor-divide by
+    1000) so the OLS normal-equation products of ~60k parts stay well
+    inside int64 — then slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²) in exact
+    integers (the q_trend_slope machinery on log axes). The floors
+    make every sum reduction-order independent; the per-value ln rides
+    the repo's 1-ulp tolerance. One aggregate over lineitem, then
+    single-row math."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_partkey").agg(
+        F.expr(
+            f"CAST(SUM({cents('l_extendedprice')})"
+            " div SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+        ).alias("unit_cents"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+    pts = cells.filter("unit_cents > 0 AND qty > 0").select(
+        F.expr(
+            "CAST(floor(1000000 * ln(CAST(unit_cents AS DOUBLE))) AS BIGINT)"
+        ).alias("lx"),
+        F.expr(
+            "CAST(floor(1000000 * ln(CAST(qty AS DOUBLE))) AS BIGINT)"
+        ).alias("ly"),
+    )
+    base = pts.agg(
+        F.min("lx").cast("long").alias("x0"), F.min("ly").cast("long").alias("y0")
+    )
+    s = pts.crossJoin(F.broadcast(base)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("(lx - x0) div 1000")).cast("long").alias("sx"),
+        F.sum(F.expr("(ly - y0) div 1000")).cast("long").alias("sy"),
+        F.sum(F.expr("((lx - x0) div 1000) * ((ly - y0) div 1000)"))
+        .cast("long")
+        .alias("sxy"),
+        F.sum(F.expr("((lx - x0) div 1000) * ((lx - x0) div 1000)"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    return s.filter("n * sxx - sx * sx > 0").select(
+        "n",
+        F.expr(
+            "CAST(1000000 * (n * sxy - sx * sy) div (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("elasticity_e6"),
+    )
+
+
+@register(
+    "q_truss_support",
+    f"""
+    WITH {_COSOURCE_EDGE_CTES},
+    sym AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+    sup AS (
+        SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS support
+        FROM sym a JOIN sym b ON a.d = b.d AND a.s < b.s
+        GROUP BY 1, 2
+    )
+    SELECT e.u, e.v,
+           CAST(COALESCE(sup.support, 0) AS BIGINT) AS support
+    FROM e LEFT JOIN sup ON sup.u = e.u AND sup.v = e.v
+    """,
+)
+def q_truss_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE triangle support over the co-sourcing graph — the
+    quantity k-truss peels on and the standard tie-strength signal
+    (support 0 marks a local bridge no triangle reinforces). The
+    engine enumerates each triangle once via the degree-ordered
+    orientation (wedge fan-out bounded by oriented out-degree, O(sqrt m))
+    and explodes its three edges into one groupBy; the oracle counts
+    common neighbors per adjacent pair directly, an orientation-free
+    cross-check."""
+    from ..pipeline.graph import truss_support
+
+    e = _cosource_edges_spark(spark, sf_dir)
+    return truss_support(e, "u", "v")
+
+
+@register("q_ktruss_edges", _ktruss_oracle())
+def q_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-truss of the co-sourcing graph: the maximal subgraph whose
+    every edge sits in >= 2 triangles after iterative peeling — the
+    community-core extraction one notch stronger than k-core (truss
+    membership requires mutual reinforcement, not mere degree). The
+    engine peels to fixpoint with a driver loop over the single-shuffle
+    support computation (lineage flattened per round); the oracle
+    unrolls 6 monotone materialized rounds, covering the observed
+    <=3-round convergence with margin. Output: surviving edges with
+    their final in-truss support."""
+    from ..pipeline.graph import k_truss
+
+    e = _cosource_edges_spark(spark, sf_dir)
+    return k_truss(e, k=4, src="u", dst="v")
+
+
+@register(
+    "q_link_prediction",
+    f"""
+    WITH {_COSOURCE_EDGE_CTES},
+    sym AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY 1),
+    pairs AS (
+        SELECT a.s AS u, b.s AS v,
+               CAST(COUNT(*) AS BIGINT) AS common,
+               CAST(SUM(1000000 // dz.deg) AS BIGINT) AS ra_e6
+        FROM sym a
+        JOIN sym b ON a.d = b.d AND a.s < b.s
+        JOIN deg dz ON dz.node = a.d
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT p.u, p.v, p.common, p.ra_e6
+        FROM pairs p LEFT JOIN e ON e.u = p.u AND e.v = p.v
+        WHERE e.u IS NULL
+    ),
+    scored AS (
+        SELECT c.u, c.v, c.common,
+               CAST(1000000 * c.common // (du.deg + dv.deg - c.common)
+                    AS BIGINT) AS jaccard_e6,
+               c.ra_e6
+        FROM cand c
+        JOIN deg du ON du.node = c.u
+        JOIN deg dv ON dv.node = c.v
+    )
+    SELECT u, v, common, jaccard_e6, ra_e6 FROM (
+        SELECT *, row_number()
+               OVER (ORDER BY jaccard_e6 DESC, u, v) AS rn
+        FROM scored
+    ) WHERE rn <= 100
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted missing edges in the co-sourcing graph by
+    Jaccard neighborhood overlap, with common-neighbor and
+    resource-allocation scores alongside — the classic link-prediction
+    triple in exact integers (RA uses a PER-TERM 1e6 div deg floor so
+    the sum is order-independent and hash-exact on any engine).
+    Candidates are enumerated through shared-neighbor witnesses (one
+    adjacency self-join keyed on the witness + one pair groupBy), never
+    an all-pairs product; existing edges removed with one left-anti
+    join. Deterministic full tie-break (score, u, v)."""
+    from ..pipeline.graph import link_prediction
+
+    e = _cosource_edges_spark(spark, sf_dir)
+    scored = link_prediction(e, "u", "v")
+    # top-k via orderBy+limit = TakeOrderedAndProject: each partition
+    # keeps its local top-100, the driver merges 100·P rows — never a
+    # single-reducer global sort over the candidate-pair set, which
+    # grows with the data (VERDICT r5 task 2)
+    return scored.orderBy(
+        F.desc("jaccard_e6"), F.asc("u"), F.asc("v")
+    ).limit(100).select("u", "v", "common", "jaccard_e6", "ra_e6")
+
+
+@register(
+    "q_closure_nations",
+    f"""
+    WITH RECURSIVE {_NATION_TRADE_CTES},
+    reach AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.s, e2.d FROM reach r JOIN e e2 ON e2.s = r.d
+    )
+    SELECT s, d FROM reach WHERE s <> d
+    """,
+)
+def q_closure_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reachability closure of the directed nation trade graph — every
+    ordered nation pair (s, d) with a heavy-flow path, computed with
+    path DOUBLING (after round i the pair set covers paths of length
+    <= 2^i, so 16 rounds cover diameter 65536) vs the oracle's
+    recursive one-hop expansion. Closure materialization is the
+    entity-graph shape (nations/catalogs/org charts); billion-node
+    reachability uses the bounded-hop frontier ops instead."""
+    from ..pipeline.graph import transitive_closure
+
+    e = _nation_trade_edges_spark(spark, sf_dir)
+    return transitive_closure(e, "s", "d")
+
+
+@register(
+    "q_scc_nations",
+    f"""
+    WITH RECURSIVE {_NATION_TRADE_CTES},
+    reach AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.s, e2.d FROM reach r JOIN e e2 ON e2.s = r.d
+    ),
+    mutual AS (
+        SELECT r1.s, r1.d FROM reach r1
+        JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s
+        WHERE r1.s <> r1.d
+    ),
+    nodes AS (
+        SELECT DISTINCT s AS node FROM e
+        UNION SELECT DISTINCT d FROM e
+    )
+    SELECT n.node,
+           CAST(LEAST(n.node, COALESCE(MIN(m.d), n.node)) AS BIGINT)
+               AS scc_id
+    FROM nodes n LEFT JOIN mutual m ON m.s = n.node
+    GROUP BY n.node
+    """,
+)
+def q_scc_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed nation trade
+    graph: label = MIN node id in the SCC (canonical, deterministic,
+    hash-exact). u = v iff mutual reachability in the closure; nations
+    in no cycle label themselves. Nations that trade heavily in both
+    directions (directly or transitively) collapse into one component
+    — the 'trading bloc' extraction."""
+    from ..pipeline.graph import scc_labels
+
+    e = _nation_trade_edges_spark(spark, sf_dir)
+    return scc_labels(e, "s", "d")
+
+
+@register(
+    "q_hits_suppliers",
+    f"""
+    WITH raw0 AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS d
+        FROM lineitem
+    ),
+    e AS (SELECT s, d FROM raw0 WHERE s <> d),
+    hnodes AS (
+        SELECT DISTINCT s AS node FROM e
+        UNION SELECT DISTINCT d FROM e
+    ),
+    hub0 AS (
+        SELECT node, CAST({_HITS_SCALE} AS BIGINT) AS score FROM hnodes
+    ),
+    {_hits_iter_duck(1)},
+    {_hits_iter_duck(2)},
+    {_hits_iter_duck(3)},
+    final AS (
+        SELECT h.node, h.score AS hub, a.score AS auth
+        FROM hub3 h JOIN auth3 a ON a.node = h.node
+    )
+    SELECT role, node, score FROM (
+        SELECT 'hub' AS role, node, hub AS score,
+               row_number() OVER (ORDER BY hub DESC, node) AS rn
+        FROM final
+    ) WHERE rn <= 10
+    UNION ALL
+    SELECT role, node, score FROM (
+        SELECT 'auth' AS role, node, auth AS score,
+               row_number() OVER (ORDER BY auth DESC, node) AS rn
+        FROM final
+    ) WHERE rn <= 10
+    """,
+)
+def q_hits_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the directed supplier→part shipping graph: suppliers
+    are hubs (they point at many parts), parts are authorities (many
+    suppliers point at them) — the bipartite prestige decomposition
+    PageRank's single score conflates. 3 iterations of exact integer
+    mutual reinforcement, each vector L1-rescaled to 1e12 via
+    widened-multiply floor division so both engines match bit-for-bit.
+    Output: top-10 hubs and top-10 authorities with full tie-break."""
+    from ..pipeline.graph import hits
+
+    li = load(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("l_partkey") + 1000000).alias("d"),
+    ).distinct()
+    scores = hits(e, "s", "d", iterations=3, scale=_HITS_SCALE)
+    # both top-10s via orderBy+limit (TakeOrderedAndProject): the node
+    # table scales with the data, so a global row_number window would
+    # be a single-reducer sort at 100x (VERDICT r5 task 2)
+    hubs = (
+        scores.orderBy(F.desc("hub"), F.asc("node"))
+        .limit(10)
+        .select(F.lit("hub").alias("role"), "node", F.col("hub").alias("score"))
+    )
+    auths = (
+        scores.orderBy(F.desc("auth"), F.asc("node"))
+        .limit(10)
+        .select(
+            F.lit("auth").alias("role"), "node", F.col("auth").alias("score")
+        )
+    )
+    return hubs.unionAll(auths)
+
+
+@register(
+    "q_ewma_revenue",
+    f"""
+    WITH daily AS (
+        SELECT l_suppkey AS supp, l_shipdate AS day,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT supp, day,
+               {', '.join(f'lag(v, {i}) OVER w AS lag{i}' for i in range(12))},
+               row_number() OVER (PARTITION BY supp ORDER BY day DESC)
+                   AS rn_last
+        FROM daily
+        WINDOW w AS (PARTITION BY supp ORDER BY day)
+    ),
+    final AS (
+        SELECT supp, CAST(day AS VARCHAR) AS day,
+               CAST(({_ewma_terms('')}) // 16777216 AS BIGINT)
+                   AS ewma_cents
+        FROM lagged WHERE rn_last = 1
+    )
+    SELECT supp, day, ewma_cents FROM (
+        SELECT *, row_number() OVER (ORDER BY ewma_cents DESC, supp) AS rn
+        FROM final
+    ) WHERE rn <= 20
+    """,
+)
+def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of per-supplier daily
+    revenue (α = 1/4) at each supplier's LATEST shipping day, top-20.
+    The recursion is unrolled to the 12 most recent present days
+    (trading-day semantics — gaps don't decay) with integer weights
+    3^i·4^(11-i) and one floor-divide by 4^12, so the result is exact
+    on any engine: no float accumulation, no reduction-order
+    sensitivity. Truncation error vs the infinite recursion is
+    < (3/4)^12 ≈ 3% of the oldest mass, documented rather than hidden.
+
+    Scale: one groupBy to daily grain, one window per supplier
+    partition (12 lag expressions, single sort), one global top-20 —
+    no joins, no Python."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("supp"), F.col("l_shipdate").alias("day")
+    ).agg(F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("v"))
+    w = Window.partitionBy("supp").orderBy("day")
+    wd = Window.partitionBy("supp").orderBy(F.desc("day"))
+    lagged = daily.select(
+        "supp",
+        "day",
+        *[F.lag("v", i).over(w).alias(f"lag{i}") for i in range(12)],
+        F.row_number().over(wd).alias("rn_last"),
+    ).filter(F.col("rn_last") == 1)
+    final = lagged.select(
+        "supp",
+        F.col("day").cast("string").alias("day"),
+        F.expr(f"CAST(({_ewma_terms('')}) div 16777216 AS BIGINT)").alias(
+            "ewma_cents"
+        ),
+    )
+    # TakeOrdered top-20 — no global window sort over the supplier frame
+    return (
+        final.orderBy(F.desc("ewma_cents"), F.asc("supp"))
+        .limit(20)
+        .select("supp", "day", "ewma_cents")
+    )
+
+
+@register(
+    "q_interval_overlap",
+    """
+    WITH li AS (
+        SELECT l.l_orderkey AS lkey, l.l_linenumber AS lline,
+               l.l_shipdate AS ls,
+               l.l_shipdate
+                   + (1 + l.l_orderkey % 14) * INTERVAL 1 DAY AS le
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_shipdate <= TIMESTAMP '1995-07-07 23:59:59'
+          AND l.l_shipdate
+                  + (1 + l.l_orderkey % 14) * INTERVAL 1 DAY
+              >= TIMESTAMP '1995-01-01 00:00:00'
+    ),
+    ord AS (
+        SELECT o_orderkey AS okey, o_orderdate AS os,
+               o_orderdate + INTERVAL 7 DAY AS oe
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1995-06-30 23:59:59'
+    )
+    SELECT o.okey, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM ord o JOIN li l ON l.ls <= o.oe AND o.os <= l.le
+    GROUP BY 1
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join: urgent H1-1995 order windows
+    (orderdate + 7 days) against Brand#23 shipping windows (shipdate
+    .. shipdate + a deterministic 1-14 day transit synthesized from
+    the orderkey — the slimmed test schema has no receiptdate),
+    counting overlapping shipments per order.
+    The engine buckets BOTH interval sets into days and meets them in
+    a hash equi-join, deduping multi-bucket pairs by emitting each
+    pair only in its first shared bucket (relational.
+    interval_overlap_join) — the oracle states the same overlap as a
+    raw inequality join, fine at oracle scale, quadratic at engine
+    scale. Both sides carry scan-pushed date pre-filters bounding the
+    exploded bucket count."""
+    from ..relational import interval_overlap_join
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    orders = load(spark, sf_dir, "orders")
+    le = "timestampadd(DAY, CAST(1 + l_orderkey % 14 AS INT), l_shipdate)"
+    left = (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+            ),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .filter(
+            (F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1995-07-07 23:59:59'"))
+            & (F.expr(le) >= F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'"))
+        )
+        .select(
+            F.col("l_orderkey").alias("lkey"),
+            F.col("l_linenumber").alias("lline"),
+            F.col("l_shipdate").alias("ls"),
+            F.expr(le).alias("le"),
+        )
+    )
+    right = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'"))
+        & (F.col("o_orderdate") <= F.expr("TIMESTAMP_NTZ '1995-06-30 23:59:59'"))
+    ).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").alias("os"),
+        F.expr("timestampadd(DAY, 7, o_orderdate)").alias("oe"),
+    )
+    pairs = interval_overlap_join(
+        left, right, "ls", "le", "os", "oe", bucket_seconds=7 * 86400
+    )
+    return pairs.groupBy("okey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps")
+    )
+
+
+@register(
+    "q_hash_walks",
+    f"""
+    WITH {_COSOURCE_EDGE_CTES},
+    sym AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+    adjr AS (
+        SELECT s AS node, d AS nbr,
+               CAST(row_number() OVER (PARTITION BY s ORDER BY d)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY s) AS BIGINT) AS deg
+        FROM sym
+    ),
+    w0 AS (SELECT DISTINCT s AS walker, s AS node FROM sym
+           WHERE s % 10 = 0),
+    w1 AS (SELECT w.walker, a.nbr AS node FROM w0 w
+           JOIN adjr a ON a.node = w.node
+            AND a.rn = (w.node * 2654435761 + 1 * 40503) % a.deg + 1),
+    w2 AS (SELECT w.walker, a.nbr AS node FROM w1 w
+           JOIN adjr a ON a.node = w.node
+            AND a.rn = (w.node * 2654435761 + 2 * 40503) % a.deg + 1),
+    w3 AS (SELECT w.walker, a.nbr AS node FROM w2 w
+           JOIN adjr a ON a.node = w.node
+            AND a.rn = (w.node * 2654435761 + 3 * 40503) % a.deg + 1)
+    SELECT walker, CAST(0 AS BIGINT) AS step, node FROM w0
+    UNION ALL SELECT walker, CAST(1 AS BIGINT), node FROM w1
+    UNION ALL SELECT walker, CAST(2 AS BIGINT), node FROM w2
+    UNION ALL SELECT walker, CAST(3 AS BIGINT), node FROM w3
+    """,
+)
+def q_hash_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-step walks over the co-sourcing graph from every
+    10th supplier — the node2vec/DeepWalk corpus-sampling primitive
+    with the RNG replaced by exact integer arithmetic (next hop =
+    neighbor ranked (node·2654435761 + step·40503) mod degree), so the
+    walk corpus is reproducible across engines and cacheable. Each
+    step is one equi-join of the walker frontier against the ranked
+    adjacency table."""
+    from ..pipeline.graph import hash_walks
+
+    e = _cosource_edges_spark(spark, sf_dir)
+    return hash_walks(e, "u", "v", steps=3, start_mod=10)
+
+
+@register("q_temporal_reach", _temporal_arrival_oracle())
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival temporal reachability over the QUARTERLY nation
+    trade graph (heavy flows only, 2x-mean integer threshold): nation
+    v is reachable from landmark s only along paths whose trade
+    quarters never decrease — the time-respecting semantics static
+    closure gets wrong — and arrival is the earliest such final
+    quarter. Fixed 4 min-relaxation rounds on both engines (paths of
+    <= 4 edges), landmarks = every 5th nation. Output: (source, node,
+    arrival-quarter index)."""
+    from ..pipeline.graph import temporal_earliest_arrival
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    flows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("s"),
+            F.col("s_nationkey").alias("d"),
+            F.expr(
+                "CAST(year(o_orderdate) * 4 + quarter(o_orderdate) AS BIGINT)"
+            ).alias("t"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ttot = flows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_flows"),
+        F.sum("cnt").cast("long").alias("sum_cnt"),
+    )
+    e = (
+        flows.crossJoin(F.broadcast(ttot))
+        .filter(F.col("cnt") * F.col("n_flows") >= 2 * F.col("sum_cnt"))
+        .select("s", "d", "t")
+    )
+    return temporal_earliest_arrival(e, "s", "d", "t", start_mod=5, rounds=4)
+
+
+@register(
+    "q_skyline_suppliers",
+    f"""
+    WITH sup AS (
+        SELECT l_suppkey AS supp,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS cost_cents,
+               CAST(1000000 - COUNT(DISTINCT l_partkey) AS BIGINT)
+                   AS neg_parts
+        FROM lineitem GROUP BY 1
+    )
+    SELECT s.supp, s.cost_cents, s.neg_parts
+    FROM sup s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sup o
+        WHERE o.cost_cents <= s.cost_cents
+          AND o.neg_parts <= s.neg_parts
+          AND (o.cost_cents < s.cost_cents OR o.neg_parts < s.neg_parts)
+    )
+    """,
+)
+def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier Pareto frontier: minimize total billed cost while
+    maximizing part-catalog breadth (encoded as 1e6 - distinct parts,
+    minimized) — the suppliers no other supplier beats on both axes.
+    The engine runs the two-phase distributed skyline
+    (relational.skyline_2d: bucket-staircase prune map-side, exact
+    RANGE-window pass on the tiny survivor set — no self-join); the
+    oracle is the textbook quadratic NOT EXISTS, fine at oracle scale."""
+    from ..relational import skyline_2d
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = li.groupBy(F.col("l_suppkey").alias("supp")).agg(
+        F.sum(F.expr(cents("l_extendedprice")))
+        .cast("long")
+        .alias("cost_cents"),
+        (F.lit(1000000) - F.countDistinct("l_partkey"))
+        .cast("long")
+        .alias("neg_parts"),
+    )
+    return skyline_2d(sup, "cost_cents", "neg_parts").select(
+        "supp", "cost_cents", "neg_parts"
+    )
+
+
+@register(
+    "q_hierarchy_rollup",
+    f"""
+    WITH rev AS (
+        SELECT l_partkey AS k,
+               CAST(SUM({cents('l_extendedprice')}) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1
+    ),
+    anc AS (
+        -- divisors as BIGINT literals: power() returns DOUBLE, and
+        -- DuckDB's // on doubles is plain division (CAST then rounds)
+        SELECT CAST(k // t.p AS BIGINT) AS node, v
+        FROM rev, UNNEST([1, 10, 100, 1000, 10000, 100000, 1000000])
+             AS t(p)
+        WHERE k // t.p > 0
+    ),
+    agg AS (
+        SELECT node, CAST(SUM(v) AS BIGINT) AS subtree_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM anc GROUP BY 1
+    )
+    SELECT node, subtree_cents, n_parts FROM (
+        SELECT *, row_number()
+               OVER (ORDER BY subtree_cents DESC, node) AS rn
+        FROM agg
+    ) WHERE rn <= 20
+    """,
+)
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup over the implicit decimal part tree
+    (parent = key div 10, the BOM/category-tree shape): each node's
+    total revenue and leaf count across ALL descendants, top-20. The
+    ancestor closure of a digit-tree is pure arithmetic — explode
+    j in 0..6 and take key div 10^j — so the rollup needs ZERO joins
+    and zero recursion: one explode + one groupBy, the pattern that
+    also serves URL-path and taxonomy rollups at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.sum(F.expr(cents("l_extendedprice"))).cast("long").alias("v")
+    )
+    anc = (
+        rev.select(
+            F.explode(
+                F.expr("array(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)")
+            ).alias("p"),
+            "k",
+            "v",
+        )
+        .select(F.expr("CAST(k div p AS BIGINT)").alias("node"), "v")
+        .filter(F.col("node") > 0)
+    )
+    agg = anc.groupBy("node").agg(
+        F.sum("v").cast("long").alias("subtree_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    # TakeOrdered top-20 — no global window sort over the node frame
+    return (
+        agg.orderBy(F.desc("subtree_cents"), F.asc("node"))
+        .limit(20)
+        .select("node", "subtree_cents", "n_parts")
+    )
+
+
+@register(
+    "q_allen_relations",
+    """
+    WITH li AS (
+        SELECT l.l_shipdate AS ls,
+               l.l_shipdate
+                   + (1 + l.l_orderkey % 14) * INTERVAL 1 DAY AS le
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_shipdate <= TIMESTAMP '1995-07-07 23:59:59'
+          AND l.l_shipdate
+                  + (1 + l.l_orderkey % 14) * INTERVAL 1 DAY
+              >= TIMESTAMP '1995-01-01 00:00:00'
+    ),
+    ord AS (
+        SELECT o_orderdate AS os,
+               o_orderdate + INTERVAL 7 DAY AS oe
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1995-06-30 23:59:59'
+    ),
+    pairs AS (
+        SELECT CASE
+            WHEN ls = os AND le = oe THEN 'equals'
+            WHEN le = os THEN 'meets'
+            WHEN oe = ls THEN 'met_by'
+            WHEN ls = os THEN
+                CASE WHEN le < oe THEN 'starts' ELSE 'started_by' END
+            WHEN le = oe THEN
+                CASE WHEN ls > os THEN 'finishes' ELSE 'finished_by' END
+            WHEN ls > os AND le < oe THEN 'during'
+            WHEN os > ls AND oe < le THEN 'contains'
+            WHEN ls < os THEN 'overlaps'
+            ELSE 'overlapped_by' END AS rel
+        FROM li JOIN ord ON li.ls <= ord.oe AND ord.os <= li.le
+    )
+    SELECT rel, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1
+    """,
+)
+def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra classification of every overlapping
+    (shipping-window, order-window) pair — the temporal-reasoning
+    refinement of the overlap join: equals / meets / starts / finishes
+    / during / contains / overlaps and their inverses, counted per
+    relation. Runs on the SAME bucketed equi-join as
+    q_interval_overlap (the pair enumeration is the scale problem; the
+    relation label is a free CASE on endpoints afterward); the oracle
+    classifies from the raw inequality join. Disjoint relations
+    (before/after) are excluded by construction — enumerating
+    non-overlapping pairs is O(n·m) by definition and never the
+    distributed shape."""
+    from ..relational import interval_overlap_join
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    orders = load(spark, sf_dir, "orders")
+    le = "timestampadd(DAY, CAST(1 + l_orderkey % 14 AS INT), l_shipdate)"
+    left = (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+            ),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .filter(
+            (F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1995-07-07 23:59:59'"))
+            & (F.expr(le) >= F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'"))
+        )
+        .select(F.col("l_shipdate").alias("ls"), F.expr(le).alias("le"))
+    )
+    right = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'"))
+        & (F.col("o_orderdate") <= F.expr("TIMESTAMP_NTZ '1995-06-30 23:59:59'"))
+    ).select(
+        F.col("o_orderdate").alias("os"),
+        F.expr("timestampadd(DAY, 7, o_orderdate)").alias("oe"),
+    )
+    pairs = interval_overlap_join(
+        left, right, "ls", "le", "os", "oe", bucket_seconds=7 * 86400
+    )
+    rel = F.expr(
+        "CASE "
+        "WHEN ls = os AND le = oe THEN 'equals' "
+        "WHEN le = os THEN 'meets' "
+        "WHEN oe = ls THEN 'met_by' "
+        "WHEN ls = os THEN CASE WHEN le < oe THEN 'starts'"
+        " ELSE 'started_by' END "
+        "WHEN le = oe THEN CASE WHEN ls > os THEN 'finishes'"
+        " ELSE 'finished_by' END "
+        "WHEN ls > os AND le < oe THEN 'during' "
+        "WHEN os > ls AND oe < le THEN 'contains' "
+        "WHEN ls < os THEN 'overlaps' "
+        "ELSE 'overlapped_by' END"
+    )
+    return pairs.groupBy(rel.alias("rel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@register(
+    "q_business_days",
+    f"""
+    WITH t AS (
+        SELECT o.o_orderpriority AS priority,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         l.l_shipdate) AS e0,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         l.l_shipdate) + 1 + l.l_orderkey % 14 AS e1
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority,
+           CAST({_bday_g('e1')} - {_bday_g('e0')} AS BIGINT) AS bdays,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day transit-time histogram per order priority (the
+    synthesized 1-14-day shipping windows, weekends excluded) — the
+    calendar arithmetic every SLA metric needs, computed with a CLOSED
+    FORM instead of a calendar explode: business days in [0, x) =
+    5·(x div 7) + a 7-entry partial-week lookup anchored on the epoch
+    weekday, so the whole histogram is one map + one groupBy, no
+    calendar table, no per-day explosion, and no reliance on the
+    engines' (incompatible) dayofweek numbering conventions."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    e0 = (
+        "CAST(timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " l_shipdate) AS BIGINT)"
+    )
+
+    def g(x: str) -> str:
+        partial = (
+            f"CASE ({x}) % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2"
+            f" WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END"
+        )
+        return f"(5 * (({x}) div 7) + {partial})"
+
+    t = li.join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(e0).alias("e0"),
+        F.expr(f"{e0} + 1 + l_orderkey % 14").alias("e1"),
+    )
+    return t.groupBy(
+        "priority",
+        F.expr(f"CAST({g('e1')} - {g('e0')} AS BIGINT)").alias("bdays"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@register(
+    "q_interval_schedule",
+    f"""
+    WITH RECURSIVE base AS (
+        SELECT l_suppkey AS k,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         l_shipdate) AS s,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         l_shipdate) + 1 + l_orderkey % 14 AS e,
+               {cents('l_extendedprice')} AS w
+        FROM lineitem WHERE l_suppkey % 10 = 0
+    ),
+    numbered AS (
+        SELECT k, s, e, w,
+               row_number() OVER (PARTITION BY k ORDER BY e, s, w) AS rn
+        FROM base
+    ),
+    withp AS (
+        SELECT n1.k, n1.w, n1.rn,
+               (SELECT COUNT(*) FROM numbered n2
+                WHERE n2.k = n1.k AND n2.e < n1.s) AS p
+        FROM numbered n1
+    ),
+    nmax AS (SELECT k, MAX(rn) AS top FROM numbered GROUP BY 1),
+    rec AS (
+        SELECT k, CAST(0 AS BIGINT) AS rn,
+               CAST([0] AS BIGINT[]) AS dp, CAST([0] AS BIGINT[]) AS ct
+        FROM nmax
+        UNION ALL
+        SELECT r.k, r.rn + 1,
+               list_append(r.dp,
+                   CASE WHEN wp.w + r.dp[CAST(wp.p AS INT) + 1]
+                             > r.dp[CAST(r.rn AS INT) + 1]
+                        THEN wp.w + r.dp[CAST(wp.p AS INT) + 1]
+                        ELSE r.dp[CAST(r.rn AS INT) + 1] END),
+               list_append(r.ct,
+                   CASE WHEN wp.w + r.dp[CAST(wp.p AS INT) + 1]
+                             > r.dp[CAST(r.rn AS INT) + 1]
+                        THEN r.ct[CAST(wp.p AS INT) + 1] + 1
+                        ELSE r.ct[CAST(r.rn AS INT) + 1] END)
+        FROM rec r JOIN withp wp ON wp.k = r.k AND wp.rn = r.rn + 1
+    )
+    SELECT r.k AS supp,
+           CAST(r.dp[CAST(m.top AS INT) + 1] AS BIGINT) AS best_weight,
+           CAST(r.ct[CAST(m.top AS INT) + 1] AS BIGINT) AS n_selected
+    FROM rec r JOIN nmax m ON m.k = r.k AND r.rn = m.top
+    """,
+)
+def q_interval_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-revenue non-overlapping shipment schedule per supplier
+    (every 10th supplier; closed day intervals, disjoint means
+    prev.end < next.start): the weighted-interval-scheduling dynamic
+    program (relational.weighted_interval_schedule — one shuffle on
+    the key, O(n log n) searchsorted DP per key inside applyInPandas,
+    skip-on-tie so the selected COUNT is deterministic too). The
+    oracle replays the identical DP with a recursive CTE that carries
+    the dp and count tables as growing lists."""
+    from ..relational import weighted_interval_schedule
+
+    li = load(spark, sf_dir, "lineitem")
+    e0 = (
+        "CAST(timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " l_shipdate) AS BIGINT)"
+    )
+    base = li.filter(F.col("l_suppkey") % 10 == 0).select(
+        F.col("l_suppkey").alias("supp"),
+        F.expr(e0).alias("s"),
+        F.expr(f"{e0} + 1 + l_orderkey % 14").alias("e"),
+        F.expr(cents("l_extendedprice")).alias("w"),
+    )
+    return weighted_interval_schedule(base, "supp", "s", "e", "w")
+
+
+@register(
+    "q_wilson_lb",
+    """
+    WITH seg AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    SELECT segment, n, s,
+           CAST(1000000 * ((s + 2) * n
+                - 2 * CAST(floor(sqrt(CAST(s * (n - s) * n + n * n
+                                            AS DOUBLE))) AS BIGINT))
+                // (n * (n + 4)) AS BIGINT) AS wilson_lb_e6
+    FROM seg
+    """,
+)
+def q_wilson_lb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score LOWER bound (z = 2) on each market segment's
+    urgent-order rate — the statistically sound way to rank segments
+    by conversion when sample sizes differ (a 3/4 segment must not
+    outrank a 900/1200 one). Integer-exact: the only irrational is
+    one isqrt, taken as floor(sqrt(·)) of an exact int64 (IEEE sqrt is
+    correctly rounded, so both engines floor identically); everything
+    else is integer cross-multiplication. Overflow bound: s·(n−s)·n
+    needs n < ~2M per group, loudly documented rather than silently
+    wrapped."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    seg = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    return seg.select(
+        "segment",
+        "n",
+        "s",
+        F.expr(
+            "CAST(1000000 * ((s + 2) * n"
+            " - 2 * CAST(floor(sqrt(CAST(s * (n - s) * n + n * n"
+            " AS DOUBLE))) AS BIGINT))"
+            " div (n * (n + 4)) AS BIGINT)"
+        ).alias("wilson_lb_e6"),
+    )
+
+
+@register(
+    "q_diff_in_diff",
+    f"""
+    WITH cells AS (
+        SELECT CASE WHEN c.c_nationkey % 2 = 1 THEN 1 ELSE 0 END AS treated,
+               CASE WHEN o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS rev,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT treated, post,
+               CAST(1000000 * rev // n AS BIGINT) AS mean_e6, n
+        FROM cells
+    )
+    SELECT
+        CAST((MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_e6 END)
+            - MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_e6 END))
+           - (MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_e6 END)
+            - MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_e6 END))
+           AS BIGINT) AS did_e6,
+        CAST(SUM(n) AS BIGINT) AS n_orders
+    FROM means
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the 1997+ order-value
+    shift for odd-nation customers (treated) vs even-nation (control)
+    — the panel-causal primitive: (post−pre) for treated minus
+    (post−pre) for control, with every cell mean floored to an exact
+    e6 integer so the estimate is engine-exact. One join + one 4-cell
+    aggregate; means are BIGINT·1e6 div counts, never float."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cells = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.expr(
+                "CASE WHEN c_nationkey % 2 = 1 THEN 1 ELSE 0 END"
+            ).alias("treated"),
+            F.expr(
+                "CASE WHEN o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'"
+                " THEN 1 ELSE 0 END"
+            ).alias("post"),
+        )
+        .agg(
+            F.sum(F.expr(cents("o_totalprice"))).cast("long").alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "treated",
+            "post",
+            F.expr("CAST(1000000 * rev div n AS BIGINT)").alias("mean_e6"),
+            "n",
+        )
+    )
+    m = (
+        "MAX(CASE WHEN treated = {t} AND post = {p} THEN mean_e6 END)"
+    )
+    return cells.agg(
+        F.expr(
+            f"CAST(({m.format(t=1, p=1)} - {m.format(t=1, p=0)})"
+            f" - ({m.format(t=0, p=1)} - {m.format(t=0, p=0)}) AS BIGINT)"
+        ).alias("did_e6"),
+        F.sum("n").cast("long").alias("n_orders"),
+    )
+
+
+@register(
+    "q_rich_club",
+    f"""
+    WITH {_COSOURCE_EDGE_CTES},
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    club AS (
+        SELECT node FROM (
+            SELECT node, row_number() OVER (ORDER BY d DESC, node) AS rk
+            FROM deg
+        ) CROSS JOIN nn WHERE rk * 10 <= n
+    ),
+    inside AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m
+        FROM e JOIN club a ON a.node = e.u JOIN club b ON b.node = e.v
+    ),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM club)
+    SELECT k.k AS club_size, inside.m AS club_edges,
+           CASE WHEN k.k >= 2
+                THEN CAST(2000000 * inside.m // (k.k * (k.k - 1)) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS density_e6
+    FROM inside CROSS JOIN k
+    """,
+)
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the co-sourcing graph: the edge
+    density among the top-decile-degree suppliers (hub-to-hub
+    interconnection, the 'elite cohesion' signal) as an exact e6
+    integer — 2m div k(k−1). Two semi-joins of the edge set against
+    the broadcast club, no quadratic work."""
+    e = _cosource_edges_spark(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    n = deg.count()
+    w = Window.orderBy(F.desc("d"), F.asc("node"))
+    club = (
+        deg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") * 10 <= n)
+        .select("node")
+    )
+    k = club.count()
+    m = (
+        e.join(F.broadcast(club.withColumnRenamed("node", "u")), "u")
+        .join(F.broadcast(club.withColumnRenamed("node", "v")), "v")
+        .count()
+    )
+    density = 2000000 * m // (k * (k - 1)) if k >= 2 else 0
+    return spark.createDataFrame(
+        [(k, m, density)],
+        "club_size long, club_edges long, density_e6 long",
+    )
+
+
+@register(
+    "q_merkle_diff",
+    f"""
+    WITH a AS (
+        SELECT o_orderkey AS k, {cents('o_totalprice')} AS v FROM orders
+    ),
+    b AS (
+        SELECT k, CASE WHEN k % 997 = 0 THEN v + 1 ELSE v END AS v FROM a
+    ),
+    ha AS (
+        SELECT k // 1000 AS bucket,
+               CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
+                    || CAST(v AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        FROM a
+    ),
+    hb AS (
+        SELECT k // 1000 AS bucket,
+               CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
+                    || CAST(v AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        FROM b
+    ),
+    ca AS (SELECT bucket, CAST(SUM(h) % 281474976710656 AS BIGINT) AS cs,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM ha GROUP BY 1),
+    cb AS (SELECT bucket, CAST(SUM(h) % 281474976710656 AS BIGINT) AS cs,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM hb GROUP BY 1)
+    SELECT CAST(ca.bucket AS BIGINT) AS bucket, ca.n AS n_rows
+    FROM ca JOIN cb ON cb.bucket = ca.bucket
+    WHERE ca.cs <> cb.cs OR ca.n <> cb.n
+    """,
+)
+def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style replica divergence localization: two copies of the
+    orders table (replica B carries a deterministic 1-cent corruption
+    on every 997th key) checksum per 1000-key range bucket, and only
+    buckets whose (checksum, count) disagree surface — the
+    anti-entropy primitive that narrows a 100 TB replica comparison to
+    the few ranges worth re-reading, at the cost of one map-side hash
+    + one bucket aggregate per replica + one tiny bucket join (never
+    a row-level full-table diff)."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(cents("o_totalprice")).alias("v"),
+    )
+    b = a.select(
+        "k",
+        F.expr("CASE WHEN k % 997 = 0 THEN v + 1 ELSE v END").alias("v"),
+    )
+
+    def sums(df):
+        h = F.expr(
+            "CAST(conv(substr(md5(concat(CAST(k AS STRING), '|',"
+            " CAST(v AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+        )
+        return (
+            df.select(F.expr("k div 1000").alias("bucket"), h.alias("h"))
+            .groupBy("bucket")
+            .agg(
+                (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(1 << 48))
+                .cast("long")
+                .alias("cs"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+
+    ca, cb = sums(a), sums(b)
+    return (
+        ca.join(
+            cb.select(
+                F.col("bucket"),
+                F.col("cs").alias("cs_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "bucket",
+        )
+        .filter((F.col("cs") != F.col("cs_b")) | (F.col("n") != F.col("n_b")))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_pruning_audit",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         o_orderdate) AS d
+        FROM orders
+    ),
+    layouts AS (
+        SELECT 'natural' AS layout,
+               (row_number() OVER (ORDER BY k) - 1) // 1000 AS chunk, d
+        FROM base
+        UNION ALL
+        SELECT 'time_sorted',
+               (row_number() OVER (ORDER BY d, k) - 1) // 1000, d
+        FROM base
+        UNION ALL
+        SELECT 'hash_scattered',
+               (row_number() OVER (
+                   ORDER BY CAST('0x' || substr(md5(CAST(k AS VARCHAR)),
+                                 1, 12) AS BIGINT), k) - 1) // 1000, d
+        FROM base
+    ),
+    chunks AS (
+        SELECT layout, chunk, MIN(d) AS lo, MAX(d) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM layouts GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         TIMESTAMP '1995-03-01 00:00:00') AS p0,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         TIMESTAMP '1995-03-31 00:00:00') AS p1
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN hi < p0 OR lo > p1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS prunable,
+           CAST(1000000 * SUM(CASE WHEN hi < p0 OR lo > p1
+                                   THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS prune_frac_e6
+    FROM chunks CROSS JOIN pred
+    GROUP BY 1
+    """,
+)
+def q_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout pruning audit: simulate 1000-row row-groups under
+    three physical layouts (natural key order, time-sorted,
+    hash-scattered) and measure what fraction of chunks a March-1995
+    predicate could skip from min/max stats alone — the planning
+    number that justifies a sort or Z-order rewrite BEFORE paying for
+    it. The ordering inside each layout is fully tie-broken so both
+    engines chunk identically, and each layout's global row position
+    is scale-safe: range repartition + per-partition ranks + broadcast
+    prefix offsets (relational.global_order_stats), never a
+    single-reducer sort."""
+    from ..relational import global_order_stats
+
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        "CAST(timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " o_orderdate) AS BIGINT)"
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("k"), F.expr(d).alias("d")
+    )
+    h = (
+        "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT)"
+    )
+    layouts = None
+    for name, order in (
+        ("natural", [F.col("k")]),
+        ("time_sorted", [F.col("d"), F.col("k")]),
+        ("hash_scattered", [F.expr(h), F.col("k")]),
+    ):
+        part = global_order_stats(base, order, rank_col="rn").select(
+            F.lit(name).alias("layout"),
+            ((F.col("rn") - 1) / 1000).cast("long").alias("chunk"),
+            "d",
+        )
+        layouts = part if layouts is None else layouts.unionByName(part)
+    chunks = layouts.groupBy("layout", "chunk").agg(
+        F.min("d").alias("lo"),
+        F.max("d").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    p0 = "CAST(timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00', TIMESTAMP_NTZ '1995-03-01 00:00:00') AS BIGINT)"
+    p1 = "CAST(timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00', TIMESTAMP_NTZ '1995-03-31 00:00:00') AS BIGINT)"
+    return chunks.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(
+            F.expr(f"CASE WHEN hi < {p0} OR lo > {p1} THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("prunable"),
+        F.expr(
+            f"CAST(1000000 * SUM(CASE WHEN hi < {p0} OR lo > {p1}"
+            f" THEN 1 ELSE 0 END) div COUNT(*) AS BIGINT)"
+        ).alias("prune_frac_e6"),
+    )
+
+
+@register(
+    "q_joinability",
+    """
+    WITH pairs AS (
+        SELECT 'orders.o_custkey->customer.c_custkey' AS pair,
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS na,
+               (SELECT COUNT(*) FROM
+                   (SELECT DISTINCT o_custkey FROM orders) a
+                   JOIN (SELECT DISTINCT c_custkey FROM customer) b
+                   ON b.c_custkey = a.o_custkey) AS ninter
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+               (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+               (SELECT COUNT(*) FROM
+                   (SELECT DISTINCT l_orderkey FROM lineitem) a
+                   JOIN (SELECT DISTINCT o_orderkey FROM orders) b
+                   ON b.o_orderkey = a.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+               (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+               (SELECT COUNT(*) FROM
+                   (SELECT DISTINCT l_suppkey FROM lineitem) a
+                   JOIN (SELECT DISTINCT s_suppkey FROM supplier) b
+                   ON b.s_suppkey = a.l_suppkey)
+        UNION ALL
+        SELECT 'customer.c_custkey->orders.o_custkey',
+               (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+               (SELECT COUNT(*) FROM
+                   (SELECT DISTINCT c_custkey FROM customer) a
+                   JOIN (SELECT DISTINCT o_custkey FROM orders) b
+                   ON b.o_custkey = a.c_custkey)
+        UNION ALL
+        SELECT 'part.p_partkey->lineitem.l_partkey',
+               (SELECT COUNT(DISTINCT p_partkey) FROM part),
+               (SELECT COUNT(*) FROM
+                   (SELECT DISTINCT p_partkey FROM part) a
+                   JOIN (SELECT DISTINCT l_partkey FROM lineitem) b
+                   ON b.l_partkey = a.p_partkey)
+    )
+    SELECT pair, CAST(na AS BIGINT) AS n_distinct,
+           CAST(ninter AS BIGINT) AS n_contained,
+           CAST(1000000 * ninter // na AS BIGINT) AS containment_e6
+    FROM pairs
+    """,
+)
+def q_joinability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joinability discovery — the data-catalog primitive: for each
+    candidate (foreign, primary) column pair, the directed containment
+    |distinct(A) ∩ distinct(B)| div |distinct(A)| as an exact e6
+    integer; containment 1e6 means every A value joins. Each pair is
+    two distinct-aggregations plus one equi-join of the (small)
+    distinct sets — the cheap screen that runs BEFORE anyone pays for
+    a speculative full join at warehouse scale."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+
+    def containment(name, a_df, a_col, b_df, b_col):
+        a = a_df.select(F.col(a_col).alias("k")).distinct()
+        b = b_df.select(F.col(b_col).alias("k")).distinct()
+        return a.join(b, "k", "left_semi").agg(
+            F.lit(name).alias("pair"),
+            F.count(F.lit(1)).cast("long").alias("ninter"),
+        ).crossJoin(
+            F.broadcast(a.agg(F.count(F.lit(1)).cast("long").alias("na")))
+        )
+    rows = [
+        containment("orders.o_custkey->customer.c_custkey",
+                    orders, "o_custkey", cust, "c_custkey"),
+        containment("lineitem.l_orderkey->orders.o_orderkey",
+                    li, "l_orderkey", orders, "o_orderkey"),
+        containment("lineitem.l_suppkey->supplier.s_suppkey",
+                    li, "l_suppkey", supp, "s_suppkey"),
+        containment("customer.c_custkey->orders.o_custkey",
+                    cust, "c_custkey", orders, "o_custkey"),
+        containment("part.p_partkey->lineitem.l_partkey",
+                    part, "p_partkey", li, "l_partkey"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "pair",
+        F.col("na").alias("n_distinct"),
+        F.col("ninter").alias("n_contained"),
+        F.expr("CAST(1000000 * ninter div na AS BIGINT)").alias(
+            "containment_e6"
+        ),
+    )
+
+
+__all__ = ['q_market_share_delta', 'q_funnel_dropoff', 'q_hhi_concentration', 'q_gini_revenue', 'q_pareto_revenue', 'q_concurrency_profile', 'q_linear_attribution', 'q_benford_profile', 'q_ldiversity', 'q_tcloseness', 'q_acf_order_volume', 'q_sssp_suppliers', 'q_weekday_profile', 'q_weighted_median', 'q_stress_suppliers', 'q_mann_whitney', 'q_runs_test', 'q_ks_test', 'q_cvm_test', 'q_hill_tail_index', 'q_trimmed_mean', 'q_mad_prices', 'q_quantile_normalize', 'q_winsorized_mean', 'q_theil_sen', 'q_basket_triples', 'q_event_seq_pairs', 'q_event_seq_triples', 'q_spearman', 'q_holt_forecast', 'q_forecast_eval', 'q_twa_value', 'q_max_drawdown', 'q_active_users_7d', 'q_degree_assortativity', 'q_bollinger_breakouts', 'q_seasonal_decompose', 'q_lorenz_deciles', 'q_kendall_binned', 'q_markov_stationary', 'q_cramers_v', 'q_survival_km', 'q_audience_matrix', 'q_rendezvous_shards', 'q_fd_check', 'q_psi_price', 'q_mutual_info', 'q_price_elasticity', 'q_truss_support', 'q_ktruss_edges', 'q_link_prediction', 'q_closure_nations', 'q_scc_nations', 'q_hits_suppliers', 'q_ewma_revenue', 'q_interval_overlap', 'q_hash_walks', 'q_temporal_reach', 'q_skyline_suppliers', 'q_hierarchy_rollup', 'q_allen_relations', 'q_business_days', 'q_interval_schedule', 'q_wilson_lb', 'q_diff_in_diff', 'q_rich_club', 'q_merkle_diff', 'q_pruning_audit', 'q_joinability']

@@ -1,0 +1,314 @@
+"""General relational/analytical gate queries (part 4, original order).
+
+Split out of entry_queries.py; registration happens on import
+(each @register call appends to the shared QUERIES list)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..pipeline.text import (  # noqa: E402  (constants feed the oracle SQL)
+    ENTROPY_LUT as _ENT_LUT,
+    ENTROPY_WINDOW as _ENT_WINDOW,
+)
+
+from ._core import *  # noqa: F401,F403
+from ._helpers import *  # noqa: F401,F403
+
+
+
+@register(
+    "q_od_flow_matrix",
+    """
+    WITH pings AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_id,
+               ((user_id * 37 + event_id * 13) % 1000) * 4 // 1000 AS cx,
+               ((user_id * 53 + event_id * 29) % 1000) * 4 // 1000 AS cy
+        FROM events
+    ), legs AS (
+        SELECT lag(cx) OVER w AS ox, lag(cy) OVER w AS oy, cx AS dx, cy AS dy
+        FROM pings WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    )
+    SELECT CAST(ox * 4 + oy AS BIGINT) AS origin_cell,
+           CAST(dx * 4 + dy AS BIGINT) AS dest_cell,
+           CAST(COUNT(*) AS BIGINT) AS flows
+    FROM legs WHERE ox IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def q_od_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORIGIN-DESTINATION FLOW MATRIX — consecutive-ping transitions
+    between 4x4 grid cells, the mobility/logistics demand matrix that
+    feeds routing and capacity models (and the spatial twin of the
+    Markov transition queries). One per-user lag window over the ping
+    sequence, one groupBy on the (origin, destination) cell pair —
+    16x16 output cells regardless of ping volume."""
+    ev = load_events(spark, sf_dir)
+    tus = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        if dict(ev.dtypes).get("ts") == "timestamp_ntz"
+        else "unix_micros(ts)"
+    )
+    pings = ev.select(
+        "user_id",
+        F.expr(tus).alias("tus"),
+        "event_id",
+        F.expr("((user_id * 37 + event_id * 13) % 1000) * 4 div 1000").alias(
+            "cx"
+        ),
+        F.expr("((user_id * 53 + event_id * 29) % 1000) * 4 div 1000").alias(
+            "cy"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    legs = pings.select(
+        F.lag("cx").over(w).alias("ox"),
+        F.lag("cy").over(w).alias("oy"),
+        F.col("cx").alias("dx"),
+        F.col("cy").alias("dy"),
+    ).filter(F.col("ox").isNotNull())
+    return legs.groupBy(
+        (F.col("ox") * 4 + F.col("oy")).cast("long").alias("origin_cell"),
+        (F.col("dx") * 4 + F.col("dy")).cast("long").alias("dest_cell"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("flows"))
+
+
+@register(
+    "q_rolling_distinct_users",
+    """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), contrib AS (
+        SELECT user_id, d + CAST(g.g AS INTEGER) AS window_end
+        FROM active, range(0, 7) g(g)
+    ), bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+        FROM events
+    )
+    SELECT strftime(window_end, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
+    FROM contrib CROSS JOIN bounds
+    WHERE window_end BETWEEN bounds.lo AND bounds.hi
+    GROUP BY 1
+    """,
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 7-DAY DISTINCT ACTIVES per day — the window that plain
+    SQL can't express (COUNT(DISTINCT) OVER a frame is unsupported in
+    every engine) computed exactly by the MEMBERSHIP-EXPLODE trick:
+    each (user, active-day) pair contributes to the 7 window-end days
+    it belongs to, then one distinct-count per day. The explode is
+    7x the per-day-deduped actives (already collapsed from raw
+    events), so the fan-out scales with ACTIVES, not events — this is
+    how rolling-uniques dashboards stay exact at scale before
+    switching to mergeable HLL (the suite's stream_hll_distinct is
+    that approximation path). Window ends clamped to observed days."""
+    ev = load_events(spark, sf_dir)
+    active = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    contrib = active.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("g"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("g")).alias("window_end"))
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("window_end") >= F.col("lo"))
+            & (F.col("window_end") <= F.col("hi"))
+        )
+        .groupBy(
+            F.date_format("window_end", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("wau7"))
+    )
+
+
+@register(
+    "q_structural_equivalence",
+    """
+    WITH raw AS (
+        SELECT DISTINCT l_suppkey AS u, l_partkey % 50 AS v FROM lineitem
+    ), nbrs AS (
+        SELECT u, md5(array_to_string(list_sort(list(v)), ',')) AS sig
+        FROM raw GROUP BY u
+    )
+    SELECT sig,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(MIN(u) AS BIGINT) AS representative
+    FROM nbrs GROUP BY sig
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_structural_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURAL EQUIVALENCE classes — suppliers with IDENTICAL
+    part-ROLE neighborhoods in the supply graph (parts coarsened to 50
+    role classes; same sorted adjacency set ⇒ same md5 signature), the
+    graph-compression / role-discovery
+    primitive: equivalent nodes are interchangeable in any
+    neighborhood-based computation, so a 100 TB graph engine collapses
+    each class to one supernode before PageRank/similarity runs.
+    Classes of size > 1 with their canonical representative (min id).
+    Shape: one distinct edge scan, one per-node sort-agg (bounded by
+    degree), one signature groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_suppkey").alias("u"), (F.col("l_partkey") % 50).alias("v")
+    ).distinct()
+    nbrs = raw.groupBy("u").agg(
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("v")), ",")
+        ).alias("sig")
+    )
+    return (
+        nbrs.groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.min("u").cast("long").alias("representative"),
+        )
+        .filter("class_size > 1")
+    )
+
+
+@register(
+    "q_minhash_calibration",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    ab AS (
+        SELECT doc_id,
+               [{{'a': CAST('0x' || substr(md5(s), 1, 12) AS BIGINT),
+                  'b': CAST('0x' || substr(md5(s), 17, 12) AS BIGINT) | 1}}
+                FOR s IN shingles] AS hv
+        FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id,
+               [list_min([(x.a + h * x.b) % 281474976710656 FOR x IN hv])
+                FOR h IN range(0, 8)] AS sig
+        FROM ab
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_filter(range(1, 9),
+                    h -> sa.sig[h] = sb.sig[h])) AS BIGINT) AS m,
+               CAST(len(list_intersect(pa.shingles, pb.shingles)) * 1000000
+                    // (len(pa.shingles) + len(pb.shingles)
+                        - len(list_intersect(pa.shingles, pb.shingles)))
+                    AS BIGINT) AS j_e6
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         AND (a.doc_id * 31 + b.doc_id) % 41 = 0
+        JOIN sigs sa ON sa.doc_id = a.doc_id
+        JOIN sigs sb ON sb.doc_id = b.doc_id
+        JOIN sh pa ON pa.doc_id = a.doc_id
+        JOIN sh pb ON pb.doc_id = b.doc_id
+    )
+    SELECT m AS n_matching_hashes,
+           CAST(m * 1000000 // 8 AS BIGINT) AS est_sim_e6,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(j_e6) // COUNT(*) AS BIGINT) AS mean_exact_jaccard_e6
+    FROM pairs GROUP BY m
+    """,
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINHASH CALIBRATION audit — does the sketch's estimate track
+    the true Jaccard? Over a deterministic ~2.4% arithmetic sample of
+    ALL pairs (not just LSH candidates — the calibration curve needs
+    the low-similarity mass the bucketed join never surfaces), the
+    8-hash estimated similarity (matching positions / 8) buckets
+    against the EXACT shingle Jaccard mean per bucket. E[matches/8] =
+    J is the MinHash theorem; this query measures it on the corpus
+    the dedup pipeline actually runs on, with exact integers on both
+    axes. Shape: signatures map-side (same family as the production
+    query), sampled pair join keyed by id arithmetic, shingle-set
+    intersections only on the sampled pairs."""
+    from ..pipeline.dedup import _with_shingles, minhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    sh = _with_shingles(docs, "text", 3, keep=["doc_id"])
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("shb"))
+    sa = sigs.select(F.col("doc_id").alias("ia"), F.col("sig").alias("siga"))
+    sb = sigs.select(F.col("doc_id").alias("ib"), F.col("sig").alias("sigb"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("id_a") < F.col("id_b"))
+            & ((F.col("id_a") * 31 + F.col("id_b")) % 41 == 0),
+        )
+        .join(sa, F.col("ia") == F.col("id_a"))
+        .join(sb, F.col("ib") == F.col("id_b"))
+        .select(
+            F.expr(
+                "CAST(size(filter(sequence(0, 7),"
+                " h -> element_at(siga, CAST(h + 1 AS INT))"
+                " = element_at(sigb, CAST(h + 1 AS INT)))) AS BIGINT)"
+            ).alias("m"),
+            F.expr(
+                "CAST(size(array_intersect(sha, shb)) * 1000000"
+                " div (size(sha) + size(shb)"
+                "      - size(array_intersect(sha, shb))) AS BIGINT)"
+            ).alias("j_e6"),
+        )
+    )
+    return pairs.groupBy(F.col("m").alias("n_matching_hashes")).agg(
+        F.expr("CAST(n_matching_hashes * 1000000 div 8 AS BIGINT)").alias(
+            "est_sim_e6"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(SUM(j_e6) div COUNT(*) AS BIGINT)").alias(
+            "mean_exact_jaccard_e6"
+        ),
+    ).select("n_matching_hashes", "est_sim_e6", "n_pairs",
+             "mean_exact_jaccard_e6")
+
+
+@register(
+    "q_degree_distribution",
+    """
+    WITH raw AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), deg AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM raw GROUP BY p
+    )
+    SELECT CAST(length(bin(d)) AS BIGINT) AS log2_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_deg,
+           CAST(MAX(d) AS BIGINT) AS max_deg,
+           CAST(SUM(d) AS BIGINT) AS sum_deg
+    FROM deg GROUP BY 1
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-BINNED DEGREE DISTRIBUTION of the part side of the supply
+    graph — the first plot anyone makes of a new graph (is it
+    power-law? where do the hubs start?), binned by integer bit-length
+    (floor(log2)+1 via binary-representation length — no float log
+    whose boundary rounding could disagree between engines). Per
+    bin: node count, degree range, total degree. One distinct edge
+    scan + two narrow groupBys; the skew this histogram reveals is
+    exactly what the suite's bucketed joins and caps defend against."""
+    li = load(spark, sf_dir, "lineitem")
+    deg = (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return deg.groupBy(
+        F.length(F.expr("bin(d)")).cast("long").alias("log2_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("min_deg"),
+        F.max("d").cast("long").alias("max_deg"),
+        F.sum("d").cast("long").alias("sum_deg"),
+    )
+
+
+__all__ = ['q_od_flow_matrix', 'q_rolling_distinct_users', 'q_structural_equivalence', 'q_minhash_calibration', 'q_degree_distribution']

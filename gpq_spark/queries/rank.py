@@ -1,0 +1,521 @@
+"""Ranking/eval gate queries (TF-IDF, BM25, NDCG, RRF, calibration).
+
+Split out of entry_queries.py; registration happens on import
+(each @register call appends to the shared QUERIES list)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..pipeline.text import (  # noqa: E402  (constants feed the oracle SQL)
+    ENTROPY_LUT as _ENT_LUT,
+    ENTROPY_WINDOW as _ENT_WINDOW,
+)
+
+from ._core import *  # noqa: F401,F403
+from ._helpers import *  # noqa: F401,F403
+
+
+
+@register(
+    "rank_tfidf_docs",
+    f"""
+    WITH tf AS ({_TF_DUCK}),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1.0), 9) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term ASC) AS rn
+        FROM scored WHERE doc_id < 10
+    ) WHERE rn <= 5
+    """,
+)
+def rank_tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms for the first 10 documents (smoothed sklearn
+    idf; score rounded to 9 decimals for engine portability). The
+    doc_id filter applies AFTER corpus-wide document frequencies, as
+    tf-idf requires."""
+    from ..pipeline.ranking import tfidf_scores
+
+    docs = load(spark, sf_dir, "documents")
+    scored = tfidf_scores(docs, "doc_id", "text").filter(F.col("doc_id") < 10)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "score")
+    )
+
+
+@register(
+    "rank_bm25_docs",
+    f"""
+    WITH tf AS ({_TF_DUCK}),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    dl AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
+    scored AS (
+        SELECT tf.doc_id,
+               round(SUM(
+                   ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+               ), 9) AS score
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN n CROSS JOIN avgdl
+        WHERE tf.term IN ('customer', 'window', 'merge')
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score FROM (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 20
+    """,
+)
+def rank_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for the query {customer, window, merge}
+    (k1=1.2, b=0.75, score rounded to 9 decimals)."""
+    from ..pipeline.ranking import bm25_scores
+
+    docs = load(spark, sf_dir, "documents")
+    scored = bm25_scores(
+        docs, "doc_id", "text", ["customer", "window", "merge"]
+    )
+    # TakeOrdered top-20 — distributed per-partition heads, no global
+    # window sort (the rank never appears in the output)
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "score")
+    )
+
+
+@register(
+    "rank_rrf_docs",
+    f"""
+    WITH tf AS ({_TF_DUCK}),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    dl AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
+    s1 AS ({_BM25_SCORED_DUCK.format(terms="'customer', 'window', 'merge'")}),
+    s2 AS ({_BM25_SCORED_DUCK.format(terms="'stream', 'hash', 'scan'")}),
+    r1 AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+           FROM s1),
+    r2 AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+           FROM s2),
+    u AS (
+        SELECT doc_id, CAST(1000000000 // (60 + rnk) AS BIGINT) AS c FROM r1
+        UNION ALL
+        SELECT doc_id, CAST(1000000000 // (60 + rnk) AS BIGINT) AS c FROM r2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+           CAST(SUM(c) AS BIGINT) AS rrf_e9
+    FROM u GROUP BY doc_id
+    """,
+)
+def rank_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two BM25 retrievers (different query
+    term sets) — the standard hybrid-retrieval combiner, with exact
+    integer contributions 1e9 div (60 + rank) so the fused score is
+    reduction-order independent (pipeline.ranking.rrf_fuse). Scores
+    are rounded to 9 decimals BEFORE ranking on both engines, so rank
+    ties resolve identically (then by doc_id)."""
+    from ..pipeline.ranking import bm25_scores, rrf_fuse
+
+    docs = load(spark, sf_dir, "documents")
+    s1 = bm25_scores(docs, "doc_id", "text", ["customer", "window", "merge"])
+    s2 = bm25_scores(docs, "doc_id", "text", ["stream", "hash", "scan"])
+    return rrf_fuse([s1, s2], "doc_id", "score", k=60)
+
+
+@register(
+    "rank_retrieval_eval",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, qlabel, vec_id, label,
+               {_cos_duck('cv', 'qv')} AS cosine
+        FROM c, q WHERE vec_id != query_id
+    ),
+    ranked AS (
+        SELECT query_id, qlabel, vec_id, label,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    ),
+    nrel AS (
+        SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM q JOIN c ON c.label = q.qlabel AND c.vec_id != q.query_id
+        GROUP BY q.query_id
+    ),
+    per AS (
+        SELECT query_id,
+               CAST(SUM(CASE WHEN rank <= 10 AND label = qlabel
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(COALESCE(MIN(CASE WHEN label = qlabel THEN rank END), 0)
+                    AS BIGINT) AS first_hit_rank
+        FROM ranked GROUP BY query_id
+    )
+    SELECT per.query_id, per.n_hits,
+           CAST(1000000 * per.n_hits // 10 AS BIGINT) AS precision_e6,
+           nrel.n_rel,
+           CAST(1000000 * per.n_hits // nrel.n_rel AS BIGINT) AS recall_e6,
+           CAST(CASE WHEN per.first_hit_rank > 0
+                THEN 1000000 // per.first_hit_rank ELSE 0 END AS BIGINT)
+               AS mrr_e6
+    FROM per JOIN nrel ON nrel.query_id = per.query_id
+    """,
+)
+def rank_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness: precision@10, recall@10, and
+    reciprocal rank per query, treating label agreement as relevance
+    over the exact cosine ranking — the metric layer every retrieval
+    pipeline needs next to its ANN index, in exact integer ppm (no
+    float metric drift between engines). MRR's reciprocal is floored
+    at e6; the corpus relevant-set size is a broadcast per-label
+    count. Built on the same two-phase exact top-k as ann_topk; the
+    FULL ranking (not just top-10) feeds first-hit rank, matching the
+    textbook MRR definition."""
+    from ..pipeline.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # full ranking (k = corpus) so MRR sees the first hit wherever it is
+    n_corpus = emb.count()
+    topk = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "query_id", k=n_corpus
+    )
+    labels = emb.select("vec_id", "label")
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    j = topk.join(labels, "vec_id").join(F.broadcast(qlab), "query_id")
+    per = j.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                (F.col("rank") <= 10) & (F.col("label") == F.col("qlabel")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hits"),
+        F.coalesce(
+            F.min(
+                F.when(F.col("label") == F.col("qlabel"), F.col("rank"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("first_hit_rank"),
+    )
+    nrel = (
+        qlab.join(
+            labels.select(F.col("vec_id").alias("cid"), "label"),
+            F.col("label") == F.col("qlabel"),
+        )
+        .filter(F.col("cid") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    return (
+        per.join(nrel, "query_id")
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr("CAST(1000000 * n_hits div 10 AS BIGINT)").alias(
+                "precision_e6"
+            ),
+            "n_rel",
+            F.expr("CAST(1000000 * n_hits div n_rel AS BIGINT)").alias(
+                "recall_e6"
+            ),
+            F.expr(
+                "CAST(CASE WHEN first_hit_rank > 0"
+                " THEN 1000000 div first_hit_rank ELSE 0 END AS BIGINT)"
+            ).alias("mrr_e6"),
+        )
+    )
+
+
+@register(
+    "rank_ndcg_eval",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, qlabel, vec_id, label,
+               {_cos_duck('cv', 'qv')} AS cosine
+        FROM c, q WHERE vec_id != query_id
+    ),
+    ranked AS (
+        SELECT query_id, qlabel, label,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    ),
+    disc (rank, d) AS (VALUES
+        {", ".join(f"({i + 1}, CAST({d} AS BIGINT))" for i, d in enumerate(_NDCG_DISC))}),
+    dcg AS (
+        SELECT r.query_id,
+               CAST(SUM(CASE WHEN r.label = r.qlabel THEN disc.d ELSE 0 END)
+                    AS BIGINT) AS dcg_e6
+        FROM ranked r JOIN disc ON disc.rank = r.rank
+        WHERE r.rank <= 10
+        GROUP BY r.query_id
+    ),
+    nrel AS (
+        SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM q JOIN c ON c.label = q.qlabel AND c.vec_id != q.query_id
+        GROUP BY q.query_id
+    )
+    SELECT dcg.query_id, dcg.dcg_e6,
+           CAST([{", ".join(str(v) for v in _NDCG_CUM)}]
+                [least(10, nrel.n_rel)] AS BIGINT) AS idcg_e6,
+           CAST(1000000 * dcg.dcg_e6
+                // ([{", ".join(str(v) for v in _NDCG_CUM)}]
+                    [least(10, nrel.n_rel)]) AS BIGINT) AS ndcg_ppm
+    FROM dcg JOIN nrel ON nrel.query_id = dcg.query_id
+    """,
+)
+def rank_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query in exact integers: the 1/log2(i+1) discounts
+    are floored at e6 in Python once and embedded as identical
+    literals in both plans (the Benford trick), so DCG, ideal DCG
+    (the cumulative discount prefix at min(10, n_relevant)), and the
+    final ppm ratio never touch a float. Same ranking and relevance
+    convention as rank_retrieval_eval."""
+    from ..pipeline.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "query_id", k=10
+    )
+    labels = emb.select("vec_id", "label")
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    disc = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(_NDCG_DISC)], "rank int, d long"
+    )
+    j = (
+        topk.join(labels, "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+        .join(F.broadcast(disc), "rank")
+    )
+    dcg = j.groupBy("query_id").agg(
+        F.sum(
+            F.when(F.col("label") == F.col("qlabel"), F.col("d")).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_e6")
+    )
+    nrel = (
+        qlab.join(
+            labels.select(F.col("vec_id").alias("cid"), "label"),
+            F.col("label") == F.col("qlabel"),
+        )
+        .filter(F.col("cid") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    cum = "array(" + ", ".join(f"{v}L" for v in _NDCG_CUM) + ")"
+    return (
+        dcg.join(nrel, "query_id")
+        .select(
+            "query_id",
+            "dcg_e6",
+            F.expr(
+                f"CAST(element_at({cum}, CAST(least(10, n_rel) AS INT))"
+                " AS BIGINT)"
+            ).alias("idcg_e6"),
+            F.expr(
+                f"CAST(1000000 * dcg_e6 div element_at({cum},"
+                " CAST(least(10, n_rel) AS INT)) AS BIGINT)"
+            ).alias("ndcg_ppm"),
+        )
+    )
+
+
+@register(
+    "rank_pass_at_k",
+    f"""
+    WITH base AS (
+        SELECT doc_id, 20 AS n, CAST(doc_id % 21 AS INT) AS c
+        FROM documents
+    ), prods AS (
+        SELECT doc_id, n, c,
+               {', '.join(
+                   f"list_reduce([CAST(n - c - i AS HUGEINT)"
+                   f" FOR i IN range(0, {k})], (a, b) -> a * b) AS nu{k},"
+                   f" list_reduce([CAST(n - i AS HUGEINT)"
+                   f" FOR i IN range(0, {k})], (a, b) -> a * b) AS de{k}"
+                   for k in (1, 5, 10)
+               )}
+        FROM base
+    )
+    SELECT doc_id AS problem,
+           {_passk_duck(1)} AS pass1_e6,
+           {_passk_duck(5)} AS pass5_e6,
+           {_passk_duck(10)} AS pass10_e6
+    FROM prods
+    """,
+)
+def rank_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k eval aggregation (pipeline.ranking.pass_at_k) — the
+    unbiased Codex/HumanEval estimator 1 − C(n−c,k)/C(n,k) every LLM
+    eval harness reports, computed as exact DECIMAL(38) falling-
+    factorial ratios (no floats; the product's first nonpositive
+    factor is exactly 0, so c + k > n collapses to pass@k = 1
+    naturally). Each doc plays a problem with n = 20 samples and
+    c = doc_id % 21 correct — the full 0..n sweep, including the c = 0
+    (pass = 0) and c = n (pass = 1e6) endpoints. Map-side only."""
+    from ..pipeline.ranking import pass_at_k
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit(20).alias("n"),
+        (F.col("doc_id") % 21).cast("int").alias("c"),
+    )
+    return pass_at_k(docs, "doc_id", "n", "c")
+
+
+@register(
+    "rank_ece_calibration",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               (doc_id * 104729) % 1000001 AS conf,
+               CASE WHEN ((doc_id * 224737) % 1000000) * 10
+                         < ((doc_id * 104729) % 1000001) * 8
+                    THEN 1 ELSE 0 END AS ok
+        FROM documents
+    ), b AS (
+        SELECT CAST(LEAST(conf * 10 // 1000000, 9) AS INT) AS bin,
+               conf, ok
+        FROM p
+    ), per AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(conf) AS BIGINT) AS conf_sum_e6,
+               CAST(SUM(ok) AS BIGINT) AS n_correct
+        FROM b GROUP BY 1
+    ), g AS (
+        SELECT SUM(ABS(conf_sum_e6 - 1000000 * n_correct)) AS gg,
+               SUM(n) AS nn
+        FROM per
+    )
+    SELECT bin, n, conf_sum_e6, n_correct,
+           CAST(ABS(conf_sum_e6 - 1000000 * n_correct) AS BIGINT)
+               AS gap_e6_abs,
+           CAST(gg // nn AS BIGINT) AS ece_ppm
+    FROM per, g
+    """,
+)
+def rank_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error (pipeline.ranking.ece_calibration) —
+    the reliability-diagram metric every eval harness reports before a
+    model's confidences are trusted as reward or routing signals.
+    Confidence/correctness pairs are synthesized deterministically
+    OVERCONFIDENT (accuracy ≈ 0.8 × confidence), so the per-bin gaps
+    and the global ppm ECE are all nonzero and pinned. Exact-integer
+    e6 arithmetic throughout; one bounded (10-key) shuffle plus a
+    single-row broadcast for the global number."""
+    from ..pipeline.ranking import ece_calibration
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr("(doc_id * 104729) % 1000001").alias("conf_e6"),
+        F.expr(
+            "CASE WHEN ((doc_id * 224737) % 1000000) * 10"
+            " < ((doc_id * 104729) % 1000001) * 8 THEN 1 ELSE 0 END"
+        ).alias("ok"),
+    )
+    return ece_calibration(docs, "conf_e6", "ok", n_bins=10)
+
+
+@register(
+    "rank_majority_vote",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               doc_id % 4 + 3 AS n
+        FROM documents
+    ), samples AS (
+        SELECT doc_id, w[CAST((doc_id + k * 7) % len(w) AS INT) + 1] AS a
+        FROM w, range(0, 7) r(k) WHERE k < n
+    ), votes AS (
+        SELECT doc_id, a, CAST(COUNT(*) AS BIGINT) AS c
+        FROM samples GROUP BY 1, 2
+    ), mx AS (
+        SELECT doc_id, MAX(c) AS maxc, CAST(SUM(c) AS BIGINT) AS ns
+        FROM votes GROUP BY 1
+    )
+    SELECT m.doc_id AS problem,
+           MIN(CASE WHEN c = maxc THEN a END) AS modal_answer,
+           ns AS n_samples, maxc AS n_modal,
+           CAST(maxc * 1000000 // ns AS BIGINT) AS agreement_ppm,
+           SUM(CASE WHEN c = maxc THEN 1 ELSE 0 END) > 1 AS tie
+    FROM votes v JOIN mx m USING (doc_id)
+    GROUP BY 1, ns, maxc
+    """,
+)
+def rank_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-consistency majority vote (pipeline.ranking.majority_vote)
+    — sample-n-chains-keep-the-mode, the aggregation between raw model
+    samples and a reported answer. Each doc plays a problem with
+    n = doc_id % 4 + 3 sampled 'answers' drawn deterministically from
+    its own words (repeats guaranteed by the modular stride, so modal
+    counts, agreement ratios, and tie flags all exercise), modal ties
+    broken lexicographically in both engines. Two narrow-key shuffles,
+    bounded per-problem vote arrays."""
+    from ..pipeline.ranking import majority_vote
+
+    docs = load(spark, sf_dir, "documents")
+    samples = docs.select(
+        "doc_id",
+        F.expr(
+            "explode(transform(sequence(0, doc_id % 4 + 2), k ->"
+            " element_at(split(text, ' '),"
+            " CAST((doc_id + k * 7) % size(split(text, ' ')) AS INT)"
+            " + 1)))"
+        ).alias("answer"),
+    )
+    return majority_vote(samples, "doc_id", "answer")
+
+
+__all__ = ['rank_tfidf_docs', 'rank_bm25_docs', 'rank_rrf_docs', 'rank_retrieval_eval', 'rank_ndcg_eval', 'rank_pass_at_k', 'rank_ece_calibration', 'rank_majority_vote']

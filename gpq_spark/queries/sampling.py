@@ -1,0 +1,643 @@
+"""Sampling/packing gate queries (stratified, k-center, bins, curricula).
+
+Split out of entry_queries.py; registration happens on import
+(each @register call appends to the shared QUERIES list)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..pipeline.text import (  # noqa: E402  (constants feed the oracle SQL)
+    ENTROPY_LUT as _ENT_LUT,
+    ENTROPY_WINDOW as _ENT_WINDOW,
+)
+
+from ._core import *  # noqa: F401,F403
+from ._helpers import *  # noqa: F401,F403
+
+
+
+@register(
+    "sample_hash_docs",
+    f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_UHASH_DUCK} < {int(_SAMPLE_FRACTION * (1 << 48))}
+    """,
+)
+def sample_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample (20%) by content hash — a row's
+    fate is a pure function of (seed, doc_id): stable across re-runs,
+    engines, and partitionings, unlike df.sample(). Map-side only."""
+    from ..pipeline.sampling import hash_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return hash_sample(docs, ["doc_id"], _SAMPLE_FRACTION, seed="r2").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "sample_split_docs",
+    f"""
+    SELECT doc_id, {_split_case_duck()} AS split
+    FROM documents
+    """,
+)
+def sample_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by content
+    hash — documents never migrate between splits across runs, the
+    property decontamination and eval integrity depend on."""
+    from ..pipeline.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    return hash_split(docs, ["doc_id"], _SPLIT_WEIGHTS, seed="r2").select(
+        "doc_id", "split"
+    )
+
+
+@register(
+    "sample_stratified_docs",
+    f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {_UHASH_DUCK}, doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k stratified sample: 5 docs per language, drawn uniformly
+    without replacement by hash order. One shuffle on the strata key."""
+    from ..pipeline.sampling import stratified_sample_exact
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample_exact(
+        docs, ["lang"], 5, ["doc_id"], seed="r2"
+    ).select("doc_id", "lang")
+
+
+@register(
+    "sample_weighted_docs",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_MIX_HASH_DUCK} < {_mix_threshold_duck()}
+    """,
+)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sample: per-source keep rates (100% src0, 50%
+    src1, 25% src2, 10% everything else), each decision a pure
+    function of (seed, doc_id). Map-side only — no shuffle."""
+    from ..pipeline.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, "source", _MIX_FRACTIONS, ["doc_id"],
+        default_fraction=_MIX_DEFAULT, seed="mix",
+    ).select("doc_id", "source")
+
+
+@register("profile_lineitem", None)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler over lineitem: one scan computes
+    every column's row/null/distinct counts and native-typed min/max,
+    then stack() unpivots to one row per column."""
+    from ..pipeline.profile import profile_columns
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_columns(li, _PROFILE_NUM_COLS + _PROFILE_STR_COLS)
+
+
+@register("skew_report_orders", None)
+def skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter shuffle-key diagnostics over three orders columns
+    in one pass (explode → one groupBy → one window)."""
+    from ..pipeline.profile import skew_report
+
+    o = load(spark, sf_dir, "orders")
+    return skew_report(o, _SKEW_COLS, k=5)
+
+
+@register(
+    "pack_curriculum_docs",
+    """
+    SELECT doc_id, lang,
+           CAST(ntile(4) OVER (PARTITION BY lang
+                ORDER BY n_chars DESC, doc_id ASC) AS INT) AS stage,
+           CAST(row_number() OVER (PARTITION BY lang,
+                ntile4 ORDER BY n_chars DESC, doc_id ASC) AS INT) AS stage_rank
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               ntile(4) OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id ASC) AS ntile4
+        FROM documents)
+    """,
+)
+def pack_curriculum_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum layout: per-language quality stages (n_chars as the
+    stand-in score) + deterministic emission rank — one window shuffle
+    on the shard key, no global sort."""
+    from ..pipeline.packing import curriculum_order
+
+    docs = load(spark, sf_dir, "documents")
+    return curriculum_order(docs, "lang", "n_chars", "doc_id", stages=4).select(
+        "doc_id", "lang", "stage", "stage_rank"
+    )
+
+
+@register(
+    "pack_chunks_docs",
+    f"""
+    WITH toks AS ({_TOKENS_DUCK}),
+    offs AS (
+        SELECT lang, doc_id, tokens,
+               CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - tokens
+                    AS BIGINT) AS start_off,
+               CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+        FROM toks
+    )
+    SELECT lang, doc_id, tokens, start_off,
+           CAST(start_off // 512 AS BIGINT) AS first_bin,
+           CAST(greatest(start_off // 512, (end_off - 1) // 512) AS BIGINT)
+               AS last_bin
+    FROM offs
+    """,
+)
+def pack_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (budget 512 tokens, sharded by
+    language): per-document stream offset and the chunk span it covers.
+    Pure window arithmetic, one shuffle on the shard key (training-data
+    pipeline extension; no reference equivalent)."""
+    from ..pipeline.packing import pack_concat_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").alias("tokens"),
+    )
+    return pack_concat_chunks(
+        toks, "doc_id", "tokens", budget=512, shard_cols=["lang"]
+    ).select("lang", "doc_id", "tokens", "start_off", "first_bin", "last_bin")
+
+
+@register(
+    "pack_greedy_docs",
+    f"""
+    WITH RECURSIVE toks AS ({_TOKENS_DUCK}),
+    ordered AS (
+        SELECT lang, doc_id, tokens,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM toks
+    ),
+    walk(lang, rn, doc_id, tokens, bin_id, fill) AS (
+        SELECT lang, rn, doc_id, tokens, CAST(0 AS BIGINT), tokens
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.lang, o.rn, o.doc_id, o.tokens,
+               CASE WHEN w.fill + o.tokens > 512
+                    THEN w.bin_id + 1 ELSE w.bin_id END,
+               CASE WHEN w.fill + o.tokens > 512
+                    THEN o.tokens ELSE w.fill + o.tokens END
+        FROM walk w JOIN ordered o ON o.lang = w.lang AND o.rn = w.rn + 1
+    )
+    SELECT lang, doc_id, tokens, CAST(bin_id AS BIGINT) AS bin_id FROM walk
+    """,
+)
+def pack_greedy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy no-split bin packing (budget 512, sharded by language):
+    sequential walk per shard inside applyInPandas — shards run in
+    parallel, documents never split across bins. The oracle replays
+    the identical walk with a DuckDB recursive CTE."""
+    from ..pipeline.packing import pack_greedy
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").alias("tokens"),
+    )
+    return pack_greedy(
+        toks, "doc_id", "tokens", budget=512, shard_cols=["lang"]
+    ).select("lang", "doc_id", "tokens", "bin_id")
+
+
+@register(
+    "sample_balanced_docs",
+    f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {_UHASH_DUCK}, doc_id) AS rn
+        FROM documents
+    ),
+    m AS (
+        SELECT CAST(MIN(c) AS BIGINT) AS mn
+        FROM (SELECT COUNT(*) AS c FROM documents GROUP BY lang)
+    )
+    SELECT doc_id, lang FROM r CROSS JOIN m WHERE rn <= mn
+    """,
+)
+def sample_balanced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced corpus: every language downsampled to the rarest
+    language's count by deterministic hash order (the training-mix
+    guard against a dominant class). Distributed end-to-end — the min
+    class size rides in as a broadcast 1-row aggregate, never a driver
+    collect."""
+    from ..pipeline.sampling import balanced_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return balanced_sample(docs, "lang", ["doc_id"], seed="r2").select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "sample_mix_gini",
+    """
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c,
+               CAST(row_number() OVER (ORDER BY c ASC, lang ASC, source ASC)
+                    AS BIGINT) AS i
+        FROM cells
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           round(2.0 * CAST(SUM(i * c) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+                 - (CAST(COUNT(*) AS DOUBLE) + 1.0)
+                   / CAST(COUNT(*) AS DOUBLE),
+                 9) AS gini
+    FROM ranked
+    """,
+)
+def sample_mix_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix inequality: the Gini coefficient over the corpus's
+    (language, source) cell sizes — 0 means every slice contributes
+    equally, high values mean a few slices dominate the mix (the
+    condition balanced_sample exists to correct, now measurable as one
+    number before and after). Same rank-formula spec as
+    q_gini_revenue: exact integer rank sums, one double ratio."""
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = Window.orderBy(
+        F.col("c").asc(), F.col("lang").asc(), F.col("source").asc()
+    )
+    ranked = cells.select(
+        "c", F.row_number().over(wv).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("i") * F.col("c")).cast("long").alias("sic"),
+    ).select(
+        F.col("n").alias("n_cells"),
+        F.round(
+            F.lit(2.0) * F.col("sic").cast("double")
+            / (F.col("n").cast("double") * F.col("s").cast("double"))
+            - (F.col("n").cast("double") + F.lit(1.0))
+            / F.col("n").cast("double"),
+            9,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "sample_dsir_scores",
+    """
+    WITH w AS (SELECT doc_id, lang = 'en' AS tgt,
+                      list_filter(regexp_split_to_array(lower(trim(text)),
+                                  '\\s+'), x -> x <> '') AS ws
+               FROM documents),
+    f AS (SELECT w.doc_id, w.tgt,
+                 CAST('0x' || substr(md5(ws[g.i] || ' ' || ws[g.i + 1]),
+                      1, 6) AS BIGINT) % 4096 AS cell
+          FROM w, unnest(generate_series(1, len(ws) - 1)) AS g(i)),
+    cells AS (SELECT cell,
+                     CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT)
+                         AS ct,
+                     CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT)
+                         AS cs
+              FROM f GROUP BY 1),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+                   CAST(SUM(cs) AS BIGINT) AS ss FROM cells),
+    lr AS (SELECT cell,
+                  CAST(floor(1000000 * ln(
+                      (CAST(ct + 1 AS DOUBLE) * (ss + 4096))
+                      / (CAST(cs + 1 AS DOUBLE) * (tt + 4096))))
+                      AS BIGINT) AS lr_e6
+           FROM cells CROSS JOIN tot),
+    sc AS (SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                  CAST(SUM(lr.lr_e6) AS BIGINT) AS dsir_score_e6
+           FROM f JOIN lr USING (cell) GROUP BY 1)
+    SELECT w.doc_id AS id, w.tgt AS is_target,
+           CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(sc.dsir_score_e6, 0) AS BIGINT) AS dsir_score_e6,
+           COALESCE(sc.dsir_score_e6, 0) > 0 AS selected
+    FROM w LEFT JOIN sc ON sc.doc_id = w.doc_id
+    """,
+)
+def sample_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores toward the English subcorpus
+    (pipeline.sampling.dsir_scores): hashed-bigram generative
+    likelihood ratios, add-one smoothed, quantized per CELL to
+    floor(1e6·ln(ratio-of-exact-integers)) so the per-doc sum is
+    order-independent and hash-exact — the classifier-free data
+    selection step a 100 TB pretraining mix runs between dedup and
+    sampling (Xie et al. 2023). Plan: one feature explode, one ≤4096-
+    row cell aggregate broadcast back, one doc groupBy."""
+    from ..pipeline.sampling import dsir_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_scores(
+        docs.withColumn("tgt", F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        "tgt",
+        buckets=4096,
+    )
+
+
+@register(
+    "shuffle_positions_docs",
+    """
+    SELECT CAST(row_number() OVER (
+               ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS pos,
+           doc_id AS id
+    FROM documents
+    """,
+)
+def shuffle_positions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global permutation (training-order
+    shuffle): dense positions in md5('42:'||id) order. The Spark plan
+    avoids the single-reducer global window: range-repartition on the
+    shuffle key, per-partition local ranks, plus broadcast cumulative
+    partition offsets (pipeline.sampling.seeded_shuffle)."""
+    from ..pipeline.sampling import seeded_shuffle
+
+    docs = load(spark, sf_dir, "documents")
+    return seeded_shuffle(docs, "doc_id", seed=42)
+
+
+@register(
+    "sample_match_length_docs",
+    """
+    WITH d AS (SELECT doc_id AS id,
+        CASE WHEN length(text) < 0 THEN -1
+             WHEN length(text) < 200 THEN 0
+             WHEN length(text) < 400 THEN 1
+             WHEN length(text) < 800 THEN 2
+             ELSE 3 END AS bucket FROM documents),
+    c AS (SELECT bucket, count(*) AS n FROM d WHERE bucket >= 0 GROUP BY bucket),
+    t(bucket, p) AS (VALUES (0, 0.1), (1, 0.4), (2, 0.4), (3, 0.1)),
+    s AS (SELECT min(n / p) AS s FROM c JOIN t USING (bucket) WHERE p > 0),
+    q AS (SELECT t.bucket, CAST(floor(s.s * t.p) AS BIGINT) AS k
+          FROM t JOIN c ON c.bucket = t.bucket CROSS JOIN s),
+    r AS (SELECT id, bucket,
+                 row_number() OVER (PARTITION BY bucket
+                      ORDER BY md5('42:' || CAST(id AS VARCHAR)), id) AS rn
+          FROM d WHERE bucket >= 0)
+    SELECT id, CAST(r.bucket AS INT) AS bucket
+    FROM r JOIN q ON q.bucket = r.bucket WHERE rn <= k
+    """,
+)
+def sample_match_length_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matched downsampling: keep the largest sample whose
+    length-bucket proportions hit the target (10/40/40/10 over char
+    lengths [0,200), [200,400), [400,800), [800,inf)) exactly —
+    floor(s*p_b) per bucket with s = min(n_b/p_b), rows chosen by
+    deterministic md5 rank (pipeline.sampling.match_distribution)."""
+    from ..pipeline.sampling import match_distribution
+
+    docs = load(spark, sf_dir, "documents")
+    return match_distribution(
+        docs, "doc_id", F.length("text"), [0, 200, 400, 800],
+        [0.1, 0.4, 0.4, 0.1], seed=42,
+    )
+
+
+@register(
+    "sample_temperature_mix",
+    """
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT lang, n,
+               CAST(floor(1000000.0 * sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+                   AS w_e6
+        FROM c
+    ),
+    t AS (SELECT CAST(SUM(w_e6) AS BIGINT) AS tw,
+                 CAST(SUM(n) AS BIGINT) AS tn FROM w)
+    SELECT lang, n, w_e6,
+           CAST(1000000 * n // tn AS BIGINT) AS natural_ppm,
+           CAST(1000000 * w_e6 // tw AS BIGINT) AS sampled_ppm
+    FROM w CROSS JOIN t
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED corpus mixing weights (T = 2, the
+    multilingual-pretraining standard: sample each source ∝ p^(1/T)
+    so low-resource languages are upsampled without drowning the
+    head): per-language natural share vs the √n-scaled share, both as
+    exact ppm integers — the per-source sqrt is one IEEE op floored
+    to e6 BEFORE the integer normalization, so no float ever crosses
+    a reduction. Feed sampled_ppm to sample_weighted_docs /
+    sample_token_mix to materialize the mix. One groupBy + one
+    single-row combine."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = c.select(
+        "lang",
+        "n",
+        F.expr(
+            "CAST(floor(1000000.0 * sqrt(CAST(n AS DOUBLE))) AS BIGINT)"
+        ).alias("w_e6"),
+    )
+    t = w.agg(
+        F.sum("w_e6").cast("long").alias("tw"),
+        F.sum("n").cast("long").alias("tn"),
+    )
+    return w.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n",
+        "w_e6",
+        F.expr("CAST(1000000 * n div tn AS BIGINT)").alias("natural_ppm"),
+        F.expr("CAST(1000000 * w_e6 div tw AS BIGINT)").alias("sampled_ppm"),
+    )
+
+
+@register(
+    "sample_token_mix",
+    """
+    WITH b(source, budget) AS (VALUES ('src0', 3000), ('src1', 5000), ('src2', 100000)),
+    r AS (SELECT doc_id AS id, source, CAST(n_chars AS BIGINT) AS tokens,
+                 CAST(sum(n_chars) OVER (PARTITION BY source
+                      ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                 budget
+          FROM documents JOIN b USING (source))
+    SELECT id, source, tokens, cum_tokens FROM r WHERE cum_tokens <= budget
+    """,
+)
+def sample_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly under per-source TOKEN budgets (n_chars
+    standing in for tokens): the largest deterministic md5-ordered
+    sample per source whose running token total fits the budget —
+    src2's oversized budget keeps everything, src0/src1 truncate
+    (pipeline.sampling.sample_token_budget)."""
+    from ..pipeline.sampling import sample_token_budget
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_token_budget(
+        docs, "doc_id", "source", "n_chars",
+        {"src0": 3000, "src1": 5000, "src2": 100000}, seed=42,
+    )
+
+
+@register("sample_kcenter_docs", _kcenter_duck(6))
+def sample_kcenter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity selection of 6
+    embeddings — integer squared-L2 over e6-quantized vectors, ties by
+    smallest id, seed = smallest id (pipeline.sampling.kcenter_sample).
+    The oracle unrolls the 5 greedy rounds as chained CTEs. Each Spark
+    round is one scan with centers inlined as literals + a
+    TakeOrdered(1) reduce — no join, no shuffle."""
+    from ..pipeline.sampling import kcenter_sample
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kcenter_sample(emb, "vec_id", "embedding", k=6)
+
+
+@register("sample_mmr_docs", _mmr_oracle(6, 50))
+def sample_mmr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection of 6 embeddings for a fixed
+    binary-fraction query vector, λ=50% — greedy argmax of
+    50·relevance − 50·max-inner-product-to-selected in exact BIGINT
+    arithmetic (pipeline.sampling.mmr_sample). The oracle unrolls the
+    5 greedy rounds; each Spark round is one scan with the selected
+    vectors as literals + a TakeOrdered(1) reduce."""
+    from ..pipeline.sampling import mmr_sample
+
+    emb = load(spark, sf_dir, "embeddings")
+    return mmr_sample(
+        emb, "vec_id", "embedding", _MMR_QUERY, k=6, lambda_pct=50
+    )
+
+
+@register(
+    "sample_priority_docs",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE n_chars > 0
+    ORDER BY CAST(n_chars AS HUGEINT) * 281474976710656
+             // ({_UHASH_R3_DUCK} + 1) DESC,
+             doc_id
+    LIMIT 50
+    """,
+)
+def sample_priority_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50 weighted sample of documents by length — priority
+    sampling: priority = n_chars · 2^48 div (content_hash + 1), top-50
+    win. The cardinality-controlled counterpart of the Bernoulli
+    domain mixer: heavier docs are proportionally likelier, output
+    size is fixed, and the draw is a pure function of (seed, doc_id)
+    so engines and re-runs agree exactly. Plans as
+    TakeOrderedAndProject — partition-local top-k, no global sort."""
+    from ..pipeline.sampling import priority_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return priority_sample(
+        docs, "n_chars", k=50, key_cols=["doc_id"], seed="r3"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register("sample_waterfill_mix", _waterfill_oracle())
+def sample_waterfill_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling character-budget allocation across document
+    sources (40% of total corpus chars): equal shares capped at each
+    source's capacity, surplus redistributed to unsaturated sources
+    over 6 fixed unrolled rounds — the mixture-planning solver a
+    token-budgeted corpus build runs before the per-source samplers
+    (pipeline.sampling.waterfill_allocation). Floor arithmetic
+    throughout; leftover units below n_active per round stay
+    unallocated by spec."""
+    from ..pipeline.sampling import waterfill_allocation
+
+    docs = load(spark, sf_dir, "documents")
+    caps = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("cap")
+    )
+    total = int(docs.agg(F.sum("n_chars")).first()[0])
+    return waterfill_allocation(
+        caps, "source", "cap", budget=total * 2 // 5, rounds=6
+    )
+
+
+@register(
+    "sample_threshold_retention",
+    """
+    WITH scored AS (
+        SELECT CAST((doc_id * 7) % 11 AS INT) AS s, n_chars
+        FROM documents
+    ), per AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS w
+        FROM scored GROUP BY 1
+    ), dom AS (
+        SELECT CAST(t AS INT) AS threshold FROM range(0, 11) r(t)
+    ), filled AS (
+        SELECT threshold, coalesce(n, 0) AS n, coalesce(w, 0) AS w
+        FROM dom LEFT JOIN per ON per.s = dom.threshold
+    ), cum AS (
+        SELECT threshold,
+               CAST(SUM(n) OVER (ORDER BY threshold DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_docs,
+               CAST(SUM(w) OVER (ORDER BY threshold DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS weight
+        FROM filled
+    ), tot AS (
+        SELECT n_docs AS tn, weight AS tw FROM cum WHERE threshold = 0
+    )
+    SELECT threshold, n_docs, weight,
+           CAST(n_docs * 1000000 // tn AS BIGINT) AS docs_ppm,
+           CAST(weight * 1000000 // tw AS BIGINT) AS weight_ppm
+    FROM cum, tot
+    """,
+)
+def sample_threshold_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-threshold retention curve (pipeline.sampling.
+    threshold_retention): for every candidate cutoff 0..10, the
+    documents and token mass surviving score >= t — the
+    FineWeb-Edu-style curation instrument that turns 'pick a
+    threshold' into a measured trade-off. Scores are a deterministic
+    doc_id rotation over 0..10; weights are the real n_chars column.
+    One bounded-domain shuffle + an 11-row running sum; the global
+    window never touches data-scaled rows."""
+    from ..pipeline.sampling import threshold_retention
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr("CAST((doc_id * 7) % 11 AS INT)").alias("score"),
+        "n_chars",
+    )
+    return threshold_retention(docs, "score", "n_chars", n_steps=10)
+
+
+__all__ = ['sample_hash_docs', 'sample_split_docs', 'sample_stratified_docs', 'sample_weighted_docs', 'profile_lineitem', 'skew_report_orders', 'pack_curriculum_docs', 'pack_chunks_docs', 'pack_greedy_docs', 'sample_balanced_docs', 'sample_mix_gini', 'sample_dsir_scores', 'shuffle_positions_docs', 'sample_match_length_docs', 'sample_temperature_mix', 'sample_token_mix', 'sample_kcenter_docs', 'sample_mmr_docs', 'sample_priority_docs', 'sample_waterfill_mix', 'sample_threshold_retention']

@@ -1,0 +1,1569 @@
+"""Structured Streaming gate queries (windows, sessions, OOO replays).
+
+Split out of entry_queries.py; registration happens on import
+(each @register call appends to the shared QUERIES list)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..pipeline.text import (  # noqa: E402  (constants feed the oracle SQL)
+    ENTROPY_LUT as _ENT_LUT,
+    ENTROPY_WINDOW as _ENT_WINDOW,
+)
+
+from ._core import *  # noqa: F401,F403
+from ._helpers import *  # noqa: F401,F403
+
+
+
+
+@register(
+    "stream_tumble_events",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window count as a real Structured Streaming query
+    (file source → window agg → memory sink, complete mode), drained
+    synchronously; result matches the batch oracle."""
+    stream = _events_file_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+        .select(
+            # UTC wall clock, independent of the session timezone
+            F.date_format(
+                F.expr("convert_timezone('UTC', window.start)"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("hour_start"),
+            "event_type",
+            F.col("count").alias("n"),
+        )
+    )
+    return _drain_to_table(agg, "stream_tumble", "complete")
+
+
+@register(
+    "stream_slide_events",
+    """
+    WITH w AS (
+        SELECT make_timestamp(epoch_us(ts) // 1800000000 * 1800000000) AS s0,
+               event_type
+        FROM events),
+    expanded AS (
+        SELECT s0 AS s, event_type FROM w
+        UNION ALL
+        SELECT s0 - INTERVAL 30 MINUTE AS s, event_type FROM w)
+    SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def stream_slide_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (1h window, 30min slide) as a real
+    Structured Streaming query drained synchronously — every event
+    lands in exactly two overlapping windows, which the oracle
+    reproduces by unioning the two aligned window starts."""
+    from ..streaming.windows import sliding_counts
+
+    stream = _events_file_stream(spark, sf_dir)
+    agg = sliding_counts(stream, "1 hour", "30 minutes")
+    return _drain_to_table(agg, "stream_slide", "complete")
+
+
+@register(
+    "stream_dedup_events",
+    """
+    SELECT DISTINCT user_id, event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start
+    FROM events
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) on
+    (user_id, event_type, hour): bounded-state dedup as a real
+    Structured Streaming query drained synchronously. Duplicates of a
+    key land in the same hour, so they are always within the 2h
+    watermark of each other and the bounded replay equals DISTINCT —
+    which is what the oracle checks."""
+    from ..streaming.windows import stream_dedup
+
+    stream = _events_file_stream(spark, sf_dir).withColumn(
+        "hour_ts", F.date_trunc("hour", F.col("ts"))
+    )
+    deduped = stream_dedup(
+        stream, ["user_id", "event_type", "hour_ts"], watermark_col="ts"
+    ).select(
+        "user_id",
+        "event_type",
+        # hour_ts was truncated from the UTC-anchored stream instant;
+        # render its UTC wall clock, independent of the session tz
+        F.date_format(
+            F.expr("convert_timezone('UTC', hour_ts)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_start"),
+    )
+    return _drain_to_table(deduped, "stream_dedup", "append")
+
+
+@register(
+    "stream_stateful_sessions",
+    """
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+    numbered AS (
+        SELECT user_id, tus,
+               CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ), sess AS (
+        SELECT user_id, tus,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM numbered
+    ), agg AS (
+        SELECT user_id, sid, MIN(tus) AS s_start, MAX(tus) AS s_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           strftime(make_timestamp(s_start), '%Y-%m-%d %H:%M:%S') AS start,
+           strftime(make_timestamp(s_end), '%Y-%m-%d %H:%M:%S') AS "end",
+           n_events
+    FROM agg, (SELECT MAX(tus) AS max_tus FROM ev)
+    WHERE sid < max_sid
+       OR (s_end // 1000 + 1800000) < (max_tus // 1000 - 7200000)
+    """,
+)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    closed gap-sessions (30 min) over the events stream.
+
+    The oracle is the batch sessionize SQL restricted to sessions the
+    stream actually CLOSES on a bounded single-batch input: closed by a
+    later event (sid < max_sid) or by event-time timeout — Spark fires
+    a timeout when the final watermark (max event time - 2 h delay,
+    millisecond-floored) advances beyond session_end + 30 min."""
+    from ..streaming import stateful_sessionize
+
+    stream = _events_file_stream(spark, sf_dir)
+    sessions = stateful_sessionize(stream).select(
+        "user_id",
+        # UTC wall clock, independent of the session timezone
+        F.date_format(
+            F.expr("convert_timezone('UTC', session_start)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("start"),
+        F.date_format(
+            F.expr("convert_timezone('UTC', session_end)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("end"),
+        "n_events",
+    )
+    return _drain_to_table(sessions, "sessions", "append")
+
+
+@register(
+    "stream_join_events",
+    """
+    SELECT a.user_id, a.event_id AS l_event_id, b.event_id AS r_event_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1800 SECOND
+    """,
+)
+def stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (view → purchase within
+    30 min, same user) as a real Structured Streaming query drained
+    synchronously. Inner-join matches emit as both rows arrive, so the
+    bounded replay equals the batch self-join oracle exactly."""
+    from ..streaming import stream_interval_join
+
+    stream = _events_file_stream(spark, sf_dir)
+    joined = stream_interval_join(
+        stream, "view", "purchase", interval_seconds=1800
+    )
+    return _drain_to_table(joined, "stream_join", "append")
+
+
+@register(
+    "stream_join_left",
+    """
+    WITH l AS (
+        SELECT user_id, event_id AS l_event_id, ts AS l_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    r AS (
+        SELECT user_id, event_id AS r_event_id, ts AS r_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT least((SELECT MAX(l_ts) FROM l), (SELECT MAX(r_ts) FROM r))
+               - INTERVAL 2 HOUR AS w
+    )
+    SELECT l.user_id, l_event_id, r_event_id
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 1800 SECOND
+    UNION ALL
+    SELECT l.user_id, l_event_id, CAST(NULL AS BIGINT) AS r_event_id
+    FROM l CROSS JOIN wm
+    WHERE l_ts + INTERVAL 1800 SECOND < w
+      AND NOT EXISTS (
+          SELECT 1 FROM r
+          WHERE r.user_id = l.user_id
+            AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 1800 SECOND
+      )
+    """,
+)
+def stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT-OUTER stream-stream interval join (every view,
+    with its same-user purchase within 30 min OR an explicit NULL) —
+    the Structured Streaming feature the inner stream_join_events
+    cannot express: proving absence. A NULL can only emit once the
+    watermark passes l_ts + interval (nothing earlier can prove no
+    match will arrive), and Spark's global watermark is the MIN of
+    the two sides' source watermarks — so the oracle emits matches
+    unconditionally and NULL rows exactly for unmatched views with
+    l_ts + 30 min < min(max view ts, max purchase ts) − 2 h, the
+    precise bounded-replay flush boundary. The flush rides the
+    no-data microbatch after the final watermark advance, not on
+    per-key new data (the NoTimeout pitfall this gate guards
+    against)."""
+    from ..streaming.windows import stream_interval_join
+
+    stream = _events_file_stream(spark, sf_dir)
+    joined = stream_interval_join(
+        stream, "view", "purchase", interval_seconds=1800, how="leftOuter"
+    )
+    return _drain_to_table(joined, "stream_join_left", "append")
+
+@register(
+    "stream_twa",
+    f"""
+    WITH wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 AS w FROM events
+    ),
+    lim AS (SELECT w - w % 3600000000 AS lim FROM wm),
+    s AS (
+        SELECT user_id, epoch_us(ts) AS t, {cents('value')} AS v,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS nt
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, t, v,
+               CASE WHEN nt IS NULL THEN lim ELSE LEAST(nt, lim) END AS e
+        FROM s CROSS JOIN lim WHERE t < lim
+    ),
+    hrs AS (
+        SELECT user_id, v, t, e,
+               unnest(range(t - t % 3600000000, e, 3600000000)) AS h
+        FROM seg WHERE e > t
+    )
+    SELECT user_id, CAST(h AS BIGINT) AS hour_us,
+           CAST(SUM(v * (LEAST(e, h + 3600000000) - GREATEST(t, h)))
+                AS BIGINT) AS area_cents_us
+    FROM hrs
+    WHERE LEAST(e, h + 3600000000) > GREATEST(t, h)
+    GROUP BY 1, 2
+    """,
+)
+def stream_twa_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming time-weighted integrals (streaming.stream_twa — the
+    stateful twin of q_twa_value): per (user, hour), the exact LOCF
+    integral in cents·microseconds, each hour emitted once the
+    watermark passes its end. The oracle replays the same contract in
+    batch: segments from consecutive samples (ties broken by
+    event_id, exactly as the state machine sorts), clipped to the
+    final watermark (ms-truncated, the engine's own arithmetic),
+    intersected with the hour grid — so the bounded replay matches
+    bit-for-bit including partial first hours and sample-free LOCF
+    hours. Zero-length segments (duplicate timestamps) drop out of
+    both sides identically."""
+    from ..streaming.windows import stream_twa as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream), "twa", "append")
+
+
+@register(
+    "stream_gapfill_locf",
+    f"""
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, g AS hour_ts
+        FROM b, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t(g)
+    ), hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id,
+           strftime(g.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           CAST(COALESCE(last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_ts
+               ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS v_filled
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+    """,
+)
+def stream_gapfill_locf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LOCF gap fill as a real stateful streaming query
+    (applyInPandasWithState, epoch-long exchange, no timeouts): gaps
+    close when a later observation arrives, so the bounded replay
+    equals the batch dense-grid LOCF oracle exactly."""
+    from ..streaming import stream_gapfill_locf
+
+    stream = _events_file_stream(spark, sf_dir)
+    filled = stream_gapfill_locf(stream).select(
+        "user_id",
+        # UTC wall clock, independent of the session timezone
+        F.date_format(
+            F.expr("convert_timezone('UTC', hour_ts)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_s"),
+        F.col("v_filled").cast("long").alias("v_filled"),
+    )
+    return _drain_to_table(filled, "stream_gapfill", "append")
+
+
+@register(
+    "stream_gapfill_interp",
+    f"""
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, g AS hour_ts
+        FROM b, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t(g)
+    ), hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), joined AS (
+        SELECT g.user_id, g.hour_ts, epoch_us(g.hour_ts) AS us, h.v
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+    ), edged AS (
+        SELECT user_id, hour_ts, us, v,
+               last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                   OVER wp AS p_us,
+               last_value(v IGNORE NULLS) OVER wp AS p_v,
+               first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                   OVER wf AS n_us,
+               first_value(v IGNORE NULLS) OVER wf AS n_v
+        FROM joined
+        WINDOW wp AS (PARTITION BY user_id ORDER BY us
+                      ROWS UNBOUNDED PRECEDING),
+               wf AS (PARTITION BY user_id ORDER BY us
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           CAST(CASE WHEN v IS NOT NULL THEN v
+                ELSE (p_v * (n_us - us) + n_v * (us - p_us)) // (n_us - p_us)
+                END AS BIGINT) AS v_interp
+    FROM edged
+    """,
+)
+def stream_gapfill_interp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming linear-interpolation gap fill as a real stateful
+    streaming query: a gap's fills need BOTH neighbors, so the operator
+    emits them when the closing observation arrives (floor lerp in
+    exact integer micros — Python ``//`` ≡ DuckDB ``//``), making the
+    bounded replay equal the batch dense-grid interp oracle exactly."""
+    from ..streaming import stream_gapfill_interp
+
+    stream = _events_file_stream(spark, sf_dir)
+    filled = stream_gapfill_interp(stream).select(
+        "user_id",
+        F.date_format(
+            F.expr("convert_timezone('UTC', hour_ts)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_s"),
+        F.col("v_interp").cast("long").alias("v_interp"),
+    )
+    return _drain_to_table(filled, "stream_gapfill_interp", "append")
+
+
+@register(
+    "stream_hll_distinct",
+    f"""
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS hs, event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS hv
+        FROM events
+    ), reg AS (
+        SELECT hs, event_type, hv % 64 AS b, MAX({_HLL_RHO_DUCK}) AS m
+        FROM h GROUP BY 1, 2, 3
+    ), grid AS (
+        SELECT DISTINCT hs, event_type, r AS b
+        FROM reg, (SELECT unnest(range(0, 64)) AS r)
+    ), dense AS (
+        SELECT g.hs, g.event_type, COALESCE(reg.m, 0) AS m
+        FROM grid g LEFT JOIN reg
+          ON g.hs = reg.hs AND g.event_type = reg.event_type AND g.b = reg.b
+    ), st AS (
+        SELECT hs, event_type,
+               CAST(SUM(CAST(1 AS BIGINT) << (44 - m)) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM dense GROUP BY 1, 2
+    )
+    SELECT strftime(hs, '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+           {_hll_estimate_duck('st.s', 'st.v')} AS n_hll
+    FROM st
+    """,
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour distinct-user HLL as a REAL Structured Streaming query:
+    the stream maintains only the 64 sketch registers per (window,
+    event_type) group — groupBy(window, type, bucket).max(rho) is the
+    single streaming aggregation — and the estimate is finalized in
+    batch from the drained register table.
+
+    Scale design: streaming state is O(windows · types · 64) counters
+    regardless of user cardinality (the reason to sketch a stream at
+    all — exact streaming countDistinct state grows with cardinality
+    and cannot be evicted). Register max is associative+commutative,
+    so partial aggregation happens map-side per micro-batch, and the
+    same registers merge losslessly across shards/restarts
+    (q_sketch_hll_merge proves that property in batch)."""
+    stream = _events_file_stream(spark, sf_dir)
+    hv = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    reg_stream = (
+        stream.select(
+            F.window("ts", "1 hour").alias("win"), "event_type", hv.alias("hv")
+        )
+        .groupBy("win", "event_type", (F.col("hv") % 64).alias("b"))
+        .agg(F.max(F.expr(_HLL_RHO_SPARK)).alias("m"))
+    )
+    reg = _drain_to_table(reg_stream, "stream_hll", "complete").select(
+        F.date_format(
+            F.expr("convert_timezone('UTC', win.start)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_start"),
+        "event_type",
+        "b",
+        "m",
+    )
+    # closed-form harmonic sum over SPARSE registers (absent buckets
+    # are m=0 and contribute 2^44 each) — no dense-grid self-join,
+    # which also dodges Spark's conflicting-attribute bug on memory
+    # sink self-joins
+    st = reg.groupBy("hour_start", "event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(44 - m AS INT))"))
+            + (F.lit(64) - F.count("*")) * F.lit(1 << 44)
+        )
+        .cast("long")
+        .alias("s"),
+        (
+            (F.lit(64) - F.count("*"))
+            + F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    return st.select(
+        "hour_start",
+        "event_type",
+        F.expr(_hll_estimate_spark("s", "v")).alias("n_hll"),
+    )
+
+
+@register(
+    "stream_cms_heavy",
+    """
+    WITH rows4 AS (SELECT unnest(range(0, 4)) AS r),
+    cells AS (
+        SELECT r,
+               CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                    || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events, rows4
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM events GROUP BY user_id
+        ORDER BY n_exact DESC, user_id LIMIT 10
+    ), probes AS (
+        SELECT t.user_id, t.n_exact, r.r,
+               CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|'
+                    || CAST(t.user_id AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS c
+        FROM truth t, rows4 r
+    )
+    SELECT p.user_id, p.n_exact, CAST(MIN(cells.n) AS BIGINT) AS n_cms
+    FROM probes p JOIN cells ON p.r = cells.r AND p.c = cells.c
+    GROUP BY p.user_id, p.n_exact
+    """,
+)
+def stream_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained BY A STREAM: each event fans out to
+    its 4 (row, col) cells map-side (explode of a 4-literal array — no
+    stream-static join needed) and the single streaming aggregation
+    keeps the 256 cell counters; heavy-hitter estimates are probed in
+    batch from the drained cells.
+
+    Scale design: streaming state is the 4×64 counter grid regardless
+    of key cardinality or stream length — the standard answer to
+    "top talkers over an unbounded stream" where exact per-key state
+    cannot be evicted. Counter increments are associative, so map-side
+    partial aggregation applies per micro-batch, and grids from
+    independent shards merge by cell-wise addition. The probe set here
+    is the batch-computed true top-10 so the oracle can verify the
+    estimates exactly (in production the candidate set comes from a
+    space-saving list beside the sketch)."""
+    stream = _events_file_stream(spark, sf_dir)
+    hash_cell = (
+        "CAST(conv(substr(md5(CAST(r AS STRING) || '|' || "
+        "CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT) % 64"
+    )
+    cells_stream = (
+        stream.select(
+            "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
+        )
+        .withColumn("c", F.expr(hash_cell))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = _drain_to_table(cells_stream, "stream_cms", "complete")
+
+    ev = load_events(spark, sf_dir)
+    rows4 = spark.range(4).select(F.col("id").cast("int").alias("r"))
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("user_id"))
+        .limit(10)
+    )
+    probes = truth.crossJoin(F.broadcast(rows4)).withColumn(
+        "c", F.expr(hash_cell)
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("n").cast("long").alias("n_cms"))
+    )
+
+
+@register(
+    "stream_anomaly_zscore",
+    f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT user_id, h, v,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(v) OVER w AS BIGINT) AS s,
+               CAST(SUM(v * v) OVER w AS BIGINT) AS q,
+               MAX(h) OVER (PARTITION BY user_id) AS last_h
+        FROM hourly
+        WINDOW w AS (PARTITION BY user_id ORDER BY h
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s, v, n,
+           (n >= 12 AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s))
+               AS is_anomaly
+    FROM stats WHERE h < last_h
+    """,
+)
+def stream_anomaly_zscore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_anomaly_zscore as a REAL stateful streaming
+    query (applyInPandasWithState): each user-hour is scored against a
+    24-hour ring buffer of finalized hours and emitted the moment a
+    later hour arrives. On the bounded replay the output equals the
+    batch query minus each user's final hour (which never finalizes) —
+    which is exactly what the oracle computes.
+
+    Scale: state per user is one in-progress (hour, sum) pair plus ≤24
+    longs — bounded regardless of stream length; scoring is O(window)
+    integer arithmetic at finalization time only."""
+    from ..streaming.windows import stream_anomaly_zscore
+
+    stream = _events_file_stream(spark, sf_dir)
+    out = stream_anomaly_zscore(stream)
+    drained = _drain_to_table(out, "stream_anom", "append")
+    return drained.select(
+        "user_id",
+        F.date_format(
+            F.expr("convert_timezone('UTC', hour_ts)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_s"),
+        "v",
+        "n",
+        "is_anomaly",
+    )
+
+
+@register(
+    "stream_funnel_steps",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT user_id, CAST(1 AS BIGINT) AS step,
+           strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM v
+    UNION ALL
+    SELECT user_id, CAST(2 AS BIGINT), strftime(t2, '%Y-%m-%d %H:%M:%S.%f')
+    FROM c
+    UNION ALL
+    SELECT user_id, CAST(3 AS BIGINT), strftime(t3, '%Y-%m-%d %H:%M:%S.%f')
+    FROM p
+    """,
+)
+def stream_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time funnel progression as a stateful streaming query: one
+    row the moment each user first reaches view, then click (strictly
+    after), then purchase (strictly after) — the streaming twin of
+    q_funnel_steps, whose per-step first timestamps the bounded replay
+    must reproduce exactly.
+
+    Scale: state per user is three longs; each micro-batch sorts only
+    its own per-key rows. Emission is append-mode (a transition is
+    immutable once emitted) — the property that lets a dashboard
+    consume the funnel incrementally instead of recomputing it."""
+    from ..streaming.windows import stream_funnel
+
+    stream = _events_file_stream(spark, sf_dir)
+    out = stream_funnel(stream)
+    drained = _drain_to_table(out, "stream_funnel", "append")
+    return drained.select(
+        "user_id",
+        F.col("step").cast("long").alias("step"),
+        F.date_format(
+            F.expr("convert_timezone('UTC', ts)"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("ts_s"),
+    )
+
+
+@register(
+    "stream_retention_cohorts",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ), c AS (
+        SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_d
+        FROM ud
+    )
+    SELECT strftime(DATE '1970-01-01' + INTERVAL (cohort_d) DAY,
+                    '%Y-%m-%d') AS cohort_day,
+           CAST(d - cohort_d AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM c GROUP BY 1, 2
+    """,
+)
+def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention triangle maintained BY A STREAM: a stateful
+    operator emits one append-mode transition the first time each
+    (user, active-day) pair appears — cohort anchored to the user's
+    true first day via state — and the triangle is a batch aggregation
+    of the drained transitions. On bounded replay this equals the
+    batch q_retention_cohorts exactly (appearance needs no
+    finalization, so no rows are withheld).
+
+    Scale: state per user is one long plus ≤366 offsets; transitions
+    are idempotent distinct facts, so the downstream count is correct
+    under replay and the triangle can also be updated incrementally
+    (q_incremental_agg's merge law applies to the counts)."""
+    from ..streaming.windows import stream_retention
+
+    stream = _events_file_stream(spark, sf_dir)
+    out = stream_retention(stream)
+    drained = _drain_to_table(out, "stream_ret", "append")
+    return drained.groupBy(
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("cohort_day").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@register(
+    "stream_event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    )
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Markov transition counts maintained BY A STREAM: a stateful
+    operator holds each user's previous event and emits one (src, dst)
+    pair per arriving event; the matrix is a batch aggregation of the
+    drained pairs and equals the batch lead()-window formulation
+    exactly on bounded replay (every consecutive pair is emitted
+    exactly once — transitions need no finalization).
+
+    Scale: state per user is one (ts, id, type) triple; emission is
+    append-mode so a dashboard can keep running counts incrementally
+    (the q_incremental_agg merge law applies)."""
+    from ..streaming.windows import stream_transitions
+
+    stream = _events_file_stream(spark, sf_dir)
+    out = stream_transitions(stream)
+    drained = _drain_to_table(out, "stream_trans", "append")
+    return drained.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@register(
+    "stream_attribution_last_touch",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+                   AS touch
+        FROM events
+    ), attr AS (
+        SELECT user_id, event_type,
+               last_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS attributed
+        FROM marked
+    )
+    SELECT COALESCE(attributed, '(none)') AS attributed_channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM attr WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution maintained BY A STREAM: one string of
+    state per user (the latest non-purchase event type), one credit
+    row emitted per purchase the moment it arrives — the real-time
+    channel dashboard. The drained credits aggregate to exactly the
+    batch q_attribution_last_touch (credits are immutable facts, no
+    finalization)."""
+    from ..streaming.windows import stream_attribution
+
+    stream = _events_file_stream(spark, sf_dir)
+    out = stream_attribution(stream)
+    drained = _drain_to_table(out, "stream_attr", "append")
+    return drained.groupBy(
+        F.col("attributed").alias("attributed_channel")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+
+
+@register(
+    "stream_transitions_ooo",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    )
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def stream_transitions_ooo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transition matrix maintained by the ORDER-TOLERANT streaming
+    operator over a genuinely disordered replay: the later half of the
+    30-day event history arrives a whole micro-batch BEFORE the earlier
+    half, events buffer in state until the watermark passes them, and
+    the drained pairs still aggregate to exactly the batch lead()-window
+    matrix — the correctness property the strict-order operator only
+    has under ordered arrival.
+
+    Scale: state per key is bounded by one watermark-delay of events;
+    flushes are incremental (each batch emits only newly-passed
+    events), so state drains as the watermark advances."""
+    from ..streaming.windows import stream_transitions_ooo
+
+    stream = _events_ooo_file_stream(spark, sf_dir)
+    out = stream_transitions_ooo(stream, watermark_delay=_OOO_DELAY)
+    drained = _drain_to_table(out, "stream_trans_ooo", "append")
+    return drained.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@register(
+    "stream_funnel_ooo",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT user_id, CAST(1 AS BIGINT) AS step,
+           strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM v
+    UNION ALL
+    SELECT user_id, CAST(2 AS BIGINT), strftime(t2, '%Y-%m-%d %H:%M:%S.%f')
+    FROM c
+    UNION ALL
+    SELECT user_id, CAST(3 AS BIGINT), strftime(t3, '%Y-%m-%d %H:%M:%S.%f')
+    FROM p
+    """,
+)
+def stream_funnel_ooo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel progression under the disordered replay: even with the
+    later half of history arriving first, the buffered operator emits
+    the true (first view, first later click, first later purchase)
+    timestamps — identical to the batch funnel. A strict-order operator
+    replaying the same files would anchor funnels at the wrong events."""
+    from ..streaming.windows import stream_funnel_ooo
+
+    stream = _events_ooo_file_stream(spark, sf_dir)
+    out = stream_funnel_ooo(stream, watermark_delay=_OOO_DELAY)
+    drained = _drain_to_table(out, "stream_funnel_ooo", "append")
+    return drained.select(
+        "user_id",
+        F.col("step").cast("long").alias("step"),
+        F.date_format(
+            F.expr("convert_timezone('UTC', ts)"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("ts_s"),
+    )
+
+
+@register(
+    "stream_attribution_ooo",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+                   AS touch
+        FROM events
+    ), attr AS (
+        SELECT user_id, event_type,
+               last_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS attributed
+        FROM marked
+    )
+    SELECT COALESCE(attributed, '(none)') AS attributed_channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM attr WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def stream_attribution_ooo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution under the disordered replay: purchases
+    and the touches that precede them arrive in different micro-batches
+    in the wrong order; the buffered operator still credits each
+    purchase's true most-recent prior touch, matching the batch
+    last_value() formulation exactly."""
+    from ..streaming.windows import stream_attribution_ooo
+
+    stream = _events_ooo_file_stream(spark, sf_dir)
+    out = stream_attribution_ooo(stream, watermark_delay=_OOO_DELAY)
+    drained = _drain_to_table(out, "stream_attr_ooo", "append")
+    return drained.groupBy(
+        F.col("attributed").alias("attributed_channel")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+
+
+@register(
+    "stream_retention_ooo",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ), c AS (
+        SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_d
+        FROM ud
+    )
+    SELECT strftime(DATE '1970-01-01' + INTERVAL (cohort_d) DAY,
+                    '%Y-%m-%d') AS cohort_day,
+           CAST(d - cohort_d AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM c GROUP BY 1, 2
+    """,
+)
+def stream_retention_ooo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention triangle under the disordered replay: a user's
+    LATER active days arrive before their first day, so the operator
+    must hold the cohort open until the watermark proves no earlier day
+    can arrive — then the drained transitions aggregate to exactly the
+    batch triangle. A strict-order operator would anchor cohorts at the
+    wrong (later) day for every user."""
+    from ..streaming.windows import stream_retention_ooo
+
+    stream = _events_ooo_file_stream(spark, sf_dir)
+    out = stream_retention_ooo(stream, watermark_delay=_OOO_DELAY)
+    drained = _drain_to_table(out, "stream_ret_ooo", "append")
+    return drained.groupBy(
+        F.date_format(
+            F.date_add(
+                F.to_date(F.lit("1970-01-01")), F.col("cohort_day").cast("int")
+            ),
+            "yyyy-MM-dd",
+        ).alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@register(
+    "stream_anomaly_ooo",
+    f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT user_id, h, v,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(v) OVER w AS BIGINT) AS s,
+               CAST(SUM(v * v) OVER w AS BIGINT) AS q
+        FROM hourly
+        WINDOW w AS (PARTITION BY user_id ORDER BY h
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s, v, n,
+           (n >= 12 AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s))
+               AS is_anomaly
+    FROM stats
+    """,
+)
+def stream_anomaly_ooo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly scoring under the disordered replay: hourly sums buffer
+    until the watermark completes their hour, then score in true hour
+    order. Because completeness comes from the watermark rather than
+    from a later hour's arrival, this variant also scores each user's
+    chronologically LAST hour — so the oracle is the full batch scoring
+    with no final-hour exclusion (compare stream_anomaly_zscore)."""
+    from ..streaming.windows import stream_anomaly_ooo
+
+    stream = _events_ooo_file_stream(spark, sf_dir)
+    out = stream_anomaly_ooo(stream, watermark_delay=_OOO_DELAY)
+    drained = _drain_to_table(out, "stream_anom_ooo", "append")
+    return drained.select(
+        "user_id",
+        F.date_format(
+            F.expr("convert_timezone('UTC', hour_ts)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_s"),
+        "v",
+        "n",
+        "is_anomaly",
+    )
+
+
+@register(
+    "stream_topk_users",
+    """
+    WITH c AS (
+        SELECT CAST(user_id AS VARCHAR) AS item,
+               CAST(COUNT(*) AS BIGINT) AS est
+        FROM events GROUP BY 1
+    )
+    SELECT item, est, CAST(0 AS BIGINT) AS err,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT item, est,
+               row_number() OVER (ORDER BY est DESC, item ASC) AS rn
+        FROM c
+    ) WHERE rn <= 20
+    """,
+)
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-20 heaviest users via sharded space-saving: items
+    hash-shard so each item's occurrences meet one summary, each shard
+    keeps a ≤256-entry deterministic space-saving sketch, and the
+    merged top-k is a plain union of the per-shard summaries (disjoint
+    key spaces — no sketch merge). At gate scale capacity exceeds the
+    per-shard key count, so the summary is provably EXACT (err = 0,
+    est = true count) and the oracle is the plain batch top-20; the
+    eviction/error regime is covered by property tests replaying the
+    same deterministic update rule at small capacity.
+
+    Scale: state is O(shards · capacity) regardless of stream length or
+    user cardinality — the operator a dashboard needs when exact
+    windowed counts' key space won't fit state."""
+    from ..streaming.windows import stream_topk_spacesaving
+
+    stream = _events_file_stream(spark, sf_dir)
+    out = stream_topk_spacesaving(stream, "user_id", capacity=256, n_shards=8)
+    drained = _drain_to_table(out, "stream_topk", "append")
+    last = drained.withColumn(
+        "__mx", F.max("seq").over(Window.partitionBy("shard"))
+    ).filter(F.col("seq") == F.col("__mx"))
+    w = Window.orderBy(F.col("est").desc(), F.col("item").asc())
+    return (
+        last.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("item", "est", "err", "rank")
+    )
+
+
+@register(
+    "stream_sessionize_ooo",
+    """
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+    numbered AS (
+        SELECT user_id, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ), sess AS (
+        SELECT user_id, tus,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM numbered
+    )
+    SELECT user_id,
+           strftime(make_timestamp(MIN(tus)), '%Y-%m-%d %H:%M:%S') AS start,
+           strftime(make_timestamp(MAX(tus)), '%Y-%m-%d %H:%M:%S') AS "end",
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize_ooo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-sessionization under the disordered replay: the buffered
+    sessionizer reconstructs the true time-ordered gap sessions even
+    though the later half of history arrives first — including MERGING
+    sessions a strict-order scan would have split (a buffered late
+    event can bridge two bursts). Because the final watermark passes
+    every real event plus the gap, every session closes, so the oracle
+    is the FULL batch sessionization with no closed-only restriction
+    (compare stream_stateful_sessions)."""
+    from ..streaming.windows import stateful_sessionize_ooo
+
+    stream = _events_ooo_file_stream(spark, sf_dir)
+    out = stateful_sessionize_ooo(stream, watermark_delay=_OOO_DELAY)
+    sessions = out.select(
+        "user_id",
+        F.date_format(
+            F.expr("convert_timezone('UTC', session_start)"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("start"),
+        F.date_format(
+            F.expr("convert_timezone('UTC', session_end)"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("end"),
+        "n_events",
+    )
+    return _drain_to_table(sessions, "sessions_ooo", "append")
+
+
+@register(
+    "stream_quadkey_tiles",
+    f"""
+    WITH pts AS (
+        SELECT (event_id % 300) - 150 AS px,
+               ((event_id * 7) % 160) - 80 AS py
+        FROM events
+    ),
+    cells AS (
+        SELECT px, py,
+               (px + 150) * 16 // 300 AS cx,
+               (py + 80) * 16 // 160 AS cy
+        FROM pts
+    )
+    SELECT CAST({{qk}} AS BIGINT) AS quadkey,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM cells GROUP BY 1
+    """.format(qk=_quadkey_expr('cx', 'cy')),
+)
+def stream_quadkey_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tile table maintained BY A STREAM: each event carries a
+    synthesized point, tiles aggregate in complete mode (the
+    engine-managed running groupBy — tile cardinality is bounded at
+    4^levels, so complete-mode state is tiny no matter the stream
+    length), and the drained table equals the batch binning. The
+    live-map-layer pattern: the dashboard reads the in-progress tile
+    counts at any time.
+
+    Scale: state is one row per tile (≤ 256 here); events never
+    accumulate."""
+    stream = _events_file_stream(spark, sf_dir)
+    cells = stream.selectExpr(
+        "(event_id % 300) - 150 AS px",
+        "((event_id * 7) % 160) - 80 AS py",
+    ).selectExpr(
+        "px", "py",
+        "(px + 150) * 16 div 300 AS cx",
+        "(py + 80) * 16 div 160 AS cy",
+    )
+    qk = _quadkey_expr("cx", "cy").replace("//", "div")
+    agg = cells.groupBy(
+        F.expr(f"CAST({qk} AS BIGINT)").alias("quadkey")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    return _drain_to_table(agg, "stream_tiles", "complete")
+
+
+@register(
+    "stream_upsert_state",
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    mx AS (SELECT MAX(tus) AS max_tus FROM ev),
+    ranked AS (
+        SELECT user_id, tus, event_id, event_type, vc,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY tus DESC, event_id DESC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+               MAX(tus) OVER (PARTITION BY user_id) AS last_tus
+        FROM ev
+    )
+    SELECT user_id,
+           strftime(make_timestamp(tus), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_id AS last_event_id, event_type AS last_type,
+           vc AS last_value_cents, n AS n_upserts
+    FROM ranked, mx
+    WHERE rn = 1
+      AND (last_tus // 1000 + 1800000) < (max_tus // 1000 - 7200000)
+    """,
+)
+def stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC snapshot (applyInPandasWithState): last-write-wins
+    state per user — max (event time, event id) with exact-cents value
+    — emitted once per key on event-time timeout (30 min idle past the
+    2 h watermark). The oracle is the batch latest-row query restricted
+    to keys whose timeout actually fires on the bounded replay (same
+    watermark arithmetic as stream_stateful_sessions). The max-merge is
+    commutative, so out-of-order arrival cannot change the snapshot
+    (streaming.windows.stream_upsert_state)."""
+    from ..streaming.windows import stream_upsert_state as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    snap = _op(stream).select(
+        "user_id",
+        F.date_format(
+            F.expr("convert_timezone('UTC', last_ts)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("last_ts"),
+        "last_event_id",
+        "last_type",
+        "last_value_cents",
+        "n_upserts",
+    )
+    return _drain_to_table(snap, "upserts", "append")
+
+
+@register(
+    "stream_ewma",
+    f"""
+    WITH RECURSIVE wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 AS w FROM events
+    ),
+    lim AS (SELECT w - w % 3600000000 AS lim FROM wm),
+    hourly AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(ts) % 3600000000 AS h,
+               CAST(SUM({cents('value')}) AS BIGINT) AS v
+        FROM events CROSS JOIN lim
+        WHERE epoch_us(ts) - epoch_us(ts) % 3600000000 < lim
+        GROUP BY 1, 2
+    ),
+    numbered AS (
+        SELECT user_id, h, v,
+               row_number() OVER (PARTITION BY user_id ORDER BY h) AS rn
+        FROM hourly
+    ),
+    rec AS (
+        SELECT user_id, h, v, rn, CAST(v // 4 AS BIGINT) AS e
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT n.user_id, n.h, n.v, n.rn,
+               CAST((n.v + 3 * r.e) // 4 AS BIGINT)
+        FROM rec r JOIN numbered n
+          ON n.user_id = r.user_id AND n.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(h AS BIGINT) AS hour_us,
+           v AS v_cents, e AS ewma_cents
+    FROM rec
+    """,
+)
+def stream_ewma_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-hour EWMA (streaming.stream_ewma — the stateful,
+    UNtruncated twin of q_ewma_revenue): per user, hourly cents sums
+    feed e = (v + 3·e_prev) div 4 over present hours in order, each
+    closed hour emitted once as the watermark passes its end. The
+    oracle replays the full-depth recursion with a recursive CTE over
+    row-numbered present hours, closed at the engine's own
+    ms-truncated watermark arithmetic. Values are non-negative in
+    this table, so engine floor vs DuckDB truncate on `div` never
+    diverges."""
+    from ..streaming.windows import stream_ewma as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream), "ewma", "append")
+
+
+@register(
+    "stream_pit_features",
+    f"""
+    WITH wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 AS w FROM events
+    ),
+    fin AS (
+        SELECT user_id, event_id, event_type, {cents('value')} AS v,
+               epoch_us(ts) AS t
+        FROM events CROSS JOIN wm WHERE epoch_us(ts) < w
+    ),
+    seq AS (
+        SELECT user_id, event_id, event_type,
+               COUNT(*) OVER win AS n_prior,
+               COALESCE(SUM(v) OVER win, 0) AS v_prior
+        FROM fin
+        WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           CAST(n_prior AS BIGINT) AS n_prior,
+           CAST(v_prior AS BIGINT) AS v_prior_cents
+    FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def stream_pit_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leakage-safe features (streaming.stream_pit_features):
+    every watermark-finalized purchase emits the per-user strictly-
+    prior (count, cents sum) — out-of-order arrival cannot leak a
+    later event into an earlier label because events buffer in state
+    until the watermark passes them and then process in (ts, event_id)
+    order. The oracle replays the batch window over the
+    watermark-finalized subset at the engine's own ms-truncated
+    arithmetic."""
+    from ..streaming.windows import stream_pit_features as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream), "pitf", "append")
+
+
+@register(
+    "stream_hourly_topk",
+    f"""
+    WITH wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 AS w FROM events
+    ),
+    hourly AS (
+        SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+               user_id,
+               CAST(SUM({cents('value')}) AS BIGINT) AS cents
+        FROM events CROSS JOIN wm
+        WHERE epoch_us(ts) - epoch_us(ts) % 3600000000 + 3600000000 <= w
+        GROUP BY 1, 2
+    )
+    SELECT CAST(hour_us AS BIGINT) AS hour_us, CAST(rk AS BIGINT) AS rank,
+           user_id, cents
+    FROM (
+        SELECT hour_us, user_id, cents,
+               row_number() OVER (PARTITION BY hour_us
+                                  ORDER BY cents DESC, user_id) AS rk
+        FROM hourly
+    ) WHERE rk <= 3
+    """,
+)
+def stream_hourly_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-hour top-3 spender leaderboard
+    (streaming.stream_hourly_topk): state keyed by the hour bucket
+    accumulates per-user sums until the watermark closes the hour,
+    which then emits its final ranking exactly once. The oracle
+    replays the closed hours (hour end <= the engine's ms-truncated
+    final watermark) with a batch window."""
+    from ..streaming.windows import stream_hourly_topk as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream), "htopk", "append")
+
+
+@register(
+    "stream_slo_burn_monitor",
+    """
+    WITH wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 AS w FROM events
+    ),
+    hourly AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+               CAST(SUM(CASE WHEN value < 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS errors,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM events CROSS JOIN wm
+        WHERE epoch_us(ts) - epoch_us(ts) % 3600000000 + 3600000000 <= w
+        GROUP BY 1, 2
+    ),
+    w6 AS (
+        SELECT event_type, hour_us, errors, total,
+               CAST(SUM(errors) OVER win AS BIGINT) AS errors_6h,
+               CAST(SUM(total) OVER win AS BIGINT) AS total_6h
+        FROM hourly
+        WINDOW win AS (PARTITION BY event_type ORDER BY hour_us
+                       ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(hour_us AS BIGINT) AS hour_us,
+           errors AS errors_1h, total AS total_1h,
+           CAST(errors * 1000000 // greatest(total, 1) AS BIGINT) AS burn1_e6,
+           errors_6h, total_6h,
+           CAST(errors_6h * 1000000 // greatest(total_6h, 1) AS BIGINT)
+               AS burn6_e6,
+           CAST(errors * 1000000 // greatest(total, 1) >= 200000
+                AND errors_6h * 1000000 // greatest(total_6h, 1) >= 50000
+                AS BOOLEAN) AS page
+    FROM w6
+    """,
+)
+def stream_slo_burn_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multi-window SLO burn-rate monitor
+    (streaming.stream_slo_burn): per service, every watermark-closed
+    hour emits once with its 1-hour and trailing-6-observed-hours
+    error rates and the dual-threshold page flag. The oracle replays
+    the watermark-finalized hours (hour end <= the engine's
+    ms-truncated final watermark) as a batch hourly agg + a 6-row
+    trailing window per service — if the stateful ring buffer ever
+    closed hours out of order, double-counted a late row, or leaked
+    an unfinalized hour, counts or trailing sums would break the
+    hash."""
+    from ..streaming.windows import stream_slo_burn as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream), "sloburn", "append")
+
+
+@register(
+    "stream_static_enrich",
+    f"""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM({cents('e.value')}) AS BIGINT) AS revenue_cents
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY n.n_name
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC ENRICHMENT — the Kappa-architecture dimension
+    join: a live purchase stream joined against static customer and
+    nation dimension tables inside each micro-batch (Spark plans the
+    static side as a broadcast hash join, re-resolved per batch), then
+    aggregated per nation in complete mode. This is the standard
+    "enrich events with reference data without a shuffle" pattern; at
+    100 TB/day the stream side never re-partitions — only the tiny
+    dim broadcast moves. Oracle: the equivalent batch join over the
+    same bounded input."""
+    stream = _events_file_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(cust.join(F.broadcast(nation),
+                                cust.c_nationkey == nation.n_nationkey))
+    joined = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(dim, F.col("user_id") == F.col("c_custkey"))
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.expr(cents("value"))).cast("long").alias("revenue_cents"),
+    )
+    return _drain_to_table(agg, "enrich", "complete")
+
+
+@register(
+    "stream_token_bucket_gate",
+    """
+    WITH RECURSIVE wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 AS w FROM events
+    ),
+    numbered AS (
+        SELECT user_id AS k, event_id AS eid, epoch_us(ts) AS ts_us,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events CROSS JOIN wm WHERE epoch_us(ts) < wm.w
+    ),
+    rec AS (
+        SELECT k, eid, ts_us, rn,
+               CAST(5000000 - 1000000 AS BIGINT) AS balance_e6,
+               TRUE AS accepted
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT n.k, n.eid, n.ts_us, n.rn,
+               CAST(CASE WHEN least(5000000,
+                         r.balance_e6 + (n.ts_us - r.ts_us) // 600)
+                         >= 1000000
+                    THEN least(5000000,
+                         r.balance_e6 + (n.ts_us - r.ts_us) // 600) - 1000000
+                    ELSE least(5000000,
+                         r.balance_e6 + (n.ts_us - r.ts_us) // 600)
+                    END AS BIGINT),
+               least(5000000,
+                     r.balance_e6 + (n.ts_us - r.ts_us) // 600) >= 1000000
+        FROM rec r JOIN numbered n ON n.k = r.k AND n.rn = r.rn + 1
+    )
+    SELECT k AS user_id, eid AS event_id, CAST(ts_us AS BIGINT) AS ts_us,
+           balance_e6, accepted
+    FROM rec
+    """,
+)
+def stream_token_bucket_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-bucket rate limiter
+    (streaming.stream_token_bucket): per-event accept/throttle
+    decisions through the min-cap refill recurrence, each emitted
+    exactly once when the watermark finalizes the event's position in
+    (ts, event_id) order — so disorder within the delay cannot flip a
+    decision. The oracle replays the identical recurrence (recursive
+    CTE) over the watermark-finalized prefix of each user's events."""
+    from ..streaming.windows import stream_token_bucket as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream), "tbucket", "append")
+
+
+@register(
+    "stream_session_paths_gate",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, event_id, event_type, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ), sess AS (
+        SELECT user_id, event_id, event_type, tus,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM numbered
+    )
+    SELECT user_id,
+           CAST(MIN(tus) AS BIGINT) AS start_us,
+           CAST(MAX(tus) AS BIGINT) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_paths_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session-path extraction under the DISORDERED replay
+    (streaming.stream_session_paths): each closed gap-session emits
+    its ordered '>'-joined event-type journey — the Sankey/Markov
+    ingestion shape — reconstructed exactly despite the later half of
+    history arriving first. The final watermark passes every event
+    plus the gap, so every session closes and the oracle is the full
+    batch sessionization with an ordered string_agg; a single step out
+    of order anywhere breaks the path hash."""
+    from ..streaming.windows import stream_session_paths as _op
+
+    stream = _events_ooo_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream, watermark_delay=_OOO_DELAY), "spath", "append")
+
+
+@register(
+    "stream_scd2_maintenance",
+    """
+    WITH wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 AS w FROM events
+    ), fin AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        FROM events CROSS JOIN wm WHERE epoch_us(ts) < wm.w
+    ), m AS (
+        SELECT user_id, event_type, tus, event_id,
+               lag(event_type) OVER w AS prev,
+               lag(tus) OVER w AS prev_ts
+        FROM fin WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ), k AS (
+        SELECT user_id, event_type, tus, event_id FROM m
+        WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type
+    ), versions AS (
+        SELECT user_id, event_type AS state,
+               CAST(tus AS BIGINT) AS vf_us,
+               CAST(lead(tus) OVER (PARTITION BY user_id
+                                    ORDER BY tus, event_id) AS BIGINT) AS vt_us
+        FROM k
+    )
+    SELECT user_id, state, vf_us, vt_us
+    FROM versions WHERE vt_us IS NOT NULL
+    """,
+)
+def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance
+    (streaming.stream_scd2_versions): every CLOSED type-2 version
+    emits exactly once when the watermark finalizes the change that
+    closes it, with out-of-order changes buffered so version
+    boundaries follow event time, not arrival time. The oracle is the
+    batch SCD2 build (same collapse of consecutive repeats) over the
+    watermark-finalized prefix, restricted to closed versions — the
+    open version is state, not output."""
+    from ..streaming.windows import stream_scd2_versions as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream), "scd2s", "append")
+
+
+@register(
+    "stream_abandonment_verdicts",
+    """
+    WITH wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 7200000) * 1000 AS w FROM events
+    ),
+    v AS (
+        SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+        FROM events CROSS JOIN wm
+        WHERE event_type = 'view' AND wm.w > epoch_us(ts) + 3600000000
+    ),
+    p AS (SELECT user_id, epoch_us(ts) AS pus FROM events
+          WHERE event_type = 'purchase')
+    SELECT v.user_id, v.view_id, CAST(v.view_us AS BIGINT) AS view_us,
+           CAST(EXISTS (
+               SELECT 1 FROM p WHERE p.user_id = v.user_id
+                AND p.pus > v.view_us AND p.pus <= v.view_us + 3600000000
+           ) AS BOOLEAN) AS converted
+    FROM v
+    """,
+)
+def stream_abandonment_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-view abandonment verdicts
+    (streaming.stream_abandonment): the event-time timer pattern —
+    each view emits exactly once when the watermark closes its 1-hour
+    conversion window, converted or abandoned. The oracle replays the
+    decided views (window end < the engine's ms-truncated final
+    watermark) as a batch EXISTS over the full purchase set; a verdict
+    emitted early, late, twice, or with a leaked out-of-window
+    purchase breaks the hash."""
+    from ..streaming.windows import stream_abandonment as _op
+
+    stream = _events_file_stream(spark, sf_dir)
+    return _drain_to_table(_op(stream), "abandon", "append")
+
+
+__all__ = ['stream_tumble_events', 'stream_slide_events', 'stream_dedup_events', 'stream_stateful_sessions', 'stream_join_events', 'stream_join_left', 'stream_twa_query', 'stream_gapfill_locf_query', 'stream_gapfill_interp_query', 'stream_hll_distinct', 'stream_cms_heavy', 'stream_anomaly_zscore_query', 'stream_funnel_steps', 'stream_retention_cohorts', 'stream_event_transitions', 'stream_attribution_last_touch', 'stream_transitions_ooo_query', 'stream_funnel_ooo_query', 'stream_attribution_ooo_query', 'stream_retention_ooo_query', 'stream_anomaly_ooo_query', 'stream_topk_users', 'stream_sessionize_ooo_query', 'stream_quadkey_tiles', 'stream_upsert_state', 'stream_ewma_query', 'stream_pit_features_query', 'stream_hourly_topk_query', 'stream_slo_burn_monitor', 'stream_static_enrich', 'stream_token_bucket_gate', 'stream_session_paths_gate', 'stream_scd2_maintenance', 'stream_abandonment_verdicts']

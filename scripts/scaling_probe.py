@@ -206,9 +206,14 @@ def main() -> None:
         fn = qd[name]
         walls = []
         for sf, d in points:
-            # warm codegen on the smallest point first, then min-of-2
+            # warm codegen on the smallest point first, then min-of-2.
+            # clearCache between runs: the gate queries' bounded persist
+            # barriers otherwise accumulate across the 56+ query x scale
+            # runs of this shared session (r6: inflated tar's sf0.3
+            # point — BASELINE.md "third probe")
             runs = []
             for _ in range(2):
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 fn(spark, d).count()
                 runs.append(time.perf_counter() - t0)
