@@ -1,0 +1,252 @@
+"""Avro Object Container File ingest — the row-oriented sibling of the
+parquet/ORC lakehouse formats and the wire format of most Kafka→lake
+landing zones.
+
+An OCF (Avro spec 1.11.1, "Object Container Files") is:
+
+- 4-byte magic ``Obj\\x01``;
+- a file-metadata MAP (avro-encoded: block count varint, then
+  string-key/bytes-value pairs, then a 0 terminator) carrying at least
+  ``avro.schema`` (JSON) and optionally ``avro.codec``;
+- a random 16-byte SYNC MARKER;
+- then data blocks: ``[record count: long][serialized size: long]
+  [payload bytes][sync marker]`` until EOF — the sync marker after
+  every block is what makes the format SPLITTABLE: a distributed
+  reader seeks to any byte offset, scans for the 16-byte marker, and
+  starts decoding at the next block boundary, exactly like splitting
+  a text file on newlines.
+
+All Avro integers are ZIGZAG varints: ``zigzag(n) = (n << 1) ^
+(n >> 63)``, emitted little-endian 7 bits per byte with the high bit
+as a continuation flag.
+
+``parse_avro_blocks`` walks the container and emits the per-block
+range index (offset, record count, serialized size) a streaming
+loader seeks by, validating EVERY inter-block sync marker against the
+header's. ``parse_avro_records`` additionally decodes the payload for
+the fixed two-field schema the gate uses (``{long id, string text}``)
+and emits per-record fields. Arrow-batched ``mapInPandas`` (the
+multimodal pattern); malformed containers raise ``AvroError`` — never
+silent garbage.
+
+Reference framing: the reference engine has no container ingest; this
+extends the multimodal/container family per SURVEY §2 alongside
+WARC/gzip (pipeline/warc.py), zip (pipeline/archive.py), and
+tar/WebDataset (pipeline/tar.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+class AvroError(ValueError):
+    """Malformed Avro object-container payload."""
+
+
+MAGIC = b"Obj\x01"
+
+
+def _varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Decode one zigzag varint at ``pos``; return (value, next_pos)."""
+    shift = 0
+    acc = 0
+    n = len(buf)
+    while True:
+        if pos >= n:
+            raise AvroError(f"varint runs past the buffer at {pos}")
+        if shift > 63:
+            raise AvroError(f"varint longer than 10 bytes at {pos}")
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _string(buf: bytes, pos: int, what: str) -> tuple[str, int]:
+    ln, pos = _varint(buf, pos)
+    if ln < 0 or pos + ln > len(buf):
+        raise AvroError(f"{what} length {ln} overruns the buffer at {pos}")
+    try:
+        return buf[pos : pos + ln].decode("utf-8"), pos + ln
+    except UnicodeDecodeError:
+        raise AvroError(f"{what} at {pos} is not valid UTF-8") from None
+
+
+def _parse_header(buf: bytes) -> tuple[dict[str, bytes], bytes, int]:
+    """Return (metadata map, sync marker, position after header)."""
+    if buf[:4] != MAGIC:
+        raise AvroError(f"bad magic {buf[:4]!r}")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        count, pos = _varint(buf, pos)
+        if count == 0:
+            break
+        if count < 0:
+            # negative map-block count prefixes a byte size (spec);
+            # the size lets skippers jump the block — read and ignore
+            _, pos = _varint(buf, pos)
+            count = -count
+        for _ in range(count):
+            key, pos = _string(buf, pos, "metadata key")
+            vlen, pos = _varint(buf, pos)
+            if vlen < 0 or pos + vlen > len(buf):
+                raise AvroError(f"metadata value overruns at {pos}")
+            meta[key] = buf[pos : pos + vlen]
+            pos += vlen
+    if pos + 16 > len(buf):
+        raise AvroError("truncated header: no room for the sync marker")
+    if "avro.schema" not in meta:
+        raise AvroError("header metadata is missing avro.schema")
+    try:
+        json.loads(meta["avro.schema"])
+    except ValueError:
+        raise AvroError("avro.schema is not valid JSON") from None
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b""):
+        raise AvroError(f"unsupported avro.codec {codec!r}")
+    return meta, buf[pos : pos + 16], pos + 16
+
+
+def _walk_blocks(buf: bytes) -> Iterator[tuple[int, int, int, bytes]]:
+    """Yield (payload_offset, record_count, size, payload) per block,
+    validating every trailing sync marker."""
+    _, sync, pos = _parse_header(buf)
+    n = len(buf)
+    while pos < n:
+        count, pos = _varint(buf, pos)
+        size, pos = _varint(buf, pos)
+        if count <= 0:
+            raise AvroError(f"non-positive block record count at {pos}")
+        if size < 0 or pos + size + 16 > n:
+            raise AvroError(f"block size {size} overruns the buffer at {pos}")
+        payload = buf[pos : pos + size]
+        if buf[pos + size : pos + size + 16] != sync:
+            raise AvroError(f"sync marker mismatch after block at {pos}")
+        yield pos, count, size, payload
+        pos += size + 16
+
+
+AVRO_BLOCK_SCHEMA = (
+    "id long, block_idx int, offset long, n_records long,"
+    " block_size long, content_md5 string"
+)
+
+
+def parse_avro_blocks(
+    df: DataFrame, payload_col: str, id_col: str
+) -> DataFrame:
+    """One row per data block: byte offset of the payload, declared
+    record count, serialized size, md5 of the block bytes — the range
+    index a distributed OCF reader persists (each (offset, size) is an
+    independently decodable unit thanks to the sync markers).
+    Map-side only; no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                for i, (off, cnt, size, data) in enumerate(
+                    _walk_blocks(bytes(payload))
+                ):
+                    rows.append(
+                        (
+                            rid,
+                            i,
+                            off,
+                            cnt,
+                            size,
+                            hashlib.md5(data).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "block_idx",
+                    "offset",
+                    "n_records",
+                    "block_size",
+                    "content_md5",
+                ],
+            )
+
+    sel = df.select(
+        df[id_col].alias("id"), df[payload_col].alias("payload")
+    )
+    return sel.mapInPandas(run, schema=AVRO_BLOCK_SCHEMA)
+
+
+AVRO_RECORD_SCHEMA = (
+    "id long, block_idx int, rec_idx int, rec_id long, n_bytes long,"
+    " text_md5 string"
+)
+
+
+def parse_avro_records(
+    df: DataFrame, payload_col: str, id_col: str
+) -> DataFrame:
+    """Decode every record of the gate's fixed two-field schema
+    ``record {long id, string text}``: one output row per record with
+    the decoded long, the text's byte length, and its md5. A count
+    that disagrees with the payload's actual record boundary walk
+    raises (the declared-vs-actual check a loader needs before
+    trusting the block index). Map-side only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                for bi, (off, cnt, size, data) in enumerate(
+                    _walk_blocks(bytes(payload))
+                ):
+                    pos = 0
+                    for ri in range(cnt):
+                        rec_id, pos = _varint(data, pos)
+                        tlen, pos = _varint(data, pos)
+                        if tlen < 0 or pos + tlen > len(data):
+                            raise AvroError(
+                                f"record text overruns block at {pos}"
+                            )
+                        tb = data[pos : pos + tlen]
+                        pos += tlen
+                        rows.append(
+                            (
+                                rid,
+                                bi,
+                                ri,
+                                rec_id,
+                                tlen,
+                                hashlib.md5(tb).hexdigest(),
+                            )
+                        )
+                    if pos != len(data):
+                        raise AvroError(
+                            f"block declares {cnt} records but"
+                            f" {len(data) - pos} bytes remain"
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "block_idx",
+                    "rec_idx",
+                    "rec_id",
+                    "n_bytes",
+                    "text_md5",
+                ],
+            )
+
+    sel = df.select(
+        df[id_col].alias("id"), df[payload_col].alias("payload")
+    )
+    return sel.mapInPandas(run, schema=AVRO_RECORD_SCHEMA)

@@ -1523,3 +1523,189 @@ def multimodal_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = ['multimodal_meta', 'multimodal_sniff', 'multimodal_png_header', 'multimodal_resize', 'multimodal_audio_rms', 'multimodal_frames', 'multimodal_jpeg_header', 'multimodal_gif_header', 'png_roundtrip_stats', 'jpeg_roundtrip_stats', 'multimodal_jpeg_dhash', 'multimodal_mp4_header', 'multimodal_mp3_header', 'multimodal_wav_header', 'multimodal_pdf_text', 'multimodal_pdf_unicode', 'multimodal_bmp_header', 'multimodal_tiff_header', 'multimodal_png_dhash', 'multimodal_dhash_pairs', 'multimodal_wav_pcm_stats', 'gif_roundtrip_stats', 'gif_frame_sampling', 'multimodal_gzip_members', 'multimodal_warc_records', 'multimodal_warc_gz', 'multimodal_zip_entries', 'multimodal_tar_entries', 'multimodal_webdataset_samples', 'multimodal_exif_header', 'multimodal_warc_roundtrip']
+
+
+# --------------------------------------------------------------------
+# Avro Object Container Files (pipeline/avro.py): the Kafka->lake
+# landing format, built in pure JVM expressions — zigzag varints via
+# CASE-laddered hex bytes, a deterministic 16-byte sync marker
+# (unhex(md5(doc_id))), two data blocks per doc — and parsed back by
+# the real varint decoder with every sync marker validated.
+
+_AVRO_SCHEMA_JSON = (
+    '{"type":"record","name":"doc","fields":[{"name":"id","type":'
+    '"long"},{"name":"text","type":"string"}]}'
+)
+# header bytes are CONSTANT except the sync marker: magic(4) + map
+# count 04 (zigzag 2) + "avro.codec"(1+10) + "null"(1+4) +
+# "avro.schema"(1+11) + schema varint(2: CA01) + schema(101) +
+# terminator 00 + sync(16)  =>  153
+_AVRO_HDR_LEN = 153
+_AVRO_HDR_CONST_HEX = (
+    "'4F626A01"  # magic Obj\x01
+    "04"  # metadata map: one block of 2 entries (zigzag(2))
+    "146176726F2E636F646563"  # len-10 key "avro.codec"
+    "086E756C6C"  # len-4 value "null"
+    "166176726F2E736368656D61"  # len-11 key "avro.schema"
+    "CA01" + _AVRO_SCHEMA_JSON.encode().hex().upper() +  # len-101 schema
+    "00'"  # map terminator
+)
+
+
+def _avro_vu_spark(z_sql: str) -> str:
+    """Spark-SQL hex string of the unsigned LEB128 varint of ``z_sql``
+    (already zigzagged; caller passes 2*v for non-negative v). Capped
+    at 5 bytes (z < 2^35) — beyond that raise, never silently wrap."""
+    def byte(i: int, more: bool) -> str:
+        b = f"({z_sql}) div {128 ** i} % 128"
+        return f"lpad(hex({b} + 128), 2, '0')" if more else f"lpad(hex({b}), 2, '0')"
+
+    out = f"CASE WHEN ({z_sql}) < 128 THEN {byte(0, False)}"
+    for n in range(2, 6):
+        parts = " || ".join(byte(i, i < n - 1) for i in range(n))
+        out += f" WHEN ({z_sql}) < {128 ** n} THEN {parts}"
+    return out + " ELSE raise_error('avro varint: value exceeds 5-byte builder cap') END"
+
+
+def _avro_vu_len_duck(z_sql: str) -> str:
+    """DuckDB byte length of the same varint (closed-form oracle)."""
+    return (
+        f"(CASE WHEN ({z_sql}) < 128 THEN 1"
+        f" WHEN ({z_sql}) < 16384 THEN 2"
+        f" WHEN ({z_sql}) < 2097152 THEN 3"
+        f" WHEN ({z_sql}) < 268435456 THEN 4 ELSE 5 END)"
+    )
+
+
+def _avro_rec_spark(id_sql: str, text_sql: str) -> str:
+    """Hex of one record of the gate schema: varint(zigzag(id)) +
+    varint(byte length) + UTF-8 bytes."""
+    return (
+        f"{_avro_vu_spark(f'2 * ({id_sql})')}"
+        f" || {_avro_vu_spark(f'2 * octet_length({text_sql})')}"
+        f" || hex(CAST(({text_sql}) AS BINARY))"
+    )
+
+
+def _avro_rec_len_duck(id_sql: str, text_sql: str) -> str:
+    return (
+        f"({_avro_vu_len_duck(f'2 * ({id_sql})')}"
+        f" + {_avro_vu_len_duck(f'2 * strlen({text_sql})')}"
+        f" + strlen({text_sql}))"
+    )
+
+
+def _avro_payload_spark() -> str:
+    """The full 2-block OCF per documents row: block 0 holds one
+    (doc_id, text) record, block 1 holds (doc_id, lang) and
+    (doc_id + 1, source)."""
+    sync = "md5(CAST(doc_id AS STRING))"
+    r0 = _avro_rec_spark("doc_id", "text")
+    r1 = _avro_rec_spark("doc_id", "lang")
+    r2 = _avro_rec_spark("doc_id + 1", "source")
+    # _avro_vu_len_duck is dialect-neutral CASE arithmetic; the Spark
+    # side just passes octet_length() arguments instead of strlen()
+    s0 = (
+        f"({_avro_vu_len_duck('2 * doc_id')}"
+        f" + {_avro_vu_len_duck('2 * octet_length(text)')}"
+        " + octet_length(text))"
+    )
+    s1 = (
+        f"({_avro_vu_len_duck('2 * doc_id')}"
+        f" + {_avro_vu_len_duck('2 * octet_length(lang)')} + octet_length(lang)"
+        f" + {_avro_vu_len_duck('2 * (doc_id + 1)')}"
+        f" + {_avro_vu_len_duck('2 * octet_length(source)')}"
+        " + octet_length(source))"
+    )
+    return (
+        f"unhex(concat({_AVRO_HDR_CONST_HEX}, {sync},"
+        f" '02', {_avro_vu_spark(f'2 * {s0}')}, {r0}, {sync},"
+        f" '04', {_avro_vu_spark(f'2 * {s1}')}, {r1}, {r2}, {sync}))"
+    )
+
+
+def _avro_sizes_duck() -> tuple[str, str]:
+    s0 = _avro_rec_len_duck("doc_id", "text")
+    s1 = (
+        f"({_avro_rec_len_duck('doc_id', 'lang')}"
+        f" + {_avro_rec_len_duck('doc_id + 1', 'source')})"
+    )
+    return s0, s1
+
+
+_AVRO_S0, _AVRO_S1 = _avro_sizes_duck()
+
+
+@register(
+    "multimodal_avro_blocks",
+    f"""
+    SELECT doc_id AS id, CAST(0 AS INT) AS block_idx,
+           CAST({_AVRO_HDR_LEN} + 1
+                + {_avro_vu_len_duck(f'2 * {_AVRO_S0}')} AS BIGINT)
+               AS offset,
+           CAST(1 AS BIGINT) AS n_records,
+           CAST({_AVRO_S0} AS BIGINT) AS block_size
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT),
+           CAST({_AVRO_HDR_LEN} + 1
+                + {_avro_vu_len_duck(f'2 * {_AVRO_S0}')} + {_AVRO_S0} + 16
+                + 1 + {_avro_vu_len_duck(f'2 * {_AVRO_S1}')} AS BIGINT),
+           CAST(2 AS BIGINT), CAST({_AVRO_S1} AS BIGINT)
+    FROM documents
+    """,
+)
+def multimodal_avro_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container ingest, block level (pipeline.avro.
+    parse_avro_blocks): each doc becomes a spec-valid 2-block OCF
+    built in pure JVM expressions — metadata map with schema + null
+    codec, zigzag-varint block framing, a deterministic 16-byte sync
+    marker validated after EVERY block (the property that makes OCF
+    byte-range splittable, like tar's 512-byte grid and warc.gz's
+    member boundaries). The parser emits the (offset, count, size)
+    range index; the oracle recomputes every offset closed-form from
+    varint byte-length arithmetic. Map-side only; no shuffle."""
+    from ..pipeline.avro import parse_avro_blocks
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_avro_payload_spark()).alias("payload")
+    )
+    return parse_avro_blocks(docs, "payload", "doc_id").select(
+        "id", "block_idx", "offset", "n_records", "block_size"
+    )
+
+
+@register(
+    "multimodal_avro_records",
+    """
+    SELECT doc_id AS id, CAST(0 AS INT) AS block_idx,
+           CAST(0 AS INT) AS rec_idx, doc_id AS rec_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS text_md5
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT), CAST(0 AS INT), doc_id,
+           CAST(strlen(lang) AS BIGINT), md5(lang)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT), CAST(1 AS INT), doc_id + 1,
+           CAST(strlen(source) AS BIGINT), md5(source)
+    FROM documents
+    """,
+)
+def multimodal_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro record decode (pipeline.avro.parse_avro_records): the
+    varint walk INSIDE each block — zigzag long + length-prefixed
+    UTF-8 string per the gate schema — with the declared record count
+    enforced against the actual boundary walk (leftover bytes raise).
+    parse(build(x)) == x per record: ids, byte lengths, and digests
+    all recompute closed-form in the oracle."""
+    from ..pipeline.avro import parse_avro_records
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_avro_payload_spark()).alias("payload")
+    )
+    return parse_avro_records(docs, "payload", "doc_id")
+
+
+__all__ += ["multimodal_avro_blocks", "multimodal_avro_records"]

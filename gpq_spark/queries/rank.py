@@ -519,3 +519,153 @@ def rank_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = ['rank_tfidf_docs', 'rank_bm25_docs', 'rank_rrf_docs', 'rank_retrieval_eval', 'rank_ndcg_eval', 'rank_pass_at_k', 'rank_ece_calibration', 'rank_majority_vote']
+
+
+# --------------------------------------------------------------------
+# Pairwise-preference rating: batch Elo, the aggregation behind
+# LLM-arena leaderboards (pairwise human votes -> a scalar ranking).
+
+_ELO_ITERS = 3
+_ELO_K = 32
+_ELO_GAMES_SQL = (
+    # deterministic pairwise "votes": consecutive doc pairs, the longer
+    # document wins (ties = draw). Valid in Spark SQL and DuckDB.
+    "SELECT a.source AS pa, b.source AS pb,"
+    " CASE WHEN a.n_chars > b.n_chars THEN 1000000"
+    " WHEN a.n_chars < b.n_chars THEN 0 ELSE 500000 END AS sa"
+    " FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"
+    " WHERE a.doc_id % 2 = 0"
+)
+
+
+def _elo_expected(r_self: str, r_opp: str) -> str:
+    """Expected score in 1e6 units, FLOORED PER GAME before any sum so
+    aggregation order can't matter: E = 1e6 / (1 + 10^((Ropp-Rself)/400))
+    with ratings in micro-points (400 -> 4e8)."""
+    return (
+        f"CAST(floor(1000000 / (1 + power(10,"
+        f" CAST({r_opp} - {r_self} AS DOUBLE) / 400000000))) AS BIGINT)"
+    )
+
+
+def _elo_oracle() -> str:
+    ctes = [
+        f"g AS ({_ELO_GAMES_SQL})",
+        "r0 AS (SELECT p, CAST(1000000000 AS BIGINT) AS r FROM"
+        " (SELECT pa AS p FROM g UNION SELECT pb FROM g))",
+    ]
+    for k in range(1, _ELO_ITERS + 1):
+        prev = f"r{k - 1}"
+        ctes.append(
+            f"e{k} AS (SELECT pa, pb, sa, ra.r AS ra, rb.r AS rb"
+            f" FROM g JOIN {prev} ra ON ra.p = g.pa"
+            f" JOIN {prev} rb ON rb.p = g.pb)"
+        )
+        ctes.append(
+            f"d{k} AS (SELECT pa AS p,"
+            f" {_ELO_K} * (sa - {_elo_expected('ra', 'rb')}) AS d FROM e{k}"
+            f" UNION ALL SELECT pb,"
+            f" {_ELO_K} * ((1000000 - sa) - {_elo_expected('rb', 'ra')})"
+            f" FROM e{k})"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT pr.p, pr.r + coalesce(s.d, 0) AS r"
+            f" FROM {prev} pr LEFT JOIN"
+            f" (SELECT p, CAST(SUM(d) AS BIGINT) AS d FROM d{k} GROUP BY 1) s"
+            f" ON s.p = pr.p)"
+        )
+    ctes.append(
+        "st AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_games,"
+        " CAST(SUM(w) AS BIGINT) AS wins FROM"
+        " (SELECT pa AS p, CASE WHEN sa = 1000000 THEN 1 ELSE 0 END AS w"
+        "  FROM g"
+        "  UNION ALL SELECT pb, CASE WHEN sa = 0 THEN 1 ELSE 0 END FROM g)"
+        " GROUP BY 1)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT p AS player, CAST(r AS BIGINT) AS rating_e6,"
+        f" n_games, wins FROM r{_ELO_ITERS} JOIN st USING (p)"
+    )
+
+
+@register("rank_elo_pairwise", _elo_oracle())
+def rank_elo_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ("rating-period") Elo over pairwise preferences — the
+    LLM-arena leaderboard aggregation. Unlike online Elo (whose result
+    depends on game ORDER, unusable distributed), the batch variant
+    re-scores ALL games against the current ratings each iteration and
+    applies the summed K-weighted surprise per player; per-game
+    expected scores are FLOORED to integer micro-points before any sum
+    so aggregation order can't matter. 3 iterations; the oracle
+    replays them as chained CTEs.
+
+    Scale: the expected score depends only on the two RATINGS and the
+    outcome, so the games frame aggregates EXACTLY to per-(pa, pb,
+    outcome) counts — ONE shuffle down to a table bounded by
+    players² x 3 outcomes, never row-scaled. That bounded table
+    collects to the driver (the documented k-center/MMR lever:
+    bounded-by-construction driver state) and the fixed-point
+    iterations run there in exact integer arithmetic; a 100 TB corpus
+    still shuffles once. The first DataFrame-iterative draft instead
+    compounded 3 join+groupBy rounds into one lineage — 423 stages and
+    a 22.9 s wall at sf0.01, all Catalyst planning."""
+    docs = load(spark, sf_dir, "documents")
+    a = docs.filter(F.expr("doc_id % 2 = 0")).select(
+        F.expr("doc_id div 2").alias("g"),
+        F.col("source").alias("pa"),
+        F.col("n_chars").alias("ca"),
+    )
+    b = docs.filter(F.expr("doc_id % 2 = 1")).select(
+        F.expr("doc_id div 2").alias("g"),
+        F.col("source").alias("pb"),
+        F.col("n_chars").alias("cb"),
+    )
+    pair_stats = (
+        a.join(b, "g")
+        .select(
+            "pa",
+            "pb",
+            F.expr(
+                "CASE WHEN ca > cb THEN 1000000"
+                " WHEN ca < cb THEN 0 ELSE 500000 END"
+            ).alias("sa"),
+        )
+        .groupBy("pa", "pb", "sa")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # bounded driver-side state: |players|^2 x 3 outcome rows
+    rows = sorted(
+        ((r["pa"], r["pb"], int(r["sa"]), int(r["cnt"]))
+         for r in pair_stats.collect())
+    )
+    players = sorted({pa for pa, _, _, _ in rows} | {pb for _, pb, _, _ in rows})
+    rating = {p: 1_000_000_000 for p in players}
+    for _ in range(_ELO_ITERS):
+        delta = {p: 0 for p in players}
+        for pa, pb, sa, cnt in rows:
+            ra, rb = rating[pa], rating[pb]
+            import math
+
+            ea = math.floor(1_000_000 / (1 + 10.0 ** ((rb - ra) / 400_000_000)))
+            eb = math.floor(1_000_000 / (1 + 10.0 ** ((ra - rb) / 400_000_000)))
+            delta[pa] += _ELO_K * (sa - ea) * cnt
+            delta[pb] += _ELO_K * ((1_000_000 - sa) - eb) * cnt
+        for p in players:
+            rating[p] += delta[p]
+    n_games = {p: 0 for p in players}
+    wins = {p: 0 for p in players}
+    for pa, pb, sa, cnt in rows:
+        n_games[pa] += cnt
+        n_games[pb] += cnt
+        if sa == 1_000_000:
+            wins[pa] += cnt
+        elif sa == 0:
+            wins[pb] += cnt
+    return spark.createDataFrame(
+        [(p, rating[p], n_games[p], wins[p]) for p in players],
+        "player string, rating_e6 long, n_games long, wins long",
+    )
+
+
+__all__ += ["rank_elo_pairwise"]

@@ -1,0 +1,154 @@
+"""Avro Object Container parser tests (pipeline/avro.py).
+
+No avro library is in the image, so the test writer is a minimal
+independent encoder (zigzag varints via a different code path than the
+parser's decoder) — the gate query's JVM builder covers the SQL-built
+happy path; these pin the byte-level walk and the named-error
+contracts the container family guarantees (never silent garbage).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+
+from gpq_spark.pipeline.avro import (
+    AvroError,
+    _parse_header,
+    _walk_blocks,
+    parse_avro_blocks,
+    parse_avro_records,
+)
+
+SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "text", "type": "string"},
+        ],
+    }
+).encode()
+SYNC = bytes(range(16))
+
+
+def zz(n: int) -> bytes:
+    """Independent zigzag-varint encoder (recursive formulation)."""
+    z = (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def header(meta: dict[bytes, bytes] | None = None, sync: bytes = SYNC) -> bytes:
+    meta = {b"avro.schema": SCHEMA} if meta is None else meta
+    out = bytearray(b"Obj\x01")
+    out += zz(len(meta))
+    for k, v in meta.items():
+        out += zz(len(k)) + k + zz(len(v)) + v
+    out += zz(0)
+    out += sync
+    return bytes(out)
+
+
+def record(rid: int, text: bytes) -> bytes:
+    return zz(rid) + zz(len(text)) + text
+
+
+def block(records: list[bytes], sync: bytes = SYNC) -> bytes:
+    payload = b"".join(records)
+    return zz(len(records)) + zz(len(payload)) + payload + sync
+
+
+def ocf(blocks: list[list[bytes]]) -> bytes:
+    return header() + b"".join(block(rs) for rs in blocks)
+
+
+def test_block_walk_offsets_and_sync():
+    r0 = record(7, b"hello")
+    r1 = record(8, b"x" * 200)  # 200 -> 2-byte length varint
+    buf = ocf([[r0], [r1, record(9, b"")]])
+    out = list(_walk_blocks(buf))
+    assert [(c, s) for _, c, s, _ in out] == [
+        (1, len(r0)),
+        (2, len(r1) + len(record(9, b""))),
+    ]
+    off0 = out[0][0]
+    assert buf[off0 : off0 + len(r0)] == r0
+
+
+def test_header_metadata_and_codec():
+    meta, sync, pos = _parse_header(header())
+    assert sync == SYNC and meta[b"avro.schema".decode()] == SCHEMA
+    # unsupported codec raises by name
+    bad = header({b"avro.schema": SCHEMA, b"avro.codec": b"deflate"})
+    with pytest.raises(AvroError, match="codec"):
+        _parse_header(bad)
+
+
+def test_negative_map_block_count_with_size():
+    # spec: a negative map block count is followed by a byte size
+    out = bytearray(b"Obj\x01")
+    out += zz(-1)  # one entry, size-prefixed form
+    entry = zz(len(b"avro.schema")) + b"avro.schema" + zz(len(SCHEMA)) + SCHEMA
+    out += zz(len(entry)) + entry + zz(0) + SYNC
+    meta, sync, _ = _parse_header(bytes(out))
+    assert meta["avro.schema"] == SCHEMA
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda b: b"PAR1" + b[4:], "bad magic"),
+        (lambda b: b[:30], "varint runs past|overruns|truncated"),
+        (lambda b: b[: len(header()) - 1], "truncated header"),
+        # flip a sync byte after block 0
+        (
+            lambda b: b[: len(b) - 8] + bytes([b[-8] ^ 0xFF]) + b[-7:],
+            "sync marker mismatch",
+        ),
+    ],
+)
+def test_malformed_raises(mutate, msg):
+    buf = ocf([[record(1, b"abc")]])
+    with pytest.raises(AvroError, match=msg):
+        list(_walk_blocks(mutate(buf)))
+
+
+def test_missing_schema_raises():
+    with pytest.raises(AvroError, match="avro.schema"):
+        _parse_header(header({b"avro.codec": b"null"}))
+
+
+def test_record_count_mismatch_raises(spark):
+    # block declares 2 records but holds 1: leftover/short walk raises
+    r = record(1, b"abc")
+    buf = header() + zz(2) + zz(len(r)) + r + SYNC
+    df = spark.createDataFrame([(1, buf)], "doc long, payload binary")
+    with pytest.raises(Exception, match="varint runs past|records"):
+        parse_avro_records(df, "payload", "doc").collect()
+
+
+def test_spark_end_to_end(spark):
+    txt = b"h\xc3\xa9llo"  # multi-byte UTF-8
+    buf = ocf([[record(42, txt)], [record(43, b"yy"), record(44, b"z")]])
+    df = spark.createDataFrame([(5, buf)], "doc long, payload binary")
+    blocks = parse_avro_blocks(df, "payload", "doc").collect()
+    assert [(b.block_idx, b.n_records) for b in blocks] == [(0, 1), (1, 2)]
+    recs = {
+        (r.block_idx, r.rec_idx): r
+        for r in parse_avro_records(df, "payload", "doc").collect()
+    }
+    assert recs[(0, 0)].rec_id == 42
+    assert recs[(0, 0)].n_bytes == len(txt)
+    assert recs[(0, 0)].text_md5 == hashlib.md5(txt).hexdigest()
+    assert recs[(1, 1)].rec_id == 44
