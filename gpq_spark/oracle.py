@@ -118,13 +118,23 @@ def compare(spark_df, con, oracle_sql: str) -> dict[str, Any]:
     bare SUM over BIGINT) mismatches a Spark BIGINT even though the Python
     values compare equal, mirroring the driver's strict value-hash gate.
     """
+    import time as _time
+
+    _t0 = _time.perf_counter()
     spark_tbl = _spark_to_arrow(spark_df)
+    _t1 = _time.perf_counter()
     duck_tbl = con.sql(oracle_sql).arrow()
+    _t2 = _time.perf_counter()
 
     s_cols, s_types, s_rows = _arrow_canon(spark_tbl)
     d_cols, d_types, d_rows = _arrow_canon(duck_tbl)
 
     result: dict[str, Any] = {
+        # split walls so perf triage doesn't blame the engine for
+        # oracle cost (r6: dedup_prefix_filter's 17 s sweep wall was
+        # 10.4 s of single-threaded DuckDB)
+        "spark_wall_s": round(_t1 - _t0, 2),
+        "oracle_wall_s": round(_t2 - _t1, 2),
         "spark_rows": len(s_rows),
         "oracle_rows": len(d_rows),
         "spark_cols": s_cols,

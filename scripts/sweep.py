@@ -118,6 +118,8 @@ def main() -> None:
                 n_green += 1
             else:
                 r = compare(df, con, q.oracle)
+                entry["spark_wall_s"] = r.get("spark_wall_s")
+                entry["oracle_wall_s"] = r.get("oracle_wall_s")
                 entry.update(
                     rows_match=r["spark_rows"] == r["oracle_rows"],
                     schema_match=r.get("spark_cols") == r.get("oracle_cols")
