@@ -669,3 +669,85 @@ def rank_elo_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ += ["rank_elo_pairwise"]
+
+
+_KAPPA_PAIRS_SQL = (
+    # two synthetic annotators over the same item set: annotator 1 is
+    # the doc's own lang label; annotator 2 reads the NEXT doc's label
+    # on every 7th item (a deterministic ~14% disagreement channel).
+    # Inner join drops a max-id item whose partner is absent — the
+    # oracle mirrors exactly.
+    "SELECT a.lang AS ann1, b.lang AS ann2"
+    " FROM documents a JOIN documents b"
+    " ON b.doc_id = a.doc_id + (CASE WHEN a.doc_id % 7 = 0 THEN 1 ELSE 0 END)"
+)
+
+
+@register(
+    "rank_cohens_kappa",
+    f"""
+    WITH pairs AS ({_KAPPA_PAIRS_SQL}),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CASE WHEN ann1 = ann2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+        FROM pairs
+    ),
+    r AS (SELECT ann1 AS l, CAST(COUNT(*) AS BIGINT) AS rc
+          FROM pairs GROUP BY 1),
+    c AS (SELECT ann2 AS l, CAST(COUNT(*) AS BIGINT) AS cc
+          FROM pairs GROUP BY 1),
+    s AS (SELECT CAST(SUM(rc * cc) AS BIGINT) AS s_chance
+          FROM r JOIN c USING (l))
+    SELECT n_items, n_agree, s_chance,
+           CAST(1000000 * (n_items * n_agree - s_chance)
+                // (n_items * n_items - s_chance) AS BIGINT) AS kappa_e6
+    FROM tot CROSS JOIN s
+    """,
+)
+def rank_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-annotator agreement, the
+    standard label-quality gate before trusting human (or LLM-judge)
+    annotations. FULLY integer-exact, no libm anywhere: with N items,
+    A agreements, and S = sum over labels of row-marginal x
+    column-marginal, kappa = (N*A - S) / (N^2 - S); both engines
+    compute the identical scaled integer division (positive here, so
+    truncating and flooring division agree). Scale: one shuffle for the
+    pair join, two narrow groupBys on the bounded label domain, then
+    1-row broadcast combine — never a global sort."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    a = docs.select(F.col("doc_id").alias("ida"), F.col("lang").alias("ann1"))
+    b = docs.select(F.col("doc_id").alias("idb"), F.col("lang").alias("ann2"))
+    pairs = a.join(
+        b,
+        F.col("idb")
+        == F.col("ida")
+        + F.expr("CASE WHEN ida % 7 = 0 THEN 1 ELSE 0 END"),
+    ).select("ann1", "ann2")
+    tot = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.expr("CASE WHEN ann1 = ann2 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    r = pairs.groupBy(F.col("ann1").alias("l")).agg(
+        F.count(F.lit(1)).cast("long").alias("rc")
+    )
+    c = pairs.groupBy(F.col("ann2").alias("l")).agg(
+        F.count(F.lit(1)).cast("long").alias("cc")
+    )
+    s = r.join(c, "l").agg(
+        F.sum(F.expr("rc * cc")).cast("long").alias("s_chance")
+    )
+    return tot.crossJoin(F.broadcast(s)).select(
+        "n_items",
+        "n_agree",
+        "s_chance",
+        F.expr(
+            "CAST(1000000 * (n_items * n_agree - s_chance)"
+            " div (n_items * n_items - s_chance) AS BIGINT)"
+        ).alias("kappa_e6"),
+    )
+
+
+__all__ += ["rank_cohens_kappa"]

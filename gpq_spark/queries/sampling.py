@@ -641,3 +641,41 @@ def sample_threshold_retention(
 
 
 __all__ = ['sample_hash_docs', 'sample_split_docs', 'sample_stratified_docs', 'sample_weighted_docs', 'profile_lineitem', 'skew_report_orders', 'pack_curriculum_docs', 'pack_chunks_docs', 'pack_greedy_docs', 'sample_balanced_docs', 'sample_mix_gini', 'sample_dsir_scores', 'shuffle_positions_docs', 'sample_match_length_docs', 'sample_temperature_mix', 'sample_token_mix', 'sample_kcenter_docs', 'sample_mmr_docs', 'sample_priority_docs', 'sample_waterfill_mix', 'sample_threshold_retention']
+
+
+@register(
+    "sample_ess_weights",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_w,
+           CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_w2,
+           CAST((1000000 * SUM(n_chars) // COUNT(*)) * SUM(n_chars)
+                // SUM(n_chars * n_chars) AS BIGINT) AS ess_ratio_e6
+    FROM documents GROUP BY source
+    """,
+)
+def sample_ess_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of importance weights, per source — the
+    diagnostic run before trusting a weighted corpus mix (DSIR-style
+    reweighting): ESS = (sum w)^2 / (sum w^2); ESS/n near 1 means the
+    weights are flat, near 0 means a few documents dominate the mix.
+    Weights here are n_chars (importance proportional to length).
+    Integer-exact: both engines evaluate the identical scaled integer
+    division chain (1e6 * sum_w div n) * sum_w div sum_w2, so no float
+    reduction anywhere; the normalized ratio keeps the intermediate
+    under bigint through ~sf30 (sum_w ~ 7.5e9 x 1e6/avg). One shuffle
+    on the bounded source key."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_w"),
+        F.sum(F.expr("n_chars * n_chars")).cast("long").alias("sum_w2"),
+        F.expr(
+            "CAST((1000000 * SUM(n_chars) div COUNT(*)) * SUM(n_chars)"
+            " div SUM(n_chars * n_chars) AS BIGINT)"
+        ).alias("ess_ratio_e6"),
+    )
+
+
+__all__ += ["sample_ess_weights"]

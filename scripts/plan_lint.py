@@ -117,6 +117,9 @@ BNLJ_ALLOWED = {
     # r6 rewrites onto global_order_stats (same 1-row-total broadcast)
     "q_rank_functions", "q_exact_median_twopass", "text_vocab_coverage",
     "text_zipf_slope", "q_wasserstein_price_drift",
+    # r7: 1-row (N, agree) x 1-row (S) broadcast combine — both sides
+    # grouping-free aggregates, bounded by construction
+    "rank_cohens_kappa",
 }
 
 # Queries allowed to keep an UNPARTITIONED window over a frame the lint
