@@ -213,8 +213,17 @@ def main() -> None:
             n,
         )
 
-    def dirty(steal: float, psi: float) -> bool:
-        return steal > STEAL_DIRTY or psi > PSI_DIRTY
+    def dirty(steal: float, psi: float, wall: float, wmin: float) -> bool:
+        # steal is co-tenant CPU theft — always disqualifying. PSI also
+        # counts SELF-inflicted run-queue pressure (a streaming drain's
+        # micro-batch bursts oversubscribe local[32] and stall its own
+        # runnables at ~9% PSI with zero steal), so PSI alone cannot
+        # condemn a window whose wall sits at the distribution floor:
+        # require the wall to actually deviate. A sustained co-tenant
+        # burst spanning every run still flags via steal.
+        return steal > STEAL_DIRTY or (
+            psi > PSI_DIRTY and wall > 1.25 * wmin
+        )
 
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
@@ -232,17 +241,20 @@ def main() -> None:
     for name in HEADLINE:
         fn = qdict[name]
         rows = [measure(fn, name) for _ in range(2)]
+
+        def _clean_rows():
+            wmin = min(r[0] for r in rows)
+            return [r for r in rows if not dirty(r[1], r[2], r[0], wmin)]
+
         # self-heal: while the best CLEAN run is missing (every window
         # so far was contaminated), cool down briefly and try again
         extra = 0
-        while (
-            all(dirty(r[1], r[2]) for r in rows) and extra < MAX_EXTRA_RUNS
-        ):
+        while not _clean_rows() and extra < MAX_EXTRA_RUNS:
             time.sleep(5.0)
             rows.append(measure(fn, name))
             extra += 1
         rerun_counts[name] = extra
-        clean = [r for r in rows if not dirty(r[1], r[2])]
+        clean = _clean_rows()
         best = min(clean or rows, key=lambda r: r[0])
         wall0, st0, ps0, gc0, n = rows[0][0], rows[0][1], rows[0][2], rows[0][3], rows[0][4]
         timings_cold[name] = round(wall0, 3)
@@ -282,8 +294,12 @@ def main() -> None:
     # query's rerun doesn't contaminate the other queries' clean
     # windows.
     ncpu = os.cpu_count() or int(cpus)
+    # a reported (best) run is dirty only by its own counters; the
+    # wall-deviation guard uses the best run as its own floor
     queries_dirty = sorted(
-        n for n in HEADLINE if dirty(steal_warm[n], psi_warm[n])
+        n
+        for n in HEADLINE
+        if dirty(steal_warm[n], psi_warm[n], timings[n], timings[n])
     )
     contended = bool(
         queries_dirty or max(load_start, load_end) > 1.25 * ncpu
