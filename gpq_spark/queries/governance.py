@@ -536,3 +536,81 @@ def decontam_span_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = ['decontam_docs', 'validate_rules_docs', 'drift_price_buckets', 'pipeline_corpus_build', 'er_golden_record', 'er_levenshtein_pairs', 'crawl_robots_decisions', 'decontam_span_redact']
+
+
+@register(
+    "decontam_semantic_embeddings",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id < 20),
+    scored AS (
+        SELECT e.vec_id, b.bench_id, {_cos_duck('e.v', 'bv')} AS cosine
+        FROM e JOIN b ON e.vec_id != b.bench_id
+    ),
+    best AS (
+        SELECT vec_id, bench_id, cosine FROM (
+            SELECT vec_id, bench_id, cosine,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cosine DESC, bench_id ASC) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    )
+    SELECT vec_id AS id, bench_id AS nearest_bench, cosine AS best_cos,
+           (cosine >= 0.30) AS is_contaminated
+    FROM best
+    """,
+)
+def decontam_semantic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination — the semantic complement to the
+    n-gram overlap gate (decontam_docs): a corpus vector is flagged
+    when its cosine against ANY benchmark vector crosses the threshold,
+    catching paraphrased/reformatted eval leakage that token n-grams
+    miss (the SemDeDup/Phi-style eval-guard). Benchmark = the vec_id <
+    20 slice, BOUNDED BY CONSTRUCTION (a benchmark suite doesn't grow
+    with the corpus), so it broadcasts and the corpus side never
+    shuffles: score map-side, then the two-phase per-vector top-1 (the
+    ann family's partition-local rank, no single-reducer window).
+    Cosine uses the sequential float64 left-fold that is bit-identical
+    across engines, so the 0.30 threshold compare is portable."""
+    from ..pipeline.similarity import cosine_expr
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("bv"),
+    )
+    # benchmark broadcasts; the corpus side scores map-side with the
+    # bit-identical float64 left-fold cosine, then two-phase top-1 per
+    # corpus vector (partition-local rank first — the ann-family shape,
+    # no single-reducer global window)
+    scored = (
+        emb.join(F.broadcast(bench), F.col("vec_id") != F.col("bench_id"))
+        .withColumn("cosine", cosine_expr("embedding", "bv"))
+        .select("vec_id", "bench_id", "cosine")
+    )
+    pre = scored.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("vec_id", "__pid").orderBy(
+        F.col("cosine").desc(), F.col("bench_id").asc()
+    )
+    candidates = (
+        pre.withColumn("__lrank", F.row_number().over(w_local))
+        .filter(F.col("__lrank") <= 1)
+        .drop("__pid", "__lrank")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("bench_id").asc()
+    )
+    best = (
+        candidates.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return best.select(
+        F.col("vec_id").alias("id"),
+        F.col("bench_id").alias("nearest_bench"),
+        F.col("cosine").alias("best_cos"),
+        (F.col("cosine") >= 0.30).alias("is_contaminated"),
+    )
+
+
+__all__ += ["decontam_semantic_embeddings"]

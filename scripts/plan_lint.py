@@ -120,6 +120,9 @@ BNLJ_ALLOWED = {
     # r7: 1-row (N, agree) x 1-row (S) broadcast combine — both sides
     # grouping-free aggregates, bounded by construction
     "rank_cohens_kappa",
+    # r7: 20-row benchmark set broadcast with a != predicate (a
+    # benchmark suite doesn't grow with the corpus)
+    "decontam_semantic_embeddings",
 }
 
 # Queries allowed to keep an UNPARTITIONED window over a frame the lint

@@ -119,3 +119,67 @@ def test_tar_roundtrip_stdlib(entries):
             t.addfile(info, io.BytesIO(data))
     es = _parse_tar(buf.getvalue())
     assert [(e["name"], e["data"]) for e in es] == entries
+
+
+# ------------------------------------------------------------ avro
+
+
+@settings(max_examples=200, deadline=None)
+@given(blobs)
+def test_avro_never_leaks_foreign_exceptions(buf):
+    from gpq_spark.pipeline.avro import AvroError, _walk_blocks
+
+    try:
+        list(_walk_blocks(buf))
+    except AvroError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=512))
+def test_avro_header_prefix_never_leaks(buf):
+    # attack the header walk specifically: valid magic + arbitrary tail
+    from gpq_spark.pipeline.avro import AvroError, _parse_header
+
+    try:
+        _parse_header(b"Obj\x01" + buf)
+    except AvroError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-(2**40), max_value=2**40),
+                st.binary(min_size=0, max_size=300),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_avro_roundtrip_blocks_and_records(blocks):
+    # independent writer (tests/test_avro.py helpers) vs the parser:
+    # every record id / byte-length survives for arbitrary payloads,
+    # including negative ids (zigzag) and multi-byte varint lengths
+    from gpq_spark.pipeline.avro import _walk_blocks, _varint
+
+    from tests.test_avro import header, record, block
+
+    buf = header() + b"".join(
+        block([record(rid, data) for rid, data in rs]) for rs in blocks
+    )
+    out = list(_walk_blocks(buf))
+    assert [c for _, c, _, _ in out] == [len(rs) for rs in blocks]
+    for (off, cnt, size, payload), rs in zip(out, blocks):
+        pos = 0
+        for rid, data in rs:
+            got_id, pos = _varint(payload, pos)
+            ln, pos = _varint(payload, pos)
+            assert got_id == rid and payload[pos : pos + ln] == data
+            pos += ln
+        assert pos == len(payload) == size
