@@ -1330,27 +1330,30 @@ def _kcenter_duck(k: int) -> str:
             f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
         )
 
+    # MATERIALIZED throughout: each stage references its predecessor
+    # multiple times; inlined CTEs re-evaluate the chain
+    # near-exponentially in k (2.6 s -> 0.08 s at sf0.01, same rows)
     parts = [
-        """q AS (
+        """q AS MATERIALIZED (
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
         FROM embeddings)""",
-        """s1 AS (
+        """s1 AS MATERIALIZED (
         SELECT CAST(1 AS INT) AS sel_rank, vec_id, CAST(0 AS BIGINT) AS dist2, v
         FROM (SELECT * FROM q ORDER BY vec_id LIMIT 1))""",
     ]
     for r in range(2, k + 1):
         prev = f"s{r - 1}"
         parts.append(
-            f"""d{r} AS (
+            f"""d{r} AS MATERIALIZED (
         SELECT q.vec_id, MIN({d2("q.v", "s.v")}) AS d
         FROM q, {prev} s
         WHERE q.vec_id NOT IN (SELECT vec_id FROM {prev})
         GROUP BY q.vec_id)"""
         )
         parts.append(
-            f"""s{r} AS (
+            f"""s{r} AS MATERIALIZED (
         SELECT * FROM {prev}
         UNION ALL
         SELECT CAST({r} AS INT), w.vec_id, w.d, q.v
@@ -1445,15 +1448,19 @@ def _mmr_oracle(k: int, lam: int) -> str:
     qlit = "[" + ", ".join(
         f"CAST({round(x * 1_000_000)} AS BIGINT)" for x in _MMR_QUERY
     ) + "]"
+    # every CTE is MATERIALIZED: each round references its predecessor
+    # 3x (carry-forward UNION, NOT IN, join-back), so inlined CTEs
+    # re-evaluate the whole chain near-exponentially in k — measured
+    # 10.7 s inlined vs 0.46 s materialized at sf0.01, identical rows
     parts = [
-        f"""mq AS (
+        f"""mq AS MATERIALIZED (
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v,
                {dot("list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))", qlit)}
                    AS rel
         FROM embeddings)""",
-        """m1 AS (
+        """m1 AS MATERIALIZED (
         SELECT CAST(1 AS INT) AS sel_rank, vec_id, rel AS rel_dot,
                CAST(0 AS BIGINT) AS max_sim, v
         FROM (SELECT * FROM mq ORDER BY rel DESC, vec_id ASC LIMIT 1))""",
@@ -1461,14 +1468,14 @@ def _mmr_oracle(k: int, lam: int) -> str:
     for r in range(2, k + 1):
         prev = f"m{r - 1}"
         parts.append(
-            f"""c{r} AS (
+            f"""c{r} AS MATERIALIZED (
         SELECT q.vec_id, q.rel, MAX({dot("q.v", "s.v")}) AS ms
         FROM mq q, {prev} s
         WHERE q.vec_id NOT IN (SELECT vec_id FROM {prev})
         GROUP BY q.vec_id, q.rel)"""
         )
         parts.append(
-            f"""m{r} AS (
+            f"""m{r} AS MATERIALIZED (
         SELECT * FROM {prev}
         UNION ALL
         SELECT CAST({r} AS INT), w.vec_id, w.rel, w.ms, q.v

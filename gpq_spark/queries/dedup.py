@@ -1056,7 +1056,7 @@ def dedup_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_winnowing_pairs",
     """
-    WITH fp AS (
+    WITH fp AS MATERIALIZED (
         SELECT doc_id, unnest(list_distinct(mins)) AS fp
         FROM (
             SELECT doc_id,
@@ -1082,10 +1082,13 @@ def dedup_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    , rare AS (
+    , rare AS MATERIALIZED (
         SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 20
     ),
-    kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp))
+    -- kept is referenced twice in the pair self-join; materialized so
+    -- the fingerprint extraction doesn't re-run per side (2.5 s ->
+    -- 1.1 s at sf0.01, identical rows)
+    kept AS MATERIALIZED (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(COUNT(*) AS BIGINT) AS shared_fps
     FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
