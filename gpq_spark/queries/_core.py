@@ -40,10 +40,20 @@ class QueryDef:
 
 QUERIES: list[QueryDef] = []
 
+# Oracles whose SQL is built by helper code in _helpers.py rather than
+# written inline at the @register site. _helpers fills this dict at
+# import time; every family module imports _helpers before its own
+# @register calls run, so register() can resolve a None oracle here.
+# (Round-7 regression: _helpers used post-hoc `for _q in QUERIES`
+# loops, which ran BEFORE the family modules registered those queries
+# and silently no-opped — 10 queries lost their oracles. VERDICT r7 #1.)
+LATE_ORACLES: dict[str, str] = {}
+
 
 def register(name: str, oracle: str | None):
     def wrap(fn):
-        QUERIES.append(QueryDef(name, fn, oracle))
+        QUERIES.append(QueryDef(name, fn, oracle if oracle is not None
+                                else LATE_ORACLES.get(name)))
         return fn
 
     return wrap
@@ -57,4 +67,4 @@ def oracles_dict() -> dict[str, str]:
     return {q.name: q.oracle for q in QUERIES if q.oracle is not None}
 
 
-__all__ = ['QUERIES', 'QueryDef', 'load', 'load_events', 'oracles_dict', 'queries_dict', 'register', 'DataFrame', 'SparkSession', 'Window', 'F']
+__all__ = ['QUERIES', 'QueryDef', 'LATE_ORACLES', 'load', 'load_events', 'oracles_dict', 'queries_dict', 'register', 'DataFrame', 'SparkSession', 'Window', 'F']

@@ -148,9 +148,7 @@ def _profile_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-for _q in QUERIES:
-    if _q.name == "profile_lineitem":
-        _q.oracle = _profile_oracle()
+LATE_ORACLES["profile_lineitem"] = _profile_oracle()
 
 
 _SKEW_COLS = ["o_orderpriority", "o_orderstatus", "o_custkey"]
@@ -179,9 +177,7 @@ def _skew_oracle() -> str:
     """
 
 
-for _q in QUERIES:
-    if _q.name == "skew_report_orders":
-        _q.oracle = _skew_oracle()
+LATE_ORACLES["skew_report_orders"] = _skew_oracle()
 
 
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 110000.0, 22
@@ -241,14 +237,10 @@ def _simhash_oracle(bits: int = 16) -> str:
     """
 
 
-for _q in QUERIES:
-    if _q.name == "dedup_simhash_docs":
-        _q.oracle = _simhash_oracle(16)
+LATE_ORACLES["dedup_simhash_docs"] = _simhash_oracle(16)
 
 
-for _q in QUERIES:
-    if _q.name == "dedup_simhash_pairs":
-        _q.oracle = f"""
+LATE_ORACLES["dedup_simhash_pairs"] = f"""
         WITH sh AS ({_simhash_oracle(16)})
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
@@ -324,9 +316,7 @@ def _langid_oracle() -> str:
     """
 
 
-for _q in QUERIES:
-    if _q.name == "text_langid":
-        _q.oracle = _langid_oracle()
+LATE_ORACLES["text_langid"] = _langid_oracle()
 
 
 _QF_RULES = {
@@ -396,9 +386,7 @@ def _sniff_oracle() -> str:
     """
 
 
-for _q in QUERIES:
-    if _q.name == "multimodal_sniff":
-        _q.oracle = _sniff_oracle()
+LATE_ORACLES["multimodal_sniff"] = _sniff_oracle()
 
 
 _PNG_W = "(doc_id % 1000 + 16)"
@@ -447,9 +435,7 @@ def _resize_oracle() -> str:
     """
 
 
-for _q in QUERIES:
-    if _q.name == "multimodal_resize":
-        _q.oracle = _resize_oracle()
+LATE_ORACLES["multimodal_resize"] = _resize_oracle()
 
 
 _AUDIO_BLOCKS = 4
@@ -470,9 +456,7 @@ def _audio_oracle() -> str:
     """
 
 
-for _q in QUERIES:
-    if _q.name == "multimodal_audio_rms":
-        _q.oracle = _audio_oracle()
+LATE_ORACLES["multimodal_audio_rms"] = _audio_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -2318,9 +2302,7 @@ def _geohash_expr(px: str, py: str, chars: int = 4) -> str:
     return " || ".join(parts)
 
 
-for _q in QUERIES:
-    if _q.name == "dedup_cross_source_matrix":
-        _q.oracle = f"""
+LATE_ORACLES["dedup_cross_source_matrix"] = f"""
         WITH sh AS ({_simhash_oracle(16)}),
         prs AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2448,10 +2430,8 @@ def _tiff_payload_spark() -> str:
     )
 
 
-for _q in QUERIES:
-    if _q.name == "text_langid_f1":
-        _conf = _langid_oracle().strip().rstrip()
-        _q.oracle = f"""
+_conf = _langid_oracle().strip().rstrip()
+LATE_ORACLES["text_langid_f1"] = f"""
         WITH conf AS ({_conf}),
         tp AS (SELECT lang AS lbl, n AS tp FROM conf
                WHERE lang = pred_lang),

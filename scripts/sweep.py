@@ -80,6 +80,21 @@ def main() -> None:
     from gpq_spark.entry_queries import QUERIES
     from gpq_spark.oracle import compare, duckdb_connection
 
+    # Gate invariant (VERDICT r7 #1): every declared query MUST carry a
+    # DuckDB oracle. Round 7's entry_queries.py split silently detached
+    # 10 oracles (import-order bug) and the sweep counted the resulting
+    # hash_match=None rows as green — the regression was invisible.
+    # The intended rows-only set is EMPTY, so any oracle=None is a
+    # hard failure, not a weaker check.
+    oracle_less = [q.name for q in QUERIES if q.oracle is None]
+    if oracle_less:
+        print(
+            "SWEEP INVARIANT VIOLATION: queries without a DuckDB oracle "
+            f"({len(oracle_less)}): {oracle_less}",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+
     con = duckdb_connection(sf_dir)
 
     # previous round's sweep, loaded up front so EVERY per-query record
