@@ -34,21 +34,90 @@ def read_cpu_stat() -> tuple[int, int]:
         return 0, 0
 
 
-def read_pressure_cpu() -> tuple[float, int]:
-    """(some avg10 %, total stall microseconds) from /proc/pressure/cpu.
+def read_pressure(kind: str = "cpu") -> tuple[float, int]:
+    """(some avg10 %, total stall microseconds) from /proc/pressure/<kind>.
 
     PSI counts wall time in which runnable tasks were STALLED waiting
-    for a CPU — it catches co-tenant contention that steal ticks
-    undercount (memory-bandwidth and cache pressure surface as run-queue
-    delay). Recorded per query and overall so a BENCH number carries its
-    own contention evidence (VERDICT r4 task 1)."""
+    for the resource — cpu PSI catches co-tenant contention that steal
+    ticks undercount, io/memory PSI catch the contention modes steal
+    can't see at all (page-cache eviction, sibling-process disk traffic
+    — the unattributed 2x driver-vs-solo gap class, VERDICT r7 #2).
+    Recorded per query and overall so a BENCH number carries its own
+    contention evidence (VERDICT r4 task 1)."""
     try:
-        with open("/proc/pressure/cpu") as f:
+        with open(f"/proc/pressure/{kind}") as f:
             line = f.readline().split()  # some avg10=.. avg60=.. total=..
         kv = dict(p.split("=") for p in line[1:])
         return float(kv.get("avg10", 0.0)), int(kv.get("total", 0))
     except (OSError, ValueError):
         return 0.0, 0
+
+
+def read_pressure_cpu() -> tuple[float, int]:
+    return read_pressure("cpu")
+
+
+def proc_cpu_snapshot() -> dict[int, tuple[int, int, str]]:
+    """pid -> (cpu_ticks, ppid, comm) for every live process.
+
+    Feeds the sibling-CPU attribution below: per timing window we
+    compute how many CPU ticks went to processes OUTSIDE our own
+    descendant tree (the Spark JVM + Python workers are children of
+    this script). Steal measures the hypervisor running other VMs; this
+    measures other processes inside THIS VM — the mode `contended`
+    could not see in r7 when the driver's walls read 2.4-3.1x the solo
+    walls with steal at 0.1% (VERDICT r7 #2)."""
+    snap: dict[int, tuple[int, int, str]] = {}
+    try:
+        pids = [d for d in os.listdir("/proc") if d.isdigit()]
+    except OSError:
+        return snap
+    for d in pids:
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                raw = f.read()
+            comm = raw[raw.index("(") + 1 : raw.rindex(")")]
+            parts = raw.rsplit(")", 1)[1].split()
+            # post-comm fields: state=0 ppid=1 ... utime=11 stime=12
+            snap[int(d)] = (int(parts[11]) + int(parts[12]), int(parts[1]), comm)
+        except (OSError, IndexError, ValueError):
+            continue
+    return snap
+
+
+def _descendants(snap: dict[int, tuple[int, int, str]]) -> set[int]:
+    mine = {os.getpid()}
+    changed = True
+    while changed:
+        changed = False
+        for pid, (_, ppid, _c) in snap.items():
+            if ppid in mine and pid not in mine:
+                mine.add(pid)
+                changed = True
+    return mine
+
+
+def sibling_cores(
+    before: dict[int, tuple[int, int, str]],
+    after: dict[int, tuple[int, int, str]],
+    wall: float,
+) -> tuple[float, list[str]]:
+    """(average CPU cores burned by non-descendant processes during the
+    window, top offender names). Ticks are USER_HZ=100/s."""
+    ours = _descendants(after) | _descendants(before)
+    per_proc: dict[str, int] = {}
+    for pid, (t1, _pp, comm) in after.items():
+        if pid in ours:
+            continue
+        dt = t1 - before.get(pid, (0, 0, ""))[0]
+        if dt > 0:
+            per_proc[comm] = per_proc.get(comm, 0) + dt
+    total = sum(per_proc.values())
+    top = [
+        f"{c}:{t / 100.0:.1f}s"
+        for c, t in sorted(per_proc.items(), key=lambda x: -x[1])[:3]
+    ]
+    return round(total / 100.0 / max(wall, 1e-6), 2), top
 
 
 def read_loadavg() -> float:
@@ -194,36 +263,108 @@ def main() -> None:
     # where stream_sessionize_ooo read 31.9 s vs its 7.3 s solo wall.
     MAX_EXTRA_RUNS = 3
 
-    def measure(fn, name: str) -> tuple[float, float, float, float, int]:
+    def measure(fn, name: str) -> dict:
         s0, t0 = read_cpu_stat()
         _, p0 = read_pressure_cpu()
+        _, io0 = read_pressure("io")
+        _, m0 = read_pressure("memory")
         g0 = read_gc_ms(spark)
+        procs0 = proc_cpu_snapshot()
+        load0 = read_loadavg()
         start = time.perf_counter()
         n = fn(spark, sf_dir).count()
         wall = time.perf_counter() - start
         s1, t1 = read_cpu_stat()
         _, p1 = read_pressure_cpu()
+        _, io1 = read_pressure("io")
+        _, m1 = read_pressure("memory")
         g1 = read_gc_ms(spark)
-        return (
-            wall,
-            round(100.0 * (s1 - s0) / max(1, t1 - t0), 2),
-            # stall-% of this query's wall (PSI total is microseconds)
-            round(100.0 * (p1 - p0) / max(1.0, wall * 1e6), 2),
-            round(100.0 * (g1 - g0) / max(1.0, wall * 1e3), 2),
-            n,
-        )
+        sib, sib_top = sibling_cores(procs0, proc_cpu_snapshot(), wall)
+        # Reclaim heap OUTSIDE the timed window: every fn() call builds
+        # NEW DataFrames, so a query's persist barriers add a fresh
+        # cache copy per run instead of reusing the last one, and
+        # checkpoint/shuffle blocks are only released when Spark's
+        # ContextCleaner sees their handles collected by a JVM GC —
+        # which otherwise happens MID-WINDOW, inside whichever
+        # allocation-heavy query finally forces a full GC (measured:
+        # q_ktruss_edges run 2 at 90.2 s gc%=90.9, and still 28.3 s
+        # gc%=73.5 with clearCache alone; the idle 6-run band is
+        # 6.6-9.3 s). clearCache drops the cache copies, System.gc()
+        # runs the cleaner NOW so no window pays another query's
+        # garbage. JIT and OS page cache — the legitimate warmth —
+        # survive both.
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — hygiene must never fail the bench
+            pass
+        return {
+            "wall": wall,
+            "steal": round(100.0 * (s1 - s0) / max(1, t1 - t0), 2),
+            # stall-% of this query's wall (PSI totals are microseconds)
+            "psi": round(100.0 * (p1 - p0) / max(1.0, wall * 1e6), 2),
+            "psi_io": round(100.0 * (io1 - io0) / max(1.0, wall * 1e6), 2),
+            "psi_mem": round(100.0 * (m1 - m0) / max(1.0, wall * 1e6), 2),
+            "gc": round(100.0 * (g1 - g0) / max(1.0, wall * 1e3), 2),
+            "sibling_cores": sib,
+            "sibling_top": sib_top,
+            "loadavg1": load0,
+            "rows": n,
+        }
 
-    def dirty(steal: float, psi: float, wall: float, wmin: float) -> bool:
+    def dirty(r: dict, wmin: float) -> bool:
         # steal is co-tenant CPU theft — always disqualifying. PSI also
         # counts SELF-inflicted run-queue pressure (a streaming drain's
         # micro-batch bursts oversubscribe local[32] and stall its own
         # runnables at ~9% PSI with zero steal), so PSI alone cannot
         # condemn a window whose wall sits at the distribution floor:
         # require the wall to actually deviate. A sustained co-tenant
-        # burst spanning every run still flags via steal.
-        return steal > STEAL_DIRTY or (
-            psi > PSI_DIRTY and wall > 1.25 * wmin
+        # burst spanning every run still flags via steal. Sibling-process
+        # CPU (>= 1 full core of non-descendant work) and io/memory
+        # stalls are the r7 blind spots — same wall-deviation guard.
+        deviates = r["wall"] > 1.25 * wmin
+        return (
+            r["steal"] > STEAL_DIRTY
+            or (r["psi"] > PSI_DIRTY and deviates)
+            or (r["sibling_cores"] >= 1.0 and deviates)
+            or (max(r["psi_io"], r["psi_mem"]) > PSI_DIRTY and deviates)
         )
+
+    # Committed reference walls for the deviation check (VERDICT r7 #2):
+    # a window whose wall reads >1.5x the committed solo number with NO
+    # counter explaining it is exactly the r7 driver-vs-solo mystery —
+    # re-run it like a dirty window; if it never closes the gap, list it
+    # in `unexplained_vs_ref` so the artifact names its own anomaly.
+    ref_walls: dict[str, float] = {}
+    ref_path = os.environ.get("SPARK_GRAFT_REF_BENCH")
+    if ref_path is None:
+        import re as _re
+
+        repo_d = os.path.dirname(os.path.abspath(__file__))
+        cands = sorted(
+            f
+            for f in os.listdir(repo_d)
+            if _re.match(r"BENCH_SELF_r\d+\.json$", f)
+        )
+        if cands:
+            ref_path = os.path.join(repo_d, cands[-1])
+    sf_name = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    if ref_path and os.path.exists(ref_path):
+        try:
+            with open(ref_path) as f:
+                ref_doc = json.load(f)
+            if str(ref_doc.get("sf")) == sf_name:
+                ref_walls = ref_doc.get("queries", {})
+                print(f"# reference walls: {ref_path}", file=sys.stderr)
+            else:
+                print(
+                    f"# reference {ref_path} is sf={ref_doc.get('sf')}, "
+                    f"run is sf={sf_name}: deviation check disabled",
+                    file=sys.stderr,
+                )
+        except (OSError, ValueError):
+            ref_walls = {}
+    REF_DEVIATION = 1.5
 
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
@@ -231,9 +372,15 @@ def main() -> None:
     steal_cold: dict[str, float] = {}
     psi_warm: dict[str, float] = {}
     psi_cold: dict[str, float] = {}
+    psi_io_warm: dict[str, float] = {}
+    psi_mem_warm: dict[str, float] = {}
+    sibling_warm: dict[str, float] = {}
+    sibling_top_warm: dict[str, list] = {}
+    loadavg_warm: dict[str, float] = {}
     gc_warm: dict[str, float] = {}
     gc_cold: dict[str, float] = {}
     rerun_counts: dict[str, int] = {}
+    unexplained_vs_ref: list[dict] = []
     load_start = read_loadavg()
     bench_s0, bench_t0 = read_cpu_stat()
     _, bench_p0 = read_pressure_cpu()
@@ -241,37 +388,73 @@ def main() -> None:
     for name in HEADLINE:
         fn = qdict[name]
         rows = [measure(fn, name) for _ in range(2)]
+        ref = ref_walls.get(name)
 
         def _clean_rows():
-            wmin = min(r[0] for r in rows)
-            return [r for r in rows if not dirty(r[1], r[2], r[0], wmin)]
+            wmin = min(r["wall"] for r in rows)
+            return [r for r in rows if not dirty(r, wmin)]
 
-        # self-heal: while the best CLEAN run is missing (every window
-        # so far was contaminated), cool down briefly and try again
+        def _needs_rerun():
+            clean = _clean_rows()
+            if not clean:
+                return True  # every window so far was contaminated
+            # counters clean but the best wall is way over the committed
+            # reference: an unexplained window — retry before reporting
+            best_w = min(r["wall"] for r in clean)
+            return bool(
+                ref and best_w > REF_DEVIATION * ref and best_w > 1.0
+            )
+
+        # self-heal: while the best CLEAN run is missing or unexplained
+        # vs the committed reference, cool down briefly and try again
         extra = 0
-        while not _clean_rows() and extra < MAX_EXTRA_RUNS:
+        while _needs_rerun() and extra < MAX_EXTRA_RUNS:
             time.sleep(5.0)
             rows.append(measure(fn, name))
             extra += 1
         rerun_counts[name] = extra
         clean = _clean_rows()
-        best = min(clean or rows, key=lambda r: r[0])
-        wall0, st0, ps0, gc0, n = rows[0][0], rows[0][1], rows[0][2], rows[0][3], rows[0][4]
-        timings_cold[name] = round(wall0, 3)
-        timings[name] = round(best[0], 3)
-        steal_cold[name] = st0
-        steal_warm[name] = best[1]
-        psi_cold[name] = ps0
-        psi_warm[name] = best[2]
-        gc_cold[name] = gc0
-        gc_warm[name] = best[3]
+        best = min(clean or rows, key=lambda r: r["wall"])
+        if ref and best["wall"] > REF_DEVIATION * ref and best["wall"] > 1.0:
+            unexplained_vs_ref.append(
+                {
+                    "name": name,
+                    "wall_s": round(best["wall"], 3),
+                    "ref_wall_s": ref,
+                    "steal_pct": best["steal"],
+                    "cpu_stall_pct": best["psi"],
+                    "io_stall_pct": best["psi_io"],
+                    "mem_stall_pct": best["psi_mem"],
+                    "sibling_cores": best["sibling_cores"],
+                    "sibling_top": best["sibling_top"],
+                }
+            )
+        cold = rows[0]
+        timings_cold[name] = round(cold["wall"], 3)
+        timings[name] = round(best["wall"], 3)
+        steal_cold[name] = cold["steal"]
+        steal_warm[name] = best["steal"]
+        psi_cold[name] = cold["psi"]
+        psi_warm[name] = best["psi"]
+        psi_io_warm[name] = best["psi_io"]
+        psi_mem_warm[name] = best["psi_mem"]
+        sibling_warm[name] = best["sibling_cores"]
+        sibling_top_warm[name] = best["sibling_top"]
+        loadavg_warm[name] = best["loadavg1"]
+        gc_cold[name] = cold["gc"]
+        gc_warm[name] = best["gc"]
         extra_note = f"; reruns {extra}" if extra else ""
+
+        def _fmt(key, spec=".1f"):
+            return ", ".join(format(r[key], spec) for r in rows)
+
         print(
-            f"# {name}: {timings[name]:.3f}s ({n} rows; runs "
-            f"{', '.join(f'{r[0]:.2f}' for r in rows)}; steal% "
-            f"{', '.join(f'{r[1]:.1f}' for r in rows)}; cpu_stall% "
-            f"{', '.join(f'{r[2]:.1f}' for r in rows)}; gc% "
-            f"{', '.join(f'{r[3]:.1f}' for r in rows)}{extra_note})",
+            f"# {name}: {timings[name]:.3f}s ({best['rows']} rows; runs "
+            f"{_fmt('wall', '.2f')}; steal% {_fmt('steal')}; "
+            f"cpu_stall% {_fmt('psi')}; io_stall% {_fmt('psi_io')}; "
+            f"mem_stall% {_fmt('psi_mem')}; "
+            f"sibling_cores {_fmt('sibling_cores')}; "
+            f"gc% {_fmt('gc')}{extra_note})",
             file=sys.stderr,
         )
     bench_s1, bench_t1 = read_cpu_stat()
@@ -299,10 +482,22 @@ def main() -> None:
     queries_dirty = sorted(
         n
         for n in HEADLINE
-        if dirty(steal_warm[n], psi_warm[n], timings[n], timings[n])
+        if dirty(
+            {
+                "wall": timings[n],
+                "steal": steal_warm[n],
+                "psi": psi_warm[n],
+                "psi_io": psi_io_warm[n],
+                "psi_mem": psi_mem_warm[n],
+                "sibling_cores": sibling_warm[n],
+            },
+            timings[n],
+        )
     )
     contended = bool(
-        queries_dirty or max(load_start, load_end) > 1.25 * ncpu
+        queries_dirty
+        or unexplained_vs_ref
+        or max(load_start, load_end) > 1.25 * ncpu
     )
 
     total = round(sum(timings.values()), 3)
@@ -338,25 +533,42 @@ def main() -> None:
         "cpu_stall_pct_overall": psi_overall,
         "gc_pct": gc_warm,
         "gc_pct_cold": gc_cold,
+        "io_stall_pct": psi_io_warm,
+        "mem_stall_pct": psi_mem_warm,
+        "sibling_cores": sibling_warm,
+        "sibling_top": {k: v for k, v in sibling_top_warm.items() if v},
+        "loadavg1": loadavg_warm,
         "loadavg1_start": load_start,
         "loadavg1_end": load_end,
         "contended": contended,
         "queries_dirty": queries_dirty,
+        "unexplained_vs_ref": unexplained_vs_ref,
+        "ref_bench": ref_path,
         "rerun_counts": {k: v for k, v in rerun_counts.items() if v},
         "sf": sf_val,
     }
+    # Artifact path: caller override first; otherwise round-stamped,
+    # and NEVER overwrite an existing (likely committed) file — the r7
+    # driver run clobbered the builder's BENCH_SELF_r07.json because
+    # both computed the same default path (VERDICT r7 #3/#4).
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    rnd = os.environ.get("SPARK_GRAFT_ROUND")
-    if rnd is None:
-        import re as _re
+    self_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if self_path is None:
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            import re as _re
 
-        seen = [
-            int(m.group(1))
-            for f in os.listdir(repo_dir)
-            if (m := _re.match(r"BENCH_r(\d+)\.json$", f))
-        ]
-        rnd = f"{(max(seen) + 1) if seen else 1:02d}"
-    self_path = os.path.join(repo_dir, f"BENCH_SELF_r{rnd}.json")
+            seen = [
+                int(m.group(1))
+                for f in os.listdir(repo_dir)
+                if (m := _re.match(r"BENCH_r(\d+)\.json$", f))
+            ]
+            rnd = f"{(max(seen) + 1) if seen else 1:02d}"
+        self_path = os.path.join(repo_dir, f"BENCH_SELF_r{rnd}.json")
+        k = 2
+        while os.path.exists(self_path):
+            self_path = os.path.join(repo_dir, f"BENCH_SELF_r{rnd}-{k}.json")
+            k += 1
     try:
         with open(self_path, "w") as f:
             json.dump(full_payload, f, indent=1)
@@ -378,6 +590,7 @@ def main() -> None:
                 "cold_wall_13": total_13_cold,
                 "contended": contended,
                 "steal_pct_overall": steal_overall,
+                "unexplained": [u["name"] for u in unexplained_vs_ref],
                 "sf": sf_val,
             }
         )

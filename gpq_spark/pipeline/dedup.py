@@ -1043,12 +1043,18 @@ def semantic_dedup(
         "cluster", _argmax_cell_expr(vec_col, cents)
     )
     if persist:
-        # bounded registry, not bare persist: the returned frame is lazy
-        # so this cache can't be eagerly unpersisted here — the registry
-        # evicts it after later calls instead of leaking it forever
-        from ..relational import _persist_bounded
-
-        assigned = _persist_bounded(assigned)
+        # lineage BARRIER, not just a cache: the k x dim centroid
+        # literals otherwise appear once per consumer in the optimized
+        # plan (3 consumers -> 145.5k plan chars for the gate fixture,
+        # 97% of the plan-blowup tripwire, VERDICT r7 #5). A cached
+        # frame still prints the literal subtree at every reference;
+        # localCheckpoint computes the assignment once, stores it
+        # executor-local, and replaces the subtree with a compact RDD
+        # scan. On a real cluster prefer setCheckpointDir +
+        # .checkpoint() — executor-local blocks are lost with the
+        # executor; the reliable variant trades a DFS write for
+        # fault-tolerant lineage truncation.
+        assigned = assigned.localCheckpoint(eager=True)
     a = assigned.alias("a")
     b = assigned.alias("b")
     dup_ids = (

@@ -585,14 +585,40 @@ def _events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _drain_to_table(df: DataFrame, prefix: str, mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink and
-    return the materialized table (deterministic on bounded input)."""
+    return the materialized table (deterministic on bounded input).
+
+    The drain runs with a SMALL shuffle-partition count (restored
+    afterwards): every micro-batch commits one state-store instance
+    per shuffle partition (HDFS-backed provider writes a delta file
+    each, stateful pandas operators spin an Arrow worker each), and
+    the OOO replays run 4+ micro-batches — at gate key-cardinality,
+    32 partitions buy nothing except 8x the per-batch state commits
+    (~50 s of the r7 sweep was this harness tax, VERDICT r7 #7).
+    Partitioning never changes results, only where keys live. The same
+    lever applies at 100 TB in reverse: size state partitions to key
+    cardinality and state size, not the batch-side shuffle default."""
+    import os
     import uuid
 
+    spark = df.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
-    return df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("STREAM_DRAIN_PARTITIONS", "4"),
+    )
+    try:
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------

@@ -684,7 +684,9 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(cid), [float(x) for x in vec]) for cid, vec in _IVF_FIX["centroids"]],
         "centroid_id int, centroid array<double>",
     )
-    return semantic_dedup(emb, "vec_id", "embedding", cents, threshold=0.2)
+    return semantic_dedup(
+        emb, "vec_id", "embedding", cents, threshold=0.2, persist=True
+    )
 
 
 @register(

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Emit docs/DRIVER_SAMPLE_STRATIFIED.json: the machine-readable
+family-stratified 50-query sample proposal for the driver's per-round
+CORRECTNESS gate (VERDICT r7 task 8 / README "stratified sampling").
+
+The r6 and r7 driver samples were single-family (TPC-H/relational), so
+whole families — geo, streaming, multimodal containers — went without
+external correctness evidence for a round at a time. This file gives
+the driver everything needed to stratify mechanically:
+
+- every family with its full member list (derived from the same GROUPS
+  regexes that generate docs/QUERY_CATALOG.md, so the two stay in sync),
+- a per-family slot allocation (floor 2, remainder proportional by
+  family size, total 50),
+- a deterministic selection rule seeded by round number, plus a worked
+  example selection for the next round so adoption is copy-paste.
+
+Run from the repo root: python scripts/gen_driver_sample.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from gpq_spark.entry_queries import QUERIES  # noqa: E402
+from gen_catalog import GROUPS  # noqa: E402
+
+TOTAL = 50
+FLOOR = 2
+
+
+def family_members() -> dict[str, list[str]]:
+    used: set[str] = set()
+    fams: dict[str, list[str]] = {}
+    for title, pat in GROUPS:
+        rows = sorted(
+            q.name for q in QUERIES if re.match(pat, q.name) and q.name not in used
+        )
+        if rows:
+            used.update(rows)
+            fams[title] = rows
+    leftover = sorted(q.name for q in QUERIES if q.name not in used)
+    if leftover:
+        fams["Other"] = leftover
+    return fams
+
+
+def allocate(fams: dict[str, list[str]]) -> dict[str, int]:
+    """Floor-2 + largest-remainder proportional allocation to TOTAL."""
+    n_all = sum(len(v) for v in fams.values())
+    slots = {f: min(FLOOR, len(v)) for f, v in fams.items()}
+    remaining = TOTAL - sum(slots.values())
+    # proportional shares of the remainder, largest remainder first
+    shares = {
+        f: remaining * len(v) / n_all for f, v in fams.items()
+    }
+    for f in fams:
+        add = min(int(shares[f]), len(fams[f]) - slots[f])
+        slots[f] += add
+        remaining -= add
+    by_rem = sorted(
+        fams, key=lambda f: -(shares[f] - int(shares[f]))
+    )
+    i = 0
+    while remaining > 0 and i < 10 * len(by_rem):
+        f = by_rem[i % len(by_rem)]
+        if slots[f] < len(fams[f]):
+            slots[f] += 1
+            remaining -= 1
+        i += 1
+    return slots
+
+
+def select(fams: dict[str, list[str]], slots: dict[str, int], rnd: int) -> dict[str, list[str]]:
+    """The selection rule: per family, take the `slots[f]` names with the
+    smallest md5("r<round>|<name>") — deterministic, round-rotating."""
+    out = {}
+    for f, names in fams.items():
+        ranked = sorted(
+            names, key=lambda n: hashlib.md5(f"r{rnd}|{n}".encode()).hexdigest()
+        )
+        out[f] = sorted(ranked[: slots[f]])
+    return out
+
+
+def main() -> None:
+    fams = family_members()
+    slots = allocate(fams)
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    doc = {
+        "_purpose": (
+            "Family-stratified sample spec for the driver's per-round "
+            "~50-query CORRECTNESS gate. Guarantees every family gets "
+            "external oracle coverage every round (r6/r7 samples were "
+            "single-family)."
+        ),
+        "total": sum(slots.values()),
+        "selection_rule": (
+            "per family, pick the slots-many member names with the "
+            "smallest md5('r<round>|<name>') hex digest — deterministic "
+            "and rotates membership each round"
+        ),
+        "families": {
+            f: {"slots": slots[f], "n_queries": len(fams[f]), "queries": fams[f]}
+            for f in fams
+        },
+        "example_round": rnd,
+        "example_selection": select(fams, slots, rnd),
+    }
+    dest = Path(__file__).resolve().parent.parent / "docs" / "DRIVER_SAMPLE_STRATIFIED.json"
+    with open(dest, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    print(f"{dest}: {doc['total']} slots over {len(fams)} families")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,13 +56,11 @@ CARTESIAN_ALLOWED = {
 # entry_queries multimodal_exif_header / pipeline.multimodal
 # parse_tiff_header).
 PLAN_CHARS_MAX = 150_000
-PLAN_BLOWUP_ALLOWED: set[str] = {
-    # 145.5k chars of trained-centroid LITERALS (k x 32-dim int arrays
-    # embedded in the plan), not expression inlining — the query runs
-    # 2.1 s, in-band. Whitelisted so the threshold stays tight for
-    # everything else; re-check if its plan_chars ever exceeds ~200k.
-    "semantic_dedup_docs",
-}
+# empty since r8: semantic_dedup's assignment subframe now takes a
+# localCheckpoint lineage barrier, so the centroid literals appear
+# once instead of once per consumer (145,504 -> 1,625 plan chars,
+# oracle still exact — VERDICT r7 #5)
+PLAN_BLOWUP_ALLOWED: set[str] = set()
 
 # BNLJ contract: every BroadcastNestedLoopJoin in the gate broadcasts a
 # BOUNDED side (1-row aggregate scalars, ≤50-row query sets, decile /
