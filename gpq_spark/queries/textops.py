@@ -2129,4 +2129,257 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = ['text_ppl_buckets'] + ['text_scrub_docs', 'text_chunk_docs', 'text_luhn_scrub', 'text_token_fertility', 'text_tokens', 'text_quality', 'text_langid', 'text_repetition', 'text_top_ngram', 'text_boilerplate', 'text_vocabulary', 'text_bigram_pmi', 'text_quality_filter', 'text_feature_hash', 'text_chunk_windows', 'text_oov_rate', 'text_charlm_score', 'text_fingerprint', 'text_entropy', 'text_inverted_index', 'text_pair_cosine', 'text_pair_cosine_allpairs', 'text_vocab_stats', 'text_zipf_slope', 'text_readability', 'text_rake_keyphrases', 'text_html_extract', 'text_winnowing_matches', 'text_bpe_merges', 'text_bpe_tokenize', 'text_vocab_coverage', 'text_log_templates', 'text_prefix_index', 'text_langid_f1', 'text_fertility_by_lang', 'text_rag_chunks', 'text_phrase_search', 'text_skipgram_pairs', 'text_chat_turns', 'text_charlm_xent', 'text_secrets_scan', 'text_encoding_audit']
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@register(
+    "text_gopher_rules",
+    f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           w -> w <> '') AS w,
+               string_split(text, chr(10)) AS l
+        FROM documents
+    ),
+    cnt AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(w, x -> CAST(length(x) AS BIGINT))),
+                    (a, b) -> a + b) AS BIGINT) AS sum_wlen,
+               CAST(length(text) - length(replace(text, '#', ''))
+                    AS BIGINT) AS n_hash,
+               CAST((length(text) - length(replace(text, '...', ''))) // 3
+                    + (length(text) - length(replace(text, '…', '')))
+                    AS BIGINT) AS n_ellipsis,
+               CAST(len(l) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(l, x ->
+                    substr(ltrim(x), 1, 1) = '-' OR
+                    substr(ltrim(x), 1, 1) = '*' OR
+                    substr(ltrim(x), 1, 1) = '•')) AS BIGINT) AS n_bullet,
+               CAST(len(list_filter(l, x ->
+                    right(rtrim(x), 3) = '...' OR
+                    right(rtrim(x), 1) = '…')) AS BIGINT) AS n_ell_line,
+               CAST(len(list_filter(w, x ->
+                    regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+               CAST({' + '.join(
+                   "(CASE WHEN list_contains(list_transform(w, x -> lower(x)), '"
+                   + s + "') THEN 1 ELSE 0 END)" for s in _GOPHER_STOPS
+               )} AS INT) AS n_stop
+        FROM base
+    )
+    SELECT doc_id, n_words,
+           sum_wlen * 1000 // greatest(n_words, 1) AS mean_wlen_e3,
+           n_hash * 1000000 // greatest(n_words, 1) AS hash_ratio_e6,
+           n_ellipsis * 1000000 // greatest(n_words, 1) AS ellipsis_ratio_e6,
+           n_bullet * 1000000 // greatest(n_lines, 1) AS bullet_lines_e6,
+           n_ell_line * 1000000 // greatest(n_lines, 1) AS ell_lines_e6,
+           n_alpha * 1000000 // greatest(n_words, 1) AS alpha_words_e6,
+           n_stop,
+           CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 0 ELSE 1 END)
+              + (CASE WHEN sum_wlen >= 3 * n_words
+                       AND sum_wlen <= 10 * n_words THEN 0 ELSE 1 END)
+              + (CASE WHEN n_hash * 10 <= n_words THEN 0 ELSE 1 END)
+              + (CASE WHEN n_ellipsis * 10 <= n_words THEN 0 ELSE 1 END)
+              + (CASE WHEN n_bullet * 10 <= 9 * n_lines THEN 0 ELSE 1 END)
+              + (CASE WHEN n_ell_line * 10 <= 3 * n_lines THEN 0 ELSE 1 END)
+              + (CASE WHEN n_alpha * 10 >= 8 * n_words THEN 0 ELSE 1 END)
+              + (CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END) AS INT)
+               AS n_rules_failed,
+           (n_words >= 50 AND n_words <= 100000
+            AND sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words
+            AND n_hash * 10 <= n_words
+            AND n_ellipsis * 10 <= n_words
+            AND n_bullet * 10 <= 9 * n_lines
+            AND n_ell_line * 10 <= 3 * n_lines
+            AND n_alpha * 10 >= 8 * n_words
+            AND n_stop >= 2) AS passes
+    FROM cnt
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al., "Scaling
+    Language Models: Methods, Analysis & Insights from Training
+    Gopher", 2021, Table A1 — the document-level heuristics behind
+    MassiveText and its descendants): word-count bounds [50, 100k],
+    mean word length in [3, 10], hash/ellipsis symbol-to-word ratios
+    ≤ 0.1, bullet-led lines ≤ 90%, ellipsis-ended lines ≤ 30%, ≥ 80%
+    of words containing an alphabetic character, and ≥ 2 of the 8
+    designated English stopwords. Every ratio is emitted as an exact
+    integer (×1e6 div), every threshold tests by integer
+    cross-multiplication — no floats anywhere. Shape: one projection
+    pipeline over the corpus, zero shuffles; at 100 TB this is the
+    embarrassingly-parallel map stage it should be."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.expr("filter(split(trim(text), '\\\\s+'), w -> w <> '')").alias("w"),
+        F.split(F.col("text"), "\n").alias("l"),
+    )
+    stop_sum = " + ".join(
+        f"(CASE WHEN array_contains(transform(w, x -> lower(x)), '{s}')"
+        " THEN 1 ELSE 0 END)"
+        for s in _GOPHER_STOPS
+    )
+    cnt = base.select(
+        "doc_id",
+        F.expr("CAST(size(w) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+        ).alias("sum_wlen"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)"
+        ).alias("n_hash"),
+        F.expr(
+            "CAST((length(text) - length(replace(text, '...', ''))) div 3"
+            " + (length(text) - length(replace(text, '…', ''))) AS BIGINT)"
+        ).alias("n_ellipsis"),
+        F.expr("CAST(size(l) AS BIGINT)").alias("n_lines"),
+        F.expr(
+            "CAST(size(filter(l, x -> substring(ltrim(x), 1, 1) = '-'"
+            " OR substring(ltrim(x), 1, 1) = '*'"
+            " OR substring(ltrim(x), 1, 1) = '•')) AS BIGINT)"
+        ).alias("n_bullet"),
+        F.expr(
+            "CAST(size(filter(l, x -> right(rtrim(x), 3) = '...'"
+            " OR right(rtrim(x), 1) = '…')) AS BIGINT)"
+        ).alias("n_ell_line"),
+        F.expr(
+            "CAST(size(filter(w, x -> x rlike '[A-Za-z]')) AS BIGINT)"
+        ).alias("n_alpha"),
+        F.expr(f"CAST({stop_sum} AS INT)").alias("n_stop"),
+    )
+    return cnt.select(
+        "doc_id",
+        "n_words",
+        F.expr("sum_wlen * 1000 div greatest(n_words, 1)").alias("mean_wlen_e3"),
+        F.expr("n_hash * 1000000 div greatest(n_words, 1)").alias("hash_ratio_e6"),
+        F.expr("n_ellipsis * 1000000 div greatest(n_words, 1)").alias(
+            "ellipsis_ratio_e6"
+        ),
+        F.expr("n_bullet * 1000000 div greatest(n_lines, 1)").alias(
+            "bullet_lines_e6"
+        ),
+        F.expr("n_ell_line * 1000000 div greatest(n_lines, 1)").alias(
+            "ell_lines_e6"
+        ),
+        F.expr("n_alpha * 1000000 div greatest(n_words, 1)").alias(
+            "alpha_words_e6"
+        ),
+        "n_stop",
+        F.expr(
+            "CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 0 ELSE 1 END)"
+            " + (CASE WHEN sum_wlen >= 3 * n_words"
+            "      AND sum_wlen <= 10 * n_words THEN 0 ELSE 1 END)"
+            " + (CASE WHEN n_hash * 10 <= n_words THEN 0 ELSE 1 END)"
+            " + (CASE WHEN n_ellipsis * 10 <= n_words THEN 0 ELSE 1 END)"
+            " + (CASE WHEN n_bullet * 10 <= 9 * n_lines THEN 0 ELSE 1 END)"
+            " + (CASE WHEN n_ell_line * 10 <= 3 * n_lines THEN 0 ELSE 1 END)"
+            " + (CASE WHEN n_alpha * 10 >= 8 * n_words THEN 0 ELSE 1 END)"
+            " + (CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END) AS INT)"
+        ).alias("n_rules_failed"),
+        F.expr(
+            "n_words >= 50 AND n_words <= 100000"
+            " AND sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words"
+            " AND n_hash * 10 <= n_words"
+            " AND n_ellipsis * 10 <= n_words"
+            " AND n_bullet * 10 <= 9 * n_lines"
+            " AND n_ell_line * 10 <= 3 * n_lines"
+            " AND n_alpha * 10 >= 8 * n_words"
+            " AND n_stop >= 2"
+        ).alias("passes"),
+    )
+
+
+@register(
+    "text_distinct_ngrams",
+    """
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           w -> w <> '') AS w
+        FROM documents
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id, w,
+               CASE WHEN len(w) >= 2 THEN
+                   [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+               ELSE [] END AS g2,
+               CASE WHEN len(w) >= 3 THEN
+                   [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    FOR i IN range(1, len(w) - 1)]
+               ELSE [] END AS g3
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS d1,
+           CAST(len(list_distinct(g2)) AS BIGINT) AS d2,
+           CAST(len(list_distinct(g3)) AS BIGINT) AS d3,
+           CAST(len(list_distinct(w)) AS BIGINT) * 1000000
+               // greatest(len(w), 1) AS distinct1_e6,
+           CAST(len(list_distinct(g2)) AS BIGINT) * 1000000
+               // greatest(len(g2), 1) AS distinct2_e6,
+           CAST(len(list_distinct(g3)) AS BIGINT) * 1000000
+               // greatest(len(g3), 1) AS distinct3_e6
+    FROM grams
+    """,
+)
+def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity profile (Li et al., "A Diversity-Promoting
+    Objective Function for Neural Conversation Models", NAACL 2016 —
+    the distinct-1/2 metric, extended to trigrams): per document, the
+    unique-to-total ratio of unigrams, bigrams, and trigrams over the
+    lowercased whitespace tokens. Low distinct-n = degenerate
+    repetition; the generation-quality metric applied corpus-side to
+    catch template spam before training. Ratios are exact integers
+    (×1e6 div), so the oracle hash-matches bit-for-bit. Shape: pure
+    per-row map over the corpus — zero shuffles at any scale."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(trim(text)), '\\\\s+'), w -> w <> '')"
+        ).alias("w"),
+    )
+    grams = base.select(
+        "doc_id",
+        "w",
+        F.expr(
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2),"
+            " i -> concat_ws(' ', element_at(w, CAST(i + 1 AS INT)),"
+            " element_at(w, CAST(i + 2 AS INT))))"
+            " ELSE array() END"
+        ).alias("g2"),
+        F.expr(
+            "CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w) - 3),"
+            " i -> concat_ws(' ', element_at(w, CAST(i + 1 AS INT)),"
+            " element_at(w, CAST(i + 2 AS INT)),"
+            " element_at(w, CAST(i + 3 AS INT))))"
+            " ELSE array() END"
+        ).alias("g3"),
+    )
+    return grams.select(
+        "doc_id",
+        F.expr("CAST(size(w) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(size(array_distinct(w)) AS BIGINT)").alias("d1"),
+        F.expr("CAST(size(array_distinct(g2)) AS BIGINT)").alias("d2"),
+        F.expr("CAST(size(array_distinct(g3)) AS BIGINT)").alias("d3"),
+        F.expr(
+            "CAST(size(array_distinct(w)) AS BIGINT) * 1000000"
+            " div greatest(size(w), 1)"
+        ).alias("distinct1_e6"),
+        F.expr(
+            "CAST(size(array_distinct(g2)) AS BIGINT) * 1000000"
+            " div greatest(size(g2), 1)"
+        ).alias("distinct2_e6"),
+        F.expr(
+            "CAST(size(array_distinct(g3)) AS BIGINT) * 1000000"
+            " div greatest(size(g3), 1)"
+        ).alias("distinct3_e6"),
+    )
+
+
+__all__ = ['text_ppl_buckets', 'text_gopher_rules', 'text_distinct_ngrams'] + ['text_scrub_docs', 'text_chunk_docs', 'text_luhn_scrub', 'text_token_fertility', 'text_tokens', 'text_quality', 'text_langid', 'text_repetition', 'text_top_ngram', 'text_boilerplate', 'text_vocabulary', 'text_bigram_pmi', 'text_quality_filter', 'text_feature_hash', 'text_chunk_windows', 'text_oov_rate', 'text_charlm_score', 'text_fingerprint', 'text_entropy', 'text_inverted_index', 'text_pair_cosine', 'text_pair_cosine_allpairs', 'text_vocab_stats', 'text_zipf_slope', 'text_readability', 'text_rake_keyphrases', 'text_html_extract', 'text_winnowing_matches', 'text_bpe_merges', 'text_bpe_tokenize', 'text_vocab_coverage', 'text_log_templates', 'text_prefix_index', 'text_langid_f1', 'text_fertility_by_lang', 'text_rag_chunks', 'text_phrase_search', 'text_skipgram_pairs', 'text_chat_turns', 'text_charlm_xent', 'text_secrets_scan', 'text_encoding_audit']

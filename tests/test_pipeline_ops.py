@@ -6133,3 +6133,87 @@ class TestBitextMargin:
         tgt = [(i, [1.0, float(i) / 10.0]) for i in range(1, 9, 2)]
         got = self._mine(spark, src, tgt)
         assert len({a for a, _b, _m in got}) == len(got)
+
+
+class TestGopherRules:
+    """The Gopher rule set over crafted documents: each rule must
+    trip independently (the synthetic gate corpus fails only the
+    stopword rule, so this pins the others)."""
+
+    def _run(self, spark, tmp_path, texts):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gpq_spark.queries.textops import text_gopher_rules
+
+        docs = pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["src0"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(docs, d / "documents.parquet")
+        return {
+            r["doc_id"]: r.asDict()
+            for r in text_gopher_rules(spark, str(d)).collect()
+        }
+
+    def test_rules(self, spark, tmp_path):
+        good = "the quick brown fox and that dog have jumped with " + (
+            "plain words of fine size here again " * 10
+        )
+        out = self._run(
+            spark,
+            tmp_path,
+            [
+                good,                                   # 0: passes all
+                "too short to have fifty words",        # 1: word count
+                good + " ##### ### ## # " * 30,          # 2: hash ratio
+                good + " ... ... ... ... " * 30,         # 3: ellipsis ratio
+                "\n".join(["- bullet line of the and that have with to be"] * 30),  # 4: bullets
+                good.replace("the", "123").replace("and", "456")
+                .replace("that", "789").replace("have", "000")
+                .replace("with", "111").replace("of", "222")
+                .replace("to", "333").replace("be", "444"),  # 5: stopwords
+            ],
+        )
+        assert out[0]["passes"] is True and out[0]["n_rules_failed"] == 0
+        assert out[1]["passes"] is False and out[1]["n_words"] < 50
+        assert out[2]["passes"] is False and out[2]["hash_ratio_e6"] > 100000
+        assert out[3]["passes"] is False and out[3]["ellipsis_ratio_e6"] > 100000
+        assert out[4]["passes"] is False and out[4]["bullet_lines_e6"] > 900000
+        assert out[5]["passes"] is False and out[5]["n_stop"] < 2
+
+
+class TestDistinctNgrams:
+    def test_repetition_detected(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gpq_spark.queries.textops import text_distinct_ngrams
+
+        texts = ["spam " * 40, " ".join(f"w{i}" for i in range(40))]
+        docs = pa.table(
+            {
+                "doc_id": [0, 1],
+                "text": texts,
+                "lang": ["en", "en"],
+                "source": ["s", "s"],
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(docs, d / "documents.parquet")
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in text_distinct_ngrams(spark, str(d)).collect()
+        }
+        assert out[0]["d1"] == 1 and out[0]["distinct2_e6"] < 100000
+        assert out[1]["distinct1_e6"] == 1000000
+        assert out[1]["distinct3_e6"] == 1000000
