@@ -643,7 +643,70 @@ def sample_threshold_retention(
     return threshold_retention(docs, "score", "n_chars", n_steps=10)
 
 
-__all__ = ['sample_hash_docs', 'sample_split_docs', 'sample_stratified_docs', 'sample_weighted_docs', 'profile_lineitem', 'skew_report_orders', 'pack_curriculum_docs', 'pack_chunks_docs', 'pack_greedy_docs', 'sample_balanced_docs', 'sample_mix_gini', 'sample_dsir_scores', 'shuffle_positions_docs', 'sample_match_length_docs', 'sample_temperature_mix', 'sample_token_mix', 'sample_kcenter_docs', 'sample_mmr_docs', 'sample_priority_docs', 'sample_waterfill_mix', 'sample_threshold_retention']
+@register(
+    "pack_length_buckets",
+    f"""
+    WITH toks AS ({_TOKENS_DUCK.strip()}),
+    b AS (
+        SELECT doc_id, tokens,
+               -- bucket must be BIGINT before any arithmetic: DuckDB's
+               -- // on DOUBLE is plain division and the BIGINT cast
+               -- ROUNDS, which broke waste_e6 by one ulp of a doc
+               CAST(CASE WHEN tokens <= 16 THEN 16
+                    ELSE power(2, CAST(ceil(log2(CAST(tokens AS DOUBLE)))
+                                       AS INT)) END AS BIGINT) AS bucket
+        FROM toks
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           CAST((COUNT(*) * bucket - SUM(tokens)) * 1000000
+                // (COUNT(*) * bucket) AS BIGINT) AS waste_e6
+    FROM b GROUP BY bucket
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit — the padding-efficiency question
+    behind dynamic batching / bucketed samplers: round every document's
+    whitespace token count up to the next power of two (floor 16) and
+    report, per bucket, how many tokens a fixed-length batcher would
+    pad away (``waste_e6`` = padded-minus-real over padded, exact
+    integer). High waste in a heavy bucket says the batcher needs a
+    finer bucket ladder or sequence packing (pack_chunks/pack_greedy
+    are the fixes this audit motivates). Bucket boundary uses
+    ``ceil(log2())`` on an exact power of two — both engines compute
+    log2(2^k) exactly, so the integer boundary is engine-stable.
+    Shape: per-row map + one bounded groupBy (≤ ~20 buckets) — the
+    aggregation state is constant-size at any corpus scale."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"
+        ).alias("tokens"),
+    )
+    b = toks.select(
+        "doc_id",
+        "tokens",
+        F.expr(
+            "CASE WHEN tokens <= 16 THEN CAST(16 AS BIGINT)"
+            " ELSE CAST(power(2, CAST(ceil(log2(CAST(tokens AS DOUBLE)))"
+            " AS INT)) AS BIGINT) END"
+        ).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("real_tokens"),
+        (F.count("*") * F.first("bucket")).cast("long").alias("padded_tokens"),
+        F.expr(
+            "CAST((COUNT(*) * first(bucket) - SUM(tokens)) * 1000000"
+            " div (COUNT(*) * first(bucket)) AS BIGINT)"
+        ).alias("waste_e6"),
+    )
+
+
+__all__ = ['pack_length_buckets'] + ['sample_hash_docs', 'sample_split_docs', 'sample_stratified_docs', 'sample_weighted_docs', 'profile_lineitem', 'skew_report_orders', 'pack_curriculum_docs', 'pack_chunks_docs', 'pack_greedy_docs', 'sample_balanced_docs', 'sample_mix_gini', 'sample_dsir_scores', 'shuffle_positions_docs', 'sample_match_length_docs', 'sample_temperature_mix', 'sample_token_mix', 'sample_kcenter_docs', 'sample_mmr_docs', 'sample_priority_docs', 'sample_waterfill_mix', 'sample_threshold_retention']
 
 
 @register(
