@@ -261,6 +261,9 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_prefix_filter_pairs",
     f"""
+    -- sh deliberately NOT materialized: the oracle's cost is the
+    -- all-pairs list_intersect verification, not shingle recompute
+    -- (A/B: 7.5 s inlined vs 8.2 s materialized)
     WITH sh AS ({_SHINGLES_DUCK})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -525,7 +528,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ')))) AS h
         FROM documents
     ),
-    bt AS ({_MINHASH_BANDS_DUCK}),
+    bt AS MATERIALIZED ({_MINHASH_BANDS_DUCK}),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bt a JOIN bt b
@@ -585,22 +588,26 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_lsh_recall",
     f"""
-    WITH sh AS ({_SHINGLES_DUCK}),
-    truth AS (
+    -- outer shingle CTE named sh_all, not sh: bt's nested WITH has its
+    -- own sh, and DuckDB's materialized-CTE planner trips on the
+    -- shadowed name ("Recursive CTE scan found without recursive CTE
+    -- node"); renamed + materialized the oracle runs 10.9 -> 7.8 s
+    WITH sh_all AS MATERIALIZED ({_SHINGLES_DUCK}),
+    truth AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        FROM sh_all a JOIN sh_all b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
                      AS DOUBLE) >= 0.5
     ),
-    bt AS ({_MINHASH_BANDS_DUCK}),
+    bt AS MATERIALIZED ({_MINHASH_BANDS_DUCK}),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bt a JOIN bt b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
     ),
-    hit AS (
+    hit AS MATERIALIZED (
         SELECT t.id_a FROM truth t JOIN cand c
           ON c.id_a = t.id_a AND c.id_b = t.id_b
     )
@@ -672,12 +679,19 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_lsh_recall_sampled",
     f"""
+    -- sampled stays UN-materialized: with all five CTEs materialized
+    -- DuckDB's planner raises "Recursive CTE scan found without
+    -- recursive CTE node" (any four work; this one is the cheapest
+    -- to re-evaluate — a hash filter over documents)
     WITH sampled AS (
         SELECT * FROM documents
         WHERE CAST('0x' || substr(md5('recall|' || CAST(doc_id AS VARCHAR)),
                    1, 12) AS BIGINT) < {int(0.4 * (1 << 48))}
     ),
-    sh AS (
+    -- named sh_smp, not sh: bt's nested WITH has its own sh, and
+    -- DuckDB's materialized-CTE planner trips on the shadowed name
+    -- ("Recursive CTE scan found without recursive CTE node")
+    sh_smp AS MATERIALIZED (
         SELECT doc_id, lang, n_chars,
                CASE WHEN len(words) >= 3
                THEN list_distinct([words[i+1] || ' ' || words[i+2] || ' '
@@ -688,21 +702,21 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                      regexp_split_to_array(trim(text), '\\s+') AS words
               FROM sampled)
     ),
-    truth AS (
+    truth AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        FROM sh_smp a JOIN sh_smp b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
                      AS DOUBLE) >= 0.5
     ),
-    bt AS ({_MINHASH_BANDS_DUCK}),
+    bt AS MATERIALIZED ({_MINHASH_BANDS_DUCK}),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bt a JOIN bt b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
     ),
-    hit AS (
+    hit AS MATERIALIZED (
         SELECT t.id_a FROM truth t JOIN cand c
           ON c.id_a = t.id_a AND c.id_b = t.id_b
     )
