@@ -105,6 +105,8 @@ BNLJ_ALLOWED = {
     # 1-row vocab-size broadcast cross join (same class as
     # text_charlm_score): bounded single-row dim, never data-scaled
     "text_charlm_xent",
+    # composes text_charlm_score, inheriting its 1-row vocab BNLJ
+    "text_ppl_buckets",
     # 1-row global-totals broadcast cross joins over a bounded
     # (n_bins / n_steps+1)-row frame — the denominator attach pattern
     "rank_ece_calibration", "sample_threshold_retention",
