@@ -1,0 +1,66 @@
+"""Unit tests for bench.py's contention-attribution helpers (pure
+Python — no Spark session)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def test_proc_cpu_snapshot_contains_self():
+    snap = bench.proc_cpu_snapshot()
+    me = snap[os.getpid()]
+    assert me[0] >= 0           # cpu ticks
+    assert me[1] > 0            # ppid
+    assert "python" in me[2] or me[2]  # comm present
+
+
+def test_descendants_includes_self_and_children():
+    # synthetic tree: us -> child -> grandchild, plus a stranger
+    pid = os.getpid()
+    snap = {
+        pid: (10, 1, "me"),
+        1000: (5, pid, "child"),
+        1001: (5, 1000, "grandchild"),
+        2000: (99, 1, "stranger"),
+    }
+    mine = bench._descendants(snap)
+    assert {pid, 1000, 1001} <= mine
+    assert 2000 not in mine
+
+
+def test_sibling_cores_attributes_non_descendants_only():
+    pid = os.getpid()
+    before = {
+        pid: (100, 1, "me"),
+        1000: (50, pid, "child"),     # ours: excluded
+        2000: (0, 1, "noisy"),        # sibling: counted
+        2001: (10, 1, "quiet"),       # sibling, no delta
+    }
+    after = {
+        pid: (900, 1, "me"),
+        1000: (500, pid, "child"),
+        2000: (400, 1, "noisy"),      # +400 ticks = 4s cpu
+        2001: (10, 1, "quiet"),
+    }
+    cores, top = bench.sibling_cores(before, after, wall=2.0)
+    assert cores == 2.0               # 4 cpu-seconds over a 2s wall
+    assert top and top[0].startswith("noisy:")
+
+
+def test_sibling_cores_new_process_counts_from_zero():
+    pid = os.getpid()
+    before = {pid: (0, 1, "me")}
+    after = {pid: (10, 1, "me"), 3000: (200, 1, "burst")}
+    cores, top = bench.sibling_cores(before, after, wall=1.0)
+    assert cores == 2.0
+    assert top == ["burst:2.0s"]
+
+
+def test_read_pressure_parses_or_degrades():
+    avg10, total = bench.read_pressure("cpu")
+    assert avg10 >= 0.0 and total >= 0
+    # unknown kind degrades to zeros rather than raising
+    assert bench.read_pressure("no_such_resource") == (0.0, 0)
