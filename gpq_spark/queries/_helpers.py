@@ -323,7 +323,18 @@ _QF_RULES = {
     "too_short": "n_chars < 60",
     "too_long": "n_chars > 2000",
     "unknown_lang": "lang NOT IN ('en', 'es', 'fr', 'de', 'zh')",
-    "low_alpha": "length(regexp_replace(text, '[^a-zA-Z]', '')) * 2 < length(text)",
+    # translate, NOT regexp_replace: DuckDB's regexp_replace is
+    # first-match-only without the 'g' flag (Spark's replaces all), so
+    # the old strip-non-alpha form silently evaluated to FALSE on every
+    # DuckDB row — a latent cross-engine divergence the sweep couldn't
+    # see because the gate corpus never crosses the 50% boundary.
+    # translate deletes every listed char identically on both engines;
+    # the condition is the equivalent "non-alpha chars > half".
+    "low_alpha": (
+        "length(translate(text,"
+        " 'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz', ''))"
+        " * 2 > length(text)"
+    ),
 }
 
 

@@ -324,10 +324,10 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_normalized_docs",
     """
-    SELECT d.doc_id, md5(lower(trim(regexp_replace(d.text, '\\s+', ' ')))) AS norm_hash
+    SELECT d.doc_id, md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS norm_hash
     FROM documents d
     JOIN (
-        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ')))) AS h,
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
                MIN(doc_id) AS keep_id
         FROM documents GROUP BY 1
     ) k ON d.doc_id = k.keep_id
@@ -525,7 +525,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_report",
     f"""
     WITH norm AS (
-        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ')))) AS h
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
         FROM documents
     ),
     bt AS MATERIALIZED ({_MINHASH_BANDS_DUCK}),
@@ -799,7 +799,7 @@ def dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH scored AS (
         SELECT doc_id, lang, source,
-               md5(lower(trim(regexp_replace(text, '\s+', ' ')))) AS h,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
                CAST(n_chars AS BIGINT) AS q
         FROM documents
     ),

@@ -6217,3 +6217,67 @@ class TestDistinctNgrams:
         assert out[0]["d1"] == 1 and out[0]["distinct2_e6"] < 100000
         assert out[1]["distinct1_e6"] == 1000000
         assert out[1]["distinct3_e6"] == 1000000
+
+
+class TestLowAlphaRulePortability:
+    """The low_alpha quality rule must agree across engines ON the
+    boundary (r8 find: DuckDB regexp_replace is first-match-only, so
+    the old strip-non-alpha form was silently FALSE on every DuckDB
+    row — invisible to the sweep because the gate corpus never
+    crosses 50% non-alpha)."""
+
+    def test_boundary_agreement(self, spark):
+        import duckdb
+
+        from gpq_spark.queries._helpers import _QF_RULES
+
+        expr = _QF_RULES["low_alpha"]
+        texts = ["aaa!!!!!!!", "aaaaaaa!!!", "!!!", "abc", "a!", "!a"]
+        sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+        got_spark = [
+            r[0] for r in sdf.selectExpr(f"({expr}) AS v").collect()
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d(text VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?)", [(t,) for t in texts])
+        got_duck = [r[0] for r in con.sql(f"SELECT ({expr}) FROM d").fetchall()]
+        assert got_spark == got_duck
+        # and the rule actually fires where it should
+        assert got_spark == [True, False, True, False, False, False]
+
+
+class TestWhitespaceNormalizationPortability:
+    """The normalize-hash oracles must collapse EVERY whitespace run
+    (r8 find, same class as low_alpha: DuckDB regexp_replace without
+    'g' replaces only the first run — invisible on the gate corpus,
+    whose text is single-spaced)."""
+
+    def test_multi_run_whitespace_agrees(self, spark):
+        import duckdb
+
+        texts = ["a  b   c", "x\t\ty  z", " lead  and   trail  "]
+        sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+        got_spark = [
+            r[0]
+            for r in sdf.selectExpr(
+                "md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) AS h"
+            ).collect()
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d(text VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?)", [(t,) for t in texts])
+        got_duck = [
+            r[0]
+            for r in con.sql(
+                r"SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) FROM d"
+            ).fetchall()
+        ]
+        assert got_spark == got_duck
+        # the un-flagged form is genuinely divergent on this input
+        bad = [
+            r[0]
+            for r in con.sql(
+                r"SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ')))) FROM d"
+            ).fetchall()
+        ]
+        assert bad != got_duck
