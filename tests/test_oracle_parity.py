@@ -72,3 +72,26 @@ def test_entry_contract(spark):
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_no_nonglobal_regexp_replace_in_oracles():
+    """Cross-engine portability lint (r8): DuckDB's regexp_replace is
+    first-match-only without 'g' while Spark's replaces all — a shared
+    or oracle-side expression without the flag is a latent divergence
+    the sweep can't see until data crosses the boundary. End-anchored
+    single-match patterns are explicitly allowed."""
+    import re
+
+    ALLOWED_SINGLE_MATCH = {
+        "regexp_replace(hostport, ':443$', '')",
+        "regexp_replace(hostport, ':80$', '')",
+    }
+    offenders = {}
+    for q in QUERIES:
+        for m in re.finditer(
+            r"regexp_replace\(([^()]*(?:\([^()]*\))?[^()]*)\)", q.oracle or ""
+        ):
+            if "'g'" in m.group(1) or m.group(0) in ALLOWED_SINGLE_MATCH:
+                continue
+            offenders.setdefault(q.name, []).append(m.group(0)[:80])
+    assert offenders == {}, offenders
