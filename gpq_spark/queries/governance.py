@@ -535,7 +535,128 @@ def decontam_span_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = ['decontam_docs', 'validate_rules_docs', 'drift_price_buckets', 'pipeline_corpus_build', 'er_golden_record', 'er_levenshtein_pairs', 'crawl_robots_decisions', 'decontam_span_redact']
+_FUNNEL_STAGES = list(_QF_RULES.items()) + [("exact_dup", None)]
+
+
+def _funnel_first_fail_case() -> str:
+    """Shared CASE over the quality rules in declared order — the
+    rule strings are engine-portable (see _QF_RULES), so the same
+    text serves both the Spark expression and the DuckDB oracle."""
+    whens = " ".join(
+        f"WHEN ({expr}) THEN '{name}'"
+        for name, expr in _QF_RULES.items()
+    )
+    return f"CASE {whens} END"
+
+
+@register(
+    "pipeline_quality_funnel",
+    f"""
+    WITH ff AS MATERIALIZED (
+        SELECT doc_id, {_funnel_first_fail_case()} AS ff, md5(text) AS h
+        FROM documents
+    ),
+    canon AS (
+        SELECT h, MIN(doc_id) AS keep FROM ff WHERE ff IS NULL GROUP BY h
+    ),
+    stagecalc AS (
+        SELECT f.doc_id,
+               COALESCE(f.ff, CASE WHEN f.doc_id <> c.keep
+                                   THEN 'exact_dup' END) AS stage
+        FROM ff f LEFT JOIN canon c ON f.ff IS NULL AND c.h = f.h
+    ),
+    counts AS (
+        SELECT stage, CAST(COUNT(*) AS BIGINT) AS n
+        FROM stagecalc WHERE stage IS NOT NULL GROUP BY stage
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents),
+    stages(stage_idx, stage) AS (VALUES
+        {', '.join(f"({i + 1}, '{name}')"
+                   for i, (name, _e) in enumerate(_FUNNEL_STAGES))}),
+    fun AS (
+        SELECT s.stage_idx, s.stage, COALESCE(c.n, 0) AS n_dropped,
+               COALESCE(SUM(COALESCE(c.n, 0)) OVER (
+                   ORDER BY s.stage_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_prev
+        FROM stages s LEFT JOIN counts c ON c.stage = s.stage
+    )
+    SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+           CAST(t - cum_prev AS BIGINT) AS n_in,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           CAST(t - cum_prev - n_dropped AS BIGINT) AS n_out
+    FROM fun CROSS JOIN total
+    """,
+)
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged corpus-retention funnel with FIRST-FAIL attribution —
+    the dashboard every training-data pipeline publishes: each
+    document is charged to the first stage that rejects it (quality
+    rules in declared order, then exact-hash dedup among the quality
+    survivors), and each stage reports (n_in, n_dropped, n_out). The
+    stage ordering mirrors production economics: cheap map-side rules
+    run before the shuffle-bearing dedup, so the dedup pays only for
+    documents that survived. Shape: one map pass for the rule CASE,
+    one narrow-key groupBy for the canonical-hash table, then a
+    bounded (|stages|-row) funnel frame — the corpus is shuffled once,
+    on the hash key, at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    ff = docs.select(
+        "doc_id",
+        F.expr(_funnel_first_fail_case()).alias("ff"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    canon = (
+        ff.filter(F.col("ff").isNull())
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep"))
+    )
+    stagecalc = ff.join(
+        canon, (F.col("ff").isNull()) & (ff["h"] == canon["h"]), "left"
+    ).select(
+        "doc_id",
+        F.coalesce(
+            F.col("ff"),
+            F.when(F.col("doc_id") != F.col("keep"), F.lit("exact_dup")),
+        ).alias("stage"),
+    )
+    counts = (
+        stagecalc.filter(F.col("stage").isNotNull())
+        .groupBy("stage")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    stages = spark.createDataFrame(
+        [(i + 1, name) for i, (name, _e) in enumerate(_FUNNEL_STAGES)],
+        "stage_idx int, stage string",
+    )
+    total = docs.agg(F.count("*").cast("long").alias("t"))
+    w = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fun = (
+        stages.join(counts, "stage", "left")
+        .select(
+            "stage_idx",
+            "stage",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_dropped"),
+        )
+        .withColumn(
+            "cum_prev",
+            F.coalesce(F.sum("n_dropped").over(w), F.lit(0)).cast("long"),
+        )
+    )
+    return fun.crossJoin(F.broadcast(total)).select(
+        "stage_idx",
+        "stage",
+        (F.col("t") - F.col("cum_prev")).cast("long").alias("n_in"),
+        "n_dropped",
+        (F.col("t") - F.col("cum_prev") - F.col("n_dropped"))
+        .cast("long")
+        .alias("n_out"),
+    )
+
+
+__all__ = ['decontam_docs', 'validate_rules_docs', 'drift_price_buckets', 'pipeline_corpus_build', 'pipeline_quality_funnel', 'er_golden_record', 'er_levenshtein_pairs', 'crawl_robots_decisions', 'decontam_span_redact']
 
 
 @register(

@@ -107,6 +107,8 @@ BNLJ_ALLOWED = {
     "text_charlm_xent",
     # composes text_charlm_score, inheriting its 1-row vocab BNLJ
     "text_ppl_buckets",
+    # 1-row corpus-total broadcast onto the 5-row stage funnel frame
+    "pipeline_quality_funnel",
     # 1-row global-totals broadcast cross joins over a bounded
     # (n_bins / n_steps+1)-row frame — the denominator attach pattern
     "rank_ece_calibration", "sample_threshold_retention",
@@ -148,6 +150,12 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
         "O(n_buckets + skyline size) ≈ 1024 + output rows for any input "
         "volume (see relational.skyline_2d docstring). The pruning join "
         "hides the bound from the structural analysis."
+    ),
+    "pipeline_quality_funnel": (
+        "the cumulative-drop window runs over the literal STAGE table "
+        "(|stages| = 5 rows by construction, never data-scaled); the "
+        "corpus itself is only touched by the map-side rule CASE and "
+        "one hash-key groupBy."
     ),
 }
 

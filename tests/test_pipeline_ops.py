@@ -6281,3 +6281,55 @@ class TestWhitespaceNormalizationPortability:
             ).fetchall()
         ]
         assert bad != got_duck
+
+
+class TestQualityFunnel:
+    """Staged retention funnel: every stage must charge drops to the
+    FIRST failing rule, and the dedup stage must only see quality
+    survivors (the gate corpus only exercises too_short, so this
+    crafts one doc per stage)."""
+
+    def test_stage_attribution(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gpq_spark.queries.governance import pipeline_quality_funnel
+
+        ok = "good doc " * 20                    # passes everything
+        texts = [
+            ok,                                   # 0 canonical
+            "tiny",                               # 1 too_short
+            "L" + "ong doc " * 400,               # 2 too_long (>2000 chars)
+            ok + "zz",                            # 3 unknown_lang (lang=xx)
+            "!!!! " * 20,                         # 4 low_alpha
+            ok,                                   # 5 exact_dup of 0
+            "tiny!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!", # 6 too_short AND low_alpha -> too_short
+        ]
+        langs = ["en", "en", "en", "xx", "en", "en", "en"]
+        docs = pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": langs,
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(docs, d / "documents.parquet")
+        rows = {
+            r["stage"]: r.asDict()
+            for r in pipeline_quality_funnel(spark, str(d)).collect()
+        }
+        assert rows["too_short"]["n_in"] == 7
+        assert rows["too_short"]["n_dropped"] == 2   # docs 1 and 6
+        assert rows["too_long"]["n_dropped"] == 1    # doc 2
+        assert rows["unknown_lang"]["n_dropped"] == 1  # doc 3
+        assert rows["low_alpha"]["n_dropped"] == 1   # doc 4
+        assert rows["exact_dup"]["n_dropped"] == 1   # doc 5
+        assert rows["exact_dup"]["n_out"] == 1       # only the canonical
+        # n_in chains exactly
+        order = ["too_short", "too_long", "unknown_lang", "low_alpha", "exact_dup"]
+        for prev, cur in zip(order, order[1:]):
+            assert rows[cur]["n_in"] == rows[prev]["n_out"]
