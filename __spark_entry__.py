@@ -28,17 +28,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def queries(
+    sample: int | None = None, round_no: int | None = None
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
     beyond-reference pipeline operators). Each callable takes
-    (spark, sf_dir) and returns a DataFrame."""
+    (spark, sf_dir) and returns a DataFrame.
+
+    ``queries(sample=50)`` returns a FAMILY-STRATIFIED subset per
+    docs/DRIVER_SAMPLE_STRATIFIED.json — every family (TPC-H, geo,
+    streaming, dedup, multimodal, ...) gets slots, membership rotates
+    deterministically by round — so a bounded correctness gate still
+    covers the whole operator surface instead of resampling one
+    family. ``oracle_sql(sample=...)`` selects the matching oracles."""
     from gpq_spark.entry_queries import queries_dict
 
-    return queries_dict()
+    qs = queries_dict()
+    if sample is None:
+        return qs
+    from gpq_spark.entry_queries import stratified_sample_names
+
+    keep = set(stratified_sample_names(sample, round_no))
+    return {k: v for k, v in qs.items() if k in keep}
 
 
-def oracle_sql() -> dict[str, str]:
-    """Equivalent ANSI SQL for DuckDB over the same parquet tables."""
+def oracle_sql(
+    sample: int | None = None, round_no: int | None = None
+) -> dict[str, str]:
+    """Equivalent ANSI SQL for DuckDB over the same parquet tables.
+    ``sample``/``round_no`` select the same stratified subset as
+    ``queries(sample=...)``."""
     from gpq_spark.entry_queries import oracles_dict
 
-    return oracles_dict()
+    os_ = oracles_dict()
+    if sample is None:
+        return os_
+    from gpq_spark.entry_queries import stratified_sample_names
+
+    keep = set(stratified_sample_names(sample, round_no))
+    return {k: v for k, v in os_.items() if k in keep}

@@ -97,13 +97,38 @@ def _descendants(snap: dict[int, tuple[int, int, str]]) -> set[int]:
     return mine
 
 
+def read_busy_ticks() -> int:
+    """System-wide non-idle CPU ticks (all /proc/stat cpu fields except
+    idle and iowait). Cross-check input for sibling_cores: unlike the
+    per-pid walk, this counts processes that EXITED mid-window."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals) - (vals[3] if len(vals) > 3 else 0) - (
+            vals[4] if len(vals) > 4 else 0
+        )
+    except OSError:
+        return 0
+
+
 def sibling_cores(
     before: dict[int, tuple[int, int, str]],
     after: dict[int, tuple[int, int, str]],
     wall: float,
+    busy_before: int = 0,
+    busy_after: int = 0,
 ) -> tuple[float, list[str]]:
     """(average CPU cores burned by non-descendant processes during the
-    window, top offender names). Ticks are USER_HZ=100/s."""
+    window, top offender names). Ticks are USER_HZ=100/s.
+
+    The per-pid walk is a LOWER bound: a sibling that burns CPU
+    mid-window but exits before the closing snapshot contributes zero
+    ticks (exactly the short-lived co-tenant burst class this exists to
+    catch). When busy_before/busy_after are given, the system-wide
+    busy-tick delta minus our own descendant tree's delta provides a
+    second estimate that does count exited processes; we report
+    max(per-pid, system-derived) so short bursts still flag dirty()."""
     ours = _descendants(after) | _descendants(before)
     per_proc: dict[str, int] = {}
     for pid, (t1, _pp, comm) in after.items():
@@ -117,7 +142,19 @@ def sibling_cores(
         f"{c}:{t / 100.0:.1f}s"
         for c, t in sorted(per_proc.items(), key=lambda x: -x[1])[:3]
     ]
-    return round(total / 100.0 / max(wall, 1e-6), 2), top
+    cores = total / 100.0 / max(wall, 1e-6)
+    if busy_after > busy_before:
+        ours_dt = sum(
+            max(0, after[pid][0] - before.get(pid, (0, 0, ""))[0])
+            for pid in ours
+            if pid in after
+        )
+        sys_other = (busy_after - busy_before) - ours_dt
+        sys_cores = sys_other / 100.0 / max(wall, 1e-6)
+        if sys_cores > cores + 0.25:  # real gap, not tick jitter
+            cores = sys_cores
+            top = top + [f"(exited-procs:{sys_other / 100.0:.1f}s)"]
+    return round(cores, 2), top
 
 
 def read_loadavg() -> float:
@@ -270,6 +307,7 @@ def main() -> None:
         _, m0 = read_pressure("memory")
         g0 = read_gc_ms(spark)
         procs0 = proc_cpu_snapshot()
+        busy0 = read_busy_ticks()
         load0 = read_loadavg()
         start = time.perf_counter()
         n = fn(spark, sf_dir).count()
@@ -279,7 +317,9 @@ def main() -> None:
         _, io1 = read_pressure("io")
         _, m1 = read_pressure("memory")
         g1 = read_gc_ms(spark)
-        sib, sib_top = sibling_cores(procs0, proc_cpu_snapshot(), wall)
+        sib, sib_top = sibling_cores(
+            procs0, proc_cpu_snapshot(), wall, busy0, read_busy_ticks()
+        )
         # Reclaim heap OUTSIDE the timed window: every fn() call builds
         # NEW DataFrames, so a query's persist barriers add a fresh
         # cache copy per run instead of reusing the last one, and
@@ -341,19 +381,33 @@ def main() -> None:
         import re as _re
 
         repo_d = os.path.dirname(os.path.abspath(__file__))
+        # sort by extracted round number, not lexically (r100 > r99)
         cands = sorted(
-            f
-            for f in os.listdir(repo_d)
-            if _re.match(r"BENCH_SELF_r\d+\.json$", f)
+            (
+                f
+                for f in os.listdir(repo_d)
+                if _re.match(r"BENCH_SELF_r\d+(-\d+)?\.json$", f)
+            ),
+            key=lambda f: [int(x) for x in _re.findall(r"\d+", f)],
         )
         if cands:
             ref_path = os.path.join(repo_d, cands[-1])
     sf_name = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    def _sf_float(v) -> float | None:
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+
     if ref_path and os.path.exists(ref_path):
         try:
             with open(ref_path) as f:
                 ref_doc = json.load(f)
-            if str(ref_doc.get("sf")) == sf_name:
+            # compare through one float() parse on BOTH sides: the
+            # payload stores sf as float (0.1), the dir gives a string
+            # ("0.1", or "1" for sf1 where str(1.0) != "1")
+            if _sf_float(ref_doc.get("sf")) == _sf_float(sf_name):
                 ref_walls = ref_doc.get("queries", {})
                 print(f"# reference walls: {ref_path}", file=sys.stderr)
             else:

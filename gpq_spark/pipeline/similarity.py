@@ -922,9 +922,13 @@ def bitext_margin_pairs(
     Determinism: cosines round to ``round_digits`` decimals before any
     ranking (last-ulp engine divergence, same rule as ann_topk), each
     top-k neighborhood sums value-DESCENDING in a sequential float64
-    fold (identical term order on both engines), k is a power of two so
-    the mean is exact scaling, and the final margin rounds again before
-    the (margin DESC, id ASC) pick.
+    fold (identical term order on both engines), and the final margin
+    rounds again before the (margin DESC, id ASC) pick. The
+    neighborhood mean divides by ``least(k, |candidates|)`` — NOT the
+    constant k — so a row with fewer than k candidates (tiny
+    src/tgt sets) uses its true mean per the Artetxe & Schwenk
+    definition instead of an understated denominator that inflates
+    margins.
 
     Scale: this is the EXACT all-pairs formulation — the audit shape,
     quadratic by design, bounded at gate SF (250×250). At 100 TB the
@@ -962,7 +966,8 @@ def bitext_margin_pairs(
             .agg(
                 F.expr(
                     f"aggregate(reverse(array_sort(collect_list(c))), "
-                    f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / {k}"
+                    f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) "
+                    f"/ least({k}, size(collect_list(c)))"
                 ).alias(out)
             )
         )

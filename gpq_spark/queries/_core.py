@@ -67,4 +67,77 @@ def oracles_dict() -> dict[str, str]:
     return {q.name: q.oracle for q in QUERIES if q.oracle is not None}
 
 
-__all__ = ['QUERIES', 'QueryDef', 'LATE_ORACLES', 'load', 'load_events', 'oracles_dict', 'queries_dict', 'register', 'DataFrame', 'SparkSession', 'Window', 'F']
+def stratified_sample_names(
+    n: int = 50, round_no: int | None = None
+) -> list[str]:
+    """Family-stratified sample of registered query names for a
+    bounded per-round correctness gate (VERDICT r8 task 4: the
+    driver's ~50-query sample was single-family for three rounds,
+    leaving whole families without external oracle evidence).
+
+    Implements docs/DRIVER_SAMPLE_STRATIFIED.json mechanically: per
+    family, take the slots-many member names with the smallest
+    ``md5('r<round>|<name>')`` hex digest — deterministic, and rotates
+    membership every round. ``round_no`` defaults to (highest existing
+    CORRECTNESS_r*/SWEEP_r* round in the repo root) + 1, i.e. "the
+    round currently being driven". For ``n`` != the spec total, slots
+    scale proportionally (floor 1 per family) and the total is
+    trimmed/extended by global hash order. Names registered after the
+    spec was generated join a catch-all family so new operators are
+    samplable before the next spec regen."""
+    import glob
+    import hashlib
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    if round_no is None:
+        rounds = [0]
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")) + glob.glob(
+            os.path.join(root, "SWEEP_r*.json")
+        ):
+            m = re.search(r"_r(\d+)", os.path.basename(p))
+            if m:
+                rounds.append(int(m.group(1)))
+        round_no = max(rounds) + 1
+
+    spec_path = os.path.join(root, "docs", "DRIVER_SAMPLE_STRATIFIED.json")
+    with open(spec_path) as f:
+        spec = json.load(f)
+
+    registered = {q.name for q in QUERIES}
+    fams: dict[str, list[str]] = {}
+    covered: set[str] = set()
+    for fam, info in spec["families"].items():
+        members = [q for q in info["queries"] if q in registered]
+        if members:
+            fams[fam] = members
+            covered.update(members)
+    extra = sorted(registered - covered)
+    if extra:
+        fams["(post-spec additions)"] = extra
+
+    def h(name: str) -> str:
+        return hashlib.md5(f"r{round_no}|{name}".encode()).hexdigest()
+
+    spec_total = sum(
+        spec["families"][f]["slots"] for f in spec["families"]
+    ) or 1
+    picked: list[str] = []
+    for fam, members in fams.items():
+        base = spec["families"].get(fam, {}).get("slots", 1)
+        slots = max(1, round(base * n / spec_total))
+        picked.extend(sorted(members, key=h)[:slots])
+    picked = sorted(set(picked), key=h)
+    if len(picked) > n:
+        picked = picked[:n]
+    elif len(picked) < n:
+        rest = sorted(registered - set(picked), key=h)
+        picked.extend(rest[: n - len(picked)])
+    return sorted(picked)
+
+
+__all__ = ['QUERIES', 'QueryDef', 'LATE_ORACLES', 'load', 'load_events', 'oracles_dict', 'queries_dict', 'register', 'stratified_sample_names', 'DataFrame', 'SparkSession', 'Window', 'F']

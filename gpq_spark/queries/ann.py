@@ -1493,7 +1493,7 @@ def embed_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa AS (
         SELECT id_src,
                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list(c ORDER BY c DESC)), (x, y) -> x + y) / 4 AS fa
+                   list(c ORDER BY c DESC)), (x, y) -> x + y) / least(4, count(*)) AS fa
         FROM (SELECT id_src, id_tgt, c,
                      row_number() OVER (PARTITION BY id_src
                                         ORDER BY c DESC, id_tgt ASC) AS rn
@@ -1503,7 +1503,7 @@ def embed_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fb AS (
         SELECT id_tgt,
                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list(c ORDER BY c DESC)), (x, y) -> x + y) / 4 AS fb
+                   list(c ORDER BY c DESC)), (x, y) -> x + y) / least(4, count(*)) AS fb
         FROM (SELECT id_src, id_tgt, c,
                      row_number() OVER (PARTITION BY id_tgt
                                         ORDER BY c DESC, id_src ASC) AS rn

@@ -74,24 +74,163 @@ def test_entry_contract(spark):
     assert len(qs) >= 30
 
 
-def test_no_nonglobal_regexp_replace_in_oracles():
-    """Cross-engine portability lint (r8): DuckDB's regexp_replace is
-    first-match-only without 'g' while Spark's replaces all — a shared
-    or oracle-side expression without the flag is a latent divergence
-    the sweep can't see until data crosses the boundary. End-anchored
-    single-match patterns are explicitly allowed."""
-    import re
+def test_stratified_sample_contract():
+    """VERDICT r8 task 4: queries(sample=50) must return exactly 50
+    names, deterministic per round, rotating across rounds, covering
+    many families, with oracle_sql(sample=...) selecting the SAME
+    set."""
+    import json
+    import os
 
+    import __spark_entry__ as e
+
+    q9 = e.queries(sample=50, round_no=9)
+    o9 = e.oracle_sql(sample=50, round_no=9)
+    assert len(q9) == 50
+    assert set(o9) == set(q9)  # every sampled query keeps its oracle
+    assert set(e.queries(sample=50, round_no=9)) == set(q9)  # stable
+    q10 = e.queries(sample=50, round_no=10)
+    assert set(q10) != set(q9)  # membership rotates by round
+
+    spec_path = os.path.join(
+        os.path.dirname(__file__), "..", "docs",
+        "DRIVER_SAMPLE_STRATIFIED.json",
+    )
+    with open(spec_path) as f:
+        spec = json.load(f)
+    fam_of = {
+        n: fam
+        for fam, info in spec["families"].items()
+        for n in info["queries"]
+    }
+    families_hit = {fam_of.get(n, "(post-spec)") for n in q9}
+    assert len(families_hit) >= 10, families_hit
+
+    # no-arg behavior unchanged: full registry
+    assert len(e.queries()) == len(QUERIES)
+
+
+def _balanced_calls(sql: str, fn_name: str) -> list[str]:
+    """Every ``fn_name(...)`` call in ``sql`` with its FULL balanced
+    argument list, found by scanning forward with a paren-depth counter
+    from each occurrence of the function name. A fixed-depth regex (the
+    r8 version) silently skipped calls with more than one nested paren
+    group — e.g. ``regexp_replace(trim(f(x)), '\\s+', ' ')`` — a lint
+    false negative for exactly the divergence class it exists to catch
+    (ADVICE r8). Quotes are honored so a ``)`` inside a string literal
+    doesn't close the call."""
+    calls = []
+    needle = fn_name + "("
+    low = sql.lower()
+    i = 0
+    while True:
+        j = low.find(needle, i)
+        if j < 0:
+            break
+        depth = 0
+        k = j + len(fn_name)
+        in_str = False
+        while k < len(sql):
+            ch = sql[k]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    calls.append(sql[j : k + 1])
+                    break
+            k += 1
+        i = j + len(needle)
+    return calls
+
+
+def test_no_nonglobal_regexp_replace_in_oracles():
+    """Cross-engine portability lint (r8, hardened r9): DuckDB's
+    regexp_replace is first-match-only without 'g' while Spark's
+    replaces all — a shared or oracle-side expression without the flag
+    is a latent divergence the sweep can't see until data crosses the
+    boundary. Scans every call with a balanced-paren walk (any nesting
+    depth). End-anchored single-match patterns are explicitly
+    allowed."""
     ALLOWED_SINGLE_MATCH = {
         "regexp_replace(hostport, ':443$', '')",
         "regexp_replace(hostport, ':80$', '')",
     }
+
+    def _top_args(call: str) -> list[str]:
+        """Top-level comma-split of the argument list, honoring nesting
+        and string literals."""
+        inner = call[call.index("(") + 1 : -1]
+        args, depth, in_str, cur = [], 0, False, []
+        for ch in inner:
+            if in_str:
+                cur.append(ch)
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+                cur.append(ch)
+            elif ch == "(":
+                depth += 1
+                cur.append(ch)
+            elif ch == ")":
+                depth -= 1
+                cur.append(ch)
+            elif ch == "," and depth == 0:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            args.append("".join(cur).strip())
+        return args
+
     offenders = {}
     for q in QUERIES:
-        for m in re.finditer(
-            r"regexp_replace\(([^()]*(?:\([^()]*\))?[^()]*)\)", q.oracle or ""
-        ):
-            if "'g'" in m.group(1) or m.group(0) in ALLOWED_SINGLE_MATCH:
+        for call in _balanced_calls(q.oracle or "", "regexp_replace"):
+            if call in ALLOWED_SINGLE_MATCH:
                 continue
-            offenders.setdefault(q.name, []).append(m.group(0)[:80])
+            args = _top_args(call)
+            # 4th arg is DuckDB's options string; global iff it has 'g'
+            if len(args) >= 4 and "g" in args[3].strip("'\" "):
+                continue
+            offenders.setdefault(q.name, []).append(call[:80])
+    assert offenders == {}, offenders
+
+
+def test_no_unparseable_float_literals_in_oracles():
+    """Cross-engine portability lint (VERDICT r8 task 7): a Python
+    float interpolated into oracle SQL via repr can carry 17
+    significant digits (e.g. 0.30000000000000004) — a smell that the
+    Spark side and the oracle side were built from DIFFERENT float
+    expressions and only agree by rounding luck. Flag float literals
+    with >12 significant fractional digits; intentional high-precision
+    constants must be hoisted to a shared Python constant formatted
+    identically on both sides. The queries below do exactly that —
+    their oracles embed the committed trained-centroid / DFT-twiddle
+    fixtures via the same repr the Spark side uses — so they are
+    pinned as the EXACT allowed set; any new query interpolating a
+    long float must either share a fixture the same way (and join
+    this list) or round."""
+    import re
+
+    SHARED_FIXTURE_QUERIES = {
+        "ann_topk_ivf_trained",
+        "pq_codes_trained",
+        "pq_topk_trained",
+        "semantic_dedup_docs",
+        "embed_cluster_purity",
+        "q_audio_dft8_spectrum",
+    }
+    offenders = {}
+    for q in QUERIES:
+        if q.name in SHARED_FIXTURE_QUERIES:
+            continue
+        for m in re.finditer(r"\d+\.(\d{13,})\b", q.oracle or ""):
+            offenders.setdefault(q.name, []).append(m.group(0)[:40])
     assert offenders == {}, offenders
