@@ -111,23 +111,151 @@ def _spark_to_arrow(spark_df):
         return pa.Table.from_pandas(spark_df.toPandas())
 
 
-def compare(spark_df, con, oracle_sql: str) -> dict[str, Any]:
+def data_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the parquet tables in ``sf_dir``:
+    md5 over sorted (name, size, mtime_ns). Cache-key component for
+    the oracle-result cache — a regenerated table invalidates every
+    cached oracle over that directory."""
+    import hashlib
+    import os
+
+    parts = []
+    try:
+        for fn in sorted(os.listdir(sf_dir)):
+            if fn.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, fn))
+                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        return "no-dir"
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+class OracleCache:
+    """Round-over-round cache of CANONICAL oracle results, keyed by
+    (md5 of the oracle SQL, data fingerprint) — VERDICT r8 task 3: most
+    of the sweep's oracle wall re-computes byte-identical DuckDB
+    results every round (the two quadratic-by-design audit oracles
+    alone are ~24 s). An entry stores the oracle side's sorted column
+    names, canonical types, row count, and a sha256 digest of the
+    canonical row multiset — enough to verify a MATCHING Spark result
+    without running DuckDB. On any disagreement with the cached
+    digest, compare() re-runs the oracle live (never trusts the cache
+    for a failure), so diagnostics and correctness verdicts are
+    identical to the uncached path; only the all-green fast path
+    skips work. Editing an oracle changes its SQL hash → recompute."""
+
+    def __init__(self, path: str, fingerprint: str):
+        import json
+        import os
+
+        self.path = path
+        self.fingerprint = fingerprint
+        self.hits = 0
+        self.misses = 0
+        self.saved_oracle_wall_s = 0.0
+        self._store: dict[str, dict] = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    doc = json.load(f)
+                if doc.get("fingerprint") == fingerprint:
+                    self._store = doc.get("entries", {})
+            except (OSError, ValueError):
+                self._store = {}
+
+    @staticmethod
+    def key(oracle_sql: str) -> str:
+        import hashlib
+
+        return hashlib.md5(oracle_sql.encode()).hexdigest()
+
+    def get(self, oracle_sql: str) -> dict | None:
+        return self._store.get(self.key(oracle_sql))
+
+    def put(self, oracle_sql: str, entry: dict) -> None:
+        self._store[self.key(oracle_sql)] = entry
+
+    def save(self) -> None:
+        import json
+
+        with open(self.path, "w") as f:
+            json.dump(
+                {"fingerprint": self.fingerprint, "entries": self._store},
+                f,
+            )
+
+
+def _rows_digest(rows: list[tuple]) -> str:
+    """Stable digest of the canonical sorted row multiset. Canonical
+    values are None/str/tuples-of-such, whose repr is deterministic."""
+    import hashlib
+
+    return hashlib.sha256(repr(rows).encode()).hexdigest()
+
+
+def compare(
+    spark_df, con, oracle_sql: str, cache: "OracleCache | None" = None
+) -> dict[str, Any]:
     """Returns {match, detail} comparing the Spark result to the oracle.
 
     Typed comparison at the Arrow level — a DuckDB HUGEINT result (from a
     bare SUM over BIGINT) mismatches a Spark BIGINT even though the Python
     values compare equal, mirroring the driver's strict value-hash gate.
+
+    With ``cache``, a cached canonical oracle result that AGREES with
+    the Spark side short-circuits the DuckDB run; any disagreement
+    falls through to a live oracle run, so failures always carry full
+    diagnostics and never rest on cached state.
     """
     import time as _time
 
     _t0 = _time.perf_counter()
     spark_tbl = _spark_to_arrow(spark_df)
     _t1 = _time.perf_counter()
+
+    s_cols, s_types, s_rows = _arrow_canon(spark_tbl)
+
+    if cache is not None:
+        c = cache.get(oracle_sql)
+        if (
+            c is not None
+            and c["cols"] == s_cols
+            and c["types"] == s_types
+            and c["n_rows"] == len(s_rows)
+            and c["digest"] == _rows_digest(s_rows)
+        ):
+            cache.hits += 1
+            cache.saved_oracle_wall_s += c.get("oracle_wall_s", 0.0)
+            return {
+                "spark_wall_s": round(_t1 - _t0, 2),
+                "oracle_wall_s": 0.0,
+                "oracle_cached": True,
+                "spark_rows": len(s_rows),
+                "oracle_rows": c["n_rows"],
+                "spark_cols": s_cols,
+                "oracle_cols": c["cols"],
+                "spark_types": s_types,
+                "oracle_types": c["types"],
+                "match": True,
+            }
+        cache.misses += 1
+
     duck_tbl = con.sql(oracle_sql).arrow()
     _t2 = _time.perf_counter()
 
-    s_cols, s_types, s_rows = _arrow_canon(spark_tbl)
     d_cols, d_types, d_rows = _arrow_canon(duck_tbl)
+
+    if cache is not None:
+        cache.put(
+            oracle_sql,
+            {
+                "cols": d_cols,
+                "types": d_types,
+                "n_rows": len(d_rows),
+                "digest": _rows_digest(d_rows),
+                "oracle_wall_s": round(_t2 - _t1, 2),
+            },
+        )
 
     result: dict[str, Any] = {
         # split walls so perf triage doesn't blame the engine for

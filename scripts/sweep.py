@@ -17,7 +17,11 @@ Usage: python scripts/sweep.py [round_number] [sf_dir]
   sf_dir = /root/testdata/sf0.01
 Env: SWEEP_TZ sets the Spark session timezone (the Asia/Tokyo run
   proves timezone independence of every oracle); SWEEP_OUT overrides
-  the output path so a TZ run doesn't clobber the canonical artifact.
+  the output path so a TZ run doesn't clobber the canonical artifact;
+  SWEEP_NO_ORACLE_CACHE=1 forces every oracle to run live;
+  SWEEP_ONLY=comma,separated,prefixes restricts the sweep to matching
+  query names (smoke/debug only — a restricted run is NOT a gate
+  artifact; _summary records the filter).
 """
 
 from __future__ import annotations
@@ -78,7 +82,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from gpq_spark.entry_queries import QUERIES
-    from gpq_spark.oracle import compare, duckdb_connection
+    from gpq_spark.oracle import (
+        OracleCache,
+        compare,
+        data_fingerprint,
+        duckdb_connection,
+    )
+    from bench import read_gc_ms, read_pressure, read_cpu_stat
 
     # Gate invariant (VERDICT r7 #1): every declared query MUST carry a
     # DuckDB oracle. Round 7's entry_queries.py split silently detached
@@ -97,6 +107,19 @@ def main() -> None:
 
     con = duckdb_connection(sf_dir)
 
+    # Oracle-result cache (VERDICT r8 task 3): unchanged oracle SQL over
+    # unchanged data re-verifies from a canonical digest instead of
+    # re-running DuckDB (~half the sweep wall was invariant oracle
+    # cost). Any Spark-vs-cache disagreement re-runs the oracle LIVE,
+    # so verdicts and failure diagnostics are identical to uncached.
+    # SWEEP_NO_ORACLE_CACHE=1 disables (e.g. for a from-scratch audit).
+    cache = None
+    if not os.environ.get("SWEEP_NO_ORACLE_CACHE"):
+        cache = OracleCache(
+            os.path.join(ROOT, ".sweep_oracle_cache.json"),
+            data_fingerprint(sf_dir),
+        )
+
     # previous round's sweep, loaded up front so EVERY per-query record
     # carries {wall_s, prev_wall_s} (VERDICT r5 task 7: round-over-round
     # drift must be diffable for all queries, not just the top 10)
@@ -106,10 +129,17 @@ def main() -> None:
         with open(prev_path) as f:
             prev = json.load(f)
 
+    only = [p for p in os.environ.get("SWEEP_ONLY", "").split(",") if p]
+    sweep_queries = (
+        [q for q in QUERIES if any(q.name.startswith(p) for p in only)]
+        if only
+        else QUERIES
+    )
+
     out: dict[str, dict] = {}
     t0 = time.perf_counter()
     n_green = 0
-    for q in QUERIES:
+    for q in sweep_queries:
         entry: dict = {
             "rows_match": False,
             "schema_match": False,
@@ -118,6 +148,14 @@ def main() -> None:
             "oracle_rows": None,
             "err": None,
         }
+        # per-query contention counters (VERDICT r8 task 2: the ktruss
+        # lesson generalized — gc%/PSI recorded per SWEEP entry so the
+        # next ContextCleaner-class drift in a non-headline query is
+        # attributed in one round, not three)
+        g0 = read_gc_ms(spark)
+        _, p0 = read_pressure("cpu")
+        _, io0 = read_pressure("io")
+        s0, t0c = read_cpu_stat()
         tq = time.perf_counter()
         try:
             df = q.spark_fn(spark, sf_dir)
@@ -132,9 +170,11 @@ def main() -> None:
                 )
                 n_green += 1
             else:
-                r = compare(df, con, q.oracle)
+                r = compare(df, con, q.oracle, cache=cache)
                 entry["spark_wall_s"] = r.get("spark_wall_s")
                 entry["oracle_wall_s"] = r.get("oracle_wall_s")
+                if r.get("oracle_cached"):
+                    entry["oracle_cached"] = True
                 entry.update(
                     rows_match=r["spark_rows"] == r["oracle_rows"],
                     schema_match=r.get("spark_cols") == r.get("oracle_cols")
@@ -148,8 +188,25 @@ def main() -> None:
                     n_green += 1
         except Exception as exc:  # noqa: BLE001 — artifact must record failures
             entry["err"] = f"{type(exc).__name__}: {exc}"[:400]
-        entry["wall_s"] = round(time.perf_counter() - tq, 2)
+        wall = time.perf_counter() - tq
+        entry["wall_s"] = round(wall, 2)
         entry["prev_wall_s"] = prev.get(q.name, {}).get("wall_s")
+        g1 = read_gc_ms(spark)
+        _, p1 = read_pressure("cpu")
+        _, io1 = read_pressure("io")
+        s1, t1c = read_cpu_stat()
+        entry["gc_pct"] = round(
+            100.0 * (g1 - g0) / 1000.0 / max(wall, 1e-6), 1
+        )
+        entry["psi_cpu_pct"] = round(
+            100.0 * (p1 - p0) / 1e6 / max(wall, 1e-6), 1
+        )
+        entry["psi_io_pct"] = round(
+            100.0 * (io1 - io0) / 1e6 / max(wall, 1e-6), 1
+        )
+        entry["steal_pct"] = round(
+            100.0 * (s1 - s0) / max(1, t1c - t0c), 2
+        )
         out[q.name] = entry
         # flush caches between queries: the gate's projection-collapse
         # persist barriers otherwise accumulate across ~460 queries and
@@ -192,7 +249,22 @@ def main() -> None:
             and cw > trip_factor(pw) * pw
             and n not in baseline_text
         ):
-            suspects.append({"name": n, "wall_s": cw, "prev_wall_s": pw})
+            # name the dominant contention counter so the tripwire
+            # message attributes the drift class immediately
+            counters = {
+                k: v.get(k, 0.0)
+                for k in ("gc_pct", "psi_cpu_pct", "psi_io_pct", "steal_pct")
+            }
+            dom = max(counters, key=lambda k: counters[k] or 0.0)
+            suspects.append(
+                {
+                    "name": n,
+                    "wall_s": cw,
+                    "prev_wall_s": pw,
+                    "counters": counters,
+                    "dominant_counter": f"{dom}={counters[dom]}",
+                }
+            )
     # ambient-burst filter: this box sees co-tenant windows that
     # inflate a CONTIGUOUS band of the sweep 3-60x (r5: 33 queries,
     # positions 206-319, every one clean on re-measure). Re-run each
@@ -224,6 +296,14 @@ def main() -> None:
         "n_green": n_green,
         "n_queries": len(out),
         "total_wall_s": round(time.perf_counter() - t0, 1),
+        "only_filter": only or None,
+        "oracle_cache": None
+        if cache is None
+        else {
+            "hits": cache.hits,
+            "misses": cache.misses,
+            "saved_oracle_wall_s": round(cache.saved_oracle_wall_s, 1),
+        },
         "slowest": [
             {
                 "name": n,
@@ -237,6 +317,8 @@ def main() -> None:
             x for x in suspects if x not in regressions
         ],
     }
+    if cache is not None:
+        cache.save()
     dest = os.environ.get("SWEEP_OUT") or os.path.join(
         ROOT, f"SWEEP_r{rnd:02d}.json"
     )
@@ -254,7 +336,8 @@ def main() -> None:
         )
         for r in regressions:
             print(
-                f"  {r['name']}: {r['prev_wall_s']}s -> {r['wall_s']}s",
+                f"  {r['name']}: {r['prev_wall_s']}s -> {r['wall_s']}s "
+                f"(dominant counter: {r.get('dominant_counter', 'n/a')})",
                 file=sys.stderr,
             )
         sys.exit(1)

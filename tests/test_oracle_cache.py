@@ -1,0 +1,103 @@
+"""Oracle-result cache semantics (VERDICT r8 task 3): the sweep skips
+re-running DuckDB for unchanged (oracle SQL, data) pairs, but ONLY on
+the all-green fast path — any disagreement, SQL edit, or data change
+must fall through to a live oracle run with full diagnostics."""
+
+import os
+
+import duckdb
+import pytest
+
+from gpq_spark.oracle import OracleCache, compare, data_fingerprint
+
+
+class FakeSparkDF:
+    """Stands in for a Spark DataFrame: compare() only calls toArrow()."""
+
+    def __init__(self, tbl):
+        self.tbl = tbl
+
+    def toArrow(self):
+        return self.tbl
+
+
+@pytest.fixture()
+def con():
+    return duckdb.connect()
+
+
+SQL = "SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y'"
+
+
+def _df(con, sql=SQL):
+    return FakeSparkDF(con.sql(sql).arrow())
+
+
+def test_hit_after_miss_and_persistence(con, tmp_path):
+    path = str(tmp_path / "cache.json")
+    cache = OracleCache(path, "fp")
+    r1 = compare(_df(con), con, SQL, cache=cache)
+    assert r1["match"] and not r1.get("oracle_cached")
+    r2 = compare(_df(con), con, SQL, cache=cache)
+    assert r2["match"] and r2.get("oracle_cached")
+    assert (cache.hits, cache.misses) == (1, 1)
+    assert r2["oracle_wall_s"] == 0.0
+
+    cache.save()
+    reloaded = OracleCache(path, "fp")
+    r3 = compare(_df(con), con, SQL, cache=reloaded)
+    assert r3["match"] and r3.get("oracle_cached")
+
+
+def test_mismatch_never_served_from_cache(con, tmp_path):
+    """A failing comparison must re-run the oracle live and carry the
+    uncached diagnostics (first-diffs detail)."""
+    cache = OracleCache(str(tmp_path / "c.json"), "fp")
+    compare(_df(con), con, SQL, cache=cache)  # warm
+    bad = _df(con, "SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'z'")
+    r = compare(bad, con, SQL, cache=cache)
+    assert not r["match"]
+    assert "value mismatch" in r["detail"]
+    assert not r.get("oracle_cached")
+
+
+def test_sql_edit_busts_cache(con, tmp_path):
+    """Editing an oracle changes its SQL hash → recompute (the task 3
+    'cache-bust test')."""
+    cache = OracleCache(str(tmp_path / "c.json"), "fp")
+    compare(_df(con), con, SQL, cache=cache)
+    r = compare(_df(con), con, SQL + " ORDER BY a", cache=cache)
+    assert r["match"] and not r.get("oracle_cached")
+    assert cache.misses == 2
+
+
+def test_fingerprint_change_invalidates_store(con, tmp_path):
+    path = str(tmp_path / "c.json")
+    cache = OracleCache(path, "fp-v1")
+    compare(_df(con), con, SQL, cache=cache)
+    cache.save()
+    stale = OracleCache(path, "fp-v2")  # regenerated data
+    r = compare(_df(con), con, SQL, cache=stale)
+    assert r["match"] and not r.get("oracle_cached")
+
+
+def test_data_fingerprint_tracks_parquet_set(tmp_path):
+    d = str(tmp_path)
+    (tmp_path / "t.parquet").write_bytes(b"123")
+    f1 = data_fingerprint(d)
+    assert f1 == data_fingerprint(d)  # stable
+    (tmp_path / "u.parquet").write_bytes(b"4567")
+    assert data_fingerprint(d) != f1  # new table changes it
+    assert data_fingerprint(os.path.join(d, "missing")) == "no-dir"
+
+
+def test_schema_mismatch_not_cached_as_green(con, tmp_path):
+    """Cached entry with different schema than the Spark side must
+    miss (fall through to live oracle), not false-green."""
+    cache = OracleCache(str(tmp_path / "c.json"), "fp")
+    compare(_df(con), con, SQL, cache=cache)
+    renamed = _df(con, "SELECT 1 AS a, 'x' AS c UNION ALL SELECT 2, 'y'")
+    r = compare(renamed, con, SQL, cache=cache)
+    assert not r["match"]
+    assert r["detail"] == "column mismatch"
+    assert not r.get("oracle_cached")
