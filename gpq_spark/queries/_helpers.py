@@ -796,60 +796,103 @@ def _events_ooo_dir(spark: SparkSession, sf_dir: str) -> str:
     past every real event (two files because the watermark computed at
     the end of batch N only applies to batch N+1), so the
     watermark-buffered operators flush every real event. Sentinels sit
-    above the final watermark and are never emitted. Built once per
-    process per sf_dir; mtimes are pinned so the file source replays
-    the files in this exact order."""
-    import datetime as dt
-    import glob
-    import os
-    import shutil
-    import tempfile
+    above the final watermark and are never emitted. mtimes are pinned
+    so the file source replays the files in this exact order.
 
-    src_dir = os.path.join(
-        tempfile.gettempdir(), f"stream_ooo_src_{abs(hash(sf_dir)) % 10 ** 8}"
-    )
+    Built with pyarrow directly — the gate events table is a single
+    small parquet file, and the r8 Spark-job version cost ~16 s of
+    every fresh process's first OOO query (4 coalesce(1) write jobs +
+    an agg + a distinct; VERDICT r8 tasks 1/6 — this was most of the
+    stream_sessionize_ooo "drift": whichever OOO query ran first in a
+    given harness paid it). The directory name is keyed on the
+    events file's identity (salted ``hash()`` previously defeated
+    cross-process reuse and littered /tmp), and the build is
+    atomic-rename so concurrent processes can't see a half-written
+    replay."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v2".encode()
+    ).hexdigest()[:16]
+    src_dir = os.path.join(tempfile.gettempdir(), f"stream_ooo_{key}")
     marker = os.path.join(src_dir, "_READY")
     if os.path.exists(marker):
         return src_dir
 
-    ev = load_events(spark, sf_dir)
-    ts_type = dict(ev.dtypes)["ts"]
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    mid = lo + (hi - lo) / 2
+    tbl = pq.read_table(src)
+    ts_idx = tbl.schema.get_field_index("ts")
+    ts = tbl.column("ts")
+    if pa.types.is_integer(ts.type):
+        # raw nanos-as-long: floor to micros, matching load_events
+        ts = pc.cast(
+            pc.divide(ts, 1000), pa.timestamp("us", tz="UTC")
+        )
+    elif ts.type.unit == "ns":
+        # floor ns → us, matching Spark's timestamp_micros(ns div 1000)
+        ts = pc.cast(
+            pc.divide(pc.cast(ts, pa.int64()), 1000),
+            pa.timestamp("us", tz=ts.type.tz or "UTC"),
+        )
+    tbl = tbl.set_column(ts_idx, pa.field("ts", ts.type), ts)
+
+    lo = pc.min(ts).as_py()
+    hi = pc.max(ts).as_py()
+    mid = lo + (hi - lo) / 2  # same datetime arithmetic as the Spark agg
+
+    mask_late = pc.greater_equal(tbl.column("ts"), pa.scalar(mid, ts.type))
+    late = tbl.filter(mask_late)
+    early = tbl.filter(pc.invert(mask_late))
 
     def sentinel(ts_far):
-        cols = []
-        for name, dtype in ev.dtypes:
-            if name == "user_id":
-                cols.append(F.col("user_id"))
-            elif name == "ts":
-                cols.append(F.lit(ts_far).cast(ts_type).alias("ts"))
-            elif name == "event_id":
-                cols.append(F.lit(-1).cast(dtype).alias("event_id"))
-            elif name == "event_type":
-                cols.append(F.lit("view").alias("event_type"))
-            elif name == "value":
-                cols.append(F.lit(0.0).cast(dtype).alias("value"))
+        users = pc.unique(tbl.column("user_id").combine_chunks())
+        n = len(users)
+        cols, names = [], []
+        for field in tbl.schema:
+            names.append(field.name)
+            if field.name == "user_id":
+                cols.append(users)
+            elif field.name == "ts":
+                cols.append(pa.array([ts_far] * n, type=ts.type))
+            elif field.name == "event_id":
+                cols.append(pa.array([-1] * n, type=field.type))
+            elif field.name == "event_type":
+                cols.append(pa.array(["view"] * n, type=field.type))
+            elif field.name == "value":
+                cols.append(pa.array([0.0] * n, type=field.type))
             else:
-                cols.append(F.lit(None).cast(dtype).alias(name))
-        return ev.select("user_id").distinct().select(*cols)
+                cols.append(pa.nulls(n, type=field.type))
+        return pa.table(dict(zip(names, cols)))
+
+    import datetime as dt
 
     batches = [
-        ev.filter(F.col("ts") >= F.lit(mid).cast(ts_type)),
-        ev.filter(F.col("ts") < F.lit(mid).cast(ts_type)),
+        late,
+        early,
         sentinel(hi + dt.timedelta(days=80)),
         sentinel(hi + dt.timedelta(days=81)),
     ]
-    os.makedirs(src_dir, exist_ok=True)
-    for i, df in enumerate(batches):
-        tmp = os.path.join(src_dir, f"_t{i}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = os.path.join(src_dir, f"{i:02d}.parquet")
-        shutil.move(part, dest)
-        shutil.rmtree(tmp)
+    build = f"{src_dir}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(build, exist_ok=True)
+    for i, t in enumerate(batches):
+        dest = os.path.join(build, f"{i:02d}.parquet")
+        pq.write_table(t, dest)
         os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
-    open(marker, "w").close()
+    open(os.path.join(build, "_READY"), "w").close()
+    try:
+        os.rename(build, src_dir)
+    except OSError:  # a concurrent process won the race; use theirs
+        import shutil
+
+        shutil.rmtree(build, ignore_errors=True)
     return src_dir
 
 
@@ -2464,6 +2507,102 @@ def _tiff_payload_spark() -> str:
         "CASE WHEN doc_id % 7 = 0 THEN unhex('89504E470D0A1A0A') "
         f"WHEN doc_id % 2 = 0 THEN unhex({body(False)}) "
         f"ELSE unhex({body(True)}) END"
+    )
+
+
+# GPS-extended TIFF layout constants (shared by the Spark builder and
+# the closed-form oracle): IFD0 at 8 with 5 entries spans
+# 8 + 2 + 5*12 + 4 = 74 bytes, so the GPS IFD lands at offset 74; its
+# 2 entries span 2 + 2*12 + 4 = 30 bytes. The scrub zeroes the
+# 12-byte GPSInfo pointer entry plus the 30-byte GPS IFD = 42 bytes.
+_GPS_IFD_OFF = 74
+_GPS_N_ENTRIES = 2
+_GPS_BYTES_ZEROED = 12 + (2 + 12 * _GPS_N_ENTRIES + 4)
+
+
+def _tiff_gps_payload_spark() -> str:
+    """The _tiff_payload_spark grid extended with EXIF GPS metadata:
+    every 3rd doc's IFD0 carries a 5th entry — tag 34853 (0x8825
+    GPSInfo, EXIF 2.3 §4.6.6), type LONG, pointing at a trailing GPS
+    IFD with 2 inline entries (GPSVersionID BYTEx4 = 2.3.0.0,
+    GPSAltitudeRef BYTE = 0) — the location-bearing structure a
+    privacy scrub must find and remove. Tag order stays ascending per
+    TIFF 6.0 §2. Every 7th doc remains the PNG NULL path; byte order
+    still alternates II/MM by doc parity."""
+
+    def le16(v: str) -> str:
+        return (
+            f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 256), 2, '0'))"
+        )
+
+    def le32(v: str) -> str:
+        return (
+            f"concat(lpad(hex(({v}) % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 256 % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 65536 % 256), 2, '0'),"
+            f" lpad(hex(({v}) div 16777216 % 256), 2, '0'))"
+        )
+
+    def be16(v: str) -> str:
+        return f"lpad(hex({v}), 4, '0')"
+
+    def be32(v: str) -> str:
+        return f"lpad(hex({v}), 8, '0')"
+
+    def entry_short(tag: int, val: str, be: bool) -> str:
+        n16 = be16 if be else le16
+        n32 = be32 if be else le32
+        return (
+            f"concat({n16(str(tag))}, {n16('3')}, {n32('1')},"
+            f" {n16(val)}, '0000')"
+        )
+
+    def entry_long(tag: int, val: str, be: bool) -> str:
+        n16 = be16 if be else le16
+        n32 = be32 if be else le32
+        return f"concat({n16(str(tag))}, {n16('4')}, {n32('1')}, {n32(val)})"
+
+    def entry_bytes(tag: int, count: int, hex8: str, be: bool) -> str:
+        # BYTE entries: the value field is a raw byte array —
+        # endianness-independent
+        n16 = be16 if be else le16
+        n32 = be32 if be else le32
+        return f"concat({n16(str(tag))}, {n16('1')}, {n32(str(count))}, '{hex8}')"
+
+    def gps_ifd(be: bool) -> str:
+        n16 = be16 if be else le16
+        n32 = be32 if be else le32
+        return (
+            f"concat({n16(str(_GPS_N_ENTRIES))},"
+            f" {entry_bytes(0, 4, '02030000', be)},"
+            f" {entry_bytes(5, 1, '00000000', be)},"
+            f" {n32('0')})"
+        )
+
+    def body(be: bool, gps: bool) -> str:
+        n16 = be16 if be else le16
+        n32 = be32 if be else le32
+        magic = "'4D4D002A'" if be else "'49492A00'"
+        base = (
+            f"{entry_short(256, _TIFF_W, be)}, {entry_short(257, _TIFF_H, be)},"
+            f" {entry_short(258, _TIFF_BITS, be)},"
+            f" {entry_short(259, _TIFF_COMP, be)}"
+        )
+        if not gps:
+            return f"concat({magic}, {n32('8')}, {n16('4')}, {base}, {n32('0')})"
+        return (
+            f"concat({magic}, {n32('8')}, {n16('5')}, {base},"
+            f" {entry_long(34853, str(_GPS_IFD_OFF), be)},"
+            f" {n32('0')}, {gps_ifd(be)})"
+        )
+
+    return (
+        "CASE WHEN doc_id % 7 = 0 THEN unhex('89504E470D0A1A0A') "
+        f"WHEN doc_id % 2 = 0 AND doc_id % 3 = 0 THEN unhex({body(False, True)}) "
+        f"WHEN doc_id % 2 = 0 THEN unhex({body(False, False)}) "
+        f"WHEN doc_id % 3 = 0 THEN unhex({body(True, True)}) "
+        f"ELSE unhex({body(True, False)}) END"
     )
 
 
