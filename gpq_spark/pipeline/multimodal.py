@@ -1543,3 +1543,151 @@ def extract_exif_tiff(
             f"  CAST({u16('-__app1 + 2')} - 8 AS INT)) END"
         ).alias("exif_tiff"),
     )
+
+
+def scrub_gps_tiff(
+    df: DataFrame, payload_col: str, id_col: str
+) -> DataFrame:
+    """EXIF GPS privacy scrub: locate the GPSInfo pointer (tag 34853 /
+    0x8825, EXIF 2.3 §4.6.6) in a TIFF's first IFD and return a
+    SCRUBBED copy of the payload with both the 12-byte pointer entry
+    and the GPS IFD it references zeroed in place — the exiftool-style
+    length-preserving wipe, so every other byte offset in the file
+    stays valid (thumbnails, strip offsets, the other IFD entries all
+    still resolve). Training-data pipelines ship this as a map-side
+    pass before publishing image corpora; location EXIF is the
+    canonical PII leak in crawled images.
+
+    Per row: ``id``, ``had_gps``, ``gps_ifd_off`` (the pointer value,
+    0-based per the TIFF spec; NULL when absent), ``n_gps_entries``,
+    ``bytes_zeroed`` (12 + the GPS IFD's 2 + 12·n + 4 bytes; 0 when
+    nothing to scrub), and ``scrubbed`` (binary — the original payload
+    when GPS-free, NULL only when the pointer is structurally invalid:
+    out of bounds or overlapping IFD0, which a scrubber must refuse to
+    touch rather than corrupt).
+
+    Byte-order dispatched (II/MM) like parse_tiff_header; all JVM
+    expressions, map-side, zero shuffles — at 100 TB this runs inside
+    the parquet scan projection with no Python in the loop."""
+    p = payload_col
+
+    def u8(off: str) -> str:
+        return _u8_at(p, off)
+
+    def u16(off: str) -> str:
+        return (
+            f"(CASE WHEN __le THEN {u8(off)} + 256 * {u8(f'({off}) + 1')}"
+            f" ELSE 256 * {u8(off)} + {u8(f'({off}) + 1')} END)"
+        )
+
+    def u32(off: str) -> str:
+        lo = (
+            f"{u8(off)} + 256 * {u8(f'({off}) + 1')}"
+            f" + 65536 * {u8(f'({off}) + 2')}"
+            f" + 16777216 * {u8(f'({off}) + 3')}"
+        )
+        hi = (
+            f"16777216 * {u8(off)} + 65536 * {u8(f'({off}) + 1')}"
+            f" + 256 * {u8(f'({off}) + 2')} + {u8(f'({off}) + 3')}"
+        )
+        return f"(CASE WHEN __le THEN {lo} ELSE {hi} END)"
+
+    bo = f"substring(CAST({p} AS STRING), 1, 2)"
+    out = (
+        df.withColumn(
+            "__le",
+            F.expr(
+                f"CASE WHEN {bo} = 'II' THEN true"
+                f" WHEN {bo} = 'MM' THEN false ELSE NULL END"
+            ),
+        )
+        .withColumn("__ok", F.expr(f"__le IS NOT NULL AND {u16('3')} = 42"))
+        .withColumn("__ifd", F.expr(f"{u32('5')} + 1"))
+        .withColumn(
+            "__n",
+            F.expr(f"CASE WHEN __ok THEN least({u16('__ifd')}, 64) END"),
+        )
+        # first IFD0 entry index whose tag is GPSInfo; -1 when absent
+        .withColumn(
+            "__gi",
+            F.expr(
+                "CASE WHEN __ok AND __n >= 1 THEN coalesce(try_element_at("
+                "  filter(transform(sequence(0, __n - 1), e ->"
+                f"    CASE WHEN {u16('__ifd + 2 + 12 * e')} = 34853"
+                "     THEN e ELSE -1 END), x -> x >= 0), 1), -1)"
+                " ELSE -1 END"
+            ),
+        )
+    )
+
+    # projection-collapse barrier: __gi's 64-step tag scan feeds the
+    # pointer reads below AND the scrub concat; without the barrier
+    # CollapseProject inlines the scan per reference (see
+    # parse_tiff_header's identical barrier). Bounded: scalars per row.
+    from ..relational import _persist_bounded
+
+    out = _persist_bounded(
+        out.select(id_col, p, "__le", "__ok", "__ifd", "__n", "__gi")
+    )
+
+    out = (
+        out.withColumn(
+            "__entry_off",  # 1-based offset of the GPS pointer entry
+            F.expr("CASE WHEN __gi >= 0 THEN __ifd + 2 + 12 * __gi END"),
+        )
+        .withColumn(
+            "__gps_val",  # pointer value: 0-based GPS IFD offset
+            F.expr(
+                "CASE WHEN __gi >= 0 THEN"
+                f" CASE WHEN {u16('__entry_off + 2')} = 4"
+                f" THEN {u32('__entry_off + 8')} END END"
+            ),
+        )
+        .withColumn("__gps_1b", F.expr("__gps_val + 1"))
+        .withColumn(
+            "__gn",
+            F.expr(
+                f"CASE WHEN __gps_val IS NOT NULL THEN least({u16('__gps_1b')}, 64) END"
+            ),
+        )
+        .withColumn("__rlen", F.expr("2 + 12 * __gn + 4"))
+        # structural validity: region inside the payload, GPS IFD
+        # strictly after the pointer entry (no overlap with IFD0)
+        .withColumn(
+            "__valid",
+            F.expr(
+                "__gps_val IS NOT NULL AND __gn IS NOT NULL"
+                f" AND __gps_1b > __entry_off + 11"
+                f" AND __gps_1b + __rlen - 1 <= length({p})"
+            ),
+        )
+    )
+    zeros12 = "unhex(repeat('00', 12))"
+    zerosr = "unhex(repeat('00', CAST(__rlen AS INT)))"
+    scrub = f"""
+        CASE
+          WHEN __gi < 0 THEN {p}
+          WHEN __valid THEN concat(
+            substring({p}, 1, CAST(__entry_off - 1 AS INT)),
+            {zeros12},
+            substring({p}, CAST(__entry_off + 12 AS INT),
+                      CAST(__gps_1b - __entry_off - 12 AS INT)),
+            {zerosr},
+            substring({p}, CAST(__gps_1b + __rlen AS INT)))
+        END
+    """
+    return out.select(
+        F.col(id_col).alias("id"),
+        F.expr("__gi >= 0").alias("had_gps"),
+        F.expr(
+            "CASE WHEN __gi >= 0 THEN CAST(__gps_val AS BIGINT) END"
+        ).alias("gps_ifd_off"),
+        F.expr(
+            "CASE WHEN __gi >= 0 THEN CAST(__gn AS BIGINT) END"
+        ).alias("n_gps_entries"),
+        F.expr(
+            "CAST(CASE WHEN __gi >= 0 AND __valid THEN 12 + __rlen"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("bytes_zeroed"),
+        F.expr(scrub).alias("scrubbed"),
+    )

@@ -953,6 +953,17 @@ def bitext_margin_pairs(
             (F.round(cosine_expr("__va", "__vb"), rd) + F.lit(0.0)).alias("c"),
         )
     )
+    return _margin_select_best(pairs, k, threshold, rd)
+
+
+def _margin_select_best(
+    pairs: DataFrame, k: int, threshold: float, rd: int
+) -> DataFrame:
+    """Shared margin-scoring tail: given candidate pairs
+    (id_src, id_tgt, c) with c already rounded, compute the ratio
+    margin against each side's top-k candidate-neighborhood mean
+    (divided by least(k, |candidates|)) and keep each source's best
+    target with margin ≥ threshold."""
 
     def _topk_mean(df: DataFrame, key: str, out: str) -> DataFrame:
         other = "id_tgt" if key == "id_src" else "id_src"
@@ -997,3 +1008,53 @@ def bitext_margin_pairs(
         .filter((F.col("__rn") == 1) & (F.col("margin") >= F.lit(threshold)))
         .select("id_src", "id_tgt", "margin")
     )
+
+
+def bitext_margin_pairs_ivf(
+    src: DataFrame,
+    tgt: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    threshold: float = 1.0,
+    nprobe: int = 2,
+    round_digits: int = 9,
+) -> DataFrame:
+    """The PRODUCTION route for margin-criterion bitext mining (the
+    approximation ``bitext_margin_pairs``' docstring promises): instead
+    of all src×tgt pairs, candidates come from trained IVF cells —
+    every target row is assigned to its nearest centroid (map-side,
+    plan-literal centroids, zero shuffle for assignment), every source
+    row probes its ``nprobe`` nearest cells, and only co-cell pairs
+    are scored. The top-k normalizing neighborhoods then come from the
+    candidate set, exactly as in the published large-scale pipeline
+    (Artetxe & Schwenk 2019 §4 / the CCMatrix mining setup, where
+    neighborhoods are computed over FAISS candidates, not the full
+    corpus).
+
+    Scale: one equi-join on cell id (co-partitionable; at 100 TB both
+    sides are written partitioned by cell so this is a local join),
+    two per-key window top-ks over candidates only. A pair can appear
+    once at most: each target has ONE assigned cell, so probing can't
+    duplicate it. Same determinism rules as the exact path (round
+    before rank, sequential fold, least(k, n) mean)."""
+    rd = round_digits
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.collect()  # k centroids — bounded driver state
+    ]
+    a = src.select(
+        F.col(id_col).alias("id_src"), F.col(vec_col).alias("__va")
+    ).withColumn(
+        "cluster", F.explode(_top_cells_expr("__va", cents, min(nprobe, len(cents))))
+    )
+    b = tgt.select(
+        F.col(id_col).alias("id_tgt"), F.col(vec_col).alias("__vb")
+    ).withColumn("cluster", _argmax_cell_expr("__vb", cents))
+    pairs = a.join(b, "cluster").select(
+        "id_src",
+        "id_tgt",
+        (F.round(cosine_expr("__va", "__vb"), rd) + F.lit(0.0)).alias("c"),
+    )
+    return _margin_select_best(pairs, k, threshold, rd)

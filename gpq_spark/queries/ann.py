@@ -1547,4 +1547,101 @@ def embed_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = ['embed_centroids', 'ann_topk_quantized', 'ann_topk', 'ann_topk_lsh', 'ann_topk_lsh_multiprobe', 'ann_topk_ivf', 'ivf_upsert_cells', 'ivf_refresh_cells', 'ann_topk_fast', 'embed_triplets', 'ann_topk_rerank', 'embed_norm_profile', 'ann_topk_ivf_trained', 'pq_codes_trained', 'pq_topk_trained', 'semantic_dedup_docs', 'embed_cluster_purity', 'embed_principal_scores', 'embed_negative_samples', 'embed_silhouette_lite', 'ann_topk_filtered', 'ann_quantization_recall', 'ann_mrl_truncation_recall', 'embed_centroid_drift', 'ann_ild_diversity', 'embed_isotropy_audit', 'embed_bitext_margin']
+@register(
+    "embed_bitext_margin_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT * FROM (VALUES {_IVF_CENT_VALUES}) AS t(cid, cv)),
+    bca AS (SELECT e.vec_id, e.v, cent.cid,
+                   {_cos_duck('e.v', 'cent.cv')} AS ccos
+            FROM e, cent WHERE e.vec_id % 2 = 1),
+    b AS (
+        SELECT vec_id AS id_tgt, v, cid AS cluster FROM (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                        ORDER BY ccos DESC, cid ASC) AS rn
+            FROM bca
+        ) WHERE rn = 1
+    ),
+    aca AS (SELECT e.vec_id, e.v, cent.cid,
+                   {_cos_duck('e.v', 'cent.cv')} AS ccos
+            FROM e, cent WHERE e.vec_id % 2 = 0),
+    a AS (
+        SELECT vec_id AS id_src, v, cid AS cluster FROM (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                        ORDER BY ccos DESC, cid ASC) AS rn
+            FROM aca
+        ) WHERE rn <= 2
+    ),
+    p0 AS MATERIALIZED (
+        SELECT a.id_src, b.id_tgt,
+               round({_cos_duck('a.v', 'b.v')}, 9) + 0.0 AS c
+        FROM a JOIN b ON a.cluster = b.cluster
+    ),
+    fa AS (
+        SELECT id_src,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(c ORDER BY c DESC)), (x, y) -> x + y) / least(4, count(*)) AS fa
+        FROM (SELECT id_src, id_tgt, c,
+                     row_number() OVER (PARTITION BY id_src
+                                        ORDER BY c DESC, id_tgt ASC) AS rn
+              FROM p0)
+        WHERE rn <= 4 GROUP BY id_src
+    ),
+    fb AS (
+        SELECT id_tgt,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(c ORDER BY c DESC)), (x, y) -> x + y) / least(4, count(*)) AS fb
+        FROM (SELECT id_src, id_tgt, c,
+                     row_number() OVER (PARTITION BY id_tgt
+                                        ORDER BY c DESC, id_src ASC) AS rn
+              FROM p0)
+        WHERE rn <= 4 GROUP BY id_tgt
+    ),
+    m AS (
+        SELECT p0.id_src, p0.id_tgt,
+               round(p0.c / ((fa.fa + fb.fb) / 2), 9) + 0.0 AS margin
+        FROM p0 JOIN fa ON fa.id_src = p0.id_src
+                 JOIN fb ON fb.id_tgt = p0.id_tgt
+    )
+    SELECT id_src, id_tgt, margin FROM (
+        SELECT id_src, id_tgt, margin,
+               row_number() OVER (PARTITION BY id_src
+                                  ORDER BY margin DESC, id_tgt ASC) AS rn
+        FROM m
+    ) WHERE rn = 1 AND margin >= 1.0
+    """,
+)
+def embed_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION bitext-mining twin the exact audit query
+    (embed_bitext_margin) documents: margin candidates come from the
+    committed trained IVF centroids — targets assigned to their
+    nearest cell map-side, sources probing their top-2 cells — and the
+    normalizing top-4 neighborhoods are computed over the candidate
+    set, matching the published FAISS-candidate formulation (Artetxe &
+    Schwenk 2019 §4). One cell-id equi-join replaces the all-pairs
+    cross; at 100 TB both sides are written partitioned by cell so the
+    join is co-located (pipeline/similarity.py:bitext_margin_pairs_ivf)."""
+    from ..pipeline.similarity import bitext_margin_pairs_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        [
+            (int(cid), [float(x) for x in vec])
+            for cid, vec in _IVF_FIX["centroids"]
+        ],
+        "centroid_id int, centroid array<double>",
+    )
+    return bitext_margin_pairs_ivf(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        cents,
+        "vec_id",
+        "embedding",
+        k=4,
+        threshold=1.0,
+        nprobe=2,
+    )
+
+__all__ = ['embed_centroids', 'ann_topk_quantized', 'ann_topk', 'ann_topk_lsh', 'ann_topk_lsh_multiprobe', 'ann_topk_ivf', 'ivf_upsert_cells', 'ivf_refresh_cells', 'ann_topk_fast', 'embed_triplets', 'ann_topk_rerank', 'embed_norm_profile', 'ann_topk_ivf_trained', 'pq_codes_trained', 'pq_topk_trained', 'semantic_dedup_docs', 'embed_cluster_purity', 'embed_principal_scores', 'embed_negative_samples', 'embed_silhouette_lite', 'ann_topk_filtered', 'ann_quantization_recall', 'ann_mrl_truncation_recall', 'embed_centroid_drift', 'ann_ild_diversity', 'embed_isotropy_audit', 'embed_bitext_margin', 'embed_bitext_margin_ivf']

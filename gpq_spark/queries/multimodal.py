@@ -1470,6 +1470,74 @@ def multimodal_exif_header(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_exif_gps_scrub",
+    f"""
+    SELECT doc_id AS id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           (doc_id % 3 = 0) AS had_gps,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST({_GPS_IFD_OFF} AS BIGINT) END AS gps_ifd_off,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST({_GPS_N_ENTRIES} AS BIGINT) END AS n_gps_entries,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN {_GPS_BYTES_ZEROED}
+                ELSE 0 END AS BIGINT) AS bytes_zeroed,
+           CAST({_TIFF_W} AS INT) AS width,
+           CAST({_TIFF_H} AS INT) AS height,
+           false AS gps_after_scrub
+    FROM documents WHERE doc_id % 7 != 0
+    """,
+)
+def multimodal_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF GPS privacy scrub, closed end-to-end: every 3rd doc's TIFF
+    carries a GPSInfo pointer (tag 34853) + GPS IFD; scrub_gps_tiff
+    zeroes both in place (length-preserving, exiftool-style), and the
+    query PROVES the scrub by re-parsing the scrubbed bytes — width and
+    height must still decode (tags 256/257 untouched) and a second GPS
+    scan must come up empty (gps_after_scrub). The oracle pins the
+    audit fields closed-form from the shared layout constants
+    (helpers._GPS_IFD_OFF/._GPS_N_ENTRIES/._GPS_BYTES_ZEROED), so an
+    engine that failed to find the pointer, zeroed the wrong range, or
+    corrupted the surviving IFD entries hash-mismatches. Map-side
+    except one id-equi-join between the scrub and its re-parse."""
+    from ..pipeline.multimodal import parse_tiff_header, scrub_gps_tiff
+    from ..relational import _persist_bounded
+
+    docs = _persist_bounded(
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id", F.expr(_tiff_gps_payload_spark()).alias("payload"))
+    )  # barrier: synthesized payload feeds the byte-walking scrubber
+    s = _persist_bounded(
+        scrub_gps_tiff(docs, "payload", "doc_id")
+    )  # barrier: scrubbed blob feeds BOTH the re-parse and the re-scan
+    reparsed = parse_tiff_header(
+        s.select(F.col("id").alias("doc_id"), "scrubbed"),
+        "scrubbed",
+        "doc_id",
+    ).select(F.col("id").alias("rid"), "byte_order", "width", "height")
+    rescan = scrub_gps_tiff(
+        s.select(F.col("id").alias("doc_id"), "scrubbed"),
+        "scrubbed",
+        "doc_id",
+    ).select(F.col("id").alias("sid"), F.col("had_gps").alias("gps_after_scrub"))
+    return (
+        s.join(reparsed, s["id"] == reparsed["rid"])
+        .join(rescan, s["id"] == rescan["sid"])
+        .select(
+            "id",
+            "byte_order",
+            "had_gps",
+            "gps_ifd_off",
+            "n_gps_entries",
+            "bytes_zeroed",
+            "width",
+            "height",
+            "gps_after_scrub",
+        )
+    )
+
+
+@register(
     "multimodal_warc_roundtrip",
     f"""
     SELECT doc_id AS id, 'response' AS warc_type,
@@ -1522,7 +1590,7 @@ def multimodal_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = ['multimodal_meta', 'multimodal_sniff', 'multimodal_png_header', 'multimodal_resize', 'multimodal_audio_rms', 'multimodal_frames', 'multimodal_jpeg_header', 'multimodal_gif_header', 'png_roundtrip_stats', 'jpeg_roundtrip_stats', 'multimodal_jpeg_dhash', 'multimodal_mp4_header', 'multimodal_mp3_header', 'multimodal_wav_header', 'multimodal_pdf_text', 'multimodal_pdf_unicode', 'multimodal_bmp_header', 'multimodal_tiff_header', 'multimodal_png_dhash', 'multimodal_dhash_pairs', 'multimodal_wav_pcm_stats', 'gif_roundtrip_stats', 'gif_frame_sampling', 'multimodal_gzip_members', 'multimodal_warc_records', 'multimodal_warc_gz', 'multimodal_zip_entries', 'multimodal_tar_entries', 'multimodal_webdataset_samples', 'multimodal_exif_header', 'multimodal_warc_roundtrip']
+__all__ = ['multimodal_meta', 'multimodal_sniff', 'multimodal_png_header', 'multimodal_resize', 'multimodal_audio_rms', 'multimodal_frames', 'multimodal_jpeg_header', 'multimodal_gif_header', 'png_roundtrip_stats', 'jpeg_roundtrip_stats', 'multimodal_jpeg_dhash', 'multimodal_mp4_header', 'multimodal_mp3_header', 'multimodal_wav_header', 'multimodal_pdf_text', 'multimodal_pdf_unicode', 'multimodal_bmp_header', 'multimodal_tiff_header', 'multimodal_png_dhash', 'multimodal_dhash_pairs', 'multimodal_wav_pcm_stats', 'gif_roundtrip_stats', 'gif_frame_sampling', 'multimodal_gzip_members', 'multimodal_warc_records', 'multimodal_warc_gz', 'multimodal_zip_entries', 'multimodal_tar_entries', 'multimodal_webdataset_samples', 'multimodal_exif_header', 'multimodal_exif_gps_scrub', 'multimodal_warc_roundtrip']
 
 
 # --------------------------------------------------------------------

@@ -269,6 +269,115 @@ def rank_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rank_map_eval",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, qlabel, vec_id, label,
+               {_cos_duck('cv', 'qv')} AS cosine
+        FROM c, q WHERE vec_id != query_id
+    ),
+    ranked AS (
+        SELECT query_id, qlabel, vec_id, label,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    ),
+    top AS (
+        SELECT query_id, qlabel, label, rank,
+               CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY query_id ORDER BY rank
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM ranked WHERE rank <= 10
+    ),
+    nrel AS (
+        SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM q JOIN c ON c.label = q.qlabel AND c.vec_id != q.query_id
+        GROUP BY q.query_id
+    ),
+    per AS (
+        SELECT query_id,
+               CAST(SUM(CASE WHEN label = qlabel
+                        THEN 1000000000 * cum // rank ELSE 0 END)
+                    AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits10
+        FROM top GROUP BY query_id
+    )
+    SELECT per.query_id, nrel.n_rel, per.n_hits10,
+           CAST(per.s // least(10, nrel.n_rel) AS BIGINT) AS ap_e9
+    FROM per JOIN nrel ON nrel.query_id = per.query_id
+    """,
+)
+def rank_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Precision @10 per query (the per-query term of MAP, the
+    fourth standard retrieval metric beside precision/recall/MRR/NDCG
+    already gated): AP = Σ_{{relevant r≤10}} P@r over min(10, n_rel),
+    label agreement as relevance on the exact cosine ranking. Exact
+    integer form — each precision term is 1e9·cum_hits(r) div r and
+    the normalizing division floors last, so both engines perform the
+    IDENTICAL integer op sequence (no float metric drift). Same
+    broadcast two-phase top-k as rank_retrieval_eval; the running-hit
+    window is partitioned per query (lint-safe, shuffle only on the
+    10-row query side)."""
+    from ..pipeline.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = brute_force_topk(
+        emb, queries, "vec_id", "embedding", "query_id", k=10
+    )
+    labels = emb.select("vec_id", "label")
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    j = topk.join(labels, "vec_id").join(F.broadcast(qlab), "query_id")
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    top = j.withColumn(
+        "rel", (F.col("label") == F.col("qlabel")).cast("int")
+    ).withColumn("cum", F.sum("rel").over(w).cast("long"))
+    per = (
+        top.withColumn(
+            "term",
+            F.expr(
+                "CASE WHEN rel = 1"
+                " THEN 1000000000 * cum div rank ELSE 0 END"
+            ),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("term").cast("long").alias("s"),
+            F.sum("rel").cast("long").alias("n_hits10"),
+        )
+    )
+    nrel = (
+        qlab.join(
+            labels.select(F.col("vec_id").alias("cid"), "label"),
+            F.col("label") == F.col("qlabel"),
+        )
+        .filter(F.col("cid") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    return per.join(nrel, "query_id").select(
+        "query_id",
+        "n_rel",
+        "n_hits10",
+        F.expr("CAST(s div least(10, n_rel) AS BIGINT)").alias("ap_e9"),
+    )
+
+
+@register(
     "rank_ndcg_eval",
     f"""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
@@ -518,7 +627,7 @@ def rank_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return majority_vote(samples, "doc_id", "answer")
 
 
-__all__ = ['rank_tfidf_docs', 'rank_bm25_docs', 'rank_rrf_docs', 'rank_retrieval_eval', 'rank_ndcg_eval', 'rank_pass_at_k', 'rank_ece_calibration', 'rank_majority_vote']
+__all__ = ['rank_tfidf_docs', 'rank_bm25_docs', 'rank_rrf_docs', 'rank_retrieval_eval', 'rank_map_eval', 'rank_ndcg_eval', 'rank_pass_at_k', 'rank_ece_calibration', 'rank_majority_vote']
 
 
 # --------------------------------------------------------------------

@@ -99,7 +99,7 @@ BNLJ_ALLOWED = {
     "q_sketch_kmv_jaccard", "q_standardized_rate", "q_survival_km",
     "q_tcloseness", "q_theil_sen", "q_trend_slope",
     "q_wasserstein_price_drift", "q_weekday_profile", "rank_bm25_docs",
-    "rank_ndcg_eval", "rank_retrieval_eval", "rank_rrf_docs",
+    "rank_ndcg_eval", "rank_retrieval_eval", "rank_map_eval", "rank_rrf_docs",
     "rank_tfidf_docs", "sample_balanced_docs", "sample_match_length_docs",
     "sample_temperature_mix", "text_bigram_pmi", "text_charlm_score",
     # 1-row vocab-size broadcast cross join (same class as

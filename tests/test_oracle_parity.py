@@ -226,6 +226,7 @@ def test_no_unparseable_float_literals_in_oracles():
         "semantic_dedup_docs",
         "embed_cluster_purity",
         "q_audio_dft8_spectrum",
+        "embed_bitext_margin_ivf",  # r9: same IVF centroid fixture
     }
     offenders = {}
     for q in QUERIES:
