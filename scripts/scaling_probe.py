@@ -17,6 +17,12 @@ Writes SCALING_r{N}.json and prints one JSON line.
 
 Usage: python scripts/scaling_probe.py [round] [copies ...]
   default copies: 3 10  (i.e. sf0.3-ish and sf1-ish)
+Env (VERDICT r8 task 5 — deep points for the steepest families):
+  SCALING_DEEP=name1,name2,...  probes that also run at the deep point
+  SCALING_DEEP_COPIES=100       deep replication factor (sf10 at 100)
+The deep point applies ONLY to the named probes (the full grid at
+sf10 would cost hours for queries whose slopes are already flat);
+slopes are recomputed over each probe's own two largest points.
 """
 
 from __future__ import annotations
@@ -187,8 +193,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
-    points: list[tuple[float, str]] = [(0.01, SMALL), (0.1, BASE)]
-    for c in copies:
+
+    def ensure_point(c: int) -> str:
         dest = f"/tmp/gpq_scaling/sf{c}x"
         marker = f"{dest}/embeddings.parquet"
         if not os.path.exists(marker) or os.path.getsize(marker) == 0:
@@ -196,7 +202,19 @@ def main() -> None:
             build_scaled(con, c, dest)
             print(f"# built {dest} in {time.time() - t0:.0f}s",
                   file=sys.stderr)
-        points.append((0.1 * c, dest))
+        return dest
+
+    points: list[tuple[float, str]] = [(0.01, SMALL), (0.1, BASE)]
+    for c in copies:
+        points.append((0.1 * c, ensure_point(c)))
+
+    deep_probes = {
+        p for p in os.environ.get("SCALING_DEEP", "").split(",") if p
+    }
+    deep_copies = int(os.environ.get("SCALING_DEEP_COPIES", "0"))
+    deep_point: tuple[float, str] | None = None
+    if deep_probes and deep_copies:
+        deep_point = (0.1 * deep_copies, ensure_point(deep_copies))
 
     from gpq_spark.entry_queries import queries_dict
 
@@ -205,7 +223,10 @@ def main() -> None:
     for name in PROBES:
         fn = qd[name]
         walls = []
-        for sf, d in points:
+        my_points = list(points)
+        if deep_point is not None and name in deep_probes:
+            my_points.append(deep_point)
+        for sf, d in my_points:
             # warm codegen on the smallest point first, then min-of-2.
             # clearCache between runs: the gate queries' bounded persist
             # barriers otherwise accumulate across the 56+ query x scale
@@ -232,6 +253,9 @@ def main() -> None:
         results[name] = {"walls": walls, "slope_top": slope}
 
     payload = {"points": [p[0] for p in points], "results": results}
+    if deep_point is not None:
+        payload["deep_point"] = deep_point[0]
+        payload["deep_probes"] = sorted(deep_probes)
     dest = os.path.join(ROOT, f"SCALING_r{rnd:02d}.json")
     with open(dest, "w") as f:
         json.dump(payload, f, indent=1)
