@@ -125,6 +125,8 @@ BNLJ_ALLOWED = {
     # r7: 1-row (N, agree) x 1-row (S) broadcast combine — both sides
     # grouping-free aggregates, bounded by construction
     "rank_cohens_kappa",
+    # r9: same 1-row x 1-row combine shape (D_o units x D_e marginals)
+    "rank_krippendorff_alpha",
     # r7: 20-row benchmark set broadcast with a != predicate (a
     # benchmark suite doesn't grow with the corpus)
     "decontam_semantic_embeddings",
