@@ -1,0 +1,135 @@
+"""EXIF GPS scrub edge cases (pipeline.multimodal.scrub_gps_tiff):
+hand-built TIFF byte strings cover paths the gate query's synthetic
+grid can't — structurally invalid GPS pointers, truncated GPS IFDs,
+and byte-level verification that the scrub zeroes EXACTLY the pointer
+entry + GPS IFD and nothing else."""
+
+import struct
+
+import pytest
+
+
+def _tiff_with_gps(le: bool = True, gps_off: int | None = 74,
+                   n_gps: int = 2, truncate: int | None = None) -> bytes:
+    """Minimal TIFF: 4 standard SHORT entries + a GPSInfo LONG entry
+    pointing at ``gps_off``; GPS IFD with ``n_gps`` BYTE entries."""
+    e = "<" if le else ">"
+
+    def u16(v):
+        return struct.pack(e + "H", v)
+
+    def u32(v):
+        return struct.pack(e + "I", v)
+
+    def entry_short(tag, val):
+        return u16(tag) + u16(3) + u32(1) + u16(val) + b"\x00\x00"
+
+    def entry_long(tag, val):
+        return u16(tag) + u16(4) + u32(1) + u32(val)
+
+    def entry_byte(tag, payload4):
+        return u16(tag) + u16(1) + u32(len(payload4)) + payload4
+
+    magic = b"II*\x00" if le else b"MM\x00*"
+    ifd0 = (
+        u16(5)
+        + entry_short(256, 640)
+        + entry_short(257, 480)
+        + entry_short(258, 8)
+        + entry_short(259, 1)
+        + entry_long(34853, gps_off if gps_off is not None else 0)
+        + u32(0)
+    )
+    gps = u16(n_gps)
+    for i in range(n_gps):
+        gps += entry_byte(i, b"\x02\x03\x00\x00")
+    gps += u32(0)
+    data = magic + u32(8) + ifd0 + gps
+    if truncate is not None:
+        data = data[:truncate]
+    return data
+
+
+def _scrub_one(spark, payload: bytes):
+    from gpq_spark.pipeline.multimodal import scrub_gps_tiff
+
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, p binary")
+    row = scrub_gps_tiff(df, "p", "id").collect()[0]
+    return row
+
+
+@pytest.mark.parametrize("le", [True, False])
+def test_scrub_zeroes_exactly_pointer_and_gps_ifd(spark, le):
+    payload = _tiff_with_gps(le=le)
+    row = _scrub_one(spark, payload)
+    assert row.had_gps
+    assert row.gps_ifd_off == 74
+    assert row.n_gps_entries == 2
+    assert row.bytes_zeroed == 12 + (2 + 24 + 4)
+    scrubbed = bytes(row.scrubbed)
+    assert len(scrubbed) == len(payload)
+    # the GPSInfo entry is the 5th (offset 8 + 2 + 4*12 = 58, 0-based)
+    entry_lo, entry_hi = 58, 70
+    gps_lo, gps_hi = 74, 74 + 30
+    for i, (a, b) in enumerate(zip(payload, scrubbed)):
+        if entry_lo <= i < entry_hi or gps_lo <= i < gps_hi:
+            assert b == 0, f"byte {i} not zeroed"
+        else:
+            assert a == b, f"byte {i} modified outside the scrub ranges"
+
+
+def test_non_tiff_passes_through(spark):
+    payload = b"\x89PNG\r\n\x1a\x0a" + b"junk"
+    row = _scrub_one(spark, payload)
+    assert not row.had_gps
+    assert row.gps_ifd_off is None
+    assert row.bytes_zeroed == 0
+    assert bytes(row.scrubbed) == payload
+
+
+def test_gps_free_tiff_passes_through(spark):
+    from gpq_spark.pipeline.multimodal import parse_tiff_header
+
+    # build a GPS-carrying TIFF, then point the GPS tag elsewhere by
+    # building one WITHOUT the pointer: easiest is the 4-entry grid
+    payload = _tiff_with_gps()
+    # remove the GPS entry by rewriting the count to 4 (entries after
+    # the 4th are ignored by the walk once count says 4)
+    payload = payload[:8] + b"\x04\x00" + payload[10:]
+    row = _scrub_one(spark, payload)
+    assert not row.had_gps
+    assert bytes(row.scrubbed) == payload
+
+
+def test_out_of_bounds_gps_pointer_refused(spark):
+    """A pointer past EOF must NOT be scrubbed (a scrubber that slices
+    blindly would corrupt the file) — scrubbed NULL, bytes_zeroed 0."""
+    payload = _tiff_with_gps(gps_off=4096)
+    row = _scrub_one(spark, payload)
+    assert row.had_gps  # the pointer exists...
+    assert row.bytes_zeroed == 0  # ...but nothing was touched
+    assert row.scrubbed is None
+
+
+def test_overlapping_gps_pointer_refused(spark):
+    """A GPS offset INSIDE IFD0 (overlapping the directory) is
+    structural garbage: refuse."""
+    payload = _tiff_with_gps(gps_off=10)
+    row = _scrub_one(spark, payload)
+    assert row.had_gps
+    assert row.bytes_zeroed == 0
+    assert row.scrubbed is None
+
+
+def test_scrubbed_output_reparses_clean(spark):
+    from gpq_spark.pipeline.multimodal import parse_tiff_header, scrub_gps_tiff
+
+    payload = _tiff_with_gps(le=False)
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, p binary")
+    s = scrub_gps_tiff(df, "p", "id").select(
+        "id", "scrubbed"
+    )
+    parsed = parse_tiff_header(s, "scrubbed", "id").collect()[0]
+    assert parsed.width == 640 and parsed.height == 480
+    rescan = scrub_gps_tiff(s, "scrubbed", "id").collect()[0]
+    assert not rescan.had_gps
