@@ -1057,4 +1057,16 @@ def bitext_margin_pairs_ivf(
         "id_tgt",
         (F.round(cosine_expr("__va", "__vb"), rd) + F.lit(0.0)).alias("c"),
     )
+    # plan-truncation barrier: the scoring tail references `pairs`
+    # three times (both top-k windows + the margin join), and each
+    # reference re-inlines the candidate generation INCLUDING the k
+    # plan-literal centroid arrays in the cell expressions (measured:
+    # 267k-char optimized plan; persist() does NOT truncate the
+    # lineage, localCheckpoint does — the semantic_dedup r8 fix).
+    # Materializing the candidate set once is also what a production
+    # miner does — it feeds two window passes and a join. Bounded:
+    # (id, id, c) per candidate pair, cells cap the volume. On a real
+    # cluster prefer setCheckpointDir + .checkpoint() (localCheckpoint
+    # is executor-local, not fault-tolerant).
+    pairs = pairs.localCheckpoint()
     return _margin_select_best(pairs, k, threshold, rd)
