@@ -889,13 +889,18 @@ def parse_tiff_header(
         )
 
     def u32(off: str) -> str:
+        # 16777216L: the high-byte term must multiply in BIGINT — with
+        # the 32-bit INT u8 cast, 16777216 * 255 overflows int32 and
+        # ANSI mode turns a corrupt header byte into a task-killing
+        # ARITHMETIC_OVERFLOW (found by the GPS-scrub byte fuzz; the
+        # gate's synthetic files never have high offset bytes)
         lo = (
             f"{u8(off)} + 256 * {u8(f'({off}) + 1')}"
             f" + 65536 * {u8(f'({off}) + 2')}"
-            f" + 16777216 * {u8(f'({off}) + 3')}"
+            f" + 16777216L * {u8(f'({off}) + 3')}"
         )
         hi = (
-            f"16777216 * {u8(off)} + 65536 * {u8(f'({off}) + 1')}"
+            f"16777216L * {u8(off)} + 65536 * {u8(f'({off}) + 1')}"
             f" + 256 * {u8(f'({off}) + 2')} + {u8(f'({off}) + 3')}"
         )
         return f"(CASE WHEN __le THEN {lo} ELSE {hi} END)"
@@ -917,7 +922,10 @@ def parse_tiff_header(
         # per-row entry sequence
         .withColumn(
             "__n",
-            F.expr(f"CASE WHEN __ok THEN least({u16('__ifd')}, 64) END"),
+            F.expr(
+                f"CASE WHEN __ok AND __ifd + 1 <= length({p})"
+                f" THEN least({u16('__ifd')}, 64) END"
+            ),
         )
         .withColumn(
             "__entries",
@@ -1581,13 +1589,18 @@ def scrub_gps_tiff(
         )
 
     def u32(off: str) -> str:
+        # 16777216L: the high-byte term must multiply in BIGINT — with
+        # the 32-bit INT u8 cast, 16777216 * 255 overflows int32 and
+        # ANSI mode turns a corrupt header byte into a task-killing
+        # ARITHMETIC_OVERFLOW (found by the GPS-scrub byte fuzz; the
+        # gate's synthetic files never have high offset bytes)
         lo = (
             f"{u8(off)} + 256 * {u8(f'({off}) + 1')}"
             f" + 65536 * {u8(f'({off}) + 2')}"
-            f" + 16777216 * {u8(f'({off}) + 3')}"
+            f" + 16777216L * {u8(f'({off}) + 3')}"
         )
         hi = (
-            f"16777216 * {u8(off)} + 65536 * {u8(f'({off}) + 1')}"
+            f"16777216L * {u8(off)} + 65536 * {u8(f'({off}) + 1')}"
             f" + 256 * {u8(f'({off}) + 2')} + {u8(f'({off}) + 3')}"
         )
         return f"(CASE WHEN __le THEN {lo} ELSE {hi} END)"
@@ -1605,7 +1618,10 @@ def scrub_gps_tiff(
         .withColumn("__ifd", F.expr(f"{u32('5')} + 1"))
         .withColumn(
             "__n",
-            F.expr(f"CASE WHEN __ok THEN least({u16('__ifd')}, 64) END"),
+            F.expr(
+                f"CASE WHEN __ok AND __ifd + 1 <= length({p})"
+                f" THEN least({u16('__ifd')}, 64) END"
+            ),
         )
         # first IFD0 entry index whose tag is GPSInfo; -1 when absent
         .withColumn(
@@ -1647,7 +1663,12 @@ def scrub_gps_tiff(
         .withColumn(
             "__gn",
             F.expr(
-                f"CASE WHEN __gps_val IS NOT NULL THEN least({u16('__gps_1b')}, 64) END"
+                # bound BEFORE the read: a fuzzed 32-bit pointer (up to
+                # ~4.3e9) would otherwise hit substring's implicit
+                # bigint->int cast and raise under ANSI
+                f"CASE WHEN __gps_val IS NOT NULL"
+                f" AND __gps_1b + 1 <= length({p})"
+                f" THEN least({u16('__gps_1b')}, 64) END"
             ),
         )
         .withColumn("__rlen", F.expr("2 + 12 * __gn + 4"))

@@ -1,0 +1,103 @@
+"""Batched fuzz for the EXIF GPS scrub: 200 payloads — random bytes,
+valid GPS TIFFs, and single-byte mutations of valid ones — through ONE
+Spark pass (per-example Spark jobs would be 1000x slower than the
+expression under test), asserting the scrubber's safety contract on
+every row:
+
+- never raises, whatever the bytes;
+- a payload without a detected GPS pointer passes through IDENTICAL;
+- a scrub, when performed, preserves length and reports bytes_zeroed
+  consistent with the refusal flag;
+- a refused scrub (structurally invalid pointer) touches NOTHING
+  (scrubbed NULL + bytes_zeroed 0) — the corrupt-blob-at-scale
+  contract: one bad file must never be silently half-rewritten;
+- re-scanning any non-NULL scrubbed output finds no GPS pointer.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+
+def _valid_gps_tiff(le: bool, gps_off: int = 74, n_gps: int = 2) -> bytes:
+    e = "<" if le else ">"
+    u16 = lambda v: struct.pack(e + "H", v)  # noqa: E731
+    u32 = lambda v: struct.pack(e + "I", v)  # noqa: E731
+    ifd0 = (
+        u16(5)
+        + u16(256) + u16(3) + u32(1) + u16(640) + b"\x00\x00"
+        + u16(257) + u16(3) + u32(1) + u16(480) + b"\x00\x00"
+        + u16(258) + u16(3) + u32(1) + u16(8) + b"\x00\x00"
+        + u16(259) + u16(3) + u32(1) + u16(1) + b"\x00\x00"
+        + u16(34853) + u16(4) + u32(1) + u32(gps_off)
+        + u32(0)
+    )
+    gps = u16(n_gps)
+    for i in range(n_gps):
+        gps += u16(i) + u16(1) + u32(4) + b"\x02\x03\x00\x00"
+    gps += u32(0)
+    return (b"II*\x00" if le else b"MM\x00*") + u32(8) + ifd0 + gps
+
+
+def _corpus() -> list[bytes]:
+    rng = random.Random(20260817)
+    payloads: list[bytes] = []
+    # pure noise of varied lengths (incl. empty and sub-header)
+    for n in (0, 1, 3, 4, 7, 8, 16, 64, 256):
+        payloads.append(bytes(rng.randrange(256) for _ in range(n)))
+    # valid files, both byte orders
+    for le in (True, False):
+        payloads.append(_valid_gps_tiff(le))
+    # single-byte mutations of valid files at every position band
+    for le in (True, False):
+        base = _valid_gps_tiff(le)
+        for _ in range(60):
+            i = rng.randrange(len(base))
+            b = bytearray(base)
+            b[i] = rng.randrange(256)
+            payloads.append(bytes(b))
+    # truncations
+    base = _valid_gps_tiff(True)
+    for cut in range(1, len(base), 7):
+        payloads.append(base[:cut])
+    # pointer-fuzzed variants (arbitrary gps_off incl. huge / overlapping)
+    for off in (0, 1, 8, 9, 57, 58, 73, 75, 103, 104, 200, 2**16, 2**31 - 1):
+        payloads.append(_valid_gps_tiff(True, gps_off=off))
+    return payloads
+
+
+def test_scrub_safety_contract_batched(spark):
+    from gpq_spark.pipeline.multimodal import scrub_gps_tiff
+
+    payloads = _corpus()
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "id long, p binary",
+    )
+    rows = {r.id: r for r in scrub_gps_tiff(df, "p", "id").collect()}
+    assert len(rows) == len(payloads)
+
+    rescued = []
+    for i, p in enumerate(payloads):
+        r = rows[i]
+        if not r.had_gps:
+            assert r.bytes_zeroed == 0
+            assert r.scrubbed is not None and bytes(r.scrubbed) == p, i
+        elif r.scrubbed is None:
+            # refusal: nothing touched, and the row says so
+            assert r.bytes_zeroed == 0, i
+        else:
+            s = bytes(r.scrubbed)
+            assert len(s) == len(p), i
+            assert r.bytes_zeroed > 0, i
+            # the scrub changed only bytes it zeroed
+            changed = sum(1 for a, b in zip(p, s) if a != b)
+            assert changed <= r.bytes_zeroed, i
+            rescued.append((i, bytearray(s)))
+
+    # second pass: every performed scrub re-scans GPS-free
+    assert rescued, "fuzz corpus produced no successful scrubs"
+    df2 = spark.createDataFrame(rescued, "id long, p binary")
+    for r in scrub_gps_tiff(df2, "p", "id").collect():
+        assert not r.had_gps, r.id
