@@ -185,8 +185,16 @@ def with_sniffed_format(
 
 def _be_u32(payload_col: str, offset: int) -> str:
     """Big-endian u32 at 1-based byte ``offset`` — fixed-offset header
-    field extraction as a pure expression."""
-    return f"CAST(conv(hex(substring({payload_col}, {offset}, 4)), 16, 10) AS INT)"
+    field extraction as a pure expression. BIGINT: a u32 can carry up
+    to 4294967295, and CAST AS INT raises ARITHMETIC_OVERFLOW under
+    ANSI for values past 2^31-1 — one adversarial dimension field in a
+    corrupt blob must yield a NULL/huge value for the caller to
+    range-check, never a task-killing exception (same fuzz-found class
+    as the TIFF u32 composition)."""
+    return (
+        f"CAST(conv(hex(substring({payload_col}, {offset}, 4)), 16, 10)"
+        " AS BIGINT)"
+    )
 
 
 def _u8(payload_col: str, offset: int) -> str:
@@ -208,10 +216,17 @@ def parse_png_header(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     def guarded(expr: str, typ: str) -> Column:
         return F.expr(f"CASE WHEN {is_png} THEN {expr} ELSE NULL END").cast(typ)
 
+    def u32_field(offset: int) -> str:
+        # PNG caps dimensions at 2^31-1 (spec 11.2.2); larger values
+        # are invalid and parse to NULL instead of tripping the outer
+        # ANSI int cast
+        raw = _be_u32(payload_col, offset)
+        return f"CASE WHEN ({raw}) <= 2147483647 THEN ({raw}) END"
+
     return df.select(
         F.col(id_col).alias("id"),
-        guarded(_be_u32(payload_col, 17), "int").alias("width"),
-        guarded(_be_u32(payload_col, 21), "int").alias("height"),
+        guarded(u32_field(17), "int").alias("width"),
+        guarded(u32_field(21), "int").alias("height"),
         guarded(_u8(payload_col, 25), "int").alias("bit_depth"),
         guarded(_u8(payload_col, 26), "int").alias("color_type"),
     )
@@ -613,6 +628,10 @@ def parse_mp4_header(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     is_ftyp = (
         f"substring(hex({payload_col}), 9, 8) = '66747970'"  # 'ftyp'
         f" AND ({ftyp_size}) >= 16 AND ({ftyp_size}) % 4 = 0"
+        # upper bound BEFORE the data-dependent walk dereferences
+        # moov_off: a fuzzed box size near 2^32 would otherwise hit
+        # substring's implicit bigint->int position cast under ANSI
+        f" AND ({ftyp_size}) <= length({payload_col})"
     )
     moov_off = f"({ftyp_size}) + 1"
     is_mp4 = (

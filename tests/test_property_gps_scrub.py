@@ -101,3 +101,70 @@ def test_scrub_safety_contract_batched(spark):
     df2 = spark.createDataFrame(rescued, "id long, p binary")
     for r in scrub_gps_tiff(df2, "p", "id").collect():
         assert not r.had_gps, r.id
+
+
+def test_all_header_parsers_survive_arbitrary_bytes(spark):
+    """Batched never-raise fuzz across the whole header-parser family:
+    noise, magic-prefixed noise, and targeted adversarial values (PNG
+    width 0xFFFFFFFF, MP4 ftyp box size near 2^32 — both previously
+    raised ARITHMETIC_OVERFLOW under ANSI instead of parsing to NULL).
+    Contract: for ARBITRARY bytes every parser returns a row (fields
+    NULL where structure is absent), never an exception — at corpus
+    scale a stray overflow turns one corrupt blob into a dead task."""
+    import struct
+
+    from gpq_spark.pipeline.multimodal import (
+        parse_bmp_header,
+        parse_gif_header,
+        parse_jpeg_header,
+        parse_mp3_header,
+        parse_mp4_header,
+        parse_png_header,
+        parse_tiff_header,
+        parse_wav_header,
+    )
+
+    rng = random.Random(20260818)
+    magics = [
+        b"\x89PNG\r\n\x1a\x0a",
+        b"\xff\xd8",
+        b"GIF87a",
+        b"RIFF\x00\x00\x00\x00WAVE",
+        b"II*\x00",
+        b"MM\x00*",
+        b"BM",
+        b"\xff\xe3",
+        b"\x00\x00\x00\x14ftyp",
+    ]
+    payloads: list[bytes] = []
+    for n in (0, 1, 2, 5, 12, 40, 200):
+        payloads.append(bytes(rng.randrange(256) for _ in range(n)))
+    for m in magics:
+        for n in (0, 4, 30, 120):
+            payloads.append(m + bytes(rng.randrange(256) for _ in range(n)))
+    # adversarial: PNG with u32 dims past int32
+    payloads.append(
+        b"\x89PNG\r\n\x1a\x0a" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 0xFFFFFFFF, 0xFFFFFFFE) + b"\x08\x02" + b"\x00" * 20
+    )
+    # adversarial: MP4 ftyp whose box size is near 2^32
+    payloads.append(struct.pack(">I", 0xFFFFFFF0) + b"ftypisom" + b"\x00" * 64)
+    # adversarial: TIFF with IFD offset near 2^32
+    payloads.append(b"II*\x00" + struct.pack("<I", 0xFFFFFFF0) + b"\x00" * 32)
+
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "id long, p binary",
+    )
+    for parser in (
+        parse_png_header,
+        parse_jpeg_header,
+        parse_gif_header,
+        parse_wav_header,
+        parse_bmp_header,
+        parse_tiff_header,
+        parse_mp3_header,
+        parse_mp4_header,
+    ):
+        rows = parser(df, "p", "id").collect()
+        assert len(rows) == len(payloads), parser.__name__
