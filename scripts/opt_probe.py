@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Per-query isolation probe for the optimization rounds (guide §1).
+
+Runs named queries in the SAME session shape as bench.py, times the
+computation against the noop sink (guide §1.4 — materializes every
+column of every row without paying a real sink), and captures
+``explain("formatted")`` per query so plan claims are auditable.
+
+Usage:
+  python scripts/opt_probe.py q_ktruss_edges text_pair_cosine
+  python scripts/opt_probe.py --headline            # bench.py HEADLINE set
+  python scripts/opt_probe.py --plans-dir plans/r09 --suffix _before q...
+
+Timing here is NOT the bench contract (bench.py still times .count()
+for round-over-round comparability); this is the builder's isolation
+tool. Prints one line per query: name, runs, min wall, rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_spark(cpus: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gpq_spark-opt-probe")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
+        .config("spark.driver.extraJavaOptions", "-Xms16g -XX:+AlwaysPreTouch")
+        .config("spark.ui.enabled", os.environ.get("OPT_PROBE_UI", "false"))
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--headline", action="store_true")
+    ap.add_argument("--plans-dir", default=None)
+    ap.add_argument("--suffix", default="")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--count", action="store_true", help="time .count() like bench.py instead of noop")
+    ap.add_argument("--no-warm", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from gpq_spark.entry_queries import queries_dict
+
+    qdict = queries_dict()
+    names = list(args.names)
+    if args.headline:
+        import bench
+
+        names = bench.HEADLINE + [n for n in names if n not in bench.HEADLINE]
+    if not names:
+        ap.error("no query names given")
+
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if args.no_warm or not os.path.isdir(warm_dir):
+        warm_dir = None
+    if warm_dir:
+        t0 = time.perf_counter()
+        for n in names:
+            qdict[n](spark, warm_dir).count()
+        print(f"# warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    results = {}
+    for n in names:
+        fn = qdict[n]
+        if args.plans_dir:
+            os.makedirs(args.plans_dir, exist_ok=True)
+            df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            with open(
+                os.path.join(args.plans_dir, f"{n}{args.suffix}.txt"), "w"
+            ) as f:
+                f.write(plan)
+        walls = []
+        rows = None
+        for _ in range(args.runs):
+            spark.sparkContext.setJobDescription(f"probe:{n}")
+            # time from BEFORE fn(): driver-loop queries (k-truss peel)
+            # and streaming drains do their work inside fn, not in the
+            # final action — bench.py times the same span
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            if args.count:
+                rows = df.count()
+            else:
+                df.write.format("noop").mode("overwrite").save()
+            walls.append(time.perf_counter() - t0)
+            spark.sparkContext.setJobDescription(None)
+            spark.catalog.clearCache()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001
+                pass
+        results[n] = min(walls)
+        print(
+            f"{n}: min {min(walls):.3f}s  runs "
+            + " ".join(f"{w:.3f}" for w in walls)
+            + (f"  rows={rows}" if rows is not None else ""),
+            flush=True,
+        )
+    print("# total_min_wall %.3f" % sum(results.values()), file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
