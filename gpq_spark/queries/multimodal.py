@@ -247,7 +247,7 @@ def png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.multimodal import png_pixel_stats
 
     ensure_deployed(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         from ..pipeline.png import encode_png
@@ -306,7 +306,7 @@ def jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.multimodal import jpeg_pixel_stats
 
     ensure_deployed(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         from ..pipeline.jpeg import encode_jpeg
@@ -390,7 +390,7 @@ def multimodal_jpeg_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.multimodal import jpeg_dhash
 
     ensure_deployed(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         from ..pipeline.jpeg import encode_jpeg
@@ -594,7 +594,7 @@ def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.multimodal import pdf_text_stats
 
     ensure_deployed(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def gen(batches):
         from ..pipeline.pdf import build_pdf
@@ -661,7 +661,7 @@ def multimodal_pdf_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.multimodal import pdf_text_stats
 
     ensure_deployed(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def gen(batches):
         from ..pipeline.pdf import build_pdf_unicode
@@ -708,7 +708,7 @@ def multimodal_bmp_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard."""
     from ..pipeline.multimodal import parse_bmp_header
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _spread(load(spark, sf_dir, "documents")).select(
         "doc_id", F.expr(_bmp_payload_spark()).alias("payload")
     )
     return parse_bmp_header(docs, "payload", "doc_id").filter(
@@ -812,7 +812,7 @@ def multimodal_png_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.multimodal import png_dhash
 
     ensure_deployed(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         from ..pipeline.png import encode_png
@@ -901,7 +901,7 @@ def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.multimodal import dhash_near_pairs, png_dhash
 
     ensure_deployed(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         from ..pipeline.png import encode_png
@@ -968,7 +968,7 @@ def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.multimodal import wav_sample_stats
 
     ensure_deployed(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         from ..pipeline.multimodal import encode_wav_pcm16
@@ -1026,7 +1026,7 @@ def gif_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.multimodal import gif_pixel_stats
 
     ensure_deployed(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
     palette = [(9, 7, 5), (200, 30, 1), (40, 90, 160), (250, 250, 250)]
 
     def gen(batches):
@@ -1086,7 +1086,7 @@ def gif_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.multimodal import gif_frame_sample_stats
 
     ensure_deployed(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
     palette = [(9, 7, 5), (200, 30, 1), (40, 90, 160), (250, 250, 250)]
 
     def gen(batches):
@@ -1143,7 +1143,7 @@ def multimodal_gzip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     = 10 hdr + 5 stored-block + L + 8 trailer = L + 23)."""
     from ..pipeline.warc import parse_gzip_members
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.expr(
             "concat("
@@ -1189,7 +1189,7 @@ def multimodal_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5. metadata records carry no Target-URI → NULL."""
     from ..pipeline.warc import parse_warc_records
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.expr(
             f"CAST(({_warc_rec_sql(0)} || {_warc_rec_sql(1)}) AS BINARY)"
@@ -1237,7 +1237,7 @@ def multimodal_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     Content-Length-sliced WARC walk."""
     from ..pipeline.warc import parse_warc_gz
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.expr(
             "concat("
@@ -1301,7 +1301,7 @@ def multimodal_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" unhex({_gz_le32(str(cd_size))}), unhex({_gz_le32(cd_off)}),"
         f" unhex({_gz_le16('3')}), CAST('gpq' AS BINARY))"
     )
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.expr(
             f"concat({lfh0}, {lfh1}, {cdh0}, {cdh1}, {eocd})"
@@ -1503,7 +1503,7 @@ def multimodal_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..relational import _persist_bounded
 
     docs = _persist_bounded(
-        load(spark, sf_dir, "documents")
+        _spread(load(spark, sf_dir, "documents"))
         .filter(F.col("doc_id") % 7 != 0)
         .select("doc_id", F.expr(_tiff_gps_payload_spark()).alias("payload"))
     )  # barrier: synthesized payload feeds the byte-walking scrubber
@@ -1564,7 +1564,7 @@ def multimodal_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side passes; payload bytes never shuffle beyond it."""
     from ..pipeline.warc import build_warc_gz, parse_warc_gz
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     built = build_warc_gz(docs, "text", "doc_id")
     parsed = parse_warc_gz(built, "payload", "id").select(
         F.col("id").alias("pid"),
@@ -1735,7 +1735,7 @@ def multimodal_avro_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     varint byte-length arithmetic. Map-side only; no shuffle."""
     from ..pipeline.avro import parse_avro_blocks
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _spread(load(spark, sf_dir, "documents")).select(
         "doc_id", F.expr(_avro_payload_spark()).alias("payload")
     )
     return parse_avro_blocks(docs, "payload", "doc_id").select(
@@ -1770,7 +1770,7 @@ def multimodal_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     all recompute closed-form in the oracle."""
     from ..pipeline.avro import parse_avro_records
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _spread(load(spark, sf_dir, "documents")).select(
         "doc_id", F.expr(_avro_payload_spark()).alias("payload")
     )
     return parse_avro_records(docs, "payload", "doc_id")
