@@ -612,7 +612,27 @@ def _events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(src_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
+    _hint_stream_source_bytes(spark, src_dir)
     return stream_events(spark, src_dir, raw_schema)
+
+
+def _hint_stream_source_bytes(spark: SparkSession, src_dir: str) -> None:
+    """Record the streamed directory's total parquet bytes in a session
+    conf so ``_drain_to_table`` can size its state-partition count from
+    the DATA, not a constant (guide §2: partitioning must be
+    scale-adaptive). Set immediately before the drain by the same
+    single-threaded query function that builds the stream."""
+    import os
+
+    try:
+        n = sum(
+            e.stat().st_size
+            for e in os.scandir(src_dir)
+            if e.name.endswith(".parquet")
+        )
+    except OSError:
+        n = 0
+    spark.conf.set("spark.gpq.streamSourceBytes", str(n))
 
 
 def _drain_to_table(df: DataFrame, prefix: str, mode: str) -> DataFrame:
@@ -636,9 +656,30 @@ def _drain_to_table(df: DataFrame, prefix: str, mode: str) -> DataFrame:
     spark = df.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # Scale-adaptive state-partition count, sized from the DATA and
+    # the session's cores — never a constant (guide §2.5/§2.2). The r7
+    # constant 4 sized per-batch state commits for the sweep's tiny
+    # batches, but it also serializes the per-key stateful work onto 4
+    # cores: at sf0.1 the OOO sessionize drain measured 9.5 s at 4
+    # partitions vs 6.5 s at 16 (identical output), with addBatch
+    # ~1.8 s/batch nearly flat in row count — per-KEY overhead. At
+    # sf0.01 the reverse holds (16 partitions = 4x the state commits
+    # for sub-second batches: stream family 6.1 s → 9.8 s). So: one
+    # partition per ~128 KB of streamed source (the byte hint set by
+    # the stream builders), clamped to [4, half the cores, 16]. A real
+    # deployment sizes state partitions to key cardinality and state
+    # size the same way; STREAM_DRAIN_PARTITIONS remains the explicit
+    # production override.
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        src_bytes = int(spark.conf.get("spark.gpq.streamSourceBytes", "0"))
+    except ValueError:
+        src_bytes = 0
+    cap = max(4, min(16, cores // 2))
+    parts = min(cap, max(4, src_bytes // (128 * 1024)))
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        os.environ.get("STREAM_DRAIN_PARTITIONS", "4"),
+        os.environ.get("STREAM_DRAIN_PARTITIONS", str(parts)),
     )
     # checkpoint (offsets WAL + state store deltas) on tmpfs: every
     # micro-batch fsyncs a WAL entry + one state delta per partition;
@@ -946,6 +987,7 @@ def _events_ooo_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src_dir = _events_ooo_dir(spark, sf_dir)
     raw_schema = spark.read.parquet(os.path.join(src_dir, "00.parquet")).schema
+    _hint_stream_source_bytes(spark, src_dir)
     return stream_events(
         spark, src_dir, raw_schema, options={"maxFilesPerTrigger": "1"}
     )
