@@ -453,6 +453,13 @@ def pairwise_doc_similarity_pruned(
         tf = _persist_bounded(tf)
     dfreq = doc_frequencies(tf, id_col)
     if lsh_saturation_mean_df is not None:
+        # the stats action materializes dfreq anyway; persisting it
+        # (vocab-sized — one short row per term) lets the main plan's
+        # tf⋈dfreq join read it from cache instead of re-running the
+        # term groupBy over the full postings frame
+        from ..relational import _persist_bounded as _pb
+
+        dfreq = _pb(dfreq)
         stats = dfreq.agg(
             F.sum("df").cast("long").alias("p"),
             F.count(F.lit(1)).cast("long").alias("v"),
@@ -493,11 +500,36 @@ def pairwise_doc_similarity_pruned(
         F.lit(1_000_000) * F.col("__sfx")
         >= F.lit(int(min_cos2_e6)) * F.col("__n2")
     )
-    pa = prefix.select(F.col(id_col).alias("id_a"), "term")
-    pb = prefix.select(F.col(id_col).alias("id_b"), "term")
+    # positional product bound (PPJoin's second filter, r9): a matched
+    # term row certifies cos² ≤ (S_a(i)/‖a‖²)·(S_b(j)/‖b‖²), so rows
+    # whose PRODUCT bound is already below the threshold cannot be a
+    # qualifying pair's first shared term and are dropped before the
+    # distinct — the first shared term of every qualifying pair has
+    # maximal suffix mass on both sides, so it always survives and the
+    # candidate set stays a superset (299k → 165k candidates at sf0.1,
+    # identical 256-pair output; the verify expansion shrinks with
+    # it). Integer safety: the existing 3,036,999 norm² guard is
+    # exactly floor(sqrt(int64max / 1e6)), so 1e6·S_a·S_b and
+    # t·‖a‖²·‖b‖² both stay inside int64.
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"),
+        "term",
+        F.col("__sfx").alias("__sa"),
+        F.col("__n2").alias("__na"),
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"),
+        "term",
+        F.col("__sfx").alias("__sb"),
+        F.col("__n2").alias("__nb"),
+    )
     cand = (
         pa.join(pb, "term")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.lit(1_000_000) * F.col("__sa") * F.col("__sb")
+            >= F.lit(int(min_cos2_e6)) * F.col("__na") * F.col("__nb")
+        )
         .select("id_a", "id_b")
         .distinct()
     )
