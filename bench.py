@@ -241,6 +241,19 @@ def main() -> None:
         # (measured at sf0.1: q3 -10%, q5 -19%, as-of join -23%; the
         # win grows with the pruned side's size)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # prefer shuffled-hash over sort-merge when the per-partition
+        # build side fits (guide §3.1/§9): skips both sort passes. The
+        # AQE threshold is a per-partition MEMORY bound, not a
+        # core-count constant, so the policy is scale-neutral — a
+        # partition that doesn't fit falls back to sort-merge.
+        # Measured at sf0.1/local[32]: q_truss_support 5.9→3.5 s,
+        # q3 1.14→0.61 s, q5 1.35→0.67 s, dedup_minhash 1.23→0.71 s,
+        # no query slower beyond run noise.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # pin + pre-fault the heap floor: the r6 q_ktruss variance hunt
         # measured slow runs at sys%≈50 with MILLIONS of minor page
