@@ -774,14 +774,15 @@ def truss_support(
     e = _canonical_edges(edges, src, dst)
     m = e.count()
     if m:
-        n = int(
+        nodes = (
             e.select(F.col("u").alias("node"))
             .unionAll(e.select(F.col("v").alias("node")))
             .distinct()
-            .count()
+            .localCheckpoint()  # vertex-sized; reused by the dense index
         )
+        n = nodes.count()
         if n >= 2 and 128 * m >= n * n:
-            return _truss_support_dense(e, n)
+            return _truss_support_dense(e, nodes, n)
     inter = _triangle_intersections(e)
     base = inter.select(
         F.least("a", "b").alias("u"),
@@ -807,7 +808,7 @@ def truss_support(
     )
 
 
-def _truss_support_dense(e: DataFrame, n: int) -> DataFrame:
+def _truss_support_dense(e: DataFrame, nodes: DataFrame, n: int) -> DataFrame:
     """Dense-graph edge support: per-vertex neighborhoods as packed
     int64 bitmap words, support = Σ bit_count(word_u & word_v). Exact
     — |N(u) ∩ N(v)| IS the number of triangles through (u, v) — and
@@ -818,11 +819,6 @@ def _truss_support_dense(e: DataFrame, n: int) -> DataFrame:
     task over n rows — bounded by the same condition); everything else
     is whole-stage-codegen word arithmetic."""
     nw = (n + 63) // 64
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .distinct()
-    )
     idx = nodes.select(
         "node", (F.row_number().over(Window.orderBy("node")) - 1).alias("ix")
     )
@@ -832,11 +828,22 @@ def _truss_support_dense(e: DataFrame, n: int) -> DataFrame:
     adj = ei.select(
         F.col("ixu").alias("a"), F.col("ixv").alias("b")
     ).unionAll(ei.select(F.col("ixv").alias("a"), F.col("ixu").alias("b")))
-    bm = adj.groupBy("a").agg(
+    # two-level build: OR the neighbor bits per (vertex, word) first —
+    # a partial-aggregating groupBy over narrow rows — then scatter
+    # the ≤nw words into the array. The single-level aggregate rebuilt
+    # the whole nw-word array per NEIGHBOR (deg·nw transform steps,
+    # ~7.7M at sf0.1, measured ~0.75 s of the build); this shape does
+    # deg work in bit_or and only nw² in the scatter.
+    words = adj.select(
+        "a",
+        F.expr("CAST(b div 64 AS INT)").alias("wi"),
+        F.expr("shiftleft(1L, CAST(b % 64 AS INT))").alias("bit"),
+    ).groupBy("a", "wi").agg(F.expr("bit_or(bit)").alias("w"))
+    bm = words.groupBy("a").agg(
         F.expr(
-            f"aggregate(collect_list(b), array_repeat(0L, {nw}), (acc, x) ->"
-            " transform(acc, (w, i) -> IF(i = CAST(x div 64 AS INT),"
-            " w | shiftleft(1L, CAST(x % 64 AS INT)), w)))"
+            f"aggregate(collect_list(struct(wi, w)),"
+            f" array_repeat(0L, {nw}),"
+            " (acc, s) -> transform(acc, (x, i) -> IF(i = s.wi, s.w, x)))"
         ).alias("bits")
     )
     return (
