@@ -885,7 +885,10 @@ def text_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the gate remains hash-exact."""
     from ..pipeline.ranking import pairwise_doc_similarity_pruned
 
-    docs = load(spark, sf_dir, "documents")
+    # spread the sub-split-size corpus before the shingle explode so
+    # tokenization + shingling use every core (guide §2.5 input skew);
+    # only the two consumed columns cross the exchange
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return pairwise_doc_similarity_pruned(
         docs,
         "doc_id",
