@@ -52,15 +52,21 @@ def ngram_overlap_counts(
     shuffle of the train corpus.
     """
     eval_text_col = eval_text_col or text_col
+    # explode_outer, not explode: InferFiltersFromGenerate puts a
+    # size()>0 filter under a plain explode, and predicate pushdown
+    # inlines the whole shingle CASE (with split() re-expanded per
+    # element_at) into that per-row filter — measured 25.3s -> 0.7s on
+    # the bench corpus. __sh is never null/empty (the CASE always
+    # yields >= 1 element), so outer is row-identical.
     ev = (
         _with_shingles(eval_df, eval_text_col, ngram, keep=[])
-        .select(F.explode("__sh").alias("__g"))
+        .select(F.explode_outer("__sh").alias("__g"))
         .select(F.xxhash64("__g").alias("__gh"))
         .distinct()
     )
     tr = (
         _with_shingles(train_df, text_col, ngram, keep=[id_col])
-        .select(F.col(id_col), F.explode("__sh").alias("__g"))
+        .select(F.col(id_col), F.explode_outer("__sh").alias("__g"))
         .select(F.col(id_col), F.xxhash64("__g").alias("__gh"))
     )
     # __sh is already distinct per document, so count(*) counts
@@ -140,13 +146,19 @@ def redact_contaminated_spans(
     words = F.expr(
         f"filter(split(lower(trim({text_col})), '\\\\s+'), w -> w != '')"
     )
+    # outer generate + not-null filter on the GENERATED attribute, not
+    # plain explode: InferFiltersFromGenerate would put a size()>0
+    # filter on __w/__gs that predicate pushdown inlines — the whole
+    # tokenize (resp. gram-hash transform) expression would run twice
+    # per row (see ngram_overlap_counts). Arrays here CAN be empty, so
+    # the cheap attribute filter restores exact explode semantics.
     tok = train_df.select(
         F.col(id_col).alias("__id"), words.alias("__w")
     ).select(
         "__id",
-        F.posexplode("__w").alias("__pos", "__term"),
+        F.posexplode_outer("__w").alias("__pos", "__term"),
         F.size("__w").alias("__nw"),
-    )
+    ).filter(F.col("__pos").isNotNull())
     train_grams = train_df.select(
         F.col(id_col).alias("__id"), words.alias("__w")
     ).select(
@@ -158,7 +170,9 @@ def redact_contaminated_spans(
             f" xxhash64(array_join(slice(__w, i + 1, {ngram}), ' '))))"
             " ELSE array() END"
         ).alias("__gs"),
-    ).select("__id", F.explode("__gs").alias("__g"))
+    ).select("__id", F.explode_outer("__gs").alias("__g")).filter(
+        F.col("__g").isNotNull()
+    )
     eval_grams = (
         eval_df.select(
             F.expr(

@@ -488,13 +488,16 @@ def prefix_filter_pairs(
         F.col(id_col),
         F.expr("transform(__sh, s -> xxhash64(s))").alias("__sh"),
     )
+    # explode_outer: keeps InferFiltersFromGenerate from duplicating
+    # the shingle+transform expression into a per-row filter (see
+    # pipeline/decontam.py). __sh is never null/empty.
     tok_df = (
-        shingled.select(F.explode("__sh").alias("__t"))
+        shingled.select(F.explode_outer("__sh").alias("__t"))
         .groupBy("__t")
         .agg(F.count(F.lit(1)).alias("__df"))
     )
     ordered = (
-        shingled.select(F.col(id_col), F.explode("__sh").alias("__t"))
+        shingled.select(F.col(id_col), F.explode_outer("__sh").alias("__t"))
         .join(tok_df, "__t")
         .groupBy(id_col)
         .agg(

@@ -1957,6 +1957,10 @@ def _cosource_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        # materialize once: `shared` feeds BOTH the threshold aggregate
+        # and the filtered edge output; without this the lineitem scan
+        # + co-sourcing self-join runs twice (once per consumer).
+        .localCheckpoint()
     )
     tot = shared.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
@@ -2061,6 +2065,9 @@ def _nation_trade_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("s"), F.col("s_nationkey").alias("d")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # materialize once: `flows` feeds both the threshold aggregate
+        # and the filtered output (same reuse as _cosource_edges_spark).
+        .localCheckpoint()
     )
     ftot = flows.agg(
         F.count(F.lit(1)).cast("long").alias("n_flows"),

@@ -1520,6 +1520,11 @@ def text_langid_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_language_id(docs, "text")
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # materialize the tiny confusion matrix once: tp/actual/pred
+        # each reference it, and without this the docs scan + marker
+        # classifier runs three times (and the lang=pred_lang filter
+        # inlines the classifier CASE below the aggregate a 4th time).
+        .localCheckpoint()
     )
     tp = (
         conf.filter(F.col("lang") == F.col("pred_lang"))

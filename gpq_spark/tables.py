@@ -112,9 +112,11 @@ def save_ngram_index(
     hash for the rare huge-eval sort-merge case."""
     from .pipeline.dedup import _with_shingles
 
+    # explode_outer: see pipeline/decontam.py — avoids the inferred
+    # size()>0 filter re-evaluating the whole shingle expression.
     tr = (
         _with_shingles(train_df, text_col, ngram, keep=[id_col])
-        .select(F.col(id_col), F.explode("__sh").alias("__g"))
+        .select(F.col(id_col), F.explode_outer("__sh").alias("__g"))
         .select(F.col(id_col), F.xxhash64("__g").alias("__gh"))
     )
     save_bucketed(tr, table, ["__gh"], n_buckets=n_buckets)
@@ -135,7 +137,7 @@ def probe_ngram_index(
 
     ev = (
         _with_shingles(eval_df, eval_text_col, ngram, keep=[])
-        .select(F.explode("__sh").alias("__g"))
+        .select(F.explode_outer("__sh").alias("__g"))
         .select(F.xxhash64("__g").alias("__gh"))
         .distinct()
     )

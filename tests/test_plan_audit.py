@@ -765,11 +765,12 @@ def test_incident_mtbf_no_global_window(plans):
 
 
 def test_ktruss_array_intersect_no_wedge_join(plans):
-    """Triangle support comes from adjacency-array intersection: the
-    plan carries array_intersect and ObjectHashAggregate (collect_list)
-    instead of the wedge self-join's quadratic row blowup."""
+    """Triangle support never comes from a wedge self-join: sparse
+    graphs intersect adjacency arrays (array_intersect), dense graphs
+    AND neighborhood bitmaps (zip_with + bit_count over packed longs).
+    Either way the plan must be free of the quadratic row blowup."""
     p = plans("q_truss_support")
-    assert "array_intersect" in p
+    assert "array_intersect" in p or ("zip_with" in p and "bit_count" in p)
     assert "CartesianProduct" not in p
     assert "pythonUDF" not in p.lower()
 
