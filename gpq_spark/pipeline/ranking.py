@@ -482,10 +482,16 @@ def pairwise_doc_similarity_pruned(
                 tf, cand, id_col, min_cos2_e6, validate_bounds
             )
     order = [F.col("df").asc(), F.col("term").asc()]
+    # suffix mass over a DESC ordering + GROWING frame: (df, term) is a
+    # total order within a document (terms are distinct), so the
+    # descending prefix is exactly the ascending suffix. A literal
+    # (currentRow, unboundedFollowing) frame recomputes the sum from
+    # scratch per row (UnboundedFollowingWindowFunctionFrame) —
+    # O(terms²) per document.
     wsfx = (
         Window.partitionBy(id_col)
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("df").desc(), F.col("term").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     wall = Window.partitionBy(id_col).orderBy(*order)
     tfd = (

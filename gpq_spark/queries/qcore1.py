@@ -954,10 +954,18 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("us")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # next-observation columns via a DESC ordering + GROWING frame:
+    # "first non-null at-or-after this row" == "last non-null in the
+    # us-descending prefix" (us is unique per user, so the order is
+    # total and the row sets are identical). A literal
+    # (currentRow, unboundedFollowing) frame makes Spark's
+    # UnboundedFollowingWindowFunctionFrame recompute the aggregate
+    # from scratch per row — O(rows²) per user, measured 15.9s of the
+    # query's 16.5s at sf0.1; both frames are now O(rows).
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("us")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("us").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     obs_us = F.when(F.col("v").isNotNull(), F.col("us"))
     edged = joined.select(
@@ -967,8 +975,8 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last(obs_us, ignorenulls=True).over(wp).alias("p_us"),
         F.last("v", ignorenulls=True).over(wp).alias("p_v"),
-        F.first(obs_us, ignorenulls=True).over(wf).alias("n_us"),
-        F.first("v", ignorenulls=True).over(wf).alias("n_v"),
+        F.last(obs_us, ignorenulls=True).over(wf).alias("n_us"),
+        F.last("v", ignorenulls=True).over(wf).alias("n_v"),
     )
     _num = "(p_v * (n_us - us) + n_v * (us - p_us))"
     _den = "(n_us - p_us)"

@@ -118,15 +118,21 @@ def asof_join(
             ],
         )
     else:
+        # "first right row at/after left_time" computed as last() over
+        # the exact REVERSE ordering with a growing frame: a literal
+        # (currentRow, unboundedFollowing) frame recomputes the
+        # aggregate per row — O(rows²) per key. Tie groups (left rows
+        # sharing a time) carry only null __v_*, so the reversal
+        # cannot change which non-null value is picked.
         w = (
             Window.partitionBy("__key")
-            .orderBy(F.col("__time").asc(), F.col("__is_right").asc())
-            .rowsBetween(0, Window.unboundedFollowing)
+            .orderBy(F.col("__time").desc(), F.col("__is_right").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
         filled = unioned.select(
             "*",
             *[
-                F.first(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+                F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
                 for c in value_cols
             ],
         )
