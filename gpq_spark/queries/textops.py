@@ -678,7 +678,9 @@ def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBys (alphabet-bounded), one scoring join, one per-doc
     combine — the model table is tiny and broadcastable; the
     corpus-side bigram stream is never shuffled twice."""
-    docs = load(spark, sf_dir, "documents")
+    # spread before the bigram explode: the single-split documents
+    # scan otherwise serializes the whole bigram stream on one core
+    docs = _spread(load(spark, sf_dir, "documents"))
     t = docs.filter("length(trim(text)) >= 2").select(
         "doc_id", F.lower(F.trim(F.col("text"))).alias("s")
     )
@@ -735,7 +737,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling-hash document fingerprint."""
     from ..pipeline.text import with_fingerprint
 
-    docs = load(spark, sf_dir, "documents")
+    # spread: single-split scan serializes the per-char rolling hash
+    # (1.8s -> 0.3s noop at sf0.1/local[32])
+    docs = _spread(load(spark, sf_dir, "documents"))
     return with_fingerprint(docs, "text").select("doc_id", "fingerprint")
 
 
@@ -1977,7 +1981,10 @@ def text_charlm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any sum (the MI/PageRank discipline)."""
     from ..pipeline.text import charlm_xent
 
-    docs = load(spark, sf_dir, "documents")
+    # spread before the bigram explode (single-split scan would run
+    # the ~180x row expansion + model joins + partial agg on one
+    # core): 5.8s -> 1.1s noop at sf0.1/local[32]
+    docs = _spread(load(spark, sf_dir, "documents"))
     return charlm_xent(
         docs, docs.filter(F.col("lang") == "en"), "text", "doc_id"
     )
