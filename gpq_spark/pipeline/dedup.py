@@ -935,21 +935,23 @@ def fuzzy_pairs_edit1(
     base = df.select(
         F.col(id_col).alias("__id"), F.col(str_col).alias("__s")
     )
+    # DISTINCT variants per string: deleting any character of a run
+    # yields the same variant (a 6-zero run emits one variant, not
+    # six), so without the dedup two run-heavy strings meet once per
+    # (dup_a × dup_b) combination in the join — measured 36× pair
+    # multiplicity on zero-padded id-style names. Candidates are a
+    # superset either way; the confirm filter is exact.
     v = base.select(
         "__id",
         "__s",
-        F.explode(F.expr("sequence(0, length(__s))")).alias("__i"),
-    ).select(
-        "__id",
-        "__s",
-        F.when(F.col("__i") == 0, F.col("__s"))
-        .otherwise(
+        F.explode(
             F.expr(
-                "concat(substring(__s, 1, __i - 1),"
-                " substring(__s, __i + 1, length(__s)))"
+                "array_distinct(transform(sequence(0, length(__s)),"
+                " i -> CASE WHEN i = 0 THEN __s"
+                " ELSE concat(substring(__s, 1, i - 1),"
+                " substring(__s, i + 1, length(__s))) END))"
             )
-        )
-        .alias("__v"),
+        ).alias("__v"),
     )
     a = v.select(
         F.col("__id").alias("id_a"), F.col("__s").alias("s_a"), "__v"
@@ -959,17 +961,21 @@ def fuzzy_pairs_edit1(
     )
     accept = F.levenshtein("s_a", "s_b") <= 1
     if transpositions:
+        # the mismatch-position array is bound ONCE via exists(array(
+        # ...), mm -> ...): spelling it inline in each conjunct would
+        # re-evaluate the O(L) filter five times per candidate pair
         mm = (
             "filter(sequence(1, length(s_a)),"
             " i -> substring(s_a, i, 1) != substring(s_b, i, 1))"
         )
         swap = F.expr(
-            f"length(s_a) = length(s_b) AND size({mm}) = 2"
-            f" AND try_element_at({mm}, 2) = try_element_at({mm}, 1) + 1"
-            f" AND substring(s_a, try_element_at({mm}, 1), 1)"
-            f"       = substring(s_b, try_element_at({mm}, 2), 1)"
-            f" AND substring(s_a, try_element_at({mm}, 2), 1)"
-            f"       = substring(s_b, try_element_at({mm}, 1), 1)"
+            f"length(s_a) = length(s_b) AND exists(array({mm}),"
+            " mm -> size(mm) = 2"
+            " AND try_element_at(mm, 2) = try_element_at(mm, 1) + 1"
+            " AND substring(s_a, try_element_at(mm, 1), 1)"
+            "       = substring(s_b, try_element_at(mm, 2), 1)"
+            " AND substring(s_a, try_element_at(mm, 2), 1)"
+            "       = substring(s_b, try_element_at(mm, 1), 1))"
         )
         accept = accept | swap
     return (

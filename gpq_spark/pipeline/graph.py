@@ -252,11 +252,13 @@ def bfs_distances(
 
     Scale: state is O(|sources| · reachable) — which is why the public
     shape is LANDMARK distances (pick tens of sources) rather than
-    all-pairs; each round is one join of the current frame against the
-    edge list plus a min groupBy, localCheckpoint()ed to keep lineage
-    flat. Frontier-only optimization (joining just the newest layer)
-    is a constant-factor win the min-relaxation form trades for
-    simplicity and an exactly-matching SQL unrolling."""
+    all-pairs; each round joins only the FRONTIER (the pairs first
+    discovered last round) against the edge list: in unweighted BFS a
+    first discovery is already minimal, so re-relaxing settled pairs
+    can only regenerate known-or-worse candidates — dropping them
+    changes nothing (classic level-synchronous BFS). Total join volume
+    over the whole run is one relaxation of each reachable pair
+    instead of rounds× the full frame."""
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .filter(F.col("s") != F.col("d"))
@@ -264,34 +266,32 @@ def bfs_distances(
     )
     sym = sym.unionByName(
         sym.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct()
+    ).distinct().localCheckpoint()
 
     dist = sources.select(
         F.col(source_col).alias("source"),
         F.col(source_col).alias("node"),
         F.lit(0).cast("long").alias("dist"),
     ).localCheckpoint()
-    n_prev = dist.count()
+    frontier = dist
 
     for _ in range(max_depth):
-        grown = (
-            dist.unionByName(
-                dist.join(sym, dist["node"] == sym["s"])
-                .select(
-                    "source",
-                    F.col("d").alias("node"),
-                    (F.col("dist") + 1).alias("dist"),
-                )
+        new = (
+            frontier.join(sym, frontier["node"] == sym["s"])
+            .select(
+                "source",
+                F.col("d").alias("node"),
+                (F.col("dist") + 1).alias("dist"),
             )
             .groupBy("source", "node")
             .agg(F.min("dist").alias("dist"))
+            .join(dist.select("source", "node"), ["source", "node"], "left_anti")
             .localCheckpoint()
         )
-        n_now = grown.count()
-        dist = grown
-        if n_now == n_prev:
+        if new.isEmpty():
             break
-        n_prev = n_now
+        dist = dist.unionByName(new).localCheckpoint()
+        frontier = new
     return dist
 
 
@@ -405,20 +405,34 @@ def sssp_bounded(
         F.lit(0).cast("long").alias("dist"),
     ).localCheckpoint()
 
+    # Delta relaxation (the active-vertex form of synchronous
+    # Bellman-Ford): round k only relaxes pairs whose label IMPROVED in
+    # round k-1 — an unimproved pair was relaxed with the same label in
+    # the previous round, so its candidates are already in the frame.
+    # The k-round result is unchanged: still exactly min-cost over
+    # ≤k-hop paths. On dense graphs the late rounds' deltas collapse,
+    # cutting the dominant join-expansion volume several-fold.
+    delta = dist
     for _ in range(max(0, int(rounds))):
-        dist = (
-            dist.unionByName(
-                dist.join(e, dist["node"] == e["s"])
-                .select(
-                    "source",
-                    F.col("d").alias("node"),
-                    (F.col("dist") + F.col("w")).alias("dist"),
-                )
-            )
+        cand = delta.join(e, delta["node"] == e["s"]).select(
+            "source",
+            F.col("d").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        merged = (
+            dist.withColumn("__old", F.lit(True))
+            .unionByName(cand.withColumn("__old", F.lit(False)))
             .groupBy("source", "node")
-            .agg(F.min("dist").alias("dist"))
+            .agg(
+                F.min("dist").alias("__nd"),
+                F.min(F.when(F.col("__old"), F.col("dist"))).alias("__od"),
+            )
             .localCheckpoint()
         )
+        dist = merged.select("source", "node", F.col("__nd").alias("dist"))
+        delta = merged.filter(
+            F.col("__od").isNull() | (F.col("__nd") < F.col("__od"))
+        ).select("source", "node", F.col("__nd").alias("dist"))
     return dist
 
 

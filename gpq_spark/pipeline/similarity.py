@@ -939,20 +939,42 @@ def bitext_margin_pairs(
     top-k then comes from the candidate set.
     """
     rd = round_digits
+    # per-ROW work hoisted out of the quadratic pair loop: the
+    # float→double cast and the sqrt(norm²) factor are computed once
+    # per side row, so each pair evaluates only the dot fold and one
+    # multiply. Float-identical to cosine_expr: the denominator is the
+    # same sqrt(norm2(a)) * sqrt(norm2(b)) product, just precomputed.
     a = src.select(
-        F.col(id_col).alias("id_src"), F.col(vec_col).alias("__va")
+        F.col(id_col).alias("id_src"),
+        F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("__va"),
+    ).select(
+        "id_src", "__va", F.expr(f"sqrt({_norm2('__va')})").alias("__na")
     )
     b = tgt.select(
-        F.col(id_col).alias("id_tgt"), F.col(vec_col).alias("__vb")
+        F.col(id_col).alias("id_tgt"),
+        F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("__vb"),
+    ).select(
+        "id_tgt", "__vb", F.expr(f"sqrt({_norm2('__vb')})").alias("__nb")
     )
     pairs = (
         a.crossJoin(F.broadcast(b))
         .select(
             "id_src",
             "id_tgt",
-            (F.round(cosine_expr("__va", "__vb"), rd) + F.lit(0.0)).alias("c"),
+            (
+                F.round(
+                    F.expr(_dot("__va", "__vb"))
+                    / (F.col("__na") * F.col("__nb")),
+                    rd,
+                )
+                + F.lit(0.0)
+            ).alias("c"),
         )
     )
+    # the scoring tail reads `pairs` three times (both top-k windows +
+    # the margin join); without a barrier each reference re-runs the
+    # quadratic crossJoin+cosine (same fix the IVF route already has)
+    pairs = pairs.localCheckpoint()
     return _margin_select_best(pairs, k, threshold, rd)
 
 

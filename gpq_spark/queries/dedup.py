@@ -631,28 +631,29 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth is an all-pairs scan — affordable at audit scale; production
     runs this on a sample, which is the documented deviation.
 
-    Scale: the truth side is O(n²) BY DESIGN (it is the audit, not the
-    pipeline); the candidate side is the production one-shuffle plan."""
+    Scale: the truth side is pair-complete BY DESIGN (it is the audit,
+    not the pipeline) but is computed with the exact PPJoin prefix
+    filter rather than a literal all-pairs scan: any pair with Jaccard
+    ≥ 1/2 shares a rarest-prefix token (Bayardo/Xiao completeness
+    lemma), and in-bucket verification makes the pair set EQUAL to the
+    all-pairs join over the same distinct shingle sets — same truth,
+    same counts. The candidate side is the production one-shuffle plan."""
     from ..pipeline.dedup import (
-        _with_shingles,
         lsh_candidate_pairs,
         minhash_signatures,
+        prefix_filter_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
-    sh = _with_shingles(docs, "text", 3, keep=["doc_id"])
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    truth = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double")
-            >= 0.5
-        )
-        .select("id_a", "id_b")
-    )
+    # Jaccard >= 0.5 over distinct shingle sets, exactly: integer
+    # verification 2*inter >= union is equivalent to the oracle's
+    # double-division >= 0.5 (exact integer ratio at these sizes).
+    # Computed once (localCheckpoint) — n_true and n_found both read it.
+    truth = prefix_filter_pairs(
+        docs, "doc_id", "text", shingle_size=3,
+        threshold_num=1, threshold_den=2,
+        parallelism=spark.sparkContext.defaultParallelism,
+    ).select("id_a", "id_b").localCheckpoint()
     sigs = minhash_signatures(
         docs, "doc_id", "text", num_hashes=8, shingle_size=3,
         parallelism=spark.sparkContext.defaultParallelism,
@@ -740,9 +741,9 @@ def dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall over sampled-pair ground truth — an unbiased estimator of
     pair recall when the sample is uniform over documents."""
     from ..pipeline.dedup import (
-        _with_shingles,
         lsh_candidate_pairs,
         minhash_signatures,
+        prefix_filter_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
@@ -754,19 +755,14 @@ def dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" < {thresh}"
         )
     )
-    sh = _with_shingles(sampled, "text", 3, keep=["doc_id"])
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    truth = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double")
-            >= 0.5
-        )
-        .select("id_a", "id_b")
-    )
+    # exact PPJoin truth over the sample (see dedup_lsh_recall: the
+    # prefix-filter pair set EQUALS the all-pairs Jaccard >= 1/2 join);
+    # localCheckpoint so n_true and n_found share one computation
+    truth = prefix_filter_pairs(
+        sampled, "doc_id", "text", shingle_size=3,
+        threshold_num=1, threshold_den=2,
+        parallelism=spark.sparkContext.defaultParallelism,
+    ).select("id_a", "id_b").localCheckpoint()
     sigs = minhash_signatures(
         docs, "doc_id", "text", num_hashes=8, shingle_size=3,
         parallelism=spark.sparkContext.defaultParallelism,

@@ -3172,8 +3172,11 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (sampling.hash_sample composes upstream)."""
     orders = load(spark, sf_dir, "orders")
     b = spark.range(0, 32).select(F.col("id").alias("b"))
+    # _spread before the ×32 hash fan-out (see q_permutation_test)
     reps = (
-        orders.crossJoin(F.broadcast(b))
+        _spread(
+            orders.select("o_orderkey", "o_totalprice"), "o_orderkey"
+        ).crossJoin(F.broadcast(b))
         .select(
             F.col("b"),
             F.expr(cents("o_totalprice")).alias("x"),
@@ -3340,10 +3343,16 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     as q_bootstrap_ci_mean: the x64 broadcast-range expansion is
     map-side; at 100 TB permute a stratified sample."""
     orders = load(spark, sf_dir, "orders")
-    u = orders.select(
+    # _spread before the ×64 hash fan-out: the single-split orders scan
+    # would otherwise run the 64·|orders| md5 expansion on a handful of
+    # scan tasks (guide §2.5 input skew)
+    u = _spread(
+        orders.select(
+            "o_orderkey",
+            F.expr(cents("o_totalprice")).alias("x"),
+            F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(-1).alias("g"),
+        ),
         "o_orderkey",
-        F.expr(cents("o_totalprice")).alias("x"),
-        F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(-1).alias("g"),
     )
 
     def stat(df, gcol):

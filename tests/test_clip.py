@@ -193,3 +193,78 @@ class TestFastVsReference:
         clip = box_ring(-1, 2, 4, 3)
         assert math.isclose(ring_clip_area(U_SHAPE, clip), 2.0)
         assert math.isclose(ring_clip_area_tri(U_SHAPE, clip), 2.0)
+
+
+class TestBatchQuadKernel:
+    """quad_clip_area_batch (the numpy-batched overlay path) must agree
+    with the scalar ring_clip_area on every row, including degenerate
+    and disjoint shapes and either clip winding."""
+
+    def test_random_quads_match_scalar(self):
+        import numpy as np
+
+        from gpq_spark.geo.clip import quad_clip_area_batch
+
+        rng = random.Random(23)
+        subs, clips = [], []
+        for _ in range(500):
+            ax0, ay0 = rng.randint(-20, 20), rng.randint(-20, 20)
+            subs.append(
+                box_ring(ax0, ay0, ax0 + rng.randint(0, 9), ay0 + rng.randint(0, 9))
+            )
+            if rng.random() < 0.5:
+                c = (rng.randint(-15, 15), rng.randint(-15, 15), rng.randint(0, 6))
+                clips.append(diamond_ring(*c))
+            else:
+                bx0, by0 = rng.randint(-20, 20), rng.randint(-20, 20)
+                ring = box_ring(
+                    bx0, by0, bx0 + rng.randint(0, 9), by0 + rng.randint(0, 9)
+                )
+                if rng.random() < 0.3:
+                    ring = ring[::-1]  # CW winding
+                clips.append(ring)
+        sx = np.array([[p[0] for p in r] for r in subs], dtype=np.float64)
+        sy = np.array([[p[1] for p in r] for r in subs], dtype=np.float64)
+        cx = np.array([[p[0] for p in r] for r in clips], dtype=np.float64)
+        cy = np.array([[p[1] for p in r] for r in clips], dtype=np.float64)
+        got = quad_clip_area_batch(sx, sy, cx, cy)
+        for i, (sub, clip) in enumerate(zip(subs, clips)):
+            want = ring_clip_area(sub, clip)
+            assert math.isclose(got[i], want, rel_tol=1e-9, abs_tol=1e-9), (
+                sub, clip, got[i], want,
+            )
+
+    def test_diamond_pairs_match_scalar(self):
+        import numpy as np
+
+        from gpq_spark.geo.clip import quad_clip_area_batch
+
+        rng = random.Random(29)
+        a = [
+            (rng.randint(-15, 15), rng.randint(-15, 15), rng.randint(0, 6))
+            for _ in range(400)
+        ]
+        b = [
+            (rng.randint(-15, 15), rng.randint(-15, 15), rng.randint(0, 6))
+            for _ in range(400)
+        ]
+        subs = [diamond_ring(*c) for c in a]
+        clips = [diamond_ring(*c) for c in b]
+        sx = np.array([[p[0] for p in r] for r in subs], dtype=np.float64)
+        sy = np.array([[p[1] for p in r] for r in subs], dtype=np.float64)
+        cx = np.array([[p[0] for p in r] for r in clips], dtype=np.float64)
+        cy = np.array([[p[1] for p in r] for r in clips], dtype=np.float64)
+        got = quad_clip_area_batch(sx, sy, cx, cy)
+        for i, (sub, clip) in enumerate(zip(subs, clips)):
+            want = ring_clip_area(sub, clip)
+            assert math.isclose(got[i], want, rel_tol=1e-9, abs_tol=1e-9), (
+                a[i], b[i], got[i], want,
+            )
+
+    def test_empty_batch(self):
+        import numpy as np
+
+        from gpq_spark.geo.clip import quad_clip_area_batch
+
+        z = np.zeros((0, 4), dtype=np.float64)
+        assert quad_clip_area_batch(z, z, z, z).shape == (0,)
