@@ -234,18 +234,28 @@ def simhash_signatures(
     tokened = df.select(
         F.col(id_col), F.expr(f"split(trim({text_col}), '\\\\s+')").alias("__w")
     )
+    # md5 ONCE per token: the leading ceil(bits/4) hex chars hold every
+    # bit the signature reads, decoded to one integer per token — the
+    # per-bit filters below are then pure integer ops. (The previous
+    # per-bit `md5(w)` filter expression hashed every token `bits`
+    # times.) Bit b of the old formulation = bit (4·C−1−b) of the
+    # C-hex-char prefix value, C = ceil(bits/4) — same md5, same bits.
+    n_hex = (bits + 3) // 4
+    tokened = tokened.select(
+        F.col(id_col),
+        F.expr("size(__w)").alias("__n"),
+        F.expr(
+            f"transform(__w, w -> CAST(conv(substr(md5(w), 1, {n_hex}),"
+            " 16, 10) AS BIGINT))"
+        ).alias("__tv"),
+    )
     bit_exprs = []
     for b in range(bits):
-        hex_pos = b // 4 + 1
-        shift = 3 - (b % 4)
-        bit_of_word = (
-            f"((instr('0123456789abcdef', substr(md5(w), {hex_pos}, 1)) - 1) "
-            f"div {2 ** shift}) % 2"
-        )
+        divisor = 2 ** (4 * n_hex - 1 - b)
         # bit is set when more than half the tokens vote 1
-        hits = f"size(filter(__w, w -> {bit_of_word} = 1))"
+        hits = f"size(filter(__tv, v -> (v div {divisor}L) % 2 = 1))"
         bit_exprs.append(
-            f"(CASE WHEN 2 * ({hits}) > size(__w) THEN {2 ** b}L ELSE 0L END)"
+            f"(CASE WHEN 2 * ({hits}) > __n THEN {2 ** b}L ELSE 0L END)"
         )
     total = " + ".join(bit_exprs)
     return tokened.select(F.col(id_col), F.expr(total).alias("simhash"))
@@ -819,20 +829,25 @@ def simhash_near_pairs(
         )
         .filter(F.size("__members") >= 2)
     )
+    # popcount INSIDE the bucket expansion, filter before the distinct:
+    # a pair sharing several chunks is generated several times, and the
+    # old order shuffled every generated candidate (plus both 8-byte
+    # signatures) through the distinct before filtering — the Hamming
+    # verdict is deterministic per pair, so filtering first leaves the
+    # distinct exactly the qualifying pairs.
     pairs = buckets.select(
         F.explode(
             F.expr(
                 "flatten(transform(__members, (x, i) -> "
                 "transform(slice(__members, i + 2, size(__members) - i - 1), "
                 "y -> struct(x.__id AS id_a, y.__id AS id_b, "
-                "x.simhash AS sh_a, y.simhash AS sh_b))))"
+                "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))"
             )
         ).alias("__p")
-    ).select("__p.id_a", "__p.id_b", "__p.sh_a", "__p.sh_b").distinct()
-    hamming = F.expr("bit_count(sh_a ^ sh_b)")
+    ).select("__p.id_a", "__p.id_b", "__p.hamming")
     return (
-        pairs.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
+        pairs.filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .select("id_a", "id_b", "hamming")
     )
 
@@ -1045,11 +1060,19 @@ def semantic_dedup(
     float64 used across the embedding family — bit-deterministic,
     SQL-oracle-reproducible.
     """
-    from .similarity import _argmax_cell_expr, _collect_centroids, cosine_expr
+    from .similarity import _argmax_cell_expr, _collect_centroids, _dot, _norm2
 
     cents = _collect_centroids(df, id_col, vec_col, 0, centroids)
-    assigned = df.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "cluster", _argmax_cell_expr(vec_col, cents)
+    # pre-cast + per-row sqrt(norm²) hoisted out of the quadratic
+    # within-cluster loop (the bitext_margin_pairs optimization):
+    # dot/(na·nb) with precomputed na, nb is float-identical to
+    # cosine_expr, and the factors ride the checkpoint below instead of
+    # being re-derived per candidate pair.
+    assigned = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("cluster", _argmax_cell_expr(vec_col, cents))
+        .withColumn("__vd", F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)"))
+        .withColumn("__nr", F.expr(f"sqrt({_norm2('__vd')})"))
     )
     if persist:
         # lineage BARRIER, not just a cache: the k x dim centroid
@@ -1072,7 +1095,13 @@ def semantic_dedup(
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .filter(cosine_expr(f"a.{vec_col}", f"b.{vec_col}") >= F.lit(threshold))
+        .filter(
+            (
+                F.expr(_dot("a.__vd", "b.__vd"))
+                / (F.col("a.__nr") * F.col("b.__nr"))
+            )
+            >= F.lit(threshold)
+        )
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )

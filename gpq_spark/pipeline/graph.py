@@ -1032,6 +1032,11 @@ def link_prediction(
     )
     if max_degree is not None:
         wit = wit.filter(F.col("deg_z") <= int(max_degree))
+    # NOTE (r9): an in-bucket array pair expansion was tried here (the
+    # dedup bucket kernel) and measured 6× SLOWER at sf0.1 — witness
+    # buckets on the dense co-sourcing graph hold ~480 members, and a
+    # ~115k-struct array materialization per bucket loses badly to the
+    # codegen'd hash join at that bucket size. The join form stays.
     a = wit.select("z", F.col("m").alias("cu"), "deg_z")
     b = wit.select(F.col("z").alias("z2"), F.col("m").alias("cv"))
     pairs = (

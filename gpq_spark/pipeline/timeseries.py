@@ -161,33 +161,55 @@ def token_bucket_audit(
         F.col(id_col).alias("eid"),
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", "eid"], kind="mergesort")
+    # hash-partition by key + per-partition (key, ts, id) sort, then
+    # ONE mapInPandas pass with carry-state across Arrow batches —
+    # instead of groupBy().applyInPandas, which pays one Python
+    # function call + pandas frame build + per-group sort per KEY
+    # (~1500 calls here; measured most of the operator's wall). Keys
+    # arrive as contiguous sorted runs, so a key change resets the
+    # bucket and the (key, balance, prev_ts) trio carries a key that
+    # spans a batch boundary. Same per-key recurrence, same rows.
+    n = events.sparkSession.sparkContext.defaultParallelism
+    part = slim.repartition(n, "k").sortWithinPartitions("k", "ts_us", "eid")
+
+    def run_part(batches):
+        import numpy as np
+
+        cur_key = None
         bal = capacity_e6
         prev_us = None
-        out_bal, out_acc = [], []
-        for t in pdf.itertuples(index=False):
-            if prev_us is not None:
-                bal = min(
-                    capacity_e6,
-                    bal + (t.ts_us - prev_us) // us_per_token_e6,
-                )
-            prev_us = t.ts_us
-            if bal >= 1_000_000:
-                bal -= 1_000_000
-                out_acc.append(True)
-            else:
-                out_acc.append(False)
-            out_bal.append(bal)
-        pdf = pdf.copy()
-        pdf["balance_e6"] = out_bal
-        pdf["accepted"] = out_acc
-        return pdf
+        for pdf in batches:
+            m = len(pdf)
+            if not m:
+                continue
+            ks = pdf["k"].to_numpy()
+            ts = pdf["ts_us"].to_numpy()
+            out_bal = np.empty(m, dtype=np.int64)
+            out_acc = np.empty(m, dtype=bool)
+            for i in range(m):
+                k = ks[i]
+                if k != cur_key:
+                    cur_key = k
+                    bal = capacity_e6
+                    prev_us = None
+                t = int(ts[i])
+                if prev_us is not None:
+                    bal = min(
+                        capacity_e6, bal + (t - prev_us) // us_per_token_e6
+                    )
+                prev_us = t
+                if bal >= 1_000_000:
+                    bal -= 1_000_000
+                    out_acc[i] = True
+                else:
+                    out_acc[i] = False
+                out_bal[i] = bal
+            yield pdf.assign(balance_e6=out_bal, accepted=out_acc)
 
     return (
-        slim.groupBy("k")
-        .applyInPandas(
-            run, "k long, ts_us long, eid long, balance_e6 long, accepted boolean"
+        part.mapInPandas(
+            run_part,
+            "k long, ts_us long, eid long, balance_e6 long, accepted boolean",
         )
         .select(
             F.col("k").alias(key_col),

@@ -695,6 +695,19 @@ def _drain_to_table(df: DataFrame, prefix: str, mode: str) -> DataFrame:
     ckpt = (
         os.path.join(ckpt_root, f"gpq_ckpt_{name}") if ckpt_root else None
     )
+    # stream builders that provably emit everything inside DATA batches
+    # (the OOO sentinel replays) hint the trailing no-data micro-batch
+    # off; single-file streams keep it — it is what flushes their
+    # windows after the only data batch. One-shot: cleared on drain
+    # exit so the next drain defaults to emitting no-data batches.
+    skip_nodata = (
+        spark.conf.get("spark.gpq.streamNoDataBatches", "true") == "false"
+    )
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    if skip_nodata:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         writer = df.writeStream.outputMode(mode).format("memory").queryName(name)
         if ckpt:
@@ -704,6 +717,11 @@ def _drain_to_table(df: DataFrame, prefix: str, mode: str) -> DataFrame:
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if skip_nodata:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+            )
+            spark.conf.set("spark.gpq.streamNoDataBatches", "true")
         if ckpt:
             shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
@@ -988,6 +1006,16 @@ def _events_ooo_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = _events_ooo_dir(spark, sf_dir)
     raw_schema = spark.read.parquet(os.path.join(src_dir, "00.parquet")).schema
     _hint_stream_source_bytes(spark, src_dir)
+    # The OOO replay lands every final emission inside the LAST
+    # sentinel DATA batch by construction (two sentinel files exist
+    # exactly so the watermark advanced by sentinel 1 is applied while
+    # sentinel 2's batch runs — see _events_ooo_dir). The automatic
+    # trailing no-data micro-batch therefore emits nothing and only
+    # pays one more full pass of stateful-operator machinery (~1-3 s
+    # per drain measured at sf0.1); hint the drain to skip it.
+    # Hint, not a global conf: non-OOO single-file streams DO rely on
+    # the no-data batch to flush windows after their only data batch.
+    spark.conf.set("spark.gpq.streamNoDataBatches", "false")
     return stream_events(
         spark, src_dir, raw_schema, options={"maxFilesPerTrigger": "1"}
     )
@@ -1950,16 +1978,33 @@ def _cosource_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
-    a = ps.select(F.col("p"), F.col("s").alias("u"))
-    b = ps.select(F.col("p"), F.col("s").alias("v"))
+    # per-part supplier buckets with in-bucket ORDERED pair expansion
+    # (the established bucket kernel) instead of a self-join on p: the
+    # join materialized every pair in both orders (Σ cnt(p)² rows) and
+    # paid a hash probe each; the array form emits each s_i < s_j pair
+    # once. Same (u, v, shared) frame — A/B'd equal at sf0.1.
+    buckets = (
+        ps.groupBy("p")
+        .agg(F.array_sort(F.collect_list("s")).alias("__ss"))
+        .filter(F.size("__ss") >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     shared = (
-        a.join(b, "p")
-        .filter(F.col("u") < F.col("v"))
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ss, (x, i) -> "
+                    "transform(slice(__ss, i + 2, size(__ss) - i - 1), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.u", "__p.v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         # materialize once: `shared` feeds BOTH the threshold aggregate
         # and the filtered edge output; without this the lineitem scan
-        # + co-sourcing self-join runs twice (once per consumer).
+        # + co-sourcing expansion runs twice (once per consumer).
         .localCheckpoint()
     )
     tot = shared.agg(

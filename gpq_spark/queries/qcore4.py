@@ -231,17 +231,34 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     sh = _with_shingles(docs, "text", 3, keep=["doc_id"])
+    # shingles hashed to 8-byte ints for the per-pair set intersects
+    # (join-internal only — the ngram_jaccard_pairs precedent: the
+    # count structure is what j_e6 reads, and a 64-bit collision inside
+    # one pair's union is negligible); arrays are distinct, so
+    # intersect counts are unchanged.
+    sh = sh.select(
+        "doc_id", F.expr("transform(__sh, s -> xxhash64(s))").alias("__sh")
+    )
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sha"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("shb"))
+    # the ~2.4% arithmetic sample (id_a·31 + id_b) % 41 = 0 is a pure
+    # theta predicate — as written it planned a broadcast nested-loop
+    # over all |docs|² combinations. Rewritten as an EQUI key:
+    # pmod(id_a·31, 41) = pmod(-id_b, 41) — identical pair set, hash
+    # join instead of the quadratic loop.
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("__sh").alias("sha"),
+        F.expr("pmod(doc_id * 31, 41)").alias("__k"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("__sh").alias("shb"),
+        F.expr("pmod(-doc_id, 41)").alias("__k"),
+    )
     sa = sigs.select(F.col("doc_id").alias("ia"), F.col("sig").alias("siga"))
     sb = sigs.select(F.col("doc_id").alias("ib"), F.col("sig").alias("sigb"))
     pairs = (
-        a.join(
-            b,
-            (F.col("id_a") < F.col("id_b"))
-            & ((F.col("id_a") * 31 + F.col("id_b")) % 41 == 0),
-        )
+        a.join(b, (F.col("id_a") < F.col("id_b")) & (a["__k"] == b["__k"]))
         .join(sa, F.col("ia") == F.col("id_a"))
         .join(sb, F.col("ib") == F.col("id_b"))
         .select(

@@ -483,14 +483,18 @@ class TestProfileColumns:
         with pytest.raises(ValueError):
             profile_columns(df, ["nope"])
 
-    def test_single_scan_plan(self, spark):
-        """The whole profile is ONE aggregation over ONE scan — no
-        per-column scan fan-out."""
+    def test_no_expand_plan(self, spark):
+        """One pruned aggregation branch PER COLUMN and no Expand node:
+        N count_distinct calls in a single wide aggregate would make
+        Spark replicate every input row N+1 times through an Expand
+        (measured 4× slower at sf0.1); per-column single-distinct
+        branches plan as grouped partial aggregates instead."""
         from gpq_spark.pipeline.profile import profile_columns
 
         df = spark.range(100).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS x")
         plan = profile_columns(df, ["id", "x"])._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Range (0, 100") == 1
+        assert plan.count("Range (0, 100") == 2
+        assert "Expand" not in plan
 
 
 class TestEmbeddingCentroids:
