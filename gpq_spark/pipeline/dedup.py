@@ -648,10 +648,25 @@ def embedding_near_dup_pairs(
 
     Output: id_a, id_b, cosine (double, sequential-fold deterministic).
     """
-    slim = df.select(F.col(id_col), F.col(block_col), F.col(vec_col))
+    from .similarity import _dot, _norm2
+
+    # per-row cast + sqrt(norm²) hoisted out of the quadratic in-block
+    # pair loop (the bitext_margin_pairs hoist): dot/(na·nb) with
+    # precomputed factors is float-identical to cosine_expr — the same
+    # sqrt(norm2(a))·sqrt(norm2(b)) product, formed once per row.
+    slim = df.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("__vd"),
+    ).select(
+        id_col, block_col, "__vd",
+        F.expr(f"sqrt({_norm2('__vd')})").alias("__nr"),
+    )
     a = slim.alias("a")
     b = slim.alias("b")
-    cos = cosine_expr(f"a.{vec_col}", f"b.{vec_col}")
+    cos = F.expr(_dot("a.__vd", "b.__vd")) / (
+        F.col("a.__nr") * F.col("b.__nr")
+    )
     return (
         a.join(
             b,
@@ -974,7 +989,9 @@ def fuzzy_pairs_edit1(
     b = v.select(
         F.col("__id").alias("id_b"), F.col("__s").alias("s_b"), "__v"
     )
-    accept = F.levenshtein("s_a", "s_b") <= 1
+    # banded DP (threshold arg): early-exits to -1 past distance 1 —
+    # O(len) instead of O(len²) per candidate; >= 0 ⟺ distance <= 1
+    accept = F.expr("levenshtein(s_a, s_b, 1)") >= 0
     if transpositions:
         # the mismatch-position array is bound ONCE via exists(array(
         # ...), mm -> ...): spelling it inline in each conjunct would

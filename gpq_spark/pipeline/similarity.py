@@ -1066,18 +1066,33 @@ def bitext_margin_pairs_ivf(
         (int(r[0]), [float(x) for x in r[1]])
         for r in centroids.collect()  # k centroids — bounded driver state
     ]
+    # per-row cast + sqrt(norm²) hoisted out of the per-candidate loop
+    # (the exact path's hoist): float-identical to cosine_expr
     a = src.select(
-        F.col(id_col).alias("id_src"), F.col(vec_col).alias("__va")
+        F.col(id_col).alias("id_src"),
+        F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("__va"),
+    ).select(
+        "id_src", "__va", F.expr(f"sqrt({_norm2('__va')})").alias("__na")
     ).withColumn(
         "cluster", F.explode(_top_cells_expr("__va", cents, min(nprobe, len(cents))))
     )
     b = tgt.select(
-        F.col(id_col).alias("id_tgt"), F.col(vec_col).alias("__vb")
+        F.col(id_col).alias("id_tgt"),
+        F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("__vb"),
+    ).select(
+        "id_tgt", "__vb", F.expr(f"sqrt({_norm2('__vb')})").alias("__nb")
     ).withColumn("cluster", _argmax_cell_expr("__vb", cents))
     pairs = a.join(b, "cluster").select(
         "id_src",
         "id_tgt",
-        (F.round(cosine_expr("__va", "__vb"), rd) + F.lit(0.0)).alias("c"),
+        (
+            F.round(
+                F.expr(_dot("__va", "__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                rd,
+            )
+            + F.lit(0.0)
+        ).alias("c"),
     )
     # plan-truncation barrier: the scoring tail references `pairs`
     # three times (both top-k windows + the margin join), and each

@@ -652,11 +652,16 @@ def winnowing_fingerprints(
     """
     if k < 1 or window < 1:
         raise ValueError(f"k and window must be >= 1: k={k}, window={window}")
+    # trim(text) materialized as its OWN projected column: inlined into
+    # the gram lambda it would be re-evaluated per gram element (the
+    # _with_shingles lesson — an O(len) trim per position makes gram
+    # extraction O(len²) per document). As a multi-referenced non-cheap
+    # alias, CollapseProject keeps the projection separate.
     grams = (
-        f"CASE WHEN length(trim({text_col})) >= {k} THEN "
-        f"transform(sequence(1, length(trim({text_col})) - {k} + 1), "
-        f"i -> substring(trim({text_col}), i, {k})) "
-        f"ELSE array(trim({text_col})) END"
+        f"CASE WHEN length(__t) >= {k} THEN "
+        f"transform(sequence(1, length(__t) - {k} + 1), "
+        f"i -> substring(__t, i, {k})) "
+        f"ELSE array(__t) END"
     )
     hashes = (
         f"transform({grams}, g -> "
@@ -669,7 +674,8 @@ def winnowing_fingerprints(
         f"ELSE array(array_min(__h)) END"
     )
     return (
-        df.select(F.col(id_col), F.expr(hashes).alias("__h"))
+        df.select(F.col(id_col), F.expr(f"trim({text_col})").alias("__t"))
+        .select(F.col(id_col), F.expr(hashes).alias("__h"))
         .select(F.col(id_col), F.explode(F.expr(f"array_distinct({mins})")).alias("fp"))
         # a NULL text propagates to a NULL hash — no content, no print
         .filter(F.col("fp").isNotNull())

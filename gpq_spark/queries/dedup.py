@@ -1120,7 +1120,9 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-capped by construction."""
     from ..pipeline.text import winnowing_fingerprints
 
-    docs = load(spark, sf_dir, "documents")
+    # _spread before the per-char gram+md5 stage (guide §2.5: the
+    # single-split documents scan would run it on one task)
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     fp = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
     buckets = (
         fp.groupBy("fp")

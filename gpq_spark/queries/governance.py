@@ -349,14 +349,19 @@ def er_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("id_b"), F.col("name").alias("nb"),
         F.col("blk").alias("blk_b"),
     )
+    # banded DP: levenshtein(na, nb, 2) early-exits to -1 past the
+    # threshold (O(threshold·len) instead of O(len²) per pair), and for
+    # every pair that passes it returns exactly the full distance — so
+    # the kept rows and their edit_dist values are unchanged. The -1
+    # sentinel must be excluded with >= 0, not the old <= 2 alone.
     return (
         a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("na", "nb").cast("long").alias("edit_dist"),
+            F.expr("levenshtein(na, nb, 2)").cast("long").alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 2)
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 2))
     )
 
 

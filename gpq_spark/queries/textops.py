@@ -1297,7 +1297,9 @@ def text_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected hashes to the shuffle."""
     from ..pipeline.text import winnowing_fingerprints
 
-    docs = load(spark, sf_dir, "documents")
+    # _spread before the per-char gram+md5 stage (guide §2.5: the
+    # single-split documents scan would run it on one task)
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     fp = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
     return (
         fp.groupBy("fp")

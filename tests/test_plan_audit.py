@@ -189,10 +189,17 @@ def test_weighted_sample_map_side(plans):
     assert "pythonUDF" not in p.lower()
 
 
-def test_profile_single_scan(plans):
+def test_profile_no_expand(plans):
     p = plans("profile_lineitem")
-    # one parquet scan feeds the whole profile
-    assert p.count("FileScan parquet") == 1
+    # one pruned scan per profiled column (5), each reading exactly one
+    # field — never a single wide scan feeding an N-distinct Expand that
+    # would replicate every row N+1 times
+    assert "Expand" not in p
+    assert p.count("FileScan parquet") == 5
+    import re
+
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", p):
+        assert schema.count(":") == 1, schema
 
 
 def test_range_join_is_equi_join(plans):
