@@ -153,8 +153,38 @@ def triangle_counts(
 
     Rank packing assumes node ids < 2^31 and degrees < 2^31 (rank =
     deg·2³¹ + id in one BIGINT); both hold for any key column this
-    engine derives graphs from."""
-    closed = _triangle_list(_canonical_edges(edges, src, dst))
+    engine derives graphs from.
+
+    DENSE-graph route (same m ≥ n²/128 gate as ``truss_support``):
+    a triangle {u, a, b} contains exactly two edges incident to u, so
+    n_tri(u) = Σ_{edges e ∋ u} support(e) / 2 — the bitmap
+    popcount(AND) support computation replaces the triangle
+    enumeration, and the division is exact (the sum is even by
+    construction). Nodes in no triangle drop out via support 0, the
+    same row set as the enumeration route."""
+    e = _canonical_edges(edges, src, dst)
+    m = e.count()
+    if m:
+        nodes = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .distinct()
+            .localCheckpoint()  # vertex-sized; reused by the dense index
+        )
+        n = nodes.count()
+        if n >= 2 and 128 * m >= n * n:
+            sup = _truss_support_dense(e, nodes, n)
+            return (
+                sup.select(
+                    F.explode(F.array("u", "v")).alias("node"), "support"
+                )
+                .groupBy("node")
+                .agg(
+                    F.expr("CAST(sum(support) div 2 AS BIGINT)").alias("n_tri")
+                )
+                .filter(F.col("n_tri") > 0)
+            )
+    closed = _triangle_list(e)
     return (
         closed.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
@@ -1023,6 +1053,17 @@ def link_prediction(
     join. Output: (u, v, common, jaccard_e6, ra_e6).
     """
     e = _canonical_edges(edges, src, dst)
+    m = e.count()
+    if m:
+        nodes = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .distinct()
+            .localCheckpoint()  # vertex-sized; reused by the dense index
+        )
+        n = nodes.count()
+        if n >= 2 and 128 * m >= n * n:
+            return _link_prediction_dense(e, nodes, n, max_degree)
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
@@ -1063,6 +1104,127 @@ def link_prediction(
             .alias("jaccard_e6"),
             "ra_e6",
         )
+    )
+
+
+def _link_prediction_dense(
+    e: DataFrame, nodes: DataFrame, n: int, max_degree: int | None
+) -> DataFrame:
+    """Dense-graph link prediction: block-parallel exact-integer matmul
+    in an Arrow kernel, engaged by ``link_prediction`` only under the
+    truss density condition (m ≥ n²/128, so n ≤ √(128·m)). The witness
+    enumeration of the join route pushes Σ_z deg(z)² rows through a
+    join + groupBy — 235M at sf0.1 (n=1000, m=240k) — while every
+    score is a matrix product over the same adjacency:
+
+      common = (A·maskᵀ)·A,  ra = (A·diag(w·mask))·A,
+      w(z) = 1e6 div deg(z),  mask = [deg ≤ max_degree]
+
+    Every operand is a 0/1 or small integer, every partial sum stays
+    below 2^53, so float64 BLAS is EXACT and order-independent — the
+    results are bit-identical longs. The adjacency ships to the block
+    tasks as packed int64 bitmap words (the truss two-level bit_or
+    build: n·⌈n/64⌉ rows, ~16× fewer than the 2m adjacency rows it
+    summarizes), so the only replicated shuffle is B·n·nw narrow rows;
+    each kernel unpacks the words, scores a strided slice of rows, and
+    filters candidates (u < v, non-adjacent, common ≥ 1) in-kernel so
+    only result rows leave Python. Per-task memory is the n×n matrix —
+    bounded by the density condition (n²·8 bytes ≤ 1024·m bytes)."""
+    spark = e.sparkSession
+    blocks = max(1, min(spark.sparkContext.defaultParallelism, n))
+    nw = (n + 63) // 64
+    idx = nodes.select(
+        "node", (F.row_number().over(Window.orderBy("node")) - 1).alias("ix")
+    ).localCheckpoint()
+    ei = (
+        e.join(idx.select(F.col("node").alias("u"), F.col("ix").alias("ixu")), "u")
+        .join(idx.select(F.col("node").alias("v"), F.col("ix").alias("ixv")), "v")
+        .select("ixu", "ixv")
+    )
+    adj = ei.select(F.col("ixu").alias("a"), F.col("ixv").alias("b")).unionAll(
+        ei.select(F.col("ixv").alias("a"), F.col("ixu").alias("b"))
+    )
+    words = (
+        adj.select(
+            "a",
+            F.expr("CAST(b div 64 AS INT)").alias("wi"),
+            F.expr("shiftleft(1L, CAST(b % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("a", "wi")
+        .agg(F.expr("bit_or(bit)").alias("w"))
+    )
+    rep = (
+        spark.range(blocks)
+        .select(F.col("id").cast("int").alias("blk"))
+        .crossJoin(words)
+    )
+    cap = -1 if max_degree is None else int(max_degree)
+    n_nodes = int(n)
+    n_words = int(nw)
+    n_blocks = int(blocks)
+
+    def score_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        blk = int(pdf["blk"].iloc[0])
+        W = np.zeros((n_nodes, n_words), dtype=np.int64)
+        W[
+            pdf["a"].to_numpy(np.int64), pdf["wi"].to_numpy(np.int64)
+        ] = pdf["w"].to_numpy(np.int64)
+        bits = np.unpackbits(
+            W.view(np.uint8).reshape(n_nodes, n_words * 8),
+            axis=1,
+            bitorder="little",
+        )[:, :n_nodes]
+        A = bits.astype(np.float64)
+        deg = bits.sum(axis=1).astype(np.int64)
+        wt = (1_000_000 // np.maximum(deg, 1)).astype(np.float64)
+        allowed = (
+            (deg <= cap).astype(np.float64)
+            if cap >= 0
+            else np.ones(n_nodes, dtype=np.float64)
+        )
+        rows = np.arange(blk, n_nodes, n_blocks)  # strided: balanced
+        Ar = A[rows]
+        common = (Ar * allowed[None, :]) @ A
+        ra = (Ar * (wt * allowed)[None, :]) @ A
+        vv = np.arange(n_nodes)[None, :]
+        sel = (rows[:, None] < vv) & (Ar == 0.0) & (common >= 1.0)
+        ui, vi = np.nonzero(sel)
+        u_ix = rows[ui]
+        c = common[ui, vi].astype(np.int64)
+        r = ra[ui, vi].astype(np.int64)
+        j = (1_000_000 * c) // (deg[u_ix] + deg[vi] - c)
+        return pd.DataFrame(
+            {
+                "ixu": u_ix,
+                "ixv": vi.astype(np.int64),
+                "common": c,
+                "jaccard_e6": j,
+                "ra_e6": r,
+            }
+        )
+
+    scored = rep.groupBy("blk").applyInPandas(
+        score_block,
+        schema="ixu long, ixv long, common long, jaccard_e6 long, ra_e6 long",
+    )
+    # ix is assigned in node order, so u < v survives the translation
+    return (
+        scored.join(
+            F.broadcast(
+                idx.select(F.col("ix").alias("ixu"), F.col("node").alias("u"))
+            ),
+            "ixu",
+        )
+        .join(
+            F.broadcast(
+                idx.select(F.col("ix").alias("ixv"), F.col("node").alias("v"))
+            ),
+            "ixv",
+        )
+        .select("u", "v", "common", "jaccard_e6", "ra_e6")
     )
 
 

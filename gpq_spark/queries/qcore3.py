@@ -1814,19 +1814,30 @@ def q_window_funnel_timeboxed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lim = F.col("tv") + F.expr("INTERVAL 6 HOUR")
     d1 = v.select("user_id").distinct()
-    vc = v.join(
-        c,
-        (F.col("user_id") == F.col("cu"))
-        & (F.col("tc") > F.col("tv"))
-        & (F.col("tc") <= lim),
+    # vc feeds BOTH d2 and d3 — without a barrier each consumer re-runs
+    # the view x click fan-out join; materialize it once, projected to
+    # the three columns the purchase step needs (user, click time, the
+    # anchor view's 6 h deadline)
+    vc = (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("tc") > F.col("tv"))
+            & (F.col("tc") <= lim),
+        )
+        .select("user_id", "tc", lim.alias("tlim"))
+        .localCheckpoint()
     )
     d2 = vc.select("user_id").distinct().withColumnRenamed("user_id", "u2")
+    # only DISTINCT chain-completing users matter: left-semi stops at
+    # the first qualifying purchase instead of materializing the fan-out
     d3 = (
         vc.join(
             p,
             (F.col("user_id") == F.col("pu"))
             & (F.col("tp") > F.col("tc"))
-            & (F.col("tp") <= lim),
+            & (F.col("tp") <= F.col("tlim")),
+            "left_semi",
         )
         .select("user_id")
         .distinct()

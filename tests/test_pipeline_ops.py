@@ -3344,6 +3344,66 @@ class TestTrussAndLinkPrediction:
         assert link_prediction(edges).count() == 6  # C(4,2) pairs
         assert link_prediction(edges, max_degree=3).count() == 0
 
+    def test_link_prediction_dense_matches_join_route(self, spark):
+        """The dense matmul route must be row-identical to the witness
+        join route on a deterministic dense graph (~2/3 density >>
+        n²/128 engages the dense route; the join route is rebuilt
+        inline from the same public parts). Gapped node ids exercise
+        the dense-index mapping."""
+        from gpq_spark.pipeline import graph as G
+
+        n = 40
+        pairs = [
+            (3 * i + 7, 3 * j + 7)  # gapped ids: index mapping matters
+            for i in range(n)
+            for j in range(i + 1, n)
+            if (i * 31 + j * 17) % 3 != 0  # ~2/3 density, deterministic
+        ]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        dense = G.link_prediction(edges).collect()
+        from pyspark.sql import functions as F
+
+        e = G._canonical_edges(edges, "src", "dst")
+        adj = e.select(
+            F.col("u").alias("node"), F.col("v").alias("nbr")
+        ).unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        deg = adj.groupBy("node").agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        wit = adj.select(F.col("nbr").alias("z"), F.col("node").alias("m")).join(
+            deg.select(F.col("node").alias("z"), F.col("deg").alias("deg_z")),
+            "z",
+        )
+        a = wit.select("z", F.col("m").alias("cu"), "deg_z")
+        b = wit.select(F.col("z").alias("z2"), F.col("m").alias("cv"))
+        p = (
+            a.join(b, a["z"] == b["z2"])
+            .filter(F.col("cu") < F.col("cv"))
+            .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("common"),
+                F.sum(F.expr("1000000 div deg_z")).cast("long").alias("ra_e6"),
+            )
+        )
+        cand = p.join(e, ["u", "v"], "left_anti")
+        du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+        dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+        joined = (
+            cand.join(du, "u")
+            .join(dv, "v")
+            .select(
+                "u",
+                "v",
+                "common",
+                F.expr("1000000 * common div (deg_u + deg_v - common)")
+                .cast("long")
+                .alias("jaccard_e6"),
+                "ra_e6",
+            )
+        ).collect()
+        assert sorted(map(tuple, dense)) == sorted(map(tuple, joined))
+        assert len(dense) > 0
+
 
 class TestClosureAndScc:
     def test_transitive_closure_chain(self, spark):
