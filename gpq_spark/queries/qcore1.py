@@ -3276,27 +3276,10 @@ def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     any SF."""
     from ..pipeline.graph import k_core
 
-    li = load(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a = ps.select(F.col("p"), F.col("s").alias("u"))
-    b = ps.select(F.col("p"), F.col("s").alias("v"))
-    shared = (
-        a.join(b, "p")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-    )
-    tot = shared.agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("shared").cast("long").alias("sum_shared"),
-    )
-    e = (
-        shared.crossJoin(F.broadcast(tot))
-        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
-        .select("u", "v")
-    )
+    # identical derivation to the shared checkpointed helper — the
+    # inline copy re-ran the lineitem scan + co-sourcing expansion for
+    # the stats action AND again for k_core's first peel round
+    e = _cosource_edges_spark(spark, sf_dir)
     stats = (
         e.select(F.col("u").alias("n")).unionAll(e.select("v"))
         .agg(
@@ -3408,27 +3391,10 @@ def q_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     set with its round number."""
     from ..pipeline.graph import k_core
 
-    li = load(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a = ps.select(F.col("p"), F.col("s").alias("u"))
-    b = ps.select(F.col("p"), F.col("s").alias("v"))
-    shared = (
-        a.join(b, "p")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-    )
-    tot = shared.agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("shared").cast("long").alias("sum_shared"),
-    )
-    e = (
-        shared.crossJoin(F.broadcast(tot))
-        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
-        .select("u", "v")
-    )
+    # identical derivation to the shared checkpointed helper — the
+    # inline copy re-ran the lineitem scan + co-sourcing expansion for
+    # the stats action AND again for k_core's first peel round
+    e = _cosource_edges_spark(spark, sf_dir)
     stats = (
         e.select(F.col("u").alias("n")).unionAll(e.select("v"))
         .agg(
@@ -4084,27 +4050,10 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same fixpoint by row-count convergence."""
     from ..pipeline.graph import bfs_distances
 
-    li = load(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a = ps.select(F.col("p"), F.col("s").alias("u"))
-    b = ps.select(F.col("p"), F.col("s").alias("v"))
-    shared = (
-        a.join(b, "p")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-    )
-    tot = shared.agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("shared").cast("long").alias("sum_shared"),
-    )
-    e = (
-        shared.crossJoin(F.broadcast(tot))
-        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
-        .select("u", "v")
-    )
+    # identical derivation to the shared checkpointed helper — the
+    # inline copy re-ran the lineitem scan + co-sourcing expansion per
+    # consuming action (landmark derivation + every BFS round seed)
+    e = _cosource_edges_spark(spark, sf_dir)
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select("v"))
@@ -4132,27 +4081,10 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute the identical labeling."""
     from ..pipeline.graph import label_propagation
 
-    li = load(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a = ps.select(F.col("p"), F.col("s").alias("u"))
-    b = ps.select(F.col("p"), F.col("s").alias("v"))
-    shared = (
-        a.join(b, "p")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-    )
-    tot = shared.agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("shared").cast("long").alias("sum_shared"),
-    )
-    e = (
-        shared.crossJoin(F.broadcast(tot))
-        .filter(F.col("shared") * F.col("n_pairs") >= F.col("sum_shared"))
-        .select("u", "v")
-    )
+    # identical derivation to the shared checkpointed helper — the
+    # inline copy re-ran the lineitem scan + co-sourcing expansion in
+    # every label-propagation round
+    e = _cosource_edges_spark(spark, sf_dir)
     return label_propagation(e, "u", "v", iterations=3).select(
         F.col("node").alias("supp"), F.col("community").cast("long").alias("community")
     )

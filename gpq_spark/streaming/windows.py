@@ -2014,16 +2014,30 @@ def _twa_fn(
                 )
                 if min(end, emit_limit) > t:
                     segs.append((t, min(end, emit_limit), v))
+            # two-pointer walk: segs are time-sorted and non-overlapping
+            # (consecutive sample intervals), so advance a cursor past
+            # segments that end at or before the hour instead of
+            # rescanning every segment per hour — O(hours + segments)
+            # instead of O(hours × segments), same overlaps added in
+            # the same order (exact integer sums either way)
             h = next_h
+            si = 0
+            n_segs = len(segs)
             while h + _HOUR_US <= emit_limit:
+                h_end = h + _HOUR_US
+                while si < n_segs and segs[si][1] <= h:
+                    si += 1
                 area = 0
-                for t0, t1, v in segs:
-                    lo, hi = max(t0, h), min(t1, h + _HOUR_US)
+                i = si
+                while i < n_segs and segs[i][0] < h_end:
+                    t0, t1, v = segs[i]
+                    lo, hi = max(t0, h), min(t1, h_end)
                     if hi > lo:
                         area += v * (hi - lo)
+                    i += 1
                 out_hours.append(h)
                 out_areas.append(area)
-                h += _HOUR_US
+                h = h_end
             next_h = h
             a_ts, a_v = samples[-1]
 
