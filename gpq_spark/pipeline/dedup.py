@@ -983,12 +983,14 @@ def fuzzy_pairs_edit1(
             )
         ).alias("__v"),
     )
-    a = v.select(
-        F.col("__id").alias("id_a"), F.col("__s").alias("s_a"), "__v"
-    )
-    b = v.select(
-        F.col("__id").alias("id_b"), F.col("__s").alias("s_b"), "__v"
-    )
+    # slim variant join (guide §2.3 shuffle fewer bytes): the variant
+    # join and the candidate distinct move only (id, variant) /
+    # (id_a, id_b) — at sf0.1 the old form shuffled both full strings
+    # through ~1M candidate rows twice (join output + distinct). The
+    # strings re-attach per DISTINCT pair via two id-keyed joins
+    # against the base frame before the exact confirm.
+    a = v.select(F.col("__id").alias("id_a"), "__v")
+    b = v.select(F.col("__id").alias("id_b"), "__v")
     # banded DP (threshold arg): early-exits to -1 past distance 1 —
     # O(len) instead of O(len²) per candidate; >= 0 ⟺ distance <= 1
     accept = F.expr("levenshtein(s_a, s_b, 1)") >= 0
@@ -1010,11 +1012,22 @@ def fuzzy_pairs_edit1(
             "       = substring(s_b, try_element_at(mm, 1), 1))"
         )
         accept = accept | swap
-    return (
+    cand = (
         a.join(b, "__v")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "s_a", "s_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    return (
+        cand.join(
+            base.select(F.col("__id").alias("id_a"), F.col("__s").alias("s_a")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("__id").alias("id_b"), F.col("__s").alias("s_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", "s_a", "s_b")
         .filter(accept)
     )
 

@@ -4470,11 +4470,15 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer — 2m div k(k−1). Two semi-joins of the edge set against
     the broadcast club, no quadratic work."""
     e = _cosource_edges_spark(spark, sf_dir)
+    # vertex-sized; referenced by three actions (n count, club rank,
+    # club count) that would each re-run the degree groupBy over the
+    # full edge set otherwise
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint()
     )
     n = deg.count()
     w = Window.orderBy(F.desc("d"), F.asc("node"))
@@ -4482,6 +4486,7 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") * 10 <= n)
         .select("node")
+        .localCheckpoint()
     )
     k = club.count()
     m = (
