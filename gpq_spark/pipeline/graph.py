@@ -14,6 +14,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PAGERANK_SCALE = 10**12
+# Tests only: force the iterative (sparse) routes even when the density
+# gate would engage a dense kernel — lets equivalence tests run both
+# routes on the same graph.
+_FORCE_SPARSE = False
 _DAMP_NUM, _DAMP_DEN = 85, 100  # 0.85 as the exact rational
 
 
@@ -232,6 +236,15 @@ def k_core(
     ).distinct()
     sym = sym.localCheckpoint()
 
+    msym = sym.count()
+    if msym:
+        nodes = sym.select(F.col("s").alias("node")).distinct().localCheckpoint()
+        n = nodes.count()
+        if not _FORCE_SPARSE and n >= 2 and 64 * msym >= n * n:
+            return _k_core_dense(
+                sym, nodes, n, int(k), int(max_iterations), emit_rounds
+            )
+
     dropped = None
     for i in range(1, max_iterations + 1):
         deg = sym.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -264,6 +277,86 @@ def k_core(
     )
 
 
+def _k_core_dense(
+    sym: DataFrame,
+    nodes: DataFrame,
+    n: int,
+    k: int,
+    max_iterations: int,
+    emit_rounds: bool,
+) -> DataFrame:
+    """Dense-graph k-core peel (the truss density gate): the sparse
+    loop costs a degree groupBy + two anti-joins + checkpoint + isEmpty
+    action PER ROUND — all fixed scheduling cost once the gate bounds
+    n ≤ √(128·m). One kernel task unpacks the bitmap adjacency and runs
+    the synchronous peel to fixpoint in-memory (deg = A @ alive, n²
+    flops per round), replicating the sparse semantics edge for edge:
+
+    - a round's victims are nodes with 1 ≤ deg < k among NOT-YET-PEELED
+      neighbors (a node whose degree hits 0 has no rows in the sparse
+      frame — it is neither tagged nor a survivor, on either route);
+    - the loop stops when a round tags nobody, or at max_iterations;
+    - core_deg counts never-peeled neighbors; survivors need deg ≥ 1.
+
+    The peel is monotone so the fixpoint is the unique k-core; degrees
+    are counts < 2^53, so the float64 product is exact."""
+    idx = _dense_index(nodes)
+    words = _ix_words(sym, idx).withColumn("blk", F.lit(0).cast("int"))
+    n_nodes = int(n)
+    n_words = (n_nodes + 63) // 64
+    kk = int(k)
+    max_it = int(max_iterations)
+    rounds_mode = bool(emit_rounds)
+
+    def peel_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        W = np.zeros((n_nodes, n_words), dtype=np.int64)
+        W[
+            pdf["a"].to_numpy(np.int64), pdf["wi"].to_numpy(np.int64)
+        ] = pdf["w"].to_numpy(np.int64)
+        A = np.unpackbits(
+            W.view(np.uint8).reshape(n_nodes, n_words * 8),
+            axis=1,
+            bitorder="little",
+        )[:, :n_nodes].astype(np.float64)
+        kept = np.ones(n_nodes, dtype=np.float64)
+        peel_round = np.zeros(n_nodes, dtype=np.int64)
+        deg = A @ kept
+        for i in range(1, max_it + 1):
+            bad = (kept > 0.0) & (deg >= 1.0) & (deg < kk)
+            if not bad.any():
+                break
+            peel_round[bad] = i
+            kept[bad] = 0.0
+            deg = A @ kept
+        if rounds_mode:
+            # vanished nodes (deg 0, never tagged) appear on neither
+            # side of the sparse output — exclude them here too
+            sel = (peel_round > 0) | ((kept > 0.0) & (deg >= 1.0))
+            ix = np.nonzero(sel)[0]
+            return pd.DataFrame(
+                {"nix": ix.astype(np.int64), "val": peel_round[ix]}
+            )
+        sel = (kept > 0.0) & (deg >= 1.0)
+        ix = np.nonzero(sel)[0]
+        return pd.DataFrame(
+            {"nix": ix.astype(np.int64), "val": deg[ix].astype(np.int64)}
+        )
+
+    out = words.groupBy("blk").applyInPandas(
+        peel_block, schema="nix long, val long"
+    )
+    col = "peel_round" if rounds_mode else "core_deg"
+    return out.join(
+        F.broadcast(
+            idx.select(F.col("ix").alias("nix"), F.col("node").alias("node"))
+        ),
+        "nix",
+    ).select("node", F.col("val").alias(col))
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,
@@ -288,7 +381,18 @@ def bfs_distances(
     can only regenerate known-or-worse candidates — dropping them
     changes nothing (classic level-synchronous BFS). Total join volume
     over the whole run is one relaxation of each reachable pair
-    instead of rounds× the full frame."""
+    instead of rounds× the full frame.
+
+    DENSE-graph route (the truss/link-prediction density gate,
+    canonical m ≥ n²/128 ⟺ symmetrized 2m ≥ n²/64): the per-round
+    frontier join + min-combine + anti-join + checkpoint costs a fixed
+    ~1-2 s of scheduling per level even when the data is tiny, while
+    level-synchronous BFS over the whole landmark set is S×n boolean
+    matrix products against the n×n adjacency — exact (0/1 sums < 2^53
+    in float64) and identical to the frontier fixpoint by the same
+    first-discovery-is-minimal argument. The adjacency ships as packed
+    int64 bitmap words (n·⌈n/64⌉ rows), sources stride across blocks,
+    and only discovered (source, node, dist) rows leave the kernel."""
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .filter(F.col("s") != F.col("d"))
@@ -297,6 +401,15 @@ def bfs_distances(
     sym = sym.unionByName(
         sym.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).distinct().localCheckpoint()
+
+    msym = sym.count()
+    if msym:
+        nodes = sym.select(F.col("s").alias("node")).distinct().localCheckpoint()
+        n = nodes.count()
+        if not _FORCE_SPARSE and n >= 2 and 64 * msym >= n * n:
+            return _bfs_distances_dense(
+                sym, sources, source_col, nodes, n, max_depth
+            )
 
     dist = sources.select(
         F.col(source_col).alias("source"),
@@ -323,6 +436,149 @@ def bfs_distances(
         dist = dist.unionByName(new).localCheckpoint()
         frontier = new
     return dist
+
+
+def _dense_index(nodes: DataFrame) -> DataFrame:
+    """(node, ix): deterministic dense 0-based index in node order —
+    one row_number window over the vertex frame (single task, bounded
+    by the density gate n ≤ √(128·m)). Checkpointed: referenced by the
+    edge translation and both result back-translations."""
+    return nodes.select(
+        "node", (F.row_number().over(Window.orderBy("node")) - 1).alias("ix")
+    ).localCheckpoint()
+
+
+def _ix_words(sym: DataFrame, idx: DataFrame) -> DataFrame:
+    """Symmetrized (s, d) edges → dense-index packed bitmap words
+    (a, wi, w) — the truss two-level bit_or build: OR the neighbor
+    bits per (vertex, word) in one narrow groupBy; n·⌈n/64⌉ rows
+    summarize the 2m adjacency rows (~16× fewer at the gate density)."""
+    ei = (
+        sym.join(
+            idx.select(F.col("node").alias("s"), F.col("ix").alias("ixa")), "s"
+        )
+        .join(
+            idx.select(F.col("node").alias("d"), F.col("ix").alias("ixb")), "d"
+        )
+        .select(F.col("ixa").alias("a"), F.col("ixb").alias("b"))
+    )
+    return (
+        ei.select(
+            "a",
+            F.expr("CAST(b div 64 AS INT)").alias("wi"),
+            F.expr("shiftleft(1L, CAST(b % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("a", "wi")
+        .agg(F.expr("bit_or(bit)").alias("w"))
+    )
+
+
+def _bfs_distances_dense(
+    sym: DataFrame,
+    sources: DataFrame,
+    source_col: str,
+    nodes: DataFrame,
+    n: int,
+    max_depth: int,
+) -> DataFrame:
+    """Dense-graph landmark BFS: unpack the bitmap adjacency to an n×n
+    0/1 matrix per block task and run level-synchronous BFS for the
+    block's stride of sources as S×n @ n×n float64 products — every
+    sum a count ≤ n < 2^53, so reachability is EXACT. Emits exactly
+    the sparse fixpoint's (source, node, dist) rows; sources absent
+    from the vertex set keep their (s, s, 0) row via the anti-join
+    union (the sparse loop's init frame retains them)."""
+    spark = sym.sparkSession
+    idx = _dense_index(nodes)
+    src = sources.select(F.col(source_col).alias("__src"))
+    src_ix = src.join(idx, src["__src"] == idx["node"]).select(
+        F.col("ix").alias("a")
+    )
+    absent = src.join(idx, src["__src"] == idx["node"], "left_anti").select(
+        F.col("__src").alias("source"),
+        F.col("__src").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    words = _ix_words(sym, idx)
+    blocks = max(1, min(spark.sparkContext.defaultParallelism, n))
+    rep = (
+        spark.range(blocks)
+        .select(F.col("id").cast("int").alias("blk"))
+        .crossJoin(words)
+    )
+    marks = src_ix.select(
+        F.pmod(F.col("a"), F.lit(blocks)).cast("int").alias("blk"),
+        "a",
+        F.lit(-1).cast("int").alias("wi"),
+        F.lit(0).cast("long").alias("w"),
+    )
+    n_nodes = int(n)
+    n_words = (n_nodes + 63) // 64
+    depth = max(0, int(max_depth))
+
+    def bfs_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        srcs = pdf.loc[pdf["wi"] < 0, "a"].to_numpy(np.int64)
+        empty = pd.DataFrame(
+            {
+                "six": np.array([], dtype=np.int64),
+                "nix": np.array([], dtype=np.int64),
+                "dist": np.array([], dtype=np.int64),
+            }
+        )
+        if srcs.size == 0:
+            return empty
+        sub = pdf[pdf["wi"] >= 0]
+        W = np.zeros((n_nodes, n_words), dtype=np.int64)
+        W[
+            sub["a"].to_numpy(np.int64), sub["wi"].to_numpy(np.int64)
+        ] = sub["w"].to_numpy(np.int64)
+        A = np.unpackbits(
+            W.view(np.uint8).reshape(n_nodes, n_words * 8),
+            axis=1,
+            bitorder="little",
+        )[:, :n_nodes].astype(np.float64)
+        S = srcs.size
+        dist = np.full((S, n_nodes), -1, dtype=np.int64)
+        dist[np.arange(S), srcs] = 0
+        frontier = np.zeros((S, n_nodes), dtype=np.float64)
+        frontier[np.arange(S), srcs] = 1.0
+        for lvl in range(1, depth + 1):
+            new = (frontier @ A > 0.0) & (dist < 0)
+            if not new.any():
+                break
+            dist[new] = lvl
+            frontier = new.astype(np.float64)
+        si, ni = np.nonzero(dist >= 0)
+        return pd.DataFrame(
+            {
+                "six": srcs[si],
+                "nix": ni.astype(np.int64),
+                "dist": dist[si, ni],
+            }
+        )
+
+    out = rep.unionByName(marks).groupBy("blk").applyInPandas(
+        bfs_block, schema="six long, nix long, dist long"
+    )
+    res = (
+        out.join(
+            F.broadcast(
+                idx.select(F.col("ix").alias("six"), F.col("node").alias("source"))
+            ),
+            "six",
+        )
+        .join(
+            F.broadcast(
+                idx.select(F.col("ix").alias("nix"), F.col("node").alias("node"))
+            ),
+            "nix",
+        )
+        .select("source", "node", "dist")
+    )
+    return res.unionByName(absent)
 
 
 def label_propagation(
@@ -357,6 +613,13 @@ def label_propagation(
     ).distinct()
     sym = sym.localCheckpoint()
 
+    msym = sym.count()
+    if msym:
+        nodes = sym.select(F.col("s").alias("node")).distinct().localCheckpoint()
+        n = nodes.count()
+        if not _FORCE_SPARSE and n >= 2 and 64 * msym >= n * n:
+            return _label_propagation_dense(sym, nodes, n, int(iterations))
+
     labels = (
         sym.select(F.col("s").alias("node"))
         .distinct()
@@ -377,6 +640,76 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def _label_propagation_dense(
+    sym: DataFrame, nodes: DataFrame, n: int, iterations: int
+) -> DataFrame:
+    """Dense-graph synchronous LPA (the truss density gate): each
+    sparse round is a join + groupBy + row_number window — fixed
+    scheduling cost per round. One kernel task unpacks the bitmap
+    adjacency and iterates in-memory: neighbor-label counts are the
+    matrix product C = A @ onehot(labels) (counts ≤ n, exact in
+    float64), and the (max count, min label) argmax is the single
+    argmax of C·(n+2) − label_index — count dominates by construction
+    (a count gap of 1 outweighs the full index range), ties fall to
+    the smallest index, and the dense index is assigned in node order
+    so smallest index ⟺ smallest label. Nodes keep ≥1 neighbor by
+    construction of ``sym``, so a zero-count label can never win."""
+    idx = _dense_index(nodes)
+    words = _ix_words(sym, idx).withColumn("blk", F.lit(0).cast("int"))
+    n_nodes = int(n)
+    n_words = (n_nodes + 63) // 64
+    iters = int(iterations)
+
+    def lpa_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        W = np.zeros((n_nodes, n_words), dtype=np.int64)
+        W[
+            pdf["a"].to_numpy(np.int64), pdf["wi"].to_numpy(np.int64)
+        ] = pdf["w"].to_numpy(np.int64)
+        A = np.unpackbits(
+            W.view(np.uint8).reshape(n_nodes, n_words * 8),
+            axis=1,
+            bitorder="little",
+        )[:, :n_nodes].astype(np.float64)
+        has_edge = A.sum(axis=1) > 0.0
+        labels = np.arange(n_nodes, dtype=np.int64)
+        penalty = np.arange(n_nodes, dtype=np.float64)
+        for _ in range(iters):
+            M = np.zeros((n_nodes, n_nodes), dtype=np.float64)
+            M[np.arange(n_nodes), labels] = 1.0
+            C = A @ M
+            labels = np.argmax(
+                C * float(n_nodes + 2) - penalty[None, :], axis=1
+            ).astype(np.int64)
+        ix = np.nonzero(has_edge)[0]
+        return pd.DataFrame(
+            {"nix": ix.astype(np.int64), "lix": labels[ix]}
+        )
+
+    out = words.groupBy("blk").applyInPandas(
+        lpa_block, schema="nix long, lix long"
+    )
+    return (
+        out.join(
+            F.broadcast(
+                idx.select(F.col("ix").alias("nix"), F.col("node").alias("node"))
+            ),
+            "nix",
+        )
+        .join(
+            F.broadcast(
+                idx.select(
+                    F.col("ix").alias("lix"), F.col("node").alias("community")
+                )
+            ),
+            "lix",
+        )
+        .select("node", "community")
+    )
 
 
 def sssp_bounded(
@@ -429,6 +762,25 @@ def sssp_bounded(
     if neg:
         raise ValueError("sssp_bounded requires non-negative weights")
 
+    # dense-graph route (the truss density gate over DIRECTED rows —
+    # symmetrized inputs carry 2m rows, so this is canonical
+    # m ≥ n²/128): the per-round delta join + min-combine + checkpoint
+    # is fixed scheduling cost once n ≤ √(128·m); a blocked min-plus
+    # kernel runs the identical ≤k-hop Bellman-Ford in-memory.
+    m2 = e.count()
+    if m2:
+        nodes = (
+            e.select(F.col("s").alias("node"))
+            .unionByName(e.select(F.col("d").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
+        n = nodes.count()
+        if not _FORCE_SPARSE and n >= 2 and 64 * m2 >= n * n:
+            return _sssp_bounded_dense(
+                e, sources, source_col, nodes, n, max(0, int(rounds))
+            )
+
     dist = sources.select(
         F.col(source_col).alias("source"),
         F.col(source_col).alias("node"),
@@ -464,6 +816,142 @@ def sssp_bounded(
             F.col("__od").isNull() | (F.col("__nd") < F.col("__od"))
         ).select("source", "node", F.col("__nd").alias("dist"))
     return dist
+
+
+def _sssp_bounded_dense(
+    e: DataFrame,
+    sources: DataFrame,
+    source_col: str,
+    nodes: DataFrame,
+    n: int,
+    rounds: int,
+) -> DataFrame:
+    """Dense-graph ≤k-hop Bellman-Ford: each block task rebuilds the
+    n×n weight matrix from per-vertex (neighbor, weight) arrays and
+    relaxes its stride of sources with the vectorized min-plus step
+    d'ᵥ = min(dᵥ, min_u dᵤ + W[u,v]) — exactly the synchronous
+    relaxation of the join route (min over ≤k-hop paths after k
+    rounds). Non-negative INTEGER weights and path costs stay < 2^53,
+    so float64 min-plus is exact; results leave the kernel as longs.
+
+    The weighted adjacency cannot ship as bitmap words, so the arrays
+    replicate per block — blocks are capped at 8 (the per-block
+    compute is S/B·k·n² flops, tiny under the density gate, while the
+    replicated payload grows linearly in B); sources absent from the
+    vertex set keep their (s, s, 0) row via the anti-join union."""
+    spark = e.sparkSession
+    idx = _dense_index(nodes)
+    src = sources.select(F.col(source_col).alias("__src"))
+    src_ix = src.join(idx, src["__src"] == idx["node"]).select(
+        F.col("ix").alias("a")
+    )
+    absent = src.join(idx, src["__src"] == idx["node"], "left_anti").select(
+        F.col("__src").alias("source"),
+        F.col("__src").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    ei = (
+        e.join(
+            idx.select(F.col("node").alias("s"), F.col("ix").alias("ixa")), "s"
+        )
+        .join(
+            idx.select(F.col("node").alias("d"), F.col("ix").alias("ixb")), "d"
+        )
+        .select(F.col("ixa").alias("a"), F.col("ixb").alias("b"), "w")
+    )
+    # one sorted collect per vertex, then two ALIGNED arrays (a second
+    # collect_list could reorder independently)
+    eb = (
+        ei.groupBy("a")
+        .agg(F.sort_array(F.collect_list(F.struct("b", "w"))).alias("nb"))
+        .select(
+            "a",
+            F.lit(0).cast("int").alias("mk"),
+            F.expr("transform(nb, x -> CAST(x.b AS INT))").alias("bs"),
+            F.expr("transform(nb, x -> CAST(x.w AS DOUBLE))").alias("ws"),
+        )
+    )
+    blocks = max(1, min(8, spark.sparkContext.defaultParallelism))
+    rep = (
+        spark.range(blocks)
+        .select(F.col("id").cast("int").alias("blk"))
+        .crossJoin(eb)
+    )
+    marks = src_ix.select(
+        F.pmod(F.col("a"), F.lit(blocks)).cast("int").alias("blk"),
+        "a",
+        F.lit(1).cast("int").alias("mk"),
+        F.lit(None).cast("array<int>").alias("bs"),
+        F.lit(None).cast("array<double>").alias("ws"),
+    )
+    n_nodes = int(n)
+    r = int(rounds)
+
+    def sssp_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        is_mark = pdf["mk"].to_numpy(np.int64) == 1
+        srcs = pdf.loc[is_mark, "a"].to_numpy(np.int64)
+        empty = pd.DataFrame(
+            {
+                "six": np.array([], dtype=np.int64),
+                "nix": np.array([], dtype=np.int64),
+                "dist": np.array([], dtype=np.int64),
+            }
+        )
+        if srcs.size == 0:
+            return empty
+        rows = pdf[~is_mark]
+        W = np.full((n_nodes, n_nodes), np.inf, dtype=np.float64)
+        if len(rows):
+            lens = rows["bs"].str.len().to_numpy(np.int64)
+            a_rep = np.repeat(rows["a"].to_numpy(np.int64), lens)
+            bs = np.concatenate([np.asarray(x, dtype=np.int64) for x in rows["bs"]])
+            ws = np.concatenate([np.asarray(x, dtype=np.float64) for x in rows["ws"]])
+            W[a_rep, bs] = ws
+        out_s, out_n, out_d = [], [], []
+        for s in srcs:
+            d = np.full(n_nodes, np.inf, dtype=np.float64)
+            d[s] = 0.0
+            for _ in range(r):
+                cand = (d[:, None] + W).min(axis=0)
+                nd = np.minimum(d, cand)
+                if np.array_equal(nd, d):
+                    break
+                d = nd
+            fin = np.isfinite(d)
+            ni = np.nonzero(fin)[0]
+            out_s.append(np.full(ni.size, s, dtype=np.int64))
+            out_n.append(ni.astype(np.int64))
+            out_d.append(d[ni].astype(np.int64))
+        return pd.DataFrame(
+            {
+                "six": np.concatenate(out_s),
+                "nix": np.concatenate(out_n),
+                "dist": np.concatenate(out_d),
+            }
+        )
+
+    out = rep.unionByName(marks).groupBy("blk").applyInPandas(
+        sssp_block, schema="six long, nix long, dist long"
+    )
+    res = (
+        out.join(
+            F.broadcast(
+                idx.select(F.col("ix").alias("six"), F.col("node").alias("source"))
+            ),
+            "six",
+        )
+        .join(
+            F.broadcast(
+                idx.select(F.col("ix").alias("nix"), F.col("node").alias("node"))
+            ),
+            "nix",
+        )
+        .select("source", "node", "dist")
+    )
+    return res.unionByName(absent)
 
 
 def coreness(
@@ -597,6 +1085,15 @@ def stress_centrality(
         sym.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).distinct().localCheckpoint()
 
+    msym = sym.count()
+    if msym:
+        nodes = sym.select(F.col("s").alias("node")).distinct().localCheckpoint()
+        n = nodes.count()
+        if not _FORCE_SPARSE and n >= 2 and 64 * msym >= n * n:
+            return _stress_centrality_dense(
+                sym, sources, source_col, nodes, n, max(1, int(rounds))
+            )
+
     fr = sources.select(
         F.col(source_col).alias("source"),
         F.col(source_col).alias("node"),
@@ -678,6 +1175,129 @@ def stress_centrality(
         contrib.groupBy("node")
         .agg(F.sum("c").cast("long").alias("stress"))
         .filter(F.col("stress") > 0)
+    )
+
+
+def _stress_centrality_dense(
+    sym: DataFrame,
+    sources: DataFrame,
+    source_col: str,
+    nodes: DataFrame,
+    n: int,
+    rounds: int,
+) -> DataFrame:
+    """Dense-graph bounded stress (the truss density gate): the join
+    route pushes the O(|landmarks|·reachable) frame through a frontier
+    join + groupBy per forward level, a 3-frame successor join, and a
+    per-level backward join — ~10 actions of fixed scheduling cost.
+    Here each block task unpacks the bitmap adjacency once and runs
+    the IDENTICAL recurrences for its stride of landmarks as S×n @ n×n
+    float64 products:
+
+      forward:  σ_{lvl} = (σ · [dist = lvl−1]) @ A, kept at first
+                discovery only (level-synchronous BFS, same σ sums);
+      backward: τ_{lvl} = ((1 + τ) · [dist = lvl+1]) @ A restricted to
+                [dist = lvl] — exactly Σ_{succ w} (1 + τ(w)), with
+                τ = 0 for successor-less nodes (the sparse route's
+                missing-row coalesce);
+      stress partial per node: Σ_block σ·τ over [dist ≥ 1].
+
+    Every operand is a small integer and every partial sum is checked
+    < 2^53 in-kernel (loud ValueError, not silent wrap), so the
+    float64 BLAS products are EXACT and order-independent; the final
+    per-node sum over blocks runs as one int64 groupBy. Landmarks not
+    in the vertex set contribute nothing on either route (no τ rows,
+    dist-0 excluded)."""
+    spark = sym.sparkSession
+    idx = _dense_index(nodes)
+    src = sources.select(F.col(source_col).alias("__src"))
+    src_ix = src.join(idx, src["__src"] == idx["node"]).select(
+        F.col("ix").alias("a")
+    )
+    words = _ix_words(sym, idx)
+    blocks = max(1, min(spark.sparkContext.defaultParallelism, n))
+    rep = (
+        spark.range(blocks)
+        .select(F.col("id").cast("int").alias("blk"))
+        .crossJoin(words)
+    )
+    marks = src_ix.select(
+        F.pmod(F.col("a"), F.lit(blocks)).cast("int").alias("blk"),
+        "a",
+        F.lit(-1).cast("int").alias("wi"),
+        F.lit(0).cast("long").alias("w"),
+    )
+    n_nodes = int(n)
+    n_words = (n_nodes + 63) // 64
+    r = int(rounds)
+
+    def stress_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        srcs = pdf.loc[pdf["wi"] < 0, "a"].to_numpy(np.int64)
+        empty = pd.DataFrame(
+            {
+                "nix": np.array([], dtype=np.int64),
+                "partial": np.array([], dtype=np.int64),
+            }
+        )
+        if srcs.size == 0:
+            return empty
+        sub = pdf[pdf["wi"] >= 0]
+        W = np.zeros((n_nodes, n_words), dtype=np.int64)
+        W[
+            sub["a"].to_numpy(np.int64), sub["wi"].to_numpy(np.int64)
+        ] = sub["w"].to_numpy(np.int64)
+        A = np.unpackbits(
+            W.view(np.uint8).reshape(n_nodes, n_words * 8),
+            axis=1,
+            bitorder="little",
+        )[:, :n_nodes].astype(np.float64)
+        S = srcs.size
+        dist = np.full((S, n_nodes), -1, dtype=np.int64)
+        dist[np.arange(S), srcs] = 0
+        sigma = np.zeros((S, n_nodes), dtype=np.float64)
+        sigma[np.arange(S), srcs] = 1.0
+        for lvl in range(1, r + 1):
+            msgs = (sigma * (dist == lvl - 1)) @ A
+            new = (msgs > 0.0) & (dist < 0)
+            if not new.any():
+                break
+            sigma = np.where(new, msgs, sigma)
+            dist = np.where(new, lvl, dist)
+        tau = np.zeros((S, n_nodes), dtype=np.float64)
+        for lvl in range(r - 1, 0, -1):
+            contrib = ((1.0 + tau) * (dist == lvl + 1)) @ A
+            tau = np.where(dist == lvl, contrib, tau)
+        smax, tmax = float(sigma.max()), float(tau.max())
+        if smax >= 2.0**52 or tmax >= 2.0**52 or smax * tmax * S >= 2.0**62:
+            raise ValueError(
+                "stress_centrality dense kernel: path counts exceed the "
+                "exact-integer float64/int64 range; cap `rounds`"
+            )
+        part = (
+            sigma.astype(np.int64) * tau.astype(np.int64) * (dist >= 1)
+        ).sum(axis=0)
+        nz = np.nonzero(part)[0]
+        return pd.DataFrame(
+            {"nix": nz.astype(np.int64), "partial": part[nz]}
+        )
+
+    out = rep.unionByName(marks).groupBy("blk").applyInPandas(
+        stress_block, schema="nix long, partial long"
+    )
+    return (
+        out.groupBy("nix")
+        .agg(F.sum("partial").cast("long").alias("stress"))
+        .join(
+            F.broadcast(
+                idx.select(F.col("ix").alias("nix"), F.col("node").alias("node"))
+            ),
+            "nix",
+        )
+        .filter(F.col("stress") > 0)
+        .select("node", "stress")
     )
 
 

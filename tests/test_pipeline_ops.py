@@ -6397,3 +6397,71 @@ class TestQualityFunnel:
         order = ["too_short", "too_long", "unknown_lang", "low_alpha", "exact_dup"]
         for prev, cur in zip(order, order[1:]):
             assert rows[cur]["n_in"] == rows[prev]["n_out"]
+
+
+class TestGraphDenseRouteEquivalence:
+    """The r9 dense kernels (bitmap/min-plus matmul) must be
+    row-identical to the iterative sparse loops on the same graph —
+    the gate (m ≥ n²/128) decides performance, never results. Gapped
+    node ids exercise the dense-index mapping; _FORCE_SPARSE pins the
+    loop route for the comparison."""
+
+    def _graph(self):
+        # deterministic ~40% density on 30 gapped ids
+        n = 30
+        return [
+            (7 * a + 3, 7 * b + 3)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if (a * 31 + b * 17) % 5 < 2
+        ]
+
+    def _both(self, fn):
+        from gpq_spark.pipeline import graph as G
+
+        dense = fn()
+        G._FORCE_SPARSE = True
+        try:
+            sparse = fn()
+        finally:
+            G._FORCE_SPARSE = False
+        assert sorted(map(tuple, dense)) == sorted(map(tuple, sparse))
+        assert len(dense) > 0
+
+    def test_bfs_distances_routes_agree(self, spark):
+        from gpq_spark.pipeline.graph import bfs_distances
+
+        e = spark.createDataFrame(self._graph(), "src long, dst long")
+        s = spark.createDataFrame([(3,), (73,), (999,)], "node long")
+        self._both(lambda: bfs_distances(e, s).collect())
+
+    def test_stress_centrality_routes_agree(self, spark):
+        from gpq_spark.pipeline.graph import stress_centrality
+
+        e = spark.createDataFrame(self._graph(), "src long, dst long")
+        s = spark.createDataFrame([(3,), (73,), (143,)], "node long")
+        self._both(lambda: stress_centrality(e, s, rounds=3).collect())
+
+    def test_sssp_bounded_routes_agree(self, spark):
+        from gpq_spark.pipeline.graph import sssp_bounded
+
+        edges = [
+            (u, v, (u * 13 + v * 7) % 19 + 1) for (u, v) in self._graph()
+        ]
+        e = spark.createDataFrame(edges, "src long, dst long, w long")
+        s = spark.createDataFrame([(3,), (73,), (999,)], "node long")
+        self._both(lambda: sssp_bounded(e, s, rounds=3).collect())
+
+    def test_k_core_routes_agree(self, spark):
+        from gpq_spark.pipeline.graph import k_core
+
+        e = spark.createDataFrame(self._graph(), "src long, dst long")
+        for k in (2, 6, 9):
+            self._both(lambda: k_core(e, k=k).collect())
+            self._both(lambda: k_core(e, k=k, emit_rounds=True).collect())
+
+    def test_label_propagation_routes_agree(self, spark):
+        from gpq_spark.pipeline.graph import label_propagation
+
+        e = spark.createDataFrame(self._graph(), "src long, dst long")
+        self._both(lambda: label_propagation(e, iterations=3).collect())
