@@ -1964,20 +1964,72 @@ _COSOURCE_EDGE_CTES = """
     )"""
 
 
-def _cosource_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mean-thresholded supplier co-sourcing edge set shared by the
-    graph-family queries (identical integer threshold to
-    q_triangle_suppliers, so every engine draws the same graph).
+# Dense co-sourcing gate: engage the bitmap-popcount kernel only when
+# the supplier×part incidence bitmap is broadcast-sized and the total
+# AND-word work across all C(n,2) pairs is bounded. Gated on the
+# CATALOG row counts (parquet footer metadata — upper bounds on the
+# id universes, read driver-side with no job), so the decision costs
+# nothing and is conservative: unknown or large ⇒ sparse route.
+_COSOURCE_DENSE_MAX_BITS = 1 << 26  # n_sup·n_part packed bits (8 MB)
+_COSOURCE_DENSE_MAX_WORK = 1 << 33  # n_sup²·⌈n_part/64⌉ AND-words
+_COSOURCE_FORCE_SPARSE = False  # test hook: pin dense == sparse
 
-    localCheckpoint()ed: the consumers (truss support, link
-    prediction, walks) reference the edge frame 3-4 times, and without
-    materialization each reference re-runs the lineitem scan + the
-    co-sourcing self-join — measured 3.6x slower for truss_support and
-    1.5x for link_prediction at sf0.1 (BASELINE.md)."""
+
+def _table_rows_meta(sf_dir: str, name: str) -> int | None:
+    """Row count from a single parquet file's footer (driver-side, no
+    Spark job). Returns None for unreadable/multi-file layouts —
+    callers must treat unknown as 'too big' (stay on the sparse
+    route), never as an error."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+    except Exception:  # noqa: BLE001 — any layout issue ⇒ unknown
+        return None
+
+
+def _cosource_shared_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (u, v, shared) supplier co-sourcing pair frame (u < v,
+    shared = |parts co-sourced|), localCheckpoint()ed — the common
+    first stage of the graph family and of the mean threshold in
+    ``_cosource_edges_spark``.
+
+    DENSE route (guide §1.2 step 1 — change the distributed
+    algorithm): shared(u, v) IS popcount(parts(u) AND parts(v)) over
+    the supplier×part incidence bitmap. When the packed bitmap fits
+    the broadcast gate, the per-part pair expansion (Σ C(cnt_p, 2)
+    rows — 8.7M at sf0.1 — exploded, shuffled and hash-aggregated to
+    499,500 groups) is replaced by one bit_or groupBy over the
+    (supplier, word) incidence rows plus a block-parallel popcount
+    kernel that emits each qualifying pair once. Popcount of AND is
+    exactly the co-source count, so the frame is bit-identical to the
+    sparse aggregation. The sparse bucket path stays the 100 TB
+    default — the gate (catalog footer counts, no job) keeps the
+    kernel to corpora whose incidence bitmap is a few MB."""
     li = load(spark, sf_dir, "lineitem")
-    ps = li.select(
+    ps_raw = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    )
+    ns = _table_rows_meta(sf_dir, "supplier")
+    npart = _table_rows_meta(sf_dir, "part")
+    nli = _table_rows_meta(sf_dir, "lineitem")
+    if (
+        not _COSOURCE_FORCE_SPARSE
+        and ns
+        and npart
+        and nli
+        and ns >= 2
+        and nli <= 1 << 24  # bounds the words collect at ≤ |ps| rows
+        and ns * npart <= _COSOURCE_DENSE_MAX_BITS
+        and ns * ns * ((npart + 63) // 64) <= _COSOURCE_DENSE_MAX_WORK
+    ):
+        # no distinct: bit_or over duplicate (p, s) incidence rows sets
+        # the same bit — the dense route skips that whole exchange
+        return _cosource_shared_dense(spark, ps_raw)
+    return _cosource_shared_sparse(spark, ps_raw.distinct())
+
+
+def _cosource_shared_sparse(spark: SparkSession, ps: DataFrame) -> DataFrame:
     # per-part supplier buckets with in-bucket ORDERED pair expansion
     # (the established bucket kernel) instead of a self-join on p: the
     # join materialized every pair in both orders (Σ cnt(p)² rows) and
@@ -1989,7 +2041,7 @@ def _cosource_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("__ss") >= 2)
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    shared = (
+    return (
         buckets.select(
             F.explode(
                 F.expr(
@@ -2007,6 +2059,103 @@ def _cosource_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         # + co-sourcing expansion runs twice (once per consumer).
         .localCheckpoint()
     )
+
+
+def _cosource_shared_dense(spark: SparkSession, ps: DataFrame) -> DataFrame:
+    """Bitmap-popcount co-sourcing counts (see _cosource_shared_spark).
+    One bit_or groupBy packs each supplier's part set into int64 words
+    keyed by the RAW ids (wi = p div 64 — injective, no index window,
+    no join); the per-supplier words collect to the driver (≤ |ps|
+    narrow rows, bounded by the lineitem footer gate — the bounded
+    'bloom words' collect class), pack into an (n_sup, nw) matrix and
+    broadcast; each block task popcounts a strided slice of u rows
+    against all v > u and emits (u, v, shared) directly. Every count
+    is an exact integer; only pairs with shared ≥ 1 leave the kernel —
+    exactly the groups the sparse aggregation creates. If the RUNTIME
+    id universe is sparse enough that the packed matrix would not be
+    small (ids are not required to be dense — the catalog gate bounds
+    counts, not magnitudes), fall back to the sparse route."""
+    import numpy as np
+
+    sc = spark.sparkContext
+    words = (
+        ps.select(
+            "s",
+            F.expr("p div 64").alias("wi"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("s", "wi")
+        .agg(F.expr("bit_or(bit)").alias("w"))
+    )
+    wp = words.toPandas()
+    if not len(wp):
+        return _cosource_shared_sparse(spark, ps.distinct())
+    s_arr = wp["s"].to_numpy(np.int64)
+    wi_arr = wp["wi"].to_numpy(np.int64)
+    w_arr = wp["w"].to_numpy(np.int64)
+    sids = np.unique(s_arr)  # ascending — preserves u < v through the map
+    n = int(sids.shape[0])
+    wi_min = int(wi_arr.min())
+    nw = int(wi_arr.max()) - wi_min + 1
+    if n < 2 or n * nw * 64 > 4 * _COSOURCE_DENSE_MAX_BITS:
+        return _cosource_shared_sparse(spark, ps.distinct())
+    packed = np.zeros((n, nw), dtype=np.int64)
+    packed[np.searchsorted(sids, s_arr), wi_arr - wi_min] = w_arr
+    n_blocks = max(1, min(sc.defaultParallelism, n - 1))
+    bc = sc.broadcast((sids, packed.view(np.uint64)))
+
+    def shared_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        blk = int(pdf["id"].iloc[0])
+        ids, P = bc.value
+        nn = P.shape[0]
+        pop = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+        us, vs, cs = [], [], []
+        for u in range(blk, nn - 1, n_blocks):  # strided: balanced
+            aw = P[u + 1 :] & P[u]
+            cnt = pop[aw.view(np.uint8).reshape(aw.shape[0], -1)].sum(axis=1)
+            nz = np.nonzero(cnt)[0]
+            if nz.size:
+                us.append(np.full(nz.size, ids[u], dtype=np.int64))
+                vs.append(ids[nz + u + 1])
+                cs.append(cnt[nz])
+        if not us:
+            return pd.DataFrame(
+                {
+                    "u": np.empty(0, np.int64),
+                    "v": np.empty(0, np.int64),
+                    "shared": np.empty(0, np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "u": np.concatenate(us),
+                "v": np.concatenate(vs),
+                "shared": np.concatenate(cs),
+            }
+        )
+
+    return (
+        spark.range(n_blocks)
+        .groupBy("id")
+        .applyInPandas(shared_block, schema="u long, v long, shared long")
+        .localCheckpoint()
+    )
+
+
+def _cosource_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mean-thresholded supplier co-sourcing edge set shared by the
+    graph-family queries (identical integer threshold to
+    q_triangle_suppliers, so every engine draws the same graph).
+
+    localCheckpoint()ed: the consumers (truss support, link
+    prediction, walks) reference the edge frame 3-4 times, and without
+    materialization each reference re-runs the lineitem scan + the
+    co-sourcing self-join — measured 3.6x slower for truss_support and
+    1.5x for link_prediction at sf0.1 (BASELINE.md)."""
+    shared = _cosource_shared_spark(spark, sf_dir)
     tot = shared.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum("shared").cast("long").alias("sum_shared"),
@@ -3387,4 +3536,4 @@ def _passk_duck(k: int) -> str:
 
 # runtime-filtered: the splitter's static name scan can over-collect
 # names assigned inside compound statements; export only what exists
-__all__ = [n for n in ['_ENT_LUT', '_ENT_WINDOW', '_AUDIO_BLOCKS', '_BDAY_PARTIAL', '_BENFORD_E6', '_BF_BITS', '_BF_H1_DUCK', '_BF_H2_DUCK', '_BF_K', '_BF_WORD', '_BITEMP_DUCK', '_BM25_SCORED_DUCK', '_BMP_BPP', '_BMP_H', '_BMP_W', '_BOOT_U48_DUCK', '_BOOT_U48_SPARK', '_BOX_XMAX', '_BOX_XMIN', '_BOX_YMAX', '_BOX_YMIN', '_CENTS', '_COSOURCE_EDGE_CTES', '_CRLF', '_CTR_AX', '_CTR_AY', '_CTR_CROSS1', '_CTR_CROSS2', '_CTR_CROSS3', '_CTR_PX', '_CTR_PY', '_CUPED_HALF', '_CUPED_SEED', '_DFT_SAMPLE', '_DJ_PX', '_DJ_PY', '_DJ_RADIUS', '_DJ_SX', '_DJ_SY', '_DUCK_NORM2_V', '_DUCK_SUB_DOT', '_DUCK_SUB_L2', '_DVA_CX', '_DVA_CY', '_DVA_R', '_DVB_CX', '_DVB_CY', '_DVB_R', '_EV_HASH', '_FSM_ALLOWED', '_FS_EM_COUNTS_DUCK', '_GEO_ENV_ORACLE_FIELDS', '_GH32', '_GIF_H', '_GIF_W', '_GOLDEN_SOURCES_SQL', '_HAV_DUCK', '_HIST_BINS', '_HIST_HI', '_HIST_LO', '_HITS_SCALE', '_HLL_LC', '_HLL_NUMER', '_HLL_RHO_DUCK', '_HLL_RHO_SPARK', '_HTML_DOC', '_IVF_CENT_VALUES', '_IVF_FIX', '_JPEG_H', '_JPEG_W', '_KANON_LEVELS', '_KMVJ_H_DUCK', '_KMVJ_H_SPARK', '_KMVJ_K', '_LUHN_BASE_DUCK', '_LUHN_BASE_SPARK', '_MINHASH_BANDS_DUCK', '_MINHASH_PAIRS_DUCK', '_MIX_DEFAULT', '_MIX_FRACTIONS', '_MIX_HASH_DUCK', '_MMR_QUERY', '_MP3_BR_IDX', '_MP3_MODE', '_MP3_PAD', '_MP3_SR_IDX', '_MP3_TAG', '_MP3_VB', '_MP4_DUR', '_MP4_K', '_MP4_TS', '_NATION_TEMPORAL_CTES', '_NATION_TRADE_CTES', '_NDCG_CUM', '_NDCG_DISC', '_OLS2_DUCK', '_OLS2_SUMS', '_OOO_DELAY', '_OVA_XMAX', '_OVA_XMIN', '_OVA_YMAX', '_OVA_YMIN', '_OVB_XMAX', '_OVB_XMIN', '_OVB_YMAX', '_OVB_YMIN', '_PDF_UNI_MARK', '_PERM_U48_DUCK', '_PERM_U48_SPARK', '_PNG_H', '_PNG_W', '_POIS1_T', '_PQ_BOOK_VALUES', '_PQ_CODES_CTE', '_PQ_FIX', '_PROFILE_NUM_COLS', '_PROFILE_STR_COLS', '_PX', '_PY', '_QF_RULES', '_QSK_HASH_DUCK', '_QSK_HASH_SPARK', '_QSK_RATE_NUM', '_QUANT_DUCK', '_QUANT_DUCK_AMAX', '_RAKE_STOPS', '_RATE_TIERS_DUCK', '_SAMPLE_FRACTION', '_SBOX_XMAX', '_SBOX_XMIN', '_SBOX_YMAX', '_SBOX_YMIN', '_SHAPLEY_BITS', '_SHAPLEY_W24', '_SHINGLES_DUCK', '_SKEW_COLS', '_SNIFF_MAGICS', '_SPLIT_WEIGHTS', '_TAR_JSON', '_TAR_JSON_DUCK', '_TF_DUCK', '_TIFF_BITS', '_TIFF_COMP', '_TIFF_H', '_TIFF_W', '_TOKENS_DUCK', '_UHASH_DUCK', '_UHASH_R3_DUCK', '_WAV_BITS', '_WAV_CH', '_WAV_FRAMES', '_WAV_RATE', '_audio_oracle', '_bday_g', '_bfs_oracle', '_bmp_payload_spark', '_bpe_oracle', '_bpe_tokenize_oracle', '_conf', '_cos_duck', '_cosource_edges_spark', '_cuped_dets', '_det3', '_dft8_items', '_dft8_terms', '_drain_to_table', '_duck_list', '_events_file_stream', '_events_ooo_dir', '_events_ooo_file_stream', '_ewma_terms', '_fixture', '_fs_em_iter', '_fs_em_sql', '_geo_boxes', '_geo_filter_oracle', '_geo_wkt_df', '_geohash_expr', '_gif_payload_spark', '_gz_le16', '_gz_le32', '_gzip_member_spark', '_hexval', '_hilbert_duck_stages', '_hits_iter_duck', '_hll_estimate_duck', '_hll_estimate_spark', '_holt_duck', '_jpeg_payload_spark', '_kcenter_duck', '_kcore_oracle', '_ktruss_oracle', '_langid_oracle', '_lpa_oracle', '_markov_stationary_duck', '_mix_threshold_duck', '_mmr_oracle', '_mp3_payload_spark', '_mp4_payload_spark', '_nation_trade_edges_spark', '_ols2_dets', '_pagerank_iter_duck', '_passk_duck', '_png_payload_spark', '_pois1_weight', '_ppr_iter_duck', '_principal_oracle', '_profile_oracle', '_qcos_duck', '_quadkey_expr', '_resize_oracle', '_simhash_oracle', '_skew_oracle', '_sniff_oracle', '_sniff_payload_spark', '_soundex_blocks_oracle', '_split_bounds', '_split_case_duck', '_spread', '_sssp_oracle', '_stress_oracle', '_tar_docs_spark', '_tar_header_spaces_sql', '_tiff_gps_payload_spark', '_GPS_IFD_OFF', '_GPS_N_ENTRIES', '_GPS_BYTES_ZEROED', '_temporal_arrival_oracle', '_text_html_oracle', '_tiff_payload_spark', '_warc_rec_sql', '_waterfill_oracle', '_wav_payload_spark', '_wpagerank_iter_duck', '_zip_cdh_spark', '_zip_lfh_spark', '_zorder_duck_interleave', '_zorder_duck_norm', 'cents'] if n in globals()]
+__all__ = [n for n in ['_ENT_LUT', '_ENT_WINDOW', '_AUDIO_BLOCKS', '_BDAY_PARTIAL', '_BENFORD_E6', '_BF_BITS', '_BF_H1_DUCK', '_BF_H2_DUCK', '_BF_K', '_BF_WORD', '_BITEMP_DUCK', '_BM25_SCORED_DUCK', '_BMP_BPP', '_BMP_H', '_BMP_W', '_BOOT_U48_DUCK', '_BOOT_U48_SPARK', '_BOX_XMAX', '_BOX_XMIN', '_BOX_YMAX', '_BOX_YMIN', '_CENTS', '_COSOURCE_EDGE_CTES', '_CRLF', '_CTR_AX', '_CTR_AY', '_CTR_CROSS1', '_CTR_CROSS2', '_CTR_CROSS3', '_CTR_PX', '_CTR_PY', '_CUPED_HALF', '_CUPED_SEED', '_DFT_SAMPLE', '_DJ_PX', '_DJ_PY', '_DJ_RADIUS', '_DJ_SX', '_DJ_SY', '_DUCK_NORM2_V', '_DUCK_SUB_DOT', '_DUCK_SUB_L2', '_DVA_CX', '_DVA_CY', '_DVA_R', '_DVB_CX', '_DVB_CY', '_DVB_R', '_EV_HASH', '_FSM_ALLOWED', '_FS_EM_COUNTS_DUCK', '_GEO_ENV_ORACLE_FIELDS', '_GH32', '_GIF_H', '_GIF_W', '_GOLDEN_SOURCES_SQL', '_HAV_DUCK', '_HIST_BINS', '_HIST_HI', '_HIST_LO', '_HITS_SCALE', '_HLL_LC', '_HLL_NUMER', '_HLL_RHO_DUCK', '_HLL_RHO_SPARK', '_HTML_DOC', '_IVF_CENT_VALUES', '_IVF_FIX', '_JPEG_H', '_JPEG_W', '_KANON_LEVELS', '_KMVJ_H_DUCK', '_KMVJ_H_SPARK', '_KMVJ_K', '_LUHN_BASE_DUCK', '_LUHN_BASE_SPARK', '_MINHASH_BANDS_DUCK', '_MINHASH_PAIRS_DUCK', '_MIX_DEFAULT', '_MIX_FRACTIONS', '_MIX_HASH_DUCK', '_MMR_QUERY', '_MP3_BR_IDX', '_MP3_MODE', '_MP3_PAD', '_MP3_SR_IDX', '_MP3_TAG', '_MP3_VB', '_MP4_DUR', '_MP4_K', '_MP4_TS', '_NATION_TEMPORAL_CTES', '_NATION_TRADE_CTES', '_NDCG_CUM', '_NDCG_DISC', '_OLS2_DUCK', '_OLS2_SUMS', '_OOO_DELAY', '_OVA_XMAX', '_OVA_XMIN', '_OVA_YMAX', '_OVA_YMIN', '_OVB_XMAX', '_OVB_XMIN', '_OVB_YMAX', '_OVB_YMIN', '_PDF_UNI_MARK', '_PERM_U48_DUCK', '_PERM_U48_SPARK', '_PNG_H', '_PNG_W', '_POIS1_T', '_PQ_BOOK_VALUES', '_PQ_CODES_CTE', '_PQ_FIX', '_PROFILE_NUM_COLS', '_PROFILE_STR_COLS', '_PX', '_PY', '_QF_RULES', '_QSK_HASH_DUCK', '_QSK_HASH_SPARK', '_QSK_RATE_NUM', '_QUANT_DUCK', '_QUANT_DUCK_AMAX', '_RAKE_STOPS', '_RATE_TIERS_DUCK', '_SAMPLE_FRACTION', '_SBOX_XMAX', '_SBOX_XMIN', '_SBOX_YMAX', '_SBOX_YMIN', '_SHAPLEY_BITS', '_SHAPLEY_W24', '_SHINGLES_DUCK', '_SKEW_COLS', '_SNIFF_MAGICS', '_SPLIT_WEIGHTS', '_TAR_JSON', '_TAR_JSON_DUCK', '_TF_DUCK', '_TIFF_BITS', '_TIFF_COMP', '_TIFF_H', '_TIFF_W', '_TOKENS_DUCK', '_UHASH_DUCK', '_UHASH_R3_DUCK', '_WAV_BITS', '_WAV_CH', '_WAV_FRAMES', '_WAV_RATE', '_audio_oracle', '_bday_g', '_bfs_oracle', '_bmp_payload_spark', '_bpe_oracle', '_bpe_tokenize_oracle', '_conf', '_cos_duck', '_cosource_edges_spark', '_cosource_shared_spark', '_cuped_dets', '_det3', '_dft8_items', '_dft8_terms', '_drain_to_table', '_duck_list', '_events_file_stream', '_events_ooo_dir', '_events_ooo_file_stream', '_ewma_terms', '_fixture', '_fs_em_iter', '_fs_em_sql', '_geo_boxes', '_geo_filter_oracle', '_geo_wkt_df', '_geohash_expr', '_gif_payload_spark', '_gz_le16', '_gz_le32', '_gzip_member_spark', '_hexval', '_hilbert_duck_stages', '_hits_iter_duck', '_hll_estimate_duck', '_hll_estimate_spark', '_holt_duck', '_jpeg_payload_spark', '_kcenter_duck', '_kcore_oracle', '_ktruss_oracle', '_langid_oracle', '_lpa_oracle', '_markov_stationary_duck', '_mix_threshold_duck', '_mmr_oracle', '_mp3_payload_spark', '_mp4_payload_spark', '_nation_trade_edges_spark', '_ols2_dets', '_pagerank_iter_duck', '_passk_duck', '_png_payload_spark', '_pois1_weight', '_ppr_iter_duck', '_principal_oracle', '_profile_oracle', '_qcos_duck', '_quadkey_expr', '_resize_oracle', '_simhash_oracle', '_skew_oracle', '_sniff_oracle', '_sniff_payload_spark', '_soundex_blocks_oracle', '_split_bounds', '_split_case_duck', '_spread', '_sssp_oracle', '_stress_oracle', '_tar_docs_spark', '_tar_header_spaces_sql', '_tiff_gps_payload_spark', '_GPS_IFD_OFF', '_GPS_N_ENTRIES', '_GPS_BYTES_ZEROED', '_temporal_arrival_oracle', '_text_html_oracle', '_tiff_payload_spark', '_warc_rec_sql', '_waterfill_oracle', '_wav_payload_spark', '_wpagerank_iter_duck', '_zip_cdh_spark', '_zip_lfh_spark', '_zorder_duck_interleave', '_zorder_duck_norm', 'cents'] if n in globals()]

@@ -754,35 +754,11 @@ def q_sssp_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     distances — all exact BIGINTs."""
     from ..pipeline.graph import sssp_bounded
 
-    li = load(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    # bucket-array pair expansion + one materialization of `shared` —
-    # the _cosource_edges_spark shape; this query keeps its own copy
-    # only because it needs the 1e6 div shared WEIGHT the shared
-    # helper's (u, v) frame drops.
-    buckets = (
-        ps.groupBy("p")
-        .agg(F.array_sort(F.collect_list("s")).alias("__ss"))
-        .filter(F.size("__ss") >= 2)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    shared = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(__ss, (x, i) -> "
-                    "transform(slice(__ss, i + 2, size(__ss) - i - 1), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("__p")
-        )
-        .select("__p.u", "__p.v")
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-        .localCheckpoint()
-    )
+    # the shared (u, v, shared) helper (dense-gated, checkpointed) —
+    # this query's former private copy existed only because the edge
+    # helper's (u, v) frame dropped the shared count it needs for the
+    # 1e6 div shared WEIGHT; the count-carrying helper serves both.
+    shared = _cosource_shared_spark(spark, sf_dir)
     tot = shared.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum("shared").cast("long").alias("sum_shared"),

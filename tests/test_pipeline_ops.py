@@ -6465,3 +6465,72 @@ class TestGraphDenseRouteEquivalence:
 
         e = spark.createDataFrame(self._graph(), "src long, dst long")
         self._both(lambda: label_propagation(e, iterations=3).collect())
+
+
+class TestCosourceDenseRouteEquivalence:
+    """The r9 co-sourcing bitmap-popcount kernel must produce the
+    exact (u, v, shared) frame of the sparse bucket aggregation —
+    popcount(parts(u) AND parts(v)) IS the co-source count. Duplicate
+    (p, s) incidence rows exercise the dense route's no-distinct
+    shortcut (bit_or is idempotent); gapped ids exercise the raw-id
+    word addressing and the kernel's id re-emission."""
+
+    def _sf_dir(self, spark, tmp_path, n_sup=9, n_part=40):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        sup = [3 * i + 2 for i in range(n_sup)]  # gapped supplier ids
+        parts = [7 * j + 5 for j in range(n_part)]  # gapped part ids
+        rows = [
+            (p, s)
+            for i, s in enumerate(sup)
+            for j, p in enumerate(parts)
+            if (i * 13 + j * 29) % 3 != 0
+        ]
+        rows += rows[::4]  # duplicate incidence rows
+        pq.write_table(
+            pa.table(
+                {
+                    "l_partkey": [r[0] for r in rows],
+                    "l_suppkey": [r[1] for r in rows],
+                }
+            ),
+            d / "lineitem.parquet",
+        )
+        pq.write_table(pa.table({"s_suppkey": sup}), d / "supplier.parquet")
+        pq.write_table(pa.table({"p_partkey": parts}), d / "part.parquet")
+        return str(d)
+
+    def test_shared_routes_agree(self, spark, tmp_path):
+        from gpq_spark.queries import _helpers as H
+
+        d = self._sf_dir(spark, tmp_path)
+        dense = H._cosource_shared_spark(spark, d).collect()
+        H._COSOURCE_FORCE_SPARSE = True
+        try:
+            sparse = H._cosource_shared_spark(spark, d).collect()
+        finally:
+            H._COSOURCE_FORCE_SPARSE = False
+        assert sorted(map(tuple, dense)) == sorted(map(tuple, sparse))
+        assert len(dense) > 0
+        assert all(u < v and c >= 1 for (u, v, c) in map(tuple, dense))
+
+    def test_gate_stays_sparse_when_catalog_unreadable(
+        self, spark, tmp_path
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gpq_spark.queries import _helpers as H
+
+        d = tmp_path / "sf2"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"l_partkey": [1, 1, 2], "l_suppkey": [10, 11, 10]}),
+            d / "lineitem.parquet",
+        )
+        # no supplier/part catalogs → gate must fall back to sparse
+        out = H._cosource_shared_spark(spark, str(d)).collect()
+        assert sorted(map(tuple, out)) == [(10, 11, 1)]
