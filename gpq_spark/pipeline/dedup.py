@@ -231,34 +231,46 @@ def simhash_signatures(
     """
     if parallelism:
         df = df.repartition(parallelism)
-    tokened = df.select(
-        F.col(id_col), F.expr(f"split(trim({text_col}), '\\\\s+')").alias("__w")
-    )
-    # md5 ONCE per token: the leading ceil(bits/4) hex chars hold every
-    # bit the signature reads, decoded to one integer per token — the
-    # per-bit filters below are then pure integer ops. (The previous
-    # per-bit `md5(w)` filter expression hashed every token `bits`
-    # times.) Bit b of the old formulation = bit (4·C−1−b) of the
-    # C-hex-char prefix value, C = ceil(bits/4) — same md5, same bits.
+    # md5 ONCE per token, decoded from the leading ceil(bits/4) hex
+    # chars to one integer per token (bit b of the per-bit-md5
+    # formulation = bit 4·C−1−b of the C-hex-char prefix value). The
+    # per-bit vote tallies run as ONE codegen'd hash aggregation over
+    # the exploded token rows — `bits` SUMs of shifted bit extracts —
+    # instead of `bits` interpreted higher-order `filter()` passes
+    # over each document's token array (HOF lambdas do not
+    # whole-stage-codegen; the old shape walked every token array 16
+    # times through the expression interpreter). explode_outer, not
+    # explode: the attribute-input rule InferFiltersFromGenerate would
+    # otherwise duplicate the split under an inferred filter (the r9
+    # blowup class); split() never returns an empty array, so outer is
+    # row-identical, and a NULL text yields all-NULL votes → CASE
+    # falls to 0 for every bit — exactly the old NULL signature.
     n_hex = (bits + 3) // 4
-    tokened = tokened.select(
+    tok = df.select(
         F.col(id_col),
-        F.expr("size(__w)").alias("__n"),
+        F.explode_outer(
+            F.expr(f"split(trim({text_col}), '\\\\s+')")
+        ).alias("__tk"),
+    ).select(
+        F.col(id_col),
         F.expr(
-            f"transform(__w, w -> CAST(conv(substr(md5(w), 1, {n_hex}),"
-            " 16, 10) AS BIGINT))"
-        ).alias("__tv"),
+            f"CAST(conv(substr(md5(__tk), 1, {n_hex}), 16, 10) AS BIGINT)"
+        ).alias("__v"),
     )
-    bit_exprs = []
-    for b in range(bits):
-        divisor = 2 ** (4 * n_hex - 1 - b)
-        # bit is set when more than half the tokens vote 1
-        hits = f"size(filter(__tv, v -> (v div {divisor}L) % 2 = 1))"
-        bit_exprs.append(
-            f"(CASE WHEN 2 * ({hits}) > __n THEN {2 ** b}L ELSE 0L END)"
-        )
-    total = " + ".join(bit_exprs)
-    return tokened.select(F.col(id_col), F.expr(total).alias("simhash"))
+    votes = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.expr(f"shiftright(__v, {4 * n_hex - 1 - b}) % 2")
+            ).alias(f"__h{b}")
+            for b in range(bits)
+        ],
+    )
+    total = " + ".join(
+        f"(CASE WHEN 2 * __h{b} > __n THEN {2 ** b}L ELSE 0L END)"
+        for b in range(bits)
+    )
+    return votes.select(F.col(id_col), F.expr(total).alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -811,6 +823,7 @@ def simhash_near_pairs(
     id_col: str,
     max_hamming: int = 3,
     bits: int = 16,
+    dense_max_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance.
 
@@ -819,7 +832,26 @@ def simhash_near_pairs(
     one chunk exactly, so candidates come from chunk-bucket groupBys
     (one shuffle, like MinHash banding) and only candidates pay the
     popcount. Output: id_a, id_b, hamming (≤ max_hamming), distinct.
-    """
+
+    ``dense_max_rows`` (opt-in, r9): an UPPER BOUND on the signature
+    count known to the caller without an action (e.g. the catalog
+    parquet footer row count). When the bound keeps the all-pairs XOR
+    volume small (n² ≤ 2^36), the pigeonhole expansion — whose 4-bit
+    chunks bucket a gate-scale corpus into only 16 values each, so
+    candidates ≈ (max_hamming+1)·n²/32 interpreted struct expansions
+    plus a multi-generated-pair distinct — is replaced by a collected
+    (id, sig) vector and a block-parallel XOR+popcount kernel that
+    enumerates each qualifying pair exactly once. The pair set is the
+    hamming ≤ max_hamming relation either way (pigeonhole is
+    recall-complete by construction), so output is row-identical;
+    None (the default, and any corpus whose bound is too big) keeps
+    the shuffle route."""
+    if (
+        dense_max_rows
+        and dense_max_rows >= 2
+        and dense_max_rows * dense_max_rows <= (1 << 36)
+    ):
+        return _simhash_near_pairs_dense(sig_df, id_col, max_hamming)
     n_chunks = max_hamming + 1
     chunk_size = (bits + n_chunks - 1) // n_chunks
     banded = sig_df.select(
@@ -864,6 +896,68 @@ def simhash_near_pairs(
         pairs.filter(F.col("hamming") <= max_hamming)
         .distinct()
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def _simhash_near_pairs_dense(
+    sig_df: DataFrame, id_col: str, max_hamming: int
+) -> DataFrame:
+    """All-pairs XOR+popcount kernel for simhash_near_pairs (see its
+    ``dense_max_rows`` doc): signatures collect to the driver (bounded
+    by the caller's gate), sort by id so the strided u < v enumeration
+    emits id_a < id_b, and each block task popcounts its slice of XOR
+    rows. Exact: popcount(sig_a XOR sig_b) IS the Hamming distance,
+    every pair is visited exactly once — no distinct needed."""
+    import numpy as np
+
+    spark = sig_df.sparkSession
+    sp = sig_df.select(F.col(id_col), F.col("simhash")).toPandas()
+    ids = sp[id_col].to_numpy(np.int64)
+    sigs = sp["simhash"].to_numpy(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, sigs = ids[order], sigs[order]
+    n = int(ids.shape[0])
+    n_blocks = max(1, min(spark.sparkContext.defaultParallelism, max(n - 1, 1)))
+    bc = spark.sparkContext.broadcast((ids, sigs))
+    cap = int(max_hamming)
+
+    def pair_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        blk = int(pdf["id"].iloc[0])
+        ids_, sigs_ = bc.value
+        nn = ids_.shape[0]
+        pop = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+        outs = []
+        for u in range(blk, nn - 1, n_blocks):  # strided: balanced
+            x = sigs_[u + 1 :] ^ sigs_[u]
+            h = pop[x.view(np.uint8).reshape(x.shape[0], -1)].sum(axis=1)
+            nz = np.nonzero(h <= cap)[0]
+            if nz.size:
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.full(nz.size, ids_[u], dtype=np.int64),
+                            "id_b": ids_[nz + u + 1],
+                            "hamming": h[nz].astype(np.int32),
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "id_a": np.empty(0, np.int64),
+                    "id_b": np.empty(0, np.int64),
+                    "hamming": np.empty(0, np.int32),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        spark.range(n_blocks)
+        .groupBy("id")
+        .applyInPandas(pair_block, schema="id_a long, id_b long, hamming int")
     )
 
 

@@ -3536,4 +3536,4 @@ def _passk_duck(k: int) -> str:
 
 # runtime-filtered: the splitter's static name scan can over-collect
 # names assigned inside compound statements; export only what exists
-__all__ = [n for n in ['_ENT_LUT', '_ENT_WINDOW', '_AUDIO_BLOCKS', '_BDAY_PARTIAL', '_BENFORD_E6', '_BF_BITS', '_BF_H1_DUCK', '_BF_H2_DUCK', '_BF_K', '_BF_WORD', '_BITEMP_DUCK', '_BM25_SCORED_DUCK', '_BMP_BPP', '_BMP_H', '_BMP_W', '_BOOT_U48_DUCK', '_BOOT_U48_SPARK', '_BOX_XMAX', '_BOX_XMIN', '_BOX_YMAX', '_BOX_YMIN', '_CENTS', '_COSOURCE_EDGE_CTES', '_CRLF', '_CTR_AX', '_CTR_AY', '_CTR_CROSS1', '_CTR_CROSS2', '_CTR_CROSS3', '_CTR_PX', '_CTR_PY', '_CUPED_HALF', '_CUPED_SEED', '_DFT_SAMPLE', '_DJ_PX', '_DJ_PY', '_DJ_RADIUS', '_DJ_SX', '_DJ_SY', '_DUCK_NORM2_V', '_DUCK_SUB_DOT', '_DUCK_SUB_L2', '_DVA_CX', '_DVA_CY', '_DVA_R', '_DVB_CX', '_DVB_CY', '_DVB_R', '_EV_HASH', '_FSM_ALLOWED', '_FS_EM_COUNTS_DUCK', '_GEO_ENV_ORACLE_FIELDS', '_GH32', '_GIF_H', '_GIF_W', '_GOLDEN_SOURCES_SQL', '_HAV_DUCK', '_HIST_BINS', '_HIST_HI', '_HIST_LO', '_HITS_SCALE', '_HLL_LC', '_HLL_NUMER', '_HLL_RHO_DUCK', '_HLL_RHO_SPARK', '_HTML_DOC', '_IVF_CENT_VALUES', '_IVF_FIX', '_JPEG_H', '_JPEG_W', '_KANON_LEVELS', '_KMVJ_H_DUCK', '_KMVJ_H_SPARK', '_KMVJ_K', '_LUHN_BASE_DUCK', '_LUHN_BASE_SPARK', '_MINHASH_BANDS_DUCK', '_MINHASH_PAIRS_DUCK', '_MIX_DEFAULT', '_MIX_FRACTIONS', '_MIX_HASH_DUCK', '_MMR_QUERY', '_MP3_BR_IDX', '_MP3_MODE', '_MP3_PAD', '_MP3_SR_IDX', '_MP3_TAG', '_MP3_VB', '_MP4_DUR', '_MP4_K', '_MP4_TS', '_NATION_TEMPORAL_CTES', '_NATION_TRADE_CTES', '_NDCG_CUM', '_NDCG_DISC', '_OLS2_DUCK', '_OLS2_SUMS', '_OOO_DELAY', '_OVA_XMAX', '_OVA_XMIN', '_OVA_YMAX', '_OVA_YMIN', '_OVB_XMAX', '_OVB_XMIN', '_OVB_YMAX', '_OVB_YMIN', '_PDF_UNI_MARK', '_PERM_U48_DUCK', '_PERM_U48_SPARK', '_PNG_H', '_PNG_W', '_POIS1_T', '_PQ_BOOK_VALUES', '_PQ_CODES_CTE', '_PQ_FIX', '_PROFILE_NUM_COLS', '_PROFILE_STR_COLS', '_PX', '_PY', '_QF_RULES', '_QSK_HASH_DUCK', '_QSK_HASH_SPARK', '_QSK_RATE_NUM', '_QUANT_DUCK', '_QUANT_DUCK_AMAX', '_RAKE_STOPS', '_RATE_TIERS_DUCK', '_SAMPLE_FRACTION', '_SBOX_XMAX', '_SBOX_XMIN', '_SBOX_YMAX', '_SBOX_YMIN', '_SHAPLEY_BITS', '_SHAPLEY_W24', '_SHINGLES_DUCK', '_SKEW_COLS', '_SNIFF_MAGICS', '_SPLIT_WEIGHTS', '_TAR_JSON', '_TAR_JSON_DUCK', '_TF_DUCK', '_TIFF_BITS', '_TIFF_COMP', '_TIFF_H', '_TIFF_W', '_TOKENS_DUCK', '_UHASH_DUCK', '_UHASH_R3_DUCK', '_WAV_BITS', '_WAV_CH', '_WAV_FRAMES', '_WAV_RATE', '_audio_oracle', '_bday_g', '_bfs_oracle', '_bmp_payload_spark', '_bpe_oracle', '_bpe_tokenize_oracle', '_conf', '_cos_duck', '_cosource_edges_spark', '_cosource_shared_spark', '_cuped_dets', '_det3', '_dft8_items', '_dft8_terms', '_drain_to_table', '_duck_list', '_events_file_stream', '_events_ooo_dir', '_events_ooo_file_stream', '_ewma_terms', '_fixture', '_fs_em_iter', '_fs_em_sql', '_geo_boxes', '_geo_filter_oracle', '_geo_wkt_df', '_geohash_expr', '_gif_payload_spark', '_gz_le16', '_gz_le32', '_gzip_member_spark', '_hexval', '_hilbert_duck_stages', '_hits_iter_duck', '_hll_estimate_duck', '_hll_estimate_spark', '_holt_duck', '_jpeg_payload_spark', '_kcenter_duck', '_kcore_oracle', '_ktruss_oracle', '_langid_oracle', '_lpa_oracle', '_markov_stationary_duck', '_mix_threshold_duck', '_mmr_oracle', '_mp3_payload_spark', '_mp4_payload_spark', '_nation_trade_edges_spark', '_ols2_dets', '_pagerank_iter_duck', '_passk_duck', '_png_payload_spark', '_pois1_weight', '_ppr_iter_duck', '_principal_oracle', '_profile_oracle', '_qcos_duck', '_quadkey_expr', '_resize_oracle', '_simhash_oracle', '_skew_oracle', '_sniff_oracle', '_sniff_payload_spark', '_soundex_blocks_oracle', '_split_bounds', '_split_case_duck', '_spread', '_sssp_oracle', '_stress_oracle', '_tar_docs_spark', '_tar_header_spaces_sql', '_tiff_gps_payload_spark', '_GPS_IFD_OFF', '_GPS_N_ENTRIES', '_GPS_BYTES_ZEROED', '_temporal_arrival_oracle', '_text_html_oracle', '_tiff_payload_spark', '_warc_rec_sql', '_waterfill_oracle', '_wav_payload_spark', '_wpagerank_iter_duck', '_zip_cdh_spark', '_zip_lfh_spark', '_zorder_duck_interleave', '_zorder_duck_norm', 'cents'] if n in globals()]
+__all__ = [n for n in ['_ENT_LUT', '_ENT_WINDOW', '_AUDIO_BLOCKS', '_BDAY_PARTIAL', '_BENFORD_E6', '_BF_BITS', '_BF_H1_DUCK', '_BF_H2_DUCK', '_BF_K', '_BF_WORD', '_BITEMP_DUCK', '_BM25_SCORED_DUCK', '_BMP_BPP', '_BMP_H', '_BMP_W', '_BOOT_U48_DUCK', '_BOOT_U48_SPARK', '_BOX_XMAX', '_BOX_XMIN', '_BOX_YMAX', '_BOX_YMIN', '_CENTS', '_COSOURCE_EDGE_CTES', '_CRLF', '_CTR_AX', '_CTR_AY', '_CTR_CROSS1', '_CTR_CROSS2', '_CTR_CROSS3', '_CTR_PX', '_CTR_PY', '_CUPED_HALF', '_CUPED_SEED', '_DFT_SAMPLE', '_DJ_PX', '_DJ_PY', '_DJ_RADIUS', '_DJ_SX', '_DJ_SY', '_DUCK_NORM2_V', '_DUCK_SUB_DOT', '_DUCK_SUB_L2', '_DVA_CX', '_DVA_CY', '_DVA_R', '_DVB_CX', '_DVB_CY', '_DVB_R', '_EV_HASH', '_FSM_ALLOWED', '_FS_EM_COUNTS_DUCK', '_GEO_ENV_ORACLE_FIELDS', '_GH32', '_GIF_H', '_GIF_W', '_GOLDEN_SOURCES_SQL', '_HAV_DUCK', '_HIST_BINS', '_HIST_HI', '_HIST_LO', '_HITS_SCALE', '_HLL_LC', '_HLL_NUMER', '_HLL_RHO_DUCK', '_HLL_RHO_SPARK', '_HTML_DOC', '_IVF_CENT_VALUES', '_IVF_FIX', '_JPEG_H', '_JPEG_W', '_KANON_LEVELS', '_KMVJ_H_DUCK', '_KMVJ_H_SPARK', '_KMVJ_K', '_LUHN_BASE_DUCK', '_LUHN_BASE_SPARK', '_MINHASH_BANDS_DUCK', '_MINHASH_PAIRS_DUCK', '_MIX_DEFAULT', '_MIX_FRACTIONS', '_MIX_HASH_DUCK', '_MMR_QUERY', '_MP3_BR_IDX', '_MP3_MODE', '_MP3_PAD', '_MP3_SR_IDX', '_MP3_TAG', '_MP3_VB', '_MP4_DUR', '_MP4_K', '_MP4_TS', '_NATION_TEMPORAL_CTES', '_NATION_TRADE_CTES', '_NDCG_CUM', '_NDCG_DISC', '_OLS2_DUCK', '_OLS2_SUMS', '_OOO_DELAY', '_OVA_XMAX', '_OVA_XMIN', '_OVA_YMAX', '_OVA_YMIN', '_OVB_XMAX', '_OVB_XMIN', '_OVB_YMAX', '_OVB_YMIN', '_PDF_UNI_MARK', '_PERM_U48_DUCK', '_PERM_U48_SPARK', '_PNG_H', '_PNG_W', '_POIS1_T', '_PQ_BOOK_VALUES', '_PQ_CODES_CTE', '_PQ_FIX', '_PROFILE_NUM_COLS', '_PROFILE_STR_COLS', '_PX', '_PY', '_QF_RULES', '_QSK_HASH_DUCK', '_QSK_HASH_SPARK', '_QSK_RATE_NUM', '_QUANT_DUCK', '_QUANT_DUCK_AMAX', '_RAKE_STOPS', '_RATE_TIERS_DUCK', '_SAMPLE_FRACTION', '_SBOX_XMAX', '_SBOX_XMIN', '_SBOX_YMAX', '_SBOX_YMIN', '_SHAPLEY_BITS', '_SHAPLEY_W24', '_SHINGLES_DUCK', '_SKEW_COLS', '_SNIFF_MAGICS', '_SPLIT_WEIGHTS', '_TAR_JSON', '_TAR_JSON_DUCK', '_TF_DUCK', '_TIFF_BITS', '_TIFF_COMP', '_TIFF_H', '_TIFF_W', '_TOKENS_DUCK', '_UHASH_DUCK', '_UHASH_R3_DUCK', '_WAV_BITS', '_WAV_CH', '_WAV_FRAMES', '_WAV_RATE', '_audio_oracle', '_bday_g', '_bfs_oracle', '_bmp_payload_spark', '_bpe_oracle', '_bpe_tokenize_oracle', '_conf', '_cos_duck', '_cosource_edges_spark', '_cosource_shared_spark', '_table_rows_meta', '_cuped_dets', '_det3', '_dft8_items', '_dft8_terms', '_drain_to_table', '_duck_list', '_events_file_stream', '_events_ooo_dir', '_events_ooo_file_stream', '_ewma_terms', '_fixture', '_fs_em_iter', '_fs_em_sql', '_geo_boxes', '_geo_filter_oracle', '_geo_wkt_df', '_geohash_expr', '_gif_payload_spark', '_gz_le16', '_gz_le32', '_gzip_member_spark', '_hexval', '_hilbert_duck_stages', '_hits_iter_duck', '_hll_estimate_duck', '_hll_estimate_spark', '_holt_duck', '_jpeg_payload_spark', '_kcenter_duck', '_kcore_oracle', '_ktruss_oracle', '_langid_oracle', '_lpa_oracle', '_markov_stationary_duck', '_mix_threshold_duck', '_mmr_oracle', '_mp3_payload_spark', '_mp4_payload_spark', '_nation_trade_edges_spark', '_ols2_dets', '_pagerank_iter_duck', '_passk_duck', '_png_payload_spark', '_pois1_weight', '_ppr_iter_duck', '_principal_oracle', '_profile_oracle', '_qcos_duck', '_quadkey_expr', '_resize_oracle', '_simhash_oracle', '_skew_oracle', '_sniff_oracle', '_sniff_payload_spark', '_soundex_blocks_oracle', '_split_bounds', '_split_case_duck', '_spread', '_sssp_oracle', '_stress_oracle', '_tar_docs_spark', '_tar_header_spaces_sql', '_tiff_gps_payload_spark', '_GPS_IFD_OFF', '_GPS_N_ENTRIES', '_GPS_BYTES_ZEROED', '_temporal_arrival_oracle', '_text_html_oracle', '_tiff_payload_spark', '_warc_rec_sql', '_waterfill_oracle', '_wav_payload_spark', '_wpagerank_iter_duck', '_zip_cdh_spark', '_zip_lfh_spark', '_zorder_duck_interleave', '_zorder_duck_norm', 'cents'] if n in globals()]

@@ -213,7 +213,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", bits=16,
         parallelism=spark.sparkContext.defaultParallelism,
     )
-    return simhash_near_pairs(sigs, "doc_id", max_hamming=3, bits=16)
+    return simhash_near_pairs(
+        sigs, "doc_id", max_hamming=3, bits=16,
+        dense_max_rows=_table_rows_meta(sf_dir, "documents"),
+    )
 
 
 @register(
@@ -1162,7 +1165,10 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", bits=16,
         parallelism=spark.sparkContext.defaultParallelism,
     )
-    pairs = simhash_near_pairs(sigs, "doc_id", max_hamming=3, bits=16)
+    pairs = simhash_near_pairs(
+        sigs, "doc_id", max_hamming=3, bits=16,
+        dense_max_rows=_table_rows_meta(sf_dir, "documents"),
+    )
     src = docs.select("doc_id", "source")
     joined = (
         pairs.join(

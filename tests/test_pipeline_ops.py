@@ -694,6 +694,26 @@ class TestSimhashPairs:
         pairs = simhash_near_pairs(sigs, "doc_id", max_hamming=0, bits=16).collect()
         assert len(pairs) == 1 and pairs[0]["hamming"] == 0
 
+    def test_dense_route_matches_pigeonhole(self, spark):
+        """dense_max_rows engages the all-pairs XOR kernel; the pair
+        set is the hamming <= k relation either way, so the routes
+        must agree row-for-row (including the hamming values and the
+        id_a < id_b ordering) on an adversarial signature set."""
+        from gpq_spark.pipeline.dedup import simhash_near_pairs
+
+        sigs = [(11 * i + 5, (i * 2654435761) % 65536) for i in range(60)]
+        sigs += [(1000 + i, sigs[i][1] ^ (1 << (i % 16))) for i in range(16)]
+        df = spark.createDataFrame(sigs, ["doc_id", "simhash"])
+        for k in (0, 1, 3):
+            sparse = simhash_near_pairs(df, "doc_id", max_hamming=k).collect()
+            dense = simhash_near_pairs(
+                df, "doc_id", max_hamming=k, dense_max_rows=len(sigs)
+            ).collect()
+            key = lambda r: (r["id_a"], r["id_b"], r["hamming"])  # noqa: E731
+            assert sorted(map(key, dense)) == sorted(map(key, sparse))
+            assert all(r["id_a"] < r["id_b"] for r in dense)
+        assert len(dense) > 0
+
 
 class TestConnectedComponents:
     def _cc(self, spark, edges):
