@@ -956,6 +956,11 @@ def bitext_margin_pairs(
     ).select(
         "id_tgt", "__vb", F.expr(f"sqrt({_norm2('__vb')})").alias("__nb")
     )
+    # spread the probe side before the quadratic loop: the gate corpus
+    # is one sub-split parquet file, so the |src|·|tgt| dot folds below
+    # would otherwise run inside the single scan task (guide §2.5
+    # input skew). Row-preserving — the scored pairs are unchanged.
+    a = a.repartition(src.sparkSession.sparkContext.defaultParallelism)
     pairs = (
         a.crossJoin(F.broadcast(b))
         .select(

@@ -1711,23 +1711,136 @@ def _session_ooo_fn(
         )
 
 
+SESSION_OOO_SHARD_STATE_SCHEMA = "blob binary"
+
+
+def _session_ooo_shard_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Shard-hosted ``_session_ooo_fn``: one state GROUP holds the
+    per-user sessionizer state for every user hashing to the shard,
+    as a pickled {user: [pend, start, last, n]} map. The per-user
+    recurrence is verbatim ``_session_ooo_fn``; hosting many users per
+    group only changes the INVOCATION SCHEDULE (a user may be
+    processed at extra intermediate watermarks when a shard-mate has
+    data), which cannot change the emitted sessions: the gap scan is
+    a left fold over time-ordered ready events with carried state
+    (splitting the fold is identity), and a session closes only when
+    the watermark exceeds last + gap — the exact point after which no
+    admissible event can extend or bridge it. Why shards: the
+    per-GROUP machinery of applyInPandasWithState (Arrow round-trip,
+    state row codec, pandas frame build) measured ~0.5 ms per key per
+    micro-batch — at gate key cardinality that machinery, not the
+    sessionization, dominated the drain (guide §4.5: amortize
+    per-call overhead over batched work)."""
+    import pickle
+
+    gap_us = 30 * 60 * 1_000_000
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_us = wm_ms * 1000
+
+    users = pickle.loads(state.get[0]) if state.exists else {}
+
+    for pdf in pdfs:
+        for uid, t in zip(
+            pdf["user_id"].to_numpy().tolist(),
+            pdf["ts_us"].to_numpy().tolist(),
+        ):
+            u = users.get(uid)
+            if u is None:
+                users[uid] = [[t], None, None, 0]
+            else:
+                u[0].append(t)
+
+    out_u: list = []
+    out_s: list = []
+    out_e: list = []
+    out_n: list = []
+    min_wake = None
+    dead = []
+    for uid, u in users.items():
+        pend, start, last, n = u
+        ready = sorted(t for t in pend if t < wm_us)
+        pend = [t for t in pend if t >= wm_us]
+        for t in ready:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                out_u.append(uid)
+                out_s.append(start)
+                out_e.append(last)
+                out_n.append(n)
+                start, last, n = t, t, 1
+            else:
+                last = t
+                n += 1
+        if start is not None and wm_us > last + gap_us:
+            out_u.append(uid)
+            out_s.append(start)
+            out_e.append(last)
+            out_n.append(n)
+            start, last, n = None, None, 0
+        if start is None and not pend:
+            dead.append(uid)
+            continue
+        u[0] = sorted(pend)
+        u[1], u[2], u[3] = start, last, n
+        wake = last + gap_us if start is not None else None
+        if u[0]:
+            mp = u[0][0]
+            wake = mp if wake is None else min(wake, mp)
+        min_wake = wake if min_wake is None else min(min_wake, wake)
+    for uid in dead:
+        del users[uid]
+
+    if not users:
+        if state.exists:
+            state.remove()
+    else:
+        state.update((pickle.dumps(users, protocol=4),))
+        state.setTimeoutTimestamp(max(min_wake // 1000 + 1, wm_ms + 1))
+
+    if out_u:
+        yield pd.DataFrame(
+            {
+                "user_id": out_u,
+                "start_us": out_s,
+                "end_us": out_e,
+                "n_events": out_n,
+            }
+        )
+
+
 def stateful_sessionize_ooo(
-    stream: DataFrame, watermark_delay: str = "2 hours"
+    stream: DataFrame, watermark_delay: str = "2 hours",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Order-tolerant variant of ``stateful_sessionize`` (see
-    ``_session_ooo_fn``). Output: one row per closed session —
-    user_id, session_start, session_end, n_events."""
+    ``_session_ooo_fn`` for the recurrence and ``_session_ooo_shard_fn``
+    for the shard hosting). Output: one row per closed session —
+    user_id, session_start, session_end, n_events.
+
+    ``n_shards`` sizes the state groups (default 2·cores, floor 16 —
+    scale-adaptive, enough groups to spread across the cluster while
+    amortizing the per-group machinery over many users); the per-user
+    results are shard-count invariant."""
     from ..deploy import ensure_deployed
 
-    ensure_deployed(stream.sparkSession)
+    spark = stream.sparkSession
+    ensure_deployed(spark)
+    if n_shards is None:
+        n_shards = max(16, 2 * spark.sparkContext.defaultParallelism)
     raw = (
         stream.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("__shard", F.expr(f"pmod(user_id, {int(n_shards)})"))
         .withWatermark("ts", watermark_delay)
-        .groupBy("user_id")
+        .groupBy("__shard")
         .applyInPandasWithState(
-            _session_ooo_fn,
+            _session_ooo_shard_fn,
             outputStructType=SESSION_RAW_SCHEMA,
-            stateStructType=SESSION_OOO_STATE_SCHEMA,
+            stateStructType=SESSION_OOO_SHARD_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
