@@ -1034,17 +1034,12 @@ def stream_transitions_ooo(
     from ..deploy import ensure_deployed
 
     ensure_deployed(stream.sparkSession)
-    return (
-        stream.withColumn("ts_us", F.unix_micros("ts"))
-        .withWatermark("ts", watermark_delay)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _transition_ooo_fn,
-            outputStructType=TRANSITION_RAW_SCHEMA,
-            stateStructType=TRANSITION_OOO_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
+    return _apply_sharded(
+        stream.withColumn("ts_us", F.unix_micros("ts")).withWatermark(
+            "ts", watermark_delay
+        ),
+        _transition_ooo_fn,
+        TRANSITION_RAW_SCHEMA,
     )
 
 
@@ -1130,18 +1125,12 @@ def stream_gapfill_locf_ooo(
     from ..deploy import ensure_deployed
 
     ensure_deployed(stream.sparkSession)
-    raw = (
+    raw = _apply_sharded(
         stream.withColumn("ts_us", F.unix_micros("ts"))
         .withColumn("cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)"))
-        .withWatermark("ts", watermark_delay)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _gapfill_ooo_fn,
-            outputStructType=GAPFILL_RAW_SCHEMA,
-            stateStructType=GAPFILL_OOO_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
+        .withWatermark("ts", watermark_delay),
+        _gapfill_ooo_fn,
+        GAPFILL_RAW_SCHEMA,
     )
     return raw.select(
         "user_id",
@@ -1242,17 +1231,12 @@ def stream_funnel_ooo(
     from ..deploy import ensure_deployed
 
     ensure_deployed(stream.sparkSession)
-    raw = (
-        stream.withColumn("ts_us", F.unix_micros("ts"))
-        .withWatermark("ts", watermark_delay)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _funnel_ooo_fn,
-            outputStructType=FUNNEL_RAW_SCHEMA,
-            stateStructType=FUNNEL_OOO_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
+    raw = _apply_sharded(
+        stream.withColumn("ts_us", F.unix_micros("ts")).withWatermark(
+            "ts", watermark_delay
+        ),
+        _funnel_ooo_fn,
+        FUNNEL_RAW_SCHEMA,
     )
     return raw.select(
         "user_id", "step", F.timestamp_micros("ts_us").alias("ts")
@@ -1324,17 +1308,12 @@ def stream_attribution_ooo(
     from ..deploy import ensure_deployed
 
     ensure_deployed(stream.sparkSession)
-    return (
-        stream.withColumn("ts_us", F.unix_micros("ts"))
-        .withWatermark("ts", watermark_delay)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _attribution_ooo_fn,
-            outputStructType=ATTRIB_RAW_SCHEMA,
-            stateStructType=ATTRIB_OOO_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
+    return _apply_sharded(
+        stream.withColumn("ts_us", F.unix_micros("ts")).withWatermark(
+            "ts", watermark_delay
+        ),
+        _attribution_ooo_fn,
+        ATTRIB_RAW_SCHEMA,
     )
 
 
@@ -1407,17 +1386,12 @@ def stream_retention_ooo(
     from ..deploy import ensure_deployed
 
     ensure_deployed(stream.sparkSession)
-    return (
-        stream.withColumn("ts_us", F.unix_micros("ts"))
-        .withWatermark("ts", watermark_delay)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _retention_ooo_fn,
-            outputStructType=RETENTION_RAW_SCHEMA,
-            stateStructType=RETENTION_OOO_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
+    return _apply_sharded(
+        stream.withColumn("ts_us", F.unix_micros("ts")).withWatermark(
+            "ts", watermark_delay
+        ),
+        _retention_ooo_fn,
+        RETENTION_RAW_SCHEMA,
     )
 
 
@@ -1500,18 +1474,12 @@ def stream_anomaly_ooo(
     from ..deploy import ensure_deployed
 
     ensure_deployed(stream.sparkSession)
-    raw = (
+    raw = _apply_sharded(
         stream.withColumn("ts_us", F.unix_micros("ts"))
         .withColumn("cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)"))
-        .withWatermark("ts", watermark_delay)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _anomaly_ooo_fn,
-            outputStructType=ANOMALY_RAW_SCHEMA,
-            stateStructType=ANOMALY_OOO_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
+        .withWatermark("ts", watermark_delay),
+        _anomaly_ooo_fn,
+        ANOMALY_RAW_SCHEMA,
     )
     return raw.select(
         "user_id",
@@ -1712,6 +1680,153 @@ def _session_ooo_fn(
 
 
 SESSION_OOO_SHARD_STATE_SCHEMA = "blob binary"
+
+
+class _UserStateShim:
+    """Per-user GroupState stand-in used by ``_shard_host``: exposes
+    exists/get/hasTimedOut/getCurrentWatermarkMs/update/remove/
+    setTimeoutTimestamp with the engine's semantics (get on absent
+    state raises; an invocation that does not re-set the timeout
+    clears it, per the GroupState contract)."""
+
+    __slots__ = ("_stored", "_wm", "_timed_out", "updated", "removed", "timeout")
+
+    def __init__(self, stored, wm_ms, timed_out):
+        self._stored = stored
+        self._wm = wm_ms
+        self._timed_out = timed_out
+        self.updated = None
+        self.removed = False
+        self.timeout = None
+
+    @property
+    def exists(self):
+        return self._stored is not None
+
+    @property
+    def hasTimedOut(self):
+        return self._timed_out
+
+    @property
+    def get(self):
+        if self._stored is None:
+            raise ValueError("state does not exist")
+        return self._stored
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def update(self, value):
+        self.updated = tuple(value)
+        self.removed = False
+
+    def remove(self):
+        self.removed = True
+        self.updated = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout = int(ms)
+
+
+def _shard_host(user_fn, user_key_col: str = "user_id"):
+    """Host a per-USER applyInPandasWithState function inside shard
+    groups: one state group keeps {user: (state_tuple, timeout_ms)}
+    (pickled) for every user hashing to the shard, and each user is
+    invoked EXACTLY when the engine would invoke it — when it has
+    data this batch, or when its own stored timeout fell below the
+    watermark (the engine fires event-time timeouts strictly below
+    the watermark, and clears a timeout on every invocation unless the
+    function re-sets it). Because the per-user schedule and the shim
+    semantics match the engine's, the hosted operator's emissions are
+    identical to the per-user-group original; what changes is the
+    per-GROUP machinery count (Arrow round-trip, state codec, pandas
+    frame build — measured ~0.5 ms per group per micro-batch), which
+    drops from |users| to |shards| (guide §4.5)."""
+    import pickle
+
+    def shard_fn(key, pdfs, state):
+        wm_ms = state.getCurrentWatermarkMs()
+        users = pickle.loads(state.get[0]) if state.exists else {}
+        incoming: dict = {}
+        for pdf in pdfs:
+            if len(pdf):
+                for uid, g in pdf.groupby(user_key_col, sort=False):
+                    incoming.setdefault(int(uid), []).append(g)
+        min_wake = None
+        for uid in sorted(set(users) | set(incoming)):
+            stored = users.get(uid)
+            has_data = uid in incoming
+            timed_out = (
+                not has_data
+                and stored is not None
+                and stored[1] is not None
+                and stored[1] < wm_ms
+            )
+            if not has_data and not timed_out:
+                # the engine would not invoke this user this batch;
+                # keep its pending timeout in the shard wake-up
+                if stored is not None and stored[1] is not None:
+                    min_wake = (
+                        stored[1]
+                        if min_wake is None
+                        else min(min_wake, stored[1])
+                    )
+                continue
+            shim = _UserStateShim(
+                stored[0] if stored is not None else None, wm_ms, timed_out
+            )
+            for out in user_fn((uid,), iter(incoming.get(uid, ())), shim):
+                yield out
+            if shim.removed or (shim.updated is None and stored is None):
+                users.pop(uid, None)
+            elif shim.updated is not None:
+                users[uid] = (shim.updated, shim.timeout)
+            else:
+                # no update() call: state persists, timeout cleared by
+                # the invocation unless re-set
+                users[uid] = (stored[0], shim.timeout)
+            if users.get(uid, (None, None))[1] is not None:
+                t = users[uid][1]
+                min_wake = t if min_wake is None else min(min_wake, t)
+        if not users:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((pickle.dumps(users, protocol=4),))
+            if min_wake is not None:
+                state.setTimeoutTimestamp(max(min_wake, wm_ms + 1))
+
+    return shard_fn
+
+
+def _apply_sharded(
+    df: DataFrame,
+    user_fn,
+    out_schema: str,
+    n_shards: int | None = None,
+    user_key_col: str = "user_id",
+) -> DataFrame:
+    """groupBy-shard + applyInPandasWithState wiring for
+    ``_shard_host``-ed per-user operators. The watermark must already
+    be applied to ``df``. ``n_shards`` defaults to 2·cores (floor 16)
+    — scale-adaptive: enough groups to spread across the cluster,
+    few enough to amortize per-group machinery over many users."""
+    spark = df.sparkSession
+    if n_shards is None:
+        n_shards = max(16, 2 * spark.sparkContext.defaultParallelism)
+    return (
+        df.withColumn(
+            "__shard", F.expr(f"pmod({user_key_col}, {int(n_shards)})")
+        )
+        .groupBy("__shard")
+        .applyInPandasWithState(
+            _shard_host(user_fn, user_key_col),
+            outputStructType=out_schema,
+            stateStructType="blob binary",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def _session_ooo_shard_fn(
