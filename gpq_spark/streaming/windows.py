@@ -213,13 +213,11 @@ def stateful_sessionize(stream: DataFrame) -> DataFrame:
     raw = (
         stream.withColumn("ts_us", F.unix_micros("ts"))
         .withWatermark("ts", "2 hours")
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _session_fn,
-            outputStructType=SESSION_RAW_SCHEMA,
-            stateStructType=SESSION_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            SESSION_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     return raw.select(
@@ -457,13 +455,11 @@ def stream_gapfill_locf(stream: DataFrame, value_col: str = "value") -> DataFram
         stream.withColumn("ts_us", F.unix_micros("ts"))
         .withColumn("cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)"))
         .withWatermark("ts", "2 hours")
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _gapfill_fn,
-            outputStructType=GAPFILL_RAW_SCHEMA,
-            stateStructType=GAPFILL_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            GAPFILL_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.NoTimeout,
         )
     )
     return raw.select(
@@ -540,13 +536,11 @@ def stream_gapfill_interp(stream: DataFrame, value_col: str = "value") -> DataFr
         stream.withColumn("ts_us", F.unix_micros("ts"))
         .withColumn("cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)"))
         .withWatermark("ts", "2 hours")
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _gapfill_interp_fn,
-            outputStructType=GAPFILL_RAW_SCHEMA,
-            stateStructType=GAPFILL_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            GAPFILL_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.NoTimeout,
         )
     )
     return raw.select(
@@ -642,13 +636,11 @@ def stream_anomaly_zscore(stream: DataFrame, value_col: str = "value") -> DataFr
         stream.withColumn("ts_us", F.unix_micros("ts"))
         .withColumn("cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)"))
         .withWatermark("ts", "2 hours")
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _anomaly_fn,
-            outputStructType=ANOMALY_RAW_SCHEMA,
-            stateStructType=ANOMALY_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            ANOMALY_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.NoTimeout,
         )
     )
     return raw.select(
@@ -728,13 +720,11 @@ def stream_funnel(stream: DataFrame) -> DataFrame:
     raw = (
         stream.withColumn("ts_us", F.unix_micros("ts"))
         .withWatermark("ts", "2 hours")
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _funnel_fn,
-            outputStructType=FUNNEL_RAW_SCHEMA,
-            stateStructType=FUNNEL_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            FUNNEL_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.NoTimeout,
         )
     )
     return raw.select(
@@ -809,13 +799,11 @@ def stream_retention(stream: DataFrame) -> DataFrame:
     return (
         stream.withColumn("ts_us", F.unix_micros("ts"))
         .withWatermark("ts", "2 hours")
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _retention_fn,
-            outputStructType=RETENTION_RAW_SCHEMA,
-            stateStructType=RETENTION_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            RETENTION_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.NoTimeout,
         )
     )
 
@@ -876,13 +864,11 @@ def stream_transitions(stream: DataFrame) -> DataFrame:
     return (
         stream.withColumn("ts_us", F.unix_micros("ts"))
         .withWatermark("ts", "2 hours")
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _transition_fn,
-            outputStructType=TRANSITION_RAW_SCHEMA,
-            stateStructType=TRANSITION_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            TRANSITION_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.NoTimeout,
         )
     )
 
@@ -938,13 +924,11 @@ def stream_attribution(stream: DataFrame) -> DataFrame:
     return (
         stream.withColumn("ts_us", F.unix_micros("ts"))
         .withWatermark("ts", "2 hours")
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _attribution_fn,
-            outputStructType=ATTRIB_RAW_SCHEMA,
-            stateStructType=ATTRIB_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            ATTRIB_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.NoTimeout,
         )
     )
 
@@ -1805,6 +1789,7 @@ def _apply_sharded(
     out_schema: str,
     n_shards: int | None = None,
     user_key_col: str = "user_id",
+    timeout_conf: str = GroupStateTimeout.EventTimeTimeout,
 ) -> DataFrame:
     """groupBy-shard + applyInPandasWithState wiring for
     ``_shard_host``-ed per-user operators. The watermark must already
@@ -1824,7 +1809,7 @@ def _apply_sharded(
             outputStructType=out_schema,
             stateStructType="blob binary",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            timeoutConf=timeout_conf,
         )
     )
 
@@ -2042,13 +2027,11 @@ def stream_upsert_state(stream: DataFrame) -> DataFrame:
         stream.withColumn("ts_us", F.unix_micros("ts"))
         .withColumn("vc", F.expr("CAST(round(value * 100) AS BIGINT)"))
         .withWatermark("ts", "2 hours")
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _upsert_fn,
-            outputStructType=UPSERT_RAW_SCHEMA,
-            stateStructType=UPSERT_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            UPSERT_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     return raw.select(
@@ -2318,13 +2301,11 @@ def stream_twa(
             "cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
         )
         .withWatermark("ts", watermark_delay)
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _twa_fn,
-            outputStructType=TWA_RAW_SCHEMA,
-            stateStructType=TWA_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            TWA_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     return raw.select("user_id", "hour_us", "area_cents_us")
@@ -2428,13 +2409,11 @@ def stream_ewma(
             "cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
         )
         .withWatermark("ts", watermark_delay)
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _ewma_fn,
-            outputStructType=EWMA_RAW_SCHEMA,
-            stateStructType=EWMA_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            EWMA_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     return raw.select("user_id", "hour_us", "v_cents", "ewma_cents")
@@ -2537,13 +2516,11 @@ def stream_pit_features(
             "cents", F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
         )
         .withWatermark("ts", watermark_delay)
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _pit_features_ooo_fn,
-            outputStructType=PIT_RAW_SCHEMA,
-            stateStructType=PIT_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            PIT_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     return raw.select("user_id", "event_id", "n_prior", "v_prior_cents")
@@ -2860,13 +2837,11 @@ def stream_token_bucket(
     raw = (
         stream.withColumn("ts_us", F.unix_micros("ts"))
         .withWatermark("ts", watermark_delay)
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _token_bucket_fn,
-            outputStructType=TBUCKET_RAW_SCHEMA,
-            stateStructType=TBUCKET_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            TBUCKET_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     return raw.select("user_id", "event_id", "ts_us", "balance_e6", "accepted")
@@ -2977,13 +2952,11 @@ def stream_session_paths(
     raw = (
         stream.withColumn("ts_us", F.unix_micros("ts"))
         .withWatermark("ts", watermark_delay)
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _session_paths_fn,
-            outputStructType=SPATH_RAW_SCHEMA,
-            stateStructType=SPATH_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            SPATH_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     return raw.select("user_id", "start_us", "end_us", "n_events", "path")
@@ -3078,13 +3051,11 @@ def stream_scd2_versions(
     raw = (
         stream.withColumn("ts_us", F.unix_micros("ts"))
         .withWatermark("ts", watermark_delay)
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _scd2_stream_fn,
-            outputStructType=SCD2_RAW_SCHEMA,
-            stateStructType=SCD2_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            SCD2_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     return raw.select("user_id", "state", "vf_us", "vt_us")
@@ -3193,13 +3164,11 @@ def stream_abandonment(
         stream.filter(F.col("event_type").isin("view", "purchase"))
         .withColumn("ts_us", F.unix_micros("ts"))
         .withWatermark("ts", watermark_delay)
-        .groupBy("user_id")
-        .applyInPandasWithState(
+        .transform(
+            _apply_sharded,
             _abandonment_fn,
-            outputStructType=ABANDON_RAW_SCHEMA,
-            stateStructType=ABANDON_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            ABANDON_RAW_SCHEMA,
+            timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     return raw.select("user_id", "view_id", "view_us", "converted")
