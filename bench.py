@@ -222,38 +222,22 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    from pyspark.sql import SparkSession
+    # tuned_builder carries the engine's physical-planning policy (SHJ
+    # preference + AQE local-map threshold, runtime bloom filters,
+    # Arrow, AQE coalescing) so bench, correctness harness and
+    # production sessions share one policy source (gpq_spark/session.py
+    # documents each knob's measurement); everything below is
+    # bench-deployment specific (gate-scale scan splits, local memory).
+    from gpq_spark.session import tuned_builder
 
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("gpq_spark-bench")
+        tuned_builder(master=f"local[{cpus}]", app_name="gpq_spark-bench")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # single ~20MB input files would otherwise scan as ONE split;
         # smaller splits let all cores work the scan
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # runtime bloom-filter semi-join reduction: the selective side
-        # of a shuffle join prunes the large side before the shuffle
-        # (measured at sf0.1: q3 -10%, q5 -19%, as-of join -23%; the
-        # win grows with the pruned side's size)
-        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        # prefer shuffled-hash over sort-merge when the per-partition
-        # build side fits (guide §3.1/§9): skips both sort passes. The
-        # AQE threshold is a per-partition MEMORY bound, not a
-        # core-count constant, so the policy is scale-neutral — a
-        # partition that doesn't fit falls back to sort-merge.
-        # Measured at sf0.1/local[32]: q_truss_support 5.9→3.5 s,
-        # q3 1.14→0.61 s, q5 1.35→0.67 s, dedup_minhash 1.23→0.71 s,
-        # no query slower beyond run noise.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        .config(
-            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"),
-        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # pin + pre-fault the heap floor: the r6 q_ktruss variance hunt
         # measured slow runs at sys%≈50 with MILLIONS of minor page

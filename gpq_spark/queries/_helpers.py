@@ -633,6 +633,43 @@ def _hint_stream_source_bytes(spark: SparkSession, src_dir: str) -> None:
     except OSError:
         n = 0
     spark.conf.set("spark.gpq.streamSourceBytes", str(n))
+    _hint_stream_user_bound(spark, src_dir)
+
+
+def _hint_stream_user_bound(spark: SparkSession, src_dir: str) -> None:
+    """Record an upper bound on the stream's user cardinality in a
+    session conf (``spark.gpq.streamUserBound``) so the stateful
+    per-user operators can gate their shard-hosted route by
+    users-per-shard (streaming.windows._shard_route_ok). The bound is
+    the (max - min + 1) span of user_id from the parquet FOOTER
+    statistics — metadata only, no data read, same discipline as the
+    dense-graph kernels' catalog-footer row-count gates. Unset (or 0)
+    means unknown → the operators default to the per-user route."""
+    import os
+
+    lo = hi = None
+    try:
+        import pyarrow.parquet as pq
+
+        for e in os.scandir(src_dir):
+            if not e.name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(e.path).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }.get("user_id")
+            if idx is None:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or st.min is None or st.max is None:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    except Exception:  # noqa: BLE001 — a hint must never fail the query
+        lo = hi = None
+    bound = (int(hi) - int(lo) + 1) if lo is not None else 0
+    spark.conf.set("spark.gpq.streamUserBound", str(bound))
 
 
 def _drain_to_table(df: DataFrame, prefix: str, mode: str) -> DataFrame:

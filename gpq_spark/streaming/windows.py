@@ -217,6 +217,7 @@ def stateful_sessionize(stream: DataFrame) -> DataFrame:
             _apply_sharded,
             _session_fn,
             SESSION_RAW_SCHEMA,
+            user_state_schema=SESSION_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
@@ -459,6 +460,7 @@ def stream_gapfill_locf(stream: DataFrame, value_col: str = "value") -> DataFram
             _apply_sharded,
             _gapfill_fn,
             GAPFILL_RAW_SCHEMA,
+            user_state_schema=GAPFILL_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.NoTimeout,
         )
     )
@@ -540,6 +542,7 @@ def stream_gapfill_interp(stream: DataFrame, value_col: str = "value") -> DataFr
             _apply_sharded,
             _gapfill_interp_fn,
             GAPFILL_RAW_SCHEMA,
+            user_state_schema=GAPFILL_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.NoTimeout,
         )
     )
@@ -640,6 +643,7 @@ def stream_anomaly_zscore(stream: DataFrame, value_col: str = "value") -> DataFr
             _apply_sharded,
             _anomaly_fn,
             ANOMALY_RAW_SCHEMA,
+            user_state_schema=ANOMALY_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.NoTimeout,
         )
     )
@@ -724,6 +728,7 @@ def stream_funnel(stream: DataFrame) -> DataFrame:
             _apply_sharded,
             _funnel_fn,
             FUNNEL_RAW_SCHEMA,
+            user_state_schema=FUNNEL_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.NoTimeout,
         )
     )
@@ -803,6 +808,7 @@ def stream_retention(stream: DataFrame) -> DataFrame:
             _apply_sharded,
             _retention_fn,
             RETENTION_RAW_SCHEMA,
+            user_state_schema=RETENTION_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.NoTimeout,
         )
     )
@@ -868,6 +874,7 @@ def stream_transitions(stream: DataFrame) -> DataFrame:
             _apply_sharded,
             _transition_fn,
             TRANSITION_RAW_SCHEMA,
+            user_state_schema=TRANSITION_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.NoTimeout,
         )
     )
@@ -928,6 +935,7 @@ def stream_attribution(stream: DataFrame) -> DataFrame:
             _apply_sharded,
             _attribution_fn,
             ATTRIB_RAW_SCHEMA,
+            user_state_schema=ATTRIB_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.NoTimeout,
         )
     )
@@ -1024,6 +1032,7 @@ def stream_transitions_ooo(
         ),
         _transition_ooo_fn,
         TRANSITION_RAW_SCHEMA,
+        user_state_schema=TRANSITION_OOO_STATE_SCHEMA,
     )
 
 
@@ -1115,6 +1124,7 @@ def stream_gapfill_locf_ooo(
         .withWatermark("ts", watermark_delay),
         _gapfill_ooo_fn,
         GAPFILL_RAW_SCHEMA,
+        user_state_schema=GAPFILL_OOO_STATE_SCHEMA,
     )
     return raw.select(
         "user_id",
@@ -1221,6 +1231,7 @@ def stream_funnel_ooo(
         ),
         _funnel_ooo_fn,
         FUNNEL_RAW_SCHEMA,
+        user_state_schema=FUNNEL_OOO_STATE_SCHEMA,
     )
     return raw.select(
         "user_id", "step", F.timestamp_micros("ts_us").alias("ts")
@@ -1298,6 +1309,7 @@ def stream_attribution_ooo(
         ),
         _attribution_ooo_fn,
         ATTRIB_RAW_SCHEMA,
+        user_state_schema=ATTRIB_OOO_STATE_SCHEMA,
     )
 
 
@@ -1376,6 +1388,7 @@ def stream_retention_ooo(
         ),
         _retention_ooo_fn,
         RETENTION_RAW_SCHEMA,
+        user_state_schema=RETENTION_OOO_STATE_SCHEMA,
     )
 
 
@@ -1464,6 +1477,7 @@ def stream_anomaly_ooo(
         .withWatermark("ts", watermark_delay),
         _anomaly_ooo_fn,
         ANOMALY_RAW_SCHEMA,
+        user_state_schema=ANOMALY_OOO_STATE_SCHEMA,
     )
     return raw.select(
         "user_id",
@@ -1783,6 +1797,54 @@ def _shard_host(user_fn, user_key_col: str = "user_id"):
     return shard_fn
 
 
+def _shard_users_bound() -> int:
+    """Max users a shard group may host before the shard route loses to
+    per-user groups (overridable via SPARK_GRAFT_SHARD_MAX_USERS).
+
+    Why a bound (guide §1.2 step 1 — the distributed algorithm must
+    not invert at scale): ``_shard_host`` unpickles and repickles the
+    ENTIRE shard map on every micro-batch in which any shard-mate has
+    data or times out — O(total shard state) per batch — while the
+    per-user route pays only for touched keys. With per-user state of
+    ~100 B (scalars) to a few KB (watermark buffers), 4096 users/shard
+    keeps the pickled state row in the hundreds of KB to low MB and the
+    per-batch repickle tax in the low milliseconds; hundreds of
+    thousands of users per shard would make it a per-batch tax of
+    seconds plus an oversized state-store row. Above the bound the
+    per-group machinery the shard route amortizes (~0.5 ms/group/batch)
+    is no longer the dominant term, so per-user is the right default —
+    the same measured-gate discipline as the dense-graph kernels."""
+    import os
+
+    try:
+        return int(os.environ.get("SPARK_GRAFT_SHARD_MAX_USERS", "4096"))
+    except ValueError:
+        return 4096
+
+
+def _shard_route_ok(spark: SparkSession, n_shards: int) -> bool:
+    """True when shard-hosting is safe: the estimated user cardinality
+    (hinted by the stream builder from parquet footer key statistics,
+    conf ``spark.gpq.streamUserBound``) fits within
+    ``n_shards × _shard_users_bound()``. Unknown cardinality means an
+    unbounded production stream — default to the per-user route, whose
+    state-store cost is pay-per-touched-key at any scale.
+    SPARK_GRAFT_STREAM_SHARD=always|never overrides (used by the
+    route-equivalence tests)."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_STREAM_SHARD", "auto")
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    try:
+        est = int(spark.conf.get("spark.gpq.streamUserBound", ""))
+    except (ValueError, TypeError):
+        return False
+    return 0 < est <= _shard_users_bound() * int(n_shards)
+
+
 def _apply_sharded(
     df: DataFrame,
     user_fn,
@@ -1790,15 +1852,31 @@ def _apply_sharded(
     n_shards: int | None = None,
     user_key_col: str = "user_id",
     timeout_conf: str = GroupStateTimeout.EventTimeTimeout,
+    user_state_schema: str | None = None,
 ) -> DataFrame:
     """groupBy-shard + applyInPandasWithState wiring for
     ``_shard_host``-ed per-user operators. The watermark must already
     be applied to ``df``. ``n_shards`` defaults to 2·cores (floor 16)
     — scale-adaptive: enough groups to spread across the cluster,
-    few enough to amortize per-group machinery over many users."""
+    few enough to amortize per-group machinery over many users.
+
+    Routing: when ``user_state_schema`` is provided the per-user route
+    remains wired, and ``_shard_route_ok`` picks shard-hosting only
+    when the estimated user cardinality keeps every shard under
+    ``_shard_users_bound()`` users — per-user emissions are identical
+    either way (pinned by tests/test_streaming.py route-equivalence
+    tests); only state layout and per-batch machinery differ."""
     spark = df.sparkSession
     if n_shards is None:
         n_shards = max(16, 2 * spark.sparkContext.defaultParallelism)
+    if user_state_schema is not None and not _shard_route_ok(spark, n_shards):
+        return df.groupBy(user_key_col).applyInPandasWithState(
+            user_fn,
+            outputStructType=out_schema,
+            stateStructType=user_state_schema,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
     return (
         df.withColumn(
             "__shard", F.expr(f"pmod({user_key_col}, {int(n_shards)})")
@@ -1932,19 +2010,35 @@ def stateful_sessionize_ooo(
     ensure_deployed(spark)
     if n_shards is None:
         n_shards = max(16, 2 * spark.sparkContext.defaultParallelism)
-    raw = (
-        stream.withColumn("ts_us", F.unix_micros("ts"))
-        .withColumn("__shard", F.expr(f"pmod(user_id, {int(n_shards)})"))
-        .withWatermark("ts", watermark_delay)
-        .groupBy("__shard")
-        .applyInPandasWithState(
-            _session_ooo_shard_fn,
-            outputStructType=SESSION_RAW_SCHEMA,
-            stateStructType=SESSION_OOO_SHARD_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    if not _shard_route_ok(spark, n_shards):
+        # user cardinality unknown or too high for bounded shard maps:
+        # per-user groups, pay-per-touched-key state (see _shard_route_ok)
+        raw = (
+            stream.withColumn("ts_us", F.unix_micros("ts"))
+            .withWatermark("ts", watermark_delay)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_ooo_fn,
+                outputStructType=SESSION_RAW_SCHEMA,
+                stateStructType=SESSION_OOO_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
         )
-    )
+    else:
+        raw = (
+            stream.withColumn("ts_us", F.unix_micros("ts"))
+            .withColumn("__shard", F.expr(f"pmod(user_id, {int(n_shards)})"))
+            .withWatermark("ts", watermark_delay)
+            .groupBy("__shard")
+            .applyInPandasWithState(
+                _session_ooo_shard_fn,
+                outputStructType=SESSION_RAW_SCHEMA,
+                stateStructType=SESSION_OOO_SHARD_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return raw.select(
         "user_id",
         F.timestamp_micros("start_us").alias("session_start"),
@@ -2031,6 +2125,7 @@ def stream_upsert_state(stream: DataFrame) -> DataFrame:
             _apply_sharded,
             _upsert_fn,
             UPSERT_RAW_SCHEMA,
+            user_state_schema=UPSERT_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
@@ -2305,6 +2400,7 @@ def stream_twa(
             _apply_sharded,
             _twa_fn,
             TWA_RAW_SCHEMA,
+            user_state_schema=TWA_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
@@ -2413,6 +2509,7 @@ def stream_ewma(
             _apply_sharded,
             _ewma_fn,
             EWMA_RAW_SCHEMA,
+            user_state_schema=EWMA_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
@@ -2520,6 +2617,7 @@ def stream_pit_features(
             _apply_sharded,
             _pit_features_ooo_fn,
             PIT_RAW_SCHEMA,
+            user_state_schema=PIT_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
@@ -2841,6 +2939,7 @@ def stream_token_bucket(
             _apply_sharded,
             _token_bucket_fn,
             TBUCKET_RAW_SCHEMA,
+            user_state_schema=TBUCKET_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
@@ -2956,6 +3055,7 @@ def stream_session_paths(
             _apply_sharded,
             _session_paths_fn,
             SPATH_RAW_SCHEMA,
+            user_state_schema=SPATH_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
@@ -3055,6 +3155,7 @@ def stream_scd2_versions(
             _apply_sharded,
             _scd2_stream_fn,
             SCD2_RAW_SCHEMA,
+            user_state_schema=SCD2_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )
@@ -3168,6 +3269,7 @@ def stream_abandonment(
             _apply_sharded,
             _abandonment_fn,
             ABANDON_RAW_SCHEMA,
+            user_state_schema=ABANDON_STATE_SCHEMA,
             timeout_conf=GroupStateTimeout.EventTimeTimeout,
         )
     )

